@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Relational query suite over the TPC-H-ish star schema
+  * (TESTDATA.md). These are the engine's headline analytical queries:
+  * scan → filter → (broadcast) join → aggregate → window → top-k.
+  *
+  * Scale notes (100 TB thinking, verified via .explain on sf0.1):
+  *  - dimension joins (`region`,`nation`,`customer`,`supplier`)
+  *    broadcast — no shuffle of the fact table for them;
+  *  - aggregations are partial (map-side combine) before the single
+  *    hash-partition exchange on the group keys;
+  *  - top-k uses ORDER BY + LIMIT → Spark's TakeOrderedAndProject
+  *    (per-partition heap, no global sort);
+  *  - all scans prune columns and push filters into the parquet
+  *    reader (`PushedFilters`/`ReadSchema`).
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q01_pricing_summary" -> pricingSummary,
+    "rel_q02_topk_orders" -> topkOrders,
+    "rel_q03_revenue_by_nation" -> revenueByNation,
+    "rel_q04_window_top_orders" -> windowTopOrders,
+    "rel_q05_events_hourly" -> eventsHourly,
+    "rel_q06_customers_no_orders" -> customersNoOrders,
+    "rel_q07_mktsegment_stats" -> mktsegmentStats,
+    "rel_q08_order_priority" -> orderPriority,
+  )
+
+  /** TPC-H Q1-flavored pricing summary: partial agg map-side, one
+    * shuffle on (returnflag, linestatus) — 6 groups. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Top-k by price: TakeOrderedAndProject, never a global sort. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Revenue per nation: fact table joined to broadcast dims — the
+    * only shuffle is the final 25-group aggregation. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val nat = Tables(spark, dir, "nation")
+    li.join(broadcast(ord.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Per-customer top-3 orders via ROW_NUMBER window (deterministic
+    * tie-break on o_orderkey). One shuffle on o_custkey. */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Tumbling-hour event rollup — the batch twin of the Structured
+    * Streaming window in graft.streaming (same groups, same sums).
+    * Hour emitted as epoch seconds: cross-engine-stable vs raw
+    * timestamps (events.ts is ns; Spark truncates to µs on read). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("hour_ts"), col("event_type"))
+
+  /** Anti-join: customers that never ordered. */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders").select(col("o_custkey"))
+    cust.join(broadcast(ord), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Group stats incl. distinct-agg (two-phase distinct under the
+    * hood — fine at 5 groups; at 100 TB swap for approx_count_distinct
+    * when exactness isn't required). */
+  def mktsegmentStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  /** TPC-H Q4-flavored: orders with at least one late-shipping line —
+    * left-semi join (EXISTS), aggregated to 5 priority groups. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlMoneySum("l_quantity")} AS sum_qty,
+         |  ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlMoneySum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+         |  ${sqlMoneySum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_q02_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "rel_q03_revenue_by_nation" ->
+      s"""SELECT n_name,
+         |  ${sqlMoneySum("l_extendedprice*(1-l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "rel_q04_window_top_orders" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_q05_events_hourly" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         |  event_type, COUNT(*) AS n,
+         |  ${sqlMoneySum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rel_q06_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_q07_mktsegment_stats" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  COUNT(DISTINCT c_nationkey) AS n_nations,
+         |  ${sqlMoneySum("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_q08_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}
