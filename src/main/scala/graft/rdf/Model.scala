@@ -1,0 +1,69 @@
+package graft.rdf
+
+import org.apache.spark.sql.types._
+
+/** Core RDF data model (SURVEY.md §1.3).
+  *
+  * The reference's single data structure is an in-memory rdflib
+  * `Graph` — a mutable set of (subject, predicate, object) triples
+  * (reference: src/export_from_omeka_s.py:30, src/transform_datamodel.py:83).
+  * Here a graph is a columnar `DataFrame` with this flat schema
+  * (struct-free so the DuckDB oracle can query the same parquet
+  * relationally; a typed `Dataset[Triple]` view is available for the
+  * Scala API). Set semantics = `dropDuplicates` after unions.
+  */
+case class RdfTerm(
+    value: String,
+    kind: String, // "iri" | "literal" | "bnode"
+    lang: Option[String],
+    datatype: Option[String])
+
+case class Triple(
+    graph: String,
+    subject: String,
+    subjectKind: String, // "iri" | "bnode"
+    predicate: String,
+    objValue: String,
+    objKind: String,
+    objLang: Option[String],
+    objDatatype: Option[String])
+
+object Model {
+  /** Canonical flat column order for triple DataFrames. */
+  val columns: Seq[String] = Seq(
+    "graph", "subject", "subject_kind", "predicate",
+    "obj_value", "obj_kind", "obj_lang", "obj_datatype")
+
+  val schema: StructType = StructType(Seq(
+    StructField("graph", StringType, nullable = false),
+    StructField("subject", StringType, nullable = false),
+    StructField("subject_kind", StringType, nullable = false),
+    StructField("predicate", StringType, nullable = false),
+    StructField("obj_value", StringType, nullable = false),
+    StructField("obj_kind", StringType, nullable = false),
+    StructField("obj_lang", StringType, nullable = true),
+    StructField("obj_datatype", StringType, nullable = true)))
+}
+
+/** Well-known vocabulary IRIs used by the reference pipeline
+  * (reference: src/transform_datamodel.py:41–49 resolves namespaces
+  * dynamically from rdflib; a static catalog is all the engine needs).
+  */
+object Vocab {
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val DctermsTitle = "http://purl.org/dc/terms/title"
+  val DctermsIdentifier = "http://purl.org/dc/terms/identifier"
+  val DctermsRelation = "http://purl.org/dc/terms/relation"
+  val SdoName = "https://schema.org/name"
+  val SdoIdentifier = "https://schema.org/identifier"
+  val SdoSameAs = "https://schema.org/sameAs"
+  val CeoRijksmonumentnummer =
+    "https://linkeddata.cultureelerfgoed.nl/def/ceo#rijksmonumentnummer"
+  val CeoRijksmonument =
+    "https://linkeddata.cultureelerfgoed.nl/def/ceo#Rijksmonument"
+  val OmekaIsPublic = "http://omeka.org/s/vocabs/o#is_public"
+  val OmekaResourceClass = "http://omeka.org/s/vocabs/o#resource_class"
+  val OmekaResourceTemplate = "http://omeka.org/s/vocabs/o#resource_template"
+  val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
+  val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+}
