@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{BooleanType, DataType}
 // (codegen Block helpers imported locally in doGenCode)
 import org.apache.spark.unsafe.types.UTF8String
@@ -92,5 +92,5 @@ case class IsValidIri(child: Expression) extends UnaryExpression {
 
 object IsValidIri {
   def apply(c: Column): Column =
-    ExpressionUtils.column(IsValidIri(ExpressionUtils.expression(c)))
+    ColumnBridge.column(IsValidIri(ColumnBridge.expression(c)))
 }
