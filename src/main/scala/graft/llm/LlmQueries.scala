@@ -1,0 +1,462 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data pipeline operators over the driver's `documents`
+  * and `embeddings` tables (TESTDATA.md) — deduplication, similarity
+  * search, text analysis, fingerprinting. These are the engine's
+  * "north star" extensions (SURVEY.md §2.5, §7 phase 5).
+  *
+  * Design rules for 100 TB (and for exact DuckDB-oracle parity):
+  *  - similarity scores are computed on *quantized integer* vectors
+  *    (`floor(x*1000)` per element) — integer dot products are exact
+  *    and engine-independent, and int8/int16 quantization is the
+  *    standard memory-bandwidth optimization in real ANN systems;
+  *  - near-dup detection is banded MinHash-LSH: the only shuffle is
+  *    a group-by on (band, band-hash) buckets; candidate pairs are
+  *    generated strictly within buckets — never an all-pairs join;
+  *  - all derived metrics are integers (scaled by 100/1000 + floor)
+  *    so cross-engine float formatting can never flip a comparison.
+  */
+object LlmQueries {
+
+  private val ws = "\\s+" // tokenizer: whitespace runs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_minhash" -> dedupMinhash,
+    "llm_ngram_jaccard" -> ngramJaccard,
+    "llm_simhash" -> simhash,
+    "llm_knn_bruteforce" -> knnBruteforce,
+    "llm_ann_buckets" -> annBuckets,
+    "llm_ann_topk" -> annTopk,
+    "llm_text_stats" -> textStats,
+    "llm_lang_stats" -> langStats,
+    "llm_fingerprint" -> fingerprint,
+    "mm_binary_stats" -> binaryStats,
+  )
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** doc_id + tokenized words (lowercased, whitespace-split). */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      split(trim(lower(col("text"))), ws).as("w"))
+
+  // ---------------------------------------------------------------
+  // Exact dedup: hash-groupBy on a normalized content key. At 100 TB
+  // this is one shuffle on the key (map-side partial agg first); the
+  // representative row is min(doc_id) for determinism.
+  // ---------------------------------------------------------------
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), 1, 5)).as("dedup_key"))
+      .groupBy(col("dedup_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------
+  // MinHash-LSH near-dup: word-3-gram shingles → 8 MinHashes (min of
+  // md5 over salted shingles; hex strings compare identically in
+  // both engines) → 4 bands × 2 rows → candidate pairs strictly
+  // within band buckets. The join key is (band, band_value): at
+  // 100 TB that is one shuffle on the bucket hash and an intra-bucket
+  // self-join — never a cross-join of the corpus.
+  // ---------------------------------------------------------------
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d).select(col("doc_id"), explode(expr(
+      """CASE WHEN size(w) >= 3
+        |  THEN transform(sequence(1, size(w) - 2),
+        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+        |                ' ', element_at(w, i + 2)))
+        |  ELSE array() END""".stripMargin)).as("s"))
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val mins = (1 to 8).map(j =>
+      min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
+    shingled(s, d).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  private def bands(s: SparkSession, d: String): DataFrame =
+    minhashSig(s, d).select(col("doc_id"), explode(array(
+      (1 to 4).map(b => struct(lit(b).as("band"),
+        concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bv"))): _*))
+      .as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val b = bands(s, d)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------
+  // Exact n-gram Jaccard — verification stage for the LSH candidate
+  // pairs (classic LSH-then-verify): word-bigram sets, similarity
+  // scaled to an integer in [0, 1000]. Only candidate pairs are
+  // scored, so the expensive exact comparison runs on O(candidates),
+  // not O(n²).
+  // ---------------------------------------------------------------
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val bg = tokenized(s, d).select(col("doc_id"), explode(expr(
+      """CASE WHEN size(w) >= 2
+        |  THEN transform(sequence(1, size(w) - 1),
+        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+        |  ELSE array() END""".stripMargin)).as("bg")).distinct()
+    val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = dedupMinhash(s, d)
+    val inter = pairs
+      .join(bg.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(bg.as("y"), col("doc_b") === col("y.doc_id") &&
+        col("x.bg") === col("y.bg"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1000.0) * col("n_inter") /
+          (col("sa.n") + col("sb.n") - col("n_inter"))).as("jaccard_x1000"))
+  }
+
+  // ---------------------------------------------------------------
+  // SimHash fingerprint: 16-bit signature, bit j = majority over the
+  // document's words of bit 3 of hex digit j of md5(word). Pure
+  // map-side agg; duplicate-bucket discovery is a group-by on the
+  // signature.
+  // ---------------------------------------------------------------
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val wd = tokenized(s, d)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .withColumn("h", md5(col("word")))
+    val sums = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1L).otherwise(0L))
+        .as(s"s$j")) :+ count(lit(1)).as("n_words")
+    val g = wd.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    g.select(col("doc_id"),
+      concat((1 to 16).map(j =>
+        when(col(s"s$j") * 2 >= col("n_words"), lit("1"))
+          .otherwise(lit("0"))): _*).as("simhash"),
+      col("n_words"))
+  }
+
+  // ---------------------------------------------------------------
+  // Similarity search. Vectors quantized to integer milli-units;
+  // inner product on int64 is exact in both engines.
+  // ---------------------------------------------------------------
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+      .as("qv"))
+
+  private val queryIds = Seq(0L, 1L, 2L)
+
+  /** Brute-force top-k by quantized inner product — the correctness
+    * baseline. The query-vector side is broadcast (3 rows); the
+    * corpus streams map-side; ranking is a window per query (k
+    * queries → k partitions; at scale use per-query
+    * TakeOrderedAndProject or a bounded-heap Aggregator). */
+  def knnBruteforce(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d)
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("qv").as("qvec"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ip", expr(
+        "aggregate(zip_with(qv, qvec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("ip"))
+  }
+
+  /** Sign-LSH bucket histogram — the scale path for ANN: vectors are
+    * partitioned by the sign pattern of their first 8 components
+    * (hyperplane LSH with axis-aligned planes). Search then probes
+    * only the query's bucket (+ neighbors for recall) instead of the
+    * full corpus. */
+  private def bucketed(s: SparkSession, d: String): DataFrame =
+    quantized(s, d).withColumn("bucket",
+      concat((1 to 8).map(i =>
+        when(expr(s"element_at(qv, $i)") >= 0, lit("1"))
+          .otherwise(lit("0"))): _*))
+
+  def annBuckets(s: SparkSession, d: String): DataFrame =
+    bucketed(s, d).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** Bucket-pruned top-k: identical scoring to [[knnBruteforce]] but
+    * candidates are restricted to the query's own LSH bucket — the
+    * join key is the bucket, so the corpus is hash-partitioned by
+    * bucket and each query only touches one partition. */
+  def annTopk(s: SparkSession, d: String): DataFrame = {
+    val v = bucketed(s, d)
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("qv").as("qvec"),
+        col("bucket").as("q_bucket"))
+    val scored = v.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("ip", expr(
+        "aggregate(zip_with(qv, qvec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("ip"))
+  }
+
+  // ---------------------------------------------------------------
+  // Text analysis: token counts, punctuation, stopword ratio,
+  // quality score — single map-side pass, integer outputs.
+  // ---------------------------------------------------------------
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val sw = stopwords.map(x => s"'$x'").mkString(", ")
+    docs(s, d).select(col("doc_id"),
+      split(trim(lower(col("text"))), ws).as("w"), col("text"))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
+        expr("CAST(length(text) AS BIGINT)").as("n_chars_calc"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("bigint").as("n_punct"),
+        expr(s"CAST(size(filter(w, x -> x IN ($sw))) AS BIGINT)")
+          .as("n_stop"))
+      .withColumn("stop_x1000",
+        floor(lit(1000.0) * col("n_stop") / col("n_tokens")))
+  }
+
+  /** Per-language corpus rollup (how a real pipeline shards training
+    * data by language). */
+  def langStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      floor(lit(100.0) * sum(col("n_chars")) / count(lit(1)))
+        .as("avg_chars_x100"))
+
+  // ---------------------------------------------------------------
+  // Document fingerprint: position-weighted 32-bit word hashes
+  // (md5-hex → int via explicit hex-digit polynomial — identical
+  // arithmetic in both engines), summed mod 2^31-1 per position.
+  // ---------------------------------------------------------------
+  /** 32-bit integer from the first 8 hex digits of md5, as a SQL
+    * expression over string column `h`; `pos` is the 1-based position
+    * function name ("instr" for Spark, "strpos" for DuckDB). */
+  private def hexHashExpr(posFn: String): String =
+    (1 to 8).map { j =>
+      val p = math.pow(16, 8 - j).toLong
+      s"CAST($posFn('0123456789abcdef', substring(h, $j, 1)) - 1 AS BIGINT) * $p"
+    }.mkString(" + ")
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
+      .withColumn("h", md5(col("word")))
+      .withColumn("wh", expr(hexHashExpr("instr")))
+      .groupBy(col("doc_id"))
+      .agg(sum((col("wh") * (col("p0") + 1)) % 2147483647L).as("fp"))
+
+  // ---------------------------------------------------------------
+  // Multimodal columns: media as opaque binary + typed metadata. The
+  // decode is a clearly-marked deterministic stub (no image/audio
+  // libs in this container — see graft.multimodal); the Spark-side
+  // plumbing (binary payloads, integer metadata) is real and
+  // oracle-checked here.
+  // ---------------------------------------------------------------
+  def binaryStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        md5(col("payload")).as("content_md5"))
+      .withColumn("width", col("n_bytes") % 640 + 1)
+      .withColumn("height", (col("n_bytes") * 31) % 480 + 1)
+      .withColumn("n_frames", col("n_bytes") % 24 + 1)
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle SQL
+  // ---------------------------------------------------------------
+
+  /** Tokenized words CTE (DuckDB list is 1-based like Spark's
+    * element_at). */
+  private val wCte =
+    """w AS (SELECT doc_id, lang, n_chars, text,
+      |  regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents)""".stripMargin
+
+  private val shingleCte =
+    s"""$wCte,
+       |pos AS (SELECT doc_id, ws,
+       |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+       |  FROM w),
+       |sh AS (SELECT doc_id,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM pos)""".stripMargin
+
+  private val minhashCte = {
+    val mins = (1 to 8).map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+    val bandRows = (1 to 4).map(b =>
+      s"SELECT doc_id, $b AS band, h${2 * b - 1} || h${2 * b} AS bv FROM mh")
+      .mkString(" UNION ALL ")
+    s"""$shingleCte,
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val quantCte =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings)""".stripMargin
+
+  private val bucketCte = {
+    val bits = (1 to 8).map(i =>
+      s"(CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""$quantCte,
+       |bv AS (SELECT vec_id, qv, $bits AS bucket FROM v)""".stripMargin
+  }
+
+  private val qIdList = queryIds.mkString("(", ", ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      s"""WITH $wCte
+         |SELECT array_to_string(ws[1:5], ' ') AS dedup_key,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM w GROUP BY 1""".stripMargin,
+
+    "llm_dedup_minhash" ->
+      s"""WITH $minhashCte
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    "llm_ngram_jaccard" ->
+      s"""WITH $minhashCte,
+         |bgpos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+         |  FROM w),
+         |bg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+         |  FROM bgpos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN bg x ON p.doc_a = x.doc_id
+         |  JOIN bg y ON p.doc_b = y.doc_id AND x.bg = y.bg
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(floor(1000.0 * coalesce(i.n_inter, 0)
+         |    / (sa.n + sb.n - coalesce(i.n_inter, 0))) AS BIGINT)
+         |    AS jaccard_x1000
+         |FROM pairs p
+         |LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+         |JOIN sizes sa ON p.doc_a = sa.doc_id
+         |JOIN sizes sb ON p.doc_b = sb.doc_id""".stripMargin,
+
+    "llm_simhash" -> {
+      val sums = (1 to 16).map(j =>
+        s"SUM(CASE WHEN substring(h, $j, 1) >= '8' THEN 1 ELSE 0 END) AS s$j")
+        .mkString(", ")
+      val bits = (1 to 16).map(j =>
+        s"(CASE WHEN 2 * s$j >= n_words THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH $wCte,
+         |wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |wd AS (SELECT doc_id, md5(word) AS h FROM wx),
+         |g AS (SELECT doc_id, count(*) AS n_words, $sums
+         |  FROM wd GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash,
+         |  CAST(n_words AS BIGINT) AS n_words
+         |FROM g""".stripMargin
+    },
+
+    "llm_knn_bruteforce" ->
+      s"""WITH $quantCte,
+         |q AS (SELECT vec_id AS q_id, qv AS qvec FROM v
+         |  WHERE vec_id IN $qIdList),
+         |s AS (SELECT q_id, vec_id,
+         |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
+         |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM v, q WHERE vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, ip,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 10""".stripMargin,
+
+    "llm_ann_buckets" ->
+      s"""WITH $bucketCte
+         |SELECT bucket, count(*) AS n_vecs FROM bv GROUP BY bucket""".stripMargin,
+
+    "llm_ann_topk" ->
+      s"""WITH $bucketCte,
+         |q AS (SELECT vec_id AS q_id, qv AS qvec, bucket AS q_bucket
+         |  FROM bv WHERE vec_id IN $qIdList),
+         |s AS (SELECT q_id, vec_id,
+         |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
+         |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM bv, q WHERE bucket = q_bucket AND vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, ip,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 5""".stripMargin,
+
+    "llm_text_stats" -> {
+      val sw = stopwords.map(x => s"'$x'").mkString(", ")
+      s"""WITH $wCte
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CAST(length(text)
+         |    - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+         |    AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(ws, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+         |  CAST(floor(1000.0 * len(list_filter(ws, x -> x IN ($sw)))
+         |    / len(ws)) AS BIGINT) AS stop_x1000
+         |FROM w""".stripMargin
+    },
+
+    "llm_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(floor(100.0 * sum(n_chars) / count(*)) AS BIGINT)
+        |    AS avg_chars_x100
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "llm_fingerprint" ->
+      s"""WITH $wCte,
+         |p AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, len(ws))) AS i FROM w),
+         |t AS (SELECT doc_id, i, md5(ws[i]) AS h FROM p),
+         |wh AS (SELECT doc_id, i, ${hexHashExpr("strpos")} AS v FROM t)
+         |SELECT doc_id,
+         |  CAST(SUM((v * i) % 2147483647) AS BIGINT) AS fp
+         |FROM wh GROUP BY doc_id""".stripMargin,
+
+    "mm_binary_stats" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS BIGINT)
+        |    AS height,
+        |  CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+  )
+}

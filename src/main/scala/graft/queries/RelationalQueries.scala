@@ -12,8 +12,9 @@ import Exact._
   * scan → filter → (broadcast) join → aggregate → window → top-k.
   *
   * Scale notes (100 TB thinking, verified via .explain on sf0.1):
-  *  - dimension joins (`region`,`nation`,`customer`,`supplier`)
-  *    broadcast — no shuffle of the fact table for them;
+  *  - only fixed-size dims (`region` 5 rows, `nation` 25 rows) are
+  *    broadcast; `orders`/`customer`/`supplier` grow with the data
+  *    and are shuffle-joined (AQE picks hash vs SMJ);
   *  - aggregations are partial (map-side combine) before the single
   *    hash-partition exchange on the group keys;
   *  - top-k uses ORDER BY + LIMIT → Spark's TakeOrderedAndProject
@@ -57,16 +58,19 @@ object RelationalQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
-  /** Revenue per nation: fact table joined to broadcast dims — the
-    * only shuffle is the final 25-group aggregation. */
+  /** Revenue per nation. `orders` and `customer` scale with the data
+    * volume, so they are shuffle-joined (AQE picks hash vs SMJ at
+    * runtime; at real scale, bucket lineitem+orders by orderkey to
+    * make the first join co-located). Only `nation` — fixed 25 rows —
+    * is a true broadcast dim. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val ord = Tables(spark, dir, "orders")
     val cust = Tables(spark, dir, "customer")
     val nat = Tables(spark, dir, "nation")
-    li.join(broadcast(ord.select(col("o_orderkey"), col("o_custkey"))),
+    li.join(ord.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+      .join(cust.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -102,12 +106,16 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       .orderBy(col("hour_ts"), col("event_type"))
 
-  /** Anti-join: customers that never ordered. */
+  /** Anti-join: customers with no finished ('F') order. The build
+    * side scales with data volume → shuffled left-anti (AQE decides
+    * the physical join); restricting to one status keeps the result
+    * non-empty so the anti-join is actually exercised. */
   def customersNoOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
-    val ord = Tables(spark, dir, "orders").select(col("o_custkey"))
-    cust.join(broadcast(ord), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
   }
@@ -181,7 +189,8 @@ object RelationalQueries {
 
     "rel_q06_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
     "rel_q07_mktsegment_stats" ->

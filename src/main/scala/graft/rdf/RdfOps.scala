@@ -1,0 +1,141 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IsValidIri
+import Vocab._
+
+/** The reference pipeline's operators (SURVEY.md §2, O4–O18) as pure
+  * `DataFrame => DataFrame` transformations over the canonical triple
+  * schema (Model.columns).
+  *
+  * Everything here is declarative Catalyst: filters and projections
+  * are map-side (no shuffle), the two join-shaped operators
+  * (customvocab anti-join, typed semi-join) broadcast their
+  * intrinsically-small build sides. At 100 TB the fact side (the
+  * triple table) is never shuffled by the cleaning pass — only
+  * `dropDuplicates` after unions repartitions, on all 8 columns.
+  */
+object RdfOps {
+
+  /** O4 — remove JSON-LD `@context` artifacts
+    * (reference: src/export_from_omeka_s.py:54,59). */
+  def filterContextLeaks(df: DataFrame): DataFrame =
+    df.filter(!col("subject").contains("@context") &&
+      !col("obj_value").contains("@context"))
+
+  /** O5 — drop triples whose subject is not a valid IRI
+    * (reference: src/export_from_omeka_s.py:54,59; `uritools
+    * .is_valid_uri`). Native codegen expression, stays in
+    * whole-stage codegen. */
+  def filterValidSubjects(df: DataFrame): DataFrame =
+    df.filter(IsValidIri(col("subject")))
+
+  /** O7 — drop triples whose object is an IRI-kind term but not a
+    * valid IRI (reference: src/export_from_omeka_s.py:66–71). */
+  def filterValidObjectIris(df: DataFrame): DataFrame =
+    df.filter(col("obj_kind") =!= "iri" || IsValidIri(col("obj_value")))
+
+  /** O6 — customvocab anti-join, implementing the *intent* of the
+    * reference's dead filter (bug B1, SURVEY §2.4; reference:
+    * src/export_from_omeka_s.py:60–65): remove triples whose object
+    * references a subject typed with a customvocab class.
+    *
+    * The build side is the set of custom-vocabulary term subjects —
+    * vocabulary-scale (thousands), not corpus-scale — so it is
+    * explicitly broadcast: the 100 TB fact side streams map-side
+    * through a broadcast hash anti-join, no shuffle.
+    */
+  def filterCustomvocabRefs(df: DataFrame): DataFrame = {
+    val cv = df
+      .filter(col("predicate") === RdfType &&
+        col("obj_value").contains("customvocab"))
+      .select(col("subject").as("cv_subject"))
+      .distinct()
+    df.join(broadcast(cv), col("obj_value") === col("cv_subject"),
+      "left_anti")
+  }
+
+  /** The full export cleaning pass (O4 → O5 → O7 → O6), i.e. the body
+    * of the reference's export filter loop
+    * (src/export_from_omeka_s.py:53–71) as one composed dataflow. */
+  def cleanExport(df: DataFrame): DataFrame =
+    filterCustomvocabRefs(
+      filterValidObjectIris(filterValidSubjects(filterContextLeaks(df))))
+
+  /** O17 — predicate rename (reference:
+    * src/transform_datamodel.py:112–119). The reference removes and
+    * re-adds every mapped triple; here it is a pure map-side
+    * projection through a literal-map lookup (`element_at` on a
+    * `typedLit` map — codegen'd, broadcast implicitly as part of the
+    * plan, zero shuffle at any scale). */
+  def applyMapping(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.withColumn("predicate",
+      coalesce(element_at(typedLit(mapping), col("predicate")),
+        col("predicate")))
+
+  /** O18 — predicate delete (reference:
+    * src/transform_datamodel.py:121–127): `isin` anti-filter, pushed
+    * into the scan when reading parquet. */
+  def applyFilter(df: DataFrame, filterList: Seq[String]): DataFrame =
+    if (filterList.isEmpty) df
+    else df.filter(!col("predicate").isin(filterList: _*))
+
+  /** O15/O2 — set-semantics union: rdflib graphs are sets, so
+    * re-parsing overlapping pages/enrichment into one graph implicitly
+    * dedups (reference: src/export_from_omeka_s.py:50,
+    * src/transform_datamodel.py:102). One shuffle on all columns. */
+  def unionDedup(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).dropDuplicates()
+
+  /** O14 (key step) — normalized enrichment lookup keys: triples with
+    * the rijksmonumentnummer predicate and a *literal* object (bug
+    * B2's intent, SURVEY §2.4), key normalized by stripping a leading
+    * "RM" (reference: src/transform_datamodel.py:91–96), deduplicated
+    * (the reference fetches once per occurrence — B5; the engine
+    * fetches once per distinct key). */
+  def enrichmentKeys(df: DataFrame): DataFrame =
+    df.filter(col("predicate") === CeoRijksmonumentnummer &&
+        col("obj_kind") === "literal")
+      .select(normalizeMonumentKey(col("obj_value")).as("monument_key"))
+      .distinct()
+
+  def normalizeMonumentKey(c: Column): Column =
+    when(c.startsWith("RM"), c.substr(lit(3), length(c))).otherwise(c)
+
+  /** O14+O15+O16 — the enrichment stage (reference:
+    * src/transform_datamodel.py:88–109): union the fetched enrichment
+    * triples into the graph, then for every rijksmonumentnummer triple
+    * whose subject is typed `ceo#Rijksmonument` in the *enriched*
+    * graph, derive `(subj, sdo:sameAs, obj)`.
+    *
+    * The typed-subject set is dimension-scale (one row per monument)
+    * → broadcast left-semi join; the enriched graph itself is never
+    * shuffled except by the final set-union dedup.
+    */
+  def enrich(graph: DataFrame, fetched: DataFrame): DataFrame = {
+    val enriched = unionDedup(graph, fetched)
+    val rmnr = graph.filter(col("predicate") === CeoRijksmonumentnummer &&
+      col("obj_kind") === "literal")
+    val typed = enriched
+      .filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject")).distinct()
+    val sameAs = rmnr
+      .join(broadcast(typed), Seq("subject"), "left_semi")
+      .select(col("graph"), col("subject"), col("subject_kind"),
+        lit(SdoSameAs).as("predicate"), col("obj_value"),
+        col("obj_kind"), col("obj_lang"), col("obj_datatype"))
+    unionDedup(enriched, sameAs)
+  }
+
+  /** O19 — the composed reference pipeline EP1→EP2 (export cleaning →
+    * enrichment → rename → delete), one lazy dataflow end-to-end
+    * (reference: src/transform_datamodel.py:140–168 + workflow DAG). */
+  def pipeline(raw: DataFrame, fetched: DataFrame,
+      mapping: Map[String, String], filterList: Seq[String]): DataFrame =
+    applyFilter(applyMapping(enrich(cleanExport(raw), fetched), mapping),
+      filterList)
+}

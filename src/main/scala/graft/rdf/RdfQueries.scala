@@ -1,0 +1,159 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IriUtil
+import Vocab._
+
+/** Oracle-checked queries for the reference's RDF operators
+  * (SURVEY.md §2, O4–O19). Inputs come from [[TripleFixture]] —
+  * deterministic derivations of the driver's `part` table — so Spark
+  * and the DuckDB oracle see byte-identical triples.
+  */
+object RdfQueries {
+
+  /** A.2 config fixture (FIXTURES.md): MAP_DCTERMS_TITLE=SDO.name. */
+  val mapping: Map[String, String] = Map(DctermsTitle -> SdoName)
+
+  /** A.2 config fixture: the CI workflow's three FILTER vars
+    * (reference: .github/workflows/muurschilderingendatabase-etl.yml:58–60). */
+  val filterList: Seq[String] =
+    Seq(OmekaIsPublic, OmekaResourceClass, OmekaResourceTemplate)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rdf_clean_export" -> ((s, d) => RdfOps.cleanExport(tri(s, d))),
+    "rdf_apply_mapping" -> ((s, d) => RdfOps.applyMapping(tri(s, d), mapping)),
+    "rdf_apply_filter" -> ((s, d) => RdfOps.applyFilter(tri(s, d), filterList)),
+    "rdf_union_dedup" -> ((s, d) =>
+      RdfOps.unionDedup(tri(s, d), TripleFixture.enrichment(s, d))),
+    "rdf_enrich_keys" -> ((s, d) => RdfOps.enrichmentKeys(tri(s, d))),
+    "rdf_enrich_sameas" -> ((s, d) =>
+      RdfOps.enrich(tri(s, d), TripleFixture.enrichment(s, d))),
+    "rdf_counts" -> ((s, d) => counts(s, d)),
+    "rdf_pipeline_e2e" -> ((s, d) => RdfOps.pipeline(tri(s, d),
+      TripleFixture.enrichment(s, d), mapping, filterList)),
+  )
+
+  private def tri(s: SparkSession, d: String): DataFrame =
+    TripleFixture.triples(s, d)
+
+  /** O10 — single-row stage metrics (reference: `len(graph)` at
+    * src/transform_datamodel.py:85,123,127): one map-side pass with
+    * conditional sums, no per-stage jobs. */
+  def counts(s: SparkSession, d: String): DataFrame = {
+    val df = tri(s, d)
+    df.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("subject").contains("@context") ||
+        col("obj_value").contains("@context"), 1L).otherwise(0L))
+        .as("n_context_leaks"),
+      sum(when(col("predicate").isin(filterList: _*), 1L).otherwise(0L))
+        .as("n_filtered_preds"),
+      countDistinct(col("subject")).as("n_subjects"))
+  }
+
+  // ---- DuckDB oracle SQL ----
+
+  private val iriOk = IriUtil.sqlPredicate _
+
+  /** The cleaning pass as SQL CTEs (shared by several oracles). */
+  private def cleanCte: String =
+    s"""base AS (
+       |  SELECT * FROM triples
+       |  WHERE subject NOT LIKE '%@context%'
+       |    AND obj_value NOT LIKE '%@context%'
+       |    AND ${iriOk("subject")}
+       |    AND (obj_kind <> 'iri' OR ${iriOk("obj_value")})),
+       |clean AS (
+       |  SELECT * FROM base t
+       |  WHERE NOT EXISTS (SELECT 1 FROM base c
+       |    WHERE c.predicate = '$RdfType'
+       |      AND c.obj_value LIKE '%customvocab%'
+       |      AND c.subject = t.obj_value))""".stripMargin
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** Enrichment stage as SQL CTEs over input CTE `g`. */
+  private def enrichCte(g: String): String =
+    s"""enriched AS (
+       |  SELECT DISTINCT * FROM (
+       |    SELECT * FROM $g UNION ALL SELECT * FROM enrichment)),
+       |typed AS (SELECT DISTINCT subject FROM enriched
+       |  WHERE predicate = '$RdfType' AND obj_value = '$CeoRijksmonument'),
+       |sameas AS (
+       |  SELECT graph, subject, subject_kind, '$SdoSameAs' AS predicate,
+       |         obj_value, obj_kind, obj_lang, obj_datatype
+       |  FROM $g r
+       |  WHERE predicate = '$CeoRijksmonumentnummer' AND obj_kind = 'literal'
+       |    AND EXISTS (SELECT 1 FROM typed WHERE typed.subject = r.subject)),
+       |post_enrich AS (
+       |  SELECT DISTINCT * FROM (
+       |    SELECT * FROM enriched UNION ALL SELECT * FROM sameas))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "rdf_clean_export" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |$cleanCte
+         |SELECT * FROM clean""".stripMargin,
+
+    "rdf_apply_mapping" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT graph, subject, subject_kind,
+         |  CASE WHEN predicate = '$DctermsTitle' THEN '$SdoName'
+         |       ELSE predicate END AS predicate,
+         |  obj_value, obj_kind, obj_lang, obj_datatype
+         |FROM triples""".stripMargin,
+
+    "rdf_apply_filter" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT * FROM triples
+         |WHERE predicate NOT IN ${inList(filterList)}""".stripMargin,
+
+    "rdf_union_dedup" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte}
+         |SELECT DISTINCT * FROM (
+         |  SELECT * FROM triples UNION ALL SELECT * FROM enrichment)""".stripMargin,
+
+    "rdf_enrich_keys" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT DISTINCT
+         |  CASE WHEN obj_value LIKE 'RM%' THEN substring(obj_value, 3)
+         |       ELSE obj_value END AS monument_key
+         |FROM triples
+         |WHERE predicate = '$CeoRijksmonumentnummer'
+         |  AND obj_kind = 'literal'""".stripMargin,
+
+    "rdf_enrich_sameas" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |${enrichCte("triples")}
+         |SELECT * FROM post_enrich""".stripMargin,
+
+    "rdf_counts" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(CASE WHEN subject LIKE '%@context%'
+         |    OR obj_value LIKE '%@context%' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_context_leaks,
+         |  CAST(SUM(CASE WHEN predicate IN ${inList(filterList)}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered_preds,
+         |  CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects
+         |FROM triples""".stripMargin,
+
+    "rdf_pipeline_e2e" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$cleanCte,
+         |${enrichCte("clean")}
+         |SELECT * FROM (
+         |  SELECT graph, subject, subject_kind,
+         |    CASE WHEN predicate = '$DctermsTitle' THEN '$SdoName'
+         |         ELSE predicate END AS predicate,
+         |    obj_value, obj_kind, obj_lang, obj_datatype
+         |  FROM post_enrich)
+         |WHERE predicate NOT IN ${inList(filterList)}""".stripMargin,
+  )
+}
