@@ -90,11 +90,23 @@ object LlmQueries {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
 
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val b = bands(s, d)
-    b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pairs are enumerated *within* buckets: one shuffle on the
+    // (band, band-hash) key, then per-bucket combination generation —
+    // the minhash chain is computed once (a self-join would compute it
+    // twice and tempt AQE into broadcasting corpus-scale band data).
+    // At 100 TB add a bucket-size cap (oversized buckets are near-
+    // useless for dedup and quadratic to expand — standard practice
+    // is to drop or salt them).
+    bands(s, d)
+      .groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
