@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: media as opaque
+  * `binary` payloads plus typed metadata, with decode / feature
+  * extraction / frame sampling as partition-local transforms.
+  *
+  * ==== STUB NOTICE ====
+  * No image/audio/video codecs exist in this container, so
+  * [[StubCodec.decode]] is a clearly-marked DETERMINISTIC FAKE: it
+  * derives plausible dimensions/duration from the payload bytes. The
+  * Spark-side plumbing — schema, binary columns, batch-shaped
+  * `mapPartitions`, partitioning notes — is real, and swapping the
+  * stub for a JNI/FFmpeg/ImageIO decode changes nothing structurally:
+  * the codec is a `Array[Byte] => MediaMeta` function applied once
+  * per row inside a partition iterator (so a real implementation can
+  * amortize codec init per partition, the same pattern as a Pandas
+  * UDF batch).
+  *
+  * Scale notes: media rows are large (KB–MB); keep
+  * `spark.sql.files.maxPartitionBytes` at the default 128 MB so scan
+  * partitions stay executor-sized, and never `collect()` payloads.
+  * Feature extraction output (small fixed-width vectors/metadata)
+  * should be written to a separate column family/table from the raw
+  * bytes so downstream queries prune the heavy column away.
+  */
+object Multimodal {
+
+  /** Decoded metadata for one media payload. */
+  case class MediaMeta(kind: String, width: Int, height: Int,
+      nFrames: Int, sampleRateHz: Int, ok: Boolean)
+
+  /** A media record: opaque payload + envelope metadata. */
+  case class MediaRecord(mediaId: Long, kind: String, payload: Array[Byte])
+
+  object StubCodec {
+    /** DETERMINISTIC STUB — stands in for a real image/audio/video
+      * decoder (none available in this container). Dimensions are
+      * derived from payload length + first bytes so tests are exact
+      * and reproducible. */
+    def decode(kind: String, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      val b0 = if (n > 0) payload(0) & 0xff else 0
+      kind match {
+        case "image" =>
+          MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1, 1, 0, n > 0)
+        case "video" =>
+          MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1, n % 24 + 1, 0,
+            n > 0)
+        case "audio" =>
+          MediaMeta(kind, 0, 0, 0, 8000 + (b0 % 5) * 8000, n > 0)
+        case _ => MediaMeta(kind, 0, 0, 0, 0, ok = false)
+      }
+    }
+  }
+
+  /** Decode payloads into a metadata struct column. Partition-local:
+    * one codec "session" per partition, rows streamed through it. */
+  def decodeMeta(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // real codecs would initialize here, once per partition
+      it.map { r =>
+        val m = StubCodec.decode(r.kind, r.payload)
+        (r.mediaId, r.kind, r.payload.length.toLong, m.width, m.height,
+          m.nFrames, m.sampleRateHz, m.ok)
+      }
+    }.toDF("media_id", "kind", "n_bytes", "width", "height",
+      "n_frames", "sample_rate_hz", "decode_ok")
+  }
+
+  /** Frame sampling: emit every `stride`-th frame index per video —
+    * one-to-many, partition-local, no shuffle. A real implementation
+    * decodes only the sampled frames (keyframe seek). */
+  def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
+    meta.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+
+  /** Deterministic stub feature vector (stands in for an embedding
+    * model): 4 scaled moments of the payload bytes. Fixed-width
+    * output → `ArrayType(FloatType)`, compatible with the similarity
+    * operators in [[graft.llm.LlmQueries]]. */
+  def extractFeatures(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val n = math.max(r.payload.length, 1)
+        var s1 = 0L; var s2 = 0L
+        r.payload.foreach { b => val v = (b & 0xff).toLong; s1 += v; s2 += v * v }
+        val mean = s1.toFloat / n
+        (r.mediaId, Array(n.toFloat, mean, s2.toFloat / n - mean * mean,
+          (r.payload.headOption.map(_ & 0xff).getOrElse(0)).toFloat))
+      }
+    }.toDF("media_id", "features")
+  }
+}

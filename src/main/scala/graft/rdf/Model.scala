@@ -66,4 +66,27 @@ object Vocab {
   val OmekaResourceTemplate = "http://omeka.org/s/vocabs/o#resource_template"
   val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
   val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+
+  /** O12 — namespace resolution. The reference resolves namespace
+    * modules dynamically by reflection on rdflib
+    * (src/transform_datamodel.py:41–49); a static catalog of the
+    * well-known vocabularies is the engine equivalent. Keys are the
+    * names the env-config grammar uses (`SDO.name` etc.); values are
+    * the namespace base IRIs. */
+  val namespaces: Map[String, String] = Map(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "dcterms" -> "http://purl.org/dc/terms/",
+    "sdo" -> "https://schema.org/",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "o" -> "http://omeka.org/s/vocabs/o#",
+    "ceo" -> "https://linkeddata.cultureelerfgoed.nl/def/ceo#",
+    "owl" -> "http://www.w3.org/2002/07/owl#",
+    "foaf" -> "http://xmlns.com/foaf/0.1/",
+    "skos" -> "http://www.w3.org/2004/02/skos/core#")
+
+  /** Resolve a namespace by the (case-insensitive) name used in env
+    * config values, e.g. "SDO" → https://schema.org/. */
+  def resolveNamespace(name: String): Option[String] =
+    namespaces.get(name.toLowerCase)
 }

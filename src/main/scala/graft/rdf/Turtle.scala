@@ -1,0 +1,342 @@
+package graft.rdf
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Turtle codec (SURVEY.md O3/O9; reference:
+  * src/export_from_omeka_s.py:50,84 and
+  * src/transform_datamodel.py:81–86,129–137 use rdflib's parser and
+  * `auto_compact` serializer).
+  *
+  * Scale design: a Turtle *document* is not line-splittable (prefix
+  * directives scope the whole document), so the unit of
+  * parallelism is a document — the paginated source already yields
+  * page-sized documents (≤100 items each, export_from_omeka_s.py:39),
+  * and `parse` runs one document per row via `flatMap` on executors.
+  * Serialization is `mapPartitions`: each partition emits its own
+  * `@prefix` header + one statement per triple (legal Turtle — the
+  * concatenation of Turtle documents is a Turtle document, the same
+  * property the reference exploits when appending pages, O2).
+  *
+  * Parity contract: *graph equality*, not byte equality — rdflib's
+  * heuristic prefix compaction is not reproduced (SURVEY §7 "what's
+  * hard" #5); round-trip tests assert triple-set equivalence.
+  *
+  * Supported syntax (superset of what [[serialize]] emits): @prefix /
+  * PREFIX directives, IRIs in `<>`, prefixed names, blank nodes
+  * (`_:label`), string literals with `\"\\\n\r\t\u..` escapes,
+  * `@lang` tags, `^^` datatypes, predicate lists (`;`), object lists
+  * (`,`), `a` for rdf:type, and comments. Not supported: triple-quoted
+  * literals, collections, anonymous bnode property lists.
+  */
+object Turtle {
+
+  // ------------------------------------------------------------------
+  // Parsing (O3)
+  // ------------------------------------------------------------------
+
+  /** Parse a Dataset of whole Turtle documents into a triple table
+    * with set semantics (the rdflib-Graph behavior the reference
+    * relies on when re-parsing overlapping pages). */
+  def parse(docs: Dataset[String], graphId: String = "default"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(parseDocument(_, graphId))
+      .toDF("graph", "subject", "subject_kind", "predicate",
+        "obj_value", "obj_kind", "obj_lang", "obj_datatype")
+      .dropDuplicates()
+  }
+
+  type FlatTriple =
+    (String, String, String, String, String, String, String, String)
+
+  /** Parse one Turtle document. Pure function: safe inside executors. */
+  def parseDocument(doc: String, graphId: String = "default")
+      : Seq[FlatTriple] = {
+    val p = new Parser(doc, graphId)
+    p.parseAll()
+  }
+
+  private final class Parser(doc: String, graphId: String) {
+    private var i = 0
+    private val n = doc.length
+    private val prefixes = mutable.Map[String, String]()
+    private val out = mutable.ArrayBuffer[FlatTriple]()
+
+    def parseAll(): Seq[FlatTriple] = {
+      skipWs()
+      while (i < n) {
+        if (peekDirective()) parseDirective() else parseStatement()
+        skipWs()
+      }
+      out.toSeq
+    }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"turtle parse error at offset $i: $msg")
+
+    private def skipWs(): Unit = {
+      var go = true
+      while (go && i < n) {
+        val c = doc.charAt(i)
+        if (c == '#') { while (i < n && doc.charAt(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+
+    private def peekDirective(): Boolean =
+      doc.startsWith("@prefix", i) || doc.startsWith("PREFIX", i) ||
+        doc.startsWith("@base", i) || doc.startsWith("BASE", i)
+
+    private def parseDirective(): Unit = {
+      val atStyle = doc.charAt(i) == '@'
+      if (doc.startsWith("@prefix", i) || doc.startsWith("PREFIX", i)) {
+        i += 7 // both keywords are 6–7 chars; adjust below
+        if (!atStyle) i -= 1
+        skipWs()
+        val colon = doc.indexOf(':', i)
+        if (colon < 0) fail("prefix name missing ':'")
+        val name = doc.substring(i, colon).trim
+        i = colon + 1
+        skipWs()
+        val iri = parseIriRef()
+        prefixes(name) = iri
+      } else { // @base / BASE — read and ignore (we emit absolute IRIs)
+        i += (if (atStyle) 5 else 4)
+        skipWs()
+        parseIriRef()
+      }
+      skipWs()
+      if (atStyle) {
+        if (i >= n || doc.charAt(i) != '.') fail("directive missing '.'")
+        i += 1
+      }
+    }
+
+    private def parseStatement(): Unit = {
+      val (s, sKind) = parseSubject()
+      var done = false
+      while (!done) {
+        skipWs()
+        val pred = parsePredicate()
+        var moreObjects = true
+        while (moreObjects) {
+          skipWs()
+          val (ov, oKind, oLang, oDt) = parseObject()
+          out += ((graphId, s, sKind, pred, ov, oKind, oLang, oDt))
+          skipWs()
+          if (i < n && doc.charAt(i) == ',') i += 1 else moreObjects = false
+        }
+        skipWs()
+        if (i < n && doc.charAt(i) == ';') {
+          i += 1
+          skipWs()
+          // trailing ';' before '.' is legal
+          if (i < n && doc.charAt(i) == '.') { i += 1; done = true }
+        } else if (i < n && doc.charAt(i) == '.') { i += 1; done = true }
+        else fail("expected '.', ';' or ','")
+      }
+    }
+
+    private def parseSubject(): (String, String) = {
+      val c = doc.charAt(i)
+      if (c == '<') (parseIriRef(), "iri")
+      else if (doc.startsWith("_:", i)) (parseBnode(), "bnode")
+      else (parsePrefixedName(), "iri")
+    }
+
+    private def parsePredicate(): String = {
+      if (doc.charAt(i) == '<') parseIriRef()
+      else if (doc.charAt(i) == 'a' && i + 1 < n &&
+        (doc.charAt(i + 1).isWhitespace)) { i += 1; Vocab.RdfType }
+      else parsePrefixedName()
+    }
+
+    private def parseObject(): (String, String, String, String) = {
+      val c = doc.charAt(i)
+      if (c == '<') (parseIriRef(), "iri", null, null)
+      else if (doc.startsWith("_:", i)) (parseBnode(), "bnode", null, null)
+      else if (c == '"') parseLiteral()
+      else if (c.isDigit || c == '-' || c == '+') parseNumber()
+      else if (doc.startsWith("true", i) || doc.startsWith("false", i))
+        parseBoolean()
+      else (parsePrefixedName(), "iri", null, null)
+    }
+
+    private def parseIriRef(): String = {
+      if (doc.charAt(i) != '<') fail("expected '<'")
+      val end = doc.indexOf('>', i + 1)
+      if (end < 0) fail("unterminated IRI")
+      val iri = doc.substring(i + 1, end)
+      i = end + 1
+      iri
+    }
+
+    private def parseBnode(): String = {
+      val start = i
+      i += 2
+      while (i < n && (doc.charAt(i).isLetterOrDigit ||
+        doc.charAt(i) == '_' || doc.charAt(i) == '-')) i += 1
+      doc.substring(start, i)
+    }
+
+    private def parsePrefixedName(): String = {
+      val start = i
+      while (i < n && !doc.charAt(i).isWhitespace &&
+        !";,.".contains(doc.charAt(i)) && doc.charAt(i) != ':') i += 1
+      if (i >= n || doc.charAt(i) != ':')
+        fail(s"expected prefixed name, got '${doc.substring(start, i)}'")
+      val prefix = doc.substring(start, i)
+      i += 1
+      val localStart = i
+      while (i < n && !doc.charAt(i).isWhitespace &&
+        !";,".contains(doc.charAt(i)) &&
+        // a '.' ends the local name only when followed by whitespace/EOF
+        !(doc.charAt(i) == '.' && (i + 1 >= n ||
+          doc.charAt(i + 1).isWhitespace))) i += 1
+      val local = doc.substring(localStart, i)
+      prefixes.get(prefix) match {
+        case Some(ns) => ns + local
+        case None => fail(s"undeclared prefix '$prefix'")
+      }
+    }
+
+    private def parseLiteral(): (String, String, String, String) = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (i < n && doc.charAt(i) != '"') {
+        val c = doc.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= n) fail("dangling escape")
+          doc.charAt(i) match {
+            case 't' => sb += '\t'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case 'u' =>
+              sb += Integer.parseInt(doc.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case other => fail(s"unsupported escape '\\$other'")
+          }
+          i += 1
+        } else { sb += c; i += 1 }
+      }
+      if (i >= n) fail("unterminated literal")
+      i += 1 // closing quote
+      if (doc.startsWith("@", i)) {
+        i += 1
+        val start = i
+        while (i < n && (doc.charAt(i).isLetterOrDigit ||
+          doc.charAt(i) == '-')) i += 1
+        (sb.toString, "literal", doc.substring(start, i), null)
+      } else if (doc.startsWith("^^", i)) {
+        i += 2
+        val dt = if (doc.charAt(i) == '<') parseIriRef()
+        else parsePrefixedName()
+        (sb.toString, "literal", null, dt)
+      } else (sb.toString, "literal", null, null)
+    }
+
+    private def parseNumber(): (String, String, String, String) = {
+      val start = i
+      if (doc.charAt(i) == '-' || doc.charAt(i) == '+') i += 1
+      var isDecimal = false
+      while (i < n && (doc.charAt(i).isDigit ||
+        (doc.charAt(i) == '.' && i + 1 < n && doc.charAt(i + 1).isDigit))) {
+        if (doc.charAt(i) == '.') isDecimal = true
+        i += 1
+      }
+      val dt = if (isDecimal) "http://www.w3.org/2001/XMLSchema#decimal"
+      else Vocab.XsdInteger
+      (doc.substring(start, i), "literal", null, dt)
+    }
+
+    private def parseBoolean(): (String, String, String, String) = {
+      val v = if (doc.startsWith("true", i)) "true" else "false"
+      i += v.length
+      (v, "literal", null, Vocab.XsdBoolean)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Serialization (O9)
+  // ------------------------------------------------------------------
+
+  /** Serialize a triple table to Turtle lines. Each partition is a
+    * self-contained Turtle document (own @prefix header); write with
+    * `.write.text(...)` for a sharded corpus or `coalesce(1)` for the
+    * reference's single-file parity. `sortWithinPartitions("subject")`
+    * groups statements per subject without a global sort. */
+  def serialize(df: DataFrame,
+      prefixes: Map[String, String] = Vocab.namespaces): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pfx = prefixes.toSeq.sortBy(_._1) // deterministic header order
+    df.select("subject", "subject_kind", "predicate", "obj_value",
+        "obj_kind", "obj_lang", "obj_datatype")
+      .sortWithinPartitions("subject")
+      .mapPartitions { rows =>
+        val header = pfx.map { case (p, ns) => s"@prefix $p: <$ns> ." }
+        val body = rows.map { r =>
+          val subj = term(r.getString(0), r.getString(1), pfx)
+          val pred = compact(r.getString(2), pfx)
+          val obj = objectTerm(r.getString(3), r.getString(4),
+            r.getString(5), r.getString(6), pfx)
+          s"$subj $pred $obj ."
+        }
+        if (rows.isEmpty) Iterator.empty else header.iterator ++ body
+      }
+  }
+
+  private def term(value: String, kind: String,
+      pfx: Seq[(String, String)]): String =
+    if (kind == "bnode") value else compact(value, pfx)
+
+  private def objectTerm(value: String, kind: String, lang: String,
+      datatype: String, pfx: Seq[(String, String)]): String = kind match {
+    case "iri" => compact(value, pfx)
+    case "bnode" => value
+    case _ =>
+      val quoted = "\"" + escape(value) + "\""
+      if (lang != null) s"$quoted@$lang"
+      else if (datatype != null) s"$quoted^^${compact(datatype, pfx)}"
+      else quoted
+  }
+
+  /** Prefix compaction: longest matching namespace wins; falls back
+    * to `<iri>`. The local part must be a simple name (no '/', '#')
+    * for the prefixed form to round-trip. */
+  private def compact(iri: String, pfx: Seq[(String, String)]): String = {
+    var best: (String, String) = null
+    pfx.foreach { case (p, ns) =>
+      if (iri.startsWith(ns) && (best == null || ns.length > best._2.length))
+        best = (p, ns)
+    }
+    if (best != null) {
+      val local = iri.substring(best._2.length)
+      if (local.nonEmpty && local.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'))
+        return s"${best._1}:$local"
+    }
+    s"<$iri>"
+  }
+
+  private def escape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Exact._
+
+/** Structured Streaming twin of the batch hourly event rollup
+  * (graft.queries.RelationalQueries.eventsHourly). The reference is a
+  * weekly full-refresh batch (SURVEY §2.5 "streaming: absent"); this
+  * is the engine extension that makes the same aggregation
+  * incremental: tumbling 1-hour event-time windows with a watermark
+  * bounding state.
+  *
+  * The transformation body is shared shape-for-shape with the batch
+  * query (same grouping keys, same exact-integer sums), which is the
+  * point: one logical definition, two execution modes.
+  *
+  * Scale notes: state is bounded by (watermark horizon × groups);
+  * `withWatermark` 2h + ~few event types keeps state tiny. Output
+  * mode `update`/`append` both work; append emits only closed
+  * windows. Shuffle partitions should match cluster size — streaming
+  * micro-batches inherit `spark.sql.shuffle.partitions`.
+  */
+object EventsStream {
+
+  /** Windowed rollup over a (possibly streaming) events DataFrame
+    * with schema (ts timestamp, event_type string, value double). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+}

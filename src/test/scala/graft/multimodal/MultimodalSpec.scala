@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import Multimodal._
+
+/** Multimodal plumbing: the decode itself is a documented
+  * deterministic stub; what these tests pin down is the Spark-side
+  * contract — schema, partition-local execution, one-to-many frame
+  * sampling, fixed-width features. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def records = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq(
+      MediaRecord(1L, "image", Array.tabulate(100)(_.toByte)),
+      MediaRecord(2L, "video", Array.tabulate(50)(i => (i * 3).toByte)),
+      MediaRecord(3L, "audio", Array(7.toByte, 8.toByte)),
+      MediaRecord(4L, "unknown", Array.empty[Byte])).toDS()
+  }
+
+  test("decodeMeta yields deterministic typed metadata") {
+    val m = decodeMeta(records).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val img = m(1L)
+    assert(img.getLong(2) == 100L) // n_bytes
+    assert(img.getInt(3) == 100 % 640 + 1) // width
+    assert(img.getInt(4) == (100 * 31) % 480 + 1) // height
+    val vid = m(2L)
+    assert(vid.getInt(5) == 50 % 24 + 1) // n_frames = 3
+    val aud = m(3L)
+    assert(aud.getInt(6) == 8000 + (7 % 5) * 8000) // sample rate from b0
+    assert(!m(4L).getBoolean(7)) // unknown kind: decode_ok = false
+  }
+
+  test("sampleFrames emits stride-spaced frame indices per video") {
+    val frames = sampleFrames(decodeMeta(records), stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // video 2 has n_frames = 3 → indices 0, 2
+    assert(frames == Set((2L, 0), (2L, 2)))
+  }
+
+  test("extractFeatures is fixed-width and deterministic") {
+    val f = extractFeatures(records).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f.values.forall(_.length == 4))
+    assert(f(3L)(3) == 7.0f) // first byte
+    assert(f(1L)(0) == 100.0f) // length
+  }
+}

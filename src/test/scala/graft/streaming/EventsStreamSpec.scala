@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The streaming rollup must agree with its batch twin: same groups,
+  * same exact-integer sums (SURVEY §7 phase 5's Structured Streaming
+  * extension). */
+class EventsStreamSpec extends AnyFunSuite {
+
+  private def ts(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+  private val rows = Seq(
+    (ts(10, 5), "click", 1.25),
+    (ts(10, 55), "click", 2.50),
+    (ts(10, 20), "view", 0.75),
+    (ts(11, 1), "click", 4.00))
+
+  test("streaming hourly rollup matches the batch computation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    // batch twin (withWatermark is a no-op on batch data)
+    val batch = EventsStream.hourlyRollup(
+      rows.toDF("ts", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventsStream.hourlyRollup(
+        input.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 3) // (10h click), (10h view), (11h click)
+      val tenClick = streamed.find(t => t._2 == "click" && t._3 == 2L).get
+      assert(tenClick._4 == 3.75) // exact via integer-cents sum
+    } finally q.stop()
+  }
+}
