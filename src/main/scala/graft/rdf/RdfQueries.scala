@@ -33,6 +33,11 @@ object RdfQueries {
     "rdf_counts" -> ((s, d) => counts(s, d)),
     "rdf_pipeline_e2e" -> ((s, d) => RdfOps.pipeline(tri(s, d),
       TripleFixture.enrichment(s, d), mapping, filterList)),
+    // O9→O3 round-trip: serialize the fixture to Turtle documents and
+    // parse them back; the oracle (SELECT DISTINCT * FROM triples)
+    // makes lossless-ness of the codec itself oracle-checked.
+    "rdf_turtle_roundtrip" -> ((s, d) =>
+      Turtle.parse(Turtle.serializeDocuments(tri(s, d)))),
   )
 
   private def tri(s: SparkSession, d: String): DataFrame =
@@ -142,6 +147,10 @@ object RdfQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered_preds,
          |  CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects
          |FROM triples""".stripMargin,
+
+    "rdf_turtle_roundtrip" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT DISTINCT * FROM triples""".stripMargin,
 
     "rdf_pipeline_e2e" ->
       s"""WITH ${TripleFixture.triplesCte},

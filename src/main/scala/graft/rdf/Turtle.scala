@@ -294,6 +294,18 @@ object Turtle {
       }
   }
 
+  /** Like [[serialize]] but emits one whole self-contained Turtle
+    * document per partition — the shape [[parse]] consumes, and the
+    * unit a sharded Turtle corpus would store per file. */
+  def serializeDocuments(df: DataFrame,
+      prefixes: Map[String, String] = Vocab.namespaces): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    serialize(df, prefixes).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty else Iterator(it.mkString("\n"))
+    }
+  }
+
   private def term(value: String, kind: String,
       pfx: Seq[(String, String)]): String =
     if (kind == "bnode") value else compact(value, pfx)
