@@ -34,6 +34,7 @@ object LlmQueries {
     "llm_knn_bruteforce" -> knnBruteforce,
     "llm_ann_buckets" -> annBuckets,
     "llm_ann_topk" -> annTopk,
+    "llm_embed_neardup" -> embedNeardup,
     "llm_text_stats" -> textStats,
     "llm_lang_stats" -> langStats,
     "llm_fingerprint" -> fingerprint,
@@ -227,6 +228,29 @@ object LlmQueries {
       .select(col("q_id"), col("vec_id"), col("rank"), col("ip"))
   }
 
+  /** Embedding-cosine near-dup: pairs above a similarity threshold,
+    * generated strictly *within* sign-LSH buckets (the embeddings are
+    * ~unit-norm, so the quantized inner product ≈ cosine × 10⁶). Same
+    * scale shape as [[dedupMinhash]]: one shuffle on the bucket key,
+    * intra-bucket pairing only — never an O(n²) cross-join. Recall is
+    * tuned by bucket bits / multi-probe, not by widening the join. */
+  def embedNeardup(s: SparkSession, d: String): DataFrame = {
+    val v = bucketed(s, d)
+    v.groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("qv"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs, (a, i) ->
+          |  transform(slice(xs, i + 2, size(xs)),
+          |    b -> struct(least(a.vec_id, b.vec_id) AS vec_a,
+          |                greatest(a.vec_id, b.vec_id) AS vec_b,
+          |                aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y),
+          |                          0L, (acc, p) -> acc + p) AS ip))))""".stripMargin))
+        .as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("p.ip"))
+      .filter(col("ip") >= 200000L) // cosine ≳ 0.2 on unit-norm vectors
+  }
+
   // ---------------------------------------------------------------
   // Text analysis: token counts, punctuation, stopword ratio,
   // quality score — single map-side pass, integer outputs.
@@ -245,10 +269,19 @@ object LlmQueries {
           length(regexp_replace(col("text"), "[.,;:!?]", "")))
           .cast("bigint").as("n_punct"),
         expr(s"CAST(size(filter(w, x -> x IN ($sw))) AS BIGINT)")
-          .as("n_stop"))
+          .as("n_stop"),
+        // BPE-ish pre-tokenization: letter runs, digit runs, single
+        // punctuation — the shape (not the vocab) of a subword
+        // tokenizer's first pass; counts bound model token budgets
+        size(regexp_extract_all(lower(col("text")), lit(bpeish), lit(0)))
+          .cast("bigint").as("n_subtokens"))
       .withColumn("stop_x1000",
         floor(lit(1000.0) * col("n_stop") / col("n_tokens")))
   }
+
+  /** BPE-ish pre-tokenizer regex; plain Java/RE2-compatible syntax
+    * (same semantics in Spark's codegen'd regexp and DuckDB's RE2). */
+  private val bpeish = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
   /** Per-language corpus rollup (how a real pipeline shards training
     * data by language). */
@@ -429,6 +462,16 @@ object LlmQueries {
          |  FROM s)
          |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 5""".stripMargin,
 
+    "llm_embed_neardup" ->
+      s"""WITH $bucketCte,
+         |p AS (SELECT least(a.vec_id, b.vec_id) AS vec_a,
+         |    greatest(a.vec_id, b.vec_id) AS vec_b,
+         |    CAST(list_inner_product(CAST(a.qv AS DOUBLE[]),
+         |      CAST(b.qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM bv a JOIN bv b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, ip FROM p WHERE ip >= 200000""".stripMargin,
+
     "llm_text_stats" -> {
       val sw = stopwords.map(x => s"'$x'").mkString(", ")
       s"""WITH $wCte
@@ -439,6 +482,8 @@ object LlmQueries {
          |    - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
          |    AS BIGINT) AS n_punct,
          |  CAST(len(list_filter(ws, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+         |  CAST(len(regexp_extract_all(lower(text), '$bpeish'))
+         |    AS BIGINT) AS n_subtokens,
          |  CAST(floor(1000.0 * len(list_filter(ws, x -> x IN ($sw)))
          |    / len(ws)) AS BIGINT) AS stop_x1000
          |FROM w""".stripMargin
