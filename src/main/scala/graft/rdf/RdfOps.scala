@@ -116,10 +116,14 @@ object RdfOps {
     * shuffled except by the final set-union dedup.
     */
   def enrich(graph: DataFrame, fetched: DataFrame): DataFrame = {
-    val enriched = unionDedup(graph, fetched)
+    // One full-width dedup shuffle at the end, not one per union: the
+    // intermediate set-semantics dedup the reference gets from rdflib
+    // (transform:102) is subsumed by the final one — the typed-subject
+    // set only needs its own narrow distinct on `subject`.
+    val combined = graph.union(fetched)
     val rmnr = graph.filter(col("predicate") === CeoRijksmonumentnummer &&
       col("obj_kind") === "literal")
-    val typed = enriched
+    val typed = combined
       .filter(col("predicate") === RdfType &&
         col("obj_value") === CeoRijksmonument)
       .select(col("subject")).distinct()
@@ -128,7 +132,7 @@ object RdfOps {
       .select(col("graph"), col("subject"), col("subject_kind"),
         lit(SdoSameAs).as("predicate"), col("obj_value"),
         col("obj_kind"), col("obj_lang"), col("obj_datatype"))
-    unionDedup(enriched, sameAs)
+    combined.union(sameAs).dropDuplicates()
   }
 
   /** O19 — the composed reference pipeline EP1→EP2 (export cleaning →
