@@ -184,8 +184,10 @@ object LlmQueries {
       .select(col("vec_id").as("q_id"), col("qv").as("qvec"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("ip", expr(
-        "aggregate(zip_with(qv, qvec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      // native codegen'd kernel — higher-order-function lambdas are
+      // interpreted per element; see graft.functions.DotProductLong
+      .withColumn("ip",
+        graft.functions.DotProductLong(col("qv"), col("qvec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("ip").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -219,8 +221,8 @@ object LlmQueries {
         col("bucket").as("q_bucket"))
     val scored = v.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("ip", expr(
-        "aggregate(zip_with(qv, qvec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("ip",
+        graft.functions.DotProductLong(col("qv"), col("qvec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("ip").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's native expressions are reachable from pure SQL via
+  * SparkSessionExtensions (spark.sql.extensions=graft.GraftExtensions,
+  * set in every session builder incl. TestSpark). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("is_valid_iri works from SQL") {
+    val rows = TestSpark.spark.sql(
+      """SELECT is_valid_iri('http://x/y') AS a,
+        |       is_valid_iri('not a uri') AS b,
+        |       is_valid_iri(NULL) AS c""".stripMargin).collect().head
+    assert(rows.getBoolean(0) && !rows.getBoolean(1) && !rows.getBoolean(2))
+  }
+
+  test("dot_product_l works from SQL") {
+    val r = TestSpark.spark.sql(
+      """SELECT dot_product_l(array(1L, 2L, 3L), array(4L, 5L, -6L)) AS ip"""
+    ).collect().head
+    assert(r.getLong(0) == 4L + 10L - 18L)
+  }
+
+  test("dot_product_l agrees with the interpreted lambda on real vectors") {
+    val spark = TestSpark.spark
+    val df = spark.sql(
+      """SELECT transform(sequence(1, 64), i -> CAST(i * 7 - 200 AS BIGINT)) AS a,
+        |       transform(sequence(1, 64), i -> CAST(300 - i * 11 AS BIGINT)) AS b"""
+        .stripMargin)
+    val r = df.selectExpr(
+      "dot_product_l(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, p) -> acc + p) AS slow")
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+}
