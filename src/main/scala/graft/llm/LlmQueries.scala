@@ -78,9 +78,13 @@ object LlmQueries {
         |  ELSE array() END""".stripMargin)).as("s"))
 
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    // One sha256 per shingle, sliced into 8 non-overlapping 32-bit hex
+    // lanes = 8 independent uniform hashes (8× cheaper than 8 salted
+    // digests; hex-string min is identical in both engines).
     val mins = (1 to 8).map(j =>
-      min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
-    shingled(s, d).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"h$j"))
+    shingled(s, d).withColumn("h", sha2(col("s"), 256))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   private def bands(s: SparkSession, d: String): DataFrame =
@@ -355,12 +359,14 @@ object LlmQueries {
        |  FROM pos)""".stripMargin
 
   private val minhashCte = {
-    val mins = (1 to 8).map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+    val mins = (1 to 8).map(j =>
+      s"min(substring(h, ${(j - 1) * 8 + 1}, 8)) AS h$j").mkString(", ")
     val bandRows = (1 to 4).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b - 1} || h${2 * b} AS bv FROM mh")
       .mkString(" UNION ALL ")
     s"""$shingleCte,
-       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |hx AS (SELECT doc_id, sha256(s) AS h FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
        |bands AS ($bandRows),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
