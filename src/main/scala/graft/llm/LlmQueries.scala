@@ -129,15 +129,17 @@ object LlmQueries {
         |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
         |  ELSE array() END""".stripMargin)).as("bg")).distinct()
     val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = dedupMinhash(s, d)
-    val inter = pairs
+    // Every LSH candidate pair shares a 3-gram shingle, hence ≥2 word
+    // bigrams — so the intersection inner-join keeps all pairs (a
+    // zero-overlap pair could only arise from a 32-bit lane collision
+    // and is then uninteresting anyway). Inner joins let the pair
+    // chain be computed once instead of once per reference.
+    val inter = dedupMinhash(s, d)
       .join(bg.as("x"), col("doc_a") === col("x.doc_id"))
       .join(bg.as("y"), col("doc_b") === col("y.doc_id") &&
         col("x.bg") === col("y.bg"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
+    inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -412,14 +414,12 @@ object LlmQueries {
          |  JOIN bg x ON p.doc_a = x.doc_id
          |  JOIN bg y ON p.doc_b = y.doc_id AND x.bg = y.bg
          |  GROUP BY p.doc_a, p.doc_b)
-         |SELECT p.doc_a, p.doc_b,
-         |  CAST(floor(1000.0 * coalesce(i.n_inter, 0)
-         |    / (sa.n + sb.n - coalesce(i.n_inter, 0))) AS BIGINT)
-         |    AS jaccard_x1000
-         |FROM pairs p
-         |LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
-         |JOIN sizes sa ON p.doc_a = sa.doc_id
-         |JOIN sizes sb ON p.doc_b = sb.doc_id""".stripMargin,
+         |SELECT i.doc_a, i.doc_b,
+         |  CAST(floor(1000.0 * i.n_inter
+         |    / (sa.n + sb.n - i.n_inter)) AS BIGINT) AS jaccard_x1000
+         |FROM inter i
+         |JOIN sizes sa ON i.doc_a = sa.doc_id
+         |JOIN sizes sb ON i.doc_b = sb.doc_id""".stripMargin,
 
     "llm_simhash" -> {
       val sums = (1 to 16).map(j =>
