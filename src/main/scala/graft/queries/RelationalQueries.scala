@@ -33,6 +33,8 @@ object RelationalQueries {
     "rel_q06_customers_no_orders" -> customersNoOrders,
     "rel_q07_mktsegment_stats" -> mktsegmentStats,
     "rel_q08_order_priority" -> orderPriority,
+    "rel_q09_rollup" -> segmentNationRollup,
+    "rel_q10_events_json" -> eventsJson,
   )
 
   /** TPC-H Q1-flavored pricing summary: partial agg map-side, one
@@ -147,6 +149,33 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Hierarchical subtotals via ROLLUP (segment → nation → grand
+    * total). Spark expands rollup into a single multi-group
+    * aggregation (one shuffle, partial agg map-side — NOT one pass
+    * per level); group keys are coalesced to 'ALL' strings so the
+    * subtotal rows are engine-independently comparable. */
+  def segmentNationRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+
+  /** Semi-structured extraction: events.props is a JSON string;
+    * extract a typed field and aggregate. get_json_object is a
+    * codegen'd builtin — at scale, parse once into a struct column
+    * (from_json) if multiple fields are read. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   def oracleSql: Map[String, String] = Map(
     "rel_q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -204,5 +233,21 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_q09_rollup" ->
+      s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+         |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+         |  COUNT(*) AS n_cust,
+         |  ${sqlMoneySum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |GROUP BY ROLLUP(c_mktsegment, c_nationkey)""".stripMargin,
+
+    "rel_q10_events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
