@@ -21,10 +21,14 @@ object Tables {
     * rejects by default (Spark timestamps are µs). Read nanos as
     * LongType and floor-truncate to µs — the same truncation DuckDB
     * applies when casting TIMESTAMP_NS down — so oracle comparisons
-    * on derived times agree.
+    * on derived times agree. The `nanosAsLong` conf is set at session
+    * construction by every harness main (Verify/Bench/Probe/tests);
+    * the defensive set here only covers externally-built sessions.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

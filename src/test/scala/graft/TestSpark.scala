@@ -10,6 +10,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .appName("graft-test")
     .getOrCreate()
