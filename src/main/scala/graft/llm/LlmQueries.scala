@@ -36,6 +36,7 @@ object LlmQueries {
     "llm_ann_topk" -> annTopk,
     "llm_embed_neardup" -> embedNeardup,
     "llm_text_stats" -> textStats,
+    "llm_quality_filter" -> qualityFilter,
     "llm_lang_stats" -> langStats,
     "llm_fingerprint" -> fingerprint,
     "mm_binary_stats" -> binaryStats,
@@ -291,6 +292,25 @@ object LlmQueries {
     * (same semantics in Spark's codegen'd regexp and DuckDB's RE2). */
   private val bpeish = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Quality *filter* — the Gopher-rules shape (C4/Gopher-style
+    * heuristics: token-count bounds, mean word length bounds, symbol
+    * ratio cap) applied as a pure map-side predicate: at 100 TB this
+    * is the first pass that discards most of a crawl, so it must be
+    * scan-pushable and shuffle-free, which a filter on derived scalar
+    * columns is. Thresholds are integers on ×100-scaled metrics. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        split(trim(lower(col("text"))), ws).as("w"), col("text"))
+      .select(col("doc_id"),
+        expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
+        expr("""CAST(length(regexp_replace(trim(text), '\\s+', ''))
+                AS BIGINT)""").as("n_nonspace"))
+      .withColumn("mean_wordlen_x100",
+        floor(lit(100.0) * col("n_nonspace") / col("n_tokens")))
+      .filter(col("n_tokens") >= 25 && col("n_tokens") <= 100000 &&
+        col("mean_wordlen_x100") >= 400 && col("mean_wordlen_x100") <= 520)
+      .select(col("doc_id"), col("n_tokens"), col("mean_wordlen_x100"))
+
   /** Per-language corpus rollup (how a real pipeline shards training
     * data by language). */
   def langStats(s: SparkSession, d: String): DataFrame =
@@ -496,6 +516,20 @@ object LlmQueries {
          |    / len(ws)) AS BIGINT) AS stop_x1000
          |FROM w""".stripMargin
     },
+
+    "llm_quality_filter" ->
+      s"""WITH $wCte,
+         |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS BIGINT) AS n_nonspace
+         |  FROM w),
+         |q AS (SELECT doc_id, n_tokens,
+         |    CAST(floor(100.0 * n_nonspace / n_tokens) AS BIGINT)
+         |      AS mean_wordlen_x100
+         |  FROM m)
+         |SELECT doc_id, n_tokens, mean_wordlen_x100 FROM q
+         |WHERE n_tokens BETWEEN 25 AND 100000
+         |  AND mean_wordlen_x100 BETWEEN 400 AND 520""".stripMargin,
 
     "llm_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
