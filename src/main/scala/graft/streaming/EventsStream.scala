@@ -24,6 +24,25 @@ import graft.queries.Exact._
   */
 object EventsStream {
 
+  /** Streaming read of the driver's events parquet (file source).
+    * `ts` is parquet TIMESTAMP(NANOS): with the session's
+    * `nanosAsLong` conf it reads as LongType and is floor-truncated
+    * to µs — the identical transform `graft.Tables.events` applies on
+    * the batch side, so stream and batch agree bit-for-bit. */
+  def readEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // glob (not a literal file path) so the file source resolves its
+    // basePath to the directory, as it requires
+    spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   /** Windowed rollup over a (possibly streaming) events DataFrame
     * with schema (ts timestamp, event_type string, value double). */
   def hourlyRollup(events: DataFrame): DataFrame =

@@ -49,4 +49,24 @@ class EventsStreamSpec extends AnyFunSuite {
       assert(tenClick._4 == 3.75) // exact via integer-cents sum
     } finally q.stop()
   }
+
+  test("file-source streaming over real events parquet matches batch") {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventsStream.hourlyRollup(graft.Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val q = EventsStream.hourlyRollup(EventsStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("events_file_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("events_file_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
