@@ -217,17 +217,27 @@ object LlmQueries {
     bucketed(s, d).groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"))
 
-  /** Bucket-pruned top-k: identical scoring to [[knnBruteforce]] but
-    * candidates are restricted to the query's own LSH bucket — the
-    * join key is the bucket, so the corpus is hash-partitioned by
-    * bucket and each query only touches one partition. */
+  /** Multi-probe bucket-pruned top-k: identical scoring to
+    * [[knnBruteforce]] but candidates are restricted to the query's
+    * own LSH bucket plus its 8 Hamming-distance-1 neighbors (the
+    * standard multi-probe recall fix — near neighbors that straddle
+    * one hyperplane land one bit away). The probe side stays k×9
+    * rows and is broadcast; the corpus is hash-partitioned by bucket
+    * and each query touches 9 of 256 partitions instead of scanning
+    * everything. */
   def annTopk(s: SparkSession, d: String): DataFrame = {
     val v = bucketed(s, d)
+    val flips = (1 to 8).map(i =>
+      s"""concat(substring(bucket, 1, ${i - 1}),
+         |  CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END,
+         |  substring(bucket, ${i + 1}, ${8 - i}))""".stripMargin)
     val q = v.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("qv").as("qvec"),
-        col("bucket").as("q_bucket"))
+        explode(expr(s"array(bucket, ${flips.mkString(", ")})"))
+          .as("probe_bucket"))
     val scored = v.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        col("bucket") === col("probe_bucket") &&
+          col("vec_id") =!= col("q_id"))
       .withColumn("ip",
         graft.functions.DotProductLong(col("qv"), col("qvec")))
     val w = Window.partitionBy(col("q_id"))
@@ -476,19 +486,27 @@ object LlmQueries {
       s"""WITH $bucketCte
          |SELECT bucket, count(*) AS n_vecs FROM bv GROUP BY bucket""".stripMargin,
 
-    "llm_ann_topk" ->
+    "llm_ann_topk" -> {
+      val flips = (1 to 8).map(i =>
+        s"substring(bucket, 1, ${i - 1}) || " +
+          s"(CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END)" +
+          s" || substring(bucket, ${i + 1}, ${8 - i})")
       s"""WITH $bucketCte,
-         |q AS (SELECT vec_id AS q_id, qv AS qvec, bucket AS q_bucket
+         |q0 AS (SELECT vec_id AS q_id, qv AS qvec, bucket
          |  FROM bv WHERE vec_id IN $qIdList),
+         |q AS (SELECT q_id, qvec,
+         |    unnest([bucket, ${flips.mkString(", ")}]) AS probe_bucket
+         |  FROM q0),
          |s AS (SELECT q_id, vec_id,
          |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
          |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
-         |  FROM bv, q WHERE bucket = q_bucket AND vec_id <> q_id),
+         |  FROM bv, q WHERE bucket = probe_bucket AND vec_id <> q_id),
          |r AS (SELECT q_id, vec_id, ip,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY ip DESC, vec_id) AS INT) AS rank
          |  FROM s)
-         |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 5""".stripMargin,
+         |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 5""".stripMargin
+    },
 
     "llm_embed_neardup" ->
       s"""WITH $bucketCte,
