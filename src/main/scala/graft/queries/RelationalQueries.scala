@@ -35,6 +35,8 @@ object RelationalQueries {
     "rel_q08_order_priority" -> orderPriority,
     "rel_q09_rollup" -> segmentNationRollup,
     "rel_q10_events_json" -> eventsJson,
+    "rel_q11_sessions" -> sessions,
+    "rel_q12_asof_attribution" -> asofAttribution,
   )
 
   /** TPC-H Q1-flavored pricing summary: partial agg map-side, one
@@ -176,6 +178,69 @@ object RelationalQueries {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Session gap: a new session starts after >12h of user inactivity
+    * (the corpus averages one event per ~10.8h per user, so 12h yields
+    * a realistic mix of single- and multi-event sessions). All gap
+    * arithmetic is integer epoch-µs — exact in both engines. */
+  private val sessionGapUs: Long = 12L * 3600 * 1000000
+
+  /** Gap-based sessionization — the batch shape of a session-window
+    * aggregation. ONE shuffle on user_id: the lag and the running sum
+    * share (partition, order) so they fuse into a single Window
+    * operator, and the downstream groupBy(user_id, session_seq) is
+    * satisfied by the existing hash(user_id) partitioning (Spark
+    * accepts subset-key distributions — no second exchange). At
+    * 100 TB: sessions never span users, so this scales linearly with
+    * no skew beyond the per-user event count. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val runningByUser =
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("new_s",
+        when(lag(col("ts_us"), 1).over(byUser).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(byUser) > sessionGapUs,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(runningByUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        moneySum(col("value")).as("sum_value"))
+  }
+
+  /** As-of join: attribute each purchase to the user's most recent
+    * click at-or-before it (NULL when none). Implemented the
+    * scale-safe way — union both sides, ONE shuffle on user_id, and a
+    * running `last(click, ignoreNulls)` window — instead of a range
+    * join, whose candidate set explodes quadratically in events per
+    * user. (user_id, ts) pairs are unique in the corpus, so ordering
+    * by ts_us is deterministic. Oracle: DuckDB's native ASOF LEFT
+    * JOIN — an independent implementation of the same semantics. */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val runningByUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "click").as("is_click"))
+      .withColumn("click_id",
+        last(when(col("is_click"), col("event_id")), ignoreNulls = true)
+          .over(runningByUser))
+      .withColumn("click_us",
+        last(when(col("is_click"), col("ts_us")), ignoreNulls = true)
+          .over(runningByUser))
+      .filter(!col("is_click"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_id"), col("click_us"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "rel_q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -249,5 +314,33 @@ object RelationalQueries {
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "rel_q11_sessions" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+         |    FROM events),
+         |g AS (SELECT user_id, ts_us, value,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL
+         |      OR ts_us - lag(ts_us) OVER w > $sessionGapUs
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         |s AS (SELECT user_id, ts_us, value,
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM g)
+         |SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |  MAX(ts_us) - MIN(ts_us) AS duration_us,
+         |  ${sqlMoneySum("value")} AS sum_value
+         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    "rel_q12_asof_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |    WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  c.click_id, epoch_us(c.ts) AS click_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
   )
 }
