@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, IsValidIri}
+import graft.functions.{DotProductLong, IsValidIri, TopKByLong}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -12,6 +12,8 @@ import graft.functions.{DotProductLong, IsValidIri}
   *   - `is_valid_iri(str)` — the O5/O7 cleaning predicate
   *   - `dot_product_l(array<bigint>, array<bigint>)` — quantized
   *     similarity kernel
+  *   - `top_k_l(score, id, k)` — bounded-heap per-group top-k
+  *     aggregate (k must be a literal)
   *
   * Registered through the public `SparkSessionExtensions.injectFunction`
   * API, so the library is usable from pure `spark.sql(...)` — no
@@ -29,5 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_product_l"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductLong(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_l"),
+      new ExpressionInfo(classOf[TopKByLong].getName, "top_k_l"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 3 && args(2).foldable,
+          "top_k_l(score, id, k): k must be a literal int")
+        // Returning the bare AggregateFunction — the analyzer wraps it
+        // in an AggregateExpression during function resolution.
+        TopKByLong(args(0), args(1),
+          args(2).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

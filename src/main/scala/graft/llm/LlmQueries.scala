@@ -180,26 +180,35 @@ object LlmQueries {
 
   private val queryIds = Seq(0L, 1L, 2L)
 
+  /** Rank the bounded-heap top-k array produced by
+    * [[graft.functions.TopKByLong]] into (q_id, vec_id, rank, ip)
+    * rows — posexplode position is the rank (array is sorted
+    * best-first). */
+  private def explodeTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByLong.topK(col("ip"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("q_id"), col("x.id").as("vec_id"),
+        (col("p0") + 1).cast("int").as("rank"), col("x.score").as("ip"))
+
   /** Brute-force top-k by quantized inner product — the correctness
     * baseline. The query-vector side is broadcast (3 rows); the
-    * corpus streams map-side; ranking is a window per query (k
-    * queries → k partitions; at scale use per-query
-    * TakeOrderedAndProject or a bounded-heap Aggregator). */
+    * corpus streams map-side through the codegen'd dot-product kernel
+    * (graft.functions.DotProductLong); ranking is a bounded-heap
+    * top-k AGGREGATE (graft.functions.TopKByLong), so each map task
+    * reduces to ≤ k candidates per query before the exchange — a
+    * window would instead shuffle the whole scored corpus into one
+    * partition per query. */
   def knnBruteforce(s: SparkSession, d: String): DataFrame = {
     val v = quantized(s, d)
     val q = v.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("qv").as("qvec"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      // native codegen'd kernel — higher-order-function lambdas are
-      // interpreted per element; see graft.functions.DotProductLong
       .withColumn("ip",
         graft.functions.DotProductLong(col("qv"), col("qvec")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("ip").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("vec_id"), col("rank"), col("ip"))
+    explodeTopK(scored, 10)
   }
 
   /** Sign-LSH bucket histogram — the scale path for ANN: vectors are
@@ -240,11 +249,7 @@ object LlmQueries {
           col("vec_id") =!= col("q_id"))
       .withColumn("ip",
         graft.functions.DotProductLong(col("qv"), col("qvec")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("ip").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("rank"), col("ip"))
+    explodeTopK(scored, 5)
   }
 
   /** Embedding-cosine near-dup: pairs above a similarity threshold,
