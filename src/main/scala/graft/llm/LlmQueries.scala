@@ -34,6 +34,8 @@ object LlmQueries {
     "llm_knn_bruteforce" -> knnBruteforce,
     "llm_ann_buckets" -> annBuckets,
     "llm_ann_topk" -> annTopk,
+    "llm_ivf_clusters" -> ivfClusters,
+    "llm_ivf_topk" -> ivfTopk,
     "llm_embed_neardup" -> embedNeardup,
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
@@ -252,6 +254,60 @@ object LlmQueries {
     explodeTopK(scored, 5)
   }
 
+  // ---------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path, complementary
+  // to sign-LSH: partition the corpus by nearest centroid, probe only
+  // the nprobe closest centroid lists per query. Centroids here are a
+  // deterministic sample (vec_id < 16); in production they come from
+  // a k-means pass, and the corpus is *stored* partitioned by cid so
+  // probing prunes partitions at the source.
+  // ---------------------------------------------------------------
+  private val nCentroids = 16
+  private val nProbe = 2
+
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    quantized(s, d).filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("qv").as("cv"))
+
+  /** Nearest-centroid assignment. The centroid table (16 rows) is
+    * broadcast; the argmax is a plain partial-aggregatable
+    * `max(struct(ip, -cid))` — max ip, ties to the smallest cid —
+    * so the only exchange is the final per-vector reduce. */
+  private def assigned(s: SparkSession, d: String): DataFrame =
+    quantized(s, d).crossJoin(broadcast(centroids(s, d)))
+      .withColumn("ip",
+        graft.functions.DotProductLong(col("qv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ip"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"), (-col("m.ncid")).as("cid"))
+
+  def ivfClusters(s: SparkSession, d: String): DataFrame =
+    assigned(s, d).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** IVF search: rank centroids per query, probe the top-`nProbe`
+    * inverted lists, exact-score only those candidates, bounded-heap
+    * top-5. The probe side is (k queries × nProbe) rows — broadcast;
+    * the corpus side is touched only in the probed clusters. */
+  def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d).filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("qv").as("qvec"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cip").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids(s, d)))
+      .withColumn("cip",
+        graft.functions.DotProductLong(col("qvec"), col("cv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qvec"), col("cid").as("probe_cid"))
+    val scored = assigned(s, d).join(broadcast(probes),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("ip",
+        graft.functions.DotProductLong(col("qv"), col("qvec")))
+    explodeTopK(scored, 5)
+  }
+
   /** Embedding-cosine near-dup: pairs above a similarity threshold,
     * generated strictly *within* sign-LSH buckets (the embeddings are
     * ~unit-norm, so the quantized inner product ≈ cosine × 10⁶). Same
@@ -425,6 +481,21 @@ object LlmQueries {
 
   private val qIdList = queryIds.mkString("(", ", ", ")")
 
+  /** Centroids + nearest-centroid assignment CTEs (mirrors
+    * [[centroids]]/[[assigned]]: max ip, ties to smallest cid). */
+  private val ivfCte =
+    s"""$quantCte,
+       |cent AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM v
+       |  WHERE vec_id < $nCentroids),
+       |sc AS (SELECT v.vec_id, v.qv, c.cid,
+       |    CAST(list_inner_product(CAST(v.qv AS DOUBLE[]),
+       |      CAST(c.cv AS DOUBLE[])) AS BIGINT) AS ip
+       |  FROM v, cent c),
+       |asg AS (SELECT vec_id, qv, cid FROM (
+       |    SELECT vec_id, qv, cid, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY ip DESC, cid) AS rn FROM sc)
+       |  WHERE rn = 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "llm_dedup_exact" ->
       s"""WITH $wCte
@@ -512,6 +583,32 @@ object LlmQueries {
          |  FROM s)
          |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 5""".stripMargin
     },
+
+    "llm_ivf_clusters" ->
+      s"""WITH $ivfCte
+         |SELECT cid, count(*) AS n_vecs FROM asg GROUP BY cid""".stripMargin,
+
+    "llm_ivf_topk" ->
+      s"""WITH $ivfCte,
+         |q AS (SELECT vec_id AS q_id, qv AS qvec FROM v
+         |  WHERE vec_id IN $qIdList),
+         |cp AS (SELECT q_id, qvec, cid, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cip DESC, cid) AS rn
+         |  FROM (SELECT q.q_id, q.qvec, c.cid,
+         |      CAST(list_inner_product(CAST(q.qvec AS DOUBLE[]),
+         |        CAST(c.cv AS DOUBLE[])) AS BIGINT) AS cip
+         |    FROM q, cent c)),
+         |probes AS (SELECT q_id, qvec, cid FROM cp WHERE rn <= $nProbe),
+         |s AS (SELECT p.q_id, a.vec_id,
+         |    CAST(list_inner_product(CAST(p.qvec AS DOUBLE[]),
+         |      CAST(a.qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM probes p JOIN asg a
+         |    ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, ip,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 5""".stripMargin,
 
     "llm_embed_neardup" ->
       s"""WITH $bucketCte,
