@@ -182,7 +182,7 @@ object RelationalQueries {
     * (the corpus averages one event per ~10.8h per user, so 12h yields
     * a realistic mix of single- and multi-event sessions). All gap
     * arithmetic is integer epoch-µs — exact in both engines. */
-  private val sessionGapUs: Long = 12L * 3600 * 1000000
+  val sessionGapUs: Long = 12L * 3600 * 1000000
 
   /** Gap-based sessionization — the batch shape of a session-window
     * aggregation. ONE shuffle on user_id: the lag and the running sum
