@@ -81,6 +81,28 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 
+  /** Resize planning: target dimensions fitting (maxW, maxH) with
+    * aspect ratio preserved, never upscaling — pure integer column
+    * math on the metadata (map-side, no shuffle, no decode). The
+    * actual pixel resample belongs in the partition-local codec pass
+    * (same seam as [[decodeMeta]]); planning dims first lets a real
+    * pipeline group work by output size and skip no-op resizes. */
+  def planResize(meta: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    // scale = min(maxW/w, maxH/h, 1) without floats: the binding
+    // dimension is decided by cross-multiplied ratio comparison
+    meta.filter(col("width") > 0 && col("height") > 0)
+      .withColumn("out_w",
+        when(col("width") <= maxW && col("height") <= maxH, col("width"))
+          .when(col("width") * maxH <= col("height") * maxW,
+            (col("width") * maxH / col("height")).cast("int"))
+          .otherwise(lit(maxW)))
+      .withColumn("out_h",
+        when(col("width") <= maxW && col("height") <= maxH, col("height"))
+          .when(col("width") * maxH <= col("height") * maxW, lit(maxH))
+          .otherwise((col("height") * maxW / col("width")).cast("int")))
+      .withColumn("resize_needed",
+        col("out_w") =!= col("width") || col("out_h") =!= col("height"))
+
   /** Deterministic stub feature vector (stands in for an embedding
     * model): 4 scaled moments of the payload bytes. Fixed-width
     * output → `ArrayType(FloatType)`, compatible with the similarity

@@ -43,6 +43,19 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Streaming exact dedup on event_id — the incremental form of the
+    * LLM-pipeline exact-dedup operator: at-least-once sources (kafka
+    * replays, file re-lists) are deduplicated with state bounded by
+    * the watermark horizon (`dropDuplicatesWithinWatermark` drops a
+    * key's state once the watermark passes its event time, unlike
+    * plain `dropDuplicates`, whose state grows forever). At 100 TB
+    * rates the state is (horizon × event rate) keys, hash-partitioned
+    * on event_id — one shuffle. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Windowed rollup over a (possibly streaming) events DataFrame
     * with schema (ts timestamp, event_type string, value double). */
   def hourlyRollup(events: DataFrame): DataFrame =

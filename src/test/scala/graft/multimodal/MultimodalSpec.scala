@@ -42,6 +42,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames == Set((2L, 0), (2L, 2)))
   }
 
+  test("planResize fits within bounds, keeps aspect, never upscales") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val meta = Seq(
+      (1L, 1280, 720),  // wide: width binds at 640 -> 640x360
+      (2L, 720, 1280),  // tall: height binds at 480 -> 270x480
+      (3L, 320, 200))   // already fits: untouched
+      .toDF("media_id", "width", "height")
+    val got = planResize(meta, maxW = 640, maxH = 480).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    assert(got(1L) == ((640, 360, true)))
+    assert(got(2L) == ((270, 480, true)))
+    assert(got(3L) == ((320, 200, false)))
+  }
+
   test("extractFeatures is fixed-width and deterministic") {
     val f = extractFeatures(records).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap

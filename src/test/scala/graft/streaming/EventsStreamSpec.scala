@@ -50,6 +50,27 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark replays of event_id") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventsStream.dedupEvents(
+        input.toDF.toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(10, 0), 1.0), (2L, ts(10, 5), 2.0))
+      q.processAllAvailable()
+      // replay of event 1 in a later micro-batch, still in-watermark
+      input.addData((1L, ts(10, 0), 1.0), (3L, ts(10, 10), 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("file-source streaming over real events parquet matches batch") {
     val spark = TestSpark.spark
     val dir = "/root/testdata/sf0.001"
