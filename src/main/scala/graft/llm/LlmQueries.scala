@@ -37,6 +37,8 @@ object LlmQueries {
     "llm_ivf_clusters" -> ivfClusters,
     "llm_ivf_topk" -> ivfTopk,
     "llm_embed_neardup" -> embedNeardup,
+    "llm_sample_bottomk" -> sampleBottomK,
+    "llm_sample_stratified" -> sampleStratified,
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
     "llm_lang_stats" -> langStats,
@@ -332,6 +334,40 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------
+  // Deterministic sampling — the reproducible way to subsample a
+  // training corpus. Hash-based bottom-k IS a uniform sample (md5 of
+  // the key is uniform; taking the k smallest hashes is the classic
+  // bottom-k/MinHash sampling scheme) and, unlike rand()-based
+  // sampling, is stable across runs, engines, and partitionings.
+  // ---------------------------------------------------------------
+
+  /** Uniform corpus sample: the 100 docs with the smallest key hash.
+    * ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge of 100 rows — no global sort at any scale). */
+  def sampleBottomK(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(100)
+
+  /** Stratified sample: 3 docs per language, smallest key hash first
+    * — the same bounded-heap top-k aggregate as the kNN queries, with
+    * the negated integer hash as the score (one partial-aggregated
+    * shuffle on lang; never a per-stratum sort of the corpus). */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("wh", expr(hexHashExpr("instr")))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKByLong.topK(-col("wh"), col("doc_id"), 3)
+        .as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("lang"), col("x.id").as("doc_id"),
+        (col("p0") + 1).cast("int").as("rank"))
+
+  // ---------------------------------------------------------------
   // Text analysis: token counts, punctuation, stopword ratio,
   // quality score — single map-side pass, integer outputs.
   // ---------------------------------------------------------------
@@ -619,6 +655,22 @@ object LlmQueries {
          |  FROM bv a JOIN bv b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, ip FROM p WHERE ip >= 200000""".stripMargin,
+
+    "llm_sample_bottomk" ->
+      """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    "llm_sample_stratified" ->
+      s"""WITH hx AS (SELECT doc_id, lang,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |wx AS (SELECT doc_id, lang, ${hexHashExpr("strpos")} AS wh
+         |  FROM hx),
+         |r AS (SELECT lang, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY wh ASC, doc_id ASC) AS INT) AS rank
+         |  FROM wx)
+         |SELECT lang, doc_id, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "llm_text_stats" -> {
       val sw = stopwords.map(x => s"'$x'").mkString(", ")
