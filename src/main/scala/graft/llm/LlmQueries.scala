@@ -99,18 +99,23 @@ object LlmQueries {
       .as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
 
+  /** Bucket-size cap: pair expansion is quadratic in bucket size, and
+    * an oversized bucket means a degenerate band hash (near-useless
+    * for dedup) — standard practice is to drop such buckets. Observed
+    * max bucket is 3 at sf0.01 / 9 at sf0.1, so 64 is a pure
+    * scale-guard locally (no-op on this corpus), mirrored in the
+    * oracle SQL so both engines agree by construction. */
+  private val maxLshBucket = 64
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     // Pairs are enumerated *within* buckets: one shuffle on the
     // (band, band-hash) key, then per-bucket combination generation —
     // the minhash chain is computed once (a self-join would compute it
     // twice and tempt AQE into broadcasting corpus-scale band data).
-    // At 100 TB add a bucket-size cap (oversized buckets are near-
-    // useless for dedup and quadratic to expand — standard practice
-    // is to drop or salt them).
     bands(s, d)
       .groupBy(col("band"), col("bv"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxLshBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
@@ -497,9 +502,13 @@ object LlmQueries {
        |hx AS (SELECT doc_id, sha256(s) AS h FROM sh),
        |mh AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
        |bands AS ($bandRows),
+       |bsz AS (SELECT band, bv FROM bands GROUP BY band, bv
+       |  HAVING count(*) BETWEEN 2 AND $maxLshBucket),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+       |  FROM bsz s
+       |  JOIN bands a ON a.band = s.band AND a.bv = s.bv
+       |  JOIN bands b ON b.band = s.band AND b.bv = s.bv
+       |    AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   private val quantCte =

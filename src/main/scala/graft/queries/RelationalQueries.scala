@@ -192,11 +192,16 @@ object RelationalQueries {
     * accepts subset-key distributions — no second exchange). At
     * 100 TB: sessions never span users, so this scales linearly with
     * no skew beyond the per-user event count. */
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    sessionsOf(Tables(spark, dir, "events"))
+
+  /** Sessionization over any events DataFrame with columns
+    * (user_id long, ts timestamp, value double). */
+  def sessionsOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     val runningByUser =
       byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "events")
+    events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"))
       .withColumn("new_s",
