@@ -30,6 +30,7 @@ object LlmQueries {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_ngram_jaccard" -> ngramJaccard,
+    "llm_dedup_clusters" -> dedupClusters,
     "llm_simhash" -> simhash,
     "llm_knn_bruteforce" -> knnBruteforce,
     "llm_ann_buckets" -> annBuckets,
@@ -155,6 +156,39 @@ object LlmQueries {
       .select(col("doc_a"), col("doc_b"),
         floor(lit(1000.0) * col("n_inter") /
           (col("sa.n") + col("sb.n") - col("n_inter"))).as("jaccard_x1000"))
+  }
+
+  // ---------------------------------------------------------------
+  // Near-dup clustering: connected components over the LSH pair
+  // graph (the step after candidate generation in a real dedup
+  // pipeline — transitively-linked duplicates form one cluster and
+  // one representative per cluster is kept). Min-label propagation:
+  // every doc starts labeled with itself; each round pulls the
+  // minimum label across its edges; fixpoint in O(component diameter)
+  // rounds. Each round is ONE shuffle (join + min-agg) — the standard
+  // large-scale CC shape (Pregel-style); the driver only coordinates
+  // rounds and checks convergence. localCheckpoint truncates the
+  // per-round lineage so plans stay O(1) instead of O(rounds).
+  // ---------------------------------------------------------------
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhash(s, d)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val pulled = edges.join(labels, col("dst") === col("doc"))
+        .select(col("src").as("doc"), col("lbl"))
+      val next = labels.union(pulled)
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   // ---------------------------------------------------------------
@@ -571,6 +605,17 @@ object LlmQueries {
          |FROM inter i
          |JOIN sizes sa ON i.doc_a = sa.doc_id
          |JOIN sizes sb ON i.doc_b = sb.doc_id""".stripMargin,
+
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(doc, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.doc)
+         |SELECT doc AS doc_id, min(lbl) AS cluster_id
+         |FROM r GROUP BY doc""".stripMargin,
 
     "llm_simhash" -> {
       val sums = (1 to 16).map(j =>
