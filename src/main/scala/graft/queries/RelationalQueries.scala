@@ -37,6 +37,9 @@ object RelationalQueries {
     "rel_q10_events_json" -> eventsJson,
     "rel_q11_sessions" -> sessions,
     "rel_q12_asof_attribution" -> asofAttribution,
+    "rel_q13_events_pivot" -> eventsPivot,
+    "rel_q14_repeat_customers" -> repeatCustomers,
+    "rel_q15_moving_window" -> movingWindow,
   )
 
   /** TPC-H Q1-flavored pricing summary: partial agg map-side, one
@@ -246,6 +249,44 @@ object RelationalQueries {
         col("click_id"), col("click_us"))
   }
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily × event-type count matrix via `pivot` — Spark plans the
+    * fixed-value pivot as ONE aggregation with conditional counts (no
+    * per-column passes); absent combinations are coalesced to 0 so
+    * the shape matches the oracle's CASE-sum formulation. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .select(col("day") +: eventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+
+  /** INTERSECT set op: customers with both a finished and an open
+    * order — plans as a left-semi join after aggregation-free
+    * distincts (one shuffle per side). */
+  def repeatCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(
+        ord.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
+  /** Sliding window frame: each (type, hour)'s count plus the rolling
+    * sum over the previous 3 hours of the same type — one shuffle on
+    * event_type, integer arithmetic only. */
+  def movingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(-3, Window.currentRow)
+    hourly.withColumn("rolling_n", sum(col("n")).over(w))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "rel_q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -347,5 +388,28 @@ object RelationalQueries {
         |  c.click_id, epoch_us(c.ts) AS click_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "rel_q13_events_pivot" -> {
+      val cols = eventTypes.map(t =>
+        s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+
+    "rel_q14_repeat_customers" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "rel_q15_moving_window" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_ts, event_type, n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour_ts
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rolling_n
+        |FROM h""".stripMargin,
   )
 }
