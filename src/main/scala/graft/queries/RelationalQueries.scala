@@ -40,6 +40,7 @@ object RelationalQueries {
     "rel_q13_events_pivot" -> eventsPivot,
     "rel_q14_repeat_customers" -> repeatCustomers,
     "rel_q15_moving_window" -> movingWindow,
+    "rel_q16_median_price" -> medianPrice,
   )
 
   /** TPC-H Q1-flavored pricing summary: partial agg map-side, one
@@ -287,6 +288,25 @@ object RelationalQueries {
     hourly.withColumn("rolling_n", sum(col("n")).over(w))
   }
 
+  /** Exact per-group lower median by deterministic rank selection
+    * (row_number to the (n+1)/2-th row) — engine-independent, unlike
+    * percentile functions whose interpolation rules differ across
+    * engines. Integer cents, orderkey tie-break. One shuffle on the
+    * group key; both window specs share it. At 100 TB exact medians
+    * give way to approx_percentile — this is the exactness baseline
+    * such sketches are validated against. */
+  def medianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val ordered = byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("cnt", count(lit(1)).over(byPrio))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("o_orderpriority"), col("cents").as("median_cents"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "rel_q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -411,5 +431,15 @@ object RelationalQueries {
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS rolling_n
         |FROM h""".stripMargin,
+
+    "rel_q16_median_price" ->
+      s"""WITH r AS (SELECT o_orderpriority,
+         |    ${Exact.sqlCents("o_totalprice")} AS cents,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+         |  FROM orders)
+         |SELECT o_orderpriority, cents AS median_cents
+         |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
   )
 }
