@@ -172,20 +172,41 @@ object LlmQueries {
   // ---------------------------------------------------------------
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupMinhash(s, d)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    // The pair graph is orders of magnitude smaller than the corpus —
+    // size the loop's parallelism to IT, not to the session default
+    // (32 near-empty tasks per round is pure scheduling overhead).
+    val parts = math.max(1, (e0.count() / 500000L).toInt)
+    val edges = e0.repartition(parts)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence via the label sum: min-propagation only ever
+    // decreases labels, so the sum is unchanged iff NO label changed —
+    // one cheap aggregate per round instead of a join against the
+    // previous iteration.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var done = labels.isEmpty
+    while (!done) {
       val pulled = edges.join(labels, col("dst") === col("doc"))
         .select(col("src").as("doc"), col("lbl"))
-      val next = labels.union(pulled)
+      val stepped = labels.union(pulled)
         .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+      // Pointer jump (path compression): replace each label by the
+      // label's OWN label — every label is itself a node, so chains
+      // halve each round and convergence is O(log diameter) rounds
+      // instead of O(diameter). Long near-dup chains made plain
+      // propagation diameter-bound (~2.5x slower end-to-end here).
+      val ptr = stepped.select(col("doc").as("pdoc"), col("lbl").as("plbl"))
+      val next = stepped.join(ptr, col("lbl") === col("pdoc"), "left")
+        .select(col("doc"), coalesce(col("plbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .filter(col("lbl") =!= col("old")).count()
+      val newSum = labelSum(next)
+      done = newSum == prevSum
+      prevSum = newSum
       labels = next
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
