@@ -36,7 +36,9 @@ object Pipeline {
       graphId: String = "default"): Result = {
     val conf = EtlConf.fromEnv(env)
     val raw = OmekaSource.load(spark, fetchPage, graphId)   // O1–O3
-    val clean = RdfOps.cleanExport(raw)                     // O4–O7
+    // materialized once: consumed by the key scan AND the enrichment
+    // union (the reference's own EP1→EP2 file hand-off, yml:33–54)
+    val clean = RdfOps.cleanExport(raw).localCheckpoint()   // O4–O7
     val keys = RdfOps.enrichmentKeys(clean)                 // O14 keys
     val fetched = Enrichment.fetchAll(keys, fetchMonument)  // O14 fetch
     val enriched = RdfOps.enrich(clean, fetched)            // O15+O16

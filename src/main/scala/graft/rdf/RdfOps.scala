@@ -137,9 +137,19 @@ object RdfOps {
 
   /** O19 — the composed reference pipeline EP1→EP2 (export cleaning →
     * enrichment → rename → delete), one lazy dataflow end-to-end
-    * (reference: src/transform_datamodel.py:140–168 + workflow DAG). */
+    * (reference: src/transform_datamodel.py:140–168 + workflow DAG).
+    *
+    * The cleaned graph is MATERIALIZED once (localCheckpoint): it
+    * feeds three downstream consumers (the enrichment union, the
+    * rijksmonument scan, the typed-subject scan), and recomputing the
+    * parse+clean lineage per consumer tripled the scan work. This
+    * mirrors the reference's own design — EP1 writes the cleaned
+    * export to a file that EP2 reads (workflow artifact hand-off,
+    * yml:33–54); at cluster scale the same stage boundary is a
+    * parquet write of the cleaned triple table. */
   def pipeline(raw: DataFrame, fetched: DataFrame,
       mapping: Map[String, String], filterList: Seq[String]): DataFrame =
-    applyFilter(applyMapping(enrich(cleanExport(raw), fetched), mapping),
+    applyFilter(applyMapping(
+      enrich(cleanExport(raw).localCheckpoint(), fetched), mapping),
       filterList)
 }
