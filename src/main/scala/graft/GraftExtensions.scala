@@ -35,12 +35,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_l"),
       new ExpressionInfo(classOf[TopKByLong].getName, "top_k_l"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(args.length == 3 && args(2).foldable,
-          "top_k_l(score, id, k): k must be a literal int")
+        val msg = "top_k_l(score, id, k): k must be a literal integer"
+        require(args.length == 3 && args(2).foldable, msg)
+        // validate the literal's type, not just foldability — a
+        // foldable string would otherwise die later with an opaque
+        // ClassCastException, and a fractional k would silently
+        // truncate
+        val k = args(2).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case b: java.lang.Byte => b.intValue()
+          case _ => throw new IllegalArgumentException(msg)
+        }
         // Returning the bare AggregateFunction — the analyzer wraps it
         // in an AggregateExpression during function resolution.
-        TopKByLong(args(0), args(1),
-          args(2).eval().asInstanceOf[Number].intValue())
+        TopKByLong(args(0), args(1), k)
       }))
   }
 }

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -38,19 +38,19 @@ case class TopKByLong(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]]
+  with ExpectsInputTypes {
 
   require(k > 0, "top-k requires k > 0")
 
-  // "Greatest" element = WORST retained pair (smallest score, then
-  // largest id), so the queue head is the eviction candidate.
-  private def worstFirst: Ordering[(Long, Long)] =
-    new Ordering[(Long, Long)] {
-      override def compare(a: (Long, Long), b: (Long, Long)): Int = {
-        val c = java.lang.Long.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      }
-    }
+  // declared input types: the analyzer inserts casts (or fails at
+  // plan time) instead of update() throwing ClassCastException on
+  // executors when a SQL user passes INT columns. (No explicit
+  // Seq[AbstractDataType] annotation — that type is private[sql];
+  // the inferred covariant type satisfies the override.)
+  override def inputTypes = Seq(LongType, LongType)
+
+  private def worstFirst = TopKByLong.WorstFirst
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
     new mutable.PriorityQueue[(Long, Long)]()(worstFirst)
@@ -120,6 +120,18 @@ case class TopKByLong(
 }
 
 object TopKByLong {
+  /** "Greatest" element = WORST retained pair (smallest score, then
+    * largest id), so the queue head is the eviction candidate. A
+    * single shared instance — allocating one per comparison would put
+    * a garbage object on every scored row of the hot path. */
+  private[functions] val WorstFirst: Ordering[(Long, Long)] =
+    new Ordering[(Long, Long)] {
+      override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+
   /** DataFrame-API form: `topK(col("ip"), col("vec_id"), 10)`. */
   def topK(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKByLong(

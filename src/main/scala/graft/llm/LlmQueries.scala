@@ -181,14 +181,17 @@ object LlmQueries {
     val parts = math.max(1, (e0.count() / 500000L).toInt)
     val edges = e0.repartition(parts)
     var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).localCheckpoint()
+      .withColumn("lbl", col("doc")).persist()
     // Convergence via the label sum: min-propagation only ever
     // decreases labels, so the sum is unchanged iff NO label changed —
     // one cheap aggregate per round instead of a join against the
-    // previous iteration.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
+    // previous iteration. Summed as DECIMAL(38,0): a bigint sum of
+    // billions of 63-bit ids overflows (ANSI error, or a wrapped
+    // value that could alias prevSum and end the loop un-converged).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var prevSum = labelSum(labels) // also materializes the persist
     var done = labels.isEmpty
     while (!done) {
       val pulled = edges.join(labels, col("dst") === col("doc"))
@@ -203,11 +206,13 @@ object LlmQueries {
       val ptr = stepped.select(col("doc").as("pdoc"), col("lbl").as("plbl"))
       val next = stepped.join(ptr, col("lbl") === col("pdoc"), "left")
         .select(col("doc"), coalesce(col("plbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val newSum = labelSum(next)
-      done = newSum == prevSum
-      prevSum = newSum
+        .persist()
+      val newSum = labelSum(next) // materializes next before the swap
+      val prev = labels
       labels = next
+      prev.unpersist() // superseded rounds must not pin block storage
+      done = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }

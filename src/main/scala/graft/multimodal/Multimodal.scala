@@ -93,13 +93,21 @@ object Multimodal {
     meta.filter(col("width") > 0 && col("height") > 0)
       .withColumn("out_w",
         when(col("width") <= maxW && col("height") <= maxH, col("width"))
-          .when(col("width") * maxH <= col("height") * maxW,
-            (col("width") * maxH / col("height")).cast("int"))
+          .when(col("width").cast("bigint") * maxH <=
+            col("height").cast("bigint") * maxW,
+            // greatest(1, _): extreme aspect ratios would otherwise
+            // truncate to an invalid 0-pixel dimension
+            greatest(lit(1),
+              (col("width").cast("bigint") * maxH / col("height"))
+                .cast("int")))
           .otherwise(lit(maxW)))
       .withColumn("out_h",
         when(col("width") <= maxW && col("height") <= maxH, col("height"))
-          .when(col("width") * maxH <= col("height") * maxW, lit(maxH))
-          .otherwise((col("height") * maxW / col("width")).cast("int")))
+          .when(col("width").cast("bigint") * maxH <=
+            col("height").cast("bigint") * maxW, lit(maxH))
+          .otherwise(greatest(lit(1),
+            (col("height").cast("bigint") * maxW / col("width"))
+              .cast("int"))))
       .withColumn("resize_needed",
         col("out_w") =!= col("width") || col("out_h") =!= col("height"))
 

@@ -79,8 +79,15 @@ object SessionStream {
             UserSessions(o.seq + 2,
               Some(OpenSession(o.seq + 1, tsUs, tsUs, 1L, cents)))
           case Some(o) =>
-            st.copy(open =
-              Some(o.copy(end = tsUs, n = o.n + 1, cents = o.cents + cents)))
+            // min/max, not assignment: a within-watermark late event
+            // (flatMapGroupsWithState does NOT pre-filter late rows)
+            // must never move the session end backwards — that would
+            // shorten end_us/duration_us vs the batch twin and re-arm
+            // the timeout too early
+            st.copy(open = Some(o.copy(
+              start = math.min(o.start, tsUs),
+              end = math.max(o.end, tsUs),
+              n = o.n + 1, cents = o.cents + cents)))
           case None =>
             UserSessions(st.nextSeq + 1,
               Some(OpenSession(st.nextSeq, tsUs, tsUs, 1L, cents)))

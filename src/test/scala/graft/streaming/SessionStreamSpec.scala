@@ -56,6 +56,40 @@ class SessionStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a within-watermark late event never moves the session end back") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def tsMs(ms: Long) = new Timestamp(t0 + ms)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = SessionStream.sessionize(
+        input.toDF.toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sessions_late_test")
+      .outputMode("append").start()
+    try {
+      input.addData((3L, tsMs(0), 1.0), (3L, tsMs(30000), 2.0))
+      q.processAllAvailable()
+      // rows older than the watermark are filtered before the state
+      // function, so real out-of-orderness is bounded by the 1 s
+      // watermark delay: this event is within that window (watermark
+      // is 29 s here) yet BEFORE the open session's end at 30 s
+      input.addData((3L, tsMs(29500), 4.0))
+      q.processAllAvailable()
+      // far-future sentinels close the session via timeout
+      input.addData((-1L, tsMs(86400L * 1000 * 200), 0.0))
+      q.processAllAvailable()
+      input.addData((-1L, tsMs(86400L * 1000 * 200 + 1000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_late_test").filter("user_id >= 0")
+        .collect()
+        .map(r => (r.getLong(2), r.getLong(5), r.getDouble(6))).toSeq
+      // 3 events, 30-second span (end NOT dragged back to 29.5 s),
+      // all three values summed
+      assert(got == Seq((3L, 30000000L, 7.0)))
+    } finally q.stop()
+  }
+
   test("a gap inside one micro-batch splits the session") {
     val spark = TestSpark.spark
     import spark.implicits._
