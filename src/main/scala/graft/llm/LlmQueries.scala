@@ -31,6 +31,7 @@ object LlmQueries {
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_ngram_jaccard" -> ngramJaccard,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_dedup_keep" -> dedupKeep,
     "llm_simhash" -> simhash,
     "llm_knn_bruteforce" -> knnBruteforce,
     "llm_ann_buckets" -> annBuckets,
@@ -215,6 +216,19 @@ object LlmQueries {
       prevSum = newSum
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** The deduplicated corpus: every document except non-canonical
+    * cluster members (cluster representative = min doc_id). This is
+    * the artifact a training pipeline actually ships — clusters are
+    * diagnostics, this is the output table. Broadcast anti-join: the
+    * duplicate list is pair-graph-sized, orders below the corpus. */
+  def dedupKeep(s: SparkSession, d: String): DataFrame = {
+    val dupes = dedupClusters(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("dup_id"))
+    docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(dupes), col("doc_id") === col("dup_id"), "left_anti")
   }
 
   // ---------------------------------------------------------------
@@ -642,6 +656,19 @@ object LlmQueries {
          |  SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.doc)
          |SELECT doc AS doc_id, min(lbl) AS cluster_id
          |FROM r GROUP BY doc""".stripMargin,
+
+    "llm_dedup_keep" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(doc, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.doc),
+         |dupes AS (SELECT doc FROM r GROUP BY doc
+         |  HAVING doc <> min(lbl))
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc FROM dupes)""".stripMargin,
 
     "llm_simhash" -> {
       val sums = (1 to 16).map(j =>

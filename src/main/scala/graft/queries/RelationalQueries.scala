@@ -230,11 +230,16 @@ object RelationalQueries {
     * user. (user_id, ts) pairs are unique in the corpus, so ordering
     * by ts_us is deterministic. Oracle: DuckDB's native ASOF LEFT
     * JOIN — an independent implementation of the same semantics. */
-  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame =
+    asofOf(Tables(spark, dir, "events"))
+
+  /** As-of attribution over any events DataFrame with columns
+    * (event_id long, user_id long, ts timestamp, event_type string). */
+  def asofOf(events: DataFrame): DataFrame = {
     val runningByUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "events")
+    events
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
