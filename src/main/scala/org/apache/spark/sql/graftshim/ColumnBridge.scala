@@ -18,4 +18,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the cached blocks behind a `localCheckpoint()`ed Dataset.
+    * A local checkpoint pins its RDD in block storage with no public
+    * release API (`unpersist()` on the Dataset is a no-op — the cache
+    * manager never tracked it); iterative algorithms that checkpoint
+    * per round would otherwise pin every superseded round for the
+    * session lifetime. The LogicalRDD unwrap requires this
+    * `org.apache.spark.sql` vantage point. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
