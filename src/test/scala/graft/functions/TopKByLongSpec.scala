@@ -42,6 +42,16 @@ class TopKByLongSpec extends AnyFunSuite {
     assert(got.size == 30)
   }
 
+  test("matches window rank with negative scores (real dot products)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rows = for (g <- 0L to 1L; i <- 0L until 500L)
+      yield (g, i, (i * 6151 + g * 31) % 101 - 50) // scores in [-50, 50]
+    val df = rows.toDF("g", "id", "score").repartition(7)
+    assert(heapTopK(df, 7).collect().toSet ==
+      windowTopK(df, 7).collect().toSet)
+  }
+
   test("k larger than the group emits the whole group, sorted") {
     val s = TestSpark.spark
     import s.implicits._
