@@ -57,14 +57,18 @@ object LlmQueries {
       split(trim(lower(col("text"))), ws).as("w"))
 
   // ---------------------------------------------------------------
-  // Exact dedup: hash-groupBy on a normalized content key. At 100 TB
-  // this is one shuffle on the key (map-side partial agg first); the
-  // representative row is min(doc_id) for determinism.
+  // Exact dedup: hash-groupBy on the sha256 of the FULL normalized
+  // text (lowercased, whitespace-collapsed) — two documents are
+  // "copies" iff every normalized byte matches, the definition a
+  // training pipeline means by exact dedup. At 100 TB this is one
+  // shuffle on a 64-hex-char key (map-side partial agg first; the
+  // full text never shuffles); the representative row is min(doc_id)
+  // for determinism.
   // ---------------------------------------------------------------
   def dedupExact(s: SparkSession, d: String): DataFrame =
     tokenized(s, d)
       .select(col("doc_id"),
-        concat_ws(" ", slice(col("w"), 1, 5)).as("dedup_key"))
+        sha2(concat_ws(" ", col("w")), 256).as("dedup_key"))
       .groupBy(col("dedup_key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -109,7 +113,18 @@ object LlmQueries {
     * oracle SQL so both engines agree by construction. */
   private val maxLshBucket = 64
 
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs, materialized ONCE per corpus snapshot
+    * (localCheckpoint) and shared by every consumer — the verify
+    * stage ([[ngramJaccard]]), clustering ([[dedupClusters]]) and the
+    * dedup output ([[dedupKeep]]) all read the same pair table, the
+    * way a production pipeline materializes candidate generation once
+    * and fans out. Without this the full shingle→sha→minhash→bucket
+    * chain re-ran once per consumer. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"lsh-pairs:$d")(
+      computePairs(s, d).localCheckpoint())
+
+  private def computePairs(s: SparkSession, d: String): DataFrame = {
     // Pairs are enumerated *within* buckets: one shuffle on the
     // (band, band-hash) key, then per-bucket combination generation —
     // the minhash chain is computed once (a self-join would compute it
@@ -135,11 +150,16 @@ object LlmQueries {
   // not O(n²).
   // ---------------------------------------------------------------
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // The bigram table feeds three join legs (x-side, y-side, sizes);
+    // localCheckpoint materializes the tokenize→explode→distinct
+    // lineage once instead of three times (it was the dominant cost
+    // of this query at bench scale).
     val bg = tokenized(s, d).select(col("doc_id"), explode(expr(
       """CASE WHEN size(w) >= 2
         |  THEN transform(sequence(1, size(w) - 1),
         |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
         |  ELSE array() END""".stripMargin)).as("bg")).distinct()
+      .localCheckpoint()
     val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Every LSH candidate pair shares a 3-gram shingle, hence ≥2 word
     // bigrams — so the intersection inner-join keeps all pairs (a
@@ -171,18 +191,39 @@ object LlmQueries {
   // rounds and checks convergence. localCheckpoint truncates the
   // per-round lineage so plans stay O(1) instead of O(rounds).
   // ---------------------------------------------------------------
+  /** Per-(session, key) materialization cache for per-corpus-snapshot
+    * artifacts (the LSH pair table, converged CC labels). Sessions are
+    * WEAK keys: a stopped/dereferenced session's entries (and the
+    * DataFrames pinning its checkpointed blocks) become collectable
+    * instead of living for the JVM lifetime. The cache is keyed by
+    * input dir = one corpus *snapshot*; rewriting a dir in-place
+    * within one session is out of contract (same rule as any
+    * materialized pipeline artifact). */
+  private object SnapshotMemo {
+    private val bySession = new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    def getOrCompute(s: SparkSession, key: String)
+        (compute: => DataFrame): DataFrame = {
+      val m = bySession.synchronized {
+        var inner = bySession.get(s)
+        if (inner == null) {
+          inner =
+            new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+          bySession.put(s, inner)
+        }
+        inner
+      }
+      m.computeIfAbsent(key, _ => compute)
+    }
+  }
+
   /** Final converged labels are memoized per (session, dir): the
     * clusters table is a materialized (checkpointed) artifact that
     * downstream consumers — here [[dedupKeep]] — reuse instead of
     * re-running the iterative loop, exactly as a production pipeline
     * materializes CC output once per corpus snapshot. */
-  private val clustersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]
-
   def dedupClusters(s: SparkSession, d: String): DataFrame =
-    clustersMemo.computeIfAbsent((s, d),
-      _ => computeClusters(s, d))
+    SnapshotMemo.getOrCompute(s, s"cc-labels:$d")(computeClusters(s, d))
 
   private def computeClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupMinhash(s, d)
@@ -371,18 +412,23 @@ object LlmQueries {
     quantized(s, d).filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int").as("cid"), col("qv").as("cv"))
 
-  /** Nearest-centroid assignment. The centroid table (16 rows) is
-    * broadcast; the argmax is a plain partial-aggregatable
-    * `max(struct(ip, -cid))` — max ip, ties to the smallest cid —
-    * so the only exchange is the final per-vector reduce. */
-  private def assigned(s: SparkSession, d: String): DataFrame =
-    quantized(s, d).crossJoin(broadcast(centroids(s, d)))
-      .withColumn("ip",
-        graft.functions.DotProductLong(col("qv"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("ip"), (-col("cid")).as("ncid"))).as("m"),
-        first(col("qv")).as("qv"))
-      .select(col("vec_id"), col("qv"), (-col("m.ncid")).as("cid"))
+  /** Nearest-centroid assignment — fully map-side. The centroid table
+    * (16 rows) is collapsed to a single sorted array-of-structs row
+    * and broadcast (a 1-row nested-loop "join" = each task holds the
+    * centroids); the argmax is then a row-local codegen'd kernel
+    * ([[graft.functions.NearestCentroid]]: max ip, ties to smallest
+    * cid via the cid-ascending sort). Zero corpus-wide exchange — the
+    * corpus streams through assignment untouched, which is the shape
+    * that survives 100 TB (the previous crossJoin+groupBy reduce
+    * shuffled every embedding once and multiplied the scan 16×). */
+  private def assigned(s: SparkSession, d: String): DataFrame = {
+    val centArr = centroids(s, d)
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("cents"))
+    quantized(s, d).crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("qv"),
+        graft.functions.NearestCentroid(col("qv"), col("cents")).as("cid"))
+  }
 
   def ivfClusters(s: SparkSession, d: String): DataFrame =
     assigned(s, d).groupBy(col("cid"))
@@ -639,7 +685,7 @@ object LlmQueries {
   def oracleSql: Map[String, String] = Map(
     "llm_dedup_exact" ->
       s"""WITH $wCte
-         |SELECT array_to_string(ws[1:5], ' ') AS dedup_key,
+         |SELECT sha256(array_to_string(ws, ' ')) AS dedup_key,
          |  min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM w GROUP BY 1""".stripMargin,
 
