@@ -23,18 +23,25 @@ import graft.sources.OmekaSource
   */
 object Pipeline {
 
-  final case class Result(triples: DataFrame, conf: EtlConf)
+  final case class Result(triples: DataFrame, conf: EtlConf,
+      prefixes: Map[String, String])
 
   /** Run export (EP1) + transform (EP2) end-to-end, returning the
-    * final triple table (call `.write` / [[Turtle.serialize]] on it —
-    * the sink's `overwrite` mode mirrors the reference's
-    * overwrite-into-named-graph publish, yml:87). */
+    * final triple table plus the namespace bindings to publish it
+    * under. `fetchApiContext` is the O8 seam (the reference GETs
+    * `api-context` and binds every prefix before serializing,
+    * export_from_omeka_s.py:74–80): fetched bindings override the
+    * static catalog and flow into [[publish]]'s Turtle headers. */
   def run(spark: SparkSession,
       fetchPage: Int => String,
       fetchMonument: String => Seq[Turtle.FlatTriple],
       env: Map[String, String],
-      graphId: String = "default"): Result = {
+      graphId: String = "default",
+      fetchApiContext: Option[() => String] = None): Result = {
     val conf = EtlConf.fromEnv(env)
+    val prefixes = rdf.Vocab.namespaces ++                  // O8 bind
+      fetchApiContext.map(f => OmekaSource.parseApiContext(f()))
+        .getOrElse(Map.empty)
     val raw = OmekaSource.load(spark, fetchPage, graphId)   // O1–O3
     // materialized once: consumed by the key scan AND the enrichment
     // union (the reference's own EP1→EP2 file hand-off, yml:33–54)
@@ -44,6 +51,33 @@ object Pipeline {
     val enriched = RdfOps.enrich(clean, fetched)            // O15+O16
     val mapped = RdfOps.applyMapping(enriched, conf.mapping) // O17
     val ttl = RdfOps.applyFilter(mapped, conf.filterList)   // O18
-    Result(ttl, conf)
+    Result(ttl, conf, prefixes)
+  }
+
+  /** O19's closing sink — the reference ends in an overwrite-publish
+    * into a named graph (muurschilderingendatabase-etl.yml:87); here
+    * that is `mode("overwrite")` into a store path:
+    *  - `format = "parquet"`: the cluster-scale triple-table publish
+    *    (what a downstream Spark/DuckDB consumer reads);
+    *  - `format = "turtle"`: the reference's wire-format parity via
+    *    the `turtle` DSv2 writer, one self-contained document per
+    *    partition with the fetched O8 prefixes in the `@prefix`
+    *    headers; `singleFile = true` coalesces to the reference's
+    *    one-file export shape (driver-volume bound — leave false at
+    *    scale).
+    */
+  def publish(result: Result, path: String, format: String = "parquet",
+      singleFile: Boolean = false): Unit = {
+    val df =
+      if (singleFile) result.triples.coalesce(1) else result.triples
+    format match {
+      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "turtle" => df.write.format("turtle")
+        .option("prefixes",
+          sources.TurtleDataSource.prefixesOption(result.prefixes))
+        .mode("overwrite").save(path)
+      case other =>
+        throw new IllegalArgumentException(s"unknown publish format $other")
+    }
   }
 }

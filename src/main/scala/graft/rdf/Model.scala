@@ -51,6 +51,9 @@ object Model {
   */
 object Vocab {
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val RdfFirst = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
   val DctermsTitle = "http://purl.org/dc/terms/title"
   val DctermsIdentifier = "http://purl.org/dc/terms/identifier"
   val DctermsRelation = "http://purl.org/dc/terms/relation"

@@ -59,10 +59,20 @@ object RdfOps {
 
   /** The full export cleaning pass (O4 → O5 → O7 → O6), i.e. the body
     * of the reference's export filter loop
-    * (src/export_from_omeka_s.py:53–71) as one composed dataflow. */
-  def cleanExport(df: DataFrame): DataFrame =
-    filterCustomvocabRefs(
-      filterValidObjectIris(filterValidSubjects(filterContextLeaks(df))))
+    * (src/export_from_omeka_s.py:53–71) as one composed dataflow.
+    *
+    * `faithful = true` replays the reference's OBSERVED behavior for
+    * bug B1 instead of its intent: the customvocab check at
+    * export_from_omeka_s.py:60 evaluates `"customvocab" in
+    * str(<generator>)` — the str of a generator object, never the
+    * types — so the O6 filter removes NOTHING in the real run. The
+    * flag exists for differential testing (intent vs observed), per
+    * SURVEY §7 hard-point 3. */
+  def cleanExport(df: DataFrame, faithful: Boolean = false): DataFrame = {
+    val base = filterValidObjectIris(filterValidSubjects(
+      filterContextLeaks(df)))
+    if (faithful) base else filterCustomvocabRefs(base)
+  }
 
   /** O17 — predicate rename (reference:
     * src/transform_datamodel.py:112–119). The reference removes and
@@ -95,12 +105,18 @@ object RdfOps {
     * B2's intent, SURVEY §2.4), key normalized by stripping a leading
     * "RM" (reference: src/transform_datamodel.py:91–96), deduplicated
     * (the reference fetches once per occurrence — B5; the engine
-    * fetches once per distinct key). */
-  def enrichmentKeys(df: DataFrame): DataFrame =
-    df.filter(col("predicate") === CeoRijksmonumentnummer &&
-        col("obj_kind") === "literal")
-      .select(normalizeMonumentKey(col("obj_value")).as("monument_key"))
+    * fetches once per distinct key).
+    *
+    * `faithful = true` replays B2's OBSERVED behavior: the guard at
+    * transform_datamodel.py:92 is `not isinstance(str(obj), URIRef)`
+    * — str() always yields a `str`, so the guard is always true and
+    * the reference fetches for IRI-valued objects too. */
+  def enrichmentKeys(df: DataFrame, faithful: Boolean = false): DataFrame = {
+    val rm = df.filter(col("predicate") === CeoRijksmonumentnummer)
+    val keyed = if (faithful) rm else rm.filter(col("obj_kind") === "literal")
+    keyed.select(normalizeMonumentKey(col("obj_value")).as("monument_key"))
       .distinct()
+  }
 
   def normalizeMonumentKey(c: Column): Column =
     when(c.startsWith("RM"), c.substr(lit(3), length(c))).otherwise(c)

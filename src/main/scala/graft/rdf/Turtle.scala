@@ -26,10 +26,26 @@ import org.apache.spark.sql.functions._
   *
   * Supported syntax (superset of what [[serialize]] emits): @prefix /
   * PREFIX directives, IRIs in `<>`, prefixed names, blank nodes
-  * (`_:label`), string literals with `\"\\\n\r\t\u..` escapes,
-  * `@lang` tags, `^^` datatypes, predicate lists (`;`), object lists
-  * (`,`), `a` for rdf:type, and comments. Not supported: triple-quoted
-  * literals, collections, anonymous bnode property lists.
+  * (`_:label`), anonymous blank-node property lists (`[ p o ; … ]`),
+  * collections (`( o1 o2 … )` → rdf:first/rest/nil chains), short and
+  * long (triple-quoted) string literals in both quote styles with
+  * `\"\'\\\n\r\t\b\f\u….\U….` escapes, `@lang` tags, `^^` datatypes,
+  * numeric and boolean literals (delimiter-checked — `truefoo:x` is a
+  * prefixed name), predicate lists (`;`), object lists (`,`), `a` for
+  * rdf:type (delimiter-checked, so `a:x` is a prefixed name and
+  * `a<iri>` is rdf:type), and comments — the constructs rdflib's own
+  * Turtle output uses (reference parse sites:
+  * src/export_from_omeka_s.py:50, src/transform_datamodel.py:84).
+  *
+  * Blank-node scoping: labels are document-scoped in RDF — rdflib
+  * emits fresh `_:N` labels per serialization, so the same label in
+  * two independently-fetched pages denotes two different nodes. With
+  * `scopeBnodeLabels = true` (the multi-document sources opt in),
+  * explicit labels are rewritten with a deterministic per-document
+  * content-hash prefix: distinct documents never conflate, while
+  * re-parsing byte-identical page text still dedups (O2 set
+  * semantics). Generated nodes (`[ ]`, collections) are always
+  * content-hash-scoped — they are anonymous by construction.
   */
 object Turtle {
 
@@ -40,10 +56,11 @@ object Turtle {
   /** Parse a Dataset of whole Turtle documents into a triple table
     * with set semantics (the rdflib-Graph behavior the reference
     * relies on when re-parsing overlapping pages). */
-  def parse(docs: Dataset[String], graphId: String = "default"): DataFrame = {
+  def parse(docs: Dataset[String], graphId: String = "default",
+      scopeBnodeLabels: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.flatMap(parseDocument(_, graphId))
+    docs.flatMap(parseDocument(_, graphId, scopeBnodeLabels))
       .toDF("graph", "subject", "subject_kind", "predicate",
         "obj_value", "obj_kind", "obj_lang", "obj_datatype")
       .dropDuplicates()
@@ -53,17 +70,34 @@ object Turtle {
     (String, String, String, String, String, String, String, String)
 
   /** Parse one Turtle document. Pure function: safe inside executors. */
-  def parseDocument(doc: String, graphId: String = "default")
-      : Seq[FlatTriple] = {
-    val p = new Parser(doc, graphId)
+  def parseDocument(doc: String, graphId: String = "default",
+      scopeBnodeLabels: Boolean = false): Seq[FlatTriple] = {
+    val p = new Parser(doc, graphId, scopeBnodeLabels)
     p.parseAll()
   }
 
-  private final class Parser(doc: String, graphId: String) {
+  private final class Parser(doc: String, graphId: String,
+      scopeLabels: Boolean) {
     private var i = 0
     private val n = doc.length
     private val prefixes = mutable.Map[String, String]()
     private val out = mutable.ArrayBuffer[FlatTriple]()
+
+    /** Deterministic per-document tag (md5 prefix of the text):
+      * identical documents re-parse to identical labels (set-semantics
+      * dedup still collapses them), distinct documents never collide. */
+    private lazy val docTag: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+    }
+    private var genCounter = 0
+    private def freshBnode(): String = {
+      genCounter += 1
+      s"_:g${docTag}n$genCounter"
+    }
+    private def scopedLabel(raw: String): String =
+      if (scopeLabels) "_:d" + docTag + "_" + raw.substring(2) else raw
 
     def parseAll(): Seq[FlatTriple] = {
       skipWs()
@@ -119,6 +153,17 @@ object Turtle {
 
     private def parseStatement(): Unit = {
       val (s, sKind) = parseSubject()
+      skipWs()
+      // a standalone blank-node property list statement: "[ p o ] ."
+      if (sKind == "bnode" && i < n && doc.charAt(i) == '.') { i += 1 }
+      else parsePOList(s, sKind, '.')
+    }
+
+    /** predicateObjectList, terminated by (and consuming) `terminator`
+      * — '.' for a top-level statement, ']' inside an anonymous
+      * blank-node property list. */
+    private def parsePOList(s: String, sKind: String,
+        terminator: Char): Unit = {
       var done = false
       while (!done) {
         skipWs()
@@ -135,10 +180,12 @@ object Turtle {
         if (i < n && doc.charAt(i) == ';') {
           i += 1
           skipWs()
-          // trailing ';' before '.' is legal
-          if (i < n && doc.charAt(i) == '.') { i += 1; done = true }
-        } else if (i < n && doc.charAt(i) == '.') { i += 1; done = true }
-        else fail("expected '.', ';' or ','")
+          // trailing ';' (possibly repeated) before the terminator is legal
+          while (i < n && doc.charAt(i) == ';') { i += 1; skipWs() }
+          if (i < n && doc.charAt(i) == terminator) { i += 1; done = true }
+        } else if (i < n && doc.charAt(i) == terminator) {
+          i += 1; done = true
+        } else fail(s"expected '$terminator', ';' or ','")
       }
     }
 
@@ -146,25 +193,78 @@ object Turtle {
       val c = doc.charAt(i)
       if (c == '<') (parseIriRef(), "iri")
       else if (doc.startsWith("_:", i)) (parseBnode(), "bnode")
+      else if (c == '[') (parseBnodePropertyList(), "bnode")
+      else if (c == '(') parseCollection()
       else (parsePrefixedName(), "iri")
     }
 
+    /** Name-ish character — used for the delimiter checks on the `a`
+      * keyword and boolean literals. */
+    private def isNameChar(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == '-'
+
     private def parsePredicate(): String = {
-      if (doc.charAt(i) == '<') parseIriRef()
-      else if (doc.charAt(i) == 'a' && i + 1 < n &&
-        (doc.charAt(i + 1).isWhitespace)) { i += 1; Vocab.RdfType }
-      else parsePrefixedName()
+      val c = doc.charAt(i)
+      if (c == '<') parseIriRef()
+      // 'a' is the rdf:type keyword iff NOT part of a longer name or a
+      // prefixed name ("a:x"); any delimiter (whitespace, '<', '[', …)
+      // after it is legal per the grammar
+      else if (c == 'a' && (i + 1 >= n ||
+        (!isNameChar(doc.charAt(i + 1)) && doc.charAt(i + 1) != ':'))) {
+        i += 1; Vocab.RdfType
+      } else parsePrefixedName()
     }
 
     private def parseObject(): (String, String, String, String) = {
       val c = doc.charAt(i)
       if (c == '<') (parseIriRef(), "iri", null, null)
       else if (doc.startsWith("_:", i)) (parseBnode(), "bnode", null, null)
-      else if (c == '"') parseLiteral()
+      else if (c == '[') (parseBnodePropertyList(), "bnode", null, null)
+      else if (c == '(') {
+        val (v, k) = parseCollection(); (v, k, null, null)
+      }
+      else if (c == '"' || c == '\'') parseLiteral()
       else if (c.isDigit || c == '-' || c == '+') parseNumber()
-      else if (doc.startsWith("true", i) || doc.startsWith("false", i))
-        parseBoolean()
+      else if (boolAhead() != null) parseBoolean()
       else (parsePrefixedName(), "iri", null, null)
+    }
+
+    /** Anonymous blank-node property list `[ p o ; … ]` (also the
+      * empty `[]`): a fresh content-scoped node carrying the inner
+      * triples. */
+    private def parseBnodePropertyList(): String = {
+      i += 1 // '['
+      val label = freshBnode()
+      skipWs()
+      if (i < n && doc.charAt(i) == ']') { i += 1; label }
+      else { parsePOList(label, "bnode", ']'); label }
+    }
+
+    /** Collection `( o1 o2 … )` → the standard rdf:first/rdf:rest
+      * chain; `()` is rdf:nil. Returns the head term. */
+    private def parseCollection(): (String, String) = {
+      i += 1 // '('
+      val items =
+        mutable.ArrayBuffer[(String, String, String, String)]()
+      skipWs()
+      while (i < n && doc.charAt(i) != ')') { items += parseObject(); skipWs() }
+      if (i >= n) fail("unterminated collection")
+      i += 1
+      if (items.isEmpty) (Vocab.RdfNil, "iri")
+      else {
+        val nodes = items.indices.map(_ => freshBnode())
+        items.indices.foreach { j =>
+          val (ov, oKind, oLang, oDt) = items(j)
+          out += ((graphId, nodes(j), "bnode", Vocab.RdfFirst,
+            ov, oKind, oLang, oDt))
+          val (rv, rk) =
+            if (j + 1 < nodes.size) (nodes(j + 1), "bnode")
+            else (Vocab.RdfNil, "iri")
+          out += ((graphId, nodes(j), "bnode", Vocab.RdfRest,
+            rv, rk, null, null))
+        }
+        (nodes.head, "bnode")
+      }
     }
 
     private def parseIriRef(): String = {
@@ -181,7 +281,7 @@ object Turtle {
       i += 2
       while (i < n && (doc.charAt(i).isLetterOrDigit ||
         doc.charAt(i) == '_' || doc.charAt(i) == '-')) i += 1
-      doc.substring(start, i)
+      scopedLabel(doc.substring(start, i))
     }
 
     private def parsePrefixedName(): String = {
@@ -205,30 +305,40 @@ object Turtle {
       }
     }
 
+    /** String literal in either quote style, short (`"…"` / `'…'`) or
+      * long (`\"\"\"…\"\"\"` / `'''…'''`). Long literals take raw
+      * newlines and embedded quotes (runs shorter than the closing
+      * delimiter), as rdflib emits for multi-line values. */
     private def parseLiteral(): (String, String, String, String) = {
-      i += 1 // opening quote
+      val quote = doc.charAt(i)
+      val isLong = i + 2 < n && doc.charAt(i + 1) == quote &&
+        doc.charAt(i + 2) == quote
       val sb = new StringBuilder
-      while (i < n && doc.charAt(i) != '"') {
-        val c = doc.charAt(i)
-        if (c == '\\') {
-          i += 1
-          if (i >= n) fail("dangling escape")
-          doc.charAt(i) match {
-            case 't' => sb += '\t'
-            case 'n' => sb += '\n'
-            case 'r' => sb += '\r'
-            case '"' => sb += '"'
-            case '\\' => sb += '\\'
-            case 'u' =>
-              sb += Integer.parseInt(doc.substring(i + 1, i + 5), 16).toChar
-              i += 4
-            case other => fail(s"unsupported escape '\\$other'")
-          }
-          i += 1
-        } else { sb += c; i += 1 }
+      if (isLong) {
+        i += 3
+        var closed = false
+        while (!closed) {
+          if (i >= n) fail("unterminated long literal")
+          val c = doc.charAt(i)
+          if (c == '\\') readEscape(sb)
+          else if (c == quote) {
+            var run = 0
+            while (i < n && doc.charAt(i) == quote) { run += 1; i += 1 }
+            if (run >= 3) {
+              (0 until run - 3).foreach(_ => sb += quote)
+              closed = true
+            } else (0 until run).foreach(_ => sb += quote)
+          } else { sb += c; i += 1 }
+        }
+      } else {
+        i += 1 // opening quote
+        while (i < n && doc.charAt(i) != quote) {
+          val c = doc.charAt(i)
+          if (c == '\\') readEscape(sb) else { sb += c; i += 1 }
+        }
+        if (i >= n) fail("unterminated literal")
+        i += 1 // closing quote
       }
-      if (i >= n) fail("unterminated literal")
-      i += 1 // closing quote
       if (doc.startsWith("@", i)) {
         i += 1
         val start = i
@@ -257,8 +367,48 @@ object Turtle {
       (doc.substring(start, i), "literal", null, dt)
     }
 
+    private def readEscape(sb: StringBuilder): Unit = {
+      i += 1 // backslash
+      if (i >= n) fail("dangling escape")
+      doc.charAt(i) match {
+        case 't' => sb += '\t'
+        case 'n' => sb += '\n'
+        case 'r' => sb += '\r'
+        case 'b' => sb += '\b'
+        case 'f' => sb += '\f'
+        case '"' => sb += '"'
+        case '\'' => sb += '\''
+        case '\\' => sb += '\\'
+        case 'u' =>
+          sb += Integer.parseInt(doc.substring(i + 1, i + 5), 16).toChar
+          i += 4
+        case 'U' =>
+          val cp = Integer.parseInt(doc.substring(i + 1, i + 9), 16)
+          sb.appendAll(Character.toChars(cp))
+          i += 8
+        case other => fail(s"unsupported escape '\\$other'")
+      }
+      i += 1
+    }
+
+    /** The boolean keyword ahead, or null — a boolean must be followed
+      * by a delimiter, so `truefoo:x` parses as a prefixed name. */
+    private def boolAhead(): String = {
+      val v =
+        if (doc.startsWith("true", i)) "true"
+        else if (doc.startsWith("false", i)) "false"
+        else null
+      if (v == null) null
+      else {
+        val j = i + v.length
+        if (j >= n || (!isNameChar(doc.charAt(j)) && doc.charAt(j) != ':'))
+          v
+        else null
+      }
+    }
+
     private def parseBoolean(): (String, String, String, String) = {
-      val v = if (doc.startsWith("true", i)) "true" else "false"
+      val v = boolAhead()
       i += v.length
       (v, "literal", null, Vocab.XsdBoolean)
     }
@@ -282,16 +432,28 @@ object Turtle {
         "obj_kind", "obj_lang", "obj_datatype")
       .sortWithinPartitions("subject")
       .mapPartitions { rows =>
-        val header = pfx.map { case (p, ns) => s"@prefix $p: <$ns> ." }
         val body = rows.map { r =>
-          val subj = term(r.getString(0), r.getString(1), pfx)
-          val pred = compact(r.getString(2), pfx)
-          val obj = objectTerm(r.getString(3), r.getString(4),
-            r.getString(5), r.getString(6), pfx)
-          s"$subj $pred $obj ."
+          statement(r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getString(5), r.getString(6),
+            pfx)
         }
-        if (rows.isEmpty) Iterator.empty else header.iterator ++ body
+        if (rows.isEmpty) Iterator.empty else header(pfx).iterator ++ body
       }
+  }
+
+  /** The `@prefix` header lines for a Turtle document. */
+  def header(pfx: Seq[(String, String)]): Seq[String] =
+    pfx.map { case (p, ns) => s"@prefix $p: <$ns> ." }
+
+  /** One Turtle statement line for a flat triple — the per-row kernel
+    * shared by [[serialize]] and the `turtle` DSv2 writer. */
+  def statement(subject: String, subjectKind: String, predicate: String,
+      objValue: String, objKind: String, objLang: String,
+      objDatatype: String, pfx: Seq[(String, String)]): String = {
+    val subj = term(subject, subjectKind, pfx)
+    val pred = compact(predicate, pfx)
+    val obj = objectTerm(objValue, objKind, objLang, objDatatype, pfx)
+    s"$subj $pred $obj ."
   }
 
   /** Like [[serialize]] but emits one whole self-contained Turtle
@@ -315,7 +477,13 @@ object Turtle {
     case "iri" => compact(value, pfx)
     case "bnode" => value
     case _ =>
-      val quoted = "\"" + escape(value) + "\""
+      // multi-line values go out long-quoted with raw newlines, the
+      // form rdflib emits; every embedded quote is escaped so no
+      // accidental '"""' run can close the literal early
+      val quoted =
+        if (value.indexOf('\n') >= 0 || value.indexOf('\r') >= 0)
+          "\"\"\"" + escapeLong(value) + "\"\"\""
+        else "\"" + escape(value) + "\""
       if (lang != null) s"$quoted@$lang"
       else if (datatype != null) s"$quoted^^${compact(datatype, pfx)}"
       else quoted
@@ -337,6 +505,18 @@ object Turtle {
         return s"${best._1}:$local"
     }
     s"<$iri>"
+  }
+
+  /** Escapes for a long (triple-quoted) literal: backslash and quote
+    * only — newlines/tabs stay raw. */
+  private def escapeLong(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   private def escape(s: String): String = {

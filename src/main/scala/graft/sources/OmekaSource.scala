@@ -49,7 +49,12 @@ object OmekaSource {
   def load(spark: SparkSession, fetch: Int => String,
       graphId: String = "default"): DataFrame = {
     import spark.implicits._
-    Turtle.parse(spark.createDataset(fetchPages(fetch)), graphId)
+    // pages are independent rdflib serializations: the same `_:N`
+    // label on two pages is two different nodes, so blank-node labels
+    // are scoped per page (identical re-fetched page text still dedups
+    // — the scope prefix is a content hash)
+    Turtle.parse(spark.createDataset(fetchPages(fetch)), graphId,
+      scopeBnodeLabels = true)
   }
 
   /** O8 — namespace catalog fetch + bind: parse the `api-context`

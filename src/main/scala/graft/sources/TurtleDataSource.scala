@@ -1,23 +1,51 @@
 package graft.sources
 
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.rdf.{Model, Turtle}
+import graft.rdf.{Model, Turtle, Vocab}
 
-/** DataSourceV2 Turtle reader: `spark.read.format("turtle").load(dir)`
-  * yields the canonical triple table (Model.schema).
+/** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
+  * ships the DRIVER's session conf (S3A/ABFS credentials, endpoints,
+  * custom FS settings) to executor-side readers/writers via its
+  * `write`/`readFields` wire format — without it, executors would
+  * fall back to a default `new Configuration()` and fail on any
+  * non-default object store. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  @throws[IOException]
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  @throws[IOException]
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** DataSourceV2 Turtle codec: `spark.read.format("turtle").load(dir)`
+  * yields the canonical triple table (Model.schema), and
+  * `df.write.format("turtle").mode("overwrite").save(dir)` publishes
+  * it back as one self-contained Turtle document per partition
+  * (the reference's final publish step is exactly such an
+  * overwrite-into-store write, muurschilderingendatabase-etl.yml:87).
   *
   * Partitioning unit = one Turtle *document* (file): Turtle is not
   * line-splittable (`@prefix` scopes the document — SURVEY §7 "what's
@@ -28,9 +56,18 @@ import graft.rdf.{Model, Turtle}
   * reader refuses nothing but scales with file count, like the
   * built-in `wholetext` text source.
   *
-  * Options: `graph` (graph id column value, default "default").
-  * Set semantics (dropDuplicates) are intentionally NOT applied here —
-  * a scan should not shuffle; callers opt in via
+  * Options:
+  *  - `graph` (read): graph id column value, default "default".
+  *  - `scope_bnodes` (read): rewrite blank-node labels with a
+  *    per-document content-hash prefix so same-labeled bnodes from
+  *    different files don't conflate (RDF document scoping); default
+  *    false for byte-stable round-trips of this source's own output.
+  *  - `prefixes` (write): JSON object `{prefix: namespaceIri, ...}`
+  *    for the emitted `@prefix` headers; defaults to the static
+  *    vocabulary catalog.
+  *
+  * Set semantics (dropDuplicates) are intentionally NOT applied by the
+  * scan — a scan should not shuffle; callers opt in via
   * [[graft.rdf.TripleGraph]] / `dropDuplicates`.
   */
 class TurtleDataSource extends TableProvider with DataSourceRegister {
@@ -43,57 +80,67 @@ class TurtleDataSource extends TableProvider with DataSourceRegister {
 }
 
 final class TurtleTable(properties: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "turtle"
   override def schema(): StructType = Model.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val paths = TurtleDataSource.resolvePaths(options)
     val graphId = options.getOrDefault("graph", "default")
-    () => new TurtleScan(paths, graphId)
+    val scopeBnodes = options.getBoolean("scope_bnodes", false)
+    () => new TurtleScan(paths, graphId, scopeBnodes)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(info.options.get("path")).getOrElse(
+      throw new IllegalArgumentException("turtle write requires a path"))
+    val prefixes = TurtleDataSource.resolvePrefixes(info.options)
+    new TurtleWriteBuilder(path, prefixes, info.schema())
   }
 }
 
-final class TurtleScan(paths: Seq[String], graphId: String)
-    extends Scan with Batch {
+final class TurtleScan(paths: Seq[String], graphId: String,
+    scopeBnodes: Boolean) extends Scan with Batch {
+  // the session conf is captured on the DRIVER at plan time and
+  // serialized into the reader factory — executor-side readers must
+  // see the same credentials/FS settings the driver planned with
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.classic.SparkSession.active
+      .sessionState.newHadoopConf())
   override def readSchema(): StructType = Model.schema
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.classic.SparkSession.active
-      .sessionState.newHadoopConf()
+  override def planInputPartitions(): Array[InputPartition] =
     paths.flatMap { p =>
       val path = new Path(p)
-      val fs = path.getFileSystem(conf)
+      val fs = path.getFileSystem(hadoopConf.value)
       if (fs.getFileStatus(path).isDirectory)
         fs.listStatus(path).toSeq.filter(_.isFile)
           .map(s => TurtleFilePartition(s.getPath.toString))
       else Seq(TurtleFilePartition(path.toString))
     }.toArray
-  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TurtleReaderFactory(graphId)
+    new TurtleReaderFactory(graphId, scopeBnodes, hadoopConf)
 }
 
 final case class TurtleFilePartition(file: String) extends InputPartition
 
-final class TurtleReaderFactory(graphId: String)
-    extends PartitionReaderFactory {
+final class TurtleReaderFactory(graphId: String, scopeBnodes: Boolean,
+    hadoopConf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TurtleFilePartition].file
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] = {
         val path = new Path(file)
-        val fs = FileSystem.get(path.toUri,
-          new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(hadoopConf.value)
         val in = fs.open(path)
         val text = try {
           new String(org.apache.commons.io.IOUtils.toByteArray(in),
             java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
-        Turtle.parseDocument(text, graphId).iterator.map { t =>
+        Turtle.parseDocument(text, graphId, scopeBnodes).iterator.map { t =>
           InternalRow.fromSeq(t.productIterator.map {
             case null => null
             case s: String => UTF8String.fromString(s)
@@ -109,6 +156,91 @@ final class TurtleReaderFactory(graphId: String)
   }
 }
 
+// ---------------------------------------------------------------------
+// Write path (O9/O19 publish sink)
+// ---------------------------------------------------------------------
+
+final class TurtleWriteBuilder(path: String,
+    prefixes: Seq[(String, String)], schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new TurtleBatchWrite(path, prefixes, schema, doTruncate)
+  }
+}
+
+/** One self-contained Turtle document (own `@prefix` header) per
+  * partition, task-temp file + rename-on-task-commit so failed or
+  * speculative tasks never leave partial documents; truncate (=
+  * `mode("overwrite")`) clears the directory up front, which is the
+  * reference's overwrite-into-named-graph publish semantic. */
+final class TurtleBatchWrite(path: String, prefixes: Seq[(String, String)],
+    schema: StructType, truncate: Boolean) extends BatchWrite {
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.classic.SparkSession.active
+      .sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(hadoopConf.value)
+    if (truncate && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val idx = Model.columns.drop(1).map(schema.fieldIndex) // skip graph
+    new TurtleWriterFactory(path, prefixes, idx, hadoopConf)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class TurtleCommit(file: String) extends WriterCommitMessage
+
+final class TurtleWriterFactory(path: String,
+    prefixes: Seq[(String, String)], idx: Seq[Int],
+    hadoopConf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val tmp = new Path(path, s"_tmp-$partitionId-$taskId.ttl")
+      private val fin = new Path(path, f"part-$partitionId%05d.ttl")
+      private val fs = tmp.getFileSystem(hadoopConf.value)
+      private val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(tmp, true),
+          java.nio.charset.StandardCharsets.UTF_8))
+      private var wroteHeader = false
+
+      override def write(r: InternalRow): Unit = {
+        if (!wroteHeader) {
+          Turtle.header(prefixes).foreach { l => out.write(l); out.write("\n") }
+          wroteHeader = true
+        }
+        def s(j: Int): String =
+          if (r.isNullAt(idx(j))) null else r.getUTF8String(idx(j)).toString
+        out.write(Turtle.statement(s(0), s(1), s(2), s(3), s(4), s(5), s(6),
+          prefixes))
+        out.write("\n")
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        if (!wroteHeader) { fs.delete(tmp, false); TurtleCommit("") }
+        else {
+          // rename is idempotent under task retry: same partitionId →
+          // same final name, last successful attempt wins
+          if (fs.exists(fin)) fs.delete(fin, false)
+          fs.rename(tmp, fin)
+          TurtleCommit(fin.toString)
+        }
+      }
+      override def abort(): Unit = {
+        out.close()
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+      }
+      override def close(): Unit = ()
+    }
+}
+
 object TurtleDataSource {
   private[sources] def resolvePaths(
       options: CaseInsensitiveStringMap): Seq[String] = {
@@ -118,5 +250,28 @@ object TurtleDataSource {
       mapper.readTree(json).elements().asScala.map(_.asText()).toSeq
     }
     multi.getOrElse(Option(options.get("path")).toSeq)
+  }
+
+  /** Write-side `prefixes` option: a JSON object `{prefix: iri}`;
+    * falls back to the static vocabulary catalog. Sorted for a
+    * deterministic header. */
+  private[sources] def resolvePrefixes(
+      options: CaseInsensitiveStringMap): Seq[(String, String)] = {
+    val m = Option(options.get("prefixes")).map { json =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(json)
+      root.fields().asScala.filter(_.getValue.isTextual)
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Vocab.namespaces)
+    m.toSeq.sortBy(_._1)
+  }
+
+  /** JSON-encode a prefix map for the write option (inverse of
+    * [[resolvePrefixes]]). */
+  def prefixesOption(prefixes: Map[String, String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    prefixes.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
   }
 }

@@ -26,9 +26,20 @@ object ColumnBridge {
     * per round would otherwise pin every superseded round for the
     * session lifetime. The LogicalRDD unwrap requires this
     * `org.apache.spark.sql` vantage point. */
+  /** Releasing a local checkpoint makes the RDD class log a WARN
+    * ("cannot be recomputed after unpersisting") on every call. Here
+    * the release is deliberate — the block is superseded and nothing
+    * will recompute it — so the warning is pure noise in bench/verify
+    * logs; silence that one logger once. */
+  private lazy val silenceUnpersistWarn: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
   def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
+        silenceUnpersistWarn
         r.rdd.unpersist(blocking = false)
       case _ => ()
     }

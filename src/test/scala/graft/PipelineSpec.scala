@@ -86,4 +86,39 @@ class PipelineSpec extends AnyFunSuite {
     val back = Turtle.parse(spark.createDataset(Seq(doc)))
     assert(back.collect().toSet == result.triples.collect().toSet)
   }
+
+  test("fetch → transform → publish → re-read, with O8 prefixes bound") {
+    val spark = TestSpark.spark
+    val apiContext =
+      """{"@context": {
+        |  "fetched": "http:\\/\\/fetched.example\\/ns#",
+        |  "sdo": "https://schema.org/"}}""".stripMargin
+    val result = Pipeline.run(
+      spark,
+      fetchPage = p => if (p == 1) page1 else "",
+      fetchMonument = _ => Seq.empty,
+      env = env,
+      fetchApiContext = Some(() => apiContext))
+    // O8: fetched bindings land in Result.prefixes (over the statics)
+    assert(result.prefixes("fetched") == "http://fetched.example/ns#")
+    assert(result.prefixes("sdo") == "https://schema.org/")
+
+    // Turtle publish: overwrite sink, fetched prefixes in the headers
+    val tdir = java.nio.file.Files.createTempDirectory("pub-ttl").toFile
+    Pipeline.publish(result, tdir.getAbsolutePath, format = "turtle",
+      singleFile = true)
+    val ttlFiles = tdir.listFiles.filter(_.getName.endsWith(".ttl"))
+    assert(ttlFiles.length == 1)
+    assert(java.nio.file.Files.readString(ttlFiles.head.toPath)
+      .contains("@prefix fetched: <http://fetched.example/ns#> ."))
+    val backTtl = spark.read.format("turtle").load(tdir.getAbsolutePath)
+    assert(backTtl.collect().toSet == result.triples.collect().toSet)
+
+    // parquet publish: the cluster-scale table, overwrite semantics
+    val pdir = java.nio.file.Files.createTempDirectory("pub-pq").toFile
+    Pipeline.publish(result, pdir.getAbsolutePath, format = "parquet")
+    Pipeline.publish(result, pdir.getAbsolutePath, format = "parquet")
+    val backPq = spark.read.parquet(pdir.getAbsolutePath)
+    assert(backPq.collect().toSet == result.triples.collect().toSet)
+  }
 }

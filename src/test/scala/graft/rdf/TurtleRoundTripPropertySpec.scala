@@ -19,7 +19,12 @@ class TurtleRoundTripPropertySpec extends AnyFunSuite {
   private val genLiteral: Gen[String] = Gen.oneOf(
     Gen.asciiPrintableStr.map(_.take(30)),
     Gen.oneOf("", "with \"quotes\"", "line\nbreak", "tab\there",
-      "back\\slash", "unicode é ü 文", "RM12345"))
+      "back\\slash", "unicode é ü 文", "RM12345",
+      // multi-line values serialize long-quoted ("""…""") — exercise
+      // quote runs, a trailing quote before the closing delimiter,
+      // and \r\n endings through the long-string lane
+      "multi\nline with \"\" run", "ends with quote\n\"",
+      "crlf\r\nline", "\n", "a\nb\nc\n\"d\" e\\f"))
 
   private val genTriple: Gen[Turtle.FlatTriple] = for {
     s <- Gen.oneOf(genIri, Gen.choose(0, 9).map(i => s"_:b$i"))

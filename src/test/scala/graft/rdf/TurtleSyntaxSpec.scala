@@ -1,0 +1,166 @@
+package graft.rdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Vocab._
+
+/** Parser coverage for the Turtle constructs real rdflib/Omeka S
+  * exports contain beyond the serializer's own output: anonymous
+  * blank-node property lists, collections, long (triple-quoted)
+  * literals, both quote styles, and the keyword/boolean delimiter
+  * rules of the grammar. */
+class TurtleSyntaxSpec extends AnyFunSuite {
+
+  private val n: String = null
+
+  test("anonymous bnode property list as object") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |<http://x/1> ex:loc [ ex:lat 52 ; ex:lon 4 ] .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc)
+    val anon = ts.collectFirst {
+      case (_, "http://x/1", _, "http://ex.org/loc", o, "bnode", _, _) => o
+    }.getOrElse(fail("no bnode object emitted"))
+    assert(ts.contains(
+      ("default", anon, "bnode", "http://ex.org/lat", "52", "literal", n,
+        XsdInteger)))
+    assert(ts.contains(
+      ("default", anon, "bnode", "http://ex.org/lon", "4", "literal", n,
+        XsdInteger)))
+  }
+
+  test("anonymous bnode property list as standalone subject, and empty []") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |[ ex:p "v" ] .
+        |<http://x/1> ex:empty [] .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc)
+    assert(ts.exists { case (_, s, sk, p, o, _, _, _) =>
+      sk == "bnode" && p == "http://ex.org/p" && o == "v" && s.startsWith("_:")
+    })
+    assert(ts.exists { case (_, s, _, p, o, ok, _, _) =>
+      s == "http://x/1" && p == "http://ex.org/empty" && ok == "bnode"
+    })
+  }
+
+  test("nested bnode property lists") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |<http://x/1> ex:a [ ex:b [ ex:c "deep" ] ] .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc)
+    val outer = ts.collectFirst {
+      case (_, "http://x/1", _, "http://ex.org/a", o, "bnode", _, _) => o
+    }.get
+    val inner = ts.collectFirst {
+      case (_, s, _, "http://ex.org/b", o, "bnode", _, _) if s == outer => o
+    }.getOrElse(fail("no inner bnode"))
+    assert(ts.contains(
+      ("default", inner, "bnode", "http://ex.org/c", "deep", "literal", n, n)))
+  }
+
+  test("collections expand to rdf:first/rdf:rest chains; () is rdf:nil") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |<http://x/1> ex:items ( "a" "b" ) .
+        |<http://x/2> ex:items () .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc)
+    val head = ts.collectFirst {
+      case (_, "http://x/1", _, "http://ex.org/items", o, "bnode", _, _) => o
+    }.getOrElse(fail("no collection head"))
+    assert(ts.contains(
+      ("default", head, "bnode", RdfFirst, "a", "literal", n, n)))
+    val next = ts.collectFirst {
+      case (_, s, _, RdfRest, o, "bnode", _, _) if s == head => o
+    }.getOrElse(fail("no rest link"))
+    assert(ts.contains(
+      ("default", next, "bnode", RdfFirst, "b", "literal", n, n)))
+    assert(ts.contains(
+      ("default", next, "bnode", RdfRest, RdfNil, "iri", n, n)))
+    assert(ts.contains(
+      ("default", "http://x/2", "iri", "http://ex.org/items", RdfNil,
+        "iri", n, n)))
+  }
+
+  test("long literals: raw newlines, embedded quotes, both quote styles") {
+    val doc =
+      "@prefix ex: <http://ex.org/> .\n" +
+        "<http://x/1> ex:a \"\"\"line1\nline2 \"quoted\" end\"\"\" .\n" +
+        "<http://x/2> ex:b '''single\nstyle''' .\n" +
+        "<http://x/3> ex:c \"\"\"ends with escaped \\\"\"\"\" .\n"
+    val ts = Turtle.parseDocument(doc).toSet
+    assert(ts.contains(("default", "http://x/1", "iri", "http://ex.org/a",
+      "line1\nline2 \"quoted\" end", "literal", n, n)))
+    assert(ts.contains(("default", "http://x/2", "iri", "http://ex.org/b",
+      "single\nstyle", "literal", n, n)))
+    assert(ts.contains(("default", "http://x/3", "iri", "http://ex.org/c",
+      "ends with escaped \"", "literal", n, n)))
+  }
+
+  test("single-quoted short literals and \\' escape") {
+    val doc = "@prefix ex: <http://ex.org/> .\n" +
+      "<http://x/1> ex:p 'it\\'s'@en .\n"
+    val ts = Turtle.parseDocument(doc).toSet
+    assert(ts.contains(("default", "http://x/1", "iri", "http://ex.org/p",
+      "it's", "literal", "en", n)))
+  }
+
+  test("boolean requires a delimiter; truefoo:x is a prefixed name") {
+    val doc =
+      """@prefix truefoo: <http://ex.org/tf#> .
+        |@prefix ex: <http://ex.org/> .
+        |<http://x/1> ex:v truefoo:x .
+        |<http://x/1> ex:w true .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc).toSet
+    assert(ts.contains(("default", "http://x/1", "iri", "http://ex.org/v",
+      "http://ex.org/tf#x", "iri", n, n)))
+    assert(ts.contains(("default", "http://x/1", "iri", "http://ex.org/w",
+      "true", "literal", n, XsdBoolean)))
+  }
+
+  test("'a' keyword before non-whitespace; 'a:x' stays a prefixed name") {
+    val doc =
+      """@prefix a: <http://ex.org/a#> .
+        |@prefix ex: <http://ex.org/> .
+        |<http://x/1> a<http://ex.org/T> .
+        |<http://x/2> ex:p a:x .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc).toSet
+    assert(ts.contains(("default", "http://x/1", "iri", RdfType,
+      "http://ex.org/T", "iri", n, n)))
+    assert(ts.contains(("default", "http://x/2", "iri", "http://ex.org/p",
+      "http://ex.org/a#x", "iri", n, n)))
+  }
+
+  test("bnode label scoping: same label on distinct docs stays distinct") {
+    val d1 = "@prefix ex: <http://ex.org/> .\n_:b0 ex:p \"one\" .\n"
+    val d2 = "@prefix ex: <http://ex.org/> .\n_:b0 ex:p \"two\" .\n"
+    val scoped = Turtle.parseDocument(d1, scopeBnodeLabels = true) ++
+      Turtle.parseDocument(d2, scopeBnodeLabels = true)
+    assert(scoped.map(_._2).distinct.size == 2,
+      "same-label bnodes from different documents must not conflate")
+    // identical text re-parses to identical labels (dedup still works)
+    val again = Turtle.parseDocument(d1, scopeBnodeLabels = true)
+    assert(scoped.take(1) == again)
+    // default (unscoped) keeps raw labels for byte-stable round-trips
+    assert(Turtle.parseDocument(d1).head._2 == "_:b0")
+  }
+
+  test("multi-line literal serializes long-quoted and round-trips") {
+    val rows: Seq[Turtle.FlatTriple] = Seq(
+      ("default", "http://x/1", "iri", "http://ex.org/p",
+        "line1\nline2 with \"quotes\" and \\back", "literal", n, n))
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val doc = Turtle.serialize(graft.TestSpark.triples(rows))
+      .collect().mkString("\n")
+    assert(doc.contains("\"\"\""), "expected long-quoted serialization")
+    val back = Turtle.parse(spark.createDataset(Seq(doc)))
+      .as[Turtle.FlatTriple].collect().toSet
+    assert(back == rows.toSet)
+  }
+}

@@ -44,4 +44,71 @@ class TurtleDataSourceSpec extends AnyFunSuite {
     assert(df.select("graph").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("g1"))
   }
+
+  test("scope_bnodes keeps same-labeled bnodes from different files apart") {
+    val dir = Files.createTempDirectory("ttl3").toFile
+    Files.writeString(new java.io.File(dir, "a.ttl").toPath,
+      "@prefix ex: <http://ex.org/> .\n_:b0 ex:p \"one\" .\n")
+    Files.writeString(new java.io.File(dir, "b.ttl").toPath,
+      "@prefix ex: <http://ex.org/> .\n_:b0 ex:p \"two\" .\n")
+    val plain = TestSpark.spark.read.format("turtle")
+      .load(dir.getAbsolutePath)
+    assert(plain.select("subject").distinct().count() == 1) // conflated
+    val scoped = TestSpark.spark.read.format("turtle")
+      .option("scope_bnodes", "true").load(dir.getAbsolutePath)
+    assert(scoped.select("subject").distinct().count() == 2)
+  }
+
+  test("executor-side reads use the session Hadoop conf (custom scheme)") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("ttl4").toFile
+    Files.writeString(new java.io.File(dir, "a.ttl").toPath, doc(7))
+    // a filesystem scheme that ONLY exists in the session Hadoop conf:
+    // if the partition reader built its own `new Configuration()` (the
+    // old bug), executor-side opens would fail with "No FileSystem for
+    // scheme graftest". The FS cache is disabled for the scheme so the
+    // reader can't ride on a driver-side cached instance.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftest.impl", classOf[GraftTestFs].getName)
+    hc.set("fs.graftest.impl.disable.cache", "true")
+    try {
+      val df = spark.read.format("turtle")
+        .load(s"graftest://${dir.getAbsolutePath}")
+      assert(df.count() == 3)
+    } finally {
+      hc.unset("fs.graftest.impl")
+      hc.unset("fs.graftest.impl.disable.cache")
+    }
+  }
+
+  test("write → read round-trips; overwrite truncates; prefixes emitted") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("ttlw").toFile.getAbsolutePath
+    val df1 = spark.read.format("turtle").load {
+      val d = Files.createTempDirectory("ttlsrc").toFile
+      (1 to 2).foreach { i =>
+        Files.writeString(new java.io.File(d, s"p$i.ttl").toPath, doc(i))
+      }
+      d.getAbsolutePath
+    }
+    df1.write.format("turtle")
+      .option("prefixes", """{"ex": "http://ex.org/"}""")
+      .mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".ttl"))
+    assert(files.nonEmpty)
+    assert(Files.readString(files.head.toPath)
+      .contains("@prefix ex: <http://ex.org/> ."))
+    val back = spark.read.format("turtle").load(dir)
+    assert(back.collect().toSet == df1.collect().toSet)
+    // overwrite clears previous contents (named-graph publish semantic)
+    val smaller = df1.limit(1).coalesce(1)
+    smaller.write.format("turtle").mode("overwrite").save(dir)
+    assert(spark.read.format("turtle").load(dir).count() == 1)
+  }
+}
+
+/** Local filesystem under a custom scheme, resolvable only through the
+  * session Hadoop conf — proves executor readers see driver settings. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftest:///")
 }
