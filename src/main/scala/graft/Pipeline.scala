@@ -54,6 +54,22 @@ object Pipeline {
     Result(ttl, conf, prefixes)
   }
 
+  /** [[run]] wired to the default HTTP clients
+    * ([[sources.OmekaHttp]] / [[sources.HttpMonumentFetcher]]) — the
+    * turn-key form for a live Omeka S deployment, matching the
+    * reference's endpoints and 200 s timeouts. `enrichmentUrlPrefix`
+    * is the per-key GET prefix (the reference's is the public
+    * rest-api-rijksmonumenten `run?rijksmonumentnummer=` URL,
+    * transform_datamodel.py:94). */
+  def runHttp(spark: SparkSession, baseUri: String,
+      enrichmentUrlPrefix: String, env: Map[String, String],
+      graphId: String = "default"): Result = {
+    val http = new sources.OmekaHttp(baseUri)
+    run(spark, http.fetchPage, sources.HttpMonumentFetcher(
+      enrichmentUrlPrefix), env, graphId,
+      fetchApiContext = Some(() => http.fetchApiContext()))
+  }
+
   /** O19's closing sink — the reference ends in an overwrite-publish
     * into a named graph (muurschilderingendatabase-etl.yml:87); here
     * that is `mode("overwrite")` into a store path:
