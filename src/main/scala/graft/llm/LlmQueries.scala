@@ -45,6 +45,11 @@ object LlmQueries {
     "llm_quality_filter" -> qualityFilter,
     "llm_lang_stats" -> langStats,
     "llm_fingerprint" -> fingerprint,
+    "llm_decontaminate" -> decontaminate,
+    "llm_repetition" -> repetition,
+    "llm_pack_sequences" -> packSequences,
+    "llm_source_stats" -> sourceStats,
+    "llm_top_bigrams" -> topBigrams,
     "mm_binary_stats" -> binaryStats,
   )
 
@@ -596,6 +601,116 @@ object LlmQueries {
       .agg(sum((col("wh") * (col("p0") + 1)) % 2147483647L).as("fp"))
 
   // ---------------------------------------------------------------
+  // Benchmark decontamination — the step every training pipeline runs
+  // before shipping: drop/flag training documents that share n-grams
+  // with a heldout evaluation set. Heldout here is a deterministic
+  // slice (doc_id % 97 == 0), standing in for the external benchmark
+  // corpus. Scale shape: the heldout n-gram set is eval-corpus-sized
+  // (tiny vs 100 TB of training data) → broadcast hash join, training
+  // side streams map-side — the same asymmetry a Bloom-filter
+  // decontaminator exploits, with exact results.
+  // ---------------------------------------------------------------
+  private def fivegrams(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d).select(col("doc_id"), explode(expr(
+      """CASE WHEN size(w) >= 5
+        |  THEN transform(sequence(1, size(w) - 4),
+        |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+        |      element_at(w, i + 2), element_at(w, i + 3),
+        |      element_at(w, i + 4)))
+        |  ELSE array() END""".stripMargin)).as("g")).distinct()
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val g = fivegrams(s, d)
+    val heldout = g.filter(col("doc_id") % 97 === 0)
+      .select(col("g").as("hg")).distinct()
+    g.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(heldout), col("g") === col("hg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_5grams"))
+  }
+
+  // ---------------------------------------------------------------
+  // Repetition signals (Gopher-style quality rules): fraction of
+  // bigram mass in the single most frequent bigram, and the
+  // distinct-word ratio — both strong low-quality/boilerplate
+  // indicators. One shuffle on (doc, bigram), then a partial-agg
+  // reduce per doc; integers only.
+  // ---------------------------------------------------------------
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val t = tokenized(s, d)
+    // word-level stats are computed map-side from the token array (no
+    // explode, no shuffle of the array); only the bigram counts take
+    // the (doc, bigram) exchange
+    val wordStats = t.select(col("doc_id"),
+      expr("CAST(size(array_distinct(w)) AS BIGINT)").as("n_distinct"),
+      expr("CAST(size(w) AS BIGINT)").as("n_words"))
+    val bgStats = t.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(w) >= 2
+        |  THEN transform(sequence(1, size(w) - 1),
+        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+        |  ELSE array() END""".stripMargin)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    bgStats.join(wordStats, Seq("doc_id"))
+      .select(col("doc_id"),
+        floor(lit(1000.0) * col("top_c") / col("n_bg"))
+          .as("top_bigram_x1000"),
+        floor(lit(1000.0) * col("n_distinct") / col("n_words"))
+          .as("distinct_ratio_x1000"))
+  }
+
+  // ---------------------------------------------------------------
+  // Sequence packing — assign documents to fixed-token-budget
+  // training sequences (greedy by running token count, deterministic
+  // doc_id order). Packing is per (lang, shard): a running sum needs
+  // an ordered partition, so the corpus is sharded deterministically
+  // (doc_id % 8) and each shard packs independently — embarrassingly
+  // parallel, exactly how a multi-worker tokenizer packs in practice
+  // (bins are per-worker, never global).
+  // ---------------------------------------------------------------
+  private val packBudget = 2048L
+  private val packShards = 8
+
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val t = tokenized(s, d)
+      .select(col("doc_id"), (col("doc_id") % packShards).as("shard"),
+        expr("CAST(size(w) AS BIGINT)").as("n_tokens"))
+    val win = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(win))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(packBudget))
+          .as("seq_bin"))
+  }
+
+  /** Source-mix rollup — the table a data-mixing recipe is built
+    * from (docs/tokens per source, before reweighting). Single
+    * map-side partial agg. */
+  def sourceStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), ws)).cast("bigint")
+          .as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+
+  /** Global top-20 bigrams with counts — corpus-level n-gram
+    * frequency analysis. Partial-agg count per bigram, then
+    * TakeOrderedAndProject (per-partition heap + driver merge of 20
+    * rows) — no global sort at any scale. */
+  def topBigrams(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d).select(explode(expr(
+      """CASE WHEN size(w) >= 2
+        |  THEN transform(sequence(1, size(w) - 1),
+        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+        |  ELSE array() END""".stripMargin)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(20)
+
+  // ---------------------------------------------------------------
   // Multimodal columns: media as opaque binary + typed metadata. The
   // decode is a clearly-marked deterministic stub (no image/audio
   // libs in this container — see graft.multimodal); the Spark-side
@@ -893,6 +1008,67 @@ object LlmQueries {
          |SELECT doc_id,
          |  CAST(SUM((v * i) % 2147483647) AS BIGINT) AS fp
          |FROM wh GROUP BY doc_id""".stripMargin,
+
+    "llm_decontaminate" ->
+      s"""WITH $wCte,
+         |pos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+         |  FROM w),
+         |g AS (SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |    ws[i+3] || ' ' || ws[i+4] AS g
+         |  FROM pos),
+         |heldout AS (SELECT DISTINCT g AS hg FROM g WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_shared_5grams
+         |FROM g JOIN heldout ON g.g = heldout.hg
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id""".stripMargin,
+
+    "llm_repetition" ->
+      s"""WITH $wCte,
+         |wstats AS (SELECT doc_id,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+         |    CAST(len(ws) AS BIGINT) AS n_words FROM w),
+         |bgpos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+         |  FROM w),
+         |bgc AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, count(*) AS c
+         |  FROM bgpos GROUP BY 1, 2),
+         |bgs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+         |  FROM bgc GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CAST(floor(1000.0 * b.top_c / b.n_bg) AS BIGINT)
+         |    AS top_bigram_x1000,
+         |  CAST(floor(1000.0 * s.n_distinct / s.n_words) AS BIGINT)
+         |    AS distinct_ratio_x1000
+         |FROM bgs b JOIN wstats s ON b.doc_id = s.doc_id""".stripMargin,
+
+    "llm_pack_sequences" ->
+      s"""WITH $wCte,
+         |t AS (SELECT doc_id, doc_id % $packShards AS shard,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor((cum - n_tokens) / $packBudget) AS BIGINT) AS seq_bin
+         |FROM c""".stripMargin,
+
+    "llm_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |    AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "llm_top_bigrams" ->
+      s"""WITH $wCte,
+         |bgpos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+         |  FROM w),
+         |bgc AS (SELECT ws[i] || ' ' || ws[i+1] AS bg, count(*) AS n
+         |  FROM bgpos GROUP BY 1)
+         |SELECT bg, n FROM bgc ORDER BY n DESC, bg LIMIT 20""".stripMargin,
 
     "mm_binary_stats" ->
       """SELECT doc_id,

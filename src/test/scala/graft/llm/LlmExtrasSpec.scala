@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantic invariants for the round-4 pipeline operators (their
+  * exact values are pinned by the DuckDB oracle; these check the
+  * properties that make the operators *meaningful*). */
+class LlmExtrasSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def spark = TestSpark.spark
+
+  test("decontaminate never flags heldout docs and counts are positive") {
+    val out = LlmQueries.decontaminate(spark, dir)
+    assert(out.filter(col("doc_id") % 97 === 0).isEmpty)
+    assert(out.filter(col("n_shared_5grams") <= 0).isEmpty)
+  }
+
+  test("repetition ratios are valid per-mille values") {
+    val out = LlmQueries.repetition(spark, dir)
+    assert(out.count() > 0)
+    assert(out.filter(col("top_bigram_x1000") < 0 ||
+      col("top_bigram_x1000") > 1000).isEmpty)
+    assert(out.filter(col("distinct_ratio_x1000") <= 0 ||
+      col("distinct_ratio_x1000") > 1000).isEmpty)
+  }
+
+  test("packSequences: bins start at 0, are contiguous per shard, and " +
+    "only the last doc of a bin may cross the budget") {
+    val out = LlmQueries.packSequences(spark, dir).cache()
+    try {
+      // every doc assigned, bins per shard are 0..max contiguous
+      val perShard = out.groupBy("shard")
+        .agg(min("seq_bin").as("lo"), countDistinct("seq_bin").as("nbins"),
+          max("seq_bin").as("hi"))
+      assert(perShard.filter(col("lo") =!= 0 ||
+        col("hi") =!= col("nbins") - 1).isEmpty)
+      // a bin's tokens minus its LAST doc fit the budget (greedy rule:
+      // a doc opens a new bin only when the previous is full)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard", "seq_bin").orderBy(col("doc_id").desc)
+      val bins = out
+        .withColumn("rn", row_number().over(w))
+        .groupBy("shard", "seq_bin")
+        .agg(sum(when(col("rn") > 1, col("n_tokens")).otherwise(0L))
+          .as("without_last"))
+      assert(bins.filter(col("without_last") >= 2048).isEmpty)
+    } finally { out.unpersist(); () }
+  }
+
+  test("sourceStats partitions the corpus exactly") {
+    val out = LlmQueries.sourceStats(spark, dir)
+    val total = out.agg(sum("n_docs")).head.getLong(0)
+    assert(total == spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
+  test("topBigrams is 20 rows in non-increasing count order") {
+    val rows = LlmQueries.topBigrams(spark, dir).collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+}
