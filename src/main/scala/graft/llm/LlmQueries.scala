@@ -196,31 +196,7 @@ object LlmQueries {
   // rounds and checks convergence. localCheckpoint truncates the
   // per-round lineage so plans stay O(1) instead of O(rounds).
   // ---------------------------------------------------------------
-  /** Per-(session, key) materialization cache for per-corpus-snapshot
-    * artifacts (the LSH pair table, converged CC labels). Sessions are
-    * WEAK keys: a stopped/dereferenced session's entries (and the
-    * DataFrames pinning its checkpointed blocks) become collectable
-    * instead of living for the JVM lifetime. The cache is keyed by
-    * input dir = one corpus *snapshot*; rewriting a dir in-place
-    * within one session is out of contract (same rule as any
-    * materialized pipeline artifact). */
-  private object SnapshotMemo {
-    private val bySession = new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-    def getOrCompute(s: SparkSession, key: String)
-        (compute: => DataFrame): DataFrame = {
-      val m = bySession.synchronized {
-        var inner = bySession.get(s)
-        if (inner == null) {
-          inner =
-            new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-          bySession.put(s, inner)
-        }
-        inner
-      }
-      m.computeIfAbsent(key, _ => compute)
-    }
-  }
+  private val SnapshotMemo = graft.SnapshotMemo
 
   /** Final converged labels are memoized per (session, dir): the
     * clusters table is a materialized (checkpointed) artifact that
@@ -617,14 +593,20 @@ object LlmQueries {
         |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
         |      element_at(w, i + 2), element_at(w, i + 3),
         |      element_at(w, i + 4)))
-        |  ELSE array() END""".stripMargin)).as("g")).distinct()
+        |  ELSE array() END""".stripMargin)).as("g"))
 
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val g = fivegrams(s, d)
+    // the doc_id filter pushes below the explode to the scan: the
+    // heldout branch reads only heldout docs
     val heldout = g.filter(col("doc_id") % 97 === 0)
       .select(col("g").as("hg")).distinct()
+    // dedup AFTER the broadcast join: only grams that actually hit
+    // the heldout set reach a shuffle (match-sized), instead of a
+    // corpus-wide distinct of every training 5-gram before joining
     g.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(heldout), col("g") === col("hg"))
+      .select(col("doc_id"), col("g")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_5grams"))
   }
