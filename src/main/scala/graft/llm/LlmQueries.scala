@@ -38,6 +38,8 @@ object LlmQueries {
     "llm_ann_topk" -> annTopk,
     "llm_ivf_clusters" -> ivfClusters,
     "llm_ivf_topk" -> ivfTopk,
+    "llm_ann_recall" -> annRecall,
+    "llm_minhash_est" -> minhashEst,
     "llm_embed_neardup" -> embedNeardup,
     "llm_sample_bottomk" -> sampleBottomK,
     "llm_sample_stratified" -> sampleStratified,
@@ -435,6 +437,39 @@ object LlmQueries {
       .withColumn("ip",
         graft.functions.DotProductLong(col("qv"), col("qvec")))
     explodeTopK(scored, 5)
+  }
+
+  /** Recall@5 of the multi-probe sign-LSH path against the exact
+    * brute-force ranking — "measure, don't guess" for the
+    * approximation: ANN quality is a number in the test suite, not a
+    * claim. Reuses both query pipelines; the join is k-sized. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteforce(s, d).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val approx = annTopk(s, d)
+      .select(col("q_id").as("aq"), col("vec_id").as("av"))
+    exact.join(approx,
+        col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("av")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        floor(lit(1000.0) * col("n_hits") / 5).as("recall_x1000"))
+  }
+
+  /** MinHash Jaccard ESTIMATE (matching signature lanes / 8) for each
+    * LSH candidate pair — the sketch-side number to hold against the
+    * exact [[ngramJaccard]] verification; per-pair map-side compare
+    * over the already-aggregated signatures. */
+  def minhashEst(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val matches = (1 to 8).map(j =>
+      when(col(s"x.h$j") === col(s"y.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    dedupMinhash(s, d)
+      .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1000.0) * matches / 8).as("est_jaccard_x1000"))
   }
 
   /** Embedding-cosine near-dup: pairs above a similarity threshold,
@@ -916,6 +951,55 @@ object LlmQueries {
          |      ORDER BY ip DESC, vec_id) AS INT) AS rank
          |  FROM s)
          |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 5""".stripMargin,
+
+    "llm_ann_recall" -> {
+      val flips = (1 to 8).map(i =>
+        s"substring(bucket, 1, ${i - 1}) || " +
+          s"(CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END)" +
+          s" || substring(bucket, ${i + 1}, ${8 - i})")
+      s"""WITH $bucketCte,
+         |q0 AS (SELECT vec_id AS q_id, qv AS qvec, bucket
+         |  FROM bv WHERE vec_id IN $qIdList),
+         |q AS (SELECT q_id, qvec,
+         |    unnest([bucket, ${flips.mkString(", ")}]) AS probe_bucket
+         |  FROM q0),
+         |sa AS (SELECT q_id, vec_id,
+         |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
+         |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM bv, q WHERE bucket = probe_bucket AND vec_id <> q_id),
+         |ra AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS rank FROM sa)
+         |  WHERE rank <= 5),
+         |qe AS (SELECT vec_id AS q_id, qv AS qvec FROM v
+         |  WHERE vec_id IN $qIdList),
+         |se AS (SELECT q_id, vec_id,
+         |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
+         |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM v, qe WHERE vec_id <> q_id),
+         |re AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS rank FROM se)
+         |  WHERE rank <= 5)
+         |SELECT re.q_id, count(ra.vec_id) AS n_hits,
+         |  CAST(floor(1000.0 * count(ra.vec_id) / 5) AS BIGINT)
+         |    AS recall_x1000
+         |FROM re LEFT JOIN ra
+         |  ON re.q_id = ra.q_id AND re.vec_id = ra.vec_id
+         |GROUP BY re.q_id""".stripMargin
+    },
+
+    "llm_minhash_est" -> {
+      val matches = (1 to 8).map(j =>
+        s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $minhashCte
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(floor(1000.0 * ($matches) / 8) AS BIGINT)
+         |    AS est_jaccard_x1000
+         |FROM pairs p
+         |JOIN mh a ON p.doc_a = a.doc_id
+         |JOIN mh b ON p.doc_b = b.doc_id""".stripMargin
+    },
 
     "llm_embed_neardup" ->
       s"""WITH $bucketCte,

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.rdf.Turtle
+
+/** Streaming Turtle ingest: set-equality with the batch parser over
+  * the same documents, and incremental discovery of late file drops
+  * through the checkpoint. */
+class TurtleStreamSpec extends AnyFunSuite {
+
+  private def doc(i: Int): String =
+    s"""@prefix ex: <http://ex.org/> .
+       |<http://x/$i> ex:p "v$i"@nl .
+       |_:b0 ex:q <http://x/$i> .
+       |""".stripMargin
+
+  test("stream parse == batch parse over the same document directory, " +
+    "and a late file drop is picked up incrementally") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttl-stream").toFile
+    val ckpt = Files.createTempDirectory("ttl-ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("ttl-out").toFile.getAbsolutePath
+    (1 to 3).foreach { i =>
+      Files.writeString(new java.io.File(dir, s"p$i.ttl").toPath, doc(i))
+    }
+
+    def runOnce(): Unit = {
+      val q = TurtleStream.triples(spark, dir.getAbsolutePath)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    val streamed = spark.read.parquet(out)
+      .as[Turtle.FlatTriple].collect().toSet
+    val batch = Turtle.parse(
+      spark.createDataset((1 to 3).map(doc)), scopeBnodeLabels = true)
+      .as[Turtle.FlatTriple].collect().toSet
+    assert(streamed == batch)
+    // bnode scoping held per document (3 distinct _:b0 nodes)
+    assert(streamed.count(_._2.startsWith("_:")) == 3)
+
+    // late drop: only the new file is processed on the next run
+    Files.writeString(new java.io.File(dir, "p4.ttl").toPath, doc(4))
+    runOnce()
+    val after = spark.read.parquet(out)
+      .as[Turtle.FlatTriple].collect().toSet
+    assert((after -- streamed) ==
+      Turtle.parseDocument(doc(4), scopeBnodeLabels = true).toSet)
+  }
+}
