@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, IsValidIri, TopKByLong}
+import graft.functions.{DotProductLong, IsValidIri, NearestCentroid, TopKByLong}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_product_l"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductLong(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName,
+        "nearest_centroid"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NearestCentroid(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("top_k_l"),
       new ExpressionInfo(classOf[TopKByLong].getName, "top_k_l"),

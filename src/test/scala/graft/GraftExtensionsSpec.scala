@@ -22,6 +22,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4L + 10L - 18L)
   }
 
+  test("nearest_centroid works from SQL: max ip, ties to smallest cid") {
+    val r = TestSpark.spark.sql(
+      """SELECT nearest_centroid(array(1L, 1L),
+        |  array(struct(0 AS cid, array(1L, 0L) AS cv),
+        |        struct(1 AS cid, array(0L, 1L) AS cv),
+        |        struct(2 AS cid, array(1L, 1L) AS cv))) AS cid""".stripMargin
+    ).collect().head
+    assert(r.getInt(0) == 2)
+    val tie = TestSpark.spark.sql(
+      """SELECT nearest_centroid(array(1L, 0L),
+        |  array(struct(0 AS cid, array(1L, 0L) AS cv),
+        |        struct(1 AS cid, array(1L, 0L) AS cv))) AS cid""".stripMargin
+    ).collect().head
+    assert(tie.getInt(0) == 0)
+  }
+
+  test("dot_product_l raises on mismatched vector lengths") {
+    val e = intercept[Exception] {
+      TestSpark.spark.sql(
+        "SELECT dot_product_l(array(1L, 2L), array(1L)) AS ip").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("dot_product_l agrees with the interpreted lambda on real vectors") {
     val spark = TestSpark.spark
     val df = spark.sql(
