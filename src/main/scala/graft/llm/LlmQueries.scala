@@ -39,7 +39,9 @@ object LlmQueries {
     "llm_ivf_clusters" -> ivfClusters,
     "llm_ivf_topk" -> ivfTopk,
     "llm_ann_recall" -> annRecall,
+    "llm_ivf_recall" -> ivfRecall,
     "llm_minhash_est" -> minhashEst,
+    "llm_pq_codes" -> pqCodes,
     "llm_embed_neardup" -> embedNeardup,
     "llm_sample_bottomk" -> sampleBottomK,
     "llm_sample_stratified" -> sampleStratified,
@@ -53,6 +55,7 @@ object LlmQueries {
     "llm_source_stats" -> sourceStats,
     "llm_top_bigrams" -> topBigrams,
     "mm_binary_stats" -> binaryStats,
+    "mm_frame_sample" -> frameSample,
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -456,6 +459,22 @@ object LlmQueries {
         floor(lit(1000.0) * col("n_hits") / 5).as("recall_x1000"))
   }
 
+  /** Recall@5 of the IVF path (nprobe=2 of 16 lists) against the
+    * exact ranking — same harness as [[annRecall]] for the second
+    * approximation path. */
+  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteforce(s, d).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfTopk(s, d)
+      .select(col("q_id").as("aq"), col("vec_id").as("av"))
+    exact.join(approx,
+        col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("av")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        floor(lit(1000.0) * col("n_hits") / 5).as("recall_x1000"))
+  }
+
   /** MinHash Jaccard ESTIMATE (matching signature lanes / 8) for each
     * LSH candidate pair — the sketch-side number to hold against the
     * exact [[ngramJaccard]] verification; per-pair map-side compare
@@ -470,6 +489,32 @@ object LlmQueries {
       .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         floor(lit(1000.0) * matches / 8).as("est_jaccard_x1000"))
+  }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bandwidth workhorse of
+  // large-scale ANN: each vector is stored as m sub-centroid ids
+  // (here 4 × 16 centroids = 4 bytes/vector instead of 512). Code
+  // assignment is the SAME map-side argmax shape as IVF: the m
+  // per-subspace centroid tables ride along as one broadcast row and
+  // each code is a row-local NearestCentroid call over the vector
+  // slice — zero corpus exchange, max-inner-product metric
+  // (consistent with the engine's other similarity ops).
+  // ---------------------------------------------------------------
+  private val pqSub = 4
+  private val pqDim = 16 // 64-dim embeddings / 4 subspaces
+
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val centAgg = (1 to pqSub).map(j =>
+      sort_array(collect_list(struct(col("cid"),
+        expr(s"slice(cv, ${(j - 1) * pqDim + 1}, $pqDim)").as("cv"))))
+        .as(s"cents$j"))
+    val centArr = centroids(s, d).agg(centAgg.head, centAgg.tail: _*)
+    quantized(s, d).crossJoin(broadcast(centArr))
+      .select(col("vec_id") +: (1 to pqSub).map(j =>
+        graft.functions.NearestCentroid(
+          expr(s"slice(qv, ${(j - 1) * pqDim + 1}, $pqDim)"),
+          col(s"cents$j")).as(s"c$j")): _*)
   }
 
   /** Embedding-cosine near-dup: pairs above a similarity threshold,
@@ -745,6 +790,25 @@ object LlmQueries {
       .withColumn("height", (col("n_bytes") * 31) % 480 + 1)
       .withColumn("n_frames", col("n_bytes") % 24 + 1)
 
+  /** Video frame sampling plumbing: every 5th frame index per
+    * document, exploded map-side into one row per sampled frame, with
+    * a deterministic stub "decoded-frame fingerprint" standing in for
+    * the codec call (no media libs in this container — the real
+    * decode seam is `graft.multimodal.Multimodal`). The SHAPE is the
+    * production one: explode is per-row (no shuffle), sampled frames
+    * fan out to whatever parallelism downstream feature extraction
+    * needs. */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"))
+      .withColumn("n_frames", col("n_bytes") % 24 + 1)
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0L, n_frames - 1, 5L)")).as("frame_idx"))
+      .withColumn("frame_md5",
+        md5(concat(col("doc_id").cast("string"), lit("_"),
+          col("frame_idx").cast("string"))))
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL
   // ---------------------------------------------------------------
@@ -989,6 +1053,65 @@ object LlmQueries {
          |GROUP BY re.q_id""".stripMargin
     },
 
+    "llm_ivf_recall" ->
+      s"""WITH $ivfCte,
+         |q AS (SELECT vec_id AS q_id, qv AS qvec FROM v
+         |  WHERE vec_id IN $qIdList),
+         |cp AS (SELECT q_id, qvec, cid, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cip DESC, cid) AS rn
+         |  FROM (SELECT q.q_id, q.qvec, c.cid,
+         |      CAST(list_inner_product(CAST(q.qvec AS DOUBLE[]),
+         |        CAST(c.cv AS DOUBLE[])) AS BIGINT) AS cip
+         |    FROM q, cent c)),
+         |probes AS (SELECT q_id, qvec, cid FROM cp WHERE rn <= $nProbe),
+         |si AS (SELECT p.q_id, a.vec_id,
+         |    CAST(list_inner_product(CAST(p.qvec AS DOUBLE[]),
+         |      CAST(a.qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM probes p JOIN asg a
+         |    ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |ri AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS rank FROM si)
+         |  WHERE rank <= 5),
+         |se AS (SELECT q_id, vec_id,
+         |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
+         |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM v, q WHERE vec_id <> q_id),
+         |re AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS rank FROM se)
+         |  WHERE rank <= 5)
+         |SELECT re.q_id, count(ri.vec_id) AS n_hits,
+         |  CAST(floor(1000.0 * count(ri.vec_id) / 5) AS BIGINT)
+         |    AS recall_x1000
+         |FROM re LEFT JOIN ri
+         |  ON re.q_id = ri.q_id AND re.vec_id = ri.vec_id
+         |GROUP BY re.q_id""".stripMargin,
+
+    "llm_pq_codes" -> {
+      val subs = (1 to pqSub).map { j =>
+        val lo = (j - 1) * pqDim + 1
+        val hi = j * pqDim
+        s"""s$j AS (SELECT v.vec_id, c.cid,
+           |    CAST(list_inner_product(CAST(v.qv[$lo:$hi] AS DOUBLE[]),
+           |      CAST(c.cv[$lo:$hi] AS DOUBLE[])) AS BIGINT) AS ip
+           |  FROM v, cent c),
+           |r$j AS (SELECT vec_id, cid AS c$j FROM (
+           |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY ip DESC, cid) AS rn FROM s$j)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 to pqSub)
+        .map(j => s"JOIN r$j ON v.vec_id = r$j.vec_id").mkString("\n")
+      s"""WITH $quantCte,
+         |cent AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM v
+         |  WHERE vec_id < $nCentroids),
+         |$subs
+         |SELECT v.vec_id, ${(1 to pqSub).map(j => s"r$j.c$j").mkString(", ")}
+         |FROM v
+         |$joins""".stripMargin
+    },
+
     "llm_minhash_est" -> {
       val matches = (1 to 8).map(j =>
         s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
@@ -1145,5 +1268,17 @@ object LlmQueries {
         |    AS height,
         |  CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_frames,
+        |    unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+        |  FROM b)
+        |SELECT doc_id, n_frames, frame_idx,
+        |  md5(CAST(doc_id AS VARCHAR) || '_' || CAST(frame_idx AS VARCHAR))
+        |    AS frame_md5
+        |FROM f""".stripMargin,
   )
 }
