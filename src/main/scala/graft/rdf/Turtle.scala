@@ -224,7 +224,9 @@ object Turtle {
         val (v, k) = parseCollection(); (v, k, null, null)
       }
       else if (c == '"' || c == '\'') parseLiteral()
-      else if (c.isDigit || c == '-' || c == '+') parseNumber()
+      else if (c.isDigit || c == '-' || c == '+' ||
+        (c == '.' && i + 1 < n && doc.charAt(i + 1).isDigit))
+        parseNumber()
       else if (boolAhead() != null) parseBoolean()
       else (parsePrefixedName(), "iri", null, null)
     }
@@ -357,13 +359,26 @@ object Turtle {
       val start = i
       if (doc.charAt(i) == '-' || doc.charAt(i) == '+') i += 1
       var isDecimal = false
+      var isDouble = false
       while (i < n && (doc.charAt(i).isDigit ||
         (doc.charAt(i) == '.' && i + 1 < n && doc.charAt(i + 1).isDigit))) {
         if (doc.charAt(i) == '.') isDecimal = true
         i += 1
       }
-      val dt = if (isDecimal) "http://www.w3.org/2001/XMLSchema#decimal"
-      else Vocab.XsdInteger
+      // exponent ⇒ xsd:double ("1.2e3", "4E-5" — the grammar's DOUBLE)
+      if (i < n && (doc.charAt(i) == 'e' || doc.charAt(i) == 'E')) {
+        var j = i + 1
+        if (j < n && (doc.charAt(j) == '-' || doc.charAt(j) == '+')) j += 1
+        if (j < n && doc.charAt(j).isDigit) {
+          isDouble = true
+          i = j
+          while (i < n && doc.charAt(i).isDigit) i += 1
+        }
+      }
+      val dt =
+        if (isDouble) "http://www.w3.org/2001/XMLSchema#double"
+        else if (isDecimal) "http://www.w3.org/2001/XMLSchema#decimal"
+        else Vocab.XsdInteger
       (doc.substring(start, i), "literal", null, dt)
     }
 

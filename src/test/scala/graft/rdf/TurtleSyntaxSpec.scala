@@ -136,6 +136,24 @@ class TurtleSyntaxSpec extends AnyFunSuite {
       "http://ex.org/a#x", "iri", n, n)))
   }
 
+  test("numeric literals: exponent doubles and leading-dot decimals") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |<http://x/1> ex:a 1.2e3 ; ex:b 4E-5 ; ex:c .5 ; ex:d -7 ; ex:e 2.5 .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc).toSet
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    def dtOf(p: String) = ts.collectFirst {
+      case (_, _, _, pred, v, _, _, dt) if pred == s"http://ex.org/$p" =>
+        (v, dt)
+    }.get
+    assert(dtOf("a") == ("1.2e3", s"${xsd}double"))
+    assert(dtOf("b") == ("4E-5", s"${xsd}double"))
+    assert(dtOf("c") == (".5", s"${xsd}decimal"))
+    assert(dtOf("d") == ("-7", s"${xsd}integer"))
+    assert(dtOf("e") == ("2.5", s"${xsd}decimal"))
+  }
+
   test("bnode label scoping: same label on distinct docs stays distinct") {
     val d1 = "@prefix ex: <http://ex.org/> .\n_:b0 ex:p \"one\" .\n"
     val d2 = "@prefix ex: <http://ex.org/> .\n_:b0 ex:p \"two\" .\n"

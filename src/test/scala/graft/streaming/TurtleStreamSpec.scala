@@ -58,4 +58,36 @@ class TurtleStreamSpec extends AnyFunSuite {
     assert((after -- streamed) ==
       Turtle.parseDocument(doc(4), scopeBnodeLabels = true).toSet)
   }
+
+  test("dedup-append sink applies set semantics across batches " +
+    "with zero streaming state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttl-dd").toFile
+    val ckpt = Files.createTempDirectory("ttl-dd-ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("ttl-dd-out").toFile.getAbsolutePath
+
+    // batch 1: two files, one shared triple between them
+    val shared = "@prefix ex: <http://ex.org/> .\n<http://x/s> ex:p \"v\" .\n"
+    Files.writeString(new java.io.File(dir, "a.ttl").toPath, doc(1))
+    Files.writeString(new java.io.File(dir, "b.ttl").toPath, shared)
+    def runOnce(): Unit = {
+      val q = TurtleStream.startDedupAppend(
+        TurtleStream.triples(spark, dir.getAbsolutePath), out, ckpt)
+      q.awaitTermination()
+    }
+    runOnce()
+    // batch 2: a byte-identical re-drop of the shared page (re-fetch)
+    // plus one new document
+    Files.writeString(new java.io.File(dir, "c.ttl").toPath, shared)
+    Files.writeString(new java.io.File(dir, "d.ttl").toPath, doc(2))
+    runOnce()
+
+    val got = spark.read.parquet(out).as[Turtle.FlatTriple].collect().toSeq
+    assert(got.size == got.distinct.size, "duplicates reached the sink")
+    val want = (Turtle.parseDocument(doc(1), scopeBnodeLabels = true) ++
+      Turtle.parseDocument(shared, scopeBnodeLabels = true) ++
+      Turtle.parseDocument(doc(2), scopeBnodeLabels = true)).toSet
+    assert(got.toSet == want)
+  }
 }
