@@ -41,7 +41,32 @@ object RelationalQueries {
     "rel_q14_repeat_customers" -> repeatCustomers,
     "rel_q15_moving_window" -> movingWindow,
     "rel_q16_median_price" -> medianPrice,
+    "rel_q17_supplier_region" -> supplierRegion,
   )
+
+  /** TPC-H Q5-flavored supplier revenue by region: the fact table
+    * streams through THREE chained broadcast hash joins (supplier →
+    * nation → region are all dimension-scale), so the only fact
+    * exchange is the final 5-group aggregate — the canonical
+    * star-schema plan at any scale. */
+  def supplierRegion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sup = Tables(spark, dir, "supplier")
+    val nat = Tables(spark, dir, "nation")
+    val reg = Tables(spark, dir, "region")
+    li.join(broadcast(sup.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
 
   /** TPC-H Q1-flavored pricing summary: partial agg map-side, one
     * shuffle on (returnflag, linestatus) — 6 groups. */
@@ -446,5 +471,16 @@ object RelationalQueries {
          |  FROM orders)
          |SELECT o_orderpriority, cents AS median_cents
          |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
+
+    "rel_q17_supplier_region" ->
+      s"""SELECT r_name,
+         |  ${sqlMoneySum("l_extendedprice*(1-l_discount)")} AS revenue,
+         |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
   )
 }

@@ -13,6 +13,25 @@ class LlmExtrasSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private def spark = TestSpark.spark
 
+  test("dedupExact collapses true copies (normalized) and nothing else") {
+    // the synthetic corpus has no exact duplicates (500 docs → 500
+    // keys), so the collapse path needs its own fixture: write a tiny
+    // documents.parquet with two normalization-equal copies
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-fix").toFile
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "The   Quick\tFox", "en", "src0", 13L),
+      (1L, "the quick fox", "en", "src0", 13L),   // same after normalize
+      (2L, "the quick fox jumps", "en", "src0", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val out = LlmQueries.dedupExact(spark, tmp.getAbsolutePath)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // (keep_id, n_copies): docs 0+1 collapse keeping min id 0; doc 2 alone
+    assert(out == Set((0L, 2L), (2L, 1L)))
+  }
+
   test("decontaminate never flags heldout docs and counts are positive") {
     val out = LlmQueries.decontaminate(spark, dir)
     assert(out.filter(col("doc_id") % 97 === 0).isEmpty)
