@@ -25,6 +25,17 @@ object SnapshotMemo {
       }
       inner
     }
-    m.computeIfAbsent(key, _ => compute)
+    // NOT computeIfAbsent: memoized artifacts nest (CC labels → pair
+    // table → signature table), and a compute function that touches
+    // the same ConcurrentHashMap throws "Recursive update" whenever
+    // the keys land in the same bin. Plain get/putIfAbsent allows the
+    // nesting; a rare race just computes the artifact twice.
+    val cached = m.get(key)
+    if (cached != null) cached
+    else {
+      val computed = compute
+      val prev = m.putIfAbsent(key, computed)
+      if (prev != null) prev else computed
+    }
   }
 }

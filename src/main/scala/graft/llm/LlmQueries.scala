@@ -98,7 +98,16 @@ object LlmQueries {
         |                ' ', element_at(w, i + 2)))
         |  ELSE array() END""".stripMargin)).as("s"))
 
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+  /** Signatures are materialized once per corpus snapshot (they are
+    * a stored artifact in a real dedup pipeline — 8 lanes × 8 hex
+    * chars per document, orders narrower than the corpus): the
+    * banding/pairing chain and the [[minhashEst]] join legs all read
+    * the same table instead of re-running the shingle→sha256 chain. */
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"minhash-sig:$d")(
+      computeMinhashSig(s, d).localCheckpoint())
+
+  private def computeMinhashSig(s: SparkSession, d: String): DataFrame = {
     // One sha256 per shingle, sliced into 8 non-overlapping 32-bit hex
     // lanes = 8 independent uniform hashes (8× cheaper than 8 salted
     // digests; hex-string min is identical in both engines).

@@ -115,10 +115,18 @@ final class TurtleScan(paths: Seq[String], graphId: String,
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(hadoopConf.value)
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).toSeq.filter(_.isFile)
-          .map(s => TurtleFilePartition(s.getPath.toString))
-      else Seq(TurtleFilePartition(path.toString))
+      // glob patterns ("dir/*.ttl") expand like every built-in file
+      // source; a glob matching directories lists each one level deep
+      val matched =
+        if (p.exists("*?[{".contains(_)))
+          Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+        else Seq(fs.getFileStatus(path))
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .map(s => TurtleFilePartition(s.getPath.toString))
+        else Seq(TurtleFilePartition(st.getPath.toString))
+      }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new TurtleReaderFactory(graphId, scopeBnodes, hadoopConf)

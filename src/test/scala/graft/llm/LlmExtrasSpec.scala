@@ -32,6 +32,24 @@ class LlmExtrasSpec extends AnyFunSuite {
     assert(out == Set((0L, 2L), (2L, 1L)))
   }
 
+  test("nested memoized artifacts (keep → clusters → pairs → signatures) " +
+    "compute from a cold cache without recursive-update failures") {
+    // fresh dir ⇒ every memo key is cold; dedupKeep triggers the full
+    // nested chain in one call (regression: ConcurrentHashMap
+    // computeIfAbsent threw "Recursive update" on nested keys)
+    val tmp = java.nio.file.Files.createTempDirectory("memo-nest").toFile
+    val s = spark
+    import s.implicits._
+    (0L to 9L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token$i run", "en",
+        "src0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val kept = LlmQueries.dedupKeep(spark, tmp.getAbsolutePath).count()
+    assert(kept >= 1 && kept <= 10)
+  }
+
   test("decontaminate never flags heldout docs and counts are positive") {
     val out = LlmQueries.decontaminate(spark, dir)
     assert(out.filter(col("doc_id") % 97 === 0).isEmpty)

@@ -45,6 +45,17 @@ class TurtleDataSourceSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("g1"))
   }
 
+  test("glob patterns select matching files only") {
+    val dir = Files.createTempDirectory("ttlglob").toFile
+    Files.writeString(new java.io.File(dir, "a.ttl").toPath, doc(1))
+    Files.writeString(new java.io.File(dir, "b.ttl").toPath, doc(2))
+    Files.writeString(new java.io.File(dir, "ignore.txt").toPath,
+      "not turtle at all")
+    val df = TestSpark.spark.read.format("turtle")
+      .load(s"${dir.getAbsolutePath}/*.ttl")
+    assert(df.count() == 6) // two documents, the .txt never parsed
+  }
+
   test("scope_bnodes keeps same-labeled bnodes from different files apart") {
     val dir = Files.createTempDirectory("ttl3").toFile
     Files.writeString(new java.io.File(dir, "a.ttl").toPath,
