@@ -3,20 +3,29 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-(session, key) materialization cache for per-corpus-snapshot
-  * artifacts (LSH pair tables, converged CC labels, derived fixture
-  * tables). Sessions are WEAK keys: a stopped/dereferenced session's
-  * entries (and the DataFrames pinning its checkpointed blocks)
-  * become collectable instead of living for the JVM lifetime. Keys
-  * name one corpus *snapshot* (an input dir); rewriting a dir
-  * in-place within one session is out of contract — the same rule as
-  * any materialized pipeline artifact. */
+  * artifacts (LSH pair tables, MinHash signatures, converged CC
+  * labels, derived fixture tables).
+  *
+  * Lifecycle: entries for STOPPED sessions are evicted on the next
+  * access of any kind — a stopped session's checkpointed blocks died
+  * with its context, so the cached DataFrames are dead weight. (A
+  * WeakHashMap would not work here: the cached DataFrames strongly
+  * reference their session through QueryExecution, which is exactly
+  * the value→key strong path its javadoc warns makes entries
+  * uncollectable.) Keys name one corpus *snapshot* (an input dir);
+  * rewriting a dir in-place within one session is out of contract —
+  * the same rule as any materialized pipeline artifact. */
 object SnapshotMemo {
-  private val bySession = new java.util.WeakHashMap[SparkSession,
+  private val bySession = new java.util.HashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   def getOrCompute(s: SparkSession, key: String)
       (compute: => DataFrame): DataFrame = {
     val m = bySession.synchronized {
+      val it = bySession.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+      }
       var inner = bySession.get(s)
       if (inner == null) {
         inner =

@@ -81,6 +81,12 @@ object Pipeline {
     *    headers; `singleFile = true` coalesces to the reference's
     *    one-file export shape (driver-volume bound — leave false at
     *    scale).
+    *
+    * Turtle cannot encode the graph column (that's TriG): a turtle
+    * publish is per-graph — the reference's own model, one export =
+    * one named graph — and a re-read attaches the reader's `graph`
+    * option (default "default"). Multi-graph results should publish
+    * to parquet, or one turtle directory per graph.
     */
   def publish(result: Result, path: String, format: String = "parquet",
       singleFile: Boolean = false): Unit = {

@@ -168,17 +168,30 @@ object LlmQueries {
   // scored, so the expensive exact comparison runs on O(candidates),
   // not O(n²).
   // ---------------------------------------------------------------
+  /** Word-bigram expression shared by the Jaccard/repetition/
+    * frequency operators (one definition, one oracle mirror). */
+  private val bigramExpr =
+    """CASE WHEN size(w) >= 2
+      |  THEN transform(sequence(1, size(w) - 1),
+      |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+      |  ELSE array() END""".stripMargin
+
+  /** (doc_id, bg) with multiplicity — consumers aggregate or
+    * distinct as their semantics need. */
+  private def bigramRows(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d).select(col("doc_id"),
+      explode(expr(bigramExpr)).as("bg"))
+
+  /** The DISTINCT per-doc bigram set, materialized once per corpus
+    * snapshot: it feeds three join legs in [[ngramJaccard]], and a
+    * per-call localCheckpoint would pin a fresh copy of the blocks on
+    * every invocation for the session lifetime. */
+  private def distinctBigrams(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"bigrams-distinct:$d")(
+      bigramRows(s, d).distinct().localCheckpoint())
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // The bigram table feeds three join legs (x-side, y-side, sizes);
-    // localCheckpoint materializes the tokenize→explode→distinct
-    // lineage once instead of three times (it was the dominant cost
-    // of this query at bench scale).
-    val bg = tokenized(s, d).select(col("doc_id"), explode(expr(
-      """CASE WHEN size(w) >= 2
-        |  THEN transform(sequence(1, size(w) - 1),
-        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-        |  ELSE array() END""".stripMargin)).as("bg")).distinct()
-      .localCheckpoint()
+    val bg = distinctBigrams(s, d)
     val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Every LSH candidate pair shares a 3-gram shingle, hence ≥2 word
     // bigrams — so the intersection inner-join keeps all pairs (a
@@ -451,14 +464,15 @@ object LlmQueries {
     explodeTopK(scored, 5)
   }
 
-  /** Recall@5 of the multi-probe sign-LSH path against the exact
-    * brute-force ranking — "measure, don't guess" for the
-    * approximation: ANN quality is a number in the test suite, not a
-    * claim. Reuses both query pipelines; the join is k-sized. */
-  def annRecall(s: SparkSession, d: String): DataFrame = {
+  /** Recall@5 of an approximate top-k against the exact brute-force
+    * ranking — "measure, don't guess" for the approximations: ANN
+    * quality is a number in the test suite, not a claim. Reuses both
+    * query pipelines; the join is k-sized. */
+  private def recallAgainstExact(s: SparkSession, d: String,
+      approxTopK: DataFrame): DataFrame = {
     val exact = knnBruteforce(s, d).filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id"))
-    val approx = annTopk(s, d)
+    val approx = approxTopK
       .select(col("q_id").as("aq"), col("vec_id").as("av"))
     exact.join(approx,
         col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
@@ -468,21 +482,13 @@ object LlmQueries {
         floor(lit(1000.0) * col("n_hits") / 5).as("recall_x1000"))
   }
 
-  /** Recall@5 of the IVF path (nprobe=2 of 16 lists) against the
-    * exact ranking — same harness as [[annRecall]] for the second
-    * approximation path. */
-  def ivfRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = knnBruteforce(s, d).filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"))
-    val approx = ivfTopk(s, d)
-      .select(col("q_id").as("aq"), col("vec_id").as("av"))
-    exact.join(approx,
-        col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
-      .groupBy(col("q_id"))
-      .agg(count(col("av")).as("n_hits"))
-      .select(col("q_id"), col("n_hits"),
-        floor(lit(1000.0) * col("n_hits") / 5).as("recall_x1000"))
-  }
+  /** Recall@5 of the multi-probe sign-LSH path. */
+  def annRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(s, d, annTopk(s, d))
+
+  /** Recall@5 of the IVF path (nprobe=2 of 16 lists). */
+  def ivfRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(s, d, ivfTopk(s, d))
 
   /** MinHash Jaccard ESTIMATE (matching signature lanes / 8) for each
     * LSH candidate pair — the sketch-side number to hold against the
@@ -715,11 +721,7 @@ object LlmQueries {
     val wordStats = t.select(col("doc_id"),
       expr("CAST(size(array_distinct(w)) AS BIGINT)").as("n_distinct"),
       expr("CAST(size(w) AS BIGINT)").as("n_words"))
-    val bgStats = t.select(col("doc_id"), explode(expr(
-      """CASE WHEN size(w) >= 2
-        |  THEN transform(sequence(1, size(w) - 1),
-        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-        |  ELSE array() END""".stripMargin)).as("bg"))
+    val bgStats = bigramRows(s, d)
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
@@ -772,11 +774,7 @@ object LlmQueries {
     * TakeOrderedAndProject (per-partition heap + driver merge of 20
     * rows) — no global sort at any scale. */
   def topBigrams(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d).select(explode(expr(
-      """CASE WHEN size(w) >= 2
-        |  THEN transform(sequence(1, size(w) - 1),
-        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-        |  ELSE array() END""".stripMargin)).as("bg"))
+    bigramRows(s, d)
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bg"))
       .limit(20)

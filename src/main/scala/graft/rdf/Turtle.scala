@@ -83,13 +83,16 @@ object Turtle {
     private val prefixes = mutable.Map[String, String]()
     private val out = mutable.ArrayBuffer[FlatTriple]()
 
-    /** Deterministic per-document tag (md5 prefix of the text):
+    /** Deterministic per-document tag (full 128-bit md5 of the text):
       * identical documents re-parse to identical labels (set-semantics
-      * dedup still collapses them), distinct documents never collide. */
+      * dedup still collapses them), distinct documents never collide —
+      * a truncated tag would re-conflate labels at corpus scale
+      * (birthday bound: 32 bits collide with ~1% probability at just
+      * 10k documents; 128 bits are negligible at any realistic N). */
     private lazy val docTag: String = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(4).map(b => f"$b%02x").mkString
+        .map(b => f"$b%02x").mkString
     }
     private var genCounter = 0
     private def freshBnode(): String = {

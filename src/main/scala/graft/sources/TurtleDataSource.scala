@@ -118,16 +118,33 @@ final class TurtleScan(paths: Seq[String], graphId: String,
       // glob patterns ("dir/*.ttl") expand like every built-in file
       // source; a glob matching directories lists each one level deep
       val matched =
-        if (p.exists("*?[{".contains(_)))
-          Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-        else Seq(fs.getFileStatus(path))
+        if (p.exists("*?[{".contains(_))) {
+          val hits =
+            Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+          // built-in-source parity: a dead glob is an error, not an
+          // empty (and silently wrong) corpus
+          if (hits.isEmpty)
+            throw new IllegalArgumentException(s"Path does not exist: $p")
+          hits
+        } else Seq(fs.getFileStatus(path))
       matched.flatMap { st =>
         if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && isVisible(s.getPath))
             .map(s => TurtleFilePartition(s.getPath.toString))
-        else Seq(TurtleFilePartition(st.getPath.toString))
+        else if (isVisible(st.getPath))
+          Seq(TurtleFilePartition(st.getPath.toString))
+        else Seq.empty
       }
     }.toArray
+
+  /** Hidden/metadata/temp files (`_staging-*`, `_SUCCESS`, dot-files
+    * — incl. this source's own crash leftovers) are never data, same
+    * convention as every Hadoop input format. */
+  private def isVisible(p: Path): Boolean = {
+    val n = p.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new TurtleReaderFactory(graphId, scopeBnodes, hadoopConf)
 }
@@ -180,39 +197,67 @@ final class TurtleWriteBuilder(path: String,
 }
 
 /** One self-contained Turtle document (own `@prefix` header) per
-  * partition, task-temp file + rename-on-task-commit so failed or
-  * speculative tasks never leave partial documents; truncate (=
-  * `mode("overwrite")`) clears the directory up front, which is the
-  * reference's overwrite-into-named-graph publish semantic. */
+  * partition. Tasks write into a hidden `_staging-<uuid>/` directory
+  * (task-temp file + rename-on-task-commit, so failed or speculative
+  * tasks never leave partial documents); the JOB commit then clears
+  * the previous corpus (truncate = `mode("overwrite")`, the
+  * reference's overwrite-into-named-graph publish semantic) and moves
+  * the staged files into place, so a failed job leaves the previous
+  * publish intact — the failure window shrinks to the commit move
+  * itself (true atomicity needs a transactional table format; the
+  * reader also skips `_`/`.` files, so even a crash mid-commit never
+  * reads staging leftovers as data). */
 final class TurtleBatchWrite(path: String, prefixes: Seq[(String, String)],
     schema: StructType, truncate: Boolean) extends BatchWrite {
   private val hadoopConf = new SerializableHadoopConf(
     org.apache.spark.sql.classic.SparkSession.active
       .sessionState.newHadoopConf())
+  private val stagingName = "_staging-" + java.util.UUID.randomUUID()
+
+  private def fs = new Path(path).getFileSystem(hadoopConf.value)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(hadoopConf.value)
-    if (truncate && fs.exists(dir)) fs.delete(dir, true)
-    fs.mkdirs(dir)
+    val staging = new Path(path, stagingName)
+    fs.mkdirs(staging)
     val idx = Model.columns.drop(1).map(schema.fieldIndex) // skip graph
-    new TurtleWriterFactory(path, prefixes, idx, hadoopConf)
+    new TurtleWriterFactory(staging.toString, prefixes, idx, hadoopConf)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val staging = new Path(path, stagingName)
+    if (truncate)
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName != stagingName) fs.delete(st.getPath, true)
+      }
+    fs.listStatus(staging).foreach { st =>
+      val dest = new Path(dir, st.getPath.getName)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(
+          s"turtle write: rename ${st.getPath} -> $dest failed")
+    }
+    fs.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(path, stagingName)
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
 }
 
 final case class TurtleCommit(file: String) extends WriterCommitMessage
 
-final class TurtleWriterFactory(path: String,
+final class TurtleWriterFactory(stagingDir: String,
     prefixes: Seq[(String, String)], idx: Seq[Int],
     hadoopConf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val tmp = new Path(path, s"_tmp-$partitionId-$taskId.ttl")
-      private val fin = new Path(path, f"part-$partitionId%05d.ttl")
+      private val tmp =
+        new Path(stagingDir, s".tmp-$partitionId-$taskId.ttl")
+      private val fin = new Path(stagingDir, f"part-$partitionId%05d.ttl")
       private val fs = tmp.getFileSystem(hadoopConf.value)
       private val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fs.create(tmp, true),
@@ -235,9 +280,13 @@ final class TurtleWriterFactory(path: String,
         if (!wroteHeader) { fs.delete(tmp, false); TurtleCommit("") }
         else {
           // rename is idempotent under task retry: same partitionId →
-          // same final name, last successful attempt wins
+          // same final name, last successful attempt wins. A false
+          // return (object stores don't throw) must fail the task —
+          // silently losing a partition is the worst outcome.
           if (fs.exists(fin)) fs.delete(fin, false)
-          fs.rename(tmp, fin)
+          if (!fs.rename(tmp, fin))
+            throw new java.io.IOException(
+              s"turtle write: rename $tmp -> $fin failed")
           TurtleCommit(fin.toString)
         }
       }

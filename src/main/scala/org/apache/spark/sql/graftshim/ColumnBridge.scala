@@ -29,12 +29,27 @@ object ColumnBridge {
   /** Releasing a local checkpoint makes the RDD class log a WARN
     * ("cannot be recomputed after unpersisting") on every call. Here
     * the release is deliberate — the block is superseded and nothing
-    * will recompute it — so the warning is pure noise in bench/verify
-    * logs; silence that one logger once. */
+    * will recompute it — so that one MESSAGE is filtered; the logger
+    * stays at WARN so every other MapPartitionsRDD warning (lost
+    * blocks, recovery paths) still reaches the logs. Best-effort: if
+    * the logging backend is not log4j2-core, the WARN is accepted. */
   private lazy val silenceUnpersistWarn: Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    try {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.Filter.Result
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val lc = new LoggerConfig(name, Level.WARN, true)
+      lc.addFilter(RegexFilter.createFilter(
+        ".*locally checkpointed.*cannot be recomputed.*", null, false,
+        Result.DENY, Result.NEUTRAL))
+      conf.addLogger(name, lc)
+      ctx.updateLoggers()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed match {

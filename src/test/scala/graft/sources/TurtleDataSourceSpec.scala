@@ -45,6 +45,53 @@ class TurtleDataSourceSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("g1"))
   }
 
+  test("hidden, temp, and staging files are never read as data") {
+    val dir = Files.createTempDirectory("ttlhidden").toFile
+    Files.writeString(new java.io.File(dir, "a.ttl").toPath, doc(1))
+    Files.writeString(new java.io.File(dir, "_SUCCESS").toPath, "")
+    Files.writeString(new java.io.File(dir, ".tmp-0-1.ttl").toPath,
+      "@prefix ex: <http://ex.org/> .\n<http://crash/1> ex:p \"partial")
+    val staging = new java.io.File(dir, "_staging-dead")
+    staging.mkdir()
+    Files.writeString(new java.io.File(staging, "part-00000.ttl").toPath,
+      doc(9))
+    val df = TestSpark.spark.read.format("turtle")
+      .load(dir.getAbsolutePath)
+    assert(df.count() == 3) // only a.ttl; no parse error from leftovers
+    assert(df.filter("subject LIKE 'http://crash%'").isEmpty)
+  }
+
+  test("a glob matching nothing is an error, not an empty corpus") {
+    val dir = Files.createTempDirectory("ttlnone").toFile
+    Files.writeString(new java.io.File(dir, "a.ttl").toPath, doc(1))
+    val e = intercept[Exception] {
+      TestSpark.spark.read.format("turtle")
+        .load(s"${dir.getAbsolutePath}/*.tttl").count()
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("overwrite is job-atomic: committed corpus replaced wholesale") {
+    val spark = TestSpark.spark
+    val src = Files.createTempDirectory("ttlsrc2").toFile
+    (1 to 2).foreach { i =>
+      Files.writeString(new java.io.File(src, s"p$i.ttl").toPath, doc(i))
+    }
+    val df = spark.read.format("turtle").load(src.getAbsolutePath)
+    val out = Files.createTempDirectory("ttlow").toFile.getAbsolutePath
+    df.write.format("turtle").mode("overwrite").save(out)
+    val first = spark.read.format("turtle").load(out).collect().toSet
+    df.limit(1).coalesce(1).write.format("turtle")
+      .mode("overwrite").save(out)
+    val second = spark.read.format("turtle").load(out).collect().toSet
+    assert(first.size == 6 && second.size == 1)
+    // no staging/temp leftovers after the commits (dot-files are
+    // Hadoop checksum metadata, hidden from the reader)
+    assert(new java.io.File(out).listFiles
+      .forall(f => f.getName.matches("part-\\d+\\.ttl") ||
+        f.getName.startsWith(".")))
+  }
+
   test("glob patterns select matching files only") {
     val dir = Files.createTempDirectory("ttlglob").toFile
     Files.writeString(new java.io.File(dir, "a.ttl").toPath, doc(1))
