@@ -50,12 +50,14 @@ object LlmQueries {
     "llm_lang_stats" -> langStats,
     "llm_fingerprint" -> fingerprint,
     "llm_decontaminate" -> decontaminate,
+    "llm_decontam_keep" -> decontamKeep,
     "llm_repetition" -> repetition,
     "llm_pack_sequences" -> packSequences,
     "llm_source_stats" -> sourceStats,
     "llm_top_bigrams" -> topBigrams,
     "mm_binary_stats" -> binaryStats,
     "mm_frame_sample" -> frameSample,
+    "mm_resize_plan" -> resizePlan,
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -706,6 +708,19 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_shared_5grams"))
   }
 
+  /** The decontaminated training corpus — decontamination's OUTPUT
+    * table (flag → drop), the artifact that actually ships: training
+    * docs minus everything sharing a 5-gram with the heldout set.
+    * Flagged ids are match-scale → broadcast anti-join, the corpus
+    * streams. */
+  def decontamKeep(s: SparkSession, d: String): DataFrame = {
+    val flagged = decontaminate(s, d).select(col("doc_id").as("bad_id"))
+    docs(s, d).filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(flagged), col("doc_id") === col("bad_id"),
+        "left_anti")
+  }
+
   // ---------------------------------------------------------------
   // Repetition signals (Gopher-style quality rules): fraction of
   // bigram mass in the single most frequent bigram, and the
@@ -815,6 +830,25 @@ object LlmQueries {
       .withColumn("frame_md5",
         md5(concat(col("doc_id").cast("string"), lit("_"),
           col("frame_idx").cast("string"))))
+
+  /** Resize planning over the synthetic binary metadata
+    * ([[binaryStats]] dims) to a 320×240 bound — the oracle-checked
+    * form of [[graft.multimodal.Multimodal.planResize]]'s integer
+    * column math (map-side, no decode, no shuffle). */
+  def resizePlan(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.planResize(
+      binaryStats(s, d).select(col("doc_id"),
+        col("width").cast("int").as("width"),
+        col("height").cast("int").as("height")),
+      maxW = 320, maxH = 240)
+      // bigint dims on both sides: the engines' int-width defaults
+      // differ and the driver compares schemas
+      .select(col("doc_id"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        col("out_w").cast("bigint").as("out_w"),
+        col("out_h").cast("bigint").as("out_h"),
+        col("resize_needed"))
 
   // ---------------------------------------------------------------
   // DuckDB oracle SQL
@@ -1220,6 +1254,23 @@ object LlmQueries {
          |WHERE doc_id % 97 <> 0
          |GROUP BY doc_id""".stripMargin,
 
+    "llm_decontam_keep" ->
+      s"""WITH $wCte,
+         |pos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+         |  FROM w),
+         |g AS (SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |    ws[i+3] || ' ' || ws[i+4] AS g
+         |  FROM pos),
+         |heldout AS (SELECT DISTINCT g AS hg FROM g WHERE doc_id % 97 = 0),
+         |flagged AS (SELECT DISTINCT doc_id FROM g
+         |  JOIN heldout ON g.g = heldout.hg
+         |  WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id % 97 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
     "llm_repetition" ->
       s"""WITH $wCte,
          |wstats AS (SELECT doc_id,
@@ -1287,5 +1338,33 @@ object LlmQueries {
         |  md5(CAST(doc_id AS VARCHAR) || '_' || CAST(frame_idx AS VARCHAR))
         |    AS frame_md5
         |FROM f""".stripMargin,
+
+    "mm_resize_plan" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |    CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INT)
+        |      AS height
+        |  FROM documents),
+        |p AS (SELECT doc_id, width, height,
+        |    CASE WHEN width <= 320 AND height <= 240 THEN width
+        |         WHEN CAST(width AS BIGINT) * 240
+        |              <= CAST(height AS BIGINT) * 320
+        |           THEN greatest(1, CAST(floor(
+        |             CAST(width AS BIGINT) * 240 / CAST(height AS DOUBLE))
+        |             AS INT))
+        |         ELSE 320 END AS out_w,
+        |    CASE WHEN width <= 320 AND height <= 240 THEN height
+        |         WHEN CAST(width AS BIGINT) * 240
+        |              <= CAST(height AS BIGINT) * 320
+        |           THEN 240
+        |         ELSE greatest(1, CAST(floor(
+        |             CAST(height AS BIGINT) * 320 / CAST(width AS DOUBLE))
+        |             AS INT)) END AS out_h
+        |  FROM m WHERE width > 0 AND height > 0)
+        |SELECT doc_id, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+        |  (out_w <> width OR out_h <> height) AS resize_needed
+        |FROM p""".stripMargin,
   )
 }
