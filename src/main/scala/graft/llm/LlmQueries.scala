@@ -692,7 +692,15 @@ object LlmQueries {
         |      element_at(w, i + 4)))
         |  ELSE array() END""".stripMargin)).as("g"))
 
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
+  /** The flagged-doc table is match-sized (docs sharing ≥1 heldout
+    * 5-gram) — materialized once per corpus snapshot so the flag
+    * report and the [[decontamKeep]] output don't each re-run the
+    * full 5-gram chain. */
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"decontam-flags:$d")(
+      computeDecontaminate(s, d).localCheckpoint())
+
+  private def computeDecontaminate(s: SparkSession, d: String): DataFrame = {
     val g = fivegrams(s, d)
     // the doc_id filter pushes below the explode to the scan: the
     // heldout branch reads only heldout docs

@@ -142,10 +142,10 @@ object Turtle {
         skipWs()
         val iri = parseIriRef()
         prefixes(name) = iri
-      } else { // @base / BASE — read and ignore (we emit absolute IRIs)
+      } else { // @base / BASE — later relative IRIs resolve against it
         i += (if (atStyle) 5 else 4)
         skipWs()
-        parseIriRef()
+        base = parseIriRef()
       }
       skipWs()
       if (atStyle) {
@@ -272,13 +272,31 @@ object Turtle {
       }
     }
 
+    private var base: String = null
+
     private def parseIriRef(): String = {
       if (doc.charAt(i) != '<') fail("expected '<'")
       val end = doc.indexOf('>', i + 1)
       if (end < 0) fail("unterminated IRI")
       val iri = doc.substring(i + 1, end)
       i = end + 1
-      iri
+      resolveAgainstBase(iri)
+    }
+
+    /** Relative IRIs resolve against the in-scope @base (rdflib
+      * parity); absolute IRIs (scheme present) and documents without
+      * a base pass through untouched. Malformed references stay raw —
+      * the IRI-validity filters downstream are the cleaning pass. */
+    private def resolveAgainstBase(iri: String): String = {
+      val hasScheme = {
+        val c = iri.indexOf(':')
+        c > 0 && iri.substring(0, c).forall(ch =>
+          ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.') &&
+          iri.charAt(0).isLetter
+      }
+      if (base == null || hasScheme || iri.isEmpty) iri
+      else try new java.net.URI(base).resolve(iri).toString
+      catch { case _: Exception => iri }
     }
 
     private def parseBnode(): String = {

@@ -136,6 +136,24 @@ class TurtleSyntaxSpec extends AnyFunSuite {
       "http://ex.org/a#x", "iri", n, n)))
   }
 
+  test("@base resolves relative IRIs; absolute IRIs pass through") {
+    val doc =
+      """@base <http://ex.org/items/> .
+        |@prefix ex: <http://ex.org/def#> .
+        |<1> ex:rel <../other/2> .
+        |<1> ex:abs <http://elsewhere.org/x> .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc).toSet
+    assert(ts.contains(("default", "http://ex.org/items/1", "iri",
+      "http://ex.org/def#rel", "http://ex.org/other/2", "iri", n, n)))
+    assert(ts.contains(("default", "http://ex.org/items/1", "iri",
+      "http://ex.org/def#abs", "http://elsewhere.org/x", "iri", n, n)))
+    // without a base, relative IRIs pass through raw
+    val noBase = Turtle.parseDocument(
+      "@prefix ex: <http://ex.org/> .\n<rel/1> ex:p \"v\" .\n")
+    assert(noBase.head._2 == "rel/1")
+  }
+
   test("numeric literals: exponent doubles and leading-dot decimals") {
     val doc =
       """@prefix ex: <http://ex.org/> .
