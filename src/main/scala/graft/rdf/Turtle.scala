@@ -307,6 +307,11 @@ object Turtle {
       scopedLabel(doc.substring(start, i))
     }
 
+    /** Characters a backslash may escape inside a PN_LOCAL (the
+      * grammar's PN_LOCAL_ESC set) — rdflib emits these for local
+      * names containing reserved chars. */
+    private val pnLocalEsc = "_~.-!$&'()*+,;=/?#@%"
+
     private def parsePrefixedName(): String = {
       val start = i
       while (i < n && !doc.charAt(i).isWhitespace &&
@@ -315,15 +320,22 @@ object Turtle {
         fail(s"expected prefixed name, got '${doc.substring(start, i)}'")
       val prefix = doc.substring(start, i)
       i += 1
-      val localStart = i
-      while (i < n && !doc.charAt(i).isWhitespace &&
-        !";,".contains(doc.charAt(i)) &&
-        // a '.' ends the local name only when followed by whitespace/EOF
-        !(doc.charAt(i) == '.' && (i + 1 >= n ||
-          doc.charAt(i + 1).isWhitespace))) i += 1
-      val local = doc.substring(localStart, i)
+      val local = new StringBuilder
+      var go = true
+      while (go && i < n) {
+        val c = doc.charAt(i)
+        if (c == '\\' && i + 1 < n && pnLocalEsc.contains(doc.charAt(i + 1))) {
+          local += doc.charAt(i + 1) // PN_LOCAL_ESC: "\." means "."
+          i += 2
+        } else if (c.isWhitespace || c == ';' || c == ',' ||
+          c == ')' || c == ']' ||
+          // a '.' ends the local name only when followed by whitespace/EOF
+          (c == '.' && (i + 1 >= n || doc.charAt(i + 1).isWhitespace))) {
+          go = false
+        } else { local += c; i += 1 }
+      }
       prefixes.get(prefix) match {
-        case Some(ns) => ns + local
+        case Some(ns) => ns + local.toString
         case None => fail(s"undeclared prefix '$prefix'")
       }
     }

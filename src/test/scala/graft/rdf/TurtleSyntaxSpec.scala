@@ -136,6 +136,20 @@ class TurtleSyntaxSpec extends AnyFunSuite {
       "http://ex.org/a#x", "iri", n, n)))
   }
 
+  test("PN_LOCAL escapes in prefixed names unescape (rdflib parity)") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |<http://x/1> ex:p ex:a\.b\/c .
+        |<http://x/2> ex:p ex:plain.mid .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc).toSet
+    assert(ts.contains(("default", "http://x/1", "iri", "http://ex.org/p",
+      "http://ex.org/a.b/c", "iri", n, n)))
+    // unescaped mid-name dots are legal PN_LOCAL chars and stay put
+    assert(ts.contains(("default", "http://x/2", "iri", "http://ex.org/p",
+      "http://ex.org/plain.mid", "iri", n, n)))
+  }
+
   test("@base resolves relative IRIs; absolute IRIs pass through") {
     val doc =
       """@base <http://ex.org/items/> .
