@@ -82,11 +82,14 @@ object Pipeline {
     *    one-file export shape (driver-volume bound — leave false at
     *    scale).
     *
-    * Turtle cannot encode the graph column (that's TriG): a turtle
-    * publish is per-graph — the reference's own model, one export =
-    * one named graph — and a re-read attaches the reader's `graph`
-    * option (default "default"). Multi-graph results should publish
-    * to parquet, or one turtle directory per graph.
+    * Turtle cannot encode the graph column: a turtle publish is
+    * per-graph — the reference's own model, one export = one named
+    * graph — and a re-read attaches the reader's `graph` option
+    * (default "default"). Multi-graph results publish with
+    * `format = "trig"` (Turtle's graph-aware superset: non-default
+    * graphs emit in `GRAPH <id> { … }` blocks, and the same `turtle`
+    * reader parses them back with the graph column intact) or to
+    * parquet.
     */
   def publish(result: Result, path: String, format: String = "parquet",
       singleFile: Boolean = false): Unit = {
@@ -94,9 +97,10 @@ object Pipeline {
       if (singleFile) result.triples.coalesce(1) else result.triples
     format match {
       case "parquet" => df.write.mode("overwrite").parquet(path)
-      case "turtle" => df.write.format("turtle")
+      case "turtle" | "trig" => df.write.format("turtle")
         .option("prefixes",
           sources.TurtleDataSource.prefixesOption(result.prefixes))
+        .option("syntax", format)
         .mode("overwrite").save(path)
       case other =>
         throw new IllegalArgumentException(s"unknown publish format $other")

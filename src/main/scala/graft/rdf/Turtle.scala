@@ -102,13 +102,58 @@ object Turtle {
     private def scopedLabel(raw: String): String =
       if (scopeLabels) "_:d" + docTag + "_" + raw.substring(2) else raw
 
+    /** The graph receiving parsed triples: `graphId` at top level,
+      * the block label inside a TriG graph block. */
+    private var currentGraph: String = graphId
+
     def parseAll(): Seq[FlatTriple] = {
       skipWs()
       while (i < n) {
-        if (peekDirective()) parseDirective() else parseStatement()
+        if (peekDirective()) parseDirective() else parseBlock()
         skipWs()
       }
       out.toSeq
+    }
+
+    /** One top-level unit: a TriG graph block (`GRAPH <g> { … }` or
+      * `<g> { … }`) or a plain statement. Accepting the TriG superset
+      * unconditionally is safe — plain Turtle never contains `{`. */
+    private def parseBlock(): Unit = {
+      if (doc.regionMatches(true, i, "GRAPH", 0, 5) && i + 5 < n &&
+        !isNameChar(doc.charAt(i + 5)) && doc.charAt(i + 5) != ':') {
+        i += 5
+        skipWs()
+        val (lbl, _) = parseSubject() // iri | prefixed | bnode label
+        skipWs()
+        if (i >= n || doc.charAt(i) != '{') fail("GRAPH requires '{'")
+        i += 1
+        parseWrapped(lbl)
+      } else {
+        val (s, sKind) = parseSubject()
+        skipWs()
+        if (i < n && doc.charAt(i) == '{') { i += 1; parseWrapped(s) }
+        // a standalone blank-node property list statement: "[ p o ] ."
+        else if (sKind == "bnode" && i < n && doc.charAt(i) == '.') i += 1
+        else parsePOList(s, sKind, '.')
+      }
+    }
+
+    /** Statements inside `{ … }` land in graph `lbl`; the closing
+      * brace restores the enclosing graph. */
+    private def parseWrapped(lbl: String): Unit = {
+      val prev = currentGraph
+      currentGraph = lbl
+      skipWs()
+      while (i < n && doc.charAt(i) != '}') {
+        val (s, sKind) = parseSubject()
+        skipWs()
+        if (sKind == "bnode" && i < n && doc.charAt(i) == '.') i += 1
+        else parsePOList(s, sKind, '.')
+        skipWs()
+      }
+      if (i >= n) fail("unterminated graph block")
+      i += 1
+      currentGraph = prev
     }
 
     private def fail(msg: String): Nothing =
@@ -154,14 +199,6 @@ object Turtle {
       }
     }
 
-    private def parseStatement(): Unit = {
-      val (s, sKind) = parseSubject()
-      skipWs()
-      // a standalone blank-node property list statement: "[ p o ] ."
-      if (sKind == "bnode" && i < n && doc.charAt(i) == '.') { i += 1 }
-      else parsePOList(s, sKind, '.')
-    }
-
     /** predicateObjectList, terminated by (and consuming) `terminator`
       * — '.' for a top-level statement, ']' inside an anonymous
       * blank-node property list. */
@@ -175,7 +212,7 @@ object Turtle {
         while (moreObjects) {
           skipWs()
           val (ov, oKind, oLang, oDt) = parseObject()
-          out += ((graphId, s, sKind, pred, ov, oKind, oLang, oDt))
+          out += ((currentGraph, s, sKind, pred, ov, oKind, oLang, oDt))
           skipWs()
           if (i < n && doc.charAt(i) == ',') i += 1 else moreObjects = false
         }
@@ -260,12 +297,12 @@ object Turtle {
         val nodes = items.indices.map(_ => freshBnode())
         items.indices.foreach { j =>
           val (ov, oKind, oLang, oDt) = items(j)
-          out += ((graphId, nodes(j), "bnode", Vocab.RdfFirst,
+          out += ((currentGraph, nodes(j), "bnode", Vocab.RdfFirst,
             ov, oKind, oLang, oDt))
           val (rv, rk) =
             if (j + 1 < nodes.size) (nodes(j + 1), "bnode")
             else (Vocab.RdfNil, "iri")
-          out += ((graphId, nodes(j), "bnode", Vocab.RdfRest,
+          out += ((currentGraph, nodes(j), "bnode", Vocab.RdfRest,
             rv, rk, null, null))
         }
         (nodes.head, "bnode")
@@ -492,6 +529,39 @@ object Turtle {
   /** The `@prefix` header lines for a Turtle document. */
   def header(pfx: Seq[(String, String)]): Seq[String] =
     pfx.map { case (p, ns) => s"@prefix $p: <$ns> ." }
+
+  /** TriG serialization — Turtle's graph-aware superset: rows in the
+    * default graph emit as plain statements, every other graph id
+    * emits inside a `GRAPH <id> { … }` block (one block per
+    * statement: TriG unions repeated labels, and per-row blocks keep
+    * the iterator streaming — no per-graph buffering). This is the
+    * sink that round-trips the graph column; plain Turtle cannot
+    * encode it. Non-IRI graph ids other than `defaultGraph` are the
+    * caller's responsibility (TriG labels are IRIs or bnode labels). */
+  def serializeTrig(df: DataFrame,
+      prefixes: Map[String, String] = Vocab.namespaces,
+      defaultGraph: String = "default"): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pfx = prefixes.toSeq.sortBy(_._1)
+    df.select("graph", "subject", "subject_kind", "predicate",
+        "obj_value", "obj_kind", "obj_lang", "obj_datatype")
+      .sortWithinPartitions("graph", "subject")
+      .mapPartitions { rows =>
+        val body = rows.map { r =>
+          val stmt = statement(r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getString(5), r.getString(6),
+            r.getString(7), pfx)
+          val g = r.getString(0)
+          if (g == defaultGraph) stmt
+          else {
+            val lbl = if (g.startsWith("_:")) g else s"<$g>"
+            s"GRAPH $lbl { $stmt }"
+          }
+        }
+        if (rows.isEmpty) Iterator.empty else header(pfx).iterator ++ body
+      }
+  }
 
   /** One Turtle statement line for a flat triple — the per-row kernel
     * shared by [[serialize]] and the `turtle` DSv2 writer. */

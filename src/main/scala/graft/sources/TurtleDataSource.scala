@@ -97,7 +97,10 @@ final class TurtleTable(properties: Map[String, String])
     val path = Option(info.options.get("path")).getOrElse(
       throw new IllegalArgumentException("turtle write requires a path"))
     val prefixes = TurtleDataSource.resolvePrefixes(info.options)
-    new TurtleWriteBuilder(path, prefixes, info.schema())
+    // syntax=trig emits GRAPH blocks so the graph column round-trips
+    // (plain Turtle cannot encode it — that is TriG's whole point)
+    val trig = info.options.getOrDefault("syntax", "turtle") == "trig"
+    new TurtleWriteBuilder(path, prefixes, info.schema(), trig)
   }
 }
 
@@ -186,13 +189,13 @@ final class TurtleReaderFactory(graphId: String, scopeBnodes: Boolean,
 // ---------------------------------------------------------------------
 
 final class TurtleWriteBuilder(path: String,
-    prefixes: Seq[(String, String)], schema: StructType)
+    prefixes: Seq[(String, String)], schema: StructType, trig: Boolean)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new TurtleBatchWrite(path, prefixes, schema, doTruncate)
+      new TurtleBatchWrite(path, prefixes, schema, doTruncate, trig)
   }
 }
 
@@ -208,7 +211,8 @@ final class TurtleWriteBuilder(path: String,
   * reader also skips `_`/`.` files, so even a crash mid-commit never
   * reads staging leftovers as data). */
 final class TurtleBatchWrite(path: String, prefixes: Seq[(String, String)],
-    schema: StructType, truncate: Boolean) extends BatchWrite {
+    schema: StructType, truncate: Boolean, trig: Boolean)
+    extends BatchWrite {
   private val hadoopConf = new SerializableHadoopConf(
     org.apache.spark.sql.classic.SparkSession.active
       .sessionState.newHadoopConf())
@@ -220,8 +224,9 @@ final class TurtleBatchWrite(path: String, prefixes: Seq[(String, String)],
       info: PhysicalWriteInfo): DataWriterFactory = {
     val staging = new Path(path, stagingName)
     fs.mkdirs(staging)
-    val idx = Model.columns.drop(1).map(schema.fieldIndex) // skip graph
-    new TurtleWriterFactory(staging.toString, prefixes, idx, hadoopConf)
+    val idx = Model.columns.map(schema.fieldIndex) // graph first
+    new TurtleWriterFactory(staging.toString, prefixes, idx, hadoopConf,
+      trig)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -251,13 +256,16 @@ final case class TurtleCommit(file: String) extends WriterCommitMessage
 
 final class TurtleWriterFactory(stagingDir: String,
     prefixes: Seq[(String, String)], idx: Seq[Int],
-    hadoopConf: SerializableHadoopConf) extends DataWriterFactory {
+    hadoopConf: SerializableHadoopConf, trig: Boolean)
+    extends DataWriterFactory {
+  private val ext = if (trig) "trig" else "ttl"
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val tmp =
-        new Path(stagingDir, s".tmp-$partitionId-$taskId.ttl")
-      private val fin = new Path(stagingDir, f"part-$partitionId%05d.ttl")
+        new Path(stagingDir, s".tmp-$partitionId-$taskId.$ext")
+      private val fin =
+        new Path(stagingDir, f"part-$partitionId%05d.$ext")
       private val fs = tmp.getFileSystem(hadoopConf.value)
       private val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fs.create(tmp, true),
@@ -271,8 +279,13 @@ final class TurtleWriterFactory(stagingDir: String,
         }
         def s(j: Int): String =
           if (r.isNullAt(idx(j))) null else r.getUTF8String(idx(j)).toString
-        out.write(Turtle.statement(s(0), s(1), s(2), s(3), s(4), s(5), s(6),
-          prefixes))
+        val stmt = Turtle.statement(s(1), s(2), s(3), s(4), s(5), s(6), s(7),
+          prefixes)
+        val g = s(0)
+        if (trig && g != "default") {
+          val lbl = if (g.startsWith("_:")) g else s"<$g>"
+          out.write(s"GRAPH $lbl { $stmt }")
+        } else out.write(stmt)
         out.write("\n")
       }
       override def commit(): WriterCommitMessage = {

@@ -136,6 +136,42 @@ class TurtleSyntaxSpec extends AnyFunSuite {
       "http://ex.org/a#x", "iri", n, n)))
   }
 
+  test("TriG graph blocks: GRAPH keyword, bare label form, nesting scope") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |<http://x/0> ex:p "top" .
+        |GRAPH <http://g/1> { <http://x/1> ex:p "one" ;
+        |  ex:q "uno" . }
+        |<http://g/2> { <http://x/2> ex:p "two" . }
+        |<http://x/3> ex:p "top-after" .
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc, graphId = "dflt").toSet
+    assert(ts.map(t => (t._1, t._2, t._5)) == Set(
+      ("dflt", "http://x/0", "top"),
+      ("http://g/1", "http://x/1", "one"),
+      ("http://g/1", "http://x/1", "uno"),
+      ("http://g/2", "http://x/2", "two"),
+      ("dflt", "http://x/3", "top-after")))
+  }
+
+  test("TriG round-trip keeps the graph column") {
+    val rows: Seq[Turtle.FlatTriple] = Seq(
+      ("default", "http://x/1", "iri", "http://ex.org/p", "v1",
+        "literal", n, n),
+      ("http://g/a", "http://x/2", "iri", "http://ex.org/p", "v2",
+        "literal", "nl", n),
+      ("http://g/b", "http://x/3", "iri", "http://ex.org/p",
+        "http://y/3", "iri", n, n))
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val doc = Turtle.serializeTrig(graft.TestSpark.triples(rows))
+      .collect().mkString("\n")
+    assert(doc.contains("GRAPH <http://g/a> {"))
+    val back = Turtle.parse(spark.createDataset(Seq(doc)))
+      .as[Turtle.FlatTriple].collect().toSet
+    assert(back == rows.toSet)
+  }
+
   test("PN_LOCAL escapes in prefixed names unescape (rdflib parity)") {
     val doc =
       """@prefix ex: <http://ex.org/> .

@@ -92,6 +92,25 @@ class TurtleDataSourceSpec extends AnyFunSuite {
         f.getName.startsWith(".")))
   }
 
+  test("syntax=trig write round-trips the graph column through DSv2") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows: Seq[Turtle.FlatTriple] = Seq(
+      ("default", "http://x/1", "iri", "http://ex.org/p", "v1",
+        "literal", null, null),
+      ("http://g/a", "http://x/2", "iri", "http://ex.org/p", "v2",
+        "literal", "nl", null))
+    val df = graft.TestSpark.triples(rows)
+    val out = Files.createTempDirectory("trigw").toFile.getAbsolutePath
+    df.write.format("turtle").option("syntax", "trig")
+      .mode("overwrite").save(out)
+    assert(new java.io.File(out).listFiles
+      .exists(_.getName.endsWith(".trig")))
+    val back = spark.read.format("turtle").load(out)
+      .as[Turtle.FlatTriple].collect().toSet
+    assert(back == rows.toSet)
+  }
+
   test("glob patterns select matching files only") {
     val dir = Files.createTempDirectory("ttlglob").toFile
     Files.writeString(new java.io.File(dir, "a.ttl").toPath, doc(1))
