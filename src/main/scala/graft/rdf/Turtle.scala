@@ -128,6 +128,10 @@ object Turtle {
         if (i >= n || doc.charAt(i) != '{') fail("GRAPH requires '{'")
         i += 1
         parseWrapped(lbl)
+      } else if (doc.charAt(i) == '{') {
+        // unlabeled wrappedGraph: default-graph triples in a block
+        i += 1
+        parseWrapped(currentGraph)
       } else {
         val (s, sKind) = parseSubject()
         skipWs()
@@ -139,7 +143,10 @@ object Turtle {
     }
 
     /** Statements inside `{ … }` land in graph `lbl`; the closing
-      * brace restores the enclosing graph. */
+      * brace restores the enclosing graph. The trailing '.' of the
+      * LAST triple before '}' is optional per the TriG grammar
+      * (`triples ('.' triplesBlock?)?` — the spec's own examples
+      * omit it). */
     private def parseWrapped(lbl: String): Unit = {
       val prev = currentGraph
       currentGraph = lbl
@@ -147,8 +154,10 @@ object Turtle {
       while (i < n && doc.charAt(i) != '}') {
         val (s, sKind) = parseSubject()
         skipWs()
-        if (sKind == "bnode" && i < n && doc.charAt(i) == '.') i += 1
-        else parsePOList(s, sKind, '.')
+        if (sKind == "bnode" && i < n &&
+          (doc.charAt(i) == '.' || doc.charAt(i) == '}')) {
+          if (doc.charAt(i) == '.') i += 1
+        } else parsePOList(s, sKind, '.', stopAtBrace = true)
         skipWs()
       }
       if (i >= n) fail("unterminated graph block")
@@ -190,7 +199,7 @@ object Turtle {
       } else { // @base / BASE — later relative IRIs resolve against it
         i += (if (atStyle) 5 else 4)
         skipWs()
-        base = parseIriRef()
+        setBase(parseIriRef())
       }
       skipWs()
       if (atStyle) {
@@ -201,9 +210,13 @@ object Turtle {
 
     /** predicateObjectList, terminated by (and consuming) `terminator`
       * — '.' for a top-level statement, ']' inside an anonymous
-      * blank-node property list. */
+      * blank-node property list. With `stopAtBrace` (inside a TriG
+      * graph block) an unconsumed '}' also ends the statement — the
+      * grammar makes the final '.' before '}' optional. */
     private def parsePOList(s: String, sKind: String,
-        terminator: Char): Unit = {
+        terminator: Char, stopAtBrace: Boolean = false): Unit = {
+      def atBrace: Boolean =
+        stopAtBrace && i < n && doc.charAt(i) == '}'
       var done = false
       while (!done) {
         skipWs()
@@ -223,8 +236,11 @@ object Turtle {
           // trailing ';' (possibly repeated) before the terminator is legal
           while (i < n && doc.charAt(i) == ';') { i += 1; skipWs() }
           if (i < n && doc.charAt(i) == terminator) { i += 1; done = true }
+          else if (atBrace) done = true
         } else if (i < n && doc.charAt(i) == terminator) {
           i += 1; done = true
+        } else if (atBrace) {
+          done = true
         } else fail(s"expected '$terminator', ';' or ','")
       }
     }
@@ -310,6 +326,15 @@ object Turtle {
     }
 
     private var base: String = null
+    // parsed once per @base directive, not once per IRI reference —
+    // a 100k-triple document would otherwise re-parse the base string
+    // for every term
+    private var baseUri: java.net.URI = null
+
+    private def setBase(b: String): Unit = {
+      base = b
+      baseUri = try new java.net.URI(b) catch { case _: Exception => null }
+    }
 
     private def parseIriRef(): String = {
       if (doc.charAt(i) != '<') fail("expected '<'")
@@ -321,18 +346,23 @@ object Turtle {
     }
 
     /** Relative IRIs resolve against the in-scope @base (rdflib
-      * parity); absolute IRIs (scheme present) and documents without
-      * a base pass through untouched. Malformed references stay raw —
-      * the IRI-validity filters downstream are the cleaning pass. */
+      * parity) — including the empty reference `<>`, which RFC 3986
+      * resolves to the base itself (the common `<> dcterms:title …`
+      * self-reference idiom); absolute IRIs (scheme present) and
+      * documents without a base pass through untouched. Malformed
+      * references stay raw — the IRI-validity filters downstream are
+      * the cleaning pass. */
     private def resolveAgainstBase(iri: String): String = {
+      if (base == null) return iri
+      if (iri.isEmpty) return base
       val hasScheme = {
         val c = iri.indexOf(':')
         c > 0 && iri.substring(0, c).forall(ch =>
           ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.') &&
           iri.charAt(0).isLetter
       }
-      if (base == null || hasScheme || iri.isEmpty) iri
-      else try new java.net.URI(base).resolve(iri).toString
+      if (hasScheme || baseUri == null) iri
+      else try baseUri.resolve(iri).toString
       catch { case _: Exception => iri }
     }
 
@@ -351,8 +381,16 @@ object Turtle {
 
     private def parsePrefixedName(): String = {
       val start = i
+      // PN_PREFIX allows interior dots ("ex.v2:name"); the scan stops
+      // only at ':' or a hard delimiter, so a declared dotted prefix
+      // is also usable at its reference sites
       while (i < n && !doc.charAt(i).isWhitespace &&
-        !";,.".contains(doc.charAt(i)) && doc.charAt(i) != ':') i += 1
+        !";,{}".contains(doc.charAt(i)) && doc.charAt(i) != ':' &&
+        // a '.' can't END the prefix — stop there only when the next
+        // char can't continue a name toward ':'
+        !(doc.charAt(i) == '.' && (i + 1 >= n ||
+          !isNameChar(doc.charAt(i + 1)))))
+        i += 1
       if (i >= n || doc.charAt(i) != ':')
         fail(s"expected prefixed name, got '${doc.substring(start, i)}'")
       val prefix = doc.substring(start, i)
@@ -365,9 +403,11 @@ object Turtle {
           local += doc.charAt(i + 1) // PN_LOCAL_ESC: "\." means "."
           i += 2
         } else if (c.isWhitespace || c == ';' || c == ',' ||
-          c == ')' || c == ']' ||
-          // a '.' ends the local name only when followed by whitespace/EOF
-          (c == '.' && (i + 1 >= n || doc.charAt(i + 1).isWhitespace))) {
+          c == ')' || c == ']' || c == '{' || c == '}' ||
+          // a '.' ends the local name only before whitespace, EOF, or
+          // a closing delimiter (e.g. "ex:o.}" inside a graph block)
+          (c == '.' && (i + 1 >= n || doc.charAt(i + 1).isWhitespace ||
+            "})];,".contains(doc.charAt(i + 1))))) {
           go = false
         } else { local += c; i += 1 }
       }
@@ -549,19 +589,26 @@ object Turtle {
       .sortWithinPartitions("graph", "subject")
       .mapPartitions { rows =>
         val body = rows.map { r =>
-          val stmt = statement(r.getString(1), r.getString(2),
-            r.getString(3), r.getString(4), r.getString(5), r.getString(6),
-            r.getString(7), pfx)
-          val g = r.getString(0)
-          if (g == defaultGraph) stmt
-          else {
-            val lbl = if (g.startsWith("_:")) g else s"<$g>"
-            s"GRAPH $lbl { $stmt }"
-          }
+          trigStatement(r.getString(0),
+            statement(r.getString(1), r.getString(2), r.getString(3),
+              r.getString(4), r.getString(5), r.getString(6),
+              r.getString(7), pfx),
+            defaultGraph)
         }
         if (rows.isEmpty) Iterator.empty else header(pfx).iterator ++ body
       }
   }
+
+  /** Wrap one serialized statement in its TriG graph block (or leave
+    * it bare for the default graph) — the single kernel shared by
+    * [[serializeTrig]] and the DSv2 `syntax=trig` writer. */
+  def trigStatement(graph: String, stmt: String,
+      defaultGraph: String): String =
+    if (graph == defaultGraph) stmt
+    else {
+      val lbl = if (graph.startsWith("_:")) graph else s"<$graph>"
+      s"GRAPH $lbl { $stmt }"
+    }
 
   /** One Turtle statement line for a flat triple — the per-row kernel
     * shared by [[serialize]] and the `turtle` DSv2 writer. */

@@ -98,8 +98,16 @@ final class TurtleTable(properties: Map[String, String])
       throw new IllegalArgumentException("turtle write requires a path"))
     val prefixes = TurtleDataSource.resolvePrefixes(info.options)
     // syntax=trig emits GRAPH blocks so the graph column round-trips
-    // (plain Turtle cannot encode it — that is TriG's whole point)
-    val trig = info.options.getOrDefault("syntax", "turtle") == "trig"
+    // (plain Turtle cannot encode it — that is TriG's whole point);
+    // anything but the two known syntaxes is an error, not a silent
+    // fallback that would drop the graph column
+    val trig =
+      info.options.getOrDefault("syntax", "turtle").toLowerCase match {
+        case "trig" => true
+        case "turtle" | "ttl" => false
+        case other => throw new IllegalArgumentException(
+          s"unknown turtle write syntax '$other' (use turtle or trig)")
+      }
     new TurtleWriteBuilder(path, prefixes, info.schema(), trig)
   }
 }
@@ -281,11 +289,8 @@ final class TurtleWriterFactory(stagingDir: String,
           if (r.isNullAt(idx(j))) null else r.getUTF8String(idx(j)).toString
         val stmt = Turtle.statement(s(1), s(2), s(3), s(4), s(5), s(6), s(7),
           prefixes)
-        val g = s(0)
-        if (trig && g != "default") {
-          val lbl = if (g.startsWith("_:")) g else s"<$g>"
-          out.write(s"GRAPH $lbl { $stmt }")
-        } else out.write(stmt)
+        if (trig) out.write(Turtle.trigStatement(s(0), stmt, "default"))
+        else out.write(stmt)
         out.write("\n")
       }
       override def commit(): WriterCommitMessage = {

@@ -154,6 +154,39 @@ class TurtleSyntaxSpec extends AnyFunSuite {
       ("dflt", "http://x/3", "top-after")))
   }
 
+  test("TriG: optional final dot, unlabeled default block, tight braces") {
+    // the W3C spec's own example shapes: no '.' before '}', bare
+    // default-graph block, prefixed object right against '.}'
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |GRAPH <http://g/1> { <http://x/1> ex:p ex:o.}
+        |GRAPH <http://g/2> { <http://x/2> ex:p "nodot" }
+        |{ <http://x/3> ex:p "bare" . }
+        |""".stripMargin
+    val ts = Turtle.parseDocument(doc).toSet
+    assert(ts.map(t => (t._1, t._2, t._5)) == Set(
+      ("http://g/1", "http://x/1", "http://ex.org/o"),
+      ("http://g/2", "http://x/2", "nodot"),
+      ("default", "http://x/3", "bare")))
+  }
+
+  test("@base resolves the empty reference <> to the base itself") {
+    val doc =
+      """@base <http://ex.org/doc> .
+        |@prefix dcterms: <http://purl.org/dc/terms/> .
+        |<> dcterms:title "Self" .
+        |""".stripMargin
+    assert(Turtle.parseDocument(doc).head._2 == "http://ex.org/doc")
+  }
+
+  test("dotted prefixes (PN_PREFIX interior dots) declare and resolve") {
+    val doc =
+      """@prefix ex.v2: <http://ex.org/v2#> .
+        |<http://x/1> ex.v2:p "v" .
+        |""".stripMargin
+    assert(Turtle.parseDocument(doc).head._4 == "http://ex.org/v2#p")
+  }
+
   test("TriG round-trip keeps the graph column") {
     val rows: Seq[Turtle.FlatTriple] = Seq(
       ("default", "http://x/1", "iri", "http://ex.org/p", "v1",
