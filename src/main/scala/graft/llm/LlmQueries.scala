@@ -45,6 +45,7 @@ object LlmQueries {
     "llm_embed_neardup" -> embedNeardup,
     "llm_sample_bottomk" -> sampleBottomK,
     "llm_sample_stratified" -> sampleStratified,
+    "llm_mix_sample" -> mixSample,
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
     "llm_lang_stats" -> langStats,
@@ -590,6 +591,28 @@ object LlmQueries {
       .select(col("lang"), posexplode(col("tk")).as(Seq("p0", "x")))
       .select(col("lang"), col("x.id").as("doc_id"),
         (col("p0") + 1).cast("int").as("rank"))
+
+  /** Weighted data-mixing sample: each source contributes a
+    * per-source quota of deterministically-sampled documents (the
+    * mixing-recipe step that turns [[sourceStats]] into an actual
+    * training mix). Quotas here derive from the source index
+    * (`idx % 3 + 1`, standing in for the recipe's weights); the heap
+    * aggregate takes the MAX quota per group and the variable quota
+    * is applied as a post-filter on rank — one partial-aggregated
+    * shuffle on source, never a per-source sort of the corpus. */
+  def mixSample(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("wh", expr(hexHashExpr("instr")))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKByLong.topK(-col("wh"), col("doc_id"), 3)
+        .as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("source"), col("x.id").as("doc_id"),
+        (col("p0") + 1).cast("int").as("rank"))
+      .filter(col("rank") <=
+        substring(col("source"), 4, 10).cast("int") % 3 + 1)
 
   // ---------------------------------------------------------------
   // Text analysis: token counts, punctuation, stopword ratio,
@@ -1198,6 +1221,18 @@ object LlmQueries {
          |      ORDER BY wh ASC, doc_id ASC) AS INT) AS rank
          |  FROM wx)
          |SELECT lang, doc_id, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "llm_mix_sample" ->
+      s"""WITH hx AS (SELECT doc_id, source,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |wx AS (SELECT doc_id, source, ${hexHashExpr("strpos")} AS wh
+         |  FROM hx),
+         |r AS (SELECT source, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY wh ASC, doc_id ASC) AS INT) AS rank
+         |  FROM wx)
+         |SELECT source, doc_id, rank FROM r
+         |WHERE rank <= CAST(substring(source, 4) AS INT) % 3 + 1""".stripMargin,
 
     "llm_text_stats" -> {
       val sw = stopwords.map(x => s"'$x'").mkString(", ")

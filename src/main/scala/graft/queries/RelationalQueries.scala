@@ -42,6 +42,7 @@ object RelationalQueries {
     "rel_q15_moving_window" -> movingWindow,
     "rel_q16_median_price" -> medianPrice,
     "rel_q17_supplier_region" -> supplierRegion,
+    "rel_q18_date_revenue" -> dateRevenue,
   )
 
   /** TPC-H Q5-flavored supplier revenue by region: the fact table
@@ -67,6 +68,23 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"))
   }
+
+  /** TPC-H Q6-flavored forecast-revenue scan: every predicate
+    * (timestamp range, discount band, quantity cap) is a plain
+    * column-vs-literal comparison, so ALL of them push into the
+    * parquet scan (`PushedFilters` in the plan) and only surviving
+    * rows reach the single global aggregate — the canonical
+    * scan-bound query: at 100 TB its cost is I/O after pushdown +
+    * row-group pruning, with zero shuffle beyond the 1-row reduce. */
+  def dateRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.08 &&
+        col("l_quantity") < 24)
+      .agg(
+        moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
 
   /** TPC-H Q1-flavored pricing summary: partial agg map-side, one
     * shuffle on (returnflag, linestatus) — 6 groups. */
@@ -482,5 +500,14 @@ object RelationalQueries {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "rel_q18_date_revenue" ->
+      s"""SELECT ${sqlMoneySum("l_extendedprice*l_discount")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.02 AND 0.08
+         |  AND l_quantity < 24""".stripMargin,
   )
 }
