@@ -18,9 +18,15 @@ import graft.functions.{DotProductLong, IsValidIri, NearestCentroid, TopKByLong}
   * Registered through the public `SparkSessionExtensions.injectFunction`
   * API, so the library is usable from pure `spark.sql(...)` — no
   * Scala required.
+  *
+  * Also injects [[graft.plans.DotProductRewrite]], an optimizer rule
+  * that turns the naive `aggregate(zip_with(a, b, (x,y) -> x*y), 0L,
+  * (s,x) -> s+x)` spelling into the `dot_product_l` codegen kernel.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: naive HOF dot product → codegen kernel
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectFunction((
       FunctionIdentifier("is_valid_iri"),
       new ExpressionInfo(classOf[IsValidIri].getName, "is_valid_iri"),

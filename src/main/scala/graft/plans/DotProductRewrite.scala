@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+import graft.functions.DotProductLong
+
+/** Optimizer rule: rewrite the naive higher-order-function dot
+  * product
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, x) -> s + x) }}}
+  *
+  * into the engine's codegen kernel [[graft.functions.DotProductLong]]
+  * (`dot_product_l`). Spark evaluates HOF lambdas interpreted — one
+  * closure call per element — while the kernel is a primitive `long`
+  * loop inside whole-stage codegen; on 100 TB of embeddings the
+  * per-element interpretation overhead dominates the scan. With this
+  * rule a user who writes the natural SQL spelling gets the kernel
+  * automatically; registered via
+  * `SparkSessionExtensions.injectOptimizerRule` in
+  * [[graft.GraftExtensions]].
+  *
+  * The rewrite fires only when it is semantics-preserving on well-formed
+  * data:
+  *   - both sides are `array<bigint>` with non-nullable elements
+  *     (nullable elements would make the HOF yield null where the
+  *     kernel cannot);
+  *   - the fold zero is the literal `0L`;
+  *   - the merge lambda is exactly `+` over its two variables and the
+  *     zip lambda exactly `*` over its two variables (either operand
+  *     order — both are commutative);
+  *   - the finish lambda is the identity.
+  *
+  * Two documented deltas on DEGENERATE inputs, both shared with the
+  * explicit `dot_product_l` contract: ragged pairs (different vector
+  * lengths) raise instead of yielding null (`zip_with` pads the short
+  * side with nulls; the kernel fails loudly — see VecUtil.dotL), and
+  * arithmetic overflow wraps instead of raising under ANSI mode
+  * (quantized embedding products are bounded far below `Long.Max`).
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def isStrictLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, false) => true
+    case _ => false
+  }
+
+  private def isZeroLong(e: Expression): Boolean =
+    e.dataType == LongType && e.foldable && (e.eval() match {
+      case l: java.lang.Long => l.longValue() == 0L
+      case _ => false
+    })
+
+  private def sameVar(e: Expression, v: NamedExpression): Boolean = e match {
+    case x: NamedLambdaVariable => x.exprId == v.exprId
+    case _ => false
+  }
+
+  /** body is exactly `p ∘ q` over the two lambda variables, either
+    * order (both matched operators are commutative). */
+  private def isPairOp(l: Expression, r: Expression,
+      args: Seq[NamedExpression]): Boolean = args match {
+    case Seq(p, q) =>
+      (sameVar(l, p) && sameVar(r, q)) || (sameVar(l, q) && sameVar(r, p))
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), mulArgs, _)),
+            zero,
+            LambdaFunction(Add(al, ar, _), addArgs, _),
+            LambdaFunction(finBody, Seq(finArg), _))
+          if isStrictLongArray(a) && isStrictLongArray(b) &&
+            isZeroLong(zero) &&
+            isPairOp(ml, mr, mulArgs) &&
+            isPairOp(al, ar, addArgs) &&
+            sameVar(finBody, finArg) =>
+        DotProductLong(a, b)
+    }
+}
