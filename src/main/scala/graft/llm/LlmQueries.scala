@@ -46,6 +46,9 @@ object LlmQueries {
     "llm_sample_bottomk" -> sampleBottomK,
     "llm_sample_stratified" -> sampleStratified,
     "llm_mix_sample" -> mixSample,
+    "llm_passage_dedup" -> passageDedup,
+    "llm_term_filter" -> termFilter,
+    "llm_distinctive_terms" -> distinctiveTerms,
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
     "llm_lang_stats" -> langStats,
@@ -613,6 +616,105 @@ object LlmQueries {
         (col("p0") + 1).cast("int").as("rank"))
       .filter(col("rank") <=
         substring(col("source"), 4, 10).cast("int") % 3 + 1)
+
+  // ---------------------------------------------------------------
+  // Passage-level dedup scan (CCNet/C4-style boilerplate detection
+  // one level below whole-document dedup): docs split into
+  // consecutive non-overlapping fixed-width token passages; a
+  // passage is boilerplate when its hash occurs in >= 2 distinct
+  // docs. Passage arrays are built MAP-SIDE from the token array
+  // (no per-token explode); the only shuffles are the
+  // passage-hash agg and the hash-partitioned join back — both
+  // keyed on the 32-hex passage hash, never pairwise. The join
+  // back reuses the agg side's hash partitioning at scale (no
+  // broadcast needed: the shared-hash table is corpus-sized in
+  // the worst case).
+  // ---------------------------------------------------------------
+  private val passageLen = 8
+
+  /** Per-doc passage counts + how many of the doc's passages also
+    * occur in at least one OTHER doc (occurrences counted, so a doc
+    * repeating a shared passage counts it each time). */
+  def passageDedup(s: SparkSession, d: String): DataFrame = {
+    val p = tokenized(s, d).select(col("doc_id"),
+      explode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(size(w) / ${passageLen}.0) AS INT) - 1),
+           |  i -> concat_ws(' ', slice(w, i * $passageLen + 1, $passageLen)))"""
+          .stripMargin)).as("pt"))
+      .select(col("doc_id"), md5(col("pt")).as("ph"))
+    // ">= 2 distinct docs" == min(doc_id) != max(doc_id): one
+    // exchange instead of countDistinct's two (partial-distinct +
+    // final), since min/max partial-aggregate map-side
+    val shared = p.groupBy(col("ph"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("ph").as("sh"))
+    p.join(shared, col("ph") === col("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("sh").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+  }
+
+  // ---------------------------------------------------------------
+  // Blocklist term filter (C4-style badword filtering): drop any
+  // doc where blocklisted tokens exceed 5% of all tokens. Pure
+  // map-side predicate over the token array — zero shuffle, and
+  // the integer cross-multiplication (n_blocked * 20 < n_tokens)
+  // keeps the threshold exact in both engines.
+  // ---------------------------------------------------------------
+  private val blocklist = Seq("slow", "big")
+
+  /** Kept docs with their token/blocked counts. */
+  def termFilter(s: SparkSession, d: String): DataFrame = {
+    val inList = blocklist.map("'" + _ + "'").mkString(", ")
+    tokenized(s, d)
+      .select(col("doc_id"),
+        expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
+        expr(s"CAST(size(filter(w, t -> t IN ($inList))) AS BIGINT)")
+          .as("n_blocked"))
+      .filter(col("n_blocked") * 20 < col("n_tokens"))
+  }
+
+  // ---------------------------------------------------------------
+  // Distinctive terms per source (tf-idf flavored, but with an
+  // EXACT integer lift instead of a float idf so both engines
+  // agree bit-for-bit): lift_x1000 = floor(1000 * p(term|source)
+  // / p(term|corpus)) computed by bigint cross-multiplication.
+  // One (source, term) agg carries all the volume (map-side
+  // combine collapses it to |sources| x |vocab| rows); every
+  // later join is against tiny aggregate tables (broadcast).
+  // ---------------------------------------------------------------
+
+  /** Top 3 terms per source by integer lift (ties broken by term). */
+  def distinctiveTerms(s: SparkSession, d: String): DataFrame = {
+    // the (source, term) counts feed FOUR consumers (main branch,
+    // term totals, source totals, corpus total); materialize the
+    // |sources| x |vocab|-row aggregate once per snapshot so the
+    // corpus-wide explode+agg doesn't replay per consumer
+    val st = SnapshotMemo.getOrCompute(s, s"source-term-counts:$d") {
+      docs(s, d).select(col("source"),
+          explode(split(trim(lower(col("text"))), ws)).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c_src"))
+        .localCheckpoint()
+    }
+    val tt = st.groupBy(col("term")).agg(sum(col("c_src")).as("c_all"))
+    val stot = st.groupBy(col("source"))
+      .agg(sum(col("c_src")).as("tot_src"))
+    val tot = tt.agg(sum(col("c_all")).as("tot_all"))
+    val lift = st.join(broadcast(tt), "term")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("term"),
+        expr("(1000L * c_src * tot_all) div (c_all * tot_src)")
+          .as("lift_x1000"))
+    val wnd = Window.partitionBy(col("source"))
+      .orderBy(col("lift_x1000").desc, col("term"))
+    lift.withColumn("rank", row_number().over(wnd).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("term"), col("lift_x1000"), col("rank"))
+  }
 
   // ---------------------------------------------------------------
   // Text analysis: token counts, punctuation, stopword ratio,
@@ -1233,6 +1335,59 @@ object LlmQueries {
          |  FROM wx)
          |SELECT source, doc_id, rank FROM r
          |WHERE rank <= CAST(substring(source, 4) AS INT) % 3 + 1""".stripMargin,
+
+    "llm_passage_dedup" ->
+      s"""WITH $wCte,
+         |p AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1,
+         |      CAST(ceil(len(ws) / ${passageLen}.0) AS INT))) AS pi
+         |  FROM w),
+         |ph AS (SELECT doc_id,
+         |    md5(array_to_string(
+         |      ws[(pi-1)*$passageLen+1:pi*$passageLen], ' ')) AS ph
+         |  FROM p),
+         |sh AS (SELECT ph AS sh FROM ph GROUP BY ph
+         |  HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+         |  CAST(sum(CASE WHEN s.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_shared
+         |FROM ph LEFT JOIN sh s ON ph.ph = s.sh
+         |GROUP BY doc_id""".stripMargin,
+
+    "llm_term_filter" -> {
+      val inList = blocklist.map("'" + _ + "'").mkString(", ")
+      s"""WITH $wCte
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(ws, t -> t IN ($inList))) AS BIGINT)
+         |    AS n_blocked
+         |FROM w
+         |WHERE len(list_filter(ws, t -> t IN ($inList))) * 20 < len(ws)"""
+        .stripMargin
+    },
+
+    "llm_distinctive_terms" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS term
+        |  FROM documents),
+        |st AS (SELECT source, term, count(*) AS c_src
+        |  FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(sum(c_src) AS BIGINT) AS c_all
+        |  FROM st GROUP BY term),
+        |stot AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS tot_src
+        |  FROM st GROUP BY source),
+        |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS tot_all FROM tt),
+        |lift AS (SELECT st.source, st.term,
+        |    (1000 * st.c_src * tot.tot_all) // (tt.c_all * stot.tot_src)
+        |      AS lift_x1000
+        |  FROM st JOIN tt ON st.term = tt.term
+        |  JOIN stot ON st.source = stot.source CROSS JOIN tot),
+        |r AS (SELECT source, term, lift_x1000,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY lift_x1000 DESC, term ASC) AS INT) AS rank
+        |  FROM lift)
+        |SELECT source, term, lift_x1000, rank FROM r WHERE rank <= 3"""
+        .stripMargin,
 
     "llm_text_stats" -> {
       val sw = stopwords.map(x => s"'$x'").mkString(", ")

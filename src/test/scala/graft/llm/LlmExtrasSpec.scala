@@ -100,4 +100,68 @@ class LlmExtrasSpec extends AnyFunSuite {
     val counts = rows.map(_.getLong(1))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("passageDedup flags cross-doc shares but not within-doc repeats") {
+    val tmp = java.nio.file.Files.createTempDirectory("passage-fix").toFile
+    val s = spark
+    import s.implicits._
+    // 8-token passages: doc 0 and 1 share their first passage; doc 2
+    // repeats ITS first passage internally but shares with nobody
+    val shared = "a b c d e f g h"
+    val solo = "p q r s t u v w"
+    Seq(
+      (0L, s"$shared one two three four five six seven eight", "en", "src0", 0L),
+      (1L, s"$shared nine ten eleven twelve th fo fi si", "en", "src0", 0L),
+      (2L, s"$solo $solo", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val out = LlmQueries.passageDedup(spark, tmp.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 0/1: 2 passages each, 1 shared; doc 2: 2 passages, 0 shared
+    // (within-doc repetition is min==max on doc_id → not boilerplate)
+    assert(out == Set((0L, 2L, 1L), (1L, 2L, 1L), (2L, 2L, 0L)))
+  }
+
+  test("termFilter drops docs at or above the 5% blocklist threshold") {
+    val tmp = java.nio.file.Files.createTempDirectory("termf-fix").toFile
+    val s = spark
+    import s.implicits._
+    val clean19 = Seq.fill(19)("ok").mkString(" ")
+    Seq(
+      (0L, s"slow $clean19", "en", "src0", 0L),        // exactly 5% → drop
+      (1L, s"slow $clean19 ok", "en", "src0", 0L),     // under 5% → keep
+      (2L, "big slow big ok", "en", "src0", 0L),       // 75% → drop
+      (3L, clean19, "en", "src0", 0L))                 // 0% → keep
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val kept = LlmQueries.termFilter(spark, tmp.getAbsolutePath)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("distinctiveTerms ranks a source-concentrated term first") {
+    val tmp = java.nio.file.Files.createTempDirectory("dterm-fix").toFile
+    val s = spark
+    import s.implicits._
+    // "rare" appears only in src1; shared filler spreads evenly
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "src0", 0L),
+      (1L, "alpha beta gamma delta", "en", "src0", 0L),
+      (2L, "rare rare alpha beta", "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val out = LlmQueries.distinctiveTerms(spark, tmp.getAbsolutePath)
+    val top1 = out.filter(col("source") === "src1" && col("rank") === 1)
+      .head()
+    assert(top1.getString(1) == "rare")
+    // lift = (2/4) / (2/12) = 3.0 exactly
+    assert(top1.getLong(2) == 3000L)
+    // every source gets at most 3 ranked terms, ranks start at 1
+    val perSrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+    assert(perSrc.filter(col("n") > 3 || col("lo") =!= 1).isEmpty)
+  }
 }
