@@ -49,6 +49,7 @@ object LlmQueries {
     "llm_passage_dedup" -> passageDedup,
     "llm_term_filter" -> termFilter,
     "llm_distinctive_terms" -> distinctiveTerms,
+    "llm_kmv_distinct" -> kmvDistinct,
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
     "llm_lang_stats" -> langStats,
@@ -714,6 +715,50 @@ object LlmQueries {
     lift.withColumn("rank", row_number().over(wnd).cast("int"))
       .filter(col("rank") <= 3)
       .select(col("source"), col("term"), col("lift_x1000"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------
+  // KMV (k-minimum-values) distinct-count sketch: the estimator
+  // behind approx_count_distinct-style sketches, made
+  // cross-engine-deterministic by building it from the md5 hash
+  // order both engines share. Per source, keep the k = 64 smallest
+  // DISTINCT shingle-hash values; the k-th smallest h_k estimates
+  // the cardinality as (k-1) * HASH_SPACE / h_k (the k-th order
+  // statistic of n uniform draws sits at ~k/n of the range).
+  // Scale shape: one combinable (source, hash) agg collapses
+  // duplicates map-side, then the bounded-heap top-k aggregate
+  // reduces each source to 64 longs — the exchange carries
+  // O(sources x k), never the corpus. n_exact rides along here to
+  // show sketch accuracy; a pure sketch run would drop it.
+  // ---------------------------------------------------------------
+  private val kmvK = 64
+
+  /** Per-source exact vs KMV-estimated distinct 3-token shingles.
+    * `+ 1` in the divisor guards the measure-zero h_k = 0 draw
+    * (both engines would otherwise divide by zero). */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val shingled = docs(s, d)
+      .select(col("source"), split(trim(lower(col("text"))), ws).as("w"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(1, size(w) - 2),
+          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |      element_at(w, i + 2)))
+          |  ELSE array() END""".stripMargin)).as("sg"))
+      .withColumn("h", md5(col("sg")))
+      .select(col("source"), expr(hexHashExpr("instr")).as("hv"))
+      .distinct()
+    shingled
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.TopKByLong.topK(-col("hv"), col("hv"), kmvK)
+          .as("tk"))
+      .select(col("source"), col("n_exact"),
+        expr(
+          s"""CASE WHEN size(tk) < $kmvK THEN n_exact
+             |  ELSE (${kmvK - 1}L * 4294967296L)
+             |    div (element_at(tk, $kmvK).id + 1L) END"""
+            .stripMargin).as("est_distinct"))
   }
 
   // ---------------------------------------------------------------
@@ -1388,6 +1433,29 @@ object LlmQueries {
         |  FROM lift)
         |SELECT source, term, lift_x1000, rank FROM r WHERE rank <= 3"""
         .stripMargin,
+
+    "llm_kmv_distinct" ->
+      s"""WITH t AS (SELECT source,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |pos AS (SELECT source, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM t),
+         |g AS (SELECT source,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+         |  FROM pos),
+         |hv AS (SELECT DISTINCT source, ${hexHashExpr("strpos")} AS v
+         |  FROM g),
+         |r AS (SELECT source, v, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY v ASC) AS INT) AS rn FROM hv),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM hv GROUP BY source),
+         |kth AS (SELECT source, v AS hk FROM r WHERE rn = $kmvK)
+         |SELECT n.source, n.n_exact,
+         |  CAST(CASE WHEN kth.hk IS NULL THEN n.n_exact
+         |    ELSE (${kmvK - 1} * 4294967296) // (kth.hk + 1) END
+         |    AS BIGINT) AS est_distinct
+         |FROM n LEFT JOIN kth ON n.source = kth.source""".stripMargin,
 
     "llm_text_stats" -> {
       val sw = stopwords.map(x => s"'$x'").mkString(", ")

@@ -43,6 +43,7 @@ object RelationalQueries {
     "rel_q16_median_price" -> medianPrice,
     "rel_q17_supplier_region" -> supplierRegion,
     "rel_q18_date_revenue" -> dateRevenue,
+    "rel_q19_salted_parts" -> saltedParts,
   )
 
   /** TPC-H Q5-flavored supplier revenue by region: the fact table
@@ -85,6 +86,23 @@ object RelationalQueries {
       .agg(
         moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
+
+  /** Hot-part quantity ranking through [[SaltedAgg]]: the per-partkey
+    * aggregation runs two-phase salted (8 salts), so a pathologically
+    * hot part — the aggregation-skew case AQE cannot split, since a
+    * single group lands on a single reducer — spreads over 8 reducers
+    * in the first phase; the second phase re-aggregates 8 rows per
+    * key. The result is EXACT (sum/count re-aggregate losslessly) and
+    * identical to the oracle's plain GROUP BY; top-10 goes through
+    * TakeOrderedAndProject with the (qty, partkey) tie-break. */
+  def saltedParts(spark: SparkSession, dir: String): DataFrame =
+    SaltedAgg.saltedSumCount(
+      Tables(spark, dir, "lineitem"),
+      col("l_partkey"), cents(col("l_quantity")), salts = 8)
+      .select(col("k").as("l_partkey"), col("sum_v").as("qty_cents"),
+        col("n").as("n_items"))
+      .orderBy(col("qty_cents").desc, col("l_partkey"))
+      .limit(10)
 
   /** TPC-H Q1-flavored pricing summary: partial agg map-side, one
     * shuffle on (returnflag, linestatus) — 6 groups. */
@@ -509,5 +527,12 @@ object RelationalQueries {
          |  AND l_shipdate < TIMESTAMP '1998-01-01'
          |  AND l_discount BETWEEN 0.02 AND 0.08
          |  AND l_quantity < 24""".stripMargin,
+
+    "rel_q19_salted_parts" ->
+      s"""SELECT l_partkey,
+         |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS qty_cents,
+         |  COUNT(*) AS n_items
+         |FROM lineitem GROUP BY l_partkey
+         |ORDER BY qty_cents DESC, l_partkey LIMIT 10""".stripMargin,
   )
 }

@@ -141,6 +141,20 @@ class LlmExtrasSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("kmvDistinct falls back to the exact count under k distinct values") {
+    val tmp = java.nio.file.Files.createTempDirectory("kmv-fix").toFile
+    val s = spark
+    import s.implicits._
+    // 6 tokens → 4 shingles, far below k = 64 → est must equal exact
+    Seq((0L, "a b c d e f", "en", "srcA", 0L),
+        (1L, "a b c d e f", "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val r = LlmQueries.kmvDistinct(spark, tmp.getAbsolutePath).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+  }
+
   test("distinctiveTerms ranks a source-concentrated term first") {
     val tmp = java.nio.file.Files.createTempDirectory("dterm-fix").toFile
     val s = spark
