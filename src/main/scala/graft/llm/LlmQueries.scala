@@ -97,13 +97,19 @@ object LlmQueries {
   // 100 TB that is one shuffle on the bucket hash and an intra-bucket
   // self-join — never a cross-join of the corpus.
   // ---------------------------------------------------------------
+  /** One shingle-construction expression for every 3-gram consumer
+    * (MinHash chain keyed by doc_id, KMV sketch keyed by source) —
+    * a normalization change here MUST reach all of them at once. */
+  private val shingle3Expr =
+    """CASE WHEN size(w) >= 3
+      |  THEN transform(sequence(1, size(w) - 2),
+      |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+      |                ' ', element_at(w, i + 2)))
+      |  ELSE array() END""".stripMargin
+
   private def shingled(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d).select(col("doc_id"), explode(expr(
-      """CASE WHEN size(w) >= 3
-        |  THEN transform(sequence(1, size(w) - 2),
-        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
-        |                ' ', element_at(w, i + 2)))
-        |  ELSE array() END""".stripMargin)).as("s"))
+    tokenized(s, d)
+      .select(col("doc_id"), explode(expr(shingle3Expr)).as("s"))
 
   /** Signatures are materialized once per corpus snapshot (they are
     * a stored artifact in a real dedup pipeline — 8 lanes × 8 hex
@@ -596,27 +602,34 @@ object LlmQueries {
       .select(col("lang"), col("x.id").as("doc_id"),
         (col("p0") + 1).cast("int").as("rank"))
 
+  /** Max per-source quota of the mixing recipe below; the heap k and
+    * the quota formula MUST share this bound — a heap smaller than
+    * the largest quota would silently under-sample that source
+    * (surfacing only as an oracle hash mismatch). */
+  private val mixMaxQuota = 3
+
   /** Weighted data-mixing sample: each source contributes a
     * per-source quota of deterministically-sampled documents (the
     * mixing-recipe step that turns [[sourceStats]] into an actual
     * training mix). Quotas here derive from the source index
-    * (`idx % 3 + 1`, standing in for the recipe's weights); the heap
-    * aggregate takes the MAX quota per group and the variable quota
-    * is applied as a post-filter on rank — one partial-aggregated
-    * shuffle on source, never a per-source sort of the corpus. */
+    * (`idx % mixMaxQuota + 1`, standing in for the recipe's weights);
+    * the heap aggregate takes the MAX quota per group and the
+    * variable quota is applied as a post-filter on rank — one
+    * partial-aggregated shuffle on source, never a per-source sort of
+    * the corpus. */
   def mixSample(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("wh", expr(hexHashExpr("instr")))
       .groupBy(col("source"))
-      .agg(graft.functions.TopKByLong.topK(-col("wh"), col("doc_id"), 3)
-        .as("tk"))
+      .agg(graft.functions.TopKByLong
+        .topK(-col("wh"), col("doc_id"), mixMaxQuota).as("tk"))
       .select(col("source"), posexplode(col("tk")).as(Seq("p0", "x")))
       .select(col("source"), col("x.id").as("doc_id"),
         (col("p0") + 1).cast("int").as("rank"))
       .filter(col("rank") <=
-        substring(col("source"), 4, 10).cast("int") % 3 + 1)
+        substring(col("source"), 4, 10).cast("int") % mixMaxQuota + 1)
 
   // ---------------------------------------------------------------
   // Passage-level dedup scan (CCNet/C4-style boilerplate detection
@@ -659,7 +672,8 @@ object LlmQueries {
 
   // ---------------------------------------------------------------
   // Blocklist term filter (C4-style badword filtering): drop any
-  // doc where blocklisted tokens exceed 5% of all tokens. Pure
+  // doc where blocklisted tokens reach or exceed 5% of all tokens
+  // (n_blocked * 20 < n_tokens keeps strictly-under-5% docs). Pure
   // map-side predicate over the token array — zero shuffle, and
   // the integer cross-multiplication (n_blocked * 20 < n_tokens)
   // keeps the threshold exact in both engines.
@@ -704,11 +718,18 @@ object LlmQueries {
     val stot = st.groupBy(col("source"))
       .agg(sum(col("c_src")).as("tot_src"))
     val tot = tt.agg(sum(col("c_all")).as("tot_all"))
+    // widen to decimal(38)/HUGEINT before multiplying: at 100 TB the
+    // cross-products (1000*c_src*tot_all, c_all*tot_src) blow past
+    // Long.Max (~9.2e18) — bigint math would throw under ANSI or
+    // silently wrap; both engines' 128-bit integer division truncates
+    // positives identically, so the lift stays exact
     val lift = st.join(broadcast(tt), "term")
       .join(broadcast(stot), "source")
       .crossJoin(broadcast(tot))
       .select(col("source"), col("term"),
-        expr("(1000L * c_src * tot_all) div (c_all * tot_src)")
+        expr("""CAST((1000 * c_src * CAST(tot_all AS DECIMAL(38, 0)))
+                |div (CAST(c_all AS DECIMAL(38, 0)) * tot_src)
+                |AS BIGINT)""".stripMargin)
           .as("lift_x1000"))
     val wnd = Window.partitionBy(col("source"))
       .orderBy(col("lift_x1000").desc, col("term"))
@@ -739,12 +760,7 @@ object LlmQueries {
   def kmvDistinct(s: SparkSession, d: String): DataFrame = {
     val shingled = docs(s, d)
       .select(col("source"), split(trim(lower(col("text"))), ws).as("w"))
-      .select(col("source"), explode(expr(
-        """CASE WHEN size(w) >= 3
-          |  THEN transform(sequence(1, size(w) - 2),
-          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-          |      element_at(w, i + 2)))
-          |  ELSE array() END""".stripMargin)).as("sg"))
+      .select(col("source"), explode(expr(shingle3Expr)).as("sg"))
       .withColumn("h", md5(col("sg")))
       .select(col("source"), expr(hexHashExpr("instr")).as("hv"))
       .distinct()
@@ -1379,7 +1395,8 @@ object LlmQueries {
          |      ORDER BY wh ASC, doc_id ASC) AS INT) AS rank
          |  FROM wx)
          |SELECT source, doc_id, rank FROM r
-         |WHERE rank <= CAST(substring(source, 4) AS INT) % 3 + 1""".stripMargin,
+         |WHERE rank <= CAST(substring(source, 4) AS INT)
+         |  % $mixMaxQuota + 1""".stripMargin,
 
     "llm_passage_dedup" ->
       s"""WITH $wCte,
@@ -1423,8 +1440,9 @@ object LlmQueries {
         |  FROM st GROUP BY source),
         |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS tot_all FROM tt),
         |lift AS (SELECT st.source, st.term,
-        |    (1000 * st.c_src * tot.tot_all) // (tt.c_all * stot.tot_src)
-        |      AS lift_x1000
+        |    CAST((1000 * st.c_src * CAST(tot.tot_all AS HUGEINT))
+        |      // (CAST(tt.c_all AS HUGEINT) * stot.tot_src)
+        |      AS BIGINT) AS lift_x1000
         |  FROM st JOIN tt ON st.term = tt.term
         |  JOIN stot ON st.source = stot.source CROSS JOIN tot),
         |r AS (SELECT source, term, lift_x1000,

@@ -39,6 +39,10 @@ import graft.functions.DotProductLong
   * side with nulls; the kernel fails loudly — see VecUtil.dotL), and
   * arithmetic overflow wraps instead of raising under ANSI mode
   * (quantized embedding products are bounded far below `Long.Max`).
+  * TRY-mode arithmetic (`try_multiply`/`try_add`, lowered to
+  * `Multiply`/`Add` with `EvalMode.TRY` before optimizer rules run)
+  * is explicitly NOT rewritten: TRY promises null-on-overflow, which
+  * the wrapping kernel cannot honor.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
@@ -67,15 +71,20 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def notTry(ctx: NumericEvalContext): Boolean =
+    ctx.evalMode != EvalMode.TRY
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), mulArgs, _)),
+            ZipWith(a, b,
+              LambdaFunction(Multiply(ml, mr, mulCtx), mulArgs, _)),
             zero,
-            LambdaFunction(Add(al, ar, _), addArgs, _),
+            LambdaFunction(Add(al, ar, addCtx), addArgs, _),
             LambdaFunction(finBody, Seq(finArg), _))
           if isStrictLongArray(a) && isStrictLongArray(b) &&
             isZeroLong(zero) &&
+            notTry(mulCtx) && notTry(addCtx) &&
             isPairOp(ml, mr, mulArgs) &&
             isPairOp(al, ar, addArgs) &&
             sameVar(finBody, finArg) =>

@@ -86,4 +86,11 @@ class DotProductRewriteSpec extends AnyFunSuite {
       "aggregate(zip_with(a, b, (x, y) -> x + y), 0L, (s, x) -> s + x) AS ip")
     assert(!hasKernel(df))
   }
+
+  test("TRY-mode arithmetic is left alone (null-on-overflow contract)") {
+    val df = longArrays.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> try_multiply(x, y)), 0L, " +
+        "(s, x) -> s + x) AS ip")
+    assert(!hasKernel(df))
+  }
 }
