@@ -1,0 +1,128 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Randomized property checks for the corpus-hygiene operators:
+  * each distributed formulation must equal a direct plain-Scala
+  * reference on generated corpora (the oracle pins exact values on
+  * the fixed test tables; these pin the SEMANTICS on adversarial
+  * shapes — partial passages, repeated passages, boundary ratios,
+  * sub-k cardinalities). */
+class LlmPropertySpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g")
+
+  private def tokensOf(text: String): Array[String] =
+    text.trim.toLowerCase.split("\\s+")
+
+  private def md5hex(x: String): String =
+    MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** First 8 md5 hex digits as a long — mirrors hexHashExpr. */
+  private def hash32(x: String): Long =
+    java.lang.Long.parseLong(md5hex(x).take(8), 16)
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("llm-prop").toFile
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text, src) => (id, text, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    tmp.getAbsolutePath
+  }
+
+  private def randomCorpus(rnd: Random, nDocs: Int): Seq[(Long, String, String)] =
+    (0L until nDocs).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      // duplicate whole 8-token blocks across docs with some odds, so
+      // shared passages actually occur
+      val toks = (0 until n).map { i =>
+        if (rnd.nextInt(4) == 0) vocab(i % vocab.size)
+        else vocab(rnd.nextInt(vocab.size))
+      }
+      (id, toks.mkString(" "), s"src${rnd.nextInt(3)}")
+    }
+
+  test("passageDedup equals the direct per-doc passage scan") {
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val rows = randomCorpus(rnd, 40)
+      val dir = writeDocs(rows)
+      val passages = rows.map { case (id, text, _) =>
+        id -> tokensOf(text).grouped(8).map(_.mkString(" ")).toVector
+      }
+      val docsPerPassage = passages
+        .flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.size }
+      val expected = passages.map { case (id, ps) =>
+        (id, ps.size.toLong, ps.count(docsPerPassage(_) >= 2).toLong)
+      }.toSet
+      val got = LlmQueries.passageDedup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("termFilter equals the direct ratio scan") {
+    val blocked = Set("a", "e")
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val rows = randomCorpus(rnd, 60)
+      val dir = writeDocs(rows)
+      val expected = rows.flatMap { case (id, text, _) =>
+        val toks = tokensOf(text)
+        val nb = toks.count(blocked)
+        if (nb * 20 < toks.length) Some((id, toks.length.toLong, nb.toLong))
+        else None
+      }.toSet
+      // operator blocklist is ("slow", "big") which the vocab never
+      // hits; check the shape against a vocab-intersecting list by
+      // rewriting text: map blocked stand-ins onto the real blocklist
+      val mapped = rows.map { case (id, text, src) =>
+        (id, tokensOf(text).map {
+          case "a" => "slow"
+          case "e" => "big"
+          case t => t
+        }.mkString(" "), src)
+      }
+      val dir2 = writeDocs(mapped)
+      val got = LlmQueries.termFilter(spark, dir2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed $seed")
+      assert(dir != dir2)
+    }
+  }
+
+  test("kmvDistinct equals the direct KMV computation") {
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val rows = randomCorpus(rnd, 50)
+      val dir = writeDocs(rows)
+      val expected = rows.groupBy(_._3).map { case (src, docs) =>
+        val hvs = docs.flatMap { case (_, text, _) =>
+          val t = tokensOf(text)
+          if (t.length < 3) Seq.empty
+          else t.sliding(3).map(_.mkString(" ")).toSeq
+        }.map(hash32).distinct.sorted
+        val n = hvs.size.toLong
+        val est =
+          if (n < 64) n else 63L * 4294967296L / (hvs(63) + 1L)
+        (src, n, est)
+      }.toSet
+      val got = LlmQueries.kmvDistinct(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+}
