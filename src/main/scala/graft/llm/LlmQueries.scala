@@ -681,9 +681,16 @@ object LlmQueries {
   private val blocklist = Seq("slow", "big")
 
   /** Kept docs with their token/blocked counts. */
-  def termFilter(s: SparkSession, d: String): DataFrame = {
+  def termFilter(s: SparkSession, d: String): DataFrame =
+    termFilterOf(docs(s, d))
+
+  /** DataFrame-shaped core of [[termFilter]] — row-local and
+    * stateless, so it runs unchanged on a streaming `documents`
+    * source (see graft.streaming.DocsStream). */
+  def termFilterOf(in: DataFrame): DataFrame = {
     val inList = blocklist.map("'" + _ + "'").mkString(", ")
-    tokenized(s, d)
+    in.select(col("doc_id"),
+        split(trim(lower(col("text"))), ws).as("w"))
       .select(col("doc_id"),
         expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
         expr(s"CAST(size(filter(w, t -> t IN ($inList))) AS BIGINT)")
@@ -816,7 +823,13 @@ object LlmQueries {
     * scan-pushable and shuffle-free, which a filter on derived scalar
     * columns is. Thresholds are integers on ×100-scaled metrics. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
+    qualityFilterOf(docs(s, d))
+
+  /** DataFrame-shaped core of [[qualityFilter]] — row-local and
+    * stateless, so it runs unchanged on a streaming `documents`
+    * source (see graft.streaming.DocsStream). */
+  def qualityFilterOf(in: DataFrame): DataFrame =
+    in.select(col("doc_id"),
         split(trim(lower(col("text"))), ws).as("w"), col("text"))
       .select(col("doc_id"),
         expr("CAST(size(w) AS BIGINT)").as("n_tokens"),

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.llm.LlmQueries
+
+/** Incremental corpus hygiene — the streaming form of the
+  * training-data filters: new document shards dropped into a corpus
+  * directory are discovered by Structured Streaming's file source
+  * (exactly-once per file via the checkpoint) and flow through the
+  * SAME filter transformations the batch queries use
+  * ([[LlmQueries.qualityFilterOf]], [[LlmQueries.termFilterOf]]).
+  *
+  * Both filters are row-local and stateless — no watermark, no state
+  * store, no shuffle; a micro-batch's cost is exactly the map-side
+  * scan of its new files. This is the streaming sweet spot for
+  * corpus hygiene: filters apply incrementally as shards land, while
+  * the stateful corpus-wide steps (dedup, clustering) stay batch
+  * jobs over the accumulated clean table — the standard
+  * lambda-free split for 100 TB pipelines (stateless edge,
+  * periodic heavy joins).
+  */
+object DocsStream {
+
+  /** Schema of the `documents` shards (TESTDATA.md) — the streaming
+    * file source requires it up front (no inference mid-stream). */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming `documents` table over a directory of parquet shards.
+    */
+  def documents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(path)
+  }
+
+  /** Gopher-style quality filter over the stream — batch semantics,
+    * incremental execution. */
+  def qualityFiltered(docs: DataFrame): DataFrame =
+    LlmQueries.qualityFilterOf(docs)
+
+  /** C4-style blocklist filter over the stream — batch semantics,
+    * incremental execution. */
+  def blocklistFiltered(docs: DataFrame): DataFrame =
+    LlmQueries.termFilterOf(docs)
+}
