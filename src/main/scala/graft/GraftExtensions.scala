@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, IsValidIri, NearestCentroid, TopKByLong}
+import graft.functions.{DotProductLong, IsValidIri, NearestCentroid, TopKByLong, VecSumLong}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "nearest_centroid"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NearestCentroid(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum_l"),
+      new ExpressionInfo(classOf[VecSumLong].getName, "vec_sum_l"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecSumLong(args.head)))
     ext.injectFunction((
       FunctionIdentifier("top_k_l"),
       new ExpressionInfo(classOf[TopKByLong].getName, "top_k_l"),

@@ -40,6 +40,7 @@ object LlmQueries {
     "llm_ivf_topk" -> ivfTopk,
     "llm_ann_recall" -> annRecall,
     "llm_ivf_recall" -> ivfRecall,
+    "llm_kmeans_step" -> kmeansStep,
     "llm_minhash_est" -> minhashEst,
     "llm_pq_codes" -> pqCodes,
     "llm_embed_neardup" -> embedNeardup,
@@ -454,6 +455,28 @@ object LlmQueries {
   def ivfClusters(s: SparkSession, d: String): DataFrame =
     assigned(s, d).groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"))
+
+  /** One Lloyd (k-means) refinement iteration over the IVF
+    * assignment: recompute each centroid as the integer mean of its
+    * assigned quantized vectors. The heavy lifting is
+    * [[graft.functions.VecSumLong]] — elementwise partial sums
+    * map-side, so the exchange carries one long[dim] per (cluster,
+    * partition) instead of the corpus (an explode + per-dim groupBy
+    * would multiply the shuffle by the 64 dims; collect_list would
+    * forfeit partial aggregation entirely). Output keeps the full
+    * mean compressed to two exact integers (first component +
+    * component sum) so the oracle hash stays scalar. Both engines
+    * truncate integer division toward zero (verified: -7 div 2 =
+    * -3 = DuckDB's (-7) // 2), so negative quantized sums agree. */
+  def kmeansStep(s: SparkSession, d: String): DataFrame =
+    assigned(s, d)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VecSumLong.vecSum(col("qv")).as("sums"))
+      .select(col("cid"), col("n_vecs"),
+        expr("element_at(sums, 1) div n_vecs").as("c0"),
+        expr("""aggregate(transform(sums, x -> x div n_vecs), 0L,
+               |(a, b) -> a + b)""".stripMargin).as("mean_sum"))
 
   /** IVF search: rank centroids per query, probe the top-`nProbe`
     * inverted lists, exact-score only those candidates, bounded-heap
@@ -1241,6 +1264,21 @@ object LlmQueries {
     "llm_ivf_clusters" ->
       s"""WITH $ivfCte
          |SELECT cid, count(*) AS n_vecs FROM asg GROUP BY cid""".stripMargin,
+
+    "llm_kmeans_step" ->
+      s"""WITH $ivfCte,
+         |dims AS (SELECT cid, unnest(qv) AS x,
+         |    unnest(generate_series(1, len(qv))) AS j FROM asg),
+         |sums AS (SELECT cid, j, CAST(sum(x) AS BIGINT) AS sx
+         |  FROM dims GROUP BY cid, j),
+         |n AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM asg GROUP BY cid),
+         |m AS (SELECT s.cid, n.n_vecs, s.j, s.sx // n.n_vecs AS mj
+         |  FROM sums s JOIN n ON s.cid = n.cid)
+         |SELECT cid, MAX(n_vecs) AS n_vecs,
+         |  CAST(SUM(CASE WHEN j = 1 THEN mj ELSE 0 END) AS BIGINT) AS c0,
+         |  CAST(SUM(mj) AS BIGINT) AS mean_sum
+         |FROM m GROUP BY cid""".stripMargin,
 
     "llm_ivf_topk" ->
       s"""WITH $ivfCte,
