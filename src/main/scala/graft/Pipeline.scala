@@ -97,7 +97,7 @@ object Pipeline {
       if (singleFile) result.triples.coalesce(1) else result.triples
     format match {
       case "parquet" => df.write.mode("overwrite").parquet(path)
-      case "turtle" | "trig" => df.write.format("turtle")
+      case "turtle" | "trig" | "nt" => df.write.format("turtle")
         .option("prefixes",
           sources.TurtleDataSource.prefixesOption(result.prefixes))
         .option("syntax", format)

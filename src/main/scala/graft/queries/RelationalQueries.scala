@@ -44,7 +44,31 @@ object RelationalQueries {
     "rel_q17_supplier_region" -> supplierRegion,
     "rel_q18_date_revenue" -> dateRevenue,
     "rel_q19_salted_parts" -> saltedParts,
+    "rel_q20_grouping_sets" -> groupingSets,
   )
+
+  /** Disjoint-dimension subtotals via GROUPING SETS — the shape
+    * ROLLUP/CUBE cannot express (two independent one-column
+    * groupings + grand total, no cross products). Spark plans this
+    * as a single Expand (3 replicas of each row tagged with its
+    * grouping id) + one partial-aggregated shuffle — the rows
+    * expand 3×, the exchange carries only the partial aggregates.
+    * `grouping()` disambiguates real NULL keys from subtotal rows,
+    * which the coalesce-label trick alone cannot. SQL-first on both
+    * engines (the DataFrame API has only rollup/cube). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_gsets")
+    spark.sql(s"""
+      |SELECT CASE WHEN grouping(o_orderstatus) = 0 THEN 'status'
+      |            WHEN grouping(o_orderpriority) = 0 THEN 'priority'
+      |            ELSE 'all' END AS dim,
+      |  coalesce(o_orderstatus, o_orderpriority, 'ALL') AS key,
+      |  COUNT(*) AS n_orders,
+      |  ${sqlMoneySum("o_totalprice")} AS sum_price
+      |FROM orders_gsets
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |""".stripMargin)
+  }
 
   /** TPC-H Q5-flavored supplier revenue by region: the fact table
     * streams through THREE chained broadcast hash joins (supplier →
@@ -534,5 +558,16 @@ object RelationalQueries {
          |  COUNT(*) AS n_items
          |FROM lineitem GROUP BY l_partkey
          |ORDER BY qty_cents DESC, l_partkey LIMIT 10""".stripMargin,
+
+    "rel_q20_grouping_sets" ->
+      s"""SELECT CASE WHEN grouping(o_orderstatus) = 0 THEN 'status'
+         |            WHEN grouping(o_orderpriority) = 0 THEN 'priority'
+         |            ELSE 'all' END AS dim,
+         |  coalesce(o_orderstatus, o_orderpriority, 'ALL') AS key,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin,
   )
 }

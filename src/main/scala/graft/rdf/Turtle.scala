@@ -633,6 +633,48 @@ object Turtle {
     }
   }
 
+  /** N-Triples serialization — the line-splittable interchange
+    * subset (rdflib's `format="nt"`, the reference's
+    * OUTPUT_FILE_FORMAT knob at transform_datamodel.py:129–137
+    * accepts any rdflib format name): one triple per line, absolute
+    * `<IRI>`s, no prefix header, newlines always escaped (never
+    * long-quoted). The property that matters at 100 TB: an
+    * N-Triples corpus is re-readable by ANY line-oriented source
+    * (`spark.read.text` + per-LINE parse — arbitrary splits, no
+    * document atomicity), which Turtle fundamentally lacks. Every
+    * N-Triples document is valid Turtle, so [[parse]] round-trips
+    * it. */
+  def serializeNTriples(df: DataFrame): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("subject", "subject_kind", "predicate", "obj_value",
+        "obj_kind", "obj_lang", "obj_datatype")
+      .sortWithinPartitions("subject")
+      .mapPartitions(_.map { r =>
+        ntStatement(r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getString(5), r.getString(6))
+      })
+  }
+
+  /** One N-Triples statement line — the per-row kernel shared by
+    * [[serializeNTriples]] and the `turtle` DSv2 `syntax=nt` writer.
+    */
+  def ntStatement(subject: String, subjectKind: String, predicate: String,
+      objValue: String, objKind: String, objLang: String,
+      objDatatype: String): String = {
+    val subj = if (subjectKind == "bnode") subject else s"<$subject>"
+    val obj = objKind match {
+      case "iri" => s"<$objValue>"
+      case "bnode" => objValue
+      case _ =>
+        val quoted = "\"" + escape(objValue) + "\""
+        if (objLang != null) s"$quoted@$objLang"
+        else if (objDatatype != null) s"$quoted^^<$objDatatype>"
+        else quoted
+    }
+    s"$subj <$predicate> $obj ."
+  }
+
   private def term(value: String, kind: String,
       pfx: Seq[(String, String)]): String =
     if (kind == "bnode") value else compact(value, pfx)

@@ -99,16 +99,18 @@ final class TurtleTable(properties: Map[String, String])
     val prefixes = TurtleDataSource.resolvePrefixes(info.options)
     // syntax=trig emits GRAPH blocks so the graph column round-trips
     // (plain Turtle cannot encode it — that is TriG's whole point);
-    // anything but the two known syntaxes is an error, not a silent
-    // fallback that would drop the graph column
-    val trig =
+    // syntax=nt emits line-splittable N-Triples (no prefixes, no
+    // graph column); anything but the known syntaxes is an error,
+    // not a silent fallback that would drop the graph column
+    val syntax =
       info.options.getOrDefault("syntax", "turtle").toLowerCase match {
-        case "trig" => true
-        case "turtle" | "ttl" => false
+        case "trig" => "trig"
+        case "nt" | "ntriples" => "nt"
+        case "turtle" | "ttl" => "turtle"
         case other => throw new IllegalArgumentException(
-          s"unknown turtle write syntax '$other' (use turtle or trig)")
+          s"unknown turtle write syntax '$other' (use turtle, trig or nt)")
       }
-    new TurtleWriteBuilder(path, prefixes, info.schema(), trig)
+    new TurtleWriteBuilder(path, prefixes, info.schema(), syntax)
   }
 }
 
@@ -197,13 +199,13 @@ final class TurtleReaderFactory(graphId: String, scopeBnodes: Boolean,
 // ---------------------------------------------------------------------
 
 final class TurtleWriteBuilder(path: String,
-    prefixes: Seq[(String, String)], schema: StructType, trig: Boolean)
+    prefixes: Seq[(String, String)], schema: StructType, syntax: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new TurtleBatchWrite(path, prefixes, schema, doTruncate, trig)
+      new TurtleBatchWrite(path, prefixes, schema, doTruncate, syntax)
   }
 }
 
@@ -219,7 +221,7 @@ final class TurtleWriteBuilder(path: String,
   * reader also skips `_`/`.` files, so even a crash mid-commit never
   * reads staging leftovers as data). */
 final class TurtleBatchWrite(path: String, prefixes: Seq[(String, String)],
-    schema: StructType, truncate: Boolean, trig: Boolean)
+    schema: StructType, truncate: Boolean, syntax: String)
     extends BatchWrite {
   private val hadoopConf = new SerializableHadoopConf(
     org.apache.spark.sql.classic.SparkSession.active
@@ -234,7 +236,7 @@ final class TurtleBatchWrite(path: String, prefixes: Seq[(String, String)],
     fs.mkdirs(staging)
     val idx = Model.columns.map(schema.fieldIndex) // graph first
     new TurtleWriterFactory(staging.toString, prefixes, idx, hadoopConf,
-      trig)
+      syntax)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -264,9 +266,11 @@ final case class TurtleCommit(file: String) extends WriterCommitMessage
 
 final class TurtleWriterFactory(stagingDir: String,
     prefixes: Seq[(String, String)], idx: Seq[Int],
-    hadoopConf: SerializableHadoopConf, trig: Boolean)
+    hadoopConf: SerializableHadoopConf, syntax: String)
     extends DataWriterFactory {
-  private val ext = if (trig) "trig" else "ttl"
+  private val ext = syntax match {
+    case "trig" => "trig"; case "nt" => "nt"; case _ => "ttl"
+  }
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -282,15 +286,25 @@ final class TurtleWriterFactory(stagingDir: String,
 
       override def write(r: InternalRow): Unit = {
         if (!wroteHeader) {
-          Turtle.header(prefixes).foreach { l => out.write(l); out.write("\n") }
+          // N-Triples has no prefix syntax — header only for ttl/trig
+          if (syntax != "nt")
+            Turtle.header(prefixes).foreach { l =>
+              out.write(l); out.write("\n")
+            }
           wroteHeader = true
         }
         def s(j: Int): String =
           if (r.isNullAt(idx(j))) null else r.getUTF8String(idx(j)).toString
-        val stmt = Turtle.statement(s(1), s(2), s(3), s(4), s(5), s(6), s(7),
-          prefixes)
-        if (trig) out.write(Turtle.trigStatement(s(0), stmt, "default"))
-        else out.write(stmt)
+        if (syntax == "nt")
+          out.write(Turtle.ntStatement(s(1), s(2), s(3), s(4), s(5), s(6),
+            s(7)))
+        else {
+          val stmt = Turtle.statement(s(1), s(2), s(3), s(4), s(5), s(6),
+            s(7), prefixes)
+          if (syntax == "trig")
+            out.write(Turtle.trigStatement(s(0), stmt, "default"))
+          else out.write(stmt)
+        }
         out.write("\n")
       }
       override def commit(): WriterCommitMessage = {

@@ -66,6 +66,29 @@ class TurtleSpec extends AnyFunSuite {
     assert(back == rows.toSet)
   }
 
+  test("N-Triples serialization is line-splittable and parses back") {
+    val rows: Seq[Turtle.FlatTriple] = Seq(
+      ("default", "http://x/1", "iri", DctermsTitle, "Fresco \"A\"\nline2",
+        "literal", "nl", n),
+      ("default", "http://x/1", "iri", RdfType, CeoRijksmonument, "iri",
+        n, n),
+      ("default", "_:b7", "bnode", DctermsRelation, "http://x/2", "iri",
+        n, n),
+      ("default", "http://x/2", "iri", DctermsIdentifier, "RM12",
+        "literal", n, XsdBoolean))
+    val df = TestSpark.triples(rows)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val lines = Turtle.serializeNTriples(df).collect()
+    // one line per triple, no prefix machinery, no raw newlines:
+    // EVERY line is independently a complete Turtle document
+    assert(lines.length == rows.size)
+    assert(lines.forall(l => !l.contains("@prefix") && !l.contains("\n")))
+    val perLine = lines.flatMap(l =>
+      Turtle.parseDocument(l, "default")).toSet
+    assert(perLine == rows.toSet)
+  }
+
   test("concatenated documents parse with set semantics (O2+O3)") {
     val page = "@prefix ex: <http://ex.org/> .\n<http://x/1> ex:p \"v\" .\n"
     val spark = TestSpark.spark

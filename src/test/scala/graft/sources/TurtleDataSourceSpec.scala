@@ -111,6 +111,29 @@ class TurtleDataSourceSpec extends AnyFunSuite {
     assert(back == rows.toSet)
   }
 
+  test("syntax=nt write emits prefix-free N-Triples that read back") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows: Seq[Turtle.FlatTriple] = Seq(
+      ("default", "http://x/1", "iri", "http://ex.org/p", "multi\nline",
+        "literal", null, null),
+      ("default", "http://x/2", "iri", "http://ex.org/q", "http://x/1",
+        "iri", null, null))
+    val df = graft.TestSpark.triples(rows)
+    val out = Files.createTempDirectory("ntw").toFile.getAbsolutePath
+    df.write.format("turtle").option("syntax", "nt")
+      .mode("overwrite").save(out)
+    val files = new java.io.File(out).listFiles.filter(
+      _.getName.endsWith(".nt"))
+    assert(files.nonEmpty)
+    val text = files.map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+    assert(!text.contains("@prefix"))
+    val back = spark.read.format("turtle").load(s"$out/*.nt")
+      .as[Turtle.FlatTriple].collect().toSet
+    assert(back == rows.toSet)
+  }
+
   test("glob patterns select matching files only") {
     val dir = Files.createTempDirectory("ttlglob").toFile
     Files.writeString(new java.io.File(dir, "a.ttl").toPath, doc(1))
