@@ -51,6 +51,7 @@ object LlmQueries {
     "llm_term_filter" -> termFilter,
     "llm_distinctive_terms" -> distinctiveTerms,
     "llm_kmv_distinct" -> kmvDistinct,
+    "llm_winnow" -> winnow,
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
     "llm_lang_stats" -> langStats,
@@ -808,6 +809,42 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------
+  // Winnowing fingerprints (the MOSS algorithm): slide a window of
+  // width 4 over the 3-gram shingle-hash sequence, keep each
+  // window's minimum, dedup — guarantees any shared run of >= 6
+  // tokens between two docs produces at least one shared
+  // fingerprint, at ~1/4 the fingerprint density of full shingling.
+  // One shuffle on doc_id (the ordered window + the per-doc count
+  // share the partitioning), then a match-scale distinct.
+  // Degenerate docs (fewer shingles than the window) keep exactly
+  // one fingerprint (the global min); docs under 3 tokens have no
+  // shingles and no fingerprints — in both engines.
+  // ---------------------------------------------------------------
+  private val winnowW = 4
+
+  /** Per-doc winnowing fingerprint summary (count / min / sum of the
+    * distinct window minima — scalar so the oracle hash is exact). */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    val rows = tokenized(s, d)
+      .select(col("doc_id"),
+        posexplode(expr(shingle3Expr)).as(Seq("p0", "sg")))
+      .withColumn("h", md5(col("sg")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"),
+        expr(hexHashExpr("instr")).as("hv"))
+    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, winnowW - 1)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    rows
+      .withColumn("wmin", min(col("hv")).over(wspec))
+      .withColumn("m", count(lit(1)).over(perDoc))
+      .filter(col("i") <= greatest(col("m") - (winnowW - 1), lit(1L)))
+      .select(col("doc_id"), col("wmin")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("wmin")).as("fp_min"),
+        sum(col("wmin")).as("fp_sum"))
+  }
+
+  // ---------------------------------------------------------------
   // Text analysis: token counts, punctuation, stopword ratio,
   // quality score — single map-side pass, integer outputs.
   // ---------------------------------------------------------------
@@ -1525,6 +1562,26 @@ object LlmQueries {
          |    ELSE (${kmvK - 1} * 4294967296) // (kth.hk + 1) END
          |    AS BIGINT) AS est_distinct
          |FROM n LEFT JOIN kth ON n.source = kth.source""".stripMargin,
+
+    "llm_winnow" ->
+      s"""WITH $wCte,
+         |pos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM w),
+         |t AS (SELECT doc_id, i,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+         |  FROM pos),
+         |hv AS (SELECT doc_id, i, ${hexHashExpr("strpos")} AS v FROM t),
+         |wm AS (SELECT doc_id, i,
+         |    min(v) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING)
+         |      AS wmin,
+         |    count(*) OVER (PARTITION BY doc_id) AS m FROM hv),
+         |f AS (SELECT DISTINCT doc_id, wmin FROM wm
+         |  WHERE i <= greatest(m - ${winnowW - 1}, 1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |  min(wmin) AS fp_min, CAST(sum(wmin) AS BIGINT) AS fp_sum
+         |FROM f GROUP BY doc_id""".stripMargin,
 
     "llm_text_stats" -> {
       val sw = stopwords.map(x => s"'$x'").mkString(", ")

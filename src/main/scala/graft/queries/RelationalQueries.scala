@@ -45,7 +45,35 @@ object RelationalQueries {
     "rel_q18_date_revenue" -> dateRevenue,
     "rel_q19_salted_parts" -> saltedParts,
     "rel_q20_grouping_sets" -> groupingSets,
+    "rel_q21_funnel" -> funnel,
   )
+
+  /** Conversion funnel view → click → purchase: each stage keeps the
+    * user's earliest qualifying event at-or-after the previous
+    * stage's timestamp. Three type-pruned passes — the event_type
+    * equality pushes into each parquet scan, so a pass reads ONE
+    * type's rows — each one user-keyed shuffle, with stage tables
+    * shrinking monotonically (purchase pass joins only
+    * click-converted users). Comparisons are timestamp-only (ties
+    * admit same-instant progression): no dependence on row order
+    * within equal timestamps, which would be engine-dependent. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+    val v = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t1"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts_us") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts_us") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
 
   /** Disjoint-dimension subtotals via GROUPING SETS — the shape
     * ROLLUP/CUBE cannot express (two independent one-column
@@ -569,5 +597,20 @@ object RelationalQueries {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
         .stripMargin,
+
+    "rel_q21_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts_us >= v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
   )
 }

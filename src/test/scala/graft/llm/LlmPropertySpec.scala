@@ -104,6 +104,41 @@ class LlmPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow equals the direct computation and holds the MOSS " +
+    "guarantee (shared 6-token run => shared fingerprint)") {
+    val rnd = new Random(7)
+    val planted = "x1 x2 x3 x4 x5 x6" // 6 tokens: 4 shingles, >= 1 window
+    val rows = randomCorpus(rnd, 30).map {
+      case (id, text, src) if id % 3 == 0 => (id, s"$text $planted", src)
+      case r => r
+    }
+    val dir = writeDocs(rows)
+
+    def refFps(text: String): Set[Long] = {
+      val t = tokensOf(text)
+      if (t.length < 3) Set.empty
+      else {
+        val hv = t.sliding(3).map(g => hash32(g.mkString(" "))).toVector
+        if (hv.length <= 4 - 1) Set(hv.min)
+        else hv.sliding(4).map(_.min).toSet
+      }
+    }
+
+    val expected = rows.flatMap { case (id, text, _) =>
+      val f = refFps(text)
+      if (f.isEmpty) None
+      else Some((id, f.size.toLong, f.min, f.sum))
+    }.toSet
+    val got = LlmQueries.winnow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+
+    // MOSS guarantee across the planted run
+    val fps = rows.filter(_._1 % 3 == 0).map(r => refFps(r._2))
+    assert(fps.combinations(2).forall(p => (p(0) & p(1)).nonEmpty))
+  }
+
   test("kmvDistinct equals the direct KMV computation") {
     (1 to 3).foreach { seed =>
       val rnd = new Random(seed)
