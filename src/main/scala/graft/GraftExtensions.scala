@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rule: naive HOF dot product → codegen kernel
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    // planner strategy: native as-of join (graft.plans.AsofJoin)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofStrategy)
     ext.injectFunction((
       FunctionIdentifier("is_valid_iri"),
       new ExpressionInfo(classOf[IsValidIri].getName, "is_valid_iri"),

@@ -46,7 +46,29 @@ object RelationalQueries {
     "rel_q19_salted_parts" -> saltedParts,
     "rel_q20_grouping_sets" -> groupingSets,
     "rel_q21_funnel" -> funnel,
+    "rel_q22_asof_native" -> asofNative,
   )
+
+  /** The SAME click-attribution as rel_q12, through the engine's
+    * native [[graft.plans.AsofJoin]] operator instead of the
+    * union + last(ignoreNulls)-window composition. The native plan
+    * exchanges each side once on user_id and streams a per-partition
+    * merge with O(1) state — no union of the two tables, no window
+    * buffer (the composed form shuffles the UNION and carries its
+    * full width through the window). DuckDB's native ASOF LEFT JOIN
+    * independently oracles both formulations. */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.AsofJoinOps.asof(p, c, "user_id", "ts_us", "click_us")
+      .toDF("event_id", "user_id", "ts_us", "click_id", "u2", "click_us")
+      .drop("u2")
+  }
 
   /** Conversion funnel view → click → purchase: each stage keeps the
     * user's earliest qualifying event at-or-after the previous
@@ -612,5 +634,15 @@ object RelationalQueries {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_view_click,
         |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+
+    "rel_q22_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |    WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  c.click_id, epoch_us(c.ts) AS click_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
   )
 }
