@@ -89,7 +89,10 @@ object Pipeline {
     * `format = "trig"` (Turtle's graph-aware superset: non-default
     * graphs emit in `GRAPH <id> { … }` blocks, and the same `turtle`
     * reader parses them back with the graph column intact) or to
-    * parquet.
+    * parquet. `format = "nt"` publishes line-splittable N-Triples
+    * (absolute IRIs, no prefix header; like turtle it drops the
+    * graph column) — the interchange form downstream line-oriented
+    * consumers can split arbitrarily.
     */
   def publish(result: Result, path: String, format: String = "parquet",
       singleFile: Boolean = false): Unit = {

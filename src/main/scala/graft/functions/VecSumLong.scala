@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   * one local sum vector, so the exchange carries O(partitions × dim)
   * longs instead of the corpus. The dimensionality is taken from the
   * first vector seen; a later vector of a different length fails
-  * loudly (same ragged-data contract as `dot_product_l` — silent
-  * truncation would corrupt every mean downstream).
+  * loudly, and zero-length vectors are rejected outright (same
+  * ragged-data contract as `dot_product_l` — silent truncation or
+  * skipping would corrupt every mean downstream).
   *
   * Why not `aggregate(collect_list(...))` or an explode + per-dim
   * groupBy: collect_list materializes every vector in the reducer
@@ -34,14 +35,17 @@ case class VecSumLong(
   extends TypedImperativeAggregate[Array[Long]]
   with ExpectsInputTypes {
 
-  // empty array = "no input yet" sentinel (real inputs always have
-  // at least one element; a zero-dim vector sums to itself anyway)
+  // empty array = "no input yet" sentinel; zero-length INPUT vectors
+  // are rejected below (they are malformed embedding data, and
+  // accepting them would make the sentinel ambiguous — a dim-0
+  // vector vs no input)
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
   override def inputTypes = Seq(ArrayType(LongType))
 
   private def add(buf: Array[Long], v: ArrayData): Array[Long] = {
     val arr = v.toLongArray()
+    require(arr.length > 0, "vec_sum_l: zero-length vector")
     if (buf.isEmpty) arr
     else {
       require(buf.length == arr.length,

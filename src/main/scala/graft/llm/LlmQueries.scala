@@ -70,10 +70,16 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** THE tokenizer — lowercased, trimmed, whitespace-split. One
+    * definition for every consumer (batch helpers below and the
+    * streaming filter cores): a tokenization change must reach all
+    * of them at once. */
+  private def tokenExpr: org.apache.spark.sql.Column =
+    split(trim(lower(col("text"))), ws)
+
   /** doc_id + tokenized words (lowercased, whitespace-split). */
   private def tokenized(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
-      split(trim(lower(col("text"))), ws).as("w"))
+    docs(s, d).select(col("doc_id"), tokenExpr.as("w"))
 
   // ---------------------------------------------------------------
   // Exact dedup: hash-groupBy on the sha256 of the FULL normalized
@@ -713,8 +719,7 @@ object LlmQueries {
     * source (see graft.streaming.DocsStream). */
   def termFilterOf(in: DataFrame): DataFrame = {
     val inList = blocklist.map("'" + _ + "'").mkString(", ")
-    in.select(col("doc_id"),
-        split(trim(lower(col("text"))), ws).as("w"))
+    in.select(col("doc_id"), tokenExpr.as("w"))
       .select(col("doc_id"),
         expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
         expr(s"CAST(size(filter(w, t -> t IN ($inList))) AS BIGINT)")
@@ -739,8 +744,7 @@ object LlmQueries {
     // |sources| x |vocab|-row aggregate once per snapshot so the
     // corpus-wide explode+agg doesn't replay per consumer
     val st = SnapshotMemo.getOrCompute(s, s"source-term-counts:$d") {
-      docs(s, d).select(col("source"),
-          explode(split(trim(lower(col("text"))), ws)).as("term"))
+      docs(s, d).select(col("source"), explode(tokenExpr).as("term"))
         .groupBy(col("source"), col("term"))
         .agg(count(lit(1)).as("c_src"))
         .localCheckpoint()
@@ -790,7 +794,7 @@ object LlmQueries {
     * (both engines would otherwise divide by zero). */
   def kmvDistinct(s: SparkSession, d: String): DataFrame = {
     val shingled = docs(s, d)
-      .select(col("source"), split(trim(lower(col("text"))), ws).as("w"))
+      .select(col("source"), tokenExpr.as("w"))
       .select(col("source"), explode(expr(shingle3Expr)).as("sg"))
       .withColumn("h", md5(col("sg")))
       .select(col("source"), expr(hexHashExpr("instr")).as("hv"))
@@ -852,8 +856,7 @@ object LlmQueries {
 
   def textStats(s: SparkSession, d: String): DataFrame = {
     val sw = stopwords.map(x => s"'$x'").mkString(", ")
-    docs(s, d).select(col("doc_id"),
-      split(trim(lower(col("text"))), ws).as("w"), col("text"))
+    docs(s, d).select(col("doc_id"), tokenExpr.as("w"), col("text"))
       .select(
         col("doc_id"),
         expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
@@ -889,8 +892,7 @@ object LlmQueries {
     * stateless, so it runs unchanged on a streaming `documents`
     * source (see graft.streaming.DocsStream). */
   def qualityFilterOf(in: DataFrame): DataFrame =
-    in.select(col("doc_id"),
-        split(trim(lower(col("text"))), ws).as("w"), col("text"))
+    in.select(col("doc_id"), tokenExpr.as("w"), col("text"))
       .select(col("doc_id"),
         expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
         expr("""CAST(length(regexp_replace(trim(text), '\\s+', ''))
@@ -1046,8 +1048,7 @@ object LlmQueries {
   def sourceStats(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("source"),
-        size(split(trim(lower(col("text"))), ws)).cast("bigint")
-          .as("n_tokens"))
+        size(tokenExpr).cast("bigint").as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
 

@@ -62,12 +62,20 @@ object RelationalQueries {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"))
+    // collapse same-instant clicks to the max click_id BEFORE the
+    // join: the as-of operator breaks equal-max-ts ties by partition
+    // sort order (nondeterministic), and DuckDB's ASOF picks its own
+    // arbitrary tie — pre-aggregating makes the right side unique
+    // per (user, ts) so both engines are exactly deterministic
+    // regardless of the data
     val c = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        unix_micros(col("ts")).as("click_us"))
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
     graft.plans.AsofJoinOps.asof(p, c, "user_id", "ts_us", "click_us")
-      .toDF("event_id", "user_id", "ts_us", "click_id", "u2", "click_us")
+      .toDF("event_id", "user_id", "ts_us", "u2", "click_us", "click_id")
       .drop("u2")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_id"), col("click_us"))
   }
 
   /** Conversion funnel view → click → purchase: each stage keeps the
@@ -636,13 +644,16 @@ object RelationalQueries {
         |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
 
     "rel_q22_asof_native" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
+      """WITH p AS (SELECT event_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
         |    WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
-        |    WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-        |  c.click_id, epoch_us(c.ts) AS click_us
+        |c AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS click_us,
+        |    max(event_id) AS click_id FROM events
+        |    WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.click_id, c.click_us
         |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.click_us"""
+        .stripMargin,
   )
 }

@@ -647,9 +647,12 @@ object Turtle {
   def serializeNTriples(df: DataFrame): Dataset[String] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // no subject sort: N-Triples lines are self-contained and
+    // order-independent (the ttl/trig sort exists to group subject
+    // blocks for compaction) — a per-partition corpus sort would be
+    // pure waste here
     df.select("subject", "subject_kind", "predicate", "obj_value",
         "obj_kind", "obj_lang", "obj_datatype")
-      .sortWithinPartitions("subject")
       .mapPartitions(_.map { r =>
         ntStatement(r.getString(0), r.getString(1), r.getString(2),
           r.getString(3), r.getString(4), r.getString(5), r.getString(6))
