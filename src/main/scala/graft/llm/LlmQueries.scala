@@ -42,6 +42,8 @@ object LlmQueries {
     "llm_ivf_recall" -> ivfRecall,
     "llm_kmeans_step" -> kmeansStep,
     "llm_minhash_est" -> minhashEst,
+    "llm_pq_adc_topk" -> pqAdcTopk,
+    "llm_pq_recall" -> pqRecall,
     "llm_pq_codes" -> pqCodes,
     "llm_embed_neardup" -> embedNeardup,
     "llm_sample_bottomk" -> sampleBottomK,
@@ -533,6 +535,12 @@ object LlmQueries {
   def ivfRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(s, d, ivfTopk(s, d))
 
+  /** Recall@5 of the PQ-ADC path — what 4-byte codes cost in
+    * ranking quality vs the exact scan; completes the measured
+    * recall trio (sign-LSH, IVF, PQ). */
+  def pqRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(s, d, pqAdcTopk(s, d))
+
   /** MinHash Jaccard ESTIMATE (matching signature lanes / 8) for each
     * LSH candidate pair — the sketch-side number to hold against the
     * exact [[ngramJaccard]] verification; per-pair map-side compare
@@ -573,6 +581,42 @@ object LlmQueries {
         graft.functions.NearestCentroid(
           expr(s"slice(qv, ${(j - 1) * pqDim + 1}, $pqDim)"),
           col(s"cents$j")).as(s"c$j")): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k — the search half of product
+    * quantization ([[pqCodes]] is the indexing half): each query
+    * precomputes a 4×16 lookup table of inner products against the
+    * sub-centroids, and a corpus vector's approximate score is four
+    * table lookups + three adds over its stored codes. This is THE
+    * memory-bandwidth ANN path: at 100 TB the scan reads 4 bytes of
+    * codes per vector instead of the embedding, the LUTs broadcast
+    * (nq × 64 longs), scoring is map-side, and the bounded-heap
+    * `top_k_l` keeps the exchange at O(partitions × k). */
+  def pqAdcTopk(s: SparkSession, d: String): DataFrame = {
+    val centAgg = (1 to pqSub).map(j =>
+      sort_array(collect_list(struct(col("cid"),
+        expr(s"slice(cv, ${(j - 1) * pqDim + 1}, $pqDim)").as("cv"))))
+        .as(s"cents$j"))
+    val centArr = centroids(s, d).agg(centAgg.head, centAgg.tail: _*)
+    val luts = quantized(s, d).filter(col("vec_id").isin(queryIds: _*))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id") +: (1 to pqSub).map(j =>
+        transform(col(s"cents$j"), c =>
+          graft.functions.DotProductLong(
+            expr(s"slice(qv, ${(j - 1) * pqDim + 1}, $pqDim)"),
+            c.getField("cv"))).as(s"lut$j")): _*)
+    val scoreExpr = (1 to pqSub).map(j =>
+      s"element_at(lut$j, c$j + 1)").mkString(" + ")
+    pqCodes(s, d).crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(scoreExpr).as("adc_ip"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByLong
+        .topK(col("adc_ip"), col("vec_id"), 5).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("q_id"), col("x.id").as("vec_id"),
+        (col("p0") + 1).cast("int").as("rank"),
+        col("x.score").as("adc_ip"))
   }
 
   /** Embedding-cosine near-dup: pairs above a similarity threshold,
@@ -1163,6 +1207,58 @@ object LlmQueries {
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       |  FROM embeddings)""".stripMargin
 
+  /** Shared oracle CTE chain ending in `codes(vec_id, c1..c4)` — the
+    * PQ code assignment used by both llm_pq_codes and
+    * llm_pq_adc_topk (assumes `v` from [[quantCte]] in scope). */
+  private lazy val pqCodesCte: String = {
+    val subs = (1 to pqSub).map { j =>
+      val lo = (j - 1) * pqDim + 1
+      val hi = j * pqDim
+      s"""s$j AS (SELECT v.vec_id, c.cid,
+         |    CAST(list_inner_product(CAST(v.qv[$lo:$hi] AS DOUBLE[]),
+         |      CAST(c.cv[$lo:$hi] AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM v, cent c),
+         |r$j AS (SELECT vec_id, cid AS c$j FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ip DESC, cid) AS rn FROM s$j)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to pqSub)
+      .map(j => s"JOIN r$j ON v.vec_id = r$j.vec_id").mkString("\n  ")
+    s"""cent AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM v
+       |  WHERE vec_id < $nCentroids),
+       |$subs,
+       |codes AS (SELECT v.vec_id,
+       |    ${(1 to pqSub).map(j => s"r$j.c$j").mkString(", ")}
+       |  FROM v
+       |  $joins)""".stripMargin
+  }
+
+  /** Shared oracle CTE chain ending in `sc(q_id, vec_id, adc_ip)` —
+    * the PQ asymmetric-distance scores (assumes `v` + `codes` in
+    * scope); used by llm_pq_adc_topk and llm_pq_recall. */
+  private lazy val pqAdcScoreCte: String = {
+    val lutSel = (1 to pqSub).map { j =>
+      val lo = (j - 1) * pqDim + 1
+      val hi = j * pqDim
+      s"""SELECT q.q_id, $j AS j, c.cid,
+         |    CAST(list_inner_product(CAST(q.qvec[$lo:$hi] AS DOUBLE[]),
+         |      CAST(c.cv[$lo:$hi] AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM q, cent c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val codesLong = (1 to pqSub).map(j =>
+      s"SELECT vec_id, $j AS j, c$j AS cid FROM codes")
+      .mkString(" UNION ALL ")
+    s"""q AS (SELECT vec_id AS q_id, qv AS qvec FROM v
+       |  WHERE vec_id IN $qIdList),
+       |lut AS ($lutSel),
+       |cl AS ($codesLong),
+       |sc AS (SELECT l.q_id, cl.vec_id,
+       |    CAST(sum(l.ip) AS BIGINT) AS adc_ip
+       |  FROM cl JOIN lut l ON l.j = cl.j AND l.cid = cl.cid
+       |  WHERE cl.vec_id <> l.q_id GROUP BY 1, 2)""".stripMargin
+  }
+
   private val bucketCte = {
     val bits = (1 to 8).map(i =>
       s"(CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
@@ -1412,29 +1508,45 @@ object LlmQueries {
          |  ON re.q_id = ri.q_id AND re.vec_id = ri.vec_id
          |GROUP BY re.q_id""".stripMargin,
 
-    "llm_pq_codes" -> {
-      val subs = (1 to pqSub).map { j =>
-        val lo = (j - 1) * pqDim + 1
-        val hi = j * pqDim
-        s"""s$j AS (SELECT v.vec_id, c.cid,
-           |    CAST(list_inner_product(CAST(v.qv[$lo:$hi] AS DOUBLE[]),
-           |      CAST(c.cv[$lo:$hi] AS DOUBLE[])) AS BIGINT) AS ip
-           |  FROM v, cent c),
-           |r$j AS (SELECT vec_id, cid AS c$j FROM (
-           |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-           |      ORDER BY ip DESC, cid) AS rn FROM s$j)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val joins = (1 to pqSub)
-        .map(j => s"JOIN r$j ON v.vec_id = r$j.vec_id").mkString("\n")
+    "llm_pq_codes" ->
       s"""WITH $quantCte,
-         |cent AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM v
-         |  WHERE vec_id < $nCentroids),
-         |$subs
-         |SELECT v.vec_id, ${(1 to pqSub).map(j => s"r$j.c$j").mkString(", ")}
-         |FROM v
-         |$joins""".stripMargin
-    },
+         |$pqCodesCte
+         |SELECT vec_id,
+         |  ${(1 to pqSub).map(j => s"c$j").mkString(", ")} FROM codes"""
+        .stripMargin,
+
+    "llm_pq_adc_topk" ->
+      s"""WITH $quantCte,
+         |$pqCodesCte,
+         |$pqAdcScoreCte,
+         |r AS (SELECT q_id, vec_id, adc_ip,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc_ip DESC, vec_id) AS INT) AS rank FROM sc)
+         |SELECT q_id, vec_id, rank, adc_ip FROM r WHERE rank <= 5"""
+        .stripMargin,
+
+    "llm_pq_recall" ->
+      s"""WITH $quantCte,
+         |$pqCodesCte,
+         |$pqAdcScoreCte,
+         |ri AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc_ip DESC, vec_id) AS rank FROM sc)
+         |  WHERE rank <= 5),
+         |se AS (SELECT q_id, vec_id,
+         |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
+         |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM v, q WHERE vec_id <> q_id),
+         |re AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS rank FROM se)
+         |  WHERE rank <= 5)
+         |SELECT re.q_id, count(ri.vec_id) AS n_hits,
+         |  CAST(floor(1000.0 * count(ri.vec_id) / 5) AS BIGINT)
+         |    AS recall_x1000
+         |FROM re LEFT JOIN ri
+         |  ON re.q_id = ri.q_id AND re.vec_id = ri.vec_id
+         |GROUP BY re.q_id""".stripMargin,
 
     "llm_minhash_est" -> {
       val matches = (1 to 8).map(j =>
