@@ -54,6 +54,9 @@ object LlmQueries {
     "llm_distinctive_terms" -> distinctiveTerms,
     "llm_kmv_distinct" -> kmvDistinct,
     "llm_winnow" -> winnow,
+    "llm_split_assign" -> splitAssign,
+    "llm_length_buckets" -> lengthBuckets,
+    "llm_source_overlap" -> sourceOverlap,
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
     "llm_lang_stats" -> langStats,
@@ -893,6 +896,71 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------
+  // Split assignment, length buckets, cross-source overlap — the
+  // remaining bookkeeping steps of a corpus build. All map-side +
+  // tiny aggregations except the overlap matrix, whose pair
+  // generation is strictly within passage-hash groups (bounded by
+  // |sources| per hash, never corpus-quadratic).
+  // ---------------------------------------------------------------
+
+  /** Deterministic hash-based train/val/test assignment (90/5/5):
+    * the doc_id hash decides the split, so membership is stable
+    * across runs, engines, and partitionings — rand() splits are
+    * not reproducible and leak across re-runs. Output is the
+    * per-split rollup; the assignment expression itself is the
+    * per-doc artifact. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("wh", expr(hexHashExpr("instr")))
+      .select(col("n_chars"),
+        when(col("wh") % 100 < 90, "train")
+          .when(col("wh") % 100 < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Token-length histogram (8-token buckets, capped at 12) — the
+    * length distribution that drives packing efficiency and
+    * truncation-rate estimates. Integer bucketing so both engines
+    * agree exactly. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(expr("least(CAST(size(w) AS BIGINT) div 8, 12)")
+        .as("bucket"), expr("CAST(size(w) AS BIGINT)").as("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+
+  /** Cross-source duplication matrix: for each source pair, how many
+    * distinct passages occur in BOTH — the diagnosis table that
+    * tells a dataset builder which sources overlap before mixing.
+    * Pairs are generated within passage-hash groups (each hash holds
+    * ≤ |sources| entries after the distinct), so the quadratic term
+    * is bounded by the source count, never the corpus. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val p = docs(s, d)
+      .select(col("source"), tokenExpr.as("w"))
+      .select(col("source"), explode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(size(w) / ${passageLen}.0) AS INT) - 1),
+           |  i -> concat_ws(' ', slice(w, i * $passageLen + 1, $passageLen)))"""
+          .stripMargin)).as("pt"))
+      .select(md5(col("pt")).as("ph"), col("source")).distinct()
+    p.groupBy(col("ph"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("pr"))
+      .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_passages"))
+  }
+
+  // ---------------------------------------------------------------
   // Text analysis: token counts, punctuation, stopword ratio,
   // quality score — single map-side pass, integer outputs.
   // ---------------------------------------------------------------
@@ -1695,6 +1763,45 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
          |  min(wmin) AS fp_min, CAST(sum(wmin) AS BIGINT) AS fp_sum
          |FROM f GROUP BY doc_id""".stripMargin,
+
+    "llm_split_assign" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |wx AS (SELECT n_chars, ${hexHashExpr("strpos")} AS wh FROM t),
+         |sp AS (SELECT n_chars,
+         |    CASE WHEN wh % 100 < 90 THEN 'train'
+         |         WHEN wh % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM wx)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM sp GROUP BY split""".stripMargin,
+
+    "llm_length_buckets" ->
+      s"""WITH $wCte
+         |SELECT least(CAST(len(ws) AS BIGINT) // 8, 12) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(len(ws)) AS BIGINT) AS min_tokens,
+         |  CAST(max(len(ws)) AS BIGINT) AS max_tokens
+         |FROM w GROUP BY 1""".stripMargin,
+
+    "llm_source_overlap" ->
+      s"""WITH t AS (SELECT source,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |p AS (SELECT source, ws,
+         |    unnest(generate_series(1,
+         |      CAST(ceil(len(ws) / ${passageLen}.0) AS INT))) AS pi
+         |  FROM t),
+         |ph AS (SELECT DISTINCT
+         |    md5(array_to_string(
+         |      ws[(pi-1)*$passageLen+1:pi*$passageLen], ' ')) AS ph,
+         |    source
+         |  FROM p)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_passages
+         |FROM ph a JOIN ph b ON a.ph = b.ph AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     "llm_text_stats" -> {
       val sw = stopwords.map(x => s"'$x'").mkString(", ")
