@@ -43,7 +43,8 @@ import org.apache.spark.sql.types.LongType
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression)
+    leftTs: Expression, rightTs: Expression,
+    tolerance: Long = Long.MaxValue)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -53,8 +54,8 @@ case class AsofJoin(
 
 class AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lts, rts) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsofJoin(l, r, lk, rk, lts, rts, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tol) :: Nil
     case _ => Nil
   }
 }
@@ -62,7 +63,8 @@ class AsofStrategy extends SparkStrategy {
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression)
+    leftTs: Expression, rightTs: Expression,
+    tolerance: Long = Long.MaxValue)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -105,6 +107,7 @@ case class AsofJoinExec(
         // are reused by the underlying iterator)
         private var best: InternalRow = _
         private var bestKey = 0L
+        private var bestTs = 0L
 
         override def hasNext: Boolean = li.hasNext
 
@@ -130,12 +133,16 @@ case class AsofJoinExec(
                 val rTime = rtv.asInstanceOf[Long]
                 if (rKey < lKey) rHead = null // key already passed
                 else if (rKey == lKey && rTime <= lTime) {
-                  best = rHead.copy(); bestKey = rKey; rHead = null
+                  best = rHead.copy(); bestKey = rKey; bestTs = rTime
+                  rHead = null
                 } else advance = false // right side is ahead; stop
               }
             }
           }
-          if (best != null && bestKey == lKey) proj(joined(l, best))
+          // tolerance gates EMISSION only: `best` stays buffered (a
+          // later left row of the same key may be near enough)
+          if (best != null && bestKey == lKey && lTime - bestTs <= tolerance)
+            proj(joined(l, best))
           else proj(joined(l, nullRight))
         }
       }
@@ -151,9 +158,12 @@ object AsofJoinOps {
   /** `asof(left, right, "user_id", "ts_us", "click_us")`: left outer
     * as-of on equal key and greatest right ts ≤ left ts. Key and ts
     * columns must be `bigint`. Right-side columns keep their names
-    * (disambiguate beforehand if they clash with left). */
+    * (disambiguate beforehand if they clash with left). `tolerance`
+    * bounds the match age (pandas merge_asof-style): a maximal match
+    * older than `tolerance` ts units yields nulls instead. */
   def asof(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      tolerance: Long = Long.MaxValue): DataFrame = {
     val lp = left.queryExecution.analyzed
     // Re-alias the right side with FRESH exprIds: when both inputs
     // derive from the same scan (self-as-of), left and right would
@@ -177,9 +187,10 @@ object AsofJoinOps {
           s"got ${found.head.dataType.simpleString}")
       found.head
     }
+    require(tolerance >= 0, s"asof: tolerance must be >= 0, got $tolerance")
     val node = AsofJoin(lp, rp,
       col(lp, key, "left"), col(rp, key, "right"),
-      col(lp, leftTs, "left"), col(rp, rightTs, "right"))
+      col(lp, leftTs, "left"), col(rp, rightTs, "right"), tolerance)
     PlanBridge.ofRows(left.sparkSession, node)
   }
 }

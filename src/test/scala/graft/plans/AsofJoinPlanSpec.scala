@@ -74,6 +74,22 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("tolerance bounds the match age without losing the buffer") {
+    val ldf = Seq((1L, 7L, 60L), (2L, 7L, 105L))
+      .toDF("pid", "user_id", "ts_us")
+    val rdf = Seq((900L, 7L, 10L), (901L, 7L, 100L))
+      .toDF("cid", "user_id", "c_us")
+    val got = AsofJoinOps.asof(ldf, rdf, "user_id", "ts_us", "c_us",
+        tolerance = 20L)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    // pid 1 at 60: maximal match is cid 900 (c_us 10), age 50 > 20 →
+    // null; pid 2 at 105: cid 901 (c_us 100), age 5 ≤ 20 → match —
+    // the buffer advanced past the rejected match without losing it
+    assert(got == Map(1L -> None, 2L -> Some(901L)))
+  }
+
   test("rejects missing and non-bigint columns") {
     val ldf = Seq((1L, "a", 10L)).toDF("pid", "user_id", "ts_us")
     val rdf = Seq((9L, "a", 5L)).toDF("cid", "user_id", "c_us")
