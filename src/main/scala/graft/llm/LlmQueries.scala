@@ -573,18 +573,32 @@ object LlmQueries {
   private val pqSub = 4
   private val pqDim = 16 // 64-dim embeddings / 4 subspaces
 
-  def pqCodes(s: SparkSession, d: String): DataFrame = {
+  /** The per-subspace centroid arrays collapsed to ONE broadcastable
+    * row — shared by code assignment ([[pqCodes]]) and LUT
+    * construction ([[pqAdcTopk]]): a sub-centroid layout change must
+    * reach both at once. */
+  private def pqCentArr(s: SparkSession, d: String): DataFrame = {
     val centAgg = (1 to pqSub).map(j =>
       sort_array(collect_list(struct(col("cid"),
         expr(s"slice(cv, ${(j - 1) * pqDim + 1}, $pqDim)").as("cv"))))
         .as(s"cents$j"))
-    val centArr = centroids(s, d).agg(centAgg.head, centAgg.tail: _*)
-    quantized(s, d).crossJoin(broadcast(centArr))
+    centroids(s, d).agg(centAgg.head, centAgg.tail: _*)
+  }
+
+  /** Codes are a stored artifact in a real PQ index (that is the
+    * whole point — 4 bytes/vector on disk); memoized per corpus
+    * snapshot so the three consumers (codes table, ADC search, ADC
+    * recall) share one assignment scan. */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"pq-codes:$d")(
+      computePqCodes(s, d).localCheckpoint())
+
+  private def computePqCodes(s: SparkSession, d: String): DataFrame =
+    quantized(s, d).crossJoin(broadcast(pqCentArr(s, d)))
       .select(col("vec_id") +: (1 to pqSub).map(j =>
         graft.functions.NearestCentroid(
           expr(s"slice(qv, ${(j - 1) * pqDim + 1}, $pqDim)"),
           col(s"cents$j")).as(s"c$j")): _*)
-  }
 
   /** PQ asymmetric-distance (ADC) top-k — the search half of product
     * quantization ([[pqCodes]] is the indexing half): each query
@@ -596,30 +610,23 @@ object LlmQueries {
     * (nq × 64 longs), scoring is map-side, and the bounded-heap
     * `top_k_l` keeps the exchange at O(partitions × k). */
   def pqAdcTopk(s: SparkSession, d: String): DataFrame = {
-    val centAgg = (1 to pqSub).map(j =>
-      sort_array(collect_list(struct(col("cid"),
-        expr(s"slice(cv, ${(j - 1) * pqDim + 1}, $pqDim)").as("cv"))))
-        .as(s"cents$j"))
-    val centArr = centroids(s, d).agg(centAgg.head, centAgg.tail: _*)
+    // LUTs are cid-keyed MAPS, not positional arrays: positions only
+    // equal cids when the centroid id space is dense, and the oracle
+    // joins by cid — a gap would silently shift every later lookup
     val luts = quantized(s, d).filter(col("vec_id").isin(queryIds: _*))
-      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(pqCentArr(s, d)))
       .select(col("vec_id").as("q_id") +: (1 to pqSub).map(j =>
-        transform(col(s"cents$j"), c =>
-          graft.functions.DotProductLong(
-            expr(s"slice(qv, ${(j - 1) * pqDim + 1}, $pqDim)"),
-            c.getField("cv"))).as(s"lut$j")): _*)
+        map_from_entries(transform(col(s"cents$j"), c =>
+          struct(c.getField("cid"),
+            graft.functions.DotProductLong(
+              expr(s"slice(qv, ${(j - 1) * pqDim + 1}, $pqDim)"),
+              c.getField("cv"))))).as(s"lut$j")): _*)
     val scoreExpr = (1 to pqSub).map(j =>
-      s"element_at(lut$j, c$j + 1)").mkString(" + ")
-    pqCodes(s, d).crossJoin(broadcast(luts))
+      s"element_at(lut$j, c$j)").mkString(" + ")
+    val scored = pqCodes(s, d).crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), expr(scoreExpr).as("adc_ip"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKByLong
-        .topK(col("adc_ip"), col("vec_id"), 5).as("tk"))
-      .select(col("q_id"), posexplode(col("tk")).as(Seq("p0", "x")))
-      .select(col("q_id"), col("x.id").as("vec_id"),
-        (col("p0") + 1).cast("int").as("rank"),
-        col("x.score").as("adc_ip"))
+      .select(col("q_id"), col("vec_id"), expr(scoreExpr).as("ip"))
+    explodeTopK(scored, 5).withColumnRenamed("ip", "adc_ip")
   }
 
   /** Embedding-cosine near-dup: pairs above a similarity threshold,
@@ -723,16 +730,21 @@ object LlmQueries {
   // ---------------------------------------------------------------
   private val passageLen = 8
 
+  /** One passage-splitting expression for every consumer
+    * ([[passageDedup]], [[sourceOverlap]]) — a passage-width or
+    * joining change must reach all of them at once. */
+  private val passageExpr =
+    s"""transform(
+       |  sequence(0, CAST(ceil(size(w) / ${passageLen}.0) AS INT) - 1),
+       |  i -> concat_ws(' ', slice(w, i * $passageLen + 1, $passageLen)))"""
+      .stripMargin
+
   /** Per-doc passage counts + how many of the doc's passages also
     * occur in at least one OTHER doc (occurrences counted, so a doc
     * repeating a shared passage counts it each time). */
   def passageDedup(s: SparkSession, d: String): DataFrame = {
-    val p = tokenized(s, d).select(col("doc_id"),
-      explode(expr(
-        s"""transform(
-           |  sequence(0, CAST(ceil(size(w) / ${passageLen}.0) AS INT) - 1),
-           |  i -> concat_ws(' ', slice(w, i * $passageLen + 1, $passageLen)))"""
-          .stripMargin)).as("pt"))
+    val p = tokenized(s, d)
+      .select(col("doc_id"), explode(expr(passageExpr)).as("pt"))
       .select(col("doc_id"), md5(col("pt")).as("ph"))
     // ">= 2 distinct docs" == min(doc_id) != max(doc_id): one
     // exchange instead of countDistinct's two (partial-distinct +
@@ -942,11 +954,7 @@ object LlmQueries {
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     val p = docs(s, d)
       .select(col("source"), tokenExpr.as("w"))
-      .select(col("source"), explode(expr(
-        s"""transform(
-           |  sequence(0, CAST(ceil(size(w) / ${passageLen}.0) AS INT) - 1),
-           |  i -> concat_ws(' ', slice(w, i * $passageLen + 1, $passageLen)))"""
-          .stripMargin)).as("pt"))
+      .select(col("source"), explode(expr(passageExpr)).as("pt"))
       .select(md5(col("pt")).as("ph"), col("source")).distinct()
     p.groupBy(col("ph"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))

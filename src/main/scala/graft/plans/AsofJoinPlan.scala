@@ -140,8 +140,13 @@ case class AsofJoinExec(
             }
           }
           // tolerance gates EMISSION only: `best` stays buffered (a
-          // later left row of the same key may be near enough)
-          if (best != null && bestKey == lKey && lTime - bestTs <= tolerance)
+          // later left row of the same key may be near enough).
+          // bestTs <= lTime always holds, so the true age fits in
+          // UNSIGNED 64-bit even when the signed subtraction wraps
+          // (lTime huge positive, bestTs huge negative) — compare
+          // unsigned so a wrapped age cannot sneak under the bound
+          if (best != null && bestKey == lKey &&
+              java.lang.Long.compareUnsigned(lTime - bestTs, tolerance) <= 0)
             proj(joined(l, best))
           else proj(joined(l, nullRight))
         }

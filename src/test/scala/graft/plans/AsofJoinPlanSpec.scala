@@ -88,6 +88,16 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     // null; pid 2 at 105: cid 901 (c_us 100), age 5 ≤ 20 → match —
     // the buffer advanced past the rejected match without losing it
     assert(got == Map(1L -> None, 2L -> Some(901L)))
+
+    // overflow guard: a sentinel far-past timestamp must NOT sneak
+    // under a finite tolerance via signed wraparound
+    val lx = Seq((1L, 7L, 10L)).toDF("pid", "user_id", "ts_us")
+    val rx = Seq((900L, 7L, Long.MinValue)).toDF("cid", "user_id", "c_us")
+    val gx = AsofJoinOps.asof(lx, rx, "user_id", "ts_us", "c_us",
+        tolerance = 20L)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(gx == Map(1L -> None))
   }
 
   test("rejects missing and non-bigint columns") {
