@@ -47,7 +47,25 @@ object RelationalQueries {
     "rel_q20_grouping_sets" -> groupingSets,
     "rel_q21_funnel" -> funnel,
     "rel_q22_asof_native" -> asofNative,
+    "rel_q23_price_quartiles" -> priceQuartiles,
   )
+
+  /** Per-segment price quartiles via ntile — the ranked-distribution
+    * window family (ntile over a deterministic total order; ties
+    * broken by the unique custkey so both engines see the same
+    * order). One shuffle on the segment key; the quartile rollup
+    * reuses that partitioning. */
+  def priceQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("bal_cents"), col("c_custkey"))))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("bal_cents")).as("min_cents"),
+        max(col("bal_cents")).as("max_cents"))
 
   /** The SAME click-attribution as rel_q12, through the engine's
     * native [[graft.plans.AsofJoin]] operator instead of the
@@ -655,5 +673,16 @@ object RelationalQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.click_us"""
         .stripMargin,
+
+    "rel_q23_price_quartiles" ->
+      s"""WITH b AS (SELECT c_mktsegment, c_custkey,
+         |    ${sqlCents("c_acctbal")} AS bal_cents FROM customer),
+         |q AS (SELECT c_mktsegment, bal_cents,
+         |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+         |      ORDER BY bal_cents, c_custkey) AS INT) AS quartile
+         |  FROM b)
+         |SELECT c_mktsegment, quartile, COUNT(*) AS n_cust,
+         |  min(bal_cents) AS min_cents, max(bal_cents) AS max_cents
+         |FROM q GROUP BY 1, 2""".stripMargin,
   )
 }
