@@ -48,7 +48,35 @@ object RelationalQueries {
     "rel_q21_funnel" -> funnel,
     "rel_q22_asof_native" -> asofNative,
     "rel_q23_price_quartiles" -> priceQuartiles,
+    "rel_q24_retention" -> retention,
   )
+
+  /** Weekly retention cohorts: users grouped by first-activity week;
+    * for each (cohort, weeks-since-cohort) cell, how many of the
+    * cohort's users were active. Two user-keyed aggregations (first
+    * week, then distinct user-week activity) and one join of the
+    * activity table against the user-sized cohort table — the
+    * standard cohort shape; all week arithmetic is integer epoch
+    * division so both engines agree exactly. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    // integer epoch division (div, not /): Column `/` is double
+    // division, and a truncated double is one rounding edge away
+    // from the oracle's integer result
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("week"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    // (user, week) is unique after the distinct and each user has one
+    // cohort row, so count(*) == countDistinct(user) without the
+    // distinct-aggregate's second exchange
+    ev.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 
   /** Per-segment price quartiles via ntile — the ranked-distribution
     * window family (ntile over a deterministic total order; ties
@@ -684,5 +712,18 @@ object RelationalQueries {
          |SELECT c_mktsegment, quartile, COUNT(*) AS n_cust,
          |  min(bal_cents) AS min_cents, max(bal_cents) AS max_cents
          |FROM q GROUP BY 1, 2""".stripMargin,
+
+    "rel_q24_retention" -> {
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      s"""WITH e AS (SELECT DISTINCT user_id,
+         |    CAST(epoch_us(ts) AS BIGINT) // $weekUs AS week
+         |  FROM events),
+         |c AS (SELECT user_id, min(week) AS cohort_week
+         |  FROM e GROUP BY user_id)
+         |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+         |  COUNT(*) AS n_active
+         |FROM e JOIN c ON e.user_id = c.user_id
+         |GROUP BY 1, 2""".stripMargin
+    },
   )
 }
