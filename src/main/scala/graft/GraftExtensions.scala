@@ -48,8 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_sum_l"),
       new ExpressionInfo(classOf[VecSumLong].getName, "vec_sum_l"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecSumLong(args.head)))
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1,
+          "vec_sum_l(array<bigint>): exactly one argument")
+        VecSumLong(args.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("top_k_l"),
       new ExpressionInfo(classOf[TopKByLong].getName, "top_k_l"),

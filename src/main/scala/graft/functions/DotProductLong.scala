@@ -36,6 +36,25 @@ object VecUtil {
     acc
   }
 
+  /** Overflow-CHECKED dot product: same contract as [[dotL]] but
+    * raises on Long overflow (Math.*Exact intrinsics) instead of
+    * wrapping. Used when [[graft.plans.DotProductRewrite]] rewrites
+    * ANSI-mode arithmetic, whose error-on-overflow promise the
+    * wrapping kernel could not honor. */
+  def dotLExact(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product_l: vector length mismatch ($n vs ${b.numElements()})")
+    var i = 0
+    var acc = 0L
+    while (i < n) {
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
   /** Index (`cid` field) of the centroid with the maximum integer dot
     * product against `qv`; `cents` is `array<struct<cid:int,
     * cv:array<bigint>>>` sorted by cid ascending, so the strict `>`
@@ -57,15 +76,20 @@ object VecUtil {
   }
 }
 
-case class DotProductLong(left: Expression, right: Expression)
+case class DotProductLong(left: Expression, right: Expression,
+    checked: Boolean = false)
     extends BinaryExpression {
+  private def kernel = if (checked) "dotLExact" else "dotL"
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecUtil.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (checked)
+      VecUtil.dotLExact(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VecUtil.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VecUtil.dotL($a, $b)")
+      (a, b) => s"graft.functions.VecUtil.$kernel($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotProductLong = copy(left = l, right = r)
 }

@@ -44,16 +44,21 @@ case class VecSumLong(
   override def inputTypes = Seq(ArrayType(LongType))
 
   private def add(buf: Array[Long], v: ArrayData): Array[Long] = {
-    val arr = v.toLongArray()
-    require(arr.length > 0, "vec_sum_l: zero-length vector")
-    if (buf.isEmpty) arr
-    else {
-      require(buf.length == arr.length,
-        s"vec_sum_l: vector length mismatch (${buf.length} vs ${arr.length})")
-      var i = 0
-      while (i < arr.length) { buf(i) += arr(i); i += 1 }
-      buf
+    // explicit element loop, not toLongArray(): the bulk copy reads
+    // null slots as 0, silently corrupting sums — null ELEMENTS must
+    // fail as loudly as ragged/zero-length vectors do
+    val n = v.numElements()
+    require(n > 0, "vec_sum_l: zero-length vector")
+    val out = if (buf.isEmpty) new Array[Long](n) else buf
+    require(out.length == n,
+      s"vec_sum_l: vector length mismatch (${out.length} vs $n)")
+    var i = 0
+    while (i < n) {
+      require(!v.isNullAt(i), s"vec_sum_l: null vector element at $i")
+      out(i) += v.getLong(i)
+      i += 1
     }
+    out
   }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

@@ -674,17 +674,25 @@ object LlmQueries {
     * — the same bounded-heap top-k aggregate as the kNN queries, with
     * the negated integer hash as the score (one partial-aggregated
     * shuffle on lang; never a per-stratum sort of the corpus). */
-  def sampleStratified(s: SparkSession, d: String): DataFrame =
+  /** Deterministic per-group bottom-k by doc-id hash — THE sampling
+    * kernel shared by [[sampleStratified]] and [[mixSample]] (one
+    * partial-aggregated shuffle on the group column, never a
+    * per-group sort of the corpus). */
+  private def hashSampleRanked(s: SparkSession, d: String,
+      group: String, k: Int): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col(group),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("wh", expr(hexHashExpr("instr")))
-      .groupBy(col("lang"))
-      .agg(graft.functions.TopKByLong.topK(-col("wh"), col("doc_id"), 3)
+      .groupBy(col(group))
+      .agg(graft.functions.TopKByLong.topK(-col("wh"), col("doc_id"), k)
         .as("tk"))
-      .select(col("lang"), posexplode(col("tk")).as(Seq("p0", "x")))
-      .select(col("lang"), col("x.id").as("doc_id"),
+      .select(col(group), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col(group), col("x.id").as("doc_id"),
         (col("p0") + 1).cast("int").as("rank"))
+
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    hashSampleRanked(s, d, "lang", 3)
 
   /** Max per-source quota of the mixing recipe below; the heap k and
     * the quota formula MUST share this bound — a heap smaller than
@@ -695,25 +703,19 @@ object LlmQueries {
   /** Weighted data-mixing sample: each source contributes a
     * per-source quota of deterministically-sampled documents (the
     * mixing-recipe step that turns [[sourceStats]] into an actual
-    * training mix). Quotas here derive from the source index
-    * (`idx % mixMaxQuota + 1`, standing in for the recipe's weights);
-    * the heap aggregate takes the MAX quota per group and the
-    * variable quota is applied as a post-filter on rank — one
-    * partial-aggregated shuffle on source, never a per-source sort of
-    * the corpus. */
+    * training mix). Quotas derive from a hash of the source NAME
+    * (`hash(source) % mixMaxQuota + 1`, standing in for the recipe's
+    * weights) — name-agnostic, so an unconventional source value can
+    * never silently under-produce (parsing digits out of the name
+    * would). The heap aggregate takes the MAX quota per group; the
+    * variable quota is a post-filter on rank over group-sized data. */
   def mixSample(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), col("source"),
-        md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("wh", expr(hexHashExpr("instr")))
-      .groupBy(col("source"))
-      .agg(graft.functions.TopKByLong
-        .topK(-col("wh"), col("doc_id"), mixMaxQuota).as("tk"))
-      .select(col("source"), posexplode(col("tk")).as(Seq("p0", "x")))
-      .select(col("source"), col("x.id").as("doc_id"),
-        (col("p0") + 1).cast("int").as("rank"))
-      .filter(col("rank") <=
-        substring(col("source"), 4, 10).cast("int") % mixMaxQuota + 1)
+    hashSampleRanked(s, d, "source", mixMaxQuota)
+      .withColumn("h", md5(col("source")))
+      .withColumn("q",
+        expr(hexHashExpr("instr")) % mixMaxQuota + 1)
+      .filter(col("rank") <= col("q"))
+      .drop("h", "q")
 
   // ---------------------------------------------------------------
   // Passage-level dedup scan (CCNet/C4-style boilerplate detection
@@ -1670,10 +1672,14 @@ object LlmQueries {
          |r AS (SELECT source, doc_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY source
          |      ORDER BY wh ASC, doc_id ASC) AS INT) AS rank
-         |  FROM wx)
-         |SELECT source, doc_id, rank FROM r
-         |WHERE rank <= CAST(substring(source, 4) AS INT)
-         |  % $mixMaxQuota + 1""".stripMargin,
+         |  FROM wx),
+         |sq AS (SELECT DISTINCT source, md5(source) AS h
+         |  FROM documents),
+         |qq AS (SELECT source,
+         |    (${hexHashExpr("strpos")}) % $mixMaxQuota + 1 AS q FROM sq)
+         |SELECT r.source, r.doc_id, r.rank FROM r
+         |JOIN qq ON r.source = qq.source
+         |WHERE r.rank <= qq.q""".stripMargin,
 
     "llm_passage_dedup" ->
       s"""WITH $wCte,

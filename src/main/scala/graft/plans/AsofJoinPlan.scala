@@ -165,7 +165,10 @@ object AsofJoinOps {
     * columns must be `bigint`. Right-side columns keep their names
     * (disambiguate beforehand if they clash with left). `tolerance`
     * bounds the match age (pandas merge_asof-style): a maximal match
-    * older than `tolerance` ts units yields nulls instead. */
+    * older than `tolerance` ts units yields nulls instead. The
+    * default caps the age at 2^63-1 units — effectively unbounded
+    * for real timestamps, but note a left/right pair spanning more
+    * than half the full Long range is treated as out of tolerance. */
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       tolerance: Long = Long.MaxValue): DataFrame = {

@@ -33,16 +33,17 @@ import graft.functions.DotProductLong
   *     order — both are commutative);
   *   - the finish lambda is the identity.
   *
-  * Two documented deltas on DEGENERATE inputs, both shared with the
-  * explicit `dot_product_l` contract: ragged pairs (different vector
-  * lengths) raise instead of yielding null (`zip_with` pads the short
-  * side with nulls; the kernel fails loudly — see VecUtil.dotL), and
-  * arithmetic overflow wraps instead of raising under ANSI mode
-  * (quantized embedding products are bounded far below `Long.Max`).
-  * TRY-mode arithmetic (`try_multiply`/`try_add`, lowered to
-  * `Multiply`/`Add` with `EvalMode.TRY` before optimizer rules run)
-  * is explicitly NOT rewritten: TRY promises null-on-overflow, which
-  * the wrapping kernel cannot honor.
+  * Overflow semantics are preserved per eval mode: ANSI-mode
+  * arithmetic rewrites to the CHECKED kernel (`VecUtil.dotLExact`,
+  * Math.*Exact — raises on overflow like ANSI promises), LEGACY to
+  * the wrapping kernel. TRY-mode arithmetic (`try_multiply`/
+  * `try_add`, lowered to `Multiply`/`Add` with `EvalMode.TRY` before
+  * optimizer rules run) is NOT rewritten at all: TRY promises
+  * null-on-overflow, which neither kernel can honor. The one
+  * remaining delta, shared with the explicit `dot_product_l`
+  * contract: ragged pairs (different vector lengths) raise instead
+  * of yielding null (`zip_with` pads the short side with nulls; the
+  * kernels fail loudly — see VecUtil.dotL).
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
@@ -88,6 +89,9 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             isPairOp(ml, mr, mulArgs) &&
             isPairOp(al, ar, addArgs) &&
             sameVar(finBody, finArg) =>
-        DotProductLong(a, b)
+        // checked kernel under ANSI so error-on-overflow is kept
+        val ansi = mulCtx.evalMode == EvalMode.ANSI ||
+          addCtx.evalMode == EvalMode.ANSI
+        DotProductLong(a, b, checked = ansi)
     }
 }

@@ -41,6 +41,23 @@ class VecSumLongSpec extends AnyFunSuite {
     assert(rows("b").isEmpty)
   }
 
+  test("null vector ELEMENTS fail loudly instead of summing as zero") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("a", Seq[Any](1L, null, 3L)))
+    val df = spark.createDataFrame(rows, schema)
+    val e = intercept[SparkException] {
+      df.groupBy("g").agg(VecSumLong.vecSum($"v")).collect()
+    }
+    assert(e.getMessage.contains("null vector element") ||
+      Option(e.getCause).exists(_.getMessage.contains("null vector element")))
+  }
+
   test("ragged vectors fail loudly") {
     val df = Seq(("a", Array(1L, 2L)), ("a", Array(1L, 2L, 3L)))
       .toDF("g", "v")

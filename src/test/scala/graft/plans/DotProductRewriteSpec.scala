@@ -87,6 +87,24 @@ class DotProductRewriteSpec extends AnyFunSuite {
     assert(!hasKernel(df))
   }
 
+  test("ANSI-mode rewrites use the CHECKED kernel and raise on overflow") {
+    // session default is ANSI → the rewritten kernel must be checked
+    val df = longArrays.selectExpr("id", s"$naive AS ip")
+    var checkedSeen = false
+    df.queryExecution.optimizedPlan.transformAllExpressions {
+      case e: DotProductLong => checkedSeen = e.checked; e
+    }
+    assert(checkedSeen)
+    // overflow must raise (ANSI's promise), not wrap to a wrong value
+    val big = Seq((Array(3037000500L), Array(3037000500L)))
+      .toDF("a", "b").repartition(1)
+      .selectExpr(s"$naive AS ip")
+    val e = intercept[Exception](big.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]), e)
+  }
+
   test("TRY-mode arithmetic is left alone (null-on-overflow contract)") {
     val df = longArrays.selectExpr(
       "aggregate(zip_with(a, b, (x, y) -> try_multiply(x, y)), 0L, " +
