@@ -38,6 +38,12 @@ object RdfQueries {
     // makes lossless-ness of the codec itself oracle-checked.
     "rdf_turtle_roundtrip" -> ((s, d) =>
       Turtle.parse(Turtle.serializeDocuments(tri(s, d)))),
+    // Cleaning audit: the triples O4-O7 removed (raw EXCEPT clean) —
+    // the provenance view an operator checks before publishing.
+    // except() is EXCEPT DISTINCT and treats NULLs as equal in both
+    // engines (unlike a join-based anti on nullable columns).
+    "rdf_removed_by_clean" -> ((s, d) =>
+      tri(s, d).except(RdfOps.cleanExport(tri(s, d)))),
   )
 
   private def tri(s: SparkSession, d: String): DataFrame =
@@ -102,6 +108,11 @@ object RdfQueries {
       s"""WITH ${TripleFixture.triplesCte},
          |$cleanCte
          |SELECT * FROM clean""".stripMargin,
+
+    "rdf_removed_by_clean" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |$cleanCte
+         |SELECT * FROM triples EXCEPT SELECT * FROM clean""".stripMargin,
 
     "rdf_apply_mapping" ->
       s"""WITH ${TripleFixture.triplesCte}
