@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, IsValidIri, NearestCentroid, TopKByLong, VecSumLong}
+import graft.functions.{DotProductLong, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -14,6 +14,7 @@ import graft.functions.{DotProductLong, IsValidIri, NearestCentroid, TopKByLong,
   *     similarity kernel
   *   - `top_k_l(score, id, k)` — bounded-heap per-group top-k
   *     aggregate (k must be a literal)
+  *   - `top_k_ls(score, id, k)` — the string-labelled sibling
   *
   * Registered through the public `SparkSessionExtensions.injectFunction`
   * API, so the library is usable from pure `spark.sql(...)` — no
@@ -73,6 +74,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // Returning the bare AggregateFunction — the analyzer wraps it
         // in an AggregateExpression during function resolution.
         TopKByLong(args(0), args(1), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_ls"),
+      new ExpressionInfo(classOf[TopKByLongStr].getName, "top_k_ls"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val msg = "top_k_ls(score, id, k): k must be a literal integer"
+        require(args.length == 3 && args(2).foldable, msg)
+        val k = args(2).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case b: java.lang.Byte => b.intValue()
+          case _ => throw new IllegalArgumentException(msg)
+        }
+        TopKByLongStr(args(0), args(1), k)
       }))
   }
 }

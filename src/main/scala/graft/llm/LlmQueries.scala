@@ -827,11 +827,19 @@ object LlmQueries {
                 |div (CAST(c_all AS DECIMAL(38, 0)) * tot_src)
                 |AS BIGINT)""".stripMargin)
           .as("lift_x1000"))
-    val wnd = Window.partitionBy(col("source"))
-      .orderBy(col("lift_x1000").desc, col("term"))
-    lift.withColumn("rank", row_number().over(wnd).cast("int"))
-      .filter(col("rank") <= 3)
-      .select(col("source"), col("term"), col("lift_x1000"), col("rank"))
+    // bounded-heap top-3 instead of a row_number window: the window
+    // form sorts each source's WHOLE vocabulary (~1e8 terms/source at
+    // 100 TB) on one reducer, while the aggregate reduces every map
+    // partition to <= 3 pairs per source so the exchange carries
+    // O(partitions x 3) rows. Tie order (lift desc, term binary-asc)
+    // is identical in both forms, so the oracle hash is unchanged.
+    lift.groupBy(col("source"))
+      .agg(graft.functions.TopKByLongStr.topKStr(
+        col("lift_x1000"), col("term"), 3).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("p0", "t")))
+      .select(col("source"), col("t.id").as("term"),
+        col("t.score").as("lift_x1000"),
+        (col("p0") + 1).cast("int").as("rank"))
   }
 
   // ---------------------------------------------------------------

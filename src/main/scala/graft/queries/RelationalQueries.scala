@@ -49,7 +49,90 @@ object RelationalQueries {
     "rel_q22_asof_native" -> asofNative,
     "rel_q23_price_quartiles" -> priceQuartiles,
     "rel_q24_retention" -> retention,
+    "rel_q25_median_sketch" -> medianSketch,
+    "rel_q26_quartiles_sketch" -> quartilesSketch,
   )
+
+  /** Sample size for the bottom-k quantile sketch (rel_q25/q26):
+    * O(1/sqrt(256)) ~ 6% worst-typical rank error, 4 KB of state per
+    * group. */
+  private val qsketchK = 256
+
+  /** Scale-safe median: the sketch path that `rel_q16`'s comment
+    * promises. Per priority group, estimate the median from a
+    * deterministic bottom-k sample ([[graft.functions.QuantileSketch]]
+    * — one partial-aggregating shuffle of <= k pairs per group, no
+    * per-group sort), then MEASURE the estimate two ways:
+    * `abs_err_cents` against rel_q16's exact window median (the
+    * yardstick re-run, same pattern as llm_ann_recall re-running
+    * brute force), and `rank_err_ppm` = |rank(estimate)/n - 0.5| x
+    * 10^6, computed scale-safely with one map-side conditional count
+    * against the broadcast 5-row sketch table. At 100 TB only the
+    * yardstick branch is dropped; the sketch + rank-error branches
+    * are the production plan. */
+  def medianSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch._
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        cents(col("o_totalprice")).as("cents"),
+        md5(col("o_orderkey").cast("string")).as("h"))
+      .withColumn("rk", expr(rank60Sql("instr")))
+      .select(col("o_orderpriority"), col("cents"), col("rk"))
+    val sk = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        quantileSample(col("rk"), col("cents"), qsketchK).as("tk"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        sampleQuantile(sampleValues(col("tk")), 0.5).as("sketch_cents"))
+    o.join(broadcast(sk), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n_orders")).as("n_orders"),
+        max(col("sketch_cents")).as("sketch_cents"),
+        sum(when(col("cents") <= col("sketch_cents"), 1L).otherwise(0L))
+          .as("cnt_le"))
+      .join(broadcast(medianPrice(spark, dir)), "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_orders"), col("median_cents"),
+        col("sketch_cents"),
+        abs(col("sketch_cents") - col("median_cents")).as("abs_err_cents"),
+        abs(expr("(cnt_le * 1000000) div n_orders") - 500000)
+          .as("rank_err_ppm"))
+  }
+
+  /** Scale-safe quartiles: the two-pass boundary plan that replaces
+    * `rel_q23`'s exact ntile (which needs each segment's total order
+    * on one reducer). Pass 1: per-segment q25/q50/q75 boundaries from
+    * the bottom-k sketch (bounded exchange). Pass 2: broadcast the
+    * O(segments)-row boundary table and assign each row's quartile
+    * with three map-side comparisons, then a partial-aggregating
+    * rollup. Same output shape as rel_q23 so the two are directly
+    * comparable; bucket populations differ from exact ntile only by
+    * the sketch's rank error (and never in ways the oracle can't
+    * replay — boundaries are deterministic). */
+  def quartilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch._
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_cents"),
+        md5(col("c_custkey").cast("string")).as("h"))
+      .withColumn("rk", expr(rank60Sql("instr")))
+      .select(col("c_mktsegment"), col("bal_cents"), col("rk"))
+    val sk = c.groupBy(col("c_mktsegment"))
+      .agg(quantileSample(col("rk"), col("bal_cents"), qsketchK).as("tk"))
+      .withColumn("vals", sampleValues(col("tk")))
+      .select(col("c_mktsegment"),
+        sampleQuantile(col("vals"), 0.25).as("b1"),
+        sampleQuantile(col("vals"), 0.50).as("b2"),
+        sampleQuantile(col("vals"), 0.75).as("b3"))
+    c.join(broadcast(sk), "c_mktsegment")
+      .withColumn("quartile",
+        (lit(1)
+          + when(col("bal_cents") > col("b1"), 1).otherwise(0)
+          + when(col("bal_cents") > col("b2"), 1).otherwise(0)
+          + when(col("bal_cents") > col("b3"), 1).otherwise(0)).cast("int"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("bal_cents")).as("min_cents"),
+        max(col("bal_cents")).as("max_cents"))
+  }
 
   /** Weekly retention cohorts: users grouped by first-activity week;
     * for each (cohort, weeks-since-cohort) cell, how many of the
@@ -82,7 +165,9 @@ object RelationalQueries {
     * window family (ntile over a deterministic total order; ties
     * broken by the unique custkey so both engines see the same
     * order). One shuffle on the segment key; the quartile rollup
-    * reuses that partitioning. */
+    * reuses that partitioning. Exact ntile needs each segment's total
+    * order on one reducer — `rel_q26` is the scale-safe two-pass
+    * sketch-boundary form of this query. */
   def priceQuartiles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "customer")
       .select(col("c_mktsegment"), col("c_custkey"),
@@ -487,8 +572,9 @@ object RelationalQueries {
     * percentile functions whose interpolation rules differ across
     * engines. Integer cents, orderkey tie-break. One shuffle on the
     * group key; both window specs share it. At 100 TB exact medians
-    * give way to approx_percentile — this is the exactness baseline
-    * such sketches are validated against. */
+    * give way to the deterministic bottom-k sketch (`rel_q25` /
+    * [[graft.functions.QuantileSketch]]) — this window is the
+    * exactness baseline that sketch is validated against. */
   def medianPrice(spark: SparkSession, dir: String): DataFrame = {
     val byPrio = Window.partitionBy(col("o_orderpriority"))
     val ordered = byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -724,6 +810,76 @@ object RelationalQueries {
          |  COUNT(*) AS n_active
          |FROM e JOIN c ON e.user_id = c.user_id
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    "rel_q25_median_sketch" -> {
+      val rank = graft.functions.QuantileSketch.rank60Sql("strpos")
+      s"""WITH o AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
+         |    ${Exact.sqlCents("o_totalprice")} AS cents,
+         |    md5(CAST(o_orderkey AS VARCHAR)) AS h
+         |  FROM orders),
+         |r AS (SELECT o_orderpriority, cents, ($rank) AS rk FROM o),
+         |s AS (SELECT o_orderpriority, cents,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY rk, cents) AS rn
+         |  FROM r),
+         |samp AS (SELECT o_orderpriority,
+         |    list(cents ORDER BY cents) AS vals
+         |  FROM s WHERE rn <= 256 GROUP BY o_orderpriority),
+         |sk AS (SELECT o_orderpriority,
+         |    vals[greatest(1, CAST(ceil(0.5 * len(vals)) AS INT))]
+         |      AS sketch_cents
+         |  FROM samp),
+         |agg AS (SELECT o.o_orderpriority,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    max(sk.sketch_cents) AS sketch_cents,
+         |    CAST(SUM(CASE WHEN o.cents <= sk.sketch_cents
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_le
+         |  FROM o JOIN sk USING (o_orderpriority)
+         |  GROUP BY o.o_orderpriority),
+         |ex AS (SELECT o_orderpriority, cents AS median_cents FROM (
+         |    SELECT o_orderpriority, cents,
+         |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |        ORDER BY o_totalprice, o_orderkey) AS rn,
+         |      COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+         |    FROM o)
+         |  WHERE rn = (cnt + 1) // 2)
+         |SELECT agg.o_orderpriority, agg.n_orders, ex.median_cents,
+         |  agg.sketch_cents,
+         |  abs(agg.sketch_cents - ex.median_cents) AS abs_err_cents,
+         |  abs((agg.cnt_le * 1000000) // agg.n_orders - 500000)
+         |    AS rank_err_ppm
+         |FROM agg JOIN ex USING (o_orderpriority)""".stripMargin
+    },
+
+    "rel_q26_quartiles_sketch" -> {
+      val rank = graft.functions.QuantileSketch.rank60Sql("strpos")
+      s"""WITH c AS (SELECT c_mktsegment,
+         |    ${Exact.sqlCents("c_acctbal")} AS bal_cents,
+         |    md5(CAST(c_custkey AS VARCHAR)) AS h
+         |  FROM customer),
+         |r AS (SELECT c_mktsegment, bal_cents, ($rank) AS rk FROM c),
+         |s AS (SELECT c_mktsegment, bal_cents,
+         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY rk, bal_cents) AS rn
+         |  FROM r),
+         |samp AS (SELECT c_mktsegment,
+         |    list(bal_cents ORDER BY bal_cents) AS vals
+         |  FROM s WHERE rn <= 256 GROUP BY c_mktsegment),
+         |sk AS (SELECT c_mktsegment,
+         |    vals[greatest(1, CAST(ceil(0.25 * len(vals)) AS INT))] AS b1,
+         |    vals[greatest(1, CAST(ceil(0.5 * len(vals)) AS INT))] AS b2,
+         |    vals[greatest(1, CAST(ceil(0.75 * len(vals)) AS INT))] AS b3
+         |  FROM samp),
+         |q AS (SELECT c.c_mktsegment, c.bal_cents,
+         |    CAST(1 + (CASE WHEN c.bal_cents > sk.b1 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN c.bal_cents > sk.b2 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN c.bal_cents > sk.b3 THEN 1 ELSE 0 END)
+         |      AS INT) AS quartile
+         |  FROM c JOIN sk USING (c_mktsegment))
+         |SELECT c_mktsegment, quartile, COUNT(*) AS n_cust,
+         |  min(bal_cents) AS min_cents, max(bal_cents) AS max_cents
+         |FROM q GROUP BY 1, 2""".stripMargin
     },
   )
 }
