@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong}
+import graft.functions.{DotProductLong, ImageDims, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -90,5 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKByLongStr(args(0), args(1), k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("image_dims"),
+      new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ImageDims(args.head)))
   }
 }

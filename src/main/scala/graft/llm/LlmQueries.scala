@@ -70,6 +70,7 @@ object LlmQueries {
     "mm_binary_stats" -> binaryStats,
     "mm_frame_sample" -> frameSample,
     "mm_resize_plan" -> resizePlan,
+    "mm_image_dims" -> imageDims,
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -1248,6 +1249,43 @@ object LlmQueries {
         col("out_h").cast("bigint").as("out_h"),
         col("resize_needed"))
 
+  /** REAL image header decode (not the stub): build genuine
+    * PNG/JPEG byte streams per document (deterministic dims from
+    * doc_id, via [[graft.multimodal.ImageHex]] → `unhex`), then parse
+    * width/height back out of the actual bytes with the native
+    * [[graft.functions.ImageDims]] codegen expression — PNG IHDR
+    * big-endian u32s, JPEG marker-segment walk to SOF0 (the walk has
+    * to skip a real 16-byte APP0/JFIF segment here). The oracle
+    * builds the SAME bytes through DuckDB's `from_hex` blob and
+    * extracts the fields independently by header-offset arithmetic,
+    * so a parser that mis-walks by even one byte hash-mismatches. A
+    * failed parse lands in a null `kind` group the oracle doesn't
+    * have — also a gate failure. Map-side only: construct → parse →
+    * partial agg; one bounded exchange on the 2-value kind key. */
+  def imageDims(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("(doc_id % 1920) + 1").as("w0"),
+        expr("((doc_id * 7) % 1080) + 1").as("h0"))
+      .withColumn("hs", expr(
+        s"""CASE WHEN doc_id % 2 = 0
+           |  THEN ${ImageHex.pngHex("w0", "h0", "div")}
+           |  ELSE ${ImageHex.jpegHex("w0", "h0", "div")} END"""
+          .stripMargin))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("dims", graft.functions.ImageDims(col("payload")))
+      .groupBy(col("dims.kind").as("kind"))
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(col("dims.width")).as("sum_w"),
+        sum(col("dims.height")).as("sum_h"),
+        min(col("dims.width")).as("min_w"),
+        max(col("dims.width")).as("max_w"),
+        min(col("dims.height")).as("min_h"),
+        max(col("dims.height")).as("max_h"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL
   // ---------------------------------------------------------------
@@ -2000,5 +2038,37 @@ object LlmQueries {
         |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
         |  (out_w <> width OR out_h <> height) AS resize_needed
         |FROM p""".stripMargin,
+
+    "mm_image_dims" -> {
+      import graft.multimodal.ImageHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    (doc_id % 1920) + 1 AS w0,
+         |    ((doc_id * 7) % 1080) + 1 AS h0
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ${pngHex("w0", "h0", "//")}
+         |      ELSE ${jpegHex("w0", "h0", "//")} END AS hs0
+         |  FROM t),
+         |b AS (SELECT doc_id, hex(from_hex(hs0)) AS hs FROM p),
+         |d AS (SELECT doc_id,
+         |    CASE WHEN substring(hs, 1, 16) = '89504E470D0A1A0A'
+         |           THEN 'png'
+         |         WHEN substring(hs, 1, 4) = 'FFD8' THEN 'jpeg' END
+         |      AS kind,
+         |    CASE WHEN substring(hs, 1, 4) <> 'FFD8'
+         |      THEN ${unhexN("hs", PngWidthPos, 8, "strpos")}
+         |      ELSE ${unhexN("hs", JpegWidthPos, 4, "strpos")} END AS w,
+         |    CASE WHEN substring(hs, 1, 4) <> 'FFD8'
+         |      THEN ${unhexN("hs", PngHeightPos, 8, "strpos")}
+         |      ELSE ${unhexN("hs", JpegHeightPos, 4, "strpos")} END AS h
+         |  FROM b)
+         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+         |  CAST(SUM(w) AS BIGINT) AS sum_w,
+         |  CAST(SUM(h) AS BIGINT) AS sum_h,
+         |  CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
+         |  CAST(min(h) AS INT) AS min_h, CAST(max(h) AS INT) AS max_h
+         |FROM d GROUP BY kind""".stripMargin
+    },
   )
 }

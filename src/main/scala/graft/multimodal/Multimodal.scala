@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` payloads plus typed metadata, with decode / feature
   * extraction / frame sampling as partition-local transforms.
   *
-  * ==== STUB NOTICE ====
-  * No image/audio/video codecs exist in this container, so
-  * [[StubCodec.decode]] is a clearly-marked DETERMINISTIC FAKE: it
-  * derives plausible dimensions/duration from the payload bytes. The
+  * ==== STUB NOTICE (narrowed) ====
+  * IMAGE HEADER DECODE IS REAL: [[StubCodec.decode]] first runs
+  * [[ImageHeaders]] (PNG IHDR / JPEG SOF marker walk — pure byte
+  * arithmetic, no codec library) and returns genuine dimensions for
+  * any real PNG/JPEG payload. Pixel decode, audio, and video remain a
+  * clearly-marked DETERMINISTIC FAKE (no codecs in this container):
+  * for those, plausible dimensions/duration derive from the payload
+  * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped
   * `mapPartitions`, partitioning notes — is real, and swapping the
   * stub for a JNI/FFmpeg/ImageIO decode changes nothing structurally:
@@ -45,7 +49,12 @@ object Multimodal {
       val b0 = if (n > 0) payload(0) & 0xff else 0
       kind match {
         case "image" =>
-          MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1, 1, 0, n > 0)
+          // REAL path first: PNG/JPEG header dims from the bytes
+          ImageHeaders.parse(payload) match {
+            case Some((_, w, h)) => MediaMeta(kind, w, h, 1, 0, ok = true)
+            case None =>
+              MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1, 1, 0, n > 0)
+          }
         case "video" =>
           MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1, n % 24 + 1, 0,
             n > 0)
