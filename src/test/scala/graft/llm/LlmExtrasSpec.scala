@@ -178,4 +178,24 @@ class LlmExtrasSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
     assert(perSrc.filter(col("n") > 3 || col("lo") =!= 1).isEmpty)
   }
+
+  test("kmeansConverged partitions the corpus; Lloyd does not lose mass") {
+    val out = LlmQueries.kmeansConverged(spark, dir)
+    val rows = out.collect()
+    assert(rows.length <= 16 && rows.nonEmpty)
+    // every vector is assigned to exactly one surviving cluster
+    val total = rows.map(_.getLong(1)).sum
+    val nVecs = graft.Tables(spark, dir, "embeddings").count()
+    assert(total == nVecs, s"clustered $total of $nVecs")
+    // cids are a subset of the initial sample's ids
+    assert(rows.map(_.getInt(0)).forall(c => c >= 0 && c < 16))
+  }
+
+  test("ivfKmeansRecall emits one valid per-mille recall per query") {
+    val rows = LlmQueries.ivfKmeansRecall(spark, dir).collect()
+    assert(rows.length == 3)
+    assert(rows.forall { r =>
+      val rec = r.getLong(2); rec >= 0 && rec <= 1000
+    })
+  }
 }
