@@ -154,11 +154,15 @@ object LlmQueries {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
 
   /** Bucket-size cap: pair expansion is quadratic in bucket size, and
-    * an oversized bucket means a degenerate band hash (near-useless
-    * for dedup) — standard practice is to drop such buckets. Observed
-    * max bucket is 3 at sf0.01 / 9 at sf0.1, so 64 is a pure
-    * scale-guard locally (no-op on this corpus), mirrored in the
-    * oracle SQL so both engines agree by construction. */
+    * an oversized bucket means a degenerate band hash. Oversized
+    * buckets are SALTED, not dropped (see [[computePairs]]): members
+    * split into ceil(n/cap) deterministic sub-buckets and pairs
+    * enumerate within sub-buckets — work bounded near g·cap²/2 pairs
+    * per degenerate hash instead of n², and no bucket's candidates
+    * vanish wholesale. Observed max bucket is 3 at sf0.01 / 9 at
+    * sf0.1, so the salt is a pure scale-guard locally (salt = 0
+    * everywhere, bit-identical to the unsalted plan), mirrored in the
+    * oracle SQL so both engines agree by construction on ANY data. */
   private val maxLshBucket = 64
 
   /** LSH candidate pairs, materialized ONCE per corpus snapshot
@@ -173,12 +177,33 @@ object LlmQueries {
       computePairs(s, d).localCheckpoint())
 
   private def computePairs(s: SparkSession, d: String): DataFrame = {
-    // Pairs are enumerated *within* buckets: one shuffle on the
+    // Pairs are enumerated *within* buckets: shuffle on the
     // (band, band-hash) key, then per-bucket combination generation —
     // the minhash chain is computed once (a self-join would compute it
     // twice and tempt AQE into broadcasting corpus-scale band data).
-    bands(s, d)
-      .groupBy(col("band"), col("bv"))
+    //
+    // Skew guard, salt-don't-drop: collect_list of a degenerate
+    // bucket would materialize the whole bucket in one aggregation
+    // row, so bucket sizes are pre-counted and oversized buckets
+    // (by construction a tiny table — they need degenerate band
+    // hashes) are BROADCAST back; their members salt into
+    // g = ceil(n/cap) sub-buckets by doc_id % g before the
+    // collect. Below the cap salt = 0 and the plan is bit-identical
+    // to the unsalted one; above it, candidates are kept with pair
+    // work bounded by the cap per salt cell. The size filter stays as
+    // the hard guard for an adversarial id distribution inside one
+    // salt cell. Cost: a second pass over the narrow 3-column band
+    // table — the price of never OOMing on a degenerate hash.
+    val b = bands(s, d)
+    val over = b.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxLshBucket)
+      .select(col("band"), col("bv"),
+        expr(s"(n + ${maxLshBucket - 1}) div $maxLshBucket").as("g"))
+    b.join(broadcast(over), Seq("band", "bv"), "left")
+      .withColumn("salt",
+        when(col("g").isNull, lit(0L)).otherwise(col("doc_id") % col("g")))
+      .groupBy(col("band"), col("bv"), col("salt"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxLshBucket)
       .select(explode(expr(
@@ -1175,26 +1200,47 @@ object LlmQueries {
         |      element_at(w, i + 4)))
         |  ELSE array() END""".stripMargin)).as("g"))
 
+  /** Session flag selecting the heldout-join strategy; `true`
+    * (default) = broadcast. Flip to `false` when the heldout side is
+    * too big to broadcast — e.g. decontaminating one full corpus
+    * against another — and the join becomes a hash-partitioned
+    * SHUFFLE_HASH join on the gram key: both sides exchange once,
+    * nothing is collected to the driver, identical exact answer
+    * (plan-audited in DecontamPathSpec). A Bloom prefilter is the
+    * further inexact-prune refinement; the shuffle path keeps the
+    * gate's exactness. */
+  private[llm] val decontamBroadcastFlag =
+    "spark.graft.decontam.broadcastHeldout"
+
+  private def decontamBroadcast(s: SparkSession): Boolean =
+    s.conf.get(decontamBroadcastFlag, "true").toBoolean
+
   /** The flagged-doc table is match-sized (docs sharing ≥1 heldout
-    * 5-gram) — materialized once per corpus snapshot so the flag
-    * report and the [[decontamKeep]] output don't each re-run the
-    * full 5-gram chain. */
+    * 5-gram) — materialized once per corpus snapshot AND join
+    * strategy (the flag is part of the memo key, so toggling it
+    * recomputes instead of replaying the other path's artifact). */
   def decontaminate(s: SparkSession, d: String): DataFrame =
-    SnapshotMemo.getOrCompute(s, s"decontam-flags:$d")(
+    SnapshotMemo.getOrCompute(s,
+      s"decontam-flags:$d:broadcast=${decontamBroadcast(s)}")(
       computeDecontaminate(s, d).localCheckpoint())
 
-  private def computeDecontaminate(s: SparkSession, d: String): DataFrame = {
+  private[llm] def computeDecontaminate(
+      s: SparkSession, d: String): DataFrame = {
     val g = fivegrams(s, d)
     // the doc_id filter pushes below the explode to the scan: the
     // heldout branch reads only heldout docs
     val heldout = g.filter(col("doc_id") % 97 === 0)
       .select(col("g").as("hg")).distinct()
-    // dedup AFTER the broadcast join: only grams that actually hit
-    // the heldout set reach a shuffle (match-sized), instead of a
+    // dedup AFTER the join: only grams that actually hit the heldout
+    // set reach the post-join shuffle (match-sized), instead of a
     // corpus-wide distinct of every training 5-gram before joining
-    g.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(heldout), col("g") === col("hg"))
-      .select(col("doc_id"), col("g")).distinct()
+    val train = g.filter(col("doc_id") % 97 =!= 0)
+    val joined =
+      if (decontamBroadcast(s))
+        train.join(broadcast(heldout), col("g") === col("hg"))
+      else
+        train.join(heldout.hint("shuffle_hash"), col("g") === col("hg"))
+    joined.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_5grams"))
   }
@@ -1249,11 +1295,32 @@ object LlmQueries {
   // (bins are per-worker, never global).
   // ---------------------------------------------------------------
   private val packBudget = 2048L
+
+  /** Oracle-pinned default shard count (the gate needs one fixed
+    * value); deployments size the real knob via
+    * [[packSequencesSharded]]. */
   private val packShards = 8
 
-  def packSequences(s: SparkSession, d: String): DataFrame = {
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesSharded(s, d, packShards)
+
+  /** `shards` IS the parallelism knob: each shard's running token sum
+    * is one ordered window partition = one reducer, so the correct
+    * value scales with the cluster (e.g.
+    * `spark.sparkContext.defaultParallelism`), never a constant — at
+    * 100 TB, 8 shards would funnel the corpus through 8 reducers.
+    *
+    * Bins-per-worker contract: `seq_bin` is contiguous from 0 WITHIN
+    * a shard and a packed sequence never crosses shards — the global
+    * sequence id is the pair (shard, seq_bin), exactly how a
+    * multi-worker tokenizer packs (each worker owns its bin space; no
+    * global coordination). Changing `shards` re-bins the corpus but
+    * preserves both invariants and the per-doc token counts. */
+  def packSequencesSharded(
+      s: SparkSession, d: String, shards: Int): DataFrame = {
+    require(shards > 0, s"packing needs shards > 0, got $shards")
     val t = tokenized(s, d)
-      .select(col("doc_id"), (col("doc_id") % packShards).as("shard"),
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
         expr("CAST(size(w) AS BIGINT)").as("n_tokens"))
     val win = Window.partitionBy(col("shard"))
       .orderBy(col("doc_id"))
@@ -1407,13 +1474,23 @@ object LlmQueries {
        |hx AS (SELECT doc_id, sha256(s) AS h FROM sh),
        |mh AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
        |bands AS ($bandRows),
-       |bsz AS (SELECT band, bv FROM bands GROUP BY band, bv
+       |bover AS (SELECT band, bv,
+       |    (count(*) + ${maxLshBucket - 1}) // $maxLshBucket AS g
+       |  FROM bands GROUP BY band, bv
+       |  HAVING count(*) > $maxLshBucket),
+       |bsalt AS (SELECT b.doc_id, b.band, b.bv,
+       |    CASE WHEN o.g IS NULL THEN 0 ELSE b.doc_id % o.g END AS salt
+       |  FROM bands b LEFT JOIN bover o
+       |    ON b.band = o.band AND b.bv = o.bv),
+       |bsz AS (SELECT band, bv, salt FROM bsalt
+       |  GROUP BY band, bv, salt
        |  HAVING count(*) BETWEEN 2 AND $maxLshBucket),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bsz s
-       |  JOIN bands a ON a.band = s.band AND a.bv = s.bv
-       |  JOIN bands b ON b.band = s.band AND b.bv = s.bv
-       |    AND a.doc_id < b.doc_id)""".stripMargin
+       |  JOIN bsalt a ON a.band = s.band AND a.bv = s.bv
+       |    AND a.salt = s.salt
+       |  JOIN bsalt b ON b.band = s.band AND b.bv = s.bv
+       |    AND b.salt = s.salt AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   private val quantCte =

@@ -1,0 +1,45 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The decontamination fallback contract: when the heldout set is
+  * declared too big to broadcast
+  * (`spark.graft.decontam.broadcastHeldout=false`), the heldout join
+  * plans as a hash-partitioned shuffle join — no broadcast exchange
+  * anywhere in the plan, nothing collected driver-side — and the
+  * flagged-doc table is identical to the broadcast path's. */
+class DecontamPathSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shuffle-hash fallback: same flags, no broadcast in the plan") {
+    val s = TestSpark.spark
+    val adaptiveBcast = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevAdaptive = s.conf.getOption(adaptiveBcast)
+    def flags(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val viaBroadcast = flags(LlmQueries.decontaminate(s, dir))
+    try {
+      s.conf.set(LlmQueries.decontamBroadcastFlag, "false")
+      // pin AQE too: the spec asserts the fallback never NEEDS a
+      // broadcast, so forbid the runtime small-side conversion
+      s.conf.set(adaptiveBcast, "-1")
+      val df = LlmQueries.computeDecontaminate(s, dir)
+      val viaShuffle = flags(df)
+      assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"fallback path still broadcasts:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), plan)
+    } finally {
+      s.conf.unset(LlmQueries.decontamBroadcastFlag)
+      prevAdaptive match {
+        case Some(v) => s.conf.set(adaptiveBcast, v)
+        case None => s.conf.unset(adaptiveBcast)
+      }
+    }
+  }
+}

@@ -88,6 +88,30 @@ class LlmExtrasSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("packSequencesSharded: the shard knob re-bins but preserves the " +
+    "contract at any parallelism") {
+    val byShards = Seq(1, 3, 32).map(k =>
+      k -> LlmQueries.packSequencesSharded(spark, dir, k).cache())
+    try {
+      val base = byShards.head._2
+        .select(col("doc_id"), col("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      byShards.foreach { case (k, out) =>
+        // same docs, same token counts — sharding never drops/alters
+        val docs = out.select(col("doc_id"), col("n_tokens"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(docs == base, s"shards=$k")
+        // shard ids live in [0, k) and bins are contiguous from 0
+        assert(out.filter(col("shard") < 0 || col("shard") >= k).isEmpty)
+        val perShard = out.groupBy("shard")
+          .agg(min("seq_bin").as("lo"),
+            countDistinct("seq_bin").as("nbins"), max("seq_bin").as("hi"))
+        assert(perShard.filter(col("lo") =!= 0 ||
+          col("hi") =!= col("nbins") - 1).isEmpty, s"shards=$k")
+      }
+    } finally { byShards.foreach(_._2.unpersist()); () }
+  }
+
   test("sourceStats partitions the corpus exactly") {
     val out = LlmQueries.sourceStats(spark, dir)
     val total = out.agg(sum("n_docs")).head.getLong(0)
@@ -177,6 +201,34 @@ class LlmExtrasSpec extends AnyFunSuite {
     val perSrc = out.groupBy("source")
       .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
     assert(perSrc.filter(col("n") > 3 || col("lo") =!= 1).isEmpty)
+  }
+
+  test("LSH salt-don't-drop: oversized buckets keep bounded candidates, " +
+      "small buckets lose nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-salt").toFile
+    val s = spark
+    import s.implicits._
+    // 70 byte-identical docs (ids 0..69) → one bucket of 70 > cap 64
+    // in EVERY band; plus one small near-dup pair (1000, 1001)
+    val giant = (0L until 70L).map(i =>
+      (i, "aaa bbb ccc ddd eee fff", "en", "src", 0L))
+    val small = Seq(
+      (1000L, "the quick brown fox jumps over dogs", "en", "src", 0L),
+      (1001L, "the quick brown fox jumps over dogs", "en", "src", 0L))
+    (giant ++ small)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val pairs = LlmQueries.dedupMinhash(spark, tmp.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // below the cap: the small pair is never lost
+    assert(pairs.contains((1000L, 1001L)))
+    // above the cap: candidates KEPT (the old drop yielded zero) but
+    // bounded — g = ceil(70/64) = 2 salt cells by doc_id parity, so
+    // exactly 2 * C(35,2) = 1190 pairs, never all-pairs C(70,2) = 2415
+    val giantPairs = pairs.filter(p => p._1 < 70L && p._2 < 70L)
+    assert(giantPairs.size == 1190, s"got ${giantPairs.size}")
+    assert(giantPairs.forall(p => (p._1 - p._2) % 2 == 0))
   }
 
   test("kmeansConverged partitions the corpus; Lloyd does not lose mass") {
