@@ -36,15 +36,16 @@ import org.apache.spark.sql.functions._
 object QuantileSketch {
 
   /** 60-bit integer rank from the first 15 hex digits of an md5 hex
-    * string in column `h` — digit-position arithmetic only, so the
-    * SAME text runs on Spark (`posFn` = "instr") and DuckDB
-    * ("strpos"). 16^15 - 1 < 2^60, so every partial sum stays in
-    * BIGINT range in both engines. Parenthesize at the call site
-    * before applying any operator of higher precedence than `+`. */
-  def rank60Sql(posFn: String): String =
+    * string in column `hCol` (default "h") — digit-position
+    * arithmetic only, so the SAME text runs on Spark (`posFn` =
+    * "instr") and DuckDB ("strpos"). 16^15 - 1 < 2^60, so every
+    * partial sum stays in BIGINT range in both engines. Parenthesize
+    * at the call site before applying any operator of higher
+    * precedence than `+`. */
+  def rank60Sql(posFn: String, hCol: String = "h"): String =
     (1 to 15).map { j =>
       val p = 1L << (4 * (15 - j))
-      s"CAST($posFn('0123456789abcdef', substring(h, $j, 1)) - 1 AS BIGINT) * $p"
+      s"CAST($posFn('0123456789abcdef', substring($hCol, $j, 1)) - 1 AS BIGINT) * $p"
     }.mkString(" + ")
 
   /** The sketch state: the k pairs with smallest rank, as

@@ -187,12 +187,14 @@ object LlmQueries {
     // row, so bucket sizes are pre-counted and oversized buckets
     // (by construction a tiny table — they need degenerate band
     // hashes) are BROADCAST back; their members salt into
-    // g = ceil(n/cap) sub-buckets by doc_id % g before the
-    // collect. Below the cap salt = 0 and the plan is bit-identical
-    // to the unsalted one; above it, candidates are kept with pair
-    // work bounded by the cap per salt cell. The size filter stays as
-    // the hard guard for an adversarial id distribution inside one
-    // salt cell. Cost: a second pass over the narrow 3-column band
+    // g = ceil(n/cap) sub-buckets by md5(doc_id)'s 60-bit rank % g
+    // before the collect. The hash mix (not raw doc_id % g) means a
+    // residue-clustered id distribution — e.g. all-even ids with
+    // g = 2 — still spreads uniformly across salt cells, so no salt
+    // cell exceeds the cap except with md5-collision-level odds; the
+    // size filter stays as the hard guard for that case. Below the
+    // cap salt = 0 and the plan is bit-identical to the unsalted
+    // one. Cost: a second pass over the narrow 3-column band
     // table — the price of never OOMing on a degenerate hash.
     val b = bands(s, d)
     val over = b.groupBy(col("band"), col("bv"))
@@ -200,9 +202,11 @@ object LlmQueries {
       .filter(col("n") > maxLshBucket)
       .select(col("band"), col("bv"),
         expr(s"(n + ${maxLshBucket - 1}) div $maxLshBucket").as("g"))
+    val saltRank = graft.functions.QuantileSketch.rank60Sql("instr", "hm")
     b.join(broadcast(over), Seq("band", "bv"), "left")
+      .withColumn("hm", md5(col("doc_id").cast("string")))
       .withColumn("salt",
-        when(col("g").isNull, lit(0L)).otherwise(col("doc_id") % col("g")))
+        when(col("g").isNull, lit(0L)).otherwise(expr(s"($saltRank)") % col("g")))
       .groupBy(col("band"), col("bv"), col("salt"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxLshBucket)
@@ -949,7 +953,12 @@ object LlmQueries {
     // 100 TB) on one reducer, while the aggregate reduces every map
     // partition to <= 3 pairs per source so the exchange carries
     // O(partitions x 3) rows. Tie order (lift desc, term binary-asc)
-    // is identical in both forms, so the oracle hash is unchanged.
+    // is identical in both forms, so the oracle hash is unchanged —
+    // a claim scoped to NON-NULL scores: the aggregate filters null
+    // scores/ids in update(), while the window form ranks NULL lift
+    // last and would emit such rows when a source has fewer than 3
+    // non-null terms. lift_x1000 here is provably non-null (both
+    // join inputs are counts), so the forms coincide.
     lift.groupBy(col("source"))
       .agg(graft.functions.TopKByLongStr.topKStr(
         col("lift_x1000"), col("term"), 3).as("tk"))
@@ -1479,8 +1488,12 @@ object LlmQueries {
        |  FROM bands GROUP BY band, bv
        |  HAVING count(*) > $maxLshBucket),
        |bsalt AS (SELECT b.doc_id, b.band, b.bv,
-       |    CASE WHEN o.g IS NULL THEN 0 ELSE b.doc_id % o.g END AS salt
-       |  FROM bands b LEFT JOIN bover o
+       |    CASE WHEN o.g IS NULL THEN 0
+       |         ELSE (${graft.functions.QuantileSketch
+                          .rank60Sql("strpos", "b.hm")}) % o.g END AS salt
+       |  FROM (SELECT doc_id, band, bv,
+       |          md5(CAST(doc_id AS VARCHAR)) AS hm FROM bands) b
+       |  LEFT JOIN bover o
        |    ON b.band = o.band AND b.bv = o.bv),
        |bsz AS (SELECT band, bv, salt FROM bsalt
        |  GROUP BY band, bv, salt

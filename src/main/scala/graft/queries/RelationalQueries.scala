@@ -825,7 +825,7 @@ object RelationalQueries {
          |  FROM r),
          |samp AS (SELECT o_orderpriority,
          |    list(cents ORDER BY cents) AS vals
-         |  FROM s WHERE rn <= 256 GROUP BY o_orderpriority),
+         |  FROM s WHERE rn <= $qsketchK GROUP BY o_orderpriority),
          |sk AS (SELECT o_orderpriority,
          |    vals[greatest(1, CAST(ceil(0.5 * len(vals)) AS INT))]
          |      AS sketch_cents
@@ -865,7 +865,7 @@ object RelationalQueries {
          |  FROM r),
          |samp AS (SELECT c_mktsegment,
          |    list(bal_cents ORDER BY bal_cents) AS vals
-         |  FROM s WHERE rn <= 256 GROUP BY c_mktsegment),
+         |  FROM s WHERE rn <= $qsketchK GROUP BY c_mktsegment),
          |sk AS (SELECT c_mktsegment,
          |    vals[greatest(1, CAST(ceil(0.25 * len(vals)) AS INT))] AS b1,
          |    vals[greatest(1, CAST(ceil(0.5 * len(vals)) AS INT))] AS b2,

@@ -203,6 +203,23 @@ class LlmExtrasSpec extends AnyFunSuite {
     assert(perSrc.filter(col("n") > 3 || col("lo") =!= 1).isEmpty)
   }
 
+  /** Test-side replica of the engine's salt mix: 60-bit rank of the
+    * first 15 md5 hex digits of the decimal id, mod g. */
+  private def salt60(id: Long, g: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % g
+  }
+
+  private def expectedSaltedPairs(ids: Seq[Long], g: Long): Set[(Long, Long)] =
+    ids.groupBy(salt60(_, g)).values.flatMap { cell =>
+      if (cell.size > 64) Nil // hard guard drops an over-cap cell
+      else for {
+        a <- cell; b <- cell; if a < b
+      } yield (a, b)
+    }.toSet
+
   test("LSH salt-don't-drop: oversized buckets keep bounded candidates, " +
       "small buckets lose nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("lsh-salt").toFile
@@ -210,7 +227,8 @@ class LlmExtrasSpec extends AnyFunSuite {
     import s.implicits._
     // 70 byte-identical docs (ids 0..69) → one bucket of 70 > cap 64
     // in EVERY band; plus one small near-dup pair (1000, 1001)
-    val giant = (0L until 70L).map(i =>
+    val giantIds = (0L until 70L)
+    val giant = giantIds.map(i =>
       (i, "aaa bbb ccc ddd eee fff", "en", "src", 0L))
     val small = Seq(
       (1000L, "the quick brown fox jumps over dogs", "en", "src", 0L),
@@ -224,11 +242,34 @@ class LlmExtrasSpec extends AnyFunSuite {
     // below the cap: the small pair is never lost
     assert(pairs.contains((1000L, 1001L)))
     // above the cap: candidates KEPT (the old drop yielded zero) but
-    // bounded — g = ceil(70/64) = 2 salt cells by doc_id parity, so
-    // exactly 2 * C(35,2) = 1190 pairs, never all-pairs C(70,2) = 2415
+    // bounded — g = ceil(70/64) = 2 hash-salted cells, pairs only
+    // within a cell, never all-pairs C(70,2) = 2415
+    val expected = expectedSaltedPairs(giantIds, 2)
     val giantPairs = pairs.filter(p => p._1 < 70L && p._2 < 70L)
-    assert(giantPairs.size == 1190, s"got ${giantPairs.size}")
-    assert(giantPairs.forall(p => (p._1 - p._2) % 2 == 0))
+    assert(giantPairs == expected,
+      s"got ${giantPairs.size}, expected ${expected.size}")
+    assert(giantPairs.size < 2415)
+  }
+
+  test("LSH salt mix spreads residue-clustered ids (all-even ids split " +
+      "across cells instead of collapsing into one over-cap cell)") {
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-salt-even").toFile
+    val s = spark
+    import s.implicits._
+    // 70 identical docs whose ids are ALL EVEN: under the old
+    // doc_id % g salt every id landed in cell 0, the cell stayed at
+    // 70 > cap, and the hard guard dropped ALL its candidates. The
+    // md5 mix spreads them regardless of the residue structure.
+    val evenIds = (0L until 70L).map(_ * 2L)
+    evenIds.map(i => (i, "aaa bbb ccc ddd eee fff", "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val pairs = LlmQueries.dedupMinhash(spark, tmp.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = expectedSaltedPairs(evenIds, 2)
+    assert(expected.nonEmpty) // the mix really does split this input
+    assert(pairs == expected, s"got ${pairs.size}, expected ${expected.size}")
   }
 
   test("kmeansConverged partitions the corpus; Lloyd does not lose mass") {
