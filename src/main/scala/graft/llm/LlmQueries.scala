@@ -65,6 +65,8 @@ object LlmQueries {
     "llm_fingerprint" -> fingerprint,
     "llm_decontaminate" -> decontaminate,
     "llm_decontam_keep" -> decontamKeep,
+    "llm_decontam_bloom" -> decontamBloom,
+    "llm_bloom_summary" -> bloomSummary,
     "llm_repetition" -> repetition,
     "llm_pack_sequences" -> packSequences,
     "llm_source_stats" -> sourceStats,
@@ -1268,6 +1270,113 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------
+  // Bloom-filter decontamination prefilter — the inexact-prune
+  // refinement the exact paths point at. When the heldout side is
+  // too big even for the shuffle-hash join to be cheap, a training
+  // pipeline broadcasts a COMPACT summary of the heldout n-gram set
+  // and prunes map-side, then (optionally) verifies survivors
+  // exactly. The filter here is a deterministic Bloom bitset built
+  // from the md5 hash order both engines share — no JVM hashing, no
+  // run-dependence — so DuckDB replays the identical construction
+  // and the gate hash-checks bit-for-bit.
+  //
+  // Representation: `bloomWords` BIGINT words of 62 usable bits each
+  // (62, not 64: both engines check overflow on 1L << 63, and bit 62
+  // keeps every word positive so shift semantics can't differ).
+  // Position j of gram g = rank60(md5(g || '#j')) % bloomBits,
+  // j = 1..bloomK. Scale shape: the bitset is built with one tiny
+  // shuffle (O(bloomWords) rows) and BROADCAST back (~1 KiB here;
+  // sized to the heldout cardinality in deployment — a knob, like
+  // packSequencesSharded's shard count); the corpus probes it with
+  // bloomK map-side broadcast joins and only bloom-positive rows
+  // ever shuffle. No false negatives by construction (asserted in
+  // spec); the false-positive cost is MEASURED by
+  // [[bloomSummary]], not claimed.
+  // ---------------------------------------------------------------
+  private val bloomWordBits = 62
+  private[llm] val bloomWords = 132
+  private[llm] val bloomBits: Long = bloomWordBits.toLong * bloomWords
+  private val bloomK = 3
+
+  /** Bloom position for hash column h$j — shared Spark/DuckDB text
+    * modulo the position function name. */
+  private def bloomPosSql(posFn: String, j: Int): String =
+    s"(${graft.functions.QuantileSketch.rank60Sql(posFn, s"h$j")}) " +
+      s"% $bloomBits"
+
+  /** Per-doc bloom-flagged table, memoized per snapshot (shared by
+    * [[decontamBloom]] and [[bloomSummary]]). */
+  private def bloomFlagged(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"decontam-bloom:$d")(
+      computeBloomFlagged(s, d).localCheckpoint())
+
+  private[llm] def computeBloomFlagged(
+      s: SparkSession, d: String): DataFrame = {
+    val g = fivegrams(s, d)
+    // build: distinct heldout grams → k positions each → OR the bits
+    // per word; the result is <= bloomWords rows
+    val heldout = g.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    val withH = (1 to bloomK).foldLeft(heldout)((df, j) =>
+      df.withColumn(s"h$j", md5(concat(col("g"), lit(s"#$j")))))
+    val bloom = withH
+      .select(explode(array((1 to bloomK).map(j =>
+        expr(s"(${bloomPosSql("instr", j)})")): _*)).as("p"))
+      .select(expr(s"p div $bloomWordBits").as("word"),
+        expr(s"CAST(p % $bloomWordBits AS INT)").as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+    // probe: occurrence rows stream through bloomK broadcast joins
+    // (no pre-distinct — a corpus-wide distinct would shuffle
+    // everything the filter exists to prune); survivors dedup and
+    // count, so the only corpus-keyed exchange is match+FP-sized
+    val train = g.filter(col("doc_id") % 97 =!= 0)
+    val probed = (1 to bloomK).foldLeft(train) { (df, j) =>
+      val bj = bloom.select(col("word").as(s"w$j"), col("bits").as(s"b$j"))
+      df.withColumn(s"h$j", md5(concat(col("g"), lit(s"#$j"))))
+        .withColumn(s"p$j", expr(s"(${bloomPosSql("instr", j)})"))
+        .drop(s"h$j")
+        .withColumn(s"w$j", expr(s"p$j div $bloomWordBits"))
+        .join(broadcast(bj), Seq(s"w$j"), "left")
+    }
+    val allBitsSet = (1 to bloomK).map(j =>
+      expr(s"(shiftright(coalesce(b$j, CAST(0 AS BIGINT)), " +
+        s"CAST(p$j % $bloomWordBits AS INT)) & 1) = 1"))
+      .reduce(_ && _)
+    probed.filter(allBitsSet)
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_5grams"))
+  }
+
+  /** Bloom-flagged docs side-by-side with the exact answer: a row
+    * per bloom-positive doc, its bloom-positive gram count, and the
+    * exact shared-gram count (0 = the doc is a Bloom false
+    * positive). Exactness containment — every exact hit is
+    * bloom-flagged — is structural (no false negatives). */
+  def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val exact = decontaminate(s, d)
+      .select(col("doc_id").as("eid"), col("n_shared_5grams"))
+    bloomFlagged(s, d)
+      .join(broadcast(exact), col("doc_id") === col("eid"), "left")
+      .select(col("doc_id"), col("n_bloom_5grams"),
+        coalesce(col("n_shared_5grams"), lit(0L)).as("n_exact_5grams"))
+  }
+
+  /** One-row accuracy/pruning report for the Bloom prefilter — the
+    * measured-not-claimed number: how many flagged docs are real vs
+    * false positives, and the gram-level overcount. */
+  def bloomSummary(s: SparkSession, d: String): DataFrame =
+    decontamBloom(s, d).agg(
+      count(lit(1)).as("n_docs_flagged"),
+      sum(when(col("n_exact_5grams") > 0, 1L).otherwise(0L))
+        .as("n_docs_exact"),
+      sum(when(col("n_exact_5grams") === 0, 1L).otherwise(0L))
+        .as("n_docs_fp"),
+      sum(col("n_bloom_5grams")).as("n_bloom_grams"),
+      sum(col("n_exact_5grams")).as("n_exact_grams"))
+
+  // ---------------------------------------------------------------
   // Repetition signals (Gopher-style quality rules): fraction of
   // bigram mass in the single most frequent bigram, and the
   // distinct-word ratio — both strong low-quality/boilerplate
@@ -1504,6 +1613,57 @@ object LlmQueries {
        |    AND a.salt = s.salt
        |  JOIN bsalt b ON b.band = s.band AND b.bv = s.bv
        |    AND b.salt = s.salt AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** DuckDB replica of the deterministic Bloom build+probe in
+    * [[computeBloomFlagged]] — same md5-rank positions, same 62-bit
+    * words, ending in CTE `bres` (doc_id, n_bloom_5grams,
+    * n_exact_5grams). */
+  private val bloomCte = {
+    def rk(j: Int) =
+      s"(${graft.functions.QuantileSketch.rank60Sql("strpos", s"h$j")})"
+    val hCols = (1 to bloomK)
+      .map(j => s"md5(g || '#$j') AS h$j").mkString(", ")
+    val hpRows = (1 to bloomK)
+      .map(j => s"SELECT ${rk(j)} % $bloomBits AS p FROM hh")
+      .mkString(" UNION ALL ")
+    val pCols = (1 to bloomK)
+      .map(j => s"${rk(j)} % $bloomBits AS p$j").mkString(", ")
+    val joins = (1 to bloomK)
+      .map(j => s"LEFT JOIN bloom b$j ON b$j.word = tp.p$j // $bloomWordBits")
+      .mkString(" ")
+    val bitTests = (1 to bloomK)
+      .map(j => s"((coalesce(b$j.bits, 0) >> CAST(tp.p$j % $bloomWordBits " +
+        s"AS INT)) & 1) = 1")
+      .mkString(" AND ")
+    s"""$wCte,
+       |pos AS (SELECT doc_id, ws,
+       |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+       |  FROM w),
+       |g AS (SELECT DISTINCT doc_id,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+       |    ws[i+3] || ' ' || ws[i+4] AS g
+       |  FROM pos),
+       |heldout AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+       |hh AS (SELECT $hCols FROM heldout),
+       |hp AS ($hpRows),
+       |bloom AS (SELECT p // $bloomWordBits AS word,
+       |    bit_or(1::BIGINT << CAST(p % $bloomWordBits AS INT)) AS bits
+       |  FROM hp GROUP BY 1),
+       |t AS (SELECT doc_id, g, $hCols
+       |  FROM g WHERE doc_id % 97 <> 0),
+       |tp AS (SELECT doc_id, g, $pCols FROM t),
+       |probe AS (SELECT tp.doc_id, tp.g FROM tp
+       |  $joins
+       |  WHERE $bitTests),
+       |bflag AS (SELECT doc_id, count(*) AS n_bloom_5grams
+       |  FROM probe GROUP BY 1),
+       |exact AS (SELECT g.doc_id, count(*) AS n_exact FROM g
+       |  JOIN heldout h ON g.g = h.g
+       |  WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id),
+       |bres AS (SELECT b.doc_id, b.n_bloom_5grams,
+       |    coalesce(e.n_exact, 0) AS n_exact_5grams
+       |  FROM bflag b LEFT JOIN exact e ON b.doc_id = e.doc_id)""".stripMargin
   }
 
   private val quantCte =
@@ -2212,6 +2372,21 @@ object LlmQueries {
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id % 97 <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
+    "llm_decontam_bloom" ->
+      s"""WITH $bloomCte
+         |SELECT doc_id, n_bloom_5grams, n_exact_5grams FROM bres""".stripMargin,
+
+    "llm_bloom_summary" ->
+      s"""WITH $bloomCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs_flagged,
+         |  CAST(sum(CASE WHEN n_exact_5grams > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_exact,
+         |  CAST(sum(CASE WHEN n_exact_5grams = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_fp,
+         |  CAST(sum(n_bloom_5grams) AS BIGINT) AS n_bloom_grams,
+         |  CAST(sum(n_exact_5grams) AS BIGINT) AS n_exact_grams
+         |FROM bres""".stripMargin,
 
     "llm_repetition" ->
       s"""WITH $wCte,

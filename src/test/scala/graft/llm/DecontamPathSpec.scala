@@ -42,4 +42,28 @@ class DecontamPathSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bloom prefilter: superset of the exact flags (no false " +
+      "negatives), full per-doc counts, consistent summary") {
+    val s = TestSpark.spark
+    val bloom = LlmQueries.decontamBloom(s, dir).collect()
+    val bmap = bloom
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val exact = LlmQueries.decontaminate(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty)
+    // structural no-false-negatives: every exactly-contaminated doc
+    // is bloom-flagged, its exact count rides along unchanged, and
+    // bloom can only overcount
+    exact.foreach { case (id, n) =>
+      assert(bmap.contains(id), s"doc $id exact-hit but not flagged")
+      assert(bmap(id)._2 == n)
+      assert(bmap(id)._1 >= n)
+    }
+    val sm = LlmQueries.bloomSummary(s, dir).collect().head
+    assert(sm.getLong(0) == bloom.length.toLong)
+    assert(sm.getLong(1) + sm.getLong(2) == sm.getLong(0))
+    assert(sm.getLong(1) == exact.size.toLong)
+    assert(sm.getLong(3) >= sm.getLong(4))
+  }
 }
