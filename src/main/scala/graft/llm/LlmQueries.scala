@@ -1283,26 +1283,44 @@ object LlmQueries {
   // Representation: `bloomWords` BIGINT words of 62 usable bits each
   // (62, not 64: both engines check overflow on 1L << 63, and bit 62
   // keeps every word positive so shift semantics can't differ).
-  // Position j of gram g = rank60(md5(g || '#j')) % bloomBits,
-  // j = 1..bloomK. Scale shape: the bitset is built with one tiny
-  // shuffle (O(bloomWords) rows) and BROADCAST back (~1 KiB here;
-  // sized to the heldout cardinality in deployment — a knob, like
-  // packSequencesSharded's shard count); the corpus probes it with
-  // bloomK map-side broadcast joins and only bloom-positive rows
-  // ever shuffle. No false negatives by construction (asserted in
-  // spec); the false-positive cost is MEASURED by
-  // [[bloomSummary]], not claimed.
+  // Positions come from Kirsch–Mitzenmacher double hashing over ONE
+  // md5 per gram (see [[bloomABSql]]). Scale shape: the bitset is
+  // built with one tiny shuffle (O(bloomWords) rows), densified to a
+  // single array<bigint> row and BROADCAST back (~1 KiB here; sized
+  // to the heldout cardinality in deployment — a knob, like
+  // packSequencesSharded's shard count); the corpus probes it
+  // entirely map-side through one cross-join against that row, and
+  // only bloom-positive rows ever shuffle. No false negatives by
+  // construction (asserted in spec); the false-positive cost is
+  // MEASURED by [[bloomSummary]], not claimed.
   // ---------------------------------------------------------------
   private val bloomWordBits = 62
   private[llm] val bloomWords = 132
   private[llm] val bloomBits: Long = bloomWordBits.toLong * bloomWords
   private val bloomK = 3
 
-  /** Bloom position for hash column h$j — shared Spark/DuckDB text
-    * modulo the position function name. */
-  private def bloomPosSql(posFn: String, j: Int): String =
-    s"(${graft.functions.QuantileSketch.rank60Sql(posFn, s"h$j")}) " +
-      s"% $bloomBits"
+  /** Integer rank of `len` hex digits of md5-hex column `hCol`
+    * starting at 1-based digit `start` — the digit-position
+    * arithmetic of [[graft.functions.QuantileSketch.rank60Sql]],
+    * windowed so ONE md5 yields several independent values. */
+  private def hexRankSql(
+      posFn: String, hCol: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val p = 1L << (4 * (len - 1 - i))
+      s"CAST($posFn('0123456789abcdef', substring($hCol, ${start + i}, " +
+        s"1)) - 1 AS BIGINT) * $p"
+    }.mkString(" + ")
+
+  /** Kirsch–Mitzenmacher double hashing: position j of gram g is
+    * (a + j·b') % m with a = digits 1–8 and b = digits 9–16 of ONE
+    * md5(g), b' = 2b+1 (odd, so b' = 0 can't collapse the probes).
+    * One hash + 16 digit reads per row instead of k md5s — the probe
+    * runs over every gram occurrence in the corpus, so per-row hash
+    * cost is the whole game. a + k·b' < 2^32 + 3·2^33: BIGINT-safe
+    * in both engines. */
+  private def bloomABSql(posFn: String): (String, String) =
+    (s"(${hexRankSql(posFn, "h", 1, 8)})",
+      s"2 * (${hexRankSql(posFn, "h", 9, 8)}) + 1")
 
   /** Per-doc bloom-flagged table, memoized per snapshot (shared by
     * [[decontamBloom]] and [[bloomSummary]]). */
@@ -1313,37 +1331,47 @@ object LlmQueries {
   private[llm] def computeBloomFlagged(
       s: SparkSession, d: String): DataFrame = {
     val g = fivegrams(s, d)
-    // build: distinct heldout grams → k positions each → OR the bits
-    // per word; the result is <= bloomWords rows
-    val heldout = g.filter(col("doc_id") % 97 === 0)
-      .select(col("g")).distinct()
-    val withH = (1 to bloomK).foldLeft(heldout)((df, j) =>
-      df.withColumn(s"h$j", md5(concat(col("g"), lit(s"#$j")))))
-    val bloom = withH
+    val (haSql, hbSql) = bloomABSql("instr")
+    def withAB(df: DataFrame): DataFrame =
+      df.withColumn("h", md5(col("g")))
+        .withColumn("ha", expr(haSql))
+        .withColumn("hb", expr(hbSql))
+        .drop("h")
+    // build: distinct heldout grams → k K-M positions each → OR the
+    // bits per word, then densify to ONE array<bigint> row so the
+    // probe is a single tiny cross-join instead of k joins (k joins
+    // would also re-evaluate this build subtree k times)
+    val heldout = withAB(
+      g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct())
+    val bloom = heldout
       .select(explode(array((1 to bloomK).map(j =>
-        expr(s"(${bloomPosSql("instr", j)})")): _*)).as("p"))
+        expr(s"(ha + $j * hb) % $bloomBits")): _*)).as("p"))
       .select(expr(s"p div $bloomWordBits").as("word"),
         expr(s"CAST(p % $bloomWordBits AS INT)").as("bit"))
       .groupBy(col("word"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
-    // probe: occurrence rows stream through bloomK broadcast joins
-    // (no pre-distinct — a corpus-wide distinct would shuffle
-    // everything the filter exists to prune); survivors dedup and
-    // count, so the only corpus-keyed exchange is match+FP-sized
-    val train = g.filter(col("doc_id") % 97 =!= 0)
-    val probed = (1 to bloomK).foldLeft(train) { (df, j) =>
-      val bj = bloom.select(col("word").as(s"w$j"), col("bits").as(s"b$j"))
-      df.withColumn(s"h$j", md5(concat(col("g"), lit(s"#$j"))))
-        .withColumn(s"p$j", expr(s"(${bloomPosSql("instr", j)})"))
-        .drop(s"h$j")
-        .withColumn(s"w$j", expr(s"p$j div $bloomWordBits"))
-        .join(broadcast(bj), Seq(s"w$j"), "left")
-    }
+    val bloomArr = bloom
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("wb"))
+      .select(expr(
+        s"""transform(sequence(CAST(0 AS BIGINT), CAST(${bloomWords - 1}
+           |AS BIGINT)), w -> coalesce(element_at(wb, w),
+           |CAST(0 AS BIGINT)))""".stripMargin).as("barr"))
+    // probe: occurrence rows stream map-side through one broadcast
+    // single-row cross-join (no pre-distinct — a corpus-wide distinct
+    // would shuffle everything the filter exists to prune); survivors
+    // dedup and count, so the only corpus-keyed exchange is
+    // match+FP-sized
+    val train = (1 to bloomK).foldLeft(
+      withAB(g.filter(col("doc_id") % 97 =!= 0))
+        .crossJoin(broadcast(bloomArr)))(
+      (df, j) => df.withColumn(s"p$j",
+        expr(s"(ha + $j * hb) % $bloomBits")))
     val allBitsSet = (1 to bloomK).map(j =>
-      expr(s"(shiftright(coalesce(b$j, CAST(0 AS BIGINT)), " +
-        s"CAST(p$j % $bloomWordBits AS INT)) & 1) = 1"))
+      expr(s"(shiftright(element_at(barr, CAST(p$j div $bloomWordBits " +
+        s"AS INT) + 1), CAST(p$j % $bloomWordBits AS INT)) & 1) = 1"))
       .reduce(_ && _)
-    probed.filter(allBitsSet)
+    train.filter(allBitsSet)
       .select(col("doc_id"), col("g")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bloom_5grams"))
@@ -1620,15 +1648,12 @@ object LlmQueries {
     * words, ending in CTE `bres` (doc_id, n_bloom_5grams,
     * n_exact_5grams). */
   private val bloomCte = {
-    def rk(j: Int) =
-      s"(${graft.functions.QuantileSketch.rank60Sql("strpos", s"h$j")})"
-    val hCols = (1 to bloomK)
-      .map(j => s"md5(g || '#$j') AS h$j").mkString(", ")
+    val (haSql, hbSql) = bloomABSql("strpos")
     val hpRows = (1 to bloomK)
-      .map(j => s"SELECT ${rk(j)} % $bloomBits AS p FROM hh")
+      .map(j => s"SELECT (ha + $j * hb) % $bloomBits AS p FROM hab")
       .mkString(" UNION ALL ")
     val pCols = (1 to bloomK)
-      .map(j => s"${rk(j)} % $bloomBits AS p$j").mkString(", ")
+      .map(j => s"(ha + $j * hb) % $bloomBits AS p$j").mkString(", ")
     val joins = (1 to bloomK)
       .map(j => s"LEFT JOIN bloom b$j ON b$j.word = tp.p$j // $bloomWordBits")
       .mkString(" ")
@@ -1645,14 +1670,16 @@ object LlmQueries {
        |    ws[i+3] || ' ' || ws[i+4] AS g
        |  FROM pos),
        |heldout AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
-       |hh AS (SELECT $hCols FROM heldout),
+       |hh AS (SELECT md5(g) AS h FROM heldout),
+       |hab AS (SELECT $haSql AS ha, $hbSql AS hb FROM hh),
        |hp AS ($hpRows),
        |bloom AS (SELECT p // $bloomWordBits AS word,
        |    bit_or(1::BIGINT << CAST(p % $bloomWordBits AS INT)) AS bits
        |  FROM hp GROUP BY 1),
-       |t AS (SELECT doc_id, g, $hCols
+       |t AS (SELECT doc_id, g, md5(g) AS h
        |  FROM g WHERE doc_id % 97 <> 0),
-       |tp AS (SELECT doc_id, g, $pCols FROM t),
+       |tab AS (SELECT doc_id, g, $haSql AS ha, $hbSql AS hb FROM t),
+       |tp AS (SELECT doc_id, g, $pCols FROM tab),
        |probe AS (SELECT tp.doc_id, tp.g FROM tp
        |  $joins
        |  WHERE $bitTests),

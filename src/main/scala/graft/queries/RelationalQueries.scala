@@ -51,6 +51,7 @@ object RelationalQueries {
     "rel_q24_retention" -> retention,
     "rel_q25_median_sketch" -> medianSketch,
     "rel_q26_quartiles_sketch" -> quartilesSketch,
+    "rel_q27_range_join" -> rangeJoinBucketed,
   )
 
   /** Sample size for the bottom-k quantile sketch (rel_q25/q26):
@@ -132,6 +133,63 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_cust"),
         min(col("bal_cents")).as("min_cents"),
         max(col("bal_cents")).as("max_cents"))
+  }
+
+  /** Interval/range join WITHOUT an equi-key, made shuffle-joinable
+    * by bucketing — the join family the engine was still missing
+    * (equi: everywhere; as-of: native operator rel_q22). Incident
+    * windows (hours with >= 8 error events, widened to
+    * [hour-30min, hour+90min)) are joined to EVERY event falling
+    * inside them. Naively that is a pure inequality join, which
+    * Spark can only plan as a broadcast-nested-loop / cartesian —
+    * O(|events| x |windows|) compares and a hard broadcast ceiling
+    * on the window side. Instead each window EXPLODES into the
+    * <= 3 hour-buckets it spans and events carry their single
+    * bucket, turning the range predicate into an equi-join on the
+    * bucket key plus a residual map-side filter: shuffle-partitioned
+    * on both sides, no nested loop anywhere (plan-asserted in
+    * RangeJoinSpec with broadcast disabled). An event's one bucket
+    * meets an exploded window at most once, so no post-join dedup is
+    * needed. Scale: work is O(events + windows x span) shuffled by
+    * bucket; bucket granularity is the skew/selectivity knob. All
+    * time math is integer epoch seconds so both engines agree
+    * exactly. */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(unix_timestamp(col("ts")).as("sec"), col("event_type"))
+    val wins = rangeJoinWindows(e)
+    val winBuckets = wins.select(col("hb"), col("win_lo"), col("win_hi"),
+      explode(expr("sequence(win_lo div 3600, (win_hi - 1) div 3600)"))
+        .as("wb"))
+    e.select(expr("sec div 3600").as("wb"), col("sec"), col("event_type"))
+      .join(winBuckets, Seq("wb"))
+      .filter(col("sec") >= col("win_lo") && col("sec") < col("win_hi"))
+      .groupBy(col("hb"), col("win_lo"), col("win_hi"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+      .select((col("hb") * 3600).as("hour_ts"), col("win_lo"),
+        col("win_hi"), col("n_events"), col("n_err"))
+  }
+
+  /** Incident windows: hours whose error count reaches
+    * ceil(1.5 × global mean errors/hour) — a relative threshold so
+    * the query is non-degenerate at every scale factor — widened to
+    * [hour − 30 min, hour + 90 min). Exact integer ceiling math; the
+    * 1-row global stats aggregate joins in as a broadcast scalar. */
+  private[queries] def rangeJoinWindows(e: DataFrame): DataFrame = {
+    val stats = e.agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("terr"),
+        countDistinct(expr("sec div 3600")).as("nh"))
+      .select(expr("(3 * terr + 2 * nh - 1) div (2 * nh)").as("thr"))
+    e.filter(col("event_type") === "error")
+      .groupBy(expr("sec div 3600").as("hb"))
+      .agg(count(lit(1)).as("ne"))
+      .crossJoin(broadcast(stats))
+      .filter(col("ne") >= col("thr"))
+      .select(col("hb"), (col("hb") * 3600 - 1800).as("win_lo"),
+        (col("hb") * 3600 + 5400).as("win_hi"))
   }
 
   /** Weekly retention cohorts: users grouped by first-activity week;
@@ -881,5 +939,26 @@ object RelationalQueries {
          |  min(bal_cents) AS min_cents, max(bal_cents) AS max_cents
          |FROM q GROUP BY 1, 2""".stripMargin
     },
+
+    // the oracle states the range join as the PLAIN inequality join
+    // the bucketed plan must be equivalent to
+    "rel_q27_range_join" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_type FROM events),
+        |stats AS (SELECT
+        |    (3 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |     + 2 * count(DISTINCT sec // 3600) - 1)
+        |    // (2 * count(DISTINCT sec // 3600)) AS thr FROM e),
+        |wins AS (SELECT sec // 3600 AS hb, count(*) AS ne FROM e
+        |  WHERE event_type = 'error' GROUP BY 1),
+        |w AS (SELECT hb, hb * 3600 - 1800 AS win_lo,
+        |    hb * 3600 + 5400 AS win_hi FROM wins, stats
+        |  WHERE ne >= thr)
+        |SELECT w.hb * 3600 AS hour_ts, w.win_lo, w.win_hi,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_err
+        |FROM w JOIN e ON e.sec >= w.win_lo AND e.sec < w.win_hi
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }
