@@ -1202,14 +1202,19 @@ object LlmQueries {
   // side streams map-side — the same asymmetry a Bloom-filter
   // decontaminator exploits, with exact results.
   // ---------------------------------------------------------------
+  /** 5-gram array over token column `w` — shared by the exploded
+    * batch form and the row-local streaming bloom gate. */
+  private val fivegramArrSql =
+    """CASE WHEN size(w) >= 5
+      |  THEN transform(sequence(1, size(w) - 4),
+      |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+      |      element_at(w, i + 2), element_at(w, i + 3),
+      |      element_at(w, i + 4)))
+      |  ELSE array() END""".stripMargin
+
   private def fivegrams(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d).select(col("doc_id"), explode(expr(
-      """CASE WHEN size(w) >= 5
-        |  THEN transform(sequence(1, size(w) - 4),
-        |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-        |      element_at(w, i + 2), element_at(w, i + 3),
-        |      element_at(w, i + 4)))
-        |  ELSE array() END""".stripMargin)).as("g"))
+    tokenized(s, d).select(col("doc_id"),
+      explode(expr(fivegramArrSql)).as("g"))
 
   /** Session flag selecting the heldout-join strategy; `true`
     * (default) = broadcast. Flip to `false` when the heldout side is
@@ -1328,6 +1333,71 @@ object LlmQueries {
     SnapshotMemo.getOrCompute(s, s"decontam-bloom:$d")(
       computeBloomFlagged(s, d).localCheckpoint())
 
+  /** Bloom bitset over a one-column (`g`) gram set: k K-M positions
+    * per gram → OR the bits per word → densify to ONE
+    * array<bigint> row (`barr`) so probes are a single tiny
+    * cross-join instead of k joins (k joins would also re-evaluate
+    * this build subtree k times). */
+  def bloomBitsetOf(grams: DataFrame): DataFrame = {
+    val (haSql, hbSql) = bloomABSql("instr")
+    grams
+      .withColumn("h", md5(col("g")))
+      .withColumn("ha", expr(haSql))
+      .withColumn("hb", expr(hbSql))
+      .select(explode(array((1 to bloomK).map(j =>
+        expr(s"(ha + $j * hb) % $bloomBits")): _*)).as("p"))
+      .select(expr(s"p div $bloomWordBits").as("word"),
+        expr(s"CAST(p % $bloomWordBits AS INT)").as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("wb"))
+      .select(expr(
+        s"""transform(sequence(CAST(0 AS BIGINT), CAST(${bloomWords - 1}
+           |AS BIGINT)), w -> coalesce(element_at(wb, w),
+           |CAST(0 AS BIGINT)))""".stripMargin).as("barr"))
+  }
+
+  /** The heldout-set bitset for snapshot `d`, memoized (shared by
+    * the batch prefilter and the streaming gate's setup). */
+  def bloomBitset(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"decontam-bloom-bits:$d")(
+      bloomBitsetOf(fivegrams(s, d).filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()).localCheckpoint())
+
+  /** Row-local bloom membership: does ANY 5-gram of token array `w`
+    * hit all k bits? Two-level lambda (grams → md5 → (a,b) struct)
+    * so each gram hashes exactly once; requires the bitset row
+    * (`barr`) joined into scope. Stateless and shuffle-free — the
+    * form a streaming gate needs. */
+  private def bloomAnyGramExpr: String = {
+    val (haSql, hbSql) = bloomABSql("instr")
+    val tests = (1 to bloomK).map { j =>
+      val p = s"(ab.ha + $j * ab.hb) % $bloomBits"
+      s"(shiftright(element_at(barr, CAST(($p) div $bloomWordBits AS INT) " +
+        s"+ 1), CAST(($p) % $bloomWordBits AS INT)) & 1) = 1"
+    }.mkString(" AND ")
+    s"""exists(transform(transform($fivegramArrSql, g -> md5(g)),
+       |  h -> struct($haSql AS ha, $hbSql AS hb)),
+       |  ab -> $tests)""".stripMargin
+  }
+
+  /** Bloom-gated corpus: drop every document whose text shares a
+    * (bloom-positive) 5-gram with the heldout set — the streaming
+    * twin of [[decontamKeep]]'s shape with the prefilter's cost
+    * model: row-local, no shuffle, no state, so it runs unchanged
+    * on a Structured Streaming source (stream-static join against
+    * the 1-row bitset; see graft.streaming.DocsStream). False
+    * positives drop slightly more than the exact gate — the
+    * documented Bloom trade; [[bloomSummary]] measures it. */
+  def bloomCleanOf(docs: DataFrame, bloomArr: DataFrame): DataFrame =
+    docs
+      .withColumn("one", lit(1))
+      .join(broadcast(bloomArr.withColumn("one", lit(1))), "one")
+      .withColumn("w", tokenExpr)
+      .filter(!expr(bloomAnyGramExpr))
+      .drop("one", "w", "barr")
+
   private[llm] def computeBloomFlagged(
       s: SparkSession, d: String): DataFrame = {
     val g = fivegrams(s, d)
@@ -1337,26 +1407,7 @@ object LlmQueries {
         .withColumn("ha", expr(haSql))
         .withColumn("hb", expr(hbSql))
         .drop("h")
-    // build: distinct heldout grams → k K-M positions each → OR the
-    // bits per word, then densify to ONE array<bigint> row so the
-    // probe is a single tiny cross-join instead of k joins (k joins
-    // would also re-evaluate this build subtree k times)
-    val heldout = withAB(
-      g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct())
-    val bloom = heldout
-      .select(explode(array((1 to bloomK).map(j =>
-        expr(s"(ha + $j * hb) % $bloomBits")): _*)).as("p"))
-      .select(expr(s"p div $bloomWordBits").as("word"),
-        expr(s"CAST(p % $bloomWordBits AS INT)").as("bit"))
-      .groupBy(col("word"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
-    val bloomArr = bloom
-      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-        .as("wb"))
-      .select(expr(
-        s"""transform(sequence(CAST(0 AS BIGINT), CAST(${bloomWords - 1}
-           |AS BIGINT)), w -> coalesce(element_at(wb, w),
-           |CAST(0 AS BIGINT)))""".stripMargin).as("barr"))
+    val bloomArr = bloomBitset(s, d)
     // probe: occurrence rows stream map-side through one broadcast
     // single-row cross-join (no pre-distinct — a corpus-wide distinct
     // would shuffle everything the filter exists to prune); survivors

@@ -51,4 +51,15 @@ object DocsStream {
     * incremental execution. */
   def blocklistFiltered(docs: DataFrame): DataFrame =
     LlmQueries.termFilterOf(docs)
+
+  /** Streaming benchmark-decontamination gate: incoming shards are
+    * dropped when any of their 5-grams bloom-hits the heldout set.
+    * The bitset is a STATIC 1-row table (built batch-side, e.g.
+    * [[LlmQueries.bloomBitset]]) stream-static-joined into every
+    * micro-batch; the membership test is row-local, so the gate
+    * keeps the file-source sweet spot: no watermark, no state store,
+    * no shuffle. This is how an ingest edge keeps eval contamination
+    * out of a live corpus without replaying the batch join. */
+  def bloomDecontaminated(docs: DataFrame, bloomBits: DataFrame): DataFrame =
+    LlmQueries.bloomCleanOf(docs, bloomBits)
 }

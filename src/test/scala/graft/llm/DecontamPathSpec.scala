@@ -66,4 +66,23 @@ class DecontamPathSpec extends AnyFunSuite {
     assert(sm.getLong(1) == exact.size.toLong)
     assert(sm.getLong(3) >= sm.getLong(4))
   }
+
+  test("row-local bloom gate partitions the train corpus exactly " +
+      "along the flagged-doc table") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(s, dir, "documents")
+    val clean = LlmQueries
+      .bloomCleanOf(docs, LlmQueries.bloomBitset(s, dir))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val flagged = LlmQueries.decontamBloom(s, dir)
+      .collect().map(_.getLong(0)).toSet
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // same grams, same bitset, two evaluation shapes (exploded
+    // per-gram probe vs row-local exists) — they must agree doc for
+    // doc on the train side
+    assert((clean & flagged).isEmpty)
+    assert(((clean | flagged) & train) == train)
+  }
 }

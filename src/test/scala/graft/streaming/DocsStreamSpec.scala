@@ -84,4 +84,35 @@ class DocsStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("bloom decontamination gate over a stream equals its batch form " +
+    "(stream-static join against the 1-row bitset)") {
+    val dir = Files.createTempDirectory("docs-bloom").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("docs-bloom-ckpt").toFile
+      .getAbsolutePath
+    val out = Files.createTempDirectory("docs-bloom-out").toFile
+      .getAbsolutePath
+    writeShard(dir, "shard0", 0L, 100L)
+    writeShard(dir, "shard1", 100L, 200L)
+    // static side: the heldout bitset of the full snapshot
+    val bits = LlmQueries.bloomBitset(spark, "/root/testdata/sf0.001")
+    val q = DocsStream
+      .bloomDecontaminated(DocsStream.documents(spark, dir), bits)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val batch = LlmQueries.bloomCleanOf(spark.read.parquet(dir), bits)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the gate actually dropped something (heldout doc 0 is in the
+    // shard range and shares its own grams)
+    val all = spark.read.parquet(dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed != all)
+  }
 }
