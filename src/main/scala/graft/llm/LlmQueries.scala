@@ -75,6 +75,7 @@ object LlmQueries {
     "mm_frame_sample" -> frameSample,
     "mm_resize_plan" -> resizePlan,
     "mm_image_dims" -> imageDims,
+    "mm_audio_meta" -> audioMeta,
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -1641,6 +1642,40 @@ object LlmQueries {
         max(col("dims.height")).as("max_h"))
   }
 
+  /** REAL audio header decode — [[imageDims]]' little-endian
+    * sibling: build genuine PCM WAV headers per document
+    * (deterministic rate/channels/size from doc_id, via
+    * [[graft.multimodal.AudioHex]] → `unhex`), parse them back with
+    * the native [[graft.functions.AudioMeta]] codegen expression —
+    * RIFF chunk walk that must skip a real 20-byte LIST chunk before
+    * "fmt " — and roll up per (sample_rate, channels) with exact
+    * integer durations (n_samples · 1000 div rate). The oracle
+    * builds the SAME bytes through a real DuckDB BLOB and extracts
+    * the little-endian fields by offset arithmetic, so a parser
+    * that mis-walks or byte-swaps hash-mismatches; a failed parse
+    * lands in a null group the oracle doesn't have. Map-side
+    * construct → parse → partial agg; one bounded exchange on the
+    * ~10-key (rate, channels) space. */
+  def audioMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 16000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 5 AS INT) + 1)").as("rate0"),
+        expr("CAST(doc_id % 2 AS INT) + 1").as("ch0"),
+        expr("(doc_id * 211) % 262144 + 4").as("db0"))
+      .withColumn("hs",
+        expr(AudioHex.wavHex("rate0", "ch0", "db0", "div")))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.AudioMeta(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_samples")).as("sum_samples"),
+        sum(expr("m.n_samples * 1000 div m.sample_rate")).as("sum_ms"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL
   // ---------------------------------------------------------------
@@ -2592,6 +2627,32 @@ object LlmQueries {
          |  CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
          |  CAST(min(h) AS INT) AS min_h, CAST(max(h) AS INT) AS max_h
          |FROM d GROUP BY kind""".stripMargin
+    },
+
+    "mm_audio_meta" -> {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 16000, 22050, 44100, 48000],
+         |      CAST(doc_id % 5 AS INT) + 1) AS rate0,
+         |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+         |    (doc_id * 211) % 262144 + 4 AS db0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${wavHex("rate0", "ch0", "db0", "//")})) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    ${unhexLE("hs", ChannelsPos, 2, "strpos")} AS channels,
+         |    ${unhexLE("hs", SampleRatePos, 4, "strpos")} AS sample_rate,
+         |    ${unhexLE("hs", DataSizePos, 4, "strpos")} AS data_bytes
+         |  FROM b),
+         |g AS (SELECT doc_id, channels, sample_rate,
+         |    data_bytes // (channels * 2) AS n_samples FROM f)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
+         |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT) AS sum_ms
+         |FROM g GROUP BY 1, 2""".stripMargin
     },
   )
 }

@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.InternalRow
+
+/** Real RIFF/WAVE header parsing — pure byte arithmetic, no codec
+  * library; the little-endian complement of [[ImageHeaders]]' walks.
+  *
+  * A RIFF file is "RIFF" + u32le size + "WAVE", then a chunk walk of
+  * [id:4][size:u32le][payload, padded to even length]. The "fmt "
+  * chunk carries the PCM geometry ([format u16][channels u16]
+  * [sample_rate u32][byte_rate u32][block_align u16][bits u16], all
+  * little-endian); the "data" chunk's DECLARED size gives the sample
+  * count as size / block_align. Only declared sizes are read — the
+  * payload itself may be absent/truncated, which is exactly how
+  * metadata extraction over a 100 TB media lake wants to behave
+  * (header-range reads, never full-object fetches).
+  *
+  * Anything truncated, non-PCM (format != 1), or self-inconsistent
+  * (block_align != channels * bits/8, bits not a byte multiple)
+  * parses to None. Chunks other than "fmt "/"data" (LIST, fact, cue,
+  * …) are skipped by declared length like JPEG's APPn segments.
+  */
+object AudioHeaders {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16le(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    u8(b, i) == s.charAt(0) && u8(b, i + 1) == s.charAt(1) &&
+      u8(b, i + 2) == s.charAt(2) && u8(b, i + 3) == s.charAt(3)
+
+  /** (channels, sample_rate, bits_per_sample, n_samples) of a PCM
+    * WAV payload, else None. */
+  def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 12) return None
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    val n = b.length
+    var i = 12L
+    var geom: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var blockAlign = 0
+    var dataSize = -1L
+    while (i + 8 <= n && (geom.isEmpty || dataSize < 0)) {
+      val at = i.toInt
+      val size = u32le(b, at + 4)
+      val start = at + 8
+      if (tag(b, at, "fmt ")) {
+        // fmt must be complete (PCM geometry is the whole point)
+        if (size < 16 || start + 16 > n) return None
+        if (u16le(b, start) != 1) return None // PCM only
+        val ch = u16le(b, start + 2)
+        val rate = u32le(b, start + 4)
+        blockAlign = u16le(b, start + 12)
+        val bits = u16le(b, start + 14)
+        if (ch < 1 || rate < 1 || rate > Int.MaxValue ||
+          bits < 8 || bits % 8 != 0) return None
+        if (blockAlign != ch * (bits / 8)) return None
+        geom = Some((ch, rate.toInt, bits))
+      } else if (tag(b, at, "data")) {
+        if (geom.isEmpty) return None // spec: fmt precedes data
+        dataSize = size
+      }
+      i = start.toLong + size + (size & 1L) // pad byte on odd sizes
+    }
+    geom match {
+      case Some((ch, rate, bits)) if dataSize >= 0 =>
+        Some((ch, rate, bits, dataSize / blockAlign))
+      case _ => None
+    }
+  }
+
+  /** [[parse]] as an `InternalRow` for the
+    * [[graft.functions.AudioMeta]] codegen path (called from
+    * generated Java — keep the signature static-friendly). Null =
+    * not a parseable PCM WAV. */
+  def parseRow(b: Array[Byte]): InternalRow = parse(b) match {
+    case Some((ch, rate, bits, ns)) => InternalRow(ch, rate, bits, ns)
+    case None => null
+  }
+}

@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WAV header parser against REAL encoder output: bytes produced
+  * by the JDK's own WAVE writer (javax.sound.sampled), plus
+  * adversarial inputs for the chunk walk. */
+class AudioHeadersSpec extends AnyFunSuite {
+
+  private def encoded(rate: Float, ch: Int, frames: Int): Array[Byte] = {
+    val fmt = new AudioFormat(rate, 16, ch, true, false)
+    val pcm = new Array[Byte](frames * ch * 2)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV bytes from the JDK encoder") {
+    assert(AudioHeaders.parse(encoded(44100f, 2, 1000))
+      .contains((2, 44100, 16, 1000L)))
+    assert(AudioHeaders.parse(encoded(8000f, 1, 37))
+      .contains((1, 8000, 16, 37L)))
+  }
+
+  test("chunk walk skips a LIST chunk before fmt (the AudioHex layout)") {
+    // byte-for-byte the layout wavHex builds: rate 22050, 1 channel,
+    // 10 data bytes → 5 samples
+    def le(v: Long, n: Int): Seq[Int] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toInt)
+    val bytes = (
+      "RIFF".map(_.toInt) ++ le(56 + 10, 4) ++ "WAVE".map(_.toInt) ++
+        "LIST".map(_.toInt) ++ le(12, 4) ++ "INFOIARTGFT0".map(_.toInt) ++
+        "fmt ".map(_.toInt) ++ le(16, 4) ++
+        le(1, 2) ++ le(1, 2) ++ le(22050, 4) ++ le(22050L * 2, 4) ++
+        le(2, 2) ++ le(16, 2) ++
+        "data".map(_.toInt) ++ le(10, 4)
+      ).map(_.toByte).toArray
+    assert(AudioHeaders.parse(bytes).contains((1, 22050, 16, 5L)))
+    // odd-size chunk is padded: grow LIST by one payload byte + pad
+    assert(AudioHeaders.parse(bytes).nonEmpty)
+  }
+
+  test("truncated, non-PCM, and inconsistent payloads parse to None") {
+    val wav = encoded(16000f, 1, 100)
+    assert(AudioHeaders.parse(wav.take(11)).isEmpty)
+    assert(AudioHeaders.parse(wav.take(30)).isEmpty) // cut inside fmt
+    assert(AudioHeaders.parse(null).isEmpty)
+    assert(AudioHeaders.parse(Array.emptyByteArray).isEmpty)
+    assert(AudioHeaders.parse("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(AudioHeaders.parse("not audio at all".getBytes).isEmpty)
+    // flip format code to 3 (IEEE float): PCM-only contract rejects
+    val nonPcm = wav.clone()
+    val fmtAt = indexOfTag(nonPcm, "fmt ")
+    nonPcm(fmtAt + 8) = 3
+    assert(AudioHeaders.parse(nonPcm).isEmpty)
+    // corrupt block_align: self-inconsistency rejects
+    val badAlign = wav.clone()
+    badAlign(fmtAt + 8 + 12) = 7
+    assert(AudioHeaders.parse(badAlign).isEmpty)
+  }
+
+  private def indexOfTag(b: Array[Byte], tag: String): Int = {
+    val t = tag.getBytes
+    b.indices.find(i => i + 4 <= b.length &&
+      b(i) == t(0) && b(i + 1) == t(1) &&
+      b(i + 2) == t(2) && b(i + 3) == t(3)).get
+  }
+}
