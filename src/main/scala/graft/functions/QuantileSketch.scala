@@ -35,18 +35,26 @@ import org.apache.spark.sql.functions._
   */
 object QuantileSketch {
 
-  /** 60-bit integer rank from the first 15 hex digits of an md5 hex
-    * string in column `hCol` (default "h") — digit-position
-    * arithmetic only, so the SAME text runs on Spark (`posFn` =
-    * "instr") and DuckDB ("strpos"). 16^15 - 1 < 2^60, so every
-    * partial sum stays in BIGINT range in both engines. Parenthesize
-    * at the call site before applying any operator of higher
-    * precedence than `+`. */
-  def rank60Sql(posFn: String, hCol: String = "h"): String =
-    (1 to 15).map { j =>
-      val p = 1L << (4 * (15 - j))
-      s"CAST($posFn('0123456789abcdef', substring($hCol, $j, 1)) - 1 AS BIGINT) * $p"
+  /** Integer rank of `len` lowercase hex digits of column `hCol`
+    * starting at 1-based digit `start` — digit-position arithmetic
+    * only, so the SAME text runs on Spark (`posFn` = "instr") and
+    * DuckDB ("strpos"). The single definition behind [[rank60Sql]]
+    * and the Bloom filter's windowed double-hash values
+    * (graft.llm.LlmQueries); keep `4 * len < 63` so every partial
+    * sum stays in BIGINT range in both engines. Parenthesize at the
+    * call site before applying any operator of higher precedence
+    * than `+`. */
+  def hexRankSql(posFn: String, hCol: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val p = 1L << (4 * (len - 1 - i))
+      s"CAST($posFn('0123456789abcdef', substring($hCol, ${start + i}, " +
+        s"1)) - 1 AS BIGINT) * $p"
     }.mkString(" + ")
+
+  /** 60-bit integer rank from the first 15 hex digits of an md5 hex
+    * string in column `hCol` (default "h"). */
+  def rank60Sql(posFn: String, hCol: String = "h"): String =
+    hexRankSql(posFn, hCol, 1, 15)
 
   /** The sketch state: the k pairs with smallest rank, as
     * `array<struct<score:bigint,id:bigint>>` (score = -rank, id =

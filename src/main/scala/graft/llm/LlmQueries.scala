@@ -1305,17 +1305,15 @@ object LlmQueries {
   private[llm] val bloomBits: Long = bloomWordBits.toLong * bloomWords
   private val bloomK = 3
 
-  /** Integer rank of `len` hex digits of md5-hex column `hCol`
-    * starting at 1-based digit `start` — the digit-position
-    * arithmetic of [[graft.functions.QuantileSketch.rank60Sql]],
-    * windowed so ONE md5 yields several independent values. */
-  private def hexRankSql(
-      posFn: String, hCol: String, start: Int, len: Int): String =
-    (0 until len).map { i =>
-      val p = 1L << (4 * (len - 1 - i))
-      s"CAST($posFn('0123456789abcdef', substring($hCol, ${start + i}, " +
-        s"1)) - 1 AS BIGINT) * $p"
-    }.mkString(" + ")
+  /** One bloom bit test against the dense bitset column `barr`:
+    * true iff bit (`p` % wordBits) of word (`p` div wordBits) is
+    * set. THE single spelling shared by the exploded batch probe and
+    * the row-local streaming gate — the two forms must agree
+    * doc-for-doc (DecontamPathSpec), so they are built from one
+    * fragment by construction. */
+  private def bloomBitTestSql(p: String): String =
+    s"(shiftright(element_at(barr, CAST(($p) div $bloomWordBits AS INT) " +
+      s"+ 1), CAST(($p) % $bloomWordBits AS INT)) & 1) = 1"
 
   /** Kirsch–Mitzenmacher double hashing: position j of gram g is
     * (a + j·b') % m with a = digits 1–8 and b = digits 9–16 of ONE
@@ -1325,8 +1323,9 @@ object LlmQueries {
     * cost is the whole game. a + k·b' < 2^32 + 3·2^33: BIGINT-safe
     * in both engines. */
   private def bloomABSql(posFn: String): (String, String) =
-    (s"(${hexRankSql(posFn, "h", 1, 8)})",
-      s"2 * (${hexRankSql(posFn, "h", 9, 8)}) + 1")
+    (s"(${graft.functions.QuantileSketch.hexRankSql(posFn, "h", 1, 8)})",
+      s"2 * (${graft.functions.QuantileSketch
+        .hexRankSql(posFn, "h", 9, 8)}) + 1")
 
   /** Per-doc bloom-flagged table, memoized per snapshot (shared by
     * [[decontamBloom]] and [[bloomSummary]]). */
@@ -1373,11 +1372,9 @@ object LlmQueries {
     * form a streaming gate needs. */
   private def bloomAnyGramExpr: String = {
     val (haSql, hbSql) = bloomABSql("instr")
-    val tests = (1 to bloomK).map { j =>
-      val p = s"(ab.ha + $j * ab.hb) % $bloomBits"
-      s"(shiftright(element_at(barr, CAST(($p) div $bloomWordBits AS INT) " +
-        s"+ 1), CAST(($p) % $bloomWordBits AS INT)) & 1) = 1"
-    }.mkString(" AND ")
+    val tests = (1 to bloomK).map(j =>
+      bloomBitTestSql(s"(ab.ha + $j * ab.hb) % $bloomBits"))
+      .mkString(" AND ")
     s"""exists(transform(transform($fivegramArrSql, g -> md5(g)),
        |  h -> struct($haSql AS ha, $hbSql AS hb)),
        |  ab -> $tests)""".stripMargin
@@ -1420,9 +1417,7 @@ object LlmQueries {
       (df, j) => df.withColumn(s"p$j",
         expr(s"(ha + $j * hb) % $bloomBits")))
     val allBitsSet = (1 to bloomK).map(j =>
-      expr(s"(shiftright(element_at(barr, CAST(p$j div $bloomWordBits " +
-        s"AS INT) + 1), CAST(p$j % $bloomWordBits AS INT)) & 1) = 1"))
-      .reduce(_ && _)
+      expr(bloomBitTestSql(s"p$j"))).reduce(_ && _)
     train.filter(allBitsSet)
       .select(col("doc_id"), col("g")).distinct()
       .groupBy(col("doc_id"))

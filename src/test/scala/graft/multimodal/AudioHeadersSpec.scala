@@ -28,22 +28,36 @@ class AudioHeadersSpec extends AnyFunSuite {
       .contains((1, 8000, 16, 37L)))
   }
 
+  private def le(v: Long, n: Int): Seq[Int] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xff).toInt)
+
+  /** The wavHex layout with a variable-length LIST payload before
+    * fmt (padded to even length per RIFF). */
+  private def handBuilt(listPayload: String): Array[Byte] = {
+    val pad = if (listPayload.length % 2 == 1) Seq(0) else Seq()
+    ("RIFF".map(_.toInt) ++ le(56 + 10, 4) ++ "WAVE".map(_.toInt) ++
+      "LIST".map(_.toInt) ++ le(listPayload.length.toLong, 4) ++
+      listPayload.map(_.toInt) ++ pad ++
+      "fmt ".map(_.toInt) ++ le(16, 4) ++
+      le(1, 2) ++ le(1, 2) ++ le(22050, 4) ++ le(22050L * 2, 4) ++
+      le(2, 2) ++ le(16, 2) ++
+      "data".map(_.toInt) ++ le(10, 4)
+      ).map(_.toByte).toArray
+  }
+
   test("chunk walk skips a LIST chunk before fmt (the AudioHex layout)") {
     // byte-for-byte the layout wavHex builds: rate 22050, 1 channel,
     // 10 data bytes → 5 samples
-    def le(v: Long, n: Int): Seq[Int] =
-      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toInt)
-    val bytes = (
-      "RIFF".map(_.toInt) ++ le(56 + 10, 4) ++ "WAVE".map(_.toInt) ++
-        "LIST".map(_.toInt) ++ le(12, 4) ++ "INFOIARTGFT0".map(_.toInt) ++
-        "fmt ".map(_.toInt) ++ le(16, 4) ++
-        le(1, 2) ++ le(1, 2) ++ le(22050, 4) ++ le(22050L * 2, 4) ++
-        le(2, 2) ++ le(16, 2) ++
-        "data".map(_.toInt) ++ le(10, 4)
-      ).map(_.toByte).toArray
-    assert(AudioHeaders.parse(bytes).contains((1, 22050, 16, 5L)))
-    // odd-size chunk is padded: grow LIST by one payload byte + pad
-    assert(AudioHeaders.parse(bytes).nonEmpty)
+    assert(AudioHeaders.parse(handBuilt("INFOIARTGFT0"))
+      .contains((1, 22050, 16, 5L)))
+  }
+
+  test("odd-size chunk advances by size + pad byte") {
+    // a 13-byte LIST payload gets one pad byte; without the
+    // `size & 1` advance the walk lands one byte early, misses
+    // 'fmt ', and parses to None
+    assert(AudioHeaders.parse(handBuilt("INFOIARTGFT00"))
+      .contains((1, 22050, 16, 5L)))
   }
 
   test("truncated, non-PCM, and inconsistent payloads parse to None") {
