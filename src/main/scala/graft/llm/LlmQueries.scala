@@ -69,6 +69,7 @@ object LlmQueries {
     "llm_bloom_summary" -> bloomSummary,
     "llm_repetition" -> repetition,
     "llm_pack_sequences" -> packSequences,
+    "llm_chunk_windows" -> chunkWindows,
     "llm_source_stats" -> sourceStats,
     "llm_top_bigrams" -> topBigrams,
     "mm_binary_stats" -> binaryStats,
@@ -1524,6 +1525,38 @@ object LlmQueries {
           .as("seq_bin"))
   }
 
+  // ---------------------------------------------------------------
+  // Overlapping window chunking — the retrieval/embedding prep step
+  // (RAG chunking, context-window splitting): fixed-length token
+  // windows with a stride overlap so no boundary context is lost,
+  // each chunk fingerprinted for downstream dedup/lookup. Entirely
+  // map-side: the chunk index explodes per row from integer
+  // arithmetic, the slice + hash are row-local, and output
+  // parallelism is chunk-grained — exactly what the embedding stage
+  // downstream wants to consume. No shuffle anywhere.
+  // ---------------------------------------------------------------
+  private val chunkLen = 128
+  private val chunkStride = 96
+
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"), col("w"),
+        expr("CAST(size(w) AS BIGINT)").as("n"))
+      .filter(col("n") > 0)
+      // chunk count = 1 + max(0, ceil((n - len) / stride)); both
+      // engines' integer division truncates toward zero and the
+      // numerator is clamped non-negative by greatest(..., 0)
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr(
+          s"""sequence(0L, greatest((n - $chunkLen + ${chunkStride - 1})
+             |div $chunkStride, 0L))""".stripMargin)).as("chunk_idx"))
+      .withColumn("chunk",
+        expr(s"slice(w, CAST(chunk_idx * $chunkStride + 1 AS INT), " +
+          s"$chunkLen)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("CAST(size(chunk) AS BIGINT)").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+
   /** Source-mix rollup — the table a data-mixing recipe is built
     * from (docs/tokens per source, before reweighting). Single
     * map-side partial agg. */
@@ -2514,6 +2547,24 @@ object LlmQueries {
          |  CAST(floor(1000.0 * s.n_distinct / s.n_words) AS BIGINT)
          |    AS distinct_ratio_x1000
          |FROM bgs b JOIN wstats s ON b.doc_id = s.doc_id""".stripMargin,
+
+    "llm_chunk_windows" ->
+      s"""WITH $wCte,
+         |t AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n
+         |  FROM w WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, ws, n,
+         |    unnest(generate_series(0,
+         |      greatest((n - $chunkLen + ${chunkStride - 1})
+         |        // $chunkStride, 0))) AS chunk_idx
+         |  FROM t),
+         |sl AS (SELECT doc_id, chunk_idx,
+         |    ws[chunk_idx * $chunkStride + 1 :
+         |       least(chunk_idx * $chunkStride + $chunkLen, n)] AS chunk
+         |  FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM sl""".stripMargin,
 
     "llm_pack_sequences" ->
       s"""WITH $wCte,

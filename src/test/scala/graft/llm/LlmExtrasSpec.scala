@@ -272,6 +272,39 @@ class LlmExtrasSpec extends AnyFunSuite {
     assert(pairs == expected, s"got ${pairs.size}, expected ${expected.size}")
   }
 
+  test("chunkWindows: overlapping fixed-stride windows cover every " +
+      "token and repeat the 32-token overlap") {
+    val tmp = java.nio.file.Files.createTempDirectory("chunks").toFile
+    val s = spark
+    import s.implicits._
+    val words300 = (1 to 300).map(i => s"w$i")
+    Seq(
+      (0L, words300.mkString(" "), "en", "src", 0L),
+      (1L, "short doc", "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val out = LlmQueries.chunkWindows(spark, tmp.getAbsolutePath)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 300 tokens, len 128, stride 96 → chunks at 1/97/193:
+    // sizes 128, 128, 108 — every token covered, 32-token overlaps
+    val doc0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(doc0.map(c => (c._2, c._3)).toSeq ==
+      Seq((0L, 128L), (1L, 128L), (2L, 108L)))
+    def md5Of(lo: Int, hi: Int): String = {
+      val txt = (lo to hi).map(i => s"w$i").mkString(" ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(doc0(0)._4 == md5Of(1, 128))
+    assert(doc0(1)._4 == md5Of(97, 224))
+    assert(doc0(2)._4 == md5Of(193, 300))
+    // a short doc still yields exactly one (partial) chunk
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3)).toSeq ==
+      Seq((0L, 2L)))
+  }
+
   test("kmeansConverged partitions the corpus; Lloyd does not lose mass") {
     val out = LlmQueries.kmeansConverged(spark, dir)
     val rows = out.collect()
