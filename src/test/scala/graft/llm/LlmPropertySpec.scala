@@ -160,4 +160,40 @@ class LlmPropertySpec extends AnyFunSuite {
       assert(got == expected, s"seed $seed")
     }
   }
+
+  test("bloom prefilter never misses an exactly-contaminated doc, and " +
+    "per-doc exact counts survive the join (random corpora)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      // 200 docs so ids 0, 97, 194 land in the heldout slice
+      val rows = randomCorpus(rnd, 200)
+      val dir = writeDocs(rows)
+      def grams(text: String): Set[String] = {
+        val t = tokensOf(text)
+        if (t.length < 5) Set.empty
+        else (0 to t.length - 5).map(i =>
+          t.slice(i, i + 5).mkString(" ")).toSet
+      }
+      val held = rows.filter(_._1 % 97 == 0)
+        .flatMap(r => grams(r._2)).toSet
+      val exactByDoc = rows
+        .filter(r => r._1 % 97 != 0)
+        .map(r => (r._1, grams(r._2).count(held)))
+        .filter(_._2 > 0).toMap
+      assert(exactByDoc.nonEmpty, s"seed $seed degenerate")
+      val flagged = LlmQueries.decontamBloom(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // structural no-false-negatives + exact counts intact
+      exactByDoc.foreach { case (id, n) =>
+        assert(flagged.contains(id), s"seed $seed missed doc $id")
+        assert(flagged(id) == n.toLong, s"seed $seed count for $id")
+      }
+      // the shipped clean corpus contains no contaminated doc
+      val clean = LlmQueries.bloomCleanOf(
+          graft.Tables(spark, dir, "documents"),
+          LlmQueries.bloomBitset(spark, dir))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert((clean & exactByDoc.keySet).isEmpty, s"seed $seed")
+    }
+  }
 }
