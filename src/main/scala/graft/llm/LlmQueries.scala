@@ -1543,9 +1543,11 @@ object LlmQueries {
       .select(col("doc_id"), col("w"),
         expr("CAST(size(w) AS BIGINT)").as("n"))
       .filter(col("n") > 0)
-      // chunk count = 1 + max(0, ceil((n - len) / stride)); both
-      // engines' integer division truncates toward zero and the
-      // numerator is clamped non-negative by greatest(..., 0)
+      // chunk count = 1 + max(0, ceil((n - len) / stride)); the
+      // numerator goes negative for n < len - stride + 1, where both
+      // engines' integer division truncates toward zero and
+      // greatest(..., 0) clamps the QUOTIENT — an engine with floor
+      // division would need the clamp on the numerator instead
       .select(col("doc_id"), col("w"), col("n"),
         explode(expr(
           s"""sequence(0L, greatest((n - $chunkLen + ${chunkStride - 1})
