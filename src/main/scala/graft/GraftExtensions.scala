@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, ImageDims, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong}
+import graft.functions.{AudioMeta, DotProductLong, ImageDims, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -95,5 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ImageDims(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AudioMeta(args.head)))
   }
 }

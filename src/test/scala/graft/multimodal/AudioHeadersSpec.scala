@@ -85,4 +85,23 @@ class AudioHeadersSpec extends AnyFunSuite {
       b(i) == t(0) && b(i + 1) == t(1) &&
       b(i + 2) == t(2) && b(i + 3) == t(3)).get
   }
+
+  test("audio_meta expression + SQL registration agree with the parser") {
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, encoded(44100f, 2, 1000)),
+      (2L, encoded(8000f, 1, 37)),
+      (3L, "not audio at all".getBytes))
+    val got = rows.toDF("id", "payload")
+      .selectExpr("id", "audio_meta(payload) AS m")
+      .selectExpr("id", "m.channels AS ch", "m.sample_rate AS sr",
+        "m.n_samples AS n")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(1)) -1 else r.getInt(2),
+        if (r.isNullAt(1)) -1L else r.getLong(3))).toSet
+    assert(got == Set((1L, 2, 44100, 1000L), (2L, 1, 8000, 37L),
+      (3L, -1, -1, -1L)))
+  }
 }
