@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-snapshot incremental dedup: the persisted-signature-index
+  * side of MinHash-LSH.
+  *
+  * A production 100 TB corpus never re-minhashes itself when a new
+  * shard arrives — it keeps the banded signature table (and the
+  * cluster labels derived from it) as a STORED INDEX, computes
+  * signatures for the arriving shard only, and probes. This object
+  * holds the pieces of that lifecycle:
+  *
+  *  - [[signatures]]: per-document MinHash lanes computed ROW-LOCALLY
+  *    with SQL higher-order functions (`transform` + `array_min`) —
+  *    zero shuffle, no explode/groupBy exchange, and therefore legal
+  *    in a Structured Streaming micro-batch as well as in batch. One
+  *    document row in, one 8-lane signature row out.
+  *  - [[bandsOf]] / [[docBands]]: the 4-band × 2-lane LSH banding of
+  *    a signature table (same banding as the batch chain in
+  *    [[LlmQueries]]).
+  *  - [[writeIndex]] / [[Stored]]: persist bands + cluster labels as
+  *    parquet — the on-disk artifact an arriving batch probes.
+  *  - [[probe]]: verdict per arriving document (kept/dropped + the
+  *    matched index cluster), with the broadcast asymmetry a real
+  *    probe has: the ARRIVING side is small and broadcast; the
+  *    corpus-scale index is only ever scanned map-side.
+  *
+  * The signature definition (tokenizer, 3-gram shingles, sha256 hex
+  * lanes) is shared with the batch chain — [[LlmQueries.tokenExpr]] /
+  * [[LlmQueries.shingle3Expr]] are the single source of truth, so a
+  * normalization change cannot fork the index format from the batch
+  * semantics.
+  */
+object DedupIndex {
+
+  /** Row-local MinHash signatures: `doc_id, h1..h8`, one row per
+    * document with >= 1 shingle (documents under 3 words have no
+    * 3-gram shingles and no signature — same domain as the batch
+    * explode/groupBy spelling, where explode drops them). */
+  def signatures(docsDf: DataFrame): DataFrame = {
+    val lanes = (1 to 8).map(j =>
+      expr(s"array_min(transform(hs, h -> substring(h, ${(j - 1) * 8 + 1}, 8)))")
+        .as(s"h$j"))
+    docsDf
+      .select(col("doc_id"), LlmQueries.tokenExpr.as("w"))
+      .withColumn("sh", expr(LlmQueries.shingle3Expr))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", expr("transform(sh, x -> sha2(x, 256))"))
+      .select(col("doc_id") +: lanes: _*)
+  }
+
+  /** 4 bands × 2 lanes: `doc_id, band, bv` from a signature table. */
+  def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (1 to 4).map(b => struct(lit(b).as("band"),
+        concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bv"))): _*))
+      .as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+
+  /** Banded signatures straight from a documents table — the whole
+    * row-local chain (also the per-micro-batch signature step of the
+    * streaming twin, [[graft.streaming.DocsStream]]). */
+  def docBands(docsDf: DataFrame): DataFrame = bandsOf(signatures(docsDf))
+
+  /** Handles to a persisted index: both tables read back FROM PARQUET,
+    * so every probe consumes the stored artifact, never the lineage
+    * that built it. */
+  final case class Stored(bands: DataFrame, clusters: DataFrame)
+
+  /** Build + persist the index for `indexDocs`: banded signatures and
+    * the connected-component cluster labels over the index's own LSH
+    * pair graph (label = min doc_id of the component; docs in no pair
+    * carry no row — consumers default to the doc's own id).
+    *
+    * The cluster pass REREADS the just-written bands parquet: index
+    * construction itself only runs the signature chain once, the way
+    * a backfill job would. */
+  def writeIndex(s: SparkSession, indexDocs: DataFrame, path: String): Stored = {
+    docBands(indexDocs).write.mode("overwrite").parquet(s"$path/bands")
+    val bands = s.read.parquet(s"$path/bands")
+    LlmQueries.ccFromPairs(LlmQueries.pairsFromBands(bands))
+      .write.mode("overwrite").parquet(s"$path/clusters")
+    read(s, path)
+  }
+
+  def read(s: SparkSession, path: String): Stored =
+    Stored(s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/clusters"))
+
+  /** Probe an arriving shard against a stored index. Output: one row
+    * per arriving document —
+    * `doc_id, verdict ('kept'|'dropped'), cluster_id` (the minimum
+    * matched index cluster label; -1 when kept).
+    *
+    * Scale shape: the arriving batch (and everything derived from it)
+    * is broadcast; the index bands and cluster tables are corpus-scale
+    * and only scanned map-side. The only exchange is the final
+    * tiny groupBy on arriving doc_ids. */
+  def probe(arrivingDocs: DataFrame, index: Stored): DataFrame = {
+    val aBands = docBands(arrivingDocs)
+      .withColumnRenamed("doc_id", "a_id")
+    // matched (a_id, i_id): map-side over the index-bands scan
+    val matched = index.bands.join(broadcast(aBands), Seq("band", "bv"))
+      .select(col("a_id"), col("doc_id").as("i_id"))
+    // label each matched index doc (docs in no index pair label as
+    // themselves); matched is arriving-batch-sized -> broadcast it
+    // against the corpus-scale cluster table
+    val labeled = broadcast(matched)
+      .join(index.clusters, matched("i_id") === index.clusters("doc_id"),
+        "left")
+      .select(col("a_id"),
+        coalesce(col("cluster_id"), col("i_id")).as("cl"))
+      .groupBy(col("a_id")).agg(min(col("cl")).as("cl"))
+    arrivingDocs.select(col("doc_id"))
+      .join(broadcast(labeled), col("doc_id") === col("a_id"), "left")
+      .select(col("doc_id"),
+        when(col("cl").isNull, lit("kept")).otherwise(lit("dropped"))
+          .as("verdict"),
+        coalesce(col("cl"), lit(-1L)).as("cluster_id"))
+  }
+}

@@ -32,6 +32,7 @@ object LlmQueries {
     "llm_ngram_jaccard" -> ngramJaccard,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_keep" -> dedupKeep,
+    "llm_dedup_incremental" -> dedupIncremental,
     "llm_simhash" -> simhash,
     "llm_knn_bruteforce" -> knnBruteforce,
     "llm_ann_buckets" -> annBuckets,
@@ -86,7 +87,7 @@ object LlmQueries {
     * definition for every consumer (batch helpers below and the
     * streaming filter cores): a tokenization change must reach all
     * of them at once. */
-  private def tokenExpr: org.apache.spark.sql.Column =
+  private[llm] def tokenExpr: org.apache.spark.sql.Column =
     split(trim(lower(col("text"))), ws)
 
   /** doc_id + tokenized words (lowercased, whitespace-split). */
@@ -120,16 +121,12 @@ object LlmQueries {
   /** One shingle-construction expression for every 3-gram consumer
     * (MinHash chain keyed by doc_id, KMV sketch keyed by source) —
     * a normalization change here MUST reach all of them at once. */
-  private val shingle3Expr =
+  private[llm] val shingle3Expr =
     """CASE WHEN size(w) >= 3
       |  THEN transform(sequence(1, size(w) - 2),
       |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
       |                ' ', element_at(w, i + 2)))
       |  ELSE array() END""".stripMargin
-
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d)
-      .select(col("doc_id"), explode(expr(shingle3Expr)).as("s"))
 
   /** Signatures are materialized once per corpus snapshot (they are
     * a stored artifact in a real dedup pipeline — 8 lanes × 8 hex
@@ -140,22 +137,17 @@ object LlmQueries {
     SnapshotMemo.getOrCompute(s, s"minhash-sig:$d")(
       computeMinhashSig(s, d).localCheckpoint())
 
-  private def computeMinhashSig(s: SparkSession, d: String): DataFrame = {
-    // One sha256 per shingle, sliced into 8 non-overlapping 32-bit hex
-    // lanes = 8 independent uniform hashes (8× cheaper than 8 salted
-    // digests; hex-string min is identical in both engines).
-    val mins = (1 to 8).map(j =>
-      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"h$j"))
-    shingled(s, d).withColumn("h", sha2(col("s"), 256))
-      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  // One sha256 per shingle, sliced into 8 non-overlapping 32-bit hex
+  // lanes = 8 independent uniform hashes (8× cheaper than 8 salted
+  // digests; hex-string min is identical in both engines). The lane
+  // mins are computed ROW-LOCALLY (array_min over a transform) in
+  // [[DedupIndex.signatures]] — zero shuffle, vs. the explode +
+  // groupBy spelling which exchanged every shingle hash.
+  private def computeMinhashSig(s: SparkSession, d: String): DataFrame =
+    DedupIndex.signatures(docs(s, d))
 
   private def bands(s: SparkSession, d: String): DataFrame =
-    minhashSig(s, d).select(col("doc_id"), explode(array(
-      (1 to 4).map(b => struct(lit(b).as("band"),
-        concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bv"))): _*))
-      .as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+    DedupIndex.bandsOf(minhashSig(s, d))
 
   /** Bucket-size cap: pair expansion is quadratic in bucket size, and
     * an oversized bucket means a degenerate band hash. Oversized
@@ -180,7 +172,10 @@ object LlmQueries {
     SnapshotMemo.getOrCompute(s, s"lsh-pairs:$d")(
       computePairs(s, d).localCheckpoint())
 
-  private def computePairs(s: SparkSession, d: String): DataFrame = {
+  private def computePairs(s: SparkSession, d: String): DataFrame =
+    pairsFromBands(bands(s, d))
+
+  private[llm] def pairsFromBands(b: DataFrame): DataFrame = {
     // Pairs are enumerated *within* buckets: shuffle on the
     // (band, band-hash) key, then per-bucket combination generation —
     // the minhash chain is computed once (a self-join would compute it
@@ -200,7 +195,6 @@ object LlmQueries {
     // cap salt = 0 and the plan is bit-identical to the unsalted
     // one. Cost: a second pass over the narrow 3-column band
     // table — the price of never OOMing on a degenerate hash.
-    val b = bands(s, d)
     val over = b.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxLshBucket)
@@ -295,8 +289,10 @@ object LlmQueries {
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"cc-labels:$d")(computeClusters(s, d))
 
-  private def computeClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupMinhash(s, d)
+  private def computeClusters(s: SparkSession, d: String): DataFrame =
+    ccFromPairs(dedupMinhash(s, d))
+
+  private[llm] def ccFromPairs(pairs: DataFrame): DataFrame = {
     val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -362,6 +358,44 @@ object LlmQueries {
     docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
       .join(broadcast(dupes), col("doc_id") === col("dup_id"), "left_anti")
   }
+
+  // ---------------------------------------------------------------
+  // Cross-snapshot INCREMENTAL dedup: the corpus is split into an
+  // existing snapshot (doc_id % 10 <> 7) whose banded MinHash
+  // signatures + cluster labels are PERSISTED once as a parquet
+  // stored index, and an arriving shard (doc_id % 10 = 7) that is
+  // signed row-locally and probed against the index WITHOUT
+  // recomputing it — the way a production 100 TB pipeline admits new
+  // data (backfill the index once; per-batch cost is the batch's own
+  // signatures + a map-side probe of the index scan). See
+  // [[DedupIndex]] for the probe's broadcast asymmetry and
+  // [[graft.streaming.DocsStream.startIncrementalDedup]] for the
+  // streaming twin over the same stored artifact.
+  // ---------------------------------------------------------------
+  private[graft] val arrivingShardPred = "doc_id % 10 = 7"
+
+  /** Stored-index root for a corpus snapshot — under target/ (never
+    * the read-only testdata), one subdir per snapshot. */
+  private[llm] def storedIndexPath(d: String): String =
+    new java.io.File("target/graft-stored-index/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  /** The persisted index for snapshot `d`, built at most once per
+    * session (SnapshotMemo marker) and READ BACK from parquet — every
+    * probe consumes the artifact, not the lineage. */
+  private[llm] def storedIndex(s: SparkSession, d: String): DedupIndex.Stored = {
+    val path = storedIndexPath(d)
+    SnapshotMemo.getOrCompute(s, s"dedup-index:$d") {
+      DedupIndex.writeIndex(s,
+        docs(s, d).filter(!expr(arrivingShardPred)), path)
+      s.range(1).toDF("built")
+    }
+    DedupIndex.read(s, path)
+  }
+
+  def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    DedupIndex.probe(docs(s, d).filter(expr(arrivingShardPred)),
+      storedIndex(s, d))
 
   // ---------------------------------------------------------------
   // SimHash fingerprint: 16-bit signature, bit j = majority over the
@@ -1726,7 +1760,10 @@ object LlmQueries {
        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
        |  FROM pos)""".stripMargin
 
-  private val minhashCte = {
+  /** Signature chain ending in `mh (doc_id, h1..h8)` + the banded
+    * view `bands (doc_id, band, bv)` — the shared prefix of every
+    * MinHash oracle. */
+  private val sigBandsCte = {
     val mins = (1 to 8).map(j =>
       s"min(substring(h, ${(j - 1) * 8 + 1}, 8)) AS h$j").mkString(", ")
     val bandRows = (1 to 4).map(b =>
@@ -1735,17 +1772,22 @@ object LlmQueries {
     s"""$shingleCte,
        |hx AS (SELECT doc_id, sha256(s) AS h FROM sh),
        |mh AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
-       |bands AS ($bandRows),
-       |bover AS (SELECT band, bv,
+       |bands AS ($bandRows)""".stripMargin
+  }
+
+  /** The salted intra-bucket pair chain of [[pairsFromBands]] over a
+    * named bands relation, ending in `pairs (doc_a, doc_b)`. */
+  private def saltedPairsCte(bandsRel: String): String =
+    s"""bover AS (SELECT band, bv,
        |    (count(*) + ${maxLshBucket - 1}) // $maxLshBucket AS g
-       |  FROM bands GROUP BY band, bv
+       |  FROM $bandsRel GROUP BY band, bv
        |  HAVING count(*) > $maxLshBucket),
        |bsalt AS (SELECT b.doc_id, b.band, b.bv,
        |    CASE WHEN o.g IS NULL THEN 0
        |         ELSE (${graft.functions.QuantileSketch
-                          .rank60Sql("strpos", "b.hm")}) % o.g END AS salt
+                        .rank60Sql("strpos", "b.hm")}) % o.g END AS salt
        |  FROM (SELECT doc_id, band, bv,
-       |          md5(CAST(doc_id AS VARCHAR)) AS hm FROM bands) b
+       |          md5(CAST(doc_id AS VARCHAR)) AS hm FROM $bandsRel) b
        |  LEFT JOIN bover o
        |    ON b.band = o.band AND b.bv = o.bv),
        |bsz AS (SELECT band, bv, salt FROM bsalt
@@ -1757,7 +1799,10 @@ object LlmQueries {
        |    AND a.salt = s.salt
        |  JOIN bsalt b ON b.band = s.band AND b.bv = s.bv
        |    AND b.salt = s.salt AND a.doc_id < b.doc_id)""".stripMargin
-  }
+
+  private val minhashCte =
+    s"""$sigBandsCte,
+       |${saltedPairsCte("bands")}""".stripMargin
 
   /** DuckDB replica of the deterministic Bloom build+probe in
     * [[computeBloomFlagged]] — same md5-rank positions, same 62-bit
@@ -1989,6 +2034,37 @@ object LlmQueries {
          |  HAVING doc <> min(lbl))
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc FROM dupes)""".stripMargin,
+
+    // Replays the split + stored-index semantics end-to-end: index
+    // bands (bi) over the existing snapshot, CC labels over ITS pair
+    // graph only, arriving bands (ba) probed by (band, bv); min
+    // matched effective label (cluster label, else the index doc's
+    // own id) per arriving doc; arriving docs with no signature or
+    // no match are kept.
+    "llm_dedup_incremental" ->
+      s"""WITH RECURSIVE $sigBandsCte,
+         |bi AS (SELECT * FROM bands WHERE NOT ($arrivingShardPred)),
+         |ba AS (SELECT * FROM bands WHERE $arrivingShardPred),
+         |${saltedPairsCte("bi")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(doc, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.doc),
+         |labels AS (SELECT doc, min(lbl) AS lbl FROM r GROUP BY doc),
+         |m AS (SELECT a.doc_id,
+         |    min(coalesce(l.lbl, i.doc_id)) AS cl
+         |  FROM ba a
+         |  JOIN bi i ON a.band = i.band AND a.bv = i.bv
+         |  LEFT JOIN labels l ON i.doc_id = l.doc
+         |  GROUP BY a.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN m.doc_id IS NULL THEN 'kept' ELSE 'dropped' END
+         |    AS verdict,
+         |  coalesce(m.cl, -1) AS cluster_id
+         |FROM (SELECT doc_id FROM documents WHERE $arrivingShardPred) d
+         |LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
 
     "llm_simhash" -> {
       val sums = (1 to 16).map(j =>

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
-import graft.llm.LlmQueries
+import graft.llm.{DedupIndex, LlmQueries}
 
 /** Incremental corpus hygiene — the streaming form of the
   * training-data filters: new document shards dropped into a corpus
@@ -62,4 +62,50 @@ object DocsStream {
     * out of a live corpus without replaying the batch join. */
   def bloomDecontaminated(docs: DataFrame, bloomBits: DataFrame): DataFrame =
     LlmQueries.bloomCleanOf(docs, bloomBits)
+
+  /** Streaming twin of the cross-snapshot incremental dedup
+    * ([[LlmQueries.dedupIncremental]]): arriving document shards are
+    * MinHash-signed ROW-LOCALLY ([[DedupIndex.docBands]] — legal in a
+    * micro-batch because it is zero-shuffle per row), probed against
+    * the PERSISTED band index at `indexBandsPath`, and only
+    * non-duplicates are appended to `outPath`. The probe runs inside
+    * `foreachBatch`, where the micro-batch is an ordinary DataFrame —
+    * so the dedup is exact (a band-bucket semi-join, the same
+    * candidate test as batch), with exactly-once file semantics from
+    * the checkpoint, and with ZERO streaming state: the stored index
+    * is the seen-set (same shape as
+    * [[TurtleStream.startDedupAppend]]).
+    *
+    * `extendIndex = true` additionally appends each batch's KEPT
+    * documents' bands to the index, so later micro-batches also dedup
+    * against earlier arrivals — the full production admit loop
+    * (probe, keep, index what you kept). With `false` the stream is a
+    * pure probe and its kept-set is bit-equal to the batch query's
+    * regardless of how the shard was split into micro-batches. */
+  def startIncrementalDedup(docs: DataFrame, indexBandsPath: String,
+      outPath: String, checkpointLocation: String,
+      extendIndex: Boolean = false,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val aBands = DedupIndex.docBands(batch)
+        val index = spark.read.parquet(indexBandsPath)
+        // map-side over the index scan: the arriving micro-batch is
+        // the small side and broadcast, exactly as in batch
+        val dupIds = index.join(
+            broadcast(aBands.withColumnRenamed("doc_id", "a_id")),
+            Seq("band", "bv"))
+          .select(col("a_id").as("doc_id")).distinct()
+        val kept = batch.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+        kept.write.mode("append").parquet(outPath)
+        if (extendIndex)
+          DedupIndex.docBands(kept)
+            .write.mode("append").parquet(indexBandsPath)
+      }
+      .trigger(trigger).start()
 }

@@ -1,0 +1,79 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The stored-index side of incremental dedup: row-local signatures
+  * must equal the explode/groupBy spelling, and the probe must give
+  * kept/dropped verdicts with the matched index cluster. */
+class DedupIndexSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def realDocs: DataFrame =
+    spark.read.parquet(s"$sf/documents.parquet")
+
+  test("row-local signatures equal the explode/groupBy spelling") {
+    // the historical spelling: one row per shingle, min per lane
+    val mins = (1 to 8).map(j =>
+      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"h$j"))
+    val viaShuffle = realDocs
+      .select(col("doc_id"), LlmQueries.tokenExpr.as("w"))
+      .select(col("doc_id"), explode(expr(LlmQueries.shingle3Expr)).as("s"))
+      .withColumn("h", sha2(col("s"), 256))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(j => r.getString(j)).mkString("|")).toMap
+    val rowLocal = DedupIndex.signatures(realDocs)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(j => r.getString(j)).mkString("|")).toMap
+    assert(rowLocal == viaShuffle && rowLocal.nonEmpty)
+  }
+
+  test("probe: duplicate of an indexed pair lands in its cluster, " +
+    "novel and too-short docs are kept") {
+    val s = spark
+    import s.implicits._
+    val t = "alpha beta gamma delta epsilon zeta"
+    // index: docs 1/2 are copies (a pair, cluster rep 1); doc 5 alone
+    val indexDocs = Seq(
+      (1L, t), (2L, t), (5L, "one unrelated document about rivers here"))
+      .toDF("doc_id", "text")
+    // arriving: 100 duplicates the 1/2 cluster; 101 is novel; 102 has
+    // no 3-gram shingle (2 words)
+    val arriving = Seq(
+      (100L, t), (101L, "completely fresh words never indexed at all"),
+      (102L, "too short")).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("dedup-idx").toFile.getAbsolutePath
+    val stored = DedupIndex.writeIndex(spark, indexDocs, path)
+    // the artifact is real parquet on disk
+    assert(new java.io.File(s"$path/bands").exists())
+    assert(new java.io.File(s"$path/clusters").exists())
+    val got = DedupIndex.probe(arriving, stored)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (100L, "dropped", 1L), (101L, "kept", -1L), (102L, "kept", -1L)))
+  }
+
+  test("llm_dedup_incremental covers exactly the arriving shard and " +
+    "drops only docs with an index band match") {
+    val out = LlmQueries.queries("llm_dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val arrivingIds = realDocs.filter(expr(LlmQueries.arrivingShardPred))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == arrivingIds && out.length == arrivingIds.size)
+    // verdict/cluster coherence: dropped => a real index doc id as
+    // cluster (not in the arriving shard); kept => -1
+    out.foreach { case (id, v, cl) =>
+      if (v == "kept") assert(cl == -1L)
+      else assert(cl >= 0L && !arrivingIds.contains(cl), s"doc $id")
+    }
+  }
+}
