@@ -1248,7 +1248,7 @@ object LlmQueries {
       |      element_at(w, i + 4)))
       |  ELSE array() END""".stripMargin
 
-  private def fivegrams(s: SparkSession, d: String): DataFrame =
+  private[llm] def fivegrams(s: SparkSession, d: String): DataFrame =
     tokenized(s, d).select(col("doc_id"),
       explode(expr(fivegramArrSql)).as("g"))
 
@@ -1336,9 +1336,46 @@ object LlmQueries {
   // MEASURED by [[bloomSummary]], not claimed.
   // ---------------------------------------------------------------
   private val bloomWordBits = 62
-  private[llm] val bloomWords = 132
-  private[llm] val bloomBits: Long = bloomWordBits.toLong * bloomWords
-  private val bloomK = 3
+
+  /** Bloom geometry: `words` 62-bit words, `k` probes per gram. */
+  final case class BloomParams(words: Int, k: Int) {
+    require(words >= 1 && k >= 1)
+    val bits: Long = words.toLong * bloomWordBits
+  }
+
+  /** Standard Bloom sizing from data: for `nGrams` distinct heldout
+    * grams and a 1-in-`fpOneInN` target false-positive rate,
+    * m = ceil(n·ln(1/p)/ln²2) bits and k = round(ln2·m/n) probes
+    * (clamped to [1, 8] — beyond 8 the per-row probe cost outweighs
+    * marginal FP gains at any practical geometry). The heldout
+    * cardinality is index-build METADATA (a count of the tiny side,
+    * never the corpus), so computing it driver-side is the same
+    * shape as the k-means convergence check: a scalar decision input,
+    * not data movement. */
+  def deriveBloomParams(nGrams: Long, fpOneInN: Int): BloomParams = {
+    require(nGrams > 0 && fpOneInN > 1)
+    val ln2 = math.log(2)
+    val bits = math.ceil(nGrams * math.log(fpOneInN.toDouble) / (ln2 * ln2))
+      .toLong
+    val words = math.max(1L, (bits + bloomWordBits - 1) / bloomWordBits)
+    BloomParams(math.toIntExact(words),
+      math.max(1L, math.min(8L, math.round(ln2 * bits / nGrams))).toInt)
+  }
+
+  /** Sizing for a gram-set DataFrame: count (tiny, heldout-scale) +
+    * derive. */
+  def deriveBloomParams(grams: DataFrame, fpOneInN: Int): BloomParams =
+    deriveBloomParams(grams.count(), fpOneInN)
+
+  /** The SHIPPED geometry for the oracle-checked decontamination
+    * queries: pinned so the oracle CTE (static SQL) mirrors it
+    * exactly. Deployments size from data via [[deriveBloomParams]] —
+    * every build/probe entry point below takes the geometry as a
+    * parameter and defaults to this. */
+  private[llm] val defaultBloom = BloomParams(132, 3)
+  private[llm] def bloomWords = defaultBloom.words
+  private[llm] def bloomBits: Long = defaultBloom.bits
+  private def bloomK = defaultBloom.k
 
   /** One bloom bit test against the dense bitset column `barr`:
     * true iff bit (`p` % wordBits) of word (`p` div wordBits) is
@@ -1373,24 +1410,33 @@ object LlmQueries {
     * array<bigint> row (`barr`) so probes are a single tiny
     * cross-join instead of k joins (k joins would also re-evaluate
     * this build subtree k times). */
-  def bloomBitsetOf(grams: DataFrame): DataFrame = {
+  def bloomBitsetOf(grams: DataFrame,
+      p: BloomParams = defaultBloom): DataFrame =
+    bloomWordTableOf(grams, p)
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("wb"))
+      .select(expr(
+        s"""transform(sequence(CAST(0 AS BIGINT), CAST(${p.words - 1}
+           |AS BIGINT)), w -> coalesce(element_at(wb, w),
+           |CAST(0 AS BIGINT)))""".stripMargin).as("barr"))
+
+  /** The SPARSE form of the bitset — `(word, bits)` rows, one per
+    * word with any bit set. This is the representation that stays
+    * joinable when the derived geometry outgrows broadcast: the
+    * dense single-row array is just this table densified. */
+  def bloomWordTableOf(grams: DataFrame,
+      p: BloomParams = defaultBloom): DataFrame = {
     val (haSql, hbSql) = bloomABSql("instr")
     grams
       .withColumn("h", md5(col("g")))
       .withColumn("ha", expr(haSql))
       .withColumn("hb", expr(hbSql))
-      .select(explode(array((1 to bloomK).map(j =>
-        expr(s"(ha + $j * hb) % $bloomBits")): _*)).as("p"))
+      .select(explode(array((1 to p.k).map(j =>
+        expr(s"(ha + $j * hb) % ${p.bits}")): _*)).as("p"))
       .select(expr(s"p div $bloomWordBits").as("word"),
         expr(s"CAST(p % $bloomWordBits AS INT)").as("bit"))
       .groupBy(col("word"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-        .as("wb"))
-      .select(expr(
-        s"""transform(sequence(CAST(0 AS BIGINT), CAST(${bloomWords - 1}
-           |AS BIGINT)), w -> coalesce(element_at(wb, w),
-           |CAST(0 AS BIGINT)))""".stripMargin).as("barr"))
   }
 
   /** The heldout-set bitset for snapshot `d`, memoized (shared by
@@ -1405,10 +1451,10 @@ object LlmQueries {
     * so each gram hashes exactly once; requires the bitset row
     * (`barr`) joined into scope. Stateless and shuffle-free — the
     * form a streaming gate needs. */
-  private def bloomAnyGramExpr: String = {
+  private def bloomAnyGramExpr(p: BloomParams): String = {
     val (haSql, hbSql) = bloomABSql("instr")
-    val tests = (1 to bloomK).map(j =>
-      bloomBitTestSql(s"(ab.ha + $j * ab.hb) % $bloomBits"))
+    val tests = (1 to p.k).map(j =>
+      bloomBitTestSql(s"(ab.ha + $j * ab.hb) % ${p.bits}"))
       .mkString(" AND ")
     s"""exists(transform(transform($fivegramArrSql, g -> md5(g)),
        |  h -> struct($haSql AS ha, $hbSql AS hb)),
@@ -1423,12 +1469,13 @@ object LlmQueries {
     * the 1-row bitset; see graft.streaming.DocsStream). False
     * positives drop slightly more than the exact gate — the
     * documented Bloom trade; [[bloomSummary]] measures it. */
-  def bloomCleanOf(docs: DataFrame, bloomArr: DataFrame): DataFrame =
+  def bloomCleanOf(docs: DataFrame, bloomArr: DataFrame,
+      p: BloomParams = defaultBloom): DataFrame =
     docs
       .withColumn("one", lit(1))
       .join(broadcast(bloomArr.withColumn("one", lit(1))), "one")
       .withColumn("w", tokenExpr)
-      .filter(!expr(bloomAnyGramExpr))
+      .filter(!expr(bloomAnyGramExpr(p)))
       .drop("one", "w", "barr")
 
   private[llm] def computeBloomFlagged(
@@ -1455,6 +1502,47 @@ object LlmQueries {
       expr(bloomBitTestSql(s"p$j"))).reduce(_ && _)
     train.filter(allBitsSet)
       .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_5grams"))
+  }
+
+  /** Probe path for a bitset that has OUTGROWN broadcast (a derived
+    * geometry over a billions-of-grams heldout set can reach tens of
+    * GiB): the bitset stays in its sparse `(word, bits)` form
+    * ([[bloomWordTableOf]]) and the corpus probes it with a
+    * hash-partitioned equi-join on `word` — no broadcast anywhere, no
+    * single-row densify bottleneck. Each distinct (doc, gram) emits
+    * exactly k probe rows; a gram is positive iff all k find their
+    * bit set (an absent word row means bit clear). Same output as
+    * [[computeBloomFlagged]] by construction (BloomSizingSpec).
+    *
+    * Cost shape vs. broadcast: the corpus-side probe rows shuffle on
+    * `word` — that is the price of not broadcasting, and exactly how
+    * a partitioned index probe runs at 100 TB. The (doc, gram)
+    * pre-distinct IS worthwhile here (unlike the broadcast path)
+    * because every surviving row pays the word shuffle anyway. */
+  private[llm] def computeBloomFlaggedPartitioned(s: SparkSession,
+      d: String, p: BloomParams = defaultBloom): DataFrame = {
+    val (haSql, hbSql) = bloomABSql("instr")
+    val heldout = fivegrams(s, d).filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    val words = bloomWordTableOf(heldout, p)
+    val probes = fivegrams(s, d).filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("g")).distinct()
+      .withColumn("h", md5(col("g")))
+      .withColumn("ha", expr(haSql))
+      .withColumn("hb", expr(hbSql))
+      .select(col("doc_id"), col("g"), explode(array((1 to p.k).map(j =>
+        expr(s"(ha + $j * hb) % ${p.bits}")): _*)).as("p"))
+      .select(col("doc_id"), col("g"),
+        expr(s"p div $bloomWordBits").as("word"),
+        expr(s"CAST(p % $bloomWordBits AS INT)").as("bit"))
+    probes.join(words.hint("shuffle_hash"), Seq("word"), "left")
+      .withColumn("hit",
+        when(expr("(shiftright(bits, bit) & 1) = 1"), 1).otherwise(0))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("hit")).as("all_hit"))
+      .filter(col("all_hit") === 1)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bloom_5grams"))
   }
