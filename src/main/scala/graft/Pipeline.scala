@@ -94,6 +94,101 @@ object Pipeline {
     * graph column) — the interchange form downstream line-oriented
     * consumers can split arbitrarily.
     */
+  /** The reference's WHOLE environment contract, resolved: the five
+    * export/publish vars (export_from_omeka_s.py:13–21) on top of the
+    * FILTER… and MAP_… transform grammar that [[EtlConf.fromEnv]] already
+    * covers (instantiated by the workflow at
+    * muurschilderingendatabase-etl.yml:20–31,55–64). */
+  final case class EnvPlan(
+      baseUri: String,
+      targetFilepath: String,
+      format: String,
+      graphId: String,
+      enrichmentUrlPrefix: String,
+      warnings: Seq[String])
+
+  /** The reference's hardcoded per-record enrichment endpoint
+    * (transform_datamodel.py:94), overridable via
+    * ENRICHMENT_URL_PREFIX (an engine extension — the reference has
+    * no knob for it). */
+  val DefaultEnrichmentUrlPrefix: String =
+    "https://api.linkeddata.cultureelerfgoed.nl/queries/rce/" +
+      "rest-api-rijksmonumenten/run?rijksmonumentnummer="
+
+  /** Resolve the export/publish env surface exactly as the reference
+    * does — same names, same defaults (export_from_omeka_s.py:13–21):
+    * BASE_URI, TARGET_FILEPATH, OUTPUT_FILE_FORMAT ('ttl'),
+    * GRAPH_ID, ENCODING.
+    *
+    * Deltas, both surfaced rather than silent:
+    *  - an unknown OUTPUT_FILE_FORMAT throws (the reference's rdflib
+    *    `serialize(format=…)` raises a PluginException — config
+    *    typos fail the job there too);
+    *  - a non-UTF-8 ENCODING is recorded as a warning: the engine's
+    *    Turtle writer emits UTF-8 only (the reference workflow never
+    *    sets ENCODING; its default is utf-8). */
+  def planFromEnv(env: Map[String, String]): EnvPlan = {
+    val warnings = Seq.newBuilder[String]
+    val format =
+      env.getOrElse("OUTPUT_FILE_FORMAT", "ttl").toLowerCase match {
+        case "ttl" | "turtle" => "turtle"
+        case "trig" => "trig"
+        case "nt" | "ntriples" => "nt"
+        case "parquet" => "parquet"
+        case other => throw new IllegalArgumentException(
+          s"OUTPUT_FILE_FORMAT '$other' is not a known serialization " +
+            "(ttl/turtle, trig, nt/ntriples, parquet)")
+      }
+    val encoding = env.getOrElse("ENCODING", "utf-8")
+    if (!encoding.replace("-", "").equalsIgnoreCase("utf8"))
+      warnings += s"ENCODING '$encoding' unsupported — the Turtle " +
+        "writer emits UTF-8 (reference default; delta documented)"
+    EnvPlan(
+      baseUri = env.getOrElse("BASE_URI",
+        "https://muurschilderingendatabase.nl/"),
+      targetFilepath = env.getOrElse("TARGET_FILEPATH", "api-export.ttl"),
+      format = format,
+      graphId = env.getOrElse("GRAPH_ID", "default"),
+      enrichmentUrlPrefix = env.getOrElse("ENRICHMENT_URL_PREFIX",
+        DefaultEnrichmentUrlPrefix),
+      warnings = warnings.result())
+  }
+
+  /** One env block in, one finished run out — the engine equivalent
+    * of the reference's whole workflow invocation (the three-job DAG
+    * reduced to run + publish). Fetchers stay injectable seams so the
+    * assembly is testable; [[fromEnvHttp]] is the turn-key wiring.
+    * The publish lands on TARGET_FILEPATH in OUTPUT_FILE_FORMAT as a
+    * single file — the reference's one-artifact shape
+    * (muurschilderingendatabase-etl.yml:33–40; driver-volume bound,
+    * like any single-file export). */
+  def fromEnv(spark: SparkSession,
+      env: Map[String, String],
+      fetchPage: Int => String,
+      fetchMonument: String => Seq[Turtle.FlatTriple],
+      fetchApiContext: Option[() => String] = None,
+      doPublish: Boolean = true): (EnvPlan, Result) = {
+    val plan = planFromEnv(env)
+    val result = run(spark, fetchPage, fetchMonument, env,
+      plan.graphId, fetchApiContext)
+    if (doPublish)
+      publish(result, plan.targetFilepath, plan.format,
+        singleFile = plan.format != "parquet")
+    (plan, result)
+  }
+
+  /** [[fromEnv]] wired to the live HTTP clients — `Pipeline
+    * .fromEnvHttp(spark)` replays the reference's scheduled run from
+    * nothing but the environment. */
+  def fromEnvHttp(spark: SparkSession,
+      env: Map[String, String] = sys.env.toMap): (EnvPlan, Result) = {
+    val plan = planFromEnv(env)
+    val http = new sources.OmekaHttp(plan.baseUri)
+    fromEnv(spark, env, http.fetchPage,
+      sources.HttpMonumentFetcher(plan.enrichmentUrlPrefix),
+      fetchApiContext = Some(() => http.fetchApiContext()))
+  }
+
   def publish(result: Result, path: String, format: String = "parquet",
       singleFile: Boolean = false): Unit = {
     val df =
