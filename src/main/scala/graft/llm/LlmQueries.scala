@@ -43,6 +43,8 @@ object LlmQueries {
     "llm_ivf_recall" -> ivfRecall,
     "llm_kmeans_step" -> kmeansStep,
     "llm_kmeans_converged" -> kmeansConverged,
+    "llm_semantic_dedup" -> semanticDedup,
+    "llm_semdedup_stats" -> semdedupStats,
     "llm_ivf_kmeans_recall" -> ivfKmeansRecall,
     "llm_minhash_est" -> minhashEst,
     "llm_pq_adc_topk" -> pqAdcTopk,
@@ -626,6 +628,78 @@ object LlmQueries {
       .select(col("cid"), col("n_vecs"),
         expr("element_at(cv, 1)").as("c0"),
         expr("aggregate(cv, 0L, (a, b) -> a + b)").as("csum"))
+
+  // ---------------------------------------------------------------
+  // Semantic dedup (SemDeDup-shaped, Abbas et al. 2023): embeddings
+  // are clustered (the converged Lloyd centroids — reusing the IVF
+  // index's own training run), each cluster keeps a deterministic
+  // representative (min vec_id), and every other member whose cosine
+  // to the representative exceeds a threshold is dropped as a
+  // semantic duplicate. Cluster-locality is the whole trick at
+  // 100 TB: candidates are only ever compared to their OWN cluster's
+  // representative — no corpus self-join, no pair explosion; the
+  // corpus streams map-side past a broadcast k-row representative
+  // table, and the only exchange is the k-row rep selection.
+  //
+  // Exactness: cosine > τ is evaluated on the quantized integer
+  // vectors as ip > 0 AND ip²·10⁶ > τ²·10⁶·‖a‖²·‖b‖², in 128-bit
+  // integer arithmetic (DECIMAL(38,0) in Spark, HUGEINT in DuckDB) —
+  // no float division, no sqrt, so the comparison can't flip between
+  // engines. τ is corpus-tuned: SemDeDup uses 0.93–0.96 on normalized
+  // web-crawl embeddings; the synthetic test embeddings are near-
+  // orthogonal (max intra-cluster cosine ≈ 0.43 measured), so the
+  // shipped gate uses τ = 0.30 to exercise the drop path (~10% of
+  // vectors) rather than a vacuous always-keep.
+  // ---------------------------------------------------------------
+  /** τ²·10⁶ for τ = 0.30. */
+  private[llm] val semDedupT2 = 90000L
+
+  /** Per-vector semantic-dedup verdict: cluster, representative,
+    * kept/dropped. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticAssigned(s, d)
+      .select(col("vec_id"), col("cid"), col("rep_id"),
+        when(col("sem_dup"), lit("dropped")).otherwise(lit("kept"))
+          .as("verdict"))
+
+  /** Kept-fraction measurement per cluster — the "how much did it
+    * deduplicate" number, measured not claimed: n_vecs, n_dropped,
+    * kept per mille. */
+  def semdedupStats(s: SparkSession, d: String): DataFrame =
+    semanticAssigned(s, d)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("sem_dup"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("cid"), col("n_vecs"), col("n_dropped"),
+        floor(lit(1000.0) * (col("n_vecs") - col("n_dropped"))
+          / col("n_vecs")).as("kept_x1000"))
+
+  /** The shared core: converged-cluster assignment + broadcast rep
+    * join + exact integer cosine gate (`sem_dup`). */
+  private def semanticAssigned(s: SparkSession, d: String): DataFrame = {
+    val asg = assignedWith(s, d,
+      kmeansCentroids(s, d).select(col("cid"), col("cv")))
+    val reps = asg.groupBy(col("cid")).agg(min(col("vec_id")).as("rep_id"))
+    // rename the rep-side lineage wholesale before rejoining asg to
+    // itself — Spark's ambiguous-self-join detection needs disjoint
+    // attribute sets
+    val asgR = asg.select(col("vec_id").as("r_vec_id"),
+      col("cid").as("r_cid"), col("qv").as("rv"))
+    val repVecs = reps.join(asgR, col("rep_id") === col("r_vec_id"))
+      .select(col("r_cid").as("cid"), col("rep_id"), col("rv"))
+    asg.join(broadcast(repVecs), Seq("cid"))
+      .withColumn("ip",
+        graft.functions.DotProductLong(col("qv"), col("rv")))
+      .withColumn("na2",
+        graft.functions.DotProductLong(col("qv"), col("qv")))
+      .withColumn("nb2",
+        graft.functions.DotProductLong(col("rv"), col("rv")))
+      .withColumn("sem_dup",
+        col("vec_id") =!= col("rep_id") && col("ip") > 0 &&
+          expr(s"""CAST(ip AS DECIMAL(38,0)) * ip * 1000000 >
+                  |CAST($semDedupT2 AS DECIMAL(38,0)) * na2 * nb2"""
+            .stripMargin))
+  }
 
   /** IVF search: rank centroids per query, probe the top-`nProbe`
     * inverted lists, exact-score only those candidates, bounded-heap
@@ -2068,6 +2142,29 @@ object LlmQueries {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** DuckDB replica of [[semanticAssigned]] over the converged
+    * assignment `kasg`: per-cluster min-id rep, exact integer cosine
+    * gate in HUGEINT (the Spark side uses DECIMAL(38,0) — both are
+    * exact at these magnitudes, ≤ 22 digits). Ends in `semv`
+    * (vec_id, cid, rep_id, sem_dup). */
+  private lazy val semCte =
+    s"""reps AS (SELECT cid, min(vec_id) AS rep_id FROM kasg GROUP BY cid),
+       |repv AS (SELECT r.cid, r.rep_id, a.qv AS rv
+       |  FROM reps r JOIN kasg a ON a.vec_id = r.rep_id),
+       |sem AS (SELECT a.vec_id, a.cid, p.rep_id,
+       |    CAST(list_inner_product(CAST(a.qv AS DOUBLE[]),
+       |      CAST(p.rv AS DOUBLE[])) AS BIGINT) AS ip,
+       |    CAST(list_inner_product(CAST(a.qv AS DOUBLE[]),
+       |      CAST(a.qv AS DOUBLE[])) AS BIGINT) AS na2,
+       |    CAST(list_inner_product(CAST(p.rv AS DOUBLE[]),
+       |      CAST(p.rv AS DOUBLE[])) AS BIGINT) AS nb2
+       |  FROM kasg a JOIN repv p ON a.cid = p.cid),
+       |semv AS (SELECT vec_id, cid, rep_id,
+       |    (vec_id <> rep_id AND ip > 0 AND
+       |     CAST(ip AS HUGEINT) * ip * 1000000 >
+       |     CAST($semDedupT2 AS HUGEINT) * na2 * nb2) AS sem_dup
+       |  FROM sem)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "llm_dedup_exact" ->
       s"""WITH $wCte
@@ -2238,6 +2335,26 @@ object LlmQueries {
          |SELECT cid, MAX(n_vecs) AS n_vecs, MAX(c0) AS c0,
          |  CAST(SUM(x) AS BIGINT) AS csum
          |FROM kf GROUP BY cid""".stripMargin,
+
+    "llm_semantic_dedup" ->
+      s"""WITH $quantCte,
+         |$kmeansCte,
+         |$semCte
+         |SELECT vec_id, cid, rep_id,
+         |  CASE WHEN sem_dup THEN 'dropped' ELSE 'kept' END AS verdict
+         |FROM semv""".stripMargin,
+
+    "llm_semdedup_stats" ->
+      s"""WITH $quantCte,
+         |$kmeansCte,
+         |$semCte
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN sem_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(floor(1000.0 * (count(*) -
+         |    sum(CASE WHEN sem_dup THEN 1 ELSE 0 END)) / count(*))
+         |    AS BIGINT) AS kept_x1000
+         |FROM semv GROUP BY cid""".stripMargin,
 
     "llm_ivf_kmeans_recall" ->
       s"""WITH $quantCte,
