@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioMeta, DotProductLong, ImageDims, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong}
+import graft.functions.{AudioMeta, DotProductLong, ImageDims, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -100,5 +100,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         AudioMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VideoMeta(args.head)))
   }
 }

@@ -80,6 +80,7 @@ object LlmQueries {
     "mm_resize_plan" -> resizePlan,
     "mm_image_dims" -> imageDims,
     "mm_audio_meta" -> audioMeta,
+    "mm_video_meta" -> videoMeta,
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -1902,6 +1903,43 @@ object LlmQueries {
         sum(expr("m.n_samples * 1000 div m.sample_rate")).as("sum_ms"))
   }
 
+  /** REAL video container metadata — the MP4 box-walk sibling of
+    * [[imageDims]]/[[audioMeta]], closing the last multimodal
+    * metadata stub: build genuine minimal MP4 files per document
+    * (deterministic dims/timescale/duration from doc_id, via
+    * [[graft.multimodal.VideoHex]] → `unhex`), parse them back with
+    * the native [[graft.functions.VideoMeta]] codegen expression —
+    * an ISO-BMFF box walk that must skip a real `free` box inside
+    * `moov` before `mvhd`, then descend `trak`→`tkhd` for the 16.16
+    * fixed-point dimensions — and roll up per timescale with exact
+    * integer durations (d · 1000 div timescale). The oracle builds
+    * the SAME bytes through a real DuckDB BLOB and extracts the
+    * big-endian fields by offset arithmetic, so a parser that
+    * mis-walks, byte-swaps, or forgets the 16.16 shift
+    * hash-mismatches. Map-side construct → parse → partial agg; one
+    * bounded exchange on the 4-key timescale space. */
+  def videoMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.VideoHex
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("(doc_id % 1280) + 16").as("w0"),
+        expr("((doc_id * 13) % 720) + 16").as("h0"),
+        expr("element_at(array(600, 1000, 24000, 90000), " +
+          "CAST(doc_id % 4 AS INT) + 1)").as("ts0"),
+        expr("(doc_id * 977) % 8640000 + 1").as("dur0"))
+      .withColumn("hs",
+        expr(VideoHex.mp4Hex("w0", "h0", "ts0", "dur0", "div")))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.VideoMeta(col("payload")))
+      .groupBy(col("m.timescale").cast("bigint").as("timescale"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("m.duration")).as("sum_dur"),
+        sum(expr("m.duration * 1000 div m.timescale")).as("sum_ms"),
+        sum(col("m.width").cast("bigint")).as("sum_w"),
+        max(col("m.height").cast("bigint")).as("max_h"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL
   // ---------------------------------------------------------------
@@ -2982,6 +3020,35 @@ object LlmQueries {
          |  CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
          |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT) AS sum_ms
          |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    "mm_video_meta" -> {
+      import graft.multimodal.VideoHex._
+      import graft.multimodal.ImageHex.unhexN
+      s"""WITH t AS (SELECT doc_id,
+         |    (doc_id % 1280) + 16 AS w0,
+         |    ((doc_id * 13) % 720) + 16 AS h0,
+         |    list_extract([600, 1000, 24000, 90000],
+         |      CAST(doc_id % 4 AS INT) + 1) AS ts0,
+         |    (doc_id * 977) % 8640000 + 1 AS dur0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${mp4Hex("w0", "h0", "ts0", "dur0", "//")}))
+         |      AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    ${unhexN("hs", TimescalePos, 8, "strpos")} AS timescale,
+         |    ${unhexN("hs", DurationPos, 8, "strpos")} AS duration,
+         |    ${unhexN("hs", WidthPos, 8, "strpos")} // 65536 AS w,
+         |    ${unhexN("hs", HeightPos, 8, "strpos")} // 65536 AS h
+         |  FROM b)
+         |SELECT CAST(timescale AS BIGINT) AS timescale,
+         |  CAST(COUNT(*) AS BIGINT) AS n_videos,
+         |  CAST(SUM(duration) AS BIGINT) AS sum_dur,
+         |  CAST(SUM(duration * 1000 // timescale) AS BIGINT) AS sum_ms,
+         |  CAST(SUM(w) AS BIGINT) AS sum_w,
+         |  CAST(MAX(h) AS BIGINT) AS max_h
+         |FROM f GROUP BY 1""".stripMargin
     },
   )
 }

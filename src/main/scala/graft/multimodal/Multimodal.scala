@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` payloads plus typed metadata, with decode / feature
   * extraction / frame sampling as partition-local transforms.
   *
-  * ==== STUB NOTICE (narrowed) ====
-  * IMAGE HEADER DECODE IS REAL: [[StubCodec.decode]] first runs
-  * [[ImageHeaders]] (PNG IHDR / JPEG SOF marker walk — pure byte
-  * arithmetic, no codec library) and returns genuine dimensions for
-  * any real PNG/JPEG payload. Pixel decode, audio, and video remain a
-  * clearly-marked DETERMINISTIC FAKE (no codecs in this container):
-  * for those, plausible dimensions/duration derive from the payload
-  * bytes. The
+  * ==== STUB NOTICE (narrowed to sample data only) ====
+  * CONTAINER METADATA DECODE IS REAL for all three modalities:
+  * [[StubCodec.decode]] first runs [[ImageHeaders]] (PNG IHDR / JPEG
+  * SOF marker walk), [[AudioHeaders]] (PCM WAV RIFF chunk walk), and
+  * [[VideoHeaders]] (MP4/ISO-BMFF box walk — mvhd
+  * timescale/duration, tkhd 16.16 dimensions) — pure byte
+  * arithmetic, no codec library — and returns genuine metadata for
+  * any real PNG/JPEG/WAV/MP4 payload. Only PIXEL/SAMPLE decode (the
+  * compressed payload itself) remains a clearly-marked DETERMINISTIC
+  * FAKE (no codecs in this container): unparseable payloads get
+  * plausible dimensions derived from the bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped
   * `mapPartitions`, partitioning notes — is real, and swapping the
   * stub for a JNI/FFmpeg/ImageIO decode changes nothing structurally:
@@ -56,10 +59,26 @@ object Multimodal {
               MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1, 1, 0, n > 0)
           }
         case "video" =>
-          MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1, n % 24 + 1, 0,
-            n > 0)
+          // REAL path first: MP4 box-walk dims + duration-seconds as
+          // the frame proxy (frame COUNT needs the stsz sample table,
+          // which metadata-only parsing deliberately skips)
+          VideoHeaders.parse(payload) match {
+            case Some((w, h, ts, dur)) =>
+              MediaMeta(kind, w, h,
+                math.max(1L, dur / ts).min(Int.MaxValue).toInt, 0,
+                ok = true)
+            case None =>
+              MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1,
+                n % 24 + 1, 0, n > 0)
+          }
         case "audio" =>
-          MediaMeta(kind, 0, 0, 0, 8000 + (b0 % 5) * 8000, n > 0)
+          // REAL path first: PCM WAV RIFF walk
+          AudioHeaders.parse(payload) match {
+            case Some((_, rate, _, _)) =>
+              MediaMeta(kind, 0, 0, 0, rate, ok = true)
+            case None =>
+              MediaMeta(kind, 0, 0, 0, 8000 + (b0 % 5) * 8000, n > 0)
+          }
         case _ => MediaMeta(kind, 0, 0, 0, 0, ok = false)
       }
     }
