@@ -44,10 +44,53 @@ object RdfQueries {
     // engines (unlike a join-based anti on nullable columns).
     "rdf_removed_by_clean" -> ((s, d) =>
       tri(s, d).except(RdfOps.cleanExport(tri(s, d)))),
+    // Multi-graph analytics: the reference publishes into ONE named
+    // graph per run (yml:87), so a store accumulates many graphs —
+    // per-graph profiling and cross-graph diffing are the first
+    // queries an operator runs against it. Fixture: the export
+    // re-tagged across three deterministic named graphs plus the
+    // enrichment batch as its own graph (TriG's data model).
+    "rdf_graph_stats" -> ((s, d) => graphStats(s, d)),
+    "rdf_graph_overlap" -> ((s, d) => graphOverlap(s, d)),
   )
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
+
+  /** The multi-graph store fixture: export triples spread across
+    * three deterministic named graphs (graph = f(subject, object) —
+    * pure char-length arithmetic, identical in both engines) plus
+    * the enrichment batch under its own graph id. Public so the TriG
+    * round-trip spec exercises the same table. */
+  def multiGraph(s: SparkSession, d: String): DataFrame = {
+    val main = tri(s, d).withColumn("graph",
+      concat(lit("http://ex.org/graph/"),
+        (length(col("subject")) + length(col("obj_value"))) % 3))
+    val enr = TripleFixture.enrichment(s, d)
+      .withColumn("graph", lit("http://ex.org/graph/enrich"))
+    main.unionByName(enr)
+  }
+
+  /** Per-named-graph profile — ONE exchange on the graph key with
+    * map-side partial aggregation; the two distincts ride the same
+    * shuffle (Spark expands them, but the key space is 4 graphs). */
+  private def graphStats(s: SparkSession, d: String): DataFrame =
+    multiGraph(s, d).groupBy(col("graph"))
+      .agg(count(lit(1)).as("n_triples"),
+        countDistinct(col("subject")).as("n_subjects"),
+        countDistinct(col("predicate")).as("n_predicates"),
+        sum(when(col("obj_kind") === "literal", 1L).otherwise(0L))
+          .as("n_literals"))
+
+  /** Cross-graph diff: statements asserted in MORE than one named
+    * graph (the redundancy/provenance question a multi-graph store
+    * answers before a per-graph overwrite-publish). One shuffle on
+    * the (s, p, o) key. */
+  private def graphOverlap(s: SparkSession, d: String): DataFrame =
+    multiGraph(s, d)
+      .groupBy(col("subject"), col("predicate"), col("obj_value"))
+      .agg(countDistinct(col("graph")).as("n_graphs"))
+      .filter(col("n_graphs") > 1)
 
   /** O10 — single-row stage metrics (reference: `len(graph)` at
     * src/transform_datamodel.py:85,123,127): one map-side pass with
@@ -175,5 +218,39 @@ object RdfQueries {
          |    obj_value, obj_kind, obj_lang, obj_datatype
          |  FROM post_enrich)
          |WHERE predicate NOT IN ${inList(filterList)}""".stripMargin,
+
+    "rdf_graph_stats" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT graph, CAST(count(*) AS BIGINT) AS n_triples,
+         |  CAST(count(DISTINCT subject) AS BIGINT) AS n_subjects,
+         |  CAST(count(DISTINCT predicate) AS BIGINT) AS n_predicates,
+         |  CAST(sum(CASE WHEN obj_kind = 'literal' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_literals
+         |FROM mg GROUP BY graph""".stripMargin,
+
+    "rdf_graph_overlap" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT subject, predicate, obj_value,
+         |  CAST(count(DISTINCT graph) AS BIGINT) AS n_graphs
+         |FROM mg GROUP BY 1, 2, 3
+         |HAVING count(DISTINCT graph) > 1""".stripMargin,
   )
+
+  /** CTE `mg`: byte-identical to [[multiGraph]] (char-length graph
+    * re-tag over `triples` + the enrichment batch's own graph). */
+  private def multiGraphCte: String =
+    s"""mg AS (
+       |  SELECT 'http://ex.org/graph/' ||
+       |      ((length(subject) + length(obj_value)) % 3) AS graph,
+       |    subject, subject_kind, predicate, obj_value, obj_kind,
+       |    obj_lang, obj_datatype
+       |  FROM triples
+       |  UNION ALL
+       |  SELECT 'http://ex.org/graph/enrich', subject, subject_kind,
+       |    predicate, obj_value, obj_kind, obj_lang, obj_datatype
+       |  FROM enrichment)""".stripMargin
 }
