@@ -157,12 +157,35 @@ object RelationalQueries {
   def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
       .select(unix_timestamp(col("ts")).as("sec"), col("event_type"))
+    rangeJoinBucketedOf(e,
+      spark.conf.getOption(rangeJoinSaltsFlag).map(_.toInt).getOrElse(1))
+  }
+
+  /** Skew knob for [[rangeJoinBucketed]]: a pathological hour (every
+    * event in one bucket — a thundering-herd incident) sends that
+    * bucket's whole population to one reducer of the bucket join. Set
+    * to the expected replication factor (e.g. 8) when hot hours are
+    * known; the window side is windows×span rows and replicates
+    * per-salt, so the cost is salts× THAT tiny side
+    * ([[SaltedJoin.saltedInner]]'s contract). Results are exact and
+    * identical for any value — only load balance changes
+    * (SkewKnobSpec). */
+  val rangeJoinSaltsFlag = "spark.graft.rangejoin.salts"
+
+  private[queries] def rangeJoinBucketedOf(
+      e: DataFrame, salts: Int): DataFrame = {
     val wins = rangeJoinWindows(e)
     val winBuckets = wins.select(col("hb"), col("win_lo"), col("win_hi"),
       explode(expr("sequence(win_lo div 3600, (win_hi - 1) div 3600)"))
         .as("wb"))
-    e.select(expr("sec div 3600").as("wb"), col("sec"), col("event_type"))
-      .join(winBuckets, Seq("wb"))
+    val ev = e.select(expr("sec div 3600").as("wb"), col("sec"),
+      col("event_type"))
+    val joined =
+      if (salts <= 1) ev.join(winBuckets, Seq("wb"))
+      else SaltedJoin.saltedInner(ev,
+        winBuckets.withColumnRenamed("wb", "bwb"),
+        ev("wb"), col("bwb"), salts).drop("bwb")
+    joined
       .filter(col("sec") >= col("win_lo") && col("sec") < col("win_hi"))
       .groupBy(col("hb"), col("win_lo"), col("win_hi"))
       .agg(count(lit(1)).as("n_events"),
@@ -529,7 +552,71 @@ object RelationalQueries {
     * 100 TB: sessions never span users, so this scales linearly with
     * no skew beyond the per-user event count. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
-    sessionsOf(Tables(spark, dir, "events"))
+    spark.conf.getOption(sessionsChunkFlag).map(_.toLong) match {
+      case Some(chunkUs) =>
+        sessionsSharded(Tables(spark, dir, "events"), chunkUs)
+      case None => sessionsOf(Tables(spark, dir, "events"))
+    }
+
+  /** Skew knob for [[sessions]]: single-pass sessionization needs ALL
+    * of a user's events on one reducer (the per-user window) — a
+    * pathological user (a bot emitting millions of events) stalls the
+    * stage. Set this to a time-chunk width in µs (e.g. one week) to
+    * switch to [[sessionsSharded]], whose per-reducer input is
+    * bounded by the hot user's events per CHUNK in phase 1 and their
+    * local-session count (≤ chunks + true sessions) in phase 2.
+    * Results are exact and identical for ANY chunk width
+    * (SkewKnobSpec proves equality and the bound). */
+  val sessionsChunkFlag = "spark.graft.sessions.chunkUs"
+
+  /** Two-phase gap sessionization: (1) sessionize WITHIN
+    * (user, time-chunk) partitions — the window key now includes the
+    * chunk, so no reducer sees more than one chunk of the hot user;
+    * (2) sessionize the per-chunk LOCAL SESSIONS (orders of magnitude
+    * fewer rows than events) per user with the same gap rule, which
+    * re-merges sessions the chunk boundaries split. Correct for any
+    * chunkUs > 0 because chunk edges can only SPLIT a session, and
+    * phase 2's merge test (start − prev end > gap) is exactly the
+    * single-pass rule: local sessions of one user are time-ordered
+    * and disjoint, so re-merging reconstructs the identical
+    * partition. Aggregates re-aggregate losslessly (sum/min/max and
+    * integer-cent sums). */
+  def sessionsSharded(events: DataFrame, chunkUs: Long): DataFrame = {
+    require(chunkUs > 0, "chunk width must be positive")
+    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts_us"))
+    val runByChunk =
+      byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      .withColumn("new_s",
+        when(lag(col("ts_us"), 1).over(byChunk).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(byChunk) > sessionGapUs,
+          1L).otherwise(0L))
+      .withColumn("lseq", sum(col("new_s")).over(runByChunk))
+      .groupBy(col("user_id"), col("chunk"), col("lseq"))
+      .agg(count(lit(1)).as("n_ev"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        moneySum(col("value")).as("sum_v"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    val runByUser =
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local
+      .withColumn("new_s",
+        when(lag(col("end_us"), 1).over(byUser).isNull ||
+          col("start_us") - lag(col("end_us"), 1).over(byUser)
+            > sessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(runByUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sum(col("n_ev")).as("n_events"),
+        min(col("start_us")).as("start_us"),
+        max(col("end_us")).as("end_us"),
+        (max(col("end_us")) - min(col("start_us"))).as("duration_us"),
+        moneySum(col("sum_v")).as("sum_value"))
+  }
 
   /** Sessionization over any events DataFrame with columns
     * (user_id long, ts timestamp, value double). */
