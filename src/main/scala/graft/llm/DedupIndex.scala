@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   * signatures for the arriving shard only, and probes. This object
   * holds the pieces of that lifecycle:
   *
-  *  - [[signatures]]: per-document MinHash lanes computed ROW-LOCALLY
-  *    with SQL higher-order functions (`transform` + `array_min`) —
-  *    zero shuffle, no explode/groupBy exchange, and therefore legal
-  *    in a Structured Streaming micro-batch as well as in batch. One
-  *    document row in, one 8-lane signature row out.
+  *  - [[signatures]]: per-document MinHash lanes — one document row
+  *    in, one 8-lane signature row out, computed with codegen'd
+  *    sha256 + a map-side-combined aggregate whose exchange carries
+  *    one narrow row per document (see the method doc for why this
+  *    beats the "shuffle-free" higher-order-function spelling).
   *  - [[bandsOf]] / [[docBands]]: the 4-band × 2-lane LSH banding of
   *    a signature table (same banding as the batch chain in
   *    [[LlmQueries]]).
@@ -35,20 +35,30 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  /** Row-local MinHash signatures: `doc_id, h1..h8`, one row per
+  /** Per-document MinHash signatures: `doc_id, h1..h8`, one row per
     * document with >= 1 shingle (documents under 3 words have no
-    * 3-gram shingles and no signature — same domain as the batch
-    * explode/groupBy spelling, where explode drops them). */
+    * 3-gram shingles and no signature).
+    *
+    * Spelling: explode the shingles, sha256 as a TOP-LEVEL codegen
+    * expression, then a hash-aggregate of the 8 lane minima. This
+    * looks like a shuffle but barely is one: a document's shingles
+    * all come from its own row, so they never leave their partition
+    * and the map-side partial aggregation reduces them to ONE 8-lane
+    * row per document before the exchange. The "shuffle-free"
+    * alternative — `aggregate`/`transform` higher-order functions in
+    * a single projection — evaluates sha256 interpreted, outside
+    * whole-stage codegen, and measured 8× SLOWER at sf0.1 (11.9 s vs
+    * 1.5 s); the HOF spelling survives as the independent oracle in
+    * DedupIndexSpec. Micro-batches are ordinary DataFrames inside
+    * `foreachBatch`, so the streaming twin uses this same spelling. */
   def signatures(docsDf: DataFrame): DataFrame = {
-    val lanes = (1 to 8).map(j =>
-      expr(s"array_min(transform(hs, h -> substring(h, ${(j - 1) * 8 + 1}, 8)))")
-        .as(s"h$j"))
+    val mins = (1 to 8).map(j =>
+      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"h$j"))
     docsDf
       .select(col("doc_id"), LlmQueries.tokenExpr.as("w"))
-      .withColumn("sh", expr(LlmQueries.shingle3Expr))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", expr("transform(sh, x -> sha2(x, 256))"))
-      .select(col("doc_id") +: lanes: _*)
+      .select(col("doc_id"), explode(expr(LlmQueries.shingle3Expr)).as("s"))
+      .withColumn("h", sha2(col("s"), 256))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** 4 bands × 2 lanes: `doc_id, band, bv` from a signature table. */
@@ -77,8 +87,17 @@ object DedupIndex {
     * The cluster pass REREADS the just-written bands parquet: index
     * construction itself only runs the signature chain once, the way
     * a backfill job would. */
-  def writeIndex(s: SparkSession, indexDocs: DataFrame, path: String): Stored = {
-    docBands(indexDocs).write.mode("overwrite").parquet(s"$path/bands")
+  def writeIndex(s: SparkSession, indexDocs: DataFrame, path: String): Stored =
+    writeIndexBands(s, docBands(indexDocs), path)
+
+  /** [[writeIndex]] from an ALREADY-COMPUTED band table — the form
+    * the engine's own queries use: per-document signatures are a
+    * stored corpus artifact (memoized here, a parquet table in
+    * production), so building a snapshot index is a FILTER of that
+    * artifact, never a re-shingle of the corpus. */
+  def writeIndexBands(s: SparkSession, bandsDf: DataFrame,
+      path: String): Stored = {
+    bandsDf.write.mode("overwrite").parquet(s"$path/bands")
     val bands = s.read.parquet(s"$path/bands")
     LlmQueries.ccFromPairs(LlmQueries.pairsFromBands(bands))
       .write.mode("overwrite").parquet(s"$path/clusters")

@@ -142,10 +142,9 @@ object LlmQueries {
 
   // One sha256 per shingle, sliced into 8 non-overlapping 32-bit hex
   // lanes = 8 independent uniform hashes (8× cheaper than 8 salted
-  // digests; hex-string min is identical in both engines). The lane
-  // mins are computed ROW-LOCALLY (array_min over a transform) in
-  // [[DedupIndex.signatures]] — zero shuffle, vs. the explode +
-  // groupBy spelling which exchanged every shingle hash.
+  // digests; hex-string min is identical in both engines). The chain
+  // lives in [[DedupIndex.signatures]] — shared with the stored-index
+  // build and the streaming twin's micro-batches.
   private def computeMinhashSig(s: SparkSession, d: String): DataFrame =
     DedupIndex.signatures(docs(s, d))
 
@@ -178,7 +177,7 @@ object LlmQueries {
   private def computePairs(s: SparkSession, d: String): DataFrame =
     pairsFromBands(bands(s, d))
 
-  private[llm] def pairsFromBands(b: DataFrame): DataFrame = {
+  private[graft] def pairsFromBands(b: DataFrame): DataFrame = {
     // Pairs are enumerated *within* buckets: shuffle on the
     // (band, band-hash) key, then per-bucket combination generation —
     // the minhash chain is computed once (a self-join would compute it
@@ -295,7 +294,7 @@ object LlmQueries {
   private def computeClusters(s: SparkSession, d: String): DataFrame =
     ccFromPairs(dedupMinhash(s, d))
 
-  private[llm] def ccFromPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def ccFromPairs(pairs: DataFrame): DataFrame = {
     val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -389,8 +388,13 @@ object LlmQueries {
   private[llm] def storedIndex(s: SparkSession, d: String): DedupIndex.Stored = {
     val path = storedIndexPath(d)
     SnapshotMemo.getOrCompute(s, s"dedup-index:$d") {
-      DedupIndex.writeIndex(s,
-        docs(s, d).filter(!expr(arrivingShardPred)), path)
+      // the index bands are a FILTER of the memoized per-corpus
+      // signature artifact (signatures are per-document, so subset
+      // bands == full bands filtered) — the corpus is never
+      // re-shingled to build a snapshot index
+      DedupIndex.writeIndexBands(s,
+        DedupIndex.bandsOf(
+          minhashSig(s, d).filter(!expr(arrivingShardPred))), path)
       s.range(1).toDF("built")
     }
     DedupIndex.read(s, path)

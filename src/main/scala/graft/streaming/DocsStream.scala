@@ -65,11 +65,11 @@ object DocsStream {
 
   /** Streaming twin of the cross-snapshot incremental dedup
     * ([[LlmQueries.dedupIncremental]]): arriving document shards are
-    * MinHash-signed ROW-LOCALLY ([[DedupIndex.docBands]] — legal in a
-    * micro-batch because it is zero-shuffle per row), probed against
+    * MinHash-signed ([[DedupIndex.docBands]]) and probed against
     * the PERSISTED band index at `indexBandsPath`, and only
     * non-duplicates are appended to `outPath`. The probe runs inside
-    * `foreachBatch`, where the micro-batch is an ordinary DataFrame —
+    * `foreachBatch`, where the micro-batch is an ordinary DataFrame
+    * (the signature groupBy is batch-local, not streaming state) —
     * so the dedup is exact (a band-bucket semi-join, the same
     * candidate test as batch), with exactly-once file semantics from
     * the checkpoint, and with ZERO streaming state: the stored index

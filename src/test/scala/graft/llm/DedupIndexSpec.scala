@@ -19,21 +19,31 @@ class DedupIndexSpec extends AnyFunSuite {
   private def realDocs: DataFrame =
     spark.read.parquet(s"$sf/documents.parquet")
 
-  test("row-local signatures equal the explode/groupBy spelling") {
-    // the historical spelling: one row per shingle, min per lane
-    val mins = (1 to 8).map(j =>
-      min(substring(col("h"), (j - 1) * 8 + 1, 8)).as(s"h$j"))
-    val viaShuffle = realDocs
+  test("signatures equal an independent row-local HOF spelling") {
+    // independent oracle: all 8 lane minima in ONE aggregate() pass
+    // over the sha256'd shingles — no explode, no groupBy (slower,
+    // interpreted, but structurally unrelated to the shipped path)
+    val initFields = (1 to 8).map(j => s"'h$j', 'g'").mkString(", ")
+    val stepFields = (1 to 8).map(j =>
+      s"'h$j', least(a.h$j, substring(h, ${(j - 1) * 8 + 1}, 8))")
+      .mkString(", ")
+    val agg =
+      s"""aggregate(transform(sh, x -> sha2(x, 256)),
+         |named_struct($initFields),
+         |(a, h) -> named_struct($stepFields))""".stripMargin
+    val rowLocal = realDocs
       .select(col("doc_id"), LlmQueries.tokenExpr.as("w"))
-      .select(col("doc_id"), explode(expr(LlmQueries.shingle3Expr)).as("s"))
-      .withColumn("h", sha2(col("s"), 256))
-      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .withColumn("sh", expr(LlmQueries.shingle3Expr))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(array(expr(agg))).as("m"))
+      .select(col("doc_id") +:
+        (1 to 8).map(j => col(s"m.h$j").as(s"h$j")): _*)
       .collect().map(r => r.getLong(0) ->
         (1 to 8).map(j => r.getString(j)).mkString("|")).toMap
-    val rowLocal = DedupIndex.signatures(realDocs)
+    val shipped = DedupIndex.signatures(realDocs)
       .collect().map(r => r.getLong(0) ->
         (1 to 8).map(j => r.getString(j)).mkString("|")).toMap
-    assert(rowLocal == viaShuffle && rowLocal.nonEmpty)
+    assert(shipped == rowLocal && shipped.nonEmpty)
   }
 
   test("probe: duplicate of an indexed pair lands in its cluster, " +
