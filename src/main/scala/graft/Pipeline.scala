@@ -130,7 +130,10 @@ object Pipeline {
   def planFromEnv(env: Map[String, String]): EnvPlan = {
     val warnings = Seq.newBuilder[String]
     val format =
-      env.getOrElse("OUTPUT_FILE_FORMAT", "ttl").toLowerCase match {
+      // Locale.ROOT: a Turkish-default JVM lowercases "TRIG" to
+      // "trıg" (dotless ı) and would reject a valid format
+      env.getOrElse("OUTPUT_FILE_FORMAT", "ttl")
+        .toLowerCase(java.util.Locale.ROOT) match {
         case "ttl" | "turtle" => "turtle"
         case "trig" => "trig"
         case "nt" | "ntriples" => "nt"
@@ -167,8 +170,16 @@ object Pipeline {
       fetchPage: Int => String,
       fetchMonument: String => Seq[Turtle.FlatTriple],
       fetchApiContext: Option[() => String] = None,
-      doPublish: Boolean = true): (EnvPlan, Result) = {
-    val plan = planFromEnv(env)
+      doPublish: Boolean = true): (EnvPlan, Result) =
+    runPlanned(spark, planFromEnv(env), env, fetchPage, fetchMonument,
+      fetchApiContext, doPublish)
+
+  private def runPlanned(spark: SparkSession, plan: EnvPlan,
+      env: Map[String, String],
+      fetchPage: Int => String,
+      fetchMonument: String => Seq[Turtle.FlatTriple],
+      fetchApiContext: Option[() => String],
+      doPublish: Boolean): (EnvPlan, Result) = {
     val result = run(spark, fetchPage, fetchMonument, env,
       plan.graphId, fetchApiContext)
     if (doPublish)
@@ -184,9 +195,9 @@ object Pipeline {
       env: Map[String, String] = sys.env.toMap): (EnvPlan, Result) = {
     val plan = planFromEnv(env)
     val http = new sources.OmekaHttp(plan.baseUri)
-    fromEnv(spark, env, http.fetchPage,
+    runPlanned(spark, plan, env, http.fetchPage,
       sources.HttpMonumentFetcher(plan.enrichmentUrlPrefix),
-      fetchApiContext = Some(() => http.fetchApiContext()))
+      Some(() => http.fetchApiContext()), doPublish = true)
   }
 
   def publish(result: Result, path: String, format: String = "parquet",

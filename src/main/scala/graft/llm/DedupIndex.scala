@@ -76,17 +76,24 @@ object DedupIndex {
 
   /** Handles to a persisted index: both tables read back FROM PARQUET,
     * so every probe consumes the stored artifact, never the lineage
-    * that built it. */
+    * that built it. `bands` carries the effective cluster label
+    * DENORMALIZED per row (`lbl` — the CC label, or the doc's own id
+    * for docs in no pair), so a probe is ONE map-side pass over the
+    * bands scan: no second corpus-scale join against the cluster
+    * table. (A broadcast hint on the small side of a left-outer join
+    * would be ignored for the stream side — Spark can only build the
+    * right side of LeftOuter — so the normalized spelling would
+    * shuffle the corpus-scale cluster table; denormalizing at build
+    * time makes the no-shuffle probe structural.) */
   final case class Stored(bands: DataFrame, clusters: DataFrame)
+
+  /** Band-table schema of a stored index. */
+  val bandColumns: Seq[String] = Seq("band", "bv", "doc_id", "lbl")
 
   /** Build + persist the index for `indexDocs`: banded signatures and
     * the connected-component cluster labels over the index's own LSH
     * pair graph (label = min doc_id of the component; docs in no pair
-    * carry no row — consumers default to the doc's own id).
-    *
-    * The cluster pass REREADS the just-written bands parquet: index
-    * construction itself only runs the signature chain once, the way
-    * a backfill job would. */
+    * label as themselves). */
   def writeIndex(s: SparkSession, indexDocs: DataFrame, path: String): Stored =
     writeIndexBands(s, docBands(indexDocs), path)
 
@@ -94,13 +101,20 @@ object DedupIndex {
     * the engine's own queries use: per-document signatures are a
     * stored corpus artifact (memoized here, a parquet table in
     * production), so building a snapshot index is a FILTER of that
-    * artifact, never a re-shingle of the corpus. */
+    * artifact, never a re-shingle of the corpus. The labels are
+    * joined onto the bands at build time (broadcast: the label table
+    * is pair-graph-scale, orders below the corpus) — backfill pays
+    * one map-side join so every probe pays none. */
   def writeIndexBands(s: SparkSession, bandsDf: DataFrame,
       path: String): Stored = {
-    bandsDf.write.mode("overwrite").parquet(s"$path/bands")
-    val bands = s.read.parquet(s"$path/bands")
-    LlmQueries.ccFromPairs(LlmQueries.pairsFromBands(bands))
+    LlmQueries.ccFromPairs(LlmQueries.pairsFromBands(bandsDf))
       .write.mode("overwrite").parquet(s"$path/clusters")
+    val labels = s.read.parquet(s"$path/clusters")
+      .select(col("doc_id").as("l_id"), col("cluster_id"))
+    bandsDf.join(broadcast(labels), col("doc_id") === col("l_id"), "left")
+      .select(col("band"), col("bv"), col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("lbl"))
+      .write.mode("overwrite").parquet(s"$path/bands")
     read(s, path)
   }
 
@@ -113,23 +127,15 @@ object DedupIndex {
     * matched index cluster label; -1 when kept).
     *
     * Scale shape: the arriving batch (and everything derived from it)
-    * is broadcast; the index bands and cluster tables are corpus-scale
-    * and only scanned map-side. The only exchange is the final
-    * tiny groupBy on arriving doc_ids. */
+    * is broadcast; the index bands — labels included, see [[Stored]] —
+    * are corpus-scale and scanned map-side exactly once. The only
+    * exchange is the final tiny groupBy on arriving doc_ids. */
   def probe(arrivingDocs: DataFrame, index: Stored): DataFrame = {
     val aBands = docBands(arrivingDocs)
       .withColumnRenamed("doc_id", "a_id")
-    // matched (a_id, i_id): map-side over the index-bands scan
-    val matched = index.bands.join(broadcast(aBands), Seq("band", "bv"))
-      .select(col("a_id"), col("doc_id").as("i_id"))
-    // label each matched index doc (docs in no index pair label as
-    // themselves); matched is arriving-batch-sized -> broadcast it
-    // against the corpus-scale cluster table
-    val labeled = broadcast(matched)
-      .join(index.clusters, matched("i_id") === index.clusters("doc_id"),
-        "left")
-      .select(col("a_id"),
-        coalesce(col("cluster_id"), col("i_id")).as("cl"))
+    // matched (a_id, effective label): map-side over the bands scan
+    val labeled = index.bands.join(broadcast(aBands), Seq("band", "bv"))
+      .select(col("a_id"), col("lbl").as("cl"))
       .groupBy(col("a_id")).agg(min(col("cl")).as("cl"))
     arrivingDocs.select(col("doc_id"))
       .join(broadcast(labeled), col("doc_id") === col("a_id"), "left")

@@ -385,7 +385,14 @@ object LlmQueries {
   /** The persisted index for snapshot `d`, built at most once per
     * session (SnapshotMemo marker) and READ BACK from parquet — every
     * probe consumes the artifact, not the lineage. */
-  private[llm] def storedIndex(s: SparkSession, d: String): DedupIndex.Stored = {
+  /** Serializes stored-index builds: SnapshotMemo tolerates a racing
+    * double-compute (fine for pure DataFrames), but this compute
+    * OVERWRITES parquet directories — two interleaved overwrite jobs
+    * on one path could mix files. One lock, because builds are rare
+    * and the hold time is one backfill. */
+  private val indexBuildLock = new Object
+
+  private[llm] def storedIndex(s: SparkSession, d: String): DedupIndex.Stored = indexBuildLock.synchronized {
     val path = storedIndexPath(d)
     SnapshotMemo.getOrCompute(s, s"dedup-index:$d") {
       // the index bands are a FILTER of the memoized per-corpus
@@ -690,7 +697,11 @@ object LlmQueries {
     // attribute sets
     val asgR = asg.select(col("vec_id").as("r_vec_id"),
       col("cid").as("r_cid"), col("qv").as("rv"))
-    val repVecs = reps.join(asgR, col("rep_id") === col("r_vec_id"))
+    // broadcast(reps): reps is k rows but comes from an aggregate
+    // whose size estimate the planner can't trust — without the hint
+    // a stats misestimate would sort-merge-shuffle the corpus-scale
+    // assignment table here, a second corpus exchange
+    val repVecs = broadcast(reps).join(asgR, col("rep_id") === col("r_vec_id"))
       .select(col("r_cid").as("cid"), col("rep_id"), col("rv"))
     asg.join(broadcast(repVecs), Seq("cid"))
       .withColumn("ip",
@@ -1497,7 +1508,11 @@ object LlmQueries {
       .select(expr(
         s"""transform(sequence(CAST(0 AS BIGINT), CAST(${p.words - 1}
            |AS BIGINT)), w -> coalesce(element_at(wb, w),
-           |CAST(0 AS BIGINT)))""".stripMargin).as("barr"))
+           |CAST(0 AS BIGINT)))""".stripMargin).as("barr"),
+        // the geometry travels WITH the artifact (k in a column, m
+        // recoverable as 62*size(barr)) so a probe can never run at
+        // a different geometry than the build — see bloomCleanOf
+        lit(p.k).as("bloom_k"))
 
   /** The SPARSE form of the bitset — `(word, bits)` rows, one per
     * word with any bit set. This is the representation that stays
@@ -1528,16 +1543,19 @@ object LlmQueries {
   /** Row-local bloom membership: does ANY 5-gram of token array `w`
     * hit all k bits? Two-level lambda (grams → md5 → (a,b) struct)
     * so each gram hashes exactly once; requires the bitset row
-    * (`barr`) joined into scope. Stateless and shuffle-free — the
-    * form a streaming gate needs. */
-  private def bloomAnyGramExpr(p: BloomParams): String = {
+    * (`barr` + `bloom_k`) joined into scope. The GEOMETRY COMES FROM
+    * THE ARTIFACT — m = 62·size(barr), k = the bloom_k column — so a
+    * bitset built at any derived geometry probes correctly with no
+    * caller-supplied parameters to get wrong. Stateless and
+    * shuffle-free — the form a streaming gate needs. */
+  private def bloomAnyGramExpr: String = {
     val (haSql, hbSql) = bloomABSql("instr")
-    val tests = (1 to p.k).map(j =>
-      bloomBitTestSql(s"(ab.ha + $j * ab.hb) % ${p.bits}"))
-      .mkString(" AND ")
+    val pos = s"(ab.ha + CAST(j AS BIGINT) * ab.hb) % " +
+      s"(CAST($bloomWordBits AS BIGINT) * size(barr))"
+    val test = bloomBitTestSql(pos)
     s"""exists(transform(transform($fivegramArrSql, g -> md5(g)),
        |  h -> struct($haSql AS ha, $hbSql AS hb)),
-       |  ab -> $tests)""".stripMargin
+       |  ab -> forall(sequence(1, bloom_k), j -> $test))""".stripMargin
   }
 
   /** Bloom-gated corpus: drop every document whose text shares a
@@ -1548,14 +1566,13 @@ object LlmQueries {
     * the 1-row bitset; see graft.streaming.DocsStream). False
     * positives drop slightly more than the exact gate — the
     * documented Bloom trade; [[bloomSummary]] measures it. */
-  def bloomCleanOf(docs: DataFrame, bloomArr: DataFrame,
-      p: BloomParams = defaultBloom): DataFrame =
+  def bloomCleanOf(docs: DataFrame, bloomArr: DataFrame): DataFrame =
     docs
       .withColumn("one", lit(1))
       .join(broadcast(bloomArr.withColumn("one", lit(1))), "one")
       .withColumn("w", tokenExpr)
-      .filter(!expr(bloomAnyGramExpr(p)))
-      .drop("one", "w", "barr")
+      .filter(!expr(bloomAnyGramExpr))
+      .drop("one", "w", "barr", "bloom_k")
 
   private[llm] def computeBloomFlagged(
       s: SparkSession, d: String): DataFrame = {

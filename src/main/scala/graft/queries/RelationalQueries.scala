@@ -158,8 +158,20 @@ object RelationalQueries {
     val e = Tables(spark, dir, "events")
       .select(unix_timestamp(col("ts")).as("sec"), col("event_type"))
     rangeJoinBucketedOf(e,
-      spark.conf.getOption(rangeJoinSaltsFlag).map(_.toInt).getOrElse(1))
+      confInt(spark, rangeJoinSaltsFlag).map(_.toInt).getOrElse(1))
   }
+
+  /** Parse an integer conf value with an error that names the flag —
+    * a bare .toInt would surface an uncontextualized
+    * NumberFormatException from deep inside the query. */
+  private def confInt(spark: SparkSession, key: String): Option[Long] =
+    spark.conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }
 
   /** Skew knob for [[rangeJoinBucketed]]: a pathological hour (every
     * event in one bucket — a thundering-herd incident) sends that
@@ -552,7 +564,7 @@ object RelationalQueries {
     * 100 TB: sessions never span users, so this scales linearly with
     * no skew beyond the per-user event count. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
-    spark.conf.getOption(sessionsChunkFlag).map(_.toLong) match {
+    confInt(spark, sessionsChunkFlag) match {
       case Some(chunkUs) =>
         sessionsSharded(Tables(spark, dir, "events"), chunkUs)
       case None => sessionsOf(Tables(spark, dir, "events"))

@@ -81,7 +81,15 @@ object DocsStream {
     * against earlier arrivals — the full production admit loop
     * (probe, keep, index what you kept). With `false` the stream is a
     * pure probe and its kept-set is bit-equal to the batch query's
-    * regardless of how the shard was split into micro-batches. */
+    * regardless of how the shard was split into micro-batches.
+    *
+    * Retry safety: `foreachBatch` + parquet append is at-least-once,
+    * so every write is guarded to be idempotent per doc_id — the out
+    * table is re-read as the seen-set (the [[TurtleStream]] pattern)
+    * and the index append anti-joins the index's own doc_ids; probe
+    * matches exclude self-matches (`index.doc_id != arriving id`) so
+    * a crash between the index append and the checkpoint commit
+    * cannot make a replayed document drop against its own bands. */
   def startIncrementalDedup(docs: DataFrame, indexBandsPath: String,
       outPath: String, checkpointLocation: String,
       extendIndex: Boolean = false,
@@ -92,20 +100,46 @@ object DocsStream {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{broadcast, col}
+        import org.apache.spark.sql.functions.{broadcast, col, lit}
         val aBands = DedupIndex.docBands(batch)
+          .withColumnRenamed("doc_id", "a_id")
         val index = spark.read.parquet(indexBandsPath)
         // map-side over the index scan: the arriving micro-batch is
-        // the small side and broadcast, exactly as in batch
-        val dupIds = index.join(
-            broadcast(aBands.withColumnRenamed("doc_id", "a_id")),
-            Seq("band", "bv"))
+        // the small side and broadcast, exactly as in batch; the
+        // self-match guard makes a batch REPLAY after a partial
+        // extendIndex append see past its own bands
+        val dupIds = index.join(broadcast(aBands), Seq("band", "bv"))
+          .filter(col("doc_id") =!= col("a_id"))
           .select(col("a_id").as("doc_id")).distinct()
-        val kept = batch.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
-        kept.write.mode("append").parquet(outPath)
-        if (extendIndex)
-          DedupIndex.docBands(kept)
+        val novel = batch.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+          .localCheckpoint() // several consumers below — evaluate once
+        // retry guard: the accumulated out table is the seen-set
+        // (target-table-sized — no broadcast hint; the same documented
+        // trade as TurtleStream.startDedupAppend's anti-join)
+        val seen =
+          try spark.read.parquet(outPath).select(col("doc_id").as("s_id"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+        novel.join(seen, col("doc_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        if (extendIndex) {
+          // which novel ids already have bands (partial-append replay)?
+          // asymmetry as in the probe: broadcast the tiny novel id set
+          // against the corpus-scale index scan; the result is tiny
+          val alreadyIndexed = index.join(
+              broadcast(novel.select(col("doc_id").as("n_id")).distinct()),
+              col("doc_id") === col("n_id"))
+            .select(col("n_id").as("i_id")).distinct()
+          DedupIndex.docBands(novel)
+            .join(broadcast(alreadyIndexed), col("doc_id") === col("i_id"),
+              "left_anti")
+            // a kept novel doc is its own cluster representative
+            .withColumn("lbl", col("doc_id"))
+            .select("band", "bv", "doc_id", "lbl")
             .write.mode("append").parquet(indexBandsPath)
+        }
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .freeLocalCheckpoint(novel)
       }
       .trigger(trigger).start()
 }

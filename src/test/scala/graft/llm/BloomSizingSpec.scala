@@ -60,6 +60,28 @@ class BloomSizingSpec extends AnyFunSuite {
     assert(rate < 0.03, f"gram-level FP rate $rate%.4f vs 0.01 target")
   }
 
+  test("the row-local gate reads its geometry FROM the bitset: a " +
+    "derived non-default bitset drops every exactly-contaminated doc") {
+    val s = TestSpark.spark
+    val heldout = LlmQueries.fivegrams(s, dir)
+      .filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val p = LlmQueries.deriveBloomParams(heldout, 100)
+    assert(p != LlmQueries.defaultBloom)
+    // note: NO geometry passed to the gate — it must come from the row
+    val bits = LlmQueries.bloomBitsetOf(heldout, p)
+    val train = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 97 =!= 0)
+    val keptIds = LlmQueries.bloomCleanOf(train, bits)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactBad = LlmQueries.decontaminate(s, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactBad.nonEmpty)
+    // no false negatives: a contaminated doc can never survive the gate
+    assert(exactBad.intersect(keptIds).isEmpty,
+      s"contaminated docs passed the gate: ${exactBad.intersect(keptIds)}")
+    assert(keptIds.nonEmpty)
+  }
+
   test("partitioned probe == broadcast probe at the default geometry, " +
     "with no broadcast exchange in its plan") {
     val s = TestSpark.spark

@@ -93,9 +93,31 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     val kept = spark.read.parquet(out)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(200L, 301L)) // 300 deduped against batch-0's 200
-    // and 200's bands were appended to the index on disk
-    val idxDocs = spark.read.parquet(s"$indexPath/bands")
+    // and 200's bands were appended to the index on disk, with the
+    // stored-index schema (own id as cluster label)
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    assert(idxBands.columns.toSeq == DedupIndex.bandColumns)
+    val idxDocs = idxBands
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(idxDocs.contains(200L) && !idxDocs.contains(300L))
+
+    // RETRY SAFETY: replay the same shards through a FRESH checkpoint
+    // (foreachBatch is at-least-once — a replay must be a no-op):
+    // no duplicate out rows, no duplicate index bands, and the
+    // self-match guard must not drop the replayed docs as duplicates
+    // of their own appended bands
+    val q2 = DocsStream.startIncrementalDedup(
+      DocsStream.documents(spark, dir, maxFilesPerTrigger = Some(1))
+        .select("doc_id", "text"),
+      s"$indexPath/bands", out, tmp("incext-ckpt2"), extendIndex = true)
+    q2.awaitTermination()
+    val keptRows = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(keptRows.sorted == Seq(200L, 301L), s"replay duplicated: $keptRows")
+    val bandRows = spark.read.parquet(s"$indexPath/bands")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bandRows.values.forall(_ == 4L),
+      s"replay duplicated index bands: $bandRows")
   }
 }
