@@ -33,6 +33,7 @@ object LlmQueries {
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_keep" -> dedupKeep,
     "llm_dedup_incremental" -> dedupIncremental,
+    "llm_exact_incremental" -> exactIncremental,
     "llm_simhash" -> simhash,
     "llm_knn_bruteforce" -> knnBruteforce,
     "llm_ann_buckets" -> annBuckets,
@@ -410,6 +411,56 @@ object LlmQueries {
   def dedupIncremental(s: SparkSession, d: String): DataFrame =
     DedupIndex.probe(docs(s, d).filter(expr(arrivingShardPred)),
       storedIndex(s, d))
+
+  /** The EXACT twin of [[dedupIncremental]]: the stored index is the
+    * per-document sha256 of the normalized text (with the min-id
+    * representative per key), persisted once; an arriving shard
+    * hashes its own texts and probes by key. Same asymmetry — the
+    * arriving hashes broadcast against the map-side index scan, one
+    * tiny rollup exchange — and together the pair covers both dedup
+    * levels a production corpus admits new data through (byte-exact
+    * copies here, near-dups via the MinHash index). Output:
+    * `doc_id, verdict, dup_of` (the matched representative; -1 when
+    * kept). */
+  def exactIncremental(s: SparkSession, d: String): DataFrame = {
+    val idx = storedExactIndex(s, d)
+    val arriving = docs(s, d).filter(expr(arrivingShardPred))
+      .select(col("doc_id"), tokenizedKeyExpr.as("a_key"))
+    val matched = idx.join(
+        broadcast(arriving.withColumnRenamed("doc_id", "a_id")),
+        col("dedup_key") === col("a_key"))
+      .groupBy(col("a_id")).agg(min(col("keep_id")).as("dup_of"))
+    arriving.select(col("doc_id"))
+      .join(broadcast(matched), col("doc_id") === col("a_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, lit("kept")).otherwise(lit("dropped"))
+          .as("verdict"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** sha256 of the normalized (lowercased, whitespace-collapsed)
+    * text — THE exact-dedup key, one definition for the batch query
+    * and the incremental index/probe. */
+  private def tokenizedKeyExpr: org.apache.spark.sql.Column =
+    sha2(concat_ws(" ", tokenExpr), 256)
+
+  /** Persisted exact-hash index over the existing snapshot:
+    * (dedup_key, keep_id = min doc_id per key), read back from
+    * parquet. Shares [[indexBuildLock]] — the build overwrites a
+    * parquet path. */
+  private def storedExactIndex(s: SparkSession, d: String): DataFrame =
+    indexBuildLock.synchronized {
+      val path = s"${storedIndexPath(d)}/exact"
+      SnapshotMemo.getOrCompute(s, s"exact-index:$d") {
+        docs(s, d).filter(!expr(arrivingShardPred))
+          .select(col("doc_id"), tokenizedKeyExpr.as("dedup_key"))
+          .groupBy(col("dedup_key"))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      s.read.parquet(path)
+    }
 
   // ---------------------------------------------------------------
   // SimHash fingerprint: 16-bit signature, bit j = majority over the
@@ -1514,6 +1565,25 @@ object LlmQueries {
         // a different geometry than the build — see bloomCleanOf
         lit(p.k).as("bloom_k"))
 
+  /** OR-merge two bitsets of the SAME geometry. Bit positions are a
+    * deterministic function of the gram, so the merge is EXACTLY the
+    * bitset of the union of the two gram sets (spec-pinned) — a new
+    * heldout benchmark extends a deployed decontamination gate as a
+    * 1-row OR, no rebuild, no access to the original grams. Cross-
+    * snapshot incremental decontamination in one operator. A
+    * geometry mismatch (different k or width) raises at execution
+    * rather than probing garbage. */
+  def bloomMergeOf(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("barr").as("ba"), col("bloom_k").as("ka"))
+      .crossJoin(b.select(col("barr").as("bb"), col("bloom_k").as("kb")))
+      .select(
+        expr("""CASE WHEN ka = kb AND size(ba) = size(bb)
+               |THEN zip_with(ba, bb, (x, y) -> x | y)
+               |ELSE raise_error(concat('bloom geometry mismatch: k=',
+               |  ka, '/', kb, ', words=', size(ba), '/', size(bb)))
+               |END""".stripMargin).as("barr"),
+        col("ka").as("bloom_k"))
+
   /** The SPARSE form of the bitset — `(word, bits)` rows, one per
     * word with any bit set. This is the representation that stays
     * joinable when the derived geometry outgrows broadcast: the
@@ -2278,6 +2348,22 @@ object LlmQueries {
          |  HAVING doc <> min(lbl))
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc FROM dupes)""".stripMargin,
+
+    "llm_exact_incremental" ->
+      s"""WITH $wCte,
+         |keys AS (SELECT doc_id,
+         |    sha256(array_to_string(ws, ' ')) AS k FROM w),
+         |idx AS (SELECT k AS dedup_key, min(doc_id) AS keep_id
+         |  FROM keys WHERE NOT ($arrivingShardPred) GROUP BY k),
+         |arr AS (SELECT doc_id, k FROM keys WHERE $arrivingShardPred),
+         |m AS (SELECT a.doc_id, min(i.keep_id) AS dup_of
+         |  FROM arr a JOIN idx i ON a.k = i.dedup_key
+         |  GROUP BY a.doc_id)
+         |SELECT a.doc_id,
+         |  CASE WHEN m.doc_id IS NULL THEN 'kept' ELSE 'dropped' END
+         |    AS verdict,
+         |  coalesce(m.dup_of, -1) AS dup_of
+         |FROM arr a LEFT JOIN m ON a.doc_id = m.doc_id""".stripMargin,
 
     // Replays the split + stored-index semantics end-to-end: index
     // bands (bi) over the existing snapshot, CC labels over ITS pair

@@ -82,6 +82,33 @@ class BloomSizingSpec extends AnyFunSuite {
     assert(keptIds.nonEmpty)
   }
 
+  test("bloom merge == bitset of the union, bit for bit; geometry " +
+    "mismatch raises") {
+    val s = TestSpark.spark
+    val s2 = s
+    import s2.implicits._
+    def gramsOf(xs: Seq[String]) = xs.toDF("g")
+    val g1 = Seq("alpha beta gamma delta epsilon", "one two three four five")
+    val g2 = Seq("zeta eta theta iota kappa", "one two three four five")
+    val p = LlmQueries.BloomParams(40, 4)
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      LlmQueries.bloomBitsetOf(df, p)
+    val merged = LlmQueries.bloomMergeOf(bits(gramsOf(g1)), bits(gramsOf(g2)))
+      .head
+    val union = bits(gramsOf((g1 ++ g2).distinct)).head
+    assert(merged.getSeq[Long](0) == union.getSeq[Long](0))
+    assert(merged.getInt(1) == p.k)
+    // mismatched geometry must raise, not probe garbage
+    val other = LlmQueries.bloomBitsetOf(gramsOf(g2),
+      LlmQueries.BloomParams(40, 3))
+    val ex = intercept[Exception] {
+      LlmQueries.bloomMergeOf(bits(gramsOf(g1)), other).collect()
+    }
+    assert(ex.getMessage.contains("bloom geometry mismatch") ||
+      Option(ex.getCause).exists(_.getMessage
+        .contains("bloom geometry mismatch")))
+  }
+
   test("partitioned probe == broadcast probe at the default geometry, " +
     "with no broadcast exchange in its plan") {
     val s = TestSpark.spark

@@ -72,6 +72,33 @@ class DedupIndexSpec extends AnyFunSuite {
       (100L, "dropped", 1L), (101L, "kept", -1L), (102L, "kept", -1L)))
   }
 
+  test("exact incremental probe drops a byte-identical arrival with " +
+    "its index representative (crafted corpus — testdata has no " +
+    "exact dupes)") {
+    val s = spark
+    import s.implicits._
+    val t = "the very same normalized text appears twice"
+    val dir = Files.createTempDirectory("exact-inc").toFile.getAbsolutePath
+    // index shard: ids with id % 10 != 7; arriving: id % 10 == 7.
+    // 3 and 13 are index-side copies (rep = 3); 17 arrives as another
+    // copy; 27 arrives novel; 37 arrives as a WHITESPACE variant of t
+    // (normalization must still match)
+    Seq(
+      (3L, t, "en", "web", 10L), (13L, t, "en", "web", 10L),
+      (5L, "completely different index text here", "en", "web", 10L),
+      (17L, t, "en", "web", 10L),
+      (27L, "a novel arriving text nothing matches", "en", "web", 10L),
+      (37L, "  THE very   same normalized text appears twice ", "en",
+        "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmQueries.queries("llm_exact_incremental")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (17L, "dropped", 3L), (37L, "dropped", 3L), (27L, "kept", -1L)))
+  }
+
   test("llm_dedup_incremental covers exactly the arriving shard and " +
     "drops only docs with an index band match") {
     val out = LlmQueries.queries("llm_dedup_incremental")(spark, sf)
