@@ -151,6 +151,56 @@ object RdfOps {
     combined.union(sameAs).dropDuplicates()
   }
 
+  /** SPARQL property-path reachability `p{1,maxHops}` (the bounded
+    * form of `dcterms:relation+`) — a recursive query Spark SQL
+    * cannot express (no recursive CTE); implemented as SEMI-NAIVE
+    * Datalog iteration, the standard distributed transitive-closure
+    * shape: each round joins only the FRONTIER (pairs first reached
+    * last round) against the edge table, so per-round work is
+    * O(frontier × out-degree) — never O(all reached pairs). The BFS
+    * invariant (a pair is emitted the first round it appears) makes
+    * the reported `hops` the MINIMUM path length without any min-
+    * aggregation over enumerated paths. Cycles are handled exactly:
+    * a pair already reached is dropped by the anti-join, so the
+    * frontier is monotone-decreasing on a finite node set and the
+    * loop always terminates — and (s, s, c) rows for cycles back to
+    * a seed ARE emitted, matching SPARQL/recursive-CTE semantics.
+    *
+    * Scale shape (100 TB): the edge table is scanned once per round
+    * and hash-joined on `src`; a store that bucket-partitions edges
+    * by `src` makes every round's join co-located. The frontier and
+    * reached sets are localCheckpoint'ed per round — same lineage
+    * discipline as the connected-components and Lloyd loops.
+    *
+    * @param edges (src, dst) edge table
+    * @param seeds (src) roots to walk from
+    * @return (src, dst, hops) with hops = min path length in [1, maxHops]
+    */
+  def reachable(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    val empty = seeds.select(col("src"), col("src").as("dst"),
+      lit(0).as("hops")).limit(0)
+    // frontier starts at the seeds themselves (hop 0) but those self
+    // rows are NOT in `reached`: a cycle returning to its seed must
+    // be discovered as a fresh (s, s, c) pair, not suppressed.
+    var frontier = seeds.select(col("src"), col("src").as("dst")).distinct()
+    var reached: DataFrame = empty
+    var d = 1
+    while (d <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("dst") === e("e_src"))
+        .select(frontier("src"), col("e_dst").as("dst"))
+        .distinct()
+      val fresh = next.join(reached.select("src", "dst"), Seq("src", "dst"),
+          "left_anti")
+        .withColumn("hops", lit(d))
+        .localCheckpoint()
+      reached = reached.union(fresh)
+      frontier = fresh.select(col("src"), col("dst"))
+      d += 1
+    }
+    reached
+  }
+
   /** O19 — the composed reference pipeline EP1→EP2 (export cleaning →
     * enrichment → rename → delete), one lazy dataflow end-to-end
     * (reference: src/transform_datamodel.py:140–168 + workflow DAG).

@@ -52,6 +52,15 @@ object RdfQueries {
     // enrichment batch as its own graph (TriG's data model).
     "rdf_graph_stats" -> ((s, d) => graphStats(s, d)),
     "rdf_graph_overlap" -> ((s, d) => graphOverlap(s, d)),
+    // SPARQL-parity queries over the triple store: a basic graph
+    // pattern (star join) and a property path (recursive closure) —
+    // the two query shapes an RDF engine must answer beyond the
+    // reference's single-pattern scans.
+    "rdf_bgp_star" -> ((s, d) => bgpStar(s, d)),
+    "rdf_reachable" -> ((s, d) => reachableQ(s, d)),
+    // Week-N vs week-N+1 export diff: the incremental view of the
+    // reference's weekly overwrite-publish (yml:87).
+    "rdf_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
   )
 
   private def tri(s: SparkSession, d: String): DataFrame =
@@ -91,6 +100,85 @@ object RdfQueries {
       .groupBy(col("subject"), col("predicate"), col("obj_value"))
       .agg(countDistinct(col("graph")).as("n_graphs"))
       .filter(col("n_graphs") > 1)
+
+  /** The def#size predicate IRI (fixture-only vocabulary). */
+  private val DefSize = "http://ex.org/def#size"
+
+  /** SPARQL basic graph pattern — the star query
+    * `?item rdf:type ceo:Rijksmonument ; dcterms:title ?t ;
+    *  ceo:rijksmonumentnummer ?m ; def:size ?z FILTER(?z >= 25)`.
+    *
+    * The naive relational spelling is an n-way self-join of the
+    * triple table (one join per pattern — what the oracle SQL does,
+    * deliberately, as a structurally independent implementation).
+    * The engine instead evaluates the star as ONE exchange: group by
+    * subject with conditional aggregates pivoting each predicate into
+    * a column, then filter — the classic property-table optimization
+    * for star BGPs over a triple store. Exact under the fixture's
+    * functional properties (≤ 1 value per predicate per subject);
+    * multi-valued patterns would take the join form instead.
+    *
+    * At 100 TB: n-way self-joins shuffle the fact table n times; the
+    * pivot shuffles it once, with map-side partial aggregation. */
+  private def bgpStar(s: SparkSession, d: String): DataFrame = {
+    val p = col("predicate")
+    tri(s, d).groupBy(col("subject"))
+      .agg(
+        max(when(p === RdfType && col("obj_value") === CeoRijksmonument, 1)
+          .otherwise(0)).as("is_typed"),
+        min(when(p === DctermsTitle, col("obj_value"))).as("title"),
+        min(when(p === CeoRijksmonumentnummer, col("obj_value")))
+          .as("monument_number"),
+        min(when(p === DefSize, col("obj_value").cast("int")))
+          .as("part_size"))
+      .filter(col("is_typed") === 1 && col("title").isNotNull &&
+        col("monument_number").isNotNull && col("part_size") >= 25)
+      .select(col("subject").as("item"), col("title"),
+        col("monument_number"), col("part_size"))
+  }
+
+  /** SPARQL property path `dcterms:relation{1,8}` from every
+    * Rijksmonument-typed subject: bounded transitive closure with
+    * min-hop semantics, via [[RdfOps.reachable]]'s semi-naive
+    * iteration (Spark SQL has no recursive CTE — this is a custom
+    * iterative operator; the DuckDB oracle uses its native
+    * WITH RECURSIVE as an independent implementation). */
+  private def reachableQ(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val edges = t.filter(col("predicate") === DctermsRelation &&
+        col("obj_kind") === "iri")
+      .select(col("subject").as("src"), col("obj_value").as("dst"))
+    val seeds = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("src")).distinct()
+    RdfOps.reachable(edges, seeds, maxHops = 8)
+  }
+
+  /** Week-over-week snapshot diff: the reference re-exports and
+    * OVERWRITES the published graph weekly (yml:87); the first thing
+    * an operator asks of two consecutive snapshots is "what changed".
+    * v2 is a deterministic edit script over the fixture (both engines
+    * replay it byte-for-byte): ~1/19 of triples deleted by a
+    * char-length hash, titles with length(obj_value) % 7 = 0
+    * rewritten with a " v2" suffix. Diff = EXCEPT both ways, tagged.
+    * EXCEPT DISTINCT treats NULLs as equal in both engines (same
+    * guarantee rdf_removed_by_clean relies on).
+    *
+    * At 100 TB each EXCEPT is one full-width exchange; two snapshots
+    * bucket-partitioned by subject at write time make the diff
+    * co-located instead. */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = tri(s, d)
+    val deleted = (length(col("subject")) + length(col("predicate")) +
+      length(col("obj_value"))) % 19 === 0
+    val modified = col("predicate") === DctermsTitle &&
+      length(col("obj_value")) % 7 === 0
+    val v2 = v1.filter(!deleted).withColumn("obj_value",
+      when(modified, concat(col("obj_value"), lit(" v2")))
+        .otherwise(col("obj_value")))
+    v2.except(v1).withColumn("change", lit("added"))
+      .union(v1.except(v2).withColumn("change", lit("removed")))
+  }
 
   /** O10 — single-row stage metrics (reference: `len(graph)` at
     * src/transform_datamodel.py:85,123,127): one map-side pass with
@@ -238,6 +326,66 @@ object RdfQueries {
          |  CAST(count(DISTINCT graph) AS BIGINT) AS n_graphs
          |FROM mg GROUP BY 1, 2, 3
          |HAVING count(DISTINCT graph) > 1""".stripMargin,
+
+    // Deliberately the NAIVE spelling — one self-join per pattern —
+    // so the oracle is structurally independent of the engine's
+    // single-shuffle pivot evaluation of the same BGP.
+    "rdf_bgp_star" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT ty.subject AS item, ti.obj_value AS title,
+         |  m.obj_value AS monument_number,
+         |  CAST(z.obj_value AS INT) AS part_size
+         |FROM triples ty
+         |JOIN triples ti ON ti.subject = ty.subject
+         |  AND ti.predicate = '$DctermsTitle'
+         |JOIN triples m ON m.subject = ty.subject
+         |  AND m.predicate = '$CeoRijksmonumentnummer'
+         |JOIN triples z ON z.subject = ty.subject
+         |  AND z.predicate = 'http://ex.org/def#size'
+         |  AND CAST(z.obj_value AS INT) >= 25
+         |WHERE ty.predicate = '$RdfType'
+         |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
+
+    // DuckDB's native WITH RECURSIVE is the independent
+    // implementation of the engine's semi-naive iteration; UNION
+    // (distinct) bounds the walk, MIN collapses to first-discovery
+    // hop counts. The recursive CTE is NESTED in a derived table:
+    // a top-level `WITH RECURSIVE` makes DuckDB 1.0 mis-scope the
+    // multi-CTE nested WITH inside the triples fixture CTE.
+    "rdf_reachable" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |edges AS (SELECT subject AS src, obj_value AS dst FROM triples
+         |  WHERE predicate = '$DctermsRelation' AND obj_kind = 'iri'),
+         |seeds AS (SELECT DISTINCT subject AS src FROM triples
+         |  WHERE predicate = '$RdfType'
+         |    AND obj_value = '$CeoRijksmonument')
+         |SELECT src, dst, CAST(MIN(hops) AS INT) AS hops FROM (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT s.src, e.dst, 1 AS hops FROM seeds s
+         |    JOIN edges e ON e.src = s.src
+         |    UNION
+         |    SELECT w.src, e.dst, w.hops + 1 FROM walk w
+         |    JOIN edges e ON e.src = w.dst
+         |    WHERE w.hops < 8)
+         |  SELECT * FROM walk)
+         |GROUP BY src, dst""".stripMargin,
+
+    "rdf_snapshot_diff" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |v2 AS (
+         |  SELECT graph, subject, subject_kind, predicate,
+         |    CASE WHEN predicate = '$DctermsTitle'
+         |           AND length(obj_value) % 7 = 0
+         |         THEN obj_value || ' v2' ELSE obj_value END AS obj_value,
+         |    obj_kind, obj_lang, obj_datatype
+         |  FROM triples
+         |  WHERE (length(subject) + length(predicate) + length(obj_value))
+         |    % 19 <> 0)
+         |SELECT *, 'added' AS change FROM (
+         |  SELECT * FROM v2 EXCEPT SELECT * FROM triples)
+         |UNION ALL
+         |SELECT *, 'removed' AS change FROM (
+         |  SELECT * FROM triples EXCEPT SELECT * FROM v2)""".stripMargin,
   )
 
   /** CTE `mg`: byte-identical to [[multiGraph]] (char-length graph

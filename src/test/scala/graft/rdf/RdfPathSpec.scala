@@ -1,0 +1,98 @@
+package graft.rdf
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Specs for the SPARQL-parity queries: property-path reachability
+  * (semi-naive iteration), the star BGP pivot, and the snapshot diff.
+  */
+class RdfPathSpec extends AnyFunSuite {
+
+  private def edges(rows: (String, String)*) = {
+    val s = TestSpark.spark
+    import s.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  private def seeds(xs: String*) = {
+    val s = TestSpark.spark
+    import s.implicits._
+    xs.toDF("src")
+  }
+
+  private def reach(e: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.DataFrame, max: Int): Set[(String, String, Int)] =
+    RdfOps.reachable(e, s, max).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("reachable: diamond graph reports MIN hops (BFS first-discovery)") {
+    // a→b→d and a→c→d→e: d is reachable in 2 (not 3), e in 3.
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d", "d" -> "e")
+    assert(reach(e, seeds("a"), 8) == Set(
+      ("a", "b", 1), ("a", "c", 1), ("a", "d", 2), ("a", "e", 3)))
+  }
+
+  test("reachable: cycle back to the seed is emitted, then terminates") {
+    // 1→2→3→1: SPARQL p+ includes the (1,1) pair via the cycle; the
+    // anti-join must still terminate the walk (verified against
+    // DuckDB's WITH RECURSIVE, which returns the same three rows).
+    val e = edges("1" -> "2", "2" -> "3", "3" -> "1")
+    assert(reach(e, seeds("1"), 8) == Set(
+      ("1", "2", 1), ("1", "3", 2), ("1", "1", 3)))
+  }
+
+  test("reachable: maxHops truncates the walk; multiple seeds are independent") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "x" -> "b")
+    assert(reach(e, seeds("a", "x"), 2) == Set(
+      ("a", "b", 1), ("a", "c", 2), ("x", "b", 1), ("x", "c", 2)))
+  }
+
+  test("reachable: seed with no outgoing edges yields nothing") {
+    val e = edges("a" -> "b")
+    assert(reach(e, seeds("z"), 8).isEmpty)
+  }
+
+  test("bgp star: pivot evaluation equals the naive n-way self-join") {
+    // The oracle SQL runs the naive join in DuckDB; this spec runs
+    // the same naive join in SPARK over the real fixture, so the
+    // pivot-vs-join equivalence is also checked engine-internally.
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val t = TripleFixture.triples(s, d)
+    import Vocab._
+    val ty = t.filter(col("predicate") === RdfType &&
+      col("obj_value") === CeoRijksmonument).select(col("subject"))
+    val ti = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject"), col("obj_value").as("title"))
+    val m = t.filter(col("predicate") === CeoRijksmonumentnummer)
+      .select(col("subject"), col("obj_value").as("monument_number"))
+    val z = t.filter(col("predicate") === "http://ex.org/def#size" &&
+        col("obj_value").cast("int") >= 25)
+      .select(col("subject"), col("obj_value").cast("int").as("part_size"))
+    val naive = ty.join(ti, "subject").join(m, "subject").join(z, "subject")
+      .select(col("subject").as("item"), col("title"),
+        col("monument_number"), col("part_size"))
+    val pivot = RdfQueries.queries("rdf_bgp_star")(s, d)
+    assert(pivot.count() > 0)
+    assert(pivot.except(naive).isEmpty && naive.except(pivot).isEmpty)
+  }
+
+  test("snapshot diff: added rows are v2-rewrites, tags partition the diff") {
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val diff = RdfQueries.queries("rdf_snapshot_diff")(s, d)
+      .localCheckpoint()
+    val added = diff.filter(col("change") === "added")
+    val removed = diff.filter(col("change") === "removed")
+    assert(added.count() > 0 && removed.count() > added.count())
+    // every added row is a rewritten title
+    assert(added.filter(!col("obj_value").endsWith(" v2")).isEmpty)
+    // each added row's pre-image is among the removed rows
+    val preimage = added.select(col("subject"), col("predicate"),
+      expr("substring(obj_value, 1, length(obj_value) - 3)").as("obj_value"))
+    assert(preimage.join(removed.select("subject", "predicate", "obj_value"),
+      Seq("subject", "predicate", "obj_value"), "left_anti").isEmpty)
+  }
+}
