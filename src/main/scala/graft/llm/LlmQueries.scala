@@ -59,6 +59,7 @@ object LlmQueries {
     "llm_term_filter" -> termFilter,
     "llm_distinctive_terms" -> distinctiveTerms,
     "llm_kmv_distinct" -> kmvDistinct,
+    "llm_kmv_incremental" -> kmvIncremental,
     "llm_winnow" -> winnow,
     "llm_split_assign" -> splitAssign,
     "llm_length_buckets" -> lengthBuckets,
@@ -1166,8 +1167,11 @@ object LlmQueries {
   /** Per-source exact vs KMV-estimated distinct 3-token shingles.
     * `+ 1` in the divisor guards the measure-zero h_k = 0 draw
     * (both engines would otherwise divide by zero). */
-  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
-    val shingled = docs(s, d)
+  def kmvDistinct(s: SparkSession, d: String): DataFrame =
+    kmvDistinctOf(docs(s, d))
+
+  def kmvDistinctOf(in: DataFrame): DataFrame = {
+    val shingled = in
       .select(col("source"), tokenExpr.as("w"))
       .select(col("source"), explode(expr(shingle3Expr)).as("sg"))
       .withColumn("h", md5(col("sg")))
@@ -1184,6 +1188,65 @@ object LlmQueries {
              |  ELSE (${kmvK - 1}L * 4294967296L)
              |    div (element_at(tk, $kmvK).id + 1L) END"""
             .stripMargin).as("est_distinct"))
+  }
+
+  // ---------------------------------------------------------------
+  // Incremental KMV: the cross-snapshot form of the sketch above.
+  // A 100 TB pipeline never re-sketches the corpus — it keeps ONE
+  // bottom-k artifact per ingest shard (per day / per batch) in the
+  // metastore and answers "distinct across everything so far" by
+  // MERGING the artifacts. Bottom-k is exactly mergeable: every
+  // member of the global bottom-k is in some shard and is within
+  // that shard's bottom-k there (fewer than k values are smaller
+  // anywhere), so bottom-k(distinct-union of partials) = global
+  // bottom-k — the merged estimate is IDENTICAL to the monolithic
+  // one, not merely close. The |union| < k fallback is exact too:
+  // it implies every shard sketch was complete, so the union IS the
+  // global distinct set. Merge cost is O(shards × k) longs — the
+  // corpus is never touched.
+  // ---------------------------------------------------------------
+  private val kmvShards = 4
+
+  /** Per-shard KMV partials (shard = doc_id % 4, modeling per-batch
+    * stored artifacts) merged into a corpus-wide estimate, with the
+    * monolithic sketch re-run alongside as the yardstick (same
+    * measure-don't-claim pattern as the ANN recall queries — a pure
+    * production run would drop the yardstick branch). */
+  def kmvIncremental(s: SparkSession, d: String): DataFrame =
+    kmvIncrementalOf(s, docs(s, d))
+
+  def kmvIncrementalOf(s: SparkSession, in: DataFrame): DataFrame = {
+    val hv = in
+      .select(col("source"), (col("doc_id") % kmvShards).as("shard"),
+        tokenExpr.as("w"))
+      .select(col("source"), col("shard"), explode(expr(shingle3Expr)).as("sg"))
+      .withColumn("h", md5(col("sg")))
+      .select(col("source"), col("shard"), expr(hexHashExpr("instr")).as("hv"))
+      .distinct()
+    // the stored artifacts: one bottom-k array per (source, shard)
+    val partials = hv
+      .groupBy(col("source"), col("shard"))
+      .agg(graft.functions.TopKByLong.topK(-col("hv"), col("hv"), kmvK)
+        .as("tk"))
+    // the merge: explode O(shards × k) longs, distinct-union,
+    // re-take bottom-k — estimate from sketch contents ONLY
+    val merged = partials
+      .select(col("source"), explode(col("tk")).as("t"))
+      .select(col("source"), col("t.id").as("hv"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_merged"),
+        graft.functions.TopKByLong.topK(-col("hv"), col("hv"), kmvK)
+          .as("tk"))
+      .select(col("source"), col("n_merged"),
+        expr(
+          s"""CASE WHEN n_merged < $kmvK THEN n_merged
+             |  ELSE (${kmvK - 1}L * 4294967296L)
+             |    div (element_at(tk, $kmvK).id + 1L) END"""
+            .stripMargin).as("est_merged"))
+    merged.join(kmvDistinctOf(in), "source")
+      .select(col("source"), col("n_merged"), col("est_merged"),
+        col("est_distinct").as("est_full"), col("n_exact"))
   }
 
   // ---------------------------------------------------------------
@@ -2802,6 +2865,51 @@ object LlmQueries {
          |    ELSE (${kmvK - 1} * 4294967296) // (kth.hk + 1) END
          |    AS BIGINT) AS est_distinct
          |FROM n LEFT JOIN kth ON n.source = kth.source""".stripMargin,
+
+    // Replays the whole incremental chain: per-(source, shard)
+    // bottom-64 partials (rn <= k), distinct-union merge, re-ranked
+    // bottom-64, estimate from sketch contents only — plus the
+    // monolithic sketch re-derived from the SAME hv base for the
+    // yardstick columns.
+    "llm_kmv_incremental" ->
+      s"""WITH t AS (SELECT source, doc_id % $kmvShards AS shard,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |pos AS (SELECT source, shard, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM t),
+         |g AS (SELECT source, shard,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+         |  FROM pos),
+         |shv AS (SELECT DISTINCT source, shard, ${hexHashExpr("strpos")} AS v
+         |  FROM g),
+         |pr AS (SELECT source, shard, v, ROW_NUMBER() OVER (
+         |    PARTITION BY source, shard ORDER BY v ASC) AS rn FROM shv),
+         |partials AS (SELECT source, shard, v FROM pr WHERE rn <= $kmvK),
+         |u AS (SELECT DISTINCT source, v FROM partials),
+         |m AS (SELECT source, v, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY v ASC) AS rn FROM u),
+         |nm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_merged
+         |  FROM u GROUP BY source),
+         |mkth AS (SELECT source, v AS hk FROM m WHERE rn = $kmvK),
+         |hv AS (SELECT DISTINCT source, v FROM shv),
+         |r AS (SELECT source, v, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY v ASC) AS rn FROM hv),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM hv GROUP BY source),
+         |kth AS (SELECT source, v AS hk FROM r WHERE rn = $kmvK)
+         |SELECT nm.source, nm.n_merged,
+         |  CAST(CASE WHEN nm.n_merged < $kmvK THEN nm.n_merged
+         |    ELSE (${kmvK - 1} * 4294967296) // (mkth.hk + 1) END
+         |    AS BIGINT) AS est_merged,
+         |  CAST(CASE WHEN kth.hk IS NULL THEN n.n_exact
+         |    ELSE (${kmvK - 1} * 4294967296) // (kth.hk + 1) END
+         |    AS BIGINT) AS est_full,
+         |  n.n_exact
+         |FROM nm
+         |JOIN n ON n.source = nm.source
+         |LEFT JOIN mkth ON mkth.source = nm.source
+         |LEFT JOIN kth ON kth.source = nm.source""".stripMargin,
 
     "llm_winnow" ->
       s"""WITH $wCte,

@@ -161,6 +161,26 @@ class LlmPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kmvIncremental: merged per-shard sketches equal the monolithic sketch") {
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(40 + seed)
+      // seed 1 keeps the corpus tiny so |union| < k exercises the
+      // exact fallback; the others exceed k and use the estimator
+      val rows = randomCorpus(rnd, if (seed == 1) 6 else 60)
+      val dir = writeDocs(rows)
+      val got = LlmQueries.kmvIncremental(spark, dir).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(got.nonEmpty, s"seed $seed")
+      got.foreach { case (src, nMerged, estMerged, estFull, nExact) =>
+        assert(estMerged == estFull, s"seed $seed src $src")
+        // a merged union below k means every shard sketch was
+        // complete — the union must BE the exact distinct set
+        if (nMerged < 64) assert(nMerged == nExact, s"seed $seed src $src")
+      }
+    }
+  }
+
   test("bloom prefilter never misses an exactly-contaminated doc, and " +
     "per-doc exact counts survive the join (random corpora)") {
     (1 to 3).foreach { seed =>
