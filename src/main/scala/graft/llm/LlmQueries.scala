@@ -1249,6 +1249,46 @@ object LlmQueries {
         col("est_distinct").as("est_full"), col("n_exact"))
   }
 
+  /** One batch's KMV partial as ROWS — `(source, hv)`, at most k rows
+    * per source: the artifact the streaming maintenance loop persists
+    * (row form rather than array form so merge is a plain
+    * distinct-union + re-top-k over O(sources × k) rows). */
+  def kmvPartialOf(in: DataFrame): DataFrame =
+    rowsOfSketch(in
+      .select(col("source"), tokenExpr.as("w"))
+      .select(col("source"), explode(expr(shingle3Expr)).as("sg"))
+      .withColumn("h", md5(col("sg")))
+      .select(col("source"), expr(hexHashExpr("instr")).as("hv"))
+      .distinct())
+
+  /** Merge two row-form sketches: distinct union, re-take bottom-k
+    * per source. Exact (see the mergeability argument above),
+    * idempotent (set semantics — re-merging the same partial is a
+    * no-op, which is what makes at-least-once streaming retries
+    * safe), commutative and associative: arrival order and shard
+    * boundaries cannot change the merged sketch. */
+  def kmvMergeRows(a: DataFrame, b: DataFrame): DataFrame =
+    rowsOfSketch(a.unionByName(b).distinct())
+
+  private def rowsOfSketch(rows: DataFrame): DataFrame =
+    rows.groupBy(col("source"))
+      .agg(graft.functions.TopKByLong.topK(-col("hv"), col("hv"), kmvK)
+        .as("tk"))
+      .select(col("source"), explode(col("tk")).as("t"))
+      .select(col("source"), col("t.id").as("hv"))
+
+  /** Distinct-count estimate from a row-form sketch ALONE (no corpus
+    * access): a sketch of fewer than k rows is the complete distinct
+    * set; at k rows the largest member is the k-th order statistic. */
+  def kmvEstimateOf(sketch: DataFrame): DataFrame =
+    sketch.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("hv")).as("hk"))
+      .select(col("source"),
+        expr(
+          s"""CASE WHEN n_sketch < $kmvK THEN n_sketch
+             |  ELSE (${kmvK - 1}L * 4294967296L) div (hk + 1L) END"""
+            .stripMargin).as("est_distinct"))
+
   // ---------------------------------------------------------------
   // Winnowing fingerprints (the MOSS algorithm): slide a window of
   // width 4 over the 3-gram shingle-hash sequence, keep each

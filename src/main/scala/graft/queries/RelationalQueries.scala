@@ -52,6 +52,7 @@ object RelationalQueries {
     "rel_q25_median_sketch" -> medianSketch,
     "rel_q26_quartiles_sketch" -> quartilesSketch,
     "rel_q27_range_join" -> rangeJoinBucketed,
+    "rel_q28_user_gaps" -> userGaps,
   )
 
   /** Sample size for the bottom-k quantile sketch (rel_q25/q26):
@@ -252,6 +253,29 @@ object RelationalQueries {
       .groupBy(col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Inter-event gaps via lag — the offset-window family (lag/lead)
+    * the suite didn't yet exercise. Per user, events are ordered by
+    * (ts_us, event_id) — the unique id breaks timestamp ties so the
+    * previous-row reference is deterministic in both engines — and
+    * the gap to the previous event is aggregated per current-event
+    * type. One exchange on user_id; the window streams each user's
+    * sorted run with O(1) state (lag 1), then a 4-key map-side-
+    * combined rollup. All time math in integer µs. */
+  def userGaps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    e.withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
   }
 
   /** Per-segment price quartiles via ntile — the ranked-distribution
@@ -1059,5 +1083,17 @@ object RelationalQueries {
         |    AS BIGINT) AS n_err
         |FROM w JOIN e ON e.sec >= w.win_lo AND e.sec < w.win_hi
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_q28_user_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT event_type, ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
   )
 }

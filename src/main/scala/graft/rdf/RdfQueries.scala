@@ -57,6 +57,7 @@ object RdfQueries {
     // the two query shapes an RDF engine must answer beyond the
     // reference's single-pattern scans.
     "rdf_bgp_star" -> ((s, d) => bgpStar(s, d)),
+    "rdf_bgp_optional" -> ((s, d) => bgpOptional(s, d)),
     "rdf_reachable" -> ((s, d) => reachableQ(s, d)),
     // Week-N vs week-N+1 export diff: the incremental view of the
     // reference's weekly overwrite-publish (yml:87).
@@ -135,6 +136,27 @@ object RdfQueries {
         col("monument_number").isNotNull && col("part_size") >= 25)
       .select(col("subject").as("item"), col("title"),
         col("monument_number"), col("part_size"))
+  }
+
+  /** SPARQL OPTIONAL — the left-join graph pattern
+    * `?item rdf:type ceo:Rijksmonument ; dcterms:title ?t
+    *  OPTIONAL { ?item omeka:resourceTemplate ?tpl }`.
+    * On the pivot evaluation an OPTIONAL pattern is FREE: the
+    * conditional aggregate already yields NULL when the predicate is
+    * absent — the required patterns keep their filters, the optional
+    * one simply doesn't get one. The oracle spells it as the naive
+    * join + LEFT JOIN, again structurally independent. */
+  private def bgpOptional(s: SparkSession, d: String): DataFrame = {
+    val p = col("predicate")
+    tri(s, d).groupBy(col("subject"))
+      .agg(
+        max(when(p === RdfType && col("obj_value") === CeoRijksmonument, 1)
+          .otherwise(0)).as("is_typed"),
+        min(when(p === DctermsTitle, col("obj_value"))).as("title"),
+        min(when(p === OmekaResourceTemplate, col("obj_value")))
+          .as("template"))
+      .filter(col("is_typed") === 1 && col("title").isNotNull)
+      .select(col("subject").as("item"), col("title"), col("template"))
   }
 
   /** SPARQL property path `dcterms:relation{1,8}` from every
@@ -343,6 +365,18 @@ object RdfQueries {
          |JOIN triples z ON z.subject = ty.subject
          |  AND z.predicate = 'http://ex.org/def#size'
          |  AND CAST(z.obj_value AS INT) >= 25
+         |WHERE ty.predicate = '$RdfType'
+         |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
+
+    "rdf_bgp_optional" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT ty.subject AS item, ti.obj_value AS title,
+         |  tpl.obj_value AS template
+         |FROM triples ty
+         |JOIN triples ti ON ti.subject = ty.subject
+         |  AND ti.predicate = '$DctermsTitle'
+         |LEFT JOIN triples tpl ON tpl.subject = ty.subject
+         |  AND tpl.predicate = '$OmekaResourceTemplate'
          |WHERE ty.predicate = '$RdfType'
          |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
 

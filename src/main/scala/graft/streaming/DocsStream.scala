@@ -90,6 +90,46 @@ object DocsStream {
     * matches exclude self-matches (`index.doc_id != arriving id`) so
     * a crash between the index append and the checkpoint commit
     * cannot make a replayed document drop against its own bands. */
+  /** Streaming KMV sketch maintenance — the streaming twin of
+    * [[LlmQueries.kmvIncremental]]: each micro-batch's per-source
+    * bottom-k partial ([[LlmQueries.kmvPartialOf]]) is merged into
+    * the persisted row-form sketch at `sketchPath`
+    * ([[LlmQueries.kmvMergeRows]]) and the tiny merged table
+    * (O(sources × k) rows) is rewritten. The corpus-wide distinct
+    * estimate is then available at any time from the sketch alone
+    * via [[LlmQueries.kmvEstimateOf]] — no corpus rescan, ever.
+    *
+    * State discipline: ZERO streaming state — the stored sketch IS
+    * the state, and because bottom-k merge is idempotent,
+    * commutative and associative (set semantics), at-least-once
+    * batch replays and any shard-to-micro-batch split produce the
+    * SAME sketch as one monolithic batch build. The merged result is
+    * localCheckpoint'ed before the overwrite so the read side of the
+    * same path is never live while it is rewritten. */
+  def startKmvMaintenance(docs: DataFrame, sketchPath: String,
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.col
+        val partial = LlmQueries.kmvPartialOf(batch)
+        val existing =
+          try spark.read.parquet(sketchPath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.range(0).select(col("id").cast("string").as("source"),
+              col("id").as("hv")).limit(0) }
+        val merged = LlmQueries.kmvMergeRows(existing, partial)
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(sketchPath)
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .freeLocalCheckpoint(merged)
+      }
+      .trigger(trigger).start()
+
   def startIncrementalDedup(docs: DataFrame, indexBandsPath: String,
       outPath: String, checkpointLocation: String,
       extendIndex: Boolean = false,

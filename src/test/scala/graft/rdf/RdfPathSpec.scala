@@ -79,6 +79,16 @@ class RdfPathSpec extends AnyFunSuite {
     assert(pivot.except(naive).isEmpty && naive.except(pivot).isEmpty)
   }
 
+  test("bgp optional: emits both bound and unbound template rows") {
+    val s = TestSpark.spark
+    val out = RdfQueries.queries("rdf_bgp_optional")(s, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    // OPTIONAL must keep items without the pattern (null template)
+    // AND bind it where present — both sides non-empty on the fixture
+    assert(out.filter(col("template").isNull).count() > 0)
+    assert(out.filter(col("template").isNotNull).count() > 0)
+  }
+
   test("snapshot diff: added rows are v2-rewrites, tags partition the diff") {
     val s = TestSpark.spark
     val d = "/root/testdata/sf0.001"
