@@ -46,6 +46,7 @@ object LlmQueries {
     "llm_kmeans_converged" -> kmeansConverged,
     "llm_semantic_dedup" -> semanticDedup,
     "llm_semdedup_stats" -> semdedupStats,
+    "llm_embed_outliers" -> embedOutliers,
     "llm_ivf_kmeans_recall" -> ivfKmeansRecall,
     "llm_minhash_est" -> minhashEst,
     "llm_pq_adc_topk" -> pqAdcTopk,
@@ -60,6 +61,7 @@ object LlmQueries {
     "llm_distinctive_terms" -> distinctiveTerms,
     "llm_kmv_distinct" -> kmvDistinct,
     "llm_kmv_incremental" -> kmvIncremental,
+    "llm_novelty" -> novelty,
     "llm_winnow" -> winnow,
     "llm_split_assign" -> splitAssign,
     "llm_length_buckets" -> lengthBuckets,
@@ -769,6 +771,34 @@ object LlmQueries {
             .stripMargin))
   }
 
+  /** Embedding-space outlier detection — the prototypicality filter
+    * that complements semantic dedup (SemDeDup drops what is TOO
+    * CLOSE to a cluster representative; quality pruning drops what
+    * is too FAR from every prototype — likely mis-embedded or
+    * off-distribution data). Per converged cluster, squared
+    * Euclidean distance to the centroid in exact integer arithmetic
+    * (‖q‖² − 2·q·c + ‖c‖², all three terms the codegen'd long dot
+    * product), then the 2 farthest members per cluster via the
+    * bounded-heap aggregate — map-side assignment, broadcast k-row
+    * centroid join, one O(partitions × k) exchange; the corpus is
+    * never shuffled. */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val cent = kmeansCentroids(s, d).select(col("cid"), col("cv"))
+    assignedWith(s, d, cent)
+      .join(broadcast(cent), Seq("cid"))
+      .withColumn("ip", graft.functions.DotProductLong(col("qv"), col("cv")))
+      .withColumn("n2", graft.functions.DotProductLong(col("qv"), col("qv")))
+      .withColumn("c2", graft.functions.DotProductLong(col("cv"), col("cv")))
+      .withColumn("dist2", col("n2") - lit(2L) * col("ip") + col("c2"))
+      .groupBy(col("cid"))
+      .agg(graft.functions.TopKByLong.topK(col("dist2"), col("vec_id"), 2)
+        .as("tk"))
+      .select(col("cid"), posexplode(col("tk")).as(Seq("p0", "t")))
+      .select(col("cid"), col("t.id").as("vec_id"),
+        col("t.score").as("dist2"),
+        (col("p0") + 1).cast("int").as("rank"))
+  }
+
   /** IVF search: rank centroids per query, probe the top-`nProbe`
     * inverted lists, exact-score only those candidates, bounded-heap
     * top-5. The probe side is (k queries × nProbe) rows — broadcast;
@@ -1247,6 +1277,31 @@ object LlmQueries {
     merged.join(kmvDistinctOf(in), "source")
       .select(col("source"), col("n_merged"), col("est_merged"),
         col("est_distinct").as("est_full"), col("n_exact"))
+  }
+
+  /** Per-document novelty: the fraction of a document's distinct
+    * 3-gram shingles that appear in NO other document — the
+    * "how much of this doc is new text" signal a mixing/curation
+    * pass reads next to the repetition and quality scores (low
+    * novelty ≈ boilerplate or near-dup tail that slipped past
+    * doc-level dedup). Two exchanges, both key-bounded: corpus-wide
+    * doc frequency per shingle hash rides ONE shuffle on the hash
+    * (an unordered count window over the distinct (doc, hash)
+    * table — no second scan, no self-join), then the per-doc rollup
+    * shuffles the same rows once on doc_id. Docs with < 3 tokens
+    * have no shingles and no row — in both engines. */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    val dd = tokenized(s, d)
+      .select(col("doc_id"), explode(expr(shingle3Expr)).as("sg"))
+      .withColumn("h", md5(col("sg")))
+      .select(col("doc_id"), col("h")).distinct()
+    dd.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        floor(lit(1000.0) * col("n_unique") / col("n_shingles"))
+          .as("novelty_x1000"))
   }
 
   /** One batch's KMV partial as ROWS — `(source, hv)`, at most k rows
@@ -2604,6 +2659,26 @@ object LlmQueries {
          |    AS BIGINT) AS kept_x1000
          |FROM semv GROUP BY cid""".stripMargin,
 
+    // dist² to the converged centroid via three inner products (the
+    // same decomposition the engine computes), top-2 per cluster by
+    // (dist2 DESC, vec_id ASC) — TopKByLong's exact tie order.
+    "llm_embed_outliers" ->
+      s"""WITH $quantCte,
+         |$kmeansCte,
+         |od AS (SELECT a.cid, a.vec_id,
+         |    CAST(list_inner_product(CAST(a.qv AS DOUBLE[]),
+         |      CAST(a.qv AS DOUBLE[])) AS BIGINT)
+         |    - 2 * CAST(list_inner_product(CAST(a.qv AS DOUBLE[]),
+         |      CAST(c.cv AS DOUBLE[])) AS BIGINT)
+         |    + CAST(list_inner_product(CAST(c.cv AS DOUBLE[]),
+         |      CAST(c.cv AS DOUBLE[])) AS BIGINT) AS dist2
+         |  FROM kasg a JOIN cent$kmIters c ON a.cid = c.cid),
+         |orr AS (SELECT cid, vec_id, dist2, ROW_NUMBER() OVER (
+         |    PARTITION BY cid ORDER BY dist2 DESC, vec_id ASC) AS rank
+         |  FROM od)
+         |SELECT cid, vec_id, dist2, CAST(rank AS INT) AS rank
+         |FROM orr WHERE rank <= 2""".stripMargin,
+
     "llm_ivf_kmeans_recall" ->
       s"""WITH $quantCte,
          |$kmeansCte,
@@ -2905,6 +2980,23 @@ object LlmQueries {
          |    ELSE (${kmvK - 1} * 4294967296) // (kth.hk + 1) END
          |    AS BIGINT) AS est_distinct
          |FROM n LEFT JOIN kth ON n.source = kth.source""".stripMargin,
+
+    "llm_novelty" ->
+      s"""WITH $wCte,
+         |pos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM w),
+         |dd AS (SELECT DISTINCT doc_id,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+         |  FROM pos),
+         |df AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS df
+         |  FROM dd)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  CAST(floor(1000.0 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+         |    / count(*)) AS BIGINT) AS novelty_x1000
+         |FROM df GROUP BY doc_id""".stripMargin,
 
     // Replays the whole incremental chain: per-(source, shard)
     // bottom-64 partials (rn <= k), distinct-union merge, re-ranked

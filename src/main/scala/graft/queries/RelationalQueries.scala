@@ -53,6 +53,7 @@ object RelationalQueries {
     "rel_q26_quartiles_sketch" -> quartilesSketch,
     "rel_q27_range_join" -> rangeJoinBucketed,
     "rel_q28_user_gaps" -> userGaps,
+    "rel_q29_above_brand_avg" -> aboveBrandAvg,
   )
 
   /** Sample size for the bottom-k quantile sketch (rel_q25/q26):
@@ -351,6 +352,31 @@ object RelationalQueries {
     v.agg(count(lit(1)).as("n_view"))
       .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  /** Correlated scalar subqueries — the query form (not yet covered)
+    * that Catalyst must DECORRELATE to run at scale: "parts priced
+    * above their brand's average", with the average comparison done
+    * in exact integer arithmetic (price·n > sum, cross-multiplied —
+    * no division, no floats, so both engines agree bit-for-bit).
+    * SQL-first on both engines: Spark rewrites each correlated
+    * subquery into a brand-level aggregate joined back on the
+    * correlation key (RewriteCorrelatedScalarSubquery; the two
+    * subqueries over the same table merge into ONE aggregate via
+    * MergeScalarSubqueries), so the execution plan is two scans +
+    * one 25-key aggregate + a broadcast join — nothing per-row. */
+  def aboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "part").createOrReplaceTempView("part_corr")
+    spark.sql(s"""
+      |SELECT p.p_brand, COUNT(*) AS n_above
+      |FROM part_corr p
+      |WHERE ${sqlCents("p.p_retailprice")} *
+      |    (SELECT COUNT(*) FROM part_corr p2
+      |     WHERE p2.p_brand = p.p_brand)
+      |  > (SELECT SUM(${sqlCents("p3.p_retailprice")}) FROM part_corr p3
+      |     WHERE p3.p_brand = p.p_brand)
+      |GROUP BY p.p_brand
+      |""".stripMargin)
   }
 
   /** Disjoint-dimension subtotals via GROUPING SETS — the shape
@@ -1095,5 +1121,18 @@ object RelationalQueries {
         |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+
+    // Same correlated spelling DuckDB-side (its optimizer
+    // decorrelates too — both engines flatten the same query);
+    // SUM(BIGINT) is HUGEINT in DuckDB, fine as a comparison operand.
+    "rel_q29_above_brand_avg" ->
+      s"""SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_above
+         |FROM part p
+         |WHERE ${sqlCents("p.p_retailprice")} *
+         |    (SELECT COUNT(*) FROM part p2
+         |     WHERE p2.p_brand = p.p_brand)
+         |  > (SELECT SUM(${sqlCents("p3.p_retailprice")}) FROM part p3
+         |     WHERE p3.p_brand = p.p_brand)
+         |GROUP BY p.p_brand""".stripMargin,
   )
 }

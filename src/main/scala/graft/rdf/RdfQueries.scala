@@ -62,6 +62,10 @@ object RdfQueries {
     // Week-N vs week-N+1 export diff: the incremental view of the
     // reference's weekly overwrite-publish (yml:87).
     "rdf_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
+    // Incremental enrichment: fetch only keys NOT already covered by
+    // the stored enrichment snapshot (the reference re-fetches every
+    // key every week — transform_datamodel.py:88–101).
+    "rdf_enrich_delta" -> ((s, d) => enrichDelta(s, d)),
   )
 
   private def tri(s: SparkSession, d: String): DataFrame =
@@ -200,6 +204,25 @@ object RdfQueries {
         .otherwise(col("obj_value")))
     v2.except(v1).withColumn("change", lit("added"))
       .union(v1.except(v2).withColumn("change", lit("removed")))
+  }
+
+  /** The incremental form of O14: the fetch list for THIS run is the
+    * current export's normalized monument keys MINUS the keys the
+    * stored enrichment snapshot already covers (its
+    * dcterms:identifier values). The reference re-fetches every key
+    * weekly (one HTTP GET per triple occurrence — bugs B5/N+1);
+    * the engine's batch form already dedups keys, and this delta
+    * form makes the weekly run proportional to CHANGE, not corpus.
+    * One anti-join on the key: the stored-key side is
+    * dimension-scale, so AQE broadcasts it; at a scale where it no
+    * longer fits, the same anti-join shuffles on the key — either
+    * way the export side is scanned once. */
+  private def enrichDelta(s: SparkSession, d: String): DataFrame = {
+    val covered = TripleFixture.enrichment(s, d)
+      .filter(col("predicate") === DctermsIdentifier)
+      .select(col("obj_value").as("monument_key")).distinct()
+    RdfOps.enrichmentKeys(tri(s, d))
+      .join(covered, Seq("monument_key"), "left_anti")
   }
 
   /** O10 — single-row stage metrics (reference: `len(graph)` at
@@ -367,6 +390,19 @@ object RdfQueries {
          |  AND CAST(z.obj_value AS INT) >= 25
          |WHERE ty.predicate = '$RdfType'
          |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
+
+    "rdf_enrich_delta" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte}
+         |SELECT DISTINCT
+         |  CASE WHEN obj_value LIKE 'RM%' THEN substring(obj_value, 3)
+         |       ELSE obj_value END AS monument_key
+         |FROM triples
+         |WHERE predicate = '$CeoRijksmonumentnummer'
+         |  AND obj_kind = 'literal'
+         |EXCEPT
+         |SELECT obj_value FROM enrichment
+         |WHERE predicate = '$DctermsIdentifier'""".stripMargin,
 
     "rdf_bgp_optional" ->
       s"""WITH ${TripleFixture.triplesCte}
