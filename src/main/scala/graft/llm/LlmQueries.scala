@@ -1284,12 +1284,12 @@ object LlmQueries {
     * "how much of this doc is new text" signal a mixing/curation
     * pass reads next to the repetition and quality scores (low
     * novelty ≈ boilerplate or near-dup tail that slipped past
-    * doc-level dedup). Two exchanges, both key-bounded: corpus-wide
-    * doc frequency per shingle hash rides ONE shuffle on the hash
-    * (an unordered count window over the distinct (doc, hash)
-    * table — no second scan, no self-join), then the per-doc rollup
-    * shuffles the same rows once on doc_id. Docs with < 3 tokens
-    * have no shingles and no row — in both engines. */
+    * doc-level dedup). Three exchanges, all key-bounded (plan
+    * audited at sf0.1): the (doc, hash) distinct, then corpus-wide
+    * doc frequency as an unordered count window riding ONE shuffle
+    * on the hash (no second scan, no self-join), then the per-doc
+    * rollup on doc_id. Docs with < 3 tokens have no shingles and no
+    * row — in both engines. */
   def novelty(s: SparkSession, d: String): DataFrame = {
     val dd = tokenized(s, d)
       .select(col("doc_id"), explode(expr(shingle3Expr)).as("sg"))

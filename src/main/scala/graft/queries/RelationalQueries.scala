@@ -359,12 +359,13 @@ object RelationalQueries {
     * above their brand's average", with the average comparison done
     * in exact integer arithmetic (price·n > sum, cross-multiplied —
     * no division, no floats, so both engines agree bit-for-bit).
-    * SQL-first on both engines: Spark rewrites each correlated
-    * subquery into a brand-level aggregate joined back on the
-    * correlation key (RewriteCorrelatedScalarSubquery; the two
-    * subqueries over the same table merge into ONE aggregate via
-    * MergeScalarSubqueries), so the execution plan is two scans +
-    * one 25-key aggregate + a broadcast join — nothing per-row. */
+    * SQL-first on both engines: Spark DECORRELATES each scalar
+    * subquery into a brand-level aggregate broadcast-joined back on
+    * the correlation key (plan audited at sf0.1: two 25-key
+    * aggregates + two BroadcastHashJoins feeding the probe scan —
+    * MergeScalarSubqueries does not merge them because the count
+    * subquery survives as LeftOuter-with-default; either way nothing
+    * executes per-row and the fact scans stay map-side). */
   def aboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "part").createOrReplaceTempView("part_corr")
     spark.sql(s"""
