@@ -200,6 +200,46 @@ object Pipeline {
       Some(() => http.fetchApiContext()), doPublish = true)
   }
 
+  /** Incremental publish — the engine upgrade of the reference's
+    * overwrite-the-world weekly publish (yml:87): maintain the
+    * current snapshot AND a change log. Each run appends the diff
+    * against the previous snapshot (added/removed rows tagged with
+    * this run's id — the rdf_snapshot_diff shape as a persisted CDC
+    * feed a downstream consumer can apply or audit) to `changesPath`,
+    * then overwrites `snapshotPath` with the new triple table.
+    * First run: everything is `added`. A re-publish of identical
+    * content appends nothing (the diff is empty — content-idempotent
+    * by construction). Diff cost is two EXCEPT exchanges of
+    * snapshot scale; bucketing both snapshots on subject at write
+    * time co-locates them at 100 TB.
+    *
+    * The new snapshot is localCheckpoint'ed up front: it feeds both
+    * EXCEPT branches and the final overwrite, and the change-log
+    * append fully materializes before the snapshot it read from is
+    * rewritten. */
+  def publishDelta(result: Result, snapshotPath: String,
+      changesPath: String, runId: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = result.triples.sparkSession
+    val next = result.triples.localCheckpoint()
+    try {
+      val prev =
+        try Some(spark.read.parquet(snapshotPath))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val changes = prev match {
+        case Some(p) =>
+          next.except(p).withColumn("change", lit("added"))
+            .union(p.except(next).withColumn("change", lit("removed")))
+        case None => next.withColumn("change", lit("added"))
+      }
+      changes.withColumn("run_id", lit(runId))
+        .write.mode("append").parquet(changesPath)
+      next.write.mode("overwrite").parquet(snapshotPath)
+    } finally {
+      org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(next)
+    }
+  }
+
   def publish(result: Result, path: String, format: String = "parquet",
       singleFile: Boolean = false): Unit = {
     val df =

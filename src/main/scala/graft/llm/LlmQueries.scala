@@ -1243,9 +1243,9 @@ object LlmQueries {
     * measure-don't-claim pattern as the ANN recall queries — a pure
     * production run would drop the yardstick branch). */
   def kmvIncremental(s: SparkSession, d: String): DataFrame =
-    kmvIncrementalOf(s, docs(s, d))
+    kmvIncrementalOf(docs(s, d))
 
-  def kmvIncrementalOf(s: SparkSession, in: DataFrame): DataFrame = {
+  def kmvIncrementalOf(in: DataFrame): DataFrame = {
     val hv = in
       .select(col("source"), (col("doc_id") % kmvShards).as("shard"),
         tokenExpr.as("w"))

@@ -63,33 +63,6 @@ object DocsStream {
   def bloomDecontaminated(docs: DataFrame, bloomBits: DataFrame): DataFrame =
     LlmQueries.bloomCleanOf(docs, bloomBits)
 
-  /** Streaming twin of the cross-snapshot incremental dedup
-    * ([[LlmQueries.dedupIncremental]]): arriving document shards are
-    * MinHash-signed ([[DedupIndex.docBands]]) and probed against
-    * the PERSISTED band index at `indexBandsPath`, and only
-    * non-duplicates are appended to `outPath`. The probe runs inside
-    * `foreachBatch`, where the micro-batch is an ordinary DataFrame
-    * (the signature groupBy is batch-local, not streaming state) —
-    * so the dedup is exact (a band-bucket semi-join, the same
-    * candidate test as batch), with exactly-once file semantics from
-    * the checkpoint, and with ZERO streaming state: the stored index
-    * is the seen-set (same shape as
-    * [[TurtleStream.startDedupAppend]]).
-    *
-    * `extendIndex = true` additionally appends each batch's KEPT
-    * documents' bands to the index, so later micro-batches also dedup
-    * against earlier arrivals — the full production admit loop
-    * (probe, keep, index what you kept). With `false` the stream is a
-    * pure probe and its kept-set is bit-equal to the batch query's
-    * regardless of how the shard was split into micro-batches.
-    *
-    * Retry safety: `foreachBatch` + parquet append is at-least-once,
-    * so every write is guarded to be idempotent per doc_id — the out
-    * table is re-read as the seen-set (the [[TurtleStream]] pattern)
-    * and the index append anti-joins the index's own doc_ids; probe
-    * matches exclude self-matches (`index.doc_id != arriving id`) so
-    * a crash between the index append and the checkpoint commit
-    * cannot make a replayed document drop against its own bands. */
   /** Streaming KMV sketch maintenance — the streaming twin of
     * [[LlmQueries.kmvIncremental]]: each micro-batch's per-source
     * bottom-k partial ([[LlmQueries.kmvPartialOf]]) is merged into
@@ -130,6 +103,33 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Streaming twin of the cross-snapshot incremental dedup
+    * ([[LlmQueries.dedupIncremental]]): arriving document shards are
+    * MinHash-signed ([[DedupIndex.docBands]]) and probed against
+    * the PERSISTED band index at `indexBandsPath`, and only
+    * non-duplicates are appended to `outPath`. The probe runs inside
+    * `foreachBatch`, where the micro-batch is an ordinary DataFrame
+    * (the signature groupBy is batch-local, not streaming state) —
+    * so the dedup is exact (a band-bucket semi-join, the same
+    * candidate test as batch), with exactly-once file semantics from
+    * the checkpoint, and with ZERO streaming state: the stored index
+    * is the seen-set (same shape as
+    * [[TurtleStream.startDedupAppend]]).
+    *
+    * `extendIndex = true` additionally appends each batch's KEPT
+    * documents' bands to the index, so later micro-batches also dedup
+    * against earlier arrivals — the full production admit loop
+    * (probe, keep, index what you kept). With `false` the stream is a
+    * pure probe and its kept-set is bit-equal to the batch query's
+    * regardless of how the shard was split into micro-batches.
+    *
+    * Retry safety: `foreachBatch` + parquet append is at-least-once,
+    * so every write is guarded to be idempotent per doc_id — the out
+    * table is re-read as the seen-set (the [[TurtleStream]] pattern)
+    * and the index append anti-joins the index's own doc_ids; probe
+    * matches exclude self-matches (`index.doc_id != arriving id`) so
+    * a crash between the index append and the checkpoint commit
+    * cannot make a replayed document drop against its own bands. */
   def startIncrementalDedup(docs: DataFrame, indexBandsPath: String,
       outPath: String, checkpointLocation: String,
       extendIndex: Boolean = false,
