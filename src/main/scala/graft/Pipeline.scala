@@ -240,6 +240,23 @@ object Pipeline {
     }
   }
 
+  /** The consumer side of [[publishDelta]]'s feed: apply one run's
+    * change rows to a snapshot (drop `removed`, add `added`). By
+    * construction `applyChanges(snapshot_before, changes_of_run)`
+    * reproduces the snapshot after that run — so a downstream store
+    * can follow the change log instead of re-copying the snapshot,
+    * and any historical state is reconstructible by folding runs in
+    * order. Set semantics throughout (EXCEPT/UNION DISTINCT), same
+    * as the triple model's. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = snapshot.columns.map(col(_))
+    val added = changes.filter(col("change") === "added").select(cols: _*)
+    val removed = changes.filter(col("change") === "removed")
+      .select(cols: _*)
+    snapshot.except(removed).union(added).dropDuplicates()
+  }
+
   def publish(result: Result, path: String, format: String = "parquet",
       singleFile: Boolean = false): Unit = {
     val df =

@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.IriUtil
@@ -59,6 +59,10 @@ object RdfQueries {
     "rdf_bgp_star" -> ((s, d) => bgpStar(s, d)),
     "rdf_bgp_optional" -> ((s, d) => bgpOptional(s, d)),
     "rdf_reachable" -> ((s, d) => reachableQ(s, d)),
+    // CONSTRUCT and ASK complete the SPARQL query-form family
+    // (SELECT = the BGPs above, paths = rdf_reachable).
+    "rdf_construct" -> ((s, d) => construct(s, d)),
+    "rdf_ask" -> ((s, d) => ask(s, d)),
     // Week-N vs week-N+1 export diff: the incremental view of the
     // reference's weekly overwrite-publish (yml:87).
     "rdf_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
@@ -161,6 +165,58 @@ object RdfQueries {
           .as("template"))
       .filter(col("is_typed") === 1 && col("title").isNotNull)
       .select(col("subject").as("item"), col("title"), col("template"))
+  }
+
+  /** SPARQL CONSTRUCT — template-instantiate NEW triples from BGP
+    * matches: `CONSTRUCT { ?item sdo:name ?t . ?item sdo:sameAs ?m }
+    * WHERE { ?item rdf:type ceo:Rijksmonument ; dcterms:title ?t ;
+    * ceo:rijksmonumentnummer ?m }`. The match runs once (the same
+    * one-exchange pivot as the star BGP); each template pattern is a
+    * pure projection of the match table back into the canonical
+    * triple schema, unioned and set-deduped — so the output is
+    * itself a graph the Turtle/TriG sinks can publish. This is the
+    * reference's own derive-and-assert shape (O16's sameAs
+    * derivation) generalized to arbitrary templates. */
+  private def construct(s: SparkSession, d: String): DataFrame = {
+    val p = col("predicate")
+    val m = tri(s, d).groupBy(col("subject"))
+      .agg(
+        max(when(p === RdfType && col("obj_value") === CeoRijksmonument, 1)
+          .otherwise(0)).as("is_typed"),
+        min(when(p === DctermsTitle, col("obj_value"))).as("title"),
+        min(when(p === CeoRijksmonumentnummer, col("obj_value")))
+          .as("mon"))
+      .filter(col("is_typed") === 1 && col("title").isNotNull &&
+        col("mon").isNotNull)
+    def tpl(pred: String, value: Column, kind: String,
+        lang: Option[String]): DataFrame =
+      m.select(lit("default").as("graph"), col("subject"),
+        lit("iri").as("subject_kind"), lit(pred).as("predicate"),
+        value.as("obj_value"), lit(kind).as("obj_kind"),
+        lang.map(lit(_)).getOrElse(lit(null).cast("string"))
+          .as("obj_lang"),
+        lit(null).cast("string").as("obj_datatype"))
+    tpl(SdoName, col("title"), "literal", Some("nl"))
+      .union(tpl(SdoSameAs, col("mon"), "literal", None))
+      .dropDuplicates()
+  }
+
+  /** SPARQL ASK — does any match exist? One short-circuitable
+    * aggregate (a count over the filtered pattern; at scale the
+    * engine could LIMIT 1 instead, but the count keeps the oracle
+    * row exact): asks whether any @context leak survived the
+    * cleaning pass (it must not — this is the always-false
+    * data-quality assertion a publisher runs before the sink). The
+    * positive control `any_rmnr` asks the same question of a pattern
+    * that does match. */
+  private def ask(s: SparkSession, d: String): DataFrame = {
+    val cleaned = RdfOps.cleanExport(tri(s, d))
+    cleaned.agg(
+      (sum(when(col("subject").contains("@context") ||
+        col("obj_value").contains("@context"), 1L).otherwise(0L)) > 0)
+        .as("any_context_leak"),
+      (sum(when(col("predicate") === CeoRijksmonumentnummer, 1L)
+        .otherwise(0L)) > 0).as("any_rmnr"))
   }
 
   /** SPARQL property path `dcterms:relation{1,8}` from every
@@ -390,6 +446,37 @@ object RdfQueries {
          |  AND CAST(z.obj_value AS INT) >= 25
          |WHERE ty.predicate = '$RdfType'
          |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
+
+    "rdf_construct" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |m AS (
+         |  SELECT ty.subject, ti.obj_value AS title, mn.obj_value AS mon
+         |  FROM triples ty
+         |  JOIN triples ti ON ti.subject = ty.subject
+         |    AND ti.predicate = '$DctermsTitle'
+         |  JOIN triples mn ON mn.subject = ty.subject
+         |    AND mn.predicate = '$CeoRijksmonumentnummer'
+         |  WHERE ty.predicate = '$RdfType'
+         |    AND ty.obj_value = '$CeoRijksmonument')
+         |SELECT DISTINCT * FROM (
+         |  SELECT 'default' AS graph, subject, 'iri' AS subject_kind,
+         |    '$SdoName' AS predicate, title AS obj_value,
+         |    'literal' AS obj_kind, 'nl' AS obj_lang,
+         |    CAST(NULL AS VARCHAR) AS obj_datatype FROM m
+         |  UNION ALL
+         |  SELECT 'default', subject, 'iri', '$SdoSameAs', mon,
+         |    'literal', NULL, NULL FROM m)""".stripMargin,
+
+    "rdf_ask" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |$cleanCte
+         |SELECT
+         |  SUM(CASE WHEN subject LIKE '%@context%'
+         |    OR obj_value LIKE '%@context%' THEN 1 ELSE 0 END) > 0
+         |    AS any_context_leak,
+         |  SUM(CASE WHEN predicate = '$CeoRijksmonumentnummer'
+         |    THEN 1 ELSE 0 END) > 0 AS any_rmnr
+         |FROM clean""".stripMargin,
 
     "rdf_enrich_delta" ->
       s"""WITH ${TripleFixture.triplesCte},

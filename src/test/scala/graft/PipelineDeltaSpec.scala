@@ -62,5 +62,8 @@ class PipelineDeltaSpec extends AnyFunSuite {
     assert(spark.read.parquet(log).filter(col("run_id") === "run3")
       .count() == 0)
     assert(rows(spark.read.parquet(snap)) == rows(v2))
+
+    // consumer side: folding run2's changes onto v1 reproduces v2
+    assert(rows(Pipeline.applyChanges(v1, log2)) == rows(v2))
   }
 }
