@@ -129,9 +129,15 @@ object RdfQueries {
     *
     * At 100 TB: n-way self-joins shuffle the fact table n times; the
     * pivot shuffles it once, with map-side partial aggregation. */
-  private def bgpStar(s: SparkSession, d: String): DataFrame = {
+  private def bgpStar(s: SparkSession, d: String): DataFrame =
+    bgpStarOf(tri(s, d))
+
+  /** The pivot evaluation over ANY triple table — public to the spec
+    * that proves the exchange disappears entirely on a
+    * subject-bucketed store (RdfBucketedSpec). */
+  private[rdf] def bgpStarOf(t: DataFrame): DataFrame = {
     val p = col("predicate")
-    tri(s, d).groupBy(col("subject"))
+    t.groupBy(col("subject"))
       .agg(
         max(when(p === RdfType && col("obj_value") === CeoRijksmonument, 1)
           .otherwise(0)).as("is_typed"),
