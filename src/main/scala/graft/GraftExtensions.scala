@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioMeta, DotProductLong, ImageDims, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta}
+import graft.functions.{AudioMeta, DotProductLong, ImageDims, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(msg)
         }
         TopKByLongStr(args(0), args(1), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          "word_ngrams(array<string>, n): exactly two arguments")
+        WordNgrams(args(0), args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("image_dims"),

@@ -127,8 +127,17 @@ object LlmQueries {
   // ---------------------------------------------------------------
   /** One shingle-construction expression for every 3-gram consumer
     * (MinHash chain keyed by doc_id, KMV sketch keyed by source) —
-    * a normalization change here MUST reach all of them at once. */
-  private[llm] val shingle3Expr =
+    * a normalization change here MUST reach all of them at once.
+    * Backed by the codegen [[graft.functions.WordNgrams]] kernel;
+    * the interpreted HOF spelling it replaced is kept below as
+    * [[shingle3HofExpr]] and spec-pinned equal (WordNgramsSpec), so
+    * the fast path is cross-checked against the independent one. */
+  private[llm] val shingle3Expr = "word_ngrams(w, 3)"
+
+  /** The pre-kernel higher-order-function spelling (CodegenFallback —
+    * the lambda runs interpreted per shingle). Retained as the
+    * structurally independent reference implementation. */
+  private[llm] val shingle3HofExpr =
     """CASE WHEN size(w) >= 3
       |  THEN transform(sequence(1, size(w) - 2),
       |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
@@ -1538,8 +1547,13 @@ object LlmQueries {
   // decontaminator exploits, with exact results.
   // ---------------------------------------------------------------
   /** 5-gram array over token column `w` — shared by the exploded
-    * batch form and the row-local streaming bloom gate. */
-  private val fivegramArrSql =
+    * batch form and the row-local streaming bloom gate. Same codegen
+    * kernel as [[shingle3Expr]]; HOF reference spelling below. */
+  private val fivegramArrSql = "word_ngrams(w, 5)"
+
+  /** The pre-kernel HOF spelling — the independent reference
+    * implementation for the 5-gram path (WordNgramsSpec). */
+  private[llm] val fivegramHofSql =
     """CASE WHEN size(w) >= 5
       |  THEN transform(sequence(1, size(w) - 4),
       |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
