@@ -54,6 +54,7 @@ object RelationalQueries {
     "rel_q27_range_join" -> rangeJoinBucketed,
     "rel_q28_user_gaps" -> userGaps,
     "rel_q29_above_brand_avg" -> aboveBrandAvg,
+    "rel_q30_full_outer" -> fullOuterActivity,
   )
 
   /** Sample size for the bottom-k quantile sketch (rel_q25/q26):
@@ -352,6 +353,35 @@ object RelationalQueries {
     v.agg(count(lit(1)).as("n_view"))
       .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  /** FULL OUTER join — the one join family the suite didn't yet
+    * exercise: reconcile two independently-produced daily rollups
+    * (orders placed vs purchase events) where EITHER side may have
+    * days the other lacks — the classic two-pipeline reconciliation
+    * report, where an inner join would silently drop exactly the
+    * discrepant days the report exists to find. Both inputs
+    * pre-aggregate to day grain before the join, so the full-outer
+    * SMJ carries one row per (day, side) — day-bounded, not
+    * row-bounded; null-filled sides surface as zero counts. Day
+    * arithmetic is integer epoch division in both engines. */
+  def fullOuterActivity(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 24L * 3600 * 1000000L
+    val o = Tables(spark, dir, "orders")
+      // o_orderdate reads as TIMESTAMP_NTZ; the cast to (ltz)
+      // TIMESTAMP interprets it in the session's UTC — exactly how
+      // the oracle's epoch_us reads the same naive value
+      .select(expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $dayUs")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_orders"))
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_purchases"))
+    o.join(e, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
   }
 
   /** Correlated scalar subqueries — the query form (not yet covered)
@@ -1122,6 +1152,18 @@ object RelationalQueries {
         |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+
+    "rel_q30_full_outer" ->
+      s"""WITH o AS (SELECT epoch_us(o_orderdate) // ${24L * 3600 * 1000000L}
+         |    AS day, CAST(count(*) AS BIGINT) AS n_orders
+         |  FROM orders GROUP BY 1),
+         |e AS (SELECT epoch_us(ts) // ${24L * 3600 * 1000000L} AS day,
+         |    CAST(count(*) AS BIGINT) AS n_purchases
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT coalesce(o.day, e.day) AS day,
+         |  coalesce(o.n_orders, 0) AS n_orders,
+         |  coalesce(e.n_purchases, 0) AS n_purchases
+         |FROM o FULL JOIN e ON o.day = e.day""".stripMargin,
 
     // Same correlated spelling DuckDB-side (its optimizer
     // decorrelates too — both engines flatten the same query);
