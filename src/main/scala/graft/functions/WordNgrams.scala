@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-gram (shingle) construction — the hot first step of every
@@ -52,7 +52,12 @@ object TextKernels {
 }
 
 case class WordNgrams(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // analyzer-time contract: a wrong-typed argument fails analysis
+  // instead of class-casting at runtime. (No explicit
+  // Seq[AbstractDataType] annotation — that type is private[sql];
+  // the inferred covariant type satisfies the override.)
+  override def inputTypes = Seq(ArrayType(StringType), IntegerType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
   override protected def nullSafeEval(words: Any, n: Any): Any =

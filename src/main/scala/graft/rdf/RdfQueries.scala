@@ -59,10 +59,13 @@ object RdfQueries {
     "rdf_bgp_star" -> ((s, d) => bgpStar(s, d)),
     "rdf_bgp_optional" -> ((s, d) => bgpOptional(s, d)),
     "rdf_reachable" -> ((s, d) => reachableQ(s, d)),
-    // CONSTRUCT and ASK complete the SPARQL query-form family
-    // (SELECT = the BGPs above, paths = rdf_reachable).
+    // CONSTRUCT, ASK and DESCRIBE complete the SPARQL query-form
+    // family (SELECT = the BGPs above, paths = rdf_reachable);
+    // MINUS covers the negation pattern.
     "rdf_construct" -> ((s, d) => construct(s, d)),
     "rdf_ask" -> ((s, d) => ask(s, d)),
+    "rdf_describe" -> ((s, d) => describe(s, d)),
+    "rdf_bgp_minus" -> ((s, d) => bgpMinus(s, d)),
     // Week-N vs week-N+1 export diff: the incremental view of the
     // reference's weekly overwrite-publish (yml:87).
     "rdf_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
@@ -223,6 +226,42 @@ object RdfQueries {
         .as("any_context_leak"),
       (sum(when(col("predicate") === CeoRijksmonumentnummer, 1L)
         .otherwise(0L)) > 0).as("any_rmnr"))
+  }
+
+  /** SPARQL DESCRIBE — every triple about the resources a pattern
+    * matches: `DESCRIBE ?item WHERE { ?item ceo:rijksmonumentnummer
+    * ?m . ?item omeka:isPublic "true" }`. The match set is
+    * subject-scale (one column, deduped) and broadcast; the triple
+    * table streams through a broadcast LEFT SEMI join — the output
+    * is a graph (full triple rows), publishable like any other. */
+  private def describe(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val matched = t.filter(col("predicate") === CeoRijksmonumentnummer)
+      .join(t.filter(col("predicate") === OmekaIsPublic &&
+          col("obj_value") === "true")
+          .select(col("subject")).distinct(),
+        Seq("subject"), "left_semi")
+      .select(col("subject")).distinct()
+    t.join(broadcast(matched), Seq("subject"), "left_semi")
+  }
+
+  /** SPARQL MINUS / FILTER NOT EXISTS — the negation pattern:
+    * Rijksmonument-typed subjects WITHOUT a resource template (the
+    * untemplated-records worklist; title carried along, OPTIONAL
+    * since a dirty export can detach it). On the pivot evaluation
+    * negation is a zero test on a conditional flag; the oracle
+    * spells it as the naive join + NOT EXISTS anti-join. */
+  private def bgpMinus(s: SparkSession, d: String): DataFrame = {
+    val p = col("predicate")
+    tri(s, d).groupBy(col("subject"))
+      .agg(
+        max(when(p === RdfType && col("obj_value") === CeoRijksmonument, 1)
+          .otherwise(0)).as("is_typed"),
+        min(when(p === DctermsTitle, col("obj_value"))).as("title"),
+        max(when(p === OmekaResourceTemplate, 1).otherwise(0))
+          .as("has_template"))
+      .filter(col("is_typed") === 1 && col("has_template") === 0)
+      .select(col("subject").as("item"), col("title"))
   }
 
   /** SPARQL property path `dcterms:relation{1,8}` from every
@@ -483,6 +522,30 @@ object RdfQueries {
          |  SUM(CASE WHEN predicate = '$CeoRijksmonumentnummer'
          |    THEN 1 ELSE 0 END) > 0 AS any_rmnr
          |FROM clean""".stripMargin,
+
+    "rdf_describe" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |m AS (SELECT DISTINCT r.subject FROM triples r
+         |  WHERE r.predicate = '$CeoRijksmonumentnummer'
+         |    AND EXISTS (SELECT 1 FROM triples pb
+         |      WHERE pb.subject = r.subject
+         |        AND pb.predicate = '$OmekaIsPublic'
+         |        AND pb.obj_value = 'true'))
+         |SELECT t.* FROM triples t
+         |WHERE EXISTS (SELECT 1 FROM m WHERE m.subject = t.subject)"""
+        .stripMargin,
+
+    "rdf_bgp_minus" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT ty.subject AS item, ti.obj_value AS title
+         |FROM triples ty
+         |LEFT JOIN triples ti ON ti.subject = ty.subject
+         |  AND ti.predicate = '$DctermsTitle'
+         |WHERE ty.predicate = '$RdfType'
+         |  AND ty.obj_value = '$CeoRijksmonument'
+         |  AND NOT EXISTS (SELECT 1 FROM triples tp
+         |    WHERE tp.subject = ty.subject
+         |      AND tp.predicate = '$OmekaResourceTemplate')""".stripMargin,
 
     "rdf_enrich_delta" ->
       s"""WITH ${TripleFixture.triplesCte},
