@@ -488,7 +488,7 @@ object RdfQueries {
          |  AND m.predicate = '$CeoRijksmonumentnummer'
          |JOIN triples z ON z.subject = ty.subject
          |  AND z.predicate = 'http://ex.org/def#size'
-         |  AND CAST(z.obj_value AS INT) >= 25
+         |  AND TRY_CAST(z.obj_value AS INT) >= 25
          |WHERE ty.predicate = '$RdfType'
          |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
 

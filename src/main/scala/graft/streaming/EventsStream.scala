@@ -56,6 +56,26 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** SLIDING-window rollup (3-hour windows advancing hourly) — the
+    * overlapping-window family the tumbling rollup below cannot
+    * express: each event lands in 3 windows, so window() acts as a
+    * 3-way expand before the same watermarked aggregation. State is
+    * (horizon × groups × overlap) — still watermark-bounded; the
+    * expand multiplies exchange rows by the overlap factor, which is
+    * the price of sliding windows in ANY engine (the batch
+    * rel_q15_moving_window gets the same effect with a range frame
+    * instead, trading the expand for a per-key sort). Emitted rows
+    * are one per (window-start hour, event_type), directly
+    * comparable against a batch replay of the same expression. */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Windowed rollup over a (possibly streaming) events DataFrame
     * with schema (ts timestamp, event_type string, value double). */
   def hourlyRollup(events: DataFrame): DataFrame =

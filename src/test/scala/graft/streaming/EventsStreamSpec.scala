@@ -50,6 +50,39 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding rollup matches batch; each event lands in 3 windows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val batch = EventsStream.slidingRollup(
+      rows.toDF("ts", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventsStream.slidingRollup(
+        input.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      // a 10h click appears in the windows starting 08,09,10; the
+      // 11h click adds 09,10,11 — so "click" spans 4 window starts
+      val clickStarts = streamed.filter(_._2 == "click").map(_._1)
+      assert(clickStarts.size == 4)
+      // the window covering both hours (starting 09h or 10h) sums all
+      // three clicks exactly
+      val full = streamed.find(t => t._2 == "click" && t._3 == 3L).get
+      assert(full._4 == 7.75)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark replays of event_id") {
     val spark = TestSpark.spark
     import spark.implicits._
