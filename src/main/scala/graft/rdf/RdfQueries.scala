@@ -230,10 +230,13 @@ object RdfQueries {
 
   /** SPARQL DESCRIBE — every triple about the resources a pattern
     * matches: `DESCRIBE ?item WHERE { ?item ceo:rijksmonumentnummer
-    * ?m . ?item omeka:isPublic "true" }`. The match set is
-    * subject-scale (one column, deduped) and broadcast; the triple
-    * table streams through a broadcast LEFT SEMI join — the output
-    * is a graph (full triple rows), publishable like any other. */
+    * ?m . ?item omeka:isPublic "true" }`. The match set is one
+    * deduped subject column whose size is the PATTERN'S selectivity,
+    * not the corpus — so no forced broadcast hint: AQE broadcasts a
+    * selective match and falls back to a subject-keyed shuffle
+    * semi-join for an unselective one (a hint would pin the
+    * corpus-scale case to a broadcast it can't afford). Output is a
+    * graph (full triple rows), publishable like any other. */
   private def describe(s: SparkSession, d: String): DataFrame = {
     val t = tri(s, d)
     val matched = t.filter(col("predicate") === CeoRijksmonumentnummer)
@@ -242,7 +245,7 @@ object RdfQueries {
           .select(col("subject")).distinct(),
         Seq("subject"), "left_semi")
       .select(col("subject")).distinct()
-    t.join(broadcast(matched), Seq("subject"), "left_semi")
+    t.join(matched, Seq("subject"), "left_semi")
   }
 
   /** SPARQL MINUS / FILTER NOT EXISTS — the negation pattern:
