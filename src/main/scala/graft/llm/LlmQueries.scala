@@ -29,6 +29,7 @@ object LlmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_minhash" -> dedupMinhash,
+    "llm_lsh_bucket_stats" -> lshBucketStats,
     "llm_ngram_jaccard" -> ngramJaccard,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_keep" -> dedupKeep,
@@ -163,6 +164,22 @@ object LlmQueries {
 
   private def bands(s: SparkSession, d: String): DataFrame =
     DedupIndex.bandsOf(minhashSig(s, d))
+
+  /** LSH bucket-size histogram — MEASURES the skew the salt cap
+    * below guards against instead of assuming it: for each (band,
+    * band-value) bucket, its member count, rolled into a
+    * (bucket_size → n_buckets) histogram. This is the number an
+    * operator checks before trusting pair-generation cost estimates
+    * (a fat tail here means degenerate band hashes — near-empty
+    * docs, boilerplate — and quadratic pair blowup without the
+    * salt). Reads the memoized signature artifact; two bounded
+    * exchanges (bucket key, then size key). */
+  def lshBucketStats(s: SparkSession, d: String): DataFrame =
+    bands(s, d)
+      .groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
 
   /** Bucket-size cap: pair expansion is quadratic in bucket size, and
     * an oversized bucket means a degenerate band hash. Oversized
@@ -2496,6 +2513,13 @@ object LlmQueries {
          |FROM inter i
          |JOIN sizes sa ON i.doc_a = sa.doc_id
          |JOIN sizes sb ON i.doc_b = sb.doc_id""".stripMargin,
+
+    "llm_lsh_bucket_stats" ->
+      s"""WITH $sigBandsCte,
+         |bs AS (SELECT band, bv, CAST(count(*) AS BIGINT) AS bucket_size
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+         |FROM bs GROUP BY 1""".stripMargin,
 
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCte,
