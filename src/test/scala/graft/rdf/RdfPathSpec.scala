@@ -54,6 +54,34 @@ class RdfPathSpec extends AnyFunSuite {
     assert(reach(e, seeds("z"), 8).isEmpty)
   }
 
+  test("reachable equals a plain-Scala BFS on random cyclic graphs") {
+    import scala.util.Random
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 30
+      val es = (0 until 90).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")).distinct
+      val sds = (0 until 5).map(_ => s"n${rnd.nextInt(n)}").distinct
+      val maxHops = 4
+      // reference: per-seed BFS over an adjacency map, min-hops,
+      // cycles included (a revisited pair is never re-expanded)
+      val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val expected = sds.flatMap { s =>
+        val hops = scala.collection.mutable.Map[String, Int]()
+        var frontier = Set(s)
+        (1 to maxHops).foreach { d =>
+          val next = frontier.flatMap(x => adj.getOrElse(x, Nil))
+            .filterNot(hops.contains)
+          next.foreach(x => hops(x) = d)
+          frontier = next
+        }
+        hops.map { case (dst, h) => (s, dst, h) }
+      }.toSet
+      val got = reach(edges(es: _*), seeds(sds: _*), maxHops)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("bgp star: pivot evaluation equals the naive n-way self-join") {
     // The oracle SQL runs the naive join in DuckDB; this spec runs
     // the same naive join in SPARK over the real fixture, so the
