@@ -50,4 +50,22 @@ object Enrichment {
         "obj_value", "obj_kind", "obj_lang", "obj_datatype")
       .dropDuplicates()
   }
+
+  /** Apply a refresh to a stored enrichment snapshot: REPLACE the
+    * snapshot's triples for every subject the re-fetch returned, then
+    * union the fetched rows in. Plain set-union would merely add the
+    * updated triples next to the stale ones (set semantics never
+    * deletes), so an upstream edit would never fully propagate; the
+    * anti-join deletes the refreshed subjects' old rows first. The
+    * refreshed-subject set is refresh-scale (small — the TTL'd slice
+    * of a dimension table), so AQE broadcasts the anti-join and the
+    * corpus-scale snapshot is scanned map-side once. */
+  def applyRefresh(snapshot: DataFrame, fetched: DataFrame): DataFrame = {
+    val subs = fetched.select("subject").distinct()
+    snapshot.join(subs, Seq("subject"), "left_anti")
+      // a USING join hoists the key column to position 0 — restore
+      // the snapshot's column order before the positional union
+      .select(snapshot.columns.map(org.apache.spark.sql.functions.col): _*)
+      .union(fetched).dropDuplicates()
+  }
 }

@@ -121,6 +121,39 @@ object RdfOps {
   def normalizeMonumentKey(c: Column): Column =
     when(c.startsWith("RM"), c.substr(lit(3), length(c))).otherwise(c)
 
+  /** O14 incremental fetch list WITH the reference's freshness
+    * contract. The pure anti-join delta ([[graft.rdf.RdfQueries]]
+    * `rdf_enrich_delta`) fetches only keys the stored snapshot has
+    * never seen — but the reference re-fetches EVERY key weekly
+    * (transform_datamodel.py:88–101), so upstream monument-record
+    * updates propagate within a week; never refreshing a fetched key
+    * silently changes that freshness semantics. This form restores
+    * it: the fetch list is
+    *
+    *   - `missing`: export keys absent from the ledger, plus
+    *   - `stale`:   export keys whose last fetch is `ttlDays` or more
+    *     days old (`age_days >= ttlDays`),
+    *
+    * tagged with a `reason` column so the fetch loop can meter both
+    * populations. `ledger` is `(monument_key, age_days)` — the
+    * fetched-at sidecar a production snapshot stores next to its
+    * triples. Scale shape: both joins key on `monument_key`; the
+    * ledger is dimension-scale (one row per stored monument), so AQE
+    * broadcasts it, and the export-key side — already distinct'd,
+    * key-scale — is scanned twice at trivial cost. A key is missing
+    * XOR covered, so the union is disjoint and needs no dedup. */
+  def enrichmentFetchList(exportKeys: DataFrame, ledger: DataFrame,
+      ttlDays: Int = 7): DataFrame = {
+    val missing = exportKeys
+      .join(ledger.select("monument_key"), Seq("monument_key"), "left_anti")
+      .withColumn("reason", lit("missing"))
+    val stale = exportKeys
+      .join(ledger.filter(col("age_days") >= ttlDays)
+        .select("monument_key"), Seq("monument_key"), "left_semi")
+      .withColumn("reason", lit("stale"))
+    missing.union(stale)
+  }
+
   /** O14+O15+O16 — the enrichment stage (reference:
     * src/transform_datamodel.py:88–109): union the fetched enrichment
     * triples into the graph, then for every rijksmonumentnummer triple
@@ -176,7 +209,39 @@ object RdfOps {
     * @param seeds (src) roots to walk from
     * @return (src, dst, hops) with hops = min path length in [1, maxHops]
     */
-  def reachable(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def reachable(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    walk(edges, seeds, Some(maxHops))
+
+  /** SPARQL `p+` — the UNBOUNDED closure: the same semi-naive loop
+    * run to FIXPOINT (empty frontier), no hop cap. Termination is
+    * structural, not configured: every round's anti-join keeps only
+    * never-seen (src, dst) pairs, the pair space over a finite node
+    * set is finite, so the frontier must empty — cycles included
+    * (a cycle's pairs are each discovered once, then suppressed).
+    * Round COUNT is data-driven: it equals the graph's seed-to-
+    * anywhere diameter, so `+` over a bounded-diameter graph (the
+    * common shape — hierarchies, doubling indexes) costs O(diameter)
+    * rounds regardless of node count. */
+  def reachablePlus(edges: DataFrame, seeds: DataFrame): DataFrame =
+    walk(edges, seeds, None)
+
+  /** SPARQL `p*` — `p+` plus the ZERO-LENGTH paths: every seed
+    * reaches itself at hop 0. A cycle returning to its seed would
+    * also surface from `p+` as (s, s, cycleLen); SPARQL's distinct
+    * path semantics collapse the two, and `hops` is documented as
+    * the MINIMUM path length, so the hop-0 self row wins and the
+    * cycle row is anti-joined away. */
+  def reachableStar(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val self = seeds.select(col("src"), col("src").as("dst"),
+      lit(0).as("hops")).distinct()
+    val plus = reachablePlus(edges, seeds)
+    self.union(
+      plus.join(self.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        .select(col("src"), col("dst"), col("hops")))
+  }
+
+  private def walk(edges: DataFrame, seeds: DataFrame,
+      maxHops: Option[Int]): DataFrame = {
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
     val empty = seeds.select(col("src"), col("src").as("dst"),
       lit(0).as("hops")).limit(0)
@@ -186,7 +251,7 @@ object RdfOps {
     var frontier = seeds.select(col("src"), col("src").as("dst")).distinct()
     var reached: DataFrame = empty
     var d = 1
-    while (d <= maxHops && !frontier.isEmpty) {
+    while (maxHops.forall(d <= _) && !frontier.isEmpty) {
       val next = frontier.join(e, frontier("dst") === e("e_src"))
         .select(frontier("src"), col("e_dst").as("dst"))
         .distinct()

@@ -59,6 +59,16 @@ object RdfQueries {
     "rdf_bgp_star" -> ((s, d) => bgpStar(s, d)),
     "rdf_bgp_optional" -> ((s, d) => bgpOptional(s, d)),
     "rdf_reachable" -> ((s, d) => reachableQ(s, d)),
+    // Unbounded `p*`: run-to-fixpoint semi-naive closure (no hop
+    // cap) + SPARQL's zero-length self rows, over a doubling graph
+    // with real cycles (see starEdges).
+    "rdf_reachable_star" -> ((s, d) => reachableStarQ(s, d)),
+    // Solution-modifier fills: VALUES inline data (a broadcast
+    // literal relation joined into the BGP) and the GROUP BY
+    // aggregate query form — the last two SPARQL surface areas not
+    // yet exercised as query forms.
+    "rdf_values_join" -> ((s, d) => valuesJoin(s, d)),
+    "rdf_group_agg" -> ((s, d) => groupAgg(s, d)),
     // CONSTRUCT, ASK and DESCRIBE complete the SPARQL query-form
     // family (SELECT = the BGPs above, paths = rdf_reachable);
     // MINUS covers the negation pattern.
@@ -73,6 +83,11 @@ object RdfQueries {
     // the stored enrichment snapshot (the reference re-fetches every
     // key every week — transform_datamodel.py:88–101).
     "rdf_enrich_delta" -> ((s, d) => enrichDelta(s, d)),
+    // TTL-aware fetch list: delta PLUS the stored keys whose last
+    // fetch exceeds the weekly cadence — restores the reference's
+    // everything-refreshes-weekly freshness contract that the pure
+    // anti-join delta silently dropped.
+    "rdf_enrich_stale" -> ((s, d) => enrichStale(s, d)),
   )
 
   private def tri(s: SparkSession, d: String): DataFrame =
@@ -284,6 +299,82 @@ object RdfQueries {
     RdfOps.reachable(edges, seeds, maxHops = 8)
   }
 
+  /** Fixture for the UNBOUNDED (`*`) walk. The export's own
+    * dcterms:relation edges form a k→k+1 CHAIN, whose unbounded
+    * closure is O(n²) pairs over O(n) rounds — the adversarial shape
+    * an unbounded path query must be pointed away from, at any
+    * engine. The star query instead walks a DOUBLING graph derived
+    * from the same part table (k → 4k, diameter log₄ n, so the
+    * fixpoint round count grows with log of corpus size) with
+    * k → k/16 back-edges on k % 16 = 0 (REAL cycles, e.g.
+    * 4 → 16 → 64 → 4, so termination-on-cycles is oracle-exercised,
+    * not just spec-asserted). Both engines derive the edge list with
+    * pure int arithmetic; the max-key bound rides a broadcast 1-row
+    * cross join, nothing driver-side. */
+  private def starEdges(s: SparkSession, d: String): DataFrame = {
+    val item = "http://ex.org/item/"
+    val p = graft.Tables(s, d, "part").select(col("p_partkey").as("k"))
+    val mx = broadcast(p.agg(max(col("k")).as("mx")))
+    val fwd = p.crossJoin(mx).filter(col("k") * 4 <= col("mx"))
+      .select(concat(lit(item), col("k")).as("src"),
+        concat(lit(item), col("k") * 4).as("dst"))
+    val back = p.filter(col("k") % 16 === 0)
+      .select(concat(lit(item), col("k")).as("src"),
+        concat(lit(item), expr("k div 16")).as("dst"))
+    fwd.union(back)
+  }
+
+  /** SPARQL `p*` as a query form: unbounded closure + hop-0 rows
+    * over the doubling fixture; output is the pair set (the SPARQL
+    * binding semantics — no hop column, so the oracle's recursion
+    * can use the cycle-safe pairs-only `WITH RECURSIVE`). */
+  private def reachableStarQ(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val seeds = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("src")).distinct()
+    RdfOps.reachableStar(starEdges(s, d), seeds).select("src", "dst")
+  }
+
+  private val DefBrand = "http://ex.org/def#brand"
+
+  /** SPARQL VALUES: inline data joined into a BGP —
+    * `VALUES ?brand { "Brand#13" "Brand#32" "Brand#55" }` against
+    * `?item def:brand ?brand . ?item dcterms:title ?title`. The
+    * VALUES relation is a literal local DataFrame, explicitly
+    * broadcast: inline data is always driver-small, so the join
+    * never shuffles the triple scan. */
+  private def valuesJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tri(s, d)
+    val vals = Seq("Brand#13", "Brand#32", "Brand#55").toDF("brand")
+    val br = t.filter(col("predicate") === DefBrand)
+      .select(col("subject").as("item"), col("obj_value").as("brand"))
+    val ti = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject").as("item"), col("obj_value").as("title"))
+    br.join(broadcast(vals), Seq("brand"))
+      .join(ti, Seq("item"))
+      .select(col("item"), col("brand"), col("title"))
+  }
+
+  /** SPARQL GROUP BY aggregate query form:
+    * `SELECT ?brand (COUNT(*) AS ?n_items) (MIN(?item) AS ?first_item)
+    *  WHERE { ?item def:brand ?brand . ?item a ceo:Rijksmonument }
+    *  GROUP BY ?brand`. The typed-subject set is dimension-scale →
+    * broadcast semi-join; then ONE exchange on the 25-value brand
+    * key with map-side partial aggregation. */
+  private def groupAgg(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("item")).distinct()
+    t.filter(col("predicate") === DefBrand)
+      .select(col("subject").as("item"), col("obj_value").as("brand"))
+      .join(broadcast(typed), Seq("item"), "left_semi")
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_items"), min(col("item")).as("first_item"))
+  }
+
   /** Week-over-week snapshot diff: the reference re-exports and
     * OVERWRITES the published graph weekly (yml:87); the first thing
     * an operator asks of two consecutive snapshots is "what changed".
@@ -327,6 +418,18 @@ object RdfQueries {
       .select(col("obj_value").as("monument_key")).distinct()
     RdfOps.enrichmentKeys(tri(s, d))
       .join(covered, Seq("monument_key"), "left_anti")
+  }
+
+  /** Conf key for the enrichment TTL; default 7 (the reference's
+    * weekly re-fetch cadence, transform_datamodel.py:88–101). */
+  val enrichTtlConf = "spark.graft.enrich.ttlDays"
+
+  /** [[RdfOps.enrichmentFetchList]] over the fixture's export keys
+    * and fetch ledger: the TTL-aware incremental form of O14. */
+  private def enrichStale(s: SparkSession, d: String): DataFrame = {
+    val ttl = s.conf.get(enrichTtlConf, "7").toInt
+    RdfOps.enrichmentFetchList(RdfOps.enrichmentKeys(tri(s, d)),
+      TripleFixture.enrichmentLedger(s, d), ttl)
   }
 
   /** O10 — single-row stage metrics (reference: `len(graph)` at
@@ -563,6 +666,23 @@ object RdfQueries {
          |SELECT obj_value FROM enrichment
          |WHERE predicate = '$DctermsIdentifier'""".stripMargin,
 
+    "rdf_enrich_stale" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentLedgerCte},
+         |ek AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN obj_value LIKE 'RM%' THEN substring(obj_value, 3)
+         |         ELSE obj_value END AS monument_key
+         |  FROM triples
+         |  WHERE predicate = '$CeoRijksmonumentnummer'
+         |    AND obj_kind = 'literal')
+         |SELECT monument_key, 'missing' AS reason FROM ek
+         |WHERE monument_key NOT IN (SELECT monument_key FROM ledger)
+         |UNION ALL
+         |SELECT ek.monument_key, 'stale' AS reason
+         |FROM ek JOIN ledger l ON l.monument_key = ek.monument_key
+         |WHERE l.age_days >= 7""".stripMargin,
+
     "rdf_bgp_optional" ->
       s"""WITH ${TripleFixture.triplesCte}
          |SELECT ty.subject AS item, ti.obj_value AS title,
@@ -598,6 +718,56 @@ object RdfQueries {
          |    WHERE w.hops < 8)
          |  SELECT * FROM walk)
          |GROUP BY src, dst""".stripMargin,
+
+    // The unbounded form: pairs-only recursion (no hops column in
+    // the working table), so UNION's distinct reaches a fixpoint on
+    // the finite pair set even through the fixture's real cycles —
+    // the cycle-safe WITH RECURSIVE shape. Hop-0 self rows come from
+    // the non-recursive anchor.
+    "rdf_reachable_star" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |mxp AS (SELECT max(p_partkey) AS mx FROM part),
+         |edges AS (
+         |  SELECT 'http://ex.org/item/' || p_partkey AS src,
+         |         'http://ex.org/item/' || (p_partkey * 4) AS dst
+         |  FROM part, mxp WHERE p_partkey * 4 <= mx
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || p_partkey,
+         |         'http://ex.org/item/' || (p_partkey // 16)
+         |  FROM part WHERE p_partkey % 16 = 0),
+         |seeds AS (SELECT DISTINCT subject AS src FROM triples
+         |  WHERE predicate = '$RdfType'
+         |    AND obj_value = '$CeoRijksmonument')
+         |SELECT src, dst FROM (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT src, src AS dst FROM seeds
+         |    UNION
+         |    SELECT w.src, e.dst FROM walk w
+         |    JOIN edges e ON e.src = w.dst)
+         |  SELECT * FROM walk)""".stripMargin,
+
+    "rdf_values_join" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |vals(brand) AS (VALUES ('Brand#13'), ('Brand#32'), ('Brand#55'))
+         |SELECT b.subject AS item, b.obj_value AS brand,
+         |       t.obj_value AS title
+         |FROM triples b
+         |JOIN vals v ON v.brand = b.obj_value
+         |JOIN triples t ON t.subject = b.subject
+         |  AND t.predicate = '$DctermsTitle'
+         |WHERE b.predicate = 'http://ex.org/def#brand'""".stripMargin,
+
+    "rdf_group_agg" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT b.obj_value AS brand, COUNT(*) AS n_items,
+         |       MIN(b.subject) AS first_item
+         |FROM triples b
+         |WHERE b.predicate = 'http://ex.org/def#brand'
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = b.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')
+         |GROUP BY b.obj_value""".stripMargin,
 
     "rdf_snapshot_diff" ->
       s"""WITH ${TripleFixture.triplesCte},

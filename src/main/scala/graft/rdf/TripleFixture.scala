@@ -146,6 +146,21 @@ object TripleFixture {
     Seq(monType, monId, itemType).reduce(_ union _).select(col("t.*"))
   }
 
+  /** The fetch LEDGER of the stored enrichment snapshot: per stored
+    * key, how many days ago it was last fetched. Integer days (not a
+    * timestamp) keep the derivation byte-identical across engines; a
+    * production ledger stores a `fetched_at` timestamp column next to
+    * the snapshot and the TTL compare is a `date_diff`. `k % 14`
+    * spreads ages 0–13 over the stored keys, so the 7-day TTL
+    * (the reference's weekly cadence, transform_datamodel.py:88–101)
+    * marks about half the stored keys stale. */
+  def enrichmentLedger(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(col("p_partkey").as("k"))
+      .filter(col("k") % 3 === 0 && col("k") % 4 =!= 0)
+      .select((col("k") + 100000).cast("string").as("monument_key"),
+        (col("k") % 14).cast("int").as("age_days"))
+
   // ---- oracle-side equivalents (DuckDB SQL CTEs) ----
 
   /** CTE named `triples`: byte-identical to [[triples]]. */
@@ -188,6 +203,14 @@ object TripleFixture {
        |  UNION ALL SELECT 'default', cs, 'iri', '$OmekaResourceTemplate',
        |         'http://ex.org/template/' || (k % 4), 'iri', NULL, NULL
        |         FROM ds WHERE k % 7 = 0
+       |)""".stripMargin
+
+  /** CTE named `ledger`: byte-identical to [[enrichmentLedger]]. */
+  val enrichmentLedgerCte: String =
+    s"""ledger AS (
+       |  SELECT CAST(p_partkey + 100000 AS VARCHAR) AS monument_key,
+       |         CAST(p_partkey % 14 AS INTEGER) AS age_days
+       |  FROM part WHERE p_partkey % 3 = 0 AND p_partkey % 4 <> 0
        |)""".stripMargin
 
   /** CTE named `enrichment`: byte-identical to [[enrichment]]. */

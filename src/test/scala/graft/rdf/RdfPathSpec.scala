@@ -82,6 +82,69 @@ class RdfPathSpec extends AnyFunSuite {
     }
   }
 
+  test("reachablePlus: run-to-fixpoint terminates on random cyclic " +
+    "graphs and equals an UNBOUNDED plain-Scala BFS") {
+    import scala.util.Random
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      val n = 25
+      // dense enough that nearly everything is one big cyclic knot —
+      // the shape that loops forever if fixpoint detection is broken
+      val es = (0 until 80).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")).distinct
+      val sds = (0 until 4).map(_ => s"n${rnd.nextInt(n)}").distinct
+      val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val expected = sds.flatMap { s =>
+        val hops = scala.collection.mutable.Map[String, Int]()
+        var frontier = Set(s)
+        var d = 1
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(x => adj.getOrElse(x, Nil))
+            .filterNot(hops.contains)
+          next.foreach(x => hops(x) = d)
+          frontier = next
+          d += 1
+        }
+        hops.map { case (dst, h) => (s, dst, h) }
+      }.toSet
+      val got = RdfOps.reachablePlus(edges(es: _*), seeds(sds: _*))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("reachableStar: hop-0 self rows present for EVERY seed, and a " +
+    "cycle back to the seed collapses onto the hop-0 row (min-path)") {
+    // 1→2→3→1 cycle plus an isolated seed z with no out-edges
+    val e = edges("1" -> "2", "2" -> "3", "3" -> "1")
+    val got = RdfOps.reachableStar(e, seeds("1", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got == Set(
+      ("1", "1", 0), ("z", "z", 0), // zero-length paths, even for z
+      ("1", "2", 1), ("1", "3", 2))) // NO ("1","1",3): hop 0 wins
+  }
+
+  test("rdf_reachable_star: doubling fixture has real cycles and the " +
+    "closure contains them plus every seed's self row") {
+    val s = TestSpark.spark
+    val out = RdfQueries.queries("rdf_reachable_star")(s,
+      "/root/testdata/sf0.001").localCheckpoint()
+    val item = "http://ex.org/item/"
+    // every seed (k % 6 = 0 typed items) reaches itself at hop 0
+    val seedsN = TripleFixture.triples(s, "/root/testdata/sf0.001")
+      .filter(col("predicate") === Vocab.RdfType &&
+        col("obj_value") === Vocab.CeoRijksmonument)
+      .select(col("subject")).distinct().count()
+    assert(out.filter(col("src") === col("dst")).count() == seedsN)
+    // the 6→24→96→6 cycle: 96 % 16 = 0 back-edge makes 6 reach 96
+    // and (via the back-edge) itself — present as the hop-0 row, and
+    // 96 is in 6's closure
+    assert(out.filter(col("src") === s"${item}6" &&
+      col("dst") === s"${item}96").count() == 1)
+  }
+
   test("bgp star: pivot evaluation equals the naive n-way self-join") {
     // The oracle SQL runs the naive join in DuckDB; this spec runs
     // the same naive join in SPARK over the real fixture, so the
