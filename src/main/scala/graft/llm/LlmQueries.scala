@@ -85,6 +85,7 @@ object LlmQueries {
     "mm_resize_plan" -> resizePlan,
     "mm_image_dims" -> imageDims,
     "mm_audio_meta" -> audioMeta,
+    "mm_audio_levels" -> audioLevels,
     "mm_video_meta" -> videoMeta,
   )
 
@@ -2183,6 +2184,49 @@ object LlmQueries {
         sum(expr("m.n_samples * 1000 div m.sample_rate")).as("sum_ms"))
   }
 
+  /** REAL sample-PAYLOAD decode for the codec-free modality —
+    * narrows the multimodal stub to compressed payloads only: build
+    * complete PCM WAV FILES (header + an actual little-endian 16-bit
+    * sample payload, deterministic full-range signal from doc_id —
+    * [[graft.multimodal.AudioHex.SampleExpr]]), then decode the raw
+    * samples with the native [[graft.functions.AudioLevels]] codegen
+    * expression — per-file energy (exact integer sum of squares),
+    * peak |s|, and digital-full-scale clip count, the audio-QA pass
+    * a training pipeline runs before transcription. The oracle
+    * rebuilds the SAME bytes through a real DuckDB BLOB and replays
+    * the s16le walk positionally over the blob's hex — a decoder
+    * that byte-swaps, drops the sign reinterpretation, or counts
+    * frames instead of values hash-mismatches. All outputs integer
+    * (RMS = sqrt(sum_sq/n) is derived at the edge), per the
+    * oracle-exactness rule. Map-side construct → decode → partial
+    * agg; one bounded exchange on the ~10-key (rate, channels)
+    * space. */
+  def audioLevels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 16000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 5 AS INT) + 1)").as("rate0"),
+        expr("CAST(doc_id % 2 AS INT) + 1").as("ch0"),
+        // whole frames: values = frames × channels
+        expr("(doc_id % 24 + 4) * (CAST(doc_id % 2 AS INT) + 1)")
+          .as("nv0"))
+      .withColumn("db0", expr("nv0 * 2"))
+      .withColumn("hs", expr(
+        s"concat(${AudioHex.wavHex("rate0", "ch0", "db0", "div")}, " +
+          s"${AudioHex.pcmPayloadHexSpark("nv0", AudioHex.SampleExpr)})"))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.AudioLevels(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_values")).as("sum_values"),
+        sum(col("m.sum_sq")).as("sum_sq"),
+        max(col("m.peak").cast("bigint")).as("max_peak"),
+        sum(col("m.n_clipped")).as("sum_clipped"))
+  }
+
   /** REAL video container metadata — the MP4 box-walk sibling of
     * [[imageDims]]/[[audioMeta]], closing the last multimodal
     * metadata stub: build genuine minimal MP4 files per document
@@ -3404,6 +3448,46 @@ object LlmQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_clips,
          |  CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
          |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT) AS sum_ms
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    "mm_audio_levels" -> {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 16000, 22050, 44100, 48000],
+         |      CAST(doc_id % 5 AS INT) + 1) AS rate0,
+         |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+         |    (doc_id % 24 + 4) * (CAST(doc_id % 2 AS INT) + 1) AS nv0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(concat(
+         |      ${wavHex("rate0", "ch0", "nv0 * 2", "//")},
+         |      ${pcmPayloadHexDuck("nv0", SampleExpr)}))) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id, hs,
+         |    ${unhexLE("hs", ChannelsPos, 2, "strpos")} AS channels,
+         |    ${unhexLE("hs", SampleRatePos, 4, "strpos")} AS sample_rate,
+         |    ${unhexLE("hs", DataSizePos, 4, "strpos")} AS data_bytes
+         |  FROM b),
+         |smp AS (SELECT doc_id, channels, sample_rate,
+         |    ${unhexLEat("hs", s"$PayloadPos + 4 * i", "strpos")} AS u
+         |  FROM (SELECT doc_id, channels, sample_rate, hs,
+         |        unnest(range(0, data_bytes // 2)) AS i FROM f)),
+         |sv AS (SELECT doc_id, channels, sample_rate,
+         |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |  FROM smp),
+         |g AS (SELECT doc_id, channels, sample_rate,
+         |    COUNT(*) AS nv, SUM(s * s) AS ssq, MAX(ABS(s)) AS pk,
+         |    SUM(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END)
+         |      AS cl
+         |  FROM sv GROUP BY 1, 2, 3)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(nv) AS BIGINT) AS sum_values,
+         |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
+         |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+         |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
          |FROM g GROUP BY 1, 2""".stripMargin
     },
 

@@ -33,15 +33,20 @@ object AudioHeaders {
     u8(b, i) == s.charAt(0) && u8(b, i + 1) == s.charAt(1) &&
       u8(b, i + 2) == s.charAt(2) && u8(b, i + 3) == s.charAt(3)
 
-  /** (channels, sample_rate, bits_per_sample, n_samples) of a PCM
-    * WAV payload, else None. */
-  def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  /** One RIFF chunk walk, shared by [[parse]] and [[levels]]:
+    * (channels, rate, bits, blockAlign, dataStart, dataSize), else
+    * None. `dataStart` is the byte offset of the data PAYLOAD (which
+    * may be absent or truncated — only the declared size is
+    * trusted). */
+  private def walkChunks(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
     if (b == null || b.length < 12) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     val n = b.length
     var i = 12L
     var geom: Option[(Int, Int, Int)] = None // channels, rate, bits
     var blockAlign = 0
+    var dataStart = -1L
     var dataSize = -1L
     while (i + 8 <= n && (geom.isEmpty || dataSize < 0)) {
       val at = i.toInt
@@ -61,15 +66,71 @@ object AudioHeaders {
         geom = Some((ch, rate.toInt, bits))
       } else if (tag(b, at, "data")) {
         if (geom.isEmpty) return None // spec: fmt precedes data
+        dataStart = start.toLong
         dataSize = size
       }
       i = start.toLong + size + (size & 1L) // pad byte on odd sizes
     }
     geom match {
       case Some((ch, rate, bits)) if dataSize >= 0 =>
-        Some((ch, rate, bits, dataSize / blockAlign))
+        Some((ch, rate, bits, blockAlign, dataStart, dataSize))
       case _ => None
     }
+  }
+
+  /** (channels, sample_rate, bits_per_sample, n_samples) of a PCM
+    * WAV payload, else None. */
+  def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    walkChunks(b).map { case (ch, rate, bits, blockAlign, _, dataSize) =>
+      (ch, rate, bits, dataSize / blockAlign)
+    }
+
+  /** REAL sample-payload decode for 16-bit PCM — the raw
+    * little-endian samples need no codec, just the s16le
+    * reinterpretation. Per-file levels over the sample values
+    * ACTUALLY PRESENT (min of declared size and bytes on hand, so a
+    * header-range read that carried part of the payload still
+    * meters what it has):
+    * (channels, sample_rate, n_values, sum_sq, peak_abs, n_clipped),
+    * where `n_values` counts individual 16-bit values across
+    * channels, `sum_sq` is the exact integer sum of squares (fits a
+    * long: 2^31 per value × payload sizes up to ~2^32 stays under
+    * 2^63 for any single file under 4 GB), `peak_abs` is max |s|
+    * (32768 when a full-scale negative sample appears), and
+    * `n_clipped` counts values at digital full scale (s = 32767 or
+    * s = -32768). None for non-PCM, truncated-header, or non-16-bit
+    * payloads — the compressed modalities stay behind the declared
+    * stub in [[Multimodal.StubCodec]]. */
+  def levels(b: Array[Byte]): Option[(Int, Int, Long, Long, Int, Long)] =
+    walkChunks(b).flatMap {
+      case (ch, rate, bits, _, dataStart, dataSize) if bits == 16 =>
+        val end = math.min(dataStart + dataSize, b.length.toLong)
+        var p = dataStart
+        var cnt = 0L
+        var sumSq = 0L
+        var peak = 0
+        var clips = 0L
+        while (p + 2 <= end) {
+          val u = u16le(b, p.toInt)
+          val s = if (u >= 0x8000) u - 0x10000 else u
+          sumSq += s.toLong * s
+          val a = if (s < 0) -s else s // 32768 survives as Int
+          if (a > peak) peak = a
+          if (s == 32767 || s == -32768) clips += 1
+          cnt += 1
+          p += 2
+        }
+        Some((ch, rate, cnt, sumSq, peak, clips))
+      case _ => None
+    }
+
+  /** [[levels]] as an `InternalRow` for the
+    * [[graft.functions.AudioLevels]] codegen path. Null = not a
+    * 16-bit PCM WAV. */
+  def levelsRow(b: Array[Byte]): InternalRow = levels(b) match {
+    case Some((ch, rate, nv, ssq, pk, cl)) =>
+      InternalRow(ch, rate, nv, ssq, pk, cl)
+    case None => null
   }
 
   /** [[parse]] as an `InternalRow` for the

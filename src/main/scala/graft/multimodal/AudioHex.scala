@@ -58,4 +58,39 @@ object AudioHex {
   val ChannelsPos = 42 * 2 + 1   // 85
   val SampleRatePos = 44 * 2 + 1 // 89
   val DataSizePos = 60 * 2 + 1   // 121
+
+  /** 1-based hex position of the first PCM sample when a payload is
+    * appended after the 64-byte header built by [[wavHex]]. */
+  val PayloadPos = 64 * 2 + 1    // 129
+
+  /** The deterministic s16le test signal, as the UNSIGNED two's-
+    * complement 16-bit value of sample `i` of document `doc_id` —
+    * full-range (so peaks and clips genuinely occur), pure int
+    * arithmetic, identical in both engines. The decoded signed value
+    * is u - 65536 when u ≥ 32768. */
+  val SampleExpr = "((doc_id * 7919 + i * 104729) % 65536)"
+
+  /** Hex of `nv` little-endian 16-bit samples, the i-th being SQL
+    * expression `sampleE` (free variable `i`) — Spark spelling
+    * (higher-order functions). */
+  def pcmPayloadHexSpark(nv: String, sampleE: String): String =
+    s"array_join(transform(sequence(0, CAST(($nv) - 1 AS INT)), " +
+      s"i -> ${hexLE(sampleE, 2, "div")}), '')"
+
+  /** [[pcmPayloadHexSpark]]'s DuckDB spelling (list lambdas;
+    * `range(0, nv)` is [0, nv) like Spark's `sequence(0, nv-1)`). */
+  def pcmPayloadHexDuck(nv: String, sampleE: String): String =
+    s"list_aggregate(list_transform(range(0, CAST($nv AS BIGINT)), " +
+      s"i -> ${hexLE(sampleE, 2, "//")}), 'string_agg', '')"
+
+  /** u16le at DYNAMIC 1-based hex position expression `posE` of hex
+    * string expression `hs` — the oracle's per-sample read (fixed-
+    * position fields use [[unhexLE]]). */
+  def unhexLEat(hs: String, posE: String, posFn: String): String = {
+    def digit(off: Int): String =
+      s"(CAST($posFn('0123456789ABCDEF', substring($hs, " +
+        s"CAST(($posE) + $off AS INT), 1)) - 1 AS BIGINT))"
+    s"(${digit(0)} * 16 + ${digit(1)} + " +
+      s"(${digit(2)} * 16 + ${digit(3)}) * 256)"
+  }
 }

@@ -7,17 +7,22 @@ import org.apache.spark.sql.functions._
   * `binary` payloads plus typed metadata, with decode / feature
   * extraction / frame sampling as partition-local transforms.
   *
-  * ==== STUB NOTICE (narrowed to sample data only) ====
+  * ==== STUB NOTICE (narrowed to COMPRESSED payloads only) ====
   * CONTAINER METADATA DECODE IS REAL for all three modalities:
   * [[StubCodec.decode]] first runs [[ImageHeaders]] (PNG IHDR / JPEG
   * SOF marker walk), [[AudioHeaders]] (PCM WAV RIFF chunk walk), and
   * [[VideoHeaders]] (MP4/ISO-BMFF box walk — mvhd
   * timescale/duration, tkhd 16.16 dimensions) — pure byte
   * arithmetic, no codec library — and returns genuine metadata for
-  * any real PNG/JPEG/WAV/MP4 payload. Only PIXEL/SAMPLE decode (the
-  * compressed payload itself) remains a clearly-marked DETERMINISTIC
-  * FAKE (no codecs in this container): unparseable payloads get
-  * plausible dimensions derived from the bytes. The
+  * any real PNG/JPEG/WAV/MP4 payload. SAMPLE-PAYLOAD DECODE IS ALSO
+  * REAL for 16-bit PCM WAV ([[AudioHeaders.levels]] behind the
+  * [[graft.functions.AudioLevels]] codegen expression — raw s16le
+  * samples need no codec; per-file energy/peak/clip metering, the
+  * `mm_audio_levels` oracle query). Only decode of COMPRESSED
+  * payloads (JPEG/PNG pixels, MP4 frames) remains a clearly-marked
+  * DETERMINISTIC FAKE (no codec libraries in this container):
+  * unparseable payloads get plausible dimensions derived from the
+  * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped
   * `mapPartitions`, partitioning notes — is real, and swapping the
   * stub for a JNI/FFmpeg/ImageIO decode changes nothing structurally:

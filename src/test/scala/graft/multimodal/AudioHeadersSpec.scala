@@ -86,6 +86,74 @@ class AudioHeadersSpec extends AnyFunSuite {
       b(i + 2) == t(2) && b(i + 3) == t(3)).get
   }
 
+  /** JDK-encoded WAV whose PCM payload carries the given s16le
+    * values. */
+  private def encodedWith(rate: Float, ch: Int,
+      values: Seq[Int]): Array[Byte] = {
+    require(values.length % ch == 0)
+    val fmt = new AudioFormat(rate, 16, ch, true, false)
+    val pcm = new Array[Byte](values.length * 2)
+    values.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, values.length / ch)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("levels: exact sum-of-squares / peak / clip count over real " +
+    "encoder output, full-scale negatives included") {
+    val vals = Seq(0, 100, -100, 32767, -32768, 5, -32768, 1000)
+    val got = AudioHeaders.levels(encodedWith(22050f, 2, vals))
+    val sumSq = vals.map(v => v.toLong * v).sum
+    // peak is |−32768| = 32768 (doesn't overflow to the positive max)
+    assert(got.contains((2, 22050, 8L, sumSq, 32768, 3L)))
+  }
+
+  test("levels: truncated payload meters only the samples present") {
+    val vals = Seq(10, -20, 30, -40, 50, -60)
+    val full = encodedWith(8000f, 1, vals)
+    val cut = full.take(full.length - 5) // 12-byte payload → 7 bytes
+    val sumSq = vals.take(3).map(v => v.toLong * v).sum // 3 full samples
+    assert(AudioHeaders.levels(cut).contains((1, 8000, 3L, sumSq, 30, 0L)))
+  }
+
+  test("levels: non-16-bit PCM and non-audio return None (stays " +
+    "behind the stub)") {
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](16)), fmt8, 16L)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    assert(AudioHeaders.levels(out.toByteArray).isEmpty)
+    assert(AudioHeaders.levels("not audio at all".getBytes).isEmpty)
+    assert(AudioHeaders.levels(null).isEmpty)
+  }
+
+  test("audio_levels expression + SQL registration agree with the " +
+    "plain-Scala decoder") {
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    val vals = Seq(7, -7, 32767, 12, -32768, 0)
+    val rows = Seq(
+      (1L, encodedWith(44100f, 1, vals)),
+      (2L, "not audio at all".getBytes))
+    val got = rows.toDF("id", "payload")
+      .selectExpr("id", "audio_levels(payload) AS m")
+      .selectExpr("id", "m.n_values AS nv", "m.sum_sq AS ssq",
+        "m.peak AS pk", "m.n_clipped AS cl")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(1)) -1L else r.getLong(2),
+        if (r.isNullAt(1)) -1 else r.getInt(3),
+        if (r.isNullAt(1)) -1L else r.getLong(4))).toSet
+    val sumSq = vals.map(v => v.toLong * v).sum
+    assert(got == Set((1L, 6L, sumSq, 32768, 2L), (2L, -1L, -1L, -1, -1L)))
+  }
+
   test("audio_meta expression + SQL registration agree with the parser") {
     val s = graft.TestSpark.spark
     import s.implicits._
