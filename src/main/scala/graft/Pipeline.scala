@@ -215,8 +215,23 @@ object Pipeline {
     *
     * The new snapshot is localCheckpoint'ed up front: it feeds both
     * EXCEPT branches and the final overwrite, and the change-log
-    * append fully materializes before the snapshot it read from is
-    * rewritten. */
+    * write fully materializes before the snapshot it read from is
+    * rewritten.
+    *
+    * CRASH/RETRY CONTRACT: the change log is PARTITIONED BY run_id
+    * and written with dynamic partition overwrite, so a run writes
+    * (or on retry REPLACES) exactly its own `run_id=` partition —
+    * a torn write from a crashed attempt is healed, not duplicated,
+    * and other runs' partitions are untouched. The two writes are
+    * still not jointly atomic (no transaction log here): a crash
+    * BETWEEN them leaves the old snapshot next to a complete change
+    * partition, and the retry — which re-diffs against the OLD
+    * snapshot, so it reproduces the same rows — replaces that
+    * partition and then commits the snapshot. Consumers must treat
+    * the per-run partition as the authoritative diff (it is
+    * rewritten whole, never appended to) and may observe
+    * change-log-ahead-of-snapshot during the window;
+    * [[applyChanges]]'s set semantics absorb that read. */
   def publishDelta(result: Result, snapshotPath: String,
       changesPath: String, runId: String): Unit = {
     import org.apache.spark.sql.functions.lit
@@ -233,7 +248,10 @@ object Pipeline {
         case None => next.withColumn("change", lit("added"))
       }
       changes.withColumn("run_id", lit(runId))
-        .write.mode("append").parquet(changesPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id")
+        .parquet(changesPath)
       next.write.mode("overwrite").parquet(snapshotPath)
     } finally {
       org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(next)

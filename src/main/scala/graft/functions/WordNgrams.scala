@@ -22,10 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside whole-stage codegen like the dot-product kernel.
   *
   * Semantics (both spellings agree, spec-pinned): tokens joined with
-  * a single space; fewer than n tokens yield an empty array. Null
-  * ELEMENTS are skipped by `UTF8String.concatWs` — the tokenizer
-  * (`split` over trimmed text) never produces null tokens, so the
-  * branch is unreachable on engine inputs.
+  * a single space; fewer than n tokens yield an empty array; a
+  * window containing a NULL token yields a NULL shingle — exactly
+  * what the HOF reference spelling's `concat` (null if any argument
+  * is null) produces, so the agreement contract holds for
+  * user-supplied arrays with null elements too, not just the
+  * engine's tokenizer output (`split` never produces null tokens).
   */
 object TextKernels {
   private val Space = UTF8String.fromString(" ")
@@ -40,11 +42,14 @@ object TextKernels {
     while (i < out) {
       val parts = new Array[UTF8String](n)
       var j = 0
+      var hasNull = false
       while (j < n) {
-        parts(j) = words.getUTF8String(i + j)
+        if (words.isNullAt(i + j)) hasNull = true
+        else parts(j) = words.getUTF8String(i + j)
         j += 1
       }
-      res(i) = UTF8String.concatWs(Space, parts: _*)
+      // concat semantics, not concat_ws: null-in → null-out
+      res(i) = if (hasNull) null else UTF8String.concatWs(Space, parts: _*)
       i += 1
     }
     new GenericArrayData(res)
@@ -58,7 +63,12 @@ case class WordNgrams(left: Expression, right: Expression)
   // Seq[AbstractDataType] annotation — that type is private[sql];
   // the inferred covariant type satisfies the override.)
   override def inputTypes = Seq(ArrayType(StringType), IntegerType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // output may contain null shingles ONLY when the input array may
+  // contain null tokens (null-in → null-out, see TextKernels)
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
   override def prettyName: String = "word_ngrams"
   override protected def nullSafeEval(words: Any, n: Any): Any =
     TextKernels.wordNgrams(words.asInstanceOf[ArrayData],

@@ -2378,6 +2378,16 @@ object LlmQueries {
        |  FROM bflag b LEFT JOIN exact e ON b.doc_id = e.doc_id)""".stripMargin
   }
 
+  // Exactness bound for every list_inner_product-based oracle below:
+  // DuckDB's list_inner_product computes in DOUBLE, so the
+  // cast-to-BIGINT agrees with the engine's integer arithmetic only
+  // while every partial sum stays below 2^53 (doubles represent all
+  // integers up to 2^53 exactly, and integer-valued partial sums
+  // accumulate exactly in that range). The fixture guarantees a wide
+  // margin: embeddings are 64-dim with |x| < 0.6, so |qv_i| ≤ 600
+  // and |qv·qv'| ≤ 64 · 600² ≈ 2.4e7 ≪ 2^53 ≈ 9.0e15; k-means
+  // centroids are coordinate MEANS of such vectors (then floored to
+  // ints), so centroid products obey the same bound.
   private val quantCte =
     """v AS (SELECT vec_id,
       |  list_transform(embedding,
@@ -2744,6 +2754,8 @@ object LlmQueries {
     // dist² to the converged centroid via three inner products (the
     // same decomposition the engine computes), top-2 per cluster by
     // (dist2 DESC, vec_id ASC) — TopKByLong's exact tie order.
+    // Bit-exact vs the engine's long arithmetic under the 2^53
+    // bound documented at quantCte (products here ≤ ~2.4e7).
     "llm_embed_outliers" ->
       s"""WITH $quantCte,
          |$kmeansCte,

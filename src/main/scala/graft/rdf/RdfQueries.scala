@@ -143,7 +143,14 @@ object RdfQueries {
     * a column, then filter — the classic property-table optimization
     * for star BGPs over a triple store. Exact under the fixture's
     * functional properties (≤ 1 value per predicate per subject);
-    * multi-valued patterns would take the join form instead.
+    * multi-valued patterns would take the join form instead — a
+    * min/max conditional aggregate would silently pick ONE binding
+    * where SPARQL emits a row per binding. This caveat applies to
+    * EVERY pivot-based evaluation in this file (bgpOptional,
+    * bgpMinus, construct), and the functional-property assumption is
+    * GUARDED, not just documented: RdfPathSpec's "pivoted predicates
+    * are functional" test fails if the fixture ever grows a second
+    * value for a pivoted (subject, predicate).
     *
     * At 100 TB: n-way self-joins shuffle the fact table n times; the
     * pivot shuffles it once, with map-side partial aggregation. */
@@ -177,7 +184,8 @@ object RdfQueries {
     * conditional aggregate already yields NULL when the predicate is
     * absent — the required patterns keep their filters, the optional
     * one simply doesn't get one. The oracle spells it as the naive
-    * join + LEFT JOIN, again structurally independent. */
+    * join + LEFT JOIN, again structurally independent. Pivot-based:
+    * functional-property caveat + guard at [[bgpStar]]. */
   private def bgpOptional(s: SparkSession, d: String): DataFrame = {
     val p = col("predicate")
     tri(s, d).groupBy(col("subject"))
@@ -200,7 +208,8 @@ object RdfQueries {
     * triple schema, unioned and set-deduped — so the output is
     * itself a graph the Turtle/TriG sinks can publish. This is the
     * reference's own derive-and-assert shape (O16's sameAs
-    * derivation) generalized to arbitrary templates. */
+    * derivation) generalized to arbitrary templates. Pivot-based:
+    * functional-property caveat + guard at [[bgpStar]]. */
   private def construct(s: SparkSession, d: String): DataFrame = {
     val p = col("predicate")
     val m = tri(s, d).groupBy(col("subject"))
@@ -268,7 +277,8 @@ object RdfQueries {
     * untemplated-records worklist; title carried along, OPTIONAL
     * since a dirty export can detach it). On the pivot evaluation
     * negation is a zero test on a conditional flag; the oracle
-    * spells it as the naive join + NOT EXISTS anti-join. */
+    * spells it as the naive join + NOT EXISTS anti-join. Pivot-
+    * based: functional-property caveat + guard at [[bgpStar]]. */
   private def bgpMinus(s: SparkSession, d: String): DataFrame = {
     val p = col("predicate")
     tri(s, d).groupBy(col("subject"))

@@ -66,4 +66,33 @@ class PipelineDeltaSpec extends AnyFunSuite {
     // consumer side: folding run2's changes onto v1 reproduces v2
     assert(rows(Pipeline.applyChanges(v1, log2)) == rows(v2))
   }
+
+  test("publishDelta retry: a crashed run's change partition is " +
+    "replaced whole, never duplicated; other runs untouched") {
+    val base = Files.createTempDirectory("pub-retry").toFile.getAbsolutePath
+    val snap = s"$base/snapshot"
+    val log = s"$base/changes"
+    val v1 = rdf.TripleFixture.triples(spark, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    val v2 = v1.filter(col("predicate") =!= rdf.Vocab.OmekaIsPublic)
+      .localCheckpoint()
+    Pipeline.publishDelta(res(v1), snap, log, "run1")
+    val run1Rows = spark.read.parquet(log)
+      .filter(col("run_id") === "run1").count()
+    Pipeline.publishDelta(res(v2), snap, log, "run2")
+    // simulate the crash window: change partition landed, snapshot
+    // overwrite did not
+    v1.write.mode("overwrite").parquet(snap)
+    // the retry re-diffs against the OLD snapshot (same rows) and
+    // REPLACES run2's partition via dynamic partition overwrite
+    Pipeline.publishDelta(res(v2), snap, log, "run2")
+    val log2 = spark.read.parquet(log).filter(col("run_id") === "run2")
+    val expected = v1.exceptAll(v2).count() // removals only here
+    assert(expected > 0 && log2.count() == expected) // exactly once
+    assert(spark.read.parquet(log).filter(col("run_id") === "run1")
+      .count() == run1Rows)
+    assert(rows(spark.read.parquet(snap)) == rows(v2))
+    // consumer folding still reproduces v2
+    assert(rows(Pipeline.applyChanges(v1, log2)) == rows(v2))
+  }
 }

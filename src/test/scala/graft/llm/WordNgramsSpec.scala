@@ -38,6 +38,23 @@ class WordNgramsSpec extends AnyFunSuite {
       List("a b c", "b c d")))
   }
 
+  test("null tokens: kernel matches the HOF concat semantics " +
+    "(null-in → null shingle) for user-supplied arrays") {
+    // the engine tokenizer never yields null tokens, but word_ngrams
+    // is a registered user-facing SQL function — the agreement
+    // contract must hold on nullable-element arrays too
+    val both = spark.sql(
+      """SELECT word_ngrams(w, 2) AS fast,
+        |  transform(sequence(1, size(w) - 1),
+        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+        |    AS ref
+        |FROM VALUES (array('a', CAST(NULL AS STRING), 'c', 'd')) t(w)
+        |""".stripMargin).collect().head
+    val fast = both.getSeq[String](0).toList
+    val ref = both.getSeq[String](1).toList
+    assert(fast == ref && fast == List(null, null, "c d"))
+  }
+
   test("SQL registration and invalid n") {
     val r = spark.sql(
       "SELECT word_ngrams(array('x', 'y', 'z'), 2) AS g")

@@ -145,6 +145,27 @@ class RdfPathSpec extends AnyFunSuite {
       col("dst") === s"${item}96").count() == 1)
   }
 
+  test("pivoted predicates are functional on the fixture (the guard " +
+    "the min/max pivot evaluation is exact under)") {
+    // The pivot BGPs (bgpStar/bgpOptional/bgpMinus/construct)
+    // collapse each predicate with a min/max conditional aggregate —
+    // exact ONLY while every pivoted (subject, predicate) has ≤ 1
+    // value. This test is the runtime guard for that assumption: it
+    // fails the moment the fixture grows a second binding, at which
+    // point those queries must switch to the join form.
+    val s = TestSpark.spark
+    import Vocab._
+    val pivoted = Seq(DctermsTitle, CeoRijksmonumentnummer,
+      "http://ex.org/def#size", OmekaResourceTemplate)
+    val viol = TripleFixture.triples(s, "/root/testdata/sf0.001")
+      .filter(col("predicate").isin(pivoted: _*))
+      .groupBy(col("subject"), col("predicate"))
+      .agg(countDistinct(col("obj_value")).as("nv"))
+      .filter(col("nv") > 1)
+    assert(viol.isEmpty,
+      s"multi-valued pivoted predicate(s): ${viol.head(5).mkString(", ")}")
+  }
+
   test("bgp star: pivot evaluation equals the naive n-way self-join") {
     // The oracle SQL runs the naive join in DuckDB; this spec runs
     // the same naive join in SPARK over the real fixture, so the
