@@ -26,6 +26,49 @@ object Bench {
       QueryRun(name, (System.nanoTime() - t0) / 1e9, err)
     }
 
+  /** One query timed cold-then-warm: `coldSec` is the first
+    * execution (pays memoized-artifact builds, codegen, shuffle-file
+    * creation), `warmSecs` the subsequent repetitions. */
+  final case class SteadyRun(name: String, coldSec: Double,
+      warmSecs: Seq[Double], err: Option[String])
+
+  /** Steady-state timing: each query runs once cold then `warmReps`
+    * more times; the artifact carries BOTH numbers and the headline
+    * total is the sum of warm MEDIANS — a statistic ambient driver
+    * load has to beat 2-of-3 times to move, where the single-shot
+    * mode's number moves with any one coincident load spike.
+    * (BASELINE.md documents three rounds of contended single-shot
+    * artifacts that had to be re-litigated by hand; the warm median
+    * is the operative line going forward.) A query that errs is
+    * never re-run (its cold time measures a stack unwind; consumers
+    * must not average it in). */
+  def runSteady(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      warmReps: Int): Seq[SteadyRun] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (cold, err) = once()
+      val warm = if (err.isDefined) Seq.empty[Double]
+        else (1 to warmReps).map(_ => once()._1)
+      SteadyRun(name, cold, warm, err)
+    }
+
+  /** Median of the warm repetitions; cold time when there are none
+    * (erred or warmReps = 0). */
+  def warmMedian(r: SteadyRun): Double =
+    if (r.warmSecs.isEmpty) r.coldSec
+    else r.warmSecs.sorted.apply(r.warmSecs.size / 2)
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -50,6 +93,25 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_1m":$load,"sf":${jsonStr(sfDir)}}"""
   }
 
+  /** The steady-state one-liner: headline = sum of warm medians;
+    * `queries` holds the warm medians (the operative numbers),
+    * `cold` the first-execution times (artifact builds included). */
+  def renderSteadyJson(runs: Seq[SteadyRun], sfDir: String,
+      warmReps: Int): String = {
+    val qs = runs.map(r => jsonStr(r.name) + ":" + warmMedian(r))
+      .mkString("{", ",", "}")
+    val cold = runs.map(r => jsonStr(r.name) + ":" + r.coldSec)
+      .mkString("{", ",", "}")
+    val errs = runs.filter(_.err.isDefined)
+      .map(r => jsonStr(r.name) + ":" + jsonStr(r.err.get))
+      .mkString("{", ",", "}")
+    val total = runs.map(warmMedian).sum
+    val totalCold = runs.map(_.coldSec).sum
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady","warm_reps":$warmReps,"total_cold":$totalCold,"queries":$qs,"cold":$cold,"errors":$errs,"load_avg_1m":$load,"sf":${jsonStr(sfDir)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,11 +129,23 @@ object Bench {
     // numbers are comparable across rounds.
     Seq("lineitem", "part", "documents", "embeddings", "orders")
       .foreach(t => Tables(spark, sfDir, t).count())
-    val runs = run(spark, sfDir, SparkEntry.queries)
-    println(renderJson(runs, sfDir))
+    // SPARK_GRAFT_BENCH_WARM=N > 0 switches to steady-state mode:
+    // cold + N warm repetitions per query, warm-median headline.
+    // Default (unset/0) keeps the single-shot contract the driver
+    // consumes.
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "0").toInt
+    val failed = if (warmReps > 0) {
+      val runs = runSteady(spark, sfDir, SparkEntry.queries, warmReps)
+      println(renderSteadyJson(runs, sfDir, warmReps))
+      runs.exists(_.err.isDefined)
+    } else {
+      val runs = run(spark, sfDir, SparkEntry.queries)
+      println(renderJson(runs, sfDir))
+      runs.exists(_.err.isDefined)
+    }
     spark.stop()
     // A failed query is a failed bench: surface it in the exit code so
     // the driver can't mistake a stack unwind for a fast success.
-    if (runs.exists(_.err.isDefined)) sys.exit(1)
+    if (failed) sys.exit(1)
   }
 }

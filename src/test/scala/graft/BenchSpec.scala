@@ -34,4 +34,32 @@ class BenchSpec extends AnyFunSuite {
     assert(!json.contains("\n"))
     assert(json.contains("\"ok_count\":"))
   }
+
+  test("steady mode: cold + N warm runs per query, erred queries are " +
+    "never re-run, warm median is the headline") {
+    val s = TestSpark.spark
+    var boomCalls = 0
+    val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ok_count" -> ((s2, dir) => Tables(s2, dir, "region")),
+      "boom" -> ((s2, _) => {
+        boomCalls += 1
+        s2.sql("SELECT * FROM graft_bench_no_such_table")
+      }))
+    val runs = Bench.runSteady(s, sf, qs, warmReps = 3)
+    val byName = runs.map(r => r.name -> r).toMap
+    assert(byName("ok_count").err.isEmpty &&
+      byName("ok_count").warmSecs.size == 3)
+    // the failure is timed once (cold) and never repeated
+    assert(byName("boom").err.isDefined &&
+      byName("boom").warmSecs.isEmpty && boomCalls == 1)
+    // median = middle element of the sorted 3
+    val ok = byName("ok_count")
+    assert(Bench.warmMedian(ok) == ok.warmSecs.sorted.apply(1))
+    assert(Bench.warmMedian(byName("boom")) == byName("boom").coldSec)
+    val json = Bench.renderSteadyJson(runs, sf, 3)
+    assert(json.contains("\"mode\":\"steady\"") &&
+      json.contains("\"warm_reps\":3") &&
+      json.contains("\"cold\":{") &&
+      json.contains("\"errors\":{\"boom\":\"") && !json.contains("\n"))
+  }
 }
