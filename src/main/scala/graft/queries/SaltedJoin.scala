@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * philosophy as [[SaltedAgg]]: the salt is a deterministic hash of
   * row content + partition id, never `rand()` — results are exact and
   * identical regardless of salt assignment.
+  *
+  * COMPOSITION with AQE skew handling (audited, AqeSkewComposeSpec):
+  * the salt is part of the join KEY, so under
+  * `spark.sql.adaptive.skewJoin.enabled=true` AQE sees an ordinary
+  * equi-join on (key, salt) and may further split residual skew —
+  * the two stack, results identical in every {salt} × {AQE} cell.
+  * AQE skew-join splits JOINS only: skewed WINDOW partitions
+  * (sessionization's per-user window) and skewed AGGREGATION groups
+  * (the LSH bucket collect) are invisible to it, which is why those
+  * two keep dedicated manual knobs.
   */
 object SaltedJoin {
 
