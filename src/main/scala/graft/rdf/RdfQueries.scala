@@ -69,6 +69,15 @@ object RdfQueries {
     // yet exercised as query forms.
     "rdf_values_join" -> ((s, d) => valuesJoin(s, d)),
     "rdf_group_agg" -> ((s, d) => groupAgg(s, d)),
+    // Path COMPOSITION forms: sequence (p/q), alternation (p|q),
+    // inverse (^p) — with rdf_reachable/rdf_reachable_star these
+    // complete the SPARQL 1.1 property-path operator family the
+    // engine answers as queries.
+    "rdf_path_seq" -> ((s, d) => pathSeq(s, d)),
+    "rdf_path_alt" -> ((s, d) => pathAlt(s, d)),
+    "rdf_path_inv" -> ((s, d) => pathInv(s, d)),
+    "rdf_path_opt" -> ((s, d) => pathOpt(s, d)),
+    "rdf_path_nps" -> ((s, d) => pathNps(s, d)),
     // CONSTRUCT, ASK and DESCRIBE complete the SPARQL query-form
     // family (SELECT = the BGPs above, paths = rdf_reachable);
     // MINUS covers the negation pattern.
@@ -384,6 +393,86 @@ object RdfQueries {
       .groupBy(col("brand"))
       .agg(count(lit(1)).as("n_items"), min(col("item")).as("first_item"))
   }
+
+  /** SPARQL sequence path `dcterms:relation/dcterms:title` —
+    * `?x relation ?y . ?y title ?t`: each path step is a filtered
+    * projection of the triple table and the composition is ONE
+    * equi-join on the intermediate node. Both sides are
+    * corpus-scale in general, so this joins hash-to-hash (no
+    * broadcast hint); a subject-bucketed triple store co-locates
+    * every step of any sequence path, since each step joins
+    * step-N's object to step-N+1's subject. */
+  private def pathSeq(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val rel = t.filter(col("predicate") === DctermsRelation &&
+        col("obj_kind") === "iri")
+      .select(col("subject").as("src"), col("obj_value").as("mid"))
+    val ti = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject").as("mid"), col("obj_value").as("title"))
+    rel.join(ti, Seq("mid")).select(col("src"), col("title"))
+  }
+
+  /** SPARQL alternation `(dcterms:title | def:brand)` over
+    * Rijksmonument-typed subjects — `?x (title|brand) ?v`. An
+    * alternation is a single `isin` filter (one scan, pushed down),
+    * never a union of per-predicate scans; the matched predicate
+    * rides along as `via` (SPARQL exposes it when the pattern is
+    * spelled `{?x title ?v} UNION {?x brand ?v}`). */
+  private def pathAlt(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject")).distinct()
+    t.filter(col("predicate").isin(DctermsTitle, DefBrand))
+      .join(broadcast(typed), Seq("subject"), "left_semi")
+      .select(col("subject").as("item"), col("predicate").as("via"),
+        col("obj_value").as("value"))
+  }
+
+  /** SPARQL inverse path `^dcterms:relation` from typed subjects —
+    * `?item ^relation ?pointer` ≡ `?pointer relation ?item`: the
+    * edge scan filtered once, then a broadcast semi-join against the
+    * dimension-scale typed-subject set ON THE OBJECT side (the
+    * inverse is a join-side swap, not a new operator — no edge
+    * reversal materialized). */
+  private def pathInv(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("item")).distinct()
+    t.filter(col("predicate") === DctermsRelation &&
+        col("obj_kind") === "iri")
+      .select(col("obj_value").as("item"), col("subject").as("pointer"))
+      .join(broadcast(typed), Seq("item"), "left_semi")
+  }
+
+  /** SPARQL zero-or-one path `dcterms:relation?` from typed
+    * subjects — hop-0 self rows unioned with direct successors, the
+    * bounded sibling of `*`'s fixpoint (no iteration at all: `?` is
+    * one filtered scan plus a constant projection). */
+  private def pathOpt(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("src")).distinct()
+    val hop1 = t.filter(col("predicate") === DctermsRelation &&
+        col("obj_kind") === "iri")
+      .select(col("subject").as("src"), col("obj_value").as("dst"))
+      .join(broadcast(typed), Seq("src"), "left_semi")
+    typed.select(col("src"), col("src").as("dst")).union(hop1).distinct()
+  }
+
+  /** SPARQL negated property set `!(rdf:type|o:isPublic)` — every
+    * edge whose predicate is NOT in the set. The negation compiles
+    * to a NOT-IN filter pushed into the scan (the same shape as O18's
+    * predicate delete, here as a query form): no join, no shuffle
+    * except the final set-dedup on (item, via, value). */
+  private def pathNps(s: SparkSession, d: String): DataFrame =
+    tri(s, d)
+      .filter(!col("predicate").isin(RdfType, OmekaIsPublic))
+      .select(col("subject").as("item"), col("predicate").as("via"),
+        col("obj_value").as("value"))
+      .distinct()
 
   /** Week-over-week snapshot diff: the reference re-exports and
     * OVERWRITES the published graph weekly (yml:87); the first thing
@@ -778,6 +867,57 @@ object RdfQueries {
          |      AND ty.predicate = '$RdfType'
          |      AND ty.obj_value = '$CeoRijksmonument')
          |GROUP BY b.obj_value""".stripMargin,
+
+    "rdf_path_seq" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT r.subject AS src, t.obj_value AS title
+         |FROM triples r
+         |JOIN triples t ON t.subject = r.obj_value
+         |  AND t.predicate = '$DctermsTitle'
+         |WHERE r.predicate = '$DctermsRelation'
+         |  AND r.obj_kind = 'iri'""".stripMargin,
+
+    "rdf_path_alt" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT v.subject AS item, v.predicate AS via,
+         |       v.obj_value AS value
+         |FROM triples v
+         |WHERE v.predicate IN ('$DctermsTitle', 'http://ex.org/def#brand')
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = v.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    "rdf_path_inv" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT r.obj_value AS item, r.subject AS pointer
+         |FROM triples r
+         |WHERE r.predicate = '$DctermsRelation' AND r.obj_kind = 'iri'
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = r.obj_value
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    "rdf_path_opt" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |typed AS (SELECT DISTINCT subject AS src FROM triples
+         |  WHERE predicate = '$RdfType'
+         |    AND obj_value = '$CeoRijksmonument')
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT src, src AS dst FROM typed
+         |  UNION ALL
+         |  SELECT r.subject, r.obj_value FROM triples r
+         |  JOIN typed ty ON ty.src = r.subject
+         |  WHERE r.predicate = '$DctermsRelation'
+         |    AND r.obj_kind = 'iri')""".stripMargin,
+
+    "rdf_path_nps" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT DISTINCT subject AS item, predicate AS via,
+         |       obj_value AS value
+         |FROM triples
+         |WHERE predicate NOT IN ('$RdfType', '$OmekaIsPublic')"""
+        .stripMargin,
 
     "rdf_snapshot_diff" ->
       s"""WITH ${TripleFixture.triplesCte},
