@@ -240,6 +240,53 @@ object RdfOps {
         .select(col("src"), col("dst"), col("hops")))
   }
 
+  /** INCREMENTAL closure maintenance for `p+` — the weekly-delta
+    * form of [[reachablePlus]]: given the stored pair closure of the
+    * base edge set and a batch of NEW edges, produce the closure of
+    * the union WITHOUT recomputing from scratch. Pair semantics
+    * (src, dst) — the SPARQL `+`/`*` binding set; min-hop counts are
+    * not maintained incrementally (a new edge can shorten existing
+    * paths; a consumer needing hops recomputes, a consumer needing
+    * bindings — the common case — pays only for the delta).
+    *
+    * Semi-naive delta seeding: every genuinely new path crosses at
+    * least one new edge (u, v), and its prefix up to u is already in
+    * the stored closure (or u IS a seed). So the initial frontier is
+    * exactly {(s, v) : (s, u) ∈ closure ∪ seed-self, (u, v) ∈ ΔE}
+    * minus already-known pairs, and the walk then continues over the
+    * UNION edge set (new paths may chain through further new edges).
+    * Work is O(affected pairs), not O(closure): an empty or
+    * irrelevant ΔE converges in zero rounds.
+    *
+    * Scale shape: the stored closure is scanned twice (delta seeding
+    * + each round's anti-join) — the same accepted semi-naive cost
+    * as the base walk; ΔE is batch-scale and drives every join. */
+  def reachablePlusDelta(edges: DataFrame, deltaEdges: DataFrame,
+      seeds: DataFrame, closure: DataFrame): DataFrame = {
+    val allE = edges.union(deltaEdges)
+      .select(col("src").as("e_src"), col("dst").as("e_dst"))
+    val known = closure.select(col("src"), col("dst"))
+    // who can reach a new edge's tail: stored pairs + seed hop-0
+    val reachers = known
+      .union(seeds.select(col("src"), col("src").as("dst")))
+    val de = deltaEdges.select(col("src").as("u"), col("dst").as("v"))
+    var frontier = reachers.join(de, reachers("dst") === col("u"))
+      .select(reachers("src"), col("v").as("dst")).distinct()
+      .join(known, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    var reached = known.union(frontier)
+    while (!frontier.isEmpty) {
+      val next = frontier.join(allE, frontier("dst") === col("e_src"))
+        .select(frontier("src"), col("e_dst").as("dst"))
+        .distinct()
+      val fresh = next.join(reached, Seq("src", "dst"), "left_anti")
+        .localCheckpoint()
+      reached = reached.union(fresh)
+      frontier = fresh
+    }
+    reached
+  }
+
   private def walk(edges: DataFrame, seeds: DataFrame,
       maxHops: Option[Int]): DataFrame = {
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))

@@ -78,6 +78,11 @@ object RdfQueries {
     "rdf_path_inv" -> ((s, d) => pathInv(s, d)),
     "rdf_path_opt" -> ((s, d) => pathOpt(s, d)),
     "rdf_path_nps" -> ((s, d) => pathNps(s, d)),
+    // Incremental closure maintenance: the ENGINE answers from the
+    // stored base closure + the delta walk; the ORACLE recomputes
+    // the union graph's closure from scratch — a green row proves
+    // incremental == full recompute.
+    "rdf_reachable_incr" -> ((s, d) => reachableIncrQ(s, d)),
     // CONSTRUCT, ASK and DESCRIBE complete the SPARQL query-form
     // family (SELECT = the BGPs above, paths = rdf_reachable);
     // MINUS covers the negation pattern.
@@ -473,6 +478,32 @@ object RdfQueries {
       .select(col("subject").as("item"), col("predicate").as("via"),
         col("obj_value").as("value"))
       .distinct()
+
+  /** Incremental `p+` maintenance over the doubling fixture: the
+    * base closure (what [[reachableStarQ]] walks, minus hop-0) is
+    * updated with a deterministic batch of NEW shortcut edges —
+    * item k → item 3k for k % 10 = 0 — via
+    * [[RdfOps.reachablePlusDelta]], never recomputed. The oracle is
+    * the from-scratch closure of the UNION graph, so the hash match
+    * proves incremental == full. The delta edges create paths to
+    * nodes outside the pure doubling orbit (3k is never a power of
+    * 4 times k), so the delta walk genuinely extends the pair set. */
+  private def reachableIncrQ(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val seeds = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("src")).distinct()
+    val base = starEdges(s, d)
+    val item = "http://ex.org/item/"
+    val p = graft.Tables(s, d, "part").select(col("p_partkey").as("k"))
+    val mx = broadcast(p.agg(max(col("k")).as("mx")))
+    val delta = p.crossJoin(mx)
+      .filter(col("k") % 10 === 0 && col("k") * 3 <= col("mx"))
+      .select(concat(lit(item), col("k")).as("src"),
+        concat(lit(item), col("k") * 3).as("dst"))
+    val closure = RdfOps.reachablePlus(base, seeds)
+    RdfOps.reachablePlusDelta(base, delta, seeds, closure)
+  }
 
   /** Week-over-week snapshot diff: the reference re-exports and
     * OVERWRITES the published graph weekly (yml:87); the first thing
@@ -918,6 +949,36 @@ object RdfQueries {
          |FROM triples
          |WHERE predicate NOT IN ('$RdfType', '$OmekaIsPublic')"""
         .stripMargin,
+
+    // full recompute over the UNION edge set — the independent
+    // implementation the incremental engine path must equal
+    "rdf_reachable_incr" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |mxp AS (SELECT max(p_partkey) AS mx FROM part),
+         |edges AS (
+         |  SELECT 'http://ex.org/item/' || p_partkey AS src,
+         |         'http://ex.org/item/' || (p_partkey * 4) AS dst
+         |  FROM part, mxp WHERE p_partkey * 4 <= mx
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || p_partkey,
+         |         'http://ex.org/item/' || (p_partkey // 16)
+         |  FROM part WHERE p_partkey % 16 = 0
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || p_partkey,
+         |         'http://ex.org/item/' || (p_partkey * 3)
+         |  FROM part, mxp WHERE p_partkey % 10 = 0
+         |    AND p_partkey * 3 <= mx),
+         |seeds AS (SELECT DISTINCT subject AS src FROM triples
+         |  WHERE predicate = '$RdfType'
+         |    AND obj_value = '$CeoRijksmonument')
+         |SELECT src, dst FROM (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT s.src, e.dst FROM seeds s
+         |    JOIN edges e ON e.src = s.src
+         |    UNION
+         |    SELECT w.src, e.dst FROM walk w
+         |    JOIN edges e ON e.src = w.dst)
+         |  SELECT * FROM walk)""".stripMargin,
 
     "rdf_snapshot_diff" ->
       s"""WITH ${TripleFixture.triplesCte},

@@ -114,6 +114,35 @@ class RdfPathSpec extends AnyFunSuite {
     }
   }
 
+  test("reachablePlusDelta: incremental closure equals from-scratch " +
+    "on random graphs with random edge batches (new components, new " +
+    "cycles, irrelevant edges, empty delta)") {
+    import scala.util.Random
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(500 + seed)
+      val n = 22
+      val baseE = (0 until 50).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")).distinct
+      val deltaE = (0 until 12).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")).distinct
+        .filterNot(baseE.contains)
+      val sds = (0 until 4).map(_ => s"n${rnd.nextInt(n)}").distinct
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("src", "dst").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      val closure = RdfOps.reachablePlus(edges(baseE: _*), seeds(sds: _*))
+      val incr = pairs(RdfOps.reachablePlusDelta(edges(baseE: _*),
+        edges(deltaE: _*), seeds(sds: _*), closure))
+      val full = pairs(RdfOps.reachablePlus(
+        edges(baseE ++ deltaE: _*), seeds(sds: _*)))
+      assert(incr == full, s"seed $seed")
+      // empty delta: zero rounds, closure unchanged
+      val noop = pairs(RdfOps.reachablePlusDelta(edges(baseE: _*),
+        edges(baseE.take(0): _*), seeds(sds: _*), closure))
+      assert(noop == pairs(closure), s"seed $seed noop")
+    }
+  }
+
   test("reachableStar: hop-0 self rows present for EVERY seed, and a " +
     "cycle back to the seed collapses onto the hop-0 row (min-path)") {
     // 1→2→3→1 cycle plus an isolated seed z with no out-edges
