@@ -54,6 +54,66 @@ object Pipeline {
     Result(ttl, conf, prefixes)
   }
 
+  /** [[run]]'s INCREMENTAL form — the weekly run proportional to
+    * CHANGE instead of corpus, with the reference's freshness
+    * contract kept. The reference re-fetches every monument every
+    * week (transform_datamodel.py:88–101); the batch [[run]] does
+    * too (dedup'd). This form consumes the PREVIOUS run's enrichment
+    * snapshot plus its fetch LEDGER `(monument_key, age_days)` and
+    * fetches only [[rdf.RdfOps.enrichmentFetchList]]'s keys — the
+    * ones the snapshot has never seen, plus the ones whose last
+    * fetch is `ttlDays` or more days old — so an upstream edit still
+    * propagates within the TTL while the steady-state weekly fetch
+    * volume is the delta, not the dimension.
+    *
+    * Returns, beyond the published triples: the REFRESHED snapshot
+    * ([[rdf.Enrichment.applyRefresh]] — replaced rows, not
+    * set-union, so edits actually land), the updated ledger (every
+    * attempted key at age 0 — a best-effort fetch failure resets
+    * too, matching the reference's skip-and-continue semantics
+    * (transform:100–101): a permanently failing key retries each
+    * TTL, not each run), and the fetch list itself for metering.
+    * The caller persists snapshot + ledger for the next run. */
+  final case class IncrementalResult(triples: DataFrame, conf: EtlConf,
+      prefixes: Map[String, String], snapshot: DataFrame,
+      ledger: DataFrame, fetchList: DataFrame)
+
+  def runIncremental(spark: SparkSession,
+      fetchPage: Int => String,
+      fetchMonument: String => Seq[Turtle.FlatTriple],
+      env: Map[String, String],
+      storedSnapshot: DataFrame,
+      ledger: DataFrame,
+      ttlDays: Int = 7,
+      graphId: String = "default",
+      fetchApiContext: Option[() => String] = None): IncrementalResult = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val conf = EtlConf.fromEnv(env)
+    val prefixes = rdf.Vocab.namespaces ++
+      fetchApiContext.map(f => OmekaSource.parseApiContext(f()))
+        .getOrElse(Map.empty)
+    val raw = OmekaSource.load(spark, fetchPage, graphId)
+    val clean = RdfOps.cleanExport(raw).localCheckpoint()
+    val keys = RdfOps.enrichmentKeys(clean)
+    // consumed twice (fetch + ledger update): materialize once
+    val fetchList = RdfOps.enrichmentFetchList(keys, ledger, ttlDays)
+      .localCheckpoint()
+    val fetched = Enrichment.fetchAll(
+      fetchList.select("monument_key"), fetchMonument)
+    val snapshot2 = Enrichment.applyRefresh(storedSnapshot, fetched)
+      .localCheckpoint()
+    val enriched = RdfOps.enrich(clean, snapshot2)
+    val ttl = RdfOps.applyFilter(
+      RdfOps.applyMapping(enriched, conf.mapping), conf.filterList)
+    val ledger2 = ledger
+      .join(fetchList.select("monument_key"), Seq("monument_key"),
+        "left_anti")
+      .select(col("monument_key"), col("age_days"))
+      .union(fetchList.select(col("monument_key"),
+        lit(0).cast("int").as("age_days")))
+    IncrementalResult(ttl, conf, prefixes, snapshot2, ledger2, fetchList)
+  }
+
   /** [[run]] wired to the default HTTP clients
     * ([[sources.OmekaHttp]] / [[sources.HttpMonumentFetcher]]) — the
     * turn-key form for a live Omeka S deployment, matching the
