@@ -87,4 +87,45 @@ object TurtleStream {
         novel.write.mode("append").parquet(outPath)
       }
       .trigger(trigger).start()
+
+  /** Streaming twin of the TTL-aware enrichment fetch list
+    * ([[graft.rdf.RdfOps.enrichmentFetchList]], the engine side of
+    * `rdf_enrich_stale` and [[graft.Pipeline.runIncremental]]): as
+    * export documents stream in, each micro-batch emits the
+    * monuments a fetcher must look up NOW — keys the stored ledger
+    * has never seen plus keys past the TTL — tagged with `reason`.
+    *
+    * ZERO streaming state, same discipline as [[startDedupAppend]]:
+    * the ledger is a STATIC side (stream-static joins are
+    * stateless), and the emitted-list parquet is itself the
+    * seen-set — an anti-join against it dedups keys across
+    * micro-batches AND makes a replayed batch (crash between append
+    * and checkpoint commit) append nothing, so downstream fetchers
+    * see each key at most once per gate run. A key's first
+    * occurrence wins; `reason` never conflicts (missing XOR stale is
+    * a property of the key, not the batch). */
+  def startEnrichmentGate(triples: DataFrame,
+      ledger: DataFrame, outPath: String, checkpointLocation: String,
+      ttlDays: Int = 7,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    triples.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        val list = graft.rdf.RdfOps.enrichmentFetchList(
+          graft.rdf.RdfOps.enrichmentKeys(batch), ledger, ttlDays)
+        val seen =
+          try Some(spark.read.parquet(outPath))
+          catch { case _: AnalysisException => None } // first batch
+        val novel = seen match {
+          case Some(e) => list.join(
+            e.select(col("monument_key").as("s_key")),
+            col("monument_key") === col("s_key"), "left_anti")
+            .select(col("monument_key"), col("reason"))
+          case None => list
+        }
+        novel.write.mode("append").parquet(outPath)
+      }
+      .trigger(trigger).start()
 }

@@ -90,4 +90,44 @@ class TurtleStreamSpec extends AnyFunSuite {
       Turtle.parseDocument(doc(2), scopeBnodeLabels = true)).toSet
     assert(got.toSet == want)
   }
+
+  private def monDoc(keys: String*): String =
+    ("@prefix ceo: <https://linkeddata.cultureelerfgoed.nl/def/ceo#> .\n" +
+      keys.zipWithIndex.map { case (k, i) =>
+        s"""<http://x/$k-$i> ceo:rijksmonumentnummer "$k" ."""
+      }.mkString("\n") + "\n")
+
+  test("enrichment gate: stream emits exactly the batch TTL fetch " +
+    "list, dedups keys across micro-batches, zero streaming state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttl-gate").toFile
+    val ckpt = Files.createTempDirectory("gate-ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("gate-out").toFile.getAbsolutePath
+    // ledger: 11 stale (age 9), 22 fresh (age 2); 33/44 never fetched
+    val ledger = Seq(("11", 9), ("22", 2)).toDF("monument_key", "age_days")
+    Files.writeString(new java.io.File(dir, "a.ttl").toPath,
+      monDoc("RM11", "22"))
+    Files.writeString(new java.io.File(dir, "b.ttl").toPath, monDoc("33"))
+    def runOnce(): Unit = TurtleStream.startEnrichmentGate(
+      TurtleStream.triples(spark, dir.getAbsolutePath), ledger, out,
+      ckpt, ttlDays = 7).awaitTermination()
+    runOnce()
+    def emitted(): Set[(String, String)] = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // == the batch fetch list over the same triples (stream==batch)
+    val batchTriples = Turtle.parse(
+      spark.createDataset(Seq(monDoc("RM11", "22"), monDoc("33"))))
+    val batchList = graft.rdf.RdfOps.enrichmentFetchList(
+      graft.rdf.RdfOps.enrichmentKeys(batchTriples), ledger, 7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(emitted() == batchList &&
+      batchList == Set(("11", "stale"), ("33", "missing")))
+    // late drop: a re-mention of 11 (already emitted — suppressed)
+    // and a new never-fetched key 44
+    Files.writeString(new java.io.File(dir, "c.ttl").toPath,
+      monDoc("11", "44"))
+    runOnce()
+    assert(emitted() == batchList + (("44", "missing")))
+  }
 }
