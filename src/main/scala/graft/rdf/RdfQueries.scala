@@ -348,16 +348,31 @@ object RdfQueries {
     fwd.union(back)
   }
 
+  private def starSeeds(s: SparkSession, d: String): DataFrame =
+    tri(s, d).filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("src")).distinct()
+
+  /** The `p+` pair closure of the doubling fixture, MATERIALIZED
+    * once per (session, dir) — the stored-closure artifact a triple
+    * store maintains for a hot path predicate (the same discipline
+    * as the llm family's memoized pair/signature artifacts:
+    * candidate generation runs once, every consumer reads it).
+    * [[reachableStarQ]] and the incremental maintenance query both
+    * consume it — the latter's whole premise is that the closure is
+    * STORED, not rebuilt. */
+  private def starClosure(s: SparkSession, d: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(s, s"star-closure:$d")(
+      RdfOps.reachablePlus(starEdges(s, d), starSeeds(s, d))
+        .select(col("src"), col("dst")).localCheckpoint())
+
   /** SPARQL `p*` as a query form: unbounded closure + hop-0 rows
     * over the doubling fixture; output is the pair set (the SPARQL
     * binding semantics — no hop column, so the oracle's recursion
     * can use the cycle-safe pairs-only `WITH RECURSIVE`). */
   private def reachableStarQ(s: SparkSession, d: String): DataFrame = {
-    val t = tri(s, d)
-    val seeds = t.filter(col("predicate") === RdfType &&
-        col("obj_value") === CeoRijksmonument)
-      .select(col("subject").as("src")).distinct()
-    RdfOps.reachableStar(starEdges(s, d), seeds).select("src", "dst")
+    val self = starSeeds(s, d).select(col("src"), col("src").as("dst"))
+    self.union(starClosure(s, d)).distinct()
   }
 
   private val DefBrand = "http://ex.org/def#brand"
@@ -489,11 +504,6 @@ object RdfQueries {
     * nodes outside the pure doubling orbit (3k is never a power of
     * 4 times k), so the delta walk genuinely extends the pair set. */
   private def reachableIncrQ(s: SparkSession, d: String): DataFrame = {
-    val t = tri(s, d)
-    val seeds = t.filter(col("predicate") === RdfType &&
-        col("obj_value") === CeoRijksmonument)
-      .select(col("subject").as("src")).distinct()
-    val base = starEdges(s, d)
     val item = "http://ex.org/item/"
     val p = graft.Tables(s, d, "part").select(col("p_partkey").as("k"))
     val mx = broadcast(p.agg(max(col("k")).as("mx")))
@@ -501,8 +511,8 @@ object RdfQueries {
       .filter(col("k") % 10 === 0 && col("k") * 3 <= col("mx"))
       .select(concat(lit(item), col("k")).as("src"),
         concat(lit(item), col("k") * 3).as("dst"))
-    val closure = RdfOps.reachablePlus(base, seeds)
-    RdfOps.reachablePlusDelta(base, delta, seeds, closure)
+    RdfOps.reachablePlusDelta(starEdges(s, d), delta, starSeeds(s, d),
+      starClosure(s, d))
   }
 
   /** Week-over-week snapshot diff: the reference re-exports and
