@@ -86,6 +86,7 @@ object LlmQueries {
     "mm_image_dims" -> imageDims,
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
+    "llm_pii_scrub" -> piiScrub,
     "mm_video_meta" -> videoMeta,
   )
 
@@ -2184,6 +2185,63 @@ object LlmQueries {
         sum(expr("m.n_samples * 1000 div m.sample_rate")).as("sum_ms"))
   }
 
+  /** PII regexes shared by the engine and (verbatim, backslashes
+    * unprocessed by DuckDB regular strings) the oracle — simple
+    * enough to mean the same thing in Java regex and RE2: no
+    * lookaround, leftmost greedy matching in both. */
+  private[llm] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private[llm] val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII detection + redaction metering — the scrub pass a
+    * training-data pipeline runs before anything ships: per-language
+    * counts of email / phone / IPv4 matches, documents containing
+    * any PII, and the exact total character count of the corpus
+    * AFTER redaction (each match replaced by a `<TYPE>` placeholder)
+    * — the integer the pipeline uses to bound token-budget drift
+    * from scrubbing. The fixture corpus has no organic PII, so both
+    * engines INJECT it identically first (deterministic contact /
+    * phone / host suffixes on doc_id % 7 / 11 / 13) — the extraction
+    * is then oracle-replayed over the same augmented text, so a
+    * regex-dialect divergence (Java vs RE2) or a redaction-order bug
+    * hash-mismatches. All map-side (codegen regexp over the scan);
+    * ONE exchange on the 4-key lang space. At 100 TB: identical
+    * shape — regex scans parallelize per-row; the redacted corpus
+    * itself would be written columnar next to the original, never
+    * collected. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" call +1-555-"),
+        (lit(1000) + col("doc_id") % 9000).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, concat(lit(" host 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0.1")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("t"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+    docs(s, d).select(col("doc_id"), col("lang"), aug.as("t"))
+      .select(col("lang"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast("bigint").as("n_em"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+          .cast("bigint").as("n_ph"),
+        size(regexp_extract_all(col("t"), lit(ipRe), lit(0)))
+          .cast("bigint").as("n_ip"),
+        length(redacted).cast("bigint").as("red_len"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_em")).as("n_emails"),
+        sum(col("n_ph")).as("n_phones"),
+        sum(col("n_ip")).as("n_ips"),
+        sum(when(col("n_em") + col("n_ph") + col("n_ip") > 0, 1L)
+          .otherwise(0L)).as("n_docs_pii"),
+        sum(col("red_len")).as("redacted_chars"))
+  }
+
   /** REAL sample-PAYLOAD decode for the codec-free modality —
     * narrows the multimodal stub to compressed payloads only: build
     * complete PCM WAV FILES (header + an actual little-endian 16-bit
@@ -3461,6 +3519,41 @@ object LlmQueries {
          |  CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
          |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT) AS sum_ms
          |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // same augmentation, extraction and redaction replayed in RE2
+    // over DuckDB regular strings (backslashes unprocessed — the
+    // Scala literals above render identically here)
+    "llm_pii_scrub" -> {
+      // the Scala vals hold single backslashes; DuckDB regular
+      // strings pass them through unprocessed — embed verbatim
+      val em = emailRe
+      val ph = phoneRe
+      val ip = ipRe
+      s"""WITH t AS (SELECT doc_id, lang, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' ||
+         |      CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' host 10.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS t
+         |  FROM documents),
+         |f AS (SELECT lang,
+         |    CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_em,
+         |    CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_ph,
+         |    CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+         |    CAST(length(regexp_replace(regexp_replace(regexp_replace(
+         |      t, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
+         |      '$ip', '<IP>', 'g')) AS BIGINT) AS red_len
+         |  FROM t)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_em) AS BIGINT) AS n_emails,
+         |  CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+         |  CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+         |  CAST(SUM(CASE WHEN n_em + n_ph + n_ip > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_pii,
+         |  CAST(SUM(red_len) AS BIGINT) AS redacted_chars
+         |FROM f GROUP BY lang""".stripMargin
     },
 
     "mm_audio_levels" -> {
