@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioLevels, AudioMeta, DotProductLong, ImageDims, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
+import graft.functions.{AudioLevels, AudioMeta, DotProductLong, ImageDims, ImageLevels, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -108,6 +108,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         AudioMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("image_levels"),
+      new ExpressionInfo(classOf[ImageLevels].getName, "image_levels"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ImageLevels(args.head)))
     ext.injectFunction((
       FunctionIdentifier("audio_levels"),
       new ExpressionInfo(classOf[AudioLevels].getName, "audio_levels"),

@@ -86,6 +86,7 @@ object LlmQueries {
     "mm_image_dims" -> imageDims,
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
+    "mm_image_levels" -> imageLevels,
     "llm_pii_scrub" -> piiScrub,
     "mm_video_meta" -> videoMeta,
   )
@@ -2285,6 +2286,40 @@ object LlmQueries {
         sum(col("m.n_clipped")).as("sum_clipped"))
   }
 
+  /** REAL pixel-PAYLOAD decode for the codec-free image format —
+    * [[audioLevels]]' image sibling, narrowing the multimodal stub
+    * to entropy-coded payloads only: build complete 24-bit BI_RGB
+    * BMP FILES (real 54-byte header + raw BGR rows with 4-byte row
+    * padding, deterministic per-pixel bytes from (doc_id, x, y, c)),
+    * decode with the native [[graft.functions.ImageLevels]] codegen
+    * expression — per-file exact integer channel sums, the
+    * brightness/color-cast QA pass of a vision-data pipeline — and
+    * roll up per width. The oracle rebuilds the SAME bytes through a
+    * DuckDB BLOB and replays the pixel walk POSITIONALLY (row
+    * stride + padding arithmetic over the blob's hex), so a decoder
+    * that forgets row padding, reads RGB instead of BGR, or
+    * mis-walks the header hash-mismatches. */
+  def imageLevels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    val pixel = "(doc_id * 7 + x * 13 + y * 31 + c * 101) % 256"
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("CAST(doc_id % 8 AS INT) + 1").as("w0"),
+        expr("CAST(doc_id % 5 AS INT) + 1").as("h0"))
+      .withColumn("hs", expr(ImageHex.bmpHex("w0", "h0", pixel, "div",
+        ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.ImageLevels(col("payload")))
+      .groupBy(col("m.width").cast("bigint").as("width"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("m.n_px")).as("sum_px"),
+        sum(col("m.sum_r")).as("sum_r"),
+        sum(col("m.sum_g")).as("sum_g"),
+        sum(col("m.sum_b")).as("sum_b"),
+        max(col("m.height").cast("bigint")).as("max_h"))
+  }
+
   /** REAL video container metadata — the MP4 box-walk sibling of
     * [[imageDims]]/[[audioMeta]], closing the last multimodal
     * metadata stub: build genuine minimal MP4 files per document
@@ -3594,6 +3629,49 @@ object LlmQueries {
          |  CAST(MAX(pk) AS BIGINT) AS max_peak,
          |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
          |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // positional pixel-walk replay over the same BLOB: x/y/channel
+    // offsets recomputed from the header arithmetic (stride incl.
+    // row padding), bytes read from the hex — independent of the
+    // engine's decoder
+    "mm_image_levels" -> {
+      import graft.multimodal.ImageHex._
+      val pixel = "(doc_id * 7 + x * 13 + y * 31 + c * 101) % 256"
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(doc_id % 8 AS INT) + 1 AS w0,
+         |    CAST(doc_id % 5 AS INT) + 1 AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id, w0, h0,
+         |    hex(from_hex(${bmpHex("w0", "h0", pixel, "//", seqJoinDuck)}))
+         |      AS hs
+         |  FROM t),
+         |px AS (SELECT doc_id, w0, h0, hs,
+         |    CAST(i % w0 AS BIGINT) AS x, CAST(i // w0 AS BIGINT) AS y
+         |  FROM (SELECT doc_id, w0, h0, hs,
+         |        unnest(range(0, CAST(w0 * h0 AS BIGINT))) AS i FROM b)),
+         |v AS (SELECT doc_id, w0, h0,
+         |    ${byteAt("hs",
+              s"$BmpPixelPos + 2 * (y * ((((3 * w0) + 3) // 4) * 4) " +
+                "+ x * 3 + 0)", "strpos")} AS pb,
+         |    ${byteAt("hs",
+              s"$BmpPixelPos + 2 * (y * ((((3 * w0) + 3) // 4) * 4) " +
+                "+ x * 3 + 1)", "strpos")} AS pg,
+         |    ${byteAt("hs",
+              s"$BmpPixelPos + 2 * (y * ((((3 * w0) + 3) // 4) * 4) " +
+                "+ x * 3 + 2)", "strpos")} AS pr
+         |  FROM px),
+         |g AS (SELECT doc_id, w0, h0, COUNT(*) AS npx,
+         |    SUM(pr) AS sr, SUM(pg) AS sg, SUM(pb) AS sb
+         |  FROM v GROUP BY 1, 2, 3)
+         |SELECT CAST(w0 AS BIGINT) AS width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(npx) AS BIGINT) AS sum_px,
+         |  CAST(SUM(sr) AS BIGINT) AS sum_r,
+         |  CAST(SUM(sg) AS BIGINT) AS sum_g,
+         |  CAST(SUM(sb) AS BIGINT) AS sum_b,
+         |  CAST(MAX(h0) AS BIGINT) AS max_h
+         |FROM g GROUP BY 1""".stripMargin
     },
 
     "mm_video_meta" -> {

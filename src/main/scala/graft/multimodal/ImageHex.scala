@@ -51,4 +51,55 @@ object ImageHex {
   val PngHeightPos = 41
   val JpegHeightPos = 51
   val JpegWidthPos = 55
+
+  /** 1-based hex position of the first pixel byte of [[bmpHex]]
+    * (54-byte header). */
+  val BmpPixelPos = 54 * 2 + 1 // 109
+
+  /** One byte at DYNAMIC 1-based hex position expression `posE` —
+    * the positional read the mm_image_levels oracle replays the
+    * pixel walk with. */
+  def byteAt(hs: String, posE: String, posFn: String): String = {
+    def digit(off: Int): String =
+      s"(CAST($posFn('0123456789ABCDEF', substring($hs, " +
+        s"CAST(($posE) + $off AS INT), 1)) - 1 AS BIGINT))"
+    s"(${digit(0)} * 16 + ${digit(1)})"
+  }
+
+  /** A complete REAL 24-bit BI_RGB BMP file: 14-byte file header +
+    * 40-byte BITMAPINFOHEADER + pixel rows (BGR, each row padded to
+    * a 4-byte boundary). `w`/`h` are integer SQL expressions;
+    * `pixelByteE` is the value of pixel-byte channel `c` ∈ {0,1,2}
+    * (B,G,R) at column `x`, row `y` — free variables `x`, `y`, `c`.
+    * `seqJoin` abstracts the engine spelling of
+    * "transform a range and concatenate" — Spark
+    * `array_join(transform(sequence(...)))` vs DuckDB
+    * `list_aggregate(list_transform(range(...)), 'string_agg', '')`
+    * — so both engines build byte-identical files. */
+  def bmpHex(w: String, h: String, pixelByteE: String, intdiv: String,
+      seqJoin: (String, String, String) => String): String = {
+    import AudioHex.hexLE
+    val stride = s"(((3 * ($w)) + 3) $intdiv 4) * 4"
+    val pad = s"($stride) - 3 * ($w)"
+    val rowHex = seqJoin("x", w,
+      seqJoin("c", "3", hexN(pixelByteE, 2, intdiv))) +
+      s" || repeat('00', $pad)"
+    val pixels = seqJoin("y", h, s"($rowHex)")
+    s"concat('424D', ${hexLE(s"54 + ($h) * ($stride)", 4, intdiv)}, " +
+      "'00000000', '36000000', '28000000', " +
+      s"${hexLE(w, 4, intdiv)}, ${hexLE(h, 4, intdiv)}, " +
+      "'0100', '1800', '00000000', " +
+      s"${hexLE(s"($h) * ($stride)", 4, intdiv)}, " +
+      s"'130B0000', '130B0000', '00000000', '00000000', $pixels)"
+  }
+
+  /** Spark spelling of seqJoin: `v` ranges over [0, n). */
+  def seqJoinSpark(v: String, n: String, body: String): String =
+    s"array_join(transform(sequence(0, CAST(($n) - 1 AS INT)), " +
+      s"$v -> $body), '')"
+
+  /** DuckDB spelling of seqJoin (`range(0, n)` is [0, n)). */
+  def seqJoinDuck(v: String, n: String, body: String): String =
+    s"list_aggregate(list_transform(range(0, CAST($n AS BIGINT)), " +
+      s"$v -> $body), 'string_agg', '')"
 }

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * [[VideoHeaders]] (MP4/ISO-BMFF box walk — mvhd
   * timescale/duration, tkhd 16.16 dimensions) — pure byte
   * arithmetic, no codec library — and returns genuine metadata for
-  * any real PNG/JPEG/WAV/MP4 payload. SAMPLE-PAYLOAD DECODE IS ALSO
-  * REAL for 16-bit PCM WAV ([[AudioHeaders.levels]] behind the
-  * [[graft.functions.AudioLevels]] codegen expression — raw s16le
-  * samples need no codec; per-file energy/peak/clip metering, the
-  * `mm_audio_levels` oracle query). Only decode of COMPRESSED
+  * any real PNG/JPEG/WAV/MP4 payload. PAYLOAD DECODE IS ALSO REAL
+  * for both CODEC-FREE formats: 16-bit PCM WAV
+  * ([[AudioHeaders.levels]] behind [[graft.functions.AudioLevels]] —
+  * raw s16le samples; per-file energy/peak/clip metering,
+  * `mm_audio_levels`) and 24-bit BI_RGB BMP
+  * ([[ImageHeaders.bmpLevels]] behind
+  * [[graft.functions.ImageLevels]] — raw padded BGR rows; per-file
+  * channel sums, `mm_image_levels`). Only decode of ENTROPY-CODED
   * payloads (JPEG/PNG pixels, MP4 frames) remains a clearly-marked
   * DETERMINISTIC FAKE (no codec libraries in this container):
   * unparseable payloads get plausible dimensions derived from the

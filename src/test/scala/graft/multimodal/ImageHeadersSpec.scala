@@ -80,4 +80,65 @@ class ImageHeadersSpec extends AnyFunSuite {
     val m = Multimodal.StubCodec.decode("image", png)
     assert((m.width, m.height, m.ok) == (123, 45, true))
   }
+
+  /** JDK-encoded 24-bit BMP with per-pixel RGB set explicitly. */
+  private def bmpWith(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  test("bmpLevels: exact channel sums over real ImageIO BMP output " +
+    "(odd width exercises row padding)") {
+    // 3×2, width 3 → 9-byte rows padded to 12: a decoder that walks
+    // without padding reads pad zeros as pixels and mis-sums
+    val rgb = (x: Int, y: Int) => (x * 40 + y, 200 - x * 10, x + y * 90)
+    val got = ImageHeaders.bmpLevels(bmpWith(3, 2, rgb))
+    val px = for (y <- 0 until 2; x <- 0 until 3) yield rgb(x, y)
+    assert(got.contains((3, 2, 6L,
+      px.map(_._1.toLong).sum, px.map(_._2.toLong).sum,
+      px.map(_._3.toLong).sum)))
+  }
+
+  test("bmpLevels: truncated payload counts only pixels present; " +
+    "PNG/JPEG (compressed) and junk return None") {
+    val full = bmpWith(2, 2, (x, y) => (10 * (x + 1), 20, 30))
+    // drop the last row's worth + 1: bottom-up storage means the
+    // LAST file row is the TOP image row — only present pixels count
+    val cut = full.take(full.length - 9)
+    val got = ImageHeaders.bmpLevels(cut)
+    assert(got.isDefined && got.get._3 < 4L && got.get._3 > 0L)
+    assert(ImageHeaders.bmpLevels(encoded("png", 8, 8)).isEmpty)
+    assert(ImageHeaders.bmpLevels(encoded("jpg", 8, 8)).isEmpty)
+    assert(ImageHeaders.bmpLevels("not an image".getBytes).isEmpty)
+    assert(ImageHeaders.bmpLevels(null).isEmpty)
+  }
+
+  test("image_levels expression + SQL registration agree with the " +
+    "plain-Scala decoder") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val bmp = bmpWith(4, 3, (x, y) => (x * 50, y * 80, (x + y) * 30))
+    val rows = Seq((1L, bmp), (2L, encoded("png", 5, 5)))
+    val got = rows.toDF("id", "payload")
+      .selectExpr("id", "image_levels(payload) AS m")
+      .selectExpr("id", "m.n_px AS n", "m.sum_r AS r", "m.sum_g AS g",
+        "m.sum_b AS b")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(1)) -1L else r.getLong(2),
+        if (r.isNullAt(1)) -1L else r.getLong(3),
+        if (r.isNullAt(1)) -1L else r.getLong(4))).toSet
+    val px = for (y <- 0 until 3; x <- 0 until 4)
+      yield (x * 50L, y * 80L, (x + y) * 30L)
+    assert(got == Set(
+      (1L, 12L, px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum),
+      (2L, -1L, -1L, -1L, -1L)))
+  }
 }
