@@ -36,6 +36,7 @@ object LlmQueries {
     "llm_dedup_incremental" -> dedupIncremental,
     "llm_exact_incremental" -> exactIncremental,
     "llm_simhash" -> simhash,
+    "llm_simhash_neardup" -> simhashNeardup,
     "llm_knn_bruteforce" -> knnBruteforce,
     "llm_ann_buckets" -> annBuckets,
     "llm_ann_topk" -> annTopk,
@@ -513,6 +514,68 @@ object LlmQueries {
         when(col(s"s$j") * 2 >= col("n_words"), lit("1"))
           .otherwise(lit("0"))): _*).as("simhash"),
       col("n_words"))
+  }
+
+  /** 64-bit SimHash signature table, memoized per corpus snapshot
+    * (the candidate-generation artifact, same discipline as the LSH
+    * pair table): bit j = majority over the document's words of bit
+    * (j mod 4) of hex digit (j div 4 + 1) of md5(word). The 16-bit
+    * [[simhash]] survives as the compact fingerprint query; 64 bits
+    * is what banding needs — a 16-bit signature's 4-bit bands give
+    * only 16 buckets per band (corpus/16 pairs: quadratic in
+    * disguise), while 16-bit bands give 65536. */
+  private def simhash64(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"simhash64:$d") {
+      val wd = tokenized(s, d)
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .withColumn("h", md5(col("word")))
+      val sums = (0 until 64).map { j =>
+        val dgt = j / 4 + 1
+        val div = 1 << (3 - j % 4)
+        sum(expr(s"(CAST(instr('0123456789abcdef', " +
+          s"substring(h, $dgt, 1)) - 1 AS INT) div $div) % 2"))
+          .as(s"s$j")
+      }
+      val g = wd.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sums: _*)
+      g.select(col("doc_id"), concat((0 until 64).map(j =>
+          when(lit(2) * col(s"s$j") >= col("n_words"), "1")
+            .otherwise("0")): _*).as("s"))
+        .localCheckpoint()
+    }
+
+  /** SimHash near-dup with BANDED candidate generation — the scale
+    * path the plain fingerprint lacks: split the 64-bit signature
+    * into 4 × 16-bit bands; by pigeonhole any pair within hamming
+    * distance 3 agrees exactly on at least one band, so candidates
+    * are a self-join WITHIN band buckets (shuffle on (band, value),
+    * 65536 values per band — never all-pairs), then the exact
+    * 64-position hamming verify keeps distance ≤ 3. The signature
+    * table is a memoized artifact, so the self-join scans it twice
+    * without recomputing the per-word lineage. A degenerate band
+    * value (near-empty docs collapsing to one signature) is the LSH
+    * salt cap's failure shape — at 100 TB the same
+    * count-then-salt-oversized guard applies verbatim. */
+  def simhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val sig = simhash64(s, d)
+    val bands = sig
+      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 3)"))
+        .as("b"))
+      .withColumn("bv", expr("substring(s, 16 * b + 1, 16)"))
+    val left = bands.select(col("b"), col("bv"),
+      col("doc_id").as("doc_a"), col("s").as("sa"))
+    val right = bands.select(col("b"), col("bv"),
+      col("doc_id").as("doc_b"), col("s").as("sb"))
+    val ham = (1 to 64).map(i =>
+      when(expr(s"substring(sa, $i, 1) <> substring(sb, $i, 1)"), 1)
+        .otherwise(0)).reduce(_ + _)
+    left.join(right, Seq("b", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+      .withColumn("hamming", ham.cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   // ---------------------------------------------------------------
@@ -2754,6 +2817,33 @@ object LlmQueries {
          |SELECT doc_id, $bits AS simhash,
          |  CAST(n_words AS BIGINT) AS n_words
          |FROM g""".stripMargin
+    },
+
+    "llm_simhash_neardup" -> {
+      val bits = (0 until 64).map { j =>
+        val dgt = j / 4 + 1
+        val div = 1 << (3 - j % 4)
+        s"(CASE WHEN 2 * SUM((CAST(strpos('0123456789abcdef', " +
+          s"substring(h, $dgt, 1)) - 1 AS INT) // $div) % 2) " +
+          ">= COUNT(*) THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(sa, $i, 1) <> substring(sb, $i, 1) " +
+          "THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $wCte,
+         |wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |wd AS (SELECT doc_id, md5(word) AS h FROM wx),
+         |sig AS (SELECT doc_id, $bits AS s FROM wd GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b, substring(s, 16 * b + 1, 16)
+         |    AS bv, s
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a,
+         |    b2.doc_id AS doc_b, a.s AS sa, b2.s AS sb
+         |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv
+         |    AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM (SELECT doc_a, doc_b, ($ham) AS hamming FROM cand)
+         |WHERE hamming <= 3""".stripMargin
     },
 
     "llm_knn_bruteforce" ->
