@@ -538,10 +538,18 @@ object LlmQueries {
       }
       val g = wd.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sums: _*)
-      g.select(col("doc_id"), concat((0 until 64).map(j =>
-          when(lit(2) * col(s"s$j") >= col("n_words"), "1")
-            .otherwise("0")): _*).as("s"))
-        .localCheckpoint()
+      // each band as an INTEGER (bit (15 - i) of band k = majority
+      // bit j = 16k + i): integers keep the candidate join narrow
+      // and the hamming verify a codegen bit_count(xor), not a
+      // 64-way interpreted substring compare
+      val bandInts = (0 until 4).map { k =>
+        (0 until 16).map { i =>
+          val j = 16 * k + i
+          when(lit(2) * col(s"s$j") >= col("n_words"),
+            lit(1L << (15 - i))).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"v$k")
+      }
+      g.select(col("doc_id") +: bandInts: _*).localCheckpoint()
     }
 
   /** SimHash near-dup with BANDED candidate generation — the scale
@@ -559,19 +567,20 @@ object LlmQueries {
   def simhashNeardup(s: SparkSession, d: String): DataFrame = {
     val sig = simhash64(s, d)
     val bands = sig
-      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 3)"))
-        .as("b"))
-      .withColumn("bv", expr("substring(s, 16 * b + 1, 16)"))
-    val left = bands.select(col("b"), col("bv"),
-      col("doc_id").as("doc_a"), col("s").as("sa"))
-    val right = bands.select(col("b"), col("bv"),
-      col("doc_id").as("doc_b"), col("s").as("sb"))
-    val ham = (1 to 64).map(i =>
-      when(expr(s"substring(sa, $i, 1) <> substring(sb, $i, 1)"), 1)
-        .otherwise(0)).reduce(_ + _)
+      .select(col("doc_id"), col("v0"), col("v1"), col("v2"), col("v3"),
+        explode(expr("array(struct(0 AS b, v0 AS bv), " +
+          "struct(1 AS b, v1 AS bv), struct(2 AS b, v2 AS bv), " +
+          "struct(3 AS b, v3 AS bv))")).as("x"))
+      .select(col("doc_id"), col("x.b").as("b"), col("x.bv").as("bv"),
+        col("v0"), col("v1"), col("v2"), col("v3"))
+    val left = bands.toDF("doc_a", "b", "bv", "a0", "a1", "a2", "a3")
+    val right = bands.toDF("doc_b", "b", "bv", "b0", "b1", "b2", "b3")
+    val ham = (0 until 4).map(k =>
+      expr(s"bit_count(a$k ^ b$k)")).reduce(_ + _)
     left.join(right, Seq("b", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .select((Seq("doc_a", "doc_b") ++
+        (0 until 4).flatMap(k => Seq(s"a$k", s"b$k"))).map(col): _*)
       .distinct()
       .withColumn("hamming", ham.cast("bigint"))
       .filter(col("hamming") <= 3)
@@ -2820,29 +2829,36 @@ object LlmQueries {
     },
 
     "llm_simhash_neardup" -> {
-      val bits = (0 until 64).map { j =>
-        val dgt = j / 4 + 1
-        val div = 1 << (3 - j % 4)
-        s"(CASE WHEN 2 * SUM((CAST(strpos('0123456789abcdef', " +
-          s"substring(h, $dgt, 1)) - 1 AS INT) // $div) % 2) " +
-          ">= COUNT(*) THEN '1' ELSE '0' END)"
-      }.mkString(" || ")
-      val ham = (1 to 64).map(i =>
-        s"(CASE WHEN substring(sa, $i, 1) <> substring(sb, $i, 1) " +
-          "THEN 1 ELSE 0 END)").mkString(" + ")
+      // band k as an integer: Σ majority-bit(16k+i) << (15-i)
+      val bandInts = (0 until 4).map { k =>
+        (0 until 16).map { i =>
+          val j = 16 * k + i
+          val dgt = j / 4 + 1
+          val div = 1 << (3 - j % 4)
+          s"(CASE WHEN 2 * SUM((CAST(strpos('0123456789abcdef', " +
+            s"substring(h, $dgt, 1)) - 1 AS INT) // $div) % 2) " +
+            s">= COUNT(*) THEN ${1L << (15 - i)} ELSE 0 END)"
+        }.mkString("(", " + ", s") AS v$k")
+      }.mkString(", ")
       s"""WITH $wCte,
          |wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
          |wd AS (SELECT doc_id, md5(word) AS h FROM wx),
-         |sig AS (SELECT doc_id, $bits AS s FROM wd GROUP BY doc_id),
-         |bands AS (SELECT doc_id, b, substring(s, 16 * b + 1, 16)
-         |    AS bv, s
+         |sig AS (SELECT doc_id, $bandInts FROM wd GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+         |           ELSE v3 END AS bv, v0, v1, v2, v3
          |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a,
-         |    b2.doc_id AS doc_b, a.s AS sa, b2.s AS sb
+         |    b2.doc_id AS doc_b, a.v0 AS a0, a.v1 AS a1, a.v2 AS a2,
+         |    a.v3 AS a3, b2.v0 AS b0, b2.v1 AS b1, b2.v2 AS b2x,
+         |    b2.v3 AS b3
          |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv
          |    AND a.doc_id < b2.doc_id)
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-         |FROM (SELECT doc_a, doc_b, ($ham) AS hamming FROM cand)
+         |FROM (SELECT doc_a, doc_b,
+         |    (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+         |     bit_count(xor(a2, b2x)) + bit_count(xor(a3, b3)))
+         |    AS hamming FROM cand)
          |WHERE hamming <= 3""".stripMargin
     },
 

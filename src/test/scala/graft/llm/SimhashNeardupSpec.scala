@@ -21,15 +21,18 @@ class SimhashNeardupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     // brute force: all 500×499/2 signature pairs, no banding (the
-    // banded run above already materialized the signature memo)
+    // banded run above already materialized the signature memo);
+    // signatures are 4 × 16-bit band integers
     val sigs = graft.SnapshotMemo
       .getOrCompute(s, s"simhash64:$d")(sys.error("must be memoized"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect().map(r => (r.getLong(0),
+        (1 to 4).map(k => r.getLong(k)).toVector))
     val brute = (for {
-      (ia, sa) <- sigs
-      (ib, sb) <- sigs
+      (ia, va) <- sigs
+      (ib, vb) <- sigs
       if ia < ib
-      h = sa.zip(sb).count { case (x, y) => x != y }
+      h = va.zip(vb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
       if h <= 3
     } yield (ia, ib, h.toLong)).toSet
     assert(banded == brute && banded.nonEmpty)
