@@ -37,6 +37,7 @@ object ScaleRehearsal {
     "llm_dedup_exact", "llm_dedup_minhash", "llm_lsh_bucket_stats",
     "llm_dedup_clusters", "llm_dedup_keep", "llm_exact_incremental",
     "llm_dedup_incremental", "llm_semantic_dedup", "llm_semdedup_stats",
+    "llm_simhash_neardup",
     // decontamination ladder
     "llm_decontaminate", "llm_bloom_summary", "llm_decontam_bloom",
     "llm_decontam_keep",
