@@ -552,39 +552,72 @@ object LlmQueries {
       g.select(col("doc_id") +: bandInts: _*).localCheckpoint()
     }
 
+  /** Distinct-signature representatives: one row per distinct 64-bit
+    * signature, rep = min doc_id over the group. Exposed for the
+    * adversarial scale spec, which asserts the banded join's input is
+    * bounded by SIGNATURE diversity, not corpus size. */
+  private[graft] def simhashReps(s: SparkSession, d: String): DataFrame =
+    simhash64(s, d)
+      .groupBy(col("v0"), col("v1"), col("v2"), col("v3"))
+      .agg(min(col("doc_id")).as("rep"))
+
   /** SimHash near-dup with BANDED candidate generation — the scale
     * path the plain fingerprint lacks: split the 64-bit signature
     * into 4 × 16-bit bands; by pigeonhole any pair within hamming
     * distance 3 agrees exactly on at least one band, so candidates
     * are a self-join WITHIN band buckets (shuffle on (band, value),
     * 65536 values per band — never all-pairs), then the exact
-    * 64-position hamming verify keeps distance ≤ 3. The signature
-    * table is a memoized artifact, so the self-join scans it twice
-    * without recomputing the per-word lineage. A degenerate band
-    * value (near-empty docs collapsing to one signature) is the LSH
-    * salt cap's failure shape — at 100 TB the same
-    * count-then-salt-oversized guard applies verbatim. */
+    * 64-position hamming verify keeps distance ≤ 3.
+    *
+    * Degenerate-bucket guard, two tiers. The failure shape is
+    * near-empty/boilerplate docs collapsing to ONE signature: k docs
+    * in one (band, value) bucket is k² candidate rows before the
+    * hamming filter. Tier 1 removes the shape entirely: docs sharing
+    * an identical FULL 64-bit signature are hamming-0 near-dups by
+    * definition, so they collapse to a group representative FIRST and
+    * the group is emitted as a STAR (rep → member, hamming 0 — O(k)
+    * rows, never k² enumeration); the banded join then runs over
+    * DISTINCT signatures only, where a 16-bit-value bucket is bounded
+    * by signature diversity. Tier 2 is the same count-then-salt cap
+    * as MinHash ([[pairsFromBands]], reused verbatim) over the
+    * distinct-signature bands — a hard work bound for the
+    * md5-collision-grade case of > cap DISTINCT signatures agreeing
+    * on one 16-bit band value. Recall is exactly 1 (pigeonhole)
+    * whenever no distinct-signature bucket exceeds the cap — the
+    * collapse means identical docs can never consume the cap — and
+    * every hamming ≤ 3 doc pair stays connected through its reps
+    * (sig(x) = sig(rep_x) ⇒ hamming(x, y) = hamming(rep_x, rep_y)).
+    * The signature table is a memoized artifact, so the rep/star/band
+    * legs scan it without recomputing the per-word lineage. */
   def simhashNeardup(s: SparkSession, d: String): DataFrame = {
     val sig = simhash64(s, d)
-    val bands = sig
-      .select(col("doc_id"), col("v0"), col("v1"), col("v2"), col("v3"),
-        explode(expr("array(struct(0 AS b, v0 AS bv), " +
-          "struct(1 AS b, v1 AS bv), struct(2 AS b, v2 AS bv), " +
-          "struct(3 AS b, v3 AS bv))")).as("x"))
-      .select(col("doc_id"), col("x.b").as("b"), col("x.bv").as("bv"),
-        col("v0"), col("v1"), col("v2"), col("v3"))
-    val left = bands.toDF("doc_a", "b", "bv", "a0", "a1", "a2", "a3")
-    val right = bands.toDF("doc_b", "b", "bv", "b0", "b1", "b2", "b3")
+    val reps = simhashReps(s, d)
+    // star edges: each non-representative member attaches to its
+    // group rep at hamming 0 (rep = min doc_id, so doc_a < doc_b)
+    val stars = sig.join(reps, Seq("v0", "v1", "v2", "v3"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // banded candidates over distinct signatures, through the shared
+    // salted intra-bucket pair chain (count-then-salt hard guard)
+    val repBands = reps
+      .select(col("rep").as("doc_id"),
+        explode(expr("array(struct(0 AS band, v0 AS bv), " +
+          "struct(1 AS band, v1 AS bv), struct(2 AS band, v2 AS bv), " +
+          "struct(3 AS band, v3 AS bv))")).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"),
+        col("x.bv").as("bv"))
     val ham = (0 until 4).map(k =>
       expr(s"bit_count(a$k ^ b$k)")).reduce(_ + _)
-    left.join(right, Seq("b", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select((Seq("doc_a", "doc_b") ++
-        (0 until 4).flatMap(k => Seq(s"a$k", s"b$k"))).map(col): _*)
-      .distinct()
+    val repPairs = pairsFromBands(repBands)
+      .join(reps.select(col("rep").as("doc_a") +:
+        (0 until 4).map(k => col(s"v$k").as(s"a$k")): _*), Seq("doc_a"))
+      .join(reps.select(col("rep").as("doc_b") +:
+        (0 until 4).map(k => col(s"v$k").as(s"b$k")): _*), Seq("doc_b"))
       .withColumn("hamming", ham.cast("bigint"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+    repPairs.union(stars)
   }
 
   // ---------------------------------------------------------------
@@ -2844,22 +2877,28 @@ object LlmQueries {
          |wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
          |wd AS (SELECT doc_id, md5(word) AS h FROM wx),
          |sig AS (SELECT doc_id, $bandInts FROM wd GROUP BY doc_id),
-         |bands AS (SELECT doc_id, b,
+         |reps AS (SELECT v0, v1, v2, v3, min(doc_id) AS rep
+         |  FROM sig GROUP BY v0, v1, v2, v3),
+         |stars AS (SELECT r.rep AS doc_a, s.doc_id AS doc_b
+         |  FROM sig s JOIN reps r ON s.v0 = r.v0 AND s.v1 = r.v1
+         |    AND s.v2 = r.v2 AND s.v3 = r.v3
+         |  WHERE s.doc_id <> r.rep),
+         |rbands AS (SELECT rep AS doc_id, b AS band,
          |    CASE b WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
-         |           ELSE v3 END AS bv, v0, v1, v2, v3
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a,
-         |    b2.doc_id AS doc_b, a.v0 AS a0, a.v1 AS a1, a.v2 AS a2,
-         |    a.v3 AS a3, b2.v0 AS b0, b2.v1 AS b1, b2.v2 AS b2x,
-         |    b2.v3 AS b3
-         |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv
-         |    AND a.doc_id < b2.doc_id)
+         |           ELSE v3 END AS bv
+         |  FROM reps, (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |${saltedPairsCte("rbands")},
+         |hamq AS (SELECT p.doc_a, p.doc_b,
+         |    (bit_count(xor(a.v0, b.v0)) + bit_count(xor(a.v1, b.v1)) +
+         |     bit_count(xor(a.v2, b.v2)) + bit_count(xor(a.v3, b.v3)))
+         |    AS hamming
+         |  FROM pairs p JOIN reps a ON a.rep = p.doc_a
+         |  JOIN reps b ON b.rep = p.doc_b)
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-         |FROM (SELECT doc_a, doc_b,
-         |    (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
-         |     bit_count(xor(a2, b2x)) + bit_count(xor(a3, b3)))
-         |    AS hamming FROM cand)
-         |WHERE hamming <= 3""".stripMargin
+         |FROM hamq WHERE hamming <= 3
+         |UNION ALL
+         |SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS hamming
+         |FROM stars""".stripMargin
     },
 
     "llm_knn_bruteforce" ->
