@@ -47,7 +47,11 @@ object Pipeline {
     // union (the reference's own EP1→EP2 file hand-off, yml:33–54)
     val clean = RdfOps.cleanExport(raw).localCheckpoint()   // O4–O7
     val keys = RdfOps.enrichmentKeys(clean)                 // O14 keys
+    // materialized at once: enrich's union feeds both the combined
+    // set and the typed-subject scan — unchecked, every key would be
+    // fetched twice per run
     val fetched = Enrichment.fetchAll(keys, fetchMonument)  // O14 fetch
+      .localCheckpoint()
     val enriched = RdfOps.enrich(clean, fetched)            // O15+O16
     val mapped = RdfOps.applyMapping(enriched, conf.mapping) // O17
     val ttl = RdfOps.applyFilter(mapped, conf.filterList)   // O18
@@ -72,11 +76,34 @@ object Pipeline {
     * attempted key at age 0 — a best-effort fetch failure resets
     * too, matching the reference's skip-and-continue semantics
     * (transform:100–101): a permanently failing key retries each
-    * TTL, not each run), and the fetch list itself for metering.
-    * The caller persists snapshot + ledger for the next run. */
+    * TTL, not each run), the fetch list itself for metering, and
+    * per-run [[FetchMetrics]] — the reference logs and skips each
+    * per-key failure (transform:100–101); a silent shrink of the
+    * refresh set is an operational blind spot, so the counts are a
+    * first-class output.
+    *
+    * LEDGER AGING: `elapsedDays` is the wall-clock days since the
+    * consumed ledger was produced (7 for the reference's weekly
+    * cadence). Every key ages by it up front — unfetched keys KEEP
+    * the aged value in the returned ledger, so a fresh key's age
+    * actually advances run over run and crosses the TTL (persisting
+    * ages verbatim with elapsedDays = 0 would freeze every unfetched
+    * key's age forever and silently break the freshness contract
+    * this form exists to keep). The caller persists snapshot +
+    * ledger for the next run. */
   final case class IncrementalResult(triples: DataFrame, conf: EtlConf,
       prefixes: Map[String, String], snapshot: DataFrame,
-      ledger: DataFrame, fetchList: DataFrame)
+      ledger: DataFrame, fetchList: DataFrame, metrics: FetchMetrics)
+
+  /** Per-run enrichment fetch accounting: `keysTotal` distinct keys
+    * in this run's export; `attempted` = missing + TTL-stale (the
+    * fetch list); `skippedFresh` = within-TTL keys served from the
+    * stored snapshot; of the attempted, `fetched` succeeded and
+    * `failed` threw (skip-and-continue, counted per key by the
+    * executor-side accumulator — at-least-once under task retries,
+    * like any Spark accumulator metric). */
+  final case class FetchMetrics(keysTotal: Long, attempted: Long,
+      skippedFresh: Long, fetched: Long, failed: Long)
 
   def runIncremental(spark: SparkSession,
       fetchPage: Int => String,
@@ -85,6 +112,7 @@ object Pipeline {
       storedSnapshot: DataFrame,
       ledger: DataFrame,
       ttlDays: Int = 7,
+      elapsedDays: Int = 0,
       graphId: String = "default",
       fetchApiContext: Option[() => String] = None): IncrementalResult = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -94,24 +122,42 @@ object Pipeline {
         .getOrElse(Map.empty)
     val raw = OmekaSource.load(spark, fetchPage, graphId)
     val clean = RdfOps.cleanExport(raw).localCheckpoint()
-    val keys = RdfOps.enrichmentKeys(clean)
+    val keys = RdfOps.enrichmentKeys(clean).localCheckpoint()
+    // age the whole ledger by the inter-run gap BEFORE the staleness
+    // cut, so "stale" means stale NOW, not as of the previous run
+    val aged = ledger.withColumn("age_days",
+      (col("age_days") + lit(elapsedDays)).cast("int"))
     // consumed twice (fetch + ledger update): materialize once
-    val fetchList = RdfOps.enrichmentFetchList(keys, ledger, ttlDays)
+    val fetchList = RdfOps.enrichmentFetchList(keys, aged, ttlDays)
       .localCheckpoint()
+    val failedCounter = spark.sparkContext.longAccumulator(
+      "graft.enrichment.failedKeys")
+    // materialized at once: applyRefresh consumes the fetch TWICE
+    // (refreshed-subject anti-join + union) — without this every key
+    // would be fetched twice and the failure counter double-counted
     val fetched = Enrichment.fetchAll(
-      fetchList.select("monument_key"), fetchMonument)
+      fetchList.select("monument_key"), fetchMonument,
+      failedCounter = Some(failedCounter))
+      .localCheckpoint() // counter is final from here
     val snapshot2 = Enrichment.applyRefresh(storedSnapshot, fetched)
       .localCheckpoint()
     val enriched = RdfOps.enrich(clean, snapshot2)
     val ttl = RdfOps.applyFilter(
       RdfOps.applyMapping(enriched, conf.mapping), conf.filterList)
-    val ledger2 = ledger
+    val ledger2 = aged
       .join(fetchList.select("monument_key"), Seq("monument_key"),
         "left_anti")
       .select(col("monument_key"), col("age_days"))
       .union(fetchList.select(col("monument_key"),
         lit(0).cast("int").as("age_days")))
-    IncrementalResult(ttl, conf, prefixes, snapshot2, ledger2, fetchList)
+    val keysTotal = keys.count()
+    val attempted = fetchList.count()
+    val metrics = FetchMetrics(keysTotal, attempted,
+      skippedFresh = keysTotal - attempted,
+      fetched = attempted - failedCounter.value,
+      failed = failedCounter.value)
+    IncrementalResult(ttl, conf, prefixes, snapshot2, ledger2,
+      fetchList, metrics)
   }
 
   /** [[run]] wired to the default HTTP clients
@@ -334,6 +380,112 @@ object Pipeline {
       .select(cols: _*)
     snapshot.except(removed).union(added).dropDuplicates()
   }
+
+  private def readOptional(spark: SparkSession,
+      path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Fold a slice of the [[publishDelta]] change log onto a base
+    * snapshot in ONE pass: per triple, the change with the highest
+    * run_id wins (a run's diff never both adds and removes the same
+    * triple — added/removed are EXCEPT complements — so the argmax is
+    * unambiguous). Equivalent to folding the runs in order through
+    * [[applyChanges]], but one shuffle on the triple key + one
+    * anti-join instead of 2·N snapshot-scale EXCEPTs — the shape that
+    * survives a year of weekly runs. Requires run ids that order
+    * lexicographically with publish order (zero-padded counters or
+    * ISO timestamps — the contract [[compactDelta]] documents). */
+  private def foldLog(base: Option[DataFrame],
+      changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val tripleCols =
+      changes.columns.filterNot(c => c == "change" || c == "run_id")
+    val cols = tripleCols.map(col(_))
+    val last = changes
+      .groupBy(cols: _*)
+      .agg(max(struct(col("run_id").cast("string").as("run_id"),
+        col("change"))).as("lc"))
+    val lastAdded = last.filter(col("lc.change") === "added")
+      .select(cols: _*)
+    base match {
+      case Some(b) =>
+        // null-safe anti-join: triple columns are nullable (obj_lang,
+        // obj_datatype) and a plain equi-join never matches null keys,
+        // which would leak removed null-bearing rows back into the base
+        val touched = last.select(cols: _*).as("t")
+        val cond = tripleCols.map(c => col(s"b.$c") <=> col(s"t.$c"))
+          .reduce(_ && _)
+        b.as("b").join(touched, cond, "left_anti")
+          .union(lastAdded).dropDuplicates()
+      case None => lastAdded
+    }
+  }
+
+  /** Change-log COMPACTION — caps [[publishDelta]]'s replay debt.
+    * Without it a consumer bootstrapping from the log pays one fold
+    * per historical run forever (52 after a year of weekly runs); the
+    * reference's overwrite-publish has no such debt because it keeps
+    * no history. Compaction folds every change partition with
+    * `run_id <= upToRun` (string comparison — run ids must order
+    * lexicographically with publish order: zero-padded counters or
+    * ISO timestamps) into the base snapshot at `basePath`, then drops
+    * those partitions from the log. Bootstrap cost becomes
+    * base + post-checkpoint runs; audit history before the
+    * checkpoint is intentionally traded away.
+    *
+    * CRASH/RETRY CONTRACT (same discipline as [[publishDelta]]): the
+    * folded base is fully materialized (localCheckpoint) before
+    * `basePath` is overwritten, and partition deletes happen after.
+    * A crash between base write and the deletes leaves already-folded
+    * partitions in the log; the retry re-folds them onto the new
+    * base, which is a NO-OP by construction — last-change-wins over
+    * an already-applied change set reproduces the same base
+    * (spec-proven) — then completes the deletes. */
+  def compactDelta(spark: SparkSession, changesPath: String,
+      basePath: String, upToRun: String): Unit =
+    readOptional(spark, changesPath).foreach { log =>
+      compactLog(spark, log, changesPath, basePath, upToRun)
+    }
+
+  private def compactLog(spark: SparkSession, log: DataFrame,
+      changesPath: String, basePath: String, upToRun: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val folded = foldLog(readOptional(spark, basePath),
+      log.filter(col("run_id").cast("string") <= lit(upToRun)))
+      .localCheckpoint()
+    try {
+      folded.write.mode("overwrite").parquet(basePath)
+      val root = new org.apache.hadoop.fs.Path(changesPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("run_id=")) {
+          val v = java.net.URLDecoder.decode(
+            name.stripPrefix("run_id="), "UTF-8")
+          if (v <= upToRun) fs.delete(st.getPath, true)
+        }
+      }
+    } finally {
+      org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(folded)
+    }
+  }
+
+  /** Bootstrap the current snapshot from the compacted base + the
+    * remaining change log — the consumer's recovery path after
+    * [[compactDelta]] (and before any compaction, with no base
+    * written yet, it replays the full log from empty). One-pass
+    * last-change-wins fold; by the compaction invariant this equals
+    * replaying the FULL pre-compaction log. */
+  def bootstrapFromLog(spark: SparkSession, basePath: String,
+      changesPath: String): DataFrame =
+    (readOptional(spark, basePath), readOptional(spark, changesPath)) match {
+      case (base, Some(log)) => foldLog(base, log)
+      case (Some(base), None) => base
+      case (None, None) => throw new IllegalArgumentException(
+        s"nothing to bootstrap from: no base at $basePath, " +
+          s"no change log at $changesPath")
+    }
 
   def publish(result: Result, path: String, format: String = "parquet",
       singleFile: Boolean = false): Unit = {

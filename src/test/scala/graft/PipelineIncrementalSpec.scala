@@ -107,5 +107,70 @@ class PipelineIncrementalSpec extends AnyFunSuite {
     val l2 = result.ledger.collect()
       .map(r => (r.getString(0), r.getInt(1))).toSet
     assert(l2 == Set(("11", 0), ("22", 2), ("33", 0)))
+
+    // metrics: 3 keys total, 2 attempted (missing 33 + stale 11),
+    // 1 fresh skipped, all attempted fetches succeeded
+    assert(result.metrics ==
+      Pipeline.FetchMetrics(keysTotal = 3, attempted = 2,
+        skippedFresh = 1, fetched = 2, failed = 0))
+  }
+
+  test("ledger aging + failure metering: unfetched keys age by " +
+    "elapsedDays and cross the TTL on a later run; a failing key is " +
+    "counted failed and skipped, not silently dropped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val p = page
+    val mon = Mon
+    def fetcher(failKeys: Set[String])(key: String)
+        : Seq[rdf.Turtle.FlatTriple] = {
+      if (failKeys.contains(key))
+        throw new RuntimeException(s"upstream 500 for $key")
+      Seq(("default", mon + key, "iri", DctermsTitle, s"T$key",
+        "literal", null, null))
+    }
+    val snapshot = Seq(
+      ("default", Mon + "11", "iri", DctermsTitle, "Old One", "literal",
+        null, null),
+      ("default", Mon + "22", "iri", DctermsTitle, "Hall Two", "literal",
+        null, null))
+      .toDF("graph", "subject", "subject_kind", "predicate",
+        "obj_value", "obj_kind", "obj_lang", "obj_datatype")
+    val ledger = Seq(("11", 9), ("22", 2)).toDF("monument_key", "age_days")
+    val fail11 = Set("11")
+    // run A, 3 days after the ledger was written: 11 aged to 12
+    // (stale, attempted, FAILS), 22 aged to 5 (fresh, skipped),
+    // 33 missing (attempted, succeeds)
+    val runA = Pipeline.runIncremental(spark,
+      fetchPage = n => if (n == 1) p else "",
+      fetchMonument = fetcher(fail11),
+      env = Map.empty, storedSnapshot = snapshot, ledger = ledger,
+      ttlDays = 7, elapsedDays = 3)
+    assert(runA.metrics ==
+      Pipeline.FetchMetrics(keysTotal = 3, attempted = 2,
+        skippedFresh = 1, fetched = 1, failed = 1))
+    // the failed key's stored enrichment survives (skip-and-continue)
+    assert(runA.snapshot.filter(col("obj_value") === "Old One")
+      .count() == 1)
+    // unfetched 22 AGED 2→5 (not frozen at 2); attempted keys at 0
+    val lA = runA.ledger.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(lA == Set(("11", 0), ("22", 5), ("33", 0)))
+    // run B, 3 more days: 22 ages 5→8 and finally crosses the TTL —
+    // the aging is what makes a perpetually-fresh key impossible
+    val runB = Pipeline.runIncremental(spark,
+      fetchPage = n => if (n == 1) p else "",
+      fetchMonument = fetcher(Set.empty),
+      env = Map.empty, storedSnapshot = runA.snapshot,
+      ledger = runA.ledger, ttlDays = 7, elapsedDays = 3)
+    val flB = runB.fetchList.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flB == Set(("22", "stale")))
+    assert(runB.metrics ==
+      Pipeline.FetchMetrics(keysTotal = 3, attempted = 1,
+        skippedFresh = 2, fetched = 1, failed = 0))
+    val lB = runB.ledger.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(lB == Set(("11", 3), ("22", 0), ("33", 3)))
   }
 }
