@@ -95,18 +95,27 @@ object Bench {
 
   /** The steady-state one-liner: headline = sum of warm medians;
     * `queries` holds the warm medians (the operative numbers),
-    * `cold` the first-execution times (artifact builds included). */
+    * `cold` the first-execution times (artifact builds included).
+    * Erred queries appear ONLY in `errors` (their entries in
+    * `queries` are null and they are excluded from both totals): an
+    * erred run's wall time is a stack unwind, and folding it into
+    * the headline would contradict [[runSteady]]'s own "consumers
+    * must not average it in" contract — the nonzero exit code flags
+    * the failure, the totals stay meaningful. */
   def renderSteadyJson(runs: Seq[SteadyRun], sfDir: String,
       warmReps: Int): String = {
-    val qs = runs.map(r => jsonStr(r.name) + ":" + warmMedian(r))
+    val ok = runs.filter(_.err.isEmpty)
+    val qs = runs.map(r => jsonStr(r.name) + ":" +
+        (if (r.err.isDefined) "null" else warmMedian(r).toString))
       .mkString("{", ",", "}")
-    val cold = runs.map(r => jsonStr(r.name) + ":" + r.coldSec)
+    val cold = runs.map(r => jsonStr(r.name) + ":" +
+        (if (r.err.isDefined) "null" else r.coldSec.toString))
       .mkString("{", ",", "}")
     val errs = runs.filter(_.err.isDefined)
       .map(r => jsonStr(r.name) + ":" + jsonStr(r.err.get))
       .mkString("{", ",", "}")
-    val total = runs.map(warmMedian).sum
-    val totalCold = runs.map(_.coldSec).sum
+    val total = ok.map(warmMedian).sum
+    val totalCold = ok.map(_.coldSec).sum
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady","warm_reps":$warmReps,"total_cold":$totalCold,"queries":$qs,"cold":$cold,"errors":$errs,"load_avg_1m":$load,"sf":${jsonStr(sfDir)}}"""

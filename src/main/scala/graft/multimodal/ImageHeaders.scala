@@ -131,18 +131,27 @@ object ImageHeaders {
     val stride = ((3 * w + 3) / 4) * 4
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     var n = 0L
+    // walk only rows with at least one byte present: a ~60-byte
+    // crafted header declaring 2^20 × 2^20 pixels must not spin
+    // ~10^12 empty iterations on an executor (this is a registered
+    // user-facing SQL function — malformed input is a given). The
+    // byte-presence test per pixel is unchanged, so truncated
+    // payloads sum exactly the same pixels as the unbounded walk.
+    val rowsPresent =
+      if (dataOff >= b.length) 0L
+      else ((b.length - dataOff) + stride - 1) / stride
     var y = 0L
-    while (y < h) {
+    while (y < math.min(h, rowsPresent)) {
       val row = dataOff + y * stride
       var x = 0L
-      while (x < w) {
+      // pixel offsets grow monotonically within a row: past-the-end
+      // once means past-the-end for the rest of the row
+      while (x < w && row + x * 3 + 3 <= b.length) {
         val p = row + x * 3
-        if (p + 3 <= b.length) {
-          sumB += u8(b, p.toInt)
-          sumG += u8(b, p.toInt + 1)
-          sumR += u8(b, p.toInt + 2)
-          n += 1
-        }
+        sumB += u8(b, p.toInt)
+        sumG += u8(b, p.toInt + 1)
+        sumR += u8(b, p.toInt + 2)
+        n += 1
         x += 1
       }
       y += 1

@@ -564,6 +564,17 @@ object RdfQueries {
     * weekly re-fetch cadence, transform_datamodel.py:88–101). */
   val enrichTtlConf = "spark.graft.enrich.ttlDays"
 
+  /** The TTL both sides of the `rdf_enrich_stale` check use: the
+    * engine query reads the session conf, and [[oracleSql]] (a def,
+    * re-rendered per dump) resolves the SAME conf via the active
+    * session — a non-default TTL moves the engine result AND the
+    * oracle predicate together instead of guaranteeing a hash
+    * mismatch. Falls back to the default off-session (oracle dumps
+    * always run with the query session active). */
+  private def resolvedEnrichTtl: Int =
+    SparkSession.getActiveSession
+      .map(_.conf.get(enrichTtlConf, "7")).getOrElse("7").toInt
+
   /** [[RdfOps.enrichmentFetchList]] over the fixture's export keys
     * and fetch ledger: the TTL-aware incremental form of O14. */
   private def enrichStale(s: SparkSession, d: String): DataFrame = {
@@ -821,7 +832,7 @@ object RdfQueries {
          |UNION ALL
          |SELECT ek.monument_key, 'stale' AS reason
          |FROM ek JOIN ledger l ON l.monument_key = ek.monument_key
-         |WHERE l.age_days >= 7""".stripMargin,
+         |WHERE l.age_days >= $resolvedEnrichTtl""".stripMargin,
 
     "rdf_bgp_optional" ->
       s"""WITH ${TripleFixture.triplesCte}

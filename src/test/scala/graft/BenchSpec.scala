@@ -61,5 +61,15 @@ class BenchSpec extends AnyFunSuite {
       json.contains("\"warm_reps\":3") &&
       json.contains("\"cold\":{") &&
       json.contains("\"errors\":{\"boom\":\"") && !json.contains("\n"))
+    // the erred query's stack-unwind time must not pollute the
+    // headline totals: its per-query entries are null and the totals
+    // equal the ok-only sums
+    assert(json.contains("\"boom\":null"))
+    val totalRe = "\"value\":([0-9.eE+-]+)".r
+    val total = totalRe.findFirstMatchIn(json).get.group(1).toDouble
+    assert(math.abs(total - Bench.warmMedian(ok)) < 1e-9)
+    val coldRe = "\"total_cold\":([0-9.eE+-]+)".r
+    val totalCold = coldRe.findFirstMatchIn(json).get.group(1).toDouble
+    assert(math.abs(totalCold - ok.coldSec) < 1e-9)
   }
 }

@@ -120,6 +120,31 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(ImageHeaders.bmpLevels(null).isEmpty)
   }
 
+  test("bmpLevels: a crafted header declaring 2^20 x 2^20 pixels on " +
+    "a 60-byte payload returns immediately (walk bounded by bytes " +
+    "present, not declared dimensions)") {
+    // hand-build the 54-byte header: 'BM', dataOff=54, DIB=40,
+    // w=h=2^20, planes=1, 24bpp, BI_RGB — plus 6 junk payload bytes
+    val b = new Array[Byte](60)
+    b(0) = 'B'; b(1) = 'M'
+    def put32(i: Int, v: Long): Unit = for (k <- 0 until 4)
+      b(i + k) = ((v >> (8 * k)) & 0xff).toByte
+    def put16(i: Int, v: Int): Unit = { b(i) = (v & 0xff).toByte
+      b(i + 1) = ((v >> 8) & 0xff).toByte }
+    put32(10, 54); put32(14, 40)
+    put32(18, 1L << 20); put32(22, 1L << 20)
+    put16(26, 1); put16(28, 24); put32(30, 0)
+    val t0 = System.nanoTime()
+    val got = ImageHeaders.bmpLevels(b)
+    val ms = (System.nanoTime() - t0) / 1e6
+    // declared dims are reported, but only the 2 whole pixels whose
+    // 3 bytes are present get summed — and the walk is instant, not
+    // ~10^12 iterations (minutes-to-hours per row at SQL call sites)
+    assert(got.isDefined && got.get._1 == (1 << 20) &&
+      got.get._3 == 2L)
+    assert(ms < 1000.0)
+  }
+
   test("image_levels expression + SQL registration agree with the " +
     "plain-Scala decoder") {
     val s = TestSpark.spark
