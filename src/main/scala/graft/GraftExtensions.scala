@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioLevels, AudioMeta, DotProductLong, ImageDims, ImageLevels, IsValidIri, NearestCentroid, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
+import graft.functions.{AudioLevels, AudioMeta, DotProductLong, ImageDims, ImageLevels, IsValidIri, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -123,5 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VideoMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("png_levels"),
+      new ExpressionInfo(classOf[PngLevels].getName, "png_levels"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PngLevels(args.head)))
   }
 }

@@ -126,8 +126,36 @@ object DedupIndex {
   def read(s: SparkSession, path: String): Stored =
     Stored(s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/clusters"))
 
-  /** Conf key selecting the probe's join shape; default true. */
+  /** Conf key selecting the probe's join shape. UNSET (the default)
+    * means AUTO: the shape is derived from the arriving shard's
+    * MEASURED size against the session's broadcast budget (see
+    * [[probe]]). An explicit `true`/`false` overrides the
+    * measurement — for pipelines that already know their shard
+    * geometry or cannot afford the sizing count. */
   val probeBroadcastConf = "spark.graft.dedup.probeBroadcast"
+
+  /** Estimated broadcast footprint per arriving document on the
+    * probe's build side, the same derived-geometry discipline as the
+    * Bloom sizing ([[LlmQueries.bloomBits]]): 4 band rows × (8 B
+    * doc_id + 64 hex chars of band value + ~24 B row overhead)
+    * ≈ 384 B. Deliberately generous — overestimating flips to the
+    * shuffle path early, which is safe; underestimating OOMs the
+    * driver. */
+  val probeBytesPerDoc = 384L
+
+  /** AUTO shape decision: broadcast iff the arriving shard's
+    * estimated broadcast footprint fits the session's
+    * `spark.sql.autoBroadcastJoinThreshold` (−1 disables broadcast,
+    * as it does for Spark's own planner). The count is one extra
+    * columnar action over the shard — metadata-cheap on a parquet
+    * shard, and the price of never OOMing the driver on a mis-set
+    * flag; callers that can't pay it set [[probeBroadcastConf]]. */
+  private def autoBroadcast(arrivingDocs: DataFrame): Boolean = {
+    val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      arrivingDocs.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    thr > 0 && arrivingDocs.count() * probeBytesPerDoc <= thr
+  }
 
   /** Probe an arriving shard against a stored index. Output: one row
     * per arriving document —
@@ -136,26 +164,29 @@ object DedupIndex {
     *
     * Scale shape — DUAL-PATH, mirroring the Bloom family's
     * broadcast-bitset vs partitioned-probe split
-    * ([[LlmQueries.bloomWordTableOf]]):
+    * ([[LlmQueries.bloomWordTableOf]]), chosen by MEASUREMENT by
+    * default ([[autoBroadcast]]) — a weekly full-crawl shard arriving
+    * with a stale manual flag must degrade to the shuffle path, not
+    * OOM the driver:
     *
-    *  - `spark.graft.dedup.probeBroadcast=true` (default): the
-    *    arriving batch (and everything derived from it) is broadcast;
-    *    the index bands — labels included, see [[Stored]] — are
-    *    corpus-scale and scanned map-side exactly once. The only
-    *    exchange is the final tiny groupBy on arriving doc_ids. Right
-    *    for the steady state: shard ≪ index.
-    *  - `=false`: a LARGE arriving batch (a full weekly crawl at
-    *    100 TB scale) exceeds broadcast limits, so the probe falls
-    *    back to shuffle-hash equi-joins on `(band, bv)` and `doc_id`
-    *    with NO BroadcastExchange anywhere in the plan (spec-asserted,
-    *    bit-equal to the broadcast path). Both sides exchange once on
-    *    the join key; no sort (hash join, not SMJ).
+    *  - broadcast (small shard): the arriving batch (and everything
+    *    derived from it) is broadcast; the index bands — labels
+    *    included, see [[Stored]] — are corpus-scale and scanned
+    *    map-side exactly once. The only exchange is the final tiny
+    *    groupBy on arriving doc_ids. Right for the steady state:
+    *    shard ≪ index.
+    *  - shuffle (large shard): a batch past the broadcast budget
+    *    falls back to shuffle-hash equi-joins on `(band, bv)` and
+    *    `doc_id` with NO BroadcastExchange anywhere in the plan
+    *    (spec-asserted, bit-equal to the broadcast path). Both sides
+    *    exchange once on the join key; no sort (hash join, not SMJ).
     *
-    * The flag is read from the session at PLAN TIME, so a pipeline
-    * can flip it per-batch on observed shard size. */
+    * The conf (and the measurement) is read at PLAN TIME, so a
+    * pipeline can still flip the override per batch. */
   def probe(arrivingDocs: DataFrame, index: Stored): DataFrame = {
     val useBroadcast = arrivingDocs.sparkSession.conf
-      .get(probeBroadcastConf, "true").toBoolean
+      .getOption(probeBroadcastConf).map(_.toBoolean)
+      .getOrElse(autoBroadcast(arrivingDocs))
     def side(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val aBands = docBands(arrivingDocs)

@@ -90,6 +90,7 @@ object LlmQueries {
     "mm_image_levels" -> imageLevels,
     "llm_pii_scrub" -> piiScrub,
     "mm_video_meta" -> videoMeta,
+    "mm_png_levels" -> pngLevels,
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -2425,6 +2426,45 @@ object LlmQueries {
         max(col("m.height").cast("bigint")).as("max_h"))
   }
 
+  /** REAL compressed-image pixel decode — closes the PNG third of
+    * the multimodal payload story (BMP and WAV went real in round 8;
+    * PNG needs no external codec: IDAT is zlib and
+    * `java.util.zip.Inflater` is public JDK). Build complete PNG
+    * files whose DEFLATE stream is a stored-mode block
+    * ([[graft.multimodal.ImageHex.pngFileHex]] — the one DEFLATE
+    * shape SQL can construct), decode with the native
+    * [[graft.functions.PngLevels]] codegen expression (full
+    * container walk → Inflater → §9 un-filtering → exact channel
+    * sums), roll up per width. The oracle rebuilds the SAME bytes in
+    * DuckDB and replays the pixel walk BYTE-POSITIONALLY over the
+    * stored block's raw scanlines — it never inflates, so the two
+    * sides share no decode machinery; an engine decoder that
+    * mis-walks chunks, mis-inflates, or mis-orders R,G,B
+    * hash-mismatches. Real-encoder fidelity (dynamic Huffman,
+    * filters 1–4, multi-IDAT, valid CRCs) is PngLevelsSpec's ImageIO
+    * round-trip. Map-side construct → decode → partial agg; one
+    * bounded exchange on the small width space. */
+  def pngLevels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    val pixel = "(doc_id * 11 + x * 17 + y * 29 + c * 97) % 256"
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("CAST(doc_id % 6 AS INT) + 1").as("w0"),
+        expr("CAST(doc_id % 4 AS INT) + 1").as("h0"))
+      .withColumn("hs", expr(ImageHex.pngFileHex("w0", "h0", pixel,
+        "div", ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.PngLevels(col("payload")))
+      .groupBy(col("m.width").cast("bigint").as("width"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("m.n_px")).as("sum_px"),
+        sum(col("m.sum_r")).as("sum_r"),
+        sum(col("m.sum_g")).as("sum_g"),
+        sum(col("m.sum_b")).as("sum_b"),
+        max(col("m.height").cast("bigint")).as("max_h"))
+  }
+
   /** REAL video container metadata — the MP4 box-walk sibling of
     * [[imageDims]]/[[audioMeta]], closing the last multimodal
     * metadata stub: build genuine minimal MP4 files per document
@@ -3805,6 +3845,44 @@ object LlmQueries {
          |    ${byteAt("hs",
               s"$BmpPixelPos + 2 * (y * ((((3 * w0) + 3) // 4) * 4) " +
                 "+ x * 3 + 2)", "strpos")} AS pr
+         |  FROM px),
+         |g AS (SELECT doc_id, w0, h0, COUNT(*) AS npx,
+         |    SUM(pr) AS sr, SUM(pg) AS sg, SUM(pb) AS sb
+         |  FROM v GROUP BY 1, 2, 3)
+         |SELECT CAST(w0 AS BIGINT) AS width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(npx) AS BIGINT) AS sum_px,
+         |  CAST(SUM(sr) AS BIGINT) AS sum_r,
+         |  CAST(SUM(sg) AS BIGINT) AS sum_g,
+         |  CAST(SUM(sb) AS BIGINT) AS sum_b,
+         |  CAST(MAX(h0) AS BIGINT) AS max_h
+         |FROM g GROUP BY 1""".stripMargin
+    },
+
+    "mm_png_levels" -> {
+      import graft.multimodal.ImageHex._
+      val pixel = "(doc_id * 11 + x * 17 + y * 29 + c * 97) % 256"
+      // raw scanline bytes sit verbatim inside the stored DEFLATE
+      // block: pixel (x, y, c) at hex position
+      // PngRawPos + 2·(y·(1+3w) + 1 + 3x + c) — the oracle replays
+      // the walk positionally and never inflates
+      def chan(c: Int): String = byteAt("hs",
+        s"$PngRawPos + 2 * (y * (1 + 3 * w0) + 1 + 3 * x + $c)",
+        "strpos")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(doc_id % 6 AS INT) + 1 AS w0,
+         |    CAST(doc_id % 4 AS INT) + 1 AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id, w0, h0,
+         |    hex(from_hex(${pngFileHex("w0", "h0", pixel, "//",
+                seqJoinDuck)})) AS hs
+         |  FROM t),
+         |px AS (SELECT doc_id, w0, h0, hs,
+         |    CAST(i % w0 AS BIGINT) AS x, CAST(i // w0 AS BIGINT) AS y
+         |  FROM (SELECT doc_id, w0, h0, hs,
+         |        unnest(range(0, CAST(w0 * h0 AS BIGINT))) AS i FROM b)),
+         |v AS (SELECT doc_id, w0, h0,
+         |    ${chan(0)} AS pr, ${chan(1)} AS pg, ${chan(2)} AS pb
          |  FROM px),
          |g AS (SELECT doc_id, w0, h0, COUNT(*) AS npx,
          |    SUM(pr) AS sr, SUM(pg) AS sg, SUM(pb) AS sb

@@ -166,4 +166,136 @@ object ImageHeaders {
     case Some((w, h, n, r, g, bl)) => InternalRow(w, h, n, r, g, bl)
     case None => null
   }
+
+  /** Inflated-scanline budget for [[pngLevels]]: a crafted IHDR
+    * declaring huge dimensions must not allocate gigabytes in a
+    * user-facing SQL function. 64 MiB covers a 4K RGB image
+    * (3840×2160×3 ≈ 24 MiB) with room to spare. */
+  private val MaxPngRaw = 1 << 26
+
+  /** REAL PNG pixel decode — no codec library: PNG's IDAT payload is
+    * a zlib/DEFLATE stream and `java.util.zip.Inflater` is public
+    * JDK, so decompression + scanline un-filtering (filter types
+    * 0–4, pure byte arithmetic per the PNG spec §9) is all that
+    * stands between the container walk and the pixels. Scope:
+    * 8-bit-depth truecolor (color type 2), non-interlaced — what
+    * `ImageIO.write(img, "png", …)` emits for `TYPE_3BYTE_BGR` and
+    * the dominant photographic-PNG shape; other color types /
+    * depths / interlacing return None. Multiple IDAT chunks
+    * concatenate (encoders split large streams); chunk CRCs are NOT
+    * verified and the zlib Adler32 trailer is skipped
+    * (`Inflater(nowrap)` after validating the 2-byte zlib header) —
+    * a tolerant parser, so spec-built stored-mode streams and real
+    * encoder output decode identically (ImageIO round-trip
+    * spec-proven). Same output contract as [[bmpLevels]]:
+    * (width, height, n_px, sum_r, sum_g, sum_b), exact integer
+    * channel sums. A stream that does not inflate to exactly
+    * h·(1+3w) bytes is corrupt → None (unlike BMP truncation there
+    * is no meaningful partial decode: un-filtering is sequential). */
+  def pngLevels(b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] = {
+    if (b == null || b.length < 33 || !isPng(b)) return None
+    if (u32(b, 8) != 13L) return None
+    if (!(u8(b, 12) == 'I' && u8(b, 13) == 'H' &&
+        u8(b, 14) == 'D' && u8(b, 15) == 'R')) return None
+    val w = u32(b, 16); val h = u32(b, 20)
+    if (w < 1 || h < 1) return None
+    // depth 8, truecolor RGB, deflate, adaptive filtering, no interlace
+    if (u8(b, 24) != 8 || u8(b, 25) != 2 || u8(b, 26) != 0 ||
+        u8(b, 27) != 0 || u8(b, 28) != 0) return None
+    val stride = 3L * w
+    val rawLen = h * (stride + 1)
+    if (rawLen > MaxPngRaw) return None
+    // concatenate IDAT chunk payloads (CRCs skipped, not verified)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8 + 25 // past the IHDR chunk (4 len + 4 type + 13 + 4 crc)
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val len = u32(b, off)
+      if (len > b.length - off - 8) return None // truncated chunk
+      val isIdat = u8(b, off + 4) == 'I' && u8(b, off + 5) == 'D' &&
+        u8(b, off + 6) == 'A' && u8(b, off + 7) == 'T'
+      val isIend = u8(b, off + 4) == 'I' && u8(b, off + 5) == 'E' &&
+        u8(b, off + 6) == 'N' && u8(b, off + 7) == 'D'
+      if (isIdat) idat.write(b, off + 8, len.toInt)
+      if (isIend) done = true
+      off += 8 + len.toInt + 4
+    }
+    val z = idat.toByteArray
+    // zlib header: CM must be 8 (deflate), preset dictionaries (FDICT)
+    // unsupported; the Adler32 trailer is deliberately not checked
+    if (z.length < 3 || (z(0) & 0x0f) != 8 || (z(1) & 0x20) != 0)
+      return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(z, 2, z.length - 2)
+      var total = 0
+      var stalled = false
+      while (total < raw.length && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, total, raw.length - total)
+        total += n
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          stalled = true
+      }
+      if (total < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    unfilterAndSum(raw, w.toInt, h.toInt)
+  }
+
+  /** PNG §9 scanline reconstruction over filter types 0–4 (None /
+    * Sub / Up / Average / Paeth) + RGB channel summation in the same
+    * pass. Sample order in color type 2 is R,G,B; `bpp` = 3. */
+  private def unfilterAndSum(raw: Array[Byte], w: Int, h: Int)
+      : Option[(Int, Int, Long, Long, Long, Long)] = {
+    val stride = 3 * w
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(base + 1 + x) & 0xff
+        val a = if (x >= 3) cur(x - 3) else 0
+        val up = prev(x)
+        val c = if (x >= 3) prev(x - 3) else 0
+        val recon = (ft: @annotation.switch) match {
+          case 0 => v
+          case 1 => (v + a) & 0xff
+          case 2 => (v + up) & 0xff
+          case 3 => (v + ((a + up) >> 1)) & 0xff
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a
+              else if (pb <= pc) up else c
+            (v + pred) & 0xff
+        }
+        cur(x) = recon
+        (x % 3: @annotation.switch) match {
+          case 0 => sumR += recon
+          case 1 => sumG += recon
+          case 2 => sumB += recon
+        }
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some((w, h, w.toLong * h, sumR, sumG, sumB))
+  }
+
+  /** [[pngLevels]] as an `InternalRow` for the
+    * [[graft.functions.PngLevels]] codegen path. Null = not a
+    * decodable 8-bit truecolor PNG. */
+  def pngLevelsRow(b: Array[Byte]): InternalRow = pngLevels(b) match {
+    case Some((w, h, n, r, g, bl)) => InternalRow(w, h, n, r, g, bl)
+    case None => null
+  }
 }

@@ -93,6 +93,48 @@ object ImageHex {
       s"'130B0000', '130B0000', '00000000', '00000000', $pixels)"
   }
 
+  /** 1-based hex position of the first RAW scanline byte of
+    * [[pngFileHex]]: sig(8) + IHDR chunk(25) + IDAT len/type(8) +
+    * zlib header(2) + stored-block header(5) = byte offset 48. */
+  val PngRawPos = 48 * 2 + 1 // 97
+
+  /** A complete PNG file whose pixel stream is a zlib STORED-mode
+    * DEFLATE block — the one DEFLATE shape SQL can build (and an
+    * oracle can replay BYTE-POSITIONALLY: stored blocks hold the raw
+    * filtered scanlines verbatim at fixed offsets, no entropy
+    * coding). The engine side still decodes it through the real
+    * `java.util.zip.Inflater` path, so the two sides stay
+    * independent implementations. Layout: signature, IHDR (8-bit
+    * truecolor, no interlace), ONE IDAT chunk = zlib header `7801` +
+    * final stored block (`01` + LEN/NLEN little-endian) + raw
+    * scanlines (filter byte 0 + R,G,B samples — PNG sample order,
+    * unlike BMP's B,G,R) + Adler32 trailer, then IEND. Chunk CRCs
+    * and the Adler32 are zero placeholders: the decoder is a
+    * tolerant parser (CRCs skipped, `Inflater(nowrap)` past the
+    * trailer) — its fidelity on REAL encoder output (valid CRCs,
+    * dynamic-Huffman blocks, multi-IDAT, filters 1–4) is proven by
+    * the ImageIO round-trip spec, not by this fixture. Raw length
+    * h·(1+3w) must stay ≤ 65535 (one stored block) — fixture dims
+    * are single-digit. `pixelByteE` has free variables `x`, `y`,
+    * `c` with c ∈ {0,1,2} = R,G,B. */
+  def pngFileHex(w: String, h: String, pixelByteE: String,
+      intdiv: String,
+      seqJoin: (String, String, String) => String): String = {
+    import AudioHex.hexLE
+    val rawLen = s"($h) * (1 + 3 * ($w))"
+    val rowHex = s"'00' || " + seqJoin("x", w,
+      seqJoin("c", "3", hexN(pixelByteE, 2, intdiv)))
+    val raw = seqJoin("y", h, s"($rowHex)")
+    s"concat('89504E470D0A1A0A', " + // signature
+      s"'0000000D49484452', ${hexN(w, 8, intdiv)}, " + // IHDR
+      s"${hexN(h, 8, intdiv)}, '0802000000', '00000000', " +
+      s"${hexN(s"($rawLen) + 11", 8, intdiv)}, '49444154', " + // IDAT
+      s"'7801', '01', ${hexLE(rawLen, 2, intdiv)}, " +
+      s"${hexLE(s"65535 - ($rawLen)", 2, intdiv)}, " +
+      s"$raw, '00000000', '00000000', " + // adler + chunk crc
+      s"'0000000049454E44AE426082')" // IEND
+  }
+
   /** Spark spelling of seqJoin: `v` ranges over [0, n). */
   def seqJoinSpark(v: String, n: String, body: String): String =
     s"array_join(transform(sequence(0, CAST(($n) - 1 AS INT)), " +

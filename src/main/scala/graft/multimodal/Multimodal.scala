@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * `binary` payloads plus typed metadata, with decode / feature
   * extraction / frame sampling as partition-local transforms.
   *
-  * ==== STUB NOTICE (narrowed to COMPRESSED payloads only) ====
+  * ==== STUB NOTICE (narrowed to LOSSY-codec payloads only) ====
   * CONTAINER METADATA DECODE IS REAL for all three modalities:
   * [[StubCodec.decode]] first runs [[ImageHeaders]] (PNG IHDR / JPEG
   * SOF marker walk), [[AudioHeaders]] (PCM WAV RIFF chunk walk), and
@@ -21,9 +21,16 @@ import org.apache.spark.sql.functions._
   * `mm_audio_levels`) and 24-bit BI_RGB BMP
   * ([[ImageHeaders.bmpLevels]] behind
   * [[graft.functions.ImageLevels]] — raw padded BGR rows; per-file
-  * channel sums, `mm_image_levels`). Only decode of ENTROPY-CODED
-  * payloads (JPEG/PNG pixels, MP4 frames) remains a clearly-marked
-  * DETERMINISTIC FAKE (no codec libraries in this container):
+  * channel sums, `mm_image_levels`). PNG PIXEL DECODE IS REAL TOO
+  * ([[ImageHeaders.pngLevels]] behind
+  * [[graft.functions.PngLevels]], `mm_png_levels`): IDAT is
+  * zlib/DEFLATE and `java.util.zip.Inflater` is public JDK, so
+  * decompression + §9 scanline un-filtering needs no codec library
+  * — 8-bit truecolor, multi-IDAT, all five filter types
+  * (ImageIO-round-trip spec-proven). Only decode of LOSSY
+  * entropy-coded payloads (JPEG pixels, MP4 frames — real DCT/codec
+  * territory, no library in this container) remains a clearly-marked
+  * DETERMINISTIC FAKE:
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped

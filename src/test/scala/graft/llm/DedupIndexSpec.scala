@@ -133,6 +133,52 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("AUTO probe shape (no conf set): a shard past the broadcast " +
+    "budget plans no BroadcastExchange; a small shard keeps the " +
+    "broadcast shape; an explicit conf overrides the measurement") {
+    val s = spark
+    val path = Files.createTempDirectory("dedup-idx-auto")
+      .toFile.getAbsolutePath
+    val indexDocs = realDocs.filter(col("doc_id") % 10 =!= 7)
+    val arriving = realDocs.filter(col("doc_id") % 10 === 7)
+    val stored = DedupIndex.writeIndex(s, indexDocs, path)
+    val bcastThr = "spark.sql.autoBroadcastJoinThreshold"
+    val adaptiveBcast = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevThr = s.conf.getOption(bcastThr)
+    val prevAdaptive = s.conf.getOption(adaptiveBcast)
+    assert(s.conf.getOption(DedupIndex.probeBroadcastConf).isEmpty)
+    try {
+      // small shard, default budget: the auto path measures ~50 docs
+      // × 384 B ≪ 10 MB and keeps the broadcast shape
+      val small = DedupIndex.probe(arriving, stored)
+      small.collect()
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+      // shrink the budget so the SAME shard exceeds it: the auto
+      // path must flip to shuffle-hash with no conf set at all
+      s.conf.set(bcastThr, "1KB")
+      s.conf.set(adaptiveBcast, "-1")
+      val large = DedupIndex.probe(arriving, stored)
+      large.collect()
+      val plan = large.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"auto probe still broadcasts past the budget:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), plan)
+      // explicit override beats the measurement
+      s.conf.set(DedupIndex.probeBroadcastConf, "true")
+      val forced = DedupIndex.probe(arriving, stored)
+      forced.collect()
+      assert(forced.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+    } finally {
+      s.conf.unset(DedupIndex.probeBroadcastConf)
+      Seq((bcastThr, prevThr), (adaptiveBcast, prevAdaptive)).foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
   test("index build joins labels without a broadcast (shuffle-hash " +
     "on doc_id): a dup-heavy corpus's pair-graph-scale label table " +
     "must never OOM the build") {

@@ -1,0 +1,175 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Real PNG pixel decode ([[ImageHeaders.pngLevels]]): Inflater-based
+  * IDAT decompression + §9 scanline un-filtering must reproduce
+  * exact channel sums on REAL encoder output (ImageIO: dynamic
+  * Huffman blocks, encoder-chosen filters, multiple IDAT chunks,
+  * valid CRCs) and on hand-built streams exercising every filter
+  * type; malformed payloads must fail fast, not hang or allocate. */
+class PngLevelsSpec extends AnyFunSuite {
+
+  private val sig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Chunk with a zero (unverified) CRC. */
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] =
+    be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++
+      Array[Byte](0, 0, 0, 0)
+
+  private def ihdr(w: Int, h: Int, colorType: Int = 2): Array[Byte] =
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
+
+  private def zlib(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(out)
+    d.end()
+    out.take(n)
+  }
+
+  private def imageIoPng(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def countIdat(b: Array[Byte]): Int = {
+    var off = 8; var n = 0
+    while (off + 8 <= b.length) {
+      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      if (new String(b, off + 4, 4, "US-ASCII") == "IDAT") n += 1
+      off += 8 + len + 4
+    }
+    n
+  }
+
+  test("ImageIO round-trip: noisy 512x96 image (dynamic Huffman, " +
+    "encoder-chosen filters, multiple IDAT chunks) decodes to exact " +
+    "channel sums") {
+    val (w, h) = (512, 96)
+    // pseudo-random but deterministic pixels: poorly compressible →
+    // the encoder emits a large stream split across IDAT chunks
+    val rgb = (x: Int, y: Int) => {
+      val v = (x * 2654435761L + y * 40503L) & 0xffffffffL
+      (((v >> 16) & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+        (v & 0xff).toInt)
+    }
+    val b = imageIoPng(w, h, rgb)
+    assert(countIdat(b) >= 2, s"want multi-IDAT, got ${countIdat(b)}")
+    val px = for (y <- 0 until h; x <- 0 until w) yield rgb(x, y)
+    val got = ImageHeaders.pngLevels(b)
+    assert(got.contains((w, h, w.toLong * h,
+      px.map(_._1.toLong).sum, px.map(_._2.toLong).sum,
+      px.map(_._3.toLong).sum)))
+  }
+
+  test("every filter type 1-4 un-filters correctly (hand-built " +
+    "streams, real Deflater compression)") {
+    val (w, h) = (5, 4)
+    val stride = 3 * w
+    def recon(x: Int, y: Int, c: Int): Int = (x * 50 + y * 33 + c * 71) % 256
+    for (ft <- 1 to 4) {
+      // forward-filter the known recon bytes with type ft
+      val raw = new Array[Byte](h * (stride + 1))
+      val rows = Array.tabulate(h, stride)((y, i) => recon(i / 3, y, i % 3))
+      for (y <- 0 until h) {
+        raw(y * (stride + 1)) = ft.toByte
+        for (i <- 0 until stride) {
+          val cur = rows(y)(i)
+          val a = if (i >= 3) rows(y)(i - 3) else 0
+          val up = if (y > 0) rows(y - 1)(i) else 0
+          val cc = if (i >= 3 && y > 0) rows(y - 1)(i - 3) else 0
+          val pred = ft match {
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) >> 1
+            case 4 =>
+              val p = a + up - cc
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - cc)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else cc
+          }
+          raw(y * (stride + 1) + 1 + i) = ((cur - pred) & 0xff).toByte
+        }
+      }
+      val png = sig ++ ihdr(w, h) ++ chunk("IDAT", zlib(raw)) ++
+        chunk("IEND", Array.empty)
+      val exp = for (y <- 0 until h; x <- 0 until w)
+        yield (recon(x, y, 0), recon(x, y, 1), recon(x, y, 2))
+      assert(ImageHeaders.pngLevels(png).contains((w, h, w.toLong * h,
+        exp.map(_._1.toLong).sum, exp.map(_._2.toLong).sum,
+        exp.map(_._3.toLong).sum)), s"filter type $ft")
+    }
+  }
+
+  test("malformed payloads fail fast: huge declared dims, wrong " +
+    "color type, truncated stream, junk") {
+    // 2^15 x 2^15 RGB = 3 GiB raw — must reject on the size cap
+    // instantly, never allocate
+    val huge = sig ++ ihdr(1 << 15, 1 << 15) ++
+      chunk("IDAT", zlib(Array[Byte](0, 1, 2, 3))) ++
+      chunk("IEND", Array.empty)
+    val t0 = System.nanoTime()
+    assert(ImageHeaders.pngLevels(huge).isEmpty)
+    assert((System.nanoTime() - t0) / 1e6 < 1000.0)
+    // RGBA (color type 6) is out of scope → None, not garbage sums
+    assert(ImageHeaders.pngLevels(
+      sig ++ ihdr(2, 2, colorType = 6) ++
+        chunk("IDAT", zlib(new Array[Byte](2 * (1 + 8)))) ++
+        chunk("IEND", Array.empty)).isEmpty)
+    // truncated zlib stream: inflates short → None
+    val okRaw = new Array[Byte](2 * (1 + 6))
+    val z = zlib(okRaw)
+    assert(ImageHeaders.pngLevels(
+      sig ++ ihdr(2, 2) ++ chunk("IDAT", z.take(z.length / 2)) ++
+        chunk("IEND", Array.empty)).isEmpty)
+    assert(ImageHeaders.pngLevels("not a png at all".getBytes).isEmpty)
+    assert(ImageHeaders.pngLevels(null).isEmpty)
+    // the intact control decodes (all-zero pixels)
+    assert(ImageHeaders.pngLevels(
+      sig ++ ihdr(2, 2) ++ chunk("IDAT", z) ++
+        chunk("IEND", Array.empty)).contains((2, 2, 4L, 0L, 0L, 0L)))
+  }
+
+  test("png_levels expression + SQL registration agree with the " +
+    "plain-Scala decoder") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val b = imageIoPng(7, 5, (x, y) => (x * 30, y * 40, (x + y) * 20))
+    val exp = ImageHeaders.pngLevels(b).get
+    val df = Seq(Tuple1(b)).toDF("payload")
+    val viaExpr = df.select(
+      graft.functions.PngLevels(col("payload")).as("m"))
+      .selectExpr("m.width", "m.height", "m.n_px",
+        "m.sum_r", "m.sum_g", "m.sum_b").collect()(0)
+    val viaSql = df.selectExpr("png_levels(payload) AS m")
+      .selectExpr("m.width", "m.height", "m.n_px",
+        "m.sum_r", "m.sum_g", "m.sum_b").collect()(0)
+    for (row <- Seq(viaExpr, viaSql))
+      assert((row.getInt(0), row.getInt(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5)) == exp)
+  }
+}
