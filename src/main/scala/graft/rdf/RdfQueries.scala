@@ -78,6 +78,15 @@ object RdfQueries {
     "rdf_path_inv" -> ((s, d) => pathInv(s, d)),
     "rdf_path_opt" -> ((s, d) => pathOpt(s, d)),
     "rdf_path_nps" -> ((s, d) => pathNps(s, d)),
+    // COMPOSED paths: the operators above compose — alternation
+    // UNDER closure ((p1|p2)+ = one fixpoint over the union edge
+    // set), inverse UNDER closure ((^p)+ = ^(p+) = the same forward
+    // walk over a projection-swapped scan), and sequence INTO
+    // closure (p1/p2+ = the closure seeded by step-1's objects).
+    // Oracles are independent WITH RECURSIVE recursions.
+    "rdf_path_alt_plus" -> ((s, d) => pathAltPlus(s, d)),
+    "rdf_path_inv_plus" -> ((s, d) => pathInvPlus(s, d)),
+    "rdf_path_seq_plus" -> ((s, d) => pathSeqPlus(s, d)),
     // Incremental closure maintenance: the ENGINE answers from the
     // stored base closure + the delta walk; the ORACLE recomputes
     // the union graph's closure from scratch — a green row proves
@@ -366,6 +375,12 @@ object RdfQueries {
       RdfOps.reachablePlus(starEdges(s, d), starSeeds(s, d))
         .select(col("src"), col("dst")).localCheckpoint())
 
+  /** The stored `p+` closure artifact, exposed so the scale
+    * rehearsal ([[graft.tools.ScaleRehearsal]]) can measure its
+    * O(pairs) growth across corpus scales instead of asserting it. */
+  private[graft] def storedClosure(s: SparkSession, d: String): DataFrame =
+    starClosure(s, d)
+
   /** SPARQL `p*` as a query form: unbounded closure + hop-0 rows
     * over the doubling fixture; output is the pair set (the SPARQL
     * binding semantics — no hop column, so the oracle's recursion
@@ -513,6 +528,72 @@ object RdfQueries {
         concat(lit(item), col("k") * 3).as("dst"))
     RdfOps.reachablePlusDelta(starEdges(s, d), delta, starSeeds(s, d),
       starClosure(s, d))
+  }
+
+  /** SPARQL composed path `(def:tri|def:pent)+` — ALTERNATION UNDER
+    * CLOSURE. An alternation inside `+` is ONE fixpoint over the
+    * UNION edge set, never two interleaved walks: union is
+    * partition-concat (no shuffle), then the single semi-naive walk
+    * pays the same per-round cost as a one-predicate closure.
+    * Fixture: ×3 and ×5 multiplicative edges over the part key
+    * space — reachability from a seed k is the {k·3^a·5^b ≤ max}
+    * lattice, which NEITHER branch generates alone (the pigeonhole
+    * that proves the union is genuinely walked), diameter
+    * O(log max). Output is the SPARQL binding pair set. */
+  private def pathAltPlus(s: SparkSession, d: String): DataFrame = {
+    val item = "http://ex.org/item/"
+    val p = graft.Tables(s, d, "part").select(col("p_partkey").as("k"))
+    val mx = broadcast(p.agg(max(col("k")).as("mx")))
+    val tri3 = p.crossJoin(mx).filter(col("k") * 3 <= col("mx"))
+      .select(concat(lit(item), col("k")).as("src"),
+        concat(lit(item), col("k") * 3).as("dst"))
+    val pent = p.crossJoin(mx).filter(col("k") * 5 <= col("mx"))
+      .select(concat(lit(item), col("k")).as("src"),
+        concat(lit(item), col("k") * 5).as("dst"))
+    RdfOps.reachablePlus(tri3.union(pent), starSeeds(s, d))
+      .select(col("src"), col("dst"))
+  }
+
+  /** SPARQL composed path `(^def:quad)+` — INVERSE UNDER CLOSURE.
+    * `^` distributes over `+` ((^p)+ ≡ ^(p+)), so the engine inverts
+    * the EDGE SCAN — a projection swap on [[starEdges]], free — and
+    * runs the identical forward walk; a reversed closure is never
+    * materialized. The inverse graph is ÷4 steps plus ×16
+    * back-edge inverses, so it has real cycles of its own
+    * (j → 16j → 4j → j) and the walk's termination-on-cycles is
+    * exercised in the inverse direction too. */
+  private def pathInvPlus(s: SparkSession, d: String): DataFrame = {
+    val inv = starEdges(s, d)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    RdfOps.reachablePlus(inv, starSeeds(s, d))
+      .select(col("src"), col("dst"))
+  }
+
+  /** SPARQL composed path `def:succ/def:quad+` — SEQUENCE INTO
+    * CLOSURE. The closure's SEED SET is derived from step-1's
+    * objects (the mids), so the fixpoint walks only from nodes the
+    * sequence can actually reach — the composition PRUNES the walk
+    * rather than closing the whole graph and joining after. Final
+    * assembly is one equi-join of the (src, mid) step against the
+    * (mid, dst) closure, distinct on (src, dst) because two mids can
+    * reach the same dst. Step 1 is successor edges (k → k+1)
+    * restricted to typed seeds; step 2 is the doubling fixture
+    * walked unbounded (back-edge cycles included, so a mid's orbit
+    * can cycle back to the mid itself — those pairs are kept:
+    * `p2+` reaches them in ≥ 1 step). */
+  private def pathSeqPlus(s: SparkSession, d: String): DataFrame = {
+    val item = "http://ex.org/item/"
+    val p = graft.Tables(s, d, "part").select(col("p_partkey").as("k"))
+    val mx = broadcast(p.agg(max(col("k")).as("mx")))
+    val succ = p.crossJoin(mx).filter(col("k") + 1 <= col("mx"))
+      .select(concat(lit(item), col("k")).as("src"),
+        concat(lit(item), col("k") + 1).as("mid"))
+      .join(starSeeds(s, d), Seq("src"), "left_semi")
+    val mids = succ.select(col("mid").as("src")).distinct()
+    val closure = RdfOps.reachablePlus(starEdges(s, d), mids)
+      .select(col("src").as("mid"), col("dst"))
+    succ.join(closure, Seq("mid"))
+      .select(col("src"), col("dst")).distinct()
   }
 
   /** Week-over-week snapshot diff: the reference re-exports and
@@ -1000,6 +1081,88 @@ object RdfQueries {
          |    SELECT w.src, e.dst FROM walk w
          |    JOIN edges e ON e.src = w.dst)
          |  SELECT * FROM walk)""".stripMargin,
+
+    // composed paths: each oracle recursion is built over the
+    // composed edge set directly (union for (p1|p2)+, swapped
+    // columns for (^p)+, a mid-anchored recursion for p1/p2+) — the
+    // independent WITH RECURSIVE implementation of the engine's
+    // compose-then-walk plans.
+    "rdf_path_alt_plus" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |mxp AS (SELECT max(p_partkey) AS mx FROM part),
+         |edges AS (
+         |  SELECT 'http://ex.org/item/' || p_partkey AS src,
+         |         'http://ex.org/item/' || (p_partkey * 3) AS dst
+         |  FROM part, mxp WHERE p_partkey * 3 <= mx
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || p_partkey,
+         |         'http://ex.org/item/' || (p_partkey * 5)
+         |  FROM part, mxp WHERE p_partkey * 5 <= mx),
+         |seeds AS (SELECT DISTINCT subject AS src FROM triples
+         |  WHERE predicate = '$RdfType'
+         |    AND obj_value = '$CeoRijksmonument')
+         |SELECT src, dst FROM (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT s.src, e.dst FROM seeds s
+         |    JOIN edges e ON e.src = s.src
+         |    UNION
+         |    SELECT w.src, e.dst FROM walk w
+         |    JOIN edges e ON e.src = w.dst)
+         |  SELECT * FROM walk)""".stripMargin,
+
+    "rdf_path_inv_plus" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |mxp AS (SELECT max(p_partkey) AS mx FROM part),
+         |edges AS (
+         |  SELECT 'http://ex.org/item/' || (p_partkey * 4) AS src,
+         |         'http://ex.org/item/' || p_partkey AS dst
+         |  FROM part, mxp WHERE p_partkey * 4 <= mx
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || (p_partkey // 16),
+         |         'http://ex.org/item/' || p_partkey
+         |  FROM part WHERE p_partkey % 16 = 0),
+         |seeds AS (SELECT DISTINCT subject AS src FROM triples
+         |  WHERE predicate = '$RdfType'
+         |    AND obj_value = '$CeoRijksmonument')
+         |SELECT src, dst FROM (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT s.src, e.dst FROM seeds s
+         |    JOIN edges e ON e.src = s.src
+         |    UNION
+         |    SELECT w.src, e.dst FROM walk w
+         |    JOIN edges e ON e.src = w.dst)
+         |  SELECT * FROM walk)""".stripMargin,
+
+    "rdf_path_seq_plus" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |mxp AS (SELECT max(p_partkey) AS mx FROM part),
+         |qedges AS (
+         |  SELECT 'http://ex.org/item/' || p_partkey AS src,
+         |         'http://ex.org/item/' || (p_partkey * 4) AS dst
+         |  FROM part, mxp WHERE p_partkey * 4 <= mx
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || p_partkey,
+         |         'http://ex.org/item/' || (p_partkey // 16)
+         |  FROM part WHERE p_partkey % 16 = 0),
+         |seeds AS (SELECT DISTINCT subject AS src FROM triples
+         |  WHERE predicate = '$RdfType'
+         |    AND obj_value = '$CeoRijksmonument'),
+         |succ AS (
+         |  SELECT 'http://ex.org/item/' || p_partkey AS src,
+         |         'http://ex.org/item/' || (p_partkey + 1) AS mid
+         |  FROM part, mxp
+         |  WHERE p_partkey + 1 <= mx
+         |    AND 'http://ex.org/item/' || p_partkey IN
+         |      (SELECT src FROM seeds))
+         |SELECT DISTINCT u.src, w.dst FROM succ u JOIN (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT m.mid AS src, e.dst
+         |    FROM (SELECT DISTINCT mid FROM succ) m
+         |    JOIN qedges e ON e.src = m.mid
+         |    UNION
+         |    SELECT w.src, e.dst FROM walk w
+         |    JOIN qedges e ON e.src = w.dst)
+         |  SELECT * FROM walk) w ON w.src = u.mid""".stripMargin,
 
     "rdf_snapshot_diff" ->
       s"""WITH ${TripleFixture.triplesCte},

@@ -174,6 +174,41 @@ class RdfPathSpec extends AnyFunSuite {
       col("dst") === s"${item}96").count() == 1)
   }
 
+  test("composed paths: (p1|p2)+ walks the union lattice, (^p)+ is " +
+    "the projection-swapped walk with inverse cycles, p1/p2+ prunes " +
+    "the closure to step-1 mids") {
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val item = "http://ex.org/item/"
+    def pairs(name: String): Set[(String, String)] =
+      RdfQueries.queries(name)(s, d).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    // (tri|pent)+ from seed 6: the 3-5-smooth lattice {6·3^a·5^b} —
+    // members NEITHER single branch reaches (90 = 6·3·5 needs both),
+    // and nothing off-lattice (24 = 6·4 must be absent even though
+    // the quad fixture would reach it)
+    val alt = pairs("rdf_path_alt_plus")
+    assert(Seq("18", "30", "90", "150").forall(k =>
+      alt.contains((s"${item}6", s"$item$k"))))
+    assert(!alt.contains((s"${item}6", s"${item}24")))
+    // (^quad)+ from seed 24: the ÷4 inverse edge 24→6; from seed 6:
+    // the ×16 back-edge inverse 6→96, then 96→24→6 closes a REAL
+    // inverse cycle, so (6,6) is reached in 3 hops
+    val inv = pairs("rdf_path_inv_plus")
+    assert(inv.contains((s"${item}24", s"${item}6")))
+    assert(inv.contains((s"${item}6", s"${item}96")))
+    assert(inv.contains((s"${item}6", s"${item}6")))
+    // succ/quad+ from seed 6: mid is 7, whose quad orbit is
+    // {28, 112, 7} (112 % 16 = 0 back-edge returns to the mid) —
+    // the mid itself IS reachable (p2+ in ≥1 step via the cycle),
+    // the seed is not
+    val seq = pairs("rdf_path_seq_plus")
+    assert(seq.contains((s"${item}6", s"${item}28")))
+    assert(seq.contains((s"${item}6", s"${item}112")))
+    assert(seq.contains((s"${item}6", s"${item}7")))
+    assert(!seq.contains((s"${item}6", s"${item}6")))
+  }
+
   test("pivoted predicates are functional on the fixture (the guard " +
     "the min/max pivot evaluation is exact under)") {
     // The pivot BGPs (bgpStar/bgpOptional/bgpMinus/construct)
