@@ -198,7 +198,11 @@ object Pipeline {
     * parquet. `format = "nt"` publishes line-splittable N-Triples
     * (absolute IRIs, no prefix header; like turtle it drops the
     * graph column) — the interchange form downstream line-oriented
-    * consumers can split arbitrarily.
+    * consumers can split arbitrarily. `format = "bucketed"` is the
+    * SCALE-OUT store publish: the same parquet bytes, written
+    * subject-bucketed + sorted through the catalog (see
+    * [[bucketedTableName]]) so downstream subject-keyed pivots and
+    * self-joins run exchange-free.
     */
   /** The reference's WHOLE environment contract, resolved: the five
     * export/publish vars (export_from_omeka_s.py:13–21) on top of the
@@ -244,9 +248,12 @@ object Pipeline {
         case "trig" => "trig"
         case "nt" | "ntriples" => "nt"
         case "parquet" => "parquet"
+        // engine extension beyond the reference's rdflib formats:
+        // the subject-bucketed store (see [[publish]])
+        case "bucketed" => "bucketed"
         case other => throw new IllegalArgumentException(
           s"OUTPUT_FILE_FORMAT '$other' is not a known serialization " +
-            "(ttl/turtle, trig, nt/ntriples, parquet)")
+            "(ttl/turtle, trig, nt/ntriples, parquet, bucketed)")
       }
     val encoding = env.getOrElse("ENCODING", "utf-8")
     if (!encoding.replace("-", "").equalsIgnoreCase("utf8"))
@@ -290,7 +297,7 @@ object Pipeline {
       plan.graphId, fetchApiContext)
     if (doPublish)
       publish(result, plan.targetFilepath, plan.format,
-        singleFile = plan.format != "parquet")
+        singleFile = plan.format != "parquet" && plan.format != "bucketed")
     (plan, result)
   }
 
@@ -487,12 +494,40 @@ object Pipeline {
           s"no change log at $changesPath")
     }
 
+  /** Bucket fan-out for `format = "bucketed"`. 32 matches the
+    * session's shuffle parallelism at local[32]; a cluster deploy
+    * sizes it so one bucket ≈ one task's worth of triples. */
+  val PublishBuckets = 32
+
+  /** Catalog identifier for a bucketed publish at `path` — Spark
+    * persists bucketing METADATA only through the catalog
+    * (`saveAsTable`), never through a path write, so the bucketed
+    * store is an EXTERNAL table: bytes at `path`, spec in the
+    * metastore under this deterministic path-derived name (re-publish
+    * to the same path overwrites the same table). */
+  def bucketedTableName(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+    "graft_store_" + md.take(6).map("%02x".format(_)).mkString
+  }
+
   def publish(result: Result, path: String, format: String = "parquet",
       singleFile: Boolean = false): Unit = {
     val df =
       if (singleFile) result.triples.coalesce(1) else result.triples
     format match {
       case "parquet" => df.write.mode("overwrite").parquet(path)
+      // The scale-out store shape: subject-bucketed + sorted, so the
+      // star-BGP pivot (one groupBy(subject)) and every
+      // subject-keyed self-join run with ZERO exchanges against the
+      // published table (RdfBucketedSpec proves the plan; the
+      // publish-lifecycle spec proves this writer produces it). The
+      // weekly overwrite-publish (yml:87) maps to saveAsTable
+      // overwrite on the same external table.
+      case "bucketed" => df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(PublishBuckets, "subject").sortBy("subject")
+        .saveAsTable(bucketedTableName(path))
       case "turtle" | "trig" | "nt" => df.write.format("turtle")
         .option("prefixes",
           sources.TurtleDataSource.prefixesOption(result.prefixes))

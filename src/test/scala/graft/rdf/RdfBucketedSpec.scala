@@ -78,4 +78,33 @@ class RdfBucketedSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS edges_b")
     }
   }
+
+  test("publish(format=bucketed) writes the subject-bucketed store " +
+    "the zero-exchange pivot consumes; re-publish overwrites in place") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bpub")
+      .toFile.getAbsolutePath
+    val table = graft.Pipeline.bucketedTableName(path)
+    val triples = TripleFixture.triples(spark, dir)
+    val result = graft.Pipeline.Result(triples,
+      graft.config.EtlConf.fromEnv(Map.empty), Map.empty)
+    try {
+      graft.Pipeline.publish(result, path, format = "bucketed")
+      val stored = spark.table(table)
+      // bucketing metadata survived the publish: the pivot plans
+      // zero exchanges against the PUBLISHED table, not a re-write
+      val pivot = RdfQueries.bgpStarOf(stored)
+      val plan = finalPlan(pivot)
+      assert(!plan.contains("Exchange"),
+        s"published bucketed store must pivot exchange-free:\n$plan")
+      // content parity with the unbucketed publish
+      assert(stored.except(triples).isEmpty &&
+        triples.except(stored).isEmpty)
+      // the weekly overwrite-publish: same path, same table, fresh
+      // content lands (idempotent re-publish, no duplicate rows)
+      graft.Pipeline.publish(result, path, format = "bucketed")
+      assert(spark.table(table).count() == triples.count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
 }
