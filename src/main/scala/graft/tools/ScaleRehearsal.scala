@@ -3,25 +3,41 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{Bench, SparkEntry}
+import graft.SparkEntry
 
-/** sf1 SCALE REHEARSAL (VERDICT r7 item 5): run the dedup →
-  * decontamination → ANN chain once at 10× the sf0.1 corpus under a
-  * CAPPED heap, and report wall times plus the plan shapes that
-  * matter at scale (broadcast vs shuffle joins, AQE demotions) so
-  * BASELINE.md can record where the engine stands before anything
-  * falls over at 100 TB.
+/** sf1 SCALE REHEARSAL — the FULL query suite at 10× the sf0.1
+  * corpus under a CAPPED heap (round-9 extension of the round-8
+  * dedup→decontam→ANN chain rehearsal): every `SparkEntry.queries`
+  * entry runs at BOTH scales in the same JVM, each with a join-shape
+  * census of its EXECUTED (post-AQE-finalization) plan, so
+  * BASELINE.md can record which plans flip between sf0.1 and sf1 and
+  * how the stored artifacts (the `p+` closure store) grow — measured,
+  * not asserted.
   *
-  * The corpus is the sf0.1 documents/embeddings tables replicated
-  * 10-way with disjoint id ranges — DELIBERATELY dup-heavy: replicas
-  * 0–4 keep the text byte-identical (a 50% exact-duplicate corpus,
-  * the adversarial shape for the dedup index's pair-graph-scale
-  * label table), replicas 5–9 append a replica marker (near-dup
-  * tail). Embeddings get a per-replica +rep/10⁴ shift so ANN
-  * clusters thicken instead of collapsing to exact ties. Generation
-  * is derivation, not new synthetic truth — correctness at sf1 is
-  * not oracle-checked (the oracle gate lives at sf0.01); this main
+  * The 10× corpus is the whole star schema replicated with DISJOINT
+  * key spaces: every primary/foreign key shifts by rep·10⁷, so joins
+  * keep their selectivity (each replica joins only itself) while
+  * dimension tables genuinely grow 10× — a broadcast that stops
+  * fitting at sf1 shows up as a census flip, which is the point.
+  * `documents` stays DELIBERATELY dup-heavy: replicas 0–4 keep the
+  * text byte-identical (a 50% exact-duplicate corpus, the
+  * adversarial shape for the dedup index's pair-graph-scale label
+  * table), replicas 5–9 append a replica marker (near-dup tail).
+  * Embeddings get a per-replica +rep/10⁴ shift so ANN clusters
+  * thicken instead of collapsing to exact ties. Generation is
+  * derivation, not new synthetic truth — correctness at sf1 is not
+  * oracle-checked (the oracle gate lives at sf0.01); this main
   * measures that plans SURVIVE, which is the judge's ask.
+  *
+  * Census correctness note: the timed action drives the DataFrame's
+  * OWN `executedPlan.execute()` (not `count()`, which would plan a
+  * separate pruned QueryExecution), so with AQE enabled the census
+  * reads the FINAL adaptive plan (`isFinalPlan=true`), not the
+  * static initial one — runtime join demotions/promotions are what
+  * gets counted, and the timing covers full-width materialization.
+  * The two scales run in SEPARATE SparkSessions (stopped in
+  * between) so sf0.1's memoized artifacts don't occupy the capped
+  * heap during the sf1 pass.
   *
   * Run (heap capped so memory pressure is real):
   * {{{
@@ -31,24 +47,37 @@ import graft.{Bench, SparkEntry}
   */
 object ScaleRehearsal {
 
-  /** The chain under rehearsal, in pipeline order. */
-  private val chain = Seq(
-    // dedup family
-    "llm_dedup_exact", "llm_dedup_minhash", "llm_lsh_bucket_stats",
-    "llm_dedup_clusters", "llm_dedup_keep", "llm_exact_incremental",
-    "llm_dedup_incremental", "llm_semantic_dedup", "llm_semdedup_stats",
-    "llm_simhash_neardup",
-    // decontamination ladder
-    "llm_decontaminate", "llm_bloom_summary", "llm_decontam_bloom",
-    "llm_decontam_keep",
-    // ANN family
-    "llm_knn_bruteforce", "llm_ann_buckets", "llm_ann_topk",
-    "llm_ann_recall", "llm_ivf_clusters", "llm_ivf_topk",
-    "llm_pq_codes", "llm_pq_adc_topk", "llm_embed_outliers")
+  /** Key columns shifted by rep·10⁷ per table: primary keys AND the
+    * foreign keys referencing them, so each replica is a closed
+    * sub-universe. */
+  private val keyShifts: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"))
+
+  private val Off = 10000000L
 
   private def generate(spark: SparkSession, srcDir: String,
       out: String): Unit = {
     val reps = spark.range(0, 10).toDF("rep")
+    keyShifts.foreach { case (table, keys) =>
+      // raw read (no Tables.events ts conversion): with nanosAsLong
+      // set, events.ts loads as a plain long and writes back as one
+      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      val shifted = src.crossJoin(reps)
+        .select(src.columns.map { c =>
+          if (keys.contains(c))
+            (col(c) + col("rep") * Off).as(c)
+          else col(c)
+        }: _*)
+      shifted.repartition(if (table == "lineitem") 32 else 8)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
     spark.read.parquet(s"$srcDir/documents.parquet")
       .crossJoin(reps)
       .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
@@ -68,21 +97,60 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
-  /** Join-shape census of a query's EXECUTED plan (post-AQE): the
-    * counts whose drift between sf0.1 and sf1 is a plan flip. */
-  private def planShape(df: DataFrame): String = {
-    val p = df.queryExecution.executedPlan.toString
-    def n(tok: String): Int = tok.r.findAllIn(p).size
-    s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
-      s"shj=${n("ShuffledHashJoin")} bcastX=${n("BroadcastExchange")} " +
-      s"aqeShuffleReads=${n("AQEShuffleRead")}"
+  /** Join-shape census token counts. Read AFTER execution so AQE's
+    * final plan — not the static initial one — is what's counted. */
+  final case class Shape(bhj: Int, smj: Int, shj: Int, bcastX: Int,
+      finalized: Int) {
+    /** A flip is a change in the JOIN algorithm mix; exchange-read
+      * counts vary with partition counts and are reported, not
+      * flip-flagged. */
+    def joinMix: (Int, Int, Int) = (bhj, smj, shj)
+    override def toString: String =
+      s"bhj=$bhj smj=$smj shj=$shj bcastX=$bcastX aqeFinal=$finalized"
   }
 
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/tmp/graft-sf1")
-    val srcDir = "/root/testdata/sf0.1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+  private def planShape(df: DataFrame): Shape = {
+    val p = df.queryExecution.executedPlan.toString
+    def n(tok: String): Int = tok.r.findAllIn(p).size
+    Shape(n("BroadcastHashJoin"), n("SortMergeJoin"),
+      n("ShuffledHashJoin"), n("BroadcastExchange"),
+      n("isFinalPlan=true"))
+  }
+
+  final case class Run(name: String, sec: Double, err: Option[String],
+      shape: Option[Shape])
+
+  private def runAll(spark: SparkSession, dir: String,
+      names: Seq[String], tag: String): Map[String, Run] =
+    names.map { name =>
+      val t0 = System.nanoTime()
+      val r = try {
+        val df = SparkEntry.queries(name)(spark, dir)
+        // Execute the DataFrame's OWN physical plan: `df.count()`
+        // would wrap the logical plan in a NEW QueryExecution (and
+        // column-prune through it), leaving df.queryExecution
+        // forever un-executed — its AdaptiveSparkPlan string would
+        // show the static initial plan (isFinalPlan=false), which is
+        // exactly the census bug this replaces. Driving
+        // executedPlan.execute() materializes every column through
+        // THIS QueryExecution and finalizes AQE, so the stringified
+        // plan below is the runtime-adaptive one.
+        df.queryExecution.executedPlan.execute().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Run(name, sec, None, Some(planShape(df)))
+      } catch {
+        case e: Throwable =>
+          Run(name, (System.nanoTime() - t0) / 1e9,
+            Some(s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(160)), None)
+      }
+      println(f"[rehearsal-$tag] ${r.name}%-26s ${r.sec}%8.2f s  " +
+        r.err.map("ERR " + _).getOrElse(r.shape.get.toString))
+      r.name -> r
+    }.toMap
+
+  private def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -90,34 +158,60 @@ object ScaleRehearsal {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft-sf1")
+    val srcDir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(s"[rehearsal] heap cap ${heapMb} MB, cpus $cpus")
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    println(s"[rehearsal] heap cap ${heapMb} MB, cpus $cpus, " +
+      s"${names.size} queries, both scales")
+
+    // ---- pass 1: sf0.1 baseline census (own session) ----
+    var spark = session(cpus)
+    if (!new java.io.File(s"$out/documents.parquet").exists() ||
+        !new java.io.File(s"$out/lineitem.parquet").exists()) {
       val t0 = System.nanoTime()
       generate(spark, srcDir, out)
       println(f"[rehearsal] generated 10x corpus at $out in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    val base = runAll(spark, srcDir, names, "sf0.1")
+    val basePairs = graft.rdf.RdfQueries.storedClosure(spark, srcDir).count()
+    spark.stop()
+
+    // ---- pass 2: sf1, fresh session under the same heap cap ----
+    spark = session(cpus)
     println(s"[rehearsal] docs=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
-      " embeddings=" +
-      spark.read.parquet(s"$out/embeddings.parquet").count())
-    val queries = chain.map(n => n -> SparkEntry.queries(n)).toMap
-    val runs = Bench.run(spark, out, queries)
-    // report in CHAIN order with the plan census per query
-    val byName = runs.map(r => r.name -> r).toMap
-    chain.foreach { name =>
-      val r = byName(name)
-      val shape =
-        try planShape(SparkEntry.queries(name)(spark, out))
-        catch { case e: Throwable => s"plan-unavailable: ${e.getClass.getSimpleName}" }
-      println(f"[rehearsal] $name%-24s ${r.sec}%8.2f s  " +
-        r.err.map(e => s"ERR $e").getOrElse(shape))
+      " lineitem=" +
+      spark.read.parquet(s"$out/lineitem.parquet").count())
+    val big = runAll(spark, out, names, "sf1")
+    val bigPairs = graft.rdf.RdfQueries.storedClosure(spark, out).count()
+
+    // ---- comparison report ----
+    var flips = 0
+    names.foreach { n =>
+      val (b, g) = (base(n), big(n))
+      (b.shape, g.shape) match {
+        case (Some(s0), Some(s1)) if s0.joinMix != s1.joinMix =>
+          flips += 1
+          println(s"[rehearsal] FLIP $n: $s0  ->  $s1")
+        case _ => ()
+      }
     }
-    val total = runs.map(_.sec).sum
-    val nErr = runs.count(_.err.isDefined)
-    println(f"[rehearsal] TOTAL ${total}%.1f s, $nErr errors")
+    val t0 = base.values.map(_.sec).sum
+    val t1 = big.values.map(_.sec).sum
+    val nErr = big.values.count(_.err.isDefined) +
+      base.values.count(_.err.isDefined)
+    println(f"[rehearsal] closure store: $basePairs pairs @sf0.1 -> " +
+      f"$bigPairs @sf1 (${bigPairs.toDouble / basePairs}%.1fx)")
+    println(f"[rehearsal] TOTAL sf0.1 ${t0}%.1f s | sf1 ${t1}%.1f s " +
+      f"(${t1 / t0}%.1fx) | joinMix flips $flips | $nErr errors")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }
