@@ -517,6 +517,42 @@ object LlmQueries {
       col("n_words"))
   }
 
+  /** 64-bit SimHash signing of an ARBITRARY (doc_id, text) frame —
+    * the de-memoized core of [[simhash64]], shared with the
+    * streaming near-dup gate
+    * ([[graft.streaming.DocsStream.startSimhashGate]]) so a
+    * micro-batch is signed by the IDENTICAL lineage the batch
+    * artifact uses (one definition; a signature change reaches both
+    * at once). bit j = majority over the document's words of bit
+    * (j mod 4) of hex digit (j div 4 + 1) of md5(word); bands
+    * returned as 4 × 16-bit integers (v0..v3). */
+  private[graft] def simhashSignOf(docsDf: DataFrame): DataFrame = {
+    val wd = docsDf.select(col("doc_id"), tokenExpr.as("w"))
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .withColumn("h", md5(col("word")))
+    val sums = (0 until 64).map { j =>
+      val dgt = j / 4 + 1
+      val div = 1 << (3 - j % 4)
+      sum(expr(s"(CAST(instr('0123456789abcdef', " +
+        s"substring(h, $dgt, 1)) - 1 AS INT) div $div) % 2"))
+        .as(s"s$j")
+    }
+    val g = wd.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sums: _*)
+    // each band as an INTEGER (bit (15 - i) of band k = majority
+    // bit j = 16k + i): integers keep the candidate join narrow
+    // and the hamming verify a codegen bit_count(xor), not a
+    // 64-way interpreted substring compare
+    val bandInts = (0 until 4).map { k =>
+      (0 until 16).map { i =>
+        val j = 16 * k + i
+        when(lit(2) * col(s"s$j") >= col("n_words"),
+          lit(1L << (15 - i))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"v$k")
+    }
+    g.select(col("doc_id") +: bandInts: _*)
+  }
+
   /** 64-bit SimHash signature table, memoized per corpus snapshot
     * (the candidate-generation artifact, same discipline as the LSH
     * pair table): bit j = majority over the document's words of bit
@@ -527,30 +563,7 @@ object LlmQueries {
     * disguise), while 16-bit bands give 65536. */
   private def simhash64(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"simhash64:$d") {
-      val wd = tokenized(s, d)
-        .select(col("doc_id"), explode(col("w")).as("word"))
-        .withColumn("h", md5(col("word")))
-      val sums = (0 until 64).map { j =>
-        val dgt = j / 4 + 1
-        val div = 1 << (3 - j % 4)
-        sum(expr(s"(CAST(instr('0123456789abcdef', " +
-          s"substring(h, $dgt, 1)) - 1 AS INT) div $div) % 2"))
-          .as(s"s$j")
-      }
-      val g = wd.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"), sums: _*)
-      // each band as an INTEGER (bit (15 - i) of band k = majority
-      // bit j = 16k + i): integers keep the candidate join narrow
-      // and the hamming verify a codegen bit_count(xor), not a
-      // 64-way interpreted substring compare
-      val bandInts = (0 until 4).map { k =>
-        (0 until 16).map { i =>
-          val j = 16 * k + i
-          when(lit(2) * col(s"s$j") >= col("n_words"),
-            lit(1L << (15 - i))).otherwise(lit(0L))
-        }.reduce(_ + _).as(s"v$k")
-      }
-      g.select(col("doc_id") +: bandInts: _*).localCheckpoint()
+      simhashSignOf(docs(s, d)).localCheckpoint()
     }
 
   /** Distinct-signature representatives: one row per distinct 64-bit

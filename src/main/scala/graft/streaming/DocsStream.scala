@@ -182,4 +182,97 @@ object DocsStream {
           .freeLocalCheckpoint(novel)
       }
       .trigger(trigger).start()
+
+  /** Streaming twin of the banded SimHash near-dup
+    * ([[LlmQueries.simhashNeardup]]): arriving shards are signed by
+    * the IDENTICAL 64-bit lineage ([[LlmQueries.simhashSignOf]] —
+    * one definition for batch and stream) and probed against the
+    * PERSISTED signature store at `sigStorePath`; a document within
+    * hamming distance 3 of ANY stored signature is dropped, the rest
+    * append to `outPath`. Zero streaming state — the store is the
+    * seen-set (the [[startIncrementalDedup]] pattern).
+    *
+    * Probe shape at scale: the candidate test is the SAME pigeonhole
+    * band trick as batch — a hamming ≤ 3 pair agrees exactly on one
+    * of the 4 × 16-bit bands — so the store scan explodes into
+    * (band, value) rows MAP-SIDE (a generated projection on the
+    * scan, no shuffle, no stored band table) and broadcast-joins the
+    * micro-batch's band rows: per-batch cost is one map-side pass
+    * over the store, never store × batch. The hamming verify then
+    * runs `bit_count(xor)` over the four band integers of the
+    * surviving candidates only.
+    *
+    * `extendStore = true` appends each batch's KEPT signatures, so
+    * later micro-batches gate against earlier arrivals — the
+    * production admit loop. Retry safety mirrors
+    * [[startIncrementalDedup]]: out-append is guarded by re-reading
+    * the out table as the seen-set; the store append anti-joins the
+    * store's own doc_ids; the probe excludes self-matches so a
+    * replay after a partial store append cannot drop a document
+    * against its own signature. */
+  def startSimhashGate(docs: DataFrame, sigStorePath: String,
+      outPath: String, checkpointLocation: String,
+      extendStore: Boolean = false,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+        val aSig = LlmQueries.simhashSignOf(batch)
+          .select(col("doc_id").as("a_id") +:
+            (0 until 4).map(k => col(s"v$k").as(s"a$k")): _*)
+          .localCheckpoint() // signed once; probed + appended below
+        val bandRowsOf = (df: DataFrame, idCol: String, pfx: String) =>
+          df.select(col(idCol),
+            org.apache.spark.sql.functions.explode(expr(
+              (0 until 4).map(k =>
+                s"struct($k AS band, $pfx$k AS bv)")
+                .mkString("array(", ", ", ")"))).as("x"))
+            .select(col(idCol), col("x.band").as("band"),
+              col("x.bv").as("bv"))
+        val store = spark.read.parquet(sigStorePath)
+        // map-side probe: store scan explodes to band rows and hash-
+        // joins the BROADCAST batch bands; candidates then verify on
+        // full 64-bit hamming with the self-match guard
+        val cand = bandRowsOf(store, "doc_id", "v")
+          .join(broadcast(bandRowsOf(aSig, "a_id", "a")), Seq("band", "bv"))
+          .filter(col("doc_id") =!= col("a_id"))
+          .select("doc_id", "a_id").distinct()
+        val ham = (0 until 4).map(k =>
+          expr(s"bit_count(v$k ^ a$k)")).reduce(_ + _)
+        val dupIds = cand
+          .join(store, Seq("doc_id"))
+          .join(broadcast(aSig), Seq("a_id"))
+          .filter(ham <= 3)
+          .select(col("a_id").as("doc_id")).distinct()
+        val novel = batch.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val seen =
+          try spark.read.parquet(outPath).select(col("doc_id").as("s_id"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+        novel.join(seen, col("doc_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        if (extendStore) {
+          val alreadyStored = store.join(
+              broadcast(novel.select(col("doc_id").as("n_id")).distinct()),
+              col("doc_id") === col("n_id"))
+            .select(col("n_id").as("i_id")).distinct()
+          aSig.join(broadcast(novel.select(col("doc_id").as("n_id"))),
+              col("a_id") === col("n_id"), "left_semi")
+            .join(broadcast(alreadyStored), col("a_id") === col("i_id"),
+              "left_anti")
+            .select(col("a_id").as("doc_id") +:
+              (0 until 4).map(k => col(s"a$k").as(s"v$k")): _*)
+            .write.mode("append").parquet(sigStorePath)
+        }
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .freeLocalCheckpoint(novel)
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .freeLocalCheckpoint(aSig)
+      }
+      .trigger(trigger).start()
 }
