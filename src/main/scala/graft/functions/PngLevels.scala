@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
 /** `png_levels(binary)` →
   * `struct<width:int, height:int, n_px:bigint,
   *         sum_r:bigint, sum_g:bigint, sum_b:bigint>`,
-  * null when the payload is not a decodable 8-bit truecolor PNG.
+  * null when the payload is not a decodable 8-bit-depth PNG (all five color
+  * types: gray, truecolor, palette, gray+alpha, RGBA).
   *
   * The COMPRESSED sibling of [[ImageLevels]]: PNG pixels are behind
   * a real zlib/DEFLATE stream, decoded with `java.util.zip.Inflater`

@@ -91,6 +91,7 @@ object LlmQueries {
     "llm_pii_scrub" -> piiScrub,
     "mm_video_meta" -> videoMeta,
     "mm_png_levels" -> pngLevels,
+    "mm_png_gray_levels" -> pngGrayLevels,
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -2478,6 +2479,38 @@ object LlmQueries {
         max(col("m.height").cast("bigint")).as("max_h"))
   }
 
+  /** GRAYSCALE sibling of [[pngLevels]] — exercises the decoder's
+    * color-type-0 path (bpp 1, the gray sample summed into all three
+    * channels) with the same stored-mode DEFLATE fixture discipline:
+    * the oracle replays the gray byte positionally from the stored
+    * block and mirrors the gray→(r,g,b) convention in SQL, so a
+    * decoder that mis-derives the 1-byte stride, mis-walks the
+    * shorter scanlines, or sums gray into only one channel
+    * hash-mismatches. Real-encoder fidelity for type 0 (and palette
+    * / gray+alpha / RGBA) is PngLevelsSpec's per-type ImageIO
+    * round-trips. Same plan shape as [[pngLevels]]: map-side
+    * construct → decode → partial agg, one bounded exchange. */
+  def pngGrayLevels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    val pixel = "(doc_id * 7 + x * 31 + y * 13) % 256"
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("CAST(doc_id % 5 AS INT) + 1").as("w0"),
+        expr("CAST(doc_id % 3 AS INT) + 1").as("h0"))
+      .withColumn("hs", expr(ImageHex.pngGrayFileHex("w0", "h0", pixel,
+        "div", ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.PngLevels(col("payload")))
+      .groupBy(col("m.width").cast("bigint").as("width"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("m.n_px")).as("sum_px"),
+        sum(col("m.sum_r")).as("sum_r"),
+        sum(col("m.sum_g")).as("sum_g"),
+        sum(col("m.sum_b")).as("sum_b"),
+        max(col("m.height").cast("bigint")).as("max_h"))
+  }
+
   /** REAL video container metadata — the MP4 box-walk sibling of
     * [[imageDims]]/[[audioMeta]], closing the last multimodal
     * metadata stub: build genuine minimal MP4 files per document
@@ -3906,6 +3939,40 @@ object LlmQueries {
          |  CAST(SUM(sr) AS BIGINT) AS sum_r,
          |  CAST(SUM(sg) AS BIGINT) AS sum_g,
          |  CAST(SUM(sb) AS BIGINT) AS sum_b,
+         |  CAST(MAX(h0) AS BIGINT) AS max_h
+         |FROM g GROUP BY 1""".stripMargin
+    },
+
+    "mm_png_gray_levels" -> {
+      import graft.multimodal.ImageHex._
+      val pixel = "(doc_id * 7 + x * 31 + y * 13) % 256"
+      // gray sample (x, y) of the stored block at hex position
+      // PngRawPos + 2·(y·(1+w) + 1 + x); the gray→(r,g,b) convention
+      // is mirrored here by summing the SAME byte into all three
+      val gray = byteAt("hs",
+        s"$PngRawPos + 2 * (y * (1 + w0) + 1 + x)", "strpos")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(doc_id % 5 AS INT) + 1 AS w0,
+         |    CAST(doc_id % 3 AS INT) + 1 AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id, w0, h0,
+         |    hex(from_hex(${pngGrayFileHex("w0", "h0", pixel, "//",
+                seqJoinDuck)})) AS hs
+         |  FROM t),
+         |px AS (SELECT doc_id, w0, h0, hs,
+         |    CAST(i % w0 AS BIGINT) AS x, CAST(i // w0 AS BIGINT) AS y
+         |  FROM (SELECT doc_id, w0, h0, hs,
+         |        unnest(range(0, CAST(w0 * h0 AS BIGINT))) AS i FROM b)),
+         |v AS (SELECT doc_id, w0, h0, $gray AS pg FROM px),
+         |g AS (SELECT doc_id, w0, h0, COUNT(*) AS npx,
+         |    SUM(pg) AS sg
+         |  FROM v GROUP BY 1, 2, 3)
+         |SELECT CAST(w0 AS BIGINT) AS width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(npx) AS BIGINT) AS sum_px,
+         |  CAST(SUM(sg) AS BIGINT) AS sum_r,
+         |  CAST(SUM(sg) AS BIGINT) AS sum_g,
+         |  CAST(SUM(sg) AS BIGINT) AS sum_b,
          |  CAST(MAX(h0) AS BIGINT) AS max_h
          |FROM g GROUP BY 1""".stripMargin
     },

@@ -173,25 +173,38 @@ object ImageHeaders {
     * (3840×2160×3 ≈ 24 MiB) with room to spare. */
   private val MaxPngRaw = 1 << 26
 
+  /** Samples per pixel for the five PNG color types at bit depth 8:
+    * 0 = grayscale, 2 = truecolor RGB, 3 = palette index,
+    * 4 = gray+alpha, 6 = RGBA. -1 = not a supported type. */
+  private def pngBpp(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case _ => -1
+  }
+
   /** REAL PNG pixel decode — no codec library: PNG's IDAT payload is
     * a zlib/DEFLATE stream and `java.util.zip.Inflater` is public
     * JDK, so decompression + scanline un-filtering (filter types
     * 0–4, pure byte arithmetic per the PNG spec §9) is all that
-    * stands between the container walk and the pixels. Scope:
-    * 8-bit-depth truecolor (color type 2), non-interlaced — what
-    * `ImageIO.write(img, "png", …)` emits for `TYPE_3BYTE_BGR` and
-    * the dominant photographic-PNG shape; other color types /
-    * depths / interlacing return None. Multiple IDAT chunks
-    * concatenate (encoders split large streams); chunk CRCs are NOT
-    * verified and the zlib Adler32 trailer is skipped
-    * (`Inflater(nowrap)` after validating the 2-byte zlib header) —
-    * a tolerant parser, so spec-built stored-mode streams and real
-    * encoder output decode identically (ImageIO round-trip
-    * spec-proven). Same output contract as [[bmpLevels]]:
-    * (width, height, n_px, sum_r, sum_g, sum_b), exact integer
-    * channel sums. A stream that does not inflate to exactly
-    * h·(1+3w) bytes is corrupt → None (unlike BMP truncation there
-    * is no meaningful partial decode: un-filtering is sequential). */
+    * stands between the container walk and the pixels. Scope: ALL
+    * FIVE color types at bit depth 8, non-interlaced — truecolor
+    * (2) and RGBA (6) sum R,G,B per channel (alpha read for
+    * filtering, excluded from sums); grayscale (0) and gray+alpha
+    * (4) sum the gray sample into all three channels (the
+    * luminance-as-levels convention, so the output contract is
+    * type-independent); palette (3) resolves each index through the
+    * PLTE chunk — a missing/short PLTE or an out-of-range index is
+    * corrupt → None. 16-bit depths and interlacing return None.
+    * Multiple IDAT chunks concatenate (encoders split large
+    * streams); chunk CRCs are NOT verified and the zlib Adler32
+    * trailer is skipped (`Inflater(nowrap)` after validating the
+    * 2-byte zlib header) — a tolerant parser, so spec-built
+    * stored-mode streams and real encoder output decode identically
+    * (ImageIO round-trip spec-proven per color type). Same output
+    * contract as [[bmpLevels]]: (width, height, n_px, sum_r, sum_g,
+    * sum_b), exact integer channel sums. A stream that does not
+    * inflate to exactly h·(1+bpp·w) bytes is corrupt → None (unlike
+    * BMP truncation there is no meaningful partial decode:
+    * un-filtering is sequential). */
   def pngLevels(b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] = {
     if (b == null || b.length < 33 || !isPng(b)) return None
     if (u32(b, 8) != 13L) return None
@@ -199,14 +212,18 @@ object ImageHeaders {
         u8(b, 14) == 'D' && u8(b, 15) == 'R')) return None
     val w = u32(b, 16); val h = u32(b, 20)
     if (w < 1 || h < 1) return None
-    // depth 8, truecolor RGB, deflate, adaptive filtering, no interlace
-    if (u8(b, 24) != 8 || u8(b, 25) != 2 || u8(b, 26) != 0 ||
+    val colorType = u8(b, 25)
+    val bpp = pngBpp(colorType)
+    // depth 8, deflate, adaptive filtering, no interlace
+    if (u8(b, 24) != 8 || bpp < 0 || u8(b, 26) != 0 ||
         u8(b, 27) != 0 || u8(b, 28) != 0) return None
-    val stride = 3L * w
+    val stride = bpp.toLong * w
     val rawLen = h * (stride + 1)
     if (rawLen > MaxPngRaw) return None
-    // concatenate IDAT chunk payloads (CRCs skipped, not verified)
+    // concatenate IDAT chunk payloads (CRCs skipped, not verified);
+    // pick up the PLTE palette on the way when the type needs it
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var off = 8 + 25 // past the IHDR chunk (4 len + 4 type + 13 + 4 crc)
     var done = false
     while (!done && off + 8 <= b.length) {
@@ -216,10 +233,16 @@ object ImageHeaders {
         u8(b, off + 6) == 'A' && u8(b, off + 7) == 'T'
       val isIend = u8(b, off + 4) == 'I' && u8(b, off + 5) == 'E' &&
         u8(b, off + 6) == 'N' && u8(b, off + 7) == 'D'
+      val isPlte = u8(b, off + 4) == 'P' && u8(b, off + 5) == 'L' &&
+        u8(b, off + 6) == 'T' && u8(b, off + 7) == 'E'
       if (isIdat) idat.write(b, off + 8, len.toInt)
+      if (isPlte) palette =
+        java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len.toInt)
       if (isIend) done = true
       off += 8 + len.toInt + 4
     }
+    if (colorType == 3 && (palette == null || palette.length % 3 != 0))
+      return None
     val z = idat.toByteArray
     // zlib header: CM must be 8 (deflate), preset dictionaries (FDICT)
     // unsupported; the Adler32 trailer is deliberately not checked
@@ -241,15 +264,19 @@ object ImageHeaders {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    unfilterAndSum(raw, w.toInt, h.toInt)
+    unfilterAndSum(raw, w.toInt, h.toInt, bpp, colorType, palette)
   }
 
   /** PNG §9 scanline reconstruction over filter types 0–4 (None /
-    * Sub / Up / Average / Paeth) + RGB channel summation in the same
-    * pass. Sample order in color type 2 is R,G,B; `bpp` = 3. */
-  private def unfilterAndSum(raw: Array[Byte], w: Int, h: Int)
+    * Sub / Up / Average / Paeth) + channel summation in the same
+    * pass. Filtering operates on raw SAMPLES with the pixel's byte
+    * width (`bpp`) as the left-neighbor distance, identically for
+    * every color type; only the accumulation differs — see
+    * [[pngLevels]] for the per-type channel convention. */
+  private def unfilterAndSum(raw: Array[Byte], w: Int, h: Int,
+      bpp: Int, colorType: Int, palette: Array[Byte])
       : Option[(Int, Int, Long, Long, Long, Long)] = {
-    val stride = 3 * w
+    val stride = bpp * w
     val prev = new Array[Int](stride)
     val cur = new Array[Int](stride)
     var sumR = 0L; var sumG = 0L; var sumB = 0L
@@ -261,9 +288,9 @@ object ImageHeaders {
       var x = 0
       while (x < stride) {
         val v = raw(base + 1 + x) & 0xff
-        val a = if (x >= 3) cur(x - 3) else 0
+        val a = if (x >= bpp) cur(x - bpp) else 0
         val up = prev(x)
-        val c = if (x >= 3) prev(x - 3) else 0
+        val c = if (x >= bpp) prev(x - bpp) else 0
         val recon = (ft: @annotation.switch) match {
           case 0 => v
           case 1 => (v + a) & 0xff
@@ -278,10 +305,27 @@ object ImageHeaders {
             (v + pred) & 0xff
         }
         cur(x) = recon
-        (x % 3: @annotation.switch) match {
-          case 0 => sumR += recon
-          case 1 => sumG += recon
-          case 2 => sumB += recon
+        (colorType: @annotation.switch) match {
+          case 2 => (x % 3: @annotation.switch) match {
+            case 0 => sumR += recon
+            case 1 => sumG += recon
+            case 2 => sumB += recon
+          }
+          case 6 => (x % 4: @annotation.switch) match {
+            case 0 => sumR += recon
+            case 1 => sumG += recon
+            case 2 => sumB += recon
+            case 3 => () // alpha: filtered through, never summed
+          }
+          case 0 =>
+            sumR += recon; sumG += recon; sumB += recon
+          case 4 =>
+            if (x % 2 == 0) { sumR += recon; sumG += recon; sumB += recon }
+          case 3 =>
+            if (3 * recon + 2 >= palette.length) return None
+            sumR += palette(3 * recon) & 0xff
+            sumG += palette(3 * recon + 1) & 0xff
+            sumB += palette(3 * recon + 2) & 0xff
         }
         x += 1
       }
@@ -293,7 +337,7 @@ object ImageHeaders {
 
   /** [[pngLevels]] as an `InternalRow` for the
     * [[graft.functions.PngLevels]] codegen path. Null = not a
-    * decodable 8-bit truecolor PNG. */
+    * decodable 8-bit-depth PNG (any of the five color types). */
   def pngLevelsRow(b: Array[Byte]): InternalRow = pngLevels(b) match {
     case Some((w, h, n, r, g, bl)) => InternalRow(w, h, n, r, g, bl)
     case None => null

@@ -135,6 +135,31 @@ object ImageHex {
       s"'0000000049454E44AE426082')" // IEND
   }
 
+  /** [[pngFileHex]]'s GRAYSCALE sibling (color type 0, bpp 1): same
+    * container layout, scanlines are filter byte + w gray samples,
+    * so the raw block is h·(1+w) bytes and the first raw scanline
+    * byte sits at the SAME [[PngRawPos]] (the header is length-
+    * identical; only IHDR's color-type byte differs). Exercises the
+    * decoder's type-0 path — gray summed into all three channels —
+    * against a byte-positional oracle replay. `pixelByteE` has free
+    * variables `x`, `y`. */
+  def pngGrayFileHex(w: String, h: String, pixelByteE: String,
+      intdiv: String,
+      seqJoin: (String, String, String) => String): String = {
+    import AudioHex.hexLE
+    val rawLen = s"($h) * (1 + ($w))"
+    val rowHex = s"'00' || " + seqJoin("x", w, hexN(pixelByteE, 2, intdiv))
+    val raw = seqJoin("y", h, s"($rowHex)")
+    s"concat('89504E470D0A1A0A', " + // signature
+      s"'0000000D49484452', ${hexN(w, 8, intdiv)}, " + // IHDR
+      s"${hexN(h, 8, intdiv)}, '0800000000', '00000000', " +
+      s"${hexN(s"($rawLen) + 11", 8, intdiv)}, '49444154', " + // IDAT
+      s"'7801', '01', ${hexLE(rawLen, 2, intdiv)}, " +
+      s"${hexLE(s"65535 - ($rawLen)", 2, intdiv)}, " +
+      s"$raw, '00000000', '00000000', " + // adler + chunk crc
+      s"'0000000049454E44AE426082')" // IEND
+  }
+
   /** Spark spelling of seqJoin: `v` ranges over [0, n). */
   def seqJoinSpark(v: String, n: String, body: String): String =
     s"array_join(transform(sequence(0, CAST(($n) - 1 AS INT)), " +

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.PngLevels]], `mm_png_levels`): IDAT is
   * zlib/DEFLATE and `java.util.zip.Inflater` is public JDK, so
   * decompression + §9 scanline un-filtering needs no codec library
-  * — 8-bit truecolor, multi-IDAT, all five filter types
-  * (ImageIO-round-trip spec-proven). Only decode of LOSSY
+  * — ALL FIVE 8-bit color
+  * types (gray, truecolor, palette + PLTE, gray+alpha, RGBA),
+  * multi-IDAT, all five filter types (ImageIO-round-trip
+  * spec-proven per color type). Only decode of LOSSY
   * entropy-coded payloads (JPEG pixels, MP4 frames — real DCT/codec
   * territory, no library in this container) remains a clearly-marked
   * DETERMINISTIC FAKE:

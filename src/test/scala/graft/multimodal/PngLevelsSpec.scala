@@ -135,10 +135,28 @@ class PngLevelsSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     assert(ImageHeaders.pngLevels(huge).isEmpty)
     assert((System.nanoTime() - t0) / 1e6 < 1000.0)
-    // RGBA (color type 6) is out of scope → None, not garbage sums
+    // 16-bit depth and interlacing are out of scope → None
+    val ihdr16 = chunk("IHDR", be32(2) ++ be32(2) ++
+      Array[Byte](16, 2, 0, 0, 0))
     assert(ImageHeaders.pngLevels(
-      sig ++ ihdr(2, 2, colorType = 6) ++
-        chunk("IDAT", zlib(new Array[Byte](2 * (1 + 8)))) ++
+      sig ++ ihdr16 ++ chunk("IDAT", zlib(new Array[Byte](2 * 13))) ++
+        chunk("IEND", Array.empty)).isEmpty)
+    val ihdrAdam7 = chunk("IHDR", be32(2) ++ be32(2) ++
+      Array[Byte](8, 2, 0, 0, 1))
+    assert(ImageHeaders.pngLevels(
+      sig ++ ihdrAdam7 ++ chunk("IDAT", zlib(new Array[Byte](2 * 7))) ++
+        chunk("IEND", Array.empty)).isEmpty)
+    // palette type without a PLTE chunk is corrupt → None
+    assert(ImageHeaders.pngLevels(
+      sig ++ ihdr(2, 2, colorType = 3) ++
+        chunk("IDAT", zlib(new Array[Byte](2 * 3))) ++
+        chunk("IEND", Array.empty)).isEmpty)
+    // palette index past the PLTE end is corrupt → None
+    val idxRaw = Array[Byte](0, 5, 5, 0, 5, 5) // indices 5 > 2 entries
+    assert(ImageHeaders.pngLevels(
+      sig ++ ihdr(2, 2, colorType = 3) ++
+        chunk("PLTE", Array[Byte](1, 2, 3, 4, 5, 6)) ++
+        chunk("IDAT", zlib(idxRaw)) ++
         chunk("IEND", Array.empty)).isEmpty)
     // truncated zlib stream: inflates short → None
     val okRaw = new Array[Byte](2 * (1 + 6))
@@ -152,6 +170,94 @@ class PngLevelsSpec extends AnyFunSuite {
     assert(ImageHeaders.pngLevels(
       sig ++ ihdr(2, 2) ++ chunk("IDAT", z) ++
         chunk("IEND", Array.empty)).contains((2, 2, 4L, 0L, 0L, 0L)))
+  }
+
+  test("color types 0/3/6 round-trip through real encoders: " +
+    "grayscale + palette + RGBA (alpha filtered, never summed)") {
+    // grayscale (type 0): raster samples are the gray bytes, summed
+    // into all three channels
+    val (gw, gh) = (33, 21)
+    val gimg = new BufferedImage(gw, gh, BufferedImage.TYPE_BYTE_GRAY)
+    var gsum = 0L
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val v = (x * 37 + y * 91) % 256
+      gimg.getRaster.setSample(x, y, 0, v)
+      gsum += v
+    }
+    val gout = new ByteArrayOutputStream()
+    ImageIO.write(gimg, "png", gout)
+    val gb = gout.toByteArray
+    assert((gb(25) & 0xff) == 0, "want color type 0")
+    assert(ImageHeaders.pngLevels(gb)
+      .contains((gw, gh, gw.toLong * gh, gsum, gsum, gsum)))
+
+    // palette (type 3): indices resolve through the PLTE; expected
+    // sums come from the IndexColorModel's own palette entries.
+    // > 16 entries, or ImageIO writes a sub-8-bit depth (out of the
+    // decoder's 8-bit scope)
+    val pal = Array.tabulate(32)(i =>
+      ((i * 37 % 256) << 16) | ((i * 91 % 256) << 8) | (i * 13 % 256))
+    val icm = new java.awt.image.IndexColorModel(8, pal.length,
+      pal.map(p => ((p >> 16) & 0xff).toByte),
+      pal.map(p => ((p >> 8) & 0xff).toByte),
+      pal.map(p => (p & 0xff).toByte))
+    val (pw, ph) = (17, 9)
+    val pimg = new BufferedImage(pw, ph,
+      BufferedImage.TYPE_BYTE_INDEXED, icm)
+    var (psr, psg, psb) = (0L, 0L, 0L)
+    for (y <- 0 until ph; x <- 0 until pw) {
+      val idx = (x + y * 3) % pal.length
+      pimg.getRaster.setSample(x, y, 0, idx)
+      psr += (pal(idx) >> 16) & 0xff
+      psg += (pal(idx) >> 8) & 0xff
+      psb += pal(idx) & 0xff
+    }
+    val pout = new ByteArrayOutputStream()
+    ImageIO.write(pimg, "png", pout)
+    val pb = pout.toByteArray
+    assert((pb(24) & 0xff) == 8 && (pb(25) & 0xff) == 3,
+      s"want 8-bit color type 3, got depth ${pb(24)} type ${pb(25)}")
+    assert(ImageHeaders.pngLevels(pb)
+      .contains((pw, ph, pw.toLong * ph, psr, psg, psb)))
+
+    // RGBA (type 6): varying alpha participates in un-filtering but
+    // must be excluded from the channel sums
+    val (aw, ah) = (29, 13)
+    val aimg = new BufferedImage(aw, ah, BufferedImage.TYPE_INT_ARGB)
+    var (asr, asg, asb) = (0L, 0L, 0L)
+    for (y <- 0 until ah; x <- 0 until aw) {
+      val (r, g, b) = ((x * 23) % 256, (y * 57) % 256, (x + y * 7) % 256)
+      val a = (x * y * 13) % 256
+      aimg.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+      asr += r; asg += g; asb += b
+    }
+    val aout = new ByteArrayOutputStream()
+    ImageIO.write(aimg, "png", aout)
+    val ab = aout.toByteArray
+    assert((ab(25) & 0xff) == 6, "want color type 6")
+    assert(ImageHeaders.pngLevels(ab)
+      .contains((aw, ah, aw.toLong * ah, asr, asg, asb)))
+  }
+
+  test("gray+alpha (type 4, hand-built: no standard encoder shape) " +
+    "sums the gray sample into all channels") {
+    val (w, h) = (6, 5)
+    val raw = new Array[Byte](h * (1 + 2 * w))
+    var gsum = 0L
+    for (y <- 0 until h) {
+      raw(y * (1 + 2 * w)) = 0 // filter none
+      for (x <- 0 until w) {
+        val g = (x * 44 + y * 17) % 256
+        val a = (x + y * 5) % 256
+        raw(y * (1 + 2 * w) + 1 + 2 * x) = g.toByte
+        raw(y * (1 + 2 * w) + 1 + 2 * x + 1) = a.toByte
+        gsum += g
+      }
+    }
+    val png = sig ++ ihdr(w, h, colorType = 4) ++
+      chunk("IDAT", zlib(raw)) ++ chunk("IEND", Array.empty)
+    assert(ImageHeaders.pngLevels(png)
+      .contains((w, h, w.toLong * h, gsum, gsum, gsum)))
   }
 
   test("png_levels expression + SQL registration agree with the " +
