@@ -64,6 +64,7 @@ object LlmQueries {
     "llm_kmv_distinct" -> kmvDistinct,
     "llm_kmv_incremental" -> kmvIncremental,
     "llm_novelty" -> novelty,
+    "llm_dup_spans" -> dupSpans,
     "llm_winnow" -> winnow,
     "llm_split_assign" -> splitAssign,
     "llm_length_buckets" -> lengthBuckets,
@@ -1451,6 +1452,55 @@ object LlmQueries {
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         floor(lit(1000.0) * col("n_unique") / col("n_shingles"))
           .as("novelty_x1000"))
+  }
+
+  /** Width (tokens) of the duplicated-substring detection gram —
+    * the resolution floor: any duplicated run of ≥ this many tokens
+    * is found exactly; shorter repeats are invisible (the standard
+    * span-dedup trade; Lee et al. 2022 use 50 BPE tokens at corpus
+    * scale, 8 keeps the fixture corpus interesting). */
+  private val spanK = 8
+
+  /** SPAN-LEVEL exact substring duplication (the coverage-mask op of
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022): for each document, the maximal token spans
+    * whose every length-k window occurs more than once ANYWHERE in
+    * the corpus (other docs or elsewhere in the same doc — the union
+    * coverage-mask semantics). The suffix-array formulation is
+    * single-node; the Spark-first shape is positional k-gram hash
+    * chains: (1) map-side positional gram hashes, (2) corpus-wide
+    * occurrence count — ONE shuffle on the 32-hex gram key with
+    * map-side partial agg (the text itself never shuffles), (3)
+    * semi-join positions back to duplicated grams (same key, same
+    * partitioning — AQE reuses the exchange footprint), (4)
+    * gaps-and-islands per document (shuffle on doc_id, window on
+    * position: consecutive duplicated gram starts collapse to one
+    * span, p − row_number as the island key), (5) per-doc rollup.
+    * A duplicated run of m ≥ k tokens appears as m−k+1 consecutive
+    * gram starts → exactly one island covering m tokens. Output is
+    * per-doc (n_spans, dup_tokens, max_span) — the prune/keep signal
+    * a span-dedup pass feeds on; docs with no duplicated window have
+    * no row, in both engines. */
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val grams = tokenized(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(w) >= $spanK THEN " +
+          s"transform(sequence(0, size(w) - $spanK), " +
+          s"i -> md5(array_join(slice(w, i + 1, $spanK), ' '))) " +
+          "ELSE array() END")).as(Seq("p", "h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val dupPos = grams.join(dup.select("h"), Seq("h"), "left_semi")
+    val isl = dupPos.withColumn("isl",
+      col("p") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+    val spans = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("p")).as("sp"),
+        (max(col("p")) + lit(spanK - 1)).as("ep"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ep") - col("sp") + 1).as("dup_tokens"),
+        max(col("ep") - col("sp") + 1).cast("bigint").as("max_span"))
   }
 
   /** One batch's KMV partial as ROWS — `(source, hv)`, at most k rows
@@ -3415,6 +3465,34 @@ object LlmQueries {
          |  CAST(floor(1000.0 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
          |    / count(*)) AS BIGINT) AS novelty_x1000
          |FROM df GROUP BY doc_id""".stripMargin,
+
+    // Independent spelling of the span chain: 1-based positional
+    // 8-gram hashes, duplicated grams via GROUP BY ... HAVING,
+    // islands via the same p - row_number trick (the one standard
+    // SQL idiom both sides share), per-doc rollup.
+    "llm_dup_spans" ->
+      s"""WITH $wCte,
+         |pos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - ${spanK - 1},
+         |      0))) AS i
+         |  FROM w),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |    md5(list_aggregate(ws[i:i+${spanK - 1}], 'string_agg',
+         |      ' ')) AS h
+         |  FROM pos),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, p FROM g
+         |  WHERE h IN (SELECT h FROM dup)),
+         |isl AS (SELECT doc_id, p,
+         |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+         |      AS k FROM dp),
+         |sp AS (SELECT doc_id, k, min(p) AS s,
+         |    max(p) + ${spanK - 1} AS e
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         |  CAST(max(e - s + 1) AS BIGINT) AS max_span
+         |FROM sp GROUP BY doc_id""".stripMargin,
 
     // Replays the whole incremental chain: per-(source, shard)
     // bottom-64 partials (rn <= k), distinct-union merge, re-ranked

@@ -50,6 +50,35 @@ class LlmExtrasSpec extends AnyFunSuite {
     assert(kept >= 1 && kept <= 10)
   }
 
+  test("dupSpans finds cross-doc and within-doc duplicated runs as " +
+    "maximal spans, at exact token extents") {
+    val tmp = java.nio.file.Files.createTempDirectory("spans-fix").toFile
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 10).map(i => s"a$i").mkString(" ") // 10-token run
+    val phrase = (1 to 8).map(i => s"b$i").mkString(" ")  // exactly k
+    Seq(
+      (0L, s"u01 u02 $shared u03 u04", "en", "src0", 0L),
+      (1L, s"v01 v02 v03 $shared v04", "en", "src0", 0L),
+      (2L, s"w01 $phrase w02 w03 $phrase w04", "en", "src0", 0L),
+      (3L, (1 to 12).map(i => s"x$i").mkString(" "), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val out = LlmQueries.dupSpans(spark, tmp.getAbsolutePath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 0/1: the 10-token shared run = 3 consecutive 8-gram
+    // starts = ONE span of 10 tokens (boundary grams mix in unique
+    // context tokens, so the span is exactly the shared run)
+    assert(out(0L) == ((1L, 10L, 10L)) && out(1L) == ((1L, 10L, 10L)))
+    // doc 2: the k-token phrase twice WITHIN one doc = two islands
+    // of exactly k tokens each
+    assert(out(2L) == ((2L, 16L, 8L)))
+    // doc 3: nothing duplicated → no row at all
+    assert(!out.contains(3L) && out.size == 3)
+  }
+
   test("decontaminate never flags heldout docs and counts are positive") {
     val out = LlmQueries.decontaminate(spark, dir)
     assert(out.filter(col("doc_id") % 97 === 0).isEmpty)
