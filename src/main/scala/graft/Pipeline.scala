@@ -494,10 +494,17 @@ object Pipeline {
           s"no change log at $changesPath")
     }
 
-  /** Bucket fan-out for `format = "bucketed"`. 32 matches the
-    * session's shuffle parallelism at local[32]; a cluster deploy
-    * sizes it so one bucket ≈ one task's worth of triples. */
+  /** Bucket fan-out for `format = "bucketed"`. The default 32
+    * matches the session's shuffle parallelism at local[32]; a
+    * cluster deploy sets `spark.graft.publish.buckets` so one bucket
+    * ≈ one task's worth of triples (the knob matters: bucket count
+    * is FROZEN into the table — downstream exchange-free plans
+    * inherit this parallelism until the next full publish). */
   val PublishBuckets = 32
+
+  private def publishBuckets(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.publish.buckets")
+      .map(_.toInt).getOrElse(PublishBuckets)
 
   /** Catalog identifier for a bucketed publish at `path` — Spark
     * persists bucketing METADATA only through the catalog
@@ -526,7 +533,8 @@ object Pipeline {
       // overwrite on the same external table.
       case "bucketed" => df.write.mode("overwrite")
         .option("path", path)
-        .bucketBy(PublishBuckets, "subject").sortBy("subject")
+        .bucketBy(publishBuckets(df.sparkSession), "subject")
+        .sortBy("subject")
         .saveAsTable(bucketedTableName(path))
       case "turtle" | "trig" | "nt" => df.write.format("turtle")
         .option("prefixes",

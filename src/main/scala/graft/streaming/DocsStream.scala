@@ -197,10 +197,13 @@ object DocsStream {
     * of the 4 × 16-bit bands — so the store scan explodes into
     * (band, value) rows MAP-SIDE (a generated projection on the
     * scan, no shuffle, no stored band table) and broadcast-joins the
-    * micro-batch's band rows: per-batch cost is one map-side pass
-    * over the store, never store × batch. The hamming verify then
-    * runs `bit_count(xor)` over the four band integers of the
-    * surviving candidates only.
+    * micro-batch's band rows: per-batch cost is a small constant
+    * number of MAP-SIDE store passes (candidate probe, signature
+    * back-join against the tiny broadcast candidate set, and — in
+    * extend mode — the replay-guard anti-join), never store × batch
+    * and never a store shuffle. The hamming verify then runs
+    * `bit_count(xor)` over the four band integers of the surviving
+    * candidates only.
     *
     * `extendStore = true` appends each batch's KEPT signatures, so
     * later micro-batches gate against earlier arrivals — the

@@ -103,6 +103,15 @@ class RdfBucketedSpec extends AnyFunSuite {
       // content lands (idempotent re-publish, no duplicate rows)
       graft.Pipeline.publish(result, path, format = "bucketed")
       assert(spark.table(table).count() == triples.count())
+      // cluster deploys size the frozen-in bucket count per publish:
+      // the conf override must reach the table spec
+      spark.conf.set("spark.graft.publish.buckets", "8")
+      try {
+        graft.Pipeline.publish(result, path, format = "bucketed")
+        val ddl = spark.sql(s"SHOW CREATE TABLE $table")
+          .collect()(0).getString(0)
+        assert(ddl.contains("8 BUCKETS"), ddl)
+      } finally spark.conf.unset("spark.graft.publish.buckets")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
