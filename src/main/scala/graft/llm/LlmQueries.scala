@@ -65,6 +65,7 @@ object LlmQueries {
     "llm_kmv_incremental" -> kmvIncremental,
     "llm_novelty" -> novelty,
     "llm_dup_spans" -> dupSpans,
+    "llm_span_dedup_keep" -> spanDedupKeep,
     "llm_winnow" -> winnow,
     "llm_split_assign" -> splitAssign,
     "llm_length_buckets" -> lengthBuckets,
@@ -1481,7 +1482,15 @@ object LlmQueries {
     * per-doc (n_spans, dup_tokens, max_span) — the prune/keep signal
     * a span-dedup pass feeds on; docs with no duplicated window have
     * no row, in both engines. */
-  def dupSpans(s: SparkSession, d: String): DataFrame = {
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    spanTable(s, d).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ep") - col("sp") + 1).as("dup_tokens"),
+        max(col("ep") - col("sp") + 1).cast("bigint").as("max_span"))
+
+  /** The (doc_id, sp, ep) maximal-duplicated-span table both span
+    * queries consume — see [[dupSpans]] for the chain's plan story. */
+  private def spanTable(s: SparkSession, d: String): DataFrame = {
     val grams = tokenized(s, d)
       .select(col("doc_id"), posexplode(expr(
         s"CASE WHEN size(w) >= $spanK THEN " +
@@ -1494,13 +1503,40 @@ object LlmQueries {
     val isl = dupPos.withColumn("isl",
       col("p") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("p"))))
-    val spans = isl.groupBy(col("doc_id"), col("isl"))
+    isl.groupBy(col("doc_id"), col("isl"))
       .agg(min(col("p")).as("sp"),
         (max(col("p")) + lit(spanK - 1)).as("ep"))
-    spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("ep") - col("sp") + 1).as("dup_tokens"),
-        max(col("ep") - col("sp") + 1).cast("bigint").as("max_span"))
+  }
+
+  /** The span-REMOVAL transform over the [[dupSpans]] mask — what a
+    * span-dedup pass actually does to the corpus (Lee et al. drop
+    * one-of-each duplicated span; the mask form here drops EVERY
+    * masked token, the conservative variant that needs no global
+    * occurrence ordering and therefore no extra corpus-wide
+    * shuffle). Affected docs only (the untouched corpus passes
+    * through unchanged — emitting it would just re-ship the input):
+    * covered positions explode from the span table (bounded by
+    * dup_tokens, not corpus tokens), anti-join the positional token
+    * table on (doc_id, pos), and the survivors reassemble
+    * order-preserved (sort_array over (pos, word) structs — one
+    * doc_id-keyed exchange shared with the window two steps
+    * earlier). Output (doc_id, n_kept, clean_text) hash-checks the
+    * reassembled strings against the oracle's ordered string_agg; a
+    * FULLY-masked doc keeps zero tokens and has no row — it is
+    * dropped outright, in both engines. */
+  def spanDedupKeep(s: SparkSession, d: String): DataFrame = {
+    val covered = spanTable(s, d)
+      .select(col("doc_id"),
+        explode(expr("sequence(sp, ep)")).as("p"))
+    val toks = tokenized(s, d)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
+    toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .join(covered.select("doc_id").distinct(), Seq("doc_id"),
+        "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(sort_array(collect_list(" +
+          "struct(p, word))), x -> x.word)"), " ").as("clean_text"))
   }
 
   /** One batch's KMV partial as ROWS — `(source, hv)`, at most k rows
@@ -3493,6 +3529,44 @@ object LlmQueries {
          |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
          |  CAST(max(e - s + 1) AS BIGINT) AS max_span
          |FROM sp GROUP BY doc_id""".stripMargin,
+
+    // The removal transform over the same span chain: covered
+    // positions unnest from the spans (overlap across nearby
+    // islands collapsed by the NOT EXISTS), survivors reassemble
+    // via ordered string_agg — the engine's sort_array reassembly
+    // independently respelled.
+    "llm_span_dedup_keep" ->
+      s"""WITH $wCte,
+         |pos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - ${spanK - 1},
+         |      0))) AS i
+         |  FROM w),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |    md5(list_aggregate(ws[i:i+${spanK - 1}], 'string_agg',
+         |      ' ')) AS h
+         |  FROM pos),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, p FROM g
+         |  WHERE h IN (SELECT h FROM dup)),
+         |isl AS (SELECT doc_id, p,
+         |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+         |      AS k FROM dp),
+         |sp AS (SELECT doc_id, k, min(p) AS s,
+         |    max(p) + ${spanK - 1} AS e
+         |  FROM isl GROUP BY 1, 2),
+         |cov AS (SELECT DISTINCT doc_id,
+         |    unnest(generate_series(s, e)) AS p FROM sp),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |    ws[i] AS word
+         |  FROM (SELECT doc_id, ws,
+         |      unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |kept AS (SELECT t.doc_id, t.p, t.word FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |      WHERE c.doc_id = t.doc_id AND c.p = t.p)
+         |    AND t.doc_id IN (SELECT doc_id FROM cov))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(word, ' ' ORDER BY p) AS clean_text
+         |FROM kept GROUP BY doc_id""".stripMargin,
 
     // Replays the whole incremental chain: per-(source, shard)
     // bottom-64 partials (rn <= k), distinct-union merge, re-ranked

@@ -77,6 +77,30 @@ class LlmExtrasSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 16L, 8L)))
     // doc 3: nothing duplicated → no row at all
     assert(!out.contains(3L) && out.size == 3)
+
+    // the removal transform: survivors reassemble in order, the
+    // untouched doc passes through with no row, a fully-masked doc
+    // drops outright
+    val keep = LlmQueries.spanDedupKeep(spark, tmp.getAbsolutePath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(keep(0L) == ((4L, "u01 u02 u03 u04")))
+    assert(keep(1L) == ((4L, "v01 v02 v03 v04")))
+    assert(keep(2L) == ((4L, "w01 w02 w03 w04")))
+    assert(!keep.contains(3L) && keep.size == 3)
+
+    val tmp2 = java.nio.file.Files.createTempDirectory("spans-full")
+      .toFile
+    Seq((10L, phrase, "en", "src0", 0L),
+      (11L, phrase, "en", "src0", 0L),
+      (12L, "y1 y2 y3 y4 y5 y6 y7 y8 y9", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp2.getAbsolutePath}/documents.parquet")
+    val full = LlmQueries.spanDedupKeep(spark, tmp2.getAbsolutePath)
+    assert(full.isEmpty) // 10/11 fully masked, 12 untouched
+    assert(LlmQueries.dupSpans(spark, tmp2.getAbsolutePath)
+      .collect().map(_.getLong(0)).toSet == Set(10L, 11L))
   }
 
   test("decontaminate never flags heldout docs and counts are positive") {
