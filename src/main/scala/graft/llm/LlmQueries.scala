@@ -1518,9 +1518,13 @@ object LlmQueries {
     * covered positions explode from the span table (bounded by
     * dup_tokens, not corpus tokens), anti-join the positional token
     * table on (doc_id, pos), and the survivors reassemble
-    * order-preserved (sort_array over (pos, word) structs — one
-    * doc_id-keyed exchange shared with the window two steps
-    * earlier). Output (doc_id, n_kept, clean_text) hash-checks the
+    * order-preserved (sort_array over (pos, word) structs). Cost
+    * accounting at 100 TB: TWO token-scale exchanges — the
+    * (doc_id, pos) anti-join and the doc_id reassembly (keyed
+    * differently, so the exchange is not reused) — which is
+    * inherent to a corpus-REWRITING op (the output is the text;
+    * contrast [[dupSpans]], whose mask ships only hashes). Output
+    * (doc_id, n_kept, clean_text) hash-checks the
     * reassembled strings against the oracle's ordered string_agg; a
     * FULLY-masked doc keeps zero tokens and has no row — it is
     * dropped outright, in both engines. */
