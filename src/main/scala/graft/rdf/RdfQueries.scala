@@ -69,6 +69,7 @@ object RdfQueries {
     // yet exercised as query forms.
     "rdf_values_join" -> ((s, d) => valuesJoin(s, d)),
     "rdf_group_agg" -> ((s, d) => groupAgg(s, d)),
+    "rdf_group_concat" -> ((s, d) => groupConcat(s, d)),
     // Path COMPOSITION forms: sequence (p/q), alternation (p|q),
     // inverse (^p) — with rdf_reachable/rdf_reachable_star these
     // complete the SPARQL 1.1 property-path operator family the
@@ -417,6 +418,30 @@ object RdfQueries {
     *  GROUP BY ?brand`. The typed-subject set is dimension-scale →
     * broadcast semi-join; then ONE exchange on the 25-value brand
     * key with map-side partial aggregation. */
+  /** SPARQL 1.1 `GROUP_CONCAT(?item; separator=";")` per brand.
+    * SPARQL leaves the concatenation order implementation-defined;
+    * the engine PINS lexicographic order (sort_array over the
+    * collected set) so the form is deterministic and
+    * oracle-checkable — the same choice a reproducible pipeline
+    * makes anyway (an unordered concat is a flaky diff). Plan:
+    * identical single-exchange shape to [[groupAgg]] — the
+    * collect_set partial-aggregates map-side; per-group state is
+    * bounded by the group's distinct members, the inherent cost of
+    * the aggregate itself. */
+  private def groupConcat(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("item")).distinct()
+    t.filter(col("predicate") === DefBrand)
+      .select(col("subject").as("item"), col("obj_value").as("brand"))
+      .join(broadcast(typed), Seq("item"), "left_semi")
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_items"),
+        array_join(sort_array(collect_set(col("item"))), ";")
+          .as("items_concat"))
+  }
+
   private def groupAgg(s: SparkSession, d: String): DataFrame = {
     val t = tri(s, d)
     val typed = t.filter(col("predicate") === RdfType &&
@@ -993,6 +1018,22 @@ object RdfQueries {
       s"""WITH ${TripleFixture.triplesCte}
          |SELECT b.obj_value AS brand, COUNT(*) AS n_items,
          |       MIN(b.subject) AS first_item
+         |FROM triples b
+         |WHERE b.predicate = 'http://ex.org/def#brand'
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = b.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')
+         |GROUP BY b.obj_value""".stripMargin,
+
+    // GROUP_CONCAT with the order pinned lexicographic on both
+    // sides (SPARQL leaves it implementation-defined; determinism
+    // is the engine's documented choice)
+    "rdf_group_concat" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT b.obj_value AS brand, COUNT(*) AS n_items,
+         |       string_agg(DISTINCT b.subject, ';' ORDER BY b.subject)
+         |         AS items_concat
          |FROM triples b
          |WHERE b.predicate = 'http://ex.org/def#brand'
          |  AND EXISTS (SELECT 1 FROM triples ty

@@ -28,6 +28,21 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(back.select("graph").distinct().count() == 4)
   }
 
+  test("rdf_group_concat pins lexicographic member order and agrees " +
+    "with the per-group count") {
+    val s = TestSpark.spark
+    val rows = RdfQueries.queries("rdf_group_concat")(s, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (brand, n, cat) =>
+      val items = cat.split(";").toSeq
+      // distinct members, count coherent, order PINNED lexicographic
+      assert(items.distinct == items, brand)
+      assert(items.length == n, brand)
+      assert(items == items.sorted, brand)
+    }
+  }
+
   test("overlap diff finds statements asserted in more than one graph") {
     val s = TestSpark.spark
     val overlap = RdfQueries.queries("rdf_graph_overlap")(s, dir)
