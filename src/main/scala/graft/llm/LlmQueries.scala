@@ -96,6 +96,20 @@ object LlmQueries {
     "mm_png_gray_levels" -> pngGrayLevels,
   )
 
+  /** Serialized-block local checkpoint for CORPUS-SCALE memoized
+    * artifacts (signatures, pair tables, token/vocab-scale rows):
+    * the default deserialized level holds Java object graphs in
+    * memory and RE-PROMOTES evicted disk blocks into memory on
+    * read, which the 100x DeepScale rehearsal showed OOMing a
+    * capped heap; serialized blocks stay compact byte buffers that
+    * spill and re-read gracefully. Deser cost is paid per read and
+    * is negligible next to the joins these artifacts feed. Tiny
+    * hot-loop tables (16-row centroid rounds, 1-row bitsets) keep
+    * the deserialized default. */
+  private def chkSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
@@ -160,7 +174,7 @@ object LlmQueries {
     * the same table instead of re-running the shingle→sha256 chain. */
   private def minhashSig(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"minhash-sig:$d")(
-      computeMinhashSig(s, d).localCheckpoint())
+      chkSer(computeMinhashSig(s, d)))
 
   // One sha256 per shingle, sliced into 8 non-overlapping 32-bit hex
   // lanes = 8 independent uniform hashes (8× cheaper than 8 salted
@@ -210,7 +224,7 @@ object LlmQueries {
     * chain re-ran once per consumer. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"lsh-pairs:$d")(
-      computePairs(s, d).localCheckpoint())
+      chkSer(computePairs(s, d)))
 
   private def computePairs(s: SparkSession, d: String): DataFrame =
     pairsFromBands(bands(s, d))
@@ -284,7 +298,7 @@ object LlmQueries {
     * every invocation for the session lifetime. */
   private def distinctBigrams(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"bigrams-distinct:$d")(
-      bigramRows(s, d).distinct().localCheckpoint())
+      chkSer(bigramRows(s, d).distinct()))
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val bg = distinctBigrams(s, d)
@@ -333,9 +347,18 @@ object LlmQueries {
     ccFromPairs(dedupMinhash(s, d))
 
   private[graft] def ccFromPairs(pairs: DataFrame): DataFrame = {
-    val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    // SERIALIZED block storage for the edge list: it is PAIR-scale
+    // (the one table here that grows with duplication density, not
+    // corpus size alone), and the default deserialized level
+    // re-promotes disk blocks into memory as Java object graphs on
+    // every round's read — at the 100× deep-scale corpus that
+    // promotion OOM'd a 3 GB heap (DeepScale, round 9) while the
+    // serialized form holds compact byte buffers that spill
+    // gracefully. The loop below re-reads the blocks each round, so
+    // the ser/deser CPU cost is bounded by rounds (O(log d)).
+    val e0 = chkSer(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     // The pair graph is orders of magnitude smaller than the corpus —
     // size the loop's parallelism to IT, not to the session default
     // (32 near-empty tasks per round is pure scheduling overhead).
@@ -346,8 +369,8 @@ object LlmQueries {
     // O(rounds)-deep plan each round made the loop O(rounds²) in
     // planning time (measured ~45% slower end-to-end). Superseded
     // checkpoints are freed through the graftshim bridge.
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).localCheckpoint()
+    var labels = chkSer(edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")))
     // Convergence via the label sum: min-propagation only ever
     // decreases labels, so the sum is unchanged iff NO label changed —
     // one cheap aggregate per round instead of a join against the
@@ -370,9 +393,9 @@ object LlmQueries {
       // instead of O(diameter). Long near-dup chains made plain
       // propagation diameter-bound (~2.5x slower end-to-end here).
       val ptr = stepped.select(col("doc").as("pdoc"), col("lbl").as("plbl"))
-      val next = stepped.join(ptr, col("lbl") === col("pdoc"), "left")
-        .select(col("doc"), coalesce(col("plbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+      val next = chkSer(
+        stepped.join(ptr, col("lbl") === col("pdoc"), "left")
+          .select(col("doc"), coalesce(col("plbl"), col("lbl")).as("lbl")))
       val newSum = labelSum(next)
       val prev = labels
       labels = next
@@ -566,7 +589,7 @@ object LlmQueries {
     * disguise), while 16-bit bands give 65536. */
   private def simhash64(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"simhash64:$d") {
-      simhashSignOf(docs(s, d)).localCheckpoint()
+      chkSer(simhashSignOf(docs(s, d)))
     }
 
   /** Distinct-signature representatives: one row per distinct 64-bit
@@ -1073,7 +1096,7 @@ object LlmQueries {
     * recall) share one assignment scan. */
   def pqCodes(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"pq-codes:$d")(
-      computePqCodes(s, d).localCheckpoint())
+      chkSer(computePqCodes(s, d)))
 
   private def computePqCodes(s: SparkSession, d: String): DataFrame =
     quantized(s, d).crossJoin(broadcast(pqCentArr(s, d)))
@@ -1287,10 +1310,10 @@ object LlmQueries {
     // |sources| x |vocab|-row aggregate once per snapshot so the
     // corpus-wide explode+agg doesn't replay per consumer
     val st = SnapshotMemo.getOrCompute(s, s"source-term-counts:$d") {
-      docs(s, d).select(col("source"), explode(tokenExpr).as("term"))
+      chkSer(docs(s, d)
+        .select(col("source"), explode(tokenExpr).as("term"))
         .groupBy(col("source"), col("term"))
-        .agg(count(lit(1)).as("c_src"))
-        .localCheckpoint()
+        .agg(count(lit(1)).as("c_src")))
     }
     val tt = st.groupBy(col("term")).agg(sum(col("c_src")).as("c_all"))
     val stot = st.groupBy(col("source"))
@@ -1817,7 +1840,7 @@ object LlmQueries {
   def decontaminate(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s,
       s"decontam-flags:$d:broadcast=${decontamBroadcast(s)}")(
-      computeDecontaminate(s, d).localCheckpoint())
+      chkSer(computeDecontaminate(s, d)))
 
   private[llm] def computeDecontaminate(
       s: SparkSession, d: String): DataFrame = {
@@ -1946,7 +1969,7 @@ object LlmQueries {
     * [[decontamBloom]] and [[bloomSummary]]). */
   private def bloomFlagged(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"decontam-bloom:$d")(
-      computeBloomFlagged(s, d).localCheckpoint())
+      chkSer(computeBloomFlagged(s, d)))
 
   /** Bloom bitset over a one-column (`g`) gram set: k K-M positions
     * per gram → OR the bits per word → densify to ONE
