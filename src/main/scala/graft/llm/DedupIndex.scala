@@ -95,24 +95,31 @@ object DedupIndex {
     * pair graph (label = min doc_id of the component; docs in no pair
     * label as themselves). */
   def writeIndex(s: SparkSession, indexDocs: DataFrame, path: String): Stored =
-    writeIndexBands(s, docBands(indexDocs), path)
+    writeIndexSig(s, signatures(indexDocs), path)
 
-  /** [[writeIndex]] from an ALREADY-COMPUTED band table — the form
-    * the engine's own queries use: per-document signatures are a
+  /** [[writeIndex]] from an ALREADY-COMPUTED signature table — the
+    * form the engine's own queries use: per-document signatures are a
     * stored corpus artifact (memoized here, a parquet table in
     * production), so building a snapshot index is a FILTER of that
-    * artifact, never a re-shingle of the corpus. The labels are
-    * joined onto the bands at build time with a SHUFFLE-HASH join on
-    * `doc_id` — deliberately NOT broadcast: the label table is
-    * pair-graph-scale (one row per doc appearing in any LSH pair),
-    * and on a dup-heavy crawl (30–50% duplicate rates are normal)
-    * that is corpus-order rows, far past any broadcast threshold.
-    * The backfill is a one-time build, so one exchange is the right
-    * price; every probe still pays none (labels ride denormalized in
-    * the band rows, see [[Stored]]). */
-  def writeIndexBands(s: SparkSession, bandsDf: DataFrame,
+    * artifact, never a re-shingle of the corpus. Cluster labels come
+    * from the clone-collapsed edge set
+    * ([[LlmQueries.clusterEdges]] — star edges inside
+    * identical-signature groups + banded pairs over distinct
+    * signatures), never the raw pair cliques: a dup-heavy index
+    * corpus would otherwise pay O(k²) edges per k-clone group in the
+    * backfill's CC loop. The labels are joined onto the bands at
+    * build time with a SHUFFLE-HASH join on `doc_id` — deliberately
+    * NOT broadcast: the label table is pair-graph-scale (one row per
+    * doc appearing in any LSH pair), and on a dup-heavy crawl
+    * (30–50% duplicate rates are normal) that is corpus-order rows,
+    * far past any broadcast threshold. The backfill is a one-time
+    * build, so one exchange is the right price; every probe still
+    * pays none (labels ride denormalized in the band rows, see
+    * [[Stored]]). */
+  def writeIndexSig(s: SparkSession, sigDf: DataFrame,
       path: String): Stored = {
-    LlmQueries.ccFromPairs(LlmQueries.pairsFromBands(bandsDf))
+    val bandsDf = bandsOf(sigDf)
+    LlmQueries.ccFromPairs(LlmQueries.clusterEdges(sigDf))
       .write.mode("overwrite").parquet(s"$path/clusters")
     val labels = s.read.parquet(s"$path/clusters")
       .select(col("doc_id").as("l_id"), col("cluster_id"))

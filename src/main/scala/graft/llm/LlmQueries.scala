@@ -271,6 +271,58 @@ object LlmQueries {
       .distinct()
   }
 
+  /** Clone-collapsed edge set for near-dup CLUSTERING
+    * ([[dedupClusters]], [[DedupIndex.writeIndexSig]]). The LSH pair
+    * table is the right artifact for pair-level consumers (the
+    * Jaccard verify, bucket diagnostics) but the WRONG input for
+    * connected components at web-corpus duplication rates: documents
+    * sharing an identical FULL MinHash signature (byte-identical
+    * texts — 30–50% of a real crawl) match in every band, so a
+    * k-clone group contributes a k(k−1)/2-edge clique the label loop
+    * then shuffles every round. The 100× DeepScale corpus (50-clone
+    * groups, 500 k docs) OOM'd a 3 GB heap on the clique form.
+    *
+    * The reduction — the same identical-signature collapse the
+    * banded SimHash gate applies ([[simhashNeardup]]) — is
+    * COMPONENT-EQUAL to the clique graph below the bucket cap:
+    *  - each identical-signature group collapses to its min-id
+    *    representative with STAR edges (rep, member): the clique is
+    *    a subset of the star's transitive closure;
+    *  - banded pair generation runs over DISTINCT signatures only:
+    *    bands are a pure function of the signature, so two docs
+    *    share a band bucket iff their reps share it — every
+    *    cross-group clique edge maps to a rep–rep edge reachable
+    *    through the stars, and the 16-hex-char bucket population is
+    *    bounded by signature DIVERSITY, not duplication density.
+    * Node sets also coincide: a star member is in some clique
+    * (group ≥ 2), and a rep pair implies a full-graph pair. ABOVE
+    * the cap the spellings diverge — deliberately: the salt guard
+    * fractures an over-cap clone bucket into salt cells, so the
+    * clique CC splits a group of byte-identical documents, while
+    * the stars keep hamming-0 clones one component no matter how
+    * many there are. The oracle SQL mirrors this collapse
+    * ([[clusterEdgesCte]]) the same way it mirrors the salt, so
+    * both engines agree by construction on ANY corpus. Edge count
+    * drops from O(Σ k²) to O(Σ k) + pairs over distinct
+    * signatures.
+    *
+    * Rep selection is a groupBy + shuffle join on the signature
+    * key, NOT a window: a window sends a fully degenerate corpus
+    * (one giant clone group) through ONE task, while the aggregate
+    * partial-combines map-side and AQE splits the skewed join. */
+  private[graft] def clusterEdges(sig: DataFrame): DataFrame = {
+    val withKey = sig.withColumn("sk",
+      concat((1 to 8).map(j => col(s"h$j")): _*))
+    val reps = withKey.groupBy(col("sk"))
+      .agg(min(col("doc_id")).as("rep"))
+    val tagged = withKey.join(reps, Seq("sk"))
+    val stars = tagged.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val repSig = tagged.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id") +: (1 to 8).map(j => col(s"h$j")): _*)
+    stars.union(pairsFromBands(DedupIndex.bandsOf(repSig)))
+  }
+
   // ---------------------------------------------------------------
   // Exact n-gram Jaccard — verification stage for the LSH candidate
   // pairs (classic LSH-then-verify): word-bigram sets, similarity
@@ -322,10 +374,11 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------
-  // Near-dup clustering: connected components over the LSH pair
-  // graph (the step after candidate generation in a real dedup
-  // pipeline — transitively-linked duplicates form one cluster and
-  // one representative per cluster is kept). Min-label propagation:
+  // Near-dup clustering: connected components over the
+  // clone-collapsed LSH edge set ([[clusterEdges]] — component-equal
+  // to the pair cliques; the step after candidate generation in a
+  // real dedup pipeline — transitively-linked duplicates form one
+  // cluster and one representative per cluster is kept). Min-label:
   // every doc starts labeled with itself; each round pulls the
   // minimum label across its edges; fixpoint in O(component diameter)
   // rounds. Each round is ONE shuffle (join + min-agg) — the standard
@@ -344,7 +397,7 @@ object LlmQueries {
     SnapshotMemo.getOrCompute(s, s"cc-labels:$d")(computeClusters(s, d))
 
   private def computeClusters(s: SparkSession, d: String): DataFrame =
-    ccFromPairs(dedupMinhash(s, d))
+    ccFromPairs(clusterEdges(minhashSig(s, d)))
 
   private[graft] def ccFromPairs(pairs: DataFrame): DataFrame = {
     // SERIALIZED block storage for the edge list: it is PAIR-scale
@@ -456,13 +509,12 @@ object LlmQueries {
   private[llm] def storedIndex(s: SparkSession, d: String): DedupIndex.Stored = indexBuildLock.synchronized {
     val path = storedIndexPath(d)
     SnapshotMemo.getOrCompute(s, s"dedup-index:$d") {
-      // the index bands are a FILTER of the memoized per-corpus
-      // signature artifact (signatures are per-document, so subset
-      // bands == full bands filtered) — the corpus is never
+      // the index is built from a FILTER of the memoized per-corpus
+      // signature artifact (signatures are per-document, so the
+      // subset's bands == full bands filtered) — the corpus is never
       // re-shingled to build a snapshot index
-      DedupIndex.writeIndexBands(s,
-        DedupIndex.bandsOf(
-          minhashSig(s, d).filter(!expr(arrivingShardPred))), path)
+      DedupIndex.writeIndexSig(s,
+        minhashSig(s, d).filter(!expr(arrivingShardPred)), path)
       s.range(1).toDF("built")
     }
     DedupIndex.read(s, path)
@@ -2725,6 +2777,29 @@ object LlmQueries {
     s"""$sigBandsCte,
        |${saltedPairsCte("bands")}""".stripMargin
 
+  /** DuckDB mirror of the clone-collapsed edge set
+    * ([[clusterEdges]]) — assumes `mh` and `bands` from
+    * [[sigBandsCte]] in scope; ends in `cedges (doc_a, doc_b)`.
+    * Mirrored (like the salt itself) so both engines agree BY
+    * CONSTRUCTION on any corpus: on a > cap clone bucket the salted
+    * clique splits a group the stars keep whole, so the clique and
+    * collapsed spellings diverge exactly when the guard fires —
+    * which is the point of the collapse. */
+  private val clusterEdgesCte = {
+    val sk = (1 to 8).map(j => s"h$j").mkString(" || ")
+    s"""reps AS (SELECT $sk AS sk, min(doc_id) AS rep
+       |  FROM mh GROUP BY 1),
+       |stars AS (SELECT r.rep AS doc_a, m.doc_id AS doc_b
+       |  FROM (SELECT doc_id, $sk AS sk FROM mh) m
+       |  JOIN reps r ON m.sk = r.sk
+       |  WHERE m.doc_id <> r.rep),
+       |rbands AS (SELECT b.doc_id, b.band, b.bv FROM bands b
+       |  JOIN reps r ON b.doc_id = r.rep),
+       |${saltedPairsCte("rbands")},
+       |cedges AS (SELECT doc_a, doc_b FROM stars
+       |  UNION ALL SELECT doc_a, doc_b FROM pairs)""".stripMargin
+  }
+
   /** DuckDB replica of the deterministic Bloom build+probe in
     * [[computeBloomFlagged]] — same md5-rank positions, same 62-bit
     * words, ending in CTE `bres` (doc_id, n_bloom_5grams,
@@ -2973,9 +3048,10 @@ object LlmQueries {
          |FROM bs GROUP BY 1""".stripMargin,
 
     "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCte,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      s"""WITH RECURSIVE $sigBandsCte,
+         |$clusterEdgesCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cedges
+         |  UNION ALL SELECT doc_b, doc_a FROM cedges),
          |r(doc, lbl) AS (
          |  SELECT DISTINCT src, src FROM edges
          |  UNION
@@ -2984,9 +3060,10 @@ object LlmQueries {
          |FROM r GROUP BY doc""".stripMargin,
 
     "llm_dedup_keep" ->
-      s"""WITH RECURSIVE $minhashCte,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      s"""WITH RECURSIVE $sigBandsCte,
+         |$clusterEdgesCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cedges
+         |  UNION ALL SELECT doc_b, doc_a FROM cedges),
          |r(doc, lbl) AS (
          |  SELECT DISTINCT src, src FROM edges
          |  UNION

@@ -189,10 +189,11 @@ class DedupIndexSpec extends AnyFunSuite {
     // adversarial shape: pair-graph-scale == corpus-scale)
     val docs = (1L to 40L).map(i => (i, t)).toDF("doc_id", "text")
     val path = Files.createTempDirectory("dedup-idx-b").toFile.getAbsolutePath
-    val bands = DedupIndex.docBands(docs)
+    val sig = DedupIndex.signatures(docs)
+    val bands = DedupIndex.bandsOf(sig)
     // assert on the REAL build plan: capture the bands->labels join by
-    // rebuilding the final write input exactly as writeIndexBands does
-    LlmQueries.ccFromPairs(LlmQueries.pairsFromBands(bands))
+    // rebuilding the final write input exactly as writeIndexSig does
+    LlmQueries.ccFromPairs(LlmQueries.clusterEdges(sig))
       .write.mode("overwrite").parquet(s"$path/clusters")
     val labels = s.read.parquet(s"$path/clusters")
       .select(col("doc_id").as("l_id"), col("cluster_id"))
@@ -207,6 +208,50 @@ class DedupIndexSpec extends AnyFunSuite {
     val lbls = stored.bands.select("doc_id", "lbl").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(lbls.size == 40 && lbls.values.forall(_ == 1L))
+  }
+
+  test("clusterEdges is component-equal to the clique pair graph on " +
+    "real data: identical CC labels from both edge sets") {
+    val sig = DedupIndex.signatures(realDocs)
+    def labels(edges: DataFrame): Map[Long, Long] =
+      LlmQueries.ccFromPairs(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaClique = labels(LlmQueries.pairsFromBands(DedupIndex.bandsOf(sig)))
+    val viaStars = labels(LlmQueries.clusterEdges(sig))
+    assert(viaStars == viaClique && viaStars.nonEmpty)
+  }
+
+  test("clusterEdges: a k-clone group contributes k-1 star edges, " +
+    "not a k(k-1)/2 clique, and labels still collapse to the min id") {
+    val s = spark
+    import s.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    // 200 byte-identical clones (ids 1..200) + 3 distinct docs: the
+    // clique form would emit 19 900 pairs for the clone group alone
+    val docs = ((1L to 200L).map(i => (i, t)) ++ Seq(
+      (301L, "one unrelated document about rivers flowing north"),
+      (302L, "another unrelated document about glaciers and ice"),
+      (303L, "a third unrelated document regarding deserts")))
+      .toDF("doc_id", "text")
+    val sig = DedupIndex.signatures(docs)
+    val edges = LlmQueries.clusterEdges(sig)
+    val nEdges = edges.count()
+    // 199 stars + banded pairs over the 4 distinct signatures (≤ 6)
+    assert(nEdges >= 199 && nEdges <= 205, s"edge count $nEdges")
+    val lbls = LlmQueries.ccFromPairs(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 200L).foreach(i => assert(lbls(i) == 1L, s"doc $i"))
+    // The raw clique spelling DIVERGES here by design: 200 clones
+    // overflow the 64-member bucket cap, the salt splits the bucket,
+    // and the clique CC fractures the clone group into one cluster
+    // per salt cell — the stars keep hamming-0 clones one component
+    // regardless of the guard. This asymmetry is exactly why the
+    // clustering consumer collapses before pairing.
+    val clique = LlmQueries.ccFromPairs(
+      LlmQueries.pairsFromBands(DedupIndex.bandsOf(sig)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 200L).map(clique).distinct.size > 1,
+      "expected the salted clique to fracture the over-cap clone group")
   }
 
   test("llm_dedup_incremental covers exactly the arriving shard and " +
