@@ -94,6 +94,7 @@ object LlmQueries {
     "mm_video_meta" -> videoMeta,
     "mm_png_levels" -> pngLevels,
     "mm_png_gray_levels" -> pngGrayLevels,
+    "llm_jsonl_roundtrip" -> jsonlRoundtrip,
   )
 
   /** Serialized-block local checkpoint for CORPUS-SCALE memoized
@@ -548,6 +549,28 @@ object LlmQueries {
         when(col("dup_of").isNull, lit("kept")).otherwise(lit("dropped"))
           .as("verdict"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** JSONL codec roundtrip over the documents table — the corpus-
+    * interchange twin of the RDF layer's `rdf_turtle_roundtrip`:
+    * serialize every document to JSON-Lines
+    * ([[graft.sources.JsonlDocs]]), read the files back with the
+    * pinned schema, and return the full rows. The oracle is
+    * `SELECT * FROM documents` straight off parquet, so codec
+    * LOSSLESSNESS (newlines, quotes, unicode in `text` survive the
+    * line framing) is what the hash match proves. Write-once via
+    * the memo marker; every call re-reads the files, so the read
+    * path is exercised per run. Shares [[indexBuildLock]] — the
+    * build overwrites a directory. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = s"${storedIndexPath(d)}/jsonl"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"jsonl:$d") {
+        graft.sources.JsonlDocs.write(docs(s, d), path)
+        s.range(1).toDF("built")
+      }
+    }
+    graft.sources.JsonlDocs.read(s, path)
   }
 
   /** sha256 of the normalized (lowercased, whitespace-collapsed)
@@ -4261,5 +4284,11 @@ object LlmQueries {
          |  CAST(MAX(h) AS BIGINT) AS max_h
          |FROM f GROUP BY 1""".stripMargin
     },
+
+    // the oracle reads the parquet table directly — the hash match
+    // therefore proves the engine's JSONL write→read cycle is
+    // byte-lossless on every column, text content included
+    "llm_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
   )
 }

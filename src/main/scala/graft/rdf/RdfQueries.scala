@@ -112,6 +112,19 @@ object RdfQueries {
     // everything-refreshes-weekly freshness contract that the pure
     // anti-join delta silently dropped.
     "rdf_enrich_stale" -> ((s, d) => enrichStale(s, d)),
+    // SPARQL 1.1 expression layer: BIND + the string-function family
+    // (UCASE/STRLEN/REPLACE/SUBSTR) with a langMatches filter — pure
+    // map-side projection, no exchange at any scale.
+    "rdf_bind_strfuns" -> ((s, d) => bindStrFuns(s, d)),
+    // Term introspection (isIRI/isLiteral/lang()/datatype()) as a
+    // store-profile aggregate: the vocabulary census an operator
+    // runs before schema mapping.
+    "rdf_term_stats" -> ((s, d) => termStats(s, d)),
+    // SPARQL 1.1 subquery + ORDER BY/LIMIT solution modifiers:
+    // top-N subjects by triple count, titles joined back on top of
+    // the inner aggregate — the bounded top-k shape
+    // (TakeOrderedAndProject), never a full sort.
+    "rdf_subquery_topn" -> ((s, d) => subqueryTopN(s, d)),
   )
 
   private def tri(s: SparkSession, d: String): DataFrame =
@@ -452,6 +465,74 @@ object RdfQueries {
       .join(broadcast(typed), Seq("item"), "left_semi")
       .groupBy(col("brand"))
       .agg(count(lit(1)).as("n_items"), min(col("item")).as("first_item"))
+  }
+
+  /** SPARQL BIND + string functions —
+    * `SELECT ?item ?title ?title_uc ?title_len ?slug WHERE {
+    *    ?item dcterms:title ?title .
+    *    FILTER(langMatches(lang(?title), "nl"))
+    *    BIND(UCASE(?title) AS ?title_uc)
+    *    BIND(STRLEN(?title) AS ?title_len)
+    *    BIND(REPLACE(?title, " ", "_") AS ?slug)
+    *    FILTER(?title_len >= 10) }`.
+    *
+    * Every BIND is a codegen'd scalar projection and both FILTERs
+    * are scan-pushable predicates — the whole query is one map-side
+    * pass with zero exchanges, at any corpus size. upper/length/
+    * replace are byte-identical across Spark and DuckDB on the
+    * fixture's ASCII literals (the oracle is the independent
+    * spelling of the same functions). */
+  private def bindStrFuns(s: SparkSession, d: String): DataFrame =
+    tri(s, d)
+      .filter(col("predicate") === DctermsTitle &&
+        col("obj_kind") === "literal" && col("obj_lang") === "nl" &&
+        length(col("obj_value")) >= 10)
+      .select(col("subject").as("item"), col("obj_value").as("title"),
+        upper(col("obj_value")).as("title_uc"),
+        length(col("obj_value")).cast("bigint").as("title_len"),
+        regexp_replace(col("obj_value"), " ", "_").as("slug"))
+
+  /** Term-introspection census — SPARQL's isIRI/isLiteral/isBlank,
+    * `lang()` and `datatype()` accessors as a GROUP BY profile over
+    * the store: `(term kind, lang, datatype) → n_terms, n_preds`.
+    * ONE exchange on a vocabulary-scale key (kinds × langs ×
+    * datatypes — single digits here, bounded by the ontology, never
+    * the corpus) with map-side partial aggregation; the distinct
+    * predicate count rides the same shuffle. */
+  private def termStats(s: SparkSession, d: String): DataFrame =
+    tri(s, d).groupBy(
+        col("obj_kind"),
+        coalesce(col("obj_lang"), lit("")).as("lang"),
+        coalesce(col("obj_datatype"), lit("")).as("datatype"))
+      .agg(count(lit(1)).as("n_terms"),
+        countDistinct(col("predicate")).as("n_preds"))
+
+  /** SPARQL 1.1 subquery with solution modifiers —
+    * `SELECT ?item ?n_triples ?title WHERE {
+    *    { SELECT ?item (COUNT(*) AS ?n_triples) WHERE { ?item ?p ?o }
+    *      GROUP BY ?item ORDER BY DESC(?n_triples) ASC(?item)
+    *      LIMIT 5 }
+    *    OPTIONAL { ?item dcterms:title ?title } }`.
+    *
+    * The inner aggregate is one exchange on subject; the ORDER
+    * BY/LIMIT plans as TakeOrderedAndProject — a bounded per-
+    * partition heap of 5 rows merged on the driver, never a full
+    * sort of the aggregate (the modifier that makes top-N affordable
+    * at corpus scale). The OPTIONAL title attaches to 5 rows, so the
+    * title side is broadcast by size, not by hint. Ties are pinned
+    * by the ASC(?item) secondary key — deterministic in both
+    * engines. */
+  private def subqueryTopN(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val top = t.groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_triples"))
+      .orderBy(col("n_triples").desc, col("subject").asc)
+      .limit(5)
+    val titles = t.filter(col("predicate") === DctermsTitle &&
+        col("obj_kind") === "literal")
+      .groupBy(col("subject")).agg(min(col("obj_value")).as("title"))
+    top.join(titles, Seq("subject"), "left")
+      .select(col("subject").as("item"), col("n_triples"), col("title"))
   }
 
   /** SPARQL sequence path `dcterms:relation/dcterms:title` —
@@ -1221,6 +1302,38 @@ object RdfQueries {
          |UNION ALL
          |SELECT *, 'removed' AS change FROM (
          |  SELECT * FROM triples EXCEPT SELECT * FROM v2)""".stripMargin,
+
+    "rdf_bind_strfuns" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item, obj_value AS title,
+         |       upper(obj_value) AS title_uc,
+         |       CAST(length(obj_value) AS BIGINT) AS title_len,
+         |       replace(obj_value, ' ', '_') AS slug
+         |FROM triples
+         |WHERE predicate = '$DctermsTitle' AND obj_kind = 'literal'
+         |  AND obj_lang = 'nl' AND length(obj_value) >= 10""".stripMargin,
+
+    "rdf_term_stats" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT obj_kind, coalesce(obj_lang, '') AS lang,
+         |       coalesce(obj_datatype, '') AS datatype,
+         |       CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |       CAST(COUNT(DISTINCT predicate) AS BIGINT) AS n_preds
+         |FROM triples
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rdf_subquery_topn" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |top5 AS (
+         |  SELECT subject, CAST(COUNT(*) AS BIGINT) AS n_triples
+         |  FROM triples GROUP BY subject
+         |  ORDER BY n_triples DESC, subject ASC LIMIT 5),
+         |titles AS (
+         |  SELECT subject, MIN(obj_value) AS title FROM triples
+         |  WHERE predicate = '$DctermsTitle' AND obj_kind = 'literal'
+         |  GROUP BY subject)
+         |SELECT t.subject AS item, t.n_triples, ti.title
+         |FROM top5 t LEFT JOIN titles ti ON ti.subject = t.subject""".stripMargin,
   )
 
   /** CTE `mg`: byte-identical to [[multiGraph]] (char-length graph
