@@ -31,6 +31,7 @@ object LlmQueries {
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_lsh_bucket_stats" -> lshBucketStats,
     "llm_ngram_jaccard" -> ngramJaccard,
+    "llm_containment" -> containment,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_keep" -> dedupKeep,
     "llm_dedup_incremental" -> dedupIncremental,
@@ -372,6 +373,41 @@ object LlmQueries {
       .select(col("doc_a"), col("doc_b"),
         floor(lit(1000.0) * col("n_inter") /
           (col("sa.n") + col("sb.n") - col("n_inter"))).as("jaccard_x1000"))
+  }
+
+  /** Asymmetric CONTAINMENT over the LSH candidate pairs — the
+    * subset/quote/boilerplate detector symmetric Jaccard misses: a
+    * short document quoted whole inside a long one scores low
+    * Jaccard (the union is the long side) but containment of the
+    * short side ≈ 1, which is exactly the "near-dup that matters"
+    * for training data (the short doc adds nothing new). Per
+    * candidate pair: `n_inter / |A|`, `n_inter / |B|`, and the
+    * decision metric `n_inter / min(|A|,|B|)` (containment of the
+    * smaller side), ×1000-floored to integers for the exact oracle.
+    *
+    * Scale shape = [[ngramJaccard]]'s verbatim: candidates come from
+    * the MEMOIZED pair table (never all-pairs), intersections are a
+    * bigram equi-join, and the per-side normalizations are two extra
+    * broadcast-scale joins on pair-table keys — the added metric
+    * costs three projection columns, nothing more. */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val bg = distinctBigrams(s, d)
+    val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = dedupMinhash(s, d)
+      .join(bg.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(bg.as("y"), col("doc_b") === col("y.doc_id") &&
+        col("x.bg") === col("y.bg"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1000.0) * col("n_inter") / col("sa.n"))
+          .as("cont_a_x1000"),
+        floor(lit(1000.0) * col("n_inter") / col("sb.n"))
+          .as("cont_b_x1000"),
+        floor(lit(1000.0) * col("n_inter") /
+          least(col("sa.n"), col("sb.n"))).as("cont_min_side_x1000"))
   }
 
   // ---------------------------------------------------------------
@@ -1587,8 +1623,17 @@ object LlmQueries {
         max(col("ep") - col("sp") + 1).cast("bigint").as("max_span"))
 
   /** The (doc_id, sp, ep) maximal-duplicated-span table both span
-    * queries consume — see [[dupSpans]] for the chain's plan story. */
-  private def spanTable(s: SparkSession, d: String): DataFrame = {
+    * queries consume — see [[dupSpans]] for the chain's plan story.
+    * MEMOIZED per corpus snapshot (serialized blocks — span rows are
+    * bounded by duplicated tokens, corpus-order in the worst case):
+    * the duplication mask is a stored artifact like the LSH pair
+    * table — candidate discovery runs once, the mask query and the
+    * span-removal rewrite both read it. */
+  private def spanTable(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"span-table:$d")(
+      chkSer(computeSpanTable(s, d)))
+
+  private def computeSpanTable(s: SparkSession, d: String): DataFrame = {
     val grams = tokenized(s, d)
       .select(col("doc_id"), posexplode(expr(
         s"CASE WHEN size(w) >= $spanK THEN " +
@@ -3059,6 +3104,30 @@ object LlmQueries {
          |SELECT i.doc_a, i.doc_b,
          |  CAST(floor(1000.0 * i.n_inter
          |    / (sa.n + sb.n - i.n_inter)) AS BIGINT) AS jaccard_x1000
+         |FROM inter i
+         |JOIN sizes sa ON i.doc_a = sa.doc_id
+         |JOIN sizes sb ON i.doc_b = sb.doc_id""".stripMargin,
+
+    "llm_containment" ->
+      s"""WITH $minhashCte,
+         |bgpos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+         |  FROM w),
+         |bg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+         |  FROM bgpos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN bg x ON p.doc_a = x.doc_id
+         |  JOIN bg y ON p.doc_b = y.doc_id AND x.bg = y.bg
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  CAST(floor(1000.0 * i.n_inter / sa.n) AS BIGINT)
+         |    AS cont_a_x1000,
+         |  CAST(floor(1000.0 * i.n_inter / sb.n) AS BIGINT)
+         |    AS cont_b_x1000,
+         |  CAST(floor(1000.0 * i.n_inter / least(sa.n, sb.n)) AS BIGINT)
+         |    AS cont_min_side_x1000
          |FROM inter i
          |JOIN sizes sa ON i.doc_a = sa.doc_id
          |JOIN sizes sb ON i.doc_b = sb.doc_id""".stripMargin,

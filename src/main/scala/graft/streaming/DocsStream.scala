@@ -42,6 +42,24 @@ object DocsStream {
     reader.parquet(path)
   }
 
+  /** Streaming `documents` table over a directory of JSONL shards —
+    * the ingest boundary where corpora actually ARRIVE (crawl dumps
+    * and corpus releases ship JSON-Lines, not parquet;
+    * [[graft.sources.JsonlDocs]] is the batch twin). Same file-source
+    * semantics as [[documents]] (exactly-once per file via the
+    * checkpoint, schema pinned up front, FAILFAST on malformed
+    * lines — a corrupt shard stops the stream instead of silently
+    * nulling rows into the corpus), so every downstream gate in this
+    * object composes with either source unchanged. */
+  def documentsJsonl(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+      .option("mode", "FAILFAST")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.json(path)
+  }
+
   /** Gopher-style quality filter over the stream — batch semantics,
     * incremental execution. */
   def qualityFiltered(docs: DataFrame): DataFrame =
