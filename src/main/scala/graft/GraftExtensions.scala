@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioLevels, AudioMeta, DotProductLong, ImageDims, ImageLevels, IsValidIri, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
+import graft.functions.{AudioLevels, AudioMeta, DeflateRatio, DotProductLong, ImageDims, ImageLevels, IsValidIri, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IsValidIri].getName, "is_valid_iri"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IsValidIri(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DeflateRatio(args.head)))
     ext.injectFunction((
       FunctionIdentifier("dot_product_l"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_product_l"),

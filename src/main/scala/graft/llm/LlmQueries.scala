@@ -96,6 +96,7 @@ object LlmQueries {
     "mm_png_levels" -> pngLevels,
     "mm_png_gray_levels" -> pngGrayLevels,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
+    "llm_compress_ratio" -> compressRatio,
   )
 
   /** Serialized-block local checkpoint for CORPUS-SCALE memoized
@@ -608,6 +609,24 @@ object LlmQueries {
     }
     graft.sources.JsonlDocs.read(s, path)
   }
+
+  /** Compression-ratio quality pass
+    * ([[graft.functions.DeflateRatio]]): per-document ×1000 deflate
+    * ratio plus the repetitive-content verdict — the curation signal
+    * that catches templated/keyword-stuffed text word-level
+    * repetition counters miss. Pure map-side scan, the expression
+    * inside whole-stage codegen; at 100 TB this rides the same
+    * single corpus pass as the other hygiene filters. NO oracle
+    * entry by design: the deflate byte stream is zlib-build-specific
+    * (driver records the rows-only check); semantics are pinned by
+    * DeflateRatioSpec instead. */
+  def compressRatio(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      graft.functions.DeflateRatio(col("text")).as("ratio_x1000"))
+      .withColumn("verdict",
+        when(col("ratio_x1000").isNull, lit("empty"))
+          .when(col("ratio_x1000") < 300, lit("repetitive"))
+          .otherwise(lit("ok")))
 
   /** sha256 of the normalized (lowercased, whitespace-collapsed)
     * text — THE exact-dedup key, one definition for the batch query

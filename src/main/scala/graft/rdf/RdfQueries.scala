@@ -120,6 +120,14 @@ object RdfQueries {
     // store-profile aggregate: the vocabulary census an operator
     // runs before schema mapping.
     "rdf_term_stats" -> ((s, d) => termStats(s, d)),
+    // HAVING — the post-aggregate filter form (completes the GROUP
+    // BY family): brands holding more than one typed item.
+    "rdf_group_having" -> ((s, d) => groupHaving(s, d)),
+    // Iterative graph analytics over the triple-derived link graph:
+    // 3 PageRank iterations in exact integer arithmetic (both
+    // engines replay the identical division sequence), the
+    // one-shuffle-per-iteration Pregel shape.
+    "rdf_pagerank" -> ((s, d) => pagerank(s, d)),
     // SPARQL 1.1 subquery + ORDER BY/LIMIT solution modifiers:
     // top-N subjects by triple count, titles joined back on top of
     // the inner aggregate — the bounded top-k shape
@@ -465,6 +473,67 @@ object RdfQueries {
       .join(broadcast(typed), Seq("item"), "left_semi")
       .groupBy(col("brand"))
       .agg(count(lit(1)).as("n_items"), min(col("item")).as("first_item"))
+  }
+
+  /** SPARQL HAVING —
+    * `SELECT ?brand (COUNT(*) AS ?n_items) WHERE { ?item def:brand
+    *  ?brand . ?item a ceo:Rijksmonument } GROUP BY ?brand
+    *  HAVING(COUNT(*) > 1)`. Same single-exchange shape as
+    * [[groupAgg]]; HAVING is a post-aggregate filter on the
+    * already-tiny group table — free at any scale. */
+  private def groupHaving(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("item")).distinct()
+    t.filter(col("predicate") === DefBrand)
+      .select(col("subject").as("item"), col("obj_value").as("brand"))
+      .join(broadcast(typed), Seq("item"), "left_semi")
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > 1)
+  }
+
+  /** PageRank over the doubling-fixture link graph ([[starEdges]]) —
+    * the canonical iterative graph-analytics workload a triple store
+    * is asked for beyond pattern matching (link analysis over
+    * cross-references). 3 iterations, damping 0.85, EXACT integer
+    * arithmetic throughout: ranks live in ×1e9 fixed point, every
+    * step is integer `div` (both engines replay the identical
+    * division sequence — float summation order could never
+    * hash-match), dangling mass is dropped (documented variant;
+    * deterministic in both engines).
+    *
+    * Scale shape per iteration: contributions are ONE exchange on
+    * `dst` (map-side partial sums) after a src-keyed equi-join of
+    * the rank vector against the degree-annotated edge scan — the
+    * Pregel/GraphX shape exactly; co-partitioning edges and ranks by
+    * key makes the join exchange-free at 100 TB. The iteration count
+    * is fixed and small, so lineage stays O(iterations); a
+    * run-to-convergence variant would checkpoint per round like
+    * [[RdfOps.reachablePlus]]. */
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val scale = 1000000000L
+    val e = starEdges(s, d)
+    val odeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val ed = e.join(odeg, Seq("src"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nCnt = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var pr = nodes.crossJoin(nCnt)
+      .select(col("node"), expr(s"${scale}L div n").as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = ed.join(pr, ed("src") === pr("node"))
+        .select(col("dst"), expr("pr div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        .select(col("dst").as("cnode"), col("contrib"))
+      pr = nodes.crossJoin(nCnt)
+        .join(contrib, col("node") === col("cnode"), "left")
+        .select(col("node"),
+          (expr(s"((${scale}L div n) * 15) div 100") +
+            expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr"))
+    }
+    pr.select(col("node"), col("pr").as("pr_scaled"))
   }
 
   /** SPARQL BIND + string functions —
@@ -1315,6 +1384,53 @@ object RdfQueries {
          |UNION ALL
          |SELECT *, 'removed' AS change FROM (
          |  SELECT * FROM triples EXCEPT SELECT * FROM v2)""".stripMargin,
+
+    "rdf_pagerank" -> {
+      def step(i: Int) =
+        s"""c$i AS (SELECT e.dst AS node,
+           |    CAST(SUM(p.pr // o.odeg) AS BIGINT) AS contrib
+           |  FROM edges e
+           |  JOIN pr${i - 1} p ON p.node = e.src
+           |  JOIN odeg o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |pr$i AS (SELECT nodes.node,
+           |    ((1000000000 // n) * 15) // 100
+           |      + (85 * COALESCE(c$i.contrib, 0)) // 100 AS pr
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+      s"""WITH mxp AS (SELECT max(p_partkey) AS mx FROM part),
+         |edges AS (
+         |  SELECT 'http://ex.org/item/' || p_partkey AS src,
+         |         'http://ex.org/item/' || (p_partkey * 4) AS dst
+         |  FROM part, mxp WHERE p_partkey * 4 <= mx
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || p_partkey,
+         |         'http://ex.org/item/' || (p_partkey // 16)
+         |  FROM part WHERE p_partkey % 16 = 0),
+         |odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (SELECT node, 1000000000 // n AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM pr3""".stripMargin
+    },
+
+    "rdf_group_having" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT b.obj_value AS brand, COUNT(*) AS n_items
+         |FROM triples b
+         |WHERE b.predicate = 'http://ex.org/def#brand'
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = b.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')
+         |GROUP BY b.obj_value
+         |HAVING COUNT(*) > 1""".stripMargin,
 
     "rdf_bind_strfuns" ->
       s"""WITH ${TripleFixture.triplesCte}
