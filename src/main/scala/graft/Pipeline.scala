@@ -429,6 +429,18 @@ object Pipeline {
     }
   }
 
+  /** Public one-pass log fold — the consumer-side primitive shared
+    * by [[compactDelta]] and the streaming CDC subscriber
+    * ([[graft.streaming.CdcStream.startApply]]): fold a slice of the
+    * [[publishDelta]] change log onto an optional base snapshot,
+    * last-change-per-triple-wins (see [[foldLog]] for the shape and
+    * the run-id ordering contract). Idempotent over re-delivered
+    * change rows: a run's rows re-applied onto a base that already
+    * reflects them reproduce the same base — the property both the
+    * compaction retry path and streaming redelivery rely on. */
+  def applyLog(base: Option[DataFrame], changes: DataFrame): DataFrame =
+    foldLog(base, changes)
+
   /** Change-log COMPACTION — caps [[publishDelta]]'s replay debt.
     * Without it a consumer bootstrapping from the log pays one fold
     * per historical run forever (52 after a year of weekly runs); the
