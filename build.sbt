@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (128 GiB box): the 140-query suite's memoized
+  // artifacts (closures, pair tables, span masks, signature stores)
+  // GC-throttle an 8g heap — measured 53.5 s warm / 135.5 s cold at
+  // 8g vs 42.8 / 112.2 at 16g for the identical suite, with
+  // multi-second GC stalls landing on arbitrary tiny queries.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
