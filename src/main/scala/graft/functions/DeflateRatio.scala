@@ -23,34 +23,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * must be thread-safe across concurrent codegen'd tasks, and the
   * allocation is trivially dwarfed by the compression itself.
   *
-  * NOT oracle-mirrored: the byte-exact deflate stream depends on the
-  * zlib build, which the SQL oracle engine does not expose — the
-  * driver records the rows-only check (SURVEY.md §5 discipline for
-  * non-SQL-expressible ops), and the spec pins the semantics with
-  * driver-side recomputation plus monotonicity properties.
+  * Oracle-mirrored via a golden fixture: the byte-exact deflate
+  * stream depends on the zlib build, so the SQL oracle engine cannot
+  * recompute it — instead the query materializes a golden parquet of
+  * `(doc_id, ratio_x1000)` through an INDEPENDENT plain-`Deflater`
+  * replay of this kernel
+  * ([[graft.llm.LlmQueries.compressGoldenPath]]), and the oracle SQL
+  * reads the golden table and re-derives the verdicts relationally.
   *
   * Empty input has no defined ratio → null (the one nullable case;
   * null input propagates as usual).
   */
 object DeflateUtil {
   /** ×1000 deflate ratio of the UTF-8 bytes; -1 signals "no ratio"
-    * (empty input) so the codegen path can branch without boxing. */
+    * (empty input) so the codegen path can branch without boxing.
+    * The native zlib buffer is released on every exit path
+    * (try/finally), including a thrown stall — a `deflate` that makes
+    * no progress on unfinished input is an internal-contract
+    * violation and surfaces as an exception rather than blurring
+    * into the empty-input sentinel. */
   def ratioX1000(s: UTF8String): Long = {
     if (s == null) return -1L
     val raw = s.getBytes
     if (raw.length == 0) return -1L
     val d = new Deflater(6)
-    d.setInput(raw)
-    d.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    var out = 0L
-    while (!d.finished()) {
-      val n = d.deflate(buf)
-      out += n
-      if (n == 0 && !d.finished()) { d.end(); return -1L } // defensive
-    }
-    d.end()
-    out * 1000L / raw.length
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var out = 0L
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        if (n == 0 && !d.finished()) throw new IllegalStateException(
+          s"deflate made no progress on ${raw.length} unfinished bytes")
+        out += n
+      }
+      out * 1000L / raw.length
+    } finally d.end()
   }
 }
 
