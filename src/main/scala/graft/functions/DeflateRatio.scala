@@ -41,7 +41,10 @@ object DeflateUtil {
     * (try/finally), including a thrown stall — a `deflate` that makes
     * no progress on unfinished input is an internal-contract
     * violation and surfaces as an exception rather than blurring
-    * into the empty-input sentinel. */
+    * into the empty-input sentinel. (The stall branch is
+    * untestable-by-construction — zlib always makes progress once
+    * `finish()` is set — so no spec covers it; it exists to turn a
+    * hypothetical infinite loop into a diagnosable failure.) */
   def ratioX1000(s: UTF8String): Long = {
     if (s == null) return -1L
     val raw = s.getBytes

@@ -616,17 +616,95 @@ object LlmQueries {
     * that catches templated/keyword-stuffed text word-level
     * repetition counters miss. Pure map-side scan, the expression
     * inside whole-stage codegen; at 100 TB this rides the same
-    * single corpus pass as the other hygiene filters. NO oracle
-    * entry by design: the deflate byte stream is zlib-build-specific
-    * (driver records the rows-only check); semantics are pinned by
-    * DeflateRatioSpec instead. */
-  def compressRatio(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
+    * single corpus pass as the other hygiene filters.
+    *
+    * Oracle-mirrored via a GOLDEN FIXTURE: the deflate byte stream is
+    * zlib-build-specific, so the SQL engine cannot recompute it —
+    * instead this query first materializes (memoized, once per
+    * snapshot) a golden parquet of `(doc_id, text_sha, ratio_x1000)`
+    * through [[compressGoldenPath]], an INDEPENDENT plain-JVM
+    * `Deflater` replay of the kernel (different buffering mechanics,
+    * no Catalyst involvement), and the oracle SQL joins `documents`
+    * to the golden table on `(doc_id, sha256(text))` and re-derives
+    * the verdicts relationally. The content-hash join key makes the
+    * fixture self-selecting: goldens for several snapshots can
+    * coexist under one glob and only the matching corpus's rows
+    * join (identical cross-snapshot matches collapse under
+    * `DISTINCT` because the ratio is a pure function of the text).
+    *
+    * Verdicts branch on NULL text BEFORE the empty case — a missing
+    * document and a zero-length one are different data-quality
+    * signals ('null' vs 'empty'); both have no defined ratio. */
+  def compressRatio(s: SparkSession, d: String): DataFrame = {
+    compressGoldenPath(s, d) // materialize the oracle fixture
+    compressRatioOf(docs(s, d))
+  }
+
+  /** The de-memoized core of [[compressRatio]] over an arbitrary
+    * `(doc_id, text)` frame — separated so specs can drive the
+    * verdict branches (null vs empty vs repetitive) on crafted
+    * corpora without a snapshot directory. */
+  private[graft] def compressRatioOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), col("text"),
       graft.functions.DeflateRatio(col("text")).as("ratio_x1000"))
       .withColumn("verdict",
-        when(col("ratio_x1000").isNull, lit("empty"))
+        when(col("text").isNull, lit("null"))
+          .when(col("ratio_x1000").isNull, lit("empty"))
           .when(col("ratio_x1000") < 300, lit("repetitive"))
           .otherwise(lit("ok")))
+      .drop("text")
+
+  /** Builds (once per snapshot, memoized) and returns the golden
+    * deflate fixture for [[compressRatio]]'s oracle: parquet rows
+    * `(doc_id, text_sha, ratio_x1000)` where `text_sha` is the
+    * lowercase-hex sha256 of the raw text (DuckDB's `sha256()`
+    * spelling) and `ratio_x1000` is recomputed by a plain
+    * `java.util.zip.Deflater` loop that shares NOTHING with the
+    * Catalyst expression but the kernel definition (level 6,
+    * `out*1000/raw_len`): a fixed 512-byte output buffer drained
+    * incrementally, versus the expression's single sized buffer —
+    * the compressed byte COUNT is invariant to output chunking, so
+    * agreement pins the expression, not the plumbing. Null and
+    * empty texts carry a null ratio (no defined ratio). */
+  private[graft] def compressGoldenPath(s: SparkSession, d: String): String =
+    indexBuildLock.synchronized {
+      val path = s"${storedIndexPath(d)}/compress-golden"
+      SnapshotMemo.getOrCompute(s, s"compress-golden:$d") {
+        import s.implicits._
+        docs(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            it.map { case (id, text) =>
+              if (text == null) (id, null: String, None: Option[Long])
+              else {
+                val raw = text.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
+                md.reset()
+                val sha = md.digest(raw)
+                  .map(b => f"${b & 0xff}%02x").mkString
+                val ratio =
+                  if (raw.isEmpty) None
+                  else {
+                    val defl = new java.util.zip.Deflater(6)
+                    try {
+                      defl.setInput(raw)
+                      defl.finish()
+                      val buf = new Array[Byte](512)
+                      var out = 0L
+                      while (!defl.finished()) out += defl.deflate(buf)
+                      Some(out * 1000L / raw.length)
+                    } finally defl.end()
+                  }
+                (id, sha, ratio)
+              }
+            }
+          }.toDF("doc_id", "text_sha", "ratio_x1000")
+          .write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      path
+    }
 
   /** sha256 of the normalized (lowercased, whitespace-collapsed)
     * text — THE exact-dedup key, one definition for the batch query
@@ -3097,6 +3175,27 @@ object LlmQueries {
        |  FROM sem)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // Golden-fixture oracle (see compressRatio's doc): DuckDB cannot
+    // recompute a zlib byte stream, so it reads the independently-
+    // replayed golden parquet and re-derives the verdicts
+    // relationally. The (doc_id, sha256(text)) join key self-selects
+    // the matching snapshot's golden rows out of the glob; DISTINCT
+    // collapses identical cross-snapshot matches (the ratio is a
+    // pure function of the text). Absolute path resolved at
+    // Verify-dump time, so DuckDB's working directory is irrelevant.
+    "llm_compress_ratio" -> {
+      val glob = new java.io.File("target/graft-stored-index")
+        .getAbsolutePath + "/*/compress-golden/*.parquet"
+      s"""SELECT DISTINCT d.doc_id, g.ratio_x1000,
+         |  CASE WHEN d.text IS NULL THEN 'null'
+         |       WHEN length(d.text) = 0 THEN 'empty'
+         |       WHEN g.ratio_x1000 < 300 THEN 'repetitive'
+         |       ELSE 'ok' END AS verdict
+         |FROM documents d
+         |LEFT JOIN read_parquet('$glob') g
+         |  ON d.doc_id = g.doc_id AND sha256(d.text) = g.text_sha""".stripMargin
+    },
+
     "llm_dedup_exact" ->
       s"""WITH $wCte
          |SELECT sha256(array_to_string(ws, ' ')) AS dedup_key,

@@ -25,22 +25,23 @@ import graft.queries.Exact._
 object EventsStream {
 
   /** Streaming read of the driver's events parquet (file source).
-    * `ts` is parquet TIMESTAMP(NANOS): with the session's
-    * `nanosAsLong` conf it reads as LongType and is floor-truncated
-    * to µs — the identical transform `graft.Tables.events` applies on
-    * the batch side, so stream and batch agree bit-for-bit. */
+    * The stream source needs a user-supplied schema, and `ts` may be
+    * physically TIMESTAMP(NANOS) (→ LongType under the session's
+    * `nanosAsLong` conf) or TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ)
+    * depending on the snapshot writer — so the schema is probed from
+    * the files once (driver-side footer read, no data scan) and the
+    * ts normalization is the SAME `graft.Tables.normalizeTs` the
+    * batch reader applies, so stream and batch agree bit-for-bit. */
   def readEvents(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // glob (not a literal file path) so the file source resolves its
     // basePath to the directory, as it requires
-    spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events.*"))
   }
 
   /** Streaming exact dedup on event_id — the incremental form of the

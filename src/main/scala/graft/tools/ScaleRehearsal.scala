@@ -66,8 +66,9 @@ object ScaleRehearsal {
       out: String): Unit = {
     val reps = spark.range(0, 10).toDF("rep")
     keyShifts.foreach { case (table, keys) =>
-      // raw read (no Tables.events ts conversion): with nanosAsLong
-      // set, events.ts loads as a plain long and writes back as one
+      // raw read (no Tables.events ts conversion): ts passes through
+      // in its physical type (nanos-as-long or µs NTZ) and writes
+      // back unchanged; readers normalize via Tables.normalizeTs
       val src = spark.read.parquet(s"$srcDir/$table.parquet")
       val shifted = src.crossJoin(reps)
         .select(src.columns.map { c =>

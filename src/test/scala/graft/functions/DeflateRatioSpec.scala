@@ -59,4 +59,42 @@ class DeflateRatioSpec extends AnyFunSuite {
     assert(rows.forall(r => Set("ok", "repetitive", "empty")
       .contains(r.getAs[String]("verdict"))))
   }
+
+  test("golden fixture (independent Deflater replay) == engine on the " +
+      "live corpus, and the sha key matches the raw text") {
+    val d = "/root/testdata/sf0.001"
+    val goldenPath = graft.llm.LlmQueries.compressGoldenPath(s, d)
+    val golden = s.read.parquet(goldenPath)
+    val engine = graft.llm.LlmQueries.queries("llm_compress_ratio")(s, d)
+    val joined = engine.as("e")
+      .join(golden.as("g"), $"e.doc_id" === $"g.doc_id", "full")
+      .select($"e.doc_id", $"e.ratio_x1000".as("er"),
+        $"g.ratio_x1000".as("gr")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(!r.isNullAt(0), "golden row with no engine twin")
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"null disagreement at doc ${r.get(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2),
+          s"ratio disagreement at doc ${r.get(0)}")
+    }
+    // the oracle's join key: golden sha == sha256 of the raw text
+    val docs = s.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id", "sha2(text, 256) AS sp")
+    val mism = golden.join(docs, "doc_id")
+      .filter($"text_sha" =!= $"sp").count()
+    assert(mism == 0, "golden text_sha diverges from sha256(text)")
+  }
+
+  test("verdict branches: null text vs empty text vs repetitive vs ok") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "spam spam spam spam " * 200),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.LlmQueries.compressRatioOf(df)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(got == Map(1L -> "null", 2L -> "empty",
+      3L -> "repetitive", 4L -> "ok"))
+  }
 }
