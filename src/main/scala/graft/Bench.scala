@@ -77,10 +77,29 @@ object Bench {
       case c => c.toString
     } + "\""
 
-  /** The one-line bench JSON. Includes the host's 1-minute load average
-    * so a contention-inflated artifact is self-diagnosing (BASELINE.md
-    * documents several rounds where ambient driver load, not plan
-    * changes, moved the numbers). */
+  /** Environment block embedded in every artifact so a stall-band run
+    * is identifiable by inspection alone: the host's 1-minute load
+    * average (ambient contention), the JVM's max heap (an
+    * under-provisioned heap shows up here, not in a plan diff), and
+    * cumulative GC time/count since JVM start (a GC-excursion run
+    * carries tens of seconds here where a clean run carries ~1-2 s).
+    * BASELINE.md documents three rounds where these — not plan
+    * changes — moved the numbers and had to be re-litigated by hand. */
+  private def envJson(): String = {
+    import java.lang.management.ManagementFactory
+    val load = ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    val maxHeap = Runtime.getRuntime.maxMemory
+    var gcMs = 0L
+    var gcN = 0L
+    ManagementFactory.getGarbageCollectorMXBeans.forEach { b =>
+      if (b.getCollectionTime > 0) gcMs += b.getCollectionTime
+      if (b.getCollectionCount > 0) gcN += b.getCollectionCount
+    }
+    s""""load_avg_1m":$load,"max_heap_bytes":$maxHeap,"gc_ms":$gcMs,"gc_count":$gcN"""
+  }
+
+  /** The one-line bench JSON, self-diagnosing via [[envJson]]. */
   def renderJson(runs: Seq[QueryRun], sfDir: String): String = {
     val qs = runs.map(r => jsonStr(r.name) + ":" + r.sec)
       .mkString("{", ",", "}")
@@ -88,9 +107,7 @@ object Bench {
       .map(r => jsonStr(r.name) + ":" + jsonStr(r.err.get))
       .mkString("{", ",", "}")
     val total = runs.map(_.sec).sum
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_1m":$load,"sf":${jsonStr(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,${envJson()},"sf":${jsonStr(sfDir)}}"""
   }
 
   /** The steady-state one-liner: headline = sum of warm medians;
@@ -116,9 +133,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(warmMedian).sum
     val totalCold = ok.map(_.coldSec).sum
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady","warm_reps":$warmReps,"total_cold":$totalCold,"queries":$qs,"cold":$cold,"errors":$errs,"load_avg_1m":$load,"sf":${jsonStr(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady","warm_reps":$warmReps,"total_cold":$totalCold,"queries":$qs,"cold":$cold,"errors":$errs,${envJson()},"sf":${jsonStr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {

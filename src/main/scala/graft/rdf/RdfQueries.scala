@@ -384,18 +384,49 @@ object RdfQueries {
         col("obj_value") === CeoRijksmonument)
       .select(col("subject").as("src")).distinct()
 
-  /** The `p+` pair closure of the doubling fixture, MATERIALIZED
-    * once per (session, dir) — the stored-closure artifact a triple
-    * store maintains for a hot path predicate (the same discipline
-    * as the llm family's memoized pair/signature artifacts:
-    * candidate generation runs once, every consumer reads it).
-    * [[reachableStarQ]] and the incremental maintenance query both
-    * consume it — the latter's whole premise is that the closure is
-    * STORED, not rebuilt. */
+  /** Serialized-block local checkpoint — the storage discipline for
+    * big memoized artifacts (same contract as the llm family's
+    * `chkSer`): MEMORY_AND_DISK_SER keeps a closure-scale pair table
+    * from pinning deserialized row objects in the driver-sized heap
+    * of a single-shot cold run, at a bounded one-time ser/deser CPU
+    * cost per consumer. */
+  private def chkSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** The FULL `p+` pair closure of the doubling fixture — walked
+    * once per (session, dir) from EVERY edge source, the shared base
+    * artifact all doubling-graph closures filter from: the seeded
+    * closure ([[starClosure]]) is a semi-join on the seed set, the
+    * mid-seeded sequence closure ([[pathSeqPlus]]) the same on the
+    * mids, and the inverse closure ([[pathInvPlus]]) its transpose
+    * ((^p)+ ≡ ^(p+), a projection swap). ONE fixpoint walk on a cold
+    * session where the three queries previously paid three.
+    *
+    * Full (all-sources) vs seeded size: the doubling orbit of node k
+    * is O(log(max/k)), and Σ_k log(max/k) = O(N) — the full closure
+    * is LINEAR in the node count, so walking every source costs the
+    * same O(pairs) the stored-closure discipline already accepts;
+    * derived filters are then shuffle-free broadcast semi-joins. */
+  private def fullClosure(s: SparkSession, d: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(s, s"full-closure:$d") {
+      val e = starEdges(s, d)
+      chkSer(RdfOps.reachablePlus(e, e.select(col("src")).distinct())
+        .select(col("src"), col("dst")))
+    }
+
+  /** The SEEDED `p+` pair closure — the stored-closure artifact a
+    * triple store maintains for a hot path predicate (the same
+    * discipline as the llm family's memoized pair/signature
+    * artifacts: candidate generation runs once, every consumer reads
+    * it). [[reachableStarQ]] and the incremental maintenance query
+    * both consume it — the latter's whole premise is that the
+    * closure is STORED, not rebuilt. Derived from [[fullClosure]] by
+    * a broadcast semi-join on the dimension-scale seed set. */
   private def starClosure(s: SparkSession, d: String): DataFrame =
     graft.SnapshotMemo.getOrCompute(s, s"star-closure:$d")(
-      RdfOps.reachablePlus(starEdges(s, d), starSeeds(s, d))
-        .select(col("src"), col("dst")).localCheckpoint())
+      chkSer(fullClosure(s, d)
+        .join(broadcast(starSeeds(s, d)), Seq("src"), "left_semi")))
 
   /** The stored `p+` closure artifact, exposed so the scale
     * rehearsal ([[graft.tools.ScaleRehearsal]]) can measure its
@@ -729,10 +760,11 @@ object RdfQueries {
     // the union edge set is a per-snapshot artifact, built once and
     // read by every subsequent evaluation — a store that answers
     // (p1|p2)+ repeatedly materializes that closure exactly like a
-    // single-predicate one
+    // single-predicate one. (Own edge set ⇒ own walk: the ×3/×5
+    // lattice shares nothing with [[fullClosure]]'s doubling graph.)
     graft.SnapshotMemo.getOrCompute(s, s"alt-plus-closure:$d")(
-      RdfOps.reachablePlus(tri3.union(pent), starSeeds(s, d))
-        .select(col("src"), col("dst")).localCheckpoint())
+      chkSer(RdfOps.reachablePlus(tri3.union(pent), starSeeds(s, d))
+        .select(col("src"), col("dst"))))
   }
 
   /** SPARQL composed path `(^def:quad)+` — INVERSE UNDER CLOSURE.
@@ -743,14 +775,17 @@ object RdfQueries {
     * back-edge inverses, so it has real cycles of its own
     * (j → 16j → 4j → j) and the walk's termination-on-cycles is
     * exercised in the inverse direction too. */
-  private def pathInvPlus(s: SparkSession, d: String): DataFrame = {
-    val inv = starEdges(s, d)
-      .select(col("dst").as("src"), col("src").as("dst"))
+  private def pathInvPlus(s: SparkSession, d: String): DataFrame =
     // per-snapshot stored closure, same discipline as [[starClosure]]
+    // — and derived, not walked: (^p)+ from the seeds is the
+    // TRANSPOSE of the full forward closure restricted to seed
+    // sources ({(s,d) : d →+ s}), so the shared [[fullClosure]]
+    // artifact answers it with a projection swap + broadcast
+    // semi-join, no second fixpoint.
     graft.SnapshotMemo.getOrCompute(s, s"inv-plus-closure:$d")(
-      RdfOps.reachablePlus(inv, starSeeds(s, d))
-        .select(col("src"), col("dst")).localCheckpoint())
-  }
+      chkSer(fullClosure(s, d)
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .join(broadcast(starSeeds(s, d)), Seq("src"), "left_semi")))
 
   /** SPARQL composed path `def:succ/def:quad+` — SEQUENCE INTO
     * CLOSURE. The closure's SEED SET is derived from step-1's
@@ -773,13 +808,17 @@ object RdfQueries {
         concat(lit(item), col("k") + 1).as("mid"))
       .join(starSeeds(s, d), Seq("src"), "left_semi")
     val mids = succ.select(col("mid").as("src")).distinct()
-    // the mid-seeded closure is the expensive leg — store it per
-    // snapshot ([[starClosure]] discipline); the final equi-join
-    // stays live so the query still exercises the assembly
+    // the mid-seeded closure is the expensive leg — stored per
+    // snapshot ([[starClosure]] discipline) and DERIVED from the
+    // shared [[fullClosure]] base by a semi-join on the mids (a mid
+    // with no outgoing doubling edge has an empty orbit either way);
+    // the final equi-join stays live so the query still exercises
+    // the assembly
     val closure = graft.SnapshotMemo.getOrCompute(s,
       s"seq-plus-closure:$d")(
-      RdfOps.reachablePlus(starEdges(s, d), mids)
-        .select(col("src").as("mid"), col("dst")).localCheckpoint())
+      chkSer(fullClosure(s, d)
+        .join(broadcast(mids), Seq("src"), "left_semi")
+        .select(col("src").as("mid"), col("dst"))))
     succ.join(closure, Seq("mid"))
       .select(col("src"), col("dst")).distinct()
   }
