@@ -133,7 +133,27 @@ object RdfQueries {
     // the inner aggregate — the bounded top-k shape
     // (TakeOrderedAndProject), never a full sort.
     "rdf_subquery_topn" -> ((s, d) => subqueryTopN(s, d)),
+    // The TEXT front-end ([[SparqlSelect]]): a query STRING parsed
+    // and compiled into the same star-pivot shape the hand-built
+    // forms use — prefixes, ';' predicate lists, OPTIONAL, FILTER
+    // all exercised. SparqlSelectSpec proves plan-identity with the
+    // hand-built twins via sameResult.
+    "rdf_sparql_select" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlSelectQuery)),
   )
+
+  /** The canonical front-end query for `rdf_sparql_select` — the
+    * star + OPTIONAL + numeric-FILTER shape, as a STRING. */
+  val sparqlSelectQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?title ?template ?part_size
+      |WHERE {
+      |  ?item a ceo:Rijksmonument ;
+      |        dcterms:title ?title ;
+      |        def:size ?part_size .
+      |  OPTIONAL { ?item o:resource_template ?template }
+      |  FILTER(?part_size >= 10)
+      |}""".stripMargin
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
@@ -231,7 +251,7 @@ object RdfQueries {
     * one simply doesn't get one. The oracle spells it as the naive
     * join + LEFT JOIN, again structurally independent. Pivot-based:
     * functional-property caveat + guard at [[bgpStar]]. */
-  private def bgpOptional(s: SparkSession, d: String): DataFrame = {
+  private[rdf] def bgpOptional(s: SparkSession, d: String): DataFrame = {
     val p = col("predicate")
     tri(s, d).groupBy(col("subject"))
       .agg(
@@ -1149,6 +1169,25 @@ object RdfQueries {
          |FROM triples ty
          |JOIN triples ti ON ti.subject = ty.subject
          |  AND ti.predicate = '$DctermsTitle'
+         |LEFT JOIN triples tpl ON tpl.subject = ty.subject
+         |  AND tpl.predicate = '$OmekaResourceTemplate'
+         |WHERE ty.predicate = '$RdfType'
+         |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
+
+    // Oracle for the TEXT front-end's canonical query: the naive
+    // self-join spelling (structurally independent of the engine's
+    // pivot), OPTIONAL as LEFT JOIN, the numeric FILTER as TRY_CAST.
+    "rdf_sparql_select" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT ty.subject AS item, ti.obj_value AS title,
+         |  tpl.obj_value AS template,
+         |  CAST(z.obj_value AS INT) AS part_size
+         |FROM triples ty
+         |JOIN triples ti ON ti.subject = ty.subject
+         |  AND ti.predicate = '$DctermsTitle'
+         |JOIN triples z ON z.subject = ty.subject
+         |  AND z.predicate = 'http://ex.org/def#size'
+         |  AND TRY_CAST(z.obj_value AS INT) >= 10
          |LEFT JOIN triples tpl ON tpl.subject = ty.subject
          |  AND tpl.predicate = '$OmekaResourceTemplate'
          |WHERE ty.predicate = '$RdfType'

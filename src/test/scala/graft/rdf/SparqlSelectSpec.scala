@@ -1,0 +1,136 @@
+package graft.rdf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import Vocab._
+
+/** The SPARQL text front-end's contract: a parsed query string plans
+  * IDENTICALLY to its hand-built DataFrame twin — proven with
+  * `optimizedPlan.sameResult` (canonicalized plan equality: same
+  * operators, same exchanges, alias/exprId differences normalized),
+  * plus schema-name and result equality. Five canonical strings
+  * cover the grammar: star pivot, star + constant-object flag,
+  * OPTIONAL, chain join (non-star), single-scan FILTER + LIMIT. */
+class SparqlSelectSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+  import s.implicits._
+
+  private def t: DataFrame = TripleFixture.triples(s, d)
+
+  private def assertTwin(compiled: DataFrame, hand: DataFrame): Unit = {
+    assert(compiled.schema.fieldNames.sameElements(hand.schema.fieldNames),
+      s"schema mismatch: ${compiled.schema.fieldNames.mkString(",")} vs " +
+        hand.schema.fieldNames.mkString(","))
+    assert(compiled.queryExecution.optimizedPlan
+      .sameResult(hand.queryExecution.optimizedPlan),
+      "compiled plan is not the hand-built plan:\n" +
+        compiled.queryExecution.optimizedPlan.toString + "\nvs\n" +
+        hand.queryExecution.optimizedPlan.toString)
+  }
+
+  test("1: star BGP with numeric FILTER == hand-built bgpStarOf") {
+    val compiled = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?item ?title ?monument_number ?part_size
+        |WHERE {
+        |  ?item a ceo:Rijksmonument ;
+        |        dcterms:title ?title ;
+        |        ceo:rijksmonumentnummer ?monument_number ;
+        |        def:size ?part_size .
+        |  FILTER(?part_size >= 25)
+        |}""".stripMargin)
+    val hand = RdfQueries.bgpStarOf(t)
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+  }
+
+  test("2: OPTIONAL pattern == hand-built bgpOptional") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?item ?title ?template
+        |WHERE {
+        |  ?item a ceo:Rijksmonument ;
+        |        dcterms:title ?title .
+        |  OPTIONAL { ?item o:resource_template ?template }
+        |}""".stripMargin)
+    val hand = RdfQueries.bgpOptional(s, d)
+    assertTwin(compiled, hand)
+    val c = compiled.collect().map(_.toSeq).toSet
+    assert(c === hand.collect().map(_.toSeq).toSet && c.nonEmpty)
+  }
+
+  test("3: chain join (two subject vars) == hand-built join form") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?ptr ?item
+        |WHERE {
+        |  ?ptr dcterms:relation ?item .
+        |  ?item a ceo:Rijksmonument .
+        |}""".stripMargin)
+    val hand = {
+      val rel = t.filter(col("predicate") === DctermsRelation)
+        .select(col("subject").as("ptr"), col("obj_value").as("item"))
+      val typed = t.filter(col("predicate") === RdfType &&
+          col("obj_value") === CeoRijksmonument)
+        .select(col("subject").as("item"))
+      rel.join(typed, Seq("item")).select(col("ptr"), col("item"))
+    }
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+  }
+
+  test("4: single-pattern scan with string FILTER and LIMIT") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?item ?pub
+        |WHERE { ?item o:is_public ?pub . FILTER(?pub = "true") }
+        |LIMIT 50""".stripMargin)
+    val hand = t.filter(col("predicate") === OmekaIsPublic)
+      .select(col("subject").as("item"), col("obj_value").as("pub"))
+      .filter(col("pub") === "true")
+      .limit(50)
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+  }
+
+  test("5: SELECT * star with constant-object flag == hand pivot") {
+    val compiled = SparqlSelect(t,
+      """SELECT *
+        |WHERE { ?item a ceo:Rijksmonument ;
+        |        ceo:rijksmonumentnummer ?m . }""".stripMargin)
+    val hand = {
+      val p = col("predicate")
+      t.groupBy(col("subject"))
+        .agg(
+          max(when(p === RdfType && col("obj_value") === CeoRijksmonument, 1)
+            .otherwise(0)).as("_m0"),
+          min(when(p === CeoRijksmonumentnummer, col("obj_value"))).as("m"))
+        .filter(col("_m0") === 1 && col("m").isNotNull)
+        .select(col("subject").as("item"), col("m"))
+    }
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+  }
+
+  test("the registered rdf_sparql_select query parses, runs, and keeps " +
+      "OPTIONAL rows null where the template is absent") {
+    val df = RdfQueries.queries("rdf_sparql_select")(s, d)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("item", "title", "template", "part_size"))
+    assert(df.count() > 0)
+    assert(df.schema("part_size").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("parser rejects malformed queries with a diagnostic") {
+    val bad = Seq(
+      "SELECT ?x WHERE { ?x }",                     // incomplete pattern
+      "SELECT ?x WHERE { ?x unknownpfx:y ?z }",     // undeclared prefix
+      "SELECT ?x WHERE { }",                        // empty group
+      "SELECT ?x WHERE { ?a dcterms:title ?t }")    // unbound select var
+    bad.foreach { q =>
+      assertThrows[IllegalArgumentException](SparqlSelect(t, q))
+    }
+  }
+}
