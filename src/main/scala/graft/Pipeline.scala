@@ -351,6 +351,7 @@ object Pipeline {
     val spark = result.triples.sparkSession
     val next = result.triples.localCheckpoint()
     try {
+      healSwap(spark, snapshotPath)
       val prev =
         try Some(spark.read.parquet(snapshotPath))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -365,7 +366,7 @@ object Pipeline {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("run_id")
         .parquet(changesPath)
-      next.write.mode("overwrite").parquet(snapshotPath)
+      atomicReplace(next, snapshotPath)
     } finally {
       org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(next)
     }
@@ -392,6 +393,50 @@ object Pipeline {
       path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** ATOMIC-SWAP snapshot publish: write `df` to `<path>.tmp`, then
+    * swap directories by rename — the live snapshot at `path` is
+    * either the complete old version or the complete new one at
+    * every instant a reader can list it; a crash mid-WRITE only ever
+    * corrupts the `.tmp` staging dir (the in-place `overwrite` this
+    * replaces deletes the live directory first, so a crash there
+    * destroys the snapshot — the hazard flagged for the CDC
+    * mirror). The one unguarded window is between the two renames
+    * (old → `.old`, `.tmp` → live), which is two metadata ops, not a
+    * data write; [[healSwap]] makes even that window self-healing on
+    * the next access. Renames are atomic on HDFS and on POSIX local
+    * filesystems; object stores without atomic rename need a
+    * manifest/pointer layer instead. */
+  def atomicReplace(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(dest)) fs.rename(dest, old)
+    fs.rename(tmp, dest)
+    fs.delete(old, true)
+  }
+
+  /** Recovery for [[atomicReplace]]'s rename window: if the live
+    * directory is missing but the `.old` backup exists (a crash
+    * landed between the two renames), restore the backup; drop any
+    * stale staging dir. Call before reading or re-publishing a
+    * swap-maintained snapshot. SINGLE-WRITER discipline: healSwap
+    * deletes the staging dir, so it must not race an in-flight
+    * [[atomicReplace]] — callers here (publisher, compactor, the
+    * CDC mirror's foreachBatch) all serialize writer turns. No-op
+    * in the healthy state. */
+  def healSwap(spark: SparkSession, path: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!fs.exists(dest) && fs.exists(old)) fs.rename(old, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".tmp"), true)
+  }
 
   /** Fold a slice of the [[publishDelta]] change log onto a base
     * snapshot in ONE pass: per triple, the change with the highest
@@ -470,11 +515,12 @@ object Pipeline {
   private def compactLog(spark: SparkSession, log: DataFrame,
       changesPath: String, basePath: String, upToRun: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
+    healSwap(spark, basePath)
     val folded = foldLog(readOptional(spark, basePath),
       log.filter(col("run_id").cast("string") <= lit(upToRun)))
       .localCheckpoint()
     try {
-      folded.write.mode("overwrite").parquet(basePath)
+      atomicReplace(folded, basePath)
       val root = new org.apache.hadoop.fs.Path(changesPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(root).foreach { st =>
