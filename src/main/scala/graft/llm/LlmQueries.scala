@@ -1666,24 +1666,48 @@ object LlmQueries {
     * "how much of this doc is new text" signal a mixing/curation
     * pass reads next to the repetition and quality scores (low
     * novelty ≈ boilerplate or near-dup tail that slipped past
-    * doc-level dedup). Three exchanges, all key-bounded (plan
-    * audited at sf0.1): the (doc, hash) distinct, then corpus-wide
-    * doc frequency as an unordered count window riding ONE shuffle
-    * on the hash (no second scan, no self-join), then the per-doc
-    * rollup on doc_id. Docs with < 3 tokens have no shingles and no
+    * doc-level dedup). Docs with < 3 tokens have no shingles and no
     * row — in both engines. */
-  def novelty(s: SparkSession, d: String): DataFrame = {
-    val dd = tokenized(s, d)
+  def novelty(s: SparkSession, d: String): DataFrame =
+    noveltyOf(tokenized(s, d))
+
+  /** The novelty plan over any `(doc_id, w: array<string>)` frame —
+    * SKEW-PROOF BY SHAPE. The doc frequency is NOT a window
+    * partitioned by shingle hash (one dominant boilerplate shingle
+    * would send its entire positional row set to a single reducer —
+    * window state has no map-side combine); it's a two-phase HASH
+    * AGGREGATE on the hash, whose partial step collapses the
+    * dominant key to one row per map task before the exchange, so
+    * per-reducer input is bounded by O(map tasks), not by the hot
+    * key's row count. And because a df=1 shingle belongs to exactly
+    * one document, the partial can carry `min(doc_id)` along and the
+    * unique-per-doc rollup re-keys the df=1 rows by that owner — no
+    * join back on the skewed hash at all. Exchanges: the (doc, hash)
+    * distinct, the hash agg (same key, AQE-reusable), and two
+    * doc-keyed rollups unioned into the final doc-keyed join —
+    * every post-shingle key is either combine-collapsed or the
+    * well-distributed doc_id. (Adversarial one-dominant-shingle
+    * corpus: NoveltySkewSpec.) */
+  private[llm] def noveltyOf(toks: DataFrame): DataFrame = {
+    val dd = toks
       .select(col("doc_id"), explode(expr(shingle3Expr)).as("sg"))
       .withColumn("h", md5(col("sg")))
       .select(col("doc_id"), col("h")).distinct()
-    dd.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        floor(lit(1000.0) * col("n_unique") / col("n_shingles"))
-          .as("novelty_x1000"))
+    // (h, df, owner-if-unique): partial count + partial min combine
+    // map-side; rows are distinct per (doc, h) so min(doc_id) IS the
+    // only holder whenever df = 1
+    val uniqueOwned = dd.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    dd.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(uniqueOwned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        floor(lit(1000.0) * coalesce(col("n_unique"), lit(0L)) /
+          col("n_shingles")).as("novelty_x1000"))
   }
 
   /** Width (tokens) of the duplicated-substring detection gram —
