@@ -67,6 +67,7 @@ object LlmQueries {
     "llm_novelty" -> novelty,
     "llm_dup_spans" -> dupSpans,
     "llm_span_dedup_keep" -> spanDedupKeep,
+    "llm_span_incremental" -> spanIncremental,
     "llm_winnow" -> winnow,
     "llm_split_assign" -> splitAssign,
     "llm_length_buckets" -> lengthBuckets,
@@ -1738,10 +1739,7 @@ object LlmQueries {
     * a span-dedup pass feeds on; docs with no duplicated window have
     * no row, in both engines. */
   def dupSpans(s: SparkSession, d: String): DataFrame =
-    spanTable(s, d).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("ep") - col("sp") + 1).as("dup_tokens"),
-        max(col("ep") - col("sp") + 1).cast("bigint").as("max_span"))
+    spanRollup(spanTable(s, d))
 
   /** The (doc_id, sp, ep) maximal-duplicated-span table both span
     * queries consume — see [[dupSpans]] for the chain's plan story.
@@ -1755,21 +1753,108 @@ object LlmQueries {
       chkSer(computeSpanTable(s, d)))
 
   private def computeSpanTable(s: SparkSession, d: String): DataFrame = {
-    val grams = tokenized(s, d)
-      .select(col("doc_id"), posexplode(expr(
-        s"CASE WHEN size(w) >= $spanK THEN " +
-          s"transform(sequence(0, size(w) - $spanK), " +
-          s"i -> md5(array_join(slice(w, i + 1, $spanK), ' '))) " +
-          "ELSE array() END")).as(Seq("p", "h")))
+    val grams = posGramsOf(tokenized(s, d))
     val dup = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    val dupPos = grams.join(dup.select("h"), Seq("h"), "left_semi")
-    val isl = dupPos.withColumn("isl",
-      col("p") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
-    isl.groupBy(col("doc_id"), col("isl"))
+    islandsToSpans(
+      grams.join(dup.select("h"), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("p")))
+  }
+
+  /** Positional spanK-gram hashes of a `(doc_id, w)` tokenized frame
+    * — `(doc_id, p, h)`, the unit every span operator keys on. */
+  private def posGramsOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), posexplode(expr(
+      s"CASE WHEN size(w) >= $spanK THEN " +
+        s"transform(sequence(0, size(w) - $spanK), " +
+        s"i -> md5(array_join(slice(w, i + 1, $spanK), ' '))) " +
+        "ELSE array() END")).as(Seq("p", "h")))
+
+  /** Gaps-and-islands: duplicated gram START positions →
+    * `(doc_id, sp, ep)` maximal covered spans (consecutive starts
+    * collapse via the p − row_number island key; a duplicated run of
+    * m ≥ k tokens is m−k+1 consecutive starts → one island covering
+    * m tokens). */
+  private def islandsToSpans(dupPos: DataFrame): DataFrame =
+    dupPos.withColumn("isl",
+        col("p") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("p")).as("sp"),
         (max(col("p")) + lit(spanK - 1)).as("ep"))
+
+  /** Per-doc rollup of a span table — the [[dupSpans]] output
+    * schema, shared with the incremental and streaming forms. */
+  private def spanRollup(spans: DataFrame): DataFrame =
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ep") - col("sp") + 1).as("dup_tokens"),
+        max(col("ep") - col("sp") + 1).cast("bigint").as("max_span"))
+
+  /** The stored span-gram index for snapshot `d`: the DISTINCT
+    * positional-gram hashes of the BASE corpus (everything except
+    * the arriving shard), persisted once — the "seen grams" artifact
+    * an incremental span-dedup pass maintains between ingests.
+    * Hash-only (16 bytes per distinct gram): token-scale in row
+    * count but never carries text; at 100 TB it's bucket-partitioned
+    * by `h` so probes co-locate. Built under [[indexBuildLock]]
+    * (overwrites a directory) and READ BACK from parquet — probes
+    * consume the artifact, not the lineage. */
+  private[llm] def storedSpanGramsPath(s: SparkSession, d: String): String = {
+    val path = s"${storedIndexPath(d)}/span-grams"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"span-grams:$d") {
+        posGramsOf(docs(s, d).filter(!expr(arrivingShardPred))
+            .select(col("doc_id"), tokenExpr.as("w")))
+          .select("h").distinct()
+          .write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      path
+    }
+  }
+
+  /** Pure index-probe span stats for a `(doc_id, text, ...)` batch
+    * against a stored gram set: positions whose gram EXISTS in the
+    * index → islands → per-doc span rollup. The probe carries the
+    * stored-index asymmetry ([[DedupIndex.probe]]): the arriving
+    * batch's grams broadcast against the corpus-scale index SCAN
+    * (map-side inner join — a semi-join would need the corpus side
+    * broadcast instead), the matched position set is batch-sized,
+    * and everything after is keyed by doc_id. Shared by the batch
+    * incremental query and the streaming twin
+    * ([[graft.streaming.DocsStream.startSpanProbe]]). */
+  def spanProbe(docsDf: DataFrame, gramIndex: DataFrame): DataFrame =
+    spanRollup(islandsToSpans(
+      gramIndex.join(
+          broadcast(posGramsOf(
+            docsDf.select(col("doc_id"), tokenExpr.as("w")))),
+          Seq("h"))
+        .select(col("doc_id"), col("p"))))
+
+  /** INCREMENTAL span-level dedup — the cross-snapshot form of
+    * [[dupSpans]]: the arriving shard's positions are duplicated iff
+    * their gram exists in the STORED base-corpus gram index
+    * ([[storedSpanGramsPath]]) OR occurs twice within the shard
+    * itself — which is exactly "occurs ≥ 2 times in the full
+    * corpus" restricted to arriving positions, so the oracle is the
+    * from-scratch full-corpus span chain filtered to the shard and
+    * the hash match proves incremental == full. Work is
+    * O(shard grams) + one map-side scan of the index; the corpus
+    * text is never re-read. */
+  def spanIncremental(s: SparkSession, d: String): DataFrame = {
+    val idx = s.read.parquet(storedSpanGramsPath(s, d))
+    val g = posGramsOf(
+      docs(s, d).filter(expr(arrivingShardPred))
+        .select(col("doc_id"), tokenExpr.as("w")))
+    val localDup = g.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
+    val dupPos = idx.join(broadcast(g), Seq("h"))
+      .select(col("doc_id"), col("p"))
+      .union(g.join(localDup, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("p")))
+      .distinct()
+    spanRollup(islandsToSpans(dupPos))
   }
 
   /** The span-REMOVAL transform over the [[dupSpans]] mask — what a
@@ -3867,6 +3952,34 @@ object LlmQueries {
          |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
          |  CAST(max(e - s + 1) AS BIGINT) AS max_span
          |FROM sp GROUP BY doc_id""".stripMargin,
+
+    // Incremental == full proven by the oracle: the from-scratch
+    // FULL-corpus span chain restricted to the arriving shard — the
+    // engine instead probes the stored base-gram index + shard-local
+    // duplicates and must land on identical rows.
+    "llm_span_incremental" ->
+      s"""WITH $wCte,
+         |pos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - ${spanK - 1},
+         |      0))) AS i
+         |  FROM w),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |    md5(list_aggregate(ws[i:i+${spanK - 1}], 'string_agg',
+         |      ' ')) AS h
+         |  FROM pos),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, p FROM g
+         |  WHERE h IN (SELECT h FROM dup)),
+         |isl AS (SELECT doc_id, p,
+         |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+         |      AS k FROM dp),
+         |sp AS (SELECT doc_id, k, min(p) AS s,
+         |    max(p) + ${spanK - 1} AS e
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         |  CAST(max(e - s + 1) AS BIGINT) AS max_span
+         |FROM sp WHERE $arrivingShardPred GROUP BY doc_id""".stripMargin,
 
     // The removal transform over the same span chain: covered
     // positions unnest from the spans (overlap across nearby

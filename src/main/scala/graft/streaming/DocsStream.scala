@@ -60,6 +60,42 @@ object DocsStream {
     reader.json(path)
   }
 
+  /** Streaming twin of the incremental span-level dedup
+    * ([[LlmQueries.spanIncremental]]): each arriving micro-batch is
+    * PROBED against the persisted span-gram index (the base corpus's
+    * distinct gram hashes, [[LlmQueries.storedSpanGramsPath]]'s
+    * artifact) through the same [[LlmQueries.spanProbe]] the batch
+    * path uses, and the per-doc span stats append to `outPath`.
+    * Pure probe by design: shard-INTERNAL duplicates that straddle a
+    * micro-batch boundary are out of scope here (they need the
+    * cross-batch gram state the batch query gets for free), so the
+    * stream's output is bit-equal to a batch `spanProbe` over the
+    * same documents REGARDLESS of how the shard was split into
+    * micro-batches — the property the twin spec pins. Zero streaming
+    * state; at-least-once safe (appends anti-join the out table's
+    * doc_ids, the [[startIncrementalDedup]] retry guard). */
+  def startSpanProbe(docs: DataFrame, gramIndexPath: String,
+      outPath: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val out = LlmQueries.spanProbe(batch,
+          spark.read.parquet(gramIndexPath))
+        val seen =
+          try spark.read.parquet(outPath).select(col("doc_id").as("s_id"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(trigger).start()
+
   /** Gopher-style quality filter over the stream — batch semantics,
     * incremental execution. */
   def qualityFiltered(docs: DataFrame): DataFrame =
