@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
 /** `png_levels(binary)` →
   * `struct<width:int, height:int, n_px:bigint,
   *         sum_r:bigint, sum_g:bigint, sum_b:bigint>`,
-  * null when the payload is not a decodable 8-bit-depth PNG (all five color
-  * types: gray, truecolor, palette, gray+alpha, RGBA).
+  * null when the payload is not a decodable PNG. Decodable: all five
+  * color types (gray, truecolor, palette, gray+alpha, RGBA) at bit
+  * depth 8, the four sample types at bit depth 16, interlace none or
+  * Adam7.
   *
   * The COMPRESSED sibling of [[ImageLevels]]: PNG pixels are behind
   * a real zlib/DEFLATE stream, decoded with `java.util.zip.Inflater`

@@ -96,6 +96,8 @@ object LlmQueries {
     "mm_video_meta" -> videoMeta,
     "mm_png_levels" -> pngLevels,
     "mm_png_gray_levels" -> pngGrayLevels,
+    "mm_png16_levels" -> png16Levels,
+    "mm_png_adam7_levels" -> pngAdam7Levels,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
     "llm_compress_ratio" -> compressRatio,
   )
@@ -2950,6 +2952,60 @@ object LlmQueries {
         max(col("m.height").cast("bigint")).as("max_h"))
   }
 
+  /** 16-BIT TRUECOLOR sibling of [[pngLevels]] — exercises the
+    * decoder's depth-16 lane (big-endian byte-pair samples, 6-byte
+    * left-neighbor filter distance, full 0–65535 sums) with the same
+    * stored-mode DEFLATE fixture discipline: the oracle replays each
+    * sample as two positional byte reads (hi·256+lo) from the stored
+    * block and never inflates. Same plan shape: map-side construct →
+    * decode → partial agg, one bounded exchange. */
+  def png16Levels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    val sample = "(doc_id * 131 + x * 257 + y * 769 + c * 4099) % 65536"
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("CAST(doc_id % 4 AS INT) + 1").as("w0"),
+        expr("CAST(doc_id % 3 AS INT) + 1").as("h0"))
+      .withColumn("hs", expr(ImageHex.pngFile16Hex("w0", "h0", sample,
+        "div", ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.PngLevels(col("payload")))
+      .groupBy(col("m.width").cast("bigint").as("width"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("m.n_px")).as("sum_px"),
+        sum(col("m.sum_r")).as("sum_r"),
+        sum(col("m.sum_g")).as("sum_g"),
+        sum(col("m.sum_b")).as("sum_b"),
+        max(col("m.height").cast("bigint")).as("max_h"))
+  }
+
+  /** ADAM7-INTERLACED sibling of [[pngGrayLevels]] — exercises the
+    * decoder's interlace lane: seven sub-image passes decoded with
+    * independent filter contexts, sums accumulated across passes.
+    * The fixture is the FIXED 8×8 grayscale Adam7 layout
+    * ([[graft.multimodal.ImageHex.pngAdam7GrayHex]]) whose 15
+    * scanlines sit at static offsets, so the oracle's positional
+    * replay is a pure offset walk over the 64 data bytes
+    * ([[graft.multimodal.ImageHex.adam7DataOffset]]). Pixel values
+    * are indexed by STREAM position (levels are position-free). */
+  def pngAdam7Levels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    docs(s, d)
+      .select(col("doc_id"))
+      .withColumn("hs", expr(ImageHex.pngAdam7GrayHex(
+        j => s"(doc_id * 7 + ($j) * 37) % 256",
+        "div", ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.PngLevels(col("payload")))
+      .groupBy(col("m.width").cast("bigint").as("width"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("m.n_px")).as("sum_px"),
+        sum(col("m.sum_r")).as("sum_r"),
+        sum(col("m.sum_g")).as("sum_g"),
+        sum(col("m.sum_b")).as("sum_b"),
+        max(col("m.height").cast("bigint")).as("max_h"))
+  }
+
   /** REAL video container metadata — the MP4 box-walk sibling of
     * [[imageDims]]/[[audioMeta]], closing the last multimodal
     * metadata stub: build genuine minimal MP4 files per document
@@ -4544,6 +4600,72 @@ object LlmQueries {
          |  CAST(SUM(sb) AS BIGINT) AS sum_b,
          |  CAST(MAX(h0) AS BIGINT) AS max_h
          |FROM g GROUP BY 1""".stripMargin
+    },
+
+    "mm_png16_levels" -> {
+      import graft.multimodal.ImageHex._
+      val sample = "(doc_id * 131 + x * 257 + y * 769 + c * 4099) % 65536"
+      // 16-bit sample (x, y, c) = big-endian byte pair at hex
+      // positions PngRawPos + 2·(y·(1+6w) + 1 + 6x + 2c) and +2 —
+      // the oracle reads hi·256+lo positionally, never inflates
+      def chan16(c: Int): String = {
+        val bytePos = s"$PngRawPos + 2 * (y * (1 + 6 * w0) + 1 + " +
+          s"6 * x + 2 * $c)"
+        s"(${byteAt("hs", bytePos, "strpos")} * 256 + " +
+          s"${byteAt("hs", s"($bytePos) + 2", "strpos")})"
+      }
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(doc_id % 4 AS INT) + 1 AS w0,
+         |    CAST(doc_id % 3 AS INT) + 1 AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id, w0, h0,
+         |    hex(from_hex(${pngFile16Hex("w0", "h0", sample, "//",
+                seqJoinDuck)})) AS hs
+         |  FROM t),
+         |px AS (SELECT doc_id, w0, h0, hs,
+         |    CAST(i % w0 AS BIGINT) AS x, CAST(i // w0 AS BIGINT) AS y
+         |  FROM (SELECT doc_id, w0, h0, hs,
+         |        unnest(range(0, CAST(w0 * h0 AS BIGINT))) AS i FROM b)),
+         |v AS (SELECT doc_id, w0, h0,
+         |    ${chan16(0)} AS pr, ${chan16(1)} AS pg, ${chan16(2)} AS pb
+         |  FROM px),
+         |g AS (SELECT doc_id, w0, h0, COUNT(*) AS npx,
+         |    SUM(pr) AS sr, SUM(pg) AS sg, SUM(pb) AS sb
+         |  FROM v GROUP BY 1, 2, 3)
+         |SELECT CAST(w0 AS BIGINT) AS width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(npx) AS BIGINT) AS sum_px,
+         |  CAST(SUM(sr) AS BIGINT) AS sum_r,
+         |  CAST(SUM(sg) AS BIGINT) AS sum_g,
+         |  CAST(SUM(sb) AS BIGINT) AS sum_b,
+         |  CAST(MAX(h0) AS BIGINT) AS max_h
+         |FROM g GROUP BY 1""".stripMargin
+    },
+
+    "mm_png_adam7_levels" -> {
+      import graft.multimodal.ImageHex._
+      // data byte j of the fixed 8x8 Adam7 stream sits at raw offset
+      // j + (filter bytes before it) — a static CASE over the 15
+      // scanline boundaries; gray sums into all three channels
+      val gray = byteAt("hs",
+        s"$PngRawPos + 2 * ${adam7DataOffset("j")}", "strpos")
+      s"""WITH b AS (SELECT doc_id,
+         |    hex(from_hex(${pngAdam7GrayHex(
+                j => s"(doc_id * 7 + ($j) * 37) % 256", "//",
+                seqJoinDuck)})) AS hs
+         |  FROM documents),
+         |px AS (SELECT doc_id, hs, unnest(range(0, 64)) AS j FROM b),
+         |v AS (SELECT doc_id, $gray AS pv FROM px),
+         |g AS (SELECT doc_id, COUNT(*) AS npx, SUM(pv) AS s
+         |  FROM v GROUP BY 1)
+         |SELECT CAST(8 AS BIGINT) AS width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(npx) AS BIGINT) AS sum_px,
+         |  CAST(SUM(s) AS BIGINT) AS sum_r,
+         |  CAST(SUM(s) AS BIGINT) AS sum_g,
+         |  CAST(SUM(s) AS BIGINT) AS sum_b,
+         |  CAST(8 AS BIGINT) AS max_h
+         |FROM g""".stripMargin
     },
 
     "mm_png_gray_levels" -> {

@@ -173,27 +173,47 @@ object ImageHeaders {
     * (3840×2160×3 ≈ 24 MiB) with room to spare. */
   private val MaxPngRaw = 1 << 26
 
-  /** Samples per pixel for the five PNG color types at bit depth 8:
+  /** Samples per pixel for the five PNG color types:
     * 0 = grayscale, 2 = truecolor RGB, 3 = palette index,
     * 4 = gray+alpha, 6 = RGBA. -1 = not a supported type. */
-  private def pngBpp(colorType: Int): Int = colorType match {
+  private def pngSamples(colorType: Int): Int = colorType match {
     case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     case _ => -1
   }
+
+  /** Adam7 pass dimensions for a w×h image — (x0, y0, dx, dy) per
+    * pass (PNG spec §8.2); empty passes (zero rows or columns on
+    * small images) are dropped. Each pass is an independent
+    * sub-image: its scanlines filter against the PASS's own previous
+    * row, so the decode walks passes sequentially with a reset
+    * filter context. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def adam7Passes(w: Long, h: Long): Seq[(Int, Int)] =
+    Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+      (((w - x0 + dx - 1) / dx).toInt, ((h - y0 + dy - 1) / dy).toInt)
+    }.filter(p => p._1 > 0 && p._2 > 0)
 
   /** REAL PNG pixel decode — no codec library: PNG's IDAT payload is
     * a zlib/DEFLATE stream and `java.util.zip.Inflater` is public
     * JDK, so decompression + scanline un-filtering (filter types
     * 0–4, pure byte arithmetic per the PNG spec §9) is all that
     * stands between the container walk and the pixels. Scope: ALL
-    * FIVE color types at bit depth 8, non-interlaced — truecolor
+    * FIVE color types at bit depth 8, the four sample types
+    * (0/2/4/6) at bit depth 16 (full 0–65535 sample values summed —
+    * palette entries are 8-bit by spec, so type 3 stays depth-8),
+    * and BOTH interlace methods (none / Adam7 — seven independent
+    * sub-image passes, each with its own filter context; levels are
+    * position-free so pass sums just accumulate). Truecolor
     * (2) and RGBA (6) sum R,G,B per channel (alpha read for
     * filtering, excluded from sums); grayscale (0) and gray+alpha
     * (4) sum the gray sample into all three channels (the
     * luminance-as-levels convention, so the output contract is
     * type-independent); palette (3) resolves each index through the
     * PLTE chunk — a missing/short PLTE or an out-of-range index is
-    * corrupt → None. 16-bit depths and interlacing return None.
+    * corrupt → None. Other depths (1/2/4-bit packed) return None.
     * Multiple IDAT chunks concatenate (encoders split large
     * streams); chunk CRCs are NOT verified and the zlib Adler32
     * trailer is skipped (`Inflater(nowrap)` after validating the
@@ -213,12 +233,20 @@ object ImageHeaders {
     val w = u32(b, 16); val h = u32(b, 20)
     if (w < 1 || h < 1) return None
     val colorType = u8(b, 25)
-    val bpp = pngBpp(colorType)
-    // depth 8, deflate, adaptive filtering, no interlace
-    if (u8(b, 24) != 8 || bpp < 0 || u8(b, 26) != 0 ||
-        u8(b, 27) != 0 || u8(b, 28) != 0) return None
-    val stride = bpp.toLong * w
-    val rawLen = h * (stride + 1)
+    val depth = u8(b, 24)
+    val interlace = u8(b, 28)
+    val samples = pngSamples(colorType)
+    // depth 8 (all five color types) or 16 (sample types — palette
+    // entries are always 8-bit, so type 3 stays depth-8-only);
+    // deflate, adaptive filtering, no interlace (0) or Adam7 (1)
+    if (samples < 0 || u8(b, 26) != 0 || u8(b, 27) != 0) return None
+    if (depth != 8 && !(depth == 16 && colorType != 3)) return None
+    if (interlace != 0 && interlace != 1) return None
+    val bpp = samples * (depth / 8)
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((w.toInt, h.toInt)) else adam7Passes(w, h)
+    val rawLen = passes.map { case (pw, ph) =>
+      ph.toLong * (1L + bpp.toLong * pw) }.sum
     if (rawLen > MaxPngRaw) return None
     // concatenate IDAT chunk payloads (CRCs skipped, not verified);
     // pick up the PLTE palette on the way when the type needs it
@@ -264,27 +292,42 @@ object ImageHeaders {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    unfilterAndSum(raw, w.toInt, h.toInt, bpp, colorType, palette)
+    // walk the passes sequentially (one pass when non-interlaced),
+    // each with its own filter context; levels are position-free so
+    // the per-pass sums just accumulate
+    val sums = new Array[Long](3)
+    var passOff = 0
+    passes.foreach { case (pw, ph) =>
+      if (!unfilterPassAndSum(raw, passOff, pw, ph, bpp, depth,
+          colorType, palette, sums)) return None
+      passOff += ph * (1 + bpp * pw)
+    }
+    Some((w.toInt, h.toInt, w * h, sums(0), sums(1), sums(2)))
   }
 
   /** PNG §9 scanline reconstruction over filter types 0–4 (None /
     * Sub / Up / Average / Paeth) + channel summation in the same
-    * pass. Filtering operates on raw SAMPLES with the pixel's byte
-    * width (`bpp`) as the left-neighbor distance, identically for
-    * every color type; only the accumulation differs — see
-    * [[pngLevels]] for the per-type channel convention. */
-  private def unfilterAndSum(raw: Array[Byte], w: Int, h: Int,
-      bpp: Int, colorType: Int, palette: Array[Byte])
-      : Option[(Int, Int, Long, Long, Long, Long)] = {
+    * pass, for ONE (sub-)image at `off` in the inflated stream.
+    * Filtering operates on raw BYTES with the pixel's byte width
+    * (`bpp`) as the left-neighbor distance, identically for every
+    * color type and depth; only the accumulation differs — depth 8
+    * sums each reconstructed byte per the color-type channel
+    * convention ([[pngLevels]]), depth 16 pairs bytes big-endian and
+    * sums the full 0–65535 sample values (exact integers, so the
+    * 16-bit oracle replay hash-matches without a rounding
+    * convention). */
+  private def unfilterPassAndSum(raw: Array[Byte], off: Int, w: Int,
+      h: Int, bpp: Int, depth: Int, colorType: Int,
+      palette: Array[Byte], sums: Array[Long]): Boolean = {
     val stride = bpp * w
     val prev = new Array[Int](stride)
+    java.util.Arrays.fill(prev, 0)
     val cur = new Array[Int](stride)
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
     var y = 0
     while (y < h) {
-      val base = y * (stride + 1)
+      val base = off + y * (stride + 1)
       val ft = raw(base) & 0xff
-      if (ft > 4) return None
+      if (ft > 4) return false
       var x = 0
       while (x < stride) {
         val v = raw(base + 1 + x) & 0xff
@@ -305,34 +348,60 @@ object ImageHeaders {
             (v + pred) & 0xff
         }
         cur(x) = recon
-        (colorType: @annotation.switch) match {
-          case 2 => (x % 3: @annotation.switch) match {
-            case 0 => sumR += recon
-            case 1 => sumG += recon
-            case 2 => sumB += recon
+        if (depth == 8) {
+          (colorType: @annotation.switch) match {
+            case 2 => (x % 3: @annotation.switch) match {
+              case 0 => sums(0) += recon
+              case 1 => sums(1) += recon
+              case 2 => sums(2) += recon
+            }
+            case 6 => (x % 4: @annotation.switch) match {
+              case 0 => sums(0) += recon
+              case 1 => sums(1) += recon
+              case 2 => sums(2) += recon
+              case 3 => () // alpha: filtered through, never summed
+            }
+            case 0 =>
+              sums(0) += recon; sums(1) += recon; sums(2) += recon
+            case 4 =>
+              if (x % 2 == 0) {
+                sums(0) += recon; sums(1) += recon; sums(2) += recon
+              }
+            case 3 =>
+              if (3 * recon + 2 >= palette.length) return false
+              sums(0) += palette(3 * recon) & 0xff
+              sums(1) += palette(3 * recon + 1) & 0xff
+              sums(2) += palette(3 * recon + 2) & 0xff
           }
-          case 6 => (x % 4: @annotation.switch) match {
-            case 0 => sumR += recon
-            case 1 => sumG += recon
-            case 2 => sumB += recon
-            case 3 => () // alpha: filtered through, never summed
+        } else if (x % 2 == 1) { // depth 16: big-endian byte pair done
+          val v16 = (cur(x - 1) << 8) | recon
+          val sIdx = (x / 2) % (bpp / 2)
+          (colorType: @annotation.switch) match {
+            case 2 => (sIdx: @annotation.switch) match {
+              case 0 => sums(0) += v16
+              case 1 => sums(1) += v16
+              case 2 => sums(2) += v16
+            }
+            case 6 => (sIdx: @annotation.switch) match {
+              case 0 => sums(0) += v16
+              case 1 => sums(1) += v16
+              case 2 => sums(2) += v16
+              case 3 => ()
+            }
+            case 0 =>
+              sums(0) += v16; sums(1) += v16; sums(2) += v16
+            case 4 =>
+              if (sIdx == 0) {
+                sums(0) += v16; sums(1) += v16; sums(2) += v16
+              }
           }
-          case 0 =>
-            sumR += recon; sumG += recon; sumB += recon
-          case 4 =>
-            if (x % 2 == 0) { sumR += recon; sumG += recon; sumB += recon }
-          case 3 =>
-            if (3 * recon + 2 >= palette.length) return None
-            sumR += palette(3 * recon) & 0xff
-            sumG += palette(3 * recon + 1) & 0xff
-            sumB += palette(3 * recon + 2) & 0xff
         }
         x += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Some((w, h, w.toLong * h, sumR, sumG, sumB))
+    true
   }
 
   /** [[pngLevels]] as an `InternalRow` for the

@@ -160,6 +160,83 @@ object ImageHex {
       s"'0000000049454E44AE426082')" // IEND
   }
 
+  /** [[pngFileHex]]'s 16-BIT TRUECOLOR sibling (color type 2, bit
+    * depth 16): same container layout, scanlines are filter byte +
+    * 3 big-endian 2-byte samples per pixel, so the raw block is
+    * h·(1+6w) bytes and the first raw scanline byte sits at the SAME
+    * [[PngRawPos]]. `sample16E` is the 0–65535 sample value with
+    * free variables `x`, `y`, `c` (c ∈ {0,1,2} = R,G,B); the oracle
+    * replays each sample as two positional byte reads (hi·256+lo).
+    * Exercises the decoder's depth-16 lane: byte-pair
+    * reconstruction, 6-byte left-neighbor distance, full-value
+    * sums. */
+  def pngFile16Hex(w: String, h: String, sample16E: String,
+      intdiv: String,
+      seqJoin: (String, String, String) => String): String = {
+    import AudioHex.hexLE
+    val rawLen = s"($h) * (1 + 6 * ($w))"
+    val rowHex = s"'00' || " + seqJoin("x", w,
+      seqJoin("c", "3", hexN(sample16E, 4, intdiv)))
+    val raw = seqJoin("y", h, s"($rowHex)")
+    s"concat('89504E470D0A1A0A', " + // signature
+      s"'0000000D49484452', ${hexN(w, 8, intdiv)}, " + // IHDR
+      s"${hexN(h, 8, intdiv)}, '1002000000', '00000000', " +
+      s"${hexN(s"($rawLen) + 11", 8, intdiv)}, '49444154', " + // IDAT
+      s"'7801', '01', ${hexLE(rawLen, 2, intdiv)}, " +
+      s"${hexLE(s"65535 - ($rawLen)", 2, intdiv)}, " +
+      s"$raw, '00000000', '00000000', " + // adler + chunk crc
+      s"'0000000049454E44AE426082')" // IEND
+  }
+
+  /** Scanline data widths (bytes per row, filter byte excluded) of
+    * the FIXED 8×8 grayscale Adam7 fixture, in stream order: pass 1
+    * is 1×1, pass 2 1×1, pass 3 2×1, pass 4 2×2, pass 5 4×2, pass 6
+    * 4×4, pass 7 8×4 — 15 scanlines, 64 data bytes, 79 raw bytes.
+    * Shared by the Spark-side builder and the oracle's positional
+    * replay (the structure is static because the dims are). */
+  val Adam7GrayRows: Seq[Int] =
+    Seq(1, 1, 2, 2, 2, 4, 4, 4, 4, 4, 4, 8, 8, 8, 8)
+
+  /** Stream byte offset (within the raw block) of Adam7 data byte
+    * `j` ∈ [0, 64): `j` + one filter byte per scanline at or before
+    * it. Returns a SQL CASE over the static row boundaries. */
+  def adam7DataOffset(j: String): String = {
+    val cuts = Adam7GrayRows.scanLeft(0)(_ + _).tail // cumulative ends
+    val whens = cuts.dropRight(1).zipWithIndex.map { case (end, i) =>
+      s"WHEN ($j) < $end THEN ${i + 1}"
+    }.mkString(" ")
+    s"(($j) + (CASE $whens ELSE ${cuts.size} END))"
+  }
+
+  /** A complete ADAM7-INTERLACED 8×8 grayscale PNG (bit depth 8,
+    * interlace 1) with the stored-block DEFLATE layout of
+    * [[pngFileHex]]. The seven passes appear in stream order as 15
+    * scanlines ([[Adam7GrayRows]]); `pixelOfJ` gives the gray value
+    * of data byte `j` ∈ [0, 64) — indexed by STREAM position, not
+    * image (x, y), because levels are position-free and a static
+    * index keeps the oracle replay a pure offset walk. Raw block is
+    * 79 bytes; first raw byte at [[PngRawPos]]. */
+  def pngAdam7GrayHex(pixelOfJ: String => String, intdiv: String,
+      seqJoin: (String, String, String) => String): String = {
+    val rows = {
+      var j0 = 0
+      Adam7GrayRows.map { wp =>
+        val r = s"('00' || ${seqJoin("x", wp.toString,
+          hexN(pixelOfJ(s"($j0 + x)"), 2, intdiv))})"
+        j0 += wp
+        r
+      }
+    }
+    // rawLen 79 = 0x4F; IDAT len 90 = 0x5A; NLEN = 0xFFB0 (LE B0FF)
+    s"concat('89504E470D0A1A0A', " + // signature
+      "'0000000D49484452', '0000000800000008', " + // IHDR 8x8
+      "'0800000001', '00000000', " + // depth 8, gray, Adam7
+      "'0000005A', '49444154', '7801', '01', '4F00', 'B0FF', " +
+      rows.mkString(", ") +
+      ", '00000000', '00000000', " + // adler + chunk crc
+      "'0000000049454E44AE426082')" // IEND
+  }
+
   /** Spark spelling of seqJoin: `v` ranges over [0, n). */
   def seqJoinSpark(v: String, n: String, body: String): String =
     s"array_join(transform(sequence(0, CAST(($n) - 1 AS INT)), " +

@@ -135,16 +135,25 @@ class PngLevelsSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     assert(ImageHeaders.pngLevels(huge).isEmpty)
     assert((System.nanoTime() - t0) / 1e6 < 1000.0)
-    // 16-bit depth and interlacing are out of scope → None
-    val ihdr16 = chunk("IHDR", be32(2) ++ be32(2) ++
-      Array[Byte](16, 2, 0, 0, 0))
+    // still out of scope → None: 16-bit PALETTE (illegal per spec —
+    // palette entries are 8-bit), packed sub-byte depths, and an
+    // invalid interlace method
+    val ihdr16Pal = chunk("IHDR", be32(2) ++ be32(2) ++
+      Array[Byte](16, 3, 0, 0, 0))
     assert(ImageHeaders.pngLevels(
-      sig ++ ihdr16 ++ chunk("IDAT", zlib(new Array[Byte](2 * 13))) ++
+      sig ++ ihdr16Pal ++ chunk("PLTE", Array[Byte](1, 2, 3)) ++
+        chunk("IDAT", zlib(new Array[Byte](2 * 5))) ++
         chunk("IEND", Array.empty)).isEmpty)
-    val ihdrAdam7 = chunk("IHDR", be32(2) ++ be32(2) ++
-      Array[Byte](8, 2, 0, 0, 1))
+    val ihdr4bit = chunk("IHDR", be32(2) ++ be32(2) ++
+      Array[Byte](4, 0, 0, 0, 0))
     assert(ImageHeaders.pngLevels(
-      sig ++ ihdrAdam7 ++ chunk("IDAT", zlib(new Array[Byte](2 * 7))) ++
+      sig ++ ihdr4bit ++ chunk("IDAT", zlib(new Array[Byte](2 * 2))) ++
+        chunk("IEND", Array.empty)).isEmpty)
+    val ihdrBadInterlace = chunk("IHDR", be32(2) ++ be32(2) ++
+      Array[Byte](8, 2, 0, 0, 2))
+    assert(ImageHeaders.pngLevels(
+      sig ++ ihdrBadInterlace ++
+        chunk("IDAT", zlib(new Array[Byte](2 * 7))) ++
         chunk("IEND", Array.empty)).isEmpty)
     // palette type without a PLTE chunk is corrupt → None
     assert(ImageHeaders.pngLevels(
@@ -258,6 +267,95 @@ class PngLevelsSpec extends AnyFunSuite {
       chunk("IDAT", zlib(raw)) ++ chunk("IEND", Array.empty)
     assert(ImageHeaders.pngLevels(png)
       .contains((w, h, w.toLong * h, gsum, gsum, gsum)))
+  }
+
+  private def ihdr16(w: Int, h: Int, colorType: Int,
+      interlace: Int = 0): Array[Byte] =
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](16, colorType.toByte, 0, 0, interlace.toByte))
+
+  test("16-bit grayscale via ImageIO (TYPE_USHORT_GRAY, real encoder) " +
+    "sums full 0-65535 sample values into all channels") {
+    val (w, h) = (9, 7)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    var gsum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 9371 + y * 25013) % 65536
+      img.getRaster.setSample(x, y, 0, v)
+      gsum += v
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val b = out.toByteArray
+    assert((b(24) & 0xff) == 16, "ImageIO did not write bit depth 16")
+    assert(ImageHeaders.pngLevels(b)
+      .contains((w, h, w.toLong * h, gsum, gsum, gsum)))
+  }
+
+  test("16-bit truecolor (hand-built, real Deflater) pairs bytes " +
+    "big-endian and keeps the 6-byte filter distance") {
+    val (w, h) = (4, 3)
+    val stride = 6 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h) {
+      raw(y * (1 + stride)) = 0 // filter none
+      for (x <- 0 until w; c <- 0 until 3) {
+        val v = (x * 12289 + y * 30011 + c * 7151) % 65536
+        raw(y * (1 + stride) + 1 + 6 * x + 2 * c) = ((v >> 8) & 0xff).toByte
+        raw(y * (1 + stride) + 1 + 6 * x + 2 * c + 1) = (v & 0xff).toByte
+        c match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case 2 => sb += v
+        }
+      }
+    }
+    val png = sig ++ ihdr16(w, h, colorType = 2) ++
+      chunk("IDAT", zlib(raw)) ++ chunk("IEND", Array.empty)
+    assert(ImageHeaders.pngLevels(png)
+      .contains((w, h, w.toLong * h, sr, sg, sb)))
+  }
+
+  /** Hand-built Adam7 grayscale stream from an explicit pass-dims
+    * list: each pass's rows carry filter 0 + value bytes indexed by
+    * stream position. */
+  private def adam7Gray(w: Int, h: Int, passes: Seq[(Int, Int)],
+      v: Int => Int): (Array[Byte], Long, Long) = {
+    val out = new ByteArrayOutputStream()
+    var j = 0
+    passes.foreach { case (pw, ph) =>
+      for (_ <- 0 until ph) {
+        out.write(0) // filter none
+        for (_ <- 0 until pw) { out.write(v(j) & 0xff); j += 1 }
+      }
+    }
+    val raw = out.toByteArray
+    val gsum = (0 until j).map(i => (v(i) & 0xff).toLong).sum
+    val png = sig ++
+      chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 1)) ++
+      chunk("IDAT", zlib(raw)) ++ chunk("IEND", Array.empty)
+    (png, j.toLong, gsum)
+  }
+
+  test("Adam7 8x8 grayscale: seven passes decode with independent " +
+    "filter contexts and sum across passes") {
+    val passes = Seq((1, 1), (1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4))
+    val (png, npx, gsum) = adam7Gray(8, 8, passes, j => (j * 17 + 3) % 256)
+    assert(npx == 64)
+    assert(ImageHeaders.pngLevels(png)
+      .contains((8, 8, 64L, gsum, gsum, gsum)))
+  }
+
+  test("Adam7 on non-multiple-of-8 dims (5x3): empty pass dropped, " +
+    "partial passes sized per spec") {
+    // pass dims for 5x3: p1 1x1, p2 1x1, p3 empty, p4 1x1, p5 3x1,
+    // p6 2x2, p7 5x1 -> 15 pixels
+    val passes = Seq((1, 1), (1, 1), (1, 1), (3, 1), (2, 2), (5, 1))
+    val (png, npx, gsum) = adam7Gray(5, 3, passes, j => (j * 41 + 7) % 256)
+    assert(npx == 15)
+    assert(ImageHeaders.pngLevels(png)
+      .contains((5, 3, 15L, gsum, gsum, gsum)))
   }
 
   test("png_levels expression + SQL registration agree with the " +
