@@ -56,4 +56,87 @@ class PagerankSpec extends AnyFunSuite {
     assert(total >= teleport)
     assert(total <= Scale)
   }
+
+  private val CScale = 1000000L
+
+  /** Driver-side FLAT replay of the converged variant: the identical
+    * truncating recurrence with dangling mass redistributed, run for
+    * exactly PrcCap rounds — the fixed-depth sequence the oracle
+    * computes, which the engine's limit-cycle early exit must land
+    * on by parity. Also reports the round at which the state reached
+    * its period ≤ 2 limit cycle (0 if never). */
+  private def referenceConverged(): (Map[String, Long], Int) = {
+    val parts = s.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey").collect().map(_.getLong(0))
+    val mx = parts.max
+    val item = "http://ex.org/item/"
+    val edges = parts.filter(k => k * 4 <= mx)
+      .map(k => (s"$item$k", s"$item${k * 4}")) ++
+      parts.filter(_ % 16 == 0)
+        .map(k => (s"$item$k", s"$item${k / 16}"))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length.toLong
+    val srcs = edges.map(_._1).toSet
+    val dangling = nodes.filterNot(srcs.contains)
+    val odeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr = nodes.map(_ -> CScale / n).toMap
+    var window = Vector.empty[Map[String, Long]]
+    var cycleAt = 0
+    (1 to RdfQueries.PrcCap).foreach { it =>
+      val dm = dangling.map(pr).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(es =>
+        es.map { case (u, _) => pr(u) / odeg(u) }.sum).toMap
+      val next = nodes.map(v => v ->
+        ((CScale / n) * 15 / 100 +
+          85 * (contrib.getOrElse(v, 0L) + dm / n) / 100)).toMap
+      window = (window :+ pr).takeRight(RdfQueries.PrcWindow)
+      if (cycleAt == 0 && window.contains(next)) cycleAt = it
+      pr = next
+    }
+    (pr, cycleAt)
+  }
+
+  test("converged variant equals the fixed-depth driver replay node " +
+      "for node, and the limit cycle arrives under the cap") {
+    val got = RdfQueries.queries("rdf_pagerank_converged")(s, dir)
+      .collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("pr_scaled"))
+      .toMap
+    val (want, cycleAt) = referenceConverged()
+    assert(cycleAt > 0 && cycleAt < RdfQueries.PrcCap,
+      "state never re-entered the detection window under the cap — " +
+        "the engine's early exit would run to the cap")
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (node, v) => assert(v == want(node), node) }
+  }
+
+  test("redistributed variant conserves mass tighter than the " +
+      "leaking one: dangling mass is recycled, losses are only " +
+      "integer floors") {
+    val rows = RdfQueries.queries("rdf_pagerank_converged")(s, dir)
+      .collect()
+    val total = rows.map(_.getAs[Long]("pr_scaled")).sum
+    val n = rows.length.toLong
+    // at the fixpoint every unit of mass is either kept (teleport +
+    // damped inflow incl. recycled dangling mass) or lost to integer
+    // floors: ≤ ~4 one-unit truncations per node + one per edge
+    // (edges ≈ 1.07·n), AMPLIFIED by 1/0.15 at the fixpoint (total =
+    // S − floors/0.15 from the balance equation) → bound ≈ 30·n,
+    // still a far tighter conservation than the leaking variant,
+    // which sheds the entire dangling outflow every round
+    assert(total <= CScale)
+    assert(total > CScale - 30 * n,
+      s"mass $total leaked more than integer floors allow")
+    // and the dangling set is genuinely nonempty on this fixture —
+    // the redistribution branch is exercised, not vacuous
+    val e = rows // rank rows = all nodes; recompute dangling directly
+    val parts = s.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey").collect().map(_.getLong(0))
+    val mx = parts.max
+    val hasOut = (k: Long) => k * 4 <= mx || k % 16 == 0
+    val dsts = parts.filter(k => k * 4 <= mx).map(_ * 4) ++
+      parts.filter(_ % 16 == 0).map(_ / 16)
+    assert(dsts.exists(m => !hasOut(m)), "fixture has no dangling node")
+    assert(e.nonEmpty)
+  }
 }
