@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioLevels, AudioMeta, DeflateRatio, DotProductLong, ImageDims, ImageLevels, IsValidIri, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
+import graft.functions.{AudioLevels, AudioMeta, DeflateRatio, DotProductLong, ImageDims, ImageLevels, IsValidIri, JpegLuma, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -133,5 +133,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PngLevels].getName, "png_levels"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PngLevels(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jpeg_luma"),
+      new ExpressionInfo(classOf[JpegLuma].getName, "jpeg_luma"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JpegLuma(args.head)))
   }
 }

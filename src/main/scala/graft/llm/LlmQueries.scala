@@ -98,6 +98,7 @@ object LlmQueries {
     "mm_png_gray_levels" -> pngGrayLevels,
     "mm_png16_levels" -> png16Levels,
     "mm_png_adam7_levels" -> pngAdam7Levels,
+    "mm_jpeg_luma" -> jpegLumaLevels,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
     "llm_compress_ratio" -> compressRatio,
   )
@@ -3006,6 +3007,47 @@ object LlmQueries {
         max(col("m.height").cast("bigint")).as("max_h"))
   }
 
+  /** The block-bits expression shared by [[jpegLumaLevels]] and its
+    * oracle: block `j`'s DC additional-bits byte — alternating-sign
+    * category-8 diffs (even j encode +[128..187], odd j −[128..187]
+    * as bits = diff+255 ∈ [68..127]), never 0xFF. */
+  private def jpegBits(j: String): String =
+    s"(CASE WHEN ($j) % 2 = 0 THEN 128 + (doc_id * 13 + ($j) * 7) % 60 " +
+      s"ELSE 127 - ((doc_id * 11 + ($j) * 5) % 60) END)"
+
+  /** REAL baseline-JPEG luma decode
+    * ([[graft.functions.JpegLuma]] / [[graft.multimodal.JpegDecode]])
+    * — the lossy-codec lane, previously the one declared stub. The
+    * fixture is a BYTE-ALIGNED entropy stream
+    * ([[graft.multimodal.ImageHex.jpegGrayFileHex]]): single
+    * length-8 Huffman codes, DC-only category-8 blocks, all-8s
+    * quant — the one Huffman shape SQL can build and replay
+    * positionally, while the engine still decodes it through the
+    * real bit-reader/Huffman/IDCT path. DC-only blocks reconstruct
+    * exactly (flat clamp(Σdiffs + 128), IDCT-independent), so the
+    * oracle reads each block's bits byte out of the built hex and
+    * re-derives the flat values arithmetically. Real-encoder
+    * fidelity (multi-length codes, AC, 4:2:0, libjpeg IDCT) is
+    * JpegDecodeSpec's ImageIO tolerance comparisons. Same plan
+    * shape as the PNG fixtures: map-side construct → decode →
+    * partial agg, one bounded exchange. */
+  def jpegLumaLevels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("8 * (CAST(doc_id % 3 AS INT) + 1)").as("w0"),
+        expr("8 * (CAST(doc_id % 2 AS INT) + 1)").as("h0"))
+      .withColumn("hs", expr(ImageHex.jpegGrayFileHex("w0", "h0",
+        jpegBits, "div", ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.JpegLuma(col("payload")))
+      .groupBy(col("m.width").cast("bigint").as("width"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("m.n_px")).as("sum_px"),
+        sum(col("m.sum_y")).as("sum_y"),
+        max(col("m.height").cast("bigint")).as("max_h"))
+  }
+
   /** REAL video container metadata — the MP4 box-walk sibling of
     * [[imageDims]]/[[audioMeta]], closing the last multimodal
     * metadata stub: build genuine minimal MP4 files per document
@@ -4666,6 +4708,46 @@ object LlmQueries {
          |  CAST(SUM(s) AS BIGINT) AS sum_b,
          |  CAST(8 AS BIGINT) AS max_h
          |FROM g""".stripMargin
+    },
+
+    // Byte-positional replay of the baseline-JPEG fixture: read each
+    // block's DC bits byte out of the built hex, decode the
+    // category-8 diff (bits >= 128 ? bits : bits-255), running-sum
+    // per doc, flat pixel = clamp(cum+128) — the exact DC-only
+    // reconstruction; never touches Huffman or the IDCT.
+    "mm_jpeg_luma" -> {
+      import graft.multimodal.ImageHex._
+      val bits = byteAt("hs", jpegBitsPos("j"), "strpos")
+      s"""WITH t AS (SELECT doc_id,
+         |    8 * (CAST(doc_id % 3 AS INT) + 1) AS w0,
+         |    8 * (CAST(doc_id % 2 AS INT) + 1) AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id, w0, h0,
+         |    hex(from_hex(${jpegGrayFileHex("w0", "h0", jpegBits, "//",
+                seqJoinDuck)})) AS hs
+         |  FROM t),
+         |blk AS (SELECT doc_id, w0, h0, hs,
+         |    unnest(range(0, CAST((w0 // 8) * (h0 // 8) AS BIGINT)))
+         |      AS j
+         |  FROM b),
+         |d AS (SELECT doc_id, w0, h0, j, $bits AS bits FROM blk),
+         |v AS (SELECT doc_id, w0, h0, j,
+         |    CASE WHEN bits >= 128 THEN bits ELSE bits - 255 END
+         |      AS diff
+         |  FROM d),
+         |c AS (SELECT doc_id, w0, h0,
+         |    SUM(diff) OVER (PARTITION BY doc_id ORDER BY j) AS cum
+         |  FROM v),
+         |p AS (SELECT doc_id, w0, h0,
+         |    LEAST(255, GREATEST(0, cum + 128)) AS pv FROM c),
+         |g AS (SELECT doc_id, w0, h0, SUM(64 * pv) AS sy
+         |  FROM p GROUP BY 1, 2, 3)
+         |SELECT CAST(w0 AS BIGINT) AS width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(w0 * h0) AS BIGINT) AS sum_px,
+         |  CAST(SUM(sy) AS BIGINT) AS sum_y,
+         |  CAST(MAX(h0) AS BIGINT) AS max_h
+         |FROM g GROUP BY 1""".stripMargin
     },
 
     "mm_png_gray_levels" -> {

@@ -237,6 +237,48 @@ object ImageHex {
       "'0000000049454E44AE426082')" // IEND
   }
 
+  /** 1-based hex position of block `j`'s DC additional-bits byte in
+    * [[jpegGrayFileHex]]'s output: the static 138-byte header, then
+    * 3 bytes per block (DC code, bits, EOB code) — the bits byte is
+    * the middle one. */
+  def jpegBitsPos(j: String): String = s"(279 + 6 * ($j))"
+
+  /** A complete BASELINE JPEG (SOF0, grayscale, 8-bit) whose entropy
+    * stream is BYTE-ALIGNED — the one Huffman shape SQL can build
+    * and an oracle can replay positionally: each DHT declares a
+    * single length-8 code (canonical code 0x00), the DC symbol is
+    * category 8 (8 additional bits), and every block is DC-only with
+    * an immediate EOB — so a block is exactly three bytes
+    * [00][bits][00] and no 0xFF ever appears in the entropy data
+    * (no stuffing). The quant table is all-8s, making the DC-only
+    * reconstruction EXACT: a flat 8×8 at clamp(Σdiffs + 128) —
+    * IDCT-implementation-independent, so the oracle re-derives
+    * pixels arithmetically from the same bits bytes it reads out of
+    * the built hex. The engine side still decodes through the real
+    * Huffman/IDCT path ([[JpegDecode]]); fidelity on real encoder
+    * output (multi-length codes, AC coefficients, 4:2:0 chroma,
+    * libjpeg IDCT) is JpegDecodeSpec's ImageIO comparisons.
+    * `w`/`h` must be multiples of 8 (no partial-block edge in the
+    * oracle's arithmetic); `bitsOfJ` gives block `j`'s additional-
+    * bits byte (∈ [0, 254] — 255 would be an 0xFF entropy byte),
+    * encoding diff = bits when bits ≥ 128, bits − 255 otherwise. */
+  def jpegGrayFileHex(w: String, h: String, bitsOfJ: String => String,
+      intdiv: String,
+      seqJoin: (String, String, String) => String): String = {
+    val counts = "00" * 7 + "01" + "00" * 8 // one code, length 8
+    val nb = s"((($w) $intdiv 8) * (($h) $intdiv 8))"
+    val blocks = seqJoin("j", nb,
+      s"concat('00', ${hexN(bitsOfJ("j"), 2, intdiv)}, '00')")
+    s"concat('FFD8', " + // SOI
+      s"'FFDB004300', '${"08" * 64}', " + // DQT: all-8s
+      s"'FFC4001400', '$counts', '08', " + // DHT DC: cat-8 symbol
+      s"'FFC4001410', '$counts', '00', " + // DHT AC: EOB symbol
+      s"'FFC0000B08', ${hexN(h, 4, intdiv)}, ${hexN(w, 4, intdiv)}, " +
+      s"'01011100', " + // SOF0: 1 component, 1x1, quant 0
+      s"'FFDA000801', '0100003F00', " + // SOS
+      s"$blocks, 'FFD9')" // entropy + EOI
+  }
+
   /** Spark spelling of seqJoin: `v` ranges over [0, n). */
   def seqJoinSpark(v: String, n: String, body: String): String =
     s"array_join(transform(sequence(0, CAST(($n) - 1 AS INT)), " +

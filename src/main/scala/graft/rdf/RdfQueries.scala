@@ -683,10 +683,18 @@ object RdfQueries {
             .as("pr"))
         .localCheckpoint()
       it += 1 // `next` is state s_it
-      // newest-first: the period-1 fixpoint (the common exit) costs
-      // one comparison
-      val j = states.indices.reverse
-        .find(k => diffSum(next, states(k)) == 0L)
+      // one diff action per round while the walk is far from the
+      // cycle; the older window states are only scanned once the
+      // newest delta is cycle-sized (a limit cycle flips a handful
+      // of nodes by ±1 — far under the gate), keeping per-round
+      // driver actions at 2 instead of window+1
+      val d1 = diffSum(next, states.last)
+      val j =
+        if (d1 == 0L) Some(states.size - 1)
+        else if (d1 < 1000L)
+          states.indices.dropRight(1).reverse
+            .find(k => diffSum(next, states(k)) == 0L)
+        else None
       j.foreach { k =>
         val t0 = base + k
         val p = it - t0
