@@ -593,10 +593,13 @@ object RdfQueries {
 
   /** Integer scale and iteration cap of [[pagerankConverged]] —
     * shared with the oracle generator so both sides replay the same
-    * recurrence depth. At scale 10⁶ the exact integer fixpoint
-    * arrives in ≈ log(scale/n)/log(1/0.85) ≲ 55 rounds for every
-    * fixture SF, under the cap. */
-  private val PrcScale = 1000000L
+    * recurrence depth. Round count to the limit cycle is
+    * ≈ log(scale/n)/log(1/0.85); scale 10⁵ keeps it ≲ 45 at the
+    * smallest fixture (n ≈ 90) and ≈ 15 at sf0.1 (n ≈ 9k) — the
+    * scale knob trades rank resolution for iteration count, and a
+    * driver-style cold single shot pays ~2 driver actions per
+    * round. */
+  private val PrcScale = 100000L
   private[rdf] val PrcCap = 60
 
   /** Cycle-detection window of [[pagerankConverged]]: limit cycles
@@ -675,13 +678,17 @@ object RdfQueries {
         .select(col("dst"), expr("pr div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
         .select(col("dst").as("cnode"), col("contrib"))
+      // LAZY checkpoint: the d1 diff below is the round's only
+      // mandatory action, and it materializes the checkpoint as a
+      // side effect — one driver job per round instead of an eager
+      // checkpoint job plus a diff job
       val next = nodes.crossJoin(nCnt).crossJoin(dm)
         .join(contrib, col("node") === col("cnode"), "left")
         .select(col("node"),
           (expr(s"((${PrcScale}L div n) * 15) div 100") +
             expr("(85 * (coalesce(contrib, 0L) + (dm div n))) div 100"))
             .as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       it += 1 // `next` is state s_it
       // one diff action per round while the walk is far from the
       // cycle; the older window states are only scanned once the

@@ -57,7 +57,7 @@ class PagerankSpec extends AnyFunSuite {
     assert(total <= Scale)
   }
 
-  private val CScale = 1000000L
+  private val CScale = 100000L // = RdfQueries.PrcScale
 
   /** Driver-side FLAT replay of the converged variant: the identical
     * truncating recurrence with dangling mass redistributed, run for
