@@ -38,6 +38,12 @@ object RdfQueries {
     // makes lossless-ness of the codec itself oracle-checked.
     "rdf_turtle_roundtrip" -> ((s, d) =>
       Turtle.parse(Turtle.serializeDocuments(tri(s, d)))),
+    // Single-FILE scale parse: the fixture serialized to ONE Turtle
+    // file on disk, re-parsed through the chunked byte-range path
+    // (DFA state composition + boundary resync, [[TurtleChunked]])
+    // at a chunk size that forces tens of chunks — same oracle as
+    // the roundtrip, so boundary tiling is what the hash proves.
+    "rdf_turtle_chunked" -> ((s, d) => turtleChunkedQ(s, d)),
     // Cleaning audit: the triples O4-O7 removed (raw EXCEPT clean) —
     // the provenance view an operator checks before publishing.
     // except() is EXCEPT DISTINCT and treats NULLs as equal in both
@@ -161,6 +167,30 @@ object RdfQueries {
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
+
+  /** Serializes single-file builds: the write overwrites a directory
+    * (same discipline as the llm family's indexBuildLock). */
+  private val singleFileLock = new Object
+
+  /** The fixture corpus as ONE Turtle file on disk (built once per
+    * snapshot, memoized), re-parsed through the chunked
+    * [[TurtleChunked]] path — 64 KiB chunks force tens of parallel
+    * regions on the sf0.01 file. */
+  private def turtleChunkedQ(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File("target/graft-stored-index/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "/turtle-single")
+      .getAbsolutePath
+    singleFileLock.synchronized {
+      graft.SnapshotMemo.getOrCompute(s, s"turtle-single:$d") {
+        Turtle.serialize(tri(s, d).coalesce(1))
+          .write.mode("overwrite").text(dir)
+        s.range(1).toDF("built")
+      }
+    }
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-")).get
+    TurtleChunked.parse(s, part.getAbsolutePath, chunkBytes = 64 * 1024)
+  }
 
   /** The multi-graph store fixture: export triples spread across
     * three deterministic named graphs (graph = f(subject, object) —
@@ -1157,6 +1187,10 @@ object RdfQueries {
          |FROM triples""".stripMargin,
 
     "rdf_turtle_roundtrip" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT DISTINCT * FROM triples""".stripMargin,
+
+    "rdf_turtle_chunked" ->
       s"""WITH ${TripleFixture.triplesCte}
          |SELECT DISTINCT * FROM triples""".stripMargin,
 
