@@ -18,7 +18,8 @@ import Vocab.RdfType
   * Supported grammar (whitespace-insensitive, keywords
   * case-insensitive):
   * {{{
-  *   query    := prefix* SELECT (?var+ | *) WHERE { group } (LIMIT n)?
+  *   query    := prefix* SELECT DISTINCT? (?var+ | *) WHERE { group }
+  *               (ORDER BY key+)? (LIMIT n)?
   *   prefix   := PREFIX pname: <iri>
   *   group    := (triples | optional | filter)+
   *   triples  := term pred obj (';' pred obj)* '.'?
@@ -29,11 +30,13 @@ import Vocab.RdfType
   *   term     := ?var | <iri> | pname:local
   *   pred     := <iri> | pname:local | a          (constant only)
   *   obj      := ?var | <iri> | pname:local | "string"
+  *   key      := ?var | ASC(?var) | DESC(?var)   (selected vars only)
   * }}}
   * The prefixes of [[Vocab.namespaces]] are pre-declared; PREFIX
-  * clauses add or override. Out of scope (use the DataFrame builders
-  * directly): variable predicates, UNION/MINUS, property paths,
-  * GROUP BY, ORDER BY, nested OPTIONAL.
+  * clauses add or override. ORDER BY + LIMIT plans as Spark's
+  * bounded top-k (TakeOrderedAndProject), never a full sort. Out of
+  * scope (use the DataFrame builders directly): variable predicates,
+  * UNION/MINUS, property paths, GROUP BY, nested OPTIONAL.
   *
   * Compilation strategy mirrors the hand-built forms exactly:
   *  - A BGP whose required patterns share ONE subject variable (and
@@ -69,6 +72,8 @@ object SparqlSelect {
       required: Seq[Pattern],
       optionals: Seq[Seq[Pattern]],
       filters: Seq[Cond],
+      distinct: Boolean,
+      orderBy: Seq[(String, Boolean)], // (var, ascending)
       limit: Option[Int])
 
   def apply(triples: DataFrame, queryText: String): DataFrame =
@@ -172,6 +177,8 @@ object SparqlSelect {
           iri.substring(1, iri.length - 1))
       }
       expect("SELECT")
+      val dist = kw("DISTINCT")
+      if (dist) next()
       val vars = Seq.newBuilder[String]
       var star = false
       if (peek == "*") { next(); star = true }
@@ -193,10 +200,29 @@ object SparqlSelect {
         } else req ++= triples()
       }
       expect("}")
+      val order = Seq.newBuilder[(String, Boolean)]
+      if (kw("ORDER")) {
+        next(); expect("BY")
+        var more = true
+        while (more) {
+          if (peek.startsWith("?")) order += ((next().substring(1), true))
+          else if (kw("ASC") || kw("DESC")) {
+            val asc = kw("ASC")
+            next(); expect("(")
+            val v = next()
+            require(v.startsWith("?"), s"SPARQL: ORDER BY key must " +
+              s"be a var, got '$v'")
+            expect(")")
+            order += ((v.substring(1), asc))
+          } else more = false
+        }
+        require(order.result().nonEmpty, "SPARQL: empty ORDER BY")
+      }
       val limit = if (kw("LIMIT")) { next(); Some(next().toInt) } else None
       require(i == ts.size, s"SPARQL: trailing tokens at '${peek}'")
       val q = Query(if (star) Seq.empty else vars.result(),
-        req.result(), opts.result(), fils.result(), limit)
+        req.result(), opts.result(), fils.result(), dist,
+        order.result(), limit)
       require(q.required.nonEmpty, "SPARQL: empty WHERE group")
       q
     }
@@ -230,11 +256,21 @@ object SparqlSelect {
           .groupBy(identity).forall(_._2.size == 1) &&
         (q.required.size + q.optionals.flatten.size) >= 2
     }
+    val badKeys = q.orderBy.map(_._1).filterNot(select.contains)
+    require(badKeys.isEmpty,
+      s"SPARQL: ORDER BY key(s) ${badKeys.mkString(", ")} not in the " +
+        "projection")
     val base =
       if (starShaped) pivot(t, q, subjVar.get)
       else joins(t, q)
     val projected = base.select(select.map(col): _*)
-    q.limit.fold(projected)(projected.limit)
+    val distinct = if (q.distinct) projected.distinct() else projected
+    val ordered =
+      if (q.orderBy.isEmpty) distinct
+      else distinct.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc else col(v).desc
+      }: _*)
+    q.limit.fold(ordered)(ordered.limit)
   }
 
   /** Numeric variables: any var some FILTER compares to an integer —

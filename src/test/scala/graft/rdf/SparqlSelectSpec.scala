@@ -113,6 +113,25 @@ class SparqlSelectSpec extends AnyFunSuite {
     assert(compiled.count() === hand.count() && compiled.count() > 0)
   }
 
+  test("6: DISTINCT + ORDER BY DESC + LIMIT == hand-built top-k, and " +
+      "plans as bounded TakeOrderedAndProject, not a full sort") {
+    val compiled = SparqlSelect(t,
+      """SELECT DISTINCT ?brand
+        |WHERE { ?item <http://ex.org/def#brand> ?brand . }
+        |ORDER BY DESC(?brand) LIMIT 5""".stripMargin)
+    val hand = t.filter(col("predicate") === "http://ex.org/def#brand")
+      .select(col("obj_value").as("brand"))
+      .distinct()
+      .orderBy(col("brand").desc)
+      .limit(5)
+    assertTwin(compiled, hand)
+    assert(compiled.collect().map(_.getString(0)).toSeq ===
+      hand.collect().map(_.getString(0)).toSeq)
+    assert(compiled.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT should plan as bounded top-k")
+  }
+
   test("the registered rdf_sparql_select query parses, runs, and keeps " +
       "OPTIONAL rows null where the template is absent") {
     val df = RdfQueries.queries("rdf_sparql_select")(s, d)
