@@ -162,10 +162,13 @@ object TurtleChunked {
     if (chunks.isEmpty) return Turtle.parse(Seq(head).toDS(), graphId)
 
     // pass 1: per-chunk transition vectors → composed true states.
-    // One row of NStates ints per chunk — metadata-scale; the
-    // composition is inherently sequential and runs on the driver
-    // (the same role the CC loop's convergence head() plays).
-    val vectors = spark.sparkContext
+    // Function composition is ASSOCIATIVE, so the prefix composition
+    // is a fold over the (tiny, one-row-per-chunk) vector table —
+    // done with SQL higher-order functions on a single collected-
+    // list row and exploded back to (idx, startState): the data
+    // never leaves the cluster, and the fold input is chunk-count ×
+    // NStates ints (metadata-scale by construction).
+    val vecDf = spark.sparkContext
       .parallelize(chunks, chunks.size)
       .map { ch =>
         val f = new Path(path).getFileSystem(conf.value)
@@ -174,19 +177,26 @@ object TurtleChunked {
         try in.readFully(ch.start, buf, 0, buf.length) finally in.close()
         (ch.idx, transitionVector(buf))
       }
-      .collect().sortBy(_._1).map(_._2)
-    val startStates = new Array[Int](chunks.size)
-    startStates(0) = Default
-    var k = 1
-    while (k < chunks.size) {
-      startStates(k) = vectors(k - 1)(startStates(k - 1))
-      k += 1
-    }
+      .toDF("idx", "vec")
+    val statesDf = vecDf
+      .agg(org.apache.spark.sql.functions.expr(
+        "sort_array(collect_list(struct(idx, vec)))").as("vs"))
+      // prefix states: acc(i) = start state of chunk i; each step
+      // appends vec[acc.last + 1] (element_at is 1-based)
+      .selectExpr(
+        s"""aggregate(vs, array($Default),
+           |  (acc, x) -> concat(acc,
+           |    array(element_at(x.vec, element_at(acc, -1) + 1))))
+           |  AS states""".stripMargin)
+      .selectExpr("posexplode(slice(states, 1, size(states) - 1)) " +
+        "AS (idx, startState)")
+    val chunkDf = chunks
+      .map(c => (c.idx, c.start, c.end)).toDF("idx", "start", "end")
 
     // pass 2: resync + parse owned statements
-    val tasks = chunks.map(c => (c.idx, c.start, c.end, startStates(c.idx)))
-    val triples = spark.sparkContext
-      .parallelize(tasks, tasks.size)
+    val triples = chunkDf.join(statesDf, "idx")
+      .select("idx", "start", "end", "startState")
+      .as[(Int, Long, Long, Int)]
       .flatMap { case (idx, start, end, startState) =>
         val f = new Path(path).getFileSystem(conf.value)
         val in = f.open(new Path(path))
