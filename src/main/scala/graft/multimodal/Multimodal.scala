@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   * zlib/DEFLATE and `java.util.zip.Inflater` is public JDK, so
   * decompression + §9 scanline un-filtering needs no codec library
   * — ALL FIVE 8-bit color
-  * types (gray, truecolor, palette + PLTE, gray+alpha, RGBA),
+  * types (gray, truecolor, palette + PLTE, gray+alpha, RGBA) plus
+  * bit-depth 16 and Adam7 interlace,
   * multi-IDAT, all five filter types (ImageIO-round-trip
-  * spec-proven per color type). Only decode of LOSSY
-  * entropy-coded payloads (JPEG pixels, MP4 frames — real DCT/codec
-  * territory, no library in this container) remains a clearly-marked
-  * DETERMINISTIC FAKE:
+  * spec-proven per color type). BASELINE JPEG luma is REAL too
+  * ([[JpegDecode]] behind [[graft.functions.JpegLuma]],
+  * `mm_jpeg_luma`): canonical Huffman + dequant + IDCT on the
+  * public JDK, ImageIO-tolerance spec-proven. Only decode of the
+  * remaining lossy codecs (MP3 frames, H.264 video — real
+  * psychoacoustic/motion-compensation territory, no library in this
+  * container) remains a clearly-marked DETERMINISTIC FAKE:
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped
