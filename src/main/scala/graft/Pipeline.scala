@@ -416,8 +416,13 @@ object Pipeline {
     fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true)
-    if (fs.exists(dest)) fs.rename(dest, old)
-    fs.rename(tmp, dest)
+    // FileSystem.rename reports failure as `false`, not an exception
+    // (cross-device, permission, missing parent). A silent false here
+    // followed by the delete(old) below would discard the only intact
+    // snapshot — fail before touching the backup.
+    if (fs.exists(dest))
+      require(fs.rename(dest, old), s"atomicReplace: rename $dest -> $old failed")
+    require(fs.rename(tmp, dest), s"atomicReplace: rename $tmp -> $dest failed")
     fs.delete(old, true)
   }
 
@@ -434,7 +439,8 @@ object Pipeline {
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
-    if (!fs.exists(dest) && fs.exists(old)) fs.rename(old, dest)
+    if (!fs.exists(dest) && fs.exists(old))
+      require(fs.rename(old, dest), s"healSwap: restore rename $old -> $dest failed")
     fs.delete(new org.apache.hadoop.fs.Path(path + ".tmp"), true)
   }
 

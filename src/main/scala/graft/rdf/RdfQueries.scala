@@ -673,7 +673,7 @@ object RdfQueries {
     * the loop. */
   private def pagerankConverged(s: SparkSession, d: String): DataFrame =
     graft.SnapshotMemo.getOrCompute(s, s"pagerank-converged:$d")(
-      chkSer(computePagerankConverged(s, d)))
+      computePagerankConverged(s, d))
 
   private def computePagerankConverged(
       s: SparkSession, d: String): DataFrame = {
@@ -749,7 +749,19 @@ object RdfQueries {
       }
     }
     val out = if (result != null) result else states.last
-    out.select(col("node"), col("pr").as("pr_scaled"))
+    // the stored artifact consumers read — materialized EAGERLY so
+    // every checkpoint the build pinned can be freed below
+    val stored = chkSer(out.select(col("node"), col("pr").as("pr_scaled")))
+    // free the build's working set: superseded window states were
+    // freed as they slid out, but up to PrcWindow states plus the
+    // init/ed/nodes/dangling helpers are still pinned in
+    // block-manager storage here and would otherwise be stranded for
+    // the session's lifetime (freeLocalCheckpoint is an idempotent
+    // unpersist, so re-freeing the already-dropped init is harmless)
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    (states :+ init :+ ed :+ nodes :+ dangling)
+      .foreach(shim.freeLocalCheckpoint)
+    stored
   }
 
   /** SPARQL BIND + string functions —

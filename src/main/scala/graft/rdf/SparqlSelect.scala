@@ -124,7 +124,9 @@ object SparqlSelect {
         val c = tok.indexOf(':')
         require(c > 0, s"SPARQL: expected an IRI or pname, got '$tok'")
         val (p, local) = (tok.substring(0, c), tok.substring(c + 1))
-        prefixes.get(p.toLowerCase).map(_ + local).getOrElse(
+        // SPARQL pnames are case-sensitive: `PREFIX Foo:` and
+        // `PREFIX foo:` are distinct declarations.
+        prefixes.get(p).map(_ + local).getOrElse(
           throw new IllegalArgumentException(
             s"SPARQL: undeclared prefix '$p'"))
       }
@@ -173,7 +175,7 @@ object SparqlSelect {
         require(p.endsWith(":"), s"SPARQL: bad prefix decl '$p'")
         val iri = next()
         require(iri.startsWith("<"), s"SPARQL: prefix IRI must be <...>")
-        prefixes += (p.dropRight(1).toLowerCase ->
+        prefixes += (p.dropRight(1) ->
           iri.substring(1, iri.length - 1))
       }
       expect("SELECT")
@@ -338,8 +340,11 @@ object SparqlSelect {
       }
     }
     val aggs = aggConds.map(_._1)
+    // A FILTER on the subject variable runs before the rename below,
+    // where the grouping column is still named `subject`.
     val conds: Seq[Column] = aggConds.flatMap(_._2) ++
-      q.filters.map(c => condCol(c, col(c.v)))
+      q.filters.map(c => condCol(c,
+        if (c.v == subjVar) col("subject") else col(c.v)))
 
     t.groupBy(col("subject"))
       .agg(aggs.head, aggs.tail: _*)

@@ -98,6 +98,17 @@ object TurtleChunked {
   private def isWs(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\n'
 
+  /** States 16/18 (just closed an EMPTY short literal, `''`/`""`)
+    * are default-equivalent for every next char except the third
+    * quote: a statement dot can legally follow them with no
+    * intervening whitespace (`<s> <p> '' .` minus the space), and the
+    * boundary/ownership predicates test BEFORE stepping — so they
+    * must accept a dot in these states or both neighbours extend the
+    * region past the chunk edge and skip the fail-loudly checks for
+    * one statement. */
+  private def isDefaultLike(state: Int): Boolean =
+    state == Default || state == 16 || state == 18
+
   /** One chunk's DFA end state for every possible start state. */
   private def transitionVector(bytes: Array[Byte]): Array[Int] = {
     val v = Array.tabulate(NStates)(identity)
@@ -146,6 +157,15 @@ object TurtleChunked {
           if (isDirective) consumed += line.length else done = true
         }
       }
+      // a directive run that reaches the probe cap is ambiguous: the
+      // final probed line may be truncated mid-directive (or the head
+      // may simply continue past the buffer), which would put headLen
+      // mid-line and prepend a corrupt header to every chunk — fail
+      // loudly rather than guess
+      if (!done && buf.length < len) throw new IllegalArgumentException(
+        s"TurtleChunked: directive head exceeds the ${buf.length}-byte " +
+          "probe — file has an abnormally long prefix/comment header; " +
+          "use the per-file Turtle source")
       text.substring(0, consumed)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
     }
@@ -217,7 +237,7 @@ object TurtleChunked {
           // -1 when the scan runs past `scanLimit` without one
           def nextBoundary(scanLimit: Long): Long = {
             while (cur >= 0 && pos < scanLimit) {
-              if (state == Default && cur == '.') {
+              if (isDefaultLike(state) && cur == '.') {
                 advance()
                 if (cur < 0 || isWs(cur) || cur == '#') return pos
               } else advance()
@@ -246,7 +266,7 @@ object TurtleChunked {
             var atStatementStart = true
             var stop = false
             while (!stop && cur >= 0) {
-              if (state == Default && cur == '.') {
+              if (isDefaultLike(state) && cur == '.') {
                 outBytes.write(cur)
                 advance()
                 if (cur < 0 || isWs(cur) || cur == '#') {
@@ -264,7 +284,10 @@ object TurtleChunked {
                     "TurtleChunked: TriG graph blocks are not chunkable " +
                       "— use the per-file Turtle/TriG source")
                 if (state == Default && atStatementStart && !isWs(cur)) {
-                  if (idx > 0 && cur == '@') throw new IllegalArgumentException(
+                  // chunk 0's region starts past the head by
+                  // construction, so ANY top-level directive here —
+                  // in any chunk — is a body directive: fail loudly
+                  if (cur == '@') throw new IllegalArgumentException(
                     s"TurtleChunked: directive at byte ${pos} is outside " +
                       "the file's directive head — chunked parsing " +
                       "requires all prefix/base directives in the head")

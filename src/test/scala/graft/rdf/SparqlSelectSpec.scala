@@ -142,6 +142,57 @@ class SparqlSelectSpec extends AnyFunSuite {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("7: prefix names are case-sensitive — two case-distinct " +
+      "declarations resolve independently") {
+    val compiled = SparqlSelect(t,
+      """PREFIX DEF: <http://ex.org/def#>
+        |PREFIX def: <http://ex.org/not-def#>
+        |SELECT ?item ?size
+        |WHERE { ?item DEF:size ?size . }""".stripMargin)
+    val hand = t.filter(col("predicate") === "http://ex.org/def#size")
+      .select(col("subject").as("item"), col("obj_value").as("size"))
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+    // the lowercase homonym must hit the OTHER namespace, not the
+    // lowercased table entry for DEF
+    val other = SparqlSelect(t,
+      """PREFIX DEF: <http://ex.org/def#>
+        |PREFIX def: <http://ex.org/not-def#>
+        |SELECT ?item ?size
+        |WHERE { ?item def:size ?size . }""".stripMargin)
+    assert(other.count() === 0)
+    // an undeclared mixed-case prefix is an error, not a silent
+    // match against its lowercased cousin
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      "SELECT ?x ?y WHERE { ?x Dcterms:title ?y }"))
+  }
+
+  test("8: FILTER on the subject variable compiles in the star-pivot " +
+      "path (and matches the hand-built pivot)") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?item ?title ?m
+        |WHERE {
+        |  ?item a ceo:Rijksmonument ;
+        |        dcterms:title ?title ;
+        |        ceo:rijksmonumentnummer ?m .
+        |  FILTER(?item != "nope")
+        |}""".stripMargin)
+    val hand = {
+      val p = col("predicate")
+      t.groupBy(col("subject"))
+        .agg(
+          max(when(p === RdfType && col("obj_value") === CeoRijksmonument, 1)
+            .otherwise(0)).as("_m0"),
+          min(when(p === DctermsTitle, col("obj_value"))).as("title"),
+          min(when(p === CeoRijksmonumentnummer, col("obj_value"))).as("m"))
+        .filter(col("_m0") === 1 && col("title").isNotNull &&
+          col("m").isNotNull && col("subject") =!= "nope")
+        .select(col("subject").as("item"), col("title"), col("m"))
+    }
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+  }
+
   test("parser rejects malformed queries with a diagnostic") {
     val bad = Seq(
       "SELECT ?x WHERE { ?x }",                     // incomplete pattern

@@ -117,6 +117,59 @@ class TurtleChunkedSpec extends AnyFunSuite {
       === rows(whole))
   }
 
+  test("empty short literals immediately followed by the statement " +
+      "dot tile consistently across chunk edges") {
+    // `'' .` minus the space: the DFA sits in the opened-quote-pair
+    // state (16/18) when the dot arrives, and the boundary predicate
+    // tests BEFORE stepping — a chunk edge near these dots must not
+    // extend region ownership past the edge
+    val header = "@prefix ex: <http://ex.org/> .\n"
+    val stmts = (0 until 400).map { i =>
+      if (i % 2 == 0) f"ex:s$i%04d ex:p ''.%n".replace("\r", "")
+      else f"""ex:s$i%04d ex:p "".%n""".replace("\r", "")
+    }.mkString
+    val doc = header + stmts +
+      """ex:mix ex:p '' . ex:mix2 ex:q "" .""" + "\n"
+    val path = writeFile(doc)
+    val whole = Turtle.parse(Seq(doc).toDS())
+    assert(rows(whole).size >= 400, "whole parse must accept ''.")
+    // sweep chunk sizes so edges land at every offset within the
+    // fixed-width statement lines, incl. between the quotes and dot
+    for (cb <- 1024 to 1024 + 20) {
+      assert(rows(TurtleChunked.parse(s, path, chunkBytes = cb))
+        === rows(whole), s"chunkBytes=$cb")
+    }
+  }
+
+  test("a body directive in CHUNK 0 fails loudly too") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |ex:a ex:p "x" .
+        |@prefix late: <http://ex.org/late/> .
+        |late:y ex:p "z" .
+        |""".stripMargin
+    // one chunk: the whole body is chunk 0's region — the directive
+    // check must not be gated on idx > 0
+    val e = intercept[Exception] {
+      TurtleChunked.parse(s, writeFile(doc), chunkBytes = 1 << 20).count()
+    }
+    assert(e.getMessage.contains("directive") ||
+      String.valueOf(e.getCause).contains("directive"))
+  }
+
+  test("a directive head longer than the probe cap fails loudly " +
+      "instead of mis-computing headLen") {
+    val line = "# " + "x" * 62 + "\n" // 65 bytes
+    val sb = new StringBuilder
+    (0 until 17000).foreach(_ => sb.append(line)) // ~1.08 MiB of head
+    sb.append("@prefix ex: <http://ex.org/> .\n")
+    sb.append("""ex:a ex:p "v" .""").append("\n")
+    val e = intercept[IllegalArgumentException] {
+      TurtleChunked.parse(s, writeFile(sb.toString), chunkBytes = 1 << 20)
+    }
+    assert(e.getMessage.contains("probe"))
+  }
+
   test("TriG blocks and out-of-head directives fail loudly") {
     val trig =
       """@prefix ex: <http://ex.org/> .
