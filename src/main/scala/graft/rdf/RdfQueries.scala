@@ -150,6 +150,22 @@ object RdfQueries {
     // hand-built twins via sameResult.
     "rdf_sparql_select" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlSelectQuery)),
+    // Round-12 front-end productions — each string compiles into the
+    // hand-built shape its doc names (plan identity proven by
+    // SparqlSelectSpec; these rows prove end-to-end correctness
+    // independently).
+    "rdf_sparql_union" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlUnionQuery)),
+    "rdf_sparql_union_het" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlUnionHetQuery)),
+    "rdf_sparql_agg" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlAggQuery)),
+    "rdf_sparql_path" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlPathQuery)),
+    "rdf_sparql_path_inv" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlPathInvQuery)),
+    "rdf_sparql_path_plus" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlPathPlusQuery)),
   )
 
   /** The canonical front-end query for `rdf_sparql_select` — the
@@ -164,6 +180,56 @@ object RdfQueries {
       |  OPTIONAL { ?item o:resource_template ?template }
       |  FILTER(?part_size >= 10)
       |}""".stripMargin
+
+  /** UNION whose branches differ only in the predicate constant —
+    * compiles to ONE `isin` scan ([[pathAlt]]'s documented shape:
+    * "never a union of per-predicate scans"). */
+  val sparqlUnionQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?value
+      |WHERE {
+      |  { ?item dcterms:title ?value } UNION { ?item def:brand ?value }
+      |}""".stripMargin
+
+  /** Heterogeneous UNION — branches bind different variables, so the
+    * general form applies: per-branch scans unioned with typed null
+    * padding (SPARQL's UNION multiset semantics). */
+  val sparqlUnionHetQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?title ?brand
+      |WHERE {
+      |  { ?item dcterms:title ?title } UNION { ?item def:brand ?brand }
+      |}""".stripMargin
+
+  /** GROUP BY + aggregates — compiles to [[groupAgg]]'s exact shape:
+    * brand scan, broadcast semi against the distinct typed set, ONE
+    * exchange on the brand key with map-side partial aggregation. */
+  val sparqlAggQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?brand (COUNT(*) AS ?n_items) (MIN(?item) AS ?first_item)
+      |WHERE { ?item def:brand ?brand . ?item a ceo:Rijksmonument . }
+      |GROUP BY ?brand""".stripMargin
+
+  /** Sequence path `p1/p2` — desugars to a hidden intermediate
+    * variable and one equi-join on it ([[pathSeq]]'s shape). */
+  val sparqlPathQuery: String =
+    """SELECT ?src ?title
+      |WHERE { ?src dcterms:relation/dcterms:title ?title . }""".stripMargin
+
+  /** Inverse path `^p` + type membership — the endpoint swap (no
+    * reversed edge set materialized) and the broadcast semi against
+    * the typed dimension set ([[pathInv]]'s shape). */
+  val sparqlPathInvQuery: String =
+    """SELECT ?item ?pointer
+      |WHERE { ?item ^dcterms:relation ?pointer .
+      |        ?item a ceo:Rijksmonument . }""".stripMargin
+
+  /** Closure path `p+` — routes into [[RdfOps.reachablePlus]], the
+    * shared semi-naive fixpoint, over the IRI-object relation edge
+    * scan seeded from every edge source. */
+  val sparqlPathPlusQuery: String =
+    """SELECT ?src ?dst
+      |WHERE { ?src dcterms:relation+ ?dst . }""".stripMargin
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
@@ -1373,6 +1439,74 @@ object RdfQueries {
          |  AND tpl.predicate = '$OmekaResourceTemplate'
          |WHERE ty.predicate = '$RdfType'
          |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
+
+    "rdf_sparql_union" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item, obj_value AS value FROM triples
+         |WHERE predicate IN ('$DctermsTitle',
+         |  'http://ex.org/def#brand')""".stripMargin,
+
+    // the heterogeneous branches stay separate scans with NULL
+    // padding — UNION ALL mirrors SPARQL's multiset union
+    "rdf_sparql_union_het" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item, obj_value AS title,
+         |  CAST(NULL AS VARCHAR) AS brand
+         |FROM triples WHERE predicate = '$DctermsTitle'
+         |UNION ALL
+         |SELECT subject AS item, CAST(NULL AS VARCHAR) AS title,
+         |  obj_value AS brand
+         |FROM triples WHERE predicate = 'http://ex.org/def#brand'""".stripMargin,
+
+    "rdf_sparql_agg" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT b.obj_value AS brand, COUNT(*) AS n_items,
+         |       MIN(b.subject) AS first_item
+         |FROM triples b
+         |WHERE b.predicate = 'http://ex.org/def#brand'
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = b.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')
+         |GROUP BY b.obj_value""".stripMargin,
+
+    // like rdf_path_seq but WITHOUT the obj_kind restriction: the
+    // front-end's sequence step keeps plain SPARQL value-join
+    // semantics (a literal object joins by equality if anything
+    // subjects under it — nothing does in the fixture, so the rows
+    // agree; the SQL mirrors the engine exactly either way)
+    "rdf_sparql_path" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT r.subject AS src, t.obj_value AS title
+         |FROM triples r
+         |JOIN triples t ON t.subject = r.obj_value
+         |  AND t.predicate = '$DctermsTitle'
+         |WHERE r.predicate = '$DctermsRelation'""".stripMargin,
+
+    "rdf_sparql_path_inv" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT r.obj_value AS item, r.subject AS pointer
+         |FROM triples r
+         |WHERE r.predicate = '$DctermsRelation'
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = r.obj_value
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    // pairs-only recursion (cycle-safe), seeded from every edge
+    // source — the `?src p+ ?dst` binding set; closure steps walk
+    // the IRI-object graph only, mirrored by the obj_kind filter
+    "rdf_sparql_path_plus" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |edges AS (SELECT subject AS src, obj_value AS dst FROM triples
+         |  WHERE predicate = '$DctermsRelation' AND obj_kind = 'iri')
+         |SELECT src, dst FROM (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT src, dst FROM edges
+         |    UNION
+         |    SELECT w.src, e.dst FROM walk w
+         |    JOIN edges e ON e.src = w.dst)
+         |  SELECT * FROM walk)""".stripMargin,
 
     // DuckDB's native WITH RECURSIVE is the independent
     // implementation of the engine's semi-naive iteration; UNION

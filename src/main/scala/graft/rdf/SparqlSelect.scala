@@ -16,13 +16,21 @@ import Vocab.RdfType
   * (SparqlSelectSpec proves plan-equality via `sameResult`).
   *
   * Supported grammar (whitespace-insensitive, keywords
-  * case-insensitive):
+  * case-insensitive; prefix names case-SENSITIVE per SPARQL):
   * {{{
-  *   query    := prefix* SELECT DISTINCT? (?var+ | *) WHERE { group }
+  *   query    := prefix* SELECT DISTINCT? (item+ | *) WHERE { body }
+  *               (GROUP BY ?var+)? (HAVING ( aggCond ))?
   *               (ORDER BY key+)? (LIMIT n)?
   *   prefix   := PREFIX pname: <iri>
+  *   item     := ?var | ( agg AS ?var )
+  *   agg      := COUNT(*) | COUNT(?v) | SUM(?v) | MIN(?v) | MAX(?v)
+  *             | GROUP_CONCAT(?v (; separator="s")?)
+  *   body     := group | braced (UNION braced)+
+  *   braced   := { (triples | filter)* }         (union branches)
   *   group    := (triples | optional | filter)+
-  *   triples  := term pred obj (';' pred obj)* '.'?
+  *   triples  := term path obj (';' path obj)* '.'?
+  *   path     := step ('/' step)*
+  *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' ) '+'?
   *   optional := OPTIONAL { triples }
   *   filter   := FILTER ( cond (&& cond)* )
   *   cond     := ?var op (integer | "string")
@@ -30,13 +38,14 @@ import Vocab.RdfType
   *   term     := ?var | <iri> | pname:local
   *   pred     := <iri> | pname:local | a          (constant only)
   *   obj      := ?var | <iri> | pname:local | "string"
-  *   key      := ?var | ASC(?var) | DESC(?var)   (selected vars only)
+  *   key      := ?var | ASC(?var) | DESC(?var)   (projected names only)
+  *   aggCond  := agg op integer
   * }}}
   * The prefixes of [[Vocab.namespaces]] are pre-declared; PREFIX
   * clauses add or override. ORDER BY + LIMIT plans as Spark's
   * bounded top-k (TakeOrderedAndProject), never a full sort. Out of
   * scope (use the DataFrame builders directly): variable predicates,
-  * UNION/MINUS, property paths, GROUP BY, nested OPTIONAL.
+  * MINUS, `p?`/`p*` paths, subqueries, nested OPTIONAL/UNION.
   *
   * Compilation strategy mirrors the hand-built forms exactly:
   *  - A BGP whose required patterns share ONE subject variable (and
@@ -46,12 +55,46 @@ import Vocab.RdfType
   *    caveat, guarded by RdfPathSpec).
   *  - Anything else compiles to per-pattern filtered scans joined on
   *    shared variables (the naive BGP join), OPTIONAL groups as left
-  *    joins — exact SPARQL multiset semantics.
-  * A FILTER comparing a variable to an integer makes that variable's
-  * binding numeric (`cast("int")` inside the pivot aggregate, like
-  * the hand-built `part_size`); bound-by-comparison variables skip
-  * the redundant isNotNull (a comparison on NULL is never true in
-  * either engine).
+  *    joins — exact SPARQL multiset semantics. Within the join form,
+  *    a pattern whose ONLY variable is its subject (constant
+  *    predicate + object) that another pattern also binds is a
+  *    MEMBERSHIP test, not a binding source: it compiles to a
+  *    broadcast `left_semi` against the distinct matching-subject
+  *    set — the dimension-set shape every hand-built form (groupAgg,
+  *    pathAlt, pathInv) uses. Sound because the triple store is a
+  *    SET: a single-variable pattern binds each subject at most
+  *    once, so inner-join and semi-join multiplicities coincide.
+  *  - UNION branches that differ ONLY in their predicate constant
+  *    (same subject/object terms, disjoint predicates) merge into
+  *    ONE `isin` scan ([[RdfQueries.pathAlt]]'s documented shape —
+  *    "never a union of per-predicate scans"); heterogeneous
+  *    branches compile per-branch and union with typed null padding
+  *    for the variables a branch leaves unbound (SPARQL's UNION
+  *    multiset semantics).
+  *  - Property paths desugar in the parser: `p1/p2` threads a hidden
+  *    intermediate variable (excluded from `SELECT *`), `^p` swaps
+  *    the pattern's endpoints (a projection swap — no reversed edge
+  *    set is materialized, [[RdfQueries.pathInv]]'s shape), `p1|p2`
+  *    becomes a predicate SET on one pattern (one scan), and `p+`
+  *    routes into [[RdfOps.reachablePlus]] — the shared semi-naive
+  *    fixpoint — over the IRI-object edge scan of its predicate set
+  *    (closure steps walk the IRI graph; non-closure steps keep
+  *    plain value-join semantics).
+  *  - GROUP BY + aggregates compile to the single-exchange hash
+  *    aggregate over the join form ([[RdfQueries]]'s groupAgg /
+  *    groupConcat / groupHaving shapes): map-side partial
+  *    aggregation on the grouping key; HAVING is a post-aggregate
+  *    filter on the (group-scale) result, reusing a projected
+  *    aggregate's column when the HAVING expression matches one.
+  *    GROUP_CONCAT pins lexicographic order (sort_array over the
+  *    collected set) — SPARQL leaves concat order
+  *    implementation-defined; determinism is the engine's documented
+  *    choice.
+  * A FILTER comparing a variable to an integer (or a SUM over it)
+  * makes that variable's binding numeric (`cast("int")` inside the
+  * pivot aggregate / scan projection, like the hand-built
+  * `part_size`); bound-by-comparison variables skip the redundant
+  * isNotNull (a comparison on NULL is never true in either engine).
   */
 object SparqlSelect {
 
@@ -61,19 +104,32 @@ object SparqlSelect {
   final case class I(iri: String) extends Term
   final case class L(value: String) extends Term
 
-  /** One triple pattern; the predicate is always a constant IRI. */
-  final case class Pattern(s: Term, p: String, o: Term)
+  /** One triple pattern. `preds` is the predicate set (size 1 for a
+    * plain pattern, > 1 for an alternation — evaluated as ONE `isin`
+    * scan); `plus` marks a closure step (`p+`), evaluated as a
+    * semi-naive fixpoint. */
+  final case class Pattern(s: Term, preds: Seq[String], o: Term,
+      plus: Boolean = false)
 
   /** `?variable op rhs` — rhs either integer or string literal. */
   final case class Cond(v: String, op: String, rhs: Either[Long, String])
 
+  /** One aggregate select item: `(fun(arg) AS ?as)`. `arg` None is
+    * `COUNT(*)`; `sep` is GROUP_CONCAT's separator. */
+  final case class Agg(fun: String, arg: Option[String], sep: String,
+      as: String)
+
+  /** One WHERE group (a union branch, or the whole WHERE). */
+  final case class Group(required: Seq[Pattern],
+      optionals: Seq[Seq[Pattern]], filters: Seq[Cond])
+
   final case class Query(
-      selectVars: Seq[String], // empty = SELECT * (expand in compile)
-      required: Seq[Pattern],
-      optionals: Seq[Seq[Pattern]],
-      filters: Seq[Cond],
+      selectItems: Seq[Either[String, Agg]], // empty = SELECT *
+      groups: Seq[Group], // size 1 = plain group; 2+ = UNION branches
+      groupBy: Seq[String],
+      having: Seq[(Agg, String, Long)],
       distinct: Boolean,
-      orderBy: Seq[(String, Boolean)], // (var, ascending)
+      orderBy: Seq[(String, Boolean)], // (name, ascending)
       limit: Option[Int])
 
   def apply(triples: DataFrame, queryText: String): DataFrame =
@@ -83,7 +139,7 @@ object SparqlSelect {
 
   private val Tok = (
     """\s*(<[^>\s]*>|"(?:[^"\\]|\\.)*"|\?\w+|&&|!=|<=|>=|=|<|>|""" +
-      """\{|\}|\(|\)|\.|;|\*|[A-Za-z_][\w-]*:[\w.-]*|-?\d+|\w+)""").r
+      """\{|\}|\(|\)|\.|;|\*|/|\^|\+|\||[A-Za-z_][\w-]*:[\w.-]*|-?\d+|\w+)""").r
 
   private def tokenize(q: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -105,6 +161,13 @@ object SparqlSelect {
 
   def parse(q: String): Query = new Parser(tokenize(q)).query()
 
+  private val AggFuns = Set("COUNT", "SUM", "MIN", "MAX", "GROUP_CONCAT")
+
+  /** One property-path step: `'^'? primary '+'?` where primary is
+    * a predicate or a parenthesized alternation of predicates. */
+  private final case class Step(inv: Boolean, preds: Seq[String],
+      plus: Boolean)
+
   private final class Parser(ts: Vector[String]) {
     private var i = 0
     private def peek: String = if (i < ts.size) ts(i) else ""
@@ -117,6 +180,10 @@ object SparqlSelect {
     private def kw(t: String): Boolean = peek.equalsIgnoreCase(t)
 
     private var prefixes: Map[String, String] = Vocab.namespaces
+    private var hiddenIdx = -1
+    private def freshHidden(): String = {
+      hiddenIdx += 1; s"_path$hiddenIdx"
+    }
 
     private def resolve(tok: String): String =
       if (tok.startsWith("<")) tok.substring(1, tok.length - 1)
@@ -138,7 +205,7 @@ object SparqlSelect {
       else I(resolve(t))
     }
 
-    private def pred(): String = {
+    private def predIri(): String = {
       val t = next()
       if (t == "a") RdfType else resolve(t)
     }
@@ -147,12 +214,47 @@ object SparqlSelect {
       t.substring(1, t.length - 1)
         .replace("\\\"", "\"").replace("\\\\", "\\")
 
-    /** `term pred obj (';' pred obj)* '.'?` */
+    private def step(): Step = {
+      val inv = peek == "^"
+      if (inv) next()
+      val preds: Seq[String] =
+        if (peek == "(") {
+          next()
+          val ps = Seq.newBuilder[String]
+          ps += predIri()
+          while (peek == "|") { next(); ps += predIri() }
+          expect(")")
+          ps.result()
+        } else Seq(predIri())
+      val plus = peek == "+"
+      if (plus) next()
+      Step(inv, preds, plus)
+    }
+
+    private def pathSteps(): Seq[Step] = {
+      val out = Seq.newBuilder[Step]
+      out += step()
+      while (peek == "/") { next(); out += step() }
+      out.result()
+    }
+
+    /** `term path obj (';' path obj)* '.'?` — sequence paths thread
+      * hidden `_pathN` variables; `^` swaps the emitted pattern's
+      * endpoints. */
     private def triples(): Seq[Pattern] = {
       val s = term()
       val out = Seq.newBuilder[Pattern]
-      out += Pattern(s, pred(), term())
-      while (peek == ";") { next(); out += Pattern(s, pred(), term()) }
+      def emit(steps: Seq[Step], obj: Term): Unit = {
+        var cur: Term = s
+        steps.zipWithIndex.foreach { case (st, k) =>
+          val nxt = if (k == steps.size - 1) obj else V(freshHidden())
+          if (st.inv) out += Pattern(nxt, st.preds, cur, st.plus)
+          else out += Pattern(cur, st.preds, nxt, st.plus)
+          cur = nxt
+        }
+      }
+      emit(pathSteps(), term())
+      while (peek == ";") { next(); emit(pathSteps(), term()) }
       if (peek == ".") next()
       out.result()
     }
@@ -168,6 +270,64 @@ object SparqlSelect {
       Cond(v.substring(1), op, rhs)
     }
 
+    /** `fun '(' (* | ?var) (';' separator '=' "s")? ')'` — the agg
+      * call shared by select items and HAVING. */
+    private def aggCall(): (String, Option[String], String) = {
+      val fun = next().toUpperCase
+      require(AggFuns.contains(fun), s"SPARQL: unsupported aggregate '$fun'")
+      expect("(")
+      val arg =
+        if (peek == "*") {
+          next()
+          require(fun == "COUNT", s"SPARQL: $fun(*) is not an aggregate")
+          None
+        } else {
+          val v = next()
+          require(v.startsWith("?"),
+            s"SPARQL: aggregate argument must be a var, got '$v'")
+          Some(v.substring(1))
+        }
+      var sep = " " // the SPARQL default separator
+      if (peek == ";") {
+        next()
+        val k = next()
+        require(k.equalsIgnoreCase("separator"),
+          s"SPARQL: expected 'separator', got '$k'")
+        expect("=")
+        val sTok = next()
+        require(sTok.startsWith("\""), "SPARQL: separator must be a string")
+        sep = unquote(sTok)
+      }
+      expect(")")
+      (fun, arg, sep)
+    }
+
+    /** Group body: triples / OPTIONAL / FILTER until `}` (consumed
+      * by the caller). `allowOptional` = false inside UNION
+      * branches. */
+    private def groupBody(allowOptional: Boolean): Group = {
+      val req = Seq.newBuilder[Pattern]
+      val opts = Seq.newBuilder[Seq[Pattern]]
+      val fils = Seq.newBuilder[Cond]
+      while (peek != "}") {
+        if (kw("OPTIONAL")) {
+          require(allowOptional,
+            "SPARQL: OPTIONAL inside a UNION branch is not supported")
+          next(); expect("{")
+          opts += triples()
+          expect("}")
+        } else if (kw("FILTER")) {
+          next(); expect("(")
+          fils += cond()
+          while (peek == "&&") { next(); fils += cond() }
+          expect(")")
+        } else req ++= triples()
+      }
+      val g = Group(req.result(), opts.result(), fils.result())
+      require(g.required.nonEmpty, "SPARQL: empty WHERE group")
+      g
+    }
+
     def query(): Query = {
       while (kw("PREFIX")) {
         next()
@@ -181,27 +341,57 @@ object SparqlSelect {
       expect("SELECT")
       val dist = kw("DISTINCT")
       if (dist) next()
-      val vars = Seq.newBuilder[String]
+      val items = Seq.newBuilder[Either[String, Agg]]
       var star = false
       if (peek == "*") { next(); star = true }
-      else while (peek.startsWith("?")) vars += next().substring(1)
-      expect("WHERE"); expect("{")
-      val req = Seq.newBuilder[Pattern]
-      val opts = Seq.newBuilder[Seq[Pattern]]
-      val fils = Seq.newBuilder[Cond]
-      while (peek != "}") {
-        if (kw("OPTIONAL")) {
-          next(); expect("{")
-          opts += triples()
-          expect("}")
-        } else if (kw("FILTER")) {
-          next(); expect("(")
-          fils += cond()
-          while (peek == "&&") { next(); fils += cond() }
-          expect(")")
-        } else req ++= triples()
+      else {
+        var more = true
+        while (more) {
+          if (peek.startsWith("?")) items += Left(next().substring(1))
+          else if (peek == "(") {
+            next()
+            val (fun, arg, sep) = aggCall()
+            expect("AS")
+            val nm = next()
+            require(nm.startsWith("?"),
+              s"SPARQL: aggregate alias must be a var, got '$nm'")
+            items += Right(Agg(fun, arg, sep, nm.substring(1)))
+            expect(")")
+          } else more = false
+        }
       }
+      expect("WHERE"); expect("{")
+      val groups: Seq[Group] =
+        if (peek == "{") {
+          // braced groups: `{ A } UNION { B } (UNION { C })*`
+          val gs = Seq.newBuilder[Group]
+          def braced(): Group = {
+            expect("{")
+            val g = groupBody(allowOptional = false)
+            expect("}")
+            g
+          }
+          gs += braced()
+          while (kw("UNION")) { next(); gs += braced() }
+          gs.result()
+        } else Seq(groupBody(allowOptional = true))
       expect("}")
+      val gb = Seq.newBuilder[String]
+      if (kw("GROUP")) {
+        next(); expect("BY")
+        while (peek.startsWith("?")) gb += next().substring(1)
+        require(gb.result().nonEmpty, "SPARQL: empty GROUP BY")
+      }
+      val hav = Seq.newBuilder[(Agg, String, Long)]
+      if (kw("HAVING")) {
+        next(); expect("(")
+        val (fun, arg, sep) = aggCall()
+        val op = next()
+        require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
+          s"SPARQL: unsupported HAVING op '$op'")
+        hav += ((Agg(fun, arg, sep, ""), op, next().toLong))
+        expect(")")
+      }
       val order = Seq.newBuilder[(String, Boolean)]
       if (kw("ORDER")) {
         next(); expect("BY")
@@ -222,10 +412,11 @@ object SparqlSelect {
       }
       val limit = if (kw("LIMIT")) { next(); Some(next().toInt) } else None
       require(i == ts.size, s"SPARQL: trailing tokens at '${peek}'")
-      val q = Query(if (star) Seq.empty else vars.result(),
-        req.result(), opts.result(), fils.result(), dist,
+      val itemSeq = items.result()
+      require(star || itemSeq.nonEmpty, "SPARQL: empty SELECT list")
+      val q = Query(if (star) Seq.empty else itemSeq,
+        groups, gb.result(), hav.result(), dist,
         order.result(), limit)
-      require(q.required.nonEmpty, "SPARQL: empty WHERE group")
       q
     }
   }
@@ -236,36 +427,88 @@ object SparqlSelect {
     case V(n) => n
   }
 
-  def compile(t: DataFrame, q: Query): DataFrame = {
-    val allPats = q.required ++ q.optionals.flatten
-    val inOrderVars = allPats.flatMap(varsOf).distinct
-    val select = if (q.selectVars.nonEmpty) q.selectVars else inOrderVars
-    val unknown = select.filterNot(inOrderVars.contains) ++
-      q.filters.map(_.v).filterNot(inOrderVars.contains)
-    require(unknown.isEmpty,
-      s"SPARQL: unbound variable(s) ${unknown.mkString(", ")}")
+  private def isHidden(v: String): Boolean = v.startsWith("_path")
 
-    val subjVar = q.required.head.s match {
-      case V(n) => Some(n)
-      case _ => None
-    }
-    val starShaped = subjVar.exists { sv =>
-      allPats.forall(p => p.s == V(sv) && (p.o match {
-        case V(n) => n != sv
-        case _ => true
-      })) &&
-        allPats.flatMap(_.o match { case V(n) => Seq(n); case _ => Nil })
-          .groupBy(identity).forall(_._2.size == 1) &&
-        (q.required.size + q.optionals.flatten.size) >= 2
-    }
+  def compile(t: DataFrame, q: Query): DataFrame = {
+    val allPats = q.groups.flatMap(g => g.required ++ g.optionals.flatten)
+    val allVars = allPats.flatMap(varsOf).distinct
+    val visibleVars = allVars.filterNot(isHidden)
+    val hasAggs = q.selectItems.exists(_.isRight)
+    val aggMode = hasAggs || q.groupBy.nonEmpty
+    require(!(aggMode && q.selectItems.isEmpty),
+      "SPARQL: SELECT * cannot be combined with aggregates/GROUP BY")
+    val plainVars = q.selectItems.collect { case Left(v) => v }
+    val select: Seq[String] =
+      if (q.selectItems.nonEmpty)
+        q.selectItems.map { case Left(v) => v; case Right(a) => a.as }
+      else visibleVars
+    val unknown =
+      plainVars.filterNot(allVars.contains) ++
+        q.groups.flatMap(_.filters).map(_.v).filterNot(allVars.contains) ++
+        q.groupBy.filterNot(allVars.contains) ++
+        (q.selectItems.collect { case Right(a) => a.arg }.flatten ++
+          q.having.flatMap(_._1.arg)).filterNot(allVars.contains)
+    require(unknown.isEmpty,
+      s"SPARQL: unbound variable(s) ${unknown.distinct.mkString(", ")}")
+    if (aggMode) {
+      val offKey = plainVars.filterNot(q.groupBy.contains)
+      require(offKey.isEmpty,
+        s"SPARQL: projected var(s) ${offKey.mkString(", ")} not in GROUP BY")
+    } else require(q.having.isEmpty, "SPARQL: HAVING requires aggregates")
     val badKeys = q.orderBy.map(_._1).filterNot(select.contains)
     require(badKeys.isEmpty,
       s"SPARQL: ORDER BY key(s) ${badKeys.mkString(", ")} not in the " +
         "projection")
-    val base =
-      if (starShaped) pivot(t, q, subjVar.get)
-      else joins(t, q)
-    val projected = base.select(select.map(col): _*)
+
+    val base: DataFrame =
+      if (q.groups.size > 1) compileUnion(t, q)
+      else {
+        val g = q.groups.head
+        val gPats = g.required ++ g.optionals.flatten
+        val subjVar = g.required.head.s match {
+          case V(n) => Some(n)
+          case _ => None
+        }
+        val starShaped = !aggMode && subjVar.exists { sv =>
+          gPats.forall(p => !p.plus && p.preds.size == 1 &&
+            p.s == V(sv) && (p.o match {
+              case V(n) => n != sv
+              case _ => true
+            })) &&
+            gPats.flatMap(_.o match { case V(n) => Seq(n); case _ => Nil })
+              .groupBy(identity).forall(_._2.size == 1) &&
+            (g.required.size + g.optionals.flatten.size) >= 2
+        }
+        if (starShaped) pivot(t, q, g, subjVar.get)
+        else joinsGroup(t, q, g)
+      }
+
+    val agged: DataFrame =
+      if (!aggMode) base
+      else {
+        val selAggs = q.selectItems.collect { case Right(a) => a }
+        // HAVING aggregates that match a projected one filter on its
+        // column; the rest ride the same exchange as hidden columns,
+        // dropped after the filter
+        val hidden = q.having.map(_._1)
+          .filterNot(h => selAggs.exists(a =>
+            a.fun == h.fun && a.arg == h.arg))
+          .zipWithIndex.map { case (h, k) => h.copy(as = s"_h$k") }
+        val aggCols = (selAggs ++ hidden).map(aggColumn(q))
+        require(aggCols.nonEmpty, "SPARQL: GROUP BY without aggregates")
+        val grouped = base.groupBy(q.groupBy.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+        val filtered = q.having.foldLeft(grouped) { case (df, (h, op, rhs)) =>
+          val alias = selAggs.find(a => a.fun == h.fun && a.arg == h.arg)
+            .map(_.as)
+            .getOrElse(hidden.find(x =>
+              x.fun == h.fun && x.arg == h.arg).get.as)
+          df.filter(binop(col(alias), op, lit(rhs)))
+        }
+        hidden.foldLeft(filtered)((df, h) => df.drop(h.as))
+      }
+
+    val projected = agged.select(select.map(col): _*)
     val distinct = if (q.distinct) projected.distinct() else projected
     val ordered =
       if (q.orderBy.isEmpty) distinct
@@ -275,45 +518,74 @@ object SparqlSelect {
     q.limit.fold(ordered)(ordered.limit)
   }
 
-  /** Numeric variables: any var some FILTER compares to an integer —
-    * its binding is cast to int (inside the pivot aggregate, so the
-    * compiled plan matches the hand-built star's
-    * `min(when(..., obj.cast("int")))`). */
+  /** Numeric variables: any var some FILTER compares to an integer,
+    * or a SUM aggregates — its binding is cast to int (inside the
+    * pivot aggregate / scan projection, so the compiled plan matches
+    * the hand-built star's `min(when(..., obj.cast("int")))`). */
   private def numericVars(q: Query): Set[String] =
-    q.filters.collect { case Cond(v, _, Left(_)) => v }.toSet
+    q.groups.flatMap(_.filters).collect {
+      case Cond(v, _, Left(_)) => v
+    }.toSet ++
+      (q.selectItems.collect { case Right(a) => a } ++ q.having.map(_._1))
+        .collect { case Agg("SUM", Some(v), _, _) => v }
 
   /** Vars already bound-and-constrained by a FILTER comparison — the
     * comparison rejects NULL itself, so the required-pattern
     * isNotNull would be redundant (and the hand-built forms omit
     * it). */
-  private def filteredVars(q: Query): Set[String] = q.filters.map(_.v).toSet
+  private def filteredVars(q: Query): Set[String] =
+    q.groups.flatMap(_.filters).map(_.v).toSet
+
+  private def binop(l: Column, op: String, r: Column): Column = op match {
+    case "=" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+  }
 
   private def condCol(c: Cond, v: Column): Column = {
     val rhs: Column = c.rhs match {
       case Left(n) => lit(n.toInt)
       case Right(s) => lit(s)
     }
-    c.op match {
-      case "=" => v === rhs
-      case "!=" => v =!= rhs
-      case "<" => v < rhs
-      case "<=" => v <= rhs
-      case ">" => v > rhs
-      case ">=" => v >= rhs
-    }
+    binop(v, c.op, rhs)
   }
+
+  /** One aggregate column — the hand-built forms' exact spellings:
+    * COUNT(*) = count(lit(1)), GROUP_CONCAT = array_join(sort_array(
+    * collect_set)) with the order pinned lexicographic. */
+  private def aggColumn(q: Query)(a: Agg): Column = {
+    val nums = numericVars(q)
+    def arg(v: String): Column =
+      if (nums.contains(v)) col(v).cast("int") else col(v)
+    (a.fun match {
+      case "COUNT" => a.arg.fold(count(lit(1)))(v => count(col(v)))
+      case "SUM" => sum(arg(a.arg.get))
+      case "MIN" => min(arg(a.arg.get))
+      case "MAX" => max(arg(a.arg.get))
+      case "GROUP_CONCAT" =>
+        array_join(sort_array(collect_set(col(a.arg.get))), a.sep)
+    }).as(a.as)
+  }
+
+  private def predFilter(pat: Pattern): Column =
+    if (pat.preds.size == 1) col("predicate") === pat.preds.head
+    else col("predicate").isin(pat.preds: _*)
 
   /** The one-exchange star pivot — [[RdfQueries.bgpStarOf]]'s shape
     * generalized: constant-object patterns become 0/1 match flags,
     * variable-object patterns conditional `min` bindings; required
     * patterns contribute a filter (flag = 1 / binding not null),
     * optional ones don't. */
-  private def pivot(t: DataFrame, q: Query, subjVar: String): DataFrame = {
+  private def pivot(t: DataFrame, q: Query, g: Group,
+      subjVar: String): DataFrame = {
     val nums = numericVars(q)
     val filtered = filteredVars(q)
     val p = col("predicate")
-    val allPats = q.required ++ q.optionals.flatten
-    val requiredSet = q.required.toSet
+    val allPats = g.required ++ g.optionals.flatten
+    val requiredSet = g.required.toSet
 
     def objExpr(v: String): Column =
       if (nums.contains(v)) col("obj_value").cast("int") else col("obj_value")
@@ -324,7 +596,7 @@ object SparqlSelect {
     val aggConds: Seq[(Column, Option[Column])] = allPats.map { pat =>
       pat.o match {
         case V(n) =>
-          val agg = min(when(p === pat.p, objExpr(n))).as(n)
+          val agg = min(when(p === pat.preds.head, objExpr(n))).as(n)
           val c = if (requiredSet.contains(pat) && !filtered.contains(n))
             Some(col(n).isNotNull) else None
           (agg, c)
@@ -332,7 +604,8 @@ object SparqlSelect {
           val ov = o match { case I(x) => x; case L(x) => x; case _ => "" }
           flagIdx += 1
           val name = s"_m$flagIdx"
-          val agg = max(when(p === pat.p && col("obj_value") === ov, 1)
+          val agg = max(when(p === pat.preds.head &&
+              col("obj_value") === ov, 1)
             .otherwise(0)).as(name)
           val c = if (requiredSet.contains(pat)) Some(col(name) === 1)
             else None
@@ -343,7 +616,7 @@ object SparqlSelect {
     // A FILTER on the subject variable runs before the rename below,
     // where the grouping column is still named `subject`.
     val conds: Seq[Column] = aggConds.flatMap(_._2) ++
-      q.filters.map(c => condCol(c,
+      g.filters.map(c => condCol(c,
         if (c.v == subjVar) col("subject") else col(c.v)))
 
     t.groupBy(col("subject"))
@@ -353,17 +626,36 @@ object SparqlSelect {
       .drop("subject")
   }
 
+  /** A membership pattern: its ONLY variable is the subject
+    * (constant predicate + object, no closure), so over a SET triple
+    * store it binds each subject at most once — a semi-join, not a
+    * join. */
+  private def isMembership(p: Pattern): Boolean =
+    !p.plus && p.preds.size == 1 &&
+      (p.s match { case V(_) => true; case _ => false }) &&
+      (p.o match { case V(_) => false; case _ => true })
+
   /** The general BGP evaluation — one filtered scan per pattern,
     * equi-joined on shared variables (cartesian if none — the SPARQL
     * product semantics), OPTIONAL groups as left joins. Exact
     * multiset semantics (no functional-property assumption); at
     * scale each join shuffles on its variable, which is the
-    * unavoidable cost of a non-star BGP over a triple store. */
-  private def joins(t: DataFrame, q: Query): DataFrame = {
+    * unavoidable cost of a non-star BGP over a triple store.
+    * Membership patterns ([[isMembership]]) whose variable another
+    * required pattern binds compile to broadcast `left_semi` joins
+    * against the distinct matching-subject set — dimension-scale by
+    * the same selectivity argument every hand-built form makes
+    * (constant predicate + object bounds the set by the type/flag
+    * assertion count, not the corpus). Closure patterns (`p+`) run
+    * [[RdfOps.reachablePlus]] — the per-round frontier walk — over
+    * the IRI-object edge scan of their predicate set, seeded from
+    * every edge source (both endpoints are variables by grammar
+    * restriction). */
+  private def joinsGroup(t: DataFrame, q: Query, g: Group): DataFrame = {
     val nums = numericVars(q)
 
     def scan(pat: Pattern): DataFrame = {
-      var df = t.filter(col("predicate") === pat.p)
+      var df = t.filter(predFilter(pat))
       pat.s match {
         case I(iri) => df = df.filter(col("subject") === iri)
         case L(v) => df = df.filter(col("subject") === v)
@@ -388,17 +680,84 @@ object SparqlSelect {
       df.select(cols: _*)
     }
 
+    def closure(pat: Pattern): DataFrame = {
+      val (sv, ov) = (pat.s, pat.o) match {
+        case (V(a), V(b)) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          "SPARQL: `p+` requires variables at both ends")
+      }
+      val edges = t.filter(predFilter(pat) && col("obj_kind") === "iri")
+        .select(col("subject").as("src"), col("obj_value").as("dst"))
+      val seeds = edges.select(col("src")).distinct()
+      RdfOps.reachablePlus(edges, seeds)
+        .select(col("src").as(sv), col("dst").as(ov))
+    }
+
     def joinInto(acc: DataFrame, nxt: DataFrame, joinType: String): DataFrame = {
       val common = acc.columns.intersect(nxt.columns).toSeq
       if (common.isEmpty) acc.crossJoin(nxt)
       else acc.join(nxt, common, joinType)
     }
 
-    val required = q.required.map(scan)
+    // membership patterns whose var another required pattern binds
+    // become semi-joins AFTER the binding fold; if nothing else binds
+    // the var, the pattern stays a scan (it is the binding source)
+    val (semis, mains) = g.required.partition { p =>
+      isMembership(p) && {
+        val v = p.s.asInstanceOf[V].name
+        g.required.exists(o => (o ne p) && varsOf(o).contains(v))
+      }
+    }
+    val required = mains.map(p => if (p.plus) closure(p) else scan(p))
       .reduceLeft(joinInto(_, _, "inner"))
-    val withOpts = q.optionals.foldLeft(required) { (acc, grp) =>
+    val withSemis = semis.foldLeft(required) { (acc, p) =>
+      val v = p.s.asInstanceOf[V].name
+      val ov = p.o match { case I(x) => x; case L(x) => x; case _ => "" }
+      val dim = t.filter(col("predicate") === p.preds.head &&
+          col("obj_value") === ov)
+        .select(col("subject").as(v)).distinct()
+      acc.join(broadcast(dim), Seq(v), "left_semi")
+    }
+    val withOpts = g.optionals.foldLeft(withSemis) { (acc, grp) =>
       joinInto(acc, grp.map(scan).reduceLeft(joinInto(_, _, "inner")), "left")
     }
-    q.filters.foldLeft(withOpts)((df, c) => df.filter(condCol(c, col(c.v))))
+    g.filters.foldLeft(withOpts)((df, c) => df.filter(condCol(c, col(c.v))))
+  }
+
+  /** UNION evaluation. Branches that differ ONLY in their predicate
+    * constant (same subject/object terms, disjoint predicate sets,
+    * no branch filters) merge into ONE `isin` scan — bag-equal to
+    * the union because a triple matches exactly one branch. Anything
+    * else compiles per-branch and unions with typed null padding for
+    * the variables a branch leaves unbound. */
+  private def compileUnion(t: DataFrame, q: Query): DataFrame = {
+    val gs = q.groups
+    val nums = numericVars(q)
+    val mergeable =
+      gs.forall(g => g.required.size == 1 && g.filters.isEmpty &&
+        g.optionals.isEmpty && !g.required.head.plus) && {
+        val ps = gs.map(_.required.head)
+        ps.map(_.s).distinct.size == 1 && ps.map(_.o).distinct.size == 1 &&
+          ps.flatMap(_.preds).distinct.size == ps.map(_.preds.size).sum
+      }
+    if (mergeable) {
+      val ps = gs.map(_.required.head)
+      joinsGroup(t, q,
+        Group(Seq(Pattern(ps.head.s, ps.flatMap(_.preds), ps.head.o)),
+          Nil, Nil))
+    } else {
+      val branchVars = gs.map(g =>
+        (g.required ++ g.optionals.flatten).flatMap(varsOf).distinct
+          .filterNot(isHidden))
+      val allVars = branchVars.flatten.distinct
+      val dfs = gs.zip(branchVars).map { case (g, bv) =>
+        val b = joinsGroup(t, q, g)
+        b.select(allVars.map { v =>
+          if (bv.contains(v)) col(v)
+          else lit(null).cast(if (nums.contains(v)) "int" else "string").as(v)
+        }: _*)
+      }
+      dfs.reduce(_.union(_))
+    }
   }
 }

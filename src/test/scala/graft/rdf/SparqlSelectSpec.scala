@@ -62,7 +62,8 @@ class SparqlSelectSpec extends AnyFunSuite {
     assert(c === hand.collect().map(_.toSeq).toSet && c.nonEmpty)
   }
 
-  test("3: chain join (two subject vars) == hand-built join form") {
+  test("3: chain with a type-membership pattern == broadcast semi " +
+      "against the distinct typed set (the hand-built dimension shape)") {
     val compiled = SparqlSelect(t,
       """SELECT ?ptr ?item
         |WHERE {
@@ -74,8 +75,9 @@ class SparqlSelectSpec extends AnyFunSuite {
         .select(col("subject").as("ptr"), col("obj_value").as("item"))
       val typed = t.filter(col("predicate") === RdfType &&
           col("obj_value") === CeoRijksmonument)
-        .select(col("subject").as("item"))
-      rel.join(typed, Seq("item")).select(col("ptr"), col("item"))
+        .select(col("subject").as("item")).distinct()
+      rel.join(broadcast(typed), Seq("item"), "left_semi")
+        .select(col("ptr"), col("item"))
     }
     assertTwin(compiled, hand)
     assert(compiled.count() === hand.count() && compiled.count() > 0)
@@ -198,9 +200,153 @@ class SparqlSelectSpec extends AnyFunSuite {
       "SELECT ?x WHERE { ?x }",                     // incomplete pattern
       "SELECT ?x WHERE { ?x unknownpfx:y ?z }",     // undeclared prefix
       "SELECT ?x WHERE { }",                        // empty group
-      "SELECT ?x WHERE { ?a dcterms:title ?t }")    // unbound select var
+      "SELECT ?x WHERE { ?a dcterms:title ?t }",    // unbound select var
+      // OPTIONAL inside a UNION branch is out of scope
+      "SELECT ?x ?t WHERE { { ?x dcterms:title ?t } UNION " +
+        "{ OPTIONAL { ?x dcterms:title ?t } } }",
+      // projected var not in GROUP BY
+      "SELECT ?item (COUNT(*) AS ?n) WHERE { ?item dcterms:title ?t } " +
+        "GROUP BY ?t",
+      // HAVING without aggregates
+      "SELECT ?x ?t WHERE { ?x dcterms:title ?t } HAVING(COUNT(*) > 1)")
     bad.foreach { q =>
       assertThrows[IllegalArgumentException](SparqlSelect(t, q))
     }
+  }
+
+  // ---- round-12 productions: UNION / aggregates / property paths ----
+
+  private val DefBrandIri = "http://ex.org/def#brand"
+
+  test("9: predicate-only UNION merges into ONE isin scan — never a " +
+      "union of per-predicate scans") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlUnionQuery)
+    val hand = t.filter(col("predicate").isin(DctermsTitle, DefBrandIri))
+      .select(col("subject").as("item"), col("obj_value").as("value"))
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+    assert(!compiled.queryExecution.optimizedPlan.toString.contains("Union"),
+      "mergeable UNION must not plan a Union node")
+  }
+
+  test("10: heterogeneous UNION pads unbound vars with typed nulls") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlUnionHetQuery)
+    val hand = {
+      val titles = t.filter(col("predicate") === DctermsTitle)
+        .select(col("subject").as("item"), col("obj_value").as("title"),
+          lit(null).cast("string").as("brand"))
+      val brands = t.filter(col("predicate") === DefBrandIri)
+        .select(col("subject").as("item"), lit(null).cast("string").as("title"),
+          col("obj_value").as("brand"))
+      titles.union(brands)
+    }
+    assertTwin(compiled, hand)
+    val c = compiled.collect().map(_.toSeq).toSet
+    assert(c === hand.collect().map(_.toSeq).toSet && c.nonEmpty)
+    assert(compiled.filter(col("brand").isNull).count() > 0 &&
+      compiled.filter(col("title").isNull).count() > 0)
+  }
+
+  test("11: GROUP BY + COUNT/MIN == the hand-built groupAgg shape " +
+      "(registered rdf_group_agg)") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlAggQuery)
+    val hand = RdfQueries.queries("rdf_group_agg")(s, d)
+    assertTwin(compiled, hand)
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+  }
+
+  test("12: GROUP_CONCAT with separator == the hand-built groupConcat " +
+      "shape (order pinned lexicographic)") {
+    val compiled = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?brand (COUNT(*) AS ?n_items)
+        |       (GROUP_CONCAT(?item; separator=";") AS ?items_concat)
+        |WHERE { ?item def:brand ?brand . ?item a ceo:Rijksmonument . }
+        |GROUP BY ?brand""".stripMargin)
+    val hand = RdfQueries.queries("rdf_group_concat")(s, d)
+    assertTwin(compiled, hand)
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+  }
+
+  test("13: HAVING reuses the projected aggregate's column == the " +
+      "hand-built groupHaving shape") {
+    val compiled = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?brand (COUNT(*) AS ?n_items)
+        |WHERE { ?item def:brand ?brand . ?item a ceo:Rijksmonument . }
+        |GROUP BY ?brand HAVING(COUNT(*) > 1)""".stripMargin)
+    val hand = RdfQueries.queries("rdf_group_having")(s, d)
+    assertTwin(compiled, hand)
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+  }
+
+  test("14: sequence path p1/p2 threads a hidden variable and joins " +
+      "on it once") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlPathQuery)
+    val hand = {
+      val rel = t.filter(col("predicate") === DctermsRelation)
+        .select(col("subject").as("src"), col("obj_value").as("_path0"))
+      val ti = t.filter(col("predicate") === DctermsTitle)
+        .select(col("subject").as("_path0"), col("obj_value").as("title"))
+      rel.join(ti, Seq("_path0")).select(col("src"), col("title"))
+    }
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+    // the hidden variable never leaks into the projection
+    assert(compiled.schema.fieldNames.toSeq === Seq("src", "title"))
+  }
+
+  test("15: inverse path ^p swaps endpoints (no reversed edge set) " +
+      "and the type membership compiles to a broadcast semi") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlPathInvQuery)
+    val hand = {
+      val typed = t.filter(col("predicate") === RdfType &&
+          col("obj_value") === CeoRijksmonument)
+        .select(col("subject").as("item")).distinct()
+      t.filter(col("predicate") === DctermsRelation)
+        .select(col("subject").as("pointer"), col("obj_value").as("item"))
+        .join(broadcast(typed), Seq("item"), "left_semi")
+        .select(col("item"), col("pointer"))
+    }
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+  }
+
+  test("16: closure path p+ walks a synthetic multi-hop graph to the " +
+      "full pair set, IRI objects only") {
+    val t2 = graft.TestSpark.triples(Seq(
+      ("g", "a", "iri", "http://p", "b", "iri", null, null),
+      ("g", "b", "iri", "http://p", "c", "iri", null, null),
+      ("g", "c", "iri", "http://p", "d", "iri", null, null),
+      // a literal object must not join the walk
+      ("g", "c", "iri", "http://p", "not-a-node", "literal", null, null)))
+    val df = SparqlSelect(t2,
+      "SELECT ?s ?o WHERE { ?s <http://p>+ ?o . }")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
+  test("17: alternation under closure (p|q)+ is ONE fixpoint over " +
+      "the union edge set") {
+    val t2 = graft.TestSpark.triples(Seq(
+      ("g", "a", "iri", "http://p", "b", "iri", null, null),
+      ("g", "b", "iri", "http://q", "c", "iri", null, null)))
+    val df = SparqlSelect(t2,
+      "SELECT ?s ?o WHERE { ?s (<http://p>|<http://q>)+ ?o . }")
+    // (a, c) exists only through BOTH predicates — the union edge set
+    // is genuinely walked as one graph
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "b"), ("b", "c"), ("a", "c")))
+  }
+
+  test("18: global aggregate without GROUP BY") {
+    val compiled = SparqlSelect(t,
+      "SELECT (COUNT(*) AS ?n) WHERE { ?item dcterms:title ?title . }")
+    val hand = t.filter(col("predicate") === DctermsTitle).count()
+    assert(compiled.collect().head.getLong(0) === hand && hand > 0)
   }
 }
