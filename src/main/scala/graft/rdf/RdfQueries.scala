@@ -166,6 +166,8 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlPathInvQuery)),
     "rdf_sparql_path_plus" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathPlusQuery)),
+    "rdf_sparql_text_filters" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlTextFiltersQuery)),
   )
 
   /** The canonical front-end query for `rdf_sparql_select` — the
@@ -230,6 +232,18 @@ object RdfQueries {
   val sparqlPathPlusQuery: String =
     """SELECT ?src ?dst
       |WHERE { ?src dcterms:relation+ ?dst . }""".stripMargin
+
+  /** Text filters + paging — LANGMATCHES pushes into the scan (the
+    * [[bindStrFuns]] discipline), REGEX/CONTAINS are codegen'd
+    * string predicates, and ORDER BY + OFFSET + LIMIT plans as ONE
+    * bounded top-(offset+limit) heap. */
+  val sparqlTextFiltersQuery: String =
+    """SELECT ?item ?title
+      |WHERE { ?item dcterms:title ?title .
+      |        FILTER(langMatches(lang(?title), "nl"))
+      |        FILTER(CONTAINS(?title, "a"))
+      |        FILTER(regex(?title, "^[a-z]")) }
+      |ORDER BY ?item ?title LIMIT 50 OFFSET 10""".stripMargin
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
@@ -1507,6 +1521,18 @@ object RdfQueries {
          |    SELECT w.src, e.dst FROM walk w
          |    JOIN edges e ON e.src = w.dst)
          |  SELECT * FROM walk)""".stripMargin,
+
+    // both engines apply OFFSET before LIMIT over the same total
+    // order (item, title unique per triple-set row); regexp_matches
+    // and contains are DuckDB's spellings of rlike/contains — the
+    // patterns used are dialect-common
+    "rdf_sparql_text_filters" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item, obj_value AS title FROM triples
+         |WHERE predicate = '$DctermsTitle' AND obj_lang = 'nl'
+         |  AND contains(obj_value, 'a')
+         |  AND regexp_matches(obj_value, '^[a-z]')
+         |ORDER BY subject, obj_value LIMIT 50 OFFSET 10""".stripMargin,
 
     // DuckDB's native WITH RECURSIVE is the independent
     // implementation of the engine's semi-naive iteration; UNION

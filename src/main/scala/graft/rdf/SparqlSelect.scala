@@ -34,6 +34,8 @@ import Vocab.RdfType
   *   optional := OPTIONAL { triples }
   *   filter   := FILTER ( cond (&& cond)* )
   *   cond     := ?var op (integer | "string")
+  *             | REGEX(?var, "pattern") | CONTAINS(?var, "s")
+  *             | LANGMATCHES(LANG(?var), "tag")
   *   op       := = | != | < | <= | > | >=
   *   term     := ?var | <iri> | pname:local
   *   pred     := <iri> | pname:local | a          (constant only)
@@ -41,6 +43,17 @@ import Vocab.RdfType
   *   key      := ?var | ASC(?var) | DESC(?var)   (projected names only)
   *   aggCond  := agg op integer
   * }}}
+  * LIMIT and OFFSET compose in either textual order with SPARQL's
+  * fixed application order (OFFSET skips, then LIMIT caps); OFFSET
+  * requires ORDER BY — an unordered offset is nondeterministic, and
+  * this front-end only emits oracle-checkable plans. REGEX/CONTAINS
+  * are codegen'd string predicates on the binding; LANGMATCHES
+  * constrains the `obj_lang` of the triple that BINDS the variable,
+  * so it pushes into the scan (the [[RdfQueries]] bindStrFuns
+  * discipline — a language filter never survives past the scan) and,
+  * in the pivot, into the conditional aggregate's match condition.
+  * `langMatches` is exact-tag (plus `*` = any tagged literal); the
+  * RFC 4647 prefix fallback is out of scope.
   * The prefixes of [[Vocab.namespaces]] are pre-declared; PREFIX
   * clauses add or override. ORDER BY + LIMIT plans as Spark's
   * bounded top-k (TakeOrderedAndProject), never a full sort. Out of
@@ -111,8 +124,18 @@ object SparqlSelect {
   final case class Pattern(s: Term, preds: Seq[String], o: Term,
       plus: Boolean = false)
 
+  /** One FILTER condition. */
+  sealed trait FilterExpr { def v: String }
   /** `?variable op rhs` — rhs either integer or string literal. */
   final case class Cond(v: String, op: String, rhs: Either[Long, String])
+      extends FilterExpr
+  /** `REGEX(?v, pattern)` / `CONTAINS(?v, s)` — `fun` is "regex" or
+    * "contains". */
+  final case class TextCond(v: String, fun: String, arg: String)
+      extends FilterExpr
+  /** `LANGMATCHES(LANG(?v), tag)` — constrains the binding triple's
+    * `obj_lang` (tag `*` = any language-tagged literal). */
+  final case class LangCond(v: String, tag: String) extends FilterExpr
 
   /** One aggregate select item: `(fun(arg) AS ?as)`. `arg` None is
     * `COUNT(*)`; `sep` is GROUP_CONCAT's separator. */
@@ -121,7 +144,7 @@ object SparqlSelect {
 
   /** One WHERE group (a union branch, or the whole WHERE). */
   final case class Group(required: Seq[Pattern],
-      optionals: Seq[Seq[Pattern]], filters: Seq[Cond])
+      optionals: Seq[Seq[Pattern]], filters: Seq[FilterExpr])
 
   final case class Query(
       selectItems: Seq[Either[String, Agg]], // empty = SELECT *
@@ -130,7 +153,8 @@ object SparqlSelect {
       having: Seq[(Agg, String, Long)],
       distinct: Boolean,
       orderBy: Seq[(String, Boolean)], // (name, ascending)
-      limit: Option[Int])
+      limit: Option[Int],
+      offset: Option[Int] = None)
 
   def apply(triples: DataFrame, queryText: String): DataFrame =
     compile(triples, parse(queryText))
@@ -139,7 +163,7 @@ object SparqlSelect {
 
   private val Tok = (
     """\s*(<[^>\s]*>|"(?:[^"\\]|\\.)*"|\?\w+|&&|!=|<=|>=|=|<|>|""" +
-      """\{|\}|\(|\)|\.|;|\*|/|\^|\+|\||[A-Za-z_][\w-]*:[\w.-]*|-?\d+|\w+)""").r
+      """\{|\}|\(|\)|\.|;|,|\*|/|\^|\+|\||[A-Za-z_][\w-]*:[\w.-]*|-?\d+|\w+)""").r
 
   private def tokenize(q: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -259,15 +283,45 @@ object SparqlSelect {
       out.result()
     }
 
-    private def cond(): Cond = {
+    private def filterVar(): String = {
       val v = next()
-      require(v.startsWith("?"), s"SPARQL: FILTER lhs must be a var, got '$v'")
-      val op = next()
-      require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
-        s"SPARQL: unsupported FILTER op '$op'")
-      val r = next()
-      val rhs = if (r.startsWith("\"")) Right(unquote(r)) else Left(r.toLong)
-      Cond(v.substring(1), op, rhs)
+      require(v.startsWith("?"), s"SPARQL: expected a var, got '$v'")
+      v.substring(1)
+    }
+
+    private def stringArg(): String = {
+      val s = next()
+      require(s.startsWith("\""), s"SPARQL: expected a string, got '$s'")
+      unquote(s)
+    }
+
+    private def cond(): FilterExpr = {
+      if (kw("REGEX") || kw("CONTAINS")) {
+        val fun = next().toLowerCase
+        expect("(")
+        val v = filterVar()
+        expect(",")
+        val arg = stringArg()
+        expect(")")
+        TextCond(v, fun, arg)
+      } else if (kw("LANGMATCHES")) {
+        next(); expect("(")
+        expect("LANG"); expect("(")
+        val v = filterVar()
+        expect(")")
+        expect(",")
+        val tag = stringArg()
+        expect(")")
+        LangCond(v, tag)
+      } else {
+        val v = filterVar()
+        val op = next()
+        require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
+          s"SPARQL: unsupported FILTER op '$op'")
+        val r = next()
+        val rhs = if (r.startsWith("\"")) Right(unquote(r)) else Left(r.toLong)
+        Cond(v, op, rhs)
+      }
     }
 
     /** `fun '(' (* | ?var) (';' separator '=' "s")? ')'` — the agg
@@ -308,7 +362,7 @@ object SparqlSelect {
     private def groupBody(allowOptional: Boolean): Group = {
       val req = Seq.newBuilder[Pattern]
       val opts = Seq.newBuilder[Seq[Pattern]]
-      val fils = Seq.newBuilder[Cond]
+      val fils = Seq.newBuilder[FilterExpr]
       while (peek != "}") {
         if (kw("OPTIONAL")) {
           require(allowOptional,
@@ -410,13 +464,28 @@ object SparqlSelect {
         }
         require(order.result().nonEmpty, "SPARQL: empty ORDER BY")
       }
-      val limit = if (kw("LIMIT")) { next(); Some(next().toInt) } else None
+      // LIMIT/OFFSET accept either textual order; application order
+      // is fixed by SPARQL (OFFSET skips, then LIMIT caps)
+      var limit: Option[Int] = None
+      var offset: Option[Int] = None
+      while (kw("LIMIT") || kw("OFFSET")) {
+        val isLimit = kw("LIMIT")
+        next()
+        val n = Some(next().toInt)
+        if (isLimit) { require(limit.isEmpty, "SPARQL: duplicate LIMIT")
+          limit = n }
+        else { require(offset.isEmpty, "SPARQL: duplicate OFFSET")
+          offset = n }
+      }
+      require(offset.isEmpty || order.result().nonEmpty,
+        "SPARQL: OFFSET without ORDER BY is nondeterministic — add an " +
+          "ORDER BY")
       require(i == ts.size, s"SPARQL: trailing tokens at '${peek}'")
       val itemSeq = items.result()
       require(star || itemSeq.nonEmpty, "SPARQL: empty SELECT list")
       val q = Query(if (star) Seq.empty else itemSeq,
         groups, gb.result(), hav.result(), dist,
-        order.result(), limit)
+        order.result(), limit, offset)
       q
     }
   }
@@ -450,6 +519,14 @@ object SparqlSelect {
           q.having.flatMap(_._1.arg)).filterNot(allVars.contains)
     require(unknown.isEmpty,
       s"SPARQL: unbound variable(s) ${unknown.distinct.mkString(", ")}")
+    q.groups.foreach { g =>
+      g.filters.collect { case lc: LangCond => lc }.foreach { lc =>
+        val bound = (g.required ++ g.optionals.flatten)
+          .exists(p => !p.plus && p.o == V(lc.v))
+        require(bound, s"SPARQL: LANGMATCHES(LANG(?${lc.v})) requires " +
+          s"?${lc.v} bound as a literal object in its group")
+      }
+    }
     if (aggMode) {
       val offKey = plainVars.filterNot(q.groupBy.contains)
       require(offKey.isEmpty,
@@ -515,7 +592,12 @@ object SparqlSelect {
       else distinct.orderBy(q.orderBy.map { case (v, asc) =>
         if (asc) col(v).asc else col(v).desc
       }: _*)
-    q.limit.fold(ordered)(ordered.limit)
+    // SPARQL's fixed application order: OFFSET skips, LIMIT caps.
+    // Over an ORDER BY both plan as one bounded top-(offset+limit)
+    // heap (TakeOrderedAndProject carries the offset), never a full
+    // sort + global skip.
+    val skipped = q.offset.fold(ordered)(ordered.offset)
+    q.limit.fold(skipped)(skipped.limit)
   }
 
   /** Numeric variables: any var some FILTER compares to an integer,
@@ -529,12 +611,26 @@ object SparqlSelect {
       (q.selectItems.collect { case Right(a) => a } ++ q.having.map(_._1))
         .collect { case Agg("SUM", Some(v), _, _) => v }
 
-  /** Vars already bound-and-constrained by a FILTER comparison — the
-    * comparison rejects NULL itself, so the required-pattern
-    * isNotNull would be redundant (and the hand-built forms omit
-    * it). */
+  /** Vars already bound-and-constrained by a FILTER comparison or
+    * string predicate — both reject NULL themselves, so the
+    * required-pattern isNotNull would be redundant (and the
+    * hand-built forms omit it). LANGMATCHES is NOT included: it
+    * narrows which triples can bind, not whether a binding row
+    * survives. */
   private def filteredVars(q: Query): Set[String] =
-    q.groups.flatMap(_.filters).map(_.v).toSet
+    q.groups.flatMap(_.filters).collect {
+      case c: Cond => c.v
+      case tc: TextCond => tc.v
+    }.toSet
+
+  /** The scan-side `obj_lang` requirement per variable, from
+    * LANGMATCHES filters — applied where the variable is BOUND. */
+  private def langReqs(g: Group): Map[String, String] =
+    g.filters.collect { case LangCond(v, tag) => v -> tag }.toMap
+
+  private def langCol(tag: String): Column =
+    if (tag == "*") col("obj_lang").isNotNull
+    else col("obj_lang") === tag
 
   private def binop(l: Column, op: String, r: Column): Column = op match {
     case "=" => l === r
@@ -545,12 +641,18 @@ object SparqlSelect {
     case ">=" => l >= r
   }
 
-  private def condCol(c: Cond, v: Column): Column = {
-    val rhs: Column = c.rhs match {
-      case Left(n) => lit(n.toInt)
-      case Right(s) => lit(s)
-    }
-    binop(v, c.op, rhs)
+  /** A post-scan filter condition over the binding column (LangCond
+    * never reaches here — it is consumed at the binding site). */
+  private def condCol(c: FilterExpr, v: Column): Column = c match {
+    case Cond(_, op, rhs) =>
+      binop(v, op, rhs match {
+        case Left(n) => lit(n.toInt)
+        case Right(s) => lit(s)
+      })
+    case TextCond(_, "regex", p) => v.rlike(p)
+    case TextCond(_, _, s) => v.contains(s)
+    case _: LangCond => throw new IllegalStateException(
+      "LANGMATCHES is compiled at the binding site")
   }
 
   /** One aggregate column — the hand-built forms' exact spellings:
@@ -583,6 +685,7 @@ object SparqlSelect {
       subjVar: String): DataFrame = {
     val nums = numericVars(q)
     val filtered = filteredVars(q)
+    val langs = langReqs(g)
     val p = col("predicate")
     val allPats = g.required ++ g.optionals.flatten
     val requiredSet = g.required.toSet
@@ -596,7 +699,12 @@ object SparqlSelect {
     val aggConds: Seq[(Column, Option[Column])] = allPats.map { pat =>
       pat.o match {
         case V(n) =>
-          val agg = min(when(p === pat.preds.head, objExpr(n))).as(n)
+          // LANGMATCHES narrows which triples can BIND the var, so it
+          // joins the conditional aggregate's match condition
+          val matchCond = langs.get(n)
+            .map(tag => p === pat.preds.head && langCol(tag))
+            .getOrElse(p === pat.preds.head)
+          val agg = min(when(matchCond, objExpr(n))).as(n)
           val c = if (requiredSet.contains(pat) && !filtered.contains(n))
             Some(col(n).isNotNull) else None
           (agg, c)
@@ -616,7 +724,7 @@ object SparqlSelect {
     // A FILTER on the subject variable runs before the rename below,
     // where the grouping column is still named `subject`.
     val conds: Seq[Column] = aggConds.flatMap(_._2) ++
-      g.filters.map(c => condCol(c,
+      g.filters.filterNot(_.isInstanceOf[LangCond]).map(c => condCol(c,
         if (c.v == subjVar) col("subject") else col(c.v)))
 
     t.groupBy(col("subject"))
@@ -653,9 +761,16 @@ object SparqlSelect {
     * restriction). */
   private def joinsGroup(t: DataFrame, q: Query, g: Group): DataFrame = {
     val nums = numericVars(q)
+    val langs = langReqs(g)
 
     def scan(pat: Pattern): DataFrame = {
-      var df = t.filter(predFilter(pat))
+      // a LANGMATCHES on the object var is a property of the BINDING
+      // triple — pushed into this scan, it reaches the parquet reader
+      var df = t.filter(pat.o match {
+        case V(n) if langs.contains(n) =>
+          predFilter(pat) && langCol(langs(n))
+        case _ => predFilter(pat)
+      })
       pat.s match {
         case I(iri) => df = df.filter(col("subject") === iri)
         case L(v) => df = df.filter(col("subject") === v)
@@ -721,7 +836,8 @@ object SparqlSelect {
     val withOpts = g.optionals.foldLeft(withSemis) { (acc, grp) =>
       joinInto(acc, grp.map(scan).reduceLeft(joinInto(_, _, "inner")), "left")
     }
-    g.filters.foldLeft(withOpts)((df, c) => df.filter(condCol(c, col(c.v))))
+    g.filters.filterNot(_.isInstanceOf[LangCond])
+      .foldLeft(withOpts)((df, c) => df.filter(condCol(c, col(c.v))))
   }
 
   /** UNION evaluation. Branches that differ ONLY in their predicate

@@ -343,6 +343,62 @@ class SparqlSelectSpec extends AnyFunSuite {
       Set(("a", "b"), ("b", "c"), ("a", "c")))
   }
 
+  test("19: text filters — LANGMATCHES pushes into the scan, " +
+      "REGEX/CONTAINS filter the binding, OFFSET+LIMIT page the order") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlTextFiltersQuery)
+    val hand = t.filter(col("predicate") === DctermsTitle &&
+        col("obj_lang") === "nl")
+      .select(col("subject").as("item"), col("obj_value").as("title"))
+      .filter(col("title").contains("a"))
+      .filter(col("title").rlike("^[a-z]"))
+      .orderBy(col("item").asc, col("title").asc)
+      .offset(10).limit(50)
+    assertTwin(compiled, hand)
+    assert(compiled.collect().map(_.toSeq).toSeq ===
+      hand.collect().map(_.toSeq).toSeq && compiled.count() > 0)
+    // the language test never survives past the scan: no Filter above
+    // the scan mentions obj_lang
+    val plan = compiled.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ORDER BY + OFFSET + LIMIT should plan as one bounded top-k")
+  }
+
+  test("20: LANGMATCHES works inside the star pivot (binds only the " +
+      "matching-language triple)") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?item ?title ?m
+        |WHERE {
+        |  ?item a ceo:Rijksmonument ;
+        |        dcterms:title ?title ;
+        |        ceo:rijksmonumentnummer ?m .
+        |  FILTER(langMatches(lang(?title), "nl"))
+        |}""".stripMargin)
+    val hand = {
+      val p = col("predicate")
+      t.groupBy(col("subject"))
+        .agg(
+          max(when(p === RdfType && col("obj_value") === CeoRijksmonument, 1)
+            .otherwise(0)).as("_m0"),
+          min(when(p === DctermsTitle && col("obj_lang") === "nl",
+            col("obj_value"))).as("title"),
+          min(when(p === CeoRijksmonumentnummer, col("obj_value"))).as("m"))
+        .filter(col("_m0") === 1 && col("title").isNotNull &&
+          col("m").isNotNull)
+        .select(col("subject").as("item"), col("title"), col("m"))
+    }
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+  }
+
+  test("21: OFFSET without ORDER BY is rejected; LANGMATCHES on an " +
+      "unbound or subject var is rejected") {
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      "SELECT ?x ?t WHERE { ?x dcterms:title ?t } LIMIT 5 OFFSET 5"))
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?x ?t WHERE { ?x dcterms:title ?t .
+        |FILTER(langMatches(lang(?x), "nl")) }""".stripMargin))
+  }
+
   test("18: global aggregate without GROUP BY") {
     val compiled = SparqlSelect(t,
       "SELECT (COUNT(*) AS ?n) WHERE { ?item dcterms:title ?title . }")
