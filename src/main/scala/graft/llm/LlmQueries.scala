@@ -99,6 +99,8 @@ object LlmQueries {
     "mm_png16_levels" -> png16Levels,
     "mm_png_adam7_levels" -> pngAdam7Levels,
     "mm_jpeg_luma" -> jpegLumaLevels,
+    "mm_mp3_meta" -> mp3Meta,
+    "mm_h264_sps" -> h264Sps,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
     "llm_compress_ratio" -> compressRatio,
   )
@@ -3085,6 +3087,78 @@ object LlmQueries {
         max(col("m.height").cast("bigint")).as("max_h"))
   }
 
+  /** REAL MP3 frame-walk metadata — the compressed-audio lane's
+    * analog of [[videoMeta]]'s box walk: build genuine MPEG-1
+    * Layer III streams per document (deterministic VBR bitrate
+    * sequence, sample rate, channel mode, and an ID3v2 tag to skip
+    * on 3 of 4 docs — via [[graft.multimodal.Mp3Hex]] → `unhex`),
+    * walk them back with the native [[graft.functions.Mp3Meta]]
+    * codegen expression (syncsafe ID3 skip + derived-frame-length
+    * chain), and roll up per (sample_rate, channels) with exact
+    * integer durations (`n_frames · 1152000 div rate`). The oracle
+    * builds the SAME bytes through a real DuckDB BLOB and replays
+    * the walk POSITIONALLY: cumulative frame-length arithmetic
+    * locates each header, the packed bytes are EXTRACTED from the
+    * blob hex, and every metric is re-derived from the extracted
+    * values — one wrong frame length on either side desynchronizes
+    * all following offsets and hash-mismatches. Map-side construct
+    * → parse → partial agg; ONE bounded exchange on the ~6-key
+    * (rate, channels) space. At 100 TB: identical shape — the walk
+    * reads header-range bytes per row, never a full-object fetch. */
+  def mp3Meta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.{ImageHex, Mp3Hex}
+    val rateE = Mp3Hex.rateCase(Mp3Hex.SrIdxE)
+    val payload = docs(s, d)
+      .select(col("doc_id"))
+      .withColumn("hs", expr(Mp3Hex.mp3Hex(Mp3Hex.HasId3E,
+        Mp3Hex.Id3PadE, Mp3Hex.NframesE, Mp3Hex.SrIdxE, rateE,
+        Mp3Hex.ModeE, "div", ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.Mp3Meta(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_frames").cast("bigint")).as("sum_frames"),
+        sum(col("m.sum_kbps")).as("sum_kbps"),
+        sum(col("m.frame_bytes")).as("sum_frame_bytes"),
+        sum(expr("m.n_frames * 1152000 div m.sample_rate"))
+          .as("sum_ms"))
+  }
+
+  /** REAL H.264 Annex-B NAL walk + SPS Exp-Golomb decode — the
+    * video-bitstream analog of [[mp3Meta]]: encode deterministic
+    * per-document SPS parameters into genuine four-NAL Annex-B
+    * streams with [[graft.multimodal.H264Fixture]]'s independent
+    * bit writer (SEI zero runs force emulation-prevention
+    * escaping), decode them back with the native
+    * [[graft.functions.H264Sps]] expression (start-code walk, RBSP
+    * unescape, the §7.3.2.1 field chain to the DERIVED cropped
+    * dimensions), and roll up per (profile, level). The oracle
+    * replays the parameter derivation arithmetically — since width/
+    * height survive only if every variable-length field before them
+    * was walked exactly, agreement pins both bit-level
+    * implementations. Map-side encode → decode → partial agg; ONE
+    * bounded exchange on the 15-key (profile, level) space. */
+  def h264Sps(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val payloads = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map(id => (id, graft.multimodal.H264Fixture.annexB(id)))
+      }.toDF("doc_id", "payload")
+    payloads
+      .withColumn("m", graft.functions.H264Sps(col("payload")))
+      .groupBy(col("m.profile_idc").cast("bigint").as("profile_idc"),
+        col("m.level_idc").cast("bigint").as("level_idc"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("m.width").cast("bigint")).as("sum_w"),
+        sum(col("m.height").cast("bigint")).as("sum_h"),
+        max(col("m.width").cast("bigint")).as("max_w"),
+        max(col("m.height").cast("bigint")).as("max_h"),
+        sum(col("m.n_nals").cast("bigint")).as("sum_nals"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL
   // ---------------------------------------------------------------
@@ -4812,6 +4886,80 @@ object LlmQueries {
          |  CAST(MAX(h) AS BIGINT) AS max_h
          |FROM f GROUP BY 1""".stripMargin
     },
+
+    // positional frame-walk replay: frame offsets from cumulative
+    // length arithmetic, header bytes EXTRACTED from the blob at
+    // those offsets, all metrics re-derived from extracted values
+    "mm_mp3_meta" -> {
+      import graft.multimodal.{ImageHex, Mp3Hex}
+      import graft.multimodal.ImageHex.byteAt
+      val rateE = Mp3Hex.rateCase(Mp3Hex.SrIdxE)
+      s"""WITH b AS (SELECT doc_id,
+         |    hex(from_hex(${Mp3Hex.mp3Hex(Mp3Hex.HasId3E,
+              Mp3Hex.Id3PadE, Mp3Hex.NframesE, Mp3Hex.SrIdxE, rateE,
+              Mp3Hex.ModeE, "//", ImageHex.seqJoinDuck)})) AS hs,
+         |    $rateE AS rate,
+         |    CASE WHEN ${Mp3Hex.HasId3E}
+         |      THEN 10 + ${Mp3Hex.Id3PadE} ELSE 0 END AS base,
+         |    ${Mp3Hex.NframesE} AS nf
+         |  FROM documents),
+         |fr AS (SELECT doc_id, hs, rate, base,
+         |    unnest(range(0, CAST(nf AS BIGINT))) AS i
+         |  FROM b),
+         |pos AS (SELECT doc_id, hs, rate, base, i,
+         |    COALESCE(SUM(${Mp3Hex.flenE("i", "rate", "//")})
+         |      OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS cum
+         |  FROM fr),
+         |ext AS (SELECT doc_id,
+         |    ${byteAt("hs", "(base + cum + 2) * 2 + 1", "strpos")} AS b2,
+         |    ${byteAt("hs", "(base + cum + 3) * 2 + 1", "strpos")} AS b3
+         |  FROM pos),
+         |dec AS (SELECT doc_id,
+         |    ${Mp3Hex.kbpsCase("b2 // 16")} AS kbps,
+         |    ${Mp3Hex.rateCase("(b2 // 4) % 4")} AS rate_x,
+         |    (b2 // 2) % 2 AS pad_x,
+         |    CASE WHEN b3 // 64 = 3 THEN 1 ELSE 2 END AS ch_x
+         |  FROM ext),
+         |fl AS (SELECT doc_id, kbps, rate_x, ch_x,
+         |    (144000 * kbps) // rate_x + pad_x AS flen_x
+         |  FROM dec),
+         |g AS (SELECT doc_id, MIN(rate_x) AS sample_rate,
+         |    MIN(ch_x) AS channels, COUNT(*) AS nf,
+         |    SUM(kbps) AS skbps, SUM(flen_x) AS sfb
+         |  FROM fl GROUP BY doc_id)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(nf) AS BIGINT) AS sum_frames,
+         |  CAST(SUM(skbps) AS BIGINT) AS sum_kbps,
+         |  CAST(SUM(sfb) AS BIGINT) AS sum_frame_bytes,
+         |  CAST(SUM(nf * 1152000 // sample_rate) AS BIGINT) AS sum_ms
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // arithmetic replay of H264Fixture.paramsOf: the Spark side
+    // must recover these values through encode→escape→walk→
+    // unescape→Exp-Golomb-decode; the oracle just restates them
+    "mm_h264_sps" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 66
+         |      WHEN 1 THEN 77 ELSE 100 END AS profile_idc,
+         |    list_extract([10, 20, 31, 40, 51],
+         |      CAST(doc_id % 5 AS INT) + 1) AS level_idc,
+         |    2 * ((doc_id % 640) + 8) AS w,
+         |    4 * (((doc_id * 13) % 180) + 4) AS h
+         |  FROM documents)
+         |SELECT CAST(profile_idc AS BIGINT) AS profile_idc,
+         |  CAST(level_idc AS BIGINT) AS level_idc,
+         |  CAST(COUNT(*) AS BIGINT) AS n_videos,
+         |  CAST(SUM(w) AS BIGINT) AS sum_w,
+         |  CAST(SUM(h) AS BIGINT) AS sum_h,
+         |  CAST(MAX(w) AS BIGINT) AS max_w,
+         |  CAST(MAX(h) AS BIGINT) AS max_h,
+         |  CAST(COUNT(*) * 4 AS BIGINT) AS sum_nals
+         |FROM p GROUP BY 1, 2""".stripMargin,
 
     // the oracle reads the parquet table directly — the hash match
     // therefore proves the engine's JSONL write→read cycle is

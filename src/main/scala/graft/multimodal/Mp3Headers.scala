@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.InternalRow
+
+/** Real MPEG-1 Layer III (MP3) frame-walk metadata — pure byte
+  * arithmetic, no codec library; the compressed-audio sibling of
+  * [[AudioHeaders]]' PCM RIFF walk.
+  *
+  * An MP3 stream is an optional ID3v2 tag followed by a sequence of
+  * frames. Each frame starts with a 4-byte header:
+  *
+  * {{{
+  * AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM
+  * A: frame sync (11 set bits)      B: version  (11 = MPEG-1)
+  * C: layer (01 = Layer III)        D: protection (1 = no CRC)
+  * E: bitrate index (table below)   F: sample-rate index
+  * G: padding                       H: private
+  * I: channel mode (11 = mono)      J..M: ext/copyright/orig/emphasis
+  * }}}
+  *
+  * The frame LENGTH is not stored — it is derived:
+  * `144 * bitrate_bps / sample_rate + padding` bytes for MPEG-1
+  * Layer III (144 = 1152 samples/frame ÷ 8 bits/byte). The walk
+  * therefore validates the whole header chain: one mis-computed
+  * length desynchronizes every following frame. Per-frame bitrates
+  * may vary (VBR); sample rate and channel mode are per-stream
+  * constants and a frame that disagrees with the first ends the walk
+  * as trailing garbage would.
+  *
+  * An ID3v2 tag is "ID3" + version(2) + flags(1) + a 28-bit
+  * SYNCSAFE size (4 bytes, high bit of each clear) + `size` tag
+  * bytes (+10 footer bytes when flags bit 4 is set). Syncsafe
+  * coding exists precisely so tag bytes can never alias a frame
+  * sync — the walk decodes it rather than scanning for 0xFF.
+  *
+  * Deliberately OUT of scope (returns None, never a guess): MPEG-2 /
+  * 2.5 versions, Layers I/II, free-format (bitrate index 0) and
+  * invalid (15) streams, reserved sample-rate index 3. Full SAMPLE
+  * decode (Huffman + IMDCT + psychoacoustic synthesis) stays behind
+  * the declared stub in [[Multimodal.StubCodec]] — this walk is the
+  * metadata path a 100 TB media lake runs over header-range reads.
+  */
+object Mp3Headers {
+
+  /** MPEG-1 Layer III bitrate table, kbps, index 1..14 (0 = free
+    * format, 15 = invalid — both unsupported here). */
+  private[multimodal] val BitrateKbps: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample-rate table, Hz, index 0..2 (3 = reserved). */
+  private[multimodal] val SampleRateHz: Array[Int] =
+    Array(44100, 48000, 32000)
+
+  /** Samples per MPEG-1 Layer III frame. */
+  val SamplesPerFrame = 1152
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  /** Byte offset of the first frame: 0, or past the ID3v2 tag.
+    * None when an ID3 magic is present but the tag is malformed
+    * (non-syncsafe size byte) or truncated. */
+  private def id3End(b: Array[Byte]): Option[Int] = {
+    if (b.length < 3 || u8(b, 0) != 'I' || u8(b, 1) != 'D' ||
+      u8(b, 2) != '3') return Some(0)
+    if (b.length < 10) return None
+    var size = 0
+    var i = 6
+    while (i < 10) {
+      val v = u8(b, i)
+      if ((v & 0x80) != 0) return None // syncsafe bytes keep bit 7 clear
+      size = (size << 7) | v
+      i += 1
+    }
+    val footer = if ((u8(b, 5) & 0x10) != 0) 10 else 0
+    Some(10 + size + footer)
+  }
+
+  /** Frame walk. Returns
+    * (n_frames, sample_rate_hz, channels, sum_kbps, frame_bytes):
+    * frame count, the per-stream constants, the SUM of per-frame
+    * bitrates (sum_kbps / n_frames = mean VBR bitrate) and the total
+    * bytes covered by complete frames. None when the stream does not
+    * begin (after any ID3 tag) with a complete MPEG-1 Layer III
+    * frame. The walk stops at the first non-frame byte or truncated
+    * trailing frame — only COMPLETE frames are counted. */
+  def parse(b: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    if (b == null) return None
+    val start = id3End(b) match {
+      case Some(s) => s
+      case None => return None
+    }
+    val n = b.length
+    var p = start
+    var frames = 0
+    var rate = 0
+    var channels = 0
+    var mode0 = -1
+    var sumKbps = 0L
+    var frameBytes = 0L
+    var ok = true
+    while (ok && p + 4 <= n) {
+      if (u8(b, p) != 0xff || (u8(b, p + 1) & 0xe0) != 0xe0) ok = false
+      else {
+        val version = (u8(b, p + 1) >> 3) & 3 // 3 = MPEG-1
+        val layer = (u8(b, p + 1) >> 1) & 3 // 1 = Layer III
+        val brIdx = (u8(b, p + 2) >> 4) & 15
+        val srIdx = (u8(b, p + 2) >> 2) & 3
+        val pad = (u8(b, p + 2) >> 1) & 1
+        val mode = (u8(b, p + 3) >> 6) & 3
+        if (version != 3 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+          srIdx == 3) ok = false
+        else if (frames > 0 && (SampleRateHz(srIdx) != rate ||
+          mode != mode0)) ok = false // per-stream constants disagree
+        else {
+          val kbps = BitrateKbps(brIdx)
+          val sr = SampleRateHz(srIdx)
+          // 144 * bitrate_bps / rate + padding, exact in Int range
+          val len = 144000 * kbps / sr + pad
+          if (p + len > n) ok = false // truncated trailing frame
+          else {
+            if (frames == 0) {
+              rate = sr
+              mode0 = mode
+              channels = if (mode == 3) 1 else 2
+            }
+            frames += 1
+            sumKbps += kbps
+            frameBytes += len
+            p += len
+          }
+        }
+      }
+    }
+    if (frames == 0) None
+    else Some((frames, rate, channels, sumKbps, frameBytes))
+  }
+
+  /** [[parse]] as an `InternalRow` for the
+    * [[graft.functions.Mp3Meta]] codegen path. Null = not an MPEG-1
+    * Layer III stream. */
+  def parseRow(b: Array[Byte]): InternalRow = parse(b) match {
+    case Some((nf, rate, ch, kbps, fb)) => InternalRow(nf, rate, ch, kbps, fb)
+    case None => null
+  }
+}

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import ImageHex.hexN
+
+/** Engine-portable SQL fragments that BUILD real MPEG-1 Layer III
+  * (MP3) streams as uppercase hex text — the compressed-audio
+  * sibling of [[AudioHex]], used by the `mm_mp3_meta` fixture: the
+  * Spark query materializes the blob and walks it with the native
+  * [[graft.functions.Mp3Meta]] expression; the DuckDB oracle
+  * REPLAYS the frame walk positionally — it computes each frame's
+  * byte offset by cumulative frame-length arithmetic, then EXTRACTS
+  * the header bytes at those offsets from the same blob's hex and
+  * re-derives every metric from the EXTRACTED values. A builder or
+  * parser that mis-computes one frame length desynchronizes all
+  * following offsets and hash-mismatches.
+  *
+  * Stream layout per document (all values deterministic in doc_id):
+  * an ID3v2.4 tag on 3 of every 4 documents (9-byte header +
+  * syncsafe size + `doc_id % 64` zero bytes — the walk must decode
+  * syncsafe, not scan), then `doc_id % 8 + 3` frames. Sample rate
+  * and channel mode are per-stream constants; the bitrate index
+  * VARIES per frame (a real VBR stream), exercising the
+  * length-derivation chain.
+  */
+object Mp3Hex {
+
+  /** MPEG-1 Layer III kbps for 1-based bitrate index expression —
+    * the table is irregular, and CASE spells identically in Spark
+    * SQL and DuckDB. */
+  def kbpsCase(brIdxE: String): String =
+    s"(CASE ($brIdxE) WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 " +
+      "WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 " +
+      "WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160 " +
+      "WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256 " +
+      "ELSE 320 END)"
+
+  /** Sample-rate Hz for index expression 0..2. */
+  def rateCase(srIdxE: String): String =
+    s"(CASE ($srIdxE) WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
+      "ELSE 32000 END)"
+
+  /** Per-frame bitrate index 1..14 for frame variable `iv` — VBR by
+    * construction. */
+  def brIdxE(iv: String): String = s"((doc_id + 3 * ($iv)) % 14 + 1)"
+
+  /** Per-frame padding bit for frame variable `iv`. */
+  def padE(iv: String): String = s"((doc_id + ($iv)) % 2)"
+
+  /** Derived frame length in bytes:
+    * `144 * bitrate_bps / rate + padding` — the MPEG-1 Layer III
+    * formula the parser must reproduce exactly. `rateE` is the
+    * per-stream rate expression. */
+  def flenE(iv: String, rateE: String, intdiv: String): String =
+    s"((144000 * ${kbpsCase(brIdxE(iv))}) $intdiv ($rateE) + ${padE(iv)})"
+
+  /** One frame as hex: sync+version+layer `FFFB`, the packed
+    * bitrate/rate/padding byte, the packed channel-mode byte
+    * (`mode*64 + 4` — original flag set), then zero filler to the
+    * DERIVED length. `modeE`: 1 = joint stereo, 3 = mono. */
+  def frameHex(iv: String, srIdxE: String, rateE: String,
+      modeE: String, intdiv: String): String =
+    s"concat('FFFB', " +
+      s"${hexN(s"${brIdxE(iv)} * 16 + ($srIdxE) * 4 + ${padE(iv)} * 2", 2, intdiv)}, " +
+      s"${hexN(s"($modeE) * 64 + 4", 2, intdiv)}, " +
+      s"repeat('00', CAST(${flenE(iv, rateE, intdiv)} - 4 AS INT)))"
+
+  /** An ID3v2.4 tag: "ID3" v2.4.0, flags 0, 28-bit SYNCSAFE size
+    * (padE < 128 so only the last byte carries bits), then the tag
+    * payload. */
+  def id3Hex(padBytesE: String, intdiv: String): String =
+    s"concat('494433040000000000', ${hexN(padBytesE, 2, intdiv)}, " +
+      s"repeat('00', CAST($padBytesE AS INT)))"
+
+  /** The whole stream: optional ID3 tag (`hasId3E` boolean
+    * expression) + `nfE` frames. */
+  def mp3Hex(hasId3E: String, id3PadE: String, nfE: String,
+      srIdxE: String, rateE: String, modeE: String, intdiv: String,
+      seqJoin: (String, String, String) => String): String =
+    s"concat(CASE WHEN $hasId3E THEN ${id3Hex(id3PadE, intdiv)} " +
+      "ELSE '' END, " +
+      s"${seqJoin("i", nfE, frameHex("i", srIdxE, rateE, modeE, intdiv))})"
+
+  /** Shared per-document fixture parameters, as SQL over `doc_id` —
+    * spelled once so query and oracle can never drift. */
+  val SrIdxE = "CAST(doc_id % 3 AS INT)"
+  val NframesE = "CAST(doc_id % 8 AS INT) + 3"
+  val HasId3E = "doc_id % 4 <> 0"
+  val Id3PadE = "CAST(doc_id % 64 AS INT)"
+  /** 1 = joint stereo (2 channels) on even docs, 3 = mono on odd. */
+  val ModeE = "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END"
+}

@@ -33,10 +33,14 @@ import org.apache.spark.sql.functions._
   * spec-proven per color type). BASELINE JPEG luma is REAL too
   * ([[JpegDecode]] behind [[graft.functions.JpegLuma]],
   * `mm_jpeg_luma`): canonical Huffman + dequant + IDCT on the
-  * public JDK, ImageIO-tolerance spec-proven. Only decode of the
-  * remaining lossy codecs (MP3 frames, H.264 video — real
-  * psychoacoustic/motion-compensation territory, no library in this
-  * container) remains a clearly-marked DETERMINISTIC FAKE:
+  * public JDK, ImageIO-tolerance spec-proven. MP3 FRAME METADATA IS
+  * REAL ([[Mp3Headers]] behind [[graft.functions.Mp3Meta]],
+  * `mm_mp3_meta`): ID3v2 syncsafe skip + the MPEG-1 Layer III
+  * derived-frame-length walk — frame count, sample rate, channel
+  * mode, VBR bitrate sum, duration. Only full SAMPLE decode of the
+  * lossy codecs (MP3 Huffman/IMDCT synthesis, H.264 motion
+  * compensation — no codec library in this container) remains a
+  * clearly-marked DETERMINISTIC FAKE:
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped
@@ -93,12 +97,17 @@ object Multimodal {
                 n % 24 + 1, 0, n > 0)
           }
         case "audio" =>
-          // REAL path first: PCM WAV RIFF walk
+          // REAL paths first: PCM WAV RIFF walk, then the MP3
+          // frame walk (frame count stands in the nFrames slot)
           AudioHeaders.parse(payload) match {
             case Some((_, rate, _, _)) =>
               MediaMeta(kind, 0, 0, 0, rate, ok = true)
-            case None =>
-              MediaMeta(kind, 0, 0, 0, 8000 + (b0 % 5) * 8000, n > 0)
+            case None => Mp3Headers.parse(payload) match {
+              case Some((nf, rate, _, _, _)) =>
+                MediaMeta(kind, 0, 0, nf, rate, ok = true)
+              case None =>
+                MediaMeta(kind, 0, 0, 0, 8000 + (b0 % 5) * 8000, n > 0)
+            }
           }
         case _ => MediaMeta(kind, 0, 0, 0, 0, ok = false)
       }

@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MP3 frame walk against hand-built MPEG-1 Layer III streams,
+  * plus adversarial inputs for the ID3 skip and the derived-length
+  * chain. */
+class Mp3HeadersSpec extends AnyFunSuite {
+
+  /** One frame with the given 1-based bitrate index, sample-rate
+    * index, padding bit, and channel mode (body zero-filled to the
+    * derived length). */
+  private def frame(brIdx: Int, srIdx: Int, pad: Int,
+      mode: Int): Array[Byte] = {
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)(brIdx)
+    val rate = Array(44100, 48000, 32000)(srIdx)
+    val len = 144000 * kbps / rate + pad
+    val b = new Array[Byte](len)
+    b(0) = 0xff.toByte
+    b(1) = 0xfb.toByte
+    b(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+    b(3) = ((mode << 6) | 4).toByte
+    b
+  }
+
+  private def id3(pad: Int, footer: Boolean = false): Array[Byte] = {
+    val flags = if (footer) 0x10 else 0
+    val tail = if (footer) new Array[Byte](pad + 10)
+    else new Array[Byte](pad)
+    (Array('I', 'D', '3', 4, 0, flags, 0, 0, 0, pad)
+      .map(_.toByte)) ++ tail
+  }
+
+  test("CBR stream without a tag") {
+    val s = Array.concat(frame(9, 0, 0, 3), frame(9, 0, 0, 3),
+      frame(9, 0, 0, 3))
+    // 128 kbps @ 44100: 144000*128/44100 = 417 bytes
+    assert(Mp3Headers.parse(s).contains((3, 44100, 1, 384L, 1251L)))
+  }
+
+  test("VBR stream behind an ID3v2 tag, padding varies") {
+    val s = Array.concat(id3(37), frame(1, 1, 1, 1), frame(14, 1, 0, 1),
+      frame(7, 1, 1, 1))
+    // 32/320/96 kbps @ 48000 → 96+1, 960, 288+1 bytes
+    assert(Mp3Headers.parse(s)
+      .contains((3, 48000, 2, (32 + 320 + 96).toLong, 1346L)))
+  }
+
+  test("ID3 footer flag adds 10 bytes before frame 0") {
+    val s = Array.concat(id3(5, footer = true), frame(2, 2, 0, 3))
+    assert(Mp3Headers.parse(s).contains((1, 32000, 1, 40L, 180L)))
+  }
+
+  test("syncsafe size is decoded, not scanned: tag bytes containing " +
+    "0xFF do not start the walk early") {
+    val t = id3(8)
+    // plant a plausible-looking sync INSIDE the tag payload
+    t(10) = 0xff.toByte
+    t(11) = 0xfb.toByte
+    t(12) = 0x92.toByte
+    val s = Array.concat(t, frame(9, 0, 0, 3))
+    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L)))
+  }
+
+  test("non-syncsafe ID3 size byte → None (malformed tag, no guessing)") {
+    val t = id3(8)
+    t(9) = 0x80.toByte // bit 7 set — illegal in syncsafe coding
+    assert(Mp3Headers.parse(Array.concat(t, frame(9, 0, 0, 3))).isEmpty)
+  }
+
+  test("truncated trailing frame is not counted") {
+    val f = frame(9, 0, 0, 3)
+    val s = Array.concat(f, f.dropRight(1))
+    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L)))
+  }
+
+  test("trailing garbage ends the walk without poisoning the count") {
+    val s = Array.concat(frame(9, 0, 0, 3), Array[Byte](0x41, 0x42))
+    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L)))
+  }
+
+  test("a mis-derived length would desynchronize: off-by-one filler " +
+    "breaks the second frame") {
+    val f0 = frame(9, 0, 1, 3) // padded: 418 bytes
+    val s = Array.concat(f0.dropRight(1), frame(9, 0, 0, 3))
+    // walk reads frame 0's DECLARED 418 bytes, landing 1 byte into
+    // frame 1 → no sync there → only frame 0 counted (its declared
+    // extent overlaps what is really frame 1's first byte)
+    val r = Mp3Headers.parse(s)
+    assert(r.contains((1, 44100, 1, 128L, 418L)))
+  }
+
+  test("sample-rate or mode change mid-stream ends the walk") {
+    assert(Mp3Headers.parse(
+      Array.concat(frame(9, 0, 0, 3), frame(9, 1, 0, 3)))
+      .contains((1, 44100, 1, 128L, 417L)))
+    assert(Mp3Headers.parse(
+      Array.concat(frame(9, 0, 0, 3), frame(9, 0, 0, 1)))
+      .contains((1, 44100, 1, 128L, 417L)))
+  }
+
+  test("unsupported variants → None: MPEG-2, Layer II, free-format, " +
+    "invalid bitrate, reserved rate") {
+    val f = frame(9, 0, 0, 3)
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val c = f.clone(); c(i) = v.toByte; c
+    }
+    assert(Mp3Headers.parse(mut(1, 0xf3)).isEmpty) // MPEG-2
+    assert(Mp3Headers.parse(mut(1, 0xfd)).isEmpty) // Layer II
+    assert(Mp3Headers.parse(mut(2, 0x02)).isEmpty) // free format
+    assert(Mp3Headers.parse(mut(2, 0xf2)).isEmpty) // bitrate idx 15
+    assert(Mp3Headers.parse(mut(2, 0x9e)).isEmpty) // rate idx 3
+    assert(Mp3Headers.parse(null).isEmpty)
+    assert(Mp3Headers.parse(Array.emptyByteArray).isEmpty)
+    assert(Mp3Headers.parse(id3(4)).isEmpty) // tag only, no frames
+  }
+
+  test("joint-stereo and mono channel mapping") {
+    assert(Mp3Headers.parse(frame(5, 1, 0, 0)).exists(_._3 == 2))
+    assert(Mp3Headers.parse(frame(5, 1, 0, 1)).exists(_._3 == 2))
+    assert(Mp3Headers.parse(frame(5, 1, 0, 2)).exists(_._3 == 2))
+    assert(Mp3Headers.parse(frame(5, 1, 0, 3)).exists(_._3 == 1))
+  }
+}
