@@ -1,0 +1,170 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Builds REAL H.264 Annex-B elementary streams for the
+  * `mm_h264_sps` fixture — a from-scratch bit writer + RBSP
+  * emulation-prevention escaper that shares NOTHING with
+  * [[H264Headers]]' reader but the public ISO 14496-10 syntax: the
+  * query encodes deterministic parameters per document, the native
+  * expression decodes them back through the independent NAL walk /
+  * Exp-Golomb reader, and the DuckDB oracle replays the parameter
+  * derivation arithmetically — so `decode(encode(p)) = p` is proven
+  * through two independent bit-level implementations against a
+  * third, relational, spelling of the expected output (the
+  * golden-Deflater pattern of `llm_compress_ratio`, at the bit
+  * level).
+  *
+  * Each stream is four NAL units: an access-unit delimiter, an SEI
+  * `user_data_unregistered` whose zero-run payload FORCES emulation
+  * prevention (`00 00 00` → `00 00 03 00` — an unescaped stream
+  * would alias a start code and desynchronize the walk), the SPS
+  * under test, and a PPS. Start codes alternate 4- and 3-byte forms.
+  */
+object H264Fixture {
+
+  /** MSB-first bit writer with Exp-Golomb codes. */
+  final class BitWriter {
+    private val buf = ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nbits += 1
+      if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def u(n: Int, v: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >> i) & 1); i -= 1 }
+    }
+    /** Unsigned Exp-Golomb: (len-1) zeros + the len bits of v+1. */
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      u(len - 1, 0)
+      u(len, k)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** rbsp_trailing_bits: stop bit + zero-pad to a byte boundary. */
+    def stopAlign(): Unit = {
+      bit(1)
+      while (nbits != 0) bit(0)
+    }
+    def bytes: Array[Byte] = buf.toArray
+  }
+
+  /** Insert emulation-prevention bytes: any `00 00` followed by a
+    * byte ≤ 3 gets `03` interposed. */
+  def escapeRbsp(raw: Array[Byte]): Array[Byte] = {
+    val out = ArrayBuffer[Byte]()
+    var zeros = 0
+    raw.foreach { byte =>
+      val v = byte & 0xff
+      if (zeros >= 2 && v <= 3) {
+        out += 3
+        zeros = 0
+      }
+      out += byte
+      zeros = if (v == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  /** The deterministic per-document SPS parameters. Mirrored
+    * ARITHMETICALLY by the mm_h264_sps oracle SQL — keep the two in
+    * lockstep. Width is any even value (CropUnitX = 2 for 4:2:0);
+    * height is a multiple of 4 so interlaced docs (CropUnitY = 4)
+    * crop exactly. */
+  final case class Params(profile: Int, level: Int, w: Int, h: Int,
+      frameMbsOnly: Int, pocType: Int, spsId: Int,
+      log2MaxFrameNum4: Int, maxRef: Int)
+
+  def paramsOf(docId: Long): Params = Params(
+    profile = Array(66, 77, 100)((docId % 3).toInt),
+    level = Array(10, 20, 31, 40, 51)((docId % 5).toInt),
+    w = (2 * ((docId % 640) + 8)).toInt,
+    h = (4 * (((docId * 13) % 180) + 4)).toInt,
+    frameMbsOnly = if (docId % 5 == 0) 0 else 1,
+    pocType = (docId % 3).toInt match {
+      case 0 => 0
+      case 1 => 2
+      case _ => 1
+    },
+    spsId = (docId % 8).toInt,
+    log2MaxFrameNum4 = (docId % 9).toInt,
+    maxRef = (docId % 5).toInt)
+
+  /** seq_parameter_set_rbsp per ISO 14496-10 §7.3.2.1, UNescaped. */
+  def spsRbsp(p: Params): Array[Byte] = {
+    val bw = new BitWriter
+    bw.u(8, p.profile)
+    bw.u(8, 0) // constraint flags + reserved
+    bw.u(8, p.level)
+    bw.ue(p.spsId)
+    if (p.profile == 100) {
+      bw.ue(1) // chroma_format_idc: 4:2:0
+      bw.ue(0) // bit_depth_luma_minus8
+      bw.ue(0) // bit_depth_chroma_minus8
+      bw.bit(0) // qpprime_y_zero_transform_bypass
+      bw.bit(0) // seq_scaling_matrix_present
+    }
+    bw.ue(p.log2MaxFrameNum4)
+    bw.ue(p.pocType)
+    if (p.pocType == 0) bw.ue(p.log2MaxFrameNum4 % 5)
+    else if (p.pocType == 1) {
+      bw.bit(1) // delta_pic_order_always_zero
+      bw.se(-2) // offset_for_non_ref_pic
+      bw.se(3) // offset_for_top_to_bottom_field
+      val n = (p.spsId % 3)
+      bw.ue(n)
+      (1 to n).foreach(i => bw.se(if (i % 2 == 0) i else -i))
+    }
+    bw.ue(p.maxRef)
+    bw.bit(0) // gaps_in_frame_num_value_allowed
+    val mbsW = (p.w + 15) / 16
+    val muH = if (p.frameMbsOnly == 1) (p.h + 15) / 16
+    else (p.h + 31) / 32
+    bw.ue(mbsW - 1)
+    bw.ue(muH - 1)
+    bw.bit(p.frameMbsOnly)
+    if (p.frameMbsOnly == 0) bw.bit(0) // mb_adaptive_frame_field
+    bw.bit(1) // direct_8x8_inference
+    val cropR = (mbsW * 16 - p.w) / 2 // CropUnitX = 2 (4:2:0)
+    val cropB = // CropUnitY = 2 * (2 - frame_mbs_only)
+      if (p.frameMbsOnly == 1) (muH * 16 - p.h) / 2
+      else (muH * 32 - p.h) / 4
+    if (cropR > 0 || cropB > 0) {
+      bw.bit(1)
+      bw.ue(0); bw.ue(cropR); bw.ue(0); bw.ue(cropB)
+    } else bw.bit(0)
+    bw.bit(0) // vui_parameters_present
+    bw.stopAlign()
+    bw.bytes
+  }
+
+  /** SEI user_data_unregistered with an all-zero UUID + `extra`
+    * zero payload bytes — guaranteed emulation-prevention work. */
+  private def seiRbsp(extra: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.u(8, 5) // last_payload_type: user_data_unregistered
+    bw.u(8, 16 + extra) // last_payload_size
+    (0 until 16 + extra).foreach(_ => bw.u(8, 0))
+    bw.stopAlign()
+    bw.bytes
+  }
+
+  private val Start4 = Array[Byte](0, 0, 0, 1)
+  private val Start3 = Array[Byte](0, 0, 1)
+
+  /** The complete four-NAL Annex-B stream for one document. */
+  def annexB(docId: Long): Array[Byte] = {
+    val p = paramsOf(docId)
+    val sps = escapeRbsp(spsRbsp(p))
+    val sei = escapeRbsp(seiRbsp((docId % 8).toInt))
+    Array.concat(
+      Start4, Array[Byte](0x09, 0x10), // AUD: primary_pic_type 0
+      Start3, Array[Byte](0x06) ++ sei,
+      Start3, Array[Byte](0x67) ++ sps, // nal_ref_idc 3, type 7
+      Start4, Array[Byte](0x68, 0xCE.toByte, 0x38, 0x80.toByte)) // PPS
+  }
+}

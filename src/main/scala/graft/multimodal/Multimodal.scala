@@ -37,10 +37,14 @@ import org.apache.spark.sql.functions._
   * REAL ([[Mp3Headers]] behind [[graft.functions.Mp3Meta]],
   * `mm_mp3_meta`): ID3v2 syncsafe skip + the MPEG-1 Layer III
   * derived-frame-length walk — frame count, sample rate, channel
-  * mode, VBR bitrate sum, duration. Only full SAMPLE decode of the
-  * lossy codecs (MP3 Huffman/IMDCT synthesis, H.264 motion
-  * compensation — no codec library in this container) remains a
-  * clearly-marked DETERMINISTIC FAKE:
+  * mode, VBR bitrate sum, duration. H.264 BITSTREAM METADATA IS
+  * REAL ([[H264Headers]] behind [[graft.functions.H264Sps]],
+  * `mm_h264_sps`): Annex-B NAL walk, RBSP emulation-prevention
+  * unescape, and the full §7.3.2.1 Exp-Golomb SPS field chain to
+  * the derived cropped dimensions + profile/level. Only full SAMPLE
+  * decode of the lossy codecs (MP3 Huffman/IMDCT synthesis, H.264
+  * CABAC/motion compensation — no codec library in this container)
+  * remains a clearly-marked DETERMINISTIC FAKE:
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped
@@ -84,17 +88,22 @@ object Multimodal {
               MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1, 1, 0, n > 0)
           }
         case "video" =>
-          // REAL path first: MP4 box-walk dims + duration-seconds as
-          // the frame proxy (frame COUNT needs the stsz sample table,
-          // which metadata-only parsing deliberately skips)
+          // REAL paths first: MP4 box-walk dims + duration-seconds
+          // as the frame proxy (frame COUNT needs the stsz sample
+          // table, which metadata-only parsing deliberately skips),
+          // then the Annex-B elementary-stream SPS walk
           VideoHeaders.parse(payload) match {
             case Some((w, h, ts, dur)) =>
               MediaMeta(kind, w, h,
                 math.max(1L, dur / ts).min(Int.MaxValue).toInt, 0,
                 ok = true)
-            case None =>
-              MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1,
-                n % 24 + 1, 0, n > 0)
+            case None => H264Headers.parse(payload) match {
+              case Some((_, _, w, h, _)) =>
+                MediaMeta(kind, w, h, 1, 0, ok = true)
+              case None =>
+                MediaMeta(kind, n % 640 + 1, (n * 31) % 480 + 1,
+                  n % 24 + 1, 0, n > 0)
+            }
           }
         case "audio" =>
           // REAL paths first: PCM WAV RIFF walk, then the MP3
