@@ -138,6 +138,7 @@ object RdfQueries {
     // the oracle replays a fixed PrcCap-step recurrence (identical
     // past the fixpoint — see pagerankConverged's doc).
     "rdf_pagerank_converged" -> ((s, d) => pagerankConverged(s, d)),
+    "rdf_pagerank_incr" -> ((s, d) => pagerankIncr(s, d)),
     // SPARQL 1.1 subquery + ORDER BY/LIMIT solution modifiers:
     // top-N subjects by triple count, titles joined back on top of
     // the inner aggregate — the bounded top-k shape
@@ -755,9 +756,71 @@ object RdfQueries {
     graft.SnapshotMemo.getOrCompute(s, s"pagerank-converged:$d")(
       computePagerankConverged(s, d))
 
+  /** Fixed replay depth of [[pagerankIncr]]'s warm phase. A warm
+    * start re-enters a limit cycle in O(log Δ / log(1/0.85)) rounds
+    * where Δ is the perturbation the delta edges caused — the
+    * contraction argument; measured on the fixture: cycle entry at
+    * round 29 (sf0.001) / 27 (sf0.01) versus 36 / 31 for a cold
+    * restart on the same posterior graph. The saving is log-scale,
+    * so it is MODEST when the delta touches ~10 % of nodes (this
+    * fixture) and LARGE when a weekly delta touches 0.1 % of a
+    * 100 TB graph — the regime the path exists for. 34 bounds the
+    * measured entries with window margin. */
+  private[rdf] val PrcIncrCap = 34
+
+  /** INCREMENTAL PageRank — the weekly-refresh path: when the
+    * snapshot gains a delta batch of edges ([[deltaShortcutEdges]],
+    * the same posterior graph as `rdf_reachable_incr`), the refresh
+    * WARM-STARTS [[pagerankLoop]] from the stored converged ranks of
+    * the base snapshot instead of recomputing from uniform — new
+    * nodes enter at the uniform share, everyone else at their old
+    * rank — and re-converges in fewer rounds than a cold restart
+    * (measured in PagerankSpec; the saving is log(Δ)-proportional,
+    * see [[PrcIncrCap]]). Each round is the same one-exchange
+    * shape, so the refresh cost is proportional to RE-CONVERGENCE,
+    * not to corpus history. Completes the
+    * incremental axis: closure maintenance (`rdf_reachable_incr`),
+    * enrichment delta (`rdf_enrich_delta`), and now rank
+    * maintenance.
+    *
+    * The oracle replays the SAME warm-start definition at fixed
+    * depth ([[PrcCap]] base steps from uniform, then [[PrcIncrCap]]
+    * posterior steps from that state) — the engine's early exits
+    * align by the [[pagerankConverged]] modulo argument on BOTH
+    * phases, so the hash match proves the warm path end to end.
+    * (Warm-vs-cold-on-posterior equality is a separate, empirical
+    * claim — a truncating recurrence's limit CYCLE phase at the cap
+    * depends on the trajectory, so the spec asserts closeness and
+    * mass conservation, not bit equality; see PagerankSpec.) */
+  private def pagerankIncr(s: SparkSession, d: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(s, s"pagerank-incr:$d")(
+      computePagerankIncr(s, d)._1)
+
+  private[rdf] def computePagerankIncr(
+      s: SparkSession, d: String): (DataFrame, Int) = {
+    val base = pagerankConverged(s, d)
+      .select(col("node"), col("pr_scaled").as("pr"))
+    pagerankLoop(s, starEdges(s, d).union(deltaShortcutEdges(s, d)),
+      Some(base), PrcIncrCap)
+  }
+
   private def computePagerankConverged(
-      s: SparkSession, d: String): DataFrame = {
-    val e = starEdges(s, d)
+      s: SparkSession, d: String): DataFrame =
+    pagerankLoop(s, starEdges(s, d), None, PrcCap)._1
+
+  /** The shared truncating-recurrence loop behind
+    * [[pagerankConverged]] (cold, uniform init) and
+    * [[pagerankIncr]] (warm init from a prior snapshot's converged
+    * ranks). `warmInit` rows are joined onto the CURRENT graph's
+    * node set — nodes the prior snapshot didn't have start at the
+    * uniform share of the NEW node count (the standard warm-start
+    * extension); `cap` is the fixed depth the oracle replays and
+    * the modulo-alignment target of the early exit. Returns the
+    * stored rank table and the number of rounds actually executed
+    * (the incremental path's O(re-convergence) evidence — specs
+    * assert it, the driver never pays more than it). */
+  private[rdf] def pagerankLoop(s: SparkSession, e: DataFrame,
+      warmInit: Option[DataFrame], cap: Int): (DataFrame, Int) = {
     val odeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val ed = e.join(odeg, Seq("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -771,16 +834,22 @@ object RdfQueries {
       a.join(b.select(col("node"), col("pr").as("o")), Seq("node"))
         .agg(coalesce(sum(abs(col("pr") - col("o"))), lit(0L)))
         .head.getLong(0)
-    val init = nodes.crossJoin(nCnt)
-      .select(col("node"), expr(s"${PrcScale}L div n").as("pr"))
-      .localCheckpoint()
+    val uniform = expr(s"${PrcScale}L div n")
+    val init = (warmInit match {
+      case None => nodes.crossJoin(nCnt)
+        .select(col("node"), uniform.as("pr"))
+      case Some(prev) => nodes.crossJoin(nCnt)
+        .join(prev.select(col("node"), col("pr").as("wpr")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("wpr"), uniform).as("pr"))
+    }).localCheckpoint()
     // sliding window of the last ≤ PrcWindow states: states(k) is
     // s_{base+k}; the current state is states.last = s_it
     var states = Vector(init)
     var base = 0
     var result: DataFrame = null
     var it = 0
-    while (result == null && it < PrcCap) {
+    while (result == null && it < cap) {
       val pr = states.last
       val dm = broadcast(pr.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("pr")), lit(0L)).as("dm")))
@@ -815,7 +884,7 @@ object RdfQueries {
       j.foreach { k =>
         val t0 = base + k
         val p = it - t0
-        val pick = t0 + (PrcCap - t0) % p // s_cap, still in the window
+        val pick = t0 + (cap - t0) % p // s_cap, still in the window
         result = states(pick - base)
       }
       states = states :+ next
@@ -841,7 +910,7 @@ object RdfQueries {
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
     (states :+ init :+ ed :+ nodes :+ dangling)
       .foreach(shim.freeLocalCheckpoint)
-    stored
+    (stored, it)
   }
 
   /** SPARQL BIND + string functions —
@@ -1001,16 +1070,22 @@ object RdfQueries {
     * proves incremental == full. The delta edges create paths to
     * nodes outside the pure doubling orbit (3k is never a power of
     * 4 times k), so the delta walk genuinely extends the pair set. */
-  private def reachableIncrQ(s: SparkSession, d: String): DataFrame = {
+  private def reachableIncrQ(s: SparkSession, d: String): DataFrame =
+    RdfOps.reachablePlusDelta(starEdges(s, d), deltaShortcutEdges(s, d),
+      starSeeds(s, d), starClosure(s, d))
+
+  /** The deterministic "next week's batch" of NEW shortcut edges —
+    * item k → item 3k for k % 10 = 0 — shared by every incremental
+    * fixture ([[reachableIncrQ]], [[pagerankIncr]]) so the posterior
+    * snapshot means the same graph everywhere. */
+  private def deltaShortcutEdges(s: SparkSession, d: String): DataFrame = {
     val item = "http://ex.org/item/"
     val p = graft.Tables(s, d, "part").select(col("p_partkey").as("k"))
     val mx = broadcast(p.agg(max(col("k")).as("mx")))
-    val delta = p.crossJoin(mx)
+    p.crossJoin(mx)
       .filter(col("k") % 10 === 0 && col("k") * 3 <= col("mx"))
       .select(concat(lit(item), col("k")).as("src"),
         concat(lit(item), col("k") * 3).as("dst"))
-    RdfOps.reachablePlusDelta(starEdges(s, d), delta, starSeeds(s, d),
-      starClosure(s, d))
   }
 
   /** SPARQL composed path `(def:tri|def:pent)+` — ALTERNATION UNDER
@@ -1887,6 +1962,79 @@ object RdfQueries {
          |${(1 to PrcCap).map(step).mkString(",\n")}
          |SELECT node, CAST(pr AS BIGINT) AS pr_scaled
          |FROM pr$PrcCap""".stripMargin
+    },
+
+    // Fixed-depth replay of the WARM-START definition: PrcCap base
+    // steps from uniform (identical to rdf_pagerank_converged's
+    // replay — that state IS the engine's stored warm init), then
+    // PrcIncrCap posterior steps over the delta-extended graph from
+    // it, new nodes entering at the posterior uniform share. The
+    // engine's early exits align to both caps by modulo.
+    "rdf_pagerank_incr" -> {
+      def step(i: Int, pfx: String, prev: String, edges: String,
+          odeg: String, nodes: String, dang: String, nn: String) =
+        s"""${pfx}dm$i AS MATERIALIZED (
+           |  SELECT COALESCE(SUM(p.pr), 0) AS dm
+           |  FROM $prev p JOIN $dang ON $dang.node = p.node),
+           |${pfx}c$i AS MATERIALIZED (SELECT e.dst AS node,
+           |    CAST(SUM(p.pr // o.odeg) AS BIGINT) AS contrib
+           |  FROM $edges e
+           |  JOIN $prev p ON p.node = e.src
+           |  JOIN $odeg o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |${pfx}pr$i AS MATERIALIZED (SELECT $nodes.node,
+           |    (($PrcScale // n) * 15) // 100
+           |      + (85 * (COALESCE(${pfx}c$i.contrib, 0) + (dm // n)))
+           |        // 100 AS pr
+           |  FROM $nodes CROSS JOIN $nn CROSS JOIN ${pfx}dm$i
+           |  LEFT JOIN ${pfx}c$i ON ${pfx}c$i.node = $nodes.node)"""
+          .stripMargin
+      def baseStep(i: Int) = step(i, "", s"pr${i - 1}", "edges",
+        "odeg", "nodes", "dang", "nn")
+      def warmStep(i: Int) = step(i, "w", if (i == 1) "w0"
+      else s"wpr${i - 1}", "edges2", "odeg2", "nodes2", "dang2", "nn2")
+      s"""WITH mxp AS (SELECT max(p_partkey) AS mx FROM part),
+         |edges AS MATERIALIZED (
+         |  SELECT 'http://ex.org/item/' || p_partkey AS src,
+         |         'http://ex.org/item/' || (p_partkey * 4) AS dst
+         |  FROM part, mxp WHERE p_partkey * 4 <= mx
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || p_partkey,
+         |         'http://ex.org/item/' || (p_partkey // 16)
+         |  FROM part WHERE p_partkey % 16 = 0),
+         |odeg AS MATERIALIZED (
+         |  SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst FROM edges)),
+         |dang AS MATERIALIZED (SELECT node FROM nodes
+         |  WHERE node NOT IN (SELECT src FROM edges)),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (SELECT node, $PrcScale // n AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |${(1 to PrcCap).map(baseStep).mkString(",\n")},
+         |edges2 AS MATERIALIZED (
+         |  SELECT src, dst FROM edges
+         |  UNION ALL
+         |  SELECT 'http://ex.org/item/' || p_partkey,
+         |         'http://ex.org/item/' || (p_partkey * 3)
+         |  FROM part, mxp
+         |  WHERE p_partkey % 10 = 0 AND p_partkey * 3 <= mx),
+         |odeg2 AS MATERIALIZED (
+         |  SELECT src, count(*) AS odeg FROM edges2 GROUP BY src),
+         |nodes2 AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges2
+         |  UNION ALL SELECT dst FROM edges2)),
+         |dang2 AS MATERIALIZED (SELECT node FROM nodes2
+         |  WHERE node NOT IN (SELECT src FROM edges2)),
+         |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM nodes2),
+         |w0 AS MATERIALIZED (SELECT nodes2.node,
+         |    COALESCE(b.pr, $PrcScale // n) AS pr
+         |  FROM nodes2 CROSS JOIN nn2
+         |  LEFT JOIN pr$PrcCap b ON b.node = nodes2.node),
+         |${(1 to PrcIncrCap).map(warmStep).mkString(",\n")}
+         |SELECT node, CAST(pr AS BIGINT) AS pr_scaled
+         |FROM wpr$PrcIncrCap""".stripMargin
     },
 
     "rdf_group_having" ->

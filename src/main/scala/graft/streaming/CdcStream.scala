@@ -126,7 +126,21 @@ object CdcStream {
     * merge-on-read price; [[startMirror]]'s compaction bounds the
     * log side). Readable at any point of the mirror's life: before
     * the first compaction base is absent and the fold replays the
-    * retained log from empty. */
+    * retained log from empty.
+    *
+    * READ-CONSISTENCY CONTRACT (CdcMirrorConsistencySpec): readers
+    * take no locks, and a plan that straddles a compaction swap is
+    * CONSISTENT-OR-LOUD — it either returns one of the two
+    * consistent snapshots or fails with a retryable
+    * FileNotFound-class error (the captured file listing was
+    * swapped away), never a torn mix. The invariant that closes
+    * every interleaving: re-folding already-compacted run
+    * partitions onto the post-compaction base is a no-op (adds
+    * match rows the base already has, removes target rows already
+    * absent), so a stale delta listing over a fresh base still
+    * folds to the current state. Retry on failure; the WRITER side
+    * stays single-writer ([[graft.Pipeline.healSwap]]'s documented
+    * discipline). */
   def readMirror(spark: SparkSession, mirrorPath: String): DataFrame = {
     Pipeline.healSwap(spark, basePath(mirrorPath))
     val base = readOpt(spark, basePath(mirrorPath))
