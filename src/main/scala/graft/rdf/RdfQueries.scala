@@ -169,6 +169,10 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlPathPlusQuery)),
     "rdf_sparql_text_filters" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlTextFiltersQuery)),
+    "rdf_sparql_values" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlValuesQuery)),
+    "rdf_sparql_bind" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlBindQuery)),
   )
 
   /** The canonical front-end query for `rdf_sparql_select` — the
@@ -245,6 +249,32 @@ object RdfQueries {
       |        FILTER(CONTAINS(?title, "a"))
       |        FILTER(regex(?title, "^[a-z]")) }
       |ORDER BY ?item ?title LIMIT 50 OFFSET 10""".stripMargin
+
+  /** VALUES inline data — compiles to [[valuesJoin]]'s exact shape:
+    * the driver-local inline relation broadcast-joins into the
+    * binding scan BEFORE the title join, so the triple scan never
+    * shuffles for inline data. */
+  val sparqlValuesQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?brand ?title
+      |WHERE {
+      |  VALUES ?brand { "Brand#13" "Brand#32" "Brand#55" }
+      |  ?item def:brand ?brand .
+      |  ?item dcterms:title ?title .
+      |}""".stripMargin
+
+  /** BIND string functions — compiles to [[bindStrFuns]]'s shape:
+    * every BIND a codegen'd scalar projection, both FILTERs
+    * scan-pushable, the whole query one map-side pass with zero
+    * exchanges at any corpus size. */
+  val sparqlBindQuery: String =
+    """SELECT ?item ?title ?title_uc ?title_len ?slug
+      |WHERE { ?item dcterms:title ?title .
+      |        FILTER(LANGMATCHES(LANG(?title), "nl"))
+      |        BIND(UCASE(?title) AS ?title_uc)
+      |        BIND(STRLEN(?title) AS ?title_len)
+      |        BIND(REPLACE(?title, " ", "_") AS ?slug)
+      |        FILTER(?title_len >= 10) }""".stripMargin
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
@@ -1608,6 +1638,33 @@ object RdfQueries {
          |  AND contains(obj_value, 'a')
          |  AND regexp_matches(obj_value, '^[a-z]')
          |ORDER BY subject, obj_value LIMIT 50 OFFSET 10""".stripMargin,
+
+    // the parsed VALUES query must agree with the independent inline
+    // CTE spelling (the same oracle shape rdf_values_join replays)
+    "rdf_sparql_values" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |vals(brand) AS (VALUES ('Brand#13'), ('Brand#32'), ('Brand#55'))
+         |SELECT b.subject AS item, b.obj_value AS brand,
+         |       t.obj_value AS title
+         |FROM triples b
+         |JOIN vals v ON v.brand = b.obj_value
+         |JOIN triples t ON t.subject = b.subject
+         |  AND t.predicate = '$DctermsTitle'
+         |WHERE b.predicate = 'http://ex.org/def#brand'""".stripMargin,
+
+    // the parsed BIND query must agree with the independent scalar
+    // spelling (rdf_bind_strfuns' oracle shape; obj_kind = 'literal'
+    // is implied by obj_lang = 'nl' — language tags only exist on
+    // literals — so the conjunct is a no-op both engines share)
+    "rdf_sparql_bind" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item, obj_value AS title,
+         |       upper(obj_value) AS title_uc,
+         |       CAST(length(obj_value) AS BIGINT) AS title_len,
+         |       replace(obj_value, ' ', '_') AS slug
+         |FROM triples
+         |WHERE predicate = '$DctermsTitle'
+         |  AND obj_lang = 'nl' AND length(obj_value) >= 10""".stripMargin,
 
     // DuckDB's native WITH RECURSIVE is the independent
     // implementation of the engine's semi-naive iteration; UNION

@@ -26,8 +26,12 @@ import Vocab.RdfType
   *   agg      := COUNT(*) | COUNT(?v) | SUM(?v) | MIN(?v) | MAX(?v)
   *             | GROUP_CONCAT(?v (; separator="s")?)
   *   body     := group | braced (UNION braced)+
-  *   braced   := { (triples | filter)* }         (union branches)
-  *   group    := (triples | optional | filter)+
+  *   braced   := { (triples | filter | values | bind)* }
+  *   group    := (triples | optional | filter | values | bind)+
+  *   values   := VALUES ?var { (string | iri)+ }
+  *   bind     := BIND ( bexpr AS ?var )
+  *   bexpr    := UCASE(?v) | LCASE(?v) | STRLEN(?v)
+  *             | REPLACE(?v, "pat", "rep") | CONCAT(arg (, arg)*)
   *   triples  := term path obj (';' path obj)* '.'?
   *   path     := step ('/' step)*
   *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' ) '+'?
@@ -103,6 +107,17 @@ import Vocab.RdfType
   *    collected set) — SPARQL leaves concat order
   *    implementation-defined; determinism is the engine's documented
   *    choice.
+  *  - VALUES joins its inline relation (driver-local, explicitly
+  *    broadcast) immediately after the pattern that binds the
+  *    variable — [[RdfQueries]]'s valuesJoin shape: the broadcast
+  *    prunes the binding scan BEFORE the big pattern joins, and the
+  *    triple scan never shuffles for inline data.
+  *  - BIND compiles to a codegen'd scalar projection after the
+  *    group's joins; a FILTER may reference a BIND target — the
+  *    optimizer substitutes the defining expression and pushes the
+  *    predicate into the scan (zero exchanges added — the
+  *    bindStrFuns discipline). Groups with VALUES/BIND route
+  *    through the join form, never the pivot.
   * A FILTER comparing a variable to an integer (or a SUM over it)
   * makes that variable's binding numeric (`cast("int")` inside the
   * pivot aggregate / scan projection, like the hand-built
@@ -124,6 +139,27 @@ object SparqlSelect {
   final case class Pattern(s: Term, preds: Seq[String], o: Term,
       plus: Boolean = false)
 
+  /** One VALUES clause: inline data for one variable. SPARQL multiset
+    * semantics: duplicate values duplicate matching rows (the inline
+    * relation joins as-is, no implicit distinct). */
+  final case class ValuesClause(v: String, vals: Seq[String])
+
+  /** One BIND expression — the string-function subset the hand-built
+    * [[RdfQueries]] bindStrFuns shape runs. All compile to codegen'd
+    * scalar projections (zero exchanges added). */
+  sealed trait BindExpr
+  /** `UCASE(?v)` / `LCASE(?v)` / `STRLEN(?v)` — one-arg functions. */
+  final case class BFun1(fun: String, v: String) extends BindExpr
+  /** `REPLACE(?v, pattern, replacement)` — regex replace, SPARQL's
+    * REPLACE is regex-based like Spark's regexp_replace. */
+  final case class BReplace(v: String, pattern: String, repl: String)
+      extends BindExpr
+  /** `CONCAT(arg, ...)` — args are vars (Left) or strings (Right). */
+  final case class BConcat(parts: Seq[Either[String, String]])
+      extends BindExpr
+  /** `BIND(expr AS ?as)`. */
+  final case class Bind(as: String, expr: BindExpr)
+
   /** One FILTER condition. */
   sealed trait FilterExpr { def v: String }
   /** `?variable op rhs` — rhs either integer or string literal. */
@@ -144,7 +180,8 @@ object SparqlSelect {
 
   /** One WHERE group (a union branch, or the whole WHERE). */
   final case class Group(required: Seq[Pattern],
-      optionals: Seq[Seq[Pattern]], filters: Seq[FilterExpr])
+      optionals: Seq[Seq[Pattern]], filters: Seq[FilterExpr],
+      values: Seq[ValuesClause] = Nil, binds: Seq[Bind] = Nil)
 
   final case class Query(
       selectItems: Seq[Either[String, Agg]], // empty = SELECT *
@@ -356,13 +393,73 @@ object SparqlSelect {
       (fun, arg, sep)
     }
 
-    /** Group body: triples / OPTIONAL / FILTER until `}` (consumed
-      * by the caller). `allowOptional` = false inside UNION
-      * branches. */
+    /** `BIND ( expr AS ?v )` — expr is one of the supported string
+      * functions over vars and string literals. */
+    private def bind(): Bind = {
+      expect("(")
+      val fun = next().toUpperCase
+      val e: BindExpr = fun match {
+        case "UCASE" | "LCASE" | "STRLEN" =>
+          expect("(")
+          val v = filterVar()
+          expect(")")
+          BFun1(fun, v)
+        case "REPLACE" =>
+          expect("(")
+          val v = filterVar()
+          expect(",")
+          val pat = stringArg()
+          expect(",")
+          val rep = stringArg()
+          expect(")")
+          BReplace(v, pat, rep)
+        case "CONCAT" =>
+          expect("(")
+          val parts = Seq.newBuilder[Either[String, String]]
+          def part(): Unit = {
+            val t = peek
+            if (t.startsWith("?")) parts += Left(next().substring(1))
+            else parts += Right(stringArg())
+          }
+          part()
+          while (peek == ",") { next(); part() }
+          expect(")")
+          BConcat(parts.result())
+        case other => throw new IllegalArgumentException(
+          s"SPARQL: unsupported BIND function '$other'")
+      }
+      expect("AS")
+      val as = filterVar()
+      expect(")")
+      Bind(as, e)
+    }
+
+    /** `VALUES ?v { value+ }` — single-variable inline data; values
+      * are string literals or IRIs/pnames (resolved). */
+    private def valuesClause(): ValuesClause = {
+      val v = filterVar()
+      expect("{")
+      val vals = Seq.newBuilder[String]
+      while (peek != "}") {
+        val t = next()
+        vals += (if (t.startsWith("\"")) unquote(t)
+          else resolve(t))
+      }
+      expect("}")
+      val out = vals.result()
+      require(out.nonEmpty, "SPARQL: empty VALUES block")
+      ValuesClause(v, out)
+    }
+
+    /** Group body: triples / OPTIONAL / FILTER / VALUES / BIND until
+      * `}` (consumed by the caller). `allowOptional` = false inside
+      * UNION branches. */
     private def groupBody(allowOptional: Boolean): Group = {
       val req = Seq.newBuilder[Pattern]
       val opts = Seq.newBuilder[Seq[Pattern]]
       val fils = Seq.newBuilder[FilterExpr]
+      val vals = Seq.newBuilder[ValuesClause]
+      val bnds = Seq.newBuilder[Bind]
       while (peek != "}") {
         if (kw("OPTIONAL")) {
           require(allowOptional,
@@ -375,9 +472,16 @@ object SparqlSelect {
           fils += cond()
           while (peek == "&&") { next(); fils += cond() }
           expect(")")
+        } else if (kw("VALUES")) {
+          next()
+          vals += valuesClause()
+        } else if (kw("BIND")) {
+          next()
+          bnds += bind()
         } else req ++= triples()
       }
-      val g = Group(req.result(), opts.result(), fils.result())
+      val g = Group(req.result(), opts.result(), fils.result(),
+        vals.result(), bnds.result())
       require(g.required.nonEmpty, "SPARQL: empty WHERE group")
       g
     }
@@ -500,7 +604,31 @@ object SparqlSelect {
 
   def compile(t: DataFrame, q: Query): DataFrame = {
     val allPats = q.groups.flatMap(g => g.required ++ g.optionals.flatten)
-    val allVars = allPats.flatMap(varsOf).distinct
+    val patVars = allPats.flatMap(varsOf).distinct
+    // BIND targets are bound vars too: each must be fresh, and may
+    // reference only pattern vars or EARLIER binds in its group
+    q.groups.foreach { g =>
+      var bound = patVars.toSet
+      g.binds.foreach { b =>
+        require(!bound.contains(b.as),
+          s"SPARQL: BIND target ?${b.as} is already bound")
+        val refs = b.expr match {
+          case BFun1(_, v) => Seq(v)
+          case BReplace(v, _, _) => Seq(v)
+          case BConcat(parts) => parts.collect { case Left(v) => v }
+        }
+        val missing = refs.filterNot(bound.contains)
+        require(missing.isEmpty, s"SPARQL: BIND references unbound " +
+          s"var(s) ${missing.mkString(", ")}")
+        bound += b.as
+      }
+      g.values.foreach { vc =>
+        require(g.required.flatMap(varsOf).contains(vc.v),
+          s"SPARQL: VALUES ?${vc.v} must be bound by a required pattern")
+      }
+    }
+    val bindVars = q.groups.flatMap(_.binds.map(_.as)).distinct
+    val allVars = patVars ++ bindVars
     val visibleVars = allVars.filterNot(isHidden)
     val hasAggs = q.selectItems.exists(_.isRight)
     val aggMode = hasAggs || q.groupBy.nonEmpty
@@ -546,7 +674,8 @@ object SparqlSelect {
           case V(n) => Some(n)
           case _ => None
         }
-        val starShaped = !aggMode && subjVar.exists { sv =>
+        val starShaped = !aggMode && g.values.isEmpty &&
+          g.binds.isEmpty && subjVar.exists { sv =>
           gPats.forall(p => !p.plus && p.preds.size == 1 &&
             p.s == V(sv) && (p.o match {
               case V(n) => n != sv
@@ -823,8 +952,29 @@ object SparqlSelect {
         g.required.exists(o => (o ne p) && varsOf(o).contains(v))
       }
     }
-    val required = mains.map(p => if (p.plus) closure(p) else scan(p))
-      .reduceLeft(joinInto(_, _, "inner"))
+    // VALUES splices in immediately after the pattern that binds its
+    // variable — the hand-built valuesJoin order (inline data is
+    // driver-small, so the broadcast join prunes the scan BEFORE the
+    // big pattern joins, never after)
+    val mainDfs = mains.map(p => if (p.plus) closure(p) else scan(p))
+    var accDf = mainDfs.head
+    var pendingVals = g.values
+    def attachValues(): Unit = {
+      val (now, later) = pendingVals.partition(vc =>
+        accDf.columns.contains(vc.v))
+      now.foreach { vc =>
+        val sp = t.sparkSession
+        import sp.implicits._
+        accDf = accDf.join(broadcast(vc.vals.toDF(vc.v)), Seq(vc.v))
+      }
+      pendingVals = later
+    }
+    attachValues()
+    mainDfs.tail.foreach { d =>
+      accDf = joinInto(accDf, d, "inner")
+      attachValues()
+    }
+    val required = accDf
     val withSemis = semis.foldLeft(required) { (acc, p) =>
       val v = p.s.asInstanceOf[V].name
       val ov = p.o match { case I(x) => x; case L(x) => x; case _ => "" }
@@ -836,8 +986,31 @@ object SparqlSelect {
     val withOpts = g.optionals.foldLeft(withSemis) { (acc, grp) =>
       joinInto(acc, grp.map(scan).reduceLeft(joinInto(_, _, "inner")), "left")
     }
+    // BINDs are pure scalar projections (zero exchanges added);
+    // filters run after them so a FILTER may reference a BIND target —
+    // the optimizer substitutes the defining expression and pushes the
+    // predicate into the scan (the bindStrFuns discipline)
+    val withBinds = g.binds.foldLeft(withOpts)((df, b) =>
+      df.withColumn(b.as, bindCol(b.expr)))
     g.filters.filterNot(_.isInstanceOf[LangCond])
-      .foldLeft(withOpts)((df, c) => df.filter(condCol(c, col(c.v))))
+      .foldLeft(withBinds)((df, c) => df.filter(condCol(c, col(c.v))))
+  }
+
+  /** A BIND expression as a codegen'd scalar column — the hand-built
+    * bindStrFuns spellings (STRLEN is bigint like the hand-built
+    * `title_len`; REPLACE is regexp_replace — SPARQL's REPLACE is
+    * regex-based, like Spark's). */
+  private def bindCol(e: BindExpr): Column = e match {
+    case BFun1("UCASE", v) => upper(col(v))
+    case BFun1("LCASE", v) => lower(col(v))
+    case BFun1("STRLEN", v) => length(col(v)).cast("bigint")
+    case BFun1(f, _) => throw new IllegalArgumentException(
+      s"SPARQL: unsupported BIND function '$f'")
+    case BReplace(v, p, r) => regexp_replace(col(v), p, r)
+    case BConcat(parts) => concat(parts.map {
+      case Left(v) => col(v)
+      case Right(s) => lit(s)
+    }: _*)
   }
 
   /** UNION evaluation. Branches that differ ONLY in their predicate
@@ -851,7 +1024,8 @@ object SparqlSelect {
     val nums = numericVars(q)
     val mergeable =
       gs.forall(g => g.required.size == 1 && g.filters.isEmpty &&
-        g.optionals.isEmpty && !g.required.head.plus) && {
+        g.optionals.isEmpty && g.values.isEmpty && g.binds.isEmpty &&
+        !g.required.head.plus) && {
         val ps = gs.map(_.required.head)
         ps.map(_.s).distinct.size == 1 && ps.map(_.o).distinct.size == 1 &&
           ps.flatMap(_.preds).distinct.size == ps.map(_.preds.size).sum
@@ -863,8 +1037,8 @@ object SparqlSelect {
           Nil, Nil))
     } else {
       val branchVars = gs.map(g =>
-        (g.required ++ g.optionals.flatten).flatMap(varsOf).distinct
-          .filterNot(isHidden))
+        ((g.required ++ g.optionals.flatten).flatMap(varsOf) ++
+          g.binds.map(_.as)).distinct.filterNot(isHidden))
       val allVars = branchVars.flatten.distinct
       val dfs = gs.zip(branchVars).map { case (g, bv) =>
         val b = joinsGroup(t, q, g)

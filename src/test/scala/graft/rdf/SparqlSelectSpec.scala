@@ -405,4 +405,77 @@ class SparqlSelectSpec extends AnyFunSuite {
     val hand = t.filter(col("predicate") === DctermsTitle).count()
     assert(compiled.collect().head.getLong(0) === hand && hand > 0)
   }
+
+  test("22: VALUES == the hand-built valuesJoin shape — inline data " +
+      "broadcast-joined into the BINDING scan before the big join") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlValuesQuery)
+    val vals = Seq("Brand#13", "Brand#32", "Brand#55").toDF("brand")
+    val br = t.filter(col("predicate") === "http://ex.org/def#brand")
+      .select(col("subject").as("item"), col("obj_value").as("brand"))
+    val ti = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject").as("item"), col("obj_value").as("title"))
+    val hand = br.join(broadcast(vals), Seq("brand"))
+      .join(ti, Seq("item"))
+      .select(col("item"), col("brand"), col("title"))
+    assertTwin(compiled, hand)
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+    // the inline relation is broadcast — the triple scan never
+    // shuffles for inline data
+    assert(compiled.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("23: BIND == the bindStrFuns discipline — scalar projections " +
+      "only, FILTER on a BIND target pushes into the scan, ZERO " +
+      "exchanges") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlBindQuery)
+    // semantically equal to the hand-built rdf_bind_strfuns builder
+    // (its obj_kind = 'literal' conjunct is implied by obj_lang='nl')
+    val hand = RdfQueries.queries("rdf_bind_strfuns")(s, d)
+    assert(compiled.schema.fieldNames.sameElements(
+      hand.schema.fieldNames))
+    assert(compiled.schema("title_len").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+    // the whole query is one map-side pass: no exchange of any kind
+    assert(!compiled.queryExecution.executedPlan.toString
+      .contains("Exchange"),
+      "BIND query must plan with zero exchanges:\n" +
+        compiled.queryExecution.executedPlan.toString)
+  }
+
+  test("24: BIND CONCAT/LCASE compose over earlier BIND targets in " +
+      "declaration order") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?item ?tag
+        |WHERE { ?item dcterms:title ?title .
+        |        BIND(LCASE(?title) AS ?lc)
+        |        BIND(CONCAT("t:", ?lc) AS ?tag) }""".stripMargin)
+    val hand = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject").as("item"),
+        concat(lit("t:"), lower(col("obj_value"))).as("tag"))
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+  }
+
+  test("25: VALUES/BIND misuse is rejected with a diagnostic") {
+    // VALUES var not bound by any required pattern
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?x ?t WHERE { ?x dcterms:title ?t .
+        |VALUES ?other { "a" } }""".stripMargin))
+    // BIND target collides with a pattern-bound var
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?x ?t WHERE { ?x dcterms:title ?t .
+        |BIND(UCASE(?t) AS ?t) }""".stripMargin))
+    // BIND referencing an unbound var
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?x ?t WHERE { ?x dcterms:title ?t .
+        |BIND(UCASE(?nope) AS ?u) }""".stripMargin))
+    // empty VALUES block
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?x ?t WHERE { ?x dcterms:title ?t .
+        |VALUES ?t { } }""".stripMargin))
+  }
 }
