@@ -173,6 +173,10 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlValuesQuery)),
     "rdf_sparql_bind" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlBindQuery)),
+    "rdf_sparql_subquery" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlSubqueryQuery)),
+    "rdf_sparql_pred_agg" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlPredAggQuery)),
   )
 
   /** The canonical front-end query for `rdf_sparql_select` — the
@@ -275,6 +279,30 @@ object RdfQueries {
       |        BIND(STRLEN(?title) AS ?title_len)
       |        BIND(REPLACE(?title, " ", "_") AS ?slug)
       |        FILTER(?title_len >= 10) }""".stripMargin
+
+  /** `{ SELECT ... }` subquery — the [[subqueryTopN]] shape through
+    * the text front-end: the inner aggregate + ORDER BY/LIMIT plans
+    * as a bounded TakeOrderedAndProject top-5 driving table; the
+    * OPTIONAL title attaches by left join (AQE broadcasts the 5-row
+    * side). `?item ?p ?o` is a VARIABLE-predicate full scan — the
+    * unused bindings prune away under column pruning. Exact SPARQL
+    * multiset semantics on the OPTIONAL (no MIN collapse — the
+    * oracle replays the plain left join). */
+  val sparqlSubqueryQuery: String =
+    """SELECT ?item ?n_triples ?title
+      |WHERE {
+      |  { SELECT ?item (COUNT(*) AS ?n_triples) WHERE { ?item ?p ?o . }
+      |    GROUP BY ?item ORDER BY DESC(?n_triples) ASC(?item) LIMIT 5 }
+      |  OPTIONAL { ?item dcterms:title ?title }
+      |}""".stripMargin
+
+  /** Variable-predicate census — `?s ?p ?o` binds the predicate
+    * column; ONE exchange on the vocabulary-scale predicate key with
+    * map-side partial aggregation (subject/object prune away). */
+  val sparqlPredAggQuery: String =
+    """SELECT ?p (COUNT(*) AS ?n)
+      |WHERE { ?s ?p ?o . }
+      |GROUP BY ?p""".stripMargin
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
@@ -1665,6 +1693,26 @@ object RdfQueries {
          |FROM triples
          |WHERE predicate = '$DctermsTitle'
          |  AND obj_lang = 'nl' AND length(obj_value) >= 10""".stripMargin,
+
+    // the parsed subquery keeps exact SPARQL multiset semantics on
+    // the OPTIONAL (plain left join — no MIN collapse like the
+    // hand-built subqueryTopN's titles CTE), so the oracle replays
+    // the plain left join; ties in the top-5 are pinned by the
+    // ASC(item) secondary key in both engines
+    "rdf_sparql_subquery" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |top5 AS (
+         |  SELECT subject, CAST(COUNT(*) AS BIGINT) AS n_triples
+         |  FROM triples GROUP BY subject
+         |  ORDER BY n_triples DESC, subject ASC LIMIT 5)
+         |SELECT t.subject AS item, t.n_triples, ti.obj_value AS title
+         |FROM top5 t LEFT JOIN triples ti ON ti.subject = t.subject
+         |  AND ti.predicate = '$DctermsTitle'""".stripMargin,
+
+    "rdf_sparql_pred_agg" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT predicate AS p, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM triples GROUP BY predicate""".stripMargin,
 
     // DuckDB's native WITH RECURSIVE is the independent
     // implementation of the engine's semi-naive iteration; UNION

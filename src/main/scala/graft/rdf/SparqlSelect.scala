@@ -32,7 +32,8 @@ import Vocab.RdfType
   *   bind     := BIND ( bexpr AS ?var )
   *   bexpr    := UCASE(?v) | LCASE(?v) | STRLEN(?v)
   *             | REPLACE(?v, "pat", "rep") | CONCAT(arg (, arg)*)
-  *   triples  := term path obj (';' path obj)* '.'?
+  *   triples  := term (path | ?var) obj (';' (path | ?var) obj)* '.'?
+  *   subq     := { SELECT ... }     (a full query body, in a group)
   *   path     := step ('/' step)*
   *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' ) '+'?
   *   optional := OPTIONAL { triples }
@@ -60,9 +61,15 @@ import Vocab.RdfType
   * RFC 4647 prefix fallback is out of scope.
   * The prefixes of [[Vocab.namespaces]] are pre-declared; PREFIX
   * clauses add or override. ORDER BY + LIMIT plans as Spark's
-  * bounded top-k (TakeOrderedAndProject), never a full sort. Out of
-  * scope (use the DataFrame builders directly): variable predicates,
-  * MINUS, `p?`/`p*` paths, subqueries, nested OPTIONAL/UNION.
+  * bounded top-k (TakeOrderedAndProject), never a full sort.
+  * Variable predicates (`?s ?p ?o`) bind the predicate column in
+  * the scan (no path operators compose with them); `{ SELECT ... }`
+  * subqueries evaluate independently — their own aggregates and
+  * solution modifiers — and lead the enclosing group's join fold
+  * (the top-N subquery is the few-row driving table; AQE broadcasts
+  * it into the joins that follow). Out of scope (use the DataFrame
+  * builders directly): MINUS, `p?`/`p*` paths, nested
+  * OPTIONAL/UNION.
   *
   * Compilation strategy mirrors the hand-built forms exactly:
   *  - A BGP whose required patterns share ONE subject variable (and
@@ -135,9 +142,11 @@ object SparqlSelect {
   /** One triple pattern. `preds` is the predicate set (size 1 for a
     * plain pattern, > 1 for an alternation — evaluated as ONE `isin`
     * scan); `plus` marks a closure step (`p+`), evaluated as a
-    * semi-naive fixpoint. */
+    * semi-naive fixpoint. `predVar` Some(v) is a VARIABLE predicate
+    * (`?s ?p ?o` — preds empty, no path operators): the scan binds
+    * the predicate column instead of filtering it. */
   final case class Pattern(s: Term, preds: Seq[String], o: Term,
-      plus: Boolean = false)
+      plus: Boolean = false, predVar: Option[String] = None)
 
   /** One VALUES clause: inline data for one variable. SPARQL multiset
     * semantics: duplicate values duplicate matching rows (the inline
@@ -181,7 +190,8 @@ object SparqlSelect {
   /** One WHERE group (a union branch, or the whole WHERE). */
   final case class Group(required: Seq[Pattern],
       optionals: Seq[Seq[Pattern]], filters: Seq[FilterExpr],
-      values: Seq[ValuesClause] = Nil, binds: Seq[Bind] = Nil)
+      values: Seq[ValuesClause] = Nil, binds: Seq[Bind] = Nil,
+      subs: Seq[Query] = Nil)
 
   final case class Query(
       selectItems: Seq[Either[String, Agg]], // empty = SELECT *
@@ -232,6 +242,7 @@ object SparqlSelect {
   private final class Parser(ts: Vector[String]) {
     private var i = 0
     private def peek: String = if (i < ts.size) ts(i) else ""
+    private def peek2: String = if (i + 1 < ts.size) ts(i + 1) else ""
     private def next(): String = { val t = peek; i += 1; t }
     private def expect(t: String): Unit = {
       val g = next()
@@ -301,7 +312,8 @@ object SparqlSelect {
 
     /** `term path obj (';' path obj)* '.'?` — sequence paths thread
       * hidden `_pathN` variables; `^` swaps the emitted pattern's
-      * endpoints. */
+      * endpoints. A bare `?var` in predicate position is a VARIABLE
+      * predicate (no path operators compose with it). */
     private def triples(): Seq[Pattern] = {
       val s = term()
       val out = Seq.newBuilder[Pattern]
@@ -314,8 +326,13 @@ object SparqlSelect {
           cur = nxt
         }
       }
-      emit(pathSteps(), term())
-      while (peek == ";") { next(); emit(pathSteps(), term()) }
+      def segment(): Unit =
+        if (peek.startsWith("?")) {
+          val pv = next().substring(1)
+          out += Pattern(s, Nil, term(), predVar = Some(pv))
+        } else emit(pathSteps(), term())
+      segment()
+      while (peek == ";") { next(); segment() }
       if (peek == ".") next()
       out.result()
     }
@@ -460,6 +477,7 @@ object SparqlSelect {
       val fils = Seq.newBuilder[FilterExpr]
       val vals = Seq.newBuilder[ValuesClause]
       val bnds = Seq.newBuilder[Bind]
+      val subs = Seq.newBuilder[Query]
       while (peek != "}") {
         if (kw("OPTIONAL")) {
           require(allowOptional,
@@ -478,15 +496,30 @@ object SparqlSelect {
         } else if (kw("BIND")) {
           next()
           bnds += bind()
+        } else if (peek == "{" && peek2.equalsIgnoreCase("SELECT")) {
+          // `{ SELECT ... }` — a subquery, evaluated independently
+          // (its own aggregates/modifiers) and joined on shared vars
+          next()
+          subs += queryBody()
+          expect("}")
         } else req ++= triples()
       }
       val g = Group(req.result(), opts.result(), fils.result(),
-        vals.result(), bnds.result())
-      require(g.required.nonEmpty, "SPARQL: empty WHERE group")
+        vals.result(), bnds.result(), subs.result())
+      require(g.required.nonEmpty || g.subs.nonEmpty,
+        "SPARQL: empty WHERE group")
       g
     }
 
     def query(): Query = {
+      val q = queryBody()
+      require(i == ts.size, s"SPARQL: trailing tokens at '${peek}'")
+      q
+    }
+
+    /** One SELECT query (without the end-of-input check) — also the
+      * subquery production: `{ SELECT ... }` parses the same body. */
+    private def queryBody(): Query = {
       while (kw("PREFIX")) {
         next()
         val p = next()
@@ -520,7 +553,7 @@ object SparqlSelect {
       }
       expect("WHERE"); expect("{")
       val groups: Seq[Group] =
-        if (peek == "{") {
+        if (peek == "{" && !peek2.equalsIgnoreCase("SELECT")) {
           // braced groups: `{ A } UNION { B } (UNION { C })*`
           val gs = Seq.newBuilder[Group]
           def braced(): Group = {
@@ -584,7 +617,6 @@ object SparqlSelect {
       require(offset.isEmpty || order.result().nonEmpty,
         "SPARQL: OFFSET without ORDER BY is nondeterministic — add an " +
           "ORDER BY")
-      require(i == ts.size, s"SPARQL: trailing tokens at '${peek}'")
       val itemSeq = items.result()
       require(star || itemSeq.nonEmpty, "SPARQL: empty SELECT list")
       val q = Query(if (star) Seq.empty else itemSeq,
@@ -596,15 +628,26 @@ object SparqlSelect {
 
   // ---- compiler ----
 
-  private def varsOf(p: Pattern): Seq[String] = Seq(p.s, p.o).collect {
-    case V(n) => n
-  }
+  private def varsOf(p: Pattern): Seq[String] =
+    (Seq(p.s, p.o).collect { case V(n) => n }) ++ p.predVar
+
+  /** The variable names a (sub)query's result binds — its SELECT
+    * list, or every visible variable for SELECT *. */
+  private def projectedVars(q: Query): Seq[String] =
+    if (q.selectItems.nonEmpty)
+      q.selectItems.map { case Left(v) => v; case Right(a) => a.as }
+    else
+      (q.groups.flatMap(g =>
+        (g.required ++ g.optionals.flatten).flatMap(varsOf) ++
+          g.binds.map(_.as) ++ g.subs.flatMap(projectedVars)))
+        .distinct.filterNot(isHidden)
 
   private def isHidden(v: String): Boolean = v.startsWith("_path")
 
   def compile(t: DataFrame, q: Query): DataFrame = {
     val allPats = q.groups.flatMap(g => g.required ++ g.optionals.flatten)
-    val patVars = allPats.flatMap(varsOf).distinct
+    val patVars = (allPats.flatMap(varsOf) ++
+      q.groups.flatMap(_.subs.flatMap(projectedVars))).distinct
     // BIND targets are bound vars too: each must be fresh, and may
     // reference only pattern vars or EARLIER binds in its group
     q.groups.foreach { g =>
@@ -670,12 +713,12 @@ object SparqlSelect {
       else {
         val g = q.groups.head
         val gPats = g.required ++ g.optionals.flatten
-        val subjVar = g.required.head.s match {
+        val subjVar = g.required.headOption.flatMap(_.s match {
           case V(n) => Some(n)
           case _ => None
-        }
+        })
         val starShaped = !aggMode && g.values.isEmpty &&
-          g.binds.isEmpty && subjVar.exists { sv =>
+          g.binds.isEmpty && g.subs.isEmpty && subjVar.exists { sv =>
           gPats.forall(p => !p.plus && p.preds.size == 1 &&
             p.s == V(sv) && (p.o match {
               case V(n) => n != sv
@@ -895,11 +938,18 @@ object SparqlSelect {
     def scan(pat: Pattern): DataFrame = {
       // a LANGMATCHES on the object var is a property of the BINDING
       // triple — pushed into this scan, it reaches the parquet reader
-      var df = t.filter(pat.o match {
-        case V(n) if langs.contains(n) =>
-          predFilter(pat) && langCol(langs(n))
-        case _ => predFilter(pat)
-      })
+      val langFilter: Option[Column] = pat.o match {
+        case V(n) if langs.contains(n) => Some(langCol(langs(n)))
+        case _ => None
+      }
+      // a variable predicate binds the predicate column instead of
+      // filtering on it — the `?s ?p ?o` full scan
+      var df = (pat.predVar, langFilter) match {
+        case (Some(_), Some(lf)) => t.filter(lf)
+        case (Some(_), None) => t
+        case (None, Some(lf)) => t.filter(predFilter(pat) && lf)
+        case (None, None) => t.filter(predFilter(pat))
+      }
       pat.s match {
         case I(iri) => df = df.filter(col("subject") === iri)
         case L(v) => df = df.filter(col("subject") === v)
@@ -913,7 +963,8 @@ object SparqlSelect {
       val cols = (pat.s match {
         case V(n) => Seq(col("subject").as(n))
         case _ => Nil
-      }) ++ (pat.o match {
+      }) ++ pat.predVar.map(pv => col("predicate").as(pv)) ++
+        (pat.o match {
         case V(n) => Seq(
           (if (nums.contains(n)) col("obj_value").cast("int")
            else col("obj_value")).as(n))
@@ -949,14 +1000,20 @@ object SparqlSelect {
     val (semis, mains) = g.required.partition { p =>
       isMembership(p) && {
         val v = p.s.asInstanceOf[V].name
-        g.required.exists(o => (o ne p) && varsOf(o).contains(v))
+        g.required.exists(o => (o ne p) && varsOf(o).contains(v)) ||
+          g.subs.exists(sq => projectedVars(sq).contains(v))
       }
     }
+    // Subqueries compile independently (their own aggregates and
+    // solution modifiers) and lead the join fold — in the canonical
+    // top-N shape the subquery is the few-row driving table, so the
+    // joins that follow attach to it (AQE broadcasts the small side).
     // VALUES splices in immediately after the pattern that binds its
     // variable — the hand-built valuesJoin order (inline data is
     // driver-small, so the broadcast join prunes the scan BEFORE the
     // big pattern joins, never after)
-    val mainDfs = mains.map(p => if (p.plus) closure(p) else scan(p))
+    val mainDfs = g.subs.map(sq => compile(t, sq)) ++
+      mains.map(p => if (p.plus) closure(p) else scan(p))
     var accDf = mainDfs.head
     var pendingVals = g.values
     def attachValues(): Unit = {
@@ -1025,7 +1082,8 @@ object SparqlSelect {
     val mergeable =
       gs.forall(g => g.required.size == 1 && g.filters.isEmpty &&
         g.optionals.isEmpty && g.values.isEmpty && g.binds.isEmpty &&
-        !g.required.head.plus) && {
+        g.subs.isEmpty && !g.required.head.plus &&
+        g.required.head.predVar.isEmpty) && {
         val ps = gs.map(_.required.head)
         ps.map(_.s).distinct.size == 1 && ps.map(_.o).distinct.size == 1 &&
           ps.flatMap(_.preds).distinct.size == ps.map(_.preds.size).sum
@@ -1038,7 +1096,8 @@ object SparqlSelect {
     } else {
       val branchVars = gs.map(g =>
         ((g.required ++ g.optionals.flatten).flatMap(varsOf) ++
-          g.binds.map(_.as)).distinct.filterNot(isHidden))
+          g.binds.map(_.as) ++ g.subs.flatMap(projectedVars))
+          .distinct.filterNot(isHidden))
       val allVars = branchVars.flatten.distinct
       val dfs = gs.zip(branchVars).map { case (g, bv) =>
         val b = joinsGroup(t, q, g)

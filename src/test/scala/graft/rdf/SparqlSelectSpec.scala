@@ -460,6 +460,56 @@ class SparqlSelectSpec extends AnyFunSuite {
       hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
   }
 
+  test("26: { SELECT ... } subquery — inner aggregate + ORDER/LIMIT " +
+      "plans as bounded top-k and drives the outer OPTIONAL join") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlSubqueryQuery)
+    // independent hand spelling of the same multiset semantics
+    val top = t.groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_triples"))
+      .orderBy(col("n_triples").desc, col("subject").asc)
+      .limit(5)
+    val ti = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject"), col("obj_value").as("title"))
+    val hand = top.join(ti, Seq("subject"), "left")
+      .select(col("subject").as("item"), col("n_triples"), col("title"))
+    assert(compiled.schema.fieldNames.sameElements(
+      hand.schema.fieldNames))
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+    // the inner modifier plans as a bounded top-k heap, not a full
+    // sort of the aggregate
+    assert(compiled.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("27: variable predicate ?s ?p ?o binds the predicate column " +
+      "(census == groupBy over the raw store)") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlPredAggQuery)
+    val hand = t.groupBy(col("predicate").as("p"))
+      .agg(count(lit(1)).as("n"))
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+  }
+
+  test("28: variable predicate joins with a constant-predicate " +
+      "pattern on the shared subject") {
+    val compiled = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?item ?p ?brand
+        |WHERE { ?item ?p ?brand .
+        |        ?item def:brand ?brand . }""".stripMargin)
+    // every (item, brand) via ANY predicate that also carries the
+    // brand value — includes the brand assertion itself
+    val br = t.filter(col("predicate") === "http://ex.org/def#brand")
+      .select(col("subject").as("item"), col("obj_value").as("brand"))
+    val any = t.select(col("subject").as("item"),
+      col("predicate").as("p"), col("obj_value").as("brand"))
+    val hand = any.join(br, Seq("item", "brand"))
+      .select(col("item"), col("p"), col("brand"))
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+  }
+
   test("25: VALUES/BIND misuse is rejected with a diagnostic") {
     // VALUES var not bound by any required pattern
     assertThrows[IllegalArgumentException](SparqlSelect(t,
