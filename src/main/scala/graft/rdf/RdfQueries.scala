@@ -177,6 +177,13 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlSubqueryQuery)),
     "rdf_sparql_pred_agg" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPredAggQuery)),
+    // the other three SPARQL query FORMS through the text front-end
+    "rdf_sparql_ask" -> ((s, d) =>
+      SparqlSelect.queryForm(tri(s, d), sparqlAskQuery)),
+    "rdf_sparql_construct" -> ((s, d) =>
+      SparqlSelect.queryForm(tri(s, d), sparqlConstructQuery)),
+    "rdf_sparql_describe" -> ((s, d) =>
+      SparqlSelect.queryForm(tri(s, d), sparqlDescribeQuery)),
   )
 
   /** The canonical front-end query for `rdf_sparql_select` — the
@@ -303,6 +310,30 @@ object RdfQueries {
     """SELECT ?p (COUNT(*) AS ?n)
       |WHERE { ?s ?p ?o . }
       |GROUP BY ?p""".stripMargin
+
+  /** ASK form — existence bounded by LIMIT 1 before the boolean
+    * aggregate (never a full count); the membership pattern compiles
+    * into the one-exchange pivot's flag test. */
+  val sparqlAskQuery: String =
+    """ASK { ?item ceo:rijksmonumentnummer ?m .
+      |      ?item o:is_public "true" . }""".stripMargin
+
+  /** CONSTRUCT form — the [[construct]] derive-and-assert shape
+    * (O16's sameAs derivation) through the text front-end; the
+    * object's kind/lang/datatype come from the BINDING triple
+    * (threaded metadata), so the output graph is publishable. */
+  val sparqlConstructQuery: String =
+    """CONSTRUCT { ?item sdo:sameAs ?m . }
+      |WHERE { ?item a ceo:Rijksmonument ;
+      |              ceo:rijksmonumentnummer ?m . }""".stripMargin
+
+  /** DESCRIBE form — every triple about the matched resources; the
+    * final semi-join is hint-free ([[describe]]'s discipline: AQE
+    * broadcasts a selective match set). */
+  val sparqlDescribeQuery: String =
+    """DESCRIBE ?item
+      |WHERE { ?item ceo:rijksmonumentnummer ?m .
+      |        ?item o:is_public "true" . }""".stripMargin
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
@@ -1713,6 +1744,42 @@ object RdfQueries {
       s"""WITH ${TripleFixture.triplesCte}
          |SELECT predicate AS p, CAST(COUNT(*) AS BIGINT) AS n
          |FROM triples GROUP BY predicate""".stripMargin,
+
+    "rdf_sparql_ask" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT EXISTS (SELECT 1 FROM triples r
+         |  WHERE r.predicate = '$CeoRijksmonumentnummer'
+         |    AND EXISTS (SELECT 1 FROM triples pb
+         |      WHERE pb.subject = r.subject
+         |        AND pb.predicate = '$OmekaIsPublic'
+         |        AND pb.obj_value = 'true')) AS ask""".stripMargin,
+
+    // template instantiation: the derived triples in the canonical
+    // schema, object term metadata from the BINDING triple
+    "rdf_sparql_construct" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT DISTINCT 'default' AS graph, r.subject,
+         |  'iri' AS subject_kind, '$SdoSameAs' AS predicate,
+         |  r.obj_value, r.obj_kind, r.obj_lang, r.obj_datatype
+         |FROM triples r
+         |WHERE r.predicate = '$CeoRijksmonumentnummer'
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = r.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    // same matched-resource set as rdf_describe's oracle
+    "rdf_sparql_describe" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |m AS (SELECT DISTINCT r.subject FROM triples r
+         |  WHERE r.predicate = '$CeoRijksmonumentnummer'
+         |    AND EXISTS (SELECT 1 FROM triples pb
+         |      WHERE pb.subject = r.subject
+         |        AND pb.predicate = '$OmekaIsPublic'
+         |        AND pb.obj_value = 'true'))
+         |SELECT t.* FROM triples t
+         |WHERE EXISTS (SELECT 1 FROM m WHERE m.subject = t.subject)"""
+        .stripMargin,
 
     // DuckDB's native WITH RECURSIVE is the independent
     // implementation of the engine's semi-naive iteration; UNION

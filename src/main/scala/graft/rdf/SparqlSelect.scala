@@ -206,6 +206,100 @@ object SparqlSelect {
   def apply(triples: DataFrame, queryText: String): DataFrame =
     compile(triples, parse(queryText))
 
+  // ---- the other three SPARQL query FORMS ----
+
+  sealed trait Parsed
+  final case class PSelect(q: Query) extends Parsed
+  final case class PAsk(q: Query) extends Parsed
+  final case class PConstruct(template: Seq[Pattern], q: Query)
+      extends Parsed
+  final case class PDescribeIri(iri: String) extends Parsed
+  final case class PDescribeVar(v: String, q: Query) extends Parsed
+
+  def parseForm(q: String): Parsed = new Parser(tokenize(q)).form()
+
+  /** Compile ANY query form — SELECT routes to [[compile]]; ASK is a
+    * LIMIT-1-bounded boolean aggregate (on the join path the limit
+    * short-circuits the scan; on the pivot path the cost is the
+    * pivot's single exchange — never an unbounded count collected
+    * to the driver); CONSTRUCT instantiates
+    * its template from the solution table back into the canonical
+    * triple schema (publishable through the Turtle/TriG sinks), with
+    * the binding triple's term metadata threaded through the scans;
+    * DESCRIBE semi-joins the store on the matched subject set
+    * (hint-free — AQE broadcasts a selective match, an unselective
+    * one falls back to a subject-keyed shuffle). */
+  def queryForm(triples: DataFrame, text: String): DataFrame =
+    parseForm(text) match {
+      case PSelect(q) => compile(triples, q)
+      case PAsk(q) => compileAsk(triples, q)
+      case PConstruct(tm, q) => compileConstruct(triples, tm, q)
+      case PDescribeIri(iri) => triples.filter(col("subject") === iri)
+      case PDescribeVar(v, q) => compileDescribe(triples, v, q)
+    }
+
+  private def compileAsk(t: DataFrame, q: Query): DataFrame =
+    compile(t, q).limit(1).agg((count(lit(1)) > 0).as("ask"))
+
+  private def compileDescribe(t: DataFrame, v: String,
+      q: Query): DataFrame = {
+    val matched = compile(t, q).select(col(v).as("subject")).distinct()
+    t.join(matched, Seq("subject"), "left_semi")
+  }
+
+  /** Template instantiation: each template pattern is a pure
+    * projection of the solution table into the canonical triple
+    * schema, unioned and set-deduped ([[RdfQueries]]'s construct
+    * shape). An instantiation with ANY unbound template var is
+    * omitted (SPARQL's partial-solution rule for OPTIONAL-bound
+    * vars). Object vars bound as objects in the body carry their
+    * binding triple's kind/lang/datatype (threaded hidden columns);
+    * vars bound only as subjects are IRIs by the data model. */
+  private def compileConstruct(t: DataFrame, tmpl: Seq[Pattern],
+      q: Query): DataFrame = {
+    val g = q.groups.head
+    val bodyVars = (g.required ++ g.optionals.flatten).flatMap(varsOf)
+      .toSet ++ g.binds.map(_.as)
+    tmpl.foreach { p =>
+      varsOf(p).foreach(v => require(bodyVars.contains(v),
+        s"SPARQL: CONSTRUCT template var ?$v is not bound in WHERE"))
+    }
+    val objBound = (g.required ++ g.optionals.flatten).flatMap(_.o match {
+      case V(n) => Seq(n)
+      case _ => Nil
+    }).toSet
+    val metaVars = tmpl.flatMap(_.o match {
+      case V(n) => Seq(n)
+      case _ => Nil
+    }).filter(objBound.contains).toSet
+    val sol = joinsGroup(t, q, g, metaVars)
+    val nullS = lit(null).cast("string")
+    val rows = tmpl.map { p =>
+      val subj = p.s match {
+        case V(n) => col(n)
+        case I(iri) => lit(iri)
+        case L(_) => throw new IllegalArgumentException(
+          "SPARQL: a CONSTRUCT template subject cannot be a literal")
+      }
+      val (ov, ok, ol, od) = p.o match {
+        case V(n) if metaVars.contains(n) =>
+          (col(n), col(s"_k_$n"), col(s"_l_$n"), col(s"_d_$n"))
+        case V(n) => (col(n), lit("iri"), nullS, nullS)
+        case I(iri) => (lit(iri), lit("iri"), nullS, nullS)
+        case L(v) => (lit(v), lit("literal"), nullS, nullS)
+      }
+      val varCols = varsOf(p).map(col)
+      val base =
+        if (varCols.isEmpty) sol
+        else sol.filter(varCols.map(_.isNotNull).reduce(_ && _))
+      base.select(lit("default").as("graph"), subj.as("subject"),
+        lit("iri").as("subject_kind"), lit(p.preds.head).as("predicate"),
+        ov.as("obj_value"), ok.as("obj_kind"), ol.as("obj_lang"),
+        od.as("obj_datatype"))
+    }
+    rows.reduce(_.union(_)).dropDuplicates()
+  }
+
   // ---- tokenizer ----
 
   private val Tok = (
@@ -517,9 +611,7 @@ object SparqlSelect {
       q
     }
 
-    /** One SELECT query (without the end-of-input check) — also the
-      * subquery production: `{ SELECT ... }` parses the same body. */
-    private def queryBody(): Query = {
+    private def prefixDecls(): Unit =
       while (kw("PREFIX")) {
         next()
         val p = next()
@@ -529,6 +621,57 @@ object SparqlSelect {
         prefixes += (p.dropRight(1) ->
           iri.substring(1, iri.length - 1))
       }
+
+    /** Dispatch on the query FORM keyword after the prefix decls:
+      * SELECT / ASK / CONSTRUCT / DESCRIBE. */
+    def form(): Parsed = {
+      prefixDecls()
+      val parsed: Parsed =
+        if (kw("SELECT")) PSelect(queryBody())
+        else if (kw("ASK")) {
+          next(); expect("{")
+          val g = groupBody(allowOptional = true)
+          expect("}")
+          PAsk(Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
+        } else if (kw("CONSTRUCT")) {
+          next(); expect("{")
+          val tm = Seq.newBuilder[Pattern]
+          while (peek != "}") tm ++= triples()
+          expect("}")
+          expect("WHERE"); expect("{")
+          val g = groupBody(allowOptional = true)
+          expect("}")
+          val template = tm.result()
+          require(template.nonEmpty, "SPARQL: empty CONSTRUCT template")
+          template.foreach { p =>
+            require(p.predVar.isEmpty && !p.plus && p.preds.size == 1 &&
+              !varsOf(p).exists(isHidden),
+              "SPARQL: CONSTRUCT template patterns must use a single " +
+                "constant predicate (no paths)")
+          }
+          PConstruct(template,
+            Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
+        } else if (kw("DESCRIBE")) {
+          next()
+          if (peek.startsWith("?")) {
+            val v = filterVar()
+            expect("WHERE"); expect("{")
+            val g = groupBody(allowOptional = true)
+            expect("}")
+            PDescribeVar(v,
+              Query(Seq(Left(v)), Seq(g), Nil, Nil, false, Nil, None,
+                None))
+          } else PDescribeIri(resolve(next()))
+        } else throw new IllegalArgumentException(
+          s"SPARQL: expected SELECT/ASK/CONSTRUCT/DESCRIBE, got '$peek'")
+      require(i == ts.size, s"SPARQL: trailing tokens at '$peek'")
+      parsed
+    }
+
+    /** One SELECT query (without the end-of-input check) — also the
+      * subquery production: `{ SELECT ... }` parses the same body. */
+    private def queryBody(): Query = {
+      prefixDecls()
       expect("SELECT")
       val dist = kw("DISTINCT")
       if (dist) next()
@@ -931,7 +1074,8 @@ object SparqlSelect {
     * the IRI-object edge scan of their predicate set, seeded from
     * every edge source (both endpoints are variables by grammar
     * restriction). */
-  private def joinsGroup(t: DataFrame, q: Query, g: Group): DataFrame = {
+  private def joinsGroup(t: DataFrame, q: Query, g: Group,
+      metaVars: Set[String] = Set.empty): DataFrame = {
     val nums = numericVars(q)
     val langs = langReqs(g)
 
@@ -967,7 +1111,14 @@ object SparqlSelect {
         (pat.o match {
         case V(n) => Seq(
           (if (nums.contains(n)) col("obj_value").cast("int")
-           else col("obj_value")).as(n))
+           else col("obj_value")).as(n)) ++
+          // CONSTRUCT templates need the binding triple's term
+          // metadata — threaded as hidden columns next to the value
+          (if (metaVars.contains(n))
+            Seq(col("obj_kind").as(s"_k_$n"),
+              col("obj_lang").as(s"_l_$n"),
+              col("obj_datatype").as(s"_d_$n"))
+          else Nil)
         case _ => Nil
       })
       require(cols.nonEmpty,

@@ -510,6 +510,55 @@ class SparqlSelectSpec extends AnyFunSuite {
       hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
   }
 
+  test("29: ASK form — true for a matched pattern, false for the " +
+      "@context-leak assertion") {
+    val pos = SparqlSelect.queryForm(t, RdfQueries.sparqlAskQuery)
+    assert(pos.schema.fieldNames.toSeq === Seq("ask"))
+    assert(pos.collect().map(_.getBoolean(0)).toSeq === Seq(true))
+    // the RAW export fixture still carries @context leaks (cleaning
+    // removes them), so that assertion is TRUE here; a genuinely
+    // absent substring is the negative control
+    val leak = SparqlSelect.queryForm(t,
+      """ASK { ?s ?p ?o . FILTER(CONTAINS(?s, "@context")) }""")
+    assert(leak.collect().map(_.getBoolean(0)).toSeq === Seq(true))
+    val neg = SparqlSelect.queryForm(t,
+      """ASK { ?s ?p ?o . FILTER(CONTAINS(?s, "no-such-substring-q")) }""")
+    assert(neg.collect().map(_.getBoolean(0)).toSeq === Seq(false))
+  }
+
+  test("30: CONSTRUCT form — template instantiation carries the " +
+      "binding triple's term metadata into the canonical schema") {
+    val compiled = SparqlSelect.queryForm(t, RdfQueries.sparqlConstructQuery)
+    assert(compiled.schema.fieldNames.toSeq === Seq("graph", "subject",
+      "subject_kind", "predicate", "obj_value", "obj_kind", "obj_lang",
+      "obj_datatype"))
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject")).distinct()
+    val hand = t.filter(col("predicate") === CeoRijksmonumentnummer)
+      .join(typed, Seq("subject"), "left_semi")
+      .select(lit("default").as("graph"), col("subject"),
+        lit("iri").as("subject_kind"), lit(SdoSameAs).as("predicate"),
+        col("obj_value"), col("obj_kind"), col("obj_lang"),
+        col("obj_datatype"))
+      .distinct()
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+  }
+
+  test("31: DESCRIBE form == the hand-built describe (every triple " +
+      "about the matched resources, hint-free semi-join)") {
+    val compiled = SparqlSelect.queryForm(t, RdfQueries.sparqlDescribeQuery)
+    val hand = RdfQueries.queries("rdf_describe")(s, d)
+    assert(compiled.schema.fieldNames.sameElements(hand.schema.fieldNames))
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+    // DESCRIBE <iri> without WHERE resolves directly
+    val one = SparqlSelect.queryForm(t,
+      "DESCRIBE <http://example.com/nonexistent>")
+    assert(one.count() === 0)
+  }
+
   test("25: VALUES/BIND misuse is rejected with a diagnostic") {
     // VALUES var not bound by any required pattern
     assertThrows[IllegalArgumentException](SparqlSelect(t,
