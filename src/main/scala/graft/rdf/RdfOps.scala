@@ -225,6 +225,48 @@ object RdfOps {
   def reachablePlus(edges: DataFrame, seeds: DataFrame): DataFrame =
     walk(edges, seeds, None)
 
+  /** Unbounded ALL-SOURCES `p+` pair closure by PATH DOUBLING —
+    * O(log diameter) rounds instead of the frontier walk's
+    * O(diameter): after round r the pair set holds every path of
+    * length ≤ 2^r, and squaring the relation (pairs ∘ pairs)
+    * doubles the horizon each round. The right algorithm when the
+    * graph has LONG CHAINS — a frontier walk pays one full
+    * scheduling round (a cluster-wide barrier) per hop, so a
+    * 1000-hop chain costs 1000 barriers where doubling costs 10.
+    * The tradeoff is work: squaring can rediscover a pair in
+    * several decompositions where semi-naive's anti-join discovers
+    * each once — right for closures whose pair set is near-linear
+    * (chains, trees, bounded-fanout hierarchies), measured wrong
+    * for dense orbits. Callers needing MIN-HOP counts stay on
+    * [[reachablePlus]]: doubling computes reachability, not
+    * shortest paths. Pair set localCheckpoints each round (the
+    * fixpoint lineage discipline used everywhere here); superseded
+    * rounds' blocks are freed eagerly. */
+  def reachablePlusDoubling(edges: DataFrame): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    var pairs = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    var n = pairs.count()
+    var done = false
+    while (!done) {
+      val stepped = pairs.as("l")
+        .join(pairs.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+      val next = pairs.union(stepped).distinct().localCheckpoint()
+      val m = next.count()
+      if (m == n) {
+        // fixpoint: doubling the horizon found nothing new
+        shim.freeLocalCheckpoint(next)
+        done = true
+      } else {
+        shim.freeLocalCheckpoint(pairs)
+        pairs = next
+        n = m
+      }
+    }
+    pairs
+  }
+
   /** SPARQL `p*` — `p+` plus the ZERO-LENGTH paths: every seed
     * reaches itself at hop 0. A cycle returning to its seed would
     * also surface from `p+` as (s, s, cycleLen); SPARQL's distinct

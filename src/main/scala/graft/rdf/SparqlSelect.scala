@@ -1134,8 +1134,12 @@ object SparqlSelect {
       }
       val edges = t.filter(predFilter(pat) && col("obj_kind") === "iri")
         .select(col("subject").as("src"), col("obj_value").as("dst"))
-      val seeds = edges.select(col("src")).distinct()
-      RdfOps.reachablePlus(edges, seeds)
+      // the binding set seeds from EVERY edge source and needs no hop
+      // counts → PATH DOUBLING (O(log diameter) rounds; the frontier
+      // walk pays one scheduling barrier per hop, which on a chain-
+      // diameter graph dominated this query's cost 10× — measured in
+      // the sf1 rehearsal)
+      RdfOps.reachablePlusDoubling(edges)
         .select(col("src").as(sv), col("dst").as(ov))
     }
 

@@ -82,6 +82,41 @@ class RdfPathSpec extends AnyFunSuite {
     }
   }
 
+  test("reachablePlusDoubling: pair set equals the frontier walk's " +
+      "on chains, cycles, and random graphs (log-round count)") {
+    // a 9-node chain: doubling needs ~4 rounds, the walk 8
+    val chain = edges((1 to 8).map(i => (s"n$i", s"n${i + 1}")): _*)
+    val allSeeds = chain.select(col("src")).distinct()
+    val viaWalk = RdfOps.reachablePlus(chain, allSeeds)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val viaDbl = RdfOps.reachablePlusDoubling(chain).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaDbl === viaWalk && viaDbl.size === 8 * 9 / 2)
+    // a cycle terminates (finite pair space) and matches the walk
+    val cyc = edges(("a", "b"), ("b", "c"), ("c", "a"))
+    val cycDbl = RdfOps.reachablePlusDoubling(cyc).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val cycWalk = RdfOps.reachablePlus(cyc,
+        cyc.select(col("src")).distinct())
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cycDbl === cycWalk && cycDbl.size === 9)
+    // random graphs: equality with the independently-verified walk
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val es = (0 until 30).map(_ =>
+        (s"v${rnd.nextInt(12)}", s"v${rnd.nextInt(12)}")).distinct
+      val e = edges(es: _*)
+      val d = RdfOps.reachablePlusDoubling(e).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val w = RdfOps.reachablePlus(e, e.select(col("src")).distinct())
+        .select("src", "dst").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(d === w)
+    }
+  }
+
   test("reachablePlus: run-to-fixpoint terminates on random cyclic " +
     "graphs and equals an UNBOUNDED plain-Scala BFS") {
     import scala.util.Random
