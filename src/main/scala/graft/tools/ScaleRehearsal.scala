@@ -194,6 +194,56 @@ object ScaleRehearsal {
     val big = runAll(spark, out, names, "sf1")
     val bigPairs = graft.rdf.RdfQueries.storedClosure(spark, out).count()
 
+    // ---- pass 3: realistic-chunk Turtle tiling ----
+    // rdf_turtle_chunked deliberately over-chunks at 64 KiB to
+    // exercise tiling; the 100 GB one-file story needs the REALISTIC
+    // geometry too: a genuinely multi-chunk file at 128 MiB chunks.
+    // Build one by replicating the sf1 fixture's body K times (legal
+    // Turtle — directives stay in the head; set semantics collapse
+    // the duplicates), then require the 128 MiB parse's triple set
+    // to equal a small-chunk reference parse: chunk-size invariance
+    // AND replication invariance in one equality.
+    {
+      val ttlDir = new java.io.File("target/graft-stored-index/" +
+        out.replaceAll("[^A-Za-z0-9._-]", "_") + "/turtle-single")
+      val part = ttlDir.listFiles().find(_.getName.startsWith("part-")).get
+      val lines = java.nio.file.Files.readAllLines(part.toPath)
+      val (head, body) = {
+        import scala.jdk.CollectionConverters._
+        val ls = lines.asScala.toVector
+        val h = ls.takeWhile(l => l.isEmpty || l.startsWith("@") ||
+          l.startsWith("#"))
+        (h, ls.drop(h.size))
+      }
+      val big = new java.io.File(out, "turtle-big.ttl")
+      val w = new java.io.BufferedWriter(new java.io.FileWriter(big),
+        1 << 20)
+      head.foreach { l => w.write(l); w.newLine() }
+      val reps = math.max(2,
+        math.ceil(400.0 * 1024 * 1024 / part.length()).toInt)
+      (0 until reps).foreach { _ =>
+        body.foreach { l => w.write(l); w.newLine() }
+      }
+      w.close()
+      val nChunks = math.ceil(big.length() / (128.0 * 1024 * 1024)).toInt
+      println(f"[rehearsal] turtle-big: ${big.length() / 1e6}%.0f MB " +
+        f"($reps replicas, $nChunks chunks at 128 MiB)")
+      val t0 = System.nanoTime()
+      val cnt128 = graft.rdf.TurtleChunked
+        .parse(spark, big.getAbsolutePath).count()
+      val t1 = System.nanoTime()
+      val ref = graft.rdf.TurtleChunked
+        .parse(spark, part.getAbsolutePath, chunkBytes = 4L * 1024 * 1024)
+        .count()
+      println(f"[rehearsal] turtle-big 128 MiB parse: $cnt128 triples " +
+        f"in ${(t1 - t0) / 1e9}%.1f s (single-copy ref $ref)")
+      require(nChunks >= 3, s"turtle-big is not genuinely multi-chunk")
+      require(cnt128 == ref,
+        s"chunked parse mismatch: $cnt128 at 128 MiB over $reps replicas" +
+          s" vs $ref single-copy reference")
+      big.delete()
+    }
+
     // ---- comparison report ----
     var flips = 0
     names.foreach { n =>
