@@ -85,6 +85,7 @@ object LlmQueries {
     "llm_chunk_windows" -> chunkWindows,
     "llm_source_stats" -> sourceStats,
     "llm_top_bigrams" -> topBigrams,
+    "llm_cms_bigrams" -> cmsBigrams,
     "mm_binary_stats" -> binaryStats,
     "mm_frame_sample" -> frameSample,
     "mm_resize_plan" -> resizePlan,
@@ -2623,6 +2624,60 @@ object LlmQueries {
       .orderBy(col("n").desc, col("bg"))
       .limit(20)
 
+  /** Count-min sketch geometry: d=4 hash rows × w=1024 counters =
+    * 32 KB of state for the whole corpus frequency table. Error is
+    * ONE-SIDED (est ≥ exact always; collisions only inflate) with
+    * E[overestimate] ≤ total_occurrences / w per row, min over d
+    * rows. */
+  private val cmsD = 4
+  private val cmsW = 1024L
+
+  /** Count-min sketch of the corpus bigram frequency table, with
+    * the error MEASURED against the exact top-20 (the yardstick
+    * re-run, the ann_recall pattern). The sketch is the heavy-
+    * hitter/frequency structure for streams and merges (cell-wise
+    * ADD — two shards' sketches sum into the union's sketch
+    * exactly, like the KMV bottom-k merge): d·w = 4096 counters
+    * regardless of corpus size.
+    *
+    * Scale shape: every bigram OCCURRENCE hashes ONCE (md5 +
+    * Kirsch–Mitzenmacher double hashing — [[bloomABSql]]'s exact
+    * discipline, one definition both engines share) and explodes to
+    * its d cells; the build is ONE exchange on the ≤ 4096-cell key
+    * space with map-side combine, so reducer input is
+    * O(partitions × cells), not occurrences. The probe side joins
+    * the 20×d queried cells against the cell table — broadcast-
+    * scale by construction. The one-sided error guarantee
+    * (overestimate ≥ 0) is spec-asserted; the measured overestimate
+    * column is the survey's sketch-accuracy contract. */
+  def cmsBigrams(s: SparkSession, d: String): DataFrame = {
+    val (haSql, hbSql) = bloomABSql("instr")
+    val cellsOf =
+      s"""transform(sequence(0, ${cmsD - 1}),
+         |j -> CAST(j AS BIGINT) * $cmsW +
+         |  (ha + CAST(j AS BIGINT) * hb) % $cmsW)""".stripMargin
+    val cells = bigramRows(s, d).select(col("bg"))
+      .withColumn("h", md5(col("bg")))
+      .select(expr(haSql).as("ha"), expr(hbSql).as("hb"))
+      .select(explode(expr(cellsOf)).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val exact = bigramRows(s, d)
+      .groupBy(col("bg")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("bg"))
+      .limit(20)
+    val keyed = exact
+      .withColumn("h", md5(col("bg")))
+      .select(col("bg"), col("exact_n"),
+        expr(haSql).as("ha"), expr(hbSql).as("hb"))
+      .select(col("bg"), col("exact_n"),
+        explode(expr(cellsOf)).as("cell"))
+    keyed.join(cells, Seq("cell"))
+      .groupBy(col("bg"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("bg"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overestimate"))
+  }
+
   // ---------------------------------------------------------------
   // Multimodal columns: media as opaque binary + typed metadata. The
   // decode is a clearly-marked deterministic stub (no image/audio
@@ -4453,6 +4508,35 @@ object LlmQueries {
          |bgc AS (SELECT ws[i] || ' ' || ws[i+1] AS bg, count(*) AS n
          |  FROM bgpos GROUP BY 1)
          |SELECT bg, n FROM bgc ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+
+    // the count-min build replayed cell-for-cell: same md5, same K-M
+    // double hashing (strpos is DuckDB's instr), same d×w geometry
+    "llm_cms_bigrams" -> {
+      val (haSql, hbSql) = bloomABSql("strpos")
+      s"""WITH $wCte,
+         |bgpos AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+         |  FROM w),
+         |occ AS (SELECT ws[i] || ' ' || ws[i+1] AS bg FROM bgpos),
+         |ab AS (SELECT bg, $haSql AS ha, $hbSql AS hb
+         |  FROM (SELECT bg, md5(bg) AS h FROM occ)),
+         |js AS (SELECT unnest(generate_series(0, ${cmsD - 1})) AS j),
+         |cells AS (SELECT CAST(j AS BIGINT) * $cmsW +
+         |    (ha + CAST(j AS BIGINT) * hb) % $cmsW AS cell,
+         |    count(*) AS c
+         |  FROM ab, js GROUP BY 1),
+         |exact AS (SELECT bg, count(*) AS exact_n FROM occ
+         |  GROUP BY 1 ORDER BY exact_n DESC, bg LIMIT 20),
+         |keyed AS (SELECT bg, exact_n,
+         |    CAST(j AS BIGINT) * $cmsW +
+         |    (ha + CAST(j AS BIGINT) * hb) % $cmsW AS cell
+         |  FROM (SELECT bg, exact_n, $haSql AS ha, $hbSql AS hb
+         |    FROM (SELECT bg, exact_n, md5(bg) AS h FROM exact)), js)
+         |SELECT k.bg, k.exact_n, MIN(c.c) AS cms_est,
+         |  MIN(c.c) - k.exact_n AS overestimate
+         |FROM keyed k JOIN cells c ON c.cell = k.cell
+         |GROUP BY k.bg, k.exact_n""".stripMargin
+    },
 
     "mm_binary_stats" ->
       """SELECT doc_id,

@@ -55,7 +55,69 @@ object RelationalQueries {
     "rel_q28_user_gaps" -> userGaps,
     "rel_q29_above_brand_avg" -> aboveBrandAvg,
     "rel_q30_full_outer" -> fullOuterActivity,
+    "rel_q31_hourly_anomaly" -> hourlyAnomaly,
+    "rel_q32_entity_fuzzy" -> entityFuzzy,
   )
+
+  /** Hourly-volume anomaly detection by the median/MAD rule — the
+    * robust z-score an ops pipeline runs over ingest volumes: an
+    * hour is anomalous when |n − median| > 3 × MAD (MAD = median of
+    * absolute deviations — robust where mean/stddev are dragged by
+    * the very outliers being hunted). Scale shape: the corpus is
+    * touched ONCE by the hour-grain partial-aggregate shuffle; hour
+    * cardinality is bounded by the time span (hundreds of rows at
+    * any corpus size), so the exact medians run over a BOUNDED table
+    * — the place exact medians are scale-safe (row-grain medians go
+    * through the rel_q25 sketch path instead). The 1-row stats table
+    * broadcasts back into the hour table. No division: the flag is
+    * the cross-multiplied comparison, so a zero MAD can't divide;
+    * counts are integers and medians at worst x.5 — exact in binary,
+    * both engines agree bitwise. */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyOf(Tables(spark, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The median/MAD flag over an already-bounded (key, n) table —
+    * exposed so the robustness spec can drive synthetic outliers
+    * through the exact production expressions. */
+  private[queries] def anomalyOf(hours: DataFrame): DataFrame = {
+    val med = hours.agg(median(col("n")).as("med"))
+    val stats = hours.crossJoin(broadcast(med))
+      .agg(min(col("med")).as("med"),
+        median(abs(col("n") - col("med"))).as("mad"))
+    hours.crossJoin(broadcast(stats))
+      .select(col("hour_ts"), col("n"), col("med"), col("mad"),
+        abs(col("n") - col("med")).as("abs_dev"),
+        (abs(col("n") - col("med")) > col("mad") * 3).as("is_anomaly"))
+      .orderBy(col("hour_ts"))
+  }
+
+  /** Entity resolution by BLOCKED fuzzy match — near-identical
+    * supplier names within edit distance 1, the classic
+    * block-then-verify shape: candidate pairs come from an EQUI-join
+    * on a blocking key (here the 16-char name prefix), then the
+    * quadratic `levenshtein` verify runs only within blocks. Scale:
+    * the blocking key bounds the join — work is
+    * O(Σ block_size²), never corpus², and block granularity is the
+    * recall/cost knob (a pair split across blocks is missed — the
+    * documented blocking tradeoff, identical in both engines).
+    * `levenshtein` is a codegen'd built-in in BOTH engines (classic
+    * DP, same definition), so the verify is map-side after the
+    * block join. `a_key < b_key` halves the pair space and
+    * suppresses self-pairs. */
+  def entityFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    def side(p: String): DataFrame =
+      Tables(spark, dir, "supplier")
+        .select(col("s_suppkey").as(s"${p}_key"),
+          col("s_name").as(s"${p}_name"),
+          substring(col("s_name"), 1, 16).as("blk"))
+    side("a").join(side("b"), Seq("blk"))
+      .filter(col("a_key") < col("b_key") &&
+        levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_name"), col("b_name"),
+        levenshtein(col("a_name"), col("b_name")).as("dist"))
+  }
 
   /** Sample size for the bottom-k quantile sketch (rel_q25/q26):
     * O(1/sqrt(256)) ~ 6% worst-typical rank error, 4 KB of state per
@@ -1177,5 +1239,33 @@ object RelationalQueries {
          |  > (SELECT SUM(${sqlCents("p3.p_retailprice")}) FROM part p3
          |     WHERE p3.p_brand = p.p_brand)
          |GROUP BY p.p_brand""".stripMargin,
+
+    // integer counts, medians at worst x.5 (exact in binary), no
+    // division — both engines agree bitwise on every column
+    "rel_q31_hourly_anomaly" ->
+      """WITH hours AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT CAST(median(n) AS DOUBLE) AS med FROM hours),
+        |stats AS (SELECT MIN(med) AS med,
+        |    CAST(median(abs(n - med)) AS DOUBLE) AS mad
+        |  FROM hours, med)
+        |SELECT h.hour_ts, h.n, s.med, s.mad,
+        |  abs(h.n - s.med) AS abs_dev,
+        |  (abs(h.n - s.med) > s.mad * 3) AS is_anomaly
+        |FROM hours h, stats s ORDER BY h.hour_ts""".stripMargin,
+
+    // levenshtein is a built-in in both engines (same DP definition);
+    // the blocking key is the identical prefix expression on both
+    // sides, so blocking recall loss — a real pair split across
+    // blocks — is mirrored exactly
+    "rel_q32_entity_fuzzy" ->
+      """SELECT a.s_name AS a_name, b.s_name AS b_name,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON substring(a.s_name, 1, 16) = substring(b.s_name, 1, 16)
+        |  AND a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
   )
 }
