@@ -184,6 +184,14 @@ object RdfQueries {
       SparqlSelect.queryForm(tri(s, d), sparqlConstructQuery)),
     "rdf_sparql_describe" -> ((s, d) =>
       SparqlSelect.queryForm(tri(s, d), sparqlDescribeQuery)),
+    // SPARQL UPDATE — the rdflib graph.update() surface; O17/O18 as
+    // the DELETE/INSERT WHERE special cases (transform:112–127)
+    "rdf_update_rename" -> ((s, d) =>
+      SparqlSelect.update(tri(s, d), sparqlUpdateRenameQuery)),
+    "rdf_update_delete_where" -> ((s, d) =>
+      SparqlSelect.update(tri(s, d), sparqlUpdateDeleteQuery)),
+    "rdf_update_insert_data" -> ((s, d) =>
+      SparqlSelect.update(tri(s, d), sparqlUpdateInsertQuery)),
   )
 
   /** The canonical front-end query for `rdf_sparql_select` — the
@@ -334,6 +342,27 @@ object RdfQueries {
     """DESCRIBE ?item
       |WHERE { ?item ceo:rijksmonumentnummer ?m .
       |        ?item o:is_public "true" . }""".stripMargin
+
+  /** O17 (predicate rename) as SPARQL UPDATE — the general form of
+    * the reference's remove/add loop (transform:112–119): delete the
+    * matched triples, re-assert under the target predicate, the
+    * object's term metadata carried through unchanged. */
+  val sparqlUpdateRenameQuery: String =
+    """DELETE { ?s dcterms:title ?t . }
+      |INSERT { ?s sdo:name ?t . }
+      |WHERE { ?s dcterms:title ?t . }""".stripMargin
+
+  /** O18 (predicate delete) as SPARQL UPDATE (transform:121–127). */
+  val sparqlUpdateDeleteQuery: String =
+    """DELETE WHERE { ?s o:resource_class ?c . }""".stripMargin
+
+  /** Constant assertion — provenance rows a pipeline stamps onto its
+    * published graph. */
+  val sparqlUpdateInsertQuery: String =
+    """INSERT DATA {
+      |  <http://ex.org/meta/run> dcterms:identifier "run-12" .
+      |  <http://ex.org/meta/run> a <http://ex.org/def#EtlRun> .
+      |}""".stripMargin
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
@@ -1767,6 +1796,31 @@ object RdfQueries {
          |    WHERE ty.subject = r.subject
          |      AND ty.predicate = '$RdfType'
          |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    // rename replayed as a projection: DELETE-then-INSERT of the
+    // same match set == CASE on the predicate, set-deduped
+    "rdf_update_rename" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT DISTINCT graph, subject, subject_kind,
+         |  CASE WHEN predicate = '$DctermsTitle' THEN '$SdoName'
+         |    ELSE predicate END AS predicate,
+         |  obj_value, obj_kind, obj_lang, obj_datatype
+         |FROM triples""".stripMargin,
+
+    "rdf_update_delete_where" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT * FROM triples
+         |WHERE predicate <> '$OmekaResourceClass'""".stripMargin,
+
+    "rdf_update_insert_data" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT DISTINCT * FROM (
+         |  SELECT * FROM triples
+         |  UNION ALL SELECT 'default', 'http://ex.org/meta/run', 'iri',
+         |    '$DctermsIdentifier', 'run-12', 'literal', NULL, NULL
+         |  UNION ALL SELECT 'default', 'http://ex.org/meta/run', 'iri',
+         |    '${Vocab.RdfType}', 'http://ex.org/def#EtlRun', 'iri',
+         |    NULL, NULL)""".stripMargin,
 
     // same matched-resource set as rdf_describe's oracle
     "rdf_sparql_describe" ->

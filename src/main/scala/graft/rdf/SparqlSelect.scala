@@ -238,6 +238,89 @@ object SparqlSelect {
       case PDescribeVar(v, q) => compileDescribe(triples, v, q)
     }
 
+  // ---- SPARQL UPDATE (the rdflib graph.update() surface) ----
+
+  /** One constant triple in a DATA block. */
+  final case class ConstTriple(s: String, p: String, o: Term)
+
+  sealed trait Update
+  final case class UInsertData(rows: Seq[ConstTriple]) extends Update
+  final case class UDeleteData(rows: Seq[ConstTriple]) extends Update
+  /** `DELETE { del } INSERT { ins } WHERE { body }` — either
+    * template may be empty; `DELETE WHERE { p }` sugars to del = the
+    * body's own patterns. */
+  final case class UModify(del: Seq[Pattern], ins: Seq[Pattern],
+      q: Query) extends Update
+
+  def parseUpdate(q: String): Update = new Parser(tokenize(q)).update()
+
+  /** Apply a SPARQL UPDATE to the graph and return the UPDATED graph
+    * (immutable-DataFrame semantics: the store is a value, the
+    * update a transformation — the engine's version of rdflib's
+    * `graph.update()`, and the general form of the reference's
+    * remove/add loops: predicate rename (O17) is
+    * `DELETE { ?s p ?o } INSERT { ?s q ?o } WHERE { ?s p ?o }`,
+    * predicate delete (O18) is `DELETE WHERE { ?s p ?o }`;
+    * reference: src/transform_datamodel.py:112–127). Set semantics
+    * throughout: INSERT set-dedups against the store; DELETE
+    * anti-joins on the FULL term identity — subject, predicate,
+    * value, kind, and null-safe lang/datatype — so deleting a
+    * literal never removes a same-spelled IRI. Scale: DATA blocks
+    * are driver-small (broadcast anti-join / union of a local
+    * relation); WHERE-driven deletes instantiate from the solution
+    * table and anti-join the store on its natural key — one
+    * shuffle, the O18 shape. */
+  def update(t: DataFrame, text: String): DataFrame =
+    parseUpdate(text) match {
+      case UInsertData(rows) =>
+        t.unionByName(constRows(t, rows)).dropDuplicates()
+      case UDeleteData(rows) =>
+        antiTriples(t, broadcast(constRows(t, rows)))
+      case UModify(del, ins, q) =>
+        val g = q.groups.head
+        val sol = joinsGroup(t, q, g, templateMetaVars(del ++ ins, g))
+        val afterDel =
+          if (del.isEmpty) t
+          else antiTriples(t, instantiate(sol, del, g))
+        if (ins.isEmpty) afterDel
+        else afterDel.unionByName(instantiate(sol, ins, g))
+          .dropDuplicates()
+    }
+
+  /** Remove `del`'s triples from `t` by full term identity (null-safe
+    * on the nullable lang/datatype — a null-lang literal must match
+    * its null-lang delete row). Single-graph store: the graph column
+    * is not part of the identity here. */
+  private def antiTriples(t: DataFrame, del: DataFrame): DataFrame = {
+    val d = del.select(col("subject").as("_ds"),
+      col("predicate").as("_dp"), col("obj_value").as("_dv"),
+      col("obj_kind").as("_dk"), col("obj_lang").as("_dl"),
+      col("obj_datatype").as("_dd")).distinct()
+    t.join(d,
+      t("subject") === col("_ds") && t("predicate") === col("_dp") &&
+        t("obj_value") === col("_dv") && t("obj_kind") === col("_dk") &&
+        (t("obj_lang") <=> col("_dl")) &&
+        (t("obj_datatype") <=> col("_dd")),
+      "left_anti")
+  }
+
+  /** A DATA block as a local relation in the canonical schema. */
+  private def constRows(t: DataFrame, rows: Seq[ConstTriple]): DataFrame = {
+    val sp = t.sparkSession
+    import sp.implicits._
+    rows.map { ct =>
+      val (ov, ok) = ct.o match {
+        case I(x) => (x, "iri")
+        case L(x) => (x, "literal")
+        case V(_) => throw new IllegalStateException(
+          "constBlock guarantees constant objects")
+      }
+      ("default", ct.s, "iri", ct.p, ov, ok,
+        null.asInstanceOf[String], null.asInstanceOf[String])
+    }.toDF("graph", "subject", "subject_kind", "predicate",
+      "obj_value", "obj_kind", "obj_lang", "obj_datatype")
+  }
+
   private def compileAsk(t: DataFrame, q: Query): DataFrame =
     compile(t, q).limit(1).agg((count(lit(1)) > 0).as("ask"))
 
@@ -258,28 +341,47 @@ object SparqlSelect {
   private def compileConstruct(t: DataFrame, tmpl: Seq[Pattern],
       q: Query): DataFrame = {
     val g = q.groups.head
+    val sol = joinsGroup(t, q, g, templateMetaVars(tmpl, g))
+    instantiate(sol, tmpl, g).dropDuplicates()
+  }
+
+  /** The template object vars whose binding-triple term metadata the
+    * solution table must carry ([[joinsGroup]]'s hidden `_k_/_l_/_d_`
+    * columns): bound as OBJECTS in the body; vars bound only as
+    * subjects are IRIs by the data model. Also validates that every
+    * template var is body-bound. */
+  private def templateMetaVars(tmpl: Seq[Pattern], g: Group): Set[String] = {
     val bodyVars = (g.required ++ g.optionals.flatten).flatMap(varsOf)
       .toSet ++ g.binds.map(_.as)
     tmpl.foreach { p =>
       varsOf(p).foreach(v => require(bodyVars.contains(v),
-        s"SPARQL: CONSTRUCT template var ?$v is not bound in WHERE"))
+        s"SPARQL: template var ?$v is not bound in WHERE"))
     }
     val objBound = (g.required ++ g.optionals.flatten).flatMap(_.o match {
       case V(n) => Seq(n)
       case _ => Nil
     }).toSet
-    val metaVars = tmpl.flatMap(_.o match {
+    tmpl.flatMap(_.o match {
       case V(n) => Seq(n)
       case _ => Nil
     }).filter(objBound.contains).toSet
-    val sol = joinsGroup(t, q, g, metaVars)
+  }
+
+  /** Instantiate template patterns from a solution table into the
+    * canonical triple schema (one projection per template pattern,
+    * unioned — NOT deduped; callers apply their own set semantics).
+    * Instantiations with ANY unbound template var are omitted
+    * (SPARQL's partial-solution rule for OPTIONAL-bound vars). */
+  private def instantiate(sol: DataFrame, tmpl: Seq[Pattern],
+      g: Group): DataFrame = {
+    val metaVars = templateMetaVars(tmpl, g)
     val nullS = lit(null).cast("string")
-    val rows = tmpl.map { p =>
+    tmpl.map { p =>
       val subj = p.s match {
         case V(n) => col(n)
         case I(iri) => lit(iri)
         case L(_) => throw new IllegalArgumentException(
-          "SPARQL: a CONSTRUCT template subject cannot be a literal")
+          "SPARQL: a template subject cannot be a literal")
       }
       val (ov, ok, ol, od) = p.o match {
         case V(n) if metaVars.contains(n) =>
@@ -296,8 +398,7 @@ object SparqlSelect {
         lit("iri").as("subject_kind"), lit(p.preds.head).as("predicate"),
         ov.as("obj_value"), ok.as("obj_kind"), ol.as("obj_lang"),
         od.as("obj_datatype"))
-    }
-    rows.reduce(_.union(_)).dropDuplicates()
+    }.reduce(_.union(_))
   }
 
   // ---- tokenizer ----
@@ -635,20 +736,10 @@ object SparqlSelect {
           PAsk(Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
         } else if (kw("CONSTRUCT")) {
           next(); expect("{")
-          val tm = Seq.newBuilder[Pattern]
-          while (peek != "}") tm ++= triples()
-          expect("}")
+          val template = templateBlock()
           expect("WHERE"); expect("{")
           val g = groupBody(allowOptional = true)
           expect("}")
-          val template = tm.result()
-          require(template.nonEmpty, "SPARQL: empty CONSTRUCT template")
-          template.foreach { p =>
-            require(p.predVar.isEmpty && !p.plus && p.preds.size == 1 &&
-              !varsOf(p).exists(isHidden),
-              "SPARQL: CONSTRUCT template patterns must use a single " +
-                "constant predicate (no paths)")
-          }
           PConstruct(template,
             Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
         } else if (kw("DESCRIBE")) {
@@ -666,6 +757,96 @@ object SparqlSelect {
           s"SPARQL: expected SELECT/ASK/CONSTRUCT/DESCRIBE, got '$peek'")
       require(i == ts.size, s"SPARQL: trailing tokens at '$peek'")
       parsed
+    }
+
+    /** A `{ pattern* }` template block (the opening `{` already
+      * consumed; consumes the `}`): non-empty, single constant
+      * predicates, no paths. Shared by CONSTRUCT and the UPDATE
+      * forms. */
+    private def templateBlock(): Seq[Pattern] = {
+      val tm = Seq.newBuilder[Pattern]
+      while (peek != "}") tm ++= triples()
+      expect("}")
+      val out = tm.result()
+      require(out.nonEmpty, "SPARQL: empty template")
+      out.foreach { p =>
+        require(p.predVar.isEmpty && !p.plus && p.preds.size == 1 &&
+          !varsOf(p).exists(isHidden),
+          "SPARQL: template patterns must use a single constant " +
+            "predicate (no paths)")
+      }
+      out
+    }
+
+    /** A `{ constant-triple* }` data block for INSERT/DELETE DATA. */
+    private def constBlock(): Seq[ConstTriple] = {
+      expect("{")
+      templateBlock().map { p =>
+        val s = p.s match {
+          case I(x) => x
+          case _ => throw new IllegalArgumentException(
+            "SPARQL: INSERT/DELETE DATA requires constant subjects")
+        }
+        p.o match {
+          case V(_) => throw new IllegalArgumentException(
+            "SPARQL: INSERT/DELETE DATA requires constant objects")
+          case o => ConstTriple(s, p.preds.head, o)
+        }
+      }
+    }
+
+    /** One SPARQL UPDATE request:
+      * `INSERT DATA { consts }` | `DELETE DATA { consts }` |
+      * `DELETE WHERE { patterns }` |
+      * `DELETE { tmpl }? INSERT { tmpl }? WHERE { body }`. */
+    def update(): Update = {
+      prefixDecls()
+      val u: Update =
+        if (kw("INSERT")) {
+          next()
+          if (kw("DATA")) { next(); UInsertData(constBlock()) }
+          else {
+            expect("{")
+            val ins = templateBlock()
+            expect("WHERE"); expect("{")
+            val g = groupBody(allowOptional = true)
+            expect("}")
+            UModify(Nil, ins,
+              Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
+          }
+        } else if (kw("DELETE")) {
+          next()
+          if (kw("DATA")) { next(); UDeleteData(constBlock()) }
+          else if (kw("WHERE")) {
+            next(); expect("{")
+            val g = groupBody(allowOptional = true)
+            expect("}")
+            require(g.optionals.isEmpty,
+              "SPARQL: OPTIONAL in DELETE WHERE is not supported")
+            g.required.foreach { p =>
+              require(p.predVar.isEmpty && !p.plus && p.preds.size == 1 &&
+                !varsOf(p).exists(isHidden),
+                "SPARQL: DELETE WHERE patterns must use a single " +
+                  "constant predicate (no paths)")
+            }
+            UModify(g.required, Nil,
+              Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
+          } else {
+            expect("{")
+            val del = templateBlock()
+            val ins =
+              if (kw("INSERT")) { next(); expect("{"); templateBlock() }
+              else Nil
+            expect("WHERE"); expect("{")
+            val g = groupBody(allowOptional = true)
+            expect("}")
+            UModify(del, ins,
+              Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
+          }
+        } else throw new IllegalArgumentException(
+          s"SPARQL: expected INSERT or DELETE, got '$peek'")
+      require(i == ts.size, s"SPARQL: trailing tokens at '$peek'")
+      u
     }
 
     /** One SELECT query (without the end-of-input check) — also the
