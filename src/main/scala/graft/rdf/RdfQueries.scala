@@ -184,6 +184,10 @@ object RdfQueries {
       SparqlSelect.queryForm(tri(s, d), sparqlConstructQuery)),
     "rdf_sparql_describe" -> ((s, d) =>
       SparqlSelect.queryForm(tri(s, d), sparqlDescribeQuery)),
+    "rdf_sparql_minus" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlMinusQuery)),
+    "rdf_sparql_path_star" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlPathStarQuery)),
     // SPARQL UPDATE — the rdflib graph.update() surface; O17/O18 as
     // the DELETE/INSERT WHERE special cases (transform:112–127)
     "rdf_update_rename" -> ((s, d) =>
@@ -342,6 +346,22 @@ object RdfQueries {
     """DESCRIBE ?item
       |WHERE { ?item ceo:rijksmonumentnummer ?m .
       |        ?item o:is_public "true" . }""".stripMargin
+
+  /** MINUS — the negation pattern through the front-end: typed
+    * subjects WITHOUT a resource template (the untemplated-records
+    * worklist [[bgpMinus]] maintains), compiled as a left-anti join
+    * on the shared variable. */
+  val sparqlMinusQuery: String =
+    """SELECT ?item
+      |WHERE { ?item a ceo:Rijksmonument .
+      |        MINUS { ?item o:resource_template ?tpl . } }""".stripMargin
+
+  /** `p*` — unbounded closure plus zero-length self rows for every
+    * node incident to a relation edge (the documented narrowing of
+    * SPARQL's all-terms zero-length rule). */
+  val sparqlPathStarQuery: String =
+    """SELECT ?src ?dst
+      |WHERE { ?src dcterms:relation* ?dst . }""".stripMargin
 
   /** O17 (predicate rename) as SPARQL UPDATE — the general form of
     * the reference's remove/add loop (transform:112–119): delete the
@@ -1796,6 +1816,33 @@ object RdfQueries {
          |    WHERE ty.subject = r.subject
          |      AND ty.predicate = '$RdfType'
          |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    "rdf_sparql_minus" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT t.subject AS item FROM triples t
+         |WHERE t.predicate = '$RdfType'
+         |  AND t.obj_value = '$CeoRijksmonument'
+         |  AND NOT EXISTS (SELECT 1 FROM triples x
+         |    WHERE x.subject = t.subject
+         |      AND x.predicate = '$OmekaResourceTemplate')""".stripMargin,
+
+    // zero-length self rows for every edge-incident node + the
+    // recursive pair closure (nested WITH RECURSIVE as elsewhere)
+    "rdf_sparql_path_star" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |edges AS (SELECT subject AS src, obj_value AS dst FROM triples
+         |  WHERE predicate = '$DctermsRelation' AND obj_kind = 'iri'),
+         |nodes AS (SELECT src FROM edges UNION SELECT dst FROM edges)
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT src, src AS dst FROM nodes
+         |  UNION ALL
+         |  SELECT src, dst FROM (
+         |    WITH RECURSIVE walk AS (
+         |      SELECT src, dst FROM edges
+         |      UNION
+         |      SELECT w.src, e.dst FROM walk w
+         |      JOIN edges e ON e.src = w.dst)
+         |    SELECT * FROM walk))""".stripMargin,
 
     // rename replayed as a projection: DELETE-then-INSERT of the
     // same match set == CASE on the predicate, set-deduped

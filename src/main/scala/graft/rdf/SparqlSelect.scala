@@ -27,7 +27,9 @@ import Vocab.RdfType
   *             | GROUP_CONCAT(?v (; separator="s")?)
   *   body     := group | braced (UNION braced)+
   *   braced   := { (triples | filter | values | bind)* }
-  *   group    := (triples | optional | filter | values | bind)+
+  *   group    := (triples | optional | minus | filter | values
+  *                | bind | subq)+
+  *   minus    := MINUS { triples }
   *   values   := VALUES ?var { (string | iri)+ }
   *   bind     := BIND ( bexpr AS ?var )
   *   bexpr    := UCASE(?v) | LCASE(?v) | STRLEN(?v)
@@ -35,7 +37,7 @@ import Vocab.RdfType
   *   triples  := term (path | ?var) obj (';' (path | ?var) obj)* '.'?
   *   subq     := { SELECT ... }     (a full query body, in a group)
   *   path     := step ('/' step)*
-  *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' ) '+'?
+  *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' ) ('+'|'*')?
   *   optional := OPTIONAL { triples }
   *   filter   := FILTER ( cond (&& cond)* )
   *   cond     := ?var op (integer | "string")
@@ -67,9 +69,12 @@ import Vocab.RdfType
   * subqueries evaluate independently — their own aggregates and
   * solution modifiers — and lead the enclosing group's join fold
   * (the top-N subquery is the few-row driving table; AQE broadcasts
-  * it into the joins that follow). Out of scope (use the DataFrame
-  * builders directly): MINUS, `p?`/`p*` paths, nested
-  * OPTIONAL/UNION.
+  * it into the joins that follow). MINUS anti-joins on the shared
+  * variables (no shared variables → no-op, SPARQL's disjoint-domain
+  * rule); `p*` adds zero-length self rows for every node incident
+  * to a p-edge (a documented narrowing of the spec's all-terms
+  * rule). Out of scope (use the DataFrame builders directly):
+  * `p?` paths, nested OPTIONAL/UNION.
   *
   * Compilation strategy mirrors the hand-built forms exactly:
   *  - A BGP whose required patterns share ONE subject variable (and
@@ -146,7 +151,11 @@ object SparqlSelect {
     * (`?s ?p ?o` — preds empty, no path operators): the scan binds
     * the predicate column instead of filtering it. */
   final case class Pattern(s: Term, preds: Seq[String], o: Term,
-      plus: Boolean = false, predVar: Option[String] = None)
+      plus: Boolean = false, predVar: Option[String] = None,
+      star: Boolean = false) {
+    /** Any closure step (`p+` or `p*`). */
+    def closed: Boolean = plus || star
+  }
 
   /** One VALUES clause: inline data for one variable. SPARQL multiset
     * semantics: duplicate values duplicate matching rows (the inline
@@ -191,7 +200,7 @@ object SparqlSelect {
   final case class Group(required: Seq[Pattern],
       optionals: Seq[Seq[Pattern]], filters: Seq[FilterExpr],
       values: Seq[ValuesClause] = Nil, binds: Seq[Bind] = Nil,
-      subs: Seq[Query] = Nil)
+      subs: Seq[Query] = Nil, minuses: Seq[Seq[Pattern]] = Nil)
 
   final case class Query(
       selectItems: Seq[Either[String, Agg]], // empty = SELECT *
@@ -432,7 +441,7 @@ object SparqlSelect {
   /** One property-path step: `'^'? primary '+'?` where primary is
     * a predicate or a parenthesized alternation of predicates. */
   private final case class Step(inv: Boolean, preds: Seq[String],
-      plus: Boolean)
+      plus: Boolean, star: Boolean)
 
   private final class Parser(ts: Vector[String]) {
     private var i = 0
@@ -495,7 +504,9 @@ object SparqlSelect {
         } else Seq(predIri())
       val plus = peek == "+"
       if (plus) next()
-      Step(inv, preds, plus)
+      val star = !plus && peek == "*"
+      if (star) next()
+      Step(inv, preds, plus, star)
     }
 
     private def pathSteps(): Seq[Step] = {
@@ -516,8 +527,10 @@ object SparqlSelect {
         var cur: Term = s
         steps.zipWithIndex.foreach { case (st, k) =>
           val nxt = if (k == steps.size - 1) obj else V(freshHidden())
-          if (st.inv) out += Pattern(nxt, st.preds, cur, st.plus)
-          else out += Pattern(cur, st.preds, nxt, st.plus)
+          if (st.inv) out += Pattern(nxt, st.preds, cur, st.plus,
+            star = st.star)
+          else out += Pattern(cur, st.preds, nxt, st.plus,
+            star = st.star)
           cur = nxt
         }
       }
@@ -673,12 +686,17 @@ object SparqlSelect {
       val vals = Seq.newBuilder[ValuesClause]
       val bnds = Seq.newBuilder[Bind]
       val subs = Seq.newBuilder[Query]
+      val mins = Seq.newBuilder[Seq[Pattern]]
       while (peek != "}") {
         if (kw("OPTIONAL")) {
           require(allowOptional,
             "SPARQL: OPTIONAL inside a UNION branch is not supported")
           next(); expect("{")
           opts += triples()
+          expect("}")
+        } else if (kw("MINUS")) {
+          next(); expect("{")
+          mins += triples()
           expect("}")
         } else if (kw("FILTER")) {
           next(); expect("(")
@@ -700,7 +718,7 @@ object SparqlSelect {
         } else req ++= triples()
       }
       val g = Group(req.result(), opts.result(), fils.result(),
-        vals.result(), bnds.result(), subs.result())
+        vals.result(), bnds.result(), subs.result(), mins.result())
       require(g.required.nonEmpty || g.subs.nonEmpty,
         "SPARQL: empty WHERE group")
       g
@@ -770,7 +788,7 @@ object SparqlSelect {
       val out = tm.result()
       require(out.nonEmpty, "SPARQL: empty template")
       out.foreach { p =>
-        require(p.predVar.isEmpty && !p.plus && p.preds.size == 1 &&
+        require(p.predVar.isEmpty && !p.closed && p.preds.size == 1 &&
           !varsOf(p).exists(isHidden),
           "SPARQL: template patterns must use a single constant " +
             "predicate (no paths)")
@@ -824,7 +842,7 @@ object SparqlSelect {
             require(g.optionals.isEmpty,
               "SPARQL: OPTIONAL in DELETE WHERE is not supported")
             g.required.foreach { p =>
-              require(p.predVar.isEmpty && !p.plus && p.preds.size == 1 &&
+              require(p.predVar.isEmpty && !p.closed && p.preds.size == 1 &&
                 !varsOf(p).exists(isHidden),
                 "SPARQL: DELETE WHERE patterns must use a single " +
                   "constant predicate (no paths)")
@@ -1017,7 +1035,7 @@ object SparqlSelect {
     q.groups.foreach { g =>
       g.filters.collect { case lc: LangCond => lc }.foreach { lc =>
         val bound = (g.required ++ g.optionals.flatten)
-          .exists(p => !p.plus && p.o == V(lc.v))
+          .exists(p => !p.closed && p.o == V(lc.v))
         require(bound, s"SPARQL: LANGMATCHES(LANG(?${lc.v})) requires " +
           s"?${lc.v} bound as a literal object in its group")
       }
@@ -1042,8 +1060,9 @@ object SparqlSelect {
           case _ => None
         })
         val starShaped = !aggMode && g.values.isEmpty &&
-          g.binds.isEmpty && g.subs.isEmpty && subjVar.exists { sv =>
-          gPats.forall(p => !p.plus && p.preds.size == 1 &&
+          g.binds.isEmpty && g.subs.isEmpty && g.minuses.isEmpty &&
+          subjVar.exists { sv =>
+          gPats.forall(p => !p.closed && p.preds.size == 1 &&
             p.s == V(sv) && (p.o match {
               case V(n) => n != sv
               case _ => true
@@ -1235,7 +1254,7 @@ object SparqlSelect {
     * store it binds each subject at most once — a semi-join, not a
     * join. */
   private def isMembership(p: Pattern): Boolean =
-    !p.plus && p.preds.size == 1 &&
+    !p.closed && p.preds.size == 1 &&
       (p.s match { case V(_) => true; case _ => false }) &&
       (p.o match { case V(_) => false; case _ => true })
 
@@ -1324,6 +1343,28 @@ object SparqlSelect {
         .select(col("src").as(sv), col("dst").as(ov))
     }
 
+    /** `p*` — the closure PLUS the zero-length paths. Engine-
+      * documented narrowing of SPARQL's zero-length rule: self rows
+      * are emitted for every node INCIDENT to a p-edge (src ∪ dst),
+      * not for every term in the graph — the graph-scoped rule
+      * would bind (x, x) for every literal and IRI in the store,
+      * which no consumer of a typed path wants and which explodes
+      * the binding set corpus-scale. */
+    def closureStar(pat: Pattern): DataFrame = {
+      val (sv, ov) = (pat.s, pat.o) match {
+        case (V(a), V(b)) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          "SPARQL: `p*` requires variables at both ends")
+      }
+      val edges = t.filter(predFilter(pat) && col("obj_kind") === "iri")
+        .select(col("subject").as("src"), col("obj_value").as("dst"))
+      val nodes = edges.select(col("src"))
+        .union(edges.select(col("dst").as("src"))).distinct()
+      nodes.select(col("src"), col("src").as("dst"))
+        .union(RdfOps.reachablePlusDoubling(edges)).distinct()
+        .select(col("src").as(sv), col("dst").as(ov))
+    }
+
     def joinInto(acc: DataFrame, nxt: DataFrame, joinType: String): DataFrame = {
       val common = acc.columns.intersect(nxt.columns).toSeq
       if (common.isEmpty) acc.crossJoin(nxt)
@@ -1349,7 +1390,8 @@ object SparqlSelect {
     // driver-small, so the broadcast join prunes the scan BEFORE the
     // big pattern joins, never after)
     val mainDfs = g.subs.map(sq => compile(t, sq)) ++
-      mains.map(p => if (p.plus) closure(p) else scan(p))
+      mains.map(p => if (p.plus) closure(p)
+        else if (p.star) closureStar(p) else scan(p))
     var accDf = mainDfs.head
     var pendingVals = g.values
     def attachValues(): Unit = {
@@ -1379,11 +1421,21 @@ object SparqlSelect {
     val withOpts = g.optionals.foldLeft(withSemis) { (acc, grp) =>
       joinInto(acc, grp.map(scan).reduceLeft(joinInto(_, _, "inner")), "left")
     }
+    // MINUS removes solutions compatible with a minus-group solution
+    // on the SHARED variables — a left-anti join on the common
+    // columns; with no shared variables SPARQL's MINUS removes
+    // nothing (the spec's disjoint-domain rule), so it's a no-op
+    val withMinus = g.minuses.foldLeft(withOpts) { (acc, grp) =>
+      val m = grp.map(scan).reduceLeft(joinInto(_, _, "inner"))
+      val common = acc.columns.intersect(m.columns).toSeq
+      if (common.isEmpty) acc
+      else acc.join(m.select(common.map(col): _*), common, "left_anti")
+    }
     // BINDs are pure scalar projections (zero exchanges added);
     // filters run after them so a FILTER may reference a BIND target —
     // the optimizer substitutes the defining expression and pushes the
     // predicate into the scan (the bindStrFuns discipline)
-    val withBinds = g.binds.foldLeft(withOpts)((df, b) =>
+    val withBinds = g.binds.foldLeft(withMinus)((df, b) =>
       df.withColumn(b.as, bindCol(b.expr)))
     g.filters.filterNot(_.isInstanceOf[LangCond])
       .foldLeft(withBinds)((df, c) => df.filter(condCol(c, col(c.v))))
@@ -1418,7 +1470,7 @@ object SparqlSelect {
     val mergeable =
       gs.forall(g => g.required.size == 1 && g.filters.isEmpty &&
         g.optionals.isEmpty && g.values.isEmpty && g.binds.isEmpty &&
-        g.subs.isEmpty && !g.required.head.plus &&
+        g.subs.isEmpty && g.minuses.isEmpty && !g.required.head.closed &&
         g.required.head.predVar.isEmpty) && {
         val ps = gs.map(_.required.head)
         ps.map(_.s).distinct.size == 1 && ps.map(_.o).distinct.size == 1 &&

@@ -559,6 +559,43 @@ class SparqlSelectSpec extends AnyFunSuite {
     assert(one.count() === 0)
   }
 
+  test("32: MINUS anti-joins on shared vars; with NO shared vars it " +
+      "removes nothing (the SPARQL disjoint-domain rule)") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlMinusQuery)
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("item"))
+    val tpl = t.filter(col("predicate") === OmekaResourceTemplate)
+      .select(col("subject").as("item")).distinct()
+    val hand = typed.join(tpl, Seq("item"), "left_anti")
+    assert(compiled.collect().map(_.getString(0)).toSet ===
+      hand.collect().map(_.getString(0)).toSet && compiled.count() > 0)
+    // disjoint-domain: the MINUS group binds only its own vars →
+    // no-op, every typed subject survives
+    val noop = SparqlSelect(t,
+      """SELECT ?item
+        |WHERE { ?item a ceo:Rijksmonument .
+        |        MINUS { ?x o:resource_template ?tpl . } }""".stripMargin)
+    assert(noop.count() === typed.count())
+  }
+
+  test("33: p* adds zero-length self rows for every edge-incident " +
+      "node on top of the p+ closure") {
+    val star = SparqlSelect(t, RdfQueries.sparqlPathStarQuery)
+    val plus = SparqlSelect(t, RdfQueries.sparqlPathPlusQuery)
+    val starSet = star.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val plusSet = plus.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plusSet.subsetOf(starSet))
+    val selfRows = starSet.filter { case (a, b) => a == b }
+    val nodes = t.filter(col("predicate") === DctermsRelation &&
+        col("obj_kind") === "iri")
+      .select(col("subject")).union(
+        t.filter(col("predicate") === DctermsRelation &&
+          col("obj_kind") === "iri").select(col("obj_value")))
+      .distinct().count()
+    assert(selfRows.size.toLong === nodes)
+  }
+
   test("25: VALUES/BIND misuse is rejected with a diagnostic") {
     // VALUES var not bound by any required pattern
     assertThrows[IllegalArgumentException](SparqlSelect(t,
