@@ -2650,17 +2650,31 @@ object LlmQueries {
     * scale by construction. The one-sided error guarantee
     * (overestimate ≥ 0) is spec-asserted; the measured overestimate
     * column is the survey's sketch-accuracy contract. */
-  def cmsBigrams(s: SparkSession, d: String): DataFrame = {
+  /** The d probe cells of the (`ha`, `hb`) hash pair — shared by
+    * the build, the probe, and the streaming maintenance twin. */
+  private val cmsCellsExpr =
+    s"""transform(sequence(0, ${cmsD - 1}),
+       |j -> CAST(j AS BIGINT) * $cmsW +
+       |  (ha + CAST(j AS BIGINT) * hb) % $cmsW)""".stripMargin
+
+  /** CMS cell counts `(cell, c)` for ONE document batch (any
+    * DataFrame with a `text` column) — the unit the streaming
+    * maintenance twin adds into the stored sketch; cell-wise
+    * ADDITION of two batches' cell tables is exactly the cell table
+    * of their union. */
+  private[graft] def cmsCellsOf(docsDf: DataFrame): DataFrame = {
     val (haSql, hbSql) = bloomABSql("instr")
-    val cellsOf =
-      s"""transform(sequence(0, ${cmsD - 1}),
-         |j -> CAST(j AS BIGINT) * $cmsW +
-         |  (ha + CAST(j AS BIGINT) * hb) % $cmsW)""".stripMargin
-    val cells = bigramRows(s, d).select(col("bg"))
+    docsDf.select(tokenExpr.as("w"))
+      .select(explode(expr(bigramExpr)).as("bg"))
       .withColumn("h", md5(col("bg")))
       .select(expr(haSql).as("ha"), expr(hbSql).as("hb"))
-      .select(explode(expr(cellsOf)).as("cell"))
+      .select(explode(expr(cmsCellsExpr)).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+  }
+
+  def cmsBigrams(s: SparkSession, d: String): DataFrame = {
+    val (haSql, hbSql) = bloomABSql("instr")
+    val cells = cmsCellsOf(docs(s, d))
     val exact = bigramRows(s, d)
       .groupBy(col("bg")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("bg"))
@@ -2670,7 +2684,7 @@ object LlmQueries {
       .select(col("bg"), col("exact_n"),
         expr(haSql).as("ha"), expr(hbSql).as("hb"))
       .select(col("bg"), col("exact_n"),
-        explode(expr(cellsOf)).as("cell"))
+        explode(expr(cmsCellsExpr)).as("cell"))
     keyed.join(cells, Seq("cell"))
       .groupBy(col("bg"), col("exact_n"))
       .agg(min(col("c")).as("cms_est"))

@@ -157,6 +157,47 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Streaming maintenance of the count-min sketch
+    * ([[LlmQueries.cmsCellsOf]]): each micro-batch's bigram cell
+    * counts APPEND to the stored cell table under the batch's id,
+    * and the sketch a reader consumes is `groupBy(cell).sum(c)` —
+    * cell-wise ADDITION, which is exactly the sketch of the union
+    * corpus (count-min mergeability, the same role the bottom-k
+    * merge plays for KMV). Replay safety: `foreachBatch` + append is
+    * at-least-once and cell addition is NOT idempotent, so a
+    * replayed batch whose `batch_id` already has rows in the store
+    * is SKIPPED — exactly-once by batch-id dedup, the append-only
+    * analog of the KMV overwrite-merge. Per-batch cost is the
+    * batch's own map-side scan + one exchange on ≤ d·w cells. */
+  def startCmsMaintenance(docs: DataFrame, cellsPath: String,
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val replayed =
+          try !spark.read.parquet(cellsPath)
+            .filter(col("batch_id") === batchId).isEmpty
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!replayed)
+          LlmQueries.cmsCellsOf(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(cellsPath)
+      }
+      .trigger(trigger).start()
+
+  /** The maintained sketch as one (cell, c) table — what a probe
+    * joins against. */
+  def readCmsSketch(spark: SparkSession, cellsPath: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    spark.read.parquet(cellsPath)
+      .groupBy(col("cell")).agg(sum(col("c")).as("c"))
+  }
+
   /** Streaming twin of the cross-snapshot incremental dedup
     * ([[LlmQueries.dedupIncremental]]): arriving document shards are
     * MinHash-signed ([[DedupIndex.docBands]]) and probed against
