@@ -186,6 +186,10 @@ object RdfQueries {
       SparqlSelect.queryForm(tri(s, d), sparqlDescribeQuery)),
     "rdf_sparql_minus" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlMinusQuery)),
+    // GRAPH over the multi-graph store — the graph var binds the
+    // graph column; one exchange on the 4-graph key
+    "rdf_sparql_graph" -> ((s, d) =>
+      SparqlSelect(multiGraph(s, d), sparqlGraphQuery)),
     "rdf_sparql_path_star" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathStarQuery)),
     // SPARQL UPDATE — the rdflib graph.update() surface; O17/O18 as
@@ -362,6 +366,13 @@ object RdfQueries {
   val sparqlPathStarQuery: String =
     """SELECT ?src ?dst
       |WHERE { ?src dcterms:relation* ?dst . }""".stripMargin
+
+  /** GRAPH block with a graph VARIABLE — per-named-graph title
+    * census over the multi-graph store ([[multiGraph]]). */
+  val sparqlGraphQuery: String =
+    """SELECT ?g (COUNT(*) AS ?n)
+      |WHERE { GRAPH ?g { ?s dcterms:title ?t . } }
+      |GROUP BY ?g""".stripMargin
 
   /** O17 (predicate rename) as SPARQL UPDATE — the general form of
     * the reference's remove/add loop (transform:112–119): delete the
@@ -1825,6 +1836,14 @@ object RdfQueries {
          |  AND NOT EXISTS (SELECT 1 FROM triples x
          |    WHERE x.subject = t.subject
          |      AND x.predicate = '$OmekaResourceTemplate')""".stripMargin,
+
+    "rdf_sparql_graph" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT graph AS g, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM mg WHERE predicate = '$DctermsTitle'
+         |GROUP BY 1""".stripMargin,
 
     // zero-length self rows for every edge-incident node + the
     // recursive pair closure (nested WITH RECURSIVE as elsewhere)

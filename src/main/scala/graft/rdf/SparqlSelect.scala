@@ -27,9 +27,10 @@ import Vocab.RdfType
   *             | GROUP_CONCAT(?v (; separator="s")?)
   *   body     := group | braced (UNION braced)+
   *   braced   := { (triples | filter | values | bind)* }
-  *   group    := (triples | optional | minus | filter | values
-  *                | bind | subq)+
+  *   group    := (triples | optional | minus | graphb | filter
+  *                | values | bind | subq)+
   *   minus    := MINUS { triples }
+  *   graphb   := GRAPH (iri | ?var) { triples }
   *   values   := VALUES ?var { (string | iri)+ }
   *   bind     := BIND ( bexpr AS ?var )
   *   bexpr    := UCASE(?v) | LCASE(?v) | STRLEN(?v)
@@ -152,7 +153,7 @@ object SparqlSelect {
     * the predicate column instead of filtering it. */
   final case class Pattern(s: Term, preds: Seq[String], o: Term,
       plus: Boolean = false, predVar: Option[String] = None,
-      star: Boolean = false) {
+      star: Boolean = false, graphCtx: Option[Term] = None) {
     /** Any closure step (`p+` or `p*`). */
     def closed: Boolean = plus || star
   }
@@ -698,6 +699,18 @@ object SparqlSelect {
           next(); expect("{")
           mins += triples()
           expect("}")
+        } else if (kw("GRAPH")) {
+          // `GRAPH term { triples }` — scope the block's patterns to
+          // a named graph (constant) or bind the graph id (var)
+          next()
+          val gt = term()
+          require(!gt.isInstanceOf[L],
+            "SPARQL: GRAPH needs an IRI or a variable")
+          expect("{")
+          val ps = Seq.newBuilder[Pattern]
+          while (peek != "}") ps ++= triples()
+          expect("}")
+          req ++= ps.result().map(_.copy(graphCtx = Some(gt)))
         } else if (kw("FILTER")) {
           next(); expect("(")
           fils += cond()
@@ -971,7 +984,8 @@ object SparqlSelect {
   // ---- compiler ----
 
   private def varsOf(p: Pattern): Seq[String] =
-    (Seq(p.s, p.o).collect { case V(n) => n }) ++ p.predVar
+    (Seq(p.s, p.o).collect { case V(n) => n }) ++ p.predVar ++
+      (p.graphCtx match { case Some(V(n)) => Seq(n); case _ => Nil })
 
   /** The variable names a (sub)query's result binds — its SELECT
     * list, or every visible variable for SELECT *. */
@@ -1063,6 +1077,7 @@ object SparqlSelect {
           g.binds.isEmpty && g.subs.isEmpty && g.minuses.isEmpty &&
           subjVar.exists { sv =>
           gPats.forall(p => !p.closed && p.preds.size == 1 &&
+            p.graphCtx.isEmpty &&
             p.s == V(sv) && (p.o match {
               case V(n) => n != sv
               case _ => true
@@ -1254,7 +1269,7 @@ object SparqlSelect {
     * store it binds each subject at most once — a semi-join, not a
     * join. */
   private def isMembership(p: Pattern): Boolean =
-    !p.closed && p.preds.size == 1 &&
+    !p.closed && p.preds.size == 1 && p.graphCtx.isEmpty &&
       (p.s match { case V(_) => true; case _ => false }) &&
       (p.o match { case V(_) => false; case _ => true })
 
@@ -1304,8 +1319,21 @@ object SparqlSelect {
         case L(v) => df = df.filter(col("obj_value") === v)
         case V(_) =>
       }
+      // GRAPH scope: a constant graph filters (pushes into the scan,
+      // partition-prunes a graph-partitioned store); a graph var
+      // binds the column (shared ?g joins patterns across graphs).
+      // Unscoped patterns match the UNION graph (the engine's
+      // documented default — SPARQL's default-graph-only rule is a
+      // store-layout policy, not enforced here).
+      pat.graphCtx match {
+        case Some(I(iri)) => df = df.filter(col("graph") === iri)
+        case _ =>
+      }
       val cols = (pat.s match {
         case V(n) => Seq(col("subject").as(n))
+        case _ => Nil
+      }) ++ (pat.graphCtx match {
+        case Some(V(n)) => Seq(col("graph").as(n))
         case _ => Nil
       }) ++ pat.predVar.map(pv => col("predicate").as(pv)) ++
         (pat.o match {
@@ -1326,14 +1354,25 @@ object SparqlSelect {
       df.select(cols: _*)
     }
 
+    def closureEdges(pat: Pattern): DataFrame = {
+      var e = t.filter(predFilter(pat) && col("obj_kind") === "iri")
+      pat.graphCtx match {
+        case Some(I(iri)) => e = e.filter(col("graph") === iri)
+        case Some(V(_)) => throw new IllegalArgumentException(
+          "SPARQL: a graph VARIABLE over a closure path is not " +
+            "supported (a closure crosses graphs)")
+        case None =>
+      }
+      e.select(col("subject").as("src"), col("obj_value").as("dst"))
+    }
+
     def closure(pat: Pattern): DataFrame = {
       val (sv, ov) = (pat.s, pat.o) match {
         case (V(a), V(b)) => (a, b)
         case _ => throw new IllegalArgumentException(
           "SPARQL: `p+` requires variables at both ends")
       }
-      val edges = t.filter(predFilter(pat) && col("obj_kind") === "iri")
-        .select(col("subject").as("src"), col("obj_value").as("dst"))
+      val edges = closureEdges(pat)
       // the binding set seeds from EVERY edge source and needs no hop
       // counts → PATH DOUBLING (O(log diameter) rounds; the frontier
       // walk pays one scheduling barrier per hop, which on a chain-
@@ -1356,8 +1395,7 @@ object SparqlSelect {
         case _ => throw new IllegalArgumentException(
           "SPARQL: `p*` requires variables at both ends")
       }
-      val edges = t.filter(predFilter(pat) && col("obj_kind") === "iri")
-        .select(col("subject").as("src"), col("obj_value").as("dst"))
+      val edges = closureEdges(pat)
       val nodes = edges.select(col("src"))
         .union(edges.select(col("dst").as("src"))).distinct()
       nodes.select(col("src"), col("src").as("dst"))
@@ -1471,7 +1509,8 @@ object SparqlSelect {
       gs.forall(g => g.required.size == 1 && g.filters.isEmpty &&
         g.optionals.isEmpty && g.values.isEmpty && g.binds.isEmpty &&
         g.subs.isEmpty && g.minuses.isEmpty && !g.required.head.closed &&
-        g.required.head.predVar.isEmpty) && {
+        g.required.head.predVar.isEmpty &&
+        g.required.head.graphCtx.isEmpty) && {
         val ps = gs.map(_.required.head)
         ps.map(_.s).distinct.size == 1 && ps.map(_.o).distinct.size == 1 &&
           ps.flatMap(_.preds).distinct.size == ps.map(_.preds.size).sum

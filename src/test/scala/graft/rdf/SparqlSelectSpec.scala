@@ -596,6 +596,31 @@ class SparqlSelectSpec extends AnyFunSuite {
     assert(selfRows.size.toLong === nodes)
   }
 
+  test("34: GRAPH blocks — a constant graph filters the scan, a " +
+      "graph variable binds the column, unscoped patterns match the " +
+      "union graph") {
+    val mg = RdfQueries.multiGraph(s, d)
+    val byVar = SparqlSelect(mg, RdfQueries.sparqlGraphQuery)
+    val hand = mg.filter(col("predicate") === DctermsTitle)
+      .groupBy(col("graph").as("g")).agg(count(lit(1)).as("n"))
+    assert(byVar.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && byVar.count() > 1)
+    // constant graph scopes the pattern to one named graph
+    val g0 = SparqlSelect(mg,
+      """SELECT ?s ?t
+        |WHERE { GRAPH <http://ex.org/graph/0> {
+        |  ?s dcterms:title ?t . } }""".stripMargin)
+    val handG0 = mg.filter(col("predicate") === DctermsTitle &&
+      col("graph") === "http://ex.org/graph/0")
+    assert(g0.count() === handG0.count() && g0.count() > 0)
+    // a literal graph term is rejected
+    assertThrows[IllegalArgumentException](SparqlSelect(mg,
+      """SELECT ?s WHERE { GRAPH "nope" { ?s dcterms:title ?t . } }"""))
+    // a graph var over a closure path is rejected (crosses graphs)
+    assertThrows[IllegalArgumentException](SparqlSelect(mg,
+      "SELECT ?g WHERE { GRAPH ?g { ?a dcterms:relation+ ?b . } }"))
+  }
+
   test("25: VALUES/BIND misuse is rejected with a diagnostic") {
     // VALUES var not bound by any required pattern
     assertThrows[IllegalArgumentException](SparqlSelect(t,
