@@ -190,6 +190,8 @@ object RdfQueries {
     // graph column; one exchange on the 4-graph key
     "rdf_sparql_graph" -> ((s, d) =>
       SparqlSelect(multiGraph(s, d), sparqlGraphQuery)),
+    "rdf_sparql_path_opt" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlPathOptQuery)),
     "rdf_sparql_path_star" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathStarQuery)),
     // SPARQL UPDATE — the rdflib graph.update() surface; O17/O18 as
@@ -366,6 +368,13 @@ object RdfQueries {
   val sparqlPathStarQuery: String =
     """SELECT ?src ?dst
       |WHERE { ?src dcterms:relation* ?dst . }""".stripMargin
+
+  /** `p?` — zero-or-one: edges plus the incident-node self rows, no
+    * iteration (the front-end sibling of the seed-scoped
+    * [[pathOpt]]). */
+  val sparqlPathOptQuery: String =
+    """SELECT ?src ?dst
+      |WHERE { ?src dcterms:relation? ?dst . }""".stripMargin
 
   /** GRAPH block with a graph VARIABLE — per-named-graph title
     * census over the multi-graph store ([[multiGraph]]). */
@@ -1836,6 +1845,15 @@ object RdfQueries {
          |  AND NOT EXISTS (SELECT 1 FROM triples x
          |    WHERE x.subject = t.subject
          |      AND x.predicate = '$OmekaResourceTemplate')""".stripMargin,
+
+    "rdf_sparql_path_opt" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |edges AS (SELECT subject AS src, obj_value AS dst FROM triples
+         |  WHERE predicate = '$DctermsRelation' AND obj_kind = 'iri'),
+         |nodes AS (SELECT src FROM edges UNION SELECT dst FROM edges)
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT src, src AS dst FROM nodes
+         |  UNION ALL SELECT src, dst FROM edges)""".stripMargin,
 
     "rdf_sparql_graph" ->
       s"""WITH ${TripleFixture.triplesCte},

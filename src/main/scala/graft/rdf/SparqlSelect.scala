@@ -38,7 +38,8 @@ import Vocab.RdfType
   *   triples  := term (path | ?var) obj (';' (path | ?var) obj)* '.'?
   *   subq     := { SELECT ... }     (a full query body, in a group)
   *   path     := step ('/' step)*
-  *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' ) ('+'|'*')?
+  *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' )
+  *               ('+'|'*'|'?')?
   *   optional := OPTIONAL { triples }
   *   filter   := FILTER ( cond (&& cond)* )
   *   cond     := ?var op (integer | "string")
@@ -74,8 +75,9 @@ import Vocab.RdfType
   * variables (no shared variables → no-op, SPARQL's disjoint-domain
   * rule); `p*` adds zero-length self rows for every node incident
   * to a p-edge (a documented narrowing of the spec's all-terms
-  * rule). Out of scope (use the DataFrame builders directly):
-  * `p?` paths, nested OPTIONAL/UNION.
+  * rule; `p?` is the bounded sibling — edges plus the same self
+  * rows, no iteration). Out of scope (use the DataFrame builders
+  * directly): nested OPTIONAL/UNION.
   *
   * Compilation strategy mirrors the hand-built forms exactly:
   *  - A BGP whose required patterns share ONE subject variable (and
@@ -153,9 +155,11 @@ object SparqlSelect {
     * the predicate column instead of filtering it. */
   final case class Pattern(s: Term, preds: Seq[String], o: Term,
       plus: Boolean = false, predVar: Option[String] = None,
-      star: Boolean = false, graphCtx: Option[Term] = None) {
-    /** Any closure step (`p+` or `p*`). */
-    def closed: Boolean = plus || star
+      star: Boolean = false, graphCtx: Option[Term] = None,
+      zeroOne: Boolean = false) {
+    /** Any non-plain step (`p+`, `p*`, or `p?`) — excluded from the
+      * pivot/membership/merge shapes, which assume one scan. */
+    def closed: Boolean = plus || star || zeroOne
   }
 
   /** One VALUES clause: inline data for one variable. SPARQL multiset
@@ -415,7 +419,8 @@ object SparqlSelect {
 
   private val Tok = (
     """\s*(<[^>\s]*>|"(?:[^"\\]|\\.)*"|\?\w+|&&|!=|<=|>=|=|<|>|""" +
-      """\{|\}|\(|\)|\.|;|,|\*|/|\^|\+|\||[A-Za-z_][\w-]*:[\w.-]*|-?\d+|\w+)""").r
+      """\{|\}|\(|\)|\.|;|,|\*|/|\^|\+|\||\?|""" +
+      """[A-Za-z_][\w-]*:[\w.-]*|-?\d+|\w+)""").r
 
   private def tokenize(q: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -442,7 +447,7 @@ object SparqlSelect {
   /** One property-path step: `'^'? primary '+'?` where primary is
     * a predicate or a parenthesized alternation of predicates. */
   private final case class Step(inv: Boolean, preds: Seq[String],
-      plus: Boolean, star: Boolean)
+      plus: Boolean, star: Boolean, zeroOne: Boolean)
 
   private final class Parser(ts: Vector[String]) {
     private var i = 0
@@ -507,7 +512,9 @@ object SparqlSelect {
       if (plus) next()
       val star = !plus && peek == "*"
       if (star) next()
-      Step(inv, preds, plus, star)
+      val zeroOne = !plus && !star && peek == "?"
+      if (zeroOne) next()
+      Step(inv, preds, plus, star, zeroOne)
     }
 
     private def pathSteps(): Seq[Step] = {
@@ -529,9 +536,9 @@ object SparqlSelect {
         steps.zipWithIndex.foreach { case (st, k) =>
           val nxt = if (k == steps.size - 1) obj else V(freshHidden())
           if (st.inv) out += Pattern(nxt, st.preds, cur, st.plus,
-            star = st.star)
+            star = st.star, zeroOne = st.zeroOne)
           else out += Pattern(cur, st.preds, nxt, st.plus,
-            star = st.star)
+            star = st.star, zeroOne = st.zeroOne)
           cur = nxt
         }
       }
@@ -1403,6 +1410,24 @@ object SparqlSelect {
         .select(col("src").as(sv), col("dst").as(ov))
     }
 
+    /** `p?` — zero-or-one: the edges themselves plus the zero-length
+      * self rows (same incident-node narrowing as `p*`); no
+      * iteration at all — one scan and a constant projection, the
+      * bounded sibling of the closures. */
+    def zeroOneOf(pat: Pattern): DataFrame = {
+      val (sv, ov) = (pat.s, pat.o) match {
+        case (V(a), V(b)) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          "SPARQL: `p?` requires variables at both ends")
+      }
+      val edges = closureEdges(pat)
+      val nodes = edges.select(col("src"))
+        .union(edges.select(col("dst").as("src"))).distinct()
+      nodes.select(col("src"), col("src").as("dst"))
+        .union(edges).distinct()
+        .select(col("src").as(sv), col("dst").as(ov))
+    }
+
     def joinInto(acc: DataFrame, nxt: DataFrame, joinType: String): DataFrame = {
       val common = acc.columns.intersect(nxt.columns).toSeq
       if (common.isEmpty) acc.crossJoin(nxt)
@@ -1429,7 +1454,9 @@ object SparqlSelect {
     // big pattern joins, never after)
     val mainDfs = g.subs.map(sq => compile(t, sq)) ++
       mains.map(p => if (p.plus) closure(p)
-        else if (p.star) closureStar(p) else scan(p))
+        else if (p.star) closureStar(p)
+        else if (p.zeroOne) zeroOneOf(p)
+        else scan(p))
     var accDf = mainDfs.head
     var pendingVals = g.values
     def attachValues(): Unit = {

@@ -621,6 +621,22 @@ class SparqlSelectSpec extends AnyFunSuite {
       "SELECT ?g WHERE { GRAPH ?g { ?a dcterms:relation+ ?b . } }"))
   }
 
+  test("35: p? = edges plus incident self rows, strictly between " +
+      "the plain scan and p*") {
+    val opt = SparqlSelect(t, RdfQueries.sparqlPathOptQuery)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val star = SparqlSelect(t, RdfQueries.sparqlPathStarQuery)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val edges = t.filter(col("predicate") === DctermsRelation &&
+        col("obj_kind") === "iri")
+      .select(col("subject"), col("obj_value"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges.subsetOf(opt) && opt.subsetOf(star))
+    assert(opt.filter { case (a, b) => a != b } === edges.filter {
+      case (a, b) => a != b
+    })
+  }
+
   test("25: VALUES/BIND misuse is rejected with a diagnostic") {
     // VALUES var not bound by any required pattern
     assertThrows[IllegalArgumentException](SparqlSelect(t,
