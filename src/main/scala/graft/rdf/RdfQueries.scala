@@ -166,7 +166,8 @@ object RdfQueries {
     "rdf_sparql_path_inv" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathInvQuery)),
     "rdf_sparql_path_plus" -> ((s, d) =>
-      SparqlSelect(tri(s, d), sparqlPathPlusQuery)),
+      SparqlSelect(tri(s, d), sparqlPathPlusQuery,
+        relClosureProvider(s, d))),
     "rdf_sparql_text_filters" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlTextFiltersQuery)),
     "rdf_sparql_values" -> ((s, d) =>
@@ -193,7 +194,8 @@ object RdfQueries {
     "rdf_sparql_path_opt" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathOptQuery)),
     "rdf_sparql_path_star" -> ((s, d) =>
-      SparqlSelect(tri(s, d), sparqlPathStarQuery)),
+      SparqlSelect(tri(s, d), sparqlPathStarQuery,
+        relClosureProvider(s, d))),
     // SPARQL UPDATE — the rdflib graph.update() surface; O17/O18 as
     // the DELETE/INSERT WHERE special cases (transform:112–127)
     "rdf_update_rename" -> ((s, d) =>
@@ -406,6 +408,28 @@ object RdfQueries {
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
+
+  /** The STORED pair closure of the `dcterms:relation` graph —
+    * memoized per (session, dir) and serialized-block-checkpointed,
+    * the stored-closure discipline for the text front-end's closure
+    * paths (the same role [[fullClosure]] plays for the
+    * doubling-fixture family): the first `p+`/`p*` query pays the
+    * path-doubling walk once; every later rep reads the artifact. */
+  private def relationClosure(s: SparkSession, d: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(s, s"relation-closure:$d")(
+      chkSer(RdfOps.reachablePlusDoubling(
+        tri(s, d).filter(col("predicate") === DctermsRelation &&
+            col("obj_kind") === "iri")
+          .select(col("subject").as("src"),
+            col("obj_value").as("dst")))))
+
+  /** [[SparqlSelect.ClosureProvider]] backed by [[relationClosure]]:
+    * serves exactly the single-predicate `dcterms:relation` closure;
+    * any other predicate set walks the fixpoint live. */
+  private def relClosureProvider(s: SparkSession, d: String)
+      : SparqlSelect.ClosureProvider =
+    preds => if (preds == Seq(DctermsRelation))
+      Some(relationClosure(s, d)) else None
 
   /** Serializes single-file builds: the write overwrites a directory
     * (same discipline as the llm family's indexBuildLock). */

@@ -217,8 +217,22 @@ object SparqlSelect {
       limit: Option[Int],
       offset: Option[Int] = None)
 
+  /** A stored-closure lookup: given a closure step's predicate set,
+    * return the STORED `(src, dst)` pair closure to read instead of
+    * walking the fixpoint — the stored-closure discipline a triple
+    * store applies to its hot-path predicates. Consulted only for
+    * graph-unscoped steps (a GRAPH-scoped closure has a different
+    * edge set). */
+  type ClosureProvider = Seq[String] => Option[DataFrame]
+
+  private val NoClosure: ClosureProvider = _ => None
+
   def apply(triples: DataFrame, queryText: String): DataFrame =
     compile(triples, parse(queryText))
+
+  def apply(triples: DataFrame, queryText: String,
+      closureOf: ClosureProvider): DataFrame =
+    compile(triples, parse(queryText), closureOf)
 
   // ---- the other three SPARQL query FORMS ----
 
@@ -1007,7 +1021,8 @@ object SparqlSelect {
 
   private def isHidden(v: String): Boolean = v.startsWith("_path")
 
-  def compile(t: DataFrame, q: Query): DataFrame = {
+  def compile(t: DataFrame, q: Query,
+      closureOf: ClosureProvider = NoClosure): DataFrame = {
     val allPats = q.groups.flatMap(g => g.required ++ g.optionals.flatten)
     val patVars = (allPats.flatMap(varsOf) ++
       q.groups.flatMap(_.subs.flatMap(projectedVars))).distinct
@@ -1072,7 +1087,7 @@ object SparqlSelect {
         "projection")
 
     val base: DataFrame =
-      if (q.groups.size > 1) compileUnion(t, q)
+      if (q.groups.size > 1) compileUnion(t, q, closureOf)
       else {
         val g = q.groups.head
         val gPats = g.required ++ g.optionals.flatten
@@ -1094,7 +1109,7 @@ object SparqlSelect {
             (g.required.size + g.optionals.flatten.size) >= 2
         }
         if (starShaped) pivot(t, q, g, subjVar.get)
-        else joinsGroup(t, q, g)
+        else joinsGroup(t, q, g, closureOf = closureOf)
       }
 
     val agged: DataFrame =
@@ -1297,7 +1312,8 @@ object SparqlSelect {
     * every edge source (both endpoints are variables by grammar
     * restriction). */
   private def joinsGroup(t: DataFrame, q: Query, g: Group,
-      metaVars: Set[String] = Set.empty): DataFrame = {
+      metaVars: Set[String] = Set.empty,
+      closureOf: ClosureProvider = NoClosure): DataFrame = {
     val nums = numericVars(q)
     val langs = langReqs(g)
 
@@ -1385,9 +1401,17 @@ object SparqlSelect {
       // walk pays one scheduling barrier per hop, which on a chain-
       // diameter graph dominated this query's cost 10× — measured in
       // the sf1 rehearsal)
-      RdfOps.reachablePlusDoubling(edges)
+      closurePairs(pat, edges)
         .select(col("src").as(sv), col("dst").as(ov))
     }
+
+    /** The pair closure of a closure step: the STORED artifact when
+      * the provider serves this predicate set (graph-unscoped steps
+      * only), the path-doubling walk otherwise. */
+    def closurePairs(pat: Pattern, edges: DataFrame): DataFrame =
+      (if (pat.graphCtx.isEmpty) closureOf(pat.preds) else None)
+        .map(_.select(col("src"), col("dst")))
+        .getOrElse(RdfOps.reachablePlusDoubling(edges))
 
     /** `p*` — the closure PLUS the zero-length paths. Engine-
       * documented narrowing of SPARQL's zero-length rule: self rows
@@ -1406,7 +1430,7 @@ object SparqlSelect {
       val nodes = edges.select(col("src"))
         .union(edges.select(col("dst").as("src"))).distinct()
       nodes.select(col("src"), col("src").as("dst"))
-        .union(RdfOps.reachablePlusDoubling(edges)).distinct()
+        .union(closurePairs(pat, edges)).distinct()
         .select(col("src").as(sv), col("dst").as(ov))
     }
 
@@ -1529,7 +1553,8 @@ object SparqlSelect {
     * the union because a triple matches exactly one branch. Anything
     * else compiles per-branch and unions with typed null padding for
     * the variables a branch leaves unbound. */
-  private def compileUnion(t: DataFrame, q: Query): DataFrame = {
+  private def compileUnion(t: DataFrame, q: Query,
+      closureOf: ClosureProvider): DataFrame = {
     val gs = q.groups
     val nums = numericVars(q)
     val mergeable =
@@ -1546,7 +1571,7 @@ object SparqlSelect {
       val ps = gs.map(_.required.head)
       joinsGroup(t, q,
         Group(Seq(Pattern(ps.head.s, ps.flatMap(_.preds), ps.head.o)),
-          Nil, Nil))
+          Nil, Nil), closureOf = closureOf)
     } else {
       val branchVars = gs.map(g =>
         ((g.required ++ g.optionals.flatten).flatMap(varsOf) ++
@@ -1554,7 +1579,7 @@ object SparqlSelect {
           .distinct.filterNot(isHidden))
       val allVars = branchVars.flatten.distinct
       val dfs = gs.zip(branchVars).map { case (g, bv) =>
-        val b = joinsGroup(t, q, g)
+        val b = joinsGroup(t, q, g, closureOf = closureOf)
         b.select(allVars.map { v =>
           if (bv.contains(v)) col(v)
           else lit(null).cast(if (nums.contains(v)) "int" else "string").as(v)

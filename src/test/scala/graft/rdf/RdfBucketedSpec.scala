@@ -41,6 +41,31 @@ class RdfBucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("the SPARQL TEXT front-end inherits the co-location: a parsed " +
+      "star query runs with ZERO exchanges on the bucketed store") {
+    try {
+      TripleFixture.triples(spark, dir)
+        .write.mode("overwrite").bucketBy(4, "subject")
+        .saveAsTable("triples_fb")
+      // a query STRING a user would hand rdflib's Graph.query(),
+      // compiled against the bucketed table
+      val compiled = SparqlSelect(spark.table("triples_fb"),
+        """PREFIX def: <http://ex.org/def#>
+          |SELECT ?item ?title ?part_size
+          |WHERE { ?item a ceo:Rijksmonument ;
+          |        dcterms:title ?title ;
+          |        def:size ?part_size .
+          |        FILTER(?part_size >= 10) }""".stripMargin)
+      val plan = finalPlan(compiled)
+      assert(!plan.contains("Exchange"),
+        s"front-end pivot over a subject-bucketed store must not " +
+          s"exchange:\n$plan")
+      assert(compiled.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS triples_fb")
+    }
+  }
+
   test("semi-naive round against src-bucketed edges exchanges only the frontier") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
