@@ -193,6 +193,9 @@ object RdfQueries {
       SparqlSelect(multiGraph(s, d), sparqlGraphQuery)),
     "rdf_sparql_path_opt" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathOptQuery)),
+    // entity smushing: the post-enrichment consolidation of the
+    // reference's sameAs output (O14's key rule IS the identity)
+    "rdf_smush_entities" -> ((s, d) => smushEntities(s, d)),
     "rdf_sparql_path_star" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathStarQuery,
         relClosureProvider(s, d))),
@@ -408,6 +411,55 @@ object RdfQueries {
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
+
+  /** owl:sameAs-style entity SMUSHING — canonicalize the enriched
+    * graph so every monument RESOURCE merges into its item: the
+    * identity signal is the reference's own key (an item's
+    * `ceo:rijksmonumentnummer` literal, RM-prefix-normalized — the
+    * O14 key rule — names the monument IRI the enrichment asserts
+    * facts about), and the smush rewrites both subject AND IRI
+    * object positions through the (monument → item) mapping, then
+    * set-dedups — merged entities collapse their duplicate
+    * assertions (the enrichment's `mon a Rijksmonument` lands on the
+    * item that is already typed, and the set absorbs it). This is
+    * the post-enrichment consolidation a downstream consumer of the
+    * reference's sameAs output actually wants.
+    *
+    * Scale shape: the mapping is CORPUS-FRACTION sized (one row per
+    * rmnr assertion, ~|items|/3 here), so both rewrites are
+    * shuffle equi-joins on their natural keys (subject, obj_value) —
+    * no broadcast of a corpus-scale side; the final dedup is the
+    * standard set-semantics exchange. 1:1 mapping (unique number per
+    * item), so the rewrite cannot fan out. */
+  private def smushEntities(s: SparkSession, d: String): DataFrame = {
+    val t = tri(s, d)
+    val g = t.unionByName(TripleFixture.enrichment(s, d))
+    val mapping = t.filter(col("predicate") === CeoRijksmonumentnummer)
+      .select(col("subject").as("item"),
+        concat(lit(TripleFixture.MonNs),
+          when(col("obj_value").startsWith("RM"),
+            expr("substring(obj_value, 3)"))
+            .otherwise(col("obj_value"))).as("mon"))
+      .distinct()
+    val bySubj = g
+      .join(mapping.select(col("mon").as("subject"), col("item")),
+        Seq("subject"), "left")
+      .withColumn("subject", coalesce(col("item"), col("subject")))
+      .drop("item")
+    bySubj
+      .join(mapping.select(col("mon").as("obj_value"),
+          col("item").as("_oi")),
+        Seq("obj_value"), "left")
+      .withColumn("obj_value",
+        when(col("obj_kind") === "iri",
+          coalesce(col("_oi"), col("obj_value")))
+          .otherwise(col("obj_value")))
+      .drop("_oi")
+      .select(col("graph"), col("subject"), col("subject_kind"),
+        col("predicate"), col("obj_value"), col("obj_kind"),
+        col("obj_lang"), col("obj_datatype"))
+      .dropDuplicates()
+  }
 
   /** The STORED pair closure of the `dcterms:relation` graph —
     * memoized per (session, dir) and serialized-block-checkpointed,
@@ -1869,6 +1921,30 @@ object RdfQueries {
          |  AND NOT EXISTS (SELECT 1 FROM triples x
          |    WHERE x.subject = t.subject
          |      AND x.predicate = '$OmekaResourceTemplate')""".stripMargin,
+
+    // the (monument -> item) mapping replayed: RM-prefix-normalized
+    // rmnr literals name the enrichment's monument IRIs; both term
+    // positions rewrite through it, IRI objects only
+    "rdf_smush_entities" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |g AS (SELECT * FROM triples
+         |  UNION ALL SELECT * FROM enrichment),
+         |map AS (SELECT DISTINCT subject AS item,
+         |    '${TripleFixture.MonNs}' ||
+         |    (CASE WHEN obj_value LIKE 'RM%' THEN substring(obj_value, 3)
+         |      ELSE obj_value END) AS mon
+         |  FROM triples WHERE predicate = '$CeoRijksmonumentnummer')
+         |SELECT DISTINCT g.graph,
+         |  coalesce(ms.item, g.subject) AS subject,
+         |  g.subject_kind, g.predicate,
+         |  CASE WHEN g.obj_kind = 'iri' THEN coalesce(mo.item, g.obj_value)
+         |    ELSE g.obj_value END AS obj_value,
+         |  g.obj_kind, g.obj_lang, g.obj_datatype
+         |FROM g
+         |LEFT JOIN map ms ON ms.mon = g.subject
+         |LEFT JOIN map mo ON mo.mon = g.obj_value
+         |  AND g.obj_kind = 'iri'""".stripMargin,
 
     "rdf_sparql_path_opt" ->
       s"""WITH ${TripleFixture.triplesCte},

@@ -30,7 +30,7 @@ import Vocab._
 object TripleFixture {
   private val ItemNs = "http://ex.org/item/"
   private val CvNs = "http://ex.org/customvocab#"
-  private val MonNs = "https://monumenten.example.org/monument/"
+  val MonNs = "https://monumenten.example.org/monument/"
 
   /** The "source graph": what the paginated Turtle export would have
     * produced, dirty rows included.
