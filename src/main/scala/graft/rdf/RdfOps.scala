@@ -229,30 +229,41 @@ object RdfOps {
     * O(log diameter) rounds instead of the frontier walk's
     * O(diameter): after round r the pair set holds every path of
     * length ≤ 2^r, and squaring the relation (pairs ∘ pairs)
-    * doubles the horizon each round. The right algorithm when the
-    * graph has LONG CHAINS — a frontier walk pays one full
-    * scheduling round (a cluster-wide barrier) per hop, so a
-    * 1000-hop chain costs 1000 barriers where doubling costs 10.
-    * The tradeoff is work: squaring can rediscover a pair in
-    * several decompositions where semi-naive's anti-join discovers
-    * each once — right for closures whose pair set is near-linear
-    * (chains, trees, bounded-fanout hierarchies), measured wrong
-    * for dense orbits. Callers needing MIN-HOP counts stay on
-    * [[reachablePlus]]: doubling computes reachability, not
-    * shortest paths. Pair set localCheckpoints each round (the
-    * fixpoint lineage discipline used everywhere here); superseded
+    * doubles the horizon each round.
+    *
+    * This is the classic WORK-vs-DEPTH tradeoff, and the engine's
+    * measurements put real numbers on it ([[graft.tools.ClosureProbe]],
+    * the capped-heap repro distilled from the sf1 rehearsal's OOM):
+    * the frontier walk discovers each pair ONCE (work = O(closure),
+    * memory = frontier-bounded) but pays one cluster barrier per
+    * hop; squaring rediscovers a pair once per path DECOMPOSITION —
+    * Θ(L³) join intermediates per L-hop chain segment — so on the
+    * ~45-hop-chain relation graph doubling wins at toy scale where
+    * barriers dominate (10.0 s vs 36.3 s at sf0.1) and LOSES at
+    * capped-heap scale where work and memory dominate (OOM at 3 GB
+    * vs the frontier's 80.3 s at sf1). Use doubling for interactive
+    * queries over pair sets small enough to square; STORED-artifact
+    * builds and capped-heap jobs use [[reachablePlus]] — which is
+    * also the only choice when MIN-HOP counts are needed (doubling
+    * computes reachability, not shortest paths). Pair set
+    * localCheckpoints serialized+spillable each round; superseded
     * rounds' blocks are freed eagerly. */
   def reachablePlusDoubling(edges: DataFrame): DataFrame = {
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
-    var pairs = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+    // SERIALIZED + spillable checkpoints: a round holds two pair-set
+    // states plus the squaring join's intermediates; deserialized
+    // row caches tripled the resident size and OOM'd a capped heap
+    // at 10× scale (caught by the sf1 rehearsal)
+    def chk(df: DataFrame): DataFrame = df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var pairs = chk(edges.select(col("src"), col("dst")).distinct())
     var n = pairs.count()
     var done = false
     while (!done) {
       val stepped = pairs.as("l")
         .join(pairs.as("r"), col("l.dst") === col("r.src"))
         .select(col("l.src").as("src"), col("r.dst").as("dst"))
-      val next = pairs.union(stepped).distinct().localCheckpoint()
+      val next = chk(pairs.union(stepped).distinct())
       val m = next.count()
       if (m == n) {
         // fixpoint: doubling the horizon found nothing new

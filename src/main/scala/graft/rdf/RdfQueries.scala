@@ -468,12 +468,17 @@ object RdfQueries {
     * doubling-fixture family): the first `p+`/`p*` query pays the
     * path-doubling walk once; every later rep reads the artifact. */
   private def relationClosure(s: SparkSession, d: String): DataFrame =
-    graft.SnapshotMemo.getOrCompute(s, s"relation-closure:$d")(
-      chkSer(RdfOps.reachablePlusDoubling(
-        tri(s, d).filter(col("predicate") === DctermsRelation &&
-            col("obj_kind") === "iri")
-          .select(col("subject").as("src"),
-            col("obj_value").as("dst")))))
+    graft.SnapshotMemo.getOrCompute(s, s"relation-closure:$d") {
+      // the FRONTIER walk, not path doubling: a stored-artifact
+      // build must survive a capped heap at any scale, and the
+      // squaring walk's chain intermediates are cubic (measured OOM
+      // at 10×/3 GB vs the frontier's clean 80 s — ClosureProbe)
+      val e = tri(s, d).filter(col("predicate") === DctermsRelation &&
+          col("obj_kind") === "iri")
+        .select(col("subject").as("src"), col("obj_value").as("dst"))
+      chkSer(RdfOps.reachablePlus(e, e.select(col("src")).distinct())
+        .select(col("src"), col("dst")))
+    }
 
   /** [[SparqlSelect.ClosureProvider]] backed by [[relationClosure]]:
     * serves exactly the single-predicate `dcterms:relation` closure;

@@ -1396,22 +1396,24 @@ object SparqlSelect {
           "SPARQL: `p+` requires variables at both ends")
       }
       val edges = closureEdges(pat)
-      // the binding set seeds from EVERY edge source and needs no hop
-      // counts → PATH DOUBLING (O(log diameter) rounds; the frontier
-      // walk pays one scheduling barrier per hop, which on a chain-
-      // diameter graph dominated this query's cost 10× — measured in
-      // the sf1 rehearsal)
       closurePairs(pat, edges)
         .select(col("src").as(sv), col("dst").as(ov))
     }
 
     /** The pair closure of a closure step: the STORED artifact when
       * the provider serves this predicate set (graph-unscoped steps
-      * only), the path-doubling walk otherwise. */
+      * only — the production path for hot predicates), else the
+      * work-optimal memory-bounded frontier walk. The path-doubling
+      * alternative ([[RdfOps.reachablePlusDoubling]]) is faster at
+      * toy scale but its squaring intermediates OOM a capped heap at
+      * 10× (measured — see its scaladoc); an engine default must
+      * survive scale, so the live fallback walks the frontier. */
     def closurePairs(pat: Pattern, edges: DataFrame): DataFrame =
       (if (pat.graphCtx.isEmpty) closureOf(pat.preds) else None)
         .map(_.select(col("src"), col("dst")))
-        .getOrElse(RdfOps.reachablePlusDoubling(edges))
+        .getOrElse(RdfOps.reachablePlus(edges,
+          edges.select(col("src")).distinct())
+          .select(col("src"), col("dst")))
 
     /** `p*` — the closure PLUS the zero-length paths. Engine-
       * documented narrowing of SPARQL's zero-length rule: self rows
