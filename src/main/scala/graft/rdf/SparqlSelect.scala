@@ -385,14 +385,25 @@ object SparqlSelect {
       varsOf(p).foreach(v => require(bodyVars.contains(v),
         s"SPARQL: template var ?$v is not bound in WHERE"))
     }
-    val objBound = (g.required ++ g.optionals.flatten).flatMap(_.o match {
-      case V(n) => Seq(n)
-      case _ => Nil
-    }).toSet
+    val objBoundCounts = (g.required ++ g.optionals.flatten)
+      .flatMap(_.o match {
+        case V(n) => Seq(n)
+        case _ => Nil
+      }).groupBy(identity).view.mapValues(_.size).toMap
     tmpl.flatMap(_.o match {
       case V(n) => Seq(n)
       case _ => Nil
-    }).filter(objBound.contains).toSet
+    }).filter(objBoundCounts.contains).map { n =>
+      // a template object var bound as OBJECT by several patterns
+      // would put the threaded metadata columns into the join keys
+      // with null-unsafe equality (silently dropping null-lang
+      // solutions) — reject loudly instead of emitting wrong terms
+      require(objBoundCounts(n) == 1,
+        s"SPARQL: template object var ?$n is object-bound by " +
+          s"${objBoundCounts(n)} patterns — metadata threading " +
+          "requires a single binding pattern")
+      n
+    }.toSet
   }
 
   /** Instantiate template patterns from a solution table into the

@@ -78,5 +78,11 @@ class SparqlUpdateSpec extends AnyFunSuite {
     // path in a DELETE WHERE pattern
     assertThrows[IllegalArgumentException](SparqlSelect.update(t,
       "DELETE WHERE { ?s dcterms:relation+ ?o . }"))
+    // template object var object-bound by MULTIPLE body patterns:
+    // metadata threading would be ambiguous — rejected loudly
+    assertThrows[IllegalArgumentException](SparqlSelect.update(t,
+      """DELETE { ?s dcterms:title ?v . }
+        |WHERE { ?s dcterms:title ?v . ?x dcterms:identifier ?v . }"""
+        .stripMargin))
   }
 }
