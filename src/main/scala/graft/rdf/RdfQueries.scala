@@ -196,6 +196,8 @@ object RdfQueries {
     // entity smushing: the post-enrichment consolidation of the
     // reference's sameAs output (O14's key rule IS the identity)
     "rdf_smush_entities" -> ((s, d) => smushEntities(s, d)),
+    "rdf_sparql_exists" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlExistsQuery)),
     "rdf_sparql_path_star" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathStarQuery,
         relClosureProvider(s, d))),
@@ -380,6 +382,18 @@ object RdfQueries {
   val sparqlPathOptQuery: String =
     """SELECT ?src ?dst
       |WHERE { ?src dcterms:relation? ?dst . }""".stripMargin
+
+  /** FILTER NOT EXISTS (anti-join on shared vars) + an OPTIONAL
+    * block with its OWN filter (constrains the optional side before
+    * the left join — a failing filter unbinds, never drops the
+    * outer row). */
+  val sparqlExistsQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?title ?size
+      |WHERE { ?item dcterms:title ?title .
+      |        FILTER NOT EXISTS { ?item o:resource_template ?tpl . }
+      |        OPTIONAL { ?item def:size ?size . FILTER(?size >= 30) } }"""
+      .stripMargin
 
   /** GRAPH block with a graph VARIABLE — per-named-graph title
     * census over the multi-graph store ([[multiGraph]]). */
@@ -1925,6 +1939,19 @@ object RdfQueries {
          |  AND t.obj_value = '$CeoRijksmonument'
          |  AND NOT EXISTS (SELECT 1 FROM triples x
          |    WHERE x.subject = t.subject
+         |      AND x.predicate = '$OmekaResourceTemplate')""".stripMargin,
+
+    "rdf_sparql_exists" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT d.subject AS item, d.obj_value AS title,
+         |  CAST(z.obj_value AS INT) AS size
+         |FROM triples d
+         |LEFT JOIN triples z ON z.subject = d.subject
+         |  AND z.predicate = 'http://ex.org/def#size'
+         |  AND TRY_CAST(z.obj_value AS INT) >= 30
+         |WHERE d.predicate = '$DctermsTitle'
+         |  AND NOT EXISTS (SELECT 1 FROM triples x
+         |    WHERE x.subject = d.subject
          |      AND x.predicate = '$OmekaResourceTemplate')""".stripMargin,
 
     // the (monument -> item) mapping replayed: RM-prefix-normalized

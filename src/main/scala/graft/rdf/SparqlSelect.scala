@@ -40,8 +40,9 @@ import Vocab.RdfType
   *   path     := step ('/' step)*
   *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' )
   *               ('+'|'*'|'?')?
-  *   optional := OPTIONAL { triples }
+  *   optional := OPTIONAL { triples filter* }
   *   filter   := FILTER ( cond (&& cond)* )
+  *             | FILTER NOT? EXISTS { triples }
   *   cond     := ?var op (integer | "string")
   *             | REGEX(?var, "pattern") | CONTAINS(?var, "s")
   *             | LANGMATCHES(LANG(?var), "tag")
@@ -205,7 +206,15 @@ object SparqlSelect {
   final case class Group(required: Seq[Pattern],
       optionals: Seq[Seq[Pattern]], filters: Seq[FilterExpr],
       values: Seq[ValuesClause] = Nil, binds: Seq[Bind] = Nil,
-      subs: Seq[Query] = Nil, minuses: Seq[Seq[Pattern]] = Nil)
+      subs: Seq[Query] = Nil, minuses: Seq[Seq[Pattern]] = Nil,
+      optFilters: Seq[Seq[FilterExpr]] = Nil,
+      exists: Seq[(Boolean, Seq[Pattern])] = Nil) {
+    /** Per-optional filter lists, padded — `optFilters` may be
+      * shorter when no OPTIONAL carried a FILTER. */
+    def optFiltersPadded: Seq[Seq[FilterExpr]] =
+      optionals.indices.map(i =>
+        if (i < optFilters.size) optFilters(i) else Nil)
+  }
 
   final case class Query(
       selectItems: Seq[Either[String, Agg]], // empty = SELECT *
@@ -720,13 +729,28 @@ object SparqlSelect {
       val bnds = Seq.newBuilder[Bind]
       val subs = Seq.newBuilder[Query]
       val mins = Seq.newBuilder[Seq[Pattern]]
+      val ofils = Seq.newBuilder[Seq[FilterExpr]]
+      val exis = Seq.newBuilder[(Boolean, Seq[Pattern])]
       while (peek != "}") {
         if (kw("OPTIONAL")) {
           require(allowOptional,
             "SPARQL: OPTIONAL inside a UNION branch is not supported")
           next(); expect("{")
-          opts += triples()
+          val ps = Seq.newBuilder[Pattern]
+          val fs = Seq.newBuilder[FilterExpr]
+          while (peek != "}") {
+            if (kw("FILTER")) {
+              next(); expect("(")
+              fs += cond()
+              while (peek == "&&") { next(); fs += cond() }
+              expect(")")
+            } else ps ++= triples()
+          }
           expect("}")
+          val block = ps.result()
+          require(block.nonEmpty, "SPARQL: empty OPTIONAL block")
+          opts += block
+          ofils += fs.result()
         } else if (kw("MINUS")) {
           next(); expect("{")
           mins += triples()
@@ -744,10 +768,26 @@ object SparqlSelect {
           expect("}")
           req ++= ps.result().map(_.copy(graphCtx = Some(gt)))
         } else if (kw("FILTER")) {
-          next(); expect("(")
-          fils += cond()
-          while (peek == "&&") { next(); fils += cond() }
-          expect(")")
+          next()
+          // `FILTER EXISTS { p }` / `FILTER NOT EXISTS { p }` — no
+          // parens in the SPARQL grammar for these forms
+          val neg = kw("NOT")
+          if (neg) next()
+          if (kw("EXISTS")) {
+            next(); expect("{")
+            val ps = Seq.newBuilder[Pattern]
+            while (peek != "}") ps ++= triples()
+            expect("}")
+            val block = ps.result()
+            require(block.nonEmpty, "SPARQL: empty EXISTS block")
+            exis += ((!neg, block))
+          } else {
+            require(!neg, "SPARQL: expected EXISTS after FILTER NOT")
+            expect("(")
+            fils += cond()
+            while (peek == "&&") { next(); fils += cond() }
+            expect(")")
+          }
         } else if (kw("VALUES")) {
           next()
           vals += valuesClause()
@@ -763,7 +803,8 @@ object SparqlSelect {
         } else req ++= triples()
       }
       val g = Group(req.result(), opts.result(), fils.result(),
-        vals.result(), bnds.result(), subs.result(), mins.result())
+        vals.result(), bnds.result(), subs.result(), mins.result(),
+        ofils.result(), exis.result())
       require(g.required.nonEmpty || g.subs.nonEmpty,
         "SPARQL: empty WHERE group")
       g
@@ -1058,6 +1099,18 @@ object SparqlSelect {
         require(g.required.flatMap(varsOf).contains(vc.v),
           s"SPARQL: VALUES ?${vc.v} must be bound by a required pattern")
       }
+      // OPTIONAL-block filters constrain the optional side BEFORE
+      // the left join; their vars must be block-bound
+      g.optionals.zip(g.optFiltersPadded).foreach { case (ps, fs) =>
+        fs.foreach {
+          case _: LangCond => throw new IllegalArgumentException(
+            "SPARQL: LANGMATCHES inside OPTIONAL is not supported")
+          case f =>
+            require(ps.flatMap(varsOf).contains(f.v),
+              s"SPARQL: OPTIONAL filter var ?${f.v} is not bound in " +
+                "its block")
+        }
+      }
     }
     val bindVars = q.groups.flatMap(_.binds.map(_.as)).distinct
     val allVars = patVars ++ bindVars
@@ -1108,6 +1161,7 @@ object SparqlSelect {
         })
         val starShaped = !aggMode && g.values.isEmpty &&
           g.binds.isEmpty && g.subs.isEmpty && g.minuses.isEmpty &&
+          g.exists.isEmpty && g.optFilters.forall(_.isEmpty) &&
           subjVar.exists { sv =>
           gPats.forall(p => !p.closed && p.preds.size == 1 &&
             p.graphCtx.isEmpty &&
@@ -1168,7 +1222,7 @@ object SparqlSelect {
     * pivot aggregate / scan projection, so the compiled plan matches
     * the hand-built star's `min(when(..., obj.cast("int")))`). */
   private def numericVars(q: Query): Set[String] =
-    q.groups.flatMap(_.filters).collect {
+    q.groups.flatMap(g => g.filters ++ g.optFilters.flatten).collect {
       case Cond(v, _, Left(_)) => v
     }.toSet ++
       (q.selectItems.collect { case Right(a) => a } ++ q.having.map(_._1))
@@ -1520,9 +1574,17 @@ object SparqlSelect {
         .select(col("subject").as(v)).distinct()
       acc.join(broadcast(dim), Seq(v), "left_semi")
     }
-    val withOpts = g.optionals.foldLeft(withSemis) { (acc, grp) =>
-      joinInto(acc, grp.map(scan).reduceLeft(joinInto(_, _, "inner")), "left")
-    }
+    val withOpts = g.optionals.zip(g.optFiltersPadded)
+      .foldLeft(withSemis) { case (acc, (grp, fs)) =>
+        // an OPTIONAL block's own FILTERs constrain the optional
+        // side BEFORE the left join (SPARQL's inner-scope rule: a
+        // failing filter unbinds the optional, it doesn't drop the
+        // outer row)
+        val side = grp.map(scan).reduceLeft(joinInto(_, _, "inner"))
+        val filtered = fs.foldLeft(side)((df, c) =>
+          df.filter(condCol(c, col(c.v))))
+        joinInto(acc, filtered, "left")
+      }
     // MINUS removes solutions compatible with a minus-group solution
     // on the SHARED variables — a left-anti join on the common
     // columns; with no shared variables SPARQL's MINUS removes
@@ -1533,11 +1595,28 @@ object SparqlSelect {
       if (common.isEmpty) acc
       else acc.join(m.select(common.map(col): _*), common, "left_anti")
     }
+    // FILTER EXISTS = a semi-join on the shared variables, FILTER
+    // NOT EXISTS = the anti-join; with NO shared variables the
+    // correlation is global — the block's (non-)emptiness gates
+    // every row via a broadcast 1-row flag (contrast MINUS, whose
+    // disjoint-domain rule makes the same case a no-op)
+    val withExists = g.exists.foldLeft(withMinus) {
+      case (acc, (positive, grp)) =>
+        val e = grp.map(scan).reduceLeft(joinInto(_, _, "inner"))
+        val common = acc.columns.intersect(e.columns).toSeq
+        if (common.isEmpty) {
+          val flag = e.limit(1).agg((count(lit(1)) > 0).as("_any"))
+          acc.crossJoin(broadcast(flag))
+            .filter(if (positive) col("_any") else !col("_any"))
+            .drop("_any")
+        } else acc.join(e.select(common.map(col): _*), common,
+          if (positive) "left_semi" else "left_anti")
+    }
     // BINDs are pure scalar projections (zero exchanges added);
     // filters run after them so a FILTER may reference a BIND target —
     // the optimizer substitutes the defining expression and pushes the
     // predicate into the scan (the bindStrFuns discipline)
-    val withBinds = g.binds.foldLeft(withMinus)((df, b) =>
+    val withBinds = g.binds.foldLeft(withExists)((df, b) =>
       df.withColumn(b.as, bindCol(b.expr)))
     g.filters.filterNot(_.isInstanceOf[LangCond])
       .foldLeft(withBinds)((df, c) => df.filter(condCol(c, col(c.v))))
@@ -1573,7 +1652,8 @@ object SparqlSelect {
     val mergeable =
       gs.forall(g => g.required.size == 1 && g.filters.isEmpty &&
         g.optionals.isEmpty && g.values.isEmpty && g.binds.isEmpty &&
-        g.subs.isEmpty && g.minuses.isEmpty && !g.required.head.closed &&
+        g.subs.isEmpty && g.minuses.isEmpty && g.exists.isEmpty &&
+        !g.required.head.closed &&
         g.required.head.predVar.isEmpty &&
         g.required.head.graphCtx.isEmpty) && {
         val ps = gs.map(_.required.head)

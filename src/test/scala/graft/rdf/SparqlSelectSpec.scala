@@ -637,6 +637,55 @@ class SparqlSelectSpec extends AnyFunSuite {
     })
   }
 
+  test("36: FILTER (NOT) EXISTS — semi/anti on shared vars; with no " +
+      "shared vars the block's emptiness gates globally (unlike " +
+      "MINUS's disjoint no-op)") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlExistsQuery)
+    val titles = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject").as("item"), col("obj_value").as("title"))
+    val tpl = t.filter(col("predicate") === OmekaResourceTemplate)
+      .select(col("subject").as("item")).distinct()
+    val size = t.filter(col("predicate") === "http://ex.org/def#size")
+      .select(col("subject").as("item"),
+        col("obj_value").cast("int").as("size"))
+      .filter(col("size") >= 30)
+    val hand = titles.join(tpl, Seq("item"), "left_anti")
+      .join(size, Seq("item"), "left")
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+    // the OPTIONAL's filter UNBINDS (null size), never drops rows:
+    // every anti-surviving title row is present
+    assert(compiled.count() === titles.join(tpl, Seq("item"),
+      "left_anti").count())
+    // uncorrelated EXISTS gates globally
+    val gatedOut = SparqlSelect(t,
+      """SELECT ?s ?t WHERE { ?s dcterms:title ?t .
+        |FILTER EXISTS { ?x dcterms:identifier "no-such-id-xyz" . } }"""
+        .stripMargin)
+    assert(gatedOut.count() === 0)
+    val gatedIn = SparqlSelect(t,
+      """SELECT ?s ?t WHERE { ?s dcterms:title ?t .
+        |FILTER NOT EXISTS { ?x dcterms:identifier "no-such-id-xyz" . } }"""
+        .stripMargin)
+    assert(gatedIn.count() === titles.count())
+  }
+
+  test("37: positive FILTER EXISTS == the membership semi-join") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?item ?title
+        |WHERE { ?item dcterms:title ?title .
+        |        FILTER EXISTS { ?item a ceo:Rijksmonument . } }"""
+        .stripMargin)
+    val typed = t.filter(col("predicate") === RdfType &&
+        col("obj_value") === CeoRijksmonument)
+      .select(col("subject").as("item")).distinct()
+    val hand = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject").as("item"), col("obj_value").as("title"))
+      .join(typed, Seq("item"), "left_semi")
+    assert(compiled.collect().map(_.toSeq).toSet ===
+      hand.collect().map(_.toSeq).toSet && compiled.count() > 0)
+  }
+
   test("25: VALUES/BIND misuse is rejected with a diagnostic") {
     // VALUES var not bound by any required pattern
     assertThrows[IllegalArgumentException](SparqlSelect(t,
