@@ -266,13 +266,15 @@ object SparqlSelect {
     * DESCRIBE semi-joins the store on the matched subject set
     * (hint-free — AQE broadcasts a selective match, an unselective
     * one falls back to a subject-keyed shuffle). */
-  def queryForm(triples: DataFrame, text: String): DataFrame =
+  def queryForm(triples: DataFrame, text: String,
+      closureOf: ClosureProvider = NoClosure): DataFrame =
     parseForm(text) match {
-      case PSelect(q) => compile(triples, q)
-      case PAsk(q) => compileAsk(triples, q)
-      case PConstruct(tm, q) => compileConstruct(triples, tm, q)
+      case PSelect(q) => compile(triples, q, closureOf)
+      case PAsk(q) => compileAsk(triples, q, closureOf)
+      case PConstruct(tm, q) =>
+        compileConstruct(triples, tm, q, closureOf)
       case PDescribeIri(iri) => triples.filter(col("subject") === iri)
-      case PDescribeVar(v, q) => compileDescribe(triples, v, q)
+      case PDescribeVar(v, q) => compileDescribe(triples, v, q, closureOf)
     }
 
   // ---- SPARQL UPDATE (the rdflib graph.update() surface) ----
@@ -307,7 +309,8 @@ object SparqlSelect {
     * relation); WHERE-driven deletes instantiate from the solution
     * table and anti-join the store on its natural key — one
     * shuffle, the O18 shape. */
-  def update(t: DataFrame, text: String): DataFrame =
+  def update(t: DataFrame, text: String,
+      closureOf: ClosureProvider = NoClosure): DataFrame =
     parseUpdate(text) match {
       case UInsertData(rows) =>
         t.unionByName(constRows(t, rows)).dropDuplicates()
@@ -315,7 +318,8 @@ object SparqlSelect {
         antiTriples(t, broadcast(constRows(t, rows)))
       case UModify(del, ins, q) =>
         val g = q.groups.head
-        val sol = joinsGroup(t, q, g, templateMetaVars(del ++ ins, g))
+        val sol = joinsGroup(t, q, g, templateMetaVars(del ++ ins, g),
+          closureOf)
         val afterDel =
           if (del.isEmpty) t
           else antiTriples(t, instantiate(sol, del, g))
@@ -358,12 +362,15 @@ object SparqlSelect {
       "obj_value", "obj_kind", "obj_lang", "obj_datatype")
   }
 
-  private def compileAsk(t: DataFrame, q: Query): DataFrame =
-    compile(t, q).limit(1).agg((count(lit(1)) > 0).as("ask"))
+  private def compileAsk(t: DataFrame, q: Query,
+      closureOf: ClosureProvider = NoClosure): DataFrame =
+    compile(t, q, closureOf).limit(1)
+      .agg((count(lit(1)) > 0).as("ask"))
 
-  private def compileDescribe(t: DataFrame, v: String,
-      q: Query): DataFrame = {
-    val matched = compile(t, q).select(col(v).as("subject")).distinct()
+  private def compileDescribe(t: DataFrame, v: String, q: Query,
+      closureOf: ClosureProvider = NoClosure): DataFrame = {
+    val matched = compile(t, q, closureOf)
+      .select(col(v).as("subject")).distinct()
     t.join(matched, Seq("subject"), "left_semi")
   }
 
@@ -376,9 +383,9 @@ object SparqlSelect {
     * binding triple's kind/lang/datatype (threaded hidden columns);
     * vars bound only as subjects are IRIs by the data model. */
   private def compileConstruct(t: DataFrame, tmpl: Seq[Pattern],
-      q: Query): DataFrame = {
+      q: Query, closureOf: ClosureProvider = NoClosure): DataFrame = {
     val g = q.groups.head
-    val sol = joinsGroup(t, q, g, templateMetaVars(tmpl, g))
+    val sol = joinsGroup(t, q, g, templateMetaVars(tmpl, g), closureOf)
     instantiate(sol, tmpl, g).dropDuplicates()
   }
 
