@@ -100,6 +100,8 @@ object LlmQueries {
     "mm_png16_levels" -> png16Levels,
     "mm_png_adam7_levels" -> pngAdam7Levels,
     "mm_jpeg_luma" -> jpegLumaLevels,
+    "mm_dhash" -> dhashFingerprints,
+    "mm_image_neardup" -> imageNearDup,
     "mm_mp3_meta" -> mp3Meta,
     "mm_h264_sps" -> h264Sps,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
@@ -3119,6 +3121,106 @@ object LlmQueries {
         max(col("m.height").cast("bigint")).as("max_h"))
   }
 
+  /** The dHash pixel formula, shared by the Spark fixture builder
+    * and the oracle replay: a base image per `b0 = doc_id % 12`
+    * (dims and gradient derive from the base), a sparse variant
+    * perturbation per `v0 = (doc_id div 12) % 4` (~5% of pixels
+    * shifted by v0·60), and ONE per-document pixel poke in row 0 —
+    * so the attachment corpus contains exact-duplicate images,
+    * near-duplicates at small Hamming distance (same base, same or
+    * close variant), and far images (different bases) — the
+    * three-tier structure a perceptual-dedup lane must separate. */
+  private def dhashPixel(docIdMod5: String): String =
+    "(b0 * 17 + x * 31 + y * 13 " +
+      "+ (CASE WHEN (x * 7 + y * 11) % 19 = 0 THEN v0 * 60 ELSE 0 END) " +
+      s"+ (CASE WHEN y = 0 AND x = $docIdMod5 THEN 97 ELSE 0 END)) % 256"
+
+  /** Shared fingerprint frame for the dHash lane: the
+    * attachment-bearing subset (doc_id % 23 = 0 — media rows are a
+    * sparse sidecar of a text corpus, and the fixture build is the
+    * per-row cost cap), PNG-gray fixture construct → REAL decode →
+    * [[graft.functions.DHash64]], all map-side in one codegen stage
+    * next to the scan (no exchange until a consumer groups). */
+  private def dhashFp(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    docs(s, d)
+      .filter(expr("doc_id % 23 = 0"))
+      .select(col("doc_id"),
+        expr("CAST(doc_id % 12 AS INT)").as("b0"),
+        expr("CAST((doc_id div 12) % 4 AS INT)").as("v0"))
+      .withColumn("w0", expr("12 + b0 % 5"))
+      .withColumn("h0", expr("9 + b0 % 4"))
+      .withColumn("hs", expr(ImageHex.pngGrayFileHex("w0", "h0",
+        dhashPixel("CAST(doc_id % 5 AS INT)"), "div",
+        ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.DHash64(col("payload")))
+      .select(col("doc_id"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.dh_hi").as("dh_hi"),
+        col("m.dh_lo").as("dh_lo"))
+  }
+
+  /** REAL pixel-derived image fingerprints (`mm_dhash`) — the
+    * difference hash of [[graft.multimodal.ImageGrid]] over decoded
+    * luma, per attachment: the feature-extraction step of an image
+    * dedup pipeline, and the closure of the stand-in-feature-vector
+    * stub for the image lane ([[graft.multimodal.Multimodal]]). The
+    * oracle rebuilds the same PNG bytes in DuckDB, reads each gray
+    * sample POSITIONALLY out of the stored-mode hex, and re-derives
+    * the 9×8 cell grid, cross-multiplied mean comparisons, and both
+    * 32-bit halves — a decoder that mis-tiles cells, divides (and
+    * rounds) means, or packs bits in a different order
+    * hash-mismatches. Pure map-side: construct → decode →
+    * fingerprint in one codegen stage; the only exchange is the
+    * driver's ordering of the (small) per-attachment output. */
+  def dhashFingerprints(s: SparkSession, d: String): DataFrame =
+    dhashFp(s, d)
+
+  /** Image NEAR-DUP pairs by banded Hamming search
+    * (`mm_image_neardup`) — the perceptual-dedup operator itself:
+    * split each 64-bit dHash into four 16-bit bands, bucket-join on
+    * (band index, band value), verify candidates with exact
+    * `bit_count(xor)` Hamming distance ≤ 3. By pigeonhole, any pair
+    * within distance 3 has at least one of the four bands untouched
+    * (Manku, Jain & Sarma, WWW 2007, §3 — the classic exact
+    * block-permutation search), so the banded candidate set provably
+    * CONTAINS every true pair and the oracle can state ground truth
+    * as a tiny all-pairs scan at verification scale while the engine
+    * never goes all-pairs at any scale: the self-join touches only
+    * same-band buckets, whose size is bounded by duplicate-cluster
+    * size (the same boundedness argument as the MinHash lane; a
+    * pathological mono-image corpus would cap buckets with the
+    * salt discipline of [[DedupIndex]]). Distinct-before-distance
+    * dedups multi-band collisions so the verify cost is once per
+    * candidate pair. */
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val fp = dhashFp(s, d)
+    val bands = fp.select(col("doc_id"), col("dh_hi"), col("dh_lo"),
+      posexplode(array(
+        col("dh_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("dh_hi"), 16),
+        col("dh_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("dh_lo"), 16))))
+      .withColumnRenamed("pos", "band_i")
+      .withColumnRenamed("col", "band_v")
+    val l = bands.select(col("band_i"), col("band_v"),
+      col("doc_id").as("a_id"), col("dh_hi").as("a_hi"),
+      col("dh_lo").as("a_lo"))
+    val r = bands.select(col("band_i"), col("band_v"),
+      col("doc_id").as("b_id"), col("dh_hi").as("b_hi"),
+      col("dh_lo").as("b_lo"))
+    l.join(r, Seq("band_i", "band_v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_hi"), col("a_lo"),
+        col("b_hi"), col("b_lo"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo) " +
+          "AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** REAL video container metadata — the MP4 box-walk sibling of
     * [[imageDims]]/[[audioMeta]], closing the last multimodal
     * metadata stub: build genuine minimal MP4 files per document
@@ -3523,6 +3625,55 @@ object LlmQueries {
        |     CAST(ip AS HUGEINT) * ip * 1000000 >
        |     CAST($semDedupT2 AS HUGEINT) * na2 * nb2) AS sem_dup
        |  FROM sem)""".stripMargin
+
+  /** The dHash lane's shared replay CTE chain (`WITH … fp`): rebuild
+    * the PNG hex per attachment, read gray samples positionally,
+    * re-derive cells → comparison bits → packed 32-bit halves. Both
+    * `mm_dhash` and `mm_image_neardup` select from its final `fp`. */
+  private lazy val dhashOracleCte: String = {
+    import graft.multimodal.ImageHex._
+    val pixel = dhashPixel("doc_id % 5")
+    val pv = byteAt("hs", s"$PngRawPos + 2 * (y * (1 + w0) + 1 + x)",
+      "strpos")
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(doc_id % 12 AS INT) AS b0,
+       |    CAST((doc_id // 12) % 4 AS INT) AS v0
+       |  FROM documents WHERE doc_id % 23 = 0),
+       |dm AS (SELECT doc_id, b0, v0,
+       |    CAST(12 + b0 % 5 AS INT) AS w0,
+       |    CAST(9 + b0 % 4 AS INT) AS h0
+       |  FROM t),
+       |bl AS (SELECT doc_id, w0, h0,
+       |    hex(from_hex(${pngGrayFileHex("w0", "h0", pixel, "//",
+              seqJoinDuck)})) AS hs
+       |  FROM dm),
+       |px0 AS (SELECT doc_id, w0, h0, hs,
+       |    unnest(range(0, CAST(w0 * h0 AS BIGINT))) AS k
+       |  FROM bl),
+       |px AS (SELECT doc_id, w0, h0,
+       |    CAST(k % w0 AS INT) AS x, CAST(k // w0 AS INT) AS y,
+       |    $pv AS pv
+       |  FROM px0),
+       |cells AS (SELECT doc_id, w0, h0,
+       |    (9 * x) // w0 AS i, (8 * y) // h0 AS j,
+       |    SUM(pv) AS s, COUNT(*) AS c
+       |  FROM px GROUP BY 1, 2, 3, 4, 5),
+       |bits AS (SELECT l.doc_id, l.w0, l.h0, l.j, l.i,
+       |    CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells r
+       |    ON l.doc_id = r.doc_id AND l.j = r.j AND r.i = l.i + 1
+       |  WHERE l.i < 8),
+       |fp AS (SELECT doc_id,
+       |    CAST(MAX(w0) AS INT) AS width,
+       |    CAST(MAX(h0) AS INT) AS height,
+       |    CAST(SUM(CASE WHEN j < 4
+       |      THEN bit * (CAST(1 AS BIGINT) << CAST(j * 8 + i AS INT))
+       |      ELSE 0 END) AS BIGINT) AS dh_hi,
+       |    CAST(SUM(CASE WHEN j >= 4
+       |      THEN bit * (CAST(1 AS BIGINT) << CAST((j - 4) * 8 + i AS INT))
+       |      ELSE 0 END) AS BIGINT) AS dh_lo
+       |  FROM bits GROUP BY 1)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // Golden-fixture oracle (see compressRatio's doc): DuckDB cannot
@@ -4921,6 +5072,29 @@ object LlmQueries {
          |  CAST(MAX(h0) AS BIGINT) AS max_h
          |FROM g GROUP BY 1""".stripMargin
     },
+
+    // dHash replay: rebuild the gray PNG hex, read each sample
+    // positionally, re-derive the 9×8 cell partition (i = 9x//w,
+    // j = 8y//h), the cross-multiplied mean comparisons, and the
+    // split bit-pack — the full fingerprint arithmetic, independent
+    // of the engine's decoder.
+    "mm_dhash" ->
+      (dhashOracleCte + "\nSELECT doc_id, width, height, dh_hi, " +
+        "dh_lo FROM fp"),
+
+    // Ground truth for the banded search: ALL pairs within Hamming
+    // distance 3 — equal to the engine's banded candidate set by the
+    // pigeonhole argument (4 bands, ≤3 flipped bits leave one band
+    // identical), stated as a tiny all-pairs scan at oracle scale.
+    "mm_image_neardup" ->
+      (dhashOracleCte + """,
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+         |      + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT)
+         |      AS hamming
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM pairs
+         |WHERE hamming <= 3""".stripMargin),
 
     "mm_png_gray_levels" -> {
       import graft.multimodal.ImageHex._

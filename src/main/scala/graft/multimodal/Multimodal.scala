@@ -178,10 +178,14 @@ object Multimodal {
       .withColumn("resize_needed",
         col("out_w") =!= col("width") || col("out_h") =!= col("height"))
 
-  /** Deterministic stub feature vector (stands in for an embedding
-    * model): 4 scaled moments of the payload bytes. Fixed-width
-    * output → `ArrayType(FloatType)`, compatible with the similarity
-    * operators in [[graft.llm.LlmQueries]]. */
+  /** Deterministic stub feature vector (stands in for a LEARNED
+    * embedding model): 4 scaled moments of the payload bytes.
+    * Fixed-width output → `ArrayType(FloatType)`, compatible with
+    * the similarity operators in [[graft.llm.LlmQueries]]. Note the
+    * IMAGE lane no longer depends on this stub for dedup features:
+    * [[ImageGrid]] computes a real pixel-derived 64-bit dHash from
+    * decoded luma (`mm_dhash` / `mm_image_neardup`); this stub
+    * remains only where a trained-model embedding would go. */
   def extractFeatures(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
