@@ -92,6 +92,7 @@ object LlmQueries {
     "mm_image_dims" -> imageDims,
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
+    "mm_audio_fp" -> audioFingerprints,
     "mm_image_levels" -> imageLevels,
     "llm_pii_scrub" -> piiScrub,
     "mm_video_meta" -> videoMeta,
@@ -2921,6 +2922,36 @@ object LlmQueries {
         sum(col("m.n_clipped")).as("sum_clipped"))
   }
 
+  /** REAL sample-derived audio fingerprints (`mm_audio_fp`) — the
+    * audio lane's sibling of [[dhashFingerprints]], closing the
+    * stand-in-feature-vector gap for audio: frame-energy delta-sign
+    * bits over decoded PCM ([[graft.multimodal.AudioHeaders
+    * .fingerprint]], the Haitsma–Kalker time-axis shape), packed
+    * ≤32-bit non-negative so downstream Hamming matching is the
+    * same `bit_count(xor)` + banding discipline as the image lane.
+    * The oracle replays every sample positionally out of the built
+    * hex, re-frames, re-energizes, and re-packs — a fingerprinter
+    * that mis-frames, drops the sign reinterpretation, or packs
+    * big-endian hash-mismatches. Pure map-side: construct → decode →
+    * fingerprint in one codegen stage. */
+  def audioFingerprints(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 16000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 5 AS INT) + 1)").as("rate0"),
+        // 2..37 complete mono frames — covers the <32-bit and the
+        // saturated-pack (>33 frames) regimes
+        expr("4 * (doc_id % 36 + 2)").as("nv0"))
+      .withColumn("hs", expr(
+        s"concat(${AudioHex.wavHex("rate0", "1", "nv0 * 2", "div")}, " +
+          s"${AudioHex.pcmPayloadHexSpark("nv0", AudioHex.SampleExpr)})"))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.AudioFp(col("payload")))
+      .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+        col("m.n_frames").as("n_frames"), col("m.fp").as("fp"))
+  }
+
   /** REAL pixel-PAYLOAD decode for the codec-free image format —
     * [[audioLevels]]' image sibling, narrowing the multimodal stub
     * to entropy-coded payloads only: build complete 24-bit BI_RGB
@@ -4884,6 +4915,44 @@ object LlmQueries {
          |  CAST(MAX(pk) AS BIGINT) AS max_peak,
          |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
          |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // fingerprint replay: positional s16le sample walk → 4-value
+    // frames → integer energies → delta-sign bits → LE bit-pack,
+    // independent of the engine's fingerprinter
+    "mm_audio_fp" -> {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 16000, 22050, 44100, 48000],
+         |      CAST(doc_id % 5 AS INT) + 1) AS rate0,
+         |    4 * (doc_id % 36 + 2) AS nv0
+         |  FROM documents),
+         |b AS (SELECT doc_id, rate0, nv0,
+         |    hex(from_hex(concat(
+         |      ${wavHex("rate0", "1", "nv0 * 2", "//")},
+         |      ${pcmPayloadHexDuck("nv0", SampleExpr)}))) AS hs
+         |  FROM t),
+         |smp AS (SELECT doc_id, rate0, nv0, i,
+         |    ${unhexLEat("hs", s"$PayloadPos + 4 * i", "strpos")} AS u
+         |  FROM (SELECT doc_id, rate0, nv0, hs,
+         |        unnest(range(0, nv0)) AS i FROM b)),
+         |sv AS (SELECT doc_id, rate0, nv0, i,
+         |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |  FROM smp),
+         |fr AS (SELECT doc_id, rate0, nv0, i // 4 AS f,
+         |    SUM(s * s) AS e
+         |  FROM sv GROUP BY 1, 2, 3, 4),
+         |bits AS (SELECT l.doc_id, l.rate0, l.nv0, l.f,
+         |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+         |  FROM fr l JOIN fr r
+         |    ON l.doc_id = r.doc_id AND r.f = l.f + 1
+         |  WHERE l.f < 32)
+         |SELECT doc_id,
+         |  CAST(MAX(rate0) AS INT) AS sample_rate,
+         |  CAST(MAX(nv0) // 4 AS BIGINT) AS n_frames,
+         |  CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(f AS INT)))
+         |    AS BIGINT) AS fp
+         |FROM bits GROUP BY 1""".stripMargin
     },
 
     // positional pixel-walk replay over the same BLOB: x/y/channel

@@ -141,4 +141,68 @@ object AudioHeaders {
     case Some((ch, rate, bits, ns)) => InternalRow(ch, rate, bits, ns)
     case None => null
   }
+
+  /** Energy-delta audio fingerprint over decoded 16-bit PCM — the
+    * audio lane's REAL pixel-derived analog of
+    * [[ImageGrid.dhash64]], the time-axis skeleton of the robust
+    * audio hash of Haitsma & Kalker, "A Highly Robust Audio
+    * Fingerprinting System" (ISMIR 2002): their bit is the SIGN of
+    * an energy DIFFERENCE between adjacent frames (and bands; with
+    * no FFT on the classpath this takes the single-band time-energy
+    * column of their matrix, which is the part that carries
+    * alignment):
+    *
+    *  - frame the PCM values in fours (frame f = values 4f..4f+3,
+    *    interleaved across channels — fingerprints compare only
+    *    like-geometry clips, so interleaving is a fixed permutation
+    *    that cancels out);
+    *  - per-frame energy E_f = Σ s² (exact integer, the same
+    *    arithmetic as [[levels]]);
+    *  - bit f = E_{f+1} > E_f for the first 32 frame boundaries,
+    *    packed little-endian into a non-negative long.
+    *
+    * Energy ORDER, not magnitude, so level scaling (volume) leaves
+    * the fingerprint fixed — the property a fingerprint lane
+    * exploits. Returns (sample_rate, n_frames, fp); None for
+    * non-16-bit-PCM payloads or clips with fewer than two complete
+    * frames (nothing to compare). */
+  def fingerprint(b: Array[Byte]): Option[(Int, Long, Long)] =
+    walkChunks(b).flatMap {
+      case (_, rate, bits, _, dataStart, dataSize) if bits == 16 =>
+        val end = math.min(dataStart + dataSize, b.length.toLong)
+        val nFrames = ((end - dataStart) / 8).toInt
+        if (nFrames < 2) None
+        else {
+          val energy = new Array[Long](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var k = 0; var e = 0L
+            while (k < 4) {
+              val u = u16le(b, (dataStart + 2 * (4 * f + k)).toInt)
+              val s = if (u >= 0x8000) u - 0x10000 else u
+              e += s.toLong * s
+              k += 1
+            }
+            energy(f) = e
+            f += 1
+          }
+          var fp = 0L
+          val nBits = math.min(nFrames - 1, 32)
+          var i = 0
+          while (i < nBits) {
+            if (energy(i + 1) > energy(i)) fp |= 1L << i
+            i += 1
+          }
+          Some((rate, nFrames.toLong, fp))
+        }
+      case _ => None
+    }
+
+  /** [[fingerprint]] as an `InternalRow` for the
+    * [[graft.functions.AudioFp]] codegen path. Null = not 16-bit
+    * PCM, or too short to frame. */
+  def fingerprintRow(b: Array[Byte]): InternalRow = fingerprint(b) match {
+    case Some((rate, nf, fp)) => InternalRow(rate, nf, fp)
+    case None => null
+  }
 }

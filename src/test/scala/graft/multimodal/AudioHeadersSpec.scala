@@ -172,4 +172,30 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(got == Set((1L, 2, 44100, 1000L), (2L, 1, 8000, 37L),
       (3L, -1, -1, -1L)))
   }
+
+  test("fingerprint: energy-delta bits over real encoder output, " +
+    "volume-invariant, refuses short clips") {
+    // 3 frames of 4 values: energies 4·100², 4·200², 4·50²
+    //  → bits: E1>E0 (1), E2>E1 (0) → fp = 1
+    val vals = Seq(100, -100, 100, -100, 200, -200, 200, -200,
+      50, -50, 50, -50)
+    val got = AudioHeaders.fingerprint(encodedWith(16000f, 1, vals))
+    assert(got.contains((16000, 3L, 1L)))
+    // volume scaling preserves energy ORDER → same fingerprint
+    val loud = AudioHeaders.fingerprint(
+      encodedWith(16000f, 1, vals.map(_ * 3)))
+    assert(loud.map(_._3) == got.map(_._3))
+    // monotone ramp across 5 frames → all four bits set
+    val ramp = (0 until 20).map(i => (i / 4 + 1) * 100)
+    assert(AudioHeaders.fingerprint(encodedWith(8000f, 1, ramp))
+      .contains((8000, 5L, 15L)))
+    // one frame → nothing to compare; non-PCM refused
+    assert(AudioHeaders.fingerprint(
+      encodedWith(8000f, 1, Seq(1, 2, 3, 4))).isEmpty)
+    assert(AudioHeaders.fingerprint("nope".getBytes).isEmpty)
+    // the pack never exceeds 32 bits (sign-safe Hamming contract)
+    val long = (0 until 200).map(i => ((i * 37) % 200) - 100)
+    val fp = AudioHeaders.fingerprint(encodedWith(8000f, 1, long)).get
+    assert(fp._2 == 50L && fp._3 >= 0 && fp._3 < (1L << 32))
+  }
 }
