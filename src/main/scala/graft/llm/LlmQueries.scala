@@ -62,6 +62,7 @@ object LlmQueries {
     "llm_passage_dedup" -> passageDedup,
     "llm_term_filter" -> termFilter,
     "llm_distinctive_terms" -> distinctiveTerms,
+    "llm_bm25_topk" -> bm25TopK,
     "llm_kmv_distinct" -> kmvDistinct,
     "llm_kmv_incremental" -> kmvIncremental,
     "llm_novelty" -> novelty,
@@ -1568,6 +1569,107 @@ object LlmQueries {
       .select(col("source"), col("t.id").as("term"),
         col("t.score").as("lift_x1000"),
         (col("p0") + 1).cast("int").as("rank"))
+  }
+
+  // ---------------------------------------------------------------
+  // BM25 ranked retrieval over an inverted index — the text-search
+  // operator of a training-data pipeline (query-relevant corpus
+  // slicing, retrieval-based decontamination, eval-set mining).
+  // Robertson–Spärck Jones BM25 (k1 = 6/5, b = 3/4) with ONE
+  // documented delta for the oracle-exactness rule: the idf LOG is
+  // omitted — idf is the raw smoothed odds (2(N−df)+1)/(2df+1)
+  // (Robertson & Zaragoza 2009 §3.3's RSJ weight without the log),
+  // so every per-term score is an exact rational and the whole
+  // pipeline stays integer:
+  //
+  //   term_x1e6 = floor(1e6 · (2(N−df)+1) · 44·S·tf
+  //                / ((2df+1) · (20·S·tf + 6·S + 18·dl·N)))
+  //
+  // where N = corpus size, S = Σ dl (so avgdl = S/N; the tf-norm
+  // denominator tf + k1(1−b+b·dl/avgdl) was multiplied through by
+  // 20·S, and the numerator tf·(k1+1) = 11tf/5 by the same 20·S).
+  // Doc score = Σ term_x1e6 (integer sum of floors — both engines
+  // floor identically via 128-bit integer division). Widening to
+  // DECIMAL(38,0)/HUGEINT before the cross-products: at 100 TB
+  // (N≈1e9, S≈1e12, tf≈1e4) the numerator reaches ~1e33 — past
+  // Long but comfortably inside 38 digits.
+  //
+  // Scale shape: the (doc_id, term, tf) inverted index is ONE
+  // combine-collapsed aggregate, memoized per snapshot (shared with
+  // any other consumer of postings); dl is a second, smaller agg
+  // over it. The query table is literal and BROADCAST, so postings
+  // are pruned to query terms BEFORE any join; df over the pruned
+  // postings is a few-row broadcast. The only corpus-scale exchanges
+  // are the two aggregates; the final top-k is the bounded-heap
+  // aggregate (O(partitions·k) rows), never a window sort.
+  // ---------------------------------------------------------------
+
+  /** The fixed retrieval query set (id, terms) — literal in both
+    * engines. Multi-term, mixed frequency, one term absent from the
+    * synthetic vocabulary (exercises the no-posting path). */
+  private val bm25QuerySet: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "agg", "spark"),
+    3 -> Seq("slow", "scan", "filter"),
+    4 -> Seq("customer", "order", "line"),
+    5 -> Seq("vector", "stream", "zzzunseen"))
+
+  /** The memoized inverted index: (doc_id, term, tf). */
+  private def postings(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"doc-term-freq:$d") {
+      chkSer(docs(s, d)
+        .select(col("doc_id"), explode(tokenExpr).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    }
+
+  /** Top-10 documents per query by integer-exact BM25
+    * (`llm_bm25_topk`): (query_id, doc_id, rank, score_x1e6), ties
+    * broken by doc_id ascending — the same total order as the
+    * oracle's window replay. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25TopKOf(s, postings(s, d), bm25QuerySet, 10)
+
+  /** [[bm25TopK]]'s core over an explicit (doc_id, term, tf)
+    * posting table and query set (spec surface). */
+  def bm25TopKOf(s: SparkSession, tf: DataFrame,
+      querySet: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    import s.implicits._
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("s_len"))
+    val q = querySet
+      .flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val post = tf.join(broadcast(q), "term")
+    // (doc_id, term) is unique in tf, so df per queried term is a
+    // plain count over the pruned postings of ONE query's copy —
+    // count distinct doc_id guards the shared-term-across-queries
+    // double-count without a second pass
+    val df_ = post.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val termScores = post
+      .join(dl, "doc_id")
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        expr("""CAST((1000000 * (2 * (n_docs - df) + 1)
+                |  * (44 * CAST(s_len AS DECIMAL(38, 0)) * tf))
+                |div ((2 * df + 1)
+                |  * (20 * CAST(s_len AS DECIMAL(38, 0)) * tf
+                |     + 6 * s_len + 18 * dl * n_docs))
+                |AS BIGINT)""".stripMargin).as("term_x1e6"))
+    termScores
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_x1e6")).as("score_x1e6"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByLong.topK(
+        col("score_x1e6"), col("doc_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("query_id").cast("int").as("query_id"),
+        col("x.id").as("doc_id"),
+        (col("p0") + 1).cast("int").as("rank"),
+        col("x.score").as("score_x1e6"))
   }
 
   // ---------------------------------------------------------------
@@ -4307,6 +4409,50 @@ object LlmQueries {
         |  FROM lift)
         |SELECT source, term, lift_x1000, rank FROM r WHERE rank <= 3"""
         .stripMargin,
+
+    // full BM25 replay: re-tokenize, re-count, re-derive the exact
+    // rational scoring (the same 128-bit integer division), rank by
+    // a window — independent of the engine's bounded-heap top-k
+    "llm_bm25_topk" -> {
+      val values = bm25QuerySet
+        .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
+        .mkString(", ")
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |  FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS s_len FROM dl),
+         |q(query_id, term) AS (VALUES $values),
+         |post AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+         |  FROM tf JOIN q ON tf.term = q.term),
+         |dfq AS (SELECT term,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM post GROUP BY 1),
+         |ts AS (SELECT post.query_id, post.doc_id,
+         |    CAST((1000000 * (2 * (st.n_docs - dfq.df) + 1)
+         |        * (44 * CAST(st.s_len AS HUGEINT) * post.tf))
+         |      // ((2 * dfq.df + 1)
+         |        * (20 * CAST(st.s_len AS HUGEINT) * post.tf
+         |           + 6 * st.s_len + 18 * dl.dl * st.n_docs))
+         |      AS BIGINT) AS t6
+         |  FROM post JOIN dl ON post.doc_id = dl.doc_id
+         |  JOIN dfq ON post.term = dfq.term CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id,
+         |    CAST(sum(t6) AS BIGINT) AS score_x1e6
+         |  FROM ts GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_x1e6,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_x1e6 DESC, doc_id ASC) AS INT) AS rank
+         |  FROM sc)
+         |SELECT CAST(query_id AS INT) AS query_id, doc_id, rank,
+         |  score_x1e6
+         |FROM r WHERE rank <= 10""".stripMargin
+    },
 
     "llm_kmv_distinct" ->
       s"""WITH t AS (SELECT source,
