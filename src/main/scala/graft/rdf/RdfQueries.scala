@@ -198,6 +198,18 @@ object RdfQueries {
     "rdf_smush_entities" -> ((s, d) => smushEntities(s, d)),
     "rdf_sparql_exists" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlExistsQuery)),
+    // round-12 second batch: negated property sets, COUNT(DISTINCT)
+    // + SAMPLE, BOUND/!BOUND, SUBSTR/STRAFTER/STRENDS, COALESCE
+    "rdf_sparql_negpath" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlNegPathQuery)),
+    "rdf_sparql_distinct_agg" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlDistinctAggQuery)),
+    "rdf_sparql_bound" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlBoundQuery)),
+    "rdf_sparql_strfuns" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlStrFunsQuery)),
+    "rdf_sparql_coalesce" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlCoalesceQuery)),
     "rdf_sparql_path_star" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathStarQuery,
         relClosureProvider(s, d))),
@@ -394,6 +406,60 @@ object RdfQueries {
       |        FILTER NOT EXISTS { ?item o:resource_template ?tpl . }
       |        OPTIONAL { ?item def:size ?size . FILTER(?size >= 30) } }"""
       .stripMargin
+
+  /** Negated property set `!(p1|...)` — every edge whose predicate
+    * is NOT in the set, scoped to typed items (the type pattern
+    * compiles to the broadcast-semi membership shape; the negated
+    * scan is one NOT-isin filter, never a union of per-predicate
+    * scans' complement). */
+  val sparqlNegPathQuery: String =
+    """SELECT ?item ?value
+      |WHERE {
+      |  ?item a ceo:Rijksmonument .
+      |  ?item !(a|dcterms:title|dcterms:relation|o:is_public) ?value .
+      |}""".stripMargin
+
+  /** COUNT(DISTINCT) + SAMPLE — SAMPLE is implementation-defined
+    * per SPARQL 1.1 §18.5.1.7; this engine pins it to MIN so the
+    * result is deterministic and oracle-replayable. */
+  val sparqlDistinctAggQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?brand (COUNT(DISTINCT ?tpl) AS ?n_templates)
+      |       (SAMPLE(?item) AS ?an_item)
+      |WHERE { ?item def:brand ?brand ; o:resource_template ?tpl . }
+      |GROUP BY ?brand""".stripMargin
+
+  /** `FILTER(!BOUND(?v))` over an OPTIONAL — the pre-1.1 negation
+    * idiom; compiles into the star pivot (the optional binding is a
+    * conditional aggregate, the filter its post-agg null check). */
+  val sparqlBoundQuery: String =
+    """SELECT ?item ?title
+      |WHERE {
+      |  ?item a ceo:Rijksmonument ;
+      |        dcterms:title ?title .
+      |  OPTIONAL { ?item o:resource_template ?tpl }
+      |  FILTER(!BOUND(?tpl))
+      |}""".stripMargin
+
+  /** SUBSTR / STRAFTER / STRENDS — the string-function round-out;
+    * all codegen'd scalar projections, zero exchanges added. */
+  val sparqlStrFunsQuery: String =
+    """SELECT ?item ?pre ?tail
+      |WHERE {
+      |  ?item dcterms:title ?title .
+      |  BIND(SUBSTR(?title, 1, 3) AS ?pre)
+      |  BIND(STRAFTER(?title, "a") AS ?tail)
+      |  FILTER(STRENDS(?title, "t"))
+      |}""".stripMargin
+
+  /** COALESCE over an OPTIONAL binding — the default-value idiom. */
+  val sparqlCoalesceQuery: String =
+    """SELECT ?item ?label
+      |WHERE {
+      |  ?item a ceo:Rijksmonument .
+      |  OPTIONAL { ?item o:resource_template ?tpl }
+      |  BIND(COALESCE(?tpl, "no-template") AS ?label)
+      |}""".stripMargin
 
   /** GRAPH block with a graph VARIABLE — per-named-graph title
     * census over the multi-graph store ([[multiGraph]]). */
@@ -1953,6 +2019,68 @@ object RdfQueries {
          |  AND NOT EXISTS (SELECT 1 FROM triples x
          |    WHERE x.subject = d.subject
          |      AND x.predicate = '$OmekaResourceTemplate')""".stripMargin,
+
+    // negated set = predicate NOT IN, membership = EXISTS — the
+    // complement evaluated as one filtered scan in both engines
+    "rdf_sparql_negpath" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT t.subject AS item, t.obj_value AS value
+         |FROM triples t
+         |WHERE t.predicate NOT IN ('$RdfType', '$DctermsTitle',
+         |    '$DctermsRelation', '$OmekaIsPublic')
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = t.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    // SAMPLE pinned to MIN (the engine's documented deterministic
+    // choice — conforming, SPARQL leaves SAMPLE free)
+    "rdf_sparql_distinct_agg" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT b.obj_value AS brand,
+         |  COUNT(DISTINCT t.obj_value) AS n_templates,
+         |  MIN(b.subject) AS an_item
+         |FROM triples b
+         |JOIN triples t ON t.subject = b.subject
+         |  AND t.predicate = '$OmekaResourceTemplate'
+         |WHERE b.predicate = 'http://ex.org/def#brand'
+         |GROUP BY 1""".stripMargin,
+
+    "rdf_sparql_bound" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT ty.subject AS item, ti.obj_value AS title
+         |FROM triples ty
+         |JOIN triples ti ON ti.subject = ty.subject
+         |  AND ti.predicate = '$DctermsTitle'
+         |WHERE ty.predicate = '$RdfType'
+         |  AND ty.obj_value = '$CeoRijksmonument'
+         |  AND NOT EXISTS (SELECT 1 FROM triples tp
+         |    WHERE tp.subject = ty.subject
+         |      AND tp.predicate = '$OmekaResourceTemplate')""".stripMargin,
+
+    // SUBSTR/STRAFTER replayed by position arithmetic (strpos is
+    // 1-based and 0 on no-match in both engines); STRENDS as LIKE
+    "rdf_sparql_strfuns" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item,
+         |  substr(obj_value, 1, 3) AS pre,
+         |  CASE WHEN strpos(obj_value, 'a') > 0
+         |    THEN substr(obj_value, strpos(obj_value, 'a') + 1,
+         |      length(obj_value))
+         |    ELSE '' END AS tail
+         |FROM triples
+         |WHERE predicate = '$DctermsTitle'
+         |  AND obj_value LIKE '%t'""".stripMargin,
+
+    "rdf_sparql_coalesce" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT ty.subject AS item,
+         |  COALESCE(tp.obj_value, 'no-template') AS label
+         |FROM triples ty
+         |LEFT JOIN triples tp ON tp.subject = ty.subject
+         |  AND tp.predicate = '$OmekaResourceTemplate'
+         |WHERE ty.predicate = '$RdfType'
+         |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
 
     // the (monument -> item) mapping replayed: RM-prefix-normalized
     // rmnr literals name the enrichment's monument IRIs; both term

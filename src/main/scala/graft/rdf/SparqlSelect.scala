@@ -23,7 +23,8 @@ import Vocab.RdfType
   *               (ORDER BY key+)? (LIMIT n)?
   *   prefix   := PREFIX pname: <iri>
   *   item     := ?var | ( agg AS ?var )
-  *   agg      := COUNT(*) | COUNT(?v) | SUM(?v) | MIN(?v) | MAX(?v)
+  *   agg      := COUNT(*) | COUNT(DISTINCT? ?v) | SUM(?v) | MIN(?v)
+  *             | MAX(?v) | SAMPLE(?v)            (pinned to MIN)
   *             | GROUP_CONCAT(?v (; separator="s")?)
   *   body     := group | braced (UNION braced)+
   *   braced   := { (triples | filter | values | bind)* }
@@ -35,16 +36,22 @@ import Vocab.RdfType
   *   bind     := BIND ( bexpr AS ?var )
   *   bexpr    := UCASE(?v) | LCASE(?v) | STRLEN(?v)
   *             | REPLACE(?v, "pat", "rep") | CONCAT(arg (, arg)*)
+  *             | SUBSTR(?v, start (, len)?)      (1-based)
+  *             | STRBEFORE(?v, "s") | STRAFTER(?v, "s")
+  *             | COALESCE(arg (, arg)*)          (OPTIONAL defaults)
   *   triples  := term (path | ?var) obj (';' (path | ?var) obj)* '.'?
   *   subq     := { SELECT ... }     (a full query body, in a group)
   *   path     := step ('/' step)*
-  *   step     := '^'? ( pred | '(' pred ('|' pred)* ')' )
-  *               ('+'|'*'|'?')?
+  *   step     := '!'? '^'? ( pred | '(' pred ('|' pred)* ')' )
+  *               ('+'|'*'|'?')?     (negated sets: forward,
+  *                                   unquantified — `!p`, `!(p|q)`)
   *   optional := OPTIONAL { triples filter* }
   *   filter   := FILTER ( cond (&& cond)* )
   *             | FILTER NOT? EXISTS { triples }
   *   cond     := ?var op (integer | "string")
   *             | REGEX(?var, "pattern") | CONTAINS(?var, "s")
+  *             | STRSTARTS(?var, "s") | STRENDS(?var, "s")
+  *             | '!'? BOUND(?var)
   *             | LANGMATCHES(LANG(?var), "tag")
   *   op       := = | != | < | <= | > | >=
   *   term     := ?var | <iri> | pname:local
@@ -157,7 +164,7 @@ object SparqlSelect {
   final case class Pattern(s: Term, preds: Seq[String], o: Term,
       plus: Boolean = false, predVar: Option[String] = None,
       star: Boolean = false, graphCtx: Option[Term] = None,
-      zeroOne: Boolean = false) {
+      zeroOne: Boolean = false, negated: Boolean = false) {
     /** Any non-plain step (`p+`, `p*`, or `p?`) — excluded from the
       * pivot/membership/merge shapes, which assume one scan. */
     def closed: Boolean = plus || star || zeroOne
@@ -181,6 +188,20 @@ object SparqlSelect {
   /** `CONCAT(arg, ...)` — args are vars (Left) or strings (Right). */
   final case class BConcat(parts: Seq[Either[String, String]])
       extends BindExpr
+  /** `SUBSTR(?v, start (, len)?)` — SPARQL's 1-based substring. */
+  final case class BSubstr(v: String, start: Int, len: Option[Int])
+      extends BindExpr
+  /** `STRBEFORE(?v, s)` / `STRAFTER(?v, s)` — the prefix/suffix of
+    * the FIRST occurrence, "" when absent (SPARQL 1.1 §17.4.3.4/5).
+    * Non-empty separators only (the empty-separator corner returns
+    * ""/the input per spec — rejected rather than silently special-
+    * cased). */
+  final case class BStrBA(v: String, sep: String, before: Boolean)
+      extends BindExpr
+  /** `COALESCE(arg, ...)` — first bound argument; args are vars
+    * (Left) or string literals (Right, always bound). */
+  final case class BCoalesce(parts: Seq[Either[String, String]])
+      extends BindExpr
   /** `BIND(expr AS ?as)`. */
   final case class Bind(as: String, expr: BindExpr)
 
@@ -196,11 +217,18 @@ object SparqlSelect {
   /** `LANGMATCHES(LANG(?v), tag)` — constrains the binding triple's
     * `obj_lang` (tag `*` = any language-tagged literal). */
   final case class LangCond(v: String, tag: String) extends FilterExpr
+  /** `BOUND(?v)` / `!BOUND(?v)` — null-ness of an OPTIONAL binding
+    * (the pre-1.1 negation idiom; runs after the left joins). */
+  final case class BoundCond(v: String, positive: Boolean)
+      extends FilterExpr
 
   /** One aggregate select item: `(fun(arg) AS ?as)`. `arg` None is
-    * `COUNT(*)`; `sep` is GROUP_CONCAT's separator. */
+    * `COUNT(*)`; `sep` is GROUP_CONCAT's separator; `distinct` is
+    * `COUNT(DISTINCT ?v)` (the one aggregate where DISTINCT changes
+    * the value under set-semantics grouping — supported there,
+    * rejected elsewhere). */
   final case class Agg(fun: String, arg: Option[String], sep: String,
-      as: String)
+      as: String, distinct: Boolean = false)
 
   /** One WHERE group (a union branch, or the whole WHERE). */
   final case class Group(required: Seq[Pattern],
@@ -460,7 +488,7 @@ object SparqlSelect {
 
   private val Tok = (
     """\s*(<[^>\s]*>|"(?:[^"\\]|\\.)*"|\?\w+|&&|!=|<=|>=|=|<|>|""" +
-      """\{|\}|\(|\)|\.|;|,|\*|/|\^|\+|\||\?|""" +
+      """\{|\}|\(|\)|\.|;|,|\*|/|\^|\+|\||\?|!|""" +
       """[A-Za-z_][\w-]*:[\w.-]*|-?\d+|\w+)""").r
 
   private def tokenize(q: String): Vector[String] = {
@@ -483,12 +511,18 @@ object SparqlSelect {
 
   def parse(q: String): Query = new Parser(tokenize(q)).query()
 
-  private val AggFuns = Set("COUNT", "SUM", "MIN", "MAX", "GROUP_CONCAT")
+  private val AggFuns =
+    Set("COUNT", "SUM", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
 
-  /** One property-path step: `'^'? primary '+'?` where primary is
-    * a predicate or a parenthesized alternation of predicates. */
+  /** One property-path step: `'!'? '^'? primary mod?` where primary
+    * is a predicate or a parenthesized alternation of predicates.
+    * `neg` marks a negated property set (`!p` / `!(p1|p2)` — any
+    * predicate NOT in the set; forward direction only, no
+    * quantifiers: a quantified or inverted negated set has no
+    * bounded scan shape). */
   private final case class Step(inv: Boolean, preds: Seq[String],
-      plus: Boolean, star: Boolean, zeroOne: Boolean)
+      plus: Boolean, star: Boolean, zeroOne: Boolean,
+      neg: Boolean = false)
 
   private final class Parser(ts: Vector[String]) {
     private var i = 0
@@ -538,8 +572,12 @@ object SparqlSelect {
         .replace("\\\"", "\"").replace("\\\\", "\\")
 
     private def step(): Step = {
+      val neg = peek == "!"
+      if (neg) next()
       val inv = peek == "^"
       if (inv) next()
+      require(!(neg && inv),
+        "SPARQL: an inverted negated property set is not supported")
       val preds: Seq[String] =
         if (peek == "(") {
           next()
@@ -555,7 +593,9 @@ object SparqlSelect {
       if (star) next()
       val zeroOne = !plus && !star && peek == "?"
       if (zeroOne) next()
-      Step(inv, preds, plus, star, zeroOne)
+      require(!(neg && (plus || star || zeroOne)),
+        "SPARQL: a quantified negated property set is not supported")
+      Step(inv, preds, plus, star, zeroOne, neg)
     }
 
     private def pathSteps(): Seq[Step] = {
@@ -579,7 +619,7 @@ object SparqlSelect {
           if (st.inv) out += Pattern(nxt, st.preds, cur, st.plus,
             star = st.star, zeroOne = st.zeroOne)
           else out += Pattern(cur, st.preds, nxt, st.plus,
-            star = st.star, zeroOne = st.zeroOne)
+            star = st.star, zeroOne = st.zeroOne, negated = st.neg)
           cur = nxt
         }
       }
@@ -607,7 +647,8 @@ object SparqlSelect {
     }
 
     private def cond(): FilterExpr = {
-      if (kw("REGEX") || kw("CONTAINS")) {
+      if (kw("REGEX") || kw("CONTAINS") || kw("STRSTARTS") ||
+          kw("STRENDS")) {
         val fun = next().toLowerCase
         expect("(")
         val v = filterVar()
@@ -615,6 +656,13 @@ object SparqlSelect {
         val arg = stringArg()
         expect(")")
         TextCond(v, fun, arg)
+      } else if (peek == "!" || kw("BOUND")) {
+        val positive = peek != "!"
+        if (!positive) next()
+        expect("BOUND"); expect("(")
+        val v = filterVar()
+        expect(")")
+        BoundCond(v, positive)
       } else if (kw("LANGMATCHES")) {
         next(); expect("(")
         expect("LANG"); expect("(")
@@ -635,16 +683,27 @@ object SparqlSelect {
       }
     }
 
-    /** `fun '(' (* | ?var) (';' separator '=' "s")? ')'` — the agg
-      * call shared by select items and HAVING. */
-    private def aggCall(): (String, Option[String], String) = {
+    /** `fun '(' DISTINCT? (* | ?var) (';' separator '=' "s")? ')'` —
+      * the agg call shared by select items and HAVING. DISTINCT is
+      * accepted on COUNT only: under the front-end's set-semantics
+      * grouping the other aggregates are DISTINCT-insensitive
+      * (MIN/MAX/SAMPLE) or out of its exact-arithmetic scope. */
+    private def aggCall(): (String, Option[String], String, Boolean) = {
       val fun = next().toUpperCase
       require(AggFuns.contains(fun), s"SPARQL: unsupported aggregate '$fun'")
       expect("(")
+      val distinct = kw("DISTINCT")
+      if (distinct) {
+        next()
+        require(fun == "COUNT",
+          s"SPARQL: DISTINCT is supported on COUNT only, not $fun")
+      }
       val arg =
         if (peek == "*") {
           next()
           require(fun == "COUNT", s"SPARQL: $fun(*) is not an aggregate")
+          require(!distinct,
+            "SPARQL: COUNT(DISTINCT *) is not supported")
           None
         } else {
           val v = next()
@@ -664,7 +723,7 @@ object SparqlSelect {
         sep = unquote(sTok)
       }
       expect(")")
-      (fun, arg, sep)
+      (fun, arg, sep, distinct)
     }
 
     /** `BIND ( expr AS ?v )` — expr is one of the supported string
@@ -687,7 +746,7 @@ object SparqlSelect {
           val rep = stringArg()
           expect(")")
           BReplace(v, pat, rep)
-        case "CONCAT" =>
+        case "CONCAT" | "COALESCE" =>
           expect("(")
           val parts = Seq.newBuilder[Either[String, String]]
           def part(): Unit = {
@@ -698,7 +757,27 @@ object SparqlSelect {
           part()
           while (peek == ",") { next(); part() }
           expect(")")
-          BConcat(parts.result())
+          if (fun == "CONCAT") BConcat(parts.result())
+          else BCoalesce(parts.result())
+        case "SUBSTR" =>
+          expect("(")
+          val v = filterVar()
+          expect(",")
+          val start = next().toInt
+          require(start >= 1, "SPARQL: SUBSTR start is 1-based")
+          val len = if (peek == ",") { next(); Some(next().toInt) }
+            else None
+          expect(")")
+          BSubstr(v, start, len)
+        case "STRBEFORE" | "STRAFTER" =>
+          expect("(")
+          val v = filterVar()
+          expect(",")
+          val sep = stringArg()
+          require(sep.nonEmpty,
+            s"SPARQL: $fun with an empty separator is not supported")
+          expect(")")
+          BStrBA(v, sep, before = fun == "STRBEFORE")
         case other => throw new IllegalArgumentException(
           s"SPARQL: unsupported BIND function '$other'")
       }
@@ -976,12 +1055,12 @@ object SparqlSelect {
           if (peek.startsWith("?")) items += Left(next().substring(1))
           else if (peek == "(") {
             next()
-            val (fun, arg, sep) = aggCall()
+            val (fun, arg, sep, dist) = aggCall()
             expect("AS")
             val nm = next()
             require(nm.startsWith("?"),
               s"SPARQL: aggregate alias must be a var, got '$nm'")
-            items += Right(Agg(fun, arg, sep, nm.substring(1)))
+            items += Right(Agg(fun, arg, sep, nm.substring(1), dist))
             expect(")")
           } else more = false
         }
@@ -1011,11 +1090,11 @@ object SparqlSelect {
       val hav = Seq.newBuilder[(Agg, String, Long)]
       if (kw("HAVING")) {
         next(); expect("(")
-        val (fun, arg, sep) = aggCall()
+        val (fun, arg, sep, dist) = aggCall()
         val op = next()
         require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
           s"SPARQL: unsupported HAVING op '$op'")
-        hav += ((Agg(fun, arg, sep, ""), op, next().toLong))
+        hav += ((Agg(fun, arg, sep, "", dist), op, next().toLong))
         expect(")")
       }
       val order = Seq.newBuilder[(String, Boolean)]
@@ -1096,6 +1175,9 @@ object SparqlSelect {
           case BFun1(_, v) => Seq(v)
           case BReplace(v, _, _) => Seq(v)
           case BConcat(parts) => parts.collect { case Left(v) => v }
+          case BSubstr(v, _, _) => Seq(v)
+          case BStrBA(v, _, _) => Seq(v)
+          case BCoalesce(parts) => parts.collect { case Left(v) => v }
         }
         val missing = refs.filterNot(bound.contains)
         require(missing.isEmpty, s"SPARQL: BIND references unbound " +
@@ -1171,7 +1253,7 @@ object SparqlSelect {
           g.exists.isEmpty && g.optFilters.forall(_.isEmpty) &&
           subjVar.exists { sv =>
           gPats.forall(p => !p.closed && p.preds.size == 1 &&
-            p.graphCtx.isEmpty &&
+            !p.negated && p.graphCtx.isEmpty &&
             p.s == V(sv) && (p.o match {
               case V(n) => n != sv
               case _ => true
@@ -1193,17 +1275,18 @@ object SparqlSelect {
         // dropped after the filter
         val hidden = q.having.map(_._1)
           .filterNot(h => selAggs.exists(a =>
-            a.fun == h.fun && a.arg == h.arg))
+            a.fun == h.fun && a.arg == h.arg && a.distinct == h.distinct))
           .zipWithIndex.map { case (h, k) => h.copy(as = s"_h$k") }
         val aggCols = (selAggs ++ hidden).map(aggColumn(q))
         require(aggCols.nonEmpty, "SPARQL: GROUP BY without aggregates")
         val grouped = base.groupBy(q.groupBy.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
         val filtered = q.having.foldLeft(grouped) { case (df, (h, op, rhs)) =>
-          val alias = selAggs.find(a => a.fun == h.fun && a.arg == h.arg)
+          val alias = selAggs.find(a => a.fun == h.fun &&
+              a.arg == h.arg && a.distinct == h.distinct)
             .map(_.as)
-            .getOrElse(hidden.find(x =>
-              x.fun == h.fun && x.arg == h.arg).get.as)
+            .getOrElse(hidden.find(x => x.fun == h.fun &&
+              x.arg == h.arg && x.distinct == h.distinct).get.as)
           df.filter(binop(col(alias), op, lit(rhs)))
         }
         hidden.foldLeft(filtered)((df, h) => df.drop(h.as))
@@ -1233,7 +1316,7 @@ object SparqlSelect {
       case Cond(v, _, Left(_)) => v
     }.toSet ++
       (q.selectItems.collect { case Right(a) => a } ++ q.having.map(_._1))
-        .collect { case Agg("SUM", Some(v), _, _) => v }
+        .collect { case Agg("SUM", Some(v), _, _, _) => v }
 
   /** Vars already bound-and-constrained by a FILTER comparison or
     * string predicate — both reject NULL themselves, so the
@@ -1274,7 +1357,11 @@ object SparqlSelect {
         case Right(s) => lit(s)
       })
     case TextCond(_, "regex", p) => v.rlike(p)
+    case TextCond(_, "strstarts", s) => v.startsWith(s)
+    case TextCond(_, "strends", s) => v.endsWith(s)
     case TextCond(_, _, s) => v.contains(s)
+    case BoundCond(_, positive) =>
+      if (positive) v.isNotNull else v.isNull
     case _: LangCond => throw new IllegalStateException(
       "LANGMATCHES is compiled at the binding site")
   }
@@ -1287,17 +1374,25 @@ object SparqlSelect {
     def arg(v: String): Column =
       if (nums.contains(v)) col(v).cast("int") else col(v)
     (a.fun match {
-      case "COUNT" => a.arg.fold(count(lit(1)))(v => count(col(v)))
+      case "COUNT" =>
+        if (a.distinct) countDistinct(col(a.arg.get))
+        else a.arg.fold(count(lit(1)))(v => count(col(v)))
       case "SUM" => sum(arg(a.arg.get))
       case "MIN" => min(arg(a.arg.get))
       case "MAX" => max(arg(a.arg.get))
+      // SAMPLE is implementation-defined (SPARQL 1.1 §18.5.1.7 —
+      // "an arbitrary value from the multiset"); this engine pins it
+      // to MIN so results are deterministic and oracle-replayable,
+      // a conforming choice
+      case "SAMPLE" => min(arg(a.arg.get))
       case "GROUP_CONCAT" =>
         array_join(sort_array(collect_set(col(a.arg.get))), a.sep)
     }).as(a.as)
   }
 
   private def predFilter(pat: Pattern): Column =
-    if (pat.preds.size == 1) col("predicate") === pat.preds.head
+    if (pat.negated) !col("predicate").isin(pat.preds: _*)
+    else if (pat.preds.size == 1) col("predicate") === pat.preds.head
     else col("predicate").isin(pat.preds: _*)
 
   /** The one-exchange star pivot — [[RdfQueries.bgpStarOf]]'s shape
@@ -1363,7 +1458,7 @@ object SparqlSelect {
     * store it binds each subject at most once — a semi-join, not a
     * join. */
   private def isMembership(p: Pattern): Boolean =
-    !p.closed && p.preds.size == 1 && p.graphCtx.isEmpty &&
+    !p.closed && p.preds.size == 1 && !p.negated && p.graphCtx.isEmpty &&
       (p.s match { case V(_) => true; case _ => false }) &&
       (p.o match { case V(_) => false; case _ => true })
 
@@ -1644,6 +1739,23 @@ object SparqlSelect {
       case Left(v) => col(v)
       case Right(s) => lit(s)
     }: _*)
+    case BSubstr(v, start, len) => len match {
+      case Some(l) => col(v).substr(lit(start), lit(l))
+      case None => col(v).substr(lit(start), length(col(v)))
+    }
+    // first-occurrence prefix/suffix, "" when the separator is
+    // absent — instr is 1-based and 0 on no-match in both engines
+    case BStrBA(v, sep, before) =>
+      val pos = instr(col(v), sep)
+      if (before) when(pos > 0, col(v).substr(lit(1), pos - 1))
+        .otherwise(lit(""))
+      else when(pos > 0,
+          col(v).substr(pos + lit(sep.length), length(col(v))))
+        .otherwise(lit(""))
+    case BCoalesce(parts) => coalesce(parts.map {
+      case Left(v) => col(v)
+      case Right(s) => lit(s)
+    }: _*)
   }
 
   /** UNION evaluation. Branches that differ ONLY in their predicate
@@ -1660,7 +1772,7 @@ object SparqlSelect {
       gs.forall(g => g.required.size == 1 && g.filters.isEmpty &&
         g.optionals.isEmpty && g.values.isEmpty && g.binds.isEmpty &&
         g.subs.isEmpty && g.minuses.isEmpty && g.exists.isEmpty &&
-        !g.required.head.closed &&
+        !g.required.head.closed && !g.required.head.negated &&
         g.required.head.predVar.isEmpty &&
         g.required.head.graphCtx.isEmpty) && {
         val ps = gs.map(_.required.head)

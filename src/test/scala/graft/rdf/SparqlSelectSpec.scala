@@ -704,4 +704,104 @@ class SparqlSelectSpec extends AnyFunSuite {
       """SELECT ?x ?t WHERE { ?x dcterms:title ?t .
         |VALUES ?t { } }""".stripMargin))
   }
+
+  test("38: negated property set == NOT-isin scan; quantified or " +
+    "inverted negation rejected") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?item ?value
+        |WHERE { ?item !(a|dcterms:title) ?value . }""".stripMargin)
+    val hand = t.filter(!col("predicate")
+        .isin(RdfType, DctermsTitle))
+      .select(col("subject").as("item"), col("obj_value").as("value"))
+    assert(compiled.schema.fieldNames
+      .sameElements(hand.schema.fieldNames))
+    assert(compiled.queryExecution.optimizedPlan
+      .sameResult(hand.queryExecution.optimizedPlan))
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      "SELECT ?a ?b WHERE { ?a !(dcterms:title)+ ?b . }"))
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      "SELECT ?a ?b WHERE { ?a !^dcterms:title ?b . }"))
+  }
+
+  test("39: COUNT(DISTINCT) counts values once; SAMPLE is the MIN " +
+    "pin; DISTINCT rejected off COUNT") {
+    val got = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?brand (COUNT(DISTINCT ?tpl) AS ?n)
+        |       (SAMPLE(?item) AS ?an_item)
+        |WHERE { ?item def:brand ?brand ; o:resource_template ?tpl . }
+        |GROUP BY ?brand""".stripMargin)
+    val hand = t.filter(col("predicate") === "http://ex.org/def#brand")
+      .select(col("subject").as("item"), col("obj_value").as("brand"))
+      .join(t.filter(col("predicate") === OmekaResourceTemplate)
+        .select(col("subject").as("item"), col("obj_value").as("tpl")),
+        Seq("item"))
+      .groupBy(col("brand"))
+      .agg(countDistinct(col("tpl")).as("n"), min(col("item")).as("an_item"))
+    val g = got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val h = hand.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(g == h && g.nonEmpty)
+    // a brand with 2+ items sharing one template counts it once
+    assert(g.forall(_._2 <= 4)) // only 4 distinct template IRIs exist
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?brand (SUM(DISTINCT ?x) AS ?s)
+        |WHERE { ?item def:brand ?brand ; def:size ?x . }
+        |GROUP BY ?brand""".stripMargin))
+  }
+
+  test("40: !BOUND over OPTIONAL == the not-exists rows, via the " +
+    "pivot (one exchange)") {
+    val got = SparqlSelect(t, RdfQueries.sparqlBoundQuery)
+    val withTpl = t.filter(col("predicate") === OmekaResourceTemplate)
+      .select(col("subject")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !withTpl.contains(r.getString(0))))
+    // positive BOUND keeps exactly the complement
+    val pos = SparqlSelect(t, RdfQueries.sparqlBoundQuery
+      .replace("!BOUND", "BOUND"))
+    assert(pos.collect().forall(r => withTpl.contains(r.getString(0))))
+    // pivot shape: exactly ONE exchange in the positive-filter plan
+    val exchanges = got.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected the pivot's bounded exchange " +
+      s"count, got $exchanges")
+  }
+
+  test("41: SUBSTR/STRBEFORE/STRAFTER/COALESCE bind columns match " +
+    "direct computation") {
+    val got = SparqlSelect(t,
+      """SELECT ?item ?pre ?before ?tail
+        |WHERE {
+        |  ?item dcterms:title ?title .
+        |  BIND(SUBSTR(?title, 2, 3) AS ?pre)
+        |  BIND(STRBEFORE(?title, "a") AS ?before)
+        |  BIND(STRAFTER(?title, "a") AS ?tail)
+        |}""".stripMargin)
+    val hand = t.filter(col("predicate") === DctermsTitle)
+      .select(col("subject").as("item"), col("obj_value").as("ti"))
+      .collect().map { r =>
+        val ti = r.getString(1)
+        val i = ti.indexOf('a')
+        (r.getString(0), ti.substring(1, math.min(4, ti.length)),
+          if (i >= 0) ti.substring(0, i) else "",
+          if (i >= 0) ti.substring(i + 1) else "")
+      }.toSet
+    assert(got.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3))).toSet == hand)
+    // COALESCE defaults the unbound OPTIONAL side
+    val co = SparqlSelect(t, RdfQueries.sparqlCoalesceQuery)
+    val labels = co.collect().map(_.getString(1))
+    assert(labels.contains("no-template") &&
+      labels.exists(_.startsWith("http://ex.org/template/")))
+    // empty STRBEFORE separator is rejected, not special-cased
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?x ?b WHERE { ?x dcterms:title ?t .
+        |BIND(STRBEFORE(?t, "") AS ?b) }""".stripMargin))
+  }
 }
