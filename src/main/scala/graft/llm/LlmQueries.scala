@@ -64,6 +64,7 @@ object LlmQueries {
     "llm_distinctive_terms" -> distinctiveTerms,
     "llm_bm25_topk" -> bm25TopK,
     "llm_kmv_distinct" -> kmvDistinct,
+    "llm_hll_distinct" -> hllDistinct,
     "llm_kmv_incremental" -> kmvIncremental,
     "llm_novelty" -> novelty,
     "llm_dup_spans" -> dupSpans,
@@ -1693,6 +1694,67 @@ object LlmQueries {
     * (both engines would otherwise divide by zero). */
   def kmvDistinct(s: SparkSession, d: String): DataFrame =
     kmvDistinctOf(docs(s, d))
+
+  // ---------------------------------------------------------------
+  // HyperLogLog distinct sketch — the OTHER canonical distinct
+  // estimator (Flajolet, Fusy, Gandouet & Meunier 2007), placed next
+  // to KMV deliberately: KMV keeps k order statistics, HLL keeps m
+  // fixed registers; register-max is the merge operation, so HLL
+  // artifacts merge across shards/snapshots with NO size growth (the
+  // property behind approx_count_distinct everywhere). Made
+  // cross-engine-deterministic the same way as KMV: built from the
+  // shared md5-derived 32-bit hash, with two documented deltas from
+  // the float formula so the estimate is EXACT integer arithmetic —
+  // α_64 is the paper's rounded constant as the rational 709/1000,
+  // and the small/large-range corrections are omitted (they need ln;
+  // the fixture cardinalities sit in the raw-estimator regime, and
+  // accuracy is MEASURED against n_exact in the same row). Register
+  // geometry: b = 6 → m = 64 registers, j = top 6 hash bits,
+  // ρ = leading-zero count of the remaining 26 bits + 1 (computed as
+  // 27 − bitlength via `length(bin(w))` — identical in both
+  // engines, no float log anywhere):
+  //
+  //   E = floor(709 · m² · 2^26 / (1000 · Σ_j 2^(26 − M_j)))
+  //
+  // (the harmonic mean put over the common denominator 2^26; absent
+  // registers contribute M_j = 0 → 2^26.) Scale shape: ONE
+  // combine-collapsed (source, register) max-agg — the exchange
+  // carries ≤ sources × 64 rows — then a per-source fold; the
+  // distinct-hash pass is shared with n_exact exactly as in KMV.
+  // ---------------------------------------------------------------
+  private val hllWBits = 26          // 32-bit hash minus b = 6
+  private val hllW = 1L << hllWBits  // 2^26
+  private val hllM = 64L
+
+  def hllDistinct(s: SparkSession, d: String): DataFrame =
+    hllDistinctOf(docs(s, d))
+
+  def hllDistinctOf(in: DataFrame): DataFrame = {
+    val hv = in
+      .select(col("source"), tokenExpr.as("w"))
+      .select(col("source"), explode(expr(shingle3Expr)).as("sg"))
+      .withColumn("h", md5(col("sg")))
+      .select(col("source"), expr(hexHashExpr("instr")).as("hv"))
+      .distinct()
+    val regs = hv
+      .withColumn("j", expr(s"CAST(hv div $hllW AS INT)"))
+      .withColumn("wv", expr(s"hv % $hllW"))
+      .withColumn("rho", expr(s"CASE WHEN wv = 0 THEN ${hllWBits + 1} " +
+        s"ELSE ${hllWBits + 1} - length(bin(wv)) END"))
+      .groupBy(col("source"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+    val est = regs.groupBy(col("source"))
+      .agg((sum(expr(s"CAST(1 AS BIGINT) << CAST($hllWBits - mj AS INT)"))
+        + (lit(hllM) - count(lit(1))) * hllW).as("nsum"))
+      .select(col("source"),
+        // 709·m²·2^26 precomputed (a 32-bit literal product would
+        // overflow under ANSI before widening)
+        expr(s"${709L * hllM * hllM * hllW}L div (1000L * nsum)")
+          .as("est_hll"))
+    val exact = hv.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    exact.join(broadcast(est), "source")
+      .select(col("source"), col("n_exact"), col("est_hll"))
+  }
 
   def kmvDistinctOf(in: DataFrame): DataFrame = {
     val shingled = in
@@ -4476,6 +4538,37 @@ object LlmQueries {
          |    ELSE (${kmvK - 1} * 4294967296) // (kth.hk + 1) END
          |    AS BIGINT) AS est_distinct
          |FROM n LEFT JOIN kth ON n.source = kth.source""".stripMargin,
+
+    // HLL replay: same md5-derived 32-bit hash, registers re-derived
+    // (top-6-bit bucket, 27 − bitlength rho via bin()), the exact
+    // common-denominator harmonic fold re-run in BIGINT — no float
+    // anywhere, independent of the engine's aggregation
+    "llm_hll_distinct" ->
+      s"""WITH t AS (SELECT source,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |pos AS (SELECT source, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM t),
+         |g AS (SELECT source,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+         |  FROM pos),
+         |hv AS (SELECT DISTINCT source, ${hexHashExpr("strpos")} AS v
+         |  FROM g),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM hv GROUP BY source),
+         |r AS (SELECT source, CAST(v // $hllW AS INT) AS j,
+         |    MAX(CASE WHEN v % $hllW = 0 THEN ${hllWBits + 1}
+         |      ELSE ${hllWBits + 1} - length(bin(v % $hllW)) END) AS mj
+         |  FROM hv GROUP BY 1, 2),
+         |e AS (SELECT source,
+         |    SUM(CAST(1 AS BIGINT) << CAST($hllWBits - mj AS INT))
+         |      + ($hllM - COUNT(*)) * $hllW AS nsum
+         |  FROM r GROUP BY 1)
+         |SELECT n.source, n.n_exact,
+         |  CAST(${709L * hllM * hllM * hllW} // (1000 * e.nsum)
+         |    AS BIGINT) AS est_hll
+         |FROM n JOIN e ON n.source = e.source""".stripMargin,
 
     "llm_novelty" ->
       s"""WITH $wCte,

@@ -57,6 +57,7 @@ object RelationalQueries {
     "rel_q30_full_outer" -> fullOuterActivity,
     "rel_q31_hourly_anomaly" -> hourlyAnomaly,
     "rel_q32_entity_fuzzy" -> entityFuzzy,
+    "rel_q33_triangles" -> triangleCount,
   )
 
   /** Hourly-volume anomaly detection by the median/MAD rule — the
@@ -91,6 +92,67 @@ object RelationalQueries {
         abs(col("n") - col("med")).as("abs_dev"),
         (abs(col("n") - col("med")) > col("mad") * 3).as("is_anomaly"))
       .orderBy(col("hour_ts"))
+  }
+
+  /** Triangle count over the part co-purchase graph — the graph-
+    * analytics census (clustering-coefficient numerator, community
+    * density signal) by the DEGREE-ORIENTED wedge join (the
+    * compact-forward algorithm, Latapy 2008; Suri & Vassilvitskii
+    * WWW'11 for the MapReduce form): orient every undirected edge
+    * from its (degree, id)-smaller endpoint to the larger, so each
+    * triangle is counted exactly once at its smallest vertex AND the
+    * wedge fanout per vertex is bounded by O(√E) — the trick that
+    * keeps the wedge exchange from exploding on hub nodes, where a
+    * naive undirected wedge join is quadratic in the hub degree.
+    *
+    * Graph: parts co-ordered within the same order (first 3 line
+    * numbers — the projection's per-order fanout cap, C(3,2) = 3
+    * pair rows per order before dedup). The count is orientation-
+    * invariant, so the oracle replays it as the independent a<b<c
+    * 3-way join, not this plan. Exchanges: pair-build shuffles on
+    * the ALREADY-partitioned order key, dedup on the edge, degree
+    * agg on the node, wedge join on the shared endpoint — each keyed
+    * and combine-collapsed; the 1-row output carries nothing. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOf(Tables(spark, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[triangleCount]]'s core over an explicit (ok, pk) membership
+    * table (spec surface). */
+  private[queries] def triangleCountOf(li: DataFrame): DataFrame = {
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("n"))
+      .union(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val oriented = edges
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    // wedges at the smallest vertex: out-neighbor pairs in the same
+    // (degree, id) total order, closed by the (necessarily v1→v2-
+    // oriented) third edge — a semi-join shape, each triangle once
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.v").as("u"), col("e2.v").as("v"))
+    val tri = wedges.join(oriented.select(col("u"), col("v")),
+      Seq("u", "v"), "left_semi")
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    val nt = tri.agg(count(lit(1)).as("n_triangles"))
+    nn.crossJoin(ne).crossJoin(nt)
   }
 
   /** Entity resolution by BLOCKED fuzzy match — near-identical
@@ -1267,5 +1329,23 @@ object RelationalQueries {
         |  ON substring(a.s_name, 1, 16) = substring(b.s_name, 1, 16)
         |  AND a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+
+    // orientation-independent replay: the a<b<c three-way join
+    // counts each triangle exactly once, no degree ordering — a
+    // structurally different algorithm than the engine's oriented
+    // wedge join, agreeing only if both are right
+    "rel_q33_triangles" ->
+      """WITH pr AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3),
+        |nd AS (SELECT a AS n FROM pr UNION SELECT b FROM pr)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nd) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pr e1
+        |    JOIN pr e2 ON e2.a = e1.a AND e2.b > e1.b
+        |    JOIN pr e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"""
+        .stripMargin,
   )
 }
