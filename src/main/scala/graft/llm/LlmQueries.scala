@@ -105,6 +105,7 @@ object LlmQueries {
     "mm_jpeg_luma" -> jpegLumaLevels,
     "mm_dhash" -> dhashFingerprints,
     "mm_image_neardup" -> imageNearDup,
+    "mm_neardup_incremental" -> imageNeardupIncremental,
     "mm_mp3_meta" -> mp3Meta,
     "mm_h264_sps" -> h264Sps,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
@@ -1729,21 +1730,32 @@ object LlmQueries {
   def hllDistinct(s: SparkSession, d: String): DataFrame =
     hllDistinctOf(docs(s, d))
 
-  def hllDistinctOf(in: DataFrame): DataFrame = {
-    val hv = in
-      .select(col("source"), tokenExpr.as("w"))
+  /** (source, 32-bit shingle hash) rows — NOT deduplicated (the
+    * register max absorbs duplicates; only n_exact needs distinct). */
+  private def hllHashes(in: DataFrame): DataFrame =
+    in.select(col("source"), tokenExpr.as("w"))
       .select(col("source"), explode(expr(shingle3Expr)).as("sg"))
       .withColumn("h", md5(col("sg")))
       .select(col("source"), expr(hexHashExpr("instr")).as("hv"))
-      .distinct()
-    val regs = hv
-      .withColumn("j", expr(s"CAST(hv div $hllW AS INT)"))
+
+  private def regsFromHv(hv: DataFrame): DataFrame =
+    hv.withColumn("j", expr(s"CAST(hv div $hllW AS INT)"))
       .withColumn("wv", expr(s"hv % $hllW"))
       .withColumn("rho", expr(s"CASE WHEN wv = 0 THEN ${hllWBits + 1} " +
         s"ELSE ${hllWBits + 1} - length(bin(wv)) END"))
       .groupBy(col("source"), col("j"))
       .agg(max(col("rho")).as("mj"))
-    val est = regs.groupBy(col("source"))
+
+  /** The (source, register, max-rho) table of a document set — the
+    * MERGEABLE sketch state: registers from different shards/batches
+    * fold by `max(mj)` per (source, j), which is what the streaming
+    * maintenance twin persists per micro-batch. */
+  private[graft] def hllRegsOf(in: DataFrame): DataFrame =
+    regsFromHv(hllHashes(in))
+
+  /** The exact-integer raw estimate from a folded register table. */
+  private[graft] def hllEstimateOf(regs: DataFrame): DataFrame =
+    regs.groupBy(col("source"))
       .agg((sum(expr(s"CAST(1 AS BIGINT) << CAST($hllWBits - mj AS INT)"))
         + (lit(hllM) - count(lit(1))) * hllW).as("nsum"))
       .select(col("source"),
@@ -1751,6 +1763,11 @@ object LlmQueries {
         // overflow under ANSI before widening)
         expr(s"${709L * hllM * hllM * hllW}L div (1000L * nsum)")
           .as("est_hll"))
+
+  def hllDistinctOf(in: DataFrame): DataFrame = {
+    // one shingle+hash pass feeds both the registers and n_exact
+    val hv = hllHashes(in).distinct()
+    val est = hllEstimateOf(regsFromHv(hv))
     val exact = hv.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     exact.join(broadcast(est), "source")
       .select(col("source"), col("n_exact"), col("est_hll"))
@@ -3388,9 +3405,10 @@ object LlmQueries {
     * salt discipline of [[DedupIndex]]). Distinct-before-distance
     * dedups multi-band collisions so the verify cost is once per
     * candidate pair. */
-  def imageNearDup(s: SparkSession, d: String): DataFrame = {
-    val fp = dhashFp(s, d)
-    val bands = fp.select(col("doc_id"), col("dh_hi"), col("dh_lo"),
+  /** The 4×16-bit band explode of a fingerprint frame — the LSH key
+    * shared by the full pair search and the incremental probe. */
+  private def dhashBands(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("dh_hi"), col("dh_lo"),
       posexplode(array(
         col("dh_hi").bitwiseAND(lit(0xFFFFL)),
         shiftrightunsigned(col("dh_hi"), 16),
@@ -3398,6 +3416,10 @@ object LlmQueries {
         shiftrightunsigned(col("dh_lo"), 16))))
       .withColumnRenamed("pos", "band_i")
       .withColumnRenamed("col", "band_v")
+
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val fp = dhashFp(s, d)
+    val bands = dhashBands(fp)
     val l = bands.select(col("band_i"), col("band_v"),
       col("doc_id").as("a_id"), col("dh_hi").as("a_hi"),
       col("dh_lo").as("a_lo"))
@@ -3414,6 +3436,49 @@ object LlmQueries {
           "AS BIGINT)"))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** INCREMENTAL image near-dup (`mm_neardup_incremental`) — the
+    * perceptual lane's rung on the incremental axis, the same
+    * stored-index + broadcast-asymmetric probe discipline as
+    * [[dedupIncremental]]: the fingerprint+band index of the BASE
+    * attachments (doc_id % 46 = 0 — the prior snapshot) is a
+    * memoized stored artifact; an ARRIVING batch (the other half of
+    * the attachment subset) is fingerprinted, band-exploded, and
+    * BROADCAST against the index — at 100 TB the index is
+    * corpus-scale and the arrivals are batch-scale, so the probe
+    * touches only the index buckets the arrivals' 4×|batch| band
+    * keys hash to, with no corpus-side shuffle. Verification is the
+    * same exact Hamming ≤ 3 (pigeonhole-complete), so the oracle
+    * states ground truth as the tiny arriving×base all-pairs scan. */
+  /** The base/arriving split of the attachment subset: alternating
+    * BLOCKS of 12 attachments (not a modular split of doc_id itself,
+    * which would correlate with the base-image residue doc_id % 12
+    * and make the halves' image populations disjoint — the first cut
+    * of this query proved that the hard way with a structurally
+    * empty result). */
+  private val dhashBaseSplit = "((doc_id div 23) div 12) % 2 = 0"
+
+  def imageNeardupIncremental(s: SparkSession, d: String): DataFrame = {
+    val fp = dhashFp(s, d)
+    val baseBands = SnapshotMemo.getOrCompute(s, s"dhash-index:$d") {
+      chkSer(dhashBands(fp.filter(expr(dhashBaseSplit))))
+    }
+    val arriving = dhashBands(fp.filter(!expr(dhashBaseSplit)))
+      .select(col("band_i"), col("band_v"), col("doc_id").as("new_id"),
+        col("dh_hi").as("a_hi"), col("dh_lo").as("a_lo"))
+    baseBands
+      .select(col("band_i"), col("band_v"), col("doc_id").as("dup_of"),
+        col("dh_hi").as("b_hi"), col("dh_lo").as("b_lo"))
+      .join(broadcast(arriving), Seq("band_i", "band_v"))
+      .select(col("new_id"), col("dup_of"), col("a_hi"), col("a_lo"),
+        col("b_hi"), col("b_lo"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo) " +
+          "AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("new_id"), col("dup_of"), col("hamming"))
   }
 
   /** REAL video container metadata — the MP4 box-walk sibling of
@@ -5402,6 +5467,20 @@ object LlmQueries {
          |      AS hamming
          |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
          |SELECT a_id, b_id, hamming FROM pairs
+         |WHERE hamming <= 3""".stripMargin),
+
+    // the incremental probe's truth: arriving x base all-pairs at
+    // oracle scale (the banded probe is pigeonhole-complete at <= 3)
+    "mm_neardup_incremental" ->
+      (dhashOracleCte + """,
+         |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS dup_of,
+         |    CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+         |      + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT)
+         |      AS hamming
+         |  FROM fp a JOIN fp b
+         |    ON ((a.doc_id // 23) // 12) % 2 != 0
+         |   AND ((b.doc_id // 23) // 12) % 2 = 0)
+         |SELECT new_id, dup_of, hamming FROM pairs
          |WHERE hamming <= 3""".stripMargin),
 
     "mm_png_gray_levels" -> {

@@ -198,6 +198,46 @@ object DocsStream {
       .groupBy(col("cell")).agg(sum(col("c")).as("c"))
   }
 
+  /** Streaming HyperLogLog maintenance — [[startCmsMaintenance]]'s
+    * sibling for the distinct sketch ([[LlmQueries.hllRegsOf]]):
+    * each micro-batch appends its own (source, register, max-rho)
+    * table, tagged with the batch id; the read side folds by
+    * register MAX, which is HLL's exact merge — so the maintained
+    * estimate equals the batch estimate over everything ingested,
+    * regardless of how arrivals were split into batches. CMS needed
+    * the batch-id replay guard because its fold is a SUM (replays
+    * double-count); HLL's max fold is idempotent, but the guard is
+    * kept anyway so storage doesn't grow on retries — one
+    * discipline for all maintained sketches. */
+  def startHllMaintenance(docs: DataFrame, regsPath: String,
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val replayed =
+          try !spark.read.parquet(regsPath)
+            .filter(col("batch_id") === batchId).isEmpty
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!replayed)
+          LlmQueries.hllRegsOf(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(regsPath)
+      }
+      .trigger(trigger).start()
+
+  /** The maintained registers folded by their exact merge (max per
+    * (source, j)) — feed to [[LlmQueries.hllEstimateOf]]. */
+  def readHllRegs(spark: SparkSession, regsPath: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    spark.read.parquet(regsPath)
+      .groupBy(col("source"), col("j")).agg(max(col("mj")).as("mj"))
+  }
+
   /** Streaming twin of the cross-snapshot incremental dedup
     * ([[LlmQueries.dedupIncremental]]): arriving document shards are
     * MinHash-signed ([[DedupIndex.docBands]]) and probed against
