@@ -63,6 +63,7 @@ object LlmQueries {
     "llm_term_filter" -> termFilter,
     "llm_distinctive_terms" -> distinctiveTerms,
     "llm_bm25_topk" -> bm25TopK,
+    "llm_bm25_incremental" -> bm25Incremental,
     "llm_kmv_distinct" -> kmvDistinct,
     "llm_hll_distinct" -> hllDistinct,
     "llm_kmv_incremental" -> kmvIncremental,
@@ -1619,11 +1620,36 @@ object LlmQueries {
   /** The memoized inverted index: (doc_id, term, tf). */
   private def postings(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"doc-term-freq:$d") {
-      chkSer(docs(s, d)
-        .select(col("doc_id"), explode(tokenExpr).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf")))
+      chkSer(postingsOf(docs(s, d)))
     }
+
+  /** One corpus's (doc_id, term, tf) posting rows — a per-document
+    * derivation, so postings from DISJOINT document sets merge by
+    * plain union: the property the incremental path and the
+    * streaming maintenance twin rest on. */
+  private[graft] def postingsOf(in: DataFrame): DataFrame =
+    in.select(col("doc_id"), explode(tokenExpr).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** INCREMENTAL BM25 (`llm_bm25_incremental`) — the retrieval
+    * lane's rung on the incremental axis: the BASE corpus's postings
+    * (doc_id % 2 = 0 — the prior snapshot) are a stored memoized
+    * artifact; a DELTA batch's postings are built fresh and UNIONED
+    * in (per-document rows from disjoint doc sets — no conflict
+    * resolution, the merge is exact by construction). df/avgdl/N
+    * re-derive from the merged index inside the same scoring plan,
+    * so the incremental result is provably the full rebuild — which
+    * is exactly what the oracle asserts: its SQL is the SAME
+    * full-corpus replay as `llm_bm25_topk`'s. At 100 TB the stored
+    * postings never re-tokenize; only the delta pays tokenization. */
+  def bm25Incremental(s: SparkSession, d: String): DataFrame = {
+    val base = SnapshotMemo.getOrCompute(s, s"postings-base:$d") {
+      chkSer(postingsOf(docs(s, d).filter(col("doc_id") % 2 === 0)))
+    }
+    val delta = postingsOf(docs(s, d).filter(col("doc_id") % 2 =!= 0))
+    bm25TopKOf(s, base.union(delta), bm25QuerySet, 10)
+  }
 
   /** Top-10 documents per query by integer-exact BM25
     * (`llm_bm25_topk`): (query_id, doc_id, rank, score_x1e6), ties
@@ -3935,6 +3961,51 @@ object LlmQueries {
        |  FROM bits GROUP BY 1)""".stripMargin
   }
 
+  /** The BM25 full-corpus replay, shared by `llm_bm25_topk` AND
+    * `llm_bm25_incremental` — for the incremental row the shared
+    * oracle IS the contract: stored-base + delta must equal the
+    * full rebuild. */
+  private lazy val bm25OracleSql: String = {
+    val values = bm25QuerySet
+      .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
+      .mkString(", ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       |      AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS s_len FROM dl),
+       |q(query_id, term) AS (VALUES $values),
+       |post AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+       |  FROM tf JOIN q ON tf.term = q.term),
+       |dfq AS (SELECT term,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM post GROUP BY 1),
+       |ts AS (SELECT post.query_id, post.doc_id,
+       |    CAST((1000000 * (2 * (st.n_docs - dfq.df) + 1)
+       |        * (44 * CAST(st.s_len AS HUGEINT) * post.tf))
+       |      // ((2 * dfq.df + 1)
+       |        * (20 * CAST(st.s_len AS HUGEINT) * post.tf
+       |           + 6 * st.s_len + 18 * dl.dl * st.n_docs))
+       |      AS BIGINT) AS t6
+       |  FROM post JOIN dl ON post.doc_id = dl.doc_id
+       |  JOIN dfq ON post.term = dfq.term CROSS JOIN st),
+       |sc AS (SELECT query_id, doc_id,
+       |    CAST(sum(t6) AS BIGINT) AS score_x1e6
+       |  FROM ts GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score_x1e6,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_x1e6 DESC, doc_id ASC) AS INT) AS rank
+       |  FROM sc)
+       |SELECT CAST(query_id AS INT) AS query_id, doc_id, rank,
+       |  score_x1e6
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // Golden-fixture oracle (see compressRatio's doc): DuckDB cannot
     // recompute a zlib byte stream, so it reads the independently-
@@ -4539,47 +4610,12 @@ object LlmQueries {
 
     // full BM25 replay: re-tokenize, re-count, re-derive the exact
     // rational scoring (the same 128-bit integer division), rank by
-    // a window — independent of the engine's bounded-heap top-k
-    "llm_bm25_topk" -> {
-      val values = bm25QuerySet
-        .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
-        .mkString(", ")
-      s"""WITH tok AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
-         |      AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |  FROM tf GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(dl) AS BIGINT) AS s_len FROM dl),
-         |q(query_id, term) AS (VALUES $values),
-         |post AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
-         |  FROM tf JOIN q ON tf.term = q.term),
-         |dfq AS (SELECT term,
-         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM post GROUP BY 1),
-         |ts AS (SELECT post.query_id, post.doc_id,
-         |    CAST((1000000 * (2 * (st.n_docs - dfq.df) + 1)
-         |        * (44 * CAST(st.s_len AS HUGEINT) * post.tf))
-         |      // ((2 * dfq.df + 1)
-         |        * (20 * CAST(st.s_len AS HUGEINT) * post.tf
-         |           + 6 * st.s_len + 18 * dl.dl * st.n_docs))
-         |      AS BIGINT) AS t6
-         |  FROM post JOIN dl ON post.doc_id = dl.doc_id
-         |  JOIN dfq ON post.term = dfq.term CROSS JOIN st),
-         |sc AS (SELECT query_id, doc_id,
-         |    CAST(sum(t6) AS BIGINT) AS score_x1e6
-         |  FROM ts GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, score_x1e6,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score_x1e6 DESC, doc_id ASC) AS INT) AS rank
-         |  FROM sc)
-         |SELECT CAST(query_id AS INT) AS query_id, doc_id, rank,
-         |  score_x1e6
-         |FROM r WHERE rank <= 10""".stripMargin
-    },
+    // a window — independent of the engine's bounded-heap top-k.
+    // llm_bm25_incremental gets the SAME full-corpus replay: the
+    // incremental contract IS "stored-base + delta == full rebuild",
+    // so sharing the oracle is the assertion, not a shortcut.
+    "llm_bm25_incremental" -> bm25OracleSql,
+    "llm_bm25_topk" -> bm25OracleSql,
 
     "llm_kmv_distinct" ->
       s"""WITH t AS (SELECT source,

@@ -238,6 +238,44 @@ object DocsStream {
       .groupBy(col("source"), col("j")).agg(max(col("mj")).as("mj"))
   }
 
+  /** Streaming inverted-index maintenance — the retrieval lane's
+    * sibling of the sketch twins: each micro-batch appends its own
+    * (doc_id, term, tf) posting rows ([[LlmQueries.postingsOf]] —
+    * per-DOCUMENT derivations, so postings from disjoint batches
+    * merge by plain union and the fold needs no combine at all),
+    * batch-id-guarded against replay appends. A BM25 query over
+    * [[readPostings]] equals the monolithic batch build over
+    * everything ingested (df/avgdl/N re-derive from the merged index
+    * inside the scoring plan — Bm25StreamSpec). */
+  def startPostingsMaintenance(docs: DataFrame, postingsPath: String,
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val replayed =
+          try !spark.read.parquet(postingsPath)
+            .filter(col("batch_id") === batchId).isEmpty
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!replayed)
+          LlmQueries.postingsOf(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(postingsPath)
+      }
+      .trigger(trigger).start()
+
+  /** The maintained inverted index (union fold — per-document rows
+    * never conflict across batches). */
+  def readPostings(spark: SparkSession, postingsPath: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(postingsPath)
+      .select(col("doc_id"), col("term"), col("tf"))
+  }
+
   /** Streaming twin of the cross-snapshot incremental dedup
     * ([[LlmQueries.dedupIncremental]]): arriving document shards are
     * MinHash-signed ([[DedupIndex.docBands]]) and probed against
