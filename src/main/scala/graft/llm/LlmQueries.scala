@@ -3378,8 +3378,15 @@ object LlmQueries {
     * sparse sidecar of a text corpus, and the fixture build is the
     * per-row cost cap), PNG-gray fixture construct → REAL decode →
     * [[graft.functions.DHash64]], all map-side in one codegen stage
-    * next to the scan (no exchange until a consumer groups). */
-  private def dhashFp(s: SparkSession, d: String): DataFrame = {
+    * next to the scan. MEMOIZED per snapshot: three queries (and
+    * both sides of the near-dup self-join) consume it, and a
+    * production pipeline computes fingerprints once and stores them
+    * next to the media metadata — the artifact IS the operator's
+    * output table, a few fixed-width columns per attachment. */
+  private def dhashFp(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"dhash-fp:$d") { chkSer(dhashFpOf(s, d)) }
+
+  private def dhashFpOf(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.ImageHex
     docs(s, d)
       .filter(expr("doc_id % 23 = 0"))

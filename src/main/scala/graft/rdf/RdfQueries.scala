@@ -210,6 +210,8 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlStrFunsQuery)),
     "rdf_sparql_coalesce" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlCoalesceQuery)),
+    "rdf_sparql_seq_closure" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlSeqClosureQuery)),
     "rdf_sparql_path_star" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathStarQuery,
         relClosureProvider(s, d))),
@@ -460,6 +462,16 @@ object RdfQueries {
       |  OPTIONAL { ?item o:resource_template ?tpl }
       |  BIND(COALESCE(?tpl, "no-template") AS ?label)
       |}""".stripMargin
+
+  /** Grouped-sequence closure `(p1/p2)+` — the fixpoint over the
+    * COMPOSED edge set (relation∘relation = the two-hop graph), the
+    * one path form where parentheses change semantics rather than
+    * merely grouping: reachability in an even number of relation
+    * steps ≥ 2. */
+  val sparqlSeqClosureQuery: String =
+    """SELECT ?src ?dst
+      |WHERE { ?src (dcterms:relation/dcterms:relation)+ ?dst . }"""
+      .stripMargin
 
   /** GRAPH block with a graph VARIABLE — per-named-graph title
     * census over the multi-graph store ([[multiGraph]]). */
@@ -2081,6 +2093,22 @@ object RdfQueries {
          |  AND tp.predicate = '$OmekaResourceTemplate'
          |WHERE ty.predicate = '$RdfType'
          |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
+
+    // the recursion runs over the COMPOSED (two-hop) edge set — the
+    // independent restatement of "closure over a sequence"
+    "rdf_sparql_seq_closure" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |e AS (SELECT subject AS src, obj_value AS dst FROM triples
+         |  WHERE predicate = '$DctermsRelation' AND obj_kind = 'iri'),
+         |e2 AS (SELECT e1.src, e2.dst
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src)
+         |SELECT src, dst FROM (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT src, dst FROM e2
+         |    UNION
+         |    SELECT w.src, g.dst FROM walk w
+         |    JOIN e2 g ON g.src = w.dst)
+         |  SELECT * FROM walk)""".stripMargin,
 
     // the (monument -> item) mapping replayed: RM-prefix-normalized
     // rmnr literals name the enrichment's monument IRIs; both term

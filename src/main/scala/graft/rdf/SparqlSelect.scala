@@ -42,9 +42,16 @@ import Vocab.RdfType
   *   triples  := term (path | ?var) obj (';' (path | ?var) obj)* '.'?
   *   subq     := { SELECT ... }     (a full query body, in a group)
   *   path     := step ('/' step)*
-  *   step     := '!'? '^'? ( pred | '(' pred ('|' pred)* ')' )
+  *   step     := '!'? '^'? ( pred | '(' pred ('|' pred)* ')'
+  *                         | '(' pred ('/' pred)+ ')' )
   *               ('+'|'*'|'?')?     (negated sets: forward,
-  *                                   unquantified — `!p`, `!(p|q)`)
+  *                                   unquantified — `!p`, `!(p|q)`;
+  *                                   parenthesized sequences compose
+  *                                   under the quantifier —
+  *                                   `(p1/p2)+` is the fixpoint over
+  *                                   the composed edge set; without
+  *                                   a quantifier the parens desugar
+  *                                   to the plain sequence)
   *   optional := OPTIONAL { triples filter* }
   *   filter   := FILTER ( cond (&& cond)* )
   *             | FILTER NOT? EXISTS { triples }
@@ -164,7 +171,8 @@ object SparqlSelect {
   final case class Pattern(s: Term, preds: Seq[String], o: Term,
       plus: Boolean = false, predVar: Option[String] = None,
       star: Boolean = false, graphCtx: Option[Term] = None,
-      zeroOne: Boolean = false, negated: Boolean = false) {
+      zeroOne: Boolean = false, negated: Boolean = false,
+      seqPath: Seq[String] = Nil) {
     /** Any non-plain step (`p+`, `p*`, or `p?`) — excluded from the
       * pivot/membership/merge shapes, which assume one scan. */
     def closed: Boolean = plus || star || zeroOne
@@ -522,7 +530,7 @@ object SparqlSelect {
     * bounded scan shape). */
   private final case class Step(inv: Boolean, preds: Seq[String],
       plus: Boolean, star: Boolean, zeroOne: Boolean,
-      neg: Boolean = false)
+      neg: Boolean = false, seqPreds: Seq[String] = Nil)
 
   private final class Parser(ts: Vector[String]) {
     private var i = 0
@@ -578,14 +586,27 @@ object SparqlSelect {
       if (inv) next()
       require(!(neg && inv),
         "SPARQL: an inverted negated property set is not supported")
+      var seqPreds: Seq[String] = Nil
       val preds: Seq[String] =
         if (peek == "(") {
           next()
           val ps = Seq.newBuilder[String]
           ps += predIri()
-          while (peek == "|") { next(); ps += predIri() }
-          expect(")")
-          ps.result()
+          if (peek == "/") {
+            // parenthesized SEQUENCE `(p1/p2/...)` — meaningful only
+            // under a quantifier (closure over the composed relation);
+            // unquantified it desugars to the plain step sequence
+            require(!neg && !inv, "SPARQL: a negated or inverted " +
+              "parenthesized sequence is not supported")
+            while (peek == "/") { next(); ps += predIri() }
+            expect(")")
+            seqPreds = ps.result()
+            Nil
+          } else {
+            while (peek == "|") { next(); ps += predIri() }
+            expect(")")
+            ps.result()
+          }
         } else Seq(predIri())
       val plus = peek == "+"
       if (plus) next()
@@ -595,13 +616,24 @@ object SparqlSelect {
       if (zeroOne) next()
       require(!(neg && (plus || star || zeroOne)),
         "SPARQL: a quantified negated property set is not supported")
-      Step(inv, preds, plus, star, zeroOne, neg)
+      Step(inv, preds, plus, star, zeroOne, neg, seqPreds)
     }
 
     private def pathSteps(): Seq[Step] = {
       val out = Seq.newBuilder[Step]
-      out += step()
-      while (peek == "/") { next(); out += step() }
+      def add(): Unit = {
+        val st = step()
+        if (st.seqPreds.nonEmpty &&
+            !(st.plus || st.star || st.zeroOne))
+          // unquantified `(p1/p2)` desugars to the plain sequence —
+          // the parens carry no meaning without a quantifier
+          st.seqPreds.foreach(p =>
+            out += Step(inv = false, Seq(p), plus = false,
+              star = false, zeroOne = false))
+        else out += st
+      }
+      add()
+      while (peek == "/") { next(); add() }
       out.result()
     }
 
@@ -619,7 +651,8 @@ object SparqlSelect {
           if (st.inv) out += Pattern(nxt, st.preds, cur, st.plus,
             star = st.star, zeroOne = st.zeroOne)
           else out += Pattern(cur, st.preds, nxt, st.plus,
-            star = st.star, zeroOne = st.zeroOne, negated = st.neg)
+            star = st.star, zeroOne = st.zeroOne, negated = st.neg,
+            seqPath = st.seqPreds)
           cur = nxt
         }
       }
@@ -1545,15 +1578,34 @@ object SparqlSelect {
     }
 
     def closureEdges(pat: Pattern): DataFrame = {
-      var e = t.filter(predFilter(pat) && col("obj_kind") === "iri")
       pat.graphCtx match {
-        case Some(I(iri)) => e = e.filter(col("graph") === iri)
         case Some(V(_)) => throw new IllegalArgumentException(
           "SPARQL: a graph VARIABLE over a closure path is not " +
             "supported (a closure crosses graphs)")
-        case None =>
+        case _ =>
       }
-      e.select(col("subject").as("src"), col("obj_value").as("dst"))
+      def scanOf(filter: Column): DataFrame = {
+        var e = t.filter(filter && col("obj_kind") === "iri")
+        pat.graphCtx match {
+          case Some(I(iri)) => e = e.filter(col("graph") === iri)
+          case _ =>
+        }
+        e.select(col("subject").as("src"), col("obj_value").as("dst"))
+      }
+      if (pat.seqPath.isEmpty) scanOf(predFilter(pat))
+      else
+        // `(p1/p2/...)` under a quantifier: the composed relation —
+        // per-predicate IRI-object scans folded by equi-joins on the
+        // intermediate node, yielding the (src, dst) edge set the
+        // fixpoint walks. The IRI-object restriction applies at
+        // EVERY hop (a closure walks the IRI graph; a literal can't
+        // be a join point anyway).
+        pat.seqPath
+          .map(p => scanOf(col("predicate") === p))
+          .reduce((a, b) => a.join(
+              b.select(col("src").as("_mid"), col("dst").as("_nxt")),
+              col("dst") === col("_mid"))
+            .select(col("src"), col("_nxt").as("dst")))
     }
 
     def closure(pat: Pattern): DataFrame = {
@@ -1576,7 +1628,11 @@ object SparqlSelect {
       * 10× (measured — see its scaladoc); an engine default must
       * survive scale, so the live fallback walks the frontier. */
     def closurePairs(pat: Pattern, edges: DataFrame): DataFrame =
-      (if (pat.graphCtx.isEmpty) closureOf(pat.preds) else None)
+      // the stored-closure provider is keyed by a predicate SET —
+      // a composed-sequence closure is a different relation and must
+      // never read a flat-set artifact
+      (if (pat.graphCtx.isEmpty && pat.seqPath.isEmpty)
+        closureOf(pat.preds) else None)
         .map(_.select(col("src"), col("dst")))
         .getOrElse(RdfOps.reachablePlus(edges,
           edges.select(col("src")).distinct())

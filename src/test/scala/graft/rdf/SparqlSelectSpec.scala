@@ -804,4 +804,35 @@ class SparqlSelectSpec extends AnyFunSuite {
       """SELECT ?x ?b WHERE { ?x dcterms:title ?t .
         |BIND(STRBEFORE(?t, "") AS ?b) }""".stripMargin))
   }
+
+  test("42: (p1/p2)+ is the fixpoint over the composed edge set; " +
+    "unquantified parens desugar to the plain sequence") {
+    // hand graph: chain 1→2→3→4→5 under :r — (r/r)+ from 1 reaches
+    // exactly the even-distance nodes {3, 5}
+    val rows = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"))
+      .map { case (a, b) => ("default", s"http://ex.org/item/$a",
+        "iri", DctermsRelation, s"http://ex.org/item/$b", "iri",
+        null: String, null: String) }
+    val chain = graft.TestSpark.triples(rows)
+    val got = SparqlSelect(chain,
+      "SELECT ?src ?dst WHERE { ?src (dcterms:relation/" +
+        "dcterms:relation)+ ?dst . }")
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getString(1).split('/').last)).toSet
+    assert(got == Set(("1", "3"), ("1", "5"), ("2", "4"), ("3", "5")))
+    // without a quantifier the parens mean nothing: plan identity
+    // with the plain sequence spelling
+    val paren = SparqlSelect(t,
+      "SELECT ?src ?title WHERE { ?src (dcterms:relation/" +
+        "dcterms:title) ?title . }")
+    val plain = SparqlSelect(t,
+      "SELECT ?src ?title WHERE { ?src dcterms:relation/" +
+        "dcterms:title ?title . }")
+    assert(paren.queryExecution.optimizedPlan
+      .sameResult(plain.queryExecution.optimizedPlan))
+    // mixing | and / inside one group is rejected
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      "SELECT ?a ?b WHERE { ?a (dcterms:relation/dcterms:title" +
+        "|def:size) ?b . }"))
+  }
 }
