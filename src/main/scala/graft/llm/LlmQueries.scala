@@ -111,6 +111,9 @@ object LlmQueries {
     "mm_h264_sps" -> h264Sps,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
     "llm_compress_ratio" -> compressRatio,
+    "llm_suffix_array" -> SuffixArray.suffixArray,
+    "llm_exact_substr" -> SuffixArray.exactSubstr,
+    "llm_sa_lcp" -> SuffixArray.lcpHistogram,
   )
 
   /** Serialized-block local checkpoint for CORPUS-SCALE memoized
@@ -4014,6 +4017,85 @@ object LlmQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Suffix-array family oracles. The engine never materializes the
+    // corpus string or compares substrings (prefix-doubling rank
+    // tables only); the oracle does EXACTLY that — it builds each
+    // position's 32-char window from the document text plus a
+    // one-document lookahead (sound here because min doc length ≥ 31,
+    // so a window crosses at most one 0x01 sentinel) and sorts the
+    // actual strings. DuckDB string order is binary UTF-8 order =
+    // codepoint order, matching the engine's depth-1 codepoint ranks.
+    "llm_suffix_array" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         coalesce(sum(length(text) + 1) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+        |         text || chr(1) ||
+        |           coalesce(lead(text) OVER (ORDER BY doc_id), '') AS ext
+        |  FROM documents),
+        |pos AS (
+        |  SELECT d.doc_id, t.i::BIGINT AS lpos,
+        |         (d.off + t.i - 1)::BIGINT AS gpos,
+        |         substr(d.ext, t.i::INT, 32) AS p32
+        |  FROM docs d, generate_series(1, 4096) t(i)
+        |  WHERE t.i <= length(d.text) + 1),
+        |ranked AS (
+        |  SELECT doc_id, lpos,
+        |         row_number() OVER (ORDER BY p32, gpos) - 1 AS sa_rank
+        |  FROM pos)
+        |SELECT sa_rank, doc_id, lpos FROM ranked
+        |WHERE sa_rank % 199 = 0""".stripMargin,
+
+    // ExactSubstr truth: group the REAL 32-grams, keep positions
+    // whose gram occurs more than once anywhere, merge runs into
+    // maximal spans by the islands trick.
+    "llm_exact_substr" ->
+      """WITH grams AS (
+        |  SELECT d.doc_id, t.i::BIGINT AS lpos,
+        |         substr(d.text, t.i::INT, 32) AS g
+        |  FROM documents d, generate_series(1, 4096) t(i)
+        |  WHERE t.i <= length(d.text) - 31),
+        |dup AS (
+        |  SELECT doc_id, lpos
+        |  FROM (SELECT doc_id, lpos,
+        |               count(*) OVER (PARTITION BY g) AS c FROM grams)
+        |  WHERE c > 1),
+        |isl AS (
+        |  SELECT doc_id, lpos,
+        |         lpos - row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY lpos) AS grp
+        |  FROM dup)
+        |SELECT doc_id, min(lpos) AS span_start,
+        |       max(lpos) - min(lpos) + 32 AS span_len
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // LCP truth: sort the actual 32-char windows, then for each
+    // adjacent pair take the largest k ≤ 32 with equal k-prefixes.
+    "llm_sa_lcp" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         coalesce(sum(length(text) + 1) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+        |         text || chr(1) ||
+        |           coalesce(lead(text) OVER (ORDER BY doc_id), '') AS ext
+        |  FROM documents),
+        |pos AS (
+        |  SELECT (d.off + t.i - 1)::BIGINT AS gpos,
+        |         substr(d.ext, t.i::INT, 32) AS p32
+        |  FROM docs d, generate_series(1, 4096) t(i)
+        |  WHERE t.i <= length(d.text) + 1),
+        |ranked AS (
+        |  SELECT p32, row_number() OVER (ORDER BY p32, gpos) AS rn
+        |  FROM pos),
+        |pairs AS (
+        |  SELECT a.rn, a.p32 AS pa, b.p32 AS pb
+        |  FROM ranked a JOIN ranked b ON b.rn = a.rn + 1),
+        |plcp AS (
+        |  SELECT p.rn, max(g.k)::BIGINT AS lcp
+        |  FROM pairs p JOIN generate_series(0, 32) g(k)
+        |    ON substr(p.pa, 1, g.k::INT) = substr(p.pb, 1, g.k::INT)
+        |  GROUP BY p.rn)
+        |SELECT lcp, count(*) AS n_pairs FROM plcp GROUP BY lcp""".stripMargin,
     // Golden-fixture oracle (see compressRatio's doc): DuckDB cannot
     // recompute a zlib byte stream, so it reads the independently-
     // replayed golden parquet and re-derives the verdicts

@@ -1,0 +1,241 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.{SnapshotMemo, Tables}
+
+/** Distributed bounded-depth suffix array over the document corpus,
+  * built by PREFIX DOUBLING (Manber–Myers), plus the two classic
+  * consumers a training-data pipeline wants on top of it:
+  * Lee et al. 2022 "Deduplicating Training Data Makes Language
+  * Models Better" ExactSubstr duplicate-span extraction, and the
+  * LCP profile of the suffix order (binary-lifting LCP — the
+  * rank-table trick from the same construction).
+  *
+  * Reference anchor: the reference pipeline's set-semantics dedup is
+  * rdflib's triple-set behavior (export_from_omeka_s.py:50); the
+  * engine's dedup family generalizes it to content dedup, and this
+  * module upgrades the k-gram span approximation (`llm_dup_spans`)
+  * to the exact suffix-order formulation.
+  *
+  * Shape, for 100 TB:
+  *  - The corpus is the virtual string S = concat(text_i || 0x01)
+  *    over doc_id order. S is NEVER materialized — every operator
+  *    works on one row per character position (gpos, code), i.e.
+  *    the same cardinality a tokenized corpus already has.
+  *  - rank_d tables (one per power-of-two depth d ≤ Depth) are the
+  *    only state: rank_d(i) = rank of substr(S, i, d) among all
+  *    positions, with EXACT substring-order semantics (shorter
+  *    suffixes sort first via the missing-shift -1 sentinel).
+  *  - Each doubling round is two bounded shuffles: a position-keyed
+  *    self-join (gpos ↔ gpos+d) to form (rank, shifted-rank) keys,
+  *    and a range-sort of the DISTINCT keys to re-densify. No round
+  *    ever materializes a suffix, compares strings, or exceeds
+  *    O(n) rows. O(log Depth) rounds total — depth 32 = 5 rounds.
+  *  - Dense ranks are assigned by range-repartition + sorted
+  *    zipWithIndex (partition-offset numbering) — the one RDD hop in
+  *    the module, used precisely because a global row_number window
+  *    would single-partition the sort.
+  *
+  * Bounded depth: ranks are exact for the first `Depth` characters;
+  * the SA order is (rank_Depth, gpos). That is the full suffix array
+  * truncated at depth 32 — exactly what duplicate-span detection at
+  * threshold L ≤ 32 needs (two suffixes sharing ≥ L chars are
+  * adjacent-contiguous in any order that refines first-L-char
+  * order). The depth is a knob, not a structural limit: each extra
+  * doubling round doubles it.
+  */
+object SuffixArray {
+  /** Bounded suffix-compare depth (chars); power of two. */
+  val Depth = 32
+  /** ExactSubstr duplicate-span threshold (chars); ≤ Depth. */
+  val SpanL = 32
+  /** Sampling modulus for the oracle-facing SA dump. */
+  val SampleMod = 199
+
+  private def chkSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  // ----------------------------------------------------------------
+  // Position table: one row per character of the virtual corpus
+  // string, sentinel 0x01 rows included (lpos = dlen + 1). Document
+  // offsets are metadata-scale (one row per document), so the
+  // running-sum window over doc order is an ndocs-row single
+  // partition — the same O(#files) driver-side bookkeeping any
+  // file-offset assignment does; the EXPLODED table is what scales.
+  // ----------------------------------------------------------------
+  private[llm] def positions(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"sa-pos:$d") {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast(LongType).as("dlen"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = docs.withColumn("off",
+        coalesce(sum(col("dlen") + 1).over(w), lit(0L)))
+      chkSer(offs
+        .select(col("doc_id"), col("dlen"), col("off"),
+          explode(sequence(lit(1L), col("dlen") + 1)).as("lpos"),
+          col("text"))
+        .select(
+          col("doc_id"), col("dlen"), col("lpos"),
+          (col("off") + col("lpos") - 1).as("gpos"),
+          when(col("lpos") <= col("dlen"),
+            ascii(col("text").substr(col("lpos"), lit(1))))
+            .otherwise(lit(1)).cast(LongType).as("code")))
+    }
+
+  // ----------------------------------------------------------------
+  // Order-preserving dense rank WITHOUT a single-partition window:
+  // range-repartition on the key, sort within partitions, then
+  // assign contiguous indices by partition offset (zipWithIndex runs
+  // one count job over the pinned sorted blocks and numbers rows in
+  // partition order — exactly the offset bookkeeping, distributed).
+  // Input rows must be distinct on keyCols (ranks would otherwise
+  // break ties arbitrarily).
+  // ----------------------------------------------------------------
+  private[llm] def denseRank(df: DataFrame, keyCols: Seq[String],
+      out: String): DataFrame = {
+    val ss = df.sparkSession
+    val sorted = df
+      .repartitionByRange(32, keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    ss.createDataFrame(rdd, schema)
+  }
+
+  // ----------------------------------------------------------------
+  // rank_d tables. Invariant (spec-pinned): rank_d(i) = rank_d(j)
+  // ⟺ substr(S, i, d) == substr(S, j, d), and rank order == that
+  // substring's lexicographic order (short suffixes first). Depth 1
+  // uses the character code directly (order-preserving; density is
+  // not required — doubling keys only need order/equality). Each
+  // deeper level joins the half-depth rank with its 2^k-shifted
+  // self (-1 when the shift runs off the corpus: a shorter suffix
+  // sorts before every longer one sharing its prefix, exactly as
+  // string comparison does) and re-densifies.
+  // ----------------------------------------------------------------
+  private[llm] def rankLevel(s: SparkSession, d: String,
+      depth: Int): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"sa-rank:$d:$depth") {
+      require(depth >= 1 && Integer.bitCount(depth) == 1,
+        s"rank level depth must be a power of two, got $depth")
+      if (depth == 1) {
+        chkSer(positions(s, d)
+          .select(col("gpos"), col("code").as("rank")))
+      } else {
+        val half = depth / 2
+        val prev = rankLevel(s, d, half)
+        val shifted = prev.select(
+          (col("gpos") - half).as("gpos"), col("rank").as("rank2"))
+        val keys = prev.join(shifted, Seq("gpos"), "left")
+          .select(col("gpos"), col("rank"),
+            coalesce(col("rank2"), lit(-1L)).as("rank2"))
+        val ranked = denseRank(
+          keys.select("rank", "rank2").distinct(),
+          Seq("rank", "rank2"), "nrank")
+        chkSer(keys.join(ranked, Seq("rank", "rank2"))
+          .select(col("gpos"), col("nrank").as("rank")))
+      }
+    }
+
+  /** Full bounded-depth SA order: dense sa_rank over
+    * (rank_Depth, gpos) — gpos tie-break makes the key unique, so
+    * the dense rank IS the suffix-array permutation index. */
+  private[llm] def saRanked(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"sa-ranked:$d") {
+      val joined = positions(s, d)
+        .select("gpos", "doc_id", "lpos", "dlen")
+        .join(rankLevel(s, d, Depth), Seq("gpos"))
+      chkSer(denseRank(joined, Seq("rank", "gpos"), "sa_rank"))
+    }
+
+  // ----------------------------------------------------------------
+  // llm_suffix_array: every SampleMod-th entry of the suffix-array
+  // permutation. The oracle recomputes the same order by SORTING THE
+  // ACTUAL 32-CHAR SUFFIX STRINGS of the materialized corpus — the
+  // structurally independent formulation the engine exists to avoid.
+  // ----------------------------------------------------------------
+  def suffixArray(s: SparkSession, d: String): DataFrame =
+    saRanked(s, d)
+      .filter(col("sa_rank") % SampleMod === 0)
+      .select(col("sa_rank"), col("doc_id"), col("lpos"))
+
+  // ----------------------------------------------------------------
+  // llm_exact_substr — Lee et al. ExactSubstr: maximal spans of
+  // positions whose SpanL-char substring occurs elsewhere in the
+  // corpus. A within-document gram can only collide with another
+  // within-document gram (every tail/sentinel-crossing window
+  // contains 0x01, which document text never does), so the global
+  // rank_SpanL group count equals the within-document duplicate
+  // count. Spans: runs of consecutive duplicated start positions,
+  // merged by the islands trick per document (window bounded by
+  // document length), span_len = run + SpanL - 1.
+  // ----------------------------------------------------------------
+  def exactSubstr(s: SparkSession, d: String): DataFrame = {
+    val r = rankLevel(s, d, SpanL)
+    val dupRanks = r.groupBy("rank")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("rank")
+    val dupStarts = positions(s, d)
+      .filter(col("lpos") <= col("dlen") - (SpanL - 1))
+      .select("gpos", "doc_id", "lpos")
+      .join(r, Seq("gpos"))
+      .join(dupRanks, Seq("rank"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("lpos")
+    dupStarts
+      .withColumn("grp", col("lpos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("lpos")).as("span_start"),
+        (max(col("lpos")) - min(col("lpos")) + SpanL).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
+  // ----------------------------------------------------------------
+  // llm_sa_lcp: histogram of longest-common-prefix lengths between
+  // ADJACENT suffix-array entries (capped at Depth), computed by
+  // BINARY LIFTING over the stored rank tables: descending powers
+  // k = Depth..1, add k and advance both positions whenever the
+  // rank_k values match. Never compares a string; 2 position-keyed
+  // joins per level. The LCP profile is the corpus's duplication
+  // spectrum — the quantity ExactSubstr thresholds.
+  // ----------------------------------------------------------------
+  def lcpHistogram(s: SparkSession, d: String): DataFrame = {
+    val sa = saRanked(s, d).select("sa_rank", "gpos")
+    var cur = sa
+      .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
+        col("gpos").as("gb")), Seq("sa_rank"))
+      .select(col("gpos").as("ia"), col("gb").as("ib"),
+        lit(0L).as("lcp"))
+    var k = Depth
+    while (k >= 1) {
+      val lev = rankLevel(s, d, k)
+      val eq = col("ra").isNotNull && col("rb").isNotNull &&
+        col("ra") === col("rb")
+      cur = cur
+        .join(lev.select(col("gpos").as("ia"), col("rank").as("ra")),
+          Seq("ia"), "left")
+        .join(lev.select(col("gpos").as("ib"), col("rank").as("rb")),
+          Seq("ib"), "left")
+        .select(
+          when(eq, col("ia") + k).otherwise(col("ia")).as("ia"),
+          when(eq, col("ib") + k).otherwise(col("ib")).as("ib"),
+          when(eq, col("lcp") + k).otherwise(col("lcp")).as("lcp"))
+      k /= 2
+    }
+    cur
+      .select(least(col("lcp"), lit(Depth.toLong)).as("lcp"))
+      .groupBy("lcp")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+}
