@@ -69,6 +69,9 @@ object Vocab {
   val OmekaResourceTemplate = "http://omeka.org/s/vocabs/o#resource_template"
   val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
   val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  val RdfLangString =
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
   /** O12 — namespace resolution. The reference resolves namespace
     * modules dynamically by reflection on rdflib

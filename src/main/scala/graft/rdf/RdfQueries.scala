@@ -210,6 +210,14 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlStrFunsQuery)),
     "rdf_sparql_coalesce" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlCoalesceQuery)),
+    "rdf_sparql_arith" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlArithQuery)),
+    "rdf_sparql_if_in" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlIfInQuery)),
+    "rdf_sparql_termfns" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlTermFnsQuery)),
+    "rdf_sparql_iskind" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlIsKindQuery)),
     "rdf_sparql_seq_closure" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlSeqClosureQuery)),
     "rdf_sparql_path_star" -> ((s, d) =>
@@ -461,6 +469,50 @@ object RdfQueries {
       |  ?item a ceo:Rijksmonument .
       |  OPTIONAL { ?item o:resource_template ?tpl }
       |  BIND(COALESCE(?tpl, "no-template") AS ?label)
+      |}""".stripMargin
+
+  /** Integer arithmetic in BIND — a zero-exchange codegen projection
+    * in BIGINT over the numeric binding. */
+  val sparqlArithQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?scaled
+      |WHERE {
+      |  ?item def:size ?sz .
+      |  BIND(?sz * 3 + 7 AS ?scaled)
+      |  FILTER(?sz >= 10)
+      |}""".stripMargin
+
+  /** `IN` membership (ONE isin scan) + `IF` conditional binding. */
+  val sparqlIfInQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?b ?bucket
+      |WHERE {
+      |  ?item def:brand ?b .
+      |  FILTER(?b IN ("Brand#4", "Brand#19"))
+      |  BIND(IF(?b = "Brand#4", "flag", "other") AS ?bucket)
+      |}""".stripMargin
+
+  /** STR / LANG / DATATYPE term accessors over a variable-predicate
+    * scan — the full §17.4.2 literal-metadata rules, incl. the
+    * xsd:string / rdf:langString defaults and the error-→-unbound
+    * behavior on IRIs. */
+  val sparqlTermFnsQuery: String =
+    """SELECT ?item ?p ?sv ?lg ?dt
+      |WHERE {
+      |  ?item ?p ?o .
+      |  BIND(STR(?o) AS ?sv)
+      |  BIND(LANG(?o) AS ?lg)
+      |  BIND(DATATYPE(?o) AS ?dt)
+      |}""".stripMargin
+
+  /** ISLITERAL over a variable-predicate scan — the term-kind test
+    * pushed into the binding scan (a selective obj_kind filter, not
+    * a post-hoc value predicate). */
+  val sparqlIsKindQuery: String =
+    """SELECT ?item ?o
+      |WHERE {
+      |  ?item ?p ?o .
+      |  FILTER(ISLITERAL(?o))
       |}""".stripMargin
 
   /** Grouped-sequence closure `(p1/p2)+` — the fixpoint over the
@@ -2093,6 +2145,44 @@ object RdfQueries {
          |  AND tp.predicate = '$OmekaResourceTemplate'
          |WHERE ty.predicate = '$RdfType'
          |  AND ty.obj_value = '$CeoRijksmonument'""".stripMargin,
+
+    "rdf_sparql_arith" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item,
+         |  CAST(obj_value AS BIGINT) * 3 + 7 AS scaled
+         |FROM triples
+         |WHERE predicate = 'http://ex.org/def#size'
+         |  AND CAST(obj_value AS BIGINT) >= 10""".stripMargin,
+
+    "rdf_sparql_if_in" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item, obj_value AS b,
+         |  CASE WHEN obj_value = 'Brand#4' THEN 'flag'
+         |       ELSE 'other' END AS bucket
+         |FROM triples
+         |WHERE predicate = 'http://ex.org/def#brand'
+         |  AND obj_value IN ('Brand#4', 'Brand#19')""".stripMargin,
+
+    // §17.4.2 literal-metadata rules replayed relationally: LANG of
+    // a literal is coalesce(lang, ''), DATATYPE defaults to
+    // xsd:string / rdf:langString, both NULL (unbound) on IRIs
+    "rdf_sparql_termfns" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item, predicate AS p, obj_value AS sv,
+         |  CASE WHEN obj_kind = 'literal'
+         |    THEN coalesce(obj_lang, '') END AS lg,
+         |  CASE WHEN obj_kind = 'literal'
+         |    THEN coalesce(obj_datatype,
+         |      CASE WHEN obj_lang IS NOT NULL
+         |        THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+         |        ELSE 'http://www.w3.org/2001/XMLSchema#string' END)
+         |    END AS dt
+         |FROM triples""".stripMargin,
+
+    "rdf_sparql_iskind" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item, obj_value AS o
+         |FROM triples WHERE obj_kind = 'literal'""".stripMargin,
 
     // the recursion runs over the COMPOSED (two-hop) edge set — the
     // independent restatement of "closure over a sequence"

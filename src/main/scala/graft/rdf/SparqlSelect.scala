@@ -210,6 +210,28 @@ object SparqlSelect {
     * (Left) or string literals (Right, always bound). */
   final case class BCoalesce(parts: Seq[Either[String, String]])
       extends BindExpr
+  /** `?v op n (op n)*` — left-associative INTEGER arithmetic over a
+    * numeric binding (`+`, `-`, `*`; SPARQL's integer ops stay in
+    * BIGINT). Mixed-precedence chains (`?v + 1 * 2`) are rejected
+    * loudly rather than mis-associated: a chain must apply all `*`
+    * steps before any additive step. */
+  final case class BArith(v: String, ops: Seq[(String, Long)])
+      extends BindExpr
+  /** `IF(cond, then, else)` — branches are vars (Left) or string
+    * literals (Right); cond is a value-level FILTER condition
+    * (comparison, text predicate, IN, BOUND — the OPTIONAL-default
+    * idiom). Binding-site conditions (LANGMATCHES, ISIRI…) are
+    * rejected at parse. */
+  final case class BIf(cond: FilterExpr, thenP: Either[String, String],
+      elseP: Either[String, String]) extends BindExpr
+  /** `STR(?v)` / `LANG(?v)` / `DATATYPE(?v)` — term accessors
+    * (SPARQL 1.1 §17.4.2). STR is the lexical form (the value
+    * column, kind-independent); LANG and DATATYPE read the BINDING
+    * triple's threaded term metadata: LANG of a plain/typed literal
+    * is `""`, DATATYPE of a plain literal is xsd:string and of a
+    * lang-tagged literal rdf:langString; both are errors (→ unbound,
+    * NULL) on non-literal bindings. */
+  final case class BTermFn(fun: String, v: String) extends BindExpr
   /** `BIND(expr AS ?as)`. */
   final case class Bind(as: String, expr: BindExpr)
 
@@ -228,6 +250,17 @@ object SparqlSelect {
   /** `BOUND(?v)` / `!BOUND(?v)` — null-ness of an OPTIONAL binding
     * (the pre-1.1 negation idiom; runs after the left joins). */
   final case class BoundCond(v: String, positive: Boolean)
+      extends FilterExpr
+  /** `?v IN (lit, ...)` / `?v NOT IN (...)` — ONE `isin` scan (never
+    * a disjunction of equality scans). NULL bindings are excluded
+    * either way — SPARQL's error-on-unbound rule. */
+  final case class InCond(v: String, vals: Seq[String],
+      positive: Boolean) extends FilterExpr
+  /** `ISIRI/ISLITERAL/ISBLANK(?v)` (optionally `!`-negated) — a
+    * property of the BINDING triple's term kind; like LANGMATCHES it
+    * compiles at the binding site (pushed into the scan / the pivot
+    * match condition), never over the value column. */
+  final case class KindCond(v: String, fun: String, positive: Boolean)
       extends FilterExpr
 
   /** One aggregate select item: `(fun(arg) AS ?as)`. `arg` None is
@@ -689,13 +722,21 @@ object SparqlSelect {
         val arg = stringArg()
         expect(")")
         TextCond(v, fun, arg)
-      } else if (peek == "!" || kw("BOUND")) {
+      } else if (peek == "!" || kw("BOUND") || kw("ISIRI") ||
+          kw("ISURI") || kw("ISLITERAL") || kw("ISBLANK")) {
         val positive = peek != "!"
         if (!positive) next()
-        expect("BOUND"); expect("(")
+        val fun = next().toUpperCase
+        require(fun == "BOUND" || fun == "ISIRI" || fun == "ISURI" ||
+          fun == "ISLITERAL" || fun == "ISBLANK",
+          s"SPARQL: unsupported negated/unary filter '$fun'")
+        expect("(")
         val v = filterVar()
         expect(")")
-        BoundCond(v, positive)
+        if (fun == "BOUND") BoundCond(v, positive)
+        // ISURI is the SPARQL synonym of ISIRI (§17.4.2.1)
+        else KindCond(v,
+          if (fun == "ISURI") "ISIRI" else fun, positive)
       } else if (kw("LANGMATCHES")) {
         next(); expect("(")
         expect("LANG"); expect("(")
@@ -707,12 +748,30 @@ object SparqlSelect {
         LangCond(v, tag)
       } else {
         val v = filterVar()
-        val op = next()
-        require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
-          s"SPARQL: unsupported FILTER op '$op'")
-        val r = next()
-        val rhs = if (r.startsWith("\"")) Right(unquote(r)) else Left(r.toLong)
-        Cond(v, op, rhs)
+        if (kw("IN") ||
+            (kw("NOT") && peek2.equalsIgnoreCase("IN"))) {
+          val positive = !kw("NOT")
+          if (!positive) next()
+          expect("IN"); expect("(")
+          val vals = Seq.newBuilder[String]
+          def one(): Unit = {
+            val tok = next()
+            vals += (if (tok.startsWith("\"")) unquote(tok)
+              else resolve(tok))
+          }
+          one()
+          while (peek == ",") { next(); one() }
+          expect(")")
+          InCond(v, vals.result(), positive)
+        } else {
+          val op = next()
+          require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
+            s"SPARQL: unsupported FILTER op '$op'")
+          val r = next()
+          val rhs =
+            if (r.startsWith("\"")) Right(unquote(r)) else Left(r.toLong)
+          Cond(v, op, rhs)
+        }
       }
     }
 
@@ -763,7 +822,70 @@ object SparqlSelect {
       * functions over vars and string literals. */
     private def bind(): Bind = {
       expect("(")
+      val e: BindExpr =
+        if (peek.startsWith("?")) arithChain() else bindCall()
+      expect("AS")
+      val as = filterVar()
+      expect(")")
+      Bind(as, e)
+    }
+
+    /** `?v op n (op n)*` — the tokenizer has no bare `-` token, so
+      * subtraction arrives as a negative-integer token (`?v -2`);
+      * it folds as `+ (-2)`, which is the same operation. All `*`
+      * steps must precede any additive step (no mis-associated
+      * mixed precedence — rejected loudly). */
+    private def arithChain(): BindExpr = {
+      val v = filterVar()
+      val ops = Seq.newBuilder[(String, Long)]
+      def isNegInt = peek.startsWith("-") && peek.length > 1 &&
+        peek.drop(1).forall(_.isDigit)
+      while (peek == "+" || peek == "*" || isNegInt) {
+        if (isNegInt) ops += (("+", next().toLong))
+        else { val op = next(); ops += ((op, next().toLong)) }
+      }
+      val o = ops.result()
+      require(o.nonEmpty,
+        "SPARQL: bare-variable BIND is not supported")
+      val firstAdd = o.indexWhere(_._1 != "*")
+      require(firstAdd == -1 || o.drop(firstAdd).forall(_._1 != "*"),
+        "SPARQL: mixed-precedence arithmetic (additive before " +
+          "multiplicative) is not supported — parenthesize manually")
+      BArith(v, o)
+    }
+
+    private def bindCall(): BindExpr = {
       val fun = next().toUpperCase
+      fun match {
+        case "IF" =>
+          expect("(")
+          val c = cond()
+          c match {
+            case _: LangCond | _: KindCond =>
+              throw new IllegalArgumentException(
+                "SPARQL: IF over a binding-site condition " +
+                  "(LANGMATCHES/ISIRI/...) is not supported")
+            case _ =>
+          }
+          expect(",")
+          def part(): Either[String, String] =
+            if (peek.startsWith("?")) Left(next().substring(1))
+            else Right(stringArg())
+          val t = part()
+          expect(",")
+          val e = part()
+          expect(")")
+          BIf(c, t, e)
+        case "STR" | "LANG" | "DATATYPE" =>
+          expect("(")
+          val v = filterVar()
+          expect(")")
+          BTermFn(fun, v)
+        case other => bindStrCall(other)
+      }
+    }
+
+    private def bindStrCall(fun: String): BindExpr = {
       val e: BindExpr = fun match {
         case "UCASE" | "LCASE" | "STRLEN" =>
           expect("(")
@@ -814,10 +936,7 @@ object SparqlSelect {
         case other => throw new IllegalArgumentException(
           s"SPARQL: unsupported BIND function '$other'")
       }
-      expect("AS")
-      val as = filterVar()
-      expect(")")
-      Bind(as, e)
+      e
     }
 
     /** `VALUES ?v { value+ }` — single-variable inline data; values
@@ -1211,6 +1330,10 @@ object SparqlSelect {
           case BSubstr(v, _, _) => Seq(v)
           case BStrBA(v, _, _) => Seq(v)
           case BCoalesce(parts) => parts.collect { case Left(v) => v }
+          case BArith(v, _) => Seq(v)
+          case BIf(c, tp, ep) =>
+            Seq(c.v) ++ Seq(tp, ep).flatMap(_.left.toOption)
+          case BTermFn(_, v) => Seq(v)
         }
         val missing = refs.filterNot(bound.contains)
         require(missing.isEmpty, s"SPARQL: BIND references unbound " +
@@ -1227,6 +1350,9 @@ object SparqlSelect {
         fs.foreach {
           case _: LangCond => throw new IllegalArgumentException(
             "SPARQL: LANGMATCHES inside OPTIONAL is not supported")
+          case _: KindCond => throw new IllegalArgumentException(
+            "SPARQL: ISIRI/ISLITERAL/ISBLANK inside OPTIONAL is " +
+              "not supported")
           case f =>
             require(ps.flatMap(varsOf).contains(f.v),
               s"SPARQL: OPTIONAL filter var ?${f.v} is not bound in " +
@@ -1261,6 +1387,27 @@ object SparqlSelect {
         require(bound, s"SPARQL: LANGMATCHES(LANG(?${lc.v})) requires " +
           s"?${lc.v} bound as a literal object in its group")
       }
+      // binding-site conditions and term accessors need the var bound
+      // as an OBJECT of a plain pattern in the same group (that scan
+      // is where the kind filter / metadata threading applies)
+      g.filters.collect { case kc: KindCond => kc.v }.foreach { v =>
+        val bound = (g.required ++ g.optionals.flatten)
+          .exists(p => !p.closed && p.o == V(v))
+        require(bound, s"SPARQL: ISIRI/ISLITERAL/ISBLANK(?$v) " +
+          s"requires ?$v bound as an object in its group")
+      }
+      g.binds.map(_.expr)
+        .collect { case BTermFn(f, v) if f != "STR" => v }
+        .foreach { v =>
+          val n = (g.required ++ g.optionals.flatten)
+            .count(p => !p.closed && p.o == V(v))
+          // same ambiguity rule as CONSTRUCT metadata threading: a
+          // multi-object-bound var would put the hidden metadata
+          // columns into join keys with null-unsafe equality
+          require(n == 1, s"SPARQL: LANG/DATATYPE(?$v) requires ?$v " +
+            s"object-bound by exactly one pattern in its group " +
+            s"(found $n)")
+        }
     }
     if (aggMode) {
       val offKey = plainVars.filterNot(q.groupBy.contains)
@@ -1372,6 +1519,22 @@ object SparqlSelect {
     if (tag == "*") col("obj_lang").isNotNull
     else col("obj_lang") === tag
 
+  /** The scan-side term-kind requirements per variable, from
+    * ISIRI/ISLITERAL/ISBLANK filters — applied where the variable
+    * is BOUND, like [[langReqs]]. */
+  private def kindReqs(g: Group): Map[String, Seq[KindCond]] =
+    g.filters.collect { case kc: KindCond => kc }.groupBy(_.v)
+
+  private def kindCol(kc: KindCond): Column = {
+    val kind = kc.fun match {
+      case "ISIRI" => "iri"
+      case "ISLITERAL" => "literal"
+      case "ISBLANK" => "bnode"
+    }
+    if (kc.positive) col("obj_kind") === kind
+    else col("obj_kind") =!= kind
+  }
+
   private def binop(l: Column, op: String, r: Column): Column = op match {
     case "=" => l === r
     case "!=" => l =!= r
@@ -1395,8 +1558,14 @@ object SparqlSelect {
     case TextCond(_, _, s) => v.contains(s)
     case BoundCond(_, positive) =>
       if (positive) v.isNotNull else v.isNull
+    case InCond(_, vals, positive) =>
+      // NULL isin NULL-propagates, so filter() drops unbound rows
+      // either way — SPARQL's error-on-unbound rule for free
+      if (positive) v.isin(vals: _*) else !v.isin(vals: _*)
     case _: LangCond => throw new IllegalStateException(
       "LANGMATCHES is compiled at the binding site")
+    case _: KindCond => throw new IllegalStateException(
+      "ISIRI/ISLITERAL/ISBLANK is compiled at the binding site")
   }
 
   /** One aggregate column — the hand-built forms' exact spellings:
@@ -1438,6 +1607,7 @@ object SparqlSelect {
     val nums = numericVars(q)
     val filtered = filteredVars(q)
     val langs = langReqs(g)
+    val kinds = kindReqs(g)
     val p = col("predicate")
     val allPats = g.required ++ g.optionals.flatten
     val requiredSet = g.required.toSet
@@ -1451,11 +1621,12 @@ object SparqlSelect {
     val aggConds: Seq[(Column, Option[Column])] = allPats.map { pat =>
       pat.o match {
         case V(n) =>
-          // LANGMATCHES narrows which triples can BIND the var, so it
-          // joins the conditional aggregate's match condition
-          val matchCond = langs.get(n)
-            .map(tag => p === pat.preds.head && langCol(tag))
-            .getOrElse(p === pat.preds.head)
+          // LANGMATCHES / term-kind tests narrow which triples can
+          // BIND the var, so they join the conditional aggregate's
+          // match condition
+          val matchCond = (Seq(p === pat.preds.head) ++
+            langs.get(n).map(langCol) ++
+            kinds.getOrElse(n, Nil).map(kindCol)).reduce(_ && _)
           val agg = min(when(matchCond, objExpr(n))).as(n)
           val c = if (requiredSet.contains(pat) && !filtered.contains(n))
             Some(col(n).isNotNull) else None
@@ -1476,7 +1647,8 @@ object SparqlSelect {
     // A FILTER on the subject variable runs before the rename below,
     // where the grouping column is still named `subject`.
     val conds: Seq[Column] = aggConds.flatMap(_._2) ++
-      g.filters.filterNot(_.isInstanceOf[LangCond]).map(c => condCol(c,
+      g.filters.filterNot(c => c.isInstanceOf[LangCond] ||
+        c.isInstanceOf[KindCond]).map(c => condCol(c,
         if (c.v == subjVar) col("subject") else col(c.v)))
 
     t.groupBy(col("subject"))
@@ -1516,14 +1688,22 @@ object SparqlSelect {
       closureOf: ClosureProvider = NoClosure): DataFrame = {
     val nums = numericVars(q)
     val langs = langReqs(g)
+    val kinds = kindReqs(g)
+    // LANG/DATATYPE binds read the binding triple's metadata — their
+    // argument vars join the threaded-metadata set (the CONSTRUCT
+    // template mechanism, reused)
+    val meta = metaVars ++ g.binds.map(_.expr)
+      .collect { case BTermFn(f, v) if f != "STR" => v }
 
     def scan(pat: Pattern): DataFrame = {
-      // a LANGMATCHES on the object var is a property of the BINDING
-      // triple — pushed into this scan, it reaches the parquet reader
-      val langFilter: Option[Column] = pat.o match {
-        case V(n) if langs.contains(n) => Some(langCol(langs(n)))
-        case _ => None
-      }
+      // a LANGMATCHES or term-kind test on the object var is a
+      // property of the BINDING triple — pushed into this scan, it
+      // reaches the parquet reader
+      val langFilter: Option[Column] = (pat.o match {
+        case V(n) => langs.get(n).map(langCol).toSeq ++
+          kinds.getOrElse(n, Nil).map(kindCol)
+        case _ => Nil
+      }).reduceOption(_ && _)
       // a variable predicate binds the predicate column instead of
       // filtering on it — the `?s ?p ?o` full scan
       var df = (pat.predVar, langFilter) match {
@@ -1563,9 +1743,10 @@ object SparqlSelect {
         case V(n) => Seq(
           (if (nums.contains(n)) col("obj_value").cast("int")
            else col("obj_value")).as(n)) ++
-          // CONSTRUCT templates need the binding triple's term
-          // metadata — threaded as hidden columns next to the value
-          (if (metaVars.contains(n))
+          // CONSTRUCT templates / LANG-DATATYPE binds need the
+          // binding triple's term metadata — threaded as hidden
+          // columns next to the value
+          (if (meta.contains(n))
             Seq(col("obj_kind").as(s"_k_$n"),
               col("obj_lang").as(s"_l_$n"),
               col("obj_datatype").as(s"_d_$n"))
@@ -1776,7 +1957,8 @@ object SparqlSelect {
     // predicate into the scan (the bindStrFuns discipline)
     val withBinds = g.binds.foldLeft(withExists)((df, b) =>
       df.withColumn(b.as, bindCol(b.expr)))
-    g.filters.filterNot(_.isInstanceOf[LangCond])
+    g.filters.filterNot(c => c.isInstanceOf[LangCond] ||
+        c.isInstanceOf[KindCond])
       .foldLeft(withBinds)((df, c) => df.filter(condCol(c, col(c.v))))
   }
 
@@ -1812,6 +1994,35 @@ object SparqlSelect {
       case Left(v) => col(v)
       case Right(s) => lit(s)
     }: _*)
+    // integer arithmetic in BIGINT (SPARQL integer ops don't
+    // overflow into decimals; the source binding may have been
+    // scanned as int by the numeric-filter rule — widened here)
+    case BArith(v, ops) =>
+      ops.foldLeft(col(v).cast("bigint")) { case (c, (op, n)) =>
+        op match {
+          case "+" => c + lit(n)
+          case "-" => c - lit(n)
+          case "*" => c * lit(n)
+        }
+      }
+    case BIf(c, thenP, elseP) =>
+      def part(p: Either[String, String]): Column =
+        p.fold(col, lit)
+      when(condCol(c, col(c.v)), part(thenP)).otherwise(part(elseP))
+    // term accessors (SPARQL 1.1 §17.4.2): STR is the lexical form;
+    // LANG/DATATYPE read the threaded `_k_/_l_/_d_` metadata and are
+    // NULL (unbound) on non-literals — `when` without `otherwise`
+    case BTermFn("STR", v) => col(v)
+    case BTermFn("LANG", v) =>
+      when(col(s"_k_$v") === "literal",
+        coalesce(col(s"_l_$v"), lit("")))
+    case BTermFn("DATATYPE", v) =>
+      when(col(s"_k_$v") === "literal",
+        coalesce(col(s"_d_$v"),
+          when(col(s"_l_$v").isNotNull, lit(Vocab.RdfLangString))
+            .otherwise(lit(Vocab.XsdString))))
+    case BTermFn(f, _) => throw new IllegalArgumentException(
+      s"SPARQL: unsupported term accessor '$f'")
   }
 
   /** UNION evaluation. Branches that differ ONLY in their predicate

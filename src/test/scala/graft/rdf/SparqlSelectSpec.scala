@@ -835,4 +835,144 @@ class SparqlSelectSpec extends AnyFunSuite {
       "SELECT ?a ?b WHERE { ?a (dcterms:relation/dcterms:title" +
         "|def:size) ?b . }"))
   }
+
+  test("43: BIND arithmetic == hand-built BIGINT projection; " +
+    "mis-associated precedence rejected") {
+    val compiled = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?item ?scaled
+        |WHERE {
+        |  ?item def:size ?sz .
+        |  BIND(?sz * 3 + 7 AS ?scaled)
+        |  FILTER(?sz >= 10)
+        |}""".stripMargin)
+    val hand = t.filter(col("predicate") === "http://ex.org/def#size")
+      .select(col("subject").as("item"),
+        col("obj_value").cast("int").as("sz"))
+      .withColumn("scaled", col("sz").cast("bigint") * lit(3L) + lit(7L))
+      .filter(col("sz") >= 10)
+      .select(col("item"), col("scaled"))
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+    // subtraction arrives as a negative-int token and folds as + (-n)
+    val sub = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?item ?x WHERE {
+        |  ?item def:size ?sz . BIND(?sz -2 AS ?x) FILTER(?sz = 10) }"""
+        .stripMargin).select("x").distinct().collect()
+    assert(sub.map(_.getLong(0)).toSeq == Seq(8L))
+    // additive-then-multiplicative would mis-associate — rejected
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?x WHERE {
+        |  ?i def:size ?sz . BIND(?sz + 1 * 2 AS ?x) }""".stripMargin))
+  }
+
+  test("44: IN is one isin scan (plan identity); NOT IN excludes; " +
+    "IF binds conditionally") {
+    val compiled = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?item ?b ?bucket
+        |WHERE {
+        |  ?item def:brand ?b .
+        |  FILTER(?b IN ("Brand#4", "Brand#19"))
+        |  BIND(IF(?b = "Brand#4", "flag", "other") AS ?bucket)
+        |}""".stripMargin)
+    val hand = t.filter(col("predicate") === "http://ex.org/def#brand")
+      .select(col("subject").as("item"), col("obj_value").as("b"))
+      .withColumn("bucket",
+        when(col("b") === "Brand#4", lit("flag")).otherwise(lit("other")))
+      .filter(col("b").isin("Brand#4", "Brand#19"))
+    assertTwin(compiled, hand)
+    val got = compiled.collect()
+    assert(got.nonEmpty &&
+      got.forall(r => Set("Brand#4", "Brand#19").contains(r.getString(1))))
+    assert(got.forall(r => (r.getString(1) == "Brand#4") ==
+      (r.getString(2) == "flag")))
+    // NOT IN: complementary row set over the same scan
+    val notIn = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?item ?b WHERE {
+        |  ?item def:brand ?b . FILTER(?b NOT IN ("Brand#4", "Brand#19")) }"""
+        .stripMargin)
+    val all = t.filter(col("predicate") === "http://ex.org/def#brand").count()
+    assert(notIn.count() + got.length === all)
+  }
+
+  test("45: LANG/DATATYPE/STR follow §17.4.2 — langString/xsd:string " +
+    "defaults, NULL (unbound) on IRIs; multi-bound arg rejected") {
+    val got = SparqlSelect(t,
+      """SELECT ?p ?sv ?lg ?dt
+        |WHERE {
+        |  ?item ?p ?o .
+        |  BIND(STR(?o) AS ?sv)
+        |  BIND(LANG(?o) AS ?lg)
+        |  BIND(DATATYPE(?o) AS ?dt)
+        |}""".stripMargin).collect()
+    val byPred = got.groupBy(_.getString(0))
+    // titles: lang-tagged 'nl' literals → LANG 'nl', DATATYPE langString
+    val titles = byPred(DctermsTitle)
+    assert(titles.forall(r => r.getString(2) == "nl" &&
+      r.getString(3) == Vocab.RdfLangString))
+    // sizes: typed literals → LANG "", DATATYPE xsd:integer
+    val sizes = byPred("http://ex.org/def#size")
+    assert(sizes.forall(r => r.getString(2) == "" &&
+      r.getString(3) == Vocab.XsdInteger))
+    // brands: plain literals → LANG "", DATATYPE defaults xsd:string
+    val brands = byPred("http://ex.org/def#brand")
+    assert(brands.forall(r => r.getString(2) == "" &&
+      r.getString(3) == Vocab.XsdString))
+    // relations: IRIs → LANG/DATATYPE unbound (NULL), STR still bound
+    val rels = byPred(DctermsRelation)
+    assert(rels.forall(r => r.isNullAt(2) && r.isNullAt(3) &&
+      !r.isNullAt(1)))
+    // metadata threading needs exactly one object-binding pattern
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?lg WHERE {
+        |  ?a dcterms:title ?o . ?b def:brand ?o .
+        |  BIND(LANG(?o) AS ?lg) }""".stripMargin))
+  }
+
+  test("46: term-kind filters compile at the binding site — scan " +
+    "filter on the joins path, pivot match condition on the star " +
+    "path; OPTIONAL-scoped kinds rejected") {
+    val compiled = SparqlSelect(t,
+      """SELECT ?item ?o
+        |WHERE { ?item ?p ?o . FILTER(ISLITERAL(?o)) }""".stripMargin)
+    val hand = t.filter(col("obj_kind") === "literal")
+      .select(col("subject").as("item"), col("obj_value").as("o"))
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+    // negation: !ISIRI == the same scan with =!= — complementary
+    val neg = SparqlSelect(t,
+      """SELECT ?item ?o
+        |WHERE { ?item ?p ?o . FILTER(!ISIRI(?o)) }""".stripMargin)
+    val iris = t.filter(col("obj_kind") === "iri").count()
+    assert(neg.count() + iris === t.count())
+    // star path: the kind test joins the pivot's match condition —
+    // still ONE exchange (one Aggregate over the scan)
+    val star = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?item ?title ?rel
+        |WHERE {
+        |  ?item dcterms:title ?title ;
+        |        dcterms:relation ?rel .
+        |  FILTER(ISIRI(?rel)) FILTER(ISLITERAL(?title))
+        |}""".stripMargin)
+    val exchanges = star.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"star + kind filters should stay one exchange, saw $exchanges")
+    assert(star.count() > 0)
+    // ISBLANK: the fixture has no bnodes — zero rows, not an error
+    assert(SparqlSelect(t,
+      """SELECT ?item ?o
+        |WHERE { ?item ?p ?o . FILTER(ISBLANK(?o)) }""".stripMargin)
+      .count() === 0)
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?item WHERE {
+        |  ?item dcterms:title ?t .
+        |  OPTIONAL { ?item def:brand ?b . FILTER(ISLITERAL(?b)) } }"""
+        .stripMargin))
+  }
 }
