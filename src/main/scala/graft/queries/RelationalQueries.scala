@@ -58,6 +58,7 @@ object RelationalQueries {
     "rel_q31_hourly_anomaly" -> hourlyAnomaly,
     "rel_q32_entity_fuzzy" -> entityFuzzy,
     "rel_q33_triangles" -> triangleCount,
+    "rel_q34_kcore" -> kcore,
   )
 
   /** Hourly-volume anomaly detection by the median/MAD rule — the
@@ -153,6 +154,79 @@ object RelationalQueries {
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     val nt = tri.agg(count(lit(1)).as("n_triangles"))
     nn.crossJoin(ne).crossJoin(nt)
+  }
+
+  /** K-core decomposition (k = [[KcoreK]]) of the part co-purchase
+    * graph by ITERATIVE PEELING (Matula–Beck): repeatedly drop every
+    * node whose current degree is below k, until a fixpoint. The
+    * k-core is the standard density backbone (community seeds, spam
+    * subgraph detection) and the canonical data-driven-iteration
+    * graph op next to PageRank (value iteration) and reachability
+    * (frontier walk).
+    *
+    * Per round: ONE node-keyed degree aggregate (combine-collapsed)
+    * and two semi-joins of the edge table against the surviving-node
+    * set — every exchange keyed, never all-pairs; the edge table
+    * shrinks monotonically, so round cost is proportional to the
+    * surviving graph. Each round's edge table is localCheckpoint'd
+    * (O(1) plans) and the superseded round freed. Convergence is the
+    * 1-row edge-count diff (peeling at k ≥ 1 removes at least one
+    * edge per non-final round).
+    *
+    * Round bound: the DuckDB oracle unrolls [[KcoreRounds]] peel
+    * rounds as chained CTEs — sound because peeling is IDEMPOTENT at
+    * the fixpoint (an extra round recomputes the same sets), so the
+    * oracle only needs rounds ≥ convergence; the engine asserts its
+    * fixpoint arrived within that bound (loud, not silent, if a
+    * regenerated snapshot ever cascades deeper). Measured: sf0.01
+    * converges in 4 rounds, sf0.1 in 5. */
+  val KcoreK = 12
+  val KcoreRounds = 16
+
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(Tables(spark, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      KcoreK, KcoreRounds)
+
+  private[queries] def kcoreOf(li: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    def chk(df: DataFrame): DataFrame = df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var edges = chk(li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct())
+    var nEdges = edges.count()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val keep = edges.select(col("a").as("n"))
+        .union(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select(col("n"))
+      val next = chk(edges
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi"))
+      val nNext = next.count()
+      if (nNext == nEdges) {
+        shim.freeLocalCheckpoint(next)
+        converged = true
+      } else {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"k-core peel exceeded $maxRounds rounds — raise the " +
+            "oracle's unroll bound in lockstep")
+        shim.freeLocalCheckpoint(edges)
+        edges = next
+        nEdges = nNext
+      }
+    }
+    edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
   }
 
   /** Entity resolution by BLOCKED fuzzy match — near-identical
@@ -1347,5 +1421,32 @@ object RelationalQueries {
         |    JOIN pr e2 ON e2.a = e1.a AND e2.b > e1.b
         |    JOIN pr e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"""
         .stripMargin,
+
+    // iterative peel unrolled as chained CTEs (idempotent at the
+    // fixpoint, so unroll depth only needs to exceed convergence —
+    // the engine asserts that in lockstep with KcoreRounds)
+    "rel_q34_kcore" -> {
+      // AS MATERIALIZED: each CTE references its predecessor several
+      // times — inlined, the 16-round chain would expand into an
+      // exponential scan tree (observed as fd exhaustion)
+      val rounds = (0 until KcoreRounds).map { i =>
+        s"""n${i + 1} AS MATERIALIZED (SELECT node
+           |  FROM (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+           |  GROUP BY node HAVING count(*) >= $KcoreK),
+           |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+           |  WHERE a IN (SELECT node FROM n${i + 1})
+           |    AND b IN (SELECT node FROM n${i + 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3),
+         |$rounds
+         |SELECT node, count(*) AS core_deg
+         |FROM (SELECT a AS node FROM e$KcoreRounds
+         |      UNION ALL SELECT b FROM e$KcoreRounds)
+         |GROUP BY node""".stripMargin
+    },
   )
 }
