@@ -218,6 +218,10 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlTermFnsQuery)),
     "rdf_sparql_iskind" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlIsKindQuery)),
+    "rdf_sparql_disjunction" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlDisjunctionQuery)),
+    "rdf_sparql_varcmp" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlVarCmpQuery)),
     "rdf_sparql_seq_closure" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlSeqClosureQuery)),
     "rdf_sparql_path_star" -> ((s, d) =>
@@ -513,6 +517,32 @@ object RdfQueries {
       |WHERE {
       |  ?item ?p ?o .
       |  FILTER(ISLITERAL(?o))
+      |}""".stripMargin
+
+  /** FILTER disjunction across different variables — Spark's
+    * three-valued OR is SPARQL's error-tolerant `||`, and the
+    * numeric alternative still coerces its variable at the scan. */
+  val sparqlDisjunctionQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?b ?sz
+      |WHERE {
+      |  ?item def:brand ?b ;
+      |        def:size ?sz .
+      |  FILTER(?b = "Brand#4" || ?sz >= 45)
+      |}""".stripMargin
+
+  /** Var-var comparison driving a self-join: same-brand item pairs.
+    * Declared as a product + equality FILTER; the optimizer is
+    * expected to turn it into an equi-join on the brand value
+    * (spec-asserted: no cartesian product in the plan). */
+  val sparqlVarCmpQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?i1 ?i2
+      |WHERE {
+      |  ?i1 def:brand ?b1 .
+      |  ?i2 def:brand ?b2 .
+      |  FILTER(?b1 = ?b2)
+      |  FILTER(?i1 < ?i2)
       |}""".stripMargin
 
   /** Grouped-sequence closure `(p1/p2)+` — the fixpoint over the
@@ -2183,6 +2213,24 @@ object RdfQueries {
       s"""WITH ${TripleFixture.triplesCte}
          |SELECT subject AS item, obj_value AS o
          |FROM triples WHERE obj_kind = 'literal'""".stripMargin,
+
+    "rdf_sparql_disjunction" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT tb.subject AS item, tb.obj_value AS b,
+         |  CAST(ts.obj_value AS INT) AS sz
+         |FROM triples tb JOIN triples ts ON ts.subject = tb.subject
+         |  AND ts.predicate = 'http://ex.org/def#size'
+         |WHERE tb.predicate = 'http://ex.org/def#brand'
+         |  AND (tb.obj_value = 'Brand#4'
+         |    OR CAST(ts.obj_value AS INT) >= 45)""".stripMargin,
+
+    "rdf_sparql_varcmp" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT a.subject AS i1, b.subject AS i2
+         |FROM triples a JOIN triples b ON a.obj_value = b.obj_value
+         |WHERE a.predicate = 'http://ex.org/def#brand'
+         |  AND b.predicate = 'http://ex.org/def#brand'
+         |  AND a.subject < b.subject""".stripMargin,
 
     // the recursion runs over the COMPOSED (two-hop) edge set — the
     // independent restatement of "closure over a sequence"

@@ -262,6 +262,22 @@ object SparqlSelect {
     * match condition), never over the value column. */
   final case class KindCond(v: String, fun: String, positive: Boolean)
       extends FilterExpr
+  /** `?a op ?b` — comparison between two bindings. Values compare as
+    * their scanned types (string lexical forms unless the numeric-
+    * filter rule already coerced a var to int), mirroring the oracle
+    * side's column comparison. */
+  final case class VarCond(v: String, op: String, v2: String)
+      extends FilterExpr
+  /** `cond || cond || ...` — disjunction. Spark's three-valued OR is
+    * exactly SPARQL's error-tolerant `||` (error || true = true), so
+    * a NULL-binding alternative never suppresses a passing one.
+    * Binding-site conditions (LANGMATCHES/ISIRI…) cannot be
+    * disjoined — they'd need an OR across different scans — and
+    * mixed `&&`/`||` chains must be parenthesized into separate
+    * FILTERs (rejected at parse, not silently mis-associated). */
+  final case class OrCond(alts: Seq[FilterExpr]) extends FilterExpr {
+    def v: String = alts.head.v
+  }
 
   /** One aggregate select item: `(fun(arg) AS ?as)`. `arg` None is
     * `COUNT(*)`; `sep` is GROUP_CONCAT's separator; `distinct` is
@@ -528,7 +544,7 @@ object SparqlSelect {
   // ---- tokenizer ----
 
   private val Tok = (
-    """\s*(<[^>\s]*>|"(?:[^"\\]|\\.)*"|\?\w+|&&|!=|<=|>=|=|<|>|""" +
+    """\s*(<[^>\s]*>|"(?:[^"\\]|\\.)*"|\?\w+|&&|\|\||!=|<=|>=|=|<|>|""" +
       """\{|\}|\(|\)|\.|;|,|\*|/|\^|\+|\||\?|!|""" +
       """[A-Za-z_][\w-]*:[\w.-]*|-?\d+|\w+)""").r
 
@@ -768,10 +784,41 @@ object SparqlSelect {
           require(Set("=", "!=", "<", "<=", ">", ">=").contains(op),
             s"SPARQL: unsupported FILTER op '$op'")
           val r = next()
-          val rhs =
-            if (r.startsWith("\"")) Right(unquote(r)) else Left(r.toLong)
-          Cond(v, op, rhs)
+          if (r.startsWith("?")) VarCond(v, op, r.substring(1))
+          else Cond(v, op,
+            if (r.startsWith("\"")) Right(unquote(r)) else Left(r.toLong))
         }
+      }
+    }
+
+    /** `cond (('&&' | '||') cond)*` inside FILTER parens — a pure
+      * `&&` chain yields the conjunction list, a pure `||` chain one
+      * [[OrCond]]; MIXED chains are rejected loudly (split into
+      * separate FILTERs) rather than silently mis-associated. */
+    private def filterConds(): Seq[FilterExpr] = {
+      val first = cond()
+      if (peek == "||") {
+        val alts = Seq.newBuilder[FilterExpr]
+        alts += first
+        while (peek == "||") { next(); alts += cond() }
+        require(peek != "&&", "SPARQL: mixed &&/|| in one FILTER is " +
+          "not supported — split into separate FILTERs")
+        val out = alts.result()
+        out.foreach {
+          case _: LangCond | _: KindCond =>
+            throw new IllegalArgumentException("SPARQL: a binding-" +
+              "site condition (LANGMATCHES/ISIRI/...) cannot appear " +
+              "in a disjunction")
+          case _ =>
+        }
+        Seq(OrCond(out))
+      } else {
+        val cs = Seq.newBuilder[FilterExpr]
+        cs += first
+        while (peek == "&&") { next(); cs += cond() }
+        require(peek != "||", "SPARQL: mixed &&/|| in one FILTER is " +
+          "not supported — split into separate FILTERs")
+        cs.result()
       }
     }
 
@@ -979,8 +1026,7 @@ object SparqlSelect {
           while (peek != "}") {
             if (kw("FILTER")) {
               next(); expect("(")
-              fs += cond()
-              while (peek == "&&") { next(); fs += cond() }
+              fs ++= filterConds()
               expect(")")
             } else ps ++= triples()
           }
@@ -1022,8 +1068,7 @@ object SparqlSelect {
           } else {
             require(!neg, "SPARQL: expected EXISTS after FILTER NOT")
             expect("(")
-            fils += cond()
-            while (peek == "&&") { next(); fils += cond() }
+            fils ++= filterConds()
             expect(")")
           }
         } else if (kw("VALUES")) {
@@ -1354,9 +1399,12 @@ object SparqlSelect {
             "SPARQL: ISIRI/ISLITERAL/ISBLANK inside OPTIONAL is " +
               "not supported")
           case f =>
-            require(ps.flatMap(varsOf).contains(f.v),
-              s"SPARQL: OPTIONAL filter var ?${f.v} is not bound in " +
-                "its block")
+            val missing =
+              filterVarsOf(f).filterNot(ps.flatMap(varsOf).contains)
+            require(missing.isEmpty,
+              s"SPARQL: OPTIONAL filter var(s) " +
+                s"${missing.map("?" + _).mkString(", ")} not bound " +
+                "in their block")
         }
       }
     }
@@ -1374,7 +1422,8 @@ object SparqlSelect {
       else visibleVars
     val unknown =
       plainVars.filterNot(allVars.contains) ++
-        q.groups.flatMap(_.filters).map(_.v).filterNot(allVars.contains) ++
+        q.groups.flatMap(_.filters).flatMap(filterVarsOf)
+          .filterNot(allVars.contains) ++
         q.groupBy.filterNot(allVars.contains) ++
         (q.selectItems.collect { case Right(a) => a.arg }.flatten ++
           q.having.flatMap(_._1.arg)).filterNot(allVars.contains)
@@ -1491,8 +1540,23 @@ object SparqlSelect {
     * or a SUM aggregates — its binding is cast to int (inside the
     * pivot aggregate / scan projection, so the compiled plan matches
     * the hand-built star's `min(when(..., obj.cast("int")))`). */
+  /** Every variable a FILTER references (OR alternatives and var-var
+    * comparisons included). */
+  private def filterVarsOf(f: FilterExpr): Seq[String] = f match {
+    case OrCond(alts) => alts.flatMap(filterVarsOf)
+    case VarCond(a, _, b) => Seq(a, b)
+    case c => Seq(c.v)
+  }
+
+  /** Flatten OR alternatives for per-condition analyses. */
+  private def flatConds(f: FilterExpr): Seq[FilterExpr] = f match {
+    case OrCond(alts) => alts.flatMap(flatConds)
+    case c => Seq(c)
+  }
+
   private def numericVars(q: Query): Set[String] =
-    q.groups.flatMap(g => g.filters ++ g.optFilters.flatten).collect {
+    q.groups.flatMap(g => g.filters ++ g.optFilters.flatten)
+      .flatMap(flatConds).collect {
       case Cond(v, _, Left(_)) => v
     }.toSet ++
       (q.selectItems.collect { case Right(a) => a } ++ q.having.map(_._1))
@@ -1566,6 +1630,18 @@ object SparqlSelect {
       "LANGMATCHES is compiled at the binding site")
     case _: KindCond => throw new IllegalStateException(
       "ISIRI/ISLITERAL/ISBLANK is compiled at the binding site")
+    case _: VarCond | _: OrCond => throw new IllegalStateException(
+      "multi-variable conditions compile via condColR")
+  }
+
+  /** [[condCol]] with a variable→column resolver — for conditions
+    * referencing several variables (OR alternatives, var-var
+    * comparisons) and for the pivot's subject-column substitution. */
+  private def condColR(c: FilterExpr,
+      resolve: String => Column): Column = c match {
+    case OrCond(alts) => alts.map(condColR(_, resolve)).reduce(_ || _)
+    case VarCond(a, op, b) => binop(resolve(a), op, resolve(b))
+    case other => condCol(other, resolve(other.v))
   }
 
   /** One aggregate column — the hand-built forms' exact spellings:
@@ -1648,8 +1724,8 @@ object SparqlSelect {
     // where the grouping column is still named `subject`.
     val conds: Seq[Column] = aggConds.flatMap(_._2) ++
       g.filters.filterNot(c => c.isInstanceOf[LangCond] ||
-        c.isInstanceOf[KindCond]).map(c => condCol(c,
-        if (c.v == subjVar) col("subject") else col(c.v)))
+        c.isInstanceOf[KindCond]).map(c => condColR(c,
+        n => if (n == subjVar) col("subject") else col(n)))
 
     t.groupBy(col("subject"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1921,7 +1997,7 @@ object SparqlSelect {
         // outer row)
         val side = grp.map(scan).reduceLeft(joinInto(_, _, "inner"))
         val filtered = fs.foldLeft(side)((df, c) =>
-          df.filter(condCol(c, col(c.v))))
+          df.filter(condColR(c, col)))
         joinInto(acc, filtered, "left")
       }
     // MINUS removes solutions compatible with a minus-group solution
@@ -1959,7 +2035,7 @@ object SparqlSelect {
       df.withColumn(b.as, bindCol(b.expr)))
     g.filters.filterNot(c => c.isInstanceOf[LangCond] ||
         c.isInstanceOf[KindCond])
-      .foldLeft(withBinds)((df, c) => df.filter(condCol(c, col(c.v))))
+      .foldLeft(withBinds)((df, c) => df.filter(condColR(c, col)))
   }
 
   /** A BIND expression as a codegen'd scalar column — the hand-built
@@ -2008,7 +2084,7 @@ object SparqlSelect {
     case BIf(c, thenP, elseP) =>
       def part(p: Either[String, String]): Column =
         p.fold(col, lit)
-      when(condCol(c, col(c.v)), part(thenP)).otherwise(part(elseP))
+      when(condColR(c, col), part(thenP)).otherwise(part(elseP))
     // term accessors (SPARQL 1.1 §17.4.2): STR is the lexical form;
     // LANG/DATATYPE read the threaded `_k_/_l_/_d_` metadata and are
     // NULL (unbound) on non-literals — `when` without `otherwise`

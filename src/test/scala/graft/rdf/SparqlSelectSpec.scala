@@ -975,4 +975,40 @@ class SparqlSelectSpec extends AnyFunSuite {
         |  OPTIONAL { ?item def:brand ?b . FILTER(ISLITERAL(?b)) } }"""
         .stripMargin))
   }
+
+  test("47: || is three-valued (a NULL alternative never suppresses " +
+    "a passing one); var-var = drives an equi-join, not a product; " +
+    "mixed &&/|| rejected") {
+    // OPTIONAL-bound ?tpl is NULL for most items: rows must still
+    // pass through the ?sz alternative — error || true = true
+    val or = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?item ?sz ?tpl
+        |WHERE {
+        |  ?item def:size ?sz .
+        |  OPTIONAL { ?item o:resource_template ?tpl }
+        |  FILTER(?tpl = "http://ex.org/template/1" || ?sz >= 45)
+        |}""".stripMargin).collect()
+    assert(or.exists(r => r.isNullAt(2) && r.getInt(1) >= 45),
+      "NULL-tpl rows passing via the numeric alternative are missing")
+    assert(or.forall(r => (!r.isNullAt(2) &&
+      r.getString(2) == "http://ex.org/template/1") || r.getInt(1) >= 45))
+    // var-var equality: the declared product + FILTER must optimize
+    // into an equi-join — no cartesian product in the physical plan
+    val cmp = SparqlSelect(t, RdfQueries.sparqlVarCmpQuery)
+    val phys = cmp.queryExecution.executedPlan.toString()
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoop"),
+      s"var-var = should join, not product:\n$phys")
+    assert(cmp.count() > 0)
+    // mixed chains are rejected, not mis-associated
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?i WHERE { ?i def:size ?sz . ?i def:brand ?b .
+        |  FILTER(?sz >= 10 && ?sz <= 20 || ?b = "Brand#4") }"""
+        .stripMargin))
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?i WHERE { ?i ?p ?o .
+        |  FILTER(ISLITERAL(?o) || ISIRI(?o)) }""".stripMargin))
+  }
 }
