@@ -114,6 +114,8 @@ object LlmQueries {
     "llm_suffix_array" -> SuffixArray.suffixArray,
     "llm_exact_substr" -> SuffixArray.exactSubstr,
     "llm_sa_lcp" -> SuffixArray.lcpHistogram,
+    "llm_cdc_chunks" -> CdcChunks.chunks,
+    "llm_cdc_dedup" -> CdcChunks.dedup,
   )
 
   /** Serialized-block local checkpoint for CORPUS-SCALE memoized
@@ -4017,6 +4019,12 @@ object LlmQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // CDC oracles share the engine's exact unrolled boundary-hash
+    // arithmetic (generated by the same fold — they cannot drift)
+    // but restate chunk assembly independently in SQL
+    "llm_cdc_chunks" -> CdcChunks.chunksOracleSelect,
+    "llm_cdc_dedup" -> CdcChunks.dedupOracleSelect,
+
     // Suffix-array family oracles. The engine never materializes the
     // corpus string or compares substrings (prefix-doubling rank
     // tables only); the oracle does EXACTLY that — it builds each

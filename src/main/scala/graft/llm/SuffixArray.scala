@@ -122,8 +122,32 @@ object SuffixArray {
   // deeper level joins the half-depth rank with its 2^k-shifted
   // self (-1 when the shift runs off the corpus: a shorter suffix
   // sorts before every longer one sharing its prefix, exactly as
-  // string comparison does) and re-densifies.
+  // string comparison does).
+  //
+  // Pack/densify alternation: a doubling round only needs an
+  // ORDER-PRESERVING single number per (rank, rank2) key, not a
+  // dense one — when the incoming ranks are bounded by B, the
+  // arithmetic pack r1·(B+2) + (r2+2) preserves the pair's
+  // lexicographic order as a pure MAP (no distinct, no sort, no
+  // rank-assignment exchange). Packed ranks are ~B², so the NEXT
+  // round densifies (sort + partition-offset numbering bounds them
+  // by n again). Alternating halves the heavy sort rounds; the
+  // packability test is on the actual bound, so at corpus sizes
+  // where n² would overflow a long the schedule degrades to
+  // densify-every-round by itself.
   // ----------------------------------------------------------------
+  private[llm] def levelBound(s: SparkSession, d: String,
+      depth: Int): Long = {
+    if (depth == 1) 1L << 21 // max Unicode codepoint < 2^21
+    else {
+      val half = levelBound(s, d, depth / 2)
+      if (packable(half)) half * (half + 2) + (half + 2)
+      else positions(s, d).count() + 1
+    }
+  }
+
+  private def packable(bound: Long): Boolean = bound <= 2000000000L
+
   private[llm] def rankLevel(s: SparkSession, d: String,
       depth: Int): DataFrame =
     SnapshotMemo.getOrCompute(s, s"sa-rank:$d:$depth") {
@@ -140,11 +164,19 @@ object SuffixArray {
         val keys = prev.join(shifted, Seq("gpos"), "left")
           .select(col("gpos"), col("rank"),
             coalesce(col("rank2"), lit(-1L)).as("rank2"))
-        val ranked = denseRank(
-          keys.select("rank", "rank2").distinct(),
-          Seq("rank", "rank2"), "nrank")
-        chkSer(keys.join(ranked, Seq("rank", "rank2"))
-          .select(col("gpos"), col("nrank").as("rank")))
+        val halfBound = levelBound(s, d, half)
+        chkSer(
+          if (packable(halfBound)) {
+            val k = halfBound + 2
+            keys.select(col("gpos"),
+              (col("rank") * k + (col("rank2") + 2)).as("rank"))
+          } else {
+            val ranked = denseRank(
+              keys.select("rank", "rank2").distinct(),
+              Seq("rank", "rank2"), "nrank")
+            keys.join(ranked, Seq("rank", "rank2"))
+              .select(col("gpos"), col("nrank").as("rank"))
+          })
       }
     }
 
@@ -182,16 +214,21 @@ object SuffixArray {
   // document length), span_len = run + SpanL - 1.
   // ----------------------------------------------------------------
   def exactSubstr(s: SparkSession, d: String): DataFrame = {
-    val r = rankLevel(s, d, SpanL)
-    val dupRanks = r.groupBy("rank")
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select("rank")
-    val dupStarts = positions(s, d)
-      .filter(col("lpos") <= col("dlen") - (SpanL - 1))
-      .select("gpos", "doc_id", "lpos")
-      .join(r, Seq("gpos"))
-      .join(dupRanks, Seq("rank"), "left_semi")
+    // the duplicated-start MASK is the stored artifact (the same
+    // role llm_dup_spans' positional k-gram mask plays); the island
+    // merge re-derives per read from it (dup-start-sized, cheap)
+    val dupStarts = SnapshotMemo.getOrCompute(s, s"sa-dup-starts:$d") {
+      val r = rankLevel(s, d, SpanL)
+      val dupRanks = r.groupBy("rank")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .select("rank")
+      chkSer(positions(s, d)
+        .filter(col("lpos") <= col("dlen") - (SpanL - 1))
+        .select("gpos", "doc_id", "lpos")
+        .join(r, Seq("gpos"))
+        .join(dupRanks, Seq("rank"), "left_semi"))
+    }
     val w = Window.partitionBy("doc_id").orderBy("lpos")
     dupStarts
       .withColumn("grp", col("lpos") - row_number().over(w))
@@ -211,31 +248,33 @@ object SuffixArray {
   // spectrum — the quantity ExactSubstr thresholds.
   // ----------------------------------------------------------------
   def lcpHistogram(s: SparkSession, d: String): DataFrame = {
-    val sa = saRanked(s, d).select("sa_rank", "gpos")
-    var cur = sa
-      .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
-        col("gpos").as("gb")), Seq("sa_rank"))
-      .select(col("gpos").as("ia"), col("gb").as("ib"),
-        lit(0L).as("lcp"))
-    var k = Depth
-    while (k >= 1) {
-      val lev = rankLevel(s, d, k)
-      val eq = col("ra").isNotNull && col("rb").isNotNull &&
-        col("ra") === col("rb")
-      cur = cur
-        .join(lev.select(col("gpos").as("ia"), col("rank").as("ra")),
-          Seq("ia"), "left")
-        .join(lev.select(col("gpos").as("ib"), col("rank").as("rb")),
-          Seq("ib"), "left")
-        .select(
-          when(eq, col("ia") + k).otherwise(col("ia")).as("ia"),
-          when(eq, col("ib") + k).otherwise(col("ib")).as("ib"),
-          when(eq, col("lcp") + k).otherwise(col("lcp")).as("lcp"))
-      k /= 2
+    // the per-pair LCP table is the stored artifact (the PLCP array
+    // of the SA literature); the histogram re-derives per read
+    val plcp = SnapshotMemo.getOrCompute(s, s"sa-plcp:$d") {
+      val sa = saRanked(s, d).select("sa_rank", "gpos")
+      var cur = sa
+        .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
+          col("gpos").as("gb")), Seq("sa_rank"))
+        .select(col("gpos").as("ia"), col("gb").as("ib"),
+          lit(0L).as("lcp"))
+      var k = Depth
+      while (k >= 1) {
+        val lev = rankLevel(s, d, k)
+        val eq = col("ra").isNotNull && col("rb").isNotNull &&
+          col("ra") === col("rb")
+        cur = cur
+          .join(lev.select(col("gpos").as("ia"), col("rank").as("ra")),
+            Seq("ia"), "left")
+          .join(lev.select(col("gpos").as("ib"), col("rank").as("rb")),
+            Seq("ib"), "left")
+          .select(
+            when(eq, col("ia") + k).otherwise(col("ia")).as("ia"),
+            when(eq, col("ib") + k).otherwise(col("ib")).as("ib"),
+            when(eq, col("lcp") + k).otherwise(col("lcp")).as("lcp"))
+        k /= 2
+      }
+      chkSer(cur.select(least(col("lcp"), lit(Depth.toLong)).as("lcp")))
     }
-    cur
-      .select(least(col("lcp"), lit(Depth.toLong)).as("lcp"))
-      .groupBy("lcp")
-      .agg(count(lit(1)).as("n_pairs"))
+    plcp.groupBy("lcp").agg(count(lit(1)).as("n_pairs"))
   }
 }

@@ -223,7 +223,8 @@ object RdfQueries {
     "rdf_sparql_varcmp" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlVarCmpQuery)),
     "rdf_sparql_seq_closure" -> ((s, d) =>
-      SparqlSelect(tri(s, d), sparqlSeqClosureQuery)),
+      SparqlSelect(tri(s, d), sparqlSeqClosureQuery,
+        relClosureProvider(s, d))),
     "rdf_sparql_path_star" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathStarQuery,
         relClosureProvider(s, d))),
@@ -654,13 +655,36 @@ object RdfQueries {
         .select(col("src"), col("dst")))
     }
 
-  /** [[SparqlSelect.ClosureProvider]] backed by [[relationClosure]]:
-    * serves exactly the single-predicate `dcterms:relation` closure;
-    * any other predicate set walks the fixpoint live. */
+  /** The COMPOSED relation∘relation closure as a stored artifact —
+    * the seq-closure analog of [[relationClosure]], keyed separately
+    * (a flat-set artifact must never serve the composed relation and
+    * vice versa). The composed edge set is built EXACTLY as the
+    * front-end's live path (per-hop IRI-object scans equi-joined on
+    * the intermediate) so stored == live by construction. */
+  private def seqRelationClosure(s: SparkSession, d: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(s, s"relation-seq2-closure:$d") {
+      val e = tri(s, d).filter(col("predicate") === DctermsRelation &&
+          col("obj_kind") === "iri")
+        .select(col("subject").as("src"), col("obj_value").as("dst"))
+      val e2 = e.join(
+          e.select(col("src").as("_mid"), col("dst").as("_nxt")),
+          col("dst") === col("_mid"))
+        .select(col("src"), col("_nxt").as("dst"))
+      chkSer(RdfOps.reachablePlus(e2, e2.select(col("src")).distinct())
+        .select(col("src"), col("dst")))
+    }
+
+  /** [[SparqlSelect.ClosureProvider]] backed by [[relationClosure]]
+    * (flat `dcterms:relation`) and [[seqRelationClosure]] (composed
+    * `(relation/relation)`); anything else walks the fixpoint live. */
   private def relClosureProvider(s: SparkSession, d: String)
-      : SparqlSelect.ClosureProvider =
-    preds => if (preds == Seq(DctermsRelation))
-      Some(relationClosure(s, d)) else None
+      : SparqlSelect.ClosureProvider = {
+    case (Seq(DctermsRelation), false) =>
+      Some(relationClosure(s, d))
+    case (Seq(DctermsRelation, DctermsRelation), true) =>
+      Some(seqRelationClosure(s, d))
+    case _ => None
+  }
 
   /** Serializes single-file builds: the write overwrites a directory
     * (same discipline as the llm family's indexBuildLock). */

@@ -311,15 +311,18 @@ object SparqlSelect {
       limit: Option[Int],
       offset: Option[Int] = None)
 
-  /** A stored-closure lookup: given a closure step's predicate set,
+  /** A stored-closure lookup: given a closure step's predicates,
     * return the STORED `(src, dst)` pair closure to read instead of
     * walking the fixpoint — the stored-closure discipline a triple
     * store applies to its hot-path predicates. Consulted only for
     * graph-unscoped steps (a GRAPH-scoped closure has a different
-    * edge set). */
-  type ClosureProvider = Seq[String] => Option[DataFrame]
+    * edge set). The Boolean flags a COMPOSED sequence (`(p1/p2)+` —
+    * predicates in hop order): a different relation from the flat
+    * alternation set with the same predicates, so the two keyings
+    * can never serve each other's artifacts. */
+  type ClosureProvider = (Seq[String], Boolean) => Option[DataFrame]
 
-  private val NoClosure: ClosureProvider = _ => None
+  private val NoClosure: ClosureProvider = (_, _) => None
 
   def apply(triples: DataFrame, queryText: String): DataFrame =
     compile(triples, parse(queryText))
@@ -1885,11 +1888,12 @@ object SparqlSelect {
       * 10× (measured — see its scaladoc); an engine default must
       * survive scale, so the live fallback walks the frontier. */
     def closurePairs(pat: Pattern, edges: DataFrame): DataFrame =
-      // the stored-closure provider is keyed by a predicate SET —
-      // a composed-sequence closure is a different relation and must
-      // never read a flat-set artifact
-      (if (pat.graphCtx.isEmpty && pat.seqPath.isEmpty)
-        closureOf(pat.preds) else None)
+      // flat-set and composed-sequence closures are DIFFERENT
+      // relations — the provider keying carries the distinction
+      (if (pat.graphCtx.isEmpty)
+        (if (pat.seqPath.isEmpty) closureOf(pat.preds, false)
+         else closureOf(pat.seqPath, true))
+      else None)
         .map(_.select(col("src"), col("dst")))
         .getOrElse(RdfOps.reachablePlus(edges,
           edges.select(col("src")).distinct())
