@@ -57,16 +57,20 @@ object CdcChunks {
     acc
   }
 
-  private def base(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        length(col("text")).cast("long").as("len"))
-
   /** (doc_id, chunk_start, chunk_len, chunk_sha) — every chunk of
     * every document. Chunks cover the document exactly: starts are
     * position 1 plus every boundary position ≥ 2. */
-  def chunks(s: SparkSession, d: String): DataFrame = {
-    val b = base(s, d)
+  def chunks(s: SparkSession, d: String): DataFrame =
+    chunksOfDocs(Tables(s, d, "documents"))
+
+  /** [[chunks]] over an explicit `(doc_id, text, ...)` frame — the
+    * probe surface shared with the incremental query and the
+    * streaming twin (chunk boundaries are per-document, so a shard's
+    * chunks are IDENTICAL to its chunks within the full corpus —
+    * the property that makes the stored-digest probe exact). */
+  def chunksOfDocs(docsDf: DataFrame): DataFrame = {
+    val b = docsDf.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len"))
     // sequence(2, len-W+1) is DESCENDING when the bound is < 2 —
     // guard short docs out before exploding (they are single-chunk)
     val cuts = b.filter(col("len") >= W + 1)
@@ -99,6 +103,61 @@ object CdcChunks {
         countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_copies") > 1)
 
+  // ----------------------------------------------------------------
+  // Incremental rung (the exact/minhash/span-dedup discipline): the
+  // base corpus's chunk DIGEST SET is a stored parquet artifact;
+  // an arriving shard is chunked locally (map-side) and its digests
+  // broadcast against the index scan — the corpus is never re-read.
+  // An arriving occurrence is duplicated iff its digest exists in
+  // the base index OR occurs twice within the shard — exactly
+  // "count ≥ 2 corpus-wide" restricted to arriving occurrences
+  // (per-document boundaries make the decomposition exact), so the
+  // oracle is the from-scratch full-corpus rule filtered to the
+  // shard: sharing it IS the incremental contract.
+  // ----------------------------------------------------------------
+  private val buildLock = new Object
+
+  private[llm] def storedDigestsPath(s: SparkSession,
+      d: String): String = {
+    val path = s"${LlmQueries.storedIndexPath(d)}/cdc-digests"
+    buildLock.synchronized {
+      graft.SnapshotMemo.getOrCompute(s, s"cdc-digests:$d") {
+        chunksOfDocs(Tables(s, d, "documents")
+            .filter(!expr(LlmQueries.arrivingShardPred)))
+          .select("chunk_sha").distinct()
+          .write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      path
+    }
+  }
+
+  /** Pure index probe for a docs batch: its chunk occurrences whose
+    * digest EXISTS in the stored index. Broadcast-asymmetric (the
+    * batch side broadcasts; the corpus-scale index only scans).
+    * Shared by [[dedupIncremental]] and the streaming twin
+    * [[graft.streaming.DocsStream.startCdcProbe]]. */
+  def probe(docsDf: DataFrame, digestIndex: DataFrame): DataFrame =
+    digestIndex.join(broadcast(chunksOfDocs(docsDf)), Seq("chunk_sha"))
+      .select(col("doc_id"), col("chunk_start"), col("chunk_len"),
+        col("chunk_sha"))
+
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val idx = s.read.parquet(storedDigestsPath(s, d))
+    val arr = chunksOfDocs(Tables(s, d, "documents")
+      .filter(expr(LlmQueries.arrivingShardPred)))
+    val localDup = arr.groupBy(col("chunk_sha"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("chunk_sha")
+    idx.join(broadcast(arr), Seq("chunk_sha"))
+      .select(col("doc_id"), col("chunk_start"), col("chunk_len"),
+        col("chunk_sha"))
+      .union(arr.join(localDup, Seq("chunk_sha"), "left_semi")
+        .select(col("doc_id"), col("chunk_start"), col("chunk_len"),
+          col("chunk_sha")))
+      .distinct()
+  }
+
   private[llm] def chunksOracle: String =
     s"""WITH base AS (
        |  SELECT doc_id, text, length(text)::BIGINT AS len
@@ -122,6 +181,21 @@ object CdcChunks {
        |SELECT doc_id, start AS chunk_start, chunk_len,
        |  sha256(substr(text, start::INT, chunk_len::INT)) AS chunk_sha
        |FROM chunks""".stripMargin
+
+  private[llm] def dedupIncrementalOracleSelect: String =
+    s"""$chunksOracle,
+       |occ AS (
+       |  SELECT doc_id, start, chunk_len,
+       |    sha256(substr(text, start::INT, chunk_len::INT))
+       |      AS chunk_sha
+       |  FROM chunks),
+       |marked AS (
+       |  SELECT doc_id, start, chunk_len, chunk_sha,
+       |    count(*) OVER (PARTITION BY chunk_sha) AS c
+       |  FROM occ)
+       |SELECT doc_id, start AS chunk_start, chunk_len, chunk_sha
+       |FROM marked
+       |WHERE c > 1 AND ${LlmQueries.arrivingShardPred}""".stripMargin
 
   private[llm] def dedupOracleSelect: String =
     s"""$chunksOracle

@@ -116,6 +116,7 @@ object LlmQueries {
     "llm_sa_lcp" -> SuffixArray.lcpHistogram,
     "llm_cdc_chunks" -> CdcChunks.chunks,
     "llm_cdc_dedup" -> CdcChunks.dedup,
+    "llm_cdc_incremental" -> CdcChunks.dedupIncremental,
   )
 
   /** Serialized-block local checkpoint for CORPUS-SCALE memoized
@@ -4024,6 +4025,7 @@ object LlmQueries {
     // but restate chunk assembly independently in SQL
     "llm_cdc_chunks" -> CdcChunks.chunksOracleSelect,
     "llm_cdc_dedup" -> CdcChunks.dedupOracleSelect,
+    "llm_cdc_incremental" -> CdcChunks.dedupIncrementalOracleSelect,
 
     // Suffix-array family oracles. The engine never materializes the
     // corpus string or compares substrings (prefix-doubling rank

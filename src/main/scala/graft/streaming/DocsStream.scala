@@ -96,6 +96,34 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Streaming twin of [[graft.llm.CdcChunks.dedupIncremental]]'s
+    * probe leg: each arriving micro-batch is chunked map-side and
+    * its digests probed against the stored base-corpus digest index
+    * ([[graft.llm.CdcChunks.storedDigestsPath]]) — same
+    * broadcast-asymmetric shape as [[startSpanProbe]], same
+    * out-table anti-join idempotence for at-least-once replays. */
+  def startCdcProbe(docs: DataFrame, digestIndexPath: String,
+      outPath: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val out = graft.llm.CdcChunks.probe(batch,
+          spark.read.parquet(digestIndexPath))
+        val seen =
+          try spark.read.parquet(outPath).select(col("doc_id").as("s_id"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(trigger).start()
+
   /** Gopher-style quality filter over the stream — batch semantics,
     * incremental execution. */
   def qualityFiltered(docs: DataFrame): DataFrame =
