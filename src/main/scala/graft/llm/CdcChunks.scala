@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -24,10 +23,13 @@ import graft.Tables
   * shift-robust nor parallelizable); the pure rule is what makes the
   * operator embarrassingly parallel at 100 TB AND oracle-replayable.
   *
-  * Plan shape: the boundary scan is entirely map-side (explode +
-  * a 16-step codegen'd hash fold per position — no shuffle); the
-  * chunk assembly is one doc-keyed window + one doc-keyed join; the
-  * chunk-dedup rollup is one hash aggregate on the chunk digest.
+  * Plan shape: the boundary scan is ONE O(len) rolling-hash pass per
+  * document ([[graft.functions.CdcBoundaries]], a codegen'd Catalyst
+  * expression), and chunk assembly is pure per-row array arithmetic
+  * (zip each start with its successor) — chunking has NO shuffle at
+  * all; the chunk-dedup rollup is one hash aggregate on the chunk
+  * digest. At 100 TB each task chunks only the documents in its own
+  * input split.
   */
 object CdcChunks {
   val W = 16 // window bytes
@@ -36,9 +38,13 @@ object CdcChunks {
   val D = 64L // boundary divisor → expected chunk length
   val R = 13L // boundary residue
 
-  /** The unrolled H(text[i..i+W-1]) as a codegen'd Column — the
-    * same expression the oracle states in SQL. */
-  private def hashCol: Column = {
+  /** The unrolled H(text[i..i+W-1]) as a Column fold over
+    * `substr(text, i+j, 1)` — the shape the oracle states in SQL.
+    * NOT on the execution path (each substr re-scans the string and
+    * the generated filter defeats JIT compilation — ~23 s warm at
+    * sf0.1); it exists so CdcBoundariesSpec can prove the rolling
+    * kernel and the oracle's spelling compute the same hash. */
+  private[graft] def foldHashCol: Column = {
     var acc: Column = lit(0L)
     for (j <- 0 until W) {
       acc = (acc * B +
@@ -69,27 +75,21 @@ object CdcChunks {
     * chunks are IDENTICAL to its chunks within the full corpus —
     * the property that makes the stored-digest probe exact). */
   def chunksOfDocs(docsDf: DataFrame): DataFrame = {
-    val b = docsDf.select(col("doc_id"), col("text"),
-      length(col("text")).cast("long").as("len"))
-    // sequence(2, len-W+1) is DESCENDING when the bound is < 2 —
-    // guard short docs out before exploding (they are single-chunk)
-    val cuts = b.filter(col("len") >= W + 1)
+    val starts = concat(array(lit(1L)),
+      graft.functions.CdcBoundaries(col("text")))
+    // each start's successor (the next start, or len+1 for the last)
+    // by per-row array arithmetic — no window, no join, no shuffle
+    val nexts = concat(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(length(col("text")).cast("long") + 1L))
+    docsDf
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(2L), col("len") - (W - 1))).as("i"))
-      .filter(hashCol % D === R)
-      .select(col("doc_id"), col("i").as("start"))
-    val starts = b.select(col("doc_id"), lit(1L).as("start"))
-      .union(cuts)
-    val w = Window.partitionBy("doc_id").orderBy("start")
-    starts
-      .withColumn("next", lead(col("start"), 1).over(w))
-      .join(b, Seq("doc_id"))
-      .select(col("doc_id"), col("start").as("chunk_start"),
-        (coalesce(col("next"), col("len") + 1) - col("start"))
-          .as("chunk_len"),
-        sha2(col("text").substr(col("start"),
-          coalesce(col("next"), col("len") + 1) - col("start")), 256)
-          .as("chunk_sha"))
+        explode(zip_with(starts, nexts, (s, n) =>
+          struct(s.as("start"), (n - s).as("chunk_len")))).as("c"))
+      .select(col("doc_id"), col("c.start").as("chunk_start"),
+        col("c.chunk_len").as("chunk_len"),
+        sha2(col("text").substr(col("c.start"), col("c.chunk_len")),
+          256).as("chunk_sha"))
   }
 
   /** Chunk-level dedup rollup: digests occurring more than once —
