@@ -28,6 +28,7 @@ object LlmQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_priority" -> dedupPriority,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_lsh_bucket_stats" -> lshBucketStats,
     "llm_ngram_jaccard" -> ngramJaccard,
@@ -162,6 +163,31 @@ object LlmQueries {
         sha2(concat_ws(" ", col("w")), 256).as("dedup_key"))
       .groupBy(col("dedup_key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Source-PRIORITY dedup keep: when an exact-duplicate group spans
+    * sources, a real pipeline keeps the copy from the most-trusted
+    * source (curated beats scraped — the RefinedWeb/Pile curation
+    * rule), not the lowest id. Priority = the source's numeric rank
+    * (`src0` most trusted). The winner is selected by ONE `min` over
+    * an encoded `priority·2^40 + doc_id` key — exact long arithmetic
+    * both engines share — so the rollup stays a single
+    * map-side-combined hash aggregate: no window function, no
+    * join-back, and ties are impossible (doc_id is unique). At
+    * 100 TB this costs exactly what [[dedupExact]] costs. */
+  def dedupPriority(s: SparkSession, d: String): DataFrame = {
+    val enc = 1L << 40
+    docs(s, d)
+      .select(sha2(concat_ws(" ", tokenExpr), 256).as("dedup_key"),
+        (expr("CAST(substring(source, 4) AS BIGINT)") * enc +
+          col("doc_id")).as("ord"),
+        col("source"))
+      .groupBy(col("dedup_key"))
+      .agg(min(col("ord")).as("m"), count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(col("dedup_key"), (col("m") % enc).as("keep_id"),
+        expr(s"m DIV $enc").as("keep_priority"),
+        col("n_copies"), col("n_sources"))
+  }
 
   // ---------------------------------------------------------------
   // MinHash-LSH near-dup: word-3-gram shingles → 8 MinHashes (min of
@@ -4132,6 +4158,22 @@ object LlmQueries {
          |SELECT sha256(array_to_string(ws, ' ')) AS dedup_key,
          |  min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM w GROUP BY 1""".stripMargin,
+
+    // the encoded priority*2^40+doc_id min replayed verbatim
+    "llm_dedup_priority" ->
+      s"""WITH pw AS (SELECT doc_id, source,
+         |    sha256(array_to_string(
+         |      regexp_split_to_array(trim(lower(text)), '\\s+'), ' '))
+         |      AS dedup_key,
+         |    CAST(substring(source, 4) AS BIGINT) * ${1L << 40}
+         |      + doc_id AS ord
+         |  FROM documents)
+         |SELECT dedup_key,
+         |  min(ord) % ${1L << 40} AS keep_id,
+         |  min(ord) // ${1L << 40} AS keep_priority,
+         |  count(*) AS n_copies,
+         |  count(DISTINCT source) AS n_sources
+         |FROM pw GROUP BY 1""".stripMargin,
 
     "llm_dedup_minhash" ->
       s"""WITH $minhashCte

@@ -64,6 +64,12 @@ object Vocab {
     "https://linkeddata.cultureelerfgoed.nl/def/ceo#rijksmonumentnummer"
   val CeoRijksmonument =
     "https://linkeddata.cultureelerfgoed.nl/def/ceo#Rijksmonument"
+  val RdfsSubClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+  /** Synthetic class-chain namespace for the RDFS entailment query
+    * (classes `C1..C51` derived from `part` sizes — FIXTURES.md
+    * discipline: both engines derive the ontology by identical
+    * string+int arithmetic). */
+  val OntoClassNs = "http://ex.org/onto#C"
   val OmekaIsPublic = "http://omeka.org/s/vocabs/o#is_public"
   val OmekaResourceClass = "http://omeka.org/s/vocabs/o#resource_class"
   val OmekaResourceTemplate = "http://omeka.org/s/vocabs/o#resource_template"

@@ -196,6 +196,10 @@ object RdfQueries {
     // entity smushing: the post-enrichment consolidation of the
     // reference's sameAs output (O14's key rule IS the identity)
     "rdf_smush_entities" -> ((s, d) => smushEntities(s, d)),
+    // RDFS subClassOf entailment: vocabulary-sized closure broadcast
+    // into a map-side instance expansion — inference at corpus scale
+    // without shuffling the corpus.
+    "rdf_rdfs_types" -> ((s, d) => rdfsTypes(s, d)),
     "rdf_sparql_exists" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlExistsQuery)),
     // round-12 second batch: negated property sets, COUNT(DISTINCT)
@@ -642,6 +646,46 @@ object RdfQueries {
     * paths (the same role [[fullClosure]] plays for the
     * doubling-fixture family): the first `p+`/`p*` query pays the
     * path-doubling walk once; every later rep reads the artifact. */
+  /** RDFS `subClassOf` entailment, materialized: every (instance,
+    * class) pair derivable from an asserted type plus the ontology's
+    * `rdfs:subClassOf` transitive closure — the ρdf core rule
+    * `type(x,C) ∧ subClassOf⁺(C,C') ⊢ type(x,C')`, the inference a
+    * cultural-heritage consumer of the reference's export runs to
+    * query by superclass (reference anchor: rdflib's RDFS namespace
+    * import surface, src/transform_datamodel.py:20). The class graph
+    * derives from `part` sizes as a DEEP chain (C_v ⊑ C_{v+1} for
+    * every occurring size) so the closure is genuinely multi-hop
+    * (~50 levels), and instance k types into the chain at its size.
+    *
+    * Scale shape: the ontology is VOCABULARY-sized (classes, not
+    * instances — thousands at most in real KGs), so its transitive
+    * closure squares a tiny frame ([[RdfOps.reachablePlusDoubling]],
+    * log-depth, memoized per snapshot like [[relationClosure]]) and
+    * BROADCASTS into the instance join — the corpus-scale side never
+    * shuffles, making entailment one map-side pass at 100 TB. No
+    * dedup pass: the chain is acyclic and each instance asserts one
+    * class, so asserted ∪ inferred is duplicate-free by
+    * construction. */
+  private def rdfsTypes(s: SparkSession, d: String): DataFrame = {
+    val item = "http://ex.org/item/"
+    val part = graft.Tables(s, d, "part")
+      .select(col("p_partkey").as("k"), col("p_size"))
+    val asserted = part.select(
+      concat(lit(item), col("k")).as("subject"),
+      concat(lit(OntoClassNs), col("p_size")).as("cls"))
+    val ancestors =
+      graft.SnapshotMemo.getOrCompute(s, s"rdfs-subclass-closure:$d") {
+        val subClass = part.select(col("p_size")).distinct()
+          .select(concat(lit(OntoClassNs), col("p_size")).as("src"),
+            concat(lit(OntoClassNs), col("p_size") + 1).as("dst"))
+        chkSer(RdfOps.reachablePlusDoubling(subClass))
+      }
+    asserted.unionByName(
+      asserted.join(broadcast(ancestors),
+          asserted("cls") === ancestors("src"))
+        .select(col("subject"), col("dst").as("cls")))
+  }
+
   private def relationClosure(s: SparkSession, d: String): DataFrame =
     graft.SnapshotMemo.getOrCompute(s, s"relation-closure:$d") {
       // the FRONTIER walk, not path doubling: a stored-artifact
@@ -2295,6 +2339,31 @@ object RdfQueries {
          |LEFT JOIN map ms ON ms.mon = g.subject
          |LEFT JOIN map mo ON mo.mon = g.obj_value
          |  AND g.obj_kind = 'iri'""".stripMargin,
+
+    // the subclass chain's recursive closure joined onto asserted
+    // types; asserted ∪ inferred needs no dedup (acyclic chain, one
+    // asserted class per instance)
+    "rdf_rdfs_types" ->
+      s"""WITH edges AS (
+         |  SELECT '$OntoClassNs' || p_size AS src,
+         |         '$OntoClassNs' || (p_size + 1) AS dst
+         |  FROM (SELECT DISTINCT p_size FROM part)),
+         |closure AS (
+         |  SELECT src, dst FROM (
+         |    WITH RECURSIVE walk AS (
+         |      SELECT src, dst FROM edges
+         |      UNION
+         |      SELECT w.src, e.dst FROM walk w
+         |      JOIN edges e ON e.src = w.dst)
+         |    SELECT * FROM walk)),
+         |asserted AS (
+         |  SELECT 'http://ex.org/item/' || p_partkey AS subject,
+         |         '$OntoClassNs' || p_size AS cls
+         |  FROM part)
+         |SELECT subject, cls FROM asserted
+         |UNION ALL
+         |SELECT a.subject, c.dst AS cls
+         |FROM asserted a JOIN closure c ON c.src = a.cls""".stripMargin,
 
     "rdf_sparql_path_opt" ->
       s"""WITH ${TripleFixture.triplesCte},
