@@ -60,6 +60,18 @@ object SuffixArray {
   private def chkSer(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** DISK-resident checkpoint for the BULK SA artifacts (positions,
+    * every rank level, the ranked permutation, the dup-start mask):
+    * six-plus corpus-position-cardinality tables held simultaneously
+    * (the LCP lift needs ALL rank levels) sum past any capped heap —
+    * the sf1/3 GB rehearsal OOM'd in a block unroll with them
+    * memory-resident. Disk is where stored artifacts live at scale
+    * anyway (the dedup indexes write parquet); consumers re-read
+    * sequentially, and the per-rep hot tables (the 1-column PLCP)
+    * stay memory-first. */
+  private def chkDisk(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+
   // ----------------------------------------------------------------
   // Position table: one row per character of the virtual corpus
   // string, sentinel 0x01 rows included (lpos = dlen + 1). Document
@@ -77,7 +89,7 @@ object SuffixArray {
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = docs.withColumn("off",
         coalesce(sum(col("dlen") + 1).over(w), lit(0L)))
-      chkSer(offs
+      chkDisk(offs
         .select(col("doc_id"), col("dlen"), col("off"),
           explode(sequence(lit(1L), col("dlen") + 1)).as("lpos"),
           col("text"))
@@ -104,7 +116,7 @@ object SuffixArray {
     val sorted = df
       .repartitionByRange(32, keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val schema = StructType(sorted.schema.fields :+
       StructField(out, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
@@ -154,7 +166,7 @@ object SuffixArray {
       require(depth >= 1 && Integer.bitCount(depth) == 1,
         s"rank level depth must be a power of two, got $depth")
       if (depth == 1) {
-        chkSer(positions(s, d)
+        chkDisk(positions(s, d)
           .select(col("gpos"), col("code").as("rank")))
       } else {
         val half = depth / 2
@@ -165,7 +177,7 @@ object SuffixArray {
           .select(col("gpos"), col("rank"),
             coalesce(col("rank2"), lit(-1L)).as("rank2"))
         val halfBound = levelBound(s, d, half)
-        chkSer(
+        chkDisk(
           if (packable(halfBound)) {
             val k = halfBound + 2
             keys.select(col("gpos"),
@@ -188,7 +200,7 @@ object SuffixArray {
       val joined = positions(s, d)
         .select("gpos", "doc_id", "lpos", "dlen")
         .join(rankLevel(s, d, Depth), Seq("gpos"))
-      chkSer(denseRank(joined, Seq("rank", "gpos"), "sa_rank"))
+      chkDisk(denseRank(joined, Seq("rank", "gpos"), "sa_rank"))
     }
 
   // ----------------------------------------------------------------
@@ -223,7 +235,7 @@ object SuffixArray {
         .agg(count(lit(1)).as("c"))
         .filter(col("c") > 1)
         .select("rank")
-      chkSer(positions(s, d)
+      chkDisk(positions(s, d)
         .filter(col("lpos") <= col("dlen") - (SpanL - 1))
         .select("gpos", "doc_id", "lpos")
         .join(r, Seq("gpos"))

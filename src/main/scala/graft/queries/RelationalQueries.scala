@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,7 +59,52 @@ object RelationalQueries {
     "rel_q32_entity_fuzzy" -> entityFuzzy,
     "rel_q33_triangles" -> triangleCount,
     "rel_q34_kcore" -> kcore,
+    "rel_q35_zorder" -> zorderEvents,
   )
+
+  /** 32-bit Morton (Z-order) interleave of two 16-bit dimensions —
+    * the multi-dimensional clustering key behind data-skipping
+    * layouts (public technique: Morton 1966; Delta/Iceberg OPTIMIZE
+    * ZORDER): rows close in BOTH dimensions land close in the 1-D
+    * sort order, so a range-partitioned write yields files whose
+    * per-file min/max footer stats bound a SMALL rectangle of the
+    * (a, b) domain — a predicate on either dimension prunes most
+    * files at planning time, which 1-D sorting only achieves for its
+    * leading column. 16 shift/mask/add steps per row, fully
+    * codegen'd, map-side. */
+  private[queries] def zval(a: Column, b: Column): Column = {
+    var acc: Column = lit(0L)
+    for (i <- 15 to 0 by -1) {
+      acc = acc * 4 +
+        shiftright(a, i).bitwiseAND(lit(1L)) * 2 +
+        shiftright(b, i).bitwiseAND(lit(1L))
+    }
+    acc
+  }
+
+  /** The z-clustered write: ONE range exchange on the interleaved
+    * key, then per-file footer stats do the pruning forever after.
+    * [[ZOrderSpec]] measures the bounding-box shrinkage vs a
+    * round-robin layout on the same data. */
+  private[queries] def zorderWrite(e: DataFrame, path: String,
+      nFiles: Int): Unit =
+    e.withColumn("zv", zval(col("ux"), col("tx")))
+      .repartitionByRange(nFiles, col("zv"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Oracle surface for the interleave arithmetic: every event's
+    * 16-bit (user, hour) coordinates and their Morton key, replayed
+    * bit-for-bit by the DuckDB `>>`/`&` fold. */
+  def zorderEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("ux"),
+        // hour-truncate BEFORE epoch: µs fractions cast differently
+        // across engines (floor vs round) — whole seconds are exact
+        pmod(expr("CAST(unix_timestamp(date_trunc('hour', ts)) " +
+          "AS BIGINT) DIV 3600"), lit(65536L)).as("tx"))
+      .select(col("event_id"), col("ux"), col("tx"),
+        zval(col("ux"), col("tx")).as("zv"))
 
   /** Hourly-volume anomaly detection by the median/MAD rule — the
     * robust z-score an ops pipeline runs over ingest volumes: an
@@ -1461,6 +1506,19 @@ object RelationalQueries {
          |FROM (SELECT a AS node FROM e$KcoreRounds
          |      UNION ALL SELECT b FROM e$KcoreRounds)
          |GROUP BY node""".stripMargin
+    },
+
+    // the Morton fold replayed bit-for-bit with >>/& arithmetic
+    "rel_q35_zorder" -> {
+      val fold = (15 to 0 by -1).foldLeft("0") { (acc, i) =>
+        s"(($acc) * 4 + ((ux >> $i) & 1) * 2 + ((tx >> $i) & 1))"
+      }
+      s"""WITH dims AS (SELECT event_id,
+         |    user_id % 65536 AS ux,
+         |    (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600)
+         |      % 65536 AS tx
+         |  FROM events)
+         |SELECT event_id, ux, tx, $fold AS zv FROM dims""".stripMargin
     },
   )
 }

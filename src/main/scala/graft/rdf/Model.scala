@@ -70,6 +70,9 @@ object Vocab {
     * discipline: both engines derive the ontology by identical
     * string+int arithmetic). */
   val OntoClassNs = "http://ex.org/onto#C"
+  /** Synthetic property-chain namespace (`P1..P51`), the
+    * subPropertyOf analog of [[OntoClassNs]]. */
+  val OntoPropNs = "http://ex.org/onto#P"
   val OmekaIsPublic = "http://omeka.org/s/vocabs/o#is_public"
   val OmekaResourceClass = "http://omeka.org/s/vocabs/o#resource_class"
   val OmekaResourceTemplate = "http://omeka.org/s/vocabs/o#resource_template"

@@ -200,6 +200,9 @@ object RdfQueries {
     // into a map-side instance expansion — inference at corpus scale
     // without shuffling the corpus.
     "rdf_rdfs_types" -> ((s, d) => rdfsTypes(s, d)),
+    // Full ρdf entailment (sp⁺/dom/range/sc⁺) as a stratified
+    // broadcast-join DAG; one exchange total (the final set dedup).
+    "rdf_rdfs_entail" -> ((s, d) => rdfsEntail(s, d)),
     "rdf_sparql_exists" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlExistsQuery)),
     // round-12 second batch: negated property sets, COUNT(DISTINCT)
@@ -666,6 +669,21 @@ object RdfQueries {
     * dedup pass: the chain is acyclic and each instance asserts one
     * class, so asserted ∪ inferred is duplicate-free by
     * construction. */
+  /** The memoized transitive closure of a derived size-chain
+    * ontology (`ns{v} ⊑ ns{v+1}` per occurring `p_size`) — shared by
+    * [[rdfsTypes]] (class chain) and [[rdfsEntail]] (class AND
+    * property chains). Vocabulary-sized: the doubling walk squares a
+    * ≤|sizes|² frame in log rounds. */
+  private def chainClosure(s: SparkSession, d: String,
+      ns: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(s, s"rdfs-chain-closure:$ns:$d") {
+      val edges = graft.Tables(s, d, "part")
+        .select(col("p_size")).distinct()
+        .select(concat(lit(ns), col("p_size")).as("src"),
+          concat(lit(ns), col("p_size") + 1).as("dst"))
+      chkSer(RdfOps.reachablePlusDoubling(edges))
+    }
+
   private def rdfsTypes(s: SparkSession, d: String): DataFrame = {
     val item = "http://ex.org/item/"
     val part = graft.Tables(s, d, "part")
@@ -673,17 +691,67 @@ object RdfQueries {
     val asserted = part.select(
       concat(lit(item), col("k")).as("subject"),
       concat(lit(OntoClassNs), col("p_size")).as("cls"))
-    val ancestors =
-      graft.SnapshotMemo.getOrCompute(s, s"rdfs-subclass-closure:$d") {
-        val subClass = part.select(col("p_size")).distinct()
-          .select(concat(lit(OntoClassNs), col("p_size")).as("src"),
-            concat(lit(OntoClassNs), col("p_size") + 1).as("dst"))
-        chkSer(RdfOps.reachablePlusDoubling(subClass))
-      }
+    val ancestors = chainClosure(s, d, OntoClassNs)
     asserted.unionByName(
       asserted.join(broadcast(ancestors),
           asserted("cls") === ancestors("src"))
         .select(col("subject"), col("dst").as("cls")))
+  }
+
+  /** FULL ρdf entailment (the minimal RDFS fragment, Muñoz/Pérez/
+    * Gutierrez 2007): `subPropertyOf⁺` predicate generalization,
+    * `domain`/`range` type inference, `subClassOf⁺` type expansion —
+    * the deductive closure of the instance graph under the four core
+    * rules, computed as a STRATIFIED join DAG (no fixpoint over the
+    * corpus: close the two vocabulary chains first, then sp-rewrite,
+    * then dom/range over the sp-CLOSED triples — so a triple whose
+    * generalized predicate carries the domain still infers its type
+    * — then sc-expand; set-dedup last, since dom and range can derive
+    * the same type assertion through different rules).
+    *
+    * Ontology derivation (FIXTURES discipline — identical int/string
+    * arithmetic in both engines): property chain `P_v ⊑ P_{v+1}` and
+    * class chain `C_v ⊑ C_{v+1}` over occurring part sizes;
+    * `dom(P_v)=C_v` at v≡0 (mod 5); `range(P_v)=C_{v+1}` at v≡0
+    * (mod 7); instance triples `(item_k, P_{size(k)}, item_2k)`.
+    *
+    * Scale shape: every ontology side (closures, dom, range) is
+    * vocabulary-sized and BROADCAST — the corpus-scale triple set
+    * flows through map-side joins only; the single exchange is the
+    * final set-semantics dedup, which IS the operator's contract. */
+  private def rdfsEntail(s: SparkSession, d: String): DataFrame = {
+    val item = "http://ex.org/item/"
+    val part = graft.Tables(s, d, "part")
+      .select(col("p_partkey").as("k"), col("p_size").as("v"))
+    val sizes = part.select(col("v")).distinct()
+    val spPlus = chainClosure(s, d, OntoPropNs)
+    val scPlus = chainClosure(s, d, OntoClassNs)
+    val dom = sizes.filter(col("v") % 5 === 0)
+      .select(concat(lit(OntoPropNs), col("v")).as("p"),
+        concat(lit(OntoClassNs), col("v")).as("c"))
+    val rng = sizes.filter(col("v") % 7 === 0)
+      .select(concat(lit(OntoPropNs), col("v")).as("p"),
+        concat(lit(OntoClassNs), col("v") + 1).as("c"))
+    val triples = part.select(
+      concat(lit(item), col("k")).as("s"),
+      concat(lit(OntoPropNs), col("v")).as("p"),
+      concat(lit(item), col("k") * 2).as("o"))
+    val spClosed = triples.unionByName(
+      triples.join(broadcast(spPlus), triples("p") === spPlus("src"))
+        .select(col("s"), col("dst").as("p"), col("o")))
+    val typeSeeds = spClosed.join(broadcast(dom), Seq("p"))
+      .select(col("s").as("x"), col("c"))
+      .unionByName(spClosed.join(broadcast(rng), Seq("p"))
+        .select(col("o").as("x"), col("c")))
+    val types = typeSeeds.unionByName(
+      typeSeeds.join(broadcast(scPlus), typeSeeds("c") === scPlus("src"))
+        .select(col("x"), col("dst").as("c")))
+    spClosed
+      .unionByName(types.select(col("x").as("s"),
+        lit(RdfType).as("p"), col("c").as("o")))
+      .select(col("s").as("subject"), col("p").as("predicate"),
+        col("o").as("obj"))
+      .distinct()
   }
 
   private def relationClosure(s: SparkSession, d: String): DataFrame =
@@ -2364,6 +2432,50 @@ object RdfQueries {
          |UNION ALL
          |SELECT a.subject, c.dst AS cls
          |FROM asserted a JOIN closure c ON c.src = a.cls""".stripMargin,
+
+    // the stratified ρdf rule DAG replayed: two recursive chain
+    // closures, sp-rewrite first, dom/range over the sp-CLOSED set,
+    // sc-expansion, set dedup last
+    "rdf_rdfs_entail" ->
+      s"""WITH sizes AS (SELECT DISTINCT p_size AS v FROM part),
+         |spe AS (SELECT '$OntoPropNs' || v AS src,
+         |    '$OntoPropNs' || (v + 1) AS dst FROM sizes),
+         |sce AS (SELECT '$OntoClassNs' || v AS src,
+         |    '$OntoClassNs' || (v + 1) AS dst FROM sizes),
+         |spc AS (SELECT src, dst FROM (
+         |  WITH RECURSIVE w AS (
+         |    SELECT src, dst FROM spe
+         |    UNION
+         |    SELECT w.src, e.dst FROM w JOIN spe e ON e.src = w.dst)
+         |  SELECT * FROM w)),
+         |scc AS (SELECT src, dst FROM (
+         |  WITH RECURSIVE w AS (
+         |    SELECT src, dst FROM sce
+         |    UNION
+         |    SELECT w.src, e.dst FROM w JOIN sce e ON e.src = w.dst)
+         |  SELECT * FROM w)),
+         |dom AS (SELECT '$OntoPropNs' || v AS p,
+         |    '$OntoClassNs' || v AS c FROM sizes WHERE v % 5 = 0),
+         |rng AS (SELECT '$OntoPropNs' || v AS p,
+         |    '$OntoClassNs' || (v + 1) AS c FROM sizes WHERE v % 7 = 0),
+         |t AS (SELECT 'http://ex.org/item/' || p_partkey AS s,
+         |    '$OntoPropNs' || p_size AS p,
+         |    'http://ex.org/item/' || (p_partkey * 2) AS o FROM part),
+         |spx AS (SELECT s, p, o FROM t
+         |  UNION ALL
+         |  SELECT t.s, c.dst AS p, t.o FROM t JOIN spc c ON c.src = t.p),
+         |seeds AS (SELECT x.s AS x, dom.c FROM spx x JOIN dom ON dom.p = x.p
+         |  UNION ALL
+         |  SELECT x.o AS x, rng.c FROM spx x JOIN rng ON rng.p = x.p),
+         |types AS (SELECT x, c FROM seeds
+         |  UNION ALL
+         |  SELECT sd.x, cc.dst AS c FROM seeds sd
+         |  JOIN scc cc ON cc.src = sd.c)
+         |SELECT DISTINCT subject, predicate, obj FROM (
+         |  SELECT s AS subject, p AS predicate, o AS obj FROM spx
+         |  UNION ALL
+         |  SELECT x AS subject, '$RdfType' AS predicate, c AS obj
+         |  FROM types)""".stripMargin,
 
     "rdf_sparql_path_opt" ->
       s"""WITH ${TripleFixture.triplesCte},
