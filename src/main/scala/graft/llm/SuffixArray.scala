@@ -72,6 +72,16 @@ object SuffixArray {
   private def chkDisk(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.DISK_ONLY)
 
+  // Join-strategy note: every SA-internal join carries an explicit
+  // merge hint. The sides are corpus-position-cardinality (or, for
+  // the dup-rank table, DATA-DEPENDENT — candidate-sized on normal
+  // corpora, corpus-scale on a dup-heavy one like the sf1
+  // rehearsal's 50%-duplicate replica corpus), and checkpoint-backed
+  // plans carry estimates the planner can mistake for broadcastable:
+  // the un-hinted build failed sf1/3 GB with driver broadcast OOMs.
+  // Sort-merge spills under a capped heap; a size-triggered
+  // broadcast of a data-dependent table does not.
+
   // ----------------------------------------------------------------
   // Position table: one row per character of the virtual corpus
   // string, sentinel 0x01 rows included (lpos = dlen + 1). Document
@@ -173,7 +183,7 @@ object SuffixArray {
         val prev = rankLevel(s, d, half)
         val shifted = prev.select(
           (col("gpos") - half).as("gpos"), col("rank").as("rank2"))
-        val keys = prev.join(shifted, Seq("gpos"), "left")
+        val keys = prev.join(shifted.hint("merge"), Seq("gpos"), "left")
           .select(col("gpos"), col("rank"),
             coalesce(col("rank2"), lit(-1L)).as("rank2"))
         val halfBound = levelBound(s, d, half)
@@ -186,7 +196,7 @@ object SuffixArray {
             val ranked = denseRank(
               keys.select("rank", "rank2").distinct(),
               Seq("rank", "rank2"), "nrank")
-            keys.join(ranked, Seq("rank", "rank2"))
+            keys.join(ranked.hint("merge"), Seq("rank", "rank2"))
               .select(col("gpos"), col("nrank").as("rank"))
           })
       }
@@ -199,7 +209,7 @@ object SuffixArray {
     SnapshotMemo.getOrCompute(s, s"sa-ranked:$d") {
       val joined = positions(s, d)
         .select("gpos", "doc_id", "lpos", "dlen")
-        .join(rankLevel(s, d, Depth), Seq("gpos"))
+        .join(rankLevel(s, d, Depth).hint("merge"), Seq("gpos"))
       chkDisk(denseRank(joined, Seq("rank", "gpos"), "sa_rank"))
     }
 
@@ -238,8 +248,8 @@ object SuffixArray {
       chkDisk(positions(s, d)
         .filter(col("lpos") <= col("dlen") - (SpanL - 1))
         .select("gpos", "doc_id", "lpos")
-        .join(r, Seq("gpos"))
-        .join(dupRanks, Seq("rank"), "left_semi"))
+        .join(r.hint("merge"), Seq("gpos"))
+        .join(dupRanks.hint("merge"), Seq("rank"), "left_semi"))
     }
     val w = Window.partitionBy("doc_id").orderBy("lpos")
     dupStarts
@@ -266,7 +276,7 @@ object SuffixArray {
       val sa = saRanked(s, d).select("sa_rank", "gpos")
       var cur = sa
         .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
-          col("gpos").as("gb")), Seq("sa_rank"))
+          col("gpos").as("gb")).hint("merge"), Seq("sa_rank"))
         .select(col("gpos").as("ia"), col("gb").as("ib"),
           lit(0L).as("lcp"))
       var k = Depth
@@ -275,10 +285,10 @@ object SuffixArray {
         val eq = col("ra").isNotNull && col("rb").isNotNull &&
           col("ra") === col("rb")
         cur = cur
-          .join(lev.select(col("gpos").as("ia"), col("rank").as("ra")),
-            Seq("ia"), "left")
-          .join(lev.select(col("gpos").as("ib"), col("rank").as("rb")),
-            Seq("ib"), "left")
+          .join(lev.select(col("gpos").as("ia"), col("rank").as("ra"))
+            .hint("merge"), Seq("ia"), "left")
+          .join(lev.select(col("gpos").as("ib"), col("rank").as("rb"))
+            .hint("merge"), Seq("ib"), "left")
           .select(
             when(eq, col("ia") + k).otherwise(col("ia")).as("ia"),
             when(eq, col("ib") + k).otherwise(col("ib")).as("ib"),

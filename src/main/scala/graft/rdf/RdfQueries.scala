@@ -203,6 +203,10 @@ object RdfQueries {
     // Full ρdf entailment (sp⁺/dom/range/sc⁺) as a stratified
     // broadcast-join DAG; one exchange total (the final set dedup).
     "rdf_rdfs_entail" -> ((s, d) => rdfsEntail(s, d)),
+    // incremental rung: arriving instance shard entailed against the
+    // stable (memoized) ontology closures — exact because no ρdf
+    // rule joins two instance triples.
+    "rdf_rdfs_incremental" -> ((s, d) => rdfsEntailIncremental(s, d)),
     "rdf_sparql_exists" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlExistsQuery)),
     // round-12 second batch: negated property sets, COUNT(DISTINCT)
@@ -719,11 +723,47 @@ object RdfQueries {
     * vocabulary-sized and BROADCAST — the corpus-scale triple set
     * flows through map-side joins only; the single exchange is the
     * final set-semantics dedup, which IS the operator's contract. */
-  private def rdfsEntail(s: SparkSession, d: String): DataFrame = {
-    val item = "http://ex.org/item/"
-    val part = graft.Tables(s, d, "part")
+  private def rdfsEntail(s: SparkSession, d: String): DataFrame =
+    rdfsEntailOf(s, d, lit(true))
+
+  /** The INCREMENTAL rung: entailment of an ARRIVING instance shard
+    * against the STABLE ontology (the closures are the memoized
+    * per-snapshot artifacts [[chainClosure]] already built). Sound
+    * and complete because every ρdf rule is per-instance-triple —
+    * no rule joins two instance triples — so the shard's deductive
+    * closure is exactly the full closure restricted to shard-derived
+    * conclusions: per-batch cost is proportional to the batch, the
+    * existing entailment table is never re-derived. The oracle IS
+    * the full-corpus rule DAG filtered to the shard — sharing it is
+    * the incremental contract (the dedup-family discipline). */
+  private def rdfsEntailIncremental(s: SparkSession,
+      d: String): DataFrame =
+    rdfsEntailOf(s, d, expr(arrivingPartPred))
+
+  private[rdf] val arrivingPartPred = "k % 10 = 7"
+
+  private def rdfsEntailOf(s: SparkSession, d: String,
+      instanceFilter: Column): DataFrame = {
+    val allPart = graft.Tables(s, d, "part")
       .select(col("p_partkey").as("k"), col("p_size").as("v"))
-    val sizes = part.select(col("v")).distinct()
+    // the ontology derives from the FULL vocabulary — only the
+    // instance axis is filtered (the incremental semantics)
+    entailInstances(s, d, allPart.filter(instanceFilter))
+      .select(col("subject"), col("predicate"), col("obj"))
+      .distinct()
+  }
+
+  /** The shared entailment CORE over an arbitrary `(k, v)` instance
+    * frame — the batch query, the incremental rung, and the
+    * streaming twin ([[graft.streaming.RdfStream]]) all route here.
+    * Output carries `src_k` (the deriving instance id) so a
+    * streaming maintainer has an exact at-least-once retry key; NOT
+    * deduplicated (callers own their set semantics). */
+  private[graft] def entailInstances(s: SparkSession, d: String,
+      instances: DataFrame): DataFrame = {
+    val item = "http://ex.org/item/"
+    val sizes = graft.Tables(s, d, "part")
+      .select(col("p_size").as("v")).distinct()
     val spPlus = chainClosure(s, d, OntoPropNs)
     val scPlus = chainClosure(s, d, OntoClassNs)
     val dom = sizes.filter(col("v") % 5 === 0)
@@ -732,26 +772,26 @@ object RdfQueries {
     val rng = sizes.filter(col("v") % 7 === 0)
       .select(concat(lit(OntoPropNs), col("v")).as("p"),
         concat(lit(OntoClassNs), col("v") + 1).as("c"))
-    val triples = part.select(
+    val triples = instances.select(
+      col("k").as("src_k"),
       concat(lit(item), col("k")).as("s"),
       concat(lit(OntoPropNs), col("v")).as("p"),
       concat(lit(item), col("k") * 2).as("o"))
     val spClosed = triples.unionByName(
       triples.join(broadcast(spPlus), triples("p") === spPlus("src"))
-        .select(col("s"), col("dst").as("p"), col("o")))
+        .select(col("src_k"), col("s"), col("dst").as("p"), col("o")))
     val typeSeeds = spClosed.join(broadcast(dom), Seq("p"))
-      .select(col("s").as("x"), col("c"))
+      .select(col("src_k"), col("s").as("x"), col("c"))
       .unionByName(spClosed.join(broadcast(rng), Seq("p"))
-        .select(col("o").as("x"), col("c")))
+        .select(col("src_k"), col("o").as("x"), col("c")))
     val types = typeSeeds.unionByName(
       typeSeeds.join(broadcast(scPlus), typeSeeds("c") === scPlus("src"))
-        .select(col("x"), col("dst").as("c")))
+        .select(col("src_k"), col("x"), col("dst").as("c")))
     spClosed
-      .unionByName(types.select(col("x").as("s"),
+      .unionByName(types.select(col("src_k"), col("x").as("s"),
         lit(RdfType).as("p"), col("c").as("o")))
-      .select(col("s").as("subject"), col("p").as("predicate"),
-        col("o").as("obj"))
-      .distinct()
+      .select(col("src_k"), col("s").as("subject"),
+        col("p").as("predicate"), col("o").as("obj"))
   }
 
   private def relationClosure(s: SparkSession, d: String): DataFrame =
@@ -2436,7 +2476,14 @@ object RdfQueries {
     // the stratified ρdf rule DAG replayed: two recursive chain
     // closures, sp-rewrite first, dom/range over the sp-CLOSED set,
     // sc-expansion, set dedup last
-    "rdf_rdfs_entail" ->
+    "rdf_rdfs_entail" -> rdfsEntailOracle("TRUE"),
+    // same DAG, instance CTE filtered to the arriving shard — the
+    // ontology (sizes) stays full-vocabulary: sharing the rule SQL
+    // IS the incremental contract
+    "rdf_rdfs_incremental" -> rdfsEntailOracle("p_partkey % 10 = 7"),
+  ) ++ oracleSqlRest
+
+  private def rdfsEntailOracle(instanceFilter: String): String =
       s"""WITH sizes AS (SELECT DISTINCT p_size AS v FROM part),
          |spe AS (SELECT '$OntoPropNs' || v AS src,
          |    '$OntoPropNs' || (v + 1) AS dst FROM sizes),
@@ -2460,7 +2507,8 @@ object RdfQueries {
          |    '$OntoClassNs' || (v + 1) AS c FROM sizes WHERE v % 7 = 0),
          |t AS (SELECT 'http://ex.org/item/' || p_partkey AS s,
          |    '$OntoPropNs' || p_size AS p,
-         |    'http://ex.org/item/' || (p_partkey * 2) AS o FROM part),
+         |    'http://ex.org/item/' || (p_partkey * 2) AS o FROM part
+         |  WHERE $instanceFilter),
          |spx AS (SELECT s, p, o FROM t
          |  UNION ALL
          |  SELECT t.s, c.dst AS p, t.o FROM t JOIN spc c ON c.src = t.p),
@@ -2475,8 +2523,9 @@ object RdfQueries {
          |  SELECT s AS subject, p AS predicate, o AS obj FROM spx
          |  UNION ALL
          |  SELECT x AS subject, '$RdfType' AS predicate, c AS obj
-         |  FROM types)""".stripMargin,
+         |  FROM types)""".stripMargin
 
+  private def oracleSqlRest: Map[String, String] = Map(
     "rdf_sparql_path_opt" ->
       s"""WITH ${TripleFixture.triplesCte},
          |edges AS (SELECT subject AS src, obj_value AS dst FROM triples

@@ -203,7 +203,15 @@ object ScaleRehearsal {
     // the duplicates), then require the 128 MiB parse's triple set
     // to equal a small-chunk reference parse: chunk-size invariance
     // AND replication invariance in one equality.
-    {
+    // Runs in its OWN session (the pass-1/pass-2 discipline): four
+    // concurrent 128 MiB chunk buffers plus their parsed triples are
+    // most of the 3 GB cap by themselves — co-residency with the
+    // grown query suite's memoized artifacts OOM'd the 207-query
+    // run, and a real 100 GB parse job wouldn't share executors
+    // with 200 warm queries either.
+    spark.stop()
+    spark = session(cpus)
+    locally {
       val ttlDir = new java.io.File("target/graft-stored-index/" +
         out.replaceAll("[^A-Za-z0-9._-]", "_") + "/turtle-single")
       val part = ttlDir.listFiles().find(_.getName.startsWith("part-")).get
