@@ -29,6 +29,8 @@ object LlmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_priority" -> dedupPriority,
+    "llm_shuffle_shards" -> shuffleShards,
+    "llm_bpe_pairs" -> bpePairs,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_lsh_bucket_stats" -> lshBucketStats,
     "llm_ngram_jaccard" -> ngramJaccard,
@@ -163,6 +165,58 @@ object LlmQueries {
         sha2(concat_ws(" ", col("w")), 256).as("dedup_key"))
       .groupBy(col("dedup_key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Tokenizer-induction pair statistics — the first BPE merge step
+    * (Sennrich et al. 2016): corpus-wide counts of adjacent
+    * character pairs within whitespace tokens, every occurrence
+    * counted (BPE counts over word OCCURRENCES, not types). The
+    * full induction loop re-tokenizes after each merge (a driver
+    * loop over this exact aggregate); the per-round primitive is
+    * what must be scale-shaped: map-side pair explode (words are
+    * short — the per-word substring walk is O(len)), ONE
+    * combine-collapsed hash aggregate on the ≤ |alphabet|² pair key
+    * space, bounded top-k finish (TakeOrderedAndProject, never a
+    * full sort). */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d).select(explode(col("w")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(50)
+
+  /** Shard count for the deterministic corpus shuffle. At 100 TB
+    * this scales with the corpus (shards ≈ corpus / target-file-
+    * size, i.e. hundreds of thousands), which is exactly what keeps
+    * the per-shard position windows reducer-bounded. */
+  private val ShuffleShards = 16
+
+  /** Deterministic GLOBAL training-order shuffle — how you shuffle
+    * 100 TB without a global sort: every document draws a 60-bit
+    * rank from a seeded md5 (the corpus-wide uniform permutation),
+    * its SHARD is the rank's residue (hash-random, so shards
+    * partition the permutation uniformly), and its position WITHIN
+    * the shard is a per-shard window over the rank. A reader
+    * consuming shards in order, each in `pos` order, replays one
+    * fixed uniformly-random global order; re-running with the same
+    * seed replays it exactly (the reproducibility contract training
+    * needs). ONE exchange on the shard key; reducer input is
+    * corpus/shards — bounded by the shard-size target, never the
+    * corpus. */
+  def shuffleShards(s: SparkSession, d: String): DataFrame = {
+    val rankSql =
+      graft.functions.QuantileSketch.hexRankSql("instr", "h", 1, 15)
+    docs(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf42:"), col("doc_id"))).as("h"))
+      .select(col("doc_id"), expr(rankSql).as("rk"))
+      .withColumn("shard", pmod(col("rk"), lit(ShuffleShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id")))
+        .cast("long") - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 
   /** Source-PRIORITY dedup keep: when an exact-duplicate group spans
     * sources, a real pipeline keeps the copy from the most-trusted
@@ -2131,9 +2185,14 @@ object LlmQueries {
         explode(expr("sequence(sp, ep)")).as("p"))
     val toks = tokenized(s, d)
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
-    toks.join(covered, Seq("doc_id", "p"), "left_anti")
-      .join(covered.select("doc_id").distinct(), Seq("doc_id"),
-        "left_semi")
+    // merge hints: both right sides are DATA-DEPENDENT (span-
+    // coverage-sized — corpus-token-scale on a dup-heavy corpus like
+    // the 50%-duplicate sf1 rehearsal replica set, where an
+    // estimate-triggered broadcast OOM'd the capped heap; the
+    // SuffixArray join discipline)
+    toks.join(covered.hint("merge"), Seq("doc_id", "p"), "left_anti")
+      .join(covered.select("doc_id").distinct().hint("merge"),
+        Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(expr("transform(sort_array(collect_list(" +
@@ -4158,6 +4217,31 @@ object LlmQueries {
          |SELECT sha256(array_to_string(ws, ' ')) AS dedup_key,
          |  min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM w GROUP BY 1""".stripMargin,
+
+    // per-word substring walk + the same (count desc, pair) ordering
+    "llm_bpe_pairs" ->
+      s"""WITH $wCte,
+         |wd AS (SELECT unnest(ws) AS word FROM w),
+         |p AS (SELECT substr(word, t.i::INT, 2) AS pair
+         |  FROM wd, generate_series(1, 4096) t(i)
+         |  WHERE t.i <= length(word) - 1)
+         |SELECT pair, count(*) AS n FROM p
+         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // the seeded-md5 rank, shard residue, and per-shard position
+    // replayed with the shared hex-rank arithmetic
+    "llm_shuffle_shards" -> {
+      val rankSql =
+        graft.functions.QuantileSketch.hexRankSql("instr", "h", 1, 15)
+      s"""WITH r AS (SELECT doc_id,
+         |    $rankSql AS rk
+         |  FROM (SELECT doc_id, md5('shuf42:' || doc_id) AS h
+         |        FROM documents))
+         |SELECT doc_id, rk % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY rk % 16
+         |    ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
+         |FROM r""".stripMargin
+    },
 
     // the encoded priority*2^40+doc_id min replayed verbatim
     "llm_dedup_priority" ->

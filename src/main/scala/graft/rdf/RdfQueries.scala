@@ -758,35 +758,63 @@ object RdfQueries {
     * streaming twin ([[graft.streaming.RdfStream]]) all route here.
     * Output carries `src_k` (the deriving instance id) so a
     * streaming maintainer has an exact at-least-once retry key; NOT
-    * deduplicated (callers own their set semantics). */
+    * deduplicated (callers own their set semantics).
+    *
+    * Plan-shape notes (the first cut OOM'd the sf1/3 GB rehearsal):
+    *  - Every "X plus its closure expansion" step joins ONCE against
+    *    an IDENTITY-AUGMENTED closure (`spStar`/`scStar` = chain
+    *    closure ∪ reflexive pairs) instead of `X union (X join
+    *    closure)` — the union form re-evaluates the un-reused
+    *    subtree per branch (the naive tree re-expanded `spClosed`
+    *    FIVE times: 20 broadcast joins in the census for a 4-join
+    *    query).
+    *  - dom and range fold into ONE side-tagged broadcast, so the
+    *    seeds join reads `spClosed` once more, not twice.
+    *  - The instance frame REPARTITIONS before the fanout: a
+    *    coalesced handful of fat scan tasks each exploding tens of
+    *    millions of URI strings is what blew the capped heap; after
+    *    one cheap exchange of the compact (k, v) rows the expansion
+    *    runs in shuffle-partition-count small tasks. */
   private[graft] def entailInstances(s: SparkSession, d: String,
       instances: DataFrame): DataFrame = {
     val item = "http://ex.org/item/"
     val sizes = graft.Tables(s, d, "part")
       .select(col("p_size").as("v")).distinct()
-    val spPlus = chainClosure(s, d, OntoPropNs)
-    val scPlus = chainClosure(s, d, OntoClassNs)
-    val dom = sizes.filter(col("v") % 5 === 0)
+    def withIdentity(closure: DataFrame, members: DataFrame): DataFrame =
+      closure.unionByName(
+        members.select(col("m").as("src"), col("m").as("dst")))
+    val spStar = withIdentity(chainClosure(s, d, OntoPropNs),
+      sizes.select(concat(lit(OntoPropNs), col("v")).as("m")))
+    // reflexive class pairs for every class a dom/range rule can
+    // seed (C_v and C_{v+1} over occurring sizes)
+    val scStar = withIdentity(chainClosure(s, d, OntoClassNs),
+      sizes.select(concat(lit(OntoClassNs), col("v")).as("m"))
+        .unionByName(sizes.select(
+          concat(lit(OntoClassNs), col("v") + 1).as("m")))
+        .distinct())
+    val domRng = sizes.filter(col("v") % 5 === 0)
       .select(concat(lit(OntoPropNs), col("v")).as("p"),
-        concat(lit(OntoClassNs), col("v")).as("c"))
-    val rng = sizes.filter(col("v") % 7 === 0)
-      .select(concat(lit(OntoPropNs), col("v")).as("p"),
-        concat(lit(OntoClassNs), col("v") + 1).as("c"))
-    val triples = instances.select(
+        concat(lit(OntoClassNs), col("v")).as("c"),
+        lit("s").as("side"))
+      .unionByName(sizes.filter(col("v") % 7 === 0)
+        .select(concat(lit(OntoPropNs), col("v")).as("p"),
+          concat(lit(OntoClassNs), col("v") + 1).as("c"),
+          lit("o").as("side")))
+    val triples = instances.repartition(col("k")).select(
       col("k").as("src_k"),
       concat(lit(item), col("k")).as("s"),
       concat(lit(OntoPropNs), col("v")).as("p"),
       concat(lit(item), col("k") * 2).as("o"))
-    val spClosed = triples.unionByName(
-      triples.join(broadcast(spPlus), triples("p") === spPlus("src"))
-        .select(col("src_k"), col("s"), col("dst").as("p"), col("o")))
-    val typeSeeds = spClosed.join(broadcast(dom), Seq("p"))
-      .select(col("src_k"), col("s").as("x"), col("c"))
-      .unionByName(spClosed.join(broadcast(rng), Seq("p"))
-        .select(col("src_k"), col("o").as("x"), col("c")))
-    val types = typeSeeds.unionByName(
-      typeSeeds.join(broadcast(scPlus), typeSeeds("c") === scPlus("src"))
-        .select(col("src_k"), col("x"), col("dst").as("c")))
+    val spClosed = triples
+      .join(broadcast(spStar), triples("p") === spStar("src"))
+      .select(col("src_k"), col("s"), col("dst").as("p"), col("o"))
+    val typeSeeds = spClosed.join(broadcast(domRng), Seq("p"))
+      .select(col("src_k"),
+        when(col("side") === "s", col("s")).otherwise(col("o")).as("x"),
+        col("c"))
+    val types = typeSeeds
+      .join(broadcast(scStar), typeSeeds("c") === scStar("src"))
+      .select(col("src_k"), col("x"), col("dst").as("c"))
     spClosed
       .unionByName(types.select(col("src_k"), col("x").as("s"),
         lit(RdfType).as("p"), col("c").as("o")))
