@@ -31,6 +31,7 @@ object LlmQueries {
     "llm_dedup_priority" -> dedupPriority,
     "llm_shuffle_shards" -> shuffleShards,
     "llm_bpe_pairs" -> bpePairs,
+    "llm_bigram_fluency" -> bigramFluency,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_lsh_bucket_stats" -> lshBucketStats,
     "llm_ngram_jaccard" -> ngramJaccard,
@@ -185,6 +186,43 @@ object LlmQueries {
           " i -> substring(word, i, 2))")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(50)
+
+  /** Corpus-LM fluency scoring — the perplexity-proxy quality
+    * signal (the CCNet/Gopher "KenLM perplexity" slot, realized
+    * with the corpus's OWN bigram statistics and EXACT integer
+    * arithmetic so the gate can hash it): each adjacent pair scores
+    * the scaled conditional frequency `(10⁶·c(w1,w2)) div c(w1·)`
+    * (c(w1·) = occurrences of w1 as a bigram PREFIX, so every
+    * ratio ≤ 10⁶ and Σ over a doc is exact), and a document's
+    * fluency is the integer mean over its pairs. Low scores mark
+    * incoherent/shuffled text whose word transitions the corpus has
+    * never seen — the signal repetition/stopword counters miss.
+    *
+    * Scale shape: the two count tables are derived ONCE from the
+    * same pair frame (combine-collapsed aggregates on the bigram /
+    * prefix keys) and join back by SHUFFLE equi-joins — both sides
+    * are vocabulary-or-corpus-scale and data-dependent, exactly the
+    * tables the rehearsal taught us never to let a size estimate
+    * promote to broadcast; the per-doc rollup is one doc-keyed
+    * aggregate. */
+  def bigramFluency(s: SparkSession, d: String): DataFrame = {
+    val bp = tokenized(s, d)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(" +
+          "element_at(w, i) AS w1, concat_ws(' ', element_at(w, i)," +
+          " element_at(w, i + 1)) AS bg))")).as("x"))
+      .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+    val cb = bp.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cu = bp.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    bp.join(cb.hint("merge"), Seq("bg"))
+      .join(cu.hint("merge"), Seq("w1"))
+      .select(col("doc_id"), expr("(1000000 * cb) DIV cu").as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sc")).as("ssum"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("ssum DIV n_pairs").as("fluency"))
+  }
 
   /** Shard count for the deterministic corpus shuffle. At 100 TB
     * this scales with the corpus (shards ≈ corpus / target-file-
@@ -4217,6 +4255,22 @@ object LlmQueries {
          |SELECT sha256(array_to_string(ws, ' ')) AS dedup_key,
          |  min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM w GROUP BY 1""".stripMargin,
+
+    // the scaled conditional-frequency arithmetic replayed: integer
+    // div both per-pair and at the doc mean, sums cast off HUGEINT
+    "llm_bigram_fluency" ->
+      s"""WITH $wCte,
+         |bp AS (SELECT doc_id, ws[t.i] AS w1,
+         |    ws[t.i] || ' ' || ws[t.i + 1] AS bg
+         |  FROM w, generate_series(1, 4096) t(i)
+         |  WHERE t.i <= len(ws) - 1),
+         |cb AS (SELECT bg, count(*) AS cb FROM bp GROUP BY 1),
+         |cu AS (SELECT w1, count(*) AS cu FROM bp GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_pairs,
+         |  (CAST(sum((1000000 * cb.cb) // cu.cu) AS BIGINT))
+         |    // count(*) AS fluency
+         |FROM bp JOIN cb USING (bg) JOIN cu USING (w1)
+         |GROUP BY doc_id""".stripMargin,
 
     // per-word substring walk + the same (count desc, pair) ordering
     "llm_bpe_pairs" ->

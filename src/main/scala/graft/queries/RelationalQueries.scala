@@ -90,7 +90,28 @@ object RelationalQueries {
       nFiles: Int): Unit =
     e.withColumn("zv", zval(col("ux"), col("tx")))
       .repartitionByRange(nFiles, col("zv"))
+      // the layout key is transient — per-file footer stats on the
+      // REAL dimensions are what prune, and keeping zv would make
+      // compaction schema-changing
+      .drop("zv")
       .write.mode("overwrite").parquet(path)
+
+  /** Incremental clustering maintenance — the OPTIMIZE ZORDER
+    * pattern: arriving appends land wherever their writer put them
+    * (whole-domain bounding boxes, no pruning), and compaction
+    * rewrites the table z-clustered through the crash-safe
+    * atomic-swap publish ([[graft.Pipeline.atomicReplace]]), so
+    * readers either see the old layout or the new one, never a
+    * partial rewrite. ONE range exchange per compaction, amortized
+    * over every read until the next one. */
+  def zorderCompact(spark: SparkSession, path: String,
+      nFiles: Int): Unit =
+    graft.Pipeline.atomicReplace(
+      spark.read.parquet(path)
+        .withColumn("zv", zval(col("ux"), col("tx")))
+        .repartitionByRange(nFiles, col("zv"))
+        .drop("zv"),
+      path)
 
   /** Oracle surface for the interleave arithmetic: every event's
     * 16-bit (user, hour) coordinates and their Morton key, replayed

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Regression pin for the sf1/3 GB rehearsal's broadcast findings:
+  * the queries whose DATA-DEPENDENT join sides once rode
+  * size-estimate broadcasts (and OOM'd the capped heap on the
+  * dup-heavy corpus) must plan with NO BroadcastHashJoin at all —
+  * their only broadcastable sides are the ones we excised. The
+  * entailment family's broadcasts are legitimate (vocabulary-sized
+  * ontology frames) but bounded: the restructure capped the census
+  * at 8 (the naive tree hit 20), pinned here so subtree re-expansion
+  * can't silently return. */
+class BroadcastDisciplineSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+  private def count(plan: String, tok: String): Int =
+    tok.r.findAllIn(plan).size
+
+  test("SA family and span-keep plan zero broadcast joins") {
+    Seq("llm_suffix_array", "llm_sa_lcp", "llm_exact_substr",
+        "llm_span_dedup_keep").foreach { q =>
+      val p = executedString(q)
+      assert(count(p, "BroadcastHashJoin") == 0,
+        s"$q regrew a broadcast join:\n${p.take(2000)}")
+    }
+  }
+
+  test("entailment broadcasts stay at the restructured bound") {
+    val p = executedString("rdf_rdfs_entail")
+    val bhj = count(p, "BroadcastHashJoin")
+    assert(bhj <= 8, s"rdf_rdfs_entail bhj=$bhj — subtree " +
+      "re-expansion returned (the naive tree measured 20)")
+    assert(count(p, "SortMergeJoin") == 0,
+      "ontology joins must stay broadcast (vocabulary-sized)")
+  }
+}

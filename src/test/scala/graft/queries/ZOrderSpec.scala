@@ -82,4 +82,43 @@ class ZOrderSpec extends AnyFunSuite {
     assert(hits(zB, 33 * 1024, 40 * 1024) <= 2)
     assert(hits(rrB, 33 * 1024, 40 * 1024) == 16)
   }
+
+  test("compaction restores clustering after unclustered appends, " +
+      "preserving the row set") {
+    val s = spark
+    import s.implicits._
+    val grid = s.range(0, 4096)
+      .select((col("id") % 64 * 1024).as("ux"),
+        (col("id") / 64).cast("long").multiply(1024).as("tx"))
+    val base = Files.createTempDirectory("zcompact").toFile.getAbsolutePath
+    val path = s"$base/t"
+    RelationalQueries.zorderWrite(grid, path, 16)
+    // an unclustered append: a shuffled slice whose files span the
+    // whole domain
+    grid.filter(col("ux") % 4096 === 0).repartition(4)
+      .write.mode("append").parquet(path)
+    val before = boxes(path)
+    val domainArea = 65536.0 * 65536.0
+    def area(b: (Long, Long, Long, Long)): Double =
+      (b._2 - b._1 + 1).toDouble * (b._4 - b._3 + 1).toDouble
+    assert(before.map(area).max >= domainArea * 0.8,
+      "append unexpectedly clustered — fixture broken")
+    val rows = s.read.parquet(path).as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    RelationalQueries.zorderCompact(s, path, 16)
+    val after = boxes(path)
+    assert(after.size == 16)
+    // range-sampled boundaries need not align exactly with
+    // z-quadrant seams (a straddling cut inherits the parent
+    // quadrant's box), so assert the OUTCOME: whole-domain boxes are
+    // gone and a point predicate prunes almost everything again
+    assert(after.map(area).max <= domainArea / 3,
+      s"compaction left a loose box: ${after.map(area).max / domainArea}")
+    def hits(bs: Seq[(Long, Long, Long, Long)], ux: Long, tx: Long) =
+      bs.count(b => ux >= b._1 && ux <= b._2 && tx >= b._3 && tx <= b._4)
+    assert(hits(after, 33 * 1024, 40 * 1024) <= 3)
+    val rowsAfter = s.read.parquet(path).as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(rowsAfter === rows, "compaction changed the row multiset")
+  }
 }
