@@ -207,6 +207,11 @@ object RdfQueries {
     // stable (memoized) ontology closures — exact because no ρdf
     // rule joins two instance triples.
     "rdf_rdfs_incremental" -> ((s, d) => rdfsEntailIncremental(s, d)),
+    // the text front-end querying UNDER entailment: a SPARQL string
+    // against the materialized inferred graph — query-by-superclass
+    // actually works.
+    "rdf_sparql_entailed" -> ((s, d) =>
+      SparqlSelect(entailedGraph(s, d), sparqlEntailedQuery)),
     "rdf_sparql_exists" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlExistsQuery)),
     // round-12 second batch: negated property sets, COUNT(DISTINCT)
@@ -251,6 +256,16 @@ object RdfQueries {
 
   /** The canonical front-end query for `rdf_sparql_select` — the
     * star + OPTIONAL + numeric-FILTER shape, as a STRING. */
+  /** Query-by-superclass under entailment: per-class instance
+    * census over the MATERIALIZED inferred graph — the question
+    * ("how many instances does each class have, counting
+    * subclasses?") that motivates running entailment at all. */
+  val sparqlEntailedQuery: String =
+    """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |SELECT ?c (COUNT(?s) AS ?n)
+      |WHERE { ?s rdf:type ?c . }
+      |GROUP BY ?c""".stripMargin
+
   val sparqlSelectQuery: String =
     """PREFIX def: <http://ex.org/def#>
       |SELECT ?item ?title ?template ?part_size
@@ -597,6 +612,22 @@ object RdfQueries {
 
   private def tri(s: SparkSession, d: String): DataFrame =
     TripleFixture.triples(s, d)
+
+  /** The MATERIALIZED entailed graph in the canonical triple schema
+    * — the store a "query under RDFS entailment" regime reads
+    * (W3C's entailment-regime semantics realized the warehouse way:
+    * materialize once, query many). Memoized per snapshot; every
+    * term the rule DAG emits is an IRI. */
+  private def entailedGraph(s: SparkSession, d: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(s, s"rdfs-entailed-graph:$d") {
+      chkSer(rdfsEntail(s, d).select(
+        lit("entail").as("graph"),
+        col("subject"), lit("iri").as("subject_kind"),
+        col("predicate"),
+        col("obj").as("obj_value"), lit("iri").as("obj_kind"),
+        lit(null).cast("string").as("obj_lang"),
+        lit(null).cast("string").as("obj_datatype")))
+    }
 
   /** owl:sameAs-style entity SMUSHING — canonicalize the enriched
     * graph so every monument RESOURCE merges into its item: the
@@ -2509,6 +2540,12 @@ object RdfQueries {
     // ontology (sizes) stays full-vocabulary: sharing the rule SQL
     // IS the incremental contract
     "rdf_rdfs_incremental" -> rdfsEntailOracle("p_partkey % 10 = 7"),
+    // the per-class census over the same entailed set
+    "rdf_sparql_entailed" ->
+      s"""SELECT obj AS c, CAST(count(*) AS BIGINT) AS n
+         |FROM (${rdfsEntailOracle("TRUE")})
+         |WHERE predicate = '$RdfType'
+         |GROUP BY 1""".stripMargin,
   ) ++ oracleSqlRest
 
   private def rdfsEntailOracle(instanceFilter: String): String =
