@@ -100,6 +100,7 @@ object LlmQueries {
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_fp" -> audioFingerprints,
+    "mm_audio_neardup" -> audioNearDup,
     "mm_image_levels" -> imageLevels,
     "llm_pii_scrub" -> piiScrub,
     "mm_video_meta" -> videoMeta,
@@ -3288,6 +3289,40 @@ object LlmQueries {
         col("m.n_frames").as("n_frames"), col("m.fp").as("fp"))
   }
 
+  /** Audio near-dup by banded Hamming search — [[imageNearDup]]'s
+    * audio sibling, completing the perceptual-dedup symmetry: the
+    * ≤32-bit delta-sign fingerprints band into 4×8 bits; candidates
+    * share a band WITHIN their frame-count class (fingerprints of
+    * different lengths are not comparable — the standard rule), and
+    * the exact `bit_count(xor)` verify keeps pairs at Hamming ≤ 3.
+    * Pigeonhole-EXACT as in the image lane: ≤3 differing bits over
+    * 4 bands forces one identical band, so the banded output equals
+    * the oracle's all-pairs truth. Join key (n_frames, band_i,
+    * band_v): one bucket-keyed shuffle, never all-pairs. */
+  def audioNearDup(s: SparkSession, d: String): DataFrame = {
+    val fp = audioFingerprints(s, d)
+      .select(col("doc_id"), col("n_frames"), col("fp"))
+    val bands = fp.select(col("doc_id"), col("n_frames"), col("fp"),
+      explode(expr("transform(sequence(0, 3), b -> struct(" +
+        "CAST(b AS BIGINT) AS band_i, " +
+        "CAST(shiftright(fp, b * 8) & 255 AS BIGINT) AS band_v))"))
+        .as("x"))
+      .select(col("doc_id"), col("n_frames"),
+        col("fp"), col("x.band_i"), col("x.band_v"))
+    val l = bands.select(col("n_frames"), col("band_i"), col("band_v"),
+      col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val r = bands.select(col("n_frames"), col("band_i"), col("band_v"),
+      col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    l.join(r, Seq("n_frames", "band_i", "band_v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_fp ^ b_fp) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** REAL pixel-PAYLOAD decode for the codec-free image format —
     * [[audioLevels]]' image sibling, narrowing the multimodal stub
     * to entropy-coded payloads only: build complete 24-bit BI_RGB
@@ -3758,6 +3793,45 @@ object LlmQueries {
 
   /** Tokenized words CTE (DuckDB list is 1-based like Spark's
     * element_at). */
+
+  /** The full positional fingerprint replay (construct → decode →
+    * frame energies → delta-sign pack), shared by the `mm_audio_fp`
+    * row and the `mm_audio_neardup` ground truth. */
+  private def audioFpOracleSelect: String = {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 16000, 22050, 44100, 48000],
+         |      CAST(doc_id % 5 AS INT) + 1) AS rate0,
+         |    4 * (doc_id % 36 + 2) AS nv0
+         |  FROM documents),
+         |b AS (SELECT doc_id, rate0, nv0,
+         |    hex(from_hex(concat(
+         |      ${wavHex("rate0", "1", "nv0 * 2", "//")},
+         |      ${pcmPayloadHexDuck("nv0", SampleExpr)}))) AS hs
+         |  FROM t),
+         |smp AS (SELECT doc_id, rate0, nv0, i,
+         |    ${unhexLEat("hs", s"$PayloadPos + 4 * i", "strpos")} AS u
+         |  FROM (SELECT doc_id, rate0, nv0, hs,
+         |        unnest(range(0, nv0)) AS i FROM b)),
+         |sv AS (SELECT doc_id, rate0, nv0, i,
+         |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |  FROM smp),
+         |fr AS (SELECT doc_id, rate0, nv0, i // 4 AS f,
+         |    SUM(s * s) AS e
+         |  FROM sv GROUP BY 1, 2, 3, 4),
+         |bits AS (SELECT l.doc_id, l.rate0, l.nv0, l.f,
+         |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+         |  FROM fr l JOIN fr r
+         |    ON l.doc_id = r.doc_id AND r.f = l.f + 1
+         |  WHERE l.f < 32)
+         |SELECT doc_id,
+         |  CAST(MAX(rate0) AS INT) AS sample_rate,
+         |  CAST(MAX(nv0) // 4 AS BIGINT) AS n_frames,
+         |  CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(f AS INT)))
+         |    AS BIGINT) AS fp
+         |FROM bits GROUP BY 1""".stripMargin
+      }
+
   private val wCte =
     """w AS (SELECT doc_id, lang, n_chars, text,
       |  regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -5539,40 +5613,21 @@ object LlmQueries {
     // fingerprint replay: positional s16le sample walk → 4-value
     // frames → integer energies → delta-sign bits → LE bit-pack,
     // independent of the engine's fingerprinter
-    "mm_audio_fp" -> {
-      import graft.multimodal.AudioHex._
-      s"""WITH t AS (SELECT doc_id,
-         |    list_extract([8000, 16000, 22050, 44100, 48000],
-         |      CAST(doc_id % 5 AS INT) + 1) AS rate0,
-         |    4 * (doc_id % 36 + 2) AS nv0
-         |  FROM documents),
-         |b AS (SELECT doc_id, rate0, nv0,
-         |    hex(from_hex(concat(
-         |      ${wavHex("rate0", "1", "nv0 * 2", "//")},
-         |      ${pcmPayloadHexDuck("nv0", SampleExpr)}))) AS hs
-         |  FROM t),
-         |smp AS (SELECT doc_id, rate0, nv0, i,
-         |    ${unhexLEat("hs", s"$PayloadPos + 4 * i", "strpos")} AS u
-         |  FROM (SELECT doc_id, rate0, nv0, hs,
-         |        unnest(range(0, nv0)) AS i FROM b)),
-         |sv AS (SELECT doc_id, rate0, nv0, i,
-         |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
-         |  FROM smp),
-         |fr AS (SELECT doc_id, rate0, nv0, i // 4 AS f,
-         |    SUM(s * s) AS e
-         |  FROM sv GROUP BY 1, 2, 3, 4),
-         |bits AS (SELECT l.doc_id, l.rate0, l.nv0, l.f,
-         |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
-         |  FROM fr l JOIN fr r
-         |    ON l.doc_id = r.doc_id AND r.f = l.f + 1
-         |  WHERE l.f < 32)
-         |SELECT doc_id,
-         |  CAST(MAX(rate0) AS INT) AS sample_rate,
-         |  CAST(MAX(nv0) // 4 AS BIGINT) AS n_frames,
-         |  CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(f AS INT)))
-         |    AS BIGINT) AS fp
-         |FROM bits GROUP BY 1""".stripMargin
-    },
+    "mm_audio_fp" -> audioFpOracleSelect,
+
+    // ground truth for the banded search: all-pairs within each
+    // frame-count class over the SAME reconstructed fingerprints —
+    // structurally independent of the engine's banding (the
+    // pigeonhole argument: hamming ≤ 3 over 4 bands forces one
+    // identical band, so banded == all-pairs exactly)
+    "mm_audio_neardup" ->
+      s"""WITH f AS ($audioFpOracleSelect)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM f a JOIN f b
+         |  ON a.n_frames = b.n_frames AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+
 
     // positional pixel-walk replay over the same BLOB: x/y/channel
     // offsets recomputed from the header arithmetic (stride incl.
