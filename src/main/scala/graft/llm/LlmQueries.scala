@@ -101,6 +101,7 @@ object LlmQueries {
     "mm_audio_levels" -> audioLevels,
     "mm_audio_fp" -> audioFingerprints,
     "mm_audio_neardup" -> audioNearDup,
+    "mm_audio_neardup_incr" -> audioNeardupIncremental,
     "mm_image_levels" -> imageLevels,
     "llm_pii_scrub" -> piiScrub,
     "mm_video_meta" -> videoMeta,
@@ -3323,6 +3324,42 @@ object LlmQueries {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** INCREMENTAL audio near-dup — the audio lane's rung on the
+    * incremental axis, the [[imageNeardupIncremental]] discipline
+    * verbatim: the base corpus's (frame-class, band) index is a
+    * memoized stored artifact; the ARRIVING shard (the standard
+    * `doc_id % 10 = 7` split) is fingerprinted, band-exploded, and
+    * BROADCAST against the index scan — batch-proportional probe
+    * cost, no corpus-side shuffle, same exact Hamming ≤ 3 verify. */
+  def audioNeardupIncremental(s: SparkSession, d: String): DataFrame = {
+    def bandsOf(fp: DataFrame): DataFrame = fp
+      .select(col("doc_id"), col("n_frames"), col("fp"),
+        explode(expr("transform(sequence(0, 3), b -> struct(" +
+          "CAST(b AS BIGINT) AS band_i, " +
+          "CAST(shiftright(fp, b * 8) & 255 AS BIGINT) AS band_v))"))
+          .as("x"))
+      .select(col("doc_id"), col("n_frames"), col("fp"),
+        col("x.band_i"), col("x.band_v"))
+    val fp = audioFingerprints(s, d)
+      .select(col("doc_id"), col("n_frames"), col("fp"))
+    val baseBands = SnapshotMemo.getOrCompute(s, s"audio-fp-index:$d") {
+      chkSer(bandsOf(fp.filter(!expr(arrivingShardPred))))
+    }
+    val arriving = bandsOf(fp.filter(expr(arrivingShardPred)))
+      .select(col("n_frames"), col("band_i"), col("band_v"),
+        col("doc_id").as("new_id"), col("fp").as("a_fp"))
+    baseBands
+      .select(col("n_frames"), col("band_i"), col("band_v"),
+        col("doc_id").as("dup_of"), col("fp").as("b_fp"))
+      .join(broadcast(arriving), Seq("n_frames", "band_i", "band_v"))
+      .select(col("new_id"), col("dup_of"), col("a_fp"), col("b_fp"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_fp ^ b_fp) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("new_id"), col("dup_of"), col("hamming"))
+  }
+
   /** REAL pixel-PAYLOAD decode for the codec-free image format —
     * [[audioLevels]]' image sibling, narrowing the multimodal stub
     * to entropy-coded payloads only: build complete 24-bit BI_RGB
@@ -5626,6 +5663,16 @@ object LlmQueries {
          |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
          |FROM f a JOIN f b
          |  ON a.n_frames = b.n_frames AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+
+    // incremental truth: arriving × base all-pairs within class
+    "mm_audio_neardup_incr" ->
+      s"""WITH f AS ($audioFpOracleSelect)
+         |SELECT a.doc_id AS new_id, b.doc_id AS dup_of,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM f a JOIN f b
+         |  ON a.n_frames = b.n_frames
+         |  AND a.doc_id % 10 = 7 AND NOT (b.doc_id % 10 = 7)
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
 
