@@ -97,6 +97,7 @@ object LlmQueries {
     "mm_frame_sample" -> frameSample,
     "mm_resize_plan" -> resizePlan,
     "mm_image_dims" -> imageDims,
+    "mm_gif_dims" -> gifDims,
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_fp" -> audioFingerprints,
@@ -3126,6 +3127,28 @@ object LlmQueries {
         max(col("dims.height")).as("max_h"))
   }
 
+  /** GIF logical-screen dimensions — the third common image
+    * container, completing [[imageDims]]' header family: build
+    * minimal COMPLETE GIF89a files per document (LE dims — the
+    * format-endianness counterpoint to PNG's BE within the same
+    * parser), decode with the same `image_dims` codegen expression,
+    * roll up. The oracle re-reads the dims POSITIONALLY from the
+    * rebuilt hex with little-endian byte arithmetic — a parser that
+    * reads BE, or misplaces the screen descriptor, hash-mismatches. */
+  def gifDims(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("(doc_id % 1500) + 1").as("w0"),
+        expr("((doc_id * 11) % 900) + 1").as("h0"))
+      .withColumn("payload",
+        unhex(expr(ImageHex.gifHex("w0", "h0", "div"))))
+      .withColumn("dims", graft.functions.ImageDims(col("payload")))
+      .select(col("doc_id"), col("dims.kind").as("kind"),
+        col("dims.width").cast("bigint").as("width"),
+        col("dims.height").cast("bigint").as("height"))
+  }
+
   /** REAL audio header decode — [[imageDims]]' little-endian
     * sibling: build genuine PCM WAV headers per document
     * (deterministic rate/channels/size from doc_id, via
@@ -5513,6 +5536,27 @@ object LlmQueries {
         |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
         |  (out_w <> width OR out_h <> height) AS resize_needed
         |FROM p""".stripMargin,
+
+    // LE positional re-read of the rebuilt bytes: lo + 256*hi at the
+    // screen-descriptor hex offsets
+    "mm_gif_dims" -> {
+      import graft.multimodal.ImageHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    (doc_id % 1500) + 1 AS w0,
+         |    ((doc_id * 11) % 900) + 1 AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${gifHex("w0", "h0", "//")})) AS hs
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN substring(hs, 1, 12) = '474946383961'
+         |    THEN 'gif' END AS kind,
+         |  (${unhexN("hs", 13, 2, "strpos")}
+         |    + 256 * ${unhexN("hs", 15, 2, "strpos")}) AS width,
+         |  (${unhexN("hs", 17, 2, "strpos")}
+         |    + 256 * ${unhexN("hs", 19, 2, "strpos")}) AS height
+         |FROM b""".stripMargin
+    },
 
     "mm_image_dims" -> {
       import graft.multimodal.ImageHex._

@@ -34,13 +34,29 @@ object ImageHeaders {
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** (kind, width, height) of a PNG or JPEG payload, else None. */
+  /** (kind, width, height) of a PNG, JPEG, or GIF payload, else
+    * None. */
   def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
     if (b == null) None
     else if (isPng(b)) parsePng(b)
     else if (b.length >= 2 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8)
       parseJpeg(b)
+    else if (isGif(b)) parseGif(b)
     else None
+  }
+
+  /** "GIF87a"/"GIF89a" signature + the 7-byte logical screen
+    * descriptor (the minimum any decoder needs). */
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 13 && u8(b, 0) == 'G' && u8(b, 1) == 'I' &&
+      u8(b, 2) == 'F' && u8(b, 3) == '8' &&
+      (u8(b, 4) == '7' || u8(b, 4) == '9') && u8(b, 5) == 'a'
+
+  private def parseGif(b: Array[Byte]): Option[(String, Int, Int)] = {
+    // logical screen width/height: unsigned LITTLE-endian 16-bit at
+    // bytes 6 and 8 (GIF is an LE format, unlike PNG)
+    val w = u16le(b, 6); val h = u16le(b, 8)
+    if (w < 1 || h < 1) None else Some(("gif", w, h))
   }
 
   private def isPng(b: Array[Byte]): Boolean =

@@ -29,6 +29,17 @@ object ImageHex {
       s"CAST($posFn('0123456789ABCDEF', substring($hs, ${pos + j}, 1)) - 1 AS BIGINT) * $p"
     }.mkString("(", " + ", ")")
 
+  /** A minimal COMPLETE GIF89a file: signature, little-endian
+    * logical-screen dims, zeroed packed/background/aspect bytes,
+    * trailer — 14 bytes. LE byte layout (unlike PNG): width lo/hi at
+    * bytes 6–7 → hex positions 13/15, height at 8–9 → 17/19. */
+  def gifHex(w: String, h: String, intdiv: String): String =
+    s"concat('474946383961', " +
+      s"${hexN(s"($w) % 256", 2, intdiv)}, " +
+      s"${hexN(s"($w) $intdiv 256", 2, intdiv)}, " +
+      s"${hexN(s"($h) % 256", 2, intdiv)}, " +
+      s"${hexN(s"($h) $intdiv 256", 2, intdiv)}, '0000003B')"
+
   /** A minimal-but-valid PNG prefix: signature + IHDR chunk header
     * with width/height and the 8-bit RGBA IHDR tail. (No CRC/IDAT —
     * the header parser contract needs none.) Byte offsets: width@16,

@@ -35,6 +35,18 @@ class ImageHeadersSpec extends AnyFunSuite {
       .contains(("jpeg", 641, 479)))
   }
 
+  test("real GIF bytes from the JDK encoder (LE screen descriptor)") {
+    assert(ImageHeaders.parse(encoded("gif", 13, 7))
+      .contains(("gif", 13, 7)))
+    // dims above 255 exercise the little-endian high byte — a BE
+    // read would see 290 = 0x0122 as 0x2201 = 8705
+    assert(ImageHeaders.parse(encoded("gif", 290, 300))
+      .contains(("gif", 290, 300)))
+    // a signature-only fragment (no complete screen descriptor)
+    assert(ImageHeaders.parse("GIF89a".getBytes ++ Array[Byte](5))
+      .isEmpty)
+  }
+
   test("truncated, empty, and non-image payloads parse to None") {
     val png = encoded("png", 10, 10)
     assert(ImageHeaders.parse(png.take(23)).isEmpty) // cut inside IHDR
