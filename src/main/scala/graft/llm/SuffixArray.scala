@@ -273,18 +273,24 @@ object SuffixArray {
     // the per-pair LCP table is the stored artifact (the PLCP array
     // of the SA literature); the histogram re-derives per read
     val plcp = SnapshotMemo.getOrCompute(s, s"sa-plcp:$d") {
+      val shim = org.apache.spark.sql.graftshim.ColumnBridge
       val sa = saRanked(s, d).select("sa_rank", "gpos")
-      var cur = sa
+      var cur = chkDisk(sa
         .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
           col("gpos").as("gb")).hint("merge"), Seq("sa_rank"))
         .select(col("gpos").as("ia"), col("gb").as("ib"),
-          lit(0L).as("lcp"))
+          lit(0L).as("lcp")))
       var k = Depth
       while (k >= 1) {
         val lev = rankLevel(s, d, k)
         val eq = col("ra").isNotNull && col("rb").isNotNull &&
           col("ra") === col("rb")
-        cur = cur
+        // checkpoint EVERY level (disk, superseded freed): unrolled,
+        // the 6-level lift is one plan with ~12 pipelined sorts
+        // whose concurrent spill pressure OOM'd a borderline
+        // sf1/3 GB run — bounding the live plan to one level keeps
+        // at most two position-scale sorts in flight
+        val next = chkDisk(cur
           .join(lev.select(col("gpos").as("ia"), col("rank").as("ra"))
             .hint("merge"), Seq("ia"), "left")
           .join(lev.select(col("gpos").as("ib"), col("rank").as("rb"))
@@ -292,10 +298,15 @@ object SuffixArray {
           .select(
             when(eq, col("ia") + k).otherwise(col("ia")).as("ia"),
             when(eq, col("ib") + k).otherwise(col("ib")).as("ib"),
-            when(eq, col("lcp") + k).otherwise(col("lcp")).as("lcp"))
+            when(eq, col("lcp") + k).otherwise(col("lcp")).as("lcp")))
+        shim.freeLocalCheckpoint(cur)
+        cur = next
         k /= 2
       }
-      chkSer(cur.select(least(col("lcp"), lit(Depth.toLong)).as("lcp")))
+      val out = chkSer(
+        cur.select(least(col("lcp"), lit(Depth.toLong)).as("lcp")))
+      shim.freeLocalCheckpoint(cur)
+      out
     }
     plcp.groupBy("lcp").agg(count(lit(1)).as("n_pairs"))
   }
