@@ -625,7 +625,13 @@ object RdfQueries {
     * term the rule DAG emits is an IRI. */
   private def entailedGraph(s: SparkSession, d: String): DataFrame =
     graft.SnapshotMemo.getOrCompute(s, s"rdfs-entailed-graph:$d") {
-      chkSer(rdfsEntail(s, d).select(
+      // DISK-resident (the SuffixArray bulk-artifact discipline):
+      // the deductive closure is corpus-output-scale (~4.5 M rows at
+      // sf1) and a memory-first unroll of it DURING its own build
+      // OOM'd the capped-heap rehearsal
+      def chkDisk(df: DataFrame): DataFrame = df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      chkDisk(rdfsEntail(s, d).select(
         lit("entail").as("graph"),
         col("subject"), lit("iri").as("subject_kind"),
         col("predicate"),
