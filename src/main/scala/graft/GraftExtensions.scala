@@ -138,5 +138,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JpegLuma].getName, "jpeg_luma"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JpegLuma(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("luma_cells"),
+      new ExpressionInfo(classOf[graft.functions.LumaCells].getName,
+        "luma_cells"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.LumaCells(args.head)))
   }
 }

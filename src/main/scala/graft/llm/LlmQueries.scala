@@ -113,6 +113,8 @@ object LlmQueries {
     "mm_png_adam7_levels" -> pngAdam7Levels,
     "mm_jpeg_luma" -> jpegLumaLevels,
     "mm_dhash" -> dhashFingerprints,
+    "mm_image_features" -> imageFeatures,
+    "mm_feature_knn" -> featureKnn,
     "mm_image_neardup" -> imageNearDup,
     "mm_neardup_incremental" -> imageNeardupIncremental,
     "mm_mp3_meta" -> mp3Meta,
@@ -3664,6 +3666,91 @@ object LlmQueries {
         col("m.dh_lo").as("dh_lo"))
   }
 
+  /** Shared REAL-feature frame for the image similarity lane: the
+    * same attachment fixture as [[dhashFp]] pushed through
+    * [[graft.functions.LumaCells]] (decode → 4×4 cell grid, exact
+    * integer sums/counts) into BOTH consumable shapes at once — the
+    * long-form cell table and the fixed-width 16-dim mean-luma
+    * vector with its precomputed self-inner-product. MEMOIZED per
+    * snapshot: `mm_image_features` and `mm_feature_knn` read it, and
+    * a production pipeline stores exactly this table next to the
+    * media metadata (features are extracted once, queried many
+    * times). All map-side: construct → decode → cells → vector in
+    * one codegen stage next to the scan; zero exchanges. */
+  private def imageFeatureFrame(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"image-features:$d") {
+      import graft.multimodal.ImageHex
+      chkSer(docs(s, d)
+        .filter(expr("doc_id % 23 = 0"))
+        .select(col("doc_id"),
+          expr("CAST(doc_id % 12 AS INT)").as("b0"),
+          expr("CAST((doc_id div 12) % 4 AS INT)").as("v0"))
+        .withColumn("w0", expr("12 + b0 % 5"))
+        .withColumn("h0", expr("9 + b0 % 4"))
+        .withColumn("hs", expr(ImageHex.pngGrayFileHex("w0", "h0",
+          dhashPixel("CAST(doc_id % 5 AS INT)"), "div",
+          ImageHex.seqJoinSpark)))
+        .withColumn("cells",
+          graft.functions.LumaCells(unhex(col("hs"))))
+        .filter(col("cells").isNotNull)
+        .withColumn("fv",
+          expr("transform(cells, c -> c.lsum div c.lcnt)"))
+        .withColumn("n2", graft.functions.DotProductLong(
+          col("fv"), col("fv")))
+        .select(col("doc_id"), col("cells"), col("fv"), col("n2")))
+    }
+
+  /** REAL pixel-derived image FEATURE VECTORS (`mm_image_features`)
+    * — the feature-extraction operator of an image similarity
+    * pipeline, closing the stand-in-feature-vector stub for every
+    * decodable payload ([[graft.multimodal.Multimodal]]): decoded
+    * luma box-partitioned into the fixed 4×4 grid, per-cell exact
+    * (sum, count) and the floor mean — the 16-dim vector the kNN
+    * lane consumes. The oracle rebuilds the PNG in DuckDB, reads
+    * every gray sample positionally, and re-derives the identical
+    * cell partition and floor means — a decoder that mis-tiles,
+    * mis-rounds, or mis-orders cells hash-mismatches. */
+  def imageFeatures(s: SparkSession, d: String): DataFrame =
+    imageFeatureFrame(s, d)
+      .select(col("doc_id"), explode(col("cells")).as("c"))
+      .select(col("doc_id"),
+        col("c.cell_i").cast("bigint").as("cell_i"),
+        col("c.cell_j").cast("bigint").as("cell_j"),
+        col("c.lsum").as("lsum"), col("c.lcnt").as("lcnt"),
+        expr("c.lsum div c.lcnt").as("mean_l"))
+
+  /** Top-k most-similar images per probe by EXACT-integer cosine
+    * over the REAL luma-grid features (`mm_feature_knn`) — the
+    * similarity-search operator running on decoded-pixel features
+    * instead of payload moments: score = ⌊10⁵·dot²/(‖a‖²·‖b‖²)⌋
+    * (cosine² scaled; luma is non-negative so dot ≥ 0 and the
+    * square is order-preserving — and every factor stays exact
+    * int64: dot ≤ 16·765², so 10⁵·dot² < 2⁶³). Probe side is
+    * broadcast (attachment subset), the corpus streams map-side
+    * through the codegen dot-product kernel, and ranking is the
+    * bounded-heap [[graft.functions.TopKByLong]] aggregate — the
+    * exchange carries O(partitions×k), never the scored corpus. */
+  def featureKnn(s: SparkSession, d: String): DataFrame = {
+    val f = imageFeatureFrame(s, d)
+    val q = f.filter(expr("doc_id % 115 = 0"))
+      .select(col("doc_id").as("q_id"), col("fv").as("qfv"),
+        col("n2").as("qn2"))
+    val scored = f.select(col("doc_id"), col("fv"), col("n2"))
+      .crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("dot", graft.functions.DotProductLong(
+        col("fv"), col("qfv")))
+      .withColumn("score",
+        expr("(100000 * dot * dot) div (n2 * qn2)"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByLong.topK(
+        col("score"), col("doc_id"), 5).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("q_id"), col("x.id").as("doc_id"),
+        (col("p0") + 1).cast("bigint").as("rank"),
+        col("x.score").as("score"))
+  }
+
   /** REAL pixel-derived image fingerprints (`mm_dhash`) — the
     * difference hash of [[graft.multimodal.ImageGrid]] over decoded
     * luma, per attachment: the feature-extraction step of an image
@@ -4221,7 +4308,13 @@ object LlmQueries {
     * the PNG hex per attachment, read gray samples positionally,
     * re-derive cells → comparison bits → packed 32-bit halves. Both
     * `mm_dhash` and `mm_image_neardup` select from its final `fp`. */
-  private lazy val dhashOracleCte: String = {
+  /** The shared construct→positional-pixel-replay chain of the
+    * decoded-luma lane: rebuilds each attachment's gray PNG hex in
+    * DuckDB and reads every sample positionally out of the
+    * stored-mode deflate stream — `px(doc_id, w0, h0, x, y, pv)`.
+    * Consumed by the dHash fingerprint replay AND the 4×4
+    * feature-vector replay. */
+  private lazy val lumaPxCte: String = {
     import graft.multimodal.ImageHex._
     val pixel = dhashPixel("doc_id % 5")
     val pv = byteAt("hs", s"$PngRawPos + 2 * (y * (1 + w0) + 1 + x)",
@@ -4244,7 +4337,11 @@ object LlmQueries {
        |px AS (SELECT doc_id, w0, h0,
        |    CAST(k % w0 AS INT) AS x, CAST(k // w0 AS INT) AS y,
        |    $pv AS pv
-       |  FROM px0),
+       |  FROM px0)""".stripMargin
+  }
+
+  private lazy val dhashOracleCte: String =
+    lumaPxCte + s""",
        |cells AS (SELECT doc_id, w0, h0,
        |    (9 * x) // w0 AS i, (8 * y) // h0 AS j,
        |    SUM(pv) AS s, COUNT(*) AS c
@@ -4264,7 +4361,6 @@ object LlmQueries {
        |      THEN bit * (CAST(1 AS BIGINT) << CAST((j - 4) * 8 + i AS INT))
        |      ELSE 0 END) AS BIGINT) AS dh_lo
        |  FROM bits GROUP BY 1)""".stripMargin
-  }
 
   /** The BM25 full-corpus replay, shared by `llm_bm25_topk` AND
     * `llm_bm25_incremental` — for the incremental row the shared
@@ -5983,6 +6079,51 @@ object LlmQueries {
     "mm_dhash" ->
       (dhashOracleCte + "\nSELECT doc_id, width, height, dh_hi, " +
         "dh_lo FROM fp"),
+
+    // feature-vector replay: the same positional pixel chain grouped
+    // into the 4×4 grid with exact sums, counts, and floor means —
+    // independent re-derivation of the engine's LumaCells output
+    "mm_image_features" ->
+      (lumaPxCte + """,
+         |c4 AS (SELECT doc_id,
+         |    (4 * x) // w0 AS cell_i, (4 * y) // h0 AS cell_j,
+         |    CAST(SUM(pv) AS BIGINT) AS lsum,
+         |    CAST(COUNT(*) AS BIGINT) AS lcnt
+         |  FROM px GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(cell_i AS BIGINT) AS cell_i,
+         |  CAST(cell_j AS BIGINT) AS cell_j, lsum, lcnt,
+         |  CAST(lsum // lcnt AS BIGINT) AS mean_l
+         |FROM c4""".stripMargin),
+
+    // kNN-over-features truth: per-probe exact cosine²·10⁵ over the
+    // same floor-mean vectors, ranked (score desc, doc_id asc) —
+    // the deterministic total order TopKByLong implements
+    "mm_feature_knn" ->
+      (lumaPxCte + """,
+         |c4 AS (SELECT doc_id,
+         |    (4 * x) // w0 AS i, (4 * y) // h0 AS j,
+         |    SUM(pv) AS s, COUNT(*) AS c
+         |  FROM px GROUP BY 1, 2, 3),
+         |fvec AS (SELECT doc_id, j * 4 + i AS k,
+         |    CAST(s // c AS BIGINT) AS m FROM c4),
+         |n2 AS (SELECT doc_id, SUM(m * m) AS n2 FROM fvec GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_id, b.doc_id AS q_id,
+         |    SUM(a.m * b.m) AS dot
+         |  FROM fvec a JOIN fvec b ON a.k = b.k
+         |  WHERE b.doc_id % 115 = 0 AND a.doc_id != b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.q_id, d.doc_id,
+         |    CAST((100000 * d.dot * d.dot)
+         |      // (na.n2 * nb.n2) AS BIGINT) AS score
+         |  FROM dots d
+         |  JOIN n2 na ON na.doc_id = d.doc_id
+         |  JOIN n2 nb ON nb.doc_id = d.q_id),
+         |ranked AS (SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+         |FROM ranked WHERE rank <= 5""".stripMargin),
 
     // Ground truth for the banded search: ALL pairs within Hamming
     // distance 3 — equal to the engine's banded candidate set by the

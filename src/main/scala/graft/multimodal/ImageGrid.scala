@@ -196,4 +196,57 @@ object ImageGrid {
     }
     case None => null
   }
+
+  /** Grid side of the REAL feature vector ([[cellGrid]]): 4×4 = 16
+    * cells — fixed-width, so the output is `ArrayType`-compatible
+    * with the similarity operators regardless of image size. */
+  val FeatureGrid = 4
+
+  /** Box-partition the luma plane into a [[FeatureGrid]]² cell grid
+    * (same floor partition as the dHash 9×8 grid: pixel (x, y) → cell
+    * (G·x / w, G·y / h), integer division) and return per-cell
+    * (sum, count) — the exact-integer basis of the REAL pixel-derived
+    * feature vector. Every cell is non-empty when w ≥ G and h ≥ G. */
+  def cellGrid(w: Int, h: Int, luma: Array[Int])
+      : Option[(Array[Long], Array[Long])] = {
+    val g = FeatureGrid
+    if (w < g || h < g) return None
+    val sum = new Array[Long](g * g)
+    val cnt = new Array[Long](g * g)
+    var y = 0
+    while (y < h) {
+      val j = g * y / h
+      var x = 0
+      while (x < w) {
+        val i = g * x / w
+        sum(j * g + i) += luma(y * w + x)
+        cnt(j * g + i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some((sum, cnt))
+  }
+
+  /** Decode + cell grid as Catalyst `ArrayData` of
+    * `struct<cell_i:int, cell_j:int, lsum:bigint, lcnt:bigint>` rows
+    * for the [[graft.functions.LumaCells]] codegen path: null =
+    * undecodable payload or an image smaller than the grid. */
+  def cellRows(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    lumaGrid(b) match {
+      case Some((w, h, luma)) => cellGrid(w, h, luma) match {
+        case Some((sum, cnt)) =>
+          val g = FeatureGrid
+          val rows = new Array[Any](g * g)
+          var k = 0
+          while (k < g * g) {
+            rows(k) = new GenericInternalRow(
+              Array[Any](k % g, k / g, sum(k), cnt(k)))
+            k += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+        case None => null
+      }
+      case None => null
+    }
 }

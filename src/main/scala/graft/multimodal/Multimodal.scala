@@ -178,26 +178,47 @@ object Multimodal {
       .withColumn("resize_needed",
         col("out_w") =!= col("width") || col("out_h") =!= col("height"))
 
-  /** Deterministic stub feature vector (stands in for a LEARNED
-    * embedding model): 4 scaled moments of the payload bytes.
-    * Fixed-width output → `ArrayType(FloatType)`, compatible with
-    * the similarity operators in [[graft.llm.LlmQueries]]. Note the
-    * IMAGE lane no longer depends on this stub for dedup features:
-    * [[ImageGrid]] computes a real pixel-derived 64-bit dHash from
-    * decoded luma (`mm_dhash` / `mm_image_neardup`); this stub
-    * remains only where a trained-model embedding would go. */
+  /** Feature vectors for the similarity operators in
+    * [[graft.llm.LlmQueries]] — fixed-width `ArrayType(FloatType)`.
+    *
+    * REAL for decodable images: payloads [[ImageGrid.lumaGrid]] can
+    * decode (PNG types 0/2, depth 8) get the 4×4 cell-mean luma
+    * vector of [[ImageGrid.cellGrid]] — the same pixel-derived
+    * features the oracle-checked `mm_image_features` /
+    * `mm_feature_knn` queries compute through
+    * [[graft.functions.LumaCells]], exact integers cast to float
+    * (cell means ≤ 765, exactly representable). The 16-dim grid is
+    * where a LEARNED embedding model would slot in — same seam, same
+    * shape, same downstream consumers.
+    *
+    * STUB for everything else (lossy-codec payloads this container
+    * cannot decode): 4 scaled byte moments, deterministic and
+    * clearly fake, padded to the same 16-dim width so the two
+    * populations stay one column. */
   def extractFeatures(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
+    val g = ImageGrid.FeatureGrid
     ds.mapPartitions { it =>
       it.map { r =>
-        val n = math.max(r.payload.length, 1)
-        var s1 = 0L; var s2 = 0L
-        r.payload.foreach { b => val v = (b & 0xff).toLong; s1 += v; s2 += v * v }
-        val mean = s1.toFloat / n
-        (r.mediaId, Array(n.toFloat, mean, s2.toFloat / n - mean * mean,
-          (r.payload.headOption.map(_ & 0xff).getOrElse(0)).toFloat))
+        val real = ImageGrid.lumaGrid(r.payload).flatMap {
+          case (w, h, luma) => ImageGrid.cellGrid(w, h, luma)
+        }.map { case (sum, cnt) =>
+          Array.tabulate(g * g)(k => (sum(k) / cnt(k)).toFloat)
+        }
+        val features = real.getOrElse {
+          val n = math.max(r.payload.length, 1)
+          var s1 = 0L; var s2 = 0L
+          r.payload.foreach { b =>
+            val v = (b & 0xff).toLong; s1 += v; s2 += v * v
+          }
+          val mean = s1.toFloat / n
+          Array(n.toFloat, mean, s2.toFloat / n - mean * mean,
+            (r.payload.headOption.map(_ & 0xff).getOrElse(0)).toFloat) ++
+            Array.fill(g * g - 4)(0f)
+        }
+        (r.mediaId, features, real.isDefined)
       }
-    }.toDF("media_id", "features")
+    }.toDF("media_id", "features", "pixel_derived")
   }
 }

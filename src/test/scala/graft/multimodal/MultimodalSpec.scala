@@ -60,9 +60,37 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("extractFeatures is fixed-width and deterministic") {
     val f = extractFeatures(records).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(f.values.forall(_.length == 4))
-    assert(f(3L)(3) == 7.0f) // first byte
-    assert(f(1L)(0) == 100.0f) // length
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Float](1), r.getBoolean(2))).toMap
+    assert(f.values.forall(_._1.length == 16))
+    // none of these payloads decode as PNG → all on the stub path
+    assert(f.values.forall(!_._2))
+    assert(f(3L)._1(3) == 7.0f) // first byte
+    assert(f(1L)._1(0) == 100.0f) // length
+    assert(f(1L)._1.drop(4).forall(_ == 0f)) // stub pad to grid width
+  }
+
+  test("extractFeatures is REAL pixel-derived for decodable images") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 8x8 gray PNG via ImageIO: luma = (x * 16 + y * 2) so each 2x2
+    // quadrant cell has an exactly computable mean
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, x * 16 + y * 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(MediaRecord(9L, "image", bos.toByteArray)).toDS()
+    val row = extractFeatures(ds).collect().head
+    assert(row.getBoolean(2)) // pixel-derived, not the stub
+    val feats = row.getSeq[Float](1)
+    assert(feats.length == 16)
+    // cell (i=0, j=0) covers x in 0..1, y in 0..1: mean of
+    // {0, 2, 16, 18} = 9 exactly
+    assert(feats(0) == 9.0f)
+    // cell (i=3, j=0): x in 6..7, y in 0..1: mean of
+    // {96, 98, 112, 114} = 105
+    assert(feats(3) == 105.0f)
   }
 }
