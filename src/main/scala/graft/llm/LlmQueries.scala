@@ -119,6 +119,7 @@ object LlmQueries {
     "mm_neardup_incremental" -> imageNeardupIncremental,
     "mm_mp3_meta" -> mp3Meta,
     "mm_h264_sps" -> h264Sps,
+    "mm_h264_pcm" -> h264PcmDecode,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
     "llm_compress_ratio" -> compressRatio,
     "llm_suffix_array" -> SuffixArray.suffixArray,
@@ -3969,6 +3970,40 @@ object LlmQueries {
         sum(col("m.n_nals").cast("bigint")).as("sum_nals"))
   }
 
+  /** REAL H.264 SAMPLE decode (`mm_h264_pcm`) — PCM-coded pictures
+    * through [[graft.multimodal.H264Pcm]]: encode deterministic raw
+    * samples into CONFORMANT three-NAL Annex-B IDR streams whose
+    * macroblocks are all I_PCM (the standard's lossless escape
+    * hatch, §7.3.5/§8.3.5) with [[graft.multimodal.H264Fixture]]'s
+    * independent bit writer, then decode them back — NAL walk, RBSP
+    * unescape (sample bytes force real emulation-prevention work),
+    * Exp-Golomb slice header against the active SPS/PPS,
+    * `pcm_alignment_zero_bit` padding, raw sample read — to per-MB
+    * exact-integer luma/chroma statistics. The oracle restates the
+    * sample-generation rule arithmetically: samples survive only if
+    * every variable-length bit field before them was walked exactly.
+    * Map-side encode → decode → explode; no exchange at all (the
+    * driver's output sort is the only ordering). */
+  def h264PcmDecode(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val payloads = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map(id => (id, graft.multimodal.H264Fixture.annexBPcm(id)))
+      }.toDF("doc_id", "payload")
+    payloads
+      .select(col("doc_id"),
+        explode(graft.functions.H264PcmMbs(col("payload"))).as("m"))
+      .select(col("doc_id"),
+        col("m.mb_i").cast("bigint").as("mb_i"),
+        col("m.luma_sum").as("luma_sum"),
+        col("m.luma_min").cast("bigint").as("luma_min"),
+        col("m.luma_max").cast("bigint").as("luma_max"),
+        col("m.cbcr_sum").as("cbcr_sum"),
+        col("m.width").cast("bigint").as("width"),
+        col("m.height").cast("bigint").as("height"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL
   // ---------------------------------------------------------------
@@ -6289,6 +6324,39 @@ object LlmQueries {
          |  CAST(MAX(h) AS BIGINT) AS max_h,
          |  CAST(COUNT(*) * 4 AS BIGINT) AS sum_nals
          |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // arithmetic replay of the PCM sample rule (H264Fixture.pcmLuma/
+    // pcmChroma/pcmDims): the Spark side must recover every raw
+    // sample through the real bitstream walk — slice header,
+    // alignment, escaping — before these statistics can agree
+    "mm_h264_pcm" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    16 * (1 + doc_id % 2) AS w FROM documents),
+         |mbs AS (SELECT doc_id, w,
+         |    unnest(range(0, w // 16)) AS mb FROM d),
+         |lk AS (SELECT doc_id, w, mb,
+         |    unnest(range(0, 256)) AS k FROM mbs),
+         |lv AS (SELECT doc_id, w, mb, CASE WHEN k < 3 THEN 0
+         |    ELSE (doc_id * 7 + mb * 31 + k * 5) % 256 END AS v
+         |  FROM lk),
+         |lstat AS (SELECT doc_id, w, mb,
+         |    CAST(SUM(v) AS BIGINT) AS luma_sum,
+         |    CAST(MIN(v) AS BIGINT) AS luma_min,
+         |    CAST(MAX(v) AS BIGINT) AS luma_max
+         |  FROM lv GROUP BY 1, 2, 3),
+         |mbc AS (SELECT doc_id, mb,
+         |    unnest(range(0, 2)) AS c FROM mbs),
+         |ck AS (SELECT doc_id, mb, c,
+         |    unnest(range(0, 64)) AS k FROM mbc),
+         |cstat AS (SELECT doc_id, mb,
+         |    CAST(SUM((doc_id * 11 + mb * 17 + c * 29 + k * 3) % 256)
+         |      AS BIGINT) AS cbcr_sum
+         |  FROM ck GROUP BY 1, 2)
+         |SELECT l.doc_id, CAST(l.mb AS BIGINT) AS mb_i, l.luma_sum,
+         |  l.luma_min, l.luma_max, c.cbcr_sum,
+         |  CAST(l.w AS BIGINT) AS width, CAST(16 AS BIGINT) AS height
+         |FROM lstat l JOIN cstat c
+         |  ON l.doc_id = c.doc_id AND l.mb = c.mb""".stripMargin,
 
     // the oracle reads the parquet table directly — the hash match
     // therefore proves the engine's JSONL write→read cycle is

@@ -50,6 +50,10 @@ object H264Fixture {
       bit(1)
       while (nbits != 0) bit(0)
     }
+    /** pcm_alignment_zero_bit* — zero-pad (no stop bit) to a byte
+      * boundary before byte-aligned PCM samples (§7.3.5). */
+    def stopPcmAlign(): Unit =
+      while (nbits != 0) bit(0)
     def bytes: Array[Byte] = buf.toArray
   }
 
@@ -166,5 +170,85 @@ object H264Fixture {
       Start3, Array[Byte](0x06) ++ sei,
       Start3, Array[Byte](0x67) ++ sps, // nal_ref_idc 3, type 7
       Start4, Array[Byte](0x68, 0xCE.toByte, 0x38, 0x80.toByte)) // PPS
+  }
+
+  // ----------------------------------------------------------------
+  // PCM-coded picture fixture (`mm_h264_pcm`): a CONFORMANT
+  // baseline stream whose single IDR slice codes every macroblock as
+  // I_PCM (mb_type 25, §7.3.5 / Table 7-11) — raw luma + chroma
+  // samples carried bit-exactly in the bitstream behind the
+  // variable-length slice header and emulation-prevention escaping.
+  // ----------------------------------------------------------------
+
+  /** Deterministic PCM geometry/sample rules, mirrored by the
+    * mm_h264_pcm oracle SQL — keep in lockstep. Dimensions are
+    * multiples of 16 (no cropping): 1 MB row, 1–2 MB columns. */
+  def pcmDims(docId: Long): (Int, Int) =
+    (16 * (1 + (docId % 2).toInt), 16)
+
+  /** pcm_sample_luma k (raster order within MB `mb`). The first
+    * three samples of every macroblock are 0 — a guaranteed
+    * `00 00 00` byte run in the RBSP, so EVERY stream forces real
+    * emulation-prevention escaping through the decoder's unescape
+    * (the step-5 congruence of the remaining samples never repeats a
+    * byte, which would otherwise make escapes vanishingly rare). */
+  def pcmLuma(docId: Long, mb: Int, k: Int): Int =
+    if (k < 3) 0 else ((docId * 7 + mb * 31 + k * 5) % 256).toInt
+
+  /** pcm_sample_chroma: Cb (c = 0) then Cr (c = 1), 8×8 each. */
+  def pcmChroma(docId: Long, mb: Int, c: Int, k: Int): Int =
+    ((docId * 11 + mb * 17 + c * 29 + k * 3) % 256).toInt
+
+  /** SPS for the PCM stream: baseline 66, frame MBs only, POC type
+    * 0, 4-bit frame_num / poc_lsb, no cropping. */
+  def pcmParams(docId: Long): Params = {
+    val (w, h) = pcmDims(docId)
+    Params(profile = 66, level = 10, w = w, h = h, frameMbsOnly = 1,
+      pocType = 0, spsId = 0, log2MaxFrameNum4 = 0, maxRef = 0)
+  }
+
+  /** IDR slice RBSP (§7.3.3 header + §7.3.5 I_PCM macroblocks),
+    * UNescaped. Header fields match the fixed PPS (entropy CAVLC,
+    * no deblocking override, no field pics). */
+  def idrPcmSliceRbsp(docId: Long): Array[Byte] = {
+    val (w, h) = pcmDims(docId)
+    val nMbs = (w / 16) * (h / 16)
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(7) // slice_type: I (all slices of the picture)
+    bw.ue(0) // pic_parameter_set_id
+    bw.u(4, 0) // frame_num: u(log2_max_frame_num) = u(4)
+    bw.ue((docId % 4).toInt) // idr_pic_id
+    bw.u(4, 0) // pic_order_cnt_lsb: u(4), POC type 0
+    bw.bit(0) // no_output_of_prior_pics_flag (IDR ref marking)
+    bw.bit(0) // long_term_reference_flag
+    bw.se(0) // slice_qp_delta
+    var mb = 0
+    while (mb < nMbs) {
+      bw.ue(25) // mb_type: I_PCM
+      bw.stopPcmAlign() // pcm_alignment_zero_bit*
+      var k = 0
+      while (k < 256) { bw.u(8, pcmLuma(docId, mb, k)); k += 1 }
+      var c = 0
+      while (c < 2) {
+        k = 0
+        while (k < 64) { bw.u(8, pcmChroma(docId, mb, c, k)); k += 1 }
+        c += 1
+      }
+      mb += 1
+    }
+    bw.stopAlign() // rbsp_trailing_bits
+    bw.bytes
+  }
+
+  /** Three-NAL PCM stream: SPS, PPS, IDR slice — the sample-decode
+    * fixture. */
+  def annexBPcm(docId: Long): Array[Byte] = {
+    val sps = escapeRbsp(spsRbsp(pcmParams(docId)))
+    val slice = escapeRbsp(idrPcmSliceRbsp(docId))
+    Array.concat(
+      Start4, Array[Byte](0x67) ++ sps,
+      Start4, Array[Byte](0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Start4, Array[Byte](0x65) ++ slice) // nal_ref_idc 3, type 5 IDR
   }
 }

@@ -56,8 +56,9 @@ object H264Headers {
     118, 128, 138, 139, 134, 135)
 
   /** MSB-first bit reader over an unescaped RBSP. Throws
-    * IndexOutOfBoundsException past the end — caller catches. */
-  private final class BitReader(b: Array[Byte]) {
+    * IndexOutOfBoundsException past the end — caller catches.
+    * Shared with [[H264Pcm]]'s slice walk. */
+  private[multimodal] final class BitReader(b: Array[Byte]) {
     private var pos = 0 // bit position
     def u1(): Int = {
       val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
@@ -85,6 +86,13 @@ object H264Headers {
       val k = ue()
       if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** Consume pcm_alignment_zero_bits up to the next byte boundary
+      * (§7.3.5: they must be zero — enforced, malformed otherwise). */
+    def alignZero(): Unit =
+      while ((pos & 7) != 0) {
+        if (u1() != 0)
+          throw new IndexOutOfBoundsException("nonzero alignment bit")
+      }
   }
 
   /** Strip emulation-prevention bytes: `00 00 03` → `00 00` (the

@@ -41,9 +41,14 @@ import org.apache.spark.sql.functions._
   * REAL ([[H264Headers]] behind [[graft.functions.H264Sps]],
   * `mm_h264_sps`): Annex-B NAL walk, RBSP emulation-prevention
   * unescape, and the full §7.3.2.1 Exp-Golomb SPS field chain to
-  * the derived cropped dimensions + profile/level. Only full SAMPLE
-  * decode of the lossy codecs (MP3 Huffman/IMDCT synthesis, H.264
-  * CABAC/motion compensation — no codec library in this container)
+  * the derived cropped dimensions + profile/level. H.264 SAMPLE
+  * DECODE IS REAL FOR PCM-CODED PICTURES ([[H264Pcm]] behind
+  * [[graft.functions.H264PcmMbs]], `mm_h264_pcm`): slice-header
+  * Exp-Golomb walk + I_PCM macroblock raw-sample read — the
+  * standard's lossless escape hatch, a fully conformant stream
+  * class. Only ENTROPY-coded sample decode of the lossy codecs
+  * (MP3 Huffman/IMDCT synthesis, H.264 CAVLC/CABAC residual +
+  * prediction — no codec library in this container)
   * remains a clearly-marked DETERMINISTIC FAKE:
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
