@@ -31,6 +31,7 @@ object LlmQueries {
     "llm_dedup_priority" -> dedupPriority,
     "llm_shuffle_shards" -> shuffleShards,
     "llm_bpe_pairs" -> bpePairs,
+    "llm_wordpiece_tokens" -> wordpieceTokens,
     "llm_bigram_fluency" -> bigramFluency,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_lsh_bucket_stats" -> lshBucketStats,
@@ -193,6 +194,78 @@ object LlmQueries {
           " i -> substring(word, i, 2))")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(50)
+
+  /** Sub-word tokenization by greedy longest match against a
+    * corpus-DERIVED vocabulary (`llm_wordpiece_tokens`) — the
+    * WordPiece/unigram-LM INFERENCE shape, the companion of the
+    * induction statistics in [[bpePairs]]: the vocabulary is every
+    * observed character (the progress guarantee — any word always
+    * tokenizes) plus the top-48 character 2/3/4-grams by
+    * occurrence-weighted corpus frequency (ties broken
+    * lexicographically, so the vocabulary is a deterministic
+    * function of the corpus); each distinct word then tokenizes
+    * left-to-right, always consuming the LONGEST vocabulary entry
+    * matching at the cursor. Output: per-token corpus statistics
+    * (occurrence-weighted count, distinct containing words).
+    *
+    * Scale shape: ONE combine-collapsed word-count exchange is all
+    * the corpus text pays; gram counting explodes ≤ 3·len
+    * substrings per DISTINCT word into a gram-keyed aggregate with
+    * a bounded top-k finish; the vocabulary is alphabet-bounded
+    * (chars + 48 grams — a driver read the size of a centroid
+    * table) and BROADCASTS into the greedy walk, which runs
+    * map-side over distinct words (the tokenizer inner loop is
+    * data-dependent-length — the documented per-partition
+    * imperative case, O(4·len) hash probes per word against the
+    * broadcast set); the rollup is one token-keyed aggregate on a
+    * vocabulary-bounded key space. A real pipeline swaps the
+    * derived vocabulary for a trained one through the same
+    * broadcast seam. */
+  def wordpieceTokens(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val wc = chkSer(tokenized(s, d).select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c")))
+    val topg = wc.filter(length(col("word")) >= 2)
+      .select(col("word"), col("c"),
+        explode(expr("sequence(2, least(4, length(word)))")).as("l"))
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(word) - l + 1)," +
+          " p -> substring(word, p, l))")).as("g"))
+      .groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("g")).limit(48)
+      .select(col("g")).as[String].collect()
+    val chars = wc.select(explode(expr(
+        "transform(sequence(1, length(word)), p -> substring(word, p, 1))"))
+        .as("g")).distinct().as[String].collect()
+    val vocabBc = s.sparkContext.broadcast((topg ++ chars).toSet)
+    val toks = wc.select(col("word"), col("c")).as[(String, Long)]
+      .mapPartitions { it =>
+        val v = vocabBc.value
+        it.flatMap { case (w, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+          var p = 0
+          while (p < w.length) {
+            var l = math.min(4, w.length - p)
+            var t: String = null
+            while (t == null && l >= 1) {
+              val cand = w.substring(p, p + l)
+              if (v.contains(cand)) t = cand else l -= 1
+            }
+            // unreachable by construction (every char is in vocab) —
+            // loud, never a silent skip
+            require(t != null, s"no vocab entry matches '$w' at $p")
+            out += ((w, t, c))
+            p += t.length
+          }
+          out
+        }
+      }.toDF("word", "token", "c")
+    toks.groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
+  }
 
   /** Corpus-LM fluency scoring — the perplexity-proxy quality
     * signal (the CCNet/Gopher "KenLM perplexity" slot, realized
@@ -4581,6 +4654,49 @@ object LlmQueries {
          |  WHERE t.i <= length(word) - 1)
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // independent greedy-longest-match replay: the same derived
+    // vocabulary (top-48 grams by (n DESC, g ASC) + every char),
+    // then a recursive CTE walks each distinct word with an
+    // anti-join picking the longest matching vocab entry — a Spark
+    // walk that prefers a shorter match, mis-advances the cursor,
+    // or derives a different vocabulary hash-mismatches
+    "llm_wordpiece_tokens" ->
+      s"""WITH words AS (SELECT
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS w FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words
+         |  WHERE w != '' GROUP BY 1),
+         |glen AS (SELECT w, c, unnest([2, 3, 4]) AS l FROM wc),
+         |gpos AS (SELECT w, c, l,
+         |    unnest(range(1, CAST(length(w) - l + 2 AS BIGINT))) AS p
+         |  FROM glen WHERE length(w) >= l),
+         |gcnt AS (SELECT substring(w, CAST(p AS INT), CAST(l AS INT))
+         |    AS g, SUM(c) AS n FROM gpos GROUP BY 1),
+         |topg AS (SELECT g FROM gcnt ORDER BY n DESC, g ASC LIMIT 48),
+         |cpos AS (SELECT w,
+         |    unnest(range(1, CAST(length(w) + 1 AS BIGINT))) AS p
+         |  FROM wc),
+         |chars AS (SELECT DISTINCT substring(w, CAST(p AS INT), 1)
+         |    AS g FROM cpos),
+         |vocab AS (SELECT g FROM topg UNION SELECT g FROM chars),
+         |tok AS (
+         |  WITH RECURSIVE steps(w, pos, tok) AS (
+         |    SELECT w, 1, CAST(NULL AS VARCHAR) FROM wc
+         |    UNION ALL
+         |    SELECT s.w, CAST(s.pos + length(v.g) AS INT), v.g
+         |    FROM steps s JOIN vocab v
+         |      ON v.g = substring(s.w, s.pos, length(v.g))
+         |    WHERE s.pos <= length(s.w)
+         |      AND NOT EXISTS (SELECT 1 FROM vocab v2
+         |        WHERE length(v2.g) > length(v.g)
+         |          AND v2.g = substring(s.w, s.pos, length(v2.g)))
+         |  )
+         |  SELECT w, tok FROM steps WHERE tok IS NOT NULL)
+         |SELECT t.tok AS token, CAST(SUM(wc.c) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_words
+         |FROM tok t JOIN wc ON wc.w = t.w
+         |GROUP BY 1""".stripMargin,
 
     // the seeded-md5 rank, shard residue, and per-shard position
     // replayed with the shared hex-rank arithmetic
