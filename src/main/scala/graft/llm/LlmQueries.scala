@@ -102,6 +102,7 @@ object LlmQueries {
     "mm_webp_dims" -> webpDims,
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
+    "mm_audio_ulaw" -> audioUlawLevels,
     "mm_audio_fp" -> audioFingerprints,
     "mm_audio_neardup" -> audioNearDup,
     "mm_audio_neardup_incr" -> audioNeardupIncremental,
@@ -3388,6 +3389,49 @@ object LlmQueries {
         sum(col("m.n_clipped")).as("sum_clipped"))
   }
 
+  /** REAL COMPANDED-payload decode (`mm_audio_ulaw`) — the first
+    * lossy audio codec the engine expands rather than stubs: build
+    * complete G.711 µ-law WAV files (format-tag-7 header + an actual
+    * one-byte-per-value code payload spanning the full code range,
+    * [[graft.multimodal.AudioHex.UlawCodeExpr]]), expand each code
+    * through the ITU segment/mantissa arithmetic with the native
+    * [[graft.functions.AudioUlawLevels]] codegen expression, and
+    * meter the EXPANDED samples — exact integer energy, peak |s|,
+    * and digital-rail count (|s| = 32124, the codec's full scale).
+    * The oracle rebuilds the same bytes through a DuckDB BLOB and
+    * replays the expansion FORMULA positionally over the hex
+    * (complement → segment shift → bias strip, pure int SQL) — a
+    * decoder that mis-complements, drops the bias, or shifts the
+    * wrong field hash-mismatches on the energy sum. Same plan shape
+    * as [[audioLevels]]: map-side construct → decode → partial agg;
+    * one bounded exchange on the ~10-key (rate, channels) space. At
+    * 100 TB the fixture construction is replaced by a binary-column
+    * scan and the shape is unchanged. */
+  def audioUlawLevels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 16000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 5 AS INT) + 1)").as("rate0"),
+        expr("CAST(doc_id % 2 AS INT) + 1").as("ch0"),
+        // whole frames: values = frames × channels, one byte each
+        expr("(doc_id % 24 + 4) * (CAST(doc_id % 2 AS INT) + 1)")
+          .as("nv0"))
+      .withColumn("hs", expr(
+        s"concat(${AudioHex.wavHexUlaw("rate0", "ch0", "nv0", "div")}, " +
+          s"${AudioHex.ulawPayloadHexSpark("nv0", AudioHex.UlawCodeExpr)})"))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.AudioUlawLevels(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_values")).as("sum_values"),
+        sum(col("m.sum_sq")).as("sum_sq"),
+        max(col("m.peak").cast("bigint")).as("max_peak"),
+        sum(col("m.n_fullscale")).as("sum_fullscale"))
+  }
+
   /** REAL sample-derived audio fingerprints (`mm_audio_fp`) — the
     * audio lane's sibling of [[dhashFingerprints]], closing the
     * stand-in-feature-vector gap for audio: frame-energy delta-sign
@@ -6003,6 +6047,53 @@ object LlmQueries {
          |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
          |  CAST(MAX(pk) AS BIGINT) AS max_peak,
          |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // companded replay: positional one-byte code walk → G.711
+    // expansion re-derived in pure int SQL (complement → segment
+    // shift → bias strip) → same exact-integer metering — fully
+    // independent of the engine's ulawExpand table
+    "mm_audio_ulaw" -> {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 16000, 22050, 44100, 48000],
+         |      CAST(doc_id % 5 AS INT) + 1) AS rate0,
+         |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+         |    (doc_id % 24 + 4) * (CAST(doc_id % 2 AS INT) + 1) AS nv0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(concat(
+         |      ${wavHexUlaw("rate0", "ch0", "nv0", "//")},
+         |      ${ulawPayloadHexDuck("nv0", UlawCodeExpr)}))) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id, hs,
+         |    ${unhexLE("hs", ChannelsPos, 2, "strpos")} AS channels,
+         |    ${unhexLE("hs", SampleRatePos, 4, "strpos")} AS sample_rate,
+         |    ${unhexLE("hs", DataSizePos, 4, "strpos")} AS data_bytes
+         |  FROM b),
+         |cd AS (SELECT doc_id, channels, sample_rate,
+         |    ${unhexU8at("hs", s"$PayloadPos + 2 * i", "strpos")} AS c
+         |  FROM (SELECT doc_id, channels, sample_rate, hs,
+         |        unnest(range(0, data_bytes)) AS i FROM f)),
+         |ex AS (SELECT doc_id, channels, sample_rate,
+         |    ((u % 16) * 8 + 132) * (1 << CAST((u // 16) % 8 AS INT))
+         |      AS t, u
+         |  FROM (SELECT *, 255 - c AS u FROM cd)),
+         |sv AS (SELECT doc_id, channels, sample_rate,
+         |    CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS s
+         |  FROM ex),
+         |g AS (SELECT doc_id, channels, sample_rate,
+         |    COUNT(*) AS nv, SUM(s * s) AS ssq, MAX(ABS(s)) AS pk,
+         |    SUM(CASE WHEN ABS(s) = 32124 THEN 1 ELSE 0 END) AS fs
+         |  FROM sv GROUP BY 1, 2, 3)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(nv) AS BIGINT) AS sum_values,
+         |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
+         |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+         |  CAST(SUM(fs) AS BIGINT) AS sum_fullscale
          |FROM g GROUP BY 1, 2""".stripMargin
     },
 

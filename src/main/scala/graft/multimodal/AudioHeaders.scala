@@ -33,18 +33,21 @@ object AudioHeaders {
     u8(b, i) == s.charAt(0) && u8(b, i + 1) == s.charAt(1) &&
       u8(b, i + 2) == s.charAt(2) && u8(b, i + 3) == s.charAt(3)
 
-  /** One RIFF chunk walk, shared by [[parse]] and [[levels]]:
-    * (channels, rate, bits, blockAlign, dataStart, dataSize), else
-    * None. `dataStart` is the byte offset of the data PAYLOAD (which
-    * may be absent or truncated — only the declared size is
-    * trusted). */
+  /** One RIFF chunk walk, shared by [[parse]], [[levels]] and
+    * [[ulawLevels]]:
+    * (fmt, channels, rate, bits, blockAlign, dataStart, dataSize),
+    * else None. `fmt` is the WAVE format tag — linear PCM (1) and
+    * G.711 µ-law (7, bits must be 8 per the spec) pass the walk;
+    * each decoder then gates on the tag it can expand. `dataStart`
+    * is the byte offset of the data PAYLOAD (which may be absent or
+    * truncated — only the declared size is trusted). */
   private def walkChunks(
-      b: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long, Long)] = {
     if (b == null || b.length < 12) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     val n = b.length
     var i = 12L
-    var geom: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var geom: Option[(Int, Int, Int, Int)] = None // fmt, ch, rate, bits
     var blockAlign = 0
     var dataStart = -1L
     var dataSize = -1L
@@ -53,17 +56,19 @@ object AudioHeaders {
       val size = u32le(b, at + 4)
       val start = at + 8
       if (tag(b, at, "fmt ")) {
-        // fmt must be complete (PCM geometry is the whole point)
+        // fmt must be complete (sample geometry is the whole point)
         if (size < 16 || start + 16 > n) return None
-        if (u16le(b, start) != 1) return None // PCM only
+        val fmt = u16le(b, start)
+        if (fmt != 1 && fmt != 7) return None // PCM or µ-law only
         val ch = u16le(b, start + 2)
         val rate = u32le(b, start + 4)
         blockAlign = u16le(b, start + 12)
         val bits = u16le(b, start + 14)
         if (ch < 1 || rate < 1 || rate > Int.MaxValue ||
           bits < 8 || bits % 8 != 0) return None
+        if (fmt == 7 && bits != 8) return None // µ-law codes are bytes
         if (blockAlign != ch * (bits / 8)) return None
-        geom = Some((ch, rate.toInt, bits))
+        geom = Some((fmt, ch, rate.toInt, bits))
       } else if (tag(b, at, "data")) {
         if (geom.isEmpty) return None // spec: fmt precedes data
         dataStart = start.toLong
@@ -72,8 +77,8 @@ object AudioHeaders {
       i = start.toLong + size + (size & 1L) // pad byte on odd sizes
     }
     geom match {
-      case Some((ch, rate, bits)) if dataSize >= 0 =>
-        Some((ch, rate, bits, blockAlign, dataStart, dataSize))
+      case Some((fmt, ch, rate, bits)) if dataSize >= 0 =>
+        Some((fmt, ch, rate, bits, blockAlign, dataStart, dataSize))
       case _ => None
     }
   }
@@ -81,8 +86,9 @@ object AudioHeaders {
   /** (channels, sample_rate, bits_per_sample, n_samples) of a PCM
     * WAV payload, else None. */
   def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] =
-    walkChunks(b).map { case (ch, rate, bits, blockAlign, _, dataSize) =>
-      (ch, rate, bits, dataSize / blockAlign)
+    walkChunks(b).collect {
+      case (1, ch, rate, bits, blockAlign, _, dataSize) =>
+        (ch, rate, bits, dataSize / blockAlign)
     }
 
   /** REAL sample-payload decode for 16-bit PCM — the raw
@@ -103,7 +109,7 @@ object AudioHeaders {
     * stub in [[Multimodal.StubCodec]]. */
   def levels(b: Array[Byte]): Option[(Int, Int, Long, Long, Int, Long)] =
     walkChunks(b).flatMap {
-      case (ch, rate, bits, _, dataStart, dataSize) if bits == 16 =>
+      case (1, ch, rate, bits, _, dataStart, dataSize) if bits == 16 =>
         val end = math.min(dataStart + dataSize, b.length.toLong)
         var p = dataStart
         var cnt = 0L
@@ -168,7 +174,7 @@ object AudioHeaders {
     * frames (nothing to compare). */
   def fingerprint(b: Array[Byte]): Option[(Int, Long, Long)] =
     walkChunks(b).flatMap {
-      case (_, rate, bits, _, dataStart, dataSize) if bits == 16 =>
+      case (1, _, rate, bits, _, dataStart, dataSize) if bits == 16 =>
         val end = math.min(dataStart + dataSize, b.length.toLong)
         val nFrames = ((end - dataStart) / 8).toInt
         if (nFrames < 2) None
@@ -203,6 +209,68 @@ object AudioHeaders {
     * PCM, or too short to frame. */
   def fingerprintRow(b: Array[Byte]): InternalRow = fingerprint(b) match {
     case Some((rate, nf, fp)) => InternalRow(rate, nf, fp)
+    case None => null
+  }
+
+  /** ITU-T G.711 µ-law expansion of one 8-bit code to its 16-bit
+    * linear sample — the REAL decode of the first COMPANDED (lossy)
+    * audio wire format in the engine: complement the code, split
+    * sign / 3-bit segment / 4-bit mantissa, rebuild the biased
+    * magnitude `((mant << 3) + 132) << seg`, strip the bias. Pure
+    * integer arithmetic (the property the oracle replay exploits):
+    * code 0x00 → -32124 (negative full scale), 0x80 → +32124,
+    * 0xFF and 0x7F → 0 (positive and "negative" zero). */
+  def ulawExpand(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 132) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 132 - t else t - 132
+  }
+
+  /** Full-scale decoded magnitude of the µ-law codec (code 0x00 /
+    * 0x80) — the clip threshold [[ulawLevels]] meters, the codec's
+    * analog of PCM's ±32768/32767 rails. */
+  val UlawFullScale = 32124
+
+  /** REAL sample-payload decode for G.711 µ-law (WAVE format tag 7)
+    * — the companded telephony codec, the first LOSSY audio payload
+    * the engine expands rather than stubs: one code byte per value,
+    * expanded by [[ulawExpand]], then metered exactly like
+    * [[levels]] meters linear PCM:
+    * (channels, sample_rate, n_values, sum_sq, peak_abs,
+    * n_fullscale), where `sum_sq` is the exact integer energy of the
+    * EXPANDED samples and `n_fullscale` counts values at the codec's
+    * digital rails (|s| = [[UlawFullScale]] — µ-law's clip
+    * indicator). None for non-µ-law payloads (linear PCM stays on
+    * [[levels]]). */
+  def ulawLevels(
+      b: Array[Byte]): Option[(Int, Int, Long, Long, Int, Long)] =
+    walkChunks(b).flatMap {
+      case (7, ch, rate, _, _, dataStart, dataSize) =>
+        val end = math.min(dataStart + dataSize, b.length.toLong)
+        var p = dataStart
+        var cnt = 0L
+        var sumSq = 0L
+        var peak = 0
+        var rails = 0L
+        while (p < end) {
+          val s = ulawExpand(u8(b, p.toInt))
+          sumSq += s.toLong * s
+          val a = if (s < 0) -s else s
+          if (a > peak) peak = a
+          if (a == UlawFullScale) rails += 1
+          cnt += 1
+          p += 1
+        }
+        Some((ch, rate, cnt, sumSq, peak, rails))
+      case _ => None
+    }
+
+  /** [[ulawLevels]] as an `InternalRow` for the
+    * [[graft.functions.AudioUlawLevels]] codegen path. Null = not a
+    * µ-law WAV. */
+  def ulawLevelsRow(b: Array[Byte]): InternalRow = ulawLevels(b) match {
+    case Some((ch, rate, nv, ssq, pk, fs)) =>
+      InternalRow(ch, rate, nv, ssq, pk, fs)
     case None => null
   }
 }

@@ -83,6 +83,39 @@ object AudioHex {
     s"list_aggregate(list_transform(range(0, CAST($nv AS BIGINT)), " +
       s"i -> ${hexLE(sampleE, 2, "//")}), 'string_agg', '')"
 
+  /** A minimal-but-valid G.711 µ-law WAV header (format tag 7,
+    * 8-bit codes) — [[wavHex]]'s companded sibling, same 64-byte
+    * layout and field positions, differing only in the fmt payload:
+    * format=7, bits=8, byte_rate = rate × ch × 1, block_align =
+    * ch × 1. `dataBytes` counts CODE bytes (one per value). */
+  def wavHexUlaw(rate: String, ch: String, dataBytes: String,
+      intdiv: String): String =
+    s"concat('52494646', ${hexLE(s"56 + ($dataBytes)", 4, intdiv)}, " +
+      "'57415645', " +
+      "'4C495354', '0C000000', '494E464F4941525447465430', " +
+      "'666D7420', '10000000', '0700', " +
+      s"${hexLE(ch, 2, intdiv)}, ${hexLE(rate, 4, intdiv)}, " +
+      s"${hexLE(s"($rate) * ($ch)", 4, intdiv)}, " +
+      s"${hexLE(ch, 2, intdiv)}, '0800', " +
+      s"'64617461', ${hexLE(dataBytes, 4, intdiv)})"
+
+  /** The deterministic µ-law CODE of value `i` of document `doc_id`
+    * — full code range (so both digital rails 0x00/0x80 and both
+    * zeros 0xFF/0x7F genuinely occur), pure int arithmetic,
+    * identical in both engines. */
+  val UlawCodeExpr = "((doc_id * 131 + i * 241) % 256)"
+
+  /** Hex of `nv` µ-law code bytes, the i-th being SQL expression
+    * `codeE` (free variable `i`) — Spark spelling. */
+  def ulawPayloadHexSpark(nv: String, codeE: String): String =
+    s"array_join(transform(sequence(0, CAST(($nv) - 1 AS INT)), " +
+      s"i -> ${ImageHex.hexN(codeE, 2, "div")}), '')"
+
+  /** [[ulawPayloadHexSpark]]'s DuckDB spelling. */
+  def ulawPayloadHexDuck(nv: String, codeE: String): String =
+    s"list_aggregate(list_transform(range(0, CAST($nv AS BIGINT)), " +
+      s"i -> ${ImageHex.hexN(codeE, 2, "//")}), 'string_agg', '')"
+
   /** u16le at DYNAMIC 1-based hex position expression `posE` of hex
     * string expression `hs` — the oracle's per-sample read (fixed-
     * position fields use [[unhexLE]]). */
@@ -92,5 +125,15 @@ object AudioHex {
         s"CAST(($posE) + $off AS INT), 1)) - 1 AS BIGINT))"
     s"(${digit(0)} * 16 + ${digit(1)} + " +
       s"(${digit(2)} * 16 + ${digit(3)}) * 256)"
+  }
+
+  /** u8 at DYNAMIC 1-based hex position expression `posE` of hex
+    * string expression `hs` — the oracle's per-CODE read for the
+    * one-byte-per-value µ-law payload. */
+  def unhexU8at(hs: String, posE: String, posFn: String): String = {
+    def digit(off: Int): String =
+      s"(CAST($posFn('0123456789ABCDEF', substring($hs, " +
+        s"CAST(($posE) + $off AS INT), 1)) - 1 AS BIGINT))"
+    s"(${digit(0)} * 16 + ${digit(1)})"
   }
 }
