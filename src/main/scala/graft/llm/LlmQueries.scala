@@ -32,6 +32,7 @@ object LlmQueries {
     "llm_shuffle_shards" -> shuffleShards,
     "llm_bpe_pairs" -> bpePairs,
     "llm_wordpiece_tokens" -> wordpieceTokens,
+    "llm_wordpiece_incremental" -> wordpieceIncremental,
     "llm_bigram_fluency" -> bigramFluency,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_lsh_bucket_stats" -> lshBucketStats,
@@ -241,29 +242,99 @@ object LlmQueries {
         "transform(sequence(1, length(word)), p -> substring(word, p, 1))"))
         .as("g")).distinct().as[String].collect()
     val vocabBc = s.sparkContext.broadcast((topg ++ chars).toSet)
-    val toks = wc.select(col("word"), col("c")).as[(String, Long)]
-      .mapPartitions { it =>
-        val v = vocabBc.value
-        it.flatMap { case (w, c) =>
-          val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-          var p = 0
-          while (p < w.length) {
-            var l = math.min(4, w.length - p)
-            var t: String = null
-            while (t == null && l >= 1) {
-              val cand = w.substring(p, p + l)
-              if (v.contains(cand)) t = cand else l -= 1
-            }
-            // unreachable by construction (every char is in vocab) —
-            // loud, never a silent skip
-            require(t != null, s"no vocab entry matches '$w' at $p")
-            out += ((w, t, c))
-            p += t.length
-          }
-          out
-        }
-      }.toDF("word", "token", "c")
+    val toks = greedyWalk(wc.select(col("word"), col("c")), vocabBc,
+      unk = None)
     toks.groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
+  }
+
+  /** The greedy longest-match inner loop shared by
+    * [[wordpieceTokens]] and [[wordpieceIncremental]]: each (word,
+    * count) row expands to its token sequence against the broadcast
+    * vocabulary, always consuming the longest entry (≤ 4 chars)
+    * matching at the cursor. `unk = None` means every position MUST
+    * match (the full-corpus derivation guarantees it — loud require,
+    * never a silent skip); `unk = Some(tok)` emits `tok` and
+    * advances one char when nothing matches (the frozen-vocabulary
+    * case: arriving text can carry characters the base corpus never
+    * saw). */
+  private[llm] def greedyWalk(wordCounts: DataFrame,
+      vocabBc: org.apache.spark.broadcast.Broadcast[Set[String]],
+      unk: Option[String]): DataFrame = {
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    wordCounts.as[(String, Long)].mapPartitions { it =>
+      val v = vocabBc.value
+      it.flatMap { case (w, c) =>
+        val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var p = 0
+        while (p < w.length) {
+          var l = math.min(4, w.length - p)
+          var t: String = null
+          while (t == null && l >= 1) {
+            val cand = w.substring(p, p + l)
+            if (v.contains(cand)) t = cand else l -= 1
+          }
+          unk match {
+            case None =>
+              require(t != null, s"no vocab entry matches '$w' at $p")
+              out += ((w, t, c)); p += t.length
+            case Some(u) =>
+              if (t == null) { out += ((w, u, c)); p += 1 }
+              else { out += ((w, t, c)); p += t.length }
+          }
+        }
+        out
+      }
+    }.toDF("word", "token", "c")
+  }
+
+  /** FROZEN-vocabulary tokenization of arriving documents
+    * (`llm_wordpiece_incremental`) — the tokenizer lane's
+    * incremental rung, and the shape every production pipeline
+    * actually runs: the vocabulary is trained ONCE on the base
+    * corpus (doc_id % 10 ≠ 7 — same derivation as
+    * [[wordpieceTokens]], restricted to base text) and then applied
+    * unchanged to the arriving slice (doc_id % 10 = 7). Arriving
+    * text can contain characters the base corpus never saw, so the
+    * walk carries the WordPiece unknown token: a cursor position no
+    * vocabulary entry matches emits `<UNK>` and advances one
+    * character — counted like any token, making OOV mass a
+    * first-class output (the drift signal that tells a pipeline its
+    * tokenizer needs retraining). Scale shape: the base pays the
+    * same one word-count exchange as the full derivation (at 100 TB
+    * the vocabulary is a stored artifact loaded per refresh, the
+    * seam [[wordpieceTokens]] documents); the arriving slice pays
+    * only ITS OWN word-count exchange and a broadcast-vocabulary
+    * map-side walk — cost proportional to the delta, never to the
+    * base corpus. */
+  def wordpieceIncremental(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val base = tokenized(s, d).filter(col("doc_id") % 10 =!= 7)
+    val wcBase = chkSer(base.select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c")))
+    val topg = wcBase.filter(length(col("word")) >= 2)
+      .select(col("word"), col("c"),
+        explode(expr("sequence(2, least(4, length(word)))")).as("l"))
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(word) - l + 1)," +
+          " p -> substring(word, p, l))")).as("g"))
+      .groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("g")).limit(48)
+      .select(col("g")).as[String].collect()
+    val chars = wcBase.select(explode(expr(
+        "transform(sequence(1, length(word)), p -> substring(word, p, 1))"))
+        .as("g")).distinct().as[String].collect()
+    val vocabBc = s.sparkContext.broadcast((topg ++ chars).toSet)
+    val wcNew = tokenized(s, d).filter(col("doc_id") % 10 === 7)
+      .select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    greedyWalk(wcNew, vocabBc, unk = Some("<UNK>"))
+      .groupBy(col("token"))
       .agg(sum(col("c")).as("n_occ"),
         countDistinct(col("word")).as("n_words"))
   }
@@ -4740,6 +4811,56 @@ object LlmQueries {
          |SELECT t.tok AS token, CAST(SUM(wc.c) AS BIGINT) AS n_occ,
          |  CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_words
          |FROM tok t JOIN wc ON wc.w = t.w
+         |GROUP BY 1""".stripMargin,
+
+    // frozen-vocabulary replay: the vocabulary re-derived from BASE
+    // documents only, the recursive walk run over ARRIVING words
+    // with a second recursive branch emitting '<UNK>' and advancing
+    // one char when no vocab entry matches — an engine that lets
+    // arriving text leak into the vocabulary, skips OOV chars
+    // silently, or misweights the unknown token hash-mismatches
+    "llm_wordpiece_incremental" ->
+      s"""WITH bwords AS (SELECT
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS w FROM documents WHERE doc_id % 10 != 7),
+         |bwc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM bwords
+         |  WHERE w != '' GROUP BY 1),
+         |glen AS (SELECT w, c, unnest([2, 3, 4]) AS l FROM bwc),
+         |gpos AS (SELECT w, c, l,
+         |    unnest(range(1, CAST(length(w) - l + 2 AS BIGINT))) AS p
+         |  FROM glen WHERE length(w) >= l),
+         |gcnt AS (SELECT substring(w, CAST(p AS INT), CAST(l AS INT))
+         |    AS g, SUM(c) AS n FROM gpos GROUP BY 1),
+         |topg AS (SELECT g FROM gcnt ORDER BY n DESC, g ASC LIMIT 48),
+         |cpos AS (SELECT w,
+         |    unnest(range(1, CAST(length(w) + 1 AS BIGINT))) AS p
+         |  FROM bwc),
+         |chars AS (SELECT DISTINCT substring(w, CAST(p AS INT), 1)
+         |    AS g FROM cpos),
+         |vocab AS (SELECT g FROM topg UNION SELECT g FROM chars),
+         |nwords AS (SELECT
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS w FROM documents WHERE doc_id % 10 = 7),
+         |nwc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM nwords
+         |  WHERE w != '' GROUP BY 1),
+         |tok AS (
+         |  WITH RECURSIVE steps(w, pos, tok) AS (
+         |    SELECT w, 1, CAST(NULL AS VARCHAR) FROM nwc
+         |    UNION ALL
+         |    SELECT w,
+         |      CAST(CASE WHEN m IS NULL THEN pos + 1
+         |           ELSE pos + length(m) END AS INT),
+         |      coalesce(m, '<UNK>')
+         |    FROM (SELECT s.w, s.pos,
+         |        (SELECT v.g FROM vocab v
+         |         WHERE v.g = substring(s.w, s.pos, length(v.g))
+         |         ORDER BY length(v.g) DESC LIMIT 1) AS m
+         |      FROM steps s WHERE s.pos <= length(s.w))
+         |  )
+         |  SELECT w, tok FROM steps WHERE tok IS NOT NULL)
+         |SELECT t.tok AS token, CAST(SUM(nwc.c) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_words
+         |FROM tok t JOIN nwc ON nwc.w = t.w
          |GROUP BY 1""".stripMargin,
 
     // the seeded-md5 rank, shard residue, and per-shard position
