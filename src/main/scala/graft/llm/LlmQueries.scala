@@ -104,6 +104,7 @@ object LlmQueries {
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_ulaw" -> audioUlawLevels,
+    "mm_audio_alaw" -> audioAlawLevels,
     "mm_audio_fp" -> audioFingerprints,
     "mm_audio_neardup" -> audioNearDup,
     "mm_audio_neardup_incr" -> audioNeardupIncremental,
@@ -267,27 +268,36 @@ object LlmQueries {
     wordCounts.as[(String, Long)].mapPartitions { it =>
       val v = vocabBc.value
       it.flatMap { case (w, c) =>
-        val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-        var p = 0
-        while (p < w.length) {
-          var l = math.min(4, w.length - p)
-          var t: String = null
-          while (t == null && l >= 1) {
-            val cand = w.substring(p, p + l)
-            if (v.contains(cand)) t = cand else l -= 1
-          }
-          unk match {
-            case None =>
-              require(t != null, s"no vocab entry matches '$w' at $p")
-              out += ((w, t, c)); p += t.length
-            case Some(u) =>
-              if (t == null) { out += ((w, u, c)); p += 1 }
-              else { out += ((w, t, c)); p += t.length }
-          }
-        }
-        out
+        walkWord(w, v, unk).map(t => (w, t, c))
       }
     }.toDF("word", "token", "c")
+  }
+
+  /** The per-word greedy longest-match inner loop itself — ONE
+    * definition for every keying of the walk ([[greedyWalk]]'s
+    * word-keyed batch form, [[wordpieceProbe]]'s doc-keyed
+    * streaming-probe form). */
+  private[llm] def walkWord(w: String, v: Set[String],
+      unk: Option[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var p = 0
+    while (p < w.length) {
+      var l = math.min(4, w.length - p)
+      var t: String = null
+      while (t == null && l >= 1) {
+        val cand = w.substring(p, p + l)
+        if (v.contains(cand)) t = cand else l -= 1
+      }
+      unk match {
+        case None =>
+          require(t != null, s"no vocab entry matches '$w' at $p")
+          out += t; p += t.length
+        case Some(u) =>
+          if (t == null) { out += u; p += 1 }
+          else { out += t; p += t.length }
+      }
+    }
+    out.toSeq
   }
 
   /** FROZEN-vocabulary tokenization of arriving documents
@@ -310,6 +320,24 @@ object LlmQueries {
     * map-side walk — cost proportional to the delta, never to the
     * base corpus. */
   def wordpieceIncremental(s: SparkSession, d: String): DataFrame = {
+    val vocabBc = s.sparkContext.broadcast(baseWordpieceVocab(s, d))
+    val wcNew = tokenized(s, d).filter(col("doc_id") % 10 === 7)
+      .select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    greedyWalk(wcNew, vocabBc, unk = Some("<UNK>"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
+  }
+
+  /** The base-corpus (doc_id % 10 ≠ 7) vocabulary of
+    * [[wordpieceIncremental]] — every base character + top-48
+    * base 2/3/4-grams, the frozen artifact the incremental and
+    * streaming rungs probe against. Alphabet-bounded (a driver
+    * read by design, like a centroid table). */
+  private[graft] def baseWordpieceVocab(s: SparkSession,
+      d: String): Set[String] = {
     val spark = s
     import spark.implicits._
     val base = tokenized(s, d).filter(col("doc_id") % 10 =!= 7)
@@ -328,15 +356,47 @@ object LlmQueries {
     val chars = wcBase.select(explode(expr(
         "transform(sequence(1, length(word)), p -> substring(word, p, 1))"))
         .as("g")).distinct().as[String].collect()
-    val vocabBc = s.sparkContext.broadcast((topg ++ chars).toSet)
-    val wcNew = tokenized(s, d).filter(col("doc_id") % 10 === 7)
-      .select(explode(col("w")).as("word"))
+    (topg ++ chars).toSet
+  }
+
+  /** Persist [[baseWordpieceVocab]] as the stored tokenizer artifact
+    * (one `g` column) — what a production pipeline ships between
+    * training the tokenizer and running it; the streaming twin
+    * ([[graft.streaming.DocsStream.startWordpieceProbe]]) loads it
+    * per run. */
+  def buildWordpieceVocab(s: SparkSession, d: String,
+      path: String): Unit = {
+    val spark = s
+    import spark.implicits._
+    baseWordpieceVocab(s, d).toSeq.toDF("g")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-document frozen-vocabulary tokenization of an arbitrary
+    * documents frame — the probe core shared by the streaming twin:
+    * (doc_id, token, n) with the `<UNK>` fallback of
+    * [[wordpieceIncremental]]. Rows are complete per document (a
+    * document is one input row), so the output over a document set
+    * is independent of how that set is micro-batched — the
+    * batch-split invariance the twin spec pins. */
+  def wordpieceProbe(docs: DataFrame,
+      vocab: Set[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    val words = docs.select(col("doc_id"), tokenExpr.as("w"))
+      .select(col("doc_id"), explode(col("w")).as("word"))
       .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("c"))
-    greedyWalk(wcNew, vocabBc, unk = Some("<UNK>"))
-      .groupBy(col("token"))
-      .agg(sum(col("c")).as("n_occ"),
-        countDistinct(col("word")).as("n_words"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    words.as[(Long, String, Long)].mapPartitions { it =>
+      val v = bc.value
+      it.flatMap { case (id, w, c) =>
+        walkWord(w, v, unk = Some("<UNK>")).map(t => (id, t, c))
+      }
+    }.toDF("doc_id", "token", "c")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sum(col("c")).as("n"))
   }
 
   /** Corpus-LM fluency scoring — the perplexity-proxy quality
@@ -3503,6 +3563,39 @@ object LlmQueries {
         sum(col("m.n_fullscale")).as("sum_fullscale"))
   }
 
+  /** [[audioUlawLevels]]' A-law twin (`mm_audio_alaw`) — WAVE format
+    * tag 6 through [[graft.functions.AudioAlawLevels]]: the European
+    * G.711 half, whose expansion is a genuinely different arithmetic
+    * (XOR-0x55 alternate-bit inversion, bias-free linear segment 0,
+    * no zero code — quietest samples are ±8 — and the inverted sign
+    * convention). Same fixture/oracle discipline: the oracle replays
+    * the expansion formula positionally in pure int SQL over the
+    * same bytes; same map-side construct → decode → partial-agg plan
+    * with one bounded exchange. */
+  def audioAlawLevels(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    val payload = docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 16000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 5 AS INT) + 1)").as("rate0"),
+        expr("CAST(doc_id % 2 AS INT) + 1").as("ch0"),
+        expr("(doc_id % 24 + 4) * (CAST(doc_id % 2 AS INT) + 1)")
+          .as("nv0"))
+      .withColumn("hs", expr(
+        s"concat(${AudioHex.wavHexAlaw("rate0", "ch0", "nv0", "div")}, " +
+          s"${AudioHex.ulawPayloadHexSpark("nv0", AudioHex.AlawCodeExpr)})"))
+      .withColumn("payload", unhex(col("hs")))
+    payload
+      .withColumn("m", graft.functions.AudioAlawLevels(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_values")).as("sum_values"),
+        sum(col("m.sum_sq")).as("sum_sq"),
+        max(col("m.peak").cast("bigint")).as("max_peak"),
+        sum(col("m.n_fullscale")).as("sum_fullscale"))
+  }
+
   /** REAL sample-derived audio fingerprints (`mm_audio_fp`) — the
     * audio lane's sibling of [[dhashFingerprints]], closing the
     * stand-in-feature-vector gap for audio: frame-energy delta-sign
@@ -6207,6 +6300,53 @@ object LlmQueries {
          |g AS (SELECT doc_id, channels, sample_rate,
          |    COUNT(*) AS nv, SUM(s * s) AS ssq, MAX(ABS(s)) AS pk,
          |    SUM(CASE WHEN ABS(s) = 32124 THEN 1 ELSE 0 END) AS fs
+         |  FROM sv GROUP BY 1, 2, 3)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(nv) AS BIGINT) AS sum_values,
+         |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
+         |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+         |  CAST(SUM(fs) AS BIGINT) AS sum_fullscale
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // A-law replay: same positional walk, the A-law expansion
+    // re-derived in pure int SQL (XOR-0x55, linear segment 0,
+    // sign-bit-set-positive) — independent of the engine's table
+    "mm_audio_alaw" -> {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 16000, 22050, 44100, 48000],
+         |      CAST(doc_id % 5 AS INT) + 1) AS rate0,
+         |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+         |    (doc_id % 24 + 4) * (CAST(doc_id % 2 AS INT) + 1) AS nv0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(concat(
+         |      ${wavHexAlaw("rate0", "ch0", "nv0", "//")},
+         |      ${ulawPayloadHexDuck("nv0", AlawCodeExpr)}))) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id, hs,
+         |    ${unhexLE("hs", ChannelsPos, 2, "strpos")} AS channels,
+         |    ${unhexLE("hs", SampleRatePos, 4, "strpos")} AS sample_rate,
+         |    ${unhexLE("hs", DataSizePos, 4, "strpos")} AS data_bytes
+         |  FROM b),
+         |cd AS (SELECT doc_id, channels, sample_rate,
+         |    ${unhexU8at("hs", s"$PayloadPos + 2 * i", "strpos")} AS c
+         |  FROM (SELECT doc_id, channels, sample_rate, hs,
+         |        unnest(range(0, data_bytes)) AS i FROM f)),
+         |ex AS (SELECT doc_id, channels, sample_rate, u,
+         |    CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+         |         ELSE ((u % 16) * 16 + 264)
+         |           * (1 << CAST((u // 16) % 8 - 1 AS INT)) END AS t
+         |  FROM (SELECT *, xor(c, 85) AS u FROM cd)),
+         |sv AS (SELECT doc_id, channels, sample_rate,
+         |    CASE WHEN u >= 128 THEN t ELSE -t END AS s
+         |  FROM ex),
+         |g AS (SELECT doc_id, channels, sample_rate,
+         |    COUNT(*) AS nv, SUM(s * s) AS ssq, MAX(ABS(s)) AS pk,
+         |    SUM(CASE WHEN ABS(s) = 32256 THEN 1 ELSE 0 END) AS fs
          |  FROM sv GROUP BY 1, 2, 3)
          |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
          |  CAST(channels AS BIGINT) AS channels,

@@ -37,8 +37,9 @@ object AudioHeaders {
     * [[ulawLevels]]:
     * (fmt, channels, rate, bits, blockAlign, dataStart, dataSize),
     * else None. `fmt` is the WAVE format tag — linear PCM (1) and
-    * G.711 µ-law (7, bits must be 8 per the spec) pass the walk;
-    * each decoder then gates on the tag it can expand. `dataStart`
+    * G.711 A-law/µ-law (6/7, bits must be 8 per the spec) pass the
+    * walk; each decoder then gates on the tag it can expand.
+    * `dataStart`
     * is the byte offset of the data PAYLOAD (which may be absent or
     * truncated — only the declared size is trusted). */
   private def walkChunks(
@@ -59,14 +60,16 @@ object AudioHeaders {
         // fmt must be complete (sample geometry is the whole point)
         if (size < 16 || start + 16 > n) return None
         val fmt = u16le(b, start)
-        if (fmt != 1 && fmt != 7) return None // PCM or µ-law only
+        // PCM, A-law, or µ-law only
+        if (fmt != 1 && fmt != 6 && fmt != 7) return None
         val ch = u16le(b, start + 2)
         val rate = u32le(b, start + 4)
         blockAlign = u16le(b, start + 12)
         val bits = u16le(b, start + 14)
         if (ch < 1 || rate < 1 || rate > Int.MaxValue ||
           bits < 8 || bits % 8 != 0) return None
-        if (fmt == 7 && bits != 8) return None // µ-law codes are bytes
+        // G.711 codes are bytes
+        if ((fmt == 6 || fmt == 7) && bits != 8) return None
         if (blockAlign != ch * (bits / 8)) return None
         geom = Some((fmt, ch, rate.toInt, bits))
       } else if (tag(b, at, "data")) {
@@ -244,8 +247,51 @@ object AudioHeaders {
     * [[levels]]). */
   def ulawLevels(
       b: Array[Byte]): Option[(Int, Int, Long, Long, Int, Long)] =
+    g711Levels(b, 7, ulawExpand, UlawFullScale)
+
+  /** ITU-T G.711 A-law expansion of one 8-bit code to its 13-bit
+    * linear sample (in 16-bit range) — the European telephony
+    * sibling of [[ulawExpand]], a genuinely different arithmetic:
+    * XOR the code with 0x55 (alternate-bit inversion, not full
+    * complement), split sign / segment / mantissa, rebuild
+    * `(mant << 4) + 8` in segment 0 (A-law is LINEAR near zero — no
+    * bias, no zero code: the quietest samples are ±8) and
+    * `((mant << 4) + 0x108) << (seg − 1)` above, and — the sign
+    * convention that trips naive ports — the sign BIT SET means
+    * POSITIVE. Code 0x55 → -8, 0xD5 → +8, 0x2A → -32256 (negative
+    * full scale), 0xAA → +32256. */
+  def alawExpand(code: Int): Int = {
+    val u = code ^ 0x55
+    val seg = (u >> 4) & 7
+    val mant = u & 0x0f
+    val t =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    if ((u & 0x80) != 0) t else -t
+  }
+
+  /** Full-scale decoded magnitude of the A-law codec (code 0x2A /
+    * 0xAA). */
+  val AlawFullScale = 32256
+
+  /** [[ulawLevels]]' A-law sibling (WAVE format tag 6): one code
+    * byte per value through [[alawExpand]], same exact-integer
+    * metering, rails at |s| = [[AlawFullScale]]. */
+  def alawLevels(
+      b: Array[Byte]): Option[(Int, Int, Long, Long, Int, Long)] =
+    g711Levels(b, 6, alawExpand, AlawFullScale)
+
+  /** Shared G.711 payload meter: expand each code byte of a
+    * format-tag-`fmtTag` file with `expand` and meter the decoded
+    * samples — (channels, sample_rate, n_values, sum_sq, peak_abs,
+    * n_fullscale), with `n_fullscale` counting values at
+    * ±`fullScale` (the codec's digital rails). None for any other
+    * format tag. */
+  private def g711Levels(b: Array[Byte], fmtTag: Int,
+      expand: Int => Int,
+      fullScale: Int): Option[(Int, Int, Long, Long, Int, Long)] =
     walkChunks(b).flatMap {
-      case (7, ch, rate, _, _, dataStart, dataSize) =>
+      case (`fmtTag`, ch, rate, _, _, dataStart, dataSize) =>
         val end = math.min(dataStart + dataSize, b.length.toLong)
         var p = dataStart
         var cnt = 0L
@@ -253,11 +299,11 @@ object AudioHeaders {
         var peak = 0
         var rails = 0L
         while (p < end) {
-          val s = ulawExpand(u8(b, p.toInt))
+          val s = expand(u8(b, p.toInt))
           sumSq += s.toLong * s
           val a = if (s < 0) -s else s
           if (a > peak) peak = a
-          if (a == UlawFullScale) rails += 1
+          if (a == fullScale) rails += 1
           cnt += 1
           p += 1
         }
@@ -269,6 +315,15 @@ object AudioHeaders {
     * [[graft.functions.AudioUlawLevels]] codegen path. Null = not a
     * µ-law WAV. */
   def ulawLevelsRow(b: Array[Byte]): InternalRow = ulawLevels(b) match {
+    case Some((ch, rate, nv, ssq, pk, fs)) =>
+      InternalRow(ch, rate, nv, ssq, pk, fs)
+    case None => null
+  }
+
+  /** [[alawLevels]] as an `InternalRow` for the
+    * [[graft.functions.AudioAlawLevels]] codegen path. Null = not an
+    * A-law WAV. */
+  def alawLevelsRow(b: Array[Byte]): InternalRow = alawLevels(b) match {
     case Some((ch, rate, nv, ssq, pk, fs)) =>
       InternalRow(ch, rate, nv, ssq, pk, fs)
     case None => null

@@ -83,27 +83,41 @@ object AudioHex {
     s"list_aggregate(list_transform(range(0, CAST($nv AS BIGINT)), " +
       s"i -> ${hexLE(sampleE, 2, "//")}), 'string_agg', '')"
 
-  /** A minimal-but-valid G.711 µ-law WAV header (format tag 7,
-    * 8-bit codes) — [[wavHex]]'s companded sibling, same 64-byte
-    * layout and field positions, differing only in the fmt payload:
-    * format=7, bits=8, byte_rate = rate × ch × 1, block_align =
-    * ch × 1. `dataBytes` counts CODE bytes (one per value). */
-  def wavHexUlaw(rate: String, ch: String, dataBytes: String,
-      intdiv: String): String =
+  /** A minimal-but-valid G.711 WAV header (`fmtHexLE` = '0700'
+    * µ-law / '0600' A-law, 8-bit codes) — [[wavHex]]'s companded
+    * sibling, same 64-byte layout and field positions, differing
+    * only in the fmt payload: bits=8, byte_rate = rate × ch × 1,
+    * block_align = ch × 1. `dataBytes` counts CODE bytes (one per
+    * value). */
+  def wavHexG711(fmtHexLE: String, rate: String, ch: String,
+      dataBytes: String, intdiv: String): String =
     s"concat('52494646', ${hexLE(s"56 + ($dataBytes)", 4, intdiv)}, " +
       "'57415645', " +
       "'4C495354', '0C000000', '494E464F4941525447465430', " +
-      "'666D7420', '10000000', '0700', " +
+      s"'666D7420', '10000000', '$fmtHexLE', " +
       s"${hexLE(ch, 2, intdiv)}, ${hexLE(rate, 4, intdiv)}, " +
       s"${hexLE(s"($rate) * ($ch)", 4, intdiv)}, " +
       s"${hexLE(ch, 2, intdiv)}, '0800', " +
       s"'64617461', ${hexLE(dataBytes, 4, intdiv)})"
+
+  def wavHexUlaw(rate: String, ch: String, dataBytes: String,
+      intdiv: String): String =
+    wavHexG711("0700", rate, ch, dataBytes, intdiv)
+
+  def wavHexAlaw(rate: String, ch: String, dataBytes: String,
+      intdiv: String): String =
+    wavHexG711("0600", rate, ch, dataBytes, intdiv)
 
   /** The deterministic µ-law CODE of value `i` of document `doc_id`
     * — full code range (so both digital rails 0x00/0x80 and both
     * zeros 0xFF/0x7F genuinely occur), pure int arithmetic,
     * identical in both engines. */
   val UlawCodeExpr = "((doc_id * 131 + i * 241) % 256)"
+
+  /** [[UlawCodeExpr]]'s A-law sibling — a different deterministic
+    * full-range code stream (both rails 0x2A/0xAA and both quietest
+    * codes 0x55/0xD5 occur). */
+  val AlawCodeExpr = "((doc_id * 173 + i * 251) % 256)"
 
   /** Hex of `nv` µ-law code bytes, the i-th being SQL expression
     * `codeE` (free variable `i`) — Spark spelling. */

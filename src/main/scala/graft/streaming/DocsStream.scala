@@ -124,6 +124,44 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Streaming twin of the frozen-vocabulary tokenizer
+    * ([[LlmQueries.wordpieceIncremental]]): each arriving
+    * micro-batch tokenizes map-side against the STORED vocabulary
+    * artifact ([[LlmQueries.buildWordpieceVocab]]'s parquet — the
+    * trained-tokenizer handoff), with the same `<UNK>`
+    * one-char-advance fallback, and per-document token counts append
+    * to `outPath`. The vocabulary is alphabet-bounded, so the
+    * per-batch load is a driver read + broadcast (the
+    * [[startSpanProbe]] asymmetric-probe discipline with an even
+    * smaller static side); per-doc rows are complete within their
+    * batch (a document is one row), so output is bit-equal to a
+    * batch [[LlmQueries.wordpieceProbe]] over the same documents
+    * regardless of micro-batch splits. At-least-once safe via the
+    * out-table doc_id anti-join. */
+  def startWordpieceProbe(docs: DataFrame, vocabPath: String,
+      outPath: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val vocab = spark.read.parquet(vocabPath)
+          .collect().map(_.getString(0)).toSet
+        val out = LlmQueries.wordpieceProbe(batch, vocab)
+        val seen =
+          try spark.read.parquet(outPath)
+            .select(col("doc_id").as("s_id")).distinct()
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(trigger).start()
+
   /** Gopher-style quality filter over the stream — batch semantics,
     * incremental execution. */
   def qualityFiltered(docs: DataFrame): DataFrame =

@@ -89,6 +89,50 @@ class AudioUlawSpec extends AnyFunSuite {
     assert(AudioHeaders.ulawLevels(out.toByteArray).isEmpty)
   }
 
+  test("A-law expansion matches the JDK codec for all 256 codes") {
+    val codes = Array.tabulate[Byte](256)(i => i.toByte)
+    val alawFmt = new AudioFormat(
+      AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false)
+    val pcmFmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes), alawFmt, 256L)
+    val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+    val out = pcm.readAllBytes()
+    assert(out.length == 512)
+    for (c <- 0 until 256) {
+      val u = (out(2 * c) & 0xff) | (out(2 * c + 1) << 8)
+      assert(u == AudioHeaders.alawExpand(c),
+        s"code $c: JDK $u vs engine ${AudioHeaders.alawExpand(c)}")
+    }
+  }
+
+  test("A-law anchors: rails, quietest codes, no zero") {
+    assert(AudioHeaders.alawExpand(0x2a) == -32256)
+    assert(AudioHeaders.alawExpand(0xaa) == 32256)
+    assert(AudioHeaders.alawExpand(0x55) == -8)
+    assert(AudioHeaders.alawExpand(0xd5) == 8)
+    assert((0 until 256).forall(c => AudioHeaders.alawExpand(c) != 0),
+      "A-law has no zero code")
+    assert(AudioHeaders.AlawFullScale == 32256)
+  }
+
+  test("A-law and µ-law decoders gate on their own format tag") {
+    def le(v: Long, n: Int): Seq[Int] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toInt)
+    def built(fmt: Int): Array[Byte] =
+      ("RIFF".map(_.toInt) ++ le(36 + 4, 4) ++ "WAVE".map(_.toInt) ++
+        "fmt ".map(_.toInt) ++ le(16, 4) ++
+        le(fmt, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(8000, 4) ++
+        le(1, 2) ++ le(8, 2) ++
+        "data".map(_.toInt) ++ le(4, 4) ++ Seq(0x2a, 0xaa, 0x55, 0xd5)
+        ).map(_.toByte).toArray
+    assert(AudioHeaders.alawLevels(built(7)).isEmpty)
+    assert(AudioHeaders.ulawLevels(built(6)).isEmpty)
+    val Some((_, _, nv, _, pk, fs)) = AudioHeaders.alawLevels(built(6))
+    assert(nv == 4L && pk == 32256 && fs == 2L)
+  }
+
   test("µ-law fmt with bits != 8 fails the walk") {
     def le(v: Long, n: Int): Seq[Int] =
       (0 until n).map(i => ((v >> (8 * i)) & 0xff).toInt)
