@@ -60,7 +60,101 @@ object RelationalQueries {
     "rel_q33_triangles" -> triangleCount,
     "rel_q34_kcore" -> kcore,
     "rel_q35_zorder" -> zorderEvents,
+    "rel_q36_skyline" -> skyline,
   )
+
+  /** Distributed 2-D skyline (Pareto frontier) over `part`
+    * (`rel_q36_skyline`): the parts no other part dominates —
+    * cheaper-or-equal AND bigger-or-equal, strictly better in at
+    * least one. The multi-objective shortlist operator (price vs
+    * capacity here; cost vs quality, latency vs recall in general)
+    * that a plain ORDER BY cannot express.
+    *
+    * Scale shape — the textbook sort-first skyline made
+    * DISTRIBUTED without the single-partition global window it
+    * naively wants: after a range repartition on price (equal keys
+    * provably co-located), a row is in the skyline iff its size
+    * exceeds the max size of all STRICTLY cheaper rows and ties the
+    * max within its own price group. That prefix-max factors across
+    * partition boundaries: per-partition maxima (a bounds-sized
+    * aggregate, one row per partition) cumulate on the driver and
+    * broadcast back as each partition's starting prefix, so the
+    * corpus pays ONE range exchange + two linear scans of the
+    * serialized-checkpointed shuffle output (the documented
+    * two-pass-prefix discipline), never an all-pairs join and never
+    * a 1-partition sort. Per-partition walks are the genuinely
+    * imperative case (running max with same-price grouping) —
+    * `mapPartitions` over sorted partitions. Output rows are exact;
+    * the oracle is the O(n²) NOT-EXISTS domination definition,
+    * structurally independent of the prefix factorization. */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables(spark, dir, "part")
+      .select(col("p_partkey").as("partkey"),
+        cents(col("p_retailprice")).as("cents"),
+        col("p_size").cast("long").as("size")))
+
+  /** [[skyline]]'s core over any (partkey, cents, size) frame:
+    * minimize `cents`, maximize `size`. */
+  def skylineOf(pts: DataFrame): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val nParts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // range partition on price ONLY (ties must stay co-located),
+    // then sort each partition by (price asc, size desc) so the walk
+    // sees each price group's max first
+    val ranged = pts.repartitionByRange(nParts, col("cents"))
+      .sortWithinPartitions(col("cents").asc, col("size").desc)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Both passes walk the checkpointed partitions at the RDD level
+    // with mapPartitionsWithIndex: the index is the PARENT
+    // partition's own (the range order), immune to a downstream
+    // coalesce folding several range partitions into one task —
+    // TaskContext.getPartitionId()/spark_partition_id() are NOT
+    // (they name the running task, so a writer's coalesce(1) would
+    // hand every partition slot 0's prefix).
+    val rangedRdd = ranged.as[(Long, Long, Long)].rdd
+    // pass 1: per-partition max size — one tiny row per partition,
+    // no exchange at all
+    val perPart = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var mx = Long.MinValue
+      var any = false
+      it.foreach { r => any = true; if (r._3 > mx) mx = r._3 }
+      if (any) Iterator.single((pid, mx)) else Iterator.empty
+    }.collect().toMap
+    // cumulative: partition p starts from the max over partitions
+    // < p (their prices are strictly lower by range-bound
+    // construction)
+    val starts = new Array[Long](nParts)
+    var run = Long.MinValue
+    var p = 0
+    while (p < nParts) {
+      starts(p) = run
+      run = math.max(run, perPart.getOrElse(p, Long.MinValue))
+      p += 1
+    }
+    val startsBc = spark.sparkContext.broadcast(starts)
+    rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var cheaperMax = startsBc.value(pid)
+      // rows arrive (cents asc, size desc): the first row of each
+      // price group carries the group max, so a row survives iff it
+      // beats cheaperMax and ties its group's first size
+      var groupCents = Long.MinValue
+      var groupMax = Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      it.foreach { case (k, c, s) =>
+        if (c != groupCents) {
+          if (groupCents != Long.MinValue)
+            cheaperMax = math.max(cheaperMax, groupMax)
+          groupCents = c
+          groupMax = s
+        }
+        if (s == groupMax && s > cheaperMax) out += ((k, c, s))
+      }
+      out.iterator
+    }.toDF("partkey", "cents", "size")
+  }
 
   /** 32-bit Morton (Z-order) interleave of two 16-bit dimensions —
     * the multi-dimensional clustering key behind data-skipping
@@ -1541,5 +1635,19 @@ object RelationalQueries {
          |  FROM events)
          |SELECT event_id, ux, tx, $fold AS zv FROM dims""".stripMargin
     },
+
+    // the O(n²) domination DEFINITION itself — structurally
+    // independent of the engine's range-partitioned prefix-max
+    // factorization: a frontier that drops a tied point, keeps a
+    // dominated one, or mishandles equal-price groups hash-mismatches
+    "rel_q36_skyline" ->
+      s"""WITH p AS (SELECT p_partkey AS partkey,
+         |    ${sqlCents("p_retailprice")} AS cents,
+         |    CAST(p_size AS BIGINT) AS size
+         |  FROM part)
+         |SELECT a.partkey, a.cents, a.size FROM p a
+         |WHERE NOT EXISTS (SELECT 1 FROM p b
+         |  WHERE b.cents <= a.cents AND b.size >= a.size
+         |    AND (b.cents < a.cents OR b.size > a.size))""".stripMargin,
   )
 }
