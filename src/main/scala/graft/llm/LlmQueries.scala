@@ -101,6 +101,7 @@ object LlmQueries {
     "mm_image_dims" -> imageDims,
     "mm_gif_dims" -> gifDims,
     "mm_webp_dims" -> webpDims,
+    "mm_tiff_dims" -> tiffDims,
     "mm_audio_meta" -> audioMeta,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_ulaw" -> audioUlawLevels,
@@ -3358,6 +3359,32 @@ object LlmQueries {
         col("dims.height").cast("bigint").as("height"))
   }
 
+  /** TIFF dimensions, BOTH byte orders (`mm_tiff_dims`) — the one
+    * header-family member that declares its endianness in-band:
+    * even doc_ids build 'II' (little-endian) files, odd build 'MM'
+    * (big-endian), each a minimal complete first IFD with
+    * ImageWidth as a LONG (widths above 65535 prove the 4-byte
+    * path) and ImageLength as a SHORT inline in the leading value
+    * bytes — the placement rule naive parsers get wrong in exactly
+    * one byte order. Same codegen `image_dims` expression and
+    * rollup as [[gifDims]]; the oracle re-reads both dims
+    * positionally with the matching per-row endianness arithmetic. */
+  def tiffDims(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("(doc_id * 7) % 100000 + 1").as("w0"),
+        expr("((doc_id * 11) % 60000) + 1").as("h0"))
+      .withColumn("payload", unhex(
+        when(col("doc_id") % 2 === 0,
+          expr(ImageHex.tiffHexLE("w0", "h0", "div")))
+          .otherwise(expr(ImageHex.tiffHexBE("w0", "h0", "div")))))
+      .withColumn("dims", graft.functions.ImageDims(col("payload")))
+      .select(col("doc_id"), col("dims.kind").as("kind"),
+        col("dims.width").cast("bigint").as("width"),
+        col("dims.height").cast("bigint").as("height"))
+  }
+
   /** WebP dimensions, both container forms the byte-arithmetic
     * parser supports on fixture files: `VP8 ` (lossy — sync-code
     * check then LE 14-bit dims from the frame header) and `VP8X`
@@ -6128,6 +6155,35 @@ object LlmQueries {
          |    + 256 * ${unhexN("hs", 15, 2, "strpos")}) AS width,
          |  (${unhexN("hs", 17, 2, "strpos")}
          |    + 256 * ${unhexN("hs", 19, 2, "strpos")}) AS height
+         |FROM b""".stripMargin
+    },
+
+    // per-row endianness replay: even rows read LE, odd rows BE,
+    // straight from the rebuilt hex — a parser that honors only one
+    // byte order, or reads the SHORT from the trailing value bytes,
+    // hash-mismatches half the corpus
+    "mm_tiff_dims" -> {
+      import graft.multimodal.ImageHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    (doc_id * 7) % 100000 + 1 AS w0,
+         |    ((doc_id * 11) % 60000) + 1 AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(CASE WHEN doc_id % 2 = 0
+         |      THEN ${tiffHexLE("w0", "h0", "//")}
+         |      ELSE ${tiffHexBE("w0", "h0", "//")} END)) AS hs
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN substring(hs, 1, 4) IN ('4949', '4D4D')
+         |    THEN 'tiff' END AS kind,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN ${leUnhexN("hs", TiffWidthPos, 4, "strpos")}
+         |    ELSE ${unhexN("hs", TiffWidthPos, 8, "strpos")} END
+         |    AS width,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN ${leUnhexN("hs", TiffHeightPos, 2, "strpos")}
+         |    ELSE ${unhexN("hs", TiffHeightPos, 4, "strpos")} END
+         |    AS height
          |FROM b""".stripMargin
     },
 

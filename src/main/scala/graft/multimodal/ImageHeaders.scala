@@ -34,8 +34,8 @@ object ImageHeaders {
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** (kind, width, height) of a PNG, JPEG, or GIF payload, else
-    * None. */
+  /** (kind, width, height) of a PNG, JPEG, GIF, WebP, or TIFF
+    * payload, else None. */
   def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
     if (b == null) None
     else if (isPng(b)) parsePng(b)
@@ -43,6 +43,54 @@ object ImageHeaders {
       parseJpeg(b)
     else if (isGif(b)) parseGif(b)
     else if (isWebp(b)) parseWebp(b)
+    else if (isTiff(b)) parseTiff(b)
+    else None
+  }
+
+  /** TIFF byte-order mark + magic 42 in THAT byte order — the one
+    * header family member that carries its endianness in-band
+    * ('II' little, 'MM' big), so one parser must read both. */
+  private def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 8 &&
+      ((u8(b, 0) == 'I' && u8(b, 1) == 'I' && u16le(b, 2) == 42) ||
+        (u8(b, 0) == 'M' && u8(b, 1) == 'M' && u16(b, 2) == 42))
+
+  /** First-IFD walk for ImageWidth (tag 256) / ImageLength (tag
+    * 257), honoring the file's own byte order and both legal value
+    * types (SHORT inline in the leading 2 bytes of the value field,
+    * LONG filling it) — the classic TIFF gotchas. Dims must be
+    * 1-count entries; missing/zero/overflow dims parse to None, as
+    * does an IFD running past the buffer (fail-closed, never a read
+    * past the end). */
+  private def parseTiff(b: Array[Byte]): Option[(String, Int, Int)] = {
+    val le = u8(b, 0) == 'I'
+    def rd16(i: Int): Int = if (le) u16le(b, i) else u16(b, i)
+    def rd32(i: Int): Long = if (le) u32le(b, i) else u32(b, i)
+    val ifd = rd32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val at0 = ifd.toInt
+    val n = rd16(at0)
+    if (at0 + 2 + 12L * n > b.length) return None
+    var w = -1L; var h = -1L
+    var k = 0
+    while (k < n) {
+      val e = at0 + 2 + 12 * k
+      val tag = rd16(e)
+      if (tag == 256 || tag == 257) {
+        val typ = rd16(e + 2)
+        val cnt = rd32(e + 4)
+        if (cnt != 1L) return None
+        val v: Long = typ match {
+          case 3 => rd16(e + 8).toLong // SHORT, inline left 2 bytes
+          case 4 => rd32(e + 8)        // LONG, whole value field
+          case _ => return None
+        }
+        if (tag == 256) w = v else h = v
+      }
+      k += 1
+    }
+    if (w >= 1 && h >= 1 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some(("tiff", w.toInt, h.toInt))
     else None
   }
 

@@ -57,6 +57,40 @@ object ImageHex {
     * logical-screen dims, zeroed packed/background/aspect bytes,
     * trailer — 14 bytes. LE byte layout (unlike PNG): width lo/hi at
     * bytes 6–7 → hex positions 13/15, height at 8–9 → 17/19. */
+  /** n-byte LITTLE-endian integer read at 1-based hex `pos` — the
+    * read twin of [[leHexN]]. */
+  def leUnhexN(hs: String, pos: Int, nBytes: Int,
+      posFn: String): String =
+    (0 until nBytes).map { j =>
+      s"${unhexN(hs, pos + 2 * j, 2, posFn)} * ${1L << (8 * j)}"
+    }.mkString("(", " + ", ")")
+
+  /** A minimal complete TIFF: 8-byte header (byte-order mark, magic
+    * 42, IFD offset 8) + one 2-entry IFD — ImageWidth (tag 256) as a
+    * LONG filling its value field, ImageLength (tag 257) as a SHORT
+    * inline in the LEADING two bytes (the placement rule that
+    * depends on byte order), zero next-IFD pointer. 38 bytes. Width
+    * value at byte 18, height at byte 30. Little-endian ('II')
+    * spelling. */
+  def tiffHexLE(w: String, h: String, intdiv: String): String =
+    "concat('49492A00', '08000000', '0200', " +
+      s"'00010400', '01000000', ${leHexN(w, 4, intdiv)}, " +
+      s"'01010300', '01000000', ${leHexN(h, 2, intdiv)}, '0000', " +
+      "'00000000')"
+
+  /** [[tiffHexLE]]'s big-endian ('MM') twin — identical layout,
+    * every multi-byte field written big-endian (SHORT still in the
+    * leading two value bytes). */
+  def tiffHexBE(w: String, h: String, intdiv: String): String =
+    "concat('4D4D002A', '00000008', '0002', " +
+      s"'01000004', '00000001', ${hexN(w, 8, intdiv)}, " +
+      s"'01010003', '00000001', ${hexN(h, 4, intdiv)}, '0000', " +
+      "'00000000')"
+
+  /** 1-based hex positions of the TIFF dims built above. */
+  val TiffWidthPos = 18 * 2 + 1  // 37
+  val TiffHeightPos = 30 * 2 + 1 // 61
+
   def gifHex(w: String, h: String, intdiv: String): String =
     s"concat('474946383961', " +
       s"${hexN(s"($w) % 256", 2, intdiv)}, " +

@@ -61,7 +61,67 @@ object RelationalQueries {
     "rel_q34_kcore" -> kcore,
     "rel_q35_zorder" -> zorderEvents,
     "rel_q36_skyline" -> skyline,
+    "rel_q37_resample" -> resampleLocf,
   )
+
+  /** Hourly gap-fill + last-observation-carried-forward resample
+    * (`rel_q37_resample`) — the time-series regularization every
+    * feature pipeline runs before a model sees event data: each
+    * user's ragged event stream becomes a dense hourly grid from
+    * their first to last active hour; silent hours carry the most
+    * recent observation forward. Per user the query reports grid
+    * size, gap count, total events, the sum of carried observations
+    * over gap hours (wrong LOCF = wrong sum), and the longest
+    * consecutive gap run (wrong grid = wrong run).
+    *
+    * LOCF without `IGNORE NULLS` (portable AND cheaper): the running
+    * count of ACTIVE hours (ordered user-partitioned window) is a
+    * segment id that starts a new segment at each observation, so
+    * `max(obs) over (user, segment)` IS the carried value — every
+    * window here is user-partitioned (bounded state, full
+    * parallelism across users; never a 1-partition global sort).
+    * Scale shape: one (user, hour) partial-agg exchange, one
+    * user-grain span aggregate whose grid explode is map-side, one
+    * co-keyed left join, user-keyed windows, and a user-grain
+    * rollup. Grid size is span-bounded per user; a user with a year
+    * of hours is 8.8 k rows — skew-safe. */
+  def resampleLocf(spark: SparkSession, dir: String): DataFrame =
+    resampleOf(Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 3600000000").as("hour")))
+
+  /** [[resampleLocf]]'s core over any (user_id, event_id, hour)
+    * frame. */
+  def resampleOf(e: DataFrame): DataFrame = {
+    val hourly = e.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n"), max(col("event_id")).as("obs"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1)")).as("hour"))
+    val filled = grid.join(hourly, Seq("user_id", "hour"), "left")
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    val seg = filled.withColumn("grp",
+      sum(when(col("n").isNotNull, 1L).otherwise(0L)).over(wOrd))
+    val carried = seg.withColumn("carried",
+      max(col("obs")).over(
+        Window.partitionBy(col("user_id"), col("grp"))))
+    val perUser = carried.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_gap"),
+        sum(coalesce(col("n"), lit(0L))).as("sum_events"),
+        sum(when(col("n").isNull, col("carried")).otherwise(0L))
+          .as("sum_carried_gap"))
+    val runs = carried.filter(col("n").isNull)
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("runlen"))
+      .groupBy(col("user_id"))
+      .agg(max(col("runlen")).as("lg"))
+    perUser.join(runs, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_hours"), col("n_gap"),
+        col("sum_events"), col("sum_carried_gap"),
+        coalesce(col("lg"), lit(0L)).as("longest_gap"))
+  }
 
   /** Distributed 2-D skyline (Pareto frontier) over `part`
     * (`rel_q36_skyline`): the parts no other part dominates —
@@ -1649,5 +1709,43 @@ object RelationalQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM p b
          |  WHERE b.cents <= a.cents AND b.size >= a.size
          |    AND (b.cents < a.cents OR b.size > a.size))""".stripMargin,
+
+    // the whole resample replayed: grid via range(), the SAME
+    // segment-max LOCF spelling (one non-null observation per
+    // segment by construction), gap runs by segment size — an
+    // engine that mis-grids, carries across users, or breaks ties
+    // differently in the per-hour observation hash-mismatches
+    "rel_q37_resample" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(ts) // 3600000000 AS hour FROM events),
+        |hourly AS (SELECT user_id, hour,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    max(event_id) AS obs FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour
+        |  FROM span),
+        |f AS (SELECT g.user_id, g.hour, h.n, h.obs
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hour = h.hour),
+        |seg AS (SELECT *, SUM(CASE WHEN n IS NOT NULL THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY hour)
+        |    AS grp FROM f),
+        |c AS (SELECT *, MAX(obs) OVER (PARTITION BY user_id, grp)
+        |    AS carried FROM seg),
+        |u1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_gap,
+        |    CAST(SUM(coalesce(n, 0)) AS BIGINT) AS sum_events,
+        |    CAST(SUM(CASE WHEN n IS NULL THEN carried ELSE 0 END)
+        |      AS BIGINT) AS sum_carried_gap
+        |  FROM c GROUP BY 1),
+        |runs AS (SELECT user_id, grp, count(*) AS runlen FROM c
+        |  WHERE n IS NULL GROUP BY 1, 2),
+        |u2 AS (SELECT user_id, CAST(max(runlen) AS BIGINT) AS lg
+        |  FROM runs GROUP BY 1)
+        |SELECT u1.user_id, n_hours, n_gap, sum_events,
+        |  sum_carried_gap, coalesce(u2.lg, 0) AS longest_gap
+        |FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id""".stripMargin,
   )
 }

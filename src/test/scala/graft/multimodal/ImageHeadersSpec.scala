@@ -91,6 +91,49 @@ class ImageHeadersSpec extends AnyFunSuite {
         32, 0, 32, 0))).isEmpty)
   }
 
+  test("real TIFF bytes from the JDK encoder") {
+    // the JDK ImageIO TIFF plugin (present since JDK 9) is a real
+    // third-party writer for the IFD walk
+    assert(ImageHeaders.parse(encoded("tiff", 19, 11))
+      .contains(("tiff", 19, 11)))
+    assert(ImageHeaders.parse(encoded("tiff", 700, 300))
+      .contains(("tiff", 700, 300)))
+  }
+
+  private def tiffBuilt(le: Boolean, w: Long, h: Long,
+      shortHeight: Boolean = true): Array[Byte] = {
+    def n(v: Long, bytes: Int): Seq[Int] = {
+      val be = (0 until bytes).reverse.map(i => ((v >> (8 * i)) & 0xff).toInt)
+      if (le) be.reverse else be
+    }
+    val bom = if (le) Seq('I'.toInt, 'I'.toInt) else Seq('M'.toInt, 'M'.toInt)
+    val hVal = if (shortHeight) n(h, 2) ++ Seq(0, 0) else n(h, 4)
+    val hTyp = if (shortHeight) 3 else 4
+    (bom ++ n(42, 2) ++ n(8, 4) ++ n(2, 2) ++
+      n(256, 2) ++ n(4, 2) ++ n(1, 4) ++ n(w, 4) ++
+      n(257, 2) ++ n(hTyp, 2) ++ n(1, 4) ++ hVal ++
+      n(0, 4)).map(_.toByte).toArray
+  }
+
+  test("TIFF: both byte orders, SHORT-inline and LONG dims, " +
+      "fail-closed walks") {
+    assert(ImageHeaders.parse(tiffBuilt(le = true, 70000, 12345))
+      .contains(("tiff", 70000, 12345)))
+    assert(ImageHeaders.parse(tiffBuilt(le = false, 70000, 12345))
+      .contains(("tiff", 70000, 12345)))
+    assert(ImageHeaders.parse(tiffBuilt(le = true, 9, 9,
+      shortHeight = false)).contains(("tiff", 9, 9)))
+    // 'II' magic with BE 42 (and vice versa) is not a TIFF
+    val bad = tiffBuilt(le = true, 5, 5)
+    bad(2) = 0; bad(3) = 42 // big-endian 42 under 'II'
+    assert(ImageHeaders.parse(bad).isEmpty)
+    // IFD entry table running past the buffer fails closed
+    assert(ImageHeaders.parse(
+      tiffBuilt(le = true, 5, 5).dropRight(20)).isEmpty)
+    // zero width parses to None
+    assert(ImageHeaders.parse(tiffBuilt(le = false, 0, 5)).isEmpty)
+  }
+
   test("truncated, empty, and non-image payloads parse to None") {
     val png = encoded("png", 10, 10)
     assert(ImageHeaders.parse(png.take(23)).isEmpty) // cut inside IHDR
