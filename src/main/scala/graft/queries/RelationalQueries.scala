@@ -62,7 +62,76 @@ object RelationalQueries {
     "rel_q35_zorder" -> zorderEvents,
     "rel_q36_skyline" -> skyline,
     "rel_q37_resample" -> resampleLocf,
+    "rel_q38_communities" -> communities,
   )
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * part co-purchase graph (`rel_q38_communities`) — community
+    * detection, the graph census between connected components
+    * (any-label) and k-core (density): every node starts as its own
+    * label; each round it adopts the PLURALITY label among its
+    * neighbors, ties to the smallest label. Run a FIXED
+    * [[LpaRounds]] rounds: synchronous LPA need not converge
+    * (2-cycles exist on near-bipartite structures), but a
+    * fixed-round schedule with a deterministic tie-break is exactly
+    * replayable — the oracle unrolls the same rounds as chained
+    * CTEs, so an engine that propagates asynchronously, includes
+    * self-labels, or breaks ties by hash order diverges by round 2.
+    *
+    * The plurality argmax is ONE encoded max — `c·2⁴⁰ + (2⁴⁰−1−lab)`
+    * orders by (count desc, label asc), the
+    * [[graft.llm.LlmQueries]] dedup-priority encoding — no window,
+    * no join-back. Per round: one node-keyed join of the static edge
+    * table against the label table (both data-dependent — shuffle
+    * equi-joins), one (node, label) combine-collapsed count, one
+    * node-keyed max; label tables localCheckpoint serialized with
+    * the superseded round freed (the kcore discipline). Output is
+    * the community-size rollup on the final labels. */
+  val LpaRounds = 4
+
+  def communities(spark: SparkSession, dir: String): DataFrame =
+    communitiesOf(Tables(spark, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      LpaRounds)
+
+  /** [[communities]]' core over an explicit (ok, pk) membership
+    * table (spec surface). */
+  private[queries] def communitiesOf(li: DataFrame,
+      rounds: Int): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    def chk(df: DataFrame): DataFrame = df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val edges = chk(li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct())
+    val enc = lit(1L << 40)
+    var lab = chk(edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .distinct().withColumn("lab", col("node")))
+    var r = 0
+    while (r < rounds) {
+      val nbr = edges
+        .join(lab.select(col("node").as("b"), col("lab")), Seq("b"))
+        .select(col("a").as("node"), col("lab"))
+        .union(edges
+          .join(lab.select(col("node").as("a"), col("lab")), Seq("a"))
+          .select(col("b").as("node"), col("lab")))
+      val next = nbr.groupBy(col("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(col("c") * enc + (enc - 1 - col("lab"))).as("e"))
+        .select(col("node"),
+          (enc - 1 - pmod(col("e"), enc)).as("lab"))
+      val prev = lab
+      lab = chk(next)
+      shim.freeLocalCheckpoint(prev)
+      r += 1
+    }
+    lab.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+  }
 
   /** Hourly gap-fill + last-observation-carried-forward resample
     * (`rel_q37_resample`) — the time-series regularization every
@@ -1747,5 +1816,37 @@ object RelationalQueries {
         |SELECT u1.user_id, n_hours, n_gap, sum_events,
         |  sum_carried_gap, coalesce(u2.lg, 0) AS longest_gap
         |FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id""".stripMargin,
+
+    // the SAME fixed round count unrolled as chained CTEs, with the
+    // plurality argmax as an independent row_number spelling — an
+    // engine that propagates asynchronously, counts self-labels, or
+    // tie-breaks by anything but the smallest label diverges by
+    // round 2
+    "rel_q38_communities" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""nbr$r AS MATERIALIZED (
+           |  SELECT e.a AS node, l.lab FROM e0 e
+           |    JOIN lab${r - 1} l ON l.node = e.b
+           |  UNION ALL
+           |  SELECT e.b AS node, l.lab FROM e0 e
+           |    JOIN lab${r - 1} l ON l.node = e.a),
+           |lab$r AS MATERIALIZED (SELECT node, lab FROM (
+           |    SELECT node, lab, row_number() OVER (PARTITION BY node
+           |      ORDER BY count(*) DESC, lab ASC) AS rn
+           |    FROM nbr$r GROUP BY node, lab)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3),
+         |lab0 AS MATERIALIZED (SELECT node, node AS lab
+         |  FROM (SELECT a AS node FROM e0 UNION SELECT b FROM e0)),
+         |$rounds
+         |SELECT lab AS community, CAST(count(*) AS BIGINT)
+         |  AS n_members
+         |FROM lab$LpaRounds GROUP BY 1""".stripMargin
+    },
   )
 }
