@@ -123,6 +123,7 @@ object LlmQueries {
     "mm_image_neardup" -> imageNearDup,
     "mm_neardup_incremental" -> imageNeardupIncremental,
     "mm_mp3_meta" -> mp3Meta,
+    "mm_mp3_vbr" -> mp3Vbr,
     "mm_h264_sps" -> h264Sps,
     "mm_h264_pcm" -> h264PcmDecode,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
@@ -4245,6 +4246,39 @@ object LlmQueries {
           .as("sum_ms"))
   }
 
+  /** Xing/Info VBR header decode (`mm_mp3_vbr`) — the
+    * variable-bitrate DURATION path of the MP3 lane: a VBR file's
+    * first frame header misstates the mean bitrate, so players read
+    * the LAME-convention block after the side info (17 bytes mono /
+    * 32 otherwise — the fixture exercises both via the per-doc
+    * channel mode) for declared total frames/bytes and the derived
+    * duration estimate, without walking every frame. Fixture
+    * streams embed the block inside a genuine first frame followed
+    * by plain frames; the native [[graft.functions.Mp3Vbr]]
+    * expression re-locates it through the real header arithmetic
+    * (ID3 skip, frame geometry, side-info offset). The oracle reads
+    * magic, counts, and rate POSITIONALLY from the rebuilt hex and
+    * re-derives est_ms — a parser that miscomputes the side-info
+    * offset or reads the counts little-endian hash-mismatches. Pure
+    * map-side construct → decode scan. */
+  def mp3Vbr(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.{ImageHex, Mp3Hex}
+    val rateE = Mp3Hex.rateCase(Mp3Hex.SrIdxE)
+    docs(s, d)
+      .select(col("doc_id"))
+      .withColumn("hs", expr(Mp3Hex.mp3VbrHex(Mp3Hex.HasId3E,
+        Mp3Hex.Id3PadE, Mp3Hex.NframesE, Mp3Hex.SrIdxE, rateE,
+        Mp3Hex.ModeE, Mp3Hex.VbrMagicHexE, Mp3Hex.VbrFramesE,
+        Mp3Hex.VbrBytesE, "div", ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.Mp3Vbr(col("payload")))
+      .select(col("doc_id"), col("m.tag").as("tag"),
+        col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.n_frames").as("vbr_frames"),
+        col("m.n_bytes").as("vbr_bytes"),
+        col("m.est_ms").as("est_ms"))
+  }
+
   /** REAL H.264 Annex-B NAL walk + SPS Exp-Golomb decode — the
     * video-bitstream analog of [[mp3Meta]]: encode deterministic
     * per-document SPS parameters into genuine four-NAL Annex-B
@@ -6825,6 +6859,41 @@ object LlmQueries {
          |  CAST(SUM(sfb) AS BIGINT) AS sum_frame_bytes,
          |  CAST(SUM(nf * 1152000 // sample_rate) AS BIGINT) AS sum_ms
          |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // positional replay of the VBR block: base/side offsets
+    // recomputed from the shared fixture arithmetic, magic compared
+    // as hex, counts read big-endian byte-by-byte, est_ms re-derived
+    "mm_mp3_vbr" -> {
+      import graft.multimodal.{ImageHex, Mp3Hex}
+      import graft.multimodal.ImageHex.byteAt
+      val rateE = Mp3Hex.rateCase(Mp3Hex.SrIdxE)
+      def u32beAt(posE: String): String =
+        (0 until 4).map { j =>
+          s"${byteAt("hs", s"($posE + $j) * 2 + 1", "strpos")} * " +
+            s"${1L << (8 * (3 - j))}"
+        }.mkString("(", " + ", ")")
+      s"""WITH b AS (SELECT doc_id,
+         |    hex(from_hex(${Mp3Hex.mp3VbrHex(Mp3Hex.HasId3E,
+              Mp3Hex.Id3PadE, Mp3Hex.NframesE, Mp3Hex.SrIdxE, rateE,
+              Mp3Hex.ModeE, Mp3Hex.VbrMagicHexE, Mp3Hex.VbrFramesE,
+              Mp3Hex.VbrBytesE, "//", ImageHex.seqJoinDuck)})) AS hs,
+         |    $rateE AS rate,
+         |    CASE WHEN ${Mp3Hex.HasId3E}
+         |      THEN 10 + ${Mp3Hex.Id3PadE} ELSE 0 END AS base,
+         |    ${Mp3Hex.sideE(Mp3Hex.ModeE)} AS side
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN substring(hs, (base + 4 + side) * 2 + 1, 8)
+         |      = '58696E67' THEN 'Xing' ELSE 'Info' END AS tag,
+         |  CAST(rate AS BIGINT) AS sample_rate,
+         |  CAST(${u32beAt("base + 4 + side + 8")} AS BIGINT)
+         |    AS vbr_frames,
+         |  CAST(${u32beAt("base + 4 + side + 12")} AS BIGINT)
+         |    AS vbr_bytes,
+         |  CAST(${u32beAt("base + 4 + side + 8")} * 1152 * 1000
+         |    // rate AS BIGINT) AS est_ms
+         |FROM b""".stripMargin
     },
 
     // arithmetic replay of H264Fixture.paramsOf: the Spark side

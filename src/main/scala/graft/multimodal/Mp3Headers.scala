@@ -142,4 +142,73 @@ object Mp3Headers {
     case Some((nf, rate, ch, kbps, fb)) => InternalRow(nf, rate, ch, kbps, fb)
     case None => null
   }
+
+  private def u32be(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** Xing/Info VBR header inside the FIRST frame — how players know
+    * a variable-bitrate file's true duration without walking every
+    * frame (the first frame's header alone misstates the mean
+    * bitrate): after the 4-byte frame header and the MPEG-1 side
+    * info (17 bytes mono, 32 otherwise) sits a "Xing" (VBR) or
+    * "Info" (CBR-written-by-LAME) magic, a big-endian flags word,
+    * then optional big-endian total-frames and total-bytes counts
+    * in flag order. Returns
+    * (tag, sample_rate, declared_frames, declared_bytes, est_ms)
+    * with est_ms = frames·1152·1000 / rate (integer floor) and −1
+    * for a count whose flag is absent; None when the stream has no
+    * valid first frame, the block would overrun the frame or
+    * buffer, or the magic is absent (a plain CBR file — callers
+    * fall back to [[parse]]'s walk). */
+  def vbrInfo(b: Array[Byte]): Option[(String, Int, Long, Long, Long)] = {
+    if (b == null) return None
+    val start = id3End(b) match {
+      case Some(s) => s
+      case None => return None
+    }
+    if (start + 4 > b.length) return None
+    if (u8(b, start) != 0xff || (u8(b, start + 1) & 0xe0) != 0xe0)
+      return None
+    val version = (u8(b, start + 1) >> 3) & 3
+    val layer = (u8(b, start + 1) >> 1) & 3
+    val brIdx = (u8(b, start + 2) >> 4) & 15
+    val srIdx = (u8(b, start + 2) >> 2) & 3
+    val pad = (u8(b, start + 2) >> 1) & 1
+    val mode = (u8(b, start + 3) >> 6) & 3
+    if (version != 3 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+      srIdx == 3) return None
+    val rate = SampleRateHz(srIdx)
+    val len = 144000 * BitrateKbps(brIdx) / rate + pad
+    val side = if (mode == 3) 17 else 32
+    var p = start + 4 + side
+    if (p + 8 > b.length || p + 8 > start + len) return None
+    val tag = new String(b.slice(p, p + 4), "US-ASCII")
+    if (tag != "Xing" && tag != "Info") return None
+    val flags = u32be(b, p + 4)
+    p += 8
+    var frames = -1L
+    var bytes = -1L
+    if ((flags & 1L) != 0) {
+      if (p + 4 > b.length || p + 4 > start + len) return None
+      frames = u32be(b, p); p += 4
+    }
+    if ((flags & 2L) != 0) {
+      if (p + 4 > b.length || p + 4 > start + len) return None
+      bytes = u32be(b, p); p += 4
+    }
+    val estMs = if (frames >= 0)
+      frames * SamplesPerFrame * 1000L / rate else -1L
+    Some((tag, rate, frames, bytes, estMs))
+  }
+
+  /** [[vbrInfo]] as an `InternalRow` for the
+    * [[graft.functions.Mp3Vbr]] codegen path. Null = no VBR
+    * header. */
+  def vbrRow(b: Array[Byte]): InternalRow = vbrInfo(b) match {
+    case Some((tag, rate, nf, nb, ms)) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String
+        .fromString(tag), rate, nf, nb, ms)
+    case None => null
+  }
 }

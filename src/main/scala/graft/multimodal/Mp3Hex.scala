@@ -88,4 +88,49 @@ object Mp3Hex {
   val Id3PadE = "CAST(doc_id % 64 AS INT)"
   /** 1 = joint stereo (2 channels) on even docs, 3 = mono on odd. */
   val ModeE = "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END"
+
+  /** MPEG-1 side-info length for mode expression `modeE` (17 bytes
+    * mono, 32 otherwise) — where the Xing block begins inside the
+    * first frame. */
+  def sideE(modeE: String): String =
+    s"(CASE WHEN ($modeE) = 3 THEN 17 ELSE 32 END)"
+
+  /** First frame carrying a Xing/Info VBR block: the same derived
+    * frame geometry as [[frameHex]] for frame 0, but the filler
+    * holds side-info zeros, the 4-byte magic (`magicHexE` — hex of
+    * 'Xing' or 'Info'), flags 3 (frames + bytes), and the two
+    * big-endian declared counts. Smallest MPEG-1 Layer III frame is
+    * 96 bytes ≥ 4 + 32 + 16, so the block always fits. */
+  def xingFrameHex(srIdxE: String, rateE: String, modeE: String,
+      magicHexE: String, framesE: String, bytesE: String,
+      intdiv: String): String =
+    s"concat('FFFB', " +
+      s"${hexN(s"${brIdxE("0")} * 16 + ($srIdxE) * 4 + ${padE("0")} * 2", 2, intdiv)}, " +
+      s"${hexN(s"($modeE) * 64 + 4", 2, intdiv)}, " +
+      s"repeat('00', CAST(${sideE(modeE)} AS INT)), " +
+      s"($magicHexE), '00000003', " +
+      s"${hexN(framesE, 8, intdiv)}, ${hexN(bytesE, 8, intdiv)}, " +
+      s"repeat('00', CAST(${flenE("0", rateE, intdiv)} - 4 - " +
+      s"${sideE(modeE)} - 16 AS INT)))"
+
+  /** The VBR-tagged stream: optional ID3 tag + Xing first frame +
+    * the remaining `nfE − 1` plain frames. */
+  def mp3VbrHex(hasId3E: String, id3PadE: String, nfE: String,
+      srIdxE: String, rateE: String, modeE: String,
+      magicHexE: String, framesE: String, bytesE: String,
+      intdiv: String,
+      seqJoin: (String, String, String) => String): String =
+    s"concat(CASE WHEN $hasId3E THEN ${id3Hex(id3PadE, intdiv)} " +
+      "ELSE '' END, " +
+      s"${xingFrameHex(srIdxE, rateE, modeE, magicHexE, framesE, bytesE, intdiv)}, " +
+      s"${seqJoin("i", s"($nfE) - 1",
+        frameHex("(i + 1)", srIdxE, rateE, modeE, intdiv))})"
+
+  /** Declared VBR totals — META values (they describe a whole file
+    * the fixture does not materialize), deterministic in doc_id. */
+  val VbrFramesE = "(doc_id % 100000) * 7 + 100"
+  val VbrBytesE = "(doc_id % 1000000) * 997 + 10000"
+  /** 'Xing' on even docs, 'Info' on odd — hex of the ASCII magic. */
+  val VbrMagicHexE =
+    "CASE WHEN doc_id % 2 = 0 THEN '58696E67' ELSE '496E666F' END"
 }

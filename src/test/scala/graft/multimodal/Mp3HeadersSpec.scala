@@ -122,4 +122,56 @@ class Mp3HeadersSpec extends AnyFunSuite {
     assert(Mp3Headers.parse(frame(5, 1, 0, 2)).exists(_._3 == 2))
     assert(Mp3Headers.parse(frame(5, 1, 0, 3)).exists(_._3 == 1))
   }
+
+  /** Embed a Xing/Info block into a frame's filler at the side-info
+    * offset. */
+  private def withVbr(f: Array[Byte], magic: String, flags: Int,
+      frames: Long, bytes: Long, mode: Int): Array[Byte] = {
+    val side = if (mode == 3) 17 else 32
+    val out = f.clone()
+    var p = 4 + side
+    magic.foreach { c => out(p) = c.toByte; p += 1 }
+    def be32(v: Long): Unit = {
+      out(p) = ((v >> 24) & 0xff).toByte
+      out(p + 1) = ((v >> 16) & 0xff).toByte
+      out(p + 2) = ((v >> 8) & 0xff).toByte
+      out(p + 3) = (v & 0xff).toByte
+      p += 4
+    }
+    be32(flags.toLong)
+    if ((flags & 1) != 0) be32(frames)
+    if ((flags & 2) != 0) be32(bytes)
+    out
+  }
+
+  test("Xing block: both side-info offsets, both magics, flag subsets") {
+    // stereo (mode 1): side info 32 bytes
+    val st = withVbr(frame(5, 0, 0, 1), "Xing", 3, 4321L, 987654L, 1)
+    assert(Mp3Headers.vbrInfo(st)
+      .contains(("Xing", 44100, 4321L, 987654L, 4321L * 1152 * 1000 / 44100)))
+    // mono (mode 3): side info 17 bytes
+    val mo = withVbr(frame(5, 1, 0, 3), "Info", 3, 100L, 5000L, 3)
+    assert(Mp3Headers.vbrInfo(mo)
+      .contains(("Info", 48000, 100L, 5000L, 100L * 1152 * 1000 / 48000)))
+    // frames-only flags: bytes reported as -1, est_ms still derived
+    val fo = withVbr(frame(5, 0, 0, 1), "Xing", 1, 250L, 0L, 1)
+    assert(Mp3Headers.vbrInfo(fo)
+      .contains(("Xing", 44100, 250L, -1L, 250L * 1152 * 1000 / 44100)))
+    // behind an ID3 tag
+    val tagged = id3(20) ++ st
+    assert(Mp3Headers.vbrInfo(tagged) === Mp3Headers.vbrInfo(st))
+  }
+
+  test("Xing block absent, wrong offset, or overrunning -> None") {
+    // plain CBR frame: no magic
+    assert(Mp3Headers.vbrInfo(frame(5, 0, 0, 1)).isEmpty)
+    // magic placed at the MONO offset inside a STEREO frame is not
+    // found (the parser derives the offset from the mode, not a scan)
+    val wrong = frame(5, 0, 0, 1)
+    "Xing".zipWithIndex.foreach { case (c, i) => wrong(4 + 17 + i) = c.toByte }
+    assert(Mp3Headers.vbrInfo(wrong).isEmpty)
+    // a declared-frames field cut by the buffer edge fails closed
+    val st = withVbr(frame(5, 0, 0, 1), "Xing", 3, 4321L, 987654L, 1)
+    assert(Mp3Headers.vbrInfo(st.take(4 + 32 + 10)).isEmpty)
+  }
 }
