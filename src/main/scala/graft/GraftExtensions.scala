@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioLevels, AudioMeta, DeflateRatio, DotProductLong, ImageDims, ImageLevels, IsValidIri, JpegLuma, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DotProductLong, H264PcmMbs, H264Sps, ImageDims, ImageLevels, IsValidIri, JpegLuma, Mp3Meta, Mp3Vbr, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WordNgrams}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -144,5 +144,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "luma_cells"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.LumaCells(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("audio_fp"),
+      new ExpressionInfo(classOf[AudioFp].getName, "audio_fp"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AudioFp(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("audio_ulaw_levels"),
+      new ExpressionInfo(classOf[AudioUlawLevels].getName,
+        "audio_ulaw_levels"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AudioUlawLevels(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("audio_alaw_levels"),
+      new ExpressionInfo(classOf[AudioAlawLevels].getName,
+        "audio_alaw_levels"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AudioAlawLevels(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[DHash64].getName, "dhash64"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mp3_meta"),
+      new ExpressionInfo(classOf[Mp3Meta].getName, "mp3_meta"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Mp3Meta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mp3_vbr"),
+      new ExpressionInfo(classOf[Mp3Vbr].getName, "mp3_vbr"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Mp3Vbr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("h264_sps"),
+      new ExpressionInfo(classOf[H264Sps].getName, "h264_sps"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        H264Sps(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("h264_pcm_mbs"),
+      new ExpressionInfo(classOf[H264PcmMbs].getName, "h264_pcm_mbs"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        H264PcmMbs(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName,
+        "cdc_boundaries"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CdcBoundaries(args.head)))
   }
 }

@@ -58,4 +58,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(0) == r.getLong(1))
   }
+
+  test("the full codec/fingerprint expression family resolves and " +
+      "decodes from pure SQL") {
+    // one known G.711 byte each: ulaw 0x00 -> -32124, alaw 0x2A -> -32256
+    val g = TestSpark.spark.sql(
+      """SELECT
+        |  audio_ulaw_levels(unhex(concat(
+        |    '52494646', '3D000000', '57415645',
+        |    '666D7420', '10000000', '0700', '0100', '401F0000',
+        |    '401F0000', '0100', '0800', '64617461', '01000000',
+        |    '00'))).peak AS up,
+        |  audio_alaw_levels(unhex(concat(
+        |    '52494646', '3D000000', '57415645',
+        |    '666D7420', '10000000', '0600', '0100', '401F0000',
+        |    '401F0000', '0100', '0800', '64617461', '01000000',
+        |    '2A'))).peak AS ap""".stripMargin).collect().head
+    assert(g.getInt(0) == 32124 && g.getInt(1) == 32256)
+    // the rest of the family: resolution + null-on-garbage semantics
+    val r = TestSpark.spark.sql(
+      """SELECT audio_fp(unhex('00')) IS NULL AS a,
+        |  dhash64(unhex('00')) IS NULL AS b,
+        |  mp3_meta(unhex('00')) IS NULL AS c,
+        |  mp3_vbr(unhex('00')) IS NULL AS d,
+        |  h264_sps(unhex('00')) IS NULL AS e,
+        |  h264_pcm_mbs(unhex('00')) IS NULL AS f,
+        |  size(cdc_boundaries('abcdef')) >= 0 AS g""".stripMargin)
+      .collect().head
+    for (i <- 0 until 7) assert(r.getBoolean(i), s"col $i")
+  }
 }
