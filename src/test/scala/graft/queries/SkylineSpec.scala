@@ -85,4 +85,24 @@ class SkylineSpec extends AnyFunSuite {
     val pts = (1L to 20L).map(i => (i, i, 100L - i)) // pricier AND smaller
     assert(sky(pts, 3) === Set((1L, 1L, 99L)))
   }
+
+  test("incremental identity: skyline(frontier(B) ∪ A) == " +
+      "skyline(B ∪ A), incl. a dominated-base resurrection probe") {
+    val s = spark
+    import s.implicits._
+    val base = (0L until 150L).map(i =>
+      (i, (i * 37) % 101, (i * 53) % 103)) ++
+      // a base point strictly dominated INSIDE base: must not
+      // resurface however the arriving batch lands around it
+      Seq((500L, 50L, 1L), (501L, 49L, 2L))
+    val arriving = Seq((600L, 3L, 90L), (601L, 200L, 1L),
+      (602L, 50L, 1L)) // 602 ties the dominated base point exactly
+    def skyOf(pts: Seq[(Long, Long, Long)]) =
+      RelationalQueries.skylineOf(pts.toDF("partkey", "cents", "size"))
+    val frontier = skyOf(base).as[(Long, Long, Long)].collect().toSeq
+    val incr = skyOf(frontier ++ arriving)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incr === brute(base ++ arriving))
+    assert(!incr.exists(_._1 == 500L))
+  }
 }
