@@ -87,11 +87,11 @@ object RelationalQueries {
         col("p_size").cast("long").as("size"))
     val base = graft.SnapshotMemo.getOrCompute(spark,
       s"skyline-base:$dir") {
-      skylineOf(pts.filter(col("partkey") % 10 =!= 7))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      skylineArtifact(pts.filter(col("partkey") % 10 =!= 7))
     }
-    skylineOf(base.union(pts.filter(col("partkey") % 10 === 7)))
+    // the outer pass ranges over frontier + delta only — artifact
+    // form again so ITS interior checkpoint frees too
+    skylineArtifact(base.union(pts.filter(col("partkey") % 10 === 7)))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) over the
@@ -246,14 +246,35 @@ object RelationalQueries {
     * the oracle is the O(n²) NOT-EXISTS domination definition,
     * structurally independent of the prefix factorization. */
   def skyline(spark: SparkSession, dir: String): DataFrame =
-    skylineOf(Tables(spark, dir, "part")
-      .select(col("p_partkey").as("partkey"),
-        cents(col("p_retailprice")).as("cents"),
-        col("p_size").cast("long").as("size")))
+    graft.SnapshotMemo.getOrCompute(spark, s"skyline:$dir") {
+      skylineArtifact(Tables(spark, dir, "part")
+        .select(col("p_partkey").as("partkey"),
+          cents(col("p_retailprice")).as("cents"),
+          col("p_size").cast("long").as("size")))
+    }
+
+  /** [[skylineOf]] materialized as a frontier-sized snapshot
+    * artifact, with the interior range-partitioned checkpoint FREED
+    * once the frontier exists — without this every skyline call
+    * strands a corpus-scale checkpointed copy in block-manager
+    * storage for the session's lifetime (the pagerank-window leak
+    * class). */
+  private[queries] def skylineArtifact(pts: DataFrame): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    val (ranged, out) = skylineRanged(pts)
+    val snap = out.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    shim.freeLocalCheckpoint(ranged)
+    snap
+  }
 
   /** [[skyline]]'s core over any (partkey, cents, size) frame:
-    * minimize `cents`, maximize `size`. */
-  def skylineOf(pts: DataFrame): DataFrame = {
+    * minimize `cents`, maximize `size`. Transient form (spec
+    * surface): the interior checkpoint lives until the session
+    * drops it — artifact callers use [[skylineArtifact]]. */
+  def skylineOf(pts: DataFrame): DataFrame = skylineRanged(pts)._2
+
+  private def skylineRanged(pts: DataFrame): (DataFrame, DataFrame) = {
     val spark = pts.sparkSession
     import spark.implicits._
     val nParts = math.max(1,
@@ -293,7 +314,7 @@ object RelationalQueries {
       p += 1
     }
     val startsBc = spark.sparkContext.broadcast(starts)
-    rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+    val result = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       var cheaperMax = startsBc.value(pid)
       // rows arrive (cents asc, size desc): the first row of each
       // price group carries the group max, so a row survives iff it
@@ -312,6 +333,7 @@ object RelationalQueries {
       }
       out.iterator
     }.toDF("partkey", "cents", "size")
+    (ranged, result)
   }
 
   /** 32-bit Morton (Z-order) interleave of two 16-bit dimensions —
