@@ -259,7 +259,7 @@ object RelationalQueries {
     * strands a corpus-scale checkpointed copy in block-manager
     * storage for the session's lifetime (the pagerank-window leak
     * class). */
-  private[queries] def skylineArtifact(pts: DataFrame): DataFrame = {
+  private[graft] def skylineArtifact(pts: DataFrame): DataFrame = {
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
     val (ranged, out) = skylineRanged(pts)
     val snap = out.localCheckpoint(true,
