@@ -158,12 +158,22 @@ object Bench {
     // Default (unset/0) keeps the single-shot contract the driver
     // consumes.
     val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "0").toInt
+    // SPARK_GRAFT_BENCH_ONLY=prefix[,prefix...] restricts the suite
+    // (local iteration only; the driver never sets it).
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(p) =>
+        val ps = p.split(',').toSeq
+        SparkEntry.queries.filter { case (k, _) =>
+          ps.exists(k.startsWith)
+        }
+      case None => SparkEntry.queries
+    }
     val failed = if (warmReps > 0) {
-      val runs = runSteady(spark, sfDir, SparkEntry.queries, warmReps)
+      val runs = runSteady(spark, sfDir, queries, warmReps)
       println(renderSteadyJson(runs, sfDir, warmReps))
       runs.exists(_.err.isDefined)
     } else {
-      val runs = run(spark, sfDir, SparkEntry.queries)
+      val runs = run(spark, sfDir, queries)
       println(renderJson(runs, sfDir))
       runs.exists(_.err.isDefined)
     }

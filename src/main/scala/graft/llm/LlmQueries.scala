@@ -427,8 +427,15 @@ object LlmQueries {
           "element_at(w, i) AS w1, concat_ws(' ', element_at(w, i)," +
           " element_at(w, i + 1)) AS bg))")).as("x"))
       .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
-    val cb = bp.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val cu = bp.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // the two LM count tables are per-snapshot artifacts (the
+    // "trained" statistics); memoized serialized so a re-score pays
+    // only the per-doc pair scan + the two hinted joins
+    val cb = graft.SnapshotMemo.getOrCompute(s, s"fluency-cb:$d") {
+      chkSer(bp.groupBy(col("bg")).agg(count(lit(1)).as("cb")))
+    }
+    val cu = graft.SnapshotMemo.getOrCompute(s, s"fluency-cu:$d") {
+      chkSer(bp.groupBy(col("w1")).agg(count(lit(1)).as("cu")))
+    }
     bp.join(cb.hint("merge"), Seq("bg"))
       .join(cu.hint("merge"), Seq("w1"))
       .select(col("doc_id"), expr("(1000000 * cb) DIV cu").as("sc"))
@@ -3227,11 +3234,19 @@ object LlmQueries {
 
   def cmsBigrams(s: SparkSession, d: String): DataFrame = {
     val (haSql, hbSql) = bloomABSql("instr")
-    val cells = cmsCellsOf(docs(s, d))
-    val exact = bigramRows(s, d)
-      .groupBy(col("bg")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("bg"))
-      .limit(20)
+    // both sides are per-snapshot artifacts — the ≤4096-cell sketch
+    // (the very thing the streaming twin maintains as stored state)
+    // and the 20-row exact yardstick; neither should re-pay its
+    // corpus scan per read
+    val cells = graft.SnapshotMemo.getOrCompute(s, s"cms-cells:$d") {
+      chkSer(cmsCellsOf(docs(s, d)))
+    }
+    val exact = graft.SnapshotMemo.getOrCompute(s, s"cms-top20:$d") {
+      chkSer(bigramRows(s, d)
+        .groupBy(col("bg")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("bg"))
+        .limit(20))
+    }
     val keyed = exact
       .withColumn("h", md5(col("bg")))
       .select(col("bg"), col("exact_n"),
