@@ -64,7 +64,60 @@ object RelationalQueries {
     "rel_q37_resample" -> resampleLocf,
     "rel_q38_communities" -> communities,
     "rel_q39_skyline_incr" -> skylineIncremental,
+    "rel_q40_unpivot" -> unpivotMetrics,
+    "rel_q41_profile" -> columnProfile,
   )
+
+  /** Wide-to-long UNPIVOT (`rel_q40_unpivot`) — the melt operator
+    * feature pipelines use to turn per-row metric COLUMNS into
+    * (metric, value) rows for generic downstream aggregation, via
+    * Spark's native `Dataset.unpivot` (Catalyst `Unpivot` node, not
+    * a hand-rolled union of scans — ONE pass over the table
+    * expanding 4 rows per input row map-side). Money-like doubles
+    * ride as exact cents; the rollup is one combine-collapsed
+    * exchange on the 4-key metric space. The oracle spells the
+    * same reshape as the UNION ALL definition. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_quantity") * 100).cast("long").as("quantity_c"),
+        cents(col("l_extendedprice")).as("extendedprice_c"),
+        cents(col("l_discount")).as("discount_c"),
+        cents(col("l_tax")).as("tax_c"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity_c"), col("extendedprice_c"),
+          col("discount_c"), col("tax_c")),
+        "metric", "v")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_c"),
+        min(col("v")).as("min_c"), max(col("v")).as("max_c"))
+
+  /** One-pass column profiler (`rel_q41_profile`) — the ANALYZE
+    * operator a warehouse runs before planning and a pipeline runs
+    * as a data-quality gate: per column of `customer`, row/null
+    * counts, EXACT distinct cardinality, and lexicographic min/max
+    * of the string form (doubles ride as cents so no float
+    * formatting crosses the engine boundary). ONE scan explodes
+    * each row into its (column, value) pairs map-side; the rollup
+    * is a combine-collapsed aggregate on the column-name key space
+    * (5 keys here) — never one pass per column. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey",
+      "c_mktsegment")
+    val pairs = cols.map(c =>
+      s"struct('$c' AS cname, CAST($c AS STRING) AS v)") :+
+      "struct('c_acctbal_c' AS cname, " +
+        "CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS STRING) AS v)"
+    Tables(spark, dir, "customer")
+      .select(explode(expr(pairs.mkString("array(", ", ", ")")))
+        .as("p"))
+      .select(col("p.cname").as("column_name"), col("p.v").as("v"))
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_s"), max(col("v")).as("max_s"))
+  }
 
   /** Incremental skyline maintenance (`rel_q39_skyline_incr`) — the
     * refresh path: the BASE corpus's frontier is a stored
@@ -1849,6 +1902,43 @@ object RelationalQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM p b
          |  WHERE b.cents <= a.cents AND b.size >= a.size
          |    AND (b.cents < a.cents OR b.size > a.size))""".stripMargin,
+
+    // the UNION ALL spelling of the same reshape — an unpivot that
+    // drops rows, mislabels metrics, or loses exactness in the
+    // cents ride hash-mismatches
+    "rel_q40_unpivot" ->
+      s"""WITH m AS (
+         |  SELECT 'quantity_c' AS metric,
+         |    CAST(l_quantity * 100 AS BIGINT) AS v FROM lineitem
+         |  UNION ALL SELECT 'extendedprice_c',
+         |    ${sqlCents("l_extendedprice")} FROM lineitem
+         |  UNION ALL SELECT 'discount_c',
+         |    ${sqlCents("l_discount")} FROM lineitem
+         |  UNION ALL SELECT 'tax_c',
+         |    ${sqlCents("l_tax")} FROM lineitem)
+         |SELECT metric, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS sum_c,
+         |  min(v) AS min_c, max(v) AS max_c
+         |FROM m GROUP BY 1""".stripMargin,
+
+    // per-column UNION ALL profile — lexicographic min/max over the
+    // same string forms, doubles as cents so no float formatting
+    // crosses the engine boundary
+    "rel_q41_profile" -> {
+      val plain = Seq("c_custkey", "c_name", "c_nationkey",
+        "c_mktsegment")
+        .map(c => s"SELECT '$c' AS column_name, " +
+          s"CAST($c AS VARCHAR) AS v FROM customer")
+      val acct = "SELECT 'c_acctbal_c', " +
+        s"CAST(${sqlCents("c_acctbal")} AS VARCHAR) FROM customer"
+      s"""WITH p AS (${(plain :+ acct).mkString("\n  UNION ALL ")})
+         |SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         |  min(v) AS min_s, max(v) AS max_s
+         |FROM p GROUP BY 1""".stripMargin
+    },
 
     // incremental == from-scratch: the same domination definition
     // over the FULL posterior set — the stored-frontier union path
