@@ -66,7 +66,48 @@ object RelationalQueries {
     "rel_q39_skyline_incr" -> skylineIncremental,
     "rel_q40_unpivot" -> unpivotMetrics,
     "rel_q41_profile" -> columnProfile,
+    "rel_q42_scd2" -> scd2Dimension,
   )
+
+  /** Type-2 slowly-changing-dimension historization
+    * (`rel_q42_scd2`) — the warehouse op that turns an event stream
+    * into VERSIONED validity intervals: consecutive same-type runs
+    * of each user's events collapse into one row with
+    * `[valid_from, valid_to)` microsecond bounds, a per-user version
+    * number, and `is_current` on the open interval — the table every
+    * point-in-time join reads. Deterministic total order by
+    * (ts, event_id) so ties can't flap versions between engines.
+    * Scale shape: one exchange on the user key; BOTH windows (the
+    * change marker + running version, then the interval close via
+    * lead) and the run collapse reuse that partitioning — windows
+    * are user-bounded state, never a global sort. */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")))
+
+  /** [[scd2Dimension]]'s core over any (user_id, event_id,
+    * event_type, ts_us) frame (spec surface). */
+  private[queries] def scd2Of(e: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val marked = e.withColumn("prev",
+        lag(col("event_type"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev").isNull ||
+          col("prev") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wOrd))
+    val runs = marked.groupBy(col("user_id"), col("version"),
+        col("event_type"))
+      .agg(min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wVer = Window.partitionBy(col("user_id"))
+      .orderBy(col("version"))
+    runs
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 
   /** Wide-to-long UNPIVOT (`rel_q40_unpivot`) — the melt operator
     * feature pipelines use to turn per-row metric COLUMNS into
@@ -1939,6 +1980,33 @@ object RelationalQueries {
          |  min(v) AS min_s, max(v) AS max_s
          |FROM p GROUP BY 1""".stripMargin
     },
+
+    // the same run-collapse replayed with DuckDB's own window
+    // functions over the same deterministic (ts, event_id) order —
+    // a versioner that flaps on ts ties, misses a type change, or
+    // closes intervals at run END instead of next-run START
+    // hash-mismatches
+    "rel_q42_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS version FROM m),
+        |r AS (SELECT user_id, version, event_type,
+        |    MIN(ts_us) AS valid_from_us,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(version AS BIGINT) AS version,
+        |  event_type, valid_from_us, n_events,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS valid_to_us,
+        |  (lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY version) IS NULL) AS is_current
+        |FROM r""".stripMargin,
 
     // incremental == from-scratch: the same domination definition
     // over the FULL posterior set — the stored-frontier union path
