@@ -37,7 +37,14 @@ import org.apache.spark.sql.functions._
   * REAL ([[Mp3Headers]] behind [[graft.functions.Mp3Meta]],
   * `mm_mp3_meta`): ID3v2 syncsafe skip + the MPEG-1 Layer III
   * derived-frame-length walk — frame count, sample rate, channel
-  * mode, VBR bitrate sum, duration. H.264 BITSTREAM METADATA IS
+  * mode, VBR bitrate sum, duration — plus the Xing/Info VBR block
+  * ([[graft.functions.Mp3Vbr]], `mm_mp3_vbr`). COMPANDED (lossy)
+  * AUDIO DECODE IS REAL FOR BOTH G.711 HALVES
+  * ([[AudioHeaders.ulawExpand]]/[[AudioHeaders.alawExpand]] behind
+  * [[graft.functions.AudioUlawLevels]]/[[graft.functions.AudioAlawLevels]],
+  * `mm_audio_ulaw`/`mm_audio_alaw`): the segment/mantissa expansion
+  * verified against the JDK's own codecs on all 256 codes.
+  * H.264 BITSTREAM METADATA IS
   * REAL ([[H264Headers]] behind [[graft.functions.H264Sps]],
   * `mm_h264_sps`): Annex-B NAL walk, RBSP emulation-prevention
   * unescape, and the full §7.3.2.1 Exp-Golomb SPS field chain to
