@@ -88,7 +88,7 @@ object RelationalQueries {
 
   /** [[scd2Dimension]]'s core over any (user_id, event_id,
     * event_type, ts_us) frame (spec surface). */
-  private[queries] def scd2Of(e: DataFrame): DataFrame = {
+  private[graft] def scd2Of(e: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val marked = e.withColumn("prev",
