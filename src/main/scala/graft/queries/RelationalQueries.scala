@@ -213,10 +213,17 @@ object RelationalQueries {
   val LpaRounds = 4
 
   def communities(spark: SparkSession, dir: String): DataFrame =
-    communitiesOf(Tables(spark, dir, "lineitem")
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
-      LpaRounds)
+    // the final label assignment is the per-snapshot artifact (the
+    // community membership later analytics read — the
+    // pagerank-converged discipline); the rollup re-derives
+    graft.SnapshotMemo.getOrCompute(spark, s"lpa-labels:$dir") {
+      communitiesOf(Tables(spark, dir, "lineitem")
+        .filter(col("l_linenumber") <= 3)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        LpaRounds)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
 
   /** [[communities]]' core over an explicit (ok, pk) membership
     * table (spec surface). */
