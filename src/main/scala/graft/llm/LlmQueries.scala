@@ -127,6 +127,8 @@ object LlmQueries {
     "mm_h264_sps" -> h264Sps,
     "mm_h264_pcm" -> h264PcmDecode,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
+    "llm_orc_roundtrip" -> orcRoundtrip,
+    "llm_csv_roundtrip" -> csvRoundtrip,
     "llm_compress_ratio" -> compressRatio,
     "llm_suffix_array" -> SuffixArray.suffixArray,
     "llm_exact_substr" -> SuffixArray.exactSubstr,
@@ -968,6 +970,75 @@ object LlmQueries {
     }
     graft.sources.JsonlDocs.read(s, path)
   }
+
+  private val DocCols =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** ORC interchange roundtrip (`llm_orc_roundtrip`) — the second
+    * COLUMNAR boundary format next to parquet (ORC ships native in
+    * Spark): write the corpus out, read it back, return the rows —
+    * the oracle is the documents table itself, so any loss (type
+    * coercion, string mangling, row drop) hash-mismatches. Memoized
+    * write once per snapshot; the read is a plain columnar scan
+    * with the same pushdown/pruning properties as parquet. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = s"${storedIndexPath(d)}/orc"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"orc:$d") {
+        docs(s, d).select(DocCols.map(col): _*)
+          .write.mode("overwrite").orc(path)
+        s.range(1).toDF("built")
+      }
+    }
+    s.read.orc(path).select(DocCols.map(col): _*)
+  }
+
+  /** CSV interchange roundtrip (`llm_csv_roundtrip`) — the format
+    * corpora actually arrive in, with the settings that make it
+    * LOSSLESS for free text: header on, quote-all + backslash
+    * escape on write, `multiLine` on read so embedded newlines
+    * survive, and an explicit schema (no inference drift). The
+    * oracle is again the documents table verbatim — a quoting /
+    * escaping / newline bug anywhere in the pair of configs
+    * hash-mismatches on the text column. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = s"${storedIndexPath(d)}/csv"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"csv:$d") {
+        csvWrite(docs(s, d).select(DocCols.map(col): _*), path)
+        s.range(1).toDF("built")
+      }
+    }
+    csvRead(s, path)
+  }
+
+  /** The lossless CSV config pair — ONE definition so the write and
+    * read legs (and the adversarial-text spec) cannot drift. Two
+    * defaults are silently lossy and overridden here: the WRITER
+    * trims leading/trailing whitespace unless told not to, and the
+    * reader's default `nullValue` of "" turns every empty string
+    * into null — a sentinel that cannot occur in text (U+0001)
+    * keeps "" meaning "". */
+  private[graft] def csvWrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", "")
+      .csv(path)
+
+  private[graft] def csvRead(s: SparkSession, path: String): DataFrame =
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, " +
+        "source STRING, n_chars BIGINT")
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("nullValue", "")
+      .csv(path)
+      .select(DocCols.map(col): _*)
 
   /** Compression-ratio quality pass
     * ([[graft.functions.DeflateRatio]]): per-document ×1000 deflate
@@ -6970,6 +7041,13 @@ object LlmQueries {
     // therefore proves the engine's JSONL write→read cycle is
     // byte-lossless on every column, text content included
     "llm_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // losslessness contracts for the other two interchange formats:
+    // the oracle IS the source table
+    "llm_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "llm_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
   )
 }
