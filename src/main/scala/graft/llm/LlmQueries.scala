@@ -1026,7 +1026,7 @@ object LlmQueries {
       .option("escape", "\"")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
-      .option("nullValue", "")
+      .option("nullValue", "\u0001")
       .csv(path)
 
   private[graft] def csvRead(s: SparkSession, path: String): DataFrame =
@@ -1036,7 +1036,7 @@ object LlmQueries {
       .option("header", "true")
       .option("multiLine", "true")
       .option("escape", "\"")
-      .option("nullValue", "")
+      .option("nullValue", "\u0001")
       .csv(path)
       .select(DocCols.map(col): _*)
 

@@ -60,6 +60,28 @@ object DocsStream {
     reader.json(path)
   }
 
+  /** Streaming `documents` table over a directory of CSV shards —
+    * the third ingest boundary, sharing
+    * [[graft.llm.LlmQueries.csvRead]]'s LOSSLESS config pair
+    * (multiLine so embedded newlines survive, the U+0001 null
+    * sentinel so empty strings stay empty, explicit schema, FAILFAST
+    * so a malformed shard stops the stream rather than nulling rows
+    * into the corpus). Same exactly-once-per-file semantics as
+    * [[documents]]/[[documentsJsonl]]; every downstream gate
+    * composes unchanged. */
+  def documentsCsv(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\u0001")
+      .option("mode", "FAILFAST")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.csv(path)
+  }
+
   /** Streaming twin of the incremental span-level dedup
     * ([[LlmQueries.spanIncremental]]): each arriving micro-batch is
     * PROBED against the persisted span-gram index (the base corpus's

@@ -34,5 +34,22 @@ class RoundtripSpec extends AnyFunSuite {
     val back = LlmQueries.csvRead(s, path)
       .as[(Long, String, String, String, Long)].collect().toSet
     assert(back === rows.toSet)
+
+    // the streaming ingest twin reads the same files losslessly
+    val outPath = Files.createTempDirectory("csv-rt-out").toFile
+      .getAbsolutePath + "/out"
+    graft.streaming.DocsStream
+      .documentsCsv(s, path, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation", Files
+        .createTempDirectory("csv-rt-ckpt").toFile.getAbsolutePath)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outPath); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = s.read.parquet(outPath)
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(streamed === rows.toSet)
   }
 }
