@@ -33,12 +33,10 @@ object AudioHex {
     }.mkString("concat(", ", ", ")")
 
   /** Integer from the n little-endian BYTES at 1-based hex position
-    * `pos` of hex string expression `hs`. */
+    * `pos` of hex string expression `hs` ([[ImageHex.leUnhexN]],
+    * shared — ONE definition of the LE read). */
   def unhexLE(hs: String, pos: Int, nBytes: Int, posFn: String): String =
-    (0 until nBytes).map { i =>
-      val p = 1L << (8 * i)
-      s"${ImageHex.unhexN(hs, pos + 2 * i, 2, posFn)} * $p"
-    }.mkString("(", " + ", ")")
+    ImageHex.leUnhexN(hs, pos, nBytes, posFn)
 
   /** A minimal-but-valid PCM WAV header (16-bit samples). `rate`,
     * `ch`, `dataBytes` are integer SQL expressions; riff_size is the
@@ -120,15 +118,14 @@ object AudioHex {
   val AlawCodeExpr = "((doc_id * 173 + i * 251) % 256)"
 
   /** Hex of `nv` µ-law code bytes, the i-th being SQL expression
-    * `codeE` (free variable `i`) — Spark spelling. */
+    * `codeE` (free variable `i`) — Spark spelling ([[ImageHex]]'s
+    * shared seq-join, ONE definition of the loop spelling). */
   def ulawPayloadHexSpark(nv: String, codeE: String): String =
-    s"array_join(transform(sequence(0, CAST(($nv) - 1 AS INT)), " +
-      s"i -> ${ImageHex.hexN(codeE, 2, "div")}), '')"
+    ImageHex.seqJoinSpark("i", nv, ImageHex.hexN(codeE, 2, "div"))
 
   /** [[ulawPayloadHexSpark]]'s DuckDB spelling. */
   def ulawPayloadHexDuck(nv: String, codeE: String): String =
-    s"list_aggregate(list_transform(range(0, CAST($nv AS BIGINT)), " +
-      s"i -> ${ImageHex.hexN(codeE, 2, "//")}), 'string_agg', '')"
+    ImageHex.seqJoinDuck("i", nv, ImageHex.hexN(codeE, 2, "//"))
 
   /** u16le at DYNAMIC 1-based hex position expression `posE` of hex
     * string expression `hs` — the oracle's per-sample read (fixed-
@@ -143,11 +140,8 @@ object AudioHex {
 
   /** u8 at DYNAMIC 1-based hex position expression `posE` of hex
     * string expression `hs` — the oracle's per-CODE read for the
-    * one-byte-per-value µ-law payload. */
-  def unhexU8at(hs: String, posE: String, posFn: String): String = {
-    def digit(off: Int): String =
-      s"(CAST($posFn('0123456789ABCDEF', substring($hs, " +
-        s"CAST(($posE) + $off AS INT), 1)) - 1 AS BIGINT))"
-    s"(${digit(0)} * 16 + ${digit(1)})"
-  }
+    * one-byte-per-value µ-law payload ([[ImageHex.byteAt]], shared
+    * — ONE definition of the dynamic byte read). */
+  def unhexU8at(hs: String, posE: String, posFn: String): String =
+    ImageHex.byteAt(hs, posE, posFn)
 }

@@ -174,19 +174,23 @@ object RelationalQueries {
     * domination definition over the FULL posterior set — the
     * incremental path must land on the from-scratch answer
     * bit-for-bit (the `rdf_reachable_incr` contract). */
-  def skylineIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables(spark, dir, "part")
-      .select(col("p_partkey").as("partkey"),
-        cents(col("p_retailprice")).as("cents"),
-        col("p_size").cast("long").as("size"))
-    val base = graft.SnapshotMemo.getOrCompute(spark,
-      s"skyline-base:$dir") {
-      skylineArtifact(pts.filter(col("partkey") % 10 =!= 7))
+  def skylineIncremental(spark: SparkSession, dir: String): DataFrame =
+    // memoized per snapshot so warm repetitions do not strand one
+    // frontier checkpoint each (the per-call artifact has no safe
+    // free point — the caller consumes it)
+    graft.SnapshotMemo.getOrCompute(spark, s"skyline-incr:$dir") {
+      val pts = Tables(spark, dir, "part")
+        .select(col("p_partkey").as("partkey"),
+          cents(col("p_retailprice")).as("cents"),
+          col("p_size").cast("long").as("size"))
+      val base = graft.SnapshotMemo.getOrCompute(spark,
+        s"skyline-base:$dir") {
+        skylineArtifact(pts.filter(col("partkey") % 10 =!= 7))
+      }
+      // the outer pass ranges over frontier + delta only — artifact
+      // form again so ITS interior checkpoint frees too
+      skylineArtifact(base.union(pts.filter(col("partkey") % 10 === 7)))
     }
-    // the outer pass ranges over frontier + delta only — artifact
-    // form again so ITS interior checkpoint frees too
-    skylineArtifact(base.union(pts.filter(col("partkey") % 10 === 7)))
-  }
 
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * part co-purchase graph (`rel_q38_communities`) — community
@@ -213,22 +217,37 @@ object RelationalQueries {
   val LpaRounds = 4
 
   def communities(spark: SparkSession, dir: String): DataFrame =
-    // the final label assignment is the per-snapshot artifact (the
-    // community membership later analytics read — the
-    // pagerank-converged discipline); the rollup re-derives
+    // the final rollup is the per-snapshot artifact (the
+    // pagerank-converged discipline), with the interior edge/label
+    // checkpoints FREED once it materializes — only the rollup
+    // stays resident
     graft.SnapshotMemo.getOrCompute(spark, s"lpa-labels:$dir") {
-      communitiesOf(Tables(spark, dir, "lineitem")
-        .filter(col("l_linenumber") <= 3)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      val shim = org.apache.spark.sql.graftshim.ColumnBridge
+      val (edges, lab, rollup) = communityRounds(
+        Tables(spark, dir, "lineitem")
+          .filter(col("l_linenumber") <= 3)
+          .select(col("l_orderkey").as("ok"),
+            col("l_partkey").as("pk")),
         LpaRounds)
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val snap = rollup.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      shim.freeLocalCheckpoint(edges)
+      shim.freeLocalCheckpoint(lab)
+      snap
     }
 
   /** [[communities]]' core over an explicit (ok, pk) membership
-    * table (spec surface). */
+    * table (spec surface — transient form; the interior checkpoints
+    * live until the session drops them, artifact callers go through
+    * [[communities]]). */
   private[queries] def communitiesOf(li: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame = communityRounds(li, rounds)._3
+
+  /** Returns (edge checkpoint, final label checkpoint, lazy rollup)
+    * so artifact callers can free the interiors once the rollup
+    * materializes. */
+  private def communityRounds(li: DataFrame,
+      rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
     def chk(df: DataFrame): DataFrame = df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -259,8 +278,8 @@ object RelationalQueries {
       shim.freeLocalCheckpoint(prev)
       r += 1
     }
-    lab.groupBy(col("lab").as("community"))
-      .agg(count(lit(1)).as("n_members"))
+    (edges, lab, lab.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members")))
   }
 
   /** Hourly gap-fill + last-observation-carried-forward resample

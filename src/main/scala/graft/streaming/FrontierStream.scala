@@ -68,9 +68,14 @@ object FrontierStream {
           }
         // artifact form: the interior range checkpoint frees as soon
         // as the frontier exists, and the frontier checkpoint frees
-        // once the swap lands — a long-running stream strands nothing
+        // once the swap lands — a long-running stream strands nothing.
+        // distinct() is the MULTISET half of the idempotence claim:
+        // a redelivered batch re-presents rows the frontier already
+        // holds, and identical rows both survive the skyline walk —
+        // without the dedup every replay would append duplicate
+        // frontier rows (set-equal, multiset-corrupt)
         val next = RelationalQueries.skylineArtifact(cur.union(
-          batch.select("partkey", "cents", "size")))
+          batch.select("partkey", "cents", "size")).distinct())
         Pipeline.atomicReplace(next, frontierPath)
         org.apache.spark.sql.graftshim.ColumnBridge
           .freeLocalCheckpoint(next)

@@ -59,11 +59,16 @@ class FrontierStreamSpec extends AnyFunSuite {
     assert(truth.nonEmpty)
 
     // redeliver EVERY shard through a fresh checkpoint: the frontier
-    // absorbs them algebraically — no change
+    // absorbs them algebraically — no change, AS A MULTISET (a
+    // set-only compare would hide duplicate-row corruption of the
+    // stored artifact)
     FrontierStream.startFrontierMaintenance(
       FrontierStream.points(spark, dir, maxFilesPerTrigger = Some(1)),
       fp, tmp("frontier-ckpt2")).awaitTermination()
-    assert(rows(FrontierStream.readFrontier(spark, fp)) === truth)
+    val after = FrontierStream.readFrontier(spark, fp)
+    assert(rows(after) === truth)
+    assert(after.count() === truth.size.toLong,
+      "replay duplicated frontier rows")
   }
 
   test("a torn swap (dest missing, .old present) heals before the " +
