@@ -257,6 +257,23 @@ object RdfQueries {
       SparqlSelect.update(tri(s, d), sparqlUpdateDeleteQuery)),
     "rdf_update_insert_data" -> ((s, d) =>
       SparqlSelect.update(tri(s, d), sparqlUpdateInsertQuery)),
+    // SPARQL 1.1 UPDATE graph management over the multi-graph store
+    // — pure graph-column algebra (filter / filter ∪ relabelled copy
+    // + the set dedup that IS per-graph set semantics)
+    "rdf_update_clear_graph" -> ((s, d) =>
+      SparqlSelect.update(multiGraph(s, d),
+        "CLEAR GRAPH <http://ex.org/graph/1>")),
+    "rdf_update_copy_graph" -> ((s, d) =>
+      SparqlSelect.update(multiGraph(s, d),
+        "COPY GRAPH <http://ex.org/graph/0> TO <http://ex.org/graph/2>")),
+    "rdf_update_move_graph" -> ((s, d) =>
+      SparqlSelect.update(multiGraph(s, d),
+        "MOVE GRAPH <http://ex.org/graph/enrich> " +
+          "TO GRAPH <http://ex.org/graph/0>")),
+    "rdf_update_add_graph" -> ((s, d) =>
+      SparqlSelect.update(multiGraph(s, d),
+        "ADD GRAPH <http://ex.org/graph/1> " +
+          "TO GRAPH <http://ex.org/graph/enrich>")),
   )
 
   /** The canonical front-end query for `rdf_sparql_select` — the
@@ -2661,6 +2678,52 @@ object RdfQueries {
          |  UNION ALL SELECT 'default', 'http://ex.org/meta/run', 'iri',
          |    '${Vocab.RdfType}', 'http://ex.org/def#EtlRun', 'iri',
          |    NULL, NULL)""".stripMargin,
+
+    // graph management replayed as graph-column algebra over the
+    // same mg store — an engine that relabels the wrong side, skips
+    // the set dedup, or forgets MOVE's source removal hash-mismatches
+    "rdf_update_clear_graph" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT * FROM mg
+         |WHERE graph <> 'http://ex.org/graph/1'""".stripMargin,
+
+    "rdf_update_copy_graph" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT DISTINCT * FROM (
+         |  SELECT * FROM mg WHERE graph <> 'http://ex.org/graph/2'
+         |  UNION ALL
+         |  SELECT 'http://ex.org/graph/2', subject, subject_kind,
+         |    predicate, obj_value, obj_kind, obj_lang, obj_datatype
+         |  FROM mg WHERE graph = 'http://ex.org/graph/0')""".stripMargin,
+
+    "rdf_update_move_graph" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT DISTINCT * FROM (
+         |  SELECT * FROM mg
+         |  WHERE graph <> 'http://ex.org/graph/0'
+         |    AND graph <> 'http://ex.org/graph/enrich'
+         |  UNION ALL
+         |  SELECT 'http://ex.org/graph/0', subject, subject_kind,
+         |    predicate, obj_value, obj_kind, obj_lang, obj_datatype
+         |  FROM mg
+         |  WHERE graph = 'http://ex.org/graph/enrich')""".stripMargin,
+
+    "rdf_update_add_graph" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT DISTINCT * FROM (
+         |  SELECT * FROM mg
+         |  UNION ALL
+         |  SELECT 'http://ex.org/graph/enrich', subject, subject_kind,
+         |    predicate, obj_value, obj_kind, obj_lang, obj_datatype
+         |  FROM mg WHERE graph = 'http://ex.org/graph/1')""".stripMargin,
 
     // same matched-resource set as rdf_describe's oracle
     "rdf_sparql_describe" ->

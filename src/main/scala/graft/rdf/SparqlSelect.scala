@@ -373,6 +373,13 @@ object SparqlSelect {
   sealed trait Update
   final case class UInsertData(rows: Seq[ConstTriple]) extends Update
   final case class UDeleteData(rows: Seq[ConstTriple]) extends Update
+  /** CLEAR GRAPH <g> / DEFAULT / NAMED / ALL — scope is the graph
+    * name, "default", " named" or " all" (sentinels no IRI
+    * can be). */
+  final case class UClear(scope: String) extends Update
+  /** ADD/COPY/MOVE (GRAPH <g> | DEFAULT) TO (GRAPH <g> | DEFAULT). */
+  final case class UGraphXfer(op: String, from: String,
+      to: String) extends Update
   /** `DELETE { del } INSERT { ins } WHERE { body }` — either
     * template may be empty; `DELETE WHERE { p }` sugars to del = the
     * body's own patterns. */
@@ -404,6 +411,27 @@ object SparqlSelect {
         t.unionByName(constRows(t, rows)).dropDuplicates()
       case UDeleteData(rows) =>
         antiTriples(t, broadcast(constRows(t, rows)))
+      // graph management: pure graph-column algebra — a filter, or a
+      // filter ∪ graph-relabelled copy with the per-graph set dedup;
+      // map-side except the dedup exchange the set semantics IS
+      case UClear(scope) => scope match {
+        case " all" => t.limit(0)
+        case " named" => t.filter(col("graph") === "default")
+        case g => t.filter(col("graph") =!= g)
+      }
+      case UGraphXfer(op, from, to) =>
+        if (from == to) t // SPARQL: same-graph ADD/COPY/MOVE is a no-op
+        else {
+          val copied = t.filter(col("graph") === from)
+            .withColumn("graph", lit(to))
+          val kept = op match {
+            case "ADD" => t
+            case "COPY" => t.filter(col("graph") =!= to)
+            case "MOVE" =>
+              t.filter(col("graph") =!= to && col("graph") =!= from)
+          }
+          kept.unionByName(copied).dropDuplicates()
+        }
       case UModify(del, ins, q) =>
         val g = q.groups.head
         val sol = joinsGroup(t, q, g, templateMetaVars(del ++ ins, g),
@@ -1189,10 +1217,30 @@ object SparqlSelect {
       * `INSERT DATA { consts }` | `DELETE DATA { consts }` |
       * `DELETE WHERE { patterns }` |
       * `DELETE { tmpl }? INSERT { tmpl }? WHERE { body }`. */
+    /** `GRAPH <iri>` or `DEFAULT` — the graph designators the
+      * transfer verbs and CLEAR share. */
+    private def graphRef(): String =
+      if (kw("DEFAULT")) { next(); "default" }
+      else {
+        if (kw("GRAPH")) next()
+        resolve(next())
+      }
+
     def update(): Update = {
       prefixDecls()
       val u: Update =
-        if (kw("INSERT")) {
+        if (kw("CLEAR")) {
+          next()
+          if (kw("ALL")) { next(); UClear(" all") }
+          else if (kw("NAMED")) { next(); UClear(" named") }
+          else UClear(graphRef())
+        } else if (kw("ADD") || kw("COPY") || kw("MOVE")) {
+          val op = peek.toUpperCase
+          next()
+          val from = graphRef()
+          expect("TO")
+          UGraphXfer(op, from, graphRef())
+        } else if (kw("INSERT")) {
           next()
           if (kw("DATA")) { next(); UInsertData(constBlock()) }
           else {
