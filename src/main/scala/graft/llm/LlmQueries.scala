@@ -79,6 +79,7 @@ object LlmQueries {
     "llm_span_incremental" -> spanIncremental,
     "llm_winnow" -> winnow,
     "llm_split_assign" -> splitAssign,
+    "llm_split_leakage" -> splitLeakage,
     "llm_length_buckets" -> lengthBuckets,
     "llm_source_overlap" -> sourceOverlap,
     "llm_text_stats" -> textStats,
@@ -2620,16 +2621,46 @@ object LlmQueries {
     * per-split rollup; the assignment expression itself is the
     * per-doc artifact. */
   def splitAssign(s: SparkSession, d: String): DataFrame =
+    splitOf(s, d)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Per-document split assignment — the deterministic hash rule of
+    * [[splitAssign]], kept as a frame so the leakage audit can join
+    * it against the near-dup pair table. */
+  private def splitOf(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), col("n_chars"),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("wh", expr(hexHashExpr("instr")))
-      .select(col("n_chars"),
+      .select(col("doc_id"), col("n_chars"),
         when(col("wh") % 100 < 90, "train")
           .when(col("wh") % 100 < 95, "val")
           .otherwise("test").as("split"))
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Train/eval near-dup LEAKAGE audit (`llm_split_leakage`) — the
+    * eval-hygiene pass every benchmark-honest pipeline runs AFTER
+    * splitting: a near-duplicate pair straddling two splits means
+    * the held-out member is effectively in training (Lee et al.
+    * 2022's deduplicate-before-you-split argument, run as an audit).
+    * Composes two existing artifacts — the memoized MinHash-LSH
+    * pair table and the deterministic hash split — with two
+    * doc-keyed joins; output is every cross-split pair with both
+    * assignments. At 100 TB: the pair table is the already-paid
+    * dedup artifact and the split table is a hash rule evaluated
+    * map-side, so the audit costs two equi-joins on the
+    * candidate-pair cardinality, never a new all-pairs pass. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val sp = splitOf(s, d).select(col("doc_id"), col("split"))
+    dedupMinhash(s, d)
+      .join(sp.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("split_a"), col("split_b"))
+  }
 
   /** Token-length histogram (8-token buckets, capped at 12) — the
     * length distribution that drives packing efficiency and
@@ -5137,6 +5168,26 @@ object LlmQueries {
     "llm_dedup_minhash" ->
       s"""WITH $minhashCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    // the pair CTE joined against the split rule re-derived with
+    // doc_id kept — an audit that drops a straddling pair or joins
+    // the wrong side hash-mismatches
+    "llm_split_leakage" ->
+      s"""WITH $minhashCte,
+         |spl AS (SELECT doc_id,
+         |    CASE WHEN wh % 100 < 90 THEN 'train'
+         |         WHEN wh % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${hexHashExpr("strpos")} AS wh
+         |        FROM (SELECT doc_id,
+         |            md5(CAST(doc_id AS VARCHAR)) AS h
+         |          FROM documents)))
+         |SELECT p.doc_a, p.doc_b, sa.split AS split_a,
+         |  sb.split AS split_b
+         |FROM pairs p
+         |JOIN spl sa ON sa.doc_id = p.doc_a
+         |JOIN spl sb ON sb.doc_id = p.doc_b
+         |WHERE sa.split <> sb.split""".stripMargin,
 
     "llm_ngram_jaccard" ->
       s"""WITH $minhashCte,
