@@ -104,6 +104,7 @@ object LlmQueries {
     "mm_webp_dims" -> webpDims,
     "mm_tiff_dims" -> tiffDims,
     "mm_audio_meta" -> audioMeta,
+    "mm_audio_float_meta" -> audioFloatMeta,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_ulaw" -> audioUlawLevels,
     "mm_audio_alaw" -> audioAlawLevels,
@@ -3565,6 +3566,32 @@ object LlmQueries {
         sum(expr("m.n_samples * 1000 div m.sample_rate")).as("sum_ms"))
   }
 
+  /** IEEE-float WAV metadata (`mm_audio_float_meta`) — format tag 3,
+    * the studio/DAW wire format: geometry lives entirely in the
+    * header (channels, rate, bits=32, declared sample count), so the
+    * metadata lane is exact with NO sample decode — float sample
+    * ARITHMETIC stays deliberately out (not oracle-exact), the one
+    * WAV family member where metering would lie. Same map-side
+    * construct → decode → bounded rollup as [[audioMeta]], the
+    * bits column proving the fmt-3 path end-to-end. */
+  def audioFloatMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(44100, 48000, 96000), " +
+          "CAST(doc_id % 3 AS INT) + 1)").as("rate0"),
+        expr("CAST(doc_id % 2 AS INT) + 1").as("ch0"),
+        expr("(doc_id * 37) % 96000 + 4").as("nv0"))
+      .withColumn("payload", unhex(
+        expr(AudioHex.wavHexFloat("rate0", "ch0", "nv0", "div"))))
+      .withColumn("m", graft.functions.AudioMeta(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"),
+        col("m.bits").cast("bigint").as("bits"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_samples")).as("sum_samples"))
+  }
+
   /** PII regexes shared by the engine and (verbatim, backslashes
     * unprocessed by DuckDB regular strings) the oracle — simple
     * enough to mean the same thing in Java regex and RE2: no
@@ -6489,6 +6516,36 @@ object LlmQueries {
          |  CAST(MAX(pk) AS BIGINT) AS max_peak,
          |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
          |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // float-header replay: every field incl. bits read positionally
+    // from the rebuilt fmt-3 header; n_samples re-derived from the
+    // declared data size over the 4-byte-per-value block align
+    "mm_audio_float_meta" -> {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([44100, 48000, 96000],
+         |      CAST(doc_id % 3 AS INT) + 1) AS rate0,
+         |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+         |    (doc_id * 37) % 96000 + 4 AS nv0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${wavHexFloat("rate0", "ch0", "nv0", "//")}))
+         |      AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    ${unhexLE("hs", ChannelsPos, 2, "strpos")} AS channels,
+         |    ${unhexLE("hs", SampleRatePos, 4, "strpos")} AS sample_rate,
+         |    ${unhexLE("hs", BitsPos, 2, "strpos")} AS bits,
+         |    ${unhexLE("hs", DataSizePos, 4, "strpos")} AS data_bytes
+         |  FROM b)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(bits AS BIGINT) AS bits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(data_bytes // (channels * 4)) AS BIGINT)
+         |    AS sum_samples
+         |FROM f GROUP BY 1, 2, 3""".stripMargin
     },
 
     // companded replay: positional one-byte code walk → G.711

@@ -60,16 +60,17 @@ object AudioHeaders {
         // fmt must be complete (sample geometry is the whole point)
         if (size < 16 || start + 16 > n) return None
         val fmt = u16le(b, start)
-        // PCM, A-law, or µ-law only
-        if (fmt != 1 && fmt != 6 && fmt != 7) return None
+        // integer PCM, IEEE float, A-law, or µ-law only
+        if (fmt != 1 && fmt != 3 && fmt != 6 && fmt != 7) return None
         val ch = u16le(b, start + 2)
         val rate = u32le(b, start + 4)
         blockAlign = u16le(b, start + 12)
         val bits = u16le(b, start + 14)
         if (ch < 1 || rate < 1 || rate > Int.MaxValue ||
           bits < 8 || bits % 8 != 0) return None
-        // G.711 codes are bytes
+        // G.711 codes are bytes; IEEE float is 32- or 64-bit
         if ((fmt == 6 || fmt == 7) && bits != 8) return None
+        if (fmt == 3 && bits != 32 && bits != 64) return None
         if (blockAlign != ch * (bits / 8)) return None
         geom = Some((fmt, ch, rate.toInt, bits))
       } else if (tag(b, at, "data")) {
@@ -90,7 +91,12 @@ object AudioHeaders {
     * WAV payload, else None. */
   def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] =
     walkChunks(b).collect {
-      case (1, ch, rate, bits, blockAlign, _, dataSize) =>
+      // integer PCM and IEEE-float WAVs both carry their geometry in
+      // the header alone — metadata needs no sample decode (float
+      // SAMPLE metering stays out: float arithmetic is not
+      // oracle-exact)
+      case (fmt, ch, rate, bits, blockAlign, _, dataSize)
+          if fmt == 1 || fmt == 3 =>
         (ch, rate, bits, dataSize / blockAlign)
     }
 

@@ -102,6 +102,23 @@ object AudioHex {
       intdiv: String): String =
     wavHexG711("0700", rate, ch, dataBytes, intdiv)
 
+  /** IEEE-float WAV header (format tag 3, 32-bit samples) — same
+    * 64-byte layout; `nValues` counts float values (4 bytes each,
+    * declared-size semantics like [[wavHex]]). */
+  def wavHexFloat(rate: String, ch: String, nValues: String,
+      intdiv: String): String =
+    s"concat('52494646', ${hexLE(s"56 + ($nValues) * 4", 4, intdiv)}, " +
+      "'57415645', " +
+      "'4C495354', '0C000000', '494E464F4941525447465430', " +
+      "'666D7420', '10000000', '0300', " +
+      s"${hexLE(ch, 2, intdiv)}, ${hexLE(rate, 4, intdiv)}, " +
+      s"${hexLE(s"($rate) * ($ch) * 4", 4, intdiv)}, " +
+      s"${hexLE(s"($ch) * 4", 2, intdiv)}, '2000', " +
+      s"'64617461', ${hexLE(s"($nValues) * 4", 4, intdiv)})"
+
+  /** 1-based hex position of the bits-per-sample field (byte 54). */
+  val BitsPos = 54 * 2 + 1 // 109
+
   def wavHexAlaw(rate: String, ch: String, dataBytes: String,
       intdiv: String): String =
     wavHexG711("0600", rate, ch, dataBytes, intdiv)

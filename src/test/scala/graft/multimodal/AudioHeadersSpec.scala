@@ -28,6 +28,28 @@ class AudioHeadersSpec extends AnyFunSuite {
       .contains((1, 8000, 16, 37L)))
   }
 
+  test("IEEE-float WAV (format tag 3): JDK encoder bytes parse to " +
+      "32-bit geometry; float bits other than 32/64 fail the walk") {
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_FLOAT, 48000f, 32, 2, 8, 48000f, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](50 * 8)),
+      fmt, 50L)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    assert(AudioHeaders.parse(out.toByteArray)
+      .contains((2, 48000, 32, 50L)))
+    // float sample METERING stays out: not a 16-bit integer stream
+    assert(AudioHeaders.levels(out.toByteArray).isEmpty)
+    // a fmt-3 header declaring 16-bit floats is malformed
+    val bad = out.toByteArray.clone()
+    // locate the fmt chunk's bits field: JDK writes the canonical
+    // 44-byte header (fmt payload at 20, bits at 34)
+    bad(34) = 16; bad(35) = 0
+    bad(32) = 4 // block align must stay consistent: ch*(bits/8)
+    assert(AudioHeaders.parse(bad).isEmpty)
+  }
+
   private def le(v: Long, n: Int): Seq[Int] =
     (0 until n).map(i => ((v >> (8 * i)) & 0xff).toInt)
 
