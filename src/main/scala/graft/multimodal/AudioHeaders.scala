@@ -148,13 +148,53 @@ object AudioHeaders {
     case None => null
   }
 
+  /** REAL FLAC STREAMINFO decode — the audio container family's
+    * BIG-endian, bit-packed member (WAV is LE and byte-aligned; FLAC
+    * is the counterpoint on both axes). A FLAC stream is "fLaC"
+    * followed by metadata blocks `[is_last:1|type:7][len:u24be]
+    * [body]`; the spec requires the FIRST block to be STREAMINFO
+    * (type 0, body exactly 34 bytes). The sample geometry lives in
+    * one 64-bit big-endian bit-pack at body offset 10:
+    * 20 bits sample rate, 3 bits channels−1, 5 bits bits/sample−1,
+    * 36 bits total inter-channel samples. Only the header range is
+    * read — later blocks (PADDING, VORBIS_COMMENT, …) and the frame
+    * payload may be absent, the same declared-size semantics as the
+    * WAV walk above. Fail-closed: wrong magic / first block not
+    * STREAMINFO / short buffer / out-of-spec geometry (rate 0 or
+    * > 655350, bits < 4) → None. */
+  def parseFlac(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 42) return None
+    if (!tag(b, 0, "fLaC")) return None
+    val hdr = u8(b, 4)
+    if ((hdr & 0x7f) != 0) return None // first block must be STREAMINFO
+    val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if (len != 34) return None
+    // the packed geometry: body bytes 10..17 = file bytes 18..25
+    val rate = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+    val ch = ((u8(b, 20) >> 1) & 7) + 1
+    val bits = (((u8(b, 20) & 1) << 4) | (u8(b, 21) >> 4)) + 1
+    val total = ((u8(b, 21) & 0x0f).toLong << 32) |
+      (u8(b, 22).toLong << 24) | (u8(b, 23).toLong << 16) |
+      (u8(b, 24).toLong << 8) | u8(b, 25).toLong
+    if (rate < 1 || rate > 655350 || bits < 4) None
+    else Some((ch, rate, bits, total))
+  }
+
   /** [[parse]] as an `InternalRow` for the
     * [[graft.functions.AudioMeta]] codegen path (called from
-    * generated Java — keep the signature static-friendly). Null =
-    * not a parseable PCM WAV. */
-  def parseRow(b: Array[Byte]): InternalRow = parse(b) match {
-    case Some((ch, rate, bits, ns)) => InternalRow(ch, rate, bits, ns)
-    case None => null
+    * generated Java — keep the signature static-friendly). One
+    * expression, two containers: dispatches on the in-band magic —
+    * "fLaC" → [[parseFlac]], RIFF/WAVE → [[parse]] — the same
+    * multi-format sniff [[ImageHeaders.parse]] does for images.
+    * Null = neither container parses. */
+  def parseRow(b: Array[Byte]): InternalRow = {
+    val r =
+      if (b != null && b.length >= 4 && tag(b, 0, "fLaC")) parseFlac(b)
+      else parse(b)
+    r match {
+      case Some((ch, rate, bits, ns)) => InternalRow(ch, rate, bits, ns)
+      case None => null
+    }
   }
 
   /** Energy-delta audio fingerprint over decoded 16-bit PCM — the

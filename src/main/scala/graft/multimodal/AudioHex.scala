@@ -161,4 +161,40 @@ object AudioHex {
     * — ONE definition of the dynamic byte read). */
   def unhexU8at(hs: String, posE: String, posFn: String): String =
     ImageHex.byteAt(hs, posE, posFn)
+
+  /** A minimal-but-valid FLAC stream head: "fLaC" + STREAMINFO
+    * (34-byte body: block sizes 4096/4096, frame sizes unknown,
+    * the 64-bit geometry bit-pack, zero MD5 = unknown), optionally
+    * followed by a declared-length PADDING block when `hasPadE` —
+    * so STREAMINFO's is-last bit genuinely varies across the corpus
+    * and a parser that misreads the whole header byte as the type
+    * fails half the files. The geometry pack is built NIBBLE-ALIGNED
+    * on purpose (20-bit rate = 5 hex digits; channels−1 in bits 3..1
+    * of one nibble with the bits/sample−1 high bit 0 since the
+    * fixture stays ≤ 16 bits; total < 2^32 so its top nibble is 0):
+    * every field is positionally extractable by the oracle.
+    * Constraints on the caller: `bits` ≤ 16, `total` < 2^32,
+    * channels 1..8, rate < 2^20. */
+  def flacHex(rate: String, ch: String, bits: String, total: String,
+      hasPadE: String, padBytesE: String, intdiv: String): String = {
+    import ImageHex.hexN
+    s"concat('664C6143', " +
+      s"CASE WHEN $hasPadE THEN '00' ELSE '80' END, '000022', " +
+      "'1000', '1000', '000000', '000000', " +
+      s"${hexN(rate, 5, intdiv)}, " +
+      s"${hexN(s"(($ch) - 1) * 2", 1, intdiv)}, " +
+      s"${hexN(s"($bits) - 1", 1, intdiv)}, '0', " +
+      s"${hexN(total, 8, intdiv)}, " +
+      s"repeat('0', 32), " +
+      s"CASE WHEN $hasPadE THEN concat('81', " +
+      s"${hexN(padBytesE, 6, intdiv)}, " +
+      s"repeat('00', CAST($padBytesE AS INT))) ELSE '' END)"
+  }
+
+  /** 1-based hex positions of the geometry fields built by
+    * [[flacHex]] (file byte 18 = the first packed byte). */
+  val FlacRatePos = 18 * 2 + 1     // 37: 5 digits, big-endian
+  val FlacChNibblePos = 20 * 2 + 2 // 42: (ch−1)·2 nibble
+  val FlacBitsNibblePos = 21 * 2 + 1 // 43: bits−1 nibble
+  val FlacTotalPos = 22 * 2 + 1    // 45: 8 digits, big-endian
 }

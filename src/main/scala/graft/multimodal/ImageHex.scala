@@ -121,6 +121,31 @@ object ImageHex {
   val JpegHeightPos = 51
   val JpegWidthPos = 55
 
+  /** A JPEG with an EXIF APP1 before SOF0: SOI + APP1 (declared
+    * length 34 = "Exif\0\0" + a 26-byte TIFF holding exactly IFD0
+    * with the orientation tag 0x0112, SHORT, count 1, value inline
+    * in the TIFF's OWN byte order) + the same SOF0 trailer as
+    * [[jpegHex]]. `le` picks the embedded TIFF's endianness — one
+    * fixture corpus exercises both disciplines inside the BE JPEG
+    * walk. Byte offsets: orientation value @30, height @43,
+    * width @45 → hex positions 61 / 87 / 91. */
+  def jpegExifHex(w: String, h: String, orient: String, le: Boolean,
+      intdiv: String): String = {
+    val tiff =
+      if (le) s"'49492A0008000000', '0100', '12010300', '01000000', " +
+        s"${leHexN(orient, 2, intdiv)}, '0000', '00000000'"
+      else s"'4D4D002A00000008', '0001', '01120003', '00000001', " +
+        s"${hexN(orient, 4, intdiv)}, '0000', '00000000'"
+    s"concat('FFD8FFE10022457869660000', $tiff, " +
+      s"'FFC0001108', ${hexN(h, 4, intdiv)}, ${hexN(w, 4, intdiv)}, " +
+      s"'03011100021101031101FFD9')"
+  }
+
+  /** Hex positions of the fields built by [[jpegExifHex]]. */
+  val ExifOrientPos = 30 * 2 + 1 // 61: u16, endianness per fixture
+  val ExifJpegHeightPos = 43 * 2 + 1 // 87
+  val ExifJpegWidthPos = 45 * 2 + 1  // 91
+
   /** 1-based hex position of the first pixel byte of [[bmpHex]]
     * (54-byte header). */
   val BmpPixelPos = 54 * 2 + 1 // 109

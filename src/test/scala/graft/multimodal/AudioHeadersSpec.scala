@@ -220,4 +220,60 @@ class AudioHeadersSpec extends AnyFunSuite {
     val fp = AudioHeaders.fingerprint(encodedWith(8000f, 1, long)).get
     assert(fp._2 == 50L && fp._3 >= 0 && fp._3 < (1L << 32))
   }
+
+  /** A FLAC stream head with the STREAMINFO geometry bit-packed by
+    * INDEPENDENT arithmetic (shift-compose here, masked reads in the
+    * parser), optionally followed by a PADDING block. */
+  private def flacBytes(rate: Int, ch: Int, bits: Int, total: Long,
+      pad: Option[Int] = None, firstType: Int = 0,
+      blockLen: Int = 34): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes)
+    out.write((if (pad.isEmpty) 0x80 else 0x00) | firstType)
+    out.write(blockLen >> 16); out.write((blockLen >> 8) & 0xff)
+    out.write(blockLen & 0xff)
+    out.write(Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0))
+    // the 64-bit pack: rate(20) | ch-1(3) | bits-1(5) | total(36)
+    val packed = (rate.toLong << 44) | ((ch - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | total
+    (7 to 0 by -1).foreach(i => out.write(((packed >> (8 * i)) & 0xff).toInt))
+    out.write(new Array[Byte](16)) // md5 unknown
+    pad.foreach { n =>
+      out.write(0x81); out.write(0); out.write(n >> 8)
+      out.write(n & 0xff); out.write(new Array[Byte](n))
+    }
+    out.toByteArray
+  }
+
+  test("FLAC STREAMINFO: bit-pack decode, is-last variants, " +
+    "36-bit totals, fail-closed adversaries, parseRow dispatch") {
+    assert(AudioHeaders.parseFlac(flacBytes(44100, 2, 16, 1234567L))
+      .contains((2, 44100, 16, 1234567L)))
+    // padding follows: is-last clear on STREAMINFO, still parses
+    assert(AudioHeaders.parseFlac(
+      flacBytes(96000, 8, 24, 42L, pad = Some(11)))
+      .contains((8, 96000, 24, 42L)))
+    // a total above 2^32 exercises the 36-bit read
+    assert(AudioHeaders.parseFlac(
+      flacBytes(48000, 1, 16, (5L << 32) + 7))
+      .contains((1, 48000, 16, (5L << 32) + 7)))
+    // fail-closed: wrong magic / first block not STREAMINFO /
+    // wrong declared body length / zero rate / sub-spec bits / short
+    assert(AudioHeaders.parseFlac("flaC0000".getBytes ++
+      new Array[Byte](40)).isEmpty)
+    assert(AudioHeaders.parseFlac(
+      flacBytes(44100, 2, 16, 1L, firstType = 4)).isEmpty)
+    assert(AudioHeaders.parseFlac(
+      flacBytes(44100, 2, 16, 1L, blockLen = 33)).isEmpty)
+    assert(AudioHeaders.parseFlac(flacBytes(0, 2, 16, 1L)).isEmpty)
+    assert(AudioHeaders.parseFlac(flacBytes(44100, 2, 3, 1L)).isEmpty)
+    assert(AudioHeaders.parseFlac(
+      flacBytes(44100, 2, 16, 1L).take(41)).isEmpty)
+    // one expression, two containers: parseRow sniffs the magic
+    val viaRow = AudioHeaders.parseRow(flacBytes(22050, 1, 8, 99L))
+    assert(viaRow != null && viaRow.getInt(1) == 22050 &&
+      viaRow.getInt(0) == 1 && viaRow.getInt(2) == 8 &&
+      viaRow.getLong(3) == 99L)
+    assert(AudioHeaders.parseRow(encoded(8000f, 1, 37)) != null)
+  }
 }
