@@ -73,6 +73,7 @@ object LlmQueries {
     "llm_kmv_distinct" -> kmvDistinct,
     "llm_hll_distinct" -> hllDistinct,
     "llm_kmv_incremental" -> kmvIncremental,
+    "llm_kmv_intersect" -> kmvIntersect,
     "llm_novelty" -> novelty,
     "llm_dup_spans" -> dupSpans,
     "llm_span_dedup_keep" -> spanDedupKeep,
@@ -103,8 +104,10 @@ object LlmQueries {
     "mm_gif_dims" -> gifDims,
     "mm_webp_dims" -> webpDims,
     "mm_tiff_dims" -> tiffDims,
+    "mm_exif_meta" -> exifMeta,
     "mm_audio_meta" -> audioMeta,
     "mm_audio_float_meta" -> audioFloatMeta,
+    "mm_flac_meta" -> flacMeta,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_ulaw" -> audioUlawLevels,
     "mm_audio_alaw" -> audioAlawLevels,
@@ -800,7 +803,15 @@ object LlmQueries {
   private def computeClusters(s: SparkSession, d: String): DataFrame =
     ccFromPairs(clusterEdges(minhashSig(s, d)))
 
-  private[graft] def ccFromPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def ccFromPairs(pairs: DataFrame): DataFrame =
+    ccFromPairsChk(pairs)._2
+
+  /** [[ccFromPairs]] returning BOTH the raw label checkpoint (so
+    * rollup-only callers can free it once their artifact
+    * materializes — [[graft.queries.RelationalQueries.components]])
+    * and the projected (doc_id, cluster_id) view. */
+  private[graft] def ccFromPairsChk(
+      pairs: DataFrame): (DataFrame, DataFrame) = {
     // SERIALIZED block storage for the edge list: it is PAIR-scale
     // (the one table here that grows with duplication density, not
     // corpus size alone), and the default deserialized level
@@ -860,7 +871,8 @@ object LlmQueries {
     }
     // the edge list is only needed during the loop
     org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(e0)
-    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    (labels,
+      labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id")))
   }
 
   /** The deduplicated corpus: every document except non-canonical
@@ -2296,6 +2308,72 @@ object LlmQueries {
         col("est_distinct").as("est_full"), col("n_exact"))
   }
 
+  /** KMV MULTISET-OPERATION estimation (`llm_kmv_intersect`) —
+    * the reason a metastore keeps bottom-k sketches per source
+    * rather than plain counts: Beyer et al. (SIGMOD 2007) show one
+    * k-min sketch per set answers UNION and INTERSECTION
+    * cardinalities for every pair without touching the data. For
+    * sources A, B: merge the two sketches, keep the bottom k of the
+    * distinct union (L, threshold τ = its k-th min) —
+    * |A∪B| ≈ (k−1)·M/(τ+1), the same estimator as
+    * [[kmvDistinctOf]]; ρ = |L ∩ K_A ∩ K_B| gives the Jaccard
+    * numerator, so |A∩B| ≈ ρ·Û/k — all exact integer arithmetic
+    * here (ρ·Û div k), so the oracle replays it bit-for-bit. When
+    * the merged sketch holds fewer than k values both sketches are
+    * COMPLETE and the answers are exact, not estimates (the same
+    * fallback as the distinct sketch). Scale shape: the sketch
+    * table is sources × k longs — the pair join is driver-trivial
+    * and NEVER touches the corpus; the exact-intersection yardstick
+    * column (measure-don't-claim, as in the ANN recall queries) is
+    * the only corpus-scale pass. */
+  def kmvIntersect(s: SparkSession, d: String): DataFrame =
+    kmvIntersectOf(docs(s, d))
+
+  def kmvIntersectOf(in: DataFrame): DataFrame = {
+    val hv = in
+      .select(col("source"), tokenExpr.as("w"))
+      .select(col("source"), explode(expr(shingle3Expr)).as("sg"))
+      .withColumn("h", md5(col("sg")))
+      .select(col("source"), expr(hexHashExpr("instr")).as("hv"))
+      .distinct()
+    val sk = hv.groupBy(col("source"))
+      .agg(graft.functions.TopKByLong.topK(-col("hv"), col("hv"), kmvK)
+        .as("tk"))
+      .select(col("source"), expr("transform(tk, x -> x.id)").as("sk"))
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("merged", expr("array_sort(array_union(ska, skb))"))
+      .withColumn("ell", expr(s"slice(merged, 1, $kmvK)"))
+      .withColumn("est_union", expr(
+        s"""CASE WHEN size(merged) < $kmvK
+           |  THEN CAST(size(merged) AS BIGINT)
+           |  ELSE (${kmvK - 1}L * 4294967296L)
+           |    div (element_at(ell, $kmvK) + 1L) END""".stripMargin))
+      .withColumn("rho", expr(
+        "CAST(size(array_intersect(array_intersect(ell, ska), skb)) " +
+          "AS BIGINT)"))
+      .withColumn("est_inter", expr(
+        s"""CASE WHEN size(merged) < $kmvK
+           |  THEN CAST(size(array_intersect(ska, skb)) AS BIGINT)
+           |  ELSE (rho * est_union) div $kmvK END""".stripMargin))
+    val exact = hv.as("x")
+      .join(hv.as("y"),
+        col("x.hv") === col("y.hv") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"),
+        col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    pairs
+      .select(col("source_a"), col("source_b"), col("est_union"),
+        col("rho"), col("est_inter"))
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        col("est_union"), col("rho"), col("est_inter"))
+  }
+
   /** Per-document novelty: the fraction of a document's distinct
     * 3-gram shingles that appear in NO other document — the
     * "how much of this doc is new text" signal a mixing/curation
@@ -3532,6 +3610,44 @@ object LlmQueries {
         col("dims.height").cast("bigint").as("height"))
   }
 
+  /** EXIF orientation (`mm_exif_meta`) — the tag every photo
+    * pipeline must honor BEFORE any resize plan: a corpus mixing
+    * EXIF-less JPEGs (orientation defaults to 1), little-endian
+    * ("II") and big-endian ("MM") embedded TIFF blocks is decoded
+    * by the native [[graft.functions.ExifMeta]] codegen expression,
+    * and the DISPLAY dimensions are derived per the spec —
+    * orientations 5–8 transpose, so `oriented_w/h` swap. The oracle
+    * re-reads orientation positionally with the matching per-row
+    * endianness (a parser applying one byte order to both halves of
+    * the corpus hash-mismatches) and re-derives the swap in SQL.
+    * Map-side construct → parse → project; no shuffle at all —
+    * exactly the per-object metadata pass a 100 TB photo lake runs
+    * before its resize fleet. */
+  def exifMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.ImageHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("(doc_id % 800) + 1").as("w0"),
+        expr("((doc_id * 7) % 600) + 1").as("h0"),
+        expr("CAST(doc_id % 8 AS INT) + 1").as("or0"))
+      .withColumn("payload", unhex(expr(
+        s"""CASE WHEN doc_id % 5 = 0
+           |  THEN ${ImageHex.jpegHex("w0", "h0", "div")}
+           |  WHEN doc_id % 2 = 0
+           |  THEN ${ImageHex.jpegExifHex("w0", "h0", "or0", le = true, "div")}
+           |  ELSE ${ImageHex.jpegExifHex("w0", "h0", "or0", le = false, "div")}
+           |END""".stripMargin)))
+      .withColumn("m", graft.functions.ExifMeta(col("payload")))
+      .select(col("doc_id"),
+        col("m.width").cast("bigint").as("width"),
+        col("m.height").cast("bigint").as("height"),
+        col("m.orientation").cast("bigint").as("orientation"),
+        when(col("m.orientation") >= 5, col("m.height"))
+          .otherwise(col("m.width")).cast("bigint").as("oriented_w"),
+        when(col("m.orientation") >= 5, col("m.width"))
+          .otherwise(col("m.height")).cast("bigint").as("oriented_h"))
+  }
+
   /** REAL audio header decode — [[imageDims]]' little-endian
     * sibling: build genuine PCM WAV headers per document
     * (deterministic rate/channels/size from doc_id, via
@@ -3590,6 +3706,43 @@ object LlmQueries {
         col("m.bits").cast("bigint").as("bits"))
       .agg(count(lit(1)).as("n_clips"),
         sum(col("m.n_samples")).as("sum_samples"))
+  }
+
+  /** FLAC STREAMINFO metadata (`mm_flac_meta`) — the audio
+    * container family's big-endian, BIT-PACKED member (WAV is LE
+    * and byte-aligned), decoded by the same `audio_meta` codegen
+    * expression, which sniffs the in-band magic like `image_dims`
+    * does for images: build per-document FLAC heads (full channel
+    * range 1–8, 8/16-bit, realistic rate ladder, sub-2³² sample
+    * counts; odd docs carry a declared-length PADDING block so
+    * STREAMINFO's is-last bit genuinely varies), parse, roll up per
+    * (rate, channels, bits) with exact integer durations. The
+    * oracle re-reads the NIBBLE-ALIGNED geometry pack positionally
+    * — a parser that byte-swaps, misplaces the 20-bit rate, or
+    * off-by-ones the −1-coded channel/bits fields hash-mismatches.
+    * Map-side construct → parse → partial agg; one bounded exchange
+    * on the ≤ 160-key geometry space. */
+  def flacMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 16000, 22050, 32000, 44100, " +
+          "48000, 88200, 96000), CAST(doc_id % 8 AS INT) + 1)")
+          .as("rate0"),
+        expr("CAST((doc_id * 3) % 8 AS INT) + 1").as("ch0"),
+        expr("CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END").as("bits0"),
+        expr("(doc_id * 97) % 100000000").as("total0"),
+        expr("doc_id % 2 = 1").as("haspad0"),
+        expr("CAST(doc_id % 16 AS INT)").as("pad0"))
+      .withColumn("payload", unhex(expr(AudioHex.flacHex(
+        "rate0", "ch0", "bits0", "total0", "haspad0", "pad0", "div"))))
+      .withColumn("m", graft.functions.AudioMeta(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"),
+        col("m.bits").cast("bigint").as("bits"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_samples")).as("sum_samples"),
+        sum(expr("m.n_samples * 1000 div m.sample_rate")).as("sum_ms"))
   }
 
   /** PII regexes shared by the engine and (verbatim, backslashes
@@ -5818,6 +5971,72 @@ object LlmQueries {
          |    AS BIGINT) AS est_distinct
          |FROM n LEFT JOIN kth ON n.source = kth.source""".stripMargin,
 
+    // KMV multiset replay: per-source bottom-64 via a window, the
+    // merged-sketch union/intersection estimators re-derived with
+    // JOINS instead of the engine's array kernels — same exact
+    // integer arithmetic, fully independent plumbing
+    "llm_kmv_intersect" ->
+      s"""WITH t AS (SELECT source,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |pos AS (SELECT source, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM t),
+         |g AS (SELECT source,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+         |  FROM pos),
+         |hv AS (SELECT DISTINCT source, ${hexHashExpr("strpos")} AS v
+         |  FROM g),
+         |r AS (SELECT source, v, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY v ASC) AS INT) AS rn FROM hv),
+         |sk AS (SELECT source, v FROM r WHERE rn <= $kmvK),
+         |srcs AS (SELECT DISTINCT source FROM hv),
+         |pr AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |u AS (SELECT pr.sa, pr.sb, sk.v
+         |  FROM pr JOIN sk ON sk.source = pr.sa OR sk.source = pr.sb
+         |  GROUP BY 1, 2, 3),
+         |um AS (SELECT sa, sb, v,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY sa, sb
+         |      ORDER BY v ASC) AS INT) AS rn,
+         |    COUNT(*) OVER (PARTITION BY sa, sb) AS msize
+         |  FROM u),
+         |ell AS (SELECT * FROM um WHERE rn <= $kmvK),
+         |tau AS (SELECT sa, sb, MAX(v) AS tau, MAX(msize) AS msize
+         |  FROM ell GROUP BY 1, 2),
+         |rho AS (SELECT e.sa, e.sb, COUNT(*) AS rho
+         |  FROM ell e
+         |  JOIN sk x ON x.source = e.sa AND x.v = e.v
+         |  JOIN sk y ON y.source = e.sb AND y.v = e.v
+         |  GROUP BY 1, 2),
+         |skin AS (SELECT x.source AS sa, y.source AS sb,
+         |    COUNT(*) AS c
+         |  FROM sk x JOIN sk y ON x.v = y.v AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |exin AS (SELECT x.source AS sa, y.source AS sb,
+         |    COUNT(*) AS n
+         |  FROM hv x JOIN hv y ON x.v = y.v AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |est AS (SELECT t.sa, t.sb,
+         |    CASE WHEN t.msize < $kmvK THEN t.msize
+         |      ELSE (${kmvK - 1} * 4294967296) // (t.tau + 1) END
+         |      AS est_union,
+         |    coalesce(r.rho, 0) AS rho,
+         |    coalesce(s.c, 0) AS skc,
+         |    t.msize
+         |  FROM tau t
+         |  LEFT JOIN rho r ON t.sa = r.sa AND t.sb = r.sb
+         |  LEFT JOIN skin s ON t.sa = s.sa AND t.sb = s.sb)
+         |SELECT e.sa AS source_a, e.sb AS source_b,
+         |  CAST(coalesce(x.n, 0) AS BIGINT) AS n_exact_inter,
+         |  CAST(e.est_union AS BIGINT) AS est_union,
+         |  CAST(e.rho AS BIGINT) AS rho,
+         |  CAST(CASE WHEN e.msize < $kmvK THEN e.skc
+         |    ELSE (e.rho * e.est_union) // $kmvK END AS BIGINT)
+         |    AS est_inter
+         |FROM est e
+         |LEFT JOIN exin x ON e.sa = x.sa AND e.sb = x.sb""".stripMargin,
+
     // HLL replay: same md5-derived 32-bit hash, registers re-derived
     // (top-6-bit bucket, 27 − bitlength rho via bin()), the exact
     // common-denominator harmonic fold re-run in BIGINT — no float
@@ -6385,6 +6604,52 @@ object LlmQueries {
          |FROM b""".stripMargin
     },
 
+    // EXIF replay: orientation re-read positionally with the
+    // matching per-row TIFF endianness (LE bytes vs BE digits at
+    // the same position give DIFFERENT values for every legal
+    // orientation), dims from the SOF positions, the 5–8 transpose
+    // re-derived in SQL
+    "mm_exif_meta" -> {
+      import graft.multimodal.ImageHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    (doc_id % 800) + 1 AS w0,
+         |    ((doc_id * 7) % 600) + 1 AS h0,
+         |    CAST(doc_id % 8 AS INT) + 1 AS or0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(CASE WHEN doc_id % 5 = 0
+         |      THEN ${jpegHex("w0", "h0", "//")}
+         |      WHEN doc_id % 2 = 0
+         |      THEN ${jpegExifHex("w0", "h0", "or0", le = true, "//")}
+         |      ELSE ${jpegExifHex("w0", "h0", "or0", le = false, "//")}
+         |      END)) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ${unhexN("hs", JpegWidthPos, 4, "strpos")}
+         |      ELSE ${unhexN("hs", ExifJpegWidthPos, 4, "strpos")} END
+         |      AS width,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ${unhexN("hs", JpegHeightPos, 4, "strpos")}
+         |      ELSE ${unhexN("hs", ExifJpegHeightPos, 4, "strpos")} END
+         |      AS height,
+         |    CASE WHEN doc_id % 5 = 0 THEN 1
+         |      WHEN doc_id % 2 = 0
+         |      THEN ${leUnhexN("hs", ExifOrientPos, 2, "strpos")}
+         |      ELSE ${unhexN("hs", ExifOrientPos, 4, "strpos")} END
+         |      AS orientation
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST(width AS BIGINT) AS width,
+         |  CAST(height AS BIGINT) AS height,
+         |  CAST(orientation AS BIGINT) AS orientation,
+         |  CAST(CASE WHEN orientation >= 5 THEN height ELSE width END
+         |    AS BIGINT) AS oriented_w,
+         |  CAST(CASE WHEN orientation >= 5 THEN width ELSE height END
+         |    AS BIGINT) AS oriented_h
+         |FROM f""".stripMargin
+    },
+
     "mm_image_dims" -> {
       import graft.multimodal.ImageHex._
       s"""WITH t AS (SELECT doc_id,
@@ -6545,6 +6810,45 @@ object LlmQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_clips,
          |  CAST(SUM(data_bytes // (channels * 4)) AS BIGINT)
          |    AS sum_samples
+         |FROM f GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // big-endian bit-pack replay: the nibble-aligned STREAMINFO
+    // geometry (5-digit rate, (ch−1)·2 nibble, bits−1 nibble,
+    // 8-digit total) re-read positionally — independent of the
+    // engine's shift arithmetic
+    "mm_flac_meta" -> {
+      import graft.multimodal.AudioHex._
+      import graft.multimodal.ImageHex.unhexN
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 16000, 22050, 32000, 44100,
+         |      48000, 88200, 96000], CAST(doc_id % 8 AS INT) + 1)
+         |      AS rate0,
+         |    CAST((doc_id * 3) % 8 AS INT) + 1 AS ch0,
+         |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits0,
+         |    (doc_id * 97) % 100000000 AS total0,
+         |    doc_id % 2 = 1 AS haspad0,
+         |    CAST(doc_id % 16 AS INT) AS pad0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${flacHex("rate0", "ch0", "bits0",
+              "total0", "haspad0", "pad0", "//")})) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    ${unhexN("hs", FlacRatePos, 5, "strpos")} AS sample_rate,
+         |    ${unhexN("hs", FlacChNibblePos, 1, "strpos")} // 2 + 1
+         |      AS channels,
+         |    ${unhexN("hs", FlacBitsNibblePos, 1, "strpos")} + 1
+         |      AS bits,
+         |    ${unhexN("hs", FlacTotalPos, 8, "strpos")} AS n_samples
+         |  FROM b)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(bits AS BIGINT) AS bits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
+         |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT)
+         |    AS sum_ms
          |FROM f GROUP BY 1, 2, 3""".stripMargin
     },
 

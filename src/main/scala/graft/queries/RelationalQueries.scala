@@ -67,7 +67,110 @@ object RelationalQueries {
     "rel_q40_unpivot" -> unpivotMetrics,
     "rel_q41_profile" -> columnProfile,
     "rel_q42_scd2" -> scd2Dimension,
+    "rel_q43_expectations" -> expectations,
+    "rel_q44_components" -> components,
   )
+
+  /** Declarative data-quality expectation suite
+    * (`rel_q43_expectations`) — the Deequ-style constraint pass a
+    * warehouse runs on every ingest before downstream jobs trust the
+    * table: six constraints over `orders` (key uniqueness, two
+    * completeness checks, a value-range check, an accepted-values
+    * check, and referential integrity against `customer`) evaluated
+    * in ONE pass — a single left join on the foreign key (both sides
+    * data-dependent: shuffle join, AQE picks the strategy) feeding a
+    * single global aggregate whose conditional sums are all partial
+    * (map-side) — then pivoted to one row per constraint with
+    * `stack`. The only two-phase piece is the exact
+    * `count(distinct)` the uniqueness constraint needs (the same
+    * price Deequ pays; swap for approx_count_distinct when a
+    * tolerance is declared). The oracle recomputes every metric as
+    * independent scalar SQL and UNION ALLs the rows. */
+  def expectations(spark: SparkSession, dir: String): DataFrame =
+    expectationsOf(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"))
+
+  /** [[expectations]]' core over explicit orders/customer frames
+    * (spec surface). */
+  private[graft] def expectationsOf(ord: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val cust = customer.select(col("c_custkey"))
+    val j = ord.join(cust, col("o_custkey") === col("c_custkey"), "left")
+    val m = j.agg(
+      count(lit(1)).as("total"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("u_viol"),
+      sum(when(col("o_orderpriority").isNull ||
+        col("o_orderpriority") === "", 1L)
+        .otherwise(0L)).as("c_viol"),
+      sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 600000,
+        1L).otherwise(0L)).as("r_viol"),
+      sum(when(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("v_viol"),
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("f_viol"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("d_viol"))
+    m.select(expr(
+        """stack(6,
+          |  'orders.o_custkey.ref_customer', total, f_viol,
+          |  'orders.o_orderdate.complete', total, d_viol,
+          |  'orders.o_orderkey.unique', total, u_viol,
+          |  'orders.o_orderpriority.complete', total, c_viol,
+          |  'orders.o_orderstatus.values', total, v_viol,
+          |  'orders.o_totalprice.range', total, r_viol)
+          |AS (expectation, total, violations)""".stripMargin))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy(col("expectation"))
+  }
+
+  /** Connected components over the part co-purchase graph
+    * (`rel_q44_components`) — the graph census member between
+    * any-label reach and the density family (triangles, k-core,
+    * LPA): parts are linked when some order buys both, and the
+    * component rollup (representative = min part id, size) is what
+    * an assortment/substitution analysis reads. Reuses the engine's
+    * converged min-label + pointer-jumping CC
+    * ([[graft.llm.LlmQueries.ccFromPairs]] — one shuffle per round,
+    * O(log diameter) rounds, serialized-block checkpoints) on this
+    * graph; the rollup is memoized per snapshot and the interior
+    * label table freed once it materializes (the LPA artifact
+    * discipline). The oracle computes the same fixpoint as a
+    * set-semantics recursive closure — a different algorithm
+    * entirely, so convergence itself is what's being checked. */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(spark, s"cc-parts:$dir") {
+      // the SPARSE pairing (each order's first two lines only):
+      // unlike the LPA graph's dense <=3 clique closure this leaves
+      // a real component structure (~21 components at sf0.01)
+      // instead of one giant blob — the rollup actually says
+      // something, and CC cost scales with edges, not order sizes
+      componentsOf(Tables(spark, dir, "lineitem")
+        .filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+          col("l_linenumber").as("ln")))
+    }
+
+  /** [[components]]' core over an explicit (ok, pk, ln) line table
+    * (spec surface): first-line→second-line part pairs, converged
+    * CC, component-size rollup checkpointed with the interior label
+    * table freed. */
+  private[graft] def componentsOf(li: DataFrame): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") &&
+          col("x.ln") === 1 && col("y.ln") === 2 &&
+          col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("doc_a"), col("y.pk").as("doc_b"))
+      .distinct()
+    val (chk, labels) = graft.llm.LlmQueries.ccFromPairsChk(pairs)
+    val rollup = labels
+      .groupBy(col("cluster_id").as("component_id"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("component_id"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    shim.freeLocalCheckpoint(chk)
+    rollup
+  }
 
   /** Type-2 slowly-changing-dimension historization
     * (`rel_q42_scd2`) — the warehouse op that turns an event stream
@@ -2116,5 +2219,81 @@ object RelationalQueries {
          |  AS n_members
          |FROM lab$LpaRounds GROUP BY 1""".stripMargin
     },
+
+    // every constraint metric recomputed as independent scalar SQL
+    // (the uniqueness gap, both completeness counts, range,
+    // accepted-values, and the anti-join referential count), then
+    // assembled row-per-constraint — structurally nothing like the
+    // engine's one-pass join+stack plan
+    "rel_q43_expectations" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS total
+        |  FROM orders)
+        |SELECT 'orders.o_custkey.ref_customer' AS expectation,
+        |  tot.total,
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c
+        |     WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |    AS violations,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c
+        |     WHERE c.c_custkey = o.o_custkey)) = 0 AS pass
+        |FROM tot
+        |UNION ALL
+        |SELECT 'orders.o_orderdate.complete', tot.total,
+        |  CAST((SELECT count(*) FROM orders
+        |    WHERE o_orderdate IS NULL) AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'orders.o_orderkey.unique', tot.total,
+        |  CAST((SELECT count(*) - count(DISTINCT o_orderkey)
+        |    FROM orders) AS BIGINT),
+        |  (SELECT count(*) - count(DISTINCT o_orderkey)
+        |    FROM orders) = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'orders.o_orderpriority.complete', tot.total,
+        |  CAST((SELECT count(*) FROM orders WHERE o_orderpriority
+        |    IS NULL OR o_orderpriority = '') AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL
+        |    OR o_orderpriority = '') = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'orders.o_orderstatus.values', tot.total,
+        |  CAST((SELECT count(*) FROM orders WHERE o_orderstatus
+        |    IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P'))
+        |    AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL
+        |    OR o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'orders.o_totalprice.range', tot.total,
+        |  CAST((SELECT count(*) FROM orders WHERE o_totalprice < 0
+        |    OR o_totalprice > 600000) AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_totalprice < 0
+        |    OR o_totalprice > 600000) = 0
+        |FROM tot""".stripMargin,
+
+    // the CC fixpoint recomputed as a SET-SEMANTICS recursive
+    // closure (label set per node, min at the end) — a different
+    // algorithm from the engine's pointer-jumping min-propagation,
+    // so agreement checks convergence itself, not the loop
+    "rel_q44_components" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_linenumber = 1 AND y.l_linenumber = 2),
+        |edges AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |r(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.node),
+        |labels AS (SELECT node, min(lbl) AS lbl FROM r GROUP BY node)
+        |SELECT lbl AS component_id, CAST(count(*) AS BIGINT)
+        |  AS n_parts
+        |FROM labels GROUP BY 1""".stripMargin,
   )
 }
