@@ -117,6 +117,7 @@ object LlmQueries {
     "mm_image_levels" -> imageLevels,
     "llm_pii_scrub" -> piiScrub,
     "mm_video_meta" -> videoMeta,
+    "mm_avi_meta" -> aviMeta,
     "mm_png_levels" -> pngLevels,
     "mm_png_gray_levels" -> pngGrayLevels,
     "mm_png16_levels" -> png16Levels,
@@ -4504,6 +4505,37 @@ object LlmQueries {
         max(col("m.height").cast("bigint")).as("max_h"))
   }
 
+  /** AVI main-header metadata (`mm_avi_meta`) — the LITTLE-endian
+    * legacy video container through the SAME `video_meta` expression
+    * as MP4 (magic-dispatched, like `audio_meta`'s WAV/FLAC split):
+    * build per-document AVI heads with a JUNK chunk the RIFF walk
+    * must skip, decode, and emit per-file display geometry plus the
+    * exact millisecond duration derived from AVI's native
+    * microsecond clock (timescale = 10⁶, duration = µsPerFrame ·
+    * frames — the mapping that keeps `ms = d·1000/ts` true for both
+    * containers). The oracle re-reads all four avih fields
+    * positionally as u32le and re-derives the duration — a parser
+    * that byte-swaps, misses the JUNK skip, or misplaces a field
+    * inside the 56-byte header hash-mismatches. Map-side construct
+    * → parse → project; no shuffle. */
+  def aviMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.VideoHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("(doc_id % 1920) + 16").as("w0"),
+        expr("((doc_id * 13) % 1080) + 16").as("h0"),
+        expr("element_at(array(40000, 33367, 20000), " +
+          "CAST(doc_id % 3 AS INT) + 1)").as("usf0"),
+        expr("(doc_id * 31) % 100000 + 1").as("nf0"))
+      .withColumn("payload", unhex(
+        expr(VideoHex.aviHex("w0", "h0", "usf0", "nf0", "div"))))
+      .withColumn("m", graft.functions.VideoMeta(col("payload")))
+      .select(col("doc_id"),
+        col("m.width").cast("bigint").as("width"),
+        col("m.height").cast("bigint").as("height"),
+        expr("m.duration * 1000 div m.timescale").as("dur_ms"))
+  }
+
   /** REAL MP3 frame-walk metadata — the compressed-audio lane's
     * analog of [[videoMeta]]'s box walk: build genuine MPEG-1
     * Layer III streams per document (deterministic VBR bitrate
@@ -7305,6 +7337,36 @@ object LlmQueries {
          |  CAST(SUM(w) AS BIGINT) AS sum_w,
          |  CAST(MAX(h) AS BIGINT) AS max_h
          |FROM f GROUP BY 1""".stripMargin
+    },
+
+    // little-endian avih replay: all four fields re-read
+    // positionally as u32le, duration re-derived from the native
+    // microsecond clock
+    "mm_avi_meta" -> {
+      import graft.multimodal.VideoHex._
+      import graft.multimodal.AudioHex.unhexLE
+      s"""WITH t AS (SELECT doc_id,
+         |    (doc_id % 1920) + 16 AS w0,
+         |    ((doc_id * 13) % 1080) + 16 AS h0,
+         |    list_extract([40000, 33367, 20000],
+         |      CAST(doc_id % 3 AS INT) + 1) AS usf0,
+         |    (doc_id * 31) % 100000 + 1 AS nf0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${aviHex("w0", "h0", "usf0", "nf0", "//")}))
+         |      AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    ${unhexLE("hs", AviWidthPos, 4, "strpos")} AS width,
+         |    ${unhexLE("hs", AviHeightPos, 4, "strpos")} AS height,
+         |    ${unhexLE("hs", AviUsfPos, 4, "strpos")} AS usf,
+         |    ${unhexLE("hs", AviFramesPos, 4, "strpos")} AS nf
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST(width AS BIGINT) AS width,
+         |  CAST(height AS BIGINT) AS height,
+         |  CAST((usf * nf) // 1000 AS BIGINT) AS dur_ms
+         |FROM f""".stripMargin
     },
 
     // positional frame-walk replay: frame offsets from cumulative

@@ -108,13 +108,69 @@ object VideoHeaders {
       }
     }.nextOption()
 
+  private def u32le(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag4(b: Array[Byte], i: Int, s: String): Boolean =
+    u8(b, i) == s.charAt(0) && u8(b, i + 1) == s.charAt(1) &&
+      u8(b, i + 2) == s.charAt(2) && u8(b, i + 3) == s.charAt(3)
+
+  /** REAL AVI main-header decode — the LITTLE-endian legacy video
+    * container, the RIFF sibling of the WAV walk in
+    * [[AudioHeaders]]: "RIFF" + u32le + "AVI ", then a chunk walk of
+    * [id:4][size:u32le][payload, even-padded] where the `LIST/hdrl`
+    * list's `avih` chunk carries the geometry — µs-per-frame @0,
+    * total frames @16, width @32, height @36 (all u32le). Mapped
+    * onto the SAME (width, height, timescale, duration) surface as
+    * MP4 with AVI's native clock: timescale = 1_000_000 (µs),
+    * duration = µsPerFrame · totalFrames — so ms = d·1000/ts holds
+    * for both containers. Non-hdrl chunks (JUNK, INFO, movi …) are
+    * skipped by declared length; truncated or degenerate headers
+    * (zero dims / zero frame period) parse to None, fail-closed. */
+  def parseAvi(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 12) return None
+    if (!tag4(b, 0, "RIFF") || !tag4(b, 8, "AVI ")) return None
+    val n = b.length
+    var i = 12L
+    while (i + 8 <= n) {
+      val at = i.toInt
+      val size = u32le(b, at + 4)
+      val start = at + 8
+      if (tag4(b, at, "LIST") && size >= 4 && start + 4 <= n &&
+        tag4(b, start, "hdrl")) {
+        // avih must lead the hdrl list per spec
+        val ah = start + 4
+        if (ah + 8 > n || !tag4(b, ah, "avih")) return None
+        val asz = u32le(b, ah + 4)
+        val ap = ah + 8
+        if (asz < 56 || ap + 40 > n) return None
+        val usf = u32le(b, ap)
+        val nf = u32le(b, ap + 16)
+        val w = u32le(b, ap + 32)
+        val h = u32le(b, ap + 36)
+        return if (usf < 1 || w < 1 || h < 1 ||
+          w > Int.MaxValue || h > Int.MaxValue) None
+        else Some((w.toInt, h.toInt, 1000000, usf * nf))
+      }
+      i = start.toLong + size + (size & 1L) // pad byte on odd sizes
+    }
+    None
+  }
+
   /** The same parse as an InternalRow
     * (width:int, height:int, timescale:int, duration:long) or null —
     * shared by [[graft.functions.VideoMeta]]'s interpreted and
-    * codegen paths. */
-  def parseRow(b: Array[Byte]): InternalRow =
-    parse(b) match {
+    * codegen paths. One expression, two containers: dispatches on
+    * the in-band magic — RIFF/"AVI " → [[parseAvi]], else the
+    * ISO-BMFF box walk — like `audio_meta` does for WAV/FLAC. */
+  def parseRow(b: Array[Byte]): InternalRow = {
+    val r =
+      if (b != null && b.length >= 12 && tag4(b, 0, "RIFF") &&
+        tag4(b, 8, "AVI ")) parseAvi(b)
+      else parse(b)
+    r match {
       case Some((w, h, ts, d)) => InternalRow(w, h, ts, d)
       case None => null
     }
+  }
 }

@@ -59,4 +59,39 @@ object VideoHex {
   val DurationPos = 60 * 2 + 1  // 121
   val WidthPos = 236 * 2 + 1    // 473
   val HeightPos = 240 * 2 + 1   // 481
+
+  /** A minimal-but-valid AVI head (100 bytes) — the little-endian
+    * RIFF counterpart of [[mp4Hex]], with a JUNK chunk the walk must
+    * skip before `LIST/hdrl`:
+    *
+    * {{{
+    *   0 'RIFF' size=92 'AVI '
+    *  12 'JUNK' size=4 4 junk bytes              (walk must skip)
+    *  24 'LIST' size=68 'hdrl'
+    *  36   'avih' size=56:
+    *         usPerFrame@44  totalFrames@60  width@76  height@80
+    * }}}
+    *
+    * `usf` (µs per frame), `nf`, `w`, `h` are integer SQL
+    * expressions; all avih fields are u32le. */
+  def aviHex(w: String, h: String, usf: String, nf: String,
+      intdiv: String): String = {
+    import graft.multimodal.AudioHex.hexLE
+    "concat('52494646', '5C000000', '41564920', " +          // RIFF/AVI
+      "'4A554E4B', '04000000', 'DEADBEEF', " +               // JUNK
+      "'4C495354', '44000000', '6864726C', " +               // LIST hdrl
+      "'61766968', '38000000', " +                           // avih(56)
+      s"${hexLE(usf, 4, intdiv)}, '0000000000000000', " +    // usf, max, pad
+      "'00000000', " +                                       // flags
+      s"${hexLE(nf, 4, intdiv)}, '00000000', " +             // frames, init
+      "'01000000', '00000000', " +                           // streams, buf
+      s"${hexLE(w, 4, intdiv)}, ${hexLE(h, 4, intdiv)}, " +
+      "'00000000000000000000000000000000')"                  // reserved
+  }
+
+  /** 1-based hex positions of the avih fields built above. */
+  val AviUsfPos = 44 * 2 + 1    // 89
+  val AviFramesPos = 60 * 2 + 1 // 121
+  val AviWidthPos = 76 * 2 + 1  // 153
+  val AviHeightPos = 80 * 2 + 1 // 161
 }

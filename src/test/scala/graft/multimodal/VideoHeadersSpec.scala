@@ -96,4 +96,48 @@ class VideoHeadersSpec extends AnyFunSuite {
       rows.head.getInt(2), rows.head.getLong(3)) ==
       (123, 45, 90000, 123456L))
   }
+
+  private def le32(v: Long): Seq[Int] =
+    (0 until 4).map(i => ((v >> (8 * i)) & 0xff).toInt)
+
+  /** An AVI head with an arbitrary pre-hdrl chunk (walk must skip)
+    * built by INDEPENDENT arithmetic from the parser's reads. */
+  private def aviBytes(w: Long, h: Long, usf: Long, nf: Long,
+      junkLen: Int = 4, avihSize: Int = 56): Array[Byte] = {
+    val avih = "avih".map(_.toInt) ++ le32(avihSize) ++
+      le32(usf) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nf) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Seq.fill(16)(0)
+    val junk = "JUNK".map(_.toInt) ++ le32(junkLen) ++
+      Seq.fill(junkLen + (junkLen & 1))(0xAB)
+    val list = "LIST".map(_.toInt) ++ le32(4 + avih.length) ++
+      "hdrl".map(_.toInt) ++ avih
+    val body = "AVI ".map(_.toInt) ++ junk ++ list
+    ("RIFF".map(_.toInt) ++ le32(body.length) ++ body)
+      .map(_.toByte).toArray
+  }
+
+  test("AVI: avih decode behind a JUNK skip (odd sizes padded), " +
+    "microsecond clock mapping, fail-closed, parseRow dispatch") {
+    assert(VideoHeaders.parseAvi(aviBytes(640, 480, 40000, 250))
+      .contains((640, 480, 1000000, 10000000L)))
+    // odd junk payload exercises the RIFF pad rule
+    assert(VideoHeaders.parseAvi(
+      aviBytes(1920, 1080, 33367, 7, junkLen = 5))
+      .contains((1920, 1080, 1000000, 233569L)))
+    // fail-closed: zero frame period / zero dims / truncated /
+    // undersized avih / wrong magic
+    assert(VideoHeaders.parseAvi(aviBytes(640, 480, 0, 10)).isEmpty)
+    assert(VideoHeaders.parseAvi(aviBytes(0, 480, 40000, 10)).isEmpty)
+    assert(VideoHeaders.parseAvi(
+      aviBytes(640, 480, 40000, 10).take(60)).isEmpty)
+    assert(VideoHeaders.parseAvi(
+      aviBytes(640, 480, 40000, 10, avihSize = 40)).isEmpty)
+    assert(VideoHeaders.parseAvi("RIFXxxxxAVI ".getBytes).isEmpty)
+    // one expression, two containers
+    val viaRow = VideoHeaders.parseRow(aviBytes(33, 7, 20000, 3))
+    assert(viaRow != null && viaRow.getInt(0) == 33 &&
+      viaRow.getInt(1) == 7 && viaRow.getInt(2) == 1000000 &&
+      viaRow.getLong(3) == 60000L)
+  }
 }
