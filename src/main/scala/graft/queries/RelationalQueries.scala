@@ -69,6 +69,7 @@ object RelationalQueries {
     "rel_q42_scd2" -> scd2Dimension,
     "rel_q43_expectations" -> expectations,
     "rel_q44_components" -> components,
+    "rel_q45_components_incr" -> componentsIncremental,
   )
 
   /** Declarative data-quality expectation suite
@@ -147,6 +148,111 @@ object RelationalQueries {
         .filter(col("l_linenumber") <= 2)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
           col("l_linenumber").as("ln")))
+    }
+
+  /** INCREMENTAL connected components (`rel_q45_components_incr`) —
+    * the cross-snapshot form of [[components]], completing the
+    * incremental axis for the graph census the way
+    * `rdf_reachable_incr` does for closure: the existing snapshot's
+    * labels are a stored artifact; an arriving edge shard merges
+    * components WITHOUT re-running CC on the corpus, by CONTRACTION:
+    *
+    *  1. map each delta edge's endpoints through the stored labels
+    *     (an unlabeled endpoint is a brand-new node — itself); the
+    *     join is delta-keyed, so at scale the DELTA broadcasts onto
+    *     one pass of the label artifact;
+    *  2. run converged CC on the CONTRACTED graph — nodes are
+    *     component representatives + new nodes, edges are the
+    *     delta's — which is delta-sized, never corpus-sized;
+    *  3. rebuild the rollup at COMPONENT granularity: untouched
+    *     components pass through; touched ones re-key their stored
+    *     sizes by the merged representative and add their new-node
+    *     counts. Nothing corpus-scale is read at all.
+    *
+    * Representatives stay min-node-ids under contraction (min over
+    * merged mins = global min), so the incremental rollup is
+    * BIT-EQUAL to a full recompute over base ∪ delta — which is
+    * exactly what the oracle computes (the recursive-closure full
+    * CC), making "incremental == full rebuild" the checked contract.
+    * `touched` marks components the delta reached. */
+  def componentsIncremental(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(spark, s"cc-incr:$dir") {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+          col("l_linenumber").as("ln"))
+      // the stored artifact: labels of the existing snapshot
+      val baseLabels = graft.SnapshotMemo.getOrCompute(spark,
+        s"cc-base-labels:$dir") {
+        graft.llm.LlmQueries.ccFromPairs(
+          linePairsOf(li.filter(col("ok") % 10 =!= 7)))
+      }
+      componentsMerge(baseLabels,
+        linePairsOf(li.filter(col("ok") % 10 === 7)))
+    }
+
+  /** First-line→second-line part pairs of a (ok, pk, ln) line table
+    * — the shared edge rule of the CC family. */
+  private def linePairsOf(f: DataFrame): DataFrame =
+    f.as("x").join(f.as("y"),
+        col("x.ok") === col("y.ok") &&
+          col("x.ln") === 1 && col("y.ln") === 2 &&
+          col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("doc_a"), col("y.pk").as("doc_b"))
+      .distinct()
+
+  /** [[componentsIncremental]]'s contraction core over explicit
+    * stored labels + delta pairs (spec surface). */
+  private[graft] def componentsMerge(baseLabels: DataFrame,
+      dPairs: DataFrame): DataFrame = {
+      val shim = org.apache.spark.sql.graftshim.ColumnBridge
+      // endpoint → representative (or itself when new)
+      def lbl(side: String): DataFrame = baseLabels
+        .select(col("doc_id").as(side),
+          col("cluster_id").as(s"l_$side"))
+      val contracted = dPairs
+        .join(lbl("doc_a"), Seq("doc_a"), "left")
+        .join(lbl("doc_b"), Seq("doc_b"), "left")
+        .select(
+          coalesce(col("l_doc_a"), col("doc_a")).as("ca"),
+          coalesce(col("l_doc_b"), col("doc_b")).as("cb"))
+        .select(least(col("ca"), col("cb")).as("doc_a"),
+          greatest(col("ca"), col("cb")).as("doc_b"))
+        .distinct()
+      val (chk, merged) =
+        graft.llm.LlmQueries.ccFromPairsChk(contracted)
+      // merged: (doc_id = contracted node, cluster_id = posterior
+      // representative); self-edges keep internally-touched
+      // components present
+      val m = merged.select(col("doc_id").as("cnode"),
+        col("cluster_id").as("merged"))
+      val baseRollup = baseLabels
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      val newNodes = dPairs.select(col("doc_a").as("node"))
+        .union(dPairs.select(col("doc_b").as("node"))).distinct()
+        .join(baseLabels.select(col("doc_id").as("node")),
+          Seq("node"), "left_anti")
+      val touched = baseRollup
+        .join(m, col("cluster_id") === col("cnode"))
+        .select(col("merged"), col("size"))
+        .unionByName(newNodes
+          .join(m, col("node") === col("cnode"))
+          .select(col("merged"), lit(1L).as("size")))
+        .groupBy(col("merged").as("component_id"))
+        .agg(sum(col("size")).as("n_parts"))
+        .withColumn("touched", lit(true))
+      val untouched = baseRollup
+        .join(m, col("cluster_id") === col("cnode"), "left_anti")
+        .select(col("cluster_id").as("component_id"),
+          col("size").as("n_parts"))
+        .withColumn("touched", lit(false))
+      val out = untouched.unionByName(touched)
+        .orderBy(col("component_id"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      shim.freeLocalCheckpoint(chk)
+      out
     }
 
   /** [[components]]' core over an explicit (ok, pk, ln) line table
@@ -2295,5 +2401,39 @@ object RelationalQueries {
         |SELECT lbl AS component_id, CAST(count(*) AS BIGINT)
         |  AS n_parts
         |FROM labels GROUP BY 1""".stripMargin,
+
+    // the incremental contract IS "stored-base + contracted delta ==
+    // full rebuild": the oracle recomputes CC over base ∪ delta from
+    // scratch (recursive closure) and marks components containing a
+    // delta-edge endpoint — the engine must reproduce it from the
+    // stored labels + component-granularity arithmetic alone
+    "rel_q45_components_incr" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_linenumber = 1 AND y.l_linenumber = 2),
+        |de AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_linenumber = 1 AND y.l_linenumber = 2
+        |    AND x.l_orderkey % 10 = 7),
+        |dn AS (SELECT DISTINCT node FROM (
+        |  SELECT a AS node FROM de UNION ALL SELECT b FROM de)),
+        |edges AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |r(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.node),
+        |labels AS (SELECT node, min(lbl) AS lbl FROM r GROUP BY node)
+        |SELECT l.lbl AS component_id,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  bool_or(d.node IS NOT NULL) AS touched
+        |FROM labels l LEFT JOIN dn d ON l.node = d.node
+        |GROUP BY 1""".stripMargin,
   )
 }
