@@ -63,6 +63,7 @@ object LlmQueries {
     "llm_pq_codes" -> pqCodes,
     "llm_embed_neardup" -> embedNeardup,
     "llm_sample_bottomk" -> sampleBottomK,
+    "llm_sample_weighted" -> sampleWeighted,
     "llm_sample_stratified" -> sampleStratified,
     "llm_mix_sample" -> mixSample,
     "llm_passage_dedup" -> passageDedup,
@@ -1827,6 +1828,38 @@ object LlmQueries {
         md5(col("doc_id").cast("string")).as("h"))
       .orderBy(col("h"), col("doc_id"))
       .limit(100)
+
+  /** WEIGHTED deterministic sampling (`llm_sample_weighted`) — the
+    * curation knob the uniform bottom-k lacks: a document with
+    * priority tier w competes with the MINIMUM of w independent
+    * hash draws (min-stability — the integer-exact relative of
+    * Efraimidis–Spiliotopoulos keys and Cohen's bottom-k sketches
+    * with multiplicity), so higher-priority docs win sample slots
+    * proportionally more often, yet the sample is a pure function
+    * of (doc_id, weight): reproducible across runs, engines, and
+    * re-shards — the property a training-data lottery needs for
+    * audits. The whole key is ONE map-side expression (nested
+    * `transform` + `array_min`, no explode, no groupBy), and the
+    * top-100 rides `ORDER BY … LIMIT` → TakeOrderedAndProject
+    * (per-partition heaps, never a global sort) — the same scan
+    * shape as [[sampleBottomK]] with the weight folded into the
+    * key. Weights are small integer tiers (here doc_id-derived; in
+    * production a source-curation map). */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    sampleWeightedOf(docs(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(doc_id % 4 AS INT) + 1").as("weight")), 100)
+
+  /** [[sampleWeighted]]'s core over an explicit (doc_id, source,
+    * weight) frame (spec surface). */
+  private[graft] def sampleWeightedOf(in: DataFrame, k: Int): DataFrame =
+    in.withColumn("skey", expr(
+        "array_min(transform(transform(sequence(1, weight), " +
+          "r -> md5(concat(CAST(doc_id AS STRING), ':', " +
+          "CAST(r AS STRING)))), " +
+          s"h -> (${hexHashExpr("instr")})))"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(k)
 
   /** Stratified sample: 3 docs per language, smallest key hash first
     * — the same bounded-heap top-k aggregate as the kNN queries, with
@@ -5888,6 +5921,20 @@ object LlmQueries {
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
         |FROM documents
         |ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    // min-of-w-hashes replay: the same per-replica md5 keys derived
+    // with list lambdas and DuckDB's own digit polynomial
+    "llm_sample_weighted" ->
+      s"""SELECT doc_id, source, weight, skey FROM (
+         |  SELECT doc_id, source,
+         |    CAST(doc_id % 4 AS INT) + 1 AS weight,
+         |    list_min(list_transform(list_transform(
+         |      range(1, CAST(doc_id % 4 AS BIGINT) + 2),
+         |      r -> md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |        CAST(r AS VARCHAR))),
+         |      h -> (${hexHashExpr("strpos")}))) AS skey
+         |  FROM documents)
+         |ORDER BY skey, doc_id LIMIT 100""".stripMargin,
 
     "llm_sample_stratified" ->
       s"""WITH hx AS (SELECT doc_id, lang,
