@@ -64,6 +64,7 @@ object LlmQueries {
     "llm_embed_neardup" -> embedNeardup,
     "llm_sample_bottomk" -> sampleBottomK,
     "llm_sample_weighted" -> sampleWeighted,
+    "llm_warc_records" -> warcRecords,
     "llm_sample_stratified" -> sampleStratified,
     "llm_mix_sample" -> mixSample,
     "llm_passage_dedup" -> passageDedup,
@@ -1828,6 +1829,51 @@ object LlmQueries {
         md5(col("doc_id").cast("string")).as("h"))
       .orderBy(col("h"), col("doc_id"))
       .limit(100)
+
+  /** WARC record-stream ingest (`llm_warc_records`) — the wire
+    * format of web-scale training corpora (Common Crawl ships as
+    * WARC): per-document two-record archives (a warcinfo, then a
+    * response whose WARC/1.1 version line, target URI and varying
+    * body length exercise the walk) are parsed by the native
+    * [[graft.functions.WarcRecords]] codegen expression — a
+    * CONTENT-LENGTH-DRIVEN walk, never a magic scan, fail-closed on
+    * malformed streams — and exploded to one row per record with
+    * the body fingerprinted. The oracle rebuilds the identical
+    * archive text and replays the expected records from the fixture
+    * components, so a parser that mis-measures any header line, the
+    * declared block, or the record separator desynchronizes and
+    * hash-mismatches. Map-side construct → parse → explode; no
+    * shuffle. At crawl scale the parallel grain is the archive
+    * OBJECT (Common Crawl's own millions-of-~1GB-files layout), so
+    * the per-payload walk is the production shape. */
+  def warcRecords(s: SparkSession, d: String): DataFrame = {
+    val crlf = "chr(13) || chr(10)"
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("repeat('x', CAST(doc_id % 20 AS INT) + 1)").as("b1"),
+        expr("concat('doc ', CAST(doc_id AS STRING), ' ', " +
+          "repeat('y', CAST(doc_id % 37 AS INT)))").as("b2"),
+        expr("concat('http://ex.com/', CAST(doc_id AS STRING))")
+          .as("uri"))
+      .withColumn("payload", expr(
+        s"""CAST(concat(
+           |  'WARC/1.0', $crlf,
+           |  'WARC-Type: warcinfo', $crlf,
+           |  'Content-Length: ', CAST(length(b1) AS STRING), $crlf,
+           |  $crlf, b1, $crlf, $crlf,
+           |  'WARC/1.1', $crlf,
+           |  'WARC-Type: response', $crlf,
+           |  'WARC-Target-URI: ', uri, $crlf,
+           |  'Content-Length: ', CAST(length(b2) AS STRING), $crlf,
+           |  $crlf, b2, $crlf, $crlf) AS BINARY)""".stripMargin))
+      .withColumn("recs", graft.functions.WarcRecords(col("payload")))
+      .select(col("doc_id"),
+        posexplode(col("recs")).as(Seq("rec_idx", "r")))
+      .select(col("doc_id"), col("rec_idx").cast("int").as("rec_idx"),
+        col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
+        col("r.content_length").as("content_length"),
+        md5(col("r.body")).as("body_md5"))
+  }
 
   /** WEIGHTED deterministic sampling (`llm_sample_weighted`) — the
     * curation knob the uniform bottom-k lacks: a document with
@@ -5921,6 +5967,27 @@ object LlmQueries {
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
         |FROM documents
         |ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    // component replay: the identical archive is rebuilt and the
+    // expected records derived from the fixture pieces — a parser
+    // that mis-measures any header line, block, or separator
+    // desynchronizes against this
+    "llm_warc_records" ->
+      """WITH t AS (SELECT doc_id,
+        |    repeat('x', CAST(doc_id % 20 AS INT) + 1) AS b1,
+        |    'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |      repeat('y', CAST(doc_id % 37 AS INT)) AS b2,
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) AS uri
+        |  FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+        |  'warcinfo' AS rec_type, CAST(NULL AS VARCHAR) AS uri,
+        |  CAST(length(b1) AS BIGINT) AS content_length,
+        |  md5(b1) AS body_md5
+        |FROM t
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), 'response', uri,
+        |  CAST(length(b2) AS BIGINT), md5(b2)
+        |FROM t""".stripMargin,
 
     // min-of-w-hashes replay: the same per-replica md5 keys derived
     // with list lambdas and DuckDB's own digit polynomial

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WARC record walk ([[Warc.parse]]): hand-built archives with
+  * known record inventories, bodies that CONTAIN the magic (the case
+  * a magic-scanner corrupts on and a length-driven walk must not),
+  * both spec versions, and fail-closed adversaries. */
+class WarcSpec extends AnyFunSuite {
+
+  private def rec(ver: String, typ: String, uri: Option[String],
+      body: String, declaredLen: Option[Int] = None,
+      extra: Seq[String] = Nil): String = {
+    val len = declaredLen.getOrElse(body.length)
+    val headers = Seq(s"WARC-Type: $typ") ++
+      uri.map(u => s"WARC-Target-URI: $u") ++ extra ++
+      Seq(s"Content-Length: $len")
+    s"$ver\r\n" + headers.map(_ + "\r\n").mkString +
+      "\r\n" + body + "\r\n\r\n"
+  }
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  test("two records, both versions, uri optional, unknown headers " +
+    "skipped") {
+    val w = rec("WARC/1.0", "warcinfo", None, "software: graft",
+        extra = Seq("WARC-Date: 2024-01-01T00:00:00Z")) +
+      rec("WARC/1.1", "response", Some("http://ex.com/1"),
+        "HTTP/1.1 200 OK\r\n\r\nhello")
+    val got = Warc.parse(bytes(w)).get
+    assert(got.map(r => (r.warcType, Option(r.uri), r.len)) == Seq(
+      ("warcinfo", None, 15L),
+      ("response", Some("http://ex.com/1"), 24L)))
+    assert(got(1).body.endsWith("hello"))
+  }
+
+  test("a body containing 'WARC/1.0' does not desynchronize the " +
+    "length-driven walk") {
+    val trap = "see WARC/1.0\r\nContent-Length: 99\r\n\r\n inside"
+    val w = rec("WARC/1.0", "resource", Some("http://ex.com/t"),
+      trap) + rec("WARC/1.0", "response", Some("http://ex.com/2"), "ok")
+    val got = Warc.parse(bytes(w)).get
+    assert(got.length == 2 && got(0).body == trap &&
+      got(1).body == "ok")
+  }
+
+  test("fail-closed: bad version / missing length / non-numeric " +
+    "length / short block / broken separator / trailing garbage") {
+    assert(Warc.parse(bytes(
+      "WARC/2.0\r\nWARC-Type: x\r\nContent-Length: 1\r\n\r\na\r\n\r\n"))
+      .isEmpty)
+    assert(Warc.parse(bytes(
+      "WARC/1.0\r\nWARC-Type: x\r\n\r\na\r\n\r\n")).isEmpty)
+    assert(Warc.parse(bytes(
+      "WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 2x\r\n\r\nab\r\n\r\n"))
+      .isEmpty)
+    // declared 10, only 2 present
+    assert(Warc.parse(bytes(rec("WARC/1.0", "x", None, "ab",
+      declaredLen = Some(10)))).isEmpty)
+    // separator mangled
+    val ok = rec("WARC/1.0", "x", None, "ab")
+    assert(Warc.parse(bytes(ok.dropRight(1) + "X")).isEmpty)
+    // a record then garbage that is not a record
+    assert(Warc.parse(bytes(ok + "junk")).isEmpty)
+    // empty payload
+    assert(Warc.parse(bytes("")).isEmpty)
+  }
+
+  test("empty body records are legal (Content-Length: 0)") {
+    val got = Warc.parse(bytes(rec("WARC/1.0", "request",
+      Some("http://ex.com/r"), ""))).get
+    assert(got.head.len == 0L && got.head.body == "")
+  }
+}
