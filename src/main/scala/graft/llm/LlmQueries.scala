@@ -65,6 +65,7 @@ object LlmQueries {
     "llm_sample_bottomk" -> sampleBottomK,
     "llm_sample_weighted" -> sampleWeighted,
     "llm_warc_records" -> warcRecords,
+    "llm_warc_ingest" -> warcIngest,
     "llm_sample_stratified" -> sampleStratified,
     "llm_mix_sample" -> mixSample,
     "llm_passage_dedup" -> passageDedup,
@@ -1873,6 +1874,82 @@ object LlmQueries {
         col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
         col("r.content_length").as("content_length"),
         md5(col("r.body")).as("body_md5"))
+  }
+
+  /** Tag-strip + whitespace-normalize patterns shared verbatim by
+    * the engine (Java regex) and the oracle (RE2) — no lookaround,
+    * leftmost-greedy in both, the [[piiScrub]] compatibility
+    * discipline. */
+  private[llm] val htmlTagRe = "<[^>]+>"
+  private[llm] val wsRunRe = "\\s+"
+
+  /** Crawl → training-docs ingest (`llm_warc_ingest`) — the chain a
+    * 100 TB web corpus actually runs, composed from
+    * [[warcRecords]]'s parser: explode response records, split the
+    * HTTP message at its header/body boundary (offset arithmetic —
+    * first CRLF, first blank line), GATE on status 200 + text/html
+    * (the fixture plants 404s and PDFs that must fall out), strip
+    * tags, normalize whitespace, and emit per-page rows with token
+    * counts and a content fingerprint — the table every downstream
+    * dedup/quality operator in this engine consumes. Each document's
+    * REAL text rides inside the archive body, so the ingest must
+    * recover it byte-exactly through the WARC walk + HTTP split +
+    * tag strip; the oracle replays the same arithmetic and regexes
+    * (RE2-compatible by construction) on the rebuilt archives.
+    * Map-side end to end; the only exchange is whatever the
+    * downstream consumer adds. */
+  def warcIngest(s: SparkSession, d: String): DataFrame = {
+    val crlf = "chr(13) || chr(10)"
+    val archived = docs(s, d)
+      .select(col("doc_id"), col("text"),
+        expr("concat('http://ex.com/', CAST(doc_id AS STRING))")
+          .as("uri"))
+      .withColumn("http", expr(
+        s"""CASE
+           |  WHEN doc_id % 7 = 0 THEN concat(
+           |    'HTTP/1.1 404 Not Found', $crlf,
+           |    'Content-Type: text/html', $crlf, $crlf,
+           |    '<html>not found</html>')
+           |  WHEN doc_id % 5 = 0 THEN concat(
+           |    'HTTP/1.1 200 OK', $crlf,
+           |    'Content-Type: application/pdf', $crlf, $crlf,
+           |    '%PDF-1.4 junk')
+           |  ELSE concat(
+           |    'HTTP/1.1 200 OK', $crlf,
+           |    'Content-Type: text/html', $crlf, $crlf,
+           |    '<html><body><h1>Doc ', CAST(doc_id AS STRING),
+           |    '</h1><p>', text, '</p></body></html>')
+           |END""".stripMargin))
+      .withColumn("payload", expr(
+        s"""CAST(concat(
+           |  'WARC/1.0', $crlf,
+           |  'WARC-Type: response', $crlf,
+           |  'WARC-Target-URI: ', uri, $crlf,
+           |  'Content-Length: ', CAST(length(http) AS STRING), $crlf,
+           |  $crlf, http, $crlf, $crlf) AS BINARY)""".stripMargin))
+    archived
+      .withColumn("recs", graft.functions.WarcRecords(col("payload")))
+      .select(col("doc_id"), explode(col("recs")).as("r"))
+      .filter(col("r.rec_type") === "response")
+      .withColumn("msg", col("r.body"))
+      // offset arithmetic: status from the fixed-width code field,
+      // content type between the first CRLF and the blank line,
+      // page payload after the blank line
+      .withColumn("status",
+        expr("CAST(substring(msg, 10, 3) AS INT)"))
+      .withColumn("p1", expr(s"instr(msg, $crlf)"))
+      .withColumn("he", expr(s"instr(msg, $crlf || $crlf)"))
+      .withColumn("ctype",
+        expr("substring(msg, p1 + 16, he - p1 - 16)"))
+      .withColumn("page", expr("substring(msg, he + 4)"))
+      .filter(col("status") === 200 && col("ctype") === "text/html")
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(col("page"), htmlTagRe, " "), wsRunRe, " ")))
+      .select(col("doc_id"), col("r.uri").as("uri"),
+        size(split(col("clean"), wsRunRe)).cast("bigint")
+          .as("n_tokens"),
+        length(col("clean")).cast("bigint").as("n_chars"),
+        md5(col("clean")).as("text_md5"))
   }
 
   /** WEIGHTED deterministic sampling (`llm_sample_weighted`) — the
@@ -5988,6 +6065,57 @@ object LlmQueries {
         |SELECT doc_id, CAST(1 AS INT), 'response', uri,
         |  CAST(length(b2) AS BIGINT), md5(b2)
         |FROM t""".stripMargin,
+
+    // the ingest chain replayed: same CASE fixture, same offset
+    // arithmetic for the HTTP split, same RE2-compatible regexes —
+    // gates and counts re-derived end to end
+    "llm_warc_ingest" -> {
+      val tag = htmlTagRe
+      val ws = wsRunRe
+      """WITH t AS (SELECT doc_id, text,
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) AS uri
+        |  FROM documents),
+        |h AS (SELECT doc_id, uri,
+        |    CASE
+        |      WHEN doc_id % 7 = 0 THEN
+        |        'HTTP/1.1 404 Not Found' || chr(13) || chr(10) ||
+        |        'Content-Type: text/html' || chr(13) || chr(10) ||
+        |        chr(13) || chr(10) || '<html>not found</html>'
+        |      WHEN doc_id % 5 = 0 THEN
+        |        'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |        'Content-Type: application/pdf' || chr(13) ||
+        |        chr(10) || chr(13) || chr(10) || '%PDF-1.4 junk'
+        |      ELSE
+        |        'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |        'Content-Type: text/html' || chr(13) || chr(10) ||
+        |        chr(13) || chr(10) || '<html><body><h1>Doc ' ||
+        |        CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |        '</p></body></html>'
+        |    END AS msg
+        |  FROM t),
+        |sp AS (SELECT doc_id, uri, msg,
+        |    CAST(substring(msg, 10, 3) AS INT) AS status,
+        |    strpos(msg, chr(13) || chr(10)) AS p1,
+        |    strpos(msg, chr(13) || chr(10) || chr(13) || chr(10))
+        |      AS he
+        |  FROM h),
+        |pg AS (SELECT doc_id, uri, status,
+        |    substring(msg, p1 + 16, he - p1 - 16) AS ctype,
+        |    substring(msg, he + 4) AS page
+        |  FROM sp),""".stripMargin +
+      s"""
+        |cl AS (SELECT doc_id, uri,
+        |    trim(regexp_replace(regexp_replace(page, '$tag', ' ',
+        |      'g'), '$ws', ' ', 'g')) AS clean
+        |  FROM pg
+        |  WHERE status = 200 AND ctype = 'text/html')
+        |SELECT doc_id, uri,
+        |  CAST(len(regexp_split_to_array(clean, '$ws')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(length(clean) AS BIGINT) AS n_chars,
+        |  md5(clean) AS text_md5
+        |FROM cl""".stripMargin
+    },
 
     // min-of-w-hashes replay: the same per-replica md5 keys derived
     // with list lambdas and DuckDB's own digit polynomial
