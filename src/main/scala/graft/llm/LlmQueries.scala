@@ -1927,9 +1927,23 @@ object LlmQueries {
            |  'WARC-Target-URI: ', uri, $crlf,
            |  'Content-Length: ', CAST(length(http) AS STRING), $crlf,
            |  $crlf, http, $crlf, $crlf) AS BINARY)""".stripMargin))
-    archived
+    ingestArchives(
+      archived.select(col("doc_id"), col("payload")), Seq(col("doc_id")))
+  }
+
+  /** [[warcIngest]]'s chain over any frame with a `payload` binary
+    * column (shared shape-for-shape with the streaming twin
+    * [[graft.streaming.DocsStream.startWarcIngest]] — ONE logical
+    * definition, two execution modes): parse, keep responses, split
+    * the HTTP message by offset arithmetic, gate, clean, fingerprint.
+    * `keep` columns pass through (doc_id for the batch fixture,
+    * nothing for raw archive files whose identity is the URI). */
+  private[graft] def ingestArchives(in: DataFrame,
+      keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val crlf = "chr(13) || chr(10)"
+    in
       .withColumn("recs", graft.functions.WarcRecords(col("payload")))
-      .select(col("doc_id"), explode(col("recs")).as("r"))
+      .select(keep :+ explode(col("recs")).as("r"): _*)
       .filter(col("r.rec_type") === "response")
       .withColumn("msg", col("r.body"))
       // offset arithmetic: status from the fixed-width code field,
@@ -1945,11 +1959,11 @@ object LlmQueries {
       .filter(col("status") === 200 && col("ctype") === "text/html")
       .withColumn("clean", trim(regexp_replace(
         regexp_replace(col("page"), htmlTagRe, " "), wsRunRe, " ")))
-      .select(col("doc_id"), col("r.uri").as("uri"),
+      .select(keep ++ Seq(col("r.uri").as("uri"),
         size(split(col("clean"), wsRunRe)).cast("bigint")
           .as("n_tokens"),
         length(col("clean")).cast("bigint").as("n_chars"),
-        md5(col("clean")).as("text_md5"))
+        md5(col("clean")).as("text_md5")): _*)
   }
 
   /** WEIGHTED deterministic sampling (`llm_sample_weighted`) — the

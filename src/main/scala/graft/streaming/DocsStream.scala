@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.llm.{DedupIndex, LlmQueries}
@@ -81,6 +82,49 @@ object DocsStream {
       reader.option("maxFilesPerTrigger", n.toString))
     reader.csv(path)
   }
+
+  /** Streaming archive objects over a directory of `.warc` files via
+    * the binaryFile source — the RAW-CRAWL ingest boundary (Common
+    * Crawl's own layout is millions of archive objects, so
+    * file-per-record-stream is the production grain; the source's
+    * exactly-once-per-file tracking is the delivery guarantee). */
+  def archives(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // the binaryFile source's FIXED schema, which the streaming
+    // reader nonetheless requires spelled out
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val reader = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.warc")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.load(path)
+  }
+
+  /** Streaming twin of the crawl→docs ingest
+    * ([[LlmQueries.warcIngest]]): each arriving archive object runs
+    * the SAME [[LlmQueries.ingestArchives]] chain (parse → HTTP
+    * split → status/content-type gate → tag strip → fingerprint) and
+    * the kept pages append to `outPath`. Zero streaming state — the
+    * chain is per-object map-side, so the output is bit-equal to a
+    * batch ingest over the same files regardless of micro-batch
+    * split, and the file source's exactly-once tracking makes
+    * appends safe without a retry guard. */
+  def startWarcIngest(archives: DataFrame, outPath: String,
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    LlmQueries.ingestArchives(
+        archives.select(col("content").as("payload")), Seq.empty)
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .format("parquet").option("path", outPath)
+      .trigger(trigger).start()
 
   /** Streaming twin of the incremental span-level dedup
     * ([[LlmQueries.spanIncremental]]): each arriving micro-batch is
