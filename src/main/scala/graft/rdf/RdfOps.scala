@@ -383,4 +383,34 @@ object RdfOps {
     applyFilter(applyMapping(
       enrich(cleanExport(raw).localCheckpoint(), fetched), mapping),
       filterList)
+
+  /** SPARQL `p{lo,hi}` bounded-REPETITION pairs: every (src, dst)
+    * connected by SOME path of length k with lo ≤ k ≤ hi — the
+    * exists-a-path-of-each-length semantics, which MIN-HOP reach
+    * ([[reachable]]) cannot answer for lo > 1: on a diamond a pair
+    * with min-hop 1 may or may not also have a length-2 path.
+    * Computed by relation composition: R¹ = E, Rᵏ = Rᵏ⁻¹ ∘ E with a
+    * per-level set-dedup (pairs, not paths — the composition stays
+    * bounded by |V|² even through cycles), union of the in-range
+    * levels. hi is REQUIRED small (the parser caps it): each level
+    * is one equi-join + one dedup exchange, and an unbounded request
+    * is `p+`'s fixpoint, not this ladder. */
+  def pathBounded(edges: DataFrame, lo: Int, hi: Int): DataFrame = {
+    require(lo >= 1 && hi >= lo,
+      s"pathBounded: need 1 <= lo <= hi, got {$lo,$hi}")
+    val e1 = edges.select(col("src"), col("dst")).distinct()
+    var rk = e1
+    var acc: DataFrame = if (lo <= 1) rk else null
+    var k = 2
+    while (k <= hi) {
+      rk = rk.join(
+          e1.select(col("src").as("_mid"), col("dst").as("_nxt")),
+          col("dst") === col("_mid"))
+        .select(col("src"), col("_nxt").as("dst"))
+        .distinct()
+      if (k >= lo) acc = if (acc == null) rk else acc.union(rk)
+      k += 1
+    }
+    acc.distinct()
+  }
 }

@@ -80,6 +80,14 @@ object RdfQueries {
     // inverse (^p) — with rdf_reachable/rdf_reachable_star these
     // complete the SPARQL 1.1 property-path operator family the
     // engine answers as queries.
+    // Bounded REPETITION p{lo,hi}: exists-a-path-of-each-length by
+    // relation composition — the quantifier min-hop reach cannot
+    // answer for lo > 1 (see RdfOps.pathBounded). Run over the
+    // doubling graph (real diamonds + cycles: 4→16→64→4), so pairs
+    // whose ONLY in-range witness is a longer-than-min path are
+    // genuinely present.
+    "rdf_path_bounded" -> ((s, d) =>
+      RdfOps.pathBounded(starEdges(s, d), 2, 3)),
     "rdf_path_seq" -> ((s, d) => pathSeq(s, d)),
     "rdf_path_alt" -> ((s, d) => pathAlt(s, d)),
     "rdf_path_inv" -> ((s, d) => pathInv(s, d)),
@@ -168,6 +176,8 @@ object RdfQueries {
     "rdf_sparql_path_plus" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlPathPlusQuery,
         relClosureProvider(s, d))),
+    "rdf_sparql_path_bounded" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlPathBoundedQuery)),
     "rdf_sparql_text_filters" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlTextFiltersQuery)),
     "rdf_sparql_values" -> ((s, d) =>
@@ -348,6 +358,14 @@ object RdfQueries {
   val sparqlPathPlusQuery: String =
     """SELECT ?src ?dst
       |WHERE { ?src dcterms:relation+ ?dst . }""".stripMargin
+
+  /** Bounded repetition through the text front-end — lo = 2 makes
+    * min-hop reach the WRONG answer (direct neighbors without a
+    * longer witness must drop out), so the parse must route to the
+    * composition ladder, not the closure. */
+  val sparqlPathBoundedQuery: String =
+    """SELECT ?src ?dst
+      |WHERE { ?src dcterms:relation{2,4} ?dst . }""".stripMargin
 
   /** Text filters + paging — LANGMATCHES pushes into the scan (the
     * [[bindStrFuns]] discipline), REGEX/CONTAINS are codegen'd
@@ -2273,6 +2291,23 @@ object RdfQueries {
          |    JOIN edges e ON e.src = w.dst)
          |  SELECT * FROM walk)""".stripMargin,
 
+    // the same composition-ladder spelling as rdf_path_bounded, on
+    // the store's relation edges: R2..R4 unrolled, in-range union
+    "rdf_sparql_path_bounded" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |e1 AS (SELECT DISTINCT subject AS src, obj_value AS dst
+         |  FROM triples
+         |  WHERE predicate = '$DctermsRelation' AND obj_kind = 'iri'),
+         |r2 AS (SELECT DISTINCT a.src, e.dst
+         |  FROM e1 a JOIN e1 e ON a.dst = e.src),
+         |r3 AS (SELECT DISTINCT a.src, e.dst
+         |  FROM r2 a JOIN e1 e ON a.dst = e.src),
+         |r4 AS (SELECT DISTINCT a.src, e.dst
+         |  FROM r3 a JOIN e1 e ON a.dst = e.src)
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT * FROM r2 UNION ALL SELECT * FROM r3
+         |  UNION ALL SELECT * FROM r4)""".stripMargin,
+
     // both engines apply OFFSET before LIMIT over the same total
     // order (item, title unique per triple-set row); regexp_matches
     // and contains are DuckDB's spellings of rlike/contains — the
@@ -2788,6 +2823,26 @@ object RdfQueries {
          |    SELECT w.src, e.dst FROM walk w
          |    JOIN edges e ON e.src = w.dst)
          |  SELECT * FROM walk)""".stripMargin,
+
+    // composition ladder unrolled: R2 = E∘E, R3 = R2∘E, each level
+    // set-deduped; the union of the in-range levels — no recursion,
+    // a DIFFERENT spelling from the engine's loop
+    "rdf_path_bounded" ->
+      """WITH mxp AS (SELECT max(p_partkey) AS mx FROM part),
+        |e1 AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT 'http://ex.org/item/' || p_partkey AS src,
+        |         'http://ex.org/item/' || (p_partkey * 4) AS dst
+        |  FROM part, mxp WHERE p_partkey * 4 <= mx
+        |  UNION ALL
+        |  SELECT 'http://ex.org/item/' || p_partkey,
+        |         'http://ex.org/item/' || (p_partkey // 16)
+        |  FROM part WHERE p_partkey % 16 = 0)),
+        |r2 AS (SELECT DISTINCT a.src, e.dst
+        |  FROM e1 a JOIN e1 e ON a.dst = e.src),
+        |r3 AS (SELECT DISTINCT a.src, e.dst
+        |  FROM r2 a JOIN e1 e ON a.dst = e.src)
+        |SELECT DISTINCT src, dst FROM (
+        |  SELECT * FROM r2 UNION ALL SELECT * FROM r3)""".stripMargin,
 
     "rdf_values_join" ->
       s"""WITH ${TripleFixture.triplesCte},

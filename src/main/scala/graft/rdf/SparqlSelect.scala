@@ -172,10 +172,11 @@ object SparqlSelect {
       plus: Boolean = false, predVar: Option[String] = None,
       star: Boolean = false, graphCtx: Option[Term] = None,
       zeroOne: Boolean = false, negated: Boolean = false,
-      seqPath: Seq[String] = Nil) {
-    /** Any non-plain step (`p+`, `p*`, or `p?`) — excluded from the
-      * pivot/membership/merge shapes, which assume one scan. */
-    def closed: Boolean = plus || star || zeroOne
+      seqPath: Seq[String] = Nil, rep: Option[(Int, Int)] = None) {
+    /** Any non-plain step (`p+`, `p*`, `p?`, or `p{lo,hi}`) —
+      * excluded from the pivot/membership/merge shapes, which
+      * assume one scan. */
+    def closed: Boolean = plus || star || zeroOne || rep.isDefined
   }
 
   /** One VALUES clause: inline data for one variable. SPARQL multiset
@@ -610,7 +611,8 @@ object SparqlSelect {
     * bounded scan shape). */
   private final case class Step(inv: Boolean, preds: Seq[String],
       plus: Boolean, star: Boolean, zeroOne: Boolean,
-      neg: Boolean = false, seqPreds: Seq[String] = Nil)
+      neg: Boolean = false, seqPreds: Seq[String] = Nil,
+      rep: Option[(Int, Int)] = None)
 
   private final class Parser(ts: Vector[String]) {
     private var i = 0
@@ -694,9 +696,23 @@ object SparqlSelect {
       if (star) next()
       val zeroOne = !plus && !star && peek == "?"
       if (zeroOne) next()
-      require(!(neg && (plus || star || zeroOne)),
+      // bounded repetition {n} / {lo,hi} (the 1.1-draft quantifier
+      // every mainstream engine kept): composition-ladder semantics,
+      // so the upper bound is capped — an unbounded wish is `p+`
+      val rep: Option[(Int, Int)] =
+        if (!plus && !star && !zeroOne && peek == "{") {
+          next()
+          val lo = next().toInt
+          val hi = if (peek == ",") { next(); next().toInt } else lo
+          expect("}")
+          require(lo >= 1 && hi >= lo && hi <= 12,
+            s"SPARQL: p{$lo,$hi} out of the supported 1..12 range " +
+              "(use p+ for an unbounded walk)")
+          Some((lo, hi))
+        } else None
+      require(!(neg && (plus || star || zeroOne || rep.isDefined)),
         "SPARQL: a quantified negated property set is not supported")
-      Step(inv, preds, plus, star, zeroOne, neg, seqPreds)
+      Step(inv, preds, plus, star, zeroOne, neg, seqPreds, rep)
     }
 
     private def pathSteps(): Seq[Step] = {
@@ -729,10 +745,10 @@ object SparqlSelect {
         steps.zipWithIndex.foreach { case (st, k) =>
           val nxt = if (k == steps.size - 1) obj else V(freshHidden())
           if (st.inv) out += Pattern(nxt, st.preds, cur, st.plus,
-            star = st.star, zeroOne = st.zeroOne)
+            star = st.star, zeroOne = st.zeroOne, rep = st.rep)
           else out += Pattern(cur, st.preds, nxt, st.plus,
             star = st.star, zeroOne = st.zeroOne, negated = st.neg,
-            seqPath = st.seqPreds)
+            seqPath = st.seqPreds, rep = st.rep)
           cur = nxt
         }
       }
@@ -1968,6 +1984,22 @@ object SparqlSelect {
         .select(col("src").as(sv), col("dst").as(ov))
     }
 
+    /** `p{lo,hi}` — bounded repetition: exists-a-path-of-each-
+      * length via [[RdfOps.pathBounded]]'s composition ladder (the
+      * SAME builder the hand-built `rdf_path_bounded` query uses, so
+      * plan identity holds); min-hop reach cannot answer lo > 1 on
+      * diamonds. */
+    def boundedOf(pat: Pattern): DataFrame = {
+      val (sv, ov) = (pat.s, pat.o) match {
+        case (V(a), V(b)) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          "SPARQL: `p{lo,hi}` requires variables at both ends")
+      }
+      val (lo, hi) = pat.rep.get
+      RdfOps.pathBounded(closureEdges(pat), lo, hi)
+        .select(col("src").as(sv), col("dst").as(ov))
+    }
+
     /** `p?` — zero-or-one: the edges themselves plus the zero-length
       * self rows (same incident-node narrowing as `p*`); no
       * iteration at all — one scan and a constant projection, the
@@ -2013,6 +2045,7 @@ object SparqlSelect {
     val mainDfs = g.subs.map(sq => compile(t, sq)) ++
       mains.map(p => if (p.plus) closure(p)
         else if (p.star) closureStar(p)
+        else if (p.rep.isDefined) boundedOf(p)
         else if (p.zeroOne) zeroOneOf(p)
         else scan(p))
     var accDf = mainDfs.head

@@ -1011,4 +1011,35 @@ class SparqlSelectSpec extends AnyFunSuite {
       """SELECT ?i WHERE { ?i ?p ?o .
         |  FILTER(ISLITERAL(?o) || ISIRI(?o)) }""".stripMargin))
   }
+
+  test("bounded repetition p{lo,hi}: plan-identical to the " +
+    "composition ladder, lo > 1 semantics on a diamond, bounds " +
+    "validated") {
+    val compiled = SparqlSelect(t, RdfQueries.sparqlPathBoundedQuery)
+    val hand = RdfOps.pathBounded(
+      t.filter(col("predicate") === Vocab.DctermsRelation &&
+        col("obj_kind") === "iri")
+        .select(col("subject").as("src"), col("obj_value").as("dst")),
+      2, 4).select(col("src"), col("dst"))
+    assertTwin(compiled, hand)
+    assert(compiled.count() === hand.count() && compiled.count() > 0)
+    // diamond semantics: a→b (1 hop only) must DROP under {2,2};
+    // a→c has both a 1-hop and a 2-hop witness and must stay
+    val edges = Seq(("a", "b"), ("a", "x"), ("x", "c"), ("a", "c"))
+      .toDF("src", "dst")
+    val got = RdfOps.pathBounded(edges, 2, 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "c")))
+    // {n} exact form parses; out-of-range bounds fail loudly
+    assert(SparqlSelect(t,
+      """SELECT ?src ?dst
+        |WHERE { ?src dcterms:relation{2} ?dst . }""".stripMargin)
+      .columns.sameElements(Seq("src", "dst")))
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?s ?o
+        |WHERE { ?s dcterms:relation{0,3} ?o . }""".stripMargin))
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?s ?o
+        |WHERE { ?s dcterms:relation{2,99} ?o . }""".stripMargin))
+  }
 }
