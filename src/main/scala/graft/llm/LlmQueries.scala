@@ -111,6 +111,7 @@ object LlmQueries {
     "mm_audio_meta" -> audioMeta,
     "mm_audio_float_meta" -> audioFloatMeta,
     "mm_flac_meta" -> flacMeta,
+    "mm_ogg_meta" -> oggMeta,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_ulaw" -> audioUlawLevels,
     "mm_audio_alaw" -> audioAlawLevels,
@@ -3781,6 +3782,38 @@ object LlmQueries {
         col("dims.height").cast("bigint").as("height"))
   }
 
+  /** Ogg/Vorbis metadata (`mm_ogg_meta`) — the PAGE-structured
+    * audio container through the same magic-dispatched `audio_meta`
+    * expression as WAV and FLAC: geometry from the BOS page's
+    * Vorbis identification packet, DURATION from the LAST page's
+    * granule position (the seek-to-EOF rule every player uses), the
+    * page chain crossed by lacing arithmetic — never a capture-
+    * pattern scan, since payloads may contain "OggS". Lossy codec →
+    * bits = 0, the documented sentinel. The oracle re-reads
+    * channels/rate from the first page and the granule from the
+    * second positionally — a walk that trusts the wrong page or
+    * mis-sums lacing values lands on the wrong granule and
+    * hash-mismatches. Same bounded geometry-rollup shape as
+    * [[flacMeta]]. */
+  def oggMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 16000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 5 AS INT) + 1)").as("rate0"),
+        expr("CAST((doc_id * 5) % 6 AS INT) + 1").as("ch0"),
+        expr("(doc_id * 991) % 1000000000").as("total0"),
+        expr("CAST(doc_id % 40 AS INT) + 1").as("pad0"))
+      .withColumn("payload", unhex(expr(AudioHex.oggHex(
+        "rate0", "ch0", "total0", "pad0", "div"))))
+      .withColumn("m", graft.functions.AudioMeta(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_samples")).as("sum_samples"),
+        sum(expr("m.n_samples * 1000 div m.sample_rate")).as("sum_ms"))
+  }
+
   /** EXIF orientation (`mm_exif_meta`) — the tag every photo
     * pipeline must honor BEFORE any resize plan: a corpus mixing
     * EXIF-less JPEGs (orientation defaults to 1), little-endian
@@ -7138,6 +7171,36 @@ object LlmQueries {
          |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT)
          |    AS sum_ms
          |FROM f GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // page-walk replay: channels/rate from the BOS page's ID
+    // packet, the duration granule from the SECOND page — all
+    // positional little-endian reads
+    "mm_ogg_meta" -> {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 16000, 22050, 44100, 48000],
+         |      CAST(doc_id % 5 AS INT) + 1) AS rate0,
+         |    CAST((doc_id * 5) % 6 AS INT) + 1 AS ch0,
+         |    (doc_id * 991) % 1000000000 AS total0,
+         |    CAST(doc_id % 40 AS INT) + 1 AS pad0
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${oggHex("rate0", "ch0", "total0",
+              "pad0", "//")})) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    ${unhexLE("hs", OggChannelsPos, 1, "strpos")} AS channels,
+         |    ${unhexLE("hs", OggRatePos, 4, "strpos")} AS sample_rate,
+         |    ${unhexLE("hs", OggGranulePos, 8, "strpos")} AS n_samples
+         |  FROM b)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
+         |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT)
+         |    AS sum_ms
+         |FROM f GROUP BY 1, 2""".stripMargin
     },
 
     // companded replay: positional one-byte code walk → G.711

@@ -180,16 +180,77 @@ object AudioHeaders {
     else Some((ch, rate, bits, total))
   }
 
+  /** REAL Ogg/Vorbis metadata — the audio family's PAGE-structured
+    * member: an Ogg stream is back-to-back pages
+    * `"OggS" ver(0) type granule(u64le) serial pageseq crc
+    * nsegs lacing[nsegs] payload`, where payload length is the SUM
+    * of the lacing values (the capture-pattern is NOT reliable for
+    * resync — payloads may contain "OggS" — so the walk is
+    * lacing-arithmetic-driven, the same declared-length discipline
+    * as the WARC walk). The first page must be BOS (type bit 0x02)
+    * and carry the Vorbis identification packet
+    * (`0x01 "vorbis" version=0 channels(u8) rate(u32le) …`); the
+    * DURATION lives at the other end — the last page's granule
+    * position is the total PCM sample count, which is exactly why
+    * players seek to EOF for it. CRCs are not verified (a metadata
+    * pass reads header ranges, it doesn't checksum payloads).
+    * Returns (channels, rate, bits = 0 — not applicable to a lossy
+    * codec, the documented sentinel — and n_samples = the last
+    * page's granule, 0 when no page carries one). Fail-closed on a
+    * malformed page chain, a non-BOS first page, or out-of-spec
+    * geometry. */
+  def parseOgg(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 58) return None
+    var i = 0
+    var first = true
+    var ch = 0
+    var rate = 0L
+    var lastGranule = 0L
+    while (i < b.length) {
+      if (i + 27 > b.length) return None
+      if (!tag(b, i, "OggS") || u8(b, i + 4) != 0) return None
+      val htype = u8(b, i + 5)
+      // u64le granule; -1 (all FF) = "no packet ends on this page"
+      var g = 0L
+      var k = 7
+      while (k >= 0) { g = (g << 8) | u8(b, i + 6 + k); k -= 1 }
+      val nsegs = u8(b, i + 26)
+      if (i + 27 + nsegs > b.length) return None
+      var payload = 0
+      var s = 0
+      while (s < nsegs) { payload += u8(b, i + 27 + s); s += 1 }
+      val body = i + 27 + nsegs
+      if (body + payload > b.length) return None
+      if (first) {
+        if ((htype & 0x02) == 0) return None // first page must be BOS
+        // Vorbis identification packet
+        if (payload < 30 || u8(b, body) != 1 ||
+          !tag(b, body + 1, "vorb") || !tag(b, body + 3, "rbis"))
+          return None
+        if (u32le(b, body + 7) != 0L) return None // vorbis version
+        ch = u8(b, body + 11)
+        rate = u32le(b, body + 12)
+        if (ch < 1 || rate < 1) return None
+        first = false
+      }
+      if (g != -1L) lastGranule = g
+      i = body + payload
+    }
+    Some((ch, rate.toInt, 0, lastGranule))
+  }
+
   /** [[parse]] as an `InternalRow` for the
     * [[graft.functions.AudioMeta]] codegen path (called from
     * generated Java — keep the signature static-friendly). One
-    * expression, two containers: dispatches on the in-band magic —
-    * "fLaC" → [[parseFlac]], RIFF/WAVE → [[parse]] — the same
-    * multi-format sniff [[ImageHeaders.parse]] does for images.
-    * Null = neither container parses. */
+    * expression, three containers: dispatches on the in-band magic —
+    * "fLaC" → [[parseFlac]], "OggS" → [[parseOgg]], RIFF/WAVE →
+    * [[parse]] — the same multi-format sniff [[ImageHeaders.parse]]
+    * does for images. Null = no container parses. */
   def parseRow(b: Array[Byte]): InternalRow = {
     val r =
       if (b != null && b.length >= 4 && tag(b, 0, "fLaC")) parseFlac(b)
+      else if (b != null && b.length >= 4 && tag(b, 0, "OggS"))
+        parseOgg(b)
       else parse(b)
     r match {
       case Some((ch, rate, bits, ns)) => InternalRow(ch, rate, bits, ns)

@@ -197,4 +197,30 @@ object AudioHex {
   val FlacChNibblePos = 20 * 2 + 2 // 42: (ch−1)·2 nibble
   val FlacBitsNibblePos = 21 * 2 + 1 // 43: bits−1 nibble
   val FlacTotalPos = 22 * 2 + 1    // 45: 8 digits, big-endian
+
+  /** A minimal-but-valid two-page Ogg/Vorbis stream: a BOS page
+    * carrying the 30-byte Vorbis identification packet (one lacing
+    * value), then an EOS page whose GRANULE POSITION is the total
+    * sample count and whose `padBytesE`-byte payload stands in for
+    * the opaque audio packet — so the walk must cross a page
+    * boundary by lacing arithmetic to find the duration. CRCs are
+    * zero (not verified by a metadata pass). `ch` is the u8 channel
+    * count, `rate` u32le, `total` the u64le granule (keep < 2⁵³ for
+    * oracle-exact integer reads). */
+  def oggHex(rate: String, ch: String, total: String,
+      padBytesE: String, intdiv: String): String =
+    s"concat('4F676753', '00', '02', '0000000000000000', " +
+      "'01000000', '00000000', '00000000', '01', '1E', " +
+      s"'01', '766F72626973', '00000000', " +
+      s"${hexLE(ch, 1, intdiv)}, ${hexLE(rate, 4, intdiv)}, " +
+      s"'000000000000000000000000', 'B8', '01', " +
+      s"'4F676753', '00', '04', ${hexLE(total, 8, intdiv)}, " +
+      "'01000000', '01000000', '00000000', '01', " +
+      s"${hexLE(padBytesE, 1, intdiv)}, " +
+      s"repeat('00', CAST($padBytesE AS INT)))"
+
+  /** 1-based hex positions of the fields built by [[oggHex]]. */
+  val OggChannelsPos = 39 * 2 + 1 // 79: u8
+  val OggRatePos = 40 * 2 + 1     // 81: u32le
+  val OggGranulePos = 64 * 2 + 1  // 129: u64le
 }

@@ -276,4 +276,57 @@ class AudioHeadersSpec extends AnyFunSuite {
       viaRow.getLong(3) == 99L)
     assert(AudioHeaders.parseRow(encoded(8000f, 1, 37)) != null)
   }
+
+  /** One Ogg page with INDEPENDENT little-endian arithmetic; the
+    * payload is split across `lacing` segment values. */
+  private def oggPage(htype: Int, granule: Long,
+      payload: Array[Byte], lacing: Seq[Int]): Array[Byte] = {
+    assert(lacing.sum == payload.length)
+    val out = new ByteArrayOutputStream()
+    out.write("OggS".getBytes); out.write(0); out.write(htype)
+    (0 until 8).foreach(k => out.write(((granule >> (8 * k)) & 0xff).toInt))
+    out.write(Array[Byte](1, 0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0)) // serial/seq/crc
+    out.write(lacing.length)
+    lacing.foreach(out.write)
+    out.write(payload)
+    out.toByteArray
+  }
+
+  private def vorbisId(ch: Int, rate: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(1); out.write("vorbis".getBytes)
+    out.write(Array[Byte](0, 0, 0, 0)); out.write(ch)
+    (0 until 4).foreach(k => out.write((rate >> (8 * k)) & 0xff))
+    out.write(new Array[Byte](12)); out.write(0xB8); out.write(1)
+    out.toByteArray
+  }
+
+  test("Ogg/Vorbis: page walk by lacing arithmetic (multi-segment " +
+    "pages, 'OggS' inside a payload), last-granule duration, " +
+    "granule -1 skipped, fail-closed, parseRow dispatch") {
+    val id = vorbisId(2, 44100)
+    val trap = ("xxOggS" + "y" * 254).getBytes // contains the magic
+    val good = oggPage(0x02, 0, id, Seq(30)) ++
+      oggPage(0x00, -1L, trap, Seq(255, trap.length - 255)) ++
+      oggPage(0x04, 123456789L, new Array[Byte](7), Seq(7))
+    assert(AudioHeaders.parseOgg(good)
+      .contains((2, 44100, 0, 123456789L)))
+    // granule above 2^32 exercises the full u64le read
+    val big = oggPage(0x02, 0, id, Seq(30)) ++
+      oggPage(0x04, (7L << 40) + 5, new Array[Byte](3), Seq(3))
+    assert(AudioHeaders.parseOgg(big)
+      .contains((2, 44100, 0, (7L << 40) + 5)))
+    // fail-closed: first page not BOS / not vorbis / truncated page
+    assert(AudioHeaders.parseOgg(
+      oggPage(0x00, 0, id, Seq(30))).isEmpty)
+    val notV = id.clone(); notV(1) = 'x'.toByte
+    assert(AudioHeaders.parseOgg(
+      oggPage(0x02, 0, notV, Seq(30))).isEmpty)
+    assert(AudioHeaders.parseOgg(good.dropRight(3)).isEmpty)
+    // dispatch: the same audio_meta row surface
+    val viaRow = AudioHeaders.parseRow(good)
+    assert(viaRow != null && viaRow.getInt(0) == 2 &&
+      viaRow.getInt(1) == 44100 && viaRow.getInt(2) == 0 &&
+      viaRow.getLong(3) == 123456789L)
+  }
 }
