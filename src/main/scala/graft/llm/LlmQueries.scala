@@ -134,6 +134,7 @@ object LlmQueries {
     "mm_neardup_incremental" -> imageNeardupIncremental,
     "mm_mp3_meta" -> mp3Meta,
     "mm_mp3_vbr" -> mp3Vbr,
+    "mm_id3_tags" -> id3Tags,
     "mm_h264_sps" -> h264Sps,
     "mm_h264_pcm" -> h264PcmDecode,
     "llm_jsonl_roundtrip" -> jsonlRoundtrip,
@@ -4793,6 +4794,36 @@ object LlmQueries {
     * re-derives est_ms — a parser that miscomputes the side-info
     * offset or reads the counts little-endian hash-mismatches. Pure
     * map-side construct → decode scan. */
+  /** ID3v2 text-frame extraction (`mm_id3_tags`) — the metadata
+    * half of the tag the frame walk only skips: per-document tags
+    * carrying TIT2/TPE1 (+ TALB on two of three docs) are decoded by
+    * the native [[graft.functions.Id3Tags]] expression. Even docs
+    * build v2.4 (SYNCSAFE frame sizes), odd v2.3 (plain u32be) — the
+    * version split is the point: a parser applying one size
+    * discipline to both halves walks into the middle of a frame and
+    * hash-mismatches. Absent frames surface as null fields, not
+    * errors. Map-side construct → parse → project; no shuffle. */
+  def id3Tags(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Mp3Hex
+    def hexStr(e: String) = s"hex(encode($e, 'UTF-8'))"
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("concat('Title ', CAST(doc_id AS STRING))").as("t1"),
+        expr("concat('Artist ', CAST(doc_id % 7 AS STRING))").as("t2"),
+        expr("concat('Album ', CAST(doc_id % 11 AS STRING))").as("t3"),
+        expr("doc_id % 3 != 0").as("hasalb"))
+      .withColumn("payload", unhex(expr(
+        s"""CASE WHEN doc_id % 2 = 0
+           |  THEN ${Mp3Hex.id3TagsHex("t1", "t2", "t3", "hasalb",
+                ver24 = true, "div", hexStr)}
+           |  ELSE ${Mp3Hex.id3TagsHex("t1", "t2", "t3", "hasalb",
+                ver24 = false, "div", hexStr)} END""".stripMargin)))
+      .withColumn("m", graft.functions.Id3Tags(col("payload")))
+      .select(col("doc_id"), col("m.title").as("title"),
+        col("m.artist").as("artist"), col("m.album").as("album"),
+        col("m.version").cast("bigint").as("version"))
+  }
+
   def mp3Vbr(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.{ImageHex, Mp3Hex}
     val rateE = Mp3Hex.rateCase(Mp3Hex.SrIdxE)
@@ -7687,6 +7718,20 @@ object LlmQueries {
          |  CAST((usf * nf) // 1000 AS BIGINT) AS dur_ms
          |FROM f""".stripMargin
     },
+
+    // component replay: the expected fields re-derived from the
+    // same doc_id arithmetic — the engine side must RECOVER them
+    // through the version-correct frame walk
+    "mm_id3_tags" ->
+      """SELECT doc_id,
+        |  'Title ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+        |  CASE WHEN doc_id % 3 != 0
+        |    THEN 'Album ' || CAST(doc_id % 11 AS VARCHAR) END
+        |    AS album,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+        |    AS version
+        |FROM documents""".stripMargin,
 
     // positional frame-walk replay: frame offsets from cumulative
     // length arithmetic, header bytes EXTRACTED from the blob at

@@ -211,4 +211,93 @@ object Mp3Headers {
         .fromString(tag), rate, nf, nb, ms)
     case None => null
   }
+
+  /** ID3v2 TEXT-frame extraction — the other half of the tag the
+    * frame walk only SKIPS: (title, artist, album, tag version)
+    * from TIT2 / TPE1 / TALB. Handles BOTH mainstream tag versions,
+    * whose frame-size fields genuinely differ — v2.3 sizes are plain
+    * u32be, v2.4 sizes are SYNCSAFE (7 bits per byte; a v2.4 frame
+    * over 127 bytes read as u32be lands the walk mid-frame) — plus
+    * the text-frame encoding byte (0 = ISO-8859-1, 3 = UTF-8) and
+    * trailing-NUL stripping. The walk stops at padding (a zero byte
+    * where a frame id belongs) or the declared tag end; overruns
+    * fail closed. Missing frames yield null fields — absence is not
+    * an error (most files carry a subset). */
+  def id3TextFrames(b: Array[Byte])
+      : Option[(String, String, String, Int)] = {
+    if (b == null || b.length < 10) return None
+    if (u8(b, 0) != 'I' || u8(b, 1) != 'D' || u8(b, 2) != '3')
+      return None
+    val ver = u8(b, 3)
+    if (ver != 3 && ver != 4) return None
+    if ((u8(b, 5) & 0x40) != 0) return None // extended header: out of scope
+    var size = 0
+    var i = 6
+    while (i < 10) {
+      val v = u8(b, i)
+      if ((v & 0x80) != 0) return None
+      size = (size << 7) | v
+      i += 1
+    }
+    val end = 10 + size
+    if (end > b.length) return None
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    var p = 10
+    var done = false
+    while (!done && p + 10 <= end) {
+      if (u8(b, p) == 0) done = true // padding begins
+      else {
+        val id = new String(b, p, 4, "US-ASCII")
+        val fsz =
+          if (ver == 4) {
+            var s = 0; var k = 4
+            while (k < 8) {
+              val v = u8(b, p + k)
+              if ((v & 0x80) != 0) return None
+              s = (s << 7) | v; k += 1
+            }
+            s
+          } else
+            ((u8(b, p + 4) << 24) | (u8(b, p + 5) << 16) |
+              (u8(b, p + 6) << 8) | u8(b, p + 7))
+        val body = p + 10
+        if (fsz < 0 || body + fsz > end) return None
+        if (id.startsWith("T") && fsz >= 1) {
+          val enc = u8(b, body)
+          val cs = enc match {
+            case 0 => "ISO-8859-1"
+            case 3 => "UTF-8"
+            case _ => null // UTF-16 variants: not a text we extract
+          }
+          if (cs != null) {
+            var len = fsz - 1
+            while (len > 0 && b(body + len) == 0) len -= 1 // trailing NULs
+            val txt = new String(b, body + 1, len, cs)
+            id match {
+              case "TIT2" => title = txt
+              case "TPE1" => artist = txt
+              case "TALB" => album = txt
+              case _ => ()
+            }
+          }
+        }
+        p = body + fsz
+      }
+    }
+    Some((title, artist, album, ver))
+  }
+
+  /** [[id3TextFrames]] as an `InternalRow` for the
+    * [[graft.functions.Id3Tags]] codegen path. Null = no/malformed
+    * tag. */
+  def id3TagsRow(b: Array[Byte]): InternalRow = id3TextFrames(b) match {
+    case Some((t, a, al, v)) =>
+      def u(s: String) =
+        if (s == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      InternalRow(u(t), u(a), u(al), v)
+    case None => null
+  }
 }

@@ -133,4 +133,36 @@ object Mp3Hex {
   /** 'Xing' on even docs, 'Info' on odd — hex of the ASCII magic. */
   val VbrMagicHexE =
     "CASE WHEN doc_id % 2 = 0 THEN '58696E67' ELSE '496E666F' END"
+
+  /** One ID3v2 TEXT frame as hex: 4-byte id, the size field in the
+    * TAG VERSION's own discipline (v2.4 syncsafe — texts stay under
+    * 127 bytes in the fixture so only the last byte carries bits;
+    * v2.3 plain u32be), zero flags, UTF-8 encoding byte, then the
+    * text via the dialect's string→hex (`hexStr`). */
+  private def textFrameHex(idHex: String, textE: String, ver24: Boolean,
+      intdiv: String, hexStr: String => String): String = {
+    val size =
+      if (ver24) s"concat('000000', ${hexN(s"1 + length($textE)", 2, intdiv)})"
+      else hexN(s"1 + length($textE)", 8, intdiv)
+    s"concat('$idHex', $size, '0000', '03', ${hexStr(textE)})"
+  }
+
+  /** A complete ID3v2.3/2.4 tag carrying TIT2 + TPE1 (+ TALB when
+    * `hasAlbumE`): header with the SYNCSAFE total, then the frames.
+    * `hexStr` is the dialect's string→hex spelling (Spark
+    * `hex(encode(e, 'UTF-8'))`, DuckDB `hex(encode(e))`). */
+  def id3TagsHex(t1: String, t2: String, t3: String,
+      hasAlbumE: String, ver24: Boolean, intdiv: String,
+      hexStr: String => String): String = {
+    val total = s"(22 + length($t1) + length($t2) + " +
+      s"CASE WHEN $hasAlbumE THEN 11 + length($t3) ELSE 0 END)"
+    s"concat('494433', '${if (ver24) "04" else "03"}00', '00', " +
+      s"'0000', ${hexN(s"$total $intdiv 128", 2, intdiv)}, " +
+      s"${hexN(s"$total % 128", 2, intdiv)}, " +
+      s"${textFrameHex("54495432", t1, ver24, intdiv, hexStr)}, " +
+      s"${textFrameHex("54504531", t2, ver24, intdiv, hexStr)}, " +
+      s"CASE WHEN $hasAlbumE THEN " +
+      s"${textFrameHex("54414C42", t3, ver24, intdiv, hexStr)} " +
+      "ELSE '' END)"
+  }
 }

@@ -174,4 +174,55 @@ class Mp3HeadersSpec extends AnyFunSuite {
     val st = withVbr(frame(5, 0, 0, 1), "Xing", 3, 4321L, 987654L, 1)
     assert(Mp3Headers.vbrInfo(st.take(4 + 32 + 10)).isEmpty)
   }
+
+  /** An ID3v2 tag built by INDEPENDENT arithmetic: frames as
+    * (id, encoding, bytes) triples, `padding` zero bytes appended
+    * inside the declared size. */
+  private def id3Tag(ver: Int, frames: Seq[(String, Int, Array[Byte])],
+      padding: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (id, enc, txt) =>
+      body.write(id.getBytes("US-ASCII"))
+      val sz = 1 + txt.length
+      if (ver == 4)
+        (3 to 0 by -1).foreach(k => body.write((sz >> (7 * k)) & 0x7f))
+      else
+        (3 to 0 by -1).foreach(k => body.write((sz >> (8 * k)) & 0xff))
+      body.write(0); body.write(0); body.write(enc); body.write(txt)
+    }
+    body.write(new Array[Byte](padding))
+    val b = body.toByteArray
+    out.write("ID3".getBytes); out.write(ver); out.write(0); out.write(0)
+    (3 to 0 by -1).foreach(k => out.write((b.length >> (7 * k)) & 0x7f))
+    out.write(b)
+    out.toByteArray
+  }
+
+  test("ID3v2 text frames: v2.3 u32be vs v2.4 SYNCSAFE sizes " +
+    "(multi-byte), encodings, NUL strip, padding stop, subsets") {
+    // v2.4 with a 200-byte title: syncsafe size spans two bytes —
+    // a u32be read of it would land mid-frame and corrupt TPE1
+    val long = ("L" * 200).getBytes("UTF-8")
+    assert(Mp3Headers.id3TextFrames(id3Tag(4, Seq(
+      ("TIT2", 3, long), ("TPE1", 3, "Art".getBytes),
+      ("TALB", 0, "Alb ".getBytes("ISO-8859-1")))))
+      .contains(("L" * 200, "Art", "Alb", 4)))
+    // v2.3 plain sizes; UTF-16 frame (enc 1) yields a null field
+    assert(Mp3Headers.id3TextFrames(id3Tag(3, Seq(
+      ("TIT2", 1, "ab".getBytes("UTF-16LE")),
+      ("TPE1", 0, "Aé".getBytes("ISO-8859-1")))))
+      .contains((null, "Aé", null, 3)))
+    // padding after the frames stops the walk cleanly
+    assert(Mp3Headers.id3TextFrames(id3Tag(4, Seq(
+      ("TIT2", 3, "t".getBytes)), padding = 40))
+      .contains(("t", null, null, 4)))
+    // fail-closed: a frame whose SIZE FIELD overruns the declared
+    // tag extent (declared size admits the header, not the body)
+    val bad = id3Tag(3, Seq(("TIT2", 3, "abc".getBytes)))
+    bad(17) = 100 // frame size u32be low byte: 4 -> 100
+    assert(Mp3Headers.id3TextFrames(bad).isEmpty)
+    // no tag at all
+    assert(Mp3Headers.id3TextFrames(frame(5, 0, 0, 1)).isEmpty)
+  }
 }
