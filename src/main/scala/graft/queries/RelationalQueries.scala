@@ -70,6 +70,7 @@ object RelationalQueries {
     "rel_q43_expectations" -> expectations,
     "rel_q44_components" -> components,
     "rel_q45_components_incr" -> componentsIncremental,
+    "rel_q46_decay" -> decayScore,
   )
 
   /** Declarative data-quality expectation suite
@@ -1706,6 +1707,39 @@ object RelationalQueries {
     hourly.withColumn("rolling_n", sum(col("n")).over(w))
   }
 
+  /** Exponentially-decayed rolling activity (`rel_q46_decay`) — the
+    * EWMA-class trend signal feature stores keep per entity, in
+    * EXACT integer arithmetic: per (user, hour) activity cents x_t,
+    * score(t) = Σ_{d=0..7} x_{t−d} · 2^(7−d) — half-life one hour,
+    * truncated at 8 terms (the tail weight is < 1/256 of the head),
+    * ×256-scaled so no division ever happens. Weights ride HOUR
+    * DISTANCE, not row offsets, so silent hours decay the score
+    * instead of being skipped — which is why this is a bounded
+    * self-RANGE-join on the user key (≤ 8× expansion, the
+    * [[rangeJoinBucketed]] family) rather than a row-frame window:
+    * a `rowsBetween` frame would weight the k-th PRESENT hour, the
+    * classic gap bug. One exchange on user; the join and the rollup
+    * reuse it. */
+  def decayScore(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(sum(cents(col("value"))).as("x_cents"))
+    val b = hourly.select(col("user_id"),
+      col("hour_ts").as("b_ts"), col("x_cents").as("b_x"))
+    hourly.join(b,
+        Seq("user_id"))
+      .filter(col("b_ts") <= col("hour_ts") &&
+        col("b_ts") >= col("hour_ts") - 7 * 3600)
+      .groupBy(col("user_id"), col("hour_ts"),
+        col("x_cents"))
+      .agg(sum(expr(
+        "b_x * shiftleft(1L, CAST(7 - (hour_ts - b_ts) div 3600 AS INT))"))
+        .as("decay_x256"))
+      .select(col("user_id"), col("hour_ts"), col("x_cents"),
+        col("decay_x256"))
+  }
+
   /** Exact per-group lower median by deterministic rank selection
     * (row_number to the (n+1)/2-th row) — engine-independent, unlike
     * percentile functions whose interpolation rules differ across
@@ -1850,6 +1884,24 @@ object RelationalQueries {
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS rolling_n
         |FROM h""".stripMargin,
+
+    // the same bounded range self-join, hour-distance weights as
+    // powers of two — DuckDB's << replays shiftleft exactly
+    "rel_q46_decay" ->
+      s"""WITH h AS (SELECT user_id,
+         |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         |    CAST(SUM(${Exact.sqlCents("value")}) AS BIGINT)
+         |      AS x_cents
+         |  FROM events GROUP BY 1, 2)
+         |SELECT CAST(a.user_id AS BIGINT) AS user_id,
+         |  a.hour_ts, a.x_cents,
+         |  CAST(SUM(b.x_cents <<
+         |    CAST(7 - (a.hour_ts - b.hour_ts) // 3600 AS INT))
+         |    AS BIGINT) AS decay_x256
+         |FROM h a JOIN h b ON a.user_id = b.user_id
+         |  AND b.hour_ts <= a.hour_ts
+         |  AND b.hour_ts >= a.hour_ts - 7 * 3600
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "rel_q16_median_price" ->
       s"""WITH r AS (SELECT o_orderpriority,
