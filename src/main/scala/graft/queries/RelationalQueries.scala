@@ -71,6 +71,7 @@ object RelationalQueries {
     "rel_q44_components" -> components,
     "rel_q45_components_incr" -> componentsIncremental,
     "rel_q46_decay" -> decayScore,
+    "rel_q47_triangles_incr" -> trianglesIncremental,
   )
 
   /** Declarative data-quality expectation suite
@@ -802,13 +803,20 @@ object RelationalQueries {
   private[queries] def triangleCountOf(li: DataFrame): DataFrame =
     triangleFrom(orientedOf(li))
 
-  /** Degree-oriented edge table (u → v with deg(u) < deg(v), ties
-    * by id): the compact-forward projection. */
-  private def orientedOf(li: DataFrame): DataFrame = {
-    val edges = li.as("x").join(li.as("y"),
+  /** Canonical (a < b) distinct co-purchase pairs of an (ok, pk)
+    * membership table — the edge rule shared by the triangle family. */
+  private def coEdgesOf(li: DataFrame): DataFrame =
+    li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
+
+  private def orientedOf(li: DataFrame): DataFrame =
+    orientedFromEdges(coEdgesOf(li))
+
+  /** Degree-oriented edge table (u → v with deg(u) < deg(v), ties
+    * by id): the compact-forward projection. */
+  private def orientedFromEdges(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("n"))
       .union(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
@@ -824,6 +832,65 @@ object RelationalQueries {
             col("da").as("dv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
   }
+
+  /** INCREMENTAL triangle counting (`rel_q47_triangles_incr`) —
+    * the density census made refresh-proportional: the existing
+    * snapshot's edge set and triangle count are stored artifacts; an
+    * arriving order shard contributes TRUE delta edges (its pairs
+    * anti-joined against the base — a co-purchase seen before adds
+    * nothing), and every NEW triangle must contain one, so they are
+    * enumerated by delta-keyed joins against the posterior adjacency
+    * (|Δ|·deg² work, never a corpus recount): for each new edge
+    * (a,b), the common posterior neighbors close it; canonical
+    * sorted-triple dedup counts each new triangle ONCE no matter how
+    * many of its edges are new. Additivity (edges are only ever
+    * added) gives the checked contract: stored + |new set| must
+    * equal the oracle's from-scratch posterior recount. */
+  def trianglesIncremental(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(spark, s"tri-incr:$dir") {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_linenumber") <= 3)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val baseEdges = graft.SnapshotMemo.getOrCompute(spark,
+        s"tri-base-edges:$dir") {
+        coEdgesOf(li.filter(col("ok") % 10 =!= 7)).localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      }
+      val baseCount = graft.SnapshotMemo.getOrCompute(spark,
+        s"tri-base-count:$dir") {
+        triangleFrom(orientedFromEdges(baseEdges))
+          .select(col("n_triangles").as("n_base"))
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      }
+      trianglesMerge(baseCount, baseEdges,
+        coEdgesOf(li.filter(col("ok") % 10 === 7)))
+    }
+
+  /** [[trianglesIncremental]]'s delta-enumeration core over explicit
+    * stored artifacts + arriving canonical pairs (spec surface). */
+  private[graft] def trianglesMerge(baseCount: DataFrame,
+      baseEdges: DataFrame, arrivingPairs: DataFrame): DataFrame = {
+      val delta = arrivingPairs
+        .join(baseEdges, Seq("a", "b"), "left_anti")
+      val posterior = baseEdges.unionByName(delta)
+      val adj = posterior.select(col("a").as("u"), col("b").as("w"))
+        .unionByName(
+          posterior.select(col("b").as("u"), col("a").as("w")))
+      val newTri = delta
+        .join(adj.select(col("u").as("a"), col("w").as("c")), Seq("a"))
+        .join(adj.select(col("u").as("b"), col("w").as("c")),
+          Seq("b", "c"))
+        .select(array_sort(array(col("a"), col("b"), col("c")))
+          .as("t"))
+        .distinct()
+        .agg(count(lit(1)).as("n_new"))
+      val nd = delta.agg(count(lit(1)).as("n_delta_edges"))
+      baseCount.crossJoin(newTri).crossJoin(nd)
+        .select(col("n_base"), col("n_new"), col("n_delta_edges"),
+          (col("n_base") + col("n_new")).as("n_total"))
+    }
 
   private def triangleFrom(oriented: DataFrame): DataFrame = {
     // wedges at the smallest vertex: out-neighbor pairs in the same
@@ -2176,6 +2243,35 @@ object RelationalQueries {
         |    JOIN pr e2 ON e2.a = e1.a AND e2.b > e1.b
         |    JOIN pr e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"""
         .stripMargin,
+
+    // from-scratch recounts on base and posterior (the same 3-join
+    // spelling as rel_q33) — the engine's stored-base + delta-keyed
+    // enumeration must land on the difference exactly
+    "rel_q47_triangles_incr" ->
+      """WITH pr AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3),
+        |pb AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3
+        |    AND x.l_orderkey % 10 <> 7),
+        |cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base
+        |  FROM pb e1
+        |  JOIN pb e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN pb e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM pr e1
+        |  JOIN pr e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN pr e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_delta_edges
+        |  FROM (SELECT a, b FROM pr EXCEPT SELECT a, b FROM pb))
+        |SELECT cb.n_base, ct.n_total - cb.n_base AS n_new,
+        |  nd.n_delta_edges, ct.n_total
+        |FROM cb, ct, nd""".stripMargin,
 
     // iterative peel unrolled as chained CTEs (idempotent at the
     // fixpoint, so unroll depth only needs to exceed convergence —
