@@ -72,6 +72,7 @@ object RelationalQueries {
     "rel_q45_components_incr" -> componentsIncremental,
     "rel_q46_decay" -> decayScore,
     "rel_q47_triangles_incr" -> trianglesIncremental,
+    "rel_q48_session_native" -> sessionNative,
   )
 
   /** Declarative data-quality expectation suite
@@ -1682,6 +1683,29 @@ object RelationalQueries {
 
   /** Sessionization over any events DataFrame with columns
     * (user_id long, ts timestamp, value double). */
+  /** NATIVE session windows (`rel_q48_session_native`) — the same
+    * gap sessionization as [[sessions]] expressed through Catalyst's
+    * own `SessionWindow` operator (`session_window(ts, gap)`): one
+    * exchange on the user key, per-key window MERGE inside the
+    * aggregate — the declarative spelling whose streaming form is
+    * what Structured Streaming state-stores natively. Boundary
+    * semantics differ from the lag rule BY SPEC and the oracle pins
+    * them: a session's END is last-event + gap (not last event), and
+    * an event exactly `gap` after its predecessor starts a NEW
+    * session (the lag rule's strict `>` keeps it — the off-by-one
+    * every migration between the two spellings must know about). */
+  def sessionNative(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"),
+          s"${sessionGapUs / 1000000} seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
   def sessionsOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     val runningByUser =
@@ -1916,6 +1940,26 @@ object RelationalQueries {
          |SELECT user_id, session_seq, COUNT(*) AS n_events,
          |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
          |  MAX(ts_us) - MIN(ts_us) AS duration_us,
+         |  ${sqlMoneySum("value")} AS sum_value
+         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // the SessionWindow semantics replayed with the lag rule's
+    // >= variant (exact-gap events split) and end = last + gap
+    "rel_q48_session_native" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+         |    FROM events),
+         |g AS (SELECT user_id, ts_us, value,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL
+         |      OR ts_us - lag(ts_us) OVER w >= $sessionGapUs
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         |s AS (SELECT user_id, ts_us, value,
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM g)
+         |SELECT user_id, MIN(ts_us) AS start_us,
+         |  MAX(ts_us) + $sessionGapUs AS end_us,
+         |  COUNT(*) AS n_events,
          |  ${sqlMoneySum("value")} AS sum_value
          |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
