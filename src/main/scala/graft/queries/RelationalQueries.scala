@@ -73,6 +73,7 @@ object RelationalQueries {
     "rel_q46_decay" -> decayScore,
     "rel_q47_triangles_incr" -> trianglesIncremental,
     "rel_q48_session_native" -> sessionNative,
+    "rel_q49_rolling_uniques" -> rollingUniques,
   )
 
   /** Declarative data-quality expectation suite
@@ -1831,6 +1832,64 @@ object RelationalQueries {
         col("decay_x256"))
   }
 
+  /** Rolling distinct users (`rel_q49_rolling_uniques`) — the
+    * DAU-style sliding-uniques query, computed BOTH ways in one row
+    * so the trade is measured, not asserted: the exact path expands
+    * each (hour, user) membership into its 3 covering TRAILING
+    * windows (win_ts = window END hour, spanning [win_ts−2h, win_ts]) and pays
+    * a distinct-aggregate per window (the cost that explodes at
+    * 100 TB); the production path merges PER-HOUR HLL REGISTER
+    * TABLES across the window instead — the expand happens on
+    * sketch rows (hours × 64 registers), five orders below the
+    * event rows, and register-max is the merge (the mergeability
+    * that makes HLL the warehouse rolling-uniques operator). Same
+    * integer-exact raw estimator as `llm_hll_distinct`
+    * (α = 709/1000, b = 6), user-id keyed. */
+  def rollingUniques(spark: SparkSession, dir: String): DataFrame = {
+    val wBits = 26
+    val w = 1L << wBits
+    val m = 64L
+    val hu = Tables(spark, dir, "events")
+      .select(unix_timestamp(date_trunc("hour", col("ts")))
+        .as("hour_ts"), col("user_id"))
+      .distinct()
+    // exact: event-scale 3-way expand, then a distinct agg per window
+    val exact = hu
+      .select(explode(expr(
+        "sequence(hour_ts, hour_ts + 7200, 3600)")).as("win_ts"),
+        col("user_id"))
+      .groupBy(col("win_ts"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    // sketch: per-hour registers once, window-merged at sketch scale
+    val regs = hu
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .withColumn("hv", expr((1 to 8).map { j =>
+        val p = math.pow(16, 8 - j).toLong
+        s"CAST(instr('0123456789abcdef', substring(h, $j, 1)) - 1 " +
+          s"AS BIGINT) * $p"
+      }.mkString(" + ")))
+      .withColumn("j", expr(s"CAST(hv div $w AS INT)"))
+      .withColumn("wv", expr(s"hv % $w"))
+      .withColumn("rho", expr(s"CASE WHEN wv = 0 THEN ${wBits + 1} " +
+        s"ELSE ${wBits + 1} - length(bin(wv)) END"))
+      .groupBy(col("hour_ts"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+    val merged = regs
+      .select(explode(expr(
+        "sequence(hour_ts, hour_ts + 7200, 3600)")).as("win_ts"),
+        col("j"), col("mj"))
+      .groupBy(col("win_ts"), col("j"))
+      .agg(max(col("mj")).as("mj"))
+    val est = merged
+      .groupBy(col("win_ts"))
+      .agg((sum(expr(s"CAST(1 AS BIGINT) << CAST($wBits - mj AS INT)"))
+        + (lit(m) - count(lit(1))) * w).as("nsum"))
+      .select(col("win_ts"),
+        expr(s"${709L * m * m * w}L div (1000L * nsum)").as("est_hll"))
+    exact.join(est, Seq("win_ts"))
+      .select(col("win_ts"), col("n_exact"), col("est_hll"))
+  }
+
   /** Exact per-group lower median by deterministic rank selection
     * (row_number to the (n+1)/2-th row) — engine-independent, unlike
     * percentile functions whose interpolation rules differ across
@@ -1942,6 +2001,42 @@ object RelationalQueries {
          |  MAX(ts_us) - MIN(ts_us) AS duration_us,
          |  ${sqlMoneySum("value")} AS sum_value
          |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // both paths replayed: the exact 3-window expand + distinct, and
+    // the register table window-merged by max — same md5 polynomial,
+    // same integer-exact harmonic fold as the llm_hll oracle
+    "rel_q49_rolling_uniques" ->
+      """WITH hu AS (SELECT DISTINCT
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |    user_id
+        |  FROM events),
+        |ex AS (SELECT win_ts,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM (SELECT unnest(generate_series(hour_ts,
+        |      hour_ts + 7200, 3600)) AS win_ts, user_id FROM hu)
+        |  GROUP BY win_ts),
+        |hv AS (SELECT hour_ts, user_id,
+        |    md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM hu),
+        |rv AS (SELECT hour_ts,
+        |    CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(strpos('0123456789abcdef', substring(h, 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(strpos('0123456789abcdef', substring(h, 4, 1)) - 1 AS BIGINT) * 65536 + CAST(strpos('0123456789abcdef', substring(h, 5, 1)) - 1 AS BIGINT) * 4096 + CAST(strpos('0123456789abcdef', substring(h, 6, 1)) - 1 AS BIGINT) * 256 + CAST(strpos('0123456789abcdef', substring(h, 7, 1)) - 1 AS BIGINT) * 16 + CAST(strpos('0123456789abcdef', substring(h, 8, 1)) - 1 AS BIGINT) * 1 AS v
+        |  FROM hv),
+        |regs AS (SELECT hour_ts, CAST(v // 67108864 AS INT) AS j,
+        |    MAX(CASE WHEN v % 67108864 = 0 THEN 27
+        |      ELSE 27 - length(bin(v % 67108864)) END) AS mj
+        |  FROM rv GROUP BY 1, 2),
+        |mg AS (SELECT win_ts, j, MAX(mj) AS mj
+        |  FROM (SELECT unnest(generate_series(hour_ts,
+        |      hour_ts + 7200, 3600)) AS win_ts, j, mj FROM regs)
+        |  GROUP BY 1, 2),
+        |es AS (SELECT win_ts,
+        |    SUM(CAST(1 AS BIGINT) << CAST(26 - mj AS INT))
+        |      + (64 - COUNT(*)) * 67108864 AS nsum
+        |  FROM mg GROUP BY 1)
+        |SELECT ex.win_ts, ex.n_exact,
+        |  CAST(194888436023296 // (1000 * es.nsum) AS BIGINT)
+        |    AS est_hll
+        |FROM ex JOIN es ON ex.win_ts = es.win_ts""".stripMargin,
 
     // the SessionWindow semantics replayed with the lag rule's
     // >= variant (exact-gap events split) and end = last + gap
