@@ -120,6 +120,7 @@ object LlmQueries {
     "mm_audio_neardup_incr" -> audioNeardupIncremental,
     "mm_image_levels" -> imageLevels,
     "llm_pii_scrub" -> piiScrub,
+    "llm_url_stats" -> urlStats,
     "mm_video_meta" -> videoMeta,
     "mm_avi_meta" -> aviMeta,
     "mm_png_levels" -> pngLevels,
@@ -3974,6 +3975,39 @@ object LlmQueries {
     * shape — regex scans parallelize per-row; the redacted corpus
     * itself would be written columnar next to the original, never
     * collected. */
+  /** URL regex shared verbatim by engine (Java) and oracle (RE2) —
+    * scheme + host + optional path, no lookaround. */
+  private[llm] val urlRe = "https?://[A-Za-z0-9.-]+(/[^\\s]*)?"
+  private[llm] val urlHostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Link extraction + domain rollup (`llm_url_stats`) — the signal
+    * behind link-graph quality features and domain-level filtering
+    * (a crawl curation pass scores documents by where they link):
+    * URLs planted deterministically into the corpus (the [[piiScrub]]
+    * augmentation discipline), extracted with the shared
+    * RE2-compatible pattern, reduced to hosts, and rolled up per
+    * domain with document reach. One map-side extract-explode, one
+    * combine-collapsed exchange on the (small) domain key space. */
+  def urlStats(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" see https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/page/"), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" via http://cdn"),
+        (col("doc_id") % 4).cast("string"),
+        lit(".example.org"))).otherwise(lit("")))
+    docs(s, d).select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("t"), lit(urlRe), lit(0)))
+          .as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), urlHostRe, 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   def piiScrub(s: SparkSession, d: String): DataFrame = {
     val aug = concat(col("text"),
       when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
@@ -7058,6 +7092,30 @@ object LlmQueries {
          |  CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
          |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT) AS sum_ms
          |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // same augmentation + extraction replayed in RE2; hosts via the
+    // capture-group form of the shared pattern
+    "llm_url_stats" -> {
+      val re = urlRe
+      val host = urlHostRe
+      s"""WITH t AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' ||
+         |      CAST(doc_id % 7 AS VARCHAR) || '.example.com/page/' ||
+         |      CAST(doc_id AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' via http://cdn' ||
+         |      CAST(doc_id % 4 AS VARCHAR) || '.example.org'
+         |      ELSE '' END AS t
+         |  FROM documents),
+         |u AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(t, '$re')) AS url
+         |  FROM t),
+         |h AS (SELECT doc_id,
+         |    regexp_extract(url, '$host', 1) AS domain
+         |  FROM u)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM h GROUP BY domain""".stripMargin
     },
 
     // same augmentation, extraction and redaction replayed in RE2
