@@ -1863,12 +1863,12 @@ object LlmQueries {
         s"""CAST(concat(
            |  'WARC/1.0', $crlf,
            |  'WARC-Type: warcinfo', $crlf,
-           |  'Content-Length: ', CAST(length(b1) AS STRING), $crlf,
+           |  'Content-Length: ', CAST(octet_length(b1) AS STRING), $crlf,
            |  $crlf, b1, $crlf, $crlf,
            |  'WARC/1.1', $crlf,
            |  'WARC-Type: response', $crlf,
            |  'WARC-Target-URI: ', uri, $crlf,
-           |  'Content-Length: ', CAST(length(b2) AS STRING), $crlf,
+           |  'Content-Length: ', CAST(octet_length(b2) AS STRING), $crlf,
            |  $crlf, b2, $crlf, $crlf) AS BINARY)""".stripMargin))
       .withColumn("recs", graft.functions.WarcRecords(col("payload")))
       .select(col("doc_id"),
@@ -1928,7 +1928,7 @@ object LlmQueries {
            |  'WARC/1.0', $crlf,
            |  'WARC-Type: response', $crlf,
            |  'WARC-Target-URI: ', uri, $crlf,
-           |  'Content-Length: ', CAST(length(http) AS STRING), $crlf,
+           |  'Content-Length: ', CAST(octet_length(http) AS STRING), $crlf,
            |  $crlf, http, $crlf, $crlf) AS BINARY)""".stripMargin))
     ingestArchives(
       archived.select(col("doc_id"), col("payload")), Seq(col("doc_id")))
@@ -6170,12 +6170,12 @@ object LlmQueries {
         |  FROM documents)
         |SELECT doc_id, CAST(0 AS INT) AS rec_idx,
         |  'warcinfo' AS rec_type, CAST(NULL AS VARCHAR) AS uri,
-        |  CAST(length(b1) AS BIGINT) AS content_length,
+        |  CAST(strlen(b1) AS BIGINT) AS content_length,
         |  md5(b1) AS body_md5
         |FROM t
         |UNION ALL
         |SELECT doc_id, CAST(1 AS INT), 'response', uri,
-        |  CAST(length(b2) AS BIGINT), md5(b2)
+        |  CAST(strlen(b2) AS BIGINT), md5(b2)
         |FROM t""".stripMargin,
 
     // the ingest chain replayed: same CASE fixture, same offset

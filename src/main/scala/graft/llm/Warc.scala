@@ -76,13 +76,19 @@ object Warc {
           val line = new String(b, i, le - i, "US-ASCII")
           val c = line.indexOf(':')
           if (c <= 0) return None
-          val name = line.substring(0, c).trim.toLowerCase
+          // Locale.ROOT: under a Turkish default locale 'URI'
+          // lowercases to a dotless-i form and never matches
+          val name = line.substring(0, c).trim
+            .toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(c + 1).trim
           name match {
             case "warc-type" => wtype = value
             case "warc-target-uri" => uri = value
             case "content-length" =>
-              if (!value.forall(_.isDigit) || value.isEmpty) return None
+              // all-digits AND parseable: a 20-digit length is
+              // malformed, not a NumberFormatException
+              if (!value.forall(_.isDigit) || value.isEmpty ||
+                value.length > 18) return None
               len = value.toLong
             case _ => () // other headers carried but unused
           }
@@ -91,7 +97,7 @@ object Warc {
       }
       if (wtype == null || len < 0) return None
       if (i + len + 4 > b.length) return None // block + separator
-      val body = new String(b, i, len.toInt, "US-ASCII")
+      val body = new String(b, i, len.toInt, "UTF-8")
       i += len.toInt
       // the mandatory two-CRLF record separator
       if (!(b(i) == Sep(0) && b(i + 1) == Sep(1) &&

@@ -230,7 +230,7 @@ object AudioHeaders {
         if (u32le(b, body + 7) != 0L) return None // vorbis version
         ch = u8(b, body + 11)
         rate = u32le(b, body + 12)
-        if (ch < 1 || rate < 1) return None
+        if (ch < 1 || rate < 1 || rate > Int.MaxValue) return None
         first = false
       }
       if (g != -1L) lastGranule = g

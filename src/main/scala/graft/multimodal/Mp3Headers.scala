@@ -230,7 +230,9 @@ object Mp3Headers {
       return None
     val ver = u8(b, 3)
     if (ver != 3 && ver != 4) return None
-    if ((u8(b, 5) & 0x40) != 0) return None // extended header: out of scope
+    // extended header and unsynchronisation are both out of scope —
+    // fail closed rather than walk byte-stuffed sizes fail-open
+    if ((u8(b, 5) & 0x40) != 0 || (u8(b, 5) & 0x80) != 0) return None
     var size = 0
     var i = 6
     while (i < 10) {
@@ -250,9 +252,9 @@ object Mp3Headers {
       if (u8(b, p) == 0) done = true // padding begins
       else {
         val id = new String(b, p, 4, "US-ASCII")
-        val fsz =
+        val fsz: Long =
           if (ver == 4) {
-            var s = 0; var k = 4
+            var s = 0L; var k = 4
             while (k < 8) {
               val v = u8(b, p + k)
               if ((v & 0x80) != 0) return None
@@ -260,7 +262,9 @@ object Mp3Headers {
             }
             s
           } else
-            ((u8(b, p + 4) << 24) | (u8(b, p + 5) << 16) |
+            // u32be as a LONG: a 0x7FFFFFF0-scale declared size must
+            // hit the bounds guard, not wrap an Int past it
+            ((u8(b, p + 4).toLong << 24) | (u8(b, p + 5) << 16) |
               (u8(b, p + 6) << 8) | u8(b, p + 7))
         val body = p + 10
         if (fsz < 0 || body + fsz > end) return None
@@ -272,7 +276,7 @@ object Mp3Headers {
             case _ => null // UTF-16 variants: not a text we extract
           }
           if (cs != null) {
-            var len = fsz - 1
+            var len = fsz.toInt - 1
             while (len > 0 && b(body + len) == 0) len -= 1 // trailing NULs
             val txt = new String(b, body + 1, len, cs)
             id match {
@@ -283,7 +287,7 @@ object Mp3Headers {
             }
           }
         }
-        p = body + fsz
+        p = body + fsz.toInt
       }
     }
     Some((title, artist, album, ver))

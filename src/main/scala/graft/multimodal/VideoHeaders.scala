@@ -149,7 +149,10 @@ object VideoHeaders {
         val w = u32le(b, ap + 32)
         val h = u32le(b, ap + 36)
         return if (usf < 1 || w < 1 || h < 1 ||
-          w > Int.MaxValue || h > Int.MaxValue) None
+          w > Int.MaxValue || h > Int.MaxValue ||
+          // u32 × u32 can pass Long.MaxValue — degenerate header,
+          // fail closed rather than wrap to a negative duration
+          (nf != 0L && usf > Long.MaxValue / nf)) None
         else Some((w.toInt, h.toInt, 1000000, usf * nf))
       }
       i = start.toLong + size + (size & 1L) // pad byte on odd sizes

@@ -265,13 +265,8 @@ object RelationalQueries {
     * table freed. */
   private[graft] def componentsOf(li: DataFrame): DataFrame = {
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") &&
-          col("x.ln") === 1 && col("y.ln") === 2 &&
-          col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("doc_a"), col("y.pk").as("doc_b"))
-      .distinct()
-    val (chk, labels) = graft.llm.LlmQueries.ccFromPairsChk(pairs)
+    val (chk, labels) =
+      graft.llm.LlmQueries.ccFromPairsChk(linePairsOf(li))
     val rollup = labels
       .groupBy(col("cluster_id").as("component_id"))
       .agg(count(lit(1)).as("n_parts"))

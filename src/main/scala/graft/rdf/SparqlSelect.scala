@@ -720,7 +720,7 @@ object SparqlSelect {
       def add(): Unit = {
         val st = step()
         if (st.seqPreds.nonEmpty &&
-            !(st.plus || st.star || st.zeroOne))
+            !(st.plus || st.star || st.zeroOne || st.rep.isDefined))
           // unquantified `(p1/p2)` desugars to the plain sequence —
           // the parens carry no meaning without a quantifier
           st.seqPreds.foreach(p =>

@@ -62,6 +62,11 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(bytes(ok.dropRight(1) + "X")).isEmpty)
     // a record then garbage that is not a record
     assert(Warc.parse(bytes(ok + "junk")).isEmpty)
+    // a 20-digit all-numeric length is malformed, not a crash
+    assert(Warc.parse(bytes(
+      "WARC/1.0\r\nWARC-Type: x\r\n" +
+        "Content-Length: 99999999999999999999\r\n\r\n\r\n\r\n"))
+      .isEmpty)
     // empty payload
     assert(Warc.parse(bytes("")).isEmpty)
   }

@@ -323,6 +323,12 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(AudioHeaders.parseOgg(
       oggPage(0x02, 0, notV, Seq(30))).isEmpty)
     assert(AudioHeaders.parseOgg(good.dropRight(3)).isEmpty)
+    // a u32 rate above Int.MaxValue fails closed, never truncates
+    val hugeRate = vorbisId(2, 44100)
+    hugeRate(12) = 0xf0.toByte; hugeRate(13) = 0xff.toByte
+    hugeRate(14) = 0xff.toByte; hugeRate(15) = 0xff.toByte
+    assert(AudioHeaders.parseOgg(
+      oggPage(0x02, 0, hugeRate, Seq(30))).isEmpty)
     // dispatch: the same audio_meta row surface
     val viaRow = AudioHeaders.parseRow(good)
     assert(viaRow != null && viaRow.getInt(0) == 2 &&

@@ -222,6 +222,16 @@ class Mp3HeadersSpec extends AnyFunSuite {
     val bad = id3Tag(3, Seq(("TIT2", 3, "abc".getBytes)))
     bad(17) = 100 // frame size u32be low byte: 4 -> 100
     assert(Mp3Headers.id3TextFrames(bad).isEmpty)
+    // a v2.3 frame declaring a ~2^31 size must hit the bounds
+    // guard, not wrap an Int past it into an AIOOBE
+    val huge = id3Tag(3, Seq(("TIT2", 3, "abc".getBytes)))
+    huge(14) = 0x7f.toByte; huge(15) = 0xff.toByte
+    huge(16) = 0xff.toByte; huge(17) = 0xf0.toByte
+    assert(Mp3Headers.id3TextFrames(huge).isEmpty)
+    // the unsynchronisation flag is out of scope: fail closed
+    val unsync = id3Tag(4, Seq(("TIT2", 3, "t".getBytes)))
+    unsync(5) = 0x80.toByte
+    assert(Mp3Headers.id3TextFrames(unsync).isEmpty)
     // no tag at all
     assert(Mp3Headers.id3TextFrames(frame(5, 0, 0, 1)).isEmpty)
   }

@@ -134,6 +134,9 @@ class VideoHeadersSpec extends AnyFunSuite {
     assert(VideoHeaders.parseAvi(
       aviBytes(640, 480, 40000, 10, avihSize = 40)).isEmpty)
     assert(VideoHeaders.parseAvi("RIFXxxxxAVI ".getBytes).isEmpty)
+    // u32 x u32 duration overflow fails closed, never wraps negative
+    assert(VideoHeaders.parseAvi(
+      aviBytes(640, 480, 0xFFFFFFFFL, 0xFFFFFFFFL)).isEmpty)
     // one expression, two containers
     val viaRow = VideoHeaders.parseRow(aviBytes(33, 7, 20000, 3))
     assert(viaRow != null && viaRow.getInt(0) == 33 &&

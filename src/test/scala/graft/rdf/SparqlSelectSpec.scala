@@ -1030,6 +1030,24 @@ class SparqlSelectSpec extends AnyFunSuite {
     val got = RdfOps.pathBounded(edges, 2, 2).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("a", "c")))
+    // a parenthesized SEQUENCE under bounded repetition keeps the
+    // quantifier (regression: the unquantified desugar used to
+    // swallow it): (p/p){2} == pathBounded over the COMPOSED edges
+    val seqRep = SparqlSelect(t,
+      """SELECT ?src ?dst WHERE {
+        |  ?src (dcterms:relation/dcterms:relation){2} ?dst . }"""
+        .stripMargin)
+    val e1 = t.filter(col("predicate") === Vocab.DctermsRelation &&
+        col("obj_kind") === "iri")
+      .select(col("subject").as("src"), col("obj_value").as("dst"))
+    val composed = e1.join(
+        e1.select(col("src").as("_m"), col("dst").as("_n")),
+        col("dst") === col("_m"))
+      .select(col("src"), col("_n").as("dst"))
+    val seqHand = RdfOps.pathBounded(composed, 2, 2)
+      .select(col("src"), col("dst"))
+    assert(seqRep.collect().map(_.toSeq).toSet ==
+      seqHand.collect().map(_.toSeq).toSet)
     // {n} exact form parses; out-of-range bounds fail loudly
     assert(SparqlSelect(t,
       """SELECT ?src ?dst
