@@ -74,6 +74,7 @@ object RelationalQueries {
     "rel_q47_triangles_incr" -> trianglesIncremental,
     "rel_q48_session_native" -> sessionNative,
     "rel_q49_rolling_uniques" -> rollingUniques,
+    "rel_q50_inclusion" -> inclusionProfile,
   )
 
   /** Declarative data-quality expectation suite
@@ -1827,6 +1828,52 @@ object RelationalQueries {
         col("decay_x256"))
   }
 
+  /** Inclusion-dependency profiling (`rel_q50_inclusion`) — the
+    * data-DISCOVERY pass that finds foreign keys nobody documented
+    * (the second profiling surface after [[columnProfile]]'s
+    * per-column stats): for each candidate (child column, parent
+    * column) pair, the fraction of the child's DISTINCT values
+    * contained in the parent — 1000‰ means a perfect FK candidate,
+    * and the suite deliberately includes a near-miss (order keys
+    * against line-item order keys is only total when every order
+    * has lines) and a type-compatible non-key (sizes vs nation
+    * keys) so the coefficient actually ranks. Per pair: two
+    * distinct-projections and one left-anti count — each a
+    * key-partitioned exchange on ALREADY-DISTINCT columns, never a
+    * row-level join of the fact tables. */
+  def inclusionProfile(spark: SparkSession, dir: String): DataFrame = {
+    def d(tbl: String, c: String): DataFrame =
+      Tables(spark, dir, tbl).select(col(c).cast("long").as("v"))
+        .distinct()
+    val cands: Seq[(String, DataFrame, String, DataFrame)] = Seq(
+      ("orders.o_custkey", d("orders", "o_custkey"),
+        "customer.c_custkey", d("customer", "c_custkey")),
+      ("lineitem.l_orderkey", d("lineitem", "l_orderkey"),
+        "orders.o_orderkey", d("orders", "o_orderkey")),
+      ("orders.o_orderkey", d("orders", "o_orderkey"),
+        "lineitem.l_orderkey", d("lineitem", "l_orderkey")),
+      ("lineitem.l_partkey", d("lineitem", "l_partkey"),
+        "part.p_partkey", d("part", "p_partkey")),
+      ("customer.c_nationkey", d("customer", "c_nationkey"),
+        "nation.n_nationkey", d("nation", "n_nationkey")),
+      ("part.p_size", d("part", "p_size"),
+        "nation.n_nationkey", d("nation", "n_nationkey")))
+    cands.map { case (cn, child, pn, parent) =>
+      // one lazy plan per pair (no driver-side counts): distinct
+      // child size × anti-join miss count, both 1-row aggregates
+      child.agg(count(lit(1)).as("n_distinct"))
+        .crossJoin(child.join(parent, Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("n_miss")))
+        .select(lit(cn).as("child_col"), lit(pn).as("parent_col"),
+          col("n_distinct"),
+          (col("n_distinct") - col("n_miss")).as("n_contained"),
+          expr("CASE WHEN n_distinct = 0 THEN 0L ELSE " +
+            "(n_distinct - n_miss) * 1000 div n_distinct END")
+            .as("contained_x1000"))
+    }.reduce(_.unionByName(_)).orderBy(col("child_col"),
+      col("parent_col"))
+  }
+
   /** Rolling distinct users (`rel_q49_rolling_uniques`) — the
     * DAU-style sliding-uniques query, computed BOTH ways in one row
     * so the trade is measured, not asserted: the exact path expands
@@ -1996,6 +2043,64 @@ object RelationalQueries {
          |  MAX(ts_us) - MIN(ts_us) AS duration_us,
          |  ${sqlMoneySum("value")} AS sum_value
          |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // each pair recomputed as independent scalar SQL (distinct
+    // cardinality + EXISTS containment) — the anti-join arithmetic
+    // replayed structurally differently
+    "rel_q50_inclusion" ->
+      """WITH raw AS (
+        |SELECT 'orders.o_custkey' AS child_col, 'customer.c_custkey' AS parent_col,
+        |  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        |    AS n_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS v FROM orders) c
+        |    WHERE EXISTS (SELECT 1 FROM customer p
+        |      WHERE CAST(p.c_custkey AS BIGINT) = c.v)) AS n_contained
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey' AS child_col, 'orders.o_orderkey' AS parent_col,
+        |  (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+        |    AS n_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS v FROM lineitem) c
+        |    WHERE EXISTS (SELECT 1 FROM orders p
+        |      WHERE CAST(p.o_orderkey AS BIGINT) = c.v)) AS n_contained
+        |UNION ALL
+        |SELECT 'orders.o_orderkey' AS child_col, 'lineitem.l_orderkey' AS parent_col,
+        |  (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        |    AS n_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS v FROM orders) c
+        |    WHERE EXISTS (SELECT 1 FROM lineitem p
+        |      WHERE CAST(p.l_orderkey AS BIGINT) = c.v)) AS n_contained
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey' AS child_col, 'part.p_partkey' AS parent_col,
+        |  (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+        |    AS n_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS v FROM lineitem) c
+        |    WHERE EXISTS (SELECT 1 FROM part p
+        |      WHERE CAST(p.p_partkey AS BIGINT) = c.v)) AS n_contained
+        |UNION ALL
+        |SELECT 'customer.c_nationkey' AS child_col, 'nation.n_nationkey' AS parent_col,
+        |  (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer)
+        |    AS n_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS v FROM customer) c
+        |    WHERE EXISTS (SELECT 1 FROM nation p
+        |      WHERE CAST(p.n_nationkey AS BIGINT) = c.v)) AS n_contained
+        |UNION ALL
+        |SELECT 'part.p_size' AS child_col, 'nation.n_nationkey' AS parent_col,
+        |  (SELECT CAST(COUNT(DISTINCT p_size) AS BIGINT) FROM part)
+        |    AS n_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT CAST(p_size AS BIGINT) AS v FROM part) c
+        |    WHERE EXISTS (SELECT 1 FROM nation p
+        |      WHERE CAST(p.n_nationkey AS BIGINT) = c.v)) AS n_contained)
+        |SELECT child_col, parent_col, n_distinct, n_contained,
+        |  CASE WHEN n_distinct = 0 THEN 0
+        |    ELSE n_contained * 1000 // n_distinct END
+        |    AS contained_x1000
+        |FROM raw""".stripMargin,
 
     // both paths replayed: the exact 3-window expand + distinct, and
     // the register table window-merged by max — same md5 polynomial,
