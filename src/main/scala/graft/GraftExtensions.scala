@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DotProductLong, ExifMeta, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, IsValidIri, JpegLuma, Mp3Meta, Mp3Vbr, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WarcRecords, WordNgrams}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, IsValidIri, JpegLuma, Mp3Meta, Mp3Vbr, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WarcRecords, WordNgrams}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -118,6 +118,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WarcRecords(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("flac_tags"),
+      new ExpressionInfo(classOf[FlacTags].getName, "flac_tags"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FlacTags(args.head)))
     ext.injectFunction((
       FunctionIdentifier("id3_tags"),
       new ExpressionInfo(classOf[Id3Tags].getName, "id3_tags"),

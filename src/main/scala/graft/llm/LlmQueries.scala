@@ -112,6 +112,7 @@ object LlmQueries {
     "mm_audio_float_meta" -> audioFloatMeta,
     "mm_flac_meta" -> flacMeta,
     "mm_ogg_meta" -> oggMeta,
+    "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_ulaw" -> audioUlawLevels,
     "mm_audio_alaw" -> audioAlawLevels,
@@ -3784,6 +3785,39 @@ object LlmQueries {
         col("dims.height").cast("bigint").as("height"))
   }
 
+  /** FLAC VORBIS_COMMENT tags (`mm_flac_tags`) — the tag family's
+    * second member next to ID3, and a cross-endian exercise by
+    * construction: block FRAMING lengths are u24 big-endian, the
+    * comment payload's are u32 LITTLE-endian (the Vorbis spec), so
+    * a parser applying one discipline to both mis-walks
+    * immediately. Keys are case-insensitive per spec (the fixture
+    * writes canonical uppercase); two of three docs carry ALBUM —
+    * absence is a null field, not an error. Decoded by the native
+    * [[graft.functions.FlacTags]] expression; component-replay
+    * oracle proves the strings survive the walk byte-exactly.
+    * Map-side construct → parse → project. */
+  def flacTags(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    def hexStr(e: String) = s"hex(encode($e, 'UTF-8'))"
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(44100, 48000, 96000), " +
+          "CAST(doc_id % 3 AS INT) + 1)").as("rate0"),
+        expr("CAST(doc_id % 2 AS INT) + 1").as("ch0"),
+        lit(16).as("bits0"),
+        expr("(doc_id * 313) % 100000000").as("total0"),
+        expr("concat('Title ', CAST(doc_id AS STRING))").as("t1"),
+        expr("concat('Artist ', CAST(doc_id % 9 AS STRING))").as("t2"),
+        expr("concat('Album ', CAST(doc_id % 13 AS STRING))").as("t3"),
+        expr("doc_id % 3 != 0").as("hasalb"))
+      .withColumn("payload", unhex(expr(AudioHex.flacTagsHex(
+        "rate0", "ch0", "bits0", "total0", "t1", "t2", "t3",
+        "hasalb", "div", hexStr))))
+      .withColumn("m", graft.functions.FlacTags(col("payload")))
+      .select(col("doc_id"), col("m.title").as("title"),
+        col("m.artist").as("artist"), col("m.album").as("album"))
+  }
+
   /** Ogg/Vorbis metadata (`mm_ogg_meta`) — the PAGE-structured
     * audio container through the same magic-dispatched `audio_meta`
     * expression as WAV and FLAC: geometry from the BOS page's
@@ -7261,6 +7295,18 @@ object LlmQueries {
          |    AS sum_ms
          |FROM f GROUP BY 1, 2, 3""".stripMargin
     },
+
+    // component replay: the expected tag strings re-derived from
+    // the same doc_id arithmetic — the engine must RECOVER them
+    // through the cross-endian block walk
+    "mm_flac_tags" ->
+      """SELECT doc_id,
+        |  'Title ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'Artist ' || CAST(doc_id % 9 AS VARCHAR) AS artist,
+        |  CASE WHEN doc_id % 3 != 0
+        |    THEN 'Album ' || CAST(doc_id % 13 AS VARCHAR) END
+        |    AS album
+        |FROM documents""".stripMargin,
 
     // page-walk replay: channels/rate from the BOS page's ID
     // packet, the duration granule from the SECOND page — all

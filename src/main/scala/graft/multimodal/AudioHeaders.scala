@@ -239,6 +239,87 @@ object AudioHeaders {
     Some((ch, rate.toInt, 0, lastGranule))
   }
 
+  /** FLAC VORBIS_COMMENT tags — the OTHER audio tag format next to
+    * ID3 ([[Mp3Headers.id3TextFrames]]), with the cross-endian
+    * gotcha that defines it: the block FRAMING is big-endian (type
+    * byte + u24be length, like every FLAC block) but the comment
+    * PAYLOAD is little-endian length-prefixed UTF-8 (vendor length,
+    * comment count, per-comment lengths — Vorbis comment spec),
+    * keys case-insensitive per spec. Walks the metadata chain past
+    * STREAMINFO to the first type-4 block; absent keys are null
+    * fields; a PRESENT block that overruns its declared extent
+    * fails closed; a stream with no comment block at all yields
+    * all-null fields (absence is not an error). */
+  def parseFlacTags(b: Array[Byte])
+      : Option[(String, String, String)] = {
+    if (b == null || b.length < 42) return None
+    if (!tag(b, 0, "fLaC")) return None
+    var i = 4
+    var last = false
+    while (!last && i + 4 <= b.length) {
+      val hdr = u8(b, i)
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+      val body = i + 4
+      if (typ == 4) {
+        if (body + len > b.length) return None // comment block cut
+        val end = body + len
+        var p = body
+        def le32(): Long = {
+          if (p + 4 > end) return -1L
+          val v = u32le(b, p); p += 4; v
+        }
+        val vlen = le32()
+        if (vlen < 0 || p + vlen > end) return None
+        p += vlen.toInt
+        val n = le32()
+        if (n < 0 || n > 1000000) return None
+        var title: String = null
+        var artist: String = null
+        var album: String = null
+        var k = 0L
+        while (k < n) {
+          val clen = le32()
+          if (clen < 0 || p + clen > end) return None
+          val field = new String(b, p, clen.toInt, "UTF-8")
+          p += clen.toInt
+          val eq = field.indexOf('=')
+          if (eq > 0) {
+            val key = field.substring(0, eq)
+              .toUpperCase(java.util.Locale.ROOT)
+            val v = field.substring(eq + 1)
+            key match {
+              case "TITLE" => title = v
+              case "ARTIST" => artist = v
+              case "ALBUM" => album = v
+              case _ => ()
+            }
+          }
+          k += 1
+        }
+        return Some((title, artist, album))
+      }
+      i = body + len
+    }
+    // chain ended (or ran past the header range) without a comment
+    // block: no tags — absence is not an error
+    Some((null, null, null))
+  }
+
+  /** [[parseFlacTags]] as an `InternalRow` for the
+    * [[graft.functions.FlacTags]] codegen path. Null = not FLAC or
+    * a malformed comment block. */
+  def flacTagsRow(b: Array[Byte]): InternalRow =
+    parseFlacTags(b) match {
+      case Some((t, a, al)) =>
+        def u(s: String) =
+          if (s == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        InternalRow(u(t), u(a), u(al))
+      case None => null
+    }
+
   /** [[parse]] as an `InternalRow` for the
     * [[graft.functions.AudioMeta]] codegen path (called from
     * generated Java — keep the signature static-friendly). One

@@ -198,6 +198,37 @@ object AudioHex {
   val FlacBitsNibblePos = 21 * 2 + 1 // 43: bits−1 nibble
   val FlacTotalPos = 22 * 2 + 1    // 45: 8 digits, big-endian
 
+  /** A FLAC stream head whose STREAMINFO (is-last clear) is followed
+    * by a VORBIS_COMMENT block carrying TITLE + ARTIST (+ ALBUM when
+    * `hasAlbE`) — the cross-endian fixture: block framing lengths
+    * are u24 BIG-endian, the comment payload's lengths u32
+    * LITTLE-endian (the Vorbis spec), `hexStr` the dialect's
+    * string→hex. Geometry fields identical to [[flacHex]]. */
+  def flacTagsHex(rate: String, ch: String, bits: String,
+      total: String, t1: String, t2: String, t3: String,
+      hasAlbE: String, intdiv: String,
+      hexStr: String => String): String = {
+    import ImageHex.hexN
+    def cmt(prefixHex: String, plen: Int, t: String): String =
+      s"concat(${hexLE(s"$plen + length($t)", 4, intdiv)}, " +
+        s"'$prefixHex', ${hexStr(t)})"
+    val blockLen = s"(13 + 10 + length($t1) + 11 + length($t2) + " +
+      s"CASE WHEN $hasAlbE THEN 10 + length($t3) ELSE 0 END)"
+    s"concat('664C6143', '00', '000022', " +
+      "'1000', '1000', '000000', '000000', " +
+      s"${hexN(rate, 5, intdiv)}, " +
+      s"${hexN(s"(($ch) - 1) * 2", 1, intdiv)}, " +
+      s"${hexN(s"($bits) - 1", 1, intdiv)}, '0', " +
+      s"${hexN(total, 8, intdiv)}, repeat('0', 32), " +
+      s"'84', ${hexN(blockLen, 6, intdiv)}, " +
+      "'05000000', '6772616674', " + // vendor "graft"
+      s"${hexLE(s"CASE WHEN $hasAlbE THEN 3 ELSE 2 END", 4, intdiv)}, " +
+      s"${cmt("5449544C453D", 6, t1)}, " +  // TITLE=
+      s"${cmt("4152544953543D", 7, t2)}, " + // ARTIST=
+      s"CASE WHEN $hasAlbE THEN ${cmt("414C42554D3D", 6, t3)} " +
+      "ELSE '' END)"
+  }
+
   /** A minimal-but-valid two-page Ogg/Vorbis stream: a BOS page
     * carrying the 30-byte Vorbis identification packet (one lacing
     * value), then an EOS page whose GRANULE POSITION is the total

@@ -221,6 +221,46 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(fp._2 == 50L && fp._3 >= 0 && fp._3 < (1L << 32))
   }
 
+  /** A VORBIS_COMMENT block (BE framing, LE payload lengths) built
+    * by independent arithmetic. */
+  private def commentBlock(last: Boolean,
+      fields: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val body = new ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(k => body.write((v >> (8 * k)) & 0xff))
+    val vendor = "test".getBytes("UTF-8")
+    le32(vendor.length); body.write(vendor)
+    le32(fields.length)
+    fields.foreach { f =>
+      val fb = f.getBytes("UTF-8"); le32(fb.length); body.write(fb)
+    }
+    val b = body.toByteArray
+    out.write((if (last) 0x80 else 0) | 4)
+    out.write(b.length >> 16); out.write((b.length >> 8) & 0xff)
+    out.write(b.length & 0xff)
+    out.write(b)
+    out.toByteArray
+  }
+
+  test("FLAC VORBIS_COMMENT: LE payload inside BE framing, " +
+    "case-insensitive keys, subsets, overrun fails closed") {
+    val head = flacBytes(44100, 2, 16, 5L, pad = Some(0))
+      .dropRight(4) // strip the padding block; re-append blocks
+    val tagged = head ++ commentBlock(last = true,
+      Seq("title=Low Key", "ARTIST=A", "comment=x", "Album=B"))
+    assert(AudioHeaders.parseFlacTags(tagged)
+      .contains(("Low Key", "A", "B")))
+    // no comment block at all: all-null fields, not an error
+    assert(AudioHeaders.parseFlacTags(flacBytes(44100, 2, 16, 5L))
+      .contains((null, null, null)))
+    // a declared comment length past the block end fails closed
+    val cut = head ++ commentBlock(last = true, Seq("TITLE=x"))
+    cut(cut.length - 9) = 99 // inflate the field's LE length
+    assert(AudioHeaders.parseFlacTags(cut).isEmpty)
+    assert(AudioHeaders.parseFlacTags("nope".getBytes).isEmpty)
+  }
+
   /** A FLAC stream head with the STREAMINFO geometry bit-packed by
     * INDEPENDENT arithmetic (shift-compose here, masked reads in the
     * parser), optionally followed by a PADDING block. */
