@@ -4255,10 +4255,23 @@ object LlmQueries {
       col("doc_id").as("a_id"), col("fp").as("a_fp"))
     val r = bands.select(col("n_frames"), col("band_i"), col("band_v"),
       col("doc_id").as("b_id"), col("fp").as("b_fp"))
-    l.join(r, Seq("n_frames", "band_i", "band_v"))
+    // Two capped-heap disciplines, both found by the sixth-session
+    // sf1 rehearsal on THIS query:
+    //  - EXPLICIT sort-merge (the SA-internal-join rule): both sides
+    //    are the corpus-scale band table derived from a checkpointed
+    //    artifact whose lost stats otherwise let the planner
+    //    BROADCAST it (bhj=2 in the census at 10× = a corpus-scale
+    //    broadcast);
+    //  - the pair dedup is a MAP-SIDE first-shared-band filter, not
+    //    a distinct: a pair colliding in k bands is kept only at its
+    //    SMALLEST shared band (decidable from the two fingerprints
+    //    alone), so the multi-band duplicates never reach an
+    //    exchange and no pair-scale hash aggregate exists to OOM.
+    l.hint("merge").join(r, Seq("n_frames", "band_i", "band_v"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
-      .distinct()
+      .filter(expr("band_i = 0 OR forall(sequence(0L, band_i - 1), " +
+        "j -> (shiftright(a_fp, CAST(j * 8 AS INT)) & 255) != " +
+        "(shiftright(b_fp, CAST(j * 8 AS INT)) & 255))"))
       .withColumn("hamming",
         expr("CAST(bit_count(a_fp ^ b_fp) AS BIGINT)"))
       .filter(col("hamming") <= 3)
