@@ -1802,27 +1802,33 @@ object RelationalQueries {
     * truncated at 8 terms (the tail weight is < 1/256 of the head),
     * ×256-scaled so no division ever happens. Weights ride HOUR
     * DISTANCE, not row offsets, so silent hours decay the score
-    * instead of being skipped — which is why this is a bounded
-    * self-RANGE-join on the user key (≤ 8× expansion, the
-    * [[rangeJoinBucketed]] family) rather than a row-frame window:
-    * a `rowsBetween` frame would weight the k-th PRESENT hour, the
-    * classic gap bug. One exchange on user; the join and the rollup
-    * reuse it. */
+    * instead of being skipped. Scale shape: each contributing hour
+    * is EXPANDED map-side into its ≤ 8 covering target hours
+    * (posexplode over the hour sequence — the [[rollingUniques]]
+    * pattern), then EQUI-joined on `(user_id, hour_ts)`; a
+    * `rowsBetween` frame would weight the k-th PRESENT hour (the
+    * classic gap bug), and a user-only join with a residual band
+    * filter would enumerate hours² pairs per user before filtering —
+    * quadratic in a user's history length. This plan is linear:
+    * 8× expansion, fully key-partitioned join, no residual range
+    * predicate. */
   def decayScore(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables(spark, dir, "events")
       .groupBy(col("user_id"),
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
       .agg(sum(cents(col("value"))).as("x_cents"))
-    val b = hourly.select(col("user_id"),
-      col("hour_ts").as("b_ts"), col("x_cents").as("b_x"))
-    hourly.join(b,
-        Seq("user_id"))
-      .filter(col("b_ts") <= col("hour_ts") &&
-        col("b_ts") >= col("hour_ts") - 7 * 3600)
+    // each source hour covers target hours b_ts .. b_ts+7h; the
+    // posexplode position d IS the hour distance, so the 2^(7-d)
+    // weight is computed at expand time — nothing left to filter
+    val contrib = hourly
+      .select(col("user_id"), col("x_cents").as("b_x"),
+        posexplode(expr(
+          "sequence(hour_ts, hour_ts + 7 * 3600, 3600)"))
+          .as(Seq("d", "hour_ts")))
+    hourly.join(contrib, Seq("user_id", "hour_ts"))
       .groupBy(col("user_id"), col("hour_ts"),
         col("x_cents"))
-      .agg(sum(expr(
-        "b_x * shiftleft(1L, CAST(7 - (hour_ts - b_ts) div 3600 AS INT))"))
+      .agg(sum(expr("b_x * shiftleft(1L, 7 - d)"))
         .as("decay_x256"))
       .select(col("user_id"), col("hour_ts"), col("x_cents"),
         col("decay_x256"))

@@ -44,4 +44,23 @@ class DecaySpec extends AnyFunSuite {
       (1L, 100L, 12800L), (1L, 200L, 28800L),
       (2L, 400L, 51200L), (2L, 800L, 102400L)))
   }
+
+  test("plan is the covering-hour equi-join, not a user-only join " +
+    "with a residual band") {
+    // the scale pin: the self-join must key on (user_id, hour_ts) —
+    // a user-only join enumerates hours² pairs per user before the
+    // band filter, quadratic in history length at 100 TB
+    val df = RelationalQueries.decayScore(s, "/root/testdata/sf0.001")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "decayScore lost its join entirely")
+    joins.foreach { j =>
+      val cond = j.condition.map(_.sql).getOrElse("")
+      assert(cond.toLowerCase.contains("hour_ts"),
+        s"join no longer keys on the hour: $cond")
+      assert(!cond.contains("<=") && !cond.contains(">="),
+        s"residual range predicate returned to the join: $cond")
+    }
+  }
 }
