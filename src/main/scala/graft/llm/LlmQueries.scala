@@ -66,6 +66,7 @@ object LlmQueries {
     "llm_sample_weighted" -> sampleWeighted,
     "llm_warc_records" -> warcRecords,
     "llm_warc_ingest" -> warcIngest,
+    "llm_warc_gz" -> warcGz,
     "llm_sample_stratified" -> sampleStratified,
     "llm_mix_sample" -> mixSample,
     "llm_passage_dedup" -> passageDedup,
@@ -1880,6 +1881,51 @@ object LlmQueries {
         md5(col("r.body")).as("body_md5"))
   }
 
+  /** Gzipped-WARC round-trip (`llm_warc_gz`) — the wire format
+    * Common Crawl ACTUALLY ships (`.warc.gz`, one gzip member per
+    * record, members back-to-back so consumers can enter at any
+    * member boundary): the same two-record fixture as
+    * [[warcRecords]], but each record is compressed into its own
+    * gzip member ([[graft.functions.GzipMember]]) and the members
+    * concatenated before parsing — so the query only matches the
+    * plain-WARC oracle if the JDK multi-member inflate walk
+    * ([[Warc.gunzipMembers]]) recovers every record byte-exactly
+    * through compression. Map-side construct → compress → inflate →
+    * parse → explode; no shuffle. */
+  def warcGz(s: SparkSession, d: String): DataFrame = {
+    val crlf = "chr(13) || chr(10)"
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("repeat('x', CAST(doc_id % 20 AS INT) + 1)").as("b1"),
+        expr("concat('doc ', CAST(doc_id AS STRING), ' ', " +
+          "repeat('y', CAST(doc_id % 37 AS INT)))").as("b2"),
+        expr("concat('http://ex.com/', CAST(doc_id AS STRING))")
+          .as("uri"))
+      .withColumn("r1", expr(
+        s"""CAST(concat(
+           |  'WARC/1.0', $crlf,
+           |  'WARC-Type: warcinfo', $crlf,
+           |  'Content-Length: ', CAST(octet_length(b1) AS STRING), $crlf,
+           |  $crlf, b1, $crlf, $crlf) AS BINARY)""".stripMargin))
+      .withColumn("r2", expr(
+        s"""CAST(concat(
+           |  'WARC/1.1', $crlf,
+           |  'WARC-Type: response', $crlf,
+           |  'WARC-Target-URI: ', uri, $crlf,
+           |  'Content-Length: ', CAST(octet_length(b2) AS STRING), $crlf,
+           |  $crlf, b2, $crlf, $crlf) AS BINARY)""".stripMargin))
+      .withColumn("payload", concat(
+        graft.functions.GzipMember(col("r1")),
+        graft.functions.GzipMember(col("r2"))))
+      .withColumn("recs", graft.functions.WarcRecords(col("payload")))
+      .select(col("doc_id"),
+        posexplode(col("recs")).as(Seq("rec_idx", "r")))
+      .select(col("doc_id"), col("rec_idx").cast("int").as("rec_idx"),
+        col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
+        col("r.content_length").as("content_length"),
+        md5(col("r.body")).as("body_md5"))
+  }
+
   /** Tag-strip + whitespace-normalize patterns shared verbatim by
     * the engine (Java regex) and the oracle (RE2) — no lookaround,
     * leftmost-greedy in both, the [[piiScrub]] compatibility
@@ -1912,15 +1958,24 @@ object LlmQueries {
         s"""CASE
            |  WHEN doc_id % 7 = 0 THEN concat(
            |    'HTTP/1.1 404 Not Found', $crlf,
+           |    'Server: graft/1.0', $crlf,
            |    'Content-Type: text/html', $crlf, $crlf,
            |    '<html>not found</html>')
            |  WHEN doc_id % 5 = 0 THEN concat(
            |    'HTTP/1.1 200 OK', $crlf,
-           |    'Content-Type: application/pdf', $crlf, $crlf,
+           |    'Content-Type: application/pdf', $crlf,
+           |    'Date: Mon, 01 Jan 2024 00:00:00 GMT', $crlf, $crlf,
            |    '%PDF-1.4 junk')
+           |  WHEN doc_id % 3 = 0 THEN concat(
+           |    'HTTP/1.1 200 OK', $crlf,
+           |    'Server: nginx', $crlf,
+           |    'content-type: Text/HTML; charset=UTF-8', $crlf, $crlf,
+           |    '<html><body><h1>Doc ', CAST(doc_id AS STRING),
+           |    '</h1><p>', text, '</p></body></html>')
            |  ELSE concat(
            |    'HTTP/1.1 200 OK', $crlf,
-           |    'Content-Type: text/html', $crlf, $crlf,
+           |    'Content-Type: text/html', $crlf,
+           |    'Content-Language: en', $crlf, $crlf,
            |    '<html><body><h1>Doc ', CAST(doc_id AS STRING),
            |    '</h1><p>', text, '</p></body></html>')
            |END""".stripMargin))
@@ -1950,15 +2005,20 @@ object LlmQueries {
       .select(keep :+ explode(col("recs")).as("r"): _*)
       .filter(col("r.rec_type") === "response")
       .withColumn("msg", col("r.body"))
-      // offset arithmetic: status from the fixed-width code field,
-      // content type between the first CRLF and the blank line,
-      // page payload after the blank line
+      // status from the fixed-width code field (RFC 9112's status
+      // line IS positional); headers parsed LINE-WISE within the
+      // header region — real responses carry Server/Date/charset
+      // and put Content-Type anywhere, so a fixed-offset grab after
+      // the first CRLF captures the wrong header block. The name
+      // match is case-insensitive and media-type parameters
+      // (`; charset=...`) are stripped, per RFC 9110 §8.3.
       .withColumn("status",
         expr("CAST(substring(msg, 10, 3) AS INT)"))
-      .withColumn("p1", expr(s"instr(msg, $crlf)"))
       .withColumn("he", expr(s"instr(msg, $crlf || $crlf)"))
-      .withColumn("ctype",
-        expr("substring(msg, p1 + 16, he - p1 - 16)"))
+      .withColumn("hdrs", expr("substring(msg, 1, he + 1)"))
+      .withColumn("ctype", lower(trim(regexp_extract(col("hdrs"),
+        "(?i)\\r\\n[ \\t]*content-type[ \\t]*:[ \\t]*([^\\r\\n;]+)",
+        1))))
       .withColumn("page", expr("substring(msg, he + 4)"))
       .filter(col("status") === 200 && col("ctype") === "text/html")
       .withColumn("clean", trim(regexp_replace(
@@ -6225,9 +6285,32 @@ object LlmQueries {
         |  CAST(strlen(b2) AS BIGINT), md5(b2)
         |FROM t""".stripMargin,
 
-    // the ingest chain replayed: same CASE fixture, same offset
-    // arithmetic for the HTTP split, same RE2-compatible regexes —
-    // gates and counts re-derived end to end
+    // gz round-trip: the ORACLE is plain-record replay — identical
+    // expected rows to llm_warc_records — while the ENGINE routes
+    // the same fixture through per-record gzip members and the
+    // multi-member inflate walk; any compression/inflate drift
+    // hash-mismatches against the uncompressed truth
+    "llm_warc_gz" ->
+      """WITH t AS (SELECT doc_id,
+        |    repeat('x', CAST(doc_id % 20 AS INT) + 1) AS b1,
+        |    'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |      repeat('y', CAST(doc_id % 37 AS INT)) AS b2,
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) AS uri
+        |  FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+        |  'warcinfo' AS rec_type, CAST(NULL AS VARCHAR) AS uri,
+        |  CAST(strlen(b1) AS BIGINT) AS content_length,
+        |  md5(b1) AS body_md5
+        |FROM t
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), 'response', uri,
+        |  CAST(strlen(b2) AS BIGINT), md5(b2)
+        |FROM t""".stripMargin,
+
+    // the ingest chain replayed: same CASE fixture, same header-
+    // region line-wise Content-Type extraction (case-insensitive,
+    // parameters stripped), same RE2-compatible regexes — gates and
+    // counts re-derived end to end
     "llm_warc_ingest" -> {
       val tag = htmlTagRe
       val ws = wsRunRe
@@ -6238,15 +6321,27 @@ object LlmQueries {
         |    CASE
         |      WHEN doc_id % 7 = 0 THEN
         |        'HTTP/1.1 404 Not Found' || chr(13) || chr(10) ||
+        |        'Server: graft/1.0' || chr(13) || chr(10) ||
         |        'Content-Type: text/html' || chr(13) || chr(10) ||
         |        chr(13) || chr(10) || '<html>not found</html>'
         |      WHEN doc_id % 5 = 0 THEN
         |        'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
         |        'Content-Type: application/pdf' || chr(13) ||
+        |        chr(10) ||
+        |        'Date: Mon, 01 Jan 2024 00:00:00 GMT' || chr(13) ||
         |        chr(10) || chr(13) || chr(10) || '%PDF-1.4 junk'
+        |      WHEN doc_id % 3 = 0 THEN
+        |        'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |        'Server: nginx' || chr(13) || chr(10) ||
+        |        'content-type: Text/HTML; charset=UTF-8' ||
+        |        chr(13) || chr(10) ||
+        |        chr(13) || chr(10) || '<html><body><h1>Doc ' ||
+        |        CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |        '</p></body></html>'
         |      ELSE
         |        'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
         |        'Content-Type: text/html' || chr(13) || chr(10) ||
+        |        'Content-Language: en' || chr(13) || chr(10) ||
         |        chr(13) || chr(10) || '<html><body><h1>Doc ' ||
         |        CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
         |        '</p></body></html>'
@@ -6254,12 +6349,13 @@ object LlmQueries {
         |  FROM t),
         |sp AS (SELECT doc_id, uri, msg,
         |    CAST(substring(msg, 10, 3) AS INT) AS status,
-        |    strpos(msg, chr(13) || chr(10)) AS p1,
         |    strpos(msg, chr(13) || chr(10) || chr(13) || chr(10))
         |      AS he
         |  FROM h),
         |pg AS (SELECT doc_id, uri, status,
-        |    substring(msg, p1 + 16, he - p1 - 16) AS ctype,
+        |    lower(trim(regexp_extract(substring(msg, 1, he + 1),
+        |      '(?i)\r\n[ \t]*content-type[ \t]*:[ \t]*([^\r\n;]+)',
+        |      1))) AS ctype,
         |    substring(msg, he + 4) AS page
         |  FROM sp),""".stripMargin +
       s"""

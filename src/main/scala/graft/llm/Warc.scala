@@ -31,8 +31,55 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Common Crawl's own layout), so the per-payload walk here is the
   * right grain; a single-giant-file splitter would follow the
   * [[graft.rdf.TurtleChunked]] tiling pattern if ever needed.
+  *
+  * Gzip: Common Crawl actually ships `.warc.gz` — one gzip MEMBER
+  * per record, members back-to-back, so a range fetch can start at
+  * any member boundary. [[parseAuto]] detects the gzip magic
+  * (`1f 8b`, which can never open a plain record — those start
+  * "WARC/"), inflates ALL members with the JDK's multi-member
+  * `GZIPInputStream` walk, and feeds the SAME length-driven record
+  * parser. Fail-closed like everything else here: a truncated
+  * member, bad CRC, or trailing garbage rejects the whole payload.
   */
 object Warc {
+
+  /** Inflate a (possibly multi-member) gzip payload, None on any
+    * corruption — JDK `GZIPInputStream` walks member-to-member
+    * (its trailer read probes for the next member's header), which
+    * is exactly the member-per-record layout Common Crawl uses.
+    * Bounded paranoia: output is capped at 1 GiB per payload (the
+    * object grain) so a gzip bomb fails loudly instead of OOMing
+    * an executor. */
+  private[llm] def gunzipMembers(b: Array[Byte]): Option[Array[Byte]] = {
+    val cap = 1 << 30
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b), 65536)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(b.length.toLong * 4, 1 << 20).toInt)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > cap) return None
+        n = in.read(buf)
+      }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** True when the payload opens with the gzip magic — unambiguous
+    * against plain WARC, whose first bytes are ASCII "WARC/". */
+  private[llm] def isGzip(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 && b(0) == 0x1f.toByte &&
+      b(1) == 0x8b.toByte
+
+  /** [[parse]] with transparent `.warc.gz` handling: gzip payloads
+    * are member-walked and inflated first, plain payloads parse
+    * directly. */
+  def parseAuto(b: Array[Byte]): Option[Seq[Rec]] =
+    if (isGzip(b)) gunzipMembers(b).flatMap(parse) else parse(b)
 
   /** One parsed record: (warcType, targetUri or null, declared
     * content length, block as string). */
@@ -97,6 +144,10 @@ object Warc {
       }
       if (wtype == null || len < 0) return None
       if (i + len + 4 > b.length) return None // block + separator
+      // Scope note: the block is decoded as UTF-8 TEXT — lossy for
+      // binary blocks (images, gzip transfer bodies), which is fine
+      // for the text/html-gated ingest chain this feeds; a binary
+      // consumer would carry (offset, len) slices of `b` instead.
       val body = new String(b, i, len.toInt, "UTF-8")
       i += len.toInt
       // the mandatory two-CRLF record separator
@@ -109,11 +160,12 @@ object Warc {
     if (recs.isEmpty) None else Some(recs)
   }
 
-  /** [[parse]] as Catalyst ArrayData of
+  /** [[parseAuto]] as Catalyst ArrayData of
     * (rec_type, uri, content_length, body) rows for the
-    * [[graft.functions.WarcRecords]] codegen path; null = malformed
-    * payload. */
-  def parseArray(b: Array[Byte]): ArrayData = parse(b) match {
+    * [[graft.functions.WarcRecords]] codegen path — transparently
+    * handles both `.warc` and member-per-record `.warc.gz`; null =
+    * malformed payload. */
+  def parseArray(b: Array[Byte]): ArrayData = parseAuto(b) match {
     case Some(recs) =>
       new GenericArrayData(recs.map(r => InternalRow(
         UTF8String.fromString(r.warcType),

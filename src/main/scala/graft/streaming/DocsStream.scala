@@ -83,11 +83,15 @@ object DocsStream {
     reader.csv(path)
   }
 
-  /** Streaming archive objects over a directory of `.warc` files via
-    * the binaryFile source — the RAW-CRAWL ingest boundary (Common
-    * Crawl's own layout is millions of archive objects, so
+  /** Streaming archive objects over a directory of `.warc` /
+    * `.warc.gz` files via the binaryFile source — the RAW-CRAWL
+    * ingest boundary (Common Crawl's own layout is millions of
+    * archive objects, gzipped member-per-record, so
     * file-per-record-stream is the production grain; the source's
-    * exactly-once-per-file tracking is the delivery guarantee). */
+    * exactly-once-per-file tracking is the delivery guarantee).
+    * Decompression happens inside the record parser
+    * ([[graft.llm.Warc.parseAuto]] detects the gzip magic), so both
+    * layouts flow through one chain. */
   def archives(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // the binaryFile source's FIXED schema, which the streaming
@@ -99,7 +103,7 @@ object DocsStream {
       StructField("content", BinaryType)))
     val reader = spark.readStream.format("binaryFile")
       .schema(binSchema)
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
     reader.load(path)

@@ -76,4 +76,39 @@ class WarcSpec extends AnyFunSuite {
       Some("http://ex.com/r"), ""))).get
     assert(got.head.len == 0L && got.head.body == "")
   }
+
+  private def gz(b: Array[Byte]): Array[Byte] =
+    graft.functions.GzipMember.compress(b)
+
+  test("member-per-record .warc.gz (Common Crawl layout): " +
+    "multi-member inflate recovers every record; parseAuto " +
+    "dispatches on the magic") {
+    val r1 = rec("WARC/1.0", "warcinfo", None, "software: graft")
+    val r2 = rec("WARC/1.1", "response", Some("http://ex.com/9"),
+      "HTTP/1.1 200 OK\r\n\r\nbody WARC/1.0 trap")
+    val r3 = rec("WARC/1.0", "request", Some("http://ex.com/9"), "")
+    // one gzip member PER record, concatenated — a range reader can
+    // enter at any member boundary, and the inflate walk must cross
+    // all of them
+    val payload = gz(bytes(r1)) ++ gz(bytes(r2)) ++ gz(bytes(r3))
+    assert(Warc.isGzip(payload))
+    val got = Warc.parseAuto(payload).get
+    assert(got.map(_.warcType) == Seq("warcinfo", "response",
+      "request"))
+    assert(got(1).body.endsWith("body WARC/1.0 trap"))
+    // the same records parse identically uncompressed
+    assert(Warc.parseAuto(bytes(r1 + r2 + r3)).get == got)
+  }
+
+  test("gz fail-closed: truncated member, corrupt deflate stream, " +
+    "gzip wrapping non-WARC bytes") {
+    val whole = gz(bytes(rec("WARC/1.0", "x", None, "ab")))
+    assert(Warc.parseAuto(whole.dropRight(5)).isEmpty)
+    val flipped = whole.clone()
+    flipped(whole.length / 2) = (flipped(whole.length / 2) ^ 0x5a).toByte
+    // a mid-stream bit flip either breaks DEFLATE/CRC (None from the
+    // inflate) or corrupts the record text (None from the parser)
+    assert(Warc.parseAuto(flipped).isEmpty)
+    assert(Warc.parseAuto(gz(bytes("not a warc"))).isEmpty)
+  }
 }

@@ -45,6 +45,15 @@ class WarcStreamSpec extends AnyFunSuite {
           http("200 OK", "text/html",
             "<html><h1>T</h1><p>gamma  delta epsilon</p></html>")))
         .getBytes("US-ASCII"))
+    // a gzipped archive, one member per record (Common Crawl's
+    // actual shipping layout) — must flow through the same chain
+    def gz(s: String): Array[Byte] =
+      graft.functions.GzipMember.compress(s.getBytes("US-ASCII"))
+    Files.write(Paths.get(dir, "c.warc.gz"),
+      gz(rec("warcinfo", null, "software: graft")) ++
+        gz(rec("response", "http://ex.com/5",
+          http("200 OK", "text/html",
+            "<html><p>zeta eta</p></html>"))))
     // a non-warc file the glob must ignore
     Files.write(Paths.get(dir, "notes.txt"), "junk".getBytes)
 
@@ -55,16 +64,19 @@ class WarcStreamSpec extends AnyFunSuite {
 
     val got = spark.read.parquet(out)
     val truth = LlmQueries.ingestArchives(
-      spark.read.format("binaryFile").option("pathGlobFilter", "*.warc")
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
         .load(dir).select(col("content").as("payload")),
       Seq.empty)
     assert(got.collect().map(_.toSeq).toSet ==
       truth.collect().map(_.toSeq).toSet)
-    // only the two 200/text-html pages survive; text cleaned
+    // only the three 200/text-html pages survive; text cleaned
     val byUri = got.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(byUri.keySet == Set("http://ex.com/1", "http://ex.com/4"))
+    assert(byUri.keySet == Set("http://ex.com/1", "http://ex.com/4",
+      "http://ex.com/5"))
     assert(byUri("http://ex.com/1") == ((2L, 10L))) // "alpha beta"
     assert(byUri("http://ex.com/4") == ((4L, 21L))) // "T gamma delta epsilon"
+    assert(byUri("http://ex.com/5") == ((2L, 8L))) // "zeta eta"
   }
 }
