@@ -353,8 +353,7 @@ object Pipeline {
     try {
       healSwap(spark, snapshotPath)
       val prev =
-        try Some(spark.read.parquet(snapshotPath))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+        graft.streaming.Artifacts.readParquet(spark, snapshotPath)
       val changes = prev match {
         case Some(p) =>
           next.except(p).withColumn("change", lit("added"))
@@ -391,8 +390,7 @@ object Pipeline {
 
   private def readOptional(spark: SparkSession,
       path: String): Option[DataFrame] =
-    try Some(spark.read.parquet(path))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    graft.streaming.Artifacts.readParquet(spark, path)
 
   /** ATOMIC-SWAP snapshot publish: write `df` to `<path>.tmp`, then
     * swap directories by rename — the live snapshot at `path` is

@@ -97,9 +97,7 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         Pipeline.healSwap(s, snapshotPath)
-        val base =
-          try Some(s.read.parquet(snapshotPath))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val base = Artifacts.readParquet(s, snapshotPath)
         // materialize the fold BEFORE replacing the path it read
         // from (the publishDelta discipline)
         val next = Pipeline.applyLog(base, batch).localCheckpoint()
@@ -118,8 +116,7 @@ object CdcStream {
   private def basePath(mirror: String) = s"$mirror/base"
 
   private def readOpt(s: SparkSession, path: String): Option[DataFrame] =
-    try Some(s.read.parquet(path))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    Artifacts.readParquet(s, path)
 
   /** The mirror's current state: base snapshot + retained change
     * log, folded at read time (one shuffle on the triple key — the

@@ -57,8 +57,7 @@ object ComponentsStream {
 
   private def readOr(spark: SparkSession, path: String,
       empty: => DataFrame): DataFrame =
-    try spark.read.parquet(path)
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    Artifacts.readParquet(spark, path).getOrElse(empty)
 
   /** Start the maintainer: `labelsPath` the append-only node WAL,
     * `remapPath` the component-scale current-representative table. */

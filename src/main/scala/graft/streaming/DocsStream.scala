@@ -157,9 +157,10 @@ object DocsStream {
         val out = LlmQueries.spanProbe(batch,
           spark.read.parquet(gramIndexPath))
         val seen =
-          try spark.read.parquet(outPath).select(col("doc_id").as("s_id"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+          Artifacts.readParquet(spark, outPath)
+          .map(_.select(col("doc_id").as("s_id")))
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_id", lit(0L)).limit(0))
         out.join(seen, col("doc_id") === col("s_id"), "left_anti")
           .write.mode("append").parquet(outPath)
         ()
@@ -185,9 +186,10 @@ object DocsStream {
         val out = graft.llm.CdcChunks.probe(batch,
           spark.read.parquet(digestIndexPath))
         val seen =
-          try spark.read.parquet(outPath).select(col("doc_id").as("s_id"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+          Artifacts.readParquet(spark, outPath)
+          .map(_.select(col("doc_id").as("s_id")))
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_id", lit(0L)).limit(0))
         out.join(seen, col("doc_id") === col("s_id"), "left_anti")
           .write.mode("append").parquet(outPath)
         ()
@@ -222,10 +224,10 @@ object DocsStream {
           .collect().map(_.getString(0)).toSet
         val out = LlmQueries.wordpieceProbe(batch, vocab)
         val seen =
-          try spark.read.parquet(outPath)
-            .select(col("doc_id").as("s_id")).distinct()
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+          Artifacts.readParquet(spark, outPath)
+          .map(_.select(col("doc_id").as("s_id")).distinct())
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_id", lit(0L)).limit(0))
         out.join(seen, col("doc_id") === col("s_id"), "left_anti")
           .write.mode("append").parquet(outPath)
         ()
@@ -281,10 +283,10 @@ object DocsStream {
         import org.apache.spark.sql.functions.col
         val partial = LlmQueries.kmvPartialOf(batch)
         val existing =
-          try spark.read.parquet(sketchPath)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.range(0).select(col("id").cast("string").as("source"),
-              col("id").as("hv")).limit(0) }
+          Artifacts.readParquet(spark, sketchPath)
+          .getOrElse(spark.range(0)
+            .select(col("id").cast("string").as("source"),
+              col("id").as("hv")).limit(0))
         val merged = LlmQueries.kmvMergeRows(existing, partial)
           .localCheckpoint()
         merged.write.mode("overwrite").parquet(sketchPath)
@@ -316,9 +318,8 @@ object DocsStream {
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions.{col, lit}
         val replayed =
-          try !spark.read.parquet(cellsPath)
-            .filter(col("batch_id") === batchId).isEmpty
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
+          Artifacts.readParquet(spark, cellsPath).exists(d =>
+          !d.filter(col("batch_id") === batchId).isEmpty)
         if (!replayed)
           LlmQueries.cmsCellsOf(batch)
             .withColumn("batch_id", lit(batchId))
@@ -356,9 +357,8 @@ object DocsStream {
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions.{col, lit}
         val replayed =
-          try !spark.read.parquet(regsPath)
-            .filter(col("batch_id") === batchId).isEmpty
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
+          Artifacts.readParquet(spark, regsPath).exists(d =>
+          !d.filter(col("batch_id") === batchId).isEmpty)
         if (!replayed)
           LlmQueries.hllRegsOf(batch)
             .withColumn("batch_id", lit(batchId))
@@ -394,9 +394,8 @@ object DocsStream {
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions.{col, lit}
         val replayed =
-          try !spark.read.parquet(postingsPath)
-            .filter(col("batch_id") === batchId).isEmpty
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
+          Artifacts.readParquet(spark, postingsPath).exists(d =>
+          !d.filter(col("batch_id") === batchId).isEmpty)
         if (!replayed)
           LlmQueries.postingsOf(batch)
             .withColumn("batch_id", lit(batchId))
@@ -466,9 +465,10 @@ object DocsStream {
         // (target-table-sized — no broadcast hint; the same documented
         // trade as TurtleStream.startDedupAppend's anti-join)
         val seen =
-          try spark.read.parquet(outPath).select(col("doc_id").as("s_id"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+          Artifacts.readParquet(spark, outPath)
+          .map(_.select(col("doc_id").as("s_id")))
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_id", lit(0L)).limit(0))
         novel.join(seen, col("doc_id") === col("s_id"), "left_anti")
           .write.mode("append").parquet(outPath)
         if (extendIndex) {
@@ -563,9 +563,10 @@ object DocsStream {
         val novel = batch.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         val seen =
-          try spark.read.parquet(outPath).select(col("doc_id").as("s_id"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+          Artifacts.readParquet(spark, outPath)
+          .map(_.select(col("doc_id").as("s_id")))
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_id", lit(0L)).limit(0))
         novel.join(seen, col("doc_id") === col("s_id"), "left_anti")
           .write.mode("append").parquet(outPath)
         if (extendStore) {

@@ -59,13 +59,10 @@ object FrontierStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         Pipeline.healSwap(spark, frontierPath)
-        val cur =
-          try spark.read.parquet(frontierPath)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              schema)
-          }
+        val cur = Artifacts.readParquet(spark, frontierPath)
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema))
         // artifact form: the interior range checkpoint frees as soon
         // as the frontier exists, and the frontier checkpoint frees
         // once the swap lands — a long-running stream strands nothing.

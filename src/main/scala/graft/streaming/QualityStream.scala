@@ -75,9 +75,7 @@ object QualityStream {
         Pipeline.healSwap(spark, metricsPath)
         Pipeline.healSwap(spark, keysPath)
         val old =
-          try Some(spark.read.parquet(metricsPath))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            None }
+          Artifacts.readParquet(spark, metricsPath)
         val applied = old.exists { m =>
           val r = m.select(max(col("batch_id"))).head
           !r.isNullAt(0) && r.getLong(0) >= batchId
@@ -87,9 +85,7 @@ object QualityStream {
           // in-data duplicates and crash-replayed appends)
           val keys = batch.select(col("o_orderkey")).distinct()
           val mirror =
-            try Some(spark.read.parquet(keysPath))
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              None }
+            Artifacts.readParquet(spark, keysPath)
           val novel = mirror match {
             case Some(m) => keys.join(m, Seq("o_orderkey"), "left_anti")
             case None => keys

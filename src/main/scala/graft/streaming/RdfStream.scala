@@ -53,11 +53,10 @@ object RdfStream {
         val out = graft.rdf.RdfQueries
           .entailInstances(spark, ontologyDir, batch)
           .distinct() // batch-local set semantics
-        val seen =
-          try spark.read.parquet(outPath).select(col("src_k").as("s_k"))
-            .distinct()
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.emptyDataFrame.withColumn("s_k", lit(0L)).limit(0) }
+        val seen = Artifacts.readParquet(spark, outPath)
+          .map(_.select(col("src_k").as("s_k")).distinct())
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_k", lit(0L)).limit(0))
         out.join(seen, col("src_k") === col("s_k"), "left_anti")
           .write.mode("append").parquet(outPath)
         ()

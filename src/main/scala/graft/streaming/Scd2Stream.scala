@@ -63,22 +63,19 @@ object Scd2Stream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         Pipeline.healSwap(spark, dimPath)
-        val seen =
-          try spark.read.parquet(mirrorPath)
-            .select(col("event_id").as("s_id"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.emptyDataFrame.withColumn("s_id", lit(0L)).limit(0) }
+        val seen = Artifacts.readParquet(spark, mirrorPath)
+          .map(_.select(col("event_id").as("s_id")))
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_id", lit(0L)).limit(0))
         batch.join(seen, col("event_id") === col("s_id"), "left_anti")
           .write.mode("append").parquet(mirrorPath)
         val affected = batch.select(col("user_id")).distinct()
         val hist = spark.read.parquet(mirrorPath)
           .join(affected, Seq("user_id"), "left_semi")
         val fresh = RelationalQueries.scd2Of(hist)
-        val dim =
-          try spark.read.parquet(dimPath)
-            .join(affected, Seq("user_id"), "left_anti")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            fresh.limit(0) }
+        val dim = Artifacts.readParquet(spark, dimPath)
+          .map(_.join(affected, Seq("user_id"), "left_anti"))
+          .getOrElse(fresh.limit(0))
         Pipeline.atomicReplace(dim.unionByName(fresh), dimPath)
         ()
       }

@@ -51,16 +51,14 @@ object TriangleStream {
   }
 
   private def edgesOf(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    Artifacts.readParquet(spark, path).getOrElse(
       spark.range(0).select(col("id").as("a"), col("id").as("b"),
-        col("id").as("bid")) }
+        col("id").as("bid")))
 
   private def censusOf(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    Artifacts.readParquet(spark, path).getOrElse(
       spark.range(1).select(lit(-1L).as("bid"),
-        lit(0L).as("n_triangles")) }
+        lit(0L).as("n_triangles")))
 
   /** Re-derive the census for edge-WAL batch `bid` from the stored
     * rows themselves — the crash-recovery step AND the normal
@@ -122,12 +120,10 @@ object TriangleStream {
       batchId: Long, mirrorPath: String, edgesPath: String,
       countPath: String): Unit = {
         // 1. mirror append with the line-level retry guard
-        val seen =
-          try spark.read.parquet(mirrorPath)
-            .select(col("ok").as("s_ok"), col("pk").as("s_pk"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            batch.limit(0)
-              .select(col("ok").as("s_ok"), col("pk").as("s_pk")) }
+        val seen = Artifacts.readParquet(spark, mirrorPath)
+          .map(_.select(col("ok").as("s_ok"), col("pk").as("s_pk")))
+          .getOrElse(batch.limit(0)
+            .select(col("ok").as("s_ok"), col("pk").as("s_pk")))
         batch.dropDuplicates("ok", "pk")
           .join(seen, col("ok") === col("s_ok") &&
             col("pk") === col("s_pk"), "left_anti")

@@ -71,9 +71,7 @@ object TurtleStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.dropDuplicates()
-        val existing =
-          try Some(spark.read.parquet(outPath))
-          catch { case _: AnalysisException => None } // first batch
+        val existing = Artifacts.readParquet(spark, outPath)
         val novel = existing match {
           case Some(e) =>
             // null-safe equality: obj_lang/obj_datatype are nullable,
@@ -115,9 +113,7 @@ object TurtleStream {
         val spark = batch.sparkSession
         val list = graft.rdf.RdfOps.enrichmentFetchList(
           graft.rdf.RdfOps.enrichmentKeys(batch), ledger, ttlDays)
-        val seen =
-          try Some(spark.read.parquet(outPath))
-          catch { case _: AnalysisException => None } // first batch
+        val seen = Artifacts.readParquet(spark, outPath)
         val novel = seen match {
           case Some(e) => list.join(
             e.select(col("monument_key").as("s_key")),
