@@ -163,9 +163,15 @@ object CdcChunks {
        |  SELECT doc_id, text, length(text)::BIGINT AS len
        |  FROM documents),
        |cuts AS (
-       |  SELECT doc_id, t.i::BIGINT AS start
-       |  FROM base, generate_series(2, 4096) t(i)
-       |  WHERE t.i <= len - ${W - 1} AND $hashSql % $D = $R),
+       |  -- position scan bound derived PER ROW from the document's
+       |  -- own length (range is exclusive-stop: last i = len-${W - 1}),
+       |  -- so a fixture doc of any length scans fully — no silent
+       |  -- cap the engine's unbounded kernel could outrun
+       |  SELECT t.doc_id, t.i::BIGINT AS start
+       |  FROM (SELECT doc_id, text, len,
+       |          unnest(range(2, len - ${W - 2})) AS i
+       |        FROM base) t
+       |  WHERE $hashSql % $D = $R),
        |starts AS (
        |  SELECT doc_id, 1::BIGINT AS start FROM base
        |  UNION ALL SELECT doc_id, start FROM cuts),

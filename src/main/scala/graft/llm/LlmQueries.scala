@@ -5513,11 +5513,14 @@ object LlmQueries {
         |           coalesce(lead(text) OVER (ORDER BY doc_id), '') AS ext
         |  FROM documents),
         |pos AS (
-        |  SELECT d.doc_id, t.i::BIGINT AS lpos,
-        |         (d.off + t.i - 1)::BIGINT AS gpos,
-        |         substr(d.ext, t.i::INT, 32) AS p32
-        |  FROM docs d, generate_series(1, 4096) t(i)
-        |  WHERE t.i <= length(d.text) + 1),
+        |  -- per-row scan bound from the document's own length
+        |  -- (range stop is exclusive): no silent cap to outrun
+        |  SELECT t.doc_id, t.i::BIGINT AS lpos,
+        |         (t.off + t.i - 1)::BIGINT AS gpos,
+        |         substr(t.ext, t.i::INT, 32) AS p32
+        |  FROM (SELECT doc_id, off, ext,
+        |          unnest(range(1, length(text) + 2)) AS i
+        |        FROM docs) t),
         |ranked AS (
         |  SELECT doc_id, lpos,
         |         row_number() OVER (ORDER BY p32, gpos) - 1 AS sa_rank
@@ -5530,10 +5533,11 @@ object LlmQueries {
     // maximal spans by the islands trick.
     "llm_exact_substr" ->
       """WITH grams AS (
-        |  SELECT d.doc_id, t.i::BIGINT AS lpos,
-        |         substr(d.text, t.i::INT, 32) AS g
-        |  FROM documents d, generate_series(1, 4096) t(i)
-        |  WHERE t.i <= length(d.text) - 31),
+        |  SELECT t.doc_id, t.i::BIGINT AS lpos,
+        |         substr(t.text, t.i::INT, 32) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) - 30)) AS i
+        |        FROM documents) t),
         |dup AS (
         |  SELECT doc_id, lpos
         |  FROM (SELECT doc_id, lpos,
@@ -5559,10 +5563,11 @@ object LlmQueries {
         |           coalesce(lead(text) OVER (ORDER BY doc_id), '') AS ext
         |  FROM documents),
         |pos AS (
-        |  SELECT (d.off + t.i - 1)::BIGINT AS gpos,
-        |         substr(d.ext, t.i::INT, 32) AS p32
-        |  FROM docs d, generate_series(1, 4096) t(i)
-        |  WHERE t.i <= length(d.text) + 1),
+        |  SELECT (t.off + t.i - 1)::BIGINT AS gpos,
+        |         substr(t.ext, t.i::INT, 32) AS p32
+        |  FROM (SELECT off, ext,
+        |          unnest(range(1, length(text) + 2)) AS i
+        |        FROM docs) t),
         |ranked AS (
         |  SELECT p32, row_number() OVER (ORDER BY p32, gpos) AS rn
         |  FROM pos),
@@ -5608,8 +5613,8 @@ object LlmQueries {
       s"""WITH $wCte,
          |bp AS (SELECT doc_id, ws[t.i] AS w1,
          |    ws[t.i] || ' ' || ws[t.i + 1] AS bg
-         |  FROM w, generate_series(1, 4096) t(i)
-         |  WHERE t.i <= len(ws) - 1),
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM w) t(doc_id, ws, i)),
          |cb AS (SELECT bg, count(*) AS cb FROM bp GROUP BY 1),
          |cu AS (SELECT w1, count(*) AS cu FROM bp GROUP BY 1)
          |SELECT doc_id, count(*) AS n_pairs,
@@ -5622,9 +5627,9 @@ object LlmQueries {
     "llm_bpe_pairs" ->
       s"""WITH $wCte,
          |wd AS (SELECT unnest(ws) AS word FROM w),
-         |p AS (SELECT substr(word, t.i::INT, 2) AS pair
-         |  FROM wd, generate_series(1, 4096) t(i)
-         |  WHERE t.i <= length(word) - 1)
+         |p AS (SELECT substr(t.word, t.i::INT, 2) AS pair
+         |  FROM (SELECT word, unnest(range(1, length(word))) AS i
+         |        FROM wd) t)
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 

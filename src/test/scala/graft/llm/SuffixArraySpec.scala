@@ -151,4 +151,26 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(ranked.map(_._2).toSeq == (0L until ranked.length).toSeq)
     assert(ranked.map(_._1).toSeq == ranked.map(_._1).sorted.toSeq)
   }
+
+  test("oracle precondition fails loudly: every driver fixture doc " +
+    "is >= 31 chars (the one-document-lookahead soundness bound)") {
+    // the llm_suffix_array / llm_sa_lcp oracles build each 32-char
+    // window with a SINGLE-document lookahead — sound only while a
+    // window crosses at most one sentinel, i.e. min doc length >= 31.
+    // The engine itself has no such bound (pinned above on a short
+    // doc); this guards the ORACLE's precondition so a future
+    // fixture with a short document fails here, not via confusing
+    // oracle drift.
+    import org.apache.spark.sql.functions.{length, min, col}
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf/documents.parquet"
+      if (new java.io.File(s"/root/testdata/$sf").exists) {
+        val m = spark.read.parquet(dir)
+          .agg(min(length(col("text")))).head.getInt(0)
+        assert(m >= 31, s"$sf min doc length $m < 31 — the SA " +
+          "oracles' one-document lookahead is unsound; regenerate " +
+          "the fixture or generalize the oracle lookahead")
+      }
+    }
+  }
 }
