@@ -31,6 +31,8 @@ object LlmQueries {
     "llm_dedup_priority" -> dedupPriority,
     "llm_shuffle_shards" -> shuffleShards,
     "llm_bpe_pairs" -> bpePairs,
+    "llm_bpe_vocab" -> bpeVocab,
+    "llm_bpe_apply" -> bpeApply,
     "llm_wordpiece_tokens" -> wordpieceTokens,
     "llm_wordpiece_incremental" -> wordpieceIncremental,
     "llm_bigram_fluency" -> bigramFluency,
@@ -215,6 +217,115 @@ object LlmQueries {
           " i -> substring(word, i, 2))")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(50)
+
+  /** How many merges the BPE trainer learns — the unroll bound the
+    * oracle replays stage by stage, so it is part of the CONTRACT,
+    * not a tuning knob. */
+  private[llm] val bpeRounds = 12
+
+  /** THE BPE training loop (Sennrich et al. 2016, the actual
+    * iterated algorithm — [[bpePairs]] is its first step): state is
+    * the DISTINCT-word table, each word as its current symbol
+    * sequence with its occurrence count; each round counts adjacent
+    * symbol pairs (occurrence-weighted), merges the most frequent
+    * pair (ties: lexicographic on (lhs, rhs)) greedily
+    * left-to-right in every word, and records the merge. Returns
+    * the learned merge list and the final tokenized state.
+    *
+    * Scale shape — the Lloyd/k-core driver-loop discipline: state
+    * is VOCABULARY-sized (distinct words, not the corpus; the one
+    * corpus-scale exchange is the initial word count, combine-
+    * collapsed), each round is one pair-keyed aggregate on a
+    * ≤ |symbols|² key space with a 1-ROW bounded argmax collect
+    * (TakeOrderedAndProject — never a full sort), and the merge
+    * application is a pure map-side array fold. Per-round state is
+    * localCheckpoint'd and the previous round freed, so lineage and
+    * storage stay O(1) across rounds. */
+  private def bpeTrainMerges(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    def free(df: DataFrame): Unit = org.apache.spark.sql.graftshim
+      .ColumnBridge.freeLocalCheckpoint(df)
+    var st = chkSer(tokenized(s, d).select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("toks", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= bpeRounds && !done) {
+      val best = st.filter(size(col("toks")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+            "struct(element_at(toks, i) AS l, " +
+            "element_at(toks, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((k, a, b, best(0).getLong(2)))
+        val prev = st
+        // greedy leftmost non-overlapping merge: the fold's top of
+        // stack after a merge is the MERGED symbol, which can itself
+        // open the next match only as lhs — exactly BPE's scan
+        st = chkSer(prev.select(col("word"), col("c"),
+          aggregate(col("toks"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("toks")))
+        free(prev)
+        k += 1
+      }
+    }
+    (merges.result(), st)
+  }
+
+  /** Memoized (merge-list frame, final tokenized state) — both
+    * queries of the family share ONE training run per corpus
+    * snapshot. */
+  private def bpeArtifacts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    var trained: Option[(Seq[(Int, String, String, Long)], DataFrame)] =
+      None
+    def train() = {
+      if (trained.isEmpty) trained = Some(bpeTrainMerges(s, d))
+      trained.get
+    }
+    val vocab = SnapshotMemo.getOrCompute(s, s"bpe-vocab:$d") {
+      val spark = s
+      import spark.implicits._
+      train()._1.toDF("merge_rank", "lhs", "rhs", "n_at_merge")
+        .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("n_at_merge"))
+    }
+    val state = SnapshotMemo.getOrCompute(s, s"bpe-state:$d")(train()._2)
+    (vocab, state)
+  }
+
+  /** The learned merge list (`llm_bpe_vocab`): one row per training
+    * round — (rank, lhs, rhs, merged symbol, pair count at merge
+    * time). The oracle replays the ENTIRE training unrolled stage
+    * by stage (argmax + greedy merge per stage), so a trainer that
+    * mis-counts, breaks ties differently, or merges non-greedily
+    * diverges at the first wrong round. */
+  def bpeVocab(s: SparkSession, d: String): DataFrame =
+    bpeArtifacts(s, d)._1
+
+  /** Tokenize-with-the-learned-merges corpus statistics
+    * (`llm_bpe_apply`): per final symbol, occurrence-weighted count
+    * and distinct containing words — the trained-tokenizer handoff
+    * surface (the BPE analog of [[wordpieceTokens]]' rollup). */
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    bpeArtifacts(s, d)._2
+      .select(col("word"), col("c"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
 
   /** Sub-word tokenization by greedy longest match against a
     * corpus-DERIVED vocabulary (`llm_wordpiece_tokens`) — the
@@ -5100,6 +5211,42 @@ object LlmQueries {
       |  regexp_split_to_array(trim(lower(text)), '\s+') AS ws
       |  FROM documents)""".stripMargin
 
+  /** The BPE trainer's unrolled oracle stages: word states are
+    * chr(1)/chr(2)-bracketed symbol strings (so adjacency is exact
+    * string structure); stage k derives pair counts `pb k`, the
+    * argmax `bk k`, and the merged state `st k` from `st k-1`. */
+  private def bpeOracleStages: String = {
+    val L = "chr(1)"
+    val R = "chr(2)"
+    val base = s"""bw AS (SELECT
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       |      AS word
+       |  FROM documents),
+       |bwc AS (SELECT word, count(*)::BIGINT AS c FROM bw
+       |  WHERE word <> '' GROUP BY 1),
+       |st0 AS (SELECT word, c,
+       |    array_to_string(list_transform(string_split(word, ''),
+       |      x -> $L || x || $R), '') AS st
+       |  FROM bwc)""".stripMargin
+    val stages = (1 to bpeRounds).map { k =>
+      s"""pb$k AS (SELECT l AS lhs, r AS rhs,
+       |    CAST(sum(c) AS BIGINT) AS n
+       |  FROM (SELECT c, tl[i] AS l, tl[i + 1] AS r
+       |        FROM (SELECT c, tl, unnest(range(1, len(tl))) AS i
+       |              FROM (SELECT c, string_split(substr(st, 2,
+       |                      length(st) - 2), $R || $L) AS tl
+       |                    FROM st${k - 1})))
+       |  GROUP BY 1, 2),
+       |bk$k AS (SELECT lhs, rhs, n FROM pb$k
+       |  ORDER BY n DESC, lhs, rhs LIMIT 1),
+       |st$k AS (SELECT word, c, replace(st,
+       |    $L || b.lhs || $R || $L || b.rhs || $R,
+       |    $L || b.lhs || b.rhs || $R) AS st
+       |  FROM st${k - 1}, bk$k b)""".stripMargin
+    }
+    (base +: stages).mkString(",\n")
+  }
+
   private val shingleCte =
     s"""$wCte,
        |pos AS (SELECT doc_id, ws,
@@ -5632,6 +5779,31 @@ object LlmQueries {
          |        FROM wd) t)
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // the full training loop replayed UNROLLED, one stage per merge
+    // round: each stage re-counts adjacent pairs from the previous
+    // stage's word states (chr(1)/chr(2)-bracketed symbol strings),
+    // picks the (n DESC, lhs, rhs) argmax, and applies the merge via
+    // left-to-right non-overlapping string replace — the exact greedy
+    // semantics of the engine's array fold. A trainer that
+    // mis-counts, breaks ties differently, or merges non-greedily
+    // diverges at the first wrong stage.
+    "llm_bpe_vocab" ->
+      s"""WITH $bpeOracleStages
+         |${(1 to bpeRounds).map(k =>
+             s"SELECT CAST($k AS INT) AS merge_rank, lhs, rhs, " +
+               s"lhs || rhs AS merged, n AS n_at_merge FROM bk$k")
+             .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    "llm_bpe_apply" ->
+      s"""WITH $bpeOracleStages
+         |SELECT token, CAST(sum(c) AS BIGINT) AS n_occ,
+         |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+         |FROM (SELECT word, c, unnest(string_split(
+         |    substr(st, 2, length(st) - 2), chr(2) || chr(1)))
+         |    AS token
+         |  FROM st$bpeRounds)
+         |GROUP BY 1""".stripMargin,
 
     // independent greedy-longest-match replay: the same derived
     // vocabulary (top-48 grams by (n DESC, g ASC) + every char),
