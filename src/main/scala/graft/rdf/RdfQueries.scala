@@ -243,6 +243,15 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlCoalesceQuery)),
     "rdf_sparql_arith" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlArithQuery)),
+    // round-13: AVG in exact milli-units, mixed/parenthesized
+    // precedence, OPTIONAL inside UNION — round-12's declared
+    // rejections, lifted
+    "rdf_sparql_avg" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlAvgQuery)),
+    "rdf_sparql_arith_paren" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlArithParenQuery)),
+    "rdf_sparql_union_opt" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlUnionOptQuery)),
     "rdf_sparql_if_in" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlIfInQuery)),
     "rdf_sparql_termfns" -> ((s, d) =>
@@ -551,6 +560,44 @@ object RdfQueries {
       |  ?item def:size ?sz .
       |  BIND(?sz * 3 + 7 AS ?scaled)
       |  FILTER(?sz >= 10)
+      |}""".stripMargin
+
+  /** `AVG` — declared EXACT semantics: ×1000 integer floor-div
+    * (milli-units), never a float, so the row is deterministic and
+    * oracle-hashable (the BM25 scaled-rational discipline; SPARQL
+    * 1.1 `AVG` itself is xsd:decimal — the scale is this engine's
+    * documented exact spelling of it). */
+  val sparqlAvgQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?brand (AVG(?sz) AS ?avg_size_x1000) (COUNT(*) AS ?n_items)
+      |WHERE { ?item def:brand ?brand . ?item def:size ?sz . }
+      |GROUP BY ?brand""".stripMargin
+
+  /** Mixed-precedence and parenthesized BIND arithmetic — the
+    * round-12 front-end rejection, lifted: `*` binds tighter than
+    * `+`, parentheses override. */
+  val sparqlArithParenQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?a ?b
+      |WHERE {
+      |  ?item def:size ?sz .
+      |  BIND((?sz + 1) * 2 AS ?a)
+      |  BIND(?sz + 1 * 2 AS ?b)
+      |}""".stripMargin
+
+  /** OPTIONAL inside a UNION branch — the round-12 front-end
+    * rejection, lifted: branch 1 LEFT-joins the template onto
+    * titles (multiset semantics), branch 2 is a plain brand scan;
+    * branch-local vars null-pad across the union
+    * ([[SparqlSelect]]'s compileUnion). */
+  val sparqlUnionOptQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?title ?tpl ?brand
+      |WHERE {
+      |  { ?item dcterms:title ?title .
+      |    OPTIONAL { ?item o:resource_template ?tpl } }
+      |  UNION
+      |  { ?item def:brand ?brand }
       |}""".stripMargin
 
   /** `IN` membership (ONE isin scan) + `IF` conditional binding. */
@@ -2481,6 +2528,44 @@ object RdfQueries {
          |FROM triples
          |WHERE predicate = 'http://ex.org/def#size'
          |  AND CAST(obj_value AS BIGINT) >= 10""".stripMargin,
+
+    // AVG replayed in the same exact arithmetic: ×1000 then integer
+    // floor-div by the group count — no float ever enters the row
+    "rdf_sparql_avg" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT b.obj_value AS brand,
+         |  CAST((SUM(CAST(z.obj_value AS INT)) * 1000)
+         |    // COUNT(z.obj_value) AS BIGINT) AS avg_size_x1000,
+         |  COUNT(*) AS n_items
+         |FROM triples b JOIN triples z ON z.subject = b.subject
+         |  AND z.predicate = 'http://ex.org/def#size'
+         |WHERE b.predicate = 'http://ex.org/def#brand'
+         |GROUP BY 1""".stripMargin,
+
+    // precedence replayed with SQL's own precedence rules
+    "rdf_sparql_arith_paren" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT subject AS item,
+         |  (CAST(obj_value AS BIGINT) + 1) * 2 AS a,
+         |  CAST(obj_value AS BIGINT) + 1 * 2 AS b
+         |FROM triples
+         |WHERE predicate = 'http://ex.org/def#size'""".stripMargin,
+
+    // OPTIONAL in a UNION branch: branch 1 is a plain LEFT JOIN
+    // (multiset semantics, no MIN collapse), branch 2 null-pads
+    "rdf_sparql_union_opt" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT t.subject AS item, t.obj_value AS title,
+         |  r.obj_value AS tpl, CAST(NULL AS VARCHAR) AS brand
+         |FROM triples t LEFT JOIN triples r
+         |  ON r.subject = t.subject
+         |  AND r.predicate = '$OmekaResourceTemplate'
+         |WHERE t.predicate = '$DctermsTitle'
+         |UNION ALL
+         |SELECT subject, CAST(NULL AS VARCHAR),
+         |  CAST(NULL AS VARCHAR), obj_value
+         |FROM triples
+         |WHERE predicate = 'http://ex.org/def#brand'""".stripMargin,
 
     "rdf_sparql_if_in" ->
       s"""WITH ${TripleFixture.triplesCte}

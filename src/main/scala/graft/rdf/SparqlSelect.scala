@@ -25,9 +25,11 @@ import Vocab.RdfType
   *   item     := ?var | ( agg AS ?var )
   *   agg      := COUNT(*) | COUNT(DISTINCT? ?v) | SUM(?v) | MIN(?v)
   *             | MAX(?v) | SAMPLE(?v)            (pinned to MIN)
+  *             | AVG(?v)      (EXACT ×1000 integer floor-div —
+  *                             milli-units, never a float)
   *             | GROUP_CONCAT(?v (; separator="s")?)
   *   body     := group | braced (UNION braced)+
-  *   braced   := { (triples | filter | values | bind)* }
+  *   braced   := { (triples | optional | filter | values | bind)* }
   *   group    := (triples | optional | minus | graphb | filter
   *                | values | bind | subq)+
   *   minus    := MINUS { triples }
@@ -211,13 +213,20 @@ object SparqlSelect {
     * (Left) or string literals (Right, always bound). */
   final case class BCoalesce(parts: Seq[Either[String, String]])
       extends BindExpr
-  /** `?v op n (op n)*` — left-associative INTEGER arithmetic over a
-    * numeric binding (`+`, `-`, `*`; SPARQL's integer ops stay in
-    * BIGINT). Mixed-precedence chains (`?v + 1 * 2`) are rejected
-    * loudly rather than mis-associated: a chain must apply all `*`
-    * steps before any additive step. */
-  final case class BArith(v: String, ops: Seq[(String, Long)])
-      extends BindExpr
+  /** Integer arithmetic expression tree over numeric bindings and
+    * integer literals — precedence-correct (`*` binds tighter than
+    * additive; parentheses honored), evaluated in BIGINT (SPARQL's
+    * integer ops don't overflow into decimals). Subtraction arrives
+    * from the tokenizer as negative-integer tokens (`?v -2` —
+    * there is no bare `-` token), which folds as `+ (-2)`;
+    * var-minus-var subtraction is out of grammar and fails loudly
+    * at tokenize. */
+  sealed trait ArithE
+  final case class ANum(n: Long) extends ArithE
+  final case class AVar(v: String) extends ArithE
+  final case class ABin(op: String, l: ArithE, r: ArithE)
+      extends ArithE
+  final case class BArith(e: ArithE) extends BindExpr
   /** `IF(cond, then, else)` — branches are vars (Left) or string
     * literals (Right); cond is a value-level FILTER condition
     * (comparison, text predicate, IN, BOUND — the OPTIONAL-default
@@ -601,7 +610,7 @@ object SparqlSelect {
   def parse(q: String): Query = new Parser(tokenize(q)).query()
 
   private val AggFuns =
-    Set("COUNT", "SUM", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
+    Set("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
 
   /** One property-path step: `'!'? '^'? primary mod?` where primary
     * is a predicate or a parenthesized alternation of predicates.
@@ -916,36 +925,60 @@ object SparqlSelect {
       * functions over vars and string literals. */
     private def bind(): Bind = {
       expect("(")
+      // arithmetic opens with a ?var, an integer, or a paren;
+      // everything else is a named function call
+      def opensArith(t: String) = t.startsWith("?") || t == "(" ||
+        (t.nonEmpty && t.forall(_.isDigit)) ||
+        (t.startsWith("-") && t.length > 1 &&
+          t.drop(1).forall(_.isDigit))
       val e: BindExpr =
-        if (peek.startsWith("?")) arithChain() else bindCall()
+        if (opensArith(peek)) arithChain() else bindCall()
       expect("AS")
       val as = filterVar()
       expect(")")
       Bind(as, e)
     }
 
-    /** `?v op n (op n)*` — the tokenizer has no bare `-` token, so
-      * subtraction arrives as a negative-integer token (`?v -2`);
-      * it folds as `+ (-2)`, which is the same operation. All `*`
-      * steps must precede any additive step (no mis-associated
-      * mixed precedence — rejected loudly). */
+    /** Precedence-climbing integer arithmetic: primary is a `?var`,
+      * an integer literal, or a parenthesized sub-expression; `*`
+      * binds tighter than additive. Subtraction arrives as
+      * negative-integer tokens (the tokenizer has no bare `-`) and
+      * folds as `+ (-n)` — including as the FIRST factor of a
+      * multiplicative run, so `?v -2 * 3` associates as
+      * `?v + ((-2) * 3)`, the SPARQL reading. */
     private def arithChain(): BindExpr = {
-      val v = filterVar()
-      val ops = Seq.newBuilder[(String, Long)]
-      def isNegInt = peek.startsWith("-") && peek.length > 1 &&
-        peek.drop(1).forall(_.isDigit)
-      while (peek == "+" || peek == "*" || isNegInt) {
-        if (isNegInt) ops += (("+", next().toLong))
-        else { val op = next(); ops += ((op, next().toLong)) }
+      def isInt(t: String) = t.nonEmpty && t.forall(_.isDigit)
+      def isNegInt(t: String) = t.startsWith("-") && t.length > 1 &&
+        t.drop(1).forall(_.isDigit)
+      def primary(): ArithE =
+        if (peek == "(") { next(); val e = addE(); expect(")"); e }
+        else if (peek.startsWith("?")) AVar(filterVar())
+        else {
+          val t = next()
+          require(isInt(t) || isNegInt(t),
+            s"SPARQL: expected ?var, integer or '(' in arithmetic, " +
+              s"got '$t'")
+          ANum(t.toLong)
+        }
+      def mulE(first: ArithE): ArithE = {
+        var e = first
+        while (peek == "*") { next(); e = ABin("*", e, primary()) }
+        e
       }
-      val o = ops.result()
-      require(o.nonEmpty,
+      def addE(): ArithE = {
+        var e = mulE(primary())
+        while (peek == "+" || isNegInt(peek)) {
+          val rhs =
+            if (isNegInt(peek)) mulE(ANum(next().toLong))
+            else { next(); mulE(primary()) }
+          e = ABin("+", e, rhs)
+        }
+        e
+      }
+      val e = addE()
+      require(!e.isInstanceOf[AVar],
         "SPARQL: bare-variable BIND is not supported")
-      val firstAdd = o.indexWhere(_._1 != "*")
-      require(firstAdd == -1 || o.drop(firstAdd).forall(_._1 != "*"),
-        "SPARQL: mixed-precedence arithmetic (additive before " +
-          "multiplicative) is not supported — parenthesize manually")
-      BArith(v, o)
+      BArith(e)
     }
 
     private def bindCall(): BindExpr = {
@@ -1051,9 +1084,9 @@ object SparqlSelect {
     }
 
     /** Group body: triples / OPTIONAL / FILTER / VALUES / BIND until
-      * `}` (consumed by the caller). `allowOptional` = false inside
+      * `}` (consumed by the caller). OPTIONAL is legal inside
       * UNION branches. */
-    private def groupBody(allowOptional: Boolean): Group = {
+    private def groupBody(): Group = {
       val req = Seq.newBuilder[Pattern]
       val opts = Seq.newBuilder[Seq[Pattern]]
       val fils = Seq.newBuilder[FilterExpr]
@@ -1065,8 +1098,6 @@ object SparqlSelect {
       val exis = Seq.newBuilder[(Boolean, Seq[Pattern])]
       while (peek != "}") {
         if (kw("OPTIONAL")) {
-          require(allowOptional,
-            "SPARQL: OPTIONAL inside a UNION branch is not supported")
           next(); expect("{")
           val ps = Seq.newBuilder[Pattern]
           val fs = Seq.newBuilder[FilterExpr]
@@ -1165,14 +1196,14 @@ object SparqlSelect {
         if (kw("SELECT")) PSelect(queryBody())
         else if (kw("ASK")) {
           next(); expect("{")
-          val g = groupBody(allowOptional = true)
+          val g = groupBody()
           expect("}")
           PAsk(Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
         } else if (kw("CONSTRUCT")) {
           next(); expect("{")
           val template = templateBlock()
           expect("WHERE"); expect("{")
-          val g = groupBody(allowOptional = true)
+          val g = groupBody()
           expect("}")
           PConstruct(template,
             Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
@@ -1181,7 +1212,7 @@ object SparqlSelect {
           if (peek.startsWith("?")) {
             val v = filterVar()
             expect("WHERE"); expect("{")
-            val g = groupBody(allowOptional = true)
+            val g = groupBody()
             expect("}")
             PDescribeVar(v,
               Query(Seq(Left(v)), Seq(g), Nil, Nil, false, Nil, None,
@@ -1263,7 +1294,7 @@ object SparqlSelect {
             expect("{")
             val ins = templateBlock()
             expect("WHERE"); expect("{")
-            val g = groupBody(allowOptional = true)
+            val g = groupBody()
             expect("}")
             UModify(Nil, ins,
               Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
@@ -1273,7 +1304,7 @@ object SparqlSelect {
           if (kw("DATA")) { next(); UDeleteData(constBlock()) }
           else if (kw("WHERE")) {
             next(); expect("{")
-            val g = groupBody(allowOptional = true)
+            val g = groupBody()
             expect("}")
             require(g.optionals.isEmpty,
               "SPARQL: OPTIONAL in DELETE WHERE is not supported")
@@ -1292,7 +1323,7 @@ object SparqlSelect {
               if (kw("INSERT")) { next(); expect("{"); templateBlock() }
               else Nil
             expect("WHERE"); expect("{")
-            val g = groupBody(allowOptional = true)
+            val g = groupBody()
             expect("}")
             UModify(del, ins,
               Query(Seq.empty, Seq(g), Nil, Nil, false, Nil, None, None))
@@ -1336,14 +1367,14 @@ object SparqlSelect {
           val gs = Seq.newBuilder[Group]
           def braced(): Group = {
             expect("{")
-            val g = groupBody(allowOptional = false)
+            val g = groupBody()
             expect("}")
             g
           }
           gs += braced()
           while (kw("UNION")) { next(); gs += braced() }
           gs.result()
-        } else Seq(groupBody(allowOptional = true))
+        } else Seq(groupBody())
       expect("}")
       val gb = Seq.newBuilder[String]
       if (kw("GROUP")) {
@@ -1442,7 +1473,13 @@ object SparqlSelect {
           case BSubstr(v, _, _) => Seq(v)
           case BStrBA(v, _, _) => Seq(v)
           case BCoalesce(parts) => parts.collect { case Left(v) => v }
-          case BArith(v, _) => Seq(v)
+          case BArith(e) =>
+            def vs(a: ArithE): Seq[String] = a match {
+              case AVar(v) => Seq(v)
+              case ABin(_, l, r) => vs(l) ++ vs(r)
+              case _ => Nil
+            }
+            vs(e)
           case BIf(c, tp, ep) =>
             Seq(c.v) ++ Seq(tp, ep).flatMap(_.left.toOption)
           case BTermFn(_, v) => Seq(v)
@@ -1627,7 +1664,10 @@ object SparqlSelect {
       case Cond(v, _, Left(_)) => v
     }.toSet ++
       (q.selectItems.collect { case Right(a) => a } ++ q.having.map(_._1))
-        .collect { case Agg("SUM", Some(v), _, _, _) => v }
+        .collect {
+          case Agg("SUM", Some(v), _, _, _) => v
+          case Agg("AVG", Some(v), _, _, _) => v
+        }
 
   /** Vars already bound-and-constrained by a FILTER comparison or
     * string predicate — both reject NULL themselves, so the
@@ -1723,6 +1763,15 @@ object SparqlSelect {
         if (a.distinct) countDistinct(col(a.arg.get))
         else a.arg.fold(count(lit(1)))(v => count(col(v)))
       case "SUM" => sum(arg(a.arg.get))
+      // AVG in EXACT arithmetic — the BM25 scaled-rational
+      // discipline: ×1000 then integer floor-div by the non-null
+      // count, always a BIGINT (never a float, so results are
+      // deterministic and oracle-hashable). The ×1000 scale is part
+      // of the engine's declared semantics (milli-units).
+      case "AVG" =>
+        val v = a.arg.get
+        val c = if (nums.contains(v)) s"CAST(`$v` AS INT)" else s"`$v`"
+        expr(s"CAST((sum($c) * 1000) div count($c) AS BIGINT)")
       case "MIN" => min(arg(a.arg.get))
       case "MAX" => max(arg(a.arg.get))
       // SAMPLE is implementation-defined (SPARQL 1.1 §18.5.1.7 —
@@ -2158,14 +2207,15 @@ object SparqlSelect {
     // integer arithmetic in BIGINT (SPARQL integer ops don't
     // overflow into decimals; the source binding may have been
     // scanned as int by the numeric-filter rule — widened here)
-    case BArith(v, ops) =>
-      ops.foldLeft(col(v).cast("bigint")) { case (c, (op, n)) =>
-        op match {
-          case "+" => c + lit(n)
-          case "-" => c - lit(n)
-          case "*" => c * lit(n)
-        }
+    case BArith(e) =>
+      def go(a: ArithE): Column = a match {
+        case ANum(n) => lit(n)
+        case AVar(v) => col(v).cast("bigint")
+        case ABin("+", l, r) => go(l) + go(r)
+        case ABin("-", l, r) => go(l) - go(r)
+        case ABin(_, l, r) => go(l) * go(r)
       }
+      go(e)
     case BIf(c, thenP, elseP) =>
       def part(p: Either[String, String]): Column =
         p.fold(col, lit)

@@ -861,11 +861,35 @@ class SparqlSelectSpec extends AnyFunSuite {
         |  ?item def:size ?sz . BIND(?sz -2 AS ?x) FILTER(?sz = 10) }"""
         .stripMargin).select("x").distinct().collect()
     assert(sub.map(_.getLong(0)).toSeq == Seq(8L))
-    // additive-then-multiplicative would mis-associate — rejected
-    assertThrows[IllegalArgumentException](SparqlSelect(t,
+    // mixed precedence associates correctly: * binds tighter
+    val mixed = SparqlSelect(t,
       """PREFIX def: <http://ex.org/def#>
         |SELECT ?x WHERE {
-        |  ?i def:size ?sz . BIND(?sz + 1 * 2 AS ?x) }""".stripMargin))
+        |  ?i def:size ?sz . BIND(?sz + 1 * 2 AS ?x)
+        |  FILTER(?sz = 10) }""".stripMargin)
+      .select("x").distinct().collect()
+    assert(mixed.map(_.getLong(0)).toSeq == Seq(12L)) // 10 + (1*2)
+    // parentheses override: (?sz + 1) * 2
+    val parens = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?x WHERE {
+        |  ?i def:size ?sz . BIND((?sz + 1) * 2 AS ?x)
+        |  FILTER(?sz = 10) }""".stripMargin)
+      .select("x").distinct().collect()
+    assert(parens.map(_.getLong(0)).toSeq == Seq(22L))
+    // negative factor opens a multiplicative run: ?sz -2 * 3
+    val negMul = SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?x WHERE {
+        |  ?i def:size ?sz . BIND(?sz -2 * 3 AS ?x)
+        |  FILTER(?sz = 10) }""".stripMargin)
+      .select("x").distinct().collect()
+    assert(negMul.map(_.getLong(0)).toSeq == Seq(4L)) // 10 - (2*3)
+    // a bare-variable BIND stays rejected
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      """PREFIX def: <http://ex.org/def#>
+        |SELECT ?x WHERE { ?i def:size ?sz . BIND(?sz AS ?x) }"""
+        .stripMargin))
   }
 
   test("44: IN is one isin scan (plan identity); NOT IN excludes; " +
