@@ -114,6 +114,7 @@ object LlmQueries {
     "mm_audio_meta" -> audioMeta,
     "mm_audio_float_meta" -> audioFloatMeta,
     "mm_flac_meta" -> flacMeta,
+    "mm_flac_pcm" -> flacPcm,
     "mm_ogg_meta" -> oggMeta,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
@@ -4156,6 +4157,53 @@ object LlmQueries {
         sum(expr("m.n_samples * 1000 div m.sample_rate")).as("sum_ms"))
   }
 
+  /** The `mm_flac_pcm` fixture's sample formulas — free variable
+    * `i` for the VERBATIM channel; shared verbatim by engine and
+    * oracle so both sides build identical frames. */
+  private val FlacSampleExpr = "((doc_id * 131 + i * 277) % 65536)"
+  private val FlacConstExpr = "((doc_id * 7919) % 65536)"
+
+  /** REAL FLAC sample decode for the uncoded subframe types
+    * (`mm_flac_pcm`) — the audio I_PCM analog, narrowing the
+    * entropy-coded stub again: build complete FLAC files
+    * (STREAMINFO + one audio FRAME whose channel 0 is a VERBATIM
+    * subframe of real 16-bit samples and channel 1, when present, a
+    * CONSTANT subframe), walk the frame with the native
+    * [[graft.functions.FlacPcmLevels]] bit reader (sync code,
+    * blocksize/rate/sample-size codes, UTF-8 frame number, subframe
+    * headers, sign extension, CONSTANT block expansion), and meter
+    * the decoded samples with the family's exact-integer meter
+    * (energy, peak |s|, full-scale rail count). The oracle rebuilds
+    * the identical bytes and replays the samples POSITIONALLY from
+    * the hex — a decoder that drops the subframe header, mis-signs,
+    * or forgets that CONSTANT covers the whole block
+    * hash-mismatches on the energy sum. Map-side construct → decode
+    * → partial agg; one bounded exchange on the ≤ 8-key
+    * (rate, channels) space. */
+  def flacPcm(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 4 AS INT) + 1)").as("rate0"),
+        expr("CAST(doc_id % 2 AS INT) + 1").as("ch0"),
+        expr("CAST(doc_id % 12 + 4 AS INT)").as("ns0"))
+      .withColumn("hs", expr(
+        s"concat(${AudioHex.flacHex("rate0", "ch0", "16", "ns0",
+          "false", "0", "div")}, " +
+          s"${AudioHex.flacFrameHex("ch0", "ns0", FlacSampleExpr,
+            FlacConstExpr, "div", spark = true)})"))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.FlacPcmLevels(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_values")).as("sum_values"),
+        sum(col("m.sum_sq")).as("sum_sq"),
+        max(col("m.peak").cast("bigint")).as("max_peak"),
+        sum(col("m.n_clipped")).as("sum_clipped"))
+  }
+
   /** PII regexes shared by the engine and (verbatim, backslashes
     * unprocessed by DuckDB regular strings) the oracle — simple
     * enough to mean the same thing in Java regex and RE2: no
@@ -7580,6 +7628,53 @@ object LlmQueries {
          |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT)
          |    AS sum_ms
          |FROM f GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // positional byte replay: the oracle rebuilds the identical
+    // FLAC bytes and re-reads every sample from its hex position —
+    // VERBATIM values at fixed stride, the CONSTANT value expanded
+    // over the whole block (the semantics a wrong decoder misses)
+    "mm_flac_pcm" -> {
+      import graft.multimodal.AudioHex._
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 22050, 44100, 48000],
+         |      CAST(doc_id % 4 AS INT) + 1) AS rate0,
+         |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+         |    CAST(doc_id % 12 + 4 AS INT) AS ns0
+         |  FROM documents),
+         |b AS (SELECT doc_id, rate0, ch0, ns0,
+         |    hex(from_hex(concat(
+         |      ${flacHex("rate0", "ch0", "16", "ns0", "false", "0",
+               "//")},
+         |      ${flacFrameHex("ch0", "ns0", FlacSampleExpr,
+               FlacConstExpr, "//", spark = false)}))) AS hs
+         |  FROM t),
+         |vs AS (SELECT doc_id, rate0, ch0,
+         |    ${unhexBEat("hs", s"$FlacSamplePosBase + 4 * i",
+               "strpos")} AS u
+         |  FROM (SELECT doc_id, rate0, ch0, hs,
+         |        unnest(range(0, ns0)) AS i FROM b)),
+         |cs AS (SELECT doc_id, rate0, ch0,
+         |    ${unhexBEat("hs", flacConstPos("ns0"), "strpos")} AS u
+         |  FROM (SELECT doc_id, rate0, ch0, ns0, hs,
+         |        unnest(range(0, ns0)) AS j FROM b WHERE ch0 = 2)),
+         |sv AS (SELECT doc_id, rate0, ch0,
+         |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |  FROM (SELECT * FROM vs UNION ALL SELECT * FROM cs)),
+         |g AS (SELECT doc_id, rate0, ch0,
+         |    COUNT(*) AS nv, CAST(SUM(s * s) AS BIGINT) AS ssq,
+         |    MAX(ABS(s)) AS pk,
+         |    CAST(SUM(CASE WHEN s = 32767 OR s = -32768
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS cl
+         |  FROM sv GROUP BY 1, 2, 3)
+         |SELECT CAST(rate0 AS BIGINT) AS sample_rate,
+         |  CAST(ch0 AS BIGINT) AS channels,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(nv) AS BIGINT) AS sum_values,
+         |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
+         |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+         |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
+         |FROM g GROUP BY 1, 2""".stripMargin
     },
 
     // component replay: the expected tag strings re-derived from

@@ -180,6 +180,182 @@ object AudioHeaders {
     else Some((ch, rate, bits, total))
   }
 
+  /** REAL FLAC FRAME-payload decode for the UNCODED subframe types
+    * — CONSTANT and VERBATIM (FLAC §9.2.2/9.2.3): the audio analog
+    * of H.264's I_PCM escape hatch, pure big-endian bit arithmetic
+    * with no entropy coding, so a fully conformant stream class
+    * decodes to real samples without a codec library. The walk:
+    * STREAMINFO geometry ([[parseFlac]]), metadata blocks skipped
+    * by declared length, then FRAMES until the STREAMINFO total is
+    * reached — per frame the sync code, blocksize/rate/sample-size
+    * codes (inline 8/16-bit blocksize forms and the
+    * from-STREAMINFO codes; inline rate bytes skipped), the UTF-8
+    * coded frame number, then per channel a bit-packed subframe:
+    * CONSTANT (one value, expanded to the whole block) or VERBATIM
+    * (blocksize raw values), sign-extended at the declared width.
+    * Metering matches [[levels]]: exact integer sum of squares,
+    * peak |s|, and digital-full-scale count at the width's rails.
+    *
+    * Fail-closed (None) on anything OUTSIDE the decoded subset:
+    * FIXED/LPC subframes (entropy-coded — the one documented
+    * remaining stub, [[Multimodal]]), wasted-bits, stereo
+    * decorrelation modes, nonzero alignment padding, short frames,
+    * or a decoded total that misses STREAMINFO's. CRC-8/CRC-16 are
+    * skipped, not verified — the [[parseOgg]] metadata-pass
+    * discipline. */
+  def parseFlacPcm(b: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Int, Long)] = {
+    val geo = parseFlac(b)
+    if (geo.isEmpty) return None
+    val (ch, rate, bits0, total) = geo.get
+    // metadata blocks: [last:1|type:7][len:u24be][body]
+    var i = 4
+    var last = false
+    while (!last) {
+      if (i + 4 > b.length) return None
+      last = (u8(b, i) & 0x80) != 0
+      val len = (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+      i += 4 + len
+      if (i > b.length) return None
+    }
+    var decoded = 0L
+    var nValues = 0L
+    var sumSq = 0L
+    var peak = 0
+    var nClipped = 0L
+    val railHi = (1 << (bits0 - 1)) - 1
+    val railLo = -(1 << (bits0 - 1))
+    while (decoded < total) {
+      if (i + 5 > b.length) return None
+      if (u8(b, i) != 0xff || (u8(b, i + 1) & 0xfe) != 0xf8) return None
+      val bsCode = u8(b, i + 2) >> 4
+      val srCode = u8(b, i + 2) & 0xf
+      val chAsgn = u8(b, i + 3) >> 4
+      val ssCode = (u8(b, i + 3) >> 1) & 7
+      if ((u8(b, i + 3) & 1) != 0) return None
+      // independent channels only — decorrelated stereo (8..10)
+      // mixes channels through the residual, out of the uncoded set
+      if (chAsgn > 7 || chAsgn + 1 != ch) return None
+      val bits = ssCode match {
+        case 0 => bits0
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case _ => return None
+      }
+      if (bits != bits0) return None // one meter width per stream
+      i += 4
+      // UTF-8 coded frame/sample number (value unused; walk only)
+      val b0 = u8(b, i)
+      val extra =
+        if (b0 < 0x80) 0
+        else if ((b0 & 0xe0) == 0xc0) 1
+        else if ((b0 & 0xf0) == 0xe0) 2
+        else if ((b0 & 0xf8) == 0xf0) 3
+        else if ((b0 & 0xfc) == 0xf8) 4
+        else if ((b0 & 0xfe) == 0xfc) 5
+        else if (b0 == 0xfe) 6
+        else return None
+      if (i + 1 + extra > b.length) return None
+      var k = 0
+      while (k < extra) {
+        if ((u8(b, i + 1 + k) & 0xc0) != 0x80) return None
+        k += 1
+      }
+      i += 1 + extra
+      val blockSize: Int = bsCode match {
+        case 0 => return None
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 =>
+          if (i >= b.length) return None
+          val v = u8(b, i) + 1; i += 1; v
+        case 7 =>
+          if (i + 1 >= b.length) return None
+          val v = ((u8(b, i) << 8) | u8(b, i + 1)) + 1; i += 2; v
+        case c => 256 << (c - 8)
+      }
+      srCode match {
+        case 12 => i += 1 // inline kHz byte
+        case 13 | 14 => i += 2 // inline Hz / daHz u16
+        case 15 => return None
+        case _ => ()
+      }
+      if (i >= b.length) return None
+      i += 1 // CRC-8 over the header — skipped, not verified
+      // MSB-first bit reader over the subframes
+      var bitPos = 0
+      var ok = true
+      def readBits(n: Int): Long = {
+        var v = 0L
+        var r = n
+        while (r > 0) {
+          if (i >= b.length) { ok = false; return 0L }
+          val avail = 8 - bitPos
+          val take = if (avail < r) avail else r
+          val chunk = (u8(b, i) >> (avail - take)) & ((1 << take) - 1)
+          v = (v << take) | chunk
+          bitPos += take
+          r -= take
+          if (bitPos == 8) { bitPos = 0; i += 1 }
+        }
+        v
+      }
+      def signed(v: Long): Long =
+        if ((v & (1L << (bits - 1))) != 0) v - (1L << bits) else v
+      def meter(sv: Long): Unit = {
+        nValues += 1
+        sumSq += sv * sv
+        val a = if (sv < 0) -sv else sv
+        if (a > peak) peak = a.toInt
+        if (sv == railHi || sv == railLo) nClipped += 1
+      }
+      var c = 0
+      while (c < ch) {
+        if (readBits(1) != 0 || !ok) return None // subframe pad bit
+        val tpe = readBits(6).toInt
+        if (readBits(1) != 0 || !ok) return None // wasted bits: out
+        tpe match {
+          case 0 => // CONSTANT: one value fills the block
+            val sv = signed(readBits(bits))
+            if (!ok) return None
+            var j = 0
+            while (j < blockSize) { meter(sv); j += 1 }
+          case 1 => // VERBATIM: blocksize raw values
+            var j = 0
+            while (j < blockSize) {
+              val sv = signed(readBits(bits))
+              if (!ok) return None
+              meter(sv)
+              j += 1
+            }
+          case _ => return None // FIXED/LPC: entropy-coded residual
+        }
+        c += 1
+      }
+      if (bitPos != 0) { // frame padding to byte alignment is zeros
+        if ((u8(b, i) & ((1 << (8 - bitPos)) - 1)) != 0) return None
+        i += 1
+      }
+      if (i + 2 > b.length) return None
+      i += 2 // CRC-16 over the frame — skipped, not verified
+      decoded += blockSize
+    }
+    if (decoded != total) return None
+    Some((ch, rate, bits0, nValues, sumSq, peak, nClipped))
+  }
+
+  /** [[parseFlacPcm]] as an `InternalRow` for the
+    * [[graft.functions.FlacPcmLevels]] codegen path. Null = not a
+    * FLAC stream of uncoded (CONSTANT/VERBATIM) frames. */
+  def flacPcmRow(b: Array[Byte]): InternalRow = parseFlacPcm(b) match {
+    case Some((ch, rate, bits, nv, ssq, pk, cl)) =>
+      InternalRow(ch, rate, bits, nv, ssq, pk, cl)
+    case None => null
+  }
+
   /** REAL Ogg/Vorbis metadata — the audio family's PAGE-structured
     * member: an Ogg stream is back-to-back pages
     * `"OggS" ver(0) type granule(u64le) serial pageseq crc

@@ -191,6 +191,66 @@ object AudioHex {
       s"repeat('00', CAST($padBytesE AS INT))) ELSE '' END)"
   }
 
+  /** u16 BIG-endian at DYNAMIC 1-based hex position expression
+    * `posE` — [[unhexLEat]]'s big-endian twin, for FLAC's BE frame
+    * payloads. */
+  def unhexBEat(hs: String, posE: String, posFn: String): String = {
+    def digit(off: Int): String =
+      s"(CAST($posFn('0123456789ABCDEF', substring($hs, " +
+        s"CAST(($posE) + $off AS INT), 1)) - 1 AS BIGINT))"
+    s"((${digit(0)} * 16 + ${digit(1)}) * 256 + " +
+      s"${digit(2)} * 16 + ${digit(3)})"
+  }
+
+  /** Hex of `nv` BIG-endian 16-bit samples (FLAC frame payloads are
+    * BE bit-packs; [[pcmPayloadHexSpark]] is the WAV LE twin) —
+    * Spark spelling. */
+  def pcmPayloadBEHexSpark(nv: String, sampleE: String): String =
+    s"array_join(transform(sequence(0, CAST(($nv) - 1 AS INT)), " +
+      s"i -> ${ImageHex.hexN(sampleE, 4, "div")}), '')"
+
+  /** [[pcmPayloadBEHexSpark]]'s DuckDB spelling. */
+  def pcmPayloadBEHexDuck(nv: String, sampleE: String): String =
+    s"list_aggregate(list_transform(range(0, CAST($nv AS BIGINT)), " +
+      s"i -> ${ImageHex.hexN(sampleE, 4, "//")}), 'string_agg', '')"
+
+  /** One complete FLAC audio FRAME in hex — the UNCODED-subframe
+    * fixture behind `mm_flac_pcm`: fixed blocking strategy, rate
+    * and sample size from STREAMINFO (codes 0), independent
+    * channels, 8-bit inline blocksize, frame number 0; channel 0 a
+    * VERBATIM subframe of `ns` 16-bit BE samples (`sampleE`, free
+    * variable `i`), channel 1 (when `ch` = 2) a CONSTANT subframe
+    * of `constE`. With 16-bit samples every field is byte-aligned,
+    * so the oracle reads samples positionally from the hex. CRC-8 /
+    * CRC-16 are zero — the decoder is a metering pass and does not
+    * checksum (the Ogg discipline). Caller constraints: `ch` 1..2,
+    * samples already in [0, 65536). */
+  def flacFrameHex(ch: String, ns: String, sampleE: String,
+      constE: String, intdiv: String, spark: Boolean): String = {
+    import ImageHex.hexN
+    val verbatim =
+      if (spark) pcmPayloadBEHexSpark(ns, sampleE)
+      else pcmPayloadBEHexDuck(ns, sampleE)
+    s"concat('FFF860', ${hexN(s"(($ch) - 1) * 16", 2, intdiv)}, " +
+      s"'00', ${hexN(s"($ns) - 1", 2, intdiv)}, '00', " +
+      s"'02', $verbatim, " +
+      s"CASE WHEN ($ch) = 2 THEN concat('00', " +
+      s"${hexN(constE, 4, intdiv)}) ELSE '' END, " +
+      "'0000')"
+  }
+
+  /** Byte offset of the first frame behind [[flacHex]] with no
+    * padding block: "fLaC"(4) + block header(4) + STREAMINFO(34). */
+  val FlacFrameStart = 42
+  /** 1-based hex position of VERBATIM sample `i` (channel 0) in the
+    * [[flacHex]]+[[flacFrameHex]] fixture: frame header is 7 bytes,
+    * subframe header 1. */
+  val FlacSamplePosBase = (FlacFrameStart + 8) * 2 + 1 // + 4*i
+  /** 1-based hex position EXPRESSION of the CONSTANT value (channel
+    * 1), after the ns-sample VERBATIM payload + its 1-byte header. */
+  def flacConstPos(ns: String): String =
+    s"${(FlacFrameStart + 9) * 2 + 1} + 4 * ($ns)"
+
   /** 1-based hex positions of the geometry fields built by
     * [[flacHex]] (file byte 18 = the first packed byte). */
   val FlacRatePos = 18 * 2 + 1     // 37: 5 digits, big-endian

@@ -53,10 +53,15 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.H264PcmMbs]], `mm_h264_pcm`): slice-header
   * Exp-Golomb walk + I_PCM macroblock raw-sample read — the
   * standard's lossless escape hatch, a fully conformant stream
-  * class. Only ENTROPY-coded sample decode of the lossy codecs
+  * class. FLAC SAMPLE DECODE IS REAL FOR UNCODED SUBFRAMES
+  * ([[AudioHeaders.parseFlacPcm]] behind
+  * [[graft.functions.FlacPcmLevels]], `mm_flac_pcm`): the frame
+  * walk + CONSTANT/VERBATIM subframe bit reads — FLAC's own
+  * escape-hatch stream class, the audio analog of I_PCM. Only
+  * ENTROPY-coded sample decode of the compressed codecs
   * (MP3 Huffman/IMDCT synthesis, H.264 CAVLC/CABAC residual +
-  * prediction — no codec library in this container)
-  * remains a clearly-marked DETERMINISTIC FAKE:
+  * prediction, FLAC FIXED/LPC residual — no codec library in this
+  * container) remains a clearly-marked DETERMINISTIC FAKE:
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped
