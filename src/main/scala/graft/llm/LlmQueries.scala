@@ -91,6 +91,7 @@ object LlmQueries {
     "llm_source_overlap" -> sourceOverlap,
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
+    "llm_quality_score" -> qualityScore,
     "llm_lang_stats" -> langStats,
     "llm_fingerprint" -> fingerprint,
     "llm_decontaminate" -> decontaminate,
@@ -3162,6 +3163,96 @@ object LlmQueries {
     * columns is. Thresholds are integers on ×100-scaled metrics. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
     qualityFilterOf(docs(s, d))
+
+  /** The LEARNED quality scorer's weight vector — the CCNet/fastText
+    * slot: in production these come out of a training job; here a
+    * fixed "trained" vector stored as a table artifact so the
+    * handoff seam (stored weights → broadcast → map-side inference)
+    * is the real one. Integer weights over ×1000/×100-scaled
+    * integer features keep inference EXACT. */
+  private[llm] val qualityWeights: Seq[(String, Long)] = Seq(
+    ("bias", -96000L),
+    ("stop_x1000", 400L),
+    ("mean_wordlen_x100", 150L),
+    ("punct_x1000", -700L),
+    ("n_tokens", 50L))
+
+  /** The stored weight-table artifact (the trained-model handoff
+    * seam, like the WordPiece vocab): written once per snapshot,
+    * read + broadcast by the scorer. */
+  private[llm] def qualityWeightsPath(s: SparkSession, d: String): String = {
+    val path = s"${storedIndexPath(d)}/quality-weights"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"quality-weights:$d") {
+        val spark = s
+        import spark.implicits._
+        qualityWeights.toDF("feature", "w")
+          .write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      path
+    }
+  }
+
+  /** LEARNED quality scoring (`llm_quality_score`) — the curation
+    * operator real pipelines run most (CCNet's fastText filter,
+    * quality classifiers over Gopher features): a linear model
+    * scored in EXACT integer arithmetic over the engine's existing
+    * text-stat features (stopword density, mean word length,
+    * punctuation density, token count — all ×1000/×100-scaled
+    * integers, the [[textStats]]/[[qualityFilterOf]] formulas) with
+    * weights from a STORED broadcast artifact
+    * ([[qualityWeightsPath]]). Verdict = score ≥ 0.
+    *
+    * Scale shape: features are one map-side pass; the long-form
+    * feature frame joins the vocabulary-sized weight table
+    * BROADCAST; the per-doc dot product is one doc-keyed partial
+    * aggregate. Swapping in newly trained weights touches only the
+    * artifact — the plan is weight-agnostic. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScoreOf(docs(s, d),
+      s.read.parquet(qualityWeightsPath(s, d)))
+
+  /** [[qualityScore]]'s core over explicit docs + weights frames
+    * (spec surface: seeded weight flips must flip verdicts). */
+  private[graft] def qualityScoreOf(in: DataFrame,
+      weights: DataFrame): DataFrame = {
+    val sw = stopwords.map(x => s"'$x'").mkString(", ")
+    val feats = in.select(col("doc_id"), tokenExpr.as("w"), col("text"))
+      .select(col("doc_id"),
+        expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
+        expr("""CAST(length(regexp_replace(trim(text), '\\s+', ''))
+                AS BIGINT)""").as("n_nonspace"),
+        expr("CAST(length(text) AS BIGINT)").as("n_chars_calc"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("bigint").as("n_punct"),
+        expr(s"CAST(size(filter(w, x -> x IN ($sw))) AS BIGINT)")
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(lit(1000.0) * col("n_stop") / col("n_tokens"))
+          .as("stop_x1000"),
+        floor(lit(100.0) * col("n_nonspace") / col("n_tokens"))
+          .as("mean_wordlen_x100"),
+        floor(lit(1000.0) * col("n_punct") / col("n_chars_calc"))
+          .as("punct_x1000"))
+    feats
+      .select(col("doc_id"), explode(expr(
+        "array(named_struct('feature', 'bias', 'x', CAST(1 AS BIGINT)), " +
+          "named_struct('feature', 'n_tokens', 'x', n_tokens), " +
+          "named_struct('feature', 'stop_x1000', 'x', stop_x1000), " +
+          "named_struct('feature', 'mean_wordlen_x100', 'x', " +
+          "mean_wordlen_x100), " +
+          "named_struct('feature', 'punct_x1000', 'x', punct_x1000))"))
+        .as("fx"))
+      .select(col("doc_id"), col("fx.feature").as("feature"),
+        col("fx.x").as("x"))
+      .join(broadcast(weights), Seq("feature"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * col("w")).as("score"))
+      .withColumn("kept",
+        when(col("score") >= 0L, 1L).otherwise(0L))
+  }
 
   /** DataFrame-shaped core of [[qualityFilter]] — row-local and
     * stateless, so it runs unchanged on a streaming `documents`
@@ -7067,6 +7158,45 @@ object LlmQueries {
          |SELECT doc_id, n_tokens, mean_wordlen_x100 FROM q
          |WHERE n_tokens BETWEEN 25 AND 100000
          |  AND mean_wordlen_x100 BETWEEN 400 AND 520""".stripMargin,
+
+    // the learned linear scorer replayed with the SAME stored
+    // weight constants inlined — exact integer features, exact
+    // integer dot product, verdict at the 0 boundary
+    "llm_quality_score" -> {
+      val sw = stopwords.map(x => s"'$x'").mkString(", ")
+      val wm = qualityWeights.toMap
+      s"""WITH $wCte,
+         |f AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS BIGINT) AS n_nonspace,
+         |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |    CAST(length(text)
+         |      - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+         |      AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(ws, x -> x IN ($sw))) AS BIGINT)
+         |      AS n_stop
+         |  FROM w),
+         |x AS (SELECT doc_id, n_tokens,
+         |    CAST(floor(1000.0 * n_stop / n_tokens) AS BIGINT)
+         |      AS stop_x1000,
+         |    CAST(floor(100.0 * n_nonspace / n_tokens) AS BIGINT)
+         |      AS mean_wordlen_x100,
+         |    CAST(floor(1000.0 * n_punct / n_chars_calc) AS BIGINT)
+         |      AS punct_x1000
+         |  FROM f),
+         |sc AS (SELECT doc_id,
+         |    CAST(${wm("bias")} + ${wm("n_tokens")} * n_tokens
+         |      + ${wm("stop_x1000")} * stop_x1000
+         |      + ${wm("mean_wordlen_x100")} * mean_wordlen_x100
+         |      + ${wm("punct_x1000")} * punct_x1000 AS BIGINT)
+         |      AS score
+         |  FROM x)
+         |SELECT doc_id, score,
+         |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS kept
+         |FROM sc""".stripMargin
+    },
 
     "llm_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
