@@ -7807,17 +7807,53 @@ object LlmQueries {
          |FROM g GROUP BY 1, 2""".stripMargin
     },
 
-    // component replay: the expected tag strings re-derived from
-    // the same doc_id arithmetic — the engine must RECOVER them
-    // through the cross-endian block walk
-    "mm_flac_tags" ->
-      """SELECT doc_id,
-        |  'Title ' || CAST(doc_id AS VARCHAR) AS title,
-        |  'Artist ' || CAST(doc_id % 9 AS VARCHAR) AS artist,
-        |  CASE WHEN doc_id % 3 != 0
-        |    THEN 'Album ' || CAST(doc_id % 13 AS VARCHAR) END
-        |    AS album
-        |FROM documents""".stripMargin,
+    // POSITIONAL byte replay (the audio family's standard): the
+    // oracle rebuilds the identical bytes and re-reads every tag
+    // through the block's own length chain — u32le comment count,
+    // then each length-prefixed comment walked by its declared
+    // size — so a matched encode/decode length error on the engine
+    // side can no longer round-trip invisibly
+    "mm_flac_tags" -> {
+      import graft.multimodal.AudioHex._
+      def hexStrD(e: String) = s"hex(encode($e))"
+      def u32(posE: String) =
+        s"(${unhexLEat("hs", posE, "strpos")} + " +
+          s"${unhexLEat("hs", s"($posE) + 4", "strpos")} * 65536)"
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([44100, 48000, 96000],
+         |      CAST(doc_id % 3 AS INT) + 1) AS rate0,
+         |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+         |    16 AS bits0,
+         |    (doc_id * 313) % 100000000 AS total0,
+         |    'Title ' || CAST(doc_id AS VARCHAR) AS t1,
+         |    'Artist ' || CAST(doc_id % 9 AS VARCHAR) AS t2,
+         |    'Album ' || CAST(doc_id % 13 AS VARCHAR) AS t3,
+         |    doc_id % 3 != 0 AS hasalb
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${flacTagsHex("rate0", "ch0", "bits0",
+               "total0", "t1", "t2", "t3", "hasalb", "//", hexStrD)}))
+         |      AS hs
+         |  FROM t),
+         |l1 AS (SELECT doc_id, hs, ${u32("111")} AS nc,
+         |    ${u32("119")} AS len1 FROM b),
+         |l2 AS (SELECT doc_id, hs, nc, len1,
+         |    ${u32("127 + 2 * len1")} AS len2 FROM l1),
+         |l3 AS (SELECT doc_id, hs, nc, len1, len2,
+         |    CASE WHEN nc = 3
+         |      THEN ${u32("135 + 2 * len1 + 2 * len2")}
+         |      ELSE 0 END AS len3
+         |  FROM l2)
+         |SELECT doc_id,
+         |  decode(from_hex(substring(hs, 139,
+         |    CAST(2 * (len1 - 6) AS INT)))) AS title,
+         |  decode(from_hex(substring(hs, CAST(149 + 2 * len1 AS INT),
+         |    CAST(2 * (len2 - 7) AS INT)))) AS artist,
+         |  CASE WHEN nc = 3 THEN decode(from_hex(substring(hs,
+         |    CAST(155 + 2 * (len1 + len2) AS INT),
+         |    CAST(2 * (len3 - 6) AS INT)))) END AS album
+         |FROM l3""".stripMargin
+    },
 
     // page-walk replay: channels/rate from the BOS page's ID
     // packet, the duration granule from the SECOND page — all
