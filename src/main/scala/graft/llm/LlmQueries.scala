@@ -3180,7 +3180,7 @@ object LlmQueries {
   /** The stored weight-table artifact (the trained-model handoff
     * seam, like the WordPiece vocab): written once per snapshot,
     * read + broadcast by the scorer. */
-  private[llm] def qualityWeightsPath(s: SparkSession, d: String): String = {
+  private[graft] def qualityWeightsPath(s: SparkSession, d: String): String = {
     val path = s"${storedIndexPath(d)}/quality-weights"
     indexBuildLock.synchronized {
       SnapshotMemo.getOrCompute(s, s"quality-weights:$d") {

@@ -239,6 +239,37 @@ object DocsStream {
   def qualityFiltered(docs: DataFrame): DataFrame =
     LlmQueries.qualityFilterOf(docs)
 
+  /** Streaming twin of the LEARNED quality scorer
+    * ([[LlmQueries.qualityScoreOf]]): each arriving micro-batch is
+    * scored against the STORED weight artifact (the trained-model
+    * handoff seam — retraining swaps the table, the stream keeps
+    * running) and the per-doc (score, kept) rows append to
+    * `outPath`. Row-local inference — stream output is bit-equal to
+    * a batch score over the same documents regardless of
+    * micro-batch split; at-least-once safe via the doc-id
+    * anti-join retry guard (the [[startSpanProbe]] discipline). */
+  def startQualityScore(docs: DataFrame, weightsPath: String,
+      outPath: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val out = LlmQueries.qualityScoreOf(batch,
+          spark.read.parquet(weightsPath))
+        val seen = Artifacts.readParquet(spark, outPath)
+          .map(_.select(col("doc_id").as("s_id")).distinct())
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_id", lit(0L)).limit(0))
+        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(trigger).start()
+
   /** C4-style blocklist filter over the stream — batch semantics,
     * incremental execution. */
   def blocklistFiltered(docs: DataFrame): DataFrame =
