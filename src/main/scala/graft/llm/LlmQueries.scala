@@ -33,6 +33,7 @@ object LlmQueries {
     "llm_bpe_pairs" -> bpePairs,
     "llm_bpe_vocab" -> bpeVocab,
     "llm_bpe_apply" -> bpeApply,
+    "llm_bpe_incremental" -> bpeIncremental,
     "llm_wordpiece_tokens" -> wordpieceTokens,
     "llm_wordpiece_incremental" -> wordpieceIncremental,
     "llm_bigram_fluency" -> bigramFluency,
@@ -243,13 +244,36 @@ object LlmQueries {
     * application is a pure map-side array fold. Per-round state is
     * localCheckpoint'd and the previous round freed, so lineage and
     * storage stay O(1) across rounds. */
+  /** Occurrence-weighted distinct-word counts of a tokenized frame
+    * — the trainer's (and the frozen-merge appliers') input: the
+    * one corpus-scale exchange, combine-collapsed. */
+  private def wordCountsOf(in: DataFrame): DataFrame =
+    in.select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+
+  /** The greedy leftmost non-overlapping merge of (a, b) over the
+    * `toks` symbol array — THE merge semantics, shared by the
+    * trainer's per-round application and the frozen-merge
+    * inference fold. */
+  private def bpeMergeCol(a: String, b: String)
+      : org.apache.spark.sql.Column =
+    aggregate(col("toks"), array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(a + b))))
+        .otherwise(concat(acc, array(x)))).as("toks")
+
   private def bpeTrainMerges(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainMergesOf(wordCountsOf(tokenized(s, d)))
+
+  private def bpeTrainMergesOf(wc0: DataFrame)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     def free(df: DataFrame): Unit = org.apache.spark.sql.graftshim
       .ColumnBridge.freeLocalCheckpoint(df)
-    var st = chkSer(tokenized(s, d).select(explode(col("w")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    var st = chkSer(wc0
       .withColumn("toks", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -274,12 +298,7 @@ object LlmQueries {
         // stack after a merge is the MERGED symbol, which can itself
         // open the next match only as lhs — exactly BPE's scan
         st = chkSer(prev.select(col("word"), col("c"),
-          aggregate(col("toks"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))).as("toks")))
+          bpeMergeCol(a, b)))
         free(prev)
         k += 1
       }
@@ -328,6 +347,64 @@ object LlmQueries {
       .groupBy(col("token"))
       .agg(sum(col("c")).as("n_occ"),
         countDistinct(col("word")).as("n_words"))
+
+  /** The BASE-trained (arriving shard excluded) merge list as a
+    * stored artifact — the frozen-tokenizer handoff seam, the BPE
+    * sibling of [[buildWordpieceVocab]]'s vocabulary table: the
+    * incremental and streaming rungs apply these merges WITHOUT
+    * retraining, so tokenization of arriving text is stable across
+    * refreshes until an explicit retrain swaps the artifact. */
+  private[graft] def bpeMergesPath(s: SparkSession, d: String): String = {
+    val path = s"${storedIndexPath(d)}/bpe-merges"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"bpe-merges:$d") {
+        val spark = s
+        import spark.implicits._
+        val (m, st) = bpeTrainMergesOf(wordCountsOf(
+          tokenized(s, d).filter(!expr(arrivingShardPred))))
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .freeLocalCheckpoint(st)
+        m.toDF("merge_rank", "lhs", "rhs", "n_at_merge")
+          .write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      path
+    }
+  }
+
+  /** Frozen-merge INFERENCE over a (word, c) frame: the stored
+    * merge list applied rank order, each a map-side
+    * [[bpeMergeCol]] fold — 12 chained narrow transforms, no
+    * shuffle, no training. The merge list is driver-bounded
+    * (=[[bpeRounds]] rows) by construction. */
+  private[graft] def bpeApplyMerges(wc: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(wc.withColumn("toks", expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
+      case (df, (a, b)) =>
+        df.select(col("word"), col("c"), bpeMergeCol(a, b))
+    }
+
+  /** Incremental BPE tokenization (`llm_bpe_incremental`) — the
+    * frozen-vocabulary rung ([[wordpieceIncremental]]'s BPE
+    * sibling): the ARRIVING shard tokenizes under the BASE-trained
+    * stored merge list ([[bpeMergesPath]]), so arriving text never
+    * perturbs the tokenizer it is measured with — the
+    * retrain-drift discipline. The oracle re-trains the base
+    * merges unrolled AND replays the frozen application to the
+    * arriving words, both stage by stage. */
+  def bpeIncremental(s: SparkSession, d: String): DataFrame = {
+    val merges = s.read.parquet(bpeMergesPath(s, d))
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wcNew = wordCountsOf(
+      tokenized(s, d).filter(expr(arrivingShardPred)))
+    bpeApplyMerges(wcNew, merges)
+      .select(col("word"), col("c"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
+  }
 
   /** Sub-word tokenization by greedy longest match against a
     * corpus-DERIVED vocabulary (`llm_wordpiece_tokens`) — the
@@ -5354,13 +5431,17 @@ object LlmQueries {
     * chr(1)/chr(2)-bracketed symbol strings (so adjacency is exact
     * string structure); stage k derives pair counts `pb k`, the
     * argmax `bk k`, and the merged state `st k` from `st k-1`. */
-  private def bpeOracleStages: String = {
+  private def bpeOracleStages: String = bpeOracleStagesWhere("")
+
+  /** [[bpeOracleStages]] with an optional WHERE over `documents` —
+    * the incremental oracle trains on the base corpus only. */
+  private def bpeOracleStagesWhere(where: String): String = {
     val L = "chr(1)"
     val R = "chr(2)"
     val base = s"""bw AS (SELECT
        |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
        |      AS word
-       |  FROM documents),
+       |  FROM documents $where),
        |bwc AS (SELECT word, count(*)::BIGINT AS c FROM bw
        |  WHERE word <> '' GROUP BY 1),
        |st0 AS (SELECT word, c,
@@ -5943,6 +6024,40 @@ object LlmQueries {
          |    AS token
          |  FROM st$bpeRounds)
          |GROUP BY 1""".stripMargin,
+
+    // frozen-merge inference replayed: the base training unrolls as
+    // usual (arriving shard EXCLUDED), then each learned merge
+    // applies in rank order to the arriving words' symbol strings —
+    // a trainer that leaks arriving text into the merges, or an
+    // applier that reorders them, diverges
+    "llm_bpe_incremental" -> {
+      val arChain = (1 to bpeRounds).map { k =>
+        s"""ar$k AS (SELECT word, c, replace(st,
+           |    chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+           |    chr(1) || b.lhs || b.rhs || chr(2)) AS st
+           |  FROM ar${k - 1}, bk$k b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeOracleStagesWhere(
+             s"WHERE NOT ($arrivingShardPred)")},
+         |aw AS (SELECT
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS word
+         |  FROM documents WHERE $arrivingShardPred),
+         |awc AS (SELECT word, count(*)::BIGINT AS c FROM aw
+         |  WHERE word <> '' GROUP BY 1),
+         |ar0 AS (SELECT word, c,
+         |    array_to_string(list_transform(string_split(word, ''),
+         |      x -> chr(1) || x || chr(2)), '') AS st
+         |  FROM awc),
+         |$arChain
+         |SELECT token, CAST(sum(c) AS BIGINT) AS n_occ,
+         |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+         |FROM (SELECT word, c, unnest(string_split(
+         |    substr(st, 2, length(st) - 2), chr(2) || chr(1)))
+         |    AS token
+         |  FROM ar$bpeRounds)
+         |GROUP BY 1""".stripMargin
+    },
 
     // independent greedy-longest-match replay: the same derived
     // vocabulary (top-48 grams by (n DESC, g ASC) + every char),
