@@ -117,6 +117,7 @@ object LlmQueries {
     "mm_audio_float_meta" -> audioFloatMeta,
     "mm_flac_meta" -> flacMeta,
     "mm_flac_pcm" -> flacPcm,
+    "mm_flac_fixed" -> flacFixed,
     "mm_ogg_meta" -> oggMeta,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
@@ -4372,6 +4373,35 @@ object LlmQueries {
         sum(col("m.n_clipped")).as("sum_clipped"))
   }
 
+  /** REAL COMPRESSED-FLAC decode (`mm_flac_fixed`) — the first
+    * entropy-free CODED audio class the engine decodes end to end:
+    * complete FLAC streams whose frames carry FIXED-predictor
+    * subframes (orders 0–4, cycling per doc) with genuine
+    * Rice-coded residuals, built by a real encoder
+    * ([[graft.functions.FlacFixedFixture]] — bit writer, predictor
+    * residuals, zigzag + unary/binary Rice emission) and decoded
+    * back by [[graft.functions.FlacPcmLevels]]' frame walk
+    * (quotient/remainder reads, zigzag, §9.2.2 recurrence
+    * reconstruction). The oracle replays the expected SAMPLES in
+    * closed form from doc_id — the [[warcGz]] round-trip
+    * discipline: any encoder/decoder disagreement about the
+    * bitstream surfaces as a meter hash-mismatch, and the decoder
+    * is independently pinned on hand-assembled Rice vectors in
+    * FlacPcmSpec. Map-side construct → decode → partial agg; one
+    * bounded exchange on the ≤ 8-key (rate, channels) space. */
+  def flacFixed(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.FlacFixedFixture(col("doc_id")))
+      .withColumn("m", graft.functions.FlacPcmLevels(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_values")).as("sum_values"),
+        sum(col("m.sum_sq")).as("sum_sq"),
+        max(col("m.peak").cast("bigint")).as("max_peak"),
+        sum(col("m.n_clipped")).as("sum_clipped"))
+
   /** PII regexes shared by the engine and (verbatim, backslashes
     * unprocessed by DuckDB regular strings) the oracle — simple
     * enough to mean the same thing in Java regex and RE2: no
@@ -5444,12 +5474,12 @@ object LlmQueries {
        |  FROM documents $where),
        |bwc AS (SELECT word, count(*)::BIGINT AS c FROM bw
        |  WHERE word <> '' GROUP BY 1),
-       |st0 AS (SELECT word, c,
+       |st0 AS MATERIALIZED (SELECT word, c,
        |    array_to_string(list_transform(string_split(word, ''),
        |      x -> $L || x || $R), '') AS st
        |  FROM bwc)""".stripMargin
     val stages = (1 to bpeRounds).map { k =>
-      s"""pb$k AS (SELECT l AS lhs, r AS rhs,
+      s"""pb$k AS MATERIALIZED (SELECT l AS lhs, r AS rhs,
        |    CAST(sum(c) AS BIGINT) AS n
        |  FROM (SELECT c, tl[i] AS l, tl[i + 1] AS r
        |        FROM (SELECT c, tl, unnest(range(1, len(tl))) AS i
@@ -5457,9 +5487,9 @@ object LlmQueries {
        |                      length(st) - 2), $R || $L) AS tl
        |                    FROM st${k - 1})))
        |  GROUP BY 1, 2),
-       |bk$k AS (SELECT lhs, rhs, n FROM pb$k
+       |bk$k AS MATERIALIZED (SELECT lhs, rhs, n FROM pb$k
        |  ORDER BY n DESC, lhs, rhs LIMIT 1),
-       |st$k AS (SELECT word, c, replace(st,
+       |st$k AS MATERIALIZED (SELECT word, c, replace(st,
        |    $L || b.lhs || $R || $L || b.rhs || $R,
        |    $L || b.lhs || b.rhs || $R) AS st
        |  FROM st${k - 1}, bk$k b)""".stripMargin
@@ -6032,7 +6062,7 @@ object LlmQueries {
     // applier that reorders them, diverges
     "llm_bpe_incremental" -> {
       val arChain = (1 to bpeRounds).map { k =>
-        s"""ar$k AS (SELECT word, c, replace(st,
+        s"""ar$k AS MATERIALIZED (SELECT word, c, replace(st,
            |    chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
            |    chr(1) || b.lhs || b.rhs || chr(2)) AS st
            |  FROM ar${k - 1}, bk$k b)""".stripMargin
@@ -7921,6 +7951,39 @@ object LlmQueries {
          |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
          |FROM g GROUP BY 1, 2""".stripMargin
     },
+
+    // closed-form sample replay (the warc_gz round-trip
+    // discipline): the engine routes these samples through a real
+    // Rice encode -> decode; the oracle computes them directly —
+    // any bitstream disagreement mismatches on the energy sum
+    "mm_flac_fixed" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_extract([8000, 22050, 44100, 48000],
+        |      CAST(doc_id % 4 AS INT) + 1) AS rate0,
+        |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+        |    CAST(doc_id % 12 + 4 AS INT) AS ns0
+        |  FROM documents),
+        |tc AS (SELECT doc_id, rate0, ch0, ns0,
+        |    unnest(range(0, ch0)) AS c FROM t),
+        |sv AS (SELECT doc_id, rate0, ch0,
+        |    (doc_id % 1000) + 3 * i +
+        |      ((doc_id * 7 + i * 13 + c * 11) % 5) AS s
+        |  FROM (SELECT doc_id, rate0, ch0, c,
+        |        unnest(range(0, ns0)) AS i FROM tc)),
+        |g AS (SELECT doc_id, rate0, ch0,
+        |    COUNT(*) AS nv, CAST(SUM(s * s) AS BIGINT) AS ssq,
+        |    MAX(ABS(s)) AS pk,
+        |    CAST(SUM(CASE WHEN s = 32767 OR s = -32768
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cl
+        |  FROM sv GROUP BY 1, 2, 3)
+        |SELECT CAST(rate0 AS BIGINT) AS sample_rate,
+        |  CAST(ch0 AS BIGINT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(nv) AS BIGINT) AS sum_values,
+        |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+        |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     // POSITIONAL byte replay (the audio family's standard): the
     // oracle rebuilds the identical bytes and re-reads every tag

@@ -180,29 +180,32 @@ object AudioHeaders {
     else Some((ch, rate, bits, total))
   }
 
-  /** REAL FLAC FRAME-payload decode for the UNCODED subframe types
-    * — CONSTANT and VERBATIM (FLAC §9.2.2/9.2.3): the audio analog
-    * of H.264's I_PCM escape hatch, pure big-endian bit arithmetic
-    * with no entropy coding, so a fully conformant stream class
-    * decodes to real samples without a codec library. The walk:
-    * STREAMINFO geometry ([[parseFlac]]), metadata blocks skipped
-    * by declared length, then FRAMES until the STREAMINFO total is
-    * reached — per frame the sync code, blocksize/rate/sample-size
-    * codes (inline 8/16-bit blocksize forms and the
-    * from-STREAMINFO codes; inline rate bytes skipped), the UTF-8
-    * coded frame number, then per channel a bit-packed subframe:
-    * CONSTANT (one value, expanded to the whole block) or VERBATIM
-    * (blocksize raw values), sign-extended at the declared width.
-    * Metering matches [[levels]]: exact integer sum of squares,
-    * peak |s|, and digital-full-scale count at the width's rails.
+  /** REAL FLAC FRAME-payload decode for CONSTANT, VERBATIM and
+    * FIXED subframes (FLAC §9.2.2–9.2.7): CONSTANT/VERBATIM are the
+    * audio analog of H.264's I_PCM escape hatch (pure bit reads),
+    * and FIXED is genuine COMPRESSED audio — order-0..4 polynomial
+    * predictors over Rice/Rice2-coded residuals (unary quotient +
+    * binary remainder + zigzag; escaped raw-binary partitions and
+    * multi-partition residual layouts included) — decoded without
+    * a codec library because Rice coding is pure bit arithmetic,
+    * not table-driven entropy coding. The walk: STREAMINFO geometry
+    * ([[parseFlac]]), metadata blocks skipped by declared length,
+    * then FRAMES until the STREAMINFO total is reached — per frame
+    * the sync code, blocksize/rate/sample-size codes (inline
+    * 8/16-bit blocksize forms and the from-STREAMINFO codes; inline
+    * rate bytes skipped), the UTF-8 coded frame number, then per
+    * channel the bit-packed subframe, reconstructed through the
+    * §9.2.2 fixed-predictor recurrences and sign-extended at the
+    * declared width. Metering matches [[levels]]: exact integer
+    * sum of squares, peak |s|, and digital-full-scale count at the
+    * width's rails.
     *
     * Fail-closed (None) on anything OUTSIDE the decoded subset:
-    * FIXED/LPC subframes (entropy-coded — the one documented
-    * remaining stub, [[Multimodal]]), wasted-bits, stereo
-    * decorrelation modes, nonzero alignment padding, short frames,
-    * or a decoded total that misses STREAMINFO's. CRC-8/CRC-16 are
-    * skipped, not verified — the [[parseOgg]] metadata-pass
-    * discipline. */
+    * LPC subframes (the one remaining coded class, [[Multimodal]]),
+    * reserved residual methods, wasted-bits, stereo decorrelation
+    * modes, nonzero alignment padding, short frames, or a decoded
+    * total that misses STREAMINFO's. CRC-8/CRC-16 are skipped, not
+    * verified — the [[parseOgg]] metadata-pass discipline. */
   def parseFlacPcm(b: Array[Byte])
       : Option[(Int, Int, Int, Long, Long, Int, Long)] = {
     val geo = parseFlac(b)
@@ -312,6 +315,17 @@ object AudioHeaders {
         if (a > peak) peak = a.toInt
         if (sv == railHi || sv == railLo) nClipped += 1
       }
+      // unary: zero bits until the terminating one (FLAC's Rice
+      // quotient form) — bounded by the buffer via `ok`
+      def readUnary(): Long = {
+        var q = 0L
+        while (ok) {
+          if (readBits(1) == 1) return q
+          if (!ok) return 0L
+          q += 1
+        }
+        0L
+      }
       var c = 0
       while (c < ch) {
         if (readBits(1) != 0 || !ok) return None // subframe pad bit
@@ -331,7 +345,81 @@ object AudioHeaders {
               meter(sv)
               j += 1
             }
-          case _ => return None // FIXED/LPC: entropy-coded residual
+          case t if t >= 8 && t <= 12 => // FIXED predictor, order 0-4
+            val order = t - 8
+            if (order > blockSize) return None
+            val s = new Array[Long](blockSize)
+            var j = 0
+            while (j < order) { // warm-up samples at full width
+              s(j) = signed(readBits(bits))
+              if (!ok) return None
+              j += 1
+            }
+            // §9.2.7 coded residual: 2-bit method (0 = 4-bit Rice
+            // params, 1 = 5-bit Rice2 params), 4-bit partition
+            // order; partition 0 is `order` samples short
+            val method = readBits(2).toInt
+            if (!ok || method > 1) return None
+            val p = readBits(4).toInt
+            if (!ok) return None
+            val parts = 1 << p
+            if (blockSize % parts != 0) return None
+            val paramBits = if (method == 0) 4 else 5
+            val escapeCode = (1 << paramBits) - 1
+            var part = 0
+            var idx = order
+            while (part < parts) {
+              val n = (blockSize >> p) - (if (part == 0) order else 0)
+              if (n < 0) return None
+              val param = readBits(paramBits).toInt
+              if (!ok) return None
+              if (param == escapeCode) {
+                val raw = readBits(5).toInt
+                if (!ok) return None
+                var r = 0
+                while (r < n) {
+                  s(idx) =
+                    if (raw == 0) 0L
+                    else {
+                      val v = readBits(raw)
+                      if ((v & (1L << (raw - 1))) != 0) v - (1L << raw)
+                      else v
+                    }
+                  if (!ok) return None
+                  idx += 1; r += 1
+                }
+              } else {
+                var r = 0
+                while (r < n) {
+                  val q = readUnary()
+                  if (!ok) return None
+                  val rem = if (param == 0) 0L else readBits(param)
+                  if (!ok) return None
+                  val u = (q << param) | rem
+                  // zigzag: even → u/2, odd → -(u/2)-1
+                  s(idx) = if ((u & 1L) != 0) -(u >> 1) - 1 else u >> 1
+                  idx += 1; r += 1
+                }
+              }
+              part += 1
+            }
+            // fixed-predictor reconstruction (§9.2.2 coefficients)
+            var i2 = order
+            while (i2 < blockSize) {
+              order match {
+                case 0 => ()
+                case 1 => s(i2) += s(i2 - 1)
+                case 2 => s(i2) += 2 * s(i2 - 1) - s(i2 - 2)
+                case 3 => s(i2) += 3 * s(i2 - 1) - 3 * s(i2 - 2) +
+                  s(i2 - 3)
+                case 4 => s(i2) += 4 * s(i2 - 1) - 6 * s(i2 - 2) +
+                  4 * s(i2 - 3) - s(i2 - 4)
+              }
+              i2 += 1
+            }
+            var m = 0
+            while (m < blockSize) { meter(s(m)); m += 1 }
+          case _ => return None // LPC: out of the decoded subset
         }
         c += 1
       }

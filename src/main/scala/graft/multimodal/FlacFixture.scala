@@ -1,0 +1,140 @@
+package graft.multimodal
+
+/** Builder of complete FLAC streams whose frames carry FIXED
+  * (order 0–4) subframes with genuine Rice-coded residuals — the
+  * `mm_flac_fixed` fixture: a real ENCODER (bit writer, fixed-
+  * predictor residuals, zigzag + Rice quotient/remainder emission)
+  * so the decode side ([[AudioHeaders.parseFlacPcm]]) is exercised
+  * through actual compressed bits, the [[graft.functions.GzipMember]]
+  * round-trip discipline. Everything derives from `doc_id` alone so
+  * the oracle can replay the expected SAMPLES (and therefore the
+  * meter) in closed form without touching the bitstream:
+  *
+  *  - rate    = [8000, 22050, 44100, 48000][doc_id % 4]
+  *  - ch      = doc_id % 2 + 1
+  *  - ns      = doc_id % 12 + 4       (one frame, 8-bit blocksize)
+  *  - order   = doc_id % 5            (all five FIXED orders cycle)
+  *  - sample(c, i) = (doc_id % 1000) + 3·i
+  *                   + ((doc_id·7 + i·13 + c·11) % 5)
+  *
+  * The ramp + small-noise shape makes orders ≥ 1 genuinely
+  * compress (residuals a few bits) while order 0 exercises long
+  * unary quotients; Rice parameter 11 for order 0, 4 otherwise,
+  * one partition (partition order 0), method 0 (4-bit params).
+  * CRC bytes are zero — the decoder is a metering pass and does
+  * not checksum (the Ogg discipline). */
+object FlacFixture {
+
+  /** MSB-first bit writer (FLAC's bit order). */
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream(256)
+    private var cur = 0
+    private var nBits = 0
+    def write(v: Long, n: Int): Unit = {
+      var r = n - 1
+      while (r >= 0) {
+        cur = (cur << 1) | ((v >> r) & 1L).toInt
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        r -= 1
+      }
+    }
+    def writeUnary(q: Long): Unit = {
+      var i = 0L
+      while (i < q) { write(0, 1); i += 1 }
+      write(1, 1)
+    }
+    def alignZero(): Unit = while (nBits != 0) write(0, 1)
+    def bytes: Array[Byte] = { alignZero(); buf.toByteArray }
+  }
+
+  private[multimodal] def sample(docId: Long, c: Int, i: Int): Long =
+    (docId % 1000) + 3L * i + ((docId * 7 + i * 13 + c * 11) % 5)
+
+  def rateOf(docId: Long): Int =
+    Array(8000, 22050, 44100, 48000)((docId % 4).toInt)
+  def chOf(docId: Long): Int = (docId % 2).toInt + 1
+  def nsOf(docId: Long): Int = (docId % 12).toInt + 4
+  def orderOf(docId: Long): Int = (docId % 5).toInt
+
+  /** STREAMINFO head: 16-bit, is-last set, geometry from the
+    * derivations above. */
+  private def head(rate: Int, ch: Int, total: Int): Array[Byte] = {
+    val b = new Array[Byte](42)
+    b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C'
+    b(4) = 0x80.toByte
+    b(7) = 34
+    b(18) = (rate >> 12).toByte
+    b(19) = ((rate >> 4) & 0xff).toByte
+    b(20) = (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((16 - 1) >> 4))
+      .toByte
+    b(21) = ((((16 - 1) & 0xf) << 4) | 0).toByte
+    b(22) = (total >> 24).toByte
+    b(23) = ((total >> 16) & 0xff).toByte
+    b(24) = ((total >> 8) & 0xff).toByte
+    b(25) = (total & 0xff).toByte
+    b
+  }
+
+  /** Order-`order` fixed-predictor residuals of `s` (§9.2.2
+    * recurrences, inverted). */
+  private def residuals(s: Array[Long], order: Int): Array[Long] = {
+    val r = new Array[Long](s.length - order)
+    var i = order
+    while (i < s.length) {
+      r(i - order) = order match {
+        case 0 => s(i)
+        case 1 => s(i) - s(i - 1)
+        case 2 => s(i) - 2 * s(i - 1) + s(i - 2)
+        case 3 => s(i) - 3 * s(i - 1) + 3 * s(i - 2) - s(i - 3)
+        case 4 => s(i) - 4 * s(i - 1) + 6 * s(i - 2) -
+          4 * s(i - 3) + s(i - 4)
+      }
+      i += 1
+    }
+    r
+  }
+
+  /** One FIXED subframe (header + warm-ups + method-0 single-
+    * partition Rice residual) into `w`. */
+  private def writeFixedSubframe(w: BitWriter, s: Array[Long],
+      order: Int, param: Int): Unit = {
+    w.write(0, 1) // pad
+    w.write(8 + order, 6) // FIXED type
+    w.write(0, 1) // no wasted bits
+    var i = 0
+    while (i < order) { w.write(s(i) & 0xffffL, 16); i += 1 }
+    w.write(0, 2) // method 0: 4-bit Rice params
+    w.write(0, 4) // partition order 0
+    w.write(param, 4)
+    residuals(s, order).foreach { r =>
+      val u = if (r < 0) (-r << 1) - 1 else r << 1 // zigzag
+      w.writeUnary(u >> param)
+      if (param > 0) w.write(u & ((1L << param) - 1), param)
+    }
+  }
+
+  /** The complete stream for one `doc_id`. */
+  def stream(docId: Long): Array[Byte] = {
+    val (rate, ch, ns, order) =
+      (rateOf(docId), chOf(docId), nsOf(docId), orderOf(docId))
+    val w = new BitWriter
+    // frame header: sync+fixed, 8-bit blocksize code 6, rate from
+    // STREAMINFO, independent channels, size from STREAMINFO,
+    // frame number 0, blocksize-1, zero CRC-8
+    w.write(0xff, 8); w.write(0xf8, 8); w.write(0x60, 8)
+    w.write((ch - 1) << 4, 8)
+    w.write(0, 8)
+    w.write(ns - 1, 8)
+    w.write(0, 8)
+    var c = 0
+    while (c < ch) {
+      val s = Array.tabulate(ns)(i => sample(docId, c, i))
+      writeFixedSubframe(w, s, order, if (order == 0) 11 else 4)
+      c += 1
+    }
+    w.alignZero()
+    w.write(0, 16) // zero CRC-16
+    head(rate, ch, ns) ++ w.bytes
+  }
+}

@@ -63,12 +63,13 @@ class FlacPcmSpec extends AnyFunSuite {
     assert(nv == 4L && ssq == 100L + 400 + 900 + 1600)
   }
 
-  test("fail-closed: FIXED subframe, wasted bits, short payload, " +
+  test("fail-closed: LPC subframe, wasted bits, short payload, " +
     "total mismatch, bad sync") {
-    // FIXED order-0 subframe type (0b001000 -> header byte 0x10)
-    val fixedSub = Array[Byte](0x10, 0, 1)
+    // LPC order-1 subframe type (0b100000 -> header byte 0x40) —
+    // the one remaining coded class (FIXED now decodes, FlacFixedSpec)
+    val lpcSub = Array[Byte](0x40, 0, 1)
     assert(AudioHeaders.parseFlacPcm(
-      head(1, 1) ++ frame(1, 1, fixedSub)).isEmpty)
+      head(1, 1) ++ frame(1, 1, lpcSub)).isEmpty)
     // wasted-bits flag set (header byte 0x03 = VERBATIM | wasted)
     val wasted = Array[Byte](0x03, 0, 1)
     assert(AudioHeaders.parseFlacPcm(
