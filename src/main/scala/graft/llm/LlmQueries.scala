@@ -382,9 +382,24 @@ object LlmQueries {
       merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(wc.withColumn("toks", expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
-      case (df, (a, b)) =>
-        df.select(col("word"), col("c"), bpeMergeCol(a, b))
+      case (df, (a, b)) => df.withColumn("toks", bpeMergeCol(a, b))
     }
+
+  /** Per-DOC frozen-merge tokenization — the row-local probe shape
+    * the streaming twin needs (split-invariant by construction):
+    * (doc_id, token, n) under the stored merge list. */
+  private[graft] def bpeProbe(docsDf: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeApplyMerges(
+      docsDf.select(col("doc_id"), tokenExpr.as("w"))
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c")),
+      merges)
+      .select(col("doc_id"), col("c"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sum(col("c")).as("n"))
 
   /** Incremental BPE tokenization (`llm_bpe_incremental`) — the
     * frozen-vocabulary rung ([[wordpieceIncremental]]'s BPE
