@@ -252,6 +252,10 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlArithParenQuery)),
     "rdf_sparql_union_opt" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlUnionOptQuery)),
+    "rdf_sparql_from" -> ((s, d) =>
+      SparqlSelect(multiGraph(s, d), sparqlFromQuery)),
+    "rdf_sparql_from_named" -> ((s, d) =>
+      SparqlSelect(multiGraph(s, d), sparqlFromNamedQuery)),
     "rdf_sparql_if_in" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlIfInQuery)),
     "rdf_sparql_termfns" -> ((s, d) =>
@@ -584,6 +588,28 @@ object RdfQueries {
       |  BIND((?sz + 1) * 2 AS ?a)
       |  BIND(?sz + 1 * 2 AS ?b)
       |}""".stripMargin
+
+  /** `FROM` dataset clause (§13.2) over the multi-graph store: the
+    * explicit default graph is the MERGE of the two listed graphs —
+    * unscoped patterns must match only them (graph /1 and /enrich
+    * rows fall out). Compiles to an `isin` graph filter pushed into
+    * every pattern scan (partition-prunes a graph-partitioned
+    * store). */
+  val sparqlFromQuery: String =
+    """SELECT ?s ?t
+      |FROM <http://ex.org/graph/0>
+      |FROM <http://ex.org/graph/2>
+      |WHERE { ?s dcterms:title ?t . }""".stripMargin
+
+  /** `FROM NAMED` (§13.2): GRAPH ?g ranges only over the explicit
+    * named-graph set — graph /0 and /2 rows fall out of the census
+    * even though the store holds them. */
+  val sparqlFromNamedQuery: String =
+    """SELECT ?g (COUNT(*) AS ?n)
+      |FROM NAMED <http://ex.org/graph/1>
+      |FROM NAMED <http://ex.org/graph/enrich>
+      |WHERE { GRAPH ?g { ?s ?p ?o . } }
+      |GROUP BY ?g""".stripMargin
 
   /** OPTIONAL inside a UNION branch — the round-12 front-end
     * rejection, lifted: branch 1 LEFT-joins the template onto
@@ -2550,6 +2576,29 @@ object RdfQueries {
          |  CAST(obj_value AS BIGINT) + 1 * 2 AS b
          |FROM triples
          |WHERE predicate = 'http://ex.org/def#size'""".stripMargin,
+
+    // §13.2 FROM: the explicit default graph is the two-graph
+    // merge — the graph filter replayed as a plain IN
+    "rdf_sparql_from" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT subject AS s, obj_value AS t
+         |FROM mg
+         |WHERE predicate = '$DctermsTitle'
+         |  AND graph IN ('http://ex.org/graph/0',
+         |    'http://ex.org/graph/2')""".stripMargin,
+
+    // §13.2 FROM NAMED: GRAPH ?g ranges over the named set only
+    "rdf_sparql_from_named" ->
+      s"""WITH ${TripleFixture.triplesCte},
+         |${TripleFixture.enrichmentCte},
+         |$multiGraphCte
+         |SELECT graph AS g, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM mg
+         |WHERE graph IN ('http://ex.org/graph/1',
+         |  'http://ex.org/graph/enrich')
+         |GROUP BY 1""".stripMargin,
 
     // OPTIONAL in a UNION branch: branch 1 is a plain LEFT JOIN
     // (multiset semantics, no MIN collapse), branch 2 null-pads

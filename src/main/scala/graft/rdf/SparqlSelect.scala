@@ -18,7 +18,9 @@ import Vocab.RdfType
   * Supported grammar (whitespace-insensitive, keywords
   * case-insensitive; prefix names case-SENSITIVE per SPARQL):
   * {{{
-  *   query    := prefix* SELECT DISTINCT? (item+ | *) WHERE { body }
+  *   query    := prefix* SELECT DISTINCT? (item+ | *)
+  *               (FROM NAMED? iri)*          (§13.2 dataset clause)
+  *               WHERE { body }
   *               (GROUP BY ?var+)? (HAVING ( aggCond ))?
   *               (ORDER BY key+)? (LIMIT n)?
   *   prefix   := PREFIX pname: <iri>
@@ -319,7 +321,17 @@ object SparqlSelect {
       distinct: Boolean,
       orderBy: Seq[(String, Boolean)], // (name, ascending)
       limit: Option[Int],
-      offset: Option[Int] = None)
+      offset: Option[Int] = None,
+      // SPARQL 1.1 §13.2 dataset clause: when EITHER list is
+      // non-empty the dataset is EXPLICIT — unscoped patterns match
+      // only the FROM merge, GRAPH blocks range only over FROM
+      // NAMED (each empty list then matches nothing). With no
+      // clause the engine keeps its documented default: unscoped
+      // patterns match the union graph.
+      from: Seq[String] = Nil,
+      fromNamed: Seq[String] = Nil) {
+    def datasetExplicit: Boolean = from.nonEmpty || fromNamed.nonEmpty
+  }
 
   /** A stored-closure lookup: given a closure step's predicates,
     * return the STORED `(src, dst)` pair closure to read instead of
@@ -1360,6 +1372,15 @@ object SparqlSelect {
           } else more = false
         }
       }
+      // §13.2 dataset clause: FROM builds the explicit default
+      // graph (a merge), FROM NAMED the explicit named-graph set
+      val fromG = Seq.newBuilder[String]
+      val fromN = Seq.newBuilder[String]
+      while (kw("FROM")) {
+        next()
+        if (kw("NAMED")) { next(); fromN += resolve(next()) }
+        else fromG += resolve(next())
+      }
       expect("WHERE"); expect("{")
       val groups: Seq[Group] =
         if (peek == "{" && !peek2.equalsIgnoreCase("SELECT")) {
@@ -1430,7 +1451,7 @@ object SparqlSelect {
       require(star || itemSeq.nonEmpty, "SPARQL: empty SELECT list")
       val q = Query(if (star) Seq.empty else itemSeq,
         groups, gb.result(), hav.result(), dist,
-        order.result(), limit, offset)
+        order.result(), limit, offset, fromG.result(), fromN.result())
       q
     }
   }
@@ -1794,8 +1815,15 @@ object SparqlSelect {
     * variable-object patterns conditional `min` bindings; required
     * patterns contribute a filter (flag = 1 / binding not null),
     * optional ones don't. */
-  private def pivot(t: DataFrame, q: Query, g: Group,
+  private def pivot(t0: DataFrame, q: Query, g: Group,
       subjVar: String): DataFrame = {
+    // §13.2 explicit dataset: the star shape carries no GRAPH
+    // blocks (starShaped requires it), so the whole pivot scan is
+    // default-graph scoped
+    val t =
+      if (!q.datasetExplicit) t0
+      else if (q.from.isEmpty) t0.filter(lit(false))
+      else t0.filter(col("graph").isin(q.from: _*))
     val nums = numericVars(q)
     val filtered = filteredVars(q)
     val langs = langReqs(g)
@@ -1919,9 +1947,25 @@ object SparqlSelect {
       // binds the column (shared ?g joins patterns across graphs).
       // Unscoped patterns match the UNION graph (the engine's
       // documented default — SPARQL's default-graph-only rule is a
-      // store-layout policy, not enforced here).
+      // store-layout policy, not enforced here) UNLESS a §13.2
+      // dataset clause makes the dataset explicit: then unscoped
+      // patterns match only the FROM merge, GRAPH blocks range only
+      // over FROM NAMED, and a constant GRAPH outside FROM NAMED
+      // matches nothing.
       pat.graphCtx match {
-        case Some(I(iri)) => df = df.filter(col("graph") === iri)
+        case Some(I(iri)) =>
+          df =
+            if (q.datasetExplicit && !q.fromNamed.contains(iri))
+              df.filter(lit(false))
+            else df.filter(col("graph") === iri)
+        case Some(V(_)) if q.datasetExplicit =>
+          df =
+            if (q.fromNamed.isEmpty) df.filter(lit(false))
+            else df.filter(col("graph").isin(q.fromNamed: _*))
+        case None if q.datasetExplicit =>
+          df =
+            if (q.from.isEmpty) df.filter(lit(false))
+            else df.filter(col("graph").isin(q.from: _*))
         case _ =>
       }
       val cols = (pat.s match {
@@ -1960,7 +2004,15 @@ object SparqlSelect {
       def scanOf(filter: Column): DataFrame = {
         var e = t.filter(filter && col("obj_kind") === "iri")
         pat.graphCtx match {
-          case Some(I(iri)) => e = e.filter(col("graph") === iri)
+          case Some(I(iri)) =>
+            e =
+              if (q.datasetExplicit && !q.fromNamed.contains(iri))
+                e.filter(lit(false))
+              else e.filter(col("graph") === iri)
+          case None if q.datasetExplicit =>
+            e =
+              if (q.from.isEmpty) e.filter(lit(false))
+              else e.filter(col("graph").isin(q.from: _*))
           case _ =>
         }
         e.select(col("subject").as("src"), col("obj_value").as("dst"))

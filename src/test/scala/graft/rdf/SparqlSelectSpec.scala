@@ -1084,4 +1084,43 @@ class SparqlSelectSpec extends AnyFunSuite {
       """SELECT ?s ?o
         |WHERE { ?s dcterms:relation{2,99} ?o . }""".stripMargin))
   }
+
+  test("51: FROM / FROM NAMED dataset semantics (§13.2)") {
+    val mg = RdfQueries.multiGraph(s, d)
+    val g0 = "http://ex.org/graph/0"
+    val g1 = "http://ex.org/graph/1"
+    // FROM restricts unscoped patterns to the merge
+    val from = SparqlSelect(mg,
+      s"""SELECT ?s ?t FROM <$g0>
+         |WHERE { ?s dcterms:title ?t . }""".stripMargin)
+    val hand = mg.filter(col("graph") === g0 &&
+        col("predicate") === Vocab.DctermsTitle)
+      .select(col("subject"), col("obj_value"))
+    assert(from.count() === hand.count() && from.count() > 0)
+    // an explicit dataset with NO FROM NAMED: GRAPH ?g matches nothing
+    val noNamed = SparqlSelect(mg,
+      s"""SELECT ?g ?o FROM <$g0>
+         |WHERE { GRAPH ?g { ?x dcterms:title ?o . } }""".stripMargin)
+    assert(noNamed.count() === 0)
+    // a constant GRAPH outside FROM NAMED matches nothing; inside
+    // it matches that graph exactly
+    val outside = SparqlSelect(mg,
+      s"""SELECT ?x ?o FROM NAMED <$g1>
+         |WHERE { GRAPH <$g0> { ?x dcterms:title ?o . } }""".stripMargin)
+    assert(outside.count() === 0)
+    val inside = SparqlSelect(mg,
+      s"""SELECT ?x ?o FROM NAMED <$g0>
+         |WHERE { GRAPH <$g0> { ?x dcterms:title ?o . } }""".stripMargin)
+    assert(inside.count() === hand.count())
+    // FROM NAMED only: unscoped patterns see an EMPTY default graph
+    val emptyDefault = SparqlSelect(mg,
+      s"""SELECT ?s ?t FROM NAMED <$g0>
+         |WHERE { ?s dcterms:title ?t . }""".stripMargin)
+    assert(emptyDefault.count() === 0)
+    // no dataset clause: the documented union-graph default holds
+    val union = SparqlSelect(mg,
+      "SELECT ?s ?t WHERE { ?s dcterms:title ?t . }")
+    assert(union.count() ===
+      mg.filter(col("predicate") === Vocab.DctermsTitle).count())
+  }
 }
