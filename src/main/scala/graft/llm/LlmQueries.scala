@@ -93,6 +93,7 @@ object LlmQueries {
     "llm_text_stats" -> textStats,
     "llm_quality_filter" -> qualityFilter,
     "llm_quality_score" -> qualityScore,
+    "llm_quality_stump" -> qualityStump,
     "llm_lang_stats" -> langStats,
     "llm_fingerprint" -> fingerprint,
     "llm_decontaminate" -> decontaminate,
@@ -4388,6 +4389,94 @@ object LlmQueries {
         sum(col("m.n_clipped")).as("sum_clipped"))
   }
 
+  /** Decision-STUMP training (`llm_quality_stump`) — the trainer
+    * side of the quality-model seam ([[qualityScore]] is the
+    * inference side; this is the boosting weak learner): for each
+    * text-stat feature, the best threshold classifier for the
+    * label `lang = 'en'`, with exact integer error counts. On the
+    * synthetic fixture the labels are deliberately hard (text is
+    * not language-differentiated), so the HONEST output is
+    * near-chance errors for every feature — the trainer reports
+    * that, rather than hallucinating separation; QualityStumpSpec
+    * proves it finds the known-optimal stump on a corpus where
+    * separation is real. Both polarities (`>=` predicts positive,
+    * or its complement) considered; ties break deterministically on
+    * (errors, threshold, polarity).
+    *
+    * Scale shape — the classic distributed stump: docs collapse
+    * map-side into (feature, value, n_pos, n_neg) rows, so the
+    * threshold sweep runs at VALUE granularity (bounded by the
+    * scaled-integer feature domains, not the corpus); per feature
+    * one window pass computes exclusive prefix sums, every
+    * threshold's error is two additions, and the per-feature argmin
+    * is one encoded-min aggregate. One exchange on the feature key;
+    * nothing doc-scale ever sorts. */
+  def qualityStump(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = stopwords.map(x => s"'$x'").mkString(", ")
+    val feats = docs(s, d)
+      .select(col("doc_id"), tokenExpr.as("w"), col("text"),
+        (col("lang") === "en").cast("int").as("is_pos"))
+      .select(col("doc_id"), col("is_pos"),
+        expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
+        expr("""CAST(length(regexp_replace(trim(text), '\\s+', ''))
+                AS BIGINT)""").as("n_nonspace"),
+        expr("CAST(length(text) AS BIGINT)").as("n_chars_calc"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("bigint").as("n_punct"),
+        expr(s"CAST(size(filter(w, x -> x IN ($sw))) AS BIGINT)")
+          .as("n_stop"))
+      .select(col("doc_id"), col("is_pos"), col("n_tokens"),
+        floor(lit(1000.0) * col("n_stop") / col("n_tokens"))
+          .as("stop_x1000"),
+        floor(lit(100.0) * col("n_nonspace") / col("n_tokens"))
+          .as("mean_wordlen_x100"),
+        floor(lit(1000.0) * col("n_punct") / col("n_chars_calc"))
+          .as("punct_x1000"))
+    val long = feats.select(col("is_pos"), explode(expr(
+      "array(named_struct('feature', 'n_tokens', 'x', n_tokens), " +
+        "named_struct('feature', 'stop_x1000', 'x', stop_x1000), " +
+        "named_struct('feature', 'mean_wordlen_x100', 'x', " +
+        "mean_wordlen_x100), " +
+        "named_struct('feature', 'punct_x1000', 'x', punct_x1000))"))
+      .as("fx"))
+      .select(col("fx.feature").as("feature"), col("fx.x").as("x"),
+        col("is_pos"))
+    val vals = long.groupBy(col("feature"), col("x"))
+      .agg(sum(col("is_pos")).as("n_pos"),
+        sum(lit(1) - col("is_pos")).as("n_neg"))
+    val byVal = Window.partitionBy(col("feature")).orderBy(col("x"))
+    val whole = Window.partitionBy(col("feature"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val excl = byVal.rowsBetween(Window.unboundedPreceding, -1)
+    val scored = vals
+      .withColumn("cum_pos_lt", coalesce(sum(col("n_pos")).over(excl),
+        lit(0L)))
+      .withColumn("cum_neg_lt", coalesce(sum(col("n_neg")).over(excl),
+        lit(0L)))
+      .withColumn("tot_pos", sum(col("n_pos")).over(whole))
+      .withColumn("tot_neg", sum(col("n_neg")).over(whole))
+      // predict positive iff x >= t: misses the positives below t,
+      // false-alarms the negatives at/above t
+      .withColumn("err_ge", col("cum_pos_lt") +
+        (col("tot_neg") - col("cum_neg_lt")))
+      .withColumn("err_lt",
+        col("tot_pos") + col("tot_neg") - col("err_ge"))
+      .withColumn("n_errors", least(col("err_ge"), col("err_lt")))
+      .withColumn("polarity",
+        when(col("err_ge") <= col("err_lt"), "ge").otherwise("lt"))
+    scored.groupBy(col("feature"))
+      .agg(min(struct(col("n_errors"), col("x").as("threshold"),
+        col("polarity"))).as("best"),
+        max(col("tot_pos")).as("n_pos"),
+        max(col("tot_neg")).as("n_neg"))
+      .select(col("feature"), col("best.threshold").as("threshold"),
+        col("best.polarity").as("polarity"),
+        col("best.n_errors").as("n_errors"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** REAL COMPRESSED-FLAC decode (`mm_flac_fixed`) — the first
     * entropy-free CODED audio class the engine decodes end to end:
     * complete FLAC streams whose frames carry FIXED-predictor
@@ -7356,6 +7445,75 @@ object LlmQueries {
          |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT)
          |    AS kept
          |FROM sc""".stripMargin
+    },
+
+    // the stump trainer replayed with SQL window arithmetic: the
+    // same value-level prefix sums, both polarities, and the
+    // (errors, threshold, polarity) tie-break via row_number
+    "llm_quality_stump" -> {
+      val sw = stopwords.map(x => s"'$x'").mkString(", ")
+      s"""WITH $wCte,
+         |f AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS BIGINT) AS n_nonspace,
+         |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |    CAST(length(text)
+         |      - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+         |      AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(ws, x -> x IN ($sw))) AS BIGINT)
+         |      AS n_stop
+         |  FROM w),
+         |xx AS (SELECT doc_id, is_pos, n_tokens,
+         |    CAST(floor(1000.0 * n_stop / n_tokens) AS BIGINT)
+         |      AS stop_x1000,
+         |    CAST(floor(100.0 * n_nonspace / n_tokens) AS BIGINT)
+         |      AS mean_wordlen_x100,
+         |    CAST(floor(1000.0 * n_punct / n_chars_calc) AS BIGINT)
+         |      AS punct_x1000
+         |  FROM f),
+         |lg AS (
+         |  SELECT 'n_tokens' AS feature, n_tokens AS x, is_pos FROM xx
+         |  UNION ALL SELECT 'stop_x1000', stop_x1000, is_pos FROM xx
+         |  UNION ALL SELECT 'mean_wordlen_x100', mean_wordlen_x100,
+         |    is_pos FROM xx
+         |  UNION ALL SELECT 'punct_x1000', punct_x1000, is_pos
+         |    FROM xx),
+         |v AS (SELECT feature, x,
+         |    CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(1 - is_pos) AS BIGINT) AS n_neg
+         |  FROM lg GROUP BY 1, 2),
+         |sc AS (SELECT feature, x, n_pos, n_neg,
+         |    CAST(COALESCE(SUM(n_pos) OVER (PARTITION BY feature
+         |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      1 PRECEDING), 0) AS BIGINT) AS cum_pos_lt,
+         |    CAST(COALESCE(SUM(n_neg) OVER (PARTITION BY feature
+         |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      1 PRECEDING), 0) AS BIGINT) AS cum_neg_lt,
+         |    CAST(SUM(n_pos) OVER (PARTITION BY feature) AS BIGINT)
+         |      AS tot_pos,
+         |    CAST(SUM(n_neg) OVER (PARTITION BY feature) AS BIGINT)
+         |      AS tot_neg
+         |  FROM v),
+         |e AS (SELECT feature, x, tot_pos, tot_neg,
+         |    cum_pos_lt + (tot_neg - cum_neg_lt) AS err_ge,
+         |    tot_pos + tot_neg
+         |      - (cum_pos_lt + (tot_neg - cum_neg_lt)) AS err_lt
+         |  FROM sc),
+         |r AS (SELECT feature, x AS threshold,
+         |    CASE WHEN err_ge <= err_lt THEN 'ge' ELSE 'lt' END
+         |      AS polarity,
+         |    LEAST(err_ge, err_lt) AS n_errors, tot_pos, tot_neg,
+         |    ROW_NUMBER() OVER (PARTITION BY feature
+         |      ORDER BY LEAST(err_ge, err_lt), x,
+         |        CASE WHEN err_ge <= err_lt THEN 'ge' ELSE 'lt' END)
+         |      AS rn
+         |  FROM e)
+         |SELECT feature, threshold, polarity,
+         |  CAST(n_errors AS BIGINT) AS n_errors,
+         |  tot_pos AS n_pos, tot_neg AS n_neg
+         |FROM r WHERE rn = 1""".stripMargin
     },
 
     "llm_lang_stats" ->
