@@ -252,6 +252,8 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlArithParenQuery)),
     "rdf_sparql_union_opt" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlUnionOptQuery)),
+    "rdf_sparql_negpath_inv" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlNegPathInvQuery)),
     "rdf_sparql_from" -> ((s, d) =>
       SparqlSelect(multiGraph(s, d), sparqlFromQuery)),
     "rdf_sparql_from_named" -> ((s, d) =>
@@ -511,6 +513,18 @@ object RdfQueries {
       |WHERE {
       |  ?item a ceo:Rijksmonument .
       |  ?item !(a|dcterms:title|dcterms:relation|o:is_public) ?value .
+      |}""".stripMargin
+
+  /** INVERTED negated property set `^!(...)` — the round-12
+    * rejection, lifted: desugars to the endpoint-swapped negated
+    * scan (`?v ^!S ?item` ≡ `?item !S ?v`), so it costs exactly
+    * what the forward form costs — one NOT-isin scan, no reversed
+    * edge set. */
+  val sparqlNegPathInvQuery: String =
+    """SELECT ?item ?value
+      |WHERE {
+      |  ?item a ceo:Rijksmonument .
+      |  ?value ^!(a|dcterms:title|dcterms:relation|o:is_public) ?item .
       |}""".stripMargin
 
   /** COUNT(DISTINCT) + SAMPLE — SAMPLE is implementation-defined
@@ -2488,6 +2502,19 @@ object RdfQueries {
     // negated set = predicate NOT IN, membership = EXISTS — the
     // complement evaluated as one filtered scan in both engines
     "rdf_sparql_negpath" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT t.subject AS item, t.obj_value AS value
+         |FROM triples t
+         |WHERE t.predicate NOT IN ('$RdfType', '$DctermsTitle',
+         |    '$DctermsRelation', '$OmekaIsPublic')
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = t.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    // the inverted form replays IDENTICALLY modulo endpoint naming —
+    // `^!S` IS the swapped `!S` scan
+    "rdf_sparql_negpath_inv" ->
       s"""WITH ${TripleFixture.triplesCte}
          |SELECT t.subject AS item, t.obj_value AS value
          |FROM triples t

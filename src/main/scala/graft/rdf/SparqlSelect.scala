@@ -627,9 +627,9 @@ object SparqlSelect {
   /** One property-path step: `'!'? '^'? primary mod?` where primary
     * is a predicate or a parenthesized alternation of predicates.
     * `neg` marks a negated property set (`!p` / `!(p1|p2)` — any
-    * predicate NOT in the set; forward direction only, no
-    * quantifiers: a quantified or inverted negated set has no
-    * bounded scan shape). */
+    * predicate NOT in the set; `^!p` desugars to the
+    * endpoint-swapped negated scan. No quantifiers: a quantified
+    * negated set has no bounded scan shape). */
   private final case class Step(inv: Boolean, preds: Seq[String],
       plus: Boolean, star: Boolean, zeroOne: Boolean,
       neg: Boolean = false, seqPreds: Seq[String] = Nil,
@@ -683,12 +683,14 @@ object SparqlSelect {
         .replace("\\\"", "\"").replace("\\\\", "\\")
 
     private def step(): Step = {
-      val neg = peek == "!"
+      var neg = peek == "!"
       if (neg) next()
       val inv = peek == "^"
       if (inv) next()
-      require(!(neg && inv),
-        "SPARQL: an inverted negated property set is not supported")
+      // `^!S` (the SPARQL spelling: inverse OF the negated set) is
+      // legal and desugars to the endpoint-swapped negated scan
+      // (`?a ^!S ?b` ≡ `?b !S ?a`), same swap as plain `^p`
+      if (!neg && inv && peek == "!") { neg = true; next() }
       var seqPreds: Seq[String] = Nil
       val preds: Seq[String] =
         if (peek == "(") {
@@ -766,7 +768,8 @@ object SparqlSelect {
         steps.zipWithIndex.foreach { case (st, k) =>
           val nxt = if (k == steps.size - 1) obj else V(freshHidden())
           if (st.inv) out += Pattern(nxt, st.preds, cur, st.plus,
-            star = st.star, zeroOne = st.zeroOne, rep = st.rep)
+            star = st.star, zeroOne = st.zeroOne, negated = st.neg,
+            rep = st.rep)
           else out += Pattern(cur, st.preds, nxt, st.plus,
             star = st.star, zeroOne = st.zeroOne, negated = st.neg,
             seqPath = st.seqPreds, rep = st.rep)
