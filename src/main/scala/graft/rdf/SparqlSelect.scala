@@ -687,9 +687,14 @@ object SparqlSelect {
       if (neg) next()
       val inv = peek == "^"
       if (inv) next()
-      // `^!S` (the SPARQL spelling: inverse OF the negated set) is
-      // legal and desugars to the endpoint-swapped negated scan
-      // (`?a ^!S ?b` ≡ `?b !S ?a`), same swap as plain `^p`
+      // `!^p` — a negated set CONTAINING an inverse predicate —
+      // excludes reverse triples, which is not a single forward
+      // scan; rejected loudly. `^!S` below IS supported: inverse OF
+      // the whole negated set desugars to the endpoint-swapped
+      // negated scan (`?a ^!S ?b` ≡ `?b !S ?a`).
+      require(!(neg && inv),
+        "SPARQL: a negated set of inverse predicates (!^p) is not " +
+          "supported")
       if (!neg && inv && peek == "!") { neg = true; next() }
       var seqPreds: Seq[String] = Nil
       val preds: Seq[String] =

@@ -720,8 +720,18 @@ class SparqlSelectSpec extends AnyFunSuite {
     assert(compiled.count() === hand.count() && compiled.count() > 0)
     assertThrows[IllegalArgumentException](SparqlSelect(t,
       "SELECT ?a ?b WHERE { ?a !(dcterms:title)+ ?b . }"))
+    // !^p (negated set OF an inverse) stays rejected — it excludes
+    // reverse triples, not a forward scan
     assertThrows[IllegalArgumentException](SparqlSelect(t,
       "SELECT ?a ?b WHERE { ?a !^dcterms:title ?b . }"))
+    // ^!S (inverse OF the negated set) IS the endpoint-swapped scan
+    val invNeg = SparqlSelect(t,
+      """SELECT ?v ?s
+        |WHERE { ?v ^!(a|dcterms:title) ?s . }""".stripMargin)
+    val invHand = t.filter(!col("predicate")
+        .isin(RdfType, DctermsTitle))
+      .select(col("obj_value").as("v"), col("subject").as("s"))
+    assert(invNeg.count() === invHand.count() && invNeg.count() > 0)
   }
 
   test("39: COUNT(DISTINCT) counts values once; SAMPLE is the MIN " +
