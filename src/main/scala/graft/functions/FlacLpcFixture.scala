@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** `flac_lpc_fixture(doc_id)` → a complete FLAC stream whose one
+  * frame carries §9.2.4 LPC subframes (quantized coefficients,
+  * shift, Rice-coded residuals from the INVERTED predictor), every
+  * parameter a deterministic function of `doc_id`
+  * ([[graft.multimodal.FlacFixture.streamLpc]]) — the encode half
+  * of the `mm_flac_lpc` round-trip, the [[FlacFixedFixture]]
+  * discipline: the oracle replays expected SAMPLES in closed form
+  * while the engine must recover them through actual compressed
+  * bits and the all-integer prediction recurrence. */
+case class FlacLpcFixture(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.FlacFixture.streamLpc(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.FlacFixture.streamLpc($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): FlacLpcFixture = copy(child = c)
+  override def prettyName: String = "flac_lpc_fixture"
+}
+
+object FlacLpcFixture {
+  def apply(c: Column): Column =
+    ColumnBridge.column(FlacLpcFixture(ColumnBridge.expression(c)))
+}

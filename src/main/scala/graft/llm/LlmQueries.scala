@@ -119,6 +119,7 @@ object LlmQueries {
     "mm_flac_meta" -> flacMeta,
     "mm_flac_pcm" -> flacPcm,
     "mm_flac_fixed" -> flacFixed,
+    "mm_flac_lpc" -> flacLpc,
     "mm_ogg_meta" -> oggMeta,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
@@ -4506,6 +4507,35 @@ object LlmQueries {
         max(col("m.peak").cast("bigint")).as("max_peak"),
         sum(col("m.n_clipped")).as("sum_clipped"))
 
+  /** REAL LPC-FLAC decode (`mm_flac_lpc`) — the rung that makes the
+    * FLAC lane decode production files (virtually all real-world
+    * FLAC frames are LPC-coded): complete streams whose frames
+    * carry §9.2.4 LPC subframes — quantized signed coefficients at
+    * per-doc precision (5–7 bits), per-doc shift (2–5), orders 1–4
+    * cycling, BOTH Rice methods — built by inverting the quantized
+    * predictor ([[graft.functions.FlacLpcFixture]]) and decoded
+    * back through [[graft.functions.FlacPcmLevels]]' coefficient
+    * walk + all-integer recurrence. The oracle replays the expected
+    * SAMPLES in closed form from doc_id (the [[flacFixed]]
+    * discipline), so any disagreement about coefficient sign
+    * extension, shift arithmetic, or the recurrence order lands as
+    * a meter hash-mismatch; the decoder is independently pinned on
+    * hand-assembled LPC codewords in FlacLpcSpec. Map-side
+    * construct → decode → partial agg; one bounded exchange on the
+    * ≤ 8-key (rate, channels) space. */
+  def flacLpc(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.FlacLpcFixture(col("doc_id")))
+      .withColumn("m", graft.functions.FlacPcmLevels(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_values")).as("sum_values"),
+        sum(col("m.sum_sq")).as("sum_sq"),
+        max(col("m.peak").cast("bigint")).as("max_peak"),
+        sum(col("m.n_clipped")).as("sum_clipped"))
+
   /** PII regexes shared by the engine and (verbatim, backslashes
     * unprocessed by DuckDB regular strings) the oracle — simple
     * enough to mean the same thing in Java regex and RE2: no
@@ -8141,6 +8171,40 @@ object LlmQueries {
         |sv AS (SELECT doc_id, rate0, ch0,
         |    (doc_id % 1000) + 3 * i +
         |      ((doc_id * 7 + i * 13 + c * 11) % 5) AS s
+        |  FROM (SELECT doc_id, rate0, ch0, c,
+        |        unnest(range(0, ns0)) AS i FROM tc)),
+        |g AS (SELECT doc_id, rate0, ch0,
+        |    COUNT(*) AS nv, CAST(SUM(s * s) AS BIGINT) AS ssq,
+        |    MAX(ABS(s)) AS pk,
+        |    CAST(SUM(CASE WHEN s = 32767 OR s = -32768
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cl
+        |  FROM sv GROUP BY 1, 2, 3)
+        |SELECT CAST(rate0 AS BIGINT) AS sample_rate,
+        |  CAST(ch0 AS BIGINT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(nv) AS BIGINT) AS sum_values,
+        |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+        |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // LPC twin of mm_flac_fixed: the oracle replays the closed-form
+    // sampleL(c, i) meter — the LPC order/precision/shift/
+    // coefficients shape only the BITSTREAM the engine must decode,
+    // never the expected samples, so encode/decode disagreements
+    // about the quantized recurrence hash-mismatch here
+    "mm_flac_lpc" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_extract([8000, 22050, 44100, 48000],
+        |      CAST(doc_id % 4 AS INT) + 1) AS rate0,
+        |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+        |    CAST(doc_id % 12 + 4 AS INT) AS ns0
+        |  FROM documents),
+        |tc AS (SELECT doc_id, rate0, ch0, ns0,
+        |    unnest(range(0, ch0)) AS c FROM t),
+        |sv AS (SELECT doc_id, rate0, ch0,
+        |    (doc_id % 800) + 5 * i +
+        |      ((doc_id * 11 + i * 7 + c * 13) % 9) AS s
         |  FROM (SELECT doc_id, rate0, ch0, c,
         |        unnest(range(0, ns0)) AS i FROM tc)),
         |g AS (SELECT doc_id, rate0, ch0,

@@ -44,29 +44,79 @@ import org.apache.spark.unsafe.types.UTF8String
 object Warc {
 
   /** Inflate a (possibly multi-member) gzip payload, None on any
-    * corruption — JDK `GZIPInputStream` walks member-to-member
-    * (its trailer read probes for the next member's header), which
-    * is exactly the member-per-record layout Common Crawl uses.
-    * Bounded paranoia: output is capped at 1 GiB per payload (the
-    * object grain) so a gzip bomb fails loudly instead of OOMing
-    * an executor. */
+    * corruption — a MANUAL member walk (RFC 1952 header fields →
+    * raw-deflate `Inflater` → CRC32/ISIZE trailer), not the JDK's
+    * `GZIPInputStream` member probe, because the JDK silently treats
+    * unparseable bytes after a complete member as end-of-stream: in
+    * a member-per-record `.warc.gz` a corrupted header of member
+    * N>1 would silently drop every later record. Here the cursor
+    * must land EXACTLY at payload end — trailing garbage, a
+    * truncated member, a bad CRC, or a wrong ISIZE all reject the
+    * whole payload. Bounded paranoia: output is capped at 1 GiB per
+    * payload (the object grain) so a gzip bomb fails loudly instead
+    * of OOMing an executor. */
   private[llm] def gunzipMembers(b: Array[Byte]): Option[Array[Byte]] = {
     val cap = 1 << 30
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b), 65536)
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(b.length.toLong * 4, 1 << 20).toInt)
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size > cap) return None
-        n = in.read(buf)
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8) // little-endian
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 4, 1 << 20).toInt)
+    var i = 0
+    while (i < b.length) {
+      // --- RFC 1952 §2.3 member header ---
+      if (i + 10 > b.length) return None
+      if (u8(i) != 0x1f || u8(i + 1) != 0x8b) return None
+      if (u8(i + 2) != 8) return None // CM: deflate only
+      val flg = u8(i + 3)
+      if ((flg & 0xe0) != 0) return None // reserved bits must be 0
+      i += 10 // magic, CM, FLG, MTIME(4), XFL, OS
+      if ((flg & 0x04) != 0) { // FEXTRA
+        if (i + 2 > b.length) return None
+        val xlen = u16(i); i += 2 + xlen
+        if (i > b.length) return None
       }
-      in.close()
-      Some(out.toByteArray)
-    } catch { case _: java.io.IOException => None }
+      if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+        while (i < b.length && b(i) != 0) i += 1
+        if (i >= b.length) return None
+        i += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT: zero-terminated
+        while (i < b.length && b(i) != 0) i += 1
+        if (i >= b.length) return None
+        i += 1
+      }
+      if ((flg & 0x02) != 0) { i += 2; if (i > b.length) return None } // FHCRC
+      // --- raw deflate body ---
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(b, i, b.length - i)
+      val crc = new java.util.zip.CRC32
+      var memberLen = 0L
+      val buf = new Array[Byte](65536)
+      var remaining = -1
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) return None // truncated/needs input
+          out.write(buf, 0, n)
+          crc.update(buf, 0, n)
+          memberLen += n
+          if (out.size > cap) return None
+        }
+        remaining = inf.getRemaining // read before end() frees state
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      i = b.length - remaining
+      // --- trailer: CRC32 + ISIZE (mod 2^32), little-endian ---
+      if (i + 8 > b.length) return None
+      if (u32(i) != crc.getValue) return None
+      if (u32(i + 4) != (memberLen & 0xffffffffL)) return None
+      i += 8
+    }
+    if (out.size == 0) None else Some(out.toByteArray)
   }
 
   /** True when the payload opens with the gzip magic — unambiguous

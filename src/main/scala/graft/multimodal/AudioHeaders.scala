@@ -200,12 +200,21 @@ object AudioHeaders {
     * sum of squares, peak |s|, and digital-full-scale count at the
     * width's rails.
     *
+    * LPC subframes (§9.2.4 — what virtually all production FLAC
+    * frames carry) decode for ANY order 1–32: warm-up samples, the
+    * 4-bit coefficient-precision and 5-bit quantization-shift
+    * header walk, precision-bit signed quantized coefficients, the
+    * same §9.2.7 coded residual as FIXED, and the all-integer
+    * prediction recurrence (64-bit coefficient dot product,
+    * arithmetic right shift).
+    *
     * Fail-closed (None) on anything OUTSIDE the decoded subset:
-    * LPC subframes (the one remaining coded class, [[Multimodal]]),
-    * reserved residual methods, wasted-bits, stereo decorrelation
-    * modes, nonzero alignment padding, short frames, or a decoded
-    * total that misses STREAMINFO's. CRC-8/CRC-16 are skipped, not
-    * verified — the [[parseOgg]] metadata-pass discipline. */
+    * reserved subframe types, invalid coefficient precision (15),
+    * negative quantization shifts, reserved residual methods,
+    * wasted-bits, stereo decorrelation modes, nonzero alignment
+    * padding, short frames, or a decoded total that misses
+    * STREAMINFO's. CRC-8/CRC-16 are skipped, not verified — the
+    * [[parseOgg]] metadata-pass discipline. */
   def parseFlacPcm(b: Array[Byte])
       : Option[(Int, Int, Int, Long, Long, Int, Long)] = {
     val geo = parseFlac(b)
@@ -326,6 +335,60 @@ object AudioHeaders {
         }
         0L
       }
+      // §9.2.7 coded residual into s(order..blockSize): 2-bit
+      // method (0 = 4-bit Rice params, 1 = 5-bit Rice2 params),
+      // 4-bit partition order, per-partition param or 5-bit escaped
+      // raw width — shared by the FIXED and LPC subframe classes
+      // (the spec uses one residual coding for both)
+      def readResidualInto(s: Array[Long], order: Int): Boolean = {
+        val blockSize = s.length
+        val method = readBits(2).toInt
+        if (!ok || method > 1) return false
+        val p = readBits(4).toInt
+        if (!ok) return false
+        val parts = 1 << p
+        if (blockSize % parts != 0) return false
+        val paramBits = if (method == 0) 4 else 5
+        val escapeCode = (1 << paramBits) - 1
+        var part = 0
+        var idx = order
+        while (part < parts) {
+          val n = (blockSize >> p) - (if (part == 0) order else 0)
+          if (n < 0) return false
+          val param = readBits(paramBits).toInt
+          if (!ok) return false
+          if (param == escapeCode) {
+            val raw = readBits(5).toInt
+            if (!ok) return false
+            var r = 0
+            while (r < n) {
+              s(idx) =
+                if (raw == 0) 0L
+                else {
+                  val v = readBits(raw)
+                  if ((v & (1L << (raw - 1))) != 0) v - (1L << raw)
+                  else v
+                }
+              if (!ok) return false
+              idx += 1; r += 1
+            }
+          } else {
+            var r = 0
+            while (r < n) {
+              val q = readUnary()
+              if (!ok) return false
+              val rem = if (param == 0) 0L else readBits(param)
+              if (!ok) return false
+              val u = (q << param) | rem
+              // zigzag: even → u/2, odd → -(u/2)-1
+              s(idx) = if ((u & 1L) != 0) -(u >> 1) - 1 else u >> 1
+              idx += 1; r += 1
+            }
+          }
+          part += 1
+        }
+        true
+      }
       var c = 0
       while (c < ch) {
         if (readBits(1) != 0 || !ok) return None // subframe pad bit
@@ -355,54 +418,7 @@ object AudioHeaders {
               if (!ok) return None
               j += 1
             }
-            // §9.2.7 coded residual: 2-bit method (0 = 4-bit Rice
-            // params, 1 = 5-bit Rice2 params), 4-bit partition
-            // order; partition 0 is `order` samples short
-            val method = readBits(2).toInt
-            if (!ok || method > 1) return None
-            val p = readBits(4).toInt
-            if (!ok) return None
-            val parts = 1 << p
-            if (blockSize % parts != 0) return None
-            val paramBits = if (method == 0) 4 else 5
-            val escapeCode = (1 << paramBits) - 1
-            var part = 0
-            var idx = order
-            while (part < parts) {
-              val n = (blockSize >> p) - (if (part == 0) order else 0)
-              if (n < 0) return None
-              val param = readBits(paramBits).toInt
-              if (!ok) return None
-              if (param == escapeCode) {
-                val raw = readBits(5).toInt
-                if (!ok) return None
-                var r = 0
-                while (r < n) {
-                  s(idx) =
-                    if (raw == 0) 0L
-                    else {
-                      val v = readBits(raw)
-                      if ((v & (1L << (raw - 1))) != 0) v - (1L << raw)
-                      else v
-                    }
-                  if (!ok) return None
-                  idx += 1; r += 1
-                }
-              } else {
-                var r = 0
-                while (r < n) {
-                  val q = readUnary()
-                  if (!ok) return None
-                  val rem = if (param == 0) 0L else readBits(param)
-                  if (!ok) return None
-                  val u = (q << param) | rem
-                  // zigzag: even → u/2, odd → -(u/2)-1
-                  s(idx) = if ((u & 1L) != 0) -(u >> 1) - 1 else u >> 1
-                  idx += 1; r += 1
-                }
-              }
-              part += 1
-            }
+            if (!readResidualInto(s, order)) return None
             // fixed-predictor reconstruction (§9.2.2 coefficients)
             var i2 = order
             while (i2 < blockSize) {
@@ -419,7 +435,55 @@ object AudioHeaders {
             }
             var m = 0
             while (m < blockSize) { meter(s(m)); m += 1 }
-          case _ => return None // LPC: out of the decoded subset
+          case t if t >= 32 => // LPC, order 1..32 (§9.2.4)
+            val order = t - 31
+            if (order > blockSize) return None
+            val s = new Array[Long](blockSize)
+            var j = 0
+            while (j < order) { // warm-up samples at full width
+              s(j) = signed(readBits(bits))
+              if (!ok) return None
+              j += 1
+            }
+            // 4-bit coefficient precision minus 1 (15 = invalid)
+            val precM1 = readBits(4).toInt
+            if (!ok || precM1 == 15) return None
+            val prec = precM1 + 1
+            // 5-bit two's-complement quantization shift; the spec
+            // marks negative shifts unused/invalid — fail closed
+            val shiftRaw = readBits(5).toInt
+            if (!ok || (shiftRaw & 0x10) != 0) return None
+            val shift = shiftRaw
+            // order × precision-bit signed quantized coefficients,
+            // c(0) multiplying the most recent sample
+            val coef = new Array[Long](order)
+            j = 0
+            while (j < order) {
+              val v = readBits(prec)
+              if (!ok) return None
+              coef(j) =
+                if ((v & (1L << (prec - 1))) != 0) v - (1L << prec)
+                else v
+              j += 1
+            }
+            if (!readResidualInto(s, order)) return None
+            // all-integer prediction recurrence: the coefficient dot
+            // product accumulates in 64-bit and shifts ARITHMETICALLY
+            // right (§9.2.4's quantized-LPC reconstruction)
+            var i2 = order
+            while (i2 < blockSize) {
+              var acc = 0L
+              var k2 = 0
+              while (k2 < order) {
+                acc += coef(k2) * s(i2 - 1 - k2)
+                k2 += 1
+              }
+              s(i2) += acc >> shift
+              i2 += 1
+            }
+            var m = 0
+            while (m < blockSize) { meter(s(m)); m += 1 }
+          case _ => return None // reserved subframe types (2–7, 13–31)
         }
         c += 1
       }

@@ -114,6 +114,100 @@ object FlacFixture {
     }
   }
 
+  // --- LPC fixture derivations (`mm_flac_lpc`): a second stream
+  // family whose frames carry §9.2.4 LPC subframes. Samples stay
+  // closed-form so the oracle replays the METER without touching
+  // the bitstream; the LPC parameters shape only the bits — the
+  // encoder INVERTS the quantized predictor to get residuals, so
+  // any decode-side recurrence/shift/coefficient-sign bug lands as
+  // a meter hash-mismatch.
+  //  - sampleL(c, i) = (doc_id % 800) + 5·i + ((doc_id·11 + i·7 + c·13) % 9)
+  //  - orderL  = doc_id % 4 + 1      (orders 1..4 cycle)
+  //  - shiftL  = doc_id % 4 + 2      (2..5)
+  //  - precL   = doc_id % 3 + 5      (5..7-bit coefficients)
+  //  - coefL(j) = ((doc_id·(j+3) + 5) % 17) − 8   (∈ [−8, 8], signed)
+  //  - Rice method = doc_id % 2      (0 and 1 both exercised)
+  private[multimodal] def sampleL(docId: Long, c: Int, i: Int): Long =
+    (docId % 800) + 5L * i + ((docId * 11 + i * 7 + c * 13) % 9)
+
+  def orderLOf(docId: Long): Int = (docId % 4).toInt + 1
+  def shiftLOf(docId: Long): Int = (docId % 4).toInt + 2
+  def precLOf(docId: Long): Int = (docId % 3).toInt + 5
+  def coefLOf(docId: Long, j: Int): Long =
+    ((docId * (j + 3) + 5) % 17) - 8
+
+  /** Quantized-LPC residuals of `s`: r(i) = s(i) − ((Σ c(j)·s(i−1−j))
+    * >> shift) — the exact inverse of the decoder's recurrence. */
+  private def lpcResiduals(s: Array[Long], coef: Array[Long],
+      shift: Int): Array[Long] = {
+    val order = coef.length
+    val r = new Array[Long](s.length - order)
+    var i = order
+    while (i < s.length) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += coef(j) * s(i - 1 - j); j += 1 }
+      r(i - order) = s(i) - (acc >> shift)
+      i += 1
+    }
+    r
+  }
+
+  /** One LPC subframe (type header + warm-ups + precision/shift/
+    * coefficient walk + single-partition Rice residual, method 0 or
+    * 1) into `w`. */
+  private def writeLpcSubframe(w: BitWriter, s: Array[Long],
+      coef: Array[Long], prec: Int, shift: Int, method: Int,
+      param: Int): Unit = {
+    val order = coef.length
+    w.write(0, 1) // pad
+    w.write(32 + (order - 1), 6) // LPC type: 1xxxxx, xxxxx=order-1
+    w.write(0, 1) // no wasted bits
+    var i = 0
+    while (i < order) { w.write(s(i) & 0xffffL, 16); i += 1 }
+    w.write(prec - 1, 4)
+    w.write(shift, 5)
+    i = 0
+    while (i < order) {
+      w.write(coef(i) & ((1L << prec) - 1), prec)
+      i += 1
+    }
+    w.write(method, 2)
+    w.write(0, 4) // partition order 0
+    w.write(param, if (method == 0) 4 else 5)
+    lpcResiduals(s, coef, shift).foreach { r =>
+      val u = if (r < 0) (-r << 1) - 1 else r << 1 // zigzag
+      w.writeUnary(u >> param)
+      if (param > 0) w.write(u & ((1L << param) - 1), param)
+    }
+  }
+
+  /** The complete LPC-subframe stream for one `doc_id` (geometry
+    * derivations shared with the FIXED fixture). */
+  def streamLpc(docId: Long): Array[Byte] = {
+    val (rate, ch, ns) = (rateOf(docId), chOf(docId), nsOf(docId))
+    val order = orderLOf(docId)
+    val shift = shiftLOf(docId)
+    val prec = precLOf(docId)
+    val coef = Array.tabulate(order)(j => coefLOf(docId, j))
+    val method = (docId % 2).toInt
+    val w = new BitWriter
+    w.write(0xff, 8); w.write(0xf8, 8); w.write(0x60, 8)
+    w.write((ch - 1) << 4, 8)
+    w.write(0, 8)
+    w.write(ns - 1, 8)
+    w.write(0, 8)
+    var c = 0
+    while (c < ch) {
+      val s = Array.tabulate(ns)(i => sampleL(docId, c, i))
+      writeLpcSubframe(w, s, coef, prec, shift, method, 11)
+      c += 1
+    }
+    w.alignZero()
+    w.write(0, 16) // zero CRC-16
+    head(rate, ch, ns) ++ w.bytes
+  }
+
   /** The complete stream for one `doc_id`. */
   def stream(docId: Long): Array[Byte] = {
     val (rate, ch, ns, order) =

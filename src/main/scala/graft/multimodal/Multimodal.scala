@@ -53,18 +53,22 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.H264PcmMbs]], `mm_h264_pcm`): slice-header
   * Exp-Golomb walk + I_PCM macroblock raw-sample read — the
   * standard's lossless escape hatch, a fully conformant stream
-  * class. FLAC SAMPLE DECODE IS REAL FOR CONSTANT, VERBATIM AND
-  * FIXED SUBFRAMES ([[AudioHeaders.parseFlacPcm]] behind
+  * class. FLAC SAMPLE DECODE IS REAL FOR ALL LOSSLESS SUBFRAME
+  * CLASSES — CONSTANT, VERBATIM, FIXED AND LPC
+  * ([[AudioHeaders.parseFlacPcm]] behind
   * [[graft.functions.FlacPcmLevels]], `mm_flac_pcm` /
-  * `mm_flac_fixed`): the frame walk, the uncoded subframe bit
-  * reads, and genuine COMPRESSED audio — order-0..4 fixed
-  * predictors over Rice/Rice2-coded residuals (unary + binary +
-  * zigzag, escaped partitions, multi-partition layouts), decodable
-  * without a codec library because Rice coding is bit arithmetic,
-  * not table-driven entropy coding. Only TABLE-DRIVEN entropy
-  * decode of the lossy codecs (MP3 Huffman/IMDCT synthesis, H.264
-  * CAVLC/CABAC residual + prediction, FLAC LPC — no codec library
-  * in this container) remains a clearly-marked DETERMINISTIC FAKE:
+  * `mm_flac_fixed` / `mm_flac_lpc`): the frame walk, the uncoded
+  * subframe bit reads, and genuine COMPRESSED audio — order-0..4
+  * fixed predictors AND §9.2.4 quantized-LPC predictors (any order
+  * 1–32: coefficient precision/shift header walk, signed
+  * coefficient reads, the all-integer prediction recurrence) over
+  * Rice/Rice2-coded residuals (unary + binary + zigzag, escaped
+  * partitions, multi-partition layouts), decodable without a codec
+  * library because Rice coding is bit arithmetic, not table-driven
+  * entropy coding. Only TABLE-DRIVEN entropy decode of the lossy
+  * codecs (MP3 Huffman/IMDCT synthesis, H.264 CAVLC/CABAC residual
+  * + prediction — no codec library in this container) remains a
+  * clearly-marked DETERMINISTIC FAKE:
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped

@@ -111,4 +111,54 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseAuto(flipped).isEmpty)
     assert(Warc.parseAuto(gz(bytes("not a warc"))).isEmpty)
   }
+
+  test("gz fail-closed: trailing garbage and a corrupted member-N " +
+    "header reject the WHOLE payload (no silent record loss)") {
+    val r1 = rec("WARC/1.0", "response", Some("http://ex.com/1"), "a")
+    val r2 = rec("WARC/1.0", "response", Some("http://ex.com/2"), "b")
+    val two = gz(bytes(r1)) ++ gz(bytes(r2))
+    assert(Warc.parseAuto(two).get.size == 2)
+    // JDK GZIPInputStream silently EOFs on unparseable post-member
+    // bytes; the manual walk must instead reject
+    assert(Warc.parseAuto(two ++ Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+      .isEmpty, "trailing garbage after the last member must reject")
+    // corrupt the SECOND member's magic: under the JDK walk this
+    // silently returned Some(Seq(r1)) — one record lost. Must be None.
+    val m1 = gz(bytes(r1))
+    val corrupted = m1 ++ gz(bytes(r2))
+    corrupted(m1.length) = 0x00 // smash member-2's 0x1f magic byte
+    assert(Warc.parseAuto(corrupted).isEmpty,
+      "a broken member-2 header must reject, not drop records")
+    // trailer checks: flip a CRC byte (deflate itself stays valid)
+    val crcFlip = gz(bytes(r1))
+    crcFlip(crcFlip.length - 6) =
+      (crcFlip(crcFlip.length - 6) ^ 0x7f).toByte
+    assert(Warc.parseAuto(crcFlip).isEmpty, "bad CRC32 must reject")
+    val isizeFlip = gz(bytes(r1))
+    isizeFlip(isizeFlip.length - 1) =
+      (isizeFlip(isizeFlip.length - 1) ^ 0x7f).toByte
+    assert(Warc.parseAuto(isizeFlip).isEmpty, "bad ISIZE must reject")
+  }
+
+  test("gz header optional fields (FNAME/FEXTRA/FCOMMENT/FHCRC) are " +
+    "walked per RFC 1952") {
+    val body = bytes(rec("WARC/1.0", "response",
+      Some("http://ex.com/n"), "named"))
+    val plain = gz(body)
+    // splice FNAME ("f.warc\0") into the member: set FLG bit 3 and
+    // insert the zero-terminated name after the 10-byte fixed header
+    val name = "f.warc".getBytes("US-ASCII") :+ 0.toByte
+    val withName = plain.take(10) ++ name ++ plain.drop(10)
+    withName(3) = (withName(3) | 0x08).toByte
+    assert(Warc.parseAuto(withName).get.head.body == "named")
+    // FEXTRA: 4-byte extra field, little-endian XLEN
+    val extra = Array[Byte](4, 0, 'x', 'y', 'z', 'w')
+    val withExtra = plain.take(10) ++ extra ++ plain.drop(10)
+    withExtra(3) = (withExtra(3) | 0x04).toByte
+    assert(Warc.parseAuto(withExtra).get.head.body == "named")
+    // a truncated FNAME (no terminator before payload end) rejects
+    val truncName = plain.take(10) ++ "noterm".getBytes("US-ASCII")
+    truncName(3) = (truncName(3) | 0x08).toByte
+    assert(Warc.parseAuto(truncName).isEmpty)
+  }
 }

@@ -92,12 +92,14 @@ class FlacFixedSpec extends AnyFunSuite {
     assert(nv == 4L && ssq == 100L + 121 + 169 + 144 && pk == 13)
   }
 
-  test("fail-closed: LPC subframe type and reserved residual method") {
-    // LPC order 1 → type 100000
-    val lpc = head(1, 1) ++ bits(
-      frameHdr(1, 1) + " 0 100000 0" + " 00000000 00000101" +
+  test("fail-closed: reserved subframe type and reserved residual " +
+    "method") {
+    // type 000010 is reserved (§9.2: 2–7 unused) — LPC (1xxxxx) is
+    // now a DECODED class, pinned in FlacLpcSpec
+    val reservedType = head(1, 1) ++ bits(
+      frameHdr(1, 1) + " 0 000010 0" + " 00000000 00000101" +
         " 0000000" + " 0" + " 00000000 00000000")
-    assert(AudioHeaders.parseFlacPcm(lpc).isEmpty)
+    assert(AudioHeaders.parseFlacPcm(reservedType).isEmpty)
     // reserved residual method 10 — rejected at the method read
     val reserved = head(1, 2) ++ bits(
       frameHdr(1, 2) +

@@ -63,10 +63,11 @@ class FlacPcmSpec extends AnyFunSuite {
     assert(nv == 4L && ssq == 100L + 400 + 900 + 1600)
   }
 
-  test("fail-closed: LPC subframe, wasted bits, short payload, " +
-    "total mismatch, bad sync") {
-    // LPC order-1 subframe type (0b100000 -> header byte 0x40) —
-    // the one remaining coded class (FIXED now decodes, FlacFixedSpec)
+  test("fail-closed: truncated LPC subframe, wasted bits, short " +
+    "payload, total mismatch, bad sync") {
+    // LPC order-1 subframe type (0b100000 -> header byte 0x40) now
+    // DECODES (FlacLpcSpec) — this 3-byte stub truncates inside the
+    // coefficient/residual walk and must still reject
     val lpcSub = Array[Byte](0x40, 0, 1)
     assert(AudioHeaders.parseFlacPcm(
       head(1, 1) ++ frame(1, 1, lpcSub)).isEmpty)
