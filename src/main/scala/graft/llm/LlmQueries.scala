@@ -94,6 +94,8 @@ object LlmQueries {
     "llm_quality_filter" -> qualityFilter,
     "llm_quality_score" -> qualityScore,
     "llm_quality_stump" -> qualityStump,
+    "llm_quality_boosted" -> qualityBoosted,
+    "llm_quality_boosted_score" -> qualityBoostedScore,
     "llm_lang_stats" -> langStats,
     "llm_fingerprint" -> fingerprint,
     "llm_decontaminate" -> decontaminate,
@@ -4412,13 +4414,16 @@ object LlmQueries {
     * threshold's error is two additions, and the per-feature argmin
     * is one encoded-min aggregate. One exchange on the feature key;
     * nothing doc-scale ever sorts. */
-  def qualityStump(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The stump/boosting feature frame: `(doc_id, lang, is_pos,
+    * n_tokens, stop_x1000, mean_wordlen_x100, punct_x1000)` — the
+    * [[textStats]] formulas with the `lang = 'en'` label, shared by
+    * the single-stump trainer, the boosted trainer, and ensemble
+    * scoring so all three see byte-identical features. */
+  private[graft] def stumpFeatsOf(in: DataFrame): DataFrame = {
     val sw = stopwords.map(x => s"'$x'").mkString(", ")
-    val feats = docs(s, d)
-      .select(col("doc_id"), tokenExpr.as("w"), col("text"),
-        (col("lang") === "en").cast("int").as("is_pos"))
-      .select(col("doc_id"), col("is_pos"),
+    in.select(col("doc_id"), col("lang"), tokenExpr.as("w"),
+      col("text"), (col("lang") === "en").cast("int").as("is_pos"))
+      .select(col("doc_id"), col("lang"), col("is_pos"),
         expr("CAST(size(w) AS BIGINT)").as("n_tokens"),
         expr("""CAST(length(regexp_replace(trim(text), '\\s+', ''))
                 AS BIGINT)""").as("n_nonspace"),
@@ -4428,13 +4433,19 @@ object LlmQueries {
           .cast("bigint").as("n_punct"),
         expr(s"CAST(size(filter(w, x -> x IN ($sw))) AS BIGINT)")
           .as("n_stop"))
-      .select(col("doc_id"), col("is_pos"), col("n_tokens"),
+      .select(col("doc_id"), col("lang"), col("is_pos"),
+        col("n_tokens"),
         floor(lit(1000.0) * col("n_stop") / col("n_tokens"))
           .as("stop_x1000"),
         floor(lit(100.0) * col("n_nonspace") / col("n_tokens"))
           .as("mean_wordlen_x100"),
         floor(lit(1000.0) * col("n_punct") / col("n_chars_calc"))
           .as("punct_x1000"))
+  }
+
+  def qualityStump(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = stumpFeatsOf(docs(s, d))
     val long = feats.select(col("is_pos"), explode(expr(
       "array(named_struct('feature', 'n_tokens', 'x', n_tokens), " +
         "named_struct('feature', 'stop_x1000', 'x', stop_x1000), " +
@@ -4477,6 +4488,171 @@ object LlmQueries {
         col("best.n_errors").as("n_errors"),
         col("n_pos"), col("n_neg"))
   }
+
+  /** One trained weak learner of the boosted ensemble. `alpha` is
+    * the stump's EXACT integer vote weight: weighted correct minus
+    * weighted incorrect (`w_total − 2·w_err`) — always ≥ 0 because
+    * the polarity choice caps `w_err` at half the total, and 0
+    * exactly when the stump is weighted chance (an honest no-vote
+    * on non-separable data). */
+  private[graft] final case class BoostStump(round: Int,
+      feature: String, threshold: Long, polarity: String,
+      wErr: Long, wTotal: Long) {
+    def alpha: Long = wTotal - 2 * wErr
+  }
+
+  private[graft] val boostFeatureNames: Seq[String] = Seq(
+    "n_tokens", "stop_x1000", "mean_wordlen_x100", "punct_x1000")
+
+  /** Integer-exact BOOSTED-stump training over a feature frame —
+    * the weight-DOUBLING variant of AdaBoost (misclassified
+    * examples double their integer weight each round; vote weight
+    * `alpha = w_total − 2·w_err`), chosen because every quantity
+    * stays an exact integer, so engine and oracle can agree to the
+    * bit with no floating-point log-odds anywhere.
+    *
+    * Scale shape — the Lloyd/BPE driver-loop discipline: example
+    * weights are NEVER materialized as corpus state; each round
+    * recomputes them MAP-SIDE as a product over the (tiny,
+    * broadcast-by-value) stumps-so-far, so a round costs one scan +
+    * one exchange on the value-granular (feature, x) key space —
+    * bounded by the scaled-integer feature domains, not the corpus
+    * — and the driver collects exactly ONE argmin row per round.
+    * `rounds` is a small constant (3); weights are bounded by
+    * `2^rounds`. */
+  private[graft] def trainBoostedOf(feats: DataFrame,
+      rounds: Int): Seq[BoostStump] = {
+    import org.apache.spark.sql.expressions.Window
+    var stumps = Vector.empty[BoostStump]
+    for (t <- 1 to rounds) {
+      // map-side weight: product of 2-per-misclassification over
+      // the stumps trained so far (literals — no join, no state)
+      val wCol = stumps.foldLeft(lit(1L)) { (acc, st) =>
+        val x = col(st.feature)
+        val predPos =
+          if (st.polarity == "ge") x >= lit(st.threshold)
+          else x < lit(st.threshold)
+        val mis = predPos =!= (col("is_pos") === 1)
+        acc * when(mis, lit(2L)).otherwise(lit(1L))
+      }
+      val long = feats.withColumn("wt", wCol)
+        .select(col("is_pos"), col("wt"), explode(expr(
+          "array(" + boostFeatureNames.map(f =>
+            s"named_struct('feature', '$f', 'x', $f)")
+            .mkString(", ") + ")")).as("fx"))
+        .select(col("fx.feature").as("feature"),
+          col("fx.x").as("x"), col("is_pos"), col("wt"))
+      val vals = long.groupBy(col("feature"), col("x"))
+        .agg(sum(col("wt") * col("is_pos")).as("wp"),
+          sum(col("wt") * (lit(1) - col("is_pos"))).as("wn"))
+      val byVal = Window.partitionBy(col("feature")).orderBy(col("x"))
+      val whole = Window.partitionBy(col("feature"))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      val excl = byVal.rowsBetween(Window.unboundedPreceding, -1)
+      val best = vals
+        .withColumn("cum_wp_lt",
+          coalesce(sum(col("wp")).over(excl), lit(0L)))
+        .withColumn("cum_wn_lt",
+          coalesce(sum(col("wn")).over(excl), lit(0L)))
+        .withColumn("tot_wp", sum(col("wp")).over(whole))
+        .withColumn("tot_wn", sum(col("wn")).over(whole))
+        .withColumn("err_ge", col("cum_wp_lt") +
+          (col("tot_wn") - col("cum_wn_lt")))
+        .withColumn("err_lt",
+          col("tot_wp") + col("tot_wn") - col("err_ge"))
+        .withColumn("n_errors", least(col("err_ge"), col("err_lt")))
+        .withColumn("polarity",
+          when(col("err_ge") <= col("err_lt"), "ge").otherwise("lt"))
+        // GLOBAL argmin with a total deterministic order — ONE row
+        // to the driver per round (the bounded-artifact discipline)
+        .agg(min(struct(col("n_errors"), col("feature"),
+          col("x").as("threshold"), col("polarity"))).as("b"),
+          max(col("tot_wp") + col("tot_wn")).as("w_total"))
+        .select(col("b.n_errors"), col("b.feature"),
+          col("b.threshold"), col("b.polarity"), col("w_total"))
+        .head()
+      stumps :+= BoostStump(t, best.getString(1), best.getLong(2),
+        best.getString(3), best.getLong(0), best.getLong(4))
+    }
+    stumps
+  }
+
+  private[graft] val boostRounds = 3
+
+  /** The stored trained-ensemble artifact — the quality seam's
+    * TRAINED half ([[qualityWeightsPath]] is the hand-pinned linear
+    * slot; this one's weights genuinely come out of
+    * [[trainBoostedOf]]): written once per snapshot, read +
+    * broadcast by [[qualityBoostedScore]]. */
+  private[graft] def qualityEnsemblePath(s: SparkSession,
+      d: String): String = {
+    val path = s"${storedIndexPath(d)}/quality-ensemble"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"quality-ensemble:$d") {
+        val spark = s
+        import spark.implicits._
+        val stumps = trainBoostedOf(stumpFeatsOf(docs(s, d)),
+          boostRounds)
+        stumps.map(st => (st.round.toLong, st.feature, st.threshold,
+          st.polarity, st.wErr, st.wTotal, st.alpha))
+          .toDF("round", "feature", "threshold", "polarity",
+            "w_err", "w_total", "alpha")
+          .write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      path
+    }
+  }
+
+  /** BOOSTED-stump training (`llm_quality_boosted`) — closes the
+    * quality train→score loop the round-13 verdict called for: the
+    * per-round weak learners with exact integer weighted errors and
+    * vote weights, read back from the stored ensemble artifact. The
+    * oracle replays the ENTIRE training unrolled round by round
+    * (materialized-CTE stages, the BPE-oracle discipline), so a
+    * reweighting or tie-break divergence in any round
+    * hash-mismatches. */
+  def qualityBoosted(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(qualityEnsemblePath(s, d))
+      .select(col("round"), col("feature"), col("threshold"),
+        col("polarity"), col("w_err"), col("w_total"), col("alpha"))
+
+  /** Ensemble inference core: sign of the alpha-weighted stump vote
+    * (ties → positive), rolled up per language. `ens` is the
+    * vocabulary-sized trained artifact — broadcast by design. */
+  private[graft] def boostedScoreOf(feats: DataFrame,
+      ens: DataFrame): DataFrame = {
+    val xF = expr("CASE feature WHEN 'n_tokens' THEN n_tokens " +
+      "WHEN 'stop_x1000' THEN stop_x1000 " +
+      "WHEN 'mean_wordlen_x100' THEN mean_wordlen_x100 " +
+      "ELSE punct_x1000 END")
+    feats.crossJoin(broadcast(ens))
+      .withColumn("pred_pos",
+        (xF >= col("threshold")) === (col("polarity") === "ge"))
+      .withColumn("h",
+        when(col("pred_pos"), lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("doc_id"), col("lang"), col("is_pos"))
+      .agg(sum(col("alpha") * col("h")).as("vote"))
+      .withColumn("pred",
+        when(col("vote") >= 0L, 1).otherwise(0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pred").cast("bigint")).as("n_pred_pos"),
+        sum((col("pred") === col("is_pos")).cast("bigint"))
+          .as("n_correct"))
+  }
+
+  /** TRAINED-ensemble scoring (`llm_quality_boosted_score`) — the
+    * inference half of the closed loop: the corpus scored by the
+    * STORED boosted ensemble (train → artifact → broadcast →
+    * map-side vote), per-language confusion rollup. Scale shape:
+    * the ensemble is 3 rows (broadcast); the vote is one doc-keyed
+    * partial aggregate; the rollup is one exchange on the 4-key
+    * lang space. */
+  def qualityBoostedScore(s: SparkSession, d: String): DataFrame =
+    boostedScoreOf(stumpFeatsOf(docs(s, d)),
+      s.read.parquet(qualityEnsemblePath(s, d)))
 
   /** REAL COMPRESSED-FLAC decode (`mm_flac_fixed`) — the first
     * entropy-free CODED audio class the engine decodes end to end:
@@ -5590,6 +5766,96 @@ object LlmQueries {
     """w AS (SELECT doc_id, lang, n_chars, text,
       |  regexp_split_to_array(trim(lower(text)), '\s+') AS ws
       |  FROM documents)""".stripMargin
+
+  /** The boosted-stump trainer's unrolled oracle stages (the BPE
+    * discipline: one MATERIALIZED stage chain per round, each round
+    * re-derived from first principles in SQL): weighted value-level
+    * prefix sums, the global (err, feature, threshold, polarity)
+    * argmin, and weight-DOUBLING reweighting from the argmin row.
+    * Returns the full CTE body up to `b1..b{rounds}`; callers append
+    * their own final SELECT. */
+  private def boostedOracleCtes(rounds: Int): String = {
+    val sw = stopwords.map(x => s"'$x'").mkString(", ")
+    val featCase = """CASE b.feature WHEN 'n_tokens' THEN xx.n_tokens
+      |      WHEN 'stop_x1000' THEN xx.stop_x1000
+      |      WHEN 'mean_wordlen_x100' THEN xx.mean_wordlen_x100
+      |      ELSE xx.punct_x1000 END""".stripMargin
+    val prefix = s"""$wCte,
+      |f AS (SELECT doc_id, lang,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+      |    CAST(len(ws) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+      |      AS BIGINT) AS n_nonspace,
+      |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+      |      AS BIGINT) AS n_punct,
+      |    CAST(len(list_filter(ws, x -> x IN ($sw))) AS BIGINT)
+      |      AS n_stop
+      |  FROM w),
+      |xx AS MATERIALIZED (SELECT doc_id, lang, is_pos, n_tokens,
+      |    CAST(floor(1000.0 * n_stop / n_tokens) AS BIGINT)
+      |      AS stop_x1000,
+      |    CAST(floor(100.0 * n_nonspace / n_tokens) AS BIGINT)
+      |      AS mean_wordlen_x100,
+      |    CAST(floor(1000.0 * n_punct / n_chars_calc) AS BIGINT)
+      |      AS punct_x1000
+      |  FROM f),
+      |lg AS (
+      |  SELECT doc_id, 'n_tokens' AS feature, n_tokens AS x, is_pos
+      |    FROM xx
+      |  UNION ALL SELECT doc_id, 'stop_x1000', stop_x1000, is_pos
+      |    FROM xx
+      |  UNION ALL SELECT doc_id, 'mean_wordlen_x100',
+      |    mean_wordlen_x100, is_pos FROM xx
+      |  UNION ALL SELECT doc_id, 'punct_x1000', punct_x1000, is_pos
+      |    FROM xx),
+      |w1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS w FROM xx)"""
+      .stripMargin
+    val stages = (1 to rounds).map { k =>
+      val reweight =
+        if (k == rounds) ""
+        else s""",
+          |w${k + 1} AS MATERIALIZED (SELECT xx.doc_id,
+          |    CAST(wt.w * CASE WHEN
+          |      (($featCase >= b.threshold) = (b.polarity = 'ge'))
+          |      = (xx.is_pos = 1) THEN 1 ELSE 2 END AS BIGINT) AS w
+          |  FROM xx JOIN w$k wt USING (doc_id) CROSS JOIN b$k b)"""
+          .stripMargin
+      s"""v$k AS MATERIALIZED (SELECT feature, x,
+        |    CAST(SUM(l.w * l.is_pos) AS BIGINT) AS wp,
+        |    CAST(SUM(l.w * (1 - l.is_pos)) AS BIGINT) AS wn
+        |  FROM (SELECT lg.feature, lg.x, lg.is_pos, wt.w
+        |        FROM lg JOIN w$k wt USING (doc_id)) l
+        |  GROUP BY 1, 2),
+        |s$k AS (SELECT feature, x,
+        |    CAST(COALESCE(SUM(wp) OVER (PARTITION BY feature
+        |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS cwp,
+        |    CAST(COALESCE(SUM(wn) OVER (PARTITION BY feature
+        |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS cwn,
+        |    CAST(SUM(wp) OVER (PARTITION BY feature) AS BIGINT)
+        |      AS twp,
+        |    CAST(SUM(wn) OVER (PARTITION BY feature) AS BIGINT)
+        |      AS twn
+        |  FROM v$k),
+        |e$k AS (SELECT feature, x, twp, twn,
+        |    cwp + (twn - cwn) AS err_ge,
+        |    twp + twn - (cwp + (twn - cwn)) AS err_lt
+        |  FROM s$k),
+        |b$k AS MATERIALIZED (SELECT feature, x AS threshold,
+        |    CASE WHEN err_ge <= err_lt THEN 'ge' ELSE 'lt' END
+        |      AS polarity,
+        |    CAST(LEAST(err_ge, err_lt) AS BIGINT) AS w_err,
+        |    CAST(twp + twn AS BIGINT) AS w_total
+        |  FROM e$k
+        |  ORDER BY LEAST(err_ge, err_lt), feature, x,
+        |    CASE WHEN err_ge <= err_lt THEN 'ge' ELSE 'lt' END
+        |  LIMIT 1)$reweight""".stripMargin
+    }.mkString(",\n")
+    prefix + ",\n" + stages
+  }
 
   /** The BPE trainer's unrolled oracle stages: word states are
     * chr(1)/chr(2)-bracketed symbol strings (so adjacency is exact
@@ -7544,6 +7810,49 @@ object LlmQueries {
          |  CAST(n_errors AS BIGINT) AS n_errors,
          |  tot_pos AS n_pos, tot_neg AS n_neg
          |FROM r WHERE rn = 1""".stripMargin
+    },
+
+    // the boosted trainer replayed with the ENTIRE training unrolled
+    // round by round (materialized stage CTEs, the BPE-oracle
+    // discipline): weighted sweeps, global argmin, weight-doubling
+    // reweighting — any per-round divergence hash-mismatches
+    "llm_quality_boosted" -> {
+      val rows = (1 to boostRounds).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS round, feature, threshold,
+           |  polarity, w_err, w_total,
+           |  CAST(w_total - 2 * w_err AS BIGINT) AS alpha FROM b$k"""
+          .stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${boostedOracleCtes(boostRounds)}
+         |$rows""".stripMargin
+    },
+
+    // inference through the same unrolled-trained ensemble: per-doc
+    // alpha-weighted stump vote (ties -> positive), per-language
+    // confusion rollup
+    "llm_quality_boosted_score" -> {
+      val ens = (1 to boostRounds).map { k =>
+        s"""SELECT feature, threshold, polarity,
+           |  CAST(w_total - 2 * w_err AS BIGINT) AS alpha FROM b$k"""
+          .stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${boostedOracleCtes(boostRounds)},
+         |ens AS ($ens),
+         |vt AS (SELECT xx.doc_id, xx.lang, xx.is_pos,
+         |    CAST(SUM(e.alpha * CASE WHEN
+         |      ((CASE e.feature WHEN 'n_tokens' THEN xx.n_tokens
+         |        WHEN 'stop_x1000' THEN xx.stop_x1000
+         |        WHEN 'mean_wordlen_x100' THEN xx.mean_wordlen_x100
+         |        ELSE xx.punct_x1000 END >= e.threshold)
+         |        = (e.polarity = 'ge'))
+         |      THEN 1 ELSE -1 END) AS BIGINT) AS vote
+         |  FROM xx CROSS JOIN ens e GROUP BY 1, 2, 3)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN vote >= 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pred_pos,
+         |  CAST(SUM(CASE WHEN (CASE WHEN vote >= 0 THEN 1 ELSE 0 END)
+         |    = is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM vt GROUP BY lang""".stripMargin
     },
 
     "llm_lang_stats" ->
