@@ -254,6 +254,9 @@ object RdfQueries {
       SparqlSelect(tri(s, d), sparqlUnionOptQuery)),
     "rdf_sparql_negpath_inv" -> ((s, d) =>
       SparqlSelect(tri(s, d), sparqlNegPathInvQuery)),
+    // round-14: mixed negated sets per §18.2.2.5's two-scan union
+    "rdf_sparql_negpath_mixed" -> ((s, d) =>
+      SparqlSelect(tri(s, d), sparqlNegPathMixedQuery)),
     "rdf_sparql_from" -> ((s, d) =>
       SparqlSelect(multiGraph(s, d), sparqlFromQuery)),
     "rdf_sparql_from_named" -> ((s, d) =>
@@ -525,6 +528,22 @@ object RdfQueries {
       |WHERE {
       |  ?item a ceo:Rijksmonument .
       |  ?value ^!(a|dcterms:title|dcterms:relation|o:is_public) ?item .
+      |}""".stripMargin
+
+  /** MIXED negated property set `!(p…|^q…)` — the round-13
+    * rejection, lifted per §18.2.2.5's own translation
+    * (`!(P|^Q)` ≡ `!(P) | !(^Q)`): the forward NPS scan UNIONed
+    * with the endpoint-swapped NPS scan of the inverse half,
+    * multiset semantics. Forward half here keeps title / relation /
+    * rijksmonumentnummer edges out of typed items; the inverse half
+    * keeps every non-title edge INTO them (the fixture's relation
+    * edges). */
+  val sparqlNegPathMixedQuery: String =
+    """PREFIX def: <http://ex.org/def#>
+      |SELECT ?item ?value
+      |WHERE {
+      |  ?item a ceo:Rijksmonument .
+      |  ?item !(a|def:brand|def:size|o:is_public|o:resource_template|o:resource_class|^dcterms:title) ?value .
       |}""".stripMargin
 
   /** COUNT(DISTINCT) + SAMPLE — SAMPLE is implementation-defined
@@ -2522,6 +2541,30 @@ object RdfQueries {
          |    '$DctermsRelation', '$OmekaIsPublic')
          |  AND EXISTS (SELECT 1 FROM triples ty
          |    WHERE ty.subject = t.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
+
+    // the spec's own mixed-set translation replayed as the two-scan
+    // UNION ALL (multiset semantics): forward NPS + the
+    // endpoint-swapped NPS of the inverse half
+    "rdf_sparql_negpath_mixed" ->
+      s"""WITH ${TripleFixture.triplesCte}
+         |SELECT t.subject AS item, t.obj_value AS value
+         |FROM triples t
+         |WHERE t.predicate NOT IN ('$RdfType',
+         |    'http://ex.org/def#brand', 'http://ex.org/def#size',
+         |    '$OmekaIsPublic', '$OmekaResourceTemplate',
+         |    '$OmekaResourceClass')
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = t.subject
+         |      AND ty.predicate = '$RdfType'
+         |      AND ty.obj_value = '$CeoRijksmonument')
+         |UNION ALL
+         |SELECT t.obj_value AS item, t.subject AS value
+         |FROM triples t
+         |WHERE t.predicate NOT IN ('$DctermsTitle')
+         |  AND EXISTS (SELECT 1 FROM triples ty
+         |    WHERE ty.subject = t.obj_value
          |      AND ty.predicate = '$RdfType'
          |      AND ty.obj_value = '$CeoRijksmonument')""".stripMargin,
 

@@ -46,10 +46,13 @@ import Vocab.RdfType
   *   triples  := term (path | ?var) obj (';' (path | ?var) obj)* '.'?
   *   subq     := { SELECT ... }     (a full query body, in a group)
   *   path     := step ('/' step)*
-  *   step     := '!'? '^'? ( pred | '(' pred ('|' pred)* ')'
+  *   step     := '!'? '^'? ( pred | '(' '^'? pred ('|' '^'? pred)* ')'
   *                         | '(' pred ('/' pred)+ ')' )
-  *               ('+'|'*'|'?')?     (negated sets: forward,
-  *                                   unquantified — `!p`, `!(p|q)`;
+  *               ('+'|'*'|'?')?     (negated sets: unquantified —
+  *                                   `!p`, `!(p|q)`, `!^p` ≡ `^!p`,
+  *                                   pure-inverse `!(^p|^q)` ≡
+  *                                   `^!(p|q)`, and MIXED `!(p|^q)`
+  *                                   per §18.2.2.5's two-scan union;
   *                                   parenthesized sequences compose
   *                                   under the quantifier —
   *                                   `(p1/p2)+` is the fixpoint over
@@ -176,7 +179,8 @@ object SparqlSelect {
       plus: Boolean = false, predVar: Option[String] = None,
       star: Boolean = false, graphCtx: Option[Term] = None,
       zeroOne: Boolean = false, negated: Boolean = false,
-      seqPath: Seq[String] = Nil, rep: Option[(Int, Int)] = None) {
+      seqPath: Seq[String] = Nil, rep: Option[(Int, Int)] = None,
+      negInvPreds: Seq[String] = Nil) {
     /** Any non-plain step (`p+`, `p*`, `p?`, or `p{lo,hi}`) —
       * excluded from the pivot/membership/merge shapes, which
       * assume one scan. */
@@ -500,6 +504,19 @@ object SparqlSelect {
       "obj_value", "obj_kind", "obj_lang", "obj_datatype")
   }
 
+  /** §13.2 dataset clauses and GRAPH blocks scope on the `graph`
+    * column — against a non-graph-partitioned store that is an
+    * ENGINE limitation, not an analysis accident: say so instead of
+    * letting Spark throw an opaque unresolved-column error. */
+  private def requireGraphColumn(t: DataFrame, q: Query,
+      pats: Seq[Pattern]): Unit =
+    if ((q.datasetExplicit || pats.exists(_.graphCtx.nonEmpty)) &&
+        !t.columns.contains("graph"))
+      throw new IllegalArgumentException(
+        "SPARQL: FROM / FROM NAMED / GRAPH requires a " +
+          "graph-partitioned triple store (no 'graph' column in " +
+          s"[${t.columns.mkString(", ")}])")
+
   private def compileAsk(t: DataFrame, q: Query,
       closureOf: ClosureProvider = NoClosure): DataFrame =
     compile(t, q, closureOf).limit(1)
@@ -523,6 +540,7 @@ object SparqlSelect {
   private def compileConstruct(t: DataFrame, tmpl: Seq[Pattern],
       q: Query, closureOf: ClosureProvider = NoClosure): DataFrame = {
     val g = q.groups.head
+    requireGraphColumn(t, q, g.required ++ g.optionals.flatten)
     val sol = joinsGroup(t, q, g, templateMetaVars(tmpl, g), closureOf)
     instantiate(sol, tmpl, g).dropDuplicates()
   }
@@ -627,13 +645,17 @@ object SparqlSelect {
   /** One property-path step: `'!'? '^'? primary mod?` where primary
     * is a predicate or a parenthesized alternation of predicates.
     * `neg` marks a negated property set (`!p` / `!(p1|p2)` — any
-    * predicate NOT in the set; `^!p` desugars to the
-    * endpoint-swapped negated scan. No quantifiers: a quantified
-    * negated set has no bounded scan shape). */
+    * predicate NOT in the set). `^!S`, `!^p` and pure-inverse
+    * `!(^p1|^p2)` all normalize to the endpoint-swapped negated
+    * scan (inv + neg); a MIXED set `!(p|^q)` keeps the inverse half
+    * in `negInvPreds` and evaluates as the spec's two-scan union
+    * (§18.2.2.5). No quantifiers: a quantified negated set has no
+    * bounded scan shape. */
   private final case class Step(inv: Boolean, preds: Seq[String],
       plus: Boolean, star: Boolean, zeroOne: Boolean,
       neg: Boolean = false, seqPreds: Seq[String] = Nil,
-      rep: Option[(Int, Int)] = None)
+      rep: Option[(Int, Int)] = None,
+      negInvPreds: Seq[String] = Nil)
 
   private final class Parser(ts: Vector[String]) {
     private var i = 0
@@ -685,23 +707,35 @@ object SparqlSelect {
     private def step(): Step = {
       var neg = peek == "!"
       if (neg) next()
-      val inv = peek == "^"
+      var inv = peek == "^"
       if (inv) next()
-      // `!^p` — a negated set CONTAINING an inverse predicate —
-      // excludes reverse triples, which is not a single forward
-      // scan; rejected loudly. `^!S` below IS supported: inverse OF
-      // the whole negated set desugars to the endpoint-swapped
-      // negated scan (`?a ^!S ?b` ≡ `?b !S ?a`).
-      require(!(neg && inv),
-        "SPARQL: a negated set of inverse predicates (!^p) is not " +
-          "supported")
+      // `!^p` — a negated set of ONE inverse predicate — is, per
+      // §18.2.2.5's translation, `reverse(NPS({p}))`: it matches
+      // only reverse triples with predicate ∉ {p}, which is exactly
+      // the endpoint-swapped negated scan already shipped as `^!S`
+      // (`?a !^p ?b` ≡ `?a ^!p ?b` ≡ `?b !p ?a`) — desugared to it
+      // below. Mixed sets `!(p|^q)` split per the spec into
+      // `!(p) | !(^q)` (see the paren branch + [[mixedNegScan]]).
+      val negInvSingle = neg && inv
+      if (negInvSingle) {
+        inv = false
+        // grammar: after `!^` only a single predicate follows
+        // (PathOneInPropertySet); `!^(...)` is not a production
+        require(peek != "(",
+          "SPARQL: expected a predicate after '!^'")
+      }
       if (!neg && inv && peek == "!") { neg = true; next() }
       var seqPreds: Seq[String] = Nil
-      val preds: Seq[String] =
+      var negInvPreds: Seq[String] = Nil
+      var preds: Seq[String] =
         if (peek == "(") {
           next()
           val ps = Seq.newBuilder[String]
-          ps += predIri()
+          val ips = Seq.newBuilder[String]
+          def item(): Unit =
+            if (neg && peek == "^") { next(); ips += predIri() }
+            else ps += predIri()
+          item()
           if (peek == "/") {
             // parenthesized SEQUENCE `(p1/p2/...)` — meaningful only
             // under a quantifier (closure over the composed relation);
@@ -713,11 +747,27 @@ object SparqlSelect {
             seqPreds = ps.result()
             Nil
           } else {
-            while (peek == "|") { next(); ps += predIri() }
+            while (peek == "|") { next(); item() }
             expect(")")
+            negInvPreds = ips.result()
             ps.result()
           }
         } else Seq(predIri())
+      if (negInvSingle) { negInvPreds = preds; preds = Nil }
+      // normalize the negated-set shapes onto the two executable
+      // plans: a PURE-inverse set is the endpoint-swapped negated
+      // scan (`!(^p1|^p2)` ≡ `^!(p1|p2)`); a MIXED set keeps both
+      // halves and unions two scans at evaluation. `^!(...^p...)`
+      // (an inverse OF a set already containing inverses) stays a
+      // loud rejection — no real query writes a double inverse.
+      require(!(inv && negInvPreds.nonEmpty),
+        "SPARQL: an inverted negated set containing inverse " +
+          "predicates (^!(^p)) is not supported")
+      if (neg && preds.isEmpty && negInvPreds.nonEmpty) {
+        preds = negInvPreds
+        negInvPreds = Nil
+        inv = true
+      }
       val plus = peek == "+"
       if (plus) next()
       val star = !plus && peek == "*"
@@ -740,7 +790,8 @@ object SparqlSelect {
         } else None
       require(!(neg && (plus || star || zeroOne || rep.isDefined)),
         "SPARQL: a quantified negated property set is not supported")
-      Step(inv, preds, plus, star, zeroOne, neg, seqPreds, rep)
+      Step(inv, preds, plus, star, zeroOne, neg, seqPreds, rep,
+        negInvPreds)
     }
 
     private def pathSteps(): Seq[Step] = {
@@ -777,7 +828,8 @@ object SparqlSelect {
             rep = st.rep)
           else out += Pattern(cur, st.preds, nxt, st.plus,
             star = st.star, zeroOne = st.zeroOne, negated = st.neg,
-            seqPath = st.seqPreds, rep = st.rep)
+            seqPath = st.seqPreds, rep = st.rep,
+            negInvPreds = st.negInvPreds)
           cur = nxt
         }
       }
@@ -1169,6 +1221,16 @@ object SparqlSelect {
             fils ++= filterConds()
             expect(")")
           }
+        } else if (kw("SERVICE")) {
+          // §13.3 federated query — the one §18 production a real
+          // rdflib query string could still carry that this engine
+          // does not evaluate (it would need a remote SPARQL
+          // endpoint at plan time). Named loudly so the user sees
+          // WHAT bounced, not an unexpected-token error.
+          throw new IllegalArgumentException(
+            "SPARQL: the SERVICE clause (federated query, §13.3) " +
+              "is not supported by this engine — evaluate the " +
+              "remote pattern out of band and join via VALUES")
         } else if (kw("VALUES")) {
           next()
           vals += valuesClause()
@@ -1486,6 +1548,7 @@ object SparqlSelect {
   def compile(t: DataFrame, q: Query,
       closureOf: ClosureProvider = NoClosure): DataFrame = {
     val allPats = q.groups.flatMap(g => g.required ++ g.optionals.flatten)
+    requireGraphColumn(t, q, allPats)
     val patVars = (allPats.flatMap(varsOf) ++
       q.groups.flatMap(_.subs.flatMap(projectedVars))).distinct
     // BIND targets are bound vars too: each must be fresh, and may
@@ -1818,6 +1881,34 @@ object SparqlSelect {
     else if (pat.preds.size == 1) col("predicate") === pat.preds.head
     else col("predicate").isin(pat.preds: _*)
 
+  /** §18.2.2.5 MIXED negated property set `!(p…|^q…)` — the spec's
+    * own translation splits it into `!(p…) | !(^q…)`: the forward
+    * NPS scan UNIONed with the endpoint-swapped NPS scan of the
+    * inverse half, both predicate-pruned at the source. Plain
+    * `union` (not distinct): path alternation has multiset
+    * semantics — a pair connected both ways yields two solutions.
+    * The swapped half re-orients the triple columns so the generic
+    * pattern machinery (constant filters, var binding, graph
+    * scoping) applies unchanged; a subject has no lang/datatype, so
+    * the swapped object metadata is null with the subject's kind. */
+  private def mixedNegScan(t: DataFrame, pat: Pattern): DataFrame = {
+    val fwd = t.filter(!col("predicate").isin(pat.preds: _*))
+    val subjKind =
+      if (t.columns.contains("subject_kind")) col("subject_kind")
+      else lit("iri")
+    val swapped: Map[String, Column] = Map(
+      "subject" -> col("obj_value"),
+      "subject_kind" -> col("obj_kind"),
+      "obj_value" -> col("subject"),
+      "obj_kind" -> subjKind,
+      "obj_lang" -> lit(null).cast("string"),
+      "obj_datatype" -> lit(null).cast("string"))
+    val inv = t.filter(!col("predicate").isin(pat.negInvPreds: _*))
+      .select(t.columns.map(c =>
+        swapped.getOrElse(c, col(c)).as(c)).toSeq: _*)
+    fwd.select(t.columns.map(col).toSeq: _*).union(inv)
+  }
+
   /** The one-exchange star pivot — [[RdfQueries.bgpStarOf]]'s shape
     * generalized: constant-object patterns become 0/1 match flags,
     * variable-object patterns conditional `min` bindings; required
@@ -1933,12 +2024,21 @@ object SparqlSelect {
         case _ => Nil
       }).reduceOption(_ && _)
       // a variable predicate binds the predicate column instead of
-      // filtering on it — the `?s ?p ?o` full scan
+      // filtering on it — the `?s ?p ?o` full scan. A mixed negated
+      // set pre-orients its two-scan union; its predicate pruning is
+      // inside [[mixedNegScan]].
+      val base =
+        if (pat.negated && pat.negInvPreds.nonEmpty) mixedNegScan(t, pat)
+        else t
+      val mixed = pat.negated && pat.negInvPreds.nonEmpty
       var df = (pat.predVar, langFilter) match {
-        case (Some(_), Some(lf)) => t.filter(lf)
-        case (Some(_), None) => t
-        case (None, Some(lf)) => t.filter(predFilter(pat) && lf)
-        case (None, None) => t.filter(predFilter(pat))
+        case (Some(_), Some(lf)) => base.filter(lf)
+        case (Some(_), None) => base
+        case (None, Some(lf)) =>
+          if (mixed) base.filter(lf)
+          else base.filter(predFilter(pat) && lf)
+        case (None, None) =>
+          if (mixed) base else base.filter(predFilter(pat))
       }
       pat.s match {
         case I(iri) => df = df.filter(col("subject") === iri)

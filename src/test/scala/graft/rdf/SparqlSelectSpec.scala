@@ -720,10 +720,6 @@ class SparqlSelectSpec extends AnyFunSuite {
     assert(compiled.count() === hand.count() && compiled.count() > 0)
     assertThrows[IllegalArgumentException](SparqlSelect(t,
       "SELECT ?a ?b WHERE { ?a !(dcterms:title)+ ?b . }"))
-    // !^p (negated set OF an inverse) stays rejected — it excludes
-    // reverse triples, not a forward scan
-    assertThrows[IllegalArgumentException](SparqlSelect(t,
-      "SELECT ?a ?b WHERE { ?a !^dcterms:title ?b . }"))
     // ^!S (inverse OF the negated set) IS the endpoint-swapped scan
     val invNeg = SparqlSelect(t,
       """SELECT ?v ?s
@@ -732,6 +728,73 @@ class SparqlSelectSpec extends AnyFunSuite {
         .isin(RdfType, DctermsTitle))
       .select(col("obj_value").as("v"), col("subject").as("s"))
     assert(invNeg.count() === invHand.count() && invNeg.count() > 0)
+  }
+
+  test("38b: !^p ≡ ^!{p} (§18.2.2.5 — reverse(NPS) both ways): " +
+    "PLAN identity, and the pure-inverse set form too") {
+    // `?a !^p ?b` matches (b, q, a) with q ∉ {p} — exactly the
+    // endpoint-swapped negated scan the `^!p` spelling compiles to
+    val negInv = SparqlSelect(t,
+      "SELECT ?a ?b WHERE { ?a !^dcterms:title ?b . }")
+    val invNeg = SparqlSelect(t,
+      "SELECT ?a ?b WHERE { ?a ^!dcterms:title ?b . }")
+    assert(negInv.queryExecution.optimizedPlan
+      .sameResult(invNeg.queryExecution.optimizedPlan))
+    assert(negInv.count() === invNeg.count() && negInv.count() > 0)
+    // the set form `!(^p1|^p2)` normalizes identically
+    val setForm = SparqlSelect(t,
+      "SELECT ?a ?b WHERE { ?a !(^a|^dcterms:title) ?b . }")
+    val setHand = SparqlSelect(t,
+      "SELECT ?a ?b WHERE { ?a ^!(a|dcterms:title) ?b . }")
+    assert(setForm.queryExecution.optimizedPlan
+      .sameResult(setHand.queryExecution.optimizedPlan))
+    // double inverse stays a loud rejection
+    assertThrows[IllegalArgumentException](SparqlSelect(t,
+      "SELECT ?a ?b WHERE { ?a ^!(^dcterms:title) ?b . }"))
+  }
+
+  test("38d: SERVICE is a DOCUMENTED rejection naming the clause; " +
+    "dataset clauses against a graph-less store name the missing " +
+    "column") {
+    val e1 = intercept[IllegalArgumentException](SparqlSelect(t,
+      """SELECT ?x WHERE {
+        |  SERVICE <http://remote.example.org/sparql> {
+        |    ?x dcterms:title ?t . } }""".stripMargin))
+    assert(e1.getMessage.contains("SERVICE") &&
+      e1.getMessage.contains("13.3"))
+    // a plain (s, p, o)-only frame: FROM must bounce with the
+    // engine message, not Spark's unresolved-column error
+    val noGraph = t.drop("graph")
+    val e2 = intercept[IllegalArgumentException](SparqlSelect(noGraph,
+      """SELECT ?x FROM <http://ex.org/g1>
+        |WHERE { ?x dcterms:title ?t . }""".stripMargin))
+    assert(e2.getMessage.contains("graph-partitioned"))
+    val e3 = intercept[IllegalArgumentException](SparqlSelect(noGraph,
+      """SELECT ?x WHERE {
+        |  GRAPH <http://ex.org/g1> { ?x dcterms:title ?t . } }"""
+        .stripMargin))
+    assert(e3.getMessage.contains("graph-partitioned"))
+    // and the same store runs fine WITHOUT dataset scoping
+    assert(SparqlSelect(noGraph,
+      "SELECT ?x ?t WHERE { ?x dcterms:title ?t . }").count() > 0)
+  }
+
+  test("38c: MIXED negated set !(p|^q) = forward NPS UNION ALL " +
+    "endpoint-swapped NPS (the spec's alternation translation, " +
+    "multiset semantics)") {
+    val mixed = SparqlSelect(t,
+      """SELECT ?a ?b
+        |WHERE { ?a !(a|^dcterms:title) ?b . }""".stripMargin)
+    val fwd = t.filter(col("predicate") =!= RdfType)
+      .select(col("subject").as("a"), col("obj_value").as("b"))
+    val inv = t.filter(col("predicate") =!= DctermsTitle)
+      .select(col("obj_value").as("a"), col("subject").as("b"))
+    val hand = fwd.union(inv)
+    assert(mixed.count() === hand.count() && mixed.count() > 0)
+    // multiset: both scans are in the union (count = sum of halves)
+    assert(mixed.count() === fwd.count() + inv.count())
+    // set-equal row-wise too
+    assert(mixed.exceptAll(hand).isEmpty && hand.exceptAll(mixed).isEmpty)
   }
 
   test("39: COUNT(DISTINCT) counts values once; SAMPLE is the MIN " +
