@@ -258,10 +258,14 @@ object LlmQueries {
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
 
   /** The greedy leftmost non-overlapping merge of (a, b) over the
-    * `toks` symbol array — THE merge semantics, shared by the
-    * trainer's per-round application and the frozen-merge
-    * inference fold. */
-  private def bpeMergeCol(a: String, b: String)
+    * `toks` symbol array as a Catalyst HOF fold — retained as the
+    * SPEC ORACLE for the codegen kernel that replaced it on the hot
+    * paths ([[graft.functions.BpeKernel]]; BpeTrainSpec pins
+    * kernel == fold): the `aggregate()` lambda is CodegenFallback
+    * and its `concat(acc, array(x))` copies the accumulator per
+    * element — O(len²) per word per merge, round 13's flagged
+    * inefficiency. */
+  private[graft] def bpeMergeFoldCol(a: String, b: String)
       : org.apache.spark.sql.Column =
     aggregate(col("toks"), array().cast("array<string>"),
       (acc, x) => when(size(acc) > 0 &&
@@ -299,11 +303,13 @@ object LlmQueries {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((k, a, b, best(0).getLong(2)))
         val prev = st
-        // greedy leftmost non-overlapping merge: the fold's top of
+        // greedy leftmost non-overlapping merge: the kernel's top of
         // stack after a merge is the MERGED symbol, which can itself
         // open the next match only as lhs — exactly BPE's scan
+        // (primitive-loop codegen expression; the HOF fold it
+        // replaced is the spec oracle, BpeTrainSpec)
         st = chkSer(prev.select(col("word"), col("c"),
-          bpeMergeCol(a, b)))
+          graft.functions.BpeApplyStep(col("toks"), a, b).as("toks")))
         free(prev)
         k += 1
       }
@@ -378,15 +384,25 @@ object LlmQueries {
   }
 
   /** Frozen-merge INFERENCE over a (word, c) frame: the stored
-    * merge list applied rank order, each a map-side
-    * [[bpeMergeCol]] fold — 12 chained narrow transforms, no
-    * shuffle, no training. The merge list is driver-bounded
-    * (=[[bpeRounds]] rows) by construction. */
+    * merge list applied in rank order by ONE codegen kernel call
+    * per word ([[graft.functions.BpeApply]] — char split + all
+    * merges in primitive loops), map-side, no shuffle, no training.
+    * The merge list is driver-bounded (=[[bpeRounds]] rows) by
+    * construction and rides the expression as a by-value
+    * reference. */
   private[graft] def bpeApplyMerges(wc: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    wc.withColumn("toks",
+      graft.functions.BpeApply(col("word"), merges))
+
+  /** The pre-kernel chained-HOF spelling of [[bpeApplyMerges]] —
+    * kept ONLY as the spec oracle for the kernel (BpeTrainSpec
+    * asserts kernel == fold on generated words). */
+  private[graft] def bpeApplyMergesFold(wc: DataFrame,
       merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(wc.withColumn("toks", expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
-      case (df, (a, b)) => df.withColumn("toks", bpeMergeCol(a, b))
+      case (df, (a, b)) => df.withColumn("toks", bpeMergeFoldCol(a, b))
     }
 
   /** Per-DOC frozen-merge tokenization — the row-local probe shape

@@ -60,4 +60,40 @@ class BpeTrainSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(applied("aaaa") == 1L && applied("xy") == 1L)
   }
+
+  test("kernel == fold: the codegen bpe_apply kernel agrees with " +
+    "the retained HOF-fold oracle on adversarial words, including " +
+    "merged-symbol-reopens-as-lhs chains and non-BMP code points") {
+    import spark.implicits._
+    // merges chosen so merged symbols feed later merges as lhs AND
+    // rhs, plus a same-symbol pair (the aaa case) and a multi-byte
+    // code point (🎵 is outside the BMP: code-point splitting, not
+    // UTF-16 units)
+    val merges = Seq(("a", "a"), ("aa", "b"), ("aab", "a"),
+      ("c", "c"), ("x", "🎵"))
+    // no empty word: every caller filters word != '' first, and on
+    // "" the FOLD is the quirky one — its sequence(1, length(w))
+    // DESCENDS for length 0 ([1, 0]), yielding two empty tokens,
+    // while the kernel returns the honest empty array
+    val words = Seq("aaab", "aaaa", "aabaaab", "aabab", "abc",
+      "cccc", "ccccc", "x🎵x🎵🎵", "🎵", "b", "aab",
+      "aabaabaab", "zaaabz").zipWithIndex
+      .map { case (w, i) => (w, i.toLong + 1) }
+    val wc = words.toDF("word", "c")
+    val kernel = LlmQueries.bpeApplyMerges(wc, merges)
+      .select("word", "toks").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val fold = LlmQueries.bpeApplyMergesFold(wc, merges)
+      .select("word", "toks").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(kernel == fold)
+    // a couple of hand-pins so both implementations being wrong the
+    // same way can't slip through
+    // (a,a) gives [aa, a, b]; (aa,b) then finds no adjacent (aa, b)
+    // pair — the merged-symbol scan, not a substring rewrite
+    assert(kernel("aaab") == Seq("aa", "a", "b"))
+    assert(kernel("cccc") == Seq("cc", "cc"))
+    assert(kernel("ccccc") == Seq("cc", "cc", "c"))
+    assert(kernel("x🎵x🎵🎵") == Seq("x🎵", "x🎵", "🎵"))
+  }
 }
