@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** `mp3_side_info(binary)` → the decoded MPEG-1 Layer III
+  * side-information block plus the main-data scalefactor walk of the
+  * stream's first frame (ISO 11172-3 §2.4.1.7 / §2.4.2.7), null when
+  * the stream has no decodable first frame. The byte/bit arithmetic
+  * lives in [[graft.multimodal.Mp3Headers.sideInfo]]; one static
+  * call inside whole-stage codegen, shared with the interpreted
+  * path. Scalefactor fields report −1 when `main_data_begin` ≠ 0
+  * (the bit reservoir lives in prior frames this reader does not
+  * walk). */
+case class Mp3SideInfo(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("main_data_begin", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("scfsi_mask", IntegerType, nullable = false),
+    StructField("p23_sum", LongType, nullable = false),
+    StructField("bigv_sum", LongType, nullable = false),
+    StructField("gain_max", IntegerType, nullable = false),
+    StructField("bt1", IntegerType, nullable = false),
+    StructField("mixed1", IntegerType, nullable = false),
+    StructField("tsel_sum", LongType, nullable = false),
+    StructField("reg_sum", LongType, nullable = false),
+    StructField("sbg_sum", LongType, nullable = false),
+    StructField("flags_sum", LongType, nullable = false),
+    StructField("part2_bits", LongType, nullable = false),
+    StructField("sf_sum", LongType, nullable = false),
+    StructField("sf_n", LongType, nullable = false)))
+
+  // nullable even for non-null input: undecodable stream → null
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3Headers.sideInfoRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.multimodal.Mp3Headers.sideInfoRow($c);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(c: Expression): Mp3SideInfo =
+    copy(child = c)
+  override def prettyName: String = "mp3_side_info"
+}
+
+object Mp3SideInfo {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3SideInfo(ColumnBridge.expression(c)))
+}
+
+/** `mp3_side_fixture(doc_id)` → a complete MP3 stream whose first
+  * frame carries genuine side info + scalefactor main data, every
+  * field a deterministic function of `doc_id`
+  * ([[graft.multimodal.Mp3SideFixture.stream]]) — the encode half of
+  * the `mm_mp3_sideinfo` round-trip: the oracle replays expected
+  * FIELDS in closed form while the engine must recover them through
+  * the actual packed bits. */
+case class Mp3SideFixtureExpr(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3SideFixture.stream(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Mp3SideFixture.stream($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): Mp3SideFixtureExpr = copy(child = c)
+  override def prettyName: String = "mp3_side_fixture"
+}
+
+object Mp3SideFixtureExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3SideFixtureExpr(ColumnBridge.expression(c)))
+}

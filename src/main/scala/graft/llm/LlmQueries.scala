@@ -147,6 +147,7 @@ object LlmQueries {
     "mm_neardup_incremental" -> imageNeardupIncremental,
     "mm_mp3_meta" -> mp3Meta,
     "mm_mp3_vbr" -> mp3Vbr,
+    "mm_mp3_sideinfo" -> mp3SideInfo,
     "mm_id3_tags" -> id3Tags,
     "mm_h264_sps" -> h264Sps,
     "mm_h264_pcm" -> h264PcmDecode,
@@ -5666,6 +5667,50 @@ object LlmQueries {
         col("m.est_ms").as("est_ms"))
   }
 
+  /** Layer-III SIDE-INFO + SCALEFACTOR decode (`mm_mp3_sideinfo`) —
+    * the structural layer between the MP3 frame-header walk
+    * ([[mp3Meta]]) and full sample decode (which stays the declared
+    * Huffman/IMDCT stub): per-document streams whose first frame
+    * carries genuine ISO 11172-3 §2.4.1.7 side information and
+    * §2.4.2.7 main-data scalefactors — every field deterministic in
+    * doc_id, bit-packed by [[graft.functions.Mp3SideFixtureExpr]] —
+    * decoded back through [[graft.functions.Mp3SideInfo]]'s bounded
+    * bit walk: the window-switching branch split, the slen1/slen2
+    * scalefac_compress table, granule-1 scfsi COPY semantics (set
+    * groups are not transmitted; the decoder must reuse granule 0's
+    * values), and each channel's Huffman region skipped via
+    * part2_3_length − part2 so one mis-summed slen desynchronizes
+    * the next channel. Docs divisible by 7 carry a nonzero
+    * main_data_begin (bit-reservoir backreference) — the reader
+    * reports −1 scalefactor fields rather than guessing at data it
+    * cannot locate. The oracle replays every expected field in
+    * CLOSED FORM from doc_id (the [[flacFixed]] discipline); the
+    * reader is independently pinned on hand-assembled bitstreams in
+    * Mp3SideInfoSpec. Map-side construct → decode → project; no
+    * shuffle; at 100 TB the walk reads first-frame byte ranges per
+    * row, never a full-object fetch. */
+  def mp3SideInfo(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.Mp3SideFixtureExpr(col("doc_id")))
+      .withColumn("m", graft.functions.Mp3SideInfo(col("payload")))
+      .select(col("doc_id"),
+        col("m.main_data_begin").cast("bigint").as("main_data_begin"),
+        col("m.channels").cast("bigint").as("channels"),
+        col("m.scfsi_mask").cast("bigint").as("scfsi_mask"),
+        col("m.p23_sum").as("p23_sum"),
+        col("m.bigv_sum").as("bigv_sum"),
+        col("m.gain_max").cast("bigint").as("gain_max"),
+        col("m.bt1").cast("bigint").as("bt1"),
+        col("m.mixed1").cast("bigint").as("mixed1"),
+        col("m.tsel_sum").as("tsel_sum"),
+        col("m.reg_sum").as("reg_sum"),
+        col("m.sbg_sum").as("sbg_sum"),
+        col("m.flags_sum").as("flags_sum"),
+        col("m.part2_bits").as("part2_bits"),
+        col("m.sf_sum").as("sf_sum"),
+        col("m.sf_n").as("sf_n"))
+
   /** REAL H.264 Annex-B NAL walk + SPS Exp-Golomb decode — the
     * video-bitstream analog of [[mp3Meta]]: encode deterministic
     * per-document SPS parameters into genuine four-NAL Annex-B
@@ -5905,10 +5950,11 @@ object LlmQueries {
        |  GROUP BY 1, 2),
        |bk$k AS MATERIALIZED (SELECT lhs, rhs, n FROM pb$k
        |  ORDER BY n DESC, lhs, rhs LIMIT 1),
-       |st$k AS MATERIALIZED (SELECT word, c, replace(st,
-       |    $L || b.lhs || $R || $L || b.rhs || $R,
-       |    $L || b.lhs || b.rhs || $R) AS st
-       |  FROM st${k - 1}, bk$k b)""".stripMargin
+       |st$k AS MATERIALIZED (SELECT word, c,
+       |    CASE WHEN b.lhs IS NULL THEN st ELSE replace(st,
+       |      $L || b.lhs || $R || $L || b.rhs || $R,
+       |      $L || b.lhs || b.rhs || $R) END AS st
+       |  FROM st${k - 1} LEFT JOIN bk$k b ON TRUE)""".stripMargin
     }
     (base +: stages).mkString(",\n")
   }
@@ -6478,10 +6524,11 @@ object LlmQueries {
     // applier that reorders them, diverges
     "llm_bpe_incremental" -> {
       val arChain = (1 to bpeRounds).map { k =>
-        s"""ar$k AS MATERIALIZED (SELECT word, c, replace(st,
-           |    chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
-           |    chr(1) || b.lhs || b.rhs || chr(2)) AS st
-           |  FROM ar${k - 1}, bk$k b)""".stripMargin
+        s"""ar$k AS MATERIALIZED (SELECT word, c,
+           |    CASE WHEN b.lhs IS NULL THEN st ELSE replace(st,
+           |      chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+           |      chr(1) || b.lhs || b.rhs || chr(2)) END AS st
+           |  FROM ar${k - 1} LEFT JOIN bk$k b ON TRUE)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${bpeOracleStagesWhere(
              s"WHERE NOT ($arrivingShardPred)")},
@@ -9210,6 +9257,121 @@ object LlmQueries {
          |    // rate AS BIGINT) AS est_ms
          |FROM b""".stripMargin
     },
+
+    // closed-form replay of Mp3SideFixture's deterministic fields:
+    // the Spark side must recover them through the actual packed
+    // side-info bits + main-data scalefactor walk (slen tables,
+    // scfsi copy, part2_3_length skip); the oracle restates them
+    // arithmetically, so any bit-layout disagreement hash-mismatches
+    "mm_mp3_sideinfo" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nch,
+        |    CASE WHEN doc_id % 7 = 0 THEN (doc_id % 511) + 1
+        |      ELSE 0 END AS mdb,
+        |    doc_id % 2 AS wsf1,
+        |    (doc_id % 3) + 1 AS btg1,
+        |    CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS mx1
+        |  FROM documents),
+        |tg AS (SELECT *, unnest([0, 1]) AS g FROM t),
+        |gc0 AS (SELECT *, unnest(range(0, nch)) AS c FROM tg),
+        |gc AS (SELECT doc_id, nch, mdb, wsf1, btg1, mx1, g, c,
+        |    CASE WHEN g = 1 THEN wsf1 ELSE 0 END AS wsf,
+        |    (doc_id * 7 + g * 5 + c * 3) % 289 AS bigv,
+        |    (doc_id * 9 + g * 17 + c * 23) % 256 AS gain,
+        |    (doc_id * 7 + g * 13 + c * 37) % 120 AS filler,
+        |    CASE WHEN wsf1 = 1 AND btg1 = 2 THEN 0
+        |      ELSE (doc_id + 7 * c) % 16 END AS scfsi,
+        |    list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+        |      CAST((doc_id + g * 3 + c) % 16 AS INT) + 1) AS s1,
+        |    list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+        |      CAST((doc_id + g * 3 + c) % 16 AS INT) + 1) AS s2,
+        |    list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+        |      CAST((doc_id + c) % 16 AS INT) + 1) AS s1g0,
+        |    list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+        |      CAST((doc_id + c) % 16 AS INT) + 1) AS s2g0,
+        |    (doc_id + g + c) % 2 AS pre,
+        |    (doc_id // 2 + g) % 2 AS sfs,
+        |    (doc_id // 4 + c) % 2 AS c1t
+        |  FROM gc0),
+        |p2 AS (SELECT *,
+        |    CASE WHEN wsf = 1 AND btg1 = 2 THEN
+        |        (CASE WHEN mx1 = 1 THEN 17 ELSE 18 END) * s1 + 18 * s2
+        |      WHEN g = 1 THEN
+        |        (CASE WHEN (scfsi >> 3) & 1 = 1 THEN 0 ELSE 6 * s1 END)
+        |        + (CASE WHEN (scfsi >> 2) & 1 = 1 THEN 0 ELSE 5 * s1 END)
+        |        + (CASE WHEN (scfsi >> 1) & 1 = 1 THEN 0 ELSE 5 * s2 END)
+        |        + (CASE WHEN scfsi & 1 = 1 THEN 0 ELSE 5 * s2 END)
+        |      ELSE 11 * s1 + 10 * s2 END AS part2,
+        |    CASE WHEN wsf = 1 AND btg1 = 2 THEN
+        |        CASE WHEN mx1 = 1 THEN 35 ELSE 36 END
+        |      ELSE 21 END AS nslots,
+        |    CASE WHEN wsf = 1 THEN
+        |        ((doc_id * 5 + g * 3 + c * 2) % 32)
+        |        + ((doc_id * 5 + g * 3 + c * 2 + 11) % 32)
+        |      ELSE ((doc_id * 5 + g * 3 + c * 2) % 32)
+        |        + ((doc_id * 5 + g * 3 + c * 2 + 11) % 32)
+        |        + ((doc_id * 5 + g * 3 + c * 2 + 22) % 32) END AS tsel,
+        |    CASE WHEN wsf = 0 THEN
+        |        ((doc_id + c) % 16) * 8 + ((doc_id * 3 + c) % 8)
+        |      ELSE 0 END AS reg,
+        |    CASE WHEN wsf = 1 THEN
+        |        ((doc_id + c) % 8) + ((doc_id + c + 1) % 8)
+        |        + ((doc_id + c + 2) % 8)
+        |      ELSE 0 END AS sbg
+        |  FROM gc),
+        |sfj AS (SELECT doc_id, g, c, wsf, btg1, mx1, scfsi,
+        |    s1, s2, s1g0, s2g0, unnest(range(0, nslots)) AS j
+        |  FROM p2),
+        |sfv AS (SELECT doc_id, g, c, j,
+        |    CASE WHEN g = 1 AND NOT (wsf = 1 AND btg1 = 2)
+        |        AND (scfsi >> (3 - (CASE WHEN j < 6 THEN 0
+        |          WHEN j < 11 THEN 1 WHEN j < 16 THEN 2
+        |          ELSE 3 END))) & 1 = 1
+        |      THEN (doc_id + c * 5 + j * 3)
+        |        % (1 << (CASE WHEN j < 11 THEN s1g0 ELSE s2g0 END))
+        |      ELSE (doc_id + g * 11 + c * 5 + j * 3)
+        |        % (1 << (CASE WHEN wsf = 1 AND btg1 = 2 THEN
+        |            CASE WHEN j < (CASE WHEN mx1 = 1 THEN 17
+        |              ELSE 18 END) THEN s1 ELSE s2 END
+        |          ELSE CASE WHEN j < 11 THEN s1 ELSE s2 END END))
+        |      END AS v
+        |  FROM sfj),
+        |sfa AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sfsum
+        |  FROM sfv GROUP BY 1),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(part2 + filler) AS BIGINT) AS p23s,
+        |    CAST(SUM(bigv) AS BIGINT) AS bigvs,
+        |    CAST(MAX(gain) AS BIGINT) AS gainm,
+        |    CAST(SUM(tsel) AS BIGINT) AS tsels,
+        |    CAST(SUM(reg) AS BIGINT) AS regs,
+        |    CAST(SUM(sbg) AS BIGINT) AS sbgs,
+        |    CAST(SUM(pre * 4 + sfs * 2 + c1t) AS BIGINT) AS flagss,
+        |    CAST(SUM(part2) AS BIGINT) AS p2bits,
+        |    CAST(SUM(nslots) AS BIGINT) AS sfn,
+        |    CAST(SUM(CASE WHEN g = 0 THEN scfsi << (4 * c)
+        |      ELSE 0 END) AS BIGINT) AS scfsim
+        |  FROM p2 GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(t.mdb AS BIGINT) AS main_data_begin,
+        |  CAST(t.nch AS BIGINT) AS channels,
+        |  a.scfsim AS scfsi_mask,
+        |  a.p23s AS p23_sum,
+        |  a.bigvs AS bigv_sum,
+        |  a.gainm AS gain_max,
+        |  CAST(CASE WHEN t.wsf1 = 1 THEN t.btg1 ELSE 0 END
+        |    AS BIGINT) AS bt1,
+        |  CAST(CASE WHEN t.wsf1 = 1 THEN t.mx1 ELSE 0 END
+        |    AS BIGINT) AS mixed1,
+        |  a.tsels AS tsel_sum,
+        |  a.regs AS reg_sum,
+        |  a.sbgs AS sbg_sum,
+        |  a.flagss AS flags_sum,
+        |  CASE WHEN t.mdb <> 0 THEN -1 ELSE a.p2bits END
+        |    AS part2_bits,
+        |  CASE WHEN t.mdb <> 0 THEN -1 ELSE s.sfsum END AS sf_sum,
+        |  CASE WHEN t.mdb <> 0 THEN -1 ELSE a.sfn END AS sf_n
+        |FROM t JOIN agg a USING (doc_id)
+        |JOIN sfa s USING (doc_id)""".stripMargin,
 
     // arithmetic replay of H264Fixture.paramsOf: the Spark side
     // must recover these values through encode→escape→walk→

@@ -293,6 +293,222 @@ object Mp3Headers {
     Some((title, artist, album, ver))
   }
 
+  /** Decoded metrics of [[sideInfo]] — one value class so the
+    * field-order contract with [[graft.functions.Mp3SideInfo]] is
+    * spelled once. */
+  final case class SideInfoMetrics(
+      mainDataBegin: Int, channels: Int, scfsiMask: Int,
+      p23Sum: Long, bigvSum: Long, gainMax: Int,
+      bt1: Int, mixed1: Int, tselSum: Long, regSum: Long,
+      sbgSum: Long, flagsSum: Long,
+      part2Bits: Long, sfSum: Long, sfN: Long)
+
+  /** MSB-first bounded bit reader — every read past `limitBit`
+    * signals malformed input via the `ok` flag (fail closed, never
+    * a guess). */
+  private final class BitR(b: Array[Byte], startBit: Int, limitBit: Int) {
+    private var pos = startBit
+    var ok = true
+    def bitPos: Int = pos
+    def u(n: Int): Int = {
+      if (pos + n > limitBit) { ok = false; return 0 }
+      var v = 0
+      var i = 0
+      while (i < n) {
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1; i += 1
+      }
+      v
+    }
+    def skip(n: Int): Unit =
+      if (n < 0 || pos + n > limitBit) ok = false else pos += n
+  }
+
+  /** MPEG-1 Layer III SIDE-INFORMATION decode (ISO 11172-3
+    * §2.4.1.7) plus the main-data SCALEFACTOR walk (§2.4.2.7) of
+    * the stream's first frame — the structural layer between the
+    * frame-header walk ([[parse]]) and full sample decode (which
+    * stays the declared Huffman/IMDCT stub).
+    *
+    * Reads `main_data_begin`, per-channel `scfsi`, and every
+    * granule × channel field (part2_3_length, big_values,
+    * global_gain, scalefac_compress, the window-switching branch
+    * with block type / mixed flag / table selects / subblock gains,
+    * or table selects + region counts, then the preflag /
+    * scalefac_scale / count1table_select tail). When
+    * `main_data_begin` is 0 — no bit-reservoir backreference, the
+    * main data begins right after the side info — it further
+    * decodes every granule × channel's scalefactors: slen1/slen2
+    * from the §2.4.2.7 scalefac_compress table, the long 21-band /
+    * short 36 / mixed 35 layouts, granule-1 long groups with a set
+    * scfsi bit COPIED from granule 0 (transmitted bits skipped),
+    * and each channel's Huffman region skipped via
+    * `part2_3_length − part2 bits` so the next channel's
+    * scalefactors are found only if part2 was summed exactly.
+    * When `main_data_begin` ≠ 0 the scalefactor fields report −1 —
+    * the reservoir lives in PRIOR frames this reader does not walk.
+    *
+    * Fail-closed (None): no valid complete MPEG-1 Layer III first
+    * frame; window switching with block type 0 (§2.4.1.7 forbids
+    * it); a set scfsi bit when granule 1 runs short blocks, or when
+    * granule 0 was short (nothing positional to copy);
+    * part2_3_length smaller than the transmitted scalefactor bits;
+    * any read past the frame or buffer end. */
+  def sideInfo(b: Array[Byte]): Option[SideInfoMetrics] = {
+    if (b == null) return None
+    val start = id3End(b) match {
+      case Some(s) => s
+      case None => return None
+    }
+    if (start + 4 > b.length) return None
+    if (u8(b, start) != 0xff || (u8(b, start + 1) & 0xe0) != 0xe0)
+      return None
+    val version = (u8(b, start + 1) >> 3) & 3
+    val layer = (u8(b, start + 1) >> 1) & 3
+    val brIdx = (u8(b, start + 2) >> 4) & 15
+    val srIdx = (u8(b, start + 2) >> 2) & 3
+    val pad = (u8(b, start + 2) >> 1) & 1
+    val mode = (u8(b, start + 3) >> 6) & 3
+    if (version != 3 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+      srIdx == 3) return None
+    val nch = if (mode == 3) 1 else 2
+    val len = 144000 * BitrateKbps(brIdx) / SampleRateHz(srIdx) + pad
+    val side = if (nch == 1) 17 else 32
+    if (start + len > b.length || 4 + side > len) return None
+
+    val r = new BitR(b, (start + 4) * 8, (start + len) * 8)
+    val mdb = r.u(9)
+    r.u(if (nch == 1) 5 else 3) // private bits
+    val scfsi = Array.ofDim[Int](nch, 4)
+    var c = 0
+    while (c < nch) {
+      var k = 0
+      while (k < 4) { scfsi(c)(k) = r.u(1); k += 1 }
+      c += 1
+    }
+    // per granule × channel side-info fields
+    val p23 = Array.ofDim[Int](2, nch)
+    val sfc = Array.ofDim[Int](2, nch)
+    val wsf = Array.ofDim[Int](2, nch)
+    val bt = Array.ofDim[Int](2, nch)
+    val mixed = Array.ofDim[Int](2, nch)
+    var p23Sum = 0L; var bigvSum = 0L; var gainMax = 0
+    var tselSum = 0L; var regSum = 0L; var sbgSum = 0L
+    var flagsSum = 0L
+    var g = 0
+    while (g < 2) {
+      c = 0
+      while (c < nch) {
+        p23(g)(c) = r.u(12)
+        bigvSum += r.u(9)
+        val gain = r.u(8)
+        if (gain > gainMax) gainMax = gain
+        sfc(g)(c) = r.u(4)
+        wsf(g)(c) = r.u(1)
+        if (wsf(g)(c) == 1) {
+          bt(g)(c) = r.u(2)
+          if (bt(g)(c) == 0) return None // §2.4.1.7: forbidden
+          mixed(g)(c) = r.u(1)
+          tselSum += r.u(5); tselSum += r.u(5)
+          sbgSum += r.u(3); sbgSum += r.u(3); sbgSum += r.u(3)
+        } else {
+          tselSum += r.u(5); tselSum += r.u(5); tselSum += r.u(5)
+          regSum += r.u(4) * 8
+          regSum += r.u(3)
+        }
+        flagsSum += r.u(1) * 4 + r.u(1) * 2 + r.u(1)
+        p23Sum += p23(g)(c)
+        c += 1
+      }
+      g += 1
+    }
+    if (!r.ok) return None
+    // the side-info grammar is a fixed 136/256 bits — arriving
+    // anywhere else means the reader itself is broken
+    if (r.bitPos != (start + 4 + side) * 8) return None
+    // scfsi with short-block granule 1: nothing to share (§2.4.2.7)
+    c = 0
+    while (c < nch) {
+      val anyScfsi = scfsi(c)(0) + scfsi(c)(1) + scfsi(c)(2) +
+        scfsi(c)(3) > 0
+      if (anyScfsi && ((wsf(1)(c) == 1 && bt(1)(c) == 2) ||
+        (wsf(0)(c) == 1 && bt(0)(c) == 2))) return None
+      c += 1
+    }
+    var scfsiMask = 0
+    c = 0
+    while (c < nch) {
+      val v = (scfsi(c)(0) << 3) | (scfsi(c)(1) << 2) |
+        (scfsi(c)(2) << 1) | scfsi(c)(3)
+      scfsiMask |= v << (4 * c)
+      c += 1
+    }
+
+    // scalefactor walk — only when the main data starts in THIS frame
+    var part2Bits = -1L; var sfSum = -1L; var sfN = -1L
+    if (mdb == 0) {
+      part2Bits = 0L; sfSum = 0L; sfN = 0L
+      val g0 = Array.ofDim[Int](nch, 21) // granule-0 long values
+      g = 0
+      while (g < 2) {
+        c = 0
+        while (c < nch) {
+          val s1 = Mp3SideFixture.Slen1(sfc(g)(c))
+          val s2 = Mp3SideFixture.Slen2(sfc(g)(c))
+          var transmitted = 0L
+          if (wsf(g)(c) == 1 && bt(g)(c) == 2) {
+            val n1 = if (mixed(g)(c) == 1) 17 else 18
+            var j = 0
+            while (j < n1) { sfSum += r.u(s1); j += 1 }
+            j = 0
+            while (j < 18) { sfSum += r.u(s2); j += 1 }
+            transmitted = n1.toLong * s1 + 18L * s2
+            sfN += n1 + 18
+          } else {
+            var band = 0
+            var k = 0
+            while (k < 4) {
+              val slen = if (k < 2) s1 else s2
+              val size = Mp3SideFixture.ScfsiGroupSize(k)
+              val copied = g == 1 && scfsi(c)(k) == 1
+              var i = 0
+              while (i < size) {
+                val v = if (copied) g0(c)(band) else r.u(slen)
+                if (g == 0) g0(c)(band) = v
+                sfSum += v
+                if (!copied) transmitted += slen
+                band += 1; i += 1
+              }
+              k += 1
+            }
+            sfN += 21
+          }
+          part2Bits += transmitted
+          if (p23(g)(c) < transmitted) return None
+          r.skip(p23(g)(c) - transmitted.toInt)
+          c += 1
+        }
+        g += 1
+      }
+      if (!r.ok) return None
+    }
+    Some(SideInfoMetrics(mdb, nch, scfsiMask, p23Sum, bigvSum,
+      gainMax, if (wsf(1)(0) == 1) bt(1)(0) else 0,
+      if (wsf(1)(0) == 1) mixed(1)(0) else 0, tselSum, regSum,
+      sbgSum, flagsSum, part2Bits, sfSum, sfN))
+  }
+
+  /** [[sideInfo]] as an `InternalRow` for the
+    * [[graft.functions.Mp3SideInfo]] codegen path. Null = not a
+    * decodable MPEG-1 Layer III first frame. */
+  def sideInfoRow(b: Array[Byte]): InternalRow = sideInfo(b) match {
+    case Some(m) => InternalRow(m.mainDataBegin, m.channels,
+      m.scfsiMask, m.p23Sum, m.bigvSum, m.gainMax, m.bt1, m.mixed1,
+      m.tselSum, m.regSum, m.sbgSum, m.flagsSum, m.part2Bits,
+      m.sfSum, m.sfN)
+    case None => null
+  }
+
   /** [[id3TextFrames]] as an `InternalRow` for the
     * [[graft.functions.Id3Tags]] codegen path. Null = no/malformed
     * tag. */

@@ -1,0 +1,205 @@
+package graft.multimodal
+
+/** Builds real MPEG-1 Layer III frames whose side-information block
+  * and main-data scalefactor region carry genuine §2.4.1.7 /
+  * §2.4.2.7 (ISO 11172-3) structure — the encode half of the
+  * `mm_mp3_sideinfo` round-trip, the [[FlacFixture]] discipline: the
+  * DuckDB oracle replays every expected FIELD in closed form from
+  * `doc_id` while the engine must recover them through the actual
+  * packed bits ([[Mp3Headers.sideInfo]]'s walk), so any
+  * encode/decode disagreement about bit widths, branch layout, scfsi
+  * copy semantics, or the slen tables lands as a hash mismatch.
+  *
+  * Stream layout per document: an ID3v2.4 tag on 3 of 4 docs (the
+  * syncsafe skip), then ONE frame at 128–320 kbps (large enough to
+  * hold the worst-case scalefactor region):
+  *
+  *  - side info: `main_data_begin` (9 bits — nonzero on docs
+  *    divisible by 7, exercising the reader's reservoir refusal),
+  *    private bits, per-channel `scfsi`, then per granule × channel:
+  *    part2_3_length / big_values / global_gain / scalefac_compress,
+  *    the window-switching branch (granule 1 on odd docs: block
+  *    type 1–3, mixed flag, 2 table selects, 3 subblock gains;
+  *    otherwise 3 table selects + region counts), and the
+  *    preflag / scalefac_scale / count1table_select tail.
+  *  - main data (reservoir-free, `main_data_begin` notwithstanding —
+  *    bytes are always written so the refusal is the PARSER's
+  *    choice): per granule × channel the transmitted scalefactors
+  *    (long 21-band / short 36 / mixed 35 layouts; granule-1 long
+  *    groups with their scfsi bit set are NOT transmitted — the
+  *    decoder must copy granule 0's), then `filler` zero bits
+  *    standing in for the Huffman part3 (sample decode stays the
+  *    declared [[Multimodal.StubCodec]] fake), with
+  *    `part2_3_length = transmitted scalefactor bits + filler` so a
+  *    reader that mis-sums part2 desynchronizes the next channel.
+  */
+object Mp3SideFixture {
+
+  /** §2.4.2.7 slen1/slen2 by scalefac_compress 0..15. */
+  private[multimodal] val Slen1 =
+    Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+  private[multimodal] val Slen2 =
+    Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+
+  /** Long-block scfsi group sizes (bands 0–5, 6–10, 11–15, 16–20). */
+  private[multimodal] val ScfsiGroupSize = Array(6, 5, 5, 5)
+
+  // ---- deterministic per-document parameters (the oracle's basis) ----
+  def srIdxOf(d: Long): Int = (d % 3).toInt
+  def rateOf(d: Long): Int = Mp3Headers.SampleRateHz(srIdxOf(d))
+  /** 128–320 kbps: every frame fits side info + worst-case part2. */
+  def brIdxOf(d: Long): Int = 9 + (d % 6).toInt
+  def padOf(d: Long): Int = (d % 2).toInt
+  /** 1 = joint stereo on even docs, 3 = mono on odd (header mode). */
+  def modeOf(d: Long): Int = if (d % 2 == 0) 1 else 3
+  def nchOf(d: Long): Int = if (modeOf(d) == 3) 1 else 2
+  def hasId3(d: Long): Boolean = d % 4 != 0
+  def id3PadOf(d: Long): Int = (d % 64).toInt
+
+  def mdbOf(d: Long): Int =
+    if (d % 7 == 0) ((d % 511) + 1).toInt else 0
+  /** Granule 1 window switching on odd docs; granule 0 always long. */
+  def wsfOf(d: Long, g: Int): Int = if (g == 1) (d % 2).toInt else 0
+  def btOf(d: Long): Int = ((d % 3) + 1).toInt
+  def mixedOf(d: Long): Int = if (d % 4 == 1) 1 else 0
+  /** scfsi must be 0 when granule 1 runs short blocks (§2.4.2.7). */
+  def scfsiOf(d: Long, c: Int): Int =
+    if (wsfOf(d, 1) == 1 && btOf(d) == 2) 0 else ((d + 7 * c) % 16).toInt
+  def bigvOf(d: Long, g: Int, c: Int): Int =
+    ((d * 7 + g * 5 + c * 3) % 289).toInt
+  def gainOf(d: Long, g: Int, c: Int): Int =
+    ((d * 9 + g * 17 + c * 23) % 256).toInt
+  def sfcOf(d: Long, g: Int, c: Int): Int =
+    ((d + g * 3 + c) % 16).toInt
+  def tselOf(d: Long, g: Int, c: Int, t: Int): Int =
+    ((d * 5 + g * 3 + c * 2 + t * 11) % 32).toInt
+  def r0Of(d: Long, c: Int): Int = ((d + c) % 16).toInt
+  def r1Of(d: Long, c: Int): Int = ((d * 3 + c) % 8).toInt
+  def sbgOf(d: Long, c: Int, w: Int): Int = ((d + c + w) % 8).toInt
+  def preOf(d: Long, g: Int, c: Int): Int = ((d + g + c) % 2).toInt
+  def sfsOf(d: Long, g: Int, c: Int): Int = ((d / 2 + g) % 2).toInt
+  def c1tOf(d: Long, g: Int, c: Int): Int = ((d / 4 + c) % 2).toInt
+  /** Fake-Huffman part3 length in bits. */
+  def fillerOf(d: Long, g: Int, c: Int): Int =
+    ((d * 7 + g * 13 + c * 37) % 120).toInt
+  /** Transmitted scalefactor value for transmission slot `j`. */
+  def sfValOf(d: Long, g: Int, c: Int, j: Int, slen: Int): Int =
+    if (slen == 0) 0
+    else ((d + g * 11 + c * 5 + j * 3) % (1L << slen)).toInt
+
+  /** (slen per transmission slot, transmitted?) for granule/channel —
+    * the transmission-order scalefactor layout. Granule-1 long slots
+    * in a group whose scfsi bit is set are present in the DECODED
+    * band sequence but not transmitted. */
+  private def sfLayout(d: Long, g: Int, c: Int)
+      : IndexedSeq[(Int, Boolean)] = {
+    val sfc = sfcOf(d, g, c)
+    val s1 = Slen1(sfc); val s2 = Slen2(sfc)
+    if (wsfOf(d, g) == 1 && btOf(d) == 2) {
+      if (mixedOf(d) == 1)
+        (0 until 17).map(_ => (s1, true)) ++
+          (0 until 18).map(_ => (s2, true))
+      else
+        (0 until 18).map(_ => (s1, true)) ++
+          (0 until 18).map(_ => (s2, true))
+    } else {
+      val scfsi = scfsiOf(d, c)
+      (0 until 4).flatMap { k =>
+        val slen = if (k < 2) s1 else s2
+        val copied = g == 1 && ((scfsi >> (3 - k)) & 1) == 1
+        (0 until ScfsiGroupSize(k)).map(_ => (slen, !copied))
+      }
+    }
+  }
+
+  /** Transmitted part2 bit count for granule/channel. */
+  def part2BitsOf(d: Long, g: Int, c: Int): Int =
+    sfLayout(d, g, c).collect { case (slen, true) => slen }.sum
+
+  def p23Of(d: Long, g: Int, c: Int): Int =
+    part2BitsOf(d, g, c) + fillerOf(d, g, c)
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream(512)
+    private var cur = 0
+    private var nBits = 0
+    def write(v: Long, n: Int): Unit = {
+      var r = n - 1
+      while (r >= 0) {
+        cur = (cur << 1) | ((v >> r) & 1L).toInt
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        r -= 1
+      }
+    }
+    def bitCount: Int = buf.size * 8 + nBits
+    def bytes: Array[Byte] = { while (nBits != 0) write(0, 1); buf.toByteArray }
+  }
+
+  /** The complete fixture stream for one document. */
+  def stream(docId: Long): Array[Byte] = {
+    val d = docId
+    val nch = nchOf(d)
+    val rate = rateOf(d)
+    val kbps = Mp3Headers.BitrateKbps(brIdxOf(d))
+    val len = 144000 * kbps / rate + padOf(d)
+
+    val w = new BitWriter
+    // side info
+    w.write(mdbOf(d).toLong, 9)
+    w.write(0L, if (nch == 1) 5 else 3) // private bits
+    for (c <- 0 until nch) w.write(scfsiOf(d, c).toLong, 4)
+    for (g <- 0 to 1; c <- 0 until nch) {
+      w.write(p23Of(d, g, c).toLong, 12)
+      w.write(bigvOf(d, g, c).toLong, 9)
+      w.write(gainOf(d, g, c).toLong, 8)
+      w.write(sfcOf(d, g, c).toLong, 4)
+      val wsf = wsfOf(d, g)
+      w.write(wsf.toLong, 1)
+      if (wsf == 1) {
+        w.write(btOf(d).toLong, 2)
+        w.write(mixedOf(d).toLong, 1)
+        for (t <- 0 to 1) w.write(tselOf(d, g, c, t).toLong, 5)
+        for (sw <- 0 to 2) w.write(sbgOf(d, c, sw).toLong, 3)
+      } else {
+        for (t <- 0 to 2) w.write(tselOf(d, g, c, t).toLong, 5)
+        w.write(r0Of(d, c).toLong, 4)
+        w.write(r1Of(d, c).toLong, 3)
+      }
+      w.write(preOf(d, g, c).toLong, 1)
+      w.write(sfsOf(d, g, c).toLong, 1)
+      w.write(c1tOf(d, g, c).toLong, 1)
+    }
+    require(w.bitCount == (if (nch == 1) 17 else 32) * 8,
+      s"side info bit count ${w.bitCount} for doc $d")
+    // main data: transmitted scalefactors + part3 filler per (g, c)
+    for (g <- 0 to 1; c <- 0 until nch) {
+      var j = 0
+      sfLayout(d, g, c).foreach { case (slen, transmitted) =>
+        if (transmitted) w.write(sfValOf(d, g, c, j, slen).toLong, slen)
+        j += 1
+      }
+      w.write(0L, fillerOf(d, g, c)) // fake Huffman part3
+    }
+    val body = w.bytes
+    require(4 + body.length <= len,
+      s"fixture frame overflow for doc $d: ${4 + body.length} > $len")
+
+    val frame = new Array[Byte](len)
+    frame(0) = 0xff.toByte
+    frame(1) = 0xfb.toByte // MPEG-1 Layer III, no CRC
+    frame(2) = (brIdxOf(d) << 4 | srIdxOf(d) << 2 | padOf(d) << 1).toByte
+    frame(3) = (modeOf(d) << 6 | 4).toByte // original flag set
+    System.arraycopy(body, 0, frame, 4, body.length)
+
+    if (!hasId3(d)) frame
+    else {
+      val pad = id3PadOf(d)
+      val out = new Array[Byte](10 + pad + len)
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+      out(9) = pad.toByte // syncsafe: pad < 128 fits the last byte
+      System.arraycopy(frame, 0, out, 10 + pad, len)
+      out
+    }
+  }
+}
