@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, IsValidIri, JpegLuma, Mp3Meta, Mp3Vbr, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WarcRecords, WordNgrams}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WarcRecords, WordNgrams}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -196,6 +196,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Mp3Vbr].getName, "mp3_vbr"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Mp3Vbr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mp3_side_info"),
+      new ExpressionInfo(classOf[Mp3SideInfo].getName, "mp3_side_info"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Mp3SideInfo(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mp3_count1"),
+      new ExpressionInfo(classOf[Mp3Count1].getName, "mp3_count1"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Mp3Count1(args.head)))
     ext.injectFunction((
       FunctionIdentifier("h264_sps"),
       new ExpressionInfo(classOf[H264Sps].getName, "h264_sps"),

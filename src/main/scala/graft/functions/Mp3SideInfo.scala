@@ -89,3 +89,71 @@ object Mp3SideFixtureExpr {
   def apply(c: Column): Column =
     ColumnBridge.column(Mp3SideFixtureExpr(ColumnBridge.expression(c)))
 }
+
+/** `mp3_count1(binary)` → the decoded count1-region quadruple
+  * census of the first frame
+  * ([[graft.multimodal.Mp3Headers.count1Info]]): spectral
+  * (v,w,x,y ∈ {0, ±1}) quadruples coded with count1 table 1 plus
+  * their sign bits — the first real Huffman slice of the Layer III
+  * sample path. Null when the stream is not count1-decodable
+  * (nonzero big_values / table 0 / bit reservoir — all fail closed,
+  * see the parser doc). */
+case class Mp3Count1(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_quads", LongType, nullable = false),
+    StructField("n_nonzero", LongType, nullable = false),
+    StructField("n_neg", LongType, nullable = false),
+    StructField("sum_vals", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3Headers.count1Row(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.multimodal.Mp3Headers.count1Row($c);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(c: Expression): Mp3Count1 =
+    copy(child = c)
+  override def prettyName: String = "mp3_count1"
+}
+
+object Mp3Count1 {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3Count1(ColumnBridge.expression(c)))
+}
+
+/** `mp3_count1_fixture(doc_id)` → a complete MP3 stream whose first
+  * frame's part3 region carries real count1-table-1 quadruple
+  * codewords ([[graft.multimodal.Mp3SideFixture.streamCount1]]) —
+  * the encode half of the `mm_mp3_count1` round-trip. */
+case class Mp3Count1FixtureExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3SideFixture.streamCount1(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Mp3SideFixture.streamCount1($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): Mp3Count1FixtureExpr = copy(child = c)
+  override def prettyName: String = "mp3_count1_fixture"
+}
+
+object Mp3Count1FixtureExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3Count1FixtureExpr(ColumnBridge.expression(c)))
+}

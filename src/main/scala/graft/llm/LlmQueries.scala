@@ -148,6 +148,7 @@ object LlmQueries {
     "mm_mp3_meta" -> mp3Meta,
     "mm_mp3_vbr" -> mp3Vbr,
     "mm_mp3_sideinfo" -> mp3SideInfo,
+    "mm_mp3_count1" -> mp3Count1,
     "mm_id3_tags" -> id3Tags,
     "mm_h264_sps" -> h264Sps,
     "mm_h264_pcm" -> h264PcmDecode,
@@ -5711,6 +5712,34 @@ object LlmQueries {
         col("m.sf_sum").as("sf_sum"),
         col("m.sf_n").as("sf_n"))
 
+  /** COUNT1-region Huffman decode (`mm_mp3_count1`) — the first
+    * real ENTROPY slice of the Layer III sample path, the MP3
+    * analog of H.264's I_PCM rung: frames with `big_values` = 0
+    * (a fully conformant stream class — all spectral energy in the
+    * count1/zero regions) whose part3 carries genuine count1
+    * TABLE-1 codewords — 4-bit bitwise-complement codes for
+    * spectral quadruples (v,w,x,y ∈ {0, ±1}), each nonzero value
+    * followed by its sign bit — decoded through the same side-info
+    * + scalefactor walk as [[mp3SideInfo]], consuming quadruples
+    * until part2_3_length is exhausted EXACTLY (a reader that
+    * mis-sums part2 or drops a sign bit desynchronizes the region
+    * boundary and fails closed). Table 0 and the big-values tables
+    * 1–31 are variable-length trees with no codec library in this
+    * container to pin them against — they stay outside verified
+    * scope, rejected loudly. The oracle replays the expected
+    * quadruple census in closed form from doc_id. Map-side
+    * construct → decode → project; no shuffle. */
+  def mp3Count1(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.Mp3Count1FixtureExpr(col("doc_id")))
+      .withColumn("m", graft.functions.Mp3Count1(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_quads").as("n_quads"),
+        col("m.n_nonzero").as("n_nonzero"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_vals").as("sum_vals"))
+
   /** REAL H.264 Annex-B NAL walk + SPS Exp-Golomb decode — the
     * video-bitstream analog of [[mp3Meta]]: encode deterministic
     * per-document SPS parameters into genuine four-NAL Annex-B
@@ -9372,6 +9401,43 @@ object LlmQueries {
         |  CASE WHEN t.mdb <> 0 THEN -1 ELSE a.sfn END AS sf_n
         |FROM t JOIN agg a USING (doc_id)
         |JOIN sfa s USING (doc_id)""".stripMargin,
+
+    // closed-form replay of the count1 quadruple census: the Spark
+    // side must recover it through the complement-code Huffman walk
+    // (scalefactor skip, 4-bit codes, per-nonzero sign bits, exact
+    // part2_3 boundary); the oracle restates pattern/sign formulas
+    "mm_mp3_count1" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nch
+        |  FROM documents),
+        |tg AS (SELECT *, unnest([0, 1]) AS g FROM t),
+        |gc AS (SELECT doc_id, g, unnest(range(0, nch)) AS c
+        |  FROM tg),
+        |qd AS (SELECT doc_id, g, c,
+        |    unnest(range(0, (doc_id + g * 3 + c * 5) % 20)) AS q
+        |  FROM gc),
+        |qk AS (SELECT doc_id, q,
+        |    (doc_id + q * 7 + g + c) % 16 AS pat,
+        |    unnest([0, 1, 2, 3]) AS k
+        |  FROM qd),
+        |vals AS (SELECT doc_id,
+        |    (pat >> (3 - k)) & 1 AS bit,
+        |    CASE WHEN (pat >> (3 - k)) & 1 = 1 THEN
+        |      CASE WHEN (doc_id + q + k) % 2 = 1 THEN -1 ELSE 1 END
+        |      ELSE 0 END AS v
+        |  FROM qk),
+        |per AS (SELECT doc_id,
+        |    CAST(SUM(bit) AS BIGINT) AS n_nonzero,
+        |    CAST(SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(SUM(v) AS BIGINT) AS sum_vals
+        |  FROM vals GROUP BY 1),
+        |nq AS (SELECT doc_id,
+        |    CAST(SUM((doc_id + g * 3 + c * 5) % 20) AS BIGINT)
+        |      AS n_quads
+        |  FROM gc GROUP BY 1)
+        |SELECT doc_id, n_quads, n_nonzero, n_neg, sum_vals
+        |FROM nq JOIN per USING (doc_id)""".stripMargin,
 
     // arithmetic replay of H264Fixture.paramsOf: the Spark side
     // must recover these values through encode→escape→walk→

@@ -324,37 +324,26 @@ object Mp3Headers {
       if (n < 0 || pos + n > limitBit) ok = false else pos += n
   }
 
-  /** MPEG-1 Layer III SIDE-INFORMATION decode (ISO 11172-3
-    * §2.4.1.7) plus the main-data SCALEFACTOR walk (§2.4.2.7) of
-    * the stream's first frame — the structural layer between the
-    * frame-header walk ([[parse]]) and full sample decode (which
-    * stays the declared Huffman/IMDCT stub).
-    *
-    * Reads `main_data_begin`, per-channel `scfsi`, and every
-    * granule × channel field (part2_3_length, big_values,
-    * global_gain, scalefac_compress, the window-switching branch
-    * with block type / mixed flag / table selects / subblock gains,
-    * or table selects + region counts, then the preflag /
-    * scalefac_scale / count1table_select tail). When
-    * `main_data_begin` is 0 — no bit-reservoir backreference, the
-    * main data begins right after the side info — it further
-    * decodes every granule × channel's scalefactors: slen1/slen2
-    * from the §2.4.2.7 scalefac_compress table, the long 21-band /
-    * short 36 / mixed 35 layouts, granule-1 long groups with a set
-    * scfsi bit COPIED from granule 0 (transmitted bits skipped),
-    * and each channel's Huffman region skipped via
-    * `part2_3_length − part2 bits` so the next channel's
-    * scalefactors are found only if part2 was summed exactly.
-    * When `main_data_begin` ≠ 0 the scalefactor fields report −1 —
-    * the reservoir lives in PRIOR frames this reader does not walk.
-    *
+  /** Raw per-frame side-information fields — the shared substrate
+    * of [[sideInfo]]'s metrics and [[count1Info]]'s region decode.
+    * Arrays are (granule)(channel); the reader `r` is positioned at
+    * the main-data start (side-info end). */
+  private final class SideFields(
+      val start: Int, val len: Int, val nch: Int, val mdb: Int,
+      val scfsi: Array[Array[Int]], val p23: Array[Array[Int]],
+      val bigv: Array[Array[Int]], val gain: Array[Array[Int]],
+      val sfc: Array[Array[Int]], val wsf: Array[Array[Int]],
+      val bt: Array[Array[Int]], val mixed: Array[Array[Int]],
+      val c1t: Array[Array[Int]], val tselSum: Long,
+      val regSum: Long, val sbgSum: Long, val flagsSum: Long,
+      val r: BitR)
+
+  /** Header validation + the fixed §2.4.1.7 side-info grammar.
     * Fail-closed (None): no valid complete MPEG-1 Layer III first
-    * frame; window switching with block type 0 (§2.4.1.7 forbids
-    * it); a set scfsi bit when granule 1 runs short blocks, or when
-    * granule 0 was short (nothing positional to copy);
-    * part2_3_length smaller than the transmitted scalefactor bits;
-    * any read past the frame or buffer end. */
-  def sideInfo(b: Array[Byte]): Option[SideInfoMetrics] = {
+    * frame; window switching with block type 0 (forbidden); a set
+    * scfsi bit alongside a short-block granule (nothing positional
+    * to share). */
+  private def readSideFields(b: Array[Byte]): Option[SideFields] = {
     if (b == null) return None
     val start = id3End(b) match {
       case Some(s) => s
@@ -386,13 +375,14 @@ object Mp3Headers {
       while (k < 4) { scfsi(c)(k) = r.u(1); k += 1 }
       c += 1
     }
-    // per granule × channel side-info fields
     val p23 = Array.ofDim[Int](2, nch)
+    val bigv = Array.ofDim[Int](2, nch)
+    val gain = Array.ofDim[Int](2, nch)
     val sfc = Array.ofDim[Int](2, nch)
     val wsf = Array.ofDim[Int](2, nch)
     val bt = Array.ofDim[Int](2, nch)
     val mixed = Array.ofDim[Int](2, nch)
-    var p23Sum = 0L; var bigvSum = 0L; var gainMax = 0
+    val c1t = Array.ofDim[Int](2, nch)
     var tselSum = 0L; var regSum = 0L; var sbgSum = 0L
     var flagsSum = 0L
     var g = 0
@@ -400,9 +390,8 @@ object Mp3Headers {
       c = 0
       while (c < nch) {
         p23(g)(c) = r.u(12)
-        bigvSum += r.u(9)
-        val gain = r.u(8)
-        if (gain > gainMax) gainMax = gain
+        bigv(g)(c) = r.u(9)
+        gain(g)(c) = r.u(8)
         sfc(g)(c) = r.u(4)
         wsf(g)(c) = r.u(1)
         if (wsf(g)(c) == 1) {
@@ -416,8 +405,9 @@ object Mp3Headers {
           regSum += r.u(4) * 8
           regSum += r.u(3)
         }
-        flagsSum += r.u(1) * 4 + r.u(1) * 2 + r.u(1)
-        p23Sum += p23(g)(c)
+        flagsSum += r.u(1) * 4 + r.u(1) * 2
+        c1t(g)(c) = r.u(1)
+        flagsSum += c1t(g)(c)
         c += 1
       }
       g += 1
@@ -426,7 +416,7 @@ object Mp3Headers {
     // the side-info grammar is a fixed 136/256 bits — arriving
     // anywhere else means the reader itself is broken
     if (r.bitPos != (start + 4 + side) * 8) return None
-    // scfsi with short-block granule 1: nothing to share (§2.4.2.7)
+    // scfsi with a short-block granule: nothing to share (§2.4.2.7)
     c = 0
     while (c < nch) {
       val anyScfsi = scfsi(c)(0) + scfsi(c)(1) + scfsi(c)(2) +
@@ -435,67 +425,210 @@ object Mp3Headers {
         (wsf(0)(c) == 1 && bt(0)(c) == 2))) return None
       c += 1
     }
+    Some(new SideFields(start, len, nch, mdb, scfsi, p23, bigv,
+      gain, sfc, wsf, bt, mixed, c1t, tselSum, regSum, sbgSum,
+      flagsSum, r))
+  }
+
+  /** Reads (granule, channel)'s §2.4.2.7 scalefactors at the shared
+    * reader's position: slen1/slen2 from the scalefac_compress
+    * table, long 21-band / short 36 / mixed 35 layouts, granule-1
+    * long groups with a set scfsi bit COPIED from granule 0 (no
+    * bits consumed). Returns (transmitted bits, value sum, slot
+    * count); fills `g0` at granule 0 for the copy path. */
+  private def readScalefactors(f: SideFields, g: Int, c: Int,
+      g0: Array[Array[Int]]): (Long, Long, Int) = {
+    val s1 = Mp3SideFixture.Slen1(f.sfc(g)(c))
+    val s2 = Mp3SideFixture.Slen2(f.sfc(g)(c))
+    var transmitted = 0L
+    var sfSum = 0L
+    var sfN = 0
+    if (f.wsf(g)(c) == 1 && f.bt(g)(c) == 2) {
+      val n1 = if (f.mixed(g)(c) == 1) 17 else 18
+      var j = 0
+      while (j < n1) { sfSum += f.r.u(s1); j += 1 }
+      j = 0
+      while (j < 18) { sfSum += f.r.u(s2); j += 1 }
+      transmitted = n1.toLong * s1 + 18L * s2
+      sfN = n1 + 18
+    } else {
+      var band = 0
+      var k = 0
+      while (k < 4) {
+        val slen = if (k < 2) s1 else s2
+        val size = Mp3SideFixture.ScfsiGroupSize(k)
+        val copied = g == 1 && f.scfsi(c)(k) == 1
+        var i = 0
+        while (i < size) {
+          val v = if (copied) g0(c)(band) else f.r.u(slen)
+          if (g == 0) g0(c)(band) = v
+          sfSum += v
+          if (!copied) transmitted += slen
+          band += 1; i += 1
+        }
+        k += 1
+      }
+      sfN = 21
+    }
+    (transmitted, sfSum, sfN)
+  }
+
+  /** MPEG-1 Layer III SIDE-INFORMATION decode (ISO 11172-3
+    * §2.4.1.7) plus the main-data SCALEFACTOR walk (§2.4.2.7) of
+    * the stream's first frame — the structural layer between the
+    * frame-header walk ([[parse]]) and full sample decode (which
+    * stays the declared Huffman/IMDCT stub).
+    *
+    * Reads `main_data_begin`, per-channel `scfsi`, and every
+    * granule × channel field (part2_3_length, big_values,
+    * global_gain, scalefac_compress, the window-switching branch
+    * with block type / mixed flag / table selects / subblock gains,
+    * or table selects + region counts, then the preflag /
+    * scalefac_scale / count1table_select tail). When
+    * `main_data_begin` is 0 — no bit-reservoir backreference, the
+    * main data begins right after the side info — it further
+    * decodes every granule × channel's scalefactors: slen1/slen2
+    * from the §2.4.2.7 scalefac_compress table, the long 21-band /
+    * short 36 / mixed 35 layouts, granule-1 long groups with a set
+    * scfsi bit COPIED from granule 0 (transmitted bits skipped),
+    * and each channel's Huffman region skipped via
+    * `part2_3_length − part2 bits` so the next channel's
+    * scalefactors are found only if part2 was summed exactly.
+    * When `main_data_begin` ≠ 0 the scalefactor fields report −1 —
+    * the reservoir lives in PRIOR frames this reader does not walk.
+    *
+    * Fail-closed (None): no valid complete MPEG-1 Layer III first
+    * frame; window switching with block type 0 (§2.4.1.7 forbids
+    * it); a set scfsi bit when granule 1 runs short blocks, or when
+    * granule 0 was short (nothing positional to copy);
+    * part2_3_length smaller than the transmitted scalefactor bits;
+    * any read past the frame or buffer end. */
+  def sideInfo(b: Array[Byte]): Option[SideInfoMetrics] = {
+    val f = readSideFields(b) match {
+      case Some(v) => v
+      case None => return None
+    }
+    val nch = f.nch
+    var p23Sum = 0L; var bigvSum = 0L; var gainMax = 0
     var scfsiMask = 0
-    c = 0
+    var g = 0
+    while (g < 2) {
+      var c = 0
+      while (c < nch) {
+        p23Sum += f.p23(g)(c)
+        bigvSum += f.bigv(g)(c)
+        if (f.gain(g)(c) > gainMax) gainMax = f.gain(g)(c)
+        c += 1
+      }
+      g += 1
+    }
+    var c = 0
     while (c < nch) {
-      val v = (scfsi(c)(0) << 3) | (scfsi(c)(1) << 2) |
-        (scfsi(c)(2) << 1) | scfsi(c)(3)
+      val v = (f.scfsi(c)(0) << 3) | (f.scfsi(c)(1) << 2) |
+        (f.scfsi(c)(2) << 1) | f.scfsi(c)(3)
       scfsiMask |= v << (4 * c)
       c += 1
     }
 
     // scalefactor walk — only when the main data starts in THIS frame
     var part2Bits = -1L; var sfSum = -1L; var sfN = -1L
-    if (mdb == 0) {
+    if (f.mdb == 0) {
       part2Bits = 0L; sfSum = 0L; sfN = 0L
       val g0 = Array.ofDim[Int](nch, 21) // granule-0 long values
       g = 0
       while (g < 2) {
         c = 0
         while (c < nch) {
-          val s1 = Mp3SideFixture.Slen1(sfc(g)(c))
-          val s2 = Mp3SideFixture.Slen2(sfc(g)(c))
-          var transmitted = 0L
-          if (wsf(g)(c) == 1 && bt(g)(c) == 2) {
-            val n1 = if (mixed(g)(c) == 1) 17 else 18
-            var j = 0
-            while (j < n1) { sfSum += r.u(s1); j += 1 }
-            j = 0
-            while (j < 18) { sfSum += r.u(s2); j += 1 }
-            transmitted = n1.toLong * s1 + 18L * s2
-            sfN += n1 + 18
-          } else {
-            var band = 0
-            var k = 0
-            while (k < 4) {
-              val slen = if (k < 2) s1 else s2
-              val size = Mp3SideFixture.ScfsiGroupSize(k)
-              val copied = g == 1 && scfsi(c)(k) == 1
-              var i = 0
-              while (i < size) {
-                val v = if (copied) g0(c)(band) else r.u(slen)
-                if (g == 0) g0(c)(band) = v
-                sfSum += v
-                if (!copied) transmitted += slen
-                band += 1; i += 1
-              }
-              k += 1
-            }
-            sfN += 21
-          }
+          val (transmitted, sum, n) = readScalefactors(f, g, c, g0)
           part2Bits += transmitted
-          if (p23(g)(c) < transmitted) return None
-          r.skip(p23(g)(c) - transmitted.toInt)
+          sfSum += sum
+          sfN += n
+          if (f.p23(g)(c) < transmitted) return None
+          f.r.skip(f.p23(g)(c) - transmitted.toInt)
           c += 1
         }
         g += 1
       }
-      if (!r.ok) return None
+      if (!f.r.ok) return None
     }
-    Some(SideInfoMetrics(mdb, nch, scfsiMask, p23Sum, bigvSum,
-      gainMax, if (wsf(1)(0) == 1) bt(1)(0) else 0,
-      if (wsf(1)(0) == 1) mixed(1)(0) else 0, tselSum, regSum,
-      sbgSum, flagsSum, part2Bits, sfSum, sfN))
+    Some(SideInfoMetrics(f.mdb, nch, scfsiMask, p23Sum, bigvSum,
+      gainMax, if (f.wsf(1)(0) == 1) f.bt(1)(0) else 0,
+      if (f.wsf(1)(0) == 1) f.mixed(1)(0) else 0, f.tselSum,
+      f.regSum, f.sbgSum, f.flagsSum, part2Bits, sfSum, sfN))
+  }
+
+  /** COUNT1-REGION entropy decode (ISO 11172-3 §2.4.1.7 /
+    * §2.4.2.7) of the stream's first frame — the first REAL Huffman
+    * slice of the Layer III sample path: spectral quadruples
+    * (v, w, x, y ∈ {0, ±1}) coded with count1 table 1, whose
+    * codewords are all 4 bits and the bitwise COMPLEMENT of the
+    * quadruple, each nonzero value followed by its sign bit
+    * (1 = negative). The walk reuses the side-info + scalefactor
+    * machinery: per granule × channel it decodes the scalefactors,
+    * then — the count1 region starting where the big-values region
+    * would end — consumes quadruples until part2_3_length is
+    * exhausted exactly. Returns
+    * (n_quads, n_nonzero, n_neg, sum_vals) totals over all
+    * granule × channel regions.
+    *
+    * Fail-closed (None), never a guess: everything [[sideInfo]]
+    * rejects; a nonzero `main_data_begin` (the region lives in
+    * prior frames); a nonzero `big_values` (the preceding region's
+    * VARIABLE-length tables 0–31 are outside verified scope — no
+    * codec library in this container to pin them against);
+    * `count1table_select` = 0 (table A, variable-length, same
+    * reason); a region that ends mid-quadruple; more than 144
+    * quadruples in one region (576 spectral lines per granule). */
+  def count1Info(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    val f = readSideFields(b) match {
+      case Some(v) => v
+      case None => return None
+    }
+    if (f.mdb != 0) return None
+    val g0 = Array.ofDim[Int](f.nch, 21)
+    var nQuads = 0L; var nNonzero = 0L; var nNeg = 0L
+    var sumVals = 0L
+    var g = 0
+    while (g < 2) {
+      var c = 0
+      while (c < f.nch) {
+        if (f.bigv(g)(c) != 0 || f.c1t(g)(c) != 1) return None
+        val regionEnd = f.r.bitPos + f.p23(g)(c)
+        val (transmitted, _, _) = readScalefactors(f, g, c, g0)
+        if (f.p23(g)(c) < transmitted) return None
+        var quads = 0
+        while (f.r.ok && f.r.bitPos < regionEnd) {
+          if (regionEnd - f.r.bitPos < 4) return None // mid-quadruple
+          val pattern = (~f.r.u(4)) & 15 // table 1: complement codes
+          var k = 0
+          while (k < 4) {
+            if (((pattern >> (3 - k)) & 1) == 1) {
+              if (f.r.bitPos >= regionEnd) return None // lost sign bit
+              val neg = f.r.u(1)
+              nNonzero += 1
+              if (neg == 1) { nNeg += 1; sumVals -= 1 }
+              else sumVals += 1
+            }
+            k += 1
+          }
+          quads += 1
+          if (quads > 144) return None // 576 lines per granule
+        }
+        if (!f.r.ok) return None
+        nQuads += quads
+        c += 1
+      }
+      g += 1
+    }
+    Some((nQuads, nNonzero, nNeg, sumVals))
+  }
+
+  /** [[count1Info]] as an `InternalRow` for the
+    * [[graft.functions.Mp3Count1]] codegen path. Null = not a
+    * count1-decodable stream. */
+  def count1Row(b: Array[Byte]): InternalRow = count1Info(b) match {
+    case Some((nq, nz, nn, sv)) => InternalRow(nq, nz, nn, sv)
+    case None => null
   }
 
   /** [[sideInfo]] as an `InternalRow` for the

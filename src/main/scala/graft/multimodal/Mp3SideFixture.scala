@@ -136,9 +136,29 @@ object Mp3SideFixture {
     def bytes: Array[Byte] = { while (nBits != 0) write(0, 1); buf.toByteArray }
   }
 
-  /** The complete fixture stream for one document. */
-  def stream(docId: Long): Array[Byte] = {
-    val d = docId
+  // ---- count1-region parameters (the mm_mp3_count1 fixture) ----
+  def nqOf(d: Long, g: Int, c: Int): Int =
+    ((d + g * 3 + c * 5) % 20).toInt
+  /** Quadruple (v,w,x,y) as a 4-bit pattern, v the high bit. */
+  def patOf(d: Long, g: Int, c: Int, q: Int): Int =
+    ((d + q * 7 + g + c) % 16).toInt
+  /** Sign of the value at position `k` of quadruple `q`
+    * (1 = negative); only emitted when that position is nonzero. */
+  def signOf(d: Long, q: Int, k: Int): Int = ((d + q + k) % 2).toInt
+  def count1BitsOf(d: Long, g: Int, c: Int): Int =
+    (0 until nqOf(d, g, c)).map(q =>
+      4 + Integer.bitCount(patOf(d, g, c, q))).sum
+  def p23Count1Of(d: Long, g: Int, c: Int): Int =
+    part2BitsOf(d, g, c) + count1BitsOf(d, g, c)
+
+  /** Shared frame assembly: side info from the per-doc formulas with
+    * the given `mdb` / big_values / count1table_select / p23
+    * overrides, then per (g, c) the transmitted scalefactors and the
+    * caller's part3 region. */
+  private def buildStream(d: Long, mdb: Int,
+      bigvF: (Int, Int) => Int, c1tF: (Int, Int) => Int,
+      p23F: (Int, Int) => Int,
+      part3F: (BitWriter, Int, Int) => Unit): Array[Byte] = {
     val nch = nchOf(d)
     val rate = rateOf(d)
     val kbps = Mp3Headers.BitrateKbps(brIdxOf(d))
@@ -146,12 +166,12 @@ object Mp3SideFixture {
 
     val w = new BitWriter
     // side info
-    w.write(mdbOf(d).toLong, 9)
+    w.write(mdb.toLong, 9)
     w.write(0L, if (nch == 1) 5 else 3) // private bits
     for (c <- 0 until nch) w.write(scfsiOf(d, c).toLong, 4)
     for (g <- 0 to 1; c <- 0 until nch) {
-      w.write(p23Of(d, g, c).toLong, 12)
-      w.write(bigvOf(d, g, c).toLong, 9)
+      w.write(p23F(g, c).toLong, 12)
+      w.write(bigvF(g, c).toLong, 9)
       w.write(gainOf(d, g, c).toLong, 8)
       w.write(sfcOf(d, g, c).toLong, 4)
       val wsf = wsfOf(d, g)
@@ -168,18 +188,18 @@ object Mp3SideFixture {
       }
       w.write(preOf(d, g, c).toLong, 1)
       w.write(sfsOf(d, g, c).toLong, 1)
-      w.write(c1tOf(d, g, c).toLong, 1)
+      w.write(c1tF(g, c).toLong, 1)
     }
     require(w.bitCount == (if (nch == 1) 17 else 32) * 8,
       s"side info bit count ${w.bitCount} for doc $d")
-    // main data: transmitted scalefactors + part3 filler per (g, c)
+    // main data: transmitted scalefactors + part3 per (g, c)
     for (g <- 0 to 1; c <- 0 until nch) {
       var j = 0
       sfLayout(d, g, c).foreach { case (slen, transmitted) =>
         if (transmitted) w.write(sfValOf(d, g, c, j, slen).toLong, slen)
         j += 1
       }
-      w.write(0L, fillerOf(d, g, c)) // fake Huffman part3
+      part3F(w, g, c)
     }
     val body = w.bytes
     require(4 + body.length <= len,
@@ -202,4 +222,29 @@ object Mp3SideFixture {
       out
     }
   }
+
+  /** The `mm_mp3_sideinfo` fixture stream: per-doc side info,
+    * scalefactors, zero-bit part3 filler. */
+  def stream(docId: Long): Array[Byte] =
+    buildStream(docId, mdbOf(docId), bigvOf(docId, _, _),
+      c1tOf(docId, _, _), p23Of(docId, _, _),
+      (w, g, c) => w.write(0L, fillerOf(docId, g, c)))
+
+  /** The `mm_mp3_count1` fixture stream: `big_values` = 0 so the
+    * count1 region starts right after the scalefactors,
+    * `count1table_select` = 1 (the fixed 4-bit complement table),
+    * `main_data_begin` = 0, and the part3 region carries REAL
+    * table-1 quadruple codewords (bitwise complement of the
+    * pattern) each followed by its nonzero positions' sign bits. */
+  def streamCount1(docId: Long): Array[Byte] =
+    buildStream(docId, 0, (_, _) => 0, (_, _) => 1,
+      p23Count1Of(docId, _, _), { (w, g, c) =>
+        for (q <- 0 until nqOf(docId, g, c)) {
+          val pat = patOf(docId, g, c, q)
+          w.write((~pat & 15).toLong, 4)
+          for (k <- 0 to 3)
+            if (((pat >> (3 - k)) & 1) == 1)
+              w.write(signOf(docId, q, k).toLong, 1)
+        }
+      })
 }

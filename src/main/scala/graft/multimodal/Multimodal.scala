@@ -38,7 +38,15 @@ import org.apache.spark.sql.functions._
   * `mm_mp3_meta`): ID3v2 syncsafe skip + the MPEG-1 Layer III
   * derived-frame-length walk — frame count, sample rate, channel
   * mode, VBR bitrate sum, duration — plus the Xing/Info VBR block
-  * ([[graft.functions.Mp3Vbr]], `mm_mp3_vbr`). COMPANDED (lossy)
+  * ([[graft.functions.Mp3Vbr]], `mm_mp3_vbr`), the §2.4.1.7 side
+  * information + §2.4.2.7 main-data scalefactor walk
+  * ([[Mp3Headers.sideInfo]] behind [[graft.functions.Mp3SideInfo]],
+  * `mm_mp3_sideinfo`), and the first real ENTROPY slice of the
+  * Layer III sample path — the count1 region's table-1 quadruple
+  * codes + sign bits ([[Mp3Headers.count1Info]] behind
+  * [[graft.functions.Mp3Count1]], `mm_mp3_count1`; the MP3 analog
+  * of H.264's I_PCM rung — big_values = 0 streams are fully
+  * conformant). COMPANDED (lossy)
   * AUDIO DECODE IS REAL FOR BOTH G.711 HALVES
   * ([[AudioHeaders.ulawExpand]]/[[AudioHeaders.alawExpand]] behind
   * [[graft.functions.AudioUlawLevels]]/[[graft.functions.AudioAlawLevels]],
@@ -65,10 +73,11 @@ import org.apache.spark.sql.functions._
   * Rice/Rice2-coded residuals (unary + binary + zigzag, escaped
   * partitions, multi-partition layouts), decodable without a codec
   * library because Rice coding is bit arithmetic, not table-driven
-  * entropy coding. Only TABLE-DRIVEN entropy decode of the lossy
-  * codecs (MP3 Huffman/IMDCT synthesis, H.264 CAVLC/CABAC residual
-  * + prediction — no codec library in this container) remains a
-  * clearly-marked DETERMINISTIC FAKE:
+  * entropy coding. Only VARIABLE-length table-driven entropy decode
+  * of the lossy codecs (MP3 big-values/count1-table-0 Huffman trees
+  * + IMDCT synthesis, H.264 CAVLC/CABAC residual + prediction — no
+  * codec library in this container to pin the trees against)
+  * remains a clearly-marked DETERMINISTIC FAKE:
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped

@@ -149,6 +149,94 @@ class Mp3SideInfoSpec extends AnyFunSuite {
       Mp3SideFixture.bigvOf(14, g, c).toLong)).sum)
   }
 
+  // count1 hand case: big_values 0, count1table_select 1, mdb 0;
+  // granule 0 sfc 5 (part2 21), granule 1 sfc 8 with scfsi 0000
+  // (part2 11·2 + 10·1 = 32)
+  private def count1Side(p23g0: Int, p23g1: Int) = {
+    def b12(v: Int) = (0 until 12).map(k => (v >> (11 - k)) & 1).mkString
+    "000000000 00000 0000" +
+      b12(p23g0) + " 000000000 11001000 0101 0" +
+      " 00001 00010 00011 0111 101 1 0 1" +
+      b12(p23g1) + " 000000000 01100100 1000 0" +
+      " 00100 00101 00110 0010 011 0 1 1"
+  }
+  private val g1Sf32 =
+    "01 10 11 00 01 10 11 00 01 10 11" + " 1011 0100 11" // 22 + 10 bits
+
+  test("hand-built count1 region: complement codes, sign bits, " +
+    "exact part2_3 boundary") {
+    // g0: quadruple 1010 (code 0101, signs 1,0) + 0000 (code 1111,
+    // no signs) = 10 bits → p23 = 31; g1: quadruple 1111 (code 0000,
+    // signs 1,1,0,1) = 8 bits → p23 = 40
+    val main = "10110101101 1001101001" + " 0101 1 0 1111 " +
+      g1Sf32 + " 0000 1101"
+    val Some((nq, nz, nn, sv)) =
+      Mp3Headers.count1Info(monoFrame(count1Side(31, 40) + main))
+    assert(nq == 3L && nz == 6L && nn == 4L && sv == -2L)
+  }
+
+  test("count1 region ending mid-quadruple fails closed") {
+    // p23 g0 = part2 + 3: three stray bits cannot hold a codeword
+    val main = "10110101101 1001101001" + " 000 " + g1Sf32 + " 1111"
+    assert(Mp3Headers.count1Info(
+      monoFrame(count1Side(24, 36) + main)).isEmpty)
+  }
+
+  test("count1 quadruple whose sign bit falls past the region " +
+    "fails closed") {
+    // code 0101 → pattern 1010 needs two sign bits; region ends
+    // right after the codeword
+    val main = "10110101101 1001101001" + " 0101 " + g1Sf32 + " 1111"
+    assert(Mp3Headers.count1Info(
+      monoFrame(count1Side(25, 36) + main)).isEmpty)
+  }
+
+  test("count1 rejects table 0, nonzero big_values, and a bit " +
+    "reservoir") {
+    // flip count1table_select of granule 0 to 0
+    val sideT0 = "000000000 00000 0000" +
+      "000000011111 000000000 11001000 0101 0" +
+      " 00001 00010 00011 0111 101 1 0 0" + // c1t = 0: table A
+      "000000101000 000000000 01100100 1000 0" +
+      " 00100 00101 00110 0010 011 0 1 1"
+    val main = "10110101101 1001101001" + " 0101 1 0 1111 " +
+      g1Sf32 + " 0000 1101"
+    assert(Mp3Headers.count1Info(monoFrame(sideT0 + main)).isEmpty)
+    // nonzero big_values: the variable-length region precedes count1
+    val sideBv = "000000000 00000 0000" +
+      "000000011111 000000001 11001000 0101 0" +
+      " 00001 00010 00011 0111 101 1 0 1" +
+      "000000101000 000000000 01100100 1000 0" +
+      " 00100 00101 00110 0010 011 0 1 1"
+    assert(Mp3Headers.count1Info(monoFrame(sideBv + main)).isEmpty)
+    // nonzero main_data_begin: the region lives in prior frames
+    val sideMdb = "000000001" + count1Side(31, 40).drop(9)
+    assert(Mp3Headers.count1Info(monoFrame(sideMdb + main)).isEmpty)
+  }
+
+  test("count1 writer/parser/closed-form triangle over 240 documents") {
+    for (d <- 0L until 240L) {
+      val Some((nq, nz, nn, sv)) =
+        Mp3Headers.count1Info(Mp3SideFixture.streamCount1(d))
+      val nch = Mp3SideFixture.nchOf(d)
+      val gcs = for (g <- 0 to 1; c <- 0 until nch) yield (g, c)
+      assert(nq == gcs.map { case (g, c) =>
+        Mp3SideFixture.nqOf(d, g, c).toLong }.sum, s"nq d=$d")
+      val quads = gcs.flatMap { case (g, c) =>
+        (0 until Mp3SideFixture.nqOf(d, g, c)).map(q => (g, c, q)) }
+      val vals = quads.flatMap { case (g, c, q) =>
+        val pat = Mp3SideFixture.patOf(d, g, c, q)
+        (0 to 3).collect {
+          case k if ((pat >> (3 - k)) & 1) == 1 =>
+            if (Mp3SideFixture.signOf(d, q, k) == 1) -1L else 1L
+        }
+      }
+      assert(nz == vals.size.toLong, s"nz d=$d")
+      assert(nn == vals.count(_ == -1L).toLong, s"nn d=$d")
+      assert(sv == vals.sum, s"sv d=$d")
+    }
+  }
+
   test("writer/parser/closed-form triangle over 240 documents") {
     for (d <- 0L until 240L) {
       val Some(m) = Mp3Headers.sideInfo(Mp3SideFixture.stream(d))
