@@ -38,3 +38,35 @@ object FlacLpcFixture {
   def apply(c: Column): Column =
     ColumnBridge.column(FlacLpcFixture(ColumnBridge.expression(c)))
 }
+
+/** `flac_stereo_fixture(doc_id)` → a complete FLAC stream whose one
+  * frame is STEREO-DECORRELATED (§9.1.3 left/side, side/right or
+  * mid/side by doc_id % 3, the side subframe one bit wider), every
+  * sample a deterministic function of `doc_id`
+  * ([[graft.multimodal.FlacFixture.streamStereo]]) — the encode
+  * half of the `mm_flac_stereo` round-trip: the oracle replays the
+  * left/right meter in closed form while the engine must
+  * reconstruct the channels through actual decorrelated bits. */
+case class FlacStereoFixture(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.FlacFixture.streamStereo(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.FlacFixture.streamStereo($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): FlacStereoFixture = copy(child = c)
+  override def prettyName: String = "flac_stereo_fixture"
+}
+
+object FlacStereoFixture {
+  def apply(c: Column): Column =
+    ColumnBridge.column(FlacStereoFixture(ColumnBridge.expression(c)))
+}

@@ -122,6 +122,7 @@ object LlmQueries {
     "mm_flac_pcm" -> flacPcm,
     "mm_flac_fixed" -> flacFixed,
     "mm_flac_lpc" -> flacLpc,
+    "mm_flac_stereo" -> flacStereo,
     "mm_ogg_meta" -> oggMeta,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
@@ -4730,6 +4731,35 @@ object LlmQueries {
         max(col("m.peak").cast("bigint")).as("max_peak"),
         sum(col("m.n_clipped")).as("sum_clipped"))
 
+  /** STEREO-DECORRELATED FLAC decode (`mm_flac_stereo`) — the mode
+    * virtually every real stereo FLAC file uses (encoders pick
+    * left/side / side/right / mid/side per frame because the side
+    * channel compresses better than either raw channel): fixture
+    * streams whose one frame carries §9.1.3 decorrelated subframe
+    * pairs — the side channel one bit WIDER, mid recovering its
+    * dropped LSB from side's parity — FIXED-coded and cycled
+    * through all three assignments by doc_id, decoded back through
+    * [[graft.functions.FlacPcmLevels]]' channel reconstruction.
+    * The oracle replays the LEFT/RIGHT meter in closed form from
+    * doc_id (the [[flacFixed]] discipline): the decorrelation
+    * shapes only the bits, never the expected samples, so a decoder
+    * that mis-widths the side subframe, swaps the assignment roles,
+    * or drops the parity bit hash-mismatches. Map-side construct →
+    * decode → partial agg; one bounded exchange on the ≤ 4-key
+    * rate space. */
+  def flacStereo(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.FlacStereoFixture(col("doc_id")))
+      .withColumn("m", graft.functions.FlacPcmLevels(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_values")).as("sum_values"),
+        sum(col("m.sum_sq")).as("sum_sq"),
+        max(col("m.peak").cast("bigint")).as("max_peak"),
+        sum(col("m.n_clipped")).as("sum_clipped"))
+
   /** PII regexes shared by the engine and (verbatim, backslashes
     * unprocessed by DuckDB regular strings) the oracle — simple
     * enough to mean the same thing in Java regex and RE2: no
@@ -8616,6 +8646,38 @@ object LlmQueries {
         |  FROM sv GROUP BY 1, 2, 3)
         |SELECT CAST(rate0 AS BIGINT) AS sample_rate,
         |  CAST(ch0 AS BIGINT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(nv) AS BIGINT) AS sum_values,
+        |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+        |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // stereo twin of mm_flac_fixed: the oracle replays the
+    // closed-form LEFT/RIGHT meter — the decorrelation mode, side
+    // widths, and parity trick shape only the BITSTREAM the engine
+    // must reconstruct through, never the expected samples
+    "mm_flac_stereo" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_extract([8000, 22050, 44100, 48000],
+        |      CAST(doc_id % 4 AS INT) + 1) AS rate0,
+        |    CAST(doc_id % 12 + 4 AS INT) AS ns0
+        |  FROM documents),
+        |tc AS (SELECT doc_id, rate0, ns0,
+        |    unnest(range(0, 2)) AS c FROM t),
+        |sv AS (SELECT doc_id, rate0,
+        |    (doc_id % 1000) + 3 * i +
+        |      ((doc_id * 7 + i * 13 + c * 11) % 5) AS s
+        |  FROM (SELECT doc_id, rate0, c,
+        |        unnest(range(0, ns0)) AS i FROM tc)),
+        |g AS (SELECT doc_id, rate0,
+        |    COUNT(*) AS nv, CAST(SUM(s * s) AS BIGINT) AS ssq,
+        |    MAX(ABS(s)) AS pk,
+        |    CAST(SUM(CASE WHEN s = 32767 OR s = -32768
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cl
+        |  FROM sv GROUP BY 1, 2)
+        |SELECT CAST(rate0 AS BIGINT) AS sample_rate,
+        |  CAST(2 AS BIGINT) AS channels,
         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
         |  CAST(SUM(nv) AS BIGINT) AS sum_values,
         |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,

@@ -208,13 +208,22 @@ object AudioHeaders {
     * prediction recurrence (64-bit coefficient dot product,
     * arithmetic right shift).
     *
+    * STEREO DECORRELATION (§9.1.3) decodes for all three modes —
+    * left/side, side/right (channel assignments 8/9: the side
+    * channel is the inter-channel difference, one bit wider) and
+    * mid/side (10: mid drops the sum's LSB, recovered from the side
+    * channel's parity — the lossless trick that makes mid/side
+    * exact) — reconstructing left/right before metering, so a
+    * decoder that mis-widths the side subframe or drops the parity
+    * bit hash-mismatches.
+    *
     * Fail-closed (None) on anything OUTSIDE the decoded subset:
     * reserved subframe types, invalid coefficient precision (15),
     * negative quantization shifts, reserved residual methods,
-    * wasted-bits, stereo decorrelation modes, nonzero alignment
-    * padding, short frames, or a decoded total that misses
-    * STREAMINFO's. CRC-8/CRC-16 are skipped, not verified — the
-    * [[parseOgg]] metadata-pass discipline. */
+    * wasted-bits, reserved channel assignments (11+), nonzero
+    * alignment padding, short frames, or a decoded total that
+    * misses STREAMINFO's. CRC-8/CRC-16 are skipped, not verified —
+    * the [[parseOgg]] metadata-pass discipline. */
   def parseFlacPcm(b: Array[Byte])
       : Option[(Int, Int, Int, Long, Long, Int, Long)] = {
     val geo = parseFlac(b)
@@ -245,9 +254,11 @@ object AudioHeaders {
       val chAsgn = u8(b, i + 3) >> 4
       val ssCode = (u8(b, i + 3) >> 1) & 7
       if ((u8(b, i + 3) & 1) != 0) return None
-      // independent channels only — decorrelated stereo (8..10)
-      // mixes channels through the residual, out of the uncoded set
-      if (chAsgn > 7 || chAsgn + 1 != ch) return None
+      // 0–7 = independent channels; 8/9/10 = decorrelated stereo
+      // (left/side, right/side, mid/side — §9.1.3); 11+ reserved
+      if (chAsgn <= 7) { if (chAsgn + 1 != ch) return None }
+      else if (chAsgn <= 10) { if (ch != 2) return None }
+      else return None
       val bits = ssCode match {
         case 0 => bits0
         case 1 => 8
@@ -315,8 +326,6 @@ object AudioHeaders {
         }
         v
       }
-      def signed(v: Long): Long =
-        if ((v & (1L << (bits - 1))) != 0) v - (1L << bits) else v
       def meter(sv: Long): Unit = {
         nValues += 1
         sumSq += sv * sv
@@ -389,36 +398,40 @@ object AudioHeaders {
         }
         true
       }
-      var c = 0
-      while (c < ch) {
-        if (readBits(1) != 0 || !ok) return None // subframe pad bit
+      // one subframe at the given sample width (the SIDE channel of
+      // a decorrelated pair carries width+1 — §9.1.3), fully
+      // reconstructed; null = malformed / outside the decoded set
+      def decodeSubframe(width: Int): Array[Long] = {
+        if (readBits(1) != 0 || !ok) return null // subframe pad bit
         val tpe = readBits(6).toInt
-        if (readBits(1) != 0 || !ok) return None // wasted bits: out
+        if (readBits(1) != 0 || !ok) return null // wasted bits: out
+        def sgn(v: Long): Long =
+          if ((v & (1L << (width - 1))) != 0) v - (1L << width) else v
         tpe match {
           case 0 => // CONSTANT: one value fills the block
-            val sv = signed(readBits(bits))
-            if (!ok) return None
-            var j = 0
-            while (j < blockSize) { meter(sv); j += 1 }
+            val sv = sgn(readBits(width))
+            if (!ok) return null
+            Array.fill(blockSize)(sv)
           case 1 => // VERBATIM: blocksize raw values
+            val s = new Array[Long](blockSize)
             var j = 0
             while (j < blockSize) {
-              val sv = signed(readBits(bits))
-              if (!ok) return None
-              meter(sv)
+              s(j) = sgn(readBits(width))
+              if (!ok) return null
               j += 1
             }
+            s
           case t if t >= 8 && t <= 12 => // FIXED predictor, order 0-4
             val order = t - 8
-            if (order > blockSize) return None
+            if (order > blockSize) return null
             val s = new Array[Long](blockSize)
             var j = 0
             while (j < order) { // warm-up samples at full width
-              s(j) = signed(readBits(bits))
-              if (!ok) return None
+              s(j) = sgn(readBits(width))
+              if (!ok) return null
               j += 1
             }
-            if (!readResidualInto(s, order)) return None
+            if (!readResidualInto(s, order)) return null
             // fixed-predictor reconstruction (§9.2.2 coefficients)
             var i2 = order
             while (i2 < blockSize) {
@@ -433,26 +446,25 @@ object AudioHeaders {
               }
               i2 += 1
             }
-            var m = 0
-            while (m < blockSize) { meter(s(m)); m += 1 }
+            s
           case t if t >= 32 => // LPC, order 1..32 (§9.2.4)
             val order = t - 31
-            if (order > blockSize) return None
+            if (order > blockSize) return null
             val s = new Array[Long](blockSize)
             var j = 0
             while (j < order) { // warm-up samples at full width
-              s(j) = signed(readBits(bits))
-              if (!ok) return None
+              s(j) = sgn(readBits(width))
+              if (!ok) return null
               j += 1
             }
             // 4-bit coefficient precision minus 1 (15 = invalid)
             val precM1 = readBits(4).toInt
-            if (!ok || precM1 == 15) return None
+            if (!ok || precM1 == 15) return null
             val prec = precM1 + 1
             // 5-bit two's-complement quantization shift; the spec
             // marks negative shifts unused/invalid — fail closed
             val shiftRaw = readBits(5).toInt
-            if (!ok || (shiftRaw & 0x10) != 0) return None
+            if (!ok || (shiftRaw & 0x10) != 0) return null
             val shift = shiftRaw
             // order × precision-bit signed quantized coefficients,
             // c(0) multiplying the most recent sample
@@ -460,13 +472,13 @@ object AudioHeaders {
             j = 0
             while (j < order) {
               val v = readBits(prec)
-              if (!ok) return None
+              if (!ok) return null
               coef(j) =
                 if ((v & (1L << (prec - 1))) != 0) v - (1L << prec)
                 else v
               j += 1
             }
-            if (!readResidualInto(s, order)) return None
+            if (!readResidualInto(s, order)) return null
             // all-integer prediction recurrence: the coefficient dot
             // product accumulates in 64-bit and shifts ARITHMETICALLY
             // right (§9.2.4's quantized-LPC reconstruction)
@@ -481,11 +493,43 @@ object AudioHeaders {
               s(i2) += acc >> shift
               i2 += 1
             }
-            var m = 0
-            while (m < blockSize) { meter(s(m)); m += 1 }
-          case _ => return None // reserved subframe types (2–7, 13–31)
+            s
+          case _ => null // reserved subframe types (2–7, 13–31)
         }
-        c += 1
+      }
+      if (chAsgn <= 7) { // independent channels
+        var c = 0
+        while (c < ch) {
+          val s = decodeSubframe(bits)
+          if (s == null) return None
+          var m = 0
+          while (m < blockSize) { meter(s(m)); m += 1 }
+          c += 1
+        }
+      } else {
+        // §9.1.3 stereo decorrelation: the side channel (the second
+        // subframe except for right/side) is one bit wider
+        val s0 = decodeSubframe(if (chAsgn == 9) bits + 1 else bits)
+        if (s0 == null) return None
+        val s1 = decodeSubframe(if (chAsgn == 9) bits else bits + 1)
+        if (s1 == null) return None
+        var m = 0
+        while (m < blockSize) {
+          var l = 0L; var rv = 0L
+          chAsgn match {
+            case 8 => // left/side: right = left − side
+              l = s0(m); rv = s0(m) - s1(m)
+            case 9 => // side/right: left = right + side
+              l = s1(m) + s0(m); rv = s1(m)
+            case _ => // mid/side: mid dropped the LSB; side's
+              // parity restores it (§9.1.3's lossless trick)
+              val mid2 = (s0(m) << 1) | (s1(m) & 1L)
+              l = (mid2 + s1(m)) >> 1
+              rv = (mid2 - s1(m)) >> 1
+          }
+          meter(l); meter(rv)
+          m += 1
+        }
       }
       if (bitPos != 0) { // frame padding to byte alignment is zeros
         if ((u8(b, i) & ((1 << (8 - bitPos)) - 1)) != 0) return None

@@ -96,14 +96,18 @@ object FlacFixture {
   }
 
   /** One FIXED subframe (header + warm-ups + method-0 single-
-    * partition Rice residual) into `w`. */
+    * partition Rice residual) into `w`. `width` is the sample bit
+    * width — 16 for plain channels, 17 for the SIDE channel of a
+    * decorrelated pair (§9.1.3). */
   private def writeFixedSubframe(w: BitWriter, s: Array[Long],
-      order: Int, param: Int): Unit = {
+      order: Int, param: Int, width: Int = 16): Unit = {
     w.write(0, 1) // pad
     w.write(8 + order, 6) // FIXED type
     w.write(0, 1) // no wasted bits
     var i = 0
-    while (i < order) { w.write(s(i) & 0xffffL, 16); i += 1 }
+    while (i < order) {
+      w.write(s(i) & ((1L << width) - 1), width); i += 1
+    }
     w.write(0, 2) // method 0: 4-bit Rice params
     w.write(0, 4) // partition order 0
     w.write(param, 4)
@@ -206,6 +210,45 @@ object FlacFixture {
     w.alignZero()
     w.write(0, 16) // zero CRC-16
     head(rate, ch, ns) ++ w.bytes
+  }
+
+  /** The complete STEREO-DECORRELATED stream for one `doc_id`
+    * (`mm_flac_stereo`): always 2 channels, the channel assignment
+    * cycling left/side / side/right / mid/side by doc_id % 3, each
+    * derived channel FIXED-coded (the side subframe one bit wider
+    * per §9.1.3) — the encode half inverts the decorrelation
+    * (side = l − r, mid = (l + r) >> 1) so the oracle replays the
+    * l/r meter in closed form while the engine must reconstruct
+    * through actual decorrelated bits. */
+  def streamStereo(docId: Long): Array[Byte] = {
+    val (rate, ns) = (rateOf(docId), nsOf(docId))
+    val order = orderOf(docId)
+    val chAsgn = 8 + (docId % 3).toInt
+    val l = Array.tabulate(ns)(i => sample(docId, 0, i))
+    val r = Array.tabulate(ns)(i => sample(docId, 1, i))
+    val side = Array.tabulate(ns)(i => l(i) - r(i))
+    val mid = Array.tabulate(ns)(i => (l(i) + r(i)) >> 1)
+    val w = new BitWriter
+    w.write(0xff, 8); w.write(0xf8, 8); w.write(0x60, 8)
+    w.write(chAsgn << 4, 8)
+    w.write(0, 8)
+    w.write(ns - 1, 8)
+    w.write(0, 8)
+    val param = if (order == 0) 11 else 4
+    chAsgn match {
+      case 8 => // left/side
+        writeFixedSubframe(w, l, order, param)
+        writeFixedSubframe(w, side, order, param, 17)
+      case 9 => // side/right
+        writeFixedSubframe(w, side, order, param, 17)
+        writeFixedSubframe(w, r, order, param)
+      case _ => // mid/side
+        writeFixedSubframe(w, mid, order, param)
+        writeFixedSubframe(w, side, order, param, 17)
+    }
+    w.alignZero()
+    w.write(0, 16) // zero CRC-16
+    head(rate, 2, ns) ++ w.bytes
   }
 
   /** The complete stream for one `doc_id`. */

@@ -73,7 +73,10 @@ import org.apache.spark.sql.functions._
   * Rice/Rice2-coded residuals (unary + binary + zigzag, escaped
   * partitions, multi-partition layouts), decodable without a codec
   * library because Rice coding is bit arithmetic, not table-driven
-  * entropy coding. Only VARIABLE-length table-driven entropy decode
+  * entropy coding — plus all three §9.1.3 STEREO DECORRELATION
+  * modes (left/side, side/right, mid/side with the parity-restored
+  * LSB; the 17-bit side channel — what real stereo FLAC actually
+  * ships; `mm_flac_stereo`). Only VARIABLE-length table-driven entropy decode
   * of the lossy codecs (MP3 big-values/count1-table-0 Huffman trees
   * + IMDCT synthesis, H.264 CAVLC/CABAC residual + prediction — no
   * codec library in this container to pin the trees against)
