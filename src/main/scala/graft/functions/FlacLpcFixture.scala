@@ -70,3 +70,33 @@ object FlacStereoFixture {
   def apply(c: Column): Column =
     ColumnBridge.column(FlacStereoFixture(ColumnBridge.expression(c)))
 }
+
+/** `flac_wasted_fixture(doc_id)` → a complete FLAC stream whose
+  * subframes carry §9.2.1 WASTED-BITS headers (samples coded
+  * right-shifted at a reduced width, restored by a left shift after
+  * reconstruction), every parameter deterministic in `doc_id`
+  * ([[graft.multimodal.FlacFixture.streamWasted]]) — the encode
+  * half of the `mm_flac_wasted` round-trip. */
+case class FlacWastedFixture(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.FlacFixture.streamWasted(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.FlacFixture.streamWasted($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): FlacWastedFixture = copy(child = c)
+  override def prettyName: String = "flac_wasted_fixture"
+}
+
+object FlacWastedFixture {
+  def apply(c: Column): Column =
+    ColumnBridge.column(FlacWastedFixture(ColumnBridge.expression(c)))
+}

@@ -123,6 +123,7 @@ object LlmQueries {
     "mm_flac_fixed" -> flacFixed,
     "mm_flac_lpc" -> flacLpc,
     "mm_flac_stereo" -> flacStereo,
+    "mm_flac_wasted" -> flacWasted,
     "mm_ogg_meta" -> oggMeta,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
@@ -4760,6 +4761,33 @@ object LlmQueries {
         max(col("m.peak").cast("bigint")).as("max_peak"),
         sum(col("m.n_clipped")).as("sum_clipped"))
 
+  /** WASTED-BITS FLAC decode (`mm_flac_wasted`) — §9.2.1's encoder
+    * trick for sources with constant trailing zero bits (14-bit
+    * masters shipped as 16-bit): every fixture sample is a base
+    * value left-shifted by k = 1–3, each subframe coding the base
+    * at width 16 − k behind a wasted-bits header (flag + unary k),
+    * decoded back through [[graft.functions.FlacPcmLevels]] — the
+    * subframe decodes at the reduced width, the predictor
+    * recurrence runs in the SHIFTED-DOWN domain, and the left shift
+    * restores actual samples only after reconstruction. The oracle
+    * replays the shifted meter in closed form from doc_id; a
+    * decoder that ignores the flag, mis-reads the unary count, or
+    * shifts before the recurrence hash-mismatches. Map-side
+    * construct → decode → partial agg; one bounded exchange on the
+    * ≤ 8-key (rate, channels) space. */
+  def flacWasted(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.FlacWastedFixture(col("doc_id")))
+      .withColumn("m", graft.functions.FlacPcmLevels(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_values")).as("sum_values"),
+        sum(col("m.sum_sq")).as("sum_sq"),
+        max(col("m.peak").cast("bigint")).as("max_peak"),
+        sum(col("m.n_clipped")).as("sum_clipped"))
+
   /** PII regexes shared by the engine and (verbatim, backslashes
     * unprocessed by DuckDB regular strings) the oracle — simple
     * enough to mean the same thing in Java regex and RE2: no
@@ -8678,6 +8706,40 @@ object LlmQueries {
         |  FROM sv GROUP BY 1, 2)
         |SELECT CAST(rate0 AS BIGINT) AS sample_rate,
         |  CAST(2 AS BIGINT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(nv) AS BIGINT) AS sum_values,
+        |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(pk) AS BIGINT) AS max_peak,
+        |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // wasted-bits twin of mm_flac_fixed: the oracle replays the
+    // SHIFTED meter (base << k) in closed form — the reduced coding
+    // width, unary header, and shift-after-recurrence order shape
+    // only the bitstream the engine must decode through
+    "mm_flac_wasted" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_extract([8000, 22050, 44100, 48000],
+        |      CAST(doc_id % 4 AS INT) + 1) AS rate0,
+        |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+        |    CAST(doc_id % 12 + 4 AS INT) AS ns0,
+        |    CAST(doc_id % 3 + 1 AS INT) AS k0
+        |  FROM documents),
+        |tc AS (SELECT doc_id, rate0, ch0, ns0, k0,
+        |    unnest(range(0, ch0)) AS c FROM t),
+        |sv AS (SELECT doc_id, rate0, ch0,
+        |    ((doc_id % 1000) + 3 * i +
+        |      ((doc_id * 7 + i * 13 + c * 11) % 5)) * (1 << k0) AS s
+        |  FROM (SELECT doc_id, rate0, ch0, k0, c,
+        |        unnest(range(0, ns0)) AS i FROM tc)),
+        |g AS (SELECT doc_id, rate0, ch0,
+        |    COUNT(*) AS nv, CAST(SUM(s * s) AS BIGINT) AS ssq,
+        |    MAX(ABS(s)) AS pk,
+        |    CAST(SUM(CASE WHEN s = 32767 OR s = -32768
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cl
+        |  FROM sv GROUP BY 1, 2, 3)
+        |SELECT CAST(rate0 AS BIGINT) AS sample_rate,
+        |  CAST(ch0 AS BIGINT) AS channels,
         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
         |  CAST(SUM(nv) AS BIGINT) AS sum_values,
         |  CAST(SUM(ssq) AS BIGINT) AS sum_sq,

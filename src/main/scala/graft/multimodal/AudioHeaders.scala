@@ -217,13 +217,20 @@ object AudioHeaders {
     * decoder that mis-widths the side subframe or drops the parity
     * bit hash-mismatches.
     *
+    * WASTED BITS (§9.2.1) decode too: a flagged subframe codes
+    * samples right-shifted by the unary-coded k, restored by a left
+    * shift after reconstruction — the encoder trick for sources
+    * with constant trailing zero bits (e.g. 14-bit masters shipped
+    * as 16-bit).
+    *
     * Fail-closed (None) on anything OUTSIDE the decoded subset:
     * reserved subframe types, invalid coefficient precision (15),
     * negative quantization shifts, reserved residual methods,
-    * wasted-bits, reserved channel assignments (11+), nonzero
-    * alignment padding, short frames, or a decoded total that
-    * misses STREAMINFO's. CRC-8/CRC-16 are skipped, not verified —
-    * the [[parseOgg]] metadata-pass discipline. */
+    * wasted-bit counts that consume the whole sample width,
+    * reserved channel assignments (11+), nonzero alignment padding,
+    * short frames, or a decoded total that misses STREAMINFO's.
+    * CRC-8/CRC-16 are skipped, not verified — the [[parseOgg]]
+    * metadata-pass discipline. */
   def parseFlacPcm(b: Array[Byte])
       : Option[(Int, Int, Int, Long, Long, Int, Long)] = {
     val geo = parseFlac(b)
@@ -401,17 +408,40 @@ object AudioHeaders {
       // one subframe at the given sample width (the SIDE channel of
       // a decorrelated pair carries width+1 — §9.1.3), fully
       // reconstructed; null = malformed / outside the decoded set
-      def decodeSubframe(width: Int): Array[Long] = {
+      def decodeSubframe(fullWidth: Int): Array[Long] = {
         if (readBits(1) != 0 || !ok) return null // subframe pad bit
         val tpe = readBits(6).toInt
-        if (readBits(1) != 0 || !ok) return null // wasted bits: out
+        // §9.2.1 wasted bits: flag 1 → k−1 zeros then a one (k ≥ 1)
+        // trailing zero bits per sample; the subframe codes samples
+        // RIGHT-shifted by k, restored by a left shift at the end
+        var wasted = 0
+        val wFlag = readBits(1)
+        if (!ok) return null
+        if (wFlag == 1) {
+          var z = 0
+          while (ok && readBits(1) == 0) {
+            z += 1
+            if (z > 30) return null // no real width survives that
+          }
+          if (!ok) return null
+          wasted = z + 1
+        }
+        if (wasted >= fullWidth) return null
+        val width = fullWidth - wasted
         def sgn(v: Long): Long =
           if ((v & (1L << (width - 1))) != 0) v - (1L << width) else v
+        def restore(s: Array[Long]): Array[Long] = {
+          if (wasted > 0) {
+            var j = 0
+            while (j < s.length) { s(j) <<= wasted; j += 1 }
+          }
+          s
+        }
         tpe match {
           case 0 => // CONSTANT: one value fills the block
             val sv = sgn(readBits(width))
             if (!ok) return null
-            Array.fill(blockSize)(sv)
+            restore(Array.fill(blockSize)(sv))
           case 1 => // VERBATIM: blocksize raw values
             val s = new Array[Long](blockSize)
             var j = 0
@@ -420,7 +450,7 @@ object AudioHeaders {
               if (!ok) return null
               j += 1
             }
-            s
+            restore(s)
           case t if t >= 8 && t <= 12 => // FIXED predictor, order 0-4
             val order = t - 8
             if (order > blockSize) return null
@@ -446,7 +476,7 @@ object AudioHeaders {
               }
               i2 += 1
             }
-            s
+            restore(s)
           case t if t >= 32 => // LPC, order 1..32 (§9.2.4)
             val order = t - 31
             if (order > blockSize) return null
@@ -493,7 +523,7 @@ object AudioHeaders {
               s(i2) += acc >> shift
               i2 += 1
             }
-            s
+            restore(s)
           case _ => null // reserved subframe types (2–7, 13–31)
         }
       }

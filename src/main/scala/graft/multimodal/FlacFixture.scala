@@ -100,10 +100,19 @@ object FlacFixture {
     * width — 16 for plain channels, 17 for the SIDE channel of a
     * decorrelated pair (§9.1.3). */
   private def writeFixedSubframe(w: BitWriter, s: Array[Long],
-      order: Int, param: Int, width: Int = 16): Unit = {
+      order: Int, param: Int, width: Int = 16,
+      wasted: Int = 0): Unit = {
     w.write(0, 1) // pad
     w.write(8 + order, 6) // FIXED type
-    w.write(0, 1) // no wasted bits
+    if (wasted == 0) w.write(0, 1) // no wasted bits
+    else { // flag, then k−1 zeros and a one (§9.2.1 unary form);
+      // `s` must already be the right-shifted coded samples and
+      // `width` the reduced coding width
+      w.write(1, 1)
+      var z = 0
+      while (z < wasted - 1) { w.write(0, 1); z += 1 }
+      w.write(1, 1)
+    }
     var i = 0
     while (i < order) {
       w.write(s(i) & ((1L << width) - 1), width); i += 1
@@ -249,6 +258,41 @@ object FlacFixture {
     w.alignZero()
     w.write(0, 16) // zero CRC-16
     head(rate, 2, ns) ++ w.bytes
+  }
+
+  /** Wasted-bit count for the `mm_flac_wasted` fixture: 1–3
+    * trailing zero bits per sample. */
+  def wastedOf(docId: Long): Int = (docId % 3).toInt + 1
+
+  /** The complete WASTED-BITS stream for one `doc_id`
+    * (`mm_flac_wasted`): the [[stream]] geometry, but every actual
+    * sample is `sample(doc_id, c, i) << k` (k = [[wastedOf]]) and
+    * each subframe codes the RIGHT-shifted base at width 16 − k
+    * behind a §9.2.1 wasted-bits header — the encoder trick for
+    * sources with constant trailing zero bits. The oracle replays
+    * the shifted meter in closed form; a decoder that ignores the
+    * flag, mis-reads the unary k, or shifts before the predictor
+    * recurrence hash-mismatches. */
+  def streamWasted(docId: Long): Array[Byte] = {
+    val (rate, ch, ns, order) =
+      (rateOf(docId), chOf(docId), nsOf(docId), orderOf(docId))
+    val k = wastedOf(docId)
+    val w = new BitWriter
+    w.write(0xff, 8); w.write(0xf8, 8); w.write(0x60, 8)
+    w.write((ch - 1) << 4, 8)
+    w.write(0, 8)
+    w.write(ns - 1, 8)
+    w.write(0, 8)
+    var c = 0
+    while (c < ch) {
+      val base = Array.tabulate(ns)(i => sample(docId, c, i))
+      writeFixedSubframe(w, base, order, if (order == 0) 11 else 4,
+        width = 16 - k, wasted = k)
+      c += 1
+    }
+    w.alignZero()
+    w.write(0, 16) // zero CRC-16
+    head(rate, ch, ns) ++ w.bytes
   }
 
   /** The complete stream for one `doc_id`. */

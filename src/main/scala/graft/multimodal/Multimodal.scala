@@ -76,7 +76,9 @@ import org.apache.spark.sql.functions._
   * entropy coding — plus all three §9.1.3 STEREO DECORRELATION
   * modes (left/side, side/right, mid/side with the parity-restored
   * LSB; the 17-bit side channel — what real stereo FLAC actually
-  * ships; `mm_flac_stereo`). Only VARIABLE-length table-driven entropy decode
+  * ships; `mm_flac_stereo`) and §9.2.1 WASTED BITS (reduced-width
+  * coding restored by a post-reconstruction shift;
+  * `mm_flac_wasted`). Only VARIABLE-length table-driven entropy decode
   * of the lossy codecs (MP3 big-values/count1-table-0 Huffman trees
   * + IMDCT synthesis, H.264 CAVLC/CABAC residual + prediction — no
   * codec library in this container to pin the trees against)
