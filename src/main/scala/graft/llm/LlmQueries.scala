@@ -36,6 +36,7 @@ object LlmQueries {
     "llm_bpe_incremental" -> bpeIncremental,
     "llm_wordpiece_tokens" -> wordpieceTokens,
     "llm_wordpiece_incremental" -> wordpieceIncremental,
+    "llm_unigram_tokens" -> unigramTokens,
     "llm_bigram_fluency" -> bigramFluency,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_lsh_bucket_stats" -> lshBucketStats,
@@ -577,6 +578,112 @@ object LlmQueries {
       .groupBy(col("token"))
       .agg(sum(col("c")).as("n_occ"),
         countDistinct(col("word")).as("n_words"))
+  }
+
+  /** UNIGRAM-LM tokenization by Viterbi dynamic programming
+    * (`llm_unigram_tokens`) — the third of the big tokenizer
+    * families (BPE merges, WordPiece greedy longest-match, unigram
+    * GLOBAL segmentation), and the one whose answer greedy walks
+    * get wrong: the DP considers every segmentation of a word
+    * against the weighted vocabulary and picks the best WHOLE
+    * sequence, so a high-frequency early token loses to a better
+    * global split (e.g. greedy takes `ab|c` where `a|bc` carries
+    * more corpus mass). SentencePiece scores segmentations by
+    * Σ log p(token) — float, and therefore never hash-exact across
+    * engines — so this variant pins an integer-exact objective with
+    * the same structure: minimize token COUNT, break ties by
+    * MAXIMIZING the sum of occurrence-weighted vocabulary
+    * frequencies, and canonicalize remaining ties by preferring the
+    * LONGER final token (applied recursively — the standard DP
+    * exchange argument makes per-position canonical choices
+    * globally canonical). The vocabulary is the [[wordpieceTokens]]
+    * derivation WITH its counts kept: every observed character (the
+    * progress guarantee) plus the top-48 2/3/4-grams, each carrying
+    * its occurrence-weighted corpus frequency. The oracle
+    * enumerates EVERY segmentation of every distinct word through a
+    * recursive CTE and selects the same (count, −freqsum,
+    * reversed-length-key) minimum — a genuinely different
+    * formulation, so a DP that mis-orders a tie or drops a
+    * candidate hash-mismatches.
+    *
+    * Scale shape: identical to [[wordpieceTokens]] — one
+    * combine-collapsed word-count exchange, a gram aggregate with a
+    * bounded top-k, an alphabet-bounded vocabulary broadcast into a
+    * map-side per-distinct-word DP (O(4·len) hash probes), and a
+    * token-keyed rollup on a vocabulary-bounded key space. */
+  def unigramTokens(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val wc = chkSer(tokenized(s, d).select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c")))
+    // occurrence-weighted gram counts, lengths 1..4 in one aggregate
+    val grams = wc
+      .select(col("word"), col("c"),
+        explode(expr("sequence(1, least(4, length(word)))")).as("l"))
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(word) - l + 1)," +
+          " p -> substring(word, p, l))")).as("g"))
+      .groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val topg = grams.filter(length(col("g")) >= 2)
+      .orderBy(col("n").desc, col("g")).limit(48)
+      .select(col("g"), col("n")).as[(String, Long)].collect()
+    val chars = grams.filter(length(col("g")) === 1)
+      .select(col("g"), col("n")).as[(String, Long)].collect()
+    val vocabBc = s.sparkContext.broadcast((topg ++ chars).toMap)
+    wc.as[(String, Long)].mapPartitions { it =>
+      val v = vocabBc.value
+      it.flatMap { case (w, c) =>
+        viterbiWord(w, v).map(t => (w, t, c))
+      }
+    }.toDF("word", "token", "c")
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
+  }
+
+  /** The per-word unigram Viterbi DP: position j's best prefix
+    * segmentation minimizes (token count, −frequency sum) with the
+    * longer-final-token canonical tie-break. Loud require when no
+    * segmentation exists — the full-corpus character vocabulary
+    * guarantees one. */
+  private[llm] def viterbiWord(w: String,
+      v: Map[String, Long]): Seq[String] = {
+    val n = w.length
+    val dpK = Array.fill(n + 1)(Int.MaxValue)
+    val dpF = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    dpK(0) = 0
+    var j = 1
+    while (j <= n) {
+      val lm = math.min(4, j)
+      var l = 1
+      while (l <= lm) {
+        if (dpK(j - l) != Int.MaxValue) {
+          v.get(w.substring(j - l, j)) match {
+            case Some(f) =>
+              val k2 = dpK(j - l) + 1
+              val f2 = dpF(j - l) + f
+              if (k2 < dpK(j) || (k2 == dpK(j) && (f2 > dpF(j) ||
+                (f2 == dpF(j) && l > back(j))))) {
+                dpK(j) = k2; dpF(j) = f2; back(j) = l
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    require(dpK(n) != Int.MaxValue, s"no segmentation for '$w'")
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var p = n
+    while (p > 0) {
+      val l = back(p)
+      out.prepend(w.substring(p - l, p))
+      p -= l
+    }
+    out.toSeq
   }
 
   /** The base-corpus (doc_id % 10 ≠ 7) vocabulary of
@@ -6680,6 +6787,50 @@ object LlmQueries {
          |SELECT t.tok AS token, CAST(SUM(wc.c) AS BIGINT) AS n_occ,
          |  CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_words
          |FROM tok t JOIN wc ON wc.w = t.w
+         |GROUP BY 1""".stripMargin,
+
+    // exhaustive-enumeration replay of the unigram Viterbi DP: a
+    // recursive CTE walks EVERY segmentation of every distinct word
+    // against the weighted vocabulary and selects the (token count,
+    // -freqsum, reversed-length-key) minimum — the engine's DP must
+    // realize the same global optimum and canonical tie-break
+    "llm_unigram_tokens" ->
+      s"""WITH words AS (SELECT
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS w FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words
+         |  WHERE w != '' GROUP BY 1),
+         |glen AS (SELECT w, c, unnest([1, 2, 3, 4]) AS l FROM wc),
+         |gpos AS (SELECT w, c, l,
+         |    unnest(range(1, CAST(length(w) - l + 2 AS BIGINT))) AS p
+         |  FROM glen WHERE length(w) >= l),
+         |gcnt AS (SELECT substring(w, CAST(p AS INT), CAST(l AS INT))
+         |    AS g, CAST(SUM(c) AS BIGINT) AS n FROM gpos GROUP BY 1),
+         |topg AS (SELECT g, n FROM gcnt WHERE length(g) >= 2
+         |  ORDER BY n DESC, g ASC LIMIT 48),
+         |vocab AS (SELECT g, n FROM topg
+         |  UNION ALL SELECT g, n FROM gcnt WHERE length(g) = 1),
+         |seg AS (
+         |  WITH RECURSIVE paths(w, pos, k, fsum, toks, lkey) AS (
+         |    SELECT w, 1, 0, CAST(0 AS BIGINT), '', '' FROM wc
+         |    UNION ALL
+         |    SELECT s.w, CAST(s.pos + length(v.g) AS INT), s.k + 1,
+         |      s.fsum + v.n, s.toks || chr(1) || v.g,
+         |      CAST(4 - length(v.g) AS VARCHAR) || s.lkey
+         |    FROM paths s JOIN vocab v
+         |      ON v.g = substring(s.w, s.pos, length(v.g))
+         |    WHERE s.pos <= length(s.w))
+         |  SELECT w, k, fsum, toks, lkey FROM paths
+         |  WHERE pos = length(w) + 1),
+         |best AS (SELECT w, toks FROM (
+         |    SELECT w, toks, row_number() OVER (PARTITION BY w
+         |      ORDER BY k ASC, fsum DESC, lkey ASC) AS rn FROM seg)
+         |  WHERE rn = 1),
+         |tok AS (SELECT b.w, unnest(string_split(substr(b.toks, 2),
+         |    chr(1))) AS token FROM best b)
+         |SELECT token, CAST(SUM(wc.c) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT tok.w) AS BIGINT) AS n_words
+         |FROM tok JOIN wc ON tok.w = wc.w
          |GROUP BY 1""".stripMargin,
 
     // frozen-vocabulary replay: the vocabulary re-derived from BASE
