@@ -37,6 +37,7 @@ object LlmQueries {
     "llm_wordpiece_tokens" -> wordpieceTokens,
     "llm_wordpiece_incremental" -> wordpieceIncremental,
     "llm_unigram_tokens" -> unigramTokens,
+    "llm_unigram_incremental" -> unigramIncremental,
     "llm_bigram_fluency" -> bigramFluency,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_lsh_bucket_stats" -> lshBucketStats,
@@ -617,6 +618,26 @@ object LlmQueries {
     val wc = chkSer(tokenized(s, d).select(explode(col("w")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("c")))
+    val vocabBc = s.sparkContext.broadcast(unigramVocab(wc))
+    wc.as[(String, Long)].mapPartitions { it =>
+      val v = vocabBc.value
+      it.flatMap { case (w, c) =>
+        viterbiWord(w, v).map(t => (w, t, c))
+      }
+    }.toDF("word", "token", "c")
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
+  }
+
+  /** The weighted unigram vocabulary of a word-count relation:
+    * every observed character plus the top-48 2/3/4-grams, each
+    * carrying its occurrence-weighted corpus frequency —
+    * alphabet-bounded, a driver read by design (the [[ivf]]
+    * centroid-table discipline). */
+  private def unigramVocab(wc: DataFrame): Map[String, Long] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
     // occurrence-weighted gram counts, lengths 1..4 in one aggregate
     val grams = wc
       .select(col("word"), col("c"),
@@ -630,11 +651,42 @@ object LlmQueries {
       .select(col("g"), col("n")).as[(String, Long)].collect()
     val chars = grams.filter(length(col("g")) === 1)
       .select(col("g"), col("n")).as[(String, Long)].collect()
-    val vocabBc = s.sparkContext.broadcast((topg ++ chars).toMap)
-    wc.as[(String, Long)].mapPartitions { it =>
+    (topg ++ chars).toMap
+  }
+
+  /** FROZEN-vocabulary unigram tokenization of arriving documents
+    * (`llm_unigram_incremental`) — the Viterbi sibling of
+    * [[wordpieceIncremental]], completing the incremental axis for
+    * all three tokenizer families: the weighted vocabulary is
+    * derived ONCE from the base corpus (doc_id % 10 ≠ 7) and applied
+    * unchanged to the arriving slice. Arriving text can carry
+    * characters the base never saw, so the DP graph gains an
+    * `<UNK>` edge — frequency 0, length 1 — at exactly the cursor
+    * positions where NO vocabulary entry matches (so it never
+    * competes with a real edge from the same position, keeping the
+    * canonical tie-break unambiguous), making OOV mass a
+    * first-class output like the WordPiece rung. The oracle
+    * enumerates every segmentation over the same edge set. Scale
+    * shape: base pays one word-count exchange (a stored artifact at
+    * 100 TB), arriving pays only its own exchange + the broadcast
+    * map-side DP. */
+  def unigramIncremental(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val wcBase = chkSer(tokenized(s, d)
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c")))
+    val vocabBc = s.sparkContext.broadcast(unigramVocab(wcBase))
+    val wcNew = tokenized(s, d).filter(col("doc_id") % 10 === 7)
+      .select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    wcNew.as[(String, Long)].mapPartitions { it =>
       val v = vocabBc.value
       it.flatMap { case (w, c) =>
-        viterbiWord(w, v).map(t => (w, t, c))
+        viterbiWordUnk(w, v).map(t => (w, t, c))
       }
     }.toDF("word", "token", "c")
       .groupBy(col("token"))
@@ -681,6 +733,71 @@ object LlmQueries {
     while (p > 0) {
       val l = back(p)
       out.prepend(w.substring(p - l, p))
+      p -= l
+    }
+    out.toSeq
+  }
+
+  /** [[viterbiWord]] with the frozen-vocabulary `<UNK>` edge: a
+    * cursor position where NO vocabulary entry matches contributes
+    * one frequency-0 length-1 `<UNK>` step (mutually exclusive with
+    * real edges from that position, so the canonical tie-break
+    * stays unambiguous). Total reachability is guaranteed — every
+    * position has either a vocabulary edge or the fallback. */
+  private[llm] def viterbiWordUnk(w: String,
+      v: Map[String, Long]): Seq[String] = {
+    val n = w.length
+    val dpK = Array.fill(n + 1)(Int.MaxValue)
+    val dpF = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    val backUnk = new Array[Boolean](n + 1)
+    dpK(0) = 0
+    def hasMatch(p: Int): Boolean = {
+      val lm = math.min(4, n - p)
+      var l = 1
+      while (l <= lm) {
+        if (v.contains(w.substring(p, p + l))) return true
+        l += 1
+      }
+      false
+    }
+    var j = 1
+    while (j <= n) {
+      val lm = math.min(4, j)
+      var l = 1
+      while (l <= lm) {
+        if (dpK(j - l) != Int.MaxValue) {
+          v.get(w.substring(j - l, j)) match {
+            case Some(f) =>
+              val k2 = dpK(j - l) + 1
+              val f2 = dpF(j - l) + f
+              if (k2 < dpK(j) || (k2 == dpK(j) && (f2 > dpF(j) ||
+                (f2 == dpF(j) && l > back(j))))) {
+                dpK(j) = k2; dpF(j) = f2; back(j) = l
+                backUnk(j) = false
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      if (dpK(j - 1) != Int.MaxValue && !hasMatch(j - 1)) {
+        val k2 = dpK(j - 1) + 1
+        val f2 = dpF(j - 1)
+        if (k2 < dpK(j) || (k2 == dpK(j) && (f2 > dpF(j) ||
+          (f2 == dpF(j) && 1 > back(j))))) {
+          dpK(j) = k2; dpF(j) = f2; back(j) = 1
+          backUnk(j) = true
+        }
+      }
+      j += 1
+    }
+    require(dpK(n) != Int.MaxValue, s"no segmentation for '$w'")
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var p = n
+    while (p > 0) {
+      val l = back(p)
+      out.prepend(if (backUnk(p)) "<UNK>" else w.substring(p - l, p))
       p -= l
     }
     out.toSeq
@@ -6831,6 +6948,68 @@ object LlmQueries {
          |SELECT token, CAST(SUM(wc.c) AS BIGINT) AS n_occ,
          |  CAST(COUNT(DISTINCT tok.w) AS BIGINT) AS n_words
          |FROM tok JOIN wc ON tok.w = wc.w
+         |GROUP BY 1""".stripMargin,
+
+    // the frozen-vocab unigram replayed over an explicit EDGE set:
+    // base-derived weighted vocabulary, plus a frequency-0 <UNK>
+    // edge at exactly the positions no vocabulary entry matches;
+    // the enumeration then selects the same canonical minimum
+    "llm_unigram_incremental" ->
+      s"""WITH bwords AS (SELECT
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS w FROM documents WHERE doc_id % 10 != 7),
+         |bwc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM bwords
+         |  WHERE w != '' GROUP BY 1),
+         |glen AS (SELECT w, c, unnest([1, 2, 3, 4]) AS l FROM bwc),
+         |gpos AS (SELECT w, c, l,
+         |    unnest(range(1, CAST(length(w) - l + 2 AS BIGINT))) AS p
+         |  FROM glen WHERE length(w) >= l),
+         |gcnt AS (SELECT substring(w, CAST(p AS INT), CAST(l AS INT))
+         |    AS g, CAST(SUM(c) AS BIGINT) AS n FROM gpos GROUP BY 1),
+         |topg AS (SELECT g, n FROM gcnt WHERE length(g) >= 2
+         |  ORDER BY n DESC, g ASC LIMIT 48),
+         |vocab AS (SELECT g, n FROM topg
+         |  UNION ALL SELECT g, n FROM gcnt WHERE length(g) = 1),
+         |nwords AS (SELECT
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS w FROM documents WHERE doc_id % 10 = 7),
+         |nwc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM nwords
+         |  WHERE w != '' GROUP BY 1),
+         |poss AS (SELECT w,
+         |    unnest(range(1, CAST(length(w) + 1 AS BIGINT))) AS pos
+         |  FROM nwc),
+         |vedge AS (SELECT p.w, CAST(p.pos AS INT) AS pos, v.g, v.n,
+         |    CAST(length(v.g) AS INT) AS lg
+         |  FROM poss p JOIN vocab v
+         |    ON v.g = substring(p.w, CAST(p.pos AS INT), length(v.g))),
+         |uedge AS (SELECT p.w, CAST(p.pos AS INT) AS pos,
+         |    '<UNK>' AS g, CAST(0 AS BIGINT) AS n, 1 AS lg
+         |  FROM poss p
+         |  WHERE NOT EXISTS (SELECT 1 FROM vedge e
+         |    WHERE e.w = p.w AND e.pos = p.pos)),
+         |edges AS (SELECT * FROM vedge
+         |  UNION ALL SELECT * FROM uedge),
+         |seg AS (
+         |  WITH RECURSIVE paths(w, pos, k, fsum, toks, lkey) AS (
+         |    SELECT w, 1, 0, CAST(0 AS BIGINT), '', '' FROM nwc
+         |    UNION ALL
+         |    SELECT s.w, s.pos + e.lg, s.k + 1, s.fsum + e.n,
+         |      s.toks || chr(1) || e.g,
+         |      CAST(4 - e.lg AS VARCHAR) || s.lkey
+         |    FROM paths s JOIN edges e
+         |      ON e.w = s.w AND e.pos = s.pos
+         |    WHERE s.pos <= length(s.w))
+         |  SELECT w, k, fsum, toks, lkey FROM paths
+         |  WHERE pos = length(w) + 1),
+         |best AS (SELECT w, toks FROM (
+         |    SELECT w, toks, row_number() OVER (PARTITION BY w
+         |      ORDER BY k ASC, fsum DESC, lkey ASC) AS rn FROM seg)
+         |  WHERE rn = 1),
+         |tok AS (SELECT b.w, unnest(string_split(substr(b.toks, 2),
+         |    chr(1))) AS token FROM best b)
+         |SELECT token, CAST(SUM(nwc.c) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT tok.w) AS BIGINT) AS n_words
+         |FROM tok JOIN nwc ON tok.w = nwc.w
          |GROUP BY 1""".stripMargin,
 
     // frozen-vocabulary replay: the vocabulary re-derived from BASE

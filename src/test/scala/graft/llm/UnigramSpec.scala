@@ -60,6 +60,61 @@ class UnigramSpec extends AnyFunSuite {
       LlmQueries.viterbiWord("xyz", Map("a" -> 1L)))
   }
 
+  /** Brute force over the frozen-vocab edge set: vocabulary edges
+    * plus a frequency-0 length-1 `<UNK>` edge at positions where no
+    * entry matches. */
+  private def allSegsUnk(w: String, v: Map[String, Long],
+      full: String): Seq[List[(String, Long, Int)]] = {
+    if (w.isEmpty) return Seq(Nil)
+    val p = full.length - w.length
+    val vocabEdges = (1 to math.min(4, w.length)).flatMap { l =>
+      val h = w.substring(0, l)
+      v.get(h).toSeq.flatMap(f =>
+        allSegsUnk(w.substring(l), v, full).map((h, f, l) :: _))
+    }
+    if (vocabEdges.nonEmpty ||
+      (1 to math.min(4, w.length)).exists(l =>
+        v.contains(w.substring(0, l)))) vocabEdges
+    else allSegsUnk(w.substring(1), v, full)
+      .map(("<UNK>", 0L, 1) :: _)
+  }
+
+  private def bruteBestUnk(w: String,
+      v: Map[String, Long]): List[String] =
+    allSegsUnk(w, v, w).minBy { seg =>
+      val key = seg.reverse.map { case (_, _, l) =>
+        ('0' + (4 - l)).toChar }.mkString
+      (seg.length, -seg.map(_._2).sum, key)
+    }.map(_._1)
+
+  test("frozen vocab: unmatchable positions emit <UNK>, matchable " +
+    "ones never do") {
+    val v = Map("ab" -> 5L, "a" -> 3L, "b" -> 2L)
+    assert(LlmQueries.viterbiWordUnk("axb", v) ==
+      Seq("a", "<UNK>", "b"))
+    assert(LlmQueries.viterbiWordUnk("ab", v) == Seq("ab"))
+    assert(LlmQueries.viterbiWordUnk("xx", v) ==
+      Seq("<UNK>", "<UNK>"))
+  }
+
+  test("UNK DP equals brute-force enumeration over 2000 random " +
+    "cases with holes") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcx" // x never enters the vocab: a real hole
+    for (_ <- 0 until 2000) {
+      val wLen = 1 + rnd.nextInt(9)
+      val w = Seq.fill(wLen)(alphabet(rnd.nextInt(4))).mkString
+      val grams = Seq.fill(5) {
+        val l = 2 + rnd.nextInt(3)
+        Seq.fill(l)("abc"(rnd.nextInt(3))).mkString
+      }
+      val v = ("abc".map(_.toString) ++ grams).distinct
+        .map(g => g -> (1L + rnd.nextInt(20))).toMap
+      assert(LlmQueries.viterbiWordUnk(w, v) == bruteBestUnk(w, v),
+        s"w=$w v=$v")
+    }
+  }
+
   test("DP equals brute-force enumeration over 3000 random cases") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abc"
