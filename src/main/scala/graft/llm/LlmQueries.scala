@@ -670,15 +670,59 @@ object LlmQueries {
     * shape: base pays one word-count exchange (a stored artifact at
     * 100 TB), arriving pays only its own exchange + the broadcast
     * map-side DP. */
-  def unigramIncremental(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
+  /** The base-corpus (doc_id % 10 ≠ 7) weighted unigram vocabulary
+    * — the frozen artifact [[unigramIncremental]] and the streaming
+    * probe share. */
+  private[graft] def baseUnigramVocab(s: SparkSession,
+      d: String): Map[String, Long] = {
     val wcBase = chkSer(tokenized(s, d)
       .filter(col("doc_id") % 10 =!= 7)
       .select(explode(col("w")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("c")))
-    val vocabBc = s.sparkContext.broadcast(unigramVocab(wcBase))
+    unigramVocab(wcBase)
+  }
+
+  /** Persists the base-trained weighted unigram vocabulary as a
+    * (g, n) parquet artifact — the trained-tokenizer handoff seam
+    * the streaming probe reads per batch. */
+  def buildUnigramVocab(s: SparkSession, d: String,
+      path: String): Unit = {
+    val spark = s
+    import spark.implicits._
+    baseUnigramVocab(s, d).toSeq.toDF("g", "n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-document frozen-vocabulary unigram tokenization of an
+    * arbitrary documents frame — the probe core shared by the
+    * streaming twin: (doc_id, token, n) through the same Viterbi +
+    * `<UNK>` DP as [[unigramIncremental]]. Rows are complete per
+    * document, so output is independent of micro-batch splits. */
+  def unigramProbe(docs: DataFrame,
+      vocab: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    docs.select(col("doc_id"), tokenExpr.as("w"))
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .as[(Long, String, Long)].mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { case (id, w, c) =>
+          viterbiWordUnk(w, v).map(t => (id, t, c))
+        }
+      }.toDF("doc_id", "token", "c")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sum(col("c")).as("n"))
+  }
+
+  def unigramIncremental(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val vocabBc = s.sparkContext.broadcast(baseUnigramVocab(s, d))
     val wcNew = tokenized(s, d).filter(col("doc_id") % 10 === 7)
       .select(explode(col("w")).as("word"))
       .filter(col("word") =!= "")

@@ -272,6 +272,39 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Streaming twin of the frozen-vocabulary UNIGRAM tokenizer
+    * ([[LlmQueries.unigramIncremental]]'s per-doc probe): each
+    * arriving micro-batch runs the Viterbi + `<UNK>` DP under the
+    * STORED weighted vocabulary artifact
+    * ([[LlmQueries.buildUnigramVocab]]'s (g, n) parquet —
+    * alphabet-bounded, re-read per batch so a retrain swap takes
+    * effect at the next batch) and per-doc (token, n) rows append to
+    * `outPath`. Row-local — stream output is bit-equal to a batch
+    * probe over the same documents regardless of the split;
+    * at-least-once safe via the doc-id anti-join retry guard. */
+  def startUnigramProbe(docs: DataFrame, vocabPath: String,
+      outPath: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val vocab = spark.read.parquet(vocabPath)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val out = LlmQueries.unigramProbe(batch, vocab)
+        val seen = Artifacts.readParquet(spark, outPath)
+          .map(_.select(col("doc_id").as("s_id")).distinct())
+          .getOrElse(spark.emptyDataFrame
+            .withColumn("s_id", lit(0L)).limit(0))
+        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(trigger).start()
+
   /** Streaming twin of the LEARNED quality scorer
     * ([[LlmQueries.qualityScoreOf]]): each arriving micro-batch is
     * scored against the STORED weight artifact (the trained-model
