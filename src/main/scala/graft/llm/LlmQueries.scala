@@ -127,6 +127,7 @@ object LlmQueries {
     "mm_flac_stereo" -> flacStereo,
     "mm_flac_wasted" -> flacWasted,
     "mm_ogg_meta" -> oggMeta,
+    "mm_ogg_tags" -> oggTags,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_ulaw" -> audioUlawLevels,
@@ -4460,6 +4461,41 @@ object LlmQueries {
         expr("doc_id % 3 != 0").as("hasalb"))
       .withColumn("payload", unhex(expr(AudioHex.flacTagsHex(
         "rate0", "ch0", "bits0", "total0", "t1", "t2", "t3",
+        "hasalb", "div", hexStr))))
+      .withColumn("m", graft.functions.FlacTags(col("payload")))
+      .select(col("doc_id"), col("m.title").as("title"),
+        col("m.artist").as("artist"), col("m.album").as("album"))
+  }
+
+  /** Ogg/Vorbis COMMENT-header tags (`mm_ogg_tags`) — the tag half
+    * the page walk only skips, completing artist/title/album
+    * extraction across all THREE audio tag carriers (ID3v2, FLAC
+    * VORBIS_COMMENT, and now the Ogg comment packet) through the
+    * same magic-dispatched tags expression: per-document three-page
+    * streams whose second page carries the `0x03 "vorbis"` packet —
+    * reassembled from LACING values, the little-endian
+    * length-prefixed comment structure, the mandatory framing
+    * bit — decoded by [[graft.functions.FlacTags]]' "OggS" dispatch
+    * ([[graft.multimodal.AudioHeaders.parseOggTags]]). The oracle
+    * re-reads every comment POSITIONALLY through the packet's own
+    * length chain, the [[flacTags]] discipline. Map-side construct
+    * → parse → project; no shuffle. */
+  def oggTags(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    def hexStr(e: String) = s"hex(encode($e, 'UTF-8'))"
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 4 AS INT) + 1)").as("rate0"),
+        expr("CAST(doc_id % 2 AS INT) + 1").as("ch0"),
+        expr("(doc_id * 769) % 1000000000").as("total0"),
+        expr("CAST(doc_id % 40 AS INT) + 1").as("pad0"),
+        expr("concat('Song ', CAST(doc_id AS STRING))").as("t1"),
+        expr("concat('Band ', CAST(doc_id % 9 AS STRING))").as("t2"),
+        expr("concat('Disc ', CAST(doc_id % 13 AS STRING))").as("t3"),
+        expr("doc_id % 3 != 0").as("hasalb"))
+      .withColumn("payload", unhex(expr(AudioHex.oggTagsHex(
+        "rate0", "ch0", "total0", "pad0", "t1", "t2", "t3",
         "hasalb", "div", hexStr))))
       .withColumn("m", graft.functions.FlacTags(col("payload")))
       .select(col("doc_id"), col("m.title").as("title"),
@@ -9197,6 +9233,53 @@ object LlmQueries {
          |  CAST(SUM(n_samples * 1000 // sample_rate) AS BIGINT)
          |    AS sum_ms
          |FROM f GROUP BY 1, 2""".stripMargin
+    },
+
+    // POSITIONAL byte replay through the comment packet's own
+    // length chain (the mm_flac_tags discipline): vendor length,
+    // comment count, then each little-endian-prefixed comment read
+    // at the offset the PREVIOUS lengths imply — a packet-assembly
+    // or length error on either side desynchronizes the chain
+    "mm_ogg_tags" -> {
+      import graft.multimodal.AudioHex._
+      def hexStrD(e: String) = s"hex(encode($e))"
+      def u32(posE: String) =
+        s"(${unhexLEat("hs", posE, "strpos")} + " +
+          s"${unhexLEat("hs", s"($posE) + 4", "strpos")} * 65536)"
+      s"""WITH t AS (SELECT doc_id,
+         |    list_extract([8000, 22050, 44100, 48000],
+         |      CAST(doc_id % 4 AS INT) + 1) AS rate0,
+         |    CAST(doc_id % 2 AS INT) + 1 AS ch0,
+         |    (doc_id * 769) % 1000000000 AS total0,
+         |    CAST(doc_id % 40 AS INT) + 1 AS pad0,
+         |    'Song ' || CAST(doc_id AS VARCHAR) AS t1,
+         |    'Band ' || CAST(doc_id % 9 AS VARCHAR) AS t2,
+         |    'Disc ' || CAST(doc_id % 13 AS VARCHAR) AS t3,
+         |    doc_id % 3 != 0 AS hasalb
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    hex(from_hex(${oggTagsHex("rate0", "ch0", "total0",
+               "pad0", "t1", "t2", "t3", "hasalb", "//", hexStrD)}))
+         |      AS hs
+         |  FROM t),
+         |l1 AS (SELECT doc_id, hs, ${u32("205")} AS nc,
+         |    ${u32("213")} AS len1 FROM b),
+         |l2 AS (SELECT doc_id, hs, nc, len1,
+         |    ${u32("221 + 2 * len1")} AS len2 FROM l1),
+         |l3 AS (SELECT doc_id, hs, nc, len1, len2,
+         |    CASE WHEN nc = 3
+         |      THEN ${u32("229 + 2 * (len1 + len2)")}
+         |      ELSE 0 END AS len3
+         |  FROM l2)
+         |SELECT doc_id,
+         |  decode(from_hex(substring(hs, 233,
+         |    CAST(2 * (len1 - 6) AS INT)))) AS title,
+         |  decode(from_hex(substring(hs, CAST(243 + 2 * len1 AS INT),
+         |    CAST(2 * (len2 - 7) AS INT)))) AS artist,
+         |  CASE WHEN nc = 3 THEN decode(from_hex(substring(hs,
+         |    CAST(249 + 2 * (len1 + len2) AS INT),
+         |    CAST(2 * (len3 - 6) AS INT)))) END AS album
+         |FROM l3""".stripMargin
     },
 
     // companded replay: positional one-byte code walk → G.711

@@ -712,8 +712,120 @@ object AudioHeaders {
   /** [[parseFlacTags]] as an `InternalRow` for the
     * [[graft.functions.FlacTags]] codegen path. Null = not FLAC or
     * a malformed comment block. */
-  def flacTagsRow(b: Array[Byte]): InternalRow =
-    parseFlacTags(b) match {
+  /** Ogg/Vorbis COMMENT-header tags — the tag half [[parseOgg]]'s
+    * page walk only skips: packets are reassembled from LACING
+    * values (a packet ends at the first lacing value < 255; 255
+    * means it continues into the next value or page — real header
+    * packets span pages in the wild), and the first packet opening
+    * `0x03 "vorbis"` carries the same little-endian length-prefixed
+    * comment structure as FLAC's VORBIS_COMMENT
+    * ([[parseFlacTags]]) followed by the spec's mandatory framing
+    * bit (fail-closed when absent or zero — a truncated comment
+    * header must not pass as tagless). The identification packet is
+    * validated first, the [[parseOgg]] discipline; a stream whose
+    * pages exhaust without a comment packet yields all-null fields
+    * (absence is not an error). */
+  def parseOggTags(b: Array[Byte])
+      : Option[(String, String, String)] = {
+    if (b == null || b.length < 58) return None
+    if (!tag(b, 0, "OggS")) return None
+    var i = 0
+    var first = true
+    val packet = new java.io.ByteArrayOutputStream(256)
+    var sawComment = false
+    var out: Option[(String, String, String)] = None
+    while (i < b.length && !sawComment) {
+      if (i + 27 > b.length) return None
+      if (!tag(b, i, "OggS") || u8(b, i + 4) != 0) return None
+      val htype = u8(b, i + 5)
+      val nsegs = u8(b, i + 26)
+      if (i + 27 + nsegs > b.length) return None
+      var p = i + 27 + nsegs // payload cursor
+      var s = 0
+      while (s < nsegs && !sawComment) {
+        val lace = u8(b, i + 27 + s)
+        if (p + lace > b.length) return None
+        packet.write(b, p, lace)
+        p += lace
+        if (lace < 255) { // packet complete
+          val pk = packet.toByteArray
+          packet.reset()
+          if (first) {
+            // BOS page must open with the identification packet
+            if ((htype & 0x02) == 0) return None
+            if (pk.length < 30 || pk(0) != 1 ||
+              !tag(pk, 1, "vorb") || !tag(pk, 3, "rbis")) return None
+            first = false
+          } else if (pk.length >= 7 && (pk(0) & 0xff) == 3 &&
+            tag(pk, 1, "vorb") && tag(pk, 3, "rbis")) {
+            sawComment = true
+            out = parseVorbisComments(pk)
+            if (out.isEmpty) return None // malformed comment packet
+          }
+        }
+        s += 1
+      }
+      if (!sawComment) i = p
+    }
+    if (first) None // no complete identification packet
+    else if (sawComment) out
+    else Some((null, null, null)) // tagless stream: not an error
+  }
+
+  /** The `0x03 "vorbis"` comment packet body: little-endian
+    * length-prefixed vendor + comments (the [[parseFlacTags]]
+    * payload), then the framing bit that must be present and set. */
+  private def parseVorbisComments(pk: Array[Byte])
+      : Option[(String, String, String)] = {
+    val end = pk.length
+    var p = 7
+    def le32(): Long = {
+      if (p + 4 > end) return -1L
+      val v = u32le(pk, p); p += 4; v
+    }
+    val vlen = le32()
+    if (vlen < 0 || p + vlen > end) return None
+    p += vlen.toInt
+    val n = le32()
+    if (n < 0 || n > 1000000) return None
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    var k = 0L
+    while (k < n) {
+      val clen = le32()
+      if (clen < 0 || p + clen > end) return None
+      val field = new String(pk, p, clen.toInt, "UTF-8")
+      p += clen.toInt
+      val eq = field.indexOf('=')
+      if (eq > 0) {
+        val key = field.substring(0, eq)
+          .toUpperCase(java.util.Locale.ROOT)
+        val v = field.substring(eq + 1)
+        key match {
+          case "TITLE" => title = v
+          case "ARTIST" => artist = v
+          case "ALBUM" => album = v
+          case _ => ()
+        }
+      }
+      k += 1
+    }
+    // §5 framing bit: mandatory, nonzero
+    if (p >= end || (pk(p) & 1) != 1) return None
+    Some((title, artist, album))
+  }
+
+  /** Tag extraction for BOTH Vorbis-comment carriers,
+    * magic-dispatched like [[metaRow]]: "OggS" → the page-walk
+    * comment-packet path, anything else → the FLAC metadata-block
+    * path. */
+  def flacTagsRow(b: Array[Byte]): InternalRow = {
+    val parsed =
+      if (b != null && b.length >= 4 && tag(b, 0, "OggS"))
+        parseOggTags(b)
+      else parseFlacTags(b)
+    parsed match {
       case Some((t, a, al)) =>
         def u(s: String) =
           if (s == null) null
@@ -721,6 +833,7 @@ object AudioHeaders {
         InternalRow(u(t), u(a), u(al))
       case None => null
     }
+  }
 
   /** [[parse]] as an `InternalRow` for the
     * [[graft.functions.AudioMeta]] codegen path (called from

@@ -314,4 +314,41 @@ object AudioHex {
   val OggChannelsPos = 39 * 2 + 1 // 79: u8
   val OggRatePos = 40 * 2 + 1     // 81: u32le
   val OggGranulePos = 64 * 2 + 1  // 129: u64le
+
+  /** A three-page Ogg/Vorbis stream whose SECOND page carries the
+    * `0x03 "vorbis"` COMMENT packet — vendor "graft", TITLE +
+    * ARTIST (+ ALBUM when `hasAlbE`) in the little-endian
+    * length-prefixed Vorbis form, the mandatory framing byte — so a
+    * tag reader must assemble the packet from lacing values between
+    * the BOS identification page and the EOS audio stand-in page.
+    * Texts must keep the packet under 255 bytes (one lacing
+    * value). */
+  def oggTagsHex(rate: String, ch: String, total: String,
+      padBytesE: String, t1: String, t2: String, t3: String,
+      hasAlbE: String, intdiv: String,
+      hexStr: String => String): String = {
+    def cmt(prefixHex: String, plen: Int, t: String): String =
+      s"concat(${hexLE(s"$plen + length($t)", 4, intdiv)}, " +
+        s"'$prefixHex', ${hexStr(t)})"
+    val plen = s"(42 + length($t1) + length($t2) + " +
+      s"CASE WHEN $hasAlbE THEN 10 + length($t3) ELSE 0 END)"
+    s"concat('4F676753', '00', '02', '0000000000000000', " +
+      "'01000000', '00000000', '00000000', '01', '1E', " +
+      s"'01', '766F72626973', '00000000', " +
+      s"${hexLE(ch, 1, intdiv)}, ${hexLE(rate, 4, intdiv)}, " +
+      s"'000000000000000000000000', 'B8', '01', " +
+      s"'4F676753', '00', '00', '0000000000000000', " +
+      s"'01000000', '02000000', '00000000', '01', " +
+      s"${hexLE(plen, 1, intdiv)}, " +
+      s"'03', '766F72626973', '05000000', '6772616674', " +
+      s"${hexLE(s"CASE WHEN $hasAlbE THEN 3 ELSE 2 END", 4, intdiv)}, " +
+      s"${cmt("5449544C453D", 6, t1)}, " + // TITLE=
+      s"${cmt("4152544953543D", 7, t2)}, " + // ARTIST=
+      s"CASE WHEN $hasAlbE THEN ${cmt("414C42554D3D", 6, t3)} " +
+      "ELSE '' END, '01', " + // framing byte
+      s"'4F676753', '00', '04', ${hexLE(total, 8, intdiv)}, " +
+      "'01000000', '03000000', '00000000', '01', " +
+      s"${hexLE(padBytesE, 1, intdiv)}, " +
+      s"repeat('00', CAST($padBytesE AS INT)))"
+  }
 }
