@@ -130,6 +130,7 @@ object LlmQueries {
     "mm_ogg_tags" -> oggTags,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
+    "mm_audio_widths" -> audioWidths,
     "mm_audio_ulaw" -> audioUlawLevels,
     "mm_audio_alaw" -> audioAlawLevels,
     "mm_audio_fp" -> audioFingerprints,
@@ -5199,6 +5200,51 @@ object LlmQueries {
     * oracle-exactness rule. Map-side construct → decode → partial
     * agg; one bounded exchange on the ~10-key (rate, channels)
     * space. */
+  /** 8-BIT and 24-BIT PCM metering (`mm_audio_widths`) — the other
+    * two integer widths real WAV corpora actually carry (8-bit
+    * voice/legacy, 24-bit studio masters), through the same
+    * [[graft.functions.AudioLevels]] expression as the 16-bit lane:
+    * 8-bit is UNSIGNED with a 128 bias (the WAV spec's one
+    * asymmetry — a decoder that sign-extends it inverts half the
+    * signal), 24-bit is signed little-endian with rails at ±2²³.
+    * Even docs build full-range 8-bit payloads, odd docs 24-bit;
+    * the oracle replays the expected samples in CLOSED FORM from
+    * the generator formulas, so a bias, byte-order, or rail error
+    * on either side hash-mismatches. Map-side construct → decode →
+    * project; no shuffle. */
+  def audioWidths(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.AudioHex
+    val u8e = "((doc_id * 131 + i * 241) % 256)"
+    val u24e = "((doc_id * 7919 + i * 104729) % 16777216)"
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("element_at(array(8000, 22050, 44100, 48000), " +
+          "CAST(doc_id % 4 AS INT) + 1)").as("rate0"),
+        expr("CAST((doc_id div 2) % 2 AS INT) + 1").as("ch0"))
+      .withColumn("nv0",
+        expr("ch0 * (CAST(doc_id % 40 AS INT) + 5)"))
+      .withColumn("hs", expr(
+        s"""CASE WHEN doc_id % 2 = 0
+           |  THEN concat(${AudioHex.wavHexBits("rate0", "ch0",
+                "nv0", 1, "div")},
+           |    ${AudioHex.pcmPayloadNHexSpark("nv0", u8e, 1)})
+           |  ELSE concat(${AudioHex.wavHexBits("rate0", "ch0",
+                "nv0 * 3", 3, "div")},
+           |    ${AudioHex.pcmPayloadNHexSpark("nv0", u24e, 3)})
+           |END""".stripMargin))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.AudioLevels(col("payload")))
+      .select(col("doc_id"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END")
+          .cast("bigint").as("width"),
+        col("m.channels").cast("bigint").as("channels"),
+        col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.n_values").as("n_values"),
+        col("m.sum_sq").as("sum_sq"),
+        col("m.peak").cast("bigint").as("peak"),
+        col("m.n_clipped").as("n_clipped"))
+  }
+
   def audioLevels(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.AudioHex
     val payload = docs(s, d)
@@ -8867,6 +8913,42 @@ object LlmQueries {
          |  CAST(SUM(red_len) AS BIGINT) AS redacted_chars
          |FROM f GROUP BY lang""".stripMargin
     },
+
+    // closed-form replay of the 8/24-bit generator signals: the
+    // engine must recover every sample through the actual payload
+    // bytes (128-biased unsigned u8, signed s24le) — a bias,
+    // byte-order, or rail disagreement hash-mismatches here
+    "mm_audio_widths" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_extract([8000, 22050, 44100, 48000],
+        |      CAST(doc_id % 4 AS INT) + 1) AS rate0,
+        |    CAST((doc_id // 2) % 2 AS INT) + 1 AS ch0
+        |  FROM documents),
+        |tn AS (SELECT doc_id, rate0, ch0,
+        |    ch0 * (CAST(doc_id % 40 AS INT) + 5) AS nv0 FROM t),
+        |sv AS (SELECT doc_id, rate0, ch0,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ((doc_id * 131 + i * 241) % 256) - 128
+        |      ELSE CASE WHEN ((doc_id * 7919 + i * 104729)
+        |          % 16777216) >= 8388608
+        |        THEN ((doc_id * 7919 + i * 104729) % 16777216)
+        |          - 16777216
+        |        ELSE ((doc_id * 7919 + i * 104729) % 16777216) END
+        |    END AS s,
+        |    CASE WHEN doc_id % 2 = 0 THEN 127 ELSE 8388607 END AS hi
+        |  FROM (SELECT doc_id, rate0, ch0,
+        |        unnest(range(0, nv0)) AS i FROM tn))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END
+        |    AS BIGINT) AS width,
+        |  CAST(ch0 AS BIGINT) AS channels,
+        |  CAST(rate0 AS BIGINT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_values,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN s = hi OR s = -hi - 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_clipped
+        |FROM sv GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "mm_audio_levels" -> {
       import graft.multimodal.AudioHex._

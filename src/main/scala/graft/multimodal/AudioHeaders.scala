@@ -100,40 +100,56 @@ object AudioHeaders {
         (ch, rate, bits, dataSize / blockAlign)
     }
 
-  /** REAL sample-payload decode for 16-bit PCM — the raw
-    * little-endian samples need no codec, just the s16le
-    * reinterpretation. Per-file levels over the sample values
-    * ACTUALLY PRESENT (min of declared size and bytes on hand, so a
-    * header-range read that carried part of the payload still
-    * meters what it has):
+  /** REAL sample-payload decode for ALL THREE integer PCM widths —
+    * 8-bit (UNSIGNED, 128-biased — the WAV spec's one asymmetry),
+    * 16-bit and 24-bit (signed little-endian two's complement) need
+    * no codec, just the reinterpretation. Per-file levels over the
+    * sample values ACTUALLY PRESENT (min of declared size and bytes
+    * on hand, so a header-range read that carried part of the
+    * payload still meters what it has):
     * (channels, sample_rate, n_values, sum_sq, peak_abs, n_clipped),
-    * where `n_values` counts individual 16-bit values across
-    * channels, `sum_sq` is the exact integer sum of squares (fits a
-    * long: 2^31 per value × payload sizes up to ~2^32 stays under
-    * 2^63 for any single file under 4 GB), `peak_abs` is max |s|
-    * (32768 when a full-scale negative sample appears), and
-    * `n_clipped` counts values at digital full scale (s = 32767 or
-    * s = -32768). None for non-PCM, truncated-header, or non-16-bit
-    * payloads — the compressed modalities stay behind the declared
-    * stub in [[Multimodal.StubCodec]]. */
+    * where `n_values` counts individual values across channels,
+    * `sum_sq` is the exact integer sum of squares (24-bit: 2^46 per
+    * value × any single file under 4 GB stays under 2^63),
+    * `peak_abs` is max |s|, and `n_clipped` counts values at the
+    * WIDTH's digital full scale. None for non-PCM,
+    * truncated-header, or other-width payloads — the compressed
+    * modalities stay behind the declared stub in
+    * [[Multimodal.StubCodec]]. */
   def levels(b: Array[Byte]): Option[(Int, Int, Long, Long, Int, Long)] =
     walkChunks(b).flatMap {
-      case (1, ch, rate, bits, _, dataStart, dataSize) if bits == 16 =>
+      // 8-bit PCM is UNSIGNED with a 128 bias (the WAV spec's one
+      // asymmetry); 16/24-bit are signed little-endian two's
+      // complement. Rails are each width's digital full scale.
+      case (1, ch, rate, bits, _, dataStart, dataSize)
+          if bits == 8 || bits == 16 || bits == 24 =>
+        val bytes = bits / 8
         val end = math.min(dataStart + dataSize, b.length.toLong)
+        val railHi = (1 << (bits - 1)) - 1
+        val railLo = -(1 << (bits - 1))
         var p = dataStart
         var cnt = 0L
         var sumSq = 0L
         var peak = 0
         var clips = 0L
-        while (p + 2 <= end) {
-          val u = u16le(b, p.toInt)
-          val s = if (u >= 0x8000) u - 0x10000 else u
+        while (p + bytes <= end) {
+          val i = p.toInt
+          val s = bits match {
+            case 8 => u8(b, i) - 128
+            case 16 =>
+              val u = u16le(b, i)
+              if (u >= 0x8000) u - 0x10000 else u
+            case _ =>
+              val u = u8(b, i) | (u8(b, i + 1) << 8) |
+                (u8(b, i + 2) << 16)
+              if (u >= 0x800000) u - 0x1000000 else u
+          }
           sumSq += s.toLong * s
-          val a = if (s < 0) -s else s // 32768 survives as Int
+          val a = if (s < 0) -s else s // full-scale negative survives
           if (a > peak) peak = a
-          if (s == 32767 || s == -32768) clips += 1
+          if (s == railHi || s == railLo) clips += 1
           cnt += 1
-          p += 2
+          p += bytes
         }
         Some((ch, rate, cnt, sumSq, peak, clips))
       case _ => None

@@ -81,6 +81,34 @@ object AudioHex {
     s"list_aggregate(list_transform(range(0, CAST($nv AS BIGINT)), " +
       s"i -> ${hexLE(sampleE, 2, "//")}), 'string_agg', '')"
 
+  /** [[wavHex]] generalized over the sample WIDTH (8/16/24-bit
+    * integer PCM): same 64-byte layout and field positions,
+    * byte_rate / block_align / bits derived from `bytesPerSample`.
+    * `dataBytes` counts payload BYTES. */
+  def wavHexBits(rate: String, ch: String, dataBytes: String,
+      bytesPerSample: Int, intdiv: String): String =
+    s"concat('52494646', ${hexLE(s"56 + ($dataBytes)", 4, intdiv)}, " +
+      "'57415645', " +
+      "'4C495354', '0C000000', '494E464F4941525447465430', " +
+      "'666D7420', '10000000', '0100', " +
+      s"${hexLE(ch, 2, intdiv)}, ${hexLE(rate, 4, intdiv)}, " +
+      s"${hexLE(s"($rate) * ($ch) * $bytesPerSample", 4, intdiv)}, " +
+      s"${hexLE(s"($ch) * $bytesPerSample", 2, intdiv)}, " +
+      s"${hexLE((bytesPerSample * 8).toString, 2, intdiv)}, " +
+      s"'64617461', ${hexLE(dataBytes, 4, intdiv)})"
+
+  /** Hex of `nv` little-endian samples of `bytesPerSample` bytes,
+    * the i-th being SQL expression `sampleE` (free variable `i`) —
+    * Spark / DuckDB spellings. */
+  def pcmPayloadNHexSpark(nv: String, sampleE: String,
+      bytesPerSample: Int): String =
+    s"array_join(transform(sequence(0, CAST(($nv) - 1 AS INT)), " +
+      s"i -> ${hexLE(sampleE, bytesPerSample, "div")}), '')"
+  def pcmPayloadNHexDuck(nv: String, sampleE: String,
+      bytesPerSample: Int): String =
+    s"list_aggregate(list_transform(range(0, CAST($nv AS BIGINT)), " +
+      s"i -> ${hexLE(sampleE, bytesPerSample, "//")}), 'string_agg', '')"
+
   /** A minimal-but-valid G.711 WAV header (`fmtHexLE` = '0700'
     * µ-law / '0600' A-law, 8-bit codes) — [[wavHex]]'s companded
     * sibling, same 64-byte layout and field positions, differing

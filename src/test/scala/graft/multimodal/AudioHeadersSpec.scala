@@ -143,14 +143,61 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(AudioHeaders.levels(cut).contains((1, 8000, 3L, sumSq, 30, 0L)))
   }
 
-  test("levels: non-16-bit PCM and non-audio return None (stays " +
-    "behind the stub)") {
+  test("levels: 8-bit PCM is UNSIGNED with a 128 bias — JDK encoder" +
+    " bytes cross-check") {
+    // JDK 8-bit WAVE is unsigned; raw payload bytes ARE the u8 codes
+    val codes = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte,
+      200.toByte, 1)
     val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
     val in = new AudioInputStream(
-      new java.io.ByteArrayInputStream(new Array[Byte](16)), fmt8, 16L)
+      new java.io.ByteArrayInputStream(codes), fmt8, codes.length.toLong)
     val out = new ByteArrayOutputStream()
     AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
-    assert(AudioHeaders.levels(out.toByteArray).isEmpty)
+    val signed = codes.map(c => (c & 0xff) - 128)
+    val sumSq = signed.map(v => v.toLong * v).sum
+    // rails: u=255 → +127 (clip), u=0 → −128 (clip)
+    assert(AudioHeaders.levels(out.toByteArray)
+      .contains((1, 8000, 6L, sumSq, 128, 2L)))
+  }
+
+  test("levels: 24-bit PCM signed little-endian with ±2^23 rails") {
+    // hand-built: JDK coverage of 24-bit varies, the fixture doesn't
+    val samples = Seq(0, 5, -5, 8388607, -8388608, 300000)
+    val payload = samples.flatMap { v =>
+      val u = if (v < 0) v + (1 << 24) else v
+      Seq((u & 0xff).toByte, ((u >> 8) & 0xff).toByte,
+        ((u >> 16) & 0xff).toByte)
+    }.toArray
+    val hdr = new ByteArrayOutputStream()
+    def le(v: Int, n: Int): Unit =
+      (0 until n).foreach(k => hdr.write((v >> (8 * k)) & 0xff))
+    hdr.write("RIFF".getBytes); le(36 + payload.length, 4)
+    hdr.write("WAVE".getBytes)
+    hdr.write("fmt ".getBytes); le(16, 4)
+    le(1, 2); le(1, 2); le(48000, 4); le(48000 * 3, 4); le(3, 2)
+    le(24, 2)
+    hdr.write("data".getBytes); le(payload.length, 4)
+    hdr.write(payload)
+    val sumSq = samples.map(v => v.toLong * v).sum
+    assert(AudioHeaders.levels(hdr.toByteArray)
+      .contains((1, 48000, 6L, sumSq, 8388608, 2L)))
+  }
+
+  test("levels: unsupported widths and non-audio return None (stays" +
+    " behind the stub)") {
+    // 32-bit integer PCM: not in the decoded set
+    val payload = new Array[Byte](8)
+    val hdr = new ByteArrayOutputStream()
+    def le(v: Int, n: Int): Unit =
+      (0 until n).foreach(k => hdr.write((v >> (8 * k)) & 0xff))
+    hdr.write("RIFF".getBytes); le(36 + payload.length, 4)
+    hdr.write("WAVE".getBytes)
+    hdr.write("fmt ".getBytes); le(16, 4)
+    le(1, 2); le(1, 2); le(8000, 4); le(8000 * 4, 4); le(4, 2)
+    le(32, 2)
+    hdr.write("data".getBytes); le(payload.length, 4)
+    hdr.write(payload)
+    assert(AudioHeaders.levels(hdr.toByteArray).isEmpty)
     assert(AudioHeaders.levels("not audio at all".getBytes).isEmpty)
     assert(AudioHeaders.levels(null).isEmpty)
   }
