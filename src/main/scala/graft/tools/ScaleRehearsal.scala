@@ -158,6 +158,16 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The shared-session rehearsal accumulates every query's
+      // memoized MEMORY_AND_DISK_SER artifacts; with the default
+      // 0.5 protected storage fraction the grown suite's residents
+      // squeeze the ACTIVE query's execution memory under the 3 GB
+      // cap (the 287-query run OOM'd rdf_rdfs_entail's sf1 dedup
+      // exchange exactly this way). Shrinking the protected
+      // fraction lets execution evict artifact blocks to their disk
+      // fallback — the same knob a real cluster job tunes; plans
+      // and results are unaffected, eviction policy is.
+      .config("spark.memory.storageFraction", "0.1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
