@@ -28,7 +28,8 @@ case class Mp3Meta(child: Expression) extends UnaryExpression
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
     StructField("sum_kbps", LongType, nullable = false),
-    StructField("frame_bytes", LongType, nullable = false)))
+    StructField("frame_bytes", LongType, nullable = false),
+    StructField("spf", IntegerType, nullable = false)))
 
   // nullable even for non-null input: unparseable payload → null
   override def nullable: Boolean = true

@@ -155,6 +155,7 @@ object LlmQueries {
     "mm_mp3_vbr" -> mp3Vbr,
     "mm_mp3_sideinfo" -> mp3SideInfo,
     "mm_mp3_count1" -> mp3Count1,
+    "mm_mp3_mpeg2" -> mp3Mpeg2,
     "mm_id3_tags" -> id3Tags,
     "mm_h264_sps" -> h264Sps,
     "mm_h264_pcm" -> h264PcmDecode,
@@ -6058,6 +6059,40 @@ object LlmQueries {
         col("m.version").cast("bigint").as("version"))
   }
 
+  /** MPEG-2 / 2.5 (LSF) frame walk (`mm_mp3_mpeg2`) — the
+    * low-sample-rate half of real-world MP3 (voice, audiobooks,
+    * low-bandwidth streams ship at 8–24 kHz): per-document streams
+    * in BOTH LSF versions (MPEG-2 on even docs, 2.5 on odd — their
+    * own bitrate table, HALF the frame-size coefficient because a
+    * frame holds 576 samples, and version-specific rate tables)
+    * walked by the same [[graft.functions.Mp3Meta]] expression,
+    * which now reports the version's samples-per-frame so duration
+    * math stays exact (`n_frames · spf · 1000 div rate`). The
+    * oracle replays the walk POSITIONALLY with the LSF frame-length
+    * arithmetic — one wrong coefficient or bitrate-table entry
+    * desynchronizes every following offset. Map-side construct →
+    * parse → partial agg; one bounded exchange on the ≤ 6-key
+    * (rate, channels) space. */
+  def mp3Mpeg2(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.{ImageHex, Mp3Hex}
+    val rateE = Mp3Hex.rate2Case(Mp3Hex.SrIdxE, Mp3Hex.V25E)
+    docs(s, d)
+      .select(col("doc_id"))
+      .withColumn("hs", expr(Mp3Hex.mp3Hex2(Mp3Hex.HasId3E,
+        Mp3Hex.Id3PadE, Mp3Hex.NframesE, Mp3Hex.SrIdxE, rateE,
+        Mp3Hex.Mode2E, Mp3Hex.V25E, "div", ImageHex.seqJoinSpark)))
+      .withColumn("payload", unhex(col("hs")))
+      .withColumn("m", graft.functions.Mp3Meta(col("payload")))
+      .groupBy(col("m.sample_rate").cast("bigint").as("sample_rate"),
+        col("m.channels").cast("bigint").as("channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_frames").cast("bigint")).as("sum_frames"),
+        sum(col("m.sum_kbps")).as("sum_kbps"),
+        sum(col("m.frame_bytes")).as("sum_frame_bytes"),
+        sum(expr("m.n_frames * m.spf * 1000 div m.sample_rate"))
+          .as("sum_ms"))
+  }
+
   def mp3Vbr(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.{ImageHex, Mp3Hex}
     val rateE = Mp3Hex.rateCase(Mp3Hex.SrIdxE)
@@ -9912,6 +9947,63 @@ object LlmQueries {
          |  CAST(SUM(skbps) AS BIGINT) AS sum_kbps,
          |  CAST(SUM(sfb) AS BIGINT) AS sum_frame_bytes,
          |  CAST(SUM(nf * 1152000 // sample_rate) AS BIGINT) AS sum_ms
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    // LSF twin of the mm_mp3_meta walk replay: cumulative
+    // frame-length arithmetic with the 72-coefficient and the
+    // MPEG-2/2.5 bitrate + rate tables, headers EXTRACTED at the
+    // derived offsets, duration at 576 samples per frame
+    "mm_mp3_mpeg2" -> {
+      import graft.multimodal.{ImageHex, Mp3Hex}
+      import graft.multimodal.ImageHex.byteAt
+      val rateE = Mp3Hex.rate2Case(Mp3Hex.SrIdxE, Mp3Hex.V25E)
+      s"""WITH b AS (SELECT doc_id,
+         |    hex(from_hex(${Mp3Hex.mp3Hex2(Mp3Hex.HasId3E,
+              Mp3Hex.Id3PadE, Mp3Hex.NframesE, Mp3Hex.SrIdxE, rateE,
+              Mp3Hex.Mode2E, Mp3Hex.V25E, "//",
+              ImageHex.seqJoinDuck)})) AS hs,
+         |    $rateE AS rate,
+         |    (${Mp3Hex.V25E}) AS v25,
+         |    CASE WHEN ${Mp3Hex.HasId3E}
+         |      THEN 10 + ${Mp3Hex.Id3PadE} ELSE 0 END AS base,
+         |    ${Mp3Hex.NframesE} AS nf
+         |  FROM documents),
+         |fr AS (SELECT doc_id, hs, rate, v25, base,
+         |    unnest(range(0, CAST(nf AS BIGINT))) AS i
+         |  FROM b),
+         |pos AS (SELECT doc_id, hs, rate, v25, base, i,
+         |    COALESCE(SUM(${Mp3Hex.flen2E("i", "rate", "//")})
+         |      OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS cum
+         |  FROM fr),
+         |ext AS (SELECT doc_id, v25,
+         |    ${byteAt("hs", "(base + cum + 1) * 2 + 1", "strpos")} AS b1,
+         |    ${byteAt("hs", "(base + cum + 2) * 2 + 1", "strpos")} AS b2,
+         |    ${byteAt("hs", "(base + cum + 3) * 2 + 1", "strpos")} AS b3
+         |  FROM pos),
+         |dec AS (SELECT doc_id,
+         |    ${Mp3Hex.kbps2Case("b2 // 16")} AS kbps,
+         |    ${Mp3Hex.rate2Case("(b2 // 4) % 4",
+               "(b1 // 8) % 4 = 0")} AS rate_x,
+         |    (b2 // 2) % 2 AS pad_x,
+         |    CASE WHEN b3 // 64 = 3 THEN 1 ELSE 2 END AS ch_x
+         |  FROM ext),
+         |fl AS (SELECT doc_id, kbps, rate_x, ch_x,
+         |    (72000 * kbps) // rate_x + pad_x AS flen_x
+         |  FROM dec),
+         |g AS (SELECT doc_id, MIN(rate_x) AS sample_rate,
+         |    MIN(ch_x) AS channels, COUNT(*) AS nf,
+         |    SUM(kbps) AS skbps, SUM(flen_x) AS sfb
+         |  FROM fl GROUP BY doc_id)
+         |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(SUM(nf) AS BIGINT) AS sum_frames,
+         |  CAST(SUM(skbps) AS BIGINT) AS sum_kbps,
+         |  CAST(SUM(sfb) AS BIGINT) AS sum_frame_bytes,
+         |  CAST(SUM(nf * 576000 // sample_rate) AS BIGINT) AS sum_ms
          |FROM g GROUP BY 1, 2""".stripMargin
     },
 

@@ -47,12 +47,25 @@ object Mp3Headers {
   private[multimodal] val BitrateKbps: Array[Int] =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 
+  /** MPEG-2 / 2.5 Layer III bitrate table (the LSF halves share
+    * one), kbps, index 1..14. */
+  private[multimodal] val Bitrate2Kbps: Array[Int] =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
   /** MPEG-1 sample-rate table, Hz, index 0..2 (3 = reserved). */
   private[multimodal] val SampleRateHz: Array[Int] =
     Array(44100, 48000, 32000)
+  /** MPEG-2 (version bits 10) sample rates — half of MPEG-1's. */
+  private[multimodal] val SampleRate2Hz: Array[Int] =
+    Array(22050, 24000, 16000)
+  /** MPEG-2.5 (version bits 00) sample rates — a quarter. */
+  private[multimodal] val SampleRate25Hz: Array[Int] =
+    Array(11025, 12000, 8000)
 
   /** Samples per MPEG-1 Layer III frame. */
   val SamplesPerFrame = 1152
+  /** Samples per MPEG-2 / 2.5 (LSF) Layer III frame. */
+  val SamplesPerFrameLsf = 576
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
 
@@ -75,15 +88,23 @@ object Mp3Headers {
     Some(10 + size + footer)
   }
 
-  /** Frame walk. Returns
-    * (n_frames, sample_rate_hz, channels, sum_kbps, frame_bytes):
-    * frame count, the per-stream constants, the SUM of per-frame
-    * bitrates (sum_kbps / n_frames = mean VBR bitrate) and the total
-    * bytes covered by complete frames. None when the stream does not
-    * begin (after any ID3 tag) with a complete MPEG-1 Layer III
-    * frame. The walk stops at the first non-frame byte or truncated
-    * trailing frame — only COMPLETE frames are counted. */
-  def parse(b: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+  /** Frame walk — ALL THREE MPEG versions of Layer III (1 at
+    * 32–48 kHz, 2 at 16–24 kHz, 2.5 at 8–12 kHz: the LSF halves
+    * carry their own bitrate table, HALF the frame-size coefficient
+    * — 72 vs 144, because a frame holds 576 samples, not 1152 — and
+    * their own rate tables). Returns
+    * (n_frames, sample_rate_hz, channels, sum_kbps, frame_bytes,
+    * samples_per_frame): frame count, the per-stream constants, the
+    * SUM of per-frame bitrates (sum_kbps / n_frames = mean VBR
+    * bitrate), the total bytes covered by complete frames, and the
+    * version's frame sample count (1152 / 576) so duration math
+    * stays exact for every version. None when the stream does not
+    * begin (after any ID3 tag) with a complete Layer III frame.
+    * Per-stream constants — VERSION, rate, channel mode — must hold
+    * across frames; a frame that disagrees ends the walk as
+    * trailing garbage would. Layer I/II, free format, and reserved
+    * codes stay out of scope (None, never a guess). */
+  def parse(b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Int)] = {
     if (b == null) return None
     val start = id3End(b) match {
       case Some(s) => s
@@ -95,51 +116,66 @@ object Mp3Headers {
     var rate = 0
     var channels = 0
     var mode0 = -1
+    var version0 = -1
+    var spf = 0
     var sumKbps = 0L
     var frameBytes = 0L
     var ok = true
     while (ok && p + 4 <= n) {
       if (u8(b, p) != 0xff || (u8(b, p + 1) & 0xe0) != 0xe0) ok = false
       else {
-        val version = (u8(b, p + 1) >> 3) & 3 // 3 = MPEG-1
+        val version = (u8(b, p + 1) >> 3) & 3 // 3=MPEG-1 2=2 0=2.5
         val layer = (u8(b, p + 1) >> 1) & 3 // 1 = Layer III
         val brIdx = (u8(b, p + 2) >> 4) & 15
         val srIdx = (u8(b, p + 2) >> 2) & 3
         val pad = (u8(b, p + 2) >> 1) & 1
         val mode = (u8(b, p + 3) >> 6) & 3
-        if (version != 3 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+        if (version == 1 || layer != 1 || brIdx == 0 || brIdx == 15 ||
           srIdx == 3) ok = false
-        else if (frames > 0 && (SampleRateHz(srIdx) != rate ||
-          mode != mode0)) ok = false // per-stream constants disagree
+        else if (frames > 0 && version != version0) ok = false
         else {
-          val kbps = BitrateKbps(brIdx)
-          val sr = SampleRateHz(srIdx)
-          // 144 * bitrate_bps / rate + padding, exact in Int range
-          val len = 144000 * kbps / sr + pad
-          if (p + len > n) ok = false // truncated trailing frame
+          val sr = version match {
+            case 3 => SampleRateHz(srIdx)
+            case 2 => SampleRate2Hz(srIdx)
+            case _ => SampleRate25Hz(srIdx)
+          }
+          val kbps =
+            if (version == 3) BitrateKbps(brIdx) else Bitrate2Kbps(brIdx)
+          if (frames > 0 && (sr != rate || mode != mode0)) ok = false
           else {
-            if (frames == 0) {
-              rate = sr
-              mode0 = mode
-              channels = if (mode == 3) 1 else 2
+            // coeff * bitrate_bps / rate + padding: 144 for MPEG-1
+            // (1152 samples / 8), 72 for the LSF halves (576 / 8)
+            val len = (if (version == 3) 144000 else 72000) * kbps /
+              sr + pad
+            if (p + len > n) ok = false // truncated trailing frame
+            else {
+              if (frames == 0) {
+                rate = sr
+                mode0 = mode
+                version0 = version
+                channels = if (mode == 3) 1 else 2
+                spf = if (version == 3) SamplesPerFrame
+                  else SamplesPerFrameLsf
+              }
+              frames += 1
+              sumKbps += kbps
+              frameBytes += len
+              p += len
             }
-            frames += 1
-            sumKbps += kbps
-            frameBytes += len
-            p += len
           }
         }
       }
     }
     if (frames == 0) None
-    else Some((frames, rate, channels, sumKbps, frameBytes))
+    else Some((frames, rate, channels, sumKbps, frameBytes, spf))
   }
 
   /** [[parse]] as an `InternalRow` for the
-    * [[graft.functions.Mp3Meta]] codegen path. Null = not an MPEG-1
-    * Layer III stream. */
+    * [[graft.functions.Mp3Meta]] codegen path. Null = not a Layer
+    * III stream. */
   def parseRow(b: Array[Byte]): InternalRow = parse(b) match {
-    case Some((nf, rate, ch, kbps, fb)) => InternalRow(nf, rate, ch, kbps, fb)
+    case Some((nf, rate, ch, kbps, fb, spf)) =>
+      InternalRow(nf, rate, ch, kbps, fb, spf)
     case None => null
   }
 

@@ -80,6 +80,54 @@ object Mp3Hex {
       "ELSE '' END, " +
       s"${seqJoin("i", nfE, frameHex("i", srIdxE, rateE, modeE, intdiv))})"
 
+  // ---- MPEG-2 / 2.5 (LSF) fixture builders (`mm_mp3_mpeg2`) ----
+
+  /** MPEG-2/2.5 Layer III kbps for 1-based bitrate index — the LSF
+    * halves share one table. */
+  def kbps2Case(brIdxE: String): String =
+    s"(CASE ($brIdxE) WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 24 " +
+      "WHEN 4 THEN 32 WHEN 5 THEN 40 WHEN 6 THEN 48 WHEN 7 THEN 56 " +
+      "WHEN 8 THEN 64 WHEN 9 THEN 80 WHEN 10 THEN 96 " +
+      "WHEN 11 THEN 112 WHEN 12 THEN 128 WHEN 13 THEN 144 " +
+      "ELSE 160 END)"
+
+  /** Sample-rate Hz for index 0..2: the MPEG-2 halves or the
+    * MPEG-2.5 quarters of the MPEG-1 rates, by `v25E`. */
+  def rate2Case(srIdxE: String, v25E: String): String =
+    s"(CASE WHEN ($v25E) " +
+      s"THEN (CASE ($srIdxE) WHEN 0 THEN 11025 WHEN 1 THEN 12000 " +
+      "ELSE 8000 END) " +
+      s"ELSE (CASE ($srIdxE) WHEN 0 THEN 22050 WHEN 1 THEN 24000 " +
+      "ELSE 16000 END) END)"
+
+  /** LSF frame length: `72 * bitrate_bps / rate + padding` (576
+    * samples per frame — half MPEG-1's coefficient). */
+  def flen2E(iv: String, rateE: String, intdiv: String): String =
+    s"((72000 * ${kbps2Case(brIdxE(iv))}) $intdiv ($rateE) + ${padE(iv)})"
+
+  /** One LSF frame as hex: sync + version (F3 = MPEG-2, E3 = 2.5) +
+    * the packed bytes + zero filler to the DERIVED length. */
+  def frameHex2(iv: String, srIdxE: String, rateE: String,
+      modeE: String, v25E: String, intdiv: String): String =
+    s"concat('FF', CASE WHEN ($v25E) THEN 'E3' ELSE 'F3' END, " +
+      s"${hexN(s"${brIdxE(iv)} * 16 + ($srIdxE) * 4 + ${padE(iv)} * 2", 2, intdiv)}, " +
+      s"${hexN(s"($modeE) * 64 + 4", 2, intdiv)}, " +
+      s"repeat('00', CAST(${flen2E(iv, rateE, intdiv)} - 4 AS INT)))"
+
+  /** The whole LSF stream: optional ID3 tag + `nfE` frames. */
+  def mp3Hex2(hasId3E: String, id3PadE: String, nfE: String,
+      srIdxE: String, rateE: String, modeE: String, v25E: String,
+      intdiv: String,
+      seqJoin: (String, String, String) => String): String =
+    s"concat(CASE WHEN $hasId3E THEN ${id3Hex(id3PadE, intdiv)} " +
+      "ELSE '' END, " +
+      s"${seqJoin("i", nfE, frameHex2("i", srIdxE, rateE, modeE, v25E, intdiv))})"
+
+  /** 2.5 on odd docs, 2 on even — the version split of the LSF
+    * fixture. Mode decoupled from the version split. */
+  val V25E = "doc_id % 2 = 1"
+  val Mode2E = "CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 3 END"
+
   /** Shared per-document fixture parameters, as SQL over `doc_id` —
     * spelled once so query and oracle can never drift. */
   val SrIdxE = "CAST(doc_id % 3 AS INT)"

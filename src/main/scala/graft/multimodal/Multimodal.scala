@@ -150,7 +150,7 @@ object Multimodal {
             case Some((_, rate, _, _)) =>
               MediaMeta(kind, 0, 0, 0, rate, ok = true)
             case None => Mp3Headers.parse(payload) match {
-              case Some((nf, rate, _, _, _)) =>
+              case Some((nf, rate, _, _, _, _)) =>
                 MediaMeta(kind, 0, 0, nf, rate, ok = true)
               case None =>
                 MediaMeta(kind, 0, 0, 0, 8000 + (b0 % 5) * 8000, n > 0)

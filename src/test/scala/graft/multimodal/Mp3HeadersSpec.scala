@@ -36,7 +36,7 @@ class Mp3HeadersSpec extends AnyFunSuite {
     val s = Array.concat(frame(9, 0, 0, 3), frame(9, 0, 0, 3),
       frame(9, 0, 0, 3))
     // 128 kbps @ 44100: 144000*128/44100 = 417 bytes
-    assert(Mp3Headers.parse(s).contains((3, 44100, 1, 384L, 1251L)))
+    assert(Mp3Headers.parse(s).contains((3, 44100, 1, 384L, 1251L, 1152)))
   }
 
   test("VBR stream behind an ID3v2 tag, padding varies") {
@@ -44,12 +44,12 @@ class Mp3HeadersSpec extends AnyFunSuite {
       frame(7, 1, 1, 1))
     // 32/320/96 kbps @ 48000 → 96+1, 960, 288+1 bytes
     assert(Mp3Headers.parse(s)
-      .contains((3, 48000, 2, (32 + 320 + 96).toLong, 1346L)))
+      .contains((3, 48000, 2, (32 + 320 + 96).toLong, 1346L, 1152)))
   }
 
   test("ID3 footer flag adds 10 bytes before frame 0") {
     val s = Array.concat(id3(5, footer = true), frame(2, 2, 0, 3))
-    assert(Mp3Headers.parse(s).contains((1, 32000, 1, 40L, 180L)))
+    assert(Mp3Headers.parse(s).contains((1, 32000, 1, 40L, 180L, 1152)))
   }
 
   test("syncsafe size is decoded, not scanned: tag bytes containing " +
@@ -60,7 +60,7 @@ class Mp3HeadersSpec extends AnyFunSuite {
     t(11) = 0xfb.toByte
     t(12) = 0x92.toByte
     val s = Array.concat(t, frame(9, 0, 0, 3))
-    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L)))
+    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L, 1152)))
   }
 
   test("non-syncsafe ID3 size byte → None (malformed tag, no guessing)") {
@@ -72,12 +72,12 @@ class Mp3HeadersSpec extends AnyFunSuite {
   test("truncated trailing frame is not counted") {
     val f = frame(9, 0, 0, 3)
     val s = Array.concat(f, f.dropRight(1))
-    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L)))
+    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L, 1152)))
   }
 
   test("trailing garbage ends the walk without poisoning the count") {
     val s = Array.concat(frame(9, 0, 0, 3), Array[Byte](0x41, 0x42))
-    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L)))
+    assert(Mp3Headers.parse(s).contains((1, 44100, 1, 128L, 417L, 1152)))
   }
 
   test("a mis-derived length would desynchronize: off-by-one filler " +
@@ -88,25 +88,25 @@ class Mp3HeadersSpec extends AnyFunSuite {
     // frame 1 → no sync there → only frame 0 counted (its declared
     // extent overlaps what is really frame 1's first byte)
     val r = Mp3Headers.parse(s)
-    assert(r.contains((1, 44100, 1, 128L, 418L)))
+    assert(r.contains((1, 44100, 1, 128L, 418L, 1152)))
   }
 
   test("sample-rate or mode change mid-stream ends the walk") {
     assert(Mp3Headers.parse(
       Array.concat(frame(9, 0, 0, 3), frame(9, 1, 0, 3)))
-      .contains((1, 44100, 1, 128L, 417L)))
+      .contains((1, 44100, 1, 128L, 417L, 1152)))
     assert(Mp3Headers.parse(
       Array.concat(frame(9, 0, 0, 3), frame(9, 0, 0, 1)))
-      .contains((1, 44100, 1, 128L, 417L)))
+      .contains((1, 44100, 1, 128L, 417L, 1152)))
   }
 
-  test("unsupported variants → None: MPEG-2, Layer II, free-format, " +
-    "invalid bitrate, reserved rate") {
+  test("unsupported variants → None: reserved version, Layer II, " +
+    "free-format, invalid bitrate, reserved rate") {
     val f = frame(9, 0, 0, 3)
     def mut(i: Int, v: Int): Array[Byte] = {
       val c = f.clone(); c(i) = v.toByte; c
     }
-    assert(Mp3Headers.parse(mut(1, 0xf3)).isEmpty) // MPEG-2
+    assert(Mp3Headers.parse(mut(1, 0xeb)).isEmpty) // version bits 01
     assert(Mp3Headers.parse(mut(1, 0xfd)).isEmpty) // Layer II
     assert(Mp3Headers.parse(mut(2, 0x02)).isEmpty) // free format
     assert(Mp3Headers.parse(mut(2, 0xf2)).isEmpty) // bitrate idx 15
@@ -114,6 +114,53 @@ class Mp3HeadersSpec extends AnyFunSuite {
     assert(Mp3Headers.parse(null).isEmpty)
     assert(Mp3Headers.parse(Array.emptyByteArray).isEmpty)
     assert(Mp3Headers.parse(id3(4)).isEmpty) // tag only, no frames
+  }
+
+  /** One LSF frame (MPEG-2 or 2.5 by `v25`): the shared LSF bitrate
+    * table, version-specific rates, the 72 coefficient. */
+  private def frame2(brIdx: Int, srIdx: Int, pad: Int, mode: Int,
+      v25: Boolean): Array[Byte] = {
+    val kbps = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 144, 160)(brIdx)
+    val rate =
+      if (v25) Array(11025, 12000, 8000)(srIdx)
+      else Array(22050, 24000, 16000)(srIdx)
+    val len = 72000 * kbps / rate + pad
+    val b = new Array[Byte](len)
+    b(0) = 0xff.toByte
+    b(1) = (if (v25) 0xe3 else 0xf3).toByte
+    b(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+    b(3) = ((mode << 6) | 4).toByte
+    b
+  }
+
+  test("MPEG-2 stream: the LSF bitrate table, half coefficient, " +
+    "576 samples per frame") {
+    // 64 kbps @ 24000: 72000*64/24000 = 192 bytes
+    val s = Array.concat(frame2(8, 1, 0, 3, v25 = false),
+      frame2(8, 1, 0, 3, v25 = false))
+    assert(Mp3Headers.parse(s).contains((2, 24000, 1, 128L, 384L, 576)))
+  }
+
+  test("MPEG-2.5 stream behind an ID3 tag, VBR + padding") {
+    // 8 kbps @ 8000 → 72+pad; 40 kbps @ 8000 → 360
+    val s = Array.concat(id3(9), frame2(1, 2, 1, 1, v25 = true),
+      frame2(5, 2, 0, 1, v25 = true))
+    assert(Mp3Headers.parse(s)
+      .contains((2, 8000, 2, 48L, (73 + 360).toLong, 576)))
+  }
+
+  test("version change mid-stream ends the walk (per-stream " +
+    "constant, like rate and mode)") {
+    val s = Array.concat(frame2(8, 1, 0, 3, v25 = false),
+      frame2(8, 1, 0, 3, v25 = true))
+    assert(Mp3Headers.parse(s)
+      .contains((1, 24000, 1, 64L, 192L, 576)))
+    // MPEG-1 then MPEG-2 likewise stops at frame 1
+    val m = Array.concat(frame(9, 0, 0, 3),
+      frame2(8, 1, 0, 3, v25 = false))
+    assert(Mp3Headers.parse(m)
+      .contains((1, 44100, 1, 128L, 417L, 1152)))
   }
 
   test("joint-stereo and mono channel mapping") {
