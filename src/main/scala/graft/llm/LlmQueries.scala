@@ -156,6 +156,7 @@ object LlmQueries {
     "mm_mp3_sideinfo" -> mp3SideInfo,
     "mm_mp3_count1" -> mp3Count1,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
+    "mm_id3_v22" -> id3V22,
     "mm_id3_tags" -> id3Tags,
     "mm_h264_sps" -> h264Sps,
     "mm_h264_pcm" -> h264PcmDecode,
@@ -6093,6 +6094,30 @@ object LlmQueries {
           .as("sum_ms"))
   }
 
+  /** ID3v2.2 text-frame extraction (`mm_id3_v22`) — the LEGACY tag
+    * layout (3-char frame ids TT2/TP1/TAL, 6-byte headers with
+    * u24be sizes, ISO-8859-1 text) that iTunes-era files still
+    * carry: a parser applying the v2.3/2.4 10-byte header walk to a
+    * v2.2 tag lands mid-frame. Same component-replay oracle
+    * discipline as [[id3Tags]]. Map-side construct → parse →
+    * project; no shuffle. */
+  def id3V22(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Mp3Hex
+    def hexStr(e: String) = s"hex(encode($e, 'UTF-8'))"
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("concat('Song ', CAST(doc_id % 17 AS STRING))").as("t1"),
+        expr("concat('Act ', CAST(doc_id % 5 AS STRING))").as("t2"),
+        expr("concat('LP ', CAST(doc_id % 23 AS STRING))").as("t3"),
+        expr("doc_id % 4 != 1").as("hasalb"))
+      .withColumn("payload", unhex(expr(Mp3Hex.id3Tags22Hex(
+        "t1", "t2", "t3", "hasalb", "div", hexStr))))
+      .withColumn("m", graft.functions.Id3Tags(col("payload")))
+      .select(col("doc_id"), col("m.title").as("title"),
+        col("m.artist").as("artist"), col("m.album").as("album"),
+        col("m.version").cast("bigint").as("version"))
+  }
+
   def mp3Vbr(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.{ImageHex, Mp3Hex}
     val rateE = Mp3Hex.rateCase(Mp3Hex.SrIdxE)
@@ -9896,6 +9921,17 @@ object LlmQueries {
         |    AS album,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
         |    AS version
+        |FROM documents""".stripMargin,
+
+    // component replay for the legacy layout: the engine must
+    // recover these through the 6-byte-header 3-char-id walk
+    "mm_id3_v22" ->
+      """SELECT doc_id,
+        |  'Song ' || CAST(doc_id % 17 AS VARCHAR) AS title,
+        |  'Act ' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+        |  CASE WHEN doc_id % 4 != 1
+        |    THEN 'LP ' || CAST(doc_id % 23 AS VARCHAR) END AS album,
+        |  CAST(2 AS BIGINT) AS version
         |FROM documents""".stripMargin,
 
     // positional frame-walk replay: frame offsets from cumulative

@@ -265,9 +265,10 @@ object Mp3Headers {
     if (u8(b, 0) != 'I' || u8(b, 1) != 'D' || u8(b, 2) != '3')
       return None
     val ver = u8(b, 3)
-    if (ver != 3 && ver != 4) return None
-    // extended header and unsynchronisation are both out of scope —
-    // fail closed rather than walk byte-stuffed sizes fail-open
+    if (ver != 2 && ver != 3 && ver != 4) return None
+    // extended header / unsynchronisation (v2.3+) and v2.2's
+    // compression bit are out of scope — fail closed rather than
+    // walk byte-stuffed sizes fail-open
     if ((u8(b, 5) & 0x40) != 0 || (u8(b, 5) & 0x80) != 0) return None
     var size = 0
     var i = 6
@@ -279,15 +280,18 @@ object Mp3Headers {
     }
     val end = 10 + size
     if (end > b.length) return None
+    // v2.2 frames are id(3) + u24be size, no flags — the 6-byte
+    // header real legacy (iTunes-era) files still carry
+    val hdrLen = if (ver == 2) 6 else 10
     var title: String = null
     var artist: String = null
     var album: String = null
     var p = 10
     var done = false
-    while (!done && p + 10 <= end) {
+    while (!done && p + hdrLen <= end) {
       if (u8(b, p) == 0) done = true // padding begins
       else {
-        val id = new String(b, p, 4, "US-ASCII")
+        val id = new String(b, p, if (ver == 2) 3 else 4, "US-ASCII")
         val fsz: Long =
           if (ver == 4) {
             var s = 0L; var k = 4
@@ -297,18 +301,21 @@ object Mp3Headers {
               s = (s << 7) | v; k += 1
             }
             s
-          } else
+          } else if (ver == 2)
+            (u8(b, p + 3).toLong << 16) | (u8(b, p + 4) << 8) |
+              u8(b, p + 5)
+          else
             // u32be as a LONG: a 0x7FFFFFF0-scale declared size must
             // hit the bounds guard, not wrap an Int past it
             ((u8(b, p + 4).toLong << 24) | (u8(b, p + 5) << 16) |
               (u8(b, p + 6) << 8) | u8(b, p + 7))
-        val body = p + 10
+        val body = p + hdrLen
         if (fsz < 0 || body + fsz > end) return None
         if (id.startsWith("T") && fsz >= 1) {
           val enc = u8(b, body)
           val cs = enc match {
             case 0 => "ISO-8859-1"
-            case 3 => "UTF-8"
+            case 3 if ver != 2 => "UTF-8" // v2.2 predates UTF-8 here
             case _ => null // UTF-16 variants: not a text we extract
           }
           if (cs != null) {
@@ -316,9 +323,9 @@ object Mp3Headers {
             while (len > 0 && b(body + len) == 0) len -= 1 // trailing NULs
             val txt = new String(b, body + 1, len, cs)
             id match {
-              case "TIT2" => title = txt
-              case "TPE1" => artist = txt
-              case "TALB" => album = txt
+              case "TIT2" | "TT2" => title = txt
+              case "TPE1" | "TP1" => artist = txt
+              case "TALB" | "TAL" => album = txt
               case _ => ()
             }
           }

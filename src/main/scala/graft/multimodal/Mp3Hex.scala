@@ -195,6 +195,27 @@ object Mp3Hex {
     s"concat('$idHex', $size, '0000', '03', ${hexStr(textE)})"
   }
 
+  /** A complete ID3v2.2 tag — the LEGACY 6-byte frame headers
+    * (3-char ids TT2/TP1/TAL, u24be sizes, no flags) real
+    * iTunes-era files still carry — with ISO-8859-1 text frames.
+    * `hexStr` as in [[id3TagsHex]]. */
+  def id3Tags22Hex(t1: String, t2: String, t3: String,
+      hasAlbumE: String, intdiv: String,
+      hexStr: String => String): String = {
+    def tf(idHex: String, t: String): String =
+      s"concat('$idHex', ${hexN(s"1 + length($t)", 6, intdiv)}, " +
+        s"'00', ${hexStr(t)})"
+    val total = s"(14 + length($t1) + length($t2) + " +
+      s"CASE WHEN $hasAlbumE THEN 7 + length($t3) ELSE 0 END)"
+    s"concat('494433', '0200', '00', " +
+      s"'0000', ${hexN(s"$total $intdiv 128", 2, intdiv)}, " +
+      s"${hexN(s"$total % 128", 2, intdiv)}, " +
+      s"${tf("545432", t1)}, " + // TT2
+      s"${tf("545031", t2)}, " + // TP1
+      s"CASE WHEN $hasAlbumE THEN ${tf("54414C", t3)} " + // TAL
+      "ELSE '' END)"
+  }
+
   /** A complete ID3v2.3/2.4 tag carrying TIT2 + TPE1 (+ TALB when
     * `hasAlbumE`): header with the SYNCSAFE total, then the frames.
     * `hexStr` is the dialect's string→hex spelling (Spark

@@ -282,4 +282,44 @@ class Mp3HeadersSpec extends AnyFunSuite {
     // no tag at all
     assert(Mp3Headers.id3TextFrames(frame(5, 0, 0, 1)).isEmpty)
   }
+
+  /** Hand-built ID3v2.2 tag: 6-byte frame headers (3-char id +
+    * u24be size), ISO-8859-1 texts. */
+  private def id3v22Tag(frames: Seq[(String, Array[Byte])],
+      padding: Int = 0): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (id, txt) =>
+      body.write(id.getBytes("US-ASCII"))
+      val sz = 1 + txt.length
+      body.write((sz >> 16) & 0xff); body.write((sz >> 8) & 0xff)
+      body.write(sz & 0xff)
+      body.write(0) // ISO-8859-1
+      body.write(txt)
+    }
+    body.write(new Array[Byte](padding))
+    val bb = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array('I', 'D', '3', 2, 0, 0).map(_.toByte))
+    out.write((bb.length >> 21) & 0x7f); out.write((bb.length >> 14) & 0x7f)
+    out.write((bb.length >> 7) & 0x7f); out.write(bb.length & 0x7f)
+    out.write(bb)
+    out.toByteArray
+  }
+
+  test("ID3v2.2: 3-char ids, 6-byte headers, u24be sizes — a " +
+    "10-byte-header walk would land mid-frame") {
+    assert(Mp3Headers.id3TextFrames(id3v22Tag(Seq(
+      ("TT2", "Old Song".getBytes("ISO-8859-1")),
+      ("TP1", "Aé".getBytes("ISO-8859-1")),
+      ("TAL", "LP".getBytes("ISO-8859-1")))))
+      .contains(("Old Song", "Aé", "LP", 2)))
+    // subset + padding stop
+    assert(Mp3Headers.id3TextFrames(id3v22Tag(Seq(
+      ("TT2", "t".getBytes)), padding = 20))
+      .contains(("t", null, null, 2)))
+    // a v2.2 frame overrunning the tag extent fails closed
+    val bad = id3v22Tag(Seq(("TT2", "abc".getBytes)))
+    bad(15) = 90 // u24be size low byte
+    assert(Mp3Headers.id3TextFrames(bad).isEmpty)
+  }
 }
