@@ -128,6 +128,10 @@ object LlmQueries {
     "mm_flac_wasted" -> flacWasted,
     "mm_ogg_meta" -> oggMeta,
     "mm_ogg_tags" -> oggTags,
+    "mm_vorbis_books" -> vorbisBooks,
+    "llm_inflate" -> inflateRoundtrip,
+    "llm_html_blocks" -> htmlBlocks,
+    "llm_text_normalize" -> textNormalize,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_widths" -> audioWidths,
@@ -5095,6 +5099,135 @@ object LlmQueries {
         max(col("m.peak").cast("bigint")).as("max_peak"),
         sum(col("m.n_clipped")).as("sum_clipped"))
 
+  /** REAL Vorbis ENTROPY decode (`mm_vorbis_books`) — the first
+    * table-driven entropy slice of the lossy-codec family, honest
+    * because Vorbis ships its Huffman codebooks IN the stream
+    * (§4.2.4 setup header) and defines codeword assignment
+    * algorithmically (§3.2.1), so no memorized constant tables are
+    * needed: per-document three-page Ogg streams (real lacing, real
+    * page CRCs) whose setup packet carries 1–3 codebooks cycling
+    * all three header paths (unordered dense / unordered sparse /
+    * ordered run-length) and whose symbol packet the engine must
+    * decode bit-by-bit through the canonical trees it builds from
+    * the parsed lengths ([[graft.functions.VorbisBooks]] over
+    * [[graft.functions.VorbisFixture]]). The oracle replays the
+    * decoded symbol census in closed form from doc_id — the
+    * [[flacFixed]] discipline: the length multisets shape only the
+    * BITS, never the symbols, so any bitpacker/assignment/walk
+    * disagreement hash-mismatches — and the assignment algorithm is
+    * independently pinned on the spec's own §3.2.1 worked example
+    * plus hand-packed header bytes in VorbisSpec. Map-side
+    * construct → decode → partial agg; one bounded exchange on the
+    * 3-key book-count space. */
+  def vorbisBooks(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.VorbisFixture(col("doc_id")))
+      .withColumn("m", graft.functions.VorbisBooks(col("payload")))
+      .groupBy(col("m.n_books").cast("bigint").as("n_books"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_entries")).as("sum_entries"),
+        sum(col("m.n_used")).as("sum_used"),
+        sum(col("m.sum_dims")).as("sum_dims"),
+        sum(col("m.n_syms")).as("sum_syms"),
+        sum(col("m.sym_sum")).as("sum_sym"),
+        sum(col("m.sym_wsum")).as("sum_wsym"))
+
+  /** From-scratch DEFLATE decode (`llm_inflate`) — the engine's own
+    * RFC 1951/1950 implementation ([[graft.llm.Inflate]]: canonical
+    * Huffman construction, the dynamic code-length meta-code, LZ77
+    * back-copies, Adler-32) run against streams produced by the
+    * *JDK's* Deflater at levels cycling 0–9 per document — so every
+    * block type (stored / fixed / dynamic) crosses the decoder, and
+    * the two implementations are independent (the decoder is
+    * additionally pinned on hand-assembled bitstreams in
+    * InflateSpec). The oracle knows nothing about DEFLATE: it
+    * computes the byte length and md5 of the ORIGINAL text, so any
+    * decode error — a wrong back-copy, a mis-built tree, a dropped
+    * byte — lands as a digest mismatch. Map-side construct → decode
+    * → project; no shuffle at all, the per-object transform shape
+    * of a 100 TB recompression pass. */
+  def inflateRoundtrip(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .withColumn("z", graft.functions.DeflateZlib(col("raw"),
+        expr("CAST(doc_id % 10 AS INT)")))
+      .withColumn("u", graft.functions.InflateZlib(col("z")))
+      .select(col("doc_id"),
+        length(col("u")).cast("bigint").as("n_bytes"),
+        md5(col("u")).as("digest"))
+
+  /** Block-level HTML boilerplate removal (`llm_html_blocks`) — the
+    * jusText/trafilatura-style gate every web-corpus pipeline runs
+    * between WARC extraction and dedup: pages split into BLOCKS at
+    * closing block-tag boundaries, each block scored by text length
+    * and LINK DENSITY (characters inside anchors vs characters
+    * total — navigation/footer chrome is link-dense, content is
+    * not), and only long low-link-density blocks kept. Pages are
+    * deterministic per-document HTML (nav + content + related-links
+    * + footer chrome built around `text`), the grammar shared
+    * string-for-string with the oracle, so the gate arithmetic is
+    * exact-checkable. All composed from codegen'd built-ins
+    * (`split`/`posexplode`/`regexp_extract_all` — no UDFs); map-side
+    * construct → explode → gate → one partial-agg exchange on
+    * doc_id. The explode grain (blocks per page) is constant, so
+    * the shape is linear in corpus size at any scale. */
+  def htmlBlocks(s: SparkSession, d: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><div><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About us</a></div><p>"),
+      col("text"),
+      lit("</p><div><a href=\"/rel\">"), substring(col("text"), 1, 24),
+      lit("</a></div><p>tiny</p><div><a href=\"/tos\">Terms</a> " +
+        "<a href=\"/priv\">Privacy</a> (c) 2026 Site</div>" +
+        "</body></html>"))
+    docs(s, d).select(col("doc_id"), page.as("html"))
+      .select(col("doc_id"),
+        explode(split(col("html"), "</p>|</div>")).as("block"))
+      .withColumn("tlen",
+        length(regexp_replace(col("block"), htmlTagRe, "")))
+      .withColumn("llen", length(concat_ws("",
+        regexp_extract_all(col("block"),
+          lit("<a [^>]*>([^<]*)</a>"), lit(1)))))
+      .withColumn("kept",
+        col("tlen") >= 25 && col("llen") * 2 < col("tlen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("tlen")).otherwise(0L))
+          .as("kept_chars"),
+        sum(col("llen").cast("bigint")).as("link_chars"))
+  }
+
+  /** Unicode NFC canonicalization (`llm_text_normalize`) — the
+    * canonical-composition pass every dedup/tokenization pipeline
+    * needs first, because visually identical strings with different
+    * codepoint sequences ("é" precomposed vs "e" + U+0301) must
+    * hash identically: a corpus cycling pure-ASCII rows (the NFC
+    * identity fast-path), decomposed combining sequences, and
+    * precomposed rows is normalized by the native
+    * [[graft.functions.NfcNormalize]] codegen expression (Spark has
+    * no normalization built-in), then measured by codepoint count
+    * and digest. The oracle runs DuckDB's own `nfc_normalize` — a
+    * fully independent implementation of the same Unicode standard
+    * form — so the comparison is cross-library, not a replay.
+    * Map-side; no shuffle. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    // case 1 is DECOMPOSED (e + U+0301, o + U+0308), case 2
+    // precomposed - NFC maps case 1 onto case-2 codepoint form
+    val raw = when(col("doc_id") % 3 === 0, col("text"))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" cafe\u0301 no\u0308el")))
+      .otherwise(concat(col("text"), lit(" caf\u00e9 d\u00e9j\u00e0")))
+    docs(s, d).select(col("doc_id"), raw.as("raw"))
+      .withColumn("nfc", graft.functions.NfcNormalize(col("raw")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("bigint").as("n_chars_raw"),
+        length(col("nfc")).cast("bigint").as("n_chars_nfc"),
+        md5(encode(col("nfc"), "UTF-8")).as("digest"))
+  }
+
   /** PII regexes shared by the engine and (verbatim, backslashes
     * unprocessed by DuckDB regular strings) the oracle — simple
     * enough to mean the same thing in Java regex and RE2: no
@@ -9298,6 +9431,101 @@ object LlmQueries {
         |  CAST(MAX(pk) AS BIGINT) AS max_peak,
         |  CAST(SUM(cl) AS BIGINT) AS sum_clipped
         |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // the oracle is DEFLATE-blind: length + md5 of the source text;
+    // the engine must reproduce the bytes through its own inflater
+    "llm_inflate" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    // cross-library check: DuckDB's own nfc_normalize (independent
+    // Unicode implementation), decomposed sequences built via chr()
+    "llm_text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         WHEN doc_id % 3 = 1 THEN text || ' cafe' ||
+        |           chr(769) || ' no' || chr(776) || 'el'
+        |         ELSE text || ' caf' || chr(233) || ' d' ||
+        |           chr(233) || 'j' || chr(224) END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+        |  md5(nfc_normalize(raw)) AS digest
+        |FROM r""".stripMargin,
+
+    // page grammar shared string-for-string; the oracle re-runs the
+    // block split, tag strip, anchor-text extraction and the
+    // integer link-density gate in RE2
+    "llm_html_blocks" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><div><a href="/">Home</a> ' ||
+        |    '<a href="/about">About us</a></div><p>' || text ||
+        |    '</p><div><a href="/rel">' || substr(text, 1, 24) ||
+        |    '</a></div><p>tiny</p><div><a href="/tos">Terms</a> ' ||
+        |    '<a href="/priv">Privacy</a> (c) 2026 Site</div>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(html, '</p>|</div>'))
+        |      AS block FROM h),
+        |m AS (SELECT doc_id,
+        |    length(regexp_replace(block, '<[^>]+>', '', 'g')) AS tlen,
+        |    COALESCE(list_sum(list_transform(
+        |      regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1),
+        |      x -> length(x))), 0) AS llen
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN tlen >= 25 AND 2 * llen < tlen
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN tlen >= 25 AND 2 * llen < tlen
+        |    THEN tlen ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(SUM(llen) AS BIGINT) AS link_chars
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // Vorbis-entropy twin of mm_flac_fixed: the oracle replays the
+    // decoded SYMBOL census in closed form — the per-book length
+    // multisets, header paths (dense/sparse/ordered), canonical
+    // codeword assignment and LSB-first packing shape only the
+    // BITSTREAM the engine must decode through, never the symbols
+    "mm_vorbis_books" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(doc_id % 3 AS BIGINT) + 1 AS nb FROM documents),
+        |b AS (SELECT doc_id, nb, unnest(range(0, nb)) AS j FROM t),
+        |bk AS (SELECT doc_id, nb, j,
+        |    4 + (doc_id + 3 * j) % 13 AS used,
+        |    (doc_id + j) % 3 AS kind,
+        |    1 + (doc_id + j) % 4 AS dims
+        |  FROM b),
+        |bk2 AS (SELECT doc_id, nb, j, used, dims,
+        |    used + CASE WHEN kind = 1 THEN 1 + doc_id % 3
+        |               ELSE 0 END AS entries
+        |  FROM bk),
+        |gb AS (SELECT doc_id, nb, SUM(entries) AS ent,
+        |    SUM(used) AS us, SUM(dims) AS dm
+        |  FROM bk2 GROUP BY 1, 2),
+        |s AS (SELECT doc_id, nb,
+        |    unnest(range(0, doc_id % 24 + 8)) AS k FROM t),
+        |sy AS (SELECT s.doc_id, s.k,
+        |    (s.doc_id * 3 + 7 * s.k) % b2.used AS e
+        |  FROM s JOIN bk2 b2
+        |    ON s.doc_id = b2.doc_id AND b2.j = s.k % s.nb),
+        |gs AS (SELECT doc_id, COUNT(*) AS ns, SUM(e) AS se,
+        |    SUM((k + 1) * e) AS swe FROM sy GROUP BY 1)
+        |SELECT CAST(gb.nb AS BIGINT) AS n_books,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(gb.ent) AS BIGINT) AS sum_entries,
+        |  CAST(SUM(gb.us) AS BIGINT) AS sum_used,
+        |  CAST(SUM(gb.dm) AS BIGINT) AS sum_dims,
+        |  CAST(SUM(gs.ns) AS BIGINT) AS sum_syms,
+        |  CAST(SUM(gs.se) AS BIGINT) AS sum_sym,
+        |  CAST(SUM(gs.swe) AS BIGINT) AS sum_wsym
+        |FROM gb JOIN gs ON gb.doc_id = gs.doc_id
+        |GROUP BY 1""".stripMargin,
 
     // POSITIONAL byte replay (the audio family's standard): the
     // oracle rebuilds the identical bytes and re-reads every tag

@@ -1,0 +1,547 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.InternalRow
+import scala.collection.mutable
+
+/** REAL Vorbis ENTROPY DECODE — the codebook layer of Vorbis I
+  * (§3 "Probability Model and Codebooks"): the part of the codec
+  * that is pure spec ALGORITHM rather than memorized constant
+  * tables, because Vorbis ships its Huffman codebooks INSIDE the
+  * stream (the §4.2.4 setup header) and defines the
+  * codeword-assignment rule algorithmically (§3.2.1: entries are
+  * assigned, in entry order, the lowest-valued available codeword
+  * of their declared length, keeping the tree prefix-free). That
+  * makes this slice honestly implementable and honestly PINNABLE
+  * with no codec library in the container: the assignment algorithm
+  * is pinned against the spec's own worked example (§3.2.1's
+  * 8-entry sample codebook), the bit order against hand-assembled
+  * header bytes, and the decode against hand-packed codeword
+  * streams (the FlacFixedSpec discipline).
+  *
+  * What is real here:
+  *  - the Vorbis BITPACKER (LSB-first within bytes — the opposite
+  *    convention from FLAC/MP3, §2 "Bitpacking Convention");
+  *  - the full §3.2.1 codebook HEADER walk: 24-bit sync 0x564342,
+  *    16-bit dimensions, 24-bit entries, the ORDERED run-length
+  *    path (initial 5-bit length, run counts in ilog(remaining)
+  *    bits) and the UNORDERED path with and without the SPARSE
+  *    per-entry presence flags;
+  *  - canonical codeword assignment per §3.2.1, shared verbatim by
+  *    the fixture encoder and the decoder (and pinned against the
+  *    spec's example so encoder/decoder can't be inverse bugs);
+  *  - completeness enforcement: an over-subscribed length multiset
+  *    (prefix conflict) or an under-specified ("incomplete") tree
+  *    fails closed, per the spec's requirement that scalar-context
+  *    books be complete; single-entry books are likewise rejected
+  *    (the spec calls them out as a degenerate case);
+  *  - scalar codeword DECODE: bit-at-a-time root walk, exactly the
+  *    §3.2.1 decision-tree read.
+  *
+  * Scope, stated honestly: lookup types 1/2 (VQ multiplicand
+  * tables) are parsed-as-rejected — scalar context is the Vorbis
+  * spec's own requirement for the books this slice decodes (floor1
+  * class/subclass books MUST be lookup type 0). The downstream
+  * floor-curve synthesis and MDCT remain the declared fake in
+  * [[Multimodal]]; what this module proves is the table-driven
+  * ENTROPY layer, built from stream-embedded codebooks.
+  *
+  * The `mm_vorbis_books` fixture wraps the codebooks in a REAL Ogg
+  * container (lacing arithmetic, correct page CRCs — the direct
+  * 0x04c11db7 CRC-32 Ogg specifies) with a conformant Vorbis
+  * identification packet, a type-5 setup packet carrying the
+  * codebook section, and a symbol packet whose framing is the
+  * fixture's own (documented: a 0 audio-flag bit, a 16-bit symbol
+  * count, then codewords cycling through the parsed books) — real
+  * audio packets structure codewords via floor/residue configs,
+  * which are out of scope with the synthesis fake. */
+object Vorbis {
+
+  /** Vorbis bitpacker read side: LSB-first within each byte (§2). */
+  final class BitReaderLsb(b: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bit = 0
+    /** Next `n` bits as an unsigned value, LSB first; None on
+      * running past `end`. */
+    def read(n: Int): Option[Long] = {
+      var v = 0L
+      var k = 0
+      while (k < n) {
+        if (pos >= end) return None
+        v |= (((b(pos) >> bit) & 1).toLong << k)
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        k += 1
+      }
+      Some(v)
+    }
+    /** One bit; -1 on exhaustion (decode-loop form). */
+    def readBit(): Int = {
+      if (pos >= end) return -1
+      val v = (b(pos) >> bit) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+  }
+
+  /** Vorbis bitpacker write side (fixture encoder). */
+  final class BitWriterLsb {
+    private val buf = new java.io.ByteArrayOutputStream(256)
+    private var cur = 0
+    private var nBits = 0
+    def write(v: Long, n: Int): Unit = {
+      var k = 0
+      while (k < n) {
+        cur |= (((v >> k) & 1L).toInt << nBits)
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        k += 1
+      }
+    }
+    /** A codeword: root-first (MSB of the code value first), the
+      * §3.2.1 decision-tree read order. */
+    def writeCode(code: Long, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) { write((code >> k) & 1L, 1); k -= 1 }
+    }
+    def bytes: Array[Byte] = {
+      if (nBits != 0) { buf.write(cur); cur = 0; nBits = 0 }
+      buf.toByteArray
+    }
+  }
+
+  /** §9.2.1 ilog: bits needed to represent x (ilog(0)=0, ilog(1)=1,
+    * ilog(7)=3). */
+  def ilog(x: Long): Int = {
+    var v = x
+    var n = 0
+    while (v > 0) { n += 1; v >>= 1 }
+    n
+  }
+
+  /** §3.2.1 canonical codeword assignment: each used entry (length
+    * > 0), in entry order, receives the LOWEST-valued unused
+    * codeword of its length that keeps the code prefix-free.
+    * Implemented as a leftmost-fit buddy allocator over the code
+    * space: free, disjoint subtrees ordered by start position; a
+    * length-l code needs a free block of depth ≤ l, takes the
+    * leftmost corner, and the off-path siblings become new free
+    * blocks. Returns (codewords, complete?) — `complete` iff the
+    * lengths exactly tile the space (Kraft sum 1) — or None when
+    * the multiset over-subscribes it. Unused entries get code -1. */
+  def assignCodewords(lengths: Array[Int]): Option[(Array[Long], Boolean)] = {
+    // (start, depth, code): start = code << (32 - depth), kept as
+    // the ordering key so "leftmost" is well-defined across depths
+    implicit val ord: Ordering[(Long, Int, Long)] =
+      Ordering.by(t => (t._1, t._2))
+    val free = mutable.TreeSet[(Long, Int, Long)]((0L, 0, 0L))
+    val out = Array.fill[Long](lengths.length)(-1L)
+    var i = 0
+    while (i < lengths.length) {
+      val l = lengths(i)
+      if (l > 0) {
+        if (l > 32) return None
+        val blk = free.find(_._2 <= l).getOrElse(return None)
+        free -= blk
+        val (_, bl, bc) = blk
+        out(i) = bc << (l - bl)
+        var j = bl + 1
+        while (j <= l) {
+          val c = (bc << (j - bl)) | 1L
+          free += (((c << (32 - j)), j, c))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    Some((out, free.isEmpty))
+  }
+
+  /** One parsed codebook: decode map keyed by
+    * (len << 32) | codeword, plus the header geometry. */
+  final case class Book(dims: Int, entries: Int, used: Int,
+      maxLen: Int, decode: java.util.HashMap[java.lang.Long, Integer])
+
+  /** The §3.2.1 codebook header walk. Fail-closed on bad sync,
+    * out-of-spec lengths, over-subscribed or incomplete trees,
+    * single-entry books, and non-scalar (lookup type != 0) books. */
+  def readBook(r: BitReaderLsb): Option[Book] = {
+    if (r.read(24).getOrElse(return None) != 0x564342L) return None
+    val dims = r.read(16).getOrElse(return None).toInt
+    val entries = r.read(24).getOrElse(return None).toInt
+    if (entries < 1 || entries > (1 << 20)) return None // sanity cap
+    val lengths = new Array[Int](entries)
+    val ordered = r.read(1).getOrElse(return None) == 1L
+    if (!ordered) {
+      val sparse = r.read(1).getOrElse(return None) == 1L
+      var i = 0
+      while (i < entries) {
+        val present = !sparse || r.read(1).getOrElse(return None) == 1L
+        lengths(i) =
+          if (present) r.read(5).getOrElse(return None).toInt + 1 else 0
+        i += 1
+      }
+    } else {
+      var cur = 0
+      var len = r.read(5).getOrElse(return None).toInt + 1
+      while (cur < entries) {
+        if (len > 32) return None
+        val n = r.read(ilog(entries - cur)).getOrElse(return None).toInt
+        if (n > entries - cur) return None
+        var k = 0
+        while (k < n) { lengths(cur + k) = len; k += 1 }
+        cur += n
+        len += 1
+      }
+    }
+    if (r.read(4).getOrElse(return None) != 0L) return None // scalar only
+    val used = lengths.count(_ > 0)
+    if (used < 2) return None // degenerate single-entry book
+    val (codes, complete) = assignCodewords(lengths).getOrElse(return None)
+    if (!complete) return None // §3.2.1: under-specified tree
+    val m = new java.util.HashMap[java.lang.Long, Integer](used * 2)
+    var i = 0
+    var maxLen = 0
+    while (i < entries) {
+      if (lengths(i) > 0) {
+        m.put((lengths(i).toLong << 32) | codes(i), i)
+        if (lengths(i) > maxLen) maxLen = lengths(i)
+      }
+      i += 1
+    }
+    Some(Book(dims, entries, used, maxLen, m))
+  }
+
+  /** §3.2.1 decode: bit-at-a-time root walk against the canonical
+    * map. None on exhaustion or a walk past the deepest leaf. */
+  def decodeOne(r: BitReaderLsb, book: Book): Option[Int] = {
+    var acc = 0L
+    var len = 0
+    while (len < book.maxLen) {
+      val bit = r.readBit()
+      if (bit < 0) return None
+      acc = (acc << 1) | bit
+      len += 1
+      val hit = book.decode.get((len.toLong << 32) | acc)
+      if (hit != null) return Some(hit.intValue())
+    }
+    None
+  }
+
+  // ------------------------------------------------------------------
+  // Ogg container (fixture side): real lacing, real page CRC.
+
+  /** Ogg page CRC-32: direct (non-reflected) 0x04c11db7, init 0,
+    * no final xor, CRC field zeroed during computation. */
+  private val crcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  def oggCrc(b: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < b.length) {
+      crc = (crc << 8) ^ crcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** One Ogg page holding whole packets (255-continuation lacing,
+    * correct CRC). */
+  def oggPage(htype: Int, granule: Long, serial: Int, seq: Int,
+      packets: Seq[Array[Byte]]): Array[Byte] = {
+    val lacing = mutable.ArrayBuffer.empty[Int]
+    packets.foreach { p =>
+      var rem = p.length
+      while (rem >= 255) { lacing += 255; rem -= 255 }
+      lacing += rem // < 255 terminator (0 for exact multiples)
+    }
+    val body = packets.flatMap(_.toSeq).toArray
+    val page = new Array[Byte](27 + lacing.length + body.length)
+    page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+    page(4) = 0 // version
+    page(5) = htype.toByte
+    var k = 0
+    while (k < 8) { page(6 + k) = ((granule >> (8 * k)) & 0xff).toByte; k += 1 }
+    k = 0
+    while (k < 4) {
+      page(14 + k) = ((serial >> (8 * k)) & 0xff).toByte
+      page(18 + k) = ((seq >> (8 * k)) & 0xff).toByte
+      k += 1
+    }
+    page(26) = lacing.length.toByte
+    var i = 0
+    while (i < lacing.length) { page(27 + i) = lacing(i).toByte; i += 1 }
+    System.arraycopy(body, 0, page, 27 + lacing.length, body.length)
+    val crc = oggCrc(page)
+    k = 0
+    while (k < 4) { page(22 + k) = ((crc >> (8 * k)) & 0xff).toByte; k += 1 }
+    page
+  }
+
+  /** Reassemble the packet stream of a (single-logical-stream) Ogg
+    * payload: the lacing walk, packets spanning lacing runs; pages
+    * crossed by declared lengths, never capture-pattern scans.
+    * Returns None on malformed geometry. Packets spanning PAGES are
+    * not needed by the fixture and fail closed (continuation flag). */
+  def oggPackets(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (b == null || b.length < 27) return None
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    var first = true
+    while (i < b.length) {
+      if (i + 27 > b.length) return None
+      if (!(b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+          b(i + 3) == 'S') || b(i + 4) != 0) return None
+      val htype = b(i + 5) & 0xff
+      if ((htype & 0x01) != 0) return None // continued packet: out of scope
+      if (first && (htype & 0x02) == 0) return None // first page must be BOS
+      first = false
+      val nsegs = b(i + 26) & 0xff
+      if (i + 27 + nsegs > b.length) return None
+      var body = i + 27 + nsegs
+      var cur = new java.io.ByteArrayOutputStream()
+      var s = 0
+      while (s < nsegs) {
+        val l = b(i + 27 + s) & 0xff
+        if (body + l > b.length) return None
+        cur.write(b, body, l)
+        body += l
+        if (l < 255) { out += cur.toByteArray; cur = new java.io.ByteArrayOutputStream() }
+        s += 1
+      }
+      if (cur.size() > 0) return None // packet continued past page end
+      i = body
+    }
+    Some(out.result())
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture derivations (`mm_vorbis_books`) — every parameter a
+  // closed-form function of doc_id so the oracle replays the decoded
+  // symbol census in SQL without touching the bitstream. Book KIND
+  // cycles all three header paths: 0 = unordered dense, 1 =
+  // unordered sparse (trailing unused entries), 2 = ordered
+  // (non-decreasing lengths).
+
+  def nBooksOf(docId: Long): Int = (docId % 3).toInt + 1
+  def usedOf(docId: Long, j: Int): Int = 4 + ((docId + 3 * j) % 13).toInt
+  def kindOf(docId: Long, j: Int): Int = ((docId + j) % 3).toInt
+  def dimsOf(docId: Long, j: Int): Int = 1 + ((docId + j) % 4).toInt
+  def entriesOf(docId: Long, j: Int): Int = {
+    val u = usedOf(docId, j)
+    if (kindOf(docId, j) == 1) u + 1 + (docId % 3).toInt else u
+  }
+  def nSymsOf(docId: Long): Int = (docId % 24).toInt + 8
+  /** Decoded entry number of symbol slot k (books cycle k % nBooks;
+    * the length multiset shapes only the BITS, never the symbol). */
+  def symOf(docId: Long, k: Int): Int = {
+    val j = k % nBooksOf(docId)
+    ((docId * 3 + 7L * k) % usedOf(docId, j)).toInt
+  }
+
+  /** A complete (Kraft-sum-1) length multiset for `used` leaves:
+    * start from the two-leaf tree and deterministically split
+    * leaves — completeness is preserved by construction, shapes
+    * vary by doc. */
+  private[multimodal] def lengthsOf(docId: Long, j: Int, used: Int): Array[Int] = {
+    val ls = mutable.ArrayBuffer(1, 1)
+    var step = 0
+    while (ls.size < used) {
+      val p = ((docId + 5 * step + 3 * j) % ls.size).toInt
+      val l = ls.remove(p)
+      ls.insert(p, l + 1)
+      ls.insert(p, l + 1)
+      step += 1
+    }
+    ls.toArray
+  }
+
+  private def writeBook(w: BitWriterLsb, docId: Long, j: Int): Unit = {
+    val used = usedOf(docId, j)
+    val kind = kindOf(docId, j)
+    val entries = entriesOf(docId, j)
+    val base = lengthsOf(docId, j, used)
+    val lens = kind match {
+      case 2 => base.sorted // ordered path carries non-decreasing runs
+      case _ => base
+    }
+    w.write(0x564342L, 24)
+    w.write(dimsOf(docId, j), 16)
+    w.write(entries, 24)
+    if (kind == 2) {
+      w.write(1, 1) // ordered
+      w.write(lens(0) - 1, 5)
+      var cur = 0
+      var len = lens(0)
+      while (cur < entries) {
+        var n = 0
+        while (cur + n < entries && lens(cur + n) == len) n += 1
+        w.write(n, ilog(entries - cur))
+        cur += n
+        len += 1
+      }
+    } else {
+      w.write(0, 1) // unordered
+      if (kind == 1) {
+        w.write(1, 1) // sparse: trailing entries absent
+        var i = 0
+        while (i < entries) {
+          if (i < used) { w.write(1, 1); w.write(lens(i) - 1, 5) }
+          else w.write(0, 1)
+          i += 1
+        }
+      } else {
+        w.write(0, 1)
+        var i = 0
+        while (i < entries) { w.write(lens(i) - 1, 5); i += 1 }
+      }
+    }
+    w.write(0, 4) // lookup type 0: scalar context
+  }
+
+  private def bookCodes(docId: Long, j: Int): (Array[Int], Array[Long]) = {
+    val used = usedOf(docId, j)
+    val kind = kindOf(docId, j)
+    val entries = entriesOf(docId, j)
+    val base = lengthsOf(docId, j, used)
+    val lensUsed = if (kind == 2) base.sorted else base
+    val lengths = new Array[Int](entries)
+    var i = 0
+    while (i < used) { lengths(i) = lensUsed(i); i += 1 }
+    val (codes, complete) = assignCodewords(lengths).get
+    require(complete, s"fixture tree must be complete (doc=$docId book=$j)")
+    (lengths, codes)
+  }
+
+  def rateOf(docId: Long): Int =
+    Array(8000, 22050, 44100, 48000)((docId % 4).toInt)
+  def chOf(docId: Long): Int = (docId % 2).toInt + 1
+
+  /** Conformant Vorbis identification packet (§4.2.2). */
+  private def idPacket(docId: Long): Array[Byte] = {
+    val w = new BitWriterLsb
+    w.write(1, 8)
+    "vorbis".foreach(c => w.write(c.toLong, 8))
+    w.write(0, 32) // vorbis_version
+    w.write(chOf(docId), 8)
+    w.write(rateOf(docId), 32)
+    w.write(0, 32); w.write(0, 32); w.write(0, 32) // bitrates
+    w.write(8, 4); w.write(8, 4) // blocksizes (2^8, 2^8)
+    w.write(1, 1) // framing
+    w.bytes
+  }
+
+  /** Type-5 setup packet: the §4.2.4 codebook section. */
+  private def setupPacket(docId: Long): Array[Byte] = {
+    val w = new BitWriterLsb
+    w.write(5, 8)
+    "vorbis".foreach(c => w.write(c.toLong, 8))
+    val nb = nBooksOf(docId)
+    w.write(nb - 1, 8)
+    var j = 0
+    while (j < nb) { writeBook(w, docId, j); j += 1 }
+    w.bytes
+  }
+
+  /** The symbol packet (fixture framing, documented in the object
+    * doc): 1 zero bit (the §4.3.1 audio-packet flag), 16-bit symbol
+    * count, then codewords cycling through the books. */
+  private def symbolPacket(docId: Long): Array[Byte] = {
+    val w = new BitWriterLsb
+    w.write(0, 1)
+    val n = nSymsOf(docId)
+    w.write(n, 16)
+    val books = Array.tabulate(nBooksOf(docId))(j => bookCodes(docId, j))
+    var k = 0
+    while (k < n) {
+      val j = k % nBooksOf(docId)
+      val e = symOf(docId, k)
+      val (lengths, codes) = books(j)
+      w.writeCode(codes(e), lengths(e))
+      k += 1
+    }
+    w.bytes
+  }
+
+  /** The complete fixture stream for one doc: a real three-page Ogg
+    * container (id / setup / symbols). */
+  def stream(docId: Long): Array[Byte] = {
+    val serial = (docId & 0x7fffffffL).toInt | 1
+    oggPage(0x02, 0, serial, 0, Seq(idPacket(docId))) ++
+      oggPage(0, 0, serial, 1, Seq(setupPacket(docId))) ++
+      oggPage(0x04, nSymsOf(docId), serial, 2, Seq(symbolPacket(docId)))
+  }
+
+  // ------------------------------------------------------------------
+  // Decode side (the engine path under test).
+
+  /** Parse an Ogg-framed Vorbis stream: id packet geometry, setup
+    * codebooks, then decode the symbol packet through the parsed
+    * books. Returns
+    * (n_books, n_entries, n_used, sum_dims, n_syms, sym_sum,
+    * sym_wsum) or None (fail-closed). */
+  def parseBooks(b: Array[Byte])
+      : Option[(Int, Long, Long, Long, Long, Long, Long)] = {
+    val packets = oggPackets(b).getOrElse(return None)
+    if (packets.length != 3) return None
+    val id = packets(0)
+    if (id.length < 30 || (id(0) & 0xff) != 1 ||
+      new String(id, 1, 6, "US-ASCII") != "vorbis") return None
+    val setup = packets(1)
+    if (setup.length < 8 || (setup(0) & 0xff) != 5 ||
+      new String(setup, 1, 6, "US-ASCII") != "vorbis") return None
+    val sr = new BitReaderLsb(setup, 7, setup.length)
+    val nb = sr.read(8).getOrElse(return None).toInt + 1
+    val books = new Array[Book](nb)
+    var j = 0
+    while (j < nb) {
+      books(j) = readBook(sr).getOrElse(return None)
+      j += 1
+    }
+    val sym = packets(2)
+    val yr = new BitReaderLsb(sym, 0, sym.length)
+    if (yr.read(1).getOrElse(return None) != 0L) return None
+    val n = yr.read(16).getOrElse(return None).toInt
+    var symSum = 0L
+    var symWSum = 0L
+    var k = 0
+    while (k < n) {
+      val e = decodeOne(yr, books(k % nb)).getOrElse(return None)
+      symSum += e
+      symWSum += (k + 1L) * e
+      k += 1
+    }
+    var entries = 0L
+    var used = 0L
+    var dims = 0L
+    j = 0
+    while (j < nb) {
+      entries += books(j).entries
+      used += books(j).used
+      dims += books(j).dims
+      j += 1
+    }
+    Some((nb, entries, used, dims, n.toLong, symSum, symWSum))
+  }
+
+  /** [[parseBooks]] as an `InternalRow` for the codegen path. */
+  def booksRow(b: Array[Byte]): InternalRow = parseBooks(b) match {
+    case Some((nb, ent, us, dm, ns, ss, sw)) =>
+      InternalRow(nb, ent, us, dm, ns, ss, sw)
+    case None => null
+  }
+}

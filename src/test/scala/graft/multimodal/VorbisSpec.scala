@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vorbis codebook entropy decode ([[Vorbis]]) pinned THREE
+  * independent ways: the §3.2.1 canonical codeword assignment
+  * against the spec's own worked example (the 8-entry sample
+  * codebook), the LSB-first bitpacking + header walk against
+  * HAND-ASSEMBLED bytes, and the tree walk against hand-packed
+  * codeword streams — so the fixture encoder and the decoder can't
+  * be inverse bugs of each other. Plus the encoder/decoder/
+  * closed-form triangle over all three header paths, Ogg page CRC
+  * self-consistency, and the fail-closed boundary (bad sync,
+  * over-subscribed and incomplete trees, single-entry books,
+  * non-scalar lookup types, truncation, continued packets). */
+class VorbisSpec extends AnyFunSuite {
+
+  test("§3.2.1 worked example: lengths [2,4,4,4,4,2,3,3] assign the " +
+    "spec's codewords") {
+    val Some((codes, complete)) =
+      Vorbis.assignCodewords(Array(2, 4, 4, 4, 4, 2, 3, 3))
+    assert(complete)
+    assert(codes.toSeq == Seq(
+      Integer.parseInt("00", 2).toLong,
+      Integer.parseInt("0100", 2).toLong,
+      Integer.parseInt("0101", 2).toLong,
+      Integer.parseInt("0110", 2).toLong,
+      Integer.parseInt("0111", 2).toLong,
+      Integer.parseInt("10", 2).toLong,
+      Integer.parseInt("110", 2).toLong,
+      Integer.parseInt("111", 2).toLong))
+  }
+
+  test("assignment: over-subscribed lengths fail; incomplete trees " +
+    "report complete = false; unused entries get -1") {
+    assert(Vorbis.assignCodewords(Array(1, 1, 1)).isEmpty)
+    val Some((c1, complete1)) = Vorbis.assignCodewords(Array(2, 2, 2))
+    assert(!complete1 && c1.toSeq == Seq(0L, 1L, 2L))
+    val Some((c2, complete2)) = Vorbis.assignCodewords(Array(1, 0, 1))
+    assert(complete2 && c2.toSeq == Seq(0L, -1L, 1L))
+  }
+
+  // Hand-assembled codebook header: sync, dims=2, entries=4,
+  // unordered dense, lengths [2,2,2,2], lookup 0. Bytes computed BY
+  // HAND from the LSB-first packing convention (§2).
+  private val handBook: Array[Byte] = Array(
+    0x42, 0x43, 0x56, 0x02, 0x00, 0x04, 0x00, 0x00,
+    0x84, 0x10, 0x02, 0x00).map(_.toByte)
+
+  test("hand-assembled header bytes parse: LSB-first sync/dims/" +
+    "entries, 5-bit lengths, canonical codes 00/01/10/11") {
+    val r = new Vorbis.BitReaderLsb(handBook, 0, handBook.length)
+    val Some(book) = Vorbis.readBook(r)
+    assert(book.dims == 2 && book.entries == 4 && book.used == 4 &&
+      book.maxLen == 2)
+    // decode map: (len << 32) | code → entry
+    for (e <- 0 until 4)
+      assert(book.decode.get((2L << 32) | e) == e)
+  }
+
+  test("hand-packed symbol stream decodes root-first through the " +
+    "canonical tree") {
+    val r0 = new Vorbis.BitReaderLsb(handBook, 0, handBook.length)
+    val Some(book) = Vorbis.readBook(r0)
+    // bits: audio flag 0, u16 n=3, codewords 10 / 00 / 11 → bytes
+    // 06 00 62 (hand-packed LSB-first)
+    val sym = Array(0x06, 0x00, 0x62).map(_.toByte)
+    val r = new Vorbis.BitReaderLsb(sym, 0, sym.length)
+    assert(r.read(1).contains(0L))
+    assert(r.read(16).contains(3L))
+    assert(Vorbis.decodeOne(r, book).contains(2))
+    assert(Vorbis.decodeOne(r, book).contains(0))
+    assert(Vorbis.decodeOne(r, book).contains(3))
+  }
+
+  test("fail-closed: bad sync, non-scalar lookup, incomplete tree, " +
+    "single-entry book, truncation") {
+    def parse(b: Array[Byte]) =
+      Vorbis.readBook(new Vorbis.BitReaderLsb(b, 0, b.length))
+    val badSync = handBook.clone(); badSync(0) = 0x41
+    assert(parse(badSync).isEmpty)
+    assert(parse(handBook.dropRight(2)).isEmpty) // truncated lookup
+    // lookup nibble lives at bit offset 86 = byte 10 bits 6..7 +
+    // byte 11 bits 0..1; set its low bit (stream bit 22 → byte 10
+    // bit 6) → lookup type 1
+    val vq = handBook.clone(); vq(10) = (vq(10) | 0x40).toByte
+    assert(parse(vq).isEmpty)
+    // unordered dense, entries=3, lengths [2,2,2]: incomplete
+    val w = new Vorbis.BitWriterLsb
+    w.write(0x564342L, 24); w.write(1, 16); w.write(3, 24)
+    w.write(0, 1); w.write(0, 1)
+    for (_ <- 0 until 3) w.write(1, 5)
+    w.write(0, 4)
+    assert(parse(w.bytes).isEmpty)
+    // single-entry book (entries=1): degenerate, rejected
+    val w1 = new Vorbis.BitWriterLsb
+    w1.write(0x564342L, 24); w1.write(1, 16); w1.write(1, 24)
+    w1.write(0, 1); w1.write(0, 1); w1.write(0, 5); w1.write(0, 4)
+    assert(parse(w1.bytes).isEmpty)
+  }
+
+  test("ordered-path round trip: non-decreasing runs survive the " +
+    "run-length header walk") {
+    // kind(docId, j) == 2 needs (docId + j) % 3 == 2; doc 2, book 0
+    val doc = 2L
+    assert(Vorbis.kindOf(doc, 0) == 2)
+    val out = Vorbis.parseBooks(Vorbis.stream(doc))
+    assert(out.isDefined)
+  }
+
+  test("encoder/decoder/closed-form triangle over docs 0..120 " +
+    "(all header-path kinds, book counts, symbol cycles)") {
+    for (doc <- 0L to 120L) {
+      val Some((nb, ent, us, dm, ns, ss, sw)) =
+        Vorbis.parseBooks(Vorbis.stream(doc))
+      assert(nb == Vorbis.nBooksOf(doc), s"doc $doc books")
+      val js = 0 until nb
+      assert(ent == js.map(j => Vorbis.entriesOf(doc, j).toLong).sum)
+      assert(us == js.map(j => Vorbis.usedOf(doc, j).toLong).sum)
+      assert(dm == js.map(j => Vorbis.dimsOf(doc, j).toLong).sum)
+      val n = Vorbis.nSymsOf(doc)
+      assert(ns == n.toLong)
+      val syms = (0 until n).map(k => Vorbis.symOf(doc, k).toLong)
+      assert(ss == syms.sum, s"doc $doc sym_sum")
+      assert(sw == syms.zipWithIndex.map { case (e, k) => (k + 1) * e }.sum,
+        s"doc $doc sym_wsum")
+    }
+  }
+
+  test("fixture pages carry correct Ogg CRCs (direct 0x04c11db7, " +
+    "CRC field zeroed during computation)") {
+    val b = Vorbis.stream(7L)
+    var i = 0
+    var pages = 0
+    while (i < b.length) {
+      val nsegs = b(i + 26) & 0xff
+      var payload = 0
+      for (s <- 0 until nsegs) payload += b(i + 27 + s) & 0xff
+      val end = i + 27 + nsegs + payload
+      val page = java.util.Arrays.copyOfRange(b, i, end)
+      var stored = 0L
+      for (k <- 0 until 4)
+        stored |= (page(22 + k) & 0xffL) << (8 * k)
+      for (k <- 0 until 4) page(22 + k) = 0
+      assert((Vorbis.oggCrc(page) & 0xffffffffL) == stored,
+        s"page $pages crc")
+      i = end
+      pages += 1
+    }
+    assert(pages == 3)
+  }
+
+  test("fail-closed Ogg framing: continued-packet flag, truncated " +
+    "page, garbage") {
+    val b = Vorbis.stream(3L)
+    val cont = b.clone(); cont(5) = (cont(5) | 0x01).toByte
+    assert(Vorbis.parseBooks(cont).isEmpty)
+    assert(Vorbis.parseBooks(b.dropRight(3)).isEmpty)
+    assert(Vorbis.parseBooks("not an ogg".getBytes).isEmpty)
+    assert(Vorbis.parseBooks(Array.empty[Byte]).isEmpty)
+  }
+}
