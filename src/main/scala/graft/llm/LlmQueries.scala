@@ -132,6 +132,8 @@ object LlmQueries {
     "llm_inflate" -> inflateRoundtrip,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
+    "llm_robots" -> robotsGate,
+    "llm_robots_rules" -> robotsRules,
     "mm_flac_tags" -> flacTags,
     "mm_audio_levels" -> audioLevels,
     "mm_audio_widths" -> audioWidths,
@@ -5148,7 +5150,12 @@ object LlmQueries {
     * → project; no shuffle at all, the per-object transform shape
     * of a 100 TB recompression pass. */
   def inflateRoundtrip(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    inflateOf(docs(s, d))
+
+  /** [[inflateRoundtrip]] over an arbitrary documents frame —
+    * row-local, so the streaming twin is the same plan. */
+  def inflateOf(src: DataFrame): DataFrame =
+    src
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
       .withColumn("z", graft.functions.DeflateZlib(col("raw"),
         expr("CAST(doc_id % 10 AS INT)")))
@@ -5172,7 +5179,14 @@ object LlmQueries {
     * construct → explode → gate → one partial-agg exchange on
     * doc_id. The explode grain (blocks per page) is constant, so
     * the shape is linear in corpus size at any scale. */
-  def htmlBlocks(s: SparkSession, d: String): DataFrame = {
+  def htmlBlocks(s: SparkSession, d: String): DataFrame =
+    htmlBlocksOf(docs(s, d))
+
+  /** [[htmlBlocks]] over an arbitrary documents frame — one page
+    * per row, so the per-doc aggregation is row-local and the
+    * streaming twin (per micro-batch under foreachBatch) is
+    * bit-equal to batch regardless of the shard split. */
+  def htmlBlocksOf(src: DataFrame): DataFrame = {
     val page = concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title></head><body><div><a href=\"/\">Home</a> " +
@@ -5182,7 +5196,7 @@ object LlmQueries {
       lit("</a></div><p>tiny</p><div><a href=\"/tos\">Terms</a> " +
         "<a href=\"/priv\">Privacy</a> (c) 2026 Site</div>" +
         "</body></html>"))
-    docs(s, d).select(col("doc_id"), page.as("html"))
+    src.select(col("doc_id"), page.as("html"))
       .select(col("doc_id"),
         explode(split(col("html"), "</p>|</div>")).as("block"))
       .withColumn("tlen",
@@ -5213,19 +5227,171 @@ object LlmQueries {
     * fully independent implementation of the same Unicode standard
     * form — so the comparison is cross-library, not a replay.
     * Map-side; no shuffle. */
-  def textNormalize(s: SparkSession, d: String): DataFrame = {
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    textNormalizeOf(docs(s, d))
+
+  /** [[textNormalize]] over an arbitrary documents frame \u2014
+    * row-local, stream-safe as-is. */
+  def textNormalizeOf(src: DataFrame): DataFrame = {
     // case 1 is DECOMPOSED (e + U+0301, o + U+0308), case 2
     // precomposed - NFC maps case 1 onto case-2 codepoint form
     val raw = when(col("doc_id") % 3 === 0, col("text"))
       .when(col("doc_id") % 3 === 1,
         concat(col("text"), lit(" cafe\u0301 no\u0308el")))
       .otherwise(concat(col("text"), lit(" caf\u00e9 d\u00e9j\u00e0")))
-    docs(s, d).select(col("doc_id"), raw.as("raw"))
+    src.select(col("doc_id"), raw.as("raw"))
       .withColumn("nfc", graft.functions.NfcNormalize(col("raw")))
       .select(col("doc_id"),
         length(col("raw")).cast("bigint").as("n_chars_raw"),
         length(col("nfc")).cast("bigint").as("n_chars_nfc"),
         md5(encode(col("nfc"), "UTF-8")).as("digest"))
+  }
+
+  /** The shared robots.txt fixture + line-wise RFC 9309 parse for
+    * [[robotsGate]] / [[robotsRules]]: per-domain robots.txt built
+    * deterministically (a two-agent crawler group with prefix
+    * Allow/Disallow rules — one rule present only on even-length
+    * domains — and a catch-all `*` group that disallows
+    * everything), then parsed GENERALLY: lines split and trimmed,
+    * fields matched case-insensitively, groups formed by the RFC's
+    * adjacency rule (consecutive `User-agent` lines STACK onto one
+    * group; a `User-agent` line after rules starts a new group) via
+    * a per-domain line-number window — domains are the partition
+    * key, so the window never sees more than one robots file. */
+  private def robotsParsed(src: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val domains = src.select(col("source")).distinct()
+      .withColumn("robots", concat(
+        lit("# robots fixture\n"),
+        lit("User-agent: graftbot\nUser-agent: graftbot-image\n" +
+          "Disallow: /private/\nAllow: /private/public-\n" +
+          "Disallow: /search\n"),
+        when(length(col("source")) % 2 === 0,
+          lit("Disallow: /draft-\n")).otherwise(lit("")),
+        lit("\nUser-agent: *\nDisallow: /\n")))
+    val lines = domains
+      .select(col("source"), posexplode(split(col("robots"), "\n")))
+      .withColumnRenamed("pos", "ln")
+      .withColumn("line", trim(col("col")))
+      .withColumn("field",
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value",
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)))
+    val w = Window.partitionBy("source").orderBy("ln")
+    val grouped = lines
+      .withColumn("isUa", col("field") === "user-agent")
+      .withColumn("prevUa",
+        coalesce(lag(col("isUa"), 1).over(w), lit(false)))
+      .withColumn("grp", sum(when(col("isUa") && !col("prevUa"), 1)
+        .otherwise(0)).over(w))
+    val agents = grouped.filter(col("isUa"))
+      .select(col("source"), col("grp"), lower(col("value")).as("agent"))
+    val rules = grouped
+      .filter(col("field").isin("allow", "disallow") &&
+        length(col("value")) > 0)
+      .select(col("source"), col("grp"),
+        (col("field") === "allow").as("al"), col("value").as("prefix"))
+    (domains, agents, rules)
+  }
+
+  /** The per-document URL paths the gate evaluates — six classes
+    * cycling allow/deny/longest-match-override/conditional cases. */
+  private[graft] def docPathsOf(src: DataFrame): DataFrame =
+    src.select(col("doc_id"), col("source"),
+      expr("""CASE CAST(doc_id % 6 AS INT)
+        | WHEN 0 THEN '/'
+        | WHEN 1 THEN '/about'
+        | WHEN 2 THEN concat('/private/doc-', doc_id)
+        | WHEN 3 THEN concat('/private/public-', doc_id)
+        | WHEN 4 THEN concat('/search?q=', doc_id)
+        | ELSE concat('/draft-', doc_id) END""".stripMargin).as("path"))
+
+  /** robots.txt evaluation (`llm_robots`) — the fetch-permission
+    * gate a crawl-derived corpus applies before ingesting a URL
+    * (RFC 9309): per-domain robots.txt is PARSED generally
+    * ([[robotsParsed]]: line-wise fields, stacked user-agent
+    * groups), the applicable group chosen per the RFC (the
+    * crawler's own product token if any group names it, else `*`),
+    * and each document URL judged by LONGEST-PREFIX-MATCH with
+    * allow winning ties — §2.2.2's most-specific rule. The oracle
+    * replays the VERDICTS in closed form from doc_id and the domain
+    * parity (the flacFixed discipline): the robots text shapes only
+    * what the engine must parse — an engine that mis-groups stacked
+    * agents, picks the `*` group, or breaks the tie toward disallow
+    * lands on different verdicts. Scale shape: group selection and
+    * rules are DOMAIN-scale (tiny, broadcast); the corpus-scale
+    * side is one broadcast hash join plus a map-side
+    * array_max-over-transform fold over the ≤4-element rule set —
+    * no corpus exchange at all (a groupBy(doc_id) spelling would
+    * shuffle the whole corpus; the per-domain rule ARRAY is what
+    * keeps the verdict map-side at 100 TB). */
+  def robotsGate(s: SparkSession, d: String): DataFrame =
+    robotsGateOf(docPathsOf(docs(s, d)), robotsRuleArr(s, d))
+
+  /** The domain-scale half of [[robotsGate]]: parse → group
+    * selection → one rule ARRAY per domain (broadcastable; this is
+    * the slow-changing dimension a streaming gate re-reads per
+    * micro-batch). */
+  private[graft] def robotsRuleArr(s: SparkSession, d: String): DataFrame =
+    robotsRuleArrOf(docs(s, d))
+
+  private[graft] def robotsRuleArrOf(src: DataFrame): DataFrame = {
+    val (_, agents, rules) = robotsParsed(src)
+    val gb = agents.filter(col("agent") === "graftbot")
+      .select(col("source"), col("grp")).withColumn("pri", lit(0))
+    val star = agents.filter(col("agent") === "*")
+      .select(col("source"), col("grp")).withColumn("pri", lit(1))
+    val cand = gb.unionByName(star)
+    val minPri = cand.groupBy("source").agg(min(col("pri")).as("mp"))
+    val sel = cand.join(minPri, "source")
+      .filter(col("pri") === col("mp")).select("source", "grp")
+    rules.join(sel, Seq("source", "grp"))
+      .groupBy("source")
+      .agg(collect_list(struct(col("prefix"), col("al"))).as("rules"))
+  }
+
+  /** The corpus-scale half of [[robotsGate]]: verdicts for a
+    * (doc_id, source, path) frame against the broadcast rule
+    * arrays — row-local given the dimension, so the streaming twin
+    * is the same plan per micro-batch. */
+  private[graft] def robotsGateOf(paths: DataFrame,
+      ruleArr: DataFrame): DataFrame = {
+    paths
+      .join(broadcast(ruleArr), Seq("source"))
+      .withColumn("win", expr(
+        """array_max(transform(rules, r -> named_struct(
+          |  'mlen', CASE WHEN startswith(path, r.prefix)
+          |    THEN CAST(length(r.prefix) AS INT) ELSE 0 END,
+          |  'al', CAST(r.al AS INT))))""".stripMargin))
+      .select(col("doc_id"),
+        (col("win.mlen") === 0 || col("win.al") === 1).as("allowed"),
+        col("win.mlen").cast("bigint").as("match_len"))
+  }
+
+  /** robots.txt parse census (`llm_robots_rules`) — the PARSE half
+    * checked directly: per domain, how many groups, how many
+    * stacked agents, and how many rules the crawler's group vs the
+    * catch-all carries. The oracle knows the fixture grammar's
+    * closed-form counts (the conditional rule flips with domain
+    * parity); an engine that splits stacked user-agent lines into
+    * separate groups or misassigns rules to the wrong group lands
+    * on different counts. Domain-scale throughout. */
+  def robotsRules(s: SparkSession, d: String): DataFrame = {
+    val (_, agents, rules) = robotsParsed(docs(s, d))
+    val g = agents.groupBy("source")
+      .agg(countDistinct(col("grp")).as("n_groups"),
+        count(lit(1)).as("n_agents"))
+    val gbRules = rules.join(
+      agents.filter(col("agent") === "graftbot")
+        .select("source", "grp").distinct(), Seq("source", "grp"))
+      .groupBy("source").agg(count(lit(1)).as("n_rules_crawler"))
+    val starRules = rules.join(
+      agents.filter(col("agent") === "*")
+        .select("source", "grp").distinct(), Seq("source", "grp"))
+      .groupBy("source").agg(count(lit(1)).as("n_rules_star"))
+    g.join(gbRules, Seq("source")).join(starRules, Seq("source"))
+      .select(col("source"), col("n_groups"), col("n_agents"),
+        col("n_rules_crawler"), col("n_rules_star"))
   }
 
   /** PII regexes shared by the engine and (verbatim, backslashes
@@ -9439,6 +9605,33 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+
+    // closed-form verdict replay: the robots text shapes only what
+    // the engine must parse; verdicts derive from doc_id % 6 and
+    // the domain-length parity that gates the /draft- rule
+    "llm_robots" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 6 AS INT) AS pc,
+        |    length(source) % 2 = 0 AS hd
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE pc WHEN 2 THEN false WHEN 4 THEN false
+        |    WHEN 5 THEN NOT hd ELSE true END AS allowed,
+        |  CAST(CASE pc WHEN 2 THEN 9 WHEN 3 THEN 16 WHEN 4 THEN 7
+        |    WHEN 5 THEN CASE WHEN hd THEN 7 ELSE 0 END
+        |    ELSE 0 END AS BIGINT) AS match_len
+        |FROM d""".stripMargin,
+
+    // closed-form parse census: 2 groups, 3 stacked agents, the
+    // crawler group carrying 3 or 4 rules by domain parity
+    "llm_robots_rules" ->
+      """SELECT source,
+        |  CAST(2 AS BIGINT) AS n_groups,
+        |  CAST(3 AS BIGINT) AS n_agents,
+        |  CAST(CASE WHEN length(source) % 2 = 0 THEN 4 ELSE 3 END
+        |    AS BIGINT) AS n_rules_crawler,
+        |  CAST(1 AS BIGINT) AS n_rules_star
+        |FROM (SELECT DISTINCT source FROM documents)""".stripMargin,
 
     // cross-library check: DuckDB's own nfc_normalize (independent
     // Unicode implementation), decomposed sequences built via chr()
