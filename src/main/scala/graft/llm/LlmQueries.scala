@@ -129,6 +129,7 @@ object LlmQueries {
     "mm_ogg_meta" -> oggMeta,
     "mm_ogg_tags" -> oggTags,
     "mm_vorbis_books" -> vorbisBooks,
+    "mm_vorbis_vq" -> vorbisVq,
     "llm_inflate" -> inflateRoundtrip,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
@@ -5135,6 +5136,34 @@ object LlmQueries {
         sum(col("m.sym_sum")).as("sum_sym"),
         sum(col("m.sym_wsum")).as("sum_wsym"))
 
+  /** Vorbis VQ-lookup parse (`mm_vorbis_vq`) — the completion of
+    * the §3.2 codebook surface: the same Ogg-framed fixture books,
+    * now carrying §3.2.2 lookup sections cycling all three types
+    * (0 = scalar-only, 1 = implicit lattice with lookup1_values
+    * multiplicands, 2 = explicit entries×dims table), the
+    * packed-float min/delta read raw and the full integer
+    * multiplicand arrays walked bit-exactly
+    * ([[graft.functions.VorbisVq]] over
+    * [[graft.functions.VorbisVqFixture]]). The oracle replays the
+    * lookup census — type counts, lookup1_values (re-derived by
+    * exact integer power search), multiplicand count and SUM — in
+    * closed form, plus the decoded symbol sum proving the scalar
+    * walk still crosses VQ books. Same bounded-exchange shape as
+    * [[vorbisBooks]]. */
+  def vorbisVq(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.VorbisVqFixture(col("doc_id")))
+      .withColumn("m", graft.functions.VorbisVq(col("payload")))
+      .groupBy(col("m.n_books").cast("bigint").as("n_books"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("m.n_lookup1")).as("sum_l1"),
+        sum(col("m.n_lookup2")).as("sum_l2"),
+        sum(col("m.mul_count")).as("sum_mul_count"),
+        sum(col("m.mul_sum")).as("sum_mul"),
+        sum(col("m.n_seq")).as("sum_seq"),
+        sum(col("m.sym_sum")).as("sum_sym"))
+
   /** From-scratch DEFLATE decode (`llm_inflate`) — the engine's own
     * RFC 1951/1950 implementation ([[graft.llm.Inflate]]: canonical
     * Huffman construction, the dynamic code-length meta-code, LZ77
@@ -9717,6 +9746,66 @@ object LlmQueries {
         |  CAST(SUM(gs.ns) AS BIGINT) AS sum_syms,
         |  CAST(SUM(gs.se) AS BIGINT) AS sum_sym,
         |  CAST(SUM(gs.swe) AS BIGINT) AS sum_wsym
+        |FROM gb JOIN gs ON gb.doc_id = gs.doc_id
+        |GROUP BY 1""".stripMargin,
+
+    // VQ twin of mm_vorbis_books: the oracle re-derives the lookup
+    // census in closed form — lookup1_values by exact integer power
+    // search, the explicit table count as entries×dims, and the
+    // multiplicand SUM term by term; the bitstream layout (packed
+    // floats, value_bits widths) shapes only what the engine walks
+    "mm_vorbis_vq" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(doc_id % 3 AS BIGINT) + 1 AS nb FROM documents),
+        |b AS (SELECT doc_id, nb, unnest(range(0, nb)) AS j FROM t),
+        |bk AS (SELECT doc_id, nb, j,
+        |    4 + (doc_id + 3 * j) % 13 AS used,
+        |    (doc_id + j) % 3 AS kind,
+        |    1 + (doc_id + j) % 4 AS dims,
+        |    (doc_id + 2 * j) % 3 AS lt,
+        |    3 + (doc_id + j) % 4 AS vb,
+        |    (doc_id + j) % 2 AS seq
+        |  FROM b),
+        |bk2 AS (SELECT *, used + CASE WHEN kind = 1
+        |    THEN 1 + doc_id % 3 ELSE 0 END AS entries FROM bk),
+        |l1 AS (SELECT doc_id, j, MAX(v) AS lv
+        |  FROM bk2, (SELECT unnest(range(1, 20)) AS v) r
+        |  WHERE CASE dims WHEN 1 THEN v WHEN 2 THEN v * v
+        |    WHEN 3 THEN v * v * v ELSE v * v * v * v END <= entries
+        |  GROUP BY 1, 2),
+        |bk3 AS (SELECT bk2.*, CASE lt WHEN 1 THEN l1.lv
+        |    WHEN 2 THEN entries * dims ELSE 0 END AS cnt
+        |  FROM bk2 LEFT JOIN l1
+        |    ON bk2.doc_id = l1.doc_id AND bk2.j = l1.j),
+        |mul AS (SELECT doc_id, j,
+        |    SUM((doc_id + 3 * k + 5 * j) % (1 << vb)) AS msum
+        |  FROM (SELECT doc_id, j, vb, unnest(range(0, cnt)) AS k
+        |        FROM bk3)
+        |  GROUP BY 1, 2),
+        |gb AS (SELECT bk3.doc_id, bk3.nb,
+        |    SUM(CASE WHEN lt = 1 THEN 1 ELSE 0 END) AS nl1,
+        |    SUM(CASE WHEN lt = 2 THEN 1 ELSE 0 END) AS nl2,
+        |    SUM(cnt) AS mc,
+        |    SUM(COALESCE(mul.msum, 0)) AS ms,
+        |    SUM(CASE WHEN lt <> 0 THEN seq ELSE 0 END) AS sq
+        |  FROM bk3 LEFT JOIN mul
+        |    ON bk3.doc_id = mul.doc_id AND bk3.j = mul.j
+        |  GROUP BY 1, 2),
+        |s AS (SELECT doc_id, nb,
+        |    unnest(range(0, doc_id % 24 + 8)) AS k FROM t),
+        |sy AS (SELECT s.doc_id,
+        |    (s.doc_id * 3 + 7 * s.k) % b2.used AS e
+        |  FROM s JOIN bk2 b2
+        |    ON s.doc_id = b2.doc_id AND b2.j = s.k % s.nb),
+        |gs AS (SELECT doc_id, SUM(e) AS se FROM sy GROUP BY 1)
+        |SELECT CAST(gb.nb AS BIGINT) AS n_books,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(gb.nl1) AS BIGINT) AS sum_l1,
+        |  CAST(SUM(gb.nl2) AS BIGINT) AS sum_l2,
+        |  CAST(SUM(gb.mc) AS BIGINT) AS sum_mul_count,
+        |  CAST(SUM(gb.ms) AS BIGINT) AS sum_mul,
+        |  CAST(SUM(gb.sq) AS BIGINT) AS sum_seq,
+        |  CAST(SUM(gs.se) AS BIGINT) AS sum_sym
         |FROM gb JOIN gs ON gb.doc_id = gs.doc_id
         |GROUP BY 1""".stripMargin,
 

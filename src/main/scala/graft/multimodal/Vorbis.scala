@@ -158,13 +158,31 @@ object Vorbis {
   }
 
   /** One parsed codebook: decode map keyed by
-    * (len << 32) | codeword, plus the header geometry. */
+    * (len << 32) | codeword, the header geometry, and (for VQ
+    * books) the §3.2.2 lookup census — multiplicands are kept as
+    * the raw INTEGERS the header carries (the packed-float
+    * min/delta mapping stays out of scope with the MDCT fake, so
+    * all reported values remain exactly hashable). */
   final case class Book(dims: Int, entries: Int, used: Int,
-      maxLen: Int, decode: java.util.HashMap[java.lang.Long, Integer])
+      maxLen: Int, decode: java.util.HashMap[java.lang.Long, Integer],
+      lookupType: Int = 0, valueBits: Int = 0, seqP: Int = 0,
+      mulCount: Long = 0L, mulSum: Long = 0L)
 
-  /** The §3.2.1 codebook header walk. Fail-closed on bad sync,
-    * out-of-spec lengths, over-subscribed or incomplete trees,
-    * single-entry books, and non-scalar (lookup type != 0) books. */
+  /** §3.2.2 lookup1_values: the greatest integer v with
+    * v^dims <= entries. */
+  def lookup1Values(entries: Int, dims: Int): Long = {
+    var v = 1L
+    while (math.pow((v + 1).toDouble, dims.toDouble) <= entries) v += 1
+    v
+  }
+
+  /** The §3.2.1 codebook header walk, including the §3.2.2 VQ
+    * lookup section (types 1 and 2: packed-float min/delta read
+    * raw, value_bits, sequence flag, and the full multiplicand
+    * array — lookup1_values entries for the implicit lattice,
+    * entries×dims for the explicit table). Fail-closed on bad
+    * sync, out-of-spec lengths, over-subscribed or incomplete
+    * trees, single-entry books, and reserved lookup types. */
   def readBook(r: BitReaderLsb): Option[Book] = {
     if (r.read(24).getOrElse(return None) != 0x564342L) return None
     val dims = r.read(16).getOrElse(return None).toInt
@@ -194,7 +212,26 @@ object Vorbis {
         len += 1
       }
     }
-    if (r.read(4).getOrElse(return None) != 0L) return None // scalar only
+    val lt = r.read(4).getOrElse(return None).toInt
+    var mulCount = 0L
+    var mulSum = 0L
+    var vb = 0
+    var seq = 0
+    if (lt == 1 || lt == 2) {
+      r.read(32).getOrElse(return None) // minimum_value (packed float)
+      r.read(32).getOrElse(return None) // delta_value (packed float)
+      vb = r.read(4).getOrElse(return None).toInt + 1
+      seq = r.read(1).getOrElse(return None).toInt
+      mulCount =
+        if (lt == 1) lookup1Values(entries, dims)
+        else entries.toLong * dims
+      if (mulCount > (1L << 22)) return None // sanity cap
+      var k = 0L
+      while (k < mulCount) {
+        mulSum += r.read(vb).getOrElse(return None)
+        k += 1
+      }
+    } else if (lt != 0) return None // reserved lookup types
     val used = lengths.count(_ > 0)
     if (used < 2) return None // degenerate single-entry book
     val (codes, complete) = assignCodewords(lengths).getOrElse(return None)
@@ -209,7 +246,8 @@ object Vorbis {
       }
       i += 1
     }
-    Some(Book(dims, entries, used, maxLen, m))
+    Some(Book(dims, entries, used, maxLen, m,
+      lt, vb, seq, mulCount, mulSum))
   }
 
   /** §3.2.1 decode: bit-at-a-time root walk against the canonical
@@ -370,7 +408,24 @@ object Vorbis {
     ls.toArray
   }
 
-  private def writeBook(w: BitWriterLsb, docId: Long, j: Int): Unit = {
+  // --- VQ fixture derivations (`mm_vorbis_vq`): same books as the
+  // scalar fixture, but the lookup section cycles all three types
+  // (0 = none, 1 = implicit lattice, 2 = explicit table) with
+  // closed-form multiplicands so the oracle replays the census.
+
+  def lookupTypeOf(docId: Long, j: Int): Int = ((docId + 2 * j) % 3).toInt
+  def valueBitsOf(docId: Long, j: Int): Int = 3 + ((docId + j) % 4).toInt
+  def seqPOf(docId: Long, j: Int): Int = ((docId + j) % 2).toInt
+  def mulOf(docId: Long, j: Int, k: Long): Long =
+    (docId + 3 * k + 5 * j) % (1L << valueBitsOf(docId, j))
+  def mulCountOf(docId: Long, j: Int): Long = lookupTypeOf(docId, j) match {
+    case 1 => lookup1Values(entriesOf(docId, j), dimsOf(docId, j))
+    case 2 => entriesOf(docId, j).toLong * dimsOf(docId, j)
+    case _ => 0L
+  }
+
+  private def writeBook(w: BitWriterLsb, docId: Long, j: Int,
+      vq: Boolean = false): Unit = {
     val used = usedOf(docId, j)
     val kind = kindOf(docId, j)
     val entries = entriesOf(docId, j)
@@ -410,7 +465,18 @@ object Vorbis {
         while (i < entries) { w.write(lens(i) - 1, 5); i += 1 }
       }
     }
-    w.write(0, 4) // lookup type 0: scalar context
+    val lt = if (vq) lookupTypeOf(docId, j) else 0
+    w.write(lt, 4)
+    if (lt != 0) {
+      w.write(0x43000000L + docId % 997, 32) // packed-float minimum
+      w.write(0x42000000L + docId % 991, 32) // packed-float delta
+      val vb = valueBitsOf(docId, j)
+      w.write(vb - 1, 4)
+      w.write(seqPOf(docId, j), 1)
+      var k = 0L
+      val n = mulCountOf(docId, j)
+      while (k < n) { w.write(mulOf(docId, j, k), vb); k += 1 }
+    }
   }
 
   private def bookCodes(docId: Long, j: Int): (Array[Int], Array[Long]) = {
@@ -446,14 +512,14 @@ object Vorbis {
   }
 
   /** Type-5 setup packet: the §4.2.4 codebook section. */
-  private def setupPacket(docId: Long): Array[Byte] = {
+  private def setupPacket(docId: Long, vq: Boolean = false): Array[Byte] = {
     val w = new BitWriterLsb
     w.write(5, 8)
     "vorbis".foreach(c => w.write(c.toLong, 8))
     val nb = nBooksOf(docId)
     w.write(nb - 1, 8)
     var j = 0
-    while (j < nb) { writeBook(w, docId, j); j += 1 }
+    while (j < nb) { writeBook(w, docId, j, vq); j += 1 }
     w.bytes
   }
 
@@ -486,16 +552,24 @@ object Vorbis {
       oggPage(0x04, nSymsOf(docId), serial, 2, Seq(symbolPacket(docId)))
   }
 
+  /** The VQ-lookup fixture stream (`mm_vorbis_vq`): the same
+    * three-page layout with the setup books carrying §3.2.2 lookup
+    * sections cycling types 0/1/2. */
+  def streamVq(docId: Long): Array[Byte] = {
+    val serial = (docId & 0x7fffffffL).toInt | 1
+    oggPage(0x02, 0, serial, 0, Seq(idPacket(docId))) ++
+      oggPage(0, 0, serial, 1, Seq(setupPacket(docId, vq = true))) ++
+      oggPage(0x04, nSymsOf(docId), serial, 2, Seq(symbolPacket(docId)))
+  }
+
   // ------------------------------------------------------------------
   // Decode side (the engine path under test).
 
-  /** Parse an Ogg-framed Vorbis stream: id packet geometry, setup
-    * codebooks, then decode the symbol packet through the parsed
-    * books. Returns
-    * (n_books, n_entries, n_used, sum_dims, n_syms, sym_sum,
-    * sym_wsum) or None (fail-closed). */
-  def parseBooks(b: Array[Byte])
-      : Option[(Int, Long, Long, Long, Long, Long, Long)] = {
+  /** The shared decode walk: id packet geometry, setup codebooks,
+    * symbol packet decoded through the parsed books. Returns
+    * (books, n_syms, sym_sum, sym_wsum) or None (fail-closed). */
+  private def walk(b: Array[Byte])
+      : Option[(Array[Book], Long, Long, Long)] = {
     val packets = oggPackets(b).getOrElse(return None)
     if (packets.length != 3) return None
     val id = packets(0)
@@ -525,23 +599,64 @@ object Vorbis {
       symWSum += (k + 1L) * e
       k += 1
     }
+    Some((books, n.toLong, symSum, symWSum))
+  }
+
+  /** Scalar-census view of [[walk]]:
+    * (n_books, n_entries, n_used, sum_dims, n_syms, sym_sum,
+    * sym_wsum) or None. */
+  def parseBooks(b: Array[Byte])
+      : Option[(Int, Long, Long, Long, Long, Long, Long)] = {
+    val (books, ns, ss, sw) = walk(b).getOrElse(return None)
     var entries = 0L
     var used = 0L
     var dims = 0L
-    j = 0
-    while (j < nb) {
+    var j = 0
+    while (j < books.length) {
       entries += books(j).entries
       used += books(j).used
       dims += books(j).dims
       j += 1
     }
-    Some((nb, entries, used, dims, n.toLong, symSum, symWSum))
+    Some((books.length, entries, used, dims, ns, ss, sw))
+  }
+
+  /** VQ-census view of [[walk]]: lookup types, sequence flags, and
+    * the exact integer multiplicand count/sum across the stream's
+    * books — plus the decoded-symbol sum proving the scalar walk
+    * still crosses VQ books. */
+  def parseVq(b: Array[Byte])
+      : Option[(Int, Long, Long, Long, Long, Long, Long)] = {
+    val (books, _, ss, _) = walk(b).getOrElse(return None)
+    var l1 = 0L
+    var l2 = 0L
+    var mc = 0L
+    var ms = 0L
+    var sq = 0L
+    var j = 0
+    while (j < books.length) {
+      val bk = books(j)
+      if (bk.lookupType == 1) l1 += 1
+      if (bk.lookupType == 2) l2 += 1
+      mc += bk.mulCount
+      ms += bk.mulSum
+      if (bk.lookupType != 0) sq += bk.seqP
+      j += 1
+    }
+    Some((books.length, l1, l2, mc, ms, sq, ss))
   }
 
   /** [[parseBooks]] as an `InternalRow` for the codegen path. */
   def booksRow(b: Array[Byte]): InternalRow = parseBooks(b) match {
     case Some((nb, ent, us, dm, ns, ss, sw)) =>
       InternalRow(nb, ent, us, dm, ns, ss, sw)
+    case None => null
+  }
+
+  /** [[parseVq]] as an `InternalRow` for the codegen path. */
+  def vqRow(b: Array[Byte]): InternalRow = parseVq(b) match {
+    case Some((nb, l1, l2, mc, ms, sq, ss)) =>
+      InternalRow(nb, l1, l2, mc, ms, sq, ss)
     case None => null
   }
 }

@@ -127,6 +127,45 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  test("§3.2.2 lookup1_values: greatest v with v^dims <= entries") {
+    assert(Vorbis.lookup1Values(16, 2) == 4)
+    assert(Vorbis.lookup1Values(15, 2) == 3)
+    assert(Vorbis.lookup1Values(8, 3) == 2)
+    assert(Vorbis.lookup1Values(7, 3) == 1)
+    assert(Vorbis.lookup1Values(5, 1) == 5)
+  }
+
+  test("VQ triangle over docs 0..120: lookup types, lookup1_values " +
+    "counts, multiplicand sums, sequence flags all round-trip") {
+    for (doc <- 0L to 120L) {
+      val Some((nb, l1, l2, mc, ms, sq, ss)) =
+        Vorbis.parseVq(Vorbis.streamVq(doc))
+      assert(nb == Vorbis.nBooksOf(doc))
+      val js = 0 until nb
+      assert(l1 == js.count(j => Vorbis.lookupTypeOf(doc, j) == 1))
+      assert(l2 == js.count(j => Vorbis.lookupTypeOf(doc, j) == 2))
+      val expMc = js.map(j => Vorbis.mulCountOf(doc, j)).sum
+      assert(mc == expMc, s"doc $doc mul_count")
+      val expMs = js.map(j => (0L until Vorbis.mulCountOf(doc, j))
+        .map(k => Vorbis.mulOf(doc, j, k)).sum).sum
+      assert(ms == expMs, s"doc $doc mul_sum")
+      assert(sq == js.count(j => Vorbis.lookupTypeOf(doc, j) != 0 &&
+        Vorbis.seqPOf(doc, j) == 1))
+      val n = Vorbis.nSymsOf(doc)
+      assert(ss == (0 until n).map(k => Vorbis.symOf(doc, k).toLong).sum)
+    }
+  }
+
+  test("fail-closed: reserved lookup type 3") {
+    val w = new Vorbis.BitWriterLsb
+    w.write(0x564342L, 24); w.write(1, 16); w.write(2, 24)
+    w.write(0, 1); w.write(0, 1) // unordered dense
+    w.write(0, 5); w.write(0, 5) // lengths [1, 1]
+    w.write(3, 4) // reserved lookup type
+    assert(Vorbis.readBook(
+      new Vorbis.BitReaderLsb(w.bytes, 0, w.bytes.length)).isEmpty)
+  }
+
   test("fixture pages carry correct Ogg CRCs (direct 0x04c11db7, " +
     "CRC field zeroed during computation)") {
     val b = Vorbis.stream(7L)
