@@ -259,6 +259,93 @@ object Inflate {
     Some((outArr, s.pos - off))
   }
 
+  /** Reflected CRC-32 (poly 0xEDB88320) — the gzip/PNG checksum,
+    * implemented here so the gzip walk is fully self-contained. */
+  private val crcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 1) != 0) (r >>> 1) ^ 0xedb88320 else r >>> 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  def crc32(b: Array[Byte]): Long = {
+    var crc = 0xffffffff
+    var i = 0
+    while (i < b.length) {
+      crc = (crc >>> 8) ^ crcTable((crc ^ b(i)) & 0xff)
+      i += 1
+    }
+    (crc ^ 0xffffffff).toLong & 0xffffffffL
+  }
+
+  /** RFC 1952 gzip, multi-member (the `.warc.gz` layout): each
+    * member's header walked field by field (magic, CM, FLG with the
+    * EXTRA / NAME / COMMENT / HCRC optional fields, reserved bits
+    * rejected), the body inflated by [[raw]], CRC-32 and ISIZE
+    * verified per member — and, unlike the JDK
+    * walk ([[Warc.gunzipMembers]]'s documented tolerance), the
+    * cursor must land EXACTLY at payload end, so trailing garbage
+    * or a corrupt later member header rejects the whole payload
+    * rather than silently dropping records. */
+  def gzipMembers(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b == null || b.length < 18) return None
+    val out = new java.io.ByteArrayOutputStream(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      if (i + 10 > b.length) return None
+      if ((b(i) & 0xff) != 0x1f || (b(i + 1) & 0xff) != 0x8b) return None
+      if ((b(i + 2) & 0xff) != 8) return None // CM must be deflate
+      val flg = b(i + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved FLG bits
+      i += 10 // MTIME/XFL/OS skipped (metadata)
+      if ((flg & 0x04) != 0) { // FEXTRA
+        if (i + 2 > b.length) return None
+        val xlen = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        i += 2 + xlen
+        if (i > b.length) return None
+      }
+      var z = 0
+      while (z < 2) { // FNAME, then FCOMMENT: zero-terminated
+        if ((flg & (if (z == 0) 0x08 else 0x10)) != 0) {
+          while (i < b.length && b(i) != 0) i += 1
+          if (i >= b.length) return None
+          i += 1
+        }
+        z += 1
+      }
+      if ((flg & 0x02) != 0) { // FHCRC
+        i += 2
+        if (i > b.length) return None
+      }
+      val (body, consumed) = raw(b, i).getOrElse(return None)
+      i += consumed
+      if (i + 8 > b.length) return None
+      var stored = 0L
+      var isize = 0L
+      var k = 0
+      while (k < 4) {
+        stored |= (b(i + k) & 0xffL) << (8 * k)
+        isize |= (b(i + 4 + k) & 0xffL) << (8 * k)
+        k += 1
+      }
+      if (crc32(body) != stored) return None
+      if ((body.length.toLong & 0xffffffffL) != isize) return None
+      out.write(body, 0, body.length)
+      if (out.size() > MaxOut) return None
+      i += 8
+    }
+    Some(out.toByteArray) // loop exit ⇒ i == b.length: exact framing
+  }
+
   /** RFC 1950 zlib stream: 2-byte header (CM 8, FCHECK, no FDICT),
     * raw DEFLATE body, Adler-32 trailer — verified, exact framing
     * (trailing garbage rejects). */

@@ -128,6 +128,68 @@ class InflateSpec extends AnyFunSuite {
     assert(Inflate.zlib(Array[Byte](0x78, 0x9c.toByte)).isEmpty)
   }
 
+  test("own gzip walk: multi-member archives agree with the JDK " +
+    "walk; CRC-32 matches the JDK's") {
+    val recs = Seq("record one", "a second, longer record " * 8,
+      "third").map(_.getBytes)
+    val archive = recs.map(graft.functions.GzipMember.compress)
+      .reduce(_ ++ _)
+    val Some(ours) = Inflate.gzipMembers(archive)
+    val Some(jdk) = Warc.gunzipMembers(archive)
+    assert(java.util.Arrays.equals(ours, jdk))
+    assert(java.util.Arrays.equals(ours, recs.reduce(_ ++ _)))
+    for (p <- payloads)
+      assert(Inflate.crc32(p) == { val c = new java.util.zip.CRC32()
+        c.update(p); c.getValue })
+  }
+
+  test("own gzip walk is STRICTLY framed: trailing garbage and a " +
+    "corrupt later member header reject the whole payload") {
+    val m = graft.functions.GzipMember.compress("strict".getBytes)
+    assert(Inflate.gzipMembers(m).isDefined)
+    // trailing garbage after a complete member: rejected here
+    assert(Inflate.gzipMembers(m ++ Array[Byte](9, 9, 9)).isEmpty)
+    // corrupt second-member magic: rejected (no silent record loss)
+    val two = m ++ m
+    val bad = two.clone(); bad(m.length) = 0x00
+    assert(Inflate.gzipMembers(bad).isEmpty)
+    // wrong CRC: rejected
+    val badCrc = m.clone()
+    badCrc(m.length - 5) = (badCrc(m.length - 5) ^ 0x01).toByte
+    assert(Inflate.gzipMembers(badCrc).isEmpty)
+    // wrong ISIZE: rejected
+    val badIsize = m.clone()
+    badIsize(m.length - 1) = (badIsize(m.length - 1) ^ 0x01).toByte
+    assert(Inflate.gzipMembers(badIsize).isEmpty)
+    assert(Inflate.gzipMembers(m.dropRight(1)).isEmpty)
+  }
+
+  test("own gzip walk: FNAME / FEXTRA / FCOMMENT optional header " +
+    "fields are walked, reserved FLG bits reject") {
+    val m = graft.functions.GzipMember.compress("named".getBytes)
+    // splice an FNAME field in: set FLG bit 3, insert "f.txt\0"
+    def withField(flagBit: Int, field: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(m, 0, 3)
+      out.write(m(3) | flagBit)
+      out.write(m, 4, 6)
+      out.write(field, 0, field.length)
+      out.write(m, 10, m.length - 10)
+      out.toByteArray
+    }
+    val named = withField(0x08, ("f.txt".getBytes ++ Array[Byte](0)))
+    assert(Inflate.gzipMembers(named).exists(b =>
+      new String(b, "US-ASCII") == "named"))
+    val extra = withField(0x04, Array[Byte](3, 0, 1, 2, 3))
+    assert(Inflate.gzipMembers(extra).exists(b =>
+      new String(b, "US-ASCII") == "named"))
+    val commented = withField(0x10, ("hi".getBytes ++ Array[Byte](0)))
+    assert(Inflate.gzipMembers(commented).exists(b =>
+      new String(b, "US-ASCII") == "named"))
+    val reserved = withField(0x80, Array.empty[Byte])
+    assert(Inflate.gzipMembers(reserved).isEmpty)
+  }
+
   test("expression seam: InflateZlib.inflate inverts " +
     "DeflateZlib.compress at every level") {
     val p = ("expression-level roundtrip " * 10).getBytes
