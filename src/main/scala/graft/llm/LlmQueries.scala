@@ -130,6 +130,7 @@ object LlmQueries {
     "mm_ogg_tags" -> oggTags,
     "mm_vorbis_books" -> vorbisBooks,
     "mm_vorbis_vq" -> vorbisVq,
+    "mm_vorbis_floor" -> vorbisFloor,
     "llm_inflate" -> inflateRoundtrip,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
@@ -5164,6 +5165,34 @@ object LlmQueries {
         sum(col("m.n_seq")).as("sum_seq"),
         sum(col("m.sym_sum")).as("sum_sym"))
 
+  /** Vorbis floor1 decode (`mm_vorbis_floor`) — the curve-control
+    * layer above the codebooks: §4.2.4's floor1 CONFIG walk
+    * (partition classes, dimensions, subclass books, multiplier,
+    * rangebits, X positions), §7.2.3's posts decode (raw Y0/Y1 plus
+    * book-coded posts through a real parsed codebook), and §7.2.4's
+    * amplitude synthesis — low/high neighbor search, render_point's
+    * integer line predictor, the room-saturated residual merge — to
+    * the final_Y vector, all exact integer arithmetic
+    * ([[graft.functions.VorbisFloor]] over
+    * [[graft.functions.VorbisFloorFixture]]). The oracle UNROLLS
+    * the synthesis for the fixture's static-neighbor post shape
+    * (three X bands) while the engine searches neighbors
+    * generically — a wrong neighbor, a rounding slip in the
+    * predictor, or a mis-saturated residual lands as a different
+    * final_Y. Only the dB-domain rendering beyond final_Y stays
+    * with the synthesis fake. Map-side construct → decode →
+    * project; no shuffle. */
+  def vorbisFloor(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.VorbisFloorFixture(col("doc_id")))
+      .withColumn("m", graft.functions.VorbisFloor(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_values").cast("bigint").as("n_values"),
+        col("m.y_sum").as("y_sum"),
+        col("m.y_wsum").as("y_wsum"),
+        col("m.n_step2").as("n_step2"))
+
   /** From-scratch DEFLATE decode (`llm_inflate`) — the engine's own
     * RFC 1951/1950 implementation ([[graft.llm.Inflate]]: canonical
     * Huffman construction, the dynamic code-length meta-code, LZ77
@@ -9748,6 +9777,78 @@ object LlmQueries {
         |  CAST(SUM(gs.swe) AS BIGINT) AS sum_wsym
         |FROM gb JOIN gs ON gb.doc_id = gs.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // floor1 oracle: 7.2.4 unrolled for the fixture's static
+    // neighbor chain (posts 2/3/4 predict from (0,64), (x2,64),
+    // (x3,64)) — render_point's truncating division and the
+    // room-saturation cases replayed algebraically; the engine
+    // searches neighbors generically, so a neighbor/rounding/
+    // saturation slip diverges here
+    "mm_vorbis_floor" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    4 + doc_id % 13 AS u,
+        |    (doc_id * 7) % 128 AS y0,
+        |    (doc_id * 11) % 128 AS y1,
+        |    1 + doc_id % 20 AS x2,
+        |    22 + doc_id % 20 AS x3,
+        |    43 + doc_id % 20 AS x4
+        |  FROM documents),
+        |d1 AS (SELECT *,
+        |    (doc_id * 3) % u AS v2,
+        |    (doc_id * 3 + 7) % u AS v3,
+        |    (doc_id * 3 + 14) % u AS v4
+        |  FROM d0),
+        |p2t AS (SELECT *,
+        |    CASE WHEN y1 < y0
+        |      THEN y0 - (abs(y1 - y0) * x2) // 64
+        |      ELSE y0 + (abs(y1 - y0) * x2) // 64 END AS p2
+        |  FROM d1),
+        |f2 AS (SELECT *,
+        |    CASE WHEN v2 = 0 THEN p2
+        |      WHEN v2 >= 2 * LEAST(128 - p2, p2) THEN
+        |        CASE WHEN 128 - p2 > p2 THEN v2 - p2 + p2
+        |             ELSE p2 - v2 + (128 - p2) - 1 END
+        |      WHEN v2 % 2 = 1 THEN p2 - (v2 + 1) // 2
+        |      ELSE p2 + v2 // 2 END AS fy2
+        |  FROM p2t),
+        |p3t AS (SELECT *,
+        |    CASE WHEN y1 < fy2
+        |      THEN fy2 - (abs(y1 - fy2) * (x3 - x2)) // (64 - x2)
+        |      ELSE fy2 + (abs(y1 - fy2) * (x3 - x2)) // (64 - x2)
+        |      END AS p3
+        |  FROM f2),
+        |f3 AS (SELECT *,
+        |    CASE WHEN v3 = 0 THEN p3
+        |      WHEN v3 >= 2 * LEAST(128 - p3, p3) THEN
+        |        CASE WHEN 128 - p3 > p3 THEN v3 - p3 + p3
+        |             ELSE p3 - v3 + (128 - p3) - 1 END
+        |      WHEN v3 % 2 = 1 THEN p3 - (v3 + 1) // 2
+        |      ELSE p3 + v3 // 2 END AS fy3
+        |  FROM p3t),
+        |p4t AS (SELECT *,
+        |    CASE WHEN y1 < fy3
+        |      THEN fy3 - (abs(y1 - fy3) * (x4 - x3)) // (64 - x3)
+        |      ELSE fy3 + (abs(y1 - fy3) * (x4 - x3)) // (64 - x3)
+        |      END AS p4
+        |  FROM f3),
+        |f4 AS (SELECT *,
+        |    CASE WHEN v4 = 0 THEN p4
+        |      WHEN v4 >= 2 * LEAST(128 - p4, p4) THEN
+        |        CASE WHEN 128 - p4 > p4 THEN v4 - p4 + p4
+        |             ELSE p4 - v4 + (128 - p4) - 1 END
+        |      WHEN v4 % 2 = 1 THEN p4 - (v4 + 1) // 2
+        |      ELSE p4 + v4 // 2 END AS fy4
+        |  FROM p4t)
+        |SELECT doc_id,
+        |  CAST(5 AS BIGINT) AS n_values,
+        |  CAST(y0 + y1 + fy2 + fy3 + fy4 AS BIGINT) AS y_sum,
+        |  CAST(y0 + 2 * y1 + 3 * fy2 + 4 * fy3 + 5 * fy4
+        |    AS BIGINT) AS y_wsum,
+        |  CAST(2 + CASE WHEN v2 <> 0 OR v3 <> 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN v3 <> 0 OR v4 <> 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN v4 <> 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_step2
+        |FROM f4""".stripMargin,
 
     // VQ twin of mm_vorbis_books: the oracle re-derives the lookup
     // census in closed form — lookup1_values by exact integer power

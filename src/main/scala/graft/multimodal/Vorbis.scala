@@ -267,6 +267,153 @@ object Vorbis {
   }
 
   // ------------------------------------------------------------------
+  // Floor1 — §4.2.4's floor type-1 CONFIG walk, §7.2.3's packet
+  // posts decode (through the codebooks), and §7.2.4's amplitude
+  // synthesis up to the final_Y vector. Everything here is integer
+  // arithmetic straight from the spec (low/high neighbors,
+  // render_point's truncating-division line predictor, the
+  // room-saturation value mapping); only the dB-domain curve
+  // rendering beyond final_Y stays with the synthesis fake.
+
+  final case class Floor1(partClasses: Array[Int], classDims: Array[Int],
+      classSubs: Array[Int], masterbooks: Array[Int],
+      subBooks: Array[Array[Int]], multiplier: Int, xs: Array[Int])
+
+  /** §4.2.4 floor1 config walk. Fail-closed on duplicate X
+    * positions (the spec declares them undecodable), out-of-spec
+    * geometry, or exhaustion. */
+  def readFloor1(r: BitReaderLsb): Option[Floor1] = {
+    val partitions = r.read(5).getOrElse(return None).toInt
+    val pc = new Array[Int](partitions)
+    var i = 0
+    while (i < partitions) {
+      pc(i) = r.read(4).getOrElse(return None).toInt
+      i += 1
+    }
+    val nClasses = if (partitions == 0) 0 else pc.max + 1
+    val dims = new Array[Int](nClasses)
+    val subs = new Array[Int](nClasses)
+    val masters = Array.fill(nClasses)(-1)
+    val sub = new Array[Array[Int]](nClasses)
+    var j = 0
+    while (j < nClasses) {
+      dims(j) = r.read(3).getOrElse(return None).toInt + 1
+      subs(j) = r.read(2).getOrElse(return None).toInt
+      if (subs(j) > 0)
+        masters(j) = r.read(8).getOrElse(return None).toInt
+      sub(j) = new Array[Int](1 << subs(j))
+      var k = 0
+      while (k < sub(j).length) {
+        sub(j)(k) = r.read(8).getOrElse(return None).toInt - 1
+        k += 1
+      }
+      j += 1
+    }
+    val mult = r.read(2).getOrElse(return None).toInt + 1
+    val rb = r.read(4).getOrElse(return None).toInt
+    val xs = scala.collection.mutable.ArrayBuffer(0, 1 << rb)
+    i = 0
+    while (i < partitions) {
+      var d = 0
+      while (d < dims(pc(i))) {
+        xs += r.read(rb).getOrElse(return None).toInt
+        d += 1
+      }
+      i += 1
+    }
+    if (xs.length > 65) return None
+    if (xs.distinct.length != xs.length) return None // undecodable
+    Some(Floor1(pc, dims, subs, masters, sub, mult, xs.toArray))
+  }
+
+  /** §7.2.4 render_point: the integer line predictor. */
+  def renderPoint(x0: Int, y0: Int, x1: Int, y1: Int, x: Int): Int = {
+    val dy = y1 - y0
+    val adx = x1 - x0
+    val ady = math.abs(dy)
+    val off = (ady.toLong * (x - x0) / adx).toInt
+    if (dy < 0) y0 - off else y0 + off
+  }
+
+  /** §7.2.3 posts decode + §7.2.4 amplitude synthesis. Returns
+    * (final_Y, step2 flags), or (empty, empty) for an unused
+    * (nonzero-bit 0) floor, or None fail-closed. */
+  def decodeFloor1(r: BitReaderLsb, f: Floor1, books: Array[Book])
+      : Option[(Array[Int], Array[Boolean])] = {
+    if (r.read(1).getOrElse(return None) == 0L)
+      return Some((Array.empty, Array.empty))
+    val range = Array(256, 128, 86, 64)(f.multiplier - 1)
+    val ybits = ilog(range - 1)
+    val n = f.xs.length
+    val y = new Array[Int](n)
+    y(0) = r.read(ybits).getOrElse(return None).toInt
+    y(1) = r.read(ybits).getOrElse(return None).toInt
+    var offset = 2
+    var i = 0
+    while (i < f.partClasses.length) {
+      val cls = f.partClasses(i)
+      val cdim = f.classDims(cls)
+      val cbits = f.classSubs(cls)
+      val csub = (1 << cbits) - 1
+      var cval = 0
+      if (cbits > 0) {
+        val mb = f.masterbooks(cls)
+        if (mb < 0 || mb >= books.length) return None
+        cval = decodeOne(r, books(mb)).getOrElse(return None)
+      }
+      var d = 0
+      while (d < cdim) {
+        val bk = f.subBooks(cls)(cval & csub)
+        cval >>= cbits
+        y(offset + d) =
+          if (bk < 0) 0
+          else if (bk >= books.length) return None
+          else decodeOne(r, books(bk)).getOrElse(return None)
+        d += 1
+      }
+      offset += cdim
+      i += 1
+    }
+    // §7.2.4: neighbor prediction + room-saturated residual merge
+    val fy = new Array[Int](n)
+    val step2 = new Array[Boolean](n)
+    fy(0) = y(0); fy(1) = y(1)
+    step2(0) = true; step2(1) = true
+    i = 2
+    while (i < n) {
+      // low/high neighbor: max X below / min X above, among j < i
+      var lo = 0
+      var hi = 1
+      var j = 0
+      while (j < i) {
+        if (f.xs(j) < f.xs(i) && f.xs(j) > f.xs(lo)) lo = j
+        if (f.xs(j) > f.xs(i) && f.xs(j) < f.xs(hi)) hi = j
+        j += 1
+      }
+      val predicted =
+        renderPoint(f.xs(lo), fy(lo), f.xs(hi), fy(hi), f.xs(i))
+      val v = y(i)
+      val highroom = range - predicted
+      val lowroom = predicted
+      val room = 2 * math.min(highroom, lowroom)
+      if (v != 0) {
+        step2(lo) = true; step2(hi) = true; step2(i) = true
+        fy(i) =
+          if (v >= room) {
+            if (highroom > lowroom) v - lowroom + predicted
+            else predicted - v + highroom - 1
+          } else if ((v & 1) == 1) predicted - ((v + 1) / 2)
+          else predicted + v / 2
+      } else {
+        step2(i) = false
+        fy(i) = predicted
+      }
+      i += 1
+    }
+    Some((fy, step2))
+  }
+
+  // ------------------------------------------------------------------
   // Ogg container (fixture side): real lacing, real page CRC.
 
   /** Ogg page CRC-32: direct (non-reflected) 0x04c11db7, init 0,
@@ -550,6 +697,109 @@ object Vorbis {
     oggPage(0x02, 0, serial, 0, Seq(idPacket(docId))) ++
       oggPage(0, 0, serial, 1, Seq(setupPacket(docId))) ++
       oggPage(0x04, nSymsOf(docId), serial, 2, Seq(symbolPacket(docId)))
+  }
+
+  // --- floor1 fixture derivations (`mm_vorbis_floor`): one book,
+  // one partition of a 3-dimension subclass-free class, multiplier
+  // 2 (range 128), rangebits 6, X positions in three disjoint bands
+  // so they are distinct and ordered — the static-neighbor shape
+  // the oracle unrolls, while the engine searches neighbors
+  // generically.
+
+  def floorXOf(docId: Long, d: Int): Int =
+    (1 + 21 * d + (docId % 20)).toInt
+  def floorY0Of(docId: Long): Int = ((docId * 7) % 128).toInt
+  def floorY1Of(docId: Long): Int = ((docId * 11) % 128).toInt
+  /** Post d's coded value: an entry of book 0 (so Y values cross a
+    * real codebook). */
+  def floorPostOf(docId: Long, d: Int): Int =
+    ((docId * 3 + 7L * d) % usedOf(docId, 0)).toInt
+
+  /** The floor1 config block appended after the codebooks in the
+    * setup packet (fixture framing: the full §4.2.4 setup chain
+    * carries time/residue/mapping configs out of scope here). */
+  private def writeFloorCfg(w: BitWriterLsb, docId: Long): Unit = {
+    w.write(1, 5) // partitions
+    w.write(0, 4) // partition 0 → class 0
+    w.write(2, 3) // class 0 dimensions - 1 → 3 dims
+    w.write(0, 2) // subclasses 0 (no masterbook)
+    w.write(1, 8) // subclass book: value 1 → book index 0
+    w.write(1, 2) // multiplier - 1 → 2 (range 128)
+    w.write(6, 4) // rangebits
+    var d = 0
+    while (d < 3) { w.write(floorXOf(docId, d), 6); d += 1 }
+  }
+
+  /** The floor packet: nonzero bit, Y0/Y1 raw posts, coded posts
+    * through book 0. */
+  private def floorPacket(docId: Long): Array[Byte] = {
+    val w = new BitWriterLsb
+    w.write(1, 1) // nonzero
+    w.write(floorY0Of(docId), 7) // ilog(127) bits
+    w.write(floorY1Of(docId), 7)
+    val (lengths, codes) = bookCodes(docId, 0)
+    var d = 0
+    while (d < 3) {
+      val e = floorPostOf(docId, d)
+      w.writeCode(codes(e), lengths(e))
+      d += 1
+    }
+    w.bytes
+  }
+
+  /** The floor fixture stream (`mm_vorbis_floor`): id page, setup
+    * page carrying ONE codebook + the floor1 config, and the floor
+    * packet page. */
+  def streamFloor(docId: Long): Array[Byte] = {
+    val serial = (docId & 0x7fffffffL).toInt | 1
+    val w = new BitWriterLsb
+    w.write(5, 8)
+    "vorbis".foreach(c => w.write(c.toLong, 8))
+    w.write(0, 8) // one codebook
+    writeBook(w, docId, 0)
+    writeFloorCfg(w, docId)
+    oggPage(0x02, 0, serial, 0, Seq(idPacket(docId))) ++
+      oggPage(0, 0, serial, 1, Seq(w.bytes)) ++
+      oggPage(0x04, 0, serial, 2, Seq(floorPacket(docId)))
+  }
+
+  /** Parse + decode the floor fixture: books, floor1 config, then
+    * the posts through §7.2.3/§7.2.4. Returns
+    * (n_values, y_sum, y_wsum, n_step2) over final_Y or None. */
+  def parseFloor(b: Array[Byte]): Option[(Int, Long, Long, Long)] = {
+    val packets = oggPackets(b).getOrElse(return None)
+    if (packets.length != 3) return None
+    val setup = packets(1)
+    if (setup.length < 8 || (setup(0) & 0xff) != 5 ||
+      new String(setup, 1, 6, "US-ASCII") != "vorbis") return None
+    val sr = new BitReaderLsb(setup, 7, setup.length)
+    val nb = sr.read(8).getOrElse(return None).toInt + 1
+    val books = new Array[Book](nb)
+    var j = 0
+    while (j < nb) {
+      books(j) = readBook(sr).getOrElse(return None)
+      j += 1
+    }
+    val cfg = readFloor1(sr).getOrElse(return None)
+    val fr = new BitReaderLsb(packets(2), 0, packets(2).length)
+    val (fy, step2) = decodeFloor1(fr, cfg, books).getOrElse(return None)
+    var ySum = 0L
+    var yWSum = 0L
+    var nStep2 = 0L
+    var i = 0
+    while (i < fy.length) {
+      ySum += fy(i)
+      yWSum += (i + 1L) * fy(i)
+      if (step2(i)) nStep2 += 1
+      i += 1
+    }
+    Some((fy.length, ySum, yWSum, nStep2))
+  }
+
+  /** [[parseFloor]] as an `InternalRow` for the codegen path. */
+  def floorRow(b: Array[Byte]): InternalRow = parseFloor(b) match {
+    case Some((nv, ys, yw, ns)) => InternalRow(nv, ys, yw, ns)
+    case None => null
   }
 
   /** The VQ-lookup fixture stream (`mm_vorbis_vq`): the same

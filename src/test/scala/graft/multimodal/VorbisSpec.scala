@@ -166,6 +166,67 @@ class VorbisSpec extends AnyFunSuite {
       new Vorbis.BitReaderLsb(w.bytes, 0, w.bytes.length)).isEmpty)
   }
 
+  test("§7.2.4 render_point: integer line predictor, truncating " +
+    "division, negative slope") {
+    assert(Vorbis.renderPoint(0, 10, 64, 74, 32) == 42)
+    assert(Vorbis.renderPoint(0, 100, 64, 36, 32) == 68)
+    assert(Vorbis.renderPoint(0, 1, 4, 2, 3) == 1) // off truncates
+    assert(Vorbis.renderPoint(0, 2, 4, 1, 3) == 2) // -slope truncates
+  }
+
+  test("floor1 triangle over docs 0..150: generic neighbor search " +
+    "equals the static unroll (prediction, parity residuals, " +
+    "room saturation, step2 flags)") {
+    for (doc <- 0L to 150L) {
+      val Some((nv, ys, yw, ns)) =
+        Vorbis.parseFloor(Vorbis.streamFloor(doc))
+      assert(nv == 5)
+      val u = 4 + (doc % 13)
+      val y0 = ((doc * 7) % 128).toInt
+      val y1 = ((doc * 11) % 128).toInt
+      val o = (doc % 20).toInt
+      val xs = Array(0, 64, 1 + o, 22 + o, 43 + o)
+      val vs = Array(0, 0, ((doc * 3) % u).toInt,
+        ((doc * 3 + 7) % u).toInt, ((doc * 3 + 14) % u).toInt)
+      // static unroll: post i predicts from (x_{i-1}, fy_{i-1}) and
+      // (64, y1) for i >= 3; post 2 from (0, y0) and (64, y1)
+      def merge(p: Int, v: Int): Int =
+        if (v == 0) p
+        else if (v >= 2 * math.min(128 - p, p)) {
+          if (128 - p > p) v - p + p else p - v + (128 - p) - 1
+        } else if ((v & 1) == 1) p - ((v + 1) / 2)
+        else p + v / 2
+      val fy2 = merge(Vorbis.renderPoint(0, y0, 64, y1, xs(2)), vs(2))
+      val fy3 = merge(Vorbis.renderPoint(xs(2), fy2, 64, y1, xs(3)), vs(3))
+      val fy4 = merge(Vorbis.renderPoint(xs(3), fy3, 64, y1, xs(4)), vs(4))
+      assert(ys == y0.toLong + y1 + fy2 + fy3 + fy4, s"doc $doc")
+      assert(yw == y0.toLong + 2 * y1 + 3 * fy2 + 4 * fy3 + 5 * fy4)
+      val f2 = vs(2) != 0 || vs(3) != 0
+      val f3 = vs(3) != 0 || vs(4) != 0
+      val f4 = vs(4) != 0
+      assert(ns == 2L + (if (f2) 1 else 0) + (if (f3) 1 else 0) +
+        (if (f4) 1 else 0), s"doc $doc step2")
+    }
+  }
+
+  test("floor1 fail-closed: duplicate X positions reject; an " +
+    "unused (nonzero = 0) floor yields an empty post vector") {
+    val w = new Vorbis.BitWriterLsb
+    w.write(1, 5); w.write(0, 4) // one partition, class 0
+    w.write(1, 3); w.write(0, 2); w.write(1, 8) // 2 dims, book 0
+    w.write(1, 2); w.write(6, 4) // multiplier 2, rangebits 6
+    w.write(17, 6); w.write(17, 6) // DUPLICATE X
+    assert(Vorbis.readFloor1(
+      new Vorbis.BitReaderLsb(w.bytes, 0, w.bytes.length)).isEmpty)
+    // unused floor: nonzero bit 0
+    val cfg = Vorbis.Floor1(Array(0), Array(2), Array(0), Array(-1),
+      Array(Array(0)), 2, Array(0, 64, 17, 30))
+    val pk = Array[Byte](0)
+    val Some((fy, st)) = Vorbis.decodeFloor1(
+      new Vorbis.BitReaderLsb(pk, 0, 1), cfg, Array.empty)
+    assert(fy.isEmpty && st.isEmpty)
+  }
+
   test("fixture pages carry correct Ogg CRCs (direct 0x04c11db7, " +
     "CRC field zeroed during computation)") {
     val b = Vorbis.stream(7L)
