@@ -78,11 +78,26 @@ import org.apache.spark.sql.functions._
   * LSB; the 17-bit side channel — what real stereo FLAC actually
   * ships; `mm_flac_stereo`) and §9.2.1 WASTED BITS (reduced-width
   * coding restored by a post-reconstruction shift;
-  * `mm_flac_wasted`). Only VARIABLE-length table-driven entropy decode
-  * of the lossy codecs (MP3 big-values/count1-table-0 Huffman trees
-  * + IMDCT synthesis, H.264 CAVLC/CABAC residual + prediction — no
-  * codec library in this container to pin the trees against)
-  * remains a clearly-marked DETERMINISTIC FAKE:
+  * `mm_flac_wasted`). TABLE-DRIVEN ENTROPY DECODE IS REAL wherever
+  * the tables are stream-embedded or spec-algorithmic: the engine
+  * ships a from-scratch RFC 1951/1950/1952 DEFLATE decoder
+  * (canonical Huffman construction, the dynamic code-length
+  * meta-code, LZ77 back-copies — [[graft.llm.Inflate]], pinned
+  * against the JDK codec and hand-assembled bitstreams,
+  * `llm_inflate`) and the full Vorbis §3.2 codebook layer — Vorbis
+  * ships its Huffman codebooks IN the setup header and defines
+  * canonical assignment algorithmically, so the decode builds trees
+  * from the stream with no memorized constants
+  * ([[Vorbis]], `mm_vorbis_books`), including §3.2.2 VQ lookup
+  * tables (`mm_vorbis_vq`) and the floor1 layer above them: config
+  * walk, posts decode through the parsed books, and §7.2.4's
+  * all-integer amplitude synthesis to the final_Y vector
+  * (`mm_vorbis_floor`). What remains a clearly-marked DETERMINISTIC
+  * FAKE is decode whose Huffman trees are memorized SPEC CONSTANTS
+  * with no in-container pin (MP3 big-values/count1-table-0 tables,
+  * H.264 CAVLC/CABAC residual + prediction) and the float-domain
+  * synthesis past the entropy layer (MP3 IMDCT, Vorbis residue VQ
+  * float mapping + MDCT, H.264 reconstruction):
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped
