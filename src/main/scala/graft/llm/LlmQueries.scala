@@ -131,6 +131,8 @@ object LlmQueries {
     "mm_vorbis_books" -> vorbisBooks,
     "mm_vorbis_vq" -> vorbisVq,
     "mm_vorbis_floor" -> vorbisFloor,
+    "mm_mp4_samples" -> mp4Samples,
+    "llm_url_canon" -> urlCanon,
     "llm_inflate" -> inflateRoundtrip,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
@@ -5193,6 +5195,59 @@ object LlmQueries {
         col("m.y_wsum").as("y_wsum"),
         col("m.n_step2").as("n_step2"))
 
+  /** MP4 sample tables (`mm_mp4_samples`) — the walk real frame
+    * COUNTS come from, which the metadata-only box parse
+    * deliberately skips: first track's `mdia/minf/stbl` chain, the
+    * §8.5.3 stsz sample-size box in BOTH layouts (uniform
+    * sample_size with no per-sample table — the form a naive parser
+    * reads as empty — and the per-sample u32 table), and §8.7.5
+    * stco's chunk count ([[graft.functions.Mp4Samples]] over
+    * [[graft.functions.Mp4SampleFixture]]). The oracle replays the
+    * census closed-form; a walk that misses a nesting level,
+    * mis-handles the uniform layout, or lets a table overrun its
+    * box diverges. Map-side construct → decode → project; no
+    * shuffle. */
+  def mp4Samples(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.Mp4SampleFixture(col("doc_id")))
+      .withColumn("m", graft.functions.Mp4Samples(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_samples").as("n_samples"),
+        col("m.sum_sizes").as("sum_sizes"),
+        col("m.max_size").as("max_size"),
+        col("m.n_chunks").as("n_chunks"))
+
+  /** URL canonicalization (`llm_url_canon`) — the RFC 3986
+    * syntax-based normalization URL-level dedup and crawl-frontier
+    * maintenance hash by: case normalization, percent-encoding
+    * normalization (unreserved octets decoded, hex uppercased),
+    * §5.2.4 remove_dot_segments, default-port elision, empty-path →
+    * "/", fragment removal — as the native
+    * [[graft.functions.UrlCanon]] codegen expression (pinned on the
+    * RFC's own §5.2.4 examples in UrlCanonSpec) over six messy URL
+    * classes built per document. The oracle states the expected
+    * canonical string per class in closed form — it never runs the
+    * algorithm, so an engine slip in any normalization step lands
+    * as a string mismatch. Map-side; no shuffle. */
+  def urlCanon(s: SparkSession, d: String): DataFrame = {
+    val raw = expr("""CASE CAST(doc_id % 6 AS INT)
+      | WHEN 0 THEN concat('https://WWW.', upper(source),
+      |   '.COM:443/a/b/../doc-', doc_id, '#sec')
+      | WHEN 1 THEN concat('HTTP://', source,
+      |   '.example.com:80/./x/%7edoc/', doc_id)
+      | WHEN 2 THEN concat('https://', source, '.example.com')
+      | WHEN 3 THEN concat('https://', source,
+      |   '.example.com/a//b/./c/..')
+      | WHEN 4 THEN concat('https://', source,
+      |   '.example.com/p%2fq/%41')
+      | ELSE concat('https://', source,
+      |   '.example.com/s?b=2&a=1#x') END""".stripMargin)
+    docs(s, d).select(col("doc_id"), raw.as("url"))
+      .select(col("doc_id"),
+        graft.functions.UrlCanon(col("url")).as("canon_url"))
+  }
+
   /** From-scratch DEFLATE decode (`llm_inflate`) — the engine's own
     * RFC 1951/1950 implementation ([[graft.llm.Inflate]]: canonical
     * Huffman construction, the dynamic code-length meta-code, LZ77
@@ -9777,6 +9832,46 @@ object LlmQueries {
         |  CAST(SUM(gs.swe) AS BIGINT) AS sum_wsym
         |FROM gb JOIN gs ON gb.doc_id = gs.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // canonical-form oracle: expected strings stated per class in
+    // closed form — the oracle never runs the normalization
+    "llm_url_canon" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'https://www.' || source ||
+        |      '.com/a/doc-' || doc_id
+        |    WHEN 1 THEN 'http://' || source ||
+        |      '.example.com/x/~doc/' || doc_id
+        |    WHEN 2 THEN 'https://' || source || '.example.com/'
+        |    WHEN 3 THEN 'https://' || source || '.example.com/a//b/'
+        |    WHEN 4 THEN 'https://' || source || '.example.com/p%2Fq/A'
+        |    ELSE 'https://' || source || '.example.com/s?b=2&a=1'
+        |  END AS canon_url
+        |FROM documents""".stripMargin,
+
+    // sample-table oracle: the census replayed closed-form; the
+    // nested box framing and both stsz layouts shape only the bytes
+    "mm_mp4_samples" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(doc_id % 50 AS BIGINT) + 1 AS ns,
+        |    doc_id % 3 = 0 AS uni,
+        |    100 + doc_id % 900 AS us,
+        |    CAST(doc_id % 8 AS BIGINT) + 1 AS nc
+        |  FROM documents),
+        |ps AS (SELECT doc_id,
+        |    SUM(100 + (doc_id * 3 + 7 * k) % 900) AS ssum,
+        |    MAX(100 + (doc_id * 3 + 7 * k) % 900) AS smax
+        |  FROM (SELECT doc_id, unnest(range(0, ns)) AS k
+        |        FROM t WHERE NOT uni)
+        |  GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN uni THEN us * ns ELSE ps.ssum END
+        |    AS BIGINT) AS sum_sizes,
+        |  CAST(CASE WHEN uni THEN us ELSE ps.smax END
+        |    AS BIGINT) AS max_size,
+        |  CAST(nc AS BIGINT) AS n_chunks
+        |FROM t LEFT JOIN ps ON t.doc_id = ps.doc_id""".stripMargin,
 
     // floor1 oracle: 7.2.4 unrolled for the fixture's static
     // neighbor chain (posts 2/3/4 predict from (0,64), (x2,64),

@@ -108,6 +108,64 @@ object VideoHeaders {
       }
     }.nextOption()
 
+  /** The SAMPLE-TABLE walk (§8.5.3 stsz, §8.7.5 stco of ISO
+    * 14496-12) — the tables the metadata-only [[parse]] deliberately
+    * skips, and what real frame COUNTS come from: first trak's
+    * `mdia/minf/stbl`, the sample-size box in BOTH layouts (uniform
+    * sample_size != 0 with no per-sample table; per-sample u32
+    * entries otherwise), and the chunk-offset entry count. Returns
+    * (n_samples, sum_sizes, max_size, n_chunks); fail-closed on
+    * nonzero version/flags, a table overrunning its box, or absent
+    * boxes. */
+  def parseSamples(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b == null || b.length < 16) return None
+    for {
+      (ms, me) <- boxes(b, 0, b.length, "moov").headOption
+      (ts, te) <- boxes(b, ms, me, "trak").headOption
+      (ds, de) <- boxes(b, ts, te, "mdia").headOption
+      (fs, fe) <- boxes(b, ds, de, "minf").headOption
+      (ss, se) <- boxes(b, fs, fe, "stbl").headOption
+      z <- boxes(b, ss, se, "stsz").headOption
+      c <- boxes(b, ss, se, "stco").headOption
+      r <- sampleTables(b, z, c)
+    } yield r
+  }
+
+  private def sampleTables(b: Array[Byte], z: (Int, Int),
+      c: (Int, Int)): Option[(Long, Long, Long, Long)] = {
+    val (zs, ze) = z
+    val (cs, ce) = c
+    if (ze - zs < 12 || ce - cs < 8) return None
+    if (u32(b, zs) != 0L || u32(b, cs) != 0L) return None // v0, flags 0
+    val sampleSize = u32(b, zs + 4)
+    val n = u32(b, zs + 8)
+    if (n < 0 || n > Int.MaxValue) return None
+    val (sum, max) =
+      if (sampleSize != 0L) (sampleSize * n, if (n > 0) sampleSize else 0L)
+      else {
+        if (zs + 12 + 4L * n > ze) return None // table overruns box
+        var s = 0L
+        var m = 0L
+        var k = 0
+        while (k < n) {
+          val v = u32(b, zs + 12 + 4 * k)
+          s += v
+          if (v > m) m = v
+          k += 1
+        }
+        (s, m)
+      }
+    val nc = u32(b, cs + 4)
+    if (nc < 0 || cs + 8 + 4L * nc > ce) return None
+    Some((n, sum, max, nc))
+  }
+
+  /** [[parseSamples]] as an `InternalRow` for the codegen path. */
+  def samplesRow(b: Array[Byte]): InternalRow = parseSamples(b) match {
+    case Some((n, s, m, c)) => InternalRow(n, s, m, c)
+    case None => null
+  }
+
   private def u32le(b: Array[Byte], i: Int): Long =
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
       (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
