@@ -133,6 +133,7 @@ object LlmQueries {
     "mm_vorbis_floor" -> vorbisFloor,
     "mm_mp4_samples" -> mp4Samples,
     "llm_url_canon" -> urlCanon,
+    "mm_zstd_frames" -> zstdFrames,
     "llm_inflate" -> inflateRoundtrip,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
@@ -5248,6 +5249,32 @@ object LlmQueries {
         graft.functions.UrlCanon(col("url")).as("canon_url"))
   }
 
+  /** Zstandard frame layer (`mm_zstd_frames`) — the modern
+    * compression container every new crawl dump ships in: magic
+    * dispatch including SKIPPABLE frames, the frame-header
+    * descriptor (single-segment, content-size widths,
+    * reserved-bit rejection), window-descriptor size arithmetic,
+    * 3-byte LE block headers, and REAL regeneration of the two
+    * entropy-free block classes (Raw, RLE) with the declared
+    * content size enforced against what the blocks actually
+    * regenerate ([[graft.functions.ZstdFrames]] over
+    * [[graft.functions.ZstdFixture]]); compressed FSE/Huffman
+    * blocks fail closed — the declared entropy boundary, same
+    * honesty line as MP3 big-values. The oracle replays the
+    * frame/content census closed-form, including the decoded-byte
+    * SUM, so a walk that skips instead of regenerating diverges.
+    * Map-side; no shuffle. */
+  def zstdFrames(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload", graft.functions.ZstdFixture(col("doc_id")))
+      .withColumn("m", graft.functions.ZstdFrames(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_frames").as("n_frames"),
+        col("m.n_skippable").as("n_skippable"),
+        col("m.content_len").as("content_len"),
+        col("m.content_sum").as("content_sum"),
+        col("m.window_sum").as("window_sum"))
+
   /** From-scratch DEFLATE decode (`llm_inflate`) — the engine's own
     * RFC 1951/1950 implementation ([[graft.llm.Inflate]]: canonical
     * Huffman construction, the dynamic code-length meta-code, LZ77
@@ -9832,6 +9859,43 @@ object LlmQueries {
         |  CAST(SUM(gs.swe) AS BIGINT) AS sum_wsym
         |FROM gb JOIN gs ON gb.doc_id = gs.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // frame-census oracle: the decoded-byte SUM replayed term by
+    // term — frame grammar, descriptors and block headers shape
+    // only the bytes the walk must regenerate through
+    "mm_zstd_frames" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(doc_id % 3 AS BIGINT) + 1 AS nf,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS nskip,
+        |    5 + doc_id % 9 AS el
+        |  FROM documents),
+        |f AS (SELECT doc_id, nf, nskip, el,
+        |    unnest(range(0, nf)) AS fr FROM t),
+        |fb AS (SELECT doc_id, fr, el,
+        |    10 + (doc_id + fr) % 30 AS rl,
+        |    (doc_id + fr) % 2 = 0 AS single,
+        |    (doc_id + fr) % 5 AS we, doc_id % 8 AS wm,
+        |    (doc_id + 3 * fr) % 251 AS rb
+        |  FROM f),
+        |raws AS (SELECT doc_id, fr,
+        |    SUM((doc_id * 5 + 7 * k + fr) % 251) AS rsum
+        |  FROM (SELECT doc_id, fr, unnest(range(0, rl)) AS k FROM fb)
+        |  GROUP BY 1, 2),
+        |fx AS (SELECT fb.doc_id, fb.rl + fb.el AS clen,
+        |    raws.rsum + fb.el * fb.rb AS csum,
+        |    CASE WHEN fb.single THEN 0
+        |      ELSE (1 << (10 + we)) + (1 << (7 + we)) * wm
+        |    END AS ws
+        |  FROM fb JOIN raws
+        |    ON fb.doc_id = raws.doc_id AND fb.fr = raws.fr)
+        |SELECT t.doc_id,
+        |  CAST(t.nf AS BIGINT) AS n_frames,
+        |  CAST(t.nskip AS BIGINT) AS n_skippable,
+        |  CAST(SUM(fx.clen) AS BIGINT) AS content_len,
+        |  CAST(SUM(fx.csum) AS BIGINT) AS content_sum,
+        |  CAST(SUM(fx.ws) AS BIGINT) AS window_sum
+        |FROM t JOIN fx ON t.doc_id = fx.doc_id
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // canonical-form oracle: expected strings stated per class in
     // closed form — the oracle never runs the normalization
