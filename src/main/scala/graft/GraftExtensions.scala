@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, NearestCentroid, PngLevels, TopKByLong, TopKByLongStr, VecSumLong, VideoMeta, WarcRecords, WordNgrams}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, WarcRecords, WordNgrams, ZstdFrames}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -222,5 +222,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cdc_boundaries"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CdcBoundaries(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_canon"),
+      new ExpressionInfo(classOf[UrlCanon].getName, "url_canon"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UrlCanon(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("inflate_zlib"),
+      new ExpressionInfo(classOf[InflateZlib].getName, "inflate_zlib"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        InflateZlib(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_zlib"),
+      new ExpressionInfo(classOf[DeflateZlib].getName, "deflate_zlib"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DeflateZlib(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vorbis_books"),
+      new ExpressionInfo(classOf[VorbisBooks].getName, "vorbis_books"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VorbisBooks(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vorbis_floor"),
+      new ExpressionInfo(classOf[VorbisFloor].getName, "vorbis_floor"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VorbisFloor(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mp4_samples"),
+      new ExpressionInfo(classOf[Mp4Samples].getName, "mp4_samples"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Mp4Samples(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zstd_frames"),
+      new ExpressionInfo(classOf[ZstdFrames].getName, "zstd_frames"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZstdFrames(args.head)))
   }
 }

@@ -87,4 +87,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head
     for (i <- 0 until 7) assert(r.getBoolean(i), s"col $i")
   }
+
+  test("the entropy-decode / canonicalization wave resolves and " +
+      "works from pure SQL") {
+    val r = TestSpark.spark.sql(
+      """SELECT
+        |  nfc_normalize('café') AS n,
+        |  url_canon('HTTP://Ex.COM:80/a/../b#f') AS u,
+        |  CAST(inflate_zlib(deflate_zlib(
+        |    encode('round trip', 'UTF-8'), 6)) AS STRING) AS z,
+        |  vorbis_books(unhex('00')) IS NULL AS vb,
+        |  vorbis_floor(unhex('00')) IS NULL AS vf,
+        |  mp4_samples(unhex('00')) IS NULL AS m4,
+        |  zstd_frames(unhex('00')) IS NULL AS zs""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "café")
+    assert(r.getString(1) == "http://ex.com/b")
+    assert(r.getString(2) == "round trip")
+    for (i <- 3 until 7) assert(r.getBoolean(i), s"col $i")
+  }
 }
