@@ -134,6 +134,7 @@ object LlmQueries {
     "mm_mp4_samples" -> mp4Samples,
     "llm_url_canon" -> urlCanon,
     "mm_zstd_frames" -> zstdFrames,
+    "mm_vorbis_residue" -> vorbisResidue,
     "llm_inflate" -> inflateRoundtrip,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
@@ -5196,6 +5197,32 @@ object LlmQueries {
         col("m.y_wsum").as("y_wsum"),
         col("m.n_step2").as("n_step2"))
 
+  /** Vorbis residue classification (`mm_vorbis_residue`) — the
+    * third decode layer: §8.6.1's config walk (begin/end, partition
+    * size, classification count, classbook, per-class cascade
+    * bitmaps with their book slots) and §8.6.2's CLASSIFICATION
+    * cascade — classwords decoded through the classbook and
+    * unpacked last-slot-first by integer divmod into per-partition
+    * classes, ragged tails dropped ([[graft.functions.VorbisResidue]]
+    * over [[graft.functions.VorbisResidueFixture]]). The fixture's
+    * cascades are EMPTY (a conformant silent residue), which is
+    * exactly the declared boundary: classification is integer and
+    * proven here; cascade value passes are VQ float lookups and
+    * stay with the synthesis fake. The oracle replays the class
+    * vector closed-form (divmod by exact integer powers), so a
+    * wrong unpack order or a mis-sized group diverges. Map-side;
+    * no shuffle. */
+  def vorbisResidue(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.VorbisResidueFixture(col("doc_id")))
+      .withColumn("m", graft.functions.VorbisResidue(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_partitions").cast("bigint").as("n_partitions"),
+        col("m.n_classwords").as("n_classwords"),
+        col("m.class_sum").as("class_sum"),
+        col("m.class_wsum").as("class_wsum"))
+
   /** MP4 sample tables (`mm_mp4_samples`) — the walk real frame
     * COUNTS come from, which the metadata-only box parse
     * deliberately skips: first track's `mdia/minf/stbl` chain, the
@@ -9859,6 +9886,30 @@ object LlmQueries {
         |  CAST(SUM(gs.swe) AS BIGINT) AS sum_wsym
         |FROM gb JOIN gs ON gb.doc_id = gs.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // residue-classification oracle: the class vector replayed by
+    // closed-form divmod over exact integer powers — classword
+    // entries, unpack order and ragged tails shape only the bits
+    "mm_vorbis_residue" ->
+      """WITH t AS (SELECT doc_id,
+        |    2 + doc_id % 3 AS c,
+        |    1 + doc_id % 4 AS d,
+        |    4 + doc_id % 13 AS u,
+        |    2 + doc_id % 6 AS n
+        |  FROM documents),
+        |j AS (SELECT doc_id, c, d, u, n,
+        |    unnest(range(0, n)) AS jj FROM t),
+        |cl AS (SELECT doc_id, n, d, jj,
+        |    (((doc_id * 3 + 7 * (jj // d)) % u) //
+        |      CASE d - 1 - (jj % d) WHEN 0 THEN 1 WHEN 1 THEN c
+        |        WHEN 2 THEN c * c ELSE c * c * c END) % c AS cls
+        |  FROM j)
+        |SELECT doc_id,
+        |  CAST(MAX(n) AS BIGINT) AS n_partitions,
+        |  CAST(MAX((n + d - 1) // d) AS BIGINT) AS n_classwords,
+        |  CAST(SUM(cls) AS BIGINT) AS class_sum,
+        |  CAST(SUM((jj + 1) * cls) AS BIGINT) AS class_wsum
+        |FROM cl GROUP BY 1""".stripMargin,
 
     // frame-census oracle: the decoded-byte SUM replayed term by
     // term — frame grammar, descriptors and block headers shape

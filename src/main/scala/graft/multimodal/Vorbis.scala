@@ -414,6 +414,73 @@ object Vorbis {
   }
 
   // ------------------------------------------------------------------
+  // Residue — §8.6.1's config walk and §8.6.2's CLASSIFICATION
+  // cascade: classwords decode through the classbook and unpack
+  // into per-partition classes by repeated divmod (pure integer,
+  // last slot first). Value passes decode through per-class cascade
+  // books whose outputs are VQ float lookups — the fixture keeps
+  // every cascade empty (a conformant silent residue), so the
+  // classification layer is proven real while the float value
+  // domain stays with the synthesis fake.
+
+  final case class ResidueCfg(begin: Int, end: Int, psize: Int,
+      classifications: Int, classbook: Int, cascade: Array[Int])
+
+  /** §8.6.1 residue config walk (types 0/1/2 share it). */
+  def readResidueCfg(r: BitReaderLsb): Option[ResidueCfg] = {
+    val begin = r.read(24).getOrElse(return None).toInt
+    val end = r.read(24).getOrElse(return None).toInt
+    if (end < begin) return None
+    val psize = r.read(24).getOrElse(return None).toInt + 1
+    val cls = r.read(6).getOrElse(return None).toInt + 1
+    val classbook = r.read(8).getOrElse(return None).toInt
+    val cascade = new Array[Int](cls)
+    var j = 0
+    while (j < cls) {
+      val low = r.read(3).getOrElse(return None).toInt
+      val hasHigh = r.read(1).getOrElse(return None) == 1L
+      val high =
+        if (hasHigh) r.read(5).getOrElse(return None).toInt else 0
+      cascade(j) = high * 8 + low
+      var k = 0
+      while (k < 8) { // a set cascade bit carries a book number
+        if (((cascade(j) >> k) & 1) != 0)
+          r.read(8).getOrElse(return None)
+        k += 1
+      }
+      j += 1
+    }
+    Some(ResidueCfg(begin, end, psize, cls, classbook, cascade))
+  }
+
+  /** §8.6.2 classification decode: one classword per
+    * classbook-dimension slots, unpacked last-slot-first by
+    * divmod. Returns the per-partition class vector; None
+    * fail-closed (bad classbook index, codeword walk failure). */
+  def decodeResidueClasses(r: BitReaderLsb, cfg: ResidueCfg,
+      books: Array[Book]): Option[Array[Int]] = {
+    if (cfg.classbook < 0 || cfg.classbook >= books.length) return None
+    val cb = books(cfg.classbook)
+    val d = cb.dims
+    if (d < 1) return None
+    val n = (cfg.end - cfg.begin) / cfg.psize
+    val out = new Array[Int](n)
+    var p = 0
+    while (p < n) {
+      var cval = decodeOne(r, cb).getOrElse(return None).toLong
+      var i = d
+      while (i > 0) { // last slot of the group first
+        val idx = p + i - 1
+        if (idx < n) out(idx) = (cval % cfg.classifications).toInt
+        cval /= cfg.classifications
+        i -= 1
+      }
+      p += d
+    }
+    Some(out)
+  }
+
+  // ------------------------------------------------------------------
   // Ogg container (fixture side): real lacing, real page CRC.
 
   /** Ogg page CRC-32: direct (non-reflected) 0x04c11db7, init 0,
@@ -799,6 +866,114 @@ object Vorbis {
   /** [[parseFloor]] as an `InternalRow` for the codegen path. */
   def floorRow(b: Array[Byte]): InternalRow = parseFloor(b) match {
     case Some((nv, ys, yw, ns)) => InternalRow(nv, ys, yw, ns)
+    case None => null
+  }
+
+  // --- residue fixture derivations (`mm_vorbis_residue`): one
+  // classbook, a §8.6.1 config with EMPTY cascades (silent residue
+  // — conformant, and exactly the declared value-domain boundary),
+  // classwords covering the partitions with a ragged tail when
+  // dims does not divide the partition count.
+
+  def resClsOf(docId: Long): Int = 2 + (docId % 3).toInt
+  def resPartsOf(docId: Long): Int = 2 + (docId % 6).toInt
+  def resPsizeOf(docId: Long): Int = 4 + (docId % 4).toInt
+  /** Classword g's decoded entry (book 0 used entries). */
+  def resEntryOf(docId: Long, g: Int): Int =
+    ((docId * 3 + 7L * g) % usedOf(docId, 0)).toInt
+  /** Expected class at partition slot j (§8.6.2 divmod order). */
+  def resClassOf(docId: Long, j: Int): Int = {
+    val d = dimsOf(docId, 0)
+    val c = resClsOf(docId)
+    val e = resEntryOf(docId, j / d)
+    var p = 1L
+    var k = 0
+    while (k < d - 1 - (j % d)) { p *= c; k += 1 }
+    ((e / p) % c).toInt
+  }
+
+  private def writeResidueCfg(w: BitWriterLsb, docId: Long): Unit = {
+    val n = resPartsOf(docId)
+    val psize = resPsizeOf(docId)
+    w.write(8, 24) // begin
+    w.write(8 + n.toLong * psize, 24) // end
+    w.write(psize - 1, 24)
+    w.write(resClsOf(docId) - 1, 6)
+    w.write(0, 8) // classbook = book 0
+    var j = 0
+    while (j < resClsOf(docId)) { // empty cascade: low 0, no high
+      w.write(0, 3)
+      w.write(0, 1)
+      j += 1
+    }
+  }
+
+  private def residuePacket(docId: Long): Array[Byte] = {
+    val w = new BitWriterLsb
+    val d = dimsOf(docId, 0)
+    val n = resPartsOf(docId)
+    val groups = (n + d - 1) / d
+    val (lengths, codes) = bookCodes(docId, 0)
+    var g = 0
+    while (g < groups) {
+      val e = resEntryOf(docId, g)
+      w.writeCode(codes(e), lengths(e))
+      g += 1
+    }
+    w.bytes
+  }
+
+  /** The residue fixture stream (`mm_vorbis_residue`): id page,
+    * setup page carrying ONE codebook + the §8.6.1 residue config,
+    * and the classword packet page. */
+  def streamResidue(docId: Long): Array[Byte] = {
+    val serial = (docId & 0x7fffffffL).toInt | 1
+    val w = new BitWriterLsb
+    w.write(5, 8)
+    "vorbis".foreach(c => w.write(c.toLong, 8))
+    w.write(0, 8) // one codebook
+    writeBook(w, docId, 0)
+    writeResidueCfg(w, docId)
+    oggPage(0x02, 0, serial, 0, Seq(idPacket(docId))) ++
+      oggPage(0, 0, serial, 1, Seq(w.bytes)) ++
+      oggPage(0x04, 0, serial, 2, Seq(residuePacket(docId)))
+  }
+
+  /** Parse + decode the residue fixture: book, config, then the
+    * classification cascade. Returns
+    * (n_partitions, n_classwords, class_sum, class_wsum) or None. */
+  def parseResidue(b: Array[Byte]): Option[(Int, Long, Long, Long)] = {
+    val packets = oggPackets(b).getOrElse(return None)
+    if (packets.length != 3) return None
+    val setup = packets(1)
+    if (setup.length < 8 || (setup(0) & 0xff) != 5 ||
+      new String(setup, 1, 6, "US-ASCII") != "vorbis") return None
+    val sr = new BitReaderLsb(setup, 7, setup.length)
+    val nb = sr.read(8).getOrElse(return None).toInt + 1
+    val books = new Array[Book](nb)
+    var j = 0
+    while (j < nb) {
+      books(j) = readBook(sr).getOrElse(return None)
+      j += 1
+    }
+    val cfg = readResidueCfg(sr).getOrElse(return None)
+    val rr = new BitReaderLsb(packets(2), 0, packets(2).length)
+    val cls = decodeResidueClasses(rr, cfg, books).getOrElse(return None)
+    var s = 0L
+    var ws = 0L
+    var i = 0
+    while (i < cls.length) {
+      s += cls(i)
+      ws += (i + 1L) * cls(i)
+      i += 1
+    }
+    Some((cls.length, ((cls.length + books(cfg.classbook).dims - 1) /
+      books(cfg.classbook).dims).toLong, s, ws))
+  }
+
+  /** [[parseResidue]] as an `InternalRow` for the codegen path. */
+  def residueRow(b: Array[Byte]): InternalRow = parseResidue(b) match {
+    case Some((np, ng, s, ws)) => InternalRow(np, ng, s, ws)
     case None => null
   }
 

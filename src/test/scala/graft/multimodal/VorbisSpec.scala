@@ -227,6 +227,38 @@ class VorbisSpec extends AnyFunSuite {
     assert(fy.isEmpty && st.isEmpty)
   }
 
+  test("residue classification triangle over docs 0..150: config " +
+    "walk, classword decode, divmod unpack order, ragged tails") {
+    for (doc <- 0L to 150L) {
+      val Some((np, ng, s, ws)) =
+        Vorbis.parseResidue(Vorbis.streamResidue(doc))
+      val n = Vorbis.resPartsOf(doc)
+      val d = Vorbis.dimsOf(doc, 0)
+      assert(np == n && ng == (n + d - 1) / d, s"doc $doc")
+      val cls = (0 until n).map(j => Vorbis.resClassOf(doc, j).toLong)
+      assert(s == cls.sum, s"doc $doc class_sum")
+      assert(ws == cls.zipWithIndex.map { case (c, j) => (j + 1) * c }.sum,
+        s"doc $doc class_wsum")
+    }
+  }
+
+  test("residue hand-check: dims 2, 3 classifications, classwords " +
+    "3 and 1 unpack last-slot-first to [1,0,0,1]") {
+    // 4 partitions (end 16, psize 4), 2 classwords of 2 slots each
+    val cfg = Vorbis.ResidueCfg(0, 16, 4, 3, 0, Array(0, 0, 0))
+    val r0 = new Vorbis.BitReaderLsb(handBook, 0, handBook.length)
+    val Some(book) = Vorbis.readBook(r0)
+    // handBook: 4 entries, len-2 codes 00/01/10/11
+    val w = new Vorbis.BitWriterLsb
+    w.writeCode(3, 2); w.writeCode(1, 2)
+    val Some(cls) = Vorbis.decodeResidueClasses(
+      new Vorbis.BitReaderLsb(w.bytes, 0, w.bytes.length), cfg,
+      Array(book))
+    // entry 3: slot1 = 3 % 3 = 0, slot0 = 1; entry 1: slot1 = 1,
+    // slot0 = 0 → classes [1, 0, 0, 1]
+    assert(cls.toSeq == Seq(1, 0, 0, 1))
+  }
+
   test("fixture pages carry correct Ogg CRCs (direct 0x04c11db7, " +
     "CRC field zeroed during computation)") {
     val b = Vorbis.stream(7L)
