@@ -135,6 +135,7 @@ object LlmQueries {
     "llm_url_canon" -> urlCanon,
     "mm_zstd_frames" -> zstdFrames,
     "mm_vorbis_residue" -> vorbisResidue,
+    "llm_mix_temperature" -> mixTemperature,
     "llm_inflate" -> inflateRoundtrip,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
@@ -2622,6 +2623,45 @@ object LlmQueries {
         expr(hexHashExpr("instr")) % mixMaxQuota + 1)
       .filter(col("rank") <= col("q"))
       .drop("h", "q")
+
+  /** Temperature-based mixture sampling (`llm_mix_temperature`) —
+    * the α = 1/2 sampling rule multilingual/multi-source LM
+    * training uses to keep big sources from drowning small ones:
+    * per-source CHARACTER mass → integer square root (the
+    * temperature transform, exact: `floor(sqrt)` of a < 2^53
+    * integer is correctly rounded in both engines) → a
+    * 200-document budget split by integer-division shares → the
+    * quota filled by deterministic seeded-md5 rank within each
+    * source (the [[mixSample]] pick rule, so resampling is
+    * reproducible). Sources whose share rounds to zero drop out —
+    * mirrored in the oracle. Scale shape: the mass/quota side is
+    * source-count-sized and broadcast; the corpus side pays one
+    * exchange for the per-source rank window (at extreme skew the
+    * quota-sized bounded-heap bottom-k — `llm_sample_bottomk`'s
+    * kernel — is the drop-in replacement; the exact-rank spelling
+    * is the yardstick the engine keeps oracle-checkable). */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val mass = docs(s, d).groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("mass"))
+      .withColumn("sq", expr("CAST(floor(sqrt(mass)) AS BIGINT)"))
+    val tot = mass.agg(sum(col("sq")).as("tot"))
+    val quotas = mass.crossJoin(broadcast(tot))
+      .withColumn("quota", expr("CAST(200 * sq div tot AS BIGINT)"))
+      .select(col("source"), col("mass"), col("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(s, d).select(col("doc_id"), col("source"))
+      .withColumn("h",
+        md5(concat(lit("mixt:"), col("doc_id").cast("string"))))
+      .withColumn("rank", row_number().over(w))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rank") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(max(col("mass")).cast("bigint").as("mass"),
+        max(col("quota")).as("quota"),
+        count(lit(1)).as("n_picked"),
+        sum(col("doc_id")).as("picked_sum"))
+  }
 
   // ---------------------------------------------------------------
   // Passage-level dedup scan (CCNet/C4-style boilerplate detection
@@ -9886,6 +9926,31 @@ object LlmQueries {
         |  CAST(SUM(gs.swe) AS BIGINT) AS sum_wsym
         |FROM gb JOIN gs ON gb.doc_id = gs.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // the oracle replays the temperature transform (exact isqrt),
+    // the integer-division budget split, and the same seeded-md5
+    // rank pick; zero-quota sources are dropped on both sides
+    "llm_mix_temperature" ->
+      """WITH m AS (SELECT source, SUM(n_chars) AS mass
+        |  FROM documents GROUP BY 1),
+        |sq AS (SELECT source, mass,
+        |    CAST(floor(sqrt(mass)) AS BIGINT) AS sq FROM m),
+        |t AS (SELECT SUM(sq) AS tot FROM sq),
+        |q AS (SELECT source, mass, sq,
+        |    CAST(200 * sq // tot AS BIGINT) AS quota FROM sq, t),
+        |r AS (SELECT d.doc_id, d.source,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY md5('mixt:' || CAST(d.doc_id AS VARCHAR)),
+        |        d.doc_id) AS rnk
+        |  FROM documents d)
+        |SELECT q.source,
+        |  CAST(q.mass AS BIGINT) AS mass,
+        |  q.quota,
+        |  CAST(COUNT(*) AS BIGINT) AS n_picked,
+        |  CAST(SUM(r.doc_id) AS BIGINT) AS picked_sum
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rnk <= q.quota
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // residue-classification oracle: the class vector replayed by
     // closed-form divmod over exact integer powers — classword
