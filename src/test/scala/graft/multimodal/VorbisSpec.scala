@@ -259,6 +259,49 @@ class VorbisSpec extends AnyFunSuite {
     assert(cls.toSeq == Seq(1, 0, 0, 1))
   }
 
+  test("floor1 masterbook path: subclass bits select per-dimension " +
+    "books, -1 slots yield zero posts") {
+    val r0 = new Vorbis.BitReaderLsb(handBook, 0, handBook.length)
+    val Some(book) = Vorbis.readBook(r0)
+    // class 0: dims 2, 1 subclass bit, masterbook 0, slots [0, -1]
+    val cfg = Vorbis.Floor1(Array(0), Array(2), Array(1), Array(0),
+      Array(Array(0, -1)), 2, Array(0, 64, 10, 30))
+    val w = new Vorbis.BitWriterLsb
+    w.write(1, 1) // nonzero
+    w.write(20, 7) // Y0 (range 128 → ilog(127) = 7 bits)
+    w.write(40, 7) // Y1
+    w.writeCode(2, 2) // masterbook cval = entry 2 (bits 10)
+    w.writeCode(3, 2) // dim 0's post via slot 0 = book 0: entry 3
+    // dim 1: slot (cval >> 1) & 1 = 1 → book -1 → Y = 0, no bits
+    val Some((fy, st)) = Vorbis.decodeFloor1(
+      new Vorbis.BitReaderLsb(w.bytes, 0, w.bytes.length), cfg,
+      Array(book))
+    // i=2: pred = rp(0,20,64,40,10) = 23; v=3 odd → 23-2 = 21
+    // i=3: lo=2 (x=10), pred = rp(10,21,64,40,30) = 21+380/54 = 28;
+    //      v=0 → predicted, flag false
+    assert(fy.toSeq == Seq(20, 40, 21, 28))
+    assert(st.toSeq == Seq(true, true, true, false))
+  }
+
+  test("residue config: set cascade bits carry book-slot bytes the " +
+    "walk must consume") {
+    val w = new Vorbis.BitWriterLsb
+    w.write(8, 24); w.write(40, 24); w.write(3, 24) // begin/end/psize-1
+    w.write(1, 6) // 2 classifications
+    w.write(0, 8) // classbook 0
+    w.write(3, 3); w.write(0, 1) // class 0: cascade bits 0,1 set
+    w.write(0x11, 8); w.write(0x22, 8) // two book slots
+    w.write(0, 3); w.write(1, 1); w.write(2, 5) // class 1: high=2
+    w.write(0x33, 8) // cascade 16 → one slot (bit 4)
+    w.write(0xab, 8) // sentinel AFTER the config
+    val r = new Vorbis.BitReaderLsb(w.bytes, 0, w.bytes.length)
+    val Some(cfg) = Vorbis.readResidueCfg(r)
+    assert(cfg.begin == 8 && cfg.end == 40 && cfg.psize == 4)
+    assert(cfg.classifications == 2 && cfg.classbook == 0)
+    assert(cfg.cascade.toSeq == Seq(3, 16))
+    assert(r.read(8).contains(0xabL)) // cursor landed exactly here
+  }
+
   test("fixture pages carry correct Ogg CRCs (direct 0x04c11db7, " +
     "CRC field zeroed during computation)") {
     val b = Vorbis.stream(7L)
