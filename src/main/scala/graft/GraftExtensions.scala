@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, WarcRecords, WordNgrams, ZstdFrames}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -252,6 +252,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VorbisFloor].getName, "vorbis_floor"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VorbisFloor(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vorbis_vq"),
+      new ExpressionInfo(classOf[VorbisVq].getName, "vorbis_vq"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VorbisVq(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vorbis_residue"),
+      new ExpressionInfo(classOf[VorbisResidue].getName, "vorbis_residue"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VorbisResidue(args.head)))
     ext.injectFunction((
       FunctionIdentifier("mp4_samples"),
       new ExpressionInfo(classOf[Mp4Samples].getName, "mp4_samples"),

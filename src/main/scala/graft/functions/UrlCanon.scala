@@ -80,8 +80,14 @@ object UrlCanon {
       if (qi >= 0) (tail.substring(0, qi), tail.substring(qi))
       else (tail, "")
     val path = if (path0.isEmpty) "/" else path0
+    // §6.2.2 order: percent-encoding normalization BEFORE
+    // remove_dot_segments, so %2E-encoded dot segments ('/%2e%2e/')
+    // decode to '..' and are then eliminated — running it after
+    // leaves dot segments in the output and breaks idempotence.
+    // (Safe: '/' is reserved, so pctNormalize never decodes %2F and
+    // cannot change the path's segment structure.)
     scheme + "://" + auth +
-      pctNormalize(removeDotSegments(path)) + pctNormalize(query)
+      removeDotSegments(pctNormalize(path)) + pctNormalize(query)
   }
 
   /** RFC 3986 §5.2.4 remove_dot_segments, verbatim. */

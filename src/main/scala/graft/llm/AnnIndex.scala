@@ -1,0 +1,183 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-snapshot incremental ANN: the persisted-index side of IVF
+  * vector search — the same maintenance ladder [[DedupIndex]] gives
+  * MinHash dedup (build once → persist → probe arriving shards
+  * asymmetrically → streaming twin), for the vector lane.
+  *
+  * A production 100 TB vector corpus never re-trains or re-assigns
+  * itself when a new shard of embeddings arrives — it keeps the
+  * converged IVF structure (centroids + per-vector inverted-list
+  * assignments) as a STORED INDEX, assigns the arriving vectors
+  * map-side, and probes only the nprobe nearest lists per query.
+  * This object holds that lifecycle:
+  *
+  *  - [[lloyd]]: capped-Lloyd (k-means) training over ANY quantized
+  *    vector table — the loop the batch queries already converge
+  *    ([[LlmQueries]]'s `llm_kmeans_converged`), generalized so the
+  *    index build can train on the index corpus only.
+  *  - [[assign]]: fully map-side nearest-centroid assignment — the
+  *    centroid table collapses to one broadcast row and the argmax
+  *    is the codegen'd [[graft.functions.NearestCentroid]] kernel;
+  *    zero corpus exchange.
+  *  - [[write]] / [[read]] / [[Stored]]: persist centroids +
+  *    assignments as parquet, assignments PARTITIONED BY `cid` — on
+  *    disk the inverted lists ARE the partition directories, so an
+  *    nprobe probe prunes the scan at the source (partition
+  *    pruning, not a filter over a full scan).
+  *  - [[probe]]: top-k neighbors for an arriving shard against the
+  *    stored lists, with the broadcast asymmetry a real probe has:
+  *    the ARRIVING side (delta-sized) is broadcast; the
+  *    corpus-scale assignment table is only ever scanned map-side,
+  *    and ranking is the bounded-heap [[graft.functions.TopKByLong]]
+  *    aggregate (exchange O(partitions × k), never the scored
+  *    candidate set through a window).
+  *
+  * The quantization (`float → floor(x·1000)` longs) is shared with
+  * the batch chain via [[LlmQueries.quantizeExpr]] — one definition,
+  * so a quantizer change cannot fork the index format from the
+  * query semantics.
+  */
+object AnnIndex {
+
+  /** Handles to a persisted index, both tables read back FROM
+    * PARQUET so every probe consumes the stored artifact, never the
+    * lineage that built it. `centroids`: (cid, cv) — k rows.
+    * `assignments`: (vec_id, qv, cid) — corpus-scale, partitioned
+    * by cid on disk. */
+  final case class Stored(centroids: DataFrame, assignments: DataFrame)
+
+  /** Map-side nearest-centroid assignment of `vectors`
+    * (vec_id, qv) against `cent` (cid, cv): the centroid table is
+    * collapsed to a single sorted array-of-structs row and
+    * broadcast; the argmax is row-local codegen
+    * ([[graft.functions.NearestCentroid]]: max inner product, ties
+    * to smallest cid). The corpus streams through untouched — the
+    * shape that survives 100 TB. */
+  def assign(vectors: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("cents"))
+    vectors.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("qv"),
+        graft.functions.NearestCentroid(col("qv"), col("cents")).as("cid"))
+  }
+
+  /** Capped-Lloyd k-means over a quantized vector table
+    * (vec_id, qv): seeds are the vectors with `vec_id < k` (the
+    * deterministic seed rule the batch queries pin), then up to
+    * `iters` refinement rounds — each an [[assign]] pass plus an
+    * integer-mean recompute through the map-side
+    * [[graft.functions.VecSumLong]] partial sums (the exchange
+    * carries one long[dim] per (cluster, partition), never the
+    * corpus). Loop discipline as in the batch CC loop: each round's
+    * k-row centroid table is localCheckpoint'd (O(1) plan depth),
+    * superseded checkpoints freed, convergence an O(k) driver
+    * check. Returns (cid, cv, n_vecs). */
+  def lloyd(s: SparkSession, vectors: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    var cent = vectors.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("qv").as("cv"),
+        lit(0L).as("n_vecs"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (round < iters && !converged) {
+      val next = assign(vectors, cent.select(col("cid"), col("cv")))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.functions.VecSumLong.vecSum(col("qv")).as("sums"))
+        .select(col("cid"),
+          expr("transform(sums, x -> x div n_vecs)").as("cv"),
+          col("n_vecs"))
+        .localCheckpoint()
+      val a = next.select(col("cid"), col("cv"))
+      val b = cent.select(col("cid"), col("cv"))
+      converged = a.except(b).isEmpty && b.except(a).isEmpty
+      val prev = cent
+      cent = next
+      org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(prev)
+      round += 1
+    }
+    cent
+  }
+
+  /** Build + persist the index for `vectors`: train capped-Lloyd
+    * centroids, assign every vector to its list, and write both —
+    * assignments partitioned by `cid`, so the inverted lists are
+    * physical partition directories and an nprobe probe reads only
+    * nprobe of them. One-time backfill cost: the training rounds +
+    * one partitioned write (a single corpus shuffle on cid). */
+  def write(s: SparkSession, vectors: DataFrame, path: String,
+      k: Int, iters: Int): Stored = {
+    val cent = lloyd(s, vectors, k, iters).select(col("cid"), col("cv"))
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    val centStored = s.read.parquet(s"$path/centroids")
+    assign(vectors, centStored)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/assignments")
+    read(s, path)
+  }
+
+  /** Read back a persisted index. */
+  def read(s: SparkSession, path: String): Stored = Stored(
+    s.read.parquet(s"$path/centroids"),
+    s.read.parquet(s"$path/assignments")
+      .select(col("vec_id"), col("qv"), col("cid")))
+
+  /** Top-`k` neighbors per arriving vector (vec_id, qv) against the
+    * stored lists. Per arriving query: rank the stored centroids by
+    * inner product (a (arriving × nlists)-row window partitioned
+    * per query — delta-sized, never corpus-sized), keep the top
+    * `nProbe` lists, then join the delta-sized probe set BROADCAST
+    * against the assignment scan — with partition pruning doing the
+    * real work at scale (only the probed cid directories are read)
+    * — score with the codegen'd long dot product, and rank through
+    * the bounded-heap aggregate. Output (q_id, vec_id, rank, ip),
+    * rank 1 = best, ties ip desc then vec_id asc. */
+  def probe(arriving: DataFrame, stored: Stored, k: Int,
+      nProbe: Int): DataFrame = {
+    val q = arriving.select(col("vec_id").as("q_id"), col("qv").as("qvec"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cip").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(stored.centroids))
+      .withColumn("cip",
+        graft.functions.DotProductLong(col("qvec"), col("cv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qvec"), col("cid").as("probe_cid"))
+    val scored = stored.assignments.join(broadcast(probes),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("ip",
+        graft.functions.DotProductLong(col("qv"), col("qvec")))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByLong.topK(col("ip"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("q_id"), col("x.id").as("vec_id"),
+        (col("p0") + 1).cast("int").as("rank"), col("x.score").as("ip"))
+  }
+
+  /** Extend the stored index with an arriving shard: assign the
+    * arriving vectors against the STORED centroids (map-side — the
+    * index never re-trains on an append; periodic re-training is a
+    * separate backfill) and append them to the assignment lists.
+    * Idempotent per vec_id: already-indexed ids are anti-joined out
+    * first, so an at-least-once replay (foreachBatch retry) cannot
+    * double-insert — the same guard discipline as
+    * [[graft.streaming.DocsStream.startIncrementalDedup]]'s index
+    * append. The anti-join scans the index once per extend; that is
+    * the documented trade for replay safety (the index side is
+    * never broadcast). */
+  def extend(arriving: DataFrame, stored: Stored, path: String): Unit = {
+    val indexed = stored.assignments.select(col("vec_id").as("i_id"))
+    assign(arriving, stored.centroids)
+      .join(indexed, col("vec_id") === col("i_id"), "left_anti")
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$path/assignments")
+  }
+}

@@ -99,7 +99,6 @@ object Inflate {
   private final class State(val in: Array[Byte], var pos: Int) {
     var bitBuf = 0
     var bitCnt = 0
-    val out = new java.io.ByteArrayOutputStream(1 << 12)
     // the LZ77 window IS the output so far (bounded by MaxOut)
     var window: Array[Byte] = new Array[Byte](1 << 12)
     var outLen = 0
@@ -277,10 +276,14 @@ object Inflate {
     t
   }
 
-  def crc32(b: Array[Byte]): Long = {
+  def crc32(b: Array[Byte]): Long = crc32Range(b, 0, b.length)
+
+  /** CRC-32 over b[from, until) — the header-CRC (FHCRC) check needs
+    * the digest of a slice without copying it out. */
+  def crc32Range(b: Array[Byte], from: Int, until: Int): Long = {
     var crc = 0xffffffff
-    var i = 0
-    while (i < b.length) {
+    var i = from
+    while (i < until) {
       crc = (crc >>> 8) ^ crcTable((crc ^ b(i)) & 0xff)
       i += 1
     }
@@ -302,6 +305,7 @@ object Inflate {
     var i = 0
     while (i < b.length) {
       if (i + 10 > b.length) return None
+      val hdrStart = i // FHCRC covers everything from the magic on
       if ((b(i) & 0xff) != 0x1f || (b(i + 1) & 0xff) != 0x8b) return None
       if ((b(i + 2) & 0xff) != 8) return None // CM must be deflate
       val flg = b(i + 3) & 0xff
@@ -322,9 +326,14 @@ object Inflate {
         }
         z += 1
       }
-      if ((flg & 0x02) != 0) { // FHCRC
+      if ((flg & 0x02) != 0) { // FHCRC: CRC-32 of the header so
+        // far, low 16 bits, stored LE (RFC 1952 §2.3.1) — verified,
+        // matching GZIPInputStream, not just skipped
+        if (i + 2 > b.length) return None
+        val stored16 = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        if ((crc32Range(b, hdrStart, i) & 0xffffL) != stored16)
+          return None
         i += 2
-        if (i > b.length) return None
       }
       val (body, consumed) = raw(b, i).getOrElse(return None)
       i += consumed

@@ -1840,10 +1840,16 @@ object LlmQueries {
   // Similarity search. Vectors quantized to integer milli-units;
   // inner product on int64 is exact in both engines.
   // ---------------------------------------------------------------
+  /** The shared embedding quantizer (`float → floor(x·1000)` longs)
+    * — single source of truth for the batch queries, the stored ANN
+    * index ([[AnnIndex]]) and the streaming probe twin, so a
+    * quantizer change cannot fork the index format. */
+  private[graft] val quantizeExpr =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
   private def quantized(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings").select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-      .as("qv"))
+    Tables(s, d, "embeddings").select(col("vec_id"),
+      expr(quantizeExpr).as("qv"))
 
   private val queryIds = Seq(0L, 1L, 2L)
 
@@ -1947,16 +1953,11 @@ object LlmQueries {
     assignedWith(s, d, centroids(s, d))
 
   /** The same map-side assignment against ANY centroid table (the
-    * deterministic sample, or the Lloyd-converged set). */
+    * deterministic sample, or the Lloyd-converged set) — the kernel
+    * is [[AnnIndex.assign]], shared with the stored-index build. */
   private def assignedWith(
-      s: SparkSession, d: String, cent: DataFrame): DataFrame = {
-    val centArr = cent
-      .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
-        .as("cents"))
-    quantized(s, d).crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("qv"),
-        graft.functions.NearestCentroid(col("qv"), col("cents")).as("cid"))
-  }
+      s: SparkSession, d: String, cent: DataFrame): DataFrame =
+    AnnIndex.assign(quantized(s, d), cent)
 
   def ivfClusters(s: SparkSession, d: String): DataFrame =
     assigned(s, d).groupBy(col("cid"))
@@ -2007,34 +2008,13 @@ object LlmQueries {
     SnapshotMemo.getOrCompute(s, s"kmeans-centroids:$d")(
       computeKmeans(s, d))
 
-  private def computeKmeans(s: SparkSession, d: String): DataFrame = {
-    var cent = centroids(s, d)
-      .select(col("cid"), col("cv"), lit(0L).as("n_vecs"))
-      .localCheckpoint()
-    var converged = false
-    var round = 0
-    while (round < kmIters && !converged) {
-      val next = assignedWith(s, d, cent.select(col("cid"), col("cv")))
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_vecs"),
-          graft.functions.VecSumLong.vecSum(col("qv")).as("sums"))
-        .select(col("cid"),
-          expr("transform(sums, x -> x div n_vecs)").as("cv"),
-          col("n_vecs"))
-        .localCheckpoint()
-      // fixpoint ⇔ same (cid, cv) set both ways (a dying cluster
-      // shrinks the set, so one-directional EXCEPT is not enough);
-      // both sides are k-row checkpoints — this is driver-cheap
-      val a = next.select(col("cid"), col("cv"))
-      val b = cent.select(col("cid"), col("cv"))
-      converged = a.except(b).isEmpty && b.except(a).isEmpty
-      val prev = cent
-      cent = next
-      org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(prev)
-      round += 1
-    }
-    cent
-  }
+  /** The loop itself lives in [[AnnIndex.lloyd]] (shared with the
+    * stored-index build, which trains on the index corpus only);
+    * seed rule (vec_id < k), iteration cap, checkpoint/free
+    * discipline and the two-way EXCEPT fixpoint check are unchanged
+    * from the round-11 in-place spelling. */
+  private def computeKmeans(s: SparkSession, d: String): DataFrame =
+    AnnIndex.lloyd(s, quantized(s, d), nCentroids, kmIters)
 
   /** The converged centroid table, hash-compressed the same way as
     * [[kmeansStep]] (first component + component sum) so the oracle
@@ -2635,25 +2615,36 @@ object LlmQueries {
     * source (the [[mixSample]] pick rule, so resampling is
     * reproducible). Sources whose share rounds to zero drop out —
     * mirrored in the oracle. Scale shape: the mass/quota side is
-    * source-count-sized and broadcast; the corpus side pays one
-    * exchange for the per-source rank window (at extreme skew the
-    * quota-sized bounded-heap bottom-k — `llm_sample_bottomk`'s
-    * kernel — is the drop-in replacement; the exact-rank spelling
-    * is the yardstick the engine keeps oracle-checkable). */
+    * source-count-sized and broadcast; the corpus side goes through
+    * the same bounded-heap bottom-k kernel as every sibling sampler
+    * ([[hashSampleRanked]]): partial aggregation reduces each map
+    * task to ≤ budget pairs per source, so the exchange carries
+    * O(partitions × budget × sources) rows — never a per-source
+    * sort of the corpus through one window partition. The heap k is
+    * the full 200-doc budget (every per-source quota is ≤ the
+    * budget by the integer-division construction), and the variable
+    * quota is a post-filter on rank over heap-sized data. */
+  private val mixTempBudget = 200
+
   def mixTemperature(s: SparkSession, d: String): DataFrame = {
     val mass = docs(s, d).groupBy(col("source"))
       .agg(sum(col("n_chars")).as("mass"))
       .withColumn("sq", expr("CAST(floor(sqrt(mass)) AS BIGINT)"))
     val tot = mass.agg(sum(col("sq")).as("tot"))
     val quotas = mass.crossJoin(broadcast(tot))
-      .withColumn("quota", expr("CAST(200 * sq div tot AS BIGINT)"))
+      .withColumn("quota",
+        expr(s"CAST($mixTempBudget * sq div tot AS BIGINT)"))
       .select(col("source"), col("mass"), col("quota"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
     docs(s, d).select(col("doc_id"), col("source"))
       .withColumn("h",
         md5(concat(lit("mixt:"), col("doc_id").cast("string"))))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("wh", expr(hexHashExpr("instr")))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKByLong
+        .topK(-col("wh"), col("doc_id"), mixTempBudget).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("source"), col("x.id").as("doc_id"),
+        (col("p0") + 1).cast("bigint").as("rank"))
       .join(broadcast(quotas), Seq("source"))
       .filter(col("rank") <= col("quota"))
       .groupBy(col("source"))
@@ -9929,28 +9920,35 @@ object LlmQueries {
 
     // the oracle replays the temperature transform (exact isqrt),
     // the integer-division budget split, and the same seeded-md5
-    // rank pick; zero-quota sources are dropped on both sides
+    // bottom-k pick (first-8-hex integer key + doc_id tiebreak —
+    // the bounded-heap kernel's total order, shared with the
+    // llm_sample_* oracles); zero-quota sources drop on both sides
     "llm_mix_temperature" ->
-      """WITH m AS (SELECT source, SUM(n_chars) AS mass
-        |  FROM documents GROUP BY 1),
-        |sq AS (SELECT source, mass,
-        |    CAST(floor(sqrt(mass)) AS BIGINT) AS sq FROM m),
-        |t AS (SELECT SUM(sq) AS tot FROM sq),
-        |q AS (SELECT source, mass, sq,
-        |    CAST(200 * sq // tot AS BIGINT) AS quota FROM sq, t),
-        |r AS (SELECT d.doc_id, d.source,
-        |    ROW_NUMBER() OVER (PARTITION BY d.source
-        |      ORDER BY md5('mixt:' || CAST(d.doc_id AS VARCHAR)),
-        |        d.doc_id) AS rnk
-        |  FROM documents d)
-        |SELECT q.source,
-        |  CAST(q.mass AS BIGINT) AS mass,
-        |  q.quota,
-        |  CAST(COUNT(*) AS BIGINT) AS n_picked,
-        |  CAST(SUM(r.doc_id) AS BIGINT) AS picked_sum
-        |FROM r JOIN q ON r.source = q.source
-        |WHERE r.rnk <= q.quota
-        |GROUP BY 1, 2, 3""".stripMargin,
+      s"""WITH m AS (SELECT source, SUM(n_chars) AS mass
+         |  FROM documents GROUP BY 1),
+         |sq AS (SELECT source, mass,
+         |    CAST(floor(sqrt(mass)) AS BIGINT) AS sq FROM m),
+         |t AS (SELECT SUM(sq) AS tot FROM sq),
+         |q AS (SELECT source, mass, sq,
+         |    CAST($mixTempBudget * sq // tot AS BIGINT) AS quota
+         |  FROM sq, t),
+         |hx AS (SELECT doc_id, source,
+         |    md5('mixt:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |wx AS (SELECT doc_id, source,
+         |    ${hexHashExpr("strpos")} AS wh FROM hx),
+         |r AS (SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY wh ASC, doc_id ASC) AS rnk
+         |  FROM wx)
+         |SELECT q.source,
+         |  CAST(q.mass AS BIGINT) AS mass,
+         |  q.quota,
+         |  CAST(COUNT(*) AS BIGINT) AS n_picked,
+         |  CAST(SUM(r.doc_id) AS BIGINT) AS picked_sum
+         |FROM r JOIN q ON r.source = q.source
+         |WHERE r.rnk <= q.quota
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // residue-classification oracle: the class vector replayed by
     // closed-form divmod over exact integer powers — classword

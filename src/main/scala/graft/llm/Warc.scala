@@ -68,6 +68,7 @@ object Warc {
     while (i < b.length) {
       // --- RFC 1952 §2.3 member header ---
       if (i + 10 > b.length) return None
+      val hdrStart = i // FHCRC digests the header from the magic on
       if (u8(i) != 0x1f || u8(i + 1) != 0x8b) return None
       if (u8(i + 2) != 8) return None // CM: deflate only
       val flg = u8(i + 3)
@@ -88,7 +89,14 @@ object Warc {
         if (i >= b.length) return None
         i += 1
       }
-      if ((flg & 0x02) != 0) { i += 2; if (i > b.length) return None } // FHCRC
+      if ((flg & 0x02) != 0) { // FHCRC: low 16 bits of the header's
+        // CRC-32, stored LE — verified (the JDK does), not skipped
+        if (i + 2 > b.length) return None
+        val hc = new java.util.zip.CRC32
+        hc.update(b, hdrStart, i - hdrStart)
+        if ((hc.getValue & 0xffffL) != u16(i)) return None
+        i += 2
+      }
       // --- raw deflate body ---
       val inf = new java.util.zip.Inflater(true)
       inf.setInput(b, i, b.length - i)

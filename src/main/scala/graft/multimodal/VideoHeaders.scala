@@ -140,6 +140,11 @@ object VideoHeaders {
     val sampleSize = u32(b, zs + 4)
     val n = u32(b, zs + 8)
     if (n < 0 || n > Int.MaxValue) return None
+    // uniform layout: sum = sampleSize * n can overflow Long on an
+    // adversarial header (both fields are unsigned 32-bit) — fail
+    // closed like the rest of the walk instead of going negative
+    if (sampleSize != 0L && n != 0L && sampleSize > Long.MaxValue / n)
+      return None
     val (sum, max) =
       if (sampleSize != 0L) (sampleSize * n, if (n > 0) sampleSize else 0L)
       else {

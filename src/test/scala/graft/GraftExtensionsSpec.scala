@@ -98,12 +98,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |    encode('round trip', 'UTF-8'), 6)) AS STRING) AS z,
         |  vorbis_books(unhex('00')) IS NULL AS vb,
         |  vorbis_floor(unhex('00')) IS NULL AS vf,
+        |  vorbis_vq(unhex('00')) IS NULL AS vq,
+        |  vorbis_residue(unhex('00')) IS NULL AS vr,
         |  mp4_samples(unhex('00')) IS NULL AS m4,
         |  zstd_frames(unhex('00')) IS NULL AS zs""".stripMargin)
       .collect().head
     assert(r.getString(0) == "café")
     assert(r.getString(1) == "http://ex.com/b")
     assert(r.getString(2) == "round trip")
-    for (i <- 3 until 7) assert(r.getBoolean(i), s"col $i")
+    for (i <- 3 until 9) assert(r.getBoolean(i), s"col $i")
   }
 }

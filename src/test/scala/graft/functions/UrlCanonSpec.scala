@@ -47,6 +47,19 @@ class UrlCanonSpec extends AnyFunSuite {
       "https://h/s?b=%2F&a=~")
   }
 
+  test("%2E-encoded dot segments decode BEFORE dot-segment removal " +
+    "(§6.2.2 order) and the result is idempotent") {
+    assert(UrlCanon.normalizeStr("http://h/a/%2e%2e/b") ==
+      "http://h/b")
+    assert(UrlCanon.normalizeStr("http://h/a/%2E/b") ==
+      "http://h/a/b")
+    assert(UrlCanon.normalizeStr("http://h/%2e%2e/%2e%2e/x") ==
+      "http://h/x")
+    // idempotence: canonicalizing a canonical URL is a no-op
+    val once = UrlCanon.normalizeStr("http://h/a/%2e%2e/b/%7ec")
+    assert(UrlCanon.normalizeStr(once) == once)
+  }
+
   test("fail-closed: no scheme, empty authority, relative refs") {
     assert(UrlCanon.normalizeStr("not a url") == null)
     assert(UrlCanon.normalizeStr("/relative/path") == null)

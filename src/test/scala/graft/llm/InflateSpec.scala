@@ -190,6 +190,31 @@ class InflateSpec extends AnyFunSuite {
     assert(Inflate.gzipMembers(reserved).isEmpty)
   }
 
+  test("FHCRC header CRC16 is VERIFIED, not skipped, by both the " +
+    "from-scratch walk and the Warc member walk") {
+    val m = graft.functions.GzipMember.compress("hcrc".getBytes)
+    // header with FLG bit 1 set: magic..OS (10 bytes) with FLG|0x02
+    val hdr = m.take(10)
+    hdr(3) = (hdr(3) | 0x02).toByte
+    val c = new java.util.zip.CRC32
+    c.update(hdr, 0, 10)
+    val lo = (c.getValue & 0xff).toByte
+    val hi = ((c.getValue >> 8) & 0xff).toByte
+    val good = hdr ++ Array[Byte](lo, hi) ++ m.drop(10)
+    assert(Inflate.gzipMembers(good).exists(b =>
+      new String(b, "US-ASCII") == "hcrc"))
+    assert(Warc.gunzipMembers(good).exists(b =>
+      new String(b, "US-ASCII") == "hcrc"))
+    // a corrupted stored CRC16 must reject (the JDK rejects it too)
+    val bad = hdr ++ Array[Byte]((lo ^ 0x01).toByte, hi) ++ m.drop(10)
+    assert(Inflate.gzipMembers(bad).isEmpty)
+    assert(Warc.gunzipMembers(bad).isEmpty)
+    // JDK parity on the good member
+    val jdk = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(good)).readAllBytes()
+    assert(new String(jdk, "US-ASCII") == "hcrc")
+  }
+
   test("expression seam: InflateZlib.inflate inverts " +
     "DeflateZlib.compress at every level") {
     val p = ("expression-level roundtrip " * 10).getBytes

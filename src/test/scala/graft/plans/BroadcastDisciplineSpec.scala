@@ -38,6 +38,15 @@ class BroadcastDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_mix_temperature ranks via the bounded heap, never a corpus window") {
+    val p = executedString("llm_mix_temperature")
+    assert(count(p, "Window") == 0,
+      s"llm_mix_temperature regrew the per-source row_number window " +
+        s"(a full corpus exchange + sort for a 200-row answer):\n${p.take(2000)}")
+    assert(p.contains("top_k_l"),
+      s"llm_mix_temperature lost the TopKByLong heap aggregate:\n${p.take(2000)}")
+  }
+
   test("entailment broadcasts stay at the restructured bound") {
     val p = executedString("rdf_rdfs_entail")
     val bhj = count(p, "BroadcastHashJoin")
