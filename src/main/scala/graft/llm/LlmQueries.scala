@@ -53,6 +53,7 @@ object LlmQueries {
     "llm_ann_buckets" -> annBuckets,
     "llm_ann_topk" -> annTopk,
     "llm_ivf_clusters" -> ivfClusters,
+    "llm_ivf_incremental" -> ivfIncremental,
     "llm_ivf_topk" -> ivfTopk,
     "llm_ann_recall" -> annRecall,
     "llm_ivf_recall" -> ivfRecall,
@@ -2198,6 +2199,53 @@ object LlmQueries {
   def ivfKmeansRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(s, d, ivfTopkWith(s, d,
       kmeansCentroids(s, d).select(col("cid"), col("cv"))))
+
+  // ---------------------------------------------------------------
+  // Stored ANN index + incremental probe — the vector lane's
+  // maintenance ladder, mirroring the dedup family's
+  // (DedupIndex/storedIndex → dedupIncremental → DocsStream twin):
+  // a weekly 100 TB pipeline never re-trains or re-assigns the
+  // whole corpus when a shard of new embeddings arrives; it keeps
+  // the converged IVF structure (centroids + inverted-list
+  // assignments, partitioned by list on disk) as a persisted
+  // artifact and probes just the arriving vectors against it.
+  // ---------------------------------------------------------------
+  /** The arriving shard of the vector corpus (the [[arrivingShardPred]]
+    * convention, on vec_id). */
+  private[graft] val arrivingVecPred = "vec_id % 10 = 7"
+
+  /** The persisted IVF index for snapshot `d`: capped-Lloyd
+    * centroids TRAINED ON THE INDEX CORPUS ONLY (arriving vectors
+    * excluded — they don't exist at build time) + every index
+    * vector's assignment, written partitioned by `cid` so the
+    * inverted lists are physical partition directories. Built at
+    * most once per session (memo marker) and read back from
+    * parquet — every probe consumes the artifact, not the lineage.
+    * Shares [[indexBuildLock]]: the build overwrites directories. */
+  private[llm] def storedAnnIndex(s: SparkSession, d: String): AnnIndex.Stored =
+    indexBuildLock.synchronized {
+      val path = s"${storedIndexPath(d)}/ann"
+      SnapshotMemo.getOrCompute(s, s"ann-index:$d") {
+        AnnIndex.write(s, quantized(s, d).filter(!expr(arrivingVecPred)),
+          path, nCentroids, kmIters)
+        s.range(1).toDF("built")
+      }
+      AnnIndex.read(s, path)
+    }
+
+  /** Incremental ANN probe (`llm_ivf_incremental`): every vector of
+    * the arriving shard gets its top-5 neighbors from the STORED
+    * index — arriving side assigned/ranked against the ≤16 stored
+    * centroids (delta-sized window), probe set broadcast against
+    * the index's assignment scan (nprobe partition directories
+    * only, pruned at the source), bounded-heap ranking. The oracle
+    * replays the whole ladder: index/arriving split, the unrolled
+    * Lloyd training over the index corpus, final assignment, probe
+    * ranking and top-5 — the `llm_dedup_incremental` shape for
+    * vectors. */
+  def ivfIncremental(s: SparkSession, d: String): DataFrame =
+    AnnIndex.probe(quantized(s, d).filter(expr(arrivingVecPred)),
+      storedAnnIndex(s, d), 5, nProbe)
 
   /** Recall@5 of the PQ-ADC path — what 4-byte codes cost in
     * ranking quality vs the exact scan; completes the measured
@@ -7180,40 +7228,48 @@ object LlmQueries {
     * the whole trick: the Spark loop may exit early at a fixpoint,
     * and a fixpoint reproduces itself, so capped-unroll == early-exit
     * bit-for-bit. */
-  private lazy val kmeansCte: String = {
+  /** The capped-Lloyd replay over ANY base table `base` (vec_id,
+    * qv), CTE names prefixed `p` so two trainings can coexist in
+    * one query (the stored ANN index trains on the INDEX corpus
+    * only — `p = "i"` — while the default chain trains on the full
+    * corpus). Ends with `${p}cent$kmIters` and `${p}kasg`. */
+  private def kmeansCteOver(base: String, p: String): String = {
     val rounds = (1 to kmIters).map { i =>
-      s"""ks$i AS (SELECT v.vec_id, v.qv, c.cid,
+      s"""${p}ks$i AS (SELECT v.vec_id, v.qv, c.cid,
          |    CAST(list_inner_product(CAST(v.qv AS DOUBLE[]),
          |      CAST(c.cv AS DOUBLE[])) AS BIGINT) AS ip
-         |  FROM v, cent${i - 1} c),
-         |ka$i AS (SELECT vec_id, qv, cid FROM (
+         |  FROM $base AS v, ${p}cent${i - 1} c),
+         |${p}ka$i AS (SELECT vec_id, qv, cid FROM (
          |    SELECT vec_id, qv, cid, ROW_NUMBER() OVER (
          |      PARTITION BY vec_id ORDER BY ip DESC, cid) AS rn
-         |    FROM ks$i)
+         |    FROM ${p}ks$i)
          |  WHERE rn = 1),
-         |kd$i AS (SELECT cid, unnest(qv) AS x,
-         |    unnest(generate_series(1, len(qv))) AS j FROM ka$i),
-         |km$i AS (SELECT cid, j, CAST(sum(x) AS BIGINT) AS sx
-         |  FROM kd$i GROUP BY cid, j),
-         |kn$i AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
-         |  FROM ka$i GROUP BY cid),
-         |cent$i AS (SELECT m.cid, n.n_vecs,
+         |${p}kd$i AS (SELECT cid, unnest(qv) AS x,
+         |    unnest(generate_series(1, len(qv))) AS j FROM ${p}ka$i),
+         |${p}km$i AS (SELECT cid, j, CAST(sum(x) AS BIGINT) AS sx
+         |  FROM ${p}kd$i GROUP BY cid, j),
+         |${p}kn$i AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM ${p}ka$i GROUP BY cid),
+         |${p}cent$i AS (SELECT m.cid, n.n_vecs,
          |    list(m.sx // n.n_vecs ORDER BY m.j) AS cv
-         |  FROM km$i m JOIN kn$i n ON m.cid = n.cid
+         |  FROM ${p}km$i m JOIN ${p}kn$i n ON m.cid = n.cid
          |  GROUP BY m.cid, n.n_vecs)""".stripMargin
     }.mkString(",\n")
-    s"""cent0 AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM v
-       |  WHERE vec_id < $nCentroids),
+    s"""${p}cent0 AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv
+       |  FROM $base AS v WHERE vec_id < $nCentroids),
        |$rounds,
-       |kfs AS (SELECT v.vec_id, v.qv, c.cid,
+       |${p}kfs AS (SELECT v.vec_id, v.qv, c.cid,
        |    CAST(list_inner_product(CAST(v.qv AS DOUBLE[]),
        |      CAST(c.cv AS DOUBLE[])) AS BIGINT) AS ip
-       |  FROM v, cent$kmIters c),
-       |kasg AS (SELECT vec_id, qv, cid FROM (
+       |  FROM $base AS v, ${p}cent$kmIters c),
+       |${p}kasg AS (SELECT vec_id, qv, cid FROM (
        |    SELECT vec_id, qv, cid, ROW_NUMBER() OVER (
-       |      PARTITION BY vec_id ORDER BY ip DESC, cid) AS rn FROM kfs)
+       |      PARTITION BY vec_id ORDER BY ip DESC, cid) AS rn
+       |    FROM ${p}kfs)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  private lazy val kmeansCte: String = kmeansCteOver("v", "")
 
   /** DuckDB replica of [[semanticAssigned]] over the converged
     * assignment `kasg`: per-cluster min-id rep, exact integer cosine
@@ -8148,6 +8204,36 @@ object LlmQueries {
          |      ORDER BY ip DESC, vec_id) AS INT) AS rank
          |  FROM s)
          |SELECT q_id, vec_id, rank, ip FROM r WHERE rank <= 5""".stripMargin,
+
+    // the stored-ANN-index ladder replayed end to end: the
+    // index/arriving split, the capped-Lloyd training over the
+    // INDEX corpus only (prefix-i CTEs — a second training
+    // coexisting with the default full-corpus chain), the final
+    // assignment (= the persisted inverted lists), and the
+    // nprobe-pruned top-5 probe per arriving vector
+    "llm_ivf_incremental" ->
+      s"""WITH $quantCte,
+         |vi AS (SELECT vec_id, qv FROM v WHERE vec_id % 10 <> 7),
+         |${kmeansCteOver("vi", "i")},
+         |q AS (SELECT vec_id AS q_id, qv AS qvec FROM v
+         |  WHERE vec_id % 10 = 7),
+         |cp AS (SELECT q_id, qvec, cid, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cip DESC, cid) AS rn
+         |  FROM (SELECT q.q_id, q.qvec, c.cid,
+         |      CAST(list_inner_product(CAST(q.qvec AS DOUBLE[]),
+         |        CAST(c.cv AS DOUBLE[])) AS BIGINT) AS cip
+         |    FROM q, icent$kmIters c)),
+         |probes AS (SELECT q_id, qvec, cid FROM cp WHERE rn <= $nProbe),
+         |si AS (SELECT p.q_id, a.vec_id,
+         |    CAST(list_inner_product(CAST(p.qvec AS DOUBLE[]),
+         |      CAST(a.qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM probes p JOIN ikasg a
+         |    ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |ri AS (SELECT q_id, vec_id, ip,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS INT) AS rank
+         |  FROM si)
+         |SELECT q_id, vec_id, rank, ip FROM ri WHERE rank <= 5""".stripMargin,
 
     "llm_ann_recall" -> {
       val flips = (1 to 8).map(i =>

@@ -589,6 +589,79 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Schema of the `embeddings` shards (TESTDATA.md) — pinned up
+    * front like [[schema]]. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming `embeddings` table over a directory of parquet
+    * shards — the vector twin of [[documents]]. */
+  def embeddings(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(embeddingsSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(path)
+  }
+
+  /** Streaming twin of the incremental ANN probe
+    * ([[LlmQueries.ivfIncremental]]): arriving embedding shards are
+    * quantized by the SHARED quantizer ([[LlmQueries.quantizeExpr]]
+    * — one definition for batch, index build and stream) and probed
+    * against the PERSISTED IVF index at `indexPath`
+    * ([[graft.llm.AnnIndex.Stored]] layout: centroids +
+    * cid-partitioned assignments); each arriving vector's top-`k`
+    * neighbors append to `outPath`. Zero streaming state — the
+    * stored index is the searched set, the probe runs inside
+    * `foreachBatch` where the micro-batch is an ordinary DataFrame,
+    * so results are bit-equal to the batch probe over the same
+    * vectors regardless of how the shard was micro-batched.
+    *
+    * `extendIndex = true` additionally assigns each batch's vectors
+    * against the STORED centroids (map-side — an append never
+    * re-trains) and appends them to the inverted lists, so later
+    * micro-batches also search earlier arrivals — the production
+    * admit loop for a growing vector corpus.
+    *
+    * Retry safety: `foreachBatch` + parquet append is
+    * at-least-once, so the out-append anti-joins the out table's
+    * own q_ids (a replayed batch's results are not re-appended) and
+    * the index extend is idempotent per vec_id
+    * ([[graft.llm.AnnIndex.extend]]'s anti-join); the probe's
+    * self-match guard (`vec_id != q_id`) keeps a replay after a
+    * partial extend from matching a vector to itself. */
+  def startAnnProbe(vecs: DataFrame, indexPath: String,
+      outPath: String, checkpointLocation: String,
+      k: Int = 5, nProbe: Int = 2,
+      extendIndex: Boolean = false,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, expr, lit}
+        val stored = graft.llm.AnnIndex.read(spark, indexPath)
+        val qv = batch.select(col("vec_id"),
+          expr(LlmQueries.quantizeExpr).as("qv"))
+        val res = graft.llm.AnnIndex.probe(qv, stored, k, nProbe)
+        // replay guard: the accumulated out table is the seen-set
+        // (out-table-sized — no broadcast hint; the same documented
+        // trade as startIncrementalDedup's anti-join)
+        val seen =
+          Artifacts.readParquet(spark, outPath)
+            .map(_.select(col("q_id").as("s_id")).distinct())
+            .getOrElse(spark.emptyDataFrame
+              .withColumn("s_id", lit(0L)).limit(0))
+        res.join(seen, col("q_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        if (extendIndex)
+          graft.llm.AnnIndex.extend(qv, stored, indexPath)
+      }
+      .trigger(trigger).start()
+
   /** Streaming twin of the banded SimHash near-dup
     * ([[LlmQueries.simhashNeardup]]): arriving shards are signed by
     * the IDENTICAL 64-bit lineage ([[LlmQueries.simhashSignOf]] —
