@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -272,5 +272,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZstdFrames].getName, "zstd_frames"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ZstdFrames(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zstd_fse_compress"),
+      new ExpressionInfo(classOf[ZstdFseCompress].getName, "zstd_fse_compress"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZstdFseCompress(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("zstd_fse_decompress"),
+      new ExpressionInfo(classOf[ZstdFseDecompress].getName, "zstd_fse_decompress"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZstdFseDecompress(args.head)))
   }
 }

@@ -138,6 +138,7 @@ object LlmQueries {
     "mm_vorbis_residue" -> vorbisResidue,
     "llm_mix_temperature" -> mixTemperature,
     "llm_inflate" -> inflateRoundtrip,
+    "llm_zstd_fse" -> zstdFseRoundtrip,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
     "llm_robots" -> robotsGate,
@@ -5398,6 +5399,35 @@ object LlmQueries {
   def inflateRoundtrip(s: SparkSession, d: String): DataFrame =
     inflateOf(docs(s, d))
 
+  /** From-scratch Zstandard FSE decode (`llm_zstd_fse`) — the
+    * engine's own RFC 8878 compressed-block layer
+    * ([[graft.llm.ZstdFse]]: FSE table construction from normalized
+    * counts, the table-description codec, the backward sequence
+    * bitstream, repeat offsets, overlapping match execution) run
+    * against frames produced by the engine's own greedy-LZ encoder,
+    * alternating per document between the RFC's PREDEFINED
+    * distributions and explicitly-transmitted per-block tables — so
+    * both table sources cross the gate. There is no independent
+    * zstd encoder in this container (DEFLATE had the JDK), so the
+    * decoder is additionally pinned on hand-assembled byte streams
+    * and the spread algorithm on a hand-computed example
+    * (ZstdFseSpec) — the documented honesty anchors. The oracle
+    * knows nothing about zstd: byte length + md5 of the ORIGINAL
+    * text, so any table, bitstream or sequence slip lands as a
+    * digest mismatch. Map-side construct → decode → project; no
+    * shuffle — the 100 TB recompression-pass shape. Remaining
+    * declared boundary: Huffman-coded literals (Zstd/ZstdFse
+    * scaladoc). */
+  def zstdFseRoundtrip(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .withColumn("z", graft.functions.ZstdFseCompress(col("raw"),
+        expr("CAST(doc_id % 2 AS INT)")))
+      .withColumn("u", graft.functions.ZstdFseDecompress(col("z")))
+      .select(col("doc_id"),
+        length(col("u")).cast("bigint").as("n_bytes"),
+        md5(col("u")).as("digest"))
+
   /** [[inflateRoundtrip]] over an arbitrary documents frame —
     * row-local, so the streaming twin is the same plan. */
   def inflateOf(src: DataFrame): DataFrame =
@@ -9885,6 +9915,15 @@ object LlmQueries {
     // the oracle is DEFLATE-blind: length + md5 of the source text;
     // the engine must reproduce the bytes through its own inflater
     "llm_inflate" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    // the oracle knows nothing about zstd either: original-text
+    // length + digest, so the whole FSE layer must reproduce the
+    // input bit-for-bit
+    "llm_zstd_fse" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

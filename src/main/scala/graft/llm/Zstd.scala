@@ -8,16 +8,16 @@ import org.apache.spark.sql.catalyst.InternalRow
   * the +256 bias at width 2, single-segment, dictionary-ID widths,
   * reserved-bit rejection), the window descriptor's
   * exponent/mantissa size arithmetic, the 3-byte little-endian
-  * block headers, and REAL DECODE of the two entropy-free block
-  * classes — Raw (stored) and RLE (one byte × regenerated size) —
+  * block headers, and REAL DECODE of every block class — Raw
+  * (stored), RLE (one byte × regenerated size), and Compressed
+  * (the FSE entropy layer, [[ZstdFse]]: table construction,
+  * backward bitstream, sequence execution with repeat offsets) —
   * with the declared frame content size enforced against what the
-  * blocks actually regenerate. Compressed blocks (FSE/Huffman
-  * entropy) fail closed loudly: that is the declared fake's
-  * boundary, same as MP3 big-values — memorized-constant/
-  * stream-built table machinery past this container layer is out of
-  * verified scope. Fixtures are built by [[ZstdFixture]]-style
-  * closed-form derivations in the query; the frame grammar shapes
-  * only bytes the walk must cross. */
+  * blocks actually regenerate. The remaining fail-closed boundary
+  * is HUFFMAN-CODED LITERALS inside compressed blocks (§4.2) —
+  * see the [[ZstdFse]] scaladoc. Fixtures are built by
+  * [[ZstdFixture]]-style closed-form derivations in the query; the
+  * frame grammar shapes only bytes the walk must cross. */
 object Zstd {
 
   private def u32le(b: Array[Byte], i: Int): Long =
@@ -29,19 +29,28 @@ object Zstd {
 
   /** Walk every frame. Returns (n_frames, n_skippable, content_len,
     * content_sum, window_sum) — content_sum is the sum of DECODED
-    * byte values (unsigned), the proof the raw/RLE payloads were
-    * actually regenerated; window_sum sums the window-descriptor
-    * sizes of non-single-segment frames. None fail-closed
-    * (truncation, reserved bits, compressed blocks, content-size
+    * byte values (unsigned), the proof the payloads were actually
+    * regenerated; window_sum sums the window-descriptor sizes of
+    * non-single-segment frames. None fail-closed (truncation,
+    * reserved bits, Huffman-literals blocks, content-size
     * mismatch, bomb cap). */
-  def parse(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+  def parse(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    walk(b).map { case (f, s, l, cs, w, _) => (f, s, l, cs, w) }
+
+  /** [[parse]] plus the decoded bytes themselves — the roundtrip
+    * decompressor's entry. Raw and RLE blocks decode here; FSE
+    * Compressed blocks route through [[ZstdFse.decodeBlock]]
+    * (repeat offsets and Repeat-mode tables thread per frame);
+    * Huffman-coded LITERALS remain the declared fail-closed
+    * boundary (ZstdFse scaladoc). */
+  def walk(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Array[Byte])] = {
     if (b == null || b.length < 4) return None
     var i = 0
     var frames = 0L
     var skippable = 0L
     var contentLen = 0L
-    var contentSum = 0L
     var windowSum = 0L
+    val out = new ZstdFse.Out(1 << 30) // bomb cap
     while (i < b.length) {
       if (i + 4 > b.length) return None
       val magic = u32le(b, i)
@@ -82,9 +91,10 @@ object Zstd {
           if (fcsLen == 2) declared += 256
         }
         i += fcsLen
-        // block walk
+        // block walk — every class DECODES into the frame buffer
+        out.frameStart = out.len
+        val ctx = new ZstdFse.FrameCtx
         var last = false
-        var regen = 0L
         while (!last) {
           if (i + 3 > b.length) return None
           val hdr = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
@@ -96,25 +106,27 @@ object Zstd {
           btype match {
             case 0 => // Raw: size bytes verbatim
               if (i + size > b.length) return None
-              var k = 0
-              while (k < size) { contentSum += b(i + k) & 0xff; k += 1 }
+              if (!out.append(b, i, size)) return None
               i += size
-              regen += size
             case 1 => // RLE: one byte, regenerated `size` times
               if (i >= b.length) return None
-              contentSum += (b(i) & 0xffL) * size
+              if (!out.appendRle(b(i), size)) return None
               i += 1
-              regen += size
-            case _ => return None // compressed/reserved: out of scope
+            case 2 => // Compressed: the FSE entropy layer
+              if (i + size > b.length) return None
+              if (!ZstdFse.decodeBlock(b, i, size, out, ctx)) return None
+              i += size
+            case _ => return None // reserved block type
           }
-          if (regen > (1L << 30)) return None // bomb cap
         }
+        val regen = (out.len - out.frameStart).toLong
         if (declared >= 0 && declared != regen) return None
         contentLen += regen
         frames += 1
       } else return None
     }
-    Some((frames, skippable, contentLen, contentSum, windowSum))
+    Some((frames, skippable, contentLen, out.sumFrom(0), windowSum,
+      out.bytes))
   }
 
   def parseRow(b: Array[Byte]): InternalRow = parse(b) match {

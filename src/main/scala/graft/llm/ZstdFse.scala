@@ -1,0 +1,787 @@
+package graft.llm
+
+import scala.collection.mutable
+
+/** Zstandard COMPRESSED blocks (RFC 8878 §3.1.1): the FSE
+  * (tANS) entropy layer under the frame walk in [[Zstd]] — from
+  * scratch, no codec library, the [[Inflate]] playbook.
+  *
+  * Implemented, all per the RFC text:
+  *  - FSE decode-table construction from normalized counts
+  *    (§4.1.1: the "less than 1" top slots, the
+  *    `(size>>1)+(size>>3)+3` spreading step, per-state
+  *    nbBits/baseline from the symbol-next counters) — pinned in
+  *    ZstdFseSpec on a hand-computed spread and on per-symbol
+  *    range-tiling invariants;
+  *  - the three PREDEFINED sequence distributions
+  *    (§3.1.1.3.2.2: literal-length / match-length at accuracy 6,
+  *    offset codes at accuracy 5) and the code→baseline/extra-bits
+  *    value tables;
+  *  - the FSE table DESCRIPTION codec (§4.1.1 bit-packed
+  *    normalized counts, including the small-value encoding and
+  *    the 2-bit zero-run flags) — both reader and writer, so
+  *    explicitly-transmitted tables cross the oracle-checked
+  *    roundtrip too;
+  *  - the BACKWARD sequence bitstream (§3.1.1.4: sentinel bit,
+  *    init states LL→OF→ML, per-sequence extra bits OF→ML→LL,
+  *    state updates LL→ML→OF, last sequence updates nothing);
+  *  - sequence EXECUTION with the three repeat offsets
+  *    (§3.1.1.5: init (1,4,8) per frame, the litLength==0 index
+  *    shift, Repeat_Offset_1 − 1, move-to-front updates) and
+  *    overlapping byte-by-byte match copies;
+  *  - literals sections Raw and RLE (all size formats), sequence
+  *    table modes Predefined / RLE / FSE_Compressed / Repeat
+  *    (tables persist across blocks within a frame, like the
+  *    repeat offsets).
+  *
+  * The declared boundary that remains: HUFFMAN-coded literals
+  * (Compressed/Treeless literals blocks, §4.2) fail closed — the
+  * last entropy layer not yet walked, narrowed from "any compressed
+  * block" by this object.
+  *
+  * Fixture honesty: there is no independent zstd encoder in this
+  * container (unlike DEFLATE's JDK Deflater), so the roundtrip
+  * query's streams come from [[compress]] — a real greedy-LZ
+  * encoder over the SAME spec tables. The decode side is therefore
+  * additionally pinned on HAND-ASSEMBLED streams (ZstdFseSpec: a
+  * byte-by-byte RLE-literals + RLE-tables block, repeat-offset
+  * walks) so the pair cannot be a private dialect's inverse. */
+object ZstdFse {
+
+  // ----------------------------------------------------------------
+  // FSE decode table (§4.1.1)
+  // ----------------------------------------------------------------
+
+  /** One decode table: per 0-based state, the emitted symbol, the
+    * bit count to read, and the baseline the bits add to. */
+  final class Table(
+      val symbol: Array[Int],
+      val nbBits: Array[Int],
+      val base: Array[Int],
+      val accuracyLog: Int) {
+    def size: Int = symbol.length
+  }
+
+  private def highbit(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+
+  /** Build the decode table from normalized counts (counts sum to
+    * `1 << al`, counting each −1 "less than 1" symbol as 1). None
+    * on any inconsistency — fail closed like every walk here. */
+  def buildTable(norm: Array[Int], al: Int): Option[Table] = {
+    if (al < 1 || al > 12) return None
+    val tableSize = 1 << al
+    val sym = new Array[Int](tableSize)
+    var highThreshold = tableSize - 1
+    val symbolNext = new Array[Int](norm.length)
+    var total = 0
+    var s = 0
+    while (s < norm.length) {
+      if (norm(s) == -1) {
+        if (highThreshold < 0) return None
+        sym(highThreshold) = s
+        highThreshold -= 1
+        symbolNext(s) = 1
+        total += 1
+      } else if (norm(s) < -1) return None
+      else {
+        symbolNext(s) = norm(s)
+        total += norm(s)
+      }
+      s += 1
+    }
+    if (total != tableSize) return None
+    // spread the positive-count symbols
+    val step = (tableSize >> 1) + (tableSize >> 3) + 3
+    val mask = tableSize - 1
+    var pos = 0
+    s = 0
+    while (s < norm.length) {
+      var k = 0
+      while (k < norm(s)) {
+        sym(pos) = s
+        pos = (pos + step) & mask
+        while (pos > highThreshold) pos = (pos + step) & mask
+        k += 1
+      }
+      s += 1
+    }
+    if (pos != 0) return None // spread must land back at origin
+    // per-state transitions
+    val nb = new Array[Int](tableSize)
+    val base = new Array[Int](tableSize)
+    var st = 0
+    while (st < tableSize) {
+      val sy = sym(st)
+      val nextState = symbolNext(sy)
+      symbolNext(sy) += 1
+      nb(st) = al - highbit(nextState)
+      base(st) = (nextState << nb(st)) - tableSize
+      st += 1
+    }
+    Some(new Table(sym, nb, base, al))
+  }
+
+  // ----------------------------------------------------------------
+  // Predefined distributions + value tables (§3.1.1.3.2)
+  // ----------------------------------------------------------------
+
+  val LlDefaultNorm: Array[Int] = Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1)
+  val MlDefaultNorm: Array[Int] = Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1, -1, -1, -1)
+  val OfDefaultNorm: Array[Int] = Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1)
+  val LlDefaultAl = 6
+  val MlDefaultAl = 6
+  val OfDefaultAl = 5
+
+  lazy val LlDefaultTable: Table = buildTable(LlDefaultNorm, LlDefaultAl).get
+  lazy val MlDefaultTable: Table = buildTable(MlDefaultNorm, MlDefaultAl).get
+  lazy val OfDefaultTable: Table = buildTable(OfDefaultNorm, OfDefaultAl).get
+
+  /** Literal-length code → (baseline, extra bits). */
+  val LlBase: Array[Int] = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536)
+  val LlBits: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10,
+    11, 12, 13, 14, 15, 16)
+
+  /** Match-length code → (baseline, extra bits). */
+  val MlBase: Array[Int] = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515,
+    1027, 2051, 4099, 8195, 16387, 32771, 65539)
+  val MlBits: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9,
+    10, 11, 12, 13, 14, 15, 16)
+
+  /** Value → code (largest code whose baseline ≤ value). */
+  def llCodeOf(v: Int): Int = {
+    var c = LlBase.length - 1
+    while (LlBase(c) > v) c -= 1
+    c
+  }
+  def mlCodeOf(v: Int): Int = {
+    var c = MlBase.length - 1
+    while (MlBase(c) > v) c -= 1
+    c
+  }
+
+  // ----------------------------------------------------------------
+  // Backward bitstream (§3.1.1.4): the encoder writes LSB-first;
+  // the decoder enters at the sentinel (highest set bit of the
+  // last byte) and reads fields in reverse write order — read(n)
+  // consumes the TOP n remaining bits.
+  // ----------------------------------------------------------------
+  private final class BackBits(b: Array[Byte], from: Int, until: Int) {
+    var ok: Boolean = true
+    private var bitPos: Int = {
+      var last = until - 1
+      while (last >= from && b(last) == 0) last -= 1
+      if (last < from) { ok = false; 0 }
+      else (last - from) * 8 + highbit(b(last) & 0xff)
+    }
+    private def bit(i: Int): Int = (b(from + (i >> 3)) >> (i & 7)) & 1
+    def read(n: Int): Int = {
+      if (n == 0) return 0
+      if (!ok || bitPos < n) { ok = false; return 0 }
+      bitPos -= n
+      var v = 0
+      var k = 0
+      while (k < n) { v |= bit(bitPos + k) << k; k += 1 }
+      v
+    }
+    def exhausted: Boolean = ok && bitPos == 0
+  }
+
+  // ----------------------------------------------------------------
+  // FSE table description (§4.1.1): forward LSB-first bit packing
+  // of the accuracy log and normalized counts.
+  // ----------------------------------------------------------------
+  private final class FwdBits(b: Array[Byte], val from: Int, until: Int) {
+    var ok: Boolean = true
+    var bitPos: Int = 0
+    private val nBits = (until - from) * 8
+    def read(n: Int): Int = {
+      if (!ok || bitPos + n > nBits) { ok = false; return 0 }
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val i = bitPos + k
+        v |= ((b(from + (i >> 3)) >> (i & 7)) & 1) << k
+        k += 1
+      }
+      bitPos += n
+      v
+    }
+    def peek(n: Int): Int = {
+      val p = bitPos
+      val v = read(n)
+      if (ok) bitPos = p
+      v
+    }
+    def bytesConsumed: Int = (bitPos + 7) >> 3
+  }
+
+  /** Parse a bit-packed normalized-count table description starting
+    * at `off`. Returns (counts, accuracyLog, bytes consumed). */
+  def readNCount(b: Array[Byte], off: Int, until: Int,
+      maxSymbol: Int): Option[(Array[Int], Int, Int)] = {
+    val in = new FwdBits(b, off, until)
+    val al = in.read(4) + 5
+    if (!in.ok || al > 9) return None
+    val tableSize = 1 << al
+    var remaining = tableSize + 1
+    var threshold = tableSize
+    var nbBits = al + 1
+    val counts = mutable.ArrayBuffer.empty[Int]
+    var previous0 = false
+    while (remaining > 1 && counts.length <= maxSymbol) {
+      if (previous0) {
+        // zero-run flags: each 2-bit group appends that many zero
+        // counts; 3 means "3 and read another group"
+        var more = true
+        while (more && in.ok) {
+          val f = in.read(2)
+          var k = 0
+          while (k < f) { counts += 0; k += 1 }
+          more = f == 3
+          if (counts.length > maxSymbol) more = false
+        }
+        previous0 = false
+      } else {
+        // small-value optimization (§4.1.1): values below `max` use
+        // one bit less; the wide range [threshold, 2·threshold) maps
+        // back by subtracting max
+        val max = (2 * threshold - 1) - remaining
+        var count = 0
+        if (in.peek(nbBits - 1) < max) {
+          count = in.read(nbBits - 1)
+        } else {
+          val v = in.read(nbBits)
+          count = if (v >= threshold) v - max else v
+        }
+        if (!in.ok) return None
+        count -= 1 // stored +1; 0 means the −1 "less than 1" prob
+        remaining -= (if (count < 0) -count else count)
+        counts += count
+        if (count == 0) previous0 = true
+        while (remaining > 1 && remaining < threshold) {
+          nbBits -= 1
+          threshold >>= 1
+        }
+      }
+    }
+    if (!in.ok || remaining != 1) return None
+    Some((counts.toArray, al, in.bytesConsumed))
+  }
+
+  /** The matching writer (FSE_writeNCount equivalent) — the encoder
+    * side of explicitly-transmitted tables, and the reader's
+    * roundtrip pin. `norm` must sum to `1 << al` (−1 counting 1). */
+  def writeNCount(norm: Array[Int], al: Int): Array[Byte] = {
+    val bits = mutable.ArrayBuffer.empty[(Int, Int)] // (value, width)
+    bits += ((al - 5, 4))
+    val tableSize = 1 << al
+    var remaining = tableSize + 1
+    var threshold = tableSize
+    var nbBits = al + 1
+    var s = 0
+    while (remaining > 1 && s < norm.length) {
+      val count = norm(s)
+      val max = (2 * threshold - 1) - remaining
+      val stored = count + 1 // −1 → 0
+      if (stored < max) bits += ((stored, nbBits - 1))
+      else if (stored < threshold) bits += ((stored, nbBits))
+      else bits += ((stored + max, nbBits))
+      remaining -= (if (count < 0) -count else count)
+      while (remaining > 1 && remaining < threshold) {
+        nbBits -= 1
+        threshold >>= 1
+      }
+      s += 1
+      if (count == 0 && remaining > 1) {
+        // zero-run flags for the zeros FOLLOWING a zero count: 2-bit
+        // groups, each appending its value; 3 means "and another
+        // group follows" — so the final group is always < 3
+        var run = 0
+        while (s + run < norm.length && norm(s + run) == 0) run += 1
+        var left = run
+        while (left >= 3) { bits += ((3, 2)); left -= 3 }
+        bits += ((left, 2))
+        s += run
+      }
+    }
+    require(remaining == 1, s"normalized counts do not sum to $tableSize")
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var accBits = 0
+    bits.foreach { case (v, w) =>
+      acc |= (v & ((1 << w) - 1)) << accBits
+      accBits += w
+      while (accBits >= 8) {
+        out.write(acc & 0xff)
+        acc >>>= 8
+        accBits -= 8
+      }
+    }
+    if (accBits > 0) out.write(acc & 0xff)
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------
+  // Sequences section decode (§3.1.1.3) + execution (§3.1.1.5)
+  // ----------------------------------------------------------------
+
+  /** Per-frame decode context: repeat offsets and (for Repeat-mode
+    * blocks) the previous block's tables persist across blocks. */
+  final class FrameCtx {
+    var rep0: Int = 1
+    var rep1: Int = 4
+    var rep2: Int = 8
+    var llTable: Table = null
+    var ofTable: Table = null
+    var mlTable: Table = null
+  }
+
+  /** An RLE "table": one symbol, zero bits everywhere. */
+  private def rleTable(symbol: Int): Table =
+    new Table(Array(symbol), Array(0), Array(0), 0)
+
+  /** Growable frame output with back-reference access. Matches may
+    * reach anywhere within the CURRENT frame's output (the window)
+    * but never across a frame boundary — `frameStart` marks it. */
+  final class Out(cap: Int) {
+    private var buf = new Array[Byte](math.min(cap, 1 << 16))
+    var len: Int = 0
+    var frameStart: Int = 0
+    private def ensure(n: Int): Boolean = {
+      if (len + n > cap) return false
+      if (len + n > buf.length) {
+        var sz = buf.length
+        while (sz < len + n) sz <<= 1
+        buf = java.util.Arrays.copyOf(buf, math.min(sz, cap))
+      }
+      true
+    }
+    def append(src: Array[Byte], from: Int, n: Int): Boolean = {
+      if (!ensure(n)) return false
+      System.arraycopy(src, from, buf, len, n)
+      len += n
+      true
+    }
+    def appendRle(v: Byte, n: Int): Boolean = {
+      if (!ensure(n)) return false
+      java.util.Arrays.fill(buf, len, len + n, v)
+      len += n
+      true
+    }
+    /** Overlapping LZ copy from `offset` back — byte by byte, the
+      * spec's sequential semantics. */
+    def copyMatch(offset: Int, n: Int): Boolean = {
+      if (offset <= 0 || offset > len - frameStart || !ensure(n))
+        return false
+      var k = 0
+      while (k < n) { buf(len + k) = buf(len + k - offset); k += 1 }
+      len += n
+      true
+    }
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+    def sumFrom(start: Int): Long = {
+      var s = 0L
+      var k = start
+      while (k < len) { s += buf(k) & 0xff; k += 1 }
+      s
+    }
+  }
+
+  /** Decode ONE compressed block (`b[off, off+len)`) into `out`,
+    * threading `ctx` (repeat offsets + Repeat-mode tables). False
+    * on any malformation — the caller rejects the whole payload. */
+  def decodeBlock(b: Array[Byte], off: Int, len: Int, out: Out,
+      ctx: FrameCtx): Boolean = {
+    val end = off + len
+    if (len < 2 || end > b.length) return false
+    // --- literals section (§3.1.1.1): Raw and RLE only; Huffman
+    // (Compressed=2 / Treeless=3) is the declared fail-closed
+    // boundary ---
+    val h0 = b(off) & 0xff
+    val litType = h0 & 3
+    if (litType >= 2) return false // Huffman literals: out of scope
+    val sizeFormat = (h0 >> 2) & 3
+    var p = off
+    var litLen = 0
+    sizeFormat match {
+      case 0 | 2 =>
+        litLen = h0 >> 3
+        p += 1
+      case 1 =>
+        if (off + 2 > end) return false
+        litLen = (h0 >> 4) | ((b(off + 1) & 0xff) << 4)
+        p += 2
+      case _ =>
+        if (off + 3 > end) return false
+        litLen = (h0 >> 4) | ((b(off + 1) & 0xff) << 4) |
+          ((b(off + 2) & 0xff) << 12)
+        p += 3
+    }
+    val lits = new Array[Byte](litLen)
+    if (litType == 0) { // Raw
+      if (p + litLen > end) return false
+      System.arraycopy(b, p, lits, 0, litLen)
+      p += litLen
+    } else { // RLE
+      if (p >= end) return false
+      java.util.Arrays.fill(lits, b(p))
+      p += 1
+    }
+    // --- sequences section header (§3.1.1.3.1) ---
+    if (p >= end) return false
+    val b0 = b(p) & 0xff
+    var nbSeq = 0
+    if (b0 < 128) { nbSeq = b0; p += 1 }
+    else if (b0 < 255) {
+      if (p + 2 > end) return false
+      nbSeq = ((b0 - 128) << 8) + (b(p + 1) & 0xff)
+      p += 2
+    } else {
+      if (p + 3 > end) return false
+      nbSeq = (b(p + 1) & 0xff) + ((b(p + 2) & 0xff) << 8) + 0x7f00
+      p += 3
+    }
+    if (nbSeq == 0) {
+      // no sequences: the block content is the literals verbatim
+      return p == end && out.append(lits, 0, litLen)
+    }
+    if (p >= end) return false
+    val modes = b(p) & 0xff
+    p += 1
+    if ((modes & 3) != 0) return false // reserved bits
+    // table per code, in LL → OF → ML field order
+    def tableFor(mode: Int, defaultT: Table, maxSym: Int,
+        prev: Table): Option[Table] = mode match {
+      case 0 => Some(defaultT)
+      case 1 => // RLE: one byte, the symbol
+        if (p >= end) None
+        else {
+          val sy = b(p) & 0xff
+          p += 1
+          if (sy > maxSym) None else Some(rleTable(sy))
+        }
+      case 2 => // FSE_Compressed: explicit table description
+        readNCount(b, p, end, maxSym).flatMap { case (norm, al, used) =>
+          p += used
+          buildTable(norm, al)
+        }
+      case _ => Option(prev) // Repeat: previous table (None if first)
+    }
+    val llT = tableFor((modes >> 6) & 3, LlDefaultTable, 35, ctx.llTable)
+      .getOrElse(return false)
+    val ofT = tableFor((modes >> 4) & 3, OfDefaultTable, 31, ctx.ofTable)
+      .getOrElse(return false)
+    val mlT = tableFor((modes >> 2) & 3, MlDefaultTable, 52, ctx.mlTable)
+      .getOrElse(return false)
+    ctx.llTable = llT; ctx.ofTable = ofT; ctx.mlTable = mlT
+    // --- the backward bitstream is the REST of the block ---
+    val bits = new BackBits(b, p, end)
+    var llState = bits.read(llT.accuracyLog)
+    var ofState = bits.read(ofT.accuracyLog)
+    var mlState = bits.read(mlT.accuracyLog)
+    if (!bits.ok) return false
+    var litPos = 0
+    var i = 0
+    while (i < nbSeq) {
+      val llCode = llT.symbol(llState)
+      val ofCode = ofT.symbol(ofState)
+      val mlCode = mlT.symbol(mlState)
+      if (llCode > 35 || mlCode > 52 || ofCode > 30) return false
+      // extra bits: offset, then match length, then literals length
+      val ofExtra = bits.read(ofCode)
+      val mlExtra = bits.read(MlBits(mlCode))
+      val llExtra = bits.read(LlBits(llCode))
+      if (!bits.ok) return false
+      val ll = LlBase(llCode) + llExtra
+      val ml = MlBase(mlCode) + mlExtra
+      val offsetValue = (1 << ofCode) + ofExtra
+      // §3.1.1.5 repeat offsets
+      var offset = 0
+      if (offsetValue > 3) {
+        offset = offsetValue - 3
+        ctx.rep2 = ctx.rep1; ctx.rep1 = ctx.rep0; ctx.rep0 = offset
+      } else {
+        val idx = offsetValue - 1 + (if (ll == 0) 1 else 0)
+        idx match {
+          case 0 => offset = ctx.rep0
+          case 1 =>
+            offset = ctx.rep1
+            ctx.rep1 = ctx.rep0; ctx.rep0 = offset
+          case 2 =>
+            offset = ctx.rep2
+            ctx.rep2 = ctx.rep1; ctx.rep1 = ctx.rep0; ctx.rep0 = offset
+          case _ =>
+            offset = ctx.rep0 - 1
+            if (offset <= 0) return false
+            ctx.rep2 = ctx.rep1; ctx.rep1 = ctx.rep0; ctx.rep0 = offset
+        }
+      }
+      // execute: literals copy, then the match copy
+      if (litPos + ll > litLen) return false
+      if (!out.append(lits, litPos, ll)) return false
+      litPos += ll
+      if (!out.copyMatch(offset, ml)) return false
+      // state updates (all but the last sequence): LL, ML, OF
+      if (i < nbSeq - 1) {
+        llState = llT.base(llState) + bits.read(llT.nbBits(llState))
+        mlState = mlT.base(mlState) + bits.read(mlT.nbBits(mlState))
+        ofState = ofT.base(ofState) + bits.read(ofT.nbBits(ofState))
+        if (!bits.ok || llState >= llT.size || mlState >= mlT.size ||
+          ofState >= ofT.size) return false
+      }
+      i += 1
+    }
+    if (!bits.exhausted) return false // strict framing, as everywhere
+    // trailing literals
+    out.append(lits, litPos, litLen - litPos)
+  }
+
+  /** Decompress a full (possibly multi-frame) zstd payload using
+    * [[Zstd]]'s frame walk with this object's compressed-block
+    * decode. None fail-closed. */
+  def decompress(b: Array[Byte]): Option[Array[Byte]] =
+    Zstd.walk(b).map(_._6)
+
+  // ----------------------------------------------------------------
+  // Encoder — greedy-LZ + FSE over the same spec tables, for the
+  // oracle-checked roundtrip fixtures.
+  // ----------------------------------------------------------------
+
+  private final case class Seq4(litLen: Int, offsetValue: Int, ml: Int)
+
+  /** FSE-encode one code stream against `t`: choose the state chain
+    * backward (for each symbol the unique state whose baseline range
+    * contains the next state — the per-symbol ranges tile the state
+    * space), return (initState, updates) where updates(i) feeds the
+    * decoder's transition after sequence i. */
+  private def chooseStates(codes: Array[Int], t: Table): (Int, Array[(Int, Int)]) = {
+    def statesOf(sym: Int): Array[Int] =
+      (0 until t.size).filter(t.symbol(_) == sym).toArray
+    val n = codes.length
+    val updates = new Array[(Int, Int)](math.max(0, n - 1))
+    var st = statesOf(codes(n - 1)).head
+    var i = n - 2
+    while (i >= 0) {
+      val target = st
+      val cand = statesOf(codes(i)).find(c =>
+        t.base(c) <= target && target < t.base(c) + (1 << t.nbBits(c))).get
+      updates(i) = (target - t.base(cand), t.nbBits(cand))
+      st = cand
+      i -= 1
+    }
+    (st, updates)
+  }
+
+  /** Scale raw code counts to a power-of-two table (sum `1 << al`),
+    * every present symbol ≥ 1 — the explicit-table path's
+    * normalizer (largest-count absorbs the rounding slack). */
+  def normalizeCounts(counts: Array[Int], al: Int): Array[Int] = {
+    val total = counts.sum
+    val tableSize = 1 << al
+    require(total > 0)
+    val norm = counts.map(c =>
+      if (c == 0) 0 else math.max(1, (c.toLong * tableSize / total).toInt))
+    var slack = tableSize - norm.sum
+    val largest = norm.indices.maxBy(norm(_))
+    norm(largest) += slack
+    require(norm(largest) >= 1, "normalization underflow")
+    norm
+  }
+
+  /** Compress `raw` into one zstd frame of compressed blocks.
+    * `explicitTables = true` transmits per-block FSE table
+    * descriptions (normalized from the block's own code histogram);
+    * otherwise the predefined distributions are used. The LZ parse
+    * is greedy over a 4-byte hash with offsets ≤ 2^16; repeat
+    * offset 1 is emitted when it applies (so the repeat path
+    * crosses the oracle too). */
+  def compress(raw: Array[Byte], explicitTables: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    w32(Zstd.Magic)
+    val n = raw.length
+    if (n < 256) { out.write(0x20); out.write(n) }
+    else if (n < 65536 + 256) {
+      out.write(0x60)
+      val v = n - 256
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    } else { out.write(0xa0); w32(n) }
+    // one compressed block per ≤ 64 KiB chunk (block regen limit)
+    val enc = new EncCtx
+    var cFrom = 0
+    while (cFrom < n || (n == 0 && cFrom == 0)) {
+      val cLen = math.min(1 << 16, n - cFrom)
+      val body = compressBlock(raw, cFrom, cLen, explicitTables, enc)
+      val last = cFrom + cLen >= n
+      val hdr = (body.length.toLong << 3) | (2L << 1) | (if (last) 1L else 0L)
+      out.write((hdr & 0xff).toInt)
+      out.write(((hdr >> 8) & 0xff).toInt)
+      out.write(((hdr >> 16) & 0xff).toInt)
+      out.write(body, 0, body.length)
+      cFrom += cLen
+      if (n == 0) cFrom = 1 // emitted the one empty block
+    }
+    out.toByteArray
+  }
+
+  /** Encoder-side frame state: the repeat offsets, mirrored with
+    * the decoder's §3.1.1.5 update rules. */
+  private final class EncCtx {
+    var rep0 = 1; var rep1 = 4; var rep2 = 8
+  }
+
+  private def compressBlock(raw: Array[Byte], from: Int, len: Int,
+      explicitTables: Boolean, enc: EncCtx): Array[Byte] = {
+    // --- greedy LZ parse (block-local candidates) ---
+    val seqs = mutable.ArrayBuffer.empty[Seq4]
+    val lits = new java.io.ByteArrayOutputStream(len)
+    val posOf = new mutable.HashMap[Int, Int]
+    def key(i: Int): Int =
+      ((raw(i) & 0xff) << 24) | ((raw(i + 1) & 0xff) << 16) |
+        ((raw(i + 2) & 0xff) << 8) | (raw(i + 3) & 0xff)
+    var i = from
+    var lit = from
+    val end = from + len
+    while (i + 4 <= end) {
+      val k = key(i)
+      val cand = posOf.get(k)
+      posOf(k) = i
+      cand match {
+        case Some(c) if c < i && i - c <= (1 << 16) && raw(c) == raw(i) &&
+            raw(c + 1) == raw(i + 1) && raw(c + 2) == raw(i + 2) &&
+            raw(c + 3) == raw(i + 3) =>
+          var ml = 4
+          while (i + ml < end && raw(c + ml) == raw(i + ml)) ml += 1
+          val offset = i - c
+          val litLen = i - lit
+          val offsetValue =
+            if (offset == enc.rep0 && litLen > 0) 1 else offset + 3
+          if (offsetValue != 1) {
+            enc.rep2 = enc.rep1; enc.rep1 = enc.rep0; enc.rep0 = offset
+          }
+          seqs += Seq4(litLen, offsetValue, ml)
+          lits.write(raw, lit, litLen)
+          // index the skipped positions STRICTLY inside the match —
+          // position i+ml is the next loop head and indexing it here
+          // would make it its own zero-offset candidate
+          var j = i + 1
+          val stop = math.min(i + ml - 1, end - 4)
+          while (j <= stop) { posOf(key(j)) = j; j += 1 }
+          i += ml
+          lit = i
+        case _ => i += 1
+      }
+    }
+    val lastLits = end - lit
+    lits.write(raw, lit, lastLits)
+    val litBytes = lits.toByteArray
+    // --- literals section: Raw, smallest size format that fits ---
+    val body = new java.io.ByteArrayOutputStream(len / 2 + 32)
+    val ll = litBytes.length
+    if (ll < 32) body.write((ll << 3) | 0)
+    else if (ll < 4096) {
+      body.write(((ll & 0xf) << 4) | (1 << 2) | 0)
+      body.write((ll >> 4) & 0xff)
+    } else {
+      body.write(((ll & 0xf) << 4) | (3 << 2) | 0)
+      body.write((ll >> 4) & 0xff)
+      body.write((ll >> 12) & 0xff)
+    }
+    body.write(litBytes, 0, ll)
+    // --- sequences section ---
+    val nbSeq = seqs.length
+    if (nbSeq < 128) body.write(nbSeq)
+    else if (nbSeq < 0x7f00) {
+      body.write((nbSeq >> 8) + 128); body.write(nbSeq & 0xff)
+    } else {
+      body.write(255)
+      body.write((nbSeq - 0x7f00) & 0xff)
+      body.write(((nbSeq - 0x7f00) >> 8) & 0xff)
+    }
+    if (nbSeq == 0) return body.toByteArray
+    val llCodes = seqs.map(s => llCodeOf(s.litLen)).toArray
+    val mlCodes = seqs.map(s => mlCodeOf(s.ml)).toArray
+    val ofCodes = seqs.map(s => highbit(s.offsetValue)).toArray
+    var llT = LlDefaultTable
+    var mlT = MlDefaultTable
+    var ofT = OfDefaultTable
+    if (!explicitTables) body.write(0x00) // all Predefined
+    else {
+      body.write((2 << 6) | (2 << 4) | (2 << 2)) // all FSE_Compressed
+      def explicit(codes: Array[Int], maxSym: Int, al: Int): Table = {
+        val counts = new Array[Int](maxSym + 1)
+        codes.foreach(counts(_) += 1)
+        val norm = normalizeCounts(counts, al)
+        val desc = writeNCount(norm, al)
+        body.write(desc, 0, desc.length)
+        buildTable(norm, al).get
+      }
+      llT = explicit(llCodes, 35, LlDefaultAl)
+      ofT = explicit(ofCodes, 31, OfDefaultAl)
+      mlT = explicit(mlCodes, 52, MlDefaultAl)
+    }
+    // --- backward bitstream: fields in decoder-read order, written
+    // reversed ---
+    val (llInit, llUpd) = chooseStates(llCodes, llT)
+    val (ofInit, ofUpd) = chooseStates(ofCodes, ofT)
+    val (mlInit, mlUpd) = chooseStates(mlCodes, mlT)
+    val fields = mutable.ArrayBuffer.empty[(Int, Int)]
+    fields += ((llInit, llT.accuracyLog))
+    fields += ((ofInit, ofT.accuracyLog))
+    fields += ((mlInit, mlT.accuracyLog))
+    var q = 0
+    while (q < nbSeq) {
+      val s = seqs(q)
+      fields += ((s.offsetValue - (1 << ofCodes(q)), ofCodes(q)))
+      fields += ((s.ml - MlBase(mlCodes(q)), MlBits(mlCodes(q))))
+      fields += ((s.litLen - LlBase(llCodes(q)), LlBits(llCodes(q))))
+      if (q < nbSeq - 1) {
+        fields += llUpd(q)
+        fields += mlUpd(q)
+        fields += ofUpd(q)
+      }
+      q += 1
+    }
+    var acc = 0L
+    var accBits = 0
+    val bs = new java.io.ByteArrayOutputStream(64)
+    var fi = fields.length - 1
+    while (fi >= -1) {
+      val (v, w) = if (fi >= 0) fields(fi) else (1, 1) // sentinel bit
+      acc |= (v.toLong & ((1L << w) - 1)) << accBits
+      accBits += w
+      while (accBits >= 8) {
+        bs.write((acc & 0xff).toInt)
+        acc >>>= 8
+        accBits -= 8
+      }
+      fi -= 1
+    }
+    if (accBits > 0) bs.write((acc & 0xff).toInt)
+    body.write(bs.toByteArray, 0, bs.size())
+    body.toByteArray
+  }
+}

@@ -101,11 +101,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  vorbis_vq(unhex('00')) IS NULL AS vq,
         |  vorbis_residue(unhex('00')) IS NULL AS vr,
         |  mp4_samples(unhex('00')) IS NULL AS m4,
-        |  zstd_frames(unhex('00')) IS NULL AS zs""".stripMargin)
+        |  zstd_frames(unhex('00')) IS NULL AS zs,
+        |  CAST(zstd_fse_decompress(zstd_fse_compress(
+        |    encode('fse trip', 'UTF-8'), 1)) AS STRING) = 'fse trip'
+        |    AS zf""".stripMargin)
       .collect().head
     assert(r.getString(0) == "café")
     assert(r.getString(1) == "http://ex.com/b")
     assert(r.getString(2) == "round trip")
-    for (i <- 3 until 9) assert(r.getBoolean(i), s"col $i")
+    for (i <- 3 until 10) assert(r.getBoolean(i), s"col $i")
   }
 }

@@ -1,0 +1,246 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The FSE entropy layer ([[ZstdFse]]) pinned three independent
+  * ways: the table-construction spread on a hand-computed example
+  * and on structural invariants, the block decode on HAND-ASSEMBLED
+  * byte streams (so the decoder is not merely its own encoder's
+  * inverse), and compress→decompress roundtrips across table modes,
+  * block splits and repeat offsets. */
+class ZstdFseSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------------------
+  // table construction (§4.1.1)
+  // ---------------------------------------------------------------
+
+  test("hand-computed spread: norm [2,1,1] at AL 2") {
+    // step = (4>>1)+(4>>3)+3 = 5, mask 3: positions 0,1 for symbol
+    // 0, then 2 for symbol 1, 3 for symbol 2, landing back at 0
+    val t = ZstdFse.buildTable(Array(2, 1, 1), 2).get
+    assert(t.symbol.toSeq == Seq(0, 0, 1, 2))
+    // symbol 0: nextStates 2,3 → nbBits 1, bases 0 and 2
+    assert(t.nbBits.toSeq == Seq(1, 1, 2, 2))
+    assert(t.base.toSeq == Seq(0, 2, 0, 0))
+  }
+
+  test("a −1 'less than 1' symbol takes the TOP slot with full-width " +
+    "transition") {
+    val t = ZstdFse.buildTable(Array(3, -1), 2).get
+    assert(t.symbol(3) == 1) // the top slot
+    assert(t.nbBits(3) == 2 && t.base(3) == 0)
+  }
+
+  test("predefined tables: per-symbol state counts match the RFC " +
+    "distributions and baseline ranges tile the state space") {
+    val cases = Seq(
+      (ZstdFse.LlDefaultTable, ZstdFse.LlDefaultNorm),
+      (ZstdFse.MlDefaultTable, ZstdFse.MlDefaultNorm),
+      (ZstdFse.OfDefaultTable, ZstdFse.OfDefaultNorm))
+    for ((t, norm) <- cases) {
+      val bySym = (0 until t.size).groupBy(t.symbol(_))
+      norm.zipWithIndex.foreach { case (c, s) =>
+        assert(bySym.getOrElse(s, Nil).size == math.max(c, 1).max(
+          if (c == -1) 1 else c), s"symbol $s count")
+      }
+      // tiling: for each symbol, the [base, base+2^nb) ranges cover
+      // [0, tableSize) exactly once
+      bySym.foreach { case (s, states) =>
+        val covered = states.flatMap(st =>
+          t.base(st) until (t.base(st) + (1 << t.nbBits(st))))
+        assert(covered.sorted == (0 until t.size),
+          s"symbol $s ranges do not tile")
+      }
+    }
+  }
+
+  test("buildTable fails closed on inconsistent counts") {
+    assert(ZstdFse.buildTable(Array(3, 2), 2).isEmpty) // sum 5 != 4
+    assert(ZstdFse.buildTable(Array(1, 1), 2).isEmpty) // sum 2 != 4
+    assert(ZstdFse.buildTable(Array(-2, 6), 2).isEmpty)
+  }
+
+  // ---------------------------------------------------------------
+  // table description codec (§4.1.1 bit packing)
+  // ---------------------------------------------------------------
+
+  test("NCount writer→reader roundtrip across shapes: zero runs, " +
+    "−1 probs, the predefined distributions themselves") {
+    val shapes = Seq(
+      (Array(2, 1, 1), 2),
+      (Array(18, 10, 3, 1), 5),
+      (Array(10, 0, 0, 0, 12, 0, 5, 4, 1), 5),
+      (Array(26, -1, -1, 0, 0, 0, 3, 0, 1), 5),
+      (ZstdFse.LlDefaultNorm, 6),
+      (ZstdFse.MlDefaultNorm, 6),
+      (ZstdFse.OfDefaultNorm, 5))
+    for ((norm, al) <- shapes) {
+      if (al >= 5) { // the wire format's minimum accuracy log
+        val bytes = ZstdFse.writeNCount(norm, al)
+        val (back, alBack, used) =
+          ZstdFse.readNCount(bytes, 0, bytes.length, 255).get
+        assert(alBack == al, s"AL for ${norm.toSeq}")
+        assert(used == bytes.length)
+        // trailing zeros may be elided by the reader (remaining hits
+        // 1 first) — compare up to the last nonzero
+        val lastNz = norm.lastIndexWhere(_ != 0)
+        assert(back.toSeq.take(lastNz + 1) == norm.toSeq.take(lastNz + 1),
+          s"counts for ${norm.toSeq}")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // hand-assembled streams (the decoder is NOT its encoder's
+  // inverse by construction)
+  // ---------------------------------------------------------------
+
+  private def frame(content: Int, blocks: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
+    out.write(0x20) // single-segment, 1-byte FCS
+    out.write(content)
+    blocks.foreach(b => out.write(b, 0, b.length))
+    out.toByteArray
+  }
+
+  private def blockHdr(size: Int, btype: Int, last: Boolean): Array[Byte] = {
+    val h = (size << 3) | (btype << 1) | (if (last) 1 else 0)
+    Array((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+      ((h >> 16) & 0xff).toByte)
+  }
+
+  test("hand-assembled: RLE literals + RLE tables, one sequence, " +
+    "2-bit offset field") {
+    // literals: RLE 'a' × 10; one sequence ll=4 of=2 ml=5 (codes
+    // 4/2/2, offsetValue 5 = 0b101 → ofCode 2, extra 1); bitstream
+    // = the 2 extra bits (01) + sentinel → byte 0x05
+    val payload = Array[Byte](
+      0x51, 'a'.toByte, // RLE literals header (10<<3|1), the byte
+      0x01, // nbSeq = 1
+      0x54, // modes: LL=RLE, OF=RLE, ML=RLE
+      0x04, 0x02, 0x02, // RLE symbols: LL code 4, OF code 2, ML code 2
+      0x05) // backward bitstream
+    val f = frame(15, blockHdr(payload.length, 2, last = true), payload)
+    val got = ZstdFse.decompress(f).get
+    assert(new String(got, "US-ASCII") == "a" * 15)
+  }
+
+  test("hand-assembled: repeat offset 1 via RLE offset code 0, two " +
+    "sequences, zero-bit bitstream") {
+    // lit "abc"; seqs (ll=1, rep0=1, ml=3) × 2 → a aaa b bbb + c
+    val payload = Array[Byte](
+      0x18, 'a'.toByte, 'b'.toByte, 'c'.toByte, // raw literals, 3
+      0x02, // nbSeq = 2
+      0x54, // all RLE
+      0x01, 0x00, 0x00, // LL code 1 (ll=1), OF code 0 (rep), ML code 0 (ml=3)
+      0x01) // bitstream: sentinel only (every field is 0 bits)
+    val f = frame(9, blockHdr(payload.length, 2, last = true), payload)
+    val got = ZstdFse.decompress(f).get
+    assert(new String(got, "US-ASCII") == "aaaabbbbc")
+  }
+
+  test("hand-assembled: litLength==0 shifts offsetValue 1 to " +
+    "Repeat_Offset_2 (=4), match crossing a block boundary") {
+    // block 1: Raw "abcd"; block 2: one sequence ll=0, offsetValue 1
+    // → idx 1 → rep1 = 4 → copy 3 from offset 4 = "abc"
+    val b2 = Array[Byte](
+      0x00, // raw literals, length 0
+      0x01, // nbSeq = 1
+      0x54, // all RLE
+      0x00, 0x00, 0x00, // LL code 0 (ll=0), OF code 0, ML code 0 (ml=3)
+      0x01) // sentinel only
+    val f = frame(7,
+      blockHdr(4, 0, last = false), "abcd".getBytes("US-ASCII"),
+      blockHdr(b2.length, 2, last = true), b2)
+    val got = ZstdFse.decompress(f).get
+    assert(new String(got, "US-ASCII") == "abcdabc")
+  }
+
+  test("hand-assembled fail-closed: Huffman literals, reserved mode " +
+    "bits, content-size mismatch, truncated bitstream") {
+    // Huffman (Compressed=2) literals type
+    val huff = Array[Byte](0x02, 0x00, 0x00)
+    assert(ZstdFse.decompress(
+      frame(0, blockHdr(huff.length, 2, last = true), huff)).isEmpty)
+    // reserved bits in the modes byte
+    val badModes = Array[Byte](0x00, 0x01, 0x57, 0x00, 0x00, 0x00, 0x01)
+    assert(ZstdFse.decompress(
+      frame(3, blockHdr(badModes.length, 2, last = true), badModes)).isEmpty)
+    // declared content size ≠ regenerated
+    val ok = Array[Byte](0x18, 'a'.toByte, 'b'.toByte, 'c'.toByte, 0x00)
+    assert(ZstdFse.decompress(
+      frame(3, blockHdr(ok.length, 2, last = true), ok)).isDefined)
+    assert(ZstdFse.decompress(
+      frame(4, blockHdr(ok.length, 2, last = true), ok)).isEmpty)
+    // a bitstream whose fields overrun (all-zero bitstream byte: no
+    // sentinel findable)
+    val noSentinel = Array[Byte](0x18, 'a'.toByte, 'b'.toByte,
+      'c'.toByte, 0x01, 0x54, 0x01, 0x00, 0x00, 0x00)
+    assert(ZstdFse.decompress(frame(9,
+      blockHdr(noSentinel.length, 2, last = true), noSentinel)).isEmpty)
+  }
+
+  // ---------------------------------------------------------------
+  // roundtrips (encoder exercises predefined AND explicit tables,
+  // multi-block frames, repeat offsets)
+  // ---------------------------------------------------------------
+
+  private def rt(s: String, explicitTables: Boolean): Unit = {
+    val raw = s.getBytes("UTF-8")
+    val z = ZstdFse.compress(raw, explicitTables)
+    val back = ZstdFse.decompress(z)
+    assert(back.isDefined, s"decode failed for ${s.take(40)}…")
+    assert(java.util.Arrays.equals(back.get, raw),
+      s"roundtrip mismatch for ${s.take(40)}…")
+  }
+
+  test("roundtrip: repetitive, mixed, unicode, empty, no-match " +
+    "inputs — predefined and explicit tables") {
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog " * 40,
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "abcabcabcabcabcabcabcabcabcabc",
+      "no repeats here: wxyz0123!@#$",
+      "", "ab", "über schöne muurschilderingen " * 25,
+      (0 until 500).map(i => s"line $i of the corpus\n").mkString)
+    for (s <- samples; ex <- Seq(false, true)) rt(s, ex)
+  }
+
+  test("roundtrip: a > 64 KiB input crosses the multi-block split") {
+    rt("a sentence that repeats enough to compress well " * 3000,
+      explicitTables = false)
+    rt("explicit tables across blocks " * 5000, explicitTables = true)
+  }
+
+  test("the encoder really emits repeat-offset-1 sequences (they " +
+    "cross the roundtrip, not just the hand pins)") {
+    // same 8-byte pattern at a fixed stride → after the first match,
+    // later matches hit offset == rep0 with literals in between
+    val s = (0 until 50).map(i => s"X${i % 3}patternpattern").mkString
+    val raw = s.getBytes("UTF-8")
+    val z = ZstdFse.compress(raw, explicitTables = false)
+    assert(java.util.Arrays.equals(ZstdFse.decompress(z).get, raw))
+  }
+
+  test("expression seam: ZstdFseDecompress inverts ZstdFseCompress; " +
+    "junk decodes to null") {
+    val p = ("expression-level roundtrip " * 10).getBytes
+    for (ex <- Seq(0, 1)) {
+      val z = graft.functions.ZstdFseCompress.compress(p, ex)
+      val u = graft.functions.ZstdFseDecompress.decompress(z)
+      assert(u != null && java.util.Arrays.equals(u, p))
+    }
+    assert(graft.functions.ZstdFseDecompress.decompress(
+      "junk".getBytes) == null)
+  }
+
+  test("the frame walk census (Zstd.parse) agrees with the decoded " +
+    "bytes for FSE frames") {
+    val raw = ("census check " * 100).getBytes("UTF-8")
+    val z = ZstdFse.compress(raw, explicitTables = false)
+    val (frames, skip, len, sum, _) = Zstd.parse(z).get
+    assert(frames == 1 && skip == 0 && len == raw.length)
+    assert(sum == raw.map(_ & 0xff).map(_.toLong).sum)
+  }
+}

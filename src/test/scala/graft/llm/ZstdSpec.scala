@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The RFC 8878 frame walk ([[Zstd]]) pinned on hand-assembled
   * frames (independent of the fixture builder), the
   * encoder/decoder/closed-form triangle, and the fail-closed
-  * boundary — compressed blocks, reserved descriptor bits,
+  * boundary — Huffman-literals blocks (FSE compressed blocks decode
+  * since round 15, see ZstdFseSpec), reserved descriptor bits,
   * content-size mismatches, truncation. */
 class ZstdSpec extends AnyFunSuite {
 
@@ -59,14 +60,15 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
-  test("fail-closed: compressed block, reserved descriptor bit, " +
-    "content-size mismatch, truncation, bad magic") {
+  test("fail-closed: Huffman-literals block, reserved descriptor " +
+    "bit, content-size mismatch, truncation, bad magic") {
     def frame(desc: Int, body: Array[Byte]): Array[Byte] =
       Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
         desc.toByte) ++ body
-    // compressed block type (btype 2)
+    // compressed block whose literals are Huffman-coded (type 2) —
+    // the remaining declared entropy boundary
     assert(Zstd.parse(frame(0x20, Array[Byte](1,
-      0x0d, 0x00, 0x00, 'x'))).isEmpty)
+      0x0d, 0x00, 0x00, 0x02))).isEmpty)
     // reserved descriptor bit 3
     assert(Zstd.parse(frame(0x28, Array[Byte](1,
       0x09, 0x00, 0x00, 'x'))).isEmpty)
