@@ -2,9 +2,14 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-/** Heuristic language identification for training-data pipelines:
-  * stopword voting with a character-trigram fallback — the classic
-  * lightweight n-gram approach (no model weights, no external deps).
+/** FALLBACK heuristic language identification: stopword voting with
+  * a character-trigram tie-break — the zero-training path for text
+  * with no model available. The PRIMARY path since round 15 is the
+  * TRAINED character-bigram Naive Bayes through the stored-weight
+  * seam (`llm_langid_train` / `llm_langid_score` in [[LlmQueries]]:
+  * counts artifact → broadcast → exact integer floor-log2 scoring,
+  * oracle-replayed end to end); use this object only where no
+  * trained counts exist for the corpus at hand.
   *
   * Deterministic by construction: ties break lexicographically on the
   * language code, so results are stable across runs and engines. Runs
@@ -13,8 +18,9 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *
   * Note: the driver's synthetic `documents.lang` column is not
   * correlated with its text (all languages share one vocabulary), so
-  * accuracy there is meaningless — this module is unit-tested on real
-  * sentences instead, and exposed for corpora with real text.
+  * the trained lane scores a CONSTRUCTED labeled fixture whose text
+  * genuinely correlates with its label; this heuristic is unit-tested
+  * on real sentences.
   */
 object LangId {
 

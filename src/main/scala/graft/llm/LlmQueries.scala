@@ -139,6 +139,8 @@ object LlmQueries {
     "llm_mix_temperature" -> mixTemperature,
     "llm_inflate" -> inflateRoundtrip,
     "llm_zstd_fse" -> zstdFseRoundtrip,
+    "llm_langid_train" -> langIdTrain,
+    "llm_langid_score" -> langIdScore,
     "llm_html_blocks" -> htmlBlocks,
     "llm_text_normalize" -> textNormalize,
     "llm_robots" -> robotsGate,
@@ -5073,6 +5075,156 @@ object LlmQueries {
     boostedScoreOf(stumpFeatsOf(docs(s, d)),
       s.read.parquet(qualityEnsemblePath(s, d)))
 
+  // ---------------------------------------------------------------
+  // Trained language ID — the heuristic [[LangId]] demoted to
+  // fallback: a character-bigram Naive Bayes trained through the
+  // stored-weight seam (the boosted-stump discipline: train once →
+  // parquet artifact → broadcast → map-side scoring). The synthetic
+  // corpus's lang column is uncorrelated with its text, so the
+  // LABELED FIXTURE is constructed: per doc a language label
+  // (doc_id % 4 over de/en/fr/nl) and ten words drawn
+  // deterministically from that language's 12-word pool — pools
+  // genuinely language-flavored WITH cross-language collisions
+  // ("water" en+nl, "licht" nl+de, "de" nl-word vs de-code) so the
+  // classifier does real Bayes work, not vocabulary lookup. The
+  // grammar is shared string-for-string with the oracle.
+  //
+  // Exactness delta (the BM25-log-omission discipline): the NB log
+  // is taken at 1-BIT RESOLUTION — floor(log2(n)) computed exactly
+  // as length(bin(n)) − 1 in both engines (no floating log, so a
+  // boundary can never flip between libm and the JVM). Weight of
+  // gram g under language L = flog2(cnt(L,g)+1) − flog2(tot(L)+V)
+  // (add-one smoothing over the training vocabulary V); a document
+  // scores Σ over its gram OCCURRENCES; argmax with lang-ascending
+  // tie-break.
+  // ---------------------------------------------------------------
+
+  private val langIdLangs = Seq("de", "en", "fr", "nl")
+  private val langIdPools: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "und", "nicht", "wasser", "haus", "kirche",
+      "alt", "strasse", "wand", "malerei", "licht", "von"),
+    "en" -> Seq("the", "and", "water", "house", "with", "from",
+      "street", "old", "painting", "wall", "church", "light"),
+    "fr" -> Seq("le", "la", "et", "eau", "maison", "rue", "vieux",
+      "peinture", "mur", "eglise", "lumiere", "avec"),
+    "nl" -> Seq("de", "het", "een", "van", "muur", "schildering",
+      "kerk", "oud", "straat", "water", "licht", "huis"))
+
+  /** The labeled-fixture grammar, Spark spelling: lang CASE and the
+    * pool CASE keyed by doc_id % 4 (0→de, 1→en, 2→fr, 3→nl). */
+  private def langIdLangExpr: String =
+    "CASE CAST(doc_id % 4 AS INT) " + langIdLangs.zipWithIndex.map {
+      case (l, i) => s"WHEN $i THEN '$l'"
+    }.mkString(" ") + " END"
+
+  private def langIdPoolExpr(arr: String => String): String =
+    "CASE CAST(doc_id % 4 AS INT) " + langIdLangs.zipWithIndex.map {
+      case (l, i) =>
+        s"WHEN $i THEN ${arr(langIdPools(l).map(w => s"'$w'").mkString(", "))}"
+    }.mkString(" ") + " END"
+
+  /** Train/test split: every fifth doc is held out. */
+  private val langIdTestPred = "doc_id % 5 = 3"
+
+  /** The DuckDB replica of [[langIdFixture]] — ends in `g`
+    * (doc_id, lang_true, grams). */
+  private lazy val langIdOracleFixtureCte: String =
+    s"""fx AS (SELECT doc_id,
+       |    $langIdLangExpr AS lang_true,
+       |    list_transform(range(0, 10), j ->
+       |      (${langIdPoolExpr(ws => s"[$ws]")})[
+       |        CAST((doc_id // 4 + 7 * j) % 12 AS INT) + 1]) AS words
+       |  FROM documents),
+       |g AS (SELECT doc_id, lang_true,
+       |    flatten(list_transform(words, w ->
+       |      list_transform(range(1, length(w) + 2), p ->
+       |        substr(' ' || w || ' ', CAST(p AS INT), 2)))) AS grams
+       |  FROM fx)""".stripMargin
+
+  /** The fixture with its per-doc char-bigram list (occurrences,
+    * space-padded per word): (doc_id, lang_true, grams). */
+  private def langIdFixture(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("lang_true", expr(langIdLangExpr))
+      .withColumn("words", expr(
+        s"""transform(sequence(0, 9), j -> element_at(
+           |  ${langIdPoolExpr(ws => s"array($ws)")},
+           |  CAST((doc_id div 4 + 7 * j) % 12 AS INT) + 1))""".stripMargin))
+      .withColumn("grams", expr(
+        """flatten(transform(words, w ->
+          |  transform(sequence(1, length(w) + 1), p ->
+          |    substring(concat(' ', w, ' '), p, 2))))""".stripMargin))
+      .select(col("doc_id"), col("lang_true"), col("grams"))
+
+  /** The stored NB counts artifact: (lang, gram, cnt) over the
+    * TRAINING split — written once per snapshot, read back from
+    * parquet by every scorer (the [[qualityEnsemblePath]] seam). */
+  private[graft] def langIdCountsPath(s: SparkSession, d: String): String = {
+    val path = s"${storedIndexPath(d)}/langid-counts"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"langid-counts:$d") {
+        langIdFixture(s, d).filter(!expr(langIdTestPred))
+          .select(col("lang_true").as("lang"),
+            explode(col("grams")).as("gram"))
+          .groupBy(col("lang"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      path
+    }
+  }
+
+  /** The trained artifact surfaced (`llm_langid_train`): the full
+    * per-language gram counts — vocabulary-sized (≤ ~70 grams ×
+    * 4 languages), the table every scorer broadcasts. */
+  def langIdTrain(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(langIdCountsPath(s, d))
+      .select(col("lang"), col("gram"), col("cnt"))
+
+  /** Held-out scoring (`llm_langid_score`): every test doc scored
+    * against all four languages from the STORED counts, argmax with
+    * lang-ascending tie-break, confusion rollup (true × predicted)
+    * with the exact integer margin sum. Scale shape: counts/totals
+    * are vocabulary-sized and broadcast; the corpus side is one
+    * doc-keyed partial aggregate (the struct-min argmax — never a
+    * per-doc window); the rollup exchange is 16 keys. */
+  def langIdScore(s: SparkSession, d: String): DataFrame = {
+    val counts = s.read.parquet(langIdCountsPath(s, d))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+    val vocab = counts.select(col("gram")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val weights = counts
+      .join(broadcast(totals), Seq("lang"))
+      .crossJoin(broadcast(vocab))
+      .select(col("lang").as("cand"), col("gram"),
+        (length(expr("bin(cnt + 1)")) - 1 -
+          (length(expr("bin(tot + v)")) - 1)).cast("bigint").as("w"))
+    // the unseen-gram penalty is per-language: −flog2(tot+V)
+    val floors = totals.crossJoin(broadcast(vocab))
+      .select(col("lang").as("cand"),
+        (lit(0L) - (length(expr("bin(tot + v)")) - 1).cast("bigint"))
+          .as("w0"))
+    val test = langIdFixture(s, d).filter(expr(langIdTestPred))
+      .select(col("doc_id"), col("lang_true"),
+        explode(col("grams")).as("gram"))
+    val scored = test.crossJoin(broadcast(floors))
+      .join(broadcast(weights), Seq("cand", "gram"), "left")
+      .select(col("doc_id"), col("lang_true"), col("cand"),
+        coalesce(col("w"), col("w0")).as("w"))
+      .groupBy(col("doc_id"), col("lang_true"), col("cand"))
+      .agg(sum(col("w")).as("score"))
+      .groupBy(col("doc_id"), col("lang_true"))
+      .agg(min(struct((lit(0L) - col("score")).as("ns"),
+        col("cand"))).as("win"))
+      .select(col("doc_id"), col("lang_true"),
+        col("win.cand").as("pred"),
+        (lit(0L) - col("win.ns")).as("win_score"))
+    scored.groupBy(col("lang_true"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("win_score")).as("margin_sum"))
+  }
+
   /** REAL COMPRESSED-FLAC decode (`mm_flac_fixed`) — the first
     * entropy-free CODED audio class the engine decodes end to end:
     * complete FLAC streams whose frames carry FIXED-predictor
@@ -9928,6 +10080,51 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+
+    // NB training replay: the labeled fixture's grammar shared
+    // string-for-string, counts over the training split
+    "llm_langid_train" ->
+      s"""WITH $langIdOracleFixtureCte,
+         |tr AS (SELECT lang_true AS lang, unnest(grams) AS gram
+         |  FROM g WHERE doc_id % 5 <> 3)
+         |SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tr GROUP BY 1, 2""".stripMargin,
+
+    // held-out scoring replay over the STORED counts (re-derived
+    // identically): exact bin-length floor-log2 weights, add-one
+    // smoothing, argmax with lang-ascending tie-break
+    "llm_langid_score" ->
+      s"""WITH $langIdOracleFixtureCte,
+         |tr AS (SELECT lang_true AS lang, unnest(grams) AS gram
+         |  FROM g WHERE doc_id % 5 <> 3),
+         |cnts AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+         |  FROM cnts GROUP BY 1),
+         |voc AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS v
+         |  FROM cnts),
+         |wts AS (SELECT c.lang AS cand, c.gram,
+         |    CAST(length(bin(c.cnt + 1)) - 1
+         |      - (length(bin(t.tot + voc.v)) - 1) AS BIGINT) AS w
+         |  FROM cnts c JOIN tot t ON c.lang = t.lang, voc),
+         |flo AS (SELECT t.lang AS cand,
+         |    CAST(0 - (length(bin(t.tot + voc.v)) - 1) AS BIGINT) AS w0
+         |  FROM tot t, voc),
+         |te AS (SELECT doc_id, lang_true, unnest(grams) AS gram
+         |  FROM g WHERE doc_id % 5 = 3),
+         |sc AS (SELECT te.doc_id, te.lang_true, f.cand,
+         |    CAST(SUM(COALESCE(w.w, f.w0)) AS BIGINT) AS score
+         |  FROM te CROSS JOIN flo f
+         |  LEFT JOIN wts w ON w.cand = f.cand AND w.gram = te.gram
+         |  GROUP BY 1, 2, 3),
+         |win AS (SELECT doc_id, lang_true, cand AS pred, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cand ASC) AS rn FROM sc)
+         |SELECT lang_true, pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(score) AS BIGINT) AS margin_sum
+         |FROM win WHERE rn = 1
+         |GROUP BY 1, 2""".stripMargin,
 
     // closed-form verdict replay: the robots text shapes only what
     // the engine must parse; verdicts derive from doc_id % 6 and
