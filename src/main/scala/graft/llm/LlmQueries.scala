@@ -37,6 +37,7 @@ object LlmQueries {
     "llm_wordpiece_tokens" -> wordpieceTokens,
     "llm_wordpiece_incremental" -> wordpieceIncremental,
     "llm_unigram_tokens" -> unigramTokens,
+    "llm_unigram_vocab" -> unigramVocabTrain,
     "llm_unigram_incremental" -> unigramIncremental,
     "llm_bigram_fluency" -> bigramFluency,
     "llm_dedup_minhash" -> dedupMinhash,
@@ -673,6 +674,69 @@ object LlmQueries {
     val chars = grams.filter(length(col("g")) === 1)
       .select(col("g"), col("n")).as[(String, Long)].collect()
     (topg ++ chars).toMap
+  }
+
+  /** Hard-EM prune rounds for the unigram tokenizer's TRAIN side
+    * (`llm_unigram_vocab`) — SentencePiece-shaped vocabulary
+    * induction next to BPE's merge training, completing the triad's
+    * train axis: starting from the seed vocabulary (every char +
+    * top-48 2/3/4-grams with corpus weights), each round runs one
+    * Viterbi E-STEP over the word-count relation (the existing DP,
+    * [[viterbiWord]]), re-estimates every vocabulary entry's mass
+    * as its occurrence-weighted usage in the optimal segmentations
+    * (integer M-STEP — entries the DP never uses drop to mass 0),
+    * and PRUNES the [[unigramPruneK]] lowest-mass multi-char
+    * entries ((mass asc, gram asc) order — single chars never
+    * prune, the progress guarantee). Driver-looped like Lloyd/BPE:
+    * the E-step is a distributed DP + vocabulary-bounded rollup
+    * collected per round (the BPE per-round argmax discipline);
+    * re-estimated weights feed the NEXT round's tie-break, so a
+    * wrong mass propagates into a different round-2 drop. Output:
+    * one row per (round, dropped gram, mass at drop). If fewer
+    * multi-char entries remain than the prune width, the round
+    * drops what is there and later rounds pass through empty — the
+    * early-exhaust pass-through rule (ADVICE r13's BPE lesson),
+    * mirrored in the oracle's unrolled stages. */
+  private[graft] val unigramEmRounds = 3
+  private[graft] val unigramPruneK = 8
+
+  def unigramVocabTrain(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val wc = chkSer(tokenized(s, d).select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c")))
+    var vocab: Map[String, Long] = unigramVocab(wc)
+    val out = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    while (r <= unigramEmRounds) {
+      val bc = s.sparkContext.broadcast(vocab)
+      // E-step: optimal segmentations under the current weights;
+      // the rollup is vocabulary-bounded — a driver read by design
+      val masses = wc.as[(String, Long)].mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { case (w, c) =>
+          viterbiWord(w, v).map(t => (t, c))
+        }
+      }.toDF("token", "c")
+        .groupBy(col("token")).agg(sum(col("c")).as("n"))
+        .as[(String, Long)].collect().toMap
+      // M-step: re-estimated masses for every surviving entry
+      val reweighted = vocab.map { case (g, _) =>
+        g -> masses.getOrElse(g, 0L)
+      }
+      // prune the lowest-mass multi-char tail (early-exhaust: a
+      // short tail drops entirely and later rounds pass through)
+      val drops = reweighted.filter(_._1.length >= 2).toSeq
+        .sortBy { case (g, n) => (n, g) }
+        .take(unigramPruneK)
+      drops.foreach { case (g, n) => out += ((r, g, n)) }
+      vocab = reweighted -- drops.map(_._1)
+      r += 1
+    }
+    out.result().toDF("round", "dropped", "n_at_drop")
+      .select(col("round").cast("int"), col("dropped"),
+        col("n_at_drop"))
   }
 
   /** FROZEN-vocabulary unigram tokenization of arriving documents
@@ -5126,6 +5190,67 @@ object LlmQueries {
   /** Train/test split: every fifth doc is held out. */
   private val langIdTestPred = "doc_id % 5 = 3"
 
+  /** The unrolled hard-EM oracle for `llm_unigram_vocab`: per round
+    * r, a recursive enumeration of every segmentation against
+    * v{r−1}, the canonical (k asc, fsum desc, lkey asc) pick, token
+    * masses, the reweighted table w{r}, the (mass asc, gram asc)
+    * LIMIT-[[unigramPruneK]] drop list d{r}, and v{r} = w{r} minus
+    * d{r}. */
+  private lazy val unigramVocabOracle: String = {
+    val rounds = (1 to unigramEmRounds).map { r =>
+      val p = r - 1
+      s"""seg$r AS MATERIALIZED (
+         |  WITH RECURSIVE paths(w, pos, k, fsum, toks, lkey) AS (
+         |    SELECT w, 1, 0, CAST(0 AS BIGINT), '', '' FROM wc
+         |    UNION ALL
+         |    SELECT s.w, CAST(s.pos + length(v.g) AS INT), s.k + 1,
+         |      s.fsum + v.n, s.toks || chr(1) || v.g,
+         |      CAST(4 - length(v.g) AS VARCHAR) || s.lkey
+         |    FROM paths s JOIN v$p v
+         |      ON v.g = substring(s.w, s.pos, length(v.g))
+         |    WHERE s.pos <= length(s.w))
+         |  SELECT w, k, fsum, toks, lkey FROM paths
+         |  WHERE pos = length(w) + 1),
+         |best$r AS MATERIALIZED (SELECT w, toks FROM (
+         |    SELECT w, toks, row_number() OVER (PARTITION BY w
+         |      ORDER BY k ASC, fsum DESC, lkey ASC) AS rn FROM seg$r)
+         |  WHERE rn = 1),
+         |m$r AS MATERIALIZED (SELECT token,
+         |    CAST(SUM(wc.c) AS BIGINT) AS n
+         |  FROM (SELECT b.w, unnest(string_split(substr(b.toks, 2),
+         |      chr(1))) AS token FROM best$r b) t
+         |  JOIN wc ON t.w = wc.w GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT v.g,
+         |    CAST(COALESCE(m$r.n, 0) AS BIGINT) AS n
+         |  FROM v$p v LEFT JOIN m$r ON m$r.token = v.g),
+         |d$r AS MATERIALIZED (SELECT g, n FROM w$r
+         |  WHERE length(g) >= 2 ORDER BY n ASC, g ASC
+         |  LIMIT $unigramPruneK),
+         |v$r AS MATERIALIZED (SELECT g, n FROM w$r
+         |  WHERE g NOT IN (SELECT g FROM d$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (SELECT
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       |      AS w FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words
+       |  WHERE w != '' GROUP BY 1),
+       |glen AS (SELECT w, c, unnest([1, 2, 3, 4]) AS l FROM wc),
+       |gpos AS (SELECT w, c, l,
+       |    unnest(range(1, CAST(length(w) - l + 2 AS BIGINT))) AS p
+       |  FROM glen WHERE length(w) >= l),
+       |gcnt AS (SELECT substring(w, CAST(p AS INT), CAST(l AS INT))
+       |    AS g, CAST(SUM(c) AS BIGINT) AS n FROM gpos GROUP BY 1),
+       |topg AS (SELECT g, n FROM gcnt WHERE length(g) >= 2
+       |  ORDER BY n DESC, g ASC LIMIT 48),
+       |v0 AS (SELECT g, n FROM topg
+       |  UNION ALL SELECT g, n FROM gcnt WHERE length(g) = 1),
+       |$rounds
+       |${(1 to unigramEmRounds).map(r =>
+           s"SELECT CAST($r AS INT) AS round, g AS dropped, " +
+             s"CAST(n AS BIGINT) AS n_at_drop FROM d$r")
+           .mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** The DuckDB replica of [[langIdFixture]] — ends in `g`
     * (doc_id, lang_true, grams). */
   private lazy val langIdOracleFixtureCte: String =
@@ -7870,6 +7995,14 @@ object LlmQueries {
          |  CAST(COUNT(DISTINCT tok.w) AS BIGINT) AS n_words
          |FROM tok JOIN wc ON tok.w = wc.w
          |GROUP BY 1""".stripMargin,
+
+    // hard-EM training replayed round by round (the llm_bpe_vocab
+    // pattern): per round, EVERY segmentation of every word against
+    // the previous round's weighted vocabulary enumerated through a
+    // recursive CTE, the canonical minimum's token masses re-
+    // estimated, the 8 lowest-mass multi-char entries dropped —
+    // early-exhaust rounds pass through with whatever tail remains
+    "llm_unigram_vocab" -> unigramVocabOracle,
 
     // the frozen-vocab unigram replayed over an explicit EDGE set:
     // base-derived weighted vocabulary, plus a frequency-0 <UNK>
