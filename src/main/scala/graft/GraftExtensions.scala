@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisFloorCurve, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -252,6 +252,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VorbisFloor].getName, "vorbis_floor"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VorbisFloor(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vorbis_floor_curve"),
+      new ExpressionInfo(classOf[VorbisFloorCurve].getName, "vorbis_floor_curve"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VorbisFloorCurve(args.head)))
     ext.injectFunction((
       FunctionIdentifier("vorbis_vq"),
       new ExpressionInfo(classOf[VorbisVq].getName, "vorbis_vq"),

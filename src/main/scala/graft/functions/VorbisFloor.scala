@@ -76,3 +76,45 @@ object VorbisFloor {
   def apply(c: Column): Column =
     ColumnBridge.column(VorbisFloor(ColumnBridge.expression(c)))
 }
+
+/** `vorbis_floor_curve(binary)` →
+  * `struct<n_bins:int, curve_sum:bigint, curve_wsum:bigint,
+  *         curve_max:bigint>`,
+  * the floor walk CONTINUED through §7.2.3 step 2: the X-sorted
+  * step2 posts scaled by the multiplier and rasterized by the
+  * integer render_line Bresenham over n = blocksize0/2 bins, the
+  * tail held at the last amplitude
+  * ([[graft.multimodal.Vorbis.synthesizeCurve]]). Null on any
+  * malformation. The dB → linear float lookup beyond these integer
+  * indices is the remaining declared synthesis boundary. */
+case class VorbisFloorCurve(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bins", IntegerType, nullable = false),
+    StructField("curve_sum", LongType, nullable = false),
+    StructField("curve_wsum", LongType, nullable = false),
+    StructField("curve_max", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Vorbis.floorCurveRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.multimodal.Vorbis.floorCurveRow($c);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(c: Expression): VorbisFloorCurve =
+    copy(child = c)
+  override def prettyName: String = "vorbis_floor_curve"
+}
+
+object VorbisFloorCurve {
+  def apply(c: Column): Column =
+    ColumnBridge.column(VorbisFloorCurve(ColumnBridge.expression(c)))
+}

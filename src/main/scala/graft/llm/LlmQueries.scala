@@ -133,6 +133,7 @@ object LlmQueries {
     "mm_vorbis_books" -> vorbisBooks,
     "mm_vorbis_vq" -> vorbisVq,
     "mm_vorbis_floor" -> vorbisFloor,
+    "mm_vorbis_floor_curve" -> vorbisFloorCurve,
     "mm_mp4_samples" -> mp4Samples,
     "llm_url_canon" -> urlCanon,
     "mm_zstd_frames" -> zstdFrames,
@@ -5190,6 +5191,66 @@ object LlmQueries {
   /** Train/test split: every fifth doc is held out. */
   private val langIdTestPred = "doc_id % 5 = 3"
 
+  /** The `mm_vorbis_floor` replay chain (fixture derivations →
+    * render_point predictions → room-saturated final_Y), ends in
+    * `f4` (doc_id, u, y0, y1, x2..x4, v2..v4, fy2..fy4) — shared by
+    * the final_Y oracle and the synthesized-curve oracle. */
+  private lazy val vorbisFloorOracleCte: String =
+    """d0 AS (SELECT doc_id,
+        |    4 + doc_id % 13 AS u,
+        |    (doc_id * 7) % 128 AS y0,
+        |    (doc_id * 11) % 128 AS y1,
+        |    1 + doc_id % 20 AS x2,
+        |    22 + doc_id % 20 AS x3,
+        |    43 + doc_id % 20 AS x4
+        |  FROM documents),
+        |d1 AS (SELECT *,
+        |    (doc_id * 3) % u AS v2,
+        |    (doc_id * 3 + 7) % u AS v3,
+        |    (doc_id * 3 + 14) % u AS v4
+        |  FROM d0),
+        |p2t AS (SELECT *,
+        |    CASE WHEN y1 < y0
+        |      THEN y0 - (abs(y1 - y0) * x2) // 64
+        |      ELSE y0 + (abs(y1 - y0) * x2) // 64 END AS p2
+        |  FROM d1),
+        |f2 AS (SELECT *,
+        |    CASE WHEN v2 = 0 THEN p2
+        |      WHEN v2 >= 2 * LEAST(128 - p2, p2) THEN
+        |        CASE WHEN 128 - p2 > p2 THEN v2 - p2 + p2
+        |             ELSE p2 - v2 + (128 - p2) - 1 END
+        |      WHEN v2 % 2 = 1 THEN p2 - (v2 + 1) // 2
+        |      ELSE p2 + v2 // 2 END AS fy2
+        |  FROM p2t),
+        |p3t AS (SELECT *,
+        |    CASE WHEN y1 < fy2
+        |      THEN fy2 - (abs(y1 - fy2) * (x3 - x2)) // (64 - x2)
+        |      ELSE fy2 + (abs(y1 - fy2) * (x3 - x2)) // (64 - x2)
+        |      END AS p3
+        |  FROM f2),
+        |f3 AS (SELECT *,
+        |    CASE WHEN v3 = 0 THEN p3
+        |      WHEN v3 >= 2 * LEAST(128 - p3, p3) THEN
+        |        CASE WHEN 128 - p3 > p3 THEN v3 - p3 + p3
+        |             ELSE p3 - v3 + (128 - p3) - 1 END
+        |      WHEN v3 % 2 = 1 THEN p3 - (v3 + 1) // 2
+        |      ELSE p3 + v3 // 2 END AS fy3
+        |  FROM p3t),
+        |p4t AS (SELECT *,
+        |    CASE WHEN y1 < fy3
+        |      THEN fy3 - (abs(y1 - fy3) * (x4 - x3)) // (64 - x3)
+        |      ELSE fy3 + (abs(y1 - fy3) * (x4 - x3)) // (64 - x3)
+        |      END AS p4
+        |  FROM f3),
+        |f4 AS (SELECT *,
+        |    CASE WHEN v4 = 0 THEN p4
+        |      WHEN v4 >= 2 * LEAST(128 - p4, p4) THEN
+        |        CASE WHEN 128 - p4 > p4 THEN v4 - p4 + p4
+        |             ELSE p4 - v4 + (128 - p4) - 1 END
+        |      WHEN v4 % 2 = 1 THEN p4 - (v4 + 1) // 2
+        |      ELSE p4 + v4 // 2 END AS fy4
+        |  FROM p4t)""".stripMargin
+
   /** The unrolled hard-EM oracle for `llm_unigram_vocab`: per round
     * r, a recursive enumeration of every segmentation against
     * v{r−1}, the canonical (k asc, fsum desc, lkey asc) pick, token
@@ -5553,6 +5614,30 @@ object LlmQueries {
         col("m.y_sum").as("y_sum"),
         col("m.y_wsum").as("y_wsum"),
         col("m.n_step2").as("n_step2"))
+
+  /** Synthesized integer floor curve (`mm_vorbis_floor_curve`) —
+    * the floor walk continued through §7.2.3 step 2: the X-sorted
+    * step2-flagged posts scaled by the multiplier and rasterized by
+    * the render_line integer Bresenham over n = blocksize0/2 bins,
+    * the past-last-post tail held flat
+    * ([[graft.functions.VorbisFloorCurve]] over the same fixture as
+    * [[vorbisFloor]]). One more honest rung off the declared
+    * synthesis fake: only the dB → linear float lookup and MDCT
+    * remain. The oracle replays the curve POSITIONALLY — per bin,
+    * the containing segment's render_point value (render_line's
+    * error accumulation is exactly the floored line) — so a wrong
+    * segment endpoint, a flag slip, or a division rounding error
+    * lands as a curve-sum mismatch. Map-side; no shuffle. */
+  def vorbisFloorCurve(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.VorbisFloorFixture(col("doc_id")))
+      .withColumn("m", graft.functions.VorbisFloorCurve(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_bins").cast("bigint").as("n_bins"),
+        col("m.curve_sum").as("curve_sum"),
+        col("m.curve_wsum").as("curve_wsum"),
+        col("m.curve_max").as("curve_max"))
 
   /** Vorbis residue classification (`mm_vorbis_residue`) — the
     * third decode layer: §8.6.1's config walk (begin/end, partition
@@ -10513,70 +10598,64 @@ object LlmQueries {
     // searches neighbors generically, so a neighbor/rounding/
     // saturation slip diverges here
     "mm_vorbis_floor" ->
-      """WITH d0 AS (SELECT doc_id,
-        |    4 + doc_id % 13 AS u,
-        |    (doc_id * 7) % 128 AS y0,
-        |    (doc_id * 11) % 128 AS y1,
-        |    1 + doc_id % 20 AS x2,
-        |    22 + doc_id % 20 AS x3,
-        |    43 + doc_id % 20 AS x4
-        |  FROM documents),
-        |d1 AS (SELECT *,
-        |    (doc_id * 3) % u AS v2,
-        |    (doc_id * 3 + 7) % u AS v3,
-        |    (doc_id * 3 + 14) % u AS v4
-        |  FROM d0),
-        |p2t AS (SELECT *,
-        |    CASE WHEN y1 < y0
-        |      THEN y0 - (abs(y1 - y0) * x2) // 64
-        |      ELSE y0 + (abs(y1 - y0) * x2) // 64 END AS p2
-        |  FROM d1),
-        |f2 AS (SELECT *,
-        |    CASE WHEN v2 = 0 THEN p2
-        |      WHEN v2 >= 2 * LEAST(128 - p2, p2) THEN
-        |        CASE WHEN 128 - p2 > p2 THEN v2 - p2 + p2
-        |             ELSE p2 - v2 + (128 - p2) - 1 END
-        |      WHEN v2 % 2 = 1 THEN p2 - (v2 + 1) // 2
-        |      ELSE p2 + v2 // 2 END AS fy2
-        |  FROM p2t),
-        |p3t AS (SELECT *,
-        |    CASE WHEN y1 < fy2
-        |      THEN fy2 - (abs(y1 - fy2) * (x3 - x2)) // (64 - x2)
-        |      ELSE fy2 + (abs(y1 - fy2) * (x3 - x2)) // (64 - x2)
-        |      END AS p3
-        |  FROM f2),
-        |f3 AS (SELECT *,
-        |    CASE WHEN v3 = 0 THEN p3
-        |      WHEN v3 >= 2 * LEAST(128 - p3, p3) THEN
-        |        CASE WHEN 128 - p3 > p3 THEN v3 - p3 + p3
-        |             ELSE p3 - v3 + (128 - p3) - 1 END
-        |      WHEN v3 % 2 = 1 THEN p3 - (v3 + 1) // 2
-        |      ELSE p3 + v3 // 2 END AS fy3
-        |  FROM p3t),
-        |p4t AS (SELECT *,
-        |    CASE WHEN y1 < fy3
-        |      THEN fy3 - (abs(y1 - fy3) * (x4 - x3)) // (64 - x3)
-        |      ELSE fy3 + (abs(y1 - fy3) * (x4 - x3)) // (64 - x3)
-        |      END AS p4
-        |  FROM f3),
-        |f4 AS (SELECT *,
-        |    CASE WHEN v4 = 0 THEN p4
-        |      WHEN v4 >= 2 * LEAST(128 - p4, p4) THEN
-        |        CASE WHEN 128 - p4 > p4 THEN v4 - p4 + p4
-        |             ELSE p4 - v4 + (128 - p4) - 1 END
-        |      WHEN v4 % 2 = 1 THEN p4 - (v4 + 1) // 2
-        |      ELSE p4 + v4 // 2 END AS fy4
-        |  FROM p4t)
-        |SELECT doc_id,
-        |  CAST(5 AS BIGINT) AS n_values,
-        |  CAST(y0 + y1 + fy2 + fy3 + fy4 AS BIGINT) AS y_sum,
-        |  CAST(y0 + 2 * y1 + 3 * fy2 + 4 * fy3 + 5 * fy4
-        |    AS BIGINT) AS y_wsum,
-        |  CAST(2 + CASE WHEN v2 <> 0 OR v3 <> 0 THEN 1 ELSE 0 END
-        |    + CASE WHEN v3 <> 0 OR v4 <> 0 THEN 1 ELSE 0 END
-        |    + CASE WHEN v4 <> 0 THEN 1 ELSE 0 END
-        |    AS BIGINT) AS n_step2
-        |FROM f4""".stripMargin,
+      s"""WITH $vorbisFloorOracleCte
+         |SELECT doc_id,
+         |  CAST(5 AS BIGINT) AS n_values,
+         |  CAST(y0 + y1 + fy2 + fy3 + fy4 AS BIGINT) AS y_sum,
+         |  CAST(y0 + 2 * y1 + 3 * fy2 + 4 * fy3 + 5 * fy4
+         |    AS BIGINT) AS y_wsum,
+         |  CAST(2 + CASE WHEN v2 <> 0 OR v3 <> 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN v3 <> 0 OR v4 <> 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN v4 <> 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_step2
+         |FROM f4""".stripMargin,
+
+    // the synthesized integer curve replayed POSITIONALLY: the
+    // step2-flagged points (multiplier-scaled), each of the 128
+    // bins assigned its segment's render_point value (render_line's
+    // error accumulation IS the floored line, so the per-bin closed
+    // form is exact), the past-64 tail held at the last amplitude
+    "mm_vorbis_floor_curve" ->
+      s"""WITH $vorbisFloorOracleCte,
+         |pts AS (
+         |  SELECT doc_id, 0 AS px, 2 * y0 AS py FROM f4
+         |  UNION ALL SELECT doc_id, x2, 2 * fy2 FROM f4
+         |    WHERE v2 <> 0 OR v3 <> 0
+         |  UNION ALL SELECT doc_id, x3, 2 * fy3 FROM f4
+         |    WHERE v3 <> 0 OR v4 <> 0
+         |  UNION ALL SELECT doc_id, x4, 2 * fy4 FROM f4
+         |    WHERE v4 <> 0
+         |  UNION ALL SELECT doc_id, 64, 2 * y1 FROM f4),
+         |xs AS (SELECT doc_id, unnest(range(0, 64)) AS x FROM f4),
+         |lo AS (SELECT x.doc_id, x.x, max(p.px) AS lx,
+         |    arg_max(p.py, p.px) AS ly
+         |  FROM xs x JOIN pts p
+         |    ON p.doc_id = x.doc_id AND p.px <= x.x
+         |  GROUP BY 1, 2),
+         |hi AS (SELECT x.doc_id, x.x, min(p.px) AS hx,
+         |    arg_min(p.py, p.px) AS hy
+         |  FROM xs x JOIN pts p
+         |    ON p.doc_id = x.doc_id AND p.px > x.x
+         |  GROUP BY 1, 2),
+         |yv AS (SELECT l.doc_id, l.x,
+         |    CASE WHEN h.hy < l.ly
+         |      THEN l.ly - (abs(h.hy - l.ly) * (l.x - l.lx))
+         |        // (h.hx - l.lx)
+         |      ELSE l.ly + (abs(h.hy - l.ly) * (l.x - l.lx))
+         |        // (h.hx - l.lx) END AS y
+         |  FROM lo l JOIN hi h ON l.doc_id = h.doc_id AND l.x = h.x),
+         |tl AS (SELECT doc_id, unnest(range(64, 128)) AS x,
+         |    2 * y1 AS y FROM f4),
+         |curve AS (SELECT doc_id, x, y FROM yv
+         |  UNION ALL SELECT doc_id, x, y FROM tl)
+         |SELECT doc_id,
+         |  CAST(128 AS BIGINT) AS n_bins,
+         |  CAST(SUM(y) AS BIGINT) AS curve_sum,
+         |  CAST(SUM((x + 1) * y) AS BIGINT) AS curve_wsum,
+         |  CAST(MAX(y) AS BIGINT) AS curve_max
+         |FROM curve GROUP BY 1""".stripMargin,
+
+
 
     // VQ twin of mm_vorbis_books: the oracle re-derives the lookup
     // census in closed form — lookup1_values by exact integer power

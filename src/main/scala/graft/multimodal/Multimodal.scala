@@ -90,9 +90,11 @@ import org.apache.spark.sql.functions._
   * from the stream with no memorized constants
   * ([[Vorbis]], `mm_vorbis_books`), including §3.2.2 VQ lookup
   * tables (`mm_vorbis_vq`) and the floor1 layer above them: config
-  * walk, posts decode through the parsed books, and §7.2.4's
+  * walk, posts decode through the parsed books, §7.2.4's
   * all-integer amplitude synthesis to the final_Y vector
-  * (`mm_vorbis_floor`). What remains a clearly-marked DETERMINISTIC
+  * (`mm_vorbis_floor`), and §7.2.3 step 2's synthesized integer
+  * curve — render_line rasterization over the blocksize/2 bins
+  * (`mm_vorbis_floor_curve`). What remains a clearly-marked DETERMINISTIC
   * FAKE is decode whose Huffman trees are memorized SPEC CONSTANTS
   * with no in-container pin (MP3 big-values/count1-table-0 tables,
   * H.264 CAVLC/CABAC residual + prediction) and the float-domain

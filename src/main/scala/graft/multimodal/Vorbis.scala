@@ -869,6 +869,110 @@ object Vorbis {
     case None => null
   }
 
+  /** §7.2.3 render_line: the integer Bresenham the curve synthesis
+    * rasterizes segments with — base = dy/adx truncated toward
+    * zero, the error accumulator stepping ±1 on overflow. Writes
+    * y for x in [x0, min(x1, v.length)). (The accumulation equals
+    * the floored line: v[x] = render_point(x0,y0,x1,y1,x) at every
+    * x — the identity the oracle's positional replay uses.) */
+  def renderLine(x0: Int, y0: Int, x1: Int, y1: Int,
+      v: Array[Int]): Unit = {
+    val dy = y1 - y0
+    val adx = x1 - x0
+    var ady = math.abs(dy)
+    val base = dy / adx
+    var y = y0
+    var err = 0
+    val sy = if (dy < 0) base - 1 else base + 1
+    ady -= math.abs(base) * adx
+    if (x0 < v.length) v(x0) = y
+    var x = x0 + 1
+    while (x < x1) {
+      err += ady
+      if (err >= adx) { err -= adx; y += sy } else y += base
+      if (x < v.length) v(x) = y
+      x += 1
+    }
+  }
+
+  /** §7.2.3 step 2: the synthesized INTEGER floor curve over `n`
+    * bins — X-sorted step2-flagged posts scaled by the multiplier,
+    * consecutive pairs rasterized by [[renderLine]], the
+    * past-last-post tail held at the last amplitude. The dB →
+    * linear lookup beyond these integer indices stays table-driven
+    * and out of scope (the declared synthesis boundary). */
+  def synthesizeCurve(f: Floor1, fy: Array[Int],
+      step2: Array[Boolean], n: Int): Array[Int] = {
+    val v = new Array[Int](n)
+    val order = f.xs.indices.sortBy(f.xs(_))
+    var lx = 0
+    var ly = fy(order.head) * f.multiplier
+    var hx = 0
+    var hy = ly
+    order.tail.foreach { j =>
+      if (step2(j)) {
+        hy = fy(j) * f.multiplier
+        hx = f.xs(j)
+        renderLine(lx, ly, hx, hy, v)
+        lx = hx
+        ly = hy
+      }
+    }
+    if (hx < n) renderLine(hx, hy, n, hy, v)
+    v
+  }
+
+  /** Parse + decode the floor fixture THROUGH the synthesized
+    * curve: same walk as [[parseFloor]], then [[synthesizeCurve]]
+    * over n = blocksize0/2 bins (blocksize read from the id
+    * packet). Returns (n_bins, curve_sum, curve_wsum, curve_max)
+    * or None. */
+  def parseFloorCurve(b: Array[Byte]): Option[(Int, Long, Long, Long)] = {
+    val packets = oggPackets(b).getOrElse(return None)
+    if (packets.length != 3) return None
+    val id = packets(0)
+    if (id.length < 30 || (id(0) & 0xff) != 1 ||
+      new String(id, 1, 6, "US-ASCII") != "vorbis") return None
+    // §4.2.2: blocksize exponents are the two 4-bit fields after
+    // version(32) + channels(8) + rate(32) + 3×bitrate(32)
+    val bs0 = id(28) & 0x0f
+    if (bs0 < 6 || bs0 > 13) return None
+    val n = (1 << bs0) / 2
+    val setup = packets(1)
+    if (setup.length < 8 || (setup(0) & 0xff) != 5 ||
+      new String(setup, 1, 6, "US-ASCII") != "vorbis") return None
+    val sr = new BitReaderLsb(setup, 7, setup.length)
+    val nb = sr.read(8).getOrElse(return None).toInt + 1
+    val books = new Array[Book](nb)
+    var j = 0
+    while (j < nb) {
+      books(j) = readBook(sr).getOrElse(return None)
+      j += 1
+    }
+    val cfg = readFloor1(sr).getOrElse(return None)
+    val fr = new BitReaderLsb(packets(2), 0, packets(2).length)
+    val (fy, step2) = decodeFloor1(fr, cfg, books).getOrElse(return None)
+    if (fy.isEmpty) return Some((n, 0L, 0L, 0L)) // unused floor
+    val curve = synthesizeCurve(cfg, fy, step2, n)
+    var s = 0L
+    var ws = 0L
+    var mx = 0L
+    var i = 0
+    while (i < n) {
+      s += curve(i)
+      ws += (i + 1L) * curve(i)
+      if (curve(i) > mx) mx = curve(i)
+      i += 1
+    }
+    Some((n, s, ws, mx))
+  }
+
+  /** [[parseFloorCurve]] as an `InternalRow` for the codegen path. */
+  def floorCurveRow(b: Array[Byte]): InternalRow = parseFloorCurve(b) match {
+    case Some((nb, cs, cw, cm)) => InternalRow(nb, cs, cw, cm)
+    case None => null
+  }
+
   // --- residue fixture derivations (`mm_vorbis_residue`): one
   // classbook, a §8.6.1 config with EMPTY cascades (silent residue
   // — conformant, and exactly the declared value-domain boundary),

@@ -259,6 +259,41 @@ class VorbisSpec extends AnyFunSuite {
     assert(cls.toSeq == Seq(1, 0, 0, 1))
   }
 
+  test("render_line hand-check: Bresenham error walk equals the " +
+    "floored line, negative slope truncates toward zero") {
+    // (0,0) → (5,7): base 1, ady' 2; y = floor(7x/5)
+    val v = new Array[Int](5)
+    Vorbis.renderLine(0, 0, 5, 7, v)
+    assert(v.toSeq == Seq(0, 1, 2, 4, 5))
+    // negative slope (0,10) → (4,3): dy −7, base −1 (trunc), y =
+    // 10 − floor(7x/4)
+    val w = new Array[Int](4)
+    Vorbis.renderLine(0, 10, 4, 3, w)
+    assert(w.toSeq == Seq(10, 9, 7, 5))
+    // horizontal
+    val h = new Array[Int](3)
+    Vorbis.renderLine(0, 4, 3, 4, h)
+    assert(h.toSeq == Seq(4, 4, 4))
+  }
+
+  test("synthesizeCurve: non-step2 posts are skipped and the tail " +
+    "holds the last amplitude") {
+    // xs [0, 8, 4], multiplier 2; post 2 (x=4) NOT step2-flagged →
+    // one segment (0,2·1)→(8,2·5), then flat to n=12
+    val f = Vorbis.Floor1(Array(0), Array(1), Array(0), Array(-1),
+      Array(Array(0)), 2, Array(0, 8, 4))
+    val fy = Array(1, 5, 9)
+    val curve = Vorbis.synthesizeCurve(f, fy,
+      Array(true, true, false), 12)
+    // segment: y = 2 + floor(8x/8) = 2 + x for x in [0,8)
+    assert(curve.slice(0, 8).toSeq == (0 until 8).map(2 + _))
+    assert(curve.slice(8, 12).toSeq == Seq(10, 10, 10, 10))
+    // with the mid post flagged, the curve bends through (4, 18)
+    val bent = Vorbis.synthesizeCurve(f, fy,
+      Array(true, true, true), 12)
+    assert(bent(4) == 18 && bent(0) == 2 && bent(8) == 10)
+  }
+
   test("floor1 masterbook path: subclass bits select per-dimension " +
     "books, -1 slots yield zero posts") {
     val r0 = new Vorbis.BitReaderLsb(handBook, 0, handBook.length)
