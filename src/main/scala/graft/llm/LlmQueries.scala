@@ -141,6 +141,7 @@ object LlmQueries {
     "llm_mix_temperature" -> mixTemperature,
     "llm_inflate" -> inflateRoundtrip,
     "llm_zstd_fse" -> zstdFseRoundtrip,
+    "llm_zstd_real" -> zstdRealRoundtrip,
     "llm_langid_train" -> langIdTrain,
     "llm_langid_score" -> langIdScore,
     "llm_html_blocks" -> htmlBlocks,
@@ -5769,22 +5770,43 @@ object LlmQueries {
     * against frames produced by the engine's own greedy-LZ encoder,
     * alternating per document between the RFC's PREDEFINED
     * distributions and explicitly-transmitted per-block tables — so
-    * both table sources cross the gate. There is no independent
-    * zstd encoder in this container (DEFLATE had the JDK), so the
-    * decoder is additionally pinned on hand-assembled byte streams
-    * and the spread algorithm on a hand-computed example
-    * (ZstdFseSpec) — the documented honesty anchors. The oracle
-    * knows nothing about zstd: byte length + md5 of the ORIGINAL
-    * text, so any table, bitstream or sequence slip lands as a
-    * digest mismatch. Map-side construct → decode → project; no
-    * shuffle — the 100 TB recompression-pass shape. Remaining
-    * declared boundary: Huffman-coded literals (Zstd/ZstdFse
-    * scaladoc). */
+    * both table sources cross the gate through the engine's own
+    * encoder. The decoder is independently pinned by
+    * [[zstdRealRoundtrip]] (zstd-jni streams, levels 1–19),
+    * hand-assembled byte streams and the hand-computed spread
+    * example (ZstdFseSpec). The oracle knows nothing about zstd:
+    * byte length + md5 of the ORIGINAL text, so any table,
+    * bitstream or sequence slip lands as a digest mismatch.
+    * Map-side construct → decode → project; no shuffle — the
+    * 100 TB recompression-pass shape. */
   def zstdFseRoundtrip(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
       .withColumn("z", graft.functions.ZstdFseCompress(col("raw"),
         expr("CAST(doc_id % 2 AS INT)")))
+      .withColumn("u", graft.functions.ZstdFseDecompress(col("z")))
+      .select(col("doc_id"),
+        length(col("u")).cast("bigint").as("n_bytes"),
+        md5(col("u")).as("digest"))
+
+  /** REAL-zstd decode (`llm_zstd_real`) — the independent-codec pin
+    * for the whole from-scratch Zstandard walk: every document
+    * compressed by zstd-jni (the reference implementation, level
+    * cycling 1–19 per doc so raw/RLE/HUFFMAN literals — single- and
+    * four-stream — predefined and explicitly-transmitted FSE
+    * tables, treeless and Repeat modes, and repeat offsets all
+    * cross the gate) and decoded back by the engine's own RFC 8878
+    * implementation ([[graft.llm.Zstd.walk]] +
+    * [[graft.llm.ZstdFse]]). The exact `llm_inflate`/JDK
+    * discipline: two independent implementations, and the oracle
+    * knows nothing about zstd — original byte length + md5, so any
+    * table, bitstream, Huffman or sequence slip lands as a digest
+    * mismatch. Map-side; no shuffle. */
+  def zstdRealRoundtrip(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .withColumn("z", graft.functions.ZstdJniCompress(col("raw"),
+        expr("CAST(1 + doc_id % 19 AS INT)")))
       .withColumn("u", graft.functions.ZstdFseDecompress(col("z")))
       .select(col("doc_id"),
         length(col("u")).cast("bigint").as("n_bytes"),
@@ -10294,6 +10316,14 @@ object LlmQueries {
     // length + digest, so the whole FSE layer must reproduce the
     // input bit-for-bit
     "llm_zstd_fse" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    // same oracle shape for the REAL-codec pin: the reference
+    // implementation compresses, the from-scratch walk must invert
+    "llm_zstd_real" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

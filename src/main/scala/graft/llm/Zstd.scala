@@ -10,14 +10,16 @@ import org.apache.spark.sql.catalyst.InternalRow
   * exponent/mantissa size arithmetic, the 3-byte little-endian
   * block headers, and REAL DECODE of every block class — Raw
   * (stored), RLE (one byte × regenerated size), and Compressed
-  * (the FSE entropy layer, [[ZstdFse]]: table construction,
-  * backward bitstream, sequence execution with repeat offsets) —
-  * with the declared frame content size enforced against what the
-  * blocks actually regenerate. The remaining fail-closed boundary
-  * is HUFFMAN-CODED LITERALS inside compressed blocks (§4.2) —
-  * see the [[ZstdFse]] scaladoc. Fixtures are built by
-  * [[ZstdFixture]]-style closed-form derivations in the query; the
-  * frame grammar shapes only bytes the walk must cross. */
+  * (the full entropy layer, [[ZstdFse]]: FSE table construction,
+  * Huffman literals, backward bitstreams, sequence execution with
+  * repeat offsets) — with the declared frame content size enforced
+  * against what the blocks actually regenerate and the content
+  * checksum (from-scratch XXH64) verified when present. The walk
+  * inverts REAL Zstandard output (`llm_zstd_real` pins it against
+  * zstd-jni at levels 1–19; see [[ZstdFse]]). Fixtures for the
+  * frame-census query are [[ZstdFixture]]-style closed-form
+  * derivations; the frame grammar shapes only bytes the walk must
+  * cross. */
 object Zstd {
 
   private def u32le(b: Array[Byte], i: Int): Long =
@@ -38,11 +40,10 @@ object Zstd {
     walk(b).map { case (f, s, l, cs, w, _) => (f, s, l, cs, w) }
 
   /** [[parse]] plus the decoded bytes themselves — the roundtrip
-    * decompressor's entry. Raw and RLE blocks decode here; FSE
+    * decompressor's entry. Raw and RLE blocks decode here;
     * Compressed blocks route through [[ZstdFse.decodeBlock]]
-    * (repeat offsets and Repeat-mode tables thread per frame);
-    * Huffman-coded LITERALS remain the declared fail-closed
-    * boundary (ZstdFse scaladoc). */
+    * (FSE sequences + Huffman literals; repeat offsets, Repeat-mode
+    * tables and the Treeless Huffman table thread per frame). */
   def walk(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Array[Byte])] = {
     if (b == null || b.length < 4) return None
     var i = 0
@@ -121,6 +122,13 @@ object Zstd {
         }
         val regen = (out.len - out.frameStart).toLong
         if (declared >= 0 && declared != regen) return None
+        if ((fhd & 0x04) != 0) { // content checksum: XXH64 low 32, LE
+          if (i + 4 > b.length) return None
+          val stored = u32le(b, i)
+          i += 4
+          if ((out.xxh64From(out.frameStart) & 0xffffffffL) != stored)
+            return None
+        }
         contentLen += regen
         frames += 1
       } else return None

@@ -29,23 +29,31 @@ import scala.collection.mutable
   *    (§3.1.1.5: init (1,4,8) per frame, the litLength==0 index
   *    shift, Repeat_Offset_1 − 1, move-to-front updates) and
   *    overlapping byte-by-byte match copies;
-  *  - literals sections Raw and RLE (all size formats), sequence
-  *    table modes Predefined / RLE / FSE_Compressed / Repeat
-  *    (tables persist across blocks within a frame, like the
-  *    repeat offsets).
+  *  - literals sections in ALL FOUR classes — Raw, RLE (all size
+  *    formats), Compressed (HUFFMAN-coded, §4.2: tree descriptions
+  *    in both the direct 4-bit-weights and FSE-compressed-weights
+  *    forms through the 2-state interleave, the implied last
+  *    weight, canonical weight-ascending table fill, single- and
+  *    four-stream payloads with the jump table) and Treeless
+  *    (previous block's table);
+  *  - sequence table modes Predefined / RLE / FSE_Compressed /
+  *    Repeat (tables and the Huffman table persist across blocks
+  *    within a frame, like the repeat offsets);
+  *  - the frame content checksum (from-scratch [[Xxh64]], low 32
+  *    bits verified, not skipped).
   *
-  * The declared boundary that remains: HUFFMAN-coded literals
-  * (Compressed/Treeless literals blocks, §4.2) fail closed — the
-  * last entropy layer not yet walked, narrowed from "any compressed
-  * block" by this object.
-  *
-  * Fixture honesty: there is no independent zstd encoder in this
-  * container (unlike DEFLATE's JDK Deflater), so the roundtrip
-  * query's streams come from [[compress]] — a real greedy-LZ
-  * encoder over the SAME spec tables. The decode side is therefore
-  * additionally pinned on HAND-ASSEMBLED streams (ZstdFseSpec: a
-  * byte-by-byte RLE-literals + RLE-tables block, repeat-offset
-  * walks) so the pair cannot be a private dialect's inverse. */
+  * No entropy layer remains undecoded: the walk inverts REAL
+  * Zstandard output. The independent-implementation pin is
+  * `llm_zstd_real` — zstd-jni (the reference implementation Spark
+  * ships for parquet) compresses at levels 1–19 and this walk must
+  * invert it, the `llm_inflate`/JDK-Deflater discipline — plus the
+  * checksummed zstd-CLI frames and HAND-ASSEMBLED streams in
+  * ZstdFseSpec (byte-by-byte RLE-literals + RLE-tables blocks,
+  * repeat-offset walks), so the engine-side [[compress]] encoder
+  * pair cannot be a private dialect's inverse. Out of scope by
+  * DESIGN, not by gap: dictionary-dependent frames (a dict-needing
+  * match reaches past the frame start and fails closed) and the
+  * pre-v0.8 legacy formats. */
 object ZstdFse {
 
   // ----------------------------------------------------------------
@@ -203,6 +211,24 @@ object ZstdFse {
       while (k < n) { v |= bit(bitPos + k) << k; k += 1 }
       v
     }
+    def remaining: Int = if (ok) bitPos else 0
+    /** The next n bits WITHOUT consuming, first-read bit as the MSB;
+      * positions past the stream start pad with zero (the Huffman
+      * tail: the last codes may be shorter than tableLog). */
+    def peekPad(n: Int): Int = {
+      if (!ok) return 0
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val i = bitPos - n + k
+        if (i >= 0) v |= bit(i) << k
+        k += 1
+      }
+      v
+    }
+    def consume(n: Int): Unit = {
+      if (bitPos < n) ok = false else bitPos -= n
+    }
     def exhausted: Boolean = ok && bitPos == 0
   }
 
@@ -342,11 +368,177 @@ object ZstdFse {
   }
 
   // ----------------------------------------------------------------
+  // Huffman-coded literals (§4.2): tree description (direct 4-bit
+  // weights or FSE-compressed through the 2-state interleave),
+  // canonical table fill (weight-ascending regions, symbol order
+  // within a weight), single- and four-stream payloads, treeless
+  // reuse across blocks of a frame.
+  // ----------------------------------------------------------------
+
+  /** Huffman decode table: 2^tableLog entries of (symbol, nbBits). */
+  final class HufTable(val symbol: Array[Int], val nbBits: Array[Int],
+      val tableLog: Int)
+
+  /** Build the canonical table from PRESENT weights (symbol →
+    * weight, 0 = absent, the implied last already resolved): total
+    * 2^(w−1) mass must be an exact power of two ≤ 2^11. */
+  def buildHuf(weights: Array[Int]): Option[HufTable] = {
+    var total = 0L
+    var maxW = 0
+    var s = 0
+    while (s < weights.length) {
+      val w = weights(s)
+      if (w < 0 || w > 11) return None
+      if (w > 0) { total += 1L << (w - 1); if (w > maxW) maxW = w }
+      s += 1
+    }
+    if (total == 0 || (total & (total - 1)) != 0) return None
+    val tableLog = highbit(total.toInt)
+    if (tableLog > 11) return None
+    val size = 1 << tableLog
+    val sym = new Array[Int](size)
+    val nb = new Array[Int](size)
+    // regions grouped by weight ascending; symbols ascending within
+    val rankStart = new Array[Int](maxW + 2)
+    var w = 1
+    var pos = 0
+    while (w <= maxW) {
+      rankStart(w) = pos
+      s = 0
+      while (s < weights.length) {
+        if (weights(s) == w) pos += 1 << (w - 1)
+        s += 1
+      }
+      w += 1
+    }
+    if (pos != size) return None
+    s = 0
+    while (s < weights.length) {
+      val ws = weights(s)
+      if (ws > 0) {
+        val run = 1 << (ws - 1)
+        var k = 0
+        while (k < run) {
+          sym(rankStart(ws) + k) = s
+          nb(rankStart(ws) + k) = tableLog + 1 - ws
+          k += 1
+        }
+        rankStart(ws) += run
+      }
+      s += 1
+    }
+    Some(new HufTable(sym, nb, tableLog))
+  }
+
+  /** 2-state interleaved FSE decode (§4.1.2, the Huffman-weights
+    * layout): alternate states until the bitstream exhausts, then
+    * each state flushes one final symbol. */
+  private def fse2Decode(bits: BackBits, t: Table,
+      maxOut: Int): Option[Array[Int]] = {
+    var s1 = bits.read(t.accuracyLog)
+    var s2 = bits.read(t.accuracyLog)
+    if (!bits.ok) return None
+    val out = mutable.ArrayBuffer.empty[Int]
+    var done = false
+    while (!done) {
+      if (out.length > maxOut) return None
+      out += t.symbol(s1)
+      if (bits.remaining < t.nbBits(s1)) { out += t.symbol(s2); done = true }
+      else {
+        s1 = t.base(s1) + bits.read(t.nbBits(s1))
+        if (out.length > maxOut || s1 >= t.size) return None
+        out += t.symbol(s2)
+        if (bits.remaining < t.nbBits(s2)) { out += t.symbol(s1); done = true }
+        else {
+          s2 = t.base(s2) + bits.read(t.nbBits(s2))
+          if (s2 >= t.size) return None
+        }
+      }
+    }
+    if (out.length > maxOut) None else Some(out.toArray)
+  }
+
+  /** Parse a Huffman tree description at `off`: returns the table
+    * and the bytes consumed. Direct (headerByte ≥ 128: 4-bit
+    * weights, high nibble first) or FSE-compressed (headerByte =
+    * the compressed span; NCount description + 2-state weight
+    * bitstream). The LAST present symbol's weight is implied from
+    * the power-of-two remainder. */
+  def readHufDesc(b: Array[Byte], off: Int, end: Int)
+      : Option[(HufTable, Int)] = {
+    if (off >= end) return None
+    val hb = b(off) & 0xff
+    var listed: Array[Int] = null
+    var consumed = 0
+    if (hb >= 128) {
+      val n = hb - 127
+      val bytes = (n + 1) / 2
+      if (off + 1 + bytes > end) return None
+      listed = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val byte = b(off + 1 + i / 2) & 0xff
+        listed(i) = if (i % 2 == 0) byte >> 4 else byte & 0xf
+        i += 1
+      }
+      consumed = 1 + bytes
+    } else {
+      if (hb == 0 || off + 1 + hb > end) return None
+      val (norm, al, used) =
+        readNCount(b, off + 1, off + 1 + hb, 255).getOrElse(return None)
+      if (al > 6) return None // §4.2.1.1: weights accuracy ≤ 6
+      val t = buildTable(norm, al).getOrElse(return None)
+      val bits = new BackBits(b, off + 1 + used, off + 1 + hb)
+      listed = fse2Decode(bits, t, 255).getOrElse(return None)
+      consumed = 1 + hb
+    }
+    // resolve the implied last weight
+    var total = 0L
+    var i = 0
+    while (i < listed.length) {
+      val w = listed(i)
+      if (w > 11) return None
+      if (w > 0) total += 1L << (w - 1)
+      i += 1
+    }
+    if (total == 0) return None
+    val tableLog = highbit(total.toInt) + 1
+    if (tableLog > 11) return None
+    val rest = (1L << tableLog) - total
+    if (rest <= 0 || (rest & (rest - 1)) != 0) return None
+    val lastWeight = highbit(rest.toInt) + 1
+    val weights = new Array[Int](listed.length + 1)
+    System.arraycopy(listed, 0, weights, 0, listed.length)
+    weights(listed.length) = lastWeight
+    buildHuf(weights).map(t => (t, consumed))
+  }
+
+  /** Decode exactly `n` literals from one backward Huffman stream
+    * into `out(outOff …)`; the stream must exhaust exactly. */
+  private def hufDecodeStream(b: Array[Byte], off: Int, end: Int,
+      t: HufTable, n: Int, out: Array[Byte], outOff: Int): Boolean = {
+    val bits = new BackBits(b, off, end)
+    if (!bits.ok) return n == 0
+    var i = 0
+    while (i < n) {
+      val idx = bits.peekPad(t.tableLog)
+      val nb = t.nbBits(idx)
+      bits.consume(nb)
+      if (!bits.ok) return false
+      out(outOff + i) = t.symbol(idx).toByte
+      i += 1
+    }
+    bits.exhausted
+  }
+
+  // ----------------------------------------------------------------
   // Sequences section decode (§3.1.1.3) + execution (§3.1.1.5)
   // ----------------------------------------------------------------
 
-  /** Per-frame decode context: repeat offsets and (for Repeat-mode
-    * blocks) the previous block's tables persist across blocks. */
+  /** Per-frame decode context: repeat offsets, (for Repeat-mode
+    * blocks) the previous block's FSE tables, and (for Treeless
+    * literals) the previous block's Huffman table persist across
+    * the blocks of a frame. */
   final class FrameCtx {
     var rep0: Int = 1
     var rep1: Int = 4
@@ -354,6 +546,7 @@ object ZstdFse {
     var llTable: Table = null
     var ofTable: Table = null
     var mlTable: Table = null
+    var hufTable: HufTable = null
   }
 
   /** An RLE "table": one symbol, zero bits everywhere. */
@@ -405,6 +598,76 @@ object ZstdFse {
       while (k < len) { s += buf(k) & 0xff; k += 1 }
       s
     }
+    /** XXH64 (seed 0) of [start, len) — the frame content checksum
+      * (RFC 8878 §3.1.1: stored low 32 bits, little-endian). */
+    def xxh64From(start: Int): Long = Xxh64.hash(buf, start, len - start)
+  }
+
+  /** XXH64 — the public xxHash specification's 64-bit variant,
+    * from scratch (primes, 31/27/11-rotate lanes, the avalanche),
+    * used only to VERIFY frame content checksums. */
+  object Xxh64 {
+    private val P1 = 0x9e3779b185ebca87L
+    private val P2 = 0xc2b2ae3d27d4eb4fL
+    private val P3 = 0x165667b19e3779f9L
+    private val P4 = 0x85ebca77c2b2ae63L
+    private val P5 = 0x27d4eb2f165667c5L
+    private def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    private def u64(b: Array[Byte], i: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < 8) { v |= (b(i + k) & 0xffL) << (8 * k); k += 1 }
+      v
+    }
+    private def u32l(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def round(acc: Long, in: Long): Long =
+      rotl(acc + in * P2, 31) * P1
+    private def mergeRound(acc: Long, v: Long): Long =
+      (acc ^ round(0L, v)) * P1 + P4
+    def hash(b: Array[Byte], off: Int, len: Int): Long = {
+      var i = off
+      val end = off + len
+      var h =
+        if (len >= 32) {
+          var v1 = P1 + P2
+          var v2 = P2
+          var v3 = 0L
+          var v4 = -P1
+          while (i + 32 <= end) {
+            v1 = round(v1, u64(b, i))
+            v2 = round(v2, u64(b, i + 8))
+            v3 = round(v3, u64(b, i + 16))
+            v4 = round(v4, u64(b, i + 24))
+            i += 32
+          }
+          var acc = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) +
+            rotl(v4, 18)
+          acc = mergeRound(acc, v1)
+          acc = mergeRound(acc, v2)
+          acc = mergeRound(acc, v3)
+          mergeRound(acc, v4)
+        } else P5
+      h += len
+      while (i + 8 <= end) {
+        h = rotl(h ^ round(0L, u64(b, i)), 27) * P1 + P4
+        i += 8
+      }
+      if (i + 4 <= end) {
+        h = rotl(h ^ (u32l(b, i) * P1), 23) * P2 + P3
+        i += 4
+      }
+      while (i < end) {
+        h = rotl(h ^ ((b(i) & 0xffL) * P5), 11) * P1
+        i += 1
+      }
+      h ^= h >>> 33
+      h *= P2
+      h ^= h >>> 29
+      h *= P3
+      h ^ (h >>> 32)
+    }
   }
 
   /** Decode ONE compressed block (`b[off, off+len)`) into `out`,
@@ -414,38 +677,101 @@ object ZstdFse {
       ctx: FrameCtx): Boolean = {
     val end = off + len
     if (len < 2 || end > b.length) return false
-    // --- literals section (§3.1.1.1): Raw and RLE only; Huffman
-    // (Compressed=2 / Treeless=3) is the declared fail-closed
-    // boundary ---
+    // --- literals section (§3.1.1.1): all four classes — Raw, RLE,
+    // Compressed (Huffman, §4.2) and Treeless (previous block's
+    // Huffman table) ---
     val h0 = b(off) & 0xff
     val litType = h0 & 3
-    if (litType >= 2) return false // Huffman literals: out of scope
     val sizeFormat = (h0 >> 2) & 3
     var p = off
     var litLen = 0
-    sizeFormat match {
-      case 0 | 2 =>
-        litLen = h0 >> 3
+    var lits: Array[Byte] = null
+    if (litType <= 1) {
+      sizeFormat match {
+        case 0 | 2 =>
+          litLen = h0 >> 3
+          p += 1
+        case 1 =>
+          if (off + 2 > end) return false
+          litLen = (h0 >> 4) | ((b(off + 1) & 0xff) << 4)
+          p += 2
+        case _ =>
+          if (off + 3 > end) return false
+          litLen = (h0 >> 4) | ((b(off + 1) & 0xff) << 4) |
+            ((b(off + 2) & 0xff) << 12)
+          p += 3
+      }
+      lits = new Array[Byte](litLen)
+      if (litType == 0) { // Raw
+        if (p + litLen > end) return false
+        System.arraycopy(b, p, lits, 0, litLen)
+        p += litLen
+      } else { // RLE
+        if (p >= end) return false
+        java.util.Arrays.fill(lits, b(p))
         p += 1
-      case 1 =>
-        if (off + 2 > end) return false
-        litLen = (h0 >> 4) | ((b(off + 1) & 0xff) << 4)
-        p += 2
-      case _ =>
-        if (off + 3 > end) return false
-        litLen = (h0 >> 4) | ((b(off + 1) & 0xff) << 4) |
-          ((b(off + 2) & 0xff) << 12)
-        p += 3
-    }
-    val lits = new Array[Byte](litLen)
-    if (litType == 0) { // Raw
-      if (p + litLen > end) return false
-      System.arraycopy(b, p, lits, 0, litLen)
-      p += litLen
-    } else { // RLE
-      if (p >= end) return false
-      java.util.Arrays.fill(lits, b(p))
-      p += 1
+      }
+    } else {
+      // Compressed / Treeless: (regen, compressed) sizes by format
+      var comp = 0
+      var fourStreams = true
+      sizeFormat match {
+        case 0 | 1 => // 3-byte header, 10+10 bits; format 0 = 1 stream
+          if (off + 3 > end) return false
+          fourStreams = sizeFormat == 1
+          litLen = (h0 >> 4) | ((b(off + 1) & 0x3f) << 4)
+          comp = ((b(off + 1) & 0xff) >> 6) | ((b(off + 2) & 0xff) << 2)
+          p += 3
+        case 2 => // 4-byte header, 14+14 bits
+          if (off + 4 > end) return false
+          litLen = (h0 >> 4) | ((b(off + 1) & 0xff) << 4) |
+            ((b(off + 2) & 0x03) << 12)
+          comp = ((b(off + 2) & 0xff) >> 2) | ((b(off + 3) & 0xff) << 6)
+          p += 4
+        case _ => // 5-byte header, 18+18 bits
+          if (off + 5 > end) return false
+          litLen = (h0 >> 4) | ((b(off + 1) & 0xff) << 4) |
+            ((b(off + 2) & 0x3f) << 12)
+          comp = ((b(off + 2) & 0xff) >> 6) | ((b(off + 3) & 0xff) << 2) |
+            ((b(off + 4) & 0xff) << 10)
+          p += 5
+      }
+      if (p + comp > end) return false
+      val compEnd = p + comp
+      val huf =
+        if (litType == 2) {
+          val (t, used) = readHufDesc(b, p, compEnd).getOrElse(return false)
+          p += used
+          ctx.hufTable = t
+          t
+        } else Option(ctx.hufTable).getOrElse(return false)
+      lits = new Array[Byte](litLen)
+      if (!fourStreams) {
+        if (!hufDecodeStream(b, p, compEnd, huf, litLen, lits, 0))
+          return false
+      } else {
+        // §3.1.1.1.6: 6-byte jump table (u16 LE sizes of streams
+        // 1–3), stream 4 = the rest; streams 1–3 each regenerate
+        // ceil(litLen/4), stream 4 the remainder
+        if (p + 6 > compEnd) return false
+        def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        val s1 = u16(p); val s2 = u16(p + 2); val s3 = u16(p + 4)
+        p += 6
+        val n1 = (litLen + 3) / 4
+        val n4 = litLen - 3 * n1
+        if (n4 < 0) return false
+        val o1 = p
+        val o2 = o1 + s1
+        val o3 = o2 + s2
+        val o4 = o3 + s3
+        if (o4 > compEnd) return false
+        if (!hufDecodeStream(b, o1, o2, huf, n1, lits, 0)) return false
+        if (!hufDecodeStream(b, o2, o3, huf, n1, lits, n1)) return false
+        if (!hufDecodeStream(b, o3, o4, huf, n1, lits, 2 * n1)) return false
+        if (!hufDecodeStream(b, o4, compEnd, huf, n4, lits, 3 * n1))
+          return false
+      }
+      p = compEnd
     }
     // --- sequences section header (§3.1.1.3.1) ---
     if (p >= end) return false

@@ -157,9 +157,10 @@ class ZstdFseSpec extends AnyFunSuite {
     assert(new String(got, "US-ASCII") == "abcdabc")
   }
 
-  test("hand-assembled fail-closed: Huffman literals, reserved mode " +
-    "bits, content-size mismatch, truncated bitstream") {
-    // Huffman (Compressed=2) literals type
+  test("hand-assembled fail-closed: truncated Huffman description, " +
+    "reserved mode bits, content-size mismatch, truncated bitstream") {
+    // Compressed-literals header whose Huffman description is
+    // missing entirely (compressed size 0)
     val huff = Array[Byte](0x02, 0x00, 0x00)
     assert(ZstdFse.decompress(
       frame(0, blockHdr(huff.length, 2, last = true), huff)).isEmpty)
@@ -242,5 +243,86 @@ class ZstdFseSpec extends AnyFunSuite {
     val (frames, skip, len, sum, _) = Zstd.parse(z).get
     assert(frames == 1 && skip == 0 && len == raw.length)
     assert(sum == raw.map(_ & 0xff).map(_.toLong).sum)
+  }
+
+  // ---------------------------------------------------------------
+  // the independent-implementation pins: real zstd output
+  // ---------------------------------------------------------------
+
+  test("REAL zstd-jni output decodes bit-exactly across levels 1-19 " +
+    "and input shapes (Huffman literals, 4 streams, treeless, " +
+    "repeat modes all cross here)") {
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog " * 50,
+      "a" * 800,
+      "unique text with many different words and no big repeats 0123",
+      (0 until 2000).map(i => s"line $i of the synthetic corpus\n")
+        .mkString,
+      "short", "", "ab",
+      "über schöne muurschilderingen in de oude kerk " * 120)
+    for (lvl <- Seq(1, 3, 6, 9, 15, 19); s <- samples) {
+      val raw = s.getBytes("UTF-8")
+      val z = com.github.luben.zstd.Zstd.compress(raw, lvl)
+      val got = ZstdFse.decompress(z)
+      assert(got.exists(g => java.util.Arrays.equals(g, raw)),
+        s"level $lvl failed for ${s.take(30)}… (zLen=${z.length})")
+    }
+  }
+
+  test("the zstd CLI's checksummed frames verify through the " +
+    "from-scratch XXH64; a flipped checksum byte rejects") {
+    val cli = new java.io.File("/root/miniconda/bin/zstd")
+    assume(cli.canExecute, "zstd CLI not present on this machine")
+    val f = java.io.File.createTempFile("graft-zstd", ".txt")
+    val payload = ("cli parity data " * 500).getBytes("UTF-8")
+    val fw = new java.io.FileOutputStream(f)
+    fw.write(payload); fw.close()
+    val zf = new java.io.File(f.getAbsolutePath + ".zst")
+    val p = new ProcessBuilder(cli.getAbsolutePath, "-q", "-f", "-19",
+      f.getAbsolutePath, "-o", zf.getAbsolutePath).start()
+    assert(p.waitFor() == 0)
+    val zb = java.nio.file.Files.readAllBytes(zf.toPath)
+    val got = ZstdFse.decompress(zb)
+    assert(got.exists(g => java.util.Arrays.equals(g, payload)))
+    // the CLI sets the checksum flag by default — flip a trailer
+    // byte: the XXH64 verify must reject the frame
+    assert((zb(4) & 0x04) != 0, "expected a checksummed frame")
+    val bad = zb.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+    assert(ZstdFse.decompress(bad).isEmpty, "bad checksum must reject")
+    f.delete(); zf.delete()
+  }
+
+  test("XXH64 hand pins: empty, short, exact-lane, multi-lane " +
+    "inputs match the published vectors") {
+    // reference values from the public xxHash spec test vectors
+    // (seed 0): XXH64("") and friends, cross-checked against the
+    // zstd-jni build in this container
+    def h(s: String): Long =
+      ZstdFse.Xxh64.hash(s.getBytes("US-ASCII"), 0, s.length)
+    assert(h("") == 0xef46db3751d8e999L)
+    // independent cross-check against the reference implementation
+    for (s <- Seq("", "a", "abcd", "0123456789abcdef",
+        "x" * 31, "y" * 32, "z" * 100, "the quick brown fox " * 9)) {
+      val b = s.getBytes("US-ASCII")
+      assert(ZstdFse.Xxh64.hash(b, 0, b.length) ==
+        net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+          .hash64().hash(b, 0, b.length, 0L),
+        s"xxh64 mismatch for len ${b.length}")
+    }
+  }
+
+  test("Huffman table build hand pin: weights fill canonical " +
+    "weight-ascending regions; description roundtrip via direct " +
+    "4-bit weights") {
+    // weights: sym0 w=2, sym1 w=1, sym2 w=2 (total 2+1+2... mass
+    // 2+1+2 = 5? use exact power) → sym0 w2(2), sym1 w1(1), sym2
+    // w1(1) → mass 4, tableLog 2
+    val t = ZstdFse.buildHuf(Array(2, 1, 1)).get
+    assert(t.tableLog == 2)
+    // weight-1 symbols first (longest codes), symbol order: sym1
+    // then sym2 at one slot each, then sym0's two slots
+    assert(t.symbol.toSeq == Seq(1, 2, 0, 0))
+    assert(t.nbBits.toSeq == Seq(2, 2, 1, 1))
   }
 }
