@@ -192,6 +192,74 @@ object SparqlSelect {
     * relation joins as-is, no implicit distinct). */
   final case class ValuesClause(v: String, vals: Seq[String])
 
+  /** One §13 SERVICE clause: a constant endpoint, the SILENT flag,
+    * and the remote basic graph pattern (plain triple patterns —
+    * the subset this engine serializes back to query text). */
+  final case class ServiceClause(endpoint: String, silent: Boolean,
+      patterns: Seq[Pattern])
+
+  /** Federated-endpoint seam (§13.3): given (endpoint IRI, SPARQL
+    * query text) return the remote solution rows as var → lexical
+    * value maps — None on any failure (SILENT then degrades the
+    * clause to the unit solution; otherwise the query errors). The
+    * default is [[HttpServiceClient]]; specs inject loopback
+    * fetchers (the OmekaHttp discipline). */
+  trait ServiceClient {
+    def fetch(endpoint: String, query: String)
+        : Option[Seq[Map[String, String]]]
+  }
+
+  /** The default client: HTTP GET `endpoint?query=…` with the
+    * SPARQL JSON results media type, bindings flattened to their
+    * lexical `value` fields (the engine's solution columns are
+    * lexical — the documented SERVICE delta: remote term KINDS are
+    * not re-distinguished after the join). */
+  object HttpServiceClient extends ServiceClient {
+    override def fetch(endpoint: String, query: String)
+        : Option[Seq[Map[String, String]]] =
+      try {
+        val sep = if (endpoint.contains("?")) "&" else "?"
+        val url = java.net.URI.create(endpoint + sep + "query=" +
+          java.net.URLEncoder.encode(query, "UTF-8")).toURL
+        val conn = url.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Accept",
+          "application/sparql-results+json")
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        if (conn.getResponseCode != 200) None
+        else parseSparqlResults(new String(
+          conn.getInputStream.readAllBytes(), "UTF-8"))
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** Parse a SPARQL 1.1 JSON results document into var → value
+    * rows; None on any malformation (fail-closed — a half-parsed
+    * result set must not silently join as partial bindings). */
+  def parseSparqlResults(json: String): Option[Seq[Map[String, String]]] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(json)
+      val bindings = root.path("results").path("bindings")
+      if (!bindings.isArray) return None
+      val out = Seq.newBuilder[Map[String, String]]
+      val it = bindings.elements()
+      while (it.hasNext) {
+        val b = it.next()
+        if (!b.isObject) return None
+        var m = Map.empty[String, String]
+        val fs = b.fields()
+        while (fs.hasNext) {
+          val e = fs.next()
+          val v = e.getValue.path("value")
+          if (!v.isTextual) return None
+          m += (e.getKey -> v.asText)
+        }
+        out += m
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+
   /** One BIND expression — the string-function subset the hand-built
     * [[RdfQueries]] bindStrFuns shape runs. All compile to codegen'd
     * scalar projections (zero exchanges added). */
@@ -309,7 +377,8 @@ object SparqlSelect {
       values: Seq[ValuesClause] = Nil, binds: Seq[Bind] = Nil,
       subs: Seq[Query] = Nil, minuses: Seq[Seq[Pattern]] = Nil,
       optFilters: Seq[Seq[FilterExpr]] = Nil,
-      exists: Seq[(Boolean, Seq[Pattern])] = Nil) {
+      exists: Seq[(Boolean, Seq[Pattern])] = Nil,
+      services: Seq[ServiceClause] = Nil) {
     /** Per-optional filter lists, padded — `optFilters` may be
       * shorter when no OPTIONAL carried a FILTER. */
     def optFiltersPadded: Seq[Seq[FilterExpr]] =
@@ -356,6 +425,13 @@ object SparqlSelect {
   def apply(triples: DataFrame, queryText: String,
       closureOf: ClosureProvider): DataFrame =
     compile(triples, parse(queryText), closureOf)
+
+  /** [[apply]] with an injected federated-endpoint client — how
+    * tests evaluate SERVICE against loopback endpoints, and how a
+    * deployment swaps auth/retry policy in. */
+  def apply(triples: DataFrame, queryText: String,
+      serviceClient: ServiceClient): DataFrame =
+    compile(triples, parse(queryText), NoClosure, serviceClient)
 
   // ---- the other three SPARQL query FORMS ----
 
@@ -1168,6 +1244,7 @@ object SparqlSelect {
       val mins = Seq.newBuilder[Seq[Pattern]]
       val ofils = Seq.newBuilder[Seq[FilterExpr]]
       val exis = Seq.newBuilder[(Boolean, Seq[Pattern])]
+      val svcs = Seq.newBuilder[ServiceClause]
       while (peek != "}") {
         if (kw("OPTIONAL")) {
           next(); expect("{")
@@ -1222,15 +1299,34 @@ object SparqlSelect {
             expect(")")
           }
         } else if (kw("SERVICE")) {
-          // §13.3 federated query — the one §18 production a real
-          // rdflib query string could still carry that this engine
-          // does not evaluate (it would need a remote SPARQL
-          // endpoint at plan time). Named loudly so the user sees
-          // WHAT bounced, not an unexpected-token error.
-          throw new IllegalArgumentException(
-            "SPARQL: the SERVICE clause (federated query, §13.3) " +
-              "is not supported by this engine — evaluate the " +
-              "remote pattern out of band and join via VALUES")
+          // §13.3 federated query: a constant endpoint plus a basic
+          // graph pattern this engine serializes back to a
+          // `SELECT *` and evaluates through the ServiceClient seam
+          // at compile time; results join on shared variables
+          next()
+          val silent = kw("SILENT")
+          if (silent) next()
+          val ep = term() match {
+            case I(iri) => iri
+            case _ => throw new IllegalArgumentException(
+              "SPARQL: SERVICE needs a constant endpoint IRI " +
+                "(variable endpoints are not supported)")
+          }
+          expect("{")
+          val ps = Seq.newBuilder[Pattern]
+          while (peek != "}") ps ++= triples()
+          expect("}")
+          val block = ps.result()
+          require(block.nonEmpty, "SPARQL: empty SERVICE block")
+          block.foreach { p =>
+            require(!p.closed && p.preds.size == 1 &&
+              p.predVar.isEmpty && p.graphCtx.isEmpty &&
+              !p.negated && p.seqPath.isEmpty,
+              "SPARQL: SERVICE blocks support plain triple " +
+                "patterns only (no paths/GRAPH) — the subset the " +
+                "engine can serialize back to the remote query")
+          }
+          svcs += ServiceClause(ep, silent, block)
         } else if (kw("VALUES")) {
           next()
           vals += valuesClause()
@@ -1247,9 +1343,9 @@ object SparqlSelect {
       }
       val g = Group(req.result(), opts.result(), fils.result(),
         vals.result(), bnds.result(), subs.result(), mins.result(),
-        ofils.result(), exis.result())
-      require(g.required.nonEmpty || g.subs.nonEmpty,
-        "SPARQL: empty WHERE group")
+        ofils.result(), exis.result(), svcs.result())
+      require(g.required.nonEmpty || g.subs.nonEmpty ||
+        g.services.nonEmpty, "SPARQL: empty WHERE group")
       g
     }
 
@@ -1546,11 +1642,14 @@ object SparqlSelect {
   private def isHidden(v: String): Boolean = v.startsWith("_path")
 
   def compile(t: DataFrame, q: Query,
-      closureOf: ClosureProvider = NoClosure): DataFrame = {
+      closureOf: ClosureProvider = NoClosure,
+      svc: ServiceClient = HttpServiceClient): DataFrame = {
     val allPats = q.groups.flatMap(g => g.required ++ g.optionals.flatten)
     requireGraphColumn(t, q, allPats)
     val patVars = (allPats.flatMap(varsOf) ++
-      q.groups.flatMap(_.subs.flatMap(projectedVars))).distinct
+      q.groups.flatMap(_.subs.flatMap(projectedVars)) ++
+      q.groups.flatMap(_.services.flatMap(_.patterns.flatMap(varsOf))))
+      .distinct
     // BIND targets are bound vars too: each must be fresh, and may
     // reference only pattern vars or EARLIER binds in its group
     q.groups.foreach { g =>
@@ -1665,7 +1764,7 @@ object SparqlSelect {
         "projection")
 
     val base: DataFrame =
-      if (q.groups.size > 1) compileUnion(t, q, closureOf)
+      if (q.groups.size > 1) compileUnion(t, q, closureOf, svc)
       else {
         val g = q.groups.head
         val gPats = g.required ++ g.optionals.flatten
@@ -1675,7 +1774,8 @@ object SparqlSelect {
         })
         val starShaped = !aggMode && g.values.isEmpty &&
           g.binds.isEmpty && g.subs.isEmpty && g.minuses.isEmpty &&
-          g.exists.isEmpty && g.optFilters.forall(_.isEmpty) &&
+          g.exists.isEmpty && g.services.isEmpty &&
+          g.optFilters.forall(_.isEmpty) &&
           subjVar.exists { sv =>
           gPats.forall(p => !p.closed && p.preds.size == 1 &&
             !p.negated && p.graphCtx.isEmpty &&
@@ -1688,7 +1788,7 @@ object SparqlSelect {
             (g.required.size + g.optionals.flatten.size) >= 2
         }
         if (starShaped) pivot(t, q, g, subjVar.get)
-        else joinsGroup(t, q, g, closureOf = closureOf)
+        else joinsGroup(t, q, g, closureOf = closureOf, svc = svc)
       }
 
     val agged: DataFrame =
@@ -2002,9 +2102,51 @@ object SparqlSelect {
     * the IRI-object edge scan of their predicate set, seeded from
     * every edge source (both endpoints are variables by grammar
     * restriction). */
+  /** Serialize a SERVICE block back to the query text sent to the
+    * endpoint — `SELECT *` over the plain triple patterns (the
+    * subset the parser admitted into the clause). */
+  private[rdf] def serviceQueryText(ps: Seq[Pattern]): String = {
+    def termStr(x: Term): String = x match {
+      case V(n) => s"?$n"
+      case I(iri) => s"<$iri>"
+      case L(v) => "\"" +
+        v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }
+    val body = ps.map(p =>
+      s"${termStr(p.s)} <${p.preds.head}> ${termStr(p.o)} .")
+      .mkString(" ")
+    s"SELECT * WHERE { $body }"
+  }
+
+  /** Evaluate one SERVICE clause through the client: the remote
+    * rows become an inline frame over the block's variables
+    * (missing bindings null). None = the unit solution (a SILENT
+    * failure); a non-SILENT failure errors loudly with the
+    * endpoint named. */
+  private def serviceFrame(t: DataFrame, sc: ServiceClause,
+      svc: ServiceClient): Option[DataFrame] = {
+    val vars = sc.patterns.flatMap(varsOf).distinct
+    svc.fetch(sc.endpoint, serviceQueryText(sc.patterns)) match {
+      case None if sc.silent => None
+      case None => throw new IllegalArgumentException(
+        s"SPARQL: SERVICE <${sc.endpoint}> failed (add SILENT to " +
+          "degrade a failing endpoint to the unit solution)")
+      case Some(rows) =>
+        val sp = t.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+          org.apache.spark.sql.types.StructField(v,
+            org.apache.spark.sql.types.StringType)))
+        val data = rows.map(m => org.apache.spark.sql.Row(
+          vars.map(v => m.getOrElse(v, null)): _*))
+        import scala.jdk.CollectionConverters._
+        Some(sp.createDataFrame(data.asJava, schema))
+    }
+  }
+
   private def joinsGroup(t: DataFrame, q: Query, g: Group,
       metaVars: Set[String] = Set.empty,
-      closureOf: ClosureProvider = NoClosure): DataFrame = {
+      closureOf: ClosureProvider = NoClosure,
+      svc: ServiceClient = HttpServiceClient): DataFrame = {
     val nums = numericVars(q)
     val langs = langReqs(g)
     val kinds = kindReqs(g)
@@ -2251,7 +2393,13 @@ object SparqlSelect {
     // variable — the hand-built valuesJoin order (inline data is
     // driver-small, so the broadcast join prunes the scan BEFORE the
     // big pattern joins, never after)
-    val mainDfs = g.subs.map(sq => compile(t, sq)) ++
+    // SERVICE frames evaluate at compile time through the client
+    // seam and lead the fold with the subqueries (remote result
+    // sets are delta-sized — AQE broadcasts them into the pattern
+    // joins); a SILENT failure degrades to the unit solution (the
+    // clause contributes nothing and the join fold skips it)
+    val svcDfs = g.services.flatMap(serviceFrame(t, _, svc))
+    val mainDfs = g.subs.map(sq => compile(t, sq)) ++ svcDfs ++
       mains.map(p => if (p.plus) closure(p)
         else if (p.star) closureStar(p)
         else if (p.rep.isDefined) boundedOf(p)
@@ -2403,13 +2551,15 @@ object SparqlSelect {
     * else compiles per-branch and unions with typed null padding for
     * the variables a branch leaves unbound. */
   private def compileUnion(t: DataFrame, q: Query,
-      closureOf: ClosureProvider): DataFrame = {
+      closureOf: ClosureProvider,
+      svc: ServiceClient = HttpServiceClient): DataFrame = {
     val gs = q.groups
     val nums = numericVars(q)
     val mergeable =
       gs.forall(g => g.required.size == 1 && g.filters.isEmpty &&
         g.optionals.isEmpty && g.values.isEmpty && g.binds.isEmpty &&
         g.subs.isEmpty && g.minuses.isEmpty && g.exists.isEmpty &&
+        g.services.isEmpty &&
         !g.required.head.closed && !g.required.head.negated &&
         g.required.head.predVar.isEmpty &&
         g.required.head.graphCtx.isEmpty) && {
@@ -2425,11 +2575,12 @@ object SparqlSelect {
     } else {
       val branchVars = gs.map(g =>
         ((g.required ++ g.optionals.flatten).flatMap(varsOf) ++
-          g.binds.map(_.as) ++ g.subs.flatMap(projectedVars))
+          g.binds.map(_.as) ++ g.subs.flatMap(projectedVars) ++
+          g.services.flatMap(_.patterns.flatMap(varsOf)))
           .distinct.filterNot(isHidden))
       val allVars = branchVars.flatten.distinct
       val dfs = gs.zip(branchVars).map { case (g, bv) =>
-        val b = joinsGroup(t, q, g, closureOf = closureOf)
+        val b = joinsGroup(t, q, g, closureOf = closureOf, svc = svc)
         b.select(allVars.map { v =>
           if (bv.contains(v)) col(v)
           else lit(null).cast(if (nums.contains(v)) "int" else "string").as(v)

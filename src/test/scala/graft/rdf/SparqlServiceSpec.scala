@@ -1,0 +1,170 @@
+package graft.rdf
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** §13.3 SERVICE against loopback endpoints (the OmekaHttp
+  * discipline): the serialized remote query, the JSON-results
+  * parse, the shared-variable join with local patterns, SILENT's
+  * unit-solution degradation, and the loud non-SILENT failure. */
+class SparqlServiceSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+  private def t: DataFrame = TripleFixture.triples(s, d)
+
+  private def withServer(handler: HttpExchange => (Int, String))
+      (body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql", { (ex: HttpExchange) =>
+      val (code, resp) = handler(ex)
+      val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/sparql")
+    finally server.stop(0)
+  }
+
+  private def resultsJson(rows: Seq[Map[String, String]]): String = {
+    val bindings = rows.map(m => m.map { case (k, v) =>
+      s""""$k": {"type": "literal", "value": "$v"}"""
+    }.mkString("{", ", ", "}")).mkString("[", ", ", "]")
+    s"""{"head": {"vars": []}, "results": {"bindings": $bindings}}"""
+  }
+
+  /** A subject IRI that really exists in the fixture, plus its
+    * title — the local side of the federated join. */
+  private def anyItem: (String, String) = {
+    val r = t.filter(org.apache.spark.sql.functions.col("predicate") ===
+        "http://purl.org/dc/terms/title")
+      .select("subject", "obj_value").head()
+    (r.getString(0), r.getString(1))
+  }
+
+  test("SERVICE results join local bindings on the shared variable; " +
+    "the sent query is the serialized block") {
+    val (item, title) = anyItem
+    var sent: String = null
+    var accept: String = null
+    withServer { ex =>
+      accept = ex.getRequestHeaders.getFirst("Accept")
+      sent = java.net.URLDecoder.decode(
+        ex.getRequestURI.getQuery.stripPrefix("query="), "UTF-8")
+      (200, resultsJson(Seq(
+        Map("item" -> item, "stars" -> "5"),
+        Map("item" -> "http://nowhere/else", "stars" -> "1"))))
+    } { ep =>
+      val df = SparqlSelect(t,
+        s"""PREFIX dcterms: <http://purl.org/dc/terms/>
+           |SELECT ?item ?title ?stars WHERE {
+           |  ?item dcterms:title ?title .
+           |  SERVICE <$ep> { ?item <http://ex.org/stars> ?stars . }
+           |}""".stripMargin,
+        SparqlSelect.HttpServiceClient)
+      val rows = df.collect()
+      // only the remote row whose ?item exists locally survives
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == item)
+      assert(rows.head.getString(1) == title)
+      assert(rows.head.getString(2) == "5")
+      assert(accept == "application/sparql-results+json")
+      assert(sent == "SELECT * WHERE { ?item " +
+        "<http://ex.org/stars> ?stars . }")
+    }
+  }
+
+  test("SERVICE SILENT degrades a failing endpoint to the unit " +
+    "solution; without SILENT the failure is loud and names the " +
+    "endpoint") {
+    withServer(_ => (500, "boom")) { ep =>
+      val silent = SparqlSelect(t,
+        s"""PREFIX dcterms: <http://purl.org/dc/terms/>
+           |SELECT ?item ?title WHERE {
+           |  ?item dcterms:title ?title .
+           |  SERVICE SILENT <$ep> { ?item <http://ex.org/x> ?y . }
+           |}""".stripMargin,
+        SparqlSelect.HttpServiceClient)
+      // unit solution: the local pattern's rows pass through intact
+      val localOnly = SparqlSelect(t,
+        """PREFIX dcterms: <http://purl.org/dc/terms/>
+          |SELECT ?item ?title WHERE {
+          |  ?item dcterms:title ?title . }""".stripMargin)
+      assert(silent.count() == localOnly.count() && silent.count() > 0)
+      val e = intercept[IllegalArgumentException] {
+        SparqlSelect(t,
+          s"""SELECT ?x ?y WHERE {
+             |  SERVICE <$ep> { ?x <http://ex.org/p> ?y . }
+             |}""".stripMargin,
+          SparqlSelect.HttpServiceClient).collect()
+      }
+      assert(e.getMessage.contains(ep))
+    }
+  }
+
+  test("a service-only group projects the remote bindings; empty " +
+    "remote results yield an empty frame") {
+    withServer { _ =>
+      (200, resultsJson(Seq(Map("a" -> "x1", "b" -> "y1"),
+        Map("a" -> "x2", "b" -> "y2"))))
+    } { ep =>
+      val df = SparqlSelect(t,
+        s"""SELECT ?a ?b WHERE {
+           |  SERVICE <$ep> { ?a <http://ex.org/p> ?b . }
+           |}""".stripMargin,
+        SparqlSelect.HttpServiceClient)
+      assert(df.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSet == Set(("x1", "y1"), ("x2", "y2")))
+    }
+    withServer(_ => (200, resultsJson(Nil))) { ep =>
+      val df = SparqlSelect(t,
+        s"""SELECT ?a WHERE {
+           |  SERVICE <$ep> { ?a <http://ex.org/p> "v" . }
+           |}""".stripMargin,
+        SparqlSelect.HttpServiceClient)
+      assert(df.count() == 0)
+    }
+  }
+
+  test("parser guards: variable endpoints and path patterns inside " +
+    "SERVICE reject with named messages; injected clients see " +
+    "constants and literals serialized") {
+    val e1 = intercept[IllegalArgumentException] {
+      SparqlSelect.parse(
+        "SELECT ?x WHERE { SERVICE ?ep { ?x <http://p> ?y . } }")
+    }
+    assert(e1.getMessage.contains("constant endpoint"))
+    val e2 = intercept[IllegalArgumentException] {
+      SparqlSelect.parse(
+        "SELECT ?x WHERE { SERVICE <http://e> { ?x <http://p>+ ?y . } }")
+    }
+    assert(e2.getMessage.contains("plain triple patterns"))
+    // serialization: literal objects escape quotes/backslashes
+    val lit = "va\"l" + "\\" + "ue"
+    val q = SparqlSelect.serviceQueryText(Seq(SparqlSelect.Pattern(
+      SparqlSelect.V("x"), Seq("http://p"), SparqlSelect.L(lit))))
+    assert(q == "SELECT * WHERE { ?x <http://p> " +
+      "\"va\\\"l\\\\ue\" . }")
+  }
+
+  test("malformed JSON results fail closed (None), well-formed " +
+    "parse to rows") {
+    assert(SparqlSelect.parseSparqlResults("not json").isEmpty)
+    assert(SparqlSelect.parseSparqlResults("""{"results": 7}""").isEmpty)
+    assert(SparqlSelect.parseSparqlResults(
+      """{"results": {"bindings": [{"v": {"novalue": true}}]}}""").isEmpty)
+    val ok = SparqlSelect.parseSparqlResults(
+      """{"head":{"vars":["v"]},
+        |"results":{"bindings":[
+        |  {"v":{"type":"uri","value":"http://a"}},
+        |  {"v":{"type":"literal","value":"x","xml:lang":"en"}}]}}"""
+        .stripMargin)
+    assert(ok.contains(Seq(Map("v" -> "http://a"), Map("v" -> "x"))))
+  }
+}
