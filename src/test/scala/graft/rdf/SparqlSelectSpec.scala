@@ -753,15 +753,22 @@ class SparqlSelectSpec extends AnyFunSuite {
       "SELECT ?a ?b WHERE { ?a ^!(^dcterms:title) ?b . }"))
   }
 
-  test("38d: SERVICE is a DOCUMENTED rejection naming the clause; " +
-    "dataset clauses against a graph-less store name the missing " +
-    "column") {
+  test("38d: SERVICE against an unreachable endpoint fails LOUDLY " +
+    "naming the endpoint (round-15: implemented, no longer a " +
+    "rejection — SparqlServiceSpec covers the live paths); dataset " +
+    "clauses against a graph-less store name the missing column") {
     val e1 = intercept[IllegalArgumentException](SparqlSelect(t,
       """SELECT ?x WHERE {
         |  SERVICE <http://remote.example.org/sparql> {
-        |    ?x dcterms:title ?t . } }""".stripMargin))
+        |    ?x dcterms:title ?t . } }""".stripMargin,
+      // a client that always fails — the no-network analog of the
+      // default HTTP client against a dead endpoint
+      new SparqlSelect.ServiceClient {
+        override def fetch(e: String, q: String) = None
+      }))
     assert(e1.getMessage.contains("SERVICE") &&
-      e1.getMessage.contains("13.3"))
+      e1.getMessage.contains("remote.example.org") &&
+      e1.getMessage.contains("SILENT"))
     // a plain (s, p, o)-only frame: FROM must bounce with the
     // engine message, not Spark's unresolved-column error
     val noGraph = t.drop("graph")
