@@ -5369,15 +5369,17 @@ object LlmQueries {
     s.read.parquet(langIdCountsPath(s, d))
       .select(col("lang"), col("gram"), col("cnt"))
 
-  /** Held-out scoring (`llm_langid_score`): every test doc scored
-    * against all four languages from the STORED counts, argmax with
-    * lang-ascending tie-break, confusion rollup (true × predicted)
-    * with the exact integer margin sum. Scale shape: counts/totals
-    * are vocabulary-sized and broadcast; the corpus side is one
-    * doc-keyed partial aggregate (the struct-min argmax — never a
-    * per-doc window); the rollup exchange is 16 keys. */
-  def langIdScore(s: SparkSession, d: String): DataFrame = {
-    val counts = s.read.parquet(langIdCountsPath(s, d))
+  /** The NB scoring core over ANY (doc_id, [passthrough…], gram)
+    * occurrence table against a stored counts artifact: per doc the
+    * argmax language (lang-ascending tie-break) and the winning
+    * integer score. Shared by the held-out gate and the streaming
+    * classification twin — one definition of the weights, the
+    * unseen-gram floor, and the argmax. Scale shape: counts/totals
+    * are vocabulary-sized and broadcast; the corpus side is two
+    * doc-keyed partial aggregates (the struct-min argmax — never a
+    * per-doc window). */
+  private[graft] def langIdScoreOf(grams: DataFrame,
+      counts: DataFrame, passthrough: Seq[String]): DataFrame = {
     val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
     val vocab = counts.select(col("gram")).distinct()
       .agg(count(lit(1)).as("v"))
@@ -5392,22 +5394,43 @@ object LlmQueries {
       .select(col("lang").as("cand"),
         (lit(0L) - (length(expr("bin(tot + v)")) - 1).cast("bigint"))
           .as("w0"))
+    val keys = col("doc_id") +: passthrough.map(col)
+    grams.crossJoin(broadcast(floors))
+      .join(broadcast(weights), Seq("cand", "gram"), "left")
+      .select((keys :+ col("cand") :+
+        coalesce(col("w"), col("w0")).as("w")): _*)
+      .groupBy((keys :+ col("cand")): _*)
+      .agg(sum(col("w")).as("score"))
+      .groupBy(keys: _*)
+      .agg(min(struct((lit(0L) - col("score")).as("ns"),
+        col("cand"))).as("win"))
+      .select((keys :+ col("win.cand").as("pred") :+
+        (lit(0L) - col("win.ns")).as("win_score")): _*)
+  }
+
+  /** The fixture gram extraction applied to REAL text: words by the
+    * shared tokenizer, each space-padded and bigram-exploded —
+    * the streaming gate's front half. */
+  private[graft] def langIdGramsOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), tokenExpr.as("w"))
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(filter(w, x -> x != ''), t ->
+          |  transform(sequence(1, length(t) + 1), p ->
+          |    substring(concat(' ', t, ' '), p, 2))))""".stripMargin))
+        .as("gram"))
+
+  /** Held-out scoring (`llm_langid_score`): every test doc scored
+    * against all four languages from the STORED counts, argmax with
+    * lang-ascending tie-break, confusion rollup (true × predicted)
+    * with the exact integer margin sum; the rollup exchange is 16
+    * keys. */
+  def langIdScore(s: SparkSession, d: String): DataFrame = {
+    val counts = s.read.parquet(langIdCountsPath(s, d))
     val test = langIdFixture(s, d).filter(expr(langIdTestPred))
       .select(col("doc_id"), col("lang_true"),
         explode(col("grams")).as("gram"))
-    val scored = test.crossJoin(broadcast(floors))
-      .join(broadcast(weights), Seq("cand", "gram"), "left")
-      .select(col("doc_id"), col("lang_true"), col("cand"),
-        coalesce(col("w"), col("w0")).as("w"))
-      .groupBy(col("doc_id"), col("lang_true"), col("cand"))
-      .agg(sum(col("w")).as("score"))
-      .groupBy(col("doc_id"), col("lang_true"))
-      .agg(min(struct((lit(0L) - col("score")).as("ns"),
-        col("cand"))).as("win"))
-      .select(col("doc_id"), col("lang_true"),
-        col("win.cand").as("pred"),
-        (lit(0L) - col("win.ns")).as("win_score"))
-    scored.groupBy(col("lang_true"), col("pred"))
+    langIdScoreOf(test, counts, Seq("lang_true"))
+      .groupBy(col("lang_true"), col("pred"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("win_score")).as("margin_sum"))
   }

@@ -662,6 +662,41 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Streaming language-ID classification gate: arriving document
+    * shards are char-bigram-exploded by the SHARED extraction
+    * ([[LlmQueries.langIdGramsOf]]) and classified against the
+    * STORED Naive-Bayes counts artifact at `countsPath`
+    * (`llm_langid_train`'s output) through the same scoring core
+    * as the batch gate — one definition of weights, unseen-gram
+    * floor and argmax, so stream output is bit-equal to a batch
+    * classification of the same documents regardless of the
+    * micro-batch split. Appends (doc_id, pred, win_score) to
+    * `outPath`; zero streaming state (the counts artifact is the
+    * model). Retry-safe: the out table's own doc_ids are the
+    * replay guard (the [[startIncrementalDedup]] pattern). */
+  def startLangIdGate(docs: DataFrame, countsPath: String,
+      outPath: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, lit}
+        val counts = spark.read.parquet(countsPath)
+        val scored = LlmQueries.langIdScoreOf(
+          LlmQueries.langIdGramsOf(batch), counts, Nil)
+        val seen =
+          Artifacts.readParquet(spark, outPath)
+            .map(_.select(col("doc_id").as("s_id")).distinct())
+            .getOrElse(spark.emptyDataFrame
+              .withColumn("s_id", lit(0L)).limit(0))
+        scored.join(seen, col("doc_id") === col("s_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(trigger).start()
+
   /** Streaming twin of the banded SimHash near-dup
     * ([[LlmQueries.simhashNeardup]]): arriving shards are signed by
     * the IDENTICAL 64-bit lineage ([[LlmQueries.simhashSignOf]] —

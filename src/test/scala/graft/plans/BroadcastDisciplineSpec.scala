@@ -47,6 +47,20 @@ class BroadcastDisciplineSpec extends AnyFunSuite {
       s"llm_mix_temperature lost the TopKByLong heap aggregate:\n${p.take(2000)}")
   }
 
+  test("llm_ivf_incremental probes BROADCAST into the stored index " +
+    "scan and never sort-merges the corpus side") {
+    val p = executedString("llm_ivf_incremental")
+    // the delta-sized probe set must ride broadcast; a size
+    // misestimate that SMJ'd the corpus-scale assignment scan would
+    // be the scale-killer this family exists to avoid
+    assert(count(p, "SortMergeJoin") == 0,
+      s"llm_ivf_incremental sort-merged a corpus-scale side:\n${p.take(2000)}")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"llm_ivf_incremental lost its broadcast probe:\n${p.take(2000)}")
+    assert(p.contains("top_k_l"),
+      "llm_ivf_incremental must rank through the bounded heap")
+  }
+
   test("entailment broadcasts stay at the restructured bound") {
     val p = executedString("rdf_rdfs_entail")
     val bhj = count(p, "BroadcastHashJoin")
