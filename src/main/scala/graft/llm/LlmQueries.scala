@@ -142,6 +142,7 @@ object LlmQueries {
     "llm_inflate" -> inflateRoundtrip,
     "llm_zstd_fse" -> zstdFseRoundtrip,
     "llm_zstd_real" -> zstdRealRoundtrip,
+    "llm_zstd_dict" -> zstdDictRoundtrip,
     "llm_langid_train" -> langIdTrain,
     "llm_langid_score" -> langIdScore,
     "llm_html_blocks" -> htmlBlocks,
@@ -5835,6 +5836,61 @@ object LlmQueries {
         length(col("u")).cast("bigint").as("n_bytes"),
         md5(col("u")).as("digest"))
 
+  /** The trained zstd dictionary for snapshot `d` — the stored
+    * artifact a real small-document corpus compresses against
+    * (dictionaries are THE zstd deployment mode for KB-scale
+    * records: parquet pages, row groups, KV values). Trained ONCE
+    * per snapshot by zstd-jni's zdict on a deterministic bounded
+    * sample (first 128 docs by id — a driver-side read like the
+    * BPE vocabulary collects), persisted, read back by every
+    * consumer. */
+  private[llm] def zstdDictPath(s: SparkSession, d: String): String = {
+    val path = s"${storedIndexPath(d)}/zstd-dict"
+    indexBuildLock.synchronized {
+      SnapshotMemo.getOrCompute(s, s"zstd-dict:$d") {
+        val spark = s
+        import spark.implicits._
+        val samples = docs(s, d).orderBy(col("doc_id")).limit(128)
+          .select(col("text")).as[String].collect()
+          .map(_.getBytes("UTF-8"))
+        val buf = new Array[Byte](16 * 1024)
+        val n = com.github.luben.zstd.Zstd
+          .trainFromBuffer(samples, buf, false)
+        require(!com.github.luben.zstd.Zstd.isError(n),
+          s"zstd dictionary training failed: $n")
+        Seq(java.util.Arrays.copyOf(buf, n.toInt)).toDF("dict")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        s.range(1).toDF("built")
+      }
+      path
+    }
+  }
+
+  /** Dictionary-zstd decode (`llm_zstd_dict`) — the §5 layer every
+    * small-record deployment runs: a zstd-jni-TRAINED dictionary
+    * (stored artifact), every document compressed AGAINST it by the
+    * reference implementation (levels cycling 1–19), decoded back
+    * by the engine's own walk with the dictionary threaded through
+    * — entropy tables preloaded for Repeat/Treeless first blocks,
+    * repeat offsets initialized, matches reaching into the dict
+    * content, Dictionary_ID verified. The oracle stays
+    * zstd-ignorant: original byte length + md5. Scale shape: the
+    * ≤16 KiB dictionary rides one broadcast join; the corpus side
+    * is the map-side construct → decode → project pass. */
+  def zstdDictRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dict = broadcast(s.read.parquet(zstdDictPath(s, d)))
+    docs(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .crossJoin(dict)
+      .withColumn("z", graft.functions.ZstdJniDictCompress(col("raw"),
+        col("dict"), expr("CAST(1 + doc_id % 19 AS INT)")))
+      .withColumn("u",
+        graft.functions.ZstdFseDictDecompress(col("z"), col("dict")))
+      .select(col("doc_id"),
+        length(col("u")).cast("bigint").as("n_bytes"),
+        md5(col("u")).as("digest"))
+  }
+
   /** [[inflateRoundtrip]] over an arbitrary documents frame —
     * row-local, so the streaming twin is the same plan. */
   def inflateOf(src: DataFrame): DataFrame =
@@ -10347,6 +10403,14 @@ object LlmQueries {
     // same oracle shape for the REAL-codec pin: the reference
     // implementation compresses, the from-scratch walk must invert
     "llm_zstd_real" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    // and for the dictionary layer: trained dict + reference
+    // compressor in, the engine's own §5 decode out
+    "llm_zstd_dict" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

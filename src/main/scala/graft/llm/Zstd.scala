@@ -44,7 +44,8 @@ object Zstd {
     * Compressed blocks route through [[ZstdFse.decodeBlock]]
     * (FSE sequences + Huffman literals; repeat offsets, Repeat-mode
     * tables and the Treeless Huffman table thread per frame). */
-  def walk(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Array[Byte])] = {
+  def walk(b: Array[Byte], dict: ZstdFse.Dict = null)
+      : Option[(Long, Long, Long, Long, Long, Array[Byte])] = {
     if (b == null || b.length < 4) return None
     var i = 0
     var frames = 0L
@@ -79,6 +80,16 @@ object Zstd {
           windowSum += base + (base / 8) * (wd & 7)
         }
         val didLen = Array(0, 1, 2, 4)(didFlag)
+        if (didLen > 0) {
+          if (i + didLen > b.length) return None
+          var did = 0L
+          var k = didLen - 1
+          while (k >= 0) { did = (did << 8) | (b(i + k) & 0xffL); k -= 1 }
+          // §3.1.1: a frame declaring a dictionary id needs THAT
+          // dictionary — decoding with none, or the wrong one, is
+          // the spec's corruption case, not a silent mis-decode
+          if (did != 0 && (dict == null || dict.id != did)) return None
+        }
         i += didLen
         val fcsLen =
           if (fcsFlag == 0) { if (single) 1 else 0 }
@@ -94,7 +105,7 @@ object Zstd {
         i += fcsLen
         // block walk — every class DECODES into the frame buffer
         out.frameStart = out.len
-        val ctx = new ZstdFse.FrameCtx
+        val ctx = new ZstdFse.FrameCtx(dict)
         var last = false
         while (!last) {
           if (i + 3 > b.length) return None

@@ -50,10 +50,13 @@ import scala.collection.mutable
   * checksummed zstd-CLI frames and HAND-ASSEMBLED streams in
   * ZstdFseSpec (byte-by-byte RLE-literals + RLE-tables blocks,
   * repeat-offset walks), so the engine-side [[compress]] encoder
-  * pair cannot be a private dialect's inverse. Out of scope by
-  * DESIGN, not by gap: dictionary-dependent frames (a dict-needing
-  * match reaches past the frame start and fails closed) and the
-  * pre-v0.8 legacy formats. */
+  * pair cannot be a private dialect's inverse. DICTIONARIES (§5)
+  * decode too — [[parseDict]] loads the entropy tables / repeat
+  * offsets / content prefix, [[decompressWithDict]] threads them
+  * through the frame walk (matches reach into the dict content,
+  * Dictionary_ID verified), pinned against zstd-jni-TRAINED
+  * dictionaries in `llm_zstd_dict`. Out of scope by DESIGN, not by
+  * gap: the pre-v0.8 legacy formats. */
 object ZstdFse {
 
   // ----------------------------------------------------------------
@@ -535,18 +538,68 @@ object ZstdFse {
   // Sequences section decode (§3.1.1.3) + execution (§3.1.1.5)
   // ----------------------------------------------------------------
 
+  /** A parsed dictionary (RFC 8878 §5): entropy tables preloaded
+    * for the frame's first Repeat/Treeless blocks, initial repeat
+    * offsets, and the content prefix matches may reach into. A
+    * buffer without the magic is a RAW CONTENT dictionary (content
+    * only, id 0, defaults elsewhere) per §5's fallback rule. */
+  final class Dict(val id: Long, val huf: HufTable,
+      val llTable: Table, val ofTable: Table, val mlTable: Table,
+      val rep0: Int, val rep1: Int, val rep2: Int,
+      val content: Array[Byte])
+
+  val DictMagic = 0xec30a437L
+
+  /** Parse a dictionary buffer. Fail-closed on a malformed
+    * entropy section or out-of-range repeat offsets; magic-less
+    * buffers fall back to raw content. */
+  def parseDict(b: Array[Byte]): Option[Dict] = {
+    if (b == null || b.length == 0) return None
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (b.length < 8 || u32(0) != DictMagic)
+      return Some(new Dict(0L, null, null, null, null, 1, 4, 8, b))
+    val id = u32(4)
+    var p = 8
+    // entropy tables: Huffman (literals), then FSE for offsets,
+    // match lengths, literals lengths — the §5 load order
+    val (huf, hufUsed) = readHufDesc(b, p, b.length).getOrElse(return None)
+    p += hufUsed
+    def fse(maxSym: Int, maxAl: Int): Option[Table] =
+      readNCount(b, p, b.length, maxSym).flatMap { case (norm, al, used) =>
+        if (al > maxAl) None
+        else { p += used; buildTable(norm, al) }
+      }
+    val ofT = fse(31, 8).getOrElse(return None)
+    val mlT = fse(52, 9).getOrElse(return None)
+    val llT = fse(35, 9).getOrElse(return None)
+    if (p + 12 > b.length) return None
+    val r0 = u32(p).toInt; val r1 = u32(p + 4).toInt
+    val r2 = u32(p + 8).toInt
+    p += 12
+    val content = java.util.Arrays.copyOfRange(b, p, b.length)
+    if (r0 <= 0 || r1 <= 0 || r2 <= 0 ||
+      r0 > content.length || r1 > content.length ||
+      r2 > content.length) return None
+    Some(new Dict(id, huf, llT, ofT, mlT, r0, r1, r2, content))
+  }
+
   /** Per-frame decode context: repeat offsets, (for Repeat-mode
     * blocks) the previous block's FSE tables, and (for Treeless
     * literals) the previous block's Huffman table persist across
-    * the blocks of a frame. */
-  final class FrameCtx {
-    var rep0: Int = 1
-    var rep1: Int = 4
-    var rep2: Int = 8
-    var llTable: Table = null
-    var ofTable: Table = null
-    var mlTable: Table = null
-    var hufTable: HufTable = null
+    * the blocks of a frame; a dictionary preloads all of them and
+    * extends the match window into its content. */
+  final class FrameCtx(dict: Dict = null) {
+    var rep0: Int = if (dict != null) dict.rep0 else 1
+    var rep1: Int = if (dict != null) dict.rep1 else 4
+    var rep2: Int = if (dict != null) dict.rep2 else 8
+    var llTable: Table = if (dict != null) dict.llTable else null
+    var ofTable: Table = if (dict != null) dict.ofTable else null
+    var mlTable: Table = if (dict != null) dict.mlTable else null
+    var hufTable: HufTable = if (dict != null) dict.huf else null
+    val dictContent: Array[Byte] =
+      if (dict != null) dict.content else null
   }
 
   /** An RLE "table": one symbol, zero bits everywhere. */
@@ -582,12 +635,23 @@ object ZstdFse {
       true
     }
     /** Overlapping LZ copy from `offset` back — byte by byte, the
-      * spec's sequential semantics. */
-    def copyMatch(offset: Int, n: Int): Boolean = {
-      if (offset <= 0 || offset > len - frameStart || !ensure(n))
-        return false
+      * spec's sequential semantics. With a dictionary, the window
+      * extends past the frame start into the dict CONTENT (§5):
+      * source positions below frameStart read from the content's
+      * tail and roll forward into the frame's own output. */
+    def copyMatch(offset: Int, n: Int,
+        dict: Array[Byte] = null): Boolean = {
+      val produced = len - frameStart
+      val window = produced + (if (dict == null) 0 else dict.length)
+      if (offset <= 0 || offset > window || !ensure(n)) return false
       var k = 0
-      while (k < n) { buf(len + k) = buf(len + k - offset); k += 1 }
+      while (k < n) {
+        val src = len + k - offset
+        buf(len + k) =
+          if (src >= frameStart) buf(src)
+          else dict(dict.length + (src - frameStart))
+        k += 1
+      }
       len += n
       true
     }
@@ -866,7 +930,7 @@ object ZstdFse {
       if (litPos + ll > litLen) return false
       if (!out.append(lits, litPos, ll)) return false
       litPos += ll
-      if (!out.copyMatch(offset, ml)) return false
+      if (!out.copyMatch(offset, ml, ctx.dictContent)) return false
       // state updates (all but the last sequence): LL, ML, OF
       if (i < nbSeq - 1) {
         llState = llT.base(llState) + bits.read(llT.nbBits(llState))
@@ -887,6 +951,15 @@ object ZstdFse {
     * decode. None fail-closed. */
   def decompress(b: Array[Byte]): Option[Array[Byte]] =
     Zstd.walk(b).map(_._6)
+
+  /** [[decompress]] with a dictionary: the dict parses once, every
+    * frame starts from its entropy tables / repeat offsets, and
+    * matches may reach into its content. Frames carrying a nonzero
+    * Dictionary_ID must match the dict's (fail-closed on a wrong
+    * dict — the spec's corruption case, not a silent mis-decode). */
+  def decompressWithDict(b: Array[Byte],
+      dict: Array[Byte]): Option[Array[Byte]] =
+    parseDict(dict).flatMap(d => Zstd.walk(b, d).map(_._6))
 
   // ----------------------------------------------------------------
   // Encoder — greedy-LZ + FSE over the same spec tables, for the

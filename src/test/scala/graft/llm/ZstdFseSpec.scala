@@ -312,6 +312,63 @@ class ZstdFseSpec extends AnyFunSuite {
     }
   }
 
+  test("DICTIONARY decode (§5): a zstd-jni-TRAINED dict parses " +
+    "(entropy tables, reps, content), dict-compressed frames " +
+    "decode across levels, and the wrong/no dict rejects") {
+    val samples = (0 until 200).map(i =>
+      (s"the painted wall in the old church number $i shows water " +
+        s"damage and restoration work from ${1800 + i}")
+        .getBytes("UTF-8")).toArray
+    val buf = new Array[Byte](16 * 1024)
+    val n = com.github.luben.zstd.Zstd.trainFromBuffer(samples, buf, false)
+    assert(!com.github.luben.zstd.Zstd.isError(n))
+    val dict = java.util.Arrays.copyOf(buf, n.toInt)
+    val parsed = ZstdFse.parseDict(dict).get
+    assert(parsed.id != 0 && parsed.huf != null &&
+      parsed.llTable != null && parsed.content.length > 1000)
+    def dcomp(raw: Array[Byte], lvl: Int): Array[Byte] = {
+      val dst = new Array[Byte](com.github.luben.zstd.Zstd
+        .compressBound(raw.length.toLong).toInt)
+      val zn = com.github.luben.zstd.Zstd.compressUsingDict(
+        dst, 0, raw, 0, raw.length, dict, lvl)
+      assert(!com.github.luben.zstd.Zstd.isError(zn))
+      java.util.Arrays.copyOf(dst, zn.toInt)
+    }
+    for (lvl <- Seq(1, 3, 9, 19); i <- 0 until 20) {
+      val raw = (s"the old church wall number ${i * 7} shows water " +
+        s"damage repainted in ${1900 + i}").getBytes("UTF-8")
+      val got = ZstdFse.decompressWithDict(dcomp(raw, lvl), dict)
+      assert(got.exists(g => java.util.Arrays.equals(g, raw)),
+        s"dict decode failed at level $lvl, doc $i")
+    }
+    // a frame carrying the dict id must NOT decode without the dict
+    val z = dcomp("the old church wall".getBytes("UTF-8"), 3)
+    assert(ZstdFse.decompress(z).isEmpty,
+      "a dict-id frame decoded without its dictionary")
+    // ... nor with a DIFFERENT trained dict (wrong id fails closed)
+    val buf2 = new Array[Byte](16 * 1024)
+    val n2 = com.github.luben.zstd.Zstd.trainFromBuffer(
+      (0 until 200).map(i => ("completely different sample corpus " +
+        s"line $i about ships and harbours").getBytes("UTF-8")).toArray,
+      buf2, false)
+    assert(!com.github.luben.zstd.Zstd.isError(n2))
+    val wrong = java.util.Arrays.copyOf(buf2, n2.toInt)
+    assert(ZstdFse.decompressWithDict(z, wrong).isEmpty)
+    // plain (no-dict) frames still decode when a dict is supplied
+    val raw = "plain frame".getBytes("UTF-8")
+    assert(ZstdFse.decompressWithDict(
+      com.github.luben.zstd.Zstd.compress(raw, 3), dict)
+      .exists(g => java.util.Arrays.equals(g, raw)))
+  }
+
+  test("a magic-less buffer is a RAW CONTENT dictionary: content " +
+    "only, id 0, defaults elsewhere") {
+    val d = ZstdFse.parseDict("just some window bytes".getBytes).get
+    assert(d.id == 0 && d.huf == null && d.llTable == null)
+    assert(d.rep0 == 1 && d.rep1 == 4 && d.rep2 == 8)
+    assert(new String(d.content) == "just some window bytes")
+  }
+
   test("Huffman table build hand pin: weights fill canonical " +
     "weight-ascending regions; description roundtrip via direct " +
     "4-bit weights") {
