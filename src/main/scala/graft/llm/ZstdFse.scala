@@ -1028,18 +1028,34 @@ object ZstdFse {
       val v = n - 256
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
     } else { out.write(0xa0); w32(n) }
-    // one compressed block per ≤ 64 KiB chunk (block regen limit)
+    // one block per ≤ 64 KiB chunk (block regen limit) — with the
+    // real-encoder fallback: a "compressed" block may not be ≥ its
+    // regenerated content (the reference decoder enforces it), so
+    // incompressible chunks (and the empty frame) emit RAW blocks
     val enc = new EncCtx
     var cFrom = 0
     while (cFrom < n || (n == 0 && cFrom == 0)) {
       val cLen = math.min(1 << 16, n - cFrom)
-      val body = compressBlock(raw, cFrom, cLen, explicitTables, enc)
       val last = cFrom + cLen >= n
-      val hdr = (body.length.toLong << 3) | (2L << 1) | (if (last) 1L else 0L)
-      out.write((hdr & 0xff).toInt)
-      out.write(((hdr >> 8) & 0xff).toInt)
-      out.write(((hdr >> 16) & 0xff).toInt)
-      out.write(body, 0, body.length)
+      val (r0, r1, r2) = (enc.rep0, enc.rep1, enc.rep2)
+      val body = compressBlock(raw, cFrom, cLen, explicitTables, enc)
+      def hdr3(size: Int, btype: Int): Unit = {
+        val h = (size.toLong << 3) | (btype.toLong << 1) |
+          (if (last) 1L else 0L)
+        out.write((h & 0xff).toInt)
+        out.write(((h >> 8) & 0xff).toInt)
+        out.write(((h >> 16) & 0xff).toInt)
+      }
+      if (body.length >= cLen) {
+        // raw fallback — and the encoder's repeat-offset model must
+        // roll back: the decoder never sees this block's sequences
+        enc.rep0 = r0; enc.rep1 = r1; enc.rep2 = r2
+        hdr3(cLen, 0)
+        out.write(raw, cFrom, cLen)
+      } else {
+        hdr3(body.length, 2)
+        out.write(body, 0, body.length)
+      }
       cFrom += cLen
       if (n == 0) cFrom = 1 // emitted the one empty block
     }

@@ -269,6 +269,54 @@ class ZstdFseSpec extends AnyFunSuite {
     }
   }
 
+  test("INTEROP BOTH WAYS: the engine's own encoder output decodes " +
+    "through the REFERENCE implementation (zstd-jni) bit-exactly") {
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog " * 50,
+      "a" * 500, "no repeats wxyz 0123", "", "ab",
+      "über schöne muurschilderingen " * 80,
+      (0 until 1500).map(i => s"interop line $i\n").mkString)
+    for (s <- samples; ex <- Seq(false, true)) {
+      val raw = s.getBytes("UTF-8")
+      val z = ZstdFse.compress(raw, explicitTables = ex)
+      val got = com.github.luben.zstd.Zstd.decompress(z,
+        math.max(raw.length, 1))
+      assert(java.util.Arrays.equals(got, raw),
+        s"reference decoder rejected the engine's frame " +
+          s"(explicit=$ex, ${s.take(30)}…)")
+    }
+  }
+
+  test("deterministic pseudo-random BINARY roundtrips (compressible " +
+    "and incompressible shapes) through both decoders") {
+    // xorshift-style deterministic byte streams — no Math.random in
+    // fixtures, the repo rule
+    def bytes(seed: Long, n: Int, mask: Int): Array[Byte] = {
+      var x = seed | 1
+      Array.fill(n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        (x & mask).toByte
+      }
+    }
+    for (seed <- Seq(7L, 99L, 12345L); n <- Seq(0, 1, 100, 5000);
+        mask <- Seq(0x03, 0xff)) { // skewed (compressible) and full
+      val raw = bytes(seed, n, mask)
+      val z = ZstdFse.compress(raw, explicitTables = false)
+      assert(ZstdFse.decompress(z)
+        .exists(g => java.util.Arrays.equals(g, raw)),
+        s"own roundtrip failed seed=$seed n=$n mask=$mask")
+      if (n > 0)
+        assert(java.util.Arrays.equals(
+          com.github.luben.zstd.Zstd.decompress(z, n), raw),
+          s"reference decode failed seed=$seed n=$n mask=$mask")
+      // and the reference's compression of the same bytes decodes
+      val zr = com.github.luben.zstd.Zstd.compress(raw, 6)
+      assert(ZstdFse.decompress(zr)
+        .exists(g => java.util.Arrays.equals(g, raw)),
+        s"reference-stream decode failed seed=$seed n=$n mask=$mask")
+    }
+  }
+
   test("the zstd CLI's checksummed frames verify through the " +
     "from-scratch XXH64; a flipped checksum byte rejects") {
     val cli = new java.io.File("/root/miniconda/bin/zstd")
