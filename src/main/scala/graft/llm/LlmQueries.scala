@@ -5752,9 +5752,11 @@ object LlmQueries {
     * entropy-free block classes (Raw, RLE) with the declared
     * content size enforced against what the blocks actually
     * regenerate ([[graft.functions.ZstdFrames]] over
-    * [[graft.functions.ZstdFixture]]); compressed FSE/Huffman
-    * blocks fail closed — the declared entropy boundary, same
-    * honesty line as MP3 big-values. The oracle replays the
+    * [[graft.functions.ZstdFixture]]); since round 15 the same
+    * walk also decodes Compressed blocks end to end
+    * ([[graft.llm.ZstdFse]] — `llm_zstd_fse`/`_real`/`_dict`), so
+    * this query's raw/RLE fixtures exercise the container grammar
+    * specifically. The oracle replays the
     * frame/content census closed-form, including the decoded-byte
     * SUM, so a walk that skips instead of regenerating diverges.
     * Map-side; no shuffle. */

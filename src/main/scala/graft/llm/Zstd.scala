@@ -34,8 +34,8 @@ object Zstd {
     * byte values (unsigned), the proof the payloads were actually
     * regenerated; window_sum sums the window-descriptor sizes of
     * non-single-segment frames. None fail-closed (truncation,
-    * reserved bits, Huffman-literals blocks, content-size
-    * mismatch, bomb cap). */
+    * reserved bits, malformed entropy sections, content-size or
+    * checksum mismatch, wrong/absent dictionary, bomb cap). */
   def parse(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
     walk(b).map { case (f, s, l, cs, w, _) => (f, s, l, cs, w) }
 
