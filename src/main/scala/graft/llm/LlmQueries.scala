@@ -143,6 +143,7 @@ object LlmQueries {
     "llm_zstd_fse" -> zstdFseRoundtrip,
     "llm_zstd_real" -> zstdRealRoundtrip,
     "llm_zstd_dict" -> zstdDictRoundtrip,
+    "llm_zstd_split" -> zstdSplitRoundtrip,
     "llm_langid_train" -> langIdTrain,
     "llm_langid_score" -> langIdScore,
     "llm_html_blocks" -> htmlBlocks,
@@ -5893,6 +5894,29 @@ object LlmQueries {
         md5(col("u")).as("digest"))
   }
 
+  /** Splittable multi-frame ingest (`llm_zstd_split`) — how a
+    * 100 TB `.zst` dump actually parallelizes: frames are
+    * independent decode units, so a reader discovers frame
+    * boundaries HEADER-ONLY (blocks skipped by their declared
+    * sizes, no entropy work — [[graft.llm.ZstdFse.frameBoundaries]])
+    * and hands each frame to its own task. The query proves the
+    * split points land exactly on decodable units: every document
+    * becomes a three-frame stream with a skippable frame spliced in
+    * ([[graft.functions.ZstdMultiFrame]], alternating table modes),
+    * each frame decodes INDEPENDENTLY and the in-order reassembly
+    * must reproduce the original digest
+    * ([[graft.functions.ZstdSplitDecode]]). The oracle stays
+    * zstd-ignorant. Map-side; no shuffle. */
+  def zstdSplitRoundtrip(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .withColumn("z", graft.functions.ZstdMultiFrame(col("raw"),
+        expr("CAST(doc_id % 14 AS INT)")))
+      .withColumn("u", graft.functions.ZstdSplitDecode(col("z")))
+      .select(col("doc_id"),
+        length(col("u")).cast("bigint").as("n_bytes"),
+        md5(col("u")).as("digest"))
+
   /** [[inflateRoundtrip]] over an arbitrary documents frame —
     * row-local, so the streaming twin is the same plan. */
   def inflateOf(src: DataFrame): DataFrame =
@@ -10405,6 +10429,14 @@ object LlmQueries {
     // same oracle shape for the REAL-codec pin: the reference
     // implementation compresses, the from-scratch walk must invert
     "llm_zstd_real" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    // splittable ingest: header-only boundary discovery +
+    // independent per-frame decode must reassemble the original
+    "llm_zstd_split" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

@@ -961,6 +961,89 @@ object ZstdFse {
       dict: Array[Byte]): Option[Array[Byte]] =
     parseDict(dict).flatMap(d => Zstd.walk(b, d).map(_._6))
 
+  /** Frame-boundary discovery WITHOUT decoding — the splittable-
+    * ingest primitive for multi-frame `.zst` dumps (frames are
+    * independent decode units, so a 100 TB file parallelizes at
+    * these offsets): headers are walked and blocks SKIPPED by their
+    * declared sizes (raw = size bytes, RLE = 1 byte, compressed =
+    * size bytes — no entropy work), checksums skipped by flag.
+    * Returns (offset, length, isSkippable) per frame, fail-closed
+    * on any framing damage. */
+  def frameBoundaries(b: Array[Byte]): Option[Seq[(Int, Int, Boolean)]] = {
+    if (b == null || b.length < 4) return None
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    val out = mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
+    var i = 0
+    while (i < b.length) {
+      val start = i
+      if (i + 4 > b.length) return None
+      val magic = u32(i)
+      i += 4
+      if ((magic & 0xfffffff0L) == Zstd.SkippableLo) {
+        if (i + 4 > b.length) return None
+        val n = u32(i)
+        i += 4
+        if (i + n > b.length) return None
+        i += n.toInt
+        out += ((start, i - start, true))
+      } else if (magic == Zstd.Magic) {
+        if (i >= b.length) return None
+        val fhd = b(i) & 0xff
+        i += 1
+        if ((fhd & 0x08) != 0) return None
+        val single = (fhd & 0x20) != 0
+        if (!single) i += 1 // window descriptor
+        i += Array(0, 1, 2, 4)(fhd & 0x03) // dictionary id
+        val fcsFlag = fhd >> 6
+        i += (if (fcsFlag == 0) { if (single) 1 else 0 }
+          else Array(0, 2, 4, 8)(fcsFlag))
+        var last = false
+        while (!last) {
+          if (i + 3 > b.length) return None
+          val hdr = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+            ((b(i + 2) & 0xffL) << 16)
+          i += 3
+          last = (hdr & 1) != 0
+          val btype = ((hdr >> 1) & 3).toInt
+          val size = (hdr >> 3).toInt
+          btype match {
+            case 0 | 2 => i += size // raw / compressed: size bytes
+            case 1 => i += 1 // RLE: one byte regardless of size
+            case _ => return None
+          }
+          if (i > b.length) return None
+        }
+        if ((fhd & 0x04) != 0) i += 4 // content checksum
+        if (i > b.length) return None
+        out += ((start, i - start, false))
+      } else return None
+    }
+    Some(out.toSeq)
+  }
+
+  /** Split-and-reassemble decode: discover the frame boundaries
+    * header-only, decode every NON-SKIPPABLE frame INDEPENDENTLY
+    * (the parallel-ingest shape — each split decodes with no state
+    * from its neighbors), concatenate in order. Equal to
+    * [[decompress]] by construction; the roundtrip query proves
+    * the split points land exactly on decodable units. */
+  def splitDecode(b: Array[Byte]): Option[Array[Byte]] =
+    frameBoundaries(b).flatMap { frames =>
+      val out = new java.io.ByteArrayOutputStream(b.length * 2)
+      frames.foreach { case (off, len, skip) =>
+        if (!skip) {
+          val one = java.util.Arrays.copyOfRange(b, off, off + len)
+          decompress(one) match {
+            case Some(d) => out.write(d, 0, d.length)
+            case None => return None
+          }
+        }
+      }
+      Some(out.toByteArray)
+    }
+
   // ----------------------------------------------------------------
   // Encoder — greedy-LZ + FSE over the same spec tables, for the
   // oracle-checked roundtrip fixtures.

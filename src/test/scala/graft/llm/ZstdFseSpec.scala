@@ -417,6 +417,34 @@ class ZstdFseSpec extends AnyFunSuite {
     assert(new String(d.content) == "just some window bytes")
   }
 
+  test("SPLITTABLE ingest: header-only frame boundaries land on " +
+    "decodable units for engine, jni and mixed streams; " +
+    "truncation fails closed") {
+    // a mixed stream: engine frame + skippable + jni frame
+    val a = "first independent frame content ".getBytes("UTF-8")
+    val bb = "second, reference-compressed frame " * 10
+    val b2 = bb.getBytes("UTF-8")
+    val skip = Array[Byte](0x52, 0x2a, 0x4d, 0x18, 3, 0, 0, 0, 9, 9, 9)
+    val stream = ZstdFse.compress(a, explicitTables = false) ++
+      skip ++ com.github.luben.zstd.Zstd.compress(b2, 9)
+    val bounds = ZstdFse.frameBoundaries(stream).get
+    assert(bounds.length == 3 && bounds(1)._3 && !bounds(0)._3)
+    // boundaries tile the stream exactly
+    assert(bounds.head._1 == 0 &&
+      bounds.map(x => x._1 + x._2).max == stream.length)
+    bounds.sliding(2).foreach { case Seq(x, y) =>
+      assert(x._1 + x._2 == y._1, "boundaries must tile")
+    }
+    // split decode == whole-stream decode == original
+    val split = ZstdFse.splitDecode(stream).get
+    assert(java.util.Arrays.equals(split, a ++ b2))
+    assert(java.util.Arrays.equals(ZstdFse.decompress(stream).get,
+      a ++ b2))
+    // truncated tail: the header-only walk fails closed
+    assert(ZstdFse.frameBoundaries(stream.dropRight(1)).isEmpty)
+    assert(ZstdFse.splitDecode(stream.dropRight(1)).isEmpty)
+  }
+
   test("Huffman table build hand pin: weights fill canonical " +
     "weight-ascending regions; description roundtrip via direct " +
     "4-bit weights") {
