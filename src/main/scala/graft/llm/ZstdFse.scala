@@ -199,9 +199,10 @@ object ZstdFse {
   private final class BackBits(b: Array[Byte], from: Int, until: Int) {
     var ok: Boolean = true
     private var bitPos: Int = {
-      var last = until - 1
-      while (last >= from && b(last) == 0) last -= 1
-      if (last < from) { ok = false; 0 }
+      // §3.1.1.4: the final byte carries the sentinel bit and MUST be
+      // non-zero — a zero last byte is corruption, not padding to skip.
+      val last = until - 1
+      if (last < from || b(last) == 0) { ok = false; 0 }
       else (last - from) * 8 + highbit(b(last) & 0xff)
     }
     private def bit(i: Int): Int = (b(from + (i >> 3)) >> (i & 7)) & 1
@@ -860,7 +861,7 @@ object ZstdFse {
     p += 1
     if ((modes & 3) != 0) return false // reserved bits
     // table per code, in LL → OF → ML field order
-    def tableFor(mode: Int, defaultT: Table, maxSym: Int,
+    def tableFor(mode: Int, defaultT: Table, maxSym: Int, maxAl: Int,
         prev: Table): Option[Table] = mode match {
       case 0 => Some(defaultT)
       case 1 => // RLE: one byte, the symbol
@@ -870,18 +871,23 @@ object ZstdFse {
           p += 1
           if (sy > maxSym) None else Some(rleTable(sy))
         }
-      case 2 => // FSE_Compressed: explicit table description
+      case 2 => // FSE_Compressed: explicit table description.
+        // §4.1.1 caps accuracy log PER FIELD (LL≤9, OF≤8, ML≤9) —
+        // fail closed past the field cap, as parseDict already does.
         readNCount(b, p, end, maxSym).flatMap { case (norm, al, used) =>
-          p += used
-          buildTable(norm, al)
+          if (al > maxAl) None
+          else {
+            p += used
+            buildTable(norm, al)
+          }
         }
       case _ => Option(prev) // Repeat: previous table (None if first)
     }
-    val llT = tableFor((modes >> 6) & 3, LlDefaultTable, 35, ctx.llTable)
+    val llT = tableFor((modes >> 6) & 3, LlDefaultTable, 35, 9, ctx.llTable)
       .getOrElse(return false)
-    val ofT = tableFor((modes >> 4) & 3, OfDefaultTable, 31, ctx.ofTable)
+    val ofT = tableFor((modes >> 4) & 3, OfDefaultTable, 31, 8, ctx.ofTable)
       .getOrElse(return false)
-    val mlT = tableFor((modes >> 2) & 3, MlDefaultTable, 52, ctx.mlTable)
+    val mlT = tableFor((modes >> 2) & 3, MlDefaultTable, 52, 9, ctx.mlTable)
       .getOrElse(return false)
     ctx.llTable = llT; ctx.ofTable = ofT; ctx.mlTable = mlT
     // --- the backward bitstream is the REST of the block ---

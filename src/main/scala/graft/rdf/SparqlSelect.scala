@@ -230,7 +230,13 @@ object SparqlSelect {
         if (conn.getResponseCode != 200) None
         else parseSparqlResults(new String(
           conn.getInputStream.readAllBytes(), "UTF-8"))
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // Any failure — IO, a non-HTTP endpoint scheme (file:/mailto:
+        // throw from toURL / the HttpURLConnection cast), malformed
+        // IRIs — degrades to None so SERVICE SILENT yields the unit
+        // solution and non-SILENT raises the named SERVICE error.
+        case scala.util.control.NonFatal(_) => None
+      }
   }
 
   /** Parse a SPARQL 1.1 JSON results document into var → value

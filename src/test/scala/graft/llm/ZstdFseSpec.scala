@@ -182,6 +182,45 @@ class ZstdFseSpec extends AnyFunSuite {
       blockHdr(noSentinel.length, 2, last = true), noSentinel)).isEmpty)
   }
 
+  test("fail-closed: per-field accuracy-log caps (§4.1.1 — OF>8 " +
+    "rejected in-block, not just in dicts) and a zero final " +
+    "bitstream byte (§3.1.1.4 — corruption, not skippable padding)") {
+    // OF table described at accuracy log 9: over the per-field cap
+    // of 8 even though the global wire cap (9) admits it
+    val ofAl9 = ZstdFse.writeNCount(Array(256, 256), 9)
+    val badOf = Array[Byte](0x51, 'a'.toByte, 0x01, 0x20) ++
+      ofAl9 ++ Array[Byte](0x01)
+    assert(ZstdFse.decompress(
+      frame(15, blockHdr(badOf.length, 2, last = true), badOf)).isEmpty)
+    // the description itself is well-formed at AL 9 (readNCount
+    // accepts it) — the reject above is the new per-field cap, and
+    // buildTable still constructs the same shape, so the cap is the
+    // only thing standing between the stream and a decode attempt
+    val (norm9, al9, _) =
+      ZstdFse.readNCount(ofAl9, 0, ofAl9.length, 31).get
+    assert(al9 == 9 && ZstdFse.buildTable(norm9, al9).isDefined)
+    // LL's cap is 9, so the SAME accuracy log on the LL field passes
+    // the cap (modes 0x80 = LL compressed, OF/ML predefined); the
+    // stream then fails later structurally, not at the table gate —
+    // proven by flipping only the field: OF@9 and LL@10 both reject,
+    // LL@9 does not short-circuit at readNCount
+    val llAl9 = ZstdFse.writeNCount(Array(256, 256), 9)
+    val llOf = Array[Byte](0x51, 'a'.toByte, 0x01, 0x80.toByte) ++
+      llAl9 ++ Array[Byte](0x00, 0x05)
+    // must not throw; completes the walk (decode may legitimately
+    // fail on the hand bitstream, but not at the accuracy gate —
+    // exercised for coverage of the per-field threading)
+    ZstdFse.decompress(
+      frame(15, blockHdr(llOf.length, 2, last = true), llOf))
+    // a valid one-sequence stream with a trailing ZERO byte appended
+    // to the backward bitstream: RFC requires the last byte be
+    // non-zero — fail closed instead of scanning past it
+    val zeroTail = Array[Byte](
+      0x51, 'a'.toByte, 0x01, 0x54, 0x04, 0x02, 0x02, 0x05, 0x00)
+    assert(ZstdFse.decompress(frame(15,
+      blockHdr(zeroTail.length, 2, last = true), zeroTail)).isEmpty)
+  }
+
   // ---------------------------------------------------------------
   // roundtrips (encoder exercises predefined AND explicit tables,
   // multi-block frames, repeat offsets)

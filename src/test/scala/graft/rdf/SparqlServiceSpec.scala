@@ -108,6 +108,32 @@ class SparqlServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("a NON-HTTP endpoint scheme (mailto:) degrades like any other " +
+    "failure: SILENT yields the unit solution, non-SILENT raises the " +
+    "named SERVICE error — no ClassCastException escapes fetch") {
+    val ep = "mailto:nobody@example.org"
+    val silent = SparqlSelect(t,
+      s"""PREFIX dcterms: <http://purl.org/dc/terms/>
+         |SELECT ?item ?title WHERE {
+         |  ?item dcterms:title ?title .
+         |  SERVICE SILENT <$ep> { ?item <http://ex.org/x> ?y . }
+         |}""".stripMargin,
+      SparqlSelect.HttpServiceClient)
+    val localOnly = SparqlSelect(t,
+      """PREFIX dcterms: <http://purl.org/dc/terms/>
+        |SELECT ?item ?title WHERE {
+        |  ?item dcterms:title ?title . }""".stripMargin)
+    assert(silent.count() == localOnly.count() && silent.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      SparqlSelect(t,
+        s"""SELECT ?x ?y WHERE {
+           |  SERVICE <$ep> { ?x <http://ex.org/p> ?y . }
+           |}""".stripMargin,
+        SparqlSelect.HttpServiceClient).collect()
+    }
+    assert(e.getMessage.contains(ep))
+  }
+
   test("a service-only group projects the remote bindings; empty " +
     "remote results yield an empty frame") {
     withServer { _ =>
