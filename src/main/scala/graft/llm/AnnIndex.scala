@@ -117,8 +117,12 @@ object AnnIndex {
     val cent = lloyd(s, vectors, k, iters).select(col("cid"), col("cv"))
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     val centStored = s.read.parquet(s"$path/centroids")
+    // the backfill is batch −1: extends stamp foreachBatch ids
+    // (≥ 0), so a restarted stream's batch 0 can never collide with
+    // the build (see extend's ledger)
     assign(vectors, centStored)
-      .write.mode("overwrite").partitionBy("cid")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("cid", "batch_id")
       .parquet(s"$path/assignments")
     read(s, path)
   }
@@ -162,22 +166,46 @@ object AnnIndex {
         (col("p0") + 1).cast("int").as("rank"), col("x.score").as("ip"))
   }
 
+  /** The rows one extend batch appends to the inverted lists: the
+    * arriving vectors assigned against the STORED centroids — a
+    * single map-side pass over the shard (centroids collapse to one
+    * broadcast row), touching NOTHING corpus-scale. Exposed so the
+    * plan spec can pin that shape (no scan of the assignment store,
+    * no SortMergeJoin — AnnIndexExtendSpec). */
+  def extendFrame(arriving: DataFrame, stored: Stored): DataFrame =
+    assign(arriving, stored.centroids)
+
   /** Extend the stored index with an arriving shard: assign the
     * arriving vectors against the STORED centroids (map-side — the
     * index never re-trains on an append; periodic re-training is a
     * separate backfill) and append them to the assignment lists.
-    * Idempotent per vec_id: already-indexed ids are anti-joined out
-    * first, so an at-least-once replay (foreachBatch retry) cannot
-    * double-insert — the same guard discipline as
-    * [[graft.streaming.DocsStream.startIncrementalDedup]]'s index
-    * append. The anti-join scans the index once per extend; that is
-    * the documented trade for replay safety (the index side is
-    * never broadcast). */
-  def extend(arriving: DataFrame, stored: Stored, path: String): Unit = {
-    val indexed = stored.assignments.select(col("vec_id").as("i_id"))
-    assign(arriving, stored.centroids)
-      .join(indexed, col("vec_id") === col("i_id"), "left_anti")
-      .write.mode("append").partitionBy("cid")
-      .parquet(s"$path/assignments")
+    *
+    * O(delta) replay safety, the [[graft.streaming.BatchManifest]]
+    * protocol: a committed `batchId` is a ledger-read no-op; an
+    * uncommitted replay re-runs the deterministic assignment and
+    * DYNAMIC-OVERWRITES its own `(cid, batch_id)` leaf directories,
+    * healing any partial append — so an at-least-once retry
+    * (`foreachBatch`) cannot double-insert AND the guard never
+    * scans the corpus-scale assignment table (the previous
+    * anti-join-the-whole-index spelling cost a corpus-scale scan
+    * per micro-batch append; the ledger is one row per committed
+    * batch). `cid` stays the outermost partition column, so nprobe
+    * partition pruning is unchanged.
+    *
+    * Contract: arriving shards are id-disjoint DELTAS (the upstream
+    * ingest's exact-dedup gate owns id uniqueness). Replays — the
+    * at-least-once failure mode — are what the ledger absorbs; a
+    * pipeline that re-feeds already-indexed ids as a NEW batch is
+    * re-inserting data, which no O(delta) guard can distinguish
+    * from a legitimate append. */
+  def extend(arriving: DataFrame, stored: Stored, path: String,
+      batchId: Long): Unit = {
+    val spark = arriving.sparkSession
+    val store = s"$path/assignments"
+    if (!graft.streaming.BatchManifest.applied(spark, store, batchId)) {
+      graft.streaming.BatchManifest.writeBatch(
+        extendFrame(arriving, stored), store, batchId, Seq("cid"))
+      graft.streaming.BatchManifest.commit(spark, store, batchId)
+    }
   }
 }

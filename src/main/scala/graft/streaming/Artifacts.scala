@@ -40,3 +40,62 @@ object Artifacts {
   def readParquet(spark: SparkSession, path: String): Option[DataFrame] =
     if (exists(spark, path)) Some(spark.read.parquet(path)) else None
 }
+
+/** Per-batch replay ledger for APPEND-maintained stores — the
+  * O(delta) replacement for "anti-join the arriving rows against the
+  * whole store" replay guards, which cost a corpus-scale scan per
+  * micro-batch append at 100 TB.
+  *
+  * Discipline (the exactly-once append protocol every extend path
+  * shares):
+  *
+  *  1. [[applied]]: read the ledger (one row per COMMITTED batch —
+  *     bounded by batch count, never by corpus size). Present →
+  *     the whole batch is a no-op.
+  *  2. Data write: the batch's rows are stamped `batch_id = K` and
+  *     written with DYNAMIC partition overwrite on a `batch_id`
+  *     partition column — a crash-replayed attempt REPLACES its own
+  *     partial leaf directories (the write is deterministic per
+  *     batch), so the data write is idempotent without reading the
+  *     store at all.
+  *  3. [[commit]]: append the one-row ledger record. The ledger row
+  *     is the commit point — a crash between 2 and 3 re-runs 2,
+  *     which heals by overwrite.
+  *
+  * The ledger lives at `<store>/_manifest`: Spark/Hadoop file
+  * listings skip `_`-prefixed names, so readers of the store never
+  * see ledger rows, while an explicit read of the subdirectory
+  * still works. Ledger keys are the `foreachBatch` batch ids, so
+  * the guard is scoped to one checkpoint lineage per store — the
+  * same contract as the sketch stores' batch-id dedup. */
+object BatchManifest {
+
+  def path(store: String): String = s"$store/_manifest"
+
+  /** Has batch `batchId` committed to `store`? One bounded read of
+    * the ledger (rows = committed batches), never a store scan. */
+  def applied(spark: SparkSession, store: String, batchId: Long): Boolean =
+    Artifacts.readParquet(spark, path(store)).exists(m =>
+      !m.filter(org.apache.spark.sql.functions
+        .col("batch_id") === batchId).isEmpty)
+
+  /** Record batch `batchId` as committed to `store`. */
+  def commit(spark: SparkSession, store: String, batchId: Long): Unit =
+    spark.range(1)
+      .select(org.apache.spark.sql.functions.lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(path(store))
+
+  /** The idempotent data write of step 2: stamp `batch_id` and
+    * dynamically overwrite this batch's own leaf partitions.
+    * `partitionCols` precede `batch_id` on disk (e.g. the ANN
+    * index keeps `cid` outermost so inverted-list partition pruning
+    * stays physical). */
+  def writeBatch(df: DataFrame, store: String, batchId: Long,
+      partitionCols: Seq[String] = Nil): Unit =
+    df.withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy((partitionCols :+ "batch_id"): _*)
+      .parquet(store)
+}

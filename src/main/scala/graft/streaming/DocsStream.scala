@@ -624,13 +624,14 @@ object DocsStream {
     * micro-batches also search earlier arrivals — the production
     * admit loop for a growing vector corpus.
     *
-    * Retry safety: `foreachBatch` + parquet append is
-    * at-least-once, so the out-append anti-joins the out table's
-    * own q_ids (a replayed batch's results are not re-appended) and
-    * the index extend is idempotent per vec_id
-    * ([[graft.llm.AnnIndex.extend]]'s anti-join); the probe's
-    * self-match guard (`vec_id != q_id`) keeps a replay after a
-    * partial extend from matching a vector to itself. */
+    * Retry safety — the O(delta) [[BatchManifest]] protocol on BOTH
+    * stores: out rows land under their own `batch_id` partition via
+    * dynamic overwrite (a replayed attempt replaces its own leafs)
+    * and commit to the out ledger; the index extend carries its own
+    * ledger inside [[graft.llm.AnnIndex.extend]]. Neither guard ever
+    * scans a store — replay detection is a bounded ledger read. The
+    * probe's self-match guard (`vec_id != q_id`) keeps a replay
+    * after a committed extend from matching a vector to itself. */
   def startAnnProbe(vecs: DataFrame, indexPath: String,
       outPath: String, checkpointLocation: String,
       k: Int = 5, nProbe: Int = 2,
@@ -640,25 +641,19 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, expr, lit}
+        import org.apache.spark.sql.functions.{col, expr}
         val stored = graft.llm.AnnIndex.read(spark, indexPath)
         val qv = batch.select(col("vec_id"),
           expr(LlmQueries.quantizeExpr).as("qv"))
-        val res = graft.llm.AnnIndex.probe(qv, stored, k, nProbe)
-        // replay guard: the accumulated out table is the seen-set
-        // (out-table-sized — no broadcast hint; the same documented
-        // trade as startIncrementalDedup's anti-join)
-        val seen =
-          Artifacts.readParquet(spark, outPath)
-            .map(_.select(col("q_id").as("s_id")).distinct())
-            .getOrElse(spark.emptyDataFrame
-              .withColumn("s_id", lit(0L)).limit(0))
-        res.join(seen, col("q_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          val res = graft.llm.AnnIndex.probe(qv, stored, k, nProbe)
+          BatchManifest.writeBatch(res, outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
         if (extendIndex)
-          graft.llm.AnnIndex.extend(qv, stored, indexPath)
+          graft.llm.AnnIndex.extend(qv, stored, indexPath, batchId)
       }
       .trigger(trigger).start()
 

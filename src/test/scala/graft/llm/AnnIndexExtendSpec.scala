@@ -1,0 +1,116 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.BatchManifest
+
+/** O(delta) index maintenance: AnnIndex.extend must never scan the
+  * corpus-scale assignment store — replay detection is a bounded
+  * ledger read, partial appends heal by dynamic partition
+  * overwrite, and nprobe partition pruning survives the layout. */
+class AnnIndexExtendSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toFile.getAbsolutePath
+
+  private def quantize(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("vec_id"), expr(LlmQueries.quantizeExpr).as("qv"))
+
+  private def freshIndex(): (String, AnnIndex.Stored,
+      org.apache.spark.sql.DataFrame) = {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = tmp("annext")
+    val stored = AnnIndex.write(spark,
+      quantize(emb.filter(!expr(LlmQueries.arrivingVecPred))),
+      path, 16, 4)
+    val arriving = quantize(emb.filter(expr(LlmQueries.arrivingVecPred)))
+    (path, stored, arriving)
+  }
+
+  test("PLAN PIN: the extend write touches nothing corpus-scale — " +
+    "no scan of the assignment store, no SortMergeJoin, no " +
+    "corpus-side exchange; just the broadcast centroid argmax") {
+    val (path, stored, arriving) = freshIndex()
+    val frame = AnnIndex.extendFrame(arriving, stored)
+    frame.collect() // force the adaptive plan final
+    val p = frame.queryExecution.executedPlan.toString
+    assert(!p.contains("assignments"),
+      s"extend scanned the stored assignment table:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"extend sort-merged something:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"extend lost its broadcast centroid row:\n${p.take(2000)}")
+    assert(path.nonEmpty)
+  }
+
+  test("replay no-op: a committed batch id is detected from the " +
+    "bounded ledger and appends nothing") {
+    val (path, stored, arriving) = freshIndex()
+    val store = s"$path/assignments"
+    AnnIndex.extend(arriving, stored, path, batchId = 0L)
+    val after = spark.read.parquet(store).count()
+    val perVec = spark.read.parquet(store)
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(perVec == 0L, "first extend duplicated a vector")
+    // the replay: same batch id, same data — must be a pure no-op
+    AnnIndex.extend(arriving, stored, path, batchId = 0L)
+    assert(spark.read.parquet(store).count() == after,
+      "replay appended rows")
+    // ledger carries exactly one commit record for the batch
+    val ledger = spark.read.parquet(BatchManifest.path(store))
+    assert(ledger.filter(col("batch_id") === 0L).count() == 1L)
+  }
+
+  test("partial-append heal: a crash AFTER the data write but " +
+    "BEFORE the ledger commit re-runs the write idempotently — " +
+    "dynamic overwrite replaces the batch's own leaf partitions, " +
+    "no duplicates, and other batches are untouched") {
+    val (path, stored, arriving) = freshIndex()
+    val store = s"$path/assignments"
+    val backfill = spark.read.parquet(store).count()
+    // simulate the crash window: data lands, commit never does
+    BatchManifest.writeBatch(
+      AnnIndex.extendFrame(arriving, stored), store, 0L, Seq("cid"))
+    val partial = spark.read.parquet(store).count()
+    assert(partial > backfill)
+    // the retry runs the full protocol: ledger says un-applied →
+    // re-write (overwrite heals) → commit
+    AnnIndex.extend(arriving, stored, path, batchId = 0L)
+    assert(spark.read.parquet(store).count() == partial,
+      "heal changed the row count (overwrite must replace, not add)")
+    val dupes = spark.read.parquet(store)
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dupes == 0L, "heal left duplicate assignments")
+    // the backfill partition (batch_id = -1) survived the overwrite
+    assert(spark.read.parquet(store)
+      .filter(col("batch_id") === -1L).count() == backfill)
+  }
+
+  test("nprobe partition pruning survives the (cid, batch_id) " +
+    "layout: a one-cid probe reads only that cid's directories") {
+    val (path, stored, arriving) = freshIndex()
+    AnnIndex.extend(arriving, stored, path, batchId = 0L)
+    val reread = AnnIndex.read(spark, path)
+    val oneCid = reread.assignments.filter(col("cid") === 3)
+    oneCid.collect()
+    val scan = oneCid.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("cid"), s"no partition filter surfaced:\n$scan")
+    // physical proof: the scan's selected partitions carry cid=3 only
+    val parts = oneCid.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray
+          .map(_.filePath.toString).toSeq
+      }.flatten
+    assert(parts.nonEmpty && parts.forall(_.contains("cid=3")),
+      s"scan read outside cid=3:\n${parts.take(5).mkString("\n")}")
+  }
+}
