@@ -117,13 +117,11 @@ object AnnIndex {
     val cent = lloyd(s, vectors, k, iters).select(col("cid"), col("cv"))
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     val centStored = s.read.parquet(s"$path/centroids")
-    // the backfill is batch −1: extends stamp foreachBatch ids
-    // (≥ 0), so a restarted stream's batch 0 can never collide with
-    // the build (see extend's ledger)
-    assign(vectors, centStored)
-      .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("cid", "batch_id")
-      .parquet(s"$path/assignments")
+    // the backfill is the ledger's init batch (−1): extends stamp
+    // foreachBatch ids (≥ 0), so a restarted stream's batch 0 can
+    // never collide with the build (see extend's ledger)
+    graft.streaming.BatchManifest.initStore(
+      assign(vectors, centStored), s"$path/assignments", Seq("cid"))
     read(s, path)
   }
 

@@ -123,10 +123,12 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$path/clusters")
     val labels = s.read.parquet(s"$path/clusters")
       .select(col("doc_id").as("l_id"), col("cluster_id"))
-    bandsDf.join(labels.hint("shuffle_hash"), col("doc_id") === col("l_id"), "left")
-      .select(col("band"), col("bv"), col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("lbl"))
-      .write.mode("overwrite").parquet(s"$path/bands")
+    graft.streaming.BatchManifest.initStore(
+      bandsDf.join(labels.hint("shuffle_hash"),
+          col("doc_id") === col("l_id"), "left")
+        .select(col("band"), col("bv"), col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("lbl")),
+      s"$path/bands")
     read(s, path)
   }
 

@@ -55,6 +55,7 @@ object LlmQueries {
     "llm_ann_topk" -> annTopk,
     "llm_ivf_clusters" -> ivfClusters,
     "llm_ivf_incremental" -> ivfIncremental,
+    "llm_ivf_drift" -> ivfDrift,
     "llm_ivf_topk" -> ivfTopk,
     "llm_ann_recall" -> annRecall,
     "llm_ivf_recall" -> ivfRecall,
@@ -2317,6 +2318,57 @@ object LlmQueries {
   def ivfIncremental(s: SparkSession, d: String): DataFrame =
     AnnIndex.probe(quantized(s, d).filter(expr(arrivingVecPred)),
       storedAnnIndex(s, d), 5, nProbe)
+
+  /** IVF drift / re-train signal (`llm_ivf_drift`): the stored
+    * index never re-trains on an append ([[AnnIndex.extend]]), so
+    * something must MEASURE when the frozen centroids stop fitting
+    * the data. Per inverted list: member count and assignment-mass
+    * share (×1000) of the indexed corpus vs the arriving shard, and
+    * the mean member→centroid inner product of each (the engine's
+    * similarity metric — a FALLING arriving-side mean or a mass
+    * share diverging from the indexed share is the drift signal a
+    * maintenance loop thresholds to trigger the re-train backfill).
+    * Reads ONLY the stored artifacts + the arriving shard: the
+    * indexed side is one map-side pass over the assignment scan
+    * (centroids broadcast), the arriving side is the same map-side
+    * [[AnnIndex.assign]] the extend path uses, and everything after
+    * the two per-cid aggregates is ≤ nCentroids rows. All integers
+    * (counts, floor-div shares and means — the `div`/`//` pairing
+    * of the k-means ladder). */
+  def ivfDrift(s: SparkSession, d: String): DataFrame = {
+    val stored = storedAnnIndex(s, d)
+    val cent = stored.centroids
+    def cidIp(df: DataFrame): DataFrame = df
+      .join(broadcast(cent), Seq("cid"))
+      .select(col("cid"),
+        graft.functions.DotProductLong(col("qv"), col("cv")).as("ip"))
+    val idx = cidIp(stored.assignments)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_indexed"), sum(col("ip")).as("sip"))
+    val arr = cidIp(AnnIndex.assign(
+        quantized(s, d).filter(expr(arrivingVecPred)), cent))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_arriving"), sum(col("ip")).as("sap"))
+    val base = cent.select(col("cid"))
+      .join(idx, Seq("cid"), "left")
+      .join(arr, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
+        coalesce(col("n_arriving"), lit(0L)).as("n_arriving"),
+        col("sip"), col("sap"))
+    val tot = base.agg(sum(col("n_indexed")).as("ti"),
+      sum(col("n_arriving")).as("ta"))
+    base.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_indexed"), col("n_arriving"),
+        expr("(1000 * n_indexed) div ti").as("idx_share_x1000"),
+        expr("(1000 * n_arriving) div ta").as("arr_share_x1000"),
+        // every stored cid has members (lloyd emits only non-empty
+        // clusters); the arriving side can miss a list entirely
+        expr("sip div n_indexed").as("ip_indexed_mean"),
+        when(col("n_arriving") === 0L, lit(-1L))
+          .otherwise(expr("sap div n_arriving"))
+          .as("ip_arriving_mean"))
+  }
 
   /** Recall@5 of the PQ-ADC path — what 4-byte codes cost in
     * ranking quality vs the exact scan; completes the measured
@@ -8761,6 +8813,48 @@ object LlmQueries {
          |      ORDER BY ip DESC, vec_id) AS INT) AS rank
          |  FROM si)
          |SELECT q_id, vec_id, rank, ip FROM ri WHERE rank <= 5""".stripMargin,
+
+    // the drift signal replayed over the same stored-index ladder:
+    // per-list counts, mass shares and mean member->centroid inner
+    // products for the indexed corpus vs the arriving shard
+    "llm_ivf_drift" ->
+      s"""WITH $quantCte,
+         |vi AS (SELECT vec_id, qv FROM v WHERE vec_id % 10 <> 7),
+         |${kmeansCteOver("vi", "i")},
+         |dcent AS (SELECT cid, cv FROM icent$kmIters),
+         |idx AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_indexed,
+         |    CAST(sum(CAST(list_inner_product(CAST(a.qv AS DOUBLE[]),
+         |      CAST(c.cv AS DOUBLE[])) AS BIGINT)) AS BIGINT) AS sip
+         |  FROM ikasg a JOIN dcent c ON a.cid = c.cid GROUP BY a.cid),
+         |q AS (SELECT vec_id, qv FROM v WHERE vec_id % 10 = 7),
+         |qa AS (SELECT vec_id, qv, cid FROM (
+         |    SELECT q.vec_id, q.qv, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_inner_product(CAST(q.qv AS DOUBLE[]),
+         |          CAST(c.cv AS DOUBLE[])) AS BIGINT) DESC, c.cid)
+         |      AS rn FROM q, dcent c) WHERE rn = 1),
+         |arr AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_arriving,
+         |    CAST(sum(CAST(list_inner_product(CAST(a.qv AS DOUBLE[]),
+         |      CAST(c.cv AS DOUBLE[])) AS BIGINT)) AS BIGINT) AS sap
+         |  FROM qa a JOIN dcent c ON a.cid = c.cid GROUP BY a.cid),
+         |base AS (SELECT c.cid,
+         |    CAST(COALESCE(i.n_indexed, 0) AS BIGINT) AS n_indexed,
+         |    CAST(COALESCE(a.n_arriving, 0) AS BIGINT) AS n_arriving,
+         |    i.sip, a.sap
+         |  FROM dcent c LEFT JOIN idx i ON c.cid = i.cid
+         |  LEFT JOIN arr a ON c.cid = a.cid),
+         |tot AS (SELECT CAST(sum(n_indexed) AS BIGINT) AS ti,
+         |    CAST(sum(n_arriving) AS BIGINT) AS ta FROM base)
+         |SELECT b.cid, b.n_indexed, b.n_arriving,
+         |  CAST((1000 * b.n_indexed) // t.ti AS BIGINT)
+         |    AS idx_share_x1000,
+         |  CAST((1000 * b.n_arriving) // t.ta AS BIGINT)
+         |    AS arr_share_x1000,
+         |  CAST(b.sip // b.n_indexed AS BIGINT) AS ip_indexed_mean,
+         |  CAST(CASE WHEN b.n_arriving = 0 THEN -1
+         |    ELSE b.sap // b.n_arriving END AS BIGINT)
+         |    AS ip_arriving_mean
+         |FROM base b, tot t""".stripMargin,
 
     "llm_ann_recall" -> {
       val flips = (1 to 8).map(i =>

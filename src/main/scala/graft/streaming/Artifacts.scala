@@ -98,4 +98,40 @@ object BatchManifest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy((partitionCols :+ "batch_id"): _*)
       .parquet(store)
+
+  /** The batch id extended stores stamp on their BACKFILL rows:
+    * stream batch ids are ≥ 0, so a restarted checkpoint's batch 0
+    * can never collide with the build. */
+  val InitBatch: Long = -1L
+
+  /** One-time backfill of an extendable store: same layout as
+    * [[writeBatch]] (so later extends nest cleanly) under
+    * [[InitBatch]], FULL overwrite (a build replaces the store), no
+    * ledger record (the ledger tracks extend batches only). */
+  def initStore(df: DataFrame, store: String,
+      partitionCols: Seq[String] = Nil): Unit =
+    df.withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(InitBatch))
+      .write.mode("overwrite")
+      .partitionBy((partitionCols :+ "batch_id"): _*)
+      .parquet(store)
+
+  /** The store restricted to COMMITTED rows: the backfill plus every
+    * ledger-recorded batch. An extend that crashed between its data
+    * write and its ledger commit leaves orphan partitions; a retry
+    * that PROBES the store before re-extending must not see them, or
+    * the retry's probe verdicts (and thus its healed rewrite) would
+    * diverge from the first attempt's. The id set is ledger-sized
+    * (driver-bounded) and the filter is partition pruning on
+    * `batch_id` — never a data scan. */
+  def committedOnly(spark: SparkSession, store: String,
+      df: DataFrame): DataFrame =
+    if (!df.columns.contains("batch_id")) df // plain, never-extended store
+    else {
+      val ids = Artifacts.readParquet(spark, path(store))
+        .map(_.select("batch_id").collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long]) + InitBatch
+      df.filter(org.apache.spark.sql.functions.col("batch_id")
+        .isin(ids.toSeq: _*))
+    }
 }

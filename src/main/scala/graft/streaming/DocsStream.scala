@@ -142,8 +142,9 @@ object DocsStream {
     * stream's output is bit-equal to a batch `spanProbe` over the
     * same documents REGARDLESS of how the shard was split into
     * micro-batches — the property the twin spec pins. Zero streaming
-    * state; at-least-once safe (appends anti-join the out table's
-    * doc_ids, the [[startIncrementalDedup]] retry guard). */
+    * state; at-least-once safe via the O(delta) [[BatchManifest]]
+    * protocol (bounded ledger read, per-batch dynamic-overwrite
+    * heal — never an out-table scan). */
   def startSpanProbe(docs: DataFrame, gramIndexPath: String,
       outPath: String, checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -151,19 +152,13 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val out = LlmQueries.spanProbe(batch,
-          spark.read.parquet(gramIndexPath))
-        val seen =
-          Artifacts.readParquet(spark, outPath)
-          .map(_.select(col("doc_id").as("s_id")))
-          .getOrElse(spark.emptyDataFrame
-            .withColumn("s_id", lit(0L)).limit(0))
-        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        ()
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          BatchManifest.writeBatch(LlmQueries.spanProbe(batch,
+            spark.read.parquet(gramIndexPath)), outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -172,7 +167,7 @@ object DocsStream {
     * its digests probed against the stored base-corpus digest index
     * ([[graft.llm.CdcChunks.storedDigestsPath]]) — same
     * broadcast-asymmetric shape as [[startSpanProbe]], same
-    * out-table anti-join idempotence for at-least-once replays. */
+    * [[BatchManifest]] idempotence for at-least-once replays. */
   def startCdcProbe(docs: DataFrame, digestIndexPath: String,
       outPath: String, checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -180,19 +175,13 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val out = graft.llm.CdcChunks.probe(batch,
-          spark.read.parquet(digestIndexPath))
-        val seen =
-          Artifacts.readParquet(spark, outPath)
-          .map(_.select(col("doc_id").as("s_id")))
-          .getOrElse(spark.emptyDataFrame
-            .withColumn("s_id", lit(0L)).limit(0))
-        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        ()
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          BatchManifest.writeBatch(graft.llm.CdcChunks.probe(batch,
+            spark.read.parquet(digestIndexPath)), outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -209,7 +198,7 @@ object DocsStream {
     * batch (a document is one row), so output is bit-equal to a
     * batch [[LlmQueries.wordpieceProbe]] over the same documents
     * regardless of micro-batch splits. At-least-once safe via the
-    * out-table doc_id anti-join. */
+    * [[BatchManifest]] protocol. */
   def startWordpieceProbe(docs: DataFrame, vocabPath: String,
       outPath: String, checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -217,20 +206,15 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val vocab = spark.read.parquet(vocabPath)
-          .collect().map(_.getString(0)).toSet
-        val out = LlmQueries.wordpieceProbe(batch, vocab)
-        val seen =
-          Artifacts.readParquet(spark, outPath)
-          .map(_.select(col("doc_id").as("s_id")).distinct())
-          .getOrElse(spark.emptyDataFrame
-            .withColumn("s_id", lit(0L)).limit(0))
-        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        ()
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          val vocab = spark.read.parquet(vocabPath)
+            .collect().map(_.getString(0)).toSet
+          BatchManifest.writeBatch(
+            LlmQueries.wordpieceProbe(batch, vocab), outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -247,7 +231,7 @@ object DocsStream {
     * per-doc (token, n) rows append to `outPath`. Row-local:
     * stream output is bit-equal to a batch probe over the same
     * documents regardless of the split; at-least-once safe via the
-    * doc-id anti-join retry guard. */
+    * [[BatchManifest]] protocol. */
   def startBpeProbe(docs: DataFrame, mergesPath: String,
       outPath: String, checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -255,20 +239,17 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val merges = spark.read.parquet(mergesPath)
-          .orderBy(col("merge_rank")).collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-        val out = LlmQueries.bpeProbe(batch, merges)
-        val seen = Artifacts.readParquet(spark, outPath)
-          .map(_.select(col("doc_id").as("s_id")).distinct())
-          .getOrElse(spark.emptyDataFrame
-            .withColumn("s_id", lit(0L)).limit(0))
-        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        ()
+        import org.apache.spark.sql.functions.col
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          val merges = spark.read.parquet(mergesPath)
+            .orderBy(col("merge_rank")).collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          BatchManifest.writeBatch(
+            LlmQueries.bpeProbe(batch, merges), outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -281,7 +262,7 @@ object DocsStream {
     * effect at the next batch) and per-doc (token, n) rows append to
     * `outPath`. Row-local — stream output is bit-equal to a batch
     * probe over the same documents regardless of the split;
-    * at-least-once safe via the doc-id anti-join retry guard. */
+    * at-least-once safe via the [[BatchManifest]] protocol. */
   def startUnigramProbe(docs: DataFrame, vocabPath: String,
       outPath: String, checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -289,19 +270,15 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val vocab = spark.read.parquet(vocabPath)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val out = LlmQueries.unigramProbe(batch, vocab)
-        val seen = Artifacts.readParquet(spark, outPath)
-          .map(_.select(col("doc_id").as("s_id")).distinct())
-          .getOrElse(spark.emptyDataFrame
-            .withColumn("s_id", lit(0L)).limit(0))
-        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        ()
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          val vocab = spark.read.parquet(vocabPath)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          BatchManifest.writeBatch(
+            LlmQueries.unigramProbe(batch, vocab), outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -312,8 +289,9 @@ object DocsStream {
     * running) and the per-doc (score, kept) rows append to
     * `outPath`. Row-local inference — stream output is bit-equal to
     * a batch score over the same documents regardless of
-    * micro-batch split; at-least-once safe via the doc-id
-    * anti-join retry guard (the [[startSpanProbe]] discipline). */
+    * micro-batch split; at-least-once safe via the
+    * [[BatchManifest]] protocol (the [[startSpanProbe]]
+    * discipline). */
   def startQualityScore(docs: DataFrame, weightsPath: String,
       outPath: String, checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -321,18 +299,13 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val out = LlmQueries.qualityScoreOf(batch,
-          spark.read.parquet(weightsPath))
-        val seen = Artifacts.readParquet(spark, outPath)
-          .map(_.select(col("doc_id").as("s_id")).distinct())
-          .getOrElse(spark.emptyDataFrame
-            .withColumn("s_id", lit(0L)).limit(0))
-        out.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        ()
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          BatchManifest.writeBatch(LlmQueries.qualityScoreOf(batch,
+            spark.read.parquet(weightsPath)), outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -400,10 +373,12 @@ object DocsStream {
     * corpus (count-min mergeability, the same role the bottom-k
     * merge plays for KMV). Replay safety: `foreachBatch` + append is
     * at-least-once and cell addition is NOT idempotent, so a
-    * replayed batch whose `batch_id` already has rows in the store
-    * is SKIPPED — exactly-once by batch-id dedup, the append-only
-    * analog of the KMV overwrite-merge. Per-batch cost is the
-    * batch's own map-side scan + one exchange on ≤ d·w cells. */
+    * replayed batch is SKIPPED — exactly-once via the
+    * [[BatchManifest]] ledger (replay detection is a bounded
+    * ledger read, not a store scan; a crash between the data write
+    * and the ledger commit heals by the per-batch dynamic
+    * overwrite). Per-batch cost is the batch's own map-side scan +
+    * one exchange on ≤ d·w cells. */
   def startCmsMaintenance(docs: DataFrame, cellsPath: String,
       checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -413,14 +388,11 @@ object DocsStream {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val replayed =
-          Artifacts.readParquet(spark, cellsPath).exists(d =>
-          !d.filter(col("batch_id") === batchId).isEmpty)
-        if (!replayed)
-          LlmQueries.cmsCellsOf(batch)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(cellsPath)
+        if (!BatchManifest.applied(spark, cellsPath, batchId)) {
+          BatchManifest.writeBatch(
+            LlmQueries.cmsCellsOf(batch), cellsPath, batchId)
+          BatchManifest.commit(spark, cellsPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -439,10 +411,10 @@ object DocsStream {
     * register MAX, which is HLL's exact merge — so the maintained
     * estimate equals the batch estimate over everything ingested,
     * regardless of how arrivals were split into batches. CMS needed
-    * the batch-id replay guard because its fold is a SUM (replays
+    * the replay guard because its fold is a SUM (replays
     * double-count); HLL's max fold is idempotent, but the guard is
     * kept anyway so storage doesn't grow on retries — one
-    * discipline for all maintained sketches. */
+    * discipline ([[BatchManifest]]) for all maintained sketches. */
   def startHllMaintenance(docs: DataFrame, regsPath: String,
       checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -452,14 +424,11 @@ object DocsStream {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val replayed =
-          Artifacts.readParquet(spark, regsPath).exists(d =>
-          !d.filter(col("batch_id") === batchId).isEmpty)
-        if (!replayed)
-          LlmQueries.hllRegsOf(batch)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(regsPath)
+        if (!BatchManifest.applied(spark, regsPath, batchId)) {
+          BatchManifest.writeBatch(
+            LlmQueries.hllRegsOf(batch), regsPath, batchId)
+          BatchManifest.commit(spark, regsPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -476,7 +445,9 @@ object DocsStream {
     * (doc_id, term, tf) posting rows ([[LlmQueries.postingsOf]] —
     * per-DOCUMENT derivations, so postings from disjoint batches
     * merge by plain union and the fold needs no combine at all),
-    * batch-id-guarded against replay appends. A BM25 query over
+    * [[BatchManifest]]-guarded against replay appends — the
+    * postings store is corpus-scale, so replay detection must be a
+    * bounded ledger read, never a store scan. A BM25 query over
     * [[readPostings]] equals the monolithic batch build over
     * everything ingested (df/avgdl/N re-derive from the merged index
     * inside the scoring plan — Bm25StreamSpec). */
@@ -489,14 +460,11 @@ object DocsStream {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val replayed =
-          Artifacts.readParquet(spark, postingsPath).exists(d =>
-          !d.filter(col("batch_id") === batchId).isEmpty)
-        if (!replayed)
-          LlmQueries.postingsOf(batch)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(postingsPath)
+        if (!BatchManifest.applied(spark, postingsPath, batchId)) {
+          BatchManifest.writeBatch(
+            LlmQueries.postingsOf(batch), postingsPath, batchId)
+          BatchManifest.commit(spark, postingsPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -528,13 +496,18 @@ object DocsStream {
     * pure probe and its kept-set is bit-equal to the batch query's
     * regardless of how the shard was split into micro-batches.
     *
-    * Retry safety: `foreachBatch` + parquet append is at-least-once,
-    * so every write is guarded to be idempotent per doc_id — the out
-    * table is re-read as the seen-set (the [[TurtleStream]] pattern)
-    * and the index append anti-joins the index's own doc_ids; probe
-    * matches exclude self-matches (`index.doc_id != arriving id`) so
-    * a crash between the index append and the checkpoint commit
-    * cannot make a replayed document drop against its own bands. */
+    * Retry safety — the O(delta) [[BatchManifest]] protocol on both
+    * stores: replay detection is a bounded ledger read per store
+    * (never an out-table or index scan); an uncommitted replay
+    * recomputes the batch and dynamic-overwrites its own `batch_id`
+    * partitions, healing partial appends. The probe reads the
+    * index's COMMITTED view ([[BatchManifest.committedOnly]] —
+    * partition pruning on ledger-listed batch ids), so a retry after
+    * a crash inside the index append sees exactly the index state
+    * the first attempt saw and its verdicts (and healed rewrite) are
+    * deterministic; the self-match guard (`index.doc_id != arriving
+    * id`) additionally keeps a re-fed already-indexed document from
+    * dropping against its own bands. */
   def startIncrementalDedup(docs: DataFrame, indexBandsPath: String,
       outPath: String, checkpointLocation: String,
       extendIndex: Boolean = false,
@@ -543,49 +516,41 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{broadcast, col, lit}
-        val aBands = DedupIndex.docBands(batch)
-          .withColumnRenamed("doc_id", "a_id")
-        val index = spark.read.parquet(indexBandsPath)
-        // map-side over the index scan: the arriving micro-batch is
-        // the small side and broadcast, exactly as in batch; the
-        // self-match guard makes a batch REPLAY after a partial
-        // extendIndex append see past its own bands
-        val dupIds = index.join(broadcast(aBands), Seq("band", "bv"))
-          .filter(col("doc_id") =!= col("a_id"))
-          .select(col("a_id").as("doc_id")).distinct()
-        val novel = batch.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
-          .localCheckpoint() // several consumers below — evaluate once
-        // retry guard: the accumulated out table is the seen-set
-        // (target-table-sized — no broadcast hint; the same documented
-        // trade as TurtleStream.startDedupAppend's anti-join)
-        val seen =
-          Artifacts.readParquet(spark, outPath)
-          .map(_.select(col("doc_id").as("s_id")))
-          .getOrElse(spark.emptyDataFrame
-            .withColumn("s_id", lit(0L)).limit(0))
-        novel.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        if (extendIndex) {
-          // which novel ids already have bands (partial-append replay)?
-          // asymmetry as in the probe: broadcast the tiny novel id set
-          // against the corpus-scale index scan; the result is tiny
-          val alreadyIndexed = index.join(
-              broadcast(novel.select(col("doc_id").as("n_id")).distinct()),
-              col("doc_id") === col("n_id"))
-            .select(col("n_id").as("i_id")).distinct()
-          DedupIndex.docBands(novel)
-            .join(broadcast(alreadyIndexed), col("doc_id") === col("i_id"),
-              "left_anti")
-            // a kept novel doc is its own cluster representative
-            .withColumn("lbl", col("doc_id"))
-            .select("band", "bv", "doc_id", "lbl")
-            .write.mode("append").parquet(indexBandsPath)
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val outDone = BatchManifest.applied(spark, outPath, batchId)
+        val idxDone = !extendIndex ||
+          BatchManifest.applied(spark, indexBandsPath, batchId)
+        if (!outDone || !idxDone) {
+          val aBands = DedupIndex.docBands(batch)
+            .withColumnRenamed("doc_id", "a_id")
+          val index = BatchManifest.committedOnly(spark, indexBandsPath,
+            spark.read.parquet(indexBandsPath))
+          // map-side over the index scan: the arriving micro-batch is
+          // the small side and broadcast, exactly as in batch
+          val dupIds = index.join(broadcast(aBands), Seq("band", "bv"))
+            .filter(col("doc_id") =!= col("a_id"))
+            .select(col("a_id").as("doc_id")).distinct()
+          val novel = batch
+            .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+            .localCheckpoint() // several consumers below — evaluate once
+          if (!outDone) {
+            BatchManifest.writeBatch(novel, outPath, batchId)
+            BatchManifest.commit(spark, outPath, batchId)
+          }
+          if (extendIndex && !idxDone) {
+            BatchManifest.writeBatch(
+              DedupIndex.docBands(novel)
+                // a kept novel doc is its own cluster representative
+                .withColumn("lbl", col("doc_id"))
+                .select("band", "bv", "doc_id", "lbl"),
+              indexBandsPath, batchId)
+            BatchManifest.commit(spark, indexBandsPath, batchId)
+          }
+          org.apache.spark.sql.graftshim.ColumnBridge
+            .freeLocalCheckpoint(novel)
         }
-        org.apache.spark.sql.graftshim.ColumnBridge
-          .freeLocalCheckpoint(novel)
       }
       .trigger(trigger).start()
 
@@ -667,8 +632,7 @@ object DocsStream {
     * classification of the same documents regardless of the
     * micro-batch split. Appends (doc_id, pred, win_score) to
     * `outPath`; zero streaming state (the counts artifact is the
-    * model). Retry-safe: the out table's own doc_ids are the
-    * replay guard (the [[startIncrementalDedup]] pattern). */
+    * model). Retry-safe via the [[BatchManifest]] protocol. */
   def startLangIdGate(docs: DataFrame, countsPath: String,
       outPath: String, checkpointLocation: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -676,19 +640,15 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, lit}
-        val counts = spark.read.parquet(countsPath)
-        val scored = LlmQueries.langIdScoreOf(
-          LlmQueries.langIdGramsOf(batch), counts, Nil)
-        val seen =
-          Artifacts.readParquet(spark, outPath)
-            .map(_.select(col("doc_id").as("s_id")).distinct())
-            .getOrElse(spark.emptyDataFrame
-              .withColumn("s_id", lit(0L)).limit(0))
-        scored.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          val counts = spark.read.parquet(countsPath)
+          BatchManifest.writeBatch(LlmQueries.langIdScoreOf(
+            LlmQueries.langIdGramsOf(batch), counts, Nil),
+            outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
       }
       .trigger(trigger).start()
 
@@ -716,12 +676,13 @@ object DocsStream {
     *
     * `extendStore = true` appends each batch's KEPT signatures, so
     * later micro-batches gate against earlier arrivals — the
-    * production admit loop. Retry safety mirrors
-    * [[startIncrementalDedup]]: out-append is guarded by re-reading
-    * the out table as the seen-set; the store append anti-joins the
-    * store's own doc_ids; the probe excludes self-matches so a
-    * replay after a partial store append cannot drop a document
-    * against its own signature. */
+    * production admit loop. Retry safety is the O(delta)
+    * [[BatchManifest]] protocol on both stores (bounded ledger
+    * reads, per-batch dynamic-overwrite heal), with the probe
+    * reading the store's COMMITTED view so a retry after a partial
+    * store append reproduces the first attempt's verdicts; the
+    * self-match guard keeps a re-fed already-stored document from
+    * gating against its own signature. */
   def startSimhashGate(docs: DataFrame, sigStorePath: String,
       outPath: String, checkpointLocation: String,
       extendStore: Boolean = false,
@@ -730,62 +691,63 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
-        val aSig = LlmQueries.simhashSignOf(batch)
-          .select(col("doc_id").as("a_id") +:
-            (0 until 4).map(k => col(s"v$k").as(s"a$k")): _*)
-          .localCheckpoint() // signed once; probed + appended below
-        val bandRowsOf = (df: DataFrame, idCol: String, pfx: String) =>
-          df.select(col(idCol),
-            org.apache.spark.sql.functions.explode(expr(
-              (0 until 4).map(k =>
-                s"struct($k AS band, $pfx$k AS bv)")
-                .mkString("array(", ", ", ")"))).as("x"))
-            .select(col(idCol), col("x.band").as("band"),
-              col("x.bv").as("bv"))
-        val store = spark.read.parquet(sigStorePath)
-        // map-side probe: store scan explodes to band rows and hash-
-        // joins the BROADCAST batch bands; candidates then verify on
-        // full 64-bit hamming with the self-match guard
-        val cand = bandRowsOf(store, "doc_id", "v")
-          .join(broadcast(bandRowsOf(aSig, "a_id", "a")), Seq("band", "bv"))
-          .filter(col("doc_id") =!= col("a_id"))
-          .select("doc_id", "a_id").distinct()
-        val ham = (0 until 4).map(k =>
-          expr(s"bit_count(v$k ^ a$k)")).reduce(_ + _)
-        val dupIds = cand
-          .join(store, Seq("doc_id"))
-          .join(broadcast(aSig), Seq("a_id"))
-          .filter(ham <= 3)
-          .select(col("a_id").as("doc_id")).distinct()
-        val novel = batch.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        val seen =
-          Artifacts.readParquet(spark, outPath)
-          .map(_.select(col("doc_id").as("s_id")))
-          .getOrElse(spark.emptyDataFrame
-            .withColumn("s_id", lit(0L)).limit(0))
-        novel.join(seen, col("doc_id") === col("s_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        if (extendStore) {
-          val alreadyStored = store.join(
-              broadcast(novel.select(col("doc_id").as("n_id")).distinct()),
-              col("doc_id") === col("n_id"))
-            .select(col("n_id").as("i_id")).distinct()
-          aSig.join(broadcast(novel.select(col("doc_id").as("n_id"))),
-              col("a_id") === col("n_id"), "left_semi")
-            .join(broadcast(alreadyStored), col("a_id") === col("i_id"),
-              "left_anti")
-            .select(col("a_id").as("doc_id") +:
-              (0 until 4).map(k => col(s"a$k").as(s"v$k")): _*)
-            .write.mode("append").parquet(sigStorePath)
+        import org.apache.spark.sql.functions.{broadcast, col, expr}
+        val outDone = BatchManifest.applied(spark, outPath, batchId)
+        val storeDone = !extendStore ||
+          BatchManifest.applied(spark, sigStorePath, batchId)
+        if (!outDone || !storeDone) {
+          val aSig = LlmQueries.simhashSignOf(batch)
+            .select(col("doc_id").as("a_id") +:
+              (0 until 4).map(k => col(s"v$k").as(s"a$k")): _*)
+            .localCheckpoint() // signed once; probed + appended below
+          val bandRowsOf = (df: DataFrame, idCol: String, pfx: String) =>
+            df.select(col(idCol),
+              org.apache.spark.sql.functions.explode(expr(
+                (0 until 4).map(k =>
+                  s"struct($k AS band, $pfx$k AS bv)")
+                  .mkString("array(", ", ", ")"))).as("x"))
+              .select(col(idCol), col("x.band").as("band"),
+                col("x.bv").as("bv"))
+          val store = BatchManifest.committedOnly(spark, sigStorePath,
+            spark.read.parquet(sigStorePath))
+          // map-side probe: store scan explodes to band rows and hash-
+          // joins the BROADCAST batch bands; candidates then verify on
+          // full 64-bit hamming with the self-match guard
+          val cand = bandRowsOf(store, "doc_id", "v")
+            .join(broadcast(bandRowsOf(aSig, "a_id", "a")),
+              Seq("band", "bv"))
+            .filter(col("doc_id") =!= col("a_id"))
+            .select("doc_id", "a_id").distinct()
+          val ham = (0 until 4).map(k =>
+            expr(s"bit_count(v$k ^ a$k)")).reduce(_ + _)
+          val dupIds = cand
+            .join(store, Seq("doc_id"))
+            .join(broadcast(aSig), Seq("a_id"))
+            .filter(ham <= 3)
+            .select(col("a_id").as("doc_id")).distinct()
+          val novel = batch
+            .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          if (!outDone) {
+            BatchManifest.writeBatch(novel, outPath, batchId)
+            BatchManifest.commit(spark, outPath, batchId)
+          }
+          if (extendStore && !storeDone) {
+            BatchManifest.writeBatch(
+              aSig.join(broadcast(novel.select(col("doc_id").as("n_id"))),
+                  col("a_id") === col("n_id"), "left_semi")
+                .select(col("a_id").as("doc_id") +:
+                  (0 until 4).map(k => col(s"a$k").as(s"v$k")): _*),
+              sigStorePath, batchId)
+            BatchManifest.commit(spark, sigStorePath, batchId)
+          }
+          org.apache.spark.sql.graftshim.ColumnBridge
+            .freeLocalCheckpoint(novel)
+          org.apache.spark.sql.graftshim.ColumnBridge
+            .freeLocalCheckpoint(aSig)
         }
-        org.apache.spark.sql.graftshim.ColumnBridge
-          .freeLocalCheckpoint(novel)
-        org.apache.spark.sql.graftshim.ColumnBridge
-          .freeLocalCheckpoint(aSig)
       }
       .trigger(trigger).start()
 }

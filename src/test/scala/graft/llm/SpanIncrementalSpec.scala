@@ -66,7 +66,7 @@ class SpanIncrementalSpec extends AnyFunSuite {
 
     val batch = LlmQueries.spanProbe(arriving,
       spark.read.parquet(idxPath))
-    assert(rows(spark.read.parquet(out)) === rows(batch))
+    assert(rows(spark.read.parquet(out).drop("batch_id")) === rows(batch))
     assert(batch.count() > 0)
 
     // at-least-once replay through a fresh checkpoint: the out-table
@@ -74,6 +74,6 @@ class SpanIncrementalSpec extends AnyFunSuite {
     DocsStream.startSpanProbe(
       DocsStream.documents(spark, dir, maxFilesPerTrigger = Some(1)),
       idxPath, out, tmp("spanprobe-ckpt2")).awaitTermination()
-    assert(rows(spark.read.parquet(out)) === rows(batch))
+    assert(rows(spark.read.parquet(out).drop("batch_id")) === rows(batch))
   }
 }

@@ -61,6 +61,16 @@ class BroadcastDisciplineSpec extends AnyFunSuite {
       "llm_ivf_incremental must rank through the bounded heap")
   }
 
+  test("llm_ivf_drift never sort-merges the corpus-scale assignment " +
+    "scan: centroids ride broadcast on both aggregate legs") {
+    val p = executedString("llm_ivf_drift")
+    assert(count(p, "SortMergeJoin") == 0,
+      s"llm_ivf_drift sort-merged a corpus-scale side:\n${p.take(2000)}")
+    assert(count(p, "BroadcastHashJoin") +
+      count(p, "BroadcastNestedLoopJoin") >= 1,
+      s"llm_ivf_drift lost its broadcast centroid row:\n${p.take(2000)}")
+  }
+
   test("entailment broadcasts stay at the restructured bound") {
     val p = executedString("rdf_rdfs_entail")
     val bhj = count(p, "BroadcastHashJoin")

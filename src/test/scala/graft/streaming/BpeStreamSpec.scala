@@ -56,13 +56,13 @@ class BpeStreamSpec extends AnyFunSuite {
       mergesPath, out, tmp("bpeprobe-ckpt")).awaitTermination()
 
     val batch = LlmQueries.bpeProbe(arriving, storedMerges())
-    assert(rows(spark.read.parquet(out)) === rows(batch))
+    assert(rows(spark.read.parquet(out).drop("batch_id")) === rows(batch))
     assert(batch.count() > 0)
 
     DocsStream.startBpeProbe(
       DocsStream.documents(spark, dir, maxFilesPerTrigger = Some(1)),
       mergesPath, out, tmp("bpeprobe-ckpt2")).awaitTermination()
-    assert(rows(spark.read.parquet(out)) === rows(batch))
+    assert(rows(spark.read.parquet(out).drop("batch_id")) === rows(batch))
   }
 
   test("probe totals reconcile with the corpus-level incremental " +

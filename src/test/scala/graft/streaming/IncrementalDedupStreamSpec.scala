@@ -96,7 +96,8 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     // and 200's bands were appended to the index on disk, with the
     // stored-index schema (own id as cluster label)
     val idxBands = spark.read.parquet(s"$indexPath/bands")
-    assert(idxBands.columns.toSeq == DedupIndex.bandColumns)
+    assert(idxBands.columns.toSeq ==
+      DedupIndex.bandColumns :+ "batch_id") // + the extend ledger col
     val idxDocs = idxBands
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(idxDocs.contains(200L) && !idxDocs.contains(300L))

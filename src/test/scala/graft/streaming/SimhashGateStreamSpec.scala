@@ -83,10 +83,10 @@ class SimhashGateStreamSpec extends AnyFunSuite {
     import s.implicits._
     val t = "uniform victor whiskey xray yankee zulu alpha"
     val storePath = tmp("shext-store")
-    LlmQueries.simhashSignOf(
+    // an EXTENDABLE store must be born in the ledger layout
+    BatchManifest.initStore(LlmQueries.simhashSignOf(
       Seq((1L, "a stored corpus document of entirely different words"))
-        .toDF("doc_id", "text"))
-      .write.mode("overwrite").parquet(storePath)
+        .toDF("doc_id", "text")), storePath)
 
     val dir = tmp("shext-in")
     // shard0: novel doc 200; shard1: 300 duplicates 200 verbatim

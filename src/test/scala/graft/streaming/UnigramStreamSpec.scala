@@ -54,13 +54,13 @@ class UnigramStreamSpec extends AnyFunSuite {
       vocabPath, out, tmp("uniprobe-ckpt")).awaitTermination()
 
     val batch = LlmQueries.unigramProbe(arriving, vocab)
-    assert(rows(spark.read.parquet(out)) === rows(batch))
+    assert(rows(spark.read.parquet(out).drop("batch_id")) === rows(batch))
     assert(batch.count() > 0)
 
     DocsStream.startUnigramProbe(
       DocsStream.documents(spark, dir, maxFilesPerTrigger = Some(1)),
       vocabPath, out, tmp("uniprobe-ckpt2")).awaitTermination()
-    assert(rows(spark.read.parquet(out)) === rows(batch))
+    assert(rows(spark.read.parquet(out).drop("batch_id")) === rows(batch))
   }
 
   test("probe totals reconcile with the corpus-level incremental " +

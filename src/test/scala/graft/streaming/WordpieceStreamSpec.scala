@@ -64,14 +64,14 @@ class WordpieceStreamSpec extends AnyFunSuite {
       vocabPath, out, tmp("wpprobe-ckpt")).awaitTermination()
 
     val batch = LlmQueries.wordpieceProbe(arriving, vocab)
-    assert(rows(spark.read.parquet(out)) === rows(batch))
+    assert(rows(spark.read.parquet(out).drop("batch_id")) === rows(batch))
     assert(batch.count() > 0)
 
     // at-least-once replay through a fresh checkpoint
     DocsStream.startWordpieceProbe(
       DocsStream.documents(spark, dir, maxFilesPerTrigger = Some(1)),
       vocabPath, out, tmp("wpprobe-ckpt2")).awaitTermination()
-    assert(rows(spark.read.parquet(out)) === rows(batch))
+    assert(rows(spark.read.parquet(out).drop("batch_id")) === rows(batch))
   }
 
   test("probe totals reconcile with the corpus-level incremental " +
