@@ -2110,8 +2110,13 @@ object SparqlSelect {
     * restriction). */
   /** Serialize a SERVICE block back to the query text sent to the
     * endpoint — `SELECT *` over the plain triple patterns (the
-    * subset the parser admitted into the clause). */
-  private[rdf] def serviceQueryText(ps: Seq[Pattern]): String = {
+    * subset the parser admitted into the clause). When `bound` is
+    * given (bound-join pushdown, the §13 federation optimization),
+    * the local frame's shared-variable bindings lead the body as a
+    * VALUES block, so the endpoint returns only joinable rows
+    * instead of its full pattern extension. */
+  private[rdf] def serviceQueryText(ps: Seq[Pattern],
+      bound: Option[(Seq[String], Seq[Seq[String]])] = None): String = {
     def termStr(x: Term): String = x match {
       case V(n) => s"?$n"
       case I(iri) => s"<$iri>"
@@ -2121,8 +2126,38 @@ object SparqlSelect {
     val body = ps.map(p =>
       s"${termStr(p.s)} <${p.preds.head}> ${termStr(p.o)} .")
       .mkString(" ")
-    s"SELECT * WHERE { $body }"
+    val values = bound.map { case (vars, rows) =>
+      val hdr = vars.map("?" + _).mkString("(", " ", ")")
+      val rs = rows.map(_.map(lexicalTerm).mkString("(", " ", ")"))
+        .mkString(" ")
+      s"VALUES $hdr { $rs } "
+    }.getOrElse("")
+    s"SELECT * WHERE { $values$body }"
   }
+
+  /** Re-serialize one LEXICAL solution value as a SPARQL term for a
+    * pushed VALUES row. The engine's solution columns are lexical
+    * (the documented SERVICE delta — term kinds are not carried
+    * through joins), so the kind is re-derived the only way a
+    * lexical form allows: a value shaped like an absolute IRI
+    * (scheme prefix, no whitespace/quotes/angle chars) serializes
+    * as `<iri>`, everything else as a quoted literal. */
+  private[rdf] def lexicalTerm(v: String): String =
+    if (v != null &&
+        v.matches("[A-Za-z][A-Za-z0-9+.-]*:[^\\s\"<>{}|\\\\^`]*"))
+      s"<$v>"
+    else "\"" + String.valueOf(v)
+      .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Bound-join binding budget: the maximum number of distinct
+    * local binding rows serialized into a pushed VALUES block (and
+    * therefore collected to the driver — the collect is
+    * `limit(budget + 1)` of a narrow distinct projection, bounded
+    * regardless of corpus size). Past the budget the clause falls
+    * back to the unpushed `SELECT *` + local join. 0 disables
+    * pushdown. */
+  val serviceBindingBudgetConf = "spark.graft.service.bindingBudget"
+  val serviceBindingBudgetDefault = 64
 
   /** Evaluate one SERVICE clause through the client: the remote
     * rows become an inline frame over the block's variables
@@ -2130,9 +2165,11 @@ object SparqlSelect {
     * failure); a non-SILENT failure errors loudly with the
     * endpoint named. */
   private def serviceFrame(t: DataFrame, sc: ServiceClause,
-      svc: ServiceClient): Option[DataFrame] = {
+      svc: ServiceClient,
+      bound: Option[(Seq[String], Seq[Seq[String]])] = None)
+      : Option[DataFrame] = {
     val vars = sc.patterns.flatMap(varsOf).distinct
-    svc.fetch(sc.endpoint, serviceQueryText(sc.patterns)) match {
+    svc.fetch(sc.endpoint, serviceQueryText(sc.patterns, bound)) match {
       case None if sc.silent => None
       case None => throw new IllegalArgumentException(
         s"SPARQL: SERVICE <${sc.endpoint}> failed (add SILENT to " +
@@ -2400,17 +2437,58 @@ object SparqlSelect {
     // driver-small, so the broadcast join prunes the scan BEFORE the
     // big pattern joins, never after)
     // SERVICE frames evaluate at compile time through the client
-    // seam and lead the fold with the subqueries (remote result
-    // sets are delta-sized — AQE broadcasts them into the pattern
-    // joins); a SILENT failure degrades to the unit solution (the
-    // clause contributes nothing and the join fold skips it)
-    val svcDfs = g.services.flatMap(serviceFrame(t, _, svc))
-    val mainDfs = g.subs.map(sq => compile(t, sq)) ++ svcDfs ++
+    // seam. A clause sharing variables with the already-folded
+    // local frame is a BOUND JOIN (§13 federation's optimization):
+    // the local frame's distinct shared-var bindings — capped at
+    // the documented budget, collected as a bounded narrow
+    // projection — are serialized into the remote query as a
+    // VALUES block, so the endpoint returns only joinable rows.
+    // Past the budget (or with no shared vars / no local frame
+    // yet) the clause falls back to the unpushed `SELECT *`.
+    // Either way the remote frame is delta-sized and AQE
+    // broadcasts it into the fold; a SILENT failure degrades to
+    // the unit solution (the clause contributes nothing).
+    val localDfs = g.subs.map(sq => compile(t, sq)) ++
       mains.map(p => if (p.plus) closure(p)
         else if (p.star) closureStar(p)
         else if (p.rep.isDefined) boundedOf(p)
         else if (p.zeroOne) zeroOneOf(p)
         else scan(p))
+    val budget = t.sparkSession.conf
+      .getOption(serviceBindingBudgetConf).map(_.toInt)
+      .getOrElse(serviceBindingBudgetDefault)
+    def fetchService(sc: ServiceClause,
+        acc: Option[DataFrame]): Option[DataFrame] = {
+      val shared = acc.map(a =>
+        sc.patterns.flatMap(varsOf).distinct
+          .filter(a.columns.contains)).getOrElse(Nil)
+      val bound =
+        if (shared.isEmpty || budget <= 0) None
+        else {
+          val rows = acc.get
+            .select(shared.map(col): _*).na.drop().distinct()
+            .limit(budget + 1).collect()
+          if (rows.length > budget) None // too wide — unpushed
+          else Some((shared, rows.toSeq.map(r =>
+            shared.indices.map(i => r.get(i).toString))))
+        }
+      serviceFrame(t, sc, svc, bound)
+    }
+    // no local frame: the first service that yields a frame leads
+    // the fold (unpushed — nothing to bind against yet); SILENT
+    // failures skip to the next clause, and the remaining clauses
+    // bound-join against the leader
+    val (mainDfs, lateSvcs) =
+      if (localDfs.nonEmpty) (localDfs, g.services)
+      else {
+        var rest = g.services
+        var first: Option[DataFrame] = None
+        while (first.isEmpty && rest.nonEmpty) {
+          first = fetchService(rest.head, None)
+          rest = rest.tail
+        }
+        (first.toSeq, rest)
+      }
     var accDf = mainDfs.head
     var pendingVals = g.values
     def attachValues(): Unit = {
@@ -2427,6 +2505,12 @@ object SparqlSelect {
     mainDfs.tail.foreach { d =>
       accDf = joinInto(accDf, d, "inner")
       attachValues()
+    }
+    lateSvcs.foreach { sc =>
+      fetchService(sc, Some(accDf)).foreach { d =>
+        accDf = joinInto(accDf, d, "inner")
+        attachValues()
+      }
     }
     val required = accDf
     val withSemis = semis.foldLeft(required) { (acc, p) =>

@@ -42,8 +42,10 @@ class SparqlServiceSpec extends AnyFunSuite {
   /** A subject IRI that really exists in the fixture, plus its
     * title — the local side of the federated join. */
   private def anyItem: (String, String) = {
-    val r = t.filter(org.apache.spark.sql.functions.col("predicate") ===
-        "http://purl.org/dc/terms/title")
+    import org.apache.spark.sql.functions.col
+    val r = t.filter(col("predicate") ===
+        "http://purl.org/dc/terms/title" &&
+        col("subject").startsWith("http"))
       .select("subject", "obj_value").head()
     (r.getString(0), r.getString(1))
   }
@@ -77,6 +79,86 @@ class SparqlServiceSpec extends AnyFunSuite {
       assert(accept == "application/sparql-results+json")
       assert(sent == "SELECT * WHERE { ?item " +
         "<http://ex.org/stars> ?stars . }")
+    }
+  }
+
+  test("BOUND JOIN: a small local frame pushes its shared-variable " +
+    "bindings into the remote query as a VALUES block (IRIs in " +
+    "angle brackets, literals quoted), and the result equals the " +
+    "unpushed join") {
+    val (item, title) = anyItem
+    var sent: String = null
+    def run(ep: String) = SparqlSelect(t,
+      s"""PREFIX dcterms: <http://purl.org/dc/terms/>
+         |SELECT ?item ?title ?stars WHERE {
+         |  VALUES ?item { <$item> }
+         |  ?item dcterms:title ?title .
+         |  SERVICE <$ep> { ?item <http://ex.org/stars> ?stars . }
+         |}""".stripMargin,
+      SparqlSelect.HttpServiceClient).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+    withServer { ex =>
+      sent = java.net.URLDecoder.decode(
+        ex.getRequestURI.getQuery.stripPrefix("query="), "UTF-8")
+      (200, resultsJson(Seq(
+        Map("item" -> item, "stars" -> "5"),
+        Map("item" -> "http://nowhere/else", "stars" -> "1"))))
+    } { ep =>
+      val pushed = run(ep)
+      assert(pushed.nonEmpty && pushed.forall(_._1 == item))
+      // the sent query leads with the local bindings — the title
+      // pattern pins the frame to one item, well under the budget
+      assert(sent.startsWith("SELECT * WHERE { VALUES (?item) { "),
+        s"no VALUES block pushed:\n$sent")
+      assert(sent.contains(s"(<$item>)"),
+        s"IRI binding not angle-bracketed:\n$sent")
+      assert(sent.endsWith(
+        "} ?item <http://ex.org/stars> ?stars . }"))
+      // unpushed reference: budget 0 disables pushdown
+      s.conf.set(SparqlSelect.serviceBindingBudgetConf, "0")
+      try {
+        val unpushed = run(ep)
+        assert(sent == "SELECT * WHERE { ?item " +
+          "<http://ex.org/stars> ?stars . }")
+        assert(pushed == unpushed, "bound join changed the result")
+      } finally s.conf.unset(SparqlSelect.serviceBindingBudgetConf)
+    }
+  }
+
+  test("BOUND JOIN: literal bindings quote-escape; past the budget " +
+    "the clause falls back to the unpushed SELECT *") {
+    val (item, title) = anyItem
+    var sent: String = null
+    withServer { ex =>
+      sent = java.net.URLDecoder.decode(
+        ex.getRequestURI.getQuery.stripPrefix("query="), "UTF-8")
+      (200, resultsJson(Seq(Map("t" -> title, "lang" -> "nl"))))
+    } { ep =>
+      // literal-valued shared var: ?t binds titles locally
+      SparqlSelect(t,
+        s"""PREFIX dcterms: <http://purl.org/dc/terms/>
+           |SELECT ?t ?lang WHERE {
+           |  <$item> dcterms:title ?t .
+           |  SERVICE <$ep> { ?t <http://ex.org/lang> ?lang . }
+           |}""".stripMargin,
+        SparqlSelect.HttpServiceClient).collect()
+      assert(sent.startsWith("SELECT * WHERE { VALUES (?t) { (\""),
+        s"literal binding should be quoted:\n$sent")
+      // overflow: budget 1 with a many-binding local frame
+      s.conf.set(SparqlSelect.serviceBindingBudgetConf, "1")
+      try {
+        SparqlSelect(t,
+          s"""PREFIX dcterms: <http://purl.org/dc/terms/>
+             |SELECT ?item ?stars WHERE {
+             |  ?item dcterms:title ?any .
+             |  SERVICE <$ep> { ?item <http://ex.org/stars> ?stars . }
+             |}""".stripMargin,
+          SparqlSelect.HttpServiceClient).collect()
+        assert(sent == "SELECT * WHERE { ?item " +
+          "<http://ex.org/stars> ?stars . }",
+          s"budget overflow must fall back to unpushed:\n$sent")
+      } finally s.conf.unset(SparqlSelect.serviceBindingBudgetConf)
     }
   }
 
