@@ -157,3 +157,74 @@ object Mp3Count1FixtureExpr {
   def apply(c: Column): Column =
     ColumnBridge.column(Mp3Count1FixtureExpr(ColumnBridge.expression(c)))
 }
+
+/** `mp3_bigvalues(binary)` → the decoded BIG-VALUES-region census of
+  * the first frame ([[graft.multimodal.Mp3Headers.bigvaluesInfo]]):
+  * (x, y) spectral pairs decoded through the verified Table B.7
+  * subset (tables 0–3) with region0/region1 splits over the B.8
+  * band boundaries and per-value sign bits — the variable-length
+  * Huffman slice below `mp3_count1`'s fixed-width one. Null when
+  * the stream is not big-values-decodable (reservoir, table select
+  * past the verified set, inexact region exhaustion — all fail
+  * closed, see the parser doc). */
+case class Mp3Bigvalues(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_regions", LongType, nullable = false),
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("n_nonzero", LongType, nullable = false),
+    StructField("n_neg", LongType, nullable = false),
+    StructField("sum_vals", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3Headers.bigvaluesRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.multimodal.Mp3Headers.bigvaluesRow($c);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(c: Expression): Mp3Bigvalues =
+    copy(child = c)
+  override def prettyName: String = "mp3_bigvalues"
+}
+
+object Mp3Bigvalues {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3Bigvalues(ColumnBridge.expression(c)))
+}
+
+/** `mp3_bigvalues_fixture(doc_id)` → a complete MP3 stream whose
+  * first frame's part3 carries real Table-B.7 big-values codewords
+  * ([[graft.multimodal.Mp3SideFixture.streamBigvalues]]) — the
+  * encode half of the `mm_mp3_bigvalues` round-trip. */
+case class Mp3BigvaluesFixtureExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3SideFixture.streamBigvalues(
+      input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Mp3SideFixture.streamBigvalues($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): Mp3BigvaluesFixtureExpr = copy(child = c)
+  override def prettyName: String = "mp3_bigvalues_fixture"
+}
+
+object Mp3BigvaluesFixtureExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3BigvaluesFixtureExpr(ColumnBridge.expression(c)))
+}

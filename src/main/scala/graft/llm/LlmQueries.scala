@@ -178,6 +178,7 @@ object LlmQueries {
     "mm_mp3_vbr" -> mp3Vbr,
     "mm_mp3_sideinfo" -> mp3SideInfo,
     "mm_mp3_count1" -> mp3Count1,
+    "mm_mp3_bigvalues" -> mp3Bigvalues,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
     "mm_id3_v22" -> id3V22,
     "mm_id3_tags" -> id3Tags,
@@ -7324,6 +7325,32 @@ object LlmQueries {
         col("m.n_neg").as("n_neg"),
         col("m.sum_vals").as("sum_vals"))
 
+  /** BIG-VALUES-region Huffman decode (`mm_mp3_bigvalues`) — the
+    * variable-length entropy slice below [[mp3Count1]]'s fixed-width
+    * count1 walk: frames whose part3 carries genuine Table-B.7
+    * (x, y) pair codewords under the verified table subset {0..3},
+    * regions split by region0/region1_count over the B.8 long-block
+    * band boundaries, each nonzero value followed by its sign bit,
+    * consuming part2_3_length EXACTLY. The tables are transcribed
+    * spec constants with no codec in this container to pin them
+    * against, so the transcription carries its own Kraft/prefix
+    * self-check ([[graft.multimodal.Mp3Headers.BvTables]]) and the
+    * oracle replays the expected pair census in closed form from
+    * doc_id — a decoder that mis-walks any codeword, region
+    * boundary or sign bit desynchronizes the region end and fails
+    * closed. Map-side construct → decode → project; no shuffle. */
+  def mp3Bigvalues(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.Mp3BigvaluesFixtureExpr(col("doc_id")))
+      .withColumn("m", graft.functions.Mp3Bigvalues(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_regions").as("n_regions"),
+        col("m.n_pairs").as("n_pairs"),
+        col("m.n_nonzero").as("n_nonzero"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_vals").as("sum_vals"))
+
   /** REAL H.264 Annex-B NAL walk + SPS Exp-Golomb decode — the
     * video-bitstream analog of [[mp3Meta]]: encode deterministic
     * per-document SPS parameters into genuine four-NAL Annex-B
@@ -11892,6 +11919,68 @@ object LlmQueries {
         |  FROM gc GROUP BY 1)
         |SELECT doc_id, n_quads, n_nonzero, n_neg, sum_vals
         |FROM nq JOIN per USING (doc_id)""".stripMargin,
+
+    // closed-form replay of the big-values fixture parameters: the
+    // engine must recover this census through real Table-B.7
+    // codewords, region splits and sign bits
+    "mm_mp3_bigvalues" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nch,
+        |    CAST(doc_id % 4 AS BIGINT) AS r0,
+        |    CAST((doc_id + 1) % 3 AS BIGINT) AS r1
+        |  FROM documents),
+        |gc AS (SELECT doc_id, nch, r0, r1, g.g, c.c
+        |  FROM t, (SELECT unnest([0, 1]) AS g) g,
+        |    (SELECT unnest([0, 1]) AS c) c
+        |  WHERE c.c < nch),
+        |gcb AS (SELECT *,
+        |    (doc_id * 3 + g * 7 + c * 11) % 48 AS np,
+        |    LEAST(list_extract([0,4,8,12,16,20,24,30,36],
+        |      CAST(r0 + 2 AS INT)) // 2,
+        |      (doc_id * 3 + g * 7 + c * 11) % 48) AS b0,
+        |    LEAST(list_extract([0,4,8,12,16,20,24,30,36],
+        |      CAST(r0 + r1 + 3 AS INT)) // 2,
+        |      (doc_id * 3 + g * 7 + c * 11) % 48) AS b1,
+        |    (doc_id + g * 2 + c * 3) % 4 AS t0,
+        |    (doc_id + g * 2 + c * 3 + 5) % 4 AS t1,
+        |    (doc_id + g * 2 + c * 3 + 10) % 4 AS t2
+        |  FROM gc),
+        |pairs AS (SELECT doc_id, g, c,
+        |    unnest(range(0, np)) AS i, b0, b1, t0, t1, t2
+        |  FROM gcb),
+        |coded AS (SELECT doc_id, g, c, i,
+        |    CASE WHEN i < b0 THEN t0 WHEN i < b1 THEN t1
+        |      ELSE t2 END AS tbl
+        |  FROM pairs),
+        |vals AS (SELECT doc_id, g, c, i,
+        |    CASE WHEN tbl = 0 THEN 0
+        |      ELSE (doc_id + i * 3 + g + c) %
+        |        (CASE WHEN tbl = 1 THEN 2 ELSE 3 END) END AS x,
+        |    CASE WHEN tbl = 0 THEN 0
+        |      ELSE (doc_id // 2 + i * 5 + g * 2 + c) %
+        |        (CASE WHEN tbl = 1 THEN 2 ELSE 3 END) END AS y,
+        |    (doc_id + i + g) % 2 AS sx,
+        |    (doc_id + i + c) % 2 AS sy
+        |  FROM coded),
+        |per AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN x <> 0 THEN 1 ELSE 0 END +
+        |      CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nonzero,
+        |    CAST(SUM(CASE WHEN x <> 0 AND sx = 1 THEN 1 ELSE 0 END +
+        |      CASE WHEN y <> 0 AND sy = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_neg,
+        |    CAST(SUM(x * (1 - 2 * sx) + y * (1 - 2 * sy)) AS BIGINT)
+        |      AS sum_vals
+        |  FROM vals GROUP BY 1),
+        |np_tot AS (SELECT doc_id,
+        |    CAST(2 * ANY_VALUE(nch) AS BIGINT) AS n_regions,
+        |    CAST(SUM(np) AS BIGINT) AS n_pairs
+        |  FROM gcb GROUP BY 1)
+        |SELECT doc_id, n_regions, n_pairs,
+        |  COALESCE(n_nonzero, 0) AS n_nonzero,
+        |  COALESCE(n_neg, 0) AS n_neg,
+        |  COALESCE(sum_vals, 0) AS sum_vals
+        |FROM np_tot LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // arithmetic replay of H264Fixture.paramsOf: the Spark side
     // must recover these values through encode→escape→walk→

@@ -379,7 +379,11 @@ object Mp3Headers {
       val bt: Array[Array[Int]], val mixed: Array[Array[Int]],
       val c1t: Array[Array[Int]], val tselSum: Long,
       val regSum: Long, val sbgSum: Long, val flagsSum: Long,
-      val r: BitR)
+      val r: BitR,
+      // retained per-field values the big-values walk needs (the
+      // sums above remain the sideInfo metrics surface)
+      val srIdx: Int, val tsel: Array[Array[Array[Int]]],
+      val reg0: Array[Array[Int]], val reg1: Array[Array[Int]])
 
   /** Header validation + the fixed §2.4.1.7 side-info grammar.
     * Fail-closed (None): no valid complete MPEG-1 Layer III first
@@ -426,6 +430,9 @@ object Mp3Headers {
     val bt = Array.ofDim[Int](2, nch)
     val mixed = Array.ofDim[Int](2, nch)
     val c1t = Array.ofDim[Int](2, nch)
+    val tsel = Array.ofDim[Int](2, nch, 3)
+    val reg0 = Array.ofDim[Int](2, nch)
+    val reg1 = Array.ofDim[Int](2, nch)
     var tselSum = 0L; var regSum = 0L; var sbgSum = 0L
     var flagsSum = 0L
     var g = 0
@@ -441,12 +448,17 @@ object Mp3Headers {
           bt(g)(c) = r.u(2)
           if (bt(g)(c) == 0) return None // §2.4.1.7: forbidden
           mixed(g)(c) = r.u(1)
-          tselSum += r.u(5); tselSum += r.u(5)
+          tsel(g)(c)(0) = r.u(5); tsel(g)(c)(1) = r.u(5)
+          tselSum += tsel(g)(c)(0); tselSum += tsel(g)(c)(1)
           sbgSum += r.u(3); sbgSum += r.u(3); sbgSum += r.u(3)
         } else {
-          tselSum += r.u(5); tselSum += r.u(5); tselSum += r.u(5)
-          regSum += r.u(4) * 8
-          regSum += r.u(3)
+          tsel(g)(c)(0) = r.u(5); tsel(g)(c)(1) = r.u(5)
+          tsel(g)(c)(2) = r.u(5)
+          tselSum += tsel(g)(c)(0) + tsel(g)(c)(1) + tsel(g)(c)(2)
+          reg0(g)(c) = r.u(4)
+          reg1(g)(c) = r.u(3)
+          regSum += reg0(g)(c) * 8
+          regSum += reg1(g)(c)
         }
         flagsSum += r.u(1) * 4 + r.u(1) * 2
         c1t(g)(c) = r.u(1)
@@ -470,7 +482,7 @@ object Mp3Headers {
     }
     Some(new SideFields(start, len, nch, mdb, scfsi, p23, bigv,
       gain, sfc, wsf, bt, mixed, c1t, tselSum, regSum, sbgSum,
-      flagsSum, r))
+      flagsSum, r, srIdx, tsel, reg0, reg1))
   }
 
   /** Reads (granule, channel)'s §2.4.2.7 scalefactors at the shared
@@ -664,6 +676,175 @@ object Mp3Headers {
       g += 1
     }
     Some((nQuads, nNonzero, nNeg, sumVals))
+  }
+
+  // ----------------------------------------------------------------
+  // BIG-VALUES region (ISO 11172-3 §2.4.2.7 / Table B.7) — the
+  // variable-length Huffman layer below count1
+  // ----------------------------------------------------------------
+
+  /** Table B.8 long-block scalefactor-band boundaries (spectral-line
+    * indices) per MPEG-1 sample-rate index (44.1 / 48 / 32 kHz) —
+    * the region0/region1 split points of a non-window-switching
+    * granule. Spec constants with no codec in this container to pin
+    * them against; the fixture oracle (`mm_mp3_bigvalues`) exercises
+    * only the COMMON PREFIX (bands 0–8, identical across the three
+    * rates), so entries past index 8 are cited-but-unexercised. */
+  private[multimodal] val BandsLong: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+      134, 162, 196, 238, 288, 342, 418, 576), // 44.1 kHz
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+      128, 156, 190, 230, 276, 330, 384, 576), // 48 kHz
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+      156, 194, 240, 296, 364, 448, 550, 576)) // 32 kHz
+
+  /** One Table B.7 Huffman table: parallel (code, len, x, y) arrays
+    * plus the dimension. Construction VALIDATES the transcription —
+    * prefix-freeness and Kraft completeness (Σ 2^−len = 1) — so a
+    * mis-copied spec constant fails loudly at class load, not as a
+    * silent mis-decode. */
+  private[multimodal] final class BvTable(val dim: Int,
+      entries: Seq[(Int, Int, Int, Int)]) {
+    val code: Array[Int] = entries.map(_._1).toArray
+    val len: Array[Int] = entries.map(_._2).toArray
+    val xs: Array[Int] = entries.map(_._3).toArray
+    val ys: Array[Int] = entries.map(_._4).toArray
+    require(entries.size == dim * dim, "B.7 table size")
+    require(entries.map(e => math.pow(2, -e._2)).sum == 1.0,
+      "B.7 table not Kraft-complete — transcription slip")
+    for (Seq((c1, l1, _, _), (c2, l2, _, _)) <-
+        entries.combinations(2)) {
+      val (sc, sl, lc, ll) =
+        if (l1 <= l2) (c1, l1, c2, l2) else (c2, l2, c1, l1)
+      require((lc >> (ll - sl)) != sc || sl == ll,
+        "B.7 table not prefix-free — transcription slip")
+    }
+    val maxLen: Int = len.max
+  }
+
+  /** Tables B.7 1–3 (the verified subset: small enough to transcribe
+    * with the Kraft/prefix self-check and carry no linbits/ESC
+    * machinery). Table 0 codes the all-zero region in ZERO bits
+    * (handled inline); selects 4–31 stay fail-closed — the larger
+    * tables are the same walk with more constants, adopted only when
+    * something in-container can pin them. */
+  private[multimodal] val BvTables: Map[Int, BvTable] = Map(
+    1 -> new BvTable(2, Seq(
+      (1, 1, 0, 0), (1, 3, 0, 1), (1, 2, 1, 0), (0, 3, 1, 1))),
+    2 -> new BvTable(3, Seq(
+      (1, 1, 0, 0), (2, 3, 0, 1), (1, 6, 0, 2),
+      (3, 3, 1, 0), (1, 3, 1, 1), (1, 5, 1, 2),
+      (3, 5, 2, 0), (2, 5, 2, 1), (0, 6, 2, 2))),
+    3 -> new BvTable(3, Seq(
+      (3, 2, 0, 0), (2, 2, 0, 1), (1, 6, 0, 2),
+      (1, 3, 1, 0), (1, 2, 1, 1), (1, 5, 1, 2),
+      (3, 5, 2, 0), (2, 5, 2, 1), (0, 6, 2, 2))))
+
+  /** BIG-VALUES entropy decode of the stream's first frame — the
+    * variable-length Huffman slice below [[count1Info]]'s fixed-width
+    * one: per long-block granule × channel, the big_values region's
+    * (x, y) pairs decoded through Table B.7 trees with their sign
+    * bits, regions split by region0/region1_count over the B.8 band
+    * boundaries, each region coded with its own table_select.
+    * Returns (n_regions, n_pairs, n_nonzero, n_neg, sum_vals) totals
+    * over the DECODED (long-block) granule × channels; a
+    * window-switching granule's part3 is SKIPPED structurally (its
+    * short-block region layout is outside this walk) and not
+    * counted.
+    *
+    * Fail-closed (None): everything [[sideInfo]] rejects; nonzero
+    * `main_data_begin`; a table_select outside the verified set
+    * {0,1,2,3}; big_values > 288 (576 lines per granule); a region
+    * whose pairs do not exhaust part2_3_length EXACTLY (the verified
+    * class is big-values-only frames — a count1 tail would need the
+    * table-select machinery above this walk); any bit overrun. */
+  def bigvaluesInfo(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] = {
+    val f = readSideFields(b) match {
+      case Some(v) => v
+      case None => return None
+    }
+    if (f.mdb != 0) return None
+    val bands = BandsLong(f.srIdx)
+    val g0 = Array.ofDim[Int](f.nch, 21)
+    var nRegions = 0L; var nPairs = 0L; var nNonzero = 0L
+    var nNeg = 0L; var sumVals = 0L
+    var g = 0
+    while (g < 2) {
+      var c = 0
+      while (c < f.nch) {
+        val regionEnd = f.r.bitPos + f.p23(g)(c)
+        val (transmitted, _, _) = readScalefactors(f, g, c, g0)
+        if (f.p23(g)(c) < transmitted) return None
+        if (f.wsf(g)(c) == 1) {
+          // short/mixed-block layout: structurally skipped, the
+          // sideInfo discipline
+          f.r.skip(f.p23(g)(c) - transmitted.toInt)
+        } else {
+          val bigv = f.bigv(g)(c)
+          if (bigv > 288) return None
+          val r0 = f.reg0(g)(c); val r1 = f.reg1(g)(c)
+          if (r0 + r1 + 2 >= bands.length) return None
+          // boundaries in PAIRS (band edges are even line indices)
+          val b0 = math.min(bands(r0 + 1) / 2, bigv)
+          val b1 = math.min(bands(r0 + r1 + 2) / 2, bigv)
+          var i = 0
+          while (f.r.ok && i < bigv) {
+            val ts =
+              if (i < b0) f.tsel(g)(c)(0)
+              else if (i < b1) f.tsel(g)(c)(1)
+              else f.tsel(g)(c)(2)
+            if (ts == 0) {
+              // table 0: the all-zero pair, zero bits
+            } else BvTables.get(ts) match {
+              case None => return None // outside the verified set
+              case Some(t) =>
+                // walk the canonical tree: accumulate bits until the
+                // (code, len) pair matches an entry
+                var acc = 0; var n = 0; var hit = -1
+                while (hit < 0 && n < t.maxLen && f.r.ok) {
+                  acc = (acc << 1) | f.r.u(1); n += 1
+                  var e = 0
+                  while (hit < 0 && e < t.code.length) {
+                    if (t.len(e) == n && t.code(e) == acc) hit = e
+                    e += 1
+                  }
+                }
+                if (hit < 0 || !f.r.ok) return None
+                var k = 0
+                while (k < 2) {
+                  val v = if (k == 0) t.xs(hit) else t.ys(hit)
+                  if (v != 0) {
+                    if (f.r.bitPos >= regionEnd) return None
+                    val neg = f.r.u(1)
+                    nNonzero += 1
+                    if (neg == 1) { nNeg += 1; sumVals -= v }
+                    else sumVals += v
+                  }
+                  k += 1
+                }
+            }
+            if (f.r.bitPos > regionEnd) return None
+            i += 1
+          }
+          if (!f.r.ok || f.r.bitPos != regionEnd) return None
+          nRegions += 1
+          nPairs += bigv
+        }
+        c += 1
+      }
+      g += 1
+    }
+    if (!f.r.ok) return None
+    Some((nRegions, nPairs, nNonzero, nNeg, sumVals))
+  }
+
+  /** [[bigvaluesInfo]] as an `InternalRow` for the
+    * [[graft.functions.Mp3Bigvalues]] codegen path. Null = not a
+    * big-values-decodable stream. */
+  def bigvaluesRow(b: Array[Byte]): InternalRow = bigvaluesInfo(b) match {
+    case Some((nr, np, nz, nn, sv)) => InternalRow(nr, np, nz, nn, sv)
+    case None => null
   }
 
   /** [[count1Info]] as an `InternalRow` for the

@@ -91,11 +91,11 @@ object Mp3SideFixture {
     * the transmission-order scalefactor layout. Granule-1 long slots
     * in a group whose scfsi bit is set are present in the DECODED
     * band sequence but not transmitted. */
-  private def sfLayout(d: Long, g: Int, c: Int)
-      : IndexedSeq[(Int, Boolean)] = {
+  private def sfLayout(d: Long, g: Int, c: Int,
+      wsfF: Int => Int): IndexedSeq[(Int, Boolean)] = {
     val sfc = sfcOf(d, g, c)
     val s1 = Slen1(sfc); val s2 = Slen2(sfc)
-    if (wsfOf(d, g) == 1 && btOf(d) == 2) {
+    if (wsfF(g) == 1 && btOf(d) == 2) {
       if (mixedOf(d) == 1)
         (0 until 17).map(_ => (s1, true)) ++
           (0 until 18).map(_ => (s2, true))
@@ -114,7 +114,13 @@ object Mp3SideFixture {
 
   /** Transmitted part2 bit count for granule/channel. */
   def part2BitsOf(d: Long, g: Int, c: Int): Int =
-    sfLayout(d, g, c).collect { case (slen, true) => slen }.sum
+    sfLayout(d, g, c, wsfOf(d, _))
+      .collect { case (slen, true) => slen }.sum
+
+  /** [[part2BitsOf]] under the all-long-blocks override the
+    * big-values fixture runs (window switching forced off). */
+  def part2BitsLongOf(d: Long, g: Int, c: Int): Int =
+    sfLayout(d, g, c, _ => 0).collect { case (slen, true) => slen }.sum
 
   def p23Of(d: Long, g: Int, c: Int): Int =
     part2BitsOf(d, g, c) + fillerOf(d, g, c)
@@ -158,7 +164,15 @@ object Mp3SideFixture {
   private def buildStream(d: Long, mdb: Int,
       bigvF: (Int, Int) => Int, c1tF: (Int, Int) => Int,
       p23F: (Int, Int) => Int,
-      part3F: (BitWriter, Int, Int) => Unit): Array[Byte] = {
+      part3F: (BitWriter, Int, Int) => Unit,
+      wsfF: Int => Int = null,
+      tselF: (Int, Int, Int) => Int = null,
+      r0F: Int => Int = null, r1F: Int => Int = null): Array[Byte] = {
+    val wsfOfG: Int => Int = if (wsfF != null) wsfF else wsfOf(d, _)
+    val tselOfGC: (Int, Int, Int) => Int =
+      if (tselF != null) tselF else tselOf(d, _, _, _)
+    val r0OfC: Int => Int = if (r0F != null) r0F else r0Of(d, _)
+    val r1OfC: Int => Int = if (r1F != null) r1F else r1Of(d, _)
     val nch = nchOf(d)
     val rate = rateOf(d)
     val kbps = Mp3Headers.BitrateKbps(brIdxOf(d))
@@ -174,17 +188,17 @@ object Mp3SideFixture {
       w.write(bigvF(g, c).toLong, 9)
       w.write(gainOf(d, g, c).toLong, 8)
       w.write(sfcOf(d, g, c).toLong, 4)
-      val wsf = wsfOf(d, g)
+      val wsf = wsfOfG(g)
       w.write(wsf.toLong, 1)
       if (wsf == 1) {
         w.write(btOf(d).toLong, 2)
         w.write(mixedOf(d).toLong, 1)
-        for (t <- 0 to 1) w.write(tselOf(d, g, c, t).toLong, 5)
+        for (t <- 0 to 1) w.write(tselOfGC(g, c, t).toLong, 5)
         for (sw <- 0 to 2) w.write(sbgOf(d, c, sw).toLong, 3)
       } else {
-        for (t <- 0 to 2) w.write(tselOf(d, g, c, t).toLong, 5)
-        w.write(r0Of(d, c).toLong, 4)
-        w.write(r1Of(d, c).toLong, 3)
+        for (t <- 0 to 2) w.write(tselOfGC(g, c, t).toLong, 5)
+        w.write(r0OfC(c).toLong, 4)
+        w.write(r1OfC(c).toLong, 3)
       }
       w.write(preOf(d, g, c).toLong, 1)
       w.write(sfsOf(d, g, c).toLong, 1)
@@ -195,7 +209,7 @@ object Mp3SideFixture {
     // main data: transmitted scalefactors + part3 per (g, c)
     for (g <- 0 to 1; c <- 0 until nch) {
       var j = 0
-      sfLayout(d, g, c).foreach { case (slen, transmitted) =>
+      sfLayout(d, g, c, wsfOfG).foreach { case (slen, transmitted) =>
         if (transmitted) w.write(sfValOf(d, g, c, j, slen).toLong, slen)
         j += 1
       }
@@ -247,4 +261,97 @@ object Mp3SideFixture {
               w.write(signOf(docId, q, k).toLong, 1)
         }
       })
+
+  // ---- big-values-region parameters (the mm_mp3_bigvalues fixture) --
+
+  /** B.8's COMMON PREFIX (bands 0–8, identical for 44.1/48/32 kHz) —
+    * the only boundaries the fixture's region counts can reach, so
+    * the oracle replays them from one constant regardless of the
+    * doc's sample rate. */
+  val BandsCommon: Array[Int] = Array(0, 4, 8, 12, 16, 20, 24, 30, 36)
+
+  /** Pairs per granule × channel (≤ 47; ≤ 94 spectral lines). */
+  def npOf(d: Long, g: Int, c: Int): Int =
+    ((d * 3 + g * 7 + c * 11) % 48).toInt
+  /** region0_count ∈ 0..3, region1_count ∈ 0..2: boundaries stay in
+    * [[BandsCommon]] (r0 + r1 + 2 ≤ 7). */
+  def bvR0Of(d: Long): Int = (d % 4).toInt
+  def bvR1Of(d: Long): Int = ((d + 1) % 3).toInt
+  /** Region boundaries in PAIRS. */
+  def bvB0Of(d: Long, g: Int, c: Int): Int =
+    math.min(BandsCommon(bvR0Of(d) + 1) / 2, npOf(d, g, c))
+  def bvB1Of(d: Long, g: Int, c: Int): Int =
+    math.min(BandsCommon(bvR0Of(d) + bvR1Of(d) + 2) / 2, npOf(d, g, c))
+  /** table_select per region ∈ {0,1,2,3} — 0 is the zero-bit
+    * all-zero table, 1–3 the transcribed B.7 trees. */
+  def bvTselOf(d: Long, g: Int, c: Int, t: Int): Int =
+    ((d + g * 2 + c * 3 + t * 5) % 4).toInt
+  /** The table coding pair `i` of granule/channel. */
+  def bvTblOf(d: Long, g: Int, c: Int, i: Int): Int =
+    if (i < bvB0Of(d, g, c)) bvTselOf(d, g, c, 0)
+    else if (i < bvB1Of(d, g, c)) bvTselOf(d, g, c, 1)
+    else bvTselOf(d, g, c, 2)
+  /** Pair values, bounded by the coding table's dimension. */
+  def bvXOf(d: Long, g: Int, c: Int, i: Int): Int = {
+    val t = bvTblOf(d, g, c, i)
+    if (t == 0) 0 else ((d + i * 3 + g + c) % (if (t == 1) 2 else 3)).toInt
+  }
+  def bvYOf(d: Long, g: Int, c: Int, i: Int): Int = {
+    val t = bvTblOf(d, g, c, i)
+    if (t == 0) 0
+    else ((d / 2 + i * 5 + g * 2 + c) % (if (t == 1) 2 else 3)).toInt
+  }
+  /** Sign (1 = negative) of x / y at pair `i` — emitted only when
+    * that value is nonzero. */
+  def bvSxOf(d: Long, g: Int, c: Int, i: Int): Int = ((d + i + g) % 2).toInt
+  def bvSyOf(d: Long, g: Int, c: Int, i: Int): Int = ((d + i + c) % 2).toInt
+
+  private def bvCodeLen(t: Int, x: Int, y: Int): (Int, Int) = {
+    val tab = Mp3Headers.BvTables(t)
+    val e = (0 until tab.code.length)
+      .find(e => tab.xs(e) == x && tab.ys(e) == y).get
+    (tab.code(e), tab.len(e))
+  }
+
+  /** Huffman + sign bit count of granule/channel's region. */
+  def bvBitsOf(d: Long, g: Int, c: Int): Int =
+    (0 until npOf(d, g, c)).map { i =>
+      val t = bvTblOf(d, g, c, i)
+      if (t == 0) 0
+      else {
+        val x = bvXOf(d, g, c, i); val y = bvYOf(d, g, c, i)
+        bvCodeLen(t, x, y)._2 +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }
+    }.sum
+
+  def p23BigvaluesOf(d: Long, g: Int, c: Int): Int =
+    part2BitsLongOf(d, g, c) + bvBitsOf(d, g, c)
+
+  /** The `mm_mp3_bigvalues` fixture stream: all-long-block granules
+    * (window switching forced off), `main_data_begin` = 0,
+    * region counts inside [[BandsCommon]], per-region table selects
+    * from the verified B.7 subset, and a part3 carrying REAL
+    * big-values (x, y) codewords + sign bits that exhaust
+    * part2_3_length exactly (empty count1 region). The decoder
+    * ([[Mp3Headers.bigvaluesInfo]]) must recover the census through
+    * the actual packed bits. */
+  def streamBigvalues(docId: Long): Array[Byte] =
+    buildStream(docId, 0, npOf(docId, _, _), (_, _) => 1,
+      p23BigvaluesOf(docId, _, _), { (w, g, c) =>
+        for (i <- 0 until npOf(docId, g, c)) {
+          val t = bvTblOf(docId, g, c, i)
+          if (t != 0) {
+            val x = bvXOf(docId, g, c, i)
+            val y = bvYOf(docId, g, c, i)
+            val (code, len) = bvCodeLen(t, x, y)
+            w.write(code.toLong, len)
+            if (x != 0) w.write(bvSxOf(docId, g, c, i).toLong, 1)
+            if (y != 0) w.write(bvSyOf(docId, g, c, i).toLong, 1)
+          }
+        }
+      },
+      wsfF = _ => 0,
+      tselF = bvTselOf(docId, _, _, _),
+      r0F = _ => bvR0Of(docId), r1F = _ => bvR1Of(docId))
 }

@@ -94,11 +94,18 @@ import org.apache.spark.sql.functions._
   * all-integer amplitude synthesis to the final_Y vector
   * (`mm_vorbis_floor`), and §7.2.3 step 2's synthesized integer
   * curve — render_line rasterization over the blocksize/2 bins
-  * (`mm_vorbis_floor_curve`). What remains a clearly-marked DETERMINISTIC
-  * FAKE is decode whose Huffman trees are memorized SPEC CONSTANTS
-  * with no in-container pin (MP3 big-values/count1-table-0 tables,
-  * H.264 CAVLC/CABAC residual + prediction) and the float-domain
-  * synthesis past the entropy layer (MP3 IMDCT, Vorbis residue VQ
+  * (`mm_vorbis_floor_curve`), plus the MP3 BIG-VALUES walk under
+  * the transcribed Table-B.7 subset {0..3} — the transcription
+  * carries a Kraft/prefix construction self-check and hand-built
+  * bitstream pins in place of the codec pin this container cannot
+  * provide; selects 4–31 stay fail-closed
+  * ([[Mp3Headers.bigvaluesInfo]], `mm_mp3_bigvalues`). What remains
+  * a clearly-marked DETERMINISTIC FAKE is decode whose larger
+  * Huffman trees are memorized SPEC CONSTANTS with no in-container
+  * pin (MP3 big-values tables 4–31 with their linbits/ESC
+  * machinery, count1 table 0, H.264 CAVLC/CABAC residual +
+  * prediction) and the float-domain synthesis past the entropy
+  * layer (MP3 IMDCT, Vorbis residue VQ
   * float mapping + MDCT, H.264 reconstruction):
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The

@@ -237,6 +237,81 @@ class Mp3SideInfoSpec extends AnyFunSuite {
     }
   }
 
+  // big-values hand case (mono, 48 kHz): mdb 0, granule 0 long with
+  // sfc 5 (part2 21), big_values 6, region counts 0/0 → boundaries
+  // at pairs 2 and 4 (B.8 bands 4 and 8), tables 1/2/3 per region;
+  // granule 1 long, sfc 8, big_values 0
+  private def bvSide(p23g0: Int, bigv0: Int, tsel0: String) = {
+    def b12(v: Int) = (0 until 12).map(k => (v >> (11 - k)) & 1).mkString
+    def b9(v: Int) = (0 until 9).map(k => (v >> (8 - k)) & 1).mkString
+    "000000000 00000 0000" +
+      b12(p23g0) + " " + b9(bigv0) + " 11001000 0101 0 " +
+      tsel0 + " 00010 00011 0000 000 1 0 1" +
+      b12(32) + " 000000000 01100100 1000 0" +
+      " 00100 00101 00110 0010 011 0 1 1"
+  }
+  // pairs: (1,0)-,(0,1)+ @t1; (2,1)+-,(0,0) @t2; (1,1)--,(2,2)++ @t3
+  private val bvMain27 =
+    "011 0010 0001001 1 0111 00000000"
+
+  test("hand-built big-values region: per-region B.7 tables, region " +
+    "boundaries at B.8 band edges, sign bits, exact exhaustion") {
+    val main = "10110101101 1001101001 " + bvMain27 + " " + g1Sf32
+    val Some((nr, np, nz, nn, sv)) = Mp3Headers.bigvaluesInfo(
+      monoFrame(bvSide(48, 6, "00001") + main))
+    assert(nr == 2L && np == 6L && nz == 8L && nn == 4L && sv == 3L)
+  }
+
+  test("big-values fails closed: unverified table select, inexact " +
+    "region exhaustion, reservoir") {
+    val main = "10110101101 1001101001 " + bvMain27 + " " + g1Sf32
+    // region 0 coded with table 4 — outside the verified set
+    assert(Mp3Headers.bigvaluesInfo(
+      monoFrame(bvSide(48, 6, "00100") + main)).isEmpty)
+    // one stray bit between the last pair and part2_3's end
+    assert(Mp3Headers.bigvaluesInfo(
+      monoFrame(bvSide(49, 6, "00001") + main)).isEmpty)
+    // nonzero main_data_begin
+    val sideMdb = "000000001" + bvSide(48, 6, "00001").drop(9)
+    assert(Mp3Headers.bigvaluesInfo(monoFrame(sideMdb + main)).isEmpty)
+  }
+
+  test("B.7 table transcriptions are Kraft-complete and prefix-free " +
+    "(construction self-check ran at class load)") {
+    assert(Mp3Headers.BvTables.keySet == Set(1, 2, 3))
+    // decode really distinguishes x from y (asymmetric tables)
+    assert(Mp3Headers.BvTables(2).dim == 3)
+  }
+
+  test("big-values writer/parser/closed-form triangle over 240 " +
+    "documents") {
+    for (d <- 0L until 240L) {
+      val Some((nr, np, nz, nn, sv)) =
+        Mp3Headers.bigvaluesInfo(Mp3SideFixture.streamBigvalues(d))
+      val nch = Mp3SideFixture.nchOf(d)
+      val gcs = for (g <- 0 to 1; c <- 0 until nch) yield (g, c)
+      assert(nr == 2L * nch, s"nr d=$d")
+      assert(np == gcs.map { case (g, c) =>
+        Mp3SideFixture.npOf(d, g, c).toLong }.sum, s"np d=$d")
+      val vals = gcs.flatMap { case (g, c) =>
+        (0 until Mp3SideFixture.npOf(d, g, c)).flatMap { i =>
+          val x = Mp3SideFixture.bvXOf(d, g, c, i)
+          val y = Mp3SideFixture.bvYOf(d, g, c, i)
+          Seq(
+            if (x == 0) 0L
+            else if (Mp3SideFixture.bvSxOf(d, g, c, i) == 1) -x.toLong
+            else x.toLong,
+            if (y == 0) 0L
+            else if (Mp3SideFixture.bvSyOf(d, g, c, i) == 1) -y.toLong
+            else y.toLong).filter(_ != 0L)
+        }
+      }
+      assert(nz == vals.size.toLong, s"nz d=$d")
+      assert(nn == vals.count(_ < 0).toLong, s"nn d=$d")
+      assert(sv == vals.sum, s"sv d=$d")
+    }
+  }
+
   test("writer/parser/closed-form triangle over 240 documents") {
     for (d <- 0L until 240L) {
       val Some(m) = Mp3Headers.sideInfo(Mp3SideFixture.stream(d))
