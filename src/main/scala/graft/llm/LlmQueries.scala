@@ -179,6 +179,7 @@ object LlmQueries {
     "mm_mp3_sideinfo" -> mp3SideInfo,
     "mm_mp3_count1" -> mp3Count1,
     "mm_mp3_bigvalues" -> mp3Bigvalues,
+    "mm_h264_cavlc" -> h264Cavlc,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
     "mm_id3_v22" -> id3V22,
     "mm_id3_tags" -> id3Tags,
@@ -7418,6 +7419,39 @@ object LlmQueries {
         col("m.height").cast("bigint").as("height"))
   }
 
+  /** CAVLC residual decode (`mm_h264_cavlc`) — the entropy rung
+    * above [[h264PcmDecode]]'s raw-sample one: per-document
+    * conformant baseline streams whose macroblocks are
+    * I_16x16_<pred>_1_0 (chroma CBP 1 / luma CBP 0), decoded through
+    * the REAL §9.2 CAVLC walk over each macroblock's two 2×2 chroma
+    * DC blocks — coeff_token (the fixed nC = −1 table), trailing-one
+    * signs, the §9.2.2 level prefix/suffix ladder with suffixLength
+    * adaptation, total_zeros and run_before — plus the 1-bit empty
+    * luma DC codeword that keeps the neighbour-predicted nC at 0.
+    * The tables are transcribed spec constants validated for
+    * Kraft-completeness/prefix-freeness at load (the
+    * `mm_mp3_bigvalues` discipline); the oracle replays the census
+    * in closed form from doc_id, so any mis-walked codeword, sign,
+    * run or header field desynchronizes the rbsp trailing check and
+    * fails closed. Map-side construct → decode → project. */
+  def h264Cavlc(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val payloads = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map(id => (id, graft.multimodal.H264Fixture.annexBCavlc(id)))
+      }.toDF("doc_id", "payload")
+    payloads
+      .withColumn("m", graft.functions.H264CavlcExpr(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_mbs").as("n_mbs"),
+        col("m.n_coeffs").as("n_coeffs"),
+        col("m.n_t1").as("n_t1"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_levels").as("sum_levels"),
+        col("m.sum_tz").as("sum_tz"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL
   // ---------------------------------------------------------------
@@ -11981,6 +12015,52 @@ object LlmQueries {
         |  COALESCE(n_neg, 0) AS n_neg,
         |  COALESCE(sum_vals, 0) AS sum_vals
         |FROM np_tot LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // closed-form replay of the chroma-DC CAVLC fixture census: the
+    // engine must recover it through real coeff_token / level-ladder
+    // / total_zeros / run_before bits behind NAL escaping
+    "mm_h264_cavlc" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS n_mbs
+        |  FROM documents),
+        |blk AS (SELECT doc_id, n_mbs, mb.mb, u.u,
+        |    (doc_id + mb.mb * 3 + u.u * 2) % 5 AS tc,
+        |    LEAST((doc_id + mb.mb * 3 + u.u * 2) % 5,
+        |      (doc_id + mb.mb + u.u) % 4) AS t1
+        |  FROM t, (SELECT unnest([0, 1, 2]) AS mb) mb,
+        |    (SELECT unnest([0, 1]) AS u) u
+        |  WHERE mb.mb < n_mbs),
+        |blk2 AS (SELECT *,
+        |    CASE WHEN tc = 0 OR tc = 4 THEN 0
+        |      ELSE (doc_id + mb + u) % (5 - tc) END AS tz
+        |  FROM blk),
+        |trail AS (SELECT doc_id,
+        |    CAST((doc_id + mb + u + j) % 2 AS BIGINT) AS neg
+        |  FROM blk2, (SELECT unnest([0, 1, 2]) AS j) jj
+        |  WHERE jj.j < t1),
+        |lev AS (SELECT doc_id,
+        |    2 + (doc_id + mb * 5 + u * 7 + j * 3) % 3 AS lv,
+        |    CAST((doc_id + u + j) % 2 AS BIGINT) AS neg
+        |  FROM blk2, (SELECT unnest([0, 1, 2, 3]) AS j) jj
+        |  WHERE jj.j < tc - t1),
+        |tr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(SUM(neg) AS BIGINT) AS neg1,
+        |    CAST(SUM(1 - 2 * neg) AS BIGINT) AS sum1
+        |  FROM trail GROUP BY 1),
+        |lv AS (SELECT doc_id, CAST(SUM(neg) AS BIGINT) AS neg2,
+        |    CAST(SUM(lv * (1 - 2 * neg)) AS BIGINT) AS sum2
+        |  FROM lev GROUP BY 1),
+        |base AS (SELECT doc_id, ANY_VALUE(n_mbs) AS n_mbs,
+        |    CAST(SUM(tc) AS BIGINT) AS n_coeffs,
+        |    CAST(SUM(t1) AS BIGINT) AS n_t1,
+        |    CAST(SUM(tz) AS BIGINT) AS sum_tz
+        |  FROM blk2 GROUP BY 1)
+        |SELECT b.doc_id, b.n_mbs, b.n_coeffs, b.n_t1,
+        |  COALESCE(tr.neg1, 0) + COALESCE(lv.neg2, 0) AS n_neg,
+        |  COALESCE(tr.sum1, 0) + COALESCE(lv.sum2, 0) AS sum_levels,
+        |  b.sum_tz
+        |FROM base b LEFT JOIN tr ON b.doc_id = tr.doc_id
+        |LEFT JOIN lv ON b.doc_id = lv.doc_id""".stripMargin,
 
     // arithmetic replay of H264Fixture.paramsOf: the Spark side
     // must recover these values through encode→escape→walk→

@@ -241,6 +241,119 @@ object H264Fixture {
     bw.bytes
   }
 
+  // ---- chroma-DC CAVLC fixture (mm_h264_cavlc) ----
+  // deterministic per-document residual parameters, the oracle's
+  // closed-form basis ([[Mp3SideFixture]]'s discipline)
+
+  def cavlcMbs(d: Long): Int = 1 + (d % 3).toInt
+  /** SPS: baseline, cavlcMbs × 1 macroblocks, no cropping. */
+  def cavlcParams(d: Long): Params =
+    Params(profile = 66, level = 10, w = 16 * cavlcMbs(d), h = 16,
+      frameMbsOnly = 1, pocType = 0, spsId = 0, log2MaxFrameNum4 = 0,
+      maxRef = 0)
+  /** I_16x16 prediction mode 0..3 → mb_type 5..8 (Table 7-11:
+    * 1 + pred + 4·chromaCBP, chroma CBP 1, luma CBP 0). */
+  def cavlcPred(d: Long, mb: Int): Int = ((d + mb) % 4).toInt
+  def cavlcIcp(d: Long, mb: Int): Int = ((d + mb * 2) % 4).toInt
+  def cavlcQpd(d: Long, mb: Int): Int = ((d + mb) % 5).toInt - 2
+  /** TotalCoeff / TrailingOnes of chroma-DC block `u` (Cb 0, Cr 1). */
+  def cavlcTc(d: Long, mb: Int, u: Int): Int =
+    ((d + mb * 3 + u * 2) % 5).toInt
+  def cavlcT1(d: Long, mb: Int, u: Int): Int =
+    math.min(cavlcTc(d, mb, u), ((d + mb + u) % 4).toInt)
+  /** 1 = negative trailing one j. */
+  def cavlcTrailSign(d: Long, mb: Int, u: Int, j: Int): Int =
+    ((d + mb + u + j) % 2).toInt
+  /** |level| of non-trailing coefficient j — ≥ 2 (a ±1 outside the
+    * trailing run would be non-conformant with T1 < 3's +2 shift). */
+  def cavlcLevelAbs(d: Long, mb: Int, u: Int, j: Int): Int =
+    2 + ((d + mb * 5 + u * 7 + j * 3) % 3).toInt
+  def cavlcLevelNeg(d: Long, mb: Int, u: Int, j: Int): Int =
+    ((d + u + j) % 2).toInt
+  def cavlcTz(d: Long, mb: Int, u: Int): Int = {
+    val tc = cavlcTc(d, mb, u)
+    if (tc == 0 || tc == 4) 0 else ((d + mb + u) % (5 - tc)).toInt
+  }
+  /** run_before of coefficient i given the zeros still undistributed. */
+  def cavlcRun(d: Long, mb: Int, u: Int, i: Int, zerosLeft: Int): Int =
+    ((d + mb + u + i) % (zerosLeft + 1)).toInt
+
+  private def writeVlc(bw: BitWriter, t: Mp3Headers.BvTable,
+      x: Int, y: Int): Unit = {
+    val e = (0 until t.code.length)
+      .find(e => t.xs(e) == x && t.ys(e) == y).get
+    bw.u(t.len(e), t.code(e))
+  }
+
+  /** Encode one §9.2 chroma-DC residual block — the exact inverse
+    * the decoder must walk. */
+  private def writeChromaDc(bw: BitWriter, d: Long, mb: Int,
+      u: Int): Unit = {
+    val tc = cavlcTc(d, mb, u); val t1 = cavlcT1(d, mb, u)
+    writeVlc(bw, H264Cavlc.ChromaDcCoeffToken, tc, t1)
+    for (j <- 0 until t1) bw.bit(cavlcTrailSign(d, mb, u, j))
+    var sl = 0
+    for (j <- 0 until tc - t1) {
+      val abs = cavlcLevelAbs(d, mb, u, j)
+      val neg = cavlcLevelNeg(d, mb, u, j)
+      var levelCode = (abs - 1) * 2 + neg
+      if (j == 0 && t1 < 3) levelCode -= 2
+      val prefix = levelCode >> sl
+      require(prefix < 14, "fixture level escaped the verified range")
+      for (_ <- 0 until prefix) bw.bit(0)
+      bw.bit(1)
+      if (sl > 0) bw.u(sl, levelCode & ((1 << sl) - 1))
+      if (sl == 0) sl = 1
+      else if (abs > (3 << (sl - 1)) && sl < 6) sl += 1
+    }
+    if (tc > 0 && tc < 4)
+      writeVlc(bw, H264Cavlc.TotalZerosChromaDc(tc),
+        cavlcTz(d, mb, u), 0)
+    var zerosLeft = cavlcTz(d, mb, u)
+    var i = 0
+    while (i < tc - 1 && zerosLeft > 0) {
+      val run = cavlcRun(d, mb, u, i, zerosLeft)
+      writeVlc(bw, H264Cavlc.RunBefore(zerosLeft), run, 0)
+      zerosLeft -= run
+      i += 1
+    }
+  }
+
+  /** IDR slice RBSP whose macroblocks are I_16x16 with chroma CBP 1
+    * / luma CBP 0: empty luma DC (the 1-bit TotalCoeff-0 codeword)
+    * + two REAL chroma-DC CAVLC residual blocks each. */
+  def cavlcSliceRbsp(d: Long): Array[Byte] = {
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(7) // slice_type: I (all slices)
+    bw.ue(0) // pic_parameter_set_id
+    bw.u(4, 0) // frame_num
+    bw.ue((d % 4).toInt) // idr_pic_id
+    bw.u(4, 0) // pic_order_cnt_lsb
+    bw.bit(0); bw.bit(0) // IDR ref marking flags
+    bw.se(0) // slice_qp_delta
+    for (mb <- 0 until cavlcMbs(d)) {
+      bw.ue(5 + cavlcPred(d, mb)) // mb_type: I_16x16_<pred>_1_0
+      bw.ue(cavlcIcp(d, mb)) // intra_chroma_pred_mode
+      bw.se(cavlcQpd(d, mb)) // mb_qp_delta
+      bw.bit(1) // Intra16x16DCLevel: TotalCoeff 0 under nC = 0
+      writeChromaDc(bw, d, mb, 0)
+      writeChromaDc(bw, d, mb, 1)
+    }
+    bw.stopAlign()
+    bw.bytes
+  }
+
+  /** Three-NAL chroma-DC CAVLC stream: SPS, PPS, IDR slice. */
+  def annexBCavlc(d: Long): Array[Byte] = {
+    val sps = escapeRbsp(spsRbsp(cavlcParams(d)))
+    val slice = escapeRbsp(cavlcSliceRbsp(d))
+    Array.concat(
+      Start4, Array[Byte](0x67) ++ sps,
+      Start4, Array[Byte](0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Start4, Array[Byte](0x65) ++ slice)
+  }
+
   /** Three-NAL PCM stream: SPS, PPS, IDR slice — the sample-decode
     * fixture. */
   def annexBPcm(docId: Long): Array[Byte] = {

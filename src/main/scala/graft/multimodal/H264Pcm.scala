@@ -39,7 +39,7 @@ object H264Pcm {
   /** Minimal SPS walk keeping the fields the slice header needs:
     * (log2_max_frame_num, pocType, log2_max_poc_lsb, width_mbs,
     * height_mbs). Baseline-class only; None out of scope. */
-  private def spsForSlice(rbsp: Array[Byte])
+  private[multimodal] def spsForSlice(rbsp: Array[Byte])
       : Option[(Int, Int, Int, Int, Int)] =
     try {
       val r = new BitReader(rbsp)
@@ -69,7 +69,7 @@ object H264Pcm {
     * bottom-field ordering, and capture the flags the slice header
     * branches on → (bottomFieldPresent, deblockingPresent,
     * redundantPresent). */
-  private def ppsForSlice(rbsp: Array[Byte])
+  private[multimodal] def ppsForSlice(rbsp: Array[Byte])
       : Option[(Boolean, Boolean, Boolean)] =
     try {
       val r = new BitReader(rbsp)

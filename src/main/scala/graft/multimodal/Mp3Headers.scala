@@ -698,18 +698,20 @@ object Mp3Headers {
     Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
       156, 194, 240, 296, 364, 448, 550, 576)) // 32 kHz
 
-  /** One Table B.7 Huffman table: parallel (code, len, x, y) arrays
-    * plus the dimension. Construction VALIDATES the transcription —
-    * prefix-freeness and Kraft completeness (Σ 2^−len = 1) — so a
-    * mis-copied spec constant fails loudly at class load, not as a
-    * silent mis-decode. */
-  private[multimodal] final class BvTable(val dim: Int,
+  /** One transcribed VLC table as parallel (code, len, x, y) arrays
+    * — Table B.7 (x, y) pairs here, and the H.264 CAVLC tables in
+    * [[H264Cavlc]] (`dim` 0 skips the square-size check for those).
+    * Construction VALIDATES the transcription — prefix-freeness and
+    * Kraft completeness (Σ 2^−len = 1) — so a mis-copied spec
+    * constant fails loudly at class load, not as a silent
+    * mis-decode. */
+  private[multimodal] class BvTable(val dim: Int,
       entries: Seq[(Int, Int, Int, Int)]) {
     val code: Array[Int] = entries.map(_._1).toArray
     val len: Array[Int] = entries.map(_._2).toArray
     val xs: Array[Int] = entries.map(_._3).toArray
     val ys: Array[Int] = entries.map(_._4).toArray
-    require(entries.size == dim * dim, "B.7 table size")
+    require(dim == 0 || entries.size == dim * dim, "B.7 table size")
     require(entries.map(e => math.pow(2, -e._2)).sum == 1.0,
       "B.7 table not Kraft-complete — transcription slip")
     for (Seq((c1, l1, _, _), (c2, l2, _, _)) <-

@@ -99,12 +99,17 @@ import org.apache.spark.sql.functions._
   * carries a Kraft/prefix construction self-check and hand-built
   * bitstream pins in place of the codec pin this container cannot
   * provide; selects 4–31 stay fail-closed
-  * ([[Mp3Headers.bigvaluesInfo]], `mm_mp3_bigvalues`). What remains
-  * a clearly-marked DETERMINISTIC FAKE is decode whose larger
-  * Huffman trees are memorized SPEC CONSTANTS with no in-container
-  * pin (MP3 big-values tables 4–31 with their linbits/ESC
-  * machinery, count1 table 0, H.264 CAVLC/CABAC residual +
-  * prediction) and the float-domain synthesis past the entropy
+  * ([[Mp3Headers.bigvaluesInfo]], `mm_mp3_bigvalues`), and the
+  * H.264 CAVLC residual walk for chroma-DC-coded I_16x16 pictures —
+  * coeff_token under the fixed nC = −1 table, the §9.2.2 level
+  * ladder, total_zeros, run_before — under the same self-checked
+  * transcription discipline ([[H264Cavlc]], `mm_h264_cavlc`). What
+  * remains a clearly-marked DETERMINISTIC FAKE is decode whose
+  * larger Huffman trees are memorized SPEC CONSTANTS with no
+  * in-container pin (MP3 big-values tables 4–31 with their
+  * linbits/ESC machinery, count1 table 0, H.264's full Table 9-5
+  * luma coeff_token columns, CABAC, intra prediction) and the
+  * float-domain synthesis past the entropy
   * layer (MP3 IMDCT, Vorbis residue VQ
   * float mapping + MDCT, H.264 reconstruction):
   * unparseable payloads get plausible dimensions derived from the
