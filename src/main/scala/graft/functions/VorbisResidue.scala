@@ -74,3 +74,72 @@ object VorbisResidue {
   def apply(c: Column): Column =
     ColumnBridge.column(VorbisResidue(ColumnBridge.expression(c)))
 }
+
+/** `vorbis_residue_apply_fixture(doc_id)` → the
+  * `mm_vorbis_residue_apply` fixture: the same Ogg layout with one
+  * value book per class, single-pass cascades on alternating
+  * classes, and the interleaved classword/value packet
+  * ([[graft.multimodal.Vorbis.streamResidueApply]]). */
+case class VorbisResidueApplyFixture(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Vorbis.streamResidueApply(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Vorbis.streamResidueApply($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): VorbisResidueApplyFixture = copy(child = c)
+  override def prettyName: String = "vorbis_residue_apply_fixture"
+}
+
+object VorbisResidueApplyFixture {
+  def apply(c: Column): Column = ColumnBridge.column(
+    VorbisResidueApplyFixture(ColumnBridge.expression(c)))
+}
+
+/** `vorbis_residue_apply(binary)` →
+  * `struct<n_slots:bigint, n_values:bigint, res_sum:bigint,
+  *         res_wsum:bigint, n_nonzero:bigint>`,
+  * null unless the payload decodes through the FULL §8.6.2 value
+  * pass in the integer domain — the interleaved classword/value
+  * walk with VQ multiplicands accumulated into the partition slots
+  * ([[graft.multimodal.Vorbis.decodeResidueApply]]). */
+case class VorbisResidueApply(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_slots", LongType, nullable = false),
+    StructField("n_values", LongType, nullable = false),
+    StructField("res_sum", LongType, nullable = false),
+    StructField("res_wsum", LongType, nullable = false),
+    StructField("n_nonzero", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Vorbis.residueApplyRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.multimodal.Vorbis.residueApplyRow($c);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(
+      c: Expression): VorbisResidueApply = copy(child = c)
+  override def prettyName: String = "vorbis_residue_apply"
+}
+
+object VorbisResidueApply {
+  def apply(c: Column): Column =
+    ColumnBridge.column(VorbisResidueApply(ColumnBridge.expression(c)))
+}

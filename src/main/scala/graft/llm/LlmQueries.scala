@@ -139,6 +139,7 @@ object LlmQueries {
     "llm_url_canon" -> urlCanon,
     "mm_zstd_frames" -> zstdFrames,
     "mm_vorbis_residue" -> vorbisResidue,
+    "mm_vorbis_residue_apply" -> vorbisResidueApply,
     "llm_mix_temperature" -> mixTemperature,
     "llm_inflate" -> inflateRoundtrip,
     "llm_zstd_fse" -> zstdFseRoundtrip,
@@ -5745,6 +5746,34 @@ object LlmQueries {
         col("m.class_sum").as("class_sum"),
         col("m.class_wsum").as("class_wsum"))
 
+  /** Vorbis residue VALUE-pass application
+    * (`mm_vorbis_residue_apply`) — the last integer step of the
+    * residue chain above [[vorbisResidue]]'s classification layer:
+    * the REAL §8.6.2 interleaved walk (classword per group, then
+    * that group's partitions' value vectors through the cascade
+    * books) with each decoded entry's VQ MULTIPLICANDS accumulated
+    * into the type-1 sequential partition slots — so only the float
+    * mapping (minimum + delta scaling, dB floor, MDCT) remains with
+    * the synthesis fake. Value books are parsed from the stream
+    * (lookup types 1 and 2, `sequence_p` 0 — the running-sum form
+    * is float-domain and fails closed), silent classes prove the
+    * walk skips without consuming bits, and the positional
+    * `res_wsum` pins slot PLACEMENT, not just totals. The oracle
+    * replays the accumulation closed-form from doc_id. Map-side
+    * construct → decode → project; no shuffle. */
+  def vorbisResidueApply(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.VorbisResidueApplyFixture(col("doc_id")))
+      .withColumn("m",
+        graft.functions.VorbisResidueApply(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_slots").as("n_slots"),
+        col("m.n_values").as("n_values"),
+        col("m.res_sum").as("res_sum"),
+        col("m.res_wsum").as("res_wsum"),
+        col("m.n_nonzero").as("n_nonzero"))
+
   /** MP4 sample tables (`mm_mp4_samples`) — the walk real frame
     * COUNTS come from, which the metadata-only box parse
     * deliberately skips: first track's `mdia/minf/stbl` chain, the
@@ -10819,6 +10848,64 @@ object LlmQueries {
         |  CAST(SUM(cls) AS BIGINT) AS class_sum,
         |  CAST(SUM((jj + 1) * cls) AS BIGINT) AS class_wsum
         |FROM cl GROUP BY 1""".stripMargin,
+
+    // closed-form replay of the value-pass accumulation: per
+    // cascade-1 partition, the fixture's entries run through the
+    // lookup-1/2 multiplicand indexing and land at positional slots
+    "mm_vorbis_residue_apply" ->
+      """WITH t AS (SELECT doc_id,
+        |    2 + doc_id % 3 AS ncls,
+        |    1 + doc_id % 4 AS d0,
+        |    4 + doc_id % 13 AS u0,
+        |    2 + doc_id % 6 AS n,
+        |    2 * (1 + doc_id % 3) AS psize
+        |  FROM documents),
+        |p AS (SELECT doc_id, ncls, d0, u0, n, psize,
+        |    unnest(range(0, n)) AS pp FROM t),
+        |pc AS (SELECT *,
+        |    (((doc_id * 3 + 7 * (pp // d0)) % u0) //
+        |      CASE d0 - 1 - (pp % d0) WHEN 0 THEN 1 WHEN 1 THEN ncls
+        |        WHEN 2 THEN ncls * ncls
+        |        ELSE ncls * ncls * ncls END) % ncls AS cls
+        |  FROM p),
+        |pb AS (SELECT *,
+        |    (doc_id + cls) % 2 AS casc,
+        |    1 + (doc_id + cls) % 2 AS dv,
+        |    4 + (doc_id + 5 * cls) % 5 AS uv,
+        |    1 + (doc_id + cls) % 2 AS lt,
+        |    3 + (doc_id + cls) % 3 AS vb
+        |  FROM pc),
+        |vecs AS (SELECT doc_id, pp, psize, cls, dv, uv, lt, vb,
+        |    unnest(range(0, psize // dv)) AS k
+        |  FROM pb WHERE casc = 1),
+        |slots AS (SELECT doc_id, pp, psize, cls, dv, lt, vb, k, i.i,
+        |    (doc_id + 7 * pp + 3 * k) % uv AS e
+        |  FROM vecs, (SELECT unnest([0, 1]) AS i) i
+        |  WHERE i.i < dv),
+        |vals AS (SELECT doc_id, pp * psize + k * dv + i AS slot,
+        |    (doc_id + 3 * cls + 5 * (CASE WHEN lt = 2 THEN e * dv + i
+        |      WHEN dv = 1 THEN e
+        |      WHEN i = 0 THEN e % 2 ELSE (e // 2) % 2 END)) %
+        |      (CASE vb WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END) AS v
+        |  FROM slots),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(v) AS BIGINT) AS res_sum,
+        |    CAST(SUM((slot + 1) * v) AS BIGINT) AS res_wsum,
+        |    CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nonzero
+        |  FROM vals GROUP BY 1),
+        |nv AS (SELECT doc_id,
+        |    CAST(SUM(psize // dv) AS BIGINT) AS n_values
+        |  FROM pb WHERE casc = 1 GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(n * psize AS BIGINT) AS n_slots
+        |  FROM t)
+        |SELECT b.doc_id, b.n_slots,
+        |  COALESCE(nv.n_values, 0) AS n_values,
+        |  COALESCE(a.res_sum, 0) AS res_sum,
+        |  COALESCE(a.res_wsum, 0) AS res_wsum,
+        |  COALESCE(a.n_nonzero, 0) AS n_nonzero
+        |FROM base b LEFT JOIN nv ON b.doc_id = nv.doc_id
+        |LEFT JOIN agg a ON b.doc_id = a.doc_id""".stripMargin,
 
     // frame-census oracle: the decoded-byte SUM replayed term by
     // term — frame grammar, descriptors and block headers shape

@@ -109,9 +109,10 @@ import org.apache.spark.sql.functions._
   * in-container pin (MP3 big-values tables 4–31 with their
   * linbits/ESC machinery, count1 table 0, H.264's full Table 9-5
   * luma coeff_token columns, CABAC, intra prediction) and the
-  * float-domain synthesis past the entropy
-  * layer (MP3 IMDCT, Vorbis residue VQ
-  * float mapping + MDCT, H.264 reconstruction):
+  * float-domain synthesis past the entropy layer (MP3 IMDCT,
+  * Vorbis's minimum+delta scaling / dB floor / MDCT above the now
+  * fully-integer residue chain — [[Vorbis.decodeResidueApply]],
+  * `mm_vorbis_residue_apply` — and H.264 reconstruction):
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped

@@ -166,7 +166,8 @@ object Vorbis {
   final case class Book(dims: Int, entries: Int, used: Int,
       maxLen: Int, decode: java.util.HashMap[java.lang.Long, Integer],
       lookupType: Int = 0, valueBits: Int = 0, seqP: Int = 0,
-      mulCount: Long = 0L, mulSum: Long = 0L)
+      mulCount: Long = 0L, mulSum: Long = 0L,
+      muls: Array[Long] = null)
 
   /** §3.2.2 lookup1_values: the greatest integer v with
     * v^dims <= entries. */
@@ -217,6 +218,7 @@ object Vorbis {
     var mulSum = 0L
     var vb = 0
     var seq = 0
+    var muls: Array[Long] = null
     if (lt == 1 || lt == 2) {
       r.read(32).getOrElse(return None) // minimum_value (packed float)
       r.read(32).getOrElse(return None) // delta_value (packed float)
@@ -226,9 +228,11 @@ object Vorbis {
         if (lt == 1) lookup1Values(entries, dims)
         else entries.toLong * dims
       if (mulCount > (1L << 22)) return None // sanity cap
-      var k = 0L
+      muls = new Array[Long](mulCount.toInt)
+      var k = 0
       while (k < mulCount) {
-        mulSum += r.read(vb).getOrElse(return None)
+        muls(k) = r.read(vb).getOrElse(return None)
+        mulSum += muls(k)
         k += 1
       }
     } else if (lt != 0) return None // reserved lookup types
@@ -247,7 +251,7 @@ object Vorbis {
       i += 1
     }
     Some(Book(dims, entries, used, maxLen, m,
-      lt, vb, seq, mulCount, mulSum))
+      lt, vb, seq, mulCount, mulSum, muls))
   }
 
   /** §3.2.1 decode: bit-at-a-time root walk against the canonical
@@ -414,19 +418,25 @@ object Vorbis {
   }
 
   // ------------------------------------------------------------------
-  // Residue — §8.6.1's config walk and §8.6.2's CLASSIFICATION
-  // cascade: classwords decode through the classbook and unpack
-  // into per-partition classes by repeated divmod (pure integer,
-  // last slot first). Value passes decode through per-class cascade
-  // books whose outputs are VQ float lookups — the fixture keeps
-  // every cascade empty (a conformant silent residue), so the
-  // classification layer is proven real while the float value
-  // domain stays with the synthesis fake.
+  // Residue — §8.6.1's config walk and §8.6.2's decode: classwords
+  // decode through the classbook and unpack into per-partition
+  // classes by repeated divmod (pure integer, last slot first); the
+  // VALUE pass ([[decodeResidueApply]]) runs the real interleaved
+  // walk through the cascade books and accumulates their VQ
+  // MULTIPLICANDS into the type-1 partition slots — the full
+  // integer layer. Only the float mapping past the multiplicands
+  // (minimum + delta scaling, dB floor application, MDCT) stays
+  // with the synthesis fake; the classification-only fixture
+  // (`mm_vorbis_residue`, empty cascades) survives as the isolated
+  // pin of the class layer.
 
   final case class ResidueCfg(begin: Int, end: Int, psize: Int,
-      classifications: Int, classbook: Int, cascade: Array[Int])
+      classifications: Int, classbook: Int, cascade: Array[Int],
+      passBooks: Array[Array[Int]])
 
-  /** §8.6.1 residue config walk (types 0/1/2 share it). */
+  /** §8.6.1 residue config walk (types 0/1/2 share it). The
+    * per-(class, pass) value-book numbers are RETAINED (−1 for
+    * unset cascade bits) — the value pass reads through them. */
   def readResidueCfg(r: BitReaderLsb): Option[ResidueCfg] = {
     val begin = r.read(24).getOrElse(return None).toInt
     val end = r.read(24).getOrElse(return None).toInt
@@ -435,6 +445,7 @@ object Vorbis {
     val cls = r.read(6).getOrElse(return None).toInt + 1
     val classbook = r.read(8).getOrElse(return None).toInt
     val cascade = new Array[Int](cls)
+    val passBooks = Array.fill(cls)(Array.fill(8)(-1))
     var j = 0
     while (j < cls) {
       val low = r.read(3).getOrElse(return None).toInt
@@ -445,12 +456,13 @@ object Vorbis {
       var k = 0
       while (k < 8) { // a set cascade bit carries a book number
         if (((cascade(j) >> k) & 1) != 0)
-          r.read(8).getOrElse(return None)
+          passBooks(j)(k) = r.read(8).getOrElse(return None).toInt
         k += 1
       }
       j += 1
     }
-    Some(ResidueCfg(begin, end, psize, cls, classbook, cascade))
+    Some(ResidueCfg(begin, end, psize, cls, classbook, cascade,
+      passBooks))
   }
 
   /** §8.6.2 classification decode: one classword per
@@ -478,6 +490,80 @@ object Vorbis {
       p += d
     }
     Some(out)
+  }
+
+  /** §8.6.2 FULL residue decode in the INTEGER value domain —
+    * type-1 (sequential) partition layout over one vector: the real
+    * interleaved walk (classword for each group at pass 0, then
+    * that group's partitions' value vectors), value codewords
+    * decoded through the cascade books and their VQ MULTIPLICANDS
+    * accumulated into the partition slots. This is the last integer
+    * step of the residue chain — only the float mapping
+    * (minimum + delta scaling, then dB floor application and MDCT)
+    * remains with the synthesis fake, so value books with
+    * `sequence_p = 1` (a float-domain running sum) fail closed, as
+    * do lookup-0 value books and partition sizes the book dimension
+    * does not divide. Returns (accumulated slots over
+    * [begin, end), decoded value-vector count). */
+  def decodeResidueApply(r: BitReaderLsb, cfg: ResidueCfg,
+      books: Array[Book]): Option[(Array[Long], Long)] = {
+    if (cfg.classbook < 0 || cfg.classbook >= books.length) return None
+    val cb = books(cfg.classbook)
+    val d0 = cb.dims
+    if (d0 < 1 || cfg.psize < 1) return None
+    val n = (cfg.end - cfg.begin) / cfg.psize
+    val classes = new Array[Int](n)
+    val out = new Array[Long](n * cfg.psize)
+    var nVecs = 0L
+    var pass = 0
+    while (pass < 8) {
+      var p = 0
+      while (p < n) {
+        if (pass == 0 && p % d0 == 0) {
+          // classword for this group, unpacked last slot first
+          var cval = decodeOne(r, cb).getOrElse(return None).toLong
+          var i = d0
+          while (i > 0) {
+            val idx = p + i - 1
+            if (idx < n)
+              classes(idx) = (cval % cfg.classifications).toInt
+            cval /= cfg.classifications
+            i -= 1
+          }
+        }
+        val cls = classes(p)
+        if (((cfg.cascade(cls) >> pass) & 1) != 0) {
+          val bi = cfg.passBooks(cls)(pass)
+          if (bi < 0 || bi >= books.length) return None
+          val vb = books(bi)
+          if (vb.lookupType != 1 && vb.lookupType != 2) return None
+          if (vb.seqP != 0) return None // running sum: float domain
+          if (vb.muls == null || vb.dims < 1 ||
+            cfg.psize % vb.dims != 0) return None
+          val l1v = lookup1Values(vb.entries, vb.dims)
+          var k = 0
+          while (k < cfg.psize) {
+            val e = decodeOne(r, vb).getOrElse(return None)
+            nVecs += 1
+            var i2 = 0
+            var divisor = 1L
+            while (i2 < vb.dims) {
+              val off =
+                if (vb.lookupType == 1) ((e / divisor) % l1v).toInt
+                else e * vb.dims + i2
+              if (off < 0 || off >= vb.muls.length) return None
+              out(p * cfg.psize + k + i2) += vb.muls(off)
+              divisor *= l1v
+              i2 += 1
+            }
+            k += vb.dims
+          }
+        }
+        p += 1
+      }
+      pass += 1
+    }
+    Some((out, nVecs))
   }
 
   // ------------------------------------------------------------------
@@ -1080,6 +1166,188 @@ object Vorbis {
     case Some((np, ng, s, ws)) => InternalRow(np, ng, s, ws)
     case None => null
   }
+
+  // --- residue VALUE-pass fixture derivations
+  // (`mm_vorbis_residue_apply`): the same classbook + class layer
+  // as the classification fixture, but with per-class single-pass
+  // cascades carrying REAL value books (lookup 1/2, sequence_p 0)
+  // whose multiplicands must accumulate into the partition slots.
+
+  /** Even partition size — the value books' dims (1..2) divide it. */
+  def rzaPsizeOf(docId: Long): Int = 2 * (1 + (docId % 3).toInt)
+  /** Cascade of class c: bit 0 set on alternating classes (silent
+    * classes prove the walk skips without consuming bits). */
+  def rzaCascadeOf(docId: Long, c: Int): Int = ((docId + c) % 2).toInt
+  def rzaDimsOf(docId: Long, c: Int): Int = 1 + ((docId + c) % 2).toInt
+  def rzaUsedOf(docId: Long, c: Int): Int =
+    4 + ((docId + 5 * c) % 5).toInt
+  def rzaLookupOf(docId: Long, c: Int): Int =
+    1 + ((docId + c) % 2).toInt
+  def rzaValueBitsOf(docId: Long, c: Int): Int =
+    3 + ((docId + c) % 3).toInt
+  def rzaMulOf(docId: Long, c: Int, k: Long): Long =
+    (docId + 3 * c + 5 * k) % (1L << rzaValueBitsOf(docId, c))
+  def rzaMulCountOf(docId: Long, c: Int): Long =
+    if (rzaLookupOf(docId, c) == 1)
+      lookup1Values(rzaUsedOf(docId, c), rzaDimsOf(docId, c))
+    else rzaUsedOf(docId, c).toLong * rzaDimsOf(docId, c)
+  /** Expected class at partition p (the classification fixture's
+    * divmod replay over the shared classbook). */
+  def rzaClassOf(docId: Long, p: Int): Int = resClassOf(docId, p)
+  /** Value-vector entry k of partition p (value book of class c). */
+  def rzaEntryOf(docId: Long, p: Int, k: Int): Int =
+    ((docId + 7L * p + 3L * k) % rzaUsedOf(docId,
+      rzaClassOf(docId, p))).toInt
+
+  /** Kraft-complete length set for a `used`-entry value book. */
+  private def rzaLengths(used: Int): Array[Int] = used match {
+    case 4 => Array(2, 2, 2, 2)
+    case 5 => Array(2, 2, 2, 3, 3)
+    case 6 => Array(2, 2, 3, 3, 3, 3)
+    case 7 => Array(2, 3, 3, 3, 3, 3, 3)
+    case _ => Array.fill(used)(ilog(used - 1))
+  }
+
+  private def rzaBookCodes(docId: Long, c: Int)
+      : (Array[Int], Array[Long]) = {
+    val lengths = rzaLengths(rzaUsedOf(docId, c))
+    val (codes, complete) = assignCodewords(lengths).get
+    require(complete, s"rza book must be complete (doc=$docId c=$c)")
+    (lengths, codes)
+  }
+
+  private def writeRzaBook(w: BitWriterLsb, docId: Long,
+      c: Int): Unit = {
+    val used = rzaUsedOf(docId, c)
+    val lengths = rzaLengths(used)
+    w.write(0x564342L, 24)
+    w.write(rzaDimsOf(docId, c), 16)
+    w.write(used, 24)
+    w.write(0, 1); w.write(0, 1) // unordered, non-sparse
+    lengths.foreach(l => w.write(l - 1, 5))
+    w.write(rzaLookupOf(docId, c), 4)
+    w.write(0x43000000L + docId % 997, 32) // packed-float minimum
+    w.write(0x42000000L + docId % 991, 32) // packed-float delta
+    w.write(rzaValueBitsOf(docId, c) - 1, 4)
+    w.write(0, 1) // sequence_p = 0: the integer-domain class
+    var k = 0L
+    val n = rzaMulCountOf(docId, c)
+    while (k < n) {
+      w.write(rzaMulOf(docId, c, k), rzaValueBitsOf(docId, c))
+      k += 1
+    }
+  }
+
+  private def writeRzaResidueCfg(w: BitWriterLsb, docId: Long): Unit = {
+    val n = resPartsOf(docId)
+    val psize = rzaPsizeOf(docId)
+    val ncls = resClsOf(docId)
+    w.write(8, 24) // begin
+    w.write(8 + n.toLong * psize, 24) // end
+    w.write(psize - 1, 24)
+    w.write(ncls - 1, 6)
+    w.write(0, 8) // classbook = book 0
+    var c = 0
+    while (c < ncls) {
+      w.write(rzaCascadeOf(docId, c), 3) // low bits (0 or 1)
+      w.write(0, 1) // no high bits
+      if (rzaCascadeOf(docId, c) == 1)
+        w.write(1L + c, 8) // pass-0 value book
+      c += 1
+    }
+  }
+
+  /** The value-pass packet: the REAL §8.6.2 interleaved order —
+    * classword at each group boundary, then that group's
+    * partitions' value vectors (cascade-1 classes only). */
+  private def rzaPacket(docId: Long): Array[Byte] = {
+    val w = new BitWriterLsb
+    val d0 = dimsOf(docId, 0)
+    val n = resPartsOf(docId)
+    val psize = rzaPsizeOf(docId)
+    val (clens, ccodes) = bookCodes(docId, 0)
+    val vbooks = Array.tabulate(resClsOf(docId))(rzaBookCodes(docId, _))
+    var p = 0
+    while (p < n) {
+      if (p % d0 == 0) {
+        val e = resEntryOf(docId, p / d0)
+        w.writeCode(ccodes(e), clens(e))
+      }
+      val cls = rzaClassOf(docId, p)
+      if (rzaCascadeOf(docId, cls) == 1) {
+        val (vlens, vcodes) = vbooks(cls)
+        val dv = rzaDimsOf(docId, cls)
+        var k = 0
+        while (k < psize / dv) {
+          val e = rzaEntryOf(docId, p, k)
+          w.writeCode(vcodes(e), vlens(e))
+          k += 1
+        }
+      }
+      p += 1
+    }
+    w.bytes
+  }
+
+  /** The residue-APPLY fixture stream (`mm_vorbis_residue_apply`):
+    * id page, setup page carrying the classbook + one value book
+    * per class + the §8.6.1 config with pass-0 cascade books, and
+    * the interleaved classword/value packet page. */
+  def streamResidueApply(docId: Long): Array[Byte] = {
+    val serial = (docId & 0x7fffffffL).toInt | 1
+    val w = new BitWriterLsb
+    w.write(5, 8)
+    "vorbis".foreach(c => w.write(c.toLong, 8))
+    w.write(resClsOf(docId).toLong, 8) // 1 classbook + ncls value books
+    writeBook(w, docId, 0)
+    var c = 0
+    while (c < resClsOf(docId)) { writeRzaBook(w, docId, c); c += 1 }
+    writeRzaResidueCfg(w, docId)
+    oggPage(0x02, 0, serial, 0, Seq(idPacket(docId))) ++
+      oggPage(0, 0, serial, 1, Seq(w.bytes)) ++
+      oggPage(0x04, 0, serial, 2, Seq(rzaPacket(docId)))
+  }
+
+  /** Parse + decode the apply fixture through the real config walk
+    * and [[decodeResidueApply]]. Returns (n_slots, n_values,
+    * res_sum, res_wsum, n_nonzero) or None. */
+  def parseResidueApply(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] = {
+    val packets = oggPackets(b).getOrElse(return None)
+    if (packets.length != 3) return None
+    val setup = packets(1)
+    if (setup.length < 8 || (setup(0) & 0xff) != 5 ||
+      new String(setup, 1, 6, "US-ASCII") != "vorbis") return None
+    val sr = new BitReaderLsb(setup, 7, setup.length)
+    val nb = sr.read(8).getOrElse(return None).toInt + 1
+    val books = new Array[Book](nb)
+    var j = 0
+    while (j < nb) {
+      books(j) = readBook(sr).getOrElse(return None)
+      j += 1
+    }
+    val cfg = readResidueCfg(sr).getOrElse(return None)
+    val rr = new BitReaderLsb(packets(2), 0, packets(2).length)
+    val (out, nVecs) =
+      decodeResidueApply(rr, cfg, books).getOrElse(return None)
+    var s = 0L; var ws = 0L; var nz = 0L
+    var i = 0
+    while (i < out.length) {
+      s += out(i)
+      ws += (i + 1L) * out(i)
+      if (out(i) != 0L) nz += 1
+      i += 1
+    }
+    Some((out.length.toLong, nVecs, s, ws, nz))
+  }
+
+  /** [[parseResidueApply]] as an `InternalRow` for the codegen
+    * path. */
+  def residueApplyRow(b: Array[Byte]): InternalRow =
+    parseResidueApply(b) match {
+      case Some((ns, nv, s, ws, nz)) => InternalRow(ns, nv, s, ws, nz)
+      case None => null
+    }
 
   /** The VQ-lookup fixture stream (`mm_vorbis_vq`): the same
     * three-page layout with the setup books carrying §3.2.2 lookup

@@ -245,7 +245,8 @@ class VorbisSpec extends AnyFunSuite {
   test("residue hand-check: dims 2, 3 classifications, classwords " +
     "3 and 1 unpack last-slot-first to [1,0,0,1]") {
     // 4 partitions (end 16, psize 4), 2 classwords of 2 slots each
-    val cfg = Vorbis.ResidueCfg(0, 16, 4, 3, 0, Array(0, 0, 0))
+    val cfg = Vorbis.ResidueCfg(0, 16, 4, 3, 0, Array(0, 0, 0),
+      Array.fill(3)(Array.fill(8)(-1)))
     val r0 = new Vorbis.BitReaderLsb(handBook, 0, handBook.length)
     val Some(book) = Vorbis.readBook(r0)
     // handBook: 4 entries, len-2 codes 00/01/10/11
@@ -257,6 +258,99 @@ class VorbisSpec extends AnyFunSuite {
     // entry 3: slot1 = 3 % 3 = 0, slot0 = 1; entry 1: slot1 = 1,
     // slot0 = 0 → classes [1, 0, 0, 1]
     assert(cls.toSeq == Seq(1, 0, 0, 1))
+  }
+
+  test("residue VALUE-pass hand-check: interleaved classword/value " +
+    "order, lookup-2 multiplicand indexing, positional slot " +
+    "placement, silent class consumes no bits") {
+    // value book: dims 2, 4 entries, all len-2 codes, lookup 2,
+    // value_bits 3, seq 0, muls [1,2,3,4,5,6,7,0]
+    val wv = new Vorbis.BitWriterLsb
+    wv.write(0x564342L, 24)
+    wv.write(2, 16); wv.write(4, 24)
+    wv.write(0, 1); wv.write(0, 1)
+    for (_ <- 0 until 4) wv.write(1, 5) // len-1 = 1 → length 2
+    wv.write(2, 4) // lookup type 2
+    wv.write(0x43000000L, 32); wv.write(0x42000000L, 32)
+    wv.write(2, 4) // value_bits − 1 = 2 → 3
+    wv.write(0, 1) // sequence_p 0
+    Seq(1, 2, 3, 4, 5, 6, 7, 0).foreach(m => wv.write(m.toLong, 3))
+    val vbBytes = wv.bytes
+    val Some(cbook) = Vorbis.readBook(
+      new Vorbis.BitReaderLsb(handBook, 0, handBook.length))
+    val Some(vbook) = Vorbis.readBook(
+      new Vorbis.BitReaderLsb(vbBytes, 0, vbBytes.length))
+    assert(vbook.muls.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 0L))
+    val pb = Array.fill(2)(Array.fill(8)(-1))
+    pb(0)(0) = 1 // class 0, pass 0 → value book 1
+    val cfg = Vorbis.ResidueCfg(0, 8, 4, 2, 0, Array(1, 0), pb)
+    // packet: classword entry 1 (classes [0,1] by divmod), then
+    // partition 0's two vectors (entries 3 then 0); partition 1 is
+    // class 1 → silent
+    val w = new Vorbis.BitWriterLsb
+    w.writeCode(1, 2); w.writeCode(3, 2); w.writeCode(0, 2)
+    val Some((out, nVecs)) = Vorbis.decodeResidueApply(
+      new Vorbis.BitReaderLsb(w.bytes, 0, w.bytes.length), cfg,
+      Array(cbook, vbook))
+    // entry 3 → muls offsets 6,7 → 7,0; entry 0 → offsets 0,1 → 1,2
+    assert(out.toSeq == Seq(7L, 0L, 1L, 2L, 0L, 0L, 0L, 0L))
+    assert(nVecs == 2L)
+    // a sequence_p book in the value pass fails closed
+    val wseq = new Vorbis.BitWriterLsb
+    wseq.write(0x564342L, 24)
+    wseq.write(2, 16); wseq.write(4, 24)
+    wseq.write(0, 1); wseq.write(0, 1)
+    for (_ <- 0 until 4) wseq.write(1, 5)
+    wseq.write(2, 4)
+    wseq.write(0x43000000L, 32); wseq.write(0x42000000L, 32)
+    wseq.write(2, 4)
+    wseq.write(1, 1) // sequence_p 1: float-domain running sum
+    Seq(1, 2, 3, 4, 5, 6, 7, 0).foreach(m => wseq.write(m.toLong, 3))
+    val Some(sbook) = Vorbis.readBook(
+      new Vorbis.BitReaderLsb(wseq.bytes, 0, wseq.bytes.length))
+    assert(Vorbis.decodeResidueApply(
+      new Vorbis.BitReaderLsb(w.bytes, 0, w.bytes.length), cfg,
+      Array(cbook, sbook)).isEmpty)
+  }
+
+  test("residue VALUE-pass triangle over docs 0..150: stream-parsed " +
+    "value books, lookup-1/2 indexing, silent classes, positional " +
+    "wsum") {
+    for (doc <- 0L to 150L) {
+      val Some((ns, nv, s, ws, nz)) =
+        Vorbis.parseResidueApply(Vorbis.streamResidueApply(doc))
+      val n = Vorbis.resPartsOf(doc)
+      val psize = Vorbis.rzaPsizeOf(doc)
+      assert(ns == n.toLong * psize, s"doc $doc n_slots")
+      val slots = Array.fill(n * psize)(0L)
+      var vecs = 0L
+      for (p <- 0 until n) {
+        val cls = Vorbis.rzaClassOf(doc, p)
+        if (Vorbis.rzaCascadeOf(doc, cls) == 1) {
+          val dv = Vorbis.rzaDimsOf(doc, cls)
+          val uv = Vorbis.rzaUsedOf(doc, cls)
+          val lt = Vorbis.rzaLookupOf(doc, cls)
+          val l1v = Vorbis.lookup1Values(uv, dv)
+          for (k <- 0 until psize / dv) {
+            val e = Vorbis.rzaEntryOf(doc, p, k)
+            vecs += 1
+            var div = 1L
+            for (i <- 0 until dv) {
+              val off =
+                if (lt == 1) ((e / div) % l1v).toInt else e * dv + i
+              slots(p * psize + k * dv + i) +=
+                Vorbis.rzaMulOf(doc, cls, off)
+              div *= l1v
+            }
+          }
+        }
+      }
+      assert(nv == vecs, s"doc $doc n_values")
+      assert(s == slots.sum, s"doc $doc res_sum")
+      assert(ws == slots.zipWithIndex
+        .map { case (v, i) => (i + 1L) * v }.sum, s"doc $doc res_wsum")
+      assert(nz == slots.count(_ != 0L).toLong, s"doc $doc n_nonzero")
+    }
   }
 
   test("render_line hand-check: Bresenham error walk equals the " +
