@@ -158,6 +158,34 @@ object Mp3Count1FixtureExpr {
     ColumnBridge.column(Mp3Count1FixtureExpr(ColumnBridge.expression(c)))
 }
 
+/** `mp3_count1a_fixture(doc_id)` → the `mm_mp3_count1a` fixture: the
+  * count1 stream class under TABLE A — variable-length 1–6-bit
+  * codewords for the same quadruple/sign sequence as the table-1
+  * fixture ([[graft.multimodal.Mp3SideFixture.streamCount1A]]). */
+case class Mp3Count1AFixtureExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3SideFixture.streamCount1A(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Mp3SideFixture.streamCount1A($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): Mp3Count1AFixtureExpr = copy(child = c)
+  override def prettyName: String = "mp3_count1a_fixture"
+}
+
+object Mp3Count1AFixtureExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3Count1AFixtureExpr(ColumnBridge.expression(c)))
+}
+
 /** `mp3_bigvalues(binary)` → the decoded BIG-VALUES-region census of
   * the first frame ([[graft.multimodal.Mp3Headers.bigvaluesInfo]]):
   * (x, y) spectral pairs decoded through the verified Table B.7

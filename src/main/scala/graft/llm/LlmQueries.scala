@@ -179,6 +179,7 @@ object LlmQueries {
     "mm_mp3_vbr" -> mp3Vbr,
     "mm_mp3_sideinfo" -> mp3SideInfo,
     "mm_mp3_count1" -> mp3Count1,
+    "mm_mp3_count1a" -> mp3Count1A,
     "mm_mp3_bigvalues" -> mp3Bigvalues,
     "mm_h264_cavlc" -> h264Cavlc,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
@@ -7355,6 +7356,27 @@ object LlmQueries {
         col("m.n_neg").as("n_neg"),
         col("m.sum_vals").as("sum_vals"))
 
+  /** The count1 walk under TABLE A (`mm_mp3_count1a`) — the
+    * variable-length sibling of [[mp3Count1]]: the SAME quadruple
+    * and sign sequence encoded through the transcribed 1–6-bit tree
+    * ([[graft.multimodal.Mp3Headers.Count1TableA]],
+    * Kraft/prefix-validated at load), selected by
+    * `count1table_select` = 0. The oracle is the identical census
+    * (the values don't depend on the coding table) — but the engine
+    * can only reproduce it by walking the tree exactly, because
+    * part2_3_length is computed from TABLE-A bit widths and any
+    * mis-walk desynchronizes the region end. */
+  def mp3Count1A(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.Mp3Count1AFixtureExpr(col("doc_id")))
+      .withColumn("m", graft.functions.Mp3Count1(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_quads").as("n_quads"),
+        col("m.n_nonzero").as("n_nonzero"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_vals").as("sum_vals"))
+
   /** BIG-VALUES-region Huffman decode (`mm_mp3_bigvalues`) — the
     * variable-length entropy slice below [[mp3Count1]]'s fixed-width
     * count1 walk: frames whose part3 carries genuine Table-B.7
@@ -8057,6 +8079,42 @@ object LlmQueries {
        |  score_x1e6
        |FROM r WHERE rank <= 10""".stripMargin
   }
+
+  /** The count1 quadruple census replayed in closed form from
+    * doc_id — shared verbatim by the table-1 and table-A lanes
+    * (the coding table moves bit widths, never values). */
+  private val count1CensusSql: String =
+    """WITH t AS (SELECT doc_id,
+            |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nch
+            |  FROM documents),
+            |tg AS (SELECT *, unnest([0, 1]) AS g FROM t),
+            |gc AS (SELECT doc_id, g, unnest(range(0, nch)) AS c
+            |  FROM tg),
+            |qd AS (SELECT doc_id, g, c,
+            |    unnest(range(0, (doc_id + g * 3 + c * 5) % 20)) AS q
+            |  FROM gc),
+            |qk AS (SELECT doc_id, q,
+            |    (doc_id + q * 7 + g + c) % 16 AS pat,
+            |    unnest([0, 1, 2, 3]) AS k
+            |  FROM qd),
+            |vals AS (SELECT doc_id,
+            |    (pat >> (3 - k)) & 1 AS bit,
+            |    CASE WHEN (pat >> (3 - k)) & 1 = 1 THEN
+            |      CASE WHEN (doc_id + q + k) % 2 = 1 THEN -1 ELSE 1 END
+            |      ELSE 0 END AS v
+            |  FROM qk),
+            |per AS (SELECT doc_id,
+            |    CAST(SUM(bit) AS BIGINT) AS n_nonzero,
+            |    CAST(SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS n_neg,
+            |    CAST(SUM(v) AS BIGINT) AS sum_vals
+            |  FROM vals GROUP BY 1),
+            |nq AS (SELECT doc_id,
+            |    CAST(SUM((doc_id + g * 3 + c * 5) % 20) AS BIGINT)
+            |      AS n_quads
+            |  FROM gc GROUP BY 1)
+            |SELECT doc_id, n_quads, n_nonzero, n_neg, sum_vals
+            |FROM nq JOIN per USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // CDC oracles share the engine's exact unrolled boundary-hash
@@ -12008,38 +12066,11 @@ object LlmQueries {
     // side must recover it through the complement-code Huffman walk
     // (scalefactor skip, 4-bit codes, per-nonzero sign bits, exact
     // part2_3 boundary); the oracle restates pattern/sign formulas
-    "mm_mp3_count1" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nch
-        |  FROM documents),
-        |tg AS (SELECT *, unnest([0, 1]) AS g FROM t),
-        |gc AS (SELECT doc_id, g, unnest(range(0, nch)) AS c
-        |  FROM tg),
-        |qd AS (SELECT doc_id, g, c,
-        |    unnest(range(0, (doc_id + g * 3 + c * 5) % 20)) AS q
-        |  FROM gc),
-        |qk AS (SELECT doc_id, q,
-        |    (doc_id + q * 7 + g + c) % 16 AS pat,
-        |    unnest([0, 1, 2, 3]) AS k
-        |  FROM qd),
-        |vals AS (SELECT doc_id,
-        |    (pat >> (3 - k)) & 1 AS bit,
-        |    CASE WHEN (pat >> (3 - k)) & 1 = 1 THEN
-        |      CASE WHEN (doc_id + q + k) % 2 = 1 THEN -1 ELSE 1 END
-        |      ELSE 0 END AS v
-        |  FROM qk),
-        |per AS (SELECT doc_id,
-        |    CAST(SUM(bit) AS BIGINT) AS n_nonzero,
-        |    CAST(SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_neg,
-        |    CAST(SUM(v) AS BIGINT) AS sum_vals
-        |  FROM vals GROUP BY 1),
-        |nq AS (SELECT doc_id,
-        |    CAST(SUM((doc_id + g * 3 + c * 5) % 20) AS BIGINT)
-        |      AS n_quads
-        |  FROM gc GROUP BY 1)
-        |SELECT doc_id, n_quads, n_nonzero, n_neg, sum_vals
-        |FROM nq JOIN per USING (doc_id)""".stripMargin,
+    "mm_mp3_count1" -> count1CensusSql,
+
+    // TABLE-A lane: the identical census (quadruples/signs are the
+    // same sequence) — recoverable only through the 1-6-bit tree
+    "mm_mp3_count1a" -> count1CensusSql,
 
     // closed-form replay of the big-values fixture parameters: the
     // engine must recover this census through real Table-B.7

@@ -626,14 +626,18 @@ object Mp3Headers {
     * (n_quads, n_nonzero, n_neg, sum_vals) totals over all
     * granule × channel regions.
     *
+    * Both count1 tables decode: select 1 is the fixed 4-bit
+    * complement table; select 0 is TABLE A, the variable-length
+    * 1–6-bit tree, transcribed under the [[BvTable]] Kraft/prefix
+    * self-check ([[Count1TableA]]) and pinned by its own fixture
+    * (`mm_mp3_count1a`).
+    *
     * Fail-closed (None), never a guess: everything [[sideInfo]]
     * rejects; a nonzero `main_data_begin` (the region lives in
-    * prior frames); a nonzero `big_values` (the preceding region's
-    * VARIABLE-length tables 0–31 are outside verified scope — no
-    * codec library in this container to pin them against);
-    * `count1table_select` = 0 (table A, variable-length, same
-    * reason); a region that ends mid-quadruple; more than 144
-    * quadruples in one region (576 spectral lines per granule). */
+    * prior frames); a nonzero `big_values` (decode that region
+    * through [[bigvaluesInfo]] instead); a region that ends
+    * mid-quadruple; more than 144 quadruples in one region (576
+    * spectral lines per granule). */
   def count1Info(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
     val f = readSideFields(b) match {
       case Some(v) => v
@@ -647,14 +651,22 @@ object Mp3Headers {
     while (g < 2) {
       var c = 0
       while (c < f.nch) {
-        if (f.bigv(g)(c) != 0 || f.c1t(g)(c) != 1) return None
+        if (f.bigv(g)(c) != 0) return None
+        val tableA = f.c1t(g)(c) == 0
         val regionEnd = f.r.bitPos + f.p23(g)(c)
         val (transmitted, _, _) = readScalefactors(f, g, c, g0)
         if (f.p23(g)(c) < transmitted) return None
         var quads = 0
         while (f.r.ok && f.r.bitPos < regionEnd) {
-          if (regionEnd - f.r.bitPos < 4) return None // mid-quadruple
-          val pattern = (~f.r.u(4)) & 15 // table 1: complement codes
+          val pattern =
+            if (tableA) { // table A: the transcribed 1–6-bit VLC
+              val hit = vlcWalk(f.r, Count1TableA)
+              if (hit < 0 || f.r.bitPos > regionEnd) return None
+              Count1TableA.xs(hit)
+            } else { // table B (select 1): fixed 4-bit complements
+              if (regionEnd - f.r.bitPos < 4) return None // mid-quad
+              (~f.r.u(4)) & 15
+            }
           var k = 0
           while (k < 4) {
             if (((pattern >> (3 - k)) & 1) == 1) {
@@ -724,6 +736,19 @@ object Mp3Headers {
     val maxLen: Int = len.max
   }
 
+  /** COUNT1 table A (Table B.7 "count1 table 0"): 16 quadruple
+    * patterns (v,w,x,y packed as a 4-bit value in `x`), codeword
+    * lengths 1–6 — the variable-length sibling of the fixed 4-bit
+    * complement table 1. Same transcription discipline as
+    * [[BvTables]]: Kraft/prefix-validated at load, fixture-pinned
+    * positionally. */
+  private[multimodal] val Count1TableA = new BvTable(0, Seq(
+    (1, 1, 0, 0),
+    (5, 4, 1, 0), (4, 4, 2, 0), (5, 5, 3, 0),
+    (6, 4, 4, 0), (5, 6, 5, 0), (4, 5, 6, 0), (4, 6, 7, 0),
+    (7, 4, 8, 0), (3, 5, 9, 0), (6, 5, 10, 0), (0, 6, 11, 0),
+    (7, 5, 12, 0), (2, 6, 13, 0), (3, 6, 14, 0), (1, 6, 15, 0)))
+
   /** Tables B.7 1–3 (the verified subset: small enough to transcribe
     * with the Kraft/prefix self-check and carry no linbits/ESC
     * machinery). Table 0 codes the all-zero region in ZERO bits
@@ -741,6 +766,22 @@ object Mp3Headers {
       (3, 2, 0, 0), (2, 2, 0, 1), (1, 6, 0, 2),
       (1, 3, 1, 0), (1, 2, 1, 1), (1, 5, 1, 2),
       (3, 5, 2, 0), (2, 5, 2, 1), (0, 6, 2, 2))))
+
+  /** Walk one transcribed VLC MSB-first: accumulate bits until the
+    * (code, len) pair matches an entry; −1 when nothing matches
+    * within the table's longest code (or the reader ran dry). */
+  private def vlcWalk(r: BitR, t: BvTable): Int = {
+    var acc = 0; var n = 0
+    while (n < t.maxLen && r.ok) {
+      acc = (acc << 1) | r.u(1); n += 1
+      var e = 0
+      while (e < t.code.length) {
+        if (t.len(e) == n && t.code(e) == acc) return e
+        e += 1
+      }
+    }
+    -1
+  }
 
   /** BIG-VALUES entropy decode of the stream's first frame — the
     * variable-length Huffman slice below [[count1Info]]'s fixed-width
@@ -801,17 +842,7 @@ object Mp3Headers {
             } else BvTables.get(ts) match {
               case None => return None // outside the verified set
               case Some(t) =>
-                // walk the canonical tree: accumulate bits until the
-                // (code, len) pair matches an entry
-                var acc = 0; var n = 0; var hit = -1
-                while (hit < 0 && n < t.maxLen && f.r.ok) {
-                  acc = (acc << 1) | f.r.u(1); n += 1
-                  var e = 0
-                  while (hit < 0 && e < t.code.length) {
-                    if (t.len(e) == n && t.code(e) == acc) hit = e
-                    e += 1
-                  }
-                }
+                val hit = vlcWalk(f.r, t)
                 if (hit < 0 || !f.r.ok) return None
                 var k = 0
                 while (k < 2) {

@@ -262,6 +262,39 @@ object Mp3SideFixture {
         }
       })
 
+  /** Count1 TABLE-A bit count: hlen(pattern) + one sign per set
+    * position (same quadruple/sign formulas as the table-1 lane, so
+    * the oracle census is IDENTICAL — only the bit widths move). */
+  def count1ABitsOf(d: Long, g: Int, c: Int): Int =
+    (0 until nqOf(d, g, c)).map { q =>
+      val pat = patOf(d, g, c, q)
+      val e = (0 until 16)
+        .find(e => Mp3Headers.Count1TableA.xs(e) == pat).get
+      Mp3Headers.Count1TableA.len(e) + Integer.bitCount(pat)
+    }.sum
+  def p23Count1AOf(d: Long, g: Int, c: Int): Int =
+    part2BitsOf(d, g, c) + count1ABitsOf(d, g, c)
+
+  /** The `mm_mp3_count1a` fixture stream: the table-1 lane with
+    * `count1table_select` = 0 — the part3 region carries TABLE-A
+    * codewords (1–6 bits) for the SAME quadruple/sign sequence, so
+    * a decoder that walks the tree wrongly desynchronizes
+    * part2_3_length exactly as a complement-table slip would. */
+  def streamCount1A(docId: Long): Array[Byte] =
+    buildStream(docId, 0, (_, _) => 0, (_, _) => 0,
+      p23Count1AOf(docId, _, _), { (w, g, c) =>
+        for (q <- 0 until nqOf(docId, g, c)) {
+          val pat = patOf(docId, g, c, q)
+          val e = (0 until 16)
+            .find(e => Mp3Headers.Count1TableA.xs(e) == pat).get
+          w.write(Mp3Headers.Count1TableA.code(e).toLong,
+            Mp3Headers.Count1TableA.len(e))
+          for (k <- 0 to 3)
+            if (((pat >> (3 - k)) & 1) == 1)
+              w.write(signOf(docId, q, k).toLong, 1)
+        }
+      })
+
   // ---- big-values-region parameters (the mm_mp3_bigvalues fixture) --
 
   /** B.8's COMMON PREFIX (bands 0–8, identical for 44.1/48/32 kHz) —

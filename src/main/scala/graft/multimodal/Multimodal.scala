@@ -107,7 +107,8 @@ import org.apache.spark.sql.functions._
   * remains a clearly-marked DETERMINISTIC FAKE is decode whose
   * larger Huffman trees are memorized SPEC CONSTANTS with no
   * in-container pin (MP3 big-values tables 4–31 with their
-  * linbits/ESC machinery, count1 table 0, H.264's full Table 9-5
+  * linbits/ESC machinery — both count1 tables now decode
+  * (`mm_mp3_count1`, `mm_mp3_count1a`) — H.264's full Table 9-5
   * luma coeff_token columns, CABAC, intra prediction) and the
   * float-domain synthesis past the entropy layer (MP3 IMDCT,
   * Vorbis's minimum+delta scaling / dB floor / MDCT above the now

@@ -191,27 +191,43 @@ class Mp3SideInfoSpec extends AnyFunSuite {
       monoFrame(count1Side(25, 36) + main)).isEmpty)
   }
 
-  test("count1 rejects table 0, nonzero big_values, and a bit " +
-    "reservoir") {
-    // flip count1table_select of granule 0 to 0
-    val sideT0 = "000000000 00000 0000" +
-      "000000011111 000000000 11001000 0101 0" +
+  test("count1 TABLE A decodes: the same region bits reinterpreted " +
+    "under select 0 walk the 1-6-bit tree (and a mis-sized region " +
+    "fails closed); nonzero big_values and a reservoir reject") {
+    // flip count1table_select of granule 0 to 0 and size p23 for
+    // the TABLE-A widths: quadruples 1010 ("00110" + 2 signs = 7
+    // bits) and 0000 ("1", no signs) → part2 21 + 8 = 29; granule 1
+    // quadruple 1111 ("000001" + 4 signs = 10 bits) → 32 + 10 = 42
+    val sideA = "000000000 00000 0000" +
+      "000000011101 000000000 11001000 0101 0" +
       " 00001 00010 00011 0111 101 1 0 0" + // c1t = 0: table A
-      "000000101000 000000000 01100100 1000 0" +
-      " 00100 00101 00110 0010 011 0 1 1"
-    val main = "10110101101 1001101001" + " 0101 1 0 1111 " +
-      g1Sf32 + " 0000 1101"
-    assert(Mp3Headers.count1Info(monoFrame(sideT0 + main)).isEmpty)
+      "000000101010 000000000 01100100 1000 0" +
+      " 00100 00101 00110 0010 011 0 1 0"
+    val mainA = "10110101101 1001101001" + " 00110 1 0 1 " +
+      g1Sf32 + " 000001 1101"
+    val Some((nq, nz, nn, sv)) =
+      Mp3Headers.count1Info(monoFrame(sideA + mainA))
+    assert(nq == 3L && nz == 6L && nn == 4L && sv == -2L)
+    // one stray bit desynchronizes the tree walk → fail closed
+    val sideABad = "000000000 00000 0000" +
+      "000000011110 000000000 11001000 0101 0" +
+      " 00001 00010 00011 0111 101 1 0 0" +
+      "000000101010 000000000 01100100 1000 0" +
+      " 00100 00101 00110 0010 011 0 1 0"
+    assert(Mp3Headers.count1Info(
+      monoFrame(sideABad + mainA)).isEmpty)
     // nonzero big_values: the variable-length region precedes count1
+    val mainT1 = "10110101101 1001101001" + " 0101 1 0 1111 " +
+      g1Sf32 + " 0000 1101"
     val sideBv = "000000000 00000 0000" +
       "000000011111 000000001 11001000 0101 0" +
       " 00001 00010 00011 0111 101 1 0 1" +
       "000000101000 000000000 01100100 1000 0" +
       " 00100 00101 00110 0010 011 0 1 1"
-    assert(Mp3Headers.count1Info(monoFrame(sideBv + main)).isEmpty)
+    assert(Mp3Headers.count1Info(monoFrame(sideBv + mainT1)).isEmpty)
     // nonzero main_data_begin: the region lives in prior frames
     val sideMdb = "000000001" + count1Side(31, 40).drop(9)
-    assert(Mp3Headers.count1Info(monoFrame(sideMdb + main)).isEmpty)
+    assert(Mp3Headers.count1Info(monoFrame(sideMdb + mainT1)).isEmpty)
   }
 
   test("count1 writer/parser/closed-form triangle over 240 documents") {
@@ -234,6 +250,16 @@ class Mp3SideInfoSpec extends AnyFunSuite {
       assert(nz == vals.size.toLong, s"nz d=$d")
       assert(nn == vals.count(_ == -1L).toLong, s"nn d=$d")
       assert(sv == vals.sum, s"sv d=$d")
+    }
+  }
+
+  test("count1 TABLE-A writer/parser/closed-form triangle over 240 " +
+    "documents — census identical to the table-1 lane") {
+    for (d <- 0L until 240L) {
+      val a = Mp3Headers.count1Info(Mp3SideFixture.streamCount1A(d))
+      val b = Mp3Headers.count1Info(Mp3SideFixture.streamCount1(d))
+      assert(a.isDefined && a == b,
+        s"table-A census diverged from table-1 for d=$d: $a vs $b")
     }
   }
 
