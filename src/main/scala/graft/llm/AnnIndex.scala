@@ -164,6 +164,90 @@ object AnnIndex {
         (col("p0") + 1).cast("int").as("rank"), col("x.score").as("ip"))
   }
 
+  /** Per-inverted-list drift statistics of a stored index against
+    * an arriving shard — the measurement the maintenance loop
+    * thresholds to decide when the frozen centroids stop fitting
+    * the data: member count and assignment-mass share (×1000) of
+    * the indexed corpus vs the arriving shard, plus the mean
+    * member→centroid inner product of each (the engine's
+    * similarity metric; a falling arriving-side mean or a diverging
+    * mass share is the re-train signal). Reads ONLY the stored
+    * artifacts + the shard: one map-side pass per side with the
+    * ≤k-row centroid table broadcast, then ≤k-row arithmetic.
+    * Integer-exact (`div` floor pairing with the oracle's `//`).
+    * Backs `llm_ivf_drift` and [[retrainIfDrifted]]. */
+  def drift(stored: Stored, arriving: DataFrame): DataFrame = {
+    val cent = stored.centroids
+    def cidIp(df: DataFrame): DataFrame = df
+      .join(broadcast(cent), Seq("cid"))
+      .select(col("cid"),
+        graft.functions.DotProductLong(col("qv"), col("cv")).as("ip"))
+    val idx = cidIp(stored.assignments)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_indexed"), sum(col("ip")).as("sip"))
+    val arr = cidIp(assign(arriving, cent))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_arriving"), sum(col("ip")).as("sap"))
+    val base = cent.select(col("cid"))
+      .join(idx, Seq("cid"), "left")
+      .join(arr, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
+        coalesce(col("n_arriving"), lit(0L)).as("n_arriving"),
+        col("sip"), col("sap"))
+    val tot = base.agg(sum(col("n_indexed")).as("ti"),
+      sum(col("n_arriving")).as("ta"))
+    base.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_indexed"), col("n_arriving"),
+        expr("(1000 * n_indexed) div ti").as("idx_share_x1000"),
+        expr("(1000 * n_arriving) div ta").as("arr_share_x1000"),
+        // every stored cid has members (lloyd emits only non-empty
+        // clusters); the arriving side can miss a list entirely
+        expr("sip div n_indexed").as("ip_indexed_mean"),
+        when(col("n_arriving") === 0L, lit(-1L))
+          .otherwise(expr("sap div n_arriving"))
+          .as("ip_arriving_mean"))
+  }
+
+  /** The maintenance decision the drift stats exist for: measure
+    * the arriving shard against the stored index and RE-TRAIN
+    * (capped-Lloyd over index ∪ shard, same k/iters as the build)
+    * when any inverted list's arriving-mass share diverges from its
+    * indexed share by more than `maxShareDelta1000` (×1000 units —
+    * the default 250 = 25 percentage points). Returns true iff a
+    * re-train happened.
+    *
+    * Crash discipline: the new index builds COMPLETELY under
+    * `<path>.next` (training + partitioned write), and only then
+    * swaps directories (live → `.old`, `.next` → live) — a crash
+    * mid-build leaves the live index untouched; a crash between the
+    * two renames leaves `.old` recoverable. The decision itself is
+    * ≤k rows collected from the drift frame — driver-bounded. */
+  def retrainIfDrifted(s: SparkSession, path: String,
+      arriving: DataFrame, k: Int, iters: Int,
+      maxShareDelta1000: Long = 250L): Boolean = {
+    val stored = read(s, path)
+    val worst = drift(stored, arriving)
+      .agg(max(abs(col("arr_share_x1000") - col("idx_share_x1000"))))
+      .head.getLong(0)
+    if (worst <= maxShareDelta1000) false
+    else {
+      val union = stored.assignments.select(col("vec_id"), col("qv"))
+        .union(arriving.select(col("vec_id"), col("qv")))
+      write(s, union, s"$path.next", k, iters)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def p(x: String) = new org.apache.hadoop.fs.Path(x)
+      fs.delete(p(s"$path.old"), true)
+      require(fs.rename(p(path), p(s"$path.old")),
+        s"index swap: could not retire $path")
+      require(fs.rename(p(s"$path.next"), p(path)),
+        s"index swap: could not promote $path.next")
+      fs.delete(p(s"$path.old"), true)
+      true
+    }
+  }
+
   /** The rows one extend batch appends to the inverted lists: the
     * arriving vectors assigned against the STORED centroids — a
     * single map-side pass over the shard (centroids collapse to one

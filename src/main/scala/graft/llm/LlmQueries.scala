@@ -2339,40 +2339,9 @@ object LlmQueries {
     * the two per-cid aggregates is ≤ nCentroids rows. All integers
     * (counts, floor-div shares and means — the `div`/`//` pairing
     * of the k-means ladder). */
-  def ivfDrift(s: SparkSession, d: String): DataFrame = {
-    val stored = storedAnnIndex(s, d)
-    val cent = stored.centroids
-    def cidIp(df: DataFrame): DataFrame = df
-      .join(broadcast(cent), Seq("cid"))
-      .select(col("cid"),
-        graft.functions.DotProductLong(col("qv"), col("cv")).as("ip"))
-    val idx = cidIp(stored.assignments)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_indexed"), sum(col("ip")).as("sip"))
-    val arr = cidIp(AnnIndex.assign(
-        quantized(s, d).filter(expr(arrivingVecPred)), cent))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_arriving"), sum(col("ip")).as("sap"))
-    val base = cent.select(col("cid"))
-      .join(idx, Seq("cid"), "left")
-      .join(arr, Seq("cid"), "left")
-      .select(col("cid"),
-        coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
-        coalesce(col("n_arriving"), lit(0L)).as("n_arriving"),
-        col("sip"), col("sap"))
-    val tot = base.agg(sum(col("n_indexed")).as("ti"),
-      sum(col("n_arriving")).as("ta"))
-    base.crossJoin(broadcast(tot))
-      .select(col("cid"), col("n_indexed"), col("n_arriving"),
-        expr("(1000 * n_indexed) div ti").as("idx_share_x1000"),
-        expr("(1000 * n_arriving) div ta").as("arr_share_x1000"),
-        // every stored cid has members (lloyd emits only non-empty
-        // clusters); the arriving side can miss a list entirely
-        expr("sip div n_indexed").as("ip_indexed_mean"),
-        when(col("n_arriving") === 0L, lit(-1L))
-          .otherwise(expr("sap div n_arriving"))
-          .as("ip_arriving_mean"))
-  }
+  def ivfDrift(s: SparkSession, d: String): DataFrame =
+    AnnIndex.drift(storedAnnIndex(s, d),
+      quantized(s, d).filter(expr(arrivingVecPred)))
 
   /** Recall@5 of the PQ-ADC path — what 4-byte codes cost in
     * ranking quality vs the exact scan; completes the measured

@@ -622,6 +622,40 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Streaming IVF drift monitor — the continuous form of the
+    * maintenance loop [[graft.llm.AnnIndex.drift]] measures and
+    * [[graft.llm.AnnIndex.retrainIfDrifted]] acts on: each arriving
+    * embedding shard is quantized by the SHARED quantizer and its
+    * per-inverted-list drift statistics against the PERSISTED index
+    * (mass shares ×1000, mean member→centroid inner products)
+    * append to `statsPath` under the batch id — so an operator (or
+    * a scheduled re-train job) reads a TIME SERIES of ≤k-row drift
+    * frames and thresholds it without ever scanning the corpus.
+    * Zero streaming state; per-batch cost is one map-side pass over
+    * the shard + one over the stored assignment scan, both with the
+    * ≤k-row centroid table broadcast. Retry-safe via the
+    * [[BatchManifest]] protocol. */
+  def startAnnDriftMonitor(vecs: DataFrame, indexPath: String,
+      statsPath: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, expr}
+        if (!BatchManifest.applied(spark, statsPath, batchId)) {
+          val stored = graft.llm.AnnIndex.read(spark, indexPath)
+          val qv = batch.select(col("vec_id"),
+            expr(LlmQueries.quantizeExpr).as("qv"))
+          BatchManifest.writeBatch(
+            graft.llm.AnnIndex.drift(stored, qv), statsPath, batchId)
+          BatchManifest.commit(spark, statsPath, batchId)
+        }
+      }
+      .trigger(trigger).start()
+
   /** Streaming language-ID classification gate: arriving document
     * shards are char-bigram-exploded by the SHARED extraction
     * ([[LlmQueries.langIdGramsOf]]) and classified against the

@@ -94,6 +94,43 @@ class AnnIndexExtendSpec extends AnyFunSuite {
       .filter(col("batch_id") === -1L).count() == backfill)
   }
 
+  test("retrainIfDrifted: a shard matching the index distribution " +
+    "is a no-op; a one-list mass spike re-trains over index ∪ shard " +
+    "and atomically replaces the stored index") {
+    val (path, stored, _) = freshIndex()
+    val before = spark.read.parquet(s"$path/assignments").count()
+    // same distribution: every index vector re-arrives under a new id
+    val mirror = stored.assignments
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("qv"))
+    assert(!AnnIndex.retrainIfDrifted(spark, path, mirror, 16, 4),
+      "an in-distribution shard must not trigger a re-train")
+    assert(spark.read.parquet(s"$path/assignments").count() == before,
+      "no-op branch touched the stored index")
+    // drift: 200 copies of one vector concentrate all arriving mass
+    // in a single inverted list
+    val one = stored.assignments.select(col("qv")).limit(1)
+    val spike = spark.range(2000000L, 2000200L).toDF("vec_id")
+      .crossJoin(broadcast(one))
+    assert(AnnIndex.retrainIfDrifted(spark, path, spike, 16, 4),
+      "a one-list mass spike must trigger a re-train")
+    val after = AnnIndex.read(spark, path)
+    assert(spark.read.parquet(s"$path/assignments").count() ==
+      before + 200L, "re-train must index the union")
+    // the rebuilt index still probes (structure intact end to end);
+    // query vectors re-derive from the POST-swap index — frames on
+    // the retired path hold stale file listings, the documented
+    // atomic-swap reader contract
+    val q = after.assignments
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("qv"))
+      .limit(3)
+    assert(AnnIndex.probe(q, after, k = 2, nProbe = 2).count() > 0)
+    // the swap left no staging directories behind
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.next")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.old")))
+  }
+
   test("nprobe partition pruning survives the (cid, batch_id) " +
     "layout: a one-cid probe reads only that cid's directories") {
     val (path, stored, arriving) = freshIndex()

@@ -65,6 +65,39 @@ class AnnProbeStreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("drift monitor: per-shard stats equal the batch drift frame " +
+    "for the same shard, keyed by batch id; replay is a no-op") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val indexPath = tmp("anndrift-idx")
+    val stored = AnnIndex.write(spark,
+      quantize(emb.filter(!expr(LlmQueries.arrivingVecPred))),
+      indexPath, 16, 4)
+    val arriving = emb.filter(expr(LlmQueries.arrivingVecPred))
+    val dir = tmp("anndrift-in")
+    writeShard(arriving.filter(col("vec_id") < 250), dir, "shard0",
+      ageMs = 60000L)
+    writeShard(arriving.filter(col("vec_id") >= 250), dir, "shard1")
+    val stats = tmp("anndrift-stats")
+    DocsStream.startAnnDriftMonitor(
+      DocsStream.embeddings(spark, dir, maxFilesPerTrigger = Some(1)),
+      indexPath, stats, tmp("anndrift-ckpt")).awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val streamed0 = rows(spark.read.parquet(stats)
+      .filter(col("batch_id") === 0).drop("batch_id"))
+    val batch0 = rows(AnnIndex.drift(stored,
+      quantize(arriving.filter(col("vec_id") < 250))))
+    assert(streamed0 == batch0 && streamed0.nonEmpty)
+    val n = spark.read.parquet(stats).count()
+    // at-least-once replay through a fresh checkpoint: no new rows
+    DocsStream.startAnnDriftMonitor(
+      DocsStream.embeddings(spark, dir, maxFilesPerTrigger = Some(1)),
+      indexPath, stats, tmp("anndrift-ckpt2")).awaitTermination()
+    assert(spark.read.parquet(stats).count() == n,
+      "replay appended drift rows")
+  }
+
   test("extendIndex lets a later micro-batch find an earlier " +
     "arrival, and a replay is a no-op") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
