@@ -12062,9 +12062,12 @@ object LlmQueries {
         |    LEAST(list_extract([0,4,8,12,16,20,24,30,36],
         |      CAST(r0 + r1 + 3 AS INT)) // 2,
         |      (doc_id * 3 + g * 7 + c * 11) % 48) AS b1,
-        |    (doc_id + g * 2 + c * 3) % 4 AS t0,
-        |    (doc_id + g * 2 + c * 3 + 5) % 4 AS t1,
-        |    (doc_id + g * 2 + c * 3 + 10) % 4 AS t2
+        |    list_extract([0, 1, 2, 3, 5],
+        |      CAST((doc_id + g * 2 + c * 3) % 5 AS INT) + 1) AS t0,
+        |    list_extract([0, 1, 2, 3, 5],
+        |      CAST((doc_id + g * 2 + c * 3 + 5) % 5 AS INT) + 1) AS t1,
+        |    list_extract([0, 1, 2, 3, 5],
+        |      CAST((doc_id + g * 2 + c * 3 + 10) % 5 AS INT) + 1) AS t2
         |  FROM gc),
         |pairs AS (SELECT doc_id, g, c,
         |    unnest(range(0, np)) AS i, b0, b1, t0, t1, t2
@@ -12076,10 +12079,12 @@ object LlmQueries {
         |vals AS (SELECT doc_id, g, c, i,
         |    CASE WHEN tbl = 0 THEN 0
         |      ELSE (doc_id + i * 3 + g + c) %
-        |        (CASE WHEN tbl = 1 THEN 2 ELSE 3 END) END AS x,
+        |        (CASE WHEN tbl = 1 THEN 2 WHEN tbl = 5 THEN 4
+        |          ELSE 3 END) END AS x,
         |    CASE WHEN tbl = 0 THEN 0
         |      ELSE (doc_id // 2 + i * 5 + g * 2 + c) %
-        |        (CASE WHEN tbl = 1 THEN 2 ELSE 3 END) END AS y,
+        |        (CASE WHEN tbl = 1 THEN 2 WHEN tbl = 5 THEN 4
+        |          ELSE 3 END) END AS y,
         |    (doc_id + i + g) % 2 AS sx,
         |    (doc_id + i + c) % 2 AS sy
         |  FROM coded),

@@ -749,12 +749,15 @@ object Mp3Headers {
     (7, 4, 8, 0), (3, 5, 9, 0), (6, 5, 10, 0), (0, 6, 11, 0),
     (7, 5, 12, 0), (2, 6, 13, 0), (3, 6, 14, 0), (1, 6, 15, 0)))
 
-  /** Tables B.7 1–3 (the verified subset: small enough to transcribe
-    * with the Kraft/prefix self-check and carry no linbits/ESC
-    * machinery). Table 0 codes the all-zero region in ZERO bits
-    * (handled inline); selects 4–31 stay fail-closed — the larger
-    * tables are the same walk with more constants, adopted only when
-    * something in-container can pin them. */
+  /** Tables B.7 1–3 and 5 (the verified subset: small enough to
+    * transcribe with the Kraft/prefix self-check and carry no
+    * linbits/ESC machinery — each table's length multiset closes
+    * Kraft at exactly 1.0, a strong transcription witness). Table 0
+    * codes the all-zero region in ZERO bits (handled inline);
+    * select 4 is RESERVED by the spec; selects 6–31 stay
+    * fail-closed — the larger tables are the same walk with more
+    * constants, adopted only when something in-container can pin
+    * them. */
   private[multimodal] val BvTables: Map[Int, BvTable] = Map(
     1 -> new BvTable(2, Seq(
       (1, 1, 0, 0), (1, 3, 0, 1), (1, 2, 1, 0), (0, 3, 1, 1))),
@@ -765,7 +768,12 @@ object Mp3Headers {
     3 -> new BvTable(3, Seq(
       (3, 2, 0, 0), (2, 2, 0, 1), (1, 6, 0, 2),
       (1, 3, 1, 0), (1, 2, 1, 1), (1, 5, 1, 2),
-      (3, 5, 2, 0), (2, 5, 2, 1), (0, 6, 2, 2))))
+      (3, 5, 2, 0), (2, 5, 2, 1), (0, 6, 2, 2))),
+    5 -> new BvTable(4, Seq(
+      (1, 1, 0, 0), (2, 3, 0, 1), (6, 6, 0, 2), (5, 7, 0, 3),
+      (3, 3, 1, 0), (1, 3, 1, 1), (4, 6, 1, 2), (4, 7, 1, 3),
+      (7, 6, 2, 0), (5, 6, 2, 1), (7, 7, 2, 2), (1, 8, 2, 3),
+      (6, 7, 3, 0), (1, 6, 3, 1), (1, 7, 3, 2), (0, 8, 3, 3))))
 
   /** Walk one transcribed VLC MSB-first: accumulate bits until the
     * (code, len) pair matches an entry; −1 when nothing matches

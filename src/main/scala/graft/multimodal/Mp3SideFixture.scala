@@ -315,24 +315,27 @@ object Mp3SideFixture {
     math.min(BandsCommon(bvR0Of(d) + 1) / 2, npOf(d, g, c))
   def bvB1Of(d: Long, g: Int, c: Int): Int =
     math.min(BandsCommon(bvR0Of(d) + bvR1Of(d) + 2) / 2, npOf(d, g, c))
-  /** table_select per region ∈ {0,1,2,3} — 0 is the zero-bit
-    * all-zero table, 1–3 the transcribed B.7 trees. */
+  /** table_select per region ∈ {0,1,2,3,5} — 0 is the zero-bit
+    * all-zero table, 1–3 and 5 the transcribed B.7 trees (4 is the
+    * spec's unused slot). */
   def bvTselOf(d: Long, g: Int, c: Int, t: Int): Int =
-    ((d + g * 2 + c * 3 + t * 5) % 4).toInt
+    Array(0, 1, 2, 3, 5)(((d + g * 2 + c * 3 + t * 5) % 5).toInt)
   /** The table coding pair `i` of granule/channel. */
   def bvTblOf(d: Long, g: Int, c: Int, i: Int): Int =
     if (i < bvB0Of(d, g, c)) bvTselOf(d, g, c, 0)
     else if (i < bvB1Of(d, g, c)) bvTselOf(d, g, c, 1)
     else bvTselOf(d, g, c, 2)
   /** Pair values, bounded by the coding table's dimension. */
+  private def bvDimOf(t: Int): Int =
+    if (t == 1) 2 else if (t == 5) 4 else 3
   def bvXOf(d: Long, g: Int, c: Int, i: Int): Int = {
     val t = bvTblOf(d, g, c, i)
-    if (t == 0) 0 else ((d + i * 3 + g + c) % (if (t == 1) 2 else 3)).toInt
+    if (t == 0) 0 else ((d + i * 3 + g + c) % bvDimOf(t)).toInt
   }
   def bvYOf(d: Long, g: Int, c: Int, i: Int): Int = {
     val t = bvTblOf(d, g, c, i)
     if (t == 0) 0
-    else ((d / 2 + i * 5 + g * 2 + c) % (if (t == 1) 2 else 3)).toInt
+    else ((d / 2 + i * 5 + g * 2 + c) % bvDimOf(t)).toInt
   }
   /** Sign (1 = negative) of x / y at pair `i` — emitted only when
     * that value is nonzero. */

@@ -304,7 +304,7 @@ class Mp3SideInfoSpec extends AnyFunSuite {
 
   test("B.7 table transcriptions are Kraft-complete and prefix-free " +
     "(construction self-check ran at class load)") {
-    assert(Mp3Headers.BvTables.keySet == Set(1, 2, 3))
+    assert(Mp3Headers.BvTables.keySet == Set(1, 2, 3, 5))
     // decode really distinguishes x from y (asymmetric tables)
     assert(Mp3Headers.BvTables(2).dim == 3)
   }
