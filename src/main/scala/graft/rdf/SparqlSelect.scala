@@ -2150,14 +2150,19 @@ object SparqlSelect {
       .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** Bound-join binding budget: the maximum number of distinct
-    * local binding rows serialized into a pushed VALUES block (and
-    * therefore collected to the driver — the collect is
-    * `limit(budget + 1)` of a narrow distinct projection, bounded
-    * regardless of corpus size). Past the budget the clause falls
-    * back to the unpushed `SELECT *` + local join. 0 disables
-    * pushdown. */
+    * local binding rows serialized into ONE pushed VALUES block.
+    * Between `budget` and `budget × maxChunks` bindings the clause
+    * CHUNKS — one remote request per budget-sized block, results
+    * unioned (exact: chunks are disjoint on the bound vars, so no
+    * solution appears twice). Past the chunk cap it falls back to
+    * the unpushed `SELECT *` + local join; the driver collect is
+    * always `limit(cap + 1)` of a narrow distinct projection,
+    * bounded regardless of corpus size. 0 disables pushdown. */
   val serviceBindingBudgetConf = "spark.graft.service.bindingBudget"
   val serviceBindingBudgetDefault = 64
+  /** Max VALUES chunks per clause before the unpushed fallback. */
+  val serviceMaxChunksConf = "spark.graft.service.maxChunks"
+  val serviceMaxChunksDefault = 8
 
   /** Evaluate one SERVICE clause through the client: the remote
     * rows become an inline frame over the block's variables
@@ -2457,22 +2462,36 @@ object SparqlSelect {
     val budget = t.sparkSession.conf
       .getOption(serviceBindingBudgetConf).map(_.toInt)
       .getOrElse(serviceBindingBudgetDefault)
+    val maxChunks = t.sparkSession.conf
+      .getOption(serviceMaxChunksConf).map(_.toInt)
+      .getOrElse(serviceMaxChunksDefault)
     def fetchService(sc: ServiceClause,
         acc: Option[DataFrame]): Option[DataFrame] = {
       val shared = acc.map(a =>
         sc.patterns.flatMap(varsOf).distinct
           .filter(a.columns.contains)).getOrElse(Nil)
-      val bound =
-        if (shared.isEmpty || budget <= 0) None
+      if (shared.isEmpty || budget <= 0)
+        serviceFrame(t, sc, svc, None)
+      else {
+        val cap = budget * math.max(1, maxChunks)
+        val rows = acc.get
+          .select(shared.map(col): _*).na.drop().distinct()
+          .limit(cap + 1).collect()
+        if (rows.length > cap) serviceFrame(t, sc, svc, None)
         else {
-          val rows = acc.get
-            .select(shared.map(col): _*).na.drop().distinct()
-            .limit(budget + 1).collect()
-          if (rows.length > budget) None // too wide — unpushed
-          else Some((shared, rows.toSeq.map(r =>
-            shared.indices.map(i => r.get(i).toString))))
+          val binds = rows.toSeq.map(r =>
+            shared.indices.map(i => r.get(i).toString))
+          val chunks =
+            if (binds.isEmpty) Seq(Seq.empty) // empty VALUES: legal,
+            else binds.grouped(budget).toSeq //  still surfaces errors
+          val frames = chunks.map(ch =>
+            serviceFrame(t, sc, svc, Some((shared, ch))))
+          // one SILENT-failed chunk degrades the WHOLE clause to the
+          // unit solution — partial chunk unions would be wrong
+          if (frames.exists(_.isEmpty)) None
+          else Some(frames.flatten.reduce(_ union _))
         }
-      serviceFrame(t, sc, svc, bound)
+      }
     }
     // no local frame: the first service that yields a frame leads
     // the fold (unpushed — nothing to bind against yet); SILENT

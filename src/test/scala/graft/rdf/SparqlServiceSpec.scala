@@ -63,13 +63,18 @@ class SparqlServiceSpec extends AnyFunSuite {
         Map("item" -> item, "stars" -> "5"),
         Map("item" -> "http://nowhere/else", "stars" -> "1"))))
     } { ep =>
-      val df = SparqlSelect(t,
+      // budget 0: this test pins the UNPUSHED serialization + join
+      // (the loopback ignores VALUES, so a pushed chunk would echo
+      // its fixed rows once per chunk — a non-conformant endpoint)
+      s.conf.set(SparqlSelect.serviceBindingBudgetConf, "0")
+      val df = try SparqlSelect(t,
         s"""PREFIX dcterms: <http://purl.org/dc/terms/>
            |SELECT ?item ?title ?stars WHERE {
            |  ?item dcterms:title ?title .
            |  SERVICE <$ep> { ?item <http://ex.org/stars> ?stars . }
            |}""".stripMargin,
         SparqlSelect.HttpServiceClient)
+      finally s.conf.unset(SparqlSelect.serviceBindingBudgetConf)
       val rows = df.collect()
       // only the remote row whose ?item exists locally survives
       assert(rows.length == 1)
@@ -123,6 +128,57 @@ class SparqlServiceSpec extends AnyFunSuite {
           "<http://ex.org/stars> ?stars . }")
         assert(pushed == unpushed, "bound join changed the result")
       } finally s.conf.unset(SparqlSelect.serviceBindingBudgetConf)
+    }
+  }
+
+  test("BOUND JOIN CHUNKING: past one budget the bindings split " +
+    "into budget-sized VALUES blocks, one remote request each, " +
+    "results unioned; past budget x maxChunks it falls back to " +
+    "the unpushed SELECT *") {
+    val docs = t.filter(org.apache.spark.sql.functions.col(
+        "predicate") === "http://purl.org/dc/terms/title")
+      .filter(org.apache.spark.sql.functions.col("subject")
+        .startsWith("http"))
+      .select("subject").distinct().limit(3)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(docs.size == 3)
+    val sent = scala.collection.mutable.ArrayBuffer[String]()
+    withServer { ex =>
+      sent += java.net.URLDecoder.decode(
+        ex.getRequestURI.getQuery.stripPrefix("query="), "UTF-8")
+      // remote knows one fact per item
+      (200, resultsJson(docs.map(d => Map("item" -> d, "s" -> "v"))))
+    } { ep =>
+      val q =
+        s"""PREFIX dcterms: <http://purl.org/dc/terms/>
+           |SELECT ?item ?s WHERE {
+           |  VALUES ?item { ${docs.map(d => s"<$d>").mkString(" ")} }
+           |  ?item dcterms:title ?any .
+           |  SERVICE <$ep> { ?item <http://ex.org/p> ?s . }
+           |}""".stripMargin
+      s.conf.set(SparqlSelect.serviceBindingBudgetConf, "2")
+      try {
+        val rows = SparqlSelect(t, q, SparqlSelect.HttpServiceClient)
+          .select("item").collect().map(_.getString(0)).toSet
+        assert(rows == docs.toSet, s"chunked union lost rows: $rows")
+        // 3 bindings at budget 2 → exactly 2 requests, both VALUES
+        assert(sent.size == 2, s"expected 2 chunked requests: $sent")
+        assert(sent.forall(_.startsWith(
+          "SELECT * WHERE { VALUES (?item) { ")))
+        // every binding appears in exactly one chunk
+        val mentions = docs.map(d => sent.count(_.contains(s"(<$d>)")))
+        assert(mentions == Seq(1, 1, 1), s"chunks not disjoint: $sent")
+        // past the chunk cap: maxChunks 1 → 3 bindings > 2×1 → unpushed
+        sent.clear()
+        s.conf.set(SparqlSelect.serviceMaxChunksConf, "1")
+        SparqlSelect(t, q, SparqlSelect.HttpServiceClient).collect()
+        assert(sent.size == 1 && sent.head ==
+          "SELECT * WHERE { ?item <http://ex.org/p> ?s . }",
+          s"chunk-cap overflow must be one unpushed request: $sent")
+      } finally {
+        s.conf.unset(SparqlSelect.serviceBindingBudgetConf)
+        s.conf.unset(SparqlSelect.serviceMaxChunksConf)
+      }
     }
   }
 
