@@ -256,3 +256,71 @@ object Mp3BigvaluesFixtureExpr {
   def apply(c: Column): Column =
     ColumnBridge.column(Mp3BigvaluesFixtureExpr(ColumnBridge.expression(c)))
 }
+
+/** `mp3_part3(binary)` → the FULL part3 entropy census of the first
+  * frame ([[graft.multimodal.Mp3Headers.part3Info]]): the big-values
+  * region through the verified Table-B.7 subset followed by the
+  * count1 region through the selected count1 table, one
+  * part2_3_length — the real Layer-III region sequence whose
+  * boundary is implicit in the codeword widths. Null when the
+  * stream is outside the verified subset. */
+case class Mp3Part3(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_regions", LongType, nullable = false),
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("n_quads", LongType, nullable = false),
+    StructField("n_nonzero", LongType, nullable = false),
+    StructField("n_neg", LongType, nullable = false),
+    StructField("sum_vals", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3Headers.part3Row(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.multimodal.Mp3Headers.part3Row($c);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(c: Expression): Mp3Part3 =
+    copy(child = c)
+  override def prettyName: String = "mp3_part3"
+}
+
+object Mp3Part3 {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3Part3(ColumnBridge.expression(c)))
+}
+
+/** `mp3_part3_fixture(doc_id)` → a complete MP3 stream whose part3
+  * carries BOTH entropy regions
+  * ([[graft.multimodal.Mp3SideFixture.streamPart3]]). */
+case class Mp3Part3FixtureExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Mp3SideFixture.streamPart3(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Mp3SideFixture.streamPart3($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): Mp3Part3FixtureExpr = copy(child = c)
+  override def prettyName: String = "mp3_part3_fixture"
+}
+
+object Mp3Part3FixtureExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp3Part3FixtureExpr(ColumnBridge.expression(c)))
+}

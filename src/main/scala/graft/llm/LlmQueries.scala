@@ -181,6 +181,7 @@ object LlmQueries {
     "mm_mp3_count1" -> mp3Count1,
     "mm_mp3_count1a" -> mp3Count1A,
     "mm_mp3_bigvalues" -> mp3Bigvalues,
+    "mm_mp3_part3" -> mp3Part3,
     "mm_h264_cavlc" -> h264Cavlc,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
     "mm_id3_v22" -> id3V22,
@@ -7372,6 +7373,28 @@ object LlmQueries {
         col("m.n_neg").as("n_neg"),
         col("m.sum_vals").as("sum_vals"))
 
+  /** FULL part3 decode (`mm_mp3_part3`) — the region SEQUENCE the
+    * isolated lanes pin separately: per long-block granule ×
+    * channel, the big-values pairs (verified B.7 subset) followed
+    * by count1 quadruples (table A on half the channels, the 4-bit
+    * complement table on the rest) in ONE part2_3_length. The
+    * region boundary is implicit in the codeword widths — a slip in
+    * either layer desynchronizes the other and fails closed at the
+    * exact-exhaustion check. Oracle: the two closed-form censuses
+    * combined. Map-side construct → decode → project; no shuffle. */
+  def mp3Part3(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.Mp3Part3FixtureExpr(col("doc_id")))
+      .withColumn("m", graft.functions.Mp3Part3(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_regions").as("n_regions"),
+        col("m.n_pairs").as("n_pairs"),
+        col("m.n_quads").as("n_quads"),
+        col("m.n_nonzero").as("n_nonzero"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_vals").as("sum_vals"))
+
   /** REAL H.264 Annex-B NAL walk + SPS Exp-Golomb decode — the
     * video-bitstream analog of [[mp3Meta]]: encode deterministic
     * per-document SPS parameters into genuine four-NAL Annex-B
@@ -12107,6 +12130,89 @@ object LlmQueries {
         |  COALESCE(n_neg, 0) AS n_neg,
         |  COALESCE(sum_vals, 0) AS sum_vals
         |FROM np_tot LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // combined replay: the big-values census over the part3 pair
+    // count + the count1 census over the part3 quadruple count
+    "mm_mp3_part3" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nch,
+        |    CAST(doc_id % 4 AS BIGINT) AS r0,
+        |    CAST((doc_id + 1) % 3 AS BIGINT) AS r1
+        |  FROM documents),
+        |gc AS (SELECT doc_id, nch, r0, r1, g.g, c.c,
+        |    ((doc_id * 3 + g.g * 7 + c.c * 11) % 48) % 24 AS np,
+        |    (doc_id + g.g * 3 + c.c * 5) % 12 AS nq
+        |  FROM t, (SELECT unnest([0, 1]) AS g) g,
+        |    (SELECT unnest([0, 1]) AS c) c
+        |  WHERE c.c < nch),
+        |gcb AS (SELECT *,
+        |    LEAST(list_extract([0,4,8,12,16,20,24,30,36],
+        |      CAST(r0 + 2 AS INT)) // 2, np) AS b0,
+        |    LEAST(list_extract([0,4,8,12,16,20,24,30,36],
+        |      CAST(r0 + r1 + 3 AS INT)) // 2, np) AS b1,
+        |    list_extract([0, 1, 2, 3, 5],
+        |      CAST((doc_id + g * 2 + c * 3) % 5 AS INT) + 1) AS t0,
+        |    list_extract([0, 1, 2, 3, 5],
+        |      CAST((doc_id + g * 2 + c * 3 + 5) % 5 AS INT) + 1) AS t1,
+        |    list_extract([0, 1, 2, 3, 5],
+        |      CAST((doc_id + g * 2 + c * 3 + 10) % 5 AS INT) + 1) AS t2
+        |  FROM gc),
+        |pairs AS (SELECT doc_id, g, c,
+        |    unnest(range(0, np)) AS i, b0, b1, t0, t1, t2
+        |  FROM gcb),
+        |coded AS (SELECT doc_id, g, c, i,
+        |    CASE WHEN i < b0 THEN t0 WHEN i < b1 THEN t1
+        |      ELSE t2 END AS tbl
+        |  FROM pairs),
+        |bvvals AS (SELECT doc_id,
+        |    CASE WHEN tbl = 0 THEN 0
+        |      ELSE (doc_id + i * 3 + g + c) %
+        |        (CASE WHEN tbl = 1 THEN 2 WHEN tbl = 5 THEN 4
+        |          ELSE 3 END) END AS x,
+        |    CASE WHEN tbl = 0 THEN 0
+        |      ELSE (doc_id // 2 + i * 5 + g * 2 + c) %
+        |        (CASE WHEN tbl = 1 THEN 2 WHEN tbl = 5 THEN 4
+        |          ELSE 3 END) END AS y,
+        |    (doc_id + i + g) % 2 AS sx,
+        |    (doc_id + i + c) % 2 AS sy
+        |  FROM coded),
+        |bvper AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN x <> 0 THEN 1 ELSE 0 END +
+        |      CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+        |    CAST(SUM(CASE WHEN x <> 0 AND sx = 1 THEN 1 ELSE 0 END +
+        |      CASE WHEN y <> 0 AND sy = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn,
+        |    CAST(SUM(x * (1 - 2 * sx) + y * (1 - 2 * sy)) AS BIGINT)
+        |      AS sv
+        |  FROM bvvals GROUP BY 1),
+        |qk AS (SELECT doc_id, q.q,
+        |    (doc_id + q.q * 7 + g + c) % 16 AS pat, kk.k
+        |  FROM gcb, (SELECT unnest(range(0, 12)) AS q) q,
+        |    (SELECT unnest([0, 1, 2, 3]) AS k) kk
+        |  WHERE q.q < nq),
+        |c1vals AS (SELECT doc_id,
+        |    (pat >> (3 - k)) & 1 AS bit,
+        |    CASE WHEN (pat >> (3 - k)) & 1 = 1 THEN
+        |      CASE WHEN (doc_id + q + k) % 2 = 1 THEN -1 ELSE 1 END
+        |      ELSE 0 END AS v
+        |  FROM qk),
+        |c1per AS (SELECT doc_id,
+        |    CAST(SUM(bit) AS BIGINT) AS nz,
+        |    CAST(SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nn,
+        |    CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM c1vals GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |    CAST(2 * ANY_VALUE(nch) AS BIGINT) AS n_regions,
+        |    CAST(SUM(np) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(nq) AS BIGINT) AS n_quads
+        |  FROM gcb GROUP BY 1)
+        |SELECT b.doc_id, b.n_regions, b.n_pairs, b.n_quads,
+        |  COALESCE(bv.nz, 0) + COALESCE(c1.nz, 0) AS n_nonzero,
+        |  COALESCE(bv.nn, 0) + COALESCE(c1.nn, 0) AS n_neg,
+        |  COALESCE(bv.sv, 0) + COALESCE(c1.sv, 0) AS sum_vals
+        |FROM base b LEFT JOIN bvper bv ON b.doc_id = bv.doc_id
+        |LEFT JOIN c1per c1 ON b.doc_id = c1.doc_id""".stripMargin,
 
     // closed-form replay of the chroma-DC CAVLC fixture census: the
     // engine must recover it through real coeff_token / level-ladder

@@ -880,6 +880,127 @@ object Mp3Headers {
     Some((nRegions, nPairs, nNonzero, nNeg, sumVals))
   }
 
+  /** FULL part3 entropy decode of the stream's first frame — the
+    * real Layer-III region SEQUENCE the isolated walks
+    * ([[bigvaluesInfo]], [[count1Info]]) pin separately: per
+    * long-block granule × channel, the big_values (x, y) pairs
+    * through the verified Table-B.7 subset, then count1 quadruples
+    * through the selected count1 table (A or the 4-bit complement
+    * table) until part2_3_length is exhausted EXACTLY — the
+    * boundary between the two regions is implicit in the codeword
+    * widths, so any slip in either layer desynchronizes the other.
+    * Returns (n_regions, n_pairs, n_quads, n_nonzero, n_neg,
+    * sum_vals) totals over the decoded granule × channels
+    * (window-switching granules skipped structurally, as in
+    * [[bigvaluesInfo]]).
+    *
+    * Fail-closed (None): everything the isolated walks reject, plus
+    * the §2.4.2.7 spectral cap (big_values·2 + quadruples·4 ≤ 576
+    * lines per granule). */
+  def part3Info(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long, Long)] = {
+    val f = readSideFields(b) match {
+      case Some(v) => v
+      case None => return None
+    }
+    if (f.mdb != 0) return None
+    val bands = BandsLong(f.srIdx)
+    val g0 = Array.ofDim[Int](f.nch, 21)
+    var nRegions = 0L; var nPairs = 0L; var nQuads = 0L
+    var nNonzero = 0L; var nNeg = 0L; var sumVals = 0L
+    var g = 0
+    while (g < 2) {
+      var c = 0
+      while (c < f.nch) {
+        val regionEnd = f.r.bitPos + f.p23(g)(c)
+        val (transmitted, _, _) = readScalefactors(f, g, c, g0)
+        if (f.p23(g)(c) < transmitted) return None
+        if (f.wsf(g)(c) == 1) {
+          f.r.skip(f.p23(g)(c) - transmitted.toInt)
+        } else {
+          // ---- big-values region ----
+          val bigv = f.bigv(g)(c)
+          if (bigv > 288) return None
+          val r0 = f.reg0(g)(c); val r1 = f.reg1(g)(c)
+          if (r0 + r1 + 2 >= bands.length) return None
+          val b0 = math.min(bands(r0 + 1) / 2, bigv)
+          val b1 = math.min(bands(r0 + r1 + 2) / 2, bigv)
+          var i = 0
+          while (f.r.ok && i < bigv) {
+            val ts =
+              if (i < b0) f.tsel(g)(c)(0)
+              else if (i < b1) f.tsel(g)(c)(1)
+              else f.tsel(g)(c)(2)
+            if (ts != 0) BvTables.get(ts) match {
+              case None => return None
+              case Some(t) =>
+                val hit = vlcWalk(f.r, t)
+                if (hit < 0 || !f.r.ok) return None
+                var k = 0
+                while (k < 2) {
+                  val v = if (k == 0) t.xs(hit) else t.ys(hit)
+                  if (v != 0) {
+                    if (f.r.bitPos >= regionEnd) return None
+                    val neg = f.r.u(1)
+                    nNonzero += 1
+                    if (neg == 1) { nNeg += 1; sumVals -= v }
+                    else sumVals += v
+                  }
+                  k += 1
+                }
+            }
+            if (f.r.bitPos > regionEnd) return None
+            i += 1
+          }
+          if (!f.r.ok) return None
+          nPairs += bigv
+          // ---- count1 region: the rest of part2_3 ----
+          val tableA = f.c1t(g)(c) == 0
+          var quads = 0
+          while (f.r.ok && f.r.bitPos < regionEnd) {
+            val pattern =
+              if (tableA) {
+                val hit = vlcWalk(f.r, Count1TableA)
+                if (hit < 0 || f.r.bitPos > regionEnd) return None
+                Count1TableA.xs(hit)
+              } else {
+                if (regionEnd - f.r.bitPos < 4) return None
+                (~f.r.u(4)) & 15
+              }
+            var k = 0
+            while (k < 4) {
+              if (((pattern >> (3 - k)) & 1) == 1) {
+                if (f.r.bitPos >= regionEnd) return None
+                val neg = f.r.u(1)
+                nNonzero += 1
+                if (neg == 1) { nNeg += 1; sumVals -= 1 }
+                else sumVals += 1
+              }
+              k += 1
+            }
+            quads += 1
+            if (bigv * 2 + quads * 4 > 576) return None // §2.4.2.7
+          }
+          if (!f.r.ok || f.r.bitPos != regionEnd) return None
+          nQuads += quads
+          nRegions += 1
+        }
+        c += 1
+      }
+      g += 1
+    }
+    if (!f.r.ok) return None
+    Some((nRegions, nPairs, nQuads, nNonzero, nNeg, sumVals))
+  }
+
+  /** [[part3Info]] as an `InternalRow` for the
+    * [[graft.functions.Mp3Part3]] codegen path. */
+  def part3Row(b: Array[Byte]): InternalRow = part3Info(b) match {
+    case Some((nr, np, nq, nz, nn, sv)) =>
+      InternalRow(nr, np, nq, nz, nn, sv)
+    case None => null
+  }
+
   /** [[bigvaluesInfo]] as an `InternalRow` for the
     * [[graft.functions.Mp3Bigvalues]] codegen path. Null = not a
     * big-values-decodable stream. */

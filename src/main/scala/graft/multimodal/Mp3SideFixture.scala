@@ -390,4 +390,78 @@ object Mp3SideFixture {
       wsfF = _ => 0,
       tselF = bvTselOf(docId, _, _, _),
       r0F = _ => bvR0Of(docId), r1F = _ => bvR1Of(docId))
+
+  // ---- combined part3 parameters (the mm_mp3_part3 fixture):
+  // a big-values region FOLLOWED by a count1 region in one
+  // part2_3_length — the real Layer-III region sequence. The pair
+  // formulas are the bigvalues lane's verbatim (the per-pair table
+  // and values don't depend on the pair-count cap, because i < np3
+  // pins the same boundary comparisons); the quadruple formulas are
+  // the count1 lane's.
+
+  /** Pairs (≤ 23) and quadruples (≤ 11): 46 + 44 lines ≤ 576. */
+  def np3Of(d: Long, g: Int, c: Int): Int = npOf(d, g, c) % 24
+  def nq3Of(d: Long, g: Int, c: Int): Int = ((d + g * 3 + c * 5) % 12).toInt
+
+  private def c1QuadBits(d: Long, g: Int, c: Int, q: Int): Int = {
+    val pat = patOf(d, g, c, q)
+    val hlen =
+      if (c1tOf(d, g, c) == 1) 4
+      else {
+        val e = (0 until 16)
+          .find(e => Mp3Headers.Count1TableA.xs(e) == pat).get
+        Mp3Headers.Count1TableA.len(e)
+      }
+    hlen + Integer.bitCount(pat)
+  }
+
+  def p23Part3Of(d: Long, g: Int, c: Int): Int =
+    part2BitsLongOf(d, g, c) +
+      (0 until np3Of(d, g, c)).map { i =>
+        val t = bvTblOf(d, g, c, i)
+        if (t == 0) 0
+        else {
+          val x = bvXOf(d, g, c, i); val y = bvYOf(d, g, c, i)
+          bvCodeLen(t, x, y)._2 +
+            (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+        }
+      }.sum +
+      (0 until nq3Of(d, g, c)).map(c1QuadBits(d, g, c, _)).sum
+
+  /** The `mm_mp3_part3` fixture stream: all-long-block granules
+    * whose part3 carries BOTH regions — big-values pairs through
+    * the verified B.7 subset, then count1 quadruples through the
+    * per-(g,c) selected count1 table (A on half the channels) —
+    * exhausting part2_3_length exactly. */
+  def streamPart3(docId: Long): Array[Byte] =
+    buildStream(docId, 0, np3Of(docId, _, _), c1tOf(docId, _, _),
+      p23Part3Of(docId, _, _), { (w, g, c) =>
+        for (i <- 0 until np3Of(docId, g, c)) {
+          val t = bvTblOf(docId, g, c, i)
+          if (t != 0) {
+            val x = bvXOf(docId, g, c, i)
+            val y = bvYOf(docId, g, c, i)
+            val (code, len) = bvCodeLen(t, x, y)
+            w.write(code.toLong, len)
+            if (x != 0) w.write(bvSxOf(docId, g, c, i).toLong, 1)
+            if (y != 0) w.write(bvSyOf(docId, g, c, i).toLong, 1)
+          }
+        }
+        for (q <- 0 until nq3Of(docId, g, c)) {
+          val pat = patOf(docId, g, c, q)
+          if (c1tOf(docId, g, c) == 1) w.write((~pat & 15).toLong, 4)
+          else {
+            val e = (0 until 16)
+              .find(e => Mp3Headers.Count1TableA.xs(e) == pat).get
+            w.write(Mp3Headers.Count1TableA.code(e).toLong,
+              Mp3Headers.Count1TableA.len(e))
+          }
+          for (k <- 0 to 3)
+            if (((pat >> (3 - k)) & 1) == 1)
+              w.write(signOf(docId, q, k).toLong, 1)
+        }
+      },
+      wsfF = _ => 0,
+      tselF = bvTselOf(docId, _, _, _),
+      r0F = _ => bvR0Of(docId), r1F = _ => bvR1Of(docId))
 }

@@ -338,6 +338,48 @@ class Mp3SideInfoSpec extends AnyFunSuite {
     }
   }
 
+  test("part3 combined-region triangle over 240 documents: the " +
+    "big-values census + count1 census of the SAME frame, region " +
+    "boundary implicit in codeword widths") {
+    for (d <- 0L until 240L) {
+      val Some((nr, np, nq, nz, nn, sv)) =
+        Mp3Headers.part3Info(Mp3SideFixture.streamPart3(d))
+      val nch = Mp3SideFixture.nchOf(d)
+      val gcs = for (g <- 0 to 1; c <- 0 until nch) yield (g, c)
+      assert(nr == 2L * nch, s"nr d=$d")
+      assert(np == gcs.map { case (g, c) =>
+        Mp3SideFixture.np3Of(d, g, c).toLong }.sum, s"np d=$d")
+      assert(nq == gcs.map { case (g, c) =>
+        Mp3SideFixture.nq3Of(d, g, c).toLong }.sum, s"nq d=$d")
+      val bvVals = gcs.flatMap { case (g, c) =>
+        (0 until Mp3SideFixture.np3Of(d, g, c)).flatMap { i =>
+          val x = Mp3SideFixture.bvXOf(d, g, c, i)
+          val y = Mp3SideFixture.bvYOf(d, g, c, i)
+          Seq(
+            if (x == 0) 0L
+            else if (Mp3SideFixture.bvSxOf(d, g, c, i) == 1) -x.toLong
+            else x.toLong,
+            if (y == 0) 0L
+            else if (Mp3SideFixture.bvSyOf(d, g, c, i) == 1) -y.toLong
+            else y.toLong).filter(_ != 0L)
+        }
+      }
+      val c1Vals = gcs.flatMap { case (g, c) =>
+        (0 until Mp3SideFixture.nq3Of(d, g, c)).flatMap { q =>
+          val pat = Mp3SideFixture.patOf(d, g, c, q)
+          (0 to 3).collect {
+            case k if ((pat >> (3 - k)) & 1) == 1 =>
+              if (Mp3SideFixture.signOf(d, q, k) == 1) -1L else 1L
+          }
+        }
+      }
+      val vals = bvVals ++ c1Vals
+      assert(nz == vals.size.toLong, s"nz d=$d")
+      assert(nn == vals.count(_ < 0).toLong, s"nn d=$d")
+      assert(sv == vals.sum, s"sv d=$d")
+    }
+  }
+
   test("writer/parser/closed-form triangle over 240 documents") {
     for (d <- 0L until 240L) {
       val Some(m) = Mp3Headers.sideInfo(Mp3SideFixture.stream(d))
