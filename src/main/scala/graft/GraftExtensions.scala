@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisFloorCurve, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisFloorCurve, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress, ZstdFseDictDecompress, ZstdMultiFrame, ZstdSplitDecode, GzipMember, FlacPcmLevels, Mp3Bigvalues, Mp3Part3, H264CavlcExpr, VorbisResidueApply}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -287,5 +287,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZstdFseDecompress].getName, "zstd_fse_decompress"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ZstdFseDecompress(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zstd_fse_dict_decompress"),
+      new ExpressionInfo(classOf[ZstdFseDictDecompress].getName,
+        "zstd_fse_dict_decompress"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZstdFseDictDecompress(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("zstd_multi_frame"),
+      new ExpressionInfo(classOf[ZstdMultiFrame].getName,
+        "zstd_multi_frame"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZstdMultiFrame(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("zstd_split_decode"),
+      new ExpressionInfo(classOf[ZstdSplitDecode].getName,
+        "zstd_split_decode"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZstdSplitDecode(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("gzip_member"),
+      new ExpressionInfo(classOf[GzipMember].getName, "gzip_member"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GzipMember(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("flac_pcm_levels"),
+      new ExpressionInfo(classOf[FlacPcmLevels].getName,
+        "flac_pcm_levels"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FlacPcmLevels(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mp3_bigvalues"),
+      new ExpressionInfo(classOf[Mp3Bigvalues].getName, "mp3_bigvalues"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Mp3Bigvalues(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mp3_part3"),
+      new ExpressionInfo(classOf[Mp3Part3].getName, "mp3_part3"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Mp3Part3(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("h264_cavlc"),
+      new ExpressionInfo(classOf[H264CavlcExpr].getName, "h264_cavlc"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        H264CavlcExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vorbis_residue_apply"),
+      new ExpressionInfo(classOf[VorbisResidueApply].getName,
+        "vorbis_residue_apply"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VorbisResidueApply(args.head)))
   }
 }

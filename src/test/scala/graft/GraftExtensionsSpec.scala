@@ -22,6 +22,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4L + 10L - 18L)
   }
 
+  test("round-16 decode expressions work from SQL: mp3_bigvalues, " +
+    "mp3_part3, h264_cavlc, vorbis_residue_apply, zstd_split_decode, " +
+    "zstd_fse_dict_decompress, zstd_multi_frame, gzip_member, " +
+    "flac_pcm_levels") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, lit}
+    import s.implicits._
+    // payloads built by the (unregistered, fixture-side) Scala API;
+    // the decode side must resolve by NAME through spark.sql
+    Seq(7L).toDF("doc_id")
+      .withColumn("bv",
+        graft.functions.Mp3BigvaluesFixtureExpr(col("doc_id")))
+      .withColumn("p3",
+        graft.functions.Mp3Part3FixtureExpr(col("doc_id")))
+      .withColumn("nal", lit(
+        graft.multimodal.H264Fixture.annexBCavlc(7L)))
+      .withColumn("ogg", lit(
+        graft.multimodal.Vorbis.streamResidueApply(7L)))
+      .withColumn("z", lit(graft.llm.ZstdFse.compress(
+        "abc abc abc abc".getBytes, explicitTables = false)))
+      .createOrReplaceTempView("r16")
+    val r = s.sql(
+      """SELECT mp3_bigvalues(bv).n_pairs AS a,
+        |       mp3_part3(p3).n_quads AS b,
+        |       h264_cavlc(nal).n_mbs AS c,
+        |       vorbis_residue_apply(ogg).n_slots AS d,
+        |       length(zstd_split_decode(z)) AS e,
+        |       length(zstd_fse_dict_decompress(z, unhex('00'))) AS f,
+        |       zstd_multi_frame(z, 0) IS NOT NULL AS g
+        |FROM r16""".stripMargin).collect().head
+    assert(r.getLong(0) >= 0L && r.getLong(1) >= 0L && r.getLong(2) > 0L)
+    // a magic-less 1-byte dict is a RAW CONTENT dictionary; the
+    // plain frame ignores it and decodes
+    assert(r.getLong(3) > 0L && r.getInt(4) == 15 && r.getInt(5) == 15)
+    assert(r.getBoolean(6))
+    // the two earlier stragglers resolve too
+    assert(s.sql("SELECT gzip_member(CAST(NULL AS BINARY)) IS NULL")
+      .collect().head.getBoolean(0))
+    assert(s.sql("SELECT flac_pcm_levels(CAST(NULL AS BINARY)) IS NULL")
+      .collect().head.getBoolean(0))
+  }
+
   test("nearest_centroid works from SQL: max ip, ties to smallest cid") {
     val r = TestSpark.spark.sql(
       """SELECT nearest_centroid(array(1L, 1L),
