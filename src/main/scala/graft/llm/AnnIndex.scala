@@ -125,10 +125,17 @@ object AnnIndex {
     read(s, path)
   }
 
-  /** Read back a persisted index. */
+  /** Read back a persisted index. Assignments pass through the
+    * ledger's COMMITTED view: an extend that crashed between its
+    * data write and its ledger commit leaves orphan `batch_id`
+    * partitions, and a probe / drift / retrain run before the
+    * stream replays that batch must not see them (same isolation
+    * the incremental-dedup read path holds). The filter is
+    * partition pruning on `batch_id` — never a data scan. */
   def read(s: SparkSession, path: String): Stored = Stored(
     s.read.parquet(s"$path/centroids"),
-    s.read.parquet(s"$path/assignments")
+    graft.streaming.BatchManifest.committedOnly(s,
+        s"$path/assignments", s.read.parquet(s"$path/assignments"))
       .select(col("vec_id"), col("qv"), col("cid")))
 
   /** Top-`k` neighbors per arriving vector (vec_id, qv) against the

@@ -7350,7 +7350,8 @@ object LlmQueries {
   /** BIG-VALUES-region Huffman decode (`mm_mp3_bigvalues`) — the
     * variable-length entropy slice below [[mp3Count1]]'s fixed-width
     * count1 walk: frames whose part3 carries genuine Table-B.7
-    * (x, y) pair codewords under the verified table subset {0..3},
+    * (x, y) pair codewords under the verified table subset
+    * {0,1,2,3,5},
     * regions split by region0/region1_count over the B.8 long-block
     * band boundaries, each nonzero value followed by its sign bit,
     * consuming part2_3_length EXACTLY. The tables are transcribed

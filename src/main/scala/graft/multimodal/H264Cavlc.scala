@@ -90,14 +90,14 @@ object H264Cavlc {
 
   /** Per-block census: (totalCoeff, trailingOnes, nNeg, sumLevels,
     * totalZeros). */
-  private final class Block {
+  private[multimodal] final class Block {
     var tc = 0; var t1 = 0; var nNeg = 0L; var sum = 0L; var tz = 0
   }
 
   /** §9.2 residual_block_cavlc for one 2×2 chroma DC block
     * (nC = −1, maxNumCoeff 4). Null on anything outside the
     * verified subset. */
-  private def chromaDcBlock(r: BitReader): Block = {
+  private[multimodal] def chromaDcBlock(r: BitReader): Block = {
     val e = vlc(r, ChromaDcCoeffToken)
     if (e < 0) return null
     val b = new Block
@@ -126,9 +126,11 @@ object H264Cavlc {
         else -((levelCode + 1) >> 1)
       if (level < 0) { b.nNeg += 1 }
       b.sum += level
-      // §9.2.2 suffixLength adaptation (if / else-if per spec)
+      // §9.2.2 suffixLength adaptation — the two clauses apply
+      // SEQUENTIALLY (JM: two independent ifs): a first level with
+      // |level| > 3 bumps 0 → 1 → 2 before the next level reads
       if (sl == 0) sl = 1
-      else if (math.abs(level) > (3 << (sl - 1)) && sl < 6) sl += 1
+      if (math.abs(level) > (3 << (sl - 1)) && sl < 6) sl += 1
       j += 1
     }
     // total_zeros (absent when the block is empty or full)

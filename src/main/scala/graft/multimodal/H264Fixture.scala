@@ -303,8 +303,9 @@ object H264Fixture {
       for (_ <- 0 until prefix) bw.bit(0)
       bw.bit(1)
       if (sl > 0) bw.u(sl, levelCode & ((1 << sl) - 1))
+      // sequential, not else-if — mirrors H264Cavlc §9.2.2 exactly
       if (sl == 0) sl = 1
-      else if (abs > (3 << (sl - 1)) && sl < 6) sl += 1
+      if (abs > (3 << (sl - 1)) && sl < 6) sl += 1
     }
     if (tc > 0 && tc < 4)
       writeVlc(bw, H264Cavlc.TotalZerosChromaDc(tc),

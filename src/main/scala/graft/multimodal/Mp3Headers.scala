@@ -805,7 +805,7 @@ object Mp3Headers {
     *
     * Fail-closed (None): everything [[sideInfo]] rejects; nonzero
     * `main_data_begin`; a table_select outside the verified set
-    * {0,1,2,3}; big_values > 288 (576 lines per granule); a region
+    * {0,1,2,3,5}; big_values > 288 (576 lines per granule); a region
     * whose pairs do not exhaust part2_3_length EXACTLY (the verified
     * class is big-values-only frames — a count1 tail would need the
     * table-select machinery above this walk); any bit overrun. */

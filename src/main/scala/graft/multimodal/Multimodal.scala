@@ -95,7 +95,7 @@ import org.apache.spark.sql.functions._
   * (`mm_vorbis_floor`), and §7.2.3 step 2's synthesized integer
   * curve — render_line rasterization over the blocksize/2 bins
   * (`mm_vorbis_floor_curve`), plus the MP3 BIG-VALUES walk under
-  * the transcribed Table-B.7 subset {0..3} — the transcription
+  * the transcribed Table-B.7 subset {0,1,2,3,5} — the transcription
   * carries a Kraft/prefix construction self-check and hand-built
   * bitstream pins in place of the codec pin this container cannot
   * provide; selects 4–31 stay fail-closed

@@ -434,6 +434,18 @@ object Vorbis {
       classifications: Int, classbook: Int, cascade: Array[Int],
       passBooks: Array[Array[Int]])
 
+  /** Fail-closed range sanity shared by both residue decoders — the
+    * config fields are untrusted 24-bit reads, so validate BEFORE
+    * any allocation sized from them: begin ≤ end (a negative span
+    * would throw NegativeArraySizeException), psize ≥ 1 dividing
+    * the span (the verified fixture class always does), and a
+    * 1 << 22 slot cap (the codebook multiplicand cap's sibling —
+    * a ~100-byte crafted config must not demand a multi-MB array). */
+  private def residueRangeOk(cfg: ResidueCfg): Boolean =
+    cfg.begin >= 0 && cfg.end >= cfg.begin && cfg.psize >= 1 &&
+      (cfg.end - cfg.begin) % cfg.psize == 0 &&
+      (cfg.end - cfg.begin) <= (1 << 22)
+
   /** §8.6.1 residue config walk (types 0/1/2 share it). The
     * per-(class, pass) value-book numbers are RETAINED (−1 for
     * unset cascade bits) — the value pass reads through them. */
@@ -472,6 +484,7 @@ object Vorbis {
   def decodeResidueClasses(r: BitReaderLsb, cfg: ResidueCfg,
       books: Array[Book]): Option[Array[Int]] = {
     if (cfg.classbook < 0 || cfg.classbook >= books.length) return None
+    if (!residueRangeOk(cfg)) return None
     val cb = books(cfg.classbook)
     val d = cb.dims
     if (d < 1) return None
@@ -508,6 +521,7 @@ object Vorbis {
   def decodeResidueApply(r: BitReaderLsb, cfg: ResidueCfg,
       books: Array[Book]): Option[(Array[Long], Long)] = {
     if (cfg.classbook < 0 || cfg.classbook >= books.length) return None
+    if (!residueRangeOk(cfg)) return None
     val cb = books(cfg.classbook)
     val d0 = cb.dims
     if (d0 < 1 || cfg.psize < 1) return None

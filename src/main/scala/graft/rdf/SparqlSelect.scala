@@ -2142,10 +2142,12 @@ object SparqlSelect {
     * lexical form allows: a value shaped like an absolute IRI
     * (scheme prefix, no whitespace/quotes/angle chars) serializes
     * as `<iri>`, everything else as a quoted literal. */
+  private[rdf] def iriShaped(v: String): Boolean =
+    v != null &&
+      v.matches("[A-Za-z][A-Za-z0-9+.-]*:[^\\s\"<>{}|\\\\^`]*")
+
   private[rdf] def lexicalTerm(v: String): String =
-    if (v != null &&
-        v.matches("[A-Za-z][A-Za-z0-9+.-]*:[^\\s\"<>{}|\\\\^`]*"))
-      s"<$v>"
+    if (iriShaped(v)) s"<$v>"
     else "\"" + String.valueOf(v)
       .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -2448,8 +2450,11 @@ object SparqlSelect {
     // the documented budget, collected as a bounded narrow
     // projection — are serialized into the remote query as a
     // VALUES block, so the endpoint returns only joinable rows.
-    // Past the budget (or with no shared vars / no local frame
-    // yet) the clause falls back to the unpushed `SELECT *`.
+    // Past the budget — or with no shared vars, no local frame
+    // yet, or any literal-shaped binding (lexical columns can't
+    // reproduce a typed literal's serialization, so pushing one
+    // could drop rows) — the clause falls back to the unpushed
+    // `SELECT *`.
     // Either way the remote frame is delta-sized and AQE
     // broadcasts it into the fold; a SILENT failure degrades to
     // the unit solution (the clause contributes nothing).
@@ -2477,10 +2482,18 @@ object SparqlSelect {
         val rows = acc.get
           .select(shared.map(col): _*).na.drop().distinct()
           .limit(cap + 1).collect()
-        if (rows.length > cap) serviceFrame(t, sc, svc, None)
+        val binds = rows.toSeq.map(r =>
+          shared.indices.map(i => r.get(i).toString))
+        // Only IRI-shaped bindings push: the engine's solution
+        // columns are LEXICAL, so a plain-string serialization of a
+        // typed literal ("42" vs "42"^^xsd:integer) would never
+        // match at the endpoint — the pushed plan would return
+        // FEWER rows than the unpushed SELECT* + local lexical
+        // join. Any literal-shaped binding ⇒ unpushed fallback
+        // (correctness beats the optimization).
+        if (rows.length > cap || binds.exists(_.exists(!iriShaped(_))))
+          serviceFrame(t, sc, svc, None)
         else {
-          val binds = rows.toSeq.map(r =>
-            shared.indices.map(i => r.get(i).toString))
           val chunks =
             if (binds.isEmpty) Seq(Seq.empty) // empty VALUES: legal,
             else binds.grouped(budget).toSeq //  still surfaces errors

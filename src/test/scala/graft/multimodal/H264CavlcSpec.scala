@@ -65,6 +65,24 @@ class H264CavlcSpec extends AnyFunSuite {
     assert(H264Cavlc.decode(null).isEmpty)
   }
 
+  test("§9.2.2 suffixLength clauses apply SEQUENTIALLY: a first " +
+    "level of |4| bumps suffixLength 0 → 1 → 2 before the second " +
+    "level reads (hand-assembled bitstream, not the fixture)") {
+    // tc=2, t1=0, levels +4 then +2, total_zeros 0:
+    //   coeff_token (2,0)      = 000100
+    //   level 0 (sl=0): lc=6−2=4 → prefix 4 → 00001    (then sl 0→1→2)
+    //   level 1 (sl=2): lc=2 → prefix 0, suffix 10 → 110
+    //   total_zeros(tc=2) = 0  → 1
+    // = 0001 0000 0011 1010 = 0x10 0x3A (one pad bit)
+    val r = new H264Headers.BitReader(Array[Byte](0x10, 0x3A))
+    val b = H264Cavlc.chromaDcBlock(r)
+    assert(b != null, "block failed to decode")
+    assert(b.tc == 2 && b.t1 == 0 && b.nNeg == 0L && b.sum == 6L &&
+      b.tz == 0, s"tc=${b.tc} t1=${b.t1} sum=${b.sum}")
+    // an else-if decoder (sl stuck at 1) would read level 1's prefix
+    // stop bit as a 1-bit suffix and desync — sum ≠ 6 or null
+  }
+
   test("suffixLength adaptation really engages: some document emits " +
     "a level whose code needs a nonzero suffix, and decodes back") {
     // |level| = 4 with suffixLength 1 after a first level forces a
@@ -79,5 +97,16 @@ class H264CavlcSpec extends AnyFunSuite {
       })
     }
     assert(hit)
+    // and the sequential-bump case (first level |4|, then a second
+    // level under sl = 2) is in the fixture space too
+    val seqHit = (0L until 240L).exists { d =>
+      (0 until H264Fixture.cavlcMbs(d)).exists(mb => (0 to 1).exists {
+        u =>
+          val nt = H264Fixture.cavlcTc(d, mb, u) -
+            H264Fixture.cavlcT1(d, mb, u)
+          nt >= 2 && H264Fixture.cavlcLevelAbs(d, mb, u, 0) == 4
+      })
+    }
+    assert(seqHit, "fixture space misses the 0→1→2 bump case")
   }
 }

@@ -313,6 +313,32 @@ class VorbisSpec extends AnyFunSuite {
       Array(cbook, sbook)).isEmpty)
   }
 
+  test("residue decoders fail closed on hostile configs BEFORE " +
+    "allocating: end < begin, psize non-divisor, oversized range") {
+    val Some(book) = Vorbis.readBook(
+      new Vorbis.BitReaderLsb(handBook, 0, handBook.length))
+    val pb = Array.fill(2)(Array.fill(8)(-1))
+    def rd() = new Vorbis.BitReaderLsb(handBook, 0, handBook.length)
+    // end < begin: a naive (end-begin)/psize is negative →
+    // NegativeArraySizeException without the guard
+    val neg = Vorbis.ResidueCfg(16, 8, 4, 2, 0, Array(0, 0), pb)
+    assert(Vorbis.decodeResidueClasses(rd(), neg, Array(book)).isEmpty)
+    assert(Vorbis.decodeResidueApply(rd(), neg, Array(book)).isEmpty)
+    // psize does not divide the span (outside the verified class)
+    val ndiv = Vorbis.ResidueCfg(0, 10, 4, 2, 0, Array(0, 0), pb)
+    assert(Vorbis.decodeResidueClasses(rd(), ndiv, Array(book)).isEmpty)
+    assert(Vorbis.decodeResidueApply(rd(), ndiv, Array(book)).isEmpty)
+    // a ~100-byte config demanding a multi-MB slot array: capped
+    val huge = Vorbis.ResidueCfg(0, (1 << 23), 4, 2, 0, Array(0, 0), pb)
+    assert(Vorbis.decodeResidueClasses(rd(), huge, Array(book)).isEmpty)
+    assert(Vorbis.decodeResidueApply(rd(), huge, Array(book)).isEmpty)
+    // psize 0 (a raw 24-bit field could not produce it, but the
+    // decoders must not divide by it)
+    val pz0 = Vorbis.ResidueCfg(0, 8, 0, 2, 0, Array(0, 0), pb)
+    assert(Vorbis.decodeResidueClasses(rd(), pz0, Array(book)).isEmpty)
+    assert(Vorbis.decodeResidueApply(rd(), pz0, Array(book)).isEmpty)
+  }
+
   test("residue VALUE-pass triangle over docs 0..150: stream-parsed " +
     "value books, lookup-1/2 indexing, silent classes, positional " +
     "wsum") {

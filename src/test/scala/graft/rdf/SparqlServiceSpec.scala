@@ -182,7 +182,9 @@ class SparqlServiceSpec extends AnyFunSuite {
     }
   }
 
-  test("BOUND JOIN: literal bindings quote-escape; past the budget " +
+  test("BOUND JOIN: a literal-shaped binding DISABLES pushdown (the " +
+    "lexical column cannot reproduce a typed literal's remote " +
+    "serialization, so pushing could drop rows); past the budget " +
     "the clause falls back to the unpushed SELECT *") {
     val (item, title) = anyItem
     var sent: String = null
@@ -191,16 +193,21 @@ class SparqlServiceSpec extends AnyFunSuite {
         ex.getRequestURI.getQuery.stripPrefix("query="), "UTF-8")
       (200, resultsJson(Seq(Map("t" -> title, "lang" -> "nl"))))
     } { ep =>
-      // literal-valued shared var: ?t binds titles locally
-      SparqlSelect(t,
+      // literal-valued shared var: ?t binds titles locally — the
+      // clause must go out UNPUSHED and the local lexical join
+      // still keeps only the matching row
+      val rows = SparqlSelect(t,
         s"""PREFIX dcterms: <http://purl.org/dc/terms/>
            |SELECT ?t ?lang WHERE {
            |  <$item> dcterms:title ?t .
            |  SERVICE <$ep> { ?t <http://ex.org/lang> ?lang . }
            |}""".stripMargin,
         SparqlSelect.HttpServiceClient).collect()
-      assert(sent.startsWith("SELECT * WHERE { VALUES (?t) { (\""),
-        s"literal binding should be quoted:\n$sent")
+      assert(sent == "SELECT * WHERE { ?t " +
+        "<http://ex.org/lang> ?lang . }",
+        s"literal binding must fall back to unpushed:\n$sent")
+      assert(rows.length == 1 && rows.head.getString(0) == title &&
+        rows.head.getString(1) == "nl")
       // overflow: budget 1 with a many-binding local frame
       s.conf.set(SparqlSelect.serviceBindingBudgetConf, "1")
       try {
