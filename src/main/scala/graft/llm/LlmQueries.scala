@@ -183,6 +183,7 @@ object LlmQueries {
     "mm_mp3_bigvalues" -> mp3Bigvalues,
     "mm_mp3_part3" -> mp3Part3,
     "mm_h264_cavlc" -> h264Cavlc,
+    "mm_h264_cavlc_luma" -> h264CavlcLuma,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
     "mm_id3_v22" -> id3V22,
     "mm_id3_tags" -> id3Tags,
@@ -7374,6 +7375,39 @@ object LlmQueries {
         col("m.n_neg").as("n_neg"),
         col("m.sum_vals").as("sum_vals"))
 
+  /** LUMA-DC CAVLC residual decode (`mm_h264_cavlc_luma`) — the
+    * full-column sibling of [[h264Cavlc]]'s chroma lane:
+    * per-document conformant baseline streams whose macroblocks are
+    * I_16x16_<pred>_0_0 (chroma CBP 0 / luma CBP 0), so each
+    * macroblock's ONE residual block is Intra16x16DCLevel with REAL
+    * coefficients — decoded through the complete Table 9-5
+    * 0 ≤ nC < 2 coeff_token column (TotalCoeff 0..16), the full
+    * §9.2.2.1 level ladder with its prefix-14/15 escapes, Tables
+    * 9-7/9-8 total_zeros and the full run_before table. nC = 0
+    * holds provably (one-MB-row pictures, uncoded AC neighbours —
+    * the parser doc carries the argument). Tables transcribed under
+    * the Kraft/prefix self-check with DECLARED spec-unused leaves;
+    * the oracle replays the census in closed form from doc_id.
+    * Map-side construct → decode → project. */
+  def h264CavlcLuma(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val payloads = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map(id =>
+          (id, graft.multimodal.H264Fixture.annexBCavlcLuma(id)))
+      }.toDF("doc_id", "payload")
+    payloads
+      .withColumn("m", graft.functions.H264CavlcLumaExpr(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_mbs").as("n_mbs"),
+        col("m.n_coeffs").as("n_coeffs"),
+        col("m.n_t1").as("n_t1"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_levels").as("sum_levels"),
+        col("m.sum_tz").as("sum_tz"))
+  }
+
   /** FULL part3 decode (`mm_mp3_part3`) — the region SEQUENCE the
     * isolated lanes pin separately: per long-block granule ×
     * channel, the big-values pairs (verified B.7 subset) followed
@@ -12241,6 +12275,52 @@ object LlmQueries {
         |    2 + (doc_id + mb * 5 + u * 7 + j * 3) % 3 AS lv,
         |    CAST((doc_id + u + j) % 2 AS BIGINT) AS neg
         |  FROM blk2, (SELECT unnest([0, 1, 2, 3]) AS j) jj
+        |  WHERE jj.j < tc - t1),
+        |tr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(SUM(neg) AS BIGINT) AS neg1,
+        |    CAST(SUM(1 - 2 * neg) AS BIGINT) AS sum1
+        |  FROM trail GROUP BY 1),
+        |lv AS (SELECT doc_id, CAST(SUM(neg) AS BIGINT) AS neg2,
+        |    CAST(SUM(lv * (1 - 2 * neg)) AS BIGINT) AS sum2
+        |  FROM lev GROUP BY 1),
+        |base AS (SELECT doc_id, ANY_VALUE(n_mbs) AS n_mbs,
+        |    CAST(SUM(tc) AS BIGINT) AS n_coeffs,
+        |    CAST(SUM(t1) AS BIGINT) AS n_t1,
+        |    CAST(SUM(tz) AS BIGINT) AS sum_tz
+        |  FROM blk2 GROUP BY 1)
+        |SELECT b.doc_id, b.n_mbs, b.n_coeffs, b.n_t1,
+        |  COALESCE(tr.neg1, 0) + COALESCE(lv.neg2, 0) AS n_neg,
+        |  COALESCE(tr.sum1, 0) + COALESCE(lv.sum2, 0) AS sum_levels,
+        |  b.sum_tz
+        |FROM base b LEFT JOIN tr ON b.doc_id = tr.doc_id
+        |LEFT JOIN lv ON b.doc_id = lv.doc_id""".stripMargin,
+
+    // closed-form replay of the luma-lane fixture parameters
+    // (H264Fixture.lumaTc/lumaT1/lumaTz/lumaLevelAbs/...): the Spark
+    // side must walk the full 0<=nC<2 coeff_token column, the level
+    // escapes, total_zeros and run_before to agree with these sums
+    "mm_h264_cavlc_luma" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS n_mbs
+        |  FROM documents),
+        |blk AS (SELECT doc_id, n_mbs, mb.mb,
+        |    (doc_id * 3 + mb.mb * 7) % 17 AS tc,
+        |    LEAST((doc_id * 3 + mb.mb * 7) % 17,
+        |      (doc_id + mb.mb) % 4) AS t1
+        |  FROM t, (SELECT unnest([0, 1, 2]) AS mb) mb
+        |  WHERE mb.mb < n_mbs),
+        |blk2 AS (SELECT *,
+        |    CASE WHEN tc = 0 OR tc = 16 THEN 0
+        |      ELSE (doc_id + mb) % (17 - tc) END AS tz
+        |  FROM blk),
+        |trail AS (SELECT doc_id,
+        |    CAST((doc_id + mb + j) % 2 AS BIGINT) AS neg
+        |  FROM blk2, (SELECT unnest([0, 1, 2]) AS j) jj
+        |  WHERE jj.j < t1),
+        |lev AS (SELECT doc_id,
+        |    2 + (doc_id + mb * 5 + j * 3) % 19 AS lv,
+        |    CAST((doc_id + mb * 2 + j) % 2 AS BIGINT) AS neg
+        |  FROM blk2, (SELECT unnest(range(0, 16)) AS j) jj
         |  WHERE jj.j < tc - t1),
         |tr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n1,
         |    CAST(SUM(neg) AS BIGINT) AS neg1,

@@ -14,28 +14,32 @@ import org.apache.spark.sql.catalyst.InternalRow
   * sign bit or run desynchronizes every following field and fails
   * closed at the rbsp trailing check.
   *
-  * Why chroma DC: its coeff_token class is FIXED (nC = −1 for
-  * 4:2:0), so the only Table 9-5 column needed is the small
-  * chroma-DC one — transcribable with the same Kraft/prefix
-  * construction self-check the MP3 big-values tables carry
-  * ([[Mp3Headers.BvTable]] discipline; no codec in this container to
-  * pin the constants against, so the tables validate their own
-  * completeness and the fixture oracle replays the census
-  * positionally). The luma side stays structurally honest without
-  * the big luma coeff_token columns: I_16x16 always codes its luma
-  * DC block, and with every macroblock's luma TotalCoeff 0 the
-  * neighbour-predicted nC stays 0, whose TotalCoeff-0 codeword is
-  * the single bit `1` — the one entry of the 0 ≤ nC < 2 column this
-  * walk admits (anything else fails closed as outside the verified
-  * subset).
+  * Two decodable classes, each with a fixed coeff_token column so
+  * the nC neighbour machinery stays honest
+  * ([[Mp3Headers.BvTable]] discipline: no codec in this container
+  * to pin the constants against, so every table validates its own
+  * Kraft completeness — exact, or up to a DECLARED count of
+  * spec-unused leaves — and the fixture oracles replay the census
+  * positionally):
+  *
+  *  - [[decode]] (chroma-DC lane): nC = −1 is FIXED for 4:2:0
+  *    chroma DC, so only the small chroma-DC column is needed; the
+  *    luma DC block is pinned empty (the 1-bit TotalCoeff-0
+  *    codeword under nC = 0).
+  *  - [[decodeLuma]] (luma-DC lane): the FULL 62-entry
+  *    0 ≤ nC < 2 coeff_token column with real coefficients
+  *    (TotalCoeff 0..16), the complete §9.2.2.1 level escape
+  *    arithmetic (level_prefix 14 / 15 / ≥ 16), Tables 9-7/9-8
+  *    total_zeros and the full run_before table — over one-MB-row
+  *    pictures whose luma CBP is 0, where nC provably stays 0 (see
+  *    [[decodeLuma]]).
   *
   * Scope (declared, never a guess — None otherwise): baseline-class
   * CAVLC streams, frame MBs, a single I slice at macroblock 0,
-  * every macroblock I_16x16 with chroma CBP 1 / luma CBP 0 / empty
-  * luma DC, level_prefix < 14 (the ≥14 escape arithmetic stays
-  * outside the verified subset). Everything else — Intra_4x4, luma
-  * residual, chroma AC, the full Table 9-5 — remains behind the
-  * declared stub.
+  * every macroblock I_16x16 with luma CBP 0 and chroma CBP 1
+  * (chroma lane) or 0 (luma lane). Everything else — Intra_4x4,
+  * luma AC residual, chroma AC, the nC ≥ 2 Table 9-5 columns —
+  * remains behind the declared stub.
   *
   * Reference: ISO/IEC 14496-10 §7.3.5 (macroblock_layer), §7.4.5
   * (Table 7-11 I_16x16 algebra), §9.2.1–9.2.4 (CAVLC parsing) —
@@ -64,14 +68,127 @@ object H264Cavlc {
       (1, 1, 0, 0), (1, 2, 1, 0), (0, 2, 2, 0))),
     3 -> new BvTable(0, Seq((1, 1, 0, 0), (0, 1, 1, 0))))
 
-  /** run_before (Table 9-10), by zerosLeft 1..3 (a 2×2 block's
-    * total_zeros never exceeds 3): x = run_before. */
+  /** run_before (Table 9-10) — the FULL table: columns zerosLeft
+    * 1..6 plus the `> 6` column (key 7; run_before 0..14, one
+    * spec-unused 11-bit leaf). The chroma-DC walk only ever reaches
+    * zerosLeft ≤ 3; the luma-DC walk (total_zeros ≤ 15) needs the
+    * rest. x = run_before. */
   private[multimodal] val RunBefore: Map[Int, BvTable] = Map(
     1 -> new BvTable(0, Seq((1, 1, 0, 0), (0, 1, 1, 0))),
     2 -> new BvTable(0, Seq(
       (1, 1, 0, 0), (1, 2, 1, 0), (0, 2, 2, 0))),
     3 -> new BvTable(0, Seq(
-      (3, 2, 0, 0), (2, 2, 1, 0), (1, 2, 2, 0), (0, 2, 3, 0))))
+      (3, 2, 0, 0), (2, 2, 1, 0), (1, 2, 2, 0), (0, 2, 3, 0))),
+    4 -> new BvTable(0, Seq(
+      (3, 2, 0, 0), (2, 2, 1, 0), (1, 2, 2, 0), (1, 3, 3, 0),
+      (0, 3, 4, 0))),
+    5 -> new BvTable(0, Seq(
+      (3, 2, 0, 0), (2, 2, 1, 0), (3, 3, 2, 0), (2, 3, 3, 0),
+      (1, 3, 4, 0), (0, 3, 5, 0))),
+    6 -> new BvTable(0, Seq(
+      (3, 2, 0, 0), (0, 3, 1, 0), (1, 3, 2, 0), (3, 3, 3, 0),
+      (2, 3, 4, 0), (5, 3, 5, 0), (4, 3, 6, 0))),
+    7 -> new BvTable(0, Seq(
+      (7, 3, 0, 0), (6, 3, 1, 0), (5, 3, 2, 0), (4, 3, 3, 0),
+      (3, 3, 4, 0), (2, 3, 5, 0), (1, 3, 6, 0), (1, 4, 7, 0),
+      (1, 5, 8, 0), (1, 6, 9, 0), (1, 7, 10, 0), (1, 8, 11, 0),
+      (1, 9, 12, 0), (1, 10, 13, 0), (1, 11, 14, 0)),
+      missingLeaves = 1))
+
+  /** coeff_token, Table 9-5's 0 ≤ nC < 2 column — the FULL 62-entry
+    * column (x = TotalCoeff 0..16, y = TrailingOnes): the one every
+    * luma-DC block of this walk's picture class selects (top MB row
+    * unavailable, left neighbour's block 5 uncoded ⇒ nC = 0, see
+    * [[decodeLuma]]). Two spec-unused 16-bit leaves
+    * (0x0000 and 0x0001) — declared, so the Kraft self-check still
+    * binds the transcription exactly. */
+  private[multimodal] val LumaCoeffToken01 = new BvTable(0, Seq(
+    (1, 1, 0, 0),
+    (5, 6, 1, 0), (1, 2, 1, 1),
+    (7, 8, 2, 0), (4, 6, 2, 1), (1, 3, 2, 2),
+    (7, 9, 3, 0), (6, 8, 3, 1), (5, 7, 3, 2), (3, 5, 3, 3),
+    (7, 10, 4, 0), (6, 9, 4, 1), (5, 8, 4, 2), (3, 6, 4, 3),
+    (7, 11, 5, 0), (6, 10, 5, 1), (5, 9, 5, 2), (4, 7, 5, 3),
+    (15, 13, 6, 0), (6, 11, 6, 1), (5, 10, 6, 2), (4, 8, 6, 3),
+    (11, 13, 7, 0), (14, 13, 7, 1), (5, 11, 7, 2), (4, 9, 7, 3),
+    (8, 13, 8, 0), (10, 13, 8, 1), (13, 13, 8, 2), (4, 10, 8, 3),
+    (15, 14, 9, 0), (14, 14, 9, 1), (9, 13, 9, 2), (4, 11, 9, 3),
+    (11, 14, 10, 0), (10, 14, 10, 1), (13, 14, 10, 2),
+    (12, 13, 10, 3),
+    (15, 15, 11, 0), (14, 15, 11, 1), (9, 14, 11, 2),
+    (12, 14, 11, 3),
+    (11, 15, 12, 0), (10, 15, 12, 1), (13, 15, 12, 2),
+    (8, 14, 12, 3),
+    (15, 16, 13, 0), (1, 15, 13, 1), (9, 15, 13, 2),
+    (12, 15, 13, 3),
+    (11, 16, 14, 0), (14, 16, 14, 1), (13, 16, 14, 2),
+    (8, 15, 14, 3),
+    (7, 16, 15, 0), (10, 16, 15, 1), (9, 16, 15, 2),
+    (12, 16, 15, 3),
+    (4, 16, 16, 0), (6, 16, 16, 1), (5, 16, 16, 2),
+    (8, 16, 16, 3)),
+    missingLeaves = 2)
+
+  /** total_zeros for 4×4-class blocks (Tables 9-7/9-8,
+    * maxNumCoeff 16), by TotalCoeff 1..15: x = total_zeros. The
+    * TotalCoeff-1 column leaves one 9-bit codeword (all zeros)
+    * unused; every other column is Kraft-complete — each row's
+    * closure is its own transcription witness. */
+  private[multimodal] val TotalZeros4x4: Map[Int, BvTable] = Map(
+    1 -> new BvTable(0, Seq(
+      (1, 1, 0, 0), (3, 3, 1, 0), (2, 3, 2, 0), (3, 4, 3, 0),
+      (2, 4, 4, 0), (3, 5, 5, 0), (2, 5, 6, 0), (3, 6, 7, 0),
+      (2, 6, 8, 0), (3, 7, 9, 0), (2, 7, 10, 0), (3, 8, 11, 0),
+      (2, 8, 12, 0), (3, 9, 13, 0), (2, 9, 14, 0), (1, 9, 15, 0)),
+      missingLeaves = 1),
+    2 -> new BvTable(0, Seq(
+      (7, 3, 0, 0), (6, 3, 1, 0), (5, 3, 2, 0), (4, 3, 3, 0),
+      (3, 3, 4, 0), (5, 4, 5, 0), (4, 4, 6, 0), (3, 4, 7, 0),
+      (2, 4, 8, 0), (3, 5, 9, 0), (2, 5, 10, 0), (3, 6, 11, 0),
+      (2, 6, 12, 0), (1, 6, 13, 0), (0, 6, 14, 0))),
+    3 -> new BvTable(0, Seq(
+      (5, 4, 0, 0), (7, 3, 1, 0), (6, 3, 2, 0), (5, 3, 3, 0),
+      (4, 4, 4, 0), (3, 4, 5, 0), (4, 3, 6, 0), (3, 3, 7, 0),
+      (2, 4, 8, 0), (3, 5, 9, 0), (2, 5, 10, 0), (1, 6, 11, 0),
+      (1, 5, 12, 0), (0, 6, 13, 0))),
+    4 -> new BvTable(0, Seq(
+      (3, 5, 0, 0), (7, 3, 1, 0), (5, 4, 2, 0), (4, 4, 3, 0),
+      (6, 3, 4, 0), (5, 3, 5, 0), (4, 3, 6, 0), (3, 4, 7, 0),
+      (3, 3, 8, 0), (2, 4, 9, 0), (2, 5, 10, 0), (1, 5, 11, 0),
+      (0, 5, 12, 0))),
+    5 -> new BvTable(0, Seq(
+      (5, 4, 0, 0), (4, 4, 1, 0), (3, 4, 2, 0), (7, 3, 3, 0),
+      (6, 3, 4, 0), (5, 3, 5, 0), (4, 3, 6, 0), (3, 3, 7, 0),
+      (2, 4, 8, 0), (1, 5, 9, 0), (1, 4, 10, 0), (0, 5, 11, 0))),
+    6 -> new BvTable(0, Seq(
+      (1, 6, 0, 0), (1, 5, 1, 0), (7, 3, 2, 0), (6, 3, 3, 0),
+      (5, 3, 4, 0), (4, 3, 5, 0), (3, 3, 6, 0), (2, 3, 7, 0),
+      (1, 4, 8, 0), (1, 3, 9, 0), (0, 6, 10, 0))),
+    7 -> new BvTable(0, Seq(
+      (1, 6, 0, 0), (1, 5, 1, 0), (5, 3, 2, 0), (4, 3, 3, 0),
+      (3, 3, 4, 0), (3, 2, 5, 0), (2, 3, 6, 0), (1, 4, 7, 0),
+      (1, 3, 8, 0), (0, 6, 9, 0))),
+    8 -> new BvTable(0, Seq(
+      (1, 6, 0, 0), (1, 4, 1, 0), (1, 5, 2, 0), (3, 3, 3, 0),
+      (3, 2, 4, 0), (2, 2, 5, 0), (2, 3, 6, 0), (1, 3, 7, 0),
+      (0, 6, 8, 0))),
+    9 -> new BvTable(0, Seq(
+      (1, 6, 0, 0), (0, 6, 1, 0), (1, 4, 2, 0), (3, 2, 3, 0),
+      (2, 2, 4, 0), (1, 3, 5, 0), (1, 2, 6, 0), (1, 5, 7, 0))),
+    10 -> new BvTable(0, Seq(
+      (1, 5, 0, 0), (0, 5, 1, 0), (1, 3, 2, 0), (3, 2, 3, 0),
+      (2, 2, 4, 0), (1, 2, 5, 0), (1, 4, 6, 0))),
+    11 -> new BvTable(0, Seq(
+      (0, 4, 0, 0), (1, 4, 1, 0), (1, 3, 2, 0), (2, 3, 3, 0),
+      (1, 1, 4, 0), (3, 3, 5, 0))),
+    12 -> new BvTable(0, Seq(
+      (0, 4, 0, 0), (1, 4, 1, 0), (1, 2, 2, 0), (1, 1, 3, 0),
+      (1, 3, 4, 0))),
+    13 -> new BvTable(0, Seq(
+      (0, 3, 0, 0), (1, 3, 1, 0), (1, 1, 2, 0), (1, 2, 3, 0))),
+    14 -> new BvTable(0, Seq(
+      (0, 2, 0, 0), (1, 2, 1, 0), (1, 1, 2, 0))),
+    15 -> new BvTable(0, Seq((0, 1, 0, 0), (1, 1, 1, 0))))
 
   /** Walk one VLC: accumulate bits until (code, len) matches. −1 on
     * no match within the table's longest code. */
@@ -94,15 +211,23 @@ object H264Cavlc {
     var tc = 0; var t1 = 0; var nNeg = 0L; var sum = 0L; var tz = 0
   }
 
-  /** §9.2 residual_block_cavlc for one 2×2 chroma DC block
-    * (nC = −1, maxNumCoeff 4). Null on anything outside the
-    * verified subset. */
-  private[multimodal] def chromaDcBlock(r: BitReader): Block = {
-    val e = vlc(r, ChromaDcCoeffToken)
+  /** §9.2 residual_block_cavlc, generalized over the block class:
+    * `tok` is the coeff_token table the caller's nC selects,
+    * `maxCoeff` its maxNumCoeff (4 for 2×2 chroma DC, 16 for
+    * Intra16x16DCLevel), `tz` its total_zeros table family. The
+    * level ladder is the COMPLETE §9.2.2.1 arithmetic — suffixLength
+    * init (1 when TotalCoeff > 10 ∧ TrailingOnes < 3), the
+    * level_prefix = 14 / ≥ 15 escape suffixes, the ≥ 16 range
+    * extension — with the two suffixLength adaptation clauses
+    * applied sequentially. Null on desync or garbage (a level_prefix
+    * past 25 cannot arise from any levelCode this census admits). */
+  private[multimodal] def residualBlock(r: BitReader, tok: BvTable,
+      maxCoeff: Int, tz: Map[Int, BvTable]): Block = {
+    val e = vlc(r, tok)
     if (e < 0) return null
     val b = new Block
-    b.tc = ChromaDcCoeffToken.xs(e)
-    b.t1 = ChromaDcCoeffToken.ys(e)
+    b.tc = tok.xs(e)
+    b.t1 = tok.ys(e)
     // trailing-one signs (§9.2.2: 1 = negative)
     var j = 0
     while (j < b.t1) {
@@ -110,16 +235,22 @@ object H264Cavlc {
       j += 1
     }
     // remaining levels through the prefix/suffix ladder
-    var sl = 0 // suffixLength (TotalCoeff ≤ 10 here)
+    var sl = if (b.tc > 10 && b.t1 < 3) 1 else 0 // §9.2.2.1 init
     j = 0
     while (j < b.tc - b.t1) {
       var prefix = 0
       while (r.u1() == 0) {
         prefix += 1
-        if (prefix > 13) return null // escape arithmetic: out of scope
+        if (prefix > 25) return null // garbage, not a level
       }
-      var levelCode = (prefix << sl) +
-        (if (sl > 0) r.u(sl) else 0)
+      val suffixSize =
+        if (prefix == 14 && sl == 0) 4
+        else if (prefix >= 15) prefix - 3
+        else sl
+      var levelCode = (math.min(15, prefix) << sl) +
+        (if (suffixSize > 0) r.u(suffixSize) else 0)
+      if (prefix >= 15 && sl == 0) levelCode += 15
+      if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
       if (j == 0 && b.t1 < 3) levelCode += 2
       val level =
         if (levelCode % 2 == 0) (levelCode + 2) >> 1
@@ -134,31 +265,41 @@ object H264Cavlc {
       j += 1
     }
     // total_zeros (absent when the block is empty or full)
-    if (b.tc > 0 && b.tc < 4) {
-      val tzT = TotalZerosChromaDc(b.tc)
+    if (b.tc > 0 && b.tc < maxCoeff) {
+      val tzT = tz.getOrElse(b.tc, null)
+      if (tzT == null) return null
       val te = vlc(r, tzT)
       if (te < 0) return null
       b.tz = tzT.xs(te)
     }
-    // run_before per coefficient (all but the last; zerosLeft 1..3)
+    // run_before per coefficient (all but the last); zerosLeft > 6
+    // selects the `> 6` column, whose runs can exceed what is left —
+    // fail closed on overdraw
     var zerosLeft = b.tz
     var i = 0
     while (i < b.tc - 1 && zerosLeft > 0) {
-      val rt = RunBefore.getOrElse(zerosLeft, null)
+      val rt = RunBefore.getOrElse(math.min(zerosLeft, 7), null)
       if (rt == null) return null
       val re = vlc(r, rt)
       if (re < 0) return null
       zerosLeft -= rt.xs(re)
+      if (zerosLeft < 0) return null
       i += 1
     }
-    if (zerosLeft < 0) return null
     b
   }
 
-  /** Decode a chroma-DC-coded Annex-B stream →
-    * (n_mbs, n_coeffs, n_t1, n_neg, sum_levels, sum_tz). */
-  def decode(b: Array[Byte])
-      : Option[(Long, Long, Long, Long, Long, Long)] = {
+  /** §9.2 residual_block_cavlc for one 2×2 chroma DC block
+    * (nC = −1, maxNumCoeff 4). Null outside the decodable class. */
+  private[multimodal] def chromaDcBlock(r: BitReader): Block =
+    residualBlock(r, ChromaDcCoeffToken, 4, TotalZerosChromaDc)
+
+  /** Walk the Annex-B NAL units to the coded slice and consume its
+    * header: returns (width in MBs, height in MBs, reader positioned
+    * at the first macroblock_layer). Shared by the chroma-DC and
+    * luma-DC lanes. */
+  private def sliceSetup(b: Array[Byte])
+      : Option[(Int, Int, BitReader)] = {
     if (b == null || b.length < 8) return None
     val n = b.length
     var starts = List.newBuilder[Int]
@@ -195,29 +336,41 @@ object H264Cavlc {
       case (Some((log2Fn, pocType, log2Poc, wMbs, hMbs)),
           Some((bottomField, deblocking, redundant)),
           Some((nalType, refIdc, rbsp))) =>
-        try {
-          val r = new BitReader(rbsp)
-          if (r.ue() != 0) return None // first_mb_in_slice
-          val sliceType = r.ue()
-          if (sliceType != 2 && sliceType != 7) return None
-          r.ue() // pic_parameter_set_id
-          r.u(log2Fn) // frame_num
-          val idr = nalType == 5
-          if (idr) r.ue() // idr_pic_id
-          if (pocType == 0) {
-            r.u(log2Poc)
-            if (bottomField) r.se()
-          }
-          if (redundant) r.ue()
-          if (refIdc != 0) {
-            if (idr) { r.u1(); r.u1() }
-            else if (r.u1() == 1) return None
-          }
-          r.se() // slice_qp_delta
-          if (deblocking) {
-            val idc = r.ue()
-            if (idc != 1) { r.se(); r.se() }
-          }
+        val r = new BitReader(rbsp)
+        if (r.ue() != 0) return None // first_mb_in_slice
+        val sliceType = r.ue()
+        if (sliceType != 2 && sliceType != 7) return None
+        r.ue() // pic_parameter_set_id
+        r.u(log2Fn) // frame_num
+        val idr = nalType == 5
+        if (idr) r.ue() // idr_pic_id
+        if (pocType == 0) {
+          r.u(log2Poc)
+          if (bottomField) r.se()
+        }
+        if (redundant) r.ue()
+        if (refIdc != 0) {
+          if (idr) { r.u1(); r.u1() }
+          else if (r.u1() == 1) return None
+        }
+        r.se() // slice_qp_delta
+        if (deblocking) {
+          val idc = r.ue()
+          if (idc != 1) { r.se(); r.se() }
+        }
+        Some((wMbs, hMbs, r))
+      case _ => None
+    }
+  }
+
+  /** Decode a chroma-DC-coded Annex-B stream →
+    * (n_mbs, n_coeffs, n_t1, n_neg, sum_levels, sum_tz). */
+  def decode(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long, Long)] =
+    try {
+      sliceSetup(b) match {
+        case None => None
+        case Some((wMbs, hMbs, r)) =>
           val nMbs = wMbs * hMbs
           var nCoeffs = 0L; var nT1 = 0L; var nNeg = 0L
           var sumLevels = 0L; var sumTz = 0L
@@ -231,7 +384,7 @@ object H264Cavlc {
             val icp = r.ue() // intra_chroma_pred_mode
             if (icp > 3) return None
             r.se() // mb_qp_delta (always present for I_16x16)
-            // Intra16x16DCLevel under nC = 0: the verified subset is
+            // Intra16x16DCLevel under nC = 0: this lane's class is
             // the empty block, whose Table 9-5 codeword is `1`
             if (r.u1() != 1) return None
             var u = 0
@@ -246,15 +399,73 @@ object H264Cavlc {
           }
           if (r.u1() != 1) return None // rbsp_stop_one_bit
           Some((nMbs.toLong, nCoeffs, nT1, nNeg, sumLevels, sumTz))
-        } catch { case _: IndexOutOfBoundsException => None }
-      case _ => None
-    }
-  }
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** Decode a LUMA-DC-coded Annex-B stream — every macroblock
+    * I_16x16_<pred>_0_0 (Table 7-11: chroma CBP 0, luma CBP 0), so
+    * the only residual block per macroblock is Intra16x16DCLevel,
+    * decoded through the FULL Table 9-5 0 ≤ nC < 2 column with real
+    * coefficients (TotalCoeff 0..16), the complete §9.2.2.1 level
+    * escape arithmetic, total_zeros over Tables 9-7/9-8, and the
+    * full run_before table.
+    *
+    * Why nC = 0 holds for EVERY macroblock of this class, honestly
+    * tracked: the picture is one macroblock row (no top
+    * neighbours), and Intra16x16DCLevel's nC derives as for luma
+    * 4×4 block 0, whose left neighbour is the left macroblock's
+    * block 5 — an Intra16x16ACLevel position that is NEVER decoded
+    * under luma CBP 0, so its TotalCoeff is 0 by §9.2.1's
+    * uncoded-block rule. The DC block's own TotalCoeff can be
+    * anything without leaving the column. Multi-row pictures (where
+    * block 10 of a top neighbour would raise nC) are outside this
+    * class and fail closed at the SPS geometry.
+    *
+    * Returns (n_mbs, n_coeffs, n_t1, n_neg, sum_levels, sum_tz). */
+  def decodeLuma(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long, Long)] =
+    try {
+      sliceSetup(b) match {
+        case None => None
+        case Some((wMbs, hMbs, r)) =>
+          // nC = 0 needs the top MB row ABSENT: one-row pictures only
+          if (hMbs != 1) return None
+          val nMbs = wMbs
+          var nCoeffs = 0L; var nT1 = 0L; var nNeg = 0L
+          var sumLevels = 0L; var sumTz = 0L
+          var mb = 0
+          while (mb < nMbs) {
+            val mbt = r.ue()
+            // mbt−1 = pred + 4·cbpC: admit chroma CBP 0 / luma CBP 0
+            if (mbt < 1 || mbt > 4) return None
+            val icp = r.ue() // intra_chroma_pred_mode
+            if (icp > 3) return None
+            r.se() // mb_qp_delta (always present for I_16x16)
+            val blk = residualBlock(r, LumaCoeffToken01, 16,
+              TotalZeros4x4)
+            if (blk == null) return None
+            nCoeffs += blk.tc; nT1 += blk.t1; nNeg += blk.nNeg
+            sumLevels += blk.sum; sumTz += blk.tz
+            mb += 1
+          }
+          if (r.u1() != 1) return None // rbsp_stop_one_bit
+          Some((nMbs.toLong, nCoeffs, nT1, nNeg, sumLevels, sumTz))
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
 
   /** [[decode]] as an `InternalRow` for the
     * [[graft.functions.H264CavlcExpr]] codegen path. Null = not a
     * chroma-DC-CAVLC-decodable stream. */
   def decodeRow(b: Array[Byte]): InternalRow = decode(b) match {
+    case Some((nm, nc, t1, nn, sl, tz)) =>
+      InternalRow(nm, nc, t1, nn, sl, tz)
+    case None => null
+  }
+
+  /** [[decodeLuma]] as an `InternalRow` for the
+    * [[graft.functions.H264CavlcLumaExpr]] codegen path. Null = not
+    * a luma-DC-CAVLC-decodable stream. */
+  def decodeLumaRow(b: Array[Byte]): InternalRow = decodeLuma(b) match {
     case Some((nm, nc, t1, nn, sl, tz)) =>
       InternalRow(nm, nc, t1, nn, sl, tz)
     case None => null

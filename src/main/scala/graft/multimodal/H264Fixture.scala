@@ -345,6 +345,136 @@ object H264Fixture {
     bw.bytes
   }
 
+  // ---- luma-DC CAVLC fixture (mm_h264_cavlc_luma) ----
+  // chroma CBP 0 / luma CBP 0 I_16x16 macroblocks whose ONE residual
+  // block is Intra16x16DCLevel with REAL coefficients: the full
+  // 0 ≤ nC < 2 coeff_token column, level escapes (prefix 14 and 15),
+  // 4x4-class total_zeros and the full run_before table all engage.
+  // Same closed-form-parameter discipline as the chroma lane.
+
+  def lumaMbs(d: Long): Int = 1 + (d % 3).toInt
+  def lumaPred(d: Long, mb: Int): Int = ((d + mb) % 4).toInt
+  def lumaIcp(d: Long, mb: Int): Int = ((d + mb * 2) % 4).toInt
+  def lumaQpd(d: Long, mb: Int): Int = ((d + mb) % 5).toInt - 2
+  /** TotalCoeff 0..16 — every coeff_token column entry class. */
+  def lumaTc(d: Long, mb: Int): Int = ((d * 3 + mb * 7) % 17).toInt
+  def lumaT1(d: Long, mb: Int): Int =
+    math.min(lumaTc(d, mb), ((d + mb) % 4).toInt)
+  def lumaTrailSign(d: Long, mb: Int, j: Int): Int =
+    ((d + mb + j) % 2).toInt
+  /** |level| 2..20 — crosses both escape thresholds (levelCode ≥ 28
+    * hits the prefix-14 four-bit suffix at suffixLength 0,
+    * ≥ 30 the prefix-15 twelve-bit one). */
+  def lumaLevelAbs(d: Long, mb: Int, j: Int): Int =
+    2 + ((d + mb * 5 + j * 3) % 19).toInt
+  def lumaLevelNeg(d: Long, mb: Int, j: Int): Int =
+    ((d + mb * 2 + j) % 2).toInt
+  def lumaTz(d: Long, mb: Int): Int = {
+    val tc = lumaTc(d, mb)
+    if (tc == 0 || tc == 16) 0 else ((d + mb) % (17 - tc)).toInt
+  }
+  def lumaRun(d: Long, mb: Int, i: Int, zerosLeft: Int): Int =
+    ((d + mb + i) % (zerosLeft + 1)).toInt
+
+  /** §9.2.2.1 inverse: emit levelCode under suffixLength `sl` —
+    * normal prefixes, the prefix-14 (sl = 0) four-bit escape, and
+    * the prefix-15 twelve-bit escape. */
+  private def writeLevel(bw: BitWriter, levelCode: Int, sl: Int): Unit = {
+    def zerosThenOne(n: Int): Unit = {
+      for (_ <- 0 until n) bw.bit(0); bw.bit(1)
+    }
+    if (sl > 0) {
+      val prefix = levelCode >> sl
+      if (prefix < 15) {
+        zerosThenOne(prefix)
+        bw.u(sl, levelCode & ((1 << sl) - 1))
+      } else {
+        val suffix = levelCode - (15 << sl)
+        require(suffix >= 0 && suffix < 4096,
+          "fixture level escaped the prefix-15 range")
+        zerosThenOne(15)
+        bw.u(12, suffix)
+      }
+    } else if (levelCode < 14) zerosThenOne(levelCode)
+    else if (levelCode < 30) {
+      zerosThenOne(14)
+      bw.u(4, levelCode - 14)
+    } else {
+      val suffix = levelCode - 30
+      require(suffix < 4096, "fixture level escaped the prefix-15 range")
+      zerosThenOne(15)
+      bw.u(12, suffix)
+    }
+  }
+
+  /** Encode one Intra16x16DCLevel residual block (the 0 ≤ nC < 2
+    * column) — the exact inverse of the decoder's generalized
+    * residual walk. */
+  private def writeLumaDc(bw: BitWriter, d: Long, mb: Int): Unit = {
+    val tc = lumaTc(d, mb); val t1 = lumaT1(d, mb)
+    writeVlc(bw, H264Cavlc.LumaCoeffToken01, tc, t1)
+    for (j <- 0 until t1) bw.bit(lumaTrailSign(d, mb, j))
+    var sl = if (tc > 10 && t1 < 3) 1 else 0
+    for (j <- 0 until tc - t1) {
+      val abs = lumaLevelAbs(d, mb, j)
+      val neg = lumaLevelNeg(d, mb, j)
+      var levelCode = (abs - 1) * 2 + neg
+      if (j == 0 && t1 < 3) levelCode -= 2
+      writeLevel(bw, levelCode, sl)
+      // sequential, mirroring the decoder
+      if (sl == 0) sl = 1
+      if (abs > (3 << (sl - 1)) && sl < 6) sl += 1
+    }
+    if (tc > 0 && tc < 16)
+      writeVlc(bw, H264Cavlc.TotalZeros4x4(tc), lumaTz(d, mb), 0)
+    var zerosLeft = lumaTz(d, mb)
+    var i = 0
+    while (i < tc - 1 && zerosLeft > 0) {
+      val run = lumaRun(d, mb, i, zerosLeft)
+      writeVlc(bw, H264Cavlc.RunBefore(math.min(zerosLeft, 7)), run, 0)
+      zerosLeft -= run
+      i += 1
+    }
+  }
+
+  /** IDR slice RBSP whose macroblocks are I_16x16 with chroma CBP 0
+    * / luma CBP 0: ONE real luma-DC CAVLC residual block each. */
+  def cavlcLumaSliceRbsp(d: Long): Array[Byte] = {
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(7) // slice_type: I (all slices)
+    bw.ue(0) // pic_parameter_set_id
+    bw.u(4, 0) // frame_num
+    bw.ue((d % 4).toInt) // idr_pic_id
+    bw.u(4, 0) // pic_order_cnt_lsb
+    bw.bit(0); bw.bit(0) // IDR ref marking flags
+    bw.se(0) // slice_qp_delta
+    for (mb <- 0 until lumaMbs(d)) {
+      bw.ue(1 + lumaPred(d, mb)) // mb_type: I_16x16_<pred>_0_0
+      bw.ue(lumaIcp(d, mb)) // intra_chroma_pred_mode
+      bw.se(lumaQpd(d, mb)) // mb_qp_delta
+      writeLumaDc(bw, d, mb)
+    }
+    bw.stopAlign()
+    bw.bytes
+  }
+
+  /** SPS for the luma lane: one MB row (nC = 0 by geometry). */
+  def cavlcLumaParams(d: Long): Params =
+    Params(profile = 66, level = 10, w = 16 * lumaMbs(d), h = 16,
+      frameMbsOnly = 1, pocType = 0, spsId = 0, log2MaxFrameNum4 = 0,
+      maxRef = 0)
+
+  /** Three-NAL luma-DC CAVLC stream: SPS, PPS, IDR slice. */
+  def annexBCavlcLuma(d: Long): Array[Byte] = {
+    val sps = escapeRbsp(spsRbsp(cavlcLumaParams(d)))
+    val slice = escapeRbsp(cavlcLumaSliceRbsp(d))
+    Array.concat(
+      Start4, Array[Byte](0x67) ++ sps,
+      Start4, Array[Byte](0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Start4, Array[Byte](0x65) ++ slice)
+  }
+
   /** Three-NAL chroma-DC CAVLC stream: SPS, PPS, IDR slice. */
   def annexBCavlc(d: Long): Array[Byte] = {
     val sps = escapeRbsp(spsRbsp(cavlcParams(d)))

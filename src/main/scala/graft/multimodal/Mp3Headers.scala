@@ -718,14 +718,23 @@ object Mp3Headers {
     * constant fails loudly at class load, not as a silent
     * mis-decode. */
   private[multimodal] class BvTable(val dim: Int,
-      entries: Seq[(Int, Int, Int, Int)]) {
+      entries: Seq[(Int, Int, Int, Int)],
+      missingLeaves: Int = 0) {
     val code: Array[Int] = entries.map(_._1).toArray
     val len: Array[Int] = entries.map(_._2).toArray
     val xs: Array[Int] = entries.map(_._3).toArray
     val ys: Array[Int] = entries.map(_._4).toArray
     require(dim == 0 || entries.size == dim * dim, "B.7 table size")
-    require(entries.map(e => math.pow(2, -e._2)).sum == 1.0,
-      "B.7 table not Kraft-complete — transcription slip")
+    // Kraft completeness, or — for tables whose SPEC leaves
+    // codewords unused (H.264's coeff_token / total_zeros columns)
+    // — completeness up to the DECLARED number of unused leaves at
+    // the deepest level. The slack is a stated structural fact of
+    // the source table, never derived from the transcription, so a
+    // mis-copied length still fails loudly here.
+    require(entries.map(e => math.pow(2, -e._2)).sum ==
+      1.0 - missingLeaves * math.pow(2, -entries.map(_._2).max),
+      "VLC table Kraft sum != declared completeness — " +
+        "transcription slip")
     for (Seq((c1, l1, _, _), (c2, l2, _, _)) <-
         entries.combinations(2)) {
       val (sc, sl, lc, ll) =

@@ -100,16 +100,22 @@ import org.apache.spark.sql.functions._
   * bitstream pins in place of the codec pin this container cannot
   * provide; selects 4–31 stay fail-closed
   * ([[Mp3Headers.bigvaluesInfo]], `mm_mp3_bigvalues`), and the
-  * H.264 CAVLC residual walk for chroma-DC-coded I_16x16 pictures —
-  * coeff_token under the fixed nC = −1 table, the §9.2.2 level
-  * ladder, total_zeros, run_before — under the same self-checked
-  * transcription discipline ([[H264Cavlc]], `mm_h264_cavlc`). What
+  * H.264 CAVLC residual walk for BOTH residual classes this
+  * picture family codes — chroma-DC blocks under the fixed nC = −1
+  * table (`mm_h264_cavlc`) and luma-DC blocks through the FULL
+  * Table 9-5 0 ≤ nC < 2 coeff_token column with the complete
+  * §9.2.2.1 escape arithmetic, Tables 9-7/9-8 total_zeros and the
+  * full run_before table (`mm_h264_cavlc_luma`) — under the same
+  * self-checked transcription discipline ([[H264Cavlc]]). What
   * remains a clearly-marked DETERMINISTIC FAKE is decode whose
   * larger Huffman trees are memorized SPEC CONSTANTS with no
-  * in-container pin (MP3 big-values tables 4–31 with their
-  * linbits/ESC machinery — both count1 tables now decode
-  * (`mm_mp3_count1`, `mm_mp3_count1a`) — H.264's full Table 9-5
-  * luma coeff_token columns, CABAC, intra prediction) and the
+  * in-container pin (MP3 big-values tables 6–31 — above all the
+  * linbits/ESC family 16–31 real encoders select, whose 256-entry
+  * trees exceed what the Kraft gate can witness from recall alone;
+  * a round-17 transcription attempt FAILED its own Kraft check and
+  * was discarded rather than fudged — both count1 tables decode
+  * (`mm_mp3_count1`, `mm_mp3_count1a`) — H.264's nC ≥ 2 Table 9-5
+  * columns, luma/chroma AC blocks, CABAC, intra prediction) and the
   * float-domain synthesis past the entropy layer (MP3 IMDCT,
   * Vorbis's minimum+delta scaling / dB floor / MDCT above the now
   * fully-integer residue chain — [[Vorbis.decodeResidueApply]],

@@ -12,7 +12,7 @@ class H264CavlcSpec extends AnyFunSuite {
     "(construction self-check ran at class load)") {
     assert(H264Cavlc.ChromaDcCoeffToken.code.length == 14)
     assert(H264Cavlc.TotalZerosChromaDc.keySet == Set(1, 2, 3))
-    assert(H264Cavlc.RunBefore.keySet == Set(1, 2, 3))
+    assert(H264Cavlc.RunBefore.keySet == (1 to 7).toSet)
   }
 
   test("writer/parser/closed-form triangle over 240 documents") {
@@ -42,6 +42,118 @@ class H264CavlcSpec extends AnyFunSuite {
       assert(nNeg == vals.count(_ < 0).toLong, s"n_neg d=$d")
       assert(sumLevels == vals.sum, s"sum_levels d=$d")
     }
+  }
+
+  test("luma tables load their construction self-checks: the full " +
+    "62-entry 0<=nC<2 coeff_token column (2 declared unused 16-bit " +
+    "leaves), total_zeros 1..15, run_before 1..6 plus the >6 column") {
+    assert(H264Cavlc.LumaCoeffToken01.code.length == 62)
+    assert(H264Cavlc.TotalZeros4x4.keySet == (1 to 15).toSet)
+    assert(H264Cavlc.RunBefore.keySet == (1 to 7).toSet)
+    // every (tc, t1) pair of the column is present exactly once
+    val pairs = (0 until 62).map(e =>
+      (H264Cavlc.LumaCoeffToken01.xs(e), H264Cavlc.LumaCoeffToken01.ys(e)))
+    val expect = for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc))
+      yield (tc, t1)
+    assert(pairs.sorted == expect.sorted)
+    // total_zeros column tc has entries 0..16-tc
+    for (tc <- 1 to 15)
+      assert(H264Cavlc.TotalZeros4x4(tc).xs.sorted.toSeq ==
+        (0 to 16 - tc), s"tc=$tc")
+  }
+
+  test("luma writer/parser/closed-form triangle over 240 documents " +
+    "(full coeff_token column, level escapes, 4x4 total_zeros, " +
+    "full run_before)") {
+    for (d <- 0L until 240L) {
+      val Some((nMbs, nCoeffs, nT1, nNeg, sumLevels, sumTz)) =
+        H264Cavlc.decodeLuma(H264Fixture.annexBCavlcLuma(d))
+      val mbs = H264Fixture.lumaMbs(d)
+      assert(nMbs == mbs.toLong, s"n_mbs d=$d")
+      val blocks = (0 until mbs).toSeq
+      assert(nCoeffs == blocks.map(mb =>
+        H264Fixture.lumaTc(d, mb).toLong).sum, s"n_coeffs d=$d")
+      assert(nT1 == blocks.map(mb =>
+        H264Fixture.lumaT1(d, mb).toLong).sum, s"n_t1 d=$d")
+      assert(sumTz == blocks.map(mb =>
+        H264Fixture.lumaTz(d, mb).toLong).sum, s"sum_tz d=$d")
+      val vals = blocks.flatMap { mb =>
+        val t1 = H264Fixture.lumaT1(d, mb)
+        val nt = H264Fixture.lumaTc(d, mb) - t1
+        (0 until t1).map(j =>
+          if (H264Fixture.lumaTrailSign(d, mb, j) == 1) -1L else 1L) ++
+          (0 until nt).map { j =>
+            val a = H264Fixture.lumaLevelAbs(d, mb, j).toLong
+            if (H264Fixture.lumaLevelNeg(d, mb, j) == 1) -a else a
+          }
+      }
+      assert(nNeg == vals.count(_ < 0).toLong, s"n_neg d=$d")
+      assert(sumLevels == vals.sum, s"sum_levels d=$d")
+    }
+    // the parameter space genuinely reaches the hard branches:
+    // suffixLength init 1 (tc > 10, t1 < 3), the prefix-14 four-bit
+    // escape (first level, sl=0, levelCode in [28,30)), and the
+    // prefix-15 twelve-bit escape (levelCode >= 30)
+    val cases = for (d <- 0L until 240L;
+        mb <- 0 until H264Fixture.lumaMbs(d)) yield (d, mb)
+    assert(cases.exists { case (d, mb) =>
+      H264Fixture.lumaTc(d, mb) > 10 && H264Fixture.lumaT1(d, mb) < 3 })
+    def firstLevelCode(d: Long, mb: Int): Int = {
+      val t1 = H264Fixture.lumaT1(d, mb)
+      if (H264Fixture.lumaTc(d, mb) - t1 < 1 ||
+        H264Fixture.lumaTc(d, mb) > 10) -1
+      else {
+        val lc = (H264Fixture.lumaLevelAbs(d, mb, 0) - 1) * 2 +
+          H264Fixture.lumaLevelNeg(d, mb, 0)
+        if (t1 < 3) lc - 2 else lc
+      }
+    }
+    assert(cases.exists { case (d, mb) =>
+      val lc = firstLevelCode(d, mb); lc >= 28 && lc < 30 })
+    assert(cases.exists { case (d, mb) => firstLevelCode(d, mb) >= 30 })
+  }
+
+  test("level_prefix >= 16 range extension decodes (hand-assembled " +
+    "— outside the fixture's level range): tc=1, 16-zero prefix, " +
+    "13-bit suffix 0 => levelCode 4128, level 2065") {
+    // coeff_token (1,0) = 000101; 16 zeros + stop; suffix 0 (13
+    // bits); total_zeros(tc=1) tz=0 = 1  => 0x14 0x00 0x02 0x00 0x08
+    val r = new H264Headers.BitReader(
+      Array[Byte](0x14, 0x00, 0x02, 0x00, 0x08))
+    val b = H264Cavlc.residualBlock(r, H264Cavlc.LumaCoeffToken01, 16,
+      H264Cavlc.TotalZeros4x4)
+    assert(b != null, "prefix-16 block failed to decode")
+    assert(b.tc == 1 && b.t1 == 0 && b.sum == 2065L && b.nNeg == 0L &&
+      b.tz == 0, s"tc=${b.tc} sum=${b.sum}")
+  }
+
+  test("luma lane fail-closed: chroma-lane streams (mbt 5..8), PCM " +
+    "streams, corrupted residual bits, truncation, multi-row " +
+    "pictures") {
+    assert(H264Cavlc.decodeLuma(H264Fixture.annexBCavlc(3L)).isEmpty)
+    assert(H264Cavlc.decodeLuma(H264Fixture.annexBPcm(3L)).isEmpty)
+    assert(H264Cavlc.decode(H264Fixture.annexBCavlcLuma(3L)).isEmpty)
+    val good = H264Fixture.annexBCavlcLuma(7L)
+    var caught = 0
+    for (off <- math.max(0, good.length - 16) until good.length - 1) {
+      val bad = good.clone()
+      bad(off) = (bad(off) ^ 0x10).toByte
+      if (H264Cavlc.decodeLuma(bad).isEmpty) caught += 1
+    }
+    assert(caught > 0, "no residual corruption was caught")
+    assert(H264Cavlc.decodeLuma(good.dropRight(2)).isEmpty)
+    assert(H264Cavlc.decodeLuma("not a video".getBytes).isEmpty)
+    assert(H264Cavlc.decodeLuma(null).isEmpty)
+    // a two-MB-row picture is outside the nC = 0 argument: the SPS
+    // geometry gate must refuse it before any residual walk
+    val sps2 = H264Fixture.escapeRbsp(H264Fixture.spsRbsp(
+      H264Fixture.cavlcLumaParams(3L).copy(h = 32)))
+    val slice = H264Fixture.escapeRbsp(H264Fixture.cavlcLumaSliceRbsp(3L))
+    val twoRow = Array.concat(
+      Array[Byte](0, 0, 0, 1, 0x67) ++ sps2,
+      Array[Byte](0, 0, 0, 1, 0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Array[Byte](0, 0, 0, 1, 0x65) ++ slice)
+    assert(H264Cavlc.decodeLuma(twoRow).isEmpty)
   }
 
   test("fail-closed boundaries: PCM streams (mb_type 25), corrupted " +
