@@ -72,18 +72,106 @@ object BatchManifest {
 
   def path(store: String): String = s"$store/_manifest"
 
-  /** Has batch `batchId` committed to `store`? One bounded read of
-    * the ledger (rows = committed batches), never a store scan. */
-  def applied(spark: SparkSession, store: String, batchId: Long): Boolean =
-    Artifacts.readParquet(spark, path(store)).exists(m =>
-      !m.filter(org.apache.spark.sql.functions
-        .col("batch_id") === batchId).isEmpty)
+  /** Ledger rows at or above this count trigger an automatic
+    * [[compact]] after a commit — so a high-frequency micro-batch
+    * stream's ledger, driver id set and `batch_id` IN-list all stay
+    * O(threshold + gaps) instead of O(#batches) forever. */
+  val CompactThreshold = 64
 
-  /** Record batch `batchId` as committed to `store`. */
-  def commit(spark: SparkSession, store: String, batchId: Long): Unit =
+  /** The ledger as (batch_id, hw) rows. `hw = true` marks ONE
+    * high-water row meaning "every id ≤ batch_id is committed";
+    * `hw = false` rows are individually committed ids (the
+    * exceptions above the high-water mark). Ledgers written before
+    * compaction existed carry only `batch_id` — read as all
+    * exceptions. Heals a crashed [[compact]] swap on read: when the
+    * ledger directory is missing but a complete `.next` exists, the
+    * promote rename is completed here (idempotent — the build is
+    * finished before the first rename ever runs). */
+  private def ledger(spark: SparkSession, store: String)
+      : Option[DataFrame] = {
+    val p = path(store)
+    if (!Artifacts.exists(spark, p) &&
+        Artifacts.exists(spark, s"$p.next")) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$p.next"), hp)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p.old"), true)
+    }
+    Artifacts.readParquet(spark, p).map { df =>
+      if (df.columns.contains("hw")) df
+      else df.select(org.apache.spark.sql.functions.col("batch_id"),
+        org.apache.spark.sql.functions.lit(false).as("hw"))
+    }
+  }
+
+  /** The committed set as (high-water mark, exception ids above it).
+    * Driver-bounded: rows = 1 high-water + post-compaction
+    * exceptions, capped by [[CompactThreshold]] between commits. */
+  private def committedState(spark: SparkSession, store: String)
+      : (Long, Set[Long]) =
+    ledger(spark, store) match {
+      case None => (InitBatch, Set.empty[Long])
+      case Some(df) =>
+        val rows = df.collect()
+        val hw = rows.filter(_.getBoolean(1)).map(_.getLong(0))
+          .foldLeft(InitBatch)(math.max)
+        (hw, rows.filter(r => !r.getBoolean(1) && r.getLong(0) > hw)
+          .map(_.getLong(0)).toSet)
+    }
+
+  /** Has batch `batchId` committed to `store`? One bounded read of
+    * the ledger (rows ≤ threshold + gaps, never batch count after
+    * compaction), never a store scan. */
+  def applied(spark: SparkSession, store: String, batchId: Long): Boolean = {
+    val (hw, ids) = committedState(spark, store)
+    batchId <= hw || ids.contains(batchId)
+  }
+
+  /** Record batch `batchId` as committed to `store`; auto-compacts
+    * once the ledger exceeds [[CompactThreshold]] rows. Single
+    * writer per store (the `foreachBatch` serialization contract
+    * every streaming artifact already holds). */
+  def commit(spark: SparkSession, store: String, batchId: Long): Unit = {
     spark.range(1)
-      .select(org.apache.spark.sql.functions.lit(batchId).as("batch_id"))
+      .select(org.apache.spark.sql.functions.lit(batchId).as("batch_id"),
+        org.apache.spark.sql.functions.lit(false).as("hw"))
       .write.mode("append").parquet(path(store))
+    if (ledger(spark, store).exists(_.count() >= CompactThreshold))
+      compact(spark, store)
+  }
+
+  /** Compact contiguous committed prefixes into ONE high-water row:
+    * the new mark extends the old one through every consecutive id
+    * present, ids above the first gap stay as exception rows. The
+    * committed SET is identical before and after — only its
+    * representation shrinks (a ledger of N contiguous batches reads
+    * one row after compaction). Crash-safe: the replacement ledger
+    * is built COMPLETELY under `.next`, then swapped by two renames
+    * (the established atomic-swap discipline); a crash between the
+    * renames is healed by [[ledger]]'s promote-on-read. Must not
+    * run concurrently with a [[commit]] to the same store — the
+    * single-writer contract above. */
+  def compact(spark: SparkSession, store: String): Unit = {
+    val (hw0, ids) = committedState(spark, store)
+    var hw = hw0
+    while (ids.contains(hw + 1)) hw += 1
+    val except = ids.filter(_ > hw).toSeq.sorted
+    val p = path(store)
+    val rows = (hw, true) +: except.map((_, false))
+    spark.createDataFrame(rows).toDF("batch_id", "hw")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$p.next")
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hpath(x: String) = new org.apache.hadoop.fs.Path(x)
+    fs.delete(hpath(s"$p.old"), true)
+    if (fs.exists(hp))
+      require(fs.rename(hp, hpath(s"$p.old")),
+        s"ledger compaction: could not retire $p")
+    require(fs.rename(hpath(s"$p.next"), hp),
+      s"ledger compaction: could not promote $p.next")
+    fs.delete(hpath(s"$p.old"), true)
+  }
 
   /** The idempotent data write of step 2: stamp `batch_id` and
     * dynamically overwrite this batch's own leaf partitions.
@@ -121,17 +209,19 @@ object BatchManifest {
     * write and its ledger commit leaves orphan partitions; a retry
     * that PROBES the store before re-extending must not see them, or
     * the retry's probe verdicts (and thus its healed rewrite) would
-    * diverge from the first attempt's. The id set is ledger-sized
-    * (driver-bounded) and the filter is partition pruning on
-    * `batch_id` — never a data scan. */
+    * diverge from the first attempt's. The filter is `batch_id ≤
+    * high-water OR batch_id IN (exceptions)` — both partition
+    * pruning on `batch_id`, never a data scan; the driver set is
+    * compaction-bounded (O(threshold + gaps), not O(#batches)). */
   def committedOnly(spark: SparkSession, store: String,
       df: DataFrame): DataFrame =
     if (!df.columns.contains("batch_id")) df // plain, never-extended store
     else {
-      val ids = Artifacts.readParquet(spark, path(store))
-        .map(_.select("batch_id").collect().map(_.getLong(0)).toSet)
-        .getOrElse(Set.empty[Long]) + InitBatch
-      df.filter(org.apache.spark.sql.functions.col("batch_id")
-        .isin(ids.toSeq: _*))
+      val (hw, ids) = committedState(spark, store)
+      val c = org.apache.spark.sql.functions.col("batch_id")
+      val base = c <= hw // InitBatch (−1) is always ≤ the mark
+      df.filter(
+        if (ids.isEmpty) base
+        else base || c.isin(ids.toSeq: _*))
     }
 }
