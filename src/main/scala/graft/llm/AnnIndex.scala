@@ -239,18 +239,95 @@ object AnnIndex {
       .head.getLong(0)
     if (worst <= maxShareDelta1000) false
     else {
-      val union = stored.assignments.select(col("vec_id"), col("qv"))
-        .union(arriving.select(col("vec_id"), col("qv")))
-      write(s, union, s"$path.next", k, iters)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      def p(x: String) = new org.apache.hadoop.fs.Path(x)
-      fs.delete(p(s"$path.old"), true)
-      require(fs.rename(p(path), p(s"$path.old")),
-        s"index swap: could not retire $path")
-      require(fs.rename(p(s"$path.next"), p(path)),
-        s"index swap: could not promote $path.next")
-      fs.delete(p(s"$path.old"), true)
+      retrain(s, path,
+        stored.assignments.select(col("vec_id"), col("qv"))
+          .union(arriving.select(col("vec_id"), col("qv"))), k, iters)
+      true
+    }
+  }
+
+  /** Re-train over `corpus` and atomically replace the index at
+    * `path`: the new index builds COMPLETELY under `<path>.next`
+    * (training + partitioned write), then two renames swap it live
+    * — a crash mid-build leaves the live index untouched; a crash
+    * between the renames leaves `.old` recoverable. */
+  private def retrain(s: SparkSession, path: String,
+      corpus: DataFrame, k: Int, iters: Int): Unit = {
+    write(s, corpus, s"$path.next", k, iters)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    fs.delete(p(s"$path.old"), true)
+    require(fs.rename(p(path), p(s"$path.old")),
+      s"index swap: could not retire $path")
+    require(fs.rename(p(s"$path.next"), p(path)),
+      s"index swap: could not promote $path.next")
+    fs.delete(p(s"$path.old"), true)
+  }
+
+  /** Trailing-window TREND over a persisted drift-frame series —
+    * the aggregation that distinguishes SUSTAINED drift from a
+    * one-batch spike, which a single-shard threshold
+    * ([[retrainIfDrifted]]) cannot. `frames` is a union of [[drift]]
+    * outputs with a `batch_seq` ordering column (the streaming
+    * monitor's `batch_id`); only the trailing `window` frames
+    * count. Per inverted list: frames seen in the window, min and
+    * max |arriving share − indexed share|, and `sustained` = 1 iff
+    * the window is FULL and even its SMALLEST delta exceeds the
+    * threshold — min-gating, so one calm batch (e.g. right after a
+    * re-train) resets the trigger, and one spiky batch can never
+    * fire it. Everything after the ≤ window×k-row filter is
+    * integer arithmetic on ≤ k rows. */
+  def driftTrend(frames: DataFrame, window: Int,
+      maxShareDelta1000: Long): DataFrame = {
+    val seqMax = frames.agg(max(col("batch_seq")).as("max_seq"))
+    frames.crossJoin(broadcast(seqMax))
+      .filter(col("batch_seq") > col("max_seq") - window)
+      .select(col("cid"),
+        abs(col("arr_share_x1000") - col("idx_share_x1000"))
+          .as("delta"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("delta")).as("min_delta"),
+        max(col("delta")).as("max_delta"))
+      .select(col("cid"), col("n_frames"), col("min_delta"),
+        col("max_delta"),
+        when(col("n_frames") === window &&
+          col("min_delta") > maxShareDelta1000, 1L).otherwise(0L)
+          .as("sustained"))
+  }
+
+  /** The trend-gated re-train decision: read the drift-frame series
+    * the streaming monitor persists at `statsPath`
+    * ([[graft.streaming.DocsStream.startAnnDriftMonitor]] — one
+    * [[drift]] frame per micro-batch, ledger-guarded), apply
+    * [[driftTrend]] over the trailing `window` batches, and
+    * re-train (over the stored assignment corpus, which already
+    * contains every extended shard) iff ANY list drifted in EVERY
+    * window frame. Replaces [[retrainIfDrifted]]'s single-shard
+    * gate for deployments with a monitor stream: a transient spike
+    * (one hot batch) no longer triggers the backfill, and a
+    * sustained shift cannot hide behind one calm batch after it
+    * (min-gating needs the FULL window calm to reset). Frames are
+    * read through the ledger's committed view — a crashed monitor
+    * batch cannot skew the decision. Returns true iff a re-train
+    * happened; frames written after it measure against the NEW
+    * centroids, so deltas collapse and the window re-arms itself. */
+  def retrainIfTrendDrifted(s: SparkSession, path: String,
+      statsPath: String, window: Int, k: Int, iters: Int,
+      maxShareDelta1000: Long = 250L): Boolean = {
+    val frames0 = graft.streaming.Artifacts
+      .readParquet(s, statsPath).getOrElse(return false)
+    val frames = graft.streaming.BatchManifest
+      .committedOnly(s, statsPath, frames0)
+      .withColumn("batch_seq", col("batch_id"))
+    val fire = !driftTrend(frames, window, maxShareDelta1000)
+      .filter(col("sustained") === 1L).isEmpty
+    if (!fire) false
+    else {
+      val stored = read(s, path)
+      retrain(s, path,
+        stored.assignments.select(col("vec_id"), col("qv")), k, iters)
       true
     }
   }

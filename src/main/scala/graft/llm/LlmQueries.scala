@@ -56,6 +56,7 @@ object LlmQueries {
     "llm_ivf_clusters" -> ivfClusters,
     "llm_ivf_incremental" -> ivfIncremental,
     "llm_ivf_drift" -> ivfDrift,
+    "llm_ivf_drift_trend" -> ivfDriftTrend,
     "llm_ivf_topk" -> ivfTopk,
     "llm_ann_recall" -> annRecall,
     "llm_ivf_recall" -> ivfRecall,
@@ -2344,6 +2345,29 @@ object LlmQueries {
   def ivfDrift(s: SparkSession, d: String): DataFrame =
     AnnIndex.drift(storedAnnIndex(s, d),
       quantized(s, d).filter(expr(arrivingVecPred)))
+
+  /** Drift-TREND decision frame (`llm_ivf_drift_trend`): the
+    * maintenance query above the per-shard signal — the arriving
+    * stream's drift-frame SERIES (here the arriving corpus split
+    * into three deterministic micro-batches by `vec_id % 3`, each
+    * measured by the same [[AnnIndex.drift]] the streaming monitor
+    * runs per batch) aggregated by [[AnnIndex.driftTrend]] over the
+    * trailing window: per inverted list, min/max |arriving −
+    * indexed| share delta and the `sustained` verdict that gates
+    * [[AnnIndex.retrainIfTrendDrifted]] — 1 only when EVERY frame
+    * in a full window drifted past the threshold, so a one-batch
+    * spike can never fire the re-train backfill. Each frame reads
+    * only stored artifacts + its shard; the trend is ≤ window × k
+    * rows of integer arithmetic. */
+  def ivfDriftTrend(s: SparkSession, d: String): DataFrame = {
+    val stored = storedAnnIndex(s, d)
+    val arr = quantized(s, d).filter(expr(arrivingVecPred))
+    val frames = (0 until 3).map(b =>
+      AnnIndex.drift(stored, arr.filter(col("vec_id") % 3 === b))
+        .withColumn("batch_seq", lit(b.toLong)))
+      .reduce(_ union _)
+    AnnIndex.driftTrend(frames, 3, 100L)
+  }
 
   /** Recall@5 of the PQ-ADC path — what 4-byte codes cost in
     * ranking quality vs the exact scan; completes the measured
@@ -9030,6 +9054,48 @@ object LlmQueries {
          |    ELSE b.sap // b.n_arriving END AS BIGINT)
          |    AS ip_arriving_mean
          |FROM base b, tot t""".stripMargin,
+
+    // the drift-frame series replayed relationally: per deterministic
+    // micro-batch (vec_id % 3) the same share arithmetic as
+    // llm_ivf_drift, then the trailing-window min/max-delta trend
+    // with the min-gated sustained verdict
+    "llm_ivf_drift_trend" ->
+      s"""WITH $quantCte,
+         |vi AS (SELECT vec_id, qv FROM v WHERE vec_id % 10 <> 7),
+         |${kmeansCteOver("vi", "i")},
+         |dcent AS (SELECT cid, cv FROM icent$kmIters),
+         |idx AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_indexed
+         |  FROM ikasg a GROUP BY a.cid),
+         |tix AS (SELECT CAST(sum(n_indexed) AS BIGINT) AS ti FROM idx),
+         |q AS (SELECT vec_id, qv, vec_id % 3 AS b FROM v
+         |  WHERE vec_id % 10 = 7),
+         |qa AS (SELECT vec_id, b, cid FROM (
+         |    SELECT q.vec_id, q.b, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_inner_product(CAST(q.qv AS DOUBLE[]),
+         |          CAST(c.cv AS DOUBLE[])) AS BIGINT) DESC, c.cid)
+         |      AS rn FROM q, dcent c) WHERE rn = 1),
+         |arrb AS (SELECT b, cid, CAST(count(*) AS BIGINT) AS n_arriving
+         |  FROM qa GROUP BY b, cid),
+         |tb AS (SELECT b, CAST(sum(n_arriving) AS BIGINT) AS ta
+         |  FROM arrb GROUP BY b),
+         |frames AS (SELECT bb.b, c.cid,
+         |    CAST(COALESCE(i.n_indexed, 0) AS BIGINT) AS n_indexed,
+         |    CAST(COALESCE(a.n_arriving, 0) AS BIGINT) AS n_arriving,
+         |    t.ti, bb.ta
+         |  FROM tb bb CROSS JOIN dcent c CROSS JOIN tix t
+         |  LEFT JOIN idx i ON c.cid = i.cid
+         |  LEFT JOIN arrb a ON a.b = bb.b AND a.cid = c.cid),
+         |deltas AS (SELECT cid,
+         |    abs(CAST((1000 * n_arriving) // ta AS BIGINT) -
+         |      CAST((1000 * n_indexed) // ti AS BIGINT)) AS delta
+         |  FROM frames)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(min(delta) AS BIGINT) AS min_delta,
+         |  CAST(max(delta) AS BIGINT) AS max_delta,
+         |  CAST(CASE WHEN count(*) = 3 AND min(delta) > 100 THEN 1
+         |    ELSE 0 END AS BIGINT) AS sustained
+         |FROM deltas GROUP BY cid""".stripMargin,
 
     "llm_ann_recall" -> {
       val flips = (1 to 8).map(i =>

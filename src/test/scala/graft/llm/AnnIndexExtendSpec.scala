@@ -131,6 +131,57 @@ class AnnIndexExtendSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.old")))
   }
 
+  test("retrainIfTrendDrifted: a ONE-BATCH spike in the drift-frame " +
+    "series does not re-train; a SUSTAINED full-window shift does; " +
+    "uncommitted monitor frames never count") {
+    val (path, stored, _) = freshIndex()
+    val statsPath = tmp("annstats") + "/frames"
+    val mirror = stored.assignments
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("qv"))
+    val one = stored.assignments.select(col("qv")).limit(1)
+    val spike = spark.range(2000000L, 2000200L).toDF("vec_id")
+      .crossJoin(broadcast(one))
+    // the monitor's exact per-batch body: drift frame -> writeBatch
+    // -> commit
+    def frame(shard: org.apache.spark.sql.DataFrame, b: Long,
+        commit: Boolean = true): Unit = {
+      BatchManifest.writeBatch(AnnIndex.drift(stored, shard),
+        statsPath, b)
+      if (commit) BatchManifest.commit(spark, statsPath, b)
+    }
+    frame(mirror, 0L); frame(mirror, 1L); frame(spike, 2L)
+    assert(!AnnIndex.retrainIfTrendDrifted(spark, path, statsPath,
+      window = 3, k = 16, iters = 4),
+      "a one-batch spike fired the trend gate")
+    // a crashed monitor batch (data written, never committed) must
+    // be invisible to the decision
+    frame(spike, 3L, commit = false)
+    assert(!AnnIndex.retrainIfTrendDrifted(spark, path, statsPath,
+      window = 3, k = 16, iters = 4),
+      "an uncommitted frame influenced the trend gate")
+    // the replay commits batch 3; window {1,2,3} still holds a calm
+    // frame — min-gating keeps the trigger down
+    frame(spike, 3L)
+    assert(!AnnIndex.retrainIfTrendDrifted(spark, path, statsPath,
+      window = 3, k = 16, iters = 4),
+      "a 2-of-3 window fired the trend gate")
+    // batch 4 completes a full spiky window {2,3,4}: sustained
+    frame(spike, 4L)
+    assert(AnnIndex.retrainIfTrendDrifted(spark, path, statsPath,
+      window = 3, k = 16, iters = 4),
+      "a sustained full-window shift must re-train")
+    // the swap was atomic and the rebuilt index still serves probes
+    val after = AnnIndex.read(spark, path)
+    val q = after.assignments
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("qv"))
+      .limit(3)
+    assert(AnnIndex.probe(q, after, k = 2, nProbe = 2).count() > 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.next")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.old")))
+  }
+
   test("nprobe partition pruning survives the (cid, batch_id) " +
     "layout: a one-cid probe reads only that cid's directories") {
     val (path, stored, arriving) = freshIndex()
