@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisFloorCurve, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress, ZstdFseDictDecompress, ZstdMultiFrame, ZstdSplitDecode, GzipMember, FlacPcmLevels, Mp3Bigvalues, Mp3Part3, H264CavlcExpr, H264CavlcLumaExpr, VorbisResidueApply}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisFloorCurve, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress, ZstdFseDictDecompress, ZstdMultiFrame, ZstdSplitDecode, GzipMember, FlacPcmLevels, Mp3Bigvalues, Mp3Part3, H264CavlcExpr, H264CavlcLumaExpr, VorbisResidueApply, VorbisResidueScale}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -337,6 +337,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vorbis_residue_apply"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VorbisResidueApply(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vorbis_residue_scale"),
+      new ExpressionInfo(classOf[VorbisResidueScale].getName,
+        "vorbis_residue_scale"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VorbisResidueScale(args.head)))
     ext.injectFunction((
       FunctionIdentifier("h264_cavlc_luma"),
       new ExpressionInfo(classOf[H264CavlcLumaExpr].getName,

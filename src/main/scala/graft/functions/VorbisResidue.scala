@@ -143,3 +143,74 @@ object VorbisResidueApply {
   def apply(c: Column): Column =
     ColumnBridge.column(VorbisResidueApply(ColumnBridge.expression(c)))
 }
+
+/** `vorbis_residue_scale_fixture(doc_id)` → the
+  * `mm_vorbis_residue_scale` fixture: the apply lane's layout and
+  * packet with value books carrying INTEGER-EXACT packed-float
+  * min/delta (exponent 788 = 2^0), so the §3.2.2 value mapping
+  * stays in the Long census domain
+  * ([[graft.multimodal.Vorbis.streamResidueScale]]). */
+case class VorbisResidueScaleFixture(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Vorbis.streamResidueScale(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Vorbis.streamResidueScale($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): VorbisResidueScaleFixture = copy(child = c)
+  override def prettyName: String = "vorbis_residue_scale_fixture"
+}
+
+object VorbisResidueScaleFixture {
+  def apply(c: Column): Column = ColumnBridge.column(
+    VorbisResidueScaleFixture(ColumnBridge.expression(c)))
+}
+
+/** `vorbis_residue_scale(binary)` →
+  * `struct<n_slots:bigint, n_values:bigint, sc_sum:bigint,
+  *         sc_wsum:bigint, n_nonzero:bigint>`,
+  * null unless the payload decodes through the value pass WITH the
+  * §3.2.2 minimum + delta·multiplicand mapping applied in the
+  * integer-exact domain; the positional weight is the ABSOLUTE
+  * spectrum offset, pinning the §8.6 begin/end placement
+  * ([[graft.multimodal.Vorbis.decodeResidueScale]]). */
+case class VorbisResidueScale(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_slots", LongType, nullable = false),
+    StructField("n_values", LongType, nullable = false),
+    StructField("sc_sum", LongType, nullable = false),
+    StructField("sc_wsum", LongType, nullable = false),
+    StructField("n_nonzero", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.multimodal.Vorbis.residueScaleRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.multimodal.Vorbis.residueScaleRow($c);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(
+      c: Expression): VorbisResidueScale = copy(child = c)
+  override def prettyName: String = "vorbis_residue_scale"
+}
+
+object VorbisResidueScale {
+  def apply(c: Column): Column =
+    ColumnBridge.column(VorbisResidueScale(ColumnBridge.expression(c)))
+}

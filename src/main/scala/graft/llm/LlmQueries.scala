@@ -141,6 +141,7 @@ object LlmQueries {
     "mm_zstd_frames" -> zstdFrames,
     "mm_vorbis_residue" -> vorbisResidue,
     "mm_vorbis_residue_apply" -> vorbisResidueApply,
+    "mm_vorbis_residue_scale" -> vorbisResidueScale,
     "llm_mix_temperature" -> mixTemperature,
     "llm_inflate" -> inflateRoundtrip,
     "llm_zstd_fse" -> zstdFseRoundtrip,
@@ -5770,6 +5771,32 @@ object LlmQueries {
         col("m.res_wsum").as("res_wsum"),
         col("m.n_nonzero").as("n_nonzero"))
 
+  /** Vorbis residue value MAPPING in the integer domain
+    * (`mm_vorbis_residue_scale`) — the step above
+    * [[vorbisResidueApply]]'s raw-multiplicand accumulation: each
+    * decoded element becomes §3.2.2's `minimum + delta ·
+    * multiplicand`, with minimum/delta unpacked from the books'
+    * packed floats through the INTEGER-EXACT gate
+    * ([[graft.multimodal.Vorbis.float32UnpackExact]]: mantissa ·
+    * 2^(exp−788), exp ≥ 788 — fractional books fail closed with
+    * the dB/MDCT synthesis fake), and the positional census weight
+    * is the ABSOLUTE spectrum offset, so §8.6's begin/end placement
+    * arithmetic is pinned too. The oracle replays the scaled
+    * accumulation closed-form from doc_id. Map-side
+    * construct → decode → project; no shuffle. */
+  def vorbisResidueScale(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"))
+      .withColumn("payload",
+        graft.functions.VorbisResidueScaleFixture(col("doc_id")))
+      .withColumn("m",
+        graft.functions.VorbisResidueScale(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_slots").as("n_slots"),
+        col("m.n_values").as("n_values"),
+        col("m.sc_sum").as("sc_sum"),
+        col("m.sc_wsum").as("sc_wsum"),
+        col("m.n_nonzero").as("n_nonzero"))
+
   /** MP4 sample tables (`mm_mp4_samples`) — the walk real frame
     * COUNTS come from, which the metadata-only box parse
     * deliberately skips: first track's `mdia/minf/stbl` chain, the
@@ -11054,6 +11081,70 @@ object LlmQueries {
         |  COALESCE(nv.n_values, 0) AS n_values,
         |  COALESCE(a.res_sum, 0) AS res_sum,
         |  COALESCE(a.res_wsum, 0) AS res_wsum,
+        |  COALESCE(a.n_nonzero, 0) AS n_nonzero
+        |FROM base b LEFT JOIN nv ON b.doc_id = nv.doc_id
+        |LEFT JOIN agg a ON b.doc_id = a.doc_id""".stripMargin,
+
+    // the apply oracle with the §3.2.2 mapping applied term by term
+    // (minimum + delta·multiplicand, both integers by fixture
+    // construction) and the positional weight at the ABSOLUTE
+    // spectrum offset (begin = 8)
+    "mm_vorbis_residue_scale" ->
+      """WITH t AS (SELECT doc_id,
+        |    2 + doc_id % 3 AS ncls,
+        |    1 + doc_id % 4 AS d0,
+        |    4 + doc_id % 13 AS u0,
+        |    2 + doc_id % 6 AS n,
+        |    2 * (1 + doc_id % 3) AS psize
+        |  FROM documents),
+        |p AS (SELECT doc_id, ncls, d0, u0, n, psize,
+        |    unnest(range(0, n)) AS pp FROM t),
+        |pc AS (SELECT *,
+        |    (((doc_id * 3 + 7 * (pp // d0)) % u0) //
+        |      CASE d0 - 1 - (pp % d0) WHEN 0 THEN 1 WHEN 1 THEN ncls
+        |        WHEN 2 THEN ncls * ncls
+        |        ELSE ncls * ncls * ncls END) % ncls AS cls
+        |  FROM p),
+        |pb AS (SELECT *,
+        |    (doc_id + cls) % 2 AS casc,
+        |    1 + (doc_id + cls) % 2 AS dv,
+        |    4 + (doc_id + 5 * cls) % 5 AS uv,
+        |    1 + (doc_id + cls) % 2 AS lt,
+        |    3 + (doc_id + cls) % 3 AS vb,
+        |    ((doc_id + 11 * cls) % 41) - 20 AS minc,
+        |    1 + (doc_id + 7 * cls) % 9 AS deltac
+        |  FROM pc),
+        |vecs AS (SELECT doc_id, pp, psize, cls, dv, uv, lt, vb,
+        |    minc, deltac,
+        |    unnest(range(0, psize // dv)) AS k
+        |  FROM pb WHERE casc = 1),
+        |slots AS (SELECT doc_id, pp, psize, cls, dv, lt, vb,
+        |    minc, deltac, k, i.i,
+        |    (doc_id + 7 * pp + 3 * k) % uv AS e
+        |  FROM vecs, (SELECT unnest([0, 1]) AS i) i
+        |  WHERE i.i < dv),
+        |vals AS (SELECT doc_id, 8 + pp * psize + k * dv + i AS slot,
+        |    minc + deltac * (
+        |      (doc_id + 3 * cls + 5 * (CASE WHEN lt = 2 THEN e * dv + i
+        |        WHEN dv = 1 THEN e
+        |        WHEN i = 0 THEN e % 2 ELSE (e // 2) % 2 END)) %
+        |      (CASE vb WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END)) AS v
+        |  FROM slots),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(v) AS BIGINT) AS sc_sum,
+        |    CAST(SUM((slot + 1) * v) AS BIGINT) AS sc_wsum,
+        |    CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nonzero
+        |  FROM vals GROUP BY 1),
+        |nv AS (SELECT doc_id,
+        |    CAST(SUM(psize // dv) AS BIGINT) AS n_values
+        |  FROM pb WHERE casc = 1 GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(n * psize AS BIGINT) AS n_slots
+        |  FROM t)
+        |SELECT b.doc_id, b.n_slots,
+        |  COALESCE(nv.n_values, 0) AS n_values,
+        |  COALESCE(a.sc_sum, 0) AS sc_sum,
+        |  COALESCE(a.sc_wsum, 0) AS sc_wsum,
         |  COALESCE(a.n_nonzero, 0) AS n_nonzero
         |FROM base b LEFT JOIN nv ON b.doc_id = nv.doc_id
         |LEFT JOIN agg a ON b.doc_id = a.doc_id""".stripMargin,

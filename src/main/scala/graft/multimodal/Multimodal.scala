@@ -117,9 +117,11 @@ import org.apache.spark.sql.functions._
   * (`mm_mp3_count1`, `mm_mp3_count1a`) — H.264's nC ≥ 2 Table 9-5
   * columns, luma/chroma AC blocks, CABAC, intra prediction) and the
   * float-domain synthesis past the entropy layer (MP3 IMDCT,
-  * Vorbis's minimum+delta scaling / dB floor / MDCT above the now
-  * fully-integer residue chain — [[Vorbis.decodeResidueApply]],
-  * `mm_vorbis_residue_apply` — and H.264 reconstruction):
+  * Vorbis's dB floor / MDCT and FRACTIONAL min/delta books above
+  * the residue chain — which is now integer-exact through the
+  * §3.2.2 value mapping itself, [[Vorbis.decodeResidueScale]],
+  * `mm_vorbis_residue_scale`, for books whose packed-float
+  * min/delta are exact integers — and H.264 reconstruction):
   * unparseable payloads get plausible dimensions derived from the
   * bytes. The
   * Spark-side plumbing — schema, binary columns, batch-shaped

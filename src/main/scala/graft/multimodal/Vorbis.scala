@@ -167,7 +167,26 @@ object Vorbis {
       maxLen: Int, decode: java.util.HashMap[java.lang.Long, Integer],
       lookupType: Int = 0, valueBits: Int = 0, seqP: Int = 0,
       mulCount: Long = 0L, mulSum: Long = 0L,
-      muls: Array[Long] = null)
+      muls: Array[Long] = null,
+      minRaw: Long = 0L, deltaRaw: Long = 0L)
+
+  /** §9.2.2 float32_unpack, restricted to the INTEGER-EXACT class:
+    * sign/mantissa/exponent split, value = ±mantissa · 2^(exp−788).
+    * Some(value) iff the value is an exact integer a Long census
+    * can carry — mantissa 0 (exact zero at any exponent), or
+    * exponent ≥ 788 with the shifted mantissa within 2^41. A
+    * fractional or huge min/delta is the float synthesis domain
+    * and fails closed (None). */
+  def float32UnpackExact(raw: Long): Option[Long] = {
+    val mantissa = raw & 0x1fffffL
+    val exp = ((raw >> 21) & 0x3ff).toInt
+    val neg = (raw & 0x80000000L) != 0L
+    if (mantissa == 0L) return Some(0L)
+    if (exp < 788 || exp > 788 + 20) return None
+    val v = mantissa << (exp - 788)
+    if (v > (1L << 41)) return None
+    Some(if (neg) -v else v)
+  }
 
   /** §3.2.2 lookup1_values: the greatest integer v with
     * v^dims <= entries. */
@@ -219,9 +238,11 @@ object Vorbis {
     var vb = 0
     var seq = 0
     var muls: Array[Long] = null
+    var minRaw = 0L
+    var deltaRaw = 0L
     if (lt == 1 || lt == 2) {
-      r.read(32).getOrElse(return None) // minimum_value (packed float)
-      r.read(32).getOrElse(return None) // delta_value (packed float)
+      minRaw = r.read(32).getOrElse(return None) // packed float
+      deltaRaw = r.read(32).getOrElse(return None) // packed float
       vb = r.read(4).getOrElse(return None).toInt + 1
       seq = r.read(1).getOrElse(return None).toInt
       mulCount =
@@ -251,7 +272,7 @@ object Vorbis {
       i += 1
     }
     Some(Book(dims, entries, used, maxLen, m,
-      lt, vb, seq, mulCount, mulSum, muls))
+      lt, vb, seq, mulCount, mulSum, muls, minRaw, deltaRaw))
   }
 
   /** §3.2.1 decode: bit-at-a-time root walk against the canonical
@@ -423,12 +444,14 @@ object Vorbis {
   // classes by repeated divmod (pure integer, last slot first); the
   // VALUE pass ([[decodeResidueApply]]) runs the real interleaved
   // walk through the cascade books and accumulates their VQ
-  // MULTIPLICANDS into the type-1 partition slots — the full
-  // integer layer. Only the float mapping past the multiplicands
-  // (minimum + delta scaling, dB floor application, MDCT) stays
-  // with the synthesis fake; the classification-only fixture
-  // (`mm_vorbis_residue`, empty cascades) survives as the isolated
-  // pin of the class layer.
+  // MULTIPLICANDS into the type-1 partition slots; the SCALE pass
+  // ([[decodeResidueScale]]) applies the §3.2.2 value mapping
+  // minimum + delta·multiplicand on top, integer-exact through
+  // [[float32UnpackExact]]. Only fractional min/delta books and
+  // the float synthesis past the mapping (dB floor application,
+  // MDCT) stay with the synthesis fake; the classification-only
+  // fixture (`mm_vorbis_residue`, empty cascades) survives as the
+  // isolated pin of the class layer.
 
   final case class ResidueCfg(begin: Int, end: Int, psize: Int,
       classifications: Int, classbook: Int, cascade: Array[Int],
@@ -510,18 +533,48 @@ object Vorbis {
     * interleaved walk (classword for each group at pass 0, then
     * that group's partitions' value vectors), value codewords
     * decoded through the cascade books and their VQ MULTIPLICANDS
-    * accumulated into the partition slots. This is the last integer
-    * step of the residue chain — only the float mapping
-    * (minimum + delta scaling, then dB floor application and MDCT)
-    * remains with the synthesis fake, so value books with
+    * accumulated into the partition slots. [[decodeResidueScale]]
+    * adds the §3.2.2 value mapping above this; past THAT only the
+    * dB floor application and MDCT remain with the synthesis fake.
+    * Value books with
     * `sequence_p = 1` (a float-domain running sum) fail closed, as
     * do lookup-0 value books and partition sizes the book dimension
     * does not divide. Returns (accumulated slots over
     * [begin, end), decoded value-vector count). */
   def decodeResidueApply(r: BitReaderLsb, cfg: ResidueCfg,
-      books: Array[Book]): Option[(Array[Long], Long)] = {
+      books: Array[Book]): Option[(Array[Long], Long)] =
+    residueValuePass(r, cfg, books, scaled = false)
+
+  /** [[decodeResidueApply]] with the §3.2.2 value MAPPING applied in
+    * the integer domain: each accumulated element is
+    * `minimum + delta · multiplicand` where minimum/delta are the
+    * book's packed floats through [[float32UnpackExact]] — the
+    * verified class is books whose min/delta ARE exact integers
+    * (mantissa · 2^(exp−788) with exp ≥ 788); fractional books fail
+    * closed with the dB/MDCT synthesis fake. The step after the raw
+    * multiplicand accumulation, and the last integer one on the
+    * residue lane. */
+  def decodeResidueScale(r: BitReaderLsb, cfg: ResidueCfg,
+      books: Array[Book]): Option[(Array[Long], Long)] =
+    residueValuePass(r, cfg, books, scaled = true)
+
+  private def residueValuePass(r: BitReaderLsb, cfg: ResidueCfg,
+      books: Array[Book], scaled: Boolean)
+      : Option[(Array[Long], Long)] = {
     if (cfg.classbook < 0 || cfg.classbook >= books.length) return None
     if (!residueRangeOk(cfg)) return None
+    // per-book exact (min, delta), resolved once; null = book is
+    // outside the integer-exact class (checked only when USED)
+    val scales = new Array[Array[Long]](books.length)
+    def scaleOf(bi: Int): Array[Long] = {
+      if (scales(bi) == null)
+        scales(bi) = (float32UnpackExact(books(bi).minRaw),
+            float32UnpackExact(books(bi).deltaRaw)) match {
+          case (Some(mi), Some(de)) => Array(mi, de)
+          case _ => Array.empty[Long]
+        }
+      scales(bi)
+    }
     val cb = books(cfg.classbook)
     val d0 = cb.dims
     if (d0 < 1 || cfg.psize < 1) return None
@@ -554,6 +607,8 @@ object Vorbis {
           if (vb.seqP != 0) return None // running sum: float domain
           if (vb.muls == null || vb.dims < 1 ||
             cfg.psize % vb.dims != 0) return None
+          val sc = if (scaled) scaleOf(bi) else null
+          if (scaled && sc.isEmpty) return None // fractional min/delta
           val l1v = lookup1Values(vb.entries, vb.dims)
           var k = 0
           while (k < cfg.psize) {
@@ -566,7 +621,9 @@ object Vorbis {
                 if (vb.lookupType == 1) ((e / divisor) % l1v).toInt
                 else e * vb.dims + i2
               if (off < 0 || off >= vb.muls.length) return None
-              out(p * cfg.psize + k + i2) += vb.muls(off)
+              out(p * cfg.psize + k + i2) +=
+                (if (scaled) sc(0) + sc(1) * vb.muls(off)
+                 else vb.muls(off))
               divisor *= l1v
               i2 += 1
             }
@@ -1230,8 +1287,8 @@ object Vorbis {
     (lengths, codes)
   }
 
-  private def writeRzaBook(w: BitWriterLsb, docId: Long,
-      c: Int): Unit = {
+  private def writeRzaBook(w: BitWriterLsb, docId: Long, c: Int,
+      minRaw: Long = -1L, deltaRaw: Long = -1L): Unit = {
     val used = rzaUsedOf(docId, c)
     val lengths = rzaLengths(used)
     w.write(0x564342L, 24)
@@ -1240,8 +1297,13 @@ object Vorbis {
     w.write(0, 1); w.write(0, 1) // unordered, non-sparse
     lengths.foreach(l => w.write(l - 1, 5))
     w.write(rzaLookupOf(docId, c), 4)
-    w.write(0x43000000L + docId % 997, 32) // packed-float minimum
-    w.write(0x42000000L + docId % 991, 32) // packed-float delta
+    // default: FRACTIONAL packed floats (exponent 536 < 788) — the
+    // apply lane ignores them, and the scale lane's integer gate
+    // must refuse them
+    w.write(if (minRaw >= 0) minRaw
+      else 0x43000000L + docId % 997, 32) // packed-float minimum
+    w.write(if (deltaRaw >= 0) deltaRaw
+      else 0x42000000L + docId % 991, 32) // packed-float delta
     w.write(rzaValueBitsOf(docId, c) - 1, 4)
     w.write(0, 1) // sequence_p = 0: the integer-domain class
     var k = 0L
@@ -1250,6 +1312,47 @@ object Vorbis {
       w.write(rzaMulOf(docId, c, k), rzaValueBitsOf(docId, c))
       k += 1
     }
+  }
+
+  // --- residue SCALE fixture derivations (`mm_vorbis_residue_scale`):
+  // the apply lane's exact geometry/packet, but the value books carry
+  // INTEGER-EXACT packed-float min/delta (exponent 788 = 2^0), so the
+  // §3.2.2 mapping minimum + delta·multiplicand stays in the Long
+  // census domain.
+
+  /** Per-class integer minimum −20..20 (sign bit exercised). */
+  def rzsMinOf(docId: Long, c: Int): Long =
+    ((docId + 11 * c) % 41) - 20
+  /** Per-class integer delta 1..9. */
+  def rzsDeltaOf(docId: Long, c: Int): Long =
+    1 + (docId + 7 * c) % 9
+  /** Pack an integer |v| < 2^21 as a Vorbis float32 with
+    * exponent 788 (scale 2^0): sign bit, biased exponent, mantissa. */
+  def packFloat32(v: Long): Long = {
+    val a = math.abs(v)
+    require(a < (1L << 21), "fixture min/delta out of mantissa range")
+    (if (v < 0) 0x80000000L else 0L) | (788L << 21) | a
+  }
+
+  /** The residue-SCALE fixture stream: the apply stream's id page,
+    * class layout and packet, with integer-exact value books. */
+  def streamResidueScale(docId: Long): Array[Byte] = {
+    val serial = (docId & 0x7fffffffL).toInt | 1
+    val w = new BitWriterLsb
+    w.write(5, 8)
+    "vorbis".foreach(c => w.write(c.toLong, 8))
+    w.write(resClsOf(docId).toLong, 8) // 1 classbook + ncls value books
+    writeBook(w, docId, 0)
+    var c = 0
+    while (c < resClsOf(docId)) {
+      writeRzaBook(w, docId, c, packFloat32(rzsMinOf(docId, c)),
+        packFloat32(rzsDeltaOf(docId, c)))
+      c += 1
+    }
+    writeRzaResidueCfg(w, docId)
+    oggPage(0x02, 0, serial, 0, Seq(idPacket(docId))) ++
+      oggPage(0, 0, serial, 1, Seq(w.bytes)) ++
+      oggPage(0x04, 0, serial, 2, Seq(rzaPacket(docId)))
   }
 
   private def writeRzaResidueCfg(w: BitWriterLsb, docId: Long): Unit = {
@@ -1359,6 +1462,51 @@ object Vorbis {
     * path. */
   def residueApplyRow(b: Array[Byte]): InternalRow =
     parseResidueApply(b) match {
+      case Some((ns, nv, s, ws, nz)) => InternalRow(ns, nv, s, ws, nz)
+      case None => null
+    }
+
+  /** Parse + decode the SCALE fixture through the real config walk
+    * and [[decodeResidueScale]]: each slot now carries
+    * minimum + delta·multiplicand, and the positional weight is the
+    * ABSOLUTE spectrum offset (cfg.begin + slot + 1) — so the §8.6
+    * begin/end placement arithmetic is pinned, not just relative
+    * order. Returns (n_slots, n_values, sc_sum, sc_wsum, n_nonzero)
+    * or None (including any book whose min/delta is fractional). */
+  def parseResidueScale(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] = {
+    val packets = oggPackets(b).getOrElse(return None)
+    if (packets.length != 3) return None
+    val setup = packets(1)
+    if (setup.length < 8 || (setup(0) & 0xff) != 5 ||
+      new String(setup, 1, 6, "US-ASCII") != "vorbis") return None
+    val sr = new BitReaderLsb(setup, 7, setup.length)
+    val nb = sr.read(8).getOrElse(return None).toInt + 1
+    val books = new Array[Book](nb)
+    var j = 0
+    while (j < nb) {
+      books(j) = readBook(sr).getOrElse(return None)
+      j += 1
+    }
+    val cfg = readResidueCfg(sr).getOrElse(return None)
+    val rr = new BitReaderLsb(packets(2), 0, packets(2).length)
+    val (out, nVecs) =
+      decodeResidueScale(rr, cfg, books).getOrElse(return None)
+    var s = 0L; var ws = 0L; var nz = 0L
+    var i = 0
+    while (i < out.length) {
+      s += out(i)
+      ws += (cfg.begin + i + 1L) * out(i)
+      if (out(i) != 0L) nz += 1
+      i += 1
+    }
+    Some((out.length.toLong, nVecs, s, ws, nz))
+  }
+
+  /** [[parseResidueScale]] as an `InternalRow` for the codegen
+    * path. */
+  def residueScaleRow(b: Array[Byte]): InternalRow =
+    parseResidueScale(b) match {
       case Some((ns, nv, s, ws, nz)) => InternalRow(ns, nv, s, ws, nz)
       case None => null
     }

@@ -313,6 +313,77 @@ class VorbisSpec extends AnyFunSuite {
       Array(cbook, sbook)).isEmpty)
   }
 
+  test("float32_unpack integer-exact gate: exponent 788 = 2^0 " +
+    "values round-trip, sign bit honored, mantissa 0 is exact zero " +
+    "at any exponent, fractional/huge values fail closed") {
+    assert(Vorbis.float32UnpackExact(Vorbis.packFloat32(0L)) ==
+      Some(0L))
+    assert(Vorbis.float32UnpackExact(Vorbis.packFloat32(17L)) ==
+      Some(17L))
+    assert(Vorbis.float32UnpackExact(Vorbis.packFloat32(-20L)) ==
+      Some(-20L))
+    // exponent 789 doubles the mantissa
+    assert(Vorbis.float32UnpackExact((789L << 21) | 5L) == Some(10L))
+    // mantissa 0 is 0.0 regardless of exponent
+    assert(Vorbis.float32UnpackExact(536L << 21) == Some(0L))
+    // fractional: exponent below the 2^0 bias with nonzero mantissa
+    assert(Vorbis.float32UnpackExact((787L << 21) | 3L).isEmpty)
+    assert(Vorbis.float32UnpackExact(0x43000000L + 5L).isEmpty)
+    // overflow guard: exponent past the declared +20 window
+    assert(Vorbis.float32UnpackExact((809L << 21) | 1L).isEmpty)
+  }
+
+  test("residue SCALE triangle over docs 0..150: " +
+    "minimum + delta·multiplicand applied per element, absolute-" +
+    "offset positional wsum; the apply lane's FRACTIONAL books " +
+    "fail the integer gate") {
+    for (doc <- 0L to 150L) {
+      val Some((ns, nv, s, ws, nz)) =
+        Vorbis.parseResidueScale(Vorbis.streamResidueScale(doc))
+      val n = Vorbis.resPartsOf(doc)
+      val psize = Vorbis.rzaPsizeOf(doc)
+      assert(ns == n.toLong * psize, s"doc $doc n_slots")
+      val slots = Array.fill(n * psize)(0L)
+      var vecs = 0L
+      for (p <- 0 until n) {
+        val cls = Vorbis.rzaClassOf(doc, p)
+        if (Vorbis.rzaCascadeOf(doc, cls) == 1) {
+          val dv = Vorbis.rzaDimsOf(doc, cls)
+          val lt = Vorbis.rzaLookupOf(doc, cls)
+          val used = Vorbis.rzaUsedOf(doc, cls)
+          val l1v = Vorbis.lookup1Values(used, dv)
+          val mi = Vorbis.rzsMinOf(doc, cls)
+          val de = Vorbis.rzsDeltaOf(doc, cls)
+          for (k <- 0 until psize / dv) {
+            vecs += 1
+            val e = Vorbis.rzaEntryOf(doc, p, k)
+            var divisor = 1L
+            for (i <- 0 until dv) {
+              val off =
+                if (lt == 1) ((e / divisor) % l1v).toInt
+                else e * dv + i
+              slots(p * psize + k * dv + i) +=
+                mi + de * Vorbis.rzaMulOf(doc, cls, off)
+              divisor *= l1v
+            }
+          }
+        }
+      }
+      assert(nv == vecs, s"doc $doc n_values")
+      assert(s == slots.sum, s"doc $doc sc_sum")
+      assert(ws == slots.zipWithIndex.map { case (v, i) =>
+        (8L + i + 1L) * v }.sum, s"doc $doc sc_wsum (absolute offset)")
+      assert(nz == slots.count(_ != 0L), s"doc $doc n_nonzero")
+    }
+    // the apply fixture's books carry fractional packed floats
+    // (exponent 536): the scale decode must refuse them while the
+    // raw-multiplicand apply decode accepts the same stream
+    val applyStream = Vorbis.streamResidueApply(9L)
+    assert(Vorbis.parseResidueApply(applyStream).isDefined)
+    assert(Vorbis.parseResidueScale(applyStream).isEmpty,
+      "fractional min/delta books must fail the integer gate")
+  }
+
   test("residue decoders fail closed on hostile configs BEFORE " +
     "allocating: end < begin, psize non-divisor, oversized range") {
     val Some(book) = Vorbis.readBook(
