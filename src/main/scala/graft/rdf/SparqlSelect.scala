@@ -193,10 +193,14 @@ object SparqlSelect {
   final case class ValuesClause(v: String, vals: Seq[String])
 
   /** One §13 SERVICE clause: a constant endpoint, the SILENT flag,
-    * and the remote basic graph pattern (plain triple patterns —
-    * the subset this engine serializes back to query text). */
+    * the remote basic graph pattern (plain triple patterns — the
+    * subset this engine serializes back to query text), and the
+    * FILTERs written inside the block — serialized into the remote
+    * query (so a conformant endpoint returns only matching rows)
+    * AND re-applied locally to the returned frame (so a
+    * non-conformant endpoint cannot widen the result). */
   final case class ServiceClause(endpoint: String, silent: Boolean,
-      patterns: Seq[Pattern])
+      patterns: Seq[Pattern], filters: Seq[FilterExpr] = Nil)
 
   /** Federated-endpoint seam (§13.3): given (endpoint IRI, SPARQL
     * query text) return the remote solution rows as var → lexical
@@ -1320,7 +1324,14 @@ object SparqlSelect {
           }
           expect("{")
           val ps = Seq.newBuilder[Pattern]
-          while (peek != "}") ps ++= triples()
+          val sfs = Seq.newBuilder[FilterExpr]
+          while (peek != "}") {
+            if (kw("FILTER")) {
+              next(); expect("(")
+              sfs ++= filterConds()
+              expect(")")
+            } else ps ++= triples()
+          }
           expect("}")
           val block = ps.result()
           require(block.nonEmpty, "SPARQL: empty SERVICE block")
@@ -1332,7 +1343,16 @@ object SparqlSelect {
                 "patterns only (no paths/GRAPH) — the subset the " +
                 "engine can serialize back to the remote query")
           }
-          svcs += ServiceClause(ep, silent, block)
+          val sfilters = sfs.result()
+          sfilters.foreach {
+            case _: LangCond | _: KindCond =>
+              throw new IllegalArgumentException("SPARQL: " +
+                "LANGMATCHES/ISIRI/... inside SERVICE is not " +
+                "supported — remote frames are lexical (no term " +
+                "metadata to re-check locally)")
+            case _ =>
+          }
+          svcs += ServiceClause(ep, silent, block, sfilters)
         } else if (kw("VALUES")) {
           next()
           vals += valuesClause()
@@ -2116,7 +2136,8 @@ object SparqlSelect {
     * VALUES block, so the endpoint returns only joinable rows
     * instead of its full pattern extension. */
   private[rdf] def serviceQueryText(ps: Seq[Pattern],
-      bound: Option[(Seq[String], Seq[Seq[String]])] = None): String = {
+      bound: Option[(Seq[String], Seq[Seq[String]])] = None,
+      filters: Seq[FilterExpr] = Nil): String = {
     def termStr(x: Term): String = x match {
       case V(n) => s"?$n"
       case I(iri) => s"<$iri>"
@@ -2132,7 +2153,33 @@ object SparqlSelect {
         .mkString(" ")
       s"VALUES $hdr { $rs } "
     }.getOrElse("")
-    s"SELECT * WHERE { $values$body }"
+    val fs = filters.map(f => s" FILTER(${filterText(f)})")
+      .mkString
+    s"SELECT * WHERE { $values$body$fs }"
+  }
+
+  private def quoteLit(s: String): String = "\"" +
+    s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Serialize one in-SERVICE FILTER condition back to SPARQL text
+    * for the remote query — the inverse of the parser over the
+    * supported (non-binding-site) condition forms. */
+  private[rdf] def filterText(f: FilterExpr): String = f match {
+    case Cond(v, op, Left(n)) => s"?$v $op $n"
+    case Cond(v, op, Right(s)) => s"?$v $op ${quoteLit(s)}"
+    case TextCond(v, "regex", p) => s"REGEX(?$v, ${quoteLit(p)})"
+    case TextCond(v, "strstarts", s) => s"STRSTARTS(?$v, ${quoteLit(s)})"
+    case TextCond(v, "strends", s) => s"STRENDS(?$v, ${quoteLit(s)})"
+    case TextCond(v, _, s) => s"CONTAINS(?$v, ${quoteLit(s)})"
+    case BoundCond(v, positive) =>
+      if (positive) s"BOUND(?$v)" else s"!BOUND(?$v)"
+    case InCond(v, vals, positive) =>
+      s"?$v ${if (positive) "IN" else "NOT IN"} " +
+        vals.map(quoteLit).mkString("(", ", ", ")")
+    case VarCond(a, op, b) => s"?$a $op ?$b"
+    case OrCond(alts) => alts.map(filterText).mkString(" || ")
+    case _ => throw new IllegalStateException(
+      "binding-site conditions are rejected at parse inside SERVICE")
   }
 
   /** Re-serialize one LEXICAL solution value as a SPARQL term for a
@@ -2176,7 +2223,8 @@ object SparqlSelect {
       bound: Option[(Seq[String], Seq[Seq[String]])] = None)
       : Option[DataFrame] = {
     val vars = sc.patterns.flatMap(varsOf).distinct
-    svc.fetch(sc.endpoint, serviceQueryText(sc.patterns, bound)) match {
+    svc.fetch(sc.endpoint,
+        serviceQueryText(sc.patterns, bound, sc.filters)) match {
       case None if sc.silent => None
       case None => throw new IllegalArgumentException(
         s"SPARQL: SERVICE <${sc.endpoint}> failed (add SILENT to " +
@@ -2189,7 +2237,13 @@ object SparqlSelect {
         val data = rows.map(m => org.apache.spark.sql.Row(
           vars.map(v => m.getOrElse(v, null)): _*))
         import scala.jdk.CollectionConverters._
-        Some(sp.createDataFrame(data.asJava, schema))
+        // re-apply the block's FILTERs locally: idempotent on a
+        // conformant endpoint's rows, corrective on one that
+        // ignored the pushed text — the result never depends on
+        // remote conformance
+        Some(sc.filters.foldLeft(
+          sp.createDataFrame(data.asJava, schema))(
+          (df, c) => df.filter(condColR(c, col))))
     }
   }
 

@@ -225,6 +225,79 @@ class SparqlServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("FILTER inside SERVICE rides the remote query text AND is " +
+    "re-applied locally, so a non-conformant endpoint cannot widen " +
+    "the result") {
+    val (item, title) = anyItem
+    var sent: String = null
+    withServer { ex =>
+      sent = java.net.URLDecoder.decode(
+        ex.getRequestURI.getQuery.stripPrefix("query="), "UTF-8")
+      // a NON-CONFORMANT endpoint: ignores the pushed FILTER and
+      // returns rows that do not satisfy it
+      (200, resultsJson(Seq(
+        Map("item" -> item, "stars" -> "5"),
+        Map("item" -> item, "stars" -> "2"))))
+    } { ep =>
+      s.conf.set(SparqlSelect.serviceBindingBudgetConf, "0")
+      val rows = try SparqlSelect(t,
+        s"""PREFIX dcterms: <http://purl.org/dc/terms/>
+           |SELECT ?item ?title ?stars WHERE {
+           |  ?item dcterms:title ?title .
+           |  SERVICE <$ep> {
+           |    ?item <http://ex.org/stars> ?stars .
+           |    FILTER(?stars > 3)
+           |  }
+           |}""".stripMargin,
+        SparqlSelect.HttpServiceClient).collect()
+      finally s.conf.unset(SparqlSelect.serviceBindingBudgetConf)
+      assert(sent == "SELECT * WHERE { ?item " +
+        "<http://ex.org/stars> ?stars . FILTER(?stars > 3) }",
+        s"the FILTER must ride the remote query:\n$sent")
+      // local re-application pruned the non-matching remote row
+      assert(rows.length == 1 && rows.head.getString(0) == item &&
+        rows.head.getString(1) == title &&
+        rows.head.getString(2) == "5")
+    }
+  }
+
+  test("FILTER text serialization covers the condition forms; " +
+    "binding-site conditions inside SERVICE reject at parse") {
+    var sent: String = null
+    withServer { ex =>
+      sent = java.net.URLDecoder.decode(
+        ex.getRequestURI.getQuery.stripPrefix("query="), "UTF-8")
+      (200, resultsJson(Nil))
+    } { ep =>
+      SparqlSelect(t,
+        s"""SELECT ?s ?v WHERE {
+           |  SERVICE <$ep> {
+           |    ?s <http://ex.org/p> ?v .
+           |    FILTER(CONTAINS(?v, "a\\"b"))
+           |    FILTER(?v = "x" || ?v > 7)
+           |    FILTER(?v NOT IN ("p", "q"))
+           |  }
+           |}""".stripMargin,
+        SparqlSelect.HttpServiceClient).collect()
+      assert(sent == "SELECT * WHERE { ?s <http://ex.org/p> ?v . " +
+        "FILTER(CONTAINS(?v, \"a\\\"b\")) " +
+        "FILTER(?v = \"x\" || ?v > 7) " +
+        "FILTER(?v NOT IN (\"p\", \"q\")) }",
+        s"serialized filter text diverged:\n$sent")
+      val err = intercept[IllegalArgumentException] {
+        SparqlSelect(t,
+          s"""SELECT ?s ?v WHERE {
+             |  SERVICE <$ep> {
+             |    ?s <http://ex.org/p> ?v .
+             |    FILTER(ISIRI(?v))
+             |  }
+             |}""".stripMargin,
+          SparqlSelect.HttpServiceClient)
+      }
+      assert(err.getMessage.contains("inside SERVICE"))
+    }
+  }
+
   test("SERVICE SILENT degrades a failing endpoint to the unit " +
     "solution; without SILENT the failure is loud and names the " +
     "endpoint") {
