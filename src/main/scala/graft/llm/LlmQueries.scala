@@ -186,6 +186,7 @@ object LlmQueries {
     "mm_mp3_part3" -> mp3Part3,
     "mm_h264_cavlc" -> h264Cavlc,
     "mm_h264_cavlc_luma" -> h264CavlcLuma,
+    "mm_h264_cavlc_full" -> h264CavlcFull,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
     "mm_id3_v22" -> id3V22,
     "mm_id3_tags" -> id3Tags,
@@ -7459,6 +7460,37 @@ object LlmQueries {
         col("m.sum_tz").as("sum_tz"))
   }
 
+  /** COMBINED-residual CAVLC decode (`mm_h264_cavlc_full`) — the
+    * region SEQUENCE the isolated lanes pin separately, the
+    * `mm_mp3_part3` discipline for video: every macroblock is
+    * I_16x16_<pred>_1_0 and its macroblock_layer carries a REAL
+    * luma-DC block (the luma lane's full column + escapes) followed
+    * by the two chroma-DC blocks (the chroma lane's nC = −1 walk)
+    * in ONE bitstream — the boundary between the classes is
+    * implicit in the codeword widths, so any slip in either walk
+    * desynchronizes the other and fails closed at the rbsp
+    * trailing check. Oracle = the two lanes' closed forms summed
+    * per class. Map-side construct → decode → project. */
+  def h264CavlcFull(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val payloads = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map(id =>
+          (id, graft.multimodal.H264Fixture.annexBCavlcFull(id)))
+      }.toDF("doc_id", "payload")
+    payloads
+      .withColumn("m", graft.functions.H264CavlcFullExpr(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_mbs").as("n_mbs"),
+        col("m.n_luma").as("n_luma"),
+        col("m.luma_sum").as("luma_sum"),
+        col("m.n_chroma").as("n_chroma"),
+        col("m.chroma_sum").as("chroma_sum"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_tz").as("sum_tz"))
+  }
+
   /** FULL part3 decode (`mm_mp3_part3`) — the region SEQUENCE the
     * isolated lanes pin separately: per long-block granule ×
     * channel, the big-values pairs (verified B.7 subset) followed
@@ -12451,6 +12483,86 @@ object LlmQueries {
         |  b.sum_tz
         |FROM base b LEFT JOIN tr ON b.doc_id = tr.doc_id
         |LEFT JOIN lv ON b.doc_id = lv.doc_id""".stripMargin,
+
+    // the two lanes' closed forms in one row: luma sums from the
+    // luma parameter rules, chroma sums from the chroma rules,
+    // negatives and total_zeros combined
+    "mm_h264_cavlc_full" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS n_mbs
+        |  FROM documents),
+        |lblk AS (SELECT doc_id, n_mbs, mb.mb,
+        |    (doc_id * 3 + mb.mb * 7) % 17 AS tc,
+        |    LEAST((doc_id * 3 + mb.mb * 7) % 17,
+        |      (doc_id + mb.mb) % 4) AS t1
+        |  FROM t, (SELECT unnest([0, 1, 2]) AS mb) mb
+        |  WHERE mb.mb < n_mbs),
+        |lblk2 AS (SELECT *,
+        |    CASE WHEN tc = 0 OR tc = 16 THEN 0
+        |      ELSE (doc_id + mb) % (17 - tc) END AS tz
+        |  FROM lblk),
+        |ltrail AS (SELECT doc_id,
+        |    CAST((doc_id + mb + j) % 2 AS BIGINT) AS neg
+        |  FROM lblk2, (SELECT unnest([0, 1, 2]) AS j) jj
+        |  WHERE jj.j < t1),
+        |llev AS (SELECT doc_id,
+        |    2 + (doc_id + mb * 5 + j * 3) % 19 AS lv,
+        |    CAST((doc_id + mb * 2 + j) % 2 AS BIGINT) AS neg
+        |  FROM lblk2, (SELECT unnest(range(0, 16)) AS j) jj
+        |  WHERE jj.j < tc - t1),
+        |lagg AS (SELECT doc_id,
+        |    CAST(SUM(tc) AS BIGINT) AS n_luma,
+        |    CAST(SUM(tz) AS BIGINT) AS ltz
+        |  FROM lblk2 GROUP BY 1),
+        |lsum AS (SELECT doc_id,
+        |    CAST(SUM(neg) AS BIGINT) AS lneg,
+        |    CAST(SUM(sv) AS BIGINT) AS lsum
+        |  FROM (SELECT doc_id, neg, 1 - 2 * neg AS sv FROM ltrail
+        |    UNION ALL
+        |    SELECT doc_id, neg, lv * (1 - 2 * neg) AS sv FROM llev)
+        |  GROUP BY 1),
+        |cblk AS (SELECT doc_id, n_mbs, mb.mb, u.u,
+        |    (doc_id + mb.mb * 3 + u.u * 2) % 5 AS tc,
+        |    LEAST((doc_id + mb.mb * 3 + u.u * 2) % 5,
+        |      (doc_id + mb.mb + u.u) % 4) AS t1
+        |  FROM t, (SELECT unnest([0, 1, 2]) AS mb) mb,
+        |    (SELECT unnest([0, 1]) AS u) u
+        |  WHERE mb.mb < n_mbs),
+        |cblk2 AS (SELECT *,
+        |    CASE WHEN tc = 0 OR tc = 4 THEN 0
+        |      ELSE (doc_id + mb + u) % (5 - tc) END AS tz
+        |  FROM cblk),
+        |ctrail AS (SELECT doc_id,
+        |    CAST((doc_id + mb + u + j) % 2 AS BIGINT) AS neg
+        |  FROM cblk2, (SELECT unnest([0, 1, 2]) AS j) jj
+        |  WHERE jj.j < t1),
+        |clev AS (SELECT doc_id,
+        |    2 + (doc_id + mb * 5 + u * 7 + j * 3) % 3 AS lv,
+        |    CAST((doc_id + u + j) % 2 AS BIGINT) AS neg
+        |  FROM cblk2, (SELECT unnest([0, 1, 2, 3]) AS j) jj
+        |  WHERE jj.j < tc - t1),
+        |cagg AS (SELECT doc_id,
+        |    CAST(SUM(tc) AS BIGINT) AS n_chroma,
+        |    CAST(SUM(tz) AS BIGINT) AS ctz
+        |  FROM cblk2 GROUP BY 1),
+        |csum AS (SELECT doc_id,
+        |    CAST(SUM(neg) AS BIGINT) AS cneg,
+        |    CAST(SUM(sv) AS BIGINT) AS csum
+        |  FROM (SELECT doc_id, neg, 1 - 2 * neg AS sv FROM ctrail
+        |    UNION ALL
+        |    SELECT doc_id, neg, lv * (1 - 2 * neg) AS sv FROM clev)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, t.n_mbs,
+        |  COALESCE(la.n_luma, 0) AS n_luma,
+        |  COALESCE(ls.lsum, 0) AS luma_sum,
+        |  COALESCE(ca.n_chroma, 0) AS n_chroma,
+        |  COALESCE(cs.csum, 0) AS chroma_sum,
+        |  COALESCE(ls.lneg, 0) + COALESCE(cs.cneg, 0) AS n_neg,
+        |  COALESCE(la.ltz, 0) + COALESCE(ca.ctz, 0) AS sum_tz
+        |FROM t LEFT JOIN lagg la ON t.doc_id = la.doc_id
+        |LEFT JOIN lsum ls ON t.doc_id = ls.doc_id
+        |LEFT JOIN cagg ca ON t.doc_id = ca.doc_id
+        |LEFT JOIN csum cs ON t.doc_id = cs.doc_id""".stripMargin,
 
     // closed-form replay of the luma-lane fixture parameters
     // (H264Fixture.lumaTc/lumaT1/lumaTz/lumaLevelAbs/...): the Spark

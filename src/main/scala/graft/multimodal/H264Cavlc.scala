@@ -462,6 +462,64 @@ object H264Cavlc {
     case None => null
   }
 
+  /** Decode the COMBINED-residual Annex-B class — every macroblock
+    * I_16x16_<pred>_1_0 (chroma CBP 1 / luma CBP 0) whose
+    * macroblock_layer carries BOTH block classes in sequence: a
+    * REAL luma-DC block (full 0 ≤ nC < 2 column, escapes, 4×4
+    * total_zeros — luma CBP 0 only gates the AC blocks; the
+    * I_16x16 DC block is always coded) followed by the two chroma
+    * DC blocks. The region boundary between the classes is implicit
+    * in the codeword widths — a slip in either walk desynchronizes
+    * the other (the `mm_mp3_part3` sequencing discipline). The
+    * nC = 0 argument is [[decodeLuma]]'s (one MB row, AC neighbours
+    * uncoded). Returns (n_mbs, n_luma, luma_sum, n_chroma,
+    * chroma_sum, n_neg, sum_tz). */
+  def decodeFull(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long, Long, Long)] =
+    try {
+      sliceSetup(b) match {
+        case None => None
+        case Some((wMbs, hMbs, r)) =>
+          if (hMbs != 1) return None
+          var nLuma = 0L; var lumaSum = 0L
+          var nChroma = 0L; var chromaSum = 0L
+          var nNeg = 0L; var sumTz = 0L
+          var mb = 0
+          while (mb < wMbs) {
+            val mbt = r.ue()
+            if (mbt < 5 || mbt > 8) return None
+            val icp = r.ue()
+            if (icp > 3) return None
+            r.se() // mb_qp_delta
+            val lb = residualBlock(r, LumaCoeffToken01, 16,
+              TotalZeros4x4)
+            if (lb == null) return None
+            nLuma += lb.tc; lumaSum += lb.sum; nNeg += lb.nNeg
+            sumTz += lb.tz
+            var u = 0
+            while (u < 2) {
+              val cb = chromaDcBlock(r)
+              if (cb == null) return None
+              nChroma += cb.tc; chromaSum += cb.sum; nNeg += cb.nNeg
+              sumTz += cb.tz
+              u += 1
+            }
+            mb += 1
+          }
+          if (r.u1() != 1) return None // rbsp_stop_one_bit
+          Some((wMbs.toLong, nLuma, lumaSum, nChroma, chromaSum,
+            nNeg, sumTz))
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** [[decodeFull]] as an `InternalRow` for the
+    * [[graft.functions.H264CavlcFullExpr]] codegen path. */
+  def decodeFullRow(b: Array[Byte]): InternalRow = decodeFull(b) match {
+    case Some((nm, nl, ls, nc, cs, nn, tz)) =>
+      InternalRow(nm, nl, ls, nc, cs, nn, tz)
+    case None => null
+  }
+
   /** [[decodeLuma]] as an `InternalRow` for the
     * [[graft.functions.H264CavlcLumaExpr]] codegen path. Null = not
     * a luma-DC-CAVLC-decodable stream. */

@@ -475,6 +475,43 @@ object H264Fixture {
       Start4, Array[Byte](0x65) ++ slice)
   }
 
+  /** IDR slice RBSP whose macroblocks carry BOTH residual classes:
+    * a REAL luma-DC block (the luma lane's parameter rules) then
+    * the two chroma-DC blocks (the chroma lane's) — mb_type
+    * I_16x16_<pred>_1_0. */
+  def cavlcFullSliceRbsp(d: Long): Array[Byte] = {
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(7) // slice_type: I (all slices)
+    bw.ue(0) // pic_parameter_set_id
+    bw.u(4, 0) // frame_num
+    bw.ue((d % 4).toInt) // idr_pic_id
+    bw.u(4, 0) // pic_order_cnt_lsb
+    bw.bit(0); bw.bit(0) // IDR ref marking flags
+    bw.se(0) // slice_qp_delta
+    for (mb <- 0 until cavlcMbs(d)) {
+      bw.ue(5 + cavlcPred(d, mb)) // mb_type: I_16x16_<pred>_1_0
+      bw.ue(cavlcIcp(d, mb)) // intra_chroma_pred_mode
+      bw.se(cavlcQpd(d, mb)) // mb_qp_delta
+      writeLumaDc(bw, d, mb)
+      writeChromaDc(bw, d, mb, 0)
+      writeChromaDc(bw, d, mb, 1)
+    }
+    bw.stopAlign()
+    bw.bytes
+  }
+
+  /** Three-NAL combined-residual CAVLC stream: SPS, PPS, IDR
+    * slice with real luma-DC AND chroma-DC blocks per macroblock. */
+  def annexBCavlcFull(d: Long): Array[Byte] = {
+    val sps = escapeRbsp(spsRbsp(cavlcParams(d)))
+    val slice = escapeRbsp(cavlcFullSliceRbsp(d))
+    Array.concat(
+      Start4, Array[Byte](0x67) ++ sps,
+      Start4, Array[Byte](0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Start4, Array[Byte](0x65) ++ slice)
+  }
+
   /** Three-NAL chroma-DC CAVLC stream: SPS, PPS, IDR slice. */
   def annexBCavlc(d: Long): Array[Byte] = {
     val sps = escapeRbsp(spsRbsp(cavlcParams(d)))

@@ -105,8 +105,10 @@ import org.apache.spark.sql.functions._
   * table (`mm_h264_cavlc`) and luma-DC blocks through the FULL
   * Table 9-5 0 ≤ nC < 2 coeff_token column with the complete
   * §9.2.2.1 escape arithmetic, Tables 9-7/9-8 total_zeros and the
-  * full run_before table (`mm_h264_cavlc_luma`) — under the same
-  * self-checked transcription discipline ([[H264Cavlc]]). What
+  * full run_before table (`mm_h264_cavlc_luma`), plus both classes
+  * SEQUENCED in one macroblock_layer (`mm_h264_cavlc_full`) —
+  * under the same self-checked transcription discipline
+  * ([[H264Cavlc]]). What
   * remains a clearly-marked DETERMINISTIC FAKE is decode whose
   * larger Huffman trees are memorized SPEC CONSTANTS with no
   * in-container pin (MP3 big-values tables 6–31 — above all the

@@ -127,6 +127,72 @@ class H264CavlcSpec extends AnyFunSuite {
       b.tz == 0, s"tc=${b.tc} sum=${b.sum}")
   }
 
+  test("COMBINED lane triangle over 240 documents: real luma-DC + " +
+    "two chroma-DC blocks per macroblock in one bitstream, region " +
+    "boundary implicit in the codeword widths") {
+    for (d <- 0L until 240L) {
+      val Some((nMbs, nLuma, lumaSum, nChroma, chromaSum, nNeg,
+        sumTz)) = H264Cavlc.decodeFull(H264Fixture.annexBCavlcFull(d))
+      val mbs = H264Fixture.cavlcMbs(d)
+      assert(nMbs == mbs.toLong)
+      val lvals = (0 until mbs).flatMap { mb =>
+        val t1 = H264Fixture.lumaT1(d, mb)
+        val nt = H264Fixture.lumaTc(d, mb) - t1
+        (0 until t1).map(j =>
+          if (H264Fixture.lumaTrailSign(d, mb, j) == 1) -1L else 1L) ++
+          (0 until nt).map { j =>
+            val a = H264Fixture.lumaLevelAbs(d, mb, j).toLong
+            if (H264Fixture.lumaLevelNeg(d, mb, j) == 1) -a else a
+          }
+      }
+      val cvals = (for (mb <- 0 until mbs; u <- 0 to 1) yield (mb, u))
+        .flatMap { case (mb, u) =>
+          val t1 = H264Fixture.cavlcT1(d, mb, u)
+          val nt = H264Fixture.cavlcTc(d, mb, u) - t1
+          (0 until t1).map(j =>
+            if (H264Fixture.cavlcTrailSign(d, mb, u, j) == 1) -1L
+            else 1L) ++
+            (0 until nt).map { j =>
+              val a = H264Fixture.cavlcLevelAbs(d, mb, u, j).toLong
+              if (H264Fixture.cavlcLevelNeg(d, mb, u, j) == 1) -a
+              else a
+            }
+        }
+      assert(nLuma == (0 until mbs).map(mb =>
+        H264Fixture.lumaTc(d, mb).toLong).sum, s"n_luma d=$d")
+      assert(lumaSum == lvals.sum, s"luma_sum d=$d")
+      assert(nChroma == (for (mb <- 0 until mbs; u <- 0 to 1)
+        yield H264Fixture.cavlcTc(d, mb, u).toLong).sum,
+        s"n_chroma d=$d")
+      assert(chromaSum == cvals.sum, s"chroma_sum d=$d")
+      assert(nNeg == (lvals ++ cvals).count(_ < 0).toLong,
+        s"n_neg d=$d")
+      assert(sumTz == ((0 until mbs).map(mb =>
+        H264Fixture.lumaTz(d, mb).toLong).sum +
+        (for (mb <- 0 until mbs; u <- 0 to 1)
+          yield H264Fixture.cavlcTz(d, mb, u).toLong).sum),
+        s"sum_tz d=$d")
+    }
+    // cross-lane boundaries: the full decoder accepts a chroma-lane
+    // stream (its luma DC is the empty codeword — a sub-class), but
+    // the CHROMA decoder must refuse a full stream (real luma DC)
+    // and the LUMA decoder must refuse it too (chroma CBP 1)
+    assert(H264Cavlc.decodeFull(H264Fixture.annexBCavlc(5L)).isDefined)
+    assert(H264Cavlc.decode(H264Fixture.annexBCavlcFull(5L)).isEmpty)
+    assert(H264Cavlc.decodeLuma(H264Fixture.annexBCavlcFull(5L)).isEmpty)
+    // desync adversaries: corrupt the residual region
+    val good = H264Fixture.annexBCavlcFull(11L)
+    var caught = 0
+    for (off <- math.max(0, good.length - 16) until good.length - 1) {
+      val bad = good.clone()
+      bad(off) = (bad(off) ^ 0x10).toByte
+      if (H264Cavlc.decodeFull(bad).isEmpty) caught += 1
+    }
+    assert(caught > 0, "no combined-region corruption was caught")
+    assert(H264Cavlc.decodeFull(good.dropRight(2)).isEmpty)
+    assert(H264Cavlc.decodeFull(null).isEmpty)
+  }
+
   test("luma lane fail-closed: chroma-lane streams (mbt 5..8), PCM " +
     "streams, corrupted residual bits, truncation, multi-row " +
     "pictures") {
