@@ -187,6 +187,7 @@ object LlmQueries {
     "mm_h264_cavlc" -> h264Cavlc,
     "mm_h264_cavlc_luma" -> h264CavlcLuma,
     "mm_h264_cavlc_full" -> h264CavlcFull,
+    "mm_h264_cavlc_ac" -> h264CavlcAc,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
     "mm_id3_v22" -> id3V22,
     "mm_id3_tags" -> id3Tags,
@@ -7491,6 +7492,46 @@ object LlmQueries {
         col("m.sum_tz").as("sum_tz"))
   }
 
+  /** LUMA-AC CAVLC residual decode (`mm_h264_cavlc_ac`) — the lane
+    * where H.264's §9.2.1 neighbour-nC machinery finally RUNS: every
+    * macroblock is I_16x16_<pred>_0_1 (luma CBP 15 / chroma CBP 0),
+    * so its macroblock_layer codes one Intra16x16DCLevel block plus
+    * SIXTEEN Intra16x16ACLevel blocks, and each block's Table 9-5
+    * coeff_token column is selected by the decoded TotalCoeff of its
+    * §6.4.10.4 neighbours (left crossing macroblock boundaries) —
+    * columns 0 ≤ nC < 2 and 2 ≤ nC < 4 (Kraft-gated
+    * transcriptions), the ALGORITHMIC nC ≥ 8 six-bit FLC, the
+    * declared fail-closed 4 ≤ nC < 8 band. The fixture's AC
+    * TotalCoeffs come from {0,1,2,3,15} — a set closed under the nC
+    * formula so every reachable nC lands in a shipped band, with the
+    * 15s pushing neighbours into the FLC column. `sum_nc` makes the
+    * neighbour arithmetic itself part of the census: the oracle
+    * replays it RELATIONALLY (a coordinate self-join), the third
+    * independent spelling beside the decoder's transcribed index
+    * arrays and the fixture's raster-coordinate derivation.
+    * Map-side construct → decode → project. */
+  def h264CavlcAc(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val payloads = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map(id =>
+          (id, graft.multimodal.H264Fixture.annexBCavlcAc(id)))
+      }.toDF("doc_id", "payload")
+    payloads
+      .withColumn("m", graft.functions.H264CavlcAcExpr(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_mbs").as("n_mbs"),
+        col("m.n_dc").as("n_dc"),
+        col("m.dc_sum").as("dc_sum"),
+        col("m.n_ac").as("n_ac"),
+        col("m.ac_sum").as("ac_sum"),
+        col("m.n_t1").as("n_t1"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_tz").as("sum_tz"),
+        col("m.sum_nc").as("sum_nc"))
+  }
+
   /** FULL part3 decode (`mm_mp3_part3`) — the region SEQUENCE the
     * isolated lanes pin separately: per long-block granule ×
     * channel, the big-values pairs (verified B.7 subset) followed
@@ -12609,6 +12650,114 @@ object LlmQueries {
         |  b.sum_tz
         |FROM base b LEFT JOIN tr ON b.doc_id = tr.doc_id
         |LEFT JOIN lv ON b.doc_id = lv.doc_id""".stripMargin,
+
+    // closed-form replay of the AC-lane fixture parameters
+    // (H264Fixture.acTc/acT1/acTz/acLevelAbs/... + the luma rules
+    // for the DC block) — including the §9.2.1 nC derivation spelled
+    // RELATIONALLY as a raster-coordinate self-join over the blocks
+    // (the third independent derivation beside the decoder's
+    // transcribed §6.4.10.4 index arrays and the fixture's
+    // coordinate formulas): sum_nc disagrees the moment any of the
+    // three neighbour spellings drifts
+    "mm_h264_cavlc_ac" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS n_mbs
+        |  FROM documents),
+        |mbs AS (SELECT doc_id, n_mbs, mb.mb FROM t,
+        |  (SELECT unnest([0, 1, 2]) AS mb) mb WHERE mb.mb < n_mbs),
+        |ab AS (SELECT doc_id, mb, b.b,
+        |    2 * ((b.b // 4) % 2) + b.b % 2 AS xb,
+        |    2 * (b.b // 8) + (b.b // 2) % 2 AS yb,
+        |    list_extract([0, 1, 2, 3, 15, 2, 1],
+        |      CAST((doc_id + mb * 3 + b.b * 5) % 7 AS INT) + 1) AS tc,
+        |    LEAST(list_extract([0, 1, 2, 3, 15, 2, 1],
+        |        CAST((doc_id + mb * 3 + b.b * 5) % 7 AS INT) + 1),
+        |      (doc_id + mb + b.b) % 4) AS t1
+        |  FROM mbs, (SELECT unnest(range(0, 16)) AS b) b),
+        |ab2 AS (SELECT *, CASE WHEN tc = 0 OR tc = 15 THEN 0
+        |    ELSE (doc_id + mb + b) % (16 - tc) END AS tz FROM ab),
+        |nc AS (SELECT a.doc_id, a.mb, a.b, a.tc, a.t1, a.tz,
+        |    CASE
+        |      WHEN (a.xb > 0 OR a.mb > 0) AND a.yb > 0
+        |        THEN (COALESCE(lft.tc, lmb.tc) + top.tc + 1) // 2
+        |      WHEN a.xb > 0 OR a.mb > 0
+        |        THEN COALESCE(lft.tc, lmb.tc)
+        |      WHEN a.yb > 0 THEN top.tc
+        |      ELSE 0 END AS nc
+        |  FROM ab2 a
+        |  LEFT JOIN ab2 lft ON a.doc_id = lft.doc_id
+        |    AND a.mb = lft.mb AND lft.xb = a.xb - 1
+        |    AND lft.yb = a.yb
+        |  LEFT JOIN ab2 lmb ON a.doc_id = lmb.doc_id
+        |    AND lmb.mb = a.mb - 1 AND lmb.xb = 3 AND lmb.yb = a.yb
+        |  LEFT JOIN ab2 top ON a.doc_id = top.doc_id
+        |    AND a.mb = top.mb AND top.xb = a.xb
+        |    AND top.yb = a.yb - 1),
+        |dc AS (SELECT doc_id, mb,
+        |    (doc_id * 3 + mb * 7) % 17 AS tc,
+        |    LEAST((doc_id * 3 + mb * 7) % 17,
+        |      (doc_id + mb) % 4) AS t1,
+        |    CASE WHEN (doc_id * 3 + mb * 7) % 17 IN (0, 16) THEN 0
+        |      ELSE (doc_id + mb) %
+        |        (17 - (doc_id * 3 + mb * 7) % 17) END AS tz,
+        |    CASE WHEN mb = 0 THEN 0
+        |      ELSE list_extract([0, 1, 2, 3, 15, 2, 1],
+        |        CAST((doc_id + (mb - 1) * 3 + 25) % 7 AS INT) + 1)
+        |      END AS nc
+        |  FROM mbs),
+        |dctr AS (SELECT doc_id,
+        |    CAST((doc_id + mb + j) % 2 AS BIGINT) AS neg
+        |  FROM dc, (SELECT unnest([0, 1, 2]) AS j) jj
+        |  WHERE jj.j < t1),
+        |dclv AS (SELECT doc_id,
+        |    2 + (doc_id + mb * 5 + j * 3) % 19 AS lv,
+        |    CAST((doc_id + mb * 2 + j) % 2 AS BIGINT) AS neg
+        |  FROM dc, (SELECT unnest(range(0, 16)) AS j) jj
+        |  WHERE jj.j < tc - t1),
+        |actr AS (SELECT doc_id,
+        |    CAST((doc_id + mb + b + j) % 2 AS BIGINT) AS neg
+        |  FROM nc, (SELECT unnest([0, 1, 2]) AS j) jj
+        |  WHERE jj.j < t1),
+        |aclv AS (SELECT doc_id,
+        |    2 + (doc_id + mb * 5 + b * 7 + j * 3) % 19 AS lv,
+        |    CAST((doc_id + mb * 2 + b + j) % 2 AS BIGINT) AS neg
+        |  FROM nc, (SELECT unnest(range(0, 15)) AS j) jj
+        |  WHERE jj.j < tc - t1),
+        |dcagg AS (SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS n_dc,
+        |    CAST(SUM(t1) AS BIGINT) AS t1d,
+        |    CAST(SUM(tz) AS BIGINT) AS tzd,
+        |    CAST(SUM(nc) AS BIGINT) AS ncd FROM dc GROUP BY 1),
+        |acagg AS (SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS n_ac,
+        |    CAST(SUM(t1) AS BIGINT) AS t1a,
+        |    CAST(SUM(tz) AS BIGINT) AS tza,
+        |    CAST(SUM(nc) AS BIGINT) AS nca FROM nc GROUP BY 1),
+        |dctra AS (SELECT doc_id, CAST(SUM(neg) AS BIGINT) AS negs,
+        |    CAST(SUM(1 - 2 * neg) AS BIGINT) AS sums
+        |  FROM dctr GROUP BY 1),
+        |dclva AS (SELECT doc_id, CAST(SUM(neg) AS BIGINT) AS negs,
+        |    CAST(SUM(lv * (1 - 2 * neg)) AS BIGINT) AS sums
+        |  FROM dclv GROUP BY 1),
+        |actra AS (SELECT doc_id, CAST(SUM(neg) AS BIGINT) AS negs,
+        |    CAST(SUM(1 - 2 * neg) AS BIGINT) AS sums
+        |  FROM actr GROUP BY 1),
+        |aclva AS (SELECT doc_id, CAST(SUM(neg) AS BIGINT) AS negs,
+        |    CAST(SUM(lv * (1 - 2 * neg)) AS BIGINT) AS sums
+        |  FROM aclv GROUP BY 1)
+        |SELECT t.doc_id, t.n_mbs, d.n_dc,
+        |  COALESCE(dt.sums, 0) + COALESCE(dl.sums, 0) AS dc_sum,
+        |  a.n_ac,
+        |  COALESCE(atr.sums, 0) + COALESCE(al.sums, 0) AS ac_sum,
+        |  d.t1d + a.t1a AS n_t1,
+        |  COALESCE(dt.negs, 0) + COALESCE(dl.negs, 0) +
+        |    COALESCE(atr.negs, 0) + COALESCE(al.negs, 0) AS n_neg,
+        |  d.tzd + a.tza AS sum_tz,
+        |  d.ncd + a.nca AS sum_nc
+        |FROM t JOIN dcagg d ON t.doc_id = d.doc_id
+        |JOIN acagg a ON t.doc_id = a.doc_id
+        |LEFT JOIN dctra dt ON t.doc_id = dt.doc_id
+        |LEFT JOIN dclva dl ON t.doc_id = dl.doc_id
+        |LEFT JOIN actra atr ON t.doc_id = atr.doc_id
+        |LEFT JOIN aclva al ON t.doc_id = al.doc_id""".stripMargin,
 
     // arithmetic replay of H264Fixture.paramsOf: the Spark side
     // must recover these values through encode→escape→walk→

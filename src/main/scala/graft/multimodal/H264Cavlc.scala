@@ -33,13 +33,21 @@ import org.apache.spark.sql.catalyst.InternalRow
   *    total_zeros and the full run_before table — over one-MB-row
   *    pictures whose luma CBP is 0, where nC provably stays 0 (see
   *    [[decodeLuma]]).
+  *  - [[decodeAc]] (luma-AC lane): luma CBP 15 pictures, where the
+  *    §9.2.1 neighbour-nC machinery finally RUNS — sixteen
+  *    Intra16x16ACLevel blocks per macroblock, each routed to its
+  *    Table 9-5 column by the neighbours' decoded TotalCoeff
+  *    (columns 0 ≤ nC < 2, 2 ≤ nC < 4 and the algorithmic nC ≥ 8
+  *    six-bit FLC; 4 ≤ nC < 8 declared fail-closed, see
+  *    [[residualBlockNc]]).
   *
   * Scope (declared, never a guess — None otherwise): baseline-class
   * CAVLC streams, frame MBs, a single I slice at macroblock 0,
   * every macroblock I_16x16 with luma CBP 0 and chroma CBP 1
-  * (chroma lane) or 0 (luma lane). Everything else — Intra_4x4,
-  * luma AC residual, chroma AC, the nC ≥ 2 Table 9-5 columns —
-  * remains behind the declared stub.
+  * (chroma lane) or 0 (luma lane) or luma CBP 15 / chroma CBP 0
+  * (AC lane). Everything else — Intra_4x4, chroma AC, the
+  * 4 ≤ nC < 8 Table 9-5 column, CABAC — remains behind the
+  * declared stub.
   *
   * Reference: ISO/IEC 14496-10 §7.3.5 (macroblock_layer), §7.4.5
   * (Table 7-11 I_16x16 algebra), §9.2.1–9.2.4 (CAVLC parsing) —
@@ -127,6 +135,39 @@ object H264Cavlc {
     (12, 16, 15, 3),
     (4, 16, 16, 0), (6, 16, 16, 1), (5, 16, 16, 2),
     (8, 16, 16, 3)),
+    missingLeaves = 2)
+
+  /** coeff_token, Table 9-5's 2 ≤ nC < 4 column — the full 62-entry
+    * column (x = TotalCoeff 0..16, y = TrailingOnes), selected when
+    * the §9.2.1 neighbour census puts 2 ≤ (nA + nB + 1) >> 1 < 4.
+    * Two spec-unused 14-bit leaves (the children of the unused
+    * all-zero 13-bit node) — declared, so the Kraft self-check binds
+    * the transcription exactly. */
+  private[multimodal] val LumaCoeffToken23 = new BvTable(0, Seq(
+    (3, 2, 0, 0),
+    (11, 6, 1, 0), (2, 2, 1, 1),
+    (7, 6, 2, 0), (7, 5, 2, 1), (3, 3, 2, 2),
+    (7, 7, 3, 0), (10, 6, 3, 1), (9, 6, 3, 2), (5, 4, 3, 3),
+    (7, 8, 4, 0), (6, 6, 4, 1), (5, 6, 4, 2), (4, 4, 4, 3),
+    (4, 8, 5, 0), (6, 7, 5, 1), (5, 7, 5, 2), (6, 5, 5, 3),
+    (7, 9, 6, 0), (6, 8, 6, 1), (5, 8, 6, 2), (8, 6, 6, 3),
+    (15, 11, 7, 0), (6, 9, 7, 1), (5, 9, 7, 2), (4, 6, 7, 3),
+    (11, 11, 8, 0), (14, 11, 8, 1), (13, 11, 8, 2), (4, 7, 8, 3),
+    (15, 12, 9, 0), (10, 11, 9, 1), (9, 11, 9, 2), (4, 9, 9, 3),
+    (11, 12, 10, 0), (14, 12, 10, 1), (13, 12, 10, 2),
+    (12, 11, 10, 3),
+    (8, 12, 11, 0), (10, 12, 11, 1), (9, 12, 11, 2),
+    (8, 11, 11, 3),
+    (15, 13, 12, 0), (14, 13, 12, 1), (13, 13, 12, 2),
+    (12, 12, 12, 3),
+    (11, 13, 13, 0), (10, 13, 13, 1), (9, 13, 13, 2),
+    (12, 13, 13, 3),
+    (7, 13, 14, 0), (11, 14, 14, 1), (6, 13, 14, 2),
+    (8, 13, 14, 3),
+    (9, 14, 15, 0), (8, 14, 15, 1), (10, 14, 15, 2),
+    (1, 13, 15, 3),
+    (7, 14, 16, 0), (6, 14, 16, 1), (5, 14, 16, 2),
+    (4, 14, 16, 3)),
     missingLeaves = 2)
 
   /** total_zeros for 4×4-class blocks (Tables 9-7/9-8,
@@ -225,9 +266,18 @@ object H264Cavlc {
       maxCoeff: Int, tz: Map[Int, BvTable]): Block = {
     val e = vlc(r, tok)
     if (e < 0) return null
+    residualBody(r, tok.xs(e), tok.ys(e), maxCoeff, tz)
+  }
+
+  /** The §9.2 residual walk AFTER coeff_token: trailing-one signs,
+    * the complete §9.2.2.1 level ladder, total_zeros, run_before —
+    * shared by every coeff_token route (VLC columns, the nC ≥ 8
+    * 6-bit FLC, chroma DC). */
+  private[multimodal] def residualBody(r: BitReader, tc: Int,
+      t1: Int, maxCoeff: Int, tz: Map[Int, BvTable]): Block = {
     val b = new Block
-    b.tc = tok.xs(e)
-    b.t1 = tok.ys(e)
+    b.tc = tc
+    b.t1 = t1
     // trailing-one signs (§9.2.2: 1 = negative)
     var j = 0
     while (j < b.t1) {
@@ -271,6 +321,10 @@ object H264Cavlc {
       val te = vlc(r, tzT)
       if (te < 0) return null
       b.tz = tzT.xs(te)
+      // the shared 4×4-class tables cover 0..16−tc; a maxNumCoeff-15
+      // block (Intra16x16ACLevel) can hold at most 15−tc zeros — a
+      // decoded excess is non-conformant, fail closed
+      if (b.tz > maxCoeff - b.tc) return null
     }
     // run_before per coefficient (all but the last); zerosLeft > 6
     // selects the `> 6` column, whose runs can exceed what is left —
@@ -293,6 +347,74 @@ object H264Cavlc {
     * (nC = −1, maxNumCoeff 4). Null outside the decodable class. */
   private[multimodal] def chromaDcBlock(r: BitReader): Block =
     residualBlock(r, ChromaDcCoeffToken, 4, TotalZerosChromaDc)
+
+  /** §9.2 residual_block_cavlc routed by nC (§9.2.1's Table 9-5
+    * column selection): the 0 ≤ nC < 2 and 2 ≤ nC < 4 VLC columns
+    * are transcribed under the Kraft gate; nC ≥ 8 is the spec's
+    * 6-bit FIXED-length code — coeff_token = 4·(TotalCoeff−1) +
+    * TrailingOnes with 000011 re-used for the empty block (purely
+    * algorithmic, no memorized constants; the two coding holes
+    * (1,2)/(2,3) fail closed through the T1 ≤ min(TC,3) rule). The
+    * 4 ≤ nC < 8 column is DECLARED fail-closed: a from-memory
+    * transcription was internally inconsistent before it reached the
+    * Kraft gate and was discarded rather than iterated (the MP3-ESC
+    * discipline, [[Mp3Headers.bigvaluesInfo]]) — a stream whose
+    * neighbour census lands there returns null. */
+  private[multimodal] def residualBlockNc(r: BitReader, nC: Int,
+      maxCoeff: Int): Block = {
+    var tc = 0; var t1 = 0
+    if (nC >= 8) {
+      val v = r.u(6)
+      if (v == 3) { tc = 0; t1 = 0 }
+      else { tc = (v >> 2) + 1; t1 = v & 3 }
+      if (t1 > tc) return null // the (1,2)/(2,3) holes
+    } else if (nC >= 4) {
+      return null // declared fail-closed column
+    } else {
+      val tok = if (nC < 2) LumaCoeffToken01 else LumaCoeffToken23
+      val e = vlc(r, tok)
+      if (e < 0) return null
+      tc = tok.xs(e); t1 = tok.ys(e)
+    }
+    if (tc > maxCoeff) return null
+    residualBody(r, tc, t1, maxCoeff, TotalZeros4x4)
+  }
+
+  /** §6.4.10.4 neighbour derivation for luma4x4BlkIdx, transcribed
+    * as index arrays (the fixture derives the same relation from
+    * raster coordinates, and the oracle SQL holds a third,
+    * relational, spelling — three independent derivations):
+    * `LeftBlk(b)` is the within-MB left neighbour (−1 = the MB's
+    * left edge, where `LeftEdge(b)` gives the LEFT macroblock's
+    * x = 12 column block); `TopBlk(b)` the within-MB top neighbour
+    * (−1 = the MB's top row — the PICTURE edge in this lane's
+    * one-MB-row class, so unavailable). */
+  private[multimodal] val LeftBlk =
+    Array(-1, 0, -1, 2, 1, 4, 3, 6, -1, 8, -1, 10, 9, 12, 11, 14)
+  private[multimodal] val LeftEdge =
+    Array(5, -1, 7, -1, -1, -1, -1, -1, 13, -1, 15, -1, -1, -1, -1,
+      -1)
+  private[multimodal] val TopBlk =
+    Array(-1, -1, 0, 1, -1, -1, 4, 5, 2, 3, 8, 9, 6, 7, 12, 13)
+
+  /** nC of AC block `b` (§9.2.1): the mean-rounded-up of the
+    * available neighbours' AC TotalCoeff, the single one when only
+    * one is available, 0 at the picture corner. `cur` holds the
+    * current MB's decoded AC TCs, `prev` the left MB's (null at
+    * mb 0). */
+  private def acNc(b: Int, cur: Array[Int], prev: Array[Int]): Int = {
+    val hasA = LeftBlk(b) >= 0 || prev != null
+    val nA =
+      if (LeftBlk(b) >= 0) cur(LeftBlk(b))
+      else if (prev != null) prev(LeftEdge(b))
+      else 0
+    val hasB = TopBlk(b) >= 0
+    val nB = if (hasB) cur(TopBlk(b)) else 0
+    if (hasA && hasB) (nA + nB + 1) >> 1
+    else if (hasA) nA
+    else if (hasB) nB
+    else 0
+  }
 
   /** Walk the Annex-B NAL units to the coded slice and consume its
     * header: returns (width in MBs, height in MBs, reader positioned
@@ -526,6 +648,84 @@ object H264Cavlc {
   def decodeLumaRow(b: Array[Byte]): InternalRow = decodeLuma(b) match {
     case Some((nm, nc, t1, nn, sl, tz)) =>
       InternalRow(nm, nc, t1, nn, sl, tz)
+    case None => null
+  }
+
+  /** Decode a luma-AC-coded Annex-B stream — every macroblock
+    * I_16x16_<pred>_0_1 (Table 7-11: chroma CBP 0, luma CBP 15), so
+    * each macroblock_layer codes Intra16x16DCLevel (maxNumCoeff 16)
+    * then SIXTEEN Intra16x16ACLevel blocks (maxNumCoeff 15) in
+    * luma4x4BlkIdx order — the first lane where the §9.2.1
+    * neighbour-nC machinery RUNS: every decoded block's TotalCoeff
+    * feeds later blocks' Table 9-5 column selection through the
+    * §6.4.10.4 neighbour derivation (left crosses macroblock
+    * boundaries; top is the picture edge in this one-MB-row class),
+    * so a single mis-decoded TotalCoeff reroutes a later block to
+    * the wrong column and desynchronizes the stream. The DC block
+    * derives nC as for block 0 (left MB's block 5); a neighbouring
+    * block's count is its AC TotalCoeff — the DC census is carried
+    * separately and never enters nC (JM's nz-coeff semantics).
+    * Routes through the 0 ≤ nC < 2 / 2 ≤ nC < 4 columns and the
+    * nC ≥ 8 FLC; the declared 4 ≤ nC < 8 column fails closed
+    * ([[residualBlockNc]]).
+    *
+    * Returns (n_mbs, n_dc, dc_sum, n_ac, ac_sum, n_t1, n_neg,
+    * sum_tz, sum_nc) — sum_nc totals every residual block's derived
+    * nC, pinning the neighbour arithmetic itself against the
+    * oracle's independent relational spelling. */
+  def decodeAc(b: Array[Byte]): Option[(Long, Long, Long, Long,
+      Long, Long, Long, Long, Long)] =
+    try {
+      sliceSetup(b) match {
+        case None => None
+        case Some((wMbs, hMbs, r)) =>
+          // top neighbours must be the picture edge: one MB row only
+          if (hMbs != 1) return None
+          var nDc = 0L; var dcSum = 0L; var nAc = 0L; var acSum = 0L
+          var nT1 = 0L; var nNeg = 0L; var sumTz = 0L; var sumNc = 0L
+          var prev: Array[Int] = null
+          var mb = 0
+          while (mb < wMbs) {
+            val mbt = r.ue()
+            // Table 7-11: mbt−1 = pred + 4·cbpC + 12·[cbpL = 15];
+            // admit luma CBP 15 / chroma CBP 0 only
+            if (mbt < 13 || mbt > 16) return None
+            val icp = r.ue() // intra_chroma_pred_mode
+            if (icp > 3) return None
+            r.se() // mb_qp_delta
+            val dcNc = if (prev == null) 0 else prev(5)
+            sumNc += dcNc
+            val dcB = residualBlockNc(r, dcNc, 16)
+            if (dcB == null) return None
+            nDc += dcB.tc; dcSum += dcB.sum; nT1 += dcB.t1
+            nNeg += dcB.nNeg; sumTz += dcB.tz
+            val cur = new Array[Int](16)
+            var blk = 0
+            while (blk < 16) {
+              val nc = acNc(blk, cur, prev)
+              sumNc += nc
+              val ab = residualBlockNc(r, nc, 15)
+              if (ab == null) return None
+              cur(blk) = ab.tc
+              nAc += ab.tc; acSum += ab.sum; nT1 += ab.t1
+              nNeg += ab.nNeg; sumTz += ab.tz
+              blk += 1
+            }
+            prev = cur
+            mb += 1
+          }
+          if (r.u1() != 1) return None // rbsp_stop_one_bit
+          Some((wMbs.toLong, nDc, dcSum, nAc, acSum, nT1, nNeg,
+            sumTz, sumNc))
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** [[decodeAc]] as an `InternalRow` for the
+    * [[graft.functions.H264CavlcAcExpr]] codegen path. Null = not a
+    * luma-AC-CAVLC-decodable stream. */
+  def decodeAcRow(b: Array[Byte]): InternalRow = decodeAc(b) match {
+    case Some((nm, nd, ds, na, as_, t1, nn, tz, nc)) =>
+      InternalRow(nm, nd, ds, na, as_, t1, nn, tz, nc)
     case None => null
   }
 }

@@ -475,6 +475,175 @@ object H264Fixture {
       Start4, Array[Byte](0x65) ++ slice)
   }
 
+  // ---- luma-AC CAVLC fixture (mm_h264_cavlc_ac) ----
+  // I_16x16 macroblocks with luma CBP 15 / chroma CBP 0: a real
+  // Intra16x16DCLevel block (the luma lane's parameter rules) then
+  // SIXTEEN Intra16x16ACLevel blocks, each encoded through the
+  // Table 9-5 column its forward-computed §9.2.1 nC selects. The
+  // writer derives the neighbour relation from RASTER COORDINATES —
+  // an independent spelling of the decoder's transcribed index
+  // arrays; the oracle SQL holds a third, relational, one.
+
+  def acMbs(d: Long): Int = 1 + (d % 3).toInt
+  def acPred(d: Long, mb: Int): Int = ((d + mb) % 4).toInt
+  def acIcp(d: Long, mb: Int): Int = ((d + mb * 2) % 4).toInt
+  def acQpd(d: Long, mb: Int): Int = ((d + mb) % 5).toInt - 2
+  /** AC TotalCoeff ∈ {0, 1, 2, 3, 15} — a set CLOSED under the
+    * §9.2.1 nC formula: every nC any neighbour pair from this set
+    * can produce lands in a SHIPPED coeff_token band
+    * ([0, 4) ∪ [8, ∞)); the 15s push their right/bottom neighbours
+    * into the 6-bit FLC column. (14 would not do: (0 + 14 + 1) >> 1
+    * = 7 lands in the declared fail-closed band.) The selector
+    * modulus is 7 — COPRIME with acMbs's d % 3, so block 5's TC
+    * reaches 15 on multi-MB documents and the DC block genuinely
+    * routes through the FLC column (a mod-6 selector provably never
+    * gets there). */
+  def acTc(d: Long, mb: Int, b: Int): Int =
+    Array(0, 1, 2, 3, 15, 2, 1)(((d + mb * 3 + b * 5) % 7).toInt)
+  def acT1(d: Long, mb: Int, b: Int): Int =
+    math.min(acTc(d, mb, b), ((d + mb + b) % 4).toInt)
+  def acTrailSign(d: Long, mb: Int, b: Int, j: Int): Int =
+    ((d + mb + b + j) % 2).toInt
+  def acLevelAbs(d: Long, mb: Int, b: Int, j: Int): Int =
+    2 + ((d + mb * 5 + b * 7 + j * 3) % 19).toInt
+  def acLevelNeg(d: Long, mb: Int, b: Int, j: Int): Int =
+    ((d + mb * 2 + b + j) % 2).toInt
+  def acTz(d: Long, mb: Int, b: Int): Int = {
+    val tc = acTc(d, mb, b)
+    // maxNumCoeff 15: at most 15 − tc zeros precede the coefficients
+    if (tc == 0 || tc == 15) 0 else ((d + mb + b) % (16 - tc)).toInt
+  }
+  def acRun(d: Long, mb: Int, b: Int, i: Int, zerosLeft: Int): Int =
+    ((d + mb + b + i) % (zerosLeft + 1)).toInt
+
+  /** luma4x4BlkIdx → (xB, yB) in 4-sample units — §6.4.3's inverse
+    * scan derived from the raster formula, NOT the decoder's
+    * transcribed arrays. */
+  private val acBlkXy: Array[(Int, Int)] = Array.tabulate(16) { i =>
+    (2 * ((i >> 2) & 1) + (i & 1), 2 * ((i >> 3) & 1) + ((i >> 1) & 1))
+  }
+  private val acXyBlk: Map[(Int, Int), Int] =
+    acBlkXy.zipWithIndex.toMap
+
+  /** Forward §9.2.1 nC of AC block `b` of macroblock `mb`, replayed
+    * from the closed-form TCs over the coordinate-derived
+    * neighbours. Mirrored relationally by the mm_h264_cavlc_ac
+    * oracle — keep the two in lockstep. */
+  def acNc(d: Long, mb: Int, b: Int): Int = {
+    val (x, y) = acBlkXy(b)
+    val hasA = x > 0 || mb > 0
+    val nA =
+      if (x > 0) acTc(d, mb, acXyBlk((x - 1, y)))
+      else if (mb > 0) acTc(d, mb - 1, acXyBlk((3, y)))
+      else 0
+    val hasB = y > 0
+    val nB = if (hasB) acTc(d, mb, acXyBlk((x, y - 1))) else 0
+    if (hasA && hasB) (nA + nB + 1) >> 1
+    else if (hasA) nA
+    else if (hasB) nB
+    else 0
+  }
+
+  /** nC of macroblock `mb`'s Intra16x16DCLevel block — derived as
+    * for block 0 (§9.2.1): the left MB's x = 12 / y = 0 block (index
+    * 5), whose count is its AC TotalCoeff. */
+  def acDcNc(d: Long, mb: Int): Int =
+    if (mb == 0) 0 else acTc(d, mb - 1, 5)
+
+  /** coeff_token routed by nC — the writer-side inverse of
+    * [[H264Cavlc.residualBlockNc]]'s dispatch: the two transcribed
+    * VLC columns, or the algebraic 6-bit FLC past nC 8. */
+  private def writeTokenNc(bw: BitWriter, nC: Int, tc: Int,
+      t1: Int): Unit =
+    if (nC >= 8) bw.u(6, if (tc == 0) 3 else ((tc - 1) << 2) | t1)
+    else {
+      require(nC < 4, "fixture nC escaped the shipped columns")
+      writeVlc(bw,
+        if (nC < 2) H264Cavlc.LumaCoeffToken01
+        else H264Cavlc.LumaCoeffToken23, tc, t1)
+    }
+
+  /** Encode one residual block of the AC lane (DC or AC class) —
+    * the generalized inverse of the decoder's residual walk, routed
+    * by the caller's forward-computed nC. */
+  private def writeNcBlock(bw: BitWriter, nC: Int, tc: Int, t1: Int,
+      sign: Int => Int, abs: Int => Int, neg: Int => Int, tzv: Int,
+      run: (Int, Int) => Int, maxCoeff: Int): Unit = {
+    writeTokenNc(bw, nC, tc, t1)
+    for (j <- 0 until t1) bw.bit(sign(j))
+    var sl = if (tc > 10 && t1 < 3) 1 else 0
+    for (j <- 0 until tc - t1) {
+      val a = abs(j)
+      var levelCode = (a - 1) * 2 + neg(j)
+      if (j == 0 && t1 < 3) levelCode -= 2
+      writeLevel(bw, levelCode, sl)
+      // sequential, mirroring the decoder
+      if (sl == 0) sl = 1
+      if (a > (3 << (sl - 1)) && sl < 6) sl += 1
+    }
+    if (tc > 0 && tc < maxCoeff)
+      writeVlc(bw, H264Cavlc.TotalZeros4x4(tc), tzv, 0)
+    var zerosLeft = tzv
+    var i = 0
+    while (i < tc - 1 && zerosLeft > 0) {
+      val rv = run(i, zerosLeft)
+      writeVlc(bw, H264Cavlc.RunBefore(math.min(zerosLeft, 7)), rv, 0)
+      zerosLeft -= rv
+      i += 1
+    }
+  }
+
+  /** IDR slice RBSP whose macroblocks are I_16x16 with luma CBP 15
+    * / chroma CBP 0: one real DC block then SIXTEEN real AC blocks
+    * each, every block's coeff_token column selected by its
+    * forward-replayed nC. */
+  def cavlcAcSliceRbsp(d: Long): Array[Byte] = {
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(7) // slice_type: I (all slices)
+    bw.ue(0) // pic_parameter_set_id
+    bw.u(4, 0) // frame_num
+    bw.ue((d % 4).toInt) // idr_pic_id
+    bw.u(4, 0) // pic_order_cnt_lsb
+    bw.bit(0); bw.bit(0) // IDR ref marking flags
+    bw.se(0) // slice_qp_delta
+    for (mb <- 0 until acMbs(d)) {
+      bw.ue(13 + acPred(d, mb)) // mb_type: I_16x16_<pred>_0_1
+      bw.ue(acIcp(d, mb)) // intra_chroma_pred_mode
+      bw.se(acQpd(d, mb)) // mb_qp_delta
+      writeNcBlock(bw, acDcNc(d, mb), lumaTc(d, mb), lumaT1(d, mb),
+        j => lumaTrailSign(d, mb, j), j => lumaLevelAbs(d, mb, j),
+        j => lumaLevelNeg(d, mb, j), lumaTz(d, mb),
+        (i, zl) => lumaRun(d, mb, i, zl), 16)
+      for (b <- 0 until 16)
+        writeNcBlock(bw, acNc(d, mb, b), acTc(d, mb, b),
+          acT1(d, mb, b),
+          j => acTrailSign(d, mb, b, j),
+          j => acLevelAbs(d, mb, b, j),
+          j => acLevelNeg(d, mb, b, j), acTz(d, mb, b),
+          (i, zl) => acRun(d, mb, b, i, zl), 15)
+    }
+    bw.stopAlign()
+    bw.bytes
+  }
+
+  /** SPS for the AC lane: one MB row (top neighbours = picture
+    * edge). */
+  def cavlcAcParams(d: Long): Params =
+    Params(profile = 66, level = 10, w = 16 * acMbs(d), h = 16,
+      frameMbsOnly = 1, pocType = 0, spsId = 0, log2MaxFrameNum4 = 0,
+      maxRef = 0)
+
+  /** Three-NAL luma-AC CAVLC stream: SPS, PPS, IDR slice. */
+  def annexBCavlcAc(d: Long): Array[Byte] = {
+    val sps = escapeRbsp(spsRbsp(cavlcAcParams(d)))
+    val slice = escapeRbsp(cavlcAcSliceRbsp(d))
+    Array.concat(
+      Start4, Array[Byte](0x67) ++ sps,
+      Start4, Array[Byte](0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Start4, Array[Byte](0x65) ++ slice)
+  }
+
   /** IDR slice RBSP whose macroblocks carry BOTH residual classes:
     * a REAL luma-DC block (the luma lane's parameter rules) then
     * the two chroma-DC blocks (the chroma lane's) — mb_type

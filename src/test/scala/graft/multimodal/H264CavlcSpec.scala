@@ -261,6 +261,175 @@ class H264CavlcSpec extends AnyFunSuite {
     // stop bit as a 1-bit suffix and desync — sum ≠ 6 or null
   }
 
+  test("AC-lane tables load their construction self-checks: the " +
+    "62-entry 2<=nC<4 coeff_token column (2 declared unused 14-bit " +
+    "leaves) with every (tc, t1) pair exactly once") {
+    assert(H264Cavlc.LumaCoeffToken23.code.length == 62)
+    val pairs = (0 until 62).map(e =>
+      (H264Cavlc.LumaCoeffToken23.xs(e), H264Cavlc.LumaCoeffToken23.ys(e)))
+    val expect = for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc))
+      yield (tc, t1)
+    assert(pairs.sorted == expect.sorted)
+  }
+
+  test("the decoder's transcribed §6.4.10.4 neighbour arrays match " +
+    "an independent raster-coordinate derivation") {
+    val xy = Array.tabulate(16)(i =>
+      (2 * ((i >> 2) & 1) + (i & 1), 2 * ((i >> 3) & 1) + ((i >> 1) & 1)))
+    val idx = xy.zipWithIndex.toMap
+    for (b <- 0 until 16) {
+      val (x, y) = xy(b)
+      assert(H264Cavlc.LeftBlk(b) ==
+        (if (x > 0) idx((x - 1, y)) else -1), s"LeftBlk($b)")
+      assert(H264Cavlc.LeftEdge(b) ==
+        (if (x == 0) idx((3, y)) else -1), s"LeftEdge($b)")
+      assert(H264Cavlc.TopBlk(b) ==
+        (if (y > 0) idx((x, y - 1)) else -1), s"TopBlk($b)")
+    }
+  }
+
+  test("AC-lane writer/parser/closed-form triangle over 240 " +
+    "documents: neighbour-routed coeff_token columns, sixteen AC " +
+    "blocks + DC per macroblock, sum_nc pins the §9.2.1 arithmetic") {
+    for (d <- 0L until 240L) {
+      val Some((nMbs, nDc, dcSum, nAc, acSum, nT1, nNeg, sumTz,
+        sumNc)) = H264Cavlc.decodeAc(H264Fixture.annexBCavlcAc(d))
+      val mbs = H264Fixture.acMbs(d)
+      assert(nMbs == mbs.toLong, s"n_mbs d=$d")
+      def blockVals(t1: Int, tc: Int, sign: Int => Int,
+          abs: Int => Int, neg: Int => Int): Seq[Long] =
+        (0 until t1).map(j => if (sign(j) == 1) -1L else 1L) ++
+          (0 until tc - t1).map { j =>
+            val a = abs(j).toLong
+            if (neg(j) == 1) -a else a
+          }
+      val dvals = (0 until mbs).flatMap { mb =>
+        blockVals(H264Fixture.lumaT1(d, mb), H264Fixture.lumaTc(d, mb),
+          H264Fixture.lumaTrailSign(d, mb, _),
+          H264Fixture.lumaLevelAbs(d, mb, _),
+          H264Fixture.lumaLevelNeg(d, mb, _))
+      }
+      val abs2 = for (mb <- 0 until mbs; b <- 0 until 16) yield (mb, b)
+      val avals = abs2.flatMap { case (mb, b) =>
+        blockVals(H264Fixture.acT1(d, mb, b), H264Fixture.acTc(d, mb, b),
+          H264Fixture.acTrailSign(d, mb, b, _),
+          H264Fixture.acLevelAbs(d, mb, b, _),
+          H264Fixture.acLevelNeg(d, mb, b, _))
+      }
+      assert(nDc == (0 until mbs).map(mb =>
+        H264Fixture.lumaTc(d, mb).toLong).sum, s"n_dc d=$d")
+      assert(dcSum == dvals.sum, s"dc_sum d=$d")
+      assert(nAc == abs2.map { case (mb, b) =>
+        H264Fixture.acTc(d, mb, b).toLong }.sum, s"n_ac d=$d")
+      assert(acSum == avals.sum, s"ac_sum d=$d")
+      assert(nT1 == ((0 until mbs).map(mb =>
+        H264Fixture.lumaT1(d, mb).toLong).sum +
+        abs2.map { case (mb, b) =>
+          H264Fixture.acT1(d, mb, b).toLong }.sum), s"n_t1 d=$d")
+      assert(nNeg == (dvals ++ avals).count(_ < 0).toLong, s"n_neg d=$d")
+      assert(sumTz == ((0 until mbs).map(mb =>
+        H264Fixture.lumaTz(d, mb).toLong).sum +
+        abs2.map { case (mb, b) =>
+          H264Fixture.acTz(d, mb, b).toLong }.sum), s"sum_tz d=$d")
+      assert(sumNc == ((0 until mbs).map(mb =>
+        H264Fixture.acDcNc(d, mb).toLong).sum +
+        abs2.map { case (mb, b) =>
+          H264Fixture.acNc(d, mb, b).toLong }.sum), s"sum_nc d=$d")
+    }
+    // coverage proofs over the fixture space: the 2<=nC<4 column,
+    // the nC>=8 FLC (both a real-coefficient and an empty block),
+    // and cross-MB left neighbours all genuinely engage — and NO
+    // reachable nC lands in the declared fail-closed [4,8) band
+    // (the {0,1,2,3,15} closure argument, asserted not assumed)
+    val all = for (d <- 0L until 240L; mb <- 0 until H264Fixture.acMbs(d);
+      b <- 0 until 16) yield (d, mb, b)
+    def nc(c: (Long, Int, Int)) = H264Fixture.acNc(c._1, c._2, c._3)
+    assert(all.exists(c => nc(c) >= 2 && nc(c) < 4), "col 2<=nC<4 unused")
+    assert(all.exists(c => nc(c) >= 8 &&
+      H264Fixture.acTc(c._1, c._2, c._3) > 0), "FLC real block unused")
+    assert(all.exists(c => nc(c) >= 8 &&
+      H264Fixture.acTc(c._1, c._2, c._3) == 0), "FLC empty block unused")
+    assert(all.forall(c => nc(c) < 4 || nc(c) >= 8),
+      "a reachable nC landed in the declared fail-closed band")
+    assert(all.exists { case (_, mb, b) =>
+      mb > 0 && Set(0, 2, 8, 10).contains(b) },
+      "no cross-MB left neighbour engaged")
+    val dcs = for (d <- 0L until 240L;
+      mb <- 0 until H264Fixture.acMbs(d)) yield (d, mb)
+    assert(dcs.exists { case (d, mb) =>
+      H264Fixture.acDcNc(d, mb) >= 8 }, "DC never routed to the FLC")
+    assert(dcs.exists { case (d, mb) =>
+      H264Fixture.acDcNc(d, mb) >= 2 && H264Fixture.acDcNc(d, mb) < 4 },
+      "DC never routed to the 2<=nC<4 column")
+  }
+
+  test("AC lane fail-closed: the declared 4<=nC<8 column refuses " +
+    "(hand-assembled: block 0 decodes tc=4, so block 1's nC is 4), " +
+    "cross-lane streams, corruption, truncation, two-row geometry") {
+    // hand-assemble a luma-CBP-15 slice whose AC block 0 has tc=4:
+    // block 1's left neighbour census is then exactly 4 — inside the
+    // declared band — and the decoder must refuse the stream rather
+    // than guess a column
+    val bw = new H264Fixture.BitWriter
+    bw.ue(0); bw.ue(7); bw.ue(0) // first_mb, slice_type I, pps_id
+    bw.u(4, 0); bw.ue(0); bw.u(4, 0) // frame_num, idr_pic_id, poc_lsb
+    bw.bit(0); bw.bit(0); bw.se(0) // ref marking, slice_qp_delta
+    bw.ue(13); bw.ue(0); bw.se(0) // mb_type I_16x16_0_0_1, icp, qpd
+    bw.bit(1) // Intra16x16DCLevel: TotalCoeff 0 under nC = 0
+    // AC block 0 under nC = 0: coeff_token (4,0), four +2 levels
+    // (first levelCode 0 after the t1<3 shift), total_zeros 0
+    val e40 = (0 until 62).find(e =>
+      H264Cavlc.LumaCoeffToken01.xs(e) == 4 &&
+        H264Cavlc.LumaCoeffToken01.ys(e) == 0).get
+    bw.u(H264Cavlc.LumaCoeffToken01.len(e40),
+      H264Cavlc.LumaCoeffToken01.code(e40))
+    bw.bit(1) // level 0: levelCode 0
+    for (_ <- 0 until 3) { bw.bit(0); bw.bit(1); bw.bit(0) } // lc 2, sl 1
+    val tz0 = (0 until H264Cavlc.TotalZeros4x4(4).code.length).find(e =>
+      H264Cavlc.TotalZeros4x4(4).xs(e) == 0).get
+    bw.u(H264Cavlc.TotalZeros4x4(4).len(tz0),
+      H264Cavlc.TotalZeros4x4(4).code(tz0))
+    bw.stopAlign() // block 1 is never reached: nC = 4 refuses first
+    val slice = H264Fixture.escapeRbsp(bw.bytes)
+    val sps = H264Fixture.escapeRbsp(H264Fixture.spsRbsp(
+      H264Fixture.cavlcAcParams(0L)))
+    val banned = Array.concat(
+      Array[Byte](0, 0, 0, 1, 0x67) ++ sps,
+      Array[Byte](0, 0, 0, 1, 0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Array[Byte](0, 0, 0, 1, 0x65) ++ slice)
+    assert(H264Cavlc.decodeAc(banned).isEmpty,
+      "the declared 4<=nC<8 band did not fail closed")
+    // cross-lane: every other lane's streams are outside this class
+    assert(H264Cavlc.decodeAc(H264Fixture.annexBCavlcLuma(3L)).isEmpty)
+    assert(H264Cavlc.decodeAc(H264Fixture.annexBCavlc(3L)).isEmpty)
+    assert(H264Cavlc.decodeAc(H264Fixture.annexBCavlcFull(3L)).isEmpty)
+    assert(H264Cavlc.decodeAc(H264Fixture.annexBPcm(3L)).isEmpty)
+    assert(H264Cavlc.decodeLuma(H264Fixture.annexBCavlcAc(3L)).isEmpty)
+    assert(H264Cavlc.decode(H264Fixture.annexBCavlcAc(3L)).isEmpty)
+    assert(H264Cavlc.decodeFull(H264Fixture.annexBCavlcAc(3L)).isEmpty)
+    // desync adversaries on the AC lane itself
+    val good = H264Fixture.annexBCavlcAc(11L)
+    var caught = 0
+    for (off <- math.max(0, good.length - 16) until good.length - 1) {
+      val bad = good.clone()
+      bad(off) = (bad(off) ^ 0x10).toByte
+      if (H264Cavlc.decodeAc(bad).isEmpty) caught += 1
+    }
+    assert(caught > 0, "no AC-region corruption was caught")
+    assert(H264Cavlc.decodeAc(good.dropRight(2)).isEmpty)
+    assert(H264Cavlc.decodeAc("not a video".getBytes).isEmpty)
+    assert(H264Cavlc.decodeAc(null).isEmpty)
+    // two-MB-row pictures are outside the top-edge argument
+    val sps2 = H264Fixture.escapeRbsp(H264Fixture.spsRbsp(
+      H264Fixture.cavlcAcParams(3L).copy(h = 32)))
+    val slice2 = H264Fixture.escapeRbsp(H264Fixture.cavlcAcSliceRbsp(3L))
+    val twoRow = Array.concat(
+      Array[Byte](0, 0, 0, 1, 0x67) ++ sps2,
+      Array[Byte](0, 0, 0, 1, 0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Array[Byte](0, 0, 0, 1, 0x65) ++ slice2)
+    assert(H264Cavlc.decodeAc(twoRow).isEmpty)
+  }
+
   test("suffixLength adaptation really engages: some document emits " +
     "a level whose code needs a nonzero suffix, and decodes back") {
     // |level| = 4 with suffixLength 1 after a first level forces a
