@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisFloorCurve, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress, ZstdFseDictDecompress, ZstdMultiFrame, ZstdSplitDecode, GzipMember, FlacPcmLevels, Mp3Bigvalues, Mp3Part3, H264CavlcExpr, H264CavlcLumaExpr, H264CavlcFullExpr, H264CavlcAcExpr, VorbisResidueApply, VorbisResidueScale}
+import graft.functions.{AudioAlawLevels, AudioFp, AudioLevels, AudioMeta, AudioUlawLevels, CdcBoundaries, DHash64, DeflateRatio, DeflateZlib, DotProductLong, ExifMeta, FlacTags, H264PcmMbs, H264Sps, Id3Tags, ImageDims, ImageLevels, InflateZlib, IsValidIri, JpegLuma, Mp3Count1, Mp3Meta, Mp3SideInfo, Mp3Vbr, Mp4Samples, NearestCentroid, NfcNormalize, PngLevels, TopKByLong, TopKByLongStr, UrlCanon, VecSumLong, VideoMeta, VorbisBooks, VorbisFloor, VorbisFloorCurve, VorbisResidue, VorbisVq, WarcRecords, WordNgrams, ZstdFrames, ZstdFseCompress, ZstdFseDecompress, ZstdFseDictDecompress, ZstdMultiFrame, ZstdSplitDecode, GzipMember, FlacPcmLevels, Mp3Bigvalues, Mp3Part3, H264CavlcExpr, H264CavlcLumaExpr, H264CavlcFullExpr, H264CavlcAcExpr, H264CavlcMbExpr, VorbisResidueApply, VorbisResidueScale}
 
 /** Session extensions exposing the engine's native expressions to
   * SQL users (`spark.sql.extensions=graft.GraftExtensions`):
@@ -361,5 +361,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "h264_cavlc_ac"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         H264CavlcAcExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("h264_cavlc_mb"),
+      new ExpressionInfo(classOf[H264CavlcMbExpr].getName,
+        "h264_cavlc_mb"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        H264CavlcMbExpr(args.head)))
   }
 }

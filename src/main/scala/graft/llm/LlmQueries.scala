@@ -188,6 +188,7 @@ object LlmQueries {
     "mm_h264_cavlc_luma" -> h264CavlcLuma,
     "mm_h264_cavlc_full" -> h264CavlcFull,
     "mm_h264_cavlc_ac" -> h264CavlcAc,
+    "mm_h264_cavlc_mb" -> h264CavlcMb,
     "mm_mp3_mpeg2" -> mp3Mpeg2,
     "mm_id3_v22" -> id3V22,
     "mm_id3_tags" -> id3Tags,
@@ -7532,6 +7533,45 @@ object LlmQueries {
         col("m.sum_nc").as("sum_nc"))
   }
 
+  /** COMPLETE-macroblock CAVLC residual decode (`mm_h264_cavlc_mb`)
+    * — the capstone of the H.264 entropy family: every macroblock is
+    * I_16x16_<pred>_2_1 (chroma CBP 2 / luma CBP 15), so its
+    * §7.3.5.3.3 residual carries EVERY block class this picture
+    * family codes, all real, in one bitstream — Intra16x16DCLevel,
+    * sixteen Intra16x16ACLevel blocks (neighbour-routed Table 9-5
+    * columns), two ChromaDCLevel blocks (the fixed nC = −1 column),
+    * and eight ChromaACLevel blocks over the per-component 2×2
+    * chroma grid with its own §9.2.1 neighbour derivation. Four
+    * block classes, three nC regimes and both total_zeros table
+    * families sequence through one part of the bitstream whose
+    * region boundaries are all implicit in codeword widths — a slip
+    * anywhere desynchronizes everything after it. Oracle = the four
+    * classes' closed forms, with BOTH neighbour censuses (luma
+    * raster grid, chroma 2×2 grid) replayed relationally.
+    * Map-side construct → decode → project. */
+  def h264CavlcMb(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val payloads = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map(id =>
+          (id, graft.multimodal.H264Fixture.annexBCavlcMb(id)))
+      }.toDF("doc_id", "payload")
+    payloads
+      .withColumn("m", graft.functions.H264CavlcMbExpr(col("payload")))
+      .select(col("doc_id"),
+        col("m.n_mbs").as("n_mbs"),
+        col("m.luma_dc").as("luma_dc"),
+        col("m.luma_ac").as("luma_ac"),
+        col("m.chroma_dc").as("chroma_dc"),
+        col("m.chroma_ac").as("chroma_ac"),
+        col("m.sum_levels").as("sum_levels"),
+        col("m.n_t1").as("n_t1"),
+        col("m.n_neg").as("n_neg"),
+        col("m.sum_tz").as("sum_tz"),
+        col("m.sum_nc").as("sum_nc"))
+  }
+
   /** FULL part3 decode (`mm_mp3_part3`) — the region SEQUENCE the
     * isolated lanes pin separately: per long-block granule ×
     * channel, the big-values pairs (verified B.7 subset) followed
@@ -12758,6 +12798,177 @@ object LlmQueries {
         |LEFT JOIN dclva dl ON t.doc_id = dl.doc_id
         |LEFT JOIN actra atr ON t.doc_id = atr.doc_id
         |LEFT JOIN aclva al ON t.doc_id = al.doc_id""".stripMargin,
+
+    // the complete-macroblock lane: the AC-lane replay PLUS the
+    // chroma-DC closed forms (the mm_h264_cavlc rules) and the
+    // chroma-AC class with its 2×2-grid nC replayed relationally —
+    // four block classes, two independent neighbour censuses
+    "mm_h264_cavlc_mb" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS n_mbs
+        |  FROM documents),
+        |mbs AS (SELECT doc_id, n_mbs, mb.mb FROM t,
+        |  (SELECT unnest([0, 1, 2]) AS mb) mb WHERE mb.mb < n_mbs),
+        |ab AS (SELECT doc_id, mb, b.b,
+        |    2 * ((b.b // 4) % 2) + b.b % 2 AS xb,
+        |    2 * (b.b // 8) + (b.b // 2) % 2 AS yb,
+        |    list_extract([0, 1, 2, 3, 15, 2, 1],
+        |      CAST((doc_id + mb * 3 + b.b * 5) % 7 AS INT) + 1) AS tc,
+        |    LEAST(list_extract([0, 1, 2, 3, 15, 2, 1],
+        |        CAST((doc_id + mb * 3 + b.b * 5) % 7 AS INT) + 1),
+        |      (doc_id + mb + b.b) % 4) AS t1
+        |  FROM mbs, (SELECT unnest(range(0, 16)) AS b) b),
+        |ab2 AS (SELECT *, CASE WHEN tc = 0 OR tc = 15 THEN 0
+        |    ELSE (doc_id + mb + b) % (16 - tc) END AS tz FROM ab),
+        |nc AS (SELECT a.doc_id, a.mb, a.b, a.tc, a.t1, a.tz,
+        |    CASE
+        |      WHEN (a.xb > 0 OR a.mb > 0) AND a.yb > 0
+        |        THEN (COALESCE(lft.tc, lmb.tc) + top.tc + 1) // 2
+        |      WHEN a.xb > 0 OR a.mb > 0
+        |        THEN COALESCE(lft.tc, lmb.tc)
+        |      WHEN a.yb > 0 THEN top.tc
+        |      ELSE 0 END AS nc
+        |  FROM ab2 a
+        |  LEFT JOIN ab2 lft ON a.doc_id = lft.doc_id
+        |    AND a.mb = lft.mb AND lft.xb = a.xb - 1
+        |    AND lft.yb = a.yb
+        |  LEFT JOIN ab2 lmb ON a.doc_id = lmb.doc_id
+        |    AND lmb.mb = a.mb - 1 AND lmb.xb = 3 AND lmb.yb = a.yb
+        |  LEFT JOIN ab2 top ON a.doc_id = top.doc_id
+        |    AND a.mb = top.mb AND top.xb = a.xb
+        |    AND top.yb = a.yb - 1),
+        |dc AS (SELECT doc_id, mb,
+        |    (doc_id * 3 + mb * 7) % 17 AS tc,
+        |    LEAST((doc_id * 3 + mb * 7) % 17,
+        |      (doc_id + mb) % 4) AS t1,
+        |    CASE WHEN (doc_id * 3 + mb * 7) % 17 IN (0, 16) THEN 0
+        |      ELSE (doc_id + mb) %
+        |        (17 - (doc_id * 3 + mb * 7) % 17) END AS tz,
+        |    CASE WHEN mb = 0 THEN 0
+        |      ELSE list_extract([0, 1, 2, 3, 15, 2, 1],
+        |        CAST((doc_id + (mb - 1) * 3 + 25) % 7 AS INT) + 1)
+        |      END AS nc
+        |  FROM mbs),
+        |cdc AS (SELECT doc_id, mb, u.u,
+        |    (doc_id + mb * 3 + u.u * 2) % 5 AS tc,
+        |    LEAST((doc_id + mb * 3 + u.u * 2) % 5,
+        |      (doc_id + mb + u.u) % 4) AS t1,
+        |    CASE WHEN (doc_id + mb * 3 + u.u * 2) % 5 IN (0, 4)
+        |      THEN 0 ELSE (doc_id + mb + u.u) %
+        |        (5 - (doc_id + mb * 3 + u.u * 2) % 5) END AS tz
+        |  FROM mbs, (SELECT unnest([0, 1]) AS u) u),
+        |cab AS (SELECT doc_id, mb, u.u, c.c,
+        |    c.c % 2 AS xb, c.c // 2 AS yb,
+        |    list_extract([0, 1, 2, 3, 15, 2, 1],
+        |      CAST((doc_id + mb * 3 + u.u * 2 + c.c * 5) % 7 AS INT)
+        |        + 1) AS tc,
+        |    LEAST(list_extract([0, 1, 2, 3, 15, 2, 1],
+        |        CAST((doc_id + mb * 3 + u.u * 2 + c.c * 5) % 7
+        |          AS INT) + 1),
+        |      (doc_id + mb + u.u + c.c) % 4) AS t1
+        |  FROM mbs, (SELECT unnest([0, 1]) AS u) u,
+        |    (SELECT unnest([0, 1, 2, 3]) AS c) c),
+        |cab2 AS (SELECT *, CASE WHEN tc = 0 OR tc = 15 THEN 0
+        |    ELSE (doc_id + mb + u + c) % (16 - tc) END AS tz
+        |  FROM cab),
+        |cnc AS (SELECT a.doc_id, a.mb, a.u, a.c, a.tc, a.t1, a.tz,
+        |    CASE
+        |      WHEN (a.xb > 0 OR a.mb > 0) AND a.yb > 0
+        |        THEN (COALESCE(lft.tc, lmb.tc) + top.tc + 1) // 2
+        |      WHEN a.xb > 0 OR a.mb > 0
+        |        THEN COALESCE(lft.tc, lmb.tc)
+        |      WHEN a.yb > 0 THEN top.tc
+        |      ELSE 0 END AS nc
+        |  FROM cab2 a
+        |  LEFT JOIN cab2 lft ON a.doc_id = lft.doc_id
+        |    AND a.mb = lft.mb AND a.u = lft.u
+        |    AND lft.xb = a.xb - 1 AND lft.yb = a.yb
+        |  LEFT JOIN cab2 lmb ON a.doc_id = lmb.doc_id
+        |    AND lmb.mb = a.mb - 1 AND a.u = lmb.u
+        |    AND lmb.xb = 1 AND lmb.yb = a.yb
+        |  LEFT JOIN cab2 top ON a.doc_id = top.doc_id
+        |    AND a.mb = top.mb AND a.u = top.u
+        |    AND top.xb = a.xb AND top.yb = a.yb - 1),
+        |vals AS (
+        |  SELECT doc_id, CAST((doc_id + mb + j) % 2 AS BIGINT) AS neg,
+        |      CAST(1 AS BIGINT) AS lv
+        |    FROM dc, (SELECT unnest([0, 1, 2]) AS j) jj
+        |    WHERE jj.j < t1
+        |  UNION ALL
+        |  SELECT doc_id, CAST((doc_id + mb * 2 + j) % 2 AS BIGINT),
+        |      CAST(2 + (doc_id + mb * 5 + j * 3) % 19 AS BIGINT)
+        |    FROM dc, (SELECT unnest(range(0, 16)) AS j) jj
+        |    WHERE jj.j < tc - t1
+        |  UNION ALL
+        |  SELECT doc_id, CAST((doc_id + mb + b + j) % 2 AS BIGINT),
+        |      CAST(1 AS BIGINT)
+        |    FROM nc, (SELECT unnest([0, 1, 2]) AS j) jj
+        |    WHERE jj.j < t1
+        |  UNION ALL
+        |  SELECT doc_id,
+        |      CAST((doc_id + mb * 2 + b + j) % 2 AS BIGINT),
+        |      CAST(2 + (doc_id + mb * 5 + b * 7 + j * 3) % 19
+        |        AS BIGINT)
+        |    FROM nc, (SELECT unnest(range(0, 15)) AS j) jj
+        |    WHERE jj.j < tc - t1
+        |  UNION ALL
+        |  SELECT doc_id,
+        |      CAST((doc_id + mb + u + j) % 2 AS BIGINT),
+        |      CAST(1 AS BIGINT)
+        |    FROM cdc, (SELECT unnest([0, 1, 2]) AS j) jj
+        |    WHERE jj.j < t1
+        |  UNION ALL
+        |  SELECT doc_id, CAST((doc_id + u + j) % 2 AS BIGINT),
+        |      CAST(2 + (doc_id + mb * 5 + u * 7 + j * 3) % 3
+        |        AS BIGINT)
+        |    FROM cdc, (SELECT unnest([0, 1, 2, 3]) AS j) jj
+        |    WHERE jj.j < tc - t1
+        |  UNION ALL
+        |  SELECT doc_id,
+        |      CAST((doc_id + mb + u + c + j) % 2 AS BIGINT),
+        |      CAST(1 AS BIGINT)
+        |    FROM cnc, (SELECT unnest([0, 1, 2]) AS j) jj
+        |    WHERE jj.j < t1
+        |  UNION ALL
+        |  SELECT doc_id,
+        |      CAST((doc_id + mb * 2 + u + c + j) % 2 AS BIGINT),
+        |      CAST(2 + (doc_id + mb * 5 + u * 11 + c * 7 + j * 3)
+        |        % 19 AS BIGINT)
+        |    FROM cnc, (SELECT unnest(range(0, 15)) AS j) jj
+        |    WHERE jj.j < tc - t1),
+        |vagg AS (SELECT doc_id,
+        |    CAST(SUM(lv * (1 - 2 * neg)) AS BIGINT) AS sum_levels,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg
+        |  FROM vals GROUP BY 1),
+        |dagg AS (SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS luma_dc,
+        |    CAST(SUM(t1) AS BIGINT) AS t1s,
+        |    CAST(SUM(tz) AS BIGINT) AS tzs,
+        |    CAST(SUM(nc) AS BIGINT) AS ncs FROM dc GROUP BY 1),
+        |aagg AS (SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS luma_ac,
+        |    CAST(SUM(t1) AS BIGINT) AS t1s,
+        |    CAST(SUM(tz) AS BIGINT) AS tzs,
+        |    CAST(SUM(nc) AS BIGINT) AS ncs FROM nc GROUP BY 1),
+        |cdagg AS (SELECT doc_id,
+        |    CAST(SUM(tc) AS BIGINT) AS chroma_dc,
+        |    CAST(SUM(t1) AS BIGINT) AS t1s,
+        |    CAST(SUM(tz) AS BIGINT) AS tzs FROM cdc GROUP BY 1),
+        |caagg AS (SELECT doc_id,
+        |    CAST(SUM(tc) AS BIGINT) AS chroma_ac,
+        |    CAST(SUM(t1) AS BIGINT) AS t1s,
+        |    CAST(SUM(tz) AS BIGINT) AS tzs,
+        |    CAST(SUM(nc) AS BIGINT) AS ncs FROM cnc GROUP BY 1)
+        |SELECT t.doc_id, t.n_mbs, d.luma_dc, a.luma_ac,
+        |  cd.chroma_dc, ca.chroma_ac,
+        |  COALESCE(v.sum_levels, 0) AS sum_levels,
+        |  d.t1s + a.t1s + cd.t1s + ca.t1s AS n_t1,
+        |  COALESCE(v.n_neg, 0) AS n_neg,
+        |  d.tzs + a.tzs + cd.tzs + ca.tzs AS sum_tz,
+        |  d.ncs + a.ncs + ca.ncs AS sum_nc
+        |FROM t JOIN dagg d ON t.doc_id = d.doc_id
+        |JOIN aagg a ON t.doc_id = a.doc_id
+        |JOIN cdagg cd ON t.doc_id = cd.doc_id
+        |JOIN caagg ca ON t.doc_id = ca.doc_id
+        |LEFT JOIN vagg v ON t.doc_id = v.doc_id""".stripMargin,
 
     // arithmetic replay of H264Fixture.paramsOf: the Spark side
     // must recover these values through encode→escape→walk→

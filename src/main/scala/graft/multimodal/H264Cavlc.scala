@@ -728,4 +728,132 @@ object H264Cavlc {
       InternalRow(nm, nd, ds, na, as_, t1, nn, tz, nc)
     case None => null
   }
+
+  /** §9.2.1 neighbours of chroma4x4BlkIdx in the 4:2:0 2×2 chroma
+    * grid (per component): within-MB left/top index, −1 = the MB
+    * edge — left crosses to the LEFT macroblock's x = 1 column
+    * (`CLeftEdge`), top is the picture edge in the one-MB-row
+    * class. */
+  private[multimodal] val CLeftBlk = Array(-1, 0, -1, 2)
+  private[multimodal] val CLeftEdge = Array(1, -1, 3, -1)
+  private[multimodal] val CTopBlk = Array(-1, -1, 0, 1)
+
+  /** nC of chroma AC block `c` of one component — the 2×2-grid
+    * twin of [[acNc]]. */
+  private def chromaAcNc(c: Int, cur: Array[Int],
+      prev: Array[Int]): Int = {
+    val hasA = CLeftBlk(c) >= 0 || prev != null
+    val nA =
+      if (CLeftBlk(c) >= 0) cur(CLeftBlk(c))
+      else if (prev != null) prev(CLeftEdge(c))
+      else 0
+    val hasB = CTopBlk(c) >= 0
+    val nB = if (hasB) cur(CTopBlk(c)) else 0
+    if (hasA && hasB) (nA + nB + 1) >> 1
+    else if (hasA) nA
+    else if (hasB) nB
+    else 0
+  }
+
+  /** Decode the COMPLETE I_16x16 macroblock_layer residual — every
+    * macroblock I_16x16_<pred>_2_1 (Table 7-11: chroma CBP 2, luma
+    * CBP 15), whose residual (§7.3.5.3.3) carries EVERY block class
+    * this picture family codes, all real, in one bitstream:
+    * Intra16x16DCLevel (maxNumCoeff 16, nC from the left MB's luma
+    * block 5), SIXTEEN Intra16x16ACLevel blocks (neighbour-routed
+    * Table 9-5 columns, [[decodeAc]]'s machinery), TWO ChromaDCLevel
+    * blocks (the fixed nC = −1 column, [[decode]]'s machinery), and
+    * EIGHT ChromaACLevel blocks (Cb's four then Cr's four,
+    * maxNumCoeff 15, nC over the per-component 2×2 chroma grid with
+    * left crossing macroblocks). Neighbour censuses never mix
+    * classes: luma AC TCs feed luma nC, each component's chroma AC
+    * TCs feed that component's chroma nC, DC counts feed nothing
+    * (JM's nz-coeff semantics).
+    *
+    * Returns (n_mbs, luma_dc, luma_ac, chroma_dc, chroma_ac,
+    * sum_levels, n_t1, n_neg, sum_tz, sum_nc) — counts per class,
+    * the level/t1/neg/tz census over ALL classes, and sum_nc over
+    * every neighbour-DERIVED nC (luma DC + luma AC + chroma AC; the
+    * chroma DC column is fixed, not derived). */
+  def decodeMb(b: Array[Byte]): Option[(Long, Long, Long, Long,
+      Long, Long, Long, Long, Long, Long)] =
+    try {
+      sliceSetup(b) match {
+        case None => None
+        case Some((wMbs, hMbs, r)) =>
+          if (hMbs != 1) return None
+          var lumaDc = 0L; var lumaAc = 0L
+          var chromaDc = 0L; var chromaAc = 0L
+          var sumLv = 0L; var nT1 = 0L; var nNeg = 0L
+          var sumTz = 0L; var sumNc = 0L
+          var prev: Array[Int] = null
+          var prevC: Array[Array[Int]] = null
+          var mb = 0
+          while (mb < wMbs) {
+            val mbt = r.ue()
+            // mbt−1 = pred + 4·2 + 12: chroma CBP 2 / luma CBP 15
+            if (mbt < 21 || mbt > 24) return None
+            val icp = r.ue() // intra_chroma_pred_mode
+            if (icp > 3) return None
+            r.se() // mb_qp_delta
+            val dcNc = if (prev == null) 0 else prev(5)
+            sumNc += dcNc
+            val dcB = residualBlockNc(r, dcNc, 16)
+            if (dcB == null) return None
+            lumaDc += dcB.tc; sumLv += dcB.sum; nT1 += dcB.t1
+            nNeg += dcB.nNeg; sumTz += dcB.tz
+            val cur = new Array[Int](16)
+            var blk = 0
+            while (blk < 16) {
+              val nc = acNc(blk, cur, prev)
+              sumNc += nc
+              val ab = residualBlockNc(r, nc, 15)
+              if (ab == null) return None
+              cur(blk) = ab.tc
+              lumaAc += ab.tc; sumLv += ab.sum; nT1 += ab.t1
+              nNeg += ab.nNeg; sumTz += ab.tz
+              blk += 1
+            }
+            var u = 0
+            while (u < 2) { // ChromaDCLevel: Cb then Cr
+              val cb = chromaDcBlock(r)
+              if (cb == null) return None
+              chromaDc += cb.tc; sumLv += cb.sum; nT1 += cb.t1
+              nNeg += cb.nNeg; sumTz += cb.tz
+              u += 1
+            }
+            val curC = Array.ofDim[Int](2, 4)
+            u = 0
+            while (u < 2) { // ChromaACLevel: Cb's grid then Cr's
+              var c = 0
+              while (c < 4) {
+                val nc = chromaAcNc(c, curC(u),
+                  if (prevC == null) null else prevC(u))
+                sumNc += nc
+                val ca = residualBlockNc(r, nc, 15)
+                if (ca == null) return None
+                curC(u)(c) = ca.tc
+                chromaAc += ca.tc; sumLv += ca.sum; nT1 += ca.t1
+                nNeg += ca.nNeg; sumTz += ca.tz
+                c += 1
+              }
+              u += 1
+            }
+            prev = cur
+            prevC = curC
+            mb += 1
+          }
+          if (r.u1() != 1) return None // rbsp_stop_one_bit
+          Some((wMbs.toLong, lumaDc, lumaAc, chromaDc, chromaAc,
+            sumLv, nT1, nNeg, sumTz, sumNc))
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** [[decodeMb]] as an `InternalRow` for the
+    * [[graft.functions.H264CavlcMbExpr]] codegen path. */
+  def decodeMbRow(b: Array[Byte]): InternalRow = decodeMb(b) match {
+    case Some((nm, ld, la, cd, ca, sl, t1, nn, tz, nc)) =>
+      InternalRow(nm, ld, la, cd, ca, sl, t1, nn, tz, nc)
+    case None => null
+  }
 }

@@ -644,6 +644,106 @@ object H264Fixture {
       Start4, Array[Byte](0x65) ++ slice)
   }
 
+  // ---- complete-macroblock CAVLC fixture (mm_h264_cavlc_mb) ----
+  // I_16x16 with chroma CBP 2 / luma CBP 15: EVERY residual class
+  // of the picture family — luma DC (the luma lane's rules), sixteen
+  // luma AC (the AC lane's), two chroma DC (the chroma lane's), and
+  // eight chroma AC blocks with their own closed forms below.
+
+  /** Chroma-AC TotalCoeff ∈ {0, 1, 2, 3, 15} — the same
+    * nC-closure set as the luma AC rule, mod-7 selector. */
+  def cacTc(d: Long, mb: Int, u: Int, c: Int): Int =
+    Array(0, 1, 2, 3, 15, 2, 1)(((d + mb * 3 + u * 2 + c * 5) % 7)
+      .toInt)
+  def cacT1(d: Long, mb: Int, u: Int, c: Int): Int =
+    math.min(cacTc(d, mb, u, c), ((d + mb + u + c) % 4).toInt)
+  def cacTrailSign(d: Long, mb: Int, u: Int, c: Int, j: Int): Int =
+    ((d + mb + u + c + j) % 2).toInt
+  def cacLevelAbs(d: Long, mb: Int, u: Int, c: Int, j: Int): Int =
+    2 + ((d + mb * 5 + u * 11 + c * 7 + j * 3) % 19).toInt
+  def cacLevelNeg(d: Long, mb: Int, u: Int, c: Int, j: Int): Int =
+    ((d + mb * 2 + u + c + j) % 2).toInt
+  def cacTz(d: Long, mb: Int, u: Int, c: Int): Int = {
+    val tc = cacTc(d, mb, u, c)
+    if (tc == 0 || tc == 15) 0
+    else ((d + mb + u + c) % (16 - tc)).toInt
+  }
+  def cacRun(d: Long, mb: Int, u: Int, c: Int, i: Int,
+      zerosLeft: Int): Int =
+    ((d + mb + u + c + i) % (zerosLeft + 1)).toInt
+
+  /** Forward §9.2.1 nC of chroma AC block `c` of component `u` —
+    * the 2×2 chroma grid spelled from coordinates (xb = c % 2,
+    * yb = c / 2), independent of the decoder's transcribed arrays;
+    * the oracle holds the relational third spelling. */
+  def cacNc(d: Long, mb: Int, u: Int, c: Int): Int = {
+    val x = c % 2; val y = c / 2
+    val hasA = x > 0 || mb > 0
+    val nA =
+      if (x > 0) cacTc(d, mb, u, y * 2)
+      else if (mb > 0) cacTc(d, mb - 1, u, y * 2 + 1)
+      else 0
+    val hasB = y > 0
+    val nB = if (hasB) cacTc(d, mb, u, c - 2) else 0
+    if (hasA && hasB) (nA + nB + 1) >> 1
+    else if (hasA) nA
+    else if (hasB) nB
+    else 0
+  }
+
+  /** IDR slice RBSP whose macroblocks are I_16x16 with chroma CBP 2
+    * / luma CBP 15 — the COMPLETE §7.3.5.3.3 residual sequence, all
+    * four block classes real. */
+  def cavlcMbSliceRbsp(d: Long): Array[Byte] = {
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(7) // slice_type: I (all slices)
+    bw.ue(0) // pic_parameter_set_id
+    bw.u(4, 0) // frame_num
+    bw.ue((d % 4).toInt) // idr_pic_id
+    bw.u(4, 0) // pic_order_cnt_lsb
+    bw.bit(0); bw.bit(0) // IDR ref marking flags
+    bw.se(0) // slice_qp_delta
+    for (mb <- 0 until acMbs(d)) {
+      bw.ue(21 + acPred(d, mb)) // mb_type: I_16x16_<pred>_2_1
+      bw.ue(acIcp(d, mb)) // intra_chroma_pred_mode
+      bw.se(acQpd(d, mb)) // mb_qp_delta
+      writeNcBlock(bw, acDcNc(d, mb), lumaTc(d, mb), lumaT1(d, mb),
+        j => lumaTrailSign(d, mb, j), j => lumaLevelAbs(d, mb, j),
+        j => lumaLevelNeg(d, mb, j), lumaTz(d, mb),
+        (i, zl) => lumaRun(d, mb, i, zl), 16)
+      for (b <- 0 until 16)
+        writeNcBlock(bw, acNc(d, mb, b), acTc(d, mb, b),
+          acT1(d, mb, b),
+          j => acTrailSign(d, mb, b, j),
+          j => acLevelAbs(d, mb, b, j),
+          j => acLevelNeg(d, mb, b, j), acTz(d, mb, b),
+          (i, zl) => acRun(d, mb, b, i, zl), 15)
+      writeChromaDc(bw, d, mb, 0)
+      writeChromaDc(bw, d, mb, 1)
+      for (u <- 0 to 1; c <- 0 until 4)
+        writeNcBlock(bw, cacNc(d, mb, u, c), cacTc(d, mb, u, c),
+          cacT1(d, mb, u, c),
+          j => cacTrailSign(d, mb, u, c, j),
+          j => cacLevelAbs(d, mb, u, c, j),
+          j => cacLevelNeg(d, mb, u, c, j), cacTz(d, mb, u, c),
+          (i, zl) => cacRun(d, mb, u, c, i, zl), 15)
+    }
+    bw.stopAlign()
+    bw.bytes
+  }
+
+  /** Three-NAL complete-macroblock CAVLC stream: SPS, PPS, IDR
+    * slice. */
+  def annexBCavlcMb(d: Long): Array[Byte] = {
+    val sps = escapeRbsp(spsRbsp(cavlcAcParams(d)))
+    val slice = escapeRbsp(cavlcMbSliceRbsp(d))
+    Array.concat(
+      Start4, Array[Byte](0x67) ++ sps,
+      Start4, Array[Byte](0x68, 0xCE.toByte, 0x38, 0x80.toByte),
+      Start4, Array[Byte](0x65) ++ slice)
+  }
+
   /** IDR slice RBSP whose macroblocks carry BOTH residual classes:
     * a REAL luma-DC block (the luma lane's parameter rules) then
     * the two chroma-DC blocks (the chroma lane's) — mb_type

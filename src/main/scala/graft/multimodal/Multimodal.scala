@@ -100,13 +100,19 @@ import org.apache.spark.sql.functions._
   * bitstream pins in place of the codec pin this container cannot
   * provide; selects 4–31 stay fail-closed
   * ([[Mp3Headers.bigvaluesInfo]], `mm_mp3_bigvalues`), and the
-  * H.264 CAVLC residual walk for BOTH residual classes this
+  * H.264 CAVLC residual walk for EVERY block class the I_16x16
   * picture family codes — chroma-DC blocks under the fixed nC = −1
-  * table (`mm_h264_cavlc`) and luma-DC blocks through the FULL
+  * table (`mm_h264_cavlc`), luma-DC blocks through the FULL
   * Table 9-5 0 ≤ nC < 2 coeff_token column with the complete
   * §9.2.2.1 escape arithmetic, Tables 9-7/9-8 total_zeros and the
-  * full run_before table (`mm_h264_cavlc_luma`), plus both classes
-  * SEQUENCED in one macroblock_layer (`mm_h264_cavlc_full`) —
+  * full run_before table (`mm_h264_cavlc_luma`, sequenced with the
+  * chroma class in `mm_h264_cavlc_full`), SIXTEEN Intra16x16ACLevel
+  * blocks per macroblock with the REAL §9.2.1 neighbour-nC
+  * machinery routing each block's coeff_token column — the 2 ≤ nC
+  * < 4 column and the algorithmic nC ≥ 8 six-bit FLC joined the
+  * transcribed set (`mm_h264_cavlc_ac`) — and the per-component
+  * 2×2-grid ChromaACLevel class, closing the COMPLETE §7.3.5.3.3
+  * residual sequence in one bitstream (`mm_h264_cavlc_mb`) —
   * under the same self-checked transcription discipline
   * ([[H264Cavlc]]). What
   * remains a clearly-marked DETERMINISTIC FAKE is decode whose
@@ -116,8 +122,9 @@ import org.apache.spark.sql.functions._
   * trees exceed what the Kraft gate can witness from recall alone;
   * a round-17 transcription attempt FAILED its own Kraft check and
   * was discarded rather than fudged — both count1 tables decode
-  * (`mm_mp3_count1`, `mm_mp3_count1a`) — H.264's nC ≥ 2 Table 9-5
-  * columns, luma/chroma AC blocks, CABAC, intra prediction) and the
+  * (`mm_mp3_count1`, `mm_mp3_count1a`) — H.264's 4 ≤ nC < 8
+  * Table 9-5 column, likewise discarded at its own consistency
+  * check, Intra_4x4 prediction modes, CABAC) and the
   * float-domain synthesis past the entropy layer (MP3 IMDCT,
   * Vorbis's dB floor / MDCT and FRACTIONAL min/delta books above
   * the residue chain — which is now integer-exact through the

@@ -430,6 +430,126 @@ class H264CavlcSpec extends AnyFunSuite {
     assert(H264Cavlc.decodeAc(twoRow).isEmpty)
   }
 
+  test("the chroma 2x2-grid neighbour arrays match an independent " +
+    "coordinate derivation") {
+    for (c <- 0 until 4) {
+      val (x, y) = (c % 2, c / 2)
+      assert(H264Cavlc.CLeftBlk(c) ==
+        (if (x > 0) y * 2 else -1), s"CLeftBlk($c)")
+      assert(H264Cavlc.CLeftEdge(c) ==
+        (if (x == 0) y * 2 + 1 else -1), s"CLeftEdge($c)")
+      assert(H264Cavlc.CTopBlk(c) ==
+        (if (y > 0) c - 2 else -1), s"CTopBlk($c)")
+    }
+  }
+
+  test("COMPLETE-macroblock triangle over 240 documents: all four " +
+    "residual classes real in one bitstream, both neighbour " +
+    "censuses pinned by sum_nc") {
+    for (d <- 0L until 240L) {
+      val Some((nMbs, lumaDc, lumaAc, chromaDc, chromaAc, sumLv,
+        nT1, nNeg, sumTz, sumNc)) =
+        H264Cavlc.decodeMb(H264Fixture.annexBCavlcMb(d))
+      val mbs = H264Fixture.acMbs(d)
+      assert(nMbs == mbs.toLong, s"n_mbs d=$d")
+      def blockVals(t1: Int, tc: Int, sign: Int => Int,
+          abs: Int => Int, neg: Int => Int): Seq[Long] =
+        (0 until t1).map(j => if (sign(j) == 1) -1L else 1L) ++
+          (0 until tc - t1).map { j =>
+            val a = abs(j).toLong
+            if (neg(j) == 1) -a else a
+          }
+      val lumaB = (0 until mbs).toSeq
+      val acB = for (mb <- 0 until mbs; b <- 0 until 16) yield (mb, b)
+      val cdcB = for (mb <- 0 until mbs; u <- 0 to 1) yield (mb, u)
+      val cacB = for (mb <- 0 until mbs; u <- 0 to 1; c <- 0 until 4)
+        yield (mb, u, c)
+      val vals =
+        lumaB.flatMap(mb => blockVals(H264Fixture.lumaT1(d, mb),
+          H264Fixture.lumaTc(d, mb), H264Fixture.lumaTrailSign(d, mb, _),
+          H264Fixture.lumaLevelAbs(d, mb, _),
+          H264Fixture.lumaLevelNeg(d, mb, _))) ++
+        acB.flatMap { case (mb, b) =>
+          blockVals(H264Fixture.acT1(d, mb, b),
+            H264Fixture.acTc(d, mb, b),
+            H264Fixture.acTrailSign(d, mb, b, _),
+            H264Fixture.acLevelAbs(d, mb, b, _),
+            H264Fixture.acLevelNeg(d, mb, b, _)) } ++
+        cdcB.flatMap { case (mb, u) =>
+          blockVals(H264Fixture.cavlcT1(d, mb, u),
+            H264Fixture.cavlcTc(d, mb, u),
+            H264Fixture.cavlcTrailSign(d, mb, u, _),
+            H264Fixture.cavlcLevelAbs(d, mb, u, _),
+            H264Fixture.cavlcLevelNeg(d, mb, u, _)) } ++
+        cacB.flatMap { case (mb, u, c) =>
+          blockVals(H264Fixture.cacT1(d, mb, u, c),
+            H264Fixture.cacTc(d, mb, u, c),
+            H264Fixture.cacTrailSign(d, mb, u, c, _),
+            H264Fixture.cacLevelAbs(d, mb, u, c, _),
+            H264Fixture.cacLevelNeg(d, mb, u, c, _)) }
+      assert(lumaDc == lumaB.map(mb =>
+        H264Fixture.lumaTc(d, mb).toLong).sum, s"luma_dc d=$d")
+      assert(lumaAc == acB.map { case (mb, b) =>
+        H264Fixture.acTc(d, mb, b).toLong }.sum, s"luma_ac d=$d")
+      assert(chromaDc == cdcB.map { case (mb, u) =>
+        H264Fixture.cavlcTc(d, mb, u).toLong }.sum, s"chroma_dc d=$d")
+      assert(chromaAc == cacB.map { case (mb, u, c) =>
+        H264Fixture.cacTc(d, mb, u, c).toLong }.sum, s"chroma_ac d=$d")
+      assert(sumLv == vals.sum, s"sum_levels d=$d")
+      assert(nNeg == vals.count(_ < 0).toLong, s"n_neg d=$d")
+      assert(nT1 == (lumaB.map(mb =>
+        H264Fixture.lumaT1(d, mb).toLong).sum +
+        acB.map { case (mb, b) =>
+          H264Fixture.acT1(d, mb, b).toLong }.sum +
+        cdcB.map { case (mb, u) =>
+          H264Fixture.cavlcT1(d, mb, u).toLong }.sum +
+        cacB.map { case (mb, u, c) =>
+          H264Fixture.cacT1(d, mb, u, c).toLong }.sum), s"n_t1 d=$d")
+      assert(sumTz == (lumaB.map(mb =>
+        H264Fixture.lumaTz(d, mb).toLong).sum +
+        acB.map { case (mb, b) =>
+          H264Fixture.acTz(d, mb, b).toLong }.sum +
+        cdcB.map { case (mb, u) =>
+          H264Fixture.cavlcTz(d, mb, u).toLong }.sum +
+        cacB.map { case (mb, u, c) =>
+          H264Fixture.cacTz(d, mb, u, c).toLong }.sum), s"sum_tz d=$d")
+      assert(sumNc == (lumaB.map(mb =>
+        H264Fixture.acDcNc(d, mb).toLong).sum +
+        acB.map { case (mb, b) =>
+          H264Fixture.acNc(d, mb, b).toLong }.sum +
+        cacB.map { case (mb, u, c) =>
+          H264Fixture.cacNc(d, mb, u, c).toLong }.sum), s"sum_nc d=$d")
+    }
+    // chroma-AC nC coverage: the 2<=nC<4 column, the FLC band, and
+    // cross-MB chroma left neighbours engage; nothing reaches [4,8)
+    val cs = for (d <- 0L until 240L; mb <- 0 until H264Fixture.acMbs(d);
+      u <- 0 to 1; c <- 0 until 4) yield (d, mb, u, c)
+    def cnc(x: (Long, Int, Int, Int)) =
+      H264Fixture.cacNc(x._1, x._2, x._3, x._4)
+    assert(cs.exists(x => cnc(x) >= 2 && cnc(x) < 4),
+      "chroma col 2<=nC<4 unused")
+    assert(cs.exists(x => cnc(x) >= 8), "chroma FLC unused")
+    assert(cs.forall(x => cnc(x) < 4 || cnc(x) >= 8),
+      "a chroma nC landed in the declared fail-closed band")
+    assert(cs.exists { case (_, mb, _, c) =>
+      mb > 0 && (c == 0 || c == 2) }, "no cross-MB chroma left")
+    // cross-lane rejects + adversaries
+    assert(H264Cavlc.decodeMb(H264Fixture.annexBCavlcAc(3L)).isEmpty)
+    assert(H264Cavlc.decodeAc(H264Fixture.annexBCavlcMb(3L)).isEmpty)
+    assert(H264Cavlc.decodeMb(H264Fixture.annexBCavlcFull(3L)).isEmpty)
+    assert(H264Cavlc.decodeMb(H264Fixture.annexBPcm(3L)).isEmpty)
+    val good = H264Fixture.annexBCavlcMb(11L)
+    var caught = 0
+    for (off <- math.max(0, good.length - 16) until good.length - 1) {
+      val bad = good.clone()
+      bad(off) = (bad(off) ^ 0x10).toByte
+      if (H264Cavlc.decodeMb(bad).isEmpty) caught += 1
+    }
+    assert(caught > 0, "no complete-MB corruption was caught")
+    assert(H264Cavlc.decodeMb(good.dropRight(2)).isEmpty)
+    assert(H264Cavlc.decodeMb(null).isEmpty)
+  }
+
   test("suffixLength adaptation really engages: some document emits " +
     "a level whose code needs a nonzero suffix, and decodes back") {
     // |level| = 4 with suffixLength 1 after a first level forces a
