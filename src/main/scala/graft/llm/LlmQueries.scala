@@ -70,6 +70,8 @@ object LlmQueries {
     "llm_pq_adc_topk" -> pqAdcTopk,
     "llm_pq_recall" -> pqRecall,
     "llm_pq_codes" -> pqCodes,
+    "llm_ivfpq_topk" -> ivfpqTopk,
+    "llm_ivfpq_recall" -> ivfpqRecall,
     "llm_embed_neardup" -> embedNeardup,
     "llm_sample_bottomk" -> sampleBottomK,
     "llm_sample_weighted" -> sampleWeighted,
@@ -2463,6 +2465,96 @@ object LlmQueries {
       .select(col("q_id"), col("vec_id"), expr(scoreExpr).as("ip"))
     explodeTopK(scored, 5).withColumnRenamed("ip", "adc_ip")
   }
+
+  // ---------------------------------------------------------------
+  // IVF+PQ fusion — the canonical billion-scale ANN layout (the
+  // FAISS IVFPQ structure, rebuilt from its public description):
+  // coarse-quantize each vector to an inverted list, PQ-encode its
+  // RESIDUAL against per-subspace codebooks, and search with ADC
+  // over only the probed lists: score = q·c_list + Σ_j LUT_j[code].
+  // Storage per vector is a list id + m sub-codes (5 bytes here);
+  // the residual encoding is what makes PQ accurate at scale — the
+  // codebooks only have to cover the within-list spread, not the
+  // whole space. At 100 TB: lists are physical partitions (probing
+  // prunes at the source, the stored-ANN discipline), the scan
+  // reads codes not embeddings, LUTs + probed-list table broadcast,
+  // ranking is the bounded heap.
+  // ---------------------------------------------------------------
+  private val ivfpqProbe = 4
+
+  /** Coarse assignment + integer residual per vector — the encode
+    * side's shared front half: map-side argmax against the
+    * broadcast coarse table, then an elementwise zip_with. */
+  private def ivfpqResiduals(s: SparkSession, d: String): DataFrame =
+    assigned(s, d)
+      .join(broadcast(centroids(s, d)), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(qv, cv, (x, y) -> x - y)").as("rv"))
+
+  /** Per-subspace RESIDUAL codebooks (the sample rule on the
+    * residual table: vec_id < 16), collapsed to one broadcastable
+    * row — shared by encode and LUT construction. */
+  private def ivfpqCentArr(s: SparkSession, d: String): DataFrame = {
+    val res = ivfpqResiduals(s, d).filter(col("vec_id") < nCentroids)
+    val centAgg = (1 to pqSub).map(j =>
+      sort_array(collect_list(struct(
+        col("vec_id").cast("int").as("cid"),
+        expr(s"slice(rv, ${(j - 1) * pqDim + 1}, $pqDim)").as("cv"))))
+        .as(s"cents$j"))
+    res.agg(centAgg.head, centAgg.tail: _*)
+  }
+
+  /** The IVFPQ index rows: list id + m sub-codes per vector (the
+    * stored layout of the fused index). Same zero-exchange shape as
+    * [[pqCodes]] — assignment and encode are both row-local kernels
+    * against broadcast tables. */
+  private def ivfpqCodes(s: SparkSession, d: String): DataFrame =
+    ivfpqResiduals(s, d).crossJoin(broadcast(ivfpqCentArr(s, d)))
+      .select(col("vec_id") +: col("cid") +: (1 to pqSub).map(j =>
+        graft.functions.NearestCentroid(
+          expr(s"slice(rv, ${(j - 1) * pqDim + 1}, $pqDim)"),
+          col(s"cents$j")).as(s"c$j")): _*)
+
+  /** IVFPQ ADC top-k (`llm_ivfpq_topk`) — the fused search: each
+    * query ranks the 16 coarse lists (bounded-heap, ties to the
+    * smallest cid), takes nprobe = 4, precomputes per-subspace LUTs
+    * against the RESIDUAL codebooks, and scores only the probed
+    * lists' codes as list_ip + four LUT lookups. Everything the
+    * corpus-side scan touches is codes + two broadcast smalls
+    * (probed-list table: nq × 4 rows; LUTs: nq × 64 longs); the
+    * exchange is the bounded heap's O(partitions × k). */
+  def ivfpqTopk(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d).filter(col("vec_id").isin(queryIds: _*))
+    // nprobe coarse lists per query, ranked by the same bounded heap
+    val coarse = q.crossJoin(broadcast(centroids(s, d)))
+      .select(col("vec_id").as("q_id"),
+        col("cid").cast("long").as("vec_id"),
+        graft.functions.DotProductLong(col("qv"), col("cv")).as("ip"))
+    val lists = explodeTopK(coarse, ivfpqProbe)
+      .select(col("q_id").as("lq"), col("vec_id").cast("int").as("pcid"),
+        col("ip").as("list_ip"))
+    // per-subspace LUTs over the residual codebooks (cid-keyed maps)
+    val luts = q.crossJoin(broadcast(ivfpqCentArr(s, d)))
+      .select(col("vec_id").as("q_id") +: (1 to pqSub).map(j =>
+        map_from_entries(transform(col(s"cents$j"), c =>
+          struct(c.getField("cid"),
+            graft.functions.DotProductLong(
+              expr(s"slice(qv, ${(j - 1) * pqDim + 1}, $pqDim)"),
+              c.getField("cv"))))).as(s"lut$j")): _*)
+    val scoreExpr = (1 to pqSub).map(j =>
+      s"element_at(lut$j, c$j)").mkString("list_ip + ", " + ", "")
+    val scored = ivfpqCodes(s, d)
+      .join(broadcast(lists), col("cid") === col("pcid"))
+      .join(broadcast(luts), col("lq") === col("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(scoreExpr).as("ip"))
+    explodeTopK(scored, 5)
+  }
+
+  /** Recall@5 of the fused IVFPQ path against exact brute force —
+    * measured, not assumed, like every other approximation here. */
+  def ivfpqRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(s, d, ivfpqTopk(s, d))
 
   /** Embedding-cosine near-dup: pairs above a similarity threshold,
     * generated strictly *within* sign-LSH buckets (the embeddings are
@@ -8076,6 +8168,89 @@ object LlmQueries {
        |bv AS (SELECT vec_id, qv, $bits AS bucket FROM v)""".stripMargin
   }
 
+  /** Shared oracle CTE chain for the IVFPQ fusion, ending in
+    * `fsc(q_id, vec_id, ip)` — coarse sample centroids, the
+    * assignment argmax, INTEGER residuals (unnest → subtract →
+    * relist), per-subspace residual codebooks + codes, the
+    * nprobe-ranked probed lists and the fused
+    * list_ip + Σ LUT score (assumes `v` from [[quantCte]] in
+    * scope). Used by llm_ivfpq_topk and llm_ivfpq_recall. */
+  private lazy val ivfpqCte: String = {
+    val subsCodes = (1 to pqSub).map { j =>
+      val lo = (j - 1) * pqDim + 1
+      val hi = j * pqDim
+      s"""fs$j AS (SELECT r.vec_id, c.rcid,
+         |    CAST(list_inner_product(CAST(r.rv[$lo:$hi] AS DOUBLE[]),
+         |      CAST(c.rv[$lo:$hi] AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM fres r, frcent c),
+         |fr$j AS (SELECT vec_id, rcid AS c$j FROM (
+         |    SELECT vec_id, rcid, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY ip DESC, rcid) AS rn
+         |    FROM fs$j)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 to pqSub)
+      .map(j => s"JOIN fr$j ON r.vec_id = fr$j.vec_id")
+      .mkString("\n  ")
+    val lutSel = (1 to pqSub).map { j =>
+      val lo = (j - 1) * pqDim + 1
+      val hi = j * pqDim
+      s"""SELECT q.q_id, $j AS j, c.rcid,
+         |    CAST(list_inner_product(CAST(q.qvec[$lo:$hi] AS DOUBLE[]),
+         |      CAST(c.rv[$lo:$hi] AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM fq q, frcent c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val codesLong = (1 to pqSub).map(j =>
+      s"SELECT vec_id, cid, $j AS j, c$j AS rcid FROM fcodes")
+      .mkString(" UNION ALL ")
+    s"""fcent AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM v
+       |  WHERE vec_id < $nCentroids),
+       |fsc0 AS (SELECT v.vec_id, v.qv, c.cid,
+       |    CAST(list_inner_product(CAST(v.qv AS DOUBLE[]),
+       |      CAST(c.cv AS DOUBLE[])) AS BIGINT) AS ip
+       |  FROM v, fcent c),
+       |fasg AS (SELECT vec_id, qv, cid FROM (
+       |    SELECT vec_id, qv, cid, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY ip DESC, cid) AS rn
+       |    FROM fsc0)
+       |  WHERE rn = 1),
+       |fru AS (SELECT a.vec_id, a.cid, unnest(a.qv) AS x,
+       |    unnest(c.cv) AS y,
+       |    unnest(generate_series(1, len(a.qv))) AS j
+       |  FROM fasg a JOIN fcent c ON a.cid = c.cid),
+       |fres AS (SELECT vec_id, cid, list(x - y ORDER BY j) AS rv
+       |  FROM fru GROUP BY 1, 2),
+       |frcent AS (SELECT CAST(vec_id AS INT) AS rcid, rv FROM fres
+       |  WHERE vec_id < $nCentroids),
+       |$subsCodes,
+       |fcodes AS (SELECT r.vec_id, r.cid,
+       |    ${(1 to pqSub).map(j => s"fr$j.c$j").mkString(", ")}
+       |  FROM fres r
+       |  $codeJoins),
+       |fq AS (SELECT vec_id AS q_id, qv AS qvec FROM v
+       |  WHERE vec_id IN $qIdList),
+       |fcl AS (SELECT q.q_id, c.cid,
+       |    CAST(list_inner_product(CAST(q.qvec AS DOUBLE[]),
+       |      CAST(c.cv AS DOUBLE[])) AS BIGINT) AS cip
+       |  FROM fq q, fcent c),
+       |fpl AS (SELECT q_id, cid, cip FROM (
+       |    SELECT q_id, cid, cip, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cip DESC, cid) AS rn
+       |    FROM fcl)
+       |  WHERE rn <= $ivfpqProbe),
+       |flut AS ($lutSel),
+       |fcodl AS ($codesLong),
+       |fadc AS (SELECT l.q_id, cl.vec_id, cl.cid,
+       |    CAST(sum(l.ip) AS BIGINT) AS adc
+       |  FROM fcodl cl JOIN flut l
+       |    ON l.j = cl.j AND l.rcid = cl.rcid
+       |  GROUP BY 1, 2, 3),
+       |fsc AS (SELECT p.q_id, a.vec_id, p.cip + a.adc AS ip
+       |  FROM fpl p JOIN fadc a
+       |    ON a.cid = p.cid AND a.q_id = p.q_id
+       |    AND a.vec_id <> p.q_id)""".stripMargin
+  }
+
   private val qIdList = queryIds.mkString("(", ", ", ")")
 
   /** Centroids + nearest-centroid assignment CTEs (mirrors
@@ -9338,6 +9513,40 @@ object LlmQueries {
          |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
          |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
          |  FROM v, q WHERE vec_id <> q_id),
+         |re AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS rank FROM se)
+         |  WHERE rank <= 5)
+         |SELECT re.q_id, count(ri.vec_id) AS n_hits,
+         |  CAST(floor(1000.0 * count(ri.vec_id) / 5) AS BIGINT)
+         |    AS recall_x1000
+         |FROM re LEFT JOIN ri
+         |  ON re.q_id = ri.q_id AND re.vec_id = ri.vec_id
+         |GROUP BY re.q_id""".stripMargin,
+
+    // the fused index replayed end to end: coarse assign → integer
+    // residual → per-subspace residual codes → nprobe lists → ADC
+    "llm_ivfpq_topk" ->
+      s"""WITH $quantCte,
+         |$ivfpqCte,
+         |r AS (SELECT q_id, vec_id, ip,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS INT) AS rank
+         |  FROM fsc)
+         |SELECT q_id, vec_id, rank, ip FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    "llm_ivfpq_recall" ->
+      s"""WITH $quantCte,
+         |$ivfpqCte,
+         |ri AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS rank FROM fsc)
+         |  WHERE rank <= 5),
+         |se AS (SELECT q_id, vec_id,
+         |    CAST(list_inner_product(CAST(qvec AS DOUBLE[]),
+         |      CAST(qv AS DOUBLE[])) AS BIGINT) AS ip
+         |  FROM v, fq WHERE vec_id <> q_id),
          |re AS (SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY ip DESC, vec_id) AS rank FROM se)

@@ -71,6 +71,21 @@ class BroadcastDisciplineSpec extends AnyFunSuite {
       s"llm_ivf_drift lost its broadcast centroid row:\n${p.take(2000)}")
   }
 
+  test("llm_ivfpq_topk: codes join probed lists and LUTs by " +
+    "BROADCAST only, ranks through the bounded heap, no corpus " +
+    "window") {
+    val p = executedString("llm_ivfpq_topk")
+    assert(count(p, "SortMergeJoin") == 0,
+      s"llm_ivfpq_topk sort-merged a corpus-scale side:\n${p.take(2000)}")
+    assert(count(p, "Window") == 0,
+      s"llm_ivfpq_topk regrew a corpus window:\n${p.take(2000)}")
+    assert(count(p, "BroadcastHashJoin") +
+      count(p, "BroadcastNestedLoopJoin") >= 2,
+      s"llm_ivfpq_topk lost a broadcast side (lists/LUTs/codebooks):\n${p.take(2000)}")
+    assert(p.contains("top_k_l"),
+      "llm_ivfpq_topk must rank through the bounded heap")
+  }
+
   test("entailment broadcasts stay at the restructured bound") {
     val p = executedString("rdf_rdfs_entail")
     val bhj = count(p, "BroadcastHashJoin")
