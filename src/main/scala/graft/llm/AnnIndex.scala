@@ -332,6 +332,163 @@ object AnnIndex {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Stored IVFPQ — the PQ half of the persisted index: per-subspace
+  // RESIDUAL codebooks plus every index vector's sub-codes, written
+  // beside the IVF artifact with codes PARTITIONED BY cid, so the
+  // inverted lists of 5-byte code rows are the partition
+  // directories a 100 TB probe actually reads (the embedding
+  // column never enters the search scan). Same maintenance
+  // discipline as the assignment store: ledger-guarded O(delta)
+  // extends, committed-view reads.
+  // ---------------------------------------------------------------
+
+  /** Handles to a persisted PQ layer. `codebooks`: (j, rcid, cv) —
+    * m × sample rows, long form. `codes`: (vec_id, cid, c1..cm) —
+    * corpus-scale, partitioned by cid on disk. */
+  final case class StoredPq(codebooks: DataFrame, codes: DataFrame)
+
+  /** Integer residuals of a stored index's members against their
+    * own list centroid — one broadcast join + an elementwise
+    * zip_with; the corpus side streams map-side. */
+  def residualsOf(stored: Stored): DataFrame =
+    stored.assignments
+      .join(broadcast(stored.centroids), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(qv, cv, (x, y) -> x - y)").as("rv"))
+
+  /** The long-form codebook table collapsed to ONE broadcastable
+    * row of per-subspace sorted struct arrays — the shape both the
+    * encoder ([[encodePq]]) and the probe's LUT builder consume. */
+  def booksArr(codebooks: DataFrame, m: Int): DataFrame =
+    codebooks.agg(
+      sort_array(collect_list(when(col("j") === 1,
+        struct(col("rcid").as("cid"), col("cv"))))).as("cents1"),
+      (2 to m).map(j =>
+        sort_array(collect_list(when(col("j") === j,
+          struct(col("rcid").as("cid"), col("cv"))))).as(s"cents$j"))
+        : _*)
+
+  /** PQ-encode residual rows (vec_id, cid, rv): one row-local
+    * argmax per subspace against the broadcast codebook row —
+    * zero corpus exchange, the [[assign]] shape applied m times. */
+  def encodePq(residuals: DataFrame, arr: DataFrame, m: Int,
+      dim: Int): DataFrame =
+    residuals.crossJoin(broadcast(arr))
+      .select(col("vec_id") +: col("cid") +: (1 to m).map(j =>
+        graft.functions.NearestCentroid(
+          expr(s"slice(rv, ${(j - 1) * dim + 1}, $dim)"),
+          col(s"cents$j")).as(s"c$j")): _*)
+
+  /** Build + persist the PQ layer over an existing stored index:
+    * codebooks are the SAMPLE residuals (vec_id < `sample` among
+    * the index corpus — the deterministic rule the batch lane
+    * pins), codes are every member's m sub-codes, written
+    * partitioned by cid under the ledger's init batch. One
+    * map-side encode pass + one partitioned write. */
+  def writePq(s: SparkSession, stored: Stored, path: String, m: Int,
+      dim: Int, sample: Int): StoredPq = {
+    val res = residualsOf(stored)
+    val books = (1 to m).map(j =>
+      res.filter(col("vec_id") < sample)
+        .select(lit(j).as("j"), col("vec_id").cast("int").as("rcid"),
+          expr(s"slice(rv, ${(j - 1) * dim + 1}, $dim)").as("cv")))
+      .reduce(_ unionAll _)
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    val arr = booksArr(s.read.parquet(s"$path/codebooks"), m)
+    graft.streaming.BatchManifest.initStore(
+      encodePq(res, arr, m, dim), s"$path/codes", Seq("cid"))
+    readPq(s, path)
+  }
+
+  /** Read back a persisted PQ layer — codes through the ledger's
+    * committed view (orphan extend partitions invisible, partition
+    * pruning on batch_id), like [[read]]. */
+  def readPq(s: SparkSession, path: String): StoredPq = {
+    val codes0 = s.read.parquet(s"$path/codes")
+    val m = codes0.columns.count(_.matches("c\\d+"))
+    StoredPq(
+      s.read.parquet(s"$path/codebooks"),
+      graft.streaming.BatchManifest.committedOnly(s, s"$path/codes",
+          codes0)
+        .select(col("vec_id") +: col("cid") +:
+          (1 to m).map(j => col(s"c$j")): _*))
+  }
+
+  /** Top-`k` IVFPQ ADC probe of an arriving shard against the
+    * stored fused index: per arriving query, rank the stored
+    * centroids (delta-sized window), keep `nProbe` lists, build
+    * per-subspace LUTs against the broadcast codebook row, and
+    * score the probed lists' CODE rows as
+    * list_ip + m map lookups — the corpus-side scan touches only
+    * the 5-byte code rows plus two broadcast smalls, and ranking is
+    * the bounded heap. Output (q_id, vec_id, rank, ip). */
+  def probePq(arriving: DataFrame, stored: Stored, pq: StoredPq,
+      k: Int, nProbe: Int, m: Int, dim: Int): DataFrame = {
+    val q = arriving.select(col("vec_id").as("q_id"),
+      col("qv").as("qvec"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cip").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(stored.centroids))
+      .withColumn("cip",
+        graft.functions.DotProductLong(col("qvec"), col("cv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id").as("lq"), col("cid").as("probe_cid"),
+        col("cip").as("list_ip"))
+    val arr = booksArr(pq.codebooks, m)
+    val luts = q.crossJoin(broadcast(arr))
+      .select(col("q_id") +: (1 to m).map(j =>
+        map_from_entries(transform(col(s"cents$j"), c =>
+          struct(c.getField("cid"),
+            graft.functions.DotProductLong(
+              expr(s"slice(qvec, ${(j - 1) * dim + 1}, $dim)"),
+              c.getField("cv"))))).as(s"lut$j")): _*)
+    val scoreExpr = (1 to m).map(j =>
+      s"element_at(lut$j, c$j)").mkString("list_ip + ", " + ", "")
+    val scored = pq.codes
+      .join(broadcast(probes), col("cid") === col("probe_cid"))
+      .join(broadcast(luts), col("lq") === col("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(scoreExpr).as("ip"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByLong.topK(col("ip"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("p0", "x")))
+      .select(col("q_id"), col("x.id").as("vec_id"),
+        (col("p0") + 1).cast("int").as("rank"), col("x.score").as("ip"))
+  }
+
+  /** The rows one extend batch appends to the code lists: assign
+    * the arriving vectors against the STORED centroids, take
+    * integer residuals, encode against the STORED codebooks — all
+    * map-side against broadcast smalls, nothing corpus-scale. */
+  def extendPqFrame(arriving: DataFrame, stored: Stored,
+      pq: StoredPq, m: Int, dim: Int): DataFrame = {
+    val res = assign(arriving, stored.centroids)
+      .join(broadcast(stored.centroids), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(qv, cv, (x, y) -> x - y)").as("rv"))
+    encodePq(res, booksArr(pq.codebooks, m), m, dim)
+  }
+
+  /** O(delta) extend of the stored code lists — the
+    * [[graft.streaming.BatchManifest]] protocol, exactly
+    * [[extend]]'s semantics applied to the PQ layer (codebooks and
+    * centroids stay frozen; periodic re-training is the separate
+    * backfill). */
+  def extendPq(arriving: DataFrame, stored: Stored, pq: StoredPq,
+      path: String, batchId: Long, m: Int, dim: Int): Unit = {
+    val spark = arriving.sparkSession
+    val store = s"$path/codes"
+    if (!graft.streaming.BatchManifest.applied(spark, store, batchId)) {
+      graft.streaming.BatchManifest.writeBatch(
+        extendPqFrame(arriving, stored, pq, m, dim), store, batchId,
+        Seq("cid"))
+      graft.streaming.BatchManifest.commit(spark, store, batchId)
+    }
+  }
+
   /** The rows one extend batch appends to the inverted lists: the
     * arriving vectors assigned against the STORED centroids — a
     * single map-side pass over the shard (centroids collapse to one

@@ -72,6 +72,7 @@ object LlmQueries {
     "llm_pq_codes" -> pqCodes,
     "llm_ivfpq_topk" -> ivfpqTopk,
     "llm_ivfpq_recall" -> ivfpqRecall,
+    "llm_ivfpq_incremental" -> ivfpqIncremental,
     "llm_embed_neardup" -> embedNeardup,
     "llm_sample_bottomk" -> sampleBottomK,
     "llm_sample_weighted" -> sampleWeighted,
@@ -2331,6 +2332,36 @@ object LlmQueries {
   def ivfIncremental(s: SparkSession, d: String): DataFrame =
     AnnIndex.probe(quantized(s, d).filter(expr(arrivingVecPred)),
       storedAnnIndex(s, d), 5, nProbe)
+
+  /** The persisted PQ layer over the stored ANN index — residual
+    * codebooks (sample rule over the INDEX corpus) + every member's
+    * sub-codes, codes partitioned by cid beside the assignment
+    * store. Built at most once per session; every probe reads the
+    * artifact. */
+  private[llm] def storedPqIndex(s: SparkSession, d: String): AnnIndex.StoredPq =
+    indexBuildLock.synchronized {
+      val ann = storedAnnIndex(s, d)
+      val path = s"${storedIndexPath(d)}/ann-pq"
+      SnapshotMemo.getOrCompute(s, s"ann-pq-index:$d") {
+        AnnIndex.writePq(s, ann, path, pqSub, pqDim, nCentroids)
+        s.range(1).toDF("built")
+      }
+      AnnIndex.readPq(s, path)
+    }
+
+  /** Incremental IVFPQ probe (`llm_ivfpq_incremental`): every
+    * arriving vector gets its top-5 ADC neighbors from the STORED
+    * fused index — coarse lists ranked per query, nprobe pruned,
+    * per-subspace LUTs against the stored residual codebooks, and
+    * the scan reads only the 5-byte CODE rows of the probed lists
+    * (the embedding column never enters the search). The oracle
+    * replays the whole ladder: index/arriving split, unrolled Lloyd
+    * training, residuals, sample codebooks, per-subspace codes,
+    * nprobe ranking and the fused ADC top-5. */
+  def ivfpqIncremental(s: SparkSession, d: String): DataFrame =
+    AnnIndex.probePq(quantized(s, d).filter(expr(arrivingVecPred)),
+      storedAnnIndex(s, d), storedPqIndex(s, d), 5, ivfpqProbe,
+      pqSub, pqDim)
 
   /** IVF drift / re-train signal (`llm_ivf_drift`): the stored
     * index never re-trains on an append ([[AnnIndex.extend]]), so
@@ -9523,6 +9554,84 @@ object LlmQueries {
          |FROM re LEFT JOIN ri
          |  ON re.q_id = ri.q_id AND re.vec_id = ri.vec_id
          |GROUP BY re.q_id""".stripMargin,
+
+    // the STORED fused index replayed end to end: index/arriving
+    // split, the unrolled Lloyd training over the index corpus
+    // (prefix-i CTEs, shared with llm_ivf_incremental), residuals
+    // against the trained centroids, sample codebooks, per-subspace
+    // codes, the nprobe coarse ranking and the fused ADC top-5
+    "llm_ivfpq_incremental" -> {
+      val subsCodes = (1 to pqSub).map { j =>
+        val lo = (j - 1) * pqDim + 1
+        val hi = j * pqDim
+        s"""ps$j AS (SELECT r.vec_id, c.rcid,
+           |    CAST(list_inner_product(CAST(r.rv[$lo:$hi] AS DOUBLE[]),
+           |      CAST(c.rv[$lo:$hi] AS DOUBLE[])) AS BIGINT) AS ip
+           |  FROM pres r, pbook c),
+           |pr$j AS (SELECT vec_id, rcid AS c$j FROM (
+           |    SELECT vec_id, rcid, ROW_NUMBER() OVER (
+           |      PARTITION BY vec_id ORDER BY ip DESC, rcid) AS rn
+           |    FROM ps$j)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val codeJoins = (1 to pqSub)
+        .map(j => s"JOIN pr$j ON r.vec_id = pr$j.vec_id")
+        .mkString("\n  ")
+      val lutSel = (1 to pqSub).map { j =>
+        val lo = (j - 1) * pqDim + 1
+        val hi = j * pqDim
+        s"""SELECT q.q_id, $j AS j, c.rcid,
+           |    CAST(list_inner_product(CAST(q.qvec[$lo:$hi] AS DOUBLE[]),
+           |      CAST(c.rv[$lo:$hi] AS DOUBLE[])) AS BIGINT) AS ip
+           |  FROM q, pbook c""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val codesLong = (1 to pqSub).map(j =>
+        s"SELECT vec_id, cid, $j AS j, c$j AS rcid FROM pcodes")
+        .mkString(" UNION ALL ")
+      s"""WITH $quantCte,
+         |vi AS (SELECT vec_id, qv FROM v WHERE vec_id % 10 <> 7),
+         |${kmeansCteOver("vi", "i")},
+         |pru AS (SELECT a.vec_id, a.cid, unnest(a.qv) AS x,
+         |    unnest(c.cv) AS y,
+         |    unnest(generate_series(1, len(a.qv))) AS jj
+         |  FROM ikasg a JOIN icent$kmIters c ON a.cid = c.cid),
+         |pres AS (SELECT vec_id, cid, list(x - y ORDER BY jj) AS rv
+         |  FROM pru GROUP BY 1, 2),
+         |pbook AS (SELECT CAST(vec_id AS INT) AS rcid, rv FROM pres
+         |  WHERE vec_id < $nCentroids),
+         |$subsCodes,
+         |pcodes AS (SELECT r.vec_id, r.cid,
+         |    ${(1 to pqSub).map(j => s"pr$j.c$j").mkString(", ")}
+         |  FROM pres r
+         |  $codeJoins),
+         |q AS (SELECT vec_id AS q_id, qv AS qvec FROM v
+         |  WHERE vec_id % 10 = 7),
+         |cp AS (SELECT q_id, qvec, cid, cip, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cip DESC, cid) AS rn
+         |  FROM (SELECT q.q_id, q.qvec, c.cid,
+         |      CAST(list_inner_product(CAST(q.qvec AS DOUBLE[]),
+         |        CAST(c.cv AS DOUBLE[])) AS BIGINT) AS cip
+         |    FROM q, icent$kmIters c)),
+         |probes AS (SELECT q_id, cid, cip FROM cp
+         |  WHERE rn <= $ivfpqProbe),
+         |plut AS ($lutSel),
+         |pcl AS ($codesLong),
+         |padc AS (SELECT l.q_id, cl.vec_id, cl.cid,
+         |    CAST(sum(l.ip) AS BIGINT) AS adc
+         |  FROM pcl cl JOIN plut l
+         |    ON l.j = cl.j AND l.rcid = cl.rcid
+         |  GROUP BY 1, 2, 3),
+         |psc AS (SELECT p.q_id, a.vec_id, p.cip + a.adc AS ip
+         |  FROM probes p JOIN padc a
+         |    ON a.cid = p.cid AND a.q_id = p.q_id
+         |    AND a.vec_id <> p.q_id),
+         |pri AS (SELECT q_id, vec_id, ip,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS INT) AS rank
+         |  FROM psc)
+         |SELECT q_id, vec_id, rank, ip FROM pri
+         |WHERE rank <= 5""".stripMargin
+    },
 
     // the fused index replayed end to end: coarse assign → integer
     // residual → per-subspace residual codes → nprobe lists → ADC

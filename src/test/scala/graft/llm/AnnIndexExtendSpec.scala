@@ -182,6 +182,67 @@ class AnnIndexExtendSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.old")))
   }
 
+  private def freshPqIndex(): (String, AnnIndex.Stored,
+      AnnIndex.StoredPq, org.apache.spark.sql.DataFrame) = {
+    val (path, stored, arriving) = freshIndex()
+    val pq = AnnIndex.writePq(spark, stored, s"$path/pq", 4, 16, 16)
+    (path, stored, pq, arriving)
+  }
+
+  test("PQ layer: codes cover the index corpus exactly, codebooks " +
+    "follow the sample rule, and the stored probe ranks through the " +
+    "bounded heap with no SortMergeJoin") {
+    val (_, stored, pq, arriving) = freshPqIndex()
+    assert(pq.codes.count() == stored.assignments.count(),
+      "codes must cover every index member exactly once")
+    assert(pq.codes.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0L)
+    val sample = stored.assignments.filter(col("vec_id") < 16).count()
+    assert(pq.codebooks.count() == 4L * sample,
+      "codebooks must be m x sample residuals")
+    val top = AnnIndex.probePq(arriving.limit(3), stored, pq,
+      k = 5, nProbe = 4, m = 4, dim = 16)
+    top.collect()
+    val p = top.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"stored PQ probe sort-merged a corpus side:\n${p.take(2000)}")
+    assert(p.contains("top_k_l"),
+      "stored PQ probe must rank through the bounded heap")
+  }
+
+  test("PQ extend is O(delta) with the full ledger protocol: the " +
+    "frame touches no corpus-scale store, a committed batch is a " +
+    "no-op, an uncommitted partial heals by overwrite, and orphan " +
+    "partitions stay invisible to readPq") {
+    val (path, stored, pq, arriving) = freshPqIndex()
+    val store = s"$path/pq/codes"
+    // plan pin: encode touches arriving + broadcast smalls only
+    val frame = AnnIndex.extendPqFrame(arriving, stored, pq, 4, 16)
+    frame.collect()
+    val p = frame.queryExecution.executedPlan.toString
+    assert(!p.contains("/codes"),
+      s"PQ extend scanned the stored code table:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ extend sort-merged something:\n${p.take(2000)}")
+    // orphan isolation: data lands, commit never does → invisible
+    val before = AnnIndex.readPq(spark, s"$path/pq").codes.count()
+    BatchManifest.writeBatch(frame, store, 0L, Seq("cid"))
+    assert(AnnIndex.readPq(spark, s"$path/pq").codes.count() == before,
+      "uncommitted batch partitions leaked into the committed view")
+    // the retry heals by overwrite and commits exactly once
+    AnnIndex.extendPq(arriving, stored, pq, s"$path/pq", 0L, 4, 16)
+    val after = AnnIndex.readPq(spark, s"$path/pq").codes
+    assert(after.count() == before + arriving.count())
+    assert(after.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0L, "heal duplicated rows")
+    // replay: committed id appends nothing
+    AnnIndex.extendPq(arriving, stored, pq, s"$path/pq", 0L, 4, 16)
+    assert(AnnIndex.readPq(spark, s"$path/pq").codes.count() ==
+      before + arriving.count(), "replay appended rows")
+    val ledger = spark.read.parquet(BatchManifest.path(store))
+    assert(ledger.filter(col("batch_id") === 0L).count() == 1L)
+  }
+
   test("nprobe partition pruning survives the (cid, batch_id) " +
     "layout: a one-cid probe reads only that cid's directories") {
     val (path, stored, arriving) = freshIndex()
