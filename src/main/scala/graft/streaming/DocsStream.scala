@@ -622,6 +622,47 @@ object DocsStream {
       }
       .trigger(trigger).start()
 
+  /** Streaming twin of the incremental IVFPQ probe
+    * ([[graft.llm.AnnIndex.probePq]]): each arriving embedding
+    * shard is quantized by the SHARED quantizer and served its
+    * top-k ADC neighbors from the STORED fused index (coarse lists
+    * + residual codes), appended under the batch id; with
+    * `extendIndex` the shard ALSO extends BOTH stored layers — its
+    * assignments into the IVF lists and its codes into the PQ code
+    * lists — each store committing its own ledger row, so a crash
+    * between the three writes heals independently on replay (every
+    * write is the [[BatchManifest]] protocol). Zero streaming
+    * state; the artifacts are the state. */
+  def startIvfpqProbe(vecs: DataFrame, indexPath: String,
+      pqPath: String, outPath: String, checkpointLocation: String,
+      k: Int = 5, nProbe: Int = 4, m: Int = 4, dim: Int = 16,
+      extendIndex: Boolean = false,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, expr}
+        val stored = graft.llm.AnnIndex.read(spark, indexPath)
+        val pq = graft.llm.AnnIndex.readPq(spark, pqPath)
+        val qv = batch.select(col("vec_id"),
+          expr(LlmQueries.quantizeExpr).as("qv"))
+        if (!BatchManifest.applied(spark, outPath, batchId)) {
+          val res = graft.llm.AnnIndex.probePq(qv, stored, pq, k,
+            nProbe, m, dim)
+          BatchManifest.writeBatch(res, outPath, batchId)
+          BatchManifest.commit(spark, outPath, batchId)
+        }
+        if (extendIndex) {
+          graft.llm.AnnIndex.extend(qv, stored, indexPath, batchId)
+          graft.llm.AnnIndex.extendPq(qv, stored, pq, pqPath,
+            batchId, m, dim)
+        }
+      }
+      .trigger(trigger).start()
+
   /** Streaming IVF drift monitor — the continuous form of the
     * maintenance loop [[graft.llm.AnnIndex.drift]] measures and
     * [[graft.llm.AnnIndex.retrainIfDrifted]] acts on: each arriving

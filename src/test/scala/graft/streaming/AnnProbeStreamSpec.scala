@@ -155,4 +155,64 @@ class AnnProbeStreamSpec extends AnyFunSuite {
       .filter(col("q_id") === col("vec_id")).count()
     assert(selfMatch == 0L, "a vector matched itself")
   }
+
+  test("IVFPQ stream over two micro-batches reproduces the batch " +
+    "incremental ADC probe exactly; extend-mode appends codes to " +
+    "both stored layers and a replay is a no-op") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val indexPath = tmp("pqidx")
+    val stored = AnnIndex.write(spark,
+      quantize(emb.filter(!expr(LlmQueries.arrivingVecPred))),
+      indexPath, 16, 4)
+    val pqPath = s"$indexPath/pq"
+    AnnIndex.writePq(spark, stored, pqPath, 4, 16, 16)
+
+    val dir = tmp("pq-in")
+    val arriving = emb.filter(expr(LlmQueries.arrivingVecPred))
+    writeShard(arriving.filter(col("vec_id") < 250), dir, "shard0",
+      ageMs = 60000L)
+    writeShard(arriving.filter(col("vec_id") >= 250), dir, "shard1")
+
+    val out = tmp("pq-out")
+    val q = DocsStream.startIvfpqProbe(
+      DocsStream.embeddings(spark, dir, maxFilesPerTrigger = Some(1)),
+      indexPath, pqPath, out, tmp("pq-ckpt"))
+    q.awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("vec_id"), col("rank").cast("int"),
+        col("ip"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(
+      LlmQueries.queries("llm_ivfpq_incremental")(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+
+    // extend-mode: both stored layers grow by the shard, ledgered
+    val out2 = tmp("pq-out2")
+    val q2 = DocsStream.startIvfpqProbe(
+      DocsStream.embeddings(spark, dir, maxFilesPerTrigger = Some(1)),
+      indexPath, pqPath, out2, tmp("pq-ckpt2"), extendIndex = true)
+    q2.awaitTermination()
+    val nArr = arriving.count()
+    val nIdx = AnnIndex.read(spark, indexPath).assignments
+      .filter(expr(LlmQueries.arrivingVecPred)).count()
+    val nPq = AnnIndex.readPq(spark, pqPath).codes
+      .filter(expr(LlmQueries.arrivingVecPred)).count()
+    assert(nIdx == nArr, s"IVF layer holds $nIdx of $nArr arrivals")
+    assert(nPq == nArr, s"PQ layer holds $nPq of $nArr arrivals")
+    // replay through a fresh checkpoint: no duplicates anywhere
+    val q3 = DocsStream.startIvfpqProbe(
+      DocsStream.embeddings(spark, dir, maxFilesPerTrigger = Some(1)),
+      indexPath, pqPath, out2, tmp("pq-ckpt3"), extendIndex = true)
+    q3.awaitTermination()
+    assert(AnnIndex.readPq(spark, pqPath).codes
+      .groupBy("vec_id").count().filter(col("count") > 1).count() == 0L,
+      "replay duplicated code rows")
+    assert(spark.read.parquet(out2).groupBy("q_id", "rank").count()
+      .filter(col("count") > 1).count() == 0L,
+      "replay duplicated probe results")
+  }
 }
