@@ -1458,7 +1458,10 @@ object LlmQueries {
         lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var done = labels.isEmpty
+    val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    var rnd = 0
     while (!done) {
+      val tR = System.nanoTime()
       val pulled = edges.join(labels, col("dst") === col("doc"))
         .select(col("src").as("doc"), col("lbl"))
       val stepped = labels.union(pulled)
@@ -1479,6 +1482,8 @@ object LlmQueries {
       org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(prev)
       done = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      rnd += 1
+      if (dbg) println(f"[cc] round $rnd t=${(System.nanoTime() - tR) / 1e9}%.2fs")
     }
     // the edge list is only needed during the loop
     org.apache.spark.sql.graftshim.ColumnBridge.freeLocalCheckpoint(e0)

@@ -72,6 +72,17 @@ object SuffixArray {
   private def chkDisk(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.DISK_ONLY)
 
+  /** chkDisk CLUSTERED by gpos: hash-repartitioned + sorted within
+    * partitions before the checkpoint, because LogicalRDD preserves
+    * outputPartitioning/outputOrdering — every downstream merge join
+    * on gpos (the next doubling level, the LCP lift's two lookups
+    * per level, the SA assembly, the dup-mask probe) then skips BOTH
+    * its exchange and its sort on this side. One exchange paid at
+    * build, O(consumers) exchanges+sorts saved. */
+  private def chkDiskByGpos(df: DataFrame): DataFrame =
+    chkDisk(df.repartition(32, col("gpos"))
+      .sortWithinPartitions("gpos"))
+
   // Join-strategy note: every SA-internal join carries an explicit
   // merge hint. The sides are corpus-position-cardinality (or, for
   // the dup-rank table, DATA-DEPENDENT — candidate-sized on normal
@@ -99,40 +110,71 @@ object SuffixArray {
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = docs.withColumn("off",
         coalesce(sum(col("dlen") + 1).over(w), lit(0L)))
-      chkDisk(offs
+      // per-character codes via ONE split of the (sentinel-appended)
+      // text into a char array + posexplode — the previous
+      // explode(sequence)+substr(lpos,1) form both carried the FULL
+      // document text on every character row (O(Σ dlen²) bytes
+      // through the projection) and paid substr's O(lpos) UTF-8
+      // seek per character (O(dlen²) work per document). split('')
+      // emits a trailing empty-string artifact (Java regex split
+      // semantics) — dropped by the i <= dlen filter; the appended
+      // 0x01 char lands at i = dlen with ascii = 1, exactly the old
+      // sentinel row.
+      // the running-sum window leaves the DOC-level frame in one
+      // partition; repartition it (metadata-scale shuffle: one row
+      // per document) BEFORE the explode so the per-character
+      // expansion and the chkDisk write parallelize instead of
+      // running in the window's single task
+      chkDisk(offs.repartition(32)
         .select(col("doc_id"), col("dlen"), col("off"),
-          explode(sequence(lit(1L), col("dlen") + 1)).as("lpos"),
-          col("text"))
+          posexplode(split(concat(col("text"), lit("\u0001")), ""))
+            .as(Seq("i", "ch")))
+        .filter(col("i") <= col("dlen"))
         .select(
-          col("doc_id"), col("dlen"), col("lpos"),
-          (col("off") + col("lpos") - 1).as("gpos"),
-          when(col("lpos") <= col("dlen"),
-            ascii(col("text").substr(col("lpos"), lit(1))))
-            .otherwise(lit(1)).cast(LongType).as("code")))
+          col("doc_id"), col("dlen"),
+          (col("i") + 1).cast(LongType).as("lpos"),
+          (col("off") + col("i")).as("gpos"),
+          ascii(col("ch")).cast(LongType).as("code")))
     }
 
   // ----------------------------------------------------------------
   // Order-preserving dense rank WITHOUT a single-partition window:
   // range-repartition on the key, sort within partitions, then
-  // assign contiguous indices by partition offset (zipWithIndex runs
-  // one count job over the pinned sorted blocks and numbers rows in
-  // partition order — exactly the offset bookkeeping, distributed).
+  // assign contiguous indices by partition offset — entirely in the
+  // DataFrame world. monotonically_increasing_id() over the PINNED
+  // sorted checkpoint is (partition_id · 2^33 + row_index) in block
+  // row order, so subtracting the partition base and adding the
+  // exclusive prefix sum of partition counts (≤ 32 rows, collected —
+  // bounded by the partition count, not the data) yields exactly the
+  // contiguous numbering zipWithIndex produced. The old RDD
+  // zipWithIndex form paid a full InternalRow→Row decode plus a
+  // re-encode over every position row (≈ the single largest CPU cost
+  // in the SA build at sf0.1) and dropped out of whole-stage codegen.
   // Input rows must be distinct on keyCols (ranks would otherwise
   // break ties arbitrarily).
   // ----------------------------------------------------------------
   private[llm] def denseRank(df: DataFrame, keyCols: Seq[String],
       out: String): DataFrame = {
-    val ss = df.sparkSession
     val sorted = df
       .repartitionByRange(32, keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(out, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    ss.createDataFrame(rdd, schema)
+    val withId = sorted
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
+    val counts = withId.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = counts.map { case (p, c) =>
+      val r = (p, acc); acc += c; r
+    }.toSeq
+    import sorted.sparkSession.implicits._
+    val offDf = offRows.toDF("_pid", "_off")
+    withId.join(broadcast(offDf), Seq("_pid"))
+      .select(df.columns.map(col) :+
+        (col("_mid") - col("_pid").cast(LongType) * lit(1L << 33) +
+          col("_off")).as(out): _*)
   }
 
   // ----------------------------------------------------------------
@@ -158,9 +200,26 @@ object SuffixArray {
   // where n² would overflow a long the schedule degrades to
   // densify-every-round by itself.
   // ----------------------------------------------------------------
+  /** Depth-1 rank bound: the corpus's ACTUAL maximum character code
+    * (one bounded agg over the memoized positions table) instead of
+    * the worst-case 2^21 codepoint ceiling. Rank VALUES only need to
+    * preserve order/equality, and the pack bound decides how long
+    * the pack/densify alternation can keep packing: on ASCII-ish
+    * corpora (max code ≈ 2^7) depths 2, 4 AND 8 all pack and the
+    * first densify lands at depth 16 — one full position-scale
+    * densify (sort + numbering exchange) less than the 2^21 schedule,
+    * with the schedule still degrading gracefully by itself on a
+    * corpus whose codes are genuinely wide. */
+  private def maxCode(s: SparkSession, d: String): Long = {
+    val key = s"sa-maxcode:$d"
+    SnapshotMemo.getOrCompute(s, key)(
+      positions(s, d).agg(max(col("code")).as("m")).localCheckpoint())
+      .head.getLong(0)
+  }
+
   private[llm] def levelBound(s: SparkSession, d: String,
       depth: Int): Long = {
-    if (depth == 1) 1L << 21 // max Unicode codepoint < 2^21
+    if (depth == 1) maxCode(s, d)
     else {
       val half = levelBound(s, d, depth / 2)
       if (packable(half)) half * (half + 2) + (half + 2)
@@ -176,7 +235,7 @@ object SuffixArray {
       require(depth >= 1 && Integer.bitCount(depth) == 1,
         s"rank level depth must be a power of two, got $depth")
       if (depth == 1) {
-        chkDisk(positions(s, d)
+        chkDiskByGpos(positions(s, d)
           .select(col("gpos"), col("code").as("rank")))
       } else {
         val half = depth / 2
@@ -187,7 +246,7 @@ object SuffixArray {
           .select(col("gpos"), col("rank"),
             coalesce(col("rank2"), lit(-1L)).as("rank2"))
         val halfBound = levelBound(s, d, half)
-        chkDisk(
+        chkDiskByGpos(
           if (packable(halfBound)) {
             val k = halfBound + 2
             keys.select(col("gpos"),

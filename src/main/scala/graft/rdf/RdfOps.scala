@@ -225,6 +225,73 @@ object RdfOps {
   def reachablePlus(edges: DataFrame, seeds: DataFrame): DataFrame =
     walk(edges, seeds, None)
 
+  /** Unbounded `p+` PAIR closure (no hop counts) by the EDGE-STEP
+    * LADDER — O(log diameter) rounds like path doubling, but the
+    * relation squared each round is the EXACT-LENGTH step set
+    * E_{2^k} (paths of length exactly 2^k), never the reach set:
+    *
+    *   P_1 = seeds ∘ E;   E_{2^k} = E_{2^{k-1}} ∘ E_{2^{k-1}}
+    *   P_{k+1} = P_k ∪ (P_k ∪ id_seeds) ∘ E_{2^k}
+    *
+    * Invariant: after phase k, P covers every pair with SOME path of
+    * length in [1, 2^k − 1]. Fixpoint proof: if phase k adds nothing,
+    * take a missing pair with MINIMAL shortest-path length L
+    * (L ≥ 2^k, else covered); split its path as
+    * (s →^{L−2^k} u →^{2^k} t); (s,u) is shorter so covered (or u = s
+    * via id_seeds), (u,t) ∈ E_{2^k} — so (s,t) would have been added.
+    * Contradiction ⟹ converged, with no dependence on knowing the
+    * diameter.
+    *
+    * Work/memory vs the alternatives: the frontier walk
+    * ([[reachablePlus]]) pays one cluster barrier per HOP — measured
+    * 44 rounds × ~0.6 s of fixed per-round driver cost on the sf0.1
+    * relation graph (ClosureProbe), 27 s of pure round overhead for
+    * a 308k-pair closure. Reach-set squaring
+    * ([[reachablePlusDoubling]]) is O(log d) rounds but squares the
+    * CLOSURE — Θ(L³) chain intermediates, the measured capped-heap
+    * OOM at sf1. The ladder keeps log-depth while squaring only
+    * exact-length step sets: each E_{2^k} is bounded by the pair
+    * closure itself (every exact-length pair is a closure pair), the
+    * squaring join's intermediates are one row per (pair, midpoint at
+    * exactly half) — the single fixed decomposition point, not every
+    * decomposition — and superseded E/P checkpoints are freed each
+    * phase, so at most three pair-scale tables are live at once
+    * (capped-heap safe: re-measured with ClosureProbe at 3 GB,
+    * see OPTIMIZATION_r17.md). Use it for STORED pair-closure builds;
+    * [[reachablePlus]] remains the path for MIN-HOP consumers. */
+  def reachablePlusPairs(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    val id = seeds.select(col("src"), col("src").as("dst")).distinct()
+    var em = chkSerW(edges.select(col("src"), col("dst")).distinct())
+    var p = chkSerW(em.join(
+      seeds.select(col("src")).distinct(), Seq("src"), "left_semi"))
+    var n = p.count()
+    var done = n == 0
+    while (!done) {
+      val em2 = chkSerW(em.as("l")
+        .join(em.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+        .distinct())
+      shim.freeLocalCheckpoint(em)
+      em = em2
+      val stepped = p.union(id).as("l")
+        .join(em.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+      val pNew = chkSerW(p.union(stepped).distinct())
+      val m = pNew.count()
+      if (m == n) {
+        shim.freeLocalCheckpoint(pNew)
+        done = true
+      } else {
+        shim.freeLocalCheckpoint(p)
+        p = pNew
+        n = m
+      }
+    }
+    shim.freeLocalCheckpoint(em)
+    p
+  }
+
   /** Unbounded ALL-SOURCES `p+` pair closure by PATH DOUBLING —
     * O(log diameter) rounds instead of the frontier walk's
     * O(diameter): after round r the pair set holds every path of
@@ -323,25 +390,56 @@ object RdfOps {
     val reachers = known
       .union(seeds.select(col("src"), col("src").as("dst")))
     val de = deltaEdges.select(col("src").as("u"), col("dst").as("v"))
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
     var frontier = reachers.join(de, reachers("dst") === col("u"))
       .select(reachers("src"), col("v").as("dst")).distinct()
       .join(known, Seq("src", "dst"), "left_anti")
       .localCheckpoint()
-    var reached = known.union(frontier)
+    // same bounded-plan discipline as [[walk]]: the stored closure
+    // stays ONE branch; per-round fresh frames compact every
+    // CompactEvery rounds so the anti-join's plan never grows with
+    // round count
+    var parts = Vector(frontier)
+    def reached: DataFrame = parts.foldLeft(known)(_.union(_))
     while (!frontier.isEmpty) {
       val next = frontier.join(allE, frontier("dst") === col("e_src"))
         .select(frontier("src"), col("e_dst").as("dst"))
         .distinct()
       val fresh = next.join(reached, Seq("src", "dst"), "left_anti")
         .localCheckpoint()
-      reached = reached.union(fresh)
+      parts :+= fresh
       frontier = fresh
+      if (parts.size >= CompactEvery) {
+        val prefix = parts.dropRight(1)
+        val compacted = chkSerW(prefix.reduce(_.union(_)))
+        prefix.foreach(shim.freeLocalCheckpoint)
+        parts = Vector(compacted, parts.last)
+      }
     }
     reached
   }
 
+  /** Compaction width of the walk's reached-set plan: the union of
+    * per-round checkpoint frames is re-planned and re-scanned by
+    * every subsequent round's anti-join, so letting it grow one
+    * frame per round makes round r carry an r-branch union — task
+    * binaries past 1 MB and O(rounds²) planning on a ~45-round
+    * diameter (measured: rdf_sparql_path_plus at 233 driver jobs /
+    * 3.8k tasks for a 308k-pair closure). Folding every
+    * `CompactEvery` frames into ONE serialized checkpoint bounds the
+    * plan at ≤ CompactEvery+1 branches for an amortized extra
+    * closure rewrite every CompactEvery rounds — O(closure·d/8)
+    * total bytes, strictly below the semi-naive walk's own
+    * O(closure·d) anti-join read cost, so the 100 TB shape is
+    * unchanged. */
+  private val CompactEvery = 8
+
+  private def chkSerW(df: DataFrame): DataFrame = df.localCheckpoint(true,
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   private def walk(edges: DataFrame, seeds: DataFrame,
       maxHops: Option[Int]): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
     val empty = seeds.select(col("src"), col("src").as("dst"),
       lit(0).as("hops")).limit(0)
@@ -349,9 +447,16 @@ object RdfOps {
     // rows are NOT in `reached`: a cycle returning to its seed must
     // be discovered as a fresh (s, s, c) pair, not suppressed.
     var frontier = seeds.select(col("src"), col("src").as("dst")).distinct()
-    var reached: DataFrame = empty
+    // reached = union of `parts`: each round appends its fresh frame;
+    // every CompactEvery frames the union is folded into one
+    // checkpoint and the superseded frames' blocks are freed.
+    var parts = Vector.empty[DataFrame]
+    def reached: DataFrame =
+      if (parts.isEmpty) empty else parts.reduce(_.union(_))
+    val dbg = sys.env.contains("SPARK_GRAFT_WALK_DEBUG")
     var d = 1
     while (maxHops.forall(d <= _) && !frontier.isEmpty) {
+      val t0 = System.nanoTime()
       val next = frontier.join(e, frontier("dst") === e("e_src"))
         .select(frontier("src"), col("e_dst").as("dst"))
         .distinct()
@@ -359,11 +464,27 @@ object RdfOps {
           "left_anti")
         .withColumn("hops", lit(d))
         .localCheckpoint()
-      reached = reached.union(fresh)
+      if (dbg) println(f"[walk] round $d chk=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      parts :+= fresh
       frontier = fresh.select(col("src"), col("dst"))
+      if (parts.size >= CompactEvery) {
+        // compact the PREFIX only: `frontier` aliases the newest
+        // frame, and freeing a localCheckpoint kills its blocks with
+        // no lineage to recompute from
+        val prefix = parts.dropRight(1)
+        val compacted = chkSerW(prefix.reduce(_.union(_)))
+        prefix.foreach(shim.freeLocalCheckpoint)
+        parts = Vector(compacted, parts.last)
+      }
       d += 1
     }
-    reached
+    // final fold: hand consumers ONE frame, not a round-count union,
+    // and release the interior rounds' blocks for the session
+    if (parts.size > 1) {
+      val out = chkSerW(reached)
+      parts.foreach(shim.freeLocalCheckpoint)
+      out
+    } else reached
   }
 
   /** O19 — the composed reference pipeline EP1→EP2 (export cleaning →

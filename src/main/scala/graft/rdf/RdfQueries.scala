@@ -1014,8 +1014,7 @@ object RdfQueries {
       val e = tri(s, d).filter(col("predicate") === DctermsRelation &&
           col("obj_kind") === "iri")
         .select(col("subject").as("src"), col("obj_value").as("dst"))
-      chkSer(RdfOps.reachablePlus(e, e.select(col("src")).distinct())
-        .select(col("src"), col("dst")))
+      chkSer(RdfOps.reachablePlusPairs(e, e.select(col("src")).distinct()))
     }
 
   /** The COMPOSED relation∘relation closure as a stored artifact —
@@ -1033,8 +1032,7 @@ object RdfQueries {
           e.select(col("src").as("_mid"), col("dst").as("_nxt")),
           col("dst") === col("_mid"))
         .select(col("src"), col("_nxt").as("dst"))
-      chkSer(RdfOps.reachablePlus(e2, e2.select(col("src")).distinct())
-        .select(col("src"), col("dst")))
+      chkSer(RdfOps.reachablePlusPairs(e2, e2.select(col("src")).distinct()))
     }
 
   /** [[SparqlSelect.ClosureProvider]] backed by [[relationClosure]]
@@ -1346,8 +1344,7 @@ object RdfQueries {
   private def fullClosure(s: SparkSession, d: String): DataFrame =
     graft.SnapshotMemo.getOrCompute(s, s"full-closure:$d") {
       val e = starEdges(s, d)
-      chkSer(RdfOps.reachablePlus(e, e.select(col("src")).distinct())
-        .select(col("src"), col("dst")))
+      chkSer(RdfOps.reachablePlusPairs(e, e.select(col("src")).distinct()))
     }
 
   /** The SEEDED `p+` pair closure — the stored-closure artifact a
@@ -1623,26 +1620,44 @@ object RdfQueries {
       warmInit: Option[DataFrame], cap: Int): (DataFrame, Int) = {
     val odeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val ed = e.join(odeg, Seq("src")).localCheckpoint()
+    // node set with a per-node has_out flag: ¬has_out IS the
+    // dangling set, and carrying the flag in the rank table lets one
+    // aggregate per round produce BOTH the convergence diff and the
+    // NEXT round's dangling mass — the broadcast(dm) crossJoin
+    // cascade this replaces cost ~12 driver jobs per round (467
+    // jobs for 6.5 s of total task time, ProfileQ, this round).
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val nCnt = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val dangling = nodes.join(
-        ed.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti")
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(e.select(col("src").as("node")).distinct()
+          .withColumn("has_out", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("has_out"), lit(false))
+        .as("has_out"))
       .localCheckpoint()
+    // scalar plumbing: n, the uniform share, the teleport term and
+    // the per-round dangling mass are all SINGLE NUMBERS — collected
+    // to the driver (bounded, one row) and folded into the round's
+    // expressions as literals instead of riding broadcast crossJoins
+    // through every plan. Long division in Scala matches SQL `div`
+    // on these non-negative operands.
+    val n = nodes.count()
+    val uniform = PrcScale / n
+    val base15 = (uniform * 15) / 100
     def diffSum(a: DataFrame, b: DataFrame): Long =
       a.join(b.select(col("node"), col("pr").as("o")), Seq("node"))
         .agg(coalesce(sum(abs(col("pr") - col("o"))), lit(0L)))
         .head.getLong(0)
-    val uniform = expr(s"${PrcScale}L div n")
     val init = (warmInit match {
-      case None => nodes.crossJoin(nCnt)
-        .select(col("node"), uniform.as("pr"))
-      case Some(prev) => nodes.crossJoin(nCnt)
+      case None => nodes.select(col("node"), col("has_out"),
+        lit(uniform).as("pr"))
+      case Some(prev) => nodes
         .join(prev.select(col("node"), col("pr").as("wpr")),
           Seq("node"), "left")
-        .select(col("node"), coalesce(col("wpr"), uniform).as("pr"))
+        .select(col("node"), col("has_out"),
+          coalesce(col("wpr"), lit(uniform)).as("pr"))
     }).localCheckpoint()
+    var dm = init.agg(coalesce(sum(when(!col("has_out"), col("pr"))),
+      lit(0L))).head.getLong(0)
     // sliding window of the last ≤ PrcWindow states: states(k) is
     // s_{base+k}; the current state is states.last = s_it
     var states = Vector(init)
@@ -1651,30 +1666,40 @@ object RdfQueries {
     var it = 0
     while (result == null && it < cap) {
       val pr = states.last
-      val dm = broadcast(pr.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("pr")), lit(0L)).as("dm")))
+      val dmn = dm / n
       val contrib = ed.join(pr, ed("src") === pr("node"))
         .select(col("dst"), expr("pr div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
         .select(col("dst").as("cnode"), col("contrib"))
-      // LAZY checkpoint: the d1 diff below is the round's only
-      // mandatory action, and it materializes the checkpoint as a
-      // side effect — one driver job per round instead of an eager
-      // checkpoint job plus a diff job
-      val next = nodes.crossJoin(nCnt).crossJoin(dm)
+      // LAZY checkpoint: the combined diff+dm aggregate below is the
+      // round's only action, and it materializes the checkpoint as a
+      // side effect — one driver job per round. `next` is built from
+      // the PREVIOUS state (which already carries the full node set),
+      // not the nodes table, and keeps the previous pr as `_prev` —
+      // so the convergence diff needs NO join at all, removing two
+      // node-keyed exchanges per round versus the
+      // nodes⋈contrib-then-next⋈prev shape.
+      val next = pr
         .join(contrib, col("node") === col("cnode"), "left")
-        .select(col("node"),
-          (expr(s"((${PrcScale}L div n) * 15) div 100") +
-            expr("(85 * (coalesce(contrib, 0L) + (dm div n))) div 100"))
+        .select(col("node"), col("has_out"), col("pr").as("_prev"),
+          expr(s"${base15}L + " +
+            s"(85 * (coalesce(contrib, 0L) + ${dmn}L)) div 100")
             .as("pr"))
         .localCheckpoint(false)
       it += 1 // `next` is state s_it
-      // one diff action per round while the walk is far from the
+      // one combined action per round while the walk is far from the
       // cycle; the older window states are only scanned once the
       // newest delta is cycle-sized (a limit cycle flips a handful
-      // of nodes by ±1 — far under the gate), keeping per-round
-      // driver actions at 2 instead of window+1
-      val d1 = diffSum(next, states.last)
+      // of nodes by ±1 — far under the gate)
+      val roundAgg = next
+        .agg(
+          coalesce(sum(abs(col("pr") - col("_prev"))), lit(0L))
+            .as("d1"),
+          coalesce(sum(when(!col("has_out"), col("pr"))), lit(0L))
+            .as("dm"))
+        .head
+      val d1 = roundAgg.getLong(0)
+      dm = roundAgg.getLong(1)
       val j =
         if (d1 == 0L) Some(states.size - 1)
         else if (d1 < 1000L)
@@ -1708,7 +1733,7 @@ object RdfQueries {
     // the session's lifetime (freeLocalCheckpoint is an idempotent
     // unpersist, so re-freeing the already-dropped init is harmless)
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
-    (states :+ init :+ ed :+ nodes :+ dangling)
+    (states :+ init :+ ed :+ nodes)
       .foreach(shim.freeLocalCheckpoint)
     (stored, it)
   }
@@ -1915,8 +1940,7 @@ object RdfQueries {
     // single-predicate one. (Own edge set ⇒ own walk: the ×3/×5
     // lattice shares nothing with [[fullClosure]]'s doubling graph.)
     graft.SnapshotMemo.getOrCompute(s, s"alt-plus-closure:$d")(
-      chkSer(RdfOps.reachablePlus(tri3.union(pent), starSeeds(s, d))
-        .select(col("src"), col("dst"))))
+      chkSer(RdfOps.reachablePlusPairs(tri3.union(pent), starSeeds(s, d))))
   }
 
   /** SPARQL composed path `(^def:quad)+` — INVERSE UNDER CLOSURE.

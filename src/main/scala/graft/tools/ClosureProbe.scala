@@ -17,7 +17,10 @@ object ClosureProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -40,6 +43,9 @@ object ClosureProbe {
       time("doubling")(RdfOps.reachablePlusDoubling(edges).count())
     if (algos == "both" || algos == "frontier")
       time("frontier")(RdfOps.reachablePlus(edges,
+        edges.select(col("src")).distinct()).count())
+    if (algos == "both" || algos == "ladder")
+      time("ladder")(RdfOps.reachablePlusPairs(edges,
         edges.select(col("src")).distinct()).count())
     spark.stop()
   }

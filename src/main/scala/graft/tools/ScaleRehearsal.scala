@@ -62,7 +62,7 @@ object ScaleRehearsal {
 
   private val Off = 10000000L
 
-  private def generate(spark: SparkSession, srcDir: String,
+  private[tools] def generate(spark: SparkSession, srcDir: String,
       out: String): Unit = {
     val reps = spark.range(0, 10).toDF("rep")
     keyShifts.foreach { case (table, keys) =>
