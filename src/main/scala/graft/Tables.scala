@@ -13,9 +13,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Reader PLANS are memoized per (session, dir, table): every
+    * `spark.read.parquet` re-reads the footer schema and re-creates
+    * the file index, and the bench's 326 queries call these readers
+    * hundreds of times. The memo caches the lazy DataFrame (an
+    * unexecuted scan plan) — NOT data; every execution still scans
+    * the parquet files. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    SnapshotMemo.getOrCompute(spark, s"table:$name:$dir") {
+      if (name == "events") eventsUncached(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** `events.ts` arrives as either parquet TIMESTAMP(NANOS) — which
     * Spark's reader rejects by default (Spark timestamps are µs), so
@@ -30,7 +38,10 @@ object Tables {
     * harness main (Verify/Bench/Probe/tests); the defensive set here
     * only covers externally-built sessions.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "events")
+
+  private def eventsUncached(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

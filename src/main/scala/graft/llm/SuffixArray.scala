@@ -156,7 +156,9 @@ object SuffixArray {
   private[llm] def denseRank(df: DataFrame, keyCols: Seq[String],
       out: String): DataFrame = {
     val sorted = df
-      .repartitionByRange(32, keyCols.map(col): _*)
+      .repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions,
+        keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val withId = sorted
@@ -266,10 +268,12 @@ object SuffixArray {
     * the dense rank IS the suffix-array permutation index. */
   private[llm] def saRanked(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"sa-ranked:$d") {
+     graft.LoopConf.sizedCompute(s, positions(s, d).count()) {
       val joined = positions(s, d)
         .select("gpos", "doc_id", "lpos", "dlen")
         .join(rankLevel(s, d, Depth).hint("merge"), Seq("gpos"))
       chkDisk(denseRank(joined, Seq("rank", "gpos"), "sa_rank"))
+     }
     }
 
   // ----------------------------------------------------------------
@@ -297,8 +301,11 @@ object SuffixArray {
   def exactSubstr(s: SparkSession, d: String): DataFrame = {
     // the duplicated-start MASK is the stored artifact (the same
     // role llm_dup_spans' positional k-gram mask plays); the island
-    // merge re-derives per read from it (dup-start-sized, cheap)
+    // merge re-derives per read from it (dup-start-sized, cheap).
+    // Exchanges across the whole SA build (this is usually the first
+    // payer) sized to the measured position count (graft.LoopConf).
     val dupStarts = SnapshotMemo.getOrCompute(s, s"sa-dup-starts:$d") {
+     graft.LoopConf.sizedCompute(s, positions(s, d).count()) {
       val r = rankLevel(s, d, SpanL)
       val dupRanks = r.groupBy("rank")
         .agg(count(lit(1)).as("c"))
@@ -309,6 +316,7 @@ object SuffixArray {
         .select("gpos", "doc_id", "lpos")
         .join(r.hint("merge"), Seq("gpos"))
         .join(dupRanks.hint("merge"), Seq("rank"), "left_semi"))
+     }
     }
     val w = Window.partitionBy("doc_id").orderBy("lpos")
     dupStarts
@@ -332,6 +340,7 @@ object SuffixArray {
     // the per-pair LCP table is the stored artifact (the PLCP array
     // of the SA literature); the histogram re-derives per read
     val plcp = SnapshotMemo.getOrCompute(s, s"sa-plcp:$d") {
+     graft.LoopConf.sizedCompute(s, positions(s, d).count()) {
       val shim = org.apache.spark.sql.graftshim.ColumnBridge
       val sa = saRanked(s, d).select("sa_rank", "gpos")
       var cur = chkDisk(sa
@@ -366,6 +375,7 @@ object SuffixArray {
         cur.select(least(col("lcp"), lit(Depth.toLong)).as("lcp")))
       shim.freeLocalCheckpoint(cur)
       out
+     }
     }
     plcp.groupBy("lcp").agg(count(lit(1)).as("n_pairs"))
   }

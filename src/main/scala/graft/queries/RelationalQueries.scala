@@ -469,6 +469,9 @@ object RelationalQueries {
       .union(edges.select(col("b").as("node")))
       .distinct().withColumn("lab", col("node")))
     var r = 0
+    // interior exchanges sized to the measured edge count
+    // (graft.LoopConf discipline)
+    graft.LoopConf.sized(li.sparkSession, edges.count()) {
     while (r < rounds) {
       val nbr = edges
         .join(lab.select(col("node").as("b"), col("lab")), Seq("b"))
@@ -489,6 +492,7 @@ object RelationalQueries {
     }
     (edges, lab, lab.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_members")))
+    }
   }
 
   /** Hourly gap-fill + last-observation-carried-forward resample
@@ -972,6 +976,9 @@ object RelationalQueries {
     var nEdges = edges.count()
     var rounds = 0
     var converged = false
+    // interior exchanges sized to the measured edge count
+    // (graft.LoopConf discipline)
+    graft.LoopConf.sized(li.sparkSession, nEdges) {
     while (!converged) {
       val keep = edges.select(col("a").as("n"))
         .union(edges.select(col("b").as("n")))
@@ -996,6 +1003,7 @@ object RelationalQueries {
       }
     }
     edges
+    }
   }
 
   /** Entity resolution by BLOCKED fuzzy match — near-identical

@@ -267,6 +267,11 @@ object RdfOps {
       seeds.select(col("src")).distinct(), Seq("src"), "left_semi"))
     var n = p.count()
     var done = n == 0
+    // interior exchanges sized to the measured pair count
+    // (graft.LoopConf discipline); the pair set grows toward the
+    // closure, which stays within a small factor of the edge count
+    // per phase — partitions stay in the guide's 100 MB–1 GB band
+    graft.LoopConf.sized(edges.sparkSession, math.max(n, 1L)) {
     while (!done) {
       val em2 = chkSerW(em.as("l")
         .join(em.as("r"), col("l.dst") === col("r.src"))
@@ -287,6 +292,7 @@ object RdfOps {
         p = pNew
         n = m
       }
+    }
     }
     shim.freeLocalCheckpoint(em)
     p
@@ -326,6 +332,10 @@ object RdfOps {
     var pairs = chk(edges.select(col("src"), col("dst")).distinct())
     var n = pairs.count()
     var done = false
+    // interior exchanges sized to the measured pair count
+    // (graft.LoopConf discipline; vocabulary-scale callers run the
+    // whole squaring loop at width 1 instead of session width)
+    graft.LoopConf.sized(edges.sparkSession, n) {
     while (!done) {
       val stepped = pairs.as("l")
         .join(pairs.as("r"), col("l.dst") === col("r.src"))
@@ -341,6 +351,7 @@ object RdfOps {
         pairs = next
         n = m
       }
+    }
     }
     pairs
   }
@@ -401,6 +412,9 @@ object RdfOps {
     // round count
     var parts = Vector(frontier)
     def reached: DataFrame = parts.foldLeft(known)(_.union(_))
+    // sized to the stored closure (the loop's dominant side; the
+    // count over the checkpointed artifact is one cheap job)
+    graft.LoopConf.sized(edges.sparkSession, known.count()) {
     while (!frontier.isEmpty) {
       val next = frontier.join(allE, frontier("dst") === col("e_src"))
         .select(frontier("src"), col("e_dst").as("dst"))
@@ -415,6 +429,7 @@ object RdfOps {
         prefix.foreach(shim.freeLocalCheckpoint)
         parts = Vector(compacted, parts.last)
       }
+    }
     }
     reached
   }
@@ -455,6 +470,10 @@ object RdfOps {
       if (parts.isEmpty) empty else parts.reduce(_.union(_))
     val dbg = sys.env.contains("SPARK_GRAFT_WALK_DEBUG")
     var d = 1
+    // one edge-count job sizes every interior exchange for the whole
+    // walk (graft.LoopConf discipline); the walk re-scans edges each
+    // round anyway, so the extra scan is within the accepted cost
+    graft.LoopConf.sized(edges.sparkSession, e.count()) {
     while (maxHops.forall(d <= _) && !frontier.isEmpty) {
       val t0 = System.nanoTime()
       val next = frontier.join(e, frontier("dst") === e("e_src"))
@@ -485,6 +504,7 @@ object RdfOps {
       parts.foreach(shim.freeLocalCheckpoint)
       out
     } else reached
+    }
   }
 
   /** O19 — the composed reference pipeline EP1→EP2 (export cleaning →

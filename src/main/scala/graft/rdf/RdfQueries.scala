@@ -1641,6 +1641,9 @@ object RdfQueries {
     // through every plan. Long division in Scala matches SQL `div`
     // on these non-negative operands.
     val n = nodes.count()
+    // interior exchanges sized to the measured node count for the
+    // whole loop scope (graft.LoopConf discipline)
+    graft.LoopConf.sized(s, n) {
     val uniform = PrcScale / n
     val base15 = (uniform * 15) / 100
     def diffSum(a: DataFrame, b: DataFrame): Long =
@@ -1736,6 +1739,7 @@ object RdfQueries {
     (states :+ init :+ ed :+ nodes)
       .foreach(shim.freeLocalCheckpoint)
     (stored, it)
+    }
   }
 
   /** SPARQL BIND + string functions —
