@@ -34,11 +34,23 @@ object ProfileQ {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskMs = new AtomicLong
     val deserMs = new AtomicLong; val gcMs = new AtomicLong
+    // SPARK_GRAFT_PROFILE_STAGES=1: per-stage attribution (dev only) —
+    // stage id, task count, summed executor run time, and the first
+    // line of the stage's call site so the heavy operator is nameable.
+    val stageDump = sys.env.contains("SPARK_GRAFT_PROFILE_STAGES")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (stageDump) {
+          val i = s.stageInfo
+          val ms = Option(i.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+          if (ms >= 200)
+            println(f"[stage] id=${i.stageId} tasks=${i.numTasks} " +
+              f"run=${ms / 1e3}%.1fs ${i.details.linesIterator.take(1).mkString}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskMetrics != null) {
