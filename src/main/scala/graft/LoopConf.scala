@@ -66,4 +66,24 @@ object LoopConf {
     s.conf.set(key, width.toString)
     try body finally s.conf.set(key, old)
   }
+
+  /** Run `body` with AQE disabled (scoped, restored on exit).
+    *
+    * For a FIXED-SHAPE loop interior whose width [[sized]] has
+    * already derived from measured row counts, AQE has nothing left
+    * to adapt — but it still re-optimizes and materializes every
+    * exchange as its own sub-job, every round. Measured on the
+    * pair-closure ladder (rdf_path_inv_plus cold, ProfileQ, this
+    * round): 57 jobs / 8.4 s with AQE on vs 24 jobs / 3.2 s off,
+    * identical result and task work. This is NOT a blanket loop
+    * setting: a loop that scans wide multi-partition checkpoints
+    * each round (the pagerank contrib join) measured WORSE with AQE
+    * off (24.5 s vs 18.0 s — unsized scan stages stop being
+    * coalesced), so each loop opts in from its own measurement. */
+  def noAqe[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, old)
+  }
 }

@@ -1619,13 +1619,10 @@ object RdfQueries {
   private[rdf] def pagerankLoop(s: SparkSession, e: DataFrame,
       warmInit: Option[DataFrame], cap: Int): (DataFrame, Int) = {
     val odeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val ed = e.join(odeg, Seq("src")).localCheckpoint()
     // node set with a per-node has_out flag: ¬has_out IS the
     // dangling set, and carrying the flag in the rank table lets one
-    // aggregate per round produce BOTH the convergence diff and the
-    // NEXT round's dangling mass — the broadcast(dm) crossJoin
-    // cascade this replaces cost ~12 driver jobs per round (467
-    // jobs for 6.5 s of total task time, ProfileQ, this round).
+    // aggregate per round produce BOTH the convergence diffs and the
+    // NEXT round's dangling mass.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(e.select(col("src").as("node")).distinct()
@@ -1641,104 +1638,110 @@ object RdfQueries {
     // through every plan. Long division in Scala matches SQL `div`
     // on these non-negative operands.
     val n = nodes.count()
+    // the edge table's checkpoint is REPARTITIONED to the loop's own
+    // sized width: the loop scans it every round, and with AQE off in
+    // the interior (below) nothing coalesces a wider-than-needed scan
+    val ed = e.join(odeg, Seq("src"))
+      .repartition(graft.LoopConf.partsFor(n))
+      .localCheckpoint()
     // interior exchanges sized to the measured node count for the
-    // whole loop scope (graft.LoopConf discipline)
+    // whole loop scope; AQE off in the interior — the shape is fixed
+    // and the width measured, and AQE's per-stage re-optimization
+    // was most of the round's driver cost (see LoopConf.noAqe)
     graft.LoopConf.sized(s, n) {
+    graft.LoopConf.noAqe(s) {
     val uniform = PrcScale / n
     val base15 = (uniform * 15) / 100
-    def diffSum(a: DataFrame, b: DataFrame): Long =
-      a.join(b.select(col("node"), col("pr").as("o")), Seq("node"))
-        .agg(coalesce(sum(abs(col("pr") - col("o"))), lit(0L)))
-        .head.getLong(0)
+    // THE DETECTION WINDOW RIDES AS COLUMNS, NOT AS SEPARATE STATE
+    // TABLES: the frame at round `it` is (node, has_out, pr_0 ..
+    // pr_W) with pr_j = the rank at state s_{it−j} (W = PrcWindow).
+    // One aggregate per round then yields EVERY window diff
+    // d_j = Σ|pr_0 − pr_j| plus the dangling mass — one driver job
+    // per round, zero joins for convergence. The per-state diffSum
+    // join scans this replaces cost up to PrcWindow extra jobs per
+    // round through the whole cycle-detection tail: measured 531
+    // jobs / 18.0 s wall for 7.0 s of task time on
+    // rdf_pagerank_incr cold (ProfileQ, this round) — the loop was
+    // pure barrier overhead. Cost: W extra long columns on a
+    // node-scale frame, strictly less state than the previous
+    // Vector of W separate checkpointed rank tables.
+    val W = PrcWindow
+    val prCols = (0 to W).map(j => s"pr_$j")
     val init = (warmInit match {
-      case None => nodes.select(col("node"), col("has_out"),
-        lit(uniform).as("pr"))
+      case None => nodes.select(Seq(col("node"), col("has_out"),
+        lit(uniform).as("pr_0")) ++
+        (1 to W).map(j => lit(null).cast("long").as(s"pr_$j")): _*)
       case Some(prev) => nodes
         .join(prev.select(col("node"), col("pr").as("wpr")),
           Seq("node"), "left")
-        .select(col("node"), col("has_out"),
-          coalesce(col("wpr"), lit(uniform)).as("pr"))
+        .select(Seq(col("node"), col("has_out"),
+          coalesce(col("wpr"), lit(uniform)).as("pr_0")) ++
+          (1 to W).map(j => lit(null).cast("long").as(s"pr_$j")): _*)
     }).localCheckpoint()
-    var dm = init.agg(coalesce(sum(when(!col("has_out"), col("pr"))),
+    var dm = init.agg(coalesce(sum(when(!col("has_out"), col("pr_0"))),
       lit(0L))).head.getLong(0)
-    // sliding window of the last ≤ PrcWindow states: states(k) is
-    // s_{base+k}; the current state is states.last = s_it
-    var states = Vector(init)
-    var base = 0
+    var cur = init
     var result: DataFrame = null
     var it = 0
     while (result == null && it < cap) {
-      val pr = states.last
       val dmn = dm / n
-      val contrib = ed.join(pr, ed("src") === pr("node"))
-        .select(col("dst"), expr("pr div odeg").as("c"))
+      val contrib = ed.join(cur.select(col("node"), col("pr_0")),
+          ed("src") === col("node"))
+        .select(col("dst"), expr("pr_0 div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
         .select(col("dst").as("cnode"), col("contrib"))
-      // LAZY checkpoint: the combined diff+dm aggregate below is the
-      // round's only action, and it materializes the checkpoint as a
-      // side effect — one driver job per round. `next` is built from
-      // the PREVIOUS state (which already carries the full node set),
-      // not the nodes table, and keeps the previous pr as `_prev` —
-      // so the convergence diff needs NO join at all, removing two
-      // node-keyed exchanges per round versus the
-      // nodes⋈contrib-then-next⋈prev shape.
-      val next = pr
+      // LAZY checkpoint: the combined window-diff+dm aggregate below
+      // is the round's only action and materializes it as a side
+      // effect. The column shift pr_j := pr_{j−1} is a pure
+      // projection — s_{it−j} for j ≤ W stays addressable without
+      // holding any older frame. (The per-round dmn literal was also
+      // tried as broadcast data to stabilize the codegen source —
+      // measured no wall change and +1 job/round; literal kept.)
+      val next = cur
         .join(contrib, col("node") === col("cnode"), "left")
-        .select(col("node"), col("has_out"), col("pr").as("_prev"),
+        .select(Seq(col("node"), col("has_out"),
           expr(s"${base15}L + " +
             s"(85 * (coalesce(contrib, 0L) + ${dmn}L)) div 100")
-            .as("pr"))
+            .as("pr_0")) ++
+          (1 to W).map(j => col(s"pr_${j - 1}").as(s"pr_$j")): _*)
         .localCheckpoint(false)
       it += 1 // `next` is state s_it
-      // one combined action per round while the walk is far from the
-      // cycle; the older window states are only scanned once the
-      // newest delta is cycle-sized (a limit cycle flips a handful
-      // of nodes by ±1 — far under the gate)
       val roundAgg = next
         .agg(
-          coalesce(sum(abs(col("pr") - col("_prev"))), lit(0L))
-            .as("d1"),
-          coalesce(sum(when(!col("has_out"), col("pr"))), lit(0L))
-            .as("dm"))
+          coalesce(sum(when(!col("has_out"), col("pr_0"))), lit(0L))
+            .as("dm"),
+          (1 to W).map(j =>
+            coalesce(sum(abs(col("pr_0") - col(s"pr_$j"))), lit(0L))
+              .as(s"d_$j")): _*)
         .head
-      val d1 = roundAgg.getLong(0)
-      dm = roundAgg.getLong(1)
-      val j =
-        if (d1 == 0L) Some(states.size - 1)
-        else if (d1 < 1000L)
-          states.indices.dropRight(1).reverse
-            .find(k => diffSum(next, states(k)) == 0L)
-        else None
-      j.foreach { k =>
-        val t0 = base + k
-        val p = it - t0
-        val pick = t0 + (cap - t0) % p // s_cap, still in the window
-        result = states(pick - base)
+      dm = roundAgg.getLong(0)
+      // smallest lag p with s_it == s_{it−p} — same search order as
+      // the state-table form (latest window state first); lags past
+      // the states that exist (j > it) are never consulted
+      val p = (1 to math.min(it, W))
+        .find(j => roundAgg.getLong(j) == 0L)
+      p.foreach { per =>
+        val t0 = it - per
+        val pick = t0 + (cap - t0) % per // s_cap, still in the window
+        result = next.select(col("node"), col("has_out"),
+          col(s"pr_${it - pick}").as("pr_0"))
       }
-      states = states :+ next
-      if (states.size > PrcWindow) {
-        val dropped = states.head
-        states = states.tail
-        base += 1
-        if (!(dropped eq result))
-          org.apache.spark.sql.graftshim.ColumnBridge
-            .freeLocalCheckpoint(dropped)
-      }
+      if (!(cur eq init))
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .freeLocalCheckpoint(cur)
+      cur = next
     }
-    val out = if (result != null) result else states.last
+    val out = if (result != null) result else cur
     // the stored artifact consumers read — materialized EAGERLY so
     // every checkpoint the build pinned can be freed below
-    val stored = chkSer(out.select(col("node"), col("pr").as("pr_scaled")))
-    // free the build's working set: superseded window states were
-    // freed as they slid out, but up to PrcWindow states plus the
-    // init/ed/nodes/dangling helpers are still pinned in
-    // block-manager storage here and would otherwise be stranded for
-    // the session's lifetime (freeLocalCheckpoint is an idempotent
-    // unpersist, so re-freeing the already-dropped init is harmless)
+    val stored = chkSer(out.select(col("node"),
+      col("pr_0").as("pr_scaled")))
+    // free the build's working set (freeLocalCheckpoint is an
+    // idempotent unpersist)
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
-    (states :+ init :+ ed :+ nodes)
-      .foreach(shim.freeLocalCheckpoint)
+    Seq(cur, init, ed, nodes).foreach(shim.freeLocalCheckpoint)
     (stored, it)
+    }
     }
   }
 
