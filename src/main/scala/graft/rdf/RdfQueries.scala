@@ -1344,6 +1344,13 @@ object RdfQueries {
   private def fullClosure(s: SparkSession, d: String): DataFrame =
     graft.SnapshotMemo.getOrCompute(s, s"full-closure:$d") {
       val e = starEdges(s, d)
+      // ladder, not frontier: re-measured head-to-head this round —
+      // the doubling fixture's seed-to-anywhere diameter is ~35, so
+      // the frontier walk pays ~70 barrier jobs (10.3 s cold via
+      // rdf_path_inv_plus) where the ~6-phase ladder with its sized,
+      // AQE-off interior pays ~29 (5.9 s). The r17 regression was the
+      // ladder's AQE replanning cost, not the algorithm (fixed in
+      // RdfOps.reachablePlusPairs).
       chkSer(RdfOps.reachablePlusPairs(e, e.select(col("src")).distinct()))
     }
 
