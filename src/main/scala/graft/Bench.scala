@@ -136,6 +136,20 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady","warm_reps":$warmReps,"total_cold":$totalCold,"queries":$qs,"cold":$cold,"errors":$errs,${envJson()},"sf":${jsonStr(sfDir)}}"""
   }
 
+  /** Print the one-line JSON (the driver contract) AND write it to
+    * `bench_out.json`: round 17's PERF diff was blinded by a
+    * truncated log-tail capture of the printed line — the file copy
+    * makes the artifact parseable regardless of how stdout was
+    * captured. Best-effort: a write failure must not fail the bench. */
+  private def emit(json: String): Unit = {
+    println(json)
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -170,11 +184,11 @@ object Bench {
     }
     val failed = if (warmReps > 0) {
       val runs = runSteady(spark, sfDir, queries, warmReps)
-      println(renderSteadyJson(runs, sfDir, warmReps))
+      emit(renderSteadyJson(runs, sfDir, warmReps))
       runs.exists(_.err.isDefined)
     } else {
       val runs = run(spark, sfDir, queries)
-      println(renderJson(runs, sfDir))
+      emit(renderJson(runs, sfDir))
       runs.exists(_.err.isDefined)
     }
     spark.stop()

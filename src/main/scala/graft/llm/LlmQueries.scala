@@ -1046,34 +1046,40 @@ object LlmQueries {
     * promote to broadcast; the per-doc rollup is one doc-keyed
     * aggregate. */
   def bigramFluency(s: SparkSession, d: String): DataFrame = {
-    // the exploded pair frame is evaluated by BOTH count-table
-    // builds and the final score join — materialize it once
+    // the exploded pair frame is evaluated by BOTH the count-table
+    // build and the final score join — materialize it once
     // (token-scale, disk-resident like the SA bulk artifacts)
-    // instead of re-tokenizing and re-exploding the corpus three
-    // times per cold run
+    // instead of re-tokenizing and re-exploding the corpus per use.
+    // Only (doc_id, bg): w1 is a function of bg (tokens are
+    // whitespace-free, so w1 = substring_index(bg, ' ', 1)) — carry
+    // the narrower frame (guide §2.3).
     val bp = graft.SnapshotMemo.getOrCompute(s, s"fluency-bp:$d") {
       tokenized(s, d)
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> struct(" +
-            "element_at(w, i) AS w1, concat_ws(' ', element_at(w, i)," +
-            " element_at(w, i + 1)) AS bg))")).as("x"))
-        .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+          .as("bg"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
-    // the two LM count tables are per-snapshot artifacts (the
-    // "trained" statistics); memoized serialized so a re-score pays
-    // only the per-doc pair scan + the two hinted joins
-    val cb = graft.SnapshotMemo.getOrCompute(s, s"fluency-cb:$d") {
-      chkSer(bp.groupBy(col("bg")).agg(count(lit(1)).as("cb")))
+    // the trained LM statistic, pre-joined at VOCABULARY scale: the
+    // pair score (10⁶·c(w1,w2)) div c(w1·) depends only on the
+    // bigram, so the prefix totals (c(w1·) = Σ over bigrams sharing
+    // the prefix — derived from the bigram counts, never a second
+    // corpus pass) fold into one (bg, sc) table and the corpus pays
+    // exactly ONE token-scale join. The r17 shape paid two
+    // token-scale sort-merge joins plus a second corpus-scale
+    // aggregate for the prefix counts (measured 3.9 → 4.6 s cold —
+    // the VERDICT item 8 regression this replaces).
+    val sc = graft.SnapshotMemo.getOrCompute(s, s"fluency-sc:$d") {
+      val cb = bp.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+        .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
+      val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      chkSer(cb.join(cu, Seq("w1"))
+        .select(col("bg"), expr("(1000000 * cb) DIV cu").as("sc")))
     }
-    val cu = graft.SnapshotMemo.getOrCompute(s, s"fluency-cu:$d") {
-      chkSer(bp.groupBy(col("w1")).agg(count(lit(1)).as("cu")))
-    }
-    bp.join(cb.hint("merge"), Seq("bg"))
-      .join(cu.hint("merge"), Seq("w1"))
-      .select(col("doc_id"), expr("(1000000 * cb) DIV cu").as("sc"))
+    bp.join(sc.hint("merge"), Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("sc")).as("ssum"))
       .select(col("doc_id"), col("n_pairs"),
@@ -5215,9 +5221,17 @@ object LlmQueries {
     * — and the driver collects exactly ONE argmin row per round.
     * `rounds` is a small constant (3); weights are bounded by
     * `2^rounds`. */
-  private[graft] def trainBoostedOf(feats: DataFrame,
+  private[graft] def trainBoostedOf(featsIn: DataFrame,
       rounds: Int): Seq[BoostStump] = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the COMPACT integer feature frame once: every
+    // round re-evaluated the full tokenization/regex pipeline over
+    // the corpus (rounds + 0 scans of text for a 7-narrow-column
+    // frame — guide §1.2 "don't compute things twice"); the
+    // checkpoint is doc-count-scale and freed when training ends
+    val feats = featsIn.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
     var stumps = Vector.empty[BoostStump]
     for (t <- 1 to rounds) {
       // map-side weight: product of 2-per-misclassification over
@@ -5271,6 +5285,10 @@ object LlmQueries {
         best.getString(3), best.getLong(0), best.getLong(4))
     }
     stumps
+    } finally {
+      org.apache.spark.sql.graftshim.ColumnBridge
+        .freeLocalCheckpoint(feats)
+    }
   }
 
   private[graft] val boostRounds = 3

@@ -1,9 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
 
 import graft.{SnapshotMemo, Tables}
@@ -13,8 +13,7 @@ import graft.{SnapshotMemo, Tables}
   * consumers a training-data pipeline wants on top of it:
   * Lee et al. 2022 "Deduplicating Training Data Makes Language
   * Models Better" ExactSubstr duplicate-span extraction, and the
-  * LCP profile of the suffix order (binary-lifting LCP — the
-  * rank-table trick from the same construction).
+  * LCP profile of the suffix order.
   *
   * Reference anchor: the reference pipeline's set-semantics dedup is
   * rdflib's triple-set behavior (export_from_omeka_s.py:50); the
@@ -22,32 +21,54 @@ import graft.{SnapshotMemo, Tables}
   * module upgrades the k-gram span approximation (`llm_dup_spans`)
   * to the exact suffix-order formulation.
   *
-  * Shape, for 100 TB:
+  * Layout (the r18 optimization; before/after plans in plans/r18):
+  * every position-scale table carries `block = gpos div B` and is
+  * checkpointed hash-partitioned by `block`, sorted by
+  * `(block, gpos)`. LogicalRDD preserves outputPartitioning and
+  * outputOrdering, so
+  *
+  *  - every gpos-keyed join is written on `(block, gpos)`: the hash
+  *    partitioning on `block` (a prefix of the join keys) satisfies
+  *    the join's clustered distribution and the pinned sort
+  *    satisfies its ordering — the sort-merge join runs with NO
+  *    exchange and NO sort on the clustered side(s);
+  *  - the CONSTANT-SHIFT lookups the doubling rounds are made of
+  *    (rank at gpos+d) stop being self-joins at all: gpos is dense
+  *    (one row per corpus character), so `lead(rank, d)` over the
+  *    partition-local `(block) ORDER BY gpos` window is the shifted
+  *    value, with the d boundary rows per block (the positions whose
+  *    target falls in the next block) patched from a broadcast of
+  *    the next blocks' first d rows ("halo" rows — d·nblocks ≈ a few
+  *    thousand rows at any scale, since nblocks tracks the cluster
+  *    width, not the corpus).
+  *
+  * The r17 layout paid, per doubling level, one exchange+sort of the
+  * shifted side plus one redundant repartition+sort before the
+  * checkpoint; measured (SaMicro/ProfileQ, this round) the whole SA
+  * family was ~15 position-scale exchange+sort+checkpoint cycles for
+  * ~34 s cold at sf0.1, with each atomic op ~1 s. The window+halo
+  * form removes every per-level exchange.
+  *
+  * Shape, for 100 TB (unchanged):
   *  - The corpus is the virtual string S = concat(text_i || 0x01)
-  *    over doc_id order. S is NEVER materialized — every operator
-  *    works on one row per character position (gpos, code), i.e.
-  *    the same cardinality a tokenized corpus already has.
+  *    over doc_id order; one row per character position, never
+  *    materialized as a string.
   *  - rank_d tables (one per power-of-two depth d ≤ Depth) are the
   *    only state: rank_d(i) = rank of substr(S, i, d) among all
   *    positions, with EXACT substring-order semantics (shorter
   *    suffixes sort first via the missing-shift -1 sentinel).
-  *  - Each doubling round is two bounded shuffles: a position-keyed
-  *    self-join (gpos ↔ gpos+d) to form (rank, shifted-rank) keys,
-  *    and a range-sort of the DISTINCT keys to re-densify. No round
-  *    ever materializes a suffix, compares strings, or exceeds
-  *    O(n) rows. O(log Depth) rounds total — depth 32 = 5 rounds.
-  *  - Dense ranks are assigned by range-repartition + sorted
-  *    zipWithIndex (partition-offset numbering) — the one RDD hop in
-  *    the module, used precisely because a global row_number window
-  *    would single-partition the sort.
-  *
-  * Bounded depth: ranks are exact for the first `Depth` characters;
-  * the SA order is (rank_Depth, gpos). That is the full suffix array
-  * truncated at depth 32 — exactly what duplicate-span detection at
-  * threshold L ≤ 32 needs (two suffixes sharing ≥ L chars are
-  * adjacent-contiguous in any order that refines first-L-char
-  * order). The depth is a knob, not a structural limit: each extra
-  * doubling round doubles it.
+  *  - Pack/densify alternation: a doubling round only needs an
+  *    ORDER-PRESERVING single number per (rank, rank2) key — when
+  *    the incoming ranks are bounded by B₀ the arithmetic pack
+  *    r1·(B₀+2) + (r2+2) preserves the pair's lexicographic order as
+  *    a pure MAP; packed ranks are ~B₀², so the next level densifies
+  *    (range sort + partition-offset numbering). The packability
+  *    test is on the actual bound, so corpora with wide char codes
+  *    degrade to densify-every-round by themselves.
+  *  - Document offsets are assigned by range-partitioned prefix
+  *    sums (partition-local running sum + an exclusive prefix over
+  *    the per-partition totals, collected — bounded by the partition
+  *    count): no single-partition global window at any scale.
   */
 object SuffixArray {
   /** Bounded suffix-compare depth (chars); power of two. */
@@ -63,69 +84,112 @@ object SuffixArray {
   /** DISK-resident checkpoint for the BULK SA artifacts (positions,
     * every rank level, the ranked permutation, the dup-start mask):
     * six-plus corpus-position-cardinality tables held simultaneously
-    * (the LCP lift needs ALL rank levels) sum past any capped heap —
-    * the sf1/3 GB rehearsal OOM'd in a block unroll with them
-    * memory-resident. Disk is where stored artifacts live at scale
-    * anyway (the dedup indexes write parquet); consumers re-read
-    * sequentially, and the per-rep hot tables (the 1-column PLCP)
-    * stay memory-first. */
+    * sum past any capped heap — the sf1/3 GB rehearsal OOM'd in a
+    * block unroll with them memory-resident. Disk is where stored
+    * artifacts live at scale anyway; consumers re-read sequentially.
+    * LogicalRDD preserves the child's partitioning and ordering, so
+    * a block-clustered input stays block-clustered. */
   private def chkDisk(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.DISK_ONLY)
 
-  /** chkDisk CLUSTERED by gpos: hash-repartitioned + sorted within
-    * partitions before the checkpoint, because LogicalRDD preserves
-    * outputPartitioning/outputOrdering — every downstream merge join
-    * on gpos (the next doubling level, the LCP lift's two lookups
-    * per level, the SA assembly, the dup-mask probe) then skips BOTH
-    * its exchange and its sort on this side. One exchange paid at
-    * build, O(consumers) exchanges+sorts saved. */
-  private def chkDiskByGpos(df: DataFrame): DataFrame =
-    chkDisk(df.repartition(32, col("gpos"))
-      .sortWithinPartitions("gpos"))
+  // ----------------------------------------------------------------
+  // Block geometry. B (chars per block) and P (cluster width) derive
+  // from the measured corpus length: P is the sizedCompute width
+  // (executor-parallelism floor, data-derived past it) and B targets
+  // ~8 blocks per partition so hash placement stays balanced. B is
+  // required ≥ 64 > every shift the module uses (≤ 24), so a shifted
+  // value is always either partition-local or in the next block's
+  // halo.
+  // ----------------------------------------------------------------
+  private def corpusLen(s: SparkSession, d: String): Long =
+    SnapshotMemo.getOrCompute(s, s"sa-len:$d")(
+      Tables(s, d, "documents")
+        .agg(coalesce(sum(length(col("text")).cast(LongType) + 1L),
+          lit(0L)).as("n")).localCheckpoint())
+      .head.getLong(0)
 
-  // Join-strategy note: every SA-internal join carries an explicit
-  // merge hint. The sides are corpus-position-cardinality (or, for
-  // the dup-rank table, DATA-DEPENDENT — candidate-sized on normal
-  // corpora, corpus-scale on a dup-heavy one like the sf1
-  // rehearsal's 50%-duplicate replica corpus), and checkpoint-backed
-  // plans carry estimates the planner can mistake for broadcastable:
-  // the un-hinted build failed sf1/3 GB with driver broadcast OOMs.
-  // Sort-merge spills under a capped heap; a size-triggered
-  // broadcast of a data-dependent table does not.
+  private def widthFor(s: SparkSession, n: Long): Int =
+    math.max(s.sparkContext.defaultParallelism, graft.LoopConf.partsFor(n))
+
+  private def blockFor(n: Long, p: Int): Long =
+    math.max(64L, n / (8L * p) + 1L)
+
+  private def geom(s: SparkSession, d: String): (Long, Int) = {
+    val n = corpusLen(s, d)
+    val p = widthFor(s, n)
+    (blockFor(n, p), p)
+  }
+
+  /** One exchange into the canonical block clustering; the following
+    * checkpoint pins it for every downstream zipper join / window. */
+  private def clusterByBlock(df: DataFrame, p: Int): DataFrame =
+    df.repartition(p, col("block"))
+      .sortWithinPartitions("block", "gpos")
+
+  /** Shifted-value lookup WITHOUT a join: for each requested shift d,
+    * adds column `name(d)` = `valueCol` at gpos+d (null past the
+    * corpus end). Partition-local `lead` over the pinned
+    * (block, gpos) order — no exchange, no sort — plus one broadcast
+    * halo join per shift for the d boundary rows per block whose
+    * target lives in the next block. Requires the input clustered by
+    * block and gpos-dense (one row per corpus position). */
+  private def withShifted(df: DataFrame, valueCol: String,
+      shifts: Seq[Int], b: Long, name: Int => String): DataFrame = {
+    val w = Window.partitionBy("block").orderBy("gpos")
+    val led = shifts.foldLeft(df)((acc, dd) =>
+      acc.withColumn(s"_w$dd", lead(col(valueCol), dd).over(w)))
+    shifts.foldLeft(led) { (acc, dd) =>
+      val heads = df.filter(pmod(col("gpos"), lit(b)) < dd)
+        .select((col("gpos") - dd).as("gpos"),
+          col(valueCol).as(s"_h$dd"))
+      acc.join(broadcast(heads), Seq("gpos"), "left")
+        .withColumn(name(dd), coalesce(col(s"_w$dd"), col(s"_h$dd")))
+        .drop(s"_w$dd", s"_h$dd")
+    }
+  }
 
   // ----------------------------------------------------------------
   // Position table: one row per character of the virtual corpus
-  // string, sentinel 0x01 rows included (lpos = dlen + 1). Document
-  // offsets are metadata-scale (one row per document), so the
-  // running-sum window over doc order is an ndocs-row single
-  // partition — the same O(#files) driver-side bookkeeping any
-  // file-offset assignment does; the EXPLODED table is what scales.
+  // string, sentinel 0x01 rows included (lpos = dlen + 1), clustered
+  // by block. Document offsets come from a range-partitioned prefix
+  // sum: partition-local running totals plus the exclusive prefix of
+  // per-partition sums (collected — one row per partition, bounded
+  // by the cluster width, never by the document count).
   // ----------------------------------------------------------------
   private[llm] def positions(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"sa-pos:$d") {
+      val (b, p) = geom(s, d)
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("text"),
           length(col("text")).cast(LongType).as("dlen"))
-      val w = Window.orderBy("doc_id")
+      // pin the range placement so the per-partition totals and the
+      // main pass see the same pid ↔ row assignment
+      val ranged = docs
+        .repartitionByRange(math.max(2, s.sparkContext.defaultParallelism),
+          col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .localCheckpoint()
+        .withColumn("_pid", spark_partition_id())
+      val pidTotals = ranged.groupBy(col("_pid"))
+        .agg(sum(col("dlen") + 1L).as("_t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val pidOffs = pidTotals.map { case (pid, t) =>
+        val r = (pid, acc); acc += t; r
+      }.toSeq
+      import s.implicits._
+      val offDf = pidOffs.toDF("_pid", "_poff")
+      val wp = Window.partitionBy("_pid").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = docs.withColumn("off",
-        coalesce(sum(col("dlen") + 1).over(w), lit(0L)))
+      val offs = ranged.join(broadcast(offDf), Seq("_pid"))
+        .withColumn("off",
+          col("_poff") + coalesce(sum(col("dlen") + 1L).over(wp), lit(0L)))
       // per-character codes via ONE split of the (sentinel-appended)
-      // text into a char array + posexplode — the previous
-      // explode(sequence)+substr(lpos,1) form both carried the FULL
-      // document text on every character row (O(Σ dlen²) bytes
-      // through the projection) and paid substr's O(lpos) UTF-8
-      // seek per character (O(dlen²) work per document). split('')
-      // emits a trailing empty-string artifact (Java regex split
-      // semantics) — dropped by the i <= dlen filter; the appended
-      // 0x01 char lands at i = dlen with ascii = 1, exactly the old
-      // sentinel row.
-      // the running-sum window leaves the DOC-level frame in one
-      // partition; repartition it (metadata-scale shuffle: one row
-      // per document) BEFORE the explode so the per-character
-      // expansion and the chkDisk write parallelize instead of
-      // running in the window's single task
-      chkDisk(offs.repartition(32)
+      // text into a char array + posexplode. split('') emits a
+      // trailing empty-string artifact (Java regex split semantics)
+      // — dropped by the i <= dlen filter; the appended 0x01 char
+      // lands at i = dlen with ascii = 1, the sentinel row.
+      chkDisk(clusterByBlock(offs
         .select(col("doc_id"), col("dlen"), col("off"),
           posexplode(split(concat(col("text"), lit("\u0001")), ""))
             .as(Seq("i", "ch")))
@@ -134,7 +198,8 @@ object SuffixArray {
           col("doc_id"), col("dlen"),
           (col("i") + 1).cast(LongType).as("lpos"),
           (col("off") + col("i")).as("gpos"),
-          ascii(col("ch")).cast(LongType).as("code")))
+          ascii(col("ch")).cast(LongType).as("code"))
+        .withColumn("block", expr(s"gpos div ${b}L")), p))
     }
 
   // ----------------------------------------------------------------
@@ -144,14 +209,9 @@ object SuffixArray {
   // DataFrame world. monotonically_increasing_id() over the PINNED
   // sorted checkpoint is (partition_id · 2^33 + row_index) in block
   // row order, so subtracting the partition base and adding the
-  // exclusive prefix sum of partition counts (≤ 32 rows, collected —
-  // bounded by the partition count, not the data) yields exactly the
-  // contiguous numbering zipWithIndex produced. The old RDD
-  // zipWithIndex form paid a full InternalRow→Row decode plus a
-  // re-encode over every position row (≈ the single largest CPU cost
-  // in the SA build at sf0.1) and dropped out of whole-stage codegen.
-  // Input rows must be distinct on keyCols (ranks would otherwise
-  // break ties arbitrarily).
+  // exclusive prefix sum of partition counts (bounded by the
+  // partition count, collected) yields exactly the contiguous
+  // numbering. Input rows must be distinct on keyCols.
   // ----------------------------------------------------------------
   private[llm] def denseRank(df: DataFrame, keyCols: Seq[String],
       out: String): DataFrame = {
@@ -183,35 +243,20 @@ object SuffixArray {
   // rank_d tables. Invariant (spec-pinned): rank_d(i) = rank_d(j)
   // ⟺ substr(S, i, d) == substr(S, j, d), and rank order == that
   // substring's lexicographic order (short suffixes first). Depth 1
-  // uses the character code directly (order-preserving; density is
-  // not required — doubling keys only need order/equality). Each
-  // deeper level joins the half-depth rank with its 2^k-shifted
-  // self (-1 when the shift runs off the corpus: a shorter suffix
-  // sorts before every longer one sharing its prefix, exactly as
-  // string comparison does).
-  //
-  // Pack/densify alternation: a doubling round only needs an
-  // ORDER-PRESERVING single number per (rank, rank2) key, not a
-  // dense one — when the incoming ranks are bounded by B, the
-  // arithmetic pack r1·(B+2) + (r2+2) preserves the pair's
-  // lexicographic order as a pure MAP (no distinct, no sort, no
-  // rank-assignment exchange). Packed ranks are ~B², so the NEXT
-  // round densifies (sort + partition-offset numbering bounds them
-  // by n again). Alternating halves the heavy sort rounds; the
-  // packability test is on the actual bound, so at corpus sizes
-  // where n² would overflow a long the schedule degrades to
-  // densify-every-round by itself.
+  // is the character code itself (order-preserving; density is not
+  // required — doubling keys only need order/equality), read
+  // straight off the positions checkpoint with no copy. Each deeper
+  // level pairs the half-depth rank with its d/2-shifted self via
+  // the window+halo lookup (-1 when the shift runs off the corpus:
+  // a shorter suffix sorts before every longer one sharing its
+  // prefix, exactly as string comparison does), then packs or
+  // densifies.
   // ----------------------------------------------------------------
   /** Depth-1 rank bound: the corpus's ACTUAL maximum character code
-    * (one bounded agg over the memoized positions table) instead of
-    * the worst-case 2^21 codepoint ceiling. Rank VALUES only need to
-    * preserve order/equality, and the pack bound decides how long
-    * the pack/densify alternation can keep packing: on ASCII-ish
-    * corpora (max code ≈ 2^7) depths 2, 4 AND 8 all pack and the
-    * first densify lands at depth 16 — one full position-scale
-    * densify (sort + numbering exchange) less than the 2^21 schedule,
-    * with the schedule still degrading gracefully by itself on a
-    * corpus whose codes are genuinely wide. */
+    * (one bounded agg over the memoized positions table). On
+    * ASCII-ish corpora depths 2, 4 and 8 all pack and the first
+    * densify lands at depth 16; a corpus with genuinely wide codes
+    * degrades the schedule gracefully by itself. */
   private def maxCode(s: SparkSession, d: String): Long = {
     val key = s"sa-maxcode:$d"
     SnapshotMemo.getOrCompute(s, key)(
@@ -224,7 +269,7 @@ object SuffixArray {
     if (depth == 1) maxCode(s, d)
     else {
       val half = levelBound(s, d, depth / 2)
-      if (packable(half)) half * (half + 2) + (half + 2)
+      if (packable(half)) half * (half + 3) + (half + 2)
       else positions(s, d).count() + 1
     }
   }
@@ -237,41 +282,54 @@ object SuffixArray {
       require(depth >= 1 && Integer.bitCount(depth) == 1,
         s"rank level depth must be a power of two, got $depth")
       if (depth == 1) {
-        chkDiskByGpos(positions(s, d)
-          .select(col("gpos"), col("code").as("rank")))
+        // a pure projection of the block-clustered positions
+        // checkpoint — the r17 build paid a second full
+        // exchange+sort+checkpoint here
+        positions(s, d).select(col("gpos"), col("code").as("rank"),
+          col("block"))
       } else {
+        val (b, p) = geom(s, d)
         val half = depth / 2
         val prev = rankLevel(s, d, half)
-        val shifted = prev.select(
-          (col("gpos") - half).as("gpos"), col("rank").as("rank2"))
-        val keys = prev.join(shifted.hint("merge"), Seq("gpos"), "left")
-          .select(col("gpos"), col("rank"),
-            coalesce(col("rank2"), lit(-1L)).as("rank2"))
+        val keys = withShifted(prev, "rank", Seq(half), b, _ => "_s")
+          .select(col("block"), col("gpos"), col("rank"),
+            coalesce(col("_s"), lit(-1L)).as("rank2"))
         val halfBound = levelBound(s, d, half)
-        chkDiskByGpos(
-          if (packable(halfBound)) {
-            val k = halfBound + 2
-            keys.select(col("gpos"),
-              (col("rank") * k + (col("rank2") + 2)).as("rank"))
-          } else {
-            val ranked = denseRank(
-              keys.select("rank", "rank2").distinct(),
-              Seq("rank", "rank2"), "nrank")
+        if (packable(halfBound)) {
+          // pure map over the clustered frame: clustering and order
+          // are preserved, checkpoint directly — no exchange.
+          // Radix halfBound+3, NOT +2: the low slot holds rank2+2 ∈
+          // {1} ∪ [3, halfBound+2], so +2 would let the max-rank2
+          // digit equal the radix and alias into the hi digit under
+          // the div/mod decode of lcpSql (order/equality would still
+          // hold — the decode would not).
+          val k = halfBound + 3
+          chkDisk(keys.select(col("gpos"),
+            (col("rank") * k + (col("rank2") + 2)).as("rank"),
+            col("block")))
+        } else {
+          val ranked = denseRank(
+            keys.select("rank", "rank2").distinct(),
+            Seq("rank", "rank2"), "nrank")
+          chkDisk(clusterByBlock(
             keys.join(ranked.hint("merge"), Seq("rank", "rank2"))
-              .select(col("gpos"), col("nrank").as("rank"))
-          })
+              .select(col("gpos"), col("nrank").as("rank"),
+                col("block")), p))
+        }
       }
     }
 
   /** Full bounded-depth SA order: dense sa_rank over
     * (rank_Depth, gpos) — gpos tie-break makes the key unique, so
-    * the dense rank IS the suffix-array permutation index. */
+    * the dense rank IS the suffix-array permutation index. The
+    * positions⋈rank join is a zipper (both sides block-clustered:
+    * no exchange, no sort). */
   private[llm] def saRanked(s: SparkSession, d: String): DataFrame =
     SnapshotMemo.getOrCompute(s, s"sa-ranked:$d") {
-     graft.LoopConf.sizedCompute(s, positions(s, d).count()) {
+     graft.LoopConf.sizedCompute(s, corpusLen(s, d)) {
       val joined = positions(s, d)
-        .select("gpos", "doc_id", "lpos", "dlen")
-        .join(rankLevel(s, d, Depth).hint("merge"), Seq("gpos"))
+        .select("block", "gpos", "doc_id", "lpos", "dlen")
+        .join(rankLevel(s, d, Depth).hint("merge"), Seq("block", "gpos"))
       chkDisk(denseRank(joined, Seq("rank", "gpos"), "sa_rank"))
      }
     }
@@ -302,20 +360,22 @@ object SuffixArray {
     // the duplicated-start MASK is the stored artifact (the same
     // role llm_dup_spans' positional k-gram mask plays); the island
     // merge re-derives per read from it (dup-start-sized, cheap).
-    // Exchanges across the whole SA build (this is usually the first
-    // payer) sized to the measured position count (graft.LoopConf).
     val dupStarts = SnapshotMemo.getOrCompute(s, s"sa-dup-starts:$d") {
-     graft.LoopConf.sizedCompute(s, positions(s, d).count()) {
+     graft.LoopConf.sizedCompute(s, corpusLen(s, d)) {
+      val (_, p) = geom(s, d)
       val r = rankLevel(s, d, SpanL)
-      val dupRanks = r.groupBy("rank")
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1)
-        .select("rank")
+      // duplicated ⟺ the rank's group has ≥ 2 members: ONE exchange
+      // (the count-over-rank window) instead of the r17
+      // groupBy + second full merge-join exchange of the rank table
+      val dups = r.withColumn("_c",
+          count(lit(1)).over(Window.partitionBy("rank")))
+        .filter(col("_c") > 1)
+        .select("block", "gpos")
       chkDisk(positions(s, d)
         .filter(col("lpos") <= col("dlen") - (SpanL - 1))
-        .select("gpos", "doc_id", "lpos")
-        .join(r.hint("merge"), Seq("gpos"))
-        .join(dupRanks.hint("merge"), Seq("rank"), "left_semi"))
+        .select("block", "gpos", "doc_id", "lpos")
+        .join(clusterByBlock(dups, p).hint("merge"),
+          Seq("block", "gpos"), "left_semi"))
      }
     }
     val w = Window.partitionBy("doc_id").orderBy("lpos")
@@ -329,54 +389,135 @@ object SuffixArray {
 
   // ----------------------------------------------------------------
   // llm_sa_lcp: histogram of longest-common-prefix lengths between
-  // ADJACENT suffix-array entries (capped at Depth), computed by
-  // BINARY LIFTING over the stored rank tables: descending powers
-  // k = Depth..1, add k and advance both positions whenever the
-  // rank_k values match. Never compares a string; 2 position-keyed
-  // joins per level. The LCP profile is the corpus's duplication
-  // spectrum — the quantity ExactSubstr thresholds.
+  // ADJACENT suffix-array entries (capped at Depth).
+  //
+  // Fast path (packed-rank digit descent): when depths 2/4/8 all
+  // pack (any ASCII-ish corpus), rank_8 values ARE mixed-radix
+  // encodings of their 8 character digits (digit = code, or -1
+  // for a past-corpus-end position, offset by +2 in the low slots).
+  // The LCP of two suffixes capped at 32 is then a PURE EXPRESSION
+  // over the four rank_8 values at offsets 0/8/16/24 from each side:
+  // count leading equal digits by arithmetic descent (compare the
+  // half-depth hi digits: equal ⟹ add k/2 and descend into the lo
+  // digits, unequal ⟹ descend into the hi digits). Two distinct
+  // positions can never both run off the corpus at the same relative
+  // offset (ia+δ = ib+δ = n ⟹ ia = ib), so "both digits missing"
+  // never compares equal and the descent agrees with the rank-table
+  // lift exactly — the lift's rank_k equality IS k-digit equality.
+  // Cost: one window pass for the three shifted blocks + two zipper
+  // joins for the pair sides, replacing the 6-level lift's 12
+  // position-scale joins and 6 checkpoints (measured 9.1 s of the
+  // r17 family's 34 s).
+  //
+  // Fallback (wide-code corpora where rank_8 is densified and no
+  // longer digit-decodable): the binary-lifting walk over the rank
+  // tables, unchanged from r17.
   // ----------------------------------------------------------------
   def lcpHistogram(s: SparkSession, d: String): DataFrame = {
-    // the per-pair LCP table is the stored artifact (the PLCP array
-    // of the SA literature); the histogram re-derives per read
     val plcp = SnapshotMemo.getOrCompute(s, s"sa-plcp:$d") {
-     graft.LoopConf.sizedCompute(s, positions(s, d).count()) {
-      val shim = org.apache.spark.sql.graftshim.ColumnBridge
-      val sa = saRanked(s, d).select("sa_rank", "gpos")
-      var cur = chkDisk(sa
-        .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
-          col("gpos").as("gb")).hint("merge"), Seq("sa_rank"))
-        .select(col("gpos").as("ia"), col("gb").as("ib"),
-          lit(0L).as("lcp")))
-      var k = Depth
-      while (k >= 1) {
-        val lev = rankLevel(s, d, k)
-        val eq = col("ra").isNotNull && col("rb").isNotNull &&
-          col("ra") === col("rb")
-        // checkpoint EVERY level (disk, superseded freed): unrolled,
-        // the 6-level lift is one plan with ~12 pipelined sorts
-        // whose concurrent spill pressure OOM'd a borderline
-        // sf1/3 GB run — bounding the live plan to one level keeps
-        // at most two position-scale sorts in flight
-        val next = chkDisk(cur
-          .join(lev.select(col("gpos").as("ia"), col("rank").as("ra"))
-            .hint("merge"), Seq("ia"), "left")
-          .join(lev.select(col("gpos").as("ib"), col("rank").as("rb"))
-            .hint("merge"), Seq("ib"), "left")
-          .select(
-            when(eq, col("ia") + k).otherwise(col("ia")).as("ia"),
-            when(eq, col("ib") + k).otherwise(col("ib")).as("ib"),
-            when(eq, col("lcp") + k).otherwise(col("lcp")).as("lcp")))
-        shim.freeLocalCheckpoint(cur)
-        cur = next
-        k /= 2
-      }
-      val out = chkSer(
-        cur.select(least(col("lcp"), lit(Depth.toLong)).as("lcp")))
-      shim.freeLocalCheckpoint(cur)
-      out
+     graft.LoopConf.sizedCompute(s, corpusLen(s, d)) {
+      val packs8 = packable(levelBound(s, d, 1)) &&
+        packable(levelBound(s, d, 2)) && packable(levelBound(s, d, 4))
+      if (packs8) plcpPacked(s, d) else plcpLift(s, d)
      }
     }
     plcp.groupBy("lcp").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Nested-CASE SQL for the leading-equal-digit count of two
+    * depth-k packed rank values (k a power of two ≥ 1). A negative
+    * operand is a propagated missing-suffix marker — zero matches
+    * (the other side's digit is a real char; both-missing cannot
+    * happen between distinct positions). */
+  private def lcpSql(s: SparkSession, d: String, k: Int,
+      x: String, y: String): String =
+    if (k == 1)
+      s"(CASE WHEN ($x) < 0 OR ($y) < 0 THEN 0" +
+        s" WHEN ($x) = ($y) THEN 1 ELSE 0 END)"
+    else {
+      val kk = levelBound(s, d, k / 2) + 3
+      val xh = s"(($x) div ${kk}L)"; val yh = s"(($y) div ${kk}L)"
+      val xl = s"(($x) % ${kk}L - 2)"; val yl = s"(($y) % ${kk}L - 2)"
+      s"(CASE WHEN ($x) < 0 OR ($y) < 0 THEN 0" +
+        s" WHEN $xh = $yh THEN ${k / 2} + ${lcpSql(s, d, k / 2, xl, yl)}" +
+        s" ELSE ${lcpSql(s, d, k / 2, xh, yh)} END)"
+    }
+
+  private def plcpPacked(s: SparkSession, d: String): DataFrame = {
+    val (b, p) = geom(s, d)
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    // rank_8 blocks at offsets 0/8/16/24 per position: one window
+    // pass (three leads share one window spec) + three tiny halo
+    // broadcasts; clustering preserved, checkpoint directly
+    val comp = chkDisk(withShifted(rankLevel(s, d, 8), "rank",
+        Seq(8, 16, 24), b, dd => s"b${dd / 8}")
+      .select(col("block"), col("gpos"), col("rank").as("b0"),
+        col("b1"), col("b2"), col("b3")))
+    val sa = saRanked(s, d).select("sa_rank", "gpos")
+    val pairs = sa
+      .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
+        col("gpos").as("gb")).hint("merge"), Seq("sa_rank"))
+      .select(col("gpos").as("ia"), col("gb").as("ib"))
+    def attach(df: DataFrame, key: String, pfx: String): DataFrame =
+      clusterByBlock(df
+          .withColumn("block", expr(s"$key div ${b}L"))
+          .withColumn("gpos", col(key)), p)
+        .join(comp.hint("merge"), Seq("block", "gpos"))
+        .drop("block", "gpos")
+        .withColumnsRenamed(
+          (0 to 3).map(i => s"b$i" -> s"$pfx$i").toMap)
+    val both = attach(attach(pairs, "ia", "a"), "ib", "c")
+    def blockLcp(i: Int): Column =
+      if (i == 0) expr(lcpSql(s, d, 8, "a0", "c0"))
+      else expr(s"(CASE WHEN a$i IS NULL OR c$i IS NULL THEN 0 ELSE " +
+        lcpSql(s, d, 8, s"a$i", s"c$i") + " END)")
+    val l0 = blockLcp(0); val l1 = blockLcp(1)
+    val l2 = blockLcp(2); val l3 = blockLcp(3)
+    val total = l0 + when(l0 === 8,
+      l1 + when(l1 === 8,
+        l2 + when(l2 === 8, l3).otherwise(lit(0))).otherwise(lit(0)))
+      .otherwise(lit(0))
+    val out = chkSer(both.select(
+      least(total.cast(LongType), lit(Depth.toLong)).as("lcp")))
+    shim.freeLocalCheckpoint(comp)
+    out
+  }
+
+  /** Binary-lifting fallback: descending powers k = Depth..1, add k
+    * and advance both positions whenever the rank_k values match.
+    * Never compares a string; 2 position-keyed joins per level.
+    * Checkpoint EVERY level (disk, superseded freed): unrolled, the
+    * 6-level lift is one plan with ~12 pipelined sorts whose
+    * concurrent spill pressure OOM'd a borderline sf1/3 GB run. */
+  private def plcpLift(s: SparkSession, d: String): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    val sa = saRanked(s, d).select("sa_rank", "gpos")
+    var cur = chkDisk(sa
+      .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
+        col("gpos").as("gb")).hint("merge"), Seq("sa_rank"))
+      .select(col("gpos").as("ia"), col("gb").as("ib"),
+        lit(0L).as("lcp")))
+    var k = Depth
+    while (k >= 1) {
+      val lev = rankLevel(s, d, k)
+      val eq = col("ra").isNotNull && col("rb").isNotNull &&
+        col("ra") === col("rb")
+      val next = chkDisk(cur
+        .join(lev.select(col("gpos").as("ia"), col("rank").as("ra"))
+          .hint("merge"), Seq("ia"), "left")
+        .join(lev.select(col("gpos").as("ib"), col("rank").as("rb"))
+          .hint("merge"), Seq("ib"), "left")
+        .select(
+          when(eq, col("ia") + k).otherwise(col("ia")).as("ia"),
+          when(eq, col("ib") + k).otherwise(col("ib")).as("ib"),
+          when(eq, col("lcp") + k).otherwise(col("lcp")).as("lcp")))
+      shim.freeLocalCheckpoint(cur)
+      cur = next
+      k /= 2
+    }
+    val out = chkSer(
+      cur.select(least(col("lcp"), lit(Depth.toLong)).as("lcp")))
+    shim.freeLocalCheckpoint(cur)
+    out
   }
 }

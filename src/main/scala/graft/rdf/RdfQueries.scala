@@ -861,14 +861,29 @@ object RdfQueries {
     * [[rdfsTypes]] (class chain) and [[rdfsEntail]] (class AND
     * property chains). Vocabulary-sized: the doubling walk squares a
     * ≤|sizes|² frame in log rounds. */
+  /** The NUMERIC chain closure `(v, w)` — the ontology chain walked
+    * once over size INTS; both namespaces' string closures are pure
+    * renders of this one artifact (the chain structure is identical:
+    * `v → v+1` per occurring size), and the entailment rule DAG
+    * joins on it directly so the corpus-scale path never touches a
+    * URI string until after its final dedup (guide §2.3: shuffle
+    * narrow types; the r17 plan shuffled ~90-byte URI triples
+    * through the set dedup). */
+  private def chainClosureN(s: SparkSession, d: String): DataFrame =
+    graft.SnapshotMemo.getOrCompute(s, s"rdfs-chain-closure-n:$d") {
+      val edges = graft.Tables(s, d, "part")
+        .select(col("p_size")).distinct()
+        .select(col("p_size").as("src"),
+          (col("p_size") + 1).as("dst"))
+      chkSer(RdfOps.reachablePlusDoubling(edges))
+    }
+
   private def chainClosure(s: SparkSession, d: String,
       ns: String): DataFrame =
     graft.SnapshotMemo.getOrCompute(s, s"rdfs-chain-closure:$ns:$d") {
-      val edges = graft.Tables(s, d, "part")
-        .select(col("p_size")).distinct()
-        .select(concat(lit(ns), col("p_size")).as("src"),
-          concat(lit(ns), col("p_size") + 1).as("dst"))
-      chkSer(RdfOps.reachablePlusDoubling(edges))
+      chkSer(chainClosureN(s, d)
+        .select(concat(lit(ns), col("src")).as("src"),
+          concat(lit(ns), col("dst")).as("dst")))
     }
 
   private def rdfsTypes(s: SparkSession, d: String): DataFrame = {
@@ -930,10 +945,19 @@ object RdfQueries {
     val allPart = graft.Tables(s, d, "part")
       .select(col("p_partkey").as("k"), col("p_size").as("v"))
     // the ontology derives from the FULL vocabulary — only the
-    // instance axis is filtered (the incremental semantics)
-    entailInstances(s, d, allPart.filter(instanceFilter))
+    // instance axis is filtered (the incremental semantics).
+    // Set semantics on the COMPACT (kind, a, b) rows: the render to
+    // URI strings is injective per kind and the two kinds cannot
+    // collide (kind-1 predicate is the rdf:type constant, kind-0's
+    // is always an OntoPropNs IRI), so distinct-then-render equals
+    // render-then-distinct — and the one corpus-scale exchange
+    // carries three longs instead of three ~90-byte URIs
+    // (guide §2.3; measured 10.7 s wide-string distinct at sf0.1).
+    renderEntailed(
+      entailCompact(s, d, allPart.filter(instanceFilter))
+        .select(col("kind"), col("a"), col("b"))
+        .distinct())
       .select(col("subject"), col("predicate"), col("obj"))
-      .distinct()
   }
 
   /** The shared entailment CORE over an arbitrary `(k, v)` instance
@@ -959,50 +983,76 @@ object RdfQueries {
     *    one cheap exchange of the compact (k, v) rows the expansion
     *    runs in shuffle-partition-count small tasks. */
   private[graft] def entailInstances(s: SparkSession, d: String,
+      instances: DataFrame): DataFrame =
+    // the repartition spreads the URI-string render (the only
+    // corpus-scale string work left on this path — the rule DAG
+    // itself is all-numeric now): a coalesced handful of fat scan
+    // tasks each rendering tens of millions of URI strings is what
+    // blew the capped heap in the first cut
+    renderEntailed(entailCompact(s, d, instances)
+      .repartition(col("src_k")))
+
+  /** The all-NUMERIC rule DAG: `(src_k, kind, a, b)` rows where
+    * kind 0 is the sp-closed instance triple `(item_a, P_b,
+    * item_2a)` and kind 1 the inferred type `(item_a, rdf:type,
+    * C_b)` — the full ρdf conclusion set as three longs per row.
+    * URI strings are a pure per-kind-injective render
+    * ([[renderEntailed]]) applied AFTER whatever set semantics the
+    * caller owns. */
+  private def entailCompact(s: SparkSession, d: String,
       instances: DataFrame): DataFrame = {
-    val item = "http://ex.org/item/"
     val sizes = graft.Tables(s, d, "part")
       .select(col("p_size").as("v")).distinct()
     def withIdentity(closure: DataFrame, members: DataFrame): DataFrame =
       closure.unionByName(
         members.select(col("m").as("src"), col("m").as("dst")))
-    val spStar = withIdentity(chainClosure(s, d, OntoPropNs),
-      sizes.select(concat(lit(OntoPropNs), col("v")).as("m")))
+    val spStar = withIdentity(chainClosureN(s, d),
+      sizes.select(col("v").as("m")))
     // reflexive class pairs for every class a dom/range rule can
     // seed (C_v and C_{v+1} over occurring sizes)
-    val scStar = withIdentity(chainClosure(s, d, OntoClassNs),
-      sizes.select(concat(lit(OntoClassNs), col("v")).as("m"))
-        .unionByName(sizes.select(
-          concat(lit(OntoClassNs), col("v") + 1).as("m")))
+    val scStar = withIdentity(chainClosureN(s, d),
+      sizes.select(col("v").as("m"))
+        .unionByName(sizes.select((col("v") + 1).as("m")))
         .distinct())
     val domRng = sizes.filter(col("v") % 5 === 0)
-      .select(concat(lit(OntoPropNs), col("v")).as("p"),
-        concat(lit(OntoClassNs), col("v")).as("c"),
-        lit("s").as("side"))
+      .select(col("v").as("p"), col("v").as("c"), lit("s").as("side"))
       .unionByName(sizes.filter(col("v") % 7 === 0)
-        .select(concat(lit(OntoPropNs), col("v")).as("p"),
-          concat(lit(OntoClassNs), col("v") + 1).as("c"),
+        .select(col("v").as("p"), (col("v") + 1).as("c"),
           lit("o").as("side")))
-    val triples = instances.repartition(col("k")).select(
-      col("k").as("src_k"),
-      concat(lit(item), col("k")).as("s"),
-      concat(lit(OntoPropNs), col("v")).as("p"),
-      concat(lit(item), col("k") * 2).as("o"))
+    val triples = instances
+      .select(col("k").as("src_k"), col("k"), col("v"))
     val spClosed = triples
-      .join(broadcast(spStar), triples("p") === spStar("src"))
-      .select(col("src_k"), col("s"), col("dst").as("p"), col("o"))
-    val typeSeeds = spClosed.join(broadcast(domRng), Seq("p"))
+      .join(broadcast(spStar), triples("v") === spStar("src"))
+      .select(col("src_k"), col("k"), col("dst").as("p2"))
+    val typeSeeds = spClosed
+      .join(broadcast(domRng), spClosed("p2") === domRng("p"))
       .select(col("src_k"),
-        when(col("side") === "s", col("s")).otherwise(col("o")).as("x"),
+        when(col("side") === "s", col("k"))
+          .otherwise(col("k") * 2).as("x"),
         col("c"))
     val types = typeSeeds
       .join(broadcast(scStar), typeSeeds("c") === scStar("src"))
-      .select(col("src_k"), col("x"), col("dst").as("c"))
-    spClosed
-      .unionByName(types.select(col("src_k"), col("x").as("s"),
-        lit(RdfType).as("p"), col("c").as("o")))
-      .select(col("src_k"), col("s").as("subject"),
-        col("p").as("predicate"), col("o").as("obj"))
+      .select(col("src_k"), col("x"), col("dst").as("c2"))
+    spClosed.select(col("src_k"), lit(0).as("kind"),
+        col("k").cast("long").as("a"), col("p2").cast("long").as("b"))
+      .unionByName(types.select(col("src_k"), lit(1).as("kind"),
+        col("x").cast("long").as("a"), col("c2").cast("long").as("b")))
+  }
+
+  /** `(kind, a, b) → (subject, predicate, obj)` URI render —
+    * map-side, injective per kind, kinds collision-free (the kind-1
+    * predicate is the `rdf:type` constant; kind-0 predicates are
+    * OntoPropNs IRIs). Passes any extra columns (src_k) through. */
+  private def renderEntailed(compact: DataFrame): DataFrame = {
+    val item = "http://ex.org/item/"
+    val passthrough = compact.columns
+      .filterNot(Set("kind", "a", "b")).map(col).toSeq
+    compact.select(passthrough ++ Seq(
+      concat(lit(item), col("a")).as("subject"),
+      when(col("kind") === 0, concat(lit(OntoPropNs), col("b")))
+        .otherwise(lit(RdfType)).as("predicate"),
+      when(col("kind") === 0, concat(lit(item), col("a") * 2))
+        .otherwise(concat(lit(OntoClassNs), col("b"))).as("obj")): _*)
   }
 
   private def relationClosure(s: SparkSession, d: String): DataFrame =
