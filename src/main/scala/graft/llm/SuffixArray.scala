@@ -78,6 +78,20 @@ object SuffixArray {
   /** Sampling modulus for the oracle-facing SA dump. */
   val SampleMod = 199
 
+  /** Every SA artifact builds under a scoped AQE-off
+    * ([[graft.LoopConf.noAqe]]): under AQE, `Dataset.localCheckpoint`
+    * captures the adaptive plan's partitioning as
+    * `UnknownPartitioning` and its ordering as empty (measured,
+    * SaPlanProbe) — so a "pinned" block-clustered checkpoint
+    * silently loses its layout and EVERY downstream window/zipper
+    * join re-exchanges and re-sorts the corpus. With AQE off during
+    * the build, the LogicalRDD carries hash(block)/[block, gpos ASC]
+    * and the no-exchange design actually plans that way. The builds'
+    * widths are already data-derived (sizedCompute), so AQE has
+    * nothing else to offer them. */
+  private def build[A](s: SparkSession)(body: => A): A =
+    graft.LoopConf.noAqe(s)(body)
+
   private def chkSer(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
@@ -157,7 +171,7 @@ object SuffixArray {
   // by the cluster width, never by the document count).
   // ----------------------------------------------------------------
   private[llm] def positions(s: SparkSession, d: String): DataFrame =
-    SnapshotMemo.getOrCompute(s, s"sa-pos:$d") {
+    SnapshotMemo.getOrCompute(s, s"sa-pos:$d") { build(s) {
       val (b, p) = geom(s, d)
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("text"),
@@ -200,7 +214,7 @@ object SuffixArray {
           (col("off") + col("i")).as("gpos"),
           ascii(col("ch")).cast(LongType).as("code"))
         .withColumn("block", expr(s"gpos div ${b}L")), p))
-    }
+    } }
 
   // ----------------------------------------------------------------
   // Order-preserving dense rank WITHOUT a single-partition window:
@@ -252,22 +266,46 @@ object SuffixArray {
   // prefix, exactly as string comparison does), then packs or
   // densifies.
   // ----------------------------------------------------------------
-  /** Depth-1 rank bound: the corpus's ACTUAL maximum character code
-    * (one bounded agg over the memoized positions table). On
-    * ASCII-ish corpora depths 2, 4 and 8 all pack and the first
-    * densify lands at depth 16; a corpus with genuinely wide codes
-    * degrades the schedule gracefully by itself. */
-  private def maxCode(s: SparkSession, d: String): Long = {
-    val key = s"sa-maxcode:$d"
-    SnapshotMemo.getOrCompute(s, key)(
-      positions(s, d).agg(max(col("code")).as("m")).localCheckpoint())
-      .head.getLong(0)
+  /** Depth-1 rank bounds: the corpus's ACTUAL min/max character
+    * codes (one bounded agg over the memoized positions table). On
+    * ASCII-ish corpora depth 8 packs DIRECTLY off the positions
+    * table and the first densify lands at depth 16; a corpus with
+    * genuinely wide codes degrades the schedule gracefully by
+    * itself. */
+  private def codeRange(s: SparkSession, d: String): (Long, Long) = {
+    val key = s"sa-coderange:$d"
+    val r = SnapshotMemo.getOrCompute(s, key)(
+      positions(s, d).agg(min(col("code")).as("lo"),
+        max(col("code")).as("m")).localCheckpoint()).head
+    (r.getLong(0), r.getLong(1))
   }
+
+  private def maxCode(s: SparkSession, d: String): Long =
+    codeRange(s, d)._2
+
+  /** Depth-8 ranks can be packed DIRECTLY from the positions table —
+    * one base-(maxCode+1) 8-digit number per position, digit 0 = the
+    * past-corpus-end marker (sorts before every real code, exactly
+    * the shorter-suffix-first string order) — iff the base fits 8
+    * digits in a long and no real code is 0 (which would alias the
+    * marker). One window pass replaces the depth-2 and depth-4
+    * levels entirely (each was a full window+checkpoint pass over
+    * the corpus). */
+  private def direct8(s: SparkSession, d: String): Boolean = {
+    val (lo, hi) = codeRange(s, d)
+    lo >= 1L && hi + 1 <= 232L // 232^8 < Long.MaxValue
+  }
+
+  private def direct8Base(s: SparkSession, d: String): Long =
+    maxCode(s, d) + 1
 
   private[llm] def levelBound(s: SparkSession, d: String,
       depth: Int): Long = {
     if (depth == 1) maxCode(s, d)
-    else {
+    else if (depth == 8 && direct8(s, d)) {
+      val k = direct8Base(s, d)
+      k * k * k * k * k * k * k * k - 1
+    } else {
       val half = levelBound(s, d, depth / 2)
       if (packable(half)) half * (half + 3) + (half + 2)
       else positions(s, d).count() + 1
@@ -278,7 +316,7 @@ object SuffixArray {
 
   private[llm] def rankLevel(s: SparkSession, d: String,
       depth: Int): DataFrame =
-    SnapshotMemo.getOrCompute(s, s"sa-rank:$d:$depth") {
+    SnapshotMemo.getOrCompute(s, s"sa-rank:$d:$depth") { build(s) {
       require(depth >= 1 && Integer.bitCount(depth) == 1,
         s"rank level depth must be a power of two, got $depth")
       if (depth == 1) {
@@ -287,6 +325,21 @@ object SuffixArray {
         // exchange+sort+checkpoint here
         positions(s, d).select(col("gpos"), col("code").as("rank"),
           col("block"))
+      } else if (depth == 8 && direct8(s, d)) {
+        // base-k1 Horner pack of the 8 character codes (0 past the
+        // corpus end): one window pass with 7 leads, skipping the
+        // depth-2/-4 intermediate levels
+        val (b, _) = geom(s, d)
+        val k = direct8Base(s, d)
+        val led = withShifted(
+          positions(s, d).select(col("block"), col("gpos"),
+            col("code").as("rank")),
+          "rank", 1 to 7, b, i => s"_c$i")
+        val packed = (1 to 7).foldLeft(col("rank")) { (acc, i) =>
+          acc * k + coalesce(col(s"_c$i"), lit(0L))
+        }
+        chkDisk(led.select(col("gpos"), packed.as("rank"),
+          col("block")))
       } else {
         val (b, p) = geom(s, d)
         val half = depth / 2
@@ -317,22 +370,61 @@ object SuffixArray {
                 col("block")), p))
         }
       }
-    }
+    } }
 
-  /** Full bounded-depth SA order: dense sa_rank over
-    * (rank_Depth, gpos) — gpos tie-break makes the key unique, so
-    * the dense rank IS the suffix-array permutation index. The
-    * positions⋈rank join is a zipper (both sides block-clustered:
-    * no exchange, no sort). */
-  private[llm] def saRanked(s: SparkSession, d: String): DataFrame =
-    SnapshotMemo.getOrCompute(s, s"sa-ranked:$d") {
+  /** The four direct-packed depth-8 blocks per position, at offsets
+    * 0/8/16/24 (0 = past corpus end): the bounded-depth-32 suffix
+    * KEY as a 4-long tuple, built with ONE window pass over the
+    * depth-8 ranks. Lexicographic (b0, b1, b2, b3) order IS the
+    * depth-32 bounded-substring order (each block compares 8 chars
+    * with shorter-sorts-first 0-padding; a tie means 8 real equal
+    * chars, passing comparison to the next block), so on the
+    * direct8 path this ONE artifact replaces the depth-16 densify
+    * AND the depth-32 pack — each of which was its own full
+    * window+checkpoint pass over the corpus. */
+  private[llm] def blocks32(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"sa-blocks32:$d") { build(s) {
      graft.LoopConf.sizedCompute(s, corpusLen(s, d)) {
-      val joined = positions(s, d)
-        .select("block", "gpos", "doc_id", "lpos", "dlen")
-        .join(rankLevel(s, d, Depth).hint("merge"), Seq("block", "gpos"))
-      chkDisk(denseRank(joined, Seq("rank", "gpos"), "sa_rank"))
+      val (b, _) = geom(s, d)
+      chkDisk(withShifted(rankLevel(s, d, 8), "rank",
+          Seq(8, 16, 24), b, dd => s"b${dd / 8}")
+        .select(col("block"), col("gpos"), col("rank").as("b0"),
+          coalesce(col("b1"), lit(0L)).as("b1"),
+          coalesce(col("b2"), lit(0L)).as("b2"),
+          coalesce(col("b3"), lit(0L)).as("b3")))
      }
-    }
+    } }
+
+  /** Full bounded-depth SA order: dense sa_rank over the depth-32
+    * suffix key with a gpos tie-break (the key becomes unique, so
+    * the dense rank IS the suffix-array permutation index). On the
+    * direct8 path the key is the [[blocks32]] tuple; otherwise the
+    * classic rank_Depth column. The positions⋈key join is a zipper
+    * (both sides block-clustered: no exchange, no sort). */
+  private[llm] def saRanked(s: SparkSession, d: String): DataFrame =
+    SnapshotMemo.getOrCompute(s, s"sa-ranked:$d") { build(s) {
+     graft.LoopConf.sizedCompute(s, corpusLen(s, d)) {
+      // the stored artifact is checkpointed once; leaving it as a
+      // view over denseRank's interior checkpoint was measured
+      // WORSE (the lcp pair build reads saRanked twice and re-paid
+      // the broadcast-join pass each time)
+      val pos = positions(s, d)
+        .select("block", "gpos", "doc_id", "lpos", "dlen")
+      if (direct8(s, d)) {
+        val joined = pos
+          .join(blocks32(s, d).hint("merge"), Seq("block", "gpos"))
+        chkDisk(denseRank(joined,
+          Seq("b0", "b1", "b2", "b3", "gpos"), "sa_rank")
+          .select("block", "gpos", "doc_id", "lpos", "dlen",
+            "sa_rank"))
+      } else {
+        val joined = pos
+          .join(rankLevel(s, d, Depth).hint("merge"),
+            Seq("block", "gpos"))
+        chkDisk(denseRank(joined, Seq("rank", "gpos"), "sa_rank"))
+      }
+     }
+    } }
 
   // ----------------------------------------------------------------
   // llm_suffix_array: every SampleMod-th entry of the suffix-array
@@ -361,14 +453,20 @@ object SuffixArray {
     // role llm_dup_spans' positional k-gram mask plays); the island
     // merge re-derives per read from it (dup-start-sized, cheap).
     val dupStarts = SnapshotMemo.getOrCompute(s, s"sa-dup-starts:$d") {
+     build(s) {
      graft.LoopConf.sizedCompute(s, corpusLen(s, d)) {
       val (_, p) = geom(s, d)
-      val r = rankLevel(s, d, SpanL)
-      // duplicated ⟺ the rank's group has ≥ 2 members: ONE exchange
-      // (the count-over-rank window) instead of the r17
-      // groupBy + second full merge-join exchange of the rank table
-      val dups = r.withColumn("_c",
-          count(lit(1)).over(Window.partitionBy("rank")))
+      // duplicated ⟺ the depth-SpanL key's group has ≥ 2 members:
+      // ONE exchange (the count-over-key window) instead of the r17
+      // groupBy + second full merge-join exchange of the rank table.
+      // On the direct8 path the key is the blocks32 tuple (rank_16
+      // and rank_32 are never built at all).
+      val dups = (if (direct8(s, d))
+          blocks32(s, d).withColumn("_c", count(lit(1)).over(
+            Window.partitionBy("b0", "b1", "b2", "b3")))
+        else
+          rankLevel(s, d, SpanL).withColumn("_c",
+            count(lit(1)).over(Window.partitionBy("rank"))))
         .filter(col("_c") > 1)
         .select("block", "gpos")
       chkDisk(positions(s, d)
@@ -376,6 +474,7 @@ object SuffixArray {
         .select("block", "gpos", "doc_id", "lpos")
         .join(clusterByBlock(dups, p).hint("merge"),
           Seq("block", "gpos"), "left_semi"))
+     }
      }
     }
     val w = Window.partitionBy("doc_id").orderBy("lpos")
@@ -391,68 +490,90 @@ object SuffixArray {
   // llm_sa_lcp: histogram of longest-common-prefix lengths between
   // ADJACENT suffix-array entries (capped at Depth).
   //
-  // Fast path (packed-rank digit descent): when depths 2/4/8 all
-  // pack (any ASCII-ish corpus), rank_8 values ARE mixed-radix
-  // encodings of their 8 character digits (digit = code, or -1
-  // for a past-corpus-end position, offset by +2 in the low slots).
-  // The LCP of two suffixes capped at 32 is then a PURE EXPRESSION
-  // over the four rank_8 values at offsets 0/8/16/24 from each side:
-  // count leading equal digits by arithmetic descent (compare the
-  // half-depth hi digits: equal ⟹ add k/2 and descend into the lo
-  // digits, unequal ⟹ descend into the hi digits). Two distinct
-  // positions can never both run off the corpus at the same relative
-  // offset (ia+δ = ib+δ = n ⟹ ia = ib), so "both digits missing"
-  // never compares equal and the descent agrees with the rank-table
-  // lift exactly — the lift's rank_k equality IS k-digit equality.
-  // Cost: one window pass for the three shifted blocks + two zipper
-  // joins for the pair sides, replacing the 6-level lift's 12
-  // position-scale joins and 6 checkpoints (measured 9.1 s of the
-  // r17 family's 34 s).
+  // Fast path (direct8 digit scan): the blocks32 values ARE base-k1
+  // encodings of their 8 character digits (digit = code, 0 for a
+  // past-corpus-end offset). The LCP of two suffixes capped at 32
+  // is then a PURE EXPRESSION over each side's four blocks: unpack
+  // the digits into columns (linear code size — see unpackLevels)
+  // and count leading equal real digits, whole-block equality
+  // short-circuiting 8 at a time. Two distinct positions can never
+  // both run off the corpus at the same relative offset
+  // (ia+δ = ib+δ = n ⟹ ia = ib), so "both digits missing" never
+  // counts as a match and the scan agrees with the rank-table lift
+  // exactly — rank_k equality IS k-digit equality. Cost: two zipper
+  // joins for the pair sides over the SHARED blocks32 artifact,
+  // replacing the 6-level lift's 12 position-scale joins and 6
+  // checkpoints (measured 9.1 s of the r17 family's 34 s).
   //
-  // Fallback (wide-code corpora where rank_8 is densified and no
-  // longer digit-decodable): the binary-lifting walk over the rank
-  // tables, unchanged from r17.
+  // Fallback (wide-code corpora where the direct pack cannot hold 8
+  // digits): the binary-lifting walk over the rank tables,
+  // unchanged from r17.
   // ----------------------------------------------------------------
   def lcpHistogram(s: SparkSession, d: String): DataFrame = {
     val plcp = SnapshotMemo.getOrCompute(s, s"sa-plcp:$d") {
+     build(s) {
      graft.LoopConf.sizedCompute(s, corpusLen(s, d)) {
-      val packs8 = packable(levelBound(s, d, 1)) &&
-        packable(levelBound(s, d, 2)) && packable(levelBound(s, d, 4))
-      if (packs8) plcpPacked(s, d) else plcpLift(s, d)
+      if (direct8(s, d)) plcpPacked(s, d) else plcpLift(s, d)
+     }
      }
     }
     plcp.groupBy("lcp").agg(count(lit(1)).as("n_pairs"))
   }
 
-  /** Nested-CASE SQL for the leading-equal-digit count of two
-    * depth-k packed rank values (k a power of two ≥ 1). A negative
-    * operand is a propagated missing-suffix marker — zero matches
-    * (the other side's digit is a real char; both-missing cannot
-    * happen between distinct positions). */
-  private def lcpSql(s: SparkSession, d: String, k: Int,
-      x: String, y: String): String =
-    if (k == 1)
-      s"(CASE WHEN ($x) < 0 OR ($y) < 0 THEN 0" +
-        s" WHEN ($x) = ($y) THEN 1 ELSE 0 END)"
-    else {
-      val kk = levelBound(s, d, k / 2) + 3
-      val xh = s"(($x) div ${kk}L)"; val yh = s"(($y) div ${kk}L)"
-      val xl = s"(($x) % ${kk}L - 2)"; val yl = s"(($y) % ${kk}L - 2)"
-      s"(CASE WHEN ($x) < 0 OR ($y) < 0 THEN 0" +
-        s" WHEN $xh = $yh THEN ${k / 2} + ${lcpSql(s, d, k / 2, xl, yl)}" +
-        s" ELSE ${lcpSql(s, d, k / 2, xh, yh)} END)"
+  /** Unpack a direct8-packed value into its 8 character digits as
+    * COLUMNS (digit = char code, 0 = past corpus end). Linear
+    * expression size — the first cut generated one textually
+    * recursive CASE whose duplicated operands grew the codegen
+    * source past janino's 64 KB method cap, silently dropping the
+    * 1.5M-row projection to interpreted mode (measured 69 s of task
+    * time for what is ~2 s compiled; the plan carried the >64 KB
+    * expression FOUR times). Each unpack step here is one div/mod
+    * off a materialized parent column, so every subexpression is
+    * computed once and the generated code stays small. */
+  private def unpackLevels(s: SparkSession, d: String,
+      pfx: String): Seq[Seq[(String, Column)]] = {
+    val k = direct8Base(s, d)
+    // quotient/remainder chain off the direct base-k1 pack: digit 0
+    // is the leading character code, 0 marks past-corpus-end
+    ((7 to 1 by -1).map { i =>
+      val parent = if (i == 7) s"${pfx}v" else s"${pfx}q$i"
+      Seq(
+        s"${pfx}q${i - 1}" -> expr(s"$parent div ${k}L"),
+        s"${pfx}d$i" -> expr(s"$parent % ${k}L"))
+    } :+ Seq(s"${pfx}d0" -> col(s"${pfx}q0"))).toSeq
+  }
+
+  /** Leading-equal-digit count of two unpacked depth-8 blocks: the
+    * scan stops at the first unequal digit or missing marker (a
+    * digit pair with BOTH sides missing cannot occur between
+    * distinct positions, and all pair sides here are distinct —
+    * adjacent suffix-array entries). Whole-block equality
+    * short-circuits to 8 (the rank invariant: equal packed values ⟺
+    * equal full-length substrings). Linear in the digit count. */
+  private def blockLcp8(a: String, b: String): Column = {
+    // a real character digit is ≥ 1 (codes are ≥ 1 by the direct8
+    // precondition; 0 = past corpus end, −1 = null-block marker)
+    def eq(i: Int): Column =
+      col(s"${a}d$i") >= 1 && col(s"${a}d$i") === col(s"${b}d$i")
+    val scan = (7 to 0 by -1).foldLeft(lit(8): Column) { (tail, i) =>
+      when(eq(i), tail).otherwise(lit(i))
     }
+    // whole-value equality ⟹ 8 real equal digits (rank invariant +
+    // distinct positions); guarded ≥ 1 so both-sides-past-corpus-end
+    // (normalized to −1) falls through to the scan's 0
+    when(col(s"${a}v") >= 1 && col(s"${a}v") === col(s"${b}v"), lit(8))
+      .otherwise(scan)
+  }
+
+  private def addCols(df: DataFrame,
+      cols: Seq[(String, Column)]): DataFrame =
+    df.select(col("*") +: cols.map { case (n, c) => c.as(n) }: _*)
 
   private def plcpPacked(s: SparkSession, d: String): DataFrame = {
     val (b, p) = geom(s, d)
-    val shim = org.apache.spark.sql.graftshim.ColumnBridge
-    // rank_8 blocks at offsets 0/8/16/24 per position: one window
-    // pass (three leads share one window spec) + three tiny halo
-    // broadcasts; clustering preserved, checkpoint directly
-    val comp = chkDisk(withShifted(rankLevel(s, d, 8), "rank",
-        Seq(8, 16, 24), b, dd => s"b${dd / 8}")
-      .select(col("block"), col("gpos"), col("rank").as("b0"),
-        col("b1"), col("b2"), col("b3")))
+    // the depth-32 suffix keys are the SHARED blocks32 artifact
+    // (saRanked and dup-starts read the same one)
+    val comp = blocks32(s, d)
     val sa = saRanked(s, d).select("sa_rank", "gpos")
     val pairs = sa
       .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
@@ -467,20 +588,24 @@ object SuffixArray {
         .withColumnsRenamed(
           (0 to 3).map(i => s"b$i" -> s"$pfx$i").toMap)
     val both = attach(attach(pairs, "ia", "a"), "ib", "c")
-    def blockLcp(i: Int): Column =
-      if (i == 0) expr(lcpSql(s, d, 8, "a0", "c0"))
-      else expr(s"(CASE WHEN a$i IS NULL OR c$i IS NULL THEN 0 ELSE " +
-        lcpSql(s, d, 8, s"a$i", s"c$i") + " END)")
-    val l0 = blockLcp(0); val l1 = blockLcp(1)
-    val l2 = blockLcp(2); val l3 = blockLcp(3)
-    val total = l0 + when(l0 === 8,
-      l1 + when(l1 === 8,
-        l2 + when(l2 === 8, l3).otherwise(lit(0))).otherwise(lit(0)))
-      .otherwise(lit(0))
-    val out = chkSer(both.select(
+    val sides = for (i <- 0 to 3; sd <- Seq("a", "c")) yield s"$sd$i"
+    // level-grouped projections: whole values (blocks32 already
+    // encodes past-corpus-end as 0), then the unpack levels, then
+    // per-block LCPs — every subexpression is a materialized column
+    // evaluated once
+    val vals = addCols(both, sides.map(nm => s"${nm}v" -> col(nm)))
+    val nLevels = unpackLevels(s, d, sides.head).length
+    val digits = (0 until nLevels).foldLeft(vals) { (df, level) =>
+      addCols(df, sides.flatMap(nm => unpackLevels(s, d, nm)(level)))
+    }
+    val withL = addCols(digits,
+      (0 to 3).map(i => s"l$i" -> blockLcp8(s"a$i", s"c$i")))
+    val total = col("l0") + when(col("l0") === 8,
+      col("l1") + when(col("l1") === 8,
+        col("l2") + when(col("l2") === 8, col("l3"))
+          .otherwise(lit(0))).otherwise(lit(0))).otherwise(lit(0))
+    chkSer(withL.select(
       least(total.cast(LongType), lit(Depth.toLong)).as("lcp")))
-    shim.freeLocalCheckpoint(comp)
-    out
   }
 
   /** Binary-lifting fallback: descending powers k = Depth..1, add k

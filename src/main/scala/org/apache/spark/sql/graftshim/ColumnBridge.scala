@@ -51,6 +51,15 @@ object ColumnBridge {
       ctx.updateLoggers()
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Dev probe: the partitioning/ordering a checkpointed Dataset's
+    * LogicalRDD actually carries (what downstream planning sees). */
+  def checkpointLayout(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        s"partitioning=${r.outputPartitioning} ordering=${r.outputOrdering}"
+      case p => s"not a LogicalRDD: ${p.getClass.getSimpleName}"
+    }
+
   def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
