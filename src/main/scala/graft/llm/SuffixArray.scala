@@ -411,12 +411,13 @@ object SuffixArray {
       val pos = positions(s, d)
         .select("block", "gpos", "doc_id", "lpos", "dlen")
       if (direct8(s, d)) {
+        // b0..b3 stay in the artifact: the LCP of ADJACENT entries
+        // reads them via one lead() window over this (SA-sorted)
+        // frame — no pair self-join, no re-clustering (plcpPacked)
         val joined = pos
           .join(blocks32(s, d).hint("merge"), Seq("block", "gpos"))
         chkDisk(denseRank(joined,
-          Seq("b0", "b1", "b2", "b3", "gpos"), "sa_rank")
-          .select("block", "gpos", "doc_id", "lpos", "dlen",
-            "sa_rank"))
+          Seq("b0", "b1", "b2", "b3", "gpos"), "sa_rank"))
       } else {
         val joined = pos
           .join(rankLevel(s, d, Depth).hint("merge"),
@@ -571,23 +572,34 @@ object SuffixArray {
 
   private def plcpPacked(s: SparkSession, d: String): DataFrame = {
     val (b, p) = geom(s, d)
-    // the depth-32 suffix keys are the SHARED blocks32 artifact
-    // (saRanked and dup-starts read the same one)
-    val comp = blocks32(s, d)
-    val sa = saRanked(s, d).select("sa_rank", "gpos")
-    val pairs = sa
-      .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
-        col("gpos").as("gb")).hint("merge"), Seq("sa_rank"))
-      .select(col("gpos").as("ia"), col("gb").as("ib"))
-    def attach(df: DataFrame, key: String, pfx: String): DataFrame =
-      clusterByBlock(df
-          .withColumn("block", expr(s"$key div ${b}L"))
-          .withColumn("gpos", col(key)), p)
-        .join(comp.hint("merge"), Seq("block", "gpos"))
-        .drop("block", "gpos")
-        .withColumnsRenamed(
-          (0 to 3).map(i => s"b$i" -> s"$pfx$i").toMap)
-    val both = attach(attach(pairs, "ia", "a"), "ib", "c")
+    // the saRanked artifact IS the suffix array in SA order with its
+    // depth-32 key blocks aboard — the ADJACENT entry's blocks are a
+    // lead(1) away. One exchange (cluster by sa_rank div B) + one
+    // window pass + a broadcast block-boundary halo replaces the r18
+    // first cut's sa_rank self-join plus TWO position-keyed
+    // re-clustering joins (three corpus-scale exchanges and their
+    // sorts).
+    val sa = saRanked(s, d).select(Seq(col("sa_rank")) ++
+      (0 to 3).map(i => col(s"b$i").as(s"a$i")): _*)
+    val keyed = sa.withColumn("blk", expr(s"sa_rank div ${b}L"))
+      .repartition(p, col("blk"))
+      .sortWithinPartitions("blk", "sa_rank")
+    val w = Window.partitionBy("blk").orderBy("sa_rank")
+    val led = (0 to 3).foldLeft(keyed)((acc, i) =>
+      acc.withColumn(s"_w$i", lead(col(s"a$i"), 1).over(w)))
+    // the first entry of each block, keyed to its predecessor (the
+    // previous block's last row) — bounded by the block count
+    val heads = sa.filter(pmod(col("sa_rank"), lit(b)) === 0)
+      .select((col("sa_rank") - 1).as("sa_rank") +:
+        (0 to 3).map(i => col(s"a$i").as(s"_h$i")): _*)
+    // c0 is null ONLY on the corpus's last SA entry (a real
+    // position's leading block is ≥ 1): that row has no adjacent
+    // pair and drops
+    val both = led.join(broadcast(heads), Seq("sa_rank"), "left")
+      .select(Seq(col("sa_rank")) ++ (0 to 3).map(i => col(s"a$i")) ++
+        (0 to 3).map(i =>
+          coalesce(col(s"_w$i"), col(s"_h$i")).as(s"c$i")): _*)
+      .filter(col("c0").isNotNull)
     val sides = for (i <- 0 to 3; sd <- Seq("a", "c")) yield s"$sd$i"
     // level-grouped projections: whole values (blocks32 already
     // encodes past-corpus-end as 0), then the unpack levels, then

@@ -323,6 +323,51 @@ object RdfOps {
     }
   }
 
+  /** [[reachablePlusPairs]] behind a NODE DICTIONARY: assign each
+    * distinct node a stable long id (monotonically_increasing_id
+    * over a checkpointed distinct — partition-deterministic once
+    * pinned), run the ladder on long pairs, decode back at the end.
+    * Every squaring round's join + set-dedup then exchanges, hashes
+    * and compares 8-byte longs instead of IRI strings (~40–60 bytes
+    * plus string equality on the relation fixture) — and the ladder
+    * is compute-bound in exactly those operators (ClosureProbe:
+    * 9.3 s → see OPTIMIZATION_r18.md for the encoded number). The
+    * dict build and the single decode are one-off edge/closure-scale
+    * passes OUTSIDE the ladder's AQE-off scope, so the planner picks
+    * their join strategy from runtime sizes (broadcast at vocabulary
+    * scale, shuffle at corpus scale). Returns a checkpointed frame;
+    * callers must NOT re-checkpoint. */
+  def reachablePlusPairsEncoded(edges: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnBridge
+    val dict = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .withColumn("nid", monotonically_increasing_id())
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val eN = edges
+      .join(dict.select(col("node").as("src"), col("nid").as("_s")),
+        Seq("src"))
+      .join(dict.select(col("node").as("dst"), col("nid").as("_t")),
+        Seq("dst"))
+      .select(col("_s").as("src"), col("_t").as("dst"))
+    val seedsN = seeds
+      .join(dict.select(col("node").as("src"), col("nid")), Seq("src"))
+      .select(col("nid").as("src"))
+    val pN = reachablePlusPairs(eN, seedsN)
+    val out = pN
+      .join(dict.select(col("nid").as("src"), col("node").as("_sv")),
+        Seq("src"))
+      .join(dict.select(col("nid").as("dst"), col("node").as("_dv")),
+        Seq("dst"))
+      .select(col("_sv").as("src"), col("_dv").as("dst"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    shim.freeLocalCheckpoint(pN)
+    shim.freeLocalCheckpoint(dict)
+    out
+  }
+
   /** Unbounded ALL-SOURCES `p+` pair closure by PATH DOUBLING —
     * O(log diameter) rounds instead of the frontier walk's
     * O(diameter): after round r the pair set holds every path of

@@ -1064,7 +1064,10 @@ object RdfQueries {
       val e = tri(s, d).filter(col("predicate") === DctermsRelation &&
           col("obj_kind") === "iri")
         .select(col("subject").as("src"), col("obj_value").as("dst"))
-      chkSer(RdfOps.reachablePlusPairs(e, e.select(col("src")).distinct()))
+      // dictionary-encoded: the ladder squares long pairs, not IRI
+      // strings (returns checkpointed — no chkSer here)
+      RdfOps.reachablePlusPairsEncoded(e,
+        e.select(col("src")).distinct())
     }
 
   /** The COMPOSED relation∘relation closure as a stored artifact —
@@ -1082,7 +1085,8 @@ object RdfQueries {
           e.select(col("src").as("_mid"), col("dst").as("_nxt")),
           col("dst") === col("_mid"))
         .select(col("src"), col("_nxt").as("dst"))
-      chkSer(RdfOps.reachablePlusPairs(e2, e2.select(col("src")).distinct()))
+      RdfOps.reachablePlusPairsEncoded(e2,
+        e2.select(col("src")).distinct())
     }
 
   /** [[SparqlSelect.ClosureProvider]] backed by [[relationClosure]]

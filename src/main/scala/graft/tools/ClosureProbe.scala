@@ -47,6 +47,9 @@ object ClosureProbe {
     if (algos == "both" || algos == "ladder")
       time("ladder")(RdfOps.reachablePlusPairs(edges,
         edges.select(col("src")).distinct()).count())
+    if (algos == "both" || algos == "ladder-enc")
+      time("ladder-enc")(RdfOps.reachablePlusPairsEncoded(edges,
+        edges.select(col("src")).distinct()).count())
     spark.stop()
   }
 }
